@@ -1,0 +1,650 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Stable._
+
+/** Core relational operator surface: scan/filter/project, the join
+  * family, aggregation (incl. rollup/cube/grouping sets), window
+  * functions, sort/limit, set ops, scalar function sweeps.
+  *
+  * Every query ends in a total order (unique sort key set) and uses the
+  * decimal-stabilized aggregates from [[Stable]], so results hash-match
+  * the DuckDB oracle SQL in [[RelationalQueries.sql]].
+  *
+  * Scale notes (100 TB design intent, verified on the local plans):
+  * - filters/projections sit directly on the parquet scan (pushdown);
+  * - `region`/`nation`/`supplier`/bands are broadcast — no shuffle of the
+  *   fact table for dimension joins;
+  * - aggregations rely on Spark's partial (map-side) + final split, which
+  *   the exact-decimal sums keep associative.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q01
+  /** Flagship: TPC-H Q1-style pricing summary (reference R1 capability:
+    * full-scan groupBy with sum/avg/count accumulators). */
+  def q01PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+          * (lit(1) + dec2(col("l_tax")))).cast("double").as("sum_charge"),
+        moneyAvg(col("l_quantity")).as("avg_qty"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        moneyAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // ---------------------------------------------------------------- q02
+  /** Projection with arithmetic + range/predicate filter, pushed to scan. */
+  def q02FilterProject(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(col("l_shipdate").between(
+        lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+        && col("l_discount") > 0.05 && col("l_quantity") < 25)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("double").as("net_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  // ---------------------------------------------------------------- q03
+  /** Compound predicates: IN / NOT LIKE / OR / null-producing CASE. */
+  def q03FilterCompound(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        && !col("o_orderstatus").like("P%")
+        && (col("o_totalprice") > 200000 || col("o_totalprice") < 2000))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        when(col("o_totalprice") > 200000, lit("big")).as("bucket"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // ---------------------------------------------------------------- q04
+  /** Inner equi-join fact-to-fact (orders ⋈ lineitem), then aggregate.
+    * Shuffle-on-key join: both sides hash-partition on the order key —
+    * the plan a 1000-executor cluster wants for two large tables. */
+  def q04JoinInner(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    o.filter(col("o_orderstatus") === "F")
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // ---------------------------------------------------------------- q05
+  /** Star join through broadcast dimensions: lineitem ⋈ supplier ⋈ nation
+    * ⋈ region. Dims stay broadcast-small at any sf (FIXTURES.md) — zero
+    * shuffle of the fact side for the join itself. */
+  def q05JoinBroadcastStar(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  // ---------------------------------------------------------------- q06
+  /** Left outer join preserving customers with no orders. */
+  def q06JoinLeftOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(moneySum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---------------------------------------------------------------- q07
+  /** Left semi join (EXISTS): customers having a finished order. */
+  def q07JoinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.join(o.filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---------------------------------------------------------------- q08
+  /** Left anti join (NOT EXISTS): customers with no pending order. */
+  def q08JoinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.join(o.filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---------------------------------------------------------------- q09
+  /** Non-equi (range/theta) join: events banded by value against a tiny
+    * derived band table — BroadcastNestedLoop over a 5-row broadcast, the
+    * only sane physical shape for a band join at scale. */
+  def q09JoinRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val bands = Tables.region(spark, sfDir)
+      .select(col("r_name").as("band"),
+        (col("r_regionkey") * 100).cast("double").as("lo"),
+        ((col("r_regionkey") + 1) * 100).cast("double").as("hi"))
+    e.join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+      .orderBy(col("band"))
+  }
+
+  // ---------------------------------------------------------------- q10
+  /** As-of join (reference-class temporal lookup), window rewrite: for
+    * each purchase event, the most recent strictly-earlier click by the
+    * same user. Both engines run the identical window form — no reliance
+    * on DuckDB's native ASOF (SURVEY §7.3). */
+  def q10AsOfJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sfDir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("last_click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .withColumn("last_click_value",
+        last(when(col("event_type") === "click", col("value")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), epochS(col("ts")).as("ts_s"),
+        epochS(col("last_click_ts")).as("click_ts_s"), col("last_click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- q11
+  /** Aggregate sweep: min/max/sum/avg/count + count distinct per group. */
+  def q11AggSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    e.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        moneySum(col("value")).as("sum_v"),
+        moneyAvg(col("value")).as("avg_v"))
+      .orderBy(col("event_type"))
+  }
+
+  // ---------------------------------------------------------------- q12
+  /** Exact count-distinct over a join-free fact scan. */
+  def q12CountDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // ---------------------------------------------------------------- q13
+  /** Rollup region→nation revenue (reference R6 generalization). Grouping
+    * nulls are coalesced to a sentinel so null-ordering dialects agree. */
+  def q13Rollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(moneySum(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .select(coalesce(col("r_name"), lit("<ALL>")).as("region"),
+        coalesce(col("n_name"), lit("<ALL>")).as("nation"),
+        col("revenue"), col("n_lines"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  // ---------------------------------------------------------------- q14
+  /** CUBE over two independent dimensions. */
+  def q14Cube(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("<ALL>")).as("status"),
+        coalesce(col("o_orderpriority"), lit("<ALL>")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  // ---------------------------------------------------------------- q15
+  /** GROUPING SETS via Spark SQL (Catalyst parses; same logical plan
+    * machinery as the DataFrame API). */
+  def q15GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("gs_orders")
+    spark.sql("""
+      SELECT coalesce(o_orderstatus, '<ALL>') AS status,
+             coalesce(o_orderpriority, '<ALL>') AS priority,
+             count(1) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM gs_orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      ORDER BY status, priority
+    """)
+  }
+
+  // ---------------------------------------------------------------- q16
+  /** Approximate distinct via HyperLogLog++ — sketch differs from DuckDB's
+    * so no SQL oracle (driver records rows-only); correctness is bounded
+    * against the exact count in a ScalaTest. */
+  def q16ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    e.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+  }
+
+  // ---------------------------------------------------------------- q17
+  /** Ranking windows: top-3 customers per nation by balance, with
+    * row_number / rank / dense_rank over one deterministic ordering. */
+  def q17WindowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.customer(spark, sfDir)
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    c.select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("c_nationkey"), col("rn"))
+  }
+
+  // ---------------------------------------------------------------- q18
+  /** lag/lead over event time per user. Deltas of identical doubles are
+    * bit-identical across engines — no rounding needed. */
+  def q18WindowLagLead(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sfDir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- q19
+  /** Moving frame aggregate: 3-row trailing average of order totals per
+    * customer (exact decimal sum inside the frame). */
+  def q19WindowMovingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, sfDir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, 0)
+    o.select(col("o_orderkey"), col("o_custkey"),
+        (sum(dec2(col("o_totalprice"))).over(w).cast("double")
+          / count(lit(1)).over(w)).as("moving_avg"),
+        count(lit(1)).over(w).as("frame_n"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // ---------------------------------------------------------------- q20
+  /** Global sort + top-k with total tie-break. */
+  def q20TopKGlobal(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.select(col("o_orderkey"), col("o_totalprice"), col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- q21
+  /** UNION ALL of two key streams, re-aggregated (distinct-free shape). */
+  def q21UnionAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").as("nationkey"))
+    val s = Tables.supplier(spark, sfDir)
+      .select(col("s_nationkey").as("nationkey"))
+    c.unionAll(s).groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"))
+  }
+
+  // ---------------------------------------------------------------- q22
+  /** INTERSECT: building-segment customers ∩ big-spender customers. */
+  def q22Intersect(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      .intersect(o.filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---------------------------------------------------------------- q23
+  /** EXCEPT: building-segment customers minus big spenders. */
+  def q23Except(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      .except(o.filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---------------------------------------------------------------- q24
+  /** String function sweep on part. */
+  def q24StringFns(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+    p.filter(col("p_name").like("%gear%") || col("p_name").like("red%"))
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        lower(col("p_brand")).as("lbrand"),
+        substring(col("p_name"), 1, 4).as("pfx"),
+        concat_ws("|", col("p_type"), col("p_brand")).as("cat"),
+        asLong(length(col("p_name"))).as("name_len"),
+        trim(col("p_name")).as("trimmed"),
+        split(col("p_name"), " ").getItem(0).as("first_word"))
+      .orderBy(col("p_partkey"))
+  }
+
+  // ---------------------------------------------------------------- q25
+  /** Date/time function sweep on orders (UTC pinned both engines). */
+  def q25DateFns(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.select(col("o_orderkey"),
+        asLong(year(col("o_orderdate"))).as("y"),
+        asLong(month(col("o_orderdate"))).as("m"),
+        asLong(dayofmonth(col("o_orderdate"))).as("d"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(col("o_orderdate") + expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").as("due"),
+        asLong(datediff(lit("2002-01-01").cast("date"),
+          col("o_orderdate").cast("date"))).as("age_days"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // ---------------------------------------------------------------- q26
+  /** Math function sweep on lineitem. */
+  def q26MathFns(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 1).as("rounded"),
+        abs(col("l_discount") - 0.05).as("abs_ctr"),
+        asLong(ceil(col("l_quantity") / 3)).as("ceil3"),
+        asLong(floor(col("l_extendedprice") / 1000)).as("kbucket"),
+        asLong(col("l_orderkey") % 7).as("mod7"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  lazy val defs: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_filter_project" -> q02FilterProject,
+    "q03_filter_compound" -> q03FilterCompound,
+    "q04_join_inner" -> q04JoinInner,
+    "q05_join_broadcast_star" -> q05JoinBroadcastStar,
+    "q06_join_left_outer" -> q06JoinLeftOuter,
+    "q07_join_semi" -> q07JoinSemi,
+    "q08_join_anti" -> q08JoinAnti,
+    "q09_join_range" -> q09JoinRange,
+    "q10_join_asof" -> q10AsOfJoin,
+    "q11_agg_sweep" -> q11AggSweep,
+    "q12_count_distinct" -> q12CountDistinct,
+    "q13_rollup" -> q13Rollup,
+    "q14_cube" -> q14Cube,
+    "q15_grouping_sets" -> q15GroupingSets,
+    "q16_approx_distinct" -> q16ApproxDistinct,
+    "q17_window_rank" -> q17WindowRank,
+    "q18_window_lag_lead" -> q18WindowLagLead,
+    "q19_window_moving_avg" -> q19WindowMovingAvg,
+    "q20_topk_global" -> q20TopKGlobal,
+    "q21_union_all" -> q21UnionAll,
+    "q22_intersect" -> q22Intersect,
+    "q23_except" -> q23Except,
+    "q24_string_fns" -> q24StringFns,
+    "q25_date_fns" -> q25DateFns,
+    "q26_math_fns" -> q26MathFns,
+  )
+
+  /** DuckDB oracle SQL. Table names are bare (driver registers views over
+    * the same parquet). Integer results widened to BIGINT explicitly —
+    * DuckDB's sum(BIGINT)→HUGEINT and year()→BIGINT would otherwise drift
+    * from Spark's types. */
+  lazy val sql: Map[String, String] = Map(
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+        CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
+        count(1) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_project" -> """
+      SELECT l_orderkey, l_linenumber,
+        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price
+      FROM lineitem
+      WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        AND l_discount > 0.05 AND l_quantity < 25
+      ORDER BY l_orderkey, l_linenumber""",
+    "q03_filter_compound" -> """
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        CASE WHEN o_totalprice > 200000 THEN 'big' END AS bucket
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND o_orderstatus NOT LIKE 'P%'
+        AND (o_totalprice > 200000 OR o_totalprice < 2000)
+      ORDER BY o_orderkey""",
+    "q04_join_inner" -> """
+      SELECT o_orderkey,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        count(1) AS n_lines
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY o_orderkey
+      ORDER BY o_orderkey""",
+    "q05_join_broadcast_star" -> """
+      SELECT r_name, n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        count(1) AS n_lines
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON CAST(s_nationkey AS INTEGER) = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name""",
+    "q06_join_left_outer" -> """
+      SELECT c_custkey,
+        count(o_orderkey) AS n_orders,
+        coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+      ORDER BY c_custkey""",
+    "q07_join_semi" -> """
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      ORDER BY c_custkey""",
+    "q08_join_anti" -> """
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+      ORDER BY c_custkey""",
+    "q09_join_range" -> """
+      SELECT band, count(1) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      JOIN (SELECT r_name AS band,
+                   CAST(r_regionkey * 100 AS DOUBLE) AS lo,
+                   CAST((r_regionkey + 1) * 100 AS DOUBLE) AS hi
+            FROM region) bands
+        ON value >= lo AND value < hi
+      GROUP BY band
+      ORDER BY band""",
+    "q10_join_asof" -> """
+      SELECT event_id, user_id, ts_s, click_ts_s, last_click_value
+      FROM (
+        SELECT event_id, user_id, event_type,
+          CAST(floor(epoch(tsu)) AS BIGINT) AS ts_s,
+          CAST(floor(epoch(max(CASE WHEN event_type = 'click' THEN tsu END)
+            OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))) AS BIGINT) AS click_ts_s,
+          last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_value
+        FROM (SELECT *, CAST(ts AS TIMESTAMP) AS tsu FROM events) e) t
+      WHERE event_type = 'purchase'
+      ORDER BY event_id""",
+    "q11_agg_sweep" -> """
+      SELECT event_type, count(1) AS n,
+        count(DISTINCT user_id) AS n_users,
+        min(value) AS min_v, max(value) AS max_v,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_v
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
+    "q12_count_distinct" -> """
+      SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
+        count(1) AS n_orders
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+    "q13_rollup" -> """
+      SELECT coalesce(r_name, '<ALL>') AS region,
+        coalesce(n_name, '<ALL>') AS nation,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        count(1) AS n_lines
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON CAST(s_nationkey AS INTEGER) = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY region, nation""",
+    "q14_cube" -> """
+      SELECT coalesce(o_orderstatus, '<ALL>') AS status,
+        coalesce(o_orderpriority, '<ALL>') AS priority,
+        count(1) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""",
+    "q15_grouping_sets" -> """
+      SELECT coalesce(o_orderstatus, '<ALL>') AS status,
+        coalesce(o_orderpriority, '<ALL>') AS priority,
+        count(1) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      ORDER BY status, priority""",
+    "q17_window_rank" -> """
+      SELECT c_nationkey, c_custkey, c_acctbal, rn, rnk, drnk
+      FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+          row_number() OVER w AS rn,
+          rank() OVER w AS rnk,
+          dense_rank() OVER w AS drnk
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)) t
+      WHERE rn <= 3
+      ORDER BY c_nationkey, rn""",
+    "q18_window_lag_lead" -> """
+      SELECT event_id, user_id, value,
+        lag(value, 1) OVER w AS prev_value,
+        lead(value, 1) OVER w AS next_value,
+        value - lag(value, 1) OVER w AS delta
+      FROM (SELECT *, CAST(ts AS TIMESTAMP) AS tsu FROM events) e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+      ORDER BY event_id""",
+    "q19_window_moving_avg" -> """
+      SELECT o_orderkey, o_custkey,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+          / count(1) OVER w AS moving_avg,
+        count(1) OVER w AS frame_n
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY o_orderkey""",
+    "q20_topk_global" -> """
+      SELECT o_orderkey, o_totalprice, o_custkey
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10""",
+    "q21_union_all" -> """
+      SELECT nationkey, count(1) AS n
+      FROM (SELECT c_nationkey AS nationkey FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nationkey FROM supplier) t
+      GROUP BY nationkey
+      ORDER BY nationkey""",
+    "q22_intersect" -> """
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+      ORDER BY c_custkey""",
+    "q23_except" -> """
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+      ORDER BY c_custkey""",
+    "q24_string_fns" -> """
+      SELECT p_partkey, upper(p_name) AS uname, lower(p_brand) AS lbrand,
+        substr(p_name, 1, 4) AS pfx,
+        concat_ws('|', p_type, p_brand) AS cat,
+        CAST(length(p_name) AS BIGINT) AS name_len,
+        trim(p_name) AS trimmed,
+        string_split(p_name, ' ')[1] AS first_word
+      FROM part
+      WHERE p_name LIKE '%gear%' OR p_name LIKE 'red%'
+      ORDER BY p_partkey""",
+    "q25_date_fns" -> """
+      SELECT o_orderkey,
+        CAST(year(o_orderdate) AS BIGINT) AS y,
+        CAST(month(o_orderdate) AS BIGINT) AS m,
+        CAST(day(o_orderdate) AS BIGINT) AS d,
+        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS age_days
+      FROM orders
+      ORDER BY o_orderkey""",
+    "q26_math_fns" -> """
+      SELECT l_orderkey, l_linenumber,
+        round(l_extendedprice, 1) AS rounded,
+        abs(l_discount - 0.05) AS abs_ctr,
+        CAST(ceil(l_quantity / 3) AS BIGINT) AS ceil3,
+        CAST(floor(l_extendedprice / 1000) AS BIGINT) AS kbucket,
+        CAST(l_orderkey % 7 AS BIGINT) AS mod7
+      FROM lineitem
+      WHERE l_orderkey % 100 = 0
+      ORDER BY l_orderkey, l_linenumber""",
+  )
+}
