@@ -1,0 +1,195 @@
+package graft.cube
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** The reference's core capability re-expressed Spark-first: incrementally
+  * maintained pre-aggregated OLAP cubes (materialized views) over a
+  * source table, with roll-up queries served from the cube instead of the
+  * source (kshpin/mongo-olap's cube create / incremental update /
+  * getAggregates lifecycle — SURVEY.md §2.1 R1/R3/R6; the reference tree
+  * itself is empty on this machine, see SURVEY.md §0, so semantics follow
+  * the reconstructed spec there).
+  *
+  * Design for scale:
+  * - The cube is a grouped aggregate ∝ |distinct dim tuples|, not |source|.
+  *   Queries against it touch cube-sized data — the classic MV win.
+  * - Incremental refresh folds only the delta batch plus the existing
+  *   cube partials: cost ∝ |delta| + |cube|, never re-reading the source.
+  *   Both sides of the fold are partial aggregates, so the union
+  *   re-aggregation shuffles only cube-sized data on the dimension key.
+  * - Measures accumulate as exact DECIMAL(18,2) partials: associative and
+  *   order-independent, so map-side partial aggregation, AQE re-planning,
+  *   and repeated delta folds can never drift the totals.
+  * - Deletes/updates are signed deltas (insert:+1, delete:−1,
+  *   update:−old,+new) — the streaming Update-mode equivalent runs in
+  *   graft.streaming.StreamingCube on the same plan.
+  */
+sealed trait Dimension {
+  def id: String
+  def expr: Column
+}
+
+/** Plain field dimension; `path` may be a dotted nested path (`a.b.c`). */
+final case class FieldDim(id: String, path: String) extends Dimension {
+  def expr: Column = col(path).as(id)
+}
+
+/** Date dimension bucketed to a granularity (year/month/day/hour/minute). */
+final case class TimeDim(id: String, path: String, granularity: String)
+    extends Dimension {
+  require(Set("year", "quarter", "month", "week", "day", "hour", "minute")
+    .contains(granularity), s"unsupported granularity: $granularity")
+  def expr: Column = date_trunc(granularity, col(path)).as(id)
+}
+
+/** Accumulated measure. `sum` is the only stored accumulator besides the
+  * implicit row count; `avg` is derived at query time as sum/count —
+  * exactly the reference's model. */
+final case class Measure(id: String, path: String)
+
+final case class CubeConfig(
+    name: String,
+    source: String, // table name within the sfDir, e.g. "events"
+    dims: Seq[Dimension],
+    measures: Seq[Measure]) {
+  def dimCols: Seq[Column] = dims.map(_.expr)
+  def dimNames: Seq[String] = dims.map(_.id)
+}
+
+/** A materialized cube: dimension columns + one DECIMAL sum per measure +
+  * a `_count` row count. */
+final case class Cube(config: CubeConfig, aggregates: DataFrame)
+
+object CubeManager {
+  val CountCol = "_count"
+  private val Dec = DecimalType(18, 2)
+
+  /** R1: initial cube population — one full source scan, then the cube
+    * lives independently of the source. */
+  def create(config: CubeConfig, source: DataFrame): Cube = {
+    val sums = config.measures.map(m =>
+      sum(col(m.path).cast(Dec)).cast(Dec).as(m.id))
+    val agg = source
+      .groupBy(config.dimCols: _*)
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as(CountCol)): _*)
+    Cube(config, agg)
+  }
+
+  /** R3: incremental maintenance. `deltas` carries the source schema plus
+    * a `_sign` column (+1 insert, −1 delete; an update is a −1/+1 pair).
+    * Folds the delta batch into the existing aggregates without touching
+    * the source. Groups whose row count reaches zero are dropped,
+    * mirroring the reference's removal of emptied aggregate documents. */
+  def applyDeltas(cube: Cube, deltas: DataFrame): Cube = {
+    val cfg = cube.config
+    val deltaSums = cfg.measures.map(m =>
+      sum(col("_sign") * col(m.path).cast(Dec)).cast(Dec).as(m.id))
+    val deltaAgg = deltas
+      .groupBy(cfg.dimCols: _*)
+      .agg(deltaSums.head, (deltaSums.tail :+ sum(col("_sign")).as(CountCol)): _*)
+    val refolded = cube.aggregates
+      .unionByName(deltaAgg)
+      .groupBy(cfg.dimNames.map(col): _*)
+      .agg(
+        sum(col(cfg.measures.head.id)).cast(Dec).as(cfg.measures.head.id),
+        (cfg.measures.tail.map(m => sum(col(m.id)).cast(Dec).as(m.id))
+          :+ sum(col(CountCol)).as(CountCol)): _*)
+      .filter(col(CountCol) > 0)
+    Cube(cfg, refolded)
+  }
+
+  /** R6: roll-up query served FROM THE CUBE — re-aggregate the partial
+    * sums over a requested dimension subset, with optional filters on
+    * dimension values. `avgOf` derives averages as sum/count. */
+  def query(
+      cube: Cube,
+      subsetDims: Seq[String],
+      filter: Column = lit(true),
+      sumOf: Seq[String] = Nil,
+      avgOf: Seq[String] = Nil): DataFrame = {
+    val base = cube.aggregates.filter(filter)
+    val sums = sumOf.map(id => sum(col(id)).cast(DoubleType).as(s"sum_$id"))
+    val avgs = avgOf.map(id =>
+      (sum(col(id)).cast(DoubleType) / sum(col(CountCol))).as(s"avg_$id"))
+    val aggs = sums ++ avgs :+ sum(col(CountCol)).as("n_rows")
+    base.groupBy(subsetDims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // -------------------------------------------------------- persistence
+  /** R8: cube-state persistence — aggregates as parquet, config in a
+    * JSON registry (the Spark translation of the reference's resume
+    * metadata; streaming offsets live in the checkpoint dir instead). */
+  def save(cube: Cube, dir: String): Unit = {
+    cube.aggregates.write.mode("overwrite").parquet(s"$dir/${cube.config.name}")
+    val cfgJson = configToJson(cube.config)
+    val p = java.nio.file.Paths.get(dir, s"${cube.config.name}.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, cfgJson)
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): Cube = {
+    val p = java.nio.file.Paths.get(dir, s"$name.json")
+    val cfg = configFromJson(java.nio.file.Files.readString(p))
+    Cube(cfg, spark.read.parquet(s"$dir/$name"))
+  }
+
+  def list(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.getName.endsWith(".json")).map(_.getName.stripSuffix(".json"))
+      .sorted
+  }
+
+  def delete(dir: String, name: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$dir/$name"))
+    new java.io.File(s"$dir/$name.json").delete()
+    ()
+  }
+
+  // Minimal hand-rolled JSON (no extra deps available offline).
+  private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private[cube] def configToJson(c: CubeConfig): String = {
+    val dims = c.dims.map {
+      case FieldDim(id, path) =>
+        s"""{"kind":"field","id":"${esc(id)}","path":"${esc(path)}"}"""
+      case TimeDim(id, path, g) =>
+        s"""{"kind":"time","id":"${esc(id)}","path":"${esc(path)}","granularity":"${esc(g)}"}"""
+    }.mkString("[", ",", "]")
+    val ms = c.measures
+      .map(m => s"""{"id":"${esc(m.id)}","path":"${esc(m.path)}"}""")
+      .mkString("[", ",", "]")
+    s"""{"name":"${esc(c.name)}","source":"${esc(c.source)}","dims":$dims,"measures":$ms}"""
+  }
+
+  private[cube] def configFromJson(json: String): CubeConfig = {
+    // Tolerant regex-based parse — configs are machine-written by
+    // configToJson above, never hand-edited.
+    def field(obj: String, key: String): Option[String] =
+      s""""$key":"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(obj)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    def objects(arr: String): Seq[String] =
+      """\{[^{}]*\}""".r.findAllIn(arr).toSeq
+    val dimsArr = """"dims":(\[.*?\]),"measures"""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
+    val measArr = """"measures":(\[.*\])""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
+    val dims = objects(dimsArr).map { o =>
+      (field(o, "kind"), field(o, "id"), field(o, "path")) match {
+        case (Some("time"), Some(id), Some(p)) =>
+          TimeDim(id, p, field(o, "granularity").getOrElse("day"))
+        case (_, Some(id), Some(p)) => FieldDim(id, p)
+        case _ => throw new IllegalArgumentException(s"bad dim: $o")
+      }
+    }
+    val meas = objects(measArr).map { o =>
+      Measure(field(o, "id").get, field(o, "path").get)
+    }
+    CubeConfig(field(json, "name").get, field(json, "source").get, dims, meas)
+  }
+}

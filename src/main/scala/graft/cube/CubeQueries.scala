@@ -1,0 +1,114 @@
+package graft.cube
+
+import graft.Tables
+import graft.operators.Stable._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checkable batch forms of the cube lifecycle (SURVEY.md §7.3):
+  * create (R1), roll-up query served from the cube (R6), and incremental
+  * signed-delta maintenance (R3). Each declared query goes through
+  * [[CubeManager]] — the oracle SQL recomputes the same answer directly
+  * from the source, so a hash match proves the cube path is equivalent to
+  * a full recompute (the defining invariant of the reference).
+  */
+object CubeQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def eventsCubeConfig = CubeConfig(
+    name = "events_by_type_hour",
+    source = "events",
+    dims = Seq(FieldDim("etype", "event_type"), TimeDim("hour", "ts", "hour")),
+    measures = Seq(Measure("value_sum", "value")))
+
+  // ---------------------------------------------------------------- q33
+  /** Cube creation: materialized aggregates over (event_type, hour). */
+  def q33CubeCreate(spark: SparkSession, sfDir: String): DataFrame = {
+    val cube = CubeManager.create(eventsCubeConfig, Tables.events(spark, sfDir))
+    cube.aggregates
+      .select(col("etype"), epochS(col("hour")).as("hour_s"),
+        col("value_sum").cast("double").as("value_sum"),
+        col(CubeManager.CountCol).as("n"))
+      .orderBy(col("etype"), col("hour_s"))
+  }
+
+  // ---------------------------------------------------------------- q34
+  /** Roll-up query served FROM the cube (never re-reading the source):
+    * per-event-type totals and averages restricted to one week. */
+  def q34CubeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val cube = CubeManager.create(eventsCubeConfig, Tables.events(spark, sfDir))
+    CubeManager.query(cube,
+        subsetDims = Seq("etype"),
+        filter = col("hour") >= lit("2024-01-08 00:00:00").cast("timestamp")
+          && col("hour") < lit("2024-01-15 00:00:00").cast("timestamp"),
+        sumOf = Seq("value_sum"),
+        avgOf = Seq("value_sum"))
+      .orderBy(col("etype"))
+  }
+
+  // ---------------------------------------------------------------- q35
+  /** Incremental maintenance with inserts AND deletes: start from a base
+    * cube (80% of events), then fold one delta batch containing the
+    * remaining inserts (+1) and a purge of all base error events (−1).
+    * The oracle recomputes the final state from scratch with signed SQL —
+    * hash equality proves fold-vs-recompute equivalence. */
+  def q35CubeIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val isDelta = col("event_id") % 5 === 4
+    val base = CubeManager.create(eventsCubeConfig, ev.filter(!isDelta))
+    val inserts = ev.filter(isDelta).withColumn("_sign", lit(1))
+    val deletes = ev.filter(!isDelta && col("event_type") === "error")
+      .withColumn("_sign", lit(-1))
+    val updated = CubeManager.applyDeltas(base, inserts.unionByName(deletes))
+    updated.aggregates
+      .select(col("etype"), epochS(col("hour")).as("hour_s"),
+        col("value_sum").cast("double").as("value_sum"),
+        col(CubeManager.CountCol).as("n"))
+      .orderBy(col("etype"), col("hour_s"))
+  }
+
+  lazy val defs: Map[String, Q] = Map(
+    "q33_cube_create" -> q33CubeCreate,
+    "q34_cube_query" -> q34CubeQuery,
+    "q35_cube_incremental" -> q35CubeIncremental,
+  )
+
+  lazy val sql: Map[String, String] = Map(
+    "q33_cube_create" -> """
+      SELECT event_type AS etype,
+        CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS hour_s,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        count(1) AS n
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY etype, hour_s""",
+    "q34_cube_query" -> """
+      SELECT event_type AS etype,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value_sum,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS avg_value_sum,
+        count(1) AS n_rows
+      FROM events
+      WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) >= TIMESTAMP '2024-01-08 00:00:00'
+        AND date_trunc('hour', CAST(ts AS TIMESTAMP)) < TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY 1
+      ORDER BY etype""",
+    "q35_cube_incremental" -> """
+      SELECT etype, hour_s,
+        CAST(sum(sign * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        CAST(sum(sign) AS BIGINT) AS n
+      FROM (
+        SELECT event_type AS etype,
+          CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS hour_s,
+          value, 1 AS sign
+        FROM events
+        UNION ALL
+        SELECT event_type,
+          CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT),
+          value, -1
+        FROM events
+        WHERE event_id % 5 <> 4 AND event_type = 'error') t
+      GROUP BY etype, hour_s
+      HAVING sum(sign) > 0
+      ORDER BY etype, hour_s""",
+  )
+}

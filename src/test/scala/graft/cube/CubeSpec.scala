@@ -1,0 +1,120 @@
+package graft.cube
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cube engine invariants (SURVEY.md §5.2-3):
+  * incrementally maintained cube == cube recomputed from the final state,
+  * for randomized insert/delete/update sequences; roll-up queries from
+  * the cube == direct aggregation of the source; persistence roundtrip.
+  */
+class CubeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val cfg = CubeConfig(
+    name = "t",
+    source = "mem",
+    dims = Seq(FieldDim("etype", "event_type"), TimeDim("hour", "ts", "hour")),
+    measures = Seq(Measure("v", "value")))
+
+  private def toDf(rows: Seq[(String, Timestamp, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("event_type", "ts", "value")
+  }
+
+  private def contents(c: Cube): Set[(String, Timestamp, BigDecimal, Long)] =
+    c.aggregates.collect().map { r =>
+      (r.getAs[String]("etype"), r.getAs[Timestamp]("hour"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("v")), r.getAs[Long]("_count"))
+    }.toSet
+
+  private def randomRows(rnd: scala.util.Random, n: Int) =
+    (0 until n).map { _ =>
+      (Seq("click", "view", "buy")(rnd.nextInt(3)),
+        new Timestamp(1700000000000L + rnd.nextInt(6) * 3600000L
+          + rnd.nextInt(3600000)),
+        math.round(rnd.nextDouble() * 10000) / 100.0)
+    }
+
+  test("incremental fold == recompute, randomized insert/delete/update") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 15) {
+      val all = randomRows(rnd, 30 + rnd.nextInt(40))
+      val (base, later) = all.splitAt(all.size / 2)
+      val deleted = base.filter(_ => rnd.nextBoolean())
+      val (updFrom, kept) = later.splitAt(later.size / 3)
+      val updTo = updFrom.map { case (t, ts, v) => (t, ts, v + 1.5) }
+
+      // final logical state: base - deleted + (updTo ++ kept)
+      val finalRows = base.diff(deleted) ++ updTo ++ kept
+      val expected = CubeManager.create(cfg, toDf(finalRows))
+
+      // incremental path: two successive delta batches
+      val cube0 = CubeManager.create(cfg, toDf(base))
+      val batch1 = toDf(later).withColumn("_sign", lit(1))
+      val cube1 = CubeManager.applyDeltas(cube0, batch1)
+      val batch2 = toDf(deleted ++ updFrom).withColumn("_sign", lit(-1))
+        .unionByName(toDf(updTo).withColumn("_sign", lit(1)))
+      val cube2 = CubeManager.applyDeltas(cube1, batch2)
+
+      assert(contents(cube2) == contents(expected), s"trial $trial diverged")
+    }
+  }
+
+  test("roll-up query from cube == direct aggregation of source") {
+    val rnd = new scala.util.Random(7)
+    val rows = randomRows(rnd, 200)
+    val df = toDf(rows)
+    val cube = CubeManager.create(cfg, df)
+    val fromCube = CubeManager.query(cube, Seq("etype"),
+        sumOf = Seq("v"), avgOf = Seq("v"))
+      .orderBy("etype").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    val direct = df.groupBy(col("event_type").as("etype"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("s"),
+        (sum(col("value").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("a"),
+        count(lit(1)).as("n"))
+      .orderBy("etype").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(fromCube.toSeq == direct.toSeq)
+  }
+
+  test("groups emptied by deletes are dropped") {
+    val rows = Seq(("click", new Timestamp(1700000000000L), 5.0))
+    val cube = CubeManager.create(cfg, toDf(rows))
+    val afterDelete = CubeManager.applyDeltas(cube,
+      toDf(rows).withColumn("_sign", lit(-1)))
+    assert(afterDelete.aggregates.count() == 0)
+  }
+
+  test("persistence roundtrip: save/list/load/delete") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cubes").toString
+    val rows = randomRows(new scala.util.Random(3), 50)
+    val cube = CubeManager.create(cfg, toDf(rows))
+    CubeManager.save(cube, dir)
+    assert(CubeManager.list(dir) == Seq("t"))
+    val loaded = CubeManager.load(spark, dir, "t")
+    assert(loaded.config == cfg)
+    assert(contents(loaded) == contents(cube))
+    CubeManager.delete(dir, "t")
+    assert(CubeManager.list(dir).isEmpty)
+  }
+
+  test("config json roundtrip") {
+    val json = CubeManager.configToJson(cfg)
+    assert(CubeManager.configFromJson(json) == cfg)
+  }
+}
