@@ -15,11 +15,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.RelationalQueries.defs ++ operators.EventQueries.defs ++
-      cube.CubeQueries.defs
+      cube.CubeQueries.defs ++ functions.Dedup.defs ++
+      functions.Similarity.defs ++ functions.TextAnalysis.defs ++
+      functions.Multimodal.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.RelationalQueries.sql ++ operators.EventQueries.sql ++
-      cube.CubeQueries.sql
+      cube.CubeQueries.sql ++ functions.Dedup.sql ++
+      functions.Similarity.sql ++ functions.TextAnalysis.sql ++
+      functions.Multimodal.sql
 }

@@ -1,0 +1,148 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * q40 is the exact brute-force baseline (small query set × full scan —
+  * the candidate side is broadcast, queries stream, so it parallelizes
+  * per-partition with no shuffle of the big side). q41 is the scale
+  * path: random-hyperplane LSH buckets shrink the candidate set so cost
+  * is ∝ bucket size, not corpus size; on a 100 TB corpus the bucket join
+  * is an equi-join on the signature, shuffled on bucket key.
+  *
+  * Dot/norm are left-to-right double folds over the float32 array —
+  * bit-identical to DuckDB's `list_reduce(list_prepend(0.0, …))`, which
+  * is what makes the cosine outputs hash-comparable with no rounding.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact left-fold dot product of two ArrayType(Float) columns. */
+  def dotExpr(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        CAST(0 AS DOUBLE), (acc, x) -> acc + x)""")
+
+  /** Exact left-fold L2 norm. */
+  def normExpr(a: String): Column = sqrt(expr(
+    s"""aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        CAST(0 AS DOUBLE), (acc, x) -> acc + x)"""))
+
+  // ---------------------------------------------------------------- q40
+  /** Brute-force cosine top-5 for query vectors vec_id < 5. */
+  def q40KnnBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val em = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), normExpr("embedding").as("nrm"))
+    val q = em.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val scored = em.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dotExpr("qe", "embedding") / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("cos"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- q41
+  /** Multi-table LSH ANN: 4 hash tables × 6 deterministic pseudo-random
+    * hyperplanes (seeded splitmix64, no RNG state) → 6-bit bucket per
+    * table; candidates = union of same-bucket vectors across tables
+    * (multi-table is what buys recall — a single wide signature has
+    * near-zero collision probability at moderate similarity). The
+    * candidate join is an equi-join on (table, bucket): shuffle ∝
+    * candidate volume, never corpus². Rows-only check (recall is
+    * probabilistic by design); recall vs q40's exact answer is
+    * unit-tested. */
+  def q41KnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTables = 4
+    val bitsPerTable = 6
+    val planes = hyperplanes(nPlanes = nTables * bitsPerTable, dim = 64)
+    val planesCol = array(planes.map(p => array(p.map(lit): _*)): _*)
+    val em = Tables.embeddings(spark, sfDir)
+      .withColumn("_planes", planesCol)
+      .withColumn("bits", expr(
+        """transform(_planes, p ->
+             CASE WHEN aggregate(zip_with(embedding, p,
+               (x, h) -> CAST(x AS DOUBLE) * h), CAST(0 AS DOUBLE),
+               (a, x) -> a + x) >= 0 THEN 1 ELSE 0 END)"""))
+      .withColumn("tb", explode(expr(
+        s"""transform(sequence(0, ${nTables - 1}), t -> named_struct(
+              'table', t,
+              'bucket', aggregate(slice(bits, t * $bitsPerTable + 1, $bitsPerTable),
+                0, (acc, bit) -> acc * 2 + bit)))""")))
+      .select(col("vec_id"), col("embedding"), col("tb.table").as("tbl"),
+        col("tb.bucket").as("bucket"), normExpr("embedding").as("nrm"))
+    val q = em.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("tbl").as("qtbl"), col("bucket").as("qbucket"))
+    val cands = em.join(broadcast(q),
+        col("tbl") === col("qtbl") && col("bucket") === col("qbucket")
+          && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qe"), col("qn"),
+        col("vec_id"), col("embedding"), col("nrm"))
+      .distinct()
+    val scored = cands.withColumn("cos",
+      dotExpr("qe", "embedding") / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("cos"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic hyperplanes in [-0.5, 0.5) from splitmix64 — public
+    * constant-based mixer, reproducible across runs and engines. */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    def splitmix64(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until nPlanes).map(p =>
+      (0 until dim).map { i =>
+        val h = splitmix64(p.toLong * 10007L + i)
+        (h >>> 11).toDouble / (1L << 53).toDouble - 0.5
+      })
+  }
+
+  lazy val defs: Map[String, Q] = Map(
+    "q40_knn_brute" -> q40KnnBrute,
+    "q41_knn_lsh" -> q41KnnLsh,
+  )
+
+  /** q41 is approximate by construction ⇒ rows-only. */
+  lazy val sql: Map[String, String] = Map(
+    "q40_knn_brute" -> """
+      WITH e AS (
+        SELECT vec_id, embedding,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+            (x, y) -> x + y)) AS nrm
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, len(q.embedding)),
+              i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+            (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+        FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+      SELECT query_id, cand_id, cos, rank FROM (
+        SELECT query_id, cand_id, cos,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, cand_id) AS rank
+        FROM scored) t
+      WHERE rank <= 5
+      ORDER BY query_id, rank""",
+  )
+}

@@ -1,0 +1,180 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Stable._
+
+/** Text-analysis surface for training-data pipelines: corpus statistics,
+  * token counting, word frequency, quality scoring, language
+  * identification (self-trained char-trigram profiles), and document
+  * fingerprinting.
+  *
+  * All operators are single-pass groupBy/explode shapes: tokenization
+  * stays inside whole-stage codegen (built-in `split`/`transform`, no
+  * UDFs), and the only shuffles are the final aggregations on (small)
+  * group keys. Word-frequency at 100 TB is the classic skew case — the
+  * partial (map-side) aggregation Spark inserts automatically is what
+  * keeps hot words from hot-spotting a reducer.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q42
+  /** Corpus statistics per (lang, source): doc counts, char/token
+    * counts and averages. Token count = whitespace tokenization. */
+  def q42TextStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("n_words", size(split(col("text"), " ")))
+    d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        asLong(sum(col("n_words"))).as("total_words"),
+        (sum(col("n_words")).cast("double") / count(lit(1))).as("avg_words"),
+        asLong(max(col("n_chars"))).as("max_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  // ---------------------------------------------------------------- q43
+  /** Global word frequency, top 20 (count desc, word asc). */
+  def q43WordCount(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------- q44
+  /** Per-document quality features: token count, average word length,
+    * stop-word ratio, distinct-word ratio, and a composite score. All
+    * ratios are exact integer divisions done in double — identical on
+    * both engines. */
+  def q44QualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_words", size(col("toks")))
+      .withColumn("n_stop", size(expr(
+        s"filter(toks, w -> w IN (${stop.map("'" + _ + "'").mkString(",")}))")))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+    d.select(col("doc_id"), col("lang"),
+        asLong(col("n_words")).as("n_words"),
+        ((col("n_chars") - (col("n_words") - 1)).cast("double")
+          / col("n_words")).as("avg_word_len"),
+        (col("n_stop").cast("double") / col("n_words")).as("stop_ratio"),
+        (col("n_uniq").cast("double") / col("n_words")).as("uniq_ratio"),
+        (col("n_stop") * lit(100) / col("n_words")
+          + col("n_uniq") * lit(100) / col("n_words")).cast("double")
+          .as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q45
+  /** Language ID by character-trigram profiles learned from the corpus
+    * itself: top-32 trigrams per labeled lang → classify each doc by
+    * profile-hit count (argmax, lang-asc tie-break). Self-referential
+    * train/apply is intentional — it exercises the two-pass
+    * profile-broadcast shape; accuracy against the labels is what the
+    * unit test checks. Rows-only (no portable oracle: profile tie-breaks
+    * hinge on engine-identical top-k, which IS this query). */
+  def q45LangId(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val grams = docs.select(col("doc_id"), col("lang"),
+        explode(expr(
+          """transform(sequence(1, greatest(length(text) - 2, 1)),
+             i -> substring(text, i, 3))""")).as("g"))
+    val profile = grams.groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n").desc, col("g"))))
+      .filter(col("rk") <= 32)
+      .select(col("lang").as("plang"), col("g"))
+    val scored = grams.select(col("doc_id"), col("g"))
+      .join(broadcast(profile), Seq("g"))
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(count(lit(1)).as("hits"))
+    val best = scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("hits").desc, col("plang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("plang").as("predicted"), col("hits"))
+    docs.select(col("doc_id"), col("lang").as("actual"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("actual"), col("predicted"),
+        (col("predicted") === col("actual")).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q46
+  /** Document fingerprinting: full-content hash + winnowing-style
+    * min-hash over word 4-gram rolling windows. Equal fingerprints ⇒
+    * duplicate candidates in O(n) (vs pairwise O(n²)). xxhash64 ⇒
+    * rows-only; the dup-detection property is unit-tested. */
+  def q46Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    fingerprints(Tables.documents(spark, sfDir))
+
+  /** Fingerprint any (doc_id, text) frame — the reusable building block
+    * behind q46 (and the unit tests, which feed it synthesized dups). */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val d = docs.withColumn("toks", split(col("text"), " "))
+    d.select(col("doc_id"),
+        xxhash64(col("text")).as("content_hash"),
+        expr("""
+          aggregate(
+            transform(sequence(1, greatest(size(toks) - 3, 1)),
+              i -> xxhash64(concat_ws(' ', element_at(toks, i),
+                element_at(toks, i + 1), element_at(toks, i + 2),
+                element_at(toks, i + 3)))),
+            CAST(9223372036854775807 AS BIGINT),
+            (acc, h) -> CASE WHEN h < acc THEN h ELSE acc END)""").as("min_gram_hash"),
+        asLong(size(col("toks"))).as("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val defs: Map[String, Q] = Map(
+    "q42_text_stats" -> q42TextStats,
+    "q43_word_count" -> q43WordCount,
+    "q44_quality_score" -> q44QualityScore,
+    "q45_lang_id" -> q45LangId,
+    "q46_fingerprint" -> q46Fingerprint,
+  )
+
+  /** q45/q46 are hash/model-dependent ⇒ rows-only. */
+  lazy val sql: Map[String, String] = Map(
+    "q42_text_stats" -> """
+      SELECT lang, source, count(1) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+        CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(1) AS avg_words,
+        CAST(max(n_chars) AS BIGINT) AS max_chars
+      FROM documents
+      GROUP BY lang, source
+      ORDER BY lang, source""",
+    "q43_word_count" -> """
+      SELECT word, count(1) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      GROUP BY word
+      ORDER BY n DESC, word
+      LIMIT 20""",
+    "q44_quality_score" -> """
+      SELECT doc_id, lang,
+        CAST(n_words AS BIGINT) AS n_words,
+        CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+        CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+        CAST(n_uniq AS DOUBLE) / n_words AS uniq_ratio,
+        CAST(n_stop * 100 / n_words + n_uniq * 100 / n_words AS DOUBLE) AS quality
+      FROM (
+        SELECT doc_id, lang, n_chars,
+          len(toks) AS n_words,
+          len(list_filter(toks,
+            w -> w IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop,
+          len(list_distinct(toks)) AS n_uniq
+        FROM (SELECT doc_id, lang, n_chars,
+                string_split(text, ' ') AS toks FROM documents) t) u
+      ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral checks for the operators that can't be DuckDB-oracled
+  * (hash- or model-dependent): MinHash/SimHash/LSH/fingerprint/lang-id,
+  * plus the multimodal plumbing and the HLL error bound. Runs on the
+  * sf0.001 fixtures (tiny, deterministic). */
+class PipelineSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("minhash candidates cover the true high-jaccard pairs") {
+    val exact = Dedup.q36DedupJaccard(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    val minhash = Dedup.q37DedupMinHash(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    // signatures estimate jaccard; all true >=0.5 pairs must be candidates
+    val missed = exact -- minhash
+    assert(missed.size <= exact.size / 10,
+      s"minhash missed too many true pairs: $missed")
+  }
+
+  test("minhash estimate approximates exact jaccard") {
+    val exact = Dedup.q36DedupJaccard(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("da"), r.getAs[Long]("db")),
+        r.getAs[Double]("jaccard"))).toMap
+    val est = Dedup.q37DedupMinHash(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("da"), r.getAs[Long]("db")),
+        r.getAs[Double]("est_jaccard"))).toMap
+    val both = exact.keySet intersect est.keySet
+    assert(both.nonEmpty)
+    both.foreach { k =>
+      assert(math.abs(exact(k) - est(k)) < 0.35,
+        s"pair $k exact=${exact(k)} est=${est(k)}")
+    }
+  }
+
+  test("simhash: identical texts collide at hamming 0") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val dupPairs = docs.as("a").join(docs.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simhash = Dedup.q38DedupSimHash(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("da"), r.getAs[Long]("db")),
+        r.getAs[Int]("hamming"))).toMap
+    dupPairs.foreach { p =>
+      assert(simhash.get(p).contains(0), s"exact dup $p not at hamming 0")
+    }
+  }
+
+  test("lsh knn returns valid cosine neighbors with decent recall") {
+    val brute = Similarity.q40KnnBrute(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val lsh = Similarity.q41KnnLsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    assert(lsh.nonEmpty, "lsh should return neighbors for some query")
+    // bucketed search returns only true vectors (subset of corpus) and
+    // should recover at least some exact top-5 entries
+    assert((brute intersect lsh).nonEmpty, "zero recall vs brute force")
+  }
+
+  test("fingerprint: identical texts share content hash and min-gram hash") {
+    import org.apache.spark.sql.functions._
+    // synthesize guaranteed duplicates: re-id the first 3 docs and union
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val dups = docs.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+    val fp = TextAnalysis.fingerprints(docs.unionByName(dups))
+    val joined = docs.unionByName(dups).join(fp, "doc_id").collect()
+      .map(r => (r.getAs[String]("text"),
+        (r.getAs[Long]("content_hash"), r.getAs[Long]("min_gram_hash"))))
+    val byText = joined.groupBy(_._1).values
+    byText.foreach { g =>
+      assert(g.map(_._2).distinct.size == 1,
+        "same text must give same fingerprints")
+    }
+    assert(byText.count(_.size > 1) >= 3, "synthesized dups must collide")
+  }
+
+  test("lang id classifies every document deterministically") {
+    val out1 = TextAnalysis.q45LangId(spark, sfDir).collect()
+    val out2 = TextAnalysis.q45LangId(spark, sfDir).collect()
+    assert(out1.length == graft.Tables.documents(spark, sfDir).count())
+    assert(out1.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+    assert(out1.forall(_.getAs[String]("predicted") != null))
+  }
+
+  test("multimodal: feature extraction preserves cardinality, checksum deterministic") {
+    val feats = Multimodal.extractFeatures(spark, sfDir).collect()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(feats.length.toLong == nDocs)
+    assert(feats.forall(f => f.n_bytes > 0 && f.n_frames == (f.n_bytes + 63) / 64))
+    val again = Multimodal.extractFeatures(spark, sfDir).collect()
+    assert(feats.map(f => (f.id, f.checksum)).toSet
+      == again.map(f => (f.id, f.checksum)).toSet)
+  }
+
+  test("multimodal: frame sampling emits ceil(bytes/64) frames per doc") {
+    import spark.implicits._
+    val frames = Multimodal.sampleFrames(spark, sfDir)
+    val feats = Multimodal.extractFeatures(spark, sfDir)
+    val byDoc = frames.groupByKey(_.id).count().collect()
+      .map(t => (t._1, t._2)).toMap
+    feats.collect().foreach { f =>
+      assert(byDoc(f.id) == f.n_frames.toLong,
+        s"doc ${f.id}: frames=${byDoc(f.id)} expected=${f.n_frames}")
+    }
+  }
+
+  test("approx_count_distinct within 15% of exact") {
+    val rows = graft.operators.RelationalQueries
+      .q16ApproxDistinct(spark, sfDir).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.15,
+        s"${r.getAs[String]("event_type")}: approx=$approx exact=$exact")
+    }
+  }
+}
