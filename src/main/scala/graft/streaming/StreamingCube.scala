@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.cube.{CubeConfig, CubeManager}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+/** The reference's steady-state loop (change-stream ingestion → buffered
+  * deltas → fold into the aggregate collection → persist resume token)
+  * re-expressed as Structured Streaming:
+  *
+  * - change stream      → file/`readStream` source (micro-batches)
+  * - oplog buffer       → the micro-batch itself
+  * - incremental fold   → streaming `groupBy(dims).agg(...)` — Spark's
+  *   state store IS the aggregate collection, updated per batch
+  * - resume token       → `checkpointLocation` (offsets + state)
+  * - stop/start verbs   → `StreamingQuery.stop()` / restart from
+  *   checkpoint
+  *
+  * The aggregation plan is the same one `CubeManager.create` builds for
+  * batch — one definition, two execution modes; the equivalence
+  * (streamed-in-N-batches == batch recompute) is asserted in
+  * StreamingSpec. At scale the state store shards by the dimension-key
+  * hash across executors exactly like the batch shuffle, and RocksDB
+  * state backend + watermarking bound memory for high-cardinality
+  * cubes. */
+object StreamingCube {
+
+  /** Start a streaming cube over a directory of parquet delta files.
+    * `maxFilesPerTrigger=1` makes each file one micro-batch (the
+    * "oplog buffer flush" unit). Complete output mode publishes the
+    * whole cube to the in-memory table `name` after every batch. */
+  def start(
+      spark: SparkSession,
+      config: CubeConfig,
+      sourceDir: String,
+      schema: StructType,
+      checkpointDir: String,
+      name: String): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(sourceDir)
+    val sums = config.measures.map(m =>
+      sum(col(m.path).cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as(m.id))
+    val agg = stream
+      .groupBy(config.dimCols: _*)
+      .agg(sums.head,
+        (sums.tail :+ count(lit(1)).as(CubeManager.CountCol)): _*)
+    agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
+  /** Tumbling-window aggregation with a watermark: late events (older
+    * than `delay` behind the max seen ts) are dropped, and windows are
+    * emitted only once finalized (append mode) — the streaming form of
+    * EventQueries.q29. */
+  def startWindowed(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      tsCol: String,
+      delay: String,
+      windowLen: String,
+      checkpointDir: String,
+      name: String): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(sourceDir)
+    stream
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
+  /** Streaming exact dedup within a watermark: the streaming form of
+    * EventQueries.q32 (state for a key is dropped once the watermark
+    * passes, bounding memory on an infinite stream). */
+  def startDedup(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      tsCol: String,
+      delay: String,
+      keys: Seq[String],
+      checkpointDir: String,
+      name: String): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(sourceDir)
+    stream
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+}

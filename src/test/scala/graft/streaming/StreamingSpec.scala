@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.cube.{CubeConfig, CubeManager, FieldDim, Measure, TimeDim}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming demonstrators (SURVEY.md §7.1-4): the cube maintained by
+  * Structured Streaming micro-batches equals the batch recompute;
+  * watermarks drop late data; streaming dedup keeps one row per key;
+  * checkpoint restart resumes without reprocessing. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  private val cfg = CubeConfig("s", "mem",
+    Seq(FieldDim("etype", "event_type"), TimeDim("hour", "ts", "hour")),
+    Seq(Measure("v", "value")))
+
+  private def eventRows(n: Int, seed: Int): Seq[(String, Timestamp, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      (Seq("click", "view", "buy")(rnd.nextInt(3)),
+        new Timestamp(1700000000000L + rnd.nextInt(8) * 3600000L
+          + rnd.nextInt(3600000)),
+        math.round(rnd.nextDouble() * 10000) / 100.0)
+    }
+  }
+
+  private def toDf(rows: Seq[(String, Timestamp, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("event_type", "ts", "value")
+  }
+
+  test("streaming cube over N micro-batches == batch recompute") {
+    val src = tmp("graft_stream_src")
+    val all = eventRows(300, seed = 11)
+    // five delta files = five micro-batches
+    all.grouped(60).zipWithIndex.foreach { case (chunk, i) =>
+      toDf(chunk).coalesce(1).write.parquet(s"$src/batch_$i")
+    }
+    val schema = toDf(all.take(1)).schema
+    val q = StreamingCube.start(spark, cfg, s"$src/batch_*", schema,
+      tmp("graft_ckpt"), "cube_stream")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cube_stream").collect()
+      .map(r => (r.getAs[String]("etype"), r.getAs[Timestamp]("hour"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("v")),
+        r.getAs[Long]("_count"))).toSet
+    val batch = CubeManager.create(cfg, toDf(all)).aggregates.collect()
+      .map(r => (r.getAs[String]("etype"), r.getAs[Timestamp]("hour"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("v")),
+        r.getAs[Long]("_count"))).toSet
+    assert(streamed == batch)
+  }
+
+  test("watermark drops events later than the delay") {
+    val src = tmp("graft_late_src")
+    def hourStart(ms: Long): Long = ms - ms % 3600000L
+    val onTime = Seq(
+      ("click", new Timestamp(1700000000000L + 3 * 3600000L), 1.0),
+      ("click", new Timestamp(1700000000000L + 4 * 3600000L), 1.0))
+    // 4 hours behind the max seen event time, watermark is 10 minutes
+    val late = Seq(("click", new Timestamp(1700000000000L), 9.0))
+    val flush = Seq(("click", new Timestamp(1700000000000L + 6 * 3600000L), 1.0))
+    val schema = toDf(onTime).schema
+    toDf(onTime).coalesce(1).write.parquet(s"$src/f0")
+    val q = StreamingCube.startWindowed(spark, s"$src/f*", schema,
+      "ts", "10 minutes", "1 hour", tmp("graft_ckpt_w"), "late_stream")
+    q.processAllAvailable() // batch 1: on-time → watermark = max(ts) − 10 min
+    toDf(late).coalesce(1).write.parquet(s"$src/f1")
+    q.processAllAvailable() // batch 2: late event, behind watermark → dropped
+    toDf(flush).coalesce(1).write.parquet(s"$src/f2")
+    q.processAllAvailable() // batch 3: advances watermark, finalizes windows
+    q.stop()
+    val finalized = spark.table("late_stream").collect()
+      .map(r => r.getAs[Timestamp]("ws").getTime).toSet
+    assert(finalized.contains(hourStart(1700000000000L + 3 * 3600000L)))
+    assert(finalized.contains(hourStart(1700000000000L + 4 * 3600000L)))
+    assert(!finalized.contains(hourStart(1700000000000L)),
+      "late event window must be dropped")
+  }
+
+  test("streaming dedup within watermark keeps first row per key") {
+    val src = tmp("graft_dedup_src")
+    val rows = Seq(
+      ("a", new Timestamp(1700000000000L), 1.0),
+      ("a", new Timestamp(1700000001000L), 2.0), // dup key within watermark
+      ("b", new Timestamp(1700000002000L), 3.0))
+    toDf(rows).coalesce(1).write.parquet(s"$src/f0")
+    val q = StreamingCube.startDedup(spark, s"$src/f*", toDf(rows).schema,
+      "ts", "1 hour", Seq("event_type"), tmp("graft_ckpt_d"), "dedup_stream")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_stream").collect()
+      .map(r => r.getAs[String]("event_type"))
+    assert(out.sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("restart from checkpoint resumes instead of recomputing") {
+    val src = tmp("graft_resume_src")
+    val ckpt = tmp("graft_resume_ckpt")
+    val first = eventRows(60, seed = 5)
+    toDf(first).coalesce(1).write.parquet(s"$src/b0")
+    val schema = toDf(first).schema
+    val q1 = StreamingCube.start(spark, cfg, s"$src/b*", schema, ckpt, "resume_a")
+    q1.processAllAvailable(); q1.stop()
+    // new data lands while the query is down
+    val second = eventRows(60, seed = 6)
+    toDf(second).coalesce(1).write.parquet(s"$src/b1")
+    val q2 = StreamingCube.start(spark, cfg, s"$src/b*", schema, ckpt, "resume_b")
+    q2.processAllAvailable(); q2.stop()
+    val resumed = spark.table("resume_b").collect()
+      .map(r => (r.getAs[String]("etype"), r.getAs[Timestamp]("hour"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("v")),
+        r.getAs[Long]("_count"))).toSet
+    val batch = CubeManager.create(cfg, toDf(first ++ second)).aggregates
+      .collect()
+      .map(r => (r.getAs[String]("etype"), r.getAs[Timestamp]("hour"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("v")),
+        r.getAs[Long]("_count"))).toSet
+    assert(resumed == batch)
+  }
+}
