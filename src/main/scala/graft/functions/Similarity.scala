@@ -20,15 +20,15 @@ import org.apache.spark.sql.functions._
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Exact left-fold dot product of two ArrayType(Float) columns. */
-  def dotExpr(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-        CAST(0 AS DOUBLE), (acc, x) -> acc + x)""")
+  /** Exact left-fold dot product of two ArrayType(Float) columns —
+    * native codegen'd expression; bit-identical to the higher-order
+    * `aggregate(zip_with(…))` form and to DuckDB's list_reduce. */
+  def dotExpr(a: String, b: String): Column =
+    VectorExpressions.floatVecDot(col(a), col(b))
 
-  /** Exact left-fold L2 norm. */
-  def normExpr(a: String): Column = sqrt(expr(
-    s"""aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-        CAST(0 AS DOUBLE), (acc, x) -> acc + x)"""))
+  /** Exact left-fold L2 norm (same codegen'd math). */
+  def normExpr(a: String): Column =
+    VectorExpressions.floatVecNorm(col(a))
 
   // ---------------------------------------------------------------- q40
   /** Brute-force cosine top-5 for query vectors vec_id < 5. */

@@ -83,10 +83,12 @@ object TextAnalysis {
   def q45LangId(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
+    // trigrams are hashed to 64-bit immediately: every downstream
+    // groupBy/join shuffles fixed-width longs instead of strings
     val grams = docs.select(col("doc_id"), col("lang"),
         explode(expr(
           """transform(sequence(1, greatest(length(text) - 2, 1)),
-             i -> substring(text, i, 3))""")).as("g"))
+             i -> xxhash64(substring(text, i, 3)))""")).as("g"))
     val profile = grams.groupBy(col("lang"), col("g"))
       .agg(count(lit(1)).as("n"))
       .withColumn("rk", row_number().over(
