@@ -15,6 +15,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.RelationalQueries.defs ++ operators.EventQueries.defs ++
+      operators.ExtensionQueries.defs ++
       cube.CubeQueries.defs ++ functions.Dedup.defs ++
       functions.Similarity.defs ++ functions.TextAnalysis.defs ++
       functions.Multimodal.defs
@@ -23,6 +24,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.RelationalQueries.sql ++ operators.EventQueries.sql ++
+      operators.ExtensionQueries.sql ++
       cube.CubeQueries.sql ++ functions.Dedup.sql ++
       functions.Similarity.sql ++ functions.TextAnalysis.sql ++
       functions.Multimodal.sql

@@ -27,10 +27,14 @@ object TextAnalysis {
   def q42TextStats(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
       .withColumn("n_words", size(split(col("text"), " ")))
+      // BPE-ish subword count: greedy ≤4-char alpha chunks — the cheap
+      // regex proxy for byte-pair token budgeting at corpus scale
+      .withColumn("n_subtoks", regexp_count(col("text"), lit("[a-z]{1,4}")))
     d.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
         asLong(sum(col("n_words"))).as("total_words"),
+        asLong(sum(col("n_subtoks"))).as("total_subtoks"),
         (sum(col("n_words")).cast("double") / count(lit(1))).as("avg_words"),
         asLong(max(col("n_chars"))).as("max_chars"))
       .orderBy(col("lang"), col("source"))
@@ -151,6 +155,7 @@ object TextAnalysis {
       SELECT lang, source, count(1) AS n_docs,
         CAST(sum(n_chars) AS BIGINT) AS total_chars,
         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+        CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT) AS total_subtoks,
         CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(1) AS avg_words,
         CAST(max(n_chars) AS BIGINT) AS max_chars
       FROM documents

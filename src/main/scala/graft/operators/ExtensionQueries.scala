@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** The UDF/UDAF/generator surface (SURVEY §2.2 "UDF surface" rows).
+  *
+  * Built-ins are preferred everywhere else in the engine (they stay
+  * inside Catalyst's optimizer and codegen); these queries exist to
+  * prove the extension seams work end-to-end through the graded path:
+  * - a typed `Aggregator[IN, BUF, OUT]` with an exact decimal buffer
+  *   (order-independent merges — safe under partial aggregation on any
+  *   cluster),
+  * - one deliberately-simple scalar UDF (opaque to the optimizer: no
+  *   pushdown through it, which is why it is a demo and not a pattern),
+  * - `posexplode` as the built-in generator (UDTF row in the survey).
+  */
+object ExtensionQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  case class LineW(l_returnflag: String, l_quantity: Double,
+      l_extendedprice: Double)
+
+  /** Quantity-weighted average price with exact decimal accumulation:
+    * num = Σ dec2(price)·dec2(qty), den = Σ dec2(qty); finish divides in
+    * double (both engines cast their exact decimal sums identically). */
+  object WeightedAvgPrice
+      extends Aggregator[LineW, (java.math.BigDecimal, java.math.BigDecimal), Double] {
+    private type B = java.math.BigDecimal
+    private def d2(x: Double): B =
+      new B(x).setScale(2, java.math.RoundingMode.HALF_UP)
+    def zero: (B, B) = (java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO)
+    def reduce(b: (B, B), r: LineW): (B, B) =
+      (b._1.add(d2(r.l_extendedprice).multiply(d2(r.l_quantity))),
+        b._2.add(d2(r.l_quantity)))
+    def merge(a: (B, B), b: (B, B)): (B, B) =
+      (a._1.add(b._1), a._2.add(b._2))
+    def finish(b: (B, B)): Double =
+      if (b._2.signum == 0) 0.0 else b._1.doubleValue / b._2.doubleValue
+    def bufferEncoder: Encoder[(B, B)] =
+      Encoders.tuple(Encoders.DECIMAL, Encoders.DECIMAL)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  // ---------------------------------------------------------------- q48
+  def q48UdafWeightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .as[LineW]
+      .groupByKey(_.l_returnflag)
+      .agg(WeightedAvgPrice.toColumn.name("wavg_price"))
+      .toDF("l_returnflag", "wavg_price")
+      .orderBy(col("l_returnflag"))
+  }
+
+  // ---------------------------------------------------------------- q49
+  /** Scalar UDF demo: slugify part names. A UDF is an optimizer black
+    * box — the equivalent built-in chain (lower+replace) would keep
+    * pushdown/codegen, which is the engine's default style. */
+  def q49UdfSlug(spark: SparkSession, sfDir: String): DataFrame = {
+    val slug = udf((s: String) => if (s == null) null
+      else s.toLowerCase.replace(' ', '-'))
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"), slug(col("p_name")).as("slug"))
+      .filter(col("p_partkey") % 10 === 0)
+      .orderBy(col("p_partkey"))
+  }
+
+  // ---------------------------------------------------------------- q50
+  /** Generator (UDTF row): posexplode over the first 4 embedding
+    * coordinates — one input row fans out to 4 output rows. */
+  def q50Posexplode(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        posexplode(slice(col("embedding"), 1, 4)).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        col("v").cast("double").as("v"))
+      .orderBy(col("vec_id"), col("pos"))
+  }
+
+  lazy val defs: Map[String, Q] = Map(
+    "q48_udaf_weighted_avg" -> q48UdafWeightedAvg,
+    "q49_udf_slug" -> q49UdfSlug,
+    "q50_posexplode" -> q50Posexplode,
+  )
+
+  lazy val sql: Map[String, String] = Map(
+    "q48_udaf_weighted_avg" -> """
+      SELECT l_returnflag,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+    "q49_udf_slug" -> """
+      SELECT p_partkey, replace(lower(p_name), ' ', '-') AS slug
+      FROM part
+      WHERE p_partkey % 10 = 0
+      ORDER BY p_partkey""",
+    "q50_posexplode" -> """
+      SELECT vec_id,
+        CAST(unnest(generate_series(0, 3)) AS BIGINT) AS pos,
+        unnest(list_transform([1, 2, 3, 4],
+          i -> CAST(embedding[i] AS DOUBLE))) AS v
+      FROM embeddings
+      ORDER BY vec_id, pos""",
+  )
+}
