@@ -56,6 +56,61 @@ object StreamingCube {
       .start()
   }
 
+  /** Full MongoDB-style delete/update fidelity in streaming: deltas
+    * carry a `_sign` column (+1 insert / −1 delete; update = pair) and
+    * `flatMapGroupsWithState` maintains (measure-sum, row-count) per
+    * dimension tuple, emitting the group's new state each batch and
+    * dropping state when its count reaches zero — the streaming twin of
+    * `CubeManager.applyDeltas` (reference R3). State is sharded by group
+    * key across executors; cents-as-long arithmetic keeps the fold exact
+    * and order-independent. */
+  def startSigned(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      dimCol: String,
+      measureCol: String,
+      checkpointDir: String,
+      name: String): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(sourceDir)
+      .select(col(dimCol).cast("string").as("k"),
+        // exact cents so streaming state never accumulates float drift
+        (col(measureCol).cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+        col("_sign").cast("long").as("sign"))
+      .as[(String, Long, Long)]
+    val folded = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (String, Double, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          val (s0, c0) = state.getOption.getOrElse((0L, 0L))
+          var s = s0; var c = c0
+          rows.foreach { case (_, cents, sign) =>
+            s += sign * cents; c += sign
+          }
+          if (c <= 0) {
+            state.remove()
+            Iterator.empty
+          } else {
+            state.update((s, c))
+            Iterator.single((key, s / 100.0, c))
+          }
+      }
+      .toDF("k", "measure_sum", "n")
+    folded.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
   /** Tumbling-window aggregation with a watermark: late events (older
     * than `delay` behind the max seen ts) are dropped, and windows are
     * emitted only once finalized (append mode) — the streaming form of

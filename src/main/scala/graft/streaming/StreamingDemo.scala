@@ -49,6 +49,38 @@ object StreamingDemo {
     streamed.orderBy(col("etype"), col("hour")).show(5, truncate = false)
     assert(diff == 0L, "streamed cube must equal batch recompute")
     println("[demo] OK: streaming cube == batch recompute")
+
+    // Signed-delta path: replay events as +1 inserts, then a second batch
+    // deleting every 'error' event; final per-type state must equal the
+    // batch signed fold.
+    val signedSrc = Files.createTempDirectory("graft_demo_signed").toString
+    events.withColumn("_sign", lit(1L))
+      .coalesce(1).write.parquet(s"$signedSrc/f0")
+    val sq = StreamingCube.startSigned(spark, s"$signedSrc/f*",
+      events.withColumn("_sign", lit(1L)).schema, "event_type", "value",
+      Files.createTempDirectory("graft_demo_sckpt").toString, "demo_signed")
+    sq.processAllAvailable() // batch 1: all inserts
+    events.filter(col("event_type") === "error").withColumn("_sign", lit(-1L))
+      .coalesce(1).write.parquet(s"$signedSrc/f1")
+    sq.processAllAvailable() // batch 2: delete every 'error' → state dropped
+    sq.stop()
+    // each key emitted once (batch 1); 'error' state was removed in batch
+    // 2 with no further emission, so its only row is the stale batch-1
+    // state — the live view is everything except fully-deleted keys
+    val emissions = spark.table("demo_signed").collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val expect = events
+      .withColumn("s", when(col("event_type") === "error", -1L).otherwise(1L))
+      .groupBy("event_type")
+      .agg(((sum(col("s") * col("value").cast("decimal(18,2)")) * 100)
+        .cast("long") / 100.0).as("m"), sum("s").as("n"))
+      .filter(col("n") > 0)
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    println(s"[demo] signed emissions=$emissions")
+    assert(!expect.contains("error"), "batch fold must drop fully-deleted key")
+    val liveOnly = emissions.view.filterKeys(_ != "error").toMap
+    assert(liveOnly == expect, s"signed stream diverged: $liveOnly vs $expect")
+    println("[demo] OK: signed-delta streaming == batch signed fold")
     spark.stop()
   }
 }

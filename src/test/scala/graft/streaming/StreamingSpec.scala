@@ -112,6 +112,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.sorted.toSeq == Seq("a", "b"))
   }
 
+  test("signed-delta flatMapGroupsWithState == batch signed fold, deletes drop state") {
+    import org.apache.spark.sql.types._
+    val src = tmp("graft_signed_src")
+    // batch 1: inserts; batch 2: deletes for 'view' (all of them) + more inserts
+    val b1 = Seq(("click", 1.50, 1L), ("click", 2.25, 1L), ("view", 4.00, 1L))
+    val b2 = Seq(("view", 4.00, -1L), ("click", 0.25, 1L))
+    import spark.implicits._
+    b1.toDF("event_type", "value", "_sign").coalesce(1)
+      .write.parquet(s"$src/f0")
+    val schema = StructType(Seq(StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("_sign", LongType)))
+    val q = StreamingCube.startSigned(spark, s"$src/f*", schema,
+      "event_type", "value", tmp("graft_ckpt_s"), "signed_stream")
+    q.processAllAvailable()
+    b2.toDF("event_type", "value", "_sign").coalesce(1)
+      .write.parquet(s"$src/f1")
+    q.processAllAvailable()
+    q.stop()
+    // update-mode memory sink appends each batch's updates: last row per
+    // key is the live state; keys whose count hit zero emit nothing more
+    val rows = spark.sql(
+      "SELECT * FROM signed_stream").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val lastClick = rows.filter(_._1 == "click").last
+    assert(lastClick == ("click", 4.00, 3L))
+    // 'view' was fully deleted in batch 2: no new emission, state removed
+    val viewRows = rows.filter(_._1 == "view")
+    assert(viewRows.toSeq == Seq(("view", 4.00, 1L)),
+      s"view must emit only its batch-1 state, got ${viewRows.toSeq}")
+  }
+
   test("restart from checkpoint resumes instead of recomputing") {
     val src = tmp("graft_resume_src")
     val ckpt = tmp("graft_resume_ckpt")
