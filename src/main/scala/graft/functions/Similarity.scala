@@ -100,6 +100,50 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- q51
+  /** IVF (inverted-file) ANN: K=16 deterministic centroids (hash-ranked
+    * corpus vectors), every vector assigned to its nearest centroid
+    * (linear scan over broadcast centroids), queries probe their
+    * nprobe=2 nearest clusters. The index is one extra int column; the
+    * search is an equi-join on cluster id — cost ∝ probed-cluster
+    * volume. Rows-only (cluster recall is approximate by design);
+    * recall vs q40 is unit-tested. */
+  def q51KnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val em = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), normExpr("embedding").as("nrm"))
+    val cents = em.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+    def assign(df: DataFrame, keep: Int): DataFrame = {
+      val byCos = Window.partitionBy(col("vec_id"))
+        .orderBy((dotExpr("embedding", "ce") / (col("nrm") * col("cn"))).desc,
+          col("cent_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("crn", row_number().over(byCos))
+        .filter(col("crn") <= keep)
+        .select(col("vec_id"), col("cent_id"))
+    }
+    val clustered = em.join(assign(em, keep = 1), Seq("vec_id"))
+    val queries = em.filter(col("vec_id") < 5)
+    val probes = assign(queries, keep = 2)
+      .withColumnRenamed("vec_id", "query_id")
+    val scored = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+      .join(broadcast(probes), Seq("query_id"))
+      .join(clustered, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dotExpr("qe", "embedding") / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("cos"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Deterministic hyperplanes in [-0.5, 0.5) from splitmix64 — public
     * constant-based mixer, reproducible across runs and engines. */
   def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
@@ -119,6 +163,7 @@ object Similarity {
   lazy val defs: Map[String, Q] = Map(
     "q40_knn_brute" -> q40KnnBrute,
     "q41_knn_lsh" -> q41KnnLsh,
+    "q51_knn_ivf" -> q51KnnIvf,
   )
 
   /** q41 is approximate by construction ⇒ rows-only. */

@@ -74,6 +74,20 @@ class PipelineSpec extends AnyFunSuite {
     assert((brute intersect lsh).nonEmpty, "zero recall vs brute force")
   }
 
+  test("ivf knn probes clusters and overlaps brute-force top-5") {
+    val brute = Similarity.q40KnnBrute(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val ivf = Similarity.q51KnnIvf(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    assert(ivf.nonEmpty)
+    assert(ivf.size <= brute.size, "ivf returns at most top-5 per query")
+    assert((brute intersect ivf).nonEmpty, "zero recall vs brute force")
+    // determinism
+    val again = Similarity.q51KnnIvf(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    assert(ivf == again)
+  }
+
   test("fingerprint: identical texts share content hash and min-gram hash") {
     import org.apache.spark.sql.functions._
     // synthesize guaranteed duplicates: re-id the first 3 docs and union
