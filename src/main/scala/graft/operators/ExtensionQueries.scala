@@ -81,10 +81,25 @@ object ExtensionQueries {
       .orderBy(col("vec_id"), col("pos"))
   }
 
+  // ---------------------------------------------------------------- q52
+  /** Skew-proof two-phase aggregation (Skew.saltedSumCount): partial agg
+    * on (key, salt) then final on key — identical algebra to the plain
+    * groupBy (which the oracle runs), but a hot key spreads across 16
+    * reducers instead of one. */
+  def q52SaltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{Skew, Stable}
+    Skew.saltedSumCount(Tables.events(spark, sfDir), "event_type",
+        Stable.dec2(col("value")), col("event_id"), salts = 16)
+      .select(col("event_type"),
+        col("sum_value").cast("double").as("sum_value"), col("n"))
+      .orderBy(col("event_type"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q48_udaf_weighted_avg" -> q48UdafWeightedAvg,
     "q49_udf_slug" -> q49UdfSlug,
     "q50_posexplode" -> q50Posexplode,
+    "q52_salted_agg" -> q52SaltedAgg,
   )
 
   lazy val sql: Map[String, String] = Map(
@@ -107,5 +122,12 @@ object ExtensionQueries {
           i -> CAST(embedding[i] AS DOUBLE))) AS v
       FROM embeddings
       ORDER BY vec_id, pos""",
+    "q52_salted_agg" -> """
+      SELECT event_type,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        count(1) AS n
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
   )
 }
