@@ -95,11 +95,30 @@ object ExtensionQueries {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------- q53
+  /** The native as-of join operator (graft.plans.AsOfJoinExec — custom
+    * LogicalPlan + Strategy + sort-merge physical node) answering the
+    * same question as q10's window rewrite, against the same oracle:
+    * the hash gate proves operator == rewrite == DuckDB. */
+  def q53AsofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Stable.epochS
+    val e = Tables.events(spark, sfDir)
+    val purchases = e.filter(col("event_type") === "purchase")
+    val clicks = e.filter(col("event_type") === "click")
+    graft.plans.AsOf.join(spark, purchases, clicks, "user_id",
+        Seq("ts", "event_id"))
+      .select(col("event_id"), col("user_id"), epochS(col("ts")).as("ts_s"),
+        epochS(col("r_ts")).as("click_ts_s"),
+        col("r_value").as("last_click_value"))
+      .orderBy(col("event_id"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q48_udaf_weighted_avg" -> q48UdafWeightedAvg,
     "q49_udf_slug" -> q49UdfSlug,
     "q50_posexplode" -> q50Posexplode,
     "q52_salted_agg" -> q52SaltedAgg,
+    "q53_asof_native" -> q53AsofNative,
   )
 
   lazy val sql: Map[String, String] = Map(
@@ -129,5 +148,8 @@ object ExtensionQueries {
       FROM events
       GROUP BY event_type
       ORDER BY event_type""",
+    // identical oracle to q10 — the native operator and the window
+    // rewrite must both hash-match it
+    "q53_asof_native" -> RelationalQueries.sql("q10_join_asof"),
   )
 }

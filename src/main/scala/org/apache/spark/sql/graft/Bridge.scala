@@ -1,8 +1,11 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import _root_.graft
+import org.apache.spark.sql.{classic, execution, Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.SparkStrategy
 
 /** Minimal bridge into Spark's `private[sql]` Column↔Expression seam.
   *
@@ -16,4 +19,23 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Analyzed logical plan of a DataFrame (for building custom plans). */
+  def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Wrap a custom LogicalPlan back into a DataFrame. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Planner strategy for graft.plans.AsOfJoinPlan. Lives here because
+    * `SparkStrategy`/`planLater` are private[sql] in Spark 4. */
+  object AsOfStrategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[execution.SparkPlan] =
+      plan match {
+        case graft.plans.AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+          graft.plans.AsOfJoinExec(
+            planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+        case _ => Nil
+      }
+  }
 }
