@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.graft.Bridge
+
+import graft.functions.{FloatVecDot, FloatVecNorm}
+
+/** Session-extension registration (the installable form of the engine's
+  * Catalyst additions): the as-of join planner strategy and the native
+  * vector functions, available to SQL as `float_vec_dot` /
+  * `float_vec_norm`.
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *   // or: spark.sql.extensions=graft.GraftExtensions
+  *
+  * Inside the driver-built session the same pieces are reachable without
+  * extensions: `AsOf.join` registers its strategy through
+  * `spark.experimental.extraStrategies`, and the vector functions are
+  * used as Columns directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => Bridge.AsOfStrategy)
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("float_vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatVecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("float_vec_norm"),
+      new ExpressionInfo(classOf[FloatVecNorm].getName, "float_vec_norm"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatVecNorm(exprs.head)))
+  }
+}

@@ -88,6 +88,18 @@ final case class AsOfJoinExec(
         .createNaturalAscendingOrdering(lt.map(_.dataType))
       val nullRight = new GenericInternalRow(rOut.length)
       val joined = new JoinedRow
+      // downstream operators (Sort, shuffles) require UnsafeRow output.
+      // Bind by ordinal with the right side forced nullable — unmatched
+      // lefts carry an all-null right row, and a non-nullable binding
+      // would skip the null check and read 0s.
+      val resultProj = UnsafeProjection.create(
+        lOut.zipWithIndex.map { case (a, i) =>
+          org.apache.spark.sql.catalyst.expressions.BoundReference(
+            i, a.dataType, a.nullable)
+        } ++ rOut.zipWithIndex.map { case (a, i) =>
+          org.apache.spark.sql.catalyst.expressions.BoundReference(
+            lOut.length + i, a.dataType, nullable = true)
+        })
 
       new Iterator[InternalRow] {
         private var rCurr: InternalRow =
@@ -115,7 +127,7 @@ final case class AsOfJoinExec(
             lastMatch = rCurr.copy()
             advanceRight()
           }
-          joined(l, if (lastMatch == null) nullRight else lastMatch)
+          resultProj(joined(l, if (lastMatch == null) nullRight else lastMatch))
         }
       }
     }

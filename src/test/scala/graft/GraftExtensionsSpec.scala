@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graft.Bridge
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registration path: a session built withExtensions(GraftExtensions)
+  * can call the native vector functions from SQL and plans the native
+  * as-of join without touching experimental hooks. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    // force a fresh session so the extensions actually apply (other
+    // suites may have installed a default session in this JVM)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("float_vec_dot / float_vec_norm callable from SQL") {
+    val row = spark.sql("""
+      SELECT float_vec_dot(CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>),
+                           CAST(array(4.0, 5.0, 6.0) AS ARRAY<FLOAT>)) AS d,
+             float_vec_norm(CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS n
+    """).collect().head
+    assert(row.getDouble(0) == 32.0)
+    assert(row.getDouble(1) == 5.0)
+  }
+
+  test("as-of strategy is installed by the extension") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100.0), (1L, 3L, 50.0)).toDF("k", "t", "v")
+    val r = Seq((1L, 5L, 7.0)).toDF("rk", "rt", "rv")
+    val lPlan = Bridge.analyzed(l)
+    val rPlan = Bridge.analyzed(r)
+    val plan = graft.plans.AsOfJoinPlan(lPlan, rPlan,
+      Seq(lPlan.output.head), Seq(rPlan.output.head),
+      Seq(lPlan.output(1)), Seq(rPlan.output(1)))
+    val df = Bridge.ofRows(spark, plan)
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val rows = df.orderBy("t").collect()
+    // t=3 has no right row before it; t=10 matches rt=5
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(3))
+    assert(rows(1).getLong(4) == 5L)
+  }
+}

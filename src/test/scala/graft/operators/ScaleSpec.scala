@@ -52,6 +52,17 @@ class ScaleSpec extends AnyFunSuite {
       .select("l_orderkey", "l_extendedprice")
     val o = graft.Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_totalprice")
+    // the in-memory catalog forgets tables between JVMs but their files
+    // survive in the warehouse dir — clear both before re-creating
+    Seq("li_bkt", "o_bkt").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+      }
+      rm(loc)
+    }
     li.write.mode("overwrite").bucketBy(8, "l_orderkey")
       .sortBy("l_orderkey").saveAsTable("li_bkt")
     o.write.mode("overwrite").bucketBy(8, "o_orderkey")
