@@ -117,4 +117,63 @@ class CubeSpec extends AnyFunSuite {
     val json = CubeManager.configToJson(cfg)
     assert(CubeManager.configFromJson(json) == cfg)
   }
+
+  test("dotted nested field paths work as dimensions and measures") {
+    // the MongoDB document model: dimensions/measures live at a.b.c
+    import spark.implicits._
+    val df = Seq(
+      (("mobile", ("ios", 1.5)), 2.0),
+      (("mobile", ("android", 2.5)), 3.0),
+      (("web", ("chrome", 4.0)), 5.0))
+      .toDF("meta", "v")
+      .selectExpr(
+        "named_struct('channel', meta._1, 'client', " +
+          "named_struct('os', meta._2._1, 'score', meta._2._2)) AS meta",
+        "v")
+    val nestedCfg = CubeConfig("nested", "mem",
+      Seq(FieldDim("channel", "meta.channel"), FieldDim("os", "meta.client.os")),
+      Seq(Measure("score", "meta.client.score"), Measure("v", "v")))
+    val cube = CubeManager.create(nestedCfg, df)
+    val rows = cube.aggregates.orderBy("channel", "os").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getDecimal(2).doubleValue, r.getDecimal(3).doubleValue,
+        r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      ("mobile", "android", 2.5, 3.0, 1L),
+      ("mobile", "ios", 1.5, 2.0, 1L),
+      ("web", "chrome", 4.0, 5.0, 1L)))
+  }
+
+  test("time dimension granularities bucket correctly") {
+    import spark.implicits._
+    val ts = new Timestamp(1700000000000L) // 2023-11-14T22:13:20Z
+    val df = Seq(("a", ts, 1.0)).toDF("event_type", "ts", "value")
+    def bucket(g: String): Timestamp = {
+      val c = CubeConfig("g", "mem",
+        Seq(TimeDim("b", "ts", g)), Seq(Measure("v", "value")))
+      CubeManager.create(c, df).aggregates.collect().head.getAs[Timestamp]("b")
+    }
+    assert(bucket("hour").toInstant.toString == "2023-11-14T22:00:00Z")
+    assert(bucket("day").toInstant.toString == "2023-11-14T00:00:00Z")
+    assert(bucket("month").toInstant.toString == "2023-11-01T00:00:00Z")
+    assert(bucket("year").toInstant.toString == "2023-01-01T00:00:00Z")
+    intercept[IllegalArgumentException] { TimeDim("b", "ts", "fortnight") }
+  }
+
+  test("multi-measure cube: independent sums maintained through deltas") {
+    import spark.implicits._
+    val cfg2 = CubeConfig("mm", "mem",
+      Seq(FieldDim("k", "event_type")),
+      Seq(Measure("v", "value"), Measure("w", "weight")))
+    val base = Seq(("a", 1.0, 10.0), ("a", 2.0, 20.0), ("b", 5.0, 50.0))
+      .toDF("event_type", "value", "weight")
+    val cube = CubeManager.create(cfg2, base)
+    val deltas = Seq(("a", 1.0, 10.0, -1), ("b", 7.0, 70.0, 1))
+      .toDF("event_type", "value", "weight", "_sign")
+    val updated = CubeManager.applyDeltas(cube, deltas)
+    val rows = updated.aggregates.orderBy("k").collect()
+      .map(r => (r.getString(0), r.getDecimal(1).doubleValue,
+        r.getDecimal(2).doubleValue, r.getLong(3)))
+    assert(rows.toSeq == Seq(("a", 2.0, 20.0, 1L), ("b", 12.0, 120.0, 2L)))
+  }
 }
