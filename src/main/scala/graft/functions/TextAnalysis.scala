@@ -93,6 +93,7 @@ object TextAnalysis {
         explode(expr(
           """transform(sequence(1, greatest(length(text) - 2, 1)),
              i -> xxhash64(substring(text, i, 3)))""")).as("g"))
+      .cache() // used twice: profile build + scoring pass
     val profile = grams.groupBy(col("lang"), col("g"))
       .agg(count(lit(1)).as("n"))
       .withColumn("rk", row_number().over(
