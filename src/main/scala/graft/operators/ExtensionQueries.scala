@@ -113,12 +113,30 @@ object ExtensionQueries {
       .orderBy(col("event_id"))
   }
 
+  // ---------------------------------------------------------------- q54
+  /** Top-3 orders per status via the bounded TypedImperativeAggregate
+    * (graft.functions.TopKByValue): shuffle carries ≤ k rows per group
+    * instead of window-sorting every partition. Oracle: the window
+    * rewrite — both must produce identical rows. */
+  def q54TopKAggregate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TopKAggregate.topK
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(topK(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_orderstatus"), explode(col("top")).as("t"))
+      .select(col("o_orderstatus"), col("t.value").as("o_totalprice"),
+        col("t.id").as("o_orderkey"))
+      .orderBy(col("o_orderstatus"), col("o_totalprice").desc,
+        col("o_orderkey"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q48_udaf_weighted_avg" -> q48UdafWeightedAvg,
     "q49_udf_slug" -> q49UdfSlug,
     "q50_posexplode" -> q50Posexplode,
     "q52_salted_agg" -> q52SaltedAgg,
     "q53_asof_native" -> q53AsofNative,
+    "q54_topk_aggregate" -> q54TopKAggregate,
   )
 
   lazy val sql: Map[String, String] = Map(
@@ -151,5 +169,14 @@ object ExtensionQueries {
     // identical oracle to q10 — the native operator and the window
     // rewrite must both hash-match it
     "q53_asof_native" -> RelationalQueries.sql("q10_join_asof"),
+    "q54_topk_aggregate" -> """
+      SELECT o_orderstatus, o_totalprice, o_orderkey
+      FROM (
+        SELECT o_orderstatus, o_totalprice, o_orderkey,
+          row_number() OVER (PARTITION BY o_orderstatus
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 3
+      ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""",
   )
 }

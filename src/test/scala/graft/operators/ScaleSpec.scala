@@ -47,6 +47,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.map(_.toSeq) == direct.map(_.toSeq))
   }
 
+  test("top-k aggregate: bounded buffer survives partial/merge across partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.functions.TopKAggregate.topK
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 5000).map(i =>
+      ("g" + (i % 7), rnd.nextInt(100).toDouble, i.toLong))
+    val df = rows.toDF("g", "v", "id").repartition(16) // force merges
+    val got = df.groupBy("g").agg(topK(col("v"), col("id"), 5).as("top"))
+      .select(col("g"), explode(col("top")).as("t"))
+      .select(col("g"), col("t.value"), col("t.id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    val expect = rows.groupBy(_._1).view.mapValues(g =>
+      g.map(t => (t._2, t._3))
+        .sortBy { case (v, i) => (-v, i) }.take(5).toSet).toMap
+    assert(got == expect)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val li = graft.Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_extendedprice")
