@@ -5,6 +5,8 @@ import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
+import Stable.dec2
+
 /** The UDF/UDAF/generator surface (SURVEY §2.2 "UDF surface" rows).
   *
   * Built-ins are preferred everywhere else in the engine (they stay
@@ -130,7 +132,65 @@ object ExtensionQueries {
         col("o_orderkey"))
   }
 
+  // ---------------------------------------------------------------- q55
+  /** Exact percentiles (linear interpolation — same semantics as
+    * DuckDB's quantile_cont; approximate sketches stay off the oracle
+    * surface like HLL). */
+  def q55Percentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 2).as("p50"),
+        round(expr("percentile(value, 0.9)"), 2).as("p90"),
+        round(expr("percentile(value, 0.99)"), 2).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
+  // ---------------------------------------------------------------- q56
+  /** Correlated scalar subquery (TPC-H Q17 shape): small-quantity
+    * lineitems below 50% of their part's average quantity — exercises
+    * Catalyst subquery decorrelation into an aggregate + join. */
+  def q56ScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("ssq_lineitem")
+    spark.sql("""
+      SELECT l.l_partkey,
+        count(1) AS n_small,
+        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+      FROM ssq_lineitem l
+      WHERE l.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity) FROM ssq_lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+      GROUP BY l.l_partkey
+      ORDER BY l.l_partkey
+    """)
+  }
+
+  // ---------------------------------------------------------------- q57
+  /** TPC-H Q3 shape: shipping-priority revenue — two fact joins, a
+    * selective date sargable filter on each side, top-10 with total
+    * tie-break. */
+  def q57ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    c.filter(col("c_mktsegment") === "BUILDING")
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q55_percentiles" -> q55Percentiles,
+    "q56_scalar_subquery" -> q56ScalarSubquery,
+    "q57_shipping_priority" -> q57ShippingPriority,
     "q48_udaf_weighted_avg" -> q48UdafWeightedAvg,
     "q49_udf_slug" -> q49UdfSlug,
     "q50_posexplode" -> q50Posexplode,
@@ -178,5 +238,36 @@ object ExtensionQueries {
         FROM orders) t
       WHERE rn <= 3
       ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""",
+    "q55_percentiles" -> """
+      SELECT event_type,
+        round(quantile_cont(value, 0.5), 2) AS p50,
+        round(quantile_cont(value, 0.9), 2) AS p90,
+        round(quantile_cont(value, 0.99), 2) AS p99
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
+    "q56_scalar_subquery" -> """
+      SELECT l.l_partkey,
+        count(1) AS n_small,
+        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+      FROM lineitem l
+      WHERE l.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+      GROUP BY l.l_partkey
+      ORDER BY l.l_partkey""",
+    "q57_shipping_priority" -> """
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        o_orderpriority,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-03-15'
+        AND l_shipdate > TIMESTAMP '1998-03-15'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""",
   )
 }
