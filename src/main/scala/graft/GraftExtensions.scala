@@ -22,6 +22,7 @@ import graft.functions.{FloatVecDot, FloatVecNorm}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => Bridge.AsOfStrategy)
+    e.injectOptimizerRule(_ => cube.CubeRewriteRule)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("float_vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),

@@ -1,0 +1,178 @@
+package graft.cube
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.DecimalType
+
+/** Automatic materialized-view routing — the reference's core promise
+  * ("queries hit the cube, not the source") lifted into the Catalyst
+  * optimizer: an `Aggregate` over a source table is rewritten to
+  * re-aggregate a registered MATERIALIZED cube when the cube covers the
+  * query's dimensions and measures. Query cost becomes ∝ |cube|, not
+  * |source| — at 100 TB that is the difference between scanning the
+  * fact table and scanning megabytes of aggregates.
+  *
+  * Soundness constraints (rewrite fires only when provably exact):
+  * - the aggregate's child is the cube's source relation (by file path);
+  * - every grouping expression canonically equals a cube dimension
+  *   expression (plain column or `date_trunc` time bucket);
+  * - every aggregate is `sum(CAST(measure AS DECIMAL(18,2)))` — the
+  *   engine's exact-sum idiom, matching what the cube accumulates — or
+  *   `count(1)` (served from the cube's row count);
+  * - the registered cube is materialized (its plan is a parquet scan of
+  *   the saved aggregates, not a re-aggregation of the source).
+  *
+  * Install: `spark.experimental.extraOptimizations ++= Seq(
+  * CubeRewriteRule)` (done by [[CubeCatalog.install]]) or via
+  * `GraftExtensions`. Output attribute ids are preserved so parent
+  * operators resolve unchanged.
+  */
+object CubeCatalog {
+  /** name → (materialized cube, absolute source parquet path) */
+  private val cubes = TrieMap.empty[String, (Cube, String)]
+
+  def register(name: String, cube: Cube, sourcePath: String): Unit =
+    cubes.put(name, (cube, normalize(sourcePath)))
+  def unregister(name: String): Unit = { cubes.remove(name); () }
+  def clear(): Unit = cubes.clear()
+  def registered: Map[String, (Cube, String)] = cubes.toMap
+
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(CubeRewriteRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ CubeRewriteRule
+    }
+  }
+
+  private[cube] def normalize(p: String): String =
+    p.stripPrefix("file:").replaceAll("/+$", "")
+
+  private[cube] def sourcePathOf(plan: LogicalPlan): Option[String] =
+    plan match {
+      case SubqueryAlias(_, child) => sourcePathOf(child)
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.headOption.map(p => normalize(p.toString))
+      case _ => None
+    }
+}
+
+object CubeRewriteRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(_, _, child, _) =>
+      // the optimizer's PullOutGroupingExpressions moves complex
+      // grouping expressions (e.g. date_trunc) into a Project below the
+      // Aggregate — see through attribute/alias-only Projects and
+      // substitute the aliases back for matching
+      val (base, env) = child match {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project
+            if p.projectList.forall(e =>
+              e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
+          (p.child, p.projectList.collect {
+            case a: Alias => a.toAttribute.exprId -> a.child
+          }.toMap)
+        case other => (other, Map.empty[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])
+      }
+      def subst(e: Expression): Expression = e.transformUp {
+        case a: AttributeReference if env.contains(a.exprId) => env(a.exprId)
+      }
+      CubeCatalog.sourcePathOf(base) match {
+        case Some(path) =>
+          CubeCatalog.registered.values
+            .filter(_._2 == path)
+            .flatMap { case (cube, _) => tryRewrite(agg, cube, base, subst) }
+            .headOption
+            .getOrElse(agg)
+        case None => agg
+      }
+  }
+
+  private def tryRewrite(
+      agg: Aggregate,
+      cube: Cube,
+      source: LogicalPlan,
+      subst: Expression => Expression): Option[LogicalPlan] = {
+    val cubePlan = Bridge.analyzed(cube.aggregates)
+    // cube must be materialized: its own plan must be a file scan, and
+    // NOT over the source path (that would be a re-aggregation)
+    val cubeScanPath = CubeCatalog.sourcePathOf(cubePlan)
+    if (cubeScanPath.isEmpty) return None
+
+    def cubeAttr(name: String): Option[Attribute] =
+      cubePlan.output.find(_.name == name)
+
+    // bind each dimension's defining expression against the source
+    // relation's attributes, for canonical comparison with the query
+    def bindDim(d: Dimension): Option[(Expression, Attribute)] = {
+      val bound: Option[Expression] = d match {
+        case FieldDim(_, p) => resolvePath(source, p)
+        case TimeDim(_, p, g) => resolvePath(source, p).map(a =>
+          org.apache.spark.sql.catalyst.expressions.TruncTimestamp(
+            Literal(g), a, Some("UTC")))
+      }
+      bound.flatMap(b => cubeAttr(d.id).map(b -> _))
+    }
+    val dimBindings: Seq[(Expression, Attribute)] =
+      cube.config.dims.flatMap(bindDim)
+    if (dimBindings.size != cube.config.dims.size) return None
+
+    def matchDim(e: Expression): Option[Attribute] =
+      dimBindings.find(_._1.canonicalized == subst(e).canonicalized).map(_._2)
+
+    // groupings must all be covered dimensions
+    val groupMap: Seq[(Expression, Attribute)] =
+      agg.groupingExpressions.flatMap(g => matchDim(g).map(g -> _))
+    if (groupMap.size != agg.groupingExpressions.size) return None
+
+    def measureFor(e: Expression): Option[Attribute] = subst(e) match {
+      // sum(CAST(measure AS DECIMAL(18,2)))
+      case Cast(inner, _: DecimalType, _, _) => measureFor(inner)
+      case a: AttributeReference =>
+        cube.config.measures
+          .find(m => resolvePath(source, m.path).exists(
+            _.canonicalized == a.canonicalized))
+          .flatMap(m => cubeAttr(m.id))
+      case _ => None
+    }
+
+    // rewrite each output expression; bail on anything unrecognized
+    val rewritten: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      case al @ Alias(AggregateExpression(Sum(e, _), Complete, false, _, _), name) =>
+        e match {
+          case Cast(inner, dt: DecimalType, _, _) =>
+            measureFor(inner).map { m =>
+              Alias(Cast(
+                AggregateExpression(Sum(m), Complete, isDistinct = false),
+                al.dataType), name)(al.exprId)
+            }
+          case _ => None
+        }
+      case al @ Alias(AggregateExpression(Count(Seq(Literal(_, _))), Complete, false, _, _), name) =>
+        cubeAttr(CubeManager.CountCol).map { c =>
+          Alias(AggregateExpression(Sum(c), Complete, isDistinct = false),
+            name)(al.exprId)
+        }
+      case ne: NamedExpression if matchDim(ne).isDefined =>
+        matchDim(ne).map(d => Alias(d, ne.name)(ne.exprId))
+      case al @ Alias(child, name) if matchDim(child).isDefined =>
+        matchDim(child).map(d => Alias(d, name)(al.exprId))
+      case _ => None
+    }
+    if (rewritten.exists(_.isEmpty)) return None
+
+    Some(Aggregate(groupMap.map(_._2), rewritten.flatten, cubePlan))
+  }
+
+  private def resolvePath(plan: LogicalPlan, path: String): Option[Attribute] =
+    // dotted nested paths resolve to GetStructField chains; for rewrite
+    // purposes support top-level columns (nested cubes still work via
+    // the explicit CubeManager.query API)
+    plan.output.find(_.name == path)
+}

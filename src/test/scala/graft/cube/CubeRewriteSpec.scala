@@ -1,0 +1,135 @@
+package graft.cube
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The MV-routing rule: an aggregation over the source parquet is
+  * silently served from the materialized cube when (and only when) the
+  * cube covers it exactly. */
+class CubeRewriteSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    CubeCatalog.install(s)
+    s
+  }
+
+  private val cfg = CubeConfig("rw", "src",
+    Seq(FieldDim("etype", "event_type"), TimeDim("hour", "ts", "hour")),
+    Seq(Measure("v", "value")))
+
+  private def setup(): (String, String) = {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(21)
+    val rows = (0 until 500).map { _ =>
+      (Seq("click", "view", "buy")(rnd.nextInt(3)),
+        new Timestamp(1700000000000L + rnd.nextInt(8) * 3600000L
+          + rnd.nextInt(3600000)),
+        math.round(rnd.nextDouble() * 10000) / 100.0)
+    }
+    val srcDir = Files.createTempDirectory("graft_rw_src").toString
+    rows.toDF("event_type", "ts", "value").write.mode("overwrite")
+      .parquet(srcDir)
+    // materialize the cube, then register the LOADED (parquet-backed) one
+    val cubeDir = Files.createTempDirectory("graft_rw_cube").toString
+    val cube = CubeManager.create(cfg, spark.read.parquet(srcDir))
+    CubeManager.save(cube, cubeDir)
+    CubeCatalog.register("rw", CubeManager.load(spark, cubeDir, "rw"), srcDir)
+    (srcDir, s"$cubeDir/rw")
+  }
+
+  private def coveredQuery(srcDir: String): DataFrame =
+    spark.read.parquet(srcDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"))
+
+  test("covered aggregate is rewritten to scan the cube, results identical") {
+    val (srcDir, cubeLoc) = setup()
+    val q = coveredQuery(srcDir)
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r).get
+    }
+    assert(scans == Seq(CubeCatalog.normalize(cubeLoc)),
+      s"expected a single cube scan, got $scans")
+    // results must equal the unrewritten plan
+    CubeCatalog.clear()
+    val direct = coveredQuery(srcDir)
+    val a = q.orderBy("event_type", "h").collect().map(_.toSeq)
+    val b = direct.orderBy("event_type", "h").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // and the direct plan really scans the source (rule is truly off)
+    val directScans = direct.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r).get
+    }
+    assert(directScans == Seq(CubeCatalog.normalize(srcDir)))
+  }
+
+  test("roll-up to a dimension subset is also served from the cube") {
+    val (srcDir, cubeLoc) = setup()
+    val q = spark.read.parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r).get
+    }
+    assert(scans == Seq(CubeCatalog.normalize(cubeLoc)))
+    CubeCatalog.clear()
+    val direct = q.orderBy("event_type").collect().map(_.toSeq)
+    val got = spark.read.parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type").collect().map(_.toSeq)
+    assert(direct.toSeq == got.toSeq)
+  }
+
+  test("non-covered queries are left untouched") {
+    val (srcDir, _) = setup()
+    // grouping on a non-dimension column
+    val q1 = spark.read.parquet(srcDir)
+      .groupBy(col("value")).agg(count(lit(1)).as("n"))
+    // unsupported aggregate (plain double sum — not the cube's algebra)
+    val q2 = spark.read.parquet(srcDir)
+      .groupBy(col("event_type")).agg(sum(col("value")).as("s"))
+    for (q <- Seq(q1, q2)) {
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          CubeCatalog.sourcePathOf(r).get
+      }
+      assert(scans == Seq(CubeCatalog.normalize(srcDir)),
+        s"must keep scanning the source, got $scans")
+    }
+  }
+
+  test("unmaterialized cube (plan still aggregates the source) never routes") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val srcDir = Files.createTempDirectory("graft_rw_src2").toString
+    Seq(("a", new Timestamp(1700000000000L), 1.0))
+      .toDF("event_type", "ts", "value").write.mode("overwrite").parquet(srcDir)
+    val inMem = CubeManager.create(cfg, spark.read.parquet(srcDir))
+    CubeCatalog.register("rw2", inMem, srcDir)
+    val q = spark.read.parquet(srcDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s"))
+    // the in-memory cube's plan is itself an aggregation of the source —
+    // routing would be circular; the rule must refuse
+    assert(q.collect().length == 1)
+    CubeCatalog.clear()
+  }
+}
