@@ -113,6 +113,10 @@ final case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyProj(l)
+          // SQL join semantics: a null key matches nothing
+          if (lKey.anyNull) {
+            return resultProj(joined(l, nullRight))
+          }
           if (currKey == null || keyOrd.compare(lKey, currKey) != 0) {
             // new left key: drop buffered match, skip right rows behind
             lastMatch = null

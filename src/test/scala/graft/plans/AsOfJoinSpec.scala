@@ -59,6 +59,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("null join keys never match (SQL semantics)") {
+    val l = spark.sql(
+      """SELECT * FROM VALUES (CAST(NULL AS BIGINT), 10L, 1L), (1L, 10L, 2L)
+         AS t(user_id, ts, event_id)""")
+    val r = spark.sql(
+      """SELECT * FROM VALUES (CAST(NULL AS BIGINT), 5L, 3L), (1L, 5L, 4L)
+         AS t(user_id, ts, event_id)""")
+    val got = AsOf.join(spark, l, r, "user_id", Seq("ts", "event_id"))
+      .orderBy(col("event_id"))
+      .collect()
+      .map(x => (x.getLong(2), if (x.isNullAt(5)) -1L else x.getLong(5)))
+    assert(got.toSeq == Seq((1L, -1L), (2L, 4L)))
+  }
+
   test("physical plan uses AsOfJoinExec with clustered exchanges") {
     import spark.implicits._
     val left = gen(50, 5, 99).toDF()

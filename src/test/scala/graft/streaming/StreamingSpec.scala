@@ -143,6 +143,38 @@ class StreamingSpec extends AnyFunSuite {
       s"view must emit only its batch-1 state, got ${viewRows.toSeq}")
   }
 
+  test("streaming session window sessionizes per user with the 30m gap") {
+    import org.apache.spark.sql.functions._
+    val src = tmp("graft_sess_src")
+    val rows = Seq(
+      ("u1", new Timestamp(1700000000000L), 1.0),
+      ("u1", new Timestamp(1700000000000L + 10 * 60000L), 2.0), // same session
+      ("u1", new Timestamp(1700000000000L + 90 * 60000L), 3.0), // new session
+      ("u2", new Timestamp(1700000000000L), 4.0))
+    toDf(rows).toDF("user", "ts", "value").coalesce(1)
+      .write.parquet(s"$src/f0")
+    val q = spark.readStream
+      .schema(toDf(rows).toDF("user", "ts", "value").schema)
+      .parquet(s"$src/f*")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), col("session_window.start").as("ss"), col("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_stream")
+      .option("checkpointLocation", tmp("graft_sess_ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_stream").collect()
+      .map(r => (r.getString(0), r.getAs[Timestamp]("ss").getTime,
+        r.getLong(2))).toSet
+    assert(got == Set(
+      ("u1", 1700000000000L, 2L),
+      ("u1", 1700000000000L + 90 * 60000L, 1L),
+      ("u2", 1700000000000L, 1L)))
+  }
+
   test("restart from checkpoint resumes instead of recomputing") {
     val src = tmp("graft_resume_src")
     val ckpt = tmp("graft_resume_ckpt")
