@@ -1,0 +1,92 @@
+package graft.cube
+
+import scala.collection.concurrent.TrieMap
+
+import graft.streaming.StreamingCube
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** The reference's admin API surface (R7), verb for verb, over the Spark
+  * machinery — what an AMQP message handled there is a method call here
+  * (SURVEY §2.1 R7: create/load/list/delete cubes, start/stop oplog
+  * buffering, start/stop auto-update, manual update, getAggregates).
+  *
+  * | reference verb      | here                                       |
+  * |---------------------|--------------------------------------------|
+  * | createCube          | createCube (build + persist + register)    |
+  * | loadCube            | loadCube (parquet + config JSON)           |
+  * | listCubes           | listCubes                                  |
+  * | deleteCube          | deleteCube (drops persistence + registry)  |
+  * | start oplog buffer  | implicit: the streaming source buffers     |
+  * | startAutoUpdate     | startAutoUpdate (streaming fold, ckpt)     |
+  * | stopAutoUpdate      | stopAutoUpdate (query.stop; ckpt = resume) |
+  * | updateAggregates    | updateAggregates (manual signed-delta fold)|
+  * | getAggregates       | getAggregates (roll-up from the cube)      |
+  *
+  * One instance per storage root; thread-safe registry.
+  */
+final class CubeService(spark: SparkSession, storageDir: String) {
+  private val live = TrieMap.empty[String, Cube]
+  private val autoUpdates = TrieMap.empty[String, StreamingQuery]
+
+  /** R1: full population from the source, persisted + registered. */
+  def createCube(config: CubeConfig, source: DataFrame): Cube = {
+    val cube = CubeManager.create(config, source)
+    CubeManager.save(cube, storageDir)
+    // register the MATERIALIZED form so queries scan the saved parquet
+    val loaded = CubeManager.load(spark, storageDir, config.name)
+    live.put(config.name, loaded)
+    loaded
+  }
+
+  def loadCube(name: String): Cube =
+    live.getOrElseUpdate(name, CubeManager.load(spark, storageDir, name))
+
+  def listCubes(): Seq[String] = CubeManager.list(storageDir)
+
+  def deleteCube(name: String): Unit = {
+    stopAutoUpdate(name)
+    live.remove(name)
+    CubeManager.delete(storageDir, name)
+  }
+
+  /** R3 manual trigger: fold a signed-delta batch (insert +1 / delete −1;
+    * update = pair) into the persisted aggregates. Deltas without a
+    * `_sign` column are treated as inserts. */
+  def updateAggregates(name: String, deltas: DataFrame): Cube = {
+    val cube = loadCube(name)
+    val signed =
+      if (deltas.columns.contains("_sign")) deltas
+      else deltas.withColumn("_sign", lit(1))
+    val updated = CubeManager.applyDeltas(cube, signed)
+    CubeManager.save(updated, storageDir)
+    val reloaded = CubeManager.load(spark, storageDir, name)
+    live.put(name, reloaded)
+    reloaded
+  }
+
+  /** R2/R3 steady state: continuous maintenance from a delta directory.
+    * The checkpoint under the storage root is the resume token — a
+    * stop/start pair resumes without reprocessing. */
+  def startAutoUpdate(name: String, deltaDir: String, schema: StructType): StreamingQuery = {
+    val cube = loadCube(name)
+    val q = StreamingCube.start(spark, cube.config, deltaDir, schema,
+      s"$storageDir/$name.checkpoint", s"cube_auto_$name")
+    autoUpdates.put(name, q)
+    q
+  }
+
+  def stopAutoUpdate(name: String): Unit =
+    autoUpdates.remove(name).foreach(_.stop())
+
+  /** R6: roll-up query served from the cube. */
+  def getAggregates(
+      name: String,
+      dims: Seq[String],
+      filter: Column = lit(true),
+      sumOf: Seq[String] = Nil,
+      avgOf: Seq[String] = Nil): DataFrame =
+    CubeManager.query(loadCube(name), dims, filter, sumOf, avgOf)
+}

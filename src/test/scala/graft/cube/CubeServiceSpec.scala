@@ -1,0 +1,71 @@
+package graft.cube
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Full R7 verb lifecycle: create → query → manual update (with
+  * deletes) → auto-update from a delta directory → stop → delete. */
+class CubeServiceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val cfg = CubeConfig("svc", "events",
+    Seq(FieldDim("etype", "event_type")),
+    Seq(Measure("v", "value")))
+
+  private def df(rows: Seq[(String, Timestamp, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("event_type", "ts", "value")
+  }
+  private val t0 = new Timestamp(1700000000000L)
+
+  test("verb-for-verb lifecycle") {
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_svc").toString)
+
+    // createCube + listCubes
+    svc.createCube(cfg, df(Seq(("click", t0, 1.0), ("view", t0, 2.0))))
+    assert(svc.listCubes() == Seq("svc"))
+
+    // getAggregates (R6)
+    def totals(): Map[String, (Double, Long)] =
+      svc.getAggregates("svc", Seq("etype"), sumOf = Seq("v"))
+        .collect().map(r => (r.getString(0),
+          (r.getDouble(1), r.getLong(2)))).toMap
+    assert(totals() == Map("click" -> (1.0, 1L), "view" -> (2.0, 1L)))
+
+    // updateAggregates: insert + delete in one manual batch (R3)
+    val deltas = df(Seq(("click", t0, 4.0))).withColumn("_sign", lit(1))
+      .unionByName(df(Seq(("view", t0, 2.0))).withColumn("_sign", lit(-1)))
+    svc.updateAggregates("svc", deltas)
+    assert(totals() == Map("click" -> (5.0, 2L)))
+
+    // startAutoUpdate from a delta dir (R2); complete-mode memory table
+    val deltaDir = Files.createTempDirectory("graft_svc_deltas").toString
+    df(Seq(("buy", t0, 7.0))).coalesce(1).write.parquet(s"$deltaDir/d0")
+    val q = svc.startAutoUpdate("svc", s"$deltaDir/d*",
+      df(Seq(("x", t0, 0.0))).schema)
+    q.processAllAvailable()
+    val streamed = spark.table("cube_auto_svc").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(streamed == Map("buy" -> 1L))
+    svc.stopAutoUpdate("svc")
+    assert(!q.isActive)
+
+    // deleteCube
+    svc.deleteCube("svc")
+    assert(svc.listCubes().isEmpty)
+  }
+}
