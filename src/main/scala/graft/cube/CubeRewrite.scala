@@ -142,32 +142,42 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
-    // rewrite each output expression; bail on anything unrecognized
-    val rewritten: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
-      case al @ Alias(AggregateExpression(Sum(e, _), Complete, false, _, _), name) =>
-        e match {
-          case Cast(inner, dt: DecimalType, _, _) =>
-            measureFor(inner).map { m =>
-              Alias(Cast(
-                AggregateExpression(Sum(m), Complete, isDistinct = false),
-                al.dataType), name)(al.exprId)
+    // Rewrite each output expression IN PLACE: supported aggregate
+    // leaves are swapped for their cube-partial equivalents (same
+    // result types, so surrounding arithmetic — e.g. the engine's
+    // avg idiom sum(dec)/count — keeps working); grouping expressions
+    // are swapped for cube dimension attributes. Bail if anything
+    // unrecognized remains referencing the source.
+    val countAttr = cubeAttr(CubeManager.CountCol).getOrElse(return None)
+    var ok = true
+    def rewriteExpr(e: Expression): Expression = e.transformUp {
+      case ae @ AggregateExpression(Sum(inner, _), Complete, false, _, _) =>
+        inner match {
+          case Cast(v, _: DecimalType, _, _) =>
+            measureFor(v) match {
+              case Some(m) => ae.copy(aggregateFunction = Sum(m))
+              case None => ok = false; ae
             }
-          case _ => None
+          case _ => ok = false; ae
         }
-      case al @ Alias(AggregateExpression(Count(Seq(Literal(_, _))), Complete, false, _, _), name) =>
-        cubeAttr(CubeManager.CountCol).map { c =>
-          Alias(AggregateExpression(Sum(c), Complete, isDistinct = false),
-            name)(al.exprId)
-        }
-      case ne: NamedExpression if matchDim(ne).isDefined =>
-        matchDim(ne).map(d => Alias(d, ne.name)(ne.exprId))
-      case al @ Alias(child, name) if matchDim(child).isDefined =>
-        matchDim(child).map(d => Alias(d, name)(al.exprId))
-      case _ => None
+      case ae @ AggregateExpression(Count(Seq(Literal(_, _))), Complete, false, _, _) =>
+        ae.copy(aggregateFunction = Sum(countAttr))
+      case ae: AggregateExpression => ok = false; ae
+      case other if matchDim(other).isDefined => matchDim(other).get
     }
-    if (rewritten.exists(_.isEmpty)) return None
+    val rewritten: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case al @ Alias(child, name) => Alias(rewriteExpr(child), name)(al.exprId)
+      case a: Attribute =>
+        val r = rewriteExpr(a)
+        if (r.fastEquals(a)) { ok = false; a } else Alias(r, a.name)(a.exprId)
+      case other => ok = false; other.asInstanceOf[NamedExpression]
+    }
+    // safety: every reference must now resolve against the cube
+    val cubeOut = cubePlan.outputSet
+    if (!ok || rewritten.exists(_.references.exists(!cubeOut.contains(_))))
+      return None
 
-    Some(Aggregate(groupMap.map(_._2), rewritten.flatten, cubePlan))
+    Some(Aggregate(groupMap.map(_._2), rewritten, cubePlan))
   }
 
   private def resolvePath(plan: LogicalPlan, path: String): Option[Attribute] =

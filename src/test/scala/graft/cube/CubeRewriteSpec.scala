@@ -98,6 +98,24 @@ class CubeRewriteSpec extends AnyFunSuite {
     assert(direct.toSeq == got.toSeq)
   }
 
+  test("avg idiom (sum(dec)/count) routes through the cube too") {
+    val (srcDir, cubeLoc) = setup()
+    def q() = spark.read.parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg((sum(col("value").cast("decimal(18,2)")).cast("double")
+        / count(lit(1))).as("avg_v"),
+        count(lit(1)).as("n"))
+    val scans = q().queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r).get
+    }
+    assert(scans == Seq(CubeCatalog.normalize(cubeLoc)))
+    val routed = q().orderBy("event_type").collect().map(_.toSeq)
+    CubeCatalog.clear()
+    val direct = q().orderBy("event_type").collect().map(_.toSeq)
+    assert(routed.toSeq == direct.toSeq)
+  }
+
   test("non-covered queries are left untouched") {
     val (srcDir, _) = setup()
     // grouping on a non-dimension column
