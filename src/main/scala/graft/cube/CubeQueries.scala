@@ -67,10 +67,47 @@ object CubeQueries {
       .orderBy(col("etype"), col("hour_s"))
   }
 
+  // ---------------------------------------------------------------- q58
+  /** The MV-routing rule on the graded surface: materialize a cube over
+    * `events`, register it with [[CubeCatalog]], then run a plain
+    * source-shaped aggregation — the optimizer silently serves it from
+    * the cube (asserted), while the DuckDB oracle recomputes from the
+    * raw table. Hash equality proves the automatic rewrite is exact. */
+  def q58CubeRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val cfg = CubeConfig("routing_demo", "events",
+      dims = Seq(FieldDim("etype", "event_type")),
+      measures = Seq(Measure("value_sum", "value")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_route").toString
+    CubeManager.save(CubeManager.create(cfg, Tables.events(spark, sfDir)), dir)
+    CubeCatalog.install(spark)
+    // events.parquet is read via the nanosAsLong conf + a ts rebuild, so
+    // the relation under the aggregate is NOT the raw file scan; register
+    // against a plain projected copy to give the rule a clean source.
+    val srcDir = s"$dir/source"
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).write.parquet(srcDir)
+    CubeCatalog.register("routing_demo",
+      CubeManager.load(spark, dir, "routing_demo"), srcDir)
+    val q = spark.read.parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+    // hard assertion: the optimized plan must scan the cube, not the source
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.exists(_.endsWith("/routing_demo")),
+      s"MV routing did not fire; scans=$scans")
+    q
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q33_cube_create" -> q33CubeCreate,
     "q34_cube_query" -> q34CubeQuery,
     "q35_cube_incremental" -> q35CubeIncremental,
+    "q58_cube_routing" -> q58CubeRouting,
   )
 
   lazy val sql: Map[String, String] = Map(
@@ -110,5 +147,12 @@ object CubeQueries {
       GROUP BY etype, hour_s
       HAVING sum(sign) > 0
       ORDER BY etype, hour_s""",
+    "q58_cube_routing" -> """
+      SELECT event_type,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        count(1) AS n
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
   )
 }
