@@ -175,6 +175,41 @@ class StreamingSpec extends AnyFunSuite {
       ("u2", 1700000000000L, 1L)))
   }
 
+  test("streaming cube runs on the RocksDB state store backend") {
+    // the bounded-memory state backend a 100 TB deployment would use:
+    // state spills to local RocksDB instead of living on the JVM heap
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = tmp("graft_rocks_src")
+      val all = eventRows(120, seed = 17)
+      all.grouped(40).zipWithIndex.foreach { case (chunk, i) =>
+        toDf(chunk).coalesce(1).write.parquet(s"$src/b$i")
+      }
+      val q = StreamingCube.start(spark, cfg, s"$src/b*", toDf(all).schema,
+        tmp("graft_rocks_ckpt"), "rocks_cube")
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("rocks_cube").collect()
+        .map(r => (r.getAs[String]("etype"), r.getAs[Timestamp]("hour"),
+          BigDecimal(r.getAs[java.math.BigDecimal]("v")),
+          r.getAs[Long]("_count"))).toSet
+      val batch = CubeManager.create(cfg, toDf(all)).aggregates.collect()
+        .map(r => (r.getAs[String]("etype"), r.getAs[Timestamp]("hour"),
+          BigDecimal(r.getAs[java.math.BigDecimal]("v")),
+          r.getAs[Long]("_count"))).toSet
+      assert(streamed == batch)
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("restart from checkpoint resumes instead of recomputing") {
     val src = tmp("graft_resume_src")
     val ckpt = tmp("graft_resume_ckpt")
