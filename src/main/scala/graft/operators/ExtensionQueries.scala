@@ -187,7 +187,41 @@ object ExtensionQueries {
       .limit(10)
   }
 
+  // ---------------------------------------------------------------- q59
+  /** IN-subquery (decorrelated to a semi join by Catalyst): orders from
+    * machinery-segment customers. */
+  def q59InSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("insq_orders")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("insq_customer")
+    spark.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM insq_orders
+      WHERE o_custkey IN (SELECT c_custkey FROM insq_customer
+                          WHERE c_mktsegment = 'MACHINERY')
+        AND o_totalprice > 250000
+      ORDER BY o_orderkey
+    """)
+  }
+
+  // ---------------------------------------------------------------- q60
+  /** RANGE window frame over event-time seconds: per user, events and
+    * exact value sum in the trailing 10 minutes (value-based frame, not
+    * row-based — the other half of the frame-aggregate surface). */
+  def q60WindowRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sfDir)
+      .withColumn("ts_s", Stable.epochS(col("ts")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      .rangeBetween(-600, 0)
+    e.select(col("event_id"), col("user_id"), col("ts_s"),
+        count(lit(1)).over(w).as("n_10m"),
+        sum(dec2(col("value"))).over(w).cast("double").as("sum_10m"))
+      .orderBy(col("event_id"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q59_in_subquery" -> q59InSubquery,
+    "q60_window_range_frame" -> q60WindowRangeFrame,
     "q55_percentiles" -> q55Percentiles,
     "q56_scalar_subquery" -> q56ScalarSubquery,
     "q57_shipping_priority" -> q57ShippingPriority,
@@ -269,5 +303,22 @@ object ExtensionQueries {
       GROUP BY 1, 2, 3
       ORDER BY revenue DESC, l_orderkey
       LIMIT 10""",
+    "q59_in_subquery" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'MACHINERY')
+        AND o_totalprice > 250000
+      ORDER BY o_orderkey""",
+    "q60_window_range_frame" -> """
+      SELECT event_id, user_id, ts_s,
+        count(1) OVER w AS n_10m,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10m
+      FROM (SELECT event_id, user_id, value,
+              CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s
+            FROM events) e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                   RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
   )
 }
