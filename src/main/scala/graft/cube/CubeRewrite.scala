@@ -132,14 +132,14 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     if (groupMap.size != agg.groupingExpressions.size) return None
 
     def measureFor(e: Expression): Option[Attribute] = subst(e) match {
-      // sum(CAST(measure AS DECIMAL(18,2)))
+      // sum(CAST(measure AS DECIMAL(18,2))); the measure itself may be
+      // an attribute or a nested GetStructField chain
       case Cast(inner, _: DecimalType, _, _) => measureFor(inner)
-      case a: AttributeReference =>
+      case other =>
         cube.config.measures
           .find(m => resolvePath(source, m.path).exists(
-            _.canonicalized == a.canonicalized))
+            _.canonicalized == other.canonicalized))
           .flatMap(m => cubeAttr(m.id))
-      case _ => None
     }
 
     // Rewrite each output expression IN PLACE: supported aggregate
@@ -180,9 +180,17 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     Some(Aggregate(groupMap.map(_._2), rewritten, cubePlan))
   }
 
-  private def resolvePath(plan: LogicalPlan, path: String): Option[Attribute] =
-    // dotted nested paths resolve to GetStructField chains; for rewrite
-    // purposes support top-level columns (nested cubes still work via
-    // the explicit CubeManager.query API)
-    plan.output.find(_.name == path)
+  /** Resolve a (possibly dotted nested) field path against a plan's
+    * output, mirroring how the analyzer resolves `col("a.b.c")` — the
+    * resulting GetStructField chain compares canonically equal to the
+    * query's own extraction. */
+  private def resolvePath(plan: LogicalPlan, path: String): Option[Expression] = {
+    val parts = path.split('.')
+    plan.output.find(_.name == parts.head).map { root =>
+      parts.tail.foldLeft(root: Expression) { (e, field) =>
+        org.apache.spark.sql.catalyst.expressions.ExtractValue(
+          e, Literal(field), org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution)
+      }
+    }
+  }
 }

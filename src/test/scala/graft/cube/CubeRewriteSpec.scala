@@ -116,6 +116,36 @@ class CubeRewriteSpec extends AnyFunSuite {
     assert(routed.toSeq == direct.toSeq)
   }
 
+  test("nested dotted-path dimensions and measures route too") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val srcDir = Files.createTempDirectory("graft_rw_nested").toString
+    Seq(("mobile", "ios", 1.5), ("mobile", "android", 2.5), ("web", "chrome", 4.0))
+      .toDF("ch", "os", "v")
+      .selectExpr("named_struct('channel', ch, 'client', named_struct('os', os, 'score', v)) AS meta")
+      .write.mode("overwrite").parquet(srcDir)
+    val nestedCfg = CubeConfig("nested_rw", "src",
+      Seq(FieldDim("channel", "meta.channel")),
+      Seq(Measure("score", "meta.client.score")))
+    val cubeDir = Files.createTempDirectory("graft_rw_nested_cube").toString
+    CubeManager.save(
+      CubeManager.create(nestedCfg, spark.read.parquet(srcDir)), cubeDir)
+    CubeCatalog.register("nested_rw",
+      CubeManager.load(spark, cubeDir, "nested_rw"), srcDir)
+    val q = spark.read.parquet(srcDir)
+      .groupBy(col("meta.channel"))
+      .agg(sum(col("meta.client.score").cast("decimal(18,2)"))
+        .cast("double").as("s"), count(lit(1)).as("n"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r).get
+    }
+    assert(scans == Seq(CubeCatalog.normalize(s"$cubeDir/nested_rw")), scans)
+    assert(q.orderBy("channel").collect().map(_.toSeq).toSeq == Seq(
+      Seq("mobile", 4.0, 2L), Seq("web", 4.0, 1L)))
+    CubeCatalog.clear()
+  }
+
   test("non-covered queries are left untouched") {
     val (srcDir, _) = setup()
     // grouping on a non-dimension column
