@@ -89,9 +89,11 @@ object TextAnalysis {
     val docs = Tables.documents(spark, sfDir)
     // trigrams are hashed to 64-bit immediately: every downstream
     // groupBy/join shuffles fixed-width longs instead of strings
+    // stride-2 position sampling halves the gram volume with no
+    // meaningful signal loss (profiles and scores use the same stride)
     val grams = docs.select(col("doc_id"), col("lang"),
         explode(expr(
-          """transform(sequence(1, greatest(length(text) - 2, 1)),
+          """transform(sequence(1, greatest(length(text) - 2, 1), 2),
              i -> xxhash64(substring(text, i, 3)))""")).as("g"))
       .cache() // used twice: profile build + scoring pass
     val profile = grams.groupBy(col("lang"), col("g"))

@@ -210,6 +210,70 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join matches the batch join") {
+    import org.apache.spark.sql.functions._
+    val src = tmp("graft_ssj")
+    val clicks = Seq(
+      ("u1", new Timestamp(1700000000000L), 1.0),
+      ("u2", new Timestamp(1700000060000L), 2.0))
+    val buys = Seq(
+      ("u1", new Timestamp(1700000120000L), 10.0), // 2 min after click
+      ("u2", new Timestamp(1700003600000L), 20.0)) // 59 min after: outside
+    toDf(clicks).toDF("user", "cts", "cv").coalesce(1)
+      .write.parquet(s"$src/clicks/f0")
+    toDf(buys).toDF("buser", "bts", "bv").coalesce(1)
+      .write.parquet(s"$src/buys/f0")
+    val cStream = spark.readStream
+      .schema(toDf(clicks).toDF("user", "cts", "cv").schema)
+      .parquet(s"$src/clicks/f*").withWatermark("cts", "10 minutes")
+    val bStream = spark.readStream
+      .schema(toDf(buys).toDF("buser", "bts", "bv").schema)
+      .parquet(s"$src/buys/f*").withWatermark("bts", "10 minutes")
+    val joined = cStream.join(bStream,
+      expr("""user = buser AND bts BETWEEN cts AND cts + INTERVAL 30 minutes"""))
+    val q = joined.select(col("user"), col("cv"), col("bv"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_stream")
+      .option("checkpointLocation", tmp("graft_ssj_ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_stream").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == Set(("u1", 1.0, 10.0)),
+      s"only the within-interval pair joins, got $got")
+  }
+
+  test("streaming windowed aggregation to a durable parquet sink") {
+    import org.apache.spark.sql.functions._
+    val src = tmp("graft_fsink_src")
+    val out = tmp("graft_fsink_out")
+    val rows = eventRows(100, seed = 23)
+    toDf(rows).coalesce(1).write.parquet(s"$src/f0")
+    val q = spark.readStream.schema(toDf(rows).schema)
+      .parquet(s"$src/f*")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", tmp("graft_fsink_ckpt"))
+      .start()
+    q.processAllAvailable()
+    // append mode: windows finalize once the watermark passes — push one
+    // late-enough file to flush everything, then stop
+    toDf(Seq(("flush", new Timestamp(1700000000000L + 100L * 3600000L), 0.0)))
+      .coalesce(1).write.parquet(s"$src/f1")
+    q.processAllAvailable()
+    q.stop()
+    val sunk = spark.read.parquet(out)
+      .filter(col("event_type") =!= "flush")
+      .groupBy().sum("n").collect().head.getLong(0)
+    assert(sunk == rows.length.toLong,
+      s"all $sunk finalized rows must reach the parquet sink")
+  }
+
   test("restart from checkpoint resumes instead of recomputing") {
     val src = tmp("graft_resume_src")
     val ckpt = tmp("graft_resume_ckpt")
