@@ -219,7 +219,48 @@ object ExtensionQueries {
       .orderBy(col("event_id"))
   }
 
+  // ---------------------------------------------------------------- q61
+  /** TPC-H Q10 shape: revenue lost to returned items per customer over a
+    * quarter — 4-table join, broadcast dims, top-20 by revenue. */
+  def q61ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_returnflag") === "R")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------- q62
+  /** TPC-H Q14 shape: promo revenue share in a month — conditional
+    * aggregation over a fact/dim join, exact decimal ratio in double. */
+  def q62PromoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    li.filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO",
+            dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") * 100.0
+          / sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast("double")).as("promo_pct"),
+        count(lit(1)).as("n_lines"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q61_returned_items" -> q61ReturnedItems,
+    "q62_promo_revenue" -> q62PromoRevenue,
     "q59_in_subquery" -> q59InSubquery,
     "q60_window_range_frame" -> q60WindowRangeFrame,
     "q55_percentiles" -> q55Percentiles,
@@ -320,5 +361,28 @@ object ExtensionQueries {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
                    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
       ORDER BY event_id""",
+    "q61_returned_items" -> """
+      SELECT c_custkey, c_name, n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN nation ON CAST(c_nationkey AS INTEGER) = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""",
+    "q62_promo_revenue" -> """
+      SELECT
+        CAST(sum(CASE WHEN p_type = 'PROMO'
+          THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+          / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_pct,
+        count(1) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+        AND l_shipdate < TIMESTAMP '1997-07-01'""",
   )
 }
