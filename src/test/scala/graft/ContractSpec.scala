@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards on the driver contract itself: the oracle map must reference
+  * only declared queries (a stray key would silently grade as a missing
+  * result), and the declared surface keeps its naming scheme. */
+class ContractSpec extends AnyFunSuite {
+  test("every oracle key has a declared query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  }
+
+  test("declared names follow the qNN_snake_case scheme") {
+    val bad = SparkEntry.queries.keys.filterNot(_.matches("q\\d{2}_[a-z0-9_]+"))
+    assert(bad.isEmpty, s"non-conforming names: $bad")
+  }
+
+  test("rows-only queries are the documented hash/model-dependent set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q16_approx_distinct", "q37_dedup_minhash",
+      "q38_dedup_simhash", "q41_knn_lsh", "q45_lang_id",
+      "q46_fingerprint", "q51_knn_ivf"),
+      s"unexpected rows-only set: $rowsOnly")
+  }
+
+  test("oracle SQL references only bare known table names") {
+    val known = Tables.starTables.toSet
+    val fromRe = "(?i)(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z0-9_]*)".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
+        // allow CTE/alias names that the query itself defines
+        val defined = s"(?i)(?:WITH|,)\\s*$t\\s+AS\\s*\\(".r
+          .findFirstIn(sql).isDefined ||
+          sql.toLowerCase.contains(s"$t as (") ||
+          known.contains(t) || t == "values"
+        assert(defined || sql.toLowerCase.contains(s") $t") ||
+          sql.toLowerCase.contains(s") as $t"),
+          s"$name references unknown table '$t'")
+      }
+    }
+  }
+}
