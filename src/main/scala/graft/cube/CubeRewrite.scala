@@ -113,9 +113,15 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     def bindDim(d: Dimension): Option[(Expression, Attribute)] = {
       val bound: Option[Expression] = d match {
         case FieldDim(_, p) => resolvePath(source, p)
-        case TimeDim(_, p, g) => resolvePath(source, p).map(a =>
+        case TimeDim(_, p, g) => resolvePath(source, p).map { a =>
+          // the analyzer casts non-TIMESTAMP inputs (NTZ, DATE) before
+          // TruncTimestamp — mirror it or the canonical compare misses
+          val arg =
+            if (a.dataType == org.apache.spark.sql.types.TimestampType) a
+            else Cast(a, org.apache.spark.sql.types.TimestampType, Some("UTC"))
           org.apache.spark.sql.catalyst.expressions.TruncTimestamp(
-            Literal(g), a, Some("UTC")))
+            Literal(g), arg, Some("UTC"))
+        }
       }
       bound.flatMap(b => cubeAttr(d.id).map(b -> _))
     }
