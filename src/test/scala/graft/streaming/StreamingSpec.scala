@@ -244,6 +244,30 @@ class StreamingSpec extends AnyFunSuite {
       s"only the within-interval pair joins, got $got")
   }
 
+  test("stream-static join enriches the stream with a dimension table") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val src = tmp("graft_ssd")
+    val stream = Seq(("click", new Timestamp(1700000000000L), 1.0),
+      ("buy", new Timestamp(1700000001000L), 2.0))
+    toDf(stream).coalesce(1).write.parquet(s"$src/f0")
+    val dim = Seq(("click", "engagement"), ("buy", "conversion"))
+      .toDF("event_type", "category") // static side, broadcast by planner
+    val q = spark.readStream.schema(toDf(stream).schema)
+      .parquet(s"$src/f*")
+      .join(dim, Seq("event_type"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssd_stream")
+      .option("checkpointLocation", tmp("graft_ssd_ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssd_stream").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("category")))
+      .toSet
+    assert(got == Set(("click", "engagement"), ("buy", "conversion")))
+  }
+
   test("streaming windowed aggregation to a durable parquet sink") {
     import org.apache.spark.sql.functions._
     val src = tmp("graft_fsink_src")

@@ -56,6 +56,12 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    # rows-only declared queries still must have produced output parquet
+    import os
+    produced = {d for d in os.listdir(out_dir)
+                if os.path.isdir(f"{out_dir}/{d}")}
+    for d in sorted(produced - set(oracle)):
+        print(f"info {d}: rows-only (no oracle), output present")
     for name, sql in sorted(oracle.items()):
         try:
             spark_df = pd.read_parquet(f"{out_dir}/{name}")
