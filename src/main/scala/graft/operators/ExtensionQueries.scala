@@ -258,7 +258,24 @@ object ExtensionQueries {
         count(lit(1)).as("n_lines"))
   }
 
+  // ---------------------------------------------------------------- q63
+  /** String aggregation (listagg/string_agg): nations per region as a
+    * deterministic sorted CSV — collect_list order is nondeterministic
+    * under parallel merge, so array_sort pins it (same reason the oracle
+    * uses ORDER BY inside string_agg). */
+  def q63StringAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(concat_ws(",", array_sort(collect_list(col("n_name"))))
+          .as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("r_name"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q63_string_agg" -> q63StringAgg,
     "q61_returned_items" -> q61ReturnedItems,
     "q62_promo_revenue" -> q62PromoRevenue,
     "q59_in_subquery" -> q59InSubquery,
@@ -384,5 +401,12 @@ object ExtensionQueries {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= TIMESTAMP '1997-06-01'
         AND l_shipdate < TIMESTAMP '1997-07-01'""",
+    "q63_string_agg" -> """
+      SELECT r_name,
+        string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        count(1) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name""",
   )
 }
