@@ -36,6 +36,14 @@ final case class FieldDim(id: String, path: String) extends Dimension {
   def expr: Column = col(path).as(id)
 }
 
+/** Dimension defined by an arbitrary SQL expression — the escape hatch
+  * for MongoDB-style dynamic documents where the grouping key lives
+  * behind a computation (e.g. `get_json_object(props, '$.k')` over a
+  * schemaless JSON column). */
+final case class ExprDim(id: String, sql: String) extends Dimension {
+  def expr: Column = org.apache.spark.sql.functions.expr(sql).as(id)
+}
+
 /** Date dimension bucketed to a granularity (year/month/day/hour/minute). */
 final case class TimeDim(id: String, path: String, granularity: String)
     extends Dimension {
@@ -160,6 +168,8 @@ object CubeManager {
         s"""{"kind":"field","id":"${esc(id)}","path":"${esc(path)}"}"""
       case TimeDim(id, path, g) =>
         s"""{"kind":"time","id":"${esc(id)}","path":"${esc(path)}","granularity":"${esc(g)}"}"""
+      case ExprDim(id, sql) =>
+        s"""{"kind":"expr","id":"${esc(id)}","path":"${esc(sql)}"}"""
     }.mkString("[", ",", "]")
     val ms = c.measures
       .map(m => s"""{"id":"${esc(m.id)}","path":"${esc(m.path)}"}""")
@@ -183,6 +193,7 @@ object CubeManager {
       (field(o, "kind"), field(o, "id"), field(o, "path")) match {
         case (Some("time"), Some(id), Some(p)) =>
           TimeDim(id, p, field(o, "granularity").getOrElse("day"))
+        case (Some("expr"), Some(id), Some(sql)) => ExprDim(id, sql)
         case (_, Some(id), Some(p)) => FieldDim(id, p)
         case _ => throw new IllegalArgumentException(s"bad dim: $o")
       }

@@ -103,7 +103,27 @@ object CubeQueries {
     q
   }
 
+  // ---------------------------------------------------------------- q64
+  /** Cube over a DYNAMIC document field: the dimension is a JSON path
+    * into the schemaless `props` column (the MongoDB reality the
+    * reference lives in) via [[ExprDim]], bucketed mod 10. */
+  def q64CubeJsonDim(spark: SparkSession, sfDir: String): DataFrame = {
+    val cfg = CubeConfig("json_dim", "events",
+      dims = Seq(
+        ExprDim("k_bucket",
+          "CAST(get_json_object(props, '$.k') AS BIGINT) % 10"),
+        FieldDim("etype", "event_type")),
+      measures = Seq(Measure("value_sum", "value")))
+    val cube = CubeManager.create(cfg, Tables.events(spark, sfDir))
+    cube.aggregates
+      .select(col("k_bucket"), col("etype"),
+        col("value_sum").cast("double").as("value_sum"),
+        col(CubeManager.CountCol).as("n"))
+      .orderBy(col("k_bucket"), col("etype"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q64_cube_json_dim" -> q64CubeJsonDim,
     "q33_cube_create" -> q33CubeCreate,
     "q34_cube_query" -> q34CubeQuery,
     "q35_cube_incremental" -> q35CubeIncremental,
@@ -147,6 +167,14 @@ object CubeQueries {
       GROUP BY etype, hour_s
       HAVING sum(sign) > 0
       ORDER BY etype, hour_s""",
+    "q64_cube_json_dim" -> """
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        event_type AS etype,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        count(1) AS n
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY k_bucket, etype""",
     "q58_cube_routing" -> """
       SELECT event_type,
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

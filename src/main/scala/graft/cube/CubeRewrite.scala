@@ -112,6 +112,9 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     // relation's attributes, for canonical comparison with the query
     def bindDim(d: Dimension): Option[(Expression, Attribute)] = {
       val bound: Option[Expression] = d match {
+        // arbitrary-SQL dims are not canonically matchable — such cubes
+        // simply never route (explicit CubeManager.query still works)
+        case ExprDim(_, _) => None
         case FieldDim(_, p) => resolvePath(source, p)
         case TimeDim(_, p, g) => resolvePath(source, p).map { a =>
           // the analyzer casts non-TIMESTAMP inputs (NTZ, DATE) before

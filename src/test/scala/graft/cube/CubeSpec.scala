@@ -116,6 +116,10 @@ class CubeSpec extends AnyFunSuite {
   test("config json roundtrip") {
     val json = CubeManager.configToJson(cfg)
     assert(CubeManager.configFromJson(json) == cfg)
+    val withExpr = cfg.copy(dims = cfg.dims :+
+      ExprDim("kb", "CAST(get_json_object(props, '$.k') AS BIGINT) % 10"))
+    assert(CubeManager.configFromJson(
+      CubeManager.configToJson(withExpr)) == withExpr)
   }
 
   test("dotted nested field paths work as dimensions and measures") {
