@@ -67,8 +67,17 @@ final case class CubeConfig(
 }
 
 /** A materialized cube: dimension columns + one DECIMAL sum per measure +
-  * a `_count` row count. */
-final case class Cube(config: CubeConfig, aggregates: DataFrame)
+  * a `_count` row count.
+  *
+  * `aggregates` is the cube's STATE and may contain negative-`_count`
+  * tombstone rows after an over-deletion (more deletes than prior
+  * inserts folded for a group) — kept so that a later insert nets
+  * against the debt exactly as a from-scratch signed recompute would.
+  * `live` is the queryable view: groups with a positive row count. */
+final case class Cube(config: CubeConfig, aggregates: DataFrame) {
+  def live: DataFrame =
+    aggregates.filter(org.apache.spark.sql.functions.col(CubeManager.CountCol) > 0)
+}
 
 object CubeManager {
   val CountCol = "_count"
@@ -88,8 +97,13 @@ object CubeManager {
   /** R3: incremental maintenance. `deltas` carries the source schema plus
     * a `_sign` column (+1 insert, −1 delete; an update is a −1/+1 pair).
     * Folds the delta batch into the existing aggregates without touching
-    * the source. Groups whose row count reaches zero are dropped,
-    * mirroring the reference's removal of emptied aggregate documents. */
+    * the source. Groups whose row count nets to exactly zero are dropped
+    * (mirroring the reference's removal of emptied aggregate documents —
+    * and identical to what a from-scratch recompute would show); groups
+    * driven NEGATIVE by over-deletion are kept as tombstone state so a
+    * later insert nets against the debt instead of restarting from zero —
+    * fold-then-query therefore equals from-scratch for every delta
+    * sequence. Tombstones are hidden from [[Cube.live]]/[[query]]. */
   def applyDeltas(cube: Cube, deltas: DataFrame): Cube = {
     val cfg = cube.config
     val deltaSums = cfg.measures.map(m =>
@@ -104,7 +118,7 @@ object CubeManager {
         sum(col(cfg.measures.head.id)).cast(Dec).as(cfg.measures.head.id),
         (cfg.measures.tail.map(m => sum(col(m.id)).cast(Dec).as(m.id))
           :+ sum(col(CountCol)).as(CountCol)): _*)
-      .filter(col(CountCol) > 0)
+      .filter(col(CountCol) =!= 0)
     Cube(cfg, refolded)
   }
 
@@ -117,7 +131,7 @@ object CubeManager {
       filter: Column = lit(true),
       sumOf: Seq[String] = Nil,
       avgOf: Seq[String] = Nil): DataFrame = {
-    val base = cube.aggregates.filter(filter)
+    val base = cube.live.filter(filter)
     val sums = sumOf.map(id => sum(col(id)).cast(DoubleType).as(s"sum_$id"))
     val avgs = avgOf.map(id =>
       (sum(col(id)).cast(DoubleType) / sum(col(CountCol))).as(s"avg_$id"))

@@ -101,9 +101,11 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
       subst: Expression => Expression): Option[LogicalPlan] = {
     val cubePlan = Bridge.analyzed(cube.aggregates)
     // cube must be materialized: its own plan must be a file scan, and
-    // NOT over the source path (that would be a re-aggregation)
+    // NOT over the source path (a cube misregistered with its aggregates
+    // still reading the source would be a re-aggregation, not an MV)
     val cubeScanPath = CubeCatalog.sourcePathOf(cubePlan)
     if (cubeScanPath.isEmpty) return None
+    if (cubeScanPath == CubeCatalog.sourcePathOf(source)) return None
 
     def cubeAttr(name: String): Option[Attribute] =
       cubePlan.output.find(_.name == name)
@@ -169,8 +171,15 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
             }
           case _ => ok = false; ae
         }
-      case ae @ AggregateExpression(Count(Seq(Literal(_, _))), Complete, false, _, _) =>
-        ae.copy(aggregateFunction = Sum(countAttr))
+      // count(<non-null literal>) only: count(NULL) is always 0 and must
+      // NOT become sum(_count); it falls through to the bail-out case
+      case ae @ AggregateExpression(Count(Seq(Literal(v, _))), Complete, false, _, _)
+          if v != null =>
+        // coalesce: for a global (no group-by) aggregate over an empty
+        // cube, sum(_count) is NULL where count(1) is 0
+        org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+          ae.copy(aggregateFunction = Sum(countAttr)),
+          Literal(0L)))
       case ae: AggregateExpression => ok = false; ae
       case other if matchDim(other).isDefined => matchDim(other).get
     }
@@ -186,7 +195,14 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     if (!ok || rewritten.exists(_.references.exists(!cubeOut.contains(_))))
       return None
 
-    Some(Aggregate(groupMap.map(_._2), rewritten, cubePlan))
+    // serve only live groups: after signed-delta maintenance the cube
+    // state may carry zero/negative-count tombstones (see CubeManager
+    // .applyDeltas) that a from-scratch aggregate would not show
+    val liveCube = org.apache.spark.sql.catalyst.plans.logical.Filter(
+      org.apache.spark.sql.catalyst.expressions.GreaterThan(
+        countAttr, Literal(0L)),
+      cubePlan)
+    Some(Aggregate(groupMap.map(_._2), rewritten, liveCube))
   }
 
   /** Resolve a (possibly dotted nested) field path against a plan's

@@ -54,14 +54,28 @@ final class CubeService(spark: SparkSession, storageDir: String) {
 
   /** R3 manual trigger: fold a signed-delta batch (insert +1 / delete −1;
     * update = pair) into the persisted aggregates. Deltas without a
-    * `_sign` column are treated as inserts. */
+    * `_sign` column are treated as inserts.
+    *
+    * The fold's input plan READS the same parquet directory the result
+    * must land in, so the update is staged to a temp sibling and swapped
+    * into place with an atomic same-filesystem rename — never an
+    * overwrite of files still being read (a contract Spark's write
+    * staging does not guarantee across versions). */
   def updateAggregates(name: String, deltas: DataFrame): Cube = {
     val cube = loadCube(name)
     val signed =
       if (deltas.columns.contains("_sign")) deltas
       else deltas.withColumn("_sign", lit(1))
     val updated = CubeManager.applyDeltas(cube, signed)
-    CubeManager.save(updated, storageDir)
+    val staging = java.nio.file.Paths.get(storageDir, s"$name.staging")
+    updated.aggregates.write.mode("overwrite").parquet(staging.toString)
+    val finalDir = java.nio.file.Paths.get(storageDir, name)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+    }
+    rm(finalDir.toFile)
+    java.nio.file.Files.move(staging, finalDir,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     val reloaded = CubeManager.load(spark, storageDir, name)
     live.put(name, reloaded)
     reloaded

@@ -95,8 +95,25 @@ object Multimodal {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------- q66
+  /** Frame sampling on the oracle surface: the flatMap fan-out of
+    * `sampleFrames` (one row per 64-byte frame), re-aggregated per doc so
+    * DuckDB can reproduce it exactly with `generate_series` — per-frame
+    * byte accounting is pure arithmetic. Only the checksum stub stays
+    * unit-test-only (engine-specific). */
+  def q66FrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    sampleFrames(spark, sfDir).toDF()
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_frames"),
+        asLong(sum(col("frame_bytes"))).as("total_bytes"),
+        asLong(max(col("frame_idx"))).as("last_idx"),
+        asLong(min(col("frame_bytes"))).as("min_frame_bytes"))
+      .orderBy(col("id"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q47_multimodal_inventory" -> q47MultimodalInventory,
+    "q66_frame_sample" -> q66FrameSample,
   )
 
   lazy val sql: Map[String, String] = Map(
@@ -108,5 +125,19 @@ object Multimodal {
       FROM documents
       GROUP BY source
       ORDER BY source""",
+    "q66_frame_sample" -> """
+      WITH d AS (
+        SELECT doc_id AS id, octet_length(encode(text)) AS nb FROM documents),
+      frames AS (
+        SELECT id, i AS frame_idx,
+          CASE WHEN (i + 1) * 64 <= nb THEN 64 ELSE nb - i * 64 END AS frame_bytes
+        FROM d, unnest(generate_series(0, (nb + 63) // 64 - 1)) AS t(i))
+      SELECT id, count(1) AS n_frames,
+        CAST(sum(frame_bytes) AS BIGINT) AS total_bytes,
+        CAST(max(frame_idx) AS BIGINT) AS last_idx,
+        CAST(min(frame_bytes) AS BIGINT) AS min_frame_bytes
+      FROM frames
+      GROUP BY id
+      ORDER BY id""",
   )
 }

@@ -107,6 +107,44 @@ object EventQueries {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  // ---------------------------------------------------------------- q65
+  /** Map-type functions (SURVEY §2.2 map row). The testdata has no map
+    * column, so one is synthesized deterministically per event —
+    * `map_from_entries` over (json k, user_id, cents) — then the map
+    * surface is exercised end-to-end: construction (`map`,
+    * `map_from_entries`, `map_concat`), lookup (`element_at`,
+    * `map_contains_key`), extraction (`map_keys`, `map_values`, `size`),
+    * and higher-order forms (`map_filter`, `transform_values`). The
+    * DuckDB oracle recomputes every aggregate from the underlying scalars
+    * (json_extract path), so the map plumbing itself is what's graded. */
+  def q65MapFns(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val m = e.withColumn("m", map_from_entries(array(
+        struct(lit("k").as("key"),
+          get_json_object(col("props"), "$.k").cast("long").as("val")),
+        struct(lit("user").as("key"), col("user_id").as("val")),
+        struct(lit("cents").as("key"),
+          round(col("value") * 100).cast("long").as("val")))))
+      .withColumn("m2", map_concat(col("m"), map(lit("one"), lit(1L))))
+    m.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(element_at(col("m"), "k")).as("sum_k"),
+        asLong(sum(size(col("m2")))).as("n_entries"),
+        sum(expr(
+          "aggregate(map_values(m), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+          .as("sum_vals"),
+        asLong(sum(size(expr("map_filter(m, (k, v) -> v % 2 = 0)"))))
+          .as("n_even_vals"),
+        sum(expr(
+          """aggregate(map_values(transform_values(m, (k, v) -> v * 2)),
+               CAST(0 AS BIGINT), (a, x) -> a + x)""")).as("sum_doubled"),
+        asLong(sum(when(expr("map_contains_key(m, 'user')"), 1).otherwise(0)))
+          .as("n_has_user"),
+        min(array_join(sort_array(map_keys(col("m2"))), ",")).as("keys_csv"))
+      .orderBy(col("event_type"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q27_json_extract" -> q27JsonExtract,
     "q28_array_fns" -> q28ArrayFns,
@@ -114,6 +152,7 @@ object EventQueries {
     "q30_sliding_window" -> q30SlidingWindow,
     "q31_session_window" -> q31SessionWindow,
     "q32_dedup_exact" -> q32DedupExact,
+    "q65_map_fns" -> q65MapFns,
   )
 
   lazy val sql: Map[String, String] = Map(
@@ -182,5 +221,27 @@ object EventQueries {
         FROM (SELECT *, CAST(ts AS TIMESTAMP) AS tsu FROM events) e) t
       WHERE rn = 1
       ORDER BY user_id, event_type""",
+    "q65_map_fns" -> """
+      WITH t AS (
+        SELECT event_type,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          user_id AS u,
+          CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events)
+      SELECT event_type,
+        count(1) AS n,
+        CAST(sum(k) AS BIGINT) AS sum_k,
+        CAST(4 * count(1) AS BIGINT) AS n_entries,
+        CAST(sum(k + u + cents) AS BIGINT) AS sum_vals,
+        CAST(sum((CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN cents % 2 = 0 THEN 1 ELSE 0 END)) AS BIGINT)
+          AS n_even_vals,
+        CAST(sum(2 * (k + u + cents)) AS BIGINT) AS sum_doubled,
+        count(1) AS n_has_user,
+        min('cents,k,one,user') AS keys_csv
+      FROM t
+      GROUP BY event_type
+      ORDER BY event_type""",
   )
 }

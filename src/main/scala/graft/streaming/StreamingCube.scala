@@ -94,8 +94,15 @@ object StreamingCube {
           rows.foreach { case (_, cents, sign) =>
             s += sign * cents; c += sign
           }
-          if (c <= 0) {
+          if (c == 0) {
+            // emptied group: identical to a from-scratch recompute
             state.remove()
+            Iterator.empty
+          } else if (c < 0) {
+            // over-deletion: keep the debt as tombstone state (hidden
+            // from output) so a later insert nets correctly — the
+            // streaming twin of CubeManager.applyDeltas' tombstones
+            state.update((s, c))
             Iterator.empty
           } else {
             state.update((s, c))

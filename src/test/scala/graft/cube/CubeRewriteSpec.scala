@@ -180,4 +180,95 @@ class CubeRewriteSpec extends AnyFunSuite {
     assert(q.collect().length == 1)
     CubeCatalog.clear()
   }
+
+  test("count(NULL) never becomes sum(_count)") {
+    // NB Spark's main optimizer usually constant-folds count(NULL) to 0
+    // before CubeRewriteRule runs (leaving a routable plain group-by,
+    // which is then correct to serve from the cube); the rule's own
+    // non-null-literal guard covers any path where the fold doesn't
+    // happen. Either way the RESULT must be all zeros with one row per
+    // source group — never the cube's _count sums.
+    val (srcDir, _) = setup()
+    def q() = spark.read.parquet(srcDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(null)).as("cn"))
+    val routed = q().orderBy("event_type", "h").collect().map(_.toSeq)
+    CubeCatalog.clear()
+    val direct = q().orderBy("event_type", "h").collect().map(_.toSeq)
+    assert(routed.toSeq == direct.toSeq)
+    assert(routed.forall(_.last == 0L))
+  }
+
+  test("global aggregate over an EMPTY cube returns 0, not NULL") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val srcDir = Files.createTempDirectory("graft_rw_empty_src").toString
+    Seq.empty[(String, Timestamp, Double)]
+      .toDF("event_type", "ts", "value").write.mode("overwrite").parquet(srcDir)
+    val cubeDir = Files.createTempDirectory("graft_rw_empty_cube").toString
+    CubeManager.save(
+      CubeManager.create(cfg, spark.read.parquet(srcDir)), cubeDir)
+    CubeCatalog.register("rw_empty",
+      CubeManager.load(spark, cubeDir, "rw"), srcDir)
+    val q = spark.read.parquet(srcDir).agg(count(lit(1)).as("n"))
+    val row = q.collect().head
+    assert(!row.isNullAt(0) && row.getLong(0) == 0L,
+      s"global count over empty cube must be 0, got $row")
+    CubeCatalog.clear()
+  }
+
+  test("cube whose aggregates scan the registered source path never routes") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    // a parquet dir that LOOKS like a cube (etype, v, _count columns) and
+    // is registered as its own source: without the path check the rule
+    // would 'serve' count(1) as sum(_count) — over-counting
+    val dir = Files.createTempDirectory("graft_rw_selfref").toString
+    Seq(("a", BigDecimal(1.0), 2L), ("b", BigDecimal(3.0), 4L))
+      .toDF("etype", "v", "_count")
+      .select(col("etype"), col("v").cast("decimal(18,2)").as("v"), col("_count"))
+      .write.mode("overwrite").parquet(dir)
+    val selfCfg = CubeConfig("selfref", "src",
+      Seq(FieldDim("etype", "etype")), Seq(Measure("v", "v")))
+    CubeCatalog.register("selfref",
+      Cube(selfCfg, spark.read.parquet(dir)), dir)
+    val q = spark.read.parquet(dir)
+      .groupBy(col("etype"))
+      .agg(sum(col("v").cast("decimal(18,2)")).as("s"), count(lit(1)).as("n"))
+    // count must be 1 per group (raw rows), NOT the _count sums (2 and 4)
+    val got = q.orderBy("etype").collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 1L), ("b", 1L)), got.toSeq)
+    CubeCatalog.clear()
+  }
+
+  test("zero/negative-count tombstones in saved state are not served") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val srcDir = Files.createTempDirectory("graft_rw_tomb_src").toString
+    val t0 = new Timestamp(1700000000000L)
+    Seq(("click", t0, 5.0), ("view", t0, 2.0))
+      .toDF("event_type", "ts", "value").write.mode("overwrite").parquet(srcDir)
+    val cube = CubeManager.create(cfg, spark.read.parquet(srcDir))
+    // over-delete a group that is also (conceptually) gone from the
+    // source: state keeps a -1 tombstone for it
+    val tomb = CubeManager.applyDeltas(cube,
+      Seq(("view", t0, 2.0), ("view", t0, 2.0))
+        .toDF("event_type", "ts", "value").withColumn("_sign", lit(-1)))
+    val cubeDir = Files.createTempDirectory("graft_rw_tomb_cube").toString
+    CubeManager.save(Cube(cfg.copy(name = "tomb"), tomb.aggregates), cubeDir)
+    CubeCatalog.register("tomb",
+      CubeManager.load(spark, cubeDir, "tomb"), srcDir)
+    val q = spark.read.parquet(srcDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r).get
+    }
+    assert(scans == Seq(CubeCatalog.normalize(s"$cubeDir/tomb")), scans)
+    // the tombstoned 'view' group must not appear in the routed result
+    val got = q.collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(got == Set(("click", 1L)), got)
+    CubeCatalog.clear()
+  }
 }

@@ -100,6 +100,21 @@ class CubeSpec extends AnyFunSuite {
     assert(afterDelete.aggregates.count() == 0)
   }
 
+  test("over-deletion tombstones: a later insert nets against the debt") {
+    val row = Seq(("click", new Timestamp(1700000000000L), 5.0))
+    val cube = CubeManager.create(cfg, toDf(row))
+    // delete the row twice (over-deletion): count nets to -1
+    val overDel = CubeManager.applyDeltas(cube,
+      toDf(row ++ row).withColumn("_sign", lit(-1)))
+    assert(overDel.live.count() == 0, "tombstone must be hidden from live")
+    assert(overDel.aggregates.count() == 1, "tombstone state must be kept")
+    // two later identical inserts: 1 - 2 + 2 = 1, exactly the from-scratch
+    // signed recompute — a restart-from-zero would show count 2
+    val after = CubeManager.applyDeltas(overDel,
+      toDf(row ++ row).withColumn("_sign", lit(1)))
+    assert(contents(after) == contents(CubeManager.create(cfg, toDf(row))))
+  }
+
   test("persistence roundtrip: save/list/load/delete") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cubes").toString
     val rows = randomRows(new scala.util.Random(3), 50)
