@@ -100,33 +100,61 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Nearest-centroid assignment: broadcast the (≤K-row) centroid table,
+    * keep each vector's `keep` best clusters by cosine. */
+  private def assign(df: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCos = Window.partitionBy(col("vec_id"))
+      .orderBy((dotExpr("embedding", "ce") / (col("nrm") * col("cn"))).desc,
+        col("cent_id"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("crn", row_number().over(byCos))
+      .filter(col("crn") <= keep)
+      .select(col("vec_id"), col("cent_id"))
+  }
+
+  /** One Lloyd step: element-wise mean of each cluster's vectors.
+    * The mean accumulates as DECIMAL sums (order-independent, so the
+    * refinement is deterministic under any partitioning/AQE plan), then
+    * rounds back to float. Emptied clusters simply drop out. */
+  private def lloydStep(em: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = assign(em, cents, keep = 1)
+    em.join(assigned, Seq("vec_id"))
+      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cent_id"), col("pos"))
+      .agg((sum(col("x").cast("decimal(28,10)")) / count(lit(1)))
+        .cast("float").as("mx"))
+      .groupBy(col("cent_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)")
+        .as("ce"))
+      .withColumn("cn", normExpr("ce"))
+  }
+
   // ---------------------------------------------------------------- q51
-  /** IVF (inverted-file) ANN: K=16 deterministic centroids (hash-ranked
-    * corpus vectors), every vector assigned to its nearest centroid
-    * (linear scan over broadcast centroids), queries probe their
-    * nprobe=2 nearest clusters. The index is one extra int column; the
-    * search is an equi-join on cluster id — cost ∝ probed-cluster
-    * volume. Rows-only (cluster recall is approximate by design);
-    * recall vs q40 is unit-tested. */
-  def q51KnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  /** IVF (inverted-file) ANN: K=16 centroids — deterministically seeded
+    * (hash-ranked corpus vectors) then refined with 2 Lloyd k-means
+    * iterations as pure DataFrame ops — every vector assigned to its
+    * nearest centroid (linear scan over broadcast centroids), queries
+    * probe their nprobe=3 nearest clusters. The index is one extra int
+    * column; the search is an equi-join on cluster id — cost ∝
+    * probed-cluster volume. Rows-only (cluster recall is approximate by
+    * design); recall vs q40 is unit-tested. */
+  def q51KnnIvf(spark: SparkSession, sfDir: String): DataFrame =
+    knnIvf(spark, sfDir, k = 16, nprobe = 3, lloydIters = 2)
+
+  private[functions] def knnIvf(spark: SparkSession, sfDir: String,
+      k: Int, nprobe: Int, lloydIters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val em = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), normExpr("embedding").as("nrm"))
-    val cents = em.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(16)
+    val init = em.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
         col("nrm").as("cn"))
-    def assign(df: DataFrame, keep: Int): DataFrame = {
-      val byCos = Window.partitionBy(col("vec_id"))
-        .orderBy((dotExpr("embedding", "ce") / (col("nrm") * col("cn"))).desc,
-          col("cent_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("crn", row_number().over(byCos))
-        .filter(col("crn") <= keep)
-        .select(col("vec_id"), col("cent_id"))
-    }
-    val clustered = em.join(assign(em, keep = 1), Seq("vec_id"))
+    val cents = (1 to lloydIters).foldLeft(init)((c, _) => lloydStep(em, c))
+      .cache()
+    val clustered = em.join(assign(em, cents, keep = 1), Seq("vec_id"))
     val queries = em.filter(col("vec_id") < 5)
-    val probes = assign(queries, keep = 2)
+    val probes = assign(queries, cents, keep = nprobe)
       .withColumnRenamed("vec_id", "query_id")
     val scored = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
