@@ -239,11 +239,64 @@ object Dedup {
       .orderBy(col("va"), col("vb"))
   }
 
+  // ---------------------------------------------------------------- q67
+  /** Embedding near-dup pairs, the SCALE path: random-hyperplane LSH
+    * buckets (8 tables × 4 bits — multi-table buys recall) generate
+    * candidate pairs inside occupancy-capped buckets, then every
+    * candidate is verified with the exact cosine, so the output is a
+    * strict subset of q39's brute-force truth (recall vs q39 is
+    * unit-tested; which subset depends on the hyperplanes ⇒ rows-only).
+    * Cost ∝ Σ bucket-occupancy², never corpus² — the shape that holds at
+    * 100 TB where q39's O(n²) cross join cannot. Hyperplane dots run
+    * through the codegen'd [[FloatVecDot]] against literal float planes. */
+  def embeddingLshPairs(em: DataFrame, minCos: Double = 0.5,
+      nTables: Int = 8, bitsPerTable: Int = 4,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val dim = 64
+    val planes = Similarity.hyperplanes(nTables * bitsPerTable, dim)
+    val planeCols = planes.map(p => array(p.map(v => lit(v.toFloat)): _*))
+    val bitCols = planeCols.map(pc =>
+      when(VectorExpressions.floatVecDot(col("embedding"), pc) >= 0, 1)
+        .otherwise(0))
+    val tables = (0 until nTables).map { t =>
+      val bucket = (0 until bitsPerTable)
+        .map(i => bitCols(t * bitsPerTable + i) * lit(1 << (bitsPerTable - 1 - i)))
+        .reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
+    val base = em.select(col("vec_id"), col("embedding"),
+      Similarity.normExpr("embedding").as("nrm"))
+    val cands = base
+      .select(col("vec_id"), explode(array(tables: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+      .select(explode(pairsOf("ds")).as("p"))
+      .select(col("p.da").as("va"), col("p.db").as("vb"))
+      .distinct()
+    cands
+      .join(base.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("va"))
+      .join(base.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("vb"))
+      .withColumn("cos",
+        VectorExpressions.floatVecDot(col("ea"), col("eb"))
+          / (col("na") * col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("va"), col("vb"), col("cos"))
+      .orderBy(col("va"), col("vb"))
+  }
+
+  def q67DedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingLshPairs(Tables.embeddings(spark, sfDir))
+
   lazy val defs: Map[String, Q] = Map(
     "q36_dedup_jaccard" -> q36DedupJaccard,
     "q37_dedup_minhash" -> q37DedupMinHash,
     "q38_dedup_simhash" -> q38DedupSimHash,
     "q39_dedup_embedding" -> q39DedupEmbedding,
+    "q67_dedup_embedding_lsh" -> q67DedupEmbeddingLsh,
   )
 
   /** q37/q38 use engine-specific xxhash64 ⇒ rows-only (no oracle). */

@@ -20,7 +20,7 @@ class ContractSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q16_approx_distinct", "q37_dedup_minhash",
       "q38_dedup_simhash", "q41_knn_lsh", "q45_lang_id",
-      "q46_fingerprint", "q51_knn_ivf"),
+      "q46_fingerprint", "q51_knn_ivf", "q67_dedup_embedding_lsh"),
       s"unexpected rows-only set: $rowsOnly")
   }
 
