@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-level scale invariants, asserted over the WHOLE declared query
+  * surface so they can't silently regress (PERFORMANCE.md documents
+  * them; this spec keeps them true):
+  *
+  * - No cartesian/broadcast-nested-loop join anywhere except the
+  *   explicitly whitelisted queries whose semantics require one (each
+  *   with the small side broadcast by construction).
+  * - Filters reach the parquet scan (PushedFilters) and columns are
+  *   pruned (ReadSchema) on representative queries.
+  * - Small dimension tables are joined via BroadcastHashJoin.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Queries whose SEMANTICS are a non-equi pairing; in every case the
+    * broadcast side is provably small (query set, centroid set, or the
+    * deliberately-brute-force oracle anchor whose scale path exists as a
+    * separate query). */
+  private val nestedLoopByDesign = Set(
+    "q09_join_range",        // theta/range join: non-equi by definition
+    "q39_dedup_embedding",   // brute-force oracle anchor (scale path: q67)
+    "q40_knn_brute",         // brute-force baseline (scale paths: q41/q51)
+    "q51_knn_ivf",           // crossJoin vs <=16 broadcast centroids
+    "q10_join_asof",         // window-rewrite as-of: range condition
+    "q53_asof_native")       // native as-of operator (merge, not NLJ)
+
+  test("no unjustified cartesian or nested-loop join in any query plan") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val bad = plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")
+        if (bad && !nestedLoopByDesign.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"nested-loop/cartesian joins outside the whitelist: $offenders")
+  }
+
+  test("whitelisted nested-loop queries broadcast their small side") {
+    for (name <- nestedLoopByDesign -- Set("q53_asof_native", "q10_join_asof")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      if (plan.contains("BroadcastNestedLoopJoin") ||
+          plan.contains("CartesianProduct")) {
+        assert(plan.contains("BroadcastNestedLoopJoin"),
+          s"$name: cartesian without broadcast")
+      }
+    }
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val plan = SparkEntry.queries("q02_filter_project")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      !plan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1").trim.isEmpty,
+      s"q02 scan has no pushed filters:\n$plan")
+  }
+
+  test("column pruning: q02 reads only the projected/filtered columns") {
+    val plan = SparkEntry.queries("q02_filter_project")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    // lineitem has 16 columns; the query needs a handful
+    assert(!readSchema.contains("l_comment"),
+      s"q02 reads unneeded columns: $readSchema")
+  }
+
+  test("dimension joins broadcast: q05 star join uses BroadcastHashJoin") {
+    val plan = SparkEntry.queries("q05_join_broadcast_star")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"q05:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "q05 dims should all broadcast, not sort-merge")
+  }
+
+  test("partial aggregation everywhere: q01 has a map-side partial") {
+    val plan = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // two HashAggregate levels around one Exchange = partial + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"q01:\n$plan")
+  }
+}
