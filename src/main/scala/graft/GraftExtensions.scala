@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.{FloatVecDot, FloatVecNorm}
+import graft.functions.{FloatVecDot, FloatVecNorm, SimHash64}
 
 /** Session-extension registration (the installable form of the engine's
   * Catalyst additions): the as-of join planner strategy and the native
@@ -33,5 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatVecNorm].getName, "float_vec_norm"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FloatVecNorm(exprs.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(exprs.head)))
   }
 }

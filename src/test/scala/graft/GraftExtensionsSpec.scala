@@ -34,6 +34,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(1) == 5.0)
   }
 
+  test("simhash64 callable from SQL, matches the Column form") {
+    val viaSql = spark.sql(
+      "SELECT simhash64(split('the quick brown fox', ' ')) AS s")
+      .collect().head.getLong(0)
+    val viaCol = spark.range(1)
+      .select(graft.functions.SimHash64.simhash64(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lit("the quick brown fox"), " ")))
+      .collect().head.getLong(0)
+    assert(viaSql == viaCol)
+    // identical token multisets in different order hash identically
+    val perm = spark.sql(
+      "SELECT simhash64(split('fox brown quick the', ' ')) AS s")
+      .collect().head.getLong(0)
+    assert(perm == viaSql)
+  }
+
   test("as-of strategy is installed by the extension") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100.0), (1L, 3L, 50.0)).toDF("k", "t", "v")

@@ -143,6 +143,36 @@ class StreamingSpec extends AnyFunSuite {
       s"view must emit only its batch-1 state, got ${viewRows.toSeq}")
   }
 
+  test("signed streaming: over-deletion tombstone nets against later inserts") {
+    import org.apache.spark.sql.types._
+    val src = tmp("graft_tomb_src")
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("_sign", LongType)))
+    // batch 1: one insert; batch 2: TWO deletes (over-deletion, net -1);
+    // batch 3: two inserts — from-scratch net: 1 -2 +2 = +1 row, sum 5.0
+    Seq(("buy", 5.00, 1L)).toDF("event_type", "value", "_sign")
+      .coalesce(1).write.parquet(s"$src/f0")
+    val q = StreamingCube.startSigned(spark, s"$src/f*", schema,
+      "event_type", "value", tmp("graft_ckpt_tomb"), "tomb_stream")
+    q.processAllAvailable()
+    Seq(("buy", 5.00, -1L), ("buy", 5.00, -1L))
+      .toDF("event_type", "value", "_sign")
+      .coalesce(1).write.parquet(s"$src/f1")
+    q.processAllAvailable()
+    Seq(("buy", 5.00, 1L), ("buy", 5.00, 1L))
+      .toDF("event_type", "value", "_sign")
+      .coalesce(1).write.parquet(s"$src/f2")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT * FROM tomb_stream").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    // batch 2 (negative state) must emit nothing; batch 3 must emit the
+    // netted state (5.0, 1), NOT a restarted-from-zero (10.0, 2)
+    assert(rows.last == ("buy", 5.00, 1L),
+      s"tombstone netting broken, got ${rows.toSeq}")
+  }
+
   test("streaming session window sessionizes per user with the 30m gap") {
     import org.apache.spark.sql.functions._
     val src = tmp("graft_sess_src")
