@@ -101,16 +101,29 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment: broadcast the (≤K-row) centroid table,
-    * keep each vector's `keep` best clusters by cosine. */
+    * keep each vector's `keep` best clusters by cosine (ties broken by
+    * cent_id asc).
+    *
+    * keep=1 (the full-corpus path, and every Lloyd iteration) is a pure
+    * hash aggregation — max of a (cos, −cent_id) struct with map-side
+    * partials, so at 100 TB the shuffle carries one row per vector, no
+    * per-vector sort. The window form is kept only for keep>1, which
+    * only ever runs on the (tiny) query set. */
   private def assign(df: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byCos = Window.partitionBy(col("vec_id"))
-      .orderBy((dotExpr("embedding", "ce") / (col("nrm") * col("cn"))).desc,
-        col("cent_id"))
-    df.crossJoin(broadcast(cents))
-      .withColumn("crn", row_number().over(byCos))
-      .filter(col("crn") <= keep)
-      .select(col("vec_id"), col("cent_id"))
+    val scored = df.crossJoin(broadcast(cents))
+      .withColumn("cos", dotExpr("embedding", "ce") / (col("nrm") * col("cn")))
+    if (keep == 1) {
+      scored.groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("cent_id")).as("nc"))).as("best"))
+        .select(col("vec_id"), (-col("best.nc")).as("cent_id"))
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val byCos = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("cent_id"))
+      scored.withColumn("crn", row_number().over(byCos))
+        .filter(col("crn") <= keep)
+        .select(col("vec_id"), col("cent_id"))
+    }
   }
 
   /** One Lloyd step: element-wise mean of each cluster's vectors.

@@ -144,12 +144,42 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q68
+  /** The canonical training-data prep pipeline COMPOSED end-to-end in
+    * one plan — exactly what a user runs before tokenization at corpus
+    * scale:
+    *   1. exact dedup (keep lowest doc_id per identical text),
+    *   2. quality gate (≥5 words, distinct-word ratio ≥ 0.6),
+    *   3. per-(lang, source) token budget (words + BPE-ish subtokens).
+    * Every stage is one of the library's graded operators; composing
+    * them stays a single Catalyst plan (dedup window → filter →
+    * aggregate), so the optimizer pipelines the whole thing with one
+    * shuffle per stage. Fully DuckDB-oracled. */
+  def q68PipelinePrep(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_words", size(col("toks")))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .filter(col("n_words") >= 5 &&
+        col("n_uniq").cast("double") / col("n_words") >= 0.6)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        asLong(sum(col("n_words"))).as("total_words"),
+        asLong(sum(regexp_count(col("text"), lit("[a-z]{1,4}"))))
+          .as("total_subtoks"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q42_text_stats" -> q42TextStats,
     "q43_word_count" -> q43WordCount,
     "q44_quality_score" -> q44QualityScore,
     "q45_lang_id" -> q45LangId,
     "q46_fingerprint" -> q46Fingerprint,
+    "q68_pipeline_prep" -> q68PipelinePrep,
   )
 
   /** q45/q46 are hash/model-dependent ⇒ rows-only. */
@@ -186,5 +216,25 @@ object TextAnalysis {
         FROM (SELECT doc_id, lang, n_chars,
                 string_split(text, ' ') AS toks FROM documents) t) u
       ORDER BY doc_id""",
+    "q68_pipeline_prep" -> """
+      WITH dd AS (
+        SELECT lang, source, text FROM (
+          SELECT lang, source, text,
+            row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM documents) t
+        WHERE rn = 1),
+      g AS (
+        SELECT lang, source, text,
+          len(string_split(text, ' ')) AS n_words,
+          len(list_distinct(string_split(text, ' '))) AS n_uniq
+        FROM dd)
+      SELECT lang, source, count(1) AS n_docs,
+        CAST(sum(n_words) AS BIGINT) AS total_words,
+        CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT)
+          AS total_subtoks
+      FROM g
+      WHERE n_words >= 5 AND CAST(n_uniq AS DOUBLE) / n_words >= 0.6
+      GROUP BY lang, source
+      ORDER BY lang, source""",
   )
 }
