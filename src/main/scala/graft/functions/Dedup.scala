@@ -66,9 +66,9 @@ object Dedup {
     docs.withColumn("_toks", split(col("text"), " "))
       .select(col("doc_id"), explode(shingleExpr("_toks")).as("s"))
 
-  /** One cached shingle table per (session, sfDir): q36 and q37 both
-    * start from it, so within a Verify/Bench run the tokenize+shingle
-    * pass over the corpus happens once, not twice. */
+  /** One cached shingle table per (session, sfDir) for q36 (the only
+    * consumer of the EXPLODED form — q37 computes signatures per row via
+    * [[minHashSigsRowwise]] with no explode at all). */
   private val shingleCache = TrieMap.empty[(SparkSession, String), DataFrame]
   private def cachedShingles(spark: SparkSession, sfDir: String): DataFrame =
     shingleCache.getOrElseUpdate((spark, sfDir),
@@ -144,16 +144,30 @@ object Dedup {
       .select(col("doc_id"), col("sig"))
   }
 
-  /** (doc_id, band, bandHash) — the LSH bucket key table. */
-  private[functions] def bandedOf(sigs: DataFrame): DataFrame =
+  /** MinHash signatures computed PER ROW by the codegen'd [[MinHashSig]]
+    * expression — no shingle explode, no groupBy, no shuffle: the whole
+    * signature is a single-pass map-side projection. Value-identical to
+    * [[minHashSigs]] (asserted in DedupCapSpec); docs with <3 tokens
+    * (no shingles) are excluded, matching the grouped form where they
+    * produce no rows. Used by batch q37 (one less corpus shuffle) and
+    * by the streaming near-dup path (graft.streaming.StreamingDedup). */
+  def minHashSigsRowwise(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        MinHashSig.minhashSig(split(col("text"), " ")).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** (doc_id, band, bandHash) — the LSH bucket key table. Public: the
+    * streaming near-dup path (graft.streaming.StreamingDedup) uses the
+    * same band keys as its inverted-index state. */
+  def bandedOf(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
         explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> " +
           s"named_struct('band', b, 'bh', xxhash64(slice(sig, b * $RowsPerBand + 1, $RowsPerBand))))")).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
 
-  def minHashPairs(docShingles: DataFrame, minEst: Double = 0.5,
+  def minHashPairs(docs: DataFrame, minEst: Double = 0.5,
       maxBucket: Int = MaxBucket): DataFrame = {
-    val sigs = minHashSigs(docShingles).cache()
+    val sigs = minHashSigsRowwise(docs).cache()
     // Candidates from (band, bandHash) groups — one shuffle of 24-byte
     // rows, occupancy-capped; signatures are re-attached after the
     // pair-level distinct so the wide arrays never ride the pair shuffle.
@@ -176,7 +190,7 @@ object Dedup {
   }
 
   def q37DedupMinHash(spark: SparkSession, sfDir: String): DataFrame =
-    minHashPairs(cachedShingles(spark, sfDir))
+    minHashPairs(Tables.documents(spark, sfDir))
 
   // ---------------------------------------------------------------- q38
   /** SimHash: 64-bit signature from count-weighted word hashes (the

@@ -44,6 +44,79 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 32-long MinHash signature of a token array in ONE codegen'd pass.
+  *
+  * Semantically identical to the composable form (word-3-gram shingles →
+  * `xxhash64(s)` / `xxhash64(7, s)` → 32 XOR-rotations → per-rotation
+  * min; `DedupCapSpec` asserts equality with the exploded groupBy
+  * form), but where that form either shuffles every shingle (groupBy)
+  * or runs 32 interpreted `array_min(zip_with(…))` lambdas per row,
+  * this is a tight primitive loop: per shingle, two xxhash64 values and
+  * 32 rotate-XOR-min register ops. Shingle strings are never
+  * materialized (bytes are hashed via UTF8String.concat) and need no
+  * de-duplication — duplicate shingles cannot change a min.
+  *
+  * Returns NULL when the doc has fewer than 3 tokens (no shingles),
+  * matching the grouped form where such docs produce no signature row. */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.signature(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ctx.addReferenceObj("minhashHelper", MinHashSig,
+      MinHashSig.getClass.getName)
+    nullSafeCodeGen(ctx, ev, x => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+        $helper.signature($x);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  final val H = 32
+  private final val Seed = 42L
+  /** Seed chain of Spark's `xxhash64(lit(7), s)`: the int literal 7 is
+    * hashed first, yielding a constant second seed. */
+  private final val Seed2 = XXH64.hashInt(7, 42L)
+
+  def signature(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < 3) return null
+    val mins = new Array[Long](H)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i < n - 2) {
+      val s = UTF8String.concat(
+        toks.getUTF8String(i), space,
+        toks.getUTF8String(i + 1), space,
+        toks.getUTF8String(i + 2))
+      val h1 = XXH64.hashUTF8String(s, Seed)
+      val h2 = XXH64.hashUTF8String(s, Seed2)
+      var b = 0
+      while (b < H) {
+        val cand = h1 ^ ((h2 << b) | (h2 >>> (64 - b)))
+        if (cand < mins(b)) mins(b) = cand
+        b += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  def minhashSig(tokens: Column): Column =
+    Bridge.toColumn(MinHashSig(Bridge.toExpression(tokens)))
+}
+
 object SimHash64 {
   private final val Seed = 42L // Spark's xxhash64 default seed
 

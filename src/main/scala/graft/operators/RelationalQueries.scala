@@ -265,6 +265,26 @@ object RelationalQueries {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------- q69
+  /** Approximate percentiles (Greenwald-Khanna summaries — the second
+    * sketch after q16's HLL): mergeable partials make the quantile a
+    * single map-side-combinable aggregation at any scale, where exact
+    * percentile_cont (q55) needs a per-group sort. The exact value rides
+    * along so the error bound is self-checking; sketch internals are
+    * engine-specific ⇒ rows-only + error-bound unit test. */
+  def q69ApproxPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    e.groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"),
+        expr("approx_percentile(value, 0.9, 1000)").as("approx_p90"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)")
+          .as("exact_p50"),
+        expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY value)")
+          .as("exact_p90"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------- q17
   /** Ranking windows: top-3 customers per nation by balance, with
     * row_number / rank / dense_rank over one deterministic ordering. */
@@ -416,6 +436,7 @@ object RelationalQueries {
     "q14_cube" -> q14Cube,
     "q15_grouping_sets" -> q15GroupingSets,
     "q16_approx_distinct" -> q16ApproxDistinct,
+    "q69_approx_percentile" -> q69ApproxPercentile,
     "q17_window_rank" -> q17WindowRank,
     "q18_window_lag_lead" -> q18WindowLagLead,
     "q19_window_moving_avg" -> q19WindowMovingAvg,

@@ -20,7 +20,8 @@ class ContractSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q16_approx_distinct", "q37_dedup_minhash",
       "q38_dedup_simhash", "q41_knn_lsh", "q45_lang_id",
-      "q46_fingerprint", "q51_knn_ivf", "q67_dedup_embedding_lsh"),
+      "q46_fingerprint", "q51_knn_ivf", "q67_dedup_embedding_lsh",
+      "q69_approx_percentile"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -91,8 +91,7 @@ class DedupCapSpec extends AnyFunSuite {
   }
 
   test("minhash: hot band buckets are capped, planted pair survives") {
-    val sh = Dedup.docShingles(hotCorpus)
-    val out = Dedup.minHashPairs(sh, maxBucket = 16).collect()
+    val out = Dedup.minHashPairs(hotCorpus, maxBucket = 16).collect()
     val pairs = out.map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
     assert(pairs.contains((9000L, 9001L)), "planted dup pair must survive the cap")
     assert(pairs == Set((9000L, 9001L)), s"unexpected pairs: $pairs")
@@ -117,6 +116,17 @@ class DedupCapSpec extends AnyFunSuite {
     val out = Dedup.simHashPairs(docs, maxBucket = 16).collect()
     val pairs = out.map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
     assert(pairs == Set((8000L, 8001L)), s"unexpected pairs: $pairs")
+  }
+
+  test("row-wise minhash signatures == exploded groupBy signatures") {
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = graft.Tables.documents(spark, sfDir)
+      val grouped = Dedup.minHashSigs(Dedup.docShingles(docs))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val rowwise = Dedup.minHashSigsRowwise(docs)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(rowwise == grouped, s"$sfDir: signature forms diverge")
+    }
   }
 
   test("simhash64 expression matches the explode+vote formulation") {

@@ -159,6 +159,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile within 10% of exact percentile_cont") {
+    val rows = graft.operators.RelationalQueries
+      .q69ApproxPercentile(spark, sfDir).collect()
+    rows.foreach { r =>
+      for ((a, e) <- Seq(("approx_p50", "exact_p50"), ("approx_p90", "exact_p90"))) {
+        val approx = r.getAs[Double](a)
+        val exact = r.getAs[Double](e)
+        assert(math.abs(approx - exact) / math.max(exact, 1e-9) <= 0.10,
+          s"${r.getAs[String]("event_type")} $a=$approx $e=$exact")
+      }
+    }
+  }
+
   test("approx_count_distinct within 15% of exact") {
     val rows = graft.operators.RelationalQueries
       .q16ApproxDistinct(spark, sfDir).collect()

@@ -173,6 +173,38 @@ class StreamingSpec extends AnyFunSuite {
       s"tombstone netting broken, got ${rows.toSeq}")
   }
 
+  test("streaming near-dup dedup: in-batch, cross-batch, and unique docs") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val src = tmp("graft_neardup_src")
+    val idx = tmp("graft_neardup_idx") + "/index"
+    val out = tmp("graft_neardup_out") + "/out"
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "completely different words about spark streaming state stores"
+    val textC = "a third unrelated document mentioning cubes and aggregates here"
+    // batch 0: doc 1 (A), doc 2 (B), doc 3 (copy of A) -> 3 dups doc 1
+    Seq((1L, textA), (2L, textB), (3L, textA))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$src/f0")
+    val q = StreamingDedup.start(spark, s"$src/f*", schema, idx, out,
+      tmp("graft_neardup_ckpt"))
+    q.processAllAvailable()
+    // batch 1: doc 10 (copy of A -> dups history), doc 11 (C -> unique)
+    Seq((10L, textA), (11L, textC))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$src/f1")
+    q.processAllAvailable()
+    q.stop()
+    val survivors = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L, 11L),
+      s"expected {1, 2, 11}, got $survivors")
+    // the index holds ONLY the retained docs' band keys
+    val indexed = spark.read.parquet(idx)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 2L, 11L))
+  }
+
   test("streaming session window sessionizes per user with the 30m gap") {
     import org.apache.spark.sql.functions._
     val src = tmp("graft_sess_src")
