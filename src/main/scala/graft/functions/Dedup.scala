@@ -1,7 +1,5 @@
 package graft.functions
 
-import scala.collection.concurrent.TrieMap
-
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -66,14 +64,6 @@ object Dedup {
     docs.withColumn("_toks", split(col("text"), " "))
       .select(col("doc_id"), explode(shingleExpr("_toks")).as("s"))
 
-  /** One cached shingle table per (session, sfDir) for q36 (the only
-    * consumer of the EXPLODED form — q37 computes signatures per row via
-    * [[minHashSigsRowwise]] with no explode at all). */
-  private val shingleCache = TrieMap.empty[(SparkSession, String), DataFrame]
-  private def cachedShingles(spark: SparkSession, sfDir: String): DataFrame =
-    shingleCache.getOrElseUpdate((spark, sfDir),
-      docShingles(Tables.documents(spark, sfDir)).cache())
-
   /** Ordered (da < db) pairs from a sorted doc-id array column. */
   private def pairsOf(dsCol: String): Column = expr(s"""
       flatten(transform(sequence(1, size($dsCol) - 1),
@@ -93,11 +83,14 @@ object Dedup {
     * - cap df(shingle) at [[MaxShingleDf]] before pair expansion (no-op
     *   at test sf; the stop-shingle guard at corpus scale). Denominator
     *   counts `n` stay uncapped, so the Jaccard value of surviving
-    *   pairs is exact. */
-  def jaccardPairs(docShingles: DataFrame, minJaccard: Double = 0.5,
+    *   pairs is exact — and are computed MAP-ONLY per doc
+    *   (size of the distinct shingle array), not by re-shuffling the
+    *   exploded shingle table a second time. */
+  def jaccardPairs(docs: DataFrame, minJaccard: Double = 0.5,
       maxDf: Int = MaxShingleDf): DataFrame = {
-    val sh = docShingles.select(col("doc_id"), xxhash64(col("s")).as("s"))
-    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sh = docShingles(docs).select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val n = docs.withColumn("_toks", split(col("text"), " "))
+      .select(col("doc_id"), size(shingleExpr("_toks")).as("n"))
     val pairs = sh.groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
@@ -115,7 +108,7 @@ object Dedup {
   }
 
   def q36DedupJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    jaccardPairs(cachedShingles(spark, sfDir))
+    jaccardPairs(Tables.documents(spark, sfDir))
 
   // ---------------------------------------------------------------- q37
   /** MinHash + LSH banding. 32 seeded xxhash64 min-hashes per doc, 8

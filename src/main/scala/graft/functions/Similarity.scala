@@ -126,20 +126,17 @@ object Similarity {
     }
   }
 
-  /** One Lloyd step: element-wise mean of each cluster's vectors.
-    * The mean accumulates as DECIMAL sums (order-independent, so the
-    * refinement is deterministic under any partitioning/AQE plan), then
-    * rounds back to float. Emptied clusters simply drop out. */
+  /** One Lloyd step: element-wise mean of each cluster's vectors via the
+    * [[VecMeanFloat]] aggregate — one dim-length buffer per cluster with
+    * map-side partials (the posexplode → groupBy(cent, pos) form would
+    * multiply shuffle volume by the vector dimension). Exact BigDecimal
+    * accumulation keeps the refinement deterministic under any
+    * partitioning/AQE plan. Emptied clusters simply drop out. */
   private def lloydStep(em: DataFrame, cents: DataFrame): DataFrame = {
     val assigned = assign(em, cents, keep = 1)
     em.join(assigned, Seq("vec_id"))
-      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("cent_id"), col("pos"))
-      .agg((sum(col("x").cast("decimal(28,10)")) / count(lit(1)))
-        .cast("float").as("mx"))
       .groupBy(col("cent_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)")
-        .as("ce"))
+      .agg(VecMeanFloat.vecMean(col("embedding")).as("ce"))
       .withColumn("cn", normExpr("ce"))
   }
 

@@ -74,8 +74,7 @@ class DedupCapSpec extends AnyFunSuite {
   }
 
   test("jaccard: hot shingle bucket is dropped, planted pair survives") {
-    val sh = Dedup.docShingles(hotCorpus)
-    val out = Dedup.jaccardPairs(sh, maxDf = 16).collect()
+    val out = Dedup.jaccardPairs(hotCorpus, maxDf = 16).collect()
     val pairs = out.map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
     assert(pairs.contains((9000L, 9001L)), "planted dup pair must survive the cap")
     // every hot-only pair (jaccard driven solely by the stop-shingle)
