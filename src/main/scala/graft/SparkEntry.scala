@@ -18,7 +18,7 @@ object SparkEntry {
       operators.ExtensionQueries.defs ++
       cube.CubeQueries.defs ++ functions.Dedup.defs ++
       functions.Similarity.defs ++ functions.TextAnalysis.defs ++
-      functions.Multimodal.defs
+      functions.Multimodal.defs ++ functions.Sampling.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +27,5 @@ object SparkEntry {
       operators.ExtensionQueries.sql ++
       cube.CubeQueries.sql ++ functions.Dedup.sql ++
       functions.Similarity.sql ++ functions.TextAnalysis.sql ++
-      functions.Multimodal.sql
+      functions.Multimodal.sql ++ functions.Sampling.sql
 }

@@ -62,9 +62,14 @@ object Dedup {
   /** (doc_id, shingle) exploded table. */
   def docShingles(docs: DataFrame): DataFrame =
     docs.withColumn("_toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(shingleExpr("_toks")).as("s"))
+      .select(col("doc_id"), explode_outer(shingleExpr("_toks")).as("s"))
+      .filter(col("s").isNotNull)
 
-  /** Ordered (da < db) pairs from a sorted doc-id array column. */
+  /** Ordered (da < db) pairs from a sorted doc-id array column. Always
+    * explode the result with `explode_outer` + an isNotNull filter —
+    * plain explode triggers InferFiltersFromGenerate, which re-evaluates
+    * this whole expansion inside the inferred filter (see the
+    * [[jaccardPairs]] comment for the measured pathology). */
   private def pairsOf(dsCol: String): Column = expr(s"""
       flatten(transform(sequence(1, size($dsCol) - 1),
         i -> transform(slice($dsCol, i + 1, size($dsCol) - i),
@@ -83,26 +88,44 @@ object Dedup {
     * - cap df(shingle) at [[MaxShingleDf]] before pair expansion (no-op
     *   at test sf; the stop-shingle guard at corpus scale). Denominator
     *   counts `n` stay uncapped, so the Jaccard value of surviving
-    *   pairs is exact — and are computed MAP-ONLY per doc
-    *   (size of the distinct shingle array), not by re-shuffling the
-    *   exploded shingle table a second time. */
+    *   pairs is exact — and ride along WITH each exploded shingle row,
+    *   bit-packed into the doc-id long (`packed = doc_id·2²¹ + n`, n =
+    *   size of the doc's distinct-shingle array, computed in the same
+    *   projection). Packing keeps every intermediate a plain BIGINT —
+    *   long-array `sort_array` (still ordered by doc_id: the pack is
+    *   monotonic), long-struct pairs, 2-column group-by — which measured
+    *   3× faster than carrying (doc_id, n) structs, and the denominators
+    *   come out of the pair group-by for free: one pass over the text,
+    *   two shuffles total, zero joins. Bounds: n < 2²¹ shingles per doc,
+    *   doc_id < 2⁴², both comfortable at corpus scale. */
   def jaccardPairs(docs: DataFrame, minJaccard: Double = 0.5,
       maxDf: Int = MaxShingleDf): DataFrame = {
-    val sh = docShingles(docs).select(col("doc_id"), xxhash64(col("s")).as("s"))
-    val n = docs.withColumn("_toks", split(col("text"), " "))
-      .select(col("doc_id"), size(shingleExpr("_toks")).as("n"))
-    val pairs = sh.groupBy(col("s"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    val M = 1L << 21
+    // explode_OUTER + null filter, not plain explode: for a non-outer
+    // Generate, InferFiltersFromGenerate synthesizes
+    // `size(arr)>0 AND isnotnull(arr)` and predicate pushdown inlines
+    // the whole shingle transform below the `_toks` projection — every
+    // element_at then re-splits the text, O(tokens²) per doc (measured
+    // 7× slower). Outer generates are exempt from filter inference; the
+    // cheap isnotnull(s0) drops the same shingle-less docs.
+    val sh = docs.withColumn("_toks", split(col("text"), " "))
+      .select(col("doc_id"), shingleExpr("_toks").as("_sharr"))
+      .select((col("doc_id") * lit(M) + size(col("_sharr"))).as("dn"),
+        explode_outer(col("_sharr")).as("s0"))
+      .filter(col("s0").isNotNull)
+      .select(col("dn"), xxhash64(col("s0")).as("s"))
+    sh.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("dn"))).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
-      .select(explode(pairsOf("ds")).as("p"))
-      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+      .select(explode_outer(pairsOf("ds")).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.da").as("pa"), col("p.db").as("pb"))
       .agg(count(lit(1)).as("common"))
-    pairs
-      .join(n.as("na"), col("da") === col("na.doc_id"))
-      .join(n.as("nb"), col("db") === col("nb.doc_id"))
-      .select(col("da"), col("db"), col("common"),
+      .select(expr(s"pa div $M").as("da"),
+        expr(s"pb div $M").as("db"), col("common"),
         (col("common") * lit(1.0)
-          / (col("na.n") + col("nb.n") - col("common"))).as("jaccard"))
+          / (pmod(col("pa"), lit(M)) + pmod(col("pb"), lit(M))
+             - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy(col("da"), col("db"))
   }
@@ -154,8 +177,9 @@ object Dedup {
     * same band keys as its inverted-index state. */
   def bandedOf(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> " +
+        explode_outer(expr(s"transform(sequence(0, ${Bands - 1}), b -> " +
           s"named_struct('band', b, 'bh', xxhash64(slice(sig, b * $RowsPerBand + 1, $RowsPerBand))))")).as("bb"))
+      .filter(col("bb").isNotNull)
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
 
   def minHashPairs(docs: DataFrame, minEst: Double = 0.5,
@@ -167,7 +191,8 @@ object Dedup {
     val cands = bandedOf(sigs).groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, maxBucket))
-      .select(explode(pairsOf("ds")).as("p"))
+      .select(explode_outer(pairsOf("ds")).as("p"))
+      .filter(col("p").isNotNull)
       .select(col("p.da").as("da"), col("p.db").as("db"))
       .distinct()
     cands
@@ -200,9 +225,10 @@ object Dedup {
   /** (doc_id, sig, chunk, chunkValue) — the pigeonhole bucket key table. */
   private[functions] def chunkedOf(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), col("sig"),
-        explode(expr(
+        explode_outer(expr(
           """transform(sequence(0, 3), c -> named_struct('chunk', c,
                'cv', (sig >> (c * 16)) & 65535))""")).as("cc"))
+      .filter(col("cc").isNotNull)
       .select(col("doc_id"), col("sig"), col("cc.chunk"), col("cc.cv"))
 
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
@@ -211,11 +237,12 @@ object Dedup {
     chunked.groupBy(col("chunk"), col("cv"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
       .filter(size(col("ds")).between(2, maxBucket))
-      .select(explode(expr("""
+      .select(explode_outer(expr("""
         flatten(transform(sequence(1, size(ds) - 1),
           i -> transform(slice(ds, i + 1, size(ds) - i),
             d -> named_struct('da', element_at(ds, i).doc_id, 'db', d.doc_id,
               'hamming', bit_count(element_at(ds, i).sig ^ d.sig)))))""")).as("p"))
+      .filter(col("p").isNotNull)
       .select(col("p.da").as("da"), col("p.db").as("db"),
         col("p.hamming").as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -274,12 +301,14 @@ object Dedup {
     val base = em.select(col("vec_id"), col("embedding"),
       Similarity.normExpr("embedding").as("nrm"))
     val cands = base
-      .select(col("vec_id"), explode(array(tables: _*)).as("tb"))
+      .select(col("vec_id"), explode_outer(array(tables: _*)).as("tb"))
+      .filter(col("tb").isNotNull)
       .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
       .groupBy(col("tbl"), col("bucket"))
       .agg(sort_array(collect_list(col("vec_id"))).as("ds"))
       .filter(size(col("ds")).between(2, maxBucket))
-      .select(explode(pairsOf("ds")).as("p"))
+      .select(explode_outer(pairsOf("ds")).as("p"))
+      .filter(col("p").isNotNull)
       .select(col("p.da").as("va"), col("p.db").as("vb"))
       .distinct()
     cands

@@ -1,0 +1,109 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators for training-data pipelines: deterministic
+  * stratified sampling and token-budget sequence packing.
+  *
+  * Scale design:
+  * - Sampling is a MAP-ONLY filter: the keep/drop decision is a pure
+  *   function of (doc_id, stratum rate), so it pushes to the scan and
+  *   needs zero shuffles regardless of corpus size. Rates live in a tiny
+  *   broadcast dimension (the idiomatic shape when strata are data, not
+  *   code — swap the literal Seq for a table read and nothing changes).
+  * - The demo hash is multiplicative (Knuth 2654435761) mod 1000 so the
+  *   SAME arithmetic runs in DuckDB for the oracle; at corpus scale swap
+  *   in `xxhash64(doc_id)` — one expression, same plan shape. Rate per
+  *   stratum is exact over any 1000 consecutive ids (the multiplier is
+  *   coprime to the modulus), i.e. systematic sampling's low variance
+  *   with a scrambled phase.
+  * - Packing assigns each doc to the bin its cumulative token offset
+  *   falls in (greedy contiguous packing — docs may straddle a boundary,
+  *   the standard concat-then-chunk regime for LLM pretraining). One
+  *   window partitioned by the pack key + one group-by: two shuffles,
+  *   both on `lang`, so AQE coalesces them; per-partition state is a
+  *   running sum, never the docs themselves.
+  */
+object Sampling {
+  type Q = (SparkSession, String) => DataFrame
+  private def asLong(c: Column): Column = c.cast("long")
+
+  /** Per-mille keep rates by language stratum. */
+  private val rates: Seq[(String, Int)] =
+    Seq("en" -> 500, "de" -> 300, "es" -> 300, "fr" -> 200, "zh" -> 200)
+
+  // ---------------------------------------------------------------- q70
+  /** Deterministic stratified sample of `documents` — per-language keep
+    * rates, summarized per (lang, source) so the oracle checks both the
+    * membership and the strata sizes. */
+  def q70StratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rateDim = rates.toDF("lang", "rate_pm")
+    Tables.documents(spark, sfDir)
+      .join(broadcast(rateDim), Seq("lang"))
+      .filter(pmod(col("doc_id") * lit(2654435761L), lit(1000)) < col("rate_pm"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        asLong(sum(col("n_chars"))).as("sampled_chars"),
+        asLong(min(col("doc_id"))).as("first_doc"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  // ---------------------------------------------------------------- q71
+  /** Token-budget sequence packing: concat docs per language in doc_id
+    * order, chunk at 512 whitespace tokens; report each bin's occupancy.
+    * `bin` = the 512-token chunk the doc's first token lands in. */
+  def q71SequencePack(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 512
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("prev", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"prev div $budget"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        asLong(sum(col("n_toks"))).as("bin_tokens"),
+        asLong(min(col("doc_id"))).as("first_doc"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  lazy val defs: Map[String, Q] = Map(
+    "q70_stratified_sample" -> q70StratifiedSample,
+    "q71_sequence_pack" -> q71SequencePack,
+  )
+
+  lazy val sql: Map[String, String] = Map(
+    "q70_stratified_sample" -> """
+      SELECT d.lang, d.source, count(1) AS n_sampled,
+        CAST(sum(d.n_chars) AS BIGINT) AS sampled_chars,
+        CAST(min(d.doc_id) AS BIGINT) AS first_doc
+      FROM documents d
+      JOIN (VALUES ('en', 500), ('de', 300), ('es', 300),
+                   ('fr', 200), ('zh', 200)) r(lang, rate_pm)
+        ON d.lang = r.lang
+      WHERE (d.doc_id * 2654435761) % 1000 < r.rate_pm
+      GROUP BY d.lang, d.source
+      ORDER BY d.lang, d.source""",
+    "q71_sequence_pack" -> """
+      WITH t AS (
+        SELECT lang, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        FROM documents),
+      c AS (
+        SELECT lang, doc_id, n_toks,
+          coalesce(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        FROM t)
+      SELECT lang, CAST(prev // 512 AS BIGINT) AS bin, count(1) AS n_docs,
+        CAST(sum(n_toks) AS BIGINT) AS bin_tokens,
+        CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM c
+      GROUP BY lang, CAST(prev // 512 AS BIGINT)
+      ORDER BY lang, bin""",
+  )
+}

@@ -73,11 +73,12 @@ object Similarity {
              CASE WHEN aggregate(zip_with(embedding, p,
                (x, h) -> CAST(x AS DOUBLE) * h), CAST(0 AS DOUBLE),
                (a, x) -> a + x) >= 0 THEN 1 ELSE 0 END)"""))
-      .withColumn("tb", explode(expr(
+      .withColumn("tb", explode_outer(expr(
         s"""transform(sequence(0, ${nTables - 1}), t -> named_struct(
               'table', t,
               'bucket', aggregate(slice(bits, t * $bitsPerTable + 1, $bitsPerTable),
                 0, (acc, bit) -> acc * 2 + bit)))""")))
+      .filter(col("tb").isNotNull)
       .select(col("vec_id"), col("embedding"), col("tb.table").as("tbl"),
         col("tb.bucket").as("bucket"), normExpr("embedding").as("nrm"))
     val q = em.filter(col("vec_id") < 5)

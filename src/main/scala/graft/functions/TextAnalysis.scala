@@ -92,9 +92,10 @@ object TextAnalysis {
     // stride-2 position sampling halves the gram volume with no
     // meaningful signal loss (profiles and scores use the same stride)
     val grams = docs.select(col("doc_id"), col("lang"),
-        explode(expr(
+        explode_outer(expr(
           """transform(sequence(1, greatest(length(text) - 2, 1), 2),
              i -> xxhash64(substring(text, i, 3)))""")).as("g"))
+      .filter(col("g").isNotNull)
       .cache() // used twice: profile build + scoring pass
     val profile = grams.groupBy(col("lang"), col("g"))
       .agg(count(lit(1)).as("n"))
