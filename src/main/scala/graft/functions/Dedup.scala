@@ -327,12 +327,60 @@ object Dedup {
   def q67DedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame =
     embeddingLshPairs(Tables.embeddings(spark, sfDir))
 
+  // ---------------------------------------------------------------- q72
+  /** Train/eval contamination check (decontamination): for every doc in
+    * the held-out eval slice (doc_id < [[EvalSplit]]), find training
+    * docs whose shingle overlap covers ≥ half the eval doc's shingles
+    * (containment = |shared| / |eval shingles| — the right asymmetric
+    * measure: a training doc EMBEDDING the whole eval doc scores 1.0
+    * regardless of how much extra text it carries, where Jaccard would
+    * dilute it).
+    *
+    * Scale shape: the eval side is a benchmark set — small by
+    * definition — so its hashed shingle table is BROADCAST and the
+    * 100 TB training corpus streams through a map-side hash join with
+    * zero train-side shuffle before the (eval, train) pair aggregation.
+    * Join fan-out is linear in train-side shingle df (each matched row
+    * is a real shared-shingle observation), never quadratic. */
+  val EvalSplit = 50L
+
+  def contaminationPairs(docs: DataFrame, minContain: Double = 0.5,
+      evalSplit: Long = EvalSplit): DataFrame = {
+    val M = 1L << 21
+    def shingled(d: DataFrame): DataFrame =
+      d.withColumn("_toks", split(col("text"), " "))
+        .select(col("doc_id"), shingleExpr("_toks").as("_sharr"))
+    val ev = shingled(docs.filter(col("doc_id") < evalSplit))
+      .select((col("doc_id") * lit(M) + size(col("_sharr"))).as("en"),
+        explode_outer(col("_sharr")).as("s0"))
+      .filter(col("s0").isNotNull)
+      .select(col("en"), xxhash64(col("s0")).as("s"))
+    val tr = shingled(docs.filter(col("doc_id") >= evalSplit))
+      .select(col("doc_id").as("train_id"),
+        explode_outer(col("_sharr")).as("s0"))
+      .filter(col("s0").isNotNull)
+      .select(col("train_id"), xxhash64(col("s0")).as("s"))
+    tr.join(broadcast(ev), Seq("s"))
+      .groupBy(col("en"), col("train_id"))
+      .agg(count(lit(1)).as("shared"))
+      .select(expr(s"en div $M").as("eval_id"), col("train_id"),
+        col("shared"),
+        (col("shared") * lit(1.0) / pmod(col("en"), lit(M)))
+          .as("containment"))
+      .filter(col("containment") >= minContain)
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
+  def q72Contamination(spark: SparkSession, sfDir: String): DataFrame =
+    contaminationPairs(Tables.documents(spark, sfDir))
+
   lazy val defs: Map[String, Q] = Map(
     "q36_dedup_jaccard" -> q36DedupJaccard,
     "q37_dedup_minhash" -> q37DedupMinHash,
     "q38_dedup_simhash" -> q38DedupSimHash,
     "q39_dedup_embedding" -> q39DedupEmbedding,
     "q67_dedup_embedding_lsh" -> q67DedupEmbeddingLsh,
+    "q72_contamination" -> q72Contamination,
   )
 
   /** q37/q38 use engine-specific xxhash64 ⇒ rows-only (no oracle). */
@@ -379,5 +427,22 @@ object Dedup {
              list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
              (x, y) -> x + y))) >= 0.5
       ORDER BY va, vb""",
+    "q72_contamination" -> """
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(t) - 2, 0)),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      hits AS (
+        SELECT e.doc_id AS eval_id, t.doc_id AS train_id, count(*) AS shared
+        FROM sh e JOIN sh t ON e.s = t.s
+        WHERE e.doc_id < 50 AND t.doc_id >= 50
+        GROUP BY 1, 2)
+      SELECT eval_id, train_id, shared,
+        shared * 1.0 / n.n AS containment
+      FROM hits JOIN n ON n.doc_id = hits.eval_id
+      WHERE shared * 1.0 / n.n >= 0.5
+      ORDER BY eval_id, train_id""",
   )
 }

@@ -24,28 +24,14 @@ object Scratch {
     val docs = graft.Tables.documents(spark, sfDir)
     time("warm")(docs.count())
 
-    // Stage decomposition of q36.
-    val M = 1L << 21
-    val sh = docs.withColumn("_toks", split(col("text"), " "))
-      .select(col("doc_id"), functions.Dedup.shingleExpr("_toks").as("_sharr"))
-      .select((col("doc_id") * lit(M) + size(col("_sharr"))).as("dn"),
-        explode_outer(col("_sharr")).as("s0"))
-      .filter(col("s0").isNotNull)
-      .select(col("dn"), xxhash64(col("s0")).as("s"))
-    sh.explain("formatted")
-    time("explode+pack only")(sh.count())
+    time("q70 a")(functions.Sampling.q70StratifiedSample(spark, sfDir).count())
+    time("q70 b")(functions.Sampling.q70StratifiedSample(spark, sfDir).count())
+    functions.Sampling.q70StratifiedSample(spark, sfDir).explain("formatted")
 
-    val shPlain = functions.Dedup.docShingles(docs)
-      .select(col("doc_id"), xxhash64(col("s")).as("s"))
-    time("explode plain only")(shPlain.count())
-
-    val grouped = sh.groupBy(col("s"))
-      .agg(sort_array(collect_list(col("dn"))).as("ds"))
-      .filter(size(col("ds")).between(2, 128))
-    time("grouped")(grouped.count())
-
-    time("q36 full")(functions.Dedup.q36DedupJaccard(spark, sfDir).count())
-    time("q36 full again")(functions.Dedup.q36DedupJaccard(spark, sfDir).count())
+    time("q67 a")(functions.Dedup.q67DedupEmbeddingLsh(spark, sfDir).count())
+    time("q67 b")(functions.Dedup.q67DedupEmbeddingLsh(spark, sfDir).count())
+    time("q45 a")(functions.TextAnalysis.q45LangId(spark, sfDir).count())
+    time("q45 b")(functions.TextAnalysis.q45LangId(spark, sfDir).count())
     spark.stop()
   }
 }
