@@ -117,6 +117,37 @@ class DedupCapSpec extends AnyFunSuite {
     assert(pairs == Set((8000L, 8001L)), s"unexpected pairs: $pairs")
   }
 
+  test("contamination: containment is asymmetric and split-respecting") {
+    // eval doc 1 (5 shingles) fully embedded in the much longer train
+    // doc 100 → containment 1.0 (Jaccard would be ~0.2 — the point of
+    // the asymmetric measure); train doc 101 shares nothing; eval/eval
+    // and train/train overlaps must NOT appear.
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val evalBody = "the quick brown fox jumps over lazy dogs"  // 6 shingles
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, evalBody),
+      org.apache.spark.sql.Row(2L, evalBody), // eval twin of 1 — must not pair
+      org.apache.spark.sql.Row(100L,
+        s"prefix padding words here $evalBody suffix trailer tokens end"),
+      org.apache.spark.sql.Row(101L, "completely different training text body"),
+      org.apache.spark.sql.Row(102L,
+        s"prefix padding words here $evalBody suffix trailer tokens end"))
+    val docs = spark.createDataFrame(rows.asJava, schema)
+    val out = Dedup.contaminationPairs(docs, minContain = 0.5, evalSplit = 50L)
+      .collect()
+    val pairs = out.map(r =>
+      (r.getAs[Long]("eval_id"), r.getAs[Long]("train_id"))).toSet
+    assert(pairs == Set((1L, 100L), (1L, 102L), (2L, 100L), (2L, 102L)),
+      s"unexpected pairs: $pairs")
+    assert(out.forall(_.getAs[Double]("containment") == 1.0),
+      "full embedding must score containment 1.0")
+  }
+
   test("row-wise minhash signatures == exploded groupBy signatures") {
     for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val docs = graft.Tables.documents(spark, sfDir)
