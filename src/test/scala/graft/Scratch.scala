@@ -1,5 +1,6 @@
-package graft
+package graft.functions
 
+import graft.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -14,24 +15,24 @@ object Scratch {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = graft.Tables.documents(spark, sfDir)
-    time("warm")(docs.count())
-
-    time("q70 a")(functions.Sampling.q70StratifiedSample(spark, sfDir).count())
-    time("q70 b")(functions.Sampling.q70StratifiedSample(spark, sfDir).count())
-    functions.Sampling.q70StratifiedSample(spark, sfDir).explain("formatted")
-
-    time("q67 a")(functions.Dedup.q67DedupEmbeddingLsh(spark, sfDir).count())
-    time("q67 b")(functions.Dedup.q67DedupEmbeddingLsh(spark, sfDir).count())
-    time("q45 a")(functions.TextAnalysis.q45LangId(spark, sfDir).count())
-    time("q45 b")(functions.TextAnalysis.q45LangId(spark, sfDir).count())
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val brute = Similarity.q40KnnBrute(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+      for ((k, nprobe) <- Seq((16, 5), (32, 8), (32, 10)); iters <- Seq(2)) {
+        val t0 = System.nanoTime
+        val ivf = Similarity.knnIvf(spark, sfDir,
+            k = k, nprobe = nprobe, lloydIters = iters).collect()
+          .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+        val recall = (brute intersect ivf).size.toDouble / brute.size
+        println(f"[scratch] $sfDir k=$k nprobe=$nprobe iters=$iters recall=$recall%.2f t=${(System.nanoTime - t0) / 1e9}%.1fs")
+      }
+    }
     spark.stop()
   }
 }
