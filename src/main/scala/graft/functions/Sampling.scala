@@ -72,9 +72,46 @@ object Sampling {
       .orderBy(col("lang"), col("bin"))
   }
 
+  // ---------------------------------------------------------------- q73
+  /** Dataset mixing with exact per-source quotas: a 1000-doc epoch drawn
+    * as `floor(weight × budget)` docs from each source, chosen by
+    * deterministic hash rank (sources short of quota contribute all
+    * their docs). This is the epoch-assembly step after q70's
+    * rate-based gate: rates thin a corpus, quotas hit an exact mixture.
+    *
+    * Scale note: rank-within-source is a window over the source
+    * partition — fine while |source| shuffles cleanly. At 100 TB the
+    * sort-free refinement is threshold selection: the hash is uniform,
+    * so the quota-th smallest hash ≈ quota/|source| of the hash range;
+    * take `hash < t_s` from an approx-quantile pass, then fix the
+    * boundary exactly. Same output, no per-source global sort. */
+  private val mixWeights: Seq[(String, Double)] =
+    (0 until 20).map(i => s"src$i" -> (if (i < 4) 0.10 else 0.0375))
+  private val MixBudget = 1000
+
+  def q73DatasetMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy(col("source"))
+      .orderBy(pmod(col("doc_id") * lit(2654435761L), lit(1000000)),
+        col("doc_id"))
+    val weightDim = mixWeights.toDF("source", "wt")
+      .select(col("source"), floor(col("wt") * MixBudget).as("quota"))
+    Tables.documents(spark, sfDir)
+      .join(broadcast(weightDim), Seq("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("quota"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sel"),
+        asLong(sum(col("n_chars"))).as("sel_chars"),
+        asLong(min(col("doc_id"))).as("first_doc"),
+        asLong(max(col("doc_id"))).as("last_doc"))
+      .orderBy(col("source"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q70_stratified_sample" -> q70StratifiedSample,
     "q71_sequence_pack" -> q71SequencePack,
+    "q73_dataset_mix" -> q73DatasetMix,
   )
 
   lazy val sql: Map[String, String] = Map(
@@ -105,5 +142,25 @@ object Sampling {
       FROM c
       GROUP BY lang, CAST(prev // 512 AS BIGINT)
       ORDER BY lang, bin""",
+    "q73_dataset_mix" -> """
+      WITH wdim AS (
+        SELECT s.src AS source,
+          CAST(floor(CASE WHEN s.i < 4 THEN 0.10 ELSE 0.0375 END * 1000)
+            AS BIGINT) AS quota
+        FROM (SELECT 'src' || CAST(i AS VARCHAR) AS src, i
+              FROM generate_series(0, 19) t(i)) s),
+      ranked AS (
+        SELECT d.source, d.doc_id, d.n_chars, w.quota,
+          row_number() OVER (PARTITION BY d.source
+            ORDER BY (d.doc_id * 2654435761) % 1000000, d.doc_id) AS rk
+        FROM documents d JOIN wdim w ON d.source = w.source)
+      SELECT source, count(1) AS n_sel,
+        CAST(sum(n_chars) AS BIGINT) AS sel_chars,
+        CAST(min(doc_id) AS BIGINT) AS first_doc,
+        CAST(max(doc_id) AS BIGINT) AS last_doc
+      FROM ranked
+      WHERE rk <= quota
+      GROUP BY source
+      ORDER BY source""",
   )
 }

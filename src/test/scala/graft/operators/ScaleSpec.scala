@@ -66,6 +66,38 @@ class ScaleSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("partitioned layout prunes directories at the scan") {
+    // date-partitioned events (the layout a 100 TB event store uses);
+    // a date-filtered read must scan ONE partition directory, proven by
+    // the scan's partition filters and its file count.
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val e = graft.Tables.events(spark, sfDir)
+      .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
+    e.write.mode("overwrite").partitionBy("d").parquet(dir)
+    val nDates = e.select("d").distinct().count()
+    assert(nDates > 1, "need multiple partitions for the test to mean anything")
+    val read = spark.read.parquet(dir)
+    val oneDay = read.filter(col("d") === e.select(min("d")).head().getString(0))
+    val scan = oneDay.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      "date filter must become a partition filter, not a data filter")
+    val expected = e.filter(col("d") === e.select(min("d")).head().getString(0))
+      .count()
+    assert(oneDay.count() == expected)
+    // directory-level pruning: the scan reads strictly fewer files than
+    // the unfiltered read
+    val allFiles = read.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.length
+    }.get
+    val prunedFiles = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters).map(_.files.length).sum
+    assert(prunedFiles < allFiles,
+      s"pruned scan reads $prunedFiles of $allFiles files — no pruning happened")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val li = graft.Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_extendedprice")
