@@ -39,12 +39,18 @@ object Sampling {
   /** Deterministic stratified sample of `documents` — per-language keep
     * rates, summarized per (lang, source) so the oracle checks both the
     * membership and the strata sizes. */
-  def q70StratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The keep/drop stage alone — stateless and map-only, so it runs
+    * unchanged on a streaming `docs` (append mode, no watermark needed);
+    * StreamingSpec pins stream == batch selection. */
+  def stratifiedKeep(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val rateDim = rates.toDF("lang", "rate_pm")
-    Tables.documents(spark, sfDir)
-      .join(broadcast(rateDim), Seq("lang"))
+    docs.join(broadcast(rateDim), Seq("lang"))
       .filter(pmod(col("doc_id") * lit(2654435761L), lit(1000)) < col("rate_pm"))
+  }
+
+  def q70StratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    stratifiedKeep(spark, Tables.documents(spark, sfDir))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_sampled"),
         asLong(sum(col("n_chars"))).as("sampled_chars"),

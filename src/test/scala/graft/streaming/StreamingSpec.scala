@@ -330,6 +330,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(("click", "engagement"), ("buy", "conversion")))
   }
 
+  test("streaming stratified sample == batch selection (stateless map-only)") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sfDir)
+    val src = tmp("graft_strat")
+    docs.coalesce(1).write.parquet(s"$src/f0")
+    val q = graft.functions.Sampling.stratifiedKeep(spark,
+        spark.readStream.schema(docs.schema).parquet(s"$src/f*"))
+      .select("doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("strat_stream")
+      .option("checkpointLocation", tmp("graft_strat_ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("strat_stream").collect()
+      .map(_.getLong(0)).toSet
+    val batch = graft.functions.Sampling.stratifiedKeep(spark, docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch && batch.nonEmpty,
+      s"stream/batch selection diverged: ${streamed.size} vs ${batch.size}")
+  }
+
   test("streaming windowed aggregation to a durable parquet sink") {
     import org.apache.spark.sql.functions._
     val src = tmp("graft_fsink_src")
