@@ -85,20 +85,25 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
       }
       CubeCatalog.sourcePathOf(base) match {
         case Some(path) =>
-          CubeCatalog.registered.values
+          // cost-based choice: several registered cubes can cover the
+          // same query (groupings are a subset match) — serve from the
+          // SMALLEST covering cube by file-stats size, the one whose
+          // re-aggregation reads the least data
+          val candidates = CubeCatalog.registered.values
             .filter(_._2 == path)
             .flatMap { case (cube, _) => tryRewrite(agg, cube, base, subst) }
-            .headOption
-            .getOrElse(agg)
+          if (candidates.isEmpty) agg else candidates.minBy(_._2)._1
         case None => agg
       }
   }
 
+  /** Returns the rewritten plan plus the cube's scan size in bytes (the
+    * cost key for choosing among multiple covering cubes). */
   private def tryRewrite(
       agg: Aggregate,
       cube: Cube,
       source: LogicalPlan,
-      subst: Expression => Expression): Option[LogicalPlan] = {
+      subst: Expression => Expression): Option[(LogicalPlan, BigInt)] = {
     val cubePlan = Bridge.analyzed(cube.aggregates)
     // cube must be materialized: its own plan must be a file scan, and
     // NOT over the source path (a cube misregistered with its aggregates
@@ -202,7 +207,8 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
       org.apache.spark.sql.catalyst.expressions.GreaterThan(
         countAttr, Literal(0L)),
       cubePlan)
-    Some(Aggregate(groupMap.map(_._2), rewritten, liveCube))
+    Some((Aggregate(groupMap.map(_._2), rewritten, liveCube),
+      cubePlan.stats.sizeInBytes))
   }
 
   /** Resolve a (possibly dotted nested) field path against a plan's

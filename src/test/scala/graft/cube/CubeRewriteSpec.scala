@@ -98,6 +98,38 @@ class CubeRewriteSpec extends AnyFunSuite {
     assert(direct.toSeq == got.toSeq)
   }
 
+  test("with two covering cubes, the smaller one is chosen") {
+    val (srcDir, fineCubeLoc) = setup() // 2-dim (etype, hour) cube "rw"
+    // a coarser 1-dim cube over the same source: fewer rows, fewer bytes
+    val coarseCfg = CubeConfig("rw_small", "src",
+      Seq(FieldDim("etype", "event_type")), Seq(Measure("v", "value")))
+    val smallDir = Files.createTempDirectory("graft_rw_small").toString
+    val small = CubeManager.create(coarseCfg, spark.read.parquet(srcDir))
+    CubeManager.save(small, smallDir)
+    CubeCatalog.register("rw_small",
+      CubeManager.load(spark, smallDir, "rw_small"), srcDir)
+    // grouping by event_type alone is covered by BOTH cubes
+    val q = spark.read.parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r).get
+    }
+    assert(scans == Seq(CubeCatalog.normalize(s"$smallDir/rw_small")),
+      s"expected the 1-dim cube, got $scans (fine cube at $fineCubeLoc)")
+    // results still identical to the unrewritten plan
+    CubeCatalog.clear()
+    val direct = spark.read.parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type").collect().map(_.toSeq)
+    assert(q.orderBy("event_type").collect().map(_.toSeq).toSeq
+      == direct.toSeq)
+  }
+
   test("avg idiom (sum(dec)/count) routes through the cube too") {
     val (srcDir, cubeLoc) = setup()
     def q() = spark.read.parquet(srcDir)
