@@ -174,6 +174,28 @@ object TextAnalysis {
       .orderBy(col("lang"), col("source"))
   }
 
+  // ---------------------------------------------------------------- q74
+  /** BPE merge-candidate mining — the inner statistic of tokenizer vocab
+    * induction: global frequency of adjacent character pairs inside
+    * words, top 30 (the pair a BPE trainer would merge first, plus the
+    * next 29). Two explodes (word, then in-word pair) feeding one
+    * count — the same map-side-partial word-skew shape as q43; at
+    * corpus scale the pair alphabet is tiny (≤ chars²), so the final
+    * aggregation state is bounded regardless of input size. */
+  def q74BpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(explode_outer(split(col("text"), " ")).as("w"))
+      .filter(col("w").isNotNull && length(col("w")) >= 2)
+      .select(explode_outer(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .filter(col("pair").isNotNull)
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(30)
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q42_text_stats" -> q42TextStats,
     "q43_word_count" -> q43WordCount,
@@ -181,6 +203,7 @@ object TextAnalysis {
     "q45_lang_id" -> q45LangId,
     "q46_fingerprint" -> q46Fingerprint,
     "q68_pipeline_prep" -> q68PipelinePrep,
+    "q74_bpe_merges" -> q74BpeMerges,
   )
 
   /** q45/q46 are hash/model-dependent ⇒ rows-only. */
@@ -237,5 +260,15 @@ object TextAnalysis {
       WHERE n_words >= 5 AND CAST(n_uniq AS DOUBLE) / n_words >= 0.6
       GROUP BY lang, source
       ORDER BY lang, source""",
+    "q74_bpe_merges" -> """
+      SELECT pair, count(1) AS n
+      FROM (
+        SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+          i -> substring(w, i, 2))) AS pair
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE len(w) >= 2) p
+      GROUP BY pair
+      ORDER BY n DESC, pair
+      LIMIT 30""",
   )
 }

@@ -90,6 +90,15 @@ class PlanSpec extends AnyFunSuite {
       "q05 dims should all broadcast, not sort-merge")
   }
 
+  test("q72 decontamination broadcasts the eval side, not the corpus") {
+    val plan = SparkEntry.queries("q72_contamination")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"q72:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "q72's shingle join must be map-side (broadcast eval), " +
+        "or the training corpus shuffles before aggregation")
+  }
+
   test("partial aggregation everywhere: q01 has a map-side partial") {
     val plan = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
       .queryExecution.executedPlan.toString
