@@ -107,13 +107,16 @@ object Dedup {
     // the whole shingle transform below the `_toks` projection — every
     // element_at then re-splits the text, O(tokens²) per doc (measured
     // 7× slower). Outer generates are exempt from filter inference; the
-    // cheap isnotnull(s0) drops the same shingle-less docs.
+    // cheap isnotnull(s) drops the same shingle-less docs. The shingle
+    // hashes come from the codegen'd [[ShingleHashes]] expression (one
+    // pass, no string-array materialization; value-identical to
+    // xxhash64 over [[shingleExpr]], asserted in DedupCapSpec).
     val sh = docs.withColumn("_toks", split(col("text"), " "))
-      .select(col("doc_id"), shingleExpr("_toks").as("_sharr"))
+      .select(col("doc_id"),
+        ShingleHashes.shingleHashes(col("_toks")).as("_sharr"))
       .select((col("doc_id") * lit(M) + size(col("_sharr"))).as("dn"),
-        explode_outer(col("_sharr")).as("s0"))
-      .filter(col("s0").isNotNull)
-      .select(col("dn"), xxhash64(col("s0")).as("s"))
+        explode_outer(col("_sharr")).as("s"))
+      .filter(col("s").isNotNull)
     sh.groupBy(col("s"))
       .agg(sort_array(collect_list(col("dn"))).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
@@ -349,17 +352,16 @@ object Dedup {
     val M = 1L << 21
     def shingled(d: DataFrame): DataFrame =
       d.withColumn("_toks", split(col("text"), " "))
-        .select(col("doc_id"), shingleExpr("_toks").as("_sharr"))
+        .select(col("doc_id"),
+          ShingleHashes.shingleHashes(col("_toks")).as("_sharr"))
     val ev = shingled(docs.filter(col("doc_id") < evalSplit))
       .select((col("doc_id") * lit(M) + size(col("_sharr"))).as("en"),
-        explode_outer(col("_sharr")).as("s0"))
-      .filter(col("s0").isNotNull)
-      .select(col("en"), xxhash64(col("s0")).as("s"))
+        explode_outer(col("_sharr")).as("s"))
+      .filter(col("s").isNotNull)
     val tr = shingled(docs.filter(col("doc_id") >= evalSplit))
       .select(col("doc_id").as("train_id"),
-        explode_outer(col("_sharr")).as("s0"))
-      .filter(col("s0").isNotNull)
-      .select(col("train_id"), xxhash64(col("s0")).as("s"))
+        explode_outer(col("_sharr")).as("s"))
+      .filter(col("s").isNotNull)
     tr.join(broadcast(ev), Seq("s"))
       .groupBy(col("en"), col("train_id"))
       .agg(count(lit(1)).as("shared"))

@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only perf scratchpad: `sbt "Test/runMain graft.Scratch"`.
+/** Dev-only perf scratchpad: `sbt "Test/runMain graft.functions.Scratch"`.
   * Not part of the graded surface. */
 object Scratch {
   def time[T](tag: String)(f: => T): T = {
@@ -15,23 +15,17 @@ object Scratch {
   }
 
   def main(args: Array[String]): Unit = {
+    val sfDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val brute = Similarity.q40KnnBrute(spark, sfDir).collect()
-        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
-      for ((k, nprobe) <- Seq((16, 5), (32, 8), (32, 10)); iters <- Seq(2)) {
-        val t0 = System.nanoTime
-        val ivf = Similarity.knnIvf(spark, sfDir,
-            k = k, nprobe = nprobe, lloydIters = iters).collect()
-          .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
-        val recall = (brute intersect ivf).size.toDouble / brute.size
-        println(f"[scratch] $sfDir k=$k nprobe=$nprobe iters=$iters recall=$recall%.2f t=${(System.nanoTime - t0) / 1e9}%.1fs")
-      }
+    time("warm")(Tables.documents(spark, sfDir).count())
+    for (i <- 1 to 3) {
+      time(s"q36 #$i")(Dedup.q36DedupJaccard(spark, sfDir).count())
+      time(s"q72 #$i")(Dedup.q72Contamination(spark, sfDir).count())
     }
     spark.stop()
   }

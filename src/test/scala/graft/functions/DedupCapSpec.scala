@@ -148,6 +148,21 @@ class DedupCapSpec extends AnyFunSuite {
       "full embedding must score containment 1.0")
   }
 
+  test("ShingleHashes expression == xxhash64 over the composable shingles") {
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = graft.Tables.documents(spark, sfDir)
+      val viaExpr = docs
+        .select(col("doc_id"), explode_outer(
+          ShingleHashes.shingleHashes(split(col("text"), " "))).as("s"))
+        .filter(col("s").isNotNull)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val composable = Dedup.docShingles(docs)
+        .select(col("doc_id"), xxhash64(col("s")).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaExpr == composable, s"$sfDir: shingle hash sets diverge")
+    }
+  }
+
   test("row-wise minhash signatures == exploded groupBy signatures") {
     for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val docs = graft.Tables.documents(spark, sfDir)
