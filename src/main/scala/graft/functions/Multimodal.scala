@@ -67,6 +67,36 @@ object Multimodal {
     }
   }
 
+  case class Resized(id: Long, format: String, orig_bytes: Long,
+      resized: Array[Byte], resized_bytes: Long)
+
+  /** STUB resize: a real build would decode, scale, re-encode; the
+    * deterministic fake keeps every 4th byte (stride decimation), so
+    * output size is exactly ceil(n/4) — byte accounting stays
+    * oracle-checkable while the blob transform itself is the stub. */
+  def resizeStub(media: Array[Byte], stride: Int = 4): Array[Byte] = {
+    val out = new Array[Byte]((media.length + stride - 1) / stride)
+    var i = 0
+    while (i < out.length) { out(i) = media(i * stride); i += 1 }
+    out
+  }
+
+  /** Batched resize — the blob-in/blob-out pipeline stage (thumbnailing,
+    * audio downsampling): mapPartitions batch shape, binary column out. */
+  def resize(spark: SparkSession, sfDir: String): Dataset[Resized] = {
+    import spark.implicits._
+    val media = mediaTable(spark, sfDir)
+      .select(col("id"), col("media"), col("meta.format").as("format"))
+      .as[MediaRow]
+    media.mapPartitions { rows =>
+      // per-partition codec init would go here
+      rows.map { r =>
+        val rz = resizeStub(r.media)
+        Resized(r.id, r.format, r.media.length.toLong, rz, rz.length.toLong)
+      }
+    }
+  }
+
   /** Frame sampling: one row per 64-byte "frame" (flatMap shape). */
   def sampleFrames(spark: SparkSession, sfDir: String): Dataset[Frame] = {
     import spark.implicits._
@@ -111,9 +141,27 @@ object Multimodal {
       .orderBy(col("id"))
   }
 
+  // ---------------------------------------------------------------- q75
+  /** Resize on the oracle surface: per-source byte accounting of the
+    * blob-in/blob-out stage — resized size is exactly ceil(n/4), so
+    * DuckDB reproduces the aggregate arithmetic; the blob contents are
+    * pinned by a unit test. */
+  def q75MultimodalResize(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mediaTable(spark, sfDir).select(col("id"), col("source"))
+    resize(spark, sfDir).toDF()
+      .join(src, Seq("id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_media"),
+        asLong(sum(col("orig_bytes"))).as("orig_total"),
+        asLong(sum(col("resized_bytes"))).as("resized_total"),
+        asLong(max(col("resized_bytes"))).as("max_resized"))
+      .orderBy(col("source"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q47_multimodal_inventory" -> q47MultimodalInventory,
     "q66_frame_sample" -> q66FrameSample,
+    "q75_multimodal_resize" -> q75MultimodalResize,
   )
 
   lazy val sql: Map[String, String] = Map(
@@ -139,5 +187,15 @@ object Multimodal {
       FROM frames
       GROUP BY id
       ORDER BY id""",
+    "q75_multimodal_resize" -> """
+      SELECT source, count(1) AS n_media,
+        CAST(sum(octet_length(encode(text))) AS BIGINT) AS orig_total,
+        CAST(sum((octet_length(encode(text)) + 3) // 4) AS BIGINT)
+          AS resized_total,
+        CAST(max((octet_length(encode(text)) + 3) // 4) AS BIGINT)
+          AS max_resized
+      FROM documents
+      GROUP BY source
+      ORDER BY source""",
   )
 }

@@ -159,6 +159,18 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: resize keeps every 4th byte, sizes exact") {
+    assert(Multimodal.resizeStub("abcdefghij".getBytes("UTF-8"))
+      .sameElements("aei".getBytes("UTF-8")))
+    val resized = Multimodal.resize(spark, sfDir).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      assert(r.resized_bytes == (r.orig_bytes + 3) / 4,
+        s"doc ${r.id}: resized=${r.resized_bytes} orig=${r.orig_bytes}")
+      assert(r.resized.length.toLong == r.resized_bytes)
+    }
+  }
+
   test("approx_percentile within 10% of exact percentile_cont") {
     val rows = graft.operators.RelationalQueries
       .q69ApproxPercentile(spark, sfDir).collect()
