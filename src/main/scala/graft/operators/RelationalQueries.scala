@@ -145,8 +145,9 @@ object RelationalQueries {
 
   // ---------------------------------------------------------------- q09
   /** Non-equi (range/theta) join: events banded by value against a tiny
-    * derived band table — BroadcastNestedLoop over a 5-row broadcast, the
-    * only sane physical shape for a band join at scale. */
+    * derived band table — BroadcastNestedLoop over a 5-row broadcast,
+    * fine while one side broadcasts; [[q76JoinRangeBanded]] is the
+    * equi-join rewrite for when neither side does. */
   def q09JoinRange(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.events(spark, sfDir)
     val bands = Tables.region(spark, sfDir)
@@ -154,6 +155,37 @@ object RelationalQueries {
         (col("r_regionkey") * 100).cast("double").as("lo"),
         ((col("r_regionkey") + 1) * 100).cast("double").as("hi"))
     e.join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+      .orderBy(col("band"))
+  }
+
+  // ---------------------------------------------------------------- q76
+  /** The SAME range join as q09, rewritten as a banded EQUI join — the
+    * shape that survives when neither side broadcasts: quantize the
+    * point side into fixed-width grid cells (map-only), explode each
+    * interval to the cells it overlaps, hash-join on the cell id, then
+    * re-check the exact range predicate. The nested loop (q09) is
+    * O(|points|·|intervals|); this is O(|points| + Σ cells(interval))
+    * hash work and shuffles on a first-class equi key — partitionable,
+    * AQE-skew-splittable, the standard range-join optimization. Grid
+    * width W trades duplication (wide intervals explode to hi−lo ⁄ W
+    * cells) against residual-filter selectivity; here W = the band
+    * width, so each interval is exactly one cell. Same oracle as q09. */
+  def q76JoinRangeBanded(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 100
+    val e = Tables.events(spark, sfDir)
+      .withColumn("cell", floor(col("value") / W).cast("long"))
+    val bands = Tables.region(spark, sfDir)
+      .select(col("r_name").as("band"),
+        (col("r_regionkey") * 100).cast("double").as("lo"),
+        ((col("r_regionkey") + 1) * 100).cast("double").as("hi"))
+      .select(col("band"), col("lo"), col("hi"), explode_outer(expr(
+        s"sequence(CAST(floor(lo / $W) AS BIGINT), CAST(ceil(hi / $W) AS BIGINT) - 1)"))
+        .as("cell"))
+      .filter(col("cell").isNotNull)
+    e.join(bands, Seq("cell"))
+      .filter(col("value") >= col("lo") && col("value") < col("hi"))
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
       .orderBy(col("band"))
@@ -429,6 +461,7 @@ object RelationalQueries {
     "q07_join_semi" -> q07JoinSemi,
     "q08_join_anti" -> q08JoinAnti,
     "q09_join_range" -> q09JoinRange,
+    "q76_join_range_banded" -> q76JoinRangeBanded,
     "q10_join_asof" -> q10AsOfJoin,
     "q11_agg_sweep" -> q11AggSweep,
     "q12_count_distinct" -> q12CountDistinct,
@@ -520,6 +553,17 @@ object RelationalQueries {
       WHERE NOT EXISTS (SELECT 1 FROM orders o
                         WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
       ORDER BY c_custkey""",
+    "q76_join_range_banded" -> """
+      SELECT band, count(1) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      JOIN (SELECT r_name AS band,
+                   CAST(r_regionkey * 100 AS DOUBLE) AS lo,
+                   CAST((r_regionkey + 1) * 100 AS DOUBLE) AS hi
+            FROM region) bands
+        ON value >= lo AND value < hi
+      GROUP BY band
+      ORDER BY band""",
     "q09_join_range" -> """
       SELECT band, count(1) AS n_events,
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
