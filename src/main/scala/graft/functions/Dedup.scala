@@ -347,18 +347,22 @@ object Dedup {
     * is a real shared-shingle observation), never quadratic. */
   val EvalSplit = 50L
 
-  def contaminationPairs(docs: DataFrame, minContain: Double = 0.5,
-      evalSplit: Long = EvalSplit): DataFrame = {
+  /** Two-frame form: `train` may be a STREAM (the decontamination-at-
+    * ingest shape — stream-static join against the broadcast eval
+    * shingles, aggregation per (eval, train) pair; StreamingSpec pins
+    * stream == batch). Unordered; the batch query adds the total order. */
+  def contaminationAgainst(train: DataFrame, eval: DataFrame,
+      minContain: Double = 0.5): DataFrame = {
     val M = 1L << 21
     def shingled(d: DataFrame): DataFrame =
       d.withColumn("_toks", split(col("text"), " "))
         .select(col("doc_id"),
           ShingleHashes.shingleHashes(col("_toks")).as("_sharr"))
-    val ev = shingled(docs.filter(col("doc_id") < evalSplit))
+    val ev = shingled(eval)
       .select((col("doc_id") * lit(M) + size(col("_sharr"))).as("en"),
         explode_outer(col("_sharr")).as("s"))
       .filter(col("s").isNotNull)
-    val tr = shingled(docs.filter(col("doc_id") >= evalSplit))
+    val tr = shingled(train)
       .select(col("doc_id").as("train_id"),
         explode_outer(col("_sharr")).as("s"))
       .filter(col("s").isNotNull)
@@ -370,8 +374,14 @@ object Dedup {
         (col("shared") * lit(1.0) / pmod(col("en"), lit(M)))
           .as("containment"))
       .filter(col("containment") >= minContain)
-      .orderBy(col("eval_id"), col("train_id"))
   }
+
+  def contaminationPairs(docs: DataFrame, minContain: Double = 0.5,
+      evalSplit: Long = EvalSplit): DataFrame =
+    contaminationAgainst(
+      docs.filter(col("doc_id") >= evalSplit),
+      docs.filter(col("doc_id") < evalSplit), minContain)
+      .orderBy(col("eval_id"), col("train_id"))
 
   def q72Contamination(spark: SparkSession, sfDir: String): DataFrame =
     contaminationPairs(Tables.documents(spark, sfDir))

@@ -353,6 +353,32 @@ class StreamingSpec extends AnyFunSuite {
       s"stream/batch selection diverged: ${streamed.size} vs ${batch.size}")
   }
 
+  test("streaming decontamination == batch (stream-static shingle join)") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sfDir)
+    val eval = docs.filter(col("doc_id") < 50)
+    val train = docs.filter(col("doc_id") >= 50)
+    val src = tmp("graft_decon")
+    train.coalesce(1).write.parquet(s"$src/f0")
+    val q = graft.functions.Dedup.contaminationAgainst(
+        spark.readStream.schema(docs.schema).parquet(s"$src/f*"), eval)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("decon_stream")
+      .option("checkpointLocation", tmp("graft_decon_ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("decon_stream").collect()
+      .map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("train_id"),
+        r.getAs[Long]("shared"))).toSet
+    val batch = graft.functions.Dedup.contaminationPairs(docs).collect()
+      .map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("train_id"),
+        r.getAs[Long]("shared"))).toSet
+    assert(streamed == batch && batch.nonEmpty,
+      s"stream/batch contamination diverged: $streamed vs $batch")
+  }
+
   test("streaming windowed aggregation to a durable parquet sink") {
     import org.apache.spark.sql.functions._
     val src = tmp("graft_fsink_src")
