@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.{FloatVecDot, FloatVecNorm, SimHash64}
+import graft.functions.{FloatVecDot, FloatVecNorm, MinHashSig, ShingleHashes, SimHash64, VecMeanFloat}
 
 /** Session-extension registration (the installable form of the engine's
   * Catalyst additions): the as-of join planner strategy and the native
@@ -38,5 +38,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash64(exprs.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSig(exprs.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleHashes(exprs.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_mean_float"),
+      new ExpressionInfo(classOf[VecMeanFloat].getName, "vec_mean_float"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecMeanFloat(exprs.head).toAggregateExpression()))
   }
 }

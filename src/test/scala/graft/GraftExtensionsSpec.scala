@@ -51,6 +51,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(perm == viaSql)
   }
 
+  test("shingle_hashes / minhash_sig / vec_mean_float callable from SQL") {
+    val sh = spark.sql(
+      "SELECT shingle_hashes(split('a b c d', ' ')) AS h")
+      .collect().head.getSeq[Long](0)
+    assert(sh.length == 2, s"expected 2 shingles, got $sh") // 'a b c','b c d'
+    val sig = spark.sql(
+      "SELECT minhash_sig(split('a b c d', ' ')) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == graft.functions.MinHashSig.H)
+    val mean = spark.sql("""
+      SELECT vec_mean_float(v) AS m FROM VALUES
+        (CAST(array(1.0, 3.0) AS ARRAY<FLOAT>)),
+        (CAST(array(3.0, 5.0) AS ARRAY<FLOAT>)) AS t(v)""")
+      .collect().head.getSeq[Float](0)
+    assert(mean == Seq(2.0f, 4.0f), s"got $mean")
+  }
+
   test("as-of strategy is installed by the extension") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100.0), (1L, 3L, 50.0)).toDF("k", "t", "v")
