@@ -195,13 +195,13 @@ object CubeManager {
     // Tolerant regex-based parse — configs are machine-written by
     // configToJson above, never hand-edited.
     def field(obj: String, key: String): Option[String] =
-      s""""$key":"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(obj)
+      s""""$key":\\s*"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(obj)
         .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
     def objects(arr: String): Seq[String] =
       """\{[^{}]*\}""".r.findAllIn(arr).toSeq
-    val dimsArr = """"dims":(\[.*?\]),"measures"""".r
+    val dimsArr = """(?s)"dims":\s*(\[.*?\]),\s*"measures"""".r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
-    val measArr = """"measures":(\[.*\])""".r
+    val measArr = """(?s)"measures":\s*(\[.*\])""".r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
     val dims = objects(dimsArr).map { o =>
       (field(o, "kind"), field(o, "id"), field(o, "path")) match {

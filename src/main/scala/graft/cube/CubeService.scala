@@ -41,6 +41,12 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     loaded
   }
 
+  /** The reference's wire shape: createCube from a JSON config message
+    * (same schema `CubeManager.save` persists — name/source/dims/
+    * measures). */
+  def createCube(configJson: String, source: DataFrame): Cube =
+    createCube(CubeManager.configFromJson(configJson), source)
+
   def loadCube(name: String): Cube =
     live.getOrElseUpdate(name, CubeManager.load(spark, storageDir, name))
 

@@ -31,6 +31,19 @@ class CubeServiceSpec extends AnyFunSuite {
   }
   private val t0 = new Timestamp(1700000000000L)
 
+  test("createCube accepts the JSON wire shape") {
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_json").toString)
+    val json = """{"name":"wire","source":"events",
+      "dims":[{"kind":"field","id":"etype","path":"event_type"}],
+      "measures":[{"id":"v","path":"value"}]}"""
+    svc.createCube(json, df(Seq(("click", t0, 3.0), ("click", t0, 4.0))))
+    assert(svc.listCubes().contains("wire"))
+    val agg = svc.getAggregates("wire", Seq("etype"), sumOf = Seq("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(agg == Map("click" -> 7.0))
+  }
+
   test("verb-for-verb lifecycle") {
     val svc = new CubeService(spark,
       Files.createTempDirectory("graft_svc").toString)
