@@ -1,11 +1,13 @@
 package graft.functions
 
 import graft.Tables
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev-only perf scratchpad: `sbt "Test/runMain graft.functions.Scratch"`.
-  * Not part of the graded surface. */
+  * Not part of the graded surface. Current probe: 10× scale-up of the
+  * dedup/sampling hot paths by unioning sf0.1 documents with shifted
+  * doc_ids — checks runtime grows ~linearly (no hidden quadratic). */
 object Scratch {
   def time[T](tag: String)(f: => T): T = {
     val t0 = System.nanoTime
@@ -17,15 +19,29 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    time("warm")(Tables.documents(spark, sfDir).count())
-    for (i <- 1 to 3) {
-      time(s"q36 #$i")(Dedup.q36DedupJaccard(spark, sfDir).count())
-      time(s"q72 #$i")(Dedup.q72Contamination(spark, sfDir).count())
+    val docs = Tables.documents(spark, sfDir)
+    // 10 shifted copies: same text distribution, distinct doc ids ⇒ the
+    // dup-cluster sizes grow 10× (each text now appears ~10× as often),
+    // the honest worst direction for pair expansion
+    def at(k: Int): DataFrame = {
+      val copies = (0 until k).map(i =>
+        docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars")))
+      copies.reduce(_ unionByName _)
+    }
+    for (k <- Seq(1, 3, 10)) {
+      val d = at(k)
+      time(s"x$k count")(d.count())
+      time(s"x$k q36 jaccard")(Dedup.jaccardPairs(d).count())
+      time(s"x$k q37 minhash")(Dedup.minHashPairs(d).count())
+      time(s"x$k q38 simhash")(Dedup.simHashPairs(d).count())
+      time(s"x$k q72 contamination")(Dedup.contaminationPairs(d).count())
+      time(s"x$k q70 sample")(Sampling.stratifiedKeep(spark, d).count())
     }
     spark.stop()
   }
