@@ -34,14 +34,20 @@ object Scratch {
           col("text"), col("lang"), col("source"), col("n_chars")))
       copies.reduce(_ unionByName _)
     }
+    val em = Tables.embeddings(spark, sfDir)
+    def emAt(k: Int): DataFrame =
+      (0 until k).map(i =>
+        em.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding")))
+        .reduce(_ unionByName _)
     for (k <- Seq(1, 3, 10)) {
       val d = at(k)
       time(s"x$k count")(d.count())
-      time(s"x$k q36 jaccard")(Dedup.jaccardPairs(d).count())
       time(s"x$k q37 minhash")(Dedup.minHashPairs(d).count())
       time(s"x$k q38 simhash")(Dedup.simHashPairs(d).count())
       time(s"x$k q72 contamination")(Dedup.contaminationPairs(d).count())
       time(s"x$k q70 sample")(Sampling.stratifiedKeep(spark, d).count())
+      time(s"x$k q67 emb lsh")(Dedup.embeddingLshPairs(emAt(k)).count())
     }
     spark.stop()
   }
