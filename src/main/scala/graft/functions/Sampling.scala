@@ -114,10 +114,51 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------- q77
+  /** The full training-data prep pipeline composed END-TO-END in one
+    * Catalyst plan — every stage one of the library's graded operators:
+    *   1. exact dedup (keep lowest doc_id per identical text),
+    *   2. quality gate (≥5 words, distinct-word ratio ≥ 0.6),
+    *   3. stratified sample (per-lang deterministic rates — q70's gate),
+    *   4. sequence packing (512-token bins per lang — q71's cumsum),
+    *   5. per-(lang, bin) epoch stats.
+    * Composing stays one plan: window → filter → filter → window →
+    * aggregate, so Catalyst pipelines the quality/sample filters into
+    * one pass and reuses the lang partitioning between the pack window
+    * and the final group-by (the executed plan shows exactly one
+    * hashpartitioning(text), one hashpartitioning(lang), the rate-dim
+    * broadcast, and an output-sized sort exchange) — the composition
+    * adds NO corpus shuffle over running the stages separately, which
+    * is the point of declarative pipelines. */
+  def q77PipelineFull(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 512
+    val dedupW = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    val packW = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rateDim = rates.toDF("lang", "rate_pm")
+    Tables.documents(spark, sfDir)
+      .withColumn("rn", row_number().over(dedupW)).filter(col("rn") === 1)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .filter(col("n_toks") >= 5 &&
+        size(array_distinct(col("toks"))).cast("double") / col("n_toks") >= 0.6)
+      .join(broadcast(rateDim), Seq("lang"))
+      .filter(pmod(col("doc_id") * lit(2654435761L), lit(1000)) < col("rate_pm"))
+      .withColumn("prev", coalesce(sum(col("n_toks")).over(packW), lit(0L)))
+      .withColumn("bin", expr(s"prev div $budget"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        asLong(sum(col("n_toks"))).as("bin_tokens"),
+        asLong(min(col("doc_id"))).as("first_doc"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q70_stratified_sample" -> q70StratifiedSample,
     "q71_sequence_pack" -> q71SequencePack,
     "q73_dataset_mix" -> q73DatasetMix,
+    "q77_pipeline_full" -> q77PipelineFull,
   )
 
   lazy val sql: Map[String, String] = Map(
@@ -168,5 +209,37 @@ object Sampling {
       WHERE rk <= quota
       GROUP BY source
       ORDER BY source""",
+    "q77_pipeline_full" -> """
+      WITH dd AS (
+        SELECT lang, doc_id, text FROM (
+          SELECT lang, doc_id, text,
+            row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM documents) t
+        WHERE rn = 1),
+      gated AS (
+        SELECT lang, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        FROM dd
+        WHERE len(string_split(text, ' ')) >= 5
+          AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) >= 0.6),
+      sampled AS (
+        SELECT g.lang, g.doc_id, g.n_toks
+        FROM gated g
+        JOIN (VALUES ('en', 500), ('de', 300), ('es', 300),
+                     ('fr', 200), ('zh', 200)) r(lang, rate_pm)
+          ON g.lang = r.lang
+        WHERE (g.doc_id * 2654435761) % 1000 < r.rate_pm),
+      packed AS (
+        SELECT lang, doc_id, n_toks,
+          coalesce(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        FROM sampled)
+      SELECT lang, CAST(prev // 512 AS BIGINT) AS bin, count(1) AS n_docs,
+        CAST(sum(n_toks) AS BIGINT) AS bin_tokens,
+        CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM packed
+      GROUP BY lang, CAST(prev // 512 AS BIGINT)
+      ORDER BY lang, bin""",
   )
 }

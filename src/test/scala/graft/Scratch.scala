@@ -17,6 +17,17 @@ object Scratch {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("plan")) {
+      val s2 = SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s2.sparkContext.setLogLevel("ERROR")
+      val plan = Sampling.q77PipelineFull(s2, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      println("[scratch] exchanges: " +
+        "Exchange ".r.findAllIn(plan).size + "\n" + plan.linesIterator
+          .filter(_.contains("Exchange")).mkString("\n"))
+      s2.stop(); return
+    }
     val sfDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "8")
