@@ -451,8 +451,45 @@ object RelationalQueries {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  // ---------------------------------------------------------------- q78
+  /** Pivot (wide aggregation): per-user event-type value sums as
+    * columns. `groupBy(...).pivot(types, ...)` with an EXPLICIT value
+    * list — at scale never use the value-discovering overload (it runs
+    * a distinct scan before planning); with pinned values the pivot is
+    * one ordinary partial+final hash aggregate producing
+    * sum(CASE WHEN …) columns. */
+  def q78Pivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    e.groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase"))
+      .agg(moneySum(col("value")))
+      .select(col("user_id"),
+        coalesce(col("click"), lit(0.0)).as("click_sum"),
+        coalesce(col("view"), lit(0.0)).as("view_sum"),
+        coalesce(col("purchase"), lit(0.0)).as("purchase_sum"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---------------------------------------------------------------- q79
+  /** Distribution window functions: ntile quartiles, percent_rank,
+    * cume_dist over account balance per market segment. */
+  def q79WindowDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.customer(spark, sfDir)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    c.select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .filter(col("c_custkey") % 10 === 0)
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
+    "q78_pivot" -> q78Pivot,
+    "q79_window_distribution" -> q79WindowDistribution,
     "q02_filter_project" -> q02FilterProject,
     "q03_filter_compound" -> q03FilterCompound,
     "q04_join_inner" -> q04JoinInner,
@@ -701,6 +738,30 @@ object RelationalQueries {
         CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS age_days
       FROM orders
       ORDER BY o_orderkey""",
+    "q78_pivot" -> """
+      SELECT user_id,
+        coalesce(CAST(sum(CASE WHEN event_type = 'click'
+          THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS click_sum,
+        coalesce(CAST(sum(CASE WHEN event_type = 'view'
+          THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS view_sum,
+        coalesce(CAST(sum(CASE WHEN event_type = 'purchase'
+          THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS purchase_sum
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
+    "q79_window_distribution" -> """
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+        CAST(quartile AS INTEGER) AS quartile, pct_rank, cume
+      FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+          ntile(4) OVER w AS quartile,
+          percent_rank() OVER w AS pct_rank,
+          cume_dist() OVER w AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal, c_custkey)) t
+      WHERE c_custkey % 10 = 0
+      ORDER BY c_mktsegment, c_custkey""",
     "q26_math_fns" -> """
       SELECT l_orderkey, l_linenumber,
         round(l_extendedprice, 1) AS rounded,
