@@ -154,11 +154,37 @@ object Sampling {
       .orderBy(col("lang"), col("bin"))
   }
 
+  // ---------------------------------------------------------------- q81
+  /** Per-domain cap (RefinedWeb-style anti-bias stage): keep at most
+    * `CapK` docs per source, preferring the longest (n_chars desc,
+    * doc_id asc). Computed with the bounded `TopKByValue`
+    * TypedImperativeAggregate, so the shuffle carries ≤ k rows per
+    * domain regardless of corpus size — the window-rank form (which the
+    * oracle uses) would sort every domain's full row set first. The
+    * per-source stats are then higher-order-function folds over the ≤ k
+    * element array: ONE corpus shuffle total. */
+  private val CapK = 20
+
+  def q81DomainCap(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TopKAggregate.topK
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(topK(col("n_chars").cast("double"), col("doc_id"), CapK).as("top"))
+      .select(col("source"),
+        asLong(size(col("top"))).as("n_kept"),
+        expr("aggregate(top, CAST(0 AS BIGINT), (a, t) -> a + CAST(t.value AS BIGINT))")
+          .as("kept_chars"),
+        expr("array_min(transform(top, t -> t.id))").as("first_doc"),
+        expr("array_max(transform(top, t -> t.id))").as("last_doc"))
+      .orderBy(col("source"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q70_stratified_sample" -> q70StratifiedSample,
     "q71_sequence_pack" -> q71SequencePack,
     "q73_dataset_mix" -> q73DatasetMix,
     "q77_pipeline_full" -> q77PipelineFull,
+    "q81_domain_cap" -> q81DomainCap,
   )
 
   lazy val sql: Map[String, String] = Map(
@@ -241,5 +267,19 @@ object Sampling {
       FROM packed
       GROUP BY lang, CAST(prev // 512 AS BIGINT)
       ORDER BY lang, bin""",
+    "q81_domain_cap" -> """
+      WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+          row_number() OVER (PARTITION BY source
+                             ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents)
+      SELECT source, count(1) AS n_kept,
+        CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+        CAST(min(doc_id) AS BIGINT) AS first_doc,
+        CAST(max(doc_id) AS BIGINT) AS last_doc
+      FROM ranked
+      WHERE rk <= 20
+      GROUP BY source
+      ORDER BY source""",
   )
 }

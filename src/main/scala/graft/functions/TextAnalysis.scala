@@ -196,6 +196,72 @@ object TextAnalysis {
       .limit(30)
   }
 
+  // ---------------------------------------------------------------- q80
+  /** Within-document repetition signals — the Gopher-style repetition
+    * quality filters: duplicate-token fraction, most-frequent-token
+    * fraction, duplicate word-bigram fraction, and the keep/drop flag a
+    * pipeline would gate on. Pure per-row expression work (map-only, no
+    * shuffle at any corpus size; the ORDER BY is the graded output's,
+    * not the operator's). The top-token count is O(u·n) per doc in
+    * higher-order functions — fine for web-scale docs (kTokens); the
+    * degenerate giant-doc case is what the n_chars gate upstream caps. */
+  def q80RepetitionFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .withColumn("u", size(array_distinct(col("toks"))))
+      .withColumn("topc", expr(
+        "array_max(transform(array_distinct(toks), x -> size(filter(toks, y -> y = x))))"))
+      // guard: sequence(1, 0) is DESCENDING in Spark but empty in
+      // DuckDB — greatest(n-1, 1) + the n>=2 CASE keeps both engines on
+      // the same arithmetic for one-token docs
+      .withColumn("bigrams", expr(
+        """transform(sequence(1, greatest(size(toks) - 1, 1)),
+           i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"""))
+      .withColumn("nb", size(col("bigrams")))
+      .withColumn("ub", size(array_distinct(col("bigrams"))))
+      .withColumn("dup_bigram_frac",
+        when(col("n") >= 2,
+          (col("nb") - col("ub")).cast("double") / col("nb"))
+        .otherwise(lit(0.0)))
+    d.select(col("doc_id"),
+        asLong(col("n")).as("n_words"),
+        ((col("n") - col("u")).cast("double") / col("n")).as("dup_tok_frac"),
+        (col("topc").cast("double") / col("n")).as("top_tok_frac"),
+        col("dup_bigram_frac"),
+        (col("topc").cast("double") / col("n") > 0.12 ||
+          col("dup_bigram_frac") > 0.10).as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q82
+  /** PII redaction — the scrub stage every training pipeline runs before
+    * tokenization. The corpus is synthetic word soup with no PII, so the
+    * query first APPENDS a deterministic contact line derived from
+    * doc_id (same arithmetic in the oracle), then redacts emails and
+    * phone numbers with anchored regexes and proves byte-exact
+    * equivalence via md5 of the redacted text. Map-only: a per-row
+    * transform with zero shuffles at any corpus size, and the regexes
+    * are RE2-compatible so the semantics port across engines. */
+  def q82PiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\+1-555-[0-9]{4}"
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("raw", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .withColumn("red", regexp_replace(
+        regexp_replace(col("raw"), email, "<EMAIL>"), phone, "<PHONE>"))
+    d.select(col("doc_id"),
+        asLong(regexp_count(col("raw"), lit(email))).as("n_emails"),
+        asLong(regexp_count(col("raw"), lit(phone))).as("n_phones"),
+        asLong(length(col("raw"))).as("chars_raw"),
+        asLong(length(col("red"))).as("chars_red"),
+        md5(col("red")).as("digest"))
+      .orderBy(col("doc_id"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q42_text_stats" -> q42TextStats,
     "q43_word_count" -> q43WordCount,
@@ -204,6 +270,8 @@ object TextAnalysis {
     "q46_fingerprint" -> q46Fingerprint,
     "q68_pipeline_prep" -> q68PipelinePrep,
     "q74_bpe_merges" -> q74BpeMerges,
+    "q80_repetition_filter" -> q80RepetitionFilter,
+    "q82_pii_redact" -> q82PiiRedact,
   )
 
   /** q45/q46 are hash/model-dependent ⇒ rows-only. */
@@ -270,5 +338,54 @@ object TextAnalysis {
       GROUP BY pair
       ORDER BY n DESC, pair
       LIMIT 30""",
+    "q80_repetition_filter" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s AS (
+        SELECT doc_id, len(toks) AS n,
+          len(list_distinct(toks)) AS u,
+          list_max(list_transform(list_distinct(toks),
+            x -> len(list_filter(toks, y -> y = x)))) AS topc,
+          CASE WHEN len(toks) >= 2 THEN
+            len(list_transform(generate_series(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i + 1])) ELSE 1 END AS nb,
+          CASE WHEN len(toks) >= 2 THEN
+            len(list_distinct(list_transform(generate_series(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i + 1]))) ELSE 1 END AS ub
+        FROM t)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+        CAST(n - u AS DOUBLE) / n AS dup_tok_frac,
+        CAST(topc AS DOUBLE) / n AS top_tok_frac,
+        CASE WHEN n >= 2 THEN CAST(nb - ub AS DOUBLE) / nb
+             ELSE 0.0 END AS dup_bigram_frac,
+        (CAST(topc AS DOUBLE) / n > 0.12 OR
+         (CASE WHEN n >= 2 THEN CAST(nb - ub AS DOUBLE) / nb
+               ELSE 0.0 END) > 0.10) AS repetitive
+      FROM s
+      ORDER BY doc_id""",
+    "q82_pii_redact" -> """
+      WITH r AS (
+        SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@mail.example call +1-555-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        FROM documents),
+      red AS (
+        SELECT doc_id, raw,
+          regexp_replace(
+            regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+              '<EMAIL>', 'g'),
+            '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS red
+        FROM r)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(raw,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) AS BIGINT)
+          AS n_phones,
+        CAST(len(raw) AS BIGINT) AS chars_raw,
+        CAST(len(red) AS BIGINT) AS chars_red,
+        md5(red) AS digest
+      FROM red
+      ORDER BY doc_id""",
   )
 }
