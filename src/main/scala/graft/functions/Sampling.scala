@@ -179,12 +179,47 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------- q84
+  /** Exact-size global sample (exactly K docs corpus-wide) by THRESHOLD
+    * SELECTION — the sort-free scale path q73's doc promises: ranking by
+    * a uniform hash means the K-th smallest hash sits near K/n of the
+    * hash range, so pass 1 takes an exact count, pass 2 filters to
+    * `hash < t` with an analytic 2× slack threshold (expected candidate
+    * set ≈ 2K, never the corpus), and only that candidate set is ranked
+    * exactly. The semantic — global top-K by (hash, doc_id) — is what
+    * the oracle states; the global sort the naive form needs over the
+    * whole corpus happens here over O(K) rows. Selection is summarized
+    * per source so the oracle pins the exact membership. */
+  private val SampleK = 300
+
+  def q84ThresholdSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(1000000L)))
+    val n = docs.count()
+    // uniform hash ⇒ K-th smallest ≈ K/n · 10^6; 2× slack + 1000
+    // absolute margin makes a short candidate set a near-certainty on
+    // any real corpus (binomial sd ≪ slack) — and the exact rank below
+    // keeps the OUTPUT correct regardless of where t lands
+    val t = math.min(1000000L, 2L * SampleK * 1000000L / math.max(n, 1L) + 1000L)
+    val w = Window.orderBy(col("h"), col("doc_id"))
+    docs.filter(col("h") < t)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SampleK)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sel"),
+        asLong(sum(col("n_chars"))).as("sel_chars"),
+        asLong(min(col("doc_id"))).as("first_doc"),
+        asLong(max(col("doc_id"))).as("last_doc"))
+      .orderBy(col("source"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q70_stratified_sample" -> q70StratifiedSample,
     "q71_sequence_pack" -> q71SequencePack,
     "q73_dataset_mix" -> q73DatasetMix,
     "q77_pipeline_full" -> q77PipelineFull,
     "q81_domain_cap" -> q81DomainCap,
+    "q84_threshold_sample" -> q84ThresholdSample,
   )
 
   lazy val sql: Map[String, String] = Map(
@@ -279,6 +314,20 @@ object Sampling {
         CAST(max(doc_id) AS BIGINT) AS last_doc
       FROM ranked
       WHERE rk <= 20
+      GROUP BY source
+      ORDER BY source""",
+    "q84_threshold_sample" -> """
+      WITH r AS (
+        SELECT source, doc_id, n_chars,
+          row_number() OVER (
+            ORDER BY (doc_id * 2654435761) % 1000000, doc_id) AS rk
+        FROM documents)
+      SELECT source, count(1) AS n_sel,
+        CAST(sum(n_chars) AS BIGINT) AS sel_chars,
+        CAST(min(doc_id) AS BIGINT) AS first_doc,
+        CAST(max(doc_id) AS BIGINT) AS last_doc
+      FROM r
+      WHERE rk <= 300
       GROUP BY source
       ORDER BY source""",
   )

@@ -221,10 +221,61 @@ object Similarity {
       })
   }
 
+  // ---------------------------------------------------------------- q83
+  /** Int8 scalar quantization of the embedding column — the storage/
+    * bandwidth path for ANN at 100 TB (4 bytes/dim → 1): per-dimension
+    * min/max over the corpus, each float mapped to its 256-bin code,
+    * reconstruction error reported per vector.
+    *
+    * Scale shape: pass 1 is posexplode → groupBy(dim) with map-side
+    * partials, so the shuffle is |dims| × partitions rows — independent
+    * of corpus size; the 64-row stats table is collapsed to ONE row
+    * (sorted struct array) and broadcast; pass 2 is map-only encode.
+    * All arithmetic is double on exactly-representable float32 inputs
+    * and the per-vector folds are index-ordered, so outputs are
+    * bit-identical cross-engine (code sums are exact BIGINTs). */
+  def q83VecQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val em = Tables.embeddings(spark, sfDir)
+    val dims = em
+      .select(posexplode(col("embedding")).as(Seq("i0", "f")))
+      .select((col("i0") + 1).as("i"), col("f").cast("double").as("v"))
+      .groupBy(col("i"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .agg(sort_array(collect_list(struct(col("i"), col("mn"), col("mx"))))
+        .as("dims"))
+    em.crossJoin(broadcast(dims))
+      .withColumn("codes", expr("""
+        transform(sequence(1, size(embedding)), i ->
+          CASE WHEN element_at(dims, i).mx > element_at(dims, i).mn THEN
+            CAST(least(floor(
+              (CAST(element_at(embedding, i) AS DOUBLE) - element_at(dims, i).mn)
+              / (element_at(dims, i).mx - element_at(dims, i).mn) * 256), 255)
+              AS BIGINT)
+          ELSE CAST(0 AS BIGINT) END)"""))
+      .withColumn("errs", expr("""
+        transform(sequence(1, size(embedding)), i ->
+          CASE WHEN element_at(dims, i).mx > element_at(dims, i).mn THEN
+            abs(CAST(element_at(embedding, i) AS DOUBLE)
+              - (element_at(dims, i).mn
+                 + (CAST(element_at(codes, i) AS DOUBLE) + 0.5) / 256
+                   * (element_at(dims, i).mx - element_at(dims, i).mn)))
+          ELSE CAST(0 AS DOUBLE) END)"""))
+      .select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        expr("aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a + c)")
+          .as("code_sum"),
+        expr("array_min(codes)").as("code_min"),
+        expr("array_max(codes)").as("code_max"),
+        expr("array_max(errs)").as("max_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q40_knn_brute" -> q40KnnBrute,
     "q41_knn_lsh" -> q41KnnLsh,
     "q51_knn_ivf" -> q51KnnIvf,
+    "q83_vec_quantize" -> q83VecQuantize,
   )
 
   /** q41 is approximate by construction ⇒ rows-only. */
@@ -250,5 +301,33 @@ object Similarity {
         FROM scored) t
       WHERE rank <= 5
       ORDER BY query_id, rank""",
+    "q83_vec_quantize" -> """
+      WITH x AS (
+        SELECT vec_id, label, len(embedding) AS nd,
+          unnest(generate_series(1, len(embedding))) AS i,
+          CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      s AS (SELECT i, min(v) AS mn, max(v) AS mx FROM x GROUP BY i),
+      c AS (
+        SELECT x.vec_id, x.label, x.nd,
+          CASE WHEN s.mx > s.mn THEN
+            CAST(least(floor((x.v - s.mn) / (s.mx - s.mn) * 256), 255)
+              AS BIGINT)
+          ELSE CAST(0 AS BIGINT) END AS code,
+          CASE WHEN s.mx > s.mn THEN
+            abs(x.v - (s.mn +
+              (CAST(CAST(least(floor((x.v - s.mn) / (s.mx - s.mn) * 256), 255)
+                AS BIGINT) AS DOUBLE) + 0.5) / 256 * (s.mx - s.mn)))
+          ELSE 0.0 END AS err
+        FROM x JOIN s USING (i))
+      SELECT vec_id, CAST(any_value(label) AS BIGINT) AS label,
+        CAST(any_value(nd) AS BIGINT) AS n_dims,
+        CAST(sum(code) AS BIGINT) AS code_sum,
+        CAST(min(code) AS BIGINT) AS code_min,
+        CAST(max(code) AS BIGINT) AS code_max,
+        max(err) AS max_abs_err
+      FROM c
+      GROUP BY vec_id
+      ORDER BY vec_id""",
   )
 }

@@ -38,7 +38,8 @@ class PlanSpec extends AnyFunSuite {
     "q40_knn_brute",         // brute-force baseline (scale paths: q41/q51)
     "q51_knn_ivf",           // crossJoin vs <=16 broadcast centroids
     "q10_join_asof",         // window-rewrite as-of: range condition
-    "q53_asof_native")       // native as-of operator (merge, not NLJ)
+    "q53_asof_native",       // native as-of operator (merge, not NLJ)
+    "q83_vec_quantize")      // crossJoin vs ONE broadcast stats row
 
   test("no unjustified cartesian or nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
