@@ -205,8 +205,16 @@ object TextAnalysis {
     * not the operator's). The top-token count is O(u·n) per doc in
     * higher-order functions — fine for web-scale docs (kTokens); the
     * degenerate giant-doc case is what the n_chars gate upstream caps. */
-  def q80RepetitionFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
+  def q80RepetitionFilter(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionSignals(Tables.documents(spark, sfDir))
+      .drop("text").orderBy(col("doc_id"))
+
+  /** The signal stage alone — stateless and map-only, so it runs
+    * unchanged on a streaming `docs` frame (append mode, no watermark);
+    * StreamingSpec pins stream == batch. Keeps `text` so downstream
+    * stages (the PII scrub, packing) compose without a re-join. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val d = docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n", size(col("toks")))
       .withColumn("u", size(array_distinct(col("toks"))))
@@ -224,14 +232,13 @@ object TextAnalysis {
         when(col("n") >= 2,
           (col("nb") - col("ub")).cast("double") / col("nb"))
         .otherwise(lit(0.0)))
-    d.select(col("doc_id"),
+    d.select(col("doc_id"), col("text"),
         asLong(col("n")).as("n_words"),
         ((col("n") - col("u")).cast("double") / col("n")).as("dup_tok_frac"),
         (col("topc").cast("double") / col("n")).as("top_tok_frac"),
         col("dup_bigram_frac"),
         (col("topc").cast("double") / col("n") > 0.12 ||
           col("dup_bigram_frac") > 0.10).as("repetitive"))
-      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------- q82
@@ -243,10 +250,15 @@ object TextAnalysis {
     * equivalence via md5 of the redacted text. Map-only: a per-row
     * transform with zero shuffles at any corpus size, and the regexes
     * are RE2-compatible so the semantics port across engines. */
-  def q82PiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+  def q82PiiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    redactPii(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
+
+  /** The scrub stage alone — stateless and map-only (streams unchanged;
+    * StreamingSpec pins stream == batch). */
+  def redactPii(docs: DataFrame): DataFrame = {
     val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val phone = "\\+1-555-[0-9]{4}"
-    val d = Tables.documents(spark, sfDir)
+    val d = docs
       .withColumn("raw", concat(col("text"),
         lit(" contact user"), col("doc_id").cast("string"),
         lit("@mail.example call +1-555-"),
@@ -259,7 +271,33 @@ object TextAnalysis {
         asLong(length(col("raw"))).as("chars_raw"),
         asLong(length(col("red"))).as("chars_red"),
         md5(col("red")).as("digest"))
-      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q85
+  /** Exact-substring duplication detector (the Lee et al. "Deduplicating
+    * Training Data" statistic): word 8-gram spans shared by ≥ 2
+    * documents, with document frequency and total occurrence counts —
+    * the spans an exact-substring deduper would cut. One explode + one
+    * aggregation: the classic map-side-partial word-skew shape. The
+    * group key here is the raw gram STRING so the DuckDB oracle can
+    * reproduce it; at 100 TB you key on xxhash64(gram) (the
+    * `shingle_hashes` expression) and shuffle fixed-width longs —
+    * identical plan, ~10× less shuffle volume. */
+  def q85SubstringDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = 8
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= g)
+      .select(col("doc_id"), explode_outer(expr(
+        s"transform(sequence(1, size(toks) - ${g - 1}), i -> concat_ws(' ', slice(toks, i, $g)))"))
+        .as("gram"))
+      .filter(col("gram").isNotNull)
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("occurrences"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("occurrences").desc, col("gram"))
+      .limit(20)
   }
 
   lazy val defs: Map[String, Q] = Map(
@@ -272,6 +310,7 @@ object TextAnalysis {
     "q74_bpe_merges" -> q74BpeMerges,
     "q80_repetition_filter" -> q80RepetitionFilter,
     "q82_pii_redact" -> q82PiiRedact,
+    "q85_substring_dup" -> q85SubstringDup,
   )
 
   /** q45/q46 are hash/model-dependent ⇒ rows-only. */
@@ -387,5 +426,19 @@ object TextAnalysis {
         md5(red) AS digest
       FROM red
       ORDER BY doc_id""",
+    "q85_substring_dup" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(toks) - 7),
+            i -> array_to_string(toks[i:i+7], ' '))) AS gram
+        FROM t WHERE len(toks) >= 8)
+      SELECT gram, count(DISTINCT doc_id) AS df, count(1) AS occurrences
+      FROM g
+      GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2
+      ORDER BY df DESC, occurrences DESC, gram
+      LIMIT 20""",
   )
 }

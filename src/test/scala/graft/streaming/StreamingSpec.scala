@@ -353,6 +353,34 @@ class StreamingSpec extends AnyFunSuite {
       s"stream/batch selection diverged: ${streamed.size} vs ${batch.size}")
   }
 
+  test("streaming repetition + PII scrub == batch (stateless map-only)") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sfDir)
+    val src = tmp("graft_scrub")
+    docs.coalesce(1).write.parquet(s"$src/f0")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$src/f*")
+    val q = graft.functions.TextAnalysis.redactPii(
+        graft.functions.TextAnalysis.repetitionSignals(stream)
+          .filter(!col("repetitive")))
+      .select("doc_id", "digest")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scrub_stream")
+      .option("checkpointLocation", tmp("graft_scrub_ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("scrub_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.functions.TextAnalysis.redactPii(
+        graft.functions.TextAnalysis.repetitionSignals(docs)
+          .filter(!col("repetitive")))
+      .select("doc_id", "digest").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch && batch.nonEmpty,
+      s"stream/batch scrub diverged: ${streamed.size} vs ${batch.size}")
+  }
+
   test("streaming decontamination == batch (stream-static shingle join)") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"
