@@ -213,6 +213,65 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------- q86
+  /** Training-shard EXPORT — the sink end of the pipeline: assign each
+    * doc a deterministic shard (hash mod 4), write
+    * `partitionBy(lang, shard)` parquet, then read the export back and
+    * inventory it. The query's output comes from the ROUND-TRIPPED
+    * files, so the oracle (computed from the source table) proves the
+    * write-read cycle is lossless, partition values included.
+    *
+    * Scale notes: `repartition(lang, shard)` before the write gives one
+    * task per output directory — the standard fix for the small-files
+    * problem (without it every input task writes to every dir:
+    * tasks × dirs files). Reading back, the partition columns come from
+    * directory names (no data read), and the aggregation prunes to
+    * column stats. */
+  def q86ShardExport(spark: SparkSession, sfDir: String): DataFrame = {
+    val shards = 4
+    val out = s"${sys.props("java.io.tmpdir")}/graft_shard_export_" +
+      sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    Tables.documents(spark, sfDir)
+      .withColumn("shard", pmod(col("doc_id") * lit(2654435761L), lit(shards)))
+      .repartition(col("lang"), col("shard"))
+      .write.mode("overwrite").partitionBy("lang", "shard").parquet(out)
+    spark.read.parquet(out)
+      .groupBy(col("lang"), col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        asLong(sum(col("n_chars"))).as("shard_chars"),
+        asLong(min(col("doc_id"))).as("first_doc"))
+      .orderBy(col("lang"), col("shard"))
+  }
+
+  // ---------------------------------------------------------------- q87
+  /** Temperature-scaled mixture quotas (the multilingual upsampling
+    * rule): per-source target ∝ n_docs^τ with τ = 0.5 — low-resource
+    * sources get upsampled relative to their share. sqrt is used for
+    * the power because IEEE 754 requires it correctly rounded (pow is
+    * not), the normalizing total is summed in DECIMAL(38,18) for
+    * order-independence, and the floor gets an epsilon because a
+    * uniform corpus puts every quota exactly ON an integer boundary.
+    * Post-aggregation the frame is |sources| rows, so the global
+    * window is free. */
+  def q87TemperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 1000
+    val w = Window.partitionBy(lit(1))
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("wt", sqrt(col("n_docs").cast("double")))
+      .withColumn("tot",
+        sum(col("wt").cast("decimal(38,18)")).over(w).cast("double"))
+      .select(col("source"), col("n_docs"),
+        col("wt"),
+        // epsilon-robust floor: when every source has the same count the
+        // exact quota sits ON an integer, and the last-ulp of the
+        // normalizer decides the side. 1e-9 ≫ float error, ≪ 1 quota.
+        floor(col("wt") / col("tot") * budget + lit(1e-9)).cast("long")
+          .as("quota"))
+      .orderBy(col("source"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q70_stratified_sample" -> q70StratifiedSample,
     "q71_sequence_pack" -> q71SequencePack,
@@ -220,6 +279,8 @@ object Sampling {
     "q77_pipeline_full" -> q77PipelineFull,
     "q81_domain_cap" -> q81DomainCap,
     "q84_threshold_sample" -> q84ThresholdSample,
+    "q86_shard_export" -> q86ShardExport,
+    "q87_temperature_mix" -> q87TemperatureMix,
   )
 
   lazy val sql: Map[String, String] = Map(
@@ -329,6 +390,28 @@ object Sampling {
       FROM r
       WHERE rk <= 300
       GROUP BY source
+      ORDER BY source""",
+    "q86_shard_export" -> """
+      SELECT lang,
+        CAST((doc_id * 2654435761) % 4 AS BIGINT) AS shard,
+        count(1) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+        CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM documents
+      GROUP BY lang, CAST((doc_id * 2654435761) % 4 AS BIGINT)
+      ORDER BY lang, shard""",
+    "q87_temperature_mix" -> """
+      WITH c AS (
+        SELECT source, count(1) AS n_docs FROM documents GROUP BY source),
+      s AS (
+        SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS wt FROM c),
+      t AS (
+        SELECT source, n_docs, wt,
+          CAST(sum(CAST(wt AS DECIMAL(38,18))) OVER () AS DOUBLE) AS tot
+        FROM s)
+      SELECT source, n_docs, wt,
+        CAST(floor(wt / tot * 1000 + 1e-9) AS BIGINT) AS quota
+      FROM t
       ORDER BY source""",
   )
 }
