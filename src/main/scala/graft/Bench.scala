@@ -33,8 +33,13 @@ object Bench {
     // Dev aid: SPARK_GRAFT_ONLY=q36,q51 times only matching queries
     // (prefix match); unset = the full graded sweep.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
-    val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(_.exists(name.startsWith)) }
+    // Sorted-name execution order: `queries` is a HashMap whose iteration
+    // order moves whenever entries are added, which made per-query times
+    // drift up to 2x between rounds on UNCHANGED code (JIT/cache state
+    // depends on what ran before). Fixed order keeps cross-round
+    // per-query deltas attributable to real changes.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter {
+      case (name, _) => only.forall(_.exists(name.startsWith)) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -43,9 +48,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val succeeded = results.values.filter(_ >= 0)
+    val succeeded = results.map(_._2).filter(_ >= 0)
     val total = if (succeeded.nonEmpty) succeeded.sum else 0.0
-    val nFailed = results.values.count(_ < 0)
+    val nFailed = results.map(_._2).count(_ < 0)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$nFailed}"""
     Files.createDirectories(Paths.get("target"))
@@ -53,9 +58,14 @@ object Bench {
       full.getBytes(StandardCharsets.UTF_8))
     println(full)
     // Tail-capture-safe summary: short enough to survive any truncation
-    // window, printed last so it is always the final JSON line.
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":{"_all":$total},"sf":"$sfDir","n_queries":${results.size},"failed":$nFailed,"queries_file":"target/bench.json"}""")
+    // window, printed last so it is always the final JSON line. Also
+    // printed to stderr, where sbt interleaves no [success] banner after
+    // it — a driver tailing either stream finds a complete JSON line.
+    // The canonical full artifact lives at target/bench.json.
+    val short =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{"_all":$total},"sf":"$sfDir","n_queries":${results.size},"failed":$nFailed,"queries_file":"target/bench.json"}"""
+    println(short)
+    System.err.println(short)
     spark.stop()
   }
 }

