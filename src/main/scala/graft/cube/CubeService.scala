@@ -48,7 +48,24 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     createCube(CubeManager.configFromJson(configJson), source)
 
   def loadCube(name: String): Cube =
-    live.getOrElseUpdate(name, CubeManager.load(spark, storageDir, name))
+    live.getOrElseUpdate(name, {
+      recoverSwap(name)
+      CubeManager.load(spark, storageDir, name)
+    })
+
+  /** Crash recovery for [[updateAggregates]]'s two-rename publish: if
+    * the process died between rename-aside and rename-in, the published
+    * directory is missing and the previous version sits at `name.old` —
+    * restore it before loading. */
+  private def recoverSwap(name: String): Unit = {
+    val finalDir = java.nio.file.Paths.get(storageDir, name)
+    val oldDir = java.nio.file.Paths.get(storageDir, s"$name.old")
+    if (!finalDir.toFile.exists() && oldDir.toFile.exists()) {
+      java.nio.file.Files.move(oldDir, finalDir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+  }
 
   def listCubes(): Seq[String] = CubeManager.list(storageDir)
 
@@ -63,10 +80,15 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     * `_sign` column are treated as inserts.
     *
     * The fold's input plan READS the same parquet directory the result
-    * must land in, so the update is staged to a temp sibling and swapped
-    * into place with an atomic same-filesystem rename — never an
-    * overwrite of files still being read (a contract Spark's write
-    * staging does not guarantee across versions). */
+    * must land in, so the update is staged to a temp sibling and
+    * published with a TWO-RENAME swap: the previous version is renamed
+    * ASIDE to `name.old` (not deleted), staging renames into place, and
+    * only then is the old version removed. The unpublished window is
+    * two atomic renames wide (vs. a full recursive delete), and a crash
+    * inside it loses nothing — the prior version survives at `name.old`
+    * and [[loadCube]] restores it ([[recoverSwap]]). Never an overwrite
+    * of files still being read (a contract Spark's write staging does
+    * not guarantee across versions). */
   def updateAggregates(name: String, deltas: DataFrame): Cube = {
     val cube = loadCube(name)
     val signed =
@@ -76,12 +98,17 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     val staging = java.nio.file.Paths.get(storageDir, s"$name.staging")
     updated.aggregates.write.mode("overwrite").parquet(staging.toString)
     val finalDir = java.nio.file.Paths.get(storageDir, name)
+    val oldDir = java.nio.file.Paths.get(storageDir, s"$name.old")
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
     }
-    rm(finalDir.toFile)
+    rm(oldDir.toFile)
+    if (finalDir.toFile.exists())
+      java.nio.file.Files.move(finalDir, oldDir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     java.nio.file.Files.move(staging, finalDir,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    rm(oldDir.toFile)
     val reloaded = CubeManager.load(spark, storageDir, name)
     live.put(name, reloaded)
     reloaded

@@ -86,9 +86,16 @@ object Dedup {
     *   → ordered pairs) instead of a two-sided self-join: one shuffle
     *   of the shingle table rather than two, measured ~2× faster;
     * - cap df(shingle) at [[MaxShingleDf]] before pair expansion (no-op
-    *   at test sf; the stop-shingle guard at corpus scale). Denominator
-    *   counts `n` stay uncapped, so the Jaccard value of surviving
-    *   pairs is exact — and ride along WITH each exploded shingle row,
+    *   at test sf, proven by DedupCapSpec; the stop-shingle guard at
+    *   corpus scale). Denominator counts `n` stay uncapped. While the
+    *   cap is a no-op the Jaccard of surviving pairs is exact; when it
+    *   BINDS, shared shingles inside dropped hot buckets go missing from
+    *   `common` while denominators don't shrink, so a surviving pair's
+    *   jaccard is a LOWER BOUND (a pair of k-shingle duplicates sharing
+    *   one capped shingle reports (k−1)/(k+1), not 1.0 — conservative in
+    *   the right direction for a ≥-threshold dedup, which can only
+    *   under-merge, never false-positive). Denominators ride along WITH
+    *   each exploded shingle row,
     *   bit-packed into the doc-id long (`packed = doc_id·2²¹ + n`, n =
     *   size of the doc's distinct-shingle array, computed in the same
     *   projection). Packing keeps every intermediate a plain BIGINT —

@@ -44,9 +44,13 @@ case class VecMeanFloat(
       if (buf.sums == null) {
         buf.sums = Array.fill(n)(JBigDecimal.ZERO)
       }
+      // dimension mismatch is a data bug the aggregate must surface, not
+      // clamp: a silent prefix-sum would divide by the full count
+      if (n != buf.sums.length)
+        throw new IllegalArgumentException(
+          s"vec_mean_float: vector of dim $n in a group of dim ${buf.sums.length}")
       var i = 0
-      val m = math.min(n, buf.sums.length)
-      while (i < m) {
+      while (i < n) {
         buf.sums(i) = buf.sums(i).add(new JBigDecimal(arr.getFloat(i).toDouble))
         i += 1
       }
@@ -61,9 +65,14 @@ case class VecMeanFloat(
         buf.sums = other.sums.clone()
         buf.count = other.count
       } else {
+        if (buf.sums.length != other.sums.length)
+          throw new IllegalArgumentException(
+            s"vec_mean_float: merging buffers of dim ${other.sums.length} " +
+              s"and ${buf.sums.length}")
         var i = 0
-        val m = math.min(buf.sums.length, other.sums.length)
-        while (i < m) { buf.sums(i) = buf.sums(i).add(other.sums(i)); i += 1 }
+        while (i < buf.sums.length) {
+          buf.sums(i) = buf.sums(i).add(other.sums(i)); i += 1
+        }
         buf.count += other.count
       }
     }

@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.StructType
   * per-key executor state: near-dup lookups are cross-key (a doc probes
   * 8 buckets at once), which `mapGroupsWithState` cannot express, and
   * the index for a 100 TB corpus belongs in storage, not on the heap.
-  * Each micro-batch (`foreachBatch`, exactly-once via the checkpoint):
+  * Each micro-batch (`foreachBatch` — at-least-once replay, made
+  * effectively-once by BATCH-SCOPED IDEMPOTENT writes, see below):
   *   1. band keys per incoming doc — the per-row `minHashSigsRowwise`
   *      expressions, zero shuffle;
   *   2. history hits: left-semi join against the index (at scale:
@@ -27,9 +28,21 @@ import org.apache.spark.sql.types.StructType
   *   3. within-batch: a doc also dups against a smaller-doc_id batch
   *      doc sharing a bucket (micro-batch arrivals are simultaneous;
   *      doc_id is the deterministic tie-break);
-  *   4. survivors append to the sink AND their keys to the index —
+  *   4. survivors land in the sink AND their keys in the index —
   *      dropped docs contribute no keys (their surviving near-dup
   *      representative already covers their neighborhood).
+  *
+  * Replay safety: `foreachBatch` alone is at-least-once — a crash after
+  * the writes but before the checkpoint commit replays the batch, and a
+  * blind `append` would duplicate survivor rows and index keys (and
+  * duplicated index keys silently change later dedup decisions). Both
+  * writes therefore go to a `batch=<id>` subdirectory in OVERWRITE
+  * mode: a replay of batch N rewrites exactly its own partition, so the
+  * net state after any number of replays equals the once-only state.
+  * The history probe excludes the current batch's own partition, so a
+  * replayed batch never sees its previous attempt's keys as "history"
+  * (which would drop every doc and publish an empty partition).
+  * Readers see `batch` as an ordinary discovered partition column.
   *
   * Semantics pinned by StreamingSpec: within-batch dups, cross-batch
   * dups, and non-dups each behave per the greedy-by-doc_id rule.
@@ -48,20 +61,24 @@ object StreamingDedup {
       .parquet(sourceDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        dedupBatch(batch, indexDir, outDir); ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupBatch(batch, batchId, indexDir, outDir); ()
       }
       .start()
   }
 
   /** One micro-batch fold — also the unit-testable core. */
   private[streaming] def dedupBatch(
-      batch: DataFrame, indexDir: String, outDir: String): Unit = {
+      batch: DataFrame, batchId: Long, indexDir: String,
+      outDir: String): Unit = {
     val spark = batch.sparkSession
     val keys = Dedup.bandedOf(Dedup.minHashSigsRowwise(batch)).cache()
     val histDup =
       if (new java.io.File(indexDir).exists())
-        keys.join(spark.read.parquet(indexDir).select(col("band"), col("bh")),
+        keys.join(
+            spark.read.parquet(indexDir)
+              .filter(col("batch") =!= batchId) // replay: own keys ≠ history
+              .select(col("band"), col("bh")),
             Seq("band", "bh"), "left_semi")
           .select(col("doc_id"))
       else keys.select(col("doc_id")).limit(0)
@@ -72,9 +89,9 @@ object StreamingDedup {
       .select(col("doc_id"))
     val dupIds = histDup.unionByName(batchDup).distinct()
     val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
-    survivors.write.mode("append").parquet(outDir)
+    survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     keys.join(dupIds, Seq("doc_id"), "left_anti")
-      .write.mode("append").parquet(indexDir)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
     keys.unpersist()
     ()
   }

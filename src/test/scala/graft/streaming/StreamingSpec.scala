@@ -205,6 +205,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(indexed == Set(1L, 2L, 11L))
   }
 
+  test("streaming near-dup dedup: micro-batch replay is idempotent") {
+    import spark.implicits._
+    val idx = tmp("graft_neardup_replay_idx") + "/index"
+    val out = tmp("graft_neardup_replay_out") + "/out"
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "completely different words about spark streaming state stores"
+    val b0 = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    val textC = "a third unrelated document mentioning cubes and aggregates here"
+    val b1 = Seq((10L, textA), (11L, textC)).toDF("doc_id", "text")
+    StreamingDedup.dedupBatch(b0, 0L, idx, out)
+    StreamingDedup.dedupBatch(b1, 1L, idx, out)
+    val once = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val idxOnce = spark.read.parquet(idx)
+      .select("doc_id", "band", "bh").collect().map(_.toString).sorted.toSeq
+    // foreachBatch is at-least-once: replay batch 1 (crash-before-
+    // checkpoint-commit). Sink rows and index keys must NOT duplicate,
+    // and the replay must not see its own prior keys as history (which
+    // would drop doc 10's survivor decision differently).
+    StreamingDedup.dedupBatch(b1, 1L, idx, out)
+    val twice = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val idxTwice = spark.read.parquet(idx)
+      .select("doc_id", "band", "bh").collect().map(_.toString).sorted.toSeq
+    assert(once == twice, s"sink changed on replay: $once -> $twice")
+    assert(idxOnce == idxTwice, "index changed on replay")
+    assert(once == Seq(1L, 2L, 11L), s"unexpected survivors: $once")
+  }
+
   test("streaming session window sessionizes per user with the 30m gap") {
     import org.apache.spark.sql.functions._
     val src = tmp("graft_sess_src")
