@@ -215,6 +215,49 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------- q88
+  /** q73's exact quota mix through PER-SOURCE THRESHOLD SELECTION — the
+    * sort-free 100 TB path q73's doc promises, executable instead of
+    * documented: pass 1 is a per-source count aggregate (map-side
+    * partials, |sources| rows out — no driver action, it stays a
+    * broadcast subplan), joined to the quota dim and turned into an
+    * analytic hash threshold t_s = 2·quota/n_s·range + slack (the q84
+    * slack rule, per source); pass 2 filters each source to hash < t_s —
+    * expected candidate set ≈ 2·quota rows per source, never the
+    * corpus — and only THAT candidate set is ranked exactly, by the same
+    * (hash, doc_id) key q73's full window sorts. Whenever each source's
+    * quota-th smallest hash clears t_s (binomial sd ≪ slack at any real
+    * corpus size) the selection is IDENTICAL to q73's, so the two share
+    * one oracle; SamplingSpec additionally pins q88 == q73 row-for-row.
+    * The per-source sort handles O(quota) rows instead of |source| — the
+    * difference between a bounded sort and a corpus sort at 100 TB. */
+  def q88ThresholdMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val weightDim = mixWeights.toDF("source", "wt")
+      .select(col("source"), floor(col("wt") * MixBudget).as("quota"))
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(1000000)))
+    val thresholds = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+      .join(weightDim, Seq("source"))
+      .select(col("source"), col("quota"),
+        least(lit(1000000L),
+          lit(2L) * col("quota") * lit(1000000L)
+            / greatest(col("n_src"), lit(1L)) + lit(1000L)).as("t"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    docs.join(broadcast(thresholds), Seq("source"))
+      .filter(col("h") < col("t"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("quota"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sel"),
+        asLong(sum(col("n_chars"))).as("sel_chars"),
+        asLong(min(col("doc_id"))).as("first_doc"),
+        asLong(max(col("doc_id"))).as("last_doc"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------- q86
   /** Training-shard EXPORT — the sink end of the pipeline: assign each
     * doc a deterministic shard (hash mod 4), write
@@ -282,6 +325,7 @@ object Sampling {
     "q81_domain_cap" -> q81DomainCap,
     "q84_threshold_sample" -> q84ThresholdSample,
     "q86_shard_export" -> q86ShardExport,
+    "q88_threshold_mix" -> q88ThresholdMix,
     "q87_temperature_mix" -> q87TemperatureMix,
   )
 
@@ -313,6 +357,28 @@ object Sampling {
       FROM c
       GROUP BY lang, CAST(prev // 512 AS BIGINT)
       ORDER BY lang, bin""",
+    // q88 computes the SAME selection via per-source threshold
+    // selection; it shares q73's oracle verbatim (see q88's doc).
+    "q88_threshold_mix" -> """
+      WITH wdim AS (
+        SELECT s.src AS source,
+          CAST(floor(CASE WHEN s.i < 4 THEN 0.10 ELSE 0.0375 END * 1000)
+            AS BIGINT) AS quota
+        FROM (SELECT 'src' || CAST(i AS VARCHAR) AS src, i
+              FROM generate_series(0, 19) t(i)) s),
+      ranked AS (
+        SELECT d.source, d.doc_id, d.n_chars, w.quota,
+          row_number() OVER (PARTITION BY d.source
+            ORDER BY (d.doc_id * 2654435761) % 1000000, d.doc_id) AS rk
+        FROM documents d JOIN wdim w ON d.source = w.source)
+      SELECT source, count(1) AS n_sel,
+        CAST(sum(n_chars) AS BIGINT) AS sel_chars,
+        CAST(min(doc_id) AS BIGINT) AS first_doc,
+        CAST(max(doc_id) AS BIGINT) AS last_doc
+      FROM ranked
+      WHERE rk <= quota
+      GROUP BY source
+      ORDER BY source""",
     "q73_dataset_mix" -> """
       WITH wdim AS (
         SELECT s.src AS source,

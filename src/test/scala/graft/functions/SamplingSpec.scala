@@ -70,4 +70,17 @@ class SamplingSpec extends AnyFunSuite {
         s"$src: got ${got.getOrElse(src, 0L)}, quota $quota, available $n")
     }
   }
+
+  test("threshold mix (q88) == window mix (q73) row-for-row") {
+    // the sort-free threshold-selection path must reproduce the window
+    // form's exact selection at every scale it is graded on
+    for (dir <- Seq("/root/testdata/sf0.001", sfDir)) {
+      val window = Sampling.q73DatasetMix(spark, dir).collect()
+        .map(_.toString).toSeq
+      val threshold = Sampling.q88ThresholdMix(spark, dir).collect()
+        .map(_.toString).toSeq
+      assert(window.nonEmpty)
+      assert(threshold == window, s"$dir: threshold mix diverged")
+    }
+  }
 }
