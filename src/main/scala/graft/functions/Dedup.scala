@@ -397,6 +397,63 @@ object Dedup {
   def q72Contamination(spark: SparkSession, sfDir: String): DataFrame =
     contaminationPairs(Tables.documents(spark, sfDir))
 
+  // ---------------------------------------------------------------- q89
+  /** Near-duplicate CLUSTERS: connected components over the exact-
+    * Jaccard pair graph — the step after pair mining that a production
+    * dedup actually ships (pairs → components → one canonical doc per
+    * component; reporting raw pairs over-counts any component bigger
+    * than 2 and cannot pick a single survivor).
+    *
+    * Algorithm: MIN-LABEL PROPAGATION. Labels start as each node's own
+    * id; every round each node takes the min label over its closed
+    * neighborhood (one equi-join + one hash aggregate per round), so a
+    * component's min id floods it in diameter rounds — near-dup
+    * components are clique-ish (copies of one text pairwise connect),
+    * so 1-2 rounds in practice, O(log n) worst case for path-shaped
+    * graphs. The loop stops when a round lowers no label (labels only
+    * ever decrease; the convergence probe is a driver-side isEmpty on
+    * the CHANGED set — the same bounded-iteration discipline as the
+    * IVF Lloyd loop, and the per-round data is the label table, which
+    * is |dup-graph nodes| — orders smaller than the corpus at 100 TB).
+    * Output: (doc_id, cluster_id = component-min doc_id, n_members).
+    * Oracle: DuckDB recursive-CTE transitive closure + min — completely
+    * different algorithm, same fixpoint, which is what makes the hash
+    * equality meaningful. */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("da").as("src"), col("db").as("dst"))
+    val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nbr = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("lbl"))
+      val next = labels.unionByName(nbr)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .cache()
+      val prev = labels.select(col("id").as("pid"), col("lbl").as("plbl"))
+      converged = next.join(prev, col("id") === col("pid"))
+        .filter(col("lbl") < col("plbl")).isEmpty
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        col("n_members"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q89DupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    dupClusters(jaccardPairs(Tables.documents(spark, sfDir)))
+
   lazy val defs: Map[String, Q] = Map(
     "q36_dedup_jaccard" -> q36DedupJaccard,
     "q37_dedup_minhash" -> q37DedupMinHash,
@@ -404,6 +461,7 @@ object Dedup {
     "q39_dedup_embedding" -> q39DedupEmbedding,
     "q67_dedup_embedding_lsh" -> q67DedupEmbeddingLsh,
     "q72_contamination" -> q72Contamination,
+    "q89_dup_clusters" -> q89DupClusters,
   )
 
   /** q37/q38 use engine-specific xxhash64 ⇒ rows-only (no oracle). */
@@ -426,6 +484,40 @@ object Dedup {
         JOIN n nb ON nb.doc_id = db
       WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5
       ORDER BY da, db""",
+    // Same pair derivation as q36, then connected components by
+    // recursive transitive closure + min — a different algorithm than
+    // the Spark side's min-label propagation, same fixpoint.
+    "q89_dup_clusters" -> """
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(t) - 2, 0)),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      p AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      dup AS (
+        SELECT da, db FROM p
+          JOIN n na ON na.doc_id = da
+          JOIN n nb ON nb.doc_id = db
+        WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5),
+      edges AS (
+        SELECT da AS src, db AS dst FROM dup
+        UNION ALL
+        SELECT db, da FROM dup),
+      reach(id, x) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, reach.x FROM edges e JOIN reach ON e.dst = reach.id),
+      lbl AS (SELECT id, min(x) AS cluster_id FROM reach GROUP BY id),
+      sz AS (SELECT cluster_id, count(*) AS n_members FROM lbl GROUP BY 1)
+      SELECT CAST(l.id AS BIGINT) AS doc_id,
+        CAST(l.cluster_id AS BIGINT) AS cluster_id,
+        CAST(s.n_members AS BIGINT) AS n_members
+      FROM lbl l JOIN sz s USING (cluster_id)
+      ORDER BY doc_id""",
     "q39_dedup_embedding" -> """
       SELECT a.vec_id AS va, b.vec_id AS vb,
         list_reduce(list_prepend(CAST(0 AS DOUBLE),

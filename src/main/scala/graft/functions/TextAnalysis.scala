@@ -300,7 +300,79 @@ object TextAnalysis {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------- q90
+  /** TF-IDF term scoring: top-3 most characteristic terms per document.
+    * tf per (doc, term) and df per term come out of two hash aggregates
+    * with map-side partials (word skew is absorbed the same way q43's
+    * word count handles it); |corpus| comes from parquet footers
+    * (cached driver metadata, no pre-plan job — the q84 pattern).
+    *
+    * The score is the log-free rarity ratio tf·N/df: within a fixed
+    * document log(N/df) is a monotone transform per TERM but the
+    * integer ratio keeps the arithmetic exactly reproducible
+    * cross-engine (tf·N is an exact BIGINT, one double division on
+    * identical operands), where ln() rounding is engine-library
+    * dependent — same determinism discipline as the engine's decimal
+    * money sums. Ranking ties break by term asc.
+    *
+    * Scale note: the top-3 window sorts each doc's own term list (tens
+    * of rows per partition key, never a corpus sort); df join is an
+    * equi-join on term, shuffled once. */
+  def q90Tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = Tables.footerRowCount(spark, s"$sfDir/documents.parquet")
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("term"))
+      .filter(col("term").isNotNull && col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rk").cast("long").as("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  // ---------------------------------------------------------------- q91
+  /** Overlapping context windows (doc → training chunks): C=64-token
+    * chunks every S=48 tokens (16-token overlap) — the long-document
+    * counterpart to q71's packing (q71 concatenates short docs up to a
+    * budget; this splits long docs across stride windows so no span is
+    * lost at a chunk boundary). Chunk count is the exact integer
+    * ceil form 1 + ⌈max(n−C,0)/S⌉; the final chunk may be short.
+    * Chunks are identified by md5 of the re-joined token span (byte-
+    * exact cross-engine, the q82 discipline) so the oracle pins CONTENT,
+    * not just counts, without hauling full text through the diff.
+    *
+    * Scale shape: map-only fan-out (explode_outer of a computed
+    * transform + isNotNull — the InferFiltersFromGenerate-safe form);
+    * output ∝ Σ chunks, no shuffle at all before the output sort. */
+  def q91ChunkWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val C = 64
+    val S = 48
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("nc",
+        lit(1) + expr(s"(greatest(size(toks) - $C, 0) + ${S - 1}) div $S"))
+      .select(col("doc_id"), explode_outer(expr(
+        s"""transform(sequence(0, CAST(nc - 1 AS INT)), i -> named_struct(
+              'idx', CAST(i AS BIGINT),
+              'span', slice(toks, i * $S + 1, $C)))""")).as("ch"))
+      .filter(col("ch").isNotNull)
+      .select(col("doc_id"), col("ch.idx").as("chunk_idx"),
+        size(col("ch.span")).cast("long").as("chunk_toks"),
+        md5(array_join(col("ch.span"), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q90_tfidf" -> q90Tfidf,
+    "q91_chunk_windows" -> q91ChunkWindows,
     "q42_text_stats" -> q42TextStats,
     "q43_word_count" -> q43WordCount,
     "q44_quality_score" -> q44QualityScore,
@@ -315,6 +387,48 @@ object TextAnalysis {
 
   /** q45/q46 are hash/model-dependent ⇒ rows-only. */
   lazy val sql: Map[String, String] = Map(
+    "q90_tfidf" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      t AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY 1, 2),
+      d AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+      nn AS (SELECT count(*) AS n FROM documents),
+      s AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+          CAST(t.tf * nn.n AS DOUBLE) / d.df AS score
+        FROM t JOIN d USING (term) CROSS JOIN nn)
+      SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+        CAST(df AS BIGINT) AS df, score, CAST(rk AS BIGINT) AS rk
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, term) AS rk
+        FROM s) z
+      WHERE rk <= 3
+      ORDER BY doc_id, rk""",
+    "q91_chunk_windows" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+          len(string_split(text, ' ')) AS n_toks
+        FROM documents),
+      c AS (
+        SELECT doc_id, toks, n_toks,
+          1 + (greatest(n_toks - 64, 0) + 47) // 48 AS n_chunks
+        FROM t),
+      x AS (
+        SELECT doc_id, toks, n_toks,
+          unnest(generate_series(0, n_chunks - 1)) AS i
+        FROM c)
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        CAST(len(list_slice(toks, i * 48 + 1, least(i * 48 + 64, n_toks)))
+          AS BIGINT) AS chunk_toks,
+        md5(array_to_string(
+          list_slice(toks, i * 48 + 1, least(i * 48 + 64, n_toks)), ' '))
+          AS chunk_md5
+      FROM x
+      ORDER BY doc_id, chunk_idx""",
     "q42_text_stats" -> """
       SELECT lang, source, count(1) AS n_docs,
         CAST(sum(n_chars) AS BIGINT) AS total_chars,

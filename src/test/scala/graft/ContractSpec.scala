@@ -30,8 +30,9 @@ class ContractSpec extends AnyFunSuite {
     val fromRe = "(?i)(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z0-9_]*)".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
-        // allow CTE/alias names that the query itself defines
-        val defined = s"(?i)(?:WITH|,)\\s*$t\\s+AS\\s*\\(".r
+        // allow CTE/alias names that the query itself defines (with or
+        // without a recursive-CTE column list: `name(a, b) AS (`)
+        val defined = s"(?i)(?:WITH(?:\\s+RECURSIVE)?|,)\\s*$t\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
           .findFirstIn(sql).isDefined ||
           sql.toLowerCase.contains(s"$t as (") ||
           known.contains(t) || t == "values" ||

@@ -113,6 +113,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dup clusters: min-label propagation converges on path-shaped components") {
+    import spark.implicits._
+    // the corpus dup graph is clique-ish (1 round); force the general
+    // case: a 5-node path (diameter 4, needs several rounds), a clique,
+    // and a 2-node component
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+        (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+      .toDF("da", "db")
+    val out = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("n_members")))
+    val byId = out.map(t => t._1 -> t._2).toMap
+    assert((1L to 5L).forall(byId(_) == 1L), s"path broken: ${out.toSeq}")
+    assert(Seq(10L, 11L, 12L).forall(byId(_) == 10L))
+    assert(Seq(20L, 21L).forall(byId(_) == 20L))
+    assert(out.filter(_._2 == 1L).forall(_._3 == 5L))
+    assert(out.length == 10)
+  }
+
   test("fingerprint: identical texts share content hash and min-gram hash") {
     import org.apache.spark.sql.functions._
     // synthesize guaranteed duplicates: re-id the first 3 docs and union
