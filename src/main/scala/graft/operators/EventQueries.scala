@@ -145,7 +145,86 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------- q92
+  /** Conversion funnel view → click → purchase: each user's first view,
+    * first click STRICTLY after it, first purchase strictly after that
+    * (ordered-sequence semantics, not mere co-occurrence). Stage frames
+    * are per-user min aggregates chained by equi-joins on user_id —
+    * map-side partial mins, |users| rows between stages, no window over
+    * the raw event stream and no per-user sort: at 100 TB the cost is
+    * three hash aggregates over the type-filtered slices (each filter
+    * pushed to the scan). Output: per-stage distinct-user count and
+    * mean seconds from funnel entry (lags are exact BIGINT seconds, so
+    * the avg is a sum-exact division in both engines). */
+  def q92Funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t0"))
+      .groupBy(col("user_id"), col("t0")).agg(min(col("ts")).as("t1"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c.select(col("user_id"), col("t0"), col("t1")), Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id"), col("t0")).agg(min(col("ts")).as("t2"))
+    val s1 = v.agg(count(lit(1)).as("n_users"),
+      avg(lit(0L)).as("avg_lag_s")).withColumn("stage", lit("1_view"))
+    val s2 = c.agg(count(lit(1)).as("n_users"),
+      avg(epochS(col("t1")) - epochS(col("t0"))).as("avg_lag_s"))
+      .withColumn("stage", lit("2_click"))
+    val s3 = p.agg(count(lit(1)).as("n_users"),
+      avg(epochS(col("t2")) - epochS(col("t0"))).as("avg_lag_s"))
+      .withColumn("stage", lit("3_purchase"))
+    s1.unionByName(s2).unionByName(s3)
+      .select(col("stage"), col("n_users"), col("avg_lag_s"))
+      .orderBy(col("stage"))
+  }
+
+  // ---------------------------------------------------------------- q93
+  /** Cohort retention: users grouped by the epoch-week of their FIRST
+    * event; for every (cohort, week-offset) cell, how many of them were
+    * active — the classic retention triangle. Two hash aggregates (the
+    * per-user first week, then the distinct-user count per cell, both
+    * with map-side partials) and one equi-join on user_id; the cell
+    * count is a distinct aggregate, which Spark executes as a two-phase
+    * partial distinct — never a per-cohort sort. */
+  def q93Retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        (epochS(col("ts")).cast("double") / 604800).cast("long").as("wk"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    e.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_wk"), col("wk_offset"))
+  }
+
+  // ---------------------------------------------------------------- q94
+  /** Pivot (long → wide): per-user event-type counts as columns via the
+    * relational PIVOT operator with an EXPLICIT value list — the
+    * dynamic-values form needs a pre-pass to collect the pivot domain
+    * to the driver, which is exactly what a declared 100 TB plan should
+    * not do (and makes the output schema data-dependent). Executes as
+    * one hash aggregate over (user, type) pairs rewritten to a wide
+    * aggregate — no join, one shuffle. */
+  def q94Pivot(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("user_id"), col("click").as("n_click"),
+        col("error").as("n_error"), col("purchase").as("n_purchase"),
+        col("signup").as("n_signup"), col("view").as("n_view"))
+      .orderBy(col("user_id"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q92_funnel" -> q92Funnel,
+    "q93_retention" -> q93Retention,
+    "q94_pivot" -> q94Pivot,
     "q27_json_extract" -> q27JsonExtract,
     "q28_array_fns" -> q28ArrayFns,
     "q29_tumbling_window" -> q29TumblingWindow,
@@ -156,6 +235,55 @@ object EventQueries {
   )
 
   lazy val sql: Map[String, String] = Map(
+    "q92_funnel" -> """
+      WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu
+        FROM events),
+      v AS (
+        SELECT user_id, min(tsu) AS t0 FROM e
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, v.t0, min(e.tsu) AS t1
+        FROM e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.tsu > v.t0
+        GROUP BY 1, 2),
+      p AS (
+        SELECT e.user_id, c.t0, min(e.tsu) AS t2
+        FROM e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.tsu > c.t1
+        GROUP BY 1, 2)
+      SELECT '1_view' AS stage, count(1) AS n_users,
+        avg(0) AS avg_lag_s FROM v
+      UNION ALL
+      SELECT '2_click', count(1),
+        avg(CAST(floor(epoch(t1)) AS BIGINT)
+          - CAST(floor(epoch(t0)) AS BIGINT)) FROM c
+      UNION ALL
+      SELECT '3_purchase', count(1),
+        avg(CAST(floor(epoch(t2)) AS BIGINT)
+          - CAST(floor(epoch(t0)) AS BIGINT)) FROM p
+      ORDER BY stage""",
+    "q93_retention" -> """
+      WITH e AS (
+        SELECT user_id,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 604800) AS BIGINT) AS wk
+        FROM events),
+      cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1)
+      SELECT c.cohort_wk, e.wk - c.cohort_wk AS wk_offset,
+        count(DISTINCT e.user_id) AS n_users
+      FROM e JOIN cohort c USING (user_id)
+      GROUP BY 1, 2
+      ORDER BY cohort_wk, wk_offset""",
+    "q94_pivot" -> """
+      SELECT user_id,
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
     "q27_json_extract" -> """
       SELECT event_type, count(1) AS n,
         CAST(sum(k) AS BIGINT) AS sum_k,
