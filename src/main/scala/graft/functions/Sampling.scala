@@ -258,6 +258,30 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------- q95
+  /** Deterministic WEIGHTED priority sample: keep the K docs with the
+    * smallest priority = hash-uniform / weight, so selection odds rise
+    * with the weight (n_chars here — "sample long docs preferentially").
+    * The priority is ONE double division on exactly-representable
+    * integer operands, reproducible cross-engine — deliberately not the
+    * classic -ln(u)^(1/w) exponential-race key, whose libm pow/ln
+    * rounding differs between engines (same determinism discipline as
+    * q90's log-free score). Top-K by (priority, doc_id) executes as
+    * TakeOrdered — per-partition top-K, K·partitions rows to the
+    * driver, no global sort; for huge K the threshold-selection path
+    * (q84/q88) is the drop-in replacement. */
+  private val WeightedK = 200
+
+  def q95WeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(1000000L)))
+      .withColumn("prio", col("h").cast("double") / col("n_chars"))
+      .select(col("doc_id"), col("lang"), asLong(col("n_chars")).as("n_chars"),
+        col("prio"))
+      .orderBy(col("prio"), col("doc_id"))
+      .limit(WeightedK)
+  }
+
   // ---------------------------------------------------------------- q86
   /** Training-shard EXPORT — the sink end of the pipeline: assign each
     * doc a deterministic shard (hash mod 4), write
@@ -327,9 +351,16 @@ object Sampling {
     "q86_shard_export" -> q86ShardExport,
     "q88_threshold_mix" -> q88ThresholdMix,
     "q87_temperature_mix" -> q87TemperatureMix,
+    "q95_weighted_sample" -> q95WeightedSample,
   )
 
   lazy val sql: Map[String, String] = Map(
+    "q95_weighted_sample" -> """
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        CAST((doc_id * 2654435761) % 1000000 AS DOUBLE) / n_chars AS prio
+      FROM documents
+      ORDER BY prio, doc_id
+      LIMIT 200""",
     "q70_stratified_sample" -> """
       SELECT d.lang, d.source, count(1) AS n_sampled,
         CAST(sum(d.n_chars) AS BIGINT) AS sampled_chars,

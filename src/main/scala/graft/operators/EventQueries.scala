@@ -221,7 +221,52 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  // ---------------------------------------------------------------- q97
+  /** Equi-width histogram of event value per type: 20 buckets spanning
+    * the corpus [min, max] — the OLAP distribution primitive behind
+    * every dashboard's value histogram. Pass 1 is a global min/max
+    * aggregate (ONE row, map-side partials) broadcast back; pass 2 is a
+    * map-only bucket assignment + hash aggregate. Same two-pass
+    * broadcast-stats shape as q83's quantizer: the stats row never
+    * shuffles the corpus, and bucket math is two double ops on
+    * identical operands in both engines (top value clamped into the
+    * last bucket). */
+  def q97Histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+    val stats = e.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    e.crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        least(floor((col("value") - col("vmin"))
+          / ((col("vmax") - col("vmin")) / lit(20.0))).cast("long"), lit(19L)))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  // ---------------------------------------------------------------- q98
+  /** Event-transition mining (first-order Markov matrix): per user,
+    * each event's successor by (ts, event_id) order, counted per
+    * (from, to) pair. The lead window sorts each user's OWN events
+    * (shuffle partitioned by user_id — the canonical sequence-mining
+    * shape; no global sort), then a hash aggregate with map-side
+    * partials collapses to the |types|² transition matrix. */
+  def q98Transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q97_histogram" -> q97Histogram,
+    "q98_transitions" -> q98Transitions,
     "q92_funnel" -> q92Funnel,
     "q93_retention" -> q93Retention,
     "q94_pivot" -> q94Pivot,
@@ -235,6 +280,27 @@ object EventQueries {
   )
 
   lazy val sql: Map[String, String] = Map(
+    "q97_histogram" -> """
+      WITH s AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events)
+      SELECT event_type,
+        CAST(least(floor((value - s.vmin) / ((s.vmax - s.vmin) / 20.0)), 19)
+          AS BIGINT) AS bucket,
+        count(1) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events CROSS JOIN s
+      GROUP BY 1, 2
+      ORDER BY event_type, bucket""",
+    "q98_transitions" -> """
+      WITH t AS (
+        SELECT event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+        FROM events)
+      SELECT event_type AS from_type, next_type AS to_type, count(1) AS n
+      FROM t
+      WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+      ORDER BY from_type, to_type""",
     "q92_funnel" -> """
       WITH e AS (
         SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu

@@ -39,7 +39,8 @@ class PlanSpec extends AnyFunSuite {
     "q51_knn_ivf",           // crossJoin vs <=16 broadcast centroids
     "q10_join_asof",         // window-rewrite as-of: range condition
     "q53_asof_native",       // native as-of operator (merge, not NLJ)
-    "q83_vec_quantize")      // crossJoin vs ONE broadcast stats row
+    "q83_vec_quantize",      // crossJoin vs ONE broadcast stats row
+    "q97_histogram")         // crossJoin vs ONE broadcast min/max row
 
   test("no unjustified cartesian or nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
