@@ -370,9 +370,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  // ---------------------------------------------------------------- q96
+  /** Per-language median quality gate (the CCNet-style "keep the better
+    * half per language" filter): score = distinct-word ratio, cutoff =
+    * each language's DISCRETE lower-median score (the actual element at
+    * rank ⌈n/2⌉ by (score, doc_id) — deliberately not an interpolating
+    * percentile, whose (1−g)·a+g·b vs a+(b−a)·g evaluation order
+    * differs between engines by an ulp and could flip gate membership;
+    * picking a real data value makes the ≥ comparison exact). Keep docs
+    * scoring ≥ their language's cutoff, summarize per language.
+    *
+    * Scale note: the exact rank-median needs a per-lang sort (bounded
+    * by the largest language); at 100 TB the drop-in is an
+    * approx_percentile cutoff (q69's sketch) or a threshold-selection
+    * pass (q84) — the gate join itself is a broadcast of |langs| rows
+    * either way. */
+  def q96QualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("score",
+        size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("score"))
+    val byScore = Window.partitionBy(col("lang"))
+      .orderBy(col("score"), col("doc_id"))
+    val med = scored
+      .withColumn("rn", row_number().over(byScore))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("lang"), col("score").as("cutoff"))
+    scored.join(broadcast(med), Seq("lang"))
+      .filter(col("score") >= col("cutoff"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        asLong(sum(col("n_chars"))).as("kept_chars"),
+        asLong(min(col("doc_id"))).as("first_doc"),
+        asLong(max(col("doc_id"))).as("last_doc"))
+      .orderBy(col("lang"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q90_tfidf" -> q90Tfidf,
     "q91_chunk_windows" -> q91ChunkWindows,
+    "q96_quality_gate" -> q96QualityGate,
     "q42_text_stats" -> q42TextStats,
     "q43_word_count" -> q43WordCount,
     "q44_quality_score" -> q44QualityScore,
@@ -408,6 +448,28 @@ object TextAnalysis {
         FROM s) z
       WHERE rk <= 3
       ORDER BY doc_id, rk""",
+    "q96_quality_gate" -> """
+      WITH s AS (
+        SELECT doc_id, lang, n_chars,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS score
+        FROM documents),
+      m AS (
+        SELECT lang, score AS cutoff FROM (
+          SELECT lang, score,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY score, doc_id) AS rn,
+            count(1) OVER (PARTITION BY lang) AS n
+          FROM s) t
+        WHERE rn = (n + 1) // 2)
+      SELECT s.lang, count(1) AS n_kept,
+        CAST(sum(s.n_chars) AS BIGINT) AS kept_chars,
+        CAST(min(s.doc_id) AS BIGINT) AS first_doc,
+        CAST(max(s.doc_id) AS BIGINT) AS last_doc
+      FROM s JOIN m USING (lang)
+      WHERE s.score >= m.cutoff
+      GROUP BY s.lang
+      ORDER BY s.lang""",
     "q91_chunk_windows" -> """
       WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks,
