@@ -454,6 +454,36 @@ object Dedup {
   def q89DupClusters(spark: SparkSession, sfDir: String): DataFrame =
     dupClusters(jaccardPairs(Tables.documents(spark, sfDir)))
 
+  // ---------------------------------------------------------------- q94
+  /** CHARACTER-level fuzzy near-dup pairs: exact Levenshtein distance
+    * over the leading 64 chars, candidates blocked by a shared 16-char
+    * prefix. Complements the token-level family — shingle Jaccard (q36)
+    * sees word 3-grams and misses single-character typo variants, edit
+    * distance catches them.
+    *
+    * Scale shape: blocking is the whole trick — the prefix block key
+    * makes candidate generation an EQUI-join (shuffle on the block key,
+    * comparisons ∝ Σ block-occupancy², never corpus²), and the O(m·n)
+    * Levenshtein DP runs only inside blocks on fixed 64-char heads
+    * (bounded per-pair cost, inside codegen: `levenshtein` is a native
+    * Spark expression). At 100 TB the block key generalizes to any
+    * cheap canonical form (lowercased prefix, phonetic key, simhash
+    * band) — same plan, and the occupancy cap (q36's [[MaxShingleDf]]
+    * discipline) applies if a prefix ever goes hot. Edit distance is
+    * engine-independent (standard DP), so the pairs are DuckDB-oracled
+    * exactly. */
+  def q94FuzzyPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), substring(col("text"), 1, 16).as("blk"),
+        substring(col("text"), 1, 64).as("head"))
+    d.as("a").join(d.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        levenshtein(col("a.head"), col("b.head")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= 8)
+      .orderBy(col("da"), col("db"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q36_dedup_jaccard" -> q36DedupJaccard,
     "q37_dedup_minhash" -> q37DedupMinHash,
@@ -462,6 +492,7 @@ object Dedup {
     "q67_dedup_embedding_lsh" -> q67DedupEmbeddingLsh,
     "q72_contamination" -> q72Contamination,
     "q89_dup_clusters" -> q89DupClusters,
+    "q94_fuzzy_pairs" -> q94FuzzyPairs,
   )
 
   /** q37/q38 use engine-specific xxhash64 ⇒ rows-only (no oracle). */
@@ -483,6 +514,15 @@ object Dedup {
         JOIN n na ON na.doc_id = da
         JOIN n nb ON nb.doc_id = db
       WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5
+      ORDER BY da, db""",
+    "q94_fuzzy_pairs" -> """
+      WITH d AS (
+        SELECT doc_id, substr(text, 1, 16) AS blk, substr(text, 1, 64) AS head
+        FROM documents)
+      SELECT a.doc_id AS da, b.doc_id AS db,
+        CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+      FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.head, b.head) <= 8
       ORDER BY da, db""",
     // Same pair derivation as q36, then connected components by
     // recursive transitive closure + min — a different algorithm than

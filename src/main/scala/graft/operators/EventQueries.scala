@@ -201,26 +201,6 @@ object EventQueries {
       .orderBy(col("cohort_wk"), col("wk_offset"))
   }
 
-  // ---------------------------------------------------------------- q94
-  /** Pivot (long → wide): per-user event-type counts as columns via the
-    * relational PIVOT operator with an EXPLICIT value list — the
-    * dynamic-values form needs a pre-pass to collect the pivot domain
-    * to the driver, which is exactly what a declared 100 TB plan should
-    * not do (and makes the output schema data-dependent). Executes as
-    * one hash aggregate over (user, type) pairs rewritten to a wide
-    * aggregate — no join, one shuffle. */
-  def q94Pivot(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.events(spark, sfDir)
-      .groupBy(col("user_id"))
-      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-      .agg(count(lit(1)))
-      .na.fill(0L)
-      .select(col("user_id"), col("click").as("n_click"),
-        col("error").as("n_error"), col("purchase").as("n_purchase"),
-        col("signup").as("n_signup"), col("view").as("n_view"))
-      .orderBy(col("user_id"))
-  }
-
   // ---------------------------------------------------------------- q97
   /** Equi-width histogram of event value per type: 20 buckets spanning
     * the corpus [min, max] — the OLAP distribution primitive behind
@@ -269,7 +249,6 @@ object EventQueries {
     "q98_transitions" -> q98Transitions,
     "q92_funnel" -> q92Funnel,
     "q93_retention" -> q93Retention,
-    "q94_pivot" -> q94Pivot,
     "q27_json_extract" -> q27JsonExtract,
     "q28_array_fns" -> q28ArrayFns,
     "q29_tumbling_window" -> q29TumblingWindow,
@@ -340,16 +319,6 @@ object EventQueries {
       FROM e JOIN cohort c USING (user_id)
       GROUP BY 1, 2
       ORDER BY cohort_wk, wk_offset""",
-    "q94_pivot" -> """
-      SELECT user_id,
-        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
-        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
-        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
-        CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
-        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
-      FROM events
-      GROUP BY user_id
-      ORDER BY user_id""",
     "q27_json_extract" -> """
       SELECT event_type, count(1) AS n,
         CAST(sum(k) AS BIGINT) AS sum_k,
