@@ -132,6 +132,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.length == 10)
   }
 
+  test("chunk windows: count, coverage, and stride-overlap invariants") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = TextAnalysis.q91ChunkWindows(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("chunk_toks")))
+      .groupBy(_._1)
+    docs.foreach { case (id, n) =>
+      val cs = chunks(id).sortBy(_._2)
+      val expected = 1 + (math.max(n - 64, 0) + 47) / 48
+      assert(cs.length == expected, s"doc $id: ${cs.length} != $expected chunks")
+      // all but the last chunk are full; every token position is covered
+      cs.init.foreach(c => assert(c._3 == 64))
+      val last = cs.last
+      assert(last._2 * 48 + last._3 == n || last._3 == 64,
+        s"doc $id: final chunk does not reach the last token")
+    }
+  }
+
+  test("funnel: stage user counts are monotone nonincreasing") {
+    val rows = graft.operators.EventQueries.q92Funnel(spark, sfDir).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(rows("1_view") >= rows("2_click"))
+    assert(rows("2_click") >= rows("3_purchase"))
+    assert(rows("1_view") > 0)
+  }
+
   test("fingerprint: identical texts share content hash and min-gram hash") {
     import org.apache.spark.sql.functions._
     // synthesize guaranteed duplicates: re-id the first 3 docs and union
