@@ -260,6 +260,37 @@ object ExtensionQueries {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------- q99
+  /** TPC-H Q5 shape: local-supplier revenue per nation — the 6-table
+    * join-order stress (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈
+    * nation ⋈ region) with the locality constraint c_nationkey =
+    * s_nationkey riding the supplier join. region/nation are broadcast;
+    * the two fact joins are equi-joins Catalyst + AQE order from
+    * runtime stats — at 100 TB this is the query where join order makes
+    * or breaks the plan, which is exactly why it's declared rather than
+    * hand-scheduled. */
+  def q99LocalSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   // ---------------------------------------------------------------- q62
   /** TPC-H Q14 shape: promo revenue share in a month — conditional
     * aggregation over a fact/dim join, exact decimal ratio in double. */
@@ -309,6 +340,7 @@ object ExtensionQueries {
     "q52_salted_agg" -> q52SaltedAgg,
     "q53_asof_native" -> q53AsofNative,
     "q54_topk_aggregate" -> q54TopKAggregate,
+    "q99_local_supplier_volume" -> q99LocalSupplierVolume,
   )
 
   lazy val sql: Map[String, String] = Map(
@@ -398,6 +430,20 @@ object ExtensionQueries {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
                    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
       ORDER BY event_id""",
+    "q99_local_supplier_volume" -> """
+      SELECT n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""",
     "q61_returned_items" -> """
       SELECT c_custkey, c_name, n_name,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
