@@ -352,10 +352,11 @@ object TextAnalysis {
     * Scale shape: map-only fan-out (explode_outer of a computed
     * transform + isNotNull — the InferFiltersFromGenerate-safe form);
     * output ∝ Σ chunks, no shuffle at all before the output sort. */
-  def q91ChunkWindows(spark: SparkSession, sfDir: String): DataFrame = {
-    val C = 64
-    val S = 48
-    Tables.documents(spark, sfDir)
+  /** Frame form — map-only and stateless, so it runs unchanged on a
+    * STREAM (chunking-at-ingest; StreamingSpec pins stream == batch).
+    * Unordered; the batch query adds the total order. */
+  def chunkWindows(docs: DataFrame, C: Int = 64, S: Int = 48): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("nc",
         lit(1) + expr(s"(greatest(size(toks) - $C, 0) + ${S - 1}) div $S"))
@@ -367,8 +368,10 @@ object TextAnalysis {
       .select(col("doc_id"), col("ch.idx").as("chunk_idx"),
         size(col("ch.span")).cast("long").as("chunk_toks"),
         md5(array_join(col("ch.span"), " ")).as("chunk_md5"))
+
+  def q91ChunkWindows(spark: SparkSession, sfDir: String): DataFrame =
+    chunkWindows(Tables.documents(spark, sfDir))
       .orderBy(col("doc_id"), col("chunk_idx"))
-  }
 
   // ---------------------------------------------------------------- q96
   /** Per-language median quality gate (the CCNet-style "keep the better

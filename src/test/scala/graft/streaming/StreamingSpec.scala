@@ -382,6 +382,27 @@ class StreamingSpec extends AnyFunSuite {
       s"stream/batch selection diverged: ${streamed.size} vs ${batch.size}")
   }
 
+  test("streaming chunk windows == batch (stateless map-only fan-out)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sfDir)
+    val src = tmp("graft_chunk")
+    docs.coalesce(1).write.parquet(s"$src/f0")
+    val q = graft.functions.TextAnalysis.chunkWindows(
+        spark.readStream.schema(docs.schema).parquet(s"$src/f*"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunk_stream")
+      .option("checkpointLocation", tmp("graft_chunk_ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("chunk_stream").collect()
+      .map(_.toString).toSet
+    val batch = graft.functions.TextAnalysis.chunkWindows(docs).collect()
+      .map(_.toString).toSet
+    assert(streamed == batch && batch.nonEmpty,
+      s"stream/batch chunks diverged: ${streamed.size} vs ${batch.size}")
+  }
+
   test("streaming repetition + PII scrub == batch (stateless map-only)") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"
