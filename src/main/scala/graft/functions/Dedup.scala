@@ -140,8 +140,22 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Shared per-(session, sfDir) materialization of the exact-Jaccard
+    * pair frame: q36 (the pairs) and q89 (clusters OVER the pairs) both
+    * consume it, so whichever executes first pays the shingle pass once
+    * and the other reads the cached result — the `Tables` fixed-cost
+    * discipline applied to the most expensive shared intermediate. The
+    * cached frame is |dup pairs| rows (tiny at every scale: near-dup
+    * pairs are a vanishing fraction of corpus²), safe to pin. */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def cachedJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
+    pairsCache.getOrElseUpdate((spark, sfDir),
+      jaccardPairs(Tables.documents(spark, sfDir)).cache())
+
   def q36DedupJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    jaccardPairs(Tables.documents(spark, sfDir))
+    cachedJaccardPairs(spark, sfDir)
 
   // ---------------------------------------------------------------- q37
   /** MinHash + LSH banding. 32 seeded xxhash64 min-hashes per doc, 8
@@ -452,7 +466,7 @@ object Dedup {
   }
 
   def q89DupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    dupClusters(jaccardPairs(Tables.documents(spark, sfDir)))
+    dupClusters(cachedJaccardPairs(spark, sfDir))
 
   // ---------------------------------------------------------------- q94
   /** CHARACTER-level fuzzy near-dup pairs: exact Levenshtein distance
