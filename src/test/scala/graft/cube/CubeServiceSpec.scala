@@ -81,4 +81,20 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteCube("svc")
     assert(svc.listCubes().isEmpty)
   }
+
+  test("publish-crash recovery: name.old restored when the publish dir is missing") {
+    val dir = Files.createTempDirectory("graft_svc_crash").toString
+    val svc = new CubeService(spark, dir)
+    svc.createCube(cfg, df(Seq(("click", t0, 3.0), ("view", t0, 2.0))))
+    // simulate dying between updateAggregates' two renames: the
+    // published dir is aside at name.old, nothing at name
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir, "svc"),
+      java.nio.file.Paths.get(dir, "svc.old"))
+    val fresh = new CubeService(spark, dir) // new registry, cold load
+    val agg = fresh.getAggregates("svc", Seq("etype"), sumOf = Seq("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(agg == Map("click" -> 3.0, "view" -> 2.0))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "svc")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "svc.old")))
+  }
 }
