@@ -161,6 +161,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows("1_view") > 0)
   }
 
+  test("retention: the offset-0 cell equals the cohort size") {
+    val rows = graft.operators.EventQueries.q93Retention(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("cohort_wk"), r.getAs[Long]("wk_offset")),
+        r.getAs[Long]("n_users"))).toMap
+    assert(rows.nonEmpty)
+    // every cohort member is by definition active in their first week
+    val cohorts = rows.keys.map(_._1).toSet
+    cohorts.foreach { c =>
+      val size0 = rows((c, 0L))
+      rows.filter(_._1._1 == c).foreach { case ((_, off), n) =>
+        assert(n <= size0, s"cohort $c offset $off: $n > cohort size $size0")
+      }
+    }
+  }
+
+  test("fuzzy pairs: a planted single-char typo is found at edit distance 1") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val donor = base.filter(length(col("text")) >= 64)
+      .orderBy(col("doc_id")).limit(1).collect()(0)
+    val donorId = donor.getLong(0)
+    // mutate a char BEYOND the 16-char block key but inside the 64-char
+    // head: same block -> candidate pair; one substitution -> distance 1
+    val typo = donor.getString(1).toCharArray
+    typo(40) = if (typo(40) == 'x') 'y' else 'x'
+    val plantedId = donorId + 5000000L
+    val planted = Seq((plantedId, new String(typo))).toDF("doc_id", "text")
+    val d = base.unionByName(planted)
+      .select(col("doc_id"), substring(col("text"), 1, 16).as("blk"),
+        substring(col("text"), 1, 64).as("head"))
+    val pairs = d.as("a").join(d.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        levenshtein(col("a.head"), col("b.head")).as("ed"))
+      .filter(col("ed") <= 8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((donorId, plantedId)).contains(1),
+      s"planted typo pair not found at distance 1: $pairs")
+  }
+
+  test("vec_mean_float: dimension mismatch throws instead of truncating") {
+    import spark.implicits._
+    val ragged = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("id", "v")
+    val ex = intercept[Exception] {
+      ragged.agg(VecMeanFloat.vecMean(org.apache.spark.sql.functions.col("v")))
+        .collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: rootMessages(e.getCause))
+    assert(rootMessages(ex).exists(m => m != null && m.contains("vec_mean_float")))
+  }
+
   test("fingerprint: identical texts share content hash and min-gram hash") {
     import org.apache.spark.sql.functions._
     // synthesize guaranteed duplicates: re-id the first 3 docs and union
