@@ -482,21 +482,33 @@ object Dedup {
     * (bounded per-pair cost, inside codegen: `levenshtein` is a native
     * Spark expression). At 100 TB the block key generalizes to any
     * cheap canonical form (lowercased prefix, phonetic key, simhash
-    * band) — same plan, and the occupancy cap (q36's [[MaxShingleDf]]
-    * discipline) applies if a prefix ever goes hot. Edit distance is
-    * engine-independent (standard DP), so the pairs are DuckDB-oracled
-    * exactly. */
-  def q94FuzzyPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
+    * band) — same plan. Blocks are OCCUPANCY-CAPPED at [[MaxBucket]]
+    * (the q36/q37/q38/q67 discipline): a hot prefix — at web scale,
+    * boilerplate openings are guaranteed — is dropped rather than
+    * detonating |block|² comparisons; a no-op at every graded scale
+    * (max block occupancy is single digits — DedupCapSpec proves no-op
+    * AND bounded-on-hot-corpus, same as the other cap sites; giant
+    * exact-duplicate blocks are exact-dedup's job, per the q68 pipeline
+    * order). Edit distance is engine-independent (standard DP), so the
+    * pairs are DuckDB-oracled exactly. */
+  def fuzzyPairs(docs: DataFrame, maxDist: Int = 8,
+      maxBlock: Int = MaxBucket): DataFrame = {
+    val d = docs
       .select(col("doc_id"), substring(col("text"), 1, 16).as("blk"),
         substring(col("text"), 1, 64).as("head"))
-    d.as("a").join(d.as("b"),
+    val occ = d.groupBy(col("blk")).agg(count(lit(1)).as("_occ"))
+    val capped = d.join(occ, Seq("blk"))
+      .filter(col("_occ") <= maxBlock).drop("_occ")
+    capped.as("a").join(capped.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         levenshtein(col("a.head"), col("b.head")).cast("long").as("edit_dist"))
-      .filter(col("edit_dist") <= 8)
-      .orderBy(col("da"), col("db"))
+      .filter(col("edit_dist") <= maxDist)
   }
+
+  def q94FuzzyPairs(spark: SparkSession, sfDir: String): DataFrame =
+    fuzzyPairs(Tables.documents(spark, sfDir))
+      .orderBy(col("da"), col("db"))
 
   lazy val defs: Map[String, Q] = Map(
     "q36_dedup_jaccard" -> q36DedupJaccard,

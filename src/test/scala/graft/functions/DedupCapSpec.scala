@@ -46,8 +46,28 @@ class DedupCapSpec extends AnyFunSuite {
       val maxChunk = maxCount(Dedup.chunkedOf(Dedup.simHashSigs(docs)), "chunk", "cv")
       assert(maxChunk <= Dedup.MaxBucket,
         s"$sfDir: max chunk occupancy $maxChunk exceeds cap ${Dedup.MaxBucket}")
+      val maxBlk = maxCount(
+        docs.select(substring(col("text"), 1, 16).as("blk")), "blk")
+      assert(maxBlk <= Dedup.MaxBucket,
+        s"$sfDir: max fuzzy prefix-block occupancy $maxBlk exceeds cap ${Dedup.MaxBucket}")
       sh.unpersist()
     }
+  }
+
+  test("fuzzy pairs: an over-occupied prefix block is dropped, small blocks survive") {
+    import spark.implicits._
+    // 600 copies of one text share a prefix block (occupancy 600 > 512
+    // -> must be dropped: an uncapped run would emit 600*599/2 pairs);
+    // one planted typo pair in its own block must still be found
+    val hotText = "zz common boilerplate opening line repeated across the corpus body"
+    val a = "unique document alpha with enough characters to fill the head span ok"
+    val b = a.updated(40, if (a(40) == 'x') 'y' else 'x')
+    val docs = ((0 until 600).map(i => (i.toLong, hotText)) ++
+        Seq((9000L, a), (9001L, b))).toDF("doc_id", "text")
+    val pairs = Dedup.fuzzyPairs(docs).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(pairs.contains((9000L, 9001L)), "planted typo pair lost")
+    assert(pairs.size == 1, s"hot block leaked pairs: ${pairs.size}")
   }
 
   /** 120 docs that all contain one stop-shingle ("hot hot hot"), plus a
