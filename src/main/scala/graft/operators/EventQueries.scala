@@ -244,7 +244,76 @@ object EventQueries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  // --------------------------------------------------------------- q100
+  /** Time-series gap fill + resample: the hourly grid per event type
+    * over the corpus time range, missing hours emitted with n=0 and the
+    * hourly sum FORWARD-FILLED from the last observed hour (dashboards
+    * and training-feature pipelines both need the dense grid, not the
+    * sparse observations). The grid is |types| × |hours| — generated
+    * from a ONE-row min/max broadcast (q83's stats shape) and a
+    * sequence explode, never a driver loop; the fill is
+    * `last(ignoreNulls)` over an hours-ordered window per type —
+    * partition-local, no corpus re-shuffle beyond the hourly
+    * pre-aggregation (which carries one row per (type, hour)). */
+  def q100GapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sfDir)
+      .withColumn("ts_s", epochS(col("ts")))
+      .select(col("event_type"),
+        expr("(ts_s div 3600) * 3600").as("hr"), col("value"))
+    val hourly = e.groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n_obs"), moneySum(col("value")).as("sum_v"))
+    val stats = e.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val grid = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(stats))
+      .select(col("event_type"),
+        explode_outer(expr("sequence(h0, h1, 3600)")).as("hr"))
+      .filter(col("hr").isNotNull)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("filled_sum",
+        coalesce(last(col("sum_v"), ignoreNulls = true).over(w), lit(0.0)))
+      .select(col("event_type"), col("hr"), col("n_obs"), col("filled_sum"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  // --------------------------------------------------------------- q101
+  /** Statistical anomaly detection: per-type 2σ outliers with EXACT
+    * decimal moment sums — Σv and Σv² accumulate as DECIMAL (value is
+    * 2-decimal ⇒ v² is exactly a 4-decimal; both sums are
+    * order-independent under any partitioning), and only the final
+    * mean/σ/threshold arithmetic runs in double — the same expressions
+    * in both engines, so the >2σ gate is ulp-exact where a naive
+    * stddev_samp would diverge by accumulation order. One aggregate +
+    * one broadcast of the |types|-row moment table + a map-side flag
+    * pass: two corpus scans, no window. */
+  def q101AnomalyZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val m = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("s1"),
+        sum(dec2(col("value")) * dec2(col("value"))).cast("double").as("s2"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("sd", sqrt(
+        (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+    e.join(broadcast(m), Seq("event_type"))
+      .withColumn("is_anom",
+        col("value") > col("mean") + lit(2.0) * col("sd") ||
+        col("value") < col("mean") - lit(2.0) * col("sd"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anomalies"),
+        min(when(col("is_anom"), col("event_id"))).as("first_anom"),
+        max(when(col("is_anom"), col("event_id"))).as("last_anom"))
+      .orderBy(col("event_type"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q100_gap_fill" -> q100GapFill,
+    "q101_anomaly_zscore" -> q101AnomalyZscore,
     "q97_histogram" -> q97Histogram,
     "q98_transitions" -> q98Transitions,
     "q92_funnel" -> q92Funnel,
@@ -259,6 +328,49 @@ object EventQueries {
   )
 
   lazy val sql: Map[String, String] = Map(
+    "q100_gap_fill" -> """
+      WITH e AS (
+        SELECT event_type,
+          CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+            // 3600 * 3600 AS hr,
+          value
+        FROM events),
+      h AS (
+        SELECT event_type, hr, count(1) AS n_obs,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        FROM e GROUP BY 1, 2),
+      s AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM e),
+      g AS (
+        SELECT t.event_type, unnest(generate_series(s.h0, s.h1, 3600)) AS hr
+        FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN s)
+      SELECT g.event_type, g.hr,
+        coalesce(h.n_obs, 0) AS n_obs,
+        coalesce(last_value(h.sum_v IGNORE NULLS) OVER (
+          PARTITION BY g.event_type ORDER BY g.hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+          AS filled_sum
+      FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.hr = h.hr
+      ORDER BY g.event_type, g.hr""",
+    "q101_anomaly_zscore" -> """
+      WITH m AS (
+        SELECT event_type, count(1) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+          CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+            AS DOUBLE) AS s2
+        FROM events GROUP BY 1),
+      f AS (
+        SELECT e.event_type, e.event_id,
+          (e.value > m.s1 / m.n + 2.0 * sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1))
+           OR e.value < m.s1 / m.n - 2.0 * sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)))
+            AS is_anom
+        FROM events e JOIN m USING (event_type))
+      SELECT event_type, count(1) AS n_events,
+        CAST(sum(CASE WHEN is_anom THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        CAST(min(CASE WHEN is_anom THEN event_id END) AS BIGINT) AS first_anom,
+        CAST(max(CASE WHEN is_anom THEN event_id END) AS BIGINT) AS last_anom
+      FROM f
+      GROUP BY event_type
+      ORDER BY event_type""",
     "q97_histogram" -> """
       WITH s AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events)
       SELECT event_type,

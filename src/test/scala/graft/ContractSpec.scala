@@ -12,7 +12,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("declared names follow the qNN_snake_case scheme") {
-    val bad = SparkEntry.queries.keys.filterNot(_.matches("q\\d{2}_[a-z0-9_]+"))
+    val bad = SparkEntry.queries.keys.filterNot(_.matches("q\\d{2,3}_[a-z0-9_]+"))
     assert(bad.isEmpty, s"non-conforming names: $bad")
   }
 

@@ -40,7 +40,8 @@ class PlanSpec extends AnyFunSuite {
     "q10_join_asof",         // window-rewrite as-of: range condition
     "q53_asof_native",       // native as-of operator (merge, not NLJ)
     "q83_vec_quantize",      // crossJoin vs ONE broadcast stats row
-    "q97_histogram")         // crossJoin vs ONE broadcast min/max row
+    "q97_histogram",         // crossJoin vs ONE broadcast min/max row
+    "q100_gap_fill")         // crossJoin vs ONE broadcast time-range row
 
   test("no unjustified cartesian or nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
