@@ -156,26 +156,36 @@ object EventQueries {
     * pushed to the scan). Output: per-stage distinct-user count and
     * mean seconds from funnel entry (lags are exact BIGINT seconds, so
     * the avg is a sum-exact division in both engines). */
-  def q92Funnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_type"), col("ts"))
+  /** Per-user funnel times (t0 = first view, t1 = first click after t0,
+    * t2 = first purchase after t1; t1/t2 null when the stage is never
+    * reached) — the shared core of q92 and the streaming funnel's
+    * batch-equivalence test (StreamingSpec). */
+  def funnelTimes(e: DataFrame): DataFrame = {
     val v = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
     val c = e.filter(col("event_type") === "click")
       .join(v, Seq("user_id"))
       .filter(col("ts") > col("t0"))
-      .groupBy(col("user_id"), col("t0")).agg(min(col("ts")).as("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
     val p = e.filter(col("event_type") === "purchase")
-      .join(c.select(col("user_id"), col("t0"), col("t1")), Seq("user_id"))
+      .join(c, Seq("user_id"))
       .filter(col("ts") > col("t1"))
-      .groupBy(col("user_id"), col("t0")).agg(min(col("ts")).as("t2"))
-    val s1 = v.agg(count(lit(1)).as("n_users"),
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+  }
+
+  def q92Funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ft = funnelTimes(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts")))
+    val s1 = ft.agg(count(col("t0")).as("n_users"),
       avg(lit(0L)).as("avg_lag_s")).withColumn("stage", lit("1_view"))
-    val s2 = c.agg(count(lit(1)).as("n_users"),
-      avg(epochS(col("t1")) - epochS(col("t0"))).as("avg_lag_s"))
+    val s2 = ft.filter(col("t1").isNotNull)
+      .agg(count(lit(1)).as("n_users"),
+        avg(epochS(col("t1")) - epochS(col("t0"))).as("avg_lag_s"))
       .withColumn("stage", lit("2_click"))
-    val s3 = p.agg(count(lit(1)).as("n_users"),
-      avg(epochS(col("t2")) - epochS(col("t0"))).as("avg_lag_s"))
+    val s3 = ft.filter(col("t2").isNotNull)
+      .agg(count(lit(1)).as("n_users"),
+        avg(epochS(col("t2")) - epochS(col("t0"))).as("avg_lag_s"))
       .withColumn("stage", lit("3_purchase"))
     s1.unionByName(s2).unionByName(s3)
       .select(col("stage"), col("n_users"), col("avg_lag_s"))

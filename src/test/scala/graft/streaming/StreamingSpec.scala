@@ -403,6 +403,51 @@ class StreamingSpec extends AnyFunSuite {
       s"stream/batch chunks diverged: ${streamed.size} vs ${batch.size}")
   }
 
+  test("streaming funnel == batch funnel times across micro-batches") {
+    import org.apache.spark.sql.Row
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val src = tmp("graft_funnel_src")
+    // two micro-batches split by event-id parity: the chained-min state
+    // must net out the interleaving (late views re-qualifying clicks)
+    e.filter(col("event_id") % 2 === 0).drop("event_id")
+      .coalesce(1).write.parquet(s"$src/f0")
+    val schema = spark.read.parquet(s"$src/f0").schema
+    val q = StreamingFunnel.start(spark, s"$src/f*", schema,
+      tmp("graft_funnel_ckpt"), "funnel_stream")
+    q.processAllAvailable()
+    e.filter(col("event_id") % 2 === 1).drop("event_id")
+      .coalesce(1).write.parquet(s"$src/f1")
+    q.processAllAvailable()
+    q.stop()
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
+    // Update-mode memory sink accumulates one row per touched user per
+    // batch; the final emission dominates on (stage, then smaller times)
+    val streamed = spark.table("funnel_stream").collect()
+      .groupBy(_.getAs[Long]("user_id")).map { case (u, rs) =>
+        val best = rs.maxBy { r =>
+          def g(i: Int): Long = if (r.isNullAt(i)) Long.MinValue else -r.getLong(i)
+          (r.getAs[Int]("stage"), g(1), g(2), g(3))
+        }
+        def opt(r: Row, i: Int): Option[Long] =
+          if (r.isNullAt(i)) None else Some(r.getLong(i))
+        u -> (opt(best, 1), opt(best, 2), opt(best, 3))
+      }.toMap
+    val batch = graft.operators.EventQueries.funnelTimes(
+        graft.Tables.events(spark, "/root/testdata/sf0.001")
+          .select(col("user_id"), col("event_type"), col("ts")))
+      .collect().map { r =>
+        def opt(i: Int): Option[Long] =
+          if (r.isNullAt(i)) None
+          else Some(micros(r.getAs[java.sql.Timestamp](i)))
+        r.getAs[Long]("user_id") -> (opt(1), opt(2), opt(3))
+      }.toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream/batch funnel diverged: ${streamed.size} vs ${batch.size} users")
+  }
+
   test("streaming repetition + PII scrub == batch (stateless map-only)") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"
