@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.{FloatVecDot, FloatVecNorm, MinHashSig, ShingleHashes, SimHash64, VecMeanFloat}
+import graft.functions.{FloatVecDot, FloatVecNorm, MinHashSig, ShingleHashes, SimHash64, TopKByValue, VecMeanFloat, WordNgrams}
 
 /** Session-extension registration (the installable form of the engine's
   * Catalyst additions): the as-of join planner strategy and the native
@@ -53,5 +53,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecMeanFloat].getName, "vec_mean_float"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecMeanFloat(exprs.head).toAggregateExpression()))
+    // aggregate + generator registrations take literal extra args: k / n
+    // must be a foldable literal (evaluated once at resolution time)
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("top_k_by_value"),
+      new ExpressionInfo(classOf[TopKByValue].getName, "top_k_by_value"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopKByValue(exprs(0), exprs(1), literalInt(exprs(2), "top_k_by_value(value, id, k)"))
+          .toAggregateExpression()))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordNgrams(exprs(0), literalInt(exprs(1), "word_ngrams(words, n)"))))
+  }
+
+  private def literalInt(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      sig: String): Int = {
+    require(e.foldable, s"$sig: last argument must be a literal integer")
+    e.eval().asInstanceOf[Number].intValue
   }
 }

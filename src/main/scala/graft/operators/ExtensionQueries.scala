@@ -291,6 +291,96 @@ object ExtensionQueries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  // ---------------------------------------------------------------- q104
+  /** TPC-H Q7 shape: shipping volume between two nations by ship year —
+    * the double-dimension-alias stress (nation joined twice under two
+    * roles). The nation pair filter is applied INSIDE each broadcast
+    * dim before the fact joins — at 100 TB that prunes supplier and
+    * customer matches at join time instead of carrying every nation
+    * through the 4-way fact join and filtering at the end; only the
+    * cheap cross-role inequality runs post-join. */
+  def q104VolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val pair = Seq("NATION_3", "NATION_7")
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n1 = Tables.nation(spark, sfDir)
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, sfDir)
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  // ---------------------------------------------------------------- q105
+  /** TPC-H Q8 shape: one nation's market share inside one region's
+    * consumption of one part type, by order year — conditional share of
+    * a 6-table join. Both sums accumulate exact decimal and divide once
+    * in double (the q62 discipline), so the ratio is bit-stable
+    * cross-engine. part is filtered before its broadcast; the two
+    * nation roles ride separate broadcast aliases. */
+  def q105MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val p = Tables.part(spark, sfDir).filter(col("p_type") === "ECONOMY")
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE")
+    val n1 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("n1_key"), col("n_regionkey"))
+    val n2 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+    val vol = dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_5", vol)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+          / sum(vol).cast("double")).as("mkt_share"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_year"))
+  }
+
+  // ---------------------------------------------------------------- q106
+  /** The custom-Generator seam graded end-to-end: word trigrams of a
+    * document sample via the native `WordNgrams` Catalyst Generator
+    * (functions/NgramGenerator.scala) — the analyzer's ExtractGenerator
+    * rewrites the select into a streaming Generate node, no
+    * intermediate n-gram array is ever materialized (contrast q50,
+    * which grades the BUILT-IN generator path). md5 of the ngram keeps
+    * the graded payload small while pinning exact content. */
+  def q106NgramGenerate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 20 === 0)
+    docs
+      .select(col("doc_id"),
+        graft.functions.WordNgrams.wordNgrams(split(col("text"), " "), 3))
+      .select(col("doc_id"), col("pos"), md5(col("ngram")).as("ngram_md5"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   // ---------------------------------------------------------------- q62
   /** TPC-H Q14 shape: promo revenue share in a month — conditional
     * aggregation over a fact/dim join, exact decimal ratio in double. */
@@ -341,6 +431,9 @@ object ExtensionQueries {
     "q53_asof_native" -> q53AsofNative,
     "q54_topk_aggregate" -> q54TopKAggregate,
     "q99_local_supplier_volume" -> q99LocalSupplierVolume,
+    "q104_volume_shipping" -> q104VolumeShipping,
+    "q105_market_share" -> q105MarketShare,
+    "q106_ngram_generate" -> q106NgramGenerate,
   )
 
   lazy val sql: Map[String, String] = Map(
@@ -444,6 +537,55 @@ object ExtensionQueries {
         AND o_orderdate < TIMESTAMP '1997-01-01'
       GROUP BY n_name
       ORDER BY revenue DESC, n_name""",
+    "q104_volume_shipping" -> """
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND n1.n_name IN ('NATION_3', 'NATION_7')
+        AND n2.n_name IN ('NATION_3', 'NATION_7')
+        AND n1.n_name <> n2.n_name
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3""",
+    "q105_market_share" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+            THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+          / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share,
+        count(1) AS n_lines
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1
+      ORDER BY 1""",
+    "q106_ngram_generate" -> """
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words
+        FROM documents WHERE doc_id % 20 = 0),
+      g AS (
+        SELECT doc_id, words,
+          CAST(unnest(generate_series(1, len(words) - 2)) AS INTEGER) AS pos
+        FROM w)
+      SELECT doc_id, pos,
+        md5(array_to_string(words[pos:pos+2], ' ')) AS ngram_md5
+      FROM g
+      ORDER BY doc_id, pos""",
     "q61_returned_items" -> """
       SELECT c_custkey, c_name, n_name,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue

@@ -68,6 +68,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(mean == Seq(2.0f, 4.0f), s"got $mean")
   }
 
+  test("top_k_by_value callable from SQL, literal k enforced") {
+    val rows = spark.sql("""
+      SELECT g, top_k_by_value(CAST(v AS DOUBLE), CAST(i AS BIGINT), 2) AS tk
+      FROM VALUES ('a', 1.0, 10), ('a', 3.0, 30), ('a', 2.0, 20),
+                  ('b', 5.0, 50) AS t(g, v, i)
+      GROUP BY g ORDER BY g""").collect()
+    val a = rows(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(a.map(r => (r.getDouble(0), r.getLong(1))) ==
+      Seq((3.0, 30L), (2.0, 20L)))
+    val b = rows(1).getSeq[org.apache.spark.sql.Row](1)
+    assert(b.map(r => (r.getDouble(0), r.getLong(1))) == Seq((5.0, 50L)))
+  }
+
+  test("word_ngrams generator callable from SQL, matches the Column form") {
+    val viaSql = spark.sql(
+      "SELECT pos, ngram FROM (SELECT word_ngrams(split('a b c d', ' '), 2))")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(viaSql == Seq((1, "a b"), (2, "b c"), (3, "c d")))
+    val viaCol = spark.range(1)
+      .select(graft.functions.WordNgrams.wordNgrams(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lit("a b c d"), " "), 2))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(viaCol == viaSql)
+    // shorter than n: the row vanishes (non-outer Generate semantics)
+    assert(spark.sql(
+      "SELECT word_ngrams(split('a b', ' '), 3)").count() == 0)
+  }
+
   test("as-of strategy is installed by the extension") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100.0), (1L, 3L, 50.0)).toDF("k", "t", "v")
