@@ -490,6 +490,35 @@ object RelationalQueries {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  // ---------------------------------------------------------------- q107
+  /** Pearson correlation from EXACT decimal moment sums (the q101
+    * discipline lifted to the bivariate case): Σx, Σy, Σxy, Σx², Σy²
+    * accumulate as DECIMAL — order-independent under any partitioning,
+    * so safe for partial+final aggregation on any cluster — and only
+    * the closed-form corr arithmetic runs in double, identically in
+    * both engines. The built-in `corr()` would accumulate doubles in
+    * partition order and drift cross-engine; this is the
+    * reproducible-at-100-TB form: one map-side-combined aggregate over
+    * the corpus, |groups| rows of finishing math. */
+  def q107Correlation(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val x = dec2(col("l_quantity"))
+    val y = dec2(col("l_extendedprice"))
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n_lines"),
+        ((col("n_lines") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("n_lines") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("n_lines") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ---------------------------------------------------------------- q78
   /** Pivot (wide aggregation): per-user event-type value sums as
     * columns. `groupBy(...).pivot(types, ...)` with an EXPLICIT value
@@ -558,6 +587,7 @@ object RelationalQueries {
     "q24_string_fns" -> q24StringFns,
     "q25_date_fns" -> q25DateFns,
     "q26_math_fns" -> q26MathFns,
+    "q107_correlation" -> q107Correlation,
   )
 
   /** DuckDB oracle SQL. Table names are bare (driver registers views over
@@ -565,6 +595,21 @@ object RelationalQueries {
     * DuckDB's sum(BIGINT)→HUGEINT and year()→BIGINT would otherwise drift
     * from Spark's types. */
   lazy val sql: Map[String, String] = Map(
+    "q107_correlation" -> """
+      WITH m AS (
+        SELECT l_returnflag, count(1) AS n_lines,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, n_lines,
+        (n_lines * sxy - sx * sy)
+          / (sqrt(n_lines * sxx - sx * sx) * sqrt(n_lines * syy - sy * sy))
+          AS corr_qty_price
+      FROM m
+      ORDER BY l_returnflag""",
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
