@@ -58,24 +58,32 @@ object Tables {
     * driver metadata, exactly what a catalog would serve. */
   private val counts = scala.collection.concurrent.TrieMap.empty[String, Long]
 
-  def footerRowCount(spark: SparkSession, path: String): Long =
-    counts.getOrElseUpdate(path, {
-      import org.apache.hadoop.fs.Path
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
-      val conf = spark.sessionState.newHadoopConf()
-      val p = new Path(path)
-      val fs = p.getFileSystem(conf)
-      val statuses =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).filter(st => st.isFile && {
-            val n = st.getPath.getName
-            !n.startsWith("_") && !n.startsWith(".")
-          })
-        else Array(fs.getFileStatus(p))
-      statuses.map { st =>
+  def footerRowCount(spark: SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    // Recurse into subdirectories (partitioned datasets nest files under
+    // key=value dirs) and key the cache on the newest mtime seen, so a
+    // dataset rewritten at the same path is re-counted instead of served
+    // a stale total. Hidden/_metadata entries are skipped at every level.
+    def collect(st: FileStatus): Array[FileStatus] = {
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Array.empty
+      else if (st.isDirectory) fs.listStatus(st.getPath).flatMap(collect)
+      else Array(st)
+    }
+    val root = fs.getFileStatus(p)
+    val files = if (root.isDirectory) fs.listStatus(p).flatMap(collect)
+                else Array(root)
+    val stamp = if (files.isEmpty) 0L else files.map(_.getModificationTime).max
+    counts.getOrElseUpdate(s"$path@$stamp${files.length}", {
+      files.map { st =>
         val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
         try r.getRecordCount finally r.close()
       }.sum
     })
+  }
 }

@@ -56,14 +56,24 @@ final class CubeService(spark: SparkSession, storageDir: String) {
   /** Crash recovery for [[updateAggregates]]'s two-rename publish: if
     * the process died between rename-aside and rename-in, the published
     * directory is missing and the previous version sits at `name.old` —
-    * restore it before loading. */
+    * restore it before loading.
+    *
+    * Two concurrent cold `loadCube`s can both reach here
+    * (TrieMap.getOrElseUpdate may evaluate the thunk twice); only one
+    * ATOMIC_MOVE can win, so the loser treats "target now exists" as
+    * success rather than surfacing NoSuchFileException. */
   private def recoverSwap(name: String): Unit = {
     val finalDir = java.nio.file.Paths.get(storageDir, name)
     val oldDir = java.nio.file.Paths.get(storageDir, s"$name.old")
     if (!finalDir.toFile.exists() && oldDir.toFile.exists()) {
-      java.nio.file.Files.move(oldDir, finalDir,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      ()
+      try {
+        java.nio.file.Files.move(oldDir, finalDir,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      } catch {
+        case e: java.io.IOException =>
+          if (!finalDir.toFile.exists()) throw e // real failure, not a lost race
+      }
     }
   }
 

@@ -302,10 +302,13 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- q90
   /** TF-IDF term scoring: top-3 most characteristic terms per document.
-    * tf per (doc, term) and df per term come out of two hash aggregates
-    * with map-side partials (word skew is absorbed the same way q43's
-    * word count handles it); |corpus| comes from parquet footers
-    * (cached driver metadata, no pre-plan job — the q84 pattern).
+    * tf per (doc, term) comes out of one hash aggregate with map-side
+    * partials (word skew is absorbed the same way q43's word count
+    * handles it); df per term is a frame-less window count OVER the tf
+    * frame — the former separate df aggregate + equi-join re-evaluated
+    * the whole explode+agg subtree on both branches, scanning the
+    * corpus twice. |corpus| comes from parquet footers (cached driver
+    * metadata, no pre-plan job — the q84 pattern).
     *
     * The score is the log-free rarity ratio tf·N/df: within a fixed
     * document log(N/df) is a monotone transform per TERM but the
@@ -316,8 +319,9 @@ object TextAnalysis {
     * money sums. Ranking ties break by term asc.
     *
     * Scale note: the top-3 window sorts each doc's own term list (tens
-    * of rows per partition key, never a corpus sort); df join is an
-    * equi-join on term, shuffled once. */
+    * of rows per partition key, never a corpus sort); the df window
+    * shuffles the compact (doc,term,tf) frame once on term — strictly
+    * less data than the join form moved, with no second corpus scan. */
   def q90Tfidf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = Tables.footerRowCount(spark, s"$sfDir/documents.parquet")
@@ -326,10 +330,9 @@ object TextAnalysis {
       .filter(col("term").isNotNull && col("term") =!= "")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(df, Seq("term"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
@@ -390,19 +393,30 @@ object TextAnalysis {
     * either way. */
   def q96QualityGate(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Null text => null score; drop those rows BEFORE the rank so the
+    // median element can't shift, and rank nulls-last anyway — Spark
+    // sorts NULLs first, DuckDB's ORDER BY sorts them last, so an
+    // unfiltered null would silently desynchronize the two medians.
     val scored = Tables.documents(spark, sfDir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("score",
         size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("score"))
+      .filter(col("score").isNotNull)
     val byScore = Window.partitionBy(col("lang"))
-      .orderBy(col("score"), col("doc_id"))
-    val med = scored
+      .orderBy(col("score").asc_nulls_last, col("doc_id"))
+    val byLang = Window.partitionBy(col("lang"))
+    // One pass: rank + a second frame-less window flood the per-lang
+    // cutoff to every row, so the expensive score expression (split +
+    // array_distinct over full text) is evaluated ONCE per document —
+    // the former med-then-join form re-evaluated it on both join
+    // branches. Same rows, same oracle.
+    scored
       .withColumn("rn", row_number().over(byScore))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
-      .filter(col("rn") === expr("(n + 1) div 2"))
-      .select(col("lang"), col("score").as("cutoff"))
-    scored.join(broadcast(med), Seq("lang"))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .withColumn("cutoff",
+        max(when(col("rn") === expr("(n + 1) div 2"), col("score")))
+          .over(byLang))
       .filter(col("score") >= col("cutoff"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"),
@@ -453,10 +467,12 @@ object TextAnalysis {
       ORDER BY doc_id, rk""",
     "q96_quality_gate" -> """
       WITH s AS (
-        SELECT doc_id, lang, n_chars,
-          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-            / len(string_split(text, ' ')) AS score
-        FROM documents),
+        SELECT * FROM (
+          SELECT doc_id, lang, n_chars,
+            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) AS score
+          FROM documents)
+        WHERE score IS NOT NULL),
       m AS (
         SELECT lang, score AS cutoff FROM (
           SELECT lang, score,
