@@ -88,13 +88,14 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
     // trigrams are hashed to 64-bit immediately: every downstream
-    // groupBy/join shuffles fixed-width longs instead of strings
+    // groupBy/join shuffles fixed-width longs instead of strings.
     // stride-2 position sampling halves the gram volume with no
-    // meaningful signal loss (profiles and scores use the same stride)
+    // meaningful signal loss (profiles and scores use the same stride).
+    // CharGramHashes is the codegen'd O(n)-per-doc form — the
+    // composable transform(sequence…substring) it replaces re-scanned
+    // the UTF-8 bytes per gram (O(n²)/doc), which dominated the query.
     val grams = docs.select(col("doc_id"), col("lang"),
-        explode_outer(expr(
-          """transform(sequence(1, greatest(length(text) - 2, 1), 2),
-             i -> xxhash64(substring(text, i, 3)))""")).as("g"))
+        explode_outer(CharGramHashes.charGramHashes(col("text"))).as("g"))
       .filter(col("g").isNotNull)
       .cache() // used twice: profile build + scoring pass
     val profile = grams.groupBy(col("lang"), col("g"))
