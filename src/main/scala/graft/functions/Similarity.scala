@@ -284,11 +284,61 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // ---------------------------------------------------------------- q115
+  /** SemDeDup-style SEMANTIC deduplication (cluster-then-prune, after
+    * Abbas et al. 2023): coarse k-means clusters bound the candidate
+    * space, then each cluster is pruned of vectors that have an
+    * earlier-id partner at cosine ≥ τ — one survivor per semantic
+    * ε-ball instead of reporting raw pairs (q39/q67's job).
+    *
+    * Scale shape: clustering is the q51 IVF path (broadcast centroids,
+    * one corpus shuffle per Lloyd iteration); the pairwise prune is an
+    * EQUI-join on cluster id, so comparisons are Σ|cluster|² — at
+    * 100 TB K grows with the corpus to keep clusters bounded, and the
+    * occupancy cap (the q36/q37/q67 discipline) degrades a runaway
+    * cluster to "kept" instead of detonating the join. The dup flag
+    * rides a min-struct aggregate (earliest partner + its cosine), one
+    * shuffle of pair rows. Rows-only: cluster membership is
+    * float-k-means-dependent; validity (every dropped vector's partner
+    * really is ≥ τ) and determinism are test-pinned. */
+  def q115SemanticDedup(spark: SparkSession, sfDir: String): DataFrame =
+    semanticDedup(spark, sfDir, k = 16, lloydIters = 2, tau = 0.5)
+
+  private[functions] def semanticDedup(spark: SparkSession, sfDir: String,
+      k: Int, lloydIters: Int, tau: Double): DataFrame = {
+    val em = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), normExpr("embedding").as("nrm"))
+    val init = em.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+    val cents = (1 to lloydIters).foldLeft(init)((c, _) => lloydStep(em, c))
+    val clustered = assignWithVec(em, cents)
+    val occ = clustered.groupBy(col("cent_id")).agg(count(lit(1)).as("_occ"))
+    val capped = clustered.join(broadcast(occ), Seq("cent_id"))
+      .filter(col("_occ") <= Dedup.MaxBucket).drop("_occ")
+    val dups = capped.as("a").join(capped.as("b"),
+        col("a.cent_id") === col("b.cent_id")
+          && col("b.vec_id") < col("a.vec_id"))
+      .withColumn("cos",
+        VectorExpressions.floatVecDot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(min(struct(col("b.vec_id").as("u"), col("cos").as("c"))).as("m"))
+      .select(col("vec_id"), col("m.u").as("dup_of"), col("m.c").as("dup_cos"))
+    clustered.select(col("vec_id"), col("cent_id"))
+      .join(dups, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cent_id"),
+        col("dup_of").isNull.as("kept"), col("dup_of"), col("dup_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q40_knn_brute" -> q40KnnBrute,
     "q41_knn_lsh" -> q41KnnLsh,
     "q51_knn_ivf" -> q51KnnIvf,
     "q83_vec_quantize" -> q83VecQuantize,
+    "q115_semantic_dedup" -> q115SemanticDedup,
   )
 
   /** q41 is approximate by construction ⇒ rows-only. */

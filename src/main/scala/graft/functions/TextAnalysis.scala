@@ -427,8 +427,52 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  // ---------------------------------------------------------------- q118
+  /** Word co-occurrence / collocation mining: top adjacent bigrams by a
+    * PMI-style association score — the phrase-discovery pass a
+    * tokenizer-training or n-gram-LM pipeline runs over a corpus.
+    *
+    * score = c_xy · T / (c_x · c_y): the log-free rational form of PMI
+    * (log is monotone per pair; the ratio multiplies exact BIGINTs and
+    * divides ONCE in double — the q90 determinism discipline, ln()'s
+    * libm drift never enters). Support floor c_xy ≥ 30 keeps the rank
+    * stable under the score's heavy tail.
+    *
+    * Scale shape: bigram fan-out is map-only (explode of a computed
+    * transform); both aggregates take map-side partials (word skew
+    * absorbed); unigram counts re-attach by two equi-joins of the
+    * ALREADY-AGGREGATED pair frame (⌀ pairs ≪ corpus tokens); the
+    * corpus-total T is one broadcast row (q97 discipline). */
+  def q118WordCooccurrence(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val pairs = toks
+      .select(explode_outer(expr(
+        """transform(sequence(1, greatest(size(toks) - 1, 1)),
+           i -> struct(element_at(toks, i) AS w1,
+                       element_at(toks, i + 1) AS w2))""")).as("p"))
+      .filter(col("p.w1").isNotNull && col("p.w2").isNotNull)
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 30)
+    val uni = toks.select(explode_outer(col("toks")).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(asLong(sum(col("c"))).as("t_total"))
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .join(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        ((col("c_xy") * col("t_total")).cast("double")
+          / (col("c_x") * col("c_y"))).as("score"))
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q90_tfidf" -> q90Tfidf,
+    "q118_word_cooccurrence" -> q118WordCooccurrence,
     "q91_chunk_windows" -> q91ChunkWindows,
     "q96_quality_gate" -> q96QualityGate,
     "q42_text_stats" -> q42TextStats,
@@ -445,6 +489,28 @@ object TextAnalysis {
 
   /** q45/q46 are hash/model-dependent ⇒ rows-only. */
   lazy val sql: Map[String, String] = Map(
+    "q118_word_cooccurrence" -> """
+      WITH t AS (
+        SELECT string_split(text, ' ') AS toks FROM documents),
+      pc AS (
+        SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i+1])) AS pr
+        FROM t),
+      pairs AS (
+        SELECT split_part(pr, ' ', 1) AS w1, split_part(pr, ' ', 2) AS w2,
+          count(1) AS c_xy
+        FROM pc GROUP BY 1, 2 HAVING count(1) >= 30),
+      u AS (SELECT unnest(toks) AS w FROM t),
+      uni AS (SELECT w, count(1) AS c FROM u GROUP BY 1),
+      tot AS (SELECT CAST(count(1) AS BIGINT) AS t_total FROM u)
+      SELECT w2, w1, c_xy, a.c AS c_x, b.c AS c_y,
+        CAST(c_xy * t_total AS DOUBLE) / (a.c * b.c) AS score
+      FROM pairs
+        JOIN uni a ON a.w = w1
+        JOIN uni b ON b.w = w2
+        CROSS JOIN tot
+      ORDER BY score DESC, w1, w2
+      LIMIT 20""",
     "q90_tfidf" -> """
       WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -554,8 +554,44 @@ object RelationalQueries {
       .orderBy(col("c_mktsegment"), col("c_custkey"))
   }
 
+  // ---------------------------------------------------------------- q114
+  /** SKYLINE (Pareto frontier): documents not dominated on
+    * (n_chars, vocabulary-uniqueness score) — the multi-objective
+    * filter a data-curation pass uses to keep "long AND lexically
+    * rich" exemplars without collapsing the two axes into one weight.
+    *
+    * Scale shape: the naive skyline is an O(n²) NOT EXISTS self-join
+    * (exactly what the oracle runs at sf0.01). This plan is linear:
+    * (1) reduce to one max-score row per distinct n_chars value — a
+    * hash aggregate, and the frame it yields is bounded by the VALUE
+    * DOMAIN of n_chars, not the corpus; (2) a running-max window over
+    * that tiny frame (single partition over ≤|domain| rows, never
+    * corpus rows) yields each x's strictly-higher-x score threshold;
+    * (3) broadcast the thresholds back and keep rows that tie their
+    * x's max and beat the threshold. Dominance: strictly better on one
+    * axis, no worse on the other. */
+  def q114Skyline(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("score",
+        size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+      .select(col("doc_id"), col("n_chars"), col("score"))
+      .filter(col("score").isNotNull)
+    val perX = scored.groupBy(col("n_chars")).agg(max(col("score")).as("mx"))
+    val wDesc = Window.orderBy(col("n_chars").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val thr = perX.withColumn("t_after", max(col("mx")).over(wDesc))
+    scored.join(broadcast(thr), Seq("n_chars"))
+      .filter(col("score") === col("mx")
+        && (col("t_after").isNull || col("t_after") < col("score")))
+      .select(col("doc_id"), asLong(col("n_chars")).as("n_chars"), col("score"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
+    "q114_skyline" -> q114Skyline,
     "q78_pivot" -> q78Pivot,
     "q79_window_distribution" -> q79WindowDistribution,
     "q02_filter_project" -> q02FilterProject,
@@ -595,6 +631,24 @@ object RelationalQueries {
     * DuckDB's sum(BIGINT)→HUGEINT and year()→BIGINT would otherwise drift
     * from Spark's types. */
   lazy val sql: Map[String, String] = Map(
+    // Same fixpoint, different algorithm: the oracle is the O(n²)
+    // dominance NOT EXISTS; the Spark side is the linear reduce+window
+    // form — hash equality proves the rewrite.
+    "q114_skyline" -> """
+      WITH s AS (
+        SELECT * FROM (
+          SELECT doc_id, n_chars,
+            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) AS score
+          FROM documents)
+        WHERE score IS NOT NULL)
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, score
+      FROM s a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM s b
+        WHERE b.n_chars >= a.n_chars AND b.score >= a.score
+          AND (b.n_chars > a.n_chars OR b.score > a.score))
+      ORDER BY n_chars DESC, doc_id""",
     "q107_correlation" -> """
       WITH m AS (
         SELECT l_returnflag, count(1) AS n_lines,

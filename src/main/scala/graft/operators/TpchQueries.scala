@@ -1,0 +1,243 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Stable._
+
+/** Deeper TPC-H join/subquery shapes (Q4, Q9, Q13, Q18, Q19, Q22
+  * analogues), adapted to the driver star schema — it has no partsupp,
+  * l_commitdate/l_receiptdate, c_phone, or comment columns, so each
+  * query keeps its ancestor's PLAN SHAPE (the part Catalyst has to get
+  * right) with predicates over the columns that exist.
+  *
+  * Scale intent mirrors the rest of the relational surface: dimension
+  * sides are filtered before their broadcast, fact-fact joins shuffle on
+  * the join key both sides already aggregate on (no extra exchange), and
+  * every money aggregate uses the exact-decimal [[Stable]] discipline so
+  * partial aggregation stays order-independent. */
+object TpchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q108
+  /** TPC-H Q9 shape: profit by supplier nation × ship year for one part
+    * family. Without partsupp the unit cost is proxied from the part's
+    * retail price (10% of retail per unit) — same 4-way join +
+    * two-column group-by; all products stay decimal-exact. part is
+    * filtered on the LIKE before broadcast, so the fact join fans out
+    * only matching lineitems. */
+  def q108ProductTypeProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir).filter(col("p_name").contains("widget"))
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val amount = dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))) -
+      dec2(col("p_retailprice")) * dec2(col("l_quantity")) * dec2(lit(0.1))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).as("o_year"))
+      .agg(sum(amount).cast("double").as("profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  // ---------------------------------------------------------------- q109
+  /** TPC-H Q4 shape: order-priority checking — EXISTS semi-join with a
+    * cross-table predicate (lineitem shipped >60 days after the order
+    * date stands in for commit<receipt). Catalyst plans the EXISTS as a
+    * left-semi hash join on orderkey with the date comparison as a join
+    * residual; orders carries its quarter filter into the scan. */
+  def q109OrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, sfDir)
+    o.join(li,
+        col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // ---------------------------------------------------------------- q110
+  /** TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    * join (customers with zero qualifying orders must survive with
+    * count 0) feeding a second aggregation over the first's result.
+    * count(o_orderkey) counts non-null matches only, which is what
+    * makes the outer join's null rows become the c_count=0 bucket. */
+  def q110CustomerDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  // ---------------------------------------------------------------- q111
+  /** TPC-H Q18 shape: large-volume orders — a grouped HAVING subquery
+    * over the fact table semi-filters the same fact's join. The
+    * pre-aggregation groups lineitem on the SAME key the join uses, so
+    * the having-filter adds no extra exchange beyond its own; at 100 TB
+    * the >threshold order set is tiny, and AQE turns the orders join
+    * into a broadcast. */
+  def q111LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(moneySum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 180.0)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        epochS(col("o_orderdate")).as("o_orderdate_s"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  // ---------------------------------------------------------------- q112
+  /** TPC-H Q19 shape: disjunctive predicate revenue — an OR of three
+    * conjunctive (brand, size-band, quantity-band) branches across the
+    * part⋈lineitem join. The per-branch part predicates prune the
+    * broadcast side; the l_quantity bounds stay sargable under the OR
+    * (min/max envelope pushes to the scan). */
+  def q112DiscountedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    val branch1 = col("p_brand") === "Brand#11" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#13" &&
+      col("p_size").between(10, 30) && col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#15" &&
+      col("p_size").between(25, 50) && col("l_quantity").between(20, 30)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  // ---------------------------------------------------------------- q113
+  /** TPC-H Q22 shape: sales opportunity — an uncorrelated scalar
+    * aggregate subquery (global positive-balance average) gates
+    * customers, an ANTI join drops those with orders in the last window of the data, and the
+    * survivors aggregate per nation. The scalar is a one-row broadcast
+    * (the q56/q97 discipline); the average divides an exact decimal sum
+    * once, so the gate compares identical doubles on both engines. */
+  def q113SalesOpportunity(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+    val n = Tables.nation(spark, sfDir)
+    val thr = c.filter(col("c_acctbal") > 0.0)
+      .agg((sum(dec2(col("c_acctbal"))).cast("double")
+        / count(lit(1))).as("avg_bal"))
+    c.join(broadcast(thr))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("numcust"),
+        moneySum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("nation"))
+  }
+
+  lazy val defs: Map[String, Q] = Map(
+    "q108_product_type_profit" -> q108ProductTypeProfit,
+    "q109_order_priority" -> q109OrderPriority,
+    "q110_customer_distribution" -> q110CustomerDistribution,
+    "q111_large_orders" -> q111LargeOrders,
+    "q112_discounted_revenue" -> q112DiscountedRevenue,
+    "q113_sales_opportunity" -> q113SalesOpportunity,
+  )
+
+  lazy val sql: Map[String, String] = Map(
+    "q108_product_type_profit" -> """
+      SELECT n_name AS nation,
+        CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+             - CAST(p_retailprice AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(0.1 AS DECIMAL(18,2))) AS DOUBLE) AS profit,
+        count(1) AS n_lines
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY 1, 2
+      ORDER BY nation, o_year""",
+    "q109_order_priority" -> """
+      SELECT o_orderpriority, count(1) AS order_count
+      FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-04-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+    "q110_customer_distribution" -> """
+      SELECT c_count, count(1) AS custdist
+      FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+          LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""",
+    "q111_large_orders" -> """
+      SELECT c_name, o_orderkey,
+        CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_orderdate_s,
+        o_totalprice, total_qty
+      FROM (
+        SELECT l_orderkey,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING total_qty > 180.0) big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100""",
+    "q112_discounted_revenue" -> """
+      SELECT
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        count(1) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#15' AND p_size BETWEEN 25 AND 50
+             AND l_quantity BETWEEN 20 AND 30)""",
+    "q113_sales_opportunity" -> """
+      SELECT n_name AS nation, count(1) AS numcust,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_acctbal > (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(1)
+          FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-01-01')
+      GROUP BY n_name
+      ORDER BY nation""",
+  )
+}

@@ -21,7 +21,9 @@ class ContractSpec extends AnyFunSuite {
     assert(rowsOnly == Set("q16_approx_distinct", "q37_dedup_minhash",
       "q38_dedup_simhash", "q41_knn_lsh", "q45_lang_id",
       "q46_fingerprint", "q51_knn_ivf", "q67_dedup_embedding_lsh",
-      "q69_approx_percentile"),
+      "q69_approx_percentile",
+      "q115_semantic_dedup",  // float k-means clustering, q39's exactness covers the anchor
+      "q117_heavy_hitters"),  // xxhash64 CMS estimates
       s"unexpected rows-only set: $rowsOnly")
   }
 

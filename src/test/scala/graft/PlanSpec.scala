@@ -41,7 +41,11 @@ class PlanSpec extends AnyFunSuite {
     "q53_asof_native",       // native as-of operator (merge, not NLJ)
     "q83_vec_quantize",      // crossJoin vs ONE broadcast stats row
     "q97_histogram",         // crossJoin vs ONE broadcast min/max row
-    "q100_gap_fill")         // crossJoin vs ONE broadcast time-range row
+    "q100_gap_fill",         // crossJoin vs ONE broadcast time-range row
+    "q113_sales_opportunity", // crossJoin vs ONE broadcast scalar-avg row
+    "q115_semantic_dedup",    // crossJoin vs <=16 broadcast centroids (q51 path)
+    "q117_heavy_hitters",     // crossJoin vs ONE broadcast sketch row
+    "q118_word_cooccurrence") // crossJoin vs ONE broadcast total-count row
 
   test("no unjustified cartesian or nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -235,6 +235,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(byText.count(_.size > 1) >= 3, "synthesized dups must collide")
   }
 
+  test("semantic dedup: every dropped vector has a valid earlier partner at cos >= tau") {
+    import org.apache.spark.sql.functions.col
+    val out = Similarity.q115SemanticDedup(spark, sfDir).collect()
+    val em = graft.Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding"))).toMap
+    assert(out.length == em.size, "one verdict row per vector")
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val dropped = out.filter(!_.getAs[Boolean]("kept"))
+    dropped.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      val u = r.getAs[Long]("dup_of")
+      assert(u < v, s"survivor rule: partner $u must precede $v")
+      assert(cos(em(u), em(v)) >= 0.5 - 1e-9,
+        s"recorded dup ($u,$v) below threshold")
+    }
+    // the planted exact near-dup pair (q39 truth) must collapse when
+    // both members share a cluster
+    val q39 = Dedup.q39DedupEmbedding(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))
+    val cluster = out.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("cent_id")).toMap
+    val keptSet = out.filter(_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    q39.filter { case (a, b) => cluster(a) == cluster(b) }.foreach {
+      case (a, b) => assert(!(keptSet(a) && keptSet(b)),
+        s"co-clustered near-dup pair ($a,$b) fully survived")
+    }
+    // determinism
+    val again = Similarity.q115SemanticDedup(spark, sfDir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("cms heavy-hitter estimates dominate exact counts within the epsilon bound") {
+    import org.apache.spark.sql.functions.{col, explode_outer, split}
+    val out = CountMinSketch.q117HeavyHitters(spark, sfDir).collect()
+    assert(out.length == 20)
+    val n = graft.Tables.documents(spark, sfDir)
+      .select(explode_outer(split(col("text"), " ")).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "").count()
+    val slack = math.ceil(math.E / CountMinSketch.W * n).toLong
+    out.foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val est = r.getAs[Long]("n_est")
+      assert(est >= exact, s"CMS under-estimated ${r.getAs[String]("w")}")
+      assert(est <= exact + slack,
+        s"CMS over-estimate beyond eps*N: $est vs $exact (+$slack)")
+    }
+  }
+
   test("lang id classifies every document deterministically") {
     val out1 = TextAnalysis.q45LangId(spark, sfDir).collect()
     val out2 = TextAnalysis.q45LangId(spark, sfDir).collect()

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the Morton interleave and the locality guarantee q116 grades:
+  * fixing the top 2k code bits fixes the top k bits of BOTH dimensions,
+  * so every 4096-code bucket of the 20-bit grid is a 64×64 tile. */
+class ZOrderSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("interleave places x bits at odd and y bits at even positions") {
+    assert(ZOrder.interleave(0L, 0L) == 0L)
+    assert(ZOrder.interleave(1L, 0L) == 2L)      // x bit0 -> code bit1
+    assert(ZOrder.interleave(0L, 1L) == 1L)      // y bit0 -> code bit0
+    assert(ZOrder.interleave(1023L, 1023L) == (1L << 20) - 1)
+    assert(ZOrder.interleave(1023L, 0L) == 0xAAAAAL) // 0b1010...10
+    assert(ZOrder.interleave(0L, 1023L) == 0x55555L) // 0b0101...01
+    // round-trip: de-interleave by re-extracting the bits
+    for (x <- Seq(0L, 7L, 511L, 838L); y <- Seq(0L, 13L, 512L, 1001L)) {
+      val z = ZOrder.interleave(x, y)
+      val xr = (0 until 10).map(b => ((z >> (2 * b + 1)) & 1L) << b).sum
+      val yr = (0 until 10).map(b => ((z >> (2 * b)) & 1L) << b).sum
+      assert((xr, yr) == (x, y), s"round-trip failed for ($x,$y)")
+    }
+  }
+
+  test("expression matches the Scala helper and codegen runs") {
+    import spark.implicits._
+    val rows = Seq((3L, 5L), (1023L, 0L), (511L, 512L), (0L, 0L))
+      .toDF("x", "y")
+      .withColumn("z", ZOrder.zorderCode(col("x"), col("y")))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == ZOrder.interleave(r.getLong(0), r.getLong(1)))
+    }
+  }
+
+  test("every q116 bucket is a 64x64 tile (file-skipping bound on both axes)") {
+    val out = ZOrder.q116ZorderLayout(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (bkt, minX, maxX, minY, maxY) = (r.getAs[Long]("bucket"),
+        r.getAs[Long]("min_x"), r.getAs[Long]("max_x"),
+        r.getAs[Long]("min_y"), r.getAs[Long]("max_y"))
+      assert(maxX - minX <= 63 && maxY - minY <= 63,
+        s"bucket $bkt box exceeds a 64x64 tile: x[$minX,$maxX] y[$minY,$maxY]")
+      // the tile a bucket covers is determined by its top bits
+      assert(minX / 64 == maxX / 64 && minY / 64 == maxY / 64)
+    }
+  }
+
+  test("zorderLayout clusters partitions into tight bounding boxes") {
+    import spark.implicits._
+    val pts = spark.range(0, 4096).select(
+      pmod(col("id") * 37L, lit(1024L)).as("x"),
+      pmod(col("id") * 101L, lit(1024L)).as("y"))
+    val laid = ZOrder.zorderLayout(pts, col("x"), col("y"), 16)
+    val boxes = laid
+      .select(spark_partition_id().as("p"), col("x"), col("y"))
+      .groupBy("p")
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .collect()
+    assert(boxes.length > 1)
+    // random layout would give every partition a ~1023-wide box on both
+    // axes; z-layout must do meaningfully better on the average box area
+    val avgArea = boxes.map(r => (r.getAs[Long]("sx") + 1.0)
+      * (r.getAs[Long]("sy") + 1.0)).sum / boxes.length
+    assert(avgArea < 1024.0 * 1024.0 / 3.0,
+      s"z-layout boxes not clustered: avg area $avgArea")
+  }
+}
