@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.{FloatVecDot, FloatVecNorm, MinHashSig, ShingleHashes, SimHash64, TopKByValue, VecMeanFloat, WordNgrams}
+import graft.functions.{CharGramHashes, CountMinSketchAgg, FloatVecDot, FloatVecNorm, MinHashSig, ShingleHashes, SimHash64, TopKByValue, VecMeanFloat, WordNgrams, ZOrderCode}
 
 /** Session-extension registration (the installable form of the engine's
   * Catalyst additions): the as-of join planner strategy and the native
@@ -66,6 +66,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordNgrams(exprs(0), literalInt(exprs(1), "word_ngrams(words, n)"))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("char_gram_hashes"),
+      new ExpressionInfo(classOf[CharGramHashes].getName, "char_gram_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CharGramHashes(exprs.head)))
+    // SQL integer literals arrive as INT; the expression wants LONG —
+    // cast at the registration seam (Column-API callers already pass
+    // long key columns)
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("zorder_code"),
+      new ExpressionInfo(classOf[ZOrderCode].getName, "zorder_code"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ZOrderCode(
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs(0),
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
+            org.apache.spark.sql.types.LongType))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("count_min_sketch_agg"),
+      new ExpressionInfo(classOf[CountMinSketchAgg].getName, "count_min_sketch_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CountMinSketchAgg(exprs(0),
+          literalInt(exprs(1), "count_min_sketch_agg(key, d, w)"),
+          literalInt(exprs(2), "count_min_sketch_agg(key, d, w)"))
+          .toAggregateExpression()))
   }
 
   private def literalInt(

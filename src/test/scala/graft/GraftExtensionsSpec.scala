@@ -68,6 +68,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(mean == Seq(2.0f, 4.0f), s"got $mean")
   }
 
+  test("char_gram_hashes / zorder_code / count_min_sketch_agg callable from SQL") {
+    val grams = spark.sql("SELECT char_gram_hashes('abcde') AS g")
+      .collect().head.getSeq[Long](0)
+    assert(grams.length == 2) // starts at chars 1 and 3 ('abc', 'cde')
+    val z = spark.sql("SELECT zorder_code(3, 5) AS z")
+      .collect().head.getLong(0)
+    assert(z == graft.functions.ZOrderCode.interleave(3L, 5L))
+    val est = spark.sql("""
+      SELECT count_min_sketch_agg(w, 4, 64) AS sk
+      FROM VALUES ('x'), ('x'), ('y') AS t(w)""")
+      .collect().head.getSeq[Long](0)
+    assert(est.length == 4 * 64 && est.sum == 3 * 4) // 3 keys x 4 rows
+  }
+
   test("top_k_by_value callable from SQL, literal k enforced") {
     val rows = spark.sql("""
       SELECT g, top_k_by_value(CAST(v AS DOUBLE), CAST(i AS BIGINT), 2) AS tk
