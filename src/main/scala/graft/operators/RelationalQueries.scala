@@ -512,9 +512,13 @@ object RelationalQueries {
         sum(x * x).cast("double").as("sxx"),
         sum(y * y).cast("double").as("syy"))
       .select(col("l_returnflag"), col("n_lines"),
-        ((col("n_lines") * col("sxy") - col("sx") * col("sy"))
+        // near-zero correlation means n·sxy − sx·sy cancels almost
+        // completely, amplifying 1-ulp decimal→double cast differences
+        // between engines (seen at sf0.001); round(12) keeps ~10
+        // significant digits while absorbing the cancellation noise
+        round((col("n_lines") * col("sxy") - col("sx") * col("sy"))
           / (sqrt(col("n_lines") * col("sxx") - col("sx") * col("sx"))
-            * sqrt(col("n_lines") * col("syy") - col("sy") * col("sy"))))
+            * sqrt(col("n_lines") * col("syy") - col("sy") * col("sy"))), 12)
           .as("corr_qty_price"))
       .orderBy(col("l_returnflag"))
   }
@@ -659,8 +663,8 @@ object RelationalQueries {
           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
         FROM lineitem GROUP BY 1)
       SELECT l_returnflag, n_lines,
-        (n_lines * sxy - sx * sy)
-          / (sqrt(n_lines * sxx - sx * sx) * sqrt(n_lines * syy - sy * sy))
+        round((n_lines * sxy - sx * sy)
+          / (sqrt(n_lines * sxx - sx * sx) * sqrt(n_lines * syy - sy * sy)), 12)
           AS corr_qty_price
       FROM m
       ORDER BY l_returnflag""",
