@@ -62,6 +62,45 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("zorder-laid parquet files carry tight per-file min/max stats on BOTH keys") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    // this is the actual file-skipping evidence: the reader prunes on
+    // footer min/max, so what matters is the stats the WRITTEN files
+    // carry, not the in-memory partition bounds
+    val pts = spark.range(0, 20000).select(
+      pmod(col("id") * 37L, lit(1024L)).as("x"),
+      pmod(col("id") * 101L, lit(1024L)).as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    ZOrder.zorderLayout(pts, col("x"), col("y"), 16)
+      .write.mode("overwrite").parquet(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    val files = fs.listStatus(new Path(dir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(files.length > 4, "expected a multi-file layout")
+    val areas = files.map { st =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      try {
+        val spans = Seq("x", "y").map { c =>
+          val stats = r.getFooter.getBlocks.asScala.map(b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == c).get
+              .getStatistics)
+          val mn = stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min
+          val mx = stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max
+          mx - mn + 1.0
+        }
+        spans.product
+      } finally r.close()
+    }
+    val avgArea = areas.sum / areas.length
+    // an unclustered write gives every file a ~full-grid box
+    assert(avgArea < 1024.0 * 1024.0 / 3.0,
+      s"per-file stats not clustered: avg bounding area $avgArea")
+  }
+
   test("zorderLayout clusters partitions into tight bounding boxes") {
     import spark.implicits._
     val pts = spark.range(0, 4096).select(

@@ -382,6 +382,35 @@ class StreamingSpec extends AnyFunSuite {
       s"stream/batch selection diverged: ${streamed.size} vs ${batch.size}")
   }
 
+  test("streaming count-min sketch across micro-batches == batch sketch") {
+    // the CMS buffer is the poster-child streaming aggregate: fixed
+    // d×w state through the store regardless of stream length, and
+    // merge = element-wise add, so stream-fold == batch-fold exactly
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sfDir)
+    val src = tmp("graft_cms")
+    def words(df: DataFrame): DataFrame = df
+      .select(explode_outer(split(col("text"), " ")).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$src/f0")
+    val q = words(spark.readStream.schema(docs.schema).parquet(s"$src/f*"))
+      .agg(graft.functions.CountMinSketch.sketch(col("w")).as("sk"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream")
+      .option("checkpointLocation", tmp("graft_cms_ckpt"))
+      .start()
+    q.processAllAvailable()
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$src/f1")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_stream").collect().head.getSeq[Long](0)
+    val batch = words(docs)
+      .agg(graft.functions.CountMinSketch.sketch(col("w")).as("sk"))
+      .collect().head.getSeq[Long](0)
+    assert(streamed.sum > 0)
+    assert(streamed == batch, "stream-folded sketch diverged from batch")
+  }
+
   test("streaming chunk windows == batch (stateless map-only fan-out)") {
     val sfDir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, sfDir)
