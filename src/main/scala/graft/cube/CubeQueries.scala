@@ -138,8 +138,40 @@ object CubeQueries {
       .orderBy(col("k_bucket"), col("etype"))
   }
 
+  // ---------------------------------------------------------------- q119
+  /** COUNT-DISTINCT in an incremental cube via MERGEABLE HLL sketches
+    * (Spark's datasketches functions): per-(event_type, day) partial
+    * sketches of the user set, then a per-type union of the day
+    * sketches. Plain count-distinct cannot live in a pre-aggregated
+    * cube — distinct users don't add across cells — but sketches DO
+    * merge, which is exactly how a continuous-aggregation service
+    * serves "unique users" from maintained per-hour partials instead
+    * of re-scanning the source (and how 1000 executors combine shard
+    * partials at 100 TB: union is associative + commutative).
+    *
+    * Output pins union-of-parts == sketch-of-whole (both estimates
+    * computed here) and carries the exact count for the error-bound
+    * test. Rows-only: the sketch estimate has no DuckDB twin. */
+  def q119HllCube(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val daily = e.groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("day_sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("day_sk"))).as("est_merged"))
+    val whole = e.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_whole"),
+        countDistinct(col("user_id")).as("exact"))
+    merged.join(whole, Seq("event_type"))
+      .select(col("event_type"), col("n_days"),
+        col("est_merged"), col("est_whole"), col("exact"))
+      .orderBy(col("event_type"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q64_cube_json_dim" -> q64CubeJsonDim,
+    "q119_hll_cube" -> q119HllCube,
     "q33_cube_create" -> q33CubeCreate,
     "q34_cube_query" -> q34CubeQuery,
     "q35_cube_incremental" -> q35CubeIncremental,

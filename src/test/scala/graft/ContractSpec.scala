@@ -23,7 +23,8 @@ class ContractSpec extends AnyFunSuite {
       "q46_fingerprint", "q51_knn_ivf", "q67_dedup_embedding_lsh",
       "q69_approx_percentile",
       "q115_semantic_dedup",  // float k-means clustering, q39's exactness covers the anchor
-      "q117_heavy_hitters"),  // xxhash64 CMS estimates
+      "q117_heavy_hitters",   // xxhash64 CMS estimates
+      "q119_hll_cube"),       // datasketches HLL estimates (no DuckDB twin)
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -195,4 +195,21 @@ class CubeSpec extends AnyFunSuite {
         r.getDecimal(2).doubleValue, r.getLong(3)))
     assert(rows.toSeq == Seq(("a", 2.0, 20.0, 1L), ("b", 12.0, 120.0, 2L)))
   }
+
+  test("q119: HLL union of day partials == whole-corpus sketch, within error of exact") {
+    val out = CubeQueries.q119HllCube(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // hll_sketch_estimate returns BIGINT
+      val (merged, whole, exact) = (r.getAs[Long]("est_merged"),
+        r.getAs[Long]("est_whole"), r.getAs[Long]("exact"))
+      // mergeability: folding per-day partials must equal sketching the
+      // whole input (same lgK, same values — the cube-maintenance claim)
+      assert(merged == whole,
+        s"${r.getString(0)}: union-of-parts $merged != whole $whole")
+      // standard HLL relative error at default lgK=12 is ~1.6%; allow 5%
+      assert(math.abs(merged - exact) <= math.max(exact * 0.05, 2.0),
+        s"${r.getString(0)}: estimate $merged vs exact $exact")
+    }
+  }
 }
