@@ -89,6 +89,18 @@ class PlanSpec extends AnyFunSuite {
       s"q02 reads unneeded columns: $readSchema")
   }
 
+  test("q112 OR-of-ANDs predicate splits and pushes to BOTH scans") {
+    val plan = SparkEntry.queries("q112_discounted_revenue")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // Catalyst must derive the per-table residue of the cross-table
+    // disjunction: lineitem's scan gets the quantity-band Or, part's
+    // scan gets the brand/size Or — neither side scans unfiltered
+    val pushedOrs = "PushedFilters: \\[[^\\]]*Or\\(".r
+      .findAllMatchIn(plan).size
+    assert(pushedOrs >= 2,
+      s"q112: expected Or(...) pushed to both scans, found $pushedOrs:\n$plan")
+  }
+
   test("dimension joins broadcast: q05 star join uses BroadcastHashJoin") {
     val plan = SparkEntry.queries("q05_join_broadcast_star")(spark, sfDir)
       .queryExecution.executedPlan.toString
