@@ -169,9 +169,48 @@ object CubeQueries {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------- q120
+  /** Audience overlap from sketch partials: |A∩B| estimated by
+    * inclusion–exclusion over the per-event-type HLL user sketches
+    * (|A| + |B| − |A∪B|, union via sketch merge) — answering an
+    * INTERSECTION question from the same maintained partials q119
+    * serves counts from, without ever touching raw user ids again. At
+    * 100 TB the pairwise stage operates on |types| sketch rows, not the
+    * corpus. Exact overlap rides along for the error-bound test.
+    * Rows-only (datasketches estimates). */
+  def q120AudienceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val sk = e.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("n"))
+    val pairs = sk.select(col("event_type").as("type_a"),
+        col("sk").as("sk_a"), col("n").as("n_a"))
+      .join(sk.select(col("event_type").as("type_b"),
+        col("sk").as("sk_b"), col("n").as("n_b")),
+        col("type_a") < col("type_b"))
+    val exact = e.select(col("event_type").as("type_a"), col("user_id"))
+      .distinct()
+      .join(e.select(col("event_type").as("type_b"), col("user_id"))
+        .distinct(), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    pairs
+      .withColumn("est_union",
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+      .select(col("type_a"), col("type_b"),
+        greatest(col("n_a") + col("n_b") - col("est_union"), lit(0L))
+          .as("est_overlap"))
+      .join(exact, Seq("type_a", "type_b"), "left_outer")
+      .select(col("type_a"), col("type_b"), col("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q64_cube_json_dim" -> q64CubeJsonDim,
     "q119_hll_cube" -> q119HllCube,
+    "q120_audience_overlap" -> q120AudienceOverlap,
     "q33_cube_create" -> q33CubeCreate,
     "q34_cube_query" -> q34CubeQuery,
     "q35_cube_incremental" -> q35CubeIncremental,

@@ -45,7 +45,8 @@ class PlanSpec extends AnyFunSuite {
     "q113_sales_opportunity", // crossJoin vs ONE broadcast scalar-avg row
     "q115_semantic_dedup",    // crossJoin vs <=16 broadcast centroids (q51 path)
     "q117_heavy_hitters",     // crossJoin vs ONE broadcast sketch row
-    "q118_word_cooccurrence") // crossJoin vs ONE broadcast total-count row
+    "q118_word_cooccurrence", // crossJoin vs ONE broadcast total-count row
+    "q120_audience_overlap")  // |types| x |types| sketch-pair join, both sides tiny
 
   test("no unjustified cartesian or nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -212,4 +212,18 @@ class CubeSpec extends AnyFunSuite {
         s"${r.getString(0)}: estimate $merged vs exact $exact")
     }
   }
+
+  test("q120: inclusion-exclusion overlap estimates track exact overlaps") {
+    val out = CubeQueries.q120AudienceOverlap(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val est = r.getAs[Long]("est_overlap")
+      val exact = r.getAs[Long]("exact_overlap")
+      // three ~1.6% sketches compound through the subtraction; 15% of
+      // the exact overlap (or a small absolute floor) bounds the drift
+      assert(math.abs(est - exact) <= math.max(exact * 0.15, 5.0),
+        s"${r.getString(0)}∩${r.getString(1)}: est $est vs exact $exact")
+    }
+  }
 }
