@@ -57,11 +57,20 @@ final case class TimeDim(id: String, path: String, granularity: String)
   * exactly the reference's model. */
 final case class Measure(id: String, path: String)
 
+/** `sketches` are DISTINCT-COUNT measures stored as mergeable HLL
+  * sketches (datasketches binary) alongside the decimal sums: plain
+  * count-distinct cannot live in a pre-aggregated cube (distincts don't
+  * add across partials), sketch union can. Sketches are INSERT-ONLY:
+  * a deletion cannot remove an id from an HLL, so folds ignore
+  * negative-sign rows and the stored sketch is an upper bound of the
+  * live distinct set after deletes (exact while no delete has touched
+  * the group — the standard sketch-measure contract). */
 final case class CubeConfig(
     name: String,
     source: String, // table name within the sfDir, e.g. "events"
     dims: Seq[Dimension],
-    measures: Seq[Measure]) {
+    measures: Seq[Measure],
+    sketches: Seq[Measure] = Nil) {
   def dimCols: Seq[Column] = dims.map(_.expr)
   def dimNames: Seq[String] = dims.map(_.id)
 }
@@ -88,9 +97,10 @@ object CubeManager {
   def create(config: CubeConfig, source: DataFrame): Cube = {
     val sums = config.measures.map(m =>
       sum(col(m.path).cast(Dec)).cast(Dec).as(m.id))
+    val sks = config.sketches.map(m => hll_sketch_agg(col(m.path)).as(m.id))
     val agg = source
       .groupBy(config.dimCols: _*)
-      .agg(sums.head, (sums.tail :+ count(lit(1)).as(CountCol)): _*)
+      .agg(sums.head, (sums.tail ++ sks :+ count(lit(1)).as(CountCol)): _*)
     Cube(config, agg)
   }
 
@@ -108,15 +118,22 @@ object CubeManager {
     val cfg = cube.config
     val deltaSums = cfg.measures.map(m =>
       sum(col("_sign") * col(m.path).cast(Dec)).cast(Dec).as(m.id))
+    // sketches fold INSERTED ids only (see CubeConfig.sketches): the
+    // when() nulls out delete rows and hll_sketch_agg skips nulls
+    val deltaSks = cfg.sketches.map(m =>
+      hll_sketch_agg(when(col("_sign") > 0, col(m.path))).as(m.id))
     val deltaAgg = deltas
       .groupBy(cfg.dimCols: _*)
-      .agg(deltaSums.head, (deltaSums.tail :+ sum(col("_sign")).as(CountCol)): _*)
+      .agg(deltaSums.head,
+        (deltaSums.tail ++ deltaSks :+ sum(col("_sign")).as(CountCol)): _*)
     val refolded = cube.aggregates
       .unionByName(deltaAgg)
       .groupBy(cfg.dimNames.map(col): _*)
       .agg(
         sum(col(cfg.measures.head.id)).cast(Dec).as(cfg.measures.head.id),
         (cfg.measures.tail.map(m => sum(col(m.id)).cast(Dec).as(m.id))
+          ++ cfg.sketches.map(m =>
+            hll_union_agg(col(m.id)).as(m.id))
           :+ sum(col(CountCol)).as(CountCol)): _*)
       .filter(col(CountCol) =!= 0)
     Cube(cfg, refolded)
@@ -130,12 +147,17 @@ object CubeManager {
       subsetDims: Seq[String],
       filter: Column = lit(true),
       sumOf: Seq[String] = Nil,
-      avgOf: Seq[String] = Nil): DataFrame = {
+      avgOf: Seq[String] = Nil,
+      distinctOf: Seq[String] = Nil): DataFrame = {
     val base = cube.live.filter(filter)
     val sums = sumOf.map(id => sum(col(id)).cast(DoubleType).as(s"sum_$id"))
     val avgs = avgOf.map(id =>
       (sum(col(id)).cast(DoubleType) / sum(col(CountCol))).as(s"avg_$id"))
-    val aggs = sums ++ avgs :+ sum(col(CountCol)).as("n_rows")
+    // distinct counts from the stored sketches: union the surviving
+    // groups' partials, estimate once — cube-sized work, no source scan
+    val dsts = distinctOf.map(id =>
+      hll_sketch_estimate(hll_union_agg(col(id))).as(s"n_distinct_$id"))
+    val aggs = sums ++ avgs ++ dsts :+ sum(col(CountCol)).as("n_rows")
     base.groupBy(subsetDims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -188,7 +210,12 @@ object CubeManager {
     val ms = c.measures
       .map(m => s"""{"id":"${esc(m.id)}","path":"${esc(m.path)}"}""")
       .mkString("[", ",", "]")
-    s"""{"name":"${esc(c.name)}","source":"${esc(c.source)}","dims":$dims,"measures":$ms}"""
+    val sks = c.sketches
+      .map(m => s"""{"id":"${esc(m.id)}","path":"${esc(m.path)}"}""")
+      .mkString("[", ",", "]")
+    // "sketches" precedes "measures": the tolerant parser's measures
+    // regex is greedy-to-last-bracket and must stay the final array
+    s"""{"name":"${esc(c.name)}","source":"${esc(c.source)}","dims":$dims,"sketches":$sks,"measures":$ms}"""
   }
 
   private[cube] def configFromJson(json: String): CubeConfig = {
@@ -199,7 +226,7 @@ object CubeManager {
         .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
     def objects(arr: String): Seq[String] =
       """\{[^{}]*\}""".r.findAllIn(arr).toSeq
-    val dimsArr = """(?s)"dims":\s*(\[.*?\]),\s*"measures"""".r
+    val dimsArr = """(?s)"dims":\s*(\[.*?\]),\s*"(?:sketches|measures)"""".r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
     val measArr = """(?s)"measures":\s*(\[.*\])""".r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
@@ -215,6 +242,12 @@ object CubeManager {
     val meas = objects(measArr).map { o =>
       Measure(field(o, "id").get, field(o, "path").get)
     }
-    CubeConfig(field(json, "name").get, field(json, "source").get, dims, meas)
+    val skArr = """(?s)"sketches":\s*(\[.*?\]),\s*"measures"""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
+    val sks = objects(skArr).map { o =>
+      Measure(field(o, "id").get, field(o, "path").get)
+    }
+    CubeConfig(field(json, "name").get, field(json, "source").get, dims, meas,
+      sks)
   }
 }

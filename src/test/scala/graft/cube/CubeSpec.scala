@@ -213,6 +213,40 @@ class CubeSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch measures: create/fold/query/persist lifecycle") {
+    import spark.implicits._
+    val cfg = CubeConfig("sk", "mem",
+      Seq(FieldDim("k", "event_type")),
+      Seq(Measure("v", "value")),
+      sketches = Seq(Measure("users", "user_id")))
+    val base = Seq(("a", 1.0, 10L), ("a", 2.0, 11L), ("a", 3.0, 10L),
+      ("b", 5.0, 20L)).toDF("event_type", "value", "user_id")
+    val cube = CubeManager.create(cfg, base)
+    def distincts(c: Cube): Map[String, Long] =
+      CubeManager.query(c, Seq("k"), distinctOf = Seq("users"))
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("n_distinct_users"))
+        .toMap
+    assert(distincts(cube) == Map("a" -> 2L, "b" -> 1L))
+    // insert-only fold == from-scratch sketch over the union
+    val inserts = Seq(("a", 4.0, 12L, 1), ("b", 6.0, 20L, 1))
+      .toDF("event_type", "value", "user_id", "_sign")
+    val folded = CubeManager.applyDeltas(cube, inserts)
+    assert(distincts(folded) == Map("a" -> 3L, "b" -> 1L))
+    // deletes adjust sums/counts but leave the sketch an upper bound
+    val deletes = Seq(("a", 1.0, 10L, -1))
+      .toDF("event_type", "value", "user_id", "_sign")
+    val afterDel = CubeManager.applyDeltas(folded, deletes)
+    val aRow = afterDel.live.filter(col("k") === "a").collect().head
+    assert(aRow.getAs[Long](CubeManager.CountCol) == 3L)
+    assert(distincts(afterDel)("a") == 3L, "sketch stays an upper bound")
+    // persistence round-trips the sketch column and the config
+    val dir = java.nio.file.Files.createTempDirectory("graft_skcube").toString
+    CubeManager.save(afterDel, dir)
+    val loaded = CubeManager.load(spark, dir, "sk")
+    assert(loaded.config.sketches == cfg.sketches)
+    assert(distincts(loaded) == distincts(afterDel))
+  }
+
   test("q120: inclusion-exclusion overlap estimates track exact overlaps") {
     val out = CubeQueries.q120AudienceOverlap(spark, "/root/testdata/sf0.001")
       .collect()
