@@ -207,10 +207,36 @@ object CubeQueries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  // ---------------------------------------------------------------- q121
+  /** The ENGINE's sketch-measure path graded end-to-end: a cube with an
+    * HLL distinct-users measure per (event_type, day), rolled up to
+    * event_type via [[CubeManager.query]]'s distinctOf (union the day
+    * partials, estimate once) — q119 showed the technique as a free
+    * query, this exercises it through CubeConfig/create/query. Exact
+    * count rides along for the error-bound check. Rows-only
+    * (datasketches estimate). */
+  def q121CubeDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val cfg = CubeConfig("users_by_type_day", "events",
+      dims = Seq(FieldDim("etype", "event_type"), TimeDim("day", "ts", "day")),
+      measures = Seq(Measure("value_sum", "value")),
+      sketches = Seq(Measure("users", "user_id")))
+    val cube = CubeManager.create(cfg, Tables.events(spark, sfDir))
+    val rolled = CubeManager.query(cube, Seq("etype"),
+      sumOf = Seq("value_sum"), distinctOf = Seq("users"))
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("etype"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    rolled.join(exact, Seq("etype"))
+      .select(col("etype"), col("sum_value_sum"),
+        col("n_distinct_users"), col("exact_users"), col("n_rows"))
+      .orderBy(col("etype"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q64_cube_json_dim" -> q64CubeJsonDim,
     "q119_hll_cube" -> q119HllCube,
     "q120_audience_overlap" -> q120AudienceOverlap,
+    "q121_cube_distinct" -> q121CubeDistinct,
     "q33_cube_create" -> q33CubeCreate,
     "q34_cube_query" -> q34CubeQuery,
     "q35_cube_incremental" -> q35CubeIncremental,

@@ -44,10 +44,13 @@ object StreamingCube {
       .parquet(sourceDir)
     val sums = config.measures.map(m =>
       sum(col(m.path).cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as(m.id))
+    // sketch measures ride the same streaming aggregation: the HLL
+    // buffer lives in the state store per group, merged per micro-batch
+    val sks = config.sketches.map(m => hll_sketch_agg(col(m.path)).as(m.id))
     val agg = stream
       .groupBy(config.dimCols: _*)
       .agg(sums.head,
-        (sums.tail :+ count(lit(1)).as(CubeManager.CountCol)): _*)
+        (sums.tail ++ sks :+ count(lit(1)).as(CubeManager.CountCol)): _*)
     agg.writeStream
       .outputMode("complete")
       .format("memory")

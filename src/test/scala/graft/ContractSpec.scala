@@ -25,7 +25,8 @@ class ContractSpec extends AnyFunSuite {
       "q115_semantic_dedup",  // float k-means clustering, q39's exactness covers the anchor
       "q117_heavy_hitters",   // xxhash64 CMS estimates
       "q119_hll_cube",        // datasketches HLL estimates (no DuckDB twin)
-      "q120_audience_overlap"), // HLL inclusion-exclusion estimates
+      "q120_audience_overlap", // HLL inclusion-exclusion estimates
+      "q121_cube_distinct"),  // cube sketch-measure path (HLL estimates)
       s"unexpected rows-only set: $rowsOnly")
   }
 

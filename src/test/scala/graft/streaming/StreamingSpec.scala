@@ -69,6 +69,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming cube with an HLL sketch measure == batch distinct estimates") {
+    import graft.cube.Measure
+    val src = tmp("graft_sk_src")
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 300).map { _ =>
+      (Seq("click", "view", "buy")(rnd.nextInt(3)),
+        new Timestamp(1700000000000L + rnd.nextInt(4) * 3600000L),
+        1.0, rnd.nextInt(40).toLong)
+    }
+    import spark.implicits._
+    def df(rs: Seq[(String, Timestamp, Double, Long)]): DataFrame =
+      rs.toDF("event_type", "ts", "value", "user_id")
+    rows.grouped(100).zipWithIndex.foreach { case (chunk, i) =>
+      df(chunk).coalesce(1).write.parquet(s"$src/b$i")
+    }
+    val skCfg = cfg.copy(name = "sks",
+      sketches = Seq(Measure("users", "user_id")))
+    val q = StreamingCube.start(spark, skCfg, s"$src/b*", df(rows.take(1)).schema,
+      tmp("graft_sk_ckpt"), "skcube_stream")
+    q.processAllAvailable()
+    q.stop()
+    def est(frame: DataFrame): Map[(String, Long), Long] = frame
+      .select(col("etype"), col("hour"),
+        hll_sketch_estimate(col("users")).as("nd"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Timestamp](1).getTime) ->
+        r.getAs[Long]("nd")).toMap
+    val streamed = est(spark.table("skcube_stream"))
+    val batch = est(graft.cube.CubeManager.create(skCfg, df(rows)).aggregates)
+    assert(streamed == batch && batch.nonEmpty,
+      "per-group streamed sketch estimates must equal the batch cube's")
+  }
+
   test("watermark drops events later than the delay") {
     val src = tmp("graft_late_src")
     def hourStart(ms: Long): Long = ms - ms % 3600000L
