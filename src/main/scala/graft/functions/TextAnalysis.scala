@@ -470,9 +470,58 @@ object TextAnalysis {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------- q123
+  /** BM25 ranking for a fixed 3-term query — the IR scoring step after
+    * q90's TF-IDF: per-term saturation (k1) and document-length
+    * normalization (b), the scoring function retrieval-augmented
+    * pipelines actually rank with.
+    *
+    * Determinism: idf enters as the LOG-FREE rarity ratio N/df (log is
+    * monotone per term — same ranking, libm never enters); every
+    * division is spelled with identical association on both engines;
+    * and the per-document total is a FIXED-ORDER sum of the three
+    * per-term conditional aggregates (a float sum() over terms would
+    * be reduction-order-dependent). k1 = 1.2, b = 0.75.
+    *
+    * Scale shape: the tf frame is filtered to the query's terms BEFORE
+    * aggregation (∝ matching postings, not corpus tokens); dl rides
+    * the same pass; avgdl is one broadcast row; df is a window count
+    * over the 3-term postings frame. */
+  def q123Bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("join", "scan", "filter")
+    val n = Tables.footerRowCount(spark, s"$sfDir/documents.parquet")
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode_outer(col("toks")).as("term"))
+      .filter(col("term").isNotNull)
+    val avgdl = toks.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val scored = tf.join(broadcast(avgdl))
+      .withColumn("s",
+        (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2)
+            * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+          * (lit(n.toDouble) / col("df")))
+    scored.groupBy(col("doc_id"))
+      .agg((coalesce(max(when(col("term") === "join", col("s"))), lit(0.0))
+          + coalesce(max(when(col("term") === "scan", col("s"))), lit(0.0))
+          + coalesce(max(when(col("term") === "filter", col("s"))), lit(0.0)))
+        .as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q90_tfidf" -> q90Tfidf,
     "q118_word_cooccurrence" -> q118WordCooccurrence,
+    "q123_bm25" -> q123Bm25,
     "q91_chunk_windows" -> q91ChunkWindows,
     "q96_quality_gate" -> q96QualityGate,
     "q42_text_stats" -> q42TextStats,
@@ -489,6 +538,45 @@ object TextAnalysis {
 
   /** q45/q46 are hash/model-dependent ⇒ rows-only. */
   lazy val sql: Map[String, String] = Map(
+    // Constants are CAST AS DOUBLE: DuckDB's bare 2.2 is a DECIMAL
+    // literal, and tf*DECIMAL(2.2) is exact where Spark's double
+    // multiply rounds — the cast makes both engines do the identical
+    // float op. Association mirrors the Spark expression tree exactly.
+    "q123_bm25" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      x AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+          unnest(toks) AS term
+        FROM t),
+      n AS (SELECT CAST(count(1) AS DOUBLE) AS n_docs FROM documents),
+      a AS (
+        SELECT CAST(sum(dl) AS DOUBLE) / count(1) AS avgdl
+        FROM (SELECT doc_id, min(dl) AS dl FROM x GROUP BY doc_id)),
+      tf AS (
+        SELECT doc_id, term, count(1) AS tf, min(dl) AS dl
+        FROM x WHERE term IN ('join', 'scan', 'filter')
+        GROUP BY doc_id, term),
+      p AS (
+        SELECT tf.*, count(1) OVER (PARTITION BY term) AS df FROM tf),
+      s AS (
+        SELECT doc_id, term,
+          (tf * CAST(2.2 AS DOUBLE))
+            / (tf + CAST(1.2 AS DOUBLE)
+              * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * dl / avgdl))
+            * (n_docs / df) AS s
+        FROM p CROSS JOIN a CROSS JOIN n)
+      SELECT doc_id,
+        coalesce(max(CASE WHEN term = 'join' THEN s END), 0.0)
+          + coalesce(max(CASE WHEN term = 'scan' THEN s END), 0.0)
+          + coalesce(max(CASE WHEN term = 'filter' THEN s END), 0.0)
+          AS bm25,
+        count(1) AS n_terms_hit
+      FROM s
+      GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20""",
     "q118_word_cooccurrence" -> """
       WITH t AS (
         SELECT string_split(text, ' ') AS toks FROM documents),

@@ -152,8 +152,32 @@ object TpchQueries {
       .orderBy(col("nation"))
   }
 
+  // ---------------------------------------------------------------- q122
+  /** TPC-H Q15 shape: top supplier(s) by quarterly revenue — a grouped
+    * revenue aggregate compared against its own MAX (the view +
+    * max-subquery pattern). The max is a one-row broadcast against the
+    * |suppliers|-row revenue frame (q97 discipline); revenue is the
+    * exact-decimal sum cast once, so the equality gate compares
+    * identical doubles on both engines. */
+  def q122TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val rev = li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast("double").as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.join(broadcast(mx))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q108_product_type_profit" -> q108ProductTypeProfit,
+    "q122_top_supplier" -> q122TopSupplier,
     "q109_order_priority" -> q109OrderPriority,
     "q110_customer_distribution" -> q110CustomerDistribution,
     "q111_large_orders" -> q111LargeOrders,
@@ -162,6 +186,20 @@ object TpchQueries {
   )
 
   lazy val sql: Map[String, String] = Map(
+    "q122_top_supplier" -> """
+      WITH rev AS (
+        SELECT l_suppkey,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+            AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      ORDER BY s_suppkey""",
     "q108_product_type_profit" -> """
       SELECT n_name AS nation,
         CAST(year(l_shipdate) AS BIGINT) AS o_year,

@@ -46,7 +46,9 @@ class PlanSpec extends AnyFunSuite {
     "q115_semantic_dedup",    // crossJoin vs <=16 broadcast centroids (q51 path)
     "q117_heavy_hitters",     // crossJoin vs ONE broadcast sketch row
     "q118_word_cooccurrence", // crossJoin vs ONE broadcast total-count row
-    "q120_audience_overlap")  // |types| x |types| sketch-pair join, both sides tiny
+    "q120_audience_overlap",  // |types| x |types| sketch-pair join, both sides tiny
+    "q122_top_supplier",      // crossJoin vs ONE broadcast max-revenue row
+    "q123_bm25")              // crossJoin vs ONE broadcast avgdl row
 
   test("no unjustified cartesian or nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
