@@ -305,8 +305,16 @@ object Similarity {
     semanticDedup(spark, sfDir, k = 16, lloydIters = 2, tau = 0.5)
 
   private[functions] def semanticDedup(spark: SparkSession, sfDir: String,
+      k: Int, lloydIters: Int, tau: Double): DataFrame =
+    semanticDedupFrame(
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+      k, lloydIters, tau)
+
+  /** Frame form of q115 (any (vec_id, embedding) input — also the
+    * scale-probe entry point). */
+  private[functions] def semanticDedupFrame(input: DataFrame,
       k: Int, lloydIters: Int, tau: Double): DataFrame = {
-    val em = Tables.embeddings(spark, sfDir)
+    val em = input
       .select(col("vec_id"), col("embedding"), normExpr("embedding").as("nrm"))
     val init = em.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),

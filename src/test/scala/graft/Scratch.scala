@@ -59,6 +59,17 @@ object Scratch {
       time(s"x$k q72 contamination")(Dedup.contaminationPairs(d).count())
       time(s"x$k q70 sample")(Sampling.stratifiedKeep(spark, d).count())
       time(s"x$k q67 emb lsh")(Dedup.embeddingLshPairs(emAt(k)).count())
+      time(s"x$k q94 fuzzy")(Dedup.fuzzyPairs(d).count())
+      time(s"x$k q115 semdedup")(
+        Similarity.semanticDedupFrame(emAt(k), k = 16, lloydIters = 2,
+          tau = 0.5).count())
+      time(s"x$k q116 zorder") {
+        val li = Tables.lineitem(spark, sfDir)
+        val pts = (0 until k).map(_ => li.select(
+          pmod(col("l_partkey"), lit(1024L)).as("x"),
+          pmod(col("l_suppkey"), lit(1024L)).as("y"))).reduce(_ unionByName _)
+        ZOrder.zorderLayout(pts, col("x"), col("y"), 32).count()
+      }
     }
     spark.stop()
   }
