@@ -321,7 +321,64 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------- q124
+  /** Last-touch attribution: for every purchase, the user's most recent
+    * PRIOR view and the view→purchase latency — the per-user as-of
+    * lookup (q10/q53's semantic) expressed as a running conditional max
+    * over the user's own timeline: one window pass, no join, no event
+    * re-sort beyond the per-user order. Timestamps ride as exact epoch
+    * MICROS (events.ts is ns-parquet truncated to µs identically in
+    * both engines). */
+  def q124Attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"))
+    val before = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("last_view_us",
+        max(when(col("event_type") === "view", col("t_us"))).over(before))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("t_us").as("purchase_us"), col("last_view_us"),
+        (col("t_us") - col("last_view_us")).as("latency_us"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- q125
+  /** Ratio-to-report: each supplier nation's share of its region's
+    * revenue — the percent-of-total window idiom. The per-nation
+    * revenue stays DECIMAL through the window total (exact and
+    * order-independent where a double window-sum would depend on
+    * partition row order), divided once in double. */
+  def q125ShareOfTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    // rev stays at the product's full scale (no mid-pipeline rounding:
+    // a (18,2) re-round here hit a .xx5 half-way case the two engines
+    // round differently) — exact through the window, one double cast out
+    val rev = li.join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .as("rev"))
+    rev.withColumn("region_rev",
+        sum(col("rev")).over(Window.partitionBy(col("r_name"))))
+      .select(col("r_name"), col("n_name"),
+        col("rev").cast("double").as("revenue"),
+        (col("rev").cast("double") / col("region_rev").cast("double"))
+          .as("share"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q124_attribution" -> q124Attribution,
+    "q125_share_of_total" -> q125ShareOfTotal,
     "q100_gap_fill" -> q100GapFill,
     "q101_anomaly_zscore" -> q101AnomalyZscore,
     "q97_histogram" -> q97Histogram,
@@ -338,6 +395,37 @@ object EventQueries {
   )
 
   lazy val sql: Map[String, String] = Map(
+    "q124_attribution" -> """
+      WITH e AS (
+        SELECT event_id, user_id, event_type,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+        FROM events)
+      SELECT event_id, user_id, t_us AS purchase_us, last_view_us,
+        t_us - last_view_us AS latency_us
+      FROM (
+        SELECT e.*,
+          max(CASE WHEN event_type = 'view' THEN t_us END)
+            OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS last_view_us
+        FROM e) t
+      WHERE event_type = 'purchase'
+      ORDER BY event_id""",
+    "q125_share_of_total" -> """
+      WITH rev AS (
+        SELECT r_name, n_name,
+          sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name)
+      SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+        CAST(rev AS DOUBLE)
+          / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE) AS share
+      FROM rev
+      ORDER BY r_name, n_name""",
     "q100_gap_fill" -> """
       WITH e AS (
         SELECT event_type,
