@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.Tables
+import graft.operators.Stable.asLong
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -541,6 +542,31 @@ object Dedup {
     fuzzyPairs(Tables.documents(spark, sfDir))
       .orderBy(col("da"), col("db"))
 
+  // ---------------------------------------------------------------- q126
+  /** Dedup SURVIVORSHIP — the step that makes a dedup pass actionable:
+    * each near-dup cluster (q89's components) collapses to ONE
+    * canonical document (min doc_id — deterministic and
+    * partition-order-free) plus merged cluster facts: member count,
+    * combined char mass, span of sources/langs touched. Downstream a
+    * pipeline KEEPS survivors and drops the rest; the merged stats are
+    * what an audit of "how much did dedup remove" reads.
+    *
+    * Scale shape: everything operates on the cluster label table
+    * (|dup-graph nodes| ≪ corpus) joined once to the docs it labels;
+    * the aggregate is a plain hash group-by on cluster_id. */
+  def q126DedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = dupClusters(cachedJaccardPairs(spark, sfDir))
+      .select(col("doc_id"), col("cluster_id"))
+    labels.join(Tables.documents(spark, sfDir), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(asLong(min(col("doc_id"))).as("survivor_doc"),
+        count(lit(1)).as("n_members"),
+        asLong(sum(col("n_chars"))).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("cluster_id"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q36_dedup_jaccard" -> q36DedupJaccard,
     "q37_dedup_minhash" -> q37DedupMinHash,
@@ -550,6 +576,7 @@ object Dedup {
     "q72_contamination" -> q72Contamination,
     "q89_dup_clusters" -> q89DupClusters,
     "q94_fuzzy_pairs" -> q94FuzzyPairs,
+    "q126_dedup_survivors" -> q126DedupSurvivors,
   )
 
   /** q37/q38 use engine-specific xxhash64 ⇒ rows-only (no oracle). */
@@ -622,6 +649,43 @@ object Dedup {
         CAST(s.n_members AS BIGINT) AS n_members
       FROM lbl l JOIN sz s USING (cluster_id)
       ORDER BY doc_id""",
+    // q89's closure + the survivorship aggregation (same fixpoint
+    // discipline: Spark folds min-label propagation, the oracle a
+    // recursive CTE — then both collapse clusters identically).
+    "q126_dedup_survivors" -> """
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(t) - 2, 0)),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      p AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      dup AS (
+        SELECT da, db FROM p
+          JOIN n na ON na.doc_id = da
+          JOIN n nb ON nb.doc_id = db
+        WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5),
+      edges AS (
+        SELECT da AS src, db AS dst FROM dup
+        UNION ALL
+        SELECT db, da FROM dup),
+      reach(id, x) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, reach.x FROM edges e JOIN reach ON e.dst = reach.id),
+      lbl AS (SELECT id, min(x) AS cluster_id FROM reach GROUP BY id)
+      SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+        CAST(min(d.doc_id) AS BIGINT) AS survivor_doc,
+        count(1) AS n_members,
+        CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+        CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+        CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+      FROM lbl JOIN documents d ON lbl.id = d.doc_id
+      GROUP BY cluster_id
+      ORDER BY cluster_id""",
     "q39_dedup_embedding" -> """
       SELECT a.vec_id AS va, b.vec_id AS vb,
         list_reduce(list_prepend(CAST(0 AS DOUBLE),
