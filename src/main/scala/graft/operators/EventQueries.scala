@@ -376,9 +376,38 @@ object EventQueries {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  // ---------------------------------------------------------------- q127
+  /** TIME-WEIGHTED average: each event's value holds until the user's
+    * next event, so the mean weights values by their holding interval —
+    * the correct aggregate for sampled state (sensor readings, account
+    * balances, feature gauges), where a row-weighted avg over-counts
+    * bursts. Weights are exact epoch-µs intervals; value·Δt accumulates
+    * as DECIMAL×BIGINT (exact, order-free), one double division at the
+    * end. One lead() window per user, then a plain hash aggregate. */
+  def q127TimeWeightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("t_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+    e.withColumn("dt_us", lead(col("t_us"), 1).over(w) - col("t_us"))
+      .filter(col("dt_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        asLong(sum(col("dt_us"))).as("total_dt_us"),
+        // round(12): the huge decimal Σ(value·Δt) exceeds double's
+        // mantissa, and DuckDB's decimal→double conversion can differ
+        // from the JVM's by 1 ulp (the q107 lesson)
+        round(sum(dec2(col("value")) * col("dt_us")).cast("double")
+          / sum(col("dt_us")).cast("double"), 12).as("twa"))
+      .orderBy(col("event_type"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q124_attribution" -> q124Attribution,
     "q125_share_of_total" -> q125ShareOfTotal,
+    "q127_time_weighted_avg" -> q127TimeWeightedAvg,
     "q100_gap_fill" -> q100GapFill,
     "q101_anomaly_zscore" -> q101AnomalyZscore,
     "q97_histogram" -> q97Histogram,
@@ -395,6 +424,24 @@ object EventQueries {
   )
 
   lazy val sql: Map[String, String] = Map(
+    "q127_time_weighted_avg" -> """
+      WITH e AS (
+        SELECT event_id, user_id, event_type, value,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+        FROM events),
+      d AS (
+        SELECT event_type, value,
+          lead(t_us, 1) OVER (PARTITION BY user_id
+                              ORDER BY t_us, event_id) - t_us AS dt_us
+        FROM e)
+      SELECT event_type, count(1) AS n_intervals,
+        CAST(sum(dt_us) AS BIGINT) AS total_dt_us,
+        round(CAST(sum(CAST(value AS DECIMAL(18,2)) * dt_us) AS DOUBLE)
+          / CAST(sum(dt_us) AS DOUBLE), 12) AS twa
+      FROM d
+      WHERE dt_us IS NOT NULL
+      GROUP BY event_type
+      ORDER BY event_type""",
     "q124_attribution" -> """
       WITH e AS (
         SELECT event_id, user_id, event_type,
