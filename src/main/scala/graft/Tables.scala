@@ -56,7 +56,13 @@ object Tables {
     * analytic sample threshold) this keeps the graded function from
     * running a pre-plan count job; at cluster scale footers are O(files)
     * driver metadata, exactly what a catalog would serve. */
-  private val counts = scala.collection.concurrent.TrieMap.empty[String, Long]
+  // path -> (data version, row count). Keying by path with the version
+  // held in the VALUE means a rewritten dataset replaces its stale
+  // entry instead of accumulating one per version, and two (stamp,
+  // fileCount) pairs can never alias each other the way a concatenated
+  // string key could ("…@1@23" vs "…@12@3").
+  private val counts =
+    scala.collection.concurrent.TrieMap.empty[String, ((Long, Int), Long)]
 
   def footerRowCount(spark: SparkSession, path: String): Long = {
     import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
@@ -79,11 +85,16 @@ object Tables {
     val files = if (root.isDirectory) fs.listStatus(p).flatMap(collect)
                 else Array(root)
     val stamp = if (files.isEmpty) 0L else files.map(_.getModificationTime).max
-    counts.getOrElseUpdate(s"$path@$stamp${files.length}", {
-      files.map { st =>
-        val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
-        try r.getRecordCount finally r.close()
-      }.sum
-    })
+    val version = (stamp, files.length)
+    counts.get(path) match {
+      case Some((`version`, n)) => n
+      case _ =>
+        val n = files.map { st =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+          try r.getRecordCount finally r.close()
+        }.sum
+        counts.put(path, (version, n))
+        n
+    }
   }
 }

@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
@@ -37,7 +37,17 @@ case class CountMinSketchAgg(
     w: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] {
+  extends TypedImperativeAggregate[Array[Long]]
+  with ExpectsInputTypes {
+
+  // update() reads the key as UTF8String, so declare it: a non-string
+  // key now fails analysis instead of throwing ClassCastException
+  // mid-job. Deliberately NOT ImplicitCastInputTypes — a silent
+  // int→string cast would change the hashed bytes; callers spell the
+  // cast so sketch() and estimate() agree on the key's text form.
+  // (Seq[DataType] is a covariant refinement of the declared
+  // Seq[AbstractDataType] — AbstractDataType itself is private[sql])
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](d * w)
 

@@ -153,16 +153,32 @@ object Dedup {
     * manual [[evictPairs]] hook exists for in-session data rewrites. */
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** Cluster-label table derived from the pair frame (see
+    * [[dupClusters]]) — shared by q89 (reports it) and q126 (aggregates
+    * docs over it) so the multi-round propagation loop runs ONCE per
+    * (session, sfDir) per data version. The cached frame is |dup-graph
+    * nodes| rows — strictly smaller than the pair frame it derives
+    * from — and follows the exact [[pairsCache]] lifecycle: unpersist +
+    * drop on SparkContext stop, manual [[evictPairs]] for rewrites
+    * (labels derive from pairs, so the two evict together — a stale
+    * label table over fresh pairs would be silently wrong). */
+  private[functions] val labelsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val evictHooked =
     scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
 
-  /** Drop (and unpersist) cached pair frames — all of a session's, or
-    * just one sfDir's if given. Call after regenerating data under an
-    * sfDir within a live session. */
-  def evictPairs(spark: SparkSession, sfDir: String = null): Unit =
+  /** Drop (and unpersist) cached pair frames AND the label tables
+    * derived from them — all of a session's, or just one sfDir's if
+    * given. Call after regenerating data under an sfDir within a live
+    * session. */
+  def evictPairs(spark: SparkSession, sfDir: String = null): Unit = {
     pairsCache.keys
       .filter(k => k._1 == spark && (sfDir == null || k._2 == sfDir))
       .foreach(k => pairsCache.remove(k).foreach(_.unpersist()))
+    labelsCache.keys
+      .filter(k => k._1 == spark && (sfDir == null || k._2 == sfDir))
+      .foreach(k => labelsCache.remove(k).foreach(_.unpersist()))
+  }
 
   private def cachedJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     evictHooked.getOrElseUpdate(spark, {
@@ -178,6 +194,10 @@ object Dedup {
     pairsCache.getOrElseUpdate((spark, sfDir),
       jaccardPairs(Tables.documents(spark, sfDir)).cache())
   }
+
+  private def cachedDupLabels(spark: SparkSession, sfDir: String): DataFrame =
+    labelsCache.getOrElseUpdate((spark, sfDir),
+      dupClusters(cachedJaccardPairs(spark, sfDir)).cache())
 
   def q36DedupJaccard(spark: SparkSession, sfDir: String): DataFrame =
     cachedJaccardPairs(spark, sfDir)
@@ -498,7 +518,7 @@ object Dedup {
   }
 
   def q89DupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    dupClusters(cachedJaccardPairs(spark, sfDir))
+    cachedDupLabels(spark, sfDir)
 
   // ---------------------------------------------------------------- q94
   /** CHARACTER-level fuzzy near-dup pairs: exact Levenshtein distance
@@ -553,9 +573,11 @@ object Dedup {
     *
     * Scale shape: everything operates on the cluster label table
     * (|dup-graph nodes| ≪ corpus) joined once to the docs it labels;
-    * the aggregate is a plain hash group-by on cluster_id. */
+    * the aggregate is a plain hash group-by on cluster_id. The label
+    * table itself comes from [[cachedDupLabels]], so running q89 and
+    * q126 in one sweep pays the propagation loop once, not twice. */
   def q126DedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
-    val labels = dupClusters(cachedJaccardPairs(spark, sfDir))
+    val labels = cachedDupLabels(spark, sfDir)
       .select(col("doc_id"), col("cluster_id"))
     labels.join(Tables.documents(spark, sfDir), Seq("doc_id"))
       .groupBy(col("cluster_id"))

@@ -476,12 +476,17 @@ object TextAnalysis {
     * normalization (b), the scoring function retrieval-augmented
     * pipelines actually rank with.
     *
-    * Determinism: idf enters as the LOG-FREE rarity ratio N/df (log is
-    * monotone per term — same ranking, libm never enters); every
-    * division is spelled with identical association on both engines;
-    * and the per-document total is a FIXED-ORDER sum of the three
-    * per-term conditional aggregates (a float sum() over terms would
-    * be reduction-order-dependent). k1 = 1.2, b = 0.75.
+    * Determinism: idf enters as the LOG-FREE rarity ratio N/df, so
+    * libm never enters the plan. This is a deliberate BM25-family
+    * VARIANT, not classic BM25: the ratio is monotone in df per term
+    * (single-term rankings agree), but once scores SUM across terms
+    * the cross-term weighting differs from log-idf, so multi-term
+    * rankings can diverge from the textbook formula. What the oracle
+    * pins is that both engines evaluate this exact variant bit-for-bit:
+    * every division is spelled with identical association, and the
+    * per-document total is a FIXED-ORDER sum of the three per-term
+    * conditional aggregates (a float sum() over terms would be
+    * reduction-order-dependent). k1 = 1.2, b = 0.75.
     *
     * Scale shape: the tf frame is filtered to the query's terms BEFORE
     * aggregation (∝ matching postings, not corpus tokens); dl rides
@@ -591,7 +596,7 @@ object TextAnalysis {
       u AS (SELECT unnest(toks) AS w FROM t),
       uni AS (SELECT w, count(1) AS c FROM u GROUP BY 1),
       tot AS (SELECT CAST(count(1) AS BIGINT) AS t_total FROM u)
-      SELECT w2, w1, c_xy, a.c AS c_x, b.c AS c_y,
+      SELECT w1, w2, c_xy, a.c AS c_x, b.c AS c_y,
         CAST(c_xy * t_total AS DOUBLE) / (a.c * b.c) AS score
       FROM pairs
         JOIN uni a ON a.w = w1

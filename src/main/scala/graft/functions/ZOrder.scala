@@ -2,7 +2,7 @@ package graft.functions
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
@@ -44,12 +44,15 @@ object ZOrder {
   /** Layout op: cluster `df` for writing by the Z-code of (x, y) —
     * range partitioning balances output files by code quantiles, the
     * within-partition sort makes every file a tight Z-range (⇒ tight
-    * per-file min/max on BOTH source columns). */
+    * per-file min/max on BOTH source columns). The scratch `_z` column
+    * is dropped after the sort (a projection above the sort keeps the
+    * ordering), so written files carry exactly the caller's schema. */
   def zorderLayout(df: DataFrame, x: Column, y: Column,
       numFiles: Int): DataFrame = {
     val coded = df.withColumn("_z", zorderCode(x, y))
     coded.repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
+      .drop("_z")
   }
 
   // ---------------------------------------------------------------- q116
@@ -106,7 +109,14 @@ object ZOrder {
   * x's bits at odd positions, y's at even. Inputs outside the grid are
   * masked by construction (callers bound them with pmod). */
 case class ZOrderCode(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  // nullSafeEval reads both sides as Long; declaring the types widens
+  // narrower integrals with an analysis-time cast and turns any type
+  // with no implicit cast to long (arrays, structs, …) into an
+  // analysis error instead of a runtime ClassCastException.
+  // (Seq[DataType] covariantly refines Seq[AbstractDataType], which is
+  // private[sql] and unnameable here)
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = left.nullable || right.nullable
   override def prettyName: String = "zorder_code"

@@ -214,4 +214,29 @@ class DedupCapSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaExpr == viaVotes)
   }
+
+  test("q89/q126 share one cached label table; evictPairs drops it") {
+    val sfDir = "/root/testdata/sf0.001"
+    Dedup.evictPairs(spark)
+    assert(!Dedup.labelsCache.keys.exists(_._1 == spark))
+    val q89 = Dedup.q89DupClusters(spark, sfDir)
+    assert(Dedup.labelsCache.contains((spark, sfDir)),
+      "q89 did not populate the label cache")
+    val cachedEntry = Dedup.labelsCache((spark, sfDir))
+    val q126 = Dedup.q126DedupSurvivors(spark, sfDir)
+    // q126 must not have re-run the propagation loop: same cache entry,
+    // still exactly one for this (session, sfDir)
+    assert(Dedup.labelsCache((spark, sfDir)) eq cachedEntry,
+      "q126 rebuilt the label table instead of sharing q89's")
+    // and the shared table is consistent across the two views
+    val clusters89 = q89.select("cluster_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    val clusters126 = q126.select("cluster_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(clusters126 == clusters89,
+      "survivor clusters diverge from the label table's components")
+    Dedup.evictPairs(spark, sfDir)
+    assert(!Dedup.labelsCache.contains((spark, sfDir)),
+      "evictPairs left a stale label table behind")
+  }
 }

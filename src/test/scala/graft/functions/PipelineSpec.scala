@@ -294,6 +294,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("cms sketch rejects a non-string key at analysis time") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // update() hashes the key's UTF8 bytes; a long key used to surface
+    // as a mid-job ClassCastException — now the declared input type
+    // fails analysis before any task launches
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L, 2L, 2L).toDF("k")
+        .agg(CountMinSketch.sketch(col("k"))).collect()
+    }
+    ()
+  }
+
   test("lang id classifies every document deterministically") {
     val out1 = TextAnalysis.q45LangId(spark, sfDir).collect()
     val out2 = TextAnalysis.q45LangId(spark, sfDir).collect()

@@ -101,6 +101,39 @@ class ZOrderSpec extends AnyFunSuite {
       s"per-file stats not clustered: avg bounding area $avgArea")
   }
 
+  test("zorderLayout output carries exactly the caller's schema (no _z leak)") {
+    val pts = spark.range(0, 256).select(
+      pmod(col("id") * 37L, lit(1024L)).as("x"),
+      pmod(col("id") * 101L, lit(1024L)).as("y"))
+    val laid = ZOrder.zorderLayout(pts, col("x"), col("y"), 4)
+    assert(laid.columns.toSeq == Seq("x", "y"),
+      s"scratch column leaked: ${laid.columns.mkString(",")}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zleak").toString
+    laid.write.mode("overwrite").parquet(dir)
+    val written = spark.read.parquet(dir)
+    assert(written.columns.toSeq.sorted == Seq("x", "y"),
+      s"written schema leaked scratch column: ${written.columns.mkString(",")}")
+    // dropping _z must not have dropped the clustering it sorted by
+    val boxes = written.limit(0) // schema check only; clustering pinned below
+    assert(boxes.columns.length == 2)
+  }
+
+  test("zorder code typing: integrals widen, strings fail analysis") {
+    import spark.implicits._
+    // ints are implicitly cast to long (ImplicitCastInputTypes)
+    val widened = Seq((3, 5), (7, 11)).toDF("x", "y")
+      .select(ZOrder.zorderCode(col("x"), col("y")).as("z")).collect()
+    assert(widened.map(_.getLong(0)).toSet ==
+      Set(ZOrder.interleave(3L, 5L), ZOrder.interleave(7L, 11L)))
+    // a non-castable key (array) is an ANALYSIS error now, not a
+    // runtime ClassCastException mid-job
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Seq(1L), 1L)).toDF("x", "y")
+        .select(ZOrder.zorderCode(col("x"), col("y"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("type"))
+  }
+
   test("zorderLayout clusters partitions into tight bounding boxes") {
     import spark.implicits._
     val pts = spark.range(0, 4096).select(
