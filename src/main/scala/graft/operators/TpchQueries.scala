@@ -175,8 +175,85 @@ object TpchQueries {
       .orderBy(col("s_suppkey"))
   }
 
+  // ---------------------------------------------------------------- q128
+  /** TPC-H Q17 shape: small-quantity revenue — a CORRELATED scalar
+    * subquery (each lineitem compares against 20% of ITS part's average
+    * quantity) gating a fact scan. Spelled decorrelated, which is the
+    * plan Catalyst's subquery rewrite would produce: per-part averages
+    * over the brand-filtered lineitem slice, broadcast back onto the
+    * same slice. Without p_container the part group is brand + size
+    * band.
+    *
+    * Scale shape: the brand filter prunes part BEFORE its broadcast, so
+    * the fact table is reduced to matching lineitems once and BOTH
+    * consumers (threshold aggregate, gated scan) read that slice; the
+    * threshold frame is |brand parts| rows — broadcast, never shuffled
+    * against the fact. Determinism: the threshold is (exact decimal
+    * sum → double) / count * 0.2 with identical association in both
+    * engines, so the `<` gate compares identical doubles. */
+  def q128SmallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#13" && col("p_size").between(10, 30))
+      .select(col("p_partkey"))
+    val lp = Tables.lineitem(spark, sfDir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val thr = lp.groupBy(col("l_partkey"))
+      .agg((sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))
+        * lit(0.2)).as("qty_thr"))
+    lp.join(broadcast(thr), Seq("l_partkey"))
+      .filter(col("l_quantity") < col("qty_thr"))
+      .agg((sum(dec2(col("l_extendedprice"))).cast("double") / lit(7.0))
+          .as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  // ---------------------------------------------------------------- q129
+  /** TPC-H Q21 shape: suppliers who kept waiting — the multi-EXISTS /
+    * NOT-EXISTS chain: a supplier's late lineitem counts only if the
+    * order is multi-supplier (EXISTS another supplier's line) and no
+    * OTHER supplier was late on it (NOT EXISTS). "Late" is the q109
+    * proxy `l_shipdate > o_orderdate + 60 days` (no
+    * l_commitdate/l_receiptdate in this schema).
+    *
+    * Scale shape: the nation's suppliers are a broadcast-small dim
+    * joined FIRST, so the EXISTS/NOT-EXISTS chain (a left-semi and a
+    * left-anti hash join on l_orderkey with a suppkey-inequality
+    * residual) runs on the one-nation slice of late lines against the
+    * orderkey-shuffled fact — the exact decorrelated plan Catalyst
+    * produces for the SQL form, spelled explicitly. */
+  def q129WaitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F")
+    val l = Tables.lineitem(spark, sfDir)
+      .join(o.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .as("late"))
+    val late = l.filter(col("late"))
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val l1 = late.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    val multiSupplier = l1.as("a").join(l.as("b"),
+      col("a.l_orderkey") === col("b.l_orderkey")
+        && col("a.l_suppkey") =!= col("b.l_suppkey"), "left_semi")
+    val onlyLate = multiSupplier.as("a").join(late.as("c"),
+      col("a.l_orderkey") === col("c.l_orderkey")
+        && col("a.l_suppkey") =!= col("c.l_suppkey"), "left_anti")
+    onlyLate.groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q108_product_type_profit" -> q108ProductTypeProfit,
+    "q128_small_qty_revenue" -> q128SmallQtyRevenue,
+    "q129_waiting_suppliers" -> q129WaitingSuppliers,
     "q122_top_supplier" -> q122TopSupplier,
     "q109_order_priority" -> q109OrderPriority,
     "q110_customer_distribution" -> q110CustomerDistribution,
@@ -186,6 +263,47 @@ object TpchQueries {
   )
 
   lazy val sql: Map[String, String] = Map(
+    "q128_small_qty_revenue" -> """
+      WITH bp AS (
+        SELECT p_partkey FROM part
+        WHERE p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30),
+      lp AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN bp ON l_partkey = p_partkey),
+      thr AS (
+        SELECT l_partkey,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            / count(1) * 0.2 AS qty_thr
+        FROM lp GROUP BY 1)
+      SELECT
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+          AS avg_yearly,
+        count(1) AS n_lines
+      FROM lp JOIN thr USING (l_partkey)
+      WHERE l_quantity < qty_thr""",
+    "q129_waiting_suppliers" -> """
+      WITH l AS (
+        SELECT l_orderkey, l_suppkey,
+          l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'),
+      l1 AS (SELECT * FROM l WHERE late)
+      SELECT s_name, count(1) AS numwait
+      FROM l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+        AND EXISTS (
+          SELECT 1 FROM l
+          WHERE l.l_orderkey = l1.l_orderkey
+            AND l.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM l1 x
+          WHERE x.l_orderkey = l1.l_orderkey
+            AND x.l_suppkey <> l1.l_suppkey)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100""",
     "q122_top_supplier" -> """
       WITH rev AS (
         SELECT l_suppkey,
