@@ -64,13 +64,21 @@ final case class Measure(id: String, path: String)
   * a deletion cannot remove an id from an HLL, so folds ignore
   * negative-sign rows and the stored sketch is an upper bound of the
   * live distinct set after deletes (exact while no delete has touched
-  * the group — the standard sketch-measure contract). */
+  * the group — the standard sketch-measure contract).
+  *
+  * `quantiles` are DISTRIBUTION measures stored as mergeable KLL
+  * doubles sketches ([[graft.functions.Kll]]) under the same contract:
+  * rank queries don't add across cells, sketch union does, and folds
+  * are insert-only. Rolling a cube up to any dimension subset can then
+  * serve percentiles from maintained partials instead of re-scanning
+  * the source. */
 final case class CubeConfig(
     name: String,
     source: String, // table name within the sfDir, e.g. "events"
     dims: Seq[Dimension],
     measures: Seq[Measure],
-    sketches: Seq[Measure] = Nil) {
+    sketches: Seq[Measure] = Nil,
+    quantiles: Seq[Measure] = Nil) {
   def dimCols: Seq[Column] = dims.map(_.expr)
   def dimNames: Seq[String] = dims.map(_.id)
 }
@@ -98,9 +106,11 @@ object CubeManager {
     val sums = config.measures.map(m =>
       sum(col(m.path).cast(Dec)).cast(Dec).as(m.id))
     val sks = config.sketches.map(m => hll_sketch_agg(col(m.path)).as(m.id))
+    val qs = config.quantiles.map(m =>
+      graft.functions.Kll.sketchAgg(col(m.path).cast("double")).as(m.id))
     val agg = source
       .groupBy(config.dimCols: _*)
-      .agg(sums.head, (sums.tail ++ sks :+ count(lit(1)).as(CountCol)): _*)
+      .agg(sums.head, (sums.tail ++ sks ++ qs :+ count(lit(1)).as(CountCol)): _*)
     Cube(config, agg)
   }
 
@@ -118,14 +128,18 @@ object CubeManager {
     val cfg = cube.config
     val deltaSums = cfg.measures.map(m =>
       sum(col("_sign") * col(m.path).cast(Dec)).cast(Dec).as(m.id))
-    // sketches fold INSERTED ids only (see CubeConfig.sketches): the
-    // when() nulls out delete rows and hll_sketch_agg skips nulls
+    // sketch measures fold INSERTED rows only (see CubeConfig): the
+    // when() nulls out delete rows and both sketch aggregates skip nulls
     val deltaSks = cfg.sketches.map(m =>
       hll_sketch_agg(when(col("_sign") > 0, col(m.path))).as(m.id))
+    val deltaQs = cfg.quantiles.map(m =>
+      graft.functions.Kll.sketchAgg(
+        when(col("_sign") > 0, col(m.path).cast("double"))).as(m.id))
     val deltaAgg = deltas
       .groupBy(cfg.dimCols: _*)
       .agg(deltaSums.head,
-        (deltaSums.tail ++ deltaSks :+ sum(col("_sign")).as(CountCol)): _*)
+        (deltaSums.tail ++ deltaSks ++ deltaQs
+          :+ sum(col("_sign")).as(CountCol)): _*)
     val refolded = cube.aggregates
       .unionByName(deltaAgg)
       .groupBy(cfg.dimNames.map(col): _*)
@@ -134,6 +148,8 @@ object CubeManager {
         (cfg.measures.tail.map(m => sum(col(m.id)).cast(Dec).as(m.id))
           ++ cfg.sketches.map(m =>
             hll_union_agg(col(m.id)).as(m.id))
+          ++ cfg.quantiles.map(m =>
+            graft.functions.Kll.mergeAgg(col(m.id)).as(m.id))
           :+ sum(col(CountCol)).as(CountCol)): _*)
       .filter(col(CountCol) =!= 0)
     Cube(cfg, refolded)
@@ -148,7 +164,8 @@ object CubeManager {
       filter: Column = lit(true),
       sumOf: Seq[String] = Nil,
       avgOf: Seq[String] = Nil,
-      distinctOf: Seq[String] = Nil): DataFrame = {
+      distinctOf: Seq[String] = Nil,
+      quantilesOf: Seq[(String, Double)] = Nil): DataFrame = {
     val base = cube.live.filter(filter)
     val sums = sumOf.map(id => sum(col(id)).cast(DoubleType).as(s"sum_$id"))
     val avgs = avgOf.map(id =>
@@ -157,7 +174,13 @@ object CubeManager {
     // groups' partials, estimate once — cube-sized work, no source scan
     val dsts = distinctOf.map(id =>
       hll_sketch_estimate(hll_union_agg(col(id))).as(s"n_distinct_$id"))
-    val aggs = sums ++ avgs ++ dsts :+ sum(col(CountCol)).as("n_rows")
+    // percentiles the same way: one KLL union per id (Catalyst dedups
+    // the identical merge aggregates), a point-read per requested rank
+    val qnts = quantilesOf.map { case (id, q) =>
+      graft.functions.Kll.quantile(graft.functions.Kll.mergeAgg(col(id)), q)
+        .as(f"p${math.round(q * 100)}%02d_$id")
+    }
+    val aggs = sums ++ avgs ++ dsts ++ qnts :+ sum(col(CountCol)).as("n_rows")
     base.groupBy(subsetDims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -213,9 +236,13 @@ object CubeManager {
     val sks = c.sketches
       .map(m => s"""{"id":"${esc(m.id)}","path":"${esc(m.path)}"}""")
       .mkString("[", ",", "]")
-    // "sketches" precedes "measures": the tolerant parser's measures
-    // regex is greedy-to-last-bracket and must stay the final array
-    s"""{"name":"${esc(c.name)}","source":"${esc(c.source)}","dims":$dims,"sketches":$sks,"measures":$ms}"""
+    val qs = c.quantiles
+      .map(m => s"""{"id":"${esc(m.id)}","path":"${esc(m.path)}"}""")
+      .mkString("[", ",", "]")
+    // "sketches"/"quantiles" precede "measures": the tolerant parser's
+    // measures regex is greedy-to-last-bracket and must stay the final
+    // array
+    s"""{"name":"${esc(c.name)}","source":"${esc(c.source)}","dims":$dims,"sketches":$sks,"quantiles":$qs,"measures":$ms}"""
   }
 
   private[cube] def configFromJson(json: String): CubeConfig = {
@@ -242,12 +269,17 @@ object CubeManager {
     val meas = objects(measArr).map { o =>
       Measure(field(o, "id").get, field(o, "path").get)
     }
-    val skArr = """(?s)"sketches":\s*(\[.*?\]),\s*"measures"""".r
+    val skArr = """(?s)"sketches":\s*(\[.*?\]),\s*"(?:quantiles|measures)"""".r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
     val sks = objects(skArr).map { o =>
       Measure(field(o, "id").get, field(o, "path").get)
     }
+    val qArr = """(?s)"quantiles":\s*(\[.*?\]),\s*"measures"""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
+    val qs = objects(qArr).map { o =>
+      Measure(field(o, "id").get, field(o, "path").get)
+    }
     CubeConfig(field(json, "name").get, field(json, "source").get, dims, meas,
-      sks)
+      sks, qs)
   }
 }

@@ -232,8 +232,44 @@ object CubeQueries {
       .orderBy(col("etype"))
   }
 
+  // ---------------------------------------------------------------- q130
+  /** PERCENTILES in an incremental cube via MERGEABLE KLL quantile
+    * sketches — the distribution sibling of q121's HLL distinct
+    * measure, through the same CubeConfig/create/query path: per-
+    * (event_type, day) KLL partials of the value distribution, rolled
+    * up to event_type (one sketch union per group, two point-reads).
+    * Exact percentiles cannot live in a pre-aggregated cube (rank
+    * queries don't add across cells); KLL unions do, with a
+    * merge-shape-independent rank-error bound — how a continuous
+    * aggregation serves p50/p90 latency-style dashboards from
+    * maintained partials, and how 1000 executors combine shard
+    * partials at 100 TB.
+    *
+    * Exact percentiles ride along for the error-bound test (CubeSpec
+    * pins |rank(est) − q| ≤ KLL bound + merge-equality behavior).
+    * Rows-only: KLL compaction is rank-randomized (no DuckDB twin). */
+  def q130CubeQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val cfg = CubeConfig("value_dist_by_type_day", "events",
+      dims = Seq(FieldDim("etype", "event_type"), TimeDim("day", "ts", "day")),
+      measures = Seq(Measure("value_sum", "value")),
+      quantiles = Seq(Measure("value_dist", "value")))
+    val cube = CubeManager.create(cfg, Tables.events(spark, sfDir))
+    val rolled = CubeManager.query(cube, Seq("etype"),
+      sumOf = Seq("value_sum"),
+      quantilesOf = Seq(("value_dist", 0.5), ("value_dist", 0.9)))
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("etype"))
+      .agg(expr("percentile(value, 0.5)").as("exact_p50"),
+        expr("percentile(value, 0.9)").as("exact_p90"))
+    rolled.join(exact, Seq("etype"))
+      .select(col("etype"), col("p50_value_dist"), col("p90_value_dist"),
+        col("exact_p50"), col("exact_p90"), col("n_rows"))
+      .orderBy(col("etype"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q64_cube_json_dim" -> q64CubeJsonDim,
+    "q130_cube_quantiles" -> q130CubeQuantiles,
     "q119_hll_cube" -> q119HllCube,
     "q120_audience_overlap" -> q120AudienceOverlap,
     "q121_cube_distinct" -> q121CubeDistinct,

@@ -26,7 +26,8 @@ class ContractSpec extends AnyFunSuite {
       "q117_heavy_hitters",   // xxhash64 CMS estimates
       "q119_hll_cube",        // datasketches HLL estimates (no DuckDB twin)
       "q120_audience_overlap", // HLL inclusion-exclusion estimates
-      "q121_cube_distinct"),  // cube sketch-measure path (HLL estimates)
+      "q121_cube_distinct",   // cube sketch-measure path (HLL estimates)
+      "q130_cube_quantiles"), // cube KLL quantile measure (rank-randomized)
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -247,6 +247,83 @@ class CubeSpec extends AnyFunSuite {
     assert(distincts(loaded) == distincts(afterDel))
   }
 
+  test("quantile measures: create/fold/query/persist lifecycle, merge-safe rank bound") {
+    import spark.implicits._
+    val cfgQ = CubeConfig("kq", "mem",
+      Seq(FieldDim("k", "event_type"), FieldDim("bucket", "bucket")),
+      Seq(Measure("v", "value")),
+      quantiles = Seq(Measure("dist", "value")))
+    // group "a" spans 7 cells so the roll-up exercises the KLL UNION
+    // path, not just a single-cell read; values are distinct 1..1000 so
+    // rank(v) = v/1000 exactly
+    val base = (1 to 1000).map(i => ("a", i % 7, i.toDouble)) ++
+      (1 to 100).map(i => ("b", i % 7, i.toDouble))
+    val cube = CubeManager.create(cfgQ, base.toDF("event_type", "bucket", "value"))
+    assert(cube.aggregates.count() == 14)
+    def p50(c: Cube): Map[String, Double] =
+      CubeManager.query(c, Seq("k"), quantilesOf = Seq(("dist", 0.5)))
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("p50_dist")).toMap
+    // 3x the two-sided 99% bound: the union of 7 partials must keep the
+    // single-sketch guarantee (merge-shape independence is THE property
+    // a cube measure needs)
+    val eps = 3 * graft.functions.Kll.rankError() + 0.005
+    val m = p50(cube)
+    assert(math.abs(m("a") / 1000.0 - 0.5) <= eps, s"a median ${m("a")}")
+    assert(math.abs(m("b") / 100.0 - 0.5) <= eps, s"b median ${m("b")}")
+    // insert-only fold: shift a's distribution upward with 1000 new
+    // values 1001..2000 — the folded median must track the new rank
+    val inserts = (1001 to 2000).map(i => ("a", i % 7, i.toDouble, 1))
+      .toDF("event_type", "bucket", "value", "_sign")
+    val folded = CubeManager.applyDeltas(cube, inserts)
+    assert(math.abs(p50(folded)("a") / 2000.0 - 0.5) <= eps,
+      "fold did not absorb the delta distribution")
+    // deletes adjust sums/counts but leave the sketch (insert-only,
+    // the documented contract)
+    val deletes = Seq(("b", 1, 1.0, -1))
+      .toDF("event_type", "bucket", "value", "_sign")
+    val afterDel = CubeManager.applyDeltas(folded, deletes)
+    assert(math.abs(p50(afterDel)("b") / 100.0 - 0.5) <= eps)
+    // persistence round-trips the binary sketch column and the config.
+    // NOTE: no exact-equality check against the unsaved cube — its
+    // aggregates are a lazy plan, so every query re-runs the randomized
+    // KLL compaction; the saved bytes are one fixed draw. The loaded
+    // sketch must still satisfy the rank bound.
+    val dir = java.nio.file.Files.createTempDirectory("graft_kllcube").toString
+    CubeManager.save(afterDel, dir)
+    val loaded = CubeManager.load(spark, dir, "kq")
+    assert(loaded.config == cfgQ)
+    val lm = p50(loaded)
+    assert(math.abs(lm("a") / 2000.0 - 0.5) <= eps, s"loaded a median ${lm("a")}")
+    // group b holds 99 ≤ k values, so its sketch — and the union of its
+    // 7 partials — never compacts: the quantile read is EXACT and
+    // deterministic (the sub-capacity contract)
+    assert(lm("b") == 50.0, s"sub-capacity sketch must be exact: ${lm("b")}")
+  }
+
+  test("q130: rolled-up KLL percentiles land within rank-error of target") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = CubeQueries.q130CubeQuantiles(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // verify in RANK space (value-space error is density-dependent):
+    // the fraction of the group's values at or below the estimate must
+    // sit within the (3x, 99%) KLL band around the requested rank
+    val values = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (k, rs) =>
+        k -> rs.map(_.getDouble(1)).sorted
+      }
+    val eps = 3 * graft.functions.Kll.rankError() + 0.01
+    out.foreach { r =>
+      val vs = values(r.getString(0))
+      def rank(est: Double): Double =
+        vs.count(_ <= est).toDouble / vs.length
+      assert(math.abs(rank(r.getAs[Double]("p50_value_dist")) - 0.5) <= eps,
+        s"${r.getString(0)} p50 rank off")
+      assert(math.abs(rank(r.getAs[Double]("p90_value_dist")) - 0.9) <= eps,
+        s"${r.getString(0)} p90 rank off")
+    }
+  }
+
   test("q120: inclusion-exclusion overlap estimates track exact overlaps") {
     val out = CubeQueries.q120AudienceOverlap(spark, "/root/testdata/sf0.001")
       .collect()
