@@ -107,24 +107,41 @@ object Dedup {
     *   two shuffles total, zero joins. Bounds: n < 2²¹ shingles per doc,
     *   doc_id < 2⁴², both comfortable at corpus scale. */
   def jaccardPairs(docs: DataFrame, minJaccard: Double = 0.5,
-      maxDf: Int = MaxShingleDf): DataFrame = {
-    val M = 1L << 21
-    // explode_OUTER + null filter, not plain explode: for a non-outer
-    // Generate, InferFiltersFromGenerate synthesizes
-    // `size(arr)>0 AND isnotnull(arr)` and predicate pushdown inlines
-    // the whole shingle transform below the `_toks` projection — every
-    // element_at then re-splits the text, O(tokens²) per doc (measured
-    // 7× slower). Outer generates are exempt from filter inference; the
-    // cheap isnotnull(s) drops the same shingle-less docs. The shingle
-    // hashes come from the codegen'd [[ShingleHashes]] expression (one
-    // pass, no string-array materialization; value-identical to
-    // xxhash64 over [[shingleExpr]], asserted in DedupCapSpec).
-    val sh = docs.withColumn("_toks", split(col("text"), " "))
+      maxDf: Int = MaxShingleDf): DataFrame =
+    pairsFromShingleRows(shingleRows(docs), minJaccard, maxDf)
+      .orderBy(col("da"), col("db"))
+
+  /** The pack modulus: dn = doc_id·2²¹ + n (see [[jaccardPairs]]). */
+  private[graft] val PackM = 1L << 21
+
+  /** Packed per-doc shingle rows (dn, s) — stage 1 of [[jaccardPairs]],
+    * also the unit the streaming survivorship fold persists as its
+    * inverted index (graft.streaming.StreamingSurvivors).
+    *
+    * explode_OUTER + null filter, not plain explode: for a non-outer
+    * Generate, InferFiltersFromGenerate synthesizes
+    * `size(arr)>0 AND isnotnull(arr)` and predicate pushdown inlines
+    * the whole shingle transform below the `_toks` projection — every
+    * element_at then re-splits the text, O(tokens²) per doc (measured
+    * 7× slower). Outer generates are exempt from filter inference; the
+    * cheap isnotnull(s) drops the same shingle-less docs. The shingle
+    * hashes come from the codegen'd [[ShingleHashes]] expression (one
+    * pass, no string-array materialization; value-identical to
+    * xxhash64 over [[shingleExpr]], asserted in DedupCapSpec). */
+  private[graft] def shingleRows(docs: DataFrame): DataFrame =
+    docs.withColumn("_toks", split(col("text"), " "))
       .select(col("doc_id"),
         ShingleHashes.shingleHashes(col("_toks")).as("_sharr"))
-      .select((col("doc_id") * lit(M) + size(col("_sharr"))).as("dn"),
+      .select((col("doc_id") * lit(PackM) + size(col("_sharr"))).as("dn"),
         explode_outer(col("_sharr")).as("s"))
       .filter(col("s").isNotNull)
+
+  /** Stages 2-3 of [[jaccardPairs]]: per-shingle groups → ordered
+    * co-occurrence pairs → (da, db, common, jaccard). Takes any (dn, s)
+    * frame so the streaming fold can mine a batch ∪ history slice with
+    * the identical plan. Unordered — callers sort. */
+  private[graft] def pairsFromShingleRows(sh: DataFrame,
+      minJaccard: Double = 0.5, maxDf: Int = MaxShingleDf): DataFrame =
     sh.groupBy(col("s"))
       .agg(sort_array(collect_list(col("dn"))).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
@@ -132,14 +149,12 @@ object Dedup {
       .filter(col("p").isNotNull)
       .groupBy(col("p.da").as("pa"), col("p.db").as("pb"))
       .agg(count(lit(1)).as("common"))
-      .select(expr(s"pa div $M").as("da"),
-        expr(s"pb div $M").as("db"), col("common"),
+      .select(expr(s"pa div $PackM").as("da"),
+        expr(s"pb div $PackM").as("db"), col("common"),
         (col("common") * lit(1.0)
-          / (pmod(col("pa"), lit(M)) + pmod(col("pb"), lit(M))
+          / (pmod(col("pa"), lit(PackM)) + pmod(col("pb"), lit(PackM))
              - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      .orderBy(col("da"), col("db"))
-  }
 
   /** Shared per-(session, sfDir) materialization of the exact-Jaccard
     * pair frame: q36 (the pairs) and q89 (clusters OVER the pairs) both
@@ -576,10 +591,16 @@ object Dedup {
     * the aggregate is a plain hash group-by on cluster_id. The label
     * table itself comes from [[cachedDupLabels]], so running q89 and
     * q126 in one sweep pays the propagation loop once, not twice. */
-  def q126DedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
-    val labels = cachedDupLabels(spark, sfDir)
-      .select(col("doc_id"), col("cluster_id"))
-    labels.join(Tables.documents(spark, sfDir), Seq("doc_id"))
+  def q126DedupSurvivors(spark: SparkSession, sfDir: String): DataFrame =
+    survivorStats(cachedDupLabels(spark, sfDir), Tables.documents(spark, sfDir))
+
+  /** The survivorship aggregate over any (doc_id, cluster_id) label
+    * table + docs frame — shared by batch q126 and the streaming fold's
+    * read-side (graft.streaming.StreamingSurvivors), so the two paths
+    * can be pinned equal on a replayed stream. */
+  private[graft] def survivorStats(labels: DataFrame, docs: DataFrame): DataFrame =
+    labels.select(col("doc_id"), col("cluster_id"))
+      .join(docs, Seq("doc_id"))
       .groupBy(col("cluster_id"))
       .agg(asLong(min(col("doc_id"))).as("survivor_doc"),
         count(lit(1)).as("n_members"),
@@ -587,7 +608,6 @@ object Dedup {
         countDistinct(col("lang")).as("n_langs"),
         countDistinct(col("source")).as("n_sources"))
       .orderBy(col("cluster_id"))
-  }
 
   lazy val defs: Map[String, Q] = Map(
     "q36_dedup_jaccard" -> q36DedupJaccard,

@@ -267,6 +267,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(once == Seq(1L, 2L, 11L), s"unexpected survivors: $once")
   }
 
+  test("streaming survivorship fold == batch q126 on a replayed doc stream") {
+    import graft.functions.Dedup
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sfDir)
+    val src = tmp("graft_surv_src")
+    val idx = tmp("graft_surv_idx") + "/index"
+    val edges = tmp("graft_surv_edges") + "/edges"
+    // replay the corpus as three doc_id-ranged files → three micro-batches
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val parts = Seq(
+      docs.filter(col("doc_id") <= c1),
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+      docs.filter(col("doc_id") > c2))
+    parts.head.coalesce(1).write.parquet(s"$src/f0")
+    val q = StreamingSurvivors.start(spark, s"$src/f*", docs.schema, idx,
+      edges, tmp("graft_surv_ckpt"))
+    q.processAllAvailable()
+    parts(1).coalesce(1).write.parquet(s"$src/f1")
+    q.processAllAvailable()
+    parts(2).coalesce(1).write.parquet(s"$src/f2")
+    q.processAllAvailable()
+    q.stop()
+    // the folded edge set must equal batch pair mining over the drained
+    // corpus — cross-batch pairs (mined at the later endpoint's batch)
+    // must carry the COMPLETE common count, not just late shingles
+    def pairSet(df: DataFrame) = df.select("da", "db", "common", "jaccard")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val streamedPairs = pairSet(spark.read.parquet(edges))
+    val batchPairs = pairSet(Dedup.jaccardPairs(docs))
+    assert(streamedPairs.nonEmpty, "replay produced no duplicate edges")
+    assert(streamedPairs == batchPairs,
+      s"stream-mined edges diverge: ${streamedPairs.size} vs ${batchPairs.size}")
+    // and the read-side view equals batch q126 row for row
+    val streamed = StreamingSurvivors.survivors(spark, edges, docs)
+      .collect().map(_.toString).toSeq
+    val batch = Dedup.q126DedupSurvivors(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch, "survivor view diverges from batch q126")
+    // replay safety: re-folding the last micro-batch (crash before
+    // checkpoint commit) must leave the edge set unchanged
+    StreamingSurvivors.foldBatch(parts(2), 2L, idx, edges)
+    assert(pairSet(spark.read.parquet(edges)) == streamedPairs,
+      "edge partitions changed on micro-batch replay")
+  }
+
   test("streaming session window sessionizes per user with the 30m gap") {
     import org.apache.spark.sql.functions._
     val src = tmp("graft_sess_src")
