@@ -99,6 +99,169 @@ case class CountMinSketchAgg(
     copy(child = newChildren.head)
 }
 
+/** Mutable buffer of [[ApproxTopKAgg]]: a CMS counter array plus a
+  * bounded candidate map (key → last CMS estimate). */
+final class ApproxTopKState(
+    val counts: Array[Long],
+    val cands: java.util.HashMap[String, Long])
+
+/** GROUPED heavy hitters in ONE aggregate: a Count-Min sketch (bounded
+  * frequency summary) fused with a bounded candidate heap (the
+  * TopKAggregate discipline), so `groupBy(g).agg(approxTopK(key, k))`
+  * ships d·w counters + ≤C candidates per group through the shuffle —
+  * never |distinct keys| state, which is what an exact per-group top-k
+  * (full count aggregate + window rank) carries and what OOMs at
+  * 100 TB on an unbounded key domain.
+  *
+  * Candidate discipline: every partial keeps the top C = 4k keys by
+  * their CMS estimate AT INSERT TIME; merge sums the counter arrays,
+  * re-estimates the UNION of both candidate sets against the merged
+  * counters, and re-trims to C. The 4k margin absorbs partition-local
+  * ranking noise (a globally heavy key that is only rank ~3k in one
+  * partition still survives to the merge). Reported estimates come
+  * from the final merged sketch, so the classic CMS guarantee holds
+  * per reported key: est ≥ true count, est ≤ true + (e/w)·N w.h.p.
+  * The candidate SET is heuristic (order-dependent at the margin) —
+  * the standard sketch top-k contract, graded rows-only with
+  * est≥truth and recall-of-true-heavy tests. */
+case class ApproxTopKAgg(
+    child: Expression,
+    d: Int,
+    w: Int,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ApproxTopKState]
+  with ExpectsInputTypes {
+
+  private val cap = 4 * k
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def createAggregationBuffer(): ApproxTopKState =
+    new ApproxTopKState(new Array[Long](d * w),
+      new java.util.HashMap[String, Long](cap * 2))
+
+  private def estimate(counts: Array[Long], key: Array[Byte]): Long = {
+    var est = Long.MaxValue
+    var r = 0
+    while (r < d) {
+      val c = counts(r * w + CountMinSketch.slot(key, r, w))
+      if (c < est) est = c
+      r += 1
+    }
+    est
+  }
+
+  private def trim(st: ApproxTopKState, to: Int): Unit =
+    if (st.cands.size > to) {
+      val entries = new java.util.ArrayList(st.cands.entrySet())
+      // highest estimate first; key ties broken lexically for stability
+      entries.sort { (a: java.util.Map.Entry[String, Long],
+          b: java.util.Map.Entry[String, Long]) =>
+        val c = java.lang.Long.compare(b.getValue, a.getValue)
+        if (c != 0) c else a.getKey.compareTo(b.getKey)
+      }
+      st.cands.clear()
+      var i = 0
+      while (i < to) {
+        val e = entries.get(i)
+        st.cands.put(e.getKey, e.getValue)
+        i += 1
+      }
+    }
+
+  override def update(st: ApproxTopKState, input: InternalRow): ApproxTopKState = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.asInstanceOf[UTF8String]
+      val bytes = key.getBytes
+      var r = 0
+      while (r < d) {
+        st.counts(r * w + CountMinSketch.slot(bytes, r, w)) += 1L
+        r += 1
+      }
+      st.cands.put(key.toString, estimate(st.counts, bytes))
+      // amortized trim: shrink back to cap only at 2x overflow
+      if (st.cands.size > 2 * cap) trim(st, cap)
+    }
+    st
+  }
+
+  override def merge(st: ApproxTopKState, other: ApproxTopKState): ApproxTopKState = {
+    var i = 0
+    while (i < st.counts.length) { st.counts(i) += other.counts(i); i += 1 }
+    st.cands.putAll(other.cands)
+    // re-estimate the union against the MERGED counters
+    val it = st.cands.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      e.setValue(estimate(st.counts, e.getKey.getBytes("UTF-8")))
+    }
+    trim(st, cap)
+    st
+  }
+
+  override def eval(st: ApproxTopKState): Any = {
+    val entries = new java.util.ArrayList(st.cands.entrySet())
+    entries.sort { (a: java.util.Map.Entry[String, Long],
+        b: java.util.Map.Entry[String, Long]) =>
+      val c = java.lang.Long.compare(b.getValue, a.getValue)
+      if (c != 0) c else a.getKey.compareTo(b.getKey)
+    }
+    val n = math.min(k, entries.size)
+    val rows = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val e = entries.get(i)
+      rows(i) = InternalRow(UTF8String.fromString(e.getKey),
+        estimate(st.counts, e.getKey.getBytes("UTF-8")))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(st: ApproxTopKState): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    st.counts.foreach(out.writeLong)
+    out.writeInt(st.cands.size)
+    val it = st.cands.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ApproxTopKState = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val counts = Array.fill(d * w)(in.readLong())
+    val n = in.readInt()
+    val cands = new java.util.HashMap[String, Long](n * 2)
+    var i = 0
+    while (i < n) { cands.put(in.readUTF(), in.readLong()); i += 1 }
+    new ApproxTopKState(counts, cands)
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("key", StringType, nullable = false),
+      StructField("est", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "approx_top_k"
+
+  override def withNewMutableAggBufferOffset(o: Int): ApproxTopKAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ApproxTopKAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ApproxTopKAgg =
+    copy(child = newChildren.head)
+}
+
 object CountMinSketch {
   type Q = (SparkSession, String) => DataFrame
 
@@ -123,6 +286,12 @@ object CountMinSketch {
   def sketch(key: Column, d: Int = D, w: Int = W): Column =
     Bridge.toColumn(
       CountMinSketchAgg(Bridge.toExpression(key), d, w).toAggregateExpression())
+
+  /** Per-group heavy hitters with CMS estimates in one bounded
+    * aggregate — array of (key, est) structs, highest estimate first. */
+  def approxTopK(key: Column, k: Int, d: Int = D, w: Int = W): Column =
+    Bridge.toColumn(
+      ApproxTopKAgg(Bridge.toExpression(key), d, w, k).toAggregateExpression())
 
   /** Point estimate from a sketch array column: min over the d rows of
     * the key's counter — pure built-in expressions (codegen'd), using
@@ -160,8 +329,35 @@ object CountMinSketch {
       .orderBy(col("n_exact").desc, col("w"))
   }
 
+  // ---------------------------------------------------------------- q131
+  /** GROUPED heavy hitters: top-10 words PER LANGUAGE from one
+    * [[ApproxTopKAgg]] pass — where q117 sketches the whole corpus and
+    * reads 20 known keys back, this answers "what are each group's
+    * heavy keys" without knowing them in advance, with per-group state
+    * bounded at d·w counters + 4k candidates.
+    *
+    * Scale shape: one corpus pass, map-side partial aggregation (the
+    * buffer merges), shuffle volume = |groups| × sketch size — the
+    * exact alternative (count per (lang, word), window top-k) shuffles
+    * |distinct (lang, word)| rows. Rows-only: estimates ride the
+    * xxhash64 family and the candidate set is sketch-heuristic at the
+    * margin (no DuckDB twin); est ≥ truth, the (e/w)·N bound, and
+    * recall of the true top-3 are test-pinned. */
+  def q131GroupedHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode_outer(split(col("text"), " ")).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+    words.groupBy(col("lang"))
+      .agg(approxTopK(col("w"), 10).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).as("rk"),
+        col("col.key").as("word"), col("col.est").as("n_est"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q117_heavy_hitters" -> q117HeavyHitters,
+    "q131_grouped_heavy_hitters" -> q131GroupedHeavyHitters,
   )
 
   /** xxhash64 family ⇒ rows-only (no oracle). */

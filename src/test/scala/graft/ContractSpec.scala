@@ -27,7 +27,8 @@ class ContractSpec extends AnyFunSuite {
       "q119_hll_cube",        // datasketches HLL estimates (no DuckDB twin)
       "q120_audience_overlap", // HLL inclusion-exclusion estimates
       "q121_cube_distinct",   // cube sketch-measure path (HLL estimates)
-      "q130_cube_quantiles"), // cube KLL quantile measure (rank-randomized)
+      "q130_cube_quantiles",  // cube KLL quantile measure (rank-randomized)
+      "q131_grouped_heavy_hitters"), // CMS top-k candidate set (heuristic)
       s"unexpected rows-only set: $rowsOnly")
   }
 

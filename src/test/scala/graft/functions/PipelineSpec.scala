@@ -294,6 +294,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped cms top-k: est >= truth within eps*N, true top-3 recalled") {
+    import org.apache.spark.sql.functions.{col, count, explode_outer, lit, split}
+    val out = CountMinSketch.q131GroupedHeavyHitters(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("word"),
+        r.getAs[Long]("n_est")))
+    assert(out.nonEmpty)
+    val exact = graft.Tables.documents(spark, sfDir)
+      .select(col("lang"), explode_outer(split(col("text"), " ")).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val perLangN = exact.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    out.foreach { case (lang, word, est) =>
+      val truth = exact((lang, word))
+      assert(est >= truth, s"($lang,$word): CMS under-estimated $est < $truth")
+      val slack = math.ceil(math.E / CountMinSketch.W * perLangN(lang)).toLong
+      assert(est <= truth + slack,
+        s"($lang,$word): est $est beyond eps*N of $truth (+$slack)")
+    }
+    // the candidate heap (4k margin) must not lose genuinely heavy keys:
+    // each language's exact top-3 words appear in its reported top-10
+    val reported = out.groupBy(_._1).map { case (l, rs) => l -> rs.map(_._2).toSet }
+    exact.groupBy(_._1._1).foreach { case (lang, m) =>
+      val top3 = m.toSeq.sortBy { case ((_, w), n) => (-n, w) }.take(3)
+        .map(_._1._2)
+      top3.foreach(w => assert(reported(lang).contains(w),
+        s"$lang: true heavy hitter '$w' missing from reported top-10"))
+    }
+  }
+
   test("cms sketch rejects a non-string key at analysis time") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
