@@ -19,7 +19,8 @@ object SparkEntry {
       cube.CubeQueries.defs ++ functions.Dedup.defs ++
       functions.Similarity.defs ++ functions.TextAnalysis.defs ++
       functions.Multimodal.defs ++ functions.Sampling.defs ++
-      functions.ZOrder.defs ++ functions.CountMinSketch.defs
+      functions.ZOrder.defs ++ functions.CountMinSketch.defs ++
+      functions.BloomFilter.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,5 @@ object SparkEntry {
       cube.CubeQueries.sql ++ functions.Dedup.sql ++
       functions.Similarity.sql ++ functions.TextAnalysis.sql ++
       functions.Multimodal.sql ++ functions.Sampling.sql ++
-      functions.ZOrder.sql
+      functions.ZOrder.sql ++ functions.BloomFilter.sql
 }

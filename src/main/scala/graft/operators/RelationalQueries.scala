@@ -191,6 +191,42 @@ object RelationalQueries {
       .orderBy(col("band"))
   }
 
+  // ---------------------------------------------------------------- q132
+  /** INTERVAL OVERLAP join — the third member of the range-join family
+    * (q09 point∈interval BNL, q76 its banded rewrite): interval ×
+    * interval with the classic overlap predicate `a.s ≤ b.e AND
+    * b.s ≤ a.e`. Each order's fulfillment window is derived first
+    * ([o_orderdate, max l_shipdate], one hash aggregate on the key the
+    * join reuses), then same-customer pairs of concurrently-open
+    * orders are formed.
+    *
+    * Scale shape: the customer key makes candidate generation an
+    * EQUI-join (shuffle on o_custkey, comparisons ∝ Σ orders-per-
+    * customer², naturally bounded) with the overlap predicate as a
+    * cheap join residual — the q94 blocking discipline applied to
+    * time. A key-free interval×interval join at 100 TB banding-rewrites
+    * exactly like q76: explode each interval to the fixed-width time
+    * cells it touches, equi-join on cell, dedup + residual-check. */
+  def q132IntervalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val span = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("fin"))
+    val o = Tables.orders(spark, sfDir)
+      .join(span, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").as("s"), col("fin").as("e"))
+    o.as("a").join(o.as("b"),
+        col("a.o_custkey") === col("b.o_custkey")
+          && col("a.o_orderkey") < col("b.o_orderkey")
+          && col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+      .select(col("a.o_custkey").as("custkey"),
+        col("a.o_orderkey").as("oa"), col("b.o_orderkey").as("ob"),
+        (datediff(least(col("a.e"), col("b.e")).cast("date"),
+          greatest(col("a.s"), col("b.s")).cast("date")) + 1).cast("long")
+          .as("overlap_days"))
+      .orderBy(col("custkey"), col("oa"), col("ob"))
+  }
+
   // ---------------------------------------------------------------- q10
   /** As-of join (reference-class temporal lookup), window rewrite: for
     * each purchase event, the most recent strictly-earlier click by the
@@ -607,6 +643,7 @@ object RelationalQueries {
     "q08_join_anti" -> q08JoinAnti,
     "q09_join_range" -> q09JoinRange,
     "q76_join_range_banded" -> q76JoinRangeBanded,
+    "q132_interval_overlap" -> q132IntervalOverlap,
     "q10_join_asof" -> q10AsOfJoin,
     "q11_agg_sweep" -> q11AggSweep,
     "q12_count_distinct" -> q12CountDistinct,
@@ -734,6 +771,21 @@ object RelationalQueries {
       WHERE NOT EXISTS (SELECT 1 FROM orders o
                         WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
       ORDER BY c_custkey""",
+    "q132_interval_overlap" -> """
+      WITH span AS (
+        SELECT l_orderkey, max(l_shipdate) AS fin
+        FROM lineitem GROUP BY 1),
+      o AS (
+        SELECT o_custkey, o_orderkey, o_orderdate AS s, fin AS e
+        FROM orders JOIN span ON o_orderkey = l_orderkey)
+      SELECT a.o_custkey AS custkey, a.o_orderkey AS oa, b.o_orderkey AS ob,
+        CAST(date_diff('day', CAST(greatest(a.s, b.s) AS DATE),
+                              CAST(least(a.e, b.e) AS DATE)) + 1 AS BIGINT)
+          AS overlap_days
+      FROM o a JOIN o b
+        ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        AND a.s <= b.e AND b.s <= a.e
+      ORDER BY custkey, oa, ob""",
     "q76_join_range_banded" -> """
       SELECT band, count(1) AS n_events,
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -48,7 +48,8 @@ class PlanSpec extends AnyFunSuite {
     "q118_word_cooccurrence", // crossJoin vs ONE broadcast total-count row
     "q120_audience_overlap",  // |types| x |types| sketch-pair join, both sides tiny
     "q122_top_supplier",      // crossJoin vs ONE broadcast max-revenue row
-    "q123_bm25")              // crossJoin vs ONE broadcast avgdl row
+    "q123_bm25",              // crossJoin vs ONE broadcast avgdl row
+    "q133_bloom_join")        // crossJoin vs ONE broadcast 64KiB bloom row
 
   test("no unjustified cartesian or nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the two properties that make the bloom pre-filter (q133) safe
+  * and worthwhile:
+  *
+  * 1. NO FALSE NEGATIVES — every inserted key probes true (the
+  *    exactness guarantee the oracle equality rests on);
+  * 2. false positives stay near the analytic rate — the pre-filter
+  *    actually sheds non-matching fact rows instead of passing
+  *    everything (the shuffle-volume claim).
+  */
+class BloomFilterSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("no false negatives; fp rate near analytic bound") {
+    val n = 30000
+    val inserted = spark.range(0, n).select(col("id").as("k"))
+    val bloom = inserted.agg(BloomFilter.agg(col("k")).as("bf"))
+    // every inserted key must probe true — across partitioned partial
+    // builds and the merge (|= of words)
+    val misses = inserted.join(broadcast(bloom))
+      .filter(!BloomFilter.mightContain(col("bf"), col("k")))
+      .count()
+    assert(misses == 0L, s"$misses false negatives")
+    // disjoint probe keys: fp ≈ (1 − e^(−kn/m))^k ≈ 1.07% at these
+    // parameters; allow 2×
+    val probes = 30000
+    val fp = spark.range(1000000, 1000000L + probes).select(col("id").as("k"))
+      .join(broadcast(bloom))
+      .filter(BloomFilter.mightContain(col("bf"), col("k")))
+      .count()
+    val kk = BloomFilter.K.toDouble
+    val analytic = math.pow(1 - math.exp(-kk * n / BloomFilter.NumBits), kk)
+    assert(fp <= (2 * analytic * probes).ceil.toLong + 5,
+      s"fp rate ${fp.toDouble / probes} vs analytic $analytic")
+  }
+
+  test("q133 pre-filter sheds non-matching lineitems before the join") {
+    val sfDir = "/root/testdata/sf0.01"
+    val cust = graft.Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 8000.0)
+    val o = graft.Tables.orders(spark, sfDir)
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+    val bloom = o.agg(BloomFilter.agg(col("o_orderkey")).as("bf"))
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val total = li.count()
+    val kept = li.join(broadcast(bloom))
+      .filter(BloomFilter.mightContain(col("bf"), col("l_orderkey")))
+      .count()
+    val trueMatches = li.join(o, col("l_orderkey") === col("o_orderkey"),
+      "left_semi").count()
+    assert(kept >= trueMatches, "pre-filter dropped a true match")
+    // the point of the operator: the shuffle-side row count collapses
+    // toward |matching|, not |fact| (~20% of customers qualify here)
+    assert(kept < total / 2,
+      s"pre-filter shed too little: $kept of $total (true $trueMatches)")
+    assert(kept <= trueMatches + (0.05 * total).toLong,
+      s"fp volume out of band: kept $kept vs true $trueMatches")
+  }
+}
