@@ -138,12 +138,17 @@ final class CubeService(spark: SparkSession, storageDir: String) {
   def stopAutoUpdate(name: String): Unit =
     autoUpdates.remove(name).foreach(_.stop())
 
-  /** R6: roll-up query served from the cube. */
+  /** R6: roll-up query served from the cube — including the sketch
+    * measures (HLL distinct counts, KLL percentiles), which roll up by
+    * sketch union over the persisted partials exactly like the sums. */
   def getAggregates(
       name: String,
       dims: Seq[String],
       filter: Column = lit(true),
       sumOf: Seq[String] = Nil,
-      avgOf: Seq[String] = Nil): DataFrame =
-    CubeManager.query(loadCube(name), dims, filter, sumOf, avgOf)
+      avgOf: Seq[String] = Nil,
+      distinctOf: Seq[String] = Nil,
+      quantilesOf: Seq[(String, Double)] = Nil): DataFrame =
+    CubeManager.query(loadCube(name), dims, filter, sumOf, avgOf,
+      distinctOf, quantilesOf)
 }

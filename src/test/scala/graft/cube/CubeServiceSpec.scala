@@ -82,6 +82,38 @@ class CubeServiceSpec extends AnyFunSuite {
     assert(svc.listCubes().isEmpty)
   }
 
+  test("sketch + quantile measures flow through the service verbs end to end") {
+    import spark.implicits._
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_sk").toString)
+    // the JSON wire shape carries both sketch lists
+    val json = """{"name":"skq","source":"events",
+      "dims":[{"kind":"field","id":"etype","path":"event_type"}],
+      "sketches":[{"id":"users","path":"user_id"}],
+      "quantiles":[{"id":"dist","path":"value"}],
+      "measures":[{"id":"v","path":"value"}]}"""
+    // 99 distinct values per type: the KLL partial stays sub-capacity
+    // (k=200), so the persisted quantile read is exact + deterministic
+    val rows = (1 to 99).flatMap(i =>
+      Seq(("click", i.toLong % 7, i.toDouble), ("view", i.toLong % 5, i.toDouble)))
+    svc.createCube(json, rows.toDF("event_type", "user_id", "value"))
+    def read() = svc.getAggregates("skq", Seq("etype"), sumOf = Seq("v"),
+        distinctOf = Seq("users"), quantilesOf = Seq(("dist", 0.5)))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_distinct_users"), r.getAs[Double]("p50_dist"))).toMap
+    assert(read() == Map("click" -> (7L, 50.0), "view" -> (5L, 50.0)))
+    // a manual insert fold extends both sketches through the persisted
+    // two-rename publish path
+    val deltas = (100 to 199).map(i => ("click", 7L + i % 3, i.toDouble, 1))
+      .toDF("event_type", "user_id", "value", "_sign")
+    svc.updateAggregates("skq", deltas)
+    val (users, p50) = read()("click")
+    assert(users == 10L, s"folded distinct estimate $users")
+    // 199 distinct values, still sub-capacity: exact median = 100
+    assert(p50 == 100.0, s"folded median $p50")
+    svc.deleteCube("skq")
+  }
+
   test("publish-crash recovery: name.old restored when the publish dir is missing") {
     val dir = Files.createTempDirectory("graft_svc_crash").toString
     val svc = new CubeService(spark, dir)
