@@ -70,6 +70,65 @@ object Scratch {
           pmod(col("l_suppkey"), lit(1024L)).as("y"))).reduce(_ unionByName _)
         ZOrder.zorderLayout(pts, col("x"), col("y"), 32).count()
       }
+      // round-6 operators. Orders are replicated with SHIFTED orderkeys
+      // but the SAME custkeys, so per-customer order counts grow k× and
+      // true overlap pairs grow ~k² — the honest worst direction for the
+      // q132 equi-blocked pairing (mirrors the q36/q94 probes).
+      val ord = Tables.orders(spark, sfDir)
+      val lif = Tables.lineitem(spark, sfDir)
+      def ordAt(k: Int): DataFrame = (0 until k).map(i =>
+        ord.select((col("o_orderkey") + lit(i * 100000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_orderdate")))
+        .reduce(_ unionByName _)
+      def liAt(k: Int): DataFrame = (0 until k).map(i =>
+        lif.select((col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
+          col("l_shipdate")))
+        .reduce(_ unionByName _)
+      time(s"x$k q132 interval overlap") {
+        val span = liAt(k).groupBy(col("l_orderkey"))
+          .agg(max(col("l_shipdate")).as("fin"))
+        val oo = ordAt(k).join(span, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate").as("s"), col("fin").as("e"))
+        oo.as("a").join(oo.as("b"),
+            col("a.o_custkey") === col("b.o_custkey")
+              && col("a.o_orderkey") < col("b.o_orderkey")
+              && col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+          .count()
+      }
+      // bloom keys grow k×: past the m-sized design point the fp rate
+      // saturates and the pre-filter degrades toward plain-join volume
+      // (never wrong, just less selective) — the designed failure mode
+      time(s"x$k q133 bloom prefilter") {
+        val cust = Tables.customer(spark, sfDir)
+          .filter(col("c_acctbal") > 8000.0)
+        val qo = ordAt(k).join(cust,
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        val bloom = qo.agg(BloomFilter.agg(col("o_orderkey")).as("bf"))
+        liAt(k).join(broadcast(bloom))
+          .filter(BloomFilter.mightContain(col("bf"), col("l_orderkey")))
+          .count()
+      }
+      time(s"x$k q130 kll cube") {
+        val ev = Tables.events(spark, sfDir)
+        val evk = (0 until k).map(_ =>
+          ev.select(col("event_type"), col("ts"), col("value")))
+          .reduce(_ unionByName _)
+        graft.cube.CubeManager.create(
+          graft.cube.CubeConfig("probe", "events",
+            Seq(graft.cube.FieldDim("etype", "event_type"),
+              graft.cube.TimeDim("day", "ts", "day")),
+            Seq(graft.cube.Measure("v", "value")),
+            quantiles = Seq(graft.cube.Measure("dist", "value"))),
+          evk).aggregates.count()
+      }
+      time(s"x$k q131 grouped topk") {
+        d.select(col("lang"), explode_outer(split(col("text"), " ")).as("w"))
+          .filter(col("w").isNotNull && col("w") =!= "")
+          .groupBy(col("lang"))
+          .agg(CountMinSketch.approxTopK(col("w"), 10).as("top"))
+          .count()
+      }
     }
     spark.stop()
   }
