@@ -442,6 +442,46 @@ object RelationalQueries {
       .orderBy(col("c_custkey"))
   }
 
+  // --------------------------------------------------------------- q134
+  /** DATASET SNAPSHOT DIFF — the audit operator between two versions of
+    * a keyed dataset: added / removed / changed rows by key, the thing
+    * every pipeline run report and incremental-reprocess decision reads.
+    * v2 is derived deterministically from v1 inside the query (drop
+    * doc_id%7 = deletes, re-tag lang on doc_id%11 = updates, shifted
+    * copies of doc_id%13 = inserts), so both engines diff identical
+    * versions.
+    *
+    * Scale shape: ONE full-outer hash/sort-merge join on the key — both
+    * sides shuffle once on doc_id (at lake scale: co-partitioned or
+    * bucketed versions diff with zero shuffle) — with the column
+    * comparison as a codegen'd projection; output ∝ churn, not corpus.
+    * Explicit column compare, not row-hashing: cross-engine hashes
+    * differ. Plain `<>` compares suffice here (the compared columns are
+    * non-null in this schema); a nullable schema would use null-safe
+    * equality instead. */
+  def q134SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val v1 = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("lang",
+        when(col("doc_id") % 11 === 0, lit("xx")).otherwise(col("lang")))
+      .unionByName(v1.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          col("text"), col("lang"), col("source")))
+    v1.as("a").join(v2.as("b"), col("a.doc_id") === col("b.doc_id"),
+        "full_outer")
+      .select(coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"),
+        when(col("b.doc_id").isNull, "removed")
+          .when(col("a.doc_id").isNull, "added")
+          .when(col("a.text") =!= col("b.text")
+            || col("a.lang") =!= col("b.lang")
+            || col("a.source") =!= col("b.source"), "changed")
+          .otherwise("unchanged").as("change_type"),
+        col("a.lang").as("old_lang"), col("b.lang").as("new_lang"))
+      .filter(col("change_type") =!= "unchanged")
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------- q102
   /** UNPIVOT (wide → long, the inverse of q78's pivot): lineitem's four
     * measure columns melt into (measure, value) rows, then aggregate per
@@ -661,6 +701,7 @@ object RelationalQueries {
     "q103_set_ops_all" -> q103SetOpsAll,
     "q22_intersect" -> q22Intersect,
     "q23_except" -> q23Except,
+    "q134_snapshot_diff" -> q134SnapshotDiff,
     "q24_string_fns" -> q24StringFns,
     "q25_date_fns" -> q25DateFns,
     "q26_math_fns" -> q26MathFns,
@@ -939,6 +980,30 @@ object RelationalQueries {
       EXCEPT
       SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
       ORDER BY c_custkey""",
+    "q134_snapshot_diff" -> """
+      WITH v1 AS (
+        SELECT doc_id, text, lang, source FROM documents),
+      v2 AS (
+        SELECT doc_id, text,
+          CASE WHEN doc_id % 11 = 0 THEN 'xx' ELSE lang END AS lang,
+          source
+        FROM v1 WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang, source
+        FROM v1 WHERE doc_id % 13 = 0)
+      SELECT doc_id, change_type, old_lang, new_lang
+      FROM (
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+          CASE WHEN b.doc_id IS NULL THEN 'removed'
+               WHEN a.doc_id IS NULL THEN 'added'
+               WHEN a.text <> b.text
+                 OR a.lang <> b.lang
+                 OR a.source <> b.source THEN 'changed'
+               ELSE 'unchanged' END AS change_type,
+          a.lang AS old_lang, b.lang AS new_lang
+        FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+      WHERE change_type <> 'unchanged'
+      ORDER BY doc_id""",
     "q24_string_fns" -> """
       SELECT p_partkey, upper(p_name) AS uname, lower(p_brand) AS lbrand,
         substr(p_name, 1, 4) AS pfx,
