@@ -404,8 +404,40 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  // --------------------------------------------------------------- q135
+  /** LINEAR (multi-touch) attribution — the sibling of q124's
+    * last-touch: each purchase's value splits EQUALLY across the user's
+    * clicks in the preceding 7 days. Implemented as ONE RANGE-framed
+    * window per user (conditional count of clicks over
+    * [−7 d, −1 µs] in epoch-µs space) — no self-join, no explode: the
+    * touch count rides the same sorted pass every other per-user
+    * window uses, so at 100 TB this is one shuffle on user_id.
+    * Determinism: the frame is VALUE-based (epoch-µs bounds), immune to
+    * row order among ties; credit is one double division spelled
+    * identically in both engines; purchases with zero prior clicks
+    * report credit 0 (not null) so the output is total. */
+  def q135LinearAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val WeekUs = 7L * 86400L * 1000000L
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("t_us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+      .rangeBetween(-WeekUs, -1L)
+    e.withColumn("n_touches",
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        asLong(coalesce(col("n_touches"), lit(0L))).as("n_touches"),
+        when(col("n_touches") > 0,
+            dec2(col("value")).cast("double") / col("n_touches"))
+          .otherwise(lit(0.0)).as("credit_per_touch"))
+      .orderBy(col("event_id"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q124_attribution" -> q124Attribution,
+    "q135_linear_attribution" -> q135LinearAttribution,
     "q125_share_of_total" -> q125ShareOfTotal,
     "q127_time_weighted_avg" -> q127TimeWeightedAvg,
     "q100_gap_fill" -> q100GapFill,
@@ -424,6 +456,26 @@ object EventQueries {
   )
 
   lazy val sql: Map[String, String] = Map(
+    "q135_linear_attribution" -> """
+      WITH e AS (
+        SELECT event_id, user_id, event_type, value,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+        FROM events),
+      t AS (
+        SELECT event_id, user_id, event_type, value,
+          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+            PARTITION BY user_id ORDER BY t_us
+            RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+            AS n_touches
+        FROM e)
+      SELECT event_id, user_id,
+        CAST(coalesce(n_touches, 0) AS BIGINT) AS n_touches,
+        CASE WHEN n_touches > 0
+          THEN CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) / n_touches
+          ELSE 0.0 END AS credit_per_touch
+      FROM t
+      WHERE event_type = 'purchase'
+      ORDER BY event_id""",
     "q127_time_weighted_avg" -> """
       WITH e AS (
         SELECT event_id, user_id, event_type, value,
