@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.{CharGramHashes, CountMinSketchAgg, FloatVecDot, FloatVecNorm, MinHashSig, ShingleHashes, SimHash64, TopKByValue, VecMeanFloat, WordNgrams, ZOrderCode}
+import graft.functions.{ApproxTopKAgg, BloomFilterAgg, CharGramHashes, CountMinSketchAgg, FloatVecDot, FloatVecNorm, KllDoublesAgg, KllQuantileExpr, MightContainLong, MinHashSig, ShingleHashes, SimHash64, TopKByValue, VecMeanFloat, WordNgrams, ZOrderCode}
 
 /** Session-extension registration (the installable form of the engine's
   * Catalyst additions): the as-of join planner strategy and the native
@@ -91,6 +91,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           literalInt(exprs(1), "count_min_sketch_agg(key, d, w)"),
           literalInt(exprs(2), "count_min_sketch_agg(key, d, w)"))
           .toAggregateExpression()))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("approx_top_k"),
+      new ExpressionInfo(classOf[ApproxTopKAgg].getName, "approx_top_k"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ApproxTopKAgg(exprs(0),
+          literalInt(exprs(1), "approx_top_k(key, d, w, k)"),
+          literalInt(exprs(2), "approx_top_k(key, d, w, k)"),
+          literalInt(exprs(3), "approx_top_k(key, d, w, k)"))
+          .toAggregateExpression()))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[KllDoublesAgg].getName, "kll_sketch_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllDoublesAgg(exprs(0),
+          literalInt(exprs(1), "kll_sketch_agg(value, k)"), isMerge = false)
+          .toAggregateExpression()))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("kll_merge_agg"),
+      new ExpressionInfo(classOf[KllDoublesAgg].getName, "kll_merge_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllDoublesAgg(exprs(0),
+          literalInt(exprs(1), "kll_merge_agg(sketch, k)"), isMerge = true)
+          .toAggregateExpression()))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantileExpr].getName, "kll_quantile"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllQuantileExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(classOf[BloomFilterAgg].getName, "bloom_filter_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomFilterAgg(exprs(0),
+          literalInt(exprs(1), "bloom_filter_agg(key, numBits, k)"),
+          literalInt(exprs(2), "bloom_filter_agg(key, numBits, k)"))
+          .toAggregateExpression()))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("might_contain_long"),
+      new ExpressionInfo(classOf[MightContainLong].getName, "might_contain_long"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MightContainLong(exprs(0), exprs(1),
+          literalInt(exprs(2), "might_contain_long(bloom, key, k)"))))
   }
 
   private def literalInt(

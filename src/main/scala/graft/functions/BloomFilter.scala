@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -40,7 +40,7 @@ case class BloomFilterAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]]
-  with ExpectsInputTypes {
+  with ImplicitCastInputTypes {
 
   require((numBits & (numBits - 1)) == 0, "numBits must be a power of two")
 
@@ -95,7 +95,9 @@ case class BloomFilterAgg(
   * static helper eval uses, so interpreted and compiled paths agree
   * bit for bit. */
 case class MightContainLong(left: Expression, right: Expression, k: Int)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  // ImplicitCast: narrower integral keys widen identically on the build
+  // (BloomFilterAgg) and probe side, so the hashes agree
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(LongType, containsNull = false), LongType)
   override def dataType: DataType = BooleanType

@@ -4,7 +4,7 @@ import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graft.Bridge
@@ -92,7 +92,8 @@ case class KllDoublesAgg(
   * sketch per group), never in a corpus-scan hot path, and the heapify
   * cost is per-row-of-groups, not per-datum. */
 case class KllQuantileExpr(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  // ImplicitCast so a SQL rank literal (DECIMAL `0.5`) coerces to double
   override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
   override def dataType: DataType = DoubleType
   // empty sketch (a group whose inputs were all null) reads as null

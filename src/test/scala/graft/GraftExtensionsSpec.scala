@@ -111,6 +111,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT word_ngrams(split('a b', ' '), 3)").count() == 0)
   }
 
+  test("kll / bloom / approx_top_k callable from SQL") {
+    // KLL build + union + quantile read: 1..99 is sub-capacity at k=200,
+    // so the median read is exact and deterministic
+    val med = spark.sql("""
+      SELECT kll_quantile(kll_merge_agg(sk, 200), 0.5) AS m
+      FROM (
+        SELECT kll_sketch_agg(CAST(id AS DOUBLE), 200) AS sk
+        FROM range(1, 100) GROUP BY id % 7)""")
+      .collect().head.getDouble(0)
+    assert(med == 50.0, s"sub-capacity KLL median $med")
+    // bloom build + probe: inserted key hits, far key (overwhelmingly)
+    // misses at this load factor
+    val bf = spark.sql("""
+      SELECT might_contain_long(bloom_filter_agg(id, 1024, 6), 7, 6) AS hit,
+             might_contain_long(bloom_filter_agg(id, 1024, 6), 999999, 6) AS miss
+      FROM range(0, 10)""").collect().head
+    assert(bf.getBoolean(0) && !bf.getBoolean(1))
+    val topk = spark.sql("""
+      SELECT approx_top_k(w, 4, 2048, 2) AS tk
+      FROM VALUES ('x'), ('x'), ('x'), ('y'), ('y'), ('z') AS t(w)""")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(topk.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("x", 3L), ("y", 2L)))
+  }
+
   test("as-of strategy is installed by the extension") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100.0), (1L, 3L, 50.0)).toDF("k", "t", "v")
