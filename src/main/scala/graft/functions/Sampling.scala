@@ -341,7 +341,37 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  // --------------------------------------------------------------- q136
+  /** EXACT-K per group — "exactly 20 docs per language", the QUOTA form
+    * of q70's rate gate (a rate can't promise strata sizes; a quota
+    * does). Deterministic pseudo-random order via the same Knuth
+    * multiplicative hash q70 keys its gate on (engine-portable BIGINT
+    * arithmetic — no engine RNG, no xxhash64 in the oracle), bounded to
+    * K by a per-group row_number.
+    *
+    * Scale shape: one shuffle on the group key; rows beyond K in each
+    * partition die in the rank filter. A pathologically skewed group
+    * (one language = half the corpus) moves that group's rows to one
+    * reducer — the skew-safe twin is the bounded top-k AGGREGATE path
+    * (q54's TopKByValue over the hash key), which ships K rows per
+    * group out of every partition instead; same output, chosen when a
+    * group outgrows a reducer. */
+  def q136ExactKPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 20
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)),
+        col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), asLong(col("rk")).as("rk"), col("doc_id"),
+        col("n_chars"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q136_exact_k_per_group" -> q136ExactKPerGroup,
     "q70_stratified_sample" -> q70StratifiedSample,
     "q71_sequence_pack" -> q71SequencePack,
     "q73_dataset_mix" -> q73DatasetMix,
@@ -355,6 +385,15 @@ object Sampling {
   )
 
   lazy val sql: Map[String, String] = Map(
+    "q136_exact_k_per_group" -> """
+      SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+      FROM (
+        SELECT lang, doc_id, n_chars,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 20
+      ORDER BY lang, rk""",
     "q95_weighted_sample" -> """
       SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
         CAST((doc_id * 2654435761) % 1000000 AS DOUBLE) / n_chars AS prio
