@@ -44,13 +44,17 @@ object StreamingCube {
       .parquet(sourceDir)
     val sums = config.measures.map(m =>
       sum(col(m.path).cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as(m.id))
-    // sketch measures ride the same streaming aggregation: the HLL
+    // sketch measures ride the same streaming aggregation: the HLL/KLL
     // buffer lives in the state store per group, merged per micro-batch
+    // (TypedImperativeAggregate buffers serialize into streaming state
+    // like any partial aggregate)
     val sks = config.sketches.map(m => hll_sketch_agg(col(m.path)).as(m.id))
+    val qs = config.quantiles.map(m =>
+      graft.functions.Kll.sketchAgg(col(m.path).cast("double")).as(m.id))
     val agg = stream
       .groupBy(config.dimCols: _*)
       .agg(sums.head,
-        (sums.tail ++ sks :+ count(lit(1)).as(CubeManager.CountCol)): _*)
+        (sums.tail ++ sks ++ qs :+ count(lit(1)).as(CubeManager.CountCol)): _*)
     agg.writeStream
       .outputMode("complete")
       .format("memory")

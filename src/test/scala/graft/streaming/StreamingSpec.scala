@@ -267,6 +267,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(once == Seq(1L, 2L, 11L), s"unexpected survivors: $once")
   }
 
+  test("streaming cube folds KLL quantile measures across micro-batches") {
+    import graft.cube.{CubeConfig, FieldDim, Measure}
+    import spark.implicits._
+    val src = tmp("graft_kllstream_src")
+    val cfgQ = CubeConfig("sq", "mem",
+      Seq(FieldDim("etype", "event_type")),
+      Seq(Measure("v", "value")),
+      quantiles = Seq(Measure("dist", "value")))
+    def batch(lo: Int, hi: Int) =
+      (lo to hi).map(i => ("a", new Timestamp(1700000000000L), i.toDouble))
+        .toDF("event_type", "ts", "value")
+    // 99 total values split across two micro-batches: the KLL buffer in
+    // the state store stays sub-capacity (k=200), so the fold across
+    // batches must read back EXACT — any state-store serialization or
+    // merge defect shows as a wrong median, not noise
+    batch(1, 50).coalesce(1).write.parquet(s"$src/f0")
+    val q = StreamingCube.start(spark, cfgQ, s"$src/f*",
+      batch(1, 1).schema, tmp("graft_kllstream_ckpt"), "kll_stream")
+    q.processAllAvailable()
+    batch(51, 99).coalesce(1).write.parquet(s"$src/f1")
+    q.processAllAvailable()
+    q.stop()
+    val row = spark.table("kll_stream")
+      .select(col("etype"),
+        graft.functions.Kll.quantile(col("dist"), 0.5).as("p50"),
+        col(graft.cube.CubeManager.CountCol))
+      .collect().head
+    assert(row.getString(0) == "a" && row.getLong(2) == 99L)
+    assert(row.getDouble(1) == 50.0,
+      s"cross-batch folded median ${row.getDouble(1)} != exact 50.0")
+  }
+
   test("streaming survivorship fold == batch q126 on a replayed doc stream") {
     import graft.functions.Dedup
     val sfDir = "/root/testdata/sf0.001"
