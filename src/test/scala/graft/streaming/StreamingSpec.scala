@@ -299,6 +299,40 @@ class StreamingSpec extends AnyFunSuite {
       s"cross-batch folded median ${row.getDouble(1)} != exact 50.0")
   }
 
+  test("grouped CMS top-k folds across micro-batches == batch aggregate") {
+    import spark.implicits._
+    val src = tmp("graft_topk_src")
+    val b0 = Seq(("en", "x"), ("en", "x"), ("en", "y"), ("de", "q"))
+      .toDF("lang", "w")
+    val b1 = Seq(("en", "x"), ("en", "z"), ("de", "q"), ("de", "r"))
+      .toDF("lang", "w")
+    b0.coalesce(1).write.parquet(s"$src/f0")
+    val q = spark.readStream.schema(b0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/f*")
+      .groupBy(col("lang"))
+      .agg(graft.functions.CountMinSketch.approxTopK(col("w"), 2).as("top"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("topk_stream")
+      .option("checkpointLocation", tmp("graft_topk_ckpt"))
+      .start()
+    q.processAllAvailable()
+    b1.coalesce(1).write.parquet(s"$src/f1")
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("lang"), posexplode(col("top")))
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getStruct(2).getString(0), r.getStruct(2).getLong(1))).toSet
+    val streamed = rows(spark.table("topk_stream"))
+    // tiny key domain: CMS has no collisions and the candidate map is
+    // under cap, so the streaming fold must EQUAL the batch aggregate
+    val batch = rows(b0.unionByName(b1).groupBy(col("lang"))
+      .agg(graft.functions.CountMinSketch.approxTopK(col("w"), 2).as("top")))
+    assert(streamed == batch,
+      s"streaming fold diverged: $streamed vs $batch")
+    assert(streamed.contains(("en", 0, "x", 3L)), s"wrong counts: $streamed")
+  }
+
   test("streaming survivorship fold == batch q126 on a replayed doc stream") {
     import graft.functions.Dedup
     val sfDir = "/root/testdata/sf0.001"
