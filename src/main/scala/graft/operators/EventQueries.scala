@@ -435,9 +435,36 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  // --------------------------------------------------------------- q137
+  /** CDC COMPACTION — latest state per key: collapse an append-only
+    * change log to each (user, event_type)'s most recent row, the
+    * upsert-view operator every lake table with CDC ingestion needs
+    * (the cube's signed-delta fold is the AGGREGATE consumer of the
+    * same log; this is the row-level one).
+    *
+    * Scale shape: one shuffle on the key; within each partition the
+    * window keeps row 1 of the (ts, event_id)-descending order —
+    * event_id breaks timestamp ties deterministically, which is what
+    * makes the result (and the oracle hash) well-defined on a log with
+    * same-instant updates. At lake scale the same plan runs per
+    * partition-of-the-log (merge-on-read compaction); a max_by
+    * aggregate is the alternative when rows are wide. */
+  def q137CdcCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        epochS(col("ts")).as("ts_s"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q124_attribution" -> q124Attribution,
     "q135_linear_attribution" -> q135LinearAttribution,
+    "q137_cdc_compact" -> q137CdcCompact,
     "q125_share_of_total" -> q125ShareOfTotal,
     "q127_time_weighted_avg" -> q127TimeWeightedAvg,
     "q100_gap_fill" -> q100GapFill,
@@ -456,6 +483,16 @@ object EventQueries {
   )
 
   lazy val sql: Map[String, String] = Map(
+    "q137_cdc_compact" -> """
+      SELECT user_id, event_type, event_id,
+        CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s, value
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, event_type
+          ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events)
+      WHERE rk = 1
+      ORDER BY user_id, event_type""",
     "q135_linear_attribution" -> """
       WITH e AS (
         SELECT event_id, user_id, event_type, value,
