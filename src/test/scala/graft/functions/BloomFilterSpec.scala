@@ -48,6 +48,34 @@ class BloomFilterSpec extends AnyFunSuite {
       s"fp rate ${fp.toDouble / probes} vs analytic $analytic")
   }
 
+  test("edge inputs: empty/null-only groups degrade cleanly") {
+    import spark.implicits._
+    // bloom over zero rows: all-zero bits, every probe misses
+    val emptyBloom = spark.range(0).select(col("id").as("k"))
+      .agg(BloomFilter.agg(col("k")).as("bf"))
+    val probe = emptyBloom
+      .select(BloomFilter.mightContain(col("bf"), lit(7L)).as("hit"))
+      .collect().head
+    assert(!probe.getBoolean(0), "empty bloom claimed membership")
+    // null keys are skipped, not hashed: only the non-null key is set
+    val nullish = Seq(Some(1L), None, None).toDF("k")
+      .agg(BloomFilter.agg(col("k")).as("bf"))
+    val r = nullish.select(
+      BloomFilter.mightContain(col("bf"), lit(1L)).as("a"),
+      BloomFilter.mightContain(col("bf"), lit(99L)).as("b")).collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    // KLL over an empty group: quantile reads NULL, not a crash
+    val kllEmpty = spark.range(0).select(col("id").cast("double").as("v"))
+      .agg(Kll.sketchAgg(col("v")).as("sk"))
+      .select(Kll.quantile(col("sk"), 0.5).as("m")).collect().head
+    assert(kllEmpty.isNullAt(0), "empty KLL sketch must read null")
+    // approx_top_k over an empty group: empty array
+    val topkEmpty = spark.range(0).select(col("id").cast("string").as("w"))
+      .agg(CountMinSketch.approxTopK(col("w"), 5).as("tk"))
+      .collect().head.getSeq[Any](0)
+    assert(topkEmpty.isEmpty, "empty top-k must be an empty array")
+  }
+
   test("q133 pre-filter sheds non-matching lineitems before the join") {
     val sfDir = "/root/testdata/sf0.01"
     val cust = graft.Tables.customer(spark, sfDir)
