@@ -175,10 +175,17 @@ object CubeManager {
     val dsts = distinctOf.map(id =>
       hll_sketch_estimate(hll_union_agg(col(id))).as(s"n_distinct_$id"))
     // percentiles the same way: one KLL union per id (Catalyst dedups
-    // the identical merge aggregates), a point-read per requested rank
+    // the identical merge aggregates), a point-read per requested rank.
+    // Labels come from the rank's canonical decimal form, so distinct
+    // ranks always get distinct columns (a rounded "%02d" label would
+    // collide 0.995 with 0.999, and two same-named aggregate columns
+    // make every downstream by-name reference ambiguous).
     val qnts = quantilesOf.map { case (id, q) =>
+      val pct = java.math.BigDecimal.valueOf(q)
+        .multiply(java.math.BigDecimal.valueOf(100L))
+        .stripTrailingZeros.toPlainString.replace(".", "_")
       graft.functions.Kll.quantile(graft.functions.Kll.mergeAgg(col(id)), q)
-        .as(f"p${math.round(q * 100)}%02d_$id")
+        .as(s"p${pct}_$id")
     }
     val aggs = sums ++ avgs ++ dsts ++ qnts :+ sum(col(CountCol)).as("n_rows")
     base.groupBy(subsetDims.map(col): _*).agg(aggs.head, aggs.tail: _*)

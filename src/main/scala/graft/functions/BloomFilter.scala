@@ -42,7 +42,12 @@ case class BloomFilterAgg(
   extends TypedImperativeAggregate[Array[Long]]
   with ImplicitCastInputTypes {
 
-  require((numBits & (numBits - 1)) == 0, "numBits must be a power of two")
+  // >= 64: the bit-set is long words, and 0 / Int.MinValue / sub-word
+  // sizes all pass a bare power-of-two check yet produce an empty (or
+  // negative-size) buffer and a mid-job ArithmeticException
+  require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+    s"numBits must be a power of two >= 64, got $numBits")
+  require(k > 0, s"k must be positive, got $k")
 
   override def inputTypes: Seq[DataType] = Seq(LongType)
 

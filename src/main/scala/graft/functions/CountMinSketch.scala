@@ -100,10 +100,14 @@ case class CountMinSketchAgg(
 }
 
 /** Mutable buffer of [[ApproxTopKAgg]]: a CMS counter array plus a
-  * bounded candidate map (key → last CMS estimate). */
+  * bounded candidate map (key → last CMS estimate). Keys are
+  * UTF8String, NOT String: the hashed bytes must survive the round
+  * trip exactly — `toString` replaces invalid UTF-8 sequences with
+  * U+FFFD, which would re-derive different bytes at merge/eval and
+  * read counter slots the key was never hashed into. */
 final class ApproxTopKState(
     val counts: Array[Long],
-    val cands: java.util.HashMap[String, Long])
+    val cands: java.util.HashMap[UTF8String, Long])
 
 /** GROUPED heavy hitters in ONE aggregate: a Count-Min sketch (bounded
   * frequency summary) fused with a bounded candidate heap (the
@@ -140,7 +144,7 @@ case class ApproxTopKAgg(
 
   override def createAggregationBuffer(): ApproxTopKState =
     new ApproxTopKState(new Array[Long](d * w),
-      new java.util.HashMap[String, Long](cap * 2))
+      new java.util.HashMap[UTF8String, Long](cap * 2))
 
   private def estimate(counts: Array[Long], key: Array[Byte]): Long = {
     var est = Long.MaxValue
@@ -153,15 +157,36 @@ case class ApproxTopKAgg(
     est
   }
 
+  private def sorted(st: ApproxTopKState):
+      java.util.ArrayList[java.util.Map.Entry[UTF8String, Long]] = {
+    val entries = new java.util.ArrayList(st.cands.entrySet())
+    // highest estimate first; key ties broken by binary order for
+    // stability
+    entries.sort { (a: java.util.Map.Entry[UTF8String, Long],
+        b: java.util.Map.Entry[UTF8String, Long]) =>
+      val c = java.lang.Long.compare(b.getValue, a.getValue)
+      if (c != 0) c else a.getKey.compareTo(b.getKey)
+    }
+    entries
+  }
+
+  /** Refresh every candidate's estimate against the CURRENT counters.
+    * Called before any sort/cut: a candidate's stored value is its
+    * estimate at its own last insert, which goes stale as later keys
+    * bump shared slots — cutting on stale values can keep the wrong
+    * keys (no-merge paths like window evaluation never pass through
+    * merge(), so eval() must not rely on merge having refreshed). */
+  private def reestimate(st: ApproxTopKState): Unit = {
+    val it = st.cands.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      e.setValue(estimate(st.counts, e.getKey.getBytes))
+    }
+  }
+
   private def trim(st: ApproxTopKState, to: Int): Unit =
     if (st.cands.size > to) {
-      val entries = new java.util.ArrayList(st.cands.entrySet())
-      // highest estimate first; key ties broken lexically for stability
-      entries.sort { (a: java.util.Map.Entry[String, Long],
-          b: java.util.Map.Entry[String, Long]) =>
-        val c = java.lang.Long.compare(b.getValue, a.getValue)
-        if (c != 0) c else a.getKey.compareTo(b.getKey)
-      }
+      val entries = sorted(st)
       st.cands.clear()
       var i = 0
       while (i < to) {
@@ -181,9 +206,12 @@ case class ApproxTopKAgg(
         st.counts(r * w + CountMinSketch.slot(bytes, r, w)) += 1L
         r += 1
       }
-      st.cands.put(key.toString, estimate(st.counts, bytes))
-      // amortized trim: shrink back to cap only at 2x overflow
-      if (st.cands.size > 2 * cap) trim(st, cap)
+      // clone: the incoming UTF8String may point into a reused row
+      // buffer; the map key must own its bytes
+      st.cands.put(key.clone(), estimate(st.counts, bytes))
+      // amortized trim: shrink back to cap only at 2x overflow; the
+      // cut re-estimates first so stale values can't evict a heavy key
+      if (st.cands.size > 2 * cap) { reestimate(st); trim(st, cap) }
     }
     st
   }
@@ -193,29 +221,21 @@ case class ApproxTopKAgg(
     while (i < st.counts.length) { st.counts(i) += other.counts(i); i += 1 }
     st.cands.putAll(other.cands)
     // re-estimate the union against the MERGED counters
-    val it = st.cands.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      e.setValue(estimate(st.counts, e.getKey.getBytes("UTF-8")))
-    }
+    reestimate(st)
     trim(st, cap)
     st
   }
 
   override def eval(st: ApproxTopKState): Any = {
-    val entries = new java.util.ArrayList(st.cands.entrySet())
-    entries.sort { (a: java.util.Map.Entry[String, Long],
-        b: java.util.Map.Entry[String, Long]) =>
-      val c = java.lang.Long.compare(b.getValue, a.getValue)
-      if (c != 0) c else a.getKey.compareTo(b.getKey)
-    }
+    // fresh estimates BEFORE the sort/cut — see [[reestimate]]
+    reestimate(st)
+    val entries = sorted(st)
     val n = math.min(k, entries.size)
     val rows = new Array[Any](n)
     var i = 0
     while (i < n) {
       val e = entries.get(i)
-      rows(i) = InternalRow(UTF8String.fromString(e.getKey),
-        estimate(st.counts, e.getKey.getBytes("UTF-8")))
+      rows(i) = InternalRow(e.getKey, e.getValue)
       i += 1
     }
     new GenericArrayData(rows)
@@ -229,7 +249,8 @@ case class ApproxTopKAgg(
     val it = st.cands.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+      val kb = e.getKey.getBytes
+      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
     }
     out.flush()
     bos.toByteArray
@@ -239,9 +260,15 @@ case class ApproxTopKAgg(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val counts = Array.fill(d * w)(in.readLong())
     val n = in.readInt()
-    val cands = new java.util.HashMap[String, Long](n * 2)
+    val cands = new java.util.HashMap[UTF8String, Long](n * 2)
     var i = 0
-    while (i < n) { cands.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val kb = new Array[Byte](len)
+      in.readFully(kb)
+      cands.put(UTF8String.fromBytes(kb), in.readLong())
+      i += 1
+    }
     new ApproxTopKState(counts, cands)
   }
 

@@ -49,10 +49,14 @@ object ZOrder {
     * ordering), so written files carry exactly the caller's schema. */
   def zorderLayout(df: DataFrame, x: Column, y: Column,
       numFiles: Int): DataFrame = {
-    val coded = df.withColumn("_z", zorderCode(x, y))
-    coded.repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
+    // scratch name chosen to not collide with the caller's schema — a
+    // fixed "_z" would silently OVERWRITE then DROP a real _z column
+    val zc = Iterator.from(0).map(i => s"_z$i")
+      .find(n => !df.columns.contains(n)).get
+    val coded = df.withColumn(zc, zorderCode(x, y))
+    coded.repartitionByRange(numFiles, col(zc))
+      .sortWithinPartitions(col(zc))
+      .drop(zc)
   }
 
   // ---------------------------------------------------------------- q116

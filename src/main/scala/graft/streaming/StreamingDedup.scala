@@ -48,6 +48,17 @@ import org.apache.spark.sql.types.StructType
   * dups, and non-dups each behave per the greedy-by-doc_id rule.
   */
 object StreamingDedup {
+  /** Existence probe through the Hadoop FileSystem API — a
+    * `java.io.File` check is always false for non-local URIs
+    * (hdfs://, s3a://), which would silently make every batch see an
+    * empty history index on exactly the storage the scaladoc's 100 TB
+    * framing implies. */
+  private[streaming] def pathExists(
+      spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   def start(
       spark: SparkSession,
       sourceDir: String,
@@ -74,7 +85,7 @@ object StreamingDedup {
     val spark = batch.sparkSession
     val keys = Dedup.bandedOf(Dedup.minHashSigsRowwise(batch)).cache()
     val histDup =
-      if (new java.io.File(indexDir).exists())
+      if (pathExists(spark, indexDir))
         keys.join(
             spark.read.parquet(indexDir)
               .filter(col("batch") =!= batchId) // replay: own keys ≠ history

@@ -77,7 +77,7 @@ object StreamingSurvivors {
     val spark = batch.sparkSession
     val batchSh = Dedup.shingleRows(batch).cache()
     val hist =
-      if (new java.io.File(indexDir).exists())
+      if (StreamingDedup.pathExists(spark, indexDir))
         spark.read.parquet(indexDir)
           .filter(col("batch") =!= batchId) // replay: own rows ≠ history
           .select(col("dn"), col("s"))

@@ -300,6 +300,25 @@ class CubeSpec extends AnyFunSuite {
     assert(lm("b") == 50.0, s"sub-capacity sketch must be exact: ${lm("b")}")
   }
 
+  test("quantile labels stay distinct for nearby ranks") {
+    import spark.implicits._
+    val cfgQ = CubeConfig("lbl", "mem",
+      Seq(FieldDim("k", "event_type")),
+      Seq(Measure("v", "value")),
+      quantiles = Seq(Measure("dist", "value")))
+    val cube = CubeManager.create(cfgQ,
+      (1 to 50).map(i => ("a", i.toDouble)).toDF("event_type", "value"))
+    val cols = CubeManager.query(cube, Seq("k"),
+      quantilesOf = Seq(("dist", 0.995), ("dist", 0.999),
+        ("dist", 0.005), ("dist", 0.01), ("dist", 0.5))).columns.toSeq
+    // a rounded %02d label would collide 0.995/0.999 (both "p100") and
+    // 0.005/0.01 (both "p01"); canonical-decimal labels must not
+    val qcols = cols.filter(_.startsWith("p"))
+    assert(qcols == Seq("p99_5_dist", "p99_9_dist", "p0_5_dist",
+      "p1_dist", "p50_dist"), s"labels: $qcols")
+    assert(qcols.distinct.size == qcols.size)
+  }
+
   test("q130: rolled-up KLL percentiles land within rank-error of target") {
     val sfDir = "/root/testdata/sf0.001"
     val out = CubeQueries.q130CubeQuantiles(spark, sfDir).collect()

@@ -48,6 +48,46 @@ class BloomFilterSpec extends AnyFunSuite {
       s"fp rate ${fp.toDouble / probes} vs analytic $analytic")
   }
 
+  test("degenerate bloom parameters are rejected at construction") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // 0 and Int.MinValue pass a bare power-of-two check but build an
+    // empty/negative buffer and die mid-job; 32 is a real power of two
+    // below one long word
+    for (bad <- Seq(0, 32, Int.MinValue))
+      intercept[IllegalArgumentException] {
+        BloomFilterAgg(Literal(1L), bad, 6)
+      }
+    intercept[IllegalArgumentException] {
+      BloomFilterAgg(Literal(1L), 1024, 0)
+    }
+    ()
+  }
+
+  test("approx_top_k eval re-estimates before the cut (no-merge path)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    // d=1, w=1: every key shares ONE counter, so each key's true
+    // estimate is the total row count — the maximal staleness setup.
+    // "a" is inserted first (stored est 1), "z" nine times after
+    // (stored est up to 10). A stale sort would cut on a=1 < z=10 and
+    // report z first; a fresh eval sees both at 10 and the binary-order
+    // tie-break must put "a" first.
+    val agg = ApproxTopKAgg(
+      BoundReference(0, StringType, nullable = true), 1, 1, 1)
+    val buf = agg.createAggregationBuffer()
+    def row(s: String) = InternalRow(UTF8String.fromString(s))
+    agg.update(buf, row("a"))
+    (1 to 9).foreach(_ => agg.update(buf, row("z")))
+    val out = agg.eval(buf)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+    assert(out.numElements() == 1)
+    val top = out.getStruct(0, 2)
+    assert(top.getUTF8String(0).toString == "a" && top.getLong(1) == 10L,
+      s"stale-estimate cut: got ${top.getUTF8String(0)}=${top.getLong(1)}")
+  }
+
   test("edge inputs: empty/null-only groups degrade cleanly") {
     import spark.implicits._
     // bloom over zero rows: all-zero bits, every probe misses

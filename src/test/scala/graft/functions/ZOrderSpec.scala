@@ -116,6 +116,13 @@ class ZOrderSpec extends AnyFunSuite {
     // dropping _z must not have dropped the clustering it sorted by
     val boxes = written.limit(0) // schema check only; clustering pinned below
     assert(boxes.columns.length == 2)
+    // a caller-owned column named _z must survive untouched (the
+    // scratch column picks a non-colliding name)
+    val withZ = pts.withColumn("_z", col("x") + col("y"))
+    val laidZ = ZOrder.zorderLayout(withZ, col("x"), col("y"), 4)
+    assert(laidZ.columns.toSeq == Seq("x", "y", "_z"))
+    val bad = laidZ.filter(col("_z") =!= col("x") + col("y")).count()
+    assert(bad == 0L, "caller's _z column was overwritten")
   }
 
   test("zorder code typing: integrals widen, strings fail analysis") {
