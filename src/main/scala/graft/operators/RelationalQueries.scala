@@ -202,19 +202,27 @@ object RelationalQueries {
     *
     * Scale shape: the customer key makes candidate generation an
     * EQUI-join (shuffle on o_custkey, comparisons ∝ Σ orders-per-
-    * customer², naturally bounded) with the overlap predicate as a
-    * cheap join residual — the q94 blocking discipline applied to
-    * time. A key-free interval×interval join at 100 TB banding-rewrites
-    * exactly like q76: explode each interval to the fixed-width time
-    * cells it touches, equi-join on cell, dedup + residual-check. */
+    * customer²) with the overlap predicate as a cheap join residual —
+    * the q94 blocking discipline applied to time, INCLUDING its
+    * occupancy cap: a customer with more than [[graft.functions.Dedup
+    * .MaxBucket]] orders (at web scale, a bot account) is dropped
+    * rather than detonating |orders|² comparisons on one reducer. The
+    * cap is mirrored into the oracle and is a measured no-op at every
+    * test sf (max orders/customer ≈ 25). A key-free interval×interval
+    * join at 100 TB banding-rewrites exactly like q76: explode each
+    * interval to the fixed-width time cells it touches, equi-join on
+    * cell, dedup + residual-check. */
   def q132IntervalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     val span = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_orderkey"))
       .agg(max(col("l_shipdate")).as("fin"))
-    val o = Tables.orders(spark, sfDir)
+    val o0 = Tables.orders(spark, sfDir)
       .join(span, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey"), col("o_orderkey"),
         col("o_orderdate").as("s"), col("fin").as("e"))
+    val occ = o0.groupBy(col("o_custkey")).agg(count(lit(1)).as("_occ"))
+    val o = o0.join(occ, Seq("o_custkey"))
+      .filter(col("_occ") <= graft.functions.Dedup.MaxBucket).drop("_occ")
     o.as("a").join(o.as("b"),
         col("a.o_custkey") === col("b.o_custkey")
           && col("a.o_orderkey") < col("b.o_orderkey")
@@ -816,9 +824,12 @@ object RelationalQueries {
       WITH span AS (
         SELECT l_orderkey, max(l_shipdate) AS fin
         FROM lineitem GROUP BY 1),
-      o AS (
+      o0 AS (
         SELECT o_custkey, o_orderkey, o_orderdate AS s, fin AS e
-        FROM orders JOIN span ON o_orderkey = l_orderkey)
+        FROM orders JOIN span ON o_orderkey = l_orderkey),
+      o AS (
+        SELECT * FROM o0
+        QUALIFY count(1) OVER (PARTITION BY o_custkey) <= 512)
       SELECT a.o_custkey AS custkey, a.o_orderkey AS oa, b.o_orderkey AS ob,
         CAST(date_diff('day', CAST(greatest(a.s, b.s) AS DATE),
                               CAST(least(a.e, b.e) AS DATE)) + 1 AS BIGINT)

@@ -50,6 +50,12 @@ class DedupCapSpec extends AnyFunSuite {
         docs.select(substring(col("text"), 1, 16).as("blk")), "blk")
       assert(maxBlk <= Dedup.MaxBucket,
         s"$sfDir: max fuzzy prefix-block occupancy $maxBlk exceeds cap ${Dedup.MaxBucket}")
+      // q132's per-customer occupancy cap (same discipline, orders
+      // table): a binding cap would change the oracle-matched output
+      val maxOrd = maxCount(
+        graft.Tables.orders(spark, sfDir).select(col("o_custkey")), "o_custkey")
+      assert(maxOrd <= Dedup.MaxBucket,
+        s"$sfDir: max orders/customer $maxOrd exceeds cap ${Dedup.MaxBucket}")
       sh.unpersist()
     }
   }
