@@ -267,7 +267,38 @@ object CubeQueries {
       .orderBy(col("etype"))
   }
 
+  // --------------------------------------------------------------- q139
+  /** ROLLING 7-DAY DISTINCT USERS from MAINTAINED DAILY SKETCHES — the
+    * sketch twin of the exact q138, and the form that serves the WAU
+    * curve at 100 TB: the corpus is touched ONCE to build one HLL
+    * partial per day (the same per-day partials a continuous cube
+    * maintains incrementally — new events only ever fold into today's
+    * sketch), after which every rolling endpoint is a union of ≤7
+    * one-row sketches. The windowed stage costs ∝ |days|·7 sketch
+    * merges — independent of event count — where q138's exact re-count
+    * re-shuffles ×7 the collapsed user-day table on every refresh.
+    * Union is lossless at fixed lgK (union-of-parts == sketch-of-whole,
+    * pinned by q119 and re-pinned per-window in CubeSpec), so the
+    * rolling estimate carries the single-sketch ±1.6% guarantee.
+    * Rows-only: the sketch estimate has no DuckDB twin; CubeSpec pins
+    * it within 5% of the exact q138 value on every endpoint. */
+  def q139RollingDistinctHll(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")).cast("double") / 86400).cast("long").as("d"))
+      .groupBy(col("d"))
+      .agg(hll_sketch_agg(col("user_id")).as("day_sk"))
+    val days = daily.select(col("d").as("day")).distinct()
+    daily.select(explode(expr("sequence(d, d + 6)")).as("day"), col("day_sk"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_days_merged"),
+        hll_sketch_estimate(hll_union_agg(col("day_sk"))).as("est_users_7d"))
+      .orderBy(col("day"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q139_rolling_distinct_hll" -> q139RollingDistinctHll,
     "q64_cube_json_dim" -> q64CubeJsonDim,
     "q130_cube_quantiles" -> q130CubeQuantiles,
     "q119_hll_cube" -> q119HllCube,

@@ -461,7 +461,35 @@ object EventQueries {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  // --------------------------------------------------------------- q138
+  /** ROLLING 7-DAY DISTINCT USERS per day — the WAU/reach curve every
+    * engagement dashboard plots, and the canonical "distinct over a
+    * sliding window" operator: for each observed day d, how many
+    * distinct users were active in [d-6, d]. Distinct does not add
+    * across days, so the window CANNOT be a sum over daily counts; the
+    * exact form here first collapses events to distinct (user, day)
+    * pairs (one hash aggregate — the corpus's only full shuffle, output
+    * ∝ active-user-days, not events), then EXPLODES each pair to the ≤7
+    * window endpoints it contributes to and re-counts distinct per day.
+    * The ×7 fan-out is on the collapsed table, and the observed-day
+    * dimension it semi-joins is tiny at any scale (broadcast). The
+    * sketch twin that avoids even the ×7 re-count at 100 TB is q139:
+    * merge 7 daily HLL partials per endpoint instead. */
+  def q138RollingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        (epochS(col("ts")).cast("double") / 86400).cast("long").as("d"))
+      .distinct()
+    val days = du.select(col("d").as("day")).distinct()
+    du.select(col("user_id"), explode(expr("sequence(d, d + 6)")).as("day"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_users_7d"))
+      .orderBy(col("day"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q138_rolling_distinct" -> q138RollingDistinct,
     "q124_attribution" -> q124Attribution,
     "q135_linear_attribution" -> q135LinearAttribution,
     "q137_cdc_compact" -> q137CdcCompact,
@@ -483,6 +511,16 @@ object EventQueries {
   )
 
   lazy val sql: Map[String, String] = Map(
+    "q138_rolling_distinct" -> """
+      WITH du AS (
+        SELECT DISTINCT user_id,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS d
+        FROM events),
+      days AS (SELECT DISTINCT d AS day FROM du)
+      SELECT days.day, count(DISTINCT du.user_id) AS n_users_7d
+      FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day
+      GROUP BY 1
+      ORDER BY 1""",
     "q137_cdc_compact" -> """
       SELECT user_id, event_type, event_id,
         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s, value

@@ -28,7 +28,8 @@ class ContractSpec extends AnyFunSuite {
       "q120_audience_overlap", // HLL inclusion-exclusion estimates
       "q121_cube_distinct",   // cube sketch-measure path (HLL estimates)
       "q130_cube_quantiles",  // cube KLL quantile measure (rank-randomized)
-      "q131_grouped_heavy_hitters"), // CMS top-k candidate set (heuristic)
+      "q131_grouped_heavy_hitters", // CMS top-k candidate set (heuristic)
+      "q139_rolling_distinct_hll"), // rolling HLL merge (no DuckDB twin; CubeSpec pins vs exact q138)
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -343,6 +343,24 @@ class CubeSpec extends AnyFunSuite {
     }
   }
 
+  test("q139: rolling 7-day HLL merge tracks exact rolling distinct on every endpoint") {
+    val sfDir = "/root/testdata/sf0.001"
+    val est = CubeQueries.q139RollingDistinctHll(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("est_users_7d")).toMap
+    val exact = graft.operators.EventQueries.q138RollingDistinct(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("n_users_7d")).toMap
+    // both forms window over the same observed-day endpoints
+    assert(est.keySet == exact.keySet,
+      s"endpoint sets differ: ${est.keySet diff exact.keySet} / ${exact.keySet diff est.keySet}")
+    assert(est.nonEmpty)
+    exact.foreach { case (day, n) =>
+      // standard HLL relative error at default lgK=12 is ~1.6%; allow 5%
+      assert(math.abs(est(day) - n) <= math.max(n * 0.05, 2.0),
+        s"day $day: merged estimate ${est(day)} vs exact $n")
+    }
+  }
+
   test("q120: inclusion-exclusion overlap estimates track exact overlaps") {
     val out = CubeQueries.q120AudienceOverlap(spark, "/root/testdata/sf0.001")
       .collect()
