@@ -122,6 +122,35 @@ object Scratch {
             quantiles = Seq(graft.cube.Measure("dist", "value"))),
           evk).aggregates.count()
       }
+      // rolling distinct: copies are shifted by 60 days each, so events,
+      // distinct user-days AND window endpoints all grow k× — the corpus
+      // collapse and the ×7 fan-out re-count should both scale linearly
+      val ev6 = Tables.events(spark, sfDir)
+      def evAt(k: Int): DataFrame = (0 until k).map(i =>
+        ev6.select(col("user_id"),
+          (col("ts") + expr(s"INTERVAL ${i * 60} DAYS")).as("ts")))
+        .reduce(_ unionByName _)
+      time(s"x$k q138 rolling distinct") {
+        val du = evAt(k).select(col("user_id"),
+            (unix_timestamp(col("ts")).cast("double") / 86400)
+              .cast("long").as("d")).distinct()
+        val days = du.select(col("d").as("day")).distinct()
+        du.select(col("user_id"), explode(expr("sequence(d, d + 6)")).as("day"))
+          .join(broadcast(days), Seq("day"), "left_semi")
+          .groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("n")).count()
+      }
+      time(s"x$k q139 rolling hll") {
+        val daily = evAt(k).select(col("user_id"),
+            (unix_timestamp(col("ts")).cast("double") / 86400)
+              .cast("long").as("d"))
+          .groupBy(col("d")).agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val days = daily.select(col("d").as("day")).distinct()
+        daily.select(explode(expr("sequence(d, d + 6)")).as("day"), col("sk"))
+          .join(broadcast(days), Seq("day"), "left_semi")
+          .groupBy(col("day"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est")).count()
+      }
       time(s"x$k q131 grouped topk") {
         d.select(col("lang"), explode_outer(split(col("text"), " ")).as("w"))
           .filter(col("w").isNotNull && col("w") =!= "")

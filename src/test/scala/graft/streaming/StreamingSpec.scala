@@ -102,6 +102,63 @@ class StreamingSpec extends AnyFunSuite {
       "per-group streamed sketch estimates must equal the batch cube's")
   }
 
+  test("rolling 7-day distinct served from a stream-maintained daily HLL cube") {
+    // the q139 claim end-to-end: a streaming cube keeps ONE HLL partial
+    // per day (new events only fold into their day's sketch); the WAU
+    // curve is then a read-side merge of <=7 one-row sketches per
+    // endpoint — never a re-scan of the event log
+    import graft.cube.Measure
+    val src = tmp("graft_roll_src")
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 600).map { _ =>
+      ("e", new Timestamp(1700000000000L
+          + rnd.nextInt(12) * 86400000L + rnd.nextInt(86400000)),
+        1.0, rnd.nextInt(80).toLong)
+    }
+    import spark.implicits._
+    def df(rs: Seq[(String, Timestamp, Double, Long)]): DataFrame =
+      rs.toDF("event_type", "ts", "value", "user_id")
+    rows.grouped(200).zipWithIndex.foreach { case (chunk, i) =>
+      df(chunk).coalesce(1).write.parquet(s"$src/b$i")
+    }
+    val rollCfg = CubeConfig("roll", "mem",
+      Seq(TimeDim("day", "ts", "day")), Seq(Measure("v", "value")),
+      sketches = Seq(Measure("users", "user_id")))
+    val q = StreamingCube.start(spark, rollCfg, s"$src/b*",
+      df(rows.take(1)).schema, tmp("graft_roll_ckpt"), "rollcube_stream")
+    q.processAllAvailable()
+    q.stop()
+    def rolling(daily: DataFrame): Map[Long, Long] = {
+      val d = daily.select(
+        (unix_timestamp(col("day")).cast("double") / 86400)
+          .cast("long").as("d"), col("users"))
+      val days = d.select(col("d").as("day")).distinct()
+      d.select(explode(expr("sequence(d, d + 6)")).as("day"), col("users"))
+        .join(broadcast(days), Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("users"))).as("est"))
+        .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("est")).toMap
+    }
+    val streamed = rolling(spark.table("rollcube_stream"))
+    val batch = rolling(CubeManager.create(rollCfg, df(rows)).aggregates)
+    assert(streamed == batch && streamed.nonEmpty,
+      "rolling merge over stream-maintained partials must equal the batch cube's")
+    // and the curve tracks the exact rolling distinct of the raw log
+    val exact = df(rows).select(col("user_id"),
+        (unix_timestamp(col("ts")).cast("double") / 86400).cast("long").as("d"))
+      .distinct()
+      .select(col("user_id"), explode(expr("sequence(d, d + 6)")).as("day"))
+      .join(df(rows).select((unix_timestamp(col("ts")).cast("double") / 86400)
+        .cast("long").as("day")).distinct(), Seq("day"), "left_semi")
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("n")).toMap
+    assert(streamed.keySet == exact.keySet)
+    exact.foreach { case (day, n) =>
+      assert(math.abs(streamed(day) - n) <= math.max(n * 0.05, 2.0),
+        s"day $day: streamed rolling estimate ${streamed(day)} vs exact $n")
+    }
+  }
+
   test("watermark drops events later than the delay") {
     val src = tmp("graft_late_src")
     def hourStart(ms: Long): Long = ms - ms % 3600000L
