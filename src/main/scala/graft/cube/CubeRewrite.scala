@@ -3,8 +3,8 @@ package graft.cube
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, HllSketchEstimate, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, HllUnionAgg, HyperLogLogPlusPlus, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -28,6 +28,13 @@ import org.apache.spark.sql.types.DecimalType
   *   `count(1)` (served from the cube's row count);
   * - the registered cube is materialized (its plan is a parquet scan of
   *   the saved aggregates, not a re-aggregation of the source).
+  *
+  * One opt-in relaxation: with `spark.graft.cube.approxDistinctRouting`
+  * = true, `approx_count_distinct(x)` routes to
+  * estimate(union(HLL partials)) when the cube maintains a sketch
+  * measure on x — approximate-to-approximate, but the estimator changes
+  * (HLL++ → datasketches HLL), so it is not answer-preserving and stays
+  * off by default.
   *
   * Install: `spark.experimental.extraOptimizations ++= Seq(
   * CubeRewriteRule)` (done by [[CubeCatalog.install]]) or via
@@ -147,6 +154,14 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
       agg.groupingExpressions.flatMap(g => matchDim(g).map(g -> _))
     if (groupMap.size != agg.groupingExpressions.size) return None
 
+    // HLL sketch measure maintained on the same source column, for
+    // approx-distinct routing
+    def sketchFor(e: Expression): Option[Attribute] =
+      cube.config.sketches
+        .find(m => resolvePath(source, m.path).exists(
+          _.canonicalized == subst(e).canonicalized))
+        .flatMap(m => cubeAttr(m.id))
+
     def measureFor(e: Expression): Option[Attribute] = subst(e) match {
       // sum(CAST(measure AS DECIMAL(18,2))); the measure itself may be
       // an attribute or a nested GetStructField chain
@@ -165,6 +180,9 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     // are swapped for cube dimension attributes. Bail if anything
     // unrecognized remains referencing the source.
     val countAttr = cubeAttr(CubeManager.CountCol).getOrElse(return None)
+    val approxDistinctRoutingOn = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.cube.approxDistinctRouting", "false")
+      .equalsIgnoreCase("true")
     var ok = true
     def rewriteExpr(e: Expression): Expression = e.transformUp {
       case ae @ AggregateExpression(Sum(inner, _), Complete, false, _, _) =>
@@ -185,6 +203,23 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
         org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
           ae.copy(aggregateFunction = Sum(countAttr)),
           Literal(0L)))
+      // approx_count_distinct(x) → estimate(union of the cube's per-cell
+      // HLL partials) when a sketch measure was maintained on x. OPT-IN
+      // (spark.graft.cube.approxDistinctRouting=true): both sides are
+      // approximate, but the ESTIMATORS differ (HLL++ vs datasketches
+      // HLL), so the estimate can shift within error bounds — the rule's
+      // default stays answer-preserving, and opting in trades that shift
+      // for cube-sized cost (the only way a distinct-count query can
+      // avoid re-scanning the source: distinct doesn't add across cells,
+      // sketches do union).
+      case ae @ AggregateExpression(HyperLogLogPlusPlus(child, _, _, _), Complete, false, _, _)
+          if approxDistinctRoutingOn =>
+        sketchFor(child) match {
+          case Some(sk) =>
+            HllSketchEstimate(
+              ae.copy(aggregateFunction = HllUnionAgg(sk, Literal(false))))
+          case None => ok = false; ae
+        }
       case ae: AggregateExpression => ok = false; ae
       case other if matchDim(other).isDefined => matchDim(other).get
     }

@@ -213,6 +213,67 @@ class CubeRewriteSpec extends AnyFunSuite {
     CubeCatalog.clear()
   }
 
+  test("approx_count_distinct routes to the cube's HLL partials only when opted in") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 500).map { _ =>
+      (Seq("click", "view", "buy")(rnd.nextInt(3)),
+        new Timestamp(1700000000000L + rnd.nextInt(8) * 3600000L),
+        1.0, rnd.nextInt(60).toLong)
+    }
+    val srcDir = Files.createTempDirectory("graft_rw_sk_src").toString
+    rows.toDF("event_type", "ts", "value", "user_id")
+      .write.mode("overwrite").parquet(srcDir)
+    val skCfg = cfg.copy(name = "rwsk",
+      sketches = Seq(Measure("users", "user_id")))
+    val cubeDir = Files.createTempDirectory("graft_rw_sk_cube").toString
+    CubeManager.save(
+      CubeManager.create(skCfg, spark.read.parquet(srcDir)), cubeDir)
+    CubeCatalog.register("rwsk",
+      CubeManager.load(spark, cubeDir, "rwsk"), srcDir)
+    def q() = spark.read.parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("nd"))
+    def scans(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r).get
+    }
+    // default: NOT routed (estimator swap is not answer-preserving)
+    assert(scans(q()) == Seq(CubeCatalog.normalize(srcDir)))
+    // opted in: served from the cube, estimate == the cube's own
+    // distinctOf read, and within HLL error of exact
+    spark.conf.set("spark.graft.cube.approxDistinctRouting", "true")
+    try {
+      val routed = q()
+      assert(scans(routed) == Seq(CubeCatalog.normalize(s"$cubeDir/rwsk")),
+        s"expected a cube scan, got ${scans(routed)}")
+      val got = routed.collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("nd")).toMap
+      val served = CubeManager.query(
+        CubeCatalog.registered("rwsk")._1, Seq("etype"),
+        distinctOf = Seq("users")).collect()
+        .map(r => r.getAs[String]("etype") -> r.getAs[Long]("n_distinct_users"))
+        .toMap
+      assert(got == served,
+        s"routed estimates $got != cube distinctOf read $served")
+      val exact = rows.groupBy(_._1).map { case (t, rs) =>
+        t -> rs.map(_._4).distinct.size.toLong }
+      exact.foreach { case (t, n) =>
+        assert(math.abs(got(t) - n) <= math.max(n * 0.05, 2.0),
+          s"$t: routed estimate ${got(t)} vs exact $n")
+      }
+      // a distinct over a column with NO sketch measure must not route
+      val unrouted = spark.read.parquet(srcDir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("value")).as("nd"))
+      assert(scans(unrouted) == Seq(CubeCatalog.normalize(srcDir)))
+    } finally {
+      spark.conf.set("spark.graft.cube.approxDistinctRouting", "false")
+      CubeCatalog.clear()
+    }
+  }
+
   test("count(NULL) never becomes sum(_count)") {
     // NB Spark's main optimizer usually constant-folds count(NULL) to 0
     // before CubeRewriteRule runs (leaving a routable plain group-by,
