@@ -119,6 +119,56 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q140
+  private val distinctRoutingCfg = CubeConfig("distinct_routing_demo", "events",
+    dims = Seq(FieldDim("etype", "event_type")),
+    measures = Seq(Measure("value_sum", "value")),
+    sketches = Seq(Measure("users", "user_id")))
+
+  private val distinctRoutingSetup = TrieMap.empty[(SparkSession, String), String]
+  private def distinctRoutingSource(spark: SparkSession, sfDir: String): String =
+    distinctRoutingSetup.getOrElseUpdate((spark, sfDir), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_droute").toString
+      CubeManager.save(
+        CubeManager.create(distinctRoutingCfg, Tables.events(spark, sfDir)), dir)
+      CubeCatalog.install(spark)
+      // left ON for the session: a later .write/.collect re-optimizes the
+      // plan, and the flag must still hold then for the routed answer to
+      // be the one materialized. Scope is naturally narrow — the rule
+      // only ever fires on registered source paths with sketch measures.
+      spark.conf.set("spark.graft.cube.approxDistinctRouting", "true")
+      val srcDir = s"$dir/source"
+      Tables.events(spark, sfDir)
+        .select(col("event_type"), col("value"), col("user_id"))
+        .write.parquet(srcDir)
+      CubeCatalog.register(s"distinct_routing_demo@$sfDir",
+        CubeManager.load(spark, dir, "distinct_routing_demo"), srcDir)
+      srcDir
+    })
+
+  /** The OPT-IN approx-distinct routing on the graded surface: an
+    * `approx_count_distinct` over the registered source is served from
+    * the cube's maintained HLL partials (union + one estimate per
+    * group — cost ∝ |cube|, the only shape that avoids re-scanning the
+    * source for a distinct question). The plan is hard-asserted to scan
+    * the cube. Rows-only: estimates have no DuckDB twin; exactness-vs-
+    * routing equivalence is pinned in CubeRewriteSpec. */
+  def q140DistinctRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = distinctRoutingSource(spark, sfDir)
+    val q = spark.read.parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("nd_users"))
+      .orderBy(col("event_type"))
+    // hard assertion: the optimized plan must scan the cube, not the source
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.exists(_.endsWith("/distinct_routing_demo")),
+      s"approx-distinct routing did not fire; scans=$scans")
+    q
+  }
+
   // ---------------------------------------------------------------- q64
   /** Cube over a DYNAMIC document field: the dimension is a JSON path
     * into the schemaless `props` column (the MongoDB reality the
@@ -308,6 +358,7 @@ object CubeQueries {
     "q34_cube_query" -> q34CubeQuery,
     "q35_cube_incremental" -> q35CubeIncremental,
     "q58_cube_routing" -> q58CubeRouting,
+    "q140_distinct_routing" -> q140DistinctRouting,
   )
 
   lazy val sql: Map[String, String] = Map(

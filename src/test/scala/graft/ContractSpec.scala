@@ -29,7 +29,8 @@ class ContractSpec extends AnyFunSuite {
       "q121_cube_distinct",   // cube sketch-measure path (HLL estimates)
       "q130_cube_quantiles",  // cube KLL quantile measure (rank-randomized)
       "q131_grouped_heavy_hitters", // CMS top-k candidate set (heuristic)
-      "q139_rolling_distinct_hll"), // rolling HLL merge (no DuckDB twin; CubeSpec pins vs exact q138)
+      "q139_rolling_distinct_hll", // rolling HLL merge (no DuckDB twin; CubeSpec pins vs exact q138)
+      "q140_distinct_routing"), // MV-routed HLL estimates (CubeRewriteSpec pins vs exact)
       s"unexpected rows-only set: $rowsOnly")
   }
 
