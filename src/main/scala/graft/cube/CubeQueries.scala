@@ -347,8 +347,41 @@ object CubeQueries {
       .orderBy(col("day"))
   }
 
+  // --------------------------------------------------------------- q141
+  /** ROLLING 7-DAY QUANTILES from MAINTAINED DAILY KLL PARTIALS — the
+    * distribution sibling of q139: exact percentiles cannot be served
+    * from pre-aggregated state (ranks don't add across cells), but KLL
+    * sketches union associatively, so ONE maintained sketch per day
+    * serves every rolling endpoint as a merge of ≤7 one-row partials.
+    * Same scale split as q139: the corpus is touched once to build
+    * |days| sketches; the windowed stage costs ∝ |days|·7 merges of
+    * O(k log n) bytes — independent of event count, where the exact
+    * alternative re-shuffles ×7 the raw values per refresh. Merge-order
+    * independence keeps the q130 rank guarantee (≤ ~1.65% at k=200).
+    * Rows-only (rank-randomized compaction); CubeSpec pins each
+    * endpoint's p50/p90 within the KLL rank band of the exact window. */
+  def q141RollingQuantilesKll(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Kll
+    val daily = Tables.events(spark, sfDir)
+      .select((unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("d"), col("value"))
+      .groupBy(col("d"))
+      .agg(Kll.sketchAgg(col("value")).as("day_sk"), count(lit(1)).as("n"))
+    val days = daily.select(col("d").as("day")).distinct()
+    daily.select(explode(expr("sequence(d, d + 6)")).as("day"),
+        col("day_sk"), col("n"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(sum(col("n")).as("n_rows"), Kll.mergeAgg(col("day_sk")).as("sk"))
+      .select(col("day"), col("n_rows"),
+        round(Kll.quantile(col("sk"), 0.5), 6).as("p50_value"),
+        round(Kll.quantile(col("sk"), 0.9), 6).as("p90_value"))
+      .orderBy(col("day"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q139_rolling_distinct_hll" -> q139RollingDistinctHll,
+    "q141_rolling_quantiles_kll" -> q141RollingQuantilesKll,
     "q64_cube_json_dim" -> q64CubeJsonDim,
     "q130_cube_quantiles" -> q130CubeQuantiles,
     "q119_hll_cube" -> q119HllCube,

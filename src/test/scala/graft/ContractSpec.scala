@@ -30,7 +30,8 @@ class ContractSpec extends AnyFunSuite {
       "q130_cube_quantiles",  // cube KLL quantile measure (rank-randomized)
       "q131_grouped_heavy_hitters", // CMS top-k candidate set (heuristic)
       "q139_rolling_distinct_hll", // rolling HLL merge (no DuckDB twin; CubeSpec pins vs exact q138)
-      "q140_distinct_routing"), // MV-routed HLL estimates (CubeRewriteSpec pins vs exact)
+      "q140_distinct_routing", // MV-routed HLL estimates (CubeRewriteSpec pins vs exact)
+      "q141_rolling_quantiles_kll"), // rolling KLL merge (rank-randomized; CubeSpec pins rank band)
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -361,6 +361,29 @@ class CubeSpec extends AnyFunSuite {
     }
   }
 
+  test("q141: rolling KLL quantiles land within rank-error of the exact window") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = CubeQueries.q141RollingQuantilesKll(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // exact per-endpoint windows, in rank space (q130 discipline)
+    val raw = graft.Tables.events(spark, sfDir)
+      .select((unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("d"), col("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val eps = 3 * graft.functions.Kll.rankError() + 0.01
+    out.foreach { r =>
+      val day = r.getAs[Long]("day")
+      val vs = raw.filter(p => p._1 >= day - 6 && p._1 <= day).map(_._2).sorted
+      assert(vs.length == r.getAs[Long]("n_rows"),
+        s"day $day: window row count ${r.getAs[Long]("n_rows")} != ${vs.length}")
+      def rank(est: Double): Double = vs.count(_ <= est).toDouble / vs.length
+      assert(math.abs(rank(r.getAs[Double]("p50_value")) - 0.5) <= eps,
+        s"day $day p50 rank off")
+      assert(math.abs(rank(r.getAs[Double]("p90_value")) - 0.9) <= eps,
+        s"day $day p90 rank off")
+    }
+  }
+
   test("q120: inclusion-exclusion overlap estimates track exact overlaps") {
     val out = CubeQueries.q120AudienceOverlap(spark, "/root/testdata/sf0.001")
       .collect()
