@@ -155,6 +155,9 @@ object CubeQueries {
     * routing equivalence is pinned in CubeRewriteSpec. */
   def q140DistinctRouting(spark: SparkSession, sfDir: String): DataFrame = {
     val srcDir = distinctRoutingSource(spark, sfDir)
+    // re-asserted on every call (not just setup): another consumer of the
+    // shared session may have flipped it off since the setup was cached
+    spark.conf.set("spark.graft.cube.approxDistinctRouting", "true")
     val q = spark.read.parquet(srcDir)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("nd_users"))
