@@ -341,10 +341,7 @@ object CubeQueries {
         (unix_timestamp(col("ts")).cast("double") / 86400).cast("long").as("d"))
       .groupBy(col("d"))
       .agg(hll_sketch_agg(col("user_id")).as("day_sk"))
-    val days = daily.select(col("d").as("day")).distinct()
-    daily.select(explode(expr("sequence(d, d + 6)")).as("day"), col("day_sk"))
-      .join(broadcast(days), Seq("day"), "left_semi")
-      .groupBy(col("day"))
+    graft.functions.Rolling.endpoints(daily)
       .agg(count(lit(1)).as("n_days_merged"),
         hll_sketch_estimate(hll_union_agg(col("day_sk"))).as("est_users_7d"))
       .orderBy(col("day"))
@@ -370,11 +367,7 @@ object CubeQueries {
           .cast("long").as("d"), col("value"))
       .groupBy(col("d"))
       .agg(Kll.sketchAgg(col("value")).as("day_sk"), count(lit(1)).as("n"))
-    val days = daily.select(col("d").as("day")).distinct()
-    daily.select(explode(expr("sequence(d, d + 6)")).as("day"),
-        col("day_sk"), col("n"))
-      .join(broadcast(days), Seq("day"), "left_semi")
-      .groupBy(col("day"))
+    graft.functions.Rolling.endpoints(daily)
       .agg(sum(col("n")).as("n_rows"), Kll.mergeAgg(col("day_sk")).as("sk"))
       .select(col("day"), col("n_rows"),
         round(Kll.quantile(col("sk"), 0.5), 6).as("p50_value"),

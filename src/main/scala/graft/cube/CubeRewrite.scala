@@ -34,7 +34,14 @@ import org.apache.spark.sql.types.DecimalType
   * estimate(union(HLL partials)) when the cube maintains a sketch
   * measure on x — approximate-to-approximate, but the estimator changes
   * (HLL++ → datasketches HLL), so it is not answer-preserving and stays
-  * off by default.
+  * off by default. Two further limits: a request for tighter error than
+  * the maintained sketch delivers (relativeSD below ~1.6% at the
+  * default lgK) refuses to route, and the contract assumes INSERT-ONLY
+  * maintenance — sketch measures fold inserted rows only (deletes are
+  * not invertible in a sketch; see [[CubeManager.applyDeltas]]), so a
+  * delete-processed cube's partials describe ever-inserted values, not
+  * current state, and such cubes should not be registered for
+  * distinct routing.
   *
   * Install: `spark.experimental.extraOptimizations ++= Seq(
   * CubeRewriteRule)` (done by [[CubeCatalog.install]]) or via
@@ -212,13 +219,22 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
       // for cube-sized cost (the only way a distinct-count query can
       // avoid re-scanning the source: distinct doesn't add across cells,
       // sketches do union).
-      case ae @ AggregateExpression(HyperLogLogPlusPlus(child, _, _, _), Complete, false, _, _)
+      case ae @ AggregateExpression(HyperLogLogPlusPlus(child, rsd, _, _), Complete, false, _, _)
           if approxDistinctRoutingOn =>
         sketchFor(child) match {
-          case Some(sk) =>
-            HllSketchEstimate(
-              ae.copy(aggregateFunction = HllUnionAgg(sk, Literal(false))))
-          case None => ok = false; ae
+          // refuse when the caller asked for tighter error than the
+          // maintained sketch delivers (datasketches HLL at the default
+          // lgK=12: ~1.04/√2¹² ≈ 1.6% standard error) — serving a
+          // high-precision request at cube precision would be silent
+          case Some(sk) if rsd >= 1.04 / math.sqrt(1 << 12) =>
+            // coalesce: union over zero rows (empty/tombstoned cube)
+            // yields a NULL sketch where HLL++ returns 0 — the same
+            // guard the count(1) case carries
+            org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+              HllSketchEstimate(
+                ae.copy(aggregateFunction = HllUnionAgg(sk, Literal(false)))),
+              Literal(0L)))
+          case _ => ok = false; ae
         }
       case ae: AggregateExpression => ok = false; ae
       case other if matchDim(other).isDefined => matchDim(other).get

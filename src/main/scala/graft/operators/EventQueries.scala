@@ -480,10 +480,7 @@ object EventQueries {
       .select(col("user_id"),
         (epochS(col("ts")).cast("double") / 86400).cast("long").as("d"))
       .distinct()
-    val days = du.select(col("d").as("day")).distinct()
-    du.select(col("user_id"), explode(expr("sequence(d, d + 6)")).as("day"))
-      .join(broadcast(days), Seq("day"), "left_semi")
-      .groupBy(col("day"))
+    graft.functions.Rolling.endpoints(du)
       .agg(countDistinct(col("user_id")).as("n_users_7d"))
       .orderBy(col("day"))
   }

@@ -220,8 +220,12 @@ object RelationalQueries {
       .join(span, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey"), col("o_orderkey"),
         col("o_orderdate").as("s"), col("fin").as("e"))
-    val occ = o0.groupBy(col("o_custkey")).agg(count(lit(1)).as("_occ"))
-    val o = o0.join(occ, Seq("o_custkey"))
+    // the cap as a window count (the oracle's QUALIFY form): one
+    // partition-by-custkey exchange — the same partitioning the
+    // self-join below needs — instead of a groupBy + re-join
+    val occW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+    val o = o0.withColumn("_occ", count(lit(1)).over(occW))
       .filter(col("_occ") <= graft.functions.Dedup.MaxBucket).drop("_occ")
     o.as("a").join(o.as("b"),
         col("a.o_custkey") === col("b.o_custkey")
@@ -820,7 +824,7 @@ object RelationalQueries {
       WHERE NOT EXISTS (SELECT 1 FROM orders o
                         WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
       ORDER BY c_custkey""",
-    "q132_interval_overlap" -> """
+    "q132_interval_overlap" -> s"""
       WITH span AS (
         SELECT l_orderkey, max(l_shipdate) AS fin
         FROM lineitem GROUP BY 1),
@@ -829,7 +833,8 @@ object RelationalQueries {
         FROM orders JOIN span ON o_orderkey = l_orderkey),
       o AS (
         SELECT * FROM o0
-        QUALIFY count(1) OVER (PARTITION BY o_custkey) <= 512)
+        QUALIFY count(1) OVER (PARTITION BY o_custkey)
+          <= ${graft.functions.Dedup.MaxBucket})
       SELECT a.o_custkey AS custkey, a.o_orderkey AS oa, b.o_orderkey AS ob,
         CAST(date_diff('day', CAST(greatest(a.s, b.s) AS DATE),
                               CAST(least(a.e, b.e) AS DATE)) + 1 AS BIGINT)

@@ -131,24 +131,16 @@ object Scratch {
           (col("ts") + expr(s"INTERVAL ${i * 60} DAYS")).as("ts")))
         .reduce(_ unionByName _)
       time(s"x$k q138 rolling distinct") {
-        val du = evAt(k).select(col("user_id"),
+        Rolling.endpoints(evAt(k).select(col("user_id"),
             (unix_timestamp(col("ts")).cast("double") / 86400)
-              .cast("long").as("d")).distinct()
-        val days = du.select(col("d").as("day")).distinct()
-        du.select(col("user_id"), explode(expr("sequence(d, d + 6)")).as("day"))
-          .join(broadcast(days), Seq("day"), "left_semi")
-          .groupBy(col("day"))
+              .cast("long").as("d")).distinct())
           .agg(countDistinct(col("user_id")).as("n")).count()
       }
       time(s"x$k q139 rolling hll") {
-        val daily = evAt(k).select(col("user_id"),
+        Rolling.endpoints(evAt(k).select(col("user_id"),
             (unix_timestamp(col("ts")).cast("double") / 86400)
               .cast("long").as("d"))
-          .groupBy(col("d")).agg(hll_sketch_agg(col("user_id")).as("sk"))
-        val days = daily.select(col("d").as("day")).distinct()
-        daily.select(explode(expr("sequence(d, d + 6)")).as("day"), col("sk"))
-          .join(broadcast(days), Seq("day"), "left_semi")
-          .groupBy(col("day"))
+          .groupBy(col("d")).agg(hll_sketch_agg(col("user_id")).as("sk")))
           .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est")).count()
       }
       time(s"x$k q131 grouped topk") {

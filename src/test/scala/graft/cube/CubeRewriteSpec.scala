@@ -239,7 +239,10 @@ class CubeRewriteSpec extends AnyFunSuite {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         CubeCatalog.sourcePathOf(r).get
     }
-    // default: NOT routed (estimator swap is not answer-preserving)
+    // flag off: NOT routed (estimator swap is not answer-preserving).
+    // Set explicitly rather than relying on the session default — q140's
+    // setup (if it ran earlier in this shared session) leaves it on.
+    spark.conf.set("spark.graft.cube.approxDistinctRouting", "false")
     assert(scans(q()) == Seq(CubeCatalog.normalize(srcDir)))
     // opted in: served from the cube, estimate == the cube's own
     // distinctOf read, and within HLL error of exact
@@ -268,6 +271,29 @@ class CubeRewriteSpec extends AnyFunSuite {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("value")).as("nd"))
       assert(scans(unrouted) == Seq(CubeCatalog.normalize(srcDir)))
+      // a request for tighter error than the sketch delivers must not
+      // route either — the cube cannot serve precision it doesn't hold
+      val tight = spark.read.parquet(srcDir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.001).as("nd"))
+      assert(scans(tight) == Seq(CubeCatalog.normalize(srcDir)))
+      // an empty registered source must serve 0, not NULL, when routed
+      val emptySrc = Files.createTempDirectory("graft_rw_sk_empty").toString
+      Seq.empty[(String, Timestamp, Double, Long)]
+        .toDF("event_type", "ts", "value", "user_id")
+        .write.mode("overwrite").parquet(emptySrc)
+      val emptyCubeDir = Files.createTempDirectory("graft_rw_sk_ecube").toString
+      CubeManager.save(CubeManager.create(
+        skCfg.copy(name = "rwske"), spark.read.parquet(emptySrc)), emptyCubeDir)
+      CubeCatalog.register("rwske",
+        CubeManager.load(spark, emptyCubeDir, "rwske"), emptySrc)
+      val zeroQ = spark.read.parquet(emptySrc)
+        .agg(approx_count_distinct(col("user_id")).as("nd"))
+      assert(scans(zeroQ) == Seq(CubeCatalog.normalize(s"$emptyCubeDir/rwske")),
+        s"expected the empty cube to serve the query, got ${scans(zeroQ)}")
+      val zeroRow = zeroQ.collect().head
+      assert(!zeroRow.isNullAt(0) && zeroRow.getLong(0) == 0L,
+        s"global approx-distinct over empty cube must be 0, got $zeroRow")
     } finally {
       spark.conf.set("spark.graft.cube.approxDistinctRouting", "false")
       CubeCatalog.clear()

@@ -128,29 +128,22 @@ class StreamingSpec extends AnyFunSuite {
       df(rows.take(1)).schema, tmp("graft_roll_ckpt"), "rollcube_stream")
     q.processAllAvailable()
     q.stop()
-    def rolling(daily: DataFrame): Map[Long, Long] = {
-      val d = daily.select(
-        (unix_timestamp(col("day")).cast("double") / 86400)
-          .cast("long").as("d"), col("users"))
-      val days = d.select(col("d").as("day")).distinct()
-      d.select(explode(expr("sequence(d, d + 6)")).as("day"), col("users"))
-        .join(broadcast(days), Seq("day"), "left_semi")
-        .groupBy(col("day"))
+    def rolling(daily: DataFrame): Map[Long, Long] =
+      graft.functions.Rolling.endpoints(daily.select(
+          (unix_timestamp(col("day")).cast("double") / 86400)
+            .cast("long").as("d"), col("users")))
         .agg(hll_sketch_estimate(hll_union_agg(col("users"))).as("est"))
         .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("est")).toMap
-    }
     val streamed = rolling(spark.table("rollcube_stream"))
     val batch = rolling(CubeManager.create(rollCfg, df(rows)).aggregates)
     assert(streamed == batch && streamed.nonEmpty,
       "rolling merge over stream-maintained partials must equal the batch cube's")
     // and the curve tracks the exact rolling distinct of the raw log
-    val exact = df(rows).select(col("user_id"),
-        (unix_timestamp(col("ts")).cast("double") / 86400).cast("long").as("d"))
-      .distinct()
-      .select(col("user_id"), explode(expr("sequence(d, d + 6)")).as("day"))
-      .join(df(rows).select((unix_timestamp(col("ts")).cast("double") / 86400)
-        .cast("long").as("day")).distinct(), Seq("day"), "left_semi")
-      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("n"))
+    val exact = graft.functions.Rolling.endpoints(
+        df(rows).select(col("user_id"),
+          (unix_timestamp(col("ts")).cast("double") / 86400)
+            .cast("long").as("d")).distinct())
+      .agg(countDistinct(col("user_id")).as("n"))
       .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("n")).toMap
     assert(streamed.keySet == exact.keySet)
     exact.foreach { case (day, n) =>
