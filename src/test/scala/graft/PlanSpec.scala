@@ -93,6 +93,22 @@ class PlanSpec extends AnyFunSuite {
       s"q02 reads unneeded columns: $readSchema")
   }
 
+  test("partition pruning: a filtered read of the q86 export prunes by directory") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // materialize the partitioned export, then read it back filtered on
+    // a partition column: the predicate must land in PartitionFilters
+    // (directory-level pruning — no data files of other langs touched),
+    // not as a data-filter over a full scan
+    SparkEntry.queries("q86_shard_export")(spark, sfDir).collect()
+    val out = s"${sys.props("java.io.tmpdir")}/graft_shard_export_" +
+      sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val plan = spark.read.parquet(out).filter(col("lang") === "en")
+      .agg(count(lit(1))).queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(pf.contains("lang"), s"no partition filter on lang:\n$plan")
+  }
+
   test("q112 OR-of-ANDs predicate splits and pushes to BOTH scans") {
     val plan = SparkEntry.queries("q112_discounted_revenue")(spark, sfDir)
       .queryExecution.executedPlan.toString
