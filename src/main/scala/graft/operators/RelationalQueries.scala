@@ -681,7 +681,62 @@ object RelationalQueries {
       .orderBy(col("n_chars").desc, col("doc_id"))
   }
 
+  // --------------------------------------------------------------- q142
+  /** DATA-QUALITY AUDIT — the constraint report a lake pipeline runs on
+    * every snapshot before anything downstream trusts it: per-table row
+    * counts, null/duplicate/range violations as ONE conditional
+    * aggregate per table (map-side partials — a 9-metric audit costs
+    * two scans, not nine), referential orphans as left-anti hash joins
+    * on the FK, and a cross-table temporal constraint (no lineitem
+    * ships before its order is placed) as one equi-join with the
+    * violation predicate folded into a conditional count. Output is the
+    * fixed (metric, value) table an alerting layer diffs run-over-run.
+    *
+    * Scale shape: every metric is associative (sum/count partials), so
+    * the audit parallelizes like any aggregate; the anti-joins shuffle
+    * on the FK being audited — the same key the tables would co-locate
+    * on in a bucketed lake layout, making the orphan checks co-located
+    * joins at 100 TB. Nothing here is sampled: audits gate pipelines,
+    * so every count is exact. */
+  def q142QualityAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val ordersAgg = o.agg(
+      count(lit(1)).as("orders_rows"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+        .as("orders_null_custkey"),
+      (count(lit(1)) - countDistinct(col("o_orderkey")))
+        .as("orders_dup_orderkey"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L))
+        .as("orders_nonpositive_total"))
+    val liAgg = li.agg(
+      count(lit(1)).as("lineitem_rows"),
+      sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
+        .otherwise(0L)).as("lineitem_qty_out_of_range"))
+    val orphanOrders = o.join(c, col("o_custkey") === col("c_custkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("orders_orphan_custkey"))
+    val orphanLines = li.join(o, col("l_orderkey") === col("o_orderkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("lineitem_orphan_orderkey"))
+    val shipBeforeOrder = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .agg(sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L))
+        .as("lineitem_ship_before_order"))
+    def unpivot(df: DataFrame): DataFrame = {
+      val cols = df.columns
+      df.select(expr(s"stack(${cols.length}, " +
+        cols.map(n => s"'$n', CAST($n AS BIGINT)").mkString(", ") +
+        ") AS (metric, value)"))
+    }
+    unpivot(ordersAgg).unionByName(unpivot(liAgg))
+      .unionByName(unpivot(orphanOrders)).unionByName(unpivot(orphanLines))
+      .unionByName(unpivot(shipBeforeOrder))
+      .orderBy(col("metric"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q142_quality_audit" -> q142QualityAudit,
     "q01_pricing_summary" -> q01PricingSummary,
     "q114_skyline" -> q114Skyline,
     "q78_pivot" -> q78Pivot,
@@ -725,6 +780,36 @@ object RelationalQueries {
     * DuckDB's sum(BIGINT)→HUGEINT and year()→BIGINT would otherwise drift
     * from Spark's types. */
   lazy val sql: Map[String, String] = Map(
+    "q142_quality_audit" -> """
+      WITH m AS (
+        SELECT 'orders_rows' AS metric, count(1) AS value FROM orders
+        UNION ALL
+        SELECT 'orders_null_custkey',
+          sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM orders
+        UNION ALL
+        SELECT 'orders_dup_orderkey',
+          count(1) - count(DISTINCT o_orderkey) FROM orders
+        UNION ALL
+        SELECT 'orders_nonpositive_total',
+          sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) FROM orders
+        UNION ALL
+        SELECT 'lineitem_rows', count(1) FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_qty_out_of_range',
+          sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+              THEN 1 ELSE 0 END) FROM lineitem
+        UNION ALL
+        SELECT 'orders_orphan_custkey', count(1) FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        UNION ALL
+        SELECT 'lineitem_orphan_orderkey', count(1) FROM lineitem
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        UNION ALL
+        SELECT 'lineitem_ship_before_order',
+          sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      SELECT metric, CAST(value AS BIGINT) AS value FROM m
+      ORDER BY metric""",
     // Same fixpoint, different algorithm: the oracle is the O(n²)
     // dominance NOT EXISTS; the Spark side is the linear reduce+window
     // form — hash equality proves the rewrite.
