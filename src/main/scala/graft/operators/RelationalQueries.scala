@@ -681,6 +681,70 @@ object RelationalQueries {
       .orderBy(col("n_chars").desc, col("doc_id"))
   }
 
+  // --------------------------------------------------------------- q143
+  /** One-time bucketed layout for q143, keyed per (session, sfDir):
+    * both fact tables written `bucketBy(8, <join key>)` + sorted within
+    * buckets, as EXTERNAL parquet tables (explicit temp paths — the
+    * in-memory catalog carries only metadata). */
+  private val bucketedSetup = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String)]
+  private def bucketedTables(spark: SparkSession,
+      sfDir: String): (String, String) =
+    bucketedSetup.getOrElseUpdate((spark, sfDir), {
+      val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+      val (to, tl) = (s"orders_bucketed_$tag", s"lineitem_bucketed_$tag")
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .write.mode("overwrite").option("path", s"$dir/$to")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .write.mode("overwrite").option("path", s"$dir/$tl")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+      (to, tl)
+    })
+
+  /** BUCKETED CO-LOCATED JOIN — the lake-layout answer to the fact-to-
+    * fact shuffle: both tables are written `bucketBy(8, <join key>)`,
+    * so every join key lives in the same bucket number on both sides
+    * and the join reads bucket i against bucket i with ZERO exchanges
+    * (hard-asserted on the plan below). At 100 TB this is the
+    * difference between re-shuffling both fact tables on every join
+    * and paying the partitioning ONCE at write time — the equi-join
+    * twin of the Z-order locality story (q116), and what
+    * `repartition`-before-write approximates without catalog support.
+    * The oracle recomputes the same join from the RAW tables, so hash
+    * equality also proves the bucketed round-trip is lossless. */
+  def q143BucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (to, tl) = bucketedTables(spark, sfDir)
+    // MERGE hint: at test sf the small side fits the broadcast threshold
+    // and the planner would broadcast (disabling bucketing as pointless);
+    // the layout exists for the fact-to-fact case where NEITHER side
+    // broadcasts, so the hint pins exactly that shape for the assertion
+    val joined = spark.table(tl).hint("merge").join(
+      spark.table(to).hint("merge"),
+      col("l_orderkey") === col("o_orderkey"))
+    // the scale claim, enforced: bucket-aligned scans feed the join
+    // directly (partition-local Sorts only) — any Exchange means the
+    // layout was not exploited
+    val joinPlan = joined.queryExecution.executedPlan.toString
+    require(!joinPlan.contains("Exchange"),
+      s"bucketed join must not shuffle:\n$joinPlan")
+    require(joinPlan.contains("Bucketed: true"),
+      s"join scans must read the bucketed layout:\n$joinPlan")
+    joined
+      .groupBy(year(col("o_orderdate")).as("order_year"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("revenue"))
+      .select(asLong(col("order_year")).as("order_year"),
+        col("o_orderpriority"), col("n_items"), col("sum_qty"),
+        col("revenue"))
+      .orderBy(col("order_year"), col("o_orderpriority"))
+  }
+
   // --------------------------------------------------------------- q142
   /** DATA-QUALITY AUDIT — the constraint report a lake pipeline runs on
     * every snapshot before anything downstream trusts it: per-table row
@@ -736,6 +800,7 @@ object RelationalQueries {
   }
 
   lazy val defs: Map[String, Q] = Map(
+    "q143_bucketed_join" -> q143BucketedJoin,
     "q142_quality_audit" -> q142QualityAudit,
     "q01_pricing_summary" -> q01PricingSummary,
     "q114_skyline" -> q114Skyline,
@@ -780,6 +845,14 @@ object RelationalQueries {
     * DuckDB's sum(BIGINT)→HUGEINT and year()→BIGINT would otherwise drift
     * from Spark's types. */
   lazy val sql: Map[String, String] = Map(
+    "q143_bucketed_join" -> """
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        o_orderpriority, count(1) AS n_items,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+      ORDER BY order_year, o_orderpriority""",
     "q142_quality_audit" -> """
       WITH m AS (
         SELECT 'orders_rows' AS metric, count(1) AS value FROM orders
