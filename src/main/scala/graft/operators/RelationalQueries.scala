@@ -745,6 +745,31 @@ object RelationalQueries {
       .orderBy(col("order_year"), col("o_orderpriority"))
   }
 
+  // --------------------------------------------------------------- q144
+  /** BUCKETED PRE-SHUFFLED AGGREGATION — the layout's second dividend:
+    * a group-by on the bucket key needs NO exchange either (the scan's
+    * hash partitioning already satisfies the aggregate's distribution
+    * requirement, hard-asserted below), so per-key rollups over the
+    * fact table run as a single map-side stage. With q143 this
+    * completes the co-location story: bucket once at write time, then
+    * every join AND every aggregation on that key is shuffle-free —
+    * at 100 TB the entire shuffle tier for the table's hottest key
+    * disappears. The oracle recomputes from the raw table (the
+    * bucketed round-trip proven lossless again, now through an
+    * aggregation). */
+  def q144BucketedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, tl) = bucketedTables(spark, sfDir)
+    val agg = spark.table(tl)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("revenue"))
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    require(!aggPlan.contains("Exchange"),
+      s"bucketed group-by on the bucket key must not shuffle:\n$aggPlan")
+    agg.orderBy(col("l_orderkey"))
+  }
+
   // --------------------------------------------------------------- q142
   /** DATA-QUALITY AUDIT — the constraint report a lake pipeline runs on
     * every snapshot before anything downstream trusts it: per-table row
@@ -801,6 +826,7 @@ object RelationalQueries {
 
   lazy val defs: Map[String, Q] = Map(
     "q143_bucketed_join" -> q143BucketedJoin,
+    "q144_bucketed_agg" -> q144BucketedAgg,
     "q142_quality_audit" -> q142QualityAudit,
     "q01_pricing_summary" -> q01PricingSummary,
     "q114_skyline" -> q114Skyline,
@@ -853,6 +879,13 @@ object RelationalQueries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1, 2
       ORDER BY order_year, o_orderpriority""",
+    "q144_bucketed_agg" -> """
+      SELECT l_orderkey, count(1) AS n_items,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY 1""",
     "q142_quality_audit" -> """
       WITH m AS (
         SELECT 'orders_rows' AS metric, count(1) AS value FROM orders
