@@ -109,6 +109,25 @@ class PlanSpec extends AnyFunSuite {
     assert(pf.contains("lang"), s"no partition filter on lang:\n$plan")
   }
 
+  test("bucket pruning: a point filter on the bucket key reads one bucket of eight") {
+    import org.apache.spark.sql.functions.col
+    // materialize the q143/q144 bucketed layout, then filter on the
+    // bucket key: the scan must prune to a single bucket's files
+    SparkEntry.queries("q144_bucketed_agg")(spark, sfDir).collect()
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    // a bare filter has no distribution requirement, so the planner's
+    // auto-bucketed-scan heuristic would skip the bucketed read (and
+    // with it the pruning) — force the bucketed scan for the assertion
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val plan = spark.table(s"lineitem_bucketed_$tag")
+        .filter(col("l_orderkey") === 1L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"point filter did not prune buckets:\n$plan")
+    } finally spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
   test("q112 OR-of-ANDs predicate splits and pushes to BOTH scans") {
     val plan = SparkEntry.queries("q112_discounted_revenue")(spark, sfDir)
       .queryExecution.executedPlan.toString
