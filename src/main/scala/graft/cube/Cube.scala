@@ -98,6 +98,14 @@ final case class Cube(config: CubeConfig, aggregates: DataFrame) {
 
 object CubeManager {
   val CountCol = "_count"
+  /** lgConfigK of every HLL sketch measure the engine maintains (the
+    * hll_sketch_agg default, made explicit so consumers — notably
+    * CubeRewriteRule's precision gate — derive their error bound from
+    * the SAME constant the sketches are built with). Standard error
+    * ≈ 1.04/√2^lgK ≈ 1.6%. */
+  val SketchLgK = 12
+  /** Standard error of the maintained sketches at [[SketchLgK]]. */
+  def sketchError: Double = 1.04 / math.sqrt(1 << SketchLgK)
   private val Dec = DecimalType(18, 2)
 
   /** R1: initial cube population — one full source scan, then the cube
@@ -105,7 +113,8 @@ object CubeManager {
   def create(config: CubeConfig, source: DataFrame): Cube = {
     val sums = config.measures.map(m =>
       sum(col(m.path).cast(Dec)).cast(Dec).as(m.id))
-    val sks = config.sketches.map(m => hll_sketch_agg(col(m.path)).as(m.id))
+    val sks = config.sketches.map(m =>
+      hll_sketch_agg(col(m.path), SketchLgK).as(m.id))
     val qs = config.quantiles.map(m =>
       graft.functions.Kll.sketchAgg(col(m.path).cast("double")).as(m.id))
     val agg = source
@@ -131,7 +140,7 @@ object CubeManager {
     // sketch measures fold INSERTED rows only (see CubeConfig): the
     // when() nulls out delete rows and both sketch aggregates skip nulls
     val deltaSks = cfg.sketches.map(m =>
-      hll_sketch_agg(when(col("_sign") > 0, col(m.path))).as(m.id))
+      hll_sketch_agg(when(col("_sign") > 0, col(m.path)), SketchLgK).as(m.id))
     val deltaQs = cfg.quantiles.map(m =>
       graft.functions.Kll.sketchAgg(
         when(col("_sign") > 0, col(m.path).cast("double"))).as(m.id))

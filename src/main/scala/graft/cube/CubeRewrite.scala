@@ -223,10 +223,11 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
           if approxDistinctRoutingOn =>
         sketchFor(child) match {
           // refuse when the caller asked for tighter error than the
-          // maintained sketch delivers (datasketches HLL at the default
-          // lgK=12: ~1.04/√2¹² ≈ 1.6% standard error) — serving a
-          // high-precision request at cube precision would be silent
-          case Some(sk) if rsd >= 1.04 / math.sqrt(1 << 12) =>
+          // maintained sketch delivers (CubeManager.SketchLgK — the same
+          // constant the sketches are BUILT with, ~1.6% at lgK=12) —
+          // serving a high-precision request at cube precision would be
+          // silent
+          case Some(sk) if rsd >= CubeManager.sketchError =>
             // coalesce: union over zero rows (empty/tombstoned cube)
             // yields a NULL sketch where HLL++ returns 0 — the same
             // guard the count(1) case carries

@@ -19,6 +19,9 @@ object Rolling {
     * no column named `day`); every other column rides along to the
     * caller's aggregate (re-count, sketch union, ...). */
   def endpoints(daily: DataFrame, len: Int = 7): RelationalGroupedDataset = {
+    // len=0 would make sequence(d, d-1) a DESCENDING 2-element array —
+    // a silently wrong curve, not an empty one
+    require(len >= 1, s"rolling window length must be >= 1, got $len")
     val days = daily.select(col("d").as("day")).distinct()
     daily
       .withColumn("day", explode(expr(s"sequence(d, d + ${len - 1})")))

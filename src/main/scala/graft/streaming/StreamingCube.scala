@@ -48,7 +48,7 @@ object StreamingCube {
     // buffer lives in the state store per group, merged per micro-batch
     // (TypedImperativeAggregate buffers serialize into streaming state
     // like any partial aggregate)
-    val sks = config.sketches.map(m => hll_sketch_agg(col(m.path)).as(m.id))
+    val sks = config.sketches.map(m => hll_sketch_agg(col(m.path), graft.cube.CubeManager.SketchLgK).as(m.id))
     val qs = config.quantiles.map(m =>
       graft.functions.Kll.sketchAgg(col(m.path).cast("double")).as(m.id))
     val agg = stream
