@@ -143,6 +143,25 @@ object Scratch {
           .groupBy(col("d")).agg(hll_sketch_agg(col("user_id")).as("sk")))
           .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est")).count()
       }
+      // quality audit: tables replicated with shifted keys (valid FKs
+      // preserved) — every metric is an associative aggregate or a
+      // keyed join, so the audit should scale linearly
+      time(s"x$k q142 quality audit") {
+        val ok = ordAt(k)
+        val lk = (0 until k).map(i =>
+          lif.select((col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
+            col("l_shipdate"))).reduce(_ unionByName _)
+        val orphans = lk.join(ok, col("l_orderkey") === col("o_orderkey"),
+            "left_outer")
+          .agg(coalesce(sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)),
+              lit(0L)).as("orphans"),
+            coalesce(sum(when(col("l_shipdate").cast("date")
+                < col("o_orderdate").cast("date"), 1L).otherwise(0L)),
+              lit(0L)).as("ship_before"))
+        val dups = ok.agg((count(lit(1)) - countDistinct(col("o_orderkey")))
+          .as("dups"))
+        orphans.crossJoin(dups).count()
+      }
       time(s"x$k q131 grouped topk") {
         d.select(col("lang"), explode_outer(split(col("text"), " ")).as("w"))
           .filter(col("w").isNotNull && col("w") =!= "")
