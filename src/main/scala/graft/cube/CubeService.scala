@@ -151,4 +151,56 @@ final class CubeService(spark: SparkSession, storageDir: String) {
       quantilesOf: Seq[(String, Double)] = Nil): DataFrame =
     CubeManager.query(loadCube(name), dims, filter, sumOf, avgOf,
       distinctOf, quantilesOf)
+
+  /** ROLLING-window serve from maintained daily partials — the
+    * q138/q139/q141 pattern as a service verb: for every observed day,
+    * answer distinct counts (HLL) and percentiles (KLL) over the
+    * trailing `windowDays`-day window by unioning the per-day sketch partials
+    * of day-granularity time dimension `dayDim`. Exact counts/ranks
+    * cannot roll over a sliding window from pre-aggregated state;
+    * sketches union, so the whole serve reads |days|·windowDays cube rows and
+    * never the source. Output: `day` (epoch day) + `n_distinct_<id>` /
+    * `p<pct>_<id>` columns, the [[getAggregates]] naming. */
+  def getRolling(
+      name: String,
+      dayDim: String,
+      windowDays: Int = 7,
+      distinctOf: Seq[String] = Nil,
+      quantilesOf: Seq[(String, Double)] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cube = loadCube(name)
+    require(cube.config.dims.exists {
+        case TimeDim(id, _, g) => id == dayDim && g == "day"
+        case _ => false
+      }, s"$dayDim must be a day-granularity time dimension of cube $name")
+    require(distinctOf.nonEmpty || quantilesOf.nonEmpty,
+      "request at least one sketch measure (distinctOf / quantilesOf)")
+    distinctOf.foreach(id => require(cube.config.sketches.exists(_.id == id),
+      s"$id is not an HLL sketch measure of cube $name"))
+    quantilesOf.foreach { case (id, _) =>
+      require(cube.config.quantiles.exists(_.id == id),
+        s"$id is not a KLL quantile measure of cube $name")
+    }
+    // collapse to ONE partial row per day first (other dimensions may
+    // subdivide a day across many cells)
+    val dailyAggs = distinctOf.map(id => hll_union_agg(col(id)).as(id)) ++
+      quantilesOf.map(_._1).distinct.map(id =>
+        graft.functions.Kll.mergeAgg(col(id)).as(id))
+    val daily = cube.live
+      .groupBy((unix_timestamp(col(dayDim)).cast("double") / 86400)
+        .cast("long").as("d"))
+      .agg(dailyAggs.head, dailyAggs.tail: _*)
+    val endpointAggs = distinctOf.map(id =>
+      hll_sketch_estimate(hll_union_agg(col(id))).as(s"n_distinct_$id")) ++
+      quantilesOf.map { case (id, q) =>
+        val pct = java.math.BigDecimal.valueOf(q)
+          .multiply(java.math.BigDecimal.valueOf(100L))
+          .stripTrailingZeros.toPlainString.replace(".", "_")
+        graft.functions.Kll.quantile(
+          graft.functions.Kll.mergeAgg(col(id)), q).as(s"p${pct}_$id")
+      }
+    graft.functions.Rolling.endpoints(daily, windowDays)
+      .agg(endpointAggs.head, endpointAggs.tail: _*)
+      .orderBy(col("day"))
+  }
 }

@@ -114,6 +114,57 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteCube("skq")
   }
 
+  test("getRolling serves the trailing-window curve from daily partials") {
+    import spark.implicits._
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_roll").toString)
+    val rnd = new scala.util.Random(47)
+    // 10 days × events; a second dimension (etype) subdivides each day,
+    // so the verb's per-day pre-collapse is exercised too
+    val rows = (0 until 800).map { _ =>
+      (Seq("click", "view")(rnd.nextInt(2)),
+        new Timestamp(1700000000000L + rnd.nextInt(10) * 86400000L
+          + rnd.nextInt(86400000)),
+        rnd.nextInt(1000).toDouble, rnd.nextInt(70).toLong)
+    }
+    val cfg = CubeConfig("roll", "events",
+      Seq(FieldDim("etype", "event_type"), TimeDim("day", "ts", "day")),
+      Seq(Measure("v", "value")),
+      sketches = Seq(Measure("users", "user_id")),
+      quantiles = Seq(Measure("dist", "value")))
+    svc.createCube(cfg, rows.toDF("event_type", "ts", "value", "user_id"))
+    val out = svc.getRolling("roll", "day", windowDays = 7,
+        distinctOf = Seq("users"), quantilesOf = Seq(("dist", 0.5)))
+      .collect()
+    val byDay = rows.groupBy(r => r._2.getTime / 86400000L)
+    assert(out.length == byDay.size, "one endpoint per observed day")
+    val eps = 3 * graft.functions.Kll.rankError() + 0.01
+    out.foreach { r =>
+      val day = r.getAs[Long]("day")
+      val window = (day - 6 to day).flatMap(d =>
+        byDay.getOrElse(d, Nil))
+      val exactUsers = window.map(_._4).distinct.size
+      val est = r.getAs[Long]("n_distinct_users")
+      assert(math.abs(est - exactUsers) <= math.max(exactUsers * 0.05, 2.0),
+        s"day $day: distinct $est vs exact $exactUsers")
+      val vs = window.map(_._3).sorted
+      val p50 = r.getAs[Double]("p50_dist")
+      val rank = vs.count(_ <= p50).toDouble / vs.length
+      // + 1/n: on a tiny window (the first endpoints) rank is discrete —
+      // an EXACT median of 5 values sits at rank 0.6
+      assert(math.abs(rank - 0.5) <= eps + 1.0 / vs.length,
+        s"day $day: p50 rank $rank off (window ${vs.length})")
+    }
+    // guardrails: wrong dim granularity / unknown measure fail fast
+    intercept[IllegalArgumentException] {
+      svc.getRolling("roll", "etype", distinctOf = Seq("users"))
+    }
+    intercept[IllegalArgumentException] {
+      svc.getRolling("roll", "day", distinctOf = Seq("nope"))
+    }
+    svc.deleteCube("roll")
+  }
+
   test("publish-crash recovery: name.old restored when the publish dir is missing") {
     val dir = Files.createTempDirectory("graft_svc_crash").toString
     val svc = new CubeService(spark, dir)
