@@ -106,6 +106,16 @@ object CubeManager {
   val SketchLgK = 12
   /** Standard error of the maintained sketches at [[SketchLgK]]. */
   def sketchError: Double = 1.04 / math.sqrt(1 << SketchLgK)
+
+  /** Column-label fragment for a requested rank: the rank's canonical
+    * decimal form, so distinct ranks always get distinct columns (a
+    * rounded "%02d" label would collide 0.995 with 0.999, and two
+    * same-named aggregate columns make every downstream by-name
+    * reference ambiguous). Shared by [[query]] and
+    * `CubeService.getRolling` so the two verbs stay name-compatible. */
+  def rankLabel(q: Double): String = java.math.BigDecimal.valueOf(q)
+    .multiply(java.math.BigDecimal.valueOf(100L))
+    .stripTrailingZeros.toPlainString.replace(".", "_")
   private val Dec = DecimalType(18, 2)
 
   /** R1: initial cube population — one full source scan, then the cube
@@ -184,17 +194,11 @@ object CubeManager {
     val dsts = distinctOf.map(id =>
       hll_sketch_estimate(hll_union_agg(col(id))).as(s"n_distinct_$id"))
     // percentiles the same way: one KLL union per id (Catalyst dedups
-    // the identical merge aggregates), a point-read per requested rank.
-    // Labels come from the rank's canonical decimal form, so distinct
-    // ranks always get distinct columns (a rounded "%02d" label would
-    // collide 0.995 with 0.999, and two same-named aggregate columns
-    // make every downstream by-name reference ambiguous).
+    // the identical merge aggregates), a point-read per requested rank
+    // labeled by rankLabel's canonical decimal form.
     val qnts = quantilesOf.map { case (id, q) =>
-      val pct = java.math.BigDecimal.valueOf(q)
-        .multiply(java.math.BigDecimal.valueOf(100L))
-        .stripTrailingZeros.toPlainString.replace(".", "_")
       graft.functions.Kll.quantile(graft.functions.Kll.mergeAgg(col(id)), q)
-        .as(s"p${pct}_$id")
+        .as(s"p${rankLabel(q)}_$id")
     }
     val aggs = sums ++ avgs ++ dsts ++ qnts :+ sum(col(CountCol)).as("n_rows")
     base.groupBy(subsetDims.map(col): _*).agg(aggs.head, aggs.tail: _*)

@@ -158,9 +158,12 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     * trailing `windowDays`-day window by unioning the per-day sketch partials
     * of day-granularity time dimension `dayDim`. Exact counts/ranks
     * cannot roll over a sliding window from pre-aggregated state;
-    * sketches union, so the whole serve reads |days|·windowDays cube rows and
-    * never the source. Output: `day` (epoch day) + `n_distinct_<id>` /
-    * `p<pct>_<id>` columns, the [[getAggregates]] naming. */
+    * sketches union, so the serve reads cube-sized data once (the
+    * per-day pre-collapse over live cells) and the windowed stage is
+    * |days|·windowDays one-row partials — never the source. Output:
+    * `day` (days since 1970-01-01 of the dimension's calendar day) +
+    * `n_distinct_<id>` / `p<pct>_<id>` columns, the [[getAggregates]]
+    * naming. */
   def getRolling(
       name: String,
       dayDim: String,
@@ -186,18 +189,20 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     val dailyAggs = distinctOf.map(id => hll_union_agg(col(id)).as(id)) ++
       quantilesOf.map(_._1).distinct.map(id =>
         graft.functions.Kll.mergeAgg(col(id)).as(id))
+    // calendar-day index via datediff, NOT unix_timestamp/86400: the
+    // dimension cell is a LOCAL midnight, and in a non-UTC session the
+    // epoch arithmetic merges the two days straddling a DST transition
+    // (and truncates toward zero pre-1970); datediff is TZ-consistent
     val daily = cube.live
-      .groupBy((unix_timestamp(col(dayDim)).cast("double") / 86400)
+      .groupBy(datediff(col(dayDim).cast("date"), lit("1970-01-01"))
         .cast("long").as("d"))
       .agg(dailyAggs.head, dailyAggs.tail: _*)
     val endpointAggs = distinctOf.map(id =>
       hll_sketch_estimate(hll_union_agg(col(id))).as(s"n_distinct_$id")) ++
       quantilesOf.map { case (id, q) =>
-        val pct = java.math.BigDecimal.valueOf(q)
-          .multiply(java.math.BigDecimal.valueOf(100L))
-          .stripTrailingZeros.toPlainString.replace(".", "_")
         graft.functions.Kll.quantile(
-          graft.functions.Kll.mergeAgg(col(id)), q).as(s"p${pct}_$id")
+          graft.functions.Kll.mergeAgg(col(id)), q)
+          .as(s"p${CubeManager.rankLabel(q)}_$id")
       }
     graft.functions.Rolling.endpoints(daily, windowDays)
       .agg(endpointAggs.head, endpointAggs.tail: _*)

@@ -148,9 +148,7 @@ object Scratch {
       // keyed join, so the audit should scale linearly
       time(s"x$k q142 quality audit") {
         val ok = ordAt(k)
-        val lk = (0 until k).map(i =>
-          lif.select((col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
-            col("l_shipdate"))).reduce(_ unionByName _)
+        val lk = liAt(k)
         val orphans = lk.join(ok, col("l_orderkey") === col("o_orderkey"),
             "left_outer")
           .agg(coalesce(sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)),
