@@ -370,7 +370,56 @@ object Sampling {
       .orderBy(col("lang"), col("rk"))
   }
 
+  // --------------------------------------------------------------- q145
+  /** SMALL-FILE COMPACTION (the lake OPTIMIZE verb): a fragmented
+    * partitioned dataset — here deliberately written as ~16 files per
+    * `lang` directory, the shape every streaming/incremental ingest
+    * produces — is rewritten to ONE file per partition with rows sorted
+    * by doc_id inside each file. The file-count reduction is
+    * hard-asserted (require, not just measured), and the query's output
+    * is an inventory of the COMPACTED files, oracled against the source
+    * table: hash equality proves compaction lost and duplicated
+    * nothing.
+    *
+    * Scale shape: `repartition(lang)` gives one task per output
+    * directory (the q86 discipline) and `sortWithinPartitions` is a
+    * partition-local sort — no global shuffle beyond the one
+    * repartition. The in-file doc_id ordering is what makes parquet
+    * row-group min/max stats selective for key lookups after
+    * compaction (the q116 Z-order story, single-key case). At lake
+    * scale this runs per-partition-predicate (compact yesterday's
+    * ingest), which is exactly the directory granularity used here. */
+  def q145CompactOptimize(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_compact_" +
+      sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val docs = Tables.documents(spark, sfDir)
+    docs.repartition(16)
+      .write.mode("overwrite").partitionBy("lang").parquet(s"$out/frag")
+    def parquetFiles(dir: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir))
+    }
+    val before = parquetFiles(s"$out/frag")
+    spark.read.parquet(s"$out/frag")
+      .repartition(col("lang"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").partitionBy("lang").parquet(s"$out/opt")
+    val after = parquetFiles(s"$out/opt")
+    require(after < before,
+      s"compaction must reduce file count: $before -> $after")
+    spark.read.parquet(s"$out/opt")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        asLong(sum(col("n_chars"))).as("total_chars"),
+        asLong(min(col("doc_id"))).as("first_doc"),
+        asLong(max(col("doc_id"))).as("last_doc"))
+      .orderBy(col("lang"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q145_compact_optimize" -> q145CompactOptimize,
     "q136_exact_k_per_group" -> q136ExactKPerGroup,
     "q70_stratified_sample" -> q70StratifiedSample,
     "q71_sequence_pack" -> q71SequencePack,
@@ -385,6 +434,14 @@ object Sampling {
   )
 
   lazy val sql: Map[String, String] = Map(
+    "q145_compact_optimize" -> """
+      SELECT lang, count(1) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        CAST(min(doc_id) AS BIGINT) AS first_doc,
+        CAST(max(doc_id) AS BIGINT) AS last_doc
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""",
     "q136_exact_k_per_group" -> """
       SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
       FROM (
