@@ -131,8 +131,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("might_contain_long"),
       new ExpressionInfo(classOf[MightContainLong].getName, "might_contain_long"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MightContainLong(exprs(0), exprs(1),
-          literalInt(exprs(2), "might_contain_long(bloom, key, k)"))))
+        // k is NOT a parameter: the probe reads it from the bloom value's
+        // header word, so build and probe can never disagree
+        MightContainLong(exprs(0), exprs(1))))
   }
 
   private def literalInt(

@@ -90,8 +90,18 @@ final case class CubeConfig(
   * tombstone rows after an over-deletion (more deletes than prior
   * inserts folded for a group) — kept so that a later insert nets
   * against the debt exactly as a from-scratch signed recompute would.
-  * `live` is the queryable view: groups with a positive row count. */
-final case class Cube(config: CubeConfig, aggregates: DataFrame) {
+  * `live` is the queryable view: groups with a positive row count.
+  *
+  * `hasDeletes` records whether any delete (`_sign < 0`) has ever been
+  * folded while the cube maintains sketch/quantile measures. Sketches
+  * are insert-only (a delete is not invertible in an HLL/KLL), so once
+  * set the sketch partials describe EVER-INSERTED values, not current
+  * state — [[CubeRewriteRule]] refuses approx-distinct routing and
+  * `CubeService.getRolling` refuses sketch serves for such cubes (the
+  * exact sum/count measures stay correct and keep serving). Persisted
+  * with the config by [[CubeManager.save]]/[[CubeManager.saveMeta]]. */
+final case class Cube(config: CubeConfig, aggregates: DataFrame,
+    hasDeletes: Boolean = false) {
   def live: DataFrame =
     aggregates.filter(org.apache.spark.sql.functions.col(CubeManager.CountCol) > 0)
 }
@@ -145,6 +155,14 @@ object CubeManager {
     * sequence. Tombstones are hidden from [[Cube.live]]/[[query]]. */
   def applyDeltas(cube: Cube, deltas: DataFrame): Cube = {
     val cfg = cube.config
+    // Sketch measures cannot un-see a delete: the first negative-sign row
+    // folded into a sketch-carrying cube trips the persisted hasDeletes
+    // latch that downstream sketch serves check. One tiny job over the
+    // delta batch (skipped entirely for sketch-free cubes and for cubes
+    // already latched).
+    val sketchy = cfg.sketches.nonEmpty || cfg.quantiles.nonEmpty
+    val hasDeletes = cube.hasDeletes ||
+      (sketchy && !deltas.filter(col("_sign") < 0).isEmpty)
     val deltaSums = cfg.measures.map(m =>
       sum(col("_sign") * col(m.path).cast(Dec)).cast(Dec).as(m.id))
     // sketch measures fold INSERTED rows only (see CubeConfig): the
@@ -171,7 +189,7 @@ object CubeManager {
             graft.functions.Kll.mergeAgg(col(m.id)).as(m.id))
           :+ sum(col(CountCol)).as(CountCol)): _*)
       .filter(col(CountCol) =!= 0)
-    Cube(cfg, refolded)
+    Cube(cfg, refolded, hasDeletes)
   }
 
   /** R6: roll-up query served FROM THE CUBE — re-aggregate the partial
@@ -210,16 +228,29 @@ object CubeManager {
     * metadata; streaming offsets live in the checkpoint dir instead). */
   def save(cube: Cube, dir: String): Unit = {
     cube.aggregates.write.mode("overwrite").parquet(s"$dir/${cube.config.name}")
-    val cfgJson = configToJson(cube.config)
+    saveMeta(cube, dir)
+  }
+
+  /** Config + maintenance-state metadata alone (no parquet rewrite) —
+    * used when a fold changed only the state bits (e.g. the hasDeletes
+    * latch) and the aggregates were published separately. The
+    * `hasDeletes` key rides after the measures array; the tolerant
+    * parser's greedy measures regex is unaffected (no bracket in the
+    * suffix). */
+  def saveMeta(cube: Cube, dir: String): Unit = {
+    val json = configToJson(cube.config).stripSuffix("}") +
+      s""","hasDeletes":${cube.hasDeletes}}"""
     val p = java.nio.file.Paths.get(dir, s"${cube.config.name}.json")
     java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.writeString(p, cfgJson)
+    java.nio.file.Files.writeString(p, json)
+    ()
   }
 
   def load(spark: SparkSession, dir: String, name: String): Cube = {
     val p = java.nio.file.Paths.get(dir, s"$name.json")
-    val cfg = configFromJson(java.nio.file.Files.readString(p))
-    Cube(cfg, spark.read.parquet(s"$dir/$name"))
+    val json = java.nio.file.Files.readString(p)
+    val hasDeletes = """"hasDeletes":\s*true""".r.findFirstIn(json).isDefined
+    Cube(configFromJson(json), spark.read.parquet(s"$dir/$name"), hasDeletes)
   }
 
   def list(dir: String): Seq[String] = {

@@ -132,17 +132,18 @@ object CubeQueries {
       CubeManager.save(
         CubeManager.create(distinctRoutingCfg, Tables.events(spark, sfDir)), dir)
       CubeCatalog.install(spark)
-      // left ON for the session: a later .write/.collect re-optimizes the
-      // plan, and the flag must still hold then for the routed answer to
-      // be the one materialized. Scope is naturally narrow — the rule
-      // only ever fires on registered source paths with sketch measures.
-      spark.conf.set("spark.graft.cube.approxDistinctRouting", "true")
       val srcDir = s"$dir/source"
       Tables.events(spark, sfDir)
         .select(col("event_type"), col("value"), col("user_id"))
         .write.parquet(srcDir)
+      // approx-distinct opt-in is scoped to THIS registration (not a
+      // session conf): later re-optimizations (.write/.collect) still see
+      // it via the catalog, and no other query's optimizer behavior is
+      // mutated — a registration of a real table path elsewhere in the
+      // session cannot inherit the opt-in by accident.
       CubeCatalog.register(s"distinct_routing_demo@$sfDir",
-        CubeManager.load(spark, dir, "distinct_routing_demo"), srcDir)
+        CubeManager.load(spark, dir, "distinct_routing_demo"), srcDir,
+        approxDistinct = true)
       srcDir
     })
 
@@ -155,9 +156,6 @@ object CubeQueries {
     * routing equivalence is pinned in CubeRewriteSpec. */
   def q140DistinctRouting(spark: SparkSession, sfDir: String): DataFrame = {
     val srcDir = distinctRoutingSource(spark, sfDir)
-    // re-asserted on every call (not just setup): another consumer of the
-    // shared session may have flipped it off since the setup was cached
-    spark.conf.set("spark.graft.cube.approxDistinctRouting", "true")
     val q = spark.read.parquet(srcDir)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("nd_users"))

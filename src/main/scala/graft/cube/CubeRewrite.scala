@@ -29,19 +29,21 @@ import org.apache.spark.sql.types.DecimalType
   * - the registered cube is materialized (its plan is a parquet scan of
   *   the saved aggregates, not a re-aggregation of the source).
   *
-  * One opt-in relaxation: with `spark.graft.cube.approxDistinctRouting`
-  * = true, `approx_count_distinct(x)` routes to
+  * One opt-in relaxation: `approx_count_distinct(x)` routes to
   * estimate(union(HLL partials)) when the cube maintains a sketch
   * measure on x — approximate-to-approximate, but the estimator changes
   * (HLL++ → datasketches HLL), so it is not answer-preserving and stays
-  * off by default. Two further limits: a request for tighter error than
+  * off by default. Opt in PER REGISTRATION
+  * (`CubeCatalog.register(..., approxDistinct = true)` — scoped to that
+  * cube's source path, never leaking to unrelated queries) or globally
+  * with `spark.graft.cube.approxDistinctRouting` = true. Two further
+  * limits, enforced at rewrite time: a request for tighter error than
   * the maintained sketch delivers (relativeSD below ~1.6% at the
-  * default lgK) refuses to route, and the contract assumes INSERT-ONLY
-  * maintenance — sketch measures fold inserted rows only (deletes are
-  * not invertible in a sketch; see [[CubeManager.applyDeltas]]), so a
-  * delete-processed cube's partials describe ever-inserted values, not
-  * current state, and such cubes should not be registered for
-  * distinct routing.
+  * default lgK) refuses to route, and a cube whose persisted
+  * `hasDeletes` latch is set refuses too — sketch measures fold
+  * inserted rows only (deletes are not invertible in a sketch; see
+  * [[CubeManager.applyDeltas]]), so a delete-processed cube's partials
+  * describe ever-inserted values, not current state.
   *
   * Install: `spark.experimental.extraOptimizations ++= Seq(
   * CubeRewriteRule)` (done by [[CubeCatalog.install]]) or via
@@ -49,14 +51,20 @@ import org.apache.spark.sql.types.DecimalType
   * operators resolve unchanged.
   */
 object CubeCatalog {
-  /** name → (materialized cube, absolute source parquet path) */
-  private val cubes = TrieMap.empty[String, (Cube, String)]
+  /** A routable cube: the materialized cube, its normalized source
+    * parquet path, and whether approx-distinct serving was opted into
+    * for THIS registration. */
+  final case class Registration(cube: Cube, sourcePath: String,
+      approxDistinct: Boolean)
 
-  def register(name: String, cube: Cube, sourcePath: String): Unit =
-    cubes.put(name, (cube, normalize(sourcePath)))
+  private val cubes = TrieMap.empty[String, Registration]
+
+  def register(name: String, cube: Cube, sourcePath: String,
+      approxDistinct: Boolean = false): Unit =
+    cubes.put(name, Registration(cube, normalize(sourcePath), approxDistinct))
   def unregister(name: String): Unit = { cubes.remove(name); () }
   def clear(): Unit = cubes.clear()
-  def registered: Map[String, (Cube, String)] = cubes.toMap
+  def registered: Map[String, Registration] = cubes.toMap
 
   def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(CubeRewriteRule)) {
@@ -104,8 +112,8 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
           // SMALLEST covering cube by file-stats size, the one whose
           // re-aggregation reads the least data
           val candidates = CubeCatalog.registered.values
-            .filter(_._2 == path)
-            .flatMap { case (cube, _) => tryRewrite(agg, cube, base, subst) }
+            .filter(_.sourcePath == path)
+            .flatMap(reg => tryRewrite(agg, reg, base, subst))
           if (candidates.isEmpty) agg else candidates.minBy(_._2)._1
         case None => agg
       }
@@ -115,9 +123,10 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     * cost key for choosing among multiple covering cubes). */
   private def tryRewrite(
       agg: Aggregate,
-      cube: Cube,
+      reg: CubeCatalog.Registration,
       source: LogicalPlan,
       subst: Expression => Expression): Option[(LogicalPlan, BigInt)] = {
+    val cube = reg.cube
     val cubePlan = Bridge.analyzed(cube.aggregates)
     // cube must be materialized: its own plan must be a file scan, and
     // NOT over the source path (a cube misregistered with its aggregates
@@ -187,9 +196,15 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     // are swapped for cube dimension attributes. Bail if anything
     // unrecognized remains referencing the source.
     val countAttr = cubeAttr(CubeManager.CountCol).getOrElse(return None)
-    val approxDistinctRoutingOn = org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.graft.cube.approxDistinctRouting", "false")
-      .equalsIgnoreCase("true")
+    // approx-distinct serving: opted in per registration or globally —
+    // and NEVER from a delete-processed cube, whose sketch partials
+    // describe ever-inserted values (the persisted hasDeletes latch,
+    // set by CubeManager.applyDeltas, makes the insert-only contract
+    // enforced rather than documentation-only)
+    val approxDistinctRoutingOn = (reg.approxDistinct ||
+      org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.cube.approxDistinctRouting", "false")
+        .equalsIgnoreCase("true")) && !cube.hasDeletes
     var ok = true
     def rewriteExpr(e: Expression): Expression = e.transformUp {
       case ae @ AggregateExpression(Sum(inner, _), Complete, false, _, _) =>

@@ -119,6 +119,10 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     java.nio.file.Files.move(staging, finalDir,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     rm(oldDir.toFile)
+    // persist the maintenance-state bits (the hasDeletes sketch latch)
+    // alongside the published aggregates
+    if (updated.hasDeletes != cube.hasDeletes)
+      CubeManager.saveMeta(updated, storageDir)
     val reloaded = CubeManager.load(spark, storageDir, name)
     live.put(name, reloaded)
     reloaded
@@ -178,6 +182,13 @@ final class CubeService(spark: SparkSession, storageDir: String) {
       }, s"$dayDim must be a day-granularity time dimension of cube $name")
     require(distinctOf.nonEmpty || quantilesOf.nonEmpty,
       "request at least one sketch measure (distinctOf / quantilesOf)")
+    // sketch partials of a delete-processed cube describe EVER-INSERTED
+    // values (deletes are not invertible in an HLL/KLL) — refuse rather
+    // than serve silently-too-high curves; exact measures remain
+    // available via getAggregates
+    require(!cube.hasDeletes,
+      s"cube $name has folded deletes; its sketch partials are " +
+        "insert-only upper bounds and cannot serve rolling curves")
     distinctOf.foreach(id => require(cube.config.sketches.exists(_.id == id),
       s"$id is not an HLL sketch measure of cube $name"))
     quantilesOf.foreach { case (id, _) =>

@@ -66,7 +66,16 @@ case class BloomFilterAgg(
     buf
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Long]): Any = {
+    // self-describing output: word 0 carries k, words 1.. the bit-set.
+    // The probe reads k from the header instead of trusting a caller
+    // argument — a probe k larger than the build k would test bits that
+    // were never set and silently break the no-false-negative guarantee
+    val out = new Array[Long](buf.length + 1)
+    out(0) = k.toLong
+    System.arraycopy(buf, 0, out, 1, buf.length)
+    new GenericArrayData(out)
+  }
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream(buf.length * 8)
@@ -95,11 +104,13 @@ case class BloomFilterAgg(
     copy(child = newChildren.head)
 }
 
-/** Membership probe against a bit-array column. Codegen'd (the probe
-  * sits in the FACT-SCAN hot path): the generated code calls the same
-  * static helper eval uses, so interpreted and compiled paths agree
+/** Membership probe against a bloom column built by [[BloomFilterAgg]].
+  * k is read from the bloom's own header word (set at build time), so
+  * build and probe can never disagree on the hash count. Codegen'd (the
+  * probe sits in the FACT-SCAN hot path): the generated code calls the
+  * same static helper eval uses, so interpreted and compiled paths agree
   * bit for bit. */
-case class MightContainLong(left: Expression, right: Expression, k: Int)
+case class MightContainLong(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   // ImplicitCast: narrower integral keys widen identically on the build
   // (BloomFilterAgg) and probe side, so the hashes agree
@@ -109,14 +120,13 @@ case class MightContainLong(left: Expression, right: Expression, k: Int)
   override def prettyName: String = "might_contain_long"
 
   override def nullSafeEval(arr: Any, key: Any): Any =
-    BloomFilter.contains(arr.asInstanceOf[ArrayData],
-      key.asInstanceOf[Long], k)
+    BloomFilter.contains(arr.asInstanceOf[ArrayData], key.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = ctx.addReferenceObj("bloomHelper", BloomFilter,
       BloomFilter.getClass.getName)
     nullSafeCodeGen(ctx, ev, (arr, key) =>
-      s"${ev.value} = $helper.contains($arr, $key, $k);")
+      s"${ev.value} = $helper.contains($arr, $key);")
   }
 
   override protected def withNewChildrenInternal(
@@ -145,14 +155,20 @@ object BloomFilter extends Serializable {
     }
   }
 
-  /** Shared by interpreted eval and generated code (public for codegen). */
-  def contains(bits: ArrayData, v: Long, k: Int): Boolean = {
-    val m = bits.numElements() * 64
+  /** Shared by interpreted eval and generated code (public for codegen).
+    * Word 0 of `bits` is the k header written by [[BloomFilterAgg.eval]];
+    * the bit-set follows. */
+  def contains(bits: ArrayData, v: Long): Boolean = {
+    val k = bits.getLong(0).toInt
+    val m = (bits.numElements() - 1) * 64
+    if (k < 1 || k > 64 || m < 64)
+      throw new IllegalArgumentException(
+        s"not a bloom_filter_agg value: header k=$k, $m bit(s)")
     val a = h1(v); val b = h2(v)
     var i = 0
     while (i < k) {
       val idx = java.lang.Long.remainderUnsigned(a + i * b, m).toInt
-      if ((bits.getLong(idx >> 6) & (1L << (idx & 63))) == 0L) return false
+      if ((bits.getLong((idx >> 6) + 1) & (1L << (idx & 63))) == 0L) return false
       i += 1
     }
     true
@@ -163,9 +179,9 @@ object BloomFilter extends Serializable {
       BloomFilterAgg(Bridge.toExpression(key), numBits, k)
         .toAggregateExpression())
 
-  def mightContain(bloom: Column, key: Column, k: Int = K): Column =
+  def mightContain(bloom: Column, key: Column): Column =
     Bridge.toColumn(MightContainLong(Bridge.toExpression(bloom),
-      Bridge.toExpression(key), k))
+      Bridge.toExpression(key)))
 
   // ---------------------------------------------------------------- q133
   /** The pre-filter graded end-to-end: revenue of high-balance

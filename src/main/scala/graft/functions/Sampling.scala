@@ -395,11 +395,18 @@ object Sampling {
     val docs = Tables.documents(spark, sfDir)
     docs.repartition(16)
       .write.mode("overwrite").partitionBy("lang").parquet(s"$out/frag")
+    // Hadoop FileSystem listing, not java.io.File: the OPTIMIZE verb's
+    // natural home is hdfs://s3a: storage, where a local-File walk would
+    // see zero files (the StreamingDedup.pathExists discipline)
     def parquetFiles(dir: String): Int = {
-      def walk(f: java.io.File): Int =
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
-        else if (f.getName.endsWith(".parquet")) 1 else 0
-      walk(new java.io.File(dir))
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
     }
     val before = parquetFiles(s"$out/frag")
     spark.read.parquet(s"$out/frag")

@@ -470,15 +470,23 @@ object RelationalQueries {
     * Explicit column compare, not row-hashing: cross-engine hashes
     * differ. Plain `<>` compares suffice here (the compared columns are
     * non-null in this schema); a nullable schema would use null-safe
-    * equality instead. */
+    * equality instead.
+    *
+    * The insert ids shift by max(doc_id)+1 — computed from the data (one
+    * broadcast one-row cross join; the oracle's scalar subquery twin) —
+    * not a fixed constant: a constant shift collides with real ids once
+    * the corpus outgrows it, duplicating v2 keys and making the diff's
+    * tie order engine-dependent. */
   def q134SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
     val v1 = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val mx = v1.agg(max(col("doc_id")).as("_mx"))
     val v2 = v1.filter(col("doc_id") % 7 =!= 0)
       .withColumn("lang",
         when(col("doc_id") % 11 === 0, lit("xx")).otherwise(col("lang")))
       .unionByName(v1.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        .crossJoin(broadcast(mx))
+        .select((col("doc_id") + col("_mx") + lit(1L)).as("doc_id"),
           col("text"), col("lang"), col("source")))
     v1.as("a").join(v2.as("b"), col("a.doc_id") === col("b.doc_id"),
         "full_outer")
@@ -1212,7 +1220,8 @@ object RelationalQueries {
           source
         FROM v1 WHERE doc_id % 7 <> 0
         UNION ALL
-        SELECT doc_id + 1000000, text, lang, source
+        SELECT doc_id + (SELECT max(doc_id) FROM documents) + 1,
+          text, lang, source
         FROM v1 WHERE doc_id % 13 = 0)
       SELECT doc_id, change_type, old_lang, new_lang
       FROM (

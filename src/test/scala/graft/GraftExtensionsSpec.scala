@@ -122,10 +122,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(med == 50.0, s"sub-capacity KLL median $med")
     // bloom build + probe: inserted key hits, far key (overwhelmingly)
-    // misses at this load factor
+    // misses at this load factor. The probe takes NO k argument — it
+    // reads k from the bloom value's header, so a mismatched probe k
+    // (which would silently break no-false-negatives) cannot be expressed
     val bf = spark.sql("""
-      SELECT might_contain_long(bloom_filter_agg(id, 1024, 6), 7, 6) AS hit,
-             might_contain_long(bloom_filter_agg(id, 1024, 6), 999999, 6) AS miss
+      SELECT might_contain_long(bloom_filter_agg(id, 1024, 6), 7) AS hit,
+             might_contain_long(bloom_filter_agg(id, 1024, 6), 999999) AS miss
       FROM range(0, 10)""").collect().head
     assert(bf.getBoolean(0) && !bf.getBoolean(1))
     val topk = spark.sql("""

@@ -49,7 +49,8 @@ class PlanSpec extends AnyFunSuite {
     "q120_audience_overlap",  // |types| x |types| sketch-pair join, both sides tiny
     "q122_top_supplier",      // crossJoin vs ONE broadcast max-revenue row
     "q123_bm25",              // crossJoin vs ONE broadcast avgdl row
-    "q133_bloom_join")        // crossJoin vs ONE broadcast 64KiB bloom row
+    "q133_bloom_join",        // crossJoin vs ONE broadcast 64KiB bloom row
+    "q134_snapshot_diff")     // crossJoin vs ONE broadcast max-doc_id row
 
   test("no unjustified cartesian or nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

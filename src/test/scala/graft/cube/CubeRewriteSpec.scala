@@ -254,7 +254,7 @@ class CubeRewriteSpec extends AnyFunSuite {
       val got = routed.collect()
         .map(r => r.getString(0) -> r.getAs[Long]("nd")).toMap
       val served = CubeManager.query(
-        CubeCatalog.registered("rwsk")._1, Seq("etype"),
+        CubeCatalog.registered("rwsk").cube, Seq("etype"),
         distinctOf = Seq("users")).collect()
         .map(r => r.getAs[String]("etype") -> r.getAs[Long]("n_distinct_users"))
         .toMap
@@ -298,6 +298,61 @@ class CubeRewriteSpec extends AnyFunSuite {
       spark.conf.set("spark.graft.cube.approxDistinctRouting", "false")
       CubeCatalog.clear()
     }
+  }
+
+  test("delete-processed cube refuses approx-distinct routing; exact routing still fires") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(33)
+    val rows = (0 until 300).map { i =>
+      (Seq("click", "view")(rnd.nextInt(2)),
+        new Timestamp(1700000000000L + rnd.nextInt(4) * 3600000L),
+        math.round(rnd.nextDouble() * 10000) / 100.0,
+        (i % 40).toLong)
+    }
+    val srcDir = Files.createTempDirectory("graft_rw_del_src").toString
+    rows.toDF("event_type", "ts", "value", "user_id")
+      .write.mode("overwrite").parquet(srcDir)
+    val delCfg = CubeConfig("rwdel", "src",
+      Seq(FieldDim("etype", "event_type")),
+      Seq(Measure("v", "value")),
+      sketches = Seq(Measure("users", "user_id")))
+    val cubeDir = Files.createTempDirectory("graft_rw_del_cube").toString
+    // fold ONE delete: the hasDeletes latch must trip, persist through
+    // save/load, and the registration opt-in must be overridden by it
+    val created = CubeManager.create(delCfg, spark.read.parquet(srcDir))
+    assert(!created.hasDeletes)
+    val deltas = Seq((rows.head._1, rows.head._2, rows.head._3,
+      rows.head._4, -1)).toDF("event_type", "ts", "value", "user_id", "_sign")
+    val folded = CubeManager.applyDeltas(created, deltas)
+    assert(folded.hasDeletes, "delete fold did not trip the latch")
+    CubeManager.save(folded, cubeDir)
+    val loaded = CubeManager.load(spark, cubeDir, "rwdel")
+    assert(loaded.hasDeletes, "hasDeletes lost across save/load")
+    CubeCatalog.clear()
+    CubeCatalog.register("rwdel", loaded, srcDir, approxDistinct = true)
+    def scans(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r).get
+    }
+    try {
+      // approx-distinct must NOT route (ever-inserted values, not state)
+      val nd = spark.read.parquet(srcDir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("nd"))
+      assert(scans(nd) == Seq(CubeCatalog.normalize(srcDir)),
+        s"delete-processed cube served a sketch: ${scans(nd)}")
+      // the exact measures stay correct after the delete fold — sum/count
+      // routing must keep firing (the guard is surgical, not a kill switch)
+      val exact = spark.read.parquet(srcDir)
+        .groupBy(col("event_type"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("s"))
+      assert(scans(exact) == Seq(CubeCatalog.normalize(s"$cubeDir/rwdel")),
+        s"exact routing stopped firing: ${scans(exact)}")
+      // insert-only folds never trip the latch
+      val ins = Seq((rows.head._1, rows.head._2, rows.head._3,
+        rows.head._4, 1)).toDF("event_type", "ts", "value", "user_id", "_sign")
+      assert(!CubeManager.applyDeltas(created, ins).hasDeletes)
+    } finally CubeCatalog.clear()
   }
 
   test("count(NULL) never becomes sum(_count)") {

@@ -48,6 +48,31 @@ class BloomFilterSpec extends AnyFunSuite {
       s"fp rate ${fp.toDouble / probes} vs analytic $analytic")
   }
 
+  test("probe k comes from the bloom's header, not the caller") {
+    // build with a NON-default k: the probe takes no k argument and must
+    // still agree with the build (k rides in the value's header word) —
+    // previously a caller probing with k > build-k tested never-set bits
+    // and silently produced false negatives
+    val bloom = spark.range(0, 100)
+      .agg(BloomFilter.agg(col("id"), numBits = 1024, k = 2).as("bf"))
+    val misses = spark.range(0, 100).join(broadcast(bloom))
+      .filter(!BloomFilter.mightContain(col("bf"), col("id"))).count()
+    assert(misses == 0L, s"$misses false negatives under non-default k")
+    // a bare long array is not a bloom value: loud error, not a silent
+    // wrong answer (header k=0 fails validation)
+    val e = intercept[Exception] {
+      spark.range(1)
+        .select(BloomFilter.mightContain(
+          array(lit(0L), lit(0L)).cast("array<bigint>"), lit(7L)))
+        .collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("not a bloom_filter_agg value")),
+      s"unexpected failure: $e")
+  }
+
   test("degenerate bloom parameters are rejected at construction") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     // 0 and Int.MinValue pass a bare power-of-two check but build an
