@@ -177,8 +177,18 @@ object CubeManager {
       .agg(deltaSums.head,
         (deltaSums.tail ++ deltaSks ++ deltaQs
           :+ sum(col("_sign")).as(CountCol)): _*)
-    val refolded = cube.aggregates
-      .unionByName(deltaAgg)
+    Cube(cfg, mergePartials(cfg, cube.aggregates, deltaAgg), hasDeletes)
+  }
+
+  /** Re-fold two partial-aggregate tables of the same cube shape into
+    * one: decimal sums add, sketches union, row counts add; groups whose
+    * count nets to exactly zero drop. Shared by [[applyDeltas]] (cube ⊕
+    * signed delta aggregate) and the streaming auto-update publisher
+    * (base snapshot ⊕ complete-mode stream state) — one fold definition,
+    * both maintenance modes. Shuffles only cube-sized data on the
+    * dimension key. */
+  def mergePartials(cfg: CubeConfig, a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
       .groupBy(cfg.dimNames.map(col): _*)
       .agg(
         sum(col(cfg.measures.head.id)).cast(Dec).as(cfg.measures.head.id),
@@ -189,8 +199,6 @@ object CubeManager {
             graft.functions.Kll.mergeAgg(col(m.id)).as(m.id))
           :+ sum(col(CountCol)).as(CountCol)): _*)
       .filter(col(CountCol) =!= 0)
-    Cube(cfg, refolded, hasDeletes)
-  }
 
   /** R6: roll-up query served FROM THE CUBE — re-aggregate the partial
     * sums over a requested dimension subset, with optional filters on

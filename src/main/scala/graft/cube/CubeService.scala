@@ -79,10 +79,18 @@ final class CubeService(spark: SparkSession, storageDir: String) {
 
   def listCubes(): Seq[String] = CubeManager.list(storageDir)
 
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+  }
+
   def deleteCube(name: String): Unit = {
     stopAutoUpdate(name)
     live.remove(name)
     CubeManager.delete(storageDir, name)
+    // auxiliary state: the auto-update base snapshot + checkpoint, and
+    // any leftover publish staging/aside dirs
+    Seq(s"$name.base", s"$name.checkpoint", s"$name.old", s"$name.staging")
+      .foreach(sfx => rm(new java.io.File(s"$storageDir/$sfx")))
   }
 
   /** R3 manual trigger: fold a signed-delta batch (insert +1 / delete −1;
@@ -105,13 +113,27 @@ final class CubeService(spark: SparkSession, storageDir: String) {
       if (deltas.columns.contains("_sign")) deltas
       else deltas.withColumn("_sign", lit(1))
     val updated = CubeManager.applyDeltas(cube, signed)
+    // persist the maintenance-state bits (the hasDeletes sketch latch)
+    // BEFORE publishing: a crash between the two leaves the latch set
+    // with the old aggregates — conservative (sketch serves refused)
+    // rather than silently wrong
+    if (updated.hasDeletes != cube.hasDeletes)
+      CubeManager.saveMeta(updated, storageDir)
+    publish(name, updated.aggregates)
+  }
+
+  /** Two-rename publish of a new aggregates version (see
+    * [[updateAggregates]]'s scaladoc for the crash-safety contract) and
+    * registry refresh. The input plan must NOT read the publish target
+    * through files about to be swapped out unless it was staged first —
+    * both callers stage: updateAggregates writes to `name.staging`
+    * before any rename, and the streaming publisher's input is state
+    * plus the immutable `name.base` snapshot. */
+  private def publish(name: String, aggregates: DataFrame): Cube = {
     val staging = java.nio.file.Paths.get(storageDir, s"$name.staging")
-    updated.aggregates.write.mode("overwrite").parquet(staging.toString)
+    aggregates.write.mode("overwrite").parquet(staging.toString)
     val finalDir = java.nio.file.Paths.get(storageDir, name)
     val oldDir = java.nio.file.Paths.get(storageDir, s"$name.old")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
-    }
     rm(oldDir.toFile)
     if (finalDir.toFile.exists())
       java.nio.file.Files.move(finalDir, oldDir,
@@ -119,22 +141,44 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     java.nio.file.Files.move(staging, finalDir,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     rm(oldDir.toFile)
-    // persist the maintenance-state bits (the hasDeletes sketch latch)
-    // alongside the published aggregates
-    if (updated.hasDeletes != cube.hasDeletes)
-      CubeManager.saveMeta(updated, storageDir)
     val reloaded = CubeManager.load(spark, storageDir, name)
     live.put(name, reloaded)
     reloaded
   }
 
-  /** R2/R3 steady state: continuous maintenance from a delta directory.
-    * The checkpoint under the storage root is the resume token — a
-    * stop/start pair resumes without reprocessing. */
+  /** R2/R3 steady state: continuous maintenance from a delta directory,
+    * published DURABLY after every micro-batch — while the stream runs,
+    * [[getAggregates]] and [[getRolling]] serve the maintained cube (the
+    * reference's "queries read the aggregate collection the oplog loop
+    * maintains" story, end to end through the service API).
+    *
+    * Mechanics: the pre-stream aggregates are snapshotted ONCE to
+    * `name.base`; each micro-batch publishes base ⊕ (complete-mode
+    * stream state) through the same two-rename swap manual updates use.
+    * Since complete mode's state covers ALL stream data since the
+    * checkpoint began, the published table is a pure function of
+    * (base, stream-so-far): batch replays re-publish identical state
+    * and a stop/start pair resumes from the checkpoint against the SAME
+    * base — no delta is ever double-counted. The checkpoint and base
+    * snapshot are paired; both survive restarts and both are removed by
+    * [[deleteCube]].
+    *
+    * The file stream is insert-only (the R2 change-stream shape); for
+    * deletes/updates, stop the stream and fold a signed batch through
+    * [[updateAggregates]] — do not run both concurrently (their
+    * publishes would race). */
   def startAutoUpdate(name: String, deltaDir: String, schema: StructType): StreamingQuery = {
     val cube = loadCube(name)
-    val q = StreamingCube.start(spark, cube.config, deltaDir, schema,
-      s"$storageDir/$name.checkpoint", s"cube_auto_$name")
+    val baseDir = java.nio.file.Paths.get(storageDir, s"$name.base")
+    if (!baseDir.toFile.exists())
+      cube.aggregates.write.parquet(baseDir.toString)
+    val base = spark.read.parquet(baseDir.toString)
+    val q = StreamingCube.startPersist(spark, cube.config, deltaDir, schema,
+      s"$storageDir/$name.checkpoint",
+      batchState => {
+        publish(name, CubeManager.mergePartials(cube.config, base, batchState))
+        ()
+      })
     autoUpdates.put(name, q)
     q
   }

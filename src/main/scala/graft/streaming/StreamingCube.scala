@@ -27,41 +27,73 @@ import org.apache.spark.sql.types.{DecimalType, StructType}
   * cubes. */
 object StreamingCube {
 
-  /** Start a streaming cube over a directory of parquet delta files.
-    * `maxFilesPerTrigger=1` makes each file one micro-batch (the
-    * "oplog buffer flush" unit). Complete output mode publishes the
-    * whole cube to the in-memory table `name` after every batch. */
-  def start(
+  /** The one streaming cube aggregation both sinks share: the SAME plan
+    * `CubeManager.create` builds for batch, over a file-stream of
+    * parquet delta files (`maxFilesPerTrigger=1` makes each file one
+    * micro-batch — the "oplog buffer flush" unit). Sketch measures ride
+    * the same streaming aggregation: the HLL/KLL buffer lives in the
+    * state store per group, merged per micro-batch
+    * (TypedImperativeAggregate buffers serialize into streaming state
+    * like any partial aggregate). */
+  private def cubeAgg(
       spark: SparkSession,
       config: CubeConfig,
       sourceDir: String,
-      schema: StructType,
-      checkpointDir: String,
-      name: String): StreamingQuery = {
+      schema: StructType): DataFrame = {
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(sourceDir)
     val sums = config.measures.map(m =>
       sum(col(m.path).cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as(m.id))
-    // sketch measures ride the same streaming aggregation: the HLL/KLL
-    // buffer lives in the state store per group, merged per micro-batch
-    // (TypedImperativeAggregate buffers serialize into streaming state
-    // like any partial aggregate)
-    val sks = config.sketches.map(m => hll_sketch_agg(col(m.path), graft.cube.CubeManager.SketchLgK).as(m.id))
+    val sks = config.sketches.map(m =>
+      hll_sketch_agg(col(m.path), graft.cube.CubeManager.SketchLgK).as(m.id))
     val qs = config.quantiles.map(m =>
       graft.functions.Kll.sketchAgg(col(m.path).cast("double")).as(m.id))
-    val agg = stream
+    stream
       .groupBy(config.dimCols: _*)
       .agg(sums.head,
         (sums.tail ++ sks ++ qs :+ count(lit(1)).as(CubeManager.CountCol)): _*)
-    agg.writeStream
+  }
+
+  /** Start a streaming cube over a directory of parquet delta files.
+    * Complete output mode publishes the whole cube to the in-memory
+    * table `name` after every batch. */
+  def start(
+      spark: SparkSession,
+      config: CubeConfig,
+      sourceDir: String,
+      schema: StructType,
+      checkpointDir: String,
+      name: String): StreamingQuery =
+    cubeAgg(spark, config, sourceDir, schema).writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(name)
       .option("checkpointLocation", checkpointDir)
       .start()
-  }
+
+  /** Same fold, DURABLE sink: after every micro-batch the complete-mode
+    * state (the whole stream-side cube) is handed to `publish`, which
+    * lands it in cube storage — the steady-state loop CubeService wires
+    * to its two-rename swap so `getAggregates`/`getRolling` serve the
+    * maintained cube while the stream runs. Complete mode means the
+    * published table is a pure function of (base snapshot, all stream
+    * data so far): batch replays after a crash re-publish the same
+    * state — idempotent by construction, no delta double-count
+    * possible. */
+  def startPersist(
+      spark: SparkSession,
+      config: CubeConfig,
+      sourceDir: String,
+      schema: StructType,
+      checkpointDir: String,
+      publish: DataFrame => Unit): StreamingQuery =
+    cubeAgg(spark, config, sourceDir, schema).writeStream
+      .outputMode("complete")
+      .foreachBatch((batchState: DataFrame, _: Long) => publish(batchState))
+      .option("checkpointLocation", checkpointDir)
+      .start()
 
   /** Full MongoDB-style delete/update fidelity in streaming: deltas
     * carry a `_sign` column (+1 insert / −1 delete; update = pair) and

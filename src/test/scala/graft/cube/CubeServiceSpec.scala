@@ -65,15 +65,15 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.updateAggregates("svc", deltas)
     assert(totals() == Map("click" -> (5.0, 2L)))
 
-    // startAutoUpdate from a delta dir (R2); complete-mode memory table
+    // startAutoUpdate from a delta dir (R2): every micro-batch publishes
+    // durably, so the SERVICE verbs see the streamed rows immediately —
+    // the prior manual state (click 5.0×2) plus the streamed batch
     val deltaDir = Files.createTempDirectory("graft_svc_deltas").toString
     df(Seq(("buy", t0, 7.0))).coalesce(1).write.parquet(s"$deltaDir/d0")
     val q = svc.startAutoUpdate("svc", s"$deltaDir/d*",
       df(Seq(("x", t0, 0.0))).schema)
     q.processAllAvailable()
-    val streamed = spark.table("cube_auto_svc").collect()
-      .map(r => r.getString(0) -> r.getLong(2)).toMap
-    assert(streamed == Map("buy" -> 1L))
+    assert(totals() == Map("click" -> (5.0, 2L), "buy" -> (7.0, 1L)))
     svc.stopAutoUpdate("svc")
     assert(!q.isActive)
 
@@ -163,6 +163,93 @@ class CubeServiceSpec extends AnyFunSuite {
       svc.getRolling("roll", "day", distinctOf = Seq("nope"))
     }
     svc.deleteCube("roll")
+  }
+
+  test("auto-updated cube serves getRolling: N streamed batches == batch == exact") {
+    import spark.implicits._
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_rollstream").toString)
+    val rnd = new scala.util.Random(53)
+    def mkRows(n: Int) = (0 until n).map { _ =>
+      (Seq("click", "view")(rnd.nextInt(2)),
+        new Timestamp(1700000000000L + rnd.nextInt(10) * 86400000L
+          + rnd.nextInt(86400000)),
+        rnd.nextInt(1000).toDouble,
+        // <512 distinct users: the HLL stays in its exact coupon regime,
+        // so the distinct curve can be pinned EQUAL, not merely close
+        rnd.nextInt(300).toLong)
+    }
+    val all = mkRows(1200)
+    val cfg = CubeConfig("rollstream", "events",
+      Seq(FieldDim("etype", "event_type"), TimeDim("day", "ts", "day")),
+      Seq(Measure("v", "value")),
+      sketches = Seq(Measure("users", "user_id")),
+      quantiles = Seq(Measure("dist", "value")))
+    def toDF(rows: Seq[(String, Timestamp, Double, Long)]) =
+      rows.toDF("event_type", "ts", "value", "user_id")
+    // 600 rows pre-stream, 600 replayed as 4 delta files = 4 micro-batches
+    val (init, rest) = all.splitAt(600)
+    svc.createCube(cfg, toDF(init))
+    val deltaDir = Files.createTempDirectory("graft_svc_rollstream_d").toString
+    rest.grouped(150).zipWithIndex.foreach { case (b, i) =>
+      toDF(b).coalesce(1).write.parquet(s"$deltaDir/d$i")
+    }
+    val q = svc.startAutoUpdate("rollstream", s"$deltaDir/d*", toDF(init).schema)
+    q.processAllAvailable()
+    // the rolling curve THROUGH THE SERVICE VERB, off the stream-
+    // maintained persisted cube
+    def curve(svcX: CubeService, name: String) =
+      svcX.getRolling(name, "day", windowDays = 7,
+          distinctOf = Seq("users"), quantilesOf = Seq(("dist", 0.5)))
+        .collect()
+        .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_distinct_users"),
+          r.getAs[Double]("p50_dist")))
+    val streamed = curve(svc, "rollstream")
+    // batch twin: a one-shot cube over the same full dataset
+    val svcB = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_rollbatch").toString)
+    svcB.createCube(cfg.copy(name = "rollbatch"), toDF(all))
+    val batch = curve(svcB, "rollbatch")
+    // HLL state is set-semantic (per-slot max / coupon set), so the
+    // stream-maintained distinct curve equals the batch curve exactly
+    assert(streamed.map(t => (t._1, t._2)).toSeq ==
+      batch.map(t => (t._1, t._2)).toSeq,
+      "streamed distinct curve != batch distinct curve")
+    // ... and equals EXACT at this cardinality; the KLL median lands
+    // within rank error of the exact window on every endpoint
+    val byDay = all.groupBy(r => r._2.getTime / 86400000L)
+    assert(streamed.length == byDay.size, "one endpoint per observed day")
+    val eps = 3 * graft.functions.Kll.rankError() + 0.01
+    streamed.foreach { case (day, nd, p50) =>
+      val window = (day - 6 to day).flatMap(d => byDay.getOrElse(d, Nil))
+      val exact = window.map(_._4).distinct.size
+      assert(nd == exact, s"day $day: streamed distinct $nd != exact $exact")
+      val vs = window.map(_._3).sorted
+      val rank = vs.count(_ <= p50).toDouble / vs.length
+      assert(math.abs(rank - 0.5) <= eps + 1.0 / vs.length,
+        s"day $day: p50 rank $rank off (window ${vs.length})")
+    }
+    // stop/start resumes from the checkpoint against the SAME base
+    // snapshot: one more replayed file, and the served curve equals a
+    // from-scratch recompute over everything — nothing double-counted
+    svc.stopAutoUpdate("rollstream")
+    val extra = mkRows(150)
+    toDF(extra).coalesce(1).write.parquet(s"$deltaDir/d9")
+    val q2 = svc.startAutoUpdate("rollstream", s"$deltaDir/d*",
+      toDF(init).schema)
+    q2.processAllAvailable()
+    svc.stopAutoUpdate("rollstream")
+    val streamed2 = curve(svc, "rollstream")
+    val svcB2 = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_rollbatch2").toString)
+    svcB2.createCube(cfg.copy(name = "rollbatch2"), toDF(all ++ extra))
+    val batch2 = curve(svcB2, "rollbatch2")
+    assert(streamed2.map(t => (t._1, t._2)).toSeq ==
+      batch2.map(t => (t._1, t._2)).toSeq,
+      "post-resume streamed distinct curve != recomputed batch curve")
+    svc.deleteCube("rollstream")
+    svcB.deleteCube("rollbatch")
+    svcB2.deleteCube("rollbatch2")
   }
 
   test("publish-crash recovery: name.old restored when the publish dir is missing") {
