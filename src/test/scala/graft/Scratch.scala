@@ -16,6 +16,70 @@ object Scratch {
     r
   }
 
+  /** SMB-vs-shuffle probe (`… Scratch smb`): puts a wall-clock number on
+    * q143's plan-shape claim. At ×k replication of sf0.1 orders/lineitem
+    * (shifted orderkeys, so join cardinality grows k× with no skew
+    * change), time the same fact-to-fact sort-merge join (a) off the
+    * bucketed layout — zero Exchange, partition-local sort — and (b) off
+    * raw parquet — both sides shuffled. Broadcast is disabled and both
+    * runs carry merge hints, so the ONLY difference is the exchange the
+    * layout pre-paid. The one-time bucketed-write cost is timed too, so
+    * the break-even (#joins that amortize the write) is computable. */
+  def smbProbe(): Unit = {
+    val sfDir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val lif = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    def ordAt(k: Int): DataFrame = (0 until k).map(i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    def liAt(k: Int): DataFrame = (0 until k).map(i =>
+      lif.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    for (k <- Seq(1, 3, 10)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_smb_x$k")
+      val (to, tl) = (s"smb_orders_x$k", s"smb_lineitem_x$k")
+      time(s"x$k bucketed write (one-time)") {
+        ordAt(k).write.option("path", s"$dir/$to")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
+        liAt(k).write.option("path", s"$dir/$tl")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+      }
+      // also materialize the raw (unbucketed) layout so both joins read
+      // comparable parquet rather than one side paying the union fan-out
+      val (ro, rl) = (s"raw_orders_x$k", s"raw_lineitem_x$k")
+      ordAt(k).write.option("path", s"$dir/$ro").saveAsTable(ro)
+      liAt(k).write.option("path", s"$dir/$rl").saveAsTable(rl)
+      def joined(l: DataFrame, o: DataFrame): DataFrame =
+        l.hint("merge").join(o.hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
+      for (round <- 1 to 2) {
+        time(s"x$k smb join (bucketed, run $round)")(
+          joined(spark.table(tl), spark.table(to)).collect())
+        time(s"x$k shuffle join (raw, run $round)")(
+          joined(spark.table(rl), spark.table(ro)).collect())
+      }
+      val smbPlan = joined(spark.table(tl), spark.table(to))
+        .queryExecution.executedPlan.toString
+      // the agg after the join still exchanges on o_orderpriority; the
+      // JOIN itself must be exchange-free on the bucketed layout
+      println(s"[scratch] x$k smb exchanges: " +
+        "Exchange ".r.findAllIn(smbPlan).size)
+      Seq(to, tl, ro, rl).foreach(t => spark.sql(s"DROP TABLE $t"))
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("plan")) {
       val s2 = SparkSession.builder().master("local[2]")
@@ -28,6 +92,7 @@ object Scratch {
           .filter(_.contains("Exchange")).mkString("\n"))
       s2.stop(); return
     }
+    if (args.headOption.contains("smb")) { smbProbe(); return }
     val sfDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "8")
