@@ -80,7 +80,40 @@ object Scratch {
     spark.stop()
   }
 
+  /** q126 cost breakdown (`… Scratch q126`): splits the survivorship
+    * first-run cost into its three stages — shingle-pair mining,
+    * min-label propagation (with per-round wall-clock), and the final
+    * survivor aggregate — at the bench's own settings (local[32],
+    * shuffle.partitions=32, sf0.1) so the numbers are comparable to the
+    * sweep. Decides whether the verdict's stretch "propagation fusion"
+    * is worth code: if mining dominates, fusing the per-round join+agg
+    * buys nothing. */
+  def q126Probe(): Unit = {
+    val sfDir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, sfDir)
+    time("warm docs scan")(docs.count())
+    val pairs = time("stage 1: jaccardPairs mine+cache") {
+      val p = Dedup.jaccardPairs(docs).cache(); p.count(); p
+    }
+    val labels = time("stage 2: dupClusters propagation") {
+      val l = Dedup.dupClusters(pairs).cache(); l.count(); l
+    }
+    time("stage 3: survivorStats agg")(
+      Dedup.survivorStats(
+        labels.select(col("doc_id"), col("cluster_id")), docs).count())
+    time("stage 2 again (loop cost, pairs hot)")(
+      Dedup.dupClusters(pairs).count())
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("q126")) { q126Probe(); return }
     if (args.headOption.contains("plan")) {
       val s2 = SparkSession.builder().master("local[2]")
         .config("spark.ui.enabled", "false").getOrCreate()
