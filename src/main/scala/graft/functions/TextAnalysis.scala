@@ -301,6 +301,61 @@ object TextAnalysis {
       .limit(20)
   }
 
+  // --------------------------------------------------------------- q148
+  /** Global repeated-passage REMOVAL — the cleaning counterpart to
+    * q85's statistic (C4 drops duplicated three-sentence spans;
+    * MassiveText cuts repeated passages): each document partitions into
+    * consecutive 8-word passages, any passage whose exact text occurs
+    * ≥ 2 times corpus-wide is dropped, and the survivors reassemble in
+    * original order into the cleaned text with per-doc kept/dropped
+    * accounting (a fully-boilerplate doc survives as an empty row — the
+    * audit sees it — rather than vanishing). C4 keys on newline-split
+    * lines; this corpus is unpunctuated word soup, so deterministic
+    * fixed-width segmentation stands in for line breaks — the plan is
+    * separator-independent.
+    *
+    * Scale shape: passages PARTITION the words (unlike q85's
+    * overlapping grams), so the explode is |corpus words|-sized and
+    * map-only; hot passages come from one hash aggregate with map-side
+    * partials whose output is boilerplate — tiny by definition — and
+    * return as a BROADCAST anti-join, so the corpus is never shuffled
+    * to be filtered; the only corpus-sized shuffle is the final
+    * groupBy(doc_id) reassembly, which any doc-granular rewrite pays.
+    * In-doc passage order survives the shuffle via array_sort over
+    * (pos, passage) structs — no window, no assumption about
+    * collect_list order. Group key is the raw passage string for
+    * oracle reproducibility; at 100 TB count and anti-join on
+    * xxhash64(passage) (the `shingle_hashes` discipline) — identical
+    * plan, fixed 8-byte keys. */
+  def q148PassageDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val segs = w.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(w) / 8.0) as int) - 1), " +
+          "i -> array_join(slice(w, i * 8 + 1, 8), ' '))")))
+      .toDF("doc_id", "pos", "passage")
+    val hot = segs.groupBy(col("passage"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("passage"))
+    val kept = segs.join(broadcast(hot), Seq("passage"), "left_anti")
+    val clean = kept.groupBy(col("doc_id"))
+      .agg(
+        array_join(expr(
+            "transform(array_sort(collect_list(struct(pos, passage))), " +
+              "x -> x.passage)"), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val tot = w.select(col("doc_id"),
+      expr("cast(ceil(size(w) / 8.0) as bigint)").as("n_passages"))
+    tot.join(clean, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_passages") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- q90
   /** TF-IDF term scoring: top-3 most characteristic terms per document.
     * tf per (doc, term) comes out of one hash aggregate with map-side
@@ -539,6 +594,7 @@ object TextAnalysis {
     "q80_repetition_filter" -> q80RepetitionFilter,
     "q82_pii_redact" -> q82PiiRedact,
     "q85_substring_dup" -> q85SubstringDup,
+    "q148_passage_dedup" -> q148PassageDedup,
   )
 
   /** q45/q46 are hash/model-dependent ⇒ rows-only. */
@@ -795,5 +851,33 @@ object TextAnalysis {
       HAVING count(DISTINCT doc_id) >= 2
       ORDER BY df DESC, occurrences DESC, gram
       LIMIT 20""",
+    // Parallel unnest of the passage list and generate_series zips them,
+    // giving (passage, pos) pairs; list slicing clamps at the tail the
+    // same way Spark's slice() does, so segmentation agrees exactly.
+    "q148_passage_dedup" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      segs AS (
+        SELECT doc_id, s AS pos,
+          array_to_string(w[s*8+1 : s*8+8], ' ') AS passage
+        FROM t, LATERAL (SELECT unnest(generate_series(0,
+          CAST(ceil(len(w) / 8.0) AS INT) - 1))) u(s)),
+      hot AS (
+        SELECT passage FROM segs GROUP BY passage HAVING count(1) >= 2),
+      kept AS (
+        SELECT * FROM segs
+        WHERE passage NOT IN (SELECT passage FROM hot)),
+      agg AS (
+        SELECT doc_id, string_agg(passage, ' ' ORDER BY pos) AS clean_text,
+          count(1) AS n_kept
+        FROM kept GROUP BY doc_id),
+      tot AS (
+        SELECT doc_id, CAST(ceil(len(w) / 8.0) AS BIGINT) AS n_passages
+        FROM t)
+      SELECT tot.doc_id AS doc_id, coalesce(clean_text, '') AS clean_text,
+        coalesce(n_kept, 0) AS n_kept,
+        n_passages - coalesce(n_kept, 0) AS n_dropped
+      FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
+      ORDER BY doc_id""",
   )
 }

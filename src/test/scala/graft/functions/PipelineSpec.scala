@@ -403,4 +403,44 @@ class PipelineSpec extends AnyFunSuite {
         s"${r.getAs[String]("event_type")}: approx=$approx exact=$exact")
     }
   }
+
+  test("q148 passage dedup: accounting, order-preserving reassembly, dup symmetry") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TextAnalysis.q148PassageDedup(spark, sfDir).collect()
+    assert(out.length == docs.size, "one output row per input doc")
+    var dropped = 0L
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val clean = r.getAs[String]("clean_text")
+      val kept = r.getAs[Long]("n_kept")
+      val nd = r.getAs[Long]("n_dropped")
+      val words = docs(id).split(" ", -1)
+      // kept + dropped always equals the doc's passage count
+      assert(kept + nd == (words.length + 7) / 8, s"doc $id accounting")
+      // nothing dropped ⇒ passages re-join to the original text exactly
+      if (nd == 0) assert(clean == docs(id), s"doc $id identity")
+      // reassembly preserves order: clean words are a subsequence of
+      // the original words (passages are cut whole, in position order)
+      var i = 0
+      val cw = if (clean.isEmpty) Array.empty[String] else clean.split(" ", -1)
+      cw.foreach { cword =>
+        while (i < words.length && words(i) != cword) i += 1
+        assert(i < words.length, s"doc $id: '$cword' breaks subsequence")
+        i += 1
+      }
+      dropped += nd
+    }
+    // the sf0.001 fixture plants exact-duplicate docs: their shared
+    // passages are global repeats, so the pass must drop something...
+    assert(dropped > 0, "planted duplicates should force drops")
+    // ...and duplicate texts must clean identically (global decision)
+    val byText = out.groupBy(r => docs(r.getAs[Long]("doc_id")))
+    byText.values.filter(_.length >= 2).foreach { grp =>
+      assert(grp.map(_.getAs[String]("clean_text")).toSet.size == 1,
+        "identical inputs must produce identical cleaned output")
+    }
+  }
 }
