@@ -112,7 +112,86 @@ object Scratch {
     spark.stop()
   }
 
+  /** Skew-stress probe (`… Scratch skew`): makes the occupancy caps
+    * ENGAGE and puts wall-clock on both sides. The graded scales never
+    * trip the caps (DedupCapSpec proves they're no-ops there), so this
+    * probe builds the hot key the caps exist for — a whale customer
+    * owning h orders (q132's equi-block on custkey) and a boilerplate
+    * 16-char prefix shared by h docs (q94's block key) — and times the
+    * same pairing capped (512, the shipped default) vs uncapped. The
+    * uncapped side must grow ~h² while the capped side stays flat
+    * (the whale block is dropped, everything else is untouched). */
+  def skewProbe(): Unit = {
+    val sfDir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.expressions.Window
+
+    // --- q132 shape: whale customer with h concurrent-ish orders
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val span = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("fin"))
+    def intervals(h: Int): DataFrame = {
+      // first h orders re-owned by custkey -1 (the whale), rest as-is
+      val w = Window.orderBy(col("o_orderkey"))
+      val tagged = ord.withColumn("_rn", row_number().over(w))
+        .withColumn("o_custkey",
+          when(col("_rn") <= h, lit(-1L)).otherwise(col("o_custkey")))
+        .drop("_rn")
+      tagged.join(span, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").as("s"), col("fin").as("e"))
+        .cache()
+    }
+    def overlapPairs(o: DataFrame, cap: Long): Long = {
+      val occW = Window.partitionBy(col("o_custkey"))
+      val c = o.withColumn("_occ", count(lit(1)).over(occW))
+        .filter(col("_occ") <= cap).drop("_occ")
+      c.as("a").join(c.as("b"),
+          col("a.o_custkey") === col("b.o_custkey")
+            && col("a.o_orderkey") < col("b.o_orderkey")
+            && col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+        .count()
+    }
+    for (h <- Seq(2000, 8000)) {
+      val o = intervals(h); o.count()
+      val capped = time(s"q132 h=$h capped(512)")(
+        overlapPairs(o, graft.functions.Dedup.MaxBucket))
+      val open = time(s"q132 h=$h uncapped")(overlapPairs(o, Long.MaxValue))
+      println(s"[scratch] q132 h=$h pairs capped=$capped uncapped=$open")
+      o.unpersist()
+    }
+
+    // --- q94 shape: h docs sharing one 16-char prefix (boilerplate)
+    val docs = Tables.documents(spark, sfDir)
+    def hotDocs(h: Int): DataFrame = {
+      val w = Window.orderBy(col("doc_id"))
+      docs.withColumn("_rn", row_number().over(w))
+        .withColumn("text",
+          when(col("_rn") <= h,
+            concat(lit("boilerplate head "), col("text")))
+            .otherwise(col("text")))
+        .drop("_rn").cache()
+    }
+    for (h <- Seq(500, 1000)) {
+      val d = hotDocs(h); d.count()
+      val capped = time(s"q94 h=$h capped(512)")(
+        Dedup.fuzzyPairs(d).count())
+      val open = time(s"q94 h=$h uncapped")(
+        Dedup.fuzzyPairs(d, maxBlock = Int.MaxValue).count())
+      println(s"[scratch] q94 h=$h pairs capped=$capped uncapped=$open")
+      d.unpersist()
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("skew")) { skewProbe(); return }
     if (args.headOption.contains("q126")) { q126Probe(); return }
     if (args.headOption.contains("plan")) {
       val s2 = SparkSession.builder().master("local[2]")
