@@ -250,8 +250,105 @@ object TpchQueries {
       .limit(100)
   }
 
+  // ---------------------------------------------------------------- q149
+  /** TPC-H Q2 shape: min-cost supplier — the CORRELATED MIN subquery
+    * (each part compares offers against the minimum over ITS own
+    * offers within a region). No partsupp here, so an "offer" is a
+    * lineitem's unit price (l_extendedprice / l_quantity) from a
+    * EUROPE supplier; the rest is Q2 verbatim: region-filtered
+    * supplier dim, part filter, min-per-part threshold, equality gate,
+    * Q2's ORDER BY acctbal DESC. Spelled decorrelated — per-part min
+    * over the SAME offers frame both consumers read, joined back —
+    * which is exactly Catalyst's rewrite of the correlated form; the
+    * DuckDB oracle keeps the genuine correlated subquery, so the
+    * compare proves the decorrelation equivalence, not just the
+    * arithmetic.
+    *
+    * Scale shape: region prunes supplier BEFORE its broadcast; the
+    * fact is reduced to EUROPE offers ONCE and both the threshold
+    * aggregate and the gated scan read that slice; the per-part min
+    * frame is |parts| rows — broadcast back. Unit price is a double
+    * division of identical parquet operands in both engines (IEEE-
+    * deterministic, no sums), so the equality gate and the hash
+    * compare are exact. DISTINCT collapses equal-priced repeat offers
+    * by the same supplier (Q2 keys on partsupp, which has no such
+    * repeats). */
+  def q149MinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val eur = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .join(broadcast(Tables.region(spark, sfDir)
+              .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val offers = Tables.lineitem(spark, sfDir)
+      .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"),
+        (col("l_extendedprice").cast("double")
+          / col("l_quantity").cast("double")).as("unit_price"))
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 15)
+      .select(col("p_partkey"), col("p_type"))
+    val po = offers.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val minp = po.groupBy(col("p_partkey"))
+      .agg(min(col("unit_price")).as("min_price"))
+    po.join(broadcast(minp), Seq("p_partkey"))
+      .filter(col("unit_price") === col("min_price"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_type"), col("min_price"))
+      .distinct()
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(50)
+  }
+
+  // ---------------------------------------------------------------- q150
+  /** TPC-H Q20 shape: the nested chain supplier ← semi ← (per-supplier
+    * aggregate compared against a correlated per-part aggregate). No
+    * partsupp/availqty, so "excess stock" becomes DOMINANCE: a
+    * supplier counts a part if they shipped more than half of that
+    * part's total 1996 volume — still a per-(supplier, part) aggregate
+    * gated by a correlated per-part threshold, which is the
+    * decorrelation Q20 exists to exercise. Single-supplier parts are
+    * trivially dominated and excluded (n_supp >= 2), keeping only
+    * contested wins.
+    *
+    * Scale shape: the name-filtered part dim broadcasts onto the fact
+    * FIRST, so both aggregation levels run on the pruned slice; the
+    * per-part totals frame (|red parts| rows) broadcasts back onto the
+    * per-(part, supplier) frame — no fact re-shuffle; quantities are
+    * exact-decimal sums and the dominance gate is the integer-scaled
+    * `q * 2 > t` (no double 0.5 — the compare is exact in both
+    * engines). */
+  def q150DominantSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rp = Tables.part(spark, sfDir)
+      .filter(col("p_name").startsWith("red"))
+      .select(col("p_partkey"))
+    val vol = Tables.lineitem(spark, sfDir)
+      .join(broadcast(rp), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("q"))
+    val tot = vol.groupBy(col("l_partkey"))
+      .agg(sum(col("q")).as("t"), count(lit(1)).as("n_supp"))
+    vol.join(broadcast(tot), Seq("l_partkey"))
+      .filter(col("q") * lit(2) > col("t") && col("n_supp") >= 2)
+      .join(broadcast(Tables.supplier(spark, sfDir)
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"), col("s_acctbal"))
+      .agg(count(lit(1)).as("n_dominated"))
+      .orderBy(col("n_dominated").desc, col("s_name"))
+      .limit(50)
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q108_product_type_profit" -> q108ProductTypeProfit,
+    "q149_min_cost_supplier" -> q149MinCostSupplier,
+    "q150_dominant_supplier" -> q150DominantSupplier,
     "q128_small_qty_revenue" -> q128SmallQtyRevenue,
     "q129_waiting_suppliers" -> q129WaitingSuppliers,
     "q122_top_supplier" -> q122TopSupplier,
@@ -263,6 +360,53 @@ object TpchQueries {
   )
 
   lazy val sql: Map[String, String] = Map(
+    // The oracle keeps the GENUINE correlated MIN subquery (the Spark
+    // side is hand-decorrelated), so the hash compare proves the
+    // decorrelation equivalence, not just the arithmetic.
+    "q149_min_cost_supplier" -> """
+      WITH eur AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+      offers AS (
+        SELECT l_partkey, s_name, s_acctbal, n_name,
+          CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)
+            AS unit_price
+        FROM lineitem JOIN eur ON l_suppkey = s_suppkey),
+      p AS (
+        SELECT p_partkey, p_type FROM part
+        WHERE p_type = 'STANDARD' AND p_size <= 15)
+      SELECT DISTINCT s_acctbal, s_name, n_name,
+        p.p_partkey AS p_partkey, p_type, unit_price AS min_price
+      FROM p JOIN offers o ON o.l_partkey = p.p_partkey
+      WHERE o.unit_price = (
+        SELECT min(o2.unit_price) FROM offers o2
+        WHERE o2.l_partkey = p.p_partkey)
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 50""",
+    "q150_dominant_supplier" -> """
+      WITH rp AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+      vol AS (
+        SELECT l_partkey, l_suppkey,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        FROM lineitem JOIN rp ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey),
+      tot AS (
+        SELECT l_partkey, sum(q) AS t, count(1) AS n_supp
+        FROM vol GROUP BY l_partkey)
+      SELECT s_name, s_acctbal, count(1) AS n_dominated
+      FROM vol
+        JOIN tot USING (l_partkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+      WHERE q * 2 > t AND n_supp >= 2
+      GROUP BY s_name, s_acctbal
+      ORDER BY n_dominated DESC, s_name
+      LIMIT 50""",
     "q128_small_qty_revenue" -> """
       WITH bp AS (
         SELECT p_partkey FROM part
