@@ -328,25 +328,41 @@ object TextAnalysis {
     * xxhash64(passage) (the `shingle_hashes` discipline) — identical
     * plan, fixed 8-byte keys. */
   def q148PassageDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-    val segs = w.select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, cast(ceil(size(w) / 8.0) as int) - 1), " +
-          "i -> array_join(slice(w, i * 8 + 1, 8), ' '))")))
-      .toDF("doc_id", "pos", "passage")
-    val hot = segs.groupBy(col("passage"))
+    val docs = Tables.documents(spark, sfDir)
+    val hot = passageRows(docs).groupBy(col("passage"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .select(col("passage"))
-    val kept = segs.join(broadcast(hot), Seq("passage"), "left_anti")
+    removePassages(docs, hot)
+  }
+
+  /** (doc_id, pos, passage) rows — the deterministic non-overlapping
+    * 8-word segmentation shared by batch q148 and the streaming
+    * passage-count fold (graft.streaming.StreamingPassages). Map-only:
+    * one codegen'd split + transform + posexplode, no shuffle. */
+  private[graft] def passageRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(w) / 8.0) as int) - 1), " +
+          "i -> array_join(slice(w, i * 8 + 1, 8), ' '))")))
+      .toDF("doc_id", "pos", "passage")
+
+  /** Cleaning + reassembly given ANY hot-passage frame — shared by
+    * batch q148 (hot = one corpus aggregate) and the streaming view
+    * (hot = merge of per-batch count partials), so stream == batch is
+    * a plan-level equivalence over the same code, not a coincidence. */
+  private[graft] def removePassages(docs: DataFrame, hot: DataFrame): DataFrame = {
+    val kept = passageRows(docs)
+      .join(broadcast(hot.select(col("passage"))), Seq("passage"), "left_anti")
     val clean = kept.groupBy(col("doc_id"))
       .agg(
         array_join(expr(
             "transform(array_sort(collect_list(struct(pos, passage))), " +
               "x -> x.passage)"), " ").as("clean_text"),
         count(lit(1)).as("n_kept"))
-    val tot = w.select(col("doc_id"),
-      expr("cast(ceil(size(w) / 8.0) as bigint)").as("n_passages"))
+    val tot = docs.select(col("doc_id"),
+      expr("cast(ceil(size(split(text, ' ')) / 8.0) as bigint)")
+        .as("n_passages"))
     tot.join(clean, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
