@@ -257,17 +257,19 @@ object TpchQueries {
     * lineitem's unit price (l_extendedprice / l_quantity) from a
     * EUROPE supplier; the rest is Q2 verbatim: region-filtered
     * supplier dim, part filter, min-per-part threshold, equality gate,
-    * Q2's ORDER BY acctbal DESC. Spelled decorrelated — per-part min
-    * over the SAME offers frame both consumers read, joined back —
-    * which is exactly Catalyst's rewrite of the correlated form; the
-    * DuckDB oracle keeps the genuine correlated subquery, so the
-    * compare proves the decorrelation equivalence, not just the
-    * arithmetic.
+    * Q2's ORDER BY acctbal DESC. Spelled decorrelated as a PER-PART
+    * WINDOW MIN (the q90 discipline): the aggregate-and-rejoin form
+    * was plan-audited at 11 exchanges with the lineitem fact scanned
+    * TWICE — each threshold consumer re-evaluates the whole join
+    * subtree — where the window form scans once and shuffles only the
+    * pruned slice on the p_partkey the gate needs anyway. The DuckDB
+    * oracle keeps the genuine correlated subquery, so the compare
+    * proves the decorrelation equivalence, not just the arithmetic.
     *
     * Scale shape: region prunes supplier BEFORE its broadcast; the
-    * fact is reduced to EUROPE offers ONCE and both the threshold
-    * aggregate and the gated scan read that slice; the per-part min
-    * frame is |parts| rows — broadcast back. Unit price is a double
+    * fact is reduced to EUROPE offers on filtered parts ONCE, and the
+    * only corpus-sized exchange is that slice hash-partitioned on
+    * p_partkey for the window gate. Unit price is a double
     * division of identical parquet operands in both engines (IEEE-
     * deterministic, no sums), so the equality gate and the hash
     * compare are exact. DISTINCT collapses equal-priced repeat offers
@@ -292,9 +294,9 @@ object TpchQueries {
       .filter(col("p_type") === "STANDARD" && col("p_size") <= 15)
       .select(col("p_partkey"), col("p_type"))
     val po = offers.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-    val minp = po.groupBy(col("p_partkey"))
-      .agg(min(col("unit_price")).as("min_price"))
-    po.join(broadcast(minp), Seq("p_partkey"))
+    val minW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_partkey"))
+    po.withColumn("min_price", min(col("unit_price")).over(minW))
       .filter(col("unit_price") === col("min_price"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_type"), col("min_price"))
@@ -316,12 +318,14 @@ object TpchQueries {
     * contested wins.
     *
     * Scale shape: the name-filtered part dim broadcasts onto the fact
-    * FIRST, so both aggregation levels run on the pruned slice; the
-    * per-part totals frame (|red parts| rows) broadcasts back onto the
-    * per-(part, supplier) frame — no fact re-shuffle; quantities are
-    * exact-decimal sums and the dominance gate is the integer-scaled
-    * `q * 2 > t` (no double 0.5 — the compare is exact in both
-    * engines). */
+    * FIRST, so the (part, supplier) aggregation runs on the pruned
+    * slice, ONCE — the per-part totals are a WINDOW over that small
+    * aggregate frame (the aggregate-and-rejoin form was plan-audited
+    * at 8 exchanges with the fact scanned+aggregated twice; the window
+    * form pays one |red parts × suppliers|-row exchange instead);
+    * quantities are exact-decimal sums and the dominance gate is the
+    * integer-scaled `q * 2 > t` (no double 0.5 — the compare is exact
+    * in both engines). */
   def q150DominantSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     val rp = Tables.part(spark, sfDir)
       .filter(col("p_name").startsWith("red"))
@@ -332,9 +336,10 @@ object TpchQueries {
         && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(dec2(col("l_quantity"))).as("q"))
-    val tot = vol.groupBy(col("l_partkey"))
-      .agg(sum(col("q")).as("t"), count(lit(1)).as("n_supp"))
-    vol.join(broadcast(tot), Seq("l_partkey"))
+    val totW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_partkey"))
+    vol.withColumn("t", sum(col("q")).over(totW))
+      .withColumn("n_supp", count(lit(1)).over(totW))
       .filter(col("q") * lit(2) > col("t") && col("n_supp") >= 2)
       .join(broadcast(Tables.supplier(spark, sfDir)
           .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))),

@@ -204,6 +204,30 @@ object Scratch {
           .filter(_.contains("Exchange")).mkString("\n"))
       s2.stop(); return
     }
+    // `… Scratch plans q148 q149 …`: per-query physical-plan audit —
+    // exchange count + join/aggregate operator lines, the ".explain
+    // until it's the plan you'd want" loop in greppable form.
+    if (args.headOption.contains("plans")) {
+      val s2 = SparkSession.builder().master("local[2]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s2.sparkContext.setLogLevel("ERROR")
+      val sel = args.drop(1).toSet
+      graft.SparkEntry.queries
+        .filter { case (n, _) => sel.isEmpty || sel.exists(n.startsWith) }
+        .toSeq.sortBy(_._1)
+        .foreach { case (name, fn) =>
+          val plan = fn(s2, "/root/testdata/sf0.001")
+            .queryExecution.executedPlan.toString
+          println(s"[scratch] $name exchanges=" +
+            "Exchange ".r.findAllIn(plan).size)
+          plan.linesIterator
+            .filter(l => l.contains("Exchange") || l.contains("Join")
+              || l.contains("HashAggregate") || l.contains("Scan"))
+            .foreach(l => println(s"[scratch]   ${l.trim.take(140)}"))
+        }
+      s2.stop(); return
+    }
     if (args.headOption.contains("smb")) { smbProbe(); return }
     val sfDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[4]")
