@@ -25,6 +25,13 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * - Deletes/updates are signed deltas (insert:+1, delete:−1,
   *   update:−old,+new) — the streaming Update-mode equivalent runs in
   *   graft.streaming.StreamingCube on the same plan.
+  *
+  * Source seam: the reference ingests MongoDB change streams. The
+  * network client can't exist in this zero-egress build, but the wire
+  * format can — graft.sources.MongoChangeStream decodes change-event
+  * JSON (with pre/post images) into exactly the signed-delta frame
+  * [[CubeManager.applyDeltas]] consumes, batch or streaming; parquet
+  * `events` / delta directories stand in for the cursor's transport.
   */
 sealed trait Dimension {
   def id: String
