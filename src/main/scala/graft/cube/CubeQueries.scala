@@ -104,6 +104,7 @@ object CubeQueries {
     routingSource(spark, sfDir)
     distinctRoutingSource(spark, sfDir)
     lifecycleService(spark, sfDir)
+    changeStreamService(spark, sfDir)
     ()
   }
 
@@ -241,6 +242,84 @@ object CubeQueries {
   def q147ServiceAutoUpdate(spark: SparkSession, sfDir: String): DataFrame = {
     val svc = lifecycleService(spark, sfDir)
     svc.getAggregates("svc_auto", Seq("etype"), sumOf = Seq("value_sum"))
+      .select(col("etype"), col("sum_value_sum").as("value_sum"),
+        col("n_rows").as("n"))
+      .orderBy(col("etype"))
+  }
+
+  // --------------------------------------------------------------- q151
+  /** The reference's R2 ingestion end to end THROUGH THE WIRE FORMAT:
+    * create a cube from the base collection state, render the
+    * remaining activity as MongoDB change-event JSON (inserts, value
+    * updates with −pre/+post images, deletes with pre-images — the
+    * exact bytes a `$changeStream` cursor with
+    * `changeStreamPreAndPostImages` delivers), decode it with
+    * [[graft.sources.MongoChangeStream]], fold through
+    * `CubeService.updateAggregates`, and serve the roll-up. The oracle
+    * recomputes the final collection state from the raw table with the
+    * same slice arithmetic — so the graded compare covers JSON
+    * round-trip, signed decode, the service fold, and the persisted
+    * publish in one row.
+    *
+    * Slices (deterministic on event_id): %7==6 arrives via insert
+    * events (not in the base), %7==5 gets value+1 via update events,
+    * %7==4 is deleted. The wire document carries ts as epoch
+    * MICROSECONDS (exact integer round-trip through JSON; doubles
+    * round-trip via shortest-repr, and the oracle adds the identical
+    * +1.0 before the decimal cast). One-time per (session, sfDir) —
+    * the q146 setup discipline. */
+  private val changeStreamSetup =
+    TrieMap.empty[(SparkSession, String), CubeService]
+  private val cdcDocSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ts_us",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.DoubleType)))
+  private def changeStreamService(spark: SparkSession,
+      sfDir: String): CubeService =
+    changeStreamSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_mongo_life").toString
+      val svc = new CubeService(spark, dir)
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      val mod = col("event_id") % 7
+      def doc(v: org.apache.spark.sql.Column) =
+        struct(col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), v.as("value"))
+      svc.createCube(
+        CubeConfig("mongo_cdc", "events",
+          dims = Seq(FieldDim("etype", "event_type")),
+          measures = Seq(Measure("value_sum", "value"))),
+        ev.filter(mod =!= 6)
+          .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+            col("value")))
+      val insJson = ev.filter(mod === 6).select(to_json(struct(
+        lit("insert").as("operationType"),
+        doc(col("value")).as("fullDocument"))).as("value"))
+      val updJson = ev.filter(mod === 5).select(to_json(struct(
+        lit("update").as("operationType"),
+        doc(col("value") + 1).as("fullDocument"),
+        doc(col("value")).as("fullDocumentBeforeChange"))).as("value"))
+      val delJson = ev.filter(mod === 4).select(to_json(struct(
+        lit("delete").as("operationType"),
+        doc(col("value")).as("fullDocumentBeforeChange"))).as("value"))
+      val changes = s"$dir/changes"
+      insJson.unionByName(updJson).unionByName(delJson).write.text(changes)
+      svc.updateAggregates("mongo_cdc",
+        graft.sources.MongoChangeStream.decode(
+          spark.read.text(changes), cdcDocSchema))
+      svc
+    })
+
+  /** Graded: the roll-up served after the change stream (decoded from
+    * wire-format JSON) folded into the persisted cube. Oracle = signed
+    * recompute of the final collection state from the raw table. */
+  def q151ChangeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = changeStreamService(spark, sfDir)
+    svc.getAggregates("mongo_cdc", Seq("etype"), sumOf = Seq("value_sum"))
       .select(col("etype"), col("sum_value_sum").as("value_sum"),
         col("n_rows").as("n"))
       .orderBy(col("etype"))
@@ -464,6 +543,7 @@ object CubeQueries {
     "q140_distinct_routing" -> q140DistinctRouting,
     "q146_service_lifecycle" -> q146ServiceLifecycle,
     "q147_service_auto_update" -> q147ServiceAutoUpdate,
+    "q151_change_stream" -> q151ChangeStream,
   )
 
   lazy val sql: Map[String, String] = Map(
@@ -541,6 +621,20 @@ object CubeQueries {
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
         count(1) AS n
       FROM events
+      GROUP BY event_type
+      ORDER BY etype""",
+    // Final collection state after the change stream: %7==4 deleted,
+    // %7==5 updated to value+1.0 (double add BEFORE the decimal cast —
+    // the same IEEE op the update event's post-image carries), %7==6
+    // inserted, everything else untouched base.
+    "q151_change_stream" -> """
+      SELECT event_type AS etype,
+        CAST(sum(CAST(value
+          + (CASE WHEN event_id % 7 = 5 THEN 1.0 ELSE 0.0 END)
+          AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        count(1) AS n
+      FROM events
+      WHERE event_id % 7 <> 4
       GROUP BY event_type
       ORDER BY etype""",
   )
