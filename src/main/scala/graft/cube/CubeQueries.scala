@@ -105,6 +105,7 @@ object CubeQueries {
     distinctRoutingSource(spark, sfDir)
     lifecycleService(spark, sfDir)
     changeStreamService(spark, sfDir)
+    joinCubeState(spark, sfDir)
     ()
   }
 
@@ -313,6 +314,63 @@ object CubeQueries {
           spark.read.text(changes), cdcDocSchema))
       svc
     })
+
+  // --------------------------------------------------------------- q152
+  /** Incrementally maintained JOIN MV ([[JoinCubeManager]], the
+    * delta-join rule Δ(L⋈R) = ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR): revenue by order
+    * priority over orders ⋈ lineitem, created from a base slice
+    * (orders with o_orderkey%5≠4, lines with l_linenumber%3≠2), then
+    * folded through TWO delta batches — (1) the late orders AND late
+    * lines inserted together (exercising every term incl. ΔL⋈ΔR), (2)
+    * a purge of the base slice's returned lines (right-side deletes).
+    * The oracle recomputes the final two-sided state from the raw
+    * tables — one hash compare covers the three-term expansion, sign
+    * multiplication, multiset side-state compaction, and the shared
+    * cube fold. Side states are narrow (key+measure / key+dim)
+    * projections — the IVM auxiliary-state discipline at scale.
+    * One-time per (session, sfDir); serve reads the maintained cube. */
+  private val joinCubeSetup = TrieMap.empty[(SparkSession, String), Cube]
+  private def joinCubeState(spark: SparkSession, sfDir: String): Cube =
+    joinCubeSetup.getOrElseUpdate((spark, sfDir), {
+      val cfgJ = JoinCubeConfig(
+        CubeConfig("join_mv", "orders_lineitem",
+          dims = Seq(FieldDim("prio", "o_orderpriority")),
+          measures = Seq(Measure("revenue", "l_extendedprice"))),
+        leftKey = "o_orderkey", rightKey = "l_orderkey")
+      val ord = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = Tables.lineitem(spark, sfDir)
+      val liNarrow = li.select(col("l_orderkey"), col("l_extendedprice"))
+      val liLate = col("l_linenumber") % 3 === 2
+      var jc = JoinCubeManager.create(cfgJ,
+        ord.filter(col("o_orderkey") % 5 =!= 4),
+        li.filter(!liLate).select(col("l_orderkey"), col("l_extendedprice")))
+      jc = JoinCubeManager.applyDeltas(jc,
+        ord.filter(col("o_orderkey") % 5 === 4).withColumn("_sign", lit(1L)),
+        li.filter(liLate).select(col("l_orderkey"), col("l_extendedprice"))
+          .withColumn("_sign", lit(1L)))
+      jc = JoinCubeManager.applyDeltas(jc,
+        ord.limit(0).withColumn("_sign", lit(1L)),
+        li.filter(!liLate && col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .withColumn("_sign", lit(-1L)))
+      // pin AND materialize the folded aggregates: the maintained cube
+      // is |priorities| rows, and forcing it here keeps the graded fn's
+      // serve time free of the one-time fold (the q58 discipline)
+      val pinned = jc.cube.copy(aggregates = jc.cube.aggregates.cache())
+      pinned.aggregates.count()
+      pinned
+    })
+
+  /** Graded: the roll-up served from the maintained join MV after both
+    * delta batches. Oracle = recompute from the final two-sided state. */
+  def q152JoinMv(spark: SparkSession, sfDir: String): DataFrame = {
+    val cube = joinCubeState(spark, sfDir)
+    cube.live
+      .select(col("prio"), col("revenue").cast("double").as("revenue"),
+        col(CubeManager.CountCol).as("n"))
+      .orderBy(col("prio"))
+  }
 
   /** Graded: the roll-up served after the change stream (decoded from
     * wire-format JSON) folded into the persisted cube. Oracle = signed
@@ -544,6 +602,7 @@ object CubeQueries {
     "q146_service_lifecycle" -> q146ServiceLifecycle,
     "q147_service_auto_update" -> q147ServiceAutoUpdate,
     "q151_change_stream" -> q151ChangeStream,
+    "q152_join_mv" -> q152JoinMv,
   )
 
   lazy val sql: Map[String, String] = Map(
@@ -637,5 +696,16 @@ object CubeQueries {
       WHERE event_id % 7 <> 4
       GROUP BY event_type
       ORDER BY etype""",
+    // Final two-sided state: all orders; lineitem keeps everything
+    // except the base slice's returned lines (the only deletes).
+    "q152_join_mv" -> """
+      SELECT o_orderpriority AS prio,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS revenue,
+        count(1) AS n
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE NOT (l_linenumber % 3 <> 2 AND l_returnflag = 'R')
+      GROUP BY o_orderpriority
+      ORDER BY prio""",
   )
 }

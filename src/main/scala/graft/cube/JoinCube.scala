@@ -1,0 +1,91 @@
+package graft.cube
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incrementally maintained JOIN materialized view: a cube over
+  * `L ⋈ R` kept fresh under signed deltas to EITHER side via the
+  * classic delta-join rule
+  *
+  *   Δ(L ⋈ R) = ΔL ⋈ R₀  ∪  L₀ ⋈ ΔR  ∪  ΔL ⋈ ΔR      (signs multiply)
+  *
+  * — the incremental-view-maintenance extension of the reference's
+  * single-table cube story (same R3 contract, same fold machinery:
+  * the three join terms produce a signed frame in the JOINED schema
+  * and [[CubeManager.applyDeltas]] folds it; a `_sign` of ±k is a
+  * multiplicity, which the decimal `sum(_sign·measure)` and
+  * `sum(_sign)` count handle natively).
+  *
+  * Auxiliary state: IVM over a join needs the CURRENT other side to
+  * join each delta against, so the manager maintains both sides as
+  * compacted signed multisets — rows grouped with a net `_mult`, zero
+  * rows dropped (a deleted row must stop matching future deltas). At
+  * scale these are NARROW keyed projections (only the join key + the
+  * columns the cube's dims/measures reference — the caller projects
+  * before `create`), partitioned on the join key so every delta term
+  * is a co-partitioned equi-join; per-batch cost is
+  * |Δ| ⋈ (key-matching state slice), never a re-join of the full
+  * sides. Column names across the two sides must be disjoint (true of
+  * every TPC-H-style prefixed schema) — the joined schema is their
+  * concatenation.
+  *
+  * Correctness has the exact [[CubeManager.applyDeltas]] invariants:
+  * fold-then-query == from-scratch recompute of the final state for
+  * ANY interleaving of side deltas (JoinCubeSpec pins randomized
+  * sequences), emptied groups drop, over-deletion tombstones net. */
+final case class JoinCubeConfig(cube: CubeConfig, leftKey: String,
+    rightKey: String)
+
+final case class JoinCube(config: JoinCubeConfig, cube: Cube,
+    left: DataFrame, right: DataFrame)
+
+object JoinCubeManager {
+  private def keyEq(cfg: JoinCubeConfig): Column =
+    col(cfg.leftKey) === col(cfg.rightKey)
+
+  /** Net-multiplicity compaction of a signed multiset: group identical
+    * rows, sum signs, drop zeros. State size ∝ |distinct live rows|. */
+  private def compact(side: DataFrame): DataFrame = {
+    val cols = side.columns.filterNot(_ == "_mult")
+    side.groupBy(cols.map(col): _*)
+      .agg(sum(col("_mult")).cast("long").as("_mult"))
+      .filter(col("_mult") =!= 0)
+  }
+
+  private def asMult(delta: DataFrame): DataFrame =
+    delta.withColumnRenamed("_sign", "_mult")
+
+  /** Initial population: cube over the raw join; side states compacted
+    * from the raw inputs (multiplicity = row count). */
+  def create(cfg: JoinCubeConfig, left: DataFrame,
+      right: DataFrame): JoinCube = {
+    val cube = CubeManager.create(cfg.cube, left.join(right, keyEq(cfg)))
+    JoinCube(cfg, cube,
+      compact(left.withColumn("_mult", lit(1L))),
+      compact(right.withColumn("_mult", lit(1L))))
+  }
+
+  /** Fold one batch of signed deltas (either side may be empty: pass a
+    * frame with the side schema + `_sign` and zero rows). All three
+    * delta terms join against the PRE-batch states, then both states
+    * advance — the rule's L₀/R₀ are the states as of the batch start,
+    * so a single batch may freely mix inserts/deletes to both sides. */
+  def applyDeltas(jc: JoinCube, leftDelta: DataFrame,
+      rightDelta: DataFrame): JoinCube = {
+    val cfg = jc.config
+    val dl = asMult(leftDelta)
+    val dr = asMult(rightDelta)
+    def term(a: DataFrame, aw: String, b: DataFrame, bw: String): DataFrame =
+      a.withColumnRenamed("_mult", aw)
+        .join(b.withColumnRenamed("_mult", bw), keyEq(cfg))
+        .withColumn("_sign", col(aw) * col(bw))
+        .drop(aw, bw)
+    val deltas = term(dl, "_ml", jc.right, "_mr")
+      .unionByName(term(jc.left, "_ml", dr, "_mr"))
+      .unionByName(term(dl, "_ml", dr, "_mr"))
+    JoinCube(cfg,
+      CubeManager.applyDeltas(jc.cube, deltas),
+      compact(jc.left.unionByName(dl)),
+      compact(jc.right.unionByName(dr)))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.cube
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Join-MV maintenance invariant: incrementally folded join cube ==
+  * cube recomputed from the final state of both sides, for randomized
+  * interleavings of inserts/deletes on either side. */
+class JoinCubeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val cfg = JoinCubeConfig(
+    CubeConfig("jt", "mem",
+      dims = Seq(FieldDim("prio", "o_prio")),
+      measures = Seq(Measure("rev", "l_price"))),
+    leftKey = "o_key", rightKey = "l_key")
+
+  private def ordersDf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("o_key", "o_prio")
+  }
+  private def linesDf(rows: Seq[(Long, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("l_key", "l_price")
+  }
+
+  private def contents(c: Cube): Set[(String, BigDecimal, Long)] =
+    c.live.collect().map { r =>
+      (r.getAs[String]("prio"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("rev")),
+        r.getAs[Long]("_count"))
+    }.toSet
+
+  test("fold == recompute under randomized two-sided delta interleavings") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 10) {
+      val nOrd = 8 + rnd.nextInt(8)
+      val allOrd = (0 until nOrd).map(i =>
+        (i.toLong, Seq("HIGH", "MED", "LOW")(rnd.nextInt(3))))
+      val allLin = (0 until 40 + rnd.nextInt(40)).map(_ =>
+        (rnd.nextInt(nOrd + 4).toLong, // some lines point at absent orders
+          math.round(rnd.nextDouble() * 10000) / 100.0))
+      val (ordBase, ordLate) = allOrd.splitAt(allOrd.size / 2)
+      val (linBase, linLate) = allLin.splitAt(allLin.size / 2)
+      val ordDel = ordBase.filter(_ => rnd.nextBoolean())
+      val linDel = linBase.filter(_ => rnd.nextBoolean())
+
+      var jc = JoinCubeManager.create(cfg,
+        ordersDf(ordBase), linesDf(linBase))
+      // batch 1: late inserts on BOTH sides at once (exercises ΔL⋈ΔR)
+      jc = JoinCubeManager.applyDeltas(jc,
+        ordersDf(ordLate).withColumn("_sign", lit(1L)),
+        linesDf(linLate).withColumn("_sign", lit(1L)))
+      // batch 2: deletes on both sides
+      jc = JoinCubeManager.applyDeltas(jc,
+        ordersDf(ordDel).withColumn("_sign", lit(-1L)),
+        linesDf(linDel).withColumn("_sign", lit(-1L)))
+
+      val finalOrd = ordBase.diff(ordDel) ++ ordLate
+      val finalLin = linBase.diff(linDel) ++ linLate
+      val expected = CubeManager.create(cfg.cube,
+        ordersDf(finalOrd).join(linesDf(finalLin),
+          col("o_key") === col("l_key")))
+      assert(contents(jc.cube) == contents(expected), s"trial $trial diverged")
+    }
+  }
+
+  test("deleting the last line of an order empties its group") {
+    val jc0 = JoinCubeManager.create(cfg,
+      ordersDf(Seq((1L, "HIGH"))), linesDf(Seq((1L, 5.0))))
+    val jc1 = JoinCubeManager.applyDeltas(jc0,
+      ordersDf(Nil).withColumn("_sign", lit(1L)),
+      linesDf(Seq((1L, 5.0))).withColumn("_sign", lit(-1L)))
+    assert(jc1.cube.live.count() == 0)
+    // and the side state no longer matches future deltas for that key
+    val jc2 = JoinCubeManager.applyDeltas(jc1,
+      ordersDf(Nil).withColumn("_sign", lit(1L)),
+      linesDf(Seq((1L, 3.0))).withColumn("_sign", lit(1L)))
+    assert(contents(jc2.cube) == Set(("HIGH", BigDecimal("3.00"), 1L)),
+      "re-insert after delete must rebuild from the order state alone")
+  }
+
+  test("duplicate rows carry multiplicity through the join") {
+    // two identical lines: state compacts to _mult=2, join must weight 2×
+    val jc = JoinCubeManager.create(cfg,
+      ordersDf(Seq((1L, "HIGH"))), linesDf(Seq((1L, 2.0), (1L, 2.0))))
+    assert(contents(jc.cube) == Set(("HIGH", BigDecimal("4.00"), 2L)))
+    val jc1 = JoinCubeManager.applyDeltas(jc,
+      ordersDf(Seq((2L, "LOW"))).withColumn("_sign", lit(1L)),
+      linesDf(Seq((2L, 1.0), (2L, 1.0))).withColumn("_sign", lit(1L)))
+    assert(contents(jc1.cube) ==
+      Set(("HIGH", BigDecimal("4.00"), 2L), ("LOW", BigDecimal("2.00"), 2L)))
+  }
+}
