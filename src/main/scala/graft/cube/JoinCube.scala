@@ -88,4 +88,20 @@ object JoinCubeManager {
       compact(jc.left.unionByName(dl)),
       compact(jc.right.unionByName(dr)))
   }
+
+  /** Lineage truncation for long-running maintenance: every fold layers
+    * a union+compaction onto the states' query plans, so an unbounded
+    * micro-batch stream would re-execute ever-deeper lineage each
+    * batch. Calling this every N batches materializes all three frames
+    * (eager local checkpoint) and restarts their plans from the stored
+    * result — per-batch cost stays ∝ |state| + |Δ| regardless of how
+    * many batches preceded. (Durable deployments write the states to
+    * storage instead — same idea, the StreamingSurvivors index
+    * discipline; the cube itself can also be persisted via
+    * [[CubeManager.save]].) */
+  def checkpoint(jc: JoinCube): JoinCube =
+    JoinCube(jc.config,
+      jc.cube.copy(aggregates = jc.cube.aggregates.localCheckpoint(true)),
+      jc.left.localCheckpoint(true),
+      jc.right.localCheckpoint(true))
 }

@@ -90,6 +90,54 @@ class JoinCubeSpec extends AnyFunSuite {
       "re-insert after delete must rebuild from the order state alone")
   }
 
+  test("streaming two-sided delta replay == recompute (R2 steady state)") {
+    import spark.implicits._
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val dir = tmp("graft_jmv_src")
+    // one tagged delta log carries both sides (side, key, prio, price,
+    // _sign) — micro-batches may interleave sides arbitrarily
+    val b0 = Seq(("o", 1L, "HIGH", 0.0, 1L), ("o", 2L, "LOW", 0.0, 1L),
+      ("l", 1L, "", 5.0, 1L))
+    val b1 = Seq(("l", 2L, "", 3.0, 1L), ("l", 1L, "", 2.0, 1L),
+      ("o", 3L, "MED", 0.0, 1L))
+    val b2 = Seq(("l", 1L, "", 5.0, -1L), ("l", 3L, "", 7.0, 1L))
+    def toDf(rows: Seq[(String, Long, String, Double, Long)]) =
+      rows.toDF("side", "key", "prio", "price", "_sign")
+    toDf(b0).coalesce(1).write.parquet(s"$dir/f0")
+    var jc = JoinCubeManager.create(cfg, ordersDf(Nil), linesDf(Nil))
+    val q = spark.readStream.schema(toDf(b0).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/f*")
+      .writeStream
+      .option("checkpointLocation", tmp("graft_jmv_ckpt"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        jc = JoinCubeManager.checkpoint(JoinCubeManager.applyDeltas(jc,
+          b.filter(col("side") === "o")
+            .select(col("key").as("o_key"), col("prio").as("o_prio"),
+              col("_sign")),
+          b.filter(col("side") === "l")
+            .select(col("key").as("l_key"), col("price").as("l_price"),
+              col("_sign"))))
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    toDf(b1).coalesce(1).write.parquet(s"$dir/f1")
+    q.processAllAvailable()
+    toDf(b2).coalesce(1).write.parquet(s"$dir/f2")
+    q.processAllAvailable()
+    q.stop()
+    // final state: orders {1 HIGH, 2 LOW, 3 MED};
+    // lines {1→2.0, 2→3.0, 3→7.0} (1→5.0 deleted)
+    val expected = CubeManager.create(cfg.cube,
+      ordersDf(Seq((1L, "HIGH"), (2L, "LOW"), (3L, "MED")))
+        .join(linesDf(Seq((1L, 2.0), (2L, 3.0), (3L, 7.0))),
+          col("o_key") === col("l_key")))
+    assert(contents(jc.cube) == contents(expected),
+      "stream-maintained join MV diverges from recompute")
+  }
+
   test("duplicate rows carry multiplicity through the join") {
     // two identical lines: state compacts to _mult=2, join must weight 2×
     val jc = JoinCubeManager.create(cfg,
