@@ -263,4 +263,99 @@ final class CubeService(spark: SparkSession, storageDir: String) {
       .agg(endpointAggs.head, endpointAggs.tail: _*)
       .orderBy(col("day"))
   }
+
+  // ----------------------------------------------------------- join MVs
+  /** Durable incrementally maintained JOIN MVs ([[JoinCubeManager]]).
+    * A join MV persists THREE coupled pieces — the cube aggregates and
+    * both compacted side states — which must never be observed at
+    * mixed versions (states one fold ahead of the cube double-applies
+    * the next delta). Single-directory two-rename swaps can't cover
+    * three directories, so join MVs use the versioned-manifest pattern:
+    * every fold writes a complete new version under `<name>.jmv/v<k>/`
+    * and then atomically replaces the one-line `MANIFEST` file pointing
+    * at it. Readers resolve MANIFEST → version dir; a crash mid-write
+    * leaves a half-written `v<k+1>` that no manifest references (junk,
+    * cleaned next publish) and the previous version fully live. */
+  private val joinLive = TrieMap.empty[String, JoinCube]
+
+  private def jmvRoot(name: String) =
+    java.nio.file.Paths.get(storageDir, s"$name.jmv")
+
+  private def jmvVersion(name: String): Int = {
+    val m = jmvRoot(name).resolve("MANIFEST")
+    if (m.toFile.exists()) java.nio.file.Files.readString(m).trim.toInt
+    else -1
+  }
+
+  private def jmvPublish(name: String, jc: JoinCube, version: Int): JoinCube = {
+    val vdir = jmvRoot(name).resolve(s"v$version")
+    java.nio.file.Files.createDirectories(vdir)
+    CubeManager.save(jc.cube, vdir.toString)
+    // no .json suffix: CubeManager.list treats *.json as cube configs
+    java.nio.file.Files.writeString(vdir.resolve("join_keys"),
+      s"""{"leftKey":"${jc.config.leftKey}","rightKey":"${jc.config.rightKey}"}""")
+    jc.left.write.mode("overwrite").parquet(vdir.resolve("lstate").toString)
+    jc.right.write.mode("overwrite").parquet(vdir.resolve("rstate").toString)
+    val tmp = jmvRoot(name).resolve("MANIFEST.tmp")
+    java.nio.file.Files.writeString(tmp, version.toString)
+    java.nio.file.Files.move(tmp, jmvRoot(name).resolve("MANIFEST"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // previous versions are unreferenced now — clean them
+    Option(jmvRoot(name).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("v")
+        && f.getName != s"v$version")
+      .foreach(rm)
+    val loaded = jmvLoad(name)
+    joinLive.put(name, loaded)
+    loaded
+  }
+
+  private def jmvLoad(name: String): JoinCube = {
+    val v = jmvVersion(name)
+    require(v >= 0, s"join MV '$name' does not exist under $storageDir")
+    val vdir = jmvRoot(name).resolve(s"v$v")
+    val keys = java.nio.file.Files.readString(vdir.resolve("join_keys"))
+    def key(k: String) = s""""$k":"([^"]*)"""".r.findFirstMatchIn(keys)
+      .map(_.group(1)).getOrElse(sys.error(s"bad join_keys for $name"))
+    // the cube is persisted under the MV's own name (createJoinCube
+    // keys the MV by config.cube.name)
+    val cube = CubeManager.load(spark, vdir.toString, name)
+    JoinCube(JoinCubeConfig(cube.config, key("leftKey"), key("rightKey")),
+      cube,
+      spark.read.parquet(vdir.resolve("lstate").toString),
+      spark.read.parquet(vdir.resolve("rstate").toString))
+  }
+
+  /** Create + persist a join MV (version 0). Sides should arrive as
+    * narrow projections — join key + referenced columns only. */
+  def createJoinCube(config: JoinCubeConfig, left: DataFrame,
+      right: DataFrame): JoinCube =
+    jmvPublish(config.cube.name,
+      JoinCubeManager.create(config, left, right), 0)
+
+  def loadJoinCube(name: String): JoinCube =
+    joinLive.getOrElseUpdate(name, jmvLoad(name))
+
+  /** Fold signed deltas to either side (frames with the side schema +
+    * `_sign`; ±k = multiplicity) and publish the next version. The fold
+    * reads the persisted previous version, so the input plan never
+    * races the publish. */
+  def updateJoinAggregates(name: String, leftDelta: DataFrame,
+      rightDelta: DataFrame): JoinCube = {
+    val prev = loadJoinCube(name)
+    jmvPublish(name,
+      JoinCubeManager.applyDeltas(prev, leftDelta, rightDelta),
+      jmvVersion(name) + 1)
+  }
+
+  /** Roll-up served from the maintained join MV. */
+  def getJoinAggregates(name: String, dims: Seq[String],
+      sumOf: Seq[String] = Nil, avgOf: Seq[String] = Nil): DataFrame =
+    CubeManager.query(loadJoinCube(name).cube, dims, lit(true), sumOf, avgOf)
+
+  def deleteJoinCube(name: String): Unit = {
+    joinLive.remove(name)
+    rm(jmvRoot(name).toFile)
+  }
 }

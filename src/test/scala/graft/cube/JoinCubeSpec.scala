@@ -138,6 +138,38 @@ class JoinCubeSpec extends AnyFunSuite {
       "stream-maintained join MV diverges from recompute")
   }
 
+  test("service verbs: versioned persistence survives a service restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jmv_svc").toString
+    val svc = new CubeService(spark, dir)
+    svc.createJoinCube(cfg,
+      ordersDf(Seq((1L, "HIGH"), (2L, "LOW"))),
+      linesDf(Seq((1L, 5.0), (2L, 3.0))))
+    svc.updateJoinAggregates("jt",
+      ordersDf(Seq((3L, "MED"))).withColumn("_sign", lit(1L)),
+      linesDf(Seq((3L, 7.0), (1L, 5.0)))
+        .withColumn("_sign", when(col("l_price") === 5.0, -1L).otherwise(1L)))
+    // a FRESH service over the same root must read the manifest-current
+    // version — the restart path, no in-memory state
+    val svc2 = new CubeService(spark, dir)
+    val served = svc2.getJoinAggregates("jt", Seq("prio"), sumOf = Seq("rev"))
+      .collect().map(r => (r.getAs[String]("prio"),
+        r.getAs[Double]("sum_rev"), r.getAs[Long]("n_rows"))).toSet
+    // final: 1 HIGH (line deleted → group gone), 2 LOW 3.0, 3 MED 7.0
+    assert(served == Set(("LOW", 3.0, 1L), ("MED", 7.0, 1L)),
+      s"restart serve wrong: $served")
+    // the fold state also survived: another update applies cleanly
+    svc2.updateJoinAggregates("jt",
+      ordersDf(Nil).withColumn("_sign", lit(1L)),
+      linesDf(Seq((1L, 2.0))).withColumn("_sign", lit(1L)))
+    val after = svc2.getJoinAggregates("jt", Seq("prio"), sumOf = Seq("rev"))
+      .collect().map(r => (r.getAs[String]("prio"),
+        r.getAs[Double]("sum_rev"))).toSet
+    assert(after == Set(("HIGH", 2.0), ("LOW", 3.0), ("MED", 7.0)),
+      s"post-restart fold wrong: $after")
+    svc2.deleteJoinCube("jt")
+    assert(!new java.io.File(s"$dir/jt.jmv").exists())
+  }
+
   test("duplicate rows carry multiplicity through the join") {
     // two identical lines: state compacts to _mult=2, join must weight 2×
     val jc = JoinCubeManager.create(cfg,
