@@ -106,6 +106,7 @@ object CubeQueries {
     lifecycleService(spark, sfDir)
     changeStreamService(spark, sfDir)
     joinCubeState(spark, sfDir)
+    joinRouteSources(spark, sfDir)
     ()
   }
 
@@ -358,6 +359,66 @@ object CubeQueries {
       svc
     })
 
+  // --------------------------------------------------------------- q153
+  /** JOIN-MV ROUTING on the graded surface (the q58 story extended to
+    * joins): a plain aggregate over the registered inner equi-join of
+    * two parquet relations is silently served from the materialized
+    * join cube by [[CubeRewriteRule]] — the fact-to-fact join AND its
+    * aggregation both disappear from the plan, replaced by a
+    * |priorities|-row MV scan (hard-asserted). The DuckDB oracle
+    * recomputes the full join rollup from the raw tables, so the hash
+    * compare proves the routed answer exact. Setup (per session/sfDir):
+    * narrow projections of orders/lineitem land as parquet, a join MV
+    * over them is created through the service and registered. */
+  private val joinRouteSetup = TrieMap.empty[(SparkSession, String), (String, String)]
+  private def joinRouteSources(spark: SparkSession,
+      sfDir: String): (String, String) =
+    joinRouteSetup.getOrElseUpdate((spark, sfDir), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_jroute").toString
+      CubeCatalog.install(spark)
+      val oSrc = s"$dir/osrc"
+      val lSrc = s"$dir/lsrc"
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.parquet(oSrc)
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .write.parquet(lSrc)
+      val svc = new CubeService(spark, dir)
+      svc.createJoinCube(
+        JoinCubeConfig(
+          CubeConfig("join_route", "osrc_lsrc",
+            dims = Seq(FieldDim("prio", "o_orderpriority")),
+            measures = Seq(Measure("revenue", "l_extendedprice"))),
+          leftKey = "o_orderkey", rightKey = "l_orderkey"),
+        spark.read.parquet(oSrc), spark.read.parquet(lSrc))
+      CubeCatalog.registerJoin(s"join_route@$sfDir",
+        svc.loadJoinCube("join_route"), oSrc, lSrc)
+      (oSrc, lSrc)
+    })
+
+  /** Graded: the join-shaped aggregation, written as if no MV existed;
+    * the optimizer must serve it from the join cube (hard-asserted —
+    * the plan may scan NEITHER source relation). */
+  def q153JoinRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val (oSrc, lSrc) = joinRouteSources(spark, sfDir)
+    val q = spark.read.parquet(oSrc)
+      .join(spark.read.parquet(lSrc),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && scans.forall(_.contains(".jmv/")),
+      s"join-MV routing did not fire; scans=$scans")
+    q
+  }
+
   /** Graded: the roll-up served from the maintained join MV after both
     * delta batches, THROUGH the service verbs — each fold read the
     * previously published version and atomically swapped the manifest,
@@ -603,6 +664,7 @@ object CubeQueries {
     "q147_service_auto_update" -> q147ServiceAutoUpdate,
     "q151_change_stream" -> q151ChangeStream,
     "q152_join_mv" -> q152JoinMv,
+    "q153_join_routing" -> q153JoinRouting,
   )
 
   lazy val sql: Map[String, String] = Map(
@@ -707,5 +769,13 @@ object CubeQueries {
       WHERE NOT (l_linenumber % 3 <> 2 AND l_returnflag = 'R')
       GROUP BY o_orderpriority
       ORDER BY prio""",
+    "q153_join_routing" -> """
+      SELECT o_orderpriority,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS revenue,
+        count(1) AS n
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
   )
 }

@@ -57,14 +57,29 @@ object CubeCatalog {
   final case class Registration(cube: Cube, sourcePath: String,
       approxDistinct: Boolean)
 
+  /** A routable JOIN MV ([[JoinCubeManager]]): the materialized cube
+    * over L ⋈ R, both sides' normalized source paths, and the equi-join
+    * key column names. An Aggregate over exactly that inner equi-join
+    * of those two relations routes to the cube. */
+  final case class JoinRegistration(cube: Cube, leftPath: String,
+      rightPath: String, leftKey: String, rightKey: String)
+
   private val cubes = TrieMap.empty[String, Registration]
+  private val joinCubes = TrieMap.empty[String, JoinRegistration]
 
   def register(name: String, cube: Cube, sourcePath: String,
       approxDistinct: Boolean = false): Unit =
     cubes.put(name, Registration(cube, normalize(sourcePath), approxDistinct))
-  def unregister(name: String): Unit = { cubes.remove(name); () }
-  def clear(): Unit = cubes.clear()
+  def registerJoin(name: String, jc: JoinCube, leftPath: String,
+      rightPath: String): Unit =
+    joinCubes.put(name, JoinRegistration(jc.cube, normalize(leftPath),
+      normalize(rightPath), jc.config.leftKey, jc.config.rightKey))
+  def unregister(name: String): Unit = {
+    cubes.remove(name); joinCubes.remove(name); ()
+  }
+  def clear(): Unit = { cubes.clear(); joinCubes.clear() }
   def registered: Map[String, Registration] = cubes.toMap
+  def joinRegistered: Map[String, JoinRegistration] = joinCubes.toMap
 
   def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(CubeRewriteRule)) {
@@ -115,7 +130,76 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
             .filter(_.sourcePath == path)
             .flatMap(reg => tryRewrite(agg, reg, base, subst))
           if (candidates.isEmpty) agg else candidates.minBy(_._2)._1
-        case None => agg
+        case None =>
+          // JOIN-MV routing: an Aggregate directly over the registered
+          // inner equi-join routes to the join cube. The join's output
+          // is the concatenation of both sides, so the same dim/measure
+          // binding machinery (resolvePath against `base`) applies
+          // unchanged; exactness requires the join to be EXACTLY the
+          // registered one — inner, single equality, on the registered
+          // key columns of the registered relations, in either order.
+          // A join side, as the optimizer leaves it, is the relation
+          // under attribute-only Projects, SubqueryAliases, and an
+          // inferred `isnotnull(<join key>)` Filter (implied by the
+          // inner equi-join itself — null keys never match — so seeing
+          // through it is exact). Anything else (a real user filter, a
+          // computed projection) means the side is NOT the registered
+          // relation and the MV would be wrong — refuse.
+          def sideMatches(side: LogicalPlan, keyName: String,
+              wantPath: String): Option[Attribute] =
+            resolvePath(side, keyName) match {
+              case Some(k: Attribute) =>
+                def conjuncts(e: Expression): Seq[Expression] = e match {
+                  case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+                    conjuncts(a) ++ conjuncts(b)
+                  case other => Seq(other)
+                }
+                def strip(p: LogicalPlan): LogicalPlan = p match {
+                  case pr: org.apache.spark.sql.catalyst.plans.logical.Project
+                      if pr.projectList
+                        .forall(_.isInstanceOf[AttributeReference]) =>
+                    strip(pr.child)
+                  case SubqueryAlias(_, c) => strip(c)
+                  case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+                      if conjuncts(f.condition).forall {
+                        case org.apache.spark.sql.catalyst.expressions
+                            .IsNotNull(a: AttributeReference) =>
+                          a.exprId == k.exprId
+                        case _ => false
+                      } =>
+                    strip(f.child)
+                  case other => other
+                }
+                if (CubeCatalog.sourcePathOf(strip(side)).contains(wantPath))
+                  Some(k)
+                else None
+              case _ => None
+            }
+          base match {
+            case j @ org.apache.spark.sql.catalyst.plans.logical.Join(
+                l, r, org.apache.spark.sql.catalyst.plans.Inner,
+                Some(cond), _) =>
+              val candidates = CubeCatalog.joinRegistered.values.flatMap { jr =>
+                (sideMatches(l, jr.leftKey, jr.leftPath),
+                    sideMatches(r, jr.rightKey, jr.rightPath)) match {
+                  case (Some(lk), Some(rk)) =>
+                    val eq = org.apache.spark.sql.catalyst.expressions
+                      .EqualTo(lk, rk)
+                    val eqFlip = org.apache.spark.sql.catalyst.expressions
+                      .EqualTo(rk, lk)
+                    if (cond.canonicalized == eq.canonicalized ||
+                        cond.canonicalized == eqFlip.canonicalized)
+                      tryRewrite(agg,
+                        CubeCatalog.Registration(jr.cube, "",
+                          approxDistinct = false),
+                        j, subst)
+                    else None
+                  case _ => None
+                }
+              }
+              if (candidates.isEmpty) agg else candidates.minBy(_._2)._1
+            case _ => agg
+          }
       }
   }
 

@@ -445,4 +445,61 @@ class CubeRewriteSpec extends AnyFunSuite {
     assert(got == Set(("click", 1L)), got)
     CubeCatalog.clear()
   }
+
+  test("aggregate over the registered equi-join routes to the join MV") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(77)
+    val ords = (0 until 40).map(i =>
+      (i.toLong, Seq("HIGH", "MED", "LOW")(rnd.nextInt(3))))
+    val lins = (0 until 200).map(_ =>
+      (rnd.nextInt(44).toLong, math.round(rnd.nextDouble() * 10000) / 100.0))
+    val lDir = Files.createTempDirectory("graft_jrw_l").toString
+    val rDir = Files.createTempDirectory("graft_jrw_r").toString
+    ords.toDF("o_key", "o_prio").write.mode("overwrite").parquet(lDir)
+    lins.toDF("l_key", "l_price").write.mode("overwrite").parquet(rDir)
+    val jcfg = JoinCubeConfig(
+      CubeConfig("jrw", "l_r",
+        dims = Seq(FieldDim("prio", "o_prio")),
+        measures = Seq(Measure("rev", "l_price"))),
+      leftKey = "o_key", rightKey = "l_key")
+    // materialize through the service, register the LOADED (parquet-
+    // backed) MV — the same materialized-only contract as single-table
+    val svcDir = Files.createTempDirectory("graft_jrw_svc").toString
+    val svc = new CubeService(spark, svcDir)
+    svc.createJoinCube(jcfg,
+      spark.read.parquet(lDir), spark.read.parquet(rDir))
+    CubeCatalog.registerJoin("jrw", svc.loadJoinCube("jrw"), lDir, rDir)
+
+    def query(): DataFrame = spark.read.parquet(lDir)
+      .join(spark.read.parquet(rDir), col("o_key") === col("l_key"))
+      .groupBy(col("o_prio"))
+      .agg(sum(col("l_price").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"))
+    val q = query()
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r).get
+    }
+    assert(scans.size == 1 && scans.head.contains(".jmv/"),
+      s"expected one join-MV scan, got $scans")
+    // identical results to the unrouted join
+    CubeCatalog.clear()
+    val direct = query()
+    assert(direct.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.nonEmpty, "direct plan must really join")
+    assert(q.orderBy("o_prio").collect().map(_.toSeq).toSeq ==
+      direct.orderBy("o_prio").collect().map(_.toSeq).toSeq)
+    // a DIFFERENT join condition must NOT route
+    CubeCatalog.registerJoin("jrw", svc.loadJoinCube("jrw"), lDir, rDir)
+    val wrongCond = spark.read.parquet(lDir)
+      .join(spark.read.parquet(rDir), col("o_key") < col("l_key"))
+      .groupBy(col("o_prio"))
+      .agg(sum(col("l_price").cast("decimal(18,2)")).as("s"))
+    assert(wrongCond.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.nonEmpty, "non-equi join must not route")
+    CubeCatalog.clear()
+  }
 }
