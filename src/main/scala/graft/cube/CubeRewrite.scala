@@ -242,9 +242,14 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
       }
       bound.flatMap(b => cubeAttr(d.id).map(b -> _))
     }
+    // PARTIAL binding is fine: a dim that doesn't bind (ExprDim — not
+    // canonically matchable — or its column pruned out of the child,
+    // which happens under a join when the query never references it)
+    // just can't be GROUPED ON; roll-ups that don't reference it
+    // re-aggregate across its cells, which is exact regardless of how
+    // the dim was defined. Groupings must still all match bound dims.
     val dimBindings: Seq[(Expression, Attribute)] =
       cube.config.dims.flatMap(bindDim)
-    if (dimBindings.size != cube.config.dims.size) return None
 
     def matchDim(e: Expression): Option[Attribute] =
       dimBindings.find(_._1.canonicalized == subst(e).canonicalized).map(_._2)

@@ -354,6 +354,13 @@ final class CubeService(spark: SparkSession, storageDir: String) {
       sumOf: Seq[String] = Nil, avgOf: Seq[String] = Nil): DataFrame =
     CubeManager.query(loadJoinCube(name).cube, dims, lit(true), sumOf, avgOf)
 
+  def listJoinCubes(): Seq[String] = {
+    val d = new java.io.File(storageDir)
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.endsWith(".jmv"))
+      .map(_.getName.stripSuffix(".jmv")).sorted
+  }
+
   def deleteJoinCube(name: String): Unit = {
     joinLive.remove(name)
     rm(jmvRoot(name).toFile)

@@ -500,6 +500,26 @@ class CubeRewriteSpec extends AnyFunSuite {
     assert(wrongCond.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }.nonEmpty, "non-equi join must not route")
+    // a GLOBAL rollup (dim-subset down to no groupings) over the same
+    // join routes too — tryRewrite's subset matching is join-agnostic
+    val global = spark.read.parquet(lDir)
+      .join(spark.read.parquet(rDir), col("o_key") === col("l_key"))
+      .agg(sum(col("l_price").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"))
+    val gScans = global.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r).get
+    }
+    assert(gScans.size == 1 && gScans.head.contains(".jmv/"),
+      s"global rollup did not route: $gScans")
+    CubeCatalog.clear()
+    val gDirect = spark.read.parquet(lDir)
+      .join(spark.read.parquet(rDir), col("o_key") === col("l_key"))
+      .agg(sum(col("l_price").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"))
+    assert(global.collect().map(_.toSeq).toSeq ==
+      gDirect.collect().map(_.toSeq).toSeq)
+    assert(svc.listJoinCubes() == Seq("jrw"))
     CubeCatalog.clear()
   }
 }
