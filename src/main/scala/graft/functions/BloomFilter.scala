@@ -67,12 +67,16 @@ case class BloomFilterAgg(
   }
 
   override def eval(buf: Array[Long]): Any = {
-    // self-describing output: word 0 carries k, words 1.. the bit-set.
-    // The probe reads k from the header instead of trusting a caller
-    // argument — a probe k larger than the build k would test bits that
-    // were never set and silently break the no-false-negative guarantee
+    // self-describing output: word 0 carries the format tag + k, words
+    // 1.. the bit-set. The probe reads k from the header instead of
+    // trusting a caller argument — a probe k larger than the build k
+    // would test bits that were never set and silently break the
+    // no-false-negative guarantee — and validates the tag, so a foreign
+    // long array (or a value from the old headerless format, whose
+    // first word is bit-set data) fails loudly instead of being probed
+    // with wrong bit offsets
     val out = new Array[Long](buf.length + 1)
-    out(0) = k.toLong
+    out(0) = BloomFilter.HeaderMagic | k.toLong
     System.arraycopy(buf, 0, out, 1, buf.length)
     new GenericArrayData(out)
   }
@@ -141,6 +145,13 @@ object BloomFilter extends Serializable {
   val NumBits = 1 << 19
   val K = 6
 
+  /** Format tag in the high bits of the header word ([[BloomFilterAgg
+    * .eval]] writes `HeaderMagic | k`; low 16 bits reserved for k). A
+    * bare bit-set word landing in [1,64] would otherwise be accepted as
+    * a k header and probed with wrong offsets — the tag makes foreign
+    * or old-format arrays fail loudly instead. */
+  private[functions] val HeaderMagic: Long = 0x424C4FL << 40 // "BLO"
+
   private def h1(v: Long): Long = XXH64.hashLong(v, 42L)
   private def h2(v: Long): Long = XXH64.hashLong(v, 7L)
 
@@ -159,11 +170,13 @@ object BloomFilter extends Serializable {
     * Word 0 of `bits` is the k header written by [[BloomFilterAgg.eval]];
     * the bit-set follows. */
   def contains(bits: ArrayData, v: Long): Boolean = {
-    val k = bits.getLong(0).toInt
+    val header = bits.getLong(0)
+    val k = (header & 0xFFFFL).toInt
     val m = (bits.numElements() - 1) * 64
-    if (k < 1 || k > 64 || m < 64)
+    if ((header & ~0xFFFFL) != HeaderMagic || k < 1 || k > 64 || m < 64)
       throw new IllegalArgumentException(
-        s"not a bloom_filter_agg value: header k=$k, $m bit(s)")
+        s"not a bloom_filter_agg value: header=0x${header.toHexString}, " +
+          s"$m bit(s)")
     val a = h1(v); val b = h2(v)
     var i = 0
     while (i < k) {

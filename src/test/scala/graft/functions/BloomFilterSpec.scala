@@ -71,6 +71,18 @@ class BloomFilterSpec extends AnyFunSuite {
         Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
     assert(rootMessages(e).exists(_.contains("not a bloom_filter_agg value")),
       s"unexpected failure: $e")
+    // an OLD-FORMAT (headerless) value whose first bit-set word happens
+    // to land in [1,64] must fail the magic check too — previously it
+    // was silently misinterpreted as a k header and probed with wrong
+    // bit offsets
+    val e2 = intercept[Exception] {
+      spark.range(1)
+        .select(BloomFilter.mightContain(
+          array(lit(3L), lit(-1L), lit(-1L)).cast("array<bigint>"), lit(7L)))
+        .collect()
+    }
+    assert(rootMessages(e2).exists(_.contains("not a bloom_filter_agg value")),
+      s"unexpected failure: $e2")
   }
 
   test("degenerate bloom parameters are rejected at construction") {
