@@ -107,6 +107,7 @@ object CubeQueries {
     changeStreamService(spark, sfDir)
     joinCubeState(spark, sfDir)
     joinRouteSources(spark, sfDir)
+    joinSubsetSources(spark, sfDir)
     ()
   }
 
@@ -397,6 +398,32 @@ object CubeQueries {
       (oSrc, lSrc)
     })
 
+  /** Graded: FILTER-AWARE MV routing — the q58 aggregation with a WHERE
+    * on the cube dimension, written as if no MV existed. The optimizer
+    * serves the predicate as a cube-CELL filter on the dimension
+    * attribute (hard-asserted to scan the cube, not the source): a
+    * dim-valued predicate keeps or drops whole cells, so σ-then-
+    * aggregate over the source equals σ-then-re-aggregate over the MV.
+    * The DuckDB oracle recomputes from the raw table with the same
+    * WHERE — hash equality proves the filtered rewrite exact. */
+  def q155FilterRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = routingSource(spark, sfDir)
+    val q = spark.read.parquet(srcDir)
+      .filter(col("event_type").isin("click", "purchase", "error"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.exists(_.endsWith("/routing_demo")),
+      s"filter-aware MV routing did not fire; scans=$scans")
+    q
+  }
+
   /** Graded: the join-shaped aggregation, written as if no MV existed;
     * the optimizer must serve it from the join cube (hard-asserted —
     * the plan may scan NEITHER source relation). */
@@ -647,6 +674,63 @@ object CubeQueries {
       .orderBy(col("day"))
   }
 
+  // --------------------------------------------------------------- q156
+  /** One-time setup for q156: a TWO-dim join MV (order priority ×
+    * line return flag) over narrow orders/lineitem projections, the
+    * joinRouteSources discipline. */
+  private val joinSubsetSetup = TrieMap.empty[(SparkSession, String), (String, String)]
+  private def joinSubsetSources(spark: SparkSession,
+      sfDir: String): (String, String) =
+    joinSubsetSetup.getOrElseUpdate((spark, sfDir), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_jsub").toString
+      CubeCatalog.install(spark)
+      val oSrc = s"$dir/osrc"
+      val lSrc = s"$dir/lsrc"
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.parquet(oSrc)
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+        .write.parquet(lSrc)
+      val svc = new CubeService(spark, dir)
+      svc.createJoinCube(
+        JoinCubeConfig(
+          CubeConfig("join_subset", "osrc_lsrc",
+            dims = Seq(FieldDim("prio", "o_orderpriority"),
+              FieldDim("rflag", "l_returnflag")),
+            measures = Seq(Measure("revenue", "l_extendedprice"))),
+          leftKey = "o_orderkey", rightKey = "l_orderkey"),
+        spark.read.parquet(oSrc), spark.read.parquet(lSrc))
+      CubeCatalog.registerJoin(s"join_subset@$sfDir",
+        svc.loadJoinCube("join_subset"), oSrc, lSrc)
+      (oSrc, lSrc)
+    })
+
+  /** Graded: DIM-SUBSET rollup over the two-dim join MV — the query
+    * groups only by the RIGHT side's dimension, so the left side's dim
+    * column is pruned out of the join entirely; the rule's partial
+    * binding must still serve it from the join cube (hard-asserted),
+    * re-aggregating across the dropped dimension's cells. Oracle
+    * recomputes the join rollup from the raw tables. */
+  def q156JoinSubsetRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val (oSrc, lSrc) = joinSubsetSources(spark, sfDir)
+    val q = spark.read.parquet(oSrc)
+      .join(spark.read.parquet(lSrc),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && scans.forall(_.contains(".jmv/")),
+      s"dim-subset join-MV routing did not fire; scans=$scans")
+    q
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q139_rolling_distinct_hll" -> q139RollingDistinctHll,
     "q141_rolling_quantiles_kll" -> q141RollingQuantilesKll,
@@ -665,6 +749,8 @@ object CubeQueries {
     "q151_change_stream" -> q151ChangeStream,
     "q152_join_mv" -> q152JoinMv,
     "q153_join_routing" -> q153JoinRouting,
+    "q155_filter_routing" -> q155FilterRouting,
+    "q156_join_subset_routing" -> q156JoinSubsetRouting,
   )
 
   lazy val sql: Map[String, String] = Map(
@@ -777,5 +863,21 @@ object CubeQueries {
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+    "q155_filter_routing" -> """
+      SELECT event_type,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        count(1) AS n
+      FROM events
+      WHERE event_type IN ('click', 'purchase', 'error')
+      GROUP BY event_type
+      ORDER BY event_type""",
+    "q156_join_subset_routing" -> """
+      SELECT l_returnflag,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS revenue,
+        count(1) AS n
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
   )
 }

@@ -3,9 +3,9 @@ package graft.cube
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, HllSketchEstimate, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Expression, HllSketchEstimate, IsNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, HllUnionAgg, HyperLogLogPlusPlus, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.graft.Bridge
@@ -20,14 +20,33 @@ import org.apache.spark.sql.types.DecimalType
   * fact table and scanning megabytes of aggregates.
   *
   * Soundness constraints (rewrite fires only when provably exact):
-  * - the aggregate's child is the cube's source relation (by file path);
+  * - the aggregate's child is the cube's source relation (by file path),
+  *   optionally under `Filter`s whose every conjunct is a DETERMINISTIC
+  *   predicate over cube DIMENSIONS (a dim-valued predicate keeps or
+  *   drops whole cube cells, so filtering the MV on the dimension
+  *   attribute is exact; any conjunct touching a non-dim column, or a
+  *   nondeterministic one like `rand() < p` — which samples rows, not
+  *   cells — refuses the rewrite);
   * - every grouping expression canonically equals a cube dimension
   *   expression (plain column or `date_trunc` time bucket);
   * - every aggregate is `sum(CAST(measure AS DECIMAL(18,2)))` — the
   *   engine's exact-sum idiom, matching what the cube accumulates — or
   *   `count(1)` (served from the cube's row count);
   * - the registered cube is materialized (its plan is a parquet scan of
-  *   the saved aggregates, not a re-aggregation of the source).
+  *   the saved aggregates, not a re-aggregation of the source);
+  * - the cube is actually SMALLER than what it replaces: a cube whose
+  *   file-stats size reaches the source relation's refuses to route
+  *   (re-aggregating it can lose to the source scan Catalyst would
+  *   otherwise optimize). Tiny cubes (below
+  *   `spark.graft.cube.routingCostFloorBytes`, default 1 MiB) always
+  *   route — at that size re-aggregation cost is noise either way.
+  *
+  * JOIN MVs ([[JoinCubeManager]]) route the same way: an Aggregate over
+  * the registered INNER equi-join of the two registered relations — in
+  * either order, with dim-only side filters allowed under the same
+  * conjunct rule (σ over one side commutes with an inner join) — is
+  * served from the join cube. Dim-subset rollups and global rollups
+  * route through the shared partial-binding machinery.
   *
   * One opt-in relaxation: `approx_count_distinct(x)` routes to
   * estimate(union(HLL partials)) when the cube maintains a sketch
@@ -51,17 +70,36 @@ import org.apache.spark.sql.types.DecimalType
   * operators resolve unchanged.
   */
 object CubeCatalog {
+  /** Test hook: how many times a [[Registration]] analyzed its cube
+    * plan. The rule fires on every `Aggregate` in every optimized plan
+    * once installed, so the analysis MUST happen at registration — a
+    * per-invocation re-derivation would be O(|registered cubes|) plan
+    * analyses per query (CubeRewriteSpec pins this stays flat across
+    * queries). */
+  private[cube] val analysisCount = new java.util.concurrent.atomic.AtomicLong
+
   /** A routable cube: the materialized cube, its normalized source
     * parquet path, and whether approx-distinct serving was opted into
-    * for THIS registration. */
+    * for THIS registration. The analyzed cube plan, its file-stats
+    * size (the cost key), and its own scan path are memoized here at
+    * construction — [[CubeRewriteRule]] reads them on every optimizer
+    * invocation and must never re-derive them per query. */
   final case class Registration(cube: Cube, sourcePath: String,
-      approxDistinct: Boolean)
+      approxDistinct: Boolean) {
+    val cubePlan: LogicalPlan = {
+      analysisCount.incrementAndGet()
+      Bridge.analyzed(cube.aggregates)
+    }
+    val cubeSize: BigInt = cubePlan.stats.sizeInBytes
+    val cubeScanPath: Option[String] = sourcePathOf(cubePlan)
+  }
 
   /** A routable JOIN MV ([[JoinCubeManager]]): the materialized cube
-    * over L ⋈ R, both sides' normalized source paths, and the equi-join
-    * key column names. An Aggregate over exactly that inner equi-join
-    * of those two relations routes to the cube. */
-  final case class JoinRegistration(cube: Cube, leftPath: String,
+    * over L ⋈ R (wrapped in a [[Registration]] so its analysis is
+    * memoized the same way), both sides' normalized source paths, and
+    * the equi-join key column names. An Aggregate over exactly that
+    * inner equi-join of those two relations routes to the cube. */
+  final case class JoinRegistration(reg: Registration, leftPath: String,
       rightPath: String, leftKey: String, rightKey: String)
 
   private val cubes = TrieMap.empty[String, Registration]
@@ -71,9 +109,44 @@ object CubeCatalog {
       approxDistinct: Boolean = false): Unit =
     cubes.put(name, Registration(cube, normalize(sourcePath), approxDistinct))
   def registerJoin(name: String, jc: JoinCube, leftPath: String,
-      rightPath: String): Unit =
-    joinCubes.put(name, JoinRegistration(jc.cube, normalize(leftPath),
-      normalize(rightPath), jc.config.leftKey, jc.config.rightKey))
+      rightPath: String): Unit = {
+    // same refusal as JoinCubeManager.create: the rewrite binds columns
+    // by first name match on the join output, so overlapping side names
+    // would silently bind to the wrong side (a JoinCube hand-built
+    // around the manager could otherwise smuggle them in)
+    JoinCubeManager.validateSides(jc.config,
+      jc.left.columns.filterNot(_ == "_mult").toSeq,
+      jc.right.columns.filterNot(_ == "_mult").toSeq)
+    joinCubes.put(name, JoinRegistration(
+      Registration(jc.cube, "", approxDistinct = false),
+      normalize(leftPath), normalize(rightPath),
+      jc.config.leftKey, jc.config.rightKey))
+    ()
+  }
+
+  /** Swap every registration of this cube (matched by config name) for
+    * the freshly published version — [[CubeService.updateAggregates]]'s
+    * publish renames the parquet files a registered cube's plan lists,
+    * so a stale registration would route queries onto deleted files.
+    * Re-registering also re-memoizes the analyzed plan and stats. */
+  private[cube] def refresh(cube: Cube): Unit =
+    cubes.foreach { case (k, reg) =>
+      if (reg.cube.config.name == cube.config.name)
+        cubes.put(k, Registration(cube, reg.sourcePath, reg.approxDistinct))
+    }
+
+  /** Join-MV twin of [[refresh]], invoked by the versioned-manifest
+    * publish: routed plans must follow the manifest to the new version
+    * dir (the one-version cleanup deferral keeps plans built BEFORE the
+    * publish readable too). */
+  private[cube] def refreshJoin(jc: JoinCube): Unit =
+    joinCubes.foreach { case (k, jr) =>
+      if (jr.reg.cube.config.name == jc.cube.config.name)
+        joinCubes.put(k, JoinRegistration(
+          Registration(jc.cube, "", approxDistinct = false),
+          jr.leftPath, jr.rightPath, jr.leftKey, jr.rightKey))
+    }
+
   def unregister(name: String): Unit = {
     cubes.remove(name); joinCubes.remove(name); ()
   }
@@ -102,14 +175,19 @@ object CubeCatalog {
 
 object CubeRewriteRule extends Rule[LogicalPlan] {
 
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other => Seq(other)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(_, _, child, _) =>
       // the optimizer's PullOutGroupingExpressions moves complex
       // grouping expressions (e.g. date_trunc) into a Project below the
       // Aggregate — see through attribute/alias-only Projects and
       // substitute the aliases back for matching
-      val (base, env) = child match {
-        case p: org.apache.spark.sql.catalyst.plans.logical.Project
+      val (afterProj, env) = child match {
+        case p: Project
             if p.projectList.forall(e =>
               e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
           (p.child, p.projectList.collect {
@@ -120,6 +198,15 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
       def subst(e: Expression): Expression = e.transformUp {
         case a: AttributeReference if env.contains(a.exprId) => env(a.exprId)
       }
+      // peel Filters between the aggregate and the relation, collecting
+      // their conjuncts — tryRewrite serves them as cube-cell predicates
+      // when every conjunct is dim-determined, and refuses otherwise
+      def peel(p: LogicalPlan,
+          acc: Seq[Expression]): (LogicalPlan, Seq[Expression]) = p match {
+        case f: Filter => peel(f.child, acc ++ conjuncts(f.condition))
+        case other => (other, acc)
+      }
+      val (base, pred) = peel(afterProj, Nil)
       CubeCatalog.sourcePathOf(base) match {
         case Some(path) =>
           // cost-based choice: several registered cubes can cover the
@@ -128,71 +215,66 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
           // re-aggregation reads the least data
           val candidates = CubeCatalog.registered.values
             .filter(_.sourcePath == path)
-            .flatMap(reg => tryRewrite(agg, reg, base, subst))
+            .flatMap(reg => tryRewrite(agg, reg, base, subst, pred))
           if (candidates.isEmpty) agg else candidates.minBy(_._2)._1
         case None =>
-          // JOIN-MV routing: an Aggregate directly over the registered
-          // inner equi-join routes to the join cube. The join's output
-          // is the concatenation of both sides, so the same dim/measure
-          // binding machinery (resolvePath against `base`) applies
-          // unchanged; exactness requires the join to be EXACTLY the
-          // registered one — inner, single equality, on the registered
-          // key columns of the registered relations, in either order.
-          // A join side, as the optimizer leaves it, is the relation
-          // under attribute-only Projects, SubqueryAliases, and an
-          // inferred `isnotnull(<join key>)` Filter (implied by the
-          // inner equi-join itself — null keys never match — so seeing
-          // through it is exact). Anything else (a real user filter, a
-          // computed projection) means the side is NOT the registered
-          // relation and the MV would be wrong — refuse.
+          // JOIN-MV routing: an Aggregate over the registered inner
+          // equi-join routes to the join cube. The join's output is the
+          // concatenation of both sides, so the same dim/measure binding
+          // machinery (resolvePath against `base`) applies unchanged;
+          // exactness requires the join to be EXACTLY the registered
+          // one — inner, single equality, on the registered key columns
+          // of the registered relations, in either order. A join side,
+          // as the optimizer leaves it, is the relation under
+          // attribute-only Projects, SubqueryAliases, and Filters. An
+          // inferred `isnotnull(<join key>)` conjunct is implied by the
+          // inner equi-join itself (null keys never match) and is
+          // dropped; every OTHER conjunct is collected and must prove
+          // dim-determined in tryRewrite (σ over one side commutes with
+          // an inner join, so filtering the MV's dimension attribute is
+          // exact). A computed projection refuses — the side is then
+          // not the registered relation.
           def sideMatches(side: LogicalPlan, keyName: String,
-              wantPath: String): Option[Attribute] =
+              wantPath: String): Option[(Attribute, Seq[Expression])] =
             resolvePath(side, keyName) match {
               case Some(k: Attribute) =>
-                def conjuncts(e: Expression): Seq[Expression] = e match {
-                  case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
-                    conjuncts(a) ++ conjuncts(b)
-                  case other => Seq(other)
-                }
+                var collected = Vector.empty[Expression]
                 def strip(p: LogicalPlan): LogicalPlan = p match {
-                  case pr: org.apache.spark.sql.catalyst.plans.logical.Project
+                  case pr: Project
                       if pr.projectList
                         .forall(_.isInstanceOf[AttributeReference]) =>
                     strip(pr.child)
                   case SubqueryAlias(_, c) => strip(c)
-                  case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-                      if conjuncts(f.condition).forall {
-                        case org.apache.spark.sql.catalyst.expressions
-                            .IsNotNull(a: AttributeReference) =>
-                          a.exprId == k.exprId
-                        case _ => false
-                      } =>
+                  case f: Filter =>
+                    collected ++= conjuncts(f.condition).filterNot {
+                      case IsNotNull(a: AttributeReference) =>
+                        a.exprId == k.exprId
+                      case _ => false
+                    }
                     strip(f.child)
                   case other => other
                 }
-                if (CubeCatalog.sourcePathOf(strip(side)).contains(wantPath))
-                  Some(k)
+                val stripped = strip(side)
+                if (CubeCatalog.sourcePathOf(stripped).contains(wantPath))
+                  Some((k, collected))
                 else None
               case _ => None
             }
           base match {
-            case j @ org.apache.spark.sql.catalyst.plans.logical.Join(
-                l, r, org.apache.spark.sql.catalyst.plans.Inner,
+            case j @ Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
                 Some(cond), _) =>
               val candidates = CubeCatalog.joinRegistered.values.flatMap { jr =>
                 (sideMatches(l, jr.leftKey, jr.leftPath),
                     sideMatches(r, jr.rightKey, jr.rightPath)) match {
-                  case (Some(lk), Some(rk)) =>
+                  case (Some((lk, lPred)), Some((rk, rPred))) =>
                     val eq = org.apache.spark.sql.catalyst.expressions
                       .EqualTo(lk, rk)
                     val eqFlip = org.apache.spark.sql.catalyst.expressions
                       .EqualTo(rk, lk)
                     if (cond.canonicalized == eq.canonicalized ||
                         cond.canonicalized == eqFlip.canonicalized)
-                      tryRewrite(agg,
-                        CubeCatalog.Registration(jr.cube, "",
-                          approxDistinct = false),
-                        j, subst)
+                      tryRewrite(agg, jr.reg, j, subst,
+                        pred ++ lPred ++ rPred)
                     else None
                   case _ => None
                 }
@@ -204,20 +286,34 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
   }
 
   /** Returns the rewritten plan plus the cube's scan size in bytes (the
-    * cost key for choosing among multiple covering cubes). */
+    * cost key for choosing among multiple covering cubes). `pred` are
+    * filter conjuncts peeled from between the aggregate and the source;
+    * each must rewrite to a deterministic predicate over cube dimension
+    * attributes or the rewrite refuses. */
   private def tryRewrite(
       agg: Aggregate,
       reg: CubeCatalog.Registration,
       source: LogicalPlan,
-      subst: Expression => Expression): Option[(LogicalPlan, BigInt)] = {
+      subst: Expression => Expression,
+      pred: Seq[Expression]): Option[(LogicalPlan, BigInt)] = {
     val cube = reg.cube
-    val cubePlan = Bridge.analyzed(cube.aggregates)
+    val cubePlan = reg.cubePlan
     // cube must be materialized: its own plan must be a file scan, and
     // NOT over the source path (a cube misregistered with its aggregates
     // still reading the source would be a re-aggregation, not an MV)
-    val cubeScanPath = CubeCatalog.sourcePathOf(cubePlan)
-    if (cubeScanPath.isEmpty) return None
-    if (cubeScanPath == CubeCatalog.sourcePathOf(source)) return None
+    if (reg.cubeScanPath.isEmpty) return None
+    if (reg.cubeScanPath == CubeCatalog.sourcePathOf(source)) return None
+    // cost-based refusal: once a cube's bytes reach the source's, the
+    // MV has no re-aggregation advantage left (a unique-key "cube" is
+    // the degenerate case — as many rows as the source, plus overhead).
+    // The floor keeps tiny cubes routing unconditionally: below it the
+    // re-aggregation is noise and file stats (footer overhead dominates
+    // small files) say nothing about the real row economics.
+    val floor = BigInt(org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.cube.routingCostFloorBytes",
+        (1L << 20).toString).toLong)
+    if (reg.cubeSize >= floor && reg.cubeSize >= source.stats.sizeInBytes)
+      return None
 
     def cubeAttr(name: String): Option[Attribute] =
       cubePlan.output.find(_.name == name)
@@ -258,6 +354,21 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     val groupMap: Seq[(Expression, Attribute)] =
       agg.groupingExpressions.flatMap(g => matchDim(g).map(g -> _))
     if (groupMap.size != agg.groupingExpressions.size) return None
+
+    // filter conjuncts: each must become a deterministic predicate over
+    // cube dimension attributes alone. A dim-valued predicate selects
+    // whole cube cells, so σ(source rows) then aggregate == σ(cube
+    // cells) then re-aggregate — exact. Anything referencing a non-dim
+    // column (measure, raw timestamp under a bucketed dim) refuses; a
+    // nondeterministic conjunct (rand()) samples ROWS, which no
+    // cell-level filter can reproduce — refuse those outright.
+    if (pred.exists(!_.deterministic)) return None
+    val cubeOut = cubePlan.outputSet
+    val predRewritten: Seq[Expression] = pred.map(_.transformUp {
+      case e if matchDim(e).isDefined => matchDim(e).get
+    })
+    if (predRewritten.exists(_.references.exists(!cubeOut.contains(_))))
+      return None
 
     // HLL sketch measure maintained on the same source column, for
     // approx-distinct routing
@@ -352,19 +463,19 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
       case other => ok = false; other.asInstanceOf[NamedExpression]
     }
     // safety: every reference must now resolve against the cube
-    val cubeOut = cubePlan.outputSet
     if (!ok || rewritten.exists(_.references.exists(!cubeOut.contains(_))))
       return None
 
     // serve only live groups: after signed-delta maintenance the cube
     // state may carry zero/negative-count tombstones (see CubeManager
-    // .applyDeltas) that a from-scratch aggregate would not show
-    val liveCube = org.apache.spark.sql.catalyst.plans.logical.Filter(
-      org.apache.spark.sql.catalyst.expressions.GreaterThan(
-        countAttr, Literal(0L)),
-      cubePlan)
+    // .applyDeltas) that a from-scratch aggregate would not show —
+    // then the dim-predicate conjuncts collected above
+    val served = (org.apache.spark.sql.catalyst.expressions.GreaterThan(
+        countAttr, Literal(0L)) +: predRewritten)
+      .reduceLeft[Expression](And(_, _))
+    val liveCube = Filter(served, cubePlan)
     Some((Aggregate(groupMap.map(_._2), rewritten, liveCube),
-      cubePlan.stats.sizeInBytes))
+      reg.cubeSize))
   }
 
   /** Resolve a (possibly dotted nested) field path against a plan's

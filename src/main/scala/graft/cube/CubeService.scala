@@ -89,7 +89,8 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     CubeManager.delete(storageDir, name)
     // auxiliary state: the auto-update base snapshot + checkpoint, and
     // any leftover publish staging/aside dirs
-    Seq(s"$name.base", s"$name.checkpoint", s"$name.old", s"$name.staging")
+    Seq(s"$name.base", s"$name.base.old", s"$name.base.staging",
+        s"$name.checkpoint", s"$name.old", s"$name.staging")
       .foreach(sfx => rm(new java.io.File(s"$storageDir/$sfx")))
   }
 
@@ -112,6 +113,35 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     val signed =
       if (deltas.columns.contains("_sign")) deltas
       else deltas.withColumn("_sign", lit(1))
+    // An auto-update lifecycle exists for this cube (base snapshot +
+    // checkpoint): every micro-batch publishes base ⊕ stream-state, so
+    // a manual fold that only touched the PUBLISHED aggregates would be
+    // silently overwritten by the next micro-batch. Fold the same
+    // signed batch into the base snapshot too (its own two-rename
+    // swap), so the stream's next publish — and a stop/start resume —
+    // carries the manual delta. Folding while the stream is RUNNING
+    // would race its publishes and double-read the base mid-swap, so
+    // that is refused outright (stop, fold, restart — the scaladoc'd
+    // sequence, now enforced).
+    val baseDir = java.nio.file.Paths.get(storageDir, s"$name.base")
+    recoverBaseSwap(name)
+    if (baseDir.toFile.exists()) {
+      require(!autoUpdates.get(name).exists(_.isActive),
+        s"stop auto-update on '$name' before a manual fold — concurrent " +
+          "publishes would race")
+      val baseCube =
+        Cube(cube.config, spark.read.parquet(baseDir.toString), cube.hasDeletes)
+      val newBase = CubeManager.applyDeltas(baseCube, signed).aggregates
+      val staging = java.nio.file.Paths.get(storageDir, s"$name.base.staging")
+      newBase.write.mode("overwrite").parquet(staging.toString)
+      val aside = java.nio.file.Paths.get(storageDir, s"$name.base.old")
+      rm(aside.toFile)
+      java.nio.file.Files.move(baseDir, aside,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.move(staging, baseDir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      rm(aside.toFile)
+    }
     val updated = CubeManager.applyDeltas(cube, signed)
     // persist the maintenance-state bits (the hasDeletes sketch latch)
     // BEFORE publishing: a crash between the two leaves the latch set
@@ -120,6 +150,20 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     if (updated.hasDeletes != cube.hasDeletes)
       CubeManager.saveMeta(updated, storageDir)
     publish(name, updated.aggregates)
+  }
+
+  /** Crash recovery for the base-snapshot swap above — the
+    * [[recoverSwap]] discipline applied to `name.base`: if the process
+    * died between the two renames, the previous base sits at
+    * `name.base.old` with nothing at `name.base`. */
+  private def recoverBaseSwap(name: String): Unit = {
+    val baseDir = java.nio.file.Paths.get(storageDir, s"$name.base")
+    val aside = java.nio.file.Paths.get(storageDir, s"$name.base.old")
+    if (!baseDir.toFile.exists() && aside.toFile.exists()) {
+      java.nio.file.Files.move(aside, baseDir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
   }
 
   /** Two-rename publish of a new aggregates version (see
@@ -143,6 +187,10 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     rm(oldDir.toFile)
     val reloaded = CubeManager.load(spark, storageDir, name)
     live.put(name, reloaded)
+    // routed queries must follow: a CubeCatalog registration of this
+    // cube still lists the pre-publish parquet files (now renamed
+    // away) — swap it for the reloaded version
+    CubeCatalog.refresh(reloaded)
     reloaded
   }
 
@@ -165,10 +213,13 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     *
     * The file stream is insert-only (the R2 change-stream shape); for
     * deletes/updates, stop the stream and fold a signed batch through
-    * [[updateAggregates]] — do not run both concurrently (their
-    * publishes would race). */
+    * [[updateAggregates]] — which folds the batch into the base
+    * snapshot too, so a later restart's publishes (base ⊕ stream-state)
+    * keep the manual delta. Running both concurrently is refused by
+    * updateAggregates (their publishes would race). */
   def startAutoUpdate(name: String, deltaDir: String, schema: StructType): StreamingQuery = {
     val cube = loadCube(name)
+    recoverBaseSwap(name)
     val baseDir = java.nio.file.Paths.get(storageDir, s"$name.base")
     if (!baseDir.toFile.exists())
       cube.aggregates.write.parquet(baseDir.toString)
@@ -301,13 +352,23 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     java.nio.file.Files.move(tmp, jmvRoot(name).resolve("MANIFEST"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // previous versions are unreferenced now — clean them
+    // clean superseded versions, DEFERRED BY ONE publish: outstanding
+    // readers (a caller-held JoinCube, a routed plan built against the
+    // previous registration) still list v<k-1>'s parquet files —
+    // deleting them at swap time would fail those reads with
+    // FileNotFoundException mid-job. One retained version bounds the
+    // garbage while keeping every reader that predates THIS publish
+    // valid; v<k-2> and older have no live readers (they were already
+    // refreshed away by the previous publish).
     Option(jmvRoot(name).toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("v")
-        && f.getName != s"v$version")
+        && f.getName != s"v$version" && f.getName != s"v${version - 1}")
       .foreach(rm)
     val loaded = jmvLoad(name)
     joinLive.put(name, loaded)
+    // routed queries must follow the manifest: re-memoize any catalog
+    // registration of this join MV against the new version dir
+    CubeCatalog.refreshJoin(loaded)
     loaded
   }
 

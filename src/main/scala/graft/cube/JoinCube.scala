@@ -55,10 +55,31 @@ object JoinCubeManager {
   private def asMult(delta: DataFrame): DataFrame =
     delta.withColumnRenamed("_sign", "_mult")
 
+  /** The joined schema is the CONCATENATION of both sides, and every
+    * downstream consumer (delta terms, [[CubeRewriteRule]]'s
+    * first-name-match binding) resolves columns by NAME — overlapping
+    * side names would silently bind to the wrong side and produce a
+    * wrong maintained answer, so they are refused at creation, along
+    * with a missing join key. */
+  private[cube] def validateSides(cfg: JoinCubeConfig, leftCols: Seq[String],
+      rightCols: Seq[String]): Unit = {
+    require(leftCols.contains(cfg.leftKey),
+      s"left side is missing join key '${cfg.leftKey}' " +
+        s"(columns: ${leftCols.mkString(", ")})")
+    require(rightCols.contains(cfg.rightKey),
+      s"right side is missing join key '${cfg.rightKey}' " +
+        s"(columns: ${rightCols.mkString(", ")})")
+    val overlap = leftCols.toSet.intersect(rightCols.toSet)
+    require(overlap.isEmpty,
+      "join MV side column names must be disjoint (the joined schema is " +
+        s"their concatenation); overlapping: ${overlap.mkString(", ")}")
+  }
+
   /** Initial population: cube over the raw join; side states compacted
     * from the raw inputs (multiplicity = row count). */
   def create(cfg: JoinCubeConfig, left: DataFrame,
       right: DataFrame): JoinCube = {
+    validateSides(cfg, left.columns.toSeq, right.columns.toSeq)
     val cube = CubeManager.create(cfg.cube, left.join(right, keyEq(cfg)))
     JoinCube(cfg, cube,
       compact(left.withColumn("_mult", lit(1L))),

@@ -355,6 +355,165 @@ class CubeRewriteSpec extends AnyFunSuite {
     } finally CubeCatalog.clear()
   }
 
+  test("cube-plan analysis happens at registration, not per optimizer invocation") {
+    val (srcDir, _) = setup()
+    val n0 = CubeCatalog.analysisCount.get()
+    // three routed queries, each optimized + executed: the rule must
+    // serve them from the memoized Registration fields — any re-derive
+    // of Bridge.analyzed/stats inside apply() moves the counter
+    coveredQuery(srcDir).collect()
+    coveredQuery(srcDir).collect()
+    spark.read.parquet(srcDir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(CubeCatalog.analysisCount.get() == n0,
+      "cube plan was re-analyzed during query optimization")
+  }
+
+  test("dim-only filters route: the predicate is served on the cube's dimension attributes") {
+    val (srcDir, cubeLoc) = setup()
+    def scans(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r).get
+    }
+    // equality filter on a field dim, rollup to the time dim
+    def q1() = spark.read.parquet(srcDir)
+      .filter(col("event_type") === "click")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"))
+    // range filter on the BUCKETED time dim, rollup to the field dim
+    val mid = new Timestamp(1700000000000L + 4 * 3600000L)
+    def q2() = spark.read.parquet(srcDir)
+      .filter(date_trunc("hour", col("ts")) >= mid)
+      .groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"))
+    // IN-list + inequality mix over both dims, global rollup
+    def q3() = spark.read.parquet(srcDir)
+      .filter(col("event_type").isin("click", "buy")
+        && date_trunc("hour", col("ts")) < mid)
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"))
+    // route + collect all three while registered, then compare against
+    // the unrouted plans after clearing the catalog
+    val routed = Seq(
+      ("q1", q1(), Seq("h")), ("q2", q2(), Seq("event_type")),
+      ("q3", q3(), Nil)).map { case (tag, q, keys) =>
+      assert(scans(q) == Seq(CubeCatalog.normalize(cubeLoc)),
+        s"$tag: dim filter did not route: ${scans(q)}")
+      (tag, q.orderBy(keys.map(col): _*).collect().map(_.toSeq).toSeq, keys)
+    }
+    CubeCatalog.clear()
+    val directs = Map(
+      "q1" -> q1(), "q2" -> q2(), "q3" -> q3())
+    routed.foreach { case (tag, rows, keys) =>
+      val direct = directs(tag).orderBy(keys.map(col): _*)
+        .collect().map(_.toSeq).toSeq
+      assert(rows == direct, s"$tag: routed filter answer diverged")
+    }
+  }
+
+  test("non-dim and nondeterministic filters refuse to route") {
+    val (srcDir, _) = setup()
+    def scans(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r).get
+    }
+    // a predicate on the RAW timestamp is finer than the hour cells —
+    // cannot be served from the cube
+    val rawTs = spark.read.parquet(srcDir)
+      .filter(col("ts") >= new Timestamp(1700000000000L + 1800000L))
+      .groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s"))
+    // a predicate on a measure column
+    val onMeasure = spark.read.parquet(srcDir)
+      .filter(col("value") > 50.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // a nondeterministic predicate samples ROWS; no cell filter matches
+    // (rand < 2.0 would be optimized away as vacuous before the rule
+    // runs — use a real sampling probability)
+    val sampled = spark.read.parquet(srcDir)
+      .filter(rand(7) < 0.5)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    for (q <- Seq(rawTs, onMeasure, sampled)) {
+      assert(scans(q) == Seq(CubeCatalog.normalize(srcDir)),
+        s"must keep scanning the source, got ${scans(q)}")
+    }
+  }
+
+  test("oversized cube refuses to route (cost-based) once past the floor") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    // a cube on a UNIQUE key has as many cells as the source has rows —
+    // plus a _count column — so it can only be bigger than the source;
+    // with the floor lowered to 0 the cost gate must refuse it
+    val srcDir = Files.createTempDirectory("graft_rw_fat_src").toString
+    (0 until 5000).map(i => (i.toLong, i * 0.5))
+      .toDF("k", "v").write.mode("overwrite").parquet(srcDir)
+    val fatCfg = CubeConfig("fat", "src",
+      Seq(FieldDim("k", "k")), Seq(Measure("v", "v")))
+    val cubeDir = Files.createTempDirectory("graft_rw_fat_cube").toString
+    CubeManager.save(
+      CubeManager.create(fatCfg, spark.read.parquet(srcDir)), cubeDir)
+    CubeCatalog.register("fat",
+      CubeManager.load(spark, cubeDir, "fat"), srcDir)
+    def scans(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r).get
+    }
+    def q() = spark.read.parquet(srcDir)
+      .groupBy(col("k"))
+      .agg(sum(col("v").cast("decimal(18,2)")).as("s"))
+    spark.conf.set("spark.graft.cube.routingCostFloorBytes", "0")
+    try {
+      assert(scans(q()) == Seq(CubeCatalog.normalize(srcDir)),
+        s"oversized cube must not route: ${scans(q())}")
+    } finally spark.conf.unset("spark.graft.cube.routingCostFloorBytes")
+    // at the default floor (1 MiB) this tiny cube routes again — the
+    // floor keeps footer-overhead noise from refusing small MVs
+    assert(scans(q()) == Seq(CubeCatalog.normalize(s"$cubeDir/fat")))
+    CubeCatalog.clear()
+  }
+
+  test("publish refreshes registrations: routed queries survive updateAggregates") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val dir = Files.createTempDirectory("graft_rw_refresh").toString
+    val srcDir = s"$dir/source"
+    val t0 = new Timestamp(1700000000000L)
+    Seq(("click", t0, 1.0), ("view", t0, 2.0))
+      .toDF("event_type", "ts", "value").write.parquet(srcDir)
+    val svc = new CubeService(spark, dir)
+    val svcCfg = CubeConfig("refresh_rw", "src",
+      Seq(FieldDim("etype", "event_type")), Seq(Measure("v", "value")))
+    svc.createCube(svcCfg, spark.read.parquet(srcDir))
+    CubeCatalog.register("refresh_rw", svc.loadCube("refresh_rw"), srcDir)
+    def q() = spark.read.parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("s"),
+        count(lit(1)).as("n"))
+    def scans(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r).get
+    }
+    assert(scans(q()).head.endsWith("/refresh_rw"))
+    // publish a new version through the service: the registration must
+    // follow (the old one lists renamed-away parquet files)
+    svc.updateAggregates("refresh_rw",
+      Seq(("click", t0, 4.0)).toDF("event_type", "ts", "value")
+        .withColumn("_sign", lit(1)))
+    val q2 = q()
+    assert(scans(q2).head.endsWith("/refresh_rw"),
+      s"routing stopped after publish: ${scans(q2)}")
+    val got = q2.orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == Seq(("click", 5.0, 2L), ("view", 2.0, 1L)),
+      s"routed post-publish answer wrong: $got")
+    CubeCatalog.clear()
+  }
+
   test("count(NULL) never becomes sum(_count)") {
     // NB Spark's main optimizer usually constant-folds count(NULL) to 0
     // before CubeRewriteRule runs (leaving a routable plain group-by,
@@ -520,6 +679,79 @@ class CubeRewriteSpec extends AnyFunSuite {
     assert(global.collect().map(_.toSeq).toSeq ==
       gDirect.collect().map(_.toSeq).toSeq)
     assert(svc.listJoinCubes() == Seq("jrw"))
+    // a DIM-ONLY SIDE FILTER routes too: σ(o_prio ≠ 'LOW') commutes
+    // with the inner join, so the MV serves it as a cell predicate
+    CubeCatalog.registerJoin("jrw", svc.loadJoinCube("jrw"), lDir, rDir)
+    def filtered() = spark.read.parquet(lDir)
+      .filter(col("o_prio") =!= "LOW")
+      .join(spark.read.parquet(rDir), col("o_key") === col("l_key"))
+      .groupBy(col("o_prio"))
+      .agg(sum(col("l_price").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"))
+    val f = filtered()
+    val fScans = f.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r).get
+    }
+    assert(fScans.size == 1 && fScans.head.contains(".jmv/"),
+      s"side dim filter did not route: $fScans")
+    val fRouted = f.orderBy("o_prio").collect().map(_.toSeq).toSeq
     CubeCatalog.clear()
+    assert(fRouted == filtered().orderBy("o_prio").collect().map(_.toSeq).toSeq,
+      "side-filtered join routing diverged")
+    // ... while a filter on a NON-dim side column (l_price) refuses
+    CubeCatalog.registerJoin("jrw", svc.loadJoinCube("jrw"), lDir, rDir)
+    val nonDim = spark.read.parquet(lDir)
+      .join(spark.read.parquet(rDir).filter(col("l_price") > 10.0),
+        col("o_key") === col("l_key"))
+      .groupBy(col("o_prio"))
+      .agg(sum(col("l_price").cast("decimal(18,2)")).as("s"))
+    assert(nonDim.queryExecution.optimizedPlan.collect {
+      case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn
+    }.nonEmpty, "non-dim side filter must not route")
+    CubeCatalog.clear()
+  }
+
+  test("rollup over a dim SUBSET of a two-dim join MV routes") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(91)
+    val ords = (0 until 30).map(i =>
+      (i.toLong, Seq("HIGH", "MED", "LOW")(rnd.nextInt(3))))
+    val lins = (0 until 150).map(_ =>
+      (rnd.nextInt(33).toLong, Seq("A", "N", "R")(rnd.nextInt(3)),
+        math.round(rnd.nextDouble() * 10000) / 100.0))
+    val lDir = Files.createTempDirectory("graft_jrw2_l").toString
+    val rDir = Files.createTempDirectory("graft_jrw2_r").toString
+    ords.toDF("o_key", "o_prio").write.mode("overwrite").parquet(lDir)
+    lins.toDF("l_key", "l_flag", "l_price").write.mode("overwrite")
+      .parquet(rDir)
+    val jcfg = JoinCubeConfig(
+      CubeConfig("jrw2", "l_r",
+        dims = Seq(FieldDim("prio", "o_prio"), FieldDim("flag", "l_flag")),
+        measures = Seq(Measure("rev", "l_price"))),
+      leftKey = "o_key", rightKey = "l_key")
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_jrw2_svc").toString)
+    svc.createJoinCube(jcfg,
+      spark.read.parquet(lDir), spark.read.parquet(rDir))
+    CubeCatalog.registerJoin("jrw2", svc.loadJoinCube("jrw2"), lDir, rDir)
+    // group ONLY by the right-side dim: the left-side dim column is
+    // pruned out of the join — partial binding must still route
+    def q() = spark.read.parquet(lDir)
+      .join(spark.read.parquet(rDir), col("o_key") === col("l_key"))
+      .groupBy(col("l_flag"))
+      .agg(sum(col("l_price").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"))
+    val scans = q().queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r).get
+    }
+    assert(scans.size == 1 && scans.head.contains(".jmv/"),
+      s"dim-subset join rollup did not route: $scans")
+    val routed = q().orderBy("l_flag").collect().map(_.toSeq).toSeq
+    CubeCatalog.clear()
+    assert(routed == q().orderBy("l_flag").collect().map(_.toSeq).toSeq,
+      "dim-subset join rollup diverged")
   }
 }

@@ -252,6 +252,45 @@ class CubeServiceSpec extends AnyFunSuite {
     svcB2.deleteCube("rollbatch2")
   }
 
+  test("manual fold between auto-update runs survives the next publish") {
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_basefold").toString)
+    svc.createCube(cfg, df(Seq(("click", t0, 1.0), ("view", t0, 2.0))))
+    def totals(): Map[String, (Double, Long)] =
+      svc.getAggregates("svc", Seq("etype"), sumOf = Seq("v"))
+        .collect().map(r => (r.getString(0),
+          (r.getDouble(1), r.getLong(2)))).toMap
+    val deltaDir = Files.createTempDirectory("graft_svc_basefold_d").toString
+    df(Seq(("buy", t0, 7.0))).coalesce(1).write.parquet(s"$deltaDir/d0")
+    val q = svc.startAutoUpdate("svc", s"$deltaDir/d*",
+      df(Seq(("x", t0, 0.0))).schema)
+    q.processAllAvailable()
+    // a manual fold while the stream is ACTIVE must be refused — its
+    // publish would race the micro-batch publishes
+    intercept[IllegalArgumentException] {
+      svc.updateAggregates("svc",
+        df(Seq(("click", t0, 9.0))).withColumn("_sign", lit(1)))
+    }
+    svc.stopAutoUpdate("svc")
+    // stopped: fold a delete + an insert manually (the scaladoc'd
+    // sequence for deletes under an auto-update lifecycle)
+    svc.updateAggregates("svc",
+      df(Seq(("click", t0, 4.0))).withColumn("_sign", lit(1))
+        .unionByName(df(Seq(("view", t0, 2.0))).withColumn("_sign", lit(-1))))
+    assert(totals() == Map("click" -> (5.0, 2L), "buy" -> (7.0, 1L)))
+    // restart the stream with one more file: the next publishes are
+    // base ⊕ stream-state — the manual fold must still be there
+    // (previously the stale base snapshot silently discarded it)
+    df(Seq(("buy", t0, 3.0))).coalesce(1).write.parquet(s"$deltaDir/d1")
+    val q2 = svc.startAutoUpdate("svc", s"$deltaDir/d*",
+      df(Seq(("x", t0, 0.0))).schema)
+    q2.processAllAvailable()
+    svc.stopAutoUpdate("svc")
+    assert(totals() == Map("click" -> (5.0, 2L), "buy" -> (10.0, 2L)),
+      s"manual fold lost by the auto-update publish: ${totals()}")
+    svc.deleteCube("svc")
+  }
+
   test("publish-crash recovery: name.old restored when the publish dir is missing") {
     val dir = Files.createTempDirectory("graft_svc_crash").toString
     val svc = new CubeService(spark, dir)

@@ -170,6 +170,37 @@ class JoinCubeSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dir/jt.jmv").exists())
   }
 
+  test("overlapping side column names and missing keys are refused") {
+    import spark.implicits._
+    // overlapping name: both sides carry "price" — name-based binding
+    // downstream (delta terms, rewrite resolvePath) would silently pick
+    // the wrong side, so creation must refuse
+    val l = Seq((1L, "HIGH", 2.0)).toDF("o_key", "o_prio", "price")
+    val r = Seq((1L, 5.0)).toDF("l_key", "price")
+    val e = intercept[IllegalArgumentException] {
+      JoinCubeManager.create(cfg, l, r)
+    }
+    assert(e.getMessage.contains("disjoint"), e.getMessage)
+    // missing join key on a side
+    val e2 = intercept[IllegalArgumentException] {
+      JoinCubeManager.create(cfg,
+        Seq((1L, "HIGH")).toDF("wrong_key", "o_prio"),
+        linesDf(Seq((1L, 5.0))))
+    }
+    assert(e2.getMessage.contains("missing join key"), e2.getMessage)
+    // registerJoin re-validates (a hand-built JoinCube can't smuggle an
+    // overlapping schema past the rewrite's name binding)
+    val good = JoinCubeManager.create(cfg,
+      ordersDf(Seq((1L, "HIGH"))), linesDf(Seq((1L, 5.0))))
+    val bad = good.copy(right = Seq((1L, "X", 5.0))
+      .toDF("l_key", "o_prio", "l_price").withColumn("_mult", lit(1L)))
+    val e3 = intercept[IllegalArgumentException] {
+      CubeCatalog.registerJoin("bad_jt", bad, "/tmp/x", "/tmp/y")
+    }
+    assert(e3.getMessage.contains("disjoint"), e3.getMessage)
+    assert(!CubeCatalog.joinRegistered.contains("bad_jt"))
+  }
+
   test("duplicate rows carry multiplicity through the join") {
     // two identical lines: state compacts to _mult=2, join must weight 2×
     val jc = JoinCubeManager.create(cfg,
