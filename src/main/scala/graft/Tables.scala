@@ -36,15 +36,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-    * read natively. Read it as a nanos long (legacy conf) and rebuild a
-    * microsecond timestamp (integer `div` — a double division would lose
-    * precision above 2^53 ns). Matches DuckDB's ns→µs truncation. */
+  /** `events.ts` is schema-adaptive — the driver has regenerated the
+    * dataset across rounds with different parquet timestamp physics, and
+    * every query downstream expects a plain session-TZ TIMESTAMP:
+    *  - TIMESTAMP(NANOS) (early rounds): Spark 4 refuses to read it
+    *    natively, so read as a nanos long (legacy conf) and rebuild a
+    *    microsecond timestamp (integer `div` — a double division would
+    *    lose precision above 2^53 ns; truncation matches DuckDB ns→µs);
+    *  - TIMESTAMP(MICROS) without isAdjustedToUTC (current): arrives as
+    *    TIMESTAMP_NTZ, which `unix_micros`/watermarks reject — cast to
+    *    TIMESTAMP. The session TZ is pinned UTC everywhere (Verify/
+    *    Bench/specs), so the wall-clock values are identical to what
+    *    DuckDB's naive read of the same file produces;
+    *  - plain TIMESTAMP: as-is.
+    * Dispatching on the footer schema keeps all events queries working
+    * across data regenerations without touching the queries. */
   def events(s: SparkSession, d: String): DataFrame =
     frames.getOrElseUpdate((s, s"$d/events.parquet#ts"), {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      table(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = table(s, d, "events")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     })
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
