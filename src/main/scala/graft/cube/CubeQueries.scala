@@ -360,6 +360,113 @@ object CubeQueries {
       svc
     })
 
+  // --------------------------------------------------------------- q154
+  /** The round-7 pieces COMPOSED, streaming: a join MV maintained by a
+    * MongoDB change stream on ONE side through
+    * [[CubeService.startJoinAutoUpdate]]. The lineitem side's remaining
+    * activity is rendered as wire-format change-event JSON (inserts of
+    * the late lines; deletes of the base slice's returned lines, with
+    * pre-images) across three micro-batch files; each micro-batch
+    * decodes to a signed right-side delta, folds through the delta-join
+    * rule against the persisted previous version, and publishes cube +
+    * both side states as one consistent manifest version. The oracle
+    * recomputes the final two-sided state from the raw tables — one
+    * hash compare covering wire decode, the three-term expansion, and
+    * the per-batch versioned publish. One-time per (session, sfDir). */
+  private val joinStreamSetup =
+    TrieMap.empty[(SparkSession, String), CubeService]
+  private val liDocSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("l_orderkey",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("l_extendedprice",
+      org.apache.spark.sql.types.DoubleType)))
+  private def joinStreamService(spark: SparkSession,
+      sfDir: String): CubeService =
+    joinStreamSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_jmv_stream").toString
+      val svc = new CubeService(spark, dir)
+      val cfgJ = JoinCubeConfig(
+        CubeConfig("join_stream", "orders_lineitem",
+          dims = Seq(FieldDim("prio", "o_orderpriority")),
+          measures = Seq(Measure("revenue", "l_extendedprice"))),
+        leftKey = "o_orderkey", rightKey = "l_orderkey")
+      val ord = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = Tables.lineitem(spark, sfDir)
+      val late = col("l_linenumber") % 3 === 2
+      svc.createJoinCube(cfgJ, ord,
+        li.filter(!late).select(col("l_orderkey"), col("l_extendedprice")))
+      val liDoc = struct(col("l_orderkey"), col("l_extendedprice"))
+      val insJson = li.filter(late).select(to_json(struct(
+        lit("insert").as("operationType"),
+        liDoc.as("fullDocument"))).as("value"), col("l_orderkey"))
+      val delJson = li.filter(!late && col("l_returnflag") === "R")
+        .select(to_json(struct(
+          lit("delete").as("operationType"),
+          liDoc.as("fullDocumentBeforeChange"))).as("value"),
+          col("l_orderkey"))
+      val changes = s"$dir/changes"
+      // three micro-batch files (maxFilesPerTrigger=1 ⇒ one fold each):
+      // inserts split in two, deletes third — exercises multi-version
+      // streaming publish, not just a single fold
+      insJson.filter(col("l_orderkey") % 2 === 0).select(col("value"))
+        .coalesce(1).write.mode("append").text(changes)
+      insJson.filter(col("l_orderkey") % 2 === 1).select(col("value"))
+        .coalesce(1).write.mode("append").text(changes)
+      delJson.select(col("value"))
+        .coalesce(1).write.mode("append").text(changes)
+      val q = svc.startJoinAutoUpdate("join_stream", changes,
+        liDocSchema, side = "right")
+      q.processAllAvailable()
+      svc.stopJoinAutoUpdate("join_stream")
+      svc
+    })
+
+  // --------------------------------------------------------------- q157
+  /** Graded: FILTER-AWARE JOIN-MV routing — the routing matrix's last
+    * cell on the graded surface ({single-table, join} × {full rollup,
+    * dim-subset, dim-filtered}): q153's join-shaped aggregation with a
+    * WHERE on the cube dimension, written as if no MV existed. The
+    * optimizer must serve the predicate as a cube-CELL filter on the
+    * MV's dimension attribute AND eliminate the fact-to-fact join
+    * (hard-asserted: the plan scans only the manifest-current MV). A
+    * dim-valued predicate keeps or drops whole cells and σ commutes
+    * with the inner join, so σ-then-aggregate over the raw join equals
+    * σ-then-re-aggregate over the MV — the DuckDB oracle recomputes
+    * the filtered rollup from the raw tables to prove it. */
+  def q157JoinFilterRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val (oSrc, lSrc) = joinRouteSources(spark, sfDir)
+    val q = spark.read.parquet(oSrc)
+      .join(spark.read.parquet(lSrc),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && scans.forall(_.contains(".jmv/")),
+      s"filter-aware join-MV routing did not fire; scans=$scans")
+    q
+  }
+
+  /** Graded: the roll-up served from the STREAM-maintained join MV —
+    * see [[joinStreamService]]. Oracle = q152's final-state recompute
+    * (same slices, different machinery: streaming wire-format decode +
+    * per-micro-batch three-frame publish instead of manual folds). */
+  def q154JoinMvStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = joinStreamService(spark, sfDir)
+    svc.getJoinAggregates("join_stream", Seq("prio"), sumOf = Seq("revenue"))
+      .select(col("prio"), col("sum_revenue").as("revenue"),
+        col("n_rows").as("n"))
+      .orderBy(col("prio"))
+  }
+
   // --------------------------------------------------------------- q153
   /** JOIN-MV ROUTING on the graded surface (the q58 story extended to
     * joins): a plain aggregate over the registered inner equi-join of
@@ -749,6 +856,8 @@ object CubeQueries {
     "q151_change_stream" -> q151ChangeStream,
     "q152_join_mv" -> q152JoinMv,
     "q153_join_routing" -> q153JoinRouting,
+    "q154_join_mv_stream" -> q154JoinMvStream,
+    "q157_join_filter_routing" -> q157JoinFilterRouting,
     "q155_filter_routing" -> q155FilterRouting,
     "q156_join_subset_routing" -> q156JoinSubsetRouting,
   )
@@ -855,6 +964,26 @@ object CubeQueries {
       WHERE NOT (l_linenumber % 3 <> 2 AND l_returnflag = 'R')
       GROUP BY o_orderpriority
       ORDER BY prio""",
+    // Same final state as q152, maintained by the streaming wire-format
+    // path instead of manual folds.
+    "q154_join_mv_stream" -> """
+      SELECT o_orderpriority AS prio,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS revenue,
+        count(1) AS n
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE NOT (l_linenumber % 3 <> 2 AND l_returnflag = 'R')
+      GROUP BY o_orderpriority
+      ORDER BY prio""",
+    "q157_join_filter_routing" -> """
+      SELECT o_orderpriority,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS revenue,
+        count(1) AS n
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
     "q153_join_routing" -> """
       SELECT o_orderpriority,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import graft.streaming.StreamingCube
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 
@@ -328,6 +328,7 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     * leaves a half-written `v<k+1>` that no manifest references (junk,
     * cleaned next publish) and the previous version fully live. */
   private val joinLive = TrieMap.empty[String, JoinCube]
+  private val joinAutoUpdates = TrieMap.empty[String, StreamingQuery]
 
   private def jmvRoot(name: String) =
     java.nio.file.Paths.get(storageDir, s"$name.jmv")
@@ -338,13 +339,35 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     else -1
   }
 
-  private def jmvPublish(name: String, jc: JoinCube, version: Int): JoinCube = {
+  /** Highest streaming micro-batch id folded into the CURRENT version
+    * (−1 when none ever was). Carried forward by manual folds and read
+    * by [[startJoinAutoUpdate]]'s replay guard: foreachBatch re-delivers
+    * the last batch after a crash between publish and checkpoint commit,
+    * and a fold is NOT idempotent (unlike the single-table cube's
+    * complete-mode publish), so replayed ids are skipped. */
+  private def jmvLastBatch(name: String): Long = {
+    val v = jmvVersion(name)
+    if (v < 0) -1L
+    else {
+      val f = jmvRoot(name).resolve(s"v$v").resolve("batch_id")
+      if (f.toFile.exists())
+        java.nio.file.Files.readString(f).trim.toLong
+      else -1L
+    }
+  }
+
+  private def jmvPublish(name: String, jc: JoinCube, version: Int,
+      batchId: Option[Long] = None): JoinCube = {
+    // resolve the carried-forward batch id BEFORE the manifest moves
+    val lastBatch = batchId.getOrElse(jmvLastBatch(name))
     val vdir = jmvRoot(name).resolve(s"v$version")
     java.nio.file.Files.createDirectories(vdir)
     CubeManager.save(jc.cube, vdir.toString)
     // no .json suffix: CubeManager.list treats *.json as cube configs
     java.nio.file.Files.writeString(vdir.resolve("join_keys"),
       s"""{"leftKey":"${jc.config.leftKey}","rightKey":"${jc.config.rightKey}"}""")
+    java.nio.file.Files.writeString(vdir.resolve("batch_id"),
+      lastBatch.toString)
     jc.left.write.mode("overwrite").parquet(vdir.resolve("lstate").toString)
     jc.right.write.mode("overwrite").parquet(vdir.resolve("rstate").toString)
     val tmp = jmvRoot(name).resolve("MANIFEST.tmp")
@@ -404,11 +427,66 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     * races the publish. */
   def updateJoinAggregates(name: String, leftDelta: DataFrame,
       rightDelta: DataFrame): JoinCube = {
+    require(!joinAutoUpdates.get(name).exists(_.isActive),
+      s"stop join auto-update on '$name' before a manual fold — " +
+        "concurrent manifest publishes would race")
     val prev = loadJoinCube(name)
     jmvPublish(name,
       JoinCubeManager.applyDeltas(prev, leftDelta, rightDelta),
       jmvVersion(name) + 1)
   }
+
+  /** R2+R3 composed for join MVs, streaming: continuous maintenance of
+    * ONE side from a directory of MongoDB change-event JSON lines (the
+    * [[graft.sources.MongoChangeStream]] wire format — inserts, updates
+    * and deletes with pre-images). Every micro-batch decodes to a signed
+    * side delta, folds through the delta-join rule against the persisted
+    * previous version, and publishes ALL THREE frames (cube + both side
+    * states) as the next versioned-manifest version — the q147 durable
+    * micro-batch discipline extended to the three-directory MV, so a
+    * restart mid-stream recovers a CONSISTENT (cube, lstate, rstate)
+    * triple and resumes from the checkpoint.
+    *
+    * Exactly-once: the file-source checkpoint only re-delivers the last
+    * batch after a crash inside the publish→commit window; each version
+    * records the micro-batch id it folded, and a replayed id is skipped
+    * (the fold, unlike complete-mode single-table publishes, is not
+    * idempotent). Manual folds while the stream runs are refused, and
+    * manual folds after a stop carry the last folded id forward so a
+    * later resume still recognizes a replay. */
+  def startJoinAutoUpdate(name: String, changeDir: String,
+      docSchema: StructType, side: String): StreamingQuery = {
+    require(side == "left" || side == "right",
+      s"side must be 'left' or 'right', got '$side'")
+    val existing = loadJoinCube(name) // fail fast on an unknown MV
+    val stateCols = (if (side == "left") existing.left else existing.right)
+      .columns.filterNot(_ == "_mult").toSet
+    require(docSchema.fieldNames.toSet == stateCols,
+      s"change-stream document schema ${docSchema.fieldNames.toSet} must " +
+        s"match the $side side state's columns $stateCols")
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(changeDir)
+    val q = raw.writeStream
+      .option("checkpointLocation", s"$storageDir/$name.jmv.checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > jmvLastBatch(name)) {
+          val delta = graft.sources.MongoChangeStream.decode(batch, docSchema)
+            .withColumn("_sign", col("_sign").cast("long"))
+          val prev = loadJoinCube(name)
+          jmvPublish(name,
+            JoinCubeManager.applySideDeltas(prev, delta, side),
+            jmvVersion(name) + 1, Some(batchId))
+          ()
+        }
+      }
+      .start()
+    joinAutoUpdates.put(name, q)
+    q
+  }
+
+  def stopJoinAutoUpdate(name: String): Unit =
+    joinAutoUpdates.remove(name).foreach(_.stop())
 
   /** Roll-up served from the maintained join MV. */
   def getJoinAggregates(name: String, dims: Seq[String],
@@ -423,7 +501,9 @@ final class CubeService(spark: SparkSession, storageDir: String) {
   }
 
   def deleteJoinCube(name: String): Unit = {
+    stopJoinAutoUpdate(name)
     joinLive.remove(name)
     rm(jmvRoot(name).toFile)
+    rm(new java.io.File(s"$storageDir/$name.jmv.checkpoint"))
   }
 }

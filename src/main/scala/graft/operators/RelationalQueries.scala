@@ -212,21 +212,17 @@ object RelationalQueries {
     * join at 100 TB banding-rewrites exactly like q76: explode each
     * interval to the fixed-width time cells it touches, equi-join on
     * cell, dedup + residual-check. */
-  def q132IntervalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    val span = Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_orderkey"))
-      .agg(max(col("l_shipdate")).as("fin"))
-    val o0 = Tables.orders(spark, sfDir)
-      .join(span, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey"), col("o_orderkey"),
-        col("o_orderdate").as("s"), col("fin").as("e"))
-    // the cap as a window count (the oracle's QUALIFY form): one
-    // partition-by-custkey exchange — the same partitioning the
-    // self-join below needs — instead of a groupBy + re-join
+  /** Core of q132, factored for the standing cap-engagement test
+    * (DedupCapSpec): same-customer pairs of overlapping intervals over
+    * `(o_custkey, o_orderkey, s, e)` with the per-key occupancy cap.
+    * The cap is a window count (the oracle's QUALIFY form): one
+    * partition-by-custkey exchange — the same partitioning the
+    * self-join needs — instead of a groupBy + re-join. */
+  def intervalOverlapPairs(intervals: DataFrame, cap: Long): DataFrame = {
     val occW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("o_custkey"))
-    val o = o0.withColumn("_occ", count(lit(1)).over(occW))
-      .filter(col("_occ") <= graft.functions.Dedup.MaxBucket).drop("_occ")
+    val o = intervals.withColumn("_occ", count(lit(1)).over(occW))
+      .filter(col("_occ") <= cap).drop("_occ")
     o.as("a").join(o.as("b"),
         col("a.o_custkey") === col("b.o_custkey")
           && col("a.o_orderkey") < col("b.o_orderkey")
@@ -237,6 +233,17 @@ object RelationalQueries {
           greatest(col("a.s"), col("b.s")).cast("date")) + 1).cast("long")
           .as("overlap_days"))
       .orderBy(col("custkey"), col("oa"), col("ob"))
+  }
+
+  def q132IntervalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val span = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("fin"))
+    val o0 = Tables.orders(spark, sfDir)
+      .join(span, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").as("s"), col("fin").as("e"))
+    intervalOverlapPairs(o0, graft.functions.Dedup.MaxBucket)
   }
 
   // ---------------------------------------------------------------- q10

@@ -291,6 +291,76 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteCube("svc")
   }
 
+  test("streaming join auto-update: per-batch three-frame publish, restart resumes") {
+    import spark.implicits._
+    import java.nio.file.Paths
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val dir = Files.createTempDirectory("graft_svc_jmvstream").toString
+    val svc = new CubeService(spark, dir)
+    val cfgJ = JoinCubeConfig(
+      CubeConfig("jstream", "l_r",
+        dims = Seq(FieldDim("cat", "cat")),
+        measures = Seq(Measure("amt", "amount"))),
+      leftKey = "lk", rightKey = "rk")
+    val left = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("lk", "cat")
+    val right0 = Seq((1L, 10.0), (2L, 20.0)).toDF("rk", "amount")
+    svc.createJoinCube(cfgJ, left, right0)
+    val docSchema = StructType(Seq(
+      StructField("rk", LongType), StructField("amount", DoubleType)))
+    def ins(rk: Long, amount: Double) =
+      s"""{"operationType":"insert","fullDocument":{"rk":$rk,"amount":$amount}}"""
+    def del(rk: Long, amount: Double) =
+      s"""{"operationType":"delete","fullDocumentBeforeChange":{"rk":$rk,"amount":$amount}}"""
+    val changes = s"$dir/changes"
+    java.nio.file.Files.createDirectories(Paths.get(changes))
+    java.nio.file.Files.writeString(Paths.get(changes, "c0.json"),
+      ins(3L, 30.0) + "\n" + ins(1L, 5.0))
+    val q = svc.startJoinAutoUpdate("jstream", changes, docSchema, "right")
+    q.processAllAvailable()
+    def totals(): Map[String, (Double, Long)] =
+      svc.getJoinAggregates("jstream", Seq("cat"), sumOf = Seq("amt"))
+        .collect().map(r => (r.getString(0),
+          (r.getDouble(1), r.getLong(2)))).toMap
+    // batch 0 folded: lk1 matches {10, 5}, lk2 {20}, lk3 {30}
+    assert(totals() == Map("a" -> (45.0, 3L), "b" -> (20.0, 1L)))
+    // a manual fold while the stream runs must be refused
+    intercept[IllegalArgumentException] {
+      svc.updateJoinAggregates("jstream",
+        left.limit(0).withColumn("_sign", lit(1L)),
+        Seq((3L, 1.0)).toDF("rk", "amount").withColumn("_sign", lit(1L)))
+    }
+    svc.stopJoinAutoUpdate("jstream")
+    // restart mid-stream with two more change files: the checkpoint
+    // resumes PAST batch 0 (no double-fold) and each new file publishes
+    // its own manifest version
+    java.nio.file.Files.writeString(Paths.get(changes, "c1.json"), del(1L, 10.0))
+    java.nio.file.Files.writeString(Paths.get(changes, "c2.json"), ins(2L, 7.0))
+    val q2 = svc.startJoinAutoUpdate("jstream", changes, docSchema, "right")
+    q2.processAllAvailable()
+    svc.stopJoinAutoUpdate("jstream")
+    assert(totals() == Map("a" -> (35.0, 2L), "b" -> (27.0, 2L)),
+      s"post-restart state wrong: ${totals()}")
+    // all three recovered frames sit at ONE consistent version: the cube
+    // equals a from-scratch cube over the persisted side states
+    val jc = svc.loadJoinCube("jstream")
+    val recomputed = CubeManager.create(
+      cfgJ.cube.copy(name = "jcheck"),
+      jc.left.drop("_mult").join(jc.right.drop("_mult"),
+        col("lk") === col("rk")))
+    val a = jc.cube.aggregates.orderBy("cat")
+      .collect().map(_.toSeq).toSeq
+    val b = recomputed.aggregates.orderBy("cat")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, s"cube frame inconsistent with side states: $a vs $b")
+    // stopped: a manual fold composes with the streamed state
+    svc.updateJoinAggregates("jstream",
+      left.limit(0).withColumn("_sign", lit(1L)),
+      Seq((3L, 1.0)).toDF("rk", "amount").withColumn("_sign", lit(1L)))
+    assert(totals() == Map("a" -> (36.0, 3L), "b" -> (27.0, 2L)))
+    svc.deleteJoinCube("jstream")
+    assert(svc.listJoinCubes().isEmpty)
+  }
+
   test("publish-crash recovery: name.old restored when the publish dir is missing") {
     val dir = Files.createTempDirectory("graft_svc_crash").toString
     val svc = new CubeService(spark, dir)

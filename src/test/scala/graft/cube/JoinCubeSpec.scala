@@ -75,6 +75,47 @@ class JoinCubeSpec extends AnyFunSuite {
     }
   }
 
+  test("one-sided fast path == general fold with an empty other side") {
+    val rnd = new scala.util.Random(777)
+    val ordBase = (0L to 9L).map(i =>
+      (i, Seq("HIGH", "MED", "LOW")(rnd.nextInt(3))))
+    val linBase = (0 until 50).map(_ =>
+      (rnd.nextInt(12).toLong, math.round(rnd.nextDouble() * 10000) / 100.0))
+    val linIns = (0 until 20).map(_ =>
+      (rnd.nextInt(12).toLong, math.round(rnd.nextDouble() * 10000) / 100.0))
+    val linDel = linBase.filter(_ => rnd.nextBoolean())
+    val ordIns = Seq((10L, "HIGH"), (11L, "LOW"))
+
+    def signed(df: DataFrame, sign: Long) =
+      df.withColumn("_sign", lit(sign))
+    val emptyOrd = ordersDf(Nil).withColumn("_sign", lit(1L))
+    val emptyLin = linesDf(Nil).withColumn("_sign", lit(1L))
+
+    // general path: empty other-side delta through the three-term rule
+    var general = JoinCubeManager.create(cfg, ordersDf(ordBase), linesDf(linBase))
+    general = JoinCubeManager.applyDeltas(general, emptyOrd,
+      signed(linesDf(linIns), 1L))
+    general = JoinCubeManager.applyDeltas(general, emptyOrd,
+      signed(linesDf(linDel), -1L))
+    general = JoinCubeManager.applyDeltas(general,
+      signed(ordersDf(ordIns), 1L), emptyLin)
+
+    // fast path: same batches, one-sided
+    var fast = JoinCubeManager.create(cfg, ordersDf(ordBase), linesDf(linBase))
+    fast = JoinCubeManager.applySideDeltas(fast,
+      signed(linesDf(linIns), 1L), "right")
+    fast = JoinCubeManager.applySideDeltas(fast,
+      signed(linesDf(linDel), -1L), "right")
+    fast = JoinCubeManager.applySideDeltas(fast,
+      signed(ordersDf(ordIns), 1L), "left")
+
+    assert(contents(fast.cube) == contents(general.cube),
+      "one-sided fold diverged from the general rule")
+    def state(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(state(fast.left) == state(general.left), "left states diverged")
+    assert(state(fast.right) == state(general.right), "right states diverged")
+  }
+
   test("deleting the last line of an order empties its group") {
     val jc0 = JoinCubeManager.create(cfg,
       ordersDf(Seq((1L, "HIGH"))), linesDf(Seq((1L, 5.0))))

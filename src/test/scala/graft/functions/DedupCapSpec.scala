@@ -60,6 +60,37 @@ class DedupCapSpec extends AnyFunSuite {
     }
   }
 
+  test("interval overlap (q132 shape): a whale customer is dropped, small customers survive") {
+    import spark.implicits._
+    // a whale with 600 mutually-overlapping orders (600 > MaxBucket=512:
+    // uncapped = 600·599/2 ≈ 180k pairs from ONE reducer key — the 100 TB
+    // bot-account detonation) plus a normal customer with one overlapping
+    // pair and one disjoint order
+    val whale = (0 until 600).map(i =>
+      (-1L, i.toLong, java.sql.Date.valueOf("2024-01-01"),
+        java.sql.Date.valueOf("2024-03-01")))
+    val normal = Seq(
+      (7L, 1000L, java.sql.Date.valueOf("2024-01-01"),
+        java.sql.Date.valueOf("2024-01-20")),
+      (7L, 1001L, java.sql.Date.valueOf("2024-01-15"),
+        java.sql.Date.valueOf("2024-02-01")),
+      (7L, 1002L, java.sql.Date.valueOf("2024-05-01"),
+        java.sql.Date.valueOf("2024-05-02")))
+    val intervals = (whale ++ normal).toDF("o_custkey", "o_orderkey", "s", "e")
+    val capped = graft.operators.RelationalQueries
+      .intervalOverlapPairs(intervals, Dedup.MaxBucket).collect()
+    assert(capped.map(r => (r.getAs[Long]("custkey"),
+        r.getAs[Long]("oa"), r.getAs[Long]("ob"))).toSet ==
+      Set((7L, 1000L, 1001L)),
+      "whale pairs leaked or the planted pair was lost")
+    // bounded-output proxy for bounded time: the uncapped run pays the
+    // quadratic detonation the cap exists to prevent
+    val uncapped = graft.operators.RelationalQueries
+      .intervalOverlapPairs(intervals, Long.MaxValue).count()
+    assert(uncapped == 600L * 599 / 2 + 1,
+      s"uncapped pair count $uncapped != quadratic expectation")
+  }
+
   test("fuzzy pairs: an over-occupied prefix block is dropped, small blocks survive") {
     import spark.implicits._
     // 600 copies of one text share a prefix block (occupancy 600 > 512
