@@ -106,6 +106,7 @@ object CubeQueries {
     lifecycleService(spark, sfDir)
     changeStreamService(spark, sfDir)
     joinCubeState(spark, sfDir)
+    joinStreamService(spark, sfDir)
     joinRouteSources(spark, sfDir)
     joinSubsetSources(spark, sfDir)
     ()
