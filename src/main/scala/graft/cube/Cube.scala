@@ -78,14 +78,26 @@ final case class Measure(id: String, path: String)
   * rank queries don't add across cells, sketch union does, and folds
   * are insert-only. Rolling a cube up to any dimension subset can then
   * serve percentiles from maintained partials instead of re-scanning
-  * the source. */
+  * the source.
+  *
+  * `extremes` are MIN/MAX measures stored as two partial columns per
+  * entry (`<id>_min`, `<id>_max`, the source column's own type): min of
+  * mins / max of maxes re-aggregate exactly across cells and dimension
+  * subsets — unlike sums they are EXACT, not estimates, so routed
+  * min/max answers hash-match a from-scratch recompute. They share the
+  * sketches' insert-only contract (a delete cannot un-see the extreme
+  * it may have removed): folds ignore negative-sign rows and the first
+  * folded delete trips the same persisted `hasDeletes` latch, after
+  * which min/max serves and routing refuse while the invertible
+  * sum/count measures keep working. */
 final case class CubeConfig(
     name: String,
     source: String, // table name within the sfDir, e.g. "events"
     dims: Seq[Dimension],
     measures: Seq[Measure],
     sketches: Seq[Measure] = Nil,
-    quantiles: Seq[Measure] = Nil) {
+    quantiles: Seq[Measure] = Nil,
+    extremes: Seq[Measure] = Nil) {
   def dimCols: Seq[Column] = dims.map(_.expr)
   def dimNames: Seq[String] = dims.map(_.id)
 }
@@ -144,9 +156,13 @@ object CubeManager {
       hll_sketch_agg(col(m.path), SketchLgK).as(m.id))
     val qs = config.quantiles.map(m =>
       graft.functions.Kll.sketchAgg(col(m.path).cast("double")).as(m.id))
+    val exts = config.extremes.flatMap(m => Seq(
+      min(col(m.path)).as(s"${m.id}_min"),
+      max(col(m.path)).as(s"${m.id}_max")))
     val agg = source
       .groupBy(config.dimCols: _*)
-      .agg(sums.head, (sums.tail ++ sks ++ qs :+ count(lit(1)).as(CountCol)): _*)
+      .agg(sums.head,
+        (sums.tail ++ sks ++ qs ++ exts :+ count(lit(1)).as(CountCol)): _*)
     Cube(config, agg)
   }
 
@@ -167,7 +183,8 @@ object CubeManager {
     // latch that downstream sketch serves check. One tiny job over the
     // delta batch (skipped entirely for sketch-free cubes and for cubes
     // already latched).
-    val sketchy = cfg.sketches.nonEmpty || cfg.quantiles.nonEmpty
+    val sketchy = cfg.sketches.nonEmpty || cfg.quantiles.nonEmpty ||
+      cfg.extremes.nonEmpty
     val hasDeletes = cube.hasDeletes ||
       (sketchy && !deltas.filter(col("_sign") < 0).isEmpty)
     val deltaSums = cfg.measures.map(m =>
@@ -179,10 +196,17 @@ object CubeManager {
     val deltaQs = cfg.quantiles.map(m =>
       graft.functions.Kll.sketchAgg(
         when(col("_sign") > 0, col(m.path).cast("double"))).as(m.id))
+    // min/max fold inserted rows only (see CubeConfig) — the when()
+    // nulls out delete rows and min/max skip nulls, so a delete-only
+    // batch leaves a group's stored extremes untouched through the
+    // null-skipping merge
+    val deltaExts = cfg.extremes.flatMap(m => Seq(
+      min(when(col("_sign") > 0, col(m.path))).as(s"${m.id}_min"),
+      max(when(col("_sign") > 0, col(m.path))).as(s"${m.id}_max")))
     val deltaAgg = deltas
       .groupBy(cfg.dimCols: _*)
       .agg(deltaSums.head,
-        (deltaSums.tail ++ deltaSks ++ deltaQs
+        (deltaSums.tail ++ deltaSks ++ deltaQs ++ deltaExts
           :+ sum(col("_sign")).as(CountCol)): _*)
     Cube(cfg, mergePartials(cfg, cube.aggregates, deltaAgg), hasDeletes)
   }
@@ -204,6 +228,9 @@ object CubeManager {
             hll_union_agg(col(m.id)).as(m.id))
           ++ cfg.quantiles.map(m =>
             graft.functions.Kll.mergeAgg(col(m.id)).as(m.id))
+          ++ cfg.extremes.flatMap(m => Seq(
+            min(col(s"${m.id}_min")).as(s"${m.id}_min"),
+            max(col(s"${m.id}_max")).as(s"${m.id}_max")))
           :+ sum(col(CountCol)).as(CountCol)): _*)
       .filter(col(CountCol) =!= 0)
 
@@ -217,7 +244,18 @@ object CubeManager {
       sumOf: Seq[String] = Nil,
       avgOf: Seq[String] = Nil,
       distinctOf: Seq[String] = Nil,
-      quantilesOf: Seq[(String, Double)] = Nil): DataFrame = {
+      quantilesOf: Seq[(String, Double)] = Nil,
+      minOf: Seq[String] = Nil,
+      maxOf: Seq[String] = Nil): DataFrame = {
+    // min/max partials of a delete-processed cube describe EVER-INSERTED
+    // values (a delete cannot un-see an extreme) — refuse rather than
+    // serve a possibly-stale bound; exact sums/counts keep serving
+    require(minOf.isEmpty && maxOf.isEmpty || !cube.hasDeletes,
+      s"cube ${cube.config.name} has folded deletes; its min/max " +
+        "partials are insert-only and cannot serve extremes")
+    (minOf ++ maxOf).foreach(id =>
+      require(cube.config.extremes.exists(_.id == id),
+        s"$id is not a min/max measure of cube ${cube.config.name}"))
     val base = cube.live.filter(filter)
     val sums = sumOf.map(id => sum(col(id)).cast(DoubleType).as(s"sum_$id"))
     val avgs = avgOf.map(id =>
@@ -233,7 +271,10 @@ object CubeManager {
       graft.functions.Kll.quantile(graft.functions.Kll.mergeAgg(col(id)), q)
         .as(s"p${rankLabel(q)}_$id")
     }
-    val aggs = sums ++ avgs ++ dsts ++ qnts :+ sum(col(CountCol)).as("n_rows")
+    val mins = minOf.map(id => min(col(s"${id}_min")).as(s"min_$id"))
+    val maxs = maxOf.map(id => max(col(s"${id}_max")).as(s"max_$id"))
+    val aggs = sums ++ avgs ++ dsts ++ qnts ++ mins ++ maxs :+
+      sum(col(CountCol)).as("n_rows")
     base.groupBy(subsetDims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -305,10 +346,13 @@ object CubeManager {
     val qs = c.quantiles
       .map(m => s"""{"id":"${esc(m.id)}","path":"${esc(m.path)}"}""")
       .mkString("[", ",", "]")
-    // "sketches"/"quantiles" precede "measures": the tolerant parser's
-    // measures regex is greedy-to-last-bracket and must stay the final
-    // array
-    s"""{"name":"${esc(c.name)}","source":"${esc(c.source)}","dims":$dims,"sketches":$sks,"quantiles":$qs,"measures":$ms}"""
+    val exts = c.extremes
+      .map(m => s"""{"id":"${esc(m.id)}","path":"${esc(m.path)}"}""")
+      .mkString("[", ",", "]")
+    // "sketches"/"quantiles"/"extremes" precede "measures": the tolerant
+    // parser's measures regex is greedy-to-last-bracket and must stay
+    // the final array
+    s"""{"name":"${esc(c.name)}","source":"${esc(c.source)}","dims":$dims,"sketches":$sks,"quantiles":$qs,"extremes":$exts,"measures":$ms}"""
   }
 
   private[cube] def configFromJson(json: String): CubeConfig = {
@@ -340,12 +384,18 @@ object CubeManager {
     val sks = objects(skArr).map { o =>
       Measure(field(o, "id").get, field(o, "path").get)
     }
-    val qArr = """(?s)"quantiles":\s*(\[.*?\]),\s*"measures"""".r
+    val qArr = """(?s)"quantiles":\s*(\[.*?\]),\s*"(?:extremes|measures)"""".r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
     val qs = objects(qArr).map { o =>
       Measure(field(o, "id").get, field(o, "path").get)
     }
+    // absent in configs persisted before the extremes feature → empty
+    val eArr = """(?s)"extremes":\s*(\[.*?\]),\s*"measures"""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
+    val exts = objects(eArr).map { o =>
+      Measure(field(o, "id").get, field(o, "path").get)
+    }
     CubeConfig(field(json, "name").get, field(json, "source").get, dims, meas,
-      sks, qs)
+      sks, qs, exts)
   }
 }

@@ -72,7 +72,8 @@ object CubeQueries {
   // ---------------------------------------------------------------- q58
   private val routingCfg = CubeConfig("routing_demo", "events",
     dims = Seq(FieldDim("etype", "event_type")),
-    measures = Seq(Measure("value_sum", "value")))
+    measures = Seq(Measure("value_sum", "value")),
+    extremes = Seq(Measure("value", "value")))
 
   /** One-time materialization for q58, keyed per (session, sfDir): cube
     * saved to a temp dir, a plain projected copy of the source written
@@ -423,6 +424,38 @@ object CubeQueries {
       svc.stopJoinAutoUpdate("join_stream")
       svc
     })
+
+  // --------------------------------------------------------------- q158
+  /** Graded: MIN/MAX served BY THE OPTIMIZER from maintained cube
+    * partials — the extremes measure family ([[CubeConfig.extremes]])
+    * on the graded surface. The query mixes min/max with the sum and
+    * count the cube already serves, written as if no MV existed;
+    * [[CubeRewriteRule]] swaps min(value) → min(value_min) and
+    * max(value) → max(value_max) over the cube's cells (hard-asserted
+    * to scan the cube, not the source). Unlike sketch serves these are
+    * EXACT — min of per-cell mins IS the row-level min, same type, no
+    * estimate — so the DuckDB oracle recomputes from the raw table and
+    * the hash compare proves the routed answer bit-identical. Deletes
+    * would trip the insert-only latch and refuse (CubeRewriteSpec pins
+    * the refusal); this cube is insert-only, so the serve stands. */
+  def q158MinmaxRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = routingSource(spark, sfDir)
+    val q = spark.read.parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.exists(_.endsWith("/routing_demo")),
+      s"min/max MV routing did not fire; scans=$scans")
+    q
+  }
 
   // --------------------------------------------------------------- q157
   /** Graded: FILTER-AWARE JOIN-MV routing — the routing matrix's last
@@ -859,6 +892,7 @@ object CubeQueries {
     "q153_join_routing" -> q153JoinRouting,
     "q154_join_mv_stream" -> q154JoinMvStream,
     "q157_join_filter_routing" -> q157JoinFilterRouting,
+    "q158_minmax_routing" -> q158MinmaxRouting,
     "q155_filter_routing" -> q155FilterRouting,
     "q156_join_subset_routing" -> q156JoinSubsetRouting,
   )
@@ -976,6 +1010,15 @@ object CubeQueries {
       WHERE NOT (l_linenumber % 3 <> 2 AND l_returnflag = 'R')
       GROUP BY o_orderpriority
       ORDER BY prio""",
+    "q158_minmax_routing" -> """
+      SELECT event_type,
+        min(value) AS min_value,
+        max(value) AS max_value,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        count(1) AS n
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
     "q157_join_filter_routing" -> """
       SELECT o_orderpriority,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

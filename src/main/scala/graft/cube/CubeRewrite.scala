@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Expression, HllSketchEstimate, IsNotNull, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, HllUnionAgg, HyperLogLogPlusPlus, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, HllUnionAgg, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -378,6 +378,17 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
           _.canonicalized == subst(e).canonicalized))
         .flatMap(m => cubeAttr(m.id))
 
+    // min/max partial maintained on the same source column. EXACT (min
+    // of mins == min over rows, same type — no estimate, no float
+    // re-association), but insert-only: a delete-latched cube refuses
+    // (its stored extremes describe ever-inserted values).
+    def extremeFor(e: Expression, suffix: String): Option[Attribute] =
+      if (cube.hasDeletes) None
+      else cube.config.extremes
+        .find(m => resolvePath(source, m.path).exists(
+          _.canonicalized == subst(e).canonicalized))
+        .flatMap(m => cubeAttr(s"${m.id}$suffix"))
+
     def measureFor(e: Expression): Option[Attribute] = subst(e) match {
       // sum(CAST(measure AS DECIMAL(18,2))); the measure itself may be
       // an attribute or a nested GetStructField chain
@@ -451,6 +462,16 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
                 ae.copy(aggregateFunction = HllUnionAgg(sk, Literal(false)))),
               Literal(0L)))
           case _ => ok = false; ae
+        }
+      case ae @ AggregateExpression(Min(inner), Complete, false, _, _) =>
+        extremeFor(inner, "_min") match {
+          case Some(m) => ae.copy(aggregateFunction = Min(m))
+          case None => ok = false; ae
+        }
+      case ae @ AggregateExpression(Max(inner), Complete, false, _, _) =>
+        extremeFor(inner, "_max") match {
+          case Some(m) => ae.copy(aggregateFunction = Max(m))
+          case None => ok = false; ae
         }
       case ae: AggregateExpression => ok = false; ae
       case other if matchDim(other).isDefined => matchDim(other).get

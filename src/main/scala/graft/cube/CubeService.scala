@@ -247,9 +247,11 @@ final class CubeService(spark: SparkSession, storageDir: String) {
       sumOf: Seq[String] = Nil,
       avgOf: Seq[String] = Nil,
       distinctOf: Seq[String] = Nil,
-      quantilesOf: Seq[(String, Double)] = Nil): DataFrame =
+      quantilesOf: Seq[(String, Double)] = Nil,
+      minOf: Seq[String] = Nil,
+      maxOf: Seq[String] = Nil): DataFrame =
     CubeManager.query(loadCube(name), dims, filter, sumOf, avgOf,
-      distinctOf, quantilesOf)
+      distinctOf, quantilesOf, minOf, maxOf)
 
   /** ROLLING-window serve from maintained daily partials — the
     * q138/q139/q141 pattern as a service verb: for every observed day,
@@ -261,40 +263,53 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     * per-day pre-collapse over live cells) and the windowed stage is
     * |days|·windowDays one-row partials — never the source. Output:
     * `day` (days since 1970-01-01 of the dimension's calendar day) +
-    * `n_distinct_<id>` / `p<pct>_<id>` columns, the [[getAggregates]]
-    * naming. */
+    * `n_distinct_<id>` / `p<pct>_<id>` / `min_<id>` / `max_<id>`
+    * columns, the [[getAggregates]] naming. Rolling min/max ride the
+    * same serve: extremes re-aggregate across days exactly (min of
+    * daily mins), so trailing-window extremes come from |windowDays|
+    * one-row partials per endpoint too — and unlike the sketch curves
+    * they are exact, though under the same insert-only latch. */
   def getRolling(
       name: String,
       dayDim: String,
       windowDays: Int = 7,
       distinctOf: Seq[String] = Nil,
-      quantilesOf: Seq[(String, Double)] = Nil): DataFrame = {
+      quantilesOf: Seq[(String, Double)] = Nil,
+      minOf: Seq[String] = Nil,
+      maxOf: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     val cube = loadCube(name)
     require(cube.config.dims.exists {
         case TimeDim(id, _, g) => id == dayDim && g == "day"
         case _ => false
       }, s"$dayDim must be a day-granularity time dimension of cube $name")
-    require(distinctOf.nonEmpty || quantilesOf.nonEmpty,
-      "request at least one sketch measure (distinctOf / quantilesOf)")
-    // sketch partials of a delete-processed cube describe EVER-INSERTED
-    // values (deletes are not invertible in an HLL/KLL) — refuse rather
-    // than serve silently-too-high curves; exact measures remain
-    // available via getAggregates
+    require(distinctOf.nonEmpty || quantilesOf.nonEmpty ||
+      minOf.nonEmpty || maxOf.nonEmpty,
+      "request at least one rolling measure (distinctOf / quantilesOf / " +
+        "minOf / maxOf)")
+    // sketch and min/max partials of a delete-processed cube describe
+    // EVER-INSERTED values (neither is invertible under deletes) —
+    // refuse rather than serve silently-wrong curves; exact sums/counts
+    // remain available via getAggregates
     require(!cube.hasDeletes,
-      s"cube $name has folded deletes; its sketch partials are " +
-        "insert-only upper bounds and cannot serve rolling curves")
+      s"cube $name has folded deletes; its sketch/extreme partials are " +
+        "insert-only and cannot serve rolling curves")
     distinctOf.foreach(id => require(cube.config.sketches.exists(_.id == id),
       s"$id is not an HLL sketch measure of cube $name"))
     quantilesOf.foreach { case (id, _) =>
       require(cube.config.quantiles.exists(_.id == id),
         s"$id is not a KLL quantile measure of cube $name")
     }
+    (minOf ++ maxOf).foreach(id =>
+      require(cube.config.extremes.exists(_.id == id),
+        s"$id is not a min/max measure of cube $name"))
     // collapse to ONE partial row per day first (other dimensions may
     // subdivide a day across many cells)
     val dailyAggs = distinctOf.map(id => hll_union_agg(col(id)).as(id)) ++
       quantilesOf.map(_._1).distinct.map(id =>
-        graft.functions.Kll.mergeAgg(col(id)).as(id))
+        graft.functions.Kll.mergeAgg(col(id)).as(id)) ++
+      minOf.distinct.map(id => min(col(s"${id}_min")).as(s"${id}_min")) ++
+      maxOf.distinct.map(id => max(col(s"${id}_max")).as(s"${id}_max"))
     // calendar-day index via datediff, NOT unix_timestamp/86400: the
     // dimension cell is a LOCAL midnight, and in a non-UTC session the
     // epoch arithmetic merges the two days straddling a DST transition
@@ -309,7 +324,9 @@ final class CubeService(spark: SparkSession, storageDir: String) {
         graft.functions.Kll.quantile(
           graft.functions.Kll.mergeAgg(col(id)), q)
           .as(s"p${CubeManager.rankLabel(q)}_$id")
-      }
+      } ++
+      minOf.map(id => min(col(s"${id}_min")).as(s"min_$id")) ++
+      maxOf.map(id => max(col(s"${id}_max")).as(s"max_$id"))
     graft.functions.Rolling.endpoints(daily, windowDays)
       .agg(endpointAggs.head, endpointAggs.tail: _*)
       .orderBy(col("day"))

@@ -50,10 +50,16 @@ object StreamingCube {
       hll_sketch_agg(col(m.path), graft.cube.CubeManager.SketchLgK).as(m.id))
     val qs = config.quantiles.map(m =>
       graft.functions.Kll.sketchAgg(col(m.path).cast("double")).as(m.id))
+    // min/max partials: the file stream is insert-only (the R2 shape),
+    // so plain min/max per group matches CubeManager.create exactly
+    val exts = config.extremes.flatMap(m => Seq(
+      min(col(m.path)).as(s"${m.id}_min"),
+      max(col(m.path)).as(s"${m.id}_max")))
     stream
       .groupBy(config.dimCols: _*)
       .agg(sums.head,
-        (sums.tail ++ sks ++ qs :+ count(lit(1)).as(CubeManager.CountCol)): _*)
+        (sums.tail ++ sks ++ qs ++ exts
+          :+ count(lit(1)).as(CubeManager.CountCol)): _*)
   }
 
   /** Start a streaming cube over a directory of parquet delta files.

@@ -77,6 +77,57 @@ class CubeRewriteSpec extends AnyFunSuite {
     assert(directScans == Seq(CubeCatalog.normalize(srcDir)))
   }
 
+  test("min/max route to the stored extremes; a delete-latched cube refuses") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(33)
+    val rows = (0 until 400).map { _ =>
+      (Seq("click", "view", "buy")(rnd.nextInt(3)),
+        math.round(rnd.nextDouble() * 10000) / 100.0)
+    }
+    val srcDir = Files.createTempDirectory("graft_rw_mm_src").toString
+    rows.toDF("event_type", "value").write.mode("overwrite").parquet(srcDir)
+    val mmCfg = CubeConfig("rwmm", "src",
+      Seq(FieldDim("etype", "event_type")),
+      Seq(Measure("v", "value")),
+      extremes = Seq(Measure("value", "value")))
+    val cubeDir = Files.createTempDirectory("graft_rw_mm_cube").toString
+    CubeManager.save(
+      CubeManager.create(mmCfg, spark.read.parquet(srcDir)), cubeDir)
+    CubeCatalog.register("rwmm", CubeManager.load(spark, cubeDir, "rwmm"),
+      srcDir)
+    def mmQuery() = spark.read.parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("mn"), max(col("value")).as("mx"),
+        count(lit(1)).as("n"))
+    def scansOf(q: DataFrame) = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r).get
+    }
+    val q = mmQuery()
+    assert(scansOf(q) == Seq(CubeCatalog.normalize(s"$cubeDir/rwmm")),
+      s"min/max did not route: ${scansOf(q)}")
+    val routed = q.orderBy("event_type").collect().map(_.toSeq).toSeq
+    CubeCatalog.clear()
+    val direct = mmQuery().orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(routed == direct, "routed min/max diverged from direct")
+    // fold a delete: the latch must stop min/max routing (sums/counts
+    // would still be exact, but the stored extremes are now stale upper/
+    // lower bounds) — the query falls back to the source scan
+    val latched = CubeManager.applyDeltas(
+      CubeManager.load(spark, cubeDir, "rwmm"),
+      Seq(("click", rows.filter(_._1 == "click").map(_._2).max, -1))
+        .toDF("event_type", "value", "_sign"))
+    assert(latched.hasDeletes)
+    CubeManager.save(latched, cubeDir)
+    CubeCatalog.register("rwmm", CubeManager.load(spark, cubeDir, "rwmm"),
+      srcDir)
+    val q2 = mmQuery()
+    assert(scansOf(q2) == Seq(CubeCatalog.normalize(srcDir)),
+      s"delete-latched cube must refuse min/max routing: ${scansOf(q2)}")
+    CubeCatalog.clear()
+  }
+
   test("roll-up to a dimension subset is also served from the cube") {
     val (srcDir, cubeLoc) = setup()
     val q = spark.read.parquet(srcDir)

@@ -131,10 +131,12 @@ class CubeServiceSpec extends AnyFunSuite {
       Seq(FieldDim("etype", "event_type"), TimeDim("day", "ts", "day")),
       Seq(Measure("v", "value")),
       sketches = Seq(Measure("users", "user_id")),
-      quantiles = Seq(Measure("dist", "value")))
+      quantiles = Seq(Measure("dist", "value")),
+      extremes = Seq(Measure("vx", "value")))
     svc.createCube(cfg, rows.toDF("event_type", "ts", "value", "user_id"))
     val out = svc.getRolling("roll", "day", windowDays = 7,
-        distinctOf = Seq("users"), quantilesOf = Seq(("dist", 0.5)))
+        distinctOf = Seq("users"), quantilesOf = Seq(("dist", 0.5)),
+        minOf = Seq("vx"), maxOf = Seq("vx"))
       .collect()
     val byDay = rows.groupBy(r => r._2.getTime / 86400000L)
     assert(out.length == byDay.size, "one endpoint per observed day")
@@ -154,6 +156,10 @@ class CubeServiceSpec extends AnyFunSuite {
       // an EXACT median of 5 values sits at rank 0.6
       assert(math.abs(rank - 0.5) <= eps + 1.0 / vs.length,
         s"day $day: p50 rank $rank off (window ${vs.length})")
+      // rolling min/max from daily extreme partials are EXACT
+      assert(r.getAs[Double]("min_vx") == vs.head &&
+        r.getAs[Double]("max_vx") == vs.last,
+        s"day $day: rolling extremes diverged from exact window")
     }
     // guardrails: wrong dim granularity / unknown measure fail fast
     intercept[IllegalArgumentException] {
@@ -161,6 +167,9 @@ class CubeServiceSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       svc.getRolling("roll", "day", distinctOf = Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      svc.getRolling("roll", "day", minOf = Seq("nope"))
     }
     svc.deleteCube("roll")
   }

@@ -247,6 +247,56 @@ class CubeSpec extends AnyFunSuite {
     assert(distincts(loaded) == distincts(afterDel))
   }
 
+  test("min/max measures: create/fold/query/persist lifecycle, delete latch") {
+    import spark.implicits._
+    val cfg = CubeConfig("mm", "mem",
+      Seq(FieldDim("k", "event_type")),
+      Seq(Measure("v", "value")),
+      extremes = Seq(Measure("value", "value")))
+    val base = Seq(("a", 3.0), ("a", 7.0), ("b", 5.0))
+      .toDF("event_type", "value")
+    val cube = CubeManager.create(cfg, base)
+    def extremes(c: Cube): Map[String, (Double, Double)] =
+      CubeManager.query(c, Seq("k"),
+          minOf = Seq("value"), maxOf = Seq("value"))
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Double]("min_value"), r.getAs[Double]("max_value"))).toMap
+    assert(extremes(cube) == Map("a" -> (3.0, 7.0), "b" -> (5.0, 5.0)))
+    // insert folds extend the stored extremes exactly
+    val inserts = Seq(("a", 1.0, 1), ("b", 9.0, 1), ("c", 4.0, 1))
+      .toDF("event_type", "value", "_sign")
+    val folded = CubeManager.applyDeltas(cube, inserts)
+    assert(!folded.hasDeletes)
+    assert(extremes(folded) ==
+      Map("a" -> (1.0, 7.0), "b" -> (5.0, 9.0), "c" -> (4.0, 4.0)))
+    // an insert-only batch that leaves a group untouched keeps its stored
+    // extremes through the null-skipping merge (no "c" rows here)
+    val more = Seq(("a", 5.0, 1)).toDF("event_type", "value", "_sign")
+    assert(extremes(CubeManager.applyDeltas(folded, more))("c") == (4.0, 4.0))
+    // the first delete trips the persisted latch: sums keep serving,
+    // min/max serves refuse (a delete cannot un-see an extreme)
+    val deletes = Seq(("a", 1.0, -1)).toDF("event_type", "value", "_sign")
+    val afterDel = CubeManager.applyDeltas(folded, deletes)
+    assert(afterDel.hasDeletes)
+    assert(CubeManager.query(afterDel, Seq("k"), sumOf = Seq("v"))
+      .collect().nonEmpty)
+    intercept[IllegalArgumentException] {
+      CubeManager.query(afterDel, Seq("k"), minOf = Seq("value"))
+    }
+    // unknown extreme id fails fast
+    intercept[IllegalArgumentException] {
+      CubeManager.query(folded, Seq("k"), maxOf = Seq("nope"))
+    }
+    // persistence round-trips the partial columns, the config, the latch
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmcube").toString
+    CubeManager.save(folded, dir)
+    val loaded = CubeManager.load(spark, dir, "mm")
+    assert(loaded.config.extremes == cfg.extremes)
+    assert(extremes(loaded) == extremes(folded))
+    CubeManager.save(afterDel, dir)
+    assert(CubeManager.load(spark, dir, "mm").hasDeletes)
+  }
+
   test("quantile measures: create/fold/query/persist lifecycle, merge-safe rank bound") {
     import spark.implicits._
     val cfgQ = CubeConfig("kq", "mem",
