@@ -110,6 +110,7 @@ object CubeQueries {
     joinStreamService(spark, sfDir)
     joinRouteSources(spark, sfDir)
     joinSubsetSources(spark, sfDir)
+    rollingMmService(spark, sfDir)
     ()
   }
 
@@ -424,6 +425,41 @@ object CubeQueries {
       svc.stopJoinAutoUpdate("join_stream")
       svc
     })
+
+  // --------------------------------------------------------------- q159
+  /** Graded: ROLLING trailing-window MIN/MAX served from maintained
+    * daily extreme partials through `CubeService.getRolling` — the
+    * q138/q139/q141 rolling-serve shape with the one measure family
+    * that is EXACT from partials (min over a window of days == min of
+    * the days' mins), which makes this the first rolling serve with a
+    * full DuckDB oracle instead of a rows-only sketch estimate. The
+    * serve reads cube-sized data once (per-day pre-collapse) and each
+    * endpoint merges ≤7 one-row partials — never the source; the
+    * oracle recomputes every trailing window from the raw table. */
+  private val rollingMmSetup =
+    TrieMap.empty[(SparkSession, String), CubeService]
+  private def rollingMmService(spark: SparkSession,
+      sfDir: String): CubeService =
+    rollingMmSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_rollmm").toString
+      val svc = new CubeService(spark, dir)
+      svc.createCube(
+        CubeConfig("rolling_mm", "events",
+          dims = Seq(TimeDim("day", "ts", "day")),
+          measures = Seq(Measure("v", "value")),
+          extremes = Seq(Measure("vx", "value"))),
+        Tables.events(spark, sfDir))
+      svc
+    })
+
+  def q159RollingMinmax(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = rollingMmService(spark, sfDir)
+    svc.getRolling("rolling_mm", "day", windowDays = 7,
+        minOf = Seq("vx"), maxOf = Seq("vx"))
+      .select(col("day"), col("min_vx"), col("max_vx"))
+      .orderBy(col("day"))
+  }
 
   // --------------------------------------------------------------- q158
   /** Graded: MIN/MAX served BY THE OPTIMIZER from maintained cube
@@ -893,6 +929,7 @@ object CubeQueries {
     "q154_join_mv_stream" -> q154JoinMvStream,
     "q157_join_filter_routing" -> q157JoinFilterRouting,
     "q158_minmax_routing" -> q158MinmaxRouting,
+    "q159_rolling_minmax" -> q159RollingMinmax,
     "q155_filter_routing" -> q155FilterRouting,
     "q156_join_subset_routing" -> q156JoinSubsetRouting,
   )
@@ -1010,6 +1047,19 @@ object CubeQueries {
       WHERE NOT (l_linenumber % 3 <> 2 AND l_returnflag = 'R')
       GROUP BY o_orderpriority
       ORDER BY prio""",
+    // q138's day arithmetic (UTC epoch-days) + the rolling join form;
+    // min/max re-aggregate exactly from daily partials, so this rolling
+    // serve gets a full oracle where the sketch curves are rows-only.
+    "q159_rolling_minmax" -> """
+      WITH daily AS (
+        SELECT CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS d,
+          min(value) AS dmin, max(value) AS dmax
+        FROM events GROUP BY 1),
+      days AS (SELECT DISTINCT d AS day FROM daily)
+      SELECT days.day, min(daily.dmin) AS min_vx, max(daily.dmax) AS max_vx
+      FROM days JOIN daily ON daily.d BETWEEN days.day - 6 AND days.day
+      GROUP BY 1
+      ORDER BY 1""",
     "q158_minmax_routing" -> """
       SELECT event_type,
         min(value) AS min_value,

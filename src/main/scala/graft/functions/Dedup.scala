@@ -492,34 +492,82 @@ object Dedup {
     * Output: (doc_id, cluster_id = component-min doc_id, n_members).
     * Oracle: DuckDB recursive-CTE transitive closure + min — completely
     * different algorithm, same fixpoint, which is what makes the hash
-    * equality meaningful. */
-  def dupClusters(pairs: DataFrame): DataFrame = {
+    * equality meaningful.
+    *
+    * ADAPTIVE small-graph path: when the pair list fits comfortably on
+    * the driver (≤ `localEdgeCap` edges — the dup-pair graph is orders
+    * smaller than the corpus; at sf0.1 it is a few hundred edges), the
+    * iterative loop's per-round job overhead dominates its data, so the
+    * components are solved with one collect + union-find (union-by-min,
+    * path compression — the root IS the component min) and the result
+    * parallelized back. Same fixpoint, measured ~3 s cheaper at sf0.1.
+    * Past the cap the distributed loop runs unchanged — the 100 TB
+    * path, where a driver solve would be the actual failure mode. This
+    * is the standard connected-components practice (local solve under a
+    * size cutoff, iterate past it). */
+  def dupClusters(pairs: DataFrame,
+      localEdgeCap: Int = 200000): DataFrame = {
+    val spark = pairs.sparkSession
+    val head = pairs.select(col("da"), col("db"))
+      .limit(localEdgeCap + 1).collect()
+    if (head.length <= localEdgeCap) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      head.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        // union by MIN: the larger root attaches under the smaller, so
+        // every tree's root is its component's min id — the exact label
+        // the propagation loop converges to
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labeled = parent.keys.toSeq.map(id => (id, find(id)))
+      val sizes = labeled.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      import spark.implicits._
+      return labeled.map { case (id, l) => (id, l, sizes(l)) }
+        .toDF("doc_id", "cluster_id", "n_members")
+        .orderBy(col("doc_id"))
+    }
     val fwd = pairs.select(col("da").as("src"), col("db").as("dst"))
     val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
+    // Per-round LINEAGE TRUNCATION (eager localCheckpoint, the
+    // JoinCubeManager.checkpoint discipline), not just caching: cache()
+    // leaves each round's logical plan nested inside the next, so a
+    // high-diameter component (a path graph needs diameter rounds)
+    // exponentially deepens the plan until planning itself OOMs —
+    // DedupCapSpec's 20-node path pins this. Checkpointing restarts the
+    // plan from the materialized result each round, so plan depth is
+    // O(1) regardless of rounds.
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .cache()
+      .localCheckpoint(true)
     var converged = false
     var rounds = 0
     // Convergence probe: labels only ever DECREASE, so the label-table
     // sum is strictly decreasing until the fixpoint — one tiny scalar
-    // action per round (which also materializes the round's cache)
-    // instead of a prev-vs-next join + isEmpty. Decimal sum so the
-    // probe can't overflow at any node-count × id-magnitude.
+    // action per round instead of a prev-vs-next join + isEmpty.
+    // Decimal sum so the probe can't overflow at any node-count ×
+    // id-magnitude.
     var prevSum: java.math.BigDecimal = null
     while (!converged && rounds < 50) {
       val nbr = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("lbl"))
       val next = labels.unionByName(nbr)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .cache()
+        .localCheckpoint(true)
       val s = next.agg(sum(col("lbl").cast("decimal(38,0)")))
         .head.getDecimal(0)
       converged = s == prevSum
       prevSum = s
-      labels.unpersist()
       labels = next
       rounds += 1
     }

@@ -252,6 +252,28 @@ class DedupCapSpec extends AnyFunSuite {
     assert(viaExpr == viaVotes)
   }
 
+  test("dupClusters: driver union-find == distributed propagation loop") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    // dense random component mix + a 20-node PATH (diameter 19 — the
+    // worst case for per-round propagation, trivial for union-find)
+    val edges = ((0 until 300).map { _ =>
+      val a = rnd.nextInt(120).toLong; val b = rnd.nextInt(120).toLong
+      (math.min(a, b), math.max(a, b))
+    } ++ (1000L to 1019L).sliding(2).map(s => (s.head, s.last)))
+      .filter(e => e._1 != e._2).distinct
+    val pairs = edges.toDF("da", "db")
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val local = canon(Dedup.dupClusters(pairs))
+    val distributed = canon(Dedup.dupClusters(pairs, localEdgeCap = 0))
+    assert(local == distributed,
+      "adaptive union-find diverged from the propagation loop")
+    // the path component resolved to its min id with all 20 members
+    assert(local.filter(_._2 == 1000L).map(_._1) == (1000L to 1019L).toSet)
+    assert(local.filter(_._2 == 1000L).forall(_._3 == 20L))
+  }
+
   test("q89/q126 share one cached label table; evictPairs drops it") {
     val sfDir = "/root/testdata/sf0.001"
     Dedup.evictPairs(spark)
