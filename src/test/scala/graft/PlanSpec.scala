@@ -84,6 +84,23 @@ class PlanSpec extends AnyFunSuite {
       s"q02 scan has no pushed filters:\n$plan")
   }
 
+  test("events ts range filters push through the NTZ-normalizing cast") {
+    // Tables.events normalizes the current datasets' TIMESTAMP_NTZ ts
+    // with a cast to session-TZ TIMESTAMP; in a UTC session Spark
+    // unwraps that cast in comparisons (order-preserving), so a ts
+    // range predicate must still reach the parquet scan as a pushed
+    // filter — a regression here would silently full-scan events for
+    // every time-windowed query at 100 TB
+    import org.apache.spark.sql.functions.{col, lit}
+    val plan = Tables.events(spark, sfDir)
+      .filter(col("ts") >= lit("2024-01-15").cast("timestamp"))
+      .select(col("user_id"))
+      .queryExecution.executedPlan.toString
+    val pushed = plan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+    assert(pushed.contains("ts"),
+      s"ts range filter not pushed to the events scan: $pushed")
+  }
+
   test("column pruning: q02 reads only the projected/filtered columns") {
     val plan = SparkEntry.queries("q02_filter_project")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -366,6 +366,19 @@ class CubeServiceSpec extends AnyFunSuite {
       left.limit(0).withColumn("_sign", lit(1L)),
       Seq((3L, 1.0)).toDF("rk", "amount").withColumn("_sign", lit(1L)))
     assert(totals() == Map("a" -> (36.0, 3L), "b" -> (27.0, 2L)))
+    // CHECKPOINT LOSS = full replay of every change file from batch 0.
+    // The per-version recorded batch id (carried forward by the manual
+    // fold above) makes the replay a no-op instead of a double-fold —
+    // the exactly-once guard exercised end to end
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr); f.delete(); ()
+    }
+    rmr(new java.io.File(s"$dir/jstream.jmv.checkpoint"))
+    val q3 = svc.startJoinAutoUpdate("jstream", changes, docSchema, "right")
+    q3.processAllAvailable()
+    svc.stopJoinAutoUpdate("jstream")
+    assert(totals() == Map("a" -> (36.0, 3L), "b" -> (27.0, 2L)),
+      s"checkpoint-loss replay double-folded: ${totals()}")
     svc.deleteJoinCube("jstream")
     assert(svc.listJoinCubes().isEmpty)
   }
