@@ -426,6 +426,38 @@ object CubeQueries {
       svc
     })
 
+  // --------------------------------------------------------------- q160
+  /** Graded: MV routing through the SQL-TEXT surface with a HAVING
+    * clause — the same optimizer rule serves `spark.sql(...)` plans
+    * (the rewrite runs on the optimized plan, so the entry API is
+    * irrelevant — pinned here on the graded surface) and a HAVING
+    * filter above the aggregate survives the rewrite: the analyzer
+    * folds HAVING aggregates into the Aggregate node, the rule swaps
+    * the aggregate leaves for cube partials keeping the original
+    * output exprIds, and the filter re-binds untouched. HAVING
+    * `count % 2 = 0` genuinely drops groups (counts are exact
+    * integers in both engines) and the DuckDB oracle recomputes the
+    * same filtered rollup from raw. */
+  def q160SqlHavingRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = routingSource(spark, sfDir)
+    spark.read.parquet(srcDir).createOrReplaceTempView("routing_events")
+    val q = spark.sql("""
+      SELECT event_type,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        COUNT(1) AS n
+      FROM routing_events
+      GROUP BY event_type
+      HAVING COUNT(1) % 2 = 0
+      ORDER BY event_type""")
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.exists(_.endsWith("/routing_demo")),
+      s"SQL-text HAVING routing did not fire; scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q159
   /** Graded: ROLLING trailing-window MIN/MAX served from maintained
     * daily extreme partials through `CubeService.getRolling` — the
@@ -930,6 +962,7 @@ object CubeQueries {
     "q157_join_filter_routing" -> q157JoinFilterRouting,
     "q158_minmax_routing" -> q158MinmaxRouting,
     "q159_rolling_minmax" -> q159RollingMinmax,
+    "q160_sql_having_routing" -> q160SqlHavingRouting,
     "q155_filter_routing" -> q155FilterRouting,
     "q156_join_subset_routing" -> q156JoinSubsetRouting,
   )
@@ -1047,6 +1080,14 @@ object CubeQueries {
       WHERE NOT (l_linenumber % 3 <> 2 AND l_returnflag = 'R')
       GROUP BY o_orderpriority
       ORDER BY prio""",
+    "q160_sql_having_routing" -> """
+      SELECT event_type,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        count(1) AS n
+      FROM events
+      GROUP BY event_type
+      HAVING count(1) % 2 = 0
+      ORDER BY event_type""",
     // q138's day arithmetic (UTC epoch-days) + the rolling join form;
     // min/max re-aggregate exactly from daily partials, so this rolling
     // serve gets a full oracle where the sketch curves are rows-only.

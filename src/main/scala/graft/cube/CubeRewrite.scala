@@ -494,7 +494,19 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     val served = (org.apache.spark.sql.catalyst.expressions.GreaterThan(
         countAttr, Literal(0L)) +: predRewritten)
       .reduceLeft[Expression](And(_, _))
-    val liveCube = Filter(served, cubePlan)
+    // explicit column pruning: this rule runs AFTER the optimizer's
+    // ColumnPruning pass (experimental rules append to the end), so
+    // without a Project the rewritten scan reads EVERY cube column — a
+    // wide cube (many measures/sketches) would pay IO for partials the
+    // query never references. FileSourceStrategy prunes the physical
+    // scan from the Project/Filter stack it finds above the relation.
+    val needed = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      rewritten.flatMap(_.references) ++ served.references ++
+        groupMap.map(_._2))
+    val prunedCube =
+      if (cubePlan.output.forall(needed.contains)) cubePlan
+      else Project(cubePlan.output.filter(needed.contains), cubePlan)
+    val liveCube = Filter(served, prunedCube)
     Some((Aggregate(groupMap.map(_._2), rewritten, liveCube),
       reg.cubeSize))
   }

@@ -77,6 +77,37 @@ class CubeRewriteSpec extends AnyFunSuite {
     assert(directScans == Seq(CubeCatalog.normalize(srcDir)))
   }
 
+  test("routed cube scan is column-pruned to the referenced partials") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rows = (0 until 200).map(i =>
+      (Seq("click", "view")(i % 2), (i % 97).toDouble))
+    val srcDir = Files.createTempDirectory("graft_rw_pr_src").toString
+    rows.toDF("event_type", "value").write.mode("overwrite").parquet(srcDir)
+    // a WIDE cube: sum + min/max partials maintained, but the query
+    // below references only the sum — the rewrite runs after the
+    // optimizer's ColumnPruning, so it must prune its own scan
+    val cfg = CubeConfig("rwpr", "src",
+      Seq(FieldDim("etype", "event_type")),
+      Seq(Measure("v", "value")),
+      extremes = Seq(Measure("value", "value")))
+    val cubeDir = Files.createTempDirectory("graft_rw_pr_cube").toString
+    CubeManager.save(
+      CubeManager.create(cfg, spark.read.parquet(srcDir)), cubeDir)
+    CubeCatalog.register("rwpr", CubeManager.load(spark, cubeDir, "rwpr"),
+      srcDir)
+    val q = spark.read.parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s"))
+    val scan = q.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("rwpr") || q.queryExecution.optimizedPlan.toString
+      .contains("rwpr"), "query did not route")
+    assert(!scan.contains("value_min") && !scan.contains("value_max"),
+      s"routed scan reads unreferenced extreme partials: $scan")
+    CubeCatalog.clear()
+  }
+
   test("min/max route to the stored extremes; a delete-latched cube refuses") {
     import spark.implicits._
     CubeCatalog.clear()
