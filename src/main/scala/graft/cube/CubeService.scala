@@ -218,6 +218,11 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     * keep the manual delta. Running both concurrently is refused by
     * updateAggregates (their publishes would race). */
   def startAutoUpdate(name: String, deltaDir: String, schema: StructType): StreamingQuery = {
+    // two streams on one cube would race their publishes (each writes
+    // base ⊕ its OWN complete-mode state) — same refusal discipline as
+    // the manual-fold-while-running guard
+    require(!autoUpdates.get(name).exists(_.isActive),
+      s"auto-update already running on '$name' — stop it first")
     val cube = loadCube(name)
     recoverBaseSwap(name)
     val baseDir = java.nio.file.Paths.get(storageDir, s"$name.base")
@@ -475,6 +480,10 @@ final class CubeService(spark: SparkSession, storageDir: String) {
       docSchema: StructType, side: String): StreamingQuery = {
     require(side == "left" || side == "right",
       s"side must be 'left' or 'right', got '$side'")
+    // a second stream would race the first's manifest publishes (and
+    // the two batch-id sequences would alias) — one maintainer per MV
+    require(!joinAutoUpdates.get(name).exists(_.isActive),
+      s"join auto-update already running on '$name' — stop it first")
     val existing = loadJoinCube(name) // fail fast on an unknown MV
     val stateCols = (if (side == "left") existing.left else existing.right)
       .columns.filterNot(_ == "_mult").toSet

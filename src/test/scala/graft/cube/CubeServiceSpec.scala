@@ -383,6 +383,49 @@ class CubeServiceSpec extends AnyFunSuite {
     assert(svc.listJoinCubes().isEmpty)
   }
 
+  test("left-side streaming join maintenance; double-start refused") {
+    import spark.implicits._
+    import java.nio.file.Paths
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = Files.createTempDirectory("graft_svc_jmvleft").toString
+    val svc = new CubeService(spark, dir)
+    svc.createJoinCube(
+      JoinCubeConfig(
+        CubeConfig("jleft", "l_r",
+          dims = Seq(FieldDim("cat", "cat")),
+          measures = Seq(Measure("amt", "amount"))),
+        leftKey = "lk", rightKey = "rk"),
+      Seq((1L, "a"), (2L, "b")).toDF("lk", "cat"),
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("rk", "amount"))
+    val docSchema = StructType(Seq(
+      StructField("lk", LongType), StructField("cat", StringType)))
+    val changes = s"$dir/changes"
+    java.nio.file.Files.createDirectories(Paths.get(changes))
+    java.nio.file.Files.writeString(Paths.get(changes, "c0.json"),
+      """{"operationType":"insert","fullDocument":{"lk":3,"cat":"a"}}""" +
+        "\n" +
+        """{"operationType":"delete","fullDocumentBeforeChange":{"lk":2,"cat":"b"}}""")
+    val q = svc.startJoinAutoUpdate("jleft", changes, docSchema, "left")
+    // one maintainer per MV: a concurrent second stream is refused
+    intercept[IllegalArgumentException] {
+      svc.startJoinAutoUpdate("jleft", changes, docSchema, "left")
+    }
+    q.processAllAvailable()
+    svc.stopJoinAutoUpdate("jleft")
+    // order 2 deleted (its b-group empties and drops), order 3 arrived
+    val totals = svc.getJoinAggregates("jleft", Seq("cat"), sumOf = Seq("amt"))
+      .collect().map(r => (r.getString(0),
+        (r.getDouble(1), r.getLong(2)))).toMap
+    assert(totals == Map("a" -> (40.0, 2L)),
+      s"left-side streamed state wrong: $totals")
+    // mismatched document schema is refused up front
+    intercept[IllegalArgumentException] {
+      svc.startJoinAutoUpdate("jleft", changes,
+        StructType(Seq(StructField("wrong", LongType))), "left")
+    }
+    svc.deleteJoinCube("jleft")
+  }
+
   test("publish-crash recovery: name.old restored when the publish dir is missing") {
     val dir = Files.createTempDirectory("graft_svc_crash").toString
     val svc = new CubeService(spark, dir)

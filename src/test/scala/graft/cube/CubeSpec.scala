@@ -135,6 +135,18 @@ class CubeSpec extends AnyFunSuite {
       ExprDim("kb", "CAST(get_json_object(props, '$.k') AS BIGINT) % 10"))
     assert(CubeManager.configFromJson(
       CubeManager.configToJson(withExpr)) == withExpr)
+    // every measure family round-trips, extremes included
+    val full = cfg.copy(
+      sketches = Seq(Measure("users", "user_id")),
+      quantiles = Seq(Measure("dist", "value")),
+      extremes = Seq(Measure("vx", "value")))
+    assert(CubeManager.configFromJson(
+      CubeManager.configToJson(full)) == full)
+    // configs persisted BEFORE the extremes feature (no "extremes" key)
+    // still parse, with an empty extremes list
+    val legacy = CubeManager.configToJson(cfg)
+      .replace(""","extremes":[]""", "")
+    assert(CubeManager.configFromJson(legacy) == cfg)
   }
 
   test("dotted nested field paths work as dimensions and measures") {
