@@ -864,7 +864,40 @@ object RelationalQueries {
       .orderBy(col("metric"))
   }
 
+  // --------------------------------------------------------------- q161
+  /** RECURSIVE CTE (iterative query) — the one relational family Spark
+    * lacked until 4.x shipped `WITH RECURSIVE`: walk every small-key
+    * part's ancestor chain through the synthetic binary hierarchy
+    * `parent(k) = k >> 1` (partkeys are dense 1..N, so every parent
+    * exists; chains terminate at key 1), re-joining `part` per step for
+    * the ancestor's price. Depth is log2(maxKey) ≈ 7 for the ≤100-key
+    * frontier, and each iteration's input is the FRONTIER, not the
+    * accumulated result — at 100 TB the per-step join is
+    * frontier ⋈ build-side, broadcast-able whenever the frontier is
+    * (hierarchy walks shrink or hold frontier size; transitive closure
+    * over a fan-out graph is where a cap would be needed, the q36/q132
+    * occupancy discipline). The DuckDB oracle runs the same recursion
+    * with its own integer-division idiom (`//` vs `shiftright`) — hash
+    * equality proves the fixpoints identical. */
+  def q161RecursiveCte(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir).createOrReplaceTempView("part_rec")
+    spark.sql("""
+      WITH RECURSIVE anc AS (
+        SELECT p_partkey AS start_key, p_partkey AS anc_key, 0 AS depth
+        FROM part_rec WHERE p_partkey <= 100
+        UNION ALL
+        SELECT a.start_key, p.p_partkey AS anc_key, a.depth + 1
+        FROM anc a JOIN part_rec p ON p.p_partkey = shiftright(a.anc_key, 1)
+        WHERE a.anc_key > 1
+      )
+      SELECT a.start_key, a.depth, a.anc_key,
+        CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS anc_price
+      FROM anc a JOIN part_rec p ON p.p_partkey = a.anc_key
+      ORDER BY start_key, depth""")
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q161_recursive_cte" -> q161RecursiveCte,
     "q143_bucketed_join" -> q143BucketedJoin,
     "q144_bucketed_agg" -> q144BucketedAgg,
     "q142_quality_audit" -> q142QualityAudit,
@@ -1187,6 +1220,19 @@ object RelationalQueries {
       FROM orders
       ORDER BY o_totalprice DESC, o_orderkey
       LIMIT 10""",
+    "q161_recursive_cte" -> """
+      WITH RECURSIVE anc AS (
+        SELECT p_partkey AS start_key, p_partkey AS anc_key, 0 AS depth
+        FROM part WHERE p_partkey <= 100
+        UNION ALL
+        SELECT a.start_key, p.p_partkey AS anc_key, a.depth + 1
+        FROM anc a JOIN part p ON p.p_partkey = a.anc_key // 2
+        WHERE a.anc_key > 1
+      )
+      SELECT a.start_key, a.depth, a.anc_key,
+        CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS anc_price
+      FROM anc a JOIN part p ON p.p_partkey = a.anc_key
+      ORDER BY start_key, depth""",
     "q102_unpivot" -> """
       WITH u AS (
         SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
