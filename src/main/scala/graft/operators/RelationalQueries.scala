@@ -896,7 +896,32 @@ object RelationalQueries {
       ORDER BY start_key, depth""")
   }
 
+  // --------------------------------------------------------------- q162
+  /** LATERAL correlated subquery — the per-row subquery-in-FROM shape
+    * (top-2 orders per customer via a correlated ORDER BY … LIMIT):
+    * the form every per-group-top-k question takes when written in SQL
+    * against a lateral-capable engine, and distinct machinery from the
+    * window form (q17) and the bounded typed aggregate (q54) that
+    * compute the same answer — Catalyst DECORRELATES the lateral into
+    * a ranked join rather than executing the subquery per row, so the
+    * plan shuffles once on the correlation key at any scale. The
+    * DuckDB oracle runs the identical lateral text; hash equality
+    * proves the decorrelation answer-preserving. */
+  def q162LateralTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_lat")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_lat")
+    spark.sql("""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer_lat c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders_lat o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c.c_custkey <= 200
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q162_lateral_topk" -> q162LateralTopk,
     "q161_recursive_cte" -> q161RecursiveCte,
     "q143_bucketed_join" -> q143BucketedJoin,
     "q144_bucketed_agg" -> q144BucketedAgg,
@@ -1220,6 +1245,14 @@ object RelationalQueries {
       FROM orders
       ORDER BY o_totalprice DESC, o_orderkey
       LIMIT 10""",
+    "q162_lateral_topk" -> """
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c.c_custkey <= 200
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
     "q161_recursive_cte" -> """
       WITH RECURSIVE anc AS (
         SELECT p_partkey AS start_key, p_partkey AS anc_key, 0 AS depth
