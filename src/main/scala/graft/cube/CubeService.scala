@@ -330,8 +330,8 @@ final class CubeService(spark: SparkSession, storageDir: String) {
           graft.functions.Kll.mergeAgg(col(id)), q)
           .as(s"p${CubeManager.rankLabel(q)}_$id")
       } ++
-      minOf.map(id => min(col(s"${id}_min")).as(s"min_$id")) ++
-      maxOf.map(id => max(col(s"${id}_max")).as(s"max_$id"))
+      minOf.distinct.map(id => min(col(s"${id}_min")).as(s"min_$id")) ++
+      maxOf.distinct.map(id => max(col(s"${id}_max")).as(s"max_$id"))
     graft.functions.Rolling.endpoints(daily, windowDays)
       .agg(endpointAggs.head, endpointAggs.tail: _*)
       .orderBy(col("day"))
@@ -378,10 +378,40 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     }
   }
 
+  /** Stream identity (canonical changeDir + side) the recorded batch_id
+    * belongs to. Batch ids are CHECKPOINT-RELATIVE, not globally
+    * monotone: a different change directory (or side) restarts them at
+    * 0, so a recorded id is only a valid replay guard against the same
+    * stream. None for MVs published before identities were recorded or
+    * never maintained by a stream. */
+  private def jmvStreamId(name: String): Option[String] = {
+    val v = jmvVersion(name)
+    if (v < 0) None
+    else {
+      val f = jmvRoot(name).resolve(s"v$v").resolve("stream_id")
+      if (f.toFile.exists())
+        Some(java.nio.file.Files.readString(f).trim)
+      else None
+    }
+  }
+
+  /** Overwrite the CURRENT version's replay-guard metadata in place
+    * (no new version — the cube/state frames are untouched). Used when
+    * the caller explicitly re-homes the MV onto a new change stream. */
+  private def jmvResetStreamMeta(name: String, sid: String): Unit = {
+    val vdir = jmvRoot(name).resolve(s"v${jmvVersion(name)}")
+    java.nio.file.Files.writeString(vdir.resolve("batch_id"), "-1")
+    java.nio.file.Files.writeString(vdir.resolve("stream_id"), sid)
+  }
+
   private def jmvPublish(name: String, jc: JoinCube, version: Int,
-      batchId: Option[Long] = None): JoinCube = {
-    // resolve the carried-forward batch id BEFORE the manifest moves
+      batchId: Option[Long] = None,
+      streamId: Option[String] = None): JoinCube = {
+    // resolve the carried-forward batch id + stream identity BEFORE the
+    // manifest moves (manual folds carry both so a later stream resume
+    // still recognizes which stream the recorded id belongs to)
     val lastBatch = batchId.getOrElse(jmvLastBatch(name))
+    val sid = streamId.orElse(jmvStreamId(name))
     val vdir = jmvRoot(name).resolve(s"v$version")
     java.nio.file.Files.createDirectories(vdir)
     CubeManager.save(jc.cube, vdir.toString)
@@ -390,6 +420,8 @@ final class CubeService(spark: SparkSession, storageDir: String) {
       s"""{"leftKey":"${jc.config.leftKey}","rightKey":"${jc.config.rightKey}"}""")
     java.nio.file.Files.writeString(vdir.resolve("batch_id"),
       lastBatch.toString)
+    sid.foreach(s =>
+      java.nio.file.Files.writeString(vdir.resolve("stream_id"), s))
     jc.left.write.mode("overwrite").parquet(vdir.resolve("lstate").toString)
     jc.right.write.mode("overwrite").parquet(vdir.resolve("rstate").toString)
     val tmp = jmvRoot(name).resolve("MANIFEST.tmp")
@@ -475,11 +507,44 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     * (the fold, unlike complete-mode single-table publishes, is not
     * idempotent). Manual folds while the stream runs are refused, and
     * manual folds after a stop carry the last folded id forward so a
-    * later resume still recognizes a replay. */
+    * later resume still recognizes a replay.
+    *
+    * Batch ids are CHECKPOINT-RELATIVE, so the recorded id is only a
+    * valid guard against the SAME stream: each version also records the
+    * stream identity (canonical changeDir + side). Starting against a
+    * DIFFERENT identity while a recorded id exists is refused — with a
+    * fresh checkpoint the new stream's ids restart at 0 and the first
+    * `lastBatch + 1` batches of genuinely new data would be silently
+    * skipped (data loss, no error). Pass `resetBatchTracking = true`
+    * (with the old checkpoint deleted) to explicitly re-home the MV
+    * onto the new stream; its already-folded state is kept and every
+    * batch of the new stream folds from id 0. */
   def startJoinAutoUpdate(name: String, changeDir: String,
-      docSchema: StructType, side: String): StreamingQuery = {
+      docSchema: StructType, side: String,
+      resetBatchTracking: Boolean = false): StreamingQuery = {
     require(side == "left" || side == "right",
       s"side must be 'left' or 'right', got '$side'")
+    val identity =
+      new java.io.File(changeDir).getCanonicalPath + "|" + side
+    val recorded = jmvStreamId(name)
+    if (jmvLastBatch(name) >= 0 && recorded.exists(_ != identity)) {
+      // the recorded batch id belongs to another stream — refuse the
+      // silent skip unless the caller explicitly re-homes the MV
+      require(resetBatchTracking,
+        s"join MV '$name' recorded batches from stream " +
+          s"'${recorded.get}' but this start targets '$identity'; " +
+          "batch ids are checkpoint-relative, so resuming the guard " +
+          "against a different stream would silently skip its first " +
+          "batches. Pass resetBatchTracking = true to re-home the MV " +
+          "onto this stream (keeps folded state, folds from batch 0).")
+      val ckpt = new java.io.File(s"$storageDir/$name.jmv.checkpoint")
+      require(!ckpt.exists(),
+        s"checkpoint ${ckpt.getPath} belongs to the previous stream " +
+          s"'${recorded.get}' — delete it before re-homing '$name' " +
+          "(resuming a file-source checkpoint against a different " +
+          "directory is undefined).")
+      jmvResetStreamMeta(name, identity)
+    }
     // a second stream would race the first's manifest publishes (and
     // the two batch-id sequences would alias) — one maintainer per MV
     require(!joinAutoUpdates.get(name).exists(_.isActive),
@@ -502,7 +567,7 @@ final class CubeService(spark: SparkSession, storageDir: String) {
           val prev = loadJoinCube(name)
           jmvPublish(name,
             JoinCubeManager.applySideDeltas(prev, delta, side),
-            jmvVersion(name) + 1, Some(batchId))
+            jmvVersion(name) + 1, Some(batchId), Some(identity))
           ()
         }
       }

@@ -508,9 +508,15 @@ object Dedup {
   def dupClusters(pairs: DataFrame,
       localEdgeCap: Int = 200000): DataFrame = {
     val spark = pairs.sparkSession
-    val head = pairs.select(col("da"), col("db"))
-      .limit(localEdgeCap + 1).collect()
+    // cache BEFORE the size probe: past the cap the probe's rows are
+    // discarded and the distributed loop re-reads the pairs — without
+    // the cache the expensive upstream pair generation (shingle joins
+    // etc.) would execute twice exactly in the large case where it
+    // hurts most. Small path unpersists right after the collect.
+    val cached = pairs.select(col("da"), col("db")).cache()
+    val head = cached.limit(localEdgeCap + 1).collect()
     if (head.length <= localEdgeCap) {
+      cached.unpersist()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -535,7 +541,7 @@ object Dedup {
         .toDF("doc_id", "cluster_id", "n_members")
         .orderBy(col("doc_id"))
     }
-    val fwd = pairs.select(col("da").as("src"), col("db").as("dst"))
+    val fwd = cached.select(col("da").as("src"), col("db").as("dst"))
     val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
@@ -550,6 +556,25 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
+    // the initial-labels checkpoint above is EAGER, so edges' cache is
+    // now populated from the cached pairs — the upstream pair pipeline
+    // will not run again; release the probe cache
+    cached.unpersist()
+    // A localCheckpoint(true) frame is a LogicalRDD over an RDD cached
+    // with truncated lineage; dropping the frame reference does NOT
+    // free the executor storage (the ContextCleaner only reclaims it at
+    // some later GC), so up to 50 superseded label tables would pile up
+    // in memory. Unpersist each round's frame once the next is
+    // materialized — superseded frames are never referenced again, so
+    // the non-recoverability of an unpersisted checkpoint (its lineage
+    // is gone; an executor loss before unpersist would also require a
+    // full restart of the loop) cannot bite.
+    def dropCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false); ()
+        case _ => ()
+      }
     var converged = false
     var rounds = 0
     // Convergence probe: labels only ever DECREASE, so the label-table
@@ -568,6 +593,7 @@ object Dedup {
         .head.getDecimal(0)
       converged = s == prevSum
       prevSum = s
+      dropCheckpoint(labels) // superseded round — next is materialized
       labels = next
       rounds += 1
     }

@@ -426,6 +426,75 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteJoinCube("jleft")
   }
 
+  test("join auto-update refuses a changed stream identity; explicit re-home folds from batch 0") {
+    import spark.implicits._
+    import java.nio.file.Paths
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val dir = Files.createTempDirectory("graft_svc_rehome").toString
+    val svc = new CubeService(spark, dir)
+    svc.createJoinCube(
+      JoinCubeConfig(
+        CubeConfig("jhome", "l_r",
+          dims = Seq(FieldDim("cat", "cat")),
+          measures = Seq(Measure("amt", "amount"))),
+        leftKey = "lk", rightKey = "rk"),
+      Seq((1L, "a"), (2L, "b")).toDF("lk", "cat"),
+      Seq((1L, 10.0)).toDF("rk", "amount"))
+    val docSchema = StructType(Seq(
+      StructField("rk", LongType), StructField("amount", DoubleType)))
+    def ins(rk: Long, amount: Double) =
+      s"""{"operationType":"insert","fullDocument":{"rk":$rk,"amount":$amount}}"""
+    def totals(): Map[String, (Double, Long)] =
+      svc.getJoinAggregates("jhome", Seq("cat"), sumOf = Seq("amt"))
+        .collect().map(r => (r.getString(0),
+          (r.getDouble(1), r.getLong(2)))).toMap
+    // stream from directory A: batches 0..1 fold and are recorded
+    val dirA = s"$dir/changesA"
+    java.nio.file.Files.createDirectories(Paths.get(dirA))
+    java.nio.file.Files.writeString(Paths.get(dirA, "a0.json"), ins(1L, 5.0))
+    java.nio.file.Files.writeString(Paths.get(dirA, "a1.json"), ins(2L, 20.0))
+    val q = svc.startJoinAutoUpdate("jhome", dirA, docSchema, "right")
+    q.processAllAvailable()
+    svc.stopJoinAutoUpdate("jhome")
+    assert(totals() == Map("a" -> (15.0, 2L), "b" -> (20.0, 1L)))
+    // directory B is a DIFFERENT stream: its ids restart at 0, so
+    // resuming the recorded guard against it would silently drop B's
+    // first batches — the start must refuse, not skip
+    val dirB = s"$dir/changesB"
+    java.nio.file.Files.createDirectories(Paths.get(dirB))
+    java.nio.file.Files.writeString(Paths.get(dirB, "b0.json"), ins(1L, 100.0))
+    intercept[IllegalArgumentException] {
+      svc.startJoinAutoUpdate("jhome", dirB, docSchema, "right")
+    }
+    // explicit re-home with the OLD checkpoint still on disk is also
+    // refused (a file-source checkpoint is bound to its directory)
+    intercept[IllegalArgumentException] {
+      svc.startJoinAutoUpdate("jhome", dirB, docSchema, "right",
+        resetBatchTracking = true)
+    }
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr); f.delete(); ()
+    }
+    rmr(new java.io.File(s"$dir/jhome.jmv.checkpoint"))
+    // checkpoint gone + explicit reset: B folds from its batch 0 — the
+    // previously-recorded id 1 must NOT swallow b0 (the data-loss bug)
+    val q2 = svc.startJoinAutoUpdate("jhome", dirB, docSchema, "right",
+      resetBatchTracking = true)
+    q2.processAllAvailable()
+    svc.stopJoinAutoUpdate("jhome")
+    assert(totals() == Map("a" -> (115.0, 3L), "b" -> (20.0, 1L)),
+      s"re-homed stream's first batch was skipped: ${totals()}")
+    // and the replay guard now tracks the NEW stream: a checkpoint-loss
+    // replay of B is still a no-op
+    rmr(new java.io.File(s"$dir/jhome.jmv.checkpoint"))
+    val q3 = svc.startJoinAutoUpdate("jhome", dirB, docSchema, "right")
+    q3.processAllAvailable()
+    svc.stopJoinAutoUpdate("jhome")
+    assert(totals() == Map("a" -> (115.0, 3L), "b" -> (20.0, 1L)),
+      s"replay of the re-homed stream double-folded: ${totals()}")
+    svc.deleteJoinCube("jhome")
+  }
+
   test("publish-crash recovery: name.old restored when the publish dir is missing") {
     val dir = Files.createTempDirectory("graft_svc_crash").toString
     val svc = new CubeService(spark, dir)
