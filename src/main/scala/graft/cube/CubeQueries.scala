@@ -111,6 +111,7 @@ object CubeQueries {
     joinRouteSources(spark, sfDir)
     joinSubsetSources(spark, sfDir)
     rollingMmService(spark, sfDir)
+    rollupRoutingSource(spark, sfDir)
     ()
   }
 
@@ -455,6 +456,68 @@ object CubeQueries {
     }.flatten
     require(scans.exists(_.endsWith("/routing_demo")),
       s"SQL-text HAVING routing did not fire; scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q163
+  /** One-time setup for q163: a TWO-dimensional cube (event_type ×
+    * calendar day) so rollup/grouping-set queries have real hierarchy
+    * to roll, materialized and registered the q58 way (cube saved to a
+    * temp dir, a normalized source copy written beside it). */
+  private val rollupRoutingCfg = CubeConfig("rollup_routing_demo", "events",
+    dims = Seq(FieldDim("etype", "event_type"), TimeDim("day", "ts", "day")),
+    measures = Seq(Measure("value_sum", "value")))
+
+  private val rollupRoutingSetup = TrieMap.empty[(SparkSession, String), String]
+  private def rollupRoutingSource(spark: SparkSession, sfDir: String): String =
+    rollupRoutingSetup.getOrElseUpdate((spark, sfDir), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_rruroute").toString
+      CubeManager.save(
+        CubeManager.create(rollupRoutingCfg, Tables.events(spark, sfDir)), dir)
+      CubeCatalog.install(spark)
+      val srcDir = s"$dir/source"
+      Tables.events(spark, sfDir)
+        .select(col("event_type"), col("ts"), col("value"))
+        .write.parquet(srcDir)
+      CubeCatalog.register(s"rollup_routing_demo@$sfDir",
+        CubeManager.load(spark, dir, "rollup_routing_demo"), srcDir)
+      srcDir
+    })
+
+  /** Graded: ROLLUP served from the materialized cube. The analyzer
+    * lowers `rollup(a, b)` to an Aggregate over an `Expand` whose
+    * grouping sets duplicate every row; [[CubeRewriteRule]] swaps the
+    * Expand's input from source rows to live cube cells — the cells ARE
+    * the finest grouping set, and the coarser sets (per-etype, grand
+    * total) re-aggregate its partials, so query cost is ∝ |cube| at
+    * every level of the hierarchy instead of |source| × |sets|. At
+    * 100 TB that multiplier is the whole point: a 3-level rollup
+    * re-reads the fact table three times without the MV. grouping_id()
+    * (lowered to the Expand's synthetic gid column, preserved verbatim
+    * by the rewrite) disambiguates data NULLs from rollup NULLs. The
+    * plan is hard-asserted to scan the cube; the DuckDB oracle
+    * recomputes the same ROLLUP from the raw table — grouping()'s bit
+    * order (leftmost dim = MSB) agrees between the engines, so the
+    * hash compare proves the routed hierarchy bit-identical. */
+  def q163RollupRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = rollupRoutingSource(spark, sfDir)
+    val q = spark.read.parquet(srcDir)
+      .rollup(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("value_sum"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .select(col("event_type").as("etype"),
+        col("day").cast("long").as("day_s"),
+        col("gid"), col("value_sum"), col("n"))
+      .orderBy(col("gid"), col("etype"), col("day_s"))
+    // hard assertion: the optimized plan must scan the cube, not the source
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.exists(_.endsWith("/rollup_routing_demo")),
+      s"rollup routing did not fire; scans=$scans")
     q
   }
 
@@ -963,6 +1026,7 @@ object CubeQueries {
     "q158_minmax_routing" -> q158MinmaxRouting,
     "q159_rolling_minmax" -> q159RollingMinmax,
     "q160_sql_having_routing" -> q160SqlHavingRouting,
+    "q163_rollup_routing" -> q163RollupRouting,
     "q155_filter_routing" -> q155FilterRouting,
     "q156_join_subset_routing" -> q156JoinSubsetRouting,
   )
@@ -1088,6 +1152,20 @@ object CubeQueries {
       GROUP BY event_type
       HAVING count(1) % 2 = 0
       ORDER BY event_type""",
+    // ROLLUP recomputed from raw; grouping() bit order (leftmost = MSB)
+    // matches Spark's grouping_id(), and the day key is epoch seconds
+    // of the UTC calendar-day truncation (the q146 hour_s discipline).
+    "q163_rollup_routing" -> """
+      SELECT event_type AS etype,
+        CAST(floor(epoch(date_trunc('day', CAST(ts AS TIMESTAMP)))) AS BIGINT)
+          AS day_s,
+        CAST(grouping(event_type, date_trunc('day', CAST(ts AS TIMESTAMP)))
+          AS BIGINT) AS gid,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        count(1) AS n
+      FROM events
+      GROUP BY ROLLUP (event_type, date_trunc('day', CAST(ts AS TIMESTAMP)))
+      ORDER BY gid, etype, day_s""",
     // q138's day arithmetic (UTC epoch-days) + the rolling join form;
     // min/max re-aggregate exactly from daily partials, so this rolling
     // serve gets a full oracle where the sketch curves are rows-only.

@@ -3,9 +3,9 @@ package graft.cube
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Expression, HllSketchEstimate, IsNotNull, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Cast, Expression, HllSketchEstimate, IsNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, HllUnionAgg, HyperLogLogPlusPlus, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.graft.Bridge
@@ -181,6 +181,14 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // ROLLUP / CUBE / GROUPING SETS: the analyzer lowers them to
+    // Aggregate(groupAttrs :+ grouping_id, _, Expand(...)) — routed by
+    // swapping the Expand's input from source rows to cube cells (the
+    // cube's cells ARE the finest grouping set; coarser sets are
+    // re-aggregations of its partials, which is what the Aggregate
+    // above the Expand already computes)
+    case agg @ Aggregate(_, _, exp: Expand, _) =>
+      tryRewriteGroupingSets(agg, exp).getOrElse(agg)
     case agg @ Aggregate(_, _, child, _) =>
       // the optimizer's PullOutGroupingExpressions moves complex
       // grouping expressions (e.g. date_trunc) into a Project below the
@@ -285,42 +293,48 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
       }
   }
 
-  /** Returns the rewritten plan plus the cube's scan size in bytes (the
-    * cost key for choosing among multiple covering cubes). `pred` are
-    * filter conjuncts peeled from between the aggregate and the source;
-    * each must rewrite to a deterministic predicate over cube dimension
-    * attributes or the rewrite refuses. */
-  private def tryRewrite(
-      agg: Aggregate,
-      reg: CubeCatalog.Registration,
+  /** The agg-shape-independent half of a routing attempt: binds one
+    * registration against one source plan — dim/measure/sketch/extreme
+    * resolution, the materialization + cost preconditions, predicate
+    * rewriting, aggregate-leaf rewriting, liveness filtering, and
+    * column pruning. [[tryRewrite]] (plain aggregates) and
+    * [[tryRewriteGroupingSets]] (rollup/cube/grouping-sets, which
+    * re-aggregate through an `Expand`) share it. */
+  private final class Binding(
+      val reg: CubeCatalog.Registration,
       source: LogicalPlan,
-      subst: Expression => Expression,
-      pred: Seq[Expression]): Option[(LogicalPlan, BigInt)] = {
-    val cube = reg.cube
-    val cubePlan = reg.cubePlan
-    // cube must be materialized: its own plan must be a file scan, and
-    // NOT over the source path (a cube misregistered with its aggregates
-    // still reading the source would be a re-aggregation, not an MV)
-    if (reg.cubeScanPath.isEmpty) return None
-    if (reg.cubeScanPath == CubeCatalog.sourcePathOf(source)) return None
-    // cost-based refusal: once a cube's bytes reach the source's, the
-    // MV has no re-aggregation advantage left (a unique-key "cube" is
-    // the degenerate case — as many rows as the source, plus overhead).
-    // The floor keeps tiny cubes routing unconditionally: below it the
-    // re-aggregation is noise and file stats (footer overhead dominates
-    // small files) say nothing about the real row economics.
-    val floor = BigInt(org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.graft.cube.routingCostFloorBytes",
-        (1L << 20).toString).toLong)
-    if (reg.cubeSize >= floor && reg.cubeSize >= source.stats.sizeInBytes)
-      return None
+      subst: Expression => Expression) {
+    val cube: Cube = reg.cube
+    val cubePlan: LogicalPlan = reg.cubePlan
+    val cubeOut: AttributeSet = cubePlan.outputSet
 
     def cubeAttr(name: String): Option[Attribute] =
       cubePlan.output.find(_.name == name)
 
+    /** Materialization + cost preconditions.
+      * - cube must be materialized: its own plan must be a file scan,
+      *   and NOT over the source path (a cube misregistered with its
+      *   aggregates still reading the source would be a re-aggregation,
+      *   not an MV);
+      * - cost-based refusal: once a cube's bytes reach the source's,
+      *   the MV has no re-aggregation advantage left (a unique-key
+      *   "cube" is the degenerate case — as many rows as the source,
+      *   plus overhead). The floor keeps tiny cubes routing
+      *   unconditionally: below it the re-aggregation is noise and file
+      *   stats (footer overhead dominates small files) say nothing
+      *   about the real row economics. */
+    def routable: Boolean = {
+      if (reg.cubeScanPath.isEmpty) return false
+      if (reg.cubeScanPath == CubeCatalog.sourcePathOf(source)) return false
+      val floor = BigInt(org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.cube.routingCostFloorBytes",
+          (1L << 20).toString).toLong)
+      !(reg.cubeSize >= floor && reg.cubeSize >= source.stats.sizeInBytes)
+    }
+
     // bind each dimension's defining expression against the source
     // relation's attributes, for canonical comparison with the query
-    def bindDim(d: Dimension): Option[(Expression, Attribute)] = {
+    private def bindDim(d: Dimension): Option[(Expression, Attribute)] = {
       val bound: Option[Expression] = d match {
         // arbitrary-SQL dims are not canonically matchable — such cubes
         // simply never route (explicit CubeManager.query still works)
@@ -350,29 +364,26 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     def matchDim(e: Expression): Option[Attribute] =
       dimBindings.find(_._1.canonicalized == subst(e).canonicalized).map(_._2)
 
-    // groupings must all be covered dimensions
-    val groupMap: Seq[(Expression, Attribute)] =
-      agg.groupingExpressions.flatMap(g => matchDim(g).map(g -> _))
-    if (groupMap.size != agg.groupingExpressions.size) return None
-
-    // filter conjuncts: each must become a deterministic predicate over
-    // cube dimension attributes alone. A dim-valued predicate selects
-    // whole cube cells, so σ(source rows) then aggregate == σ(cube
-    // cells) then re-aggregate — exact. Anything referencing a non-dim
-    // column (measure, raw timestamp under a bucketed dim) refuses; a
-    // nondeterministic conjunct (rand()) samples ROWS, which no
-    // cell-level filter can reproduce — refuse those outright.
-    if (pred.exists(!_.deterministic)) return None
-    val cubeOut = cubePlan.outputSet
-    val predRewritten: Seq[Expression] = pred.map(_.transformUp {
-      case e if matchDim(e).isDefined => matchDim(e).get
-    })
-    if (predRewritten.exists(_.references.exists(!cubeOut.contains(_))))
-      return None
+    /** Filter conjuncts: each must become a deterministic predicate
+      * over cube dimension attributes alone. A dim-valued predicate
+      * selects whole cube cells, so σ(source rows) then aggregate ==
+      * σ(cube cells) then re-aggregate — exact. Anything referencing a
+      * non-dim column (measure, raw timestamp under a bucketed dim)
+      * refuses; a nondeterministic conjunct (rand()) samples ROWS,
+      * which no cell-level filter can reproduce — refuse outright. */
+    def rewritePreds(pred: Seq[Expression]): Option[Seq[Expression]] = {
+      if (pred.exists(!_.deterministic)) return None
+      val predRewritten: Seq[Expression] = pred.map(_.transformUp {
+        case e if matchDim(e).isDefined => matchDim(e).get
+      })
+      if (predRewritten.exists(_.references.exists(!cubeOut.contains(_))))
+        None
+      else Some(predRewritten)
+    }
 
     // HLL sketch measure maintained on the same source column, for
     // approx-distinct routing
-    def sketchFor(e: Expression): Option[Attribute] =
+    private def sketchFor(e: Expression): Option[Attribute] =
       cube.config.sketches
         .find(m => resolvePath(source, m.path).exists(
           _.canonicalized == subst(e).canonicalized))
@@ -382,14 +393,14 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     // of mins == min over rows, same type — no estimate, no float
     // re-association), but insert-only: a delete-latched cube refuses
     // (its stored extremes describe ever-inserted values).
-    def extremeFor(e: Expression, suffix: String): Option[Attribute] =
+    private def extremeFor(e: Expression, suffix: String): Option[Attribute] =
       if (cube.hasDeletes) None
       else cube.config.extremes
         .find(m => resolvePath(source, m.path).exists(
           _.canonicalized == subst(e).canonicalized))
         .flatMap(m => cubeAttr(s"${m.id}$suffix"))
 
-    def measureFor(e: Expression): Option[Attribute] = subst(e) match {
+    private def measureFor(e: Expression): Option[Attribute] = subst(e) match {
       // sum(CAST(measure AS DECIMAL(18,2))); the measure itself may be
       // an attribute or a nested GetStructField chain
       case Cast(inner, _: DecimalType, _, _) => measureFor(inner)
@@ -400,24 +411,31 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
           .flatMap(m => cubeAttr(m.id))
     }
 
-    // Rewrite each output expression IN PLACE: supported aggregate
-    // leaves are swapped for their cube-partial equivalents (same
-    // result types, so surrounding arithmetic — e.g. the engine's
-    // avg idiom sum(dec)/count — keeps working); grouping expressions
-    // are swapped for cube dimension attributes. Bail if anything
-    // unrecognized remains referencing the source.
-    val countAttr = cubeAttr(CubeManager.CountCol).getOrElse(return None)
+    lazy val countAttrOpt: Option[Attribute] = cubeAttr(CubeManager.CountCol)
+
     // approx-distinct serving: opted in per registration or globally —
     // and NEVER from a delete-processed cube, whose sketch partials
     // describe ever-inserted values (the persisted hasDeletes latch,
     // set by CubeManager.applyDeltas, makes the insert-only contract
     // enforced rather than documentation-only)
-    val approxDistinctRoutingOn = (reg.approxDistinct ||
+    private val approxDistinctRoutingOn = (reg.approxDistinct ||
       org.apache.spark.sql.internal.SQLConf.get
         .getConfString("spark.graft.cube.approxDistinctRouting", "false")
         .equalsIgnoreCase("true")) && !cube.hasDeletes
-    var ok = true
-    def rewriteExpr(e: Expression): Expression = e.transformUp {
+
+    /** Rewrite each output expression IN PLACE: supported aggregate
+      * leaves are swapped for their cube-partial equivalents (same
+      * result types, so surrounding arithmetic — e.g. the engine's avg
+      * idiom sum(dec)/count — keeps working); grouping expressions are
+      * swapped for cube dimension attributes; attributes in
+      * `passthrough` (the grouping-set path's Expand-produced grouping
+      * attrs and grouping id, which the routed plan preserves verbatim)
+      * stay untouched. None if anything unrecognized remains. */
+    def rewriteNamed(exprs: Seq[NamedExpression],
+        passthrough: AttributeSet = AttributeSet.empty): Option[Seq[NamedExpression]] = {
+      val countAttr = countAttrOpt.getOrElse(return None)
+      var ok = true
+      def rewriteExpr(e: Expression): Expression = e.transformUp {
       case ae @ AggregateExpression(Sum(inner, _), Complete, false, _, _) =>
         inner match {
           case Cast(v, _: DecimalType, _, _) =>
@@ -475,40 +493,194 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
         }
       case ae: AggregateExpression => ok = false; ae
       case other if matchDim(other).isDefined => matchDim(other).get
+      }
+      val rewritten: Seq[NamedExpression] = exprs.map {
+        case al @ Alias(child, name) => Alias(rewriteExpr(child), name)(al.exprId)
+        case a: Attribute if passthrough.contains(a) => a
+        case a: Attribute =>
+          val r = rewriteExpr(a)
+          if (r.fastEquals(a)) { ok = false; a } else Alias(r, a.name)(a.exprId)
+        case other => ok = false; other.asInstanceOf[NamedExpression]
+      }
+      if (ok) Some(rewritten) else None
     }
-    val rewritten: Seq[NamedExpression] = agg.aggregateExpressions.map {
-      case al @ Alias(child, name) => Alias(rewriteExpr(child), name)(al.exprId)
-      case a: Attribute =>
-        val r = rewriteExpr(a)
-        if (r.fastEquals(a)) { ok = false; a } else Alias(r, a.name)(a.exprId)
-      case other => ok = false; other.asInstanceOf[NamedExpression]
-    }
-    // safety: every reference must now resolve against the cube
-    if (!ok || rewritten.exists(_.references.exists(!cubeOut.contains(_))))
-      return None
 
-    // serve only live groups: after signed-delta maintenance the cube
-    // state may carry zero/negative-count tombstones (see CubeManager
-    // .applyDeltas) that a from-scratch aggregate would not show —
-    // then the dim-predicate conjuncts collected above
-    val served = (org.apache.spark.sql.catalyst.expressions.GreaterThan(
-        countAttr, Literal(0L)) +: predRewritten)
-      .reduceLeft[Expression](And(_, _))
-    // explicit column pruning: this rule runs AFTER the optimizer's
-    // ColumnPruning pass (experimental rules append to the end), so
-    // without a Project the rewritten scan reads EVERY cube column — a
-    // wide cube (many measures/sketches) would pay IO for partials the
-    // query never references. FileSourceStrategy prunes the physical
-    // scan from the Project/Filter stack it finds above the relation.
-    val needed = org.apache.spark.sql.catalyst.expressions.AttributeSet(
-      rewritten.flatMap(_.references) ++ served.references ++
-        groupMap.map(_._2))
-    val prunedCube =
+    /** Serve only live groups: after signed-delta maintenance the cube
+      * state may carry zero/negative-count tombstones (see CubeManager
+      * .applyDeltas) that a from-scratch aggregate would not show —
+      * then the rewritten dim-predicate conjuncts. */
+    def servedFilter(predRewritten: Seq[Expression]): Expression =
+      (org.apache.spark.sql.catalyst.expressions.GreaterThan(
+          countAttrOpt.get, Literal(0L)) +: predRewritten)
+        .reduceLeft[Expression](And(_, _))
+
+    /** Explicit column pruning: the rule runs AFTER the optimizer's
+      * ColumnPruning pass (experimental rules append to the end), so
+      * without a Project the rewritten scan reads EVERY cube column — a
+      * wide cube (many measures/sketches) would pay IO for partials the
+      * query never references. FileSourceStrategy prunes the physical
+      * scan from the Project/Filter stack it finds above the relation. */
+    def prunedCubeUnder(needed: AttributeSet): LogicalPlan =
       if (cubePlan.output.forall(needed.contains)) cubePlan
       else Project(cubePlan.output.filter(needed.contains), cubePlan)
-    val liveCube = Filter(served, prunedCube)
+  }
+
+  /** Returns the rewritten plan plus the cube's scan size in bytes (the
+    * cost key for choosing among multiple covering cubes). `pred` are
+    * filter conjuncts peeled from between the aggregate and the source;
+    * each must rewrite to a deterministic predicate over cube dimension
+    * attributes or the rewrite refuses. */
+  private def tryRewrite(
+      agg: Aggregate,
+      reg: CubeCatalog.Registration,
+      source: LogicalPlan,
+      subst: Expression => Expression,
+      pred: Seq[Expression]): Option[(LogicalPlan, BigInt)] = {
+    val b = new Binding(reg, source, subst)
+    if (!b.routable || b.countAttrOpt.isEmpty) return None
+
+    // groupings must all be covered dimensions
+    val groupMap: Seq[(Expression, Attribute)] =
+      agg.groupingExpressions.flatMap(g => b.matchDim(g).map(g -> _))
+    if (groupMap.size != agg.groupingExpressions.size) return None
+
+    val predRewritten = b.rewritePreds(pred).getOrElse(return None)
+    val rewritten = b.rewriteNamed(agg.aggregateExpressions)
+      .getOrElse(return None)
+    // safety: every reference must now resolve against the cube
+    if (rewritten.exists(_.references.exists(!b.cubeOut.contains(_))))
+      return None
+
+    val served = b.servedFilter(predRewritten)
+    val needed = AttributeSet(
+      rewritten.flatMap(_.references) ++ served.references ++
+        groupMap.map(_._2))
+    val liveCube = Filter(served, b.prunedCubeUnder(needed))
     Some((Aggregate(groupMap.map(_._2), rewritten, liveCube),
       reg.cubeSize))
+  }
+
+  /** ROLLUP / CUBE / GROUPING SETS routing. The analyzer lowers
+    * grouping analytics to
+    * {{{
+    * Aggregate(groupAttrs :+ gid, outs,
+    *   Expand(projections, passthrough ++ groupAttrs ++ gid,
+    *     Project(attrs, [Filter] Relation)))
+    * }}}
+    * where each projection emits the passthrough columns (the aggregate
+    * inputs, keeping their source exprIds), each grouping slot's source
+    * expression or a typed null (set-dependent), and the grouping-id
+    * literal. The cube's cells are exactly the FINEST grouping set, and
+    * every coarser set is a re-aggregation of its partials — which is
+    * precisely what the Aggregate-over-Expand already computes. So the
+    * rewrite swaps the Expand's INPUT from source rows to live cube
+    * cells: passthrough slots become the cube partial columns the
+    * rewritten aggregates consume, grouping slots become the cube
+    * dimension attributes (nulls and grouping-id literals kept
+    * verbatim), and the grouping attrs + gid keep their exprIds so the
+    * Aggregate above — including `grouping()`/`grouping_id()`
+    * expressions, which the analyzer lowered to bit-ops over gid —
+    * resolves unchanged. Exactness needs every grouping slot to match a
+    * distinct-typed cube dimension and every aggregate leaf to be
+    * partial-servable, same refusal discipline as the plain path. */
+  private def tryRewriteGroupingSets(
+      agg: Aggregate, exp: Expand): Option[LogicalPlan] = {
+    val expOut = exp.output
+    val gidIdx = expOut.indexWhere(_.name ==
+      org.apache.spark.sql.catalyst.expressions.VirtualColumn.groupingIdName)
+    if (gidIdx < 0) return None
+    if (exp.projections.exists(_.size != expOut.size)) return None
+    val gid = expOut(gidIdx)
+    // the grouping-id slot must be a literal in every grouping set (the
+    // analyzer's encoding; anything else is not the lowered shape)
+    if (!exp.projections.forall(_(gidIdx).isInstanceOf[Literal])) return None
+    if (!agg.groupingExpressions.forall(_.isInstanceOf[Attribute]))
+      return None
+    val groupAttrs = agg.groupingExpressions.map(_.asInstanceOf[Attribute])
+    if (!groupAttrs.exists(_.exprId == gid.exprId)) return None
+
+    // peel attribute/alias-only Projects (collecting alias definitions)
+    // and Filters below the Expand down to the source relation
+    var env = Map.empty[org.apache.spark.sql.catalyst.expressions.ExprId, Expression]
+    var preds = Vector.empty[Expression]
+    def peel(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project if pr.projectList.forall(e =>
+          e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
+        env ++= pr.projectList.collect {
+          case a: Alias => a.toAttribute.exprId -> a.child
+        }
+        peel(pr.child)
+      case f: Filter =>
+        preds ++= conjuncts(f.condition); peel(f.child)
+      case other => other
+    }
+    val base = peel(exp.child)
+    val path = CubeCatalog.sourcePathOf(base).getOrElse(return None)
+    def subst(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference if env.contains(a.exprId) => env(a.exprId)
+    }
+
+    // grouping slots: Expand output positions the Aggregate groups on
+    val groupSlotIdx = expOut.indices
+      .filter(i => i != gidIdx &&
+        groupAttrs.exists(_.exprId == expOut(i).exprId))
+    if (groupAttrs.count(_.exprId != gid.exprId) != groupSlotIdx.size)
+      return None
+    val groupSet = AttributeSet(groupAttrs)
+
+    def tryOne(reg: CubeCatalog.Registration): Option[(LogicalPlan, BigInt)] = {
+      val b = new Binding(reg, base, subst)
+      if (!b.routable || b.countAttrOpt.isEmpty) return None
+      // each grouping slot's defining expression (identical across the
+      // sets where it is live; null elsewhere) must match a cube dim of
+      // the same type — the type check keeps the slot's typed null
+      // literals and the preserved output attr consistent
+      val dimForSlot: Map[Int, Attribute] = groupSlotIdx.map { i =>
+        val defs = exp.projections.map(_(i)).filter {
+          case Literal(null, _) => false
+          case _ => true
+        }
+        if (defs.isEmpty) return None
+        if (defs.map(_.canonicalized).distinct.size != 1) return None
+        val dim = b.matchDim(defs.head).getOrElse(return None)
+        if (dim.dataType != expOut(i).dataType) return None
+        i -> dim
+      }.toMap
+
+      val predRewritten = b.rewritePreds(preds).getOrElse(return None)
+      val rewritten = b.rewriteNamed(agg.aggregateExpressions, groupSet)
+        .getOrElse(return None)
+      // every reference must now be a preserved grouping attr / gid or
+      // a cube column
+      val refSet = AttributeSet(rewritten.flatMap(_.references))
+      if (!refSet.subsetOf(groupSet ++ b.cubeOut)) return None
+      // cube partial columns the Expand must pass through, in cube
+      // column order (deterministic plan shape)
+      val partialAttrs = b.cubePlan.output.filter(refSet.contains)
+
+      val served = b.servedFilter(predRewritten)
+      val keptIdx = expOut.indices
+        .filter(i => i == gidIdx || dimForSlot.contains(i))
+      val newOut: Seq[Attribute] = partialAttrs ++ keptIdx.map(expOut)
+      val newProjections: Seq[Seq[Expression]] = exp.projections.map { proj =>
+        partialAttrs.map(a => a: Expression) ++ keptIdx.map { i =>
+          if (i == gidIdx) proj(i)
+          else proj(i) match {
+            case l @ Literal(null, _) => l
+            case _ => dimForSlot(i)
+          }
+        }
+      }
+      val needed = AttributeSet(
+        partialAttrs ++ served.references ++ dimForSlot.values)
+      val liveCube = Filter(served, b.prunedCubeUnder(needed))
+      Some((Aggregate(agg.groupingExpressions, rewritten,
+        Expand(newProjections, newOut, liveCube)), reg.cubeSize))
+    }
+
+    val candidates = CubeCatalog.registered.values
+      .filter(_.sourcePath == path).flatMap(tryOne(_))
+    if (candidates.isEmpty) None else Some(candidates.minBy(_._2)._1)
   }
 
   /** Resolve a (possibly dotted nested) field path against a plan's

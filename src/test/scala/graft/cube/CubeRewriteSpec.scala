@@ -836,4 +836,106 @@ class CubeRewriteSpec extends AnyFunSuite {
     assert(routed == q().orderBy("l_flag").collect().map(_.toSeq).toSeq,
       "dim-subset join rollup diverged")
   }
+
+  // ------------------------------------------- grouping-set routing
+  private def scansOf(q: DataFrame): Seq[String] =
+    q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r).get
+    }
+  private def sortedRows(q: DataFrame): Seq[Seq[Any]] =
+    q.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+
+  test("ROLLUP routes through the Expand to the cube; results identical") {
+    val (srcDir, cubeLoc) = setup()
+    def q() = spark.read.parquet(srcDir)
+      .rollup(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"), grouping_id().as("gid"))
+    assert(scansOf(q()) == Seq(CubeCatalog.normalize(cubeLoc)),
+      s"rollup did not route: ${scansOf(q())}")
+    val routed = sortedRows(q())
+    CubeCatalog.clear()
+    assert(routed == sortedRows(q()), "routed rollup diverged from direct")
+    // the hierarchy really has all three levels and gid disambiguates
+    assert(routed.map(_(4)).distinct.toSet == Set(0L, 1L, 3L))
+  }
+
+  test("CUBE and SQL GROUPING SETS with grouping_id route; dim filter survives") {
+    val (srcDir, cubeLoc) = setup()
+    def qCube() = spark.read.parquet(srcDir)
+      .cube(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s"))
+    assert(scansOf(qCube()) == Seq(CubeCatalog.normalize(cubeLoc)),
+      s"cube() did not route: ${scansOf(qCube())}")
+    spark.read.parquet(srcDir).createOrReplaceTempView("gs_src")
+    def qGs() = spark.sql("""
+      SELECT event_type, date_trunc('hour', ts) h,
+        sum(CAST(value AS DECIMAL(18,2))) s, count(1) n,
+        grouping(event_type) ge, grouping_id() g
+      FROM gs_src
+      WHERE event_type <> 'view'
+      GROUP BY GROUPING SETS ((event_type, date_trunc('hour', ts)),
+        (event_type), ())""")
+    assert(scansOf(qGs()) == Seq(CubeCatalog.normalize(cubeLoc)),
+      s"grouping sets did not route: ${scansOf(qGs())}")
+    val routedCube = sortedRows(qCube())
+    val routedGs = sortedRows(qGs())
+    CubeCatalog.clear()
+    assert(routedCube == sortedRows(qCube()), "routed cube() diverged")
+    assert(routedGs == sortedRows(qGs()), "routed grouping sets diverged")
+  }
+
+  test("grouping-set routing refuses non-dim groupings and measure filters") {
+    val (srcDir, _) = setup()
+    // a non-dim grouping column (value) cannot be served from cells
+    def qBad() = spark.read.parquet(srcDir)
+      .rollup(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("n"))
+    assert(scansOf(qBad()) == Seq(CubeCatalog.normalize(srcDir)),
+      "non-dim rollup must not route")
+    // a measure-valued filter under the Expand refuses too
+    def qBad2() = spark.read.parquet(srcDir)
+      .filter(col("value") > 50.0)
+      .rollup(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(scansOf(qBad2()) == Seq(CubeCatalog.normalize(srcDir)),
+      "measure-filtered rollup must not route")
+    // an unsupported aggregate (avg as a native leaf) refuses
+    def qBad3() = spark.read.parquet(srcDir)
+      .rollup(col("event_type"))
+      .agg(avg(col("value")).as("a"))
+    assert(scansOf(qBad3()) == Seq(CubeCatalog.normalize(srcDir)),
+      "avg rollup must not route")
+    CubeCatalog.clear()
+    val direct = sortedRows(qBad())
+    assert(direct.nonEmpty)
+  }
+
+  test("rollup min/max over a delete-latched cube refuses; sum still routes") {
+    import spark.implicits._
+    val (srcDir, _) = setup()
+    // fold a delete so the insert-only extremes latch trips — rebuild a
+    // cube WITH extremes first (setup()'s cfg has none), then latch it
+    CubeCatalog.clear()
+    val exCfg = CubeConfig("rwx", "src",
+      Seq(FieldDim("etype", "event_type")),
+      Seq(Measure("v", "value")), extremes = Seq(Measure("vx", "value")))
+    val cubeDir = Files.createTempDirectory("graft_rwx_cube").toString
+    val cube = CubeManager.create(exCfg, spark.read.parquet(srcDir))
+    CubeManager.save(cube, cubeDir)
+    val latched = CubeManager.applyDeltas(
+      CubeManager.load(spark, cubeDir, "rwx"),
+      spark.read.parquet(srcDir).limit(1).withColumn("_sign", lit(-1L)))
+    val latchedDir = Files.createTempDirectory("graft_rwx_latched").toString
+    CubeManager.save(latched, latchedDir)
+    CubeCatalog.register("rwx",
+      CubeManager.load(spark, latchedDir, "rwx"), srcDir)
+    def qMm() = spark.read.parquet(srcDir)
+      .rollup(col("event_type"))
+      .agg(min(col("value")).as("mn"))
+    assert(scansOf(qMm()) == Seq(CubeCatalog.normalize(srcDir)),
+      "delete-latched extremes must refuse rollup min/max")
+    CubeCatalog.clear()
+  }
 }
