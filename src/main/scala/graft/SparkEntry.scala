@@ -21,6 +21,7 @@ object SparkEntry {
   def prepare(spark: SparkSession, sfDir: String): Unit = {
     operators.RelationalQueries.ensureBucketedLayout(spark, sfDir)
     cube.CubeQueries.ensureRoutingSetup(spark, sfDir)
+    functions.Similarity.ensureAnnIndexSetup(spark, sfDir)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -123,7 +123,7 @@ object Similarity {
     * partials, so at 100 TB the shuffle carries one row per vector, no
     * per-vector sort. The window form is kept only for keep>1, which
     * only ever runs on the (tiny) query set. */
-  private def assign(df: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
+  private[graft] def assign(df: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
     val scored = df.crossJoin(broadcast(cents))
       .withColumn("cos", dotExpr("embedding", "ce") / (col("nrm") * col("cn")))
     if (keep == 1) {
@@ -141,7 +141,7 @@ object Similarity {
     * cluster membership comes out of one hash aggregation with no
     * join-back to re-fetch vectors. Per Lloyd iteration that is 1
     * corpus shuffle instead of 3 (assign + both sides of the re-join). */
-  private def assignWithVec(df: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assignWithVec(df: DataFrame, cents: DataFrame): DataFrame =
     df.crossJoin(broadcast(cents))
       .withColumn("cos", dotExpr("embedding", "ce") / (col("nrm") * col("cn")))
       .groupBy(col("vec_id"))
@@ -218,11 +218,22 @@ object Similarity {
     centroidCache.getOrElseUpdate((spark, sfDir, k, lloydIters), {
       val em = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"), normExpr("embedding").as("nrm"))
-      val init = em.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
-          col("nrm").as("cn"))
-      (1 to lloydIters).foldLeft(init)((c, _) => lloydStep(em, c)).cache()
+      buildCentroids(em, k, lloydIters).cache()
     })
+  }
+
+  /** Seeded-init + Lloyd-refined centroids for any (vec_id, embedding,
+    * nrm) frame. DETERMINISTIC end to end — hash-ranked seed vectors,
+    * exact BigDecimal element means — so an index persisted from this
+    * build and a fresh in-session build over the same corpus are
+    * bit-identical (what lets [[graft.ann.AnnIndexService]] pin
+    * persisted-serve == in-session q51). */
+  private[graft] def buildCentroids(em: DataFrame, k: Int,
+      lloydIters: Int): DataFrame = {
+    val init = em.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+    (1 to lloydIters).foldLeft(init)((c, _) => lloydStep(em, c))
   }
 
   private[functions] def knnIvf(spark: SparkSession, sfDir: String,
@@ -250,6 +261,43 @@ object Similarity {
         col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // --------------------------------------------------------------- q164
+  /** One-time persisted-index build for q164, keyed per (session,
+    * sfDir) — the q58 setup discipline: the index is built ONCE through
+    * [[graft.ann.AnnIndexService.createIndex]] into a temp storage
+    * root, so the graded query times the persisted SERVE (probe →
+    * partition-pruned segment scan → exact rescore), not the build. */
+  private val annSetup = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.ann.AnnIndexService]
+  private def annService(spark: SparkSession,
+      sfDir: String): graft.ann.AnnIndexService =
+    annSetup.getOrElseUpdate((spark, sfDir), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+      val svc = new graft.ann.AnnIndexService(spark, dir)
+      svc.createIndex("ann_demo",
+        Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+        k = 16, lloydIters = 2)
+      svc
+    })
+
+  def ensureAnnIndexSetup(spark: SparkSession, sfDir: String): Unit = {
+    annService(spark, sfDir); ()
+  }
+
+  /** PERSISTED-index ANN serve on the graded surface: q51's IVF search
+    * answered from the on-disk index (clustered segments partitioned by
+    * cent_id + persisted centroids) instead of the session-local
+    * centroid cache. The build is deterministic end to end, so this
+    * equals q51's in-session result row for row — pinned in
+    * AnnIndexSpec (restart-reload == in-session build ==this serve);
+    * rows-only here because cluster membership is float-k-means
+    * dependent (the q51/q115 justification). */
+  def q164AnnIndexServe(spark: SparkSession, sfDir: String): DataFrame =
+    annService(spark, sfDir).queryIndex("ann_demo",
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      topK = 5, nprobe = 5)
 
   /** Deterministic hyperplanes in [-0.5, 0.5) from splitmix64 — public
     * constant-based mixer, reproducible across runs and engines. */
@@ -385,6 +433,7 @@ object Similarity {
     "q51_knn_ivf" -> q51KnnIvf,
     "q83_vec_quantize" -> q83VecQuantize,
     "q115_semantic_dedup" -> q115SemanticDedup,
+    "q164_ann_index_serve" -> q164AnnIndexServe,
   )
 
   /** q41 is approximate by construction ⇒ rows-only. */

@@ -1,0 +1,188 @@
+package graft.ann
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Similarity
+
+/** Persisted IVF index lifecycle: create → query (== the in-session
+  * IVF search), restart-reload, append-only upserts against persisted
+  * centroids, streaming maintenance with replay/re-home guards. */
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Deterministic synthetic corpus: 60 vectors, dim 6, values from a
+    * seeded generator (same float bits every run). */
+  private def corpus(n: Int = 60, from: Int = 0): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77 + from)
+    (from until from + n).map { i =>
+      (i.toLong, Array.fill(6)((rnd.nextInt(2000) - 1000) / 997.0f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case a: Seq[_] => a.toList
+      case x => x
+    }).toSeq
+
+  test("persisted serve == in-session IVF build; restart-reload identical") {
+    val dir = Files.createTempDirectory("graft_ann_spec").toString
+    val svc = new AnnIndexService(spark, dir)
+    svc.createIndex("ix", corpus(), k = 8, lloydIters = 2)
+    val queries = corpus().filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val served = rows(svc.queryIndex("ix", queries, topK = 4, nprobe = 3))
+    assert(served.nonEmpty && served.map(_.head).distinct.size == 3)
+
+    // in-session equivalent: same deterministic centroids, same scoring
+    val em = corpus().select(col("vec_id"), col("embedding"),
+      Similarity.normExpr("embedding").as("nrm"))
+    val cents = Similarity.buildCentroids(em, 8, 2)
+    import org.apache.spark.sql.expressions.Window
+    val probes = Similarity.assign(
+        em.filter(col("vec_id") < 3), cents, keep = 3)
+      .withColumnRenamed("vec_id", "query_id")
+    val scored = em.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+      .join(broadcast(probes), Seq("query_id"))
+      .join(Similarity.assignWithVec(em, cents), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        Similarity.dotExpr("qe", "embedding") / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val direct = rows(scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 4)
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("cos"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank")))
+    assert(served == direct,
+      "persisted-index serve diverged from the in-session IVF search")
+
+    // restart: a FRESH service instance reloads from disk only
+    val svc2 = new AnnIndexService(spark, dir)
+    assert(svc2.listIndexes() == Seq("ix"))
+    assert(rows(svc2.queryIndex("ix", queries, topK = 4, nprobe = 3))
+      == served, "reloaded index serves a different answer")
+    svc2.deleteIndex("ix")
+    assert(svc2.listIndexes().isEmpty)
+  }
+
+  test("upsert appends a segment assigned by PERSISTED centroids") {
+    val dir = Files.createTempDirectory("graft_ann_up").toString
+    val svc = new AnnIndexService(spark, dir)
+    svc.createIndex("ux", corpus(), k = 8, lloydIters = 1)
+    val before = svc.loadIndex("ux")
+    val newVecs = corpus(n = 10, from = 1000)
+    svc.upsertVectors("ux", newVecs)
+    val after = svc.loadIndex("ux")
+    assert(after.vectors.count() == before.vectors.count() + 10)
+    // the new rows' assignments equal a fresh assignment against the
+    // SAME persisted centroids (maintenance never re-clusters)
+    val got = after.vectors.filter(col("vec_id") >= 1000L)
+      .select(col("vec_id"), col("cent_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Similarity.assign(
+        newVecs.select(col("vec_id"), col("embedding"),
+          Similarity.normExpr("embedding").as("nrm")),
+        before.centroids, keep = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want, "upsert assignments diverged from the centroids")
+    // queries now see the appended vectors
+    val q = newVecs.limit(1)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    assert(svc.queryIndex("ux", q, topK = 3, nprobe = 8).count() == 3)
+  }
+
+  test("streaming maintenance: insert batches fold once; deletes refuse; re-home guarded") {
+    val dir = Files.createTempDirectory("graft_ann_stream").toString
+    val svc = new AnnIndexService(spark, dir)
+    svc.createIndex("sx", corpus(), k = 4, lloydIters = 1)
+    val docSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def ins(id: Long, v: Seq[Float]) =
+      s"""{"operationType":"insert","fullDocument":{"vec_id":$id,"embedding":[${v.mkString(",")}]}}"""
+    val changes = s"$dir/changes"
+    Files.createDirectories(Paths.get(changes))
+    Files.writeString(Paths.get(changes, "c0.json"),
+      ins(2000L, Seq(0.1f, 0.2f, 0.3f, 0.4f, 0.5f, 0.6f)) + "\n" +
+        ins(2001L, Seq(-0.1f, -0.2f, -0.3f, -0.4f, -0.5f, -0.6f)))
+    val q = svc.startAutoUpdate("sx", changes, docSchema)
+    q.processAllAvailable()
+    svc.stopAutoUpdate("sx")
+    assert(svc.loadIndex("sx").vectors.filter(col("vec_id") >= 2000L)
+      .count() == 2)
+    // streamed assignment == batch assignment against the same centroids
+    val streamed = svc.loadIndex("sx").vectors
+      .filter(col("vec_id") >= 2000L)
+      .select(col("vec_id"), col("cent_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = Similarity.assign(
+        svc.loadIndex("sx").vectors.filter(col("vec_id") >= 2000L)
+          .select(col("vec_id"), col("embedding"),
+            Similarity.normExpr("embedding").as("nrm")),
+        svc.loadIndex("sx").centroids, keep = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == batch, "stream assignment != batch assignment")
+    // checkpoint-loss replay of the SAME stream is a no-op
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr); f.delete(); ()
+    }
+    rmr(new java.io.File(s"$dir/sx.ann.checkpoint"))
+    val q2 = svc.startAutoUpdate("sx", changes, docSchema)
+    q2.processAllAvailable()
+    svc.stopAutoUpdate("sx")
+    assert(svc.loadIndex("sx").vectors.filter(col("vec_id") >= 2000L)
+      .count() == 2, "checkpoint-loss replay double-folded")
+    // a DIFFERENT change dir refuses while a recorded id exists
+    val changesB = s"$dir/changesB"
+    Files.createDirectories(Paths.get(changesB))
+    Files.writeString(Paths.get(changesB, "b0.json"),
+      ins(3000L, Seq(1f, 0f, 0f, 0f, 0f, 0f)))
+    intercept[IllegalArgumentException] {
+      svc.startAutoUpdate("sx", changesB, docSchema)
+    }
+    // explicit re-home (checkpoint deleted) folds B from batch 0
+    rmr(new java.io.File(s"$dir/sx.ann.checkpoint"))
+    val q3 = svc.startAutoUpdate("sx", changesB, docSchema,
+      resetBatchTracking = true)
+    q3.processAllAvailable()
+    svc.stopAutoUpdate("sx")
+    assert(svc.loadIndex("sx").vectors.filter(col("vec_id") === 3000L)
+      .count() == 1, "re-homed stream's first batch was skipped")
+    // a delete event refuses loudly (insert-only index)
+    Files.writeString(Paths.get(changesB, "b1.json"),
+      """{"operationType":"delete","fullDocumentBeforeChange":{"vec_id":3000,"embedding":[1,0,0,0,0,0]}}""")
+    val q4 = svc.startAutoUpdate("sx", changesB, docSchema)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q4.processAllAvailable()
+    }
+    svc.stopAutoUpdate("sx")
+    svc.deleteIndex("sx")
+  }
+
+  test("q164 persisted serve == q51 in-session IVF at sf0.001") {
+    val sfDir = "/root/testdata/sf0.001"
+    val a = rows(graft.functions.Similarity
+      .q164AnnIndexServe(spark, sfDir))
+    val b = rows(graft.functions.Similarity.q51KnnIvf(spark, sfDir))
+    assert(a == b, "q164 (persisted index) diverged from q51 (in-session)")
+  }
+}
