@@ -175,8 +175,23 @@ object CubeManager {
     * driven NEGATIVE by over-deletion are kept as tombstone state so a
     * later insert nets against the debt instead of restarting from zero —
     * fold-then-query therefore equals from-scratch for every delta
-    * sequence. Tombstones are hidden from [[Cube.live]]/[[query]]. */
-  def applyDeltas(cube: Cube, deltas: DataFrame): Cube = {
+    * sequence. Tombstones are hidden from [[Cube.live]]/[[query]].
+    *
+    * `source`, when provided, is the CURRENT (post-delta) source state
+    * and makes min/max measures DELETE-CAPABLE: the dimension cells the
+    * delete rows touch are recomputed exactly from the source restricted
+    * to those cells — cost ∝ |touched cells' rows| (a dim-predicate the
+    * scan pushes down; at 100 TB, partition pruning on a dim-partitioned
+    * fact table), never a full recompute — and only UNTOUCHED cells keep
+    * their merged partials, so delete-then-query equals a from-scratch
+    * recompute (CubeSpec pins it) and the `hasDeletes` latch no longer
+    * trips for extremes. Sketch/quantile measures stay insert-only
+    * (recomputing a sketch needs the full cell scanned back through the
+    * sketch builder — the same cost, deliberately not hidden behind a
+    * fold), so a sketch-carrying cube still latches; without `source`,
+    * extremes latch exactly as before. */
+  def applyDeltas(cube: Cube, deltas: DataFrame,
+      source: Option[DataFrame] = None): Cube = {
     val cfg = cube.config
     // Sketch measures cannot un-see a delete: the first negative-sign row
     // folded into a sketch-carrying cube trips the persisted hasDeletes
@@ -185,8 +200,12 @@ object CubeManager {
     // already latched).
     val sketchy = cfg.sketches.nonEmpty || cfg.quantiles.nonEmpty ||
       cfg.extremes.nonEmpty
-    val hasDeletes = cube.hasDeletes ||
-      (sketchy && !deltas.filter(col("_sign") < 0).isEmpty)
+    val deletesPresent =
+      sketchy && !deltas.filter(col("_sign") < 0).isEmpty
+    // extremes are fixable when the source is at hand; sketches never
+    val unfixable = cfg.sketches.nonEmpty || cfg.quantiles.nonEmpty ||
+      (cfg.extremes.nonEmpty && source.isEmpty)
+    val hasDeletes = cube.hasDeletes || (unfixable && deletesPresent)
     val deltaSums = cfg.measures.map(m =>
       sum(col("_sign") * col(m.path).cast(Dec)).cast(Dec).as(m.id))
     // sketch measures fold INSERTED rows only (see CubeConfig): the
@@ -208,7 +227,55 @@ object CubeManager {
       .agg(deltaSums.head,
         (deltaSums.tail ++ deltaSks ++ deltaQs ++ deltaExts
           :+ sum(col("_sign")).as(CountCol)): _*)
-    Cube(cfg, mergePartials(cfg, cube.aggregates, deltaAgg), hasDeletes)
+    val merged = mergePartials(cfg, cube.aggregates, deltaAgg)
+    val finalAgg = source match {
+      case Some(src) if cfg.extremes.nonEmpty && deletesPresent =>
+        refreshTouchedExtremes(cfg, merged, deltas, src)
+      case _ => merged
+    }
+    Cube(cfg, finalAgg, hasDeletes)
+  }
+
+  /** Targeted extreme recompute for delete-capable min/max (see
+    * [[applyDeltas]]): the delete rows' dimension cells are collected
+    * as a (small — one row per touched cell) broadcast frame, the
+    * source is semi-joined down to exactly those cells (null-safe: a
+    * null dim value is a real cell), their true min/max recomputed,
+    * and ONLY those cells' partials replaced in the merged state.
+    * Untouched cells never rescan the source. */
+  private def refreshTouchedExtremes(cfg: CubeConfig, merged: DataFrame,
+      deltas: DataFrame, src: DataFrame): DataFrame = {
+    val tmpNames = cfg.dims.map(d => s"__cell_${d.id}")
+    val touched = deltas.filter(col("_sign") < 0)
+      .select(cfg.dimCols: _*).distinct()
+    val srcCells = src.select(
+      (cfg.dims.zip(tmpNames).map { case (d, t) => d.expr.as(t) } ++
+        cfg.extremes.map(m => col(m.path).as(s"__v_${m.id}"))): _*)
+    val semiCond = cfg.dims.zip(tmpNames)
+      .map { case (d, t) => srcCells(t) <=> touched(d.id) }
+      .reduce(_ && _)
+    val extAggs = cfg.extremes.flatMap(m => Seq(
+      min(col(s"__v_${m.id}")).as(s"__fresh_${m.id}_min"),
+      max(col(s"__v_${m.id}")).as(s"__fresh_${m.id}_max")))
+    val fresh = srcCells.join(broadcast(touched), semiCond, "left_semi")
+      .groupBy(tmpNames.map(col): _*)
+      .agg(extAggs.head, extAggs.tail: _*)
+      .withColumn("__fresh_hit", lit(true))
+    val joinCond = cfg.dims.zip(tmpNames)
+      .map { case (d, t) => fresh(t) <=> merged(d.id) }
+      .reduce(_ && _)
+    val extCols = cfg.extremes
+      .flatMap(m => Seq(s"${m.id}_min", s"${m.id}_max")).toSet
+    merged.join(broadcast(fresh), joinCond, "left_outer")
+      .select(merged.columns.toSeq.map { c =>
+        if (extCols.contains(c))
+          // hit-flag, not coalesce: a recomputed NULL extreme (the cell's
+          // remaining values are all null) must still REPLACE the stale
+          // stored bound
+          when(col("__fresh_hit"), col(s"__fresh_$c"))
+            .otherwise(merged(c)).as(c)
+        else merged(c)
+      }: _*)
   }
 
   /** Re-fold two partial-aggregate tables of the same cube shape into

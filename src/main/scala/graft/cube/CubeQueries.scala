@@ -112,6 +112,7 @@ object CubeQueries {
     joinSubsetSources(spark, sfDir)
     rollingMmService(spark, sfDir)
     rollupRoutingSource(spark, sfDir)
+    deleteExtremesService(spark, sfDir)
     ()
   }
 
@@ -520,6 +521,52 @@ object CubeQueries {
       s"rollup routing did not fire; scans=$scans")
     q
   }
+
+  // --------------------------------------------------------------- q165
+  /** Graded: DELETE-CAPABLE extremes. The insert-only latch (q158's
+    * refusal discipline) was correct but blunt — one folded delete
+    * permanently degraded every min/max serve of the cube. The fold now
+    * accepts the post-delta SOURCE state and recomputes min/max ONLY for
+    * the dimension cells the delete batch touched (a broadcast semi-join
+    * of the source down to those cells — bounded by the touched cells'
+    * rows, never a full recompute; untouched cells keep their merged
+    * partials), so delete-then-serve equals a from-scratch recompute and
+    * the latch never trips. Setup folds ONE delete batch (every 5th
+    * event) through `CubeService.updateAggregates(…, source = …)`; the
+    * graded query serves min/max/sum/count per event type from the
+    * maintained cube, and the DuckDB oracle recomputes the same
+    * aggregation over the post-delete table — hash equality proves the
+    * targeted recompute exact. */
+  private val deleteExtremesSetup =
+    TrieMap.empty[(SparkSession, String), CubeService]
+  private def deleteExtremesService(spark: SparkSession,
+      sfDir: String): CubeService =
+    deleteExtremesSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_delext").toString
+      val svc = new CubeService(spark, dir)
+      val events = Tables.events(spark, sfDir)
+      svc.createCube(
+        CubeConfig("delete_extremes", "events",
+          dims = Seq(FieldDim("etype", "event_type")),
+          measures = Seq(Measure("value_sum", "value")),
+          extremes = Seq(Measure("value", "value"))),
+        events)
+      svc.updateAggregates("delete_extremes",
+        events.filter(col("event_id") % 5 === 0).withColumn("_sign", lit(-1)),
+        source = Some(events.filter(col("event_id") % 5 =!= 0)))
+      svc
+    })
+
+  def q165DeleteExtremes(spark: SparkSession, sfDir: String): DataFrame =
+    deleteExtremesService(spark, sfDir)
+      .getAggregates("delete_extremes", Seq("etype"),
+        sumOf = Seq("value_sum"), minOf = Seq("value"), maxOf = Seq("value"))
+      .select(col("etype"),
+        col("sum_value_sum").as("value_sum"),
+        col("min_value"), col("max_value"),
+        col("n_rows").cast("long").as("n"))
+      .orderBy(col("etype"))
 
   // --------------------------------------------------------------- q159
   /** Graded: ROLLING trailing-window MIN/MAX served from maintained
@@ -1027,6 +1074,7 @@ object CubeQueries {
     "q159_rolling_minmax" -> q159RollingMinmax,
     "q160_sql_having_routing" -> q160SqlHavingRouting,
     "q163_rollup_routing" -> q163RollupRouting,
+    "q165_delete_extremes" -> q165DeleteExtremes,
     "q155_filter_routing" -> q155FilterRouting,
     "q156_join_subset_routing" -> q156JoinSubsetRouting,
   )
@@ -1152,6 +1200,18 @@ object CubeQueries {
       GROUP BY event_type
       HAVING count(1) % 2 = 0
       ORDER BY event_type""",
+    // Post-delete state recomputed from raw: every 5th event deleted,
+    // extremes served from the targeted-cell-recompute fold.
+    "q165_delete_extremes" -> """
+      SELECT event_type AS etype,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        min(value) AS min_value,
+        max(value) AS max_value,
+        count(1) AS n
+      FROM events
+      WHERE event_id % 5 <> 0
+      GROUP BY event_type
+      ORDER BY etype""",
     // ROLLUP recomputed from raw; grouping() bit order (leftmost = MSB)
     // matches Spark's grouping_id(), and the day key is epoch seconds
     // of the UTC calendar-day truncation (the q146 hour_s discipline).

@@ -108,7 +108,8 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     * and [[loadCube]] restores it ([[recoverSwap]]). Never an overwrite
     * of files still being read (a contract Spark's write staging does
     * not guarantee across versions). */
-  def updateAggregates(name: String, deltas: DataFrame): Cube = {
+  def updateAggregates(name: String, deltas: DataFrame,
+      source: Option[DataFrame] = None): Cube = {
     val cube = loadCube(name)
     val signed =
       if (deltas.columns.contains("_sign")) deltas
@@ -131,7 +132,7 @@ final class CubeService(spark: SparkSession, storageDir: String) {
           "publishes would race")
       val baseCube =
         Cube(cube.config, spark.read.parquet(baseDir.toString), cube.hasDeletes)
-      val newBase = CubeManager.applyDeltas(baseCube, signed).aggregates
+      val newBase = CubeManager.applyDeltas(baseCube, signed, source).aggregates
       val staging = java.nio.file.Paths.get(storageDir, s"$name.base.staging")
       newBase.write.mode("overwrite").parquet(staging.toString)
       val aside = java.nio.file.Paths.get(storageDir, s"$name.base.old")
@@ -142,7 +143,10 @@ final class CubeService(spark: SparkSession, storageDir: String) {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       rm(aside.toFile)
     }
-    val updated = CubeManager.applyDeltas(cube, signed)
+    // `source` (the post-delta source state) makes min/max measures
+    // delete-capable via targeted cell recompute — see
+    // CubeManager.applyDeltas
+    val updated = CubeManager.applyDeltas(cube, signed, source)
     // persist the maintenance-state bits (the hasDeletes sketch latch)
     // BEFORE publishing: a crash between the two leaves the latch set
     // with the old aggregates — conservative (sketch serves refused)

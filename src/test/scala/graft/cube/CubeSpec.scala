@@ -309,6 +309,60 @@ class CubeSpec extends AnyFunSuite {
     assert(CubeManager.load(spark, dir, "mm").hasDeletes)
   }
 
+  test("delete-capable extremes: fold with source == from-scratch recompute, no latch") {
+    import spark.implicits._
+    val cfg = CubeConfig("dmm", "mem",
+      Seq(FieldDim("k", "event_type")),
+      Seq(Measure("v", "value")),
+      extremes = Seq(Measure("value", "value")))
+    def extremes(c: Cube): Map[String, (Double, Double)] =
+      CubeManager.query(c, Seq("k"),
+          minOf = Seq("value"), maxOf = Seq("value"))
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Double]("min_value"), r.getAs[Double]("max_value"))).toMap
+    // deletes remove BOTH a group's min (a:1) and max (b:9), plus a
+    // mid value (a:5) — the recompute must find the surviving bounds
+    val base = Seq(("a", 1.0), ("a", 5.0), ("a", 7.0),
+      ("b", 2.0), ("b", 9.0), ("c", 4.0)).toDF("event_type", "value")
+    val cube = CubeManager.create(cfg, base)
+    val deletes = Seq(("a", 1.0, -1), ("a", 5.0, -1), ("b", 9.0, -1))
+      .toDF("event_type", "value", "_sign")
+    val remaining = Seq(("a", 7.0), ("b", 2.0), ("c", 4.0))
+      .toDF("event_type", "value")
+    val folded = CubeManager.applyDeltas(cube, deletes,
+      source = Some(remaining))
+    // the latch did NOT trip: min/max keep serving, and they equal a
+    // from-scratch recompute over the post-delete state
+    assert(!folded.hasDeletes, "delete-capable fold must not latch")
+    assert(extremes(folded) == extremes(CubeManager.create(cfg, remaining)),
+      "targeted recompute diverged from from-scratch")
+    // untouched cell c kept its partials (and they are still right)
+    assert(extremes(folded)("c") == (4.0, 4.0))
+    // sums/counts still net exactly
+    val sums = CubeManager.query(folded, Seq("k"), sumOf = Seq("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("sum_v"), r.getAs[Long]("n_rows"))).toMap
+    assert(sums == Map("a" -> (7.0, 1L), "b" -> (2.0, 1L),
+      "c" -> (4.0, 1L)))
+    // a group deleted down to nothing drops entirely
+    val delC = Seq(("c", 4.0, -1)).toDF("event_type", "value", "_sign")
+    val rem2 = remaining.filter(col("event_type") =!= "c")
+    val folded2 = CubeManager.applyDeltas(folded, delC, Some(rem2))
+    assert(!extremes(folded2).contains("c"))
+    // WITHOUT the source the old refusal discipline still stands
+    val latched = CubeManager.applyDeltas(folded, delC)
+    assert(latched.hasDeletes)
+    intercept[IllegalArgumentException] {
+      CubeManager.query(latched, Seq("k"), minOf = Seq("value"))
+    }
+    // a sketch-carrying cube latches even WITH the source (a sketch
+    // cannot be recomputed from partials; extremes alone can)
+    val scfg = cfg.copy(name = "dmm2",
+      sketches = Seq(Measure("u", "event_type")))
+    val scube = CubeManager.create(scfg, base)
+    assert(CubeManager.applyDeltas(scube, deletes, Some(remaining)).hasDeletes)
+  }
+
   test("quantile measures: create/fold/query/persist lifecycle, merge-safe rank bound") {
     import spark.implicits._
     val cfgQ = CubeConfig("kq", "mem",
