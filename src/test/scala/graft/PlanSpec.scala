@@ -44,6 +44,7 @@ class PlanSpec extends AnyFunSuite {
     "q100_gap_fill",         // crossJoin vs ONE broadcast time-range row
     "q113_sales_opportunity", // crossJoin vs ONE broadcast scalar-avg row
     "q115_semantic_dedup",    // crossJoin vs <=16 broadcast centroids (q51 path)
+    "q164_ann_index_serve",   // crossJoin vs <=16 broadcast PERSISTED centroids
     "q117_heavy_hitters",     // crossJoin vs ONE broadcast sketch row
     "q118_word_cooccurrence", // crossJoin vs ONE broadcast total-count row
     "q120_audience_overlap",  // |types| x |types| sketch-pair join, both sides tiny
