@@ -42,5 +42,6 @@ object SparkEntry {
       cube.CubeQueries.sql ++ functions.Dedup.sql ++
       functions.Similarity.sql ++ functions.TextAnalysis.sql ++
       functions.Multimodal.sql ++ functions.Sampling.sql ++
-      functions.ZOrder.sql ++ functions.BloomFilter.sql
+      functions.ZOrder.sql ++ functions.CountMinSketch.sql ++
+      functions.BloomFilter.sql
 }

@@ -382,11 +382,78 @@ object CountMinSketch {
       .orderBy(col("lang"), col("rk"))
   }
 
+  // ---------------------------------------------------------------- q166
+  /** EXACT heavy hitters — the oracled anchor for the CMS family, the
+    * way q36/q39 anchor the MinHash/embedding dedup paths: the same
+    * tokenization and the same top-20 selection as q117, but counts only
+    * (no sketch columns), so DuckDB can replay it verbatim. q117's
+    * `n_exact` column is this query; CountMinSpec pins est ≥ exact and
+    * the (e/w)·N bound against it, so the sketch's rows-only status is
+    * anchored to a hash-matched twin rather than free-floating.
+    *
+    * Scale shape: one shuffle on the word key (map-side partial counts),
+    * then a 20-row `orderBy.limit` = distributed TakeOrdered — never a
+    * global sort of |distinct words|. */
+  def q166HeavyHittersExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode_outer(split(col("text"), " ")).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("w")).limit(20)
+
+  // ---------------------------------------------------------------- q167
+  /** EXACT grouped heavy hitters — q131's oracled anchor: exact top-10
+    * words per language via count + per-group rank, expressible in both
+    * engines. Ties broken by word ascending, so the row set is
+    * deterministic wherever counts collide.
+    *
+    * Scale shape: one shuffle to (lang, word) counts, then a window
+    * partitioned by lang — rank state is per-group and the exchange is
+    * on lang only. (This is the exact plan q131's one-pass sketch
+    * replaces at 100 TB, where |distinct (lang, word)| rows is the
+    * shuffle that hurts; at oracle scale it's the ground truth.) */
+  def q167GroupedHeavyExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode_outer(split(col("text"), " ")).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n_exact"))
+    counts
+      .withColumn("rk", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("n_exact").desc, col("w"))))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("w"), col("n_exact"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q117_heavy_hitters" -> q117HeavyHitters,
     "q131_grouped_heavy_hitters" -> q131GroupedHeavyHitters,
+    "q166_heavy_hitters_exact" -> q166HeavyHittersExact,
+    "q167_grouped_heavy_exact" -> q167GroupedHeavyExact,
   )
 
-  /** xxhash64 family ⇒ rows-only (no oracle). */
-  lazy val sql: Map[String, String] = Map.empty
+  /** q117/q131 ride the xxhash64 family ⇒ rows-only; their exact twins
+    * q166/q167 are fully oracled and anchor the estimates via
+    * CountMinSpec's est-vs-exact pins. */
+  lazy val sql: Map[String, String] = Map(
+    "q166_heavy_hitters_exact" -> """
+      SELECT w, count(*) AS n_exact FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE w IS NOT NULL AND w <> ''
+      GROUP BY w ORDER BY n_exact DESC, w LIMIT 20""",
+    "q167_grouped_heavy_exact" -> """
+      SELECT lang, rk, w, n_exact FROM (
+        SELECT lang, w, n_exact,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY n_exact DESC, w) AS rk
+        FROM (
+          SELECT lang, w, count(*) AS n_exact FROM (
+            SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM documents
+          ) WHERE w IS NOT NULL AND w <> ''
+          GROUP BY lang, w
+        )
+      ) WHERE rk <= 10 ORDER BY lang, rk""",
+  )
 }
