@@ -85,4 +85,24 @@ object MongoChangeStream {
   def stream(spark: SparkSession, dir: String,
       docSchema: StructType): DataFrame =
     decode(spark.readStream.text(dir), docSchema)
+
+  /** NETWORK transport — the cursor seam implemented as far as a
+    * zero-egress box physically allows: a live TCP tail of newline-
+    * delimited change-event JSON, decoded by the same [[decode]] the
+    * file replay uses. `mongosh` can produce exactly this feed
+    * (`watch()` piped through a socket), so against a real deployment
+    * this IS the live path; on this box a loopback server stands in for
+    * the remote end (MongoChangeStreamSpec pins live-tail ==
+    * file-replay on identical event bytes).
+    *
+    * Socket-source caveat, deliberate: Spark's socket reader keeps no
+    * offset log, so a restart re-tails from wherever the server is —
+    * exactly a cursor WITHOUT a resume token. Durable resume is the
+    * file transport's job ([[stream]] + checkpoint); production shape
+    * is socket tail → raw-event archive dir → [[stream]], giving live
+    * latency AND replayable history from the same decode path. */
+  def socketStream(spark: SparkSession, host: String, port: Int,
+      docSchema: StructType): DataFrame =
+    decode(spark.readStream.format("socket")
+      .option("host", host).option("port", port).load(), docSchema)
 }

@@ -134,4 +134,50 @@ class MongoChangeStreamSpec extends AnyFunSuite {
     assert(rows(cube) == rows(expected),
       "streamed change events diverge from the final state")
   }
+
+  test("loopback socket transport: live tail decodes == file replay") {
+    // the last physically-possible inch of the cursor seam on a
+    // zero-egress box: a localhost TCP server plays the remote end,
+    // socketStream live-tails it, and the decoded deltas must equal
+    // decoding the SAME event bytes through the batch/file path
+    val events = Seq(
+      ins("a", 1.5), upd("b", 2.0, 3.0), del("c", 7.0), repl("d", 4.0, 5.5),
+      """{"operationType":"drop"}""") // non-row op must vanish on the wire too
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val writer = new Thread(() => {
+      val s = server.accept()
+      val out = new java.io.PrintWriter(s.getOutputStream, true)
+      events.foreach(out.println)
+      out.flush()
+      // keep the connection open until the query is done tailing —
+      // closing early would be a cursor drop, a different test
+      while (!Thread.interrupted()) Thread.sleep(50)
+      s.close()
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val q = MongoChangeStream.socketStream(spark,
+        server.getInetAddress.getHostAddress, server.getLocalPort, docSchema)
+      .writeStream.format("memory").queryName("mongo_live_tail")
+      .outputMode("append").start()
+    try {
+      // 4 row-ops → 6 signed rows (insert 1, update 2, delete 1, replace 2)
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (spark.table("mongo_live_tail").count() < 6
+          && System.nanoTime < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+      def set(df: DataFrame) = df.collect()
+        .map(r => (r.getAs[String]("k"), r.getAs[Double]("v"),
+          r.getAs[Int]("_sign"))).toSet
+      val live = set(spark.table("mongo_live_tail"))
+      val replay = set(MongoChangeStream.decode(raw(events: _*), docSchema))
+      assert(live == replay,
+        s"live socket tail diverges from file replay: $live vs $replay")
+      assert(live.size == 6)
+    } finally {
+      q.stop(); writer.interrupt(); server.close()
+    }
+  }
 }
