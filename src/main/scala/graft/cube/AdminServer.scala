@@ -1,0 +1,187 @@
+package graft.cube
+
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StructType
+
+/** Remote ADMIN transport — the reference's R7 message-broker admin API
+  * (create/update/query/delete cubes over RabbitMQ, per SURVEY.md §2.1;
+  * the survey sanctions "no message broker" on this zero-egress box)
+  * re-expressed as far as physically possible: a loopback TCP server
+  * speaking newline-delimited JSON request/response, one verb per line,
+  * dispatching to the SAME [[CubeService]] verbs the in-process API
+  * exposes — AdminServerSpec pins wire == in-process results verb by
+  * verb, the MongoChangeStream.socketStream discipline.
+  *
+  * Wire shape (machine-written both ends, the configToJson discipline —
+  * a tolerant flat-field parse, no JSON library exists offline):
+  *   request  `{"verb":"getAggregates","name":"c1","dims":["d"],"sumOf":["v"]}`
+  *   response `{"ok":true,"result":...}` | `{"ok":false,"error":"..."}`
+  * Nested cube configs travel as an escaped STRING field (`"config":
+  * "{\"name\":...}"`) so the parser never needs balanced-brace JSON.
+  *
+  * Data-plane note, deliberate: sources and deltas are passed as
+  * PARQUET PATHS, not inlined rows — the admin channel carries control
+  * messages; data stays on storage the executors read directly
+  * (inlining a 100 TB source through an admin socket is the anti-shape).
+  * `getAggregates` does return rows inline: a serve reads cube-sized
+  * data by construction (the MV win), and the admin client is the
+  * reference's consumer of exactly that payload.
+  *
+  * Binds the loopback interface ONLY — this is a same-host admin seam,
+  * not an authenticated network service. */
+final class AdminServer(service: CubeService, spark: SparkSession) {
+  @volatile private var server: ServerSocket = _
+  @volatile private var running = false
+
+  /** Bind loopback on an ephemeral port and serve until [[stop]];
+    * returns the bound port. */
+  def start(): Int = synchronized {
+    require(server == null, "admin server already started")
+    server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+    running = true
+    val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val s = server.accept()
+          val h = new Thread(() => handle(s))
+          h.setDaemon(true); h.start()
+        } catch { case NonFatal(_) => () /* closed during accept */ }
+      }
+    }, "graft-admin-acceptor")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    server.getLocalPort
+  }
+
+  def stop(): Unit = synchronized {
+    running = false
+    if (server != null) { try server.close() catch { case NonFatal(_) => () } }
+    server = null
+  }
+
+  private def handle(sock: Socket): Unit = {
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      sock.getInputStream, StandardCharsets.UTF_8))
+    val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+      sock.getOutputStream, StandardCharsets.UTF_8), true)
+    try {
+      var line = in.readLine()
+      while (line != null) {
+        if (line.trim.nonEmpty) out.println(dispatch(line))
+        line = in.readLine()
+      }
+    } catch { case NonFatal(_) => () /* client went away */ }
+    finally { try sock.close() catch { case NonFatal(_) => () } }
+  }
+
+  // ---- wire parse/render (the configFromJson discipline) -------------
+  private def esc(s: String) = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+  private def unesc(s: String) = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => b += '"'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case 'n' => b += '\n'; i += 2
+          case 'r' => b += '\r'; i += 2
+          case 't' => b += '\t'; i += 2
+          case 'u' =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case o => b += o; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+  private def strField(req: String, key: String): Option[String] =
+    s""""$key":\\s*"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(req)
+      .map(m => unesc(m.group(1)))
+  private def numField(req: String, key: String): Option[Double] =
+    s""""$key":\\s*(-?[0-9.]+)""".r.findFirstMatchIn(req)
+      .map(_.group(1).toDouble)
+  private def strArray(req: String, key: String): Seq[String] = {
+    val arr = s""""$key":\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(req)
+      .map(_.group(1)).getOrElse(return Nil)
+    """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(arr)
+      .map(m => unesc(m.group(1))).toSeq
+  }
+  private def ok(result: String) = s"""{"ok":true,"result":$result}"""
+  private def err(msg: String) = s"""{"ok":false,"error":"${esc(msg)}"}"""
+
+  private def need(v: Option[String], key: String): String =
+    v.getOrElse(throw new IllegalArgumentException(s"missing field '$key'"))
+
+  /** One request line → one response line. Every failure is a
+    * structured error response, never a dropped connection. */
+  private[cube] def dispatch(req: String): String =
+    try {
+      strField(req, "verb") match {
+        case Some("ping") => ok("\"pong\"")
+        case Some("listCubes") =>
+          ok(service.listCubes().map(n => s""""${esc(n)}"""")
+            .mkString("[", ",", "]"))
+        case Some("createCube") =>
+          val cfg = need(strField(req, "config"), "config")
+          val src = need(strField(req, "sourceParquet"), "sourceParquet")
+          val cube = service.createCube(cfg, spark.read.parquet(src))
+          ok(s""""${esc(cube.config.name)}"""")
+        case Some("deleteCube") =>
+          service.deleteCube(need(strField(req, "name"), "name"))
+          ok("\"deleted\"")
+        case Some("updateAggregates") =>
+          val name = need(strField(req, "name"), "name")
+          val delta = need(strField(req, "deltaParquet"), "deltaParquet")
+          service.updateAggregates(name, spark.read.parquet(delta))
+          ok("\"updated\"")
+        case Some("getAggregates") =>
+          val name = need(strField(req, "name"), "name")
+          val df = service.getAggregates(name,
+            dims = strArray(req, "dims"),
+            filter = strField(req, "filter")
+              .map(org.apache.spark.sql.functions.expr).getOrElse(lit(true)),
+            sumOf = strArray(req, "sumOf"),
+            avgOf = strArray(req, "avgOf"),
+            distinctOf = strArray(req, "distinctOf"),
+            minOf = strArray(req, "minOf"),
+            maxOf = strArray(req, "maxOf"))
+          // deterministic wire order: sort by the dims, then render each
+          // row as a JSON object (toJSON is Spark's own row renderer)
+          val sorted = strArray(req, "dims") match {
+            case Nil => df
+            case ds => df.orderBy(ds.map(col): _*)
+          }
+          ok(sorted.toJSON.collect().mkString("[", ",", "]"))
+        case Some("startAutoUpdate") =>
+          val name = need(strField(req, "name"), "name")
+          val dir = need(strField(req, "deltaDir"), "deltaDir")
+          val ddl = need(strField(req, "schemaDdl"), "schemaDdl")
+          service.startAutoUpdate(name, dir, StructType.fromDDL(ddl))
+          ok("\"started\"")
+        case Some("stopAutoUpdate") =>
+          service.stopAutoUpdate(need(strField(req, "name"), "name"))
+          ok("\"stopped\"")
+        case Some(v) => err(s"unknown verb '$v'")
+        case None => err("request has no 'verb' field")
+      }
+    } catch { case NonFatal(e) =>
+      err(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+    }
+}

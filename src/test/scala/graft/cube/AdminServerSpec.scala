@@ -1,0 +1,130 @@
+package graft.cube
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The loopback admin transport: every wire verb must equal its
+  * in-process [[CubeService]] twin (the reference's R7 broker API with
+  * only the broker replaced by a socket — the furthest the zero-egress
+  * box allows). A real TCP client drives a real bound server; nothing
+  * is called in-process on the request path except through dispatch. */
+class AdminServerSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def source: DataFrame = {
+    import spark.implicits._
+    Seq(("click", 3.0), ("click", 4.0), ("view", 10.0))
+      .toDF("event_type", "value")
+  }
+
+  /** One-shot client: connect, send each line, read each response. */
+  private final class Client(port: Int) {
+    private val sock = new java.net.Socket(
+      java.net.InetAddress.getLoopbackAddress, port)
+    private val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+      sock.getOutputStream, StandardCharsets.UTF_8), true)
+    private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      sock.getInputStream, StandardCharsets.UTF_8))
+    def rpc(line: String): String = { out.println(line); in.readLine() }
+    def close(): Unit = sock.close()
+  }
+
+  private val cfgJson =
+    """{"name":"admin1","source":"events",
+      |"dims":[{"kind":"field","id":"etype","path":"event_type"}],
+      |"measures":[{"id":"v","path":"value"}]}""".stripMargin
+  private def escaped(s: String) =
+    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
+  test("wire verbs == in-process verbs across the full lifecycle") {
+    val svc = new CubeService(spark, tmp("graft_admin_store"))
+    val server = new AdminServer(svc, spark)
+    val port = server.start()
+    val cli = new Client(port)
+    try {
+      assert(cli.rpc("""{"verb":"ping"}""")
+        == """{"ok":true,"result":"pong"}""")
+
+      val srcDir = tmp("graft_admin_src") + "/src"
+      source.write.parquet(srcDir)
+      val created = cli.rpc(s"""{"verb":"createCube","config":"${escaped(
+        cfgJson)}","sourceParquet":"${escaped(srcDir)}"}""")
+      assert(created == """{"ok":true,"result":"admin1"}""", created)
+      assert(cli.rpc("""{"verb":"listCubes"}""")
+        == """{"ok":true,"result":["admin1"]}""")
+
+      def wireAgg(): String = cli.rpc(
+        """{"verb":"getAggregates","name":"admin1","dims":["etype"],"sumOf":["v"]}""")
+      def directAgg(): String =
+        svc.getAggregates("admin1", dims = Seq("etype"), sumOf = Seq("v"))
+          .orderBy(col("etype")).toJSON.collect().mkString("[", ",", "]")
+      assert(wireAgg() == s"""{"ok":true,"result":${directAgg()}}""",
+        "wire getAggregates diverges from the in-process verb")
+      assert(wireAgg().contains(""""sum_v":7"""), wireAgg())
+
+      // signed-delta fold over the wire: +1 view 5.0, −1 click 3.0
+      val deltaDir = tmp("graft_admin_delta") + "/d"
+      locally { import spark.implicits._
+        Seq(("view", 5.0, 1), ("click", 3.0, -1))
+          .toDF("event_type", "value", "_sign").write.parquet(deltaDir) }
+      assert(cli.rpc(s"""{"verb":"updateAggregates","name":"admin1",
+        |"deltaParquet":"${escaped(deltaDir)}"}""".stripMargin
+          .replace("\n", ""))
+        == """{"ok":true,"result":"updated"}""")
+      val after = wireAgg()
+      assert(after == s"""{"ok":true,"result":${directAgg()}}""",
+        "post-fold wire serve diverges from the in-process verb")
+      assert(after.contains(""""sum_v":4""") // click: 7−3
+        && after.contains(""""sum_v":15"""), after) // view: 10+5
+
+      // filter travels as a SQL expression string
+      val filtered = cli.rpc(
+        """{"verb":"getAggregates","name":"admin1","dims":["etype"],
+          |"sumOf":["v"],"filter":"etype = 'view'"}""".stripMargin
+          .replace("\n", ""))
+      assert(filtered.contains(""""sum_v":15""")
+        && !filtered.contains("click"), filtered)
+
+      // errors are structured responses, never dropped connections
+      val unknown = cli.rpc("""{"verb":"frobnicate"}""")
+      assert(unknown == """{"ok":false,"error":"unknown verb 'frobnicate'"}""")
+      val missing = cli.rpc("""{"verb":"getAggregates","name":"nope","dims":["x"]}""")
+      assert(missing.startsWith("""{"ok":false,"error":"""), missing)
+      assert(cli.rpc("""{"verb":"ping"}""")
+        == """{"ok":true,"result":"pong"}""",
+        "connection must survive an error response")
+
+      assert(cli.rpc("""{"verb":"deleteCube","name":"admin1"}""")
+        == """{"ok":true,"result":"deleted"}""")
+      assert(cli.rpc("""{"verb":"listCubes"}""")
+        == """{"ok":true,"result":[]}""")
+    } finally { cli.close(); server.stop() }
+  }
+
+  test("concurrent clients are served independently") {
+    val svc = new CubeService(spark, tmp("graft_admin_store2"))
+    val server = new AdminServer(svc, spark)
+    val port = server.start()
+    val a = new Client(port); val b = new Client(port)
+    try {
+      assert(a.rpc("""{"verb":"listCubes"}""").contains("\"ok\":true"))
+      assert(b.rpc("""{"verb":"ping"}""").contains("pong"))
+      assert(a.rpc("""{"verb":"ping"}""").contains("pong"))
+    } finally { a.close(); b.close(); server.stop() }
+  }
+}
