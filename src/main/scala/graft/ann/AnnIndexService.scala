@@ -122,8 +122,11 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
     * metadata) and atomically swaps MANIFEST. Superseded version dirs
     * are cleaned DEFERRED BY ONE (the join-MV discipline — readers that
     * predate this publish still list the previous version's centroid
-    * files); segments are never deleted outside deleteIndex, so every
-    * version's vector reads stay valid. */
+    * files). Segment directories unreferenced by BOTH retained versions
+    * are GC'd here too — append-only folds never create those (every
+    * old segment stays referenced), only [[compactIndex]] does, and its
+    * superseded segments become collectible exactly one publish later,
+    * when no retained version can still list them. */
   private def publish(name: String, v: Int, cents: DataFrame,
       segments: Seq[String], k: Int, lloydIters: Int,
       batchId: Option[Long], sid: Option[String]): AnnIndex = {
@@ -147,6 +150,13 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
     Option(root(name).toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("v") && f.isDirectory
         && f.getName != s"v$v" && f.getName != s"v${v - 1}")
+      .foreach(rm)
+    val referenced = Seq(v, v - 1)
+      .filter(x => x >= 0 && vdir(name, x).resolve("segments").toFile.exists())
+      .flatMap(x => segmentsOf(name, x)).toSet
+    Option(root(name).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("seg")
+        && !referenced.contains(f.getName))
       .foreach(rm)
     val loaded = load(name)
     live.put(name, loaded)
@@ -245,6 +255,36 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
       .parquet(root(name).resolve(seg).toString)
     publish(name, v + 1, idx.centroids, segmentsOf(name, v) :+ seg,
       idx.k, idx.lloydIters, batchId, sid)
+  }
+
+  /** Merge every live segment into ONE new segment (still partitioned
+    * by `cent_id`) and publish: the log-structured upsert path trades
+    * write amplification for segment fan-out, and after many small
+    * folds a query's probed-cluster scan opens |segments| × nprobe
+    * directories of mostly-tiny files. Compaction restores the
+    * one-segment layout at cost ∝ |corpus| — the classic LSM trade,
+    * run when fan-out, not data, is the problem (same economics as the
+    * table-side q145 compact-optimize). Results are unchanged by
+    * construction: the same rows land in the same cent_id partitions,
+    * only file layout moves. Superseded segments stay on disk until the
+    * NEXT publish retires the last version referencing them (the
+    * deferred-by-one GC in [[publish]]). */
+  def compactIndex(name: String): AnnIndex = {
+    require(!autoUpdates.get(name).exists(_.isActive),
+      s"stop auto-update on '$name' before compaction — " +
+        "concurrent manifest publishes would race")
+    val v = version(name)
+    val idx = loadIndex(name)
+    if (segmentsOf(name, v).size <= 1) idx // already compact — no-op
+    else {
+      val seg = s"seg${v + 1}"
+      // overwrite: a crashed earlier fold/compact may have left data at
+      // this name without ever publishing it
+      idx.vectors.write.mode("overwrite").partitionBy("cent_id")
+        .parquet(root(name).resolve(seg).toString)
+      publish(name, v + 1, idx.centroids, Seq(seg), idx.k, idx.lloydIters,
+        None, None)
+    }
   }
 
   /** Continuous maintenance from a directory of change-event JSON lines

@@ -110,6 +110,44 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(svc.queryIndex("ux", q, topK = 3, nprobe = 8).count() == 3)
   }
 
+  test("compaction: one segment, identical results, deferred segment GC") {
+    val dir = Files.createTempDirectory("graft_ann_cmp").toString
+    val svc = new AnnIndexService(spark, dir)
+    svc.createIndex("cx", corpus(), k = 8, lloydIters = 1)
+    svc.upsertVectors("cx", corpus(n = 10, from = 1000))
+    svc.upsertVectors("cx", corpus(n = 10, from = 2000))
+    def segDirs() = new java.io.File(s"$dir/cx.ann").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg"))
+      .map(_.getName).sorted.toSeq
+    assert(segDirs() == Seq("seg0", "seg1", "seg2"))
+    val queries = corpus().filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val before = rows(svc.queryIndex("cx", queries, topK = 4, nprobe = 3))
+
+    val compacted = svc.compactIndex("cx")
+    // one live segment; results bit-identical; old segments still on
+    // disk (the PREVIOUS version may be mid-read by a straggler)
+    assert(compacted.vectors.count() == 80)
+    assert(segDirs() == Seq("seg0", "seg1", "seg2", "seg3"))
+    assert(rows(svc.queryIndex("cx", queries, topK = 4, nprobe = 3))
+      == before, "compaction changed query results")
+    // a fresh service (restart) sees the compacted layout identically
+    val svc2 = new AnnIndexService(spark, dir)
+    assert(rows(svc2.queryIndex("cx", queries, topK = 4, nprobe = 3))
+      == before, "post-compaction restart-reload diverged")
+    // compacting an already-compact index is a no-op
+    assert(svc.compactIndex("cx").vectors.count() == 80)
+    assert(segDirs() == Seq("seg0", "seg1", "seg2", "seg3"))
+
+    // the NEXT publish retires the last version referencing the old
+    // segments -> they become unreferenced and are GC'd
+    svc.upsertVectors("cx", corpus(n = 5, from = 3000))
+    assert(segDirs() == Seq("seg3", "seg4"),
+      "superseded segments survived the deferred-by-one GC")
+    assert(svc.queryIndex("cx", queries, topK = 4, nprobe = 3).count()
+      == before.size)
+  }
+
   test("streaming maintenance: insert batches fold once; deletes refuse; re-home guarded") {
     val dir = Files.createTempDirectory("graft_ann_stream").toString
     val svc = new AnnIndexService(spark, dir)
