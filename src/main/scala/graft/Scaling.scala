@@ -1,0 +1,216 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Standing scale-curve probe: times the dedup / ANN / cube families at
+  * ×1/×3/×10 of sf0.1 and writes the committed `SCALING.md` table — the
+  * direct evidence for "would this survive a 100× scale-up": a hidden
+  * quadratic shows up as a ×10 runtime far above 10×; the cube-serve row
+  * shows the MV win (serve cost ∝ cube, flat while the source grows).
+  *
+  * Replication is STRUCTURE-PRESERVING, not naive copying — naive ×k
+  * duplication would hand every doc k−1 exact twins and inflate the dup
+  * graph quadratically, probing a different (and unrealistically
+  * hostile) workload:
+  *  - documents: replica i rewrites every token with an `r{i}_` prefix
+  *    (`regexp_replace`), so shingle/minhash spaces are disjoint across
+  *    replicas and the per-replica dup structure equals the base corpus;
+  *  - embeddings: replica i rotates each vector by i positions — a
+  *    permutation preserves norms and within-replica geometry while
+  *    decorrelating across replicas;
+  *  - events: ids/users shifted per replica; the cube's dims
+  *    (event_type × day) keep constant cardinality so fold scales with
+  *    the source and serve scales with the (constant) cube.
+  *
+  * Run: `sbt "runMain graft.Scaling"` (env SPARK_GRAFT_SF_DIR overrides
+  * the base). Each probe is timed twice; the min damps JIT noise.
+  */
+object Scaling {
+  private def time(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = f
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+  private def best(f: => Long): (Double, Long) = {
+    val a = time(f); val b = time(f)
+    (math.min(a._1, b._1), b._2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = args.headOption.getOrElse("SCALING.md")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val work = Files.createTempDirectory("graft_scaling").toString
+
+    // ---- structure-preserving scaled inputs, materialized to parquet
+    // (the union/regex fan-out is layout prep, not the probed operator)
+    def scaledDocs(k: Int): String = {
+      val base = Tables.documents(spark, sfDir)
+      val df = (0 until k).map { i =>
+        val t = if (i == 0) col("text")
+          else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")
+        base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          t.as("text"), col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+      val p = s"$work/docs_x$k"
+      df.write.mode("overwrite").parquet(p); p
+    }
+    def scaledEmbeddings(k: Int): String = {
+      val base = Tables.embeddings(spark, sfDir)
+      val df = (0 until k).map { i =>
+        // per-replica ORTHOGONAL transform: rotate by i, then flip the
+        // sign of a replica-dependent half of the indices — preserves
+        // norms and within-replica geometry, decorrelates across
+        // replicas (bare rotation left real cross-replica cos ≥ 0.5
+        // structure in this clustered corpus)
+        val e = if (i == 0) col("embedding")
+          else transform(
+            concat(slice(col("embedding"), i + 1, 64 - i),
+              slice(col("embedding"), 1, i)),
+            (x, j) => when(pmod(j * lit(2654435761L) + lit(i * 40503L),
+              lit(4L)) < 2, x).otherwise(-x))
+        base.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          e.as("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+      val p = s"$work/em_x$k"
+      df.write.mode("overwrite").parquet(p); p
+    }
+    // LSH bucket granularity is the documented corpus-sizing knob: hold
+    // expected occupancy ~constant by adding ceil(log2 k) bits per table
+    // (a fixed 4-bit layout saturates its occupancy caps at ×10 and
+    // measures cap-rejection, not the scaled workload). The family's
+    // cost model is candidate volume Σ occupancy² ≈ n²/2^bits — the
+    // shape verdict for this row compares against THAT model, since
+    // "linear in n" only holds when buckets scale exactly with n.
+    def lshBits(k: Int): Int =
+      4 + math.ceil(math.log(k) / math.log(2)).toInt
+    def lshModelRatio(k: Int): Double =
+      k.toDouble * k / (1L << (lshBits(k) - lshBits(1)))
+    def scaledEvents(k: Int): String = {
+      val base = Tables.events(spark, sfDir)
+      val df = (0 until k).map { i =>
+        base.select((col("event_id") + lit(i * 1000000000L)).as("event_id"),
+          col("ts"), (col("user_id") + lit(i * 10000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+      val p = s"$work/ev_x$k"
+      df.write.mode("overwrite").parquet(p); p
+    }
+
+    val ks = Seq(1, 3, 10)
+    val rows = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[Int, (Double, Long)]]
+    def record(fam: String, k: Int, r: (Double, Long)): Unit = {
+      rows.getOrElseUpdate(fam,
+        scala.collection.mutable.LinkedHashMap.empty) += (k -> r)
+      println(f"[scaling] $fam x$k ${r._1}%.2f s (${r._2} rows)")
+    }
+
+    for (k <- ks) {
+      val docs = spark.read.parquet(scaledDocs(k))
+      val em = spark.read.parquet(scaledEmbeddings(k))
+      val ev = spark.read.parquet(scaledEvents(k))
+
+      record("dedup_jaccard_pairs", k,
+        best(functions.Dedup.jaccardPairs(docs).count()))
+      record("dedup_minhash_pairs", k,
+        best(functions.Dedup.minHashPairs(docs).count()))
+      record("dedup_embedding_lsh", k,
+        best(functions.Dedup.embeddingLshPairs(em,
+          bitsPerTable = lshBits(k)).count()))
+
+      val emN = em.select(col("vec_id"), col("embedding"),
+        functions.Similarity.normExpr("embedding").as("nrm"))
+      record("ann_ivf_build", k,
+        best(functions.Similarity.buildCentroids(emN, 16, 2).count()))
+      // probe: 5 queries against the (untimed) built index — serve path
+      val cents = functions.Similarity.buildCentroids(emN, 16, 2).cache()
+      cents.count()
+      val clustered = functions.Similarity.assignWithVec(emN, cents).cache()
+      clustered.count()
+      record("ann_ivf_probe", k, best {
+        import org.apache.spark.sql.expressions.Window
+        val queries = emN.filter(col("vec_id") < 5)
+        val probes = functions.Similarity.assign(queries, cents, keep = 4)
+          .withColumnRenamed("vec_id", "query_id")
+        val scored = queries
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+          .join(broadcast(probes), Seq("query_id"))
+          .join(clustered, Seq("cent_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos", functions.Similarity.dotExpr("qe", "embedding")
+            / (col("qn") * col("nrm")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5).count()
+      })
+      cents.unpersist(); clustered.unpersist()
+
+      val cfg = cube.CubeConfig(s"scaling_x$k", "mem",
+        dims = Seq(cube.FieldDim("event_type", "event_type"),
+          cube.TimeDim("day", "ts", "day")),
+        measures = Seq(cube.Measure("value", "value")))
+      record("cube_fold", k,
+        best(cube.CubeManager.create(cfg, ev).aggregates.count()))
+      val built = cube.CubeManager.create(cfg, ev)
+      built.aggregates.cache().count()
+      record("cube_serve", k, best {
+        built.aggregates.groupBy(col("event_type"))
+          .agg(sum(col("value")).as("total")).count()
+      })
+      built.aggregates.unpersist()
+    }
+
+    // ---- render SCALING.md ------------------------------------------
+    val stamp = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ISO_INSTANT)
+    val sb = new StringBuilder
+    sb ++= "# SCALING — runtime vs input scale\n\n"
+    sb ++= s"Regenerated $stamp by `sbt \"runMain graft.Scaling\"` " +
+      s"(base `$sfDir`, local[8], structure-preserving ×k replication — " +
+      "see the Scaladoc on `graft.Scaling` for why naive copying would " +
+      "probe the wrong workload).\n\n"
+    sb ++= "A hidden quadratic shows as ×10/×1 ≫ 10; `cube_serve` is the " +
+      "MV win — serve cost follows the (constant-cardinality) cube, not " +
+      "the source.\n\n"
+    sb ++= "| family | ×1 (s) | ×3 (s) | ×10 (s) | ×3/×1 | ×10/×1 | shape |\n"
+    sb ++= "| --- | ---: | ---: | ---: | ---: | ---: | --- |\n"
+    rows.foreach { case (fam, m) =>
+      val t1 = m(1)._1; val t3 = m(3)._1; val t10 = m(10)._1
+      val r3 = t3 / t1; val r10 = t10 / t1
+      val shape =
+        if (fam == "cube_serve" || fam == "ann_ivf_probe")
+          if (r10 < 3) "~flat (serve ∝ index/cube, not source)"
+          else "NOT flat — investigate"
+        else if (fam == "dedup_embedding_lsh")
+          // candidate-volume model: Σ occ² ≈ n²/2^bits; skew over the
+          // clustered corpus puts the measurement above the uniform
+          // model, a hidden quadratic puts it far above
+          if (r10 <= lshModelRatio(10) * 3)
+            f"tracks Σocc² candidate model (uniform ≈ ${lshModelRatio(10)}%.1f×)"
+          else "ABOVE candidate model — investigate"
+        else if (r10 <= 14) "~linear"
+        else if (r10 <= 35) "super-linear — shuffle/sort growth"
+        else "QUADRATIC SUSPECT"
+      sb ++= f"| $fam | ${t1}%.2f | ${t3}%.2f | ${t10}%.2f " +
+        f"| ${r3}%.1f | ${r10}%.1f | $shape |\n"
+    }
+    sb ++= "\nRow counts at ×10: " + rows.map { case (fam, m) =>
+      s"$fam=${m(10)._2}" }.mkString(", ") + ".\n"
+    Files.write(Paths.get(out), sb.toString.getBytes(StandardCharsets.UTF_8))
+    println(s"[scaling] wrote $out")
+    spark.stop()
+  }
+}
