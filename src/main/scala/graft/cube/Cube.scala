@@ -89,7 +89,20 @@ final case class Measure(id: String, path: String)
   * it may have removed): folds ignore negative-sign rows and the first
   * folded delete trips the same persisted `hasDeletes` latch, after
   * which min/max serves and routing refuse while the invertible
-  * sum/count measures keep working. */
+  * sum/count measures keep working.
+  *
+  * `freq` are FREQUENT-ITEM (heavy-hitter) measures stored as two
+  * columns per entry: `<id>` — a Count-Min counter array (d×w longs,
+  * [[graft.functions.CountMinSketchAgg]]) and `<id>_cand` — the cell's
+  * top-[[CubeManager.FreqCand]] candidate keys. Per-key counts don't
+  * survive pre-aggregation (the key domain is unbounded), but CMS
+  * counters ADD — and unlike HLL/KLL the merge is LOSSLESS (sum of
+  * part-counters == counters of the whole), so rolled-up estimates
+  * carry the single-sketch error bound at any dimension subset. The
+  * candidate union across cells is the standard mergeable-top-k
+  * heuristic (q131's documented margin); estimates for every served
+  * key are exact CMS reads of the merged counters. Insert-only under
+  * the same `hasDeletes` latch as the other sketch families. */
 final case class CubeConfig(
     name: String,
     source: String, // table name within the sfDir, e.g. "events"
@@ -97,7 +110,8 @@ final case class CubeConfig(
     measures: Seq[Measure],
     sketches: Seq[Measure] = Nil,
     quantiles: Seq[Measure] = Nil,
-    extremes: Seq[Measure] = Nil) {
+    extremes: Seq[Measure] = Nil,
+    freq: Seq[Measure] = Nil) {
   def dimCols: Seq[Column] = dims.map(_.expr)
   def dimNames: Seq[String] = dims.map(_.id)
 }
@@ -136,6 +150,11 @@ object CubeManager {
   /** Standard error of the maintained sketches at [[SketchLgK]]. */
   def sketchError: Double = 1.04 / math.sqrt(1 << SketchLgK)
 
+  /** Candidate keys kept per cell for each `freq` measure: bounds the
+    * per-cell state (the counters are already fixed-size) and the
+    * serve-time candidate union at |cells| × FreqCand. */
+  val FreqCand = 32
+
   /** Column-label fragment for a requested rank: the rank's canonical
     * decimal form, so distinct ranks always get distinct columns (a
     * rounded "%02d" label would collide 0.995 with 0.999, and two
@@ -159,10 +178,16 @@ object CubeManager {
     val exts = config.extremes.flatMap(m => Seq(
       min(col(m.path)).as(s"${m.id}_min"),
       max(col(m.path)).as(s"${m.id}_max")))
+    val fqs = config.freq.flatMap(m => Seq(
+      graft.functions.CountMinSketch.sketch(col(m.path)).as(m.id),
+      transform(
+        graft.functions.CountMinSketch.approxTopK(col(m.path), FreqCand),
+        s => s.getField("key")).as(s"${m.id}_cand")))
     val agg = source
       .groupBy(config.dimCols: _*)
       .agg(sums.head,
-        (sums.tail ++ sks ++ qs ++ exts :+ count(lit(1)).as(CountCol)): _*)
+        (sums.tail ++ sks ++ qs ++ exts ++ fqs
+          :+ count(lit(1)).as(CountCol)): _*)
     Cube(config, agg)
   }
 
@@ -199,12 +224,12 @@ object CubeManager {
     // delta batch (skipped entirely for sketch-free cubes and for cubes
     // already latched).
     val sketchy = cfg.sketches.nonEmpty || cfg.quantiles.nonEmpty ||
-      cfg.extremes.nonEmpty
+      cfg.extremes.nonEmpty || cfg.freq.nonEmpty
     val deletesPresent =
       sketchy && !deltas.filter(col("_sign") < 0).isEmpty
     // extremes are fixable when the source is at hand; sketches never
     val unfixable = cfg.sketches.nonEmpty || cfg.quantiles.nonEmpty ||
-      (cfg.extremes.nonEmpty && source.isEmpty)
+      cfg.freq.nonEmpty || (cfg.extremes.nonEmpty && source.isEmpty)
     val hasDeletes = cube.hasDeletes || (unfixable && deletesPresent)
     val deltaSums = cfg.measures.map(m =>
       sum(col("_sign") * col(m.path).cast(Dec)).cast(Dec).as(m.id))
@@ -222,10 +247,17 @@ object CubeManager {
     val deltaExts = cfg.extremes.flatMap(m => Seq(
       min(when(col("_sign") > 0, col(m.path))).as(s"${m.id}_min"),
       max(when(col("_sign") > 0, col(m.path))).as(s"${m.id}_max")))
+    val deltaFqs = cfg.freq.flatMap(m => Seq(
+      graft.functions.CountMinSketch
+        .sketch(when(col("_sign") > 0, col(m.path))).as(m.id),
+      transform(
+        graft.functions.CountMinSketch
+          .approxTopK(when(col("_sign") > 0, col(m.path)), FreqCand),
+        s => s.getField("key")).as(s"${m.id}_cand")))
     val deltaAgg = deltas
       .groupBy(cfg.dimCols: _*)
       .agg(deltaSums.head,
-        (deltaSums.tail ++ deltaSks ++ deltaQs ++ deltaExts
+        (deltaSums.tail ++ deltaSks ++ deltaQs ++ deltaExts ++ deltaFqs
           :+ sum(col("_sign")).as(CountCol)): _*)
     val merged = mergePartials(cfg, cube.aggregates, deltaAgg)
     val finalAgg = source match {
@@ -298,6 +330,10 @@ object CubeManager {
           ++ cfg.extremes.flatMap(m => Seq(
             min(col(s"${m.id}_min")).as(s"${m.id}_min"),
             max(col(s"${m.id}_max")).as(s"${m.id}_max")))
+          ++ cfg.freq.flatMap(m => Seq(
+            graft.functions.CountMinSketch.mergeSketches(col(m.id)).as(m.id),
+            sort_array(array_distinct(flatten(
+              collect_list(col(s"${m.id}_cand"))))).as(s"${m.id}_cand")))
           :+ sum(col(CountCol)).as(CountCol)): _*)
       .filter(col(CountCol) =!= 0)
 
@@ -313,7 +349,8 @@ object CubeManager {
       distinctOf: Seq[String] = Nil,
       quantilesOf: Seq[(String, Double)] = Nil,
       minOf: Seq[String] = Nil,
-      maxOf: Seq[String] = Nil): DataFrame = {
+      maxOf: Seq[String] = Nil,
+      topkOf: Seq[(String, Int)] = Nil): DataFrame = {
     // min/max partials of a delete-processed cube describe EVER-INSERTED
     // values (a delete cannot un-see an extreme) — refuse rather than
     // serve a possibly-stale bound; exact sums/counts keep serving
@@ -323,6 +360,19 @@ object CubeManager {
     (minOf ++ maxOf).foreach(id =>
       require(cube.config.extremes.exists(_.id == id),
         s"$id is not a min/max measure of cube ${cube.config.name}"))
+    // freq partials share the sketches' insert-only contract
+    require(topkOf.isEmpty || !cube.hasDeletes,
+      s"cube ${cube.config.name} has folded deletes; its freq " +
+        "partials are insert-only and cannot serve heavy hitters")
+    require(topkOf.map(_._1).distinct.size == topkOf.size,
+      "duplicate freq measure ids requested — the topk_<id> output " +
+        "columns would collide")
+    topkOf.foreach { case (id, k) =>
+      require(cube.config.freq.exists(_.id == id),
+        s"$id is not a freq measure of cube ${cube.config.name}")
+      require(k > 0 && k <= FreqCand,
+        s"topk k=$k out of range (1..$FreqCand — per-cell candidate cap)")
+    }
     val base = cube.live.filter(filter)
     val sums = sumOf.map(id => sum(col(id)).cast(DoubleType).as(s"sum_$id"))
     val avgs = avgOf.map(id =>
@@ -340,9 +390,25 @@ object CubeManager {
     }
     val mins = minOf.map(id => min(col(s"${id}_min")).as(s"min_$id"))
     val maxs = maxOf.map(id => max(col(s"${id}_max")).as(s"max_$id"))
-    val aggs = sums ++ avgs ++ dsts ++ qnts ++ mins ++ maxs :+
+    // heavy hitters from the stored freq partials: counters SUM
+    // losslessly across cells (CmsMergeAgg), candidate keys union; the
+    // top-k itself is computed post-agg from the two merged columns by
+    // pure built-in expressions, so the whole serve is cube-sized
+    val fqAggs = topkOf.flatMap { case (id, _) => Seq(
+      graft.functions.CountMinSketch.mergeSketches(col(id)).as(s"__sk_$id"),
+      sort_array(array_distinct(flatten(
+        collect_list(col(s"${id}_cand"))))).as(s"__cand_$id"))
+    }
+    val aggs = sums ++ avgs ++ dsts ++ qnts ++ mins ++ maxs ++ fqAggs :+
       sum(col(CountCol)).as("n_rows")
-    base.groupBy(subsetDims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val out = base.groupBy(subsetDims.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    if (topkOf.isEmpty) out
+    else topkOf.foldLeft(out) { case (df, (id, k)) =>
+      df.withColumn(s"topk_$id", graft.functions.CountMinSketch
+        .topkFromMerged(col(s"__sk_$id"), col(s"__cand_$id"), k))
+    }.drop(topkOf.flatMap { case (id, _) =>
+      Seq(s"__sk_$id", s"__cand_$id") }: _*)
   }
 
   // -------------------------------------------------------- persistence
@@ -416,10 +482,13 @@ object CubeManager {
     val exts = c.extremes
       .map(m => s"""{"id":"${esc(m.id)}","path":"${esc(m.path)}"}""")
       .mkString("[", ",", "]")
-    // "sketches"/"quantiles"/"extremes" precede "measures": the tolerant
-    // parser's measures regex is greedy-to-last-bracket and must stay
-    // the final array
-    s"""{"name":"${esc(c.name)}","source":"${esc(c.source)}","dims":$dims,"sketches":$sks,"quantiles":$qs,"extremes":$exts,"measures":$ms}"""
+    val fqs = c.freq
+      .map(m => s"""{"id":"${esc(m.id)}","path":"${esc(m.path)}"}""")
+      .mkString("[", ",", "]")
+    // "sketches"/"quantiles"/"extremes"/"freq" precede "measures": the
+    // tolerant parser's measures regex is greedy-to-last-bracket and
+    // must stay the final array
+    s"""{"name":"${esc(c.name)}","source":"${esc(c.source)}","dims":$dims,"sketches":$sks,"quantiles":$qs,"extremes":$exts,"freq":$fqs,"measures":$ms}"""
   }
 
   private[cube] def configFromJson(json: String): CubeConfig = {
@@ -457,12 +526,18 @@ object CubeManager {
       Measure(field(o, "id").get, field(o, "path").get)
     }
     // absent in configs persisted before the extremes feature → empty
-    val eArr = """(?s)"extremes":\s*(\[.*?\]),\s*"measures"""".r
+    val eArr = """(?s)"extremes":\s*(\[.*?\]),\s*"(?:freq|measures)"""".r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
     val exts = objects(eArr).map { o =>
       Measure(field(o, "id").get, field(o, "path").get)
     }
+    // absent in configs persisted before the freq feature → empty
+    val fArr = """(?s)"freq":\s*(\[.*?\]),\s*"measures"""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
+    val fqs = objects(fArr).map { o =>
+      Measure(field(o, "id").get, field(o, "path").get)
+    }
     CubeConfig(field(json, "name").get, field(json, "source").get, dims, meas,
-      sks, qs, exts)
+      sks, qs, exts, fqs)
   }
 }

@@ -1050,7 +1050,53 @@ object CubeQueries {
     q
   }
 
+  // ---------------------------------------------------------------- q168
+  /** HEAVY HITTERS in an incremental cube via MERGEABLE Count-Min
+    * partials — the frequency sibling of q121 (HLL distinct) and q130
+    * (KLL quantiles), through the same CubeConfig/create/query path:
+    * per-(lang, source) cells each hold a d×w CMS counter array + its
+    * top-[[CubeManager.FreqCand]] candidate keys, rolled up to lang by
+    * LOSSLESS counter addition (sum of part-sketches == sketch of the
+    * whole — CMS is the one sketch family whose merge compounds no
+    * error) + candidate union, then each candidate re-estimated against
+    * the merged counters and the top-10 kept.
+    *
+    * Scale shape: per-key counts can't live in a pre-aggregated cube
+    * (the key domain is unbounded); CMS counters CAN — fixed 64 KiB per
+    * cell, so a continuous aggregation serves "top words per language"
+    * from maintained partials at 100 TB where the exact plan (q167)
+    * shuffles |distinct (lang, word)| rows per query. Exact counts ride
+    * along for the est≥truth test; q167 is the oracled exact anchor.
+    * Rows-only: estimates ride the xxhash64 family, candidates are
+    * sketch-heuristic at the margin (no DuckDB twin); CubeSpec pins
+    * lossless fold == whole-build counters, est ≥ exact, recall of the
+    * exact top-3, persistence round-trip, and the delete latch. */
+  def q168CubeTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source"),
+        explode_outer(split(col("text"), " ")).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+      .withColumn("one", lit(1))
+    val cfg = CubeConfig("words_by_lang_source", "documents",
+      dims = Seq(FieldDim("lang", "lang"), FieldDim("src", "source")),
+      measures = Seq(Measure("n_tokens", "one")),
+      freq = Seq(Measure("w", "w")))
+    val cube = CubeManager.create(cfg, words)
+    val served = CubeManager.query(cube, Seq("lang"),
+        topkOf = Seq(("w", 10)))
+      .select(col("lang"), posexplode(col("topk_w")))
+      .select(col("lang"), (col("pos") + 1).as("rk"),
+        col("col.key").as("word"), col("col.n_est").as("n_est"))
+    val exact = words.groupBy(col("lang"), col("w").as("word"))
+      .agg(count(lit(1)).as("n_exact"))
+    served.join(exact, Seq("lang", "word"))
+      .select(col("lang"), col("rk"), col("word"), col("n_est"),
+        col("n_exact"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q168_cube_topk" -> q168CubeTopk,
     "q139_rolling_distinct_hll" -> q139RollingDistinctHll,
     "q141_rolling_quantiles_kll" -> q141RollingQuantilesKll,
     "q64_cube_json_dim" -> q64CubeJsonDim,

@@ -258,9 +258,10 @@ final class CubeService(spark: SparkSession, storageDir: String) {
       distinctOf: Seq[String] = Nil,
       quantilesOf: Seq[(String, Double)] = Nil,
       minOf: Seq[String] = Nil,
-      maxOf: Seq[String] = Nil): DataFrame =
+      maxOf: Seq[String] = Nil,
+      topkOf: Seq[(String, Int)] = Nil): DataFrame =
     CubeManager.query(loadCube(name), dims, filter, sumOf, avgOf,
-      distinctOf, quantilesOf, minOf, maxOf)
+      distinctOf, quantilesOf, minOf, maxOf, topkOf)
 
   /** ROLLING-window serve from maintained daily partials — the
     * q138/q139/q141 pattern as a service verb: for every observed day,

@@ -289,6 +289,73 @@ case class ApproxTopKAgg(
     copy(child = newChildren.head)
 }
 
+/** Merge of ALREADY-BUILT Count-Min sketch arrays (the cube fold /
+  * roll-up path): counters add elementwise, which is the LOSSLESS merge
+  * — unlike HLL/KLL unions, sum-of-part-sketches is bit-identical to
+  * the sketch of the whole, so cube cells can be folded and re-rolled
+  * without compounding error. Null inputs (a group with no partial yet)
+  * are skipped. */
+case class CmsMergeAgg(
+    child: Expression,
+    d: Int,
+    w: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType, containsNull = false))
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](d * w)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == buf.length,
+        s"CMS geometry mismatch: got ${arr.numElements()}, want d*w=${buf.length}")
+      var i = 0
+      while (i < buf.length) { buf(i) += arr.getLong(i); i += 1 }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(buf.length * 8)
+    val out = new DataOutputStream(bos)
+    buf.foreach(out.writeLong)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    Array.fill(bytes.length / 8)(in.readLong())
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "cms_merge_agg"
+
+  override def withNewMutableAggBufferOffset(o: Int): CmsMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CmsMergeAgg =
+    copy(child = newChildren.head)
+}
+
 object CountMinSketch {
   type Q = (SparkSession, String) => DataFrame
 
@@ -319,6 +386,34 @@ object CountMinSketch {
   def approxTopK(key: Column, k: Int, d: Int = D, w: Int = W): Column =
     Bridge.toColumn(
       ApproxTopKAgg(Bridge.toExpression(key), d, w, k).toAggregateExpression())
+
+  /** Lossless union of sketch-array partials (see [[CmsMergeAgg]]). */
+  def mergeSketches(sk: Column, d: Int = D, w: Int = W): Column =
+    Bridge.toColumn(
+      CmsMergeAgg(Bridge.toExpression(sk), d, w).toAggregateExpression())
+
+  /** Top-k (key, n_est) structs from a merged sketch + a candidate-key
+    * array — pure built-in expressions over the stored columns: each
+    * candidate re-estimated against the merged counters ([[estimate]]),
+    * sorted by estimate desc then key asc (deterministic under ties),
+    * top k kept. The candidate union across cells is the standard
+    * mergeable-heavy-hitter heuristic (a globally heavy key is heavy in
+    * at least one cell for uniform-ish cells; the margin is exactly
+    * q131's documented candidate-set caveat), while the ESTIMATES are
+    * exact CMS reads of the lossless counter sum. */
+  def topkFromMerged(sk: Column, cands: Column, k: Int,
+      d: Int = D, w: Int = W): Column =
+    slice(
+      array_sort(
+        transform(cands, c =>
+          struct(c.as("key"), asLong(estimate(sk, c, d, w)).as("n_est"))),
+        (l, r) => {
+          val (le, re) = (l.getField("n_est"), r.getField("n_est"))
+          val (lk, rk) = (l.getField("key"), r.getField("key"))
+          when(le > re, -1).when(le < re, 1)
+            .when(lk < rk, -1).when(lk > rk, 1).otherwise(0)
+        }),
+      1, k)
 
   /** Point estimate from a sketch array column: min over the d rows of
     * the key's counter — pure built-in expressions (codegen'd), using

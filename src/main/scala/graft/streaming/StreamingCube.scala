@@ -55,10 +55,19 @@ object StreamingCube {
     val exts = config.extremes.flatMap(m => Seq(
       min(col(m.path)).as(s"${m.id}_min"),
       max(col(m.path)).as(s"${m.id}_max")))
+    // freq partials stream the same way: the CMS counter buffer and the
+    // candidate heap serialize into streaming state per group, exactly
+    // the batch create's aggregates
+    val fqs = config.freq.flatMap(m => Seq(
+      graft.functions.CountMinSketch.sketch(col(m.path)).as(m.id),
+      org.apache.spark.sql.functions.transform(
+        graft.functions.CountMinSketch
+          .approxTopK(col(m.path), CubeManager.FreqCand),
+        s => s.getField("key")).as(s"${m.id}_cand")))
     stream
       .groupBy(config.dimCols: _*)
       .agg(sums.head,
-        (sums.tail ++ sks ++ qs ++ exts
+        (sums.tail ++ sks ++ qs ++ exts ++ fqs
           :+ count(lit(1)).as(CubeManager.CountCol)): _*)
   }
 

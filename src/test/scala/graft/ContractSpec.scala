@@ -32,7 +32,8 @@ class ContractSpec extends AnyFunSuite {
       "q139_rolling_distinct_hll", // rolling HLL merge (no DuckDB twin; CubeSpec pins vs exact q138)
       "q140_distinct_routing", // MV-routed HLL estimates (CubeRewriteSpec pins vs exact)
       "q141_rolling_quantiles_kll", // rolling KLL merge (rank-randomized; CubeSpec pins rank band)
-      "q164_ann_index_serve"), // persisted-index IVF serve (AnnIndexSpec pins == q51 in-session)
+      "q164_ann_index_serve", // persisted-index IVF serve (AnnIndexSpec pins == q51 in-session)
+      "q168_cube_topk"),      // cube-served CMS heavy hitters (q167 is the exact anchor; CubeSpec pins)
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -513,4 +513,75 @@ class CubeSpec extends AnyFunSuite {
         s"${r.getString(0)}∩${r.getString(1)}: est $est vs exact $exact")
     }
   }
+
+  test("freq measures: lossless fold, est>=exact, recall, persist, latch") {
+    import spark.implicits._
+    val cfg = CubeConfig("fq", "mem",
+      Seq(FieldDim("g", "grp")),
+      Seq(Measure("n", "one")),
+      freq = Seq(Measure("w", "word")))
+    val rnd = new scala.util.Random(11)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    // skewed corpus: word i appears ~ (6-i)² times per group
+    val rows = for {
+      g <- Seq("x", "y"); (w, i) <- words.zipWithIndex
+      _ <- 0 until (6 - i) * (6 - i) + rnd.nextInt(2)
+    } yield (g, w, 1)
+    val df = rows.toDF("grp", "word", "one")
+    val cube = CubeManager.create(cfg, df)
+
+    // LOSSLESS merge: build-on-half + fold-other-half must produce
+    // bit-identical counter arrays to the whole-corpus build (the CMS
+    // property the family's cube residency rests on; HLL/KLL can't)
+    val (h1, h2) = (rows.take(rows.size / 2), rows.drop(rows.size / 2))
+    val folded = CubeManager.applyDeltas(
+      CubeManager.create(cfg, h1.toDF("grp", "word", "one")),
+      h2.map { case (g, w, o) => (g, w, o, 1) }
+        .toDF("grp", "word", "one", "_sign"))
+    def counters(c: Cube): Map[String, Seq[Long]] =
+      c.aggregates.collect().map(r =>
+        r.getAs[String]("g") -> r.getSeq[Long](r.fieldIndex("w"))).toMap
+    assert(counters(folded) == counters(cube),
+      "fold-of-halves diverged from whole-build counters")
+
+    def served(c: Cube): Seq[(String, String, Long)] =
+      CubeManager.query(c, Seq("g"), topkOf = Seq(("w", 3)))
+        .select(col("g"), explode(col("topk_w")).as("t"))
+        .select(col("g"), col("t.key"), col("t.n_est"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
+    val exact = rows.groupBy(r => (r._1, r._2)).view.mapValues(_.size).toMap
+    val top = served(cube)
+    assert(top.size == 6, s"expected 3 per group: $top")
+    top.foreach { case (g, w, est) =>
+      assert(est >= exact((g, w)),
+        s"($g,$w): est $est below exact ${exact((g, w))}")
+    }
+    // exact top-3 recall per group (well-separated frequencies)
+    for (g <- Seq("x", "y")) {
+      val want = exact.collect { case ((`g`, w), n) => (n, w) }.toSeq
+        .sortBy { case (n, w) => (-n, w) }.take(3).map(_._2).toSet
+      val got = top.collect { case (`g`, w, _) => w }.toSet
+      assert(got == want, s"group $g: served $got, exact top-3 $want")
+    }
+
+    // persistence round-trips the freq config + both stored columns
+    val dir = java.nio.file.Files.createTempDirectory("graft_fqcube").toString
+    CubeManager.save(cube, dir)
+    val loaded = CubeManager.load(spark, dir, "fq")
+    assert(loaded.config.freq == cfg.freq)
+    assert(served(loaded) == served(cube))
+
+    // a delete trips the shared insert-only latch; topk serves refuse,
+    // exact sums keep working
+    val afterDel = CubeManager.applyDeltas(cube,
+      Seq(("x", "alpha", 1, -1)).toDF("grp", "word", "one", "_sign"))
+    assert(afterDel.hasDeletes)
+    val e = intercept[IllegalArgumentException] {
+      CubeManager.query(afterDel, Seq("g"), topkOf = Seq(("w", 3)))
+    }
+    assert(e.getMessage.contains("insert-only"))
+    assert(CubeManager.query(afterDel, Seq("g"), sumOf = Seq("n"))
+      .count() == 2)
+  }
 }

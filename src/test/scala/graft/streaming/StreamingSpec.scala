@@ -102,6 +102,51 @@ class StreamingSpec extends AnyFunSuite {
       "per-group streamed sketch estimates must equal the batch cube's")
   }
 
+  test("streaming cube with a freq measure == batch CMS counters + top-k") {
+    import graft.cube.{CubeManager, FieldDim, Measure}
+    val src = tmp("graft_fq_src")
+    val words = Seq("alpha", "beta", "gamma", "delta")
+    // well-separated frequencies so the candidate heap is merge-order
+    // stable; the COUNTERS are exact under any merge order regardless
+    val rows = for {
+      g <- Seq("x", "y"); (w, i) <- words.zipWithIndex
+      _ <- 0 until (5 - i) * (5 - i)
+    } yield (g, w, 1.0)
+    import spark.implicits._
+    def df(rs: Seq[(String, String, Double)]): DataFrame =
+      rs.toDF("grp", "word", "value")
+    val shuffled = new scala.util.Random(7).shuffle(rows)
+    shuffled.grouped(30).zipWithIndex.foreach { case (chunk, i) =>
+      df(chunk).coalesce(1).write.parquet(s"$src/b$i")
+    }
+    val fqCfg = graft.cube.CubeConfig("fqs", "mem",
+      Seq(FieldDim("g", "grp")), Seq(Measure("v", "value")),
+      freq = Seq(Measure("w", "word")))
+    val q = StreamingCube.start(spark, fqCfg, s"$src/b*",
+      df(rows.take(1)).schema, tmp("graft_fq_ckpt"), "fqcube_stream")
+    q.processAllAvailable()
+    q.stop()
+    def counters(frame: DataFrame): Map[String, Seq[Long]] = frame
+      .collect().map(r =>
+        r.getAs[String]("g") -> r.getSeq[Long](r.fieldIndex("w"))).toMap
+    def topk(frame: DataFrame): Seq[(String, String, Long)] = frame
+      .groupBy(col("g"))
+      .agg(graft.functions.CountMinSketch.mergeSketches(col("w")).as("sk"),
+        sort_array(array_distinct(flatten(
+          collect_list(col("w_cand"))))).as("cand"))
+      .select(col("g"), explode(graft.functions.CountMinSketch
+        .topkFromMerged(col("sk"), col("cand"), 2)).as("t"))
+      .select(col("g"), col("t.key"), col("t.n_est"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq.sorted
+    val streamed = spark.table("fqcube_stream")
+    val batch = CubeManager.create(fqCfg, df(rows)).aggregates
+    assert(counters(streamed) == counters(batch) && counters(batch).nonEmpty,
+      "streamed CMS counters must equal the batch cube's (lossless merge)")
+    assert(topk(streamed) == topk(batch),
+      "top-k served from the streamed cells diverged from batch")
+  }
+
   test("rolling 7-day distinct served from a stream-maintained daily HLL cube") {
     // the q139 claim end-to-end: a streaming cube keeps ONE HLL partial
     // per day (new events only fold into their day's sketch); the WAU
