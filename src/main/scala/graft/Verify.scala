@@ -16,7 +16,15 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Optional 3rd arg: comma-separated query-name filter (substring
+    // match) for fast local iteration. Filtered runs skip the repo-root
+    // VERIFY_SELF.json copy so a partial sweep never masquerades as the
+    // round's committed fingerprint.
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.contains))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,7 +35,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ListBuffer[String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -47,7 +55,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
@@ -58,7 +66,7 @@ object Verify {
     // cancel the way xor would), so re-partitioning can't move it; it is
     // a cross-round drift detector, not a DuckDB-matching hash.
     val summaries = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(failed.contains).map { name =>
+      .filter(selected).filterNot(failed.contains).map { name =>
         val df = spark.read.parquet(s"$outDir/$name")
         val cols = df.columns.sorted
         val sig = cols.map(c =>
@@ -81,8 +89,9 @@ object Verify {
         .mkString(",")}}}"""
     Files.writeString(Paths.get(s"$outDir/VERIFY_SELF.json"), self)
     // repo root copy — committed per round (BENCH_SELF.json discipline)
-    try Files.writeString(Paths.get("VERIFY_SELF.json"), self)
-    catch { case _: Throwable => () }
+    if (only.isEmpty)
+      try Files.writeString(Paths.get("VERIFY_SELF.json"), self)
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -350,6 +350,107 @@ object TpchQueries {
       .limit(50)
   }
 
+  // ---------------------------------------------------------------- q169
+  /** TPC-H Q6 shape: forecast revenue change — the pure scan-side
+    * query of the suite. Every predicate (date window, discount band,
+    * quantity cap) is sargable, so all four reach the parquet reader
+    * as PushedFilters and row groups outside the 1996 window never
+    * decompress; what's left is ONE partial+final aggregate — the
+    * only exchange is the single-row partial merge. revenue multiplies
+    * two exact decimals (price × discount), so partial-aggregation
+    * order can never move the sum. */
+  def q169ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  // ---------------------------------------------------------------- q170
+  /** TPC-H Q11 shape: important stock — a grouped aggregate gated by a
+    * scalar fraction of ITS OWN global total (HAVING sum(v) > total/k).
+    * No partsupp, so per-part "stock value" is the revenue one
+    * nation's suppliers shipped for that part. The plan Catalyst must
+    * get right: the one-nation supplier list broadcasts onto the fact
+    * (fact never shuffles to find its suppliers), the per-part
+    * aggregate is the only key shuffle, the global total re-aggregates
+    * THAT small frame (never the fact again) into a one-row broadcast,
+    * and the gate compares `v * 1000 > total` in exact decimal — the
+    * q150 integer-scaling discipline, no double fraction on either
+    * engine. */
+  def q170ImportantStock(spark: SparkSession, sfDir: String): DataFrame = {
+    val sn = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val vals = Tables.lineitem(spark, sfDir)
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec2(col("l_extendedprice"))).as("v"))
+    val total = vals.agg(sum(col("v")).as("t"))
+    vals.crossJoin(broadcast(total))
+      .filter(col("v") * lit(1000) > col("t"))
+      .select(col("l_partkey"), col("v").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  // ---------------------------------------------------------------- q171
+  /** TPC-H Q12 shape: shipping-mode priority classes — the fact-fact
+    * join with a cross-table residual plus CASE-conditional counting.
+    * No l_shipmode, so return class (A/R) stands in for ship mode and
+    * "late" (shipped >30 days after order) stands in for the
+    * receipt/commit comparison. Both facts shuffle once on orderkey
+    * (the key they join on); the priority split is two conditional
+    * sums inside the same hash aggregate — one pass, not one join per
+    * class. Counts are integers, so no numeric discipline is needed. */
+  def q171ShipmodePriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag").isin("A", "R")
+        && col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_returnflag").as("ship_class"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("ship_class"))
+  }
+
+  // ---------------------------------------------------------------- q172
+  /** TPC-H Q16 shape: parts/supplier relationship — a NOT-IN supplier
+    * exclusion (planned as a broadcast anti-join; "complaints" proxied
+    * by negative account balance) feeding a grouped COUNT DISTINCT.
+    * Supplier-part pairs come from lineitem since there is no
+    * partsupp; the raw fact flows straight into the distinct aggregate
+    * (no pre-distinct — the two-phase distinct aggregate dedups
+    * per-partition first, so the pair multiset never shuffles at full
+    * multiplicity). The part dim prunes to 1-in-7 sizes BEFORE its
+    * broadcast; the anti side is a handful of suppliers, broadcast. */
+  def q172PartSupplierCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= "Brand#13"
+        && !col("p_type").startsWith("PROMO")
+        && col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val bad = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
     "q108_product_type_profit" -> q108ProductTypeProfit,
     "q149_min_cost_supplier" -> q149MinCostSupplier,
@@ -362,6 +463,10 @@ object TpchQueries {
     "q111_large_orders" -> q111LargeOrders,
     "q112_discounted_revenue" -> q112DiscountedRevenue,
     "q113_sales_opportunity" -> q113SalesOpportunity,
+    "q169_forecast_revenue" -> q169ForecastRevenue,
+    "q170_important_stock" -> q170ImportantStock,
+    "q171_shipmode_priority" -> q171ShipmodePriority,
+    "q172_part_supplier_count" -> q172PartSupplierCount,
   )
 
   lazy val sql: Map[String, String] = Map(
@@ -544,5 +649,53 @@ object TpchQueries {
             AND o_orderdate >= TIMESTAMP '2000-01-01')
       GROUP BY n_name
       ORDER BY nation""",
+    "q169_forecast_revenue" -> """
+      SELECT
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        count(1) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""",
+    "q170_important_stock" -> """
+      WITH sn AS (
+        SELECT s_suppkey FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'),
+      vals AS (
+        SELECT l_partkey,
+          sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+        FROM lineitem JOIN sn ON l_suppkey = s_suppkey
+        GROUP BY 1)
+      SELECT l_partkey, CAST(v AS DOUBLE) AS value
+      FROM vals
+      WHERE v * 1000 > (SELECT sum(v) FROM vals)
+      ORDER BY value DESC, l_partkey""",
+    "q171_shipmode_priority" -> """
+      SELECT l_returnflag AS ship_class,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      WHERE l_returnflag IN ('A','R')
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1
+      ORDER BY 1""",
+    "q172_part_supplier_count" -> """
+      SELECT p_brand, p_type, p_size,
+        count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#13'
+        AND p_type NOT LIKE 'PROMO%'
+        AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
   )
 }

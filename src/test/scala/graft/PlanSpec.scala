@@ -49,6 +49,7 @@ class PlanSpec extends AnyFunSuite {
     "q118_word_cooccurrence", // crossJoin vs ONE broadcast total-count row
     "q120_audience_overlap",  // |types| x |types| sketch-pair join, both sides tiny
     "q122_top_supplier",      // crossJoin vs ONE broadcast max-revenue row
+    "q170_important_stock",   // crossJoin vs ONE broadcast global-total row
     "q123_bm25",              // crossJoin vs ONE broadcast avgdl row
     "q133_bloom_join",        // crossJoin vs ONE broadcast 64KiB bloom row
     "q134_snapshot_diff")     // crossJoin vs ONE broadcast max-doc_id row
