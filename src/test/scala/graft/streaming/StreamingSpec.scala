@@ -622,6 +622,82 @@ class StreamingSpec extends AnyFunSuite {
       s"only the within-interval pair joins, got $got")
   }
 
+  test("multi-batch stream-stream interval join == batch join (inner)") {
+    import spark.implicits._
+    val src = tmp("graft_ssj2")
+    val rnd = new scala.util.Random(77)
+    def rows(n: Int): Seq[(Long, Timestamp, Double)] = (0 until n).map { _ =>
+      (rnd.nextInt(20).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(4 * 3600) * 1000L),
+        math.round(rnd.nextDouble() * 1000) / 100.0)
+    }
+    val clicks = rows(80)
+    val buys = rows(80)
+    // three files per side = three micro-batches each, arrival order
+    // uncorrelated with event time — the delay spans the whole range so
+    // no state is evicted and stream must equal batch EXACTLY
+    clicks.grouped(27).zipWithIndex.foreach { case (c, i) =>
+      c.toDF("user_id", "ts", "value").coalesce(1)
+        .write.parquet(s"$src/clicks/f$i")
+    }
+    buys.grouped(27).zipWithIndex.foreach { case (c, i) =>
+      c.toDF("user_id", "ts", "value").coalesce(1)
+        .write.parquet(s"$src/buys/f$i")
+    }
+    val schema = clicks.take(1).toDF("user_id", "ts", "value").schema
+    val q = StreamingJoin.startIntervalJoin(spark, s"$src/clicks/f*",
+      s"$src/buys/f*", schema, "24 hours", "1 HOUR",
+      tmp("graft_ssj2_ckpt"), "ssj2_stream")
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+        r.getDouble(3))
+    val streamed = spark.table("ssj2_stream").collect().map(key).sorted
+    val batch = StreamingJoin.batchEquivalent(spark, s"$src/clicks/f*",
+      s"$src/buys/f*", "1 HOUR").collect().map(key).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      s"stream ${streamed.length} rows vs batch ${batch.length}")
+  }
+
+  test("left-outer stream-stream join emits null matches after the watermark") {
+    import spark.implicits._
+    val src = tmp("graft_ssjo")
+    val t0 = 1700000000000L
+    val clicks = Seq(
+      (1L, new Timestamp(t0), 0.0), // matched within the hour
+      (2L, new Timestamp(t0), 0.0)) // never matched -> null row
+    val buys = Seq((1L, new Timestamp(t0 + 600000L), 5.0))
+    clicks.toDF("user_id", "ts", "value").coalesce(1)
+      .write.parquet(s"$src/clicks/f0")
+    buys.toDF("user_id", "ts", "value").coalesce(1)
+      .write.parquet(s"$src/buys/f0")
+    val schema = clicks.toDF("user_id", "ts", "value").schema
+    val q = StreamingJoin.startIntervalJoin(spark, s"$src/clicks/f*",
+      s"$src/buys/f*", schema, "10 minutes", "1 HOUR",
+      tmp("graft_ssjo_ckpt"), "ssjo_stream", joinType = "left_outer")
+    q.processAllAvailable()
+    // the null match for user 2 is UNDECIDABLE until the watermark
+    // proves no purchase can still arrive: only the matched row so far
+    val early = spark.table("ssjo_stream").collect()
+    assert(early.map(_.getLong(0)).toSet == Set(1L),
+      "null match must not surface before the watermark passes the window")
+    // sentinel flush rows (user -1) advance BOTH watermarks past
+    // click-time + window + delay, forcing the outer-null decision
+    val flush = Seq((-1L, new Timestamp(t0 + 10L * 3600 * 1000), 0.0))
+    flush.toDF("user_id", "ts", "value").coalesce(1)
+      .write.parquet(s"$src/clicks/f1")
+    flush.toDF("user_id", "ts", "value").coalesce(1)
+      .write.parquet(s"$src/buys/f1")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjo_stream").collect()
+      .filter(_.getLong(0) >= 0)
+      .map(r => (r.getLong(0), Option(r.get(3)))).toSet
+    assert(got == Set((1L, Some(5.0)), (2L, None)),
+      s"expected one match and one watermark-decided null, got $got")
+  }
+
   test("stream-static join enriches the stream with a dimension table") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
