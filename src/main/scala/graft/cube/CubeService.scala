@@ -27,7 +27,14 @@ import org.apache.spark.sql.types.StructType
   *
   * One instance per storage root; thread-safe registry.
   */
-final class CubeService(spark: SparkSession, storageDir: String) {
+final class CubeService(spark: SparkSession, storageDir: String,
+    retainJmvVersions: Int = 2) {
+  // ≥2 is load-bearing, not a default: the deferred-by-one GC contract
+  // (readers that predate the current publish keep a live version)
+  // IS retention 2 — shrinking below it would delete files under
+  // outstanding plans mid-job.
+  require(retainJmvVersions >= 2,
+    s"retainJmvVersions must be >= 2, got $retainJmvVersions")
   private val live = TrieMap.empty[String, Cube]
   private val autoUpdates = TrieMap.empty[String, StreamingQuery]
 
@@ -434,17 +441,22 @@ final class CubeService(spark: SparkSession, storageDir: String) {
     java.nio.file.Files.move(tmp, jmvRoot(name).resolve("MANIFEST"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // clean superseded versions, DEFERRED BY ONE publish: outstanding
-    // readers (a caller-held JoinCube, a routed plan built against the
-    // previous registration) still list v<k-1>'s parquet files —
-    // deleting them at swap time would fail those reads with
-    // FileNotFoundException mid-job. One retained version bounds the
-    // garbage while keeping every reader that predates THIS publish
-    // valid; v<k-2> and older have no live readers (they were already
-    // refreshed away by the previous publish).
+    // clean superseded versions, DEFERRED BY AT LEAST ONE publish:
+    // outstanding readers (a caller-held JoinCube, a routed plan built
+    // against the previous registration) still list v<k-1>'s parquet
+    // files — deleting them at swap time would fail those reads with
+    // FileNotFoundException mid-job, so retention is never below 2.
+    // Retention ABOVE 2 (`retainJmvVersions`) is the TIME-TRAVEL
+    // window: every retained version is a complete consistent
+    // (cube, lstate, rstate) triple addressable by
+    // [[getJoinAggregatesAsOf]] — the audit/reproducibility handle
+    // ("rerun yesterday's selection against yesterday's MV") at a
+    // storage cost of `retain × |MV|`, which at 100 TB is priced per
+    // MV, not per source (side states are narrow projections).
     Option(jmvRoot(name).toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("v")
-        && f.getName != s"v$version" && f.getName != s"v${version - 1}")
+        && f.getName.drop(1).toIntOption
+          .exists(_ <= version - retainJmvVersions))
       .foreach(rm)
     val loaded = jmvLoad(name)
     joinLive.put(name, loaded)
@@ -457,6 +469,10 @@ final class CubeService(spark: SparkSession, storageDir: String) {
   private def jmvLoad(name: String): JoinCube = {
     val v = jmvVersion(name)
     require(v >= 0, s"join MV '$name' does not exist under $storageDir")
+    jmvLoadAt(name, v)
+  }
+
+  private def jmvLoadAt(name: String, v: Int): JoinCube = {
     val vdir = jmvRoot(name).resolve(s"v$v")
     val keys = java.nio.file.Files.readString(vdir.resolve("join_keys"))
     def key(k: String) = s""""$k":"([^"]*)"""".r.findFirstMatchIn(keys)
@@ -588,6 +604,47 @@ final class CubeService(spark: SparkSession, storageDir: String) {
   def getJoinAggregates(name: String, dims: Seq[String],
       sumOf: Seq[String] = Nil, avgOf: Seq[String] = Nil): DataFrame =
     CubeManager.query(loadJoinCube(name).cube, dims, lit(true), sumOf, avgOf)
+
+  /** Version of the join MV the MANIFEST currently points at (one
+    * version per fold — a version number doubles as a fold count). */
+  def currentJoinCubeVersion(name: String): Int = {
+    val v = jmvVersion(name)
+    require(v >= 0, s"join MV '$name' does not exist under $storageDir")
+    v
+  }
+
+  /** Versions still on disk, oldest first — the TIME-TRAVEL window:
+    * the newest `retainJmvVersions` publishes (fewer while the MV is
+    * young). Each is a complete consistent triple; anything older was
+    * GC'd by a later publish. */
+  def listJoinCubeVersions(name: String): Seq[Int] = {
+    require(jmvVersion(name) >= 0,
+      s"join MV '$name' does not exist under $storageDir")
+    Option(jmvRoot(name).toFile.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.isDirectory)
+      .flatMap(f => if (f.getName.startsWith("v"))
+        f.getName.drop(1).toIntOption else None)
+      .sorted
+  }
+
+  /** TIME TRAVEL: the [[getJoinAggregates]] roll-up served from a
+    * RETAINED historical version instead of the manifest head. The
+    * as-of read never touches the head's registration or caches — a
+    * concurrent fold publishing v<k+1> while an as-of(v<k−1>) query
+    * runs is safe because retention ≥ 2 keeps the read version's files
+    * alive through the next publish (the same deferred-GC argument
+    * that protects outstanding head readers). Refuses versions outside
+    * the retained window rather than answering from a half-GC'd dir. */
+  def getJoinAggregatesAsOf(name: String, version: Int, dims: Seq[String],
+      sumOf: Seq[String] = Nil, avgOf: Seq[String] = Nil): DataFrame = {
+    val retained = listJoinCubeVersions(name)
+    require(retained.contains(version),
+      s"join MV '$name' version $version is not retained " +
+        s"(window: ${retained.mkString(", ")}); raise retainJmvVersions " +
+        "at service construction to widen the time-travel window")
+    CubeManager.query(jmvLoadAt(name, version).cube, dims, lit(true),
+      sumOf, avgOf)
+  }
 
   def listJoinCubes(): Seq[String] = {
     val d = new java.io.File(storageDir)

@@ -495,6 +495,49 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteJoinCube("jhome")
   }
 
+  test("join MV time travel: retained window slides, as-of serves history") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_svc_tt").toString
+    // retention below the deferred-GC floor is a construction error
+    intercept[IllegalArgumentException] {
+      new CubeService(spark, dir, retainJmvVersions = 1)
+    }
+    val svc = new CubeService(spark, dir, retainJmvVersions = 3)
+    val cfgJ = JoinCubeConfig(
+      CubeConfig("tt", "l_r",
+        dims = Seq(FieldDim("cat", "cat")),
+        measures = Seq(Measure("amt", "amount"))),
+      leftKey = "lk", rightKey = "rk")
+    val left = Seq((1L, "a"), (2L, "b")).toDF("lk", "cat")
+    def rdelta(rows: Seq[(Long, Double)], sign: Long) =
+      rows.toDF("rk", "amount").withColumn("_sign", lit(sign))
+    svc.createJoinCube(cfgJ, left,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("rk", "amount"))          // v0
+    svc.updateJoinAggregates("tt", left.limit(0).withColumn("_sign",
+      lit(1L)), rdelta(Seq((1L, 5.0)), 1L))                      // v1
+    svc.updateJoinAggregates("tt", left.limit(0).withColumn("_sign",
+      lit(1L)), rdelta(Seq((2L, 20.0)), -1L))                    // v2
+    assert(svc.currentJoinCubeVersion("tt") == 2)
+    assert(svc.listJoinCubeVersions("tt") == Seq(0, 1, 2))
+    def at(v: Int): Map[String, Double] =
+      svc.getJoinAggregatesAsOf("tt", v, Seq("cat"), sumOf = Seq("amt"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    // every retained version is the exact historical fixpoint
+    assert(at(0) == Map("a" -> 10.0, "b" -> 20.0))
+    assert(at(1) == Map("a" -> 15.0, "b" -> 20.0))
+    assert(at(2) == Map("a" -> 15.0))
+    // a fourth publish slides the window: v0 GC'd, v1..v3 retained
+    svc.updateJoinAggregates("tt", left.limit(0).withColumn("_sign",
+      lit(1L)), rdelta(Seq((1L, 1.0)), 1L))                      // v3
+    assert(svc.listJoinCubeVersions("tt") == Seq(1, 2, 3))
+    assert(at(1) == Map("a" -> 15.0, "b" -> 20.0)) // history still exact
+    val refused = intercept[IllegalArgumentException] { at(0) }
+    assert(refused.getMessage.contains("not retained"))
+    // as-of never moves the head
+    assert(svc.currentJoinCubeVersion("tt") == 3)
+    svc.deleteJoinCube("tt")
+  }
+
   test("publish-crash recovery: name.old restored when the publish dir is missing") {
     val dir = Files.createTempDirectory("graft_svc_crash").toString
     val svc = new CubeService(spark, dir)

@@ -73,4 +73,29 @@ class FormatSpec extends AnyFunSuite {
       .collect().map(_.mkString("|")).toSeq
     assert(fromOrc == fromParquet)
   }
+
+  test("schema evolution: mergeSchema unions epochs, old rows NULL-backfill") {
+    val o = graft.Tables.orders(spark, sfDir)
+    val dir = Files.createTempDirectory("graft_sevo").toString
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.parquet(s"$dir/epoch1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.parquet(s"$dir/epoch2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/epoch1", s"$dir/epoch2")
+    // the unified schema carries the late column …
+    assert(merged.columns.contains("o_orderpriority"))
+    // … and rows written BEFORE it existed surface it as NULL — the
+    // mixed-physical-schema semantics q173 maps to a legacy default
+    val nulls = merged.filter(col("o_orderpriority").isNull)
+      .agg(count(lit(1))).head.getLong(0)
+    val evens = o.filter(col("o_orderkey") % 2 === 0).count()
+    assert(nulls == evens && evens > 0)
+    // without mergeSchema a single-footer read would MISS the column:
+    // pinning that the merged read is doing real work
+    val firstOnly = spark.read.parquet(s"$dir/epoch1")
+    assert(!firstOnly.columns.contains("o_orderpriority"))
+  }
 }
