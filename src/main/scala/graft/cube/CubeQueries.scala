@@ -527,7 +527,10 @@ object CubeQueries {
     * temp dir, a normalized source copy written beside it). */
   private val rollupRoutingCfg = CubeConfig("rollup_routing_demo", "events",
     dims = Seq(FieldDim("etype", "event_type"), TimeDim("day", "ts", "day")),
-    measures = Seq(Measure("value_sum", "value")))
+    measures = Seq(Measure("value_sum", "value")),
+    // q175's sketch measure rides in the SAME cube — one MV serving
+    // exact (q163) and approximate (q175) rollups side by side
+    sketches = Seq(Measure("users", "user_id")))
 
   private val rollupRoutingSetup = TrieMap.empty[(SparkSession, String), String]
   private def rollupRoutingSource(spark: SparkSession, sfDir: String): String =
@@ -538,10 +541,14 @@ object CubeQueries {
       CubeCatalog.install(spark)
       val srcDir = s"$dir/source"
       Tables.events(spark, sfDir)
-        .select(col("event_type"), col("ts"), col("value"))
+        .select(col("event_type"), col("ts"), col("value"), col("user_id"))
         .write.parquet(srcDir)
+      // approxDistinct opt-in is scoped to THIS registration; it only
+      // activates for approx_count_distinct leaves (q175), never
+      // changing what q163's exact aggregates are served from
       CubeCatalog.register(s"rollup_routing_demo@$sfDir",
-        CubeManager.load(spark, dir, "rollup_routing_demo"), srcDir)
+        CubeManager.load(spark, dir, "rollup_routing_demo"), srcDir,
+        approxDistinct = true)
       srcDir
     })
 
@@ -579,6 +586,45 @@ object CubeQueries {
     }.flatten
     require(scans.exists(_.endsWith("/rollup_routing_demo")),
       s"rollup routing did not fire; scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q175
+  /** SKETCH MEASURES through the grouping-set rewrite: a ROLLUP whose
+    * aggregates mix approx_count_distinct with exact sum/count, served
+    * ENTIRELY from q163's cube — the HLL leaf becomes
+    * estimate(union(per-cell `users` partials)) inside the same
+    * routed Expand, so every hierarchy level (per-etype/day, per-etype,
+    * grand total) unions the SAME maintained partials instead of
+    * re-scanning the source per set. Distinct does not add across
+    * cells; sketches union losslessly at fixed lgK — which is exactly
+    * why a distinct-count rollup is the query family that NEEDS the MV
+    * most at 100 TB (without it, |source| × |sets| with a shuffle per
+    * set). Same opt-in discipline as q140 (per-registration — the
+    * estimator changes, so routing is never silent); rows-only on the
+    * driver (datasketches HLL has no DuckDB twin), anchored by
+    * CubeRewriteSpec's per-set est-vs-exact bound and the pinned
+    * routed == cube-distinctOf grand total, with q163 hash-matching
+    * the exact measures of the very same routed plan shape. */
+  def q175SketchRollupRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = rollupRoutingSource(spark, sfDir)
+    val q = spark.read.parquet(srcDir)
+      .rollup(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(approx_count_distinct(col("user_id")).as("nd_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("value_sum"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .select(col("event_type").as("etype"),
+        col("day").cast("long").as("day_s"),
+        col("gid"), col("nd_users"), col("value_sum"), col("n"))
+      .orderBy(col("gid"), col("etype"), col("day_s"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.exists(_.endsWith("/rollup_routing_demo")),
+      s"sketch rollup routing did not fire; scans=$scans")
     q
   }
 
@@ -1181,6 +1227,7 @@ object CubeQueries {
     "q159_rolling_minmax" -> q159RollingMinmax,
     "q160_sql_having_routing" -> q160SqlHavingRouting,
     "q163_rollup_routing" -> q163RollupRouting,
+    "q175_sketch_rollup_routing" -> q175SketchRollupRouting,
     "q165_delete_extremes" -> q165DeleteExtremes,
     "q155_filter_routing" -> q155FilterRouting,
     "q156_join_subset_routing" -> q156JoinSubsetRouting,

@@ -912,6 +912,70 @@ class CubeRewriteSpec extends AnyFunSuite {
     assert(direct.nonEmpty)
   }
 
+  test("approx-distinct under ROLLUP routes to sketch partials per grouping set") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 600).map { _ =>
+      (Seq("click", "view", "buy")(rnd.nextInt(3)),
+        new Timestamp(1700000000000L + rnd.nextInt(4) * 3600000L),
+        1.0, rnd.nextInt(80).toLong)
+    }
+    val srcDir = Files.createTempDirectory("graft_rw_skr_src").toString
+    rows.toDF("event_type", "ts", "value", "user_id")
+      .write.mode("overwrite").parquet(srcDir)
+    val skCfg = cfg.copy(name = "rwskr",
+      sketches = Seq(Measure("users", "user_id")))
+    val cubeDir = Files.createTempDirectory("graft_rw_skr_cube").toString
+    CubeManager.save(
+      CubeManager.create(skCfg, spark.read.parquet(srcDir)), cubeDir)
+    // per-registration opt-in (no global flag): the grouping-set path
+    // must honor the same opt-in plumbing as the plain path
+    CubeCatalog.register("rwskr",
+      CubeManager.load(spark, cubeDir, "rwskr"), srcDir,
+      approxDistinct = true)
+    def q() = spark.read.parquet(srcDir)
+      .rollup(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(approx_count_distinct(col("user_id")).as("nd"),
+        sum(col("value").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"), grouping_id().as("gid"))
+    assert(scansOf(q()) == Seq(CubeCatalog.normalize(s"$cubeDir/rwskr")),
+      s"sketch rollup did not route: ${scansOf(q())}")
+    val routed = q().collect()
+    // all three hierarchy levels present
+    assert(routed.map(_.getAs[Long]("gid")).toSet == Set(0L, 1L, 3L))
+    // every grouping set's estimate is within HLL error of exact — the
+    // union across cells (and across hierarchy levels) is lossless at
+    // fixed lgK, so the same bound holds at every level
+    def exactOf(et: Option[String], hour: Option[Long]): Long =
+      rows.filter(r => et.forall(_ == r._1) &&
+          hour.forall(_ == r._2.getTime / 3600000L))
+        .map(_._4).distinct.size.toLong
+    routed.foreach { r =>
+      val gid = r.getAs[Long]("gid")
+      val et = if ((gid & 2L) == 0L) Some(r.getString(0)) else None
+      val h = if ((gid & 1L) == 0L)
+        Some(r.getTimestamp(1).getTime / 3600000L) else None
+      val exact = exactOf(et, h)
+      assert(math.abs(r.getAs[Long]("nd") - exact)
+          <= math.max(exact * 0.05, 2.0),
+        s"gid=$gid et=$et h=$h: estimate ${r.getAs[Long]("nd")} vs $exact")
+    }
+    // grand total: routed estimate == the cube's own global distinctOf
+    // read (same union of the same partials — bit-identical estimate)
+    val gt = routed.find(_.getAs[Long]("gid") == 3L).get.getAs[Long]("nd")
+    val served = CubeManager.query(CubeCatalog.registered("rwskr").cube,
+      Nil, distinctOf = Seq("users")).collect().head
+      .getAs[Long]("n_distinct_users")
+    assert(gt == served, s"grand-total estimate $gt != cube read $served")
+    // without the opt-in the same rollup must NOT route
+    CubeCatalog.register("rwskr",
+      CubeManager.load(spark, cubeDir, "rwskr"), srcDir)
+    assert(scansOf(q()) == Seq(CubeCatalog.normalize(srcDir)),
+      "sketch rollup must not route without the opt-in")
+    CubeCatalog.clear()
+  }
+
   test("rollup min/max over a delete-latched cube refuses; sum still routes") {
     import spark.implicits._
     val (srcDir, _) = setup()
