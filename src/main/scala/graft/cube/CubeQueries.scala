@@ -528,9 +528,11 @@ object CubeQueries {
   private val rollupRoutingCfg = CubeConfig("rollup_routing_demo", "events",
     dims = Seq(FieldDim("etype", "event_type"), TimeDim("day", "ts", "day")),
     measures = Seq(Measure("value_sum", "value")),
-    // q175's sketch measure rides in the SAME cube — one MV serving
-    // exact (q163) and approximate (q175) rollups side by side
-    sketches = Seq(Measure("users", "user_id")))
+    // q175's distinct sketch and q176's quantile sketch ride in the
+    // SAME cube — one MV serving exact (q163) and approximate
+    // (q175/q176) rollups side by side
+    sketches = Seq(Measure("users", "user_id")),
+    quantiles = Seq(Measure("value_dist", "value")))
 
   private val rollupRoutingSetup = TrieMap.empty[(SparkSession, String), String]
   private def rollupRoutingSource(spark: SparkSession, sfDir: String): String =
@@ -625,6 +627,48 @@ object CubeQueries {
     }.flatten
     require(scans.exists(_.endsWith("/rollup_routing_demo")),
       s"sketch rollup routing did not fire; scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q176
+  /** QUANTILE MEASURES through the same rewrite — percentile_approx
+    * over the registered source served from the cube's maintained KLL
+    * partials, plain and rolled: ranks do not add across cells (the
+    * reason exact percentiles can't live in a pre-aggregated cube at
+    * all, q130's argument), but KLL sketches MERGE, so the routed plan
+    * computes kll_quantile(merge(per-cell partials), p) at cost
+    * ∝ |cube| where the direct plan re-scans and re-sorts the source —
+    * per grouping set. The honesty gate mirrors q140's rsd rule on the
+    * accuracy knob: percentile_approx contracts rank error ≤
+    * 1/accuracy and the maintained k=200 sketch delivers ~1.65%, so
+    * only requests at or looser than that bound route (acc=50 here);
+    * percentile_approx(…, 10000) — tighter than the partials hold —
+    * recomputes from the source, loudly correct. Rows-only on the
+    * driver (KLL compaction is rank-randomized; no DuckDB twin);
+    * CubeRewriteSpec pins rank-band correctness per grouping set, the
+    * opt-in requirement, and both refusal edges (tight accuracy,
+    * array form). */
+  def q176QuantileRollupRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = rollupRoutingSource(spark, sfDir)
+    val q = spark.read.parquet(srcDir)
+      .rollup(col("event_type"))
+      .agg(
+        round(percentile_approx(col("value"), lit(0.5), lit(50)), 6)
+          .as("p50_value"),
+        round(percentile_approx(col("value"), lit(0.9), lit(50)), 6)
+          .as("p90_value"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .select(col("event_type").as("etype"), col("gid"),
+        col("p50_value"), col("p90_value"), col("n"))
+      .orderBy(col("gid"), col("etype"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.exists(_.endsWith("/rollup_routing_demo")),
+      s"quantile rollup routing did not fire; scans=$scans")
     q
   }
 
@@ -1228,6 +1272,7 @@ object CubeQueries {
     "q160_sql_having_routing" -> q160SqlHavingRouting,
     "q163_rollup_routing" -> q163RollupRouting,
     "q175_sketch_rollup_routing" -> q175SketchRollupRouting,
+    "q176_quantile_rollup_routing" -> q176QuantileRollupRouting,
     "q165_delete_extremes" -> q165DeleteExtremes,
     "q155_filter_routing" -> q155FilterRouting,
     "q156_join_subset_routing" -> q156JoinSubsetRouting,

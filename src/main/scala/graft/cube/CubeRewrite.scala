@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Cast, Expression, HllSketchEstimate, IsNotNull, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, HllUnionAgg, HyperLogLogPlusPlus, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Complete, Count, HllUnionAgg, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -48,11 +48,14 @@ import org.apache.spark.sql.types.DecimalType
   * served from the join cube. Dim-subset rollups and global rollups
   * route through the shared partial-binding machinery.
   *
-  * One opt-in relaxation: `approx_count_distinct(x)` routes to
-  * estimate(union(HLL partials)) when the cube maintains a sketch
-  * measure on x — approximate-to-approximate, but the estimator changes
-  * (HLL++ → datasketches HLL), so it is not answer-preserving and stays
-  * off by default. Opt in PER REGISTRATION
+  * One opt-in relaxation, covering the two estimator-changing leaves:
+  * `approx_count_distinct(x)` routes to estimate(union(HLL partials))
+  * when the cube maintains a sketch measure on x, and
+  * `percentile_approx(x, p, acc)` routes to
+  * kll_quantile(merge(KLL partials), p) when it maintains a quantile
+  * measure — approximate-to-approximate, but the estimators change
+  * (HLL++ → datasketches HLL; GK digest → KLL), so neither is
+  * answer-preserving and both stay off by default. Opt in PER REGISTRATION
   * (`CubeCatalog.register(..., approxDistinct = true)` — scoped to that
   * cube's source path, never leaking to unrelated queries) or globally
   * with `spark.graft.cube.approxDistinctRouting` = true. Two further
@@ -389,6 +392,21 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
           _.canonicalized == subst(e).canonicalized))
         .flatMap(m => cubeAttr(m.id))
 
+    // KLL quantile measure maintained on the same source column, for
+    // approx-percentile routing. The cube builds its partials from
+    // `CAST(path AS DOUBLE)` (Cube.scala), so a query child that is
+    // either the double column itself or that same cast matches.
+    private def quantileFor(e: Expression): Option[Attribute] = {
+      val base = subst(e) match {
+        case Cast(inner, org.apache.spark.sql.types.DoubleType, _, _) => inner
+        case other => other
+      }
+      cube.config.quantiles
+        .find(m => resolvePath(source, m.path).exists(
+          _.canonicalized == base.canonicalized))
+        .flatMap(m => cubeAttr(m.id))
+    }
+
     // min/max partial maintained on the same source column. EXACT (min
     // of mins == min over rows, same type — no estimate, no float
     // re-association), but insert-only: a delete-latched cube refuses
@@ -479,6 +497,38 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
               HllSketchEstimate(
                 ae.copy(aggregateFunction = HllUnionAgg(sk, Literal(false)))),
               Literal(0L)))
+          case _ => ok = false; ae
+        }
+      // percentile_approx(x, p, acc) → kll_quantile(merge(per-cell KLL
+      // partials), p) when the cube maintains a quantile measure on x.
+      // Same opt-in + delete-latch discipline as approx-distinct: both
+      // sides are approximate but the ESTIMATORS differ (GK digest vs
+      // KLL), so routing is never silent. Honesty gate on the accuracy
+      // knob: percentile_approx contracts rank error ≤ 1/accuracy,
+      // the maintained k=200 sketch delivers ~1.65% — a request for a
+      // tighter bound than the sketch holds refuses (acc ≲ 60 routes).
+      // Scalar foldable percentile only: the array form changes the
+      // result type, and a non-foldable rank can't become a literal.
+      case ae @ AggregateExpression(
+          ap: ApproximatePercentile, Complete, false, _, _)
+          if approxDistinctRoutingOn =>
+        val accOk = ap.accuracyExpression.foldable && {
+          val a = ap.accuracyExpression.eval()
+          a != null &&
+            1.0 / a.asInstanceOf[Number].longValue() >=
+              graft.functions.Kll.rankError()
+        }
+        val pOk = ap.percentageExpression.foldable &&
+          ap.percentageExpression.dataType ==
+            org.apache.spark.sql.types.DoubleType &&
+          ap.percentageExpression.eval() != null
+        quantileFor(ap.child) match {
+          case Some(sk) if accOk && pOk =>
+            graft.functions.KllQuantileExpr(
+              ae.copy(aggregateFunction = graft.functions.KllDoublesAgg(
+                sk, graft.functions.Kll.K, isMerge = true)),
+              Literal(ap.percentageExpression.eval()
+                .asInstanceOf[Double]))
           case _ => ok = false; ae
         }
       case ae @ AggregateExpression(Min(inner), Complete, false, _, _) =>

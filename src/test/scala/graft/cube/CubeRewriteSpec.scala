@@ -976,6 +976,78 @@ class CubeRewriteSpec extends AnyFunSuite {
     CubeCatalog.clear()
   }
 
+  test("percentile_approx routes to KLL partials, plain and under ROLLUP") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(37)
+    val rows = (0 until 800).map { _ =>
+      (Seq("click", "view", "buy")(rnd.nextInt(3)),
+        new Timestamp(1700000000000L + rnd.nextInt(4) * 3600000L),
+        math.round(rnd.nextDouble() * 10000) / 100.0)
+    }
+    val srcDir = Files.createTempDirectory("graft_rw_kll_src").toString
+    rows.toDF("event_type", "ts", "value").write.mode("overwrite")
+      .parquet(srcDir)
+    val qCfg = cfg.copy(name = "rwkll",
+      quantiles = Seq(Measure("vdist", "value")))
+    val cubeDir = Files.createTempDirectory("graft_rw_kll_cube").toString
+    CubeManager.save(
+      CubeManager.create(qCfg, spark.read.parquet(srcDir)), cubeDir)
+    // no opt-in yet: must NOT route (estimator change is never silent)
+    CubeCatalog.register("rwkll",
+      CubeManager.load(spark, cubeDir, "rwkll"), srcDir)
+    def plain() = spark.read.parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(50)).as("p50"))
+    assert(scansOf(plain()) == Seq(CubeCatalog.normalize(srcDir)),
+      "percentile must not route without the opt-in")
+    CubeCatalog.register("rwkll",
+      CubeManager.load(spark, cubeDir, "rwkll"), srcDir,
+      approxDistinct = true)
+    assert(scansOf(plain()) == Seq(CubeCatalog.normalize(s"$cubeDir/rwkll")),
+      s"opted-in percentile did not route: ${scansOf(plain())}")
+    // the routed estimate merges the same partials the cube's own
+    // quantilesOf read merges, but KLL compaction is randomized per
+    // merge order, so estimates are pinned by RANK BAND (the q130/q141
+    // discipline), not bit equality: every served value must sit
+    // within the sketch's rank error of the requested rank
+    val got = plain().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val sorted = rs.map(_._3).sorted
+      val rank = sorted.indexWhere(_ >= got(t)).toDouble / sorted.size
+      assert(math.abs(rank - 0.5) <= 0.05,
+        s"$t: served p50 ${got(t)} sits at rank $rank")
+    }
+    // ROLLUP: the same leaf routes through the Expand path
+    def rolled() = spark.read.parquet(srcDir)
+      .rollup(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.9), lit(50)).as("p90"),
+        count(lit(1)).as("n"), grouping_id().as("gid"))
+    assert(scansOf(rolled()) == Seq(CubeCatalog.normalize(s"$cubeDir/rwkll")),
+      s"rollup percentile did not route: ${scansOf(rolled())}")
+    val gt = rolled().collect().find(_.getAs[Long]("gid") == 1L).get
+    val all = rows.map(_._3).sorted
+    val gtRank = all.indexWhere(_ >= gt.getAs[Double]("p90")).toDouble / all.size
+    assert(math.abs(gtRank - 0.9) <= 0.05,
+      s"grand-total p90 ${gt.getAs[Double]("p90")} sits at rank $gtRank")
+    // a request for tighter rank error than the sketch holds refuses
+    def tight() = spark.read.parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"))
+    assert(scansOf(tight()) == Seq(CubeCatalog.normalize(srcDir)),
+      "tighter-than-sketch accuracy must not route")
+    // the array-percentile form changes the result type: refuses
+    def arr() = spark.read.parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9)),
+        lit(50)).as("ps"))
+    assert(scansOf(arr()) == Seq(CubeCatalog.normalize(srcDir)),
+      "array percentile must not route")
+    // a column with no quantile measure refuses (ts is a dim)
+    CubeCatalog.clear()
+  }
+
   test("rollup min/max over a delete-latched cube refuses; sum still routes") {
     import spark.implicits._
     val (srcDir, _) = setup()
