@@ -208,13 +208,18 @@ object CubeManager {
     * to those cells — cost ∝ |touched cells' rows| (a dim-predicate the
     * scan pushes down; at 100 TB, partition pruning on a dim-partitioned
     * fact table), never a full recompute — and only UNTOUCHED cells keep
-    * their merged partials, so delete-then-query equals a from-scratch
-    * recompute (CubeSpec pins it) and the `hasDeletes` latch no longer
-    * trips for extremes. Sketch/quantile measures stay insert-only
-    * (recomputing a sketch needs the full cell scanned back through the
-    * sketch builder — the same cost, deliberately not hidden behind a
-    * fold), so a sketch-carrying cube still latches; without `source`,
-    * extremes latch exactly as before. */
+    * their merged partials. The recompute covers EVERY non-invertible
+    * partial family the cube maintains — min/max, HLL sketches, KLL
+    * quantiles, CMS freq counters + candidates — rebuilt per touched
+    * cell with the exact builder expressions [[create]] uses, so
+    * delete-then-query equals a from-scratch recompute for all of them
+    * (CubeSpec pins extremes bit-equal, HLL/CMS estimate-equal, KLL
+    * within rank band) and the `hasDeletes` latch never trips when the
+    * source is at hand. Sums and counts stay on the signed fold — they
+    * are invertible, and rescanning for them would be waste. Without
+    * `source` nothing non-invertible is fixable and the latch trips
+    * exactly as before: the cube keeps serving exact sums/counts while
+    * sketch/extreme serves refuse loudly. */
   def applyDeltas(cube: Cube, deltas: DataFrame,
       source: Option[DataFrame] = None): Cube = {
     val cfg = cube.config
@@ -227,9 +232,9 @@ object CubeManager {
       cfg.extremes.nonEmpty || cfg.freq.nonEmpty
     val deletesPresent =
       sketchy && !deltas.filter(col("_sign") < 0).isEmpty
-    // extremes are fixable when the source is at hand; sketches never
-    val unfixable = cfg.sketches.nonEmpty || cfg.quantiles.nonEmpty ||
-      cfg.freq.nonEmpty || (cfg.extremes.nonEmpty && source.isEmpty)
+    // EVERY non-invertible family is fixable by targeted recompute when
+    // the current source is at hand; none is without it
+    val unfixable = sketchy && source.isEmpty
     val hasDeletes = cube.hasDeletes || (unfixable && deletesPresent)
     val deltaSums = cfg.measures.map(m =>
       sum(col("_sign") * col(m.path).cast(Dec)).cast(Dec).as(m.id))
@@ -261,49 +266,70 @@ object CubeManager {
           :+ sum(col("_sign")).as(CountCol)): _*)
     val merged = mergePartials(cfg, cube.aggregates, deltaAgg)
     val finalAgg = source match {
-      case Some(src) if cfg.extremes.nonEmpty && deletesPresent =>
-        refreshTouchedExtremes(cfg, merged, deltas, src)
+      case Some(src) if deletesPresent =>
+        refreshTouchedPartials(cfg, merged, deltas, src)
       case _ => merged
     }
     Cube(cfg, finalAgg, hasDeletes)
   }
 
-  /** Targeted extreme recompute for delete-capable min/max (see
-    * [[applyDeltas]]): the delete rows' dimension cells are collected
-    * as a (small — one row per touched cell) broadcast frame, the
-    * source is semi-joined down to exactly those cells (null-safe: a
-    * null dim value is a real cell), their true min/max recomputed,
-    * and ONLY those cells' partials replaced in the merged state.
-    * Untouched cells never rescan the source. */
-  private def refreshTouchedExtremes(cfg: CubeConfig, merged: DataFrame,
+  /** Targeted partial recompute for delete-capable non-invertible
+    * measures (see [[applyDeltas]]): the delete rows' dimension cells
+    * are collected as a (small — one row per touched cell) broadcast
+    * frame, the source is semi-joined down to exactly those cells
+    * (null-safe: a null dim value is a real cell), their min/max, HLL,
+    * KLL, and CMS partials rebuilt with the SAME builder expressions
+    * [[create]] uses — so a recomputed cell is bit-for-bit what a
+    * from-scratch create would hold — and ONLY those cells' partials
+    * replaced in the merged state. Untouched cells never rescan the
+    * source; sums/counts are invertible and never enter here. */
+  private def refreshTouchedPartials(cfg: CubeConfig, merged: DataFrame,
       deltas: DataFrame, src: DataFrame): DataFrame = {
     val tmpNames = cfg.dims.map(d => s"__cell_${d.id}")
     val touched = deltas.filter(col("_sign") < 0)
       .select(cfg.dimCols: _*).distinct()
+    val nonInvertible =
+      cfg.extremes ++ cfg.sketches ++ cfg.quantiles ++ cfg.freq
     val srcCells = src.select(
       (cfg.dims.zip(tmpNames).map { case (d, t) => d.expr.as(t) } ++
-        cfg.extremes.map(m => col(m.path).as(s"__v_${m.id}"))): _*)
+        nonInvertible.map(m => col(m.path).as(s"__v_${m.id}"))): _*)
     val semiCond = cfg.dims.zip(tmpNames)
       .map { case (d, t) => srcCells(t) <=> touched(d.id) }
       .reduce(_ && _)
-    val extAggs = cfg.extremes.flatMap(m => Seq(
-      min(col(s"__v_${m.id}")).as(s"__fresh_${m.id}_min"),
-      max(col(s"__v_${m.id}")).as(s"__fresh_${m.id}_max")))
+    val freshAggs =
+      cfg.extremes.flatMap(m => Seq(
+        min(col(s"__v_${m.id}")).as(s"__fresh_${m.id}_min"),
+        max(col(s"__v_${m.id}")).as(s"__fresh_${m.id}_max"))) ++
+      cfg.sketches.map(m =>
+        hll_sketch_agg(col(s"__v_${m.id}"), SketchLgK)
+          .as(s"__fresh_${m.id}")) ++
+      cfg.quantiles.map(m =>
+        graft.functions.Kll.sketchAgg(col(s"__v_${m.id}").cast("double"))
+          .as(s"__fresh_${m.id}")) ++
+      cfg.freq.flatMap(m => Seq(
+        graft.functions.CountMinSketch.sketch(col(s"__v_${m.id}"))
+          .as(s"__fresh_${m.id}"),
+        transform(
+          graft.functions.CountMinSketch
+            .approxTopK(col(s"__v_${m.id}"), FreqCand),
+          s => s.getField("key")).as(s"__fresh_${m.id}_cand")))
     val fresh = srcCells.join(broadcast(touched), semiCond, "left_semi")
       .groupBy(tmpNames.map(col): _*)
-      .agg(extAggs.head, extAggs.tail: _*)
+      .agg(freshAggs.head, freshAggs.tail: _*)
       .withColumn("__fresh_hit", lit(true))
     val joinCond = cfg.dims.zip(tmpNames)
       .map { case (d, t) => fresh(t) <=> merged(d.id) }
       .reduce(_ && _)
-    val extCols = cfg.extremes
-      .flatMap(m => Seq(s"${m.id}_min", s"${m.id}_max")).toSet
+    val replacedCols: Set[String] =
+      cfg.extremes.flatMap(m => Seq(s"${m.id}_min", s"${m.id}_max")).toSet ++
+        cfg.sketches.map(_.id) ++ cfg.quantiles.map(_.id) ++
+        cfg.freq.flatMap(m => Seq(m.id, s"${m.id}_cand"))
     merged.join(broadcast(fresh), joinCond, "left_outer")
       .select(merged.columns.toSeq.map { c =>
-        if (extCols.contains(c))
-          // hit-flag, not coalesce: a recomputed NULL extreme (the cell's
-          // remaining values are all null) must still REPLACE the stale
-          // stored bound
+        if (replacedCols.contains(c))
+          // hit-flag, not coalesce: a recomputed NULL partial (the
+          // cell's remaining values are all null) must still REPLACE
+          // the stale stored one
           when(col("__fresh_hit"), col(s"__fresh_$c"))
             .otherwise(merged(c)).as(c)
         else merged(c)

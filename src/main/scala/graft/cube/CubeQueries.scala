@@ -718,6 +718,64 @@ object CubeQueries {
         col("n_rows").cast("long").as("n"))
       .orderBy(col("etype"))
 
+  // --------------------------------------------------------------- q177
+  /** Graded: DELETE-CAPABLE SKETCHES — q165's targeted cell recompute
+    * generalized to every non-invertible partial family. A fold that
+    * carries the post-delta source now rebuilds the touched cells'
+    * HLL, KLL, and CMS partials (plus extremes) with the create-time
+    * builder expressions, bounded by the touched cells' source rows —
+    * so ONE delete no longer permanently degrades every sketch serve
+    * of the cube, the failure mode the q158-era latch traded away.
+    * Setup folds a delete batch (every 7th event) with the source
+    * through the same `CubeService.updateAggregates(…, source = …)`
+    * verb; the graded query serves approx-distinct users AND p50 value
+    * AND the exact sum/count per event type from the maintained cube —
+    * the serve itself is the latch proof, because a latched cube
+    * REFUSES distinctOf/quantilesOf requests. Rows-only (HLL/KLL
+    * estimates); CubeSpec pins folded == from-scratch per family
+    * (HLL and CMS estimate-equal, extremes bit-equal, KLL rank band)
+    * and that the sourceless fold still latches. */
+  private val deleteSketchSetup =
+    TrieMap.empty[(SparkSession, String), CubeService]
+  private def deleteSketchService(spark: SparkSession,
+      sfDir: String): CubeService =
+    deleteSketchSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_delsk").toString
+      val svc = new CubeService(spark, dir)
+      // CMS keys are strings; feed a derived uid string column (the
+      // create-time projection, carried identically by delta + source)
+      val events = Tables.events(spark, sfDir)
+        .withColumn("uid_s", col("user_id").cast("string"))
+      svc.createCube(
+        CubeConfig("delete_sketches", "events",
+          dims = Seq(FieldDim("etype", "event_type")),
+          measures = Seq(Measure("value_sum", "value")),
+          sketches = Seq(Measure("users", "user_id")),
+          quantiles = Seq(Measure("value_dist", "value")),
+          extremes = Seq(Measure("value", "value")),
+          freq = Seq(Measure("uid_top", "uid_s"))),
+        events)
+      svc.updateAggregates("delete_sketches",
+        events.filter(col("event_id") % 7 === 0).withColumn("_sign", lit(-1)),
+        source = Some(events.filter(col("event_id") % 7 =!= 0)))
+      svc
+    })
+
+  def q177DeleteSketches(spark: SparkSession, sfDir: String): DataFrame =
+    deleteSketchService(spark, sfDir)
+      .getAggregates("delete_sketches", Seq("etype"),
+        sumOf = Seq("value_sum"), distinctOf = Seq("users"),
+        quantilesOf = Seq(("value_dist", 0.5)),
+        minOf = Seq("value"), maxOf = Seq("value"))
+      .select(col("etype"),
+        col("n_distinct_users").as("nd_users"),
+        round(col("p50_value_dist"), 6).as("p50_value"),
+        round(col("sum_value_sum"), 2).as("value_sum"),
+        col("min_value"), col("max_value"),
+        col("n_rows").cast("long").as("n"))
+      .orderBy(col("etype"))
+
   // --------------------------------------------------------------- q159
   /** Graded: ROLLING trailing-window MIN/MAX served from maintained
     * daily extreme partials through `CubeService.getRolling` — the
@@ -1274,6 +1332,7 @@ object CubeQueries {
     "q175_sketch_rollup_routing" -> q175SketchRollupRouting,
     "q176_quantile_rollup_routing" -> q176QuantileRollupRouting,
     "q165_delete_extremes" -> q165DeleteExtremes,
+    "q177_delete_sketches" -> q177DeleteSketches,
     "q155_filter_routing" -> q155FilterRouting,
     "q156_join_subset_routing" -> q156JoinSubsetRouting,
   )

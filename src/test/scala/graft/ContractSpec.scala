@@ -35,7 +35,8 @@ class ContractSpec extends AnyFunSuite {
       "q164_ann_index_serve", // persisted-index IVF serve (AnnIndexSpec pins == q51 in-session)
       "q168_cube_topk",       // cube-served CMS heavy hitters (q167 is the exact anchor; CubeSpec pins)
       "q175_sketch_rollup_routing", // HLL estimates rolled through the routed Expand (CubeRewriteSpec pins per-set est-vs-exact; q163 hash-matches the exact twin measures)
-      "q176_quantile_rollup_routing"), // KLL estimates through the same rewrite (rank-randomized; CubeRewriteSpec pins rank bands + refusal edges)
+      "q176_quantile_rollup_routing", // KLL estimates through the same rewrite (rank-randomized; CubeRewriteSpec pins rank bands + refusal edges)
+      "q177_delete_sketches"), // HLL/KLL estimates from a delete-processed cube (CubeSpec pins folded == from-scratch per family; the serve itself proves the latch stayed open)
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -2,7 +2,7 @@ package graft.cube
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -355,12 +355,85 @@ class CubeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       CubeManager.query(latched, Seq("k"), minOf = Seq("value"))
     }
-    // a sketch-carrying cube latches even WITH the source (a sketch
-    // cannot be recomputed from partials; extremes alone can)
+    // a sketch-carrying cube is delete-capable WITH the source too —
+    // touched cells' sketches are rebuilt from the source with the
+    // create-time builders, so the fold does not latch
     val scfg = cfg.copy(name = "dmm2",
       sketches = Seq(Measure("u", "event_type")))
     val scube = CubeManager.create(scfg, base)
-    assert(CubeManager.applyDeltas(scube, deletes, Some(remaining)).hasDeletes)
+    assert(!CubeManager.applyDeltas(scube, deletes, Some(remaining))
+      .hasDeletes)
+    // …and WITHOUT the source it latches exactly as before
+    assert(CubeManager.applyDeltas(scube, deletes).hasDeletes)
+  }
+
+  test("delete-capable sketches: all non-invertible families recompute, no latch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val all = (0 until 400).map { i =>
+      (Seq("a", "b", "c")(rnd.nextInt(3)),
+        math.round(rnd.nextDouble() * 1000) / 10.0,
+        (rnd.nextInt(50) + 1).toLong,
+        s"w${rnd.nextInt(12)}")
+    }
+    val cfg = CubeConfig("dsk", "mem",
+      Seq(FieldDim("k", "grp")),
+      Seq(Measure("v", "value")),
+      sketches = Seq(Measure("users", "uid")),
+      quantiles = Seq(Measure("vdist", "value")),
+      extremes = Seq(Measure("vx", "value")),
+      freq = Seq(Measure("words", "word")))
+    def df(rows: Seq[(String, Double, Long, String)]) =
+      rows.toDF("grp", "value", "uid", "word")
+    val cube = CubeManager.create(cfg, df(all))
+    // delete every 'a' row with value below the group median-ish cut,
+    // plus a few 'b' rows — two touched cells, one untouched ('c')
+    val gone = all.filter(r => (r._1 == "a" && r._2 < 50.0) ||
+      (r._1 == "b" && r._4 == "w3"))
+    assert(gone.nonEmpty && gone.exists(_._1 == "a")
+      && gone.exists(_._1 == "b"))
+    val remaining = all.diff(gone)
+    val folded = CubeManager.applyDeltas(cube,
+      df(gone).withColumn("_sign", lit(-1L)), Some(df(remaining)))
+    assert(!folded.hasDeletes, "all-family delete-capable fold latched")
+    val scratch = CubeManager.create(cfg, df(remaining))
+    // HLL: estimate-equal to from-scratch (union at fixed lgK is
+    // register-equivalent; touched cells are literally re-built)
+    def distincts(c: Cube) = CubeManager.query(c, Seq("k"),
+        distinctOf = Seq("users")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct_users")).toMap
+    assert(distincts(folded) == distincts(scratch),
+      s"HLL diverged: ${distincts(folded)} vs ${distincts(scratch)}")
+    // extremes: bit-equal
+    def exts(c: Cube) = CubeManager.query(c, Seq("k"),
+        minOf = Seq("vx"), maxOf = Seq("vx")).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("min_vx"), r.getAs[Double]("max_vx"))).toMap
+    assert(exts(folded) == exts(scratch))
+    // CMS heavy hitters: count-equal (CMS is linear; rebuilt cells are
+    // exact create-time builds, untouched cells additive == one-pass)
+    def tops(c: Cube) = CubeManager.query(c, Seq("k"),
+        topkOf = Seq(("words", 3))).collect()
+      .map(r => r.getString(0) -> r.getAs[Seq[Row]]("topk_words")
+        .map(x => (x.getString(0), x.getLong(1))).toSet).toMap
+    assert(tops(folded) == tops(scratch),
+      s"CMS diverged: ${tops(folded)} vs ${tops(scratch)}")
+    // KLL: rank-randomized, so rank-band vs exact per group
+    val p50 = CubeManager.query(folded, Seq("k"),
+        quantilesOf = Seq(("vdist", 0.5))).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("p50_vdist")).toMap
+    remaining.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val rank = sorted.indexWhere(_ >= p50(g)).toDouble / sorted.size
+      assert(math.abs(rank - 0.5) <= 0.05,
+        s"group $g: folded p50 ${p50(g)} at rank $rank")
+    }
+    // the deleted values are really unseeable: the dominant deleted
+    // word w3 must not surface in b's served top-k unless it survives
+    val bW3Remaining = remaining.count(r => r._1 == "b" && r._4 == "w3")
+    assert(bW3Remaining == 0)
+    assert(!tops(folded)("b").exists(_._1 == "w3"),
+      "deleted word still served from b's rebuilt CMS")
   }
 
   test("quantile measures: create/fold/query/persist lifecycle, merge-safe rank bound") {
