@@ -30,6 +30,7 @@ final case class AnnIndex(name: String, k: Int, lloydIters: Int,
   * <name>.ann/v<j>/meta         "k=…\nlloydIters=…"
   * <name>.ann/v<j>/batch_id     replay guard (streaming upserts)
   * <name>.ann/v<j>/stream_id    stream identity the batch_id belongs to
+  * <name>.ann/v<j>/tombstones/  delete sidecar: (vec_id, up_to_seg)
   * <name>.ann/seg<j>/           vector parquet PARTITIONED BY cent_id
   * }}}
   *
@@ -48,10 +49,18 @@ final case class AnnIndex(name: String, k: Int, lloydIters: Int,
   *   literal `IN` filter, so the scan reads ONLY the probed cluster
   *   directories: query cost ∝ probed-cluster volume, not corpus size,
   *   straight from disk with no shuffle of the big side.
-  * - Deletes are REFUSED (an insert-only index): a tombstone would have
-  *   to mask a row inside an immutable segment. The honest upgrade path
-  *   at scale is a delete-bitmap sidecar per segment, not silent row
-  *   loss — until then the refusal is loud.
+  * - Deletes use a TOMBSTONE SIDECAR, never a segment rewrite: each
+  *   version carries a small `(vec_id, up_to_seg)` parquet set meaning
+  *   "this id's rows in segments numbered ≤ up_to_seg are dead". A
+  *   delete stamps the CURRENT max segment number, so a later re-insert
+  *   (which always lands in a HIGHER-numbered segment) is live again
+  *   with no tombstone surgery, and an update (delete + insert in one
+  *   change batch) serves only its new row. The mask is applied at load
+  *   as one BROADCAST anti-join (the sidecar is delta-sized; segments
+  *   stay immutable), so delete cost is ∝ |deletes| at any index size —
+  *   the LSM delete-bitmap economics. [[compactIndex]] physically drops
+  *   masked rows and clears the sidecar; run it when the sidecar, not
+  *   the data, has grown into the read path.
   *
   * Streaming maintenance composes the change-stream seam
   * ([[graft.sources.MongoChangeStream]] wire format): each micro-batch
@@ -105,6 +114,26 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
     java.nio.file.Files.readString(vdir(name, v).resolve("segments"))
       .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
 
+  private def segSeq(seg: String): Int = seg.stripPrefix("seg").toInt
+
+  /** The version's tombstone sidecar — empty frame when none exists. */
+  private def tombstonesOf(name: String, v: Int): DataFrame = {
+    val dir = vdir(name, v).resolve("tombstones")
+    if (dir.toFile.exists() && v >= 0)
+      spark.read.parquet(dir.toString)
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Int)].toDF("vec_id", "up_to_seg")
+    }
+  }
+
+  /** Public (spec-facing) view of the live sidecar. */
+  def tombstones(name: String): DataFrame = {
+    val v = version(name)
+    require(v >= 0, s"ANN index '$name' does not exist under $storageDir")
+    tombstonesOf(name, v)
+  }
+
   private def metaOf(name: String, v: Int): (Int, Int) = {
     val m = java.nio.file.Files.readString(vdir(name, v).resolve("meta"))
       .linesIterator.map(_.split('=')).map(a => a(0) -> a(1).toInt).toMap
@@ -129,12 +158,24 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
     * when no retained version can still list them. */
   private def publish(name: String, v: Int, cents: DataFrame,
       segments: Seq[String], k: Int, lloydIters: Int,
-      batchId: Option[Long], sid: Option[String]): AnnIndex = {
+      batchId: Option[Long], sid: Option[String],
+      tombs: Option[DataFrame] = None): AnnIndex = {
     val lb = batchId.getOrElse(lastBatch(name))
     val s = sid.orElse(streamId(name))
     val dir = vdir(name, v)
     java.nio.file.Files.createDirectories(dir)
     cents.write.mode("overwrite").parquet(dir.resolve("centroids").toString)
+    // the sidecar is version-complete: every publish writes the full
+    // (delta-sized) set — explicit when the fold changed it, carried
+    // forward from the previous version otherwise. Deduped to one row
+    // per id (max up_to_seg wins — the widest mask subsumes the rest).
+    val carried = tombs.getOrElse(
+      if (v > 0) tombstonesOf(name, v - 1)
+      else { import spark.implicits._
+        Seq.empty[(Long, Int)].toDF("vec_id", "up_to_seg") })
+    carried.groupBy(col("vec_id"))
+      .agg(max(col("up_to_seg")).as("up_to_seg"))
+      .write.mode("overwrite").parquet(dir.resolve("tombstones").toString)
     java.nio.file.Files.writeString(dir.resolve("segments"),
       segments.mkString("\n"))
     java.nio.file.Files.writeString(dir.resolve("meta"),
@@ -185,12 +226,24 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
     require(v >= 0, s"ANN index '$name' does not exist under $storageDir")
     val (k, iters) = metaOf(name, v)
     val cents = spark.read.parquet(vdir(name, v).resolve("centroids").toString)
-    val vecs = segmentsOf(name, v)
+    val raw = segmentsOf(name, v)
       .map(s => spark.read.parquet(root(name).resolve(s).toString)
         // partition-column values come back as inferred ints — restore
         // the long key the probes join on
-        .withColumn("cent_id", col("cent_id").cast("long")))
+        .withColumn("cent_id", col("cent_id").cast("long"))
+        // segment sequence: the tombstone mask's time axis
+        .withColumn("_seg", lit(segSeq(s))))
       .reduce(_.unionByName(_))
+    // apply the delete mask: a tombstone (id, u) kills id's rows in
+    // segments ≤ u. One broadcast anti-join — the sidecar is small by
+    // construction (∝ deletes since last compaction), the corpus never
+    // shuffles for it.
+    val tombs = tombstonesOf(name, v)
+    val vecs = raw.join(broadcast(tombs),
+        raw("vec_id") === tombs("vec_id") &&
+          raw("_seg") <= tombs("up_to_seg"),
+        "left_anti")
+      .drop("_seg")
     AnnIndex(name, k, iters, cents, vecs)
   }
 
@@ -243,18 +296,54 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
     fold(name, newVectors, None, None)
   }
 
+  /** Tombstone a set of vector ids (`ids`: one `vec_id` column). Marks
+    * every existing row of those ids dead by stamping the CURRENT max
+    * segment number — a later upsert of the same id lands in a higher
+    * segment and is live again without touching the sidecar. Cost:
+    * one delta-sized parquet write and a manifest swap; no segment is
+    * read, let alone rewritten. */
+  def deleteVectors(name: String, ids: DataFrame): AnnIndex = {
+    require(!autoUpdates.get(name).exists(_.isActive),
+      s"stop auto-update on '$name' before a manual delete — " +
+        "concurrent manifest publishes would race")
+    val v = version(name)
+    require(v >= 0, s"ANN index '$name' does not exist under $storageDir")
+    val idx = loadIndex(name)
+    val maxSeq = segmentsOf(name, v).map(segSeq).max
+    val newTombs = ids.select(col("vec_id").cast("long").as("vec_id"),
+      lit(maxSeq).as("up_to_seg"))
+    publish(name, v + 1, idx.centroids, segmentsOf(name, v),
+      idx.k, idx.lloydIters, None, None,
+      tombs = Some(tombstonesOf(name, v).unionByName(newTombs)))
+  }
+
   /** The shared fold (manual verb + the stream's own foreachBatch —
-    * which must NOT trip the concurrent-maintainer guard above). */
+    * which must NOT trip the concurrent-maintainer guard above).
+    * `deleteIds` (vec_id) are tombstoned in the SAME publish, stamped
+    * with the pre-fold max segment — so a change batch that updates a
+    * vector (delete + insert of one id) masks every old row while its
+    * new row, landing in the new higher-numbered segment, serves. */
   private def fold(name: String, newVectors: DataFrame,
-      batchId: Option[Long], sid: Option[String]): AnnIndex = {
+      batchId: Option[Long], sid: Option[String],
+      deleteIds: Option[DataFrame] = None): AnnIndex = {
     val v = version(name)
     val idx = loadIndex(name)
-    val seg = s"seg${v + 1}"
-    Similarity.assignWithVec(withNorm(newVectors), idx.centroids)
-      .write.partitionBy("cent_id")
-      .parquet(root(name).resolve(seg).toString)
-    publish(name, v + 1, idx.centroids, segmentsOf(name, v) :+ seg,
-      idx.k, idx.lloydIters, batchId, sid)
+    val prevSegs = segmentsOf(name, v)
+    val maxSeq = prevSegs.map(segSeq).max
+    val tombs = deleteIds.map(ids =>
+      tombstonesOf(name, v).unionByName(
+        ids.select(col("vec_id").cast("long").as("vec_id"),
+          lit(maxSeq).as("up_to_seg"))))
+    val hasInserts = !newVectors.isEmpty
+    val segs = if (hasInserts) {
+      val seg = s"seg${v + 1}"
+      Similarity.assignWithVec(withNorm(newVectors), idx.centroids)
+        .write.partitionBy("cent_id")
+        .parquet(root(name).resolve(seg).toString)
+      prevSegs :+ seg
+    } else prevSegs
+    publish(name, v + 1, idx.centroids, segs,
+      idx.k, idx.lloydIters, batchId, sid, tombs)
   }
 
   /** Merge every live segment into ONE new segment (still partitioned
@@ -275,22 +364,27 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
         "concurrent manifest publishes would race")
     val v = version(name)
     val idx = loadIndex(name)
-    if (segmentsOf(name, v).size <= 1) idx // already compact — no-op
+    val noTombs = tombstonesOf(name, v).isEmpty
+    if (segmentsOf(name, v).size <= 1 && noTombs) idx // compact — no-op
     else {
       val seg = s"seg${v + 1}"
       // overwrite: a crashed earlier fold/compact may have left data at
-      // this name without ever publishing it
+      // this name without ever publishing it. idx.vectors is already
+      // tombstone-masked, so compaction PHYSICALLY drops deleted rows —
+      // and the sidecar resets to empty (nothing left to mask).
       idx.vectors.write.mode("overwrite").partitionBy("cent_id")
         .parquet(root(name).resolve(seg).toString)
       publish(name, v + 1, idx.centroids, Seq(seg), idx.k, idx.lloydIters,
-        None, None)
+        None, None, tombs = Some({ import spark.implicits._
+          Seq.empty[(Long, Int)].toDF("vec_id", "up_to_seg") }))
     }
   }
 
-  /** Continuous maintenance from a directory of change-event JSON lines
-    * (insert-only: any decoded delete/update pre-image refuses the
-    * batch — see the class doc). `docSchema` must describe
-    * (vec_id, embedding). Replay and re-home semantics follow
+  /** Continuous maintenance from a directory of change-event JSON lines:
+    * inserts land as new segments, deletes and update pre-images as
+    * tombstones, both in one consistent publish per micro-batch (see
+    * the class doc). `docSchema` must describe (vec_id, embedding).
+    * Replay and re-home semantics follow
     * [[graft.cube.CubeService.startJoinAutoUpdate]]. */
   def startAutoUpdate(name: String, changeDir: String,
       docSchema: StructType,
@@ -323,12 +417,14 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId > lastBatch(name)) {
           val delta = graft.sources.MongoChangeStream.decode(batch, docSchema)
-          // loud refusal beats silent divergence: a delete or update
-          // pre-image cannot be applied to immutable segments
-          require(delta.filter(col("_sign") < 0).isEmpty,
-            s"ANN index '$name' is insert-only; the change batch " +
-              "carries deletes/updates (see AnnIndexService scaladoc)")
-          fold(name, delta.drop("_sign"), Some(batchId), Some(identity))
+          // deletes/update-pre-images become tombstones in the SAME
+          // publish as the batch's inserts: an update (delete + insert
+          // of one id) masks the old rows while the new row, landing in
+          // the new higher-numbered segment, serves
+          val dels = delta.filter(col("_sign") < 0).select(col("vec_id"))
+          val ins = delta.filter(col("_sign") > 0).drop("_sign")
+          fold(name, ins, Some(batchId), Some(identity),
+            deleteIds = if (dels.isEmpty) None else Some(dels))
           ()
         }
       }

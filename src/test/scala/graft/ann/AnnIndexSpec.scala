@@ -148,7 +148,7 @@ class AnnIndexSpec extends AnyFunSuite {
       == before.size)
   }
 
-  test("streaming maintenance: insert batches fold once; deletes refuse; re-home guarded") {
+  test("streaming maintenance: insert batches fold once; deletes tombstone; re-home guarded") {
     val dir = Files.createTempDirectory("graft_ann_stream").toString
     val svc = new AnnIndexService(spark, dir)
     svc.createIndex("sx", corpus(), k = 4, lloydIters = 1)
@@ -205,15 +205,71 @@ class AnnIndexSpec extends AnyFunSuite {
     svc.stopAutoUpdate("sx")
     assert(svc.loadIndex("sx").vectors.filter(col("vec_id") === 3000L)
       .count() == 1, "re-homed stream's first batch was skipped")
-    // a delete event refuses loudly (insert-only index)
+    // a streamed delete event tombstones the vector in the same publish
     Files.writeString(Paths.get(changesB, "b1.json"),
       """{"operationType":"delete","fullDocumentBeforeChange":{"vec_id":3000,"embedding":[1,0,0,0,0,0]}}""")
     val q4 = svc.startAutoUpdate("sx", changesB, docSchema)
-    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q4.processAllAvailable()
-    }
+    q4.processAllAvailable()
     svc.stopAutoUpdate("sx")
+    assert(svc.loadIndex("sx").vectors.filter(col("vec_id") === 3000L)
+      .count() == 0, "streamed delete did not mask the vector")
+    // a streamed UPDATE (replace) masks the old rows and serves the new
+    Files.writeString(Paths.get(changesB, "b2.json"),
+      """{"operationType":"replace","fullDocument":{"vec_id":2000,"embedding":[9,0,0,0,0,0]},"fullDocumentBeforeChange":{"vec_id":2000,"embedding":[0.1,0.2,0.3,0.4,0.5,0.6]}}""")
+    val q5 = svc.startAutoUpdate("sx", changesB, docSchema)
+    q5.processAllAvailable()
+    svc.stopAutoUpdate("sx")
+    val served2000 = svc.loadIndex("sx").vectors
+      .filter(col("vec_id") === 2000L).collect()
+    assert(served2000.length == 1, s"update left ${served2000.length} rows")
+    assert(served2000.head.getAs[Seq[Float]]("embedding").head == 9f,
+      "update serves the stale embedding")
     svc.deleteIndex("sx")
+  }
+
+  test("delete sidecar: mask, re-insert revives, compaction purges, restart keeps") {
+    val dir = Files.createTempDirectory("graft_ann_del").toString
+    val svc = new AnnIndexService(spark, dir)
+    svc.createIndex("dx", corpus(), k = 4, lloydIters = 1)
+    val queries = corpus().filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val before = rows(svc.queryIndex("dx", queries, topK = 4, nprobe = 4))
+    // delete the top candidate of query 0 — it must vanish from serves
+    val victim = before.head(1).asInstanceOf[Long]
+    import spark.implicits._
+    svc.deleteVectors("dx", Seq(victim).toDF("vec_id"))
+    assert(svc.loadIndex("dx").vectors
+      .filter(col("vec_id") === victim).count() == 0)
+    val after = rows(svc.queryIndex("dx", queries, topK = 4, nprobe = 4))
+    assert(!after.exists(_(1) == victim), "deleted vector still served")
+    assert(svc.tombstones("dx").count() == 1)
+    // re-insert the id with a NEW embedding: live again (higher segment
+    // outruns the tombstone — no sidecar surgery), exactly one row
+    svc.upsertVectors("dx",
+      Seq((victim, Array(1f, 0f, 0f, 0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val revived = svc.loadIndex("dx").vectors
+      .filter(col("vec_id") === victim).collect()
+    assert(revived.length == 1, s"re-insert served ${revived.length} rows")
+    assert(revived.head.getAs[Seq[Float]]("embedding").head == 1f)
+    assert(svc.tombstones("dx").count() == 1,
+      "re-insert should not edit the sidecar")
+    // delete another id, then compact: masked rows physically dropped,
+    // sidecar cleared, serves identical across the compaction
+    svc.deleteVectors("dx", Seq(7L).toDF("vec_id"))
+    val preCompact = rows(svc.queryIndex("dx", queries, topK = 4, nprobe = 4))
+    val liveCount = svc.loadIndex("dx").vectors.count()
+    svc.compactIndex("dx")
+    assert(svc.tombstones("dx").count() == 0, "compaction kept the sidecar")
+    assert(svc.loadIndex("dx").vectors.count() == liveCount)
+    assert(rows(svc.queryIndex("dx", queries, topK = 4, nprobe = 4))
+      == preCompact, "compaction changed serve results")
+    // a fresh service (restart) sees the same masked state
+    svc.deleteVectors("dx", Seq(9L).toDF("vec_id"))
+    val svc2 = new AnnIndexService(spark, dir)
+    assert(svc2.loadIndex("dx").vectors
+      .filter(col("vec_id") === 9L).count() == 0,
+      "tombstones lost across restart")
+    svc2.deleteIndex("dx")
   }
 
   test("q164 persisted serve == q51 in-session IVF at sf0.001") {
