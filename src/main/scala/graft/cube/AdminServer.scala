@@ -169,6 +169,64 @@ final class AdminServer(service: CubeService, spark: SparkSession) {
             case ds => df.orderBy(ds.map(col): _*)
           }
           ok(sorted.toJSON.collect().mkString("[", ",", "]"))
+        case Some("listJoinCubes") =>
+          ok(service.listJoinCubes().map(n => s""""${esc(n)}"""")
+            .mkString("[", ",", "]"))
+        case Some("createJoinCube") =>
+          val cfg = CubeManager.configFromJson(
+            need(strField(req, "config"), "config"))
+          val jc = JoinCubeConfig(cfg,
+            leftKey = need(strField(req, "leftKey"), "leftKey"),
+            rightKey = need(strField(req, "rightKey"), "rightKey"))
+          val l = need(strField(req, "leftParquet"), "leftParquet")
+          val r = need(strField(req, "rightParquet"), "rightParquet")
+          service.createJoinCube(jc, spark.read.parquet(l),
+            spark.read.parquet(r))
+          ok(s""""${esc(cfg.name)}"""")
+        case Some("deleteJoinCube") =>
+          service.deleteJoinCube(need(strField(req, "name"), "name"))
+          ok("\"deleted\"")
+        case Some("updateJoinAggregates") =>
+          val name = need(strField(req, "name"), "name")
+          // either side's delta may be absent → an empty frame with the
+          // persisted side schema (limit(0) on the loaded state)
+          val cur = service.loadJoinCube(name)
+          def side(key: String, tmpl: org.apache.spark.sql.DataFrame) =
+            strField(req, key).map(spark.read.parquet(_))
+              .getOrElse(tmpl.drop("_mult").limit(0)
+                .withColumn("_sign", lit(1L)))
+          service.updateJoinAggregates(name,
+            side("leftDeltaParquet", cur.left),
+            side("rightDeltaParquet", cur.right))
+          ok("\"updated\"")
+        case Some("getJoinAggregates") =>
+          val name = need(strField(req, "name"), "name")
+          val df = service.getJoinAggregates(name,
+            dims = strArray(req, "dims"),
+            sumOf = strArray(req, "sumOf"),
+            avgOf = strArray(req, "avgOf"))
+          val sorted = strArray(req, "dims") match {
+            case Nil => df
+            case ds => df.orderBy(ds.map(col): _*)
+          }
+          ok(sorted.toJSON.collect().mkString("[", ",", "]"))
+        case Some("listJoinVersions") =>
+          val name = need(strField(req, "name"), "name")
+          ok(service.listJoinCubeVersions(name).mkString("[", ",", "]"))
+        case Some("getJoinAggregatesAsOf") =>
+          val name = need(strField(req, "name"), "name")
+          val v = numField(req, "version")
+            .getOrElse(throw new IllegalArgumentException(
+              "missing field 'version'")).toInt
+          val df = service.getJoinAggregatesAsOf(name, v,
+            dims = strArray(req, "dims"),
+            sumOf = strArray(req, "sumOf"),
+            avgOf = strArray(req, "avgOf"))
+          val sorted = strArray(req, "dims") match {
+            case Nil => df
+            case ds => df.orderBy(ds.map(col): _*)
+          }
+          ok(sorted.toJSON.collect().mkString("[", ",", "]"))
         case Some("startAutoUpdate") =>
           val name = need(strField(req, "name"), "name")
           val dir = need(strField(req, "deltaDir"), "deltaDir")

@@ -116,6 +116,64 @@ class AdminServerSpec extends AnyFunSuite {
     } finally { cli.close(); server.stop() }
   }
 
+  test("join-MV wire verbs: create, fold, serve, time travel") {
+    val svc = new CubeService(spark, tmp("graft_admin_jmv"),
+      retainJmvVersions = 3)
+    val server = new AdminServer(svc, spark)
+    val port = server.start()
+    val cli = new Client(port)
+    try {
+      import spark.implicits._
+      val lDir = tmp("graft_admin_jl") + "/l"
+      val rDir = tmp("graft_admin_jr") + "/r"
+      Seq((1L, "a"), (2L, "b")).toDF("lk", "cat").write.parquet(lDir)
+      Seq((1L, 10.0), (2L, 20.0)).toDF("rk", "amount").write.parquet(rDir)
+      val jCfg =
+        """{"name":"jadmin","source":"l_r",
+          |"dims":[{"kind":"field","id":"cat","path":"cat"}],
+          |"measures":[{"id":"amt","path":"amount"}]}""".stripMargin
+      val created = cli.rpc(s"""{"verb":"createJoinCube","config":"${escaped(
+        jCfg)}","leftKey":"lk","rightKey":"rk","leftParquet":"${escaped(
+        lDir)}","rightParquet":"${escaped(rDir)}"}""")
+      assert(created == """{"ok":true,"result":"jadmin"}""", created)
+      assert(cli.rpc("""{"verb":"listJoinCubes"}""")
+        == """{"ok":true,"result":["jadmin"]}""")
+
+      def wire(): String = cli.rpc(
+        """{"verb":"getJoinAggregates","name":"jadmin","dims":["cat"],"sumOf":["amt"]}""")
+      def direct(): String =
+        svc.getJoinAggregates("jadmin", Seq("cat"), sumOf = Seq("amt"))
+          .orderBy(col("cat")).toJSON.collect().mkString("[", ",", "]")
+      assert(wire() == s"""{"ok":true,"result":${direct()}}""",
+        "wire getJoinAggregates diverges from the in-process verb")
+
+      // right-side fold over the wire (left delta omitted → empty side)
+      val dDir = tmp("graft_admin_jd") + "/d"
+      Seq((1L, 5.0, 1L)).toDF("rk", "amount", "_sign").write.parquet(dDir)
+      assert(cli.rpc(s"""{"verb":"updateJoinAggregates","name":"jadmin","rightDeltaParquet":"${escaped(
+        dDir)}"}""") == """{"ok":true,"result":"updated"}""")
+      val after = wire()
+      assert(after == s"""{"ok":true,"result":${direct()}}""")
+      assert(after.contains(""""sum_amt":15"""), after)
+
+      // time travel over the wire: both versions retained and served
+      assert(cli.rpc("""{"verb":"listJoinVersions","name":"jadmin"}""")
+        == """{"ok":true,"result":[0,1]}""")
+      val v0 = cli.rpc(
+        """{"verb":"getJoinAggregatesAsOf","name":"jadmin","version":0,"dims":["cat"],"sumOf":["amt"]}""")
+      assert(v0.contains(""""sum_amt":10""") && !v0.contains("15"), v0)
+      val vBad = cli.rpc(
+        """{"verb":"getJoinAggregatesAsOf","name":"jadmin","version":9,"dims":["cat"],"sumOf":["amt"]}""")
+      assert(vBad.startsWith("""{"ok":false,"error":""")
+        && vBad.contains("not retained"), vBad)
+
+      assert(cli.rpc("""{"verb":"deleteJoinCube","name":"jadmin"}""")
+        == """{"ok":true,"result":"deleted"}""")
+      assert(cli.rpc("""{"verb":"listJoinCubes"}""")
+        == """{"ok":true,"result":[]}""")
+    } finally { cli.close(); server.stop() }
+  }
+
   test("concurrent clients are served independently") {
     val svc = new CubeService(spark, tmp("graft_admin_store2"))
     val server = new AdminServer(svc, spark)
