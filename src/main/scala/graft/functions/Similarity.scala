@@ -282,7 +282,9 @@ object Similarity {
     })
 
   def ensureAnnIndexSetup(spark: SparkSession, sfDir: String): Unit = {
-    annService(spark, sfDir); ()
+    annService(spark, sfDir)
+    annDelService(spark, sfDir)
+    ()
   }
 
   /** PERSISTED-index ANN serve on the graded surface: q51's IVF search
@@ -298,6 +300,42 @@ object Similarity {
       Tables.embeddings(spark, sfDir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding")),
       topK = 5, nprobe = 5)
+
+  // --------------------------------------------------------------- q178
+  /** DELETE-CAPABLE persisted ANN serve, with a FULL oracle: a second
+    * index over the embeddings corpus has a slice (vec_id ≡ 3 mod 7)
+    * tombstoned through [[graft.ann.AnnIndexService.deleteVectors]] —
+    * the per-version (vec_id, up_to_seg) sidecar, applied at load as
+    * one broadcast anti-join against immutable segments, delete cost
+    * ∝ |deletes| at any index size. The serve probes EVERY cluster
+    * (nprobe = k), which turns the IVF path into an exact top-k over
+    * the surviving corpus — so unlike q164 (cluster-membership
+    * dependent, rows-only) this query carries a DuckDB twin: the q40
+    * brute-force cosine with the deleted slice filtered out. Hash
+    * equality proves the tombstone mask EXACT — deleted vectors
+    * unfindable, surviving ranks identical to never having indexed
+    * them — through the full persisted path (segment scan + sidecar
+    * anti-join + rescore), not a special-cased serve. */
+  private val annDelSetup = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.ann.AnnIndexService]
+  private def annDelService(spark: SparkSession,
+      sfDir: String): graft.ann.AnnIndexService =
+    annDelSetup.getOrElseUpdate((spark, sfDir), {
+      val svc = annService(spark, sfDir)
+      svc.createIndex("ann_del_demo",
+        Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+        k = 16, lloydIters = 2)
+      svc.deleteVectors("ann_del_demo",
+        Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+      svc
+    })
+
+  def q178AnnDeleteServe(spark: SparkSession, sfDir: String): DataFrame =
+    annDelService(spark, sfDir).queryIndex("ann_del_demo",
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      topK = 5, nprobe = 16)
 
   /** Deterministic hyperplanes in [-0.5, 0.5) from splitmix64 — public
     * constant-based mixer, reproducible across runs and engines. */
@@ -434,6 +472,7 @@ object Similarity {
     "q83_vec_quantize" -> q83VecQuantize,
     "q115_semantic_dedup" -> q115SemanticDedup,
     "q164_ann_index_serve" -> q164AnnIndexServe,
+    "q178_ann_delete_serve" -> q178AnnDeleteServe,
   )
 
   /** q41 is approximate by construction ⇒ rows-only. */
@@ -452,6 +491,28 @@ object Similarity {
               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
             (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
         FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+      SELECT query_id, cand_id, cos, rank FROM (
+        SELECT query_id, cand_id, cos,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, cand_id) AS rank
+        FROM scored) t
+      WHERE rank <= 5
+      ORDER BY query_id, rank""",
+    "q178_ann_delete_serve" -> """
+      WITH e AS (
+        SELECT vec_id, embedding,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+            (x, y) -> x + y)) AS nrm
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, len(q.embedding)),
+              i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+            (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+        FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+          AND c.vec_id % 7 <> 3)
       SELECT query_id, cand_id, cos, rank FROM (
         SELECT query_id, cand_id, cos,
           row_number() OVER (PARTITION BY query_id

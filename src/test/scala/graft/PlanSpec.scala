@@ -45,6 +45,7 @@ class PlanSpec extends AnyFunSuite {
     "q113_sales_opportunity", // crossJoin vs ONE broadcast scalar-avg row
     "q115_semantic_dedup",    // crossJoin vs <=16 broadcast centroids (q51 path)
     "q164_ann_index_serve",   // crossJoin vs <=16 broadcast PERSISTED centroids
+    "q178_ann_delete_serve",  // same persisted-centroid broadcast, all clusters probed
     "q117_heavy_hitters",     // crossJoin vs ONE broadcast sketch row
     "q118_word_cooccurrence", // crossJoin vs ONE broadcast total-count row
     "q120_audience_overlap",  // |types| x |types| sketch-pair join, both sides tiny
