@@ -158,6 +158,38 @@ object Scaling {
       })
       cents.unpersist(); clustered.unpersist()
 
+      // tombstone-masked probe: the q178 serve shape — the delete
+      // sidecar (a broadcast anti-join against a delta-sized id set)
+      // must not bend the flat serve curve
+      val tombIds = emN.filter(col("vec_id") % 97 === 3)
+        .select(col("vec_id").as("t_id")).cache()
+      tombIds.count()
+      val cents2 = functions.Similarity.buildCentroids(emN, 16, 2).cache()
+      cents2.count()
+      val clustered2 = functions.Similarity.assignWithVec(emN, cents2)
+        .join(broadcast(tombIds), col("vec_id") === col("t_id"), "left_anti")
+        .cache()
+      clustered2.count()
+      record("ann_masked_probe", k, best {
+        import org.apache.spark.sql.expressions.Window
+        val queries = emN.filter(col("vec_id") < 5)
+        val probes = functions.Similarity.assign(queries, cents2, keep = 4)
+          .withColumnRenamed("vec_id", "query_id")
+        val scored = queries
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+          .join(broadcast(probes), Seq("query_id"))
+          .join(clustered2, Seq("cent_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos", functions.Similarity.dotExpr("qe", "embedding")
+            / (col("qn") * col("nrm")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5).count()
+      })
+      cents2.unpersist(); clustered2.unpersist(); tombIds.unpersist()
+
       val cfg = cube.CubeConfig(s"scaling_x$k", "mem",
         dims = Seq(cube.FieldDim("event_type", "event_type"),
           cube.TimeDim("day", "ts", "day")),
@@ -171,6 +203,32 @@ object Scaling {
           .agg(sum(col("value")).as("total")).count()
       })
       built.aggregates.unpersist()
+
+      // delete-capable fold (q177's machinery): deletes confined to ONE
+      // event type, so the targeted recompute semi-joins the source down
+      // to that type's cells and rebuilds every non-invertible partial
+      // there. Cost is the touched-cells scan — grows with the source
+      // (no partition pruning in this flat layout) but stays a single
+      // filtered pass; a blow-up here would mean the recompute lost its
+      // cell bound.
+      val cfgD = cube.CubeConfig(s"scaling_del_x$k", "mem",
+        dims = Seq(cube.FieldDim("event_type", "event_type"),
+          cube.TimeDim("day", "ts", "day")),
+        measures = Seq(cube.Measure("value", "value")),
+        sketches = Seq(cube.Measure("users", "user_id")),
+        quantiles = Seq(cube.Measure("vdist", "value")),
+        extremes = Seq(cube.Measure("vx", "value")))
+      val builtD = cube.CubeManager.create(cfgD, ev)
+      builtD.aggregates.cache().count()
+      val delCond = col("event_type") === "click" && col("value") < 5.0
+      val delBatch = ev.filter(delCond).withColumn("_sign", lit(-1L)).cache()
+      delBatch.count()
+      val remaining = ev.filter(!delCond)
+      record("cube_delete_fold", k, best {
+        cube.CubeManager.applyDeltas(builtD, delBatch, Some(remaining))
+          .aggregates.count()
+      })
+      builtD.aggregates.unpersist(); delBatch.unpersist()
     }
 
     // ---- render SCALING.md ------------------------------------------
@@ -191,7 +249,8 @@ object Scaling {
       val t1 = m(1)._1; val t3 = m(3)._1; val t10 = m(10)._1
       val r3 = t3 / t1; val r10 = t10 / t1
       val shape =
-        if (fam == "cube_serve" || fam == "ann_ivf_probe")
+        if (fam == "cube_serve" || fam == "ann_ivf_probe"
+            || fam == "ann_masked_probe")
           if (r10 < 3) "~flat (serve ∝ index/cube, not source)"
           else "NOT flat — investigate"
         else if (fam == "dedup_embedding_lsh")

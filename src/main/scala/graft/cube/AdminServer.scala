@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.StructType
   *
   * Binds the loopback interface ONLY — this is a same-host admin seam,
   * not an authenticated network service. */
-final class AdminServer(service: CubeService, spark: SparkSession) {
+final class AdminServer(service: CubeService, spark: SparkSession,
+    ann: Option[graft.ann.AnnIndexService] = None) {
   @volatile private var server: ServerSocket = _
   @volatile private var running = false
 
@@ -236,6 +237,51 @@ final class AdminServer(service: CubeService, spark: SparkSession) {
         case Some("stopAutoUpdate") =>
           service.stopAutoUpdate(need(strField(req, "name"), "name"))
           ok("\"stopped\"")
+        // ---- ANN index lifecycle (present when an AnnIndexService was
+        // attached) — same control-plane discipline: vectors travel as
+        // parquet paths, serves return query-batch-sized rows inline
+        case Some(verb) if verb.startsWith("ann") =>
+          val svc = ann.getOrElse(throw new IllegalArgumentException(
+            "no ANN index service attached to this admin server"))
+          verb match {
+            case "annList" =>
+              ok(svc.listIndexes().map(n => s""""${esc(n)}"""")
+                .mkString("[", ",", "]"))
+            case "annCreate" =>
+              val name = need(strField(req, "name"), "name")
+              svc.createIndex(name,
+                spark.read.parquet(
+                  need(strField(req, "vectorsParquet"), "vectorsParquet")),
+                k = numField(req, "k").map(_.toInt).getOrElse(16),
+                lloydIters =
+                  numField(req, "lloydIters").map(_.toInt).getOrElse(2))
+              ok(s""""${esc(name)}"""")
+            case "annQuery" =>
+              val name = need(strField(req, "name"), "name")
+              val df = svc.queryIndex(name,
+                spark.read.parquet(
+                  need(strField(req, "queriesParquet"), "queriesParquet")),
+                topK = numField(req, "topK").map(_.toInt).getOrElse(5),
+                nprobe = numField(req, "nprobe").map(_.toInt).getOrElse(5))
+              ok(df.toJSON.collect().mkString("[", ",", "]"))
+            case "annUpsert" =>
+              val name = need(strField(req, "name"), "name")
+              svc.upsertVectors(name, spark.read.parquet(
+                need(strField(req, "vectorsParquet"), "vectorsParquet")))
+              ok("\"upserted\"")
+            case "annDeleteVectors" =>
+              val name = need(strField(req, "name"), "name")
+              svc.deleteVectors(name, spark.read.parquet(
+                need(strField(req, "idsParquet"), "idsParquet")))
+              ok("\"deleted\"")
+            case "annCompact" =>
+              svc.compactIndex(need(strField(req, "name"), "name"))
+              ok("\"compacted\"")
+            case "annDrop" =>
+              svc.deleteIndex(need(strField(req, "name"), "name"))
+              ok("\"dropped\"")
+            case v => err(s"unknown verb '$v'")
+          }
         case Some(v) => err(s"unknown verb '$v'")
         case None => err("request has no 'verb' field")
       }

@@ -113,6 +113,8 @@ object CubeQueries {
     rollingMmService(spark, sfDir)
     rollupRoutingSource(spark, sfDir)
     deleteExtremesService(spark, sfDir)
+    deleteSketchService(spark, sfDir)
+    timeTravelService(spark, sfDir)
     ()
   }
 

@@ -174,6 +174,64 @@ class AdminServerSpec extends AnyFunSuite {
     } finally { cli.close(); server.stop() }
   }
 
+  test("ANN wire verbs: create, query, delete-mask, compact, drop") {
+    import spark.implicits._
+    val store = tmp("graft_admin_ann")
+    val annSvc = new graft.ann.AnnIndexService(spark, store)
+    val server = new AdminServer(new CubeService(spark, store), spark,
+      ann = Some(annSvc))
+    val port = server.start()
+    val cli = new Client(port)
+    try {
+      val rnd = new scala.util.Random(55)
+      val vecs = (0 until 40).map(i =>
+        (i.toLong, Array.fill(4)((rnd.nextInt(2000) - 1000) / 997.0f)))
+      val vDir = tmp("graft_admin_annv") + "/v"
+      vecs.toDF("vec_id", "embedding").write.parquet(vDir)
+      assert(cli.rpc(s"""{"verb":"annCreate","name":"wx","vectorsParquet":"${escaped(
+        vDir)}","k":4,"lloydIters":1}""")
+        == """{"ok":true,"result":"wx"}""")
+      assert(cli.rpc("""{"verb":"annList"}""")
+        == """{"ok":true,"result":["wx"]}""")
+      val qDir = tmp("graft_admin_annq") + "/q"
+      vecs.take(2).map { case (id, e) => (id, e) }
+        .toDF("query_id", "embedding").write.parquet(qDir)
+      def wireQuery(): String = cli.rpc(
+        s"""{"verb":"annQuery","name":"wx","queriesParquet":"${escaped(
+          qDir)}","topK":3,"nprobe":4}""")
+      val direct = annSvc.queryIndex("wx",
+          spark.read.parquet(qDir), topK = 3, nprobe = 4)
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(wireQuery() == s"""{"ok":true,"result":$direct}""",
+        "wire annQuery diverges from the in-process verb")
+      // delete the top candidate of query 0 over the wire; it vanishes
+      val victim = direct.split("\"cand_id\":")(1).split("[,}]")(0)
+      val dDir = tmp("graft_admin_annd") + "/d"
+      Seq(victim.toLong).toDF("vec_id").write.parquet(dDir)
+      assert(cli.rpc(s"""{"verb":"annDeleteVectors","name":"wx","idsParquet":"${escaped(
+        dDir)}"}""") == """{"ok":true,"result":"deleted"}""")
+      val masked = wireQuery()
+      assert(!masked.contains(s""""cand_id":$victim"""), masked)
+      // compaction over the wire keeps the masked serve identical
+      assert(cli.rpc("""{"verb":"annCompact","name":"wx"}""")
+        == """{"ok":true,"result":"compacted"}""")
+      assert(wireQuery() == masked, "compaction changed the wire serve")
+      // a server without an attached ANN service refuses structurally
+      val bare = new AdminServer(new CubeService(spark, tmp("b")), spark)
+      val bPort = bare.start()
+      val bCli = new Client(bPort)
+      try {
+        val refused = bCli.rpc("""{"verb":"annList"}""")
+        assert(refused.startsWith("""{"ok":false,"error":""")
+          && refused.contains("no ANN index service"), refused)
+      } finally { bCli.close(); bare.stop() }
+      assert(cli.rpc("""{"verb":"annDrop","name":"wx"}""")
+        == """{"ok":true,"result":"dropped"}""")
+      assert(cli.rpc("""{"verb":"annList"}""")
+        == """{"ok":true,"result":[]}""")
+    } finally { cli.close(); server.stop() }
+  }
+
   test("concurrent clients are served independently") {
     val svc = new CubeService(spark, tmp("graft_admin_store2"))
     val server = new AdminServer(svc, spark)
