@@ -970,7 +970,114 @@ object RelationalQueries {
       .orderBy(col("priority"))
   }
 
+  // --------------------------------------------------------------- q179
+  /** MERGE INTO (upsert) — the lake write primitive q134's diff is the
+    * read side of: a keyed delta of updates / deletes / inserts applied
+    * to a target in ONE pass. The delta is derived deterministically
+    * from the target (priority-disjoint: %9 deletes beat %4 updates;
+    * inserts shift past max(key) via a one-row broadcast, the q134
+    * discipline), and the merge is a single FULL OUTER hash join on the
+    * key with the clause logic as a codegen'd projection: matched+U →
+    * new value, matched+D → dropped, unmatched-source+I → inserted,
+    * unmatched-target → carried. At lake scale this is exactly how
+    * copy-on-write MERGE executes (join pruned to touched files, both
+    * sides co-partitioned → zero-shuffle with q143's bucketing);
+    * output rows ∝ |target ⊕ delta|. The exact-decimal update (+100.00)
+    * keeps the hash compare byte-stable. */
+  def q179MergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val mx = t.agg(max(col("o_orderkey")).as("_mx"))
+    val upserts = t
+      .filter(col("o_orderkey") % 9 === 0 || col("o_orderkey") % 4 === 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 9 === 0, lit("D")).otherwise(lit("U"))
+          .as("op"),
+        (dec2(col("o_totalprice")) + lit(BigDecimal("100.00")).cast(
+          "decimal(18,2)")).cast("decimal(18,2)").as("new_price"))
+    val inserts = t.filter(col("o_orderkey") % 13 === 0)
+      .crossJoin(broadcast(mx))
+      .select((col("o_orderkey") + col("_mx") + lit(1L)).as("k"),
+        lit("I").as("op"), dec2(col("o_totalprice")).as("new_price"))
+    val delta = upserts.unionByName(inserts)
+    t.as("t").join(delta.as("d"), col("t.o_orderkey") === col("d.k"),
+        "full_outer")
+      .filter(coalesce(col("d.op"), lit("")) =!= "D")
+      .select(coalesce(col("t.o_orderkey"), col("d.k")).as("o_orderkey"),
+        when(col("d.op") === "U", col("d.new_price"))
+          .when(col("d.op") === "I", col("d.new_price"))
+          .otherwise(dec2(col("t.o_totalprice"))).cast("double")
+          .as("price"),
+        coalesce(col("t.o_orderpriority"), lit("5-LOW")).as("priority"),
+        coalesce(col("d.op"), lit("K")).as("last_op"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // --------------------------------------------------------------- q180
+  /** SCD TYPE-2 DIMENSION BUILD — change events compiled into validity
+    * intervals: each user's signup/purchase events become status rows
+    * `[valid_from, valid_to)` with `valid_to` = the next change (NULL =
+    * current), `version` = change ordinal. One window over (user, ts,
+    * event_id) — a single shuffle on the dimension key at any history
+    * size, and the interval build is a lead(), not a self-join (the
+    * naive SQL formulation at 100 TB). Epoch-seconds output, total
+    * order, both engines run the same lead semantics. */
+  def q180Scd2Build(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("signup", "purchase"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    e.select(col("user_id"), col("event_type").as("status"),
+        epochS(col("ts")).as("valid_from_s"),
+        epochS(lead(col("ts"), 1).over(w)).as("valid_to_s"),
+        row_number().over(w).as("version"))
+      // 0/1 not BOOLEAN: the lowest-common-denominator type across the
+      // oracle's pandas round-trip
+      .withColumn("is_current", col("valid_to_s").isNull.cast("long"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  // --------------------------------------------------------------- q181
+  /** POINT-IN-TIME JOIN against the q180 SCD2 dimension: every click
+    * event enriched with the status that was valid AT ITS TIMESTAMP —
+    * the temporally-correct feature join every training pipeline needs
+    * (joining the CURRENT dim value leaks the future). Executed as the
+    * q10 union-window as-of: dim-change rows and fact rows union into
+    * one stream per user, a running last(status) over (ts, kind,
+    * event_id) carries the prevailing status onto each fact — ONE
+    * shuffle on user_id, no range join, no per-fact subquery (what the
+    * lateral SQL would do), no interval table materialized at all. A
+    * dim change at exactly the fact's ts applies (kind orders dim rows
+    * first); ties among same-ts changes resolve to the highest
+    * event_id — the oracle's correlated twin encodes the same rule, so
+    * the hash compare pins the tie semantics, not just the happy
+    * path. */
+  def q181PitJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sfDir)
+    val dim = e.filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(0).as("kind"), col("event_type").as("dim_status"))
+    val facts = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("kind"), lit(null).cast("string").as("dim_status"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(facts)
+      .withColumn("status_at",
+        last(col("dim_status"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"),
+        epochS(col("ts")).as("ts_s"), col("status_at"))
+      .orderBy(col("event_id"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q179_merge_upsert" -> q179MergeUpsert,
+    "q180_scd2_build" -> q180Scd2Build,
+    "q181_pit_join" -> q181PitJoin,
     "q173_schema_evolution" -> q173SchemaEvolution,
     "q162_lateral_topk" -> q162LateralTopk,
     "q161_recursive_cte" -> q161RecursiveCte,
@@ -1020,6 +1127,51 @@ object RelationalQueries {
     * DuckDB's sum(BIGINT)→HUGEINT and year()→BIGINT would otherwise drift
     * from Spark's types. */
   lazy val sql: Map[String, String] = Map(
+    "q179_merge_upsert" -> """
+      WITH t AS (
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+      mx AS (SELECT max(o_orderkey) AS m FROM t),
+      delta AS (
+        SELECT o_orderkey AS k,
+          CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2))
+            + CAST(100.00 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS new_price
+        FROM t WHERE o_orderkey % 9 = 0 OR o_orderkey % 4 = 0
+        UNION ALL
+        SELECT o_orderkey + (SELECT m FROM mx) + 1, 'I',
+          CAST(o_totalprice AS DECIMAL(18,2))
+        FROM t WHERE o_orderkey % 13 = 0)
+      SELECT coalesce(t.o_orderkey, d.k) AS o_orderkey,
+        CAST(CASE WHEN d.op IN ('U', 'I') THEN d.new_price
+             ELSE CAST(t.o_totalprice AS DECIMAL(18,2)) END AS DOUBLE)
+          AS price,
+        coalesce(t.o_orderpriority, '5-LOW') AS priority,
+        coalesce(d.op, 'K') AS last_op
+      FROM t FULL OUTER JOIN delta d ON t.o_orderkey = d.k
+      WHERE coalesce(d.op, '') <> 'D'
+      ORDER BY o_orderkey""",
+    "q180_scd2_build" -> """
+      SELECT user_id, event_type AS status,
+        CAST(floor(epoch(tsu)) AS BIGINT) AS valid_from_s,
+        CAST(floor(epoch(lead(tsu, 1) OVER w)) AS BIGINT) AS valid_to_s,
+        CAST(row_number() OVER w AS INTEGER) AS version,
+        CAST(lead(tsu, 1) OVER w IS NULL AS BIGINT) AS is_current
+      FROM (SELECT *, CAST(ts AS TIMESTAMP) AS tsu FROM events) e
+      WHERE event_type IN ('signup', 'purchase')
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+      ORDER BY user_id, version""",
+    "q181_pit_join" -> """
+      WITH ev AS (SELECT *, CAST(ts AS TIMESTAMP) AS tsu FROM events)
+      SELECT f.event_id, f.user_id,
+        CAST(floor(epoch(f.tsu)) AS BIGINT) AS ts_s,
+        (SELECT d.event_type FROM ev d
+          WHERE d.user_id = f.user_id
+            AND d.event_type IN ('signup', 'purchase')
+            AND d.tsu <= f.tsu
+          ORDER BY d.tsu DESC, d.event_id DESC LIMIT 1) AS status_at
+      FROM ev f
+      WHERE f.event_type = 'click'
+      ORDER BY f.event_id""",
     "q173_schema_evolution" -> """
       SELECT CASE WHEN o_orderkey % 2 = 0 THEN '0-LEGACY'
                   ELSE o_orderpriority END AS priority,

@@ -53,7 +53,8 @@ class PlanSpec extends AnyFunSuite {
     "q170_important_stock",   // crossJoin vs ONE broadcast global-total row
     "q123_bm25",              // crossJoin vs ONE broadcast avgdl row
     "q133_bloom_join",        // crossJoin vs ONE broadcast 64KiB bloom row
-    "q134_snapshot_diff")     // crossJoin vs ONE broadcast max-doc_id row
+    "q134_snapshot_diff",     // crossJoin vs ONE broadcast max-doc_id row
+    "q179_merge_upsert")      // crossJoin vs ONE broadcast max-orderkey row
 
   test("no unjustified cartesian or nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
