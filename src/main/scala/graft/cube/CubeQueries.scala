@@ -115,6 +115,7 @@ object CubeQueries {
     deleteExtremesService(spark, sfDir)
     deleteSketchService(spark, sfDir)
     timeTravelService(spark, sfDir)
+    joinSketchSources(spark, sfDir)
     ()
   }
 
@@ -927,6 +928,87 @@ object CubeQueries {
       (oSrc, lSrc)
     })
 
+  // --------------------------------------------------------------- q183
+  /** SKETCH MEASURES IN A JOIN MV, optimizer-served: the join cube
+    * maintains an HLL partial on `l_suppkey` per priority cell through
+    * the SAME delta-join fold that maintains its sums (a sketch is just
+    * another mergeable partial to [[CubeManager.applyDeltas]], and the
+    * fold here is a real one — the MV is created from a base slice and
+    * a right-side insert batch folds the rest in). An
+    * `approx_count_distinct(l_suppkey)` over the registered equi-join
+    * then routes to estimate(union(per-cell partials)) exactly like the
+    * single-table q140 — distinct-over-join is the query that costs
+    * TWO shuffles (join + distinct re-shuffle) without the MV, per
+    * run; with it, cube-sized work. Same per-registration opt-in
+    * (`registerJoin(..., approxDistinct = true)`, carried across
+    * publishes — a dropped flag would silently de-route after the
+    * first fold). Rows-only (HLL estimate); CubeRewriteSpec pins
+    * routed == the MV's own distinctOf read, est-vs-exact, the opt-in
+    * requirement, and q153's exact measures keep hash-matching from
+    * the same registration machinery. */
+  private val joinSketchSetup =
+    TrieMap.empty[(SparkSession, String), (String, String)]
+  private def joinSketchSources(spark: SparkSession,
+      sfDir: String): (String, String) =
+    joinSketchSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_jsketch").toString
+      CubeCatalog.install(spark)
+      val oSrc = s"$dir/osrc"
+      val lSrc = s"$dir/lsrc"
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.parquet(oSrc)
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
+        .write.parquet(lSrc)
+      val svc = new CubeService(spark, dir)
+      val late = col("l_linenumber") % 3 === 2
+      svc.createJoinCube(
+        JoinCubeConfig(
+          CubeConfig("join_sketch", "osrc_lsrc",
+            dims = Seq(FieldDim("prio", "o_orderpriority")),
+            measures = Seq(Measure("revenue", "l_extendedprice")),
+            sketches = Seq(Measure("supps", "l_suppkey"))),
+          leftKey = "o_orderkey", rightKey = "l_orderkey"),
+        spark.read.parquet(oSrc),
+        Tables.lineitem(spark, sfDir).filter(!late)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_extendedprice")))
+      // the sketch partials must MAINTAIN, not just build: fold the
+      // late lines in as a right-side insert batch
+      svc.updateJoinAggregates("join_sketch",
+        spark.read.parquet(oSrc).limit(0).withColumn("_sign", lit(1L)),
+        Tables.lineitem(spark, sfDir).filter(late)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
+          .withColumn("_sign", lit(1L)))
+      CubeCatalog.registerJoin(s"join_sketch@$sfDir",
+        svc.loadJoinCube("join_sketch"), oSrc, lSrc, approxDistinct = true)
+      (oSrc, lSrc)
+    })
+
+  def q183JoinSketchRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val (oSrc, lSrc) = joinSketchSources(spark, sfDir)
+    val q = spark.read.parquet(oSrc)
+      .join(spark.read.parquet(lSrc),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("l_suppkey")).as("nd_supps"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderpriority").as("prio"), col("nd_supps"),
+        col("revenue"), col("n"))
+      .orderBy(col("prio"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && scans.forall(_.contains(".jmv/")),
+      s"join-MV sketch routing did not fire; scans=$scans")
+    q
+  }
+
   /** Graded: FILTER-AWARE MV routing — the q58 aggregation with a WHERE
     * on the cube dimension, written as if no MV existed. The optimizer
     * serves the predicate as a cube-CELL filter on the dimension
@@ -1333,6 +1415,7 @@ object CubeQueries {
     "q163_rollup_routing" -> q163RollupRouting,
     "q175_sketch_rollup_routing" -> q175SketchRollupRouting,
     "q176_quantile_rollup_routing" -> q176QuantileRollupRouting,
+    "q183_join_sketch_routing" -> q183JoinSketchRouting,
     "q165_delete_extremes" -> q165DeleteExtremes,
     "q177_delete_sketches" -> q177DeleteSketches,
     "q155_filter_routing" -> q155FilterRouting,

@@ -112,7 +112,7 @@ object CubeCatalog {
       approxDistinct: Boolean = false): Unit =
     cubes.put(name, Registration(cube, normalize(sourcePath), approxDistinct))
   def registerJoin(name: String, jc: JoinCube, leftPath: String,
-      rightPath: String): Unit = {
+      rightPath: String, approxDistinct: Boolean = false): Unit = {
     // same refusal as JoinCubeManager.create: the rewrite binds columns
     // by first name match on the join output, so overlapping side names
     // would silently bind to the wrong side (a JoinCube hand-built
@@ -121,7 +121,7 @@ object CubeCatalog {
       jc.left.columns.filterNot(_ == "_mult").toSeq,
       jc.right.columns.filterNot(_ == "_mult").toSeq)
     joinCubes.put(name, JoinRegistration(
-      Registration(jc.cube, "", approxDistinct = false),
+      Registration(jc.cube, "", approxDistinct),
       normalize(leftPath), normalize(rightPath),
       jc.config.leftKey, jc.config.rightKey))
     ()
@@ -146,7 +146,9 @@ object CubeCatalog {
     joinCubes.foreach { case (k, jr) =>
       if (jr.reg.cube.config.name == jc.cube.config.name)
         joinCubes.put(k, JoinRegistration(
-          Registration(jc.cube, "", approxDistinct = false),
+          // carry the serve opt-in across publishes — dropping it here
+          // would silently de-route sketch serves after the first fold
+          Registration(jc.cube, "", jr.reg.approxDistinct),
           jr.leftPath, jr.rightPath, jr.leftKey, jr.rightKey))
     }
 

@@ -36,7 +36,8 @@ class ContractSpec extends AnyFunSuite {
       "q168_cube_topk",       // cube-served CMS heavy hitters (q167 is the exact anchor; CubeSpec pins)
       "q175_sketch_rollup_routing", // HLL estimates rolled through the routed Expand (CubeRewriteSpec pins per-set est-vs-exact; q163 hash-matches the exact twin measures)
       "q176_quantile_rollup_routing", // KLL estimates through the same rewrite (rank-randomized; CubeRewriteSpec pins rank bands + refusal edges)
-      "q177_delete_sketches"), // HLL/KLL estimates from a delete-processed cube (CubeSpec pins folded == from-scratch per family; the serve itself proves the latch stayed open)
+      "q177_delete_sketches", // HLL/KLL estimates from a delete-processed cube (CubeSpec pins folded == from-scratch per family; the serve itself proves the latch stayed open)
+      "q183_join_sketch_routing"), // HLL estimates served from join-MV partials (CubeRewriteSpec pins routed == MV distinctOf + est-vs-exact; q153 hash-matches the exact twin measures)
       s"unexpected rows-only set: $rowsOnly")
   }
 

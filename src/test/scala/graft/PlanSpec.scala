@@ -54,7 +54,8 @@ class PlanSpec extends AnyFunSuite {
     "q123_bm25",              // crossJoin vs ONE broadcast avgdl row
     "q133_bloom_join",        // crossJoin vs ONE broadcast 64KiB bloom row
     "q134_snapshot_diff",     // crossJoin vs ONE broadcast max-doc_id row
-    "q179_merge_upsert")      // crossJoin vs ONE broadcast max-orderkey row
+    "q179_merge_upsert",      // crossJoin vs ONE broadcast max-orderkey row
+    "q182_triangle_count")    // crossJoins of three ONE-ROW stat frames
 
   test("no unjustified cartesian or nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -794,6 +794,82 @@ class CubeRewriteSpec extends AnyFunSuite {
     CubeCatalog.clear()
   }
 
+  test("join-MV sketch measures route approx-distinct, fold-maintained, opt-in") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(88)
+    val ords = (0 until 40).map(i =>
+      (i.toLong, Seq("HIGH", "MED", "LOW")(rnd.nextInt(3))))
+    val lins = (0 until 300).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(25).toLong,
+        math.round(rnd.nextDouble() * 10000) / 100.0))
+    val lDir = Files.createTempDirectory("graft_jsk_l").toString
+    val rDir = Files.createTempDirectory("graft_jsk_r").toString
+    ords.toDF("o_key", "o_prio").write.mode("overwrite").parquet(lDir)
+    lins.toDF("l_key", "l_supp", "l_price")
+      .write.mode("overwrite").parquet(rDir)
+    val jcfg = JoinCubeConfig(
+      CubeConfig("jsk", "l_r",
+        dims = Seq(FieldDim("prio", "o_prio")),
+        measures = Seq(Measure("rev", "l_price")),
+        sketches = Seq(Measure("supps", "l_supp"))),
+      leftKey = "o_key", rightKey = "l_key")
+    val svcDir = Files.createTempDirectory("graft_jsk_svc").toString
+    val svc = new CubeService(spark, svcDir)
+    // create from HALF the lines, fold the other half in — the sketch
+    // partials must maintain through the delta-join rule, not just build
+    val (half1, half2) = lins.zipWithIndex.partition(_._2 % 2 == 0)
+    svc.createJoinCube(jcfg, spark.read.parquet(lDir),
+      half1.map(_._1).toDF("l_key", "l_supp", "l_price"))
+    svc.updateJoinAggregates("jsk",
+      spark.read.parquet(lDir).limit(0).withColumn("_sign", lit(1L)),
+      half2.map(_._1).toDF("l_key", "l_supp", "l_price")
+        .withColumn("_sign", lit(1L)))
+    def query(): DataFrame = spark.read.parquet(lDir)
+      .join(spark.read.parquet(rDir), col("o_key") === col("l_key"))
+      .groupBy(col("o_prio"))
+      .agg(approx_count_distinct(col("l_supp")).as("nd"),
+        count(lit(1)).as("n"))
+    def scansOfQ(q: DataFrame) = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r).get
+    }
+    // no opt-in: the sketch leaf refuses, the query does NOT route
+    CubeCatalog.registerJoin("jsk", svc.loadJoinCube("jsk"), lDir, rDir)
+    assert(!scansOfQ(query()).exists(_.contains(".jmv/")),
+      "join sketch must not route without the opt-in")
+    // opted in: routed to the MV, estimate == the MV's own distinctOf
+    // read (same union of the same partials), within HLL error of exact
+    CubeCatalog.registerJoin("jsk", svc.loadJoinCube("jsk"), lDir, rDir,
+      approxDistinct = true)
+    val q = query()
+    val scans = scansOfQ(q)
+    assert(scans.size == 1 && scans.head.contains(".jmv/"),
+      s"opted-in join sketch did not route: $scans")
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val served = CubeManager.query(svc.loadJoinCube("jsk").cube,
+        Seq("prio"), distinctOf = Seq("supps")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct_supps")).toMap
+    assert(got == served, s"routed $got != MV distinctOf read $served")
+    val prioOf = ords.toMap
+    val exact = lins.filter(l => prioOf.contains(l._1))
+      .groupBy(l => prioOf(l._1))
+      .map { case (p, ls) => p -> ls.map(_._2).distinct.size.toLong }
+    exact.foreach { case (p, n) =>
+      assert(math.abs(got(p) - n) <= math.max(n * 0.05, 2.0),
+        s"$p: routed estimate ${got(p)} vs exact $n")
+    }
+    // a fold-publish must CARRY the opt-in (refreshJoin path): fold one
+    // more line, then the same query must still route
+    svc.updateJoinAggregates("jsk",
+      spark.read.parquet(lDir).limit(0).withColumn("_sign", lit(1L)),
+      Seq((0L, 99L, 1.0)).toDF("l_key", "l_supp", "l_price")
+        .withColumn("_sign", lit(1L)))
+    assert(scansOfQ(query()).exists(_.contains(".jmv/")),
+      "publish dropped the approx-distinct opt-in")
+    CubeCatalog.clear()
+  }
+
   test("rollup over a dim SUBSET of a two-dim join MV routes") {
     import spark.implicits._
     CubeCatalog.clear()
