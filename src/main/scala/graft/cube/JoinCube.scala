@@ -86,6 +86,23 @@ object JoinCubeManager {
       compact(right.withColumn("_mult", lit(1L))))
   }
 
+  /** The maintained sides ARE the join MV's source of record: expand
+    * each state's net multiplicities back to rows (tombstones —
+    * negative nets — describe rows that do not exist and are excluded)
+    * and re-join. Handed to [[CubeManager.applyDeltas]] as the `source`
+    * that makes non-invertible partials (HLL/KLL/CMS/extremes)
+    * DELETE-CAPABLE via targeted cell recompute — the join MV never
+    * needs the original tables back for it, and the recompute's
+    * semi-join touches only the delete-batch's cells. */
+  private def joinedSource(cfg: JoinCubeConfig, left: DataFrame,
+      right: DataFrame): DataFrame = {
+    def expand(s: DataFrame): DataFrame =
+      s.filter(col("_mult") > 0)
+        .withColumn("_i", explode(sequence(lit(1L), col("_mult"))))
+        .drop("_i", "_mult")
+    expand(left).join(expand(right), keyEq(cfg))
+  }
+
   /** Fold one batch of signed deltas (either side may be empty: pass a
     * frame with the side schema + `_sign` and zero rows). All three
     * delta terms join against the PRE-batch states, then both states
@@ -104,10 +121,12 @@ object JoinCubeManager {
     val deltas = term(dl, "_ml", jc.right, "_mr")
       .unionByName(term(jc.left, "_ml", dr, "_mr"))
       .unionByName(term(dl, "_ml", dr, "_mr"))
+    val newLeft = compact(jc.left.unionByName(dl))
+    val newRight = compact(jc.right.unionByName(dr))
     JoinCube(cfg,
-      CubeManager.applyDeltas(jc.cube, deltas),
-      compact(jc.left.unionByName(dl)),
-      compact(jc.right.unionByName(dr)))
+      CubeManager.applyDeltas(jc.cube, deltas,
+        source = Some(joinedSource(cfg, newLeft, newRight))),
+      newLeft, newRight)
   }
 
   /** One-sided fold — the delta-join rule specialized to a batch that
@@ -130,14 +149,19 @@ object JoinCubeManager {
         .join(b.withColumnRenamed("_mult", bw), keyEq(cfg))
         .withColumn("_sign", col(aw) * col(bw))
         .drop(aw, bw)
-    if (side == "left")
+    if (side == "left") {
+      val newLeft = compact(jc.left.unionByName(d))
       JoinCube(cfg,
-        CubeManager.applyDeltas(jc.cube, term(d, "_ml", jc.right, "_mr")),
-        compact(jc.left.unionByName(d)), jc.right)
-    else
+        CubeManager.applyDeltas(jc.cube, term(d, "_ml", jc.right, "_mr"),
+          source = Some(joinedSource(cfg, newLeft, jc.right))),
+        newLeft, jc.right)
+    } else {
+      val newRight = compact(jc.right.unionByName(d))
       JoinCube(cfg,
-        CubeManager.applyDeltas(jc.cube, term(jc.left, "_ml", d, "_mr")),
-        jc.left, compact(jc.right.unionByName(d)))
+        CubeManager.applyDeltas(jc.cube, term(jc.left, "_ml", d, "_mr"),
+          source = Some(joinedSource(cfg, jc.left, newRight))),
+        jc.left, newRight)
+    }
   }
 
   /** Lineage truncation for long-running maintenance: every fold layers

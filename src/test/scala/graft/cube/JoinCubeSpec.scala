@@ -211,6 +211,62 @@ class JoinCubeSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dir/jt.jmv").exists())
   }
 
+  test("sketch/extreme measures in a join MV are delete-capable (no latch)") {
+    import spark.implicits._
+    val skCfg = JoinCubeConfig(
+      CubeConfig("jsk_del", "mem",
+        dims = Seq(FieldDim("prio", "o_prio")),
+        measures = Seq(Measure("rev", "l_price")),
+        sketches = Seq(Measure("supps", "l_supp")),
+        extremes = Seq(Measure("px", "l_price"))),
+      leftKey = "o_key", rightKey = "l_key")
+    def lines(rows: Seq[(Long, Long, Double)]) =
+      rows.toDF("l_key", "l_supp", "l_price")
+    val ords = Seq((1L, "HIGH"), (2L, "MED"), (3L, "HIGH"))
+    val base = Seq((1L, 10L, 5.0), (1L, 11L, 9.0), (2L, 10L, 2.0),
+      (3L, 12L, 7.0), (3L, 13L, 1.0))
+    var jc = JoinCubeManager.create(skCfg, ordersDf(ords), lines(base))
+    // delete HIGH's extreme-holding and distinct-holding lines (the
+    // supplier 11 line is 1's only s11, the 1.0 line is HIGH's min)
+    val dels = Seq((1L, 11L, 9.0), (3L, 13L, 1.0))
+    jc = JoinCubeManager.applyDeltas(jc,
+      ordersDf(ords).limit(0).withColumn("_sign", lit(1L)),
+      lines(dels).withColumn("_sign", lit(-1L)))
+    assert(!jc.cube.hasDeletes,
+      "join-MV delete fold latched despite the reconstructible source")
+    // folded == from-scratch over the surviving joined state, for the
+    // non-invertible families
+    val scratch = JoinCubeManager.create(skCfg, ordersDf(ords),
+      lines(base.diff(dels)))
+    def serve(c: Cube) = CubeManager.query(c, Seq("prio"),
+        distinctOf = Seq("supps"), minOf = Seq("px"), maxOf = Seq("px"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_distinct_supps"),
+        r.getAs[Double]("min_px"), r.getAs[Double]("max_px"))).toSet
+    assert(serve(jc.cube) == serve(scratch.cube),
+      s"folded ${serve(jc.cube)} != scratch ${serve(scratch.cube)}")
+    // a LEFT-side delete recomputes through the one-sided path too:
+    // dropping order 3 removes HIGH's 7.0 line from the join
+    jc = JoinCubeManager.applySideDeltas(jc,
+      ordersDf(Seq((3L, "HIGH"))).withColumn("_sign", lit(-1L)), "left")
+    assert(!jc.cube.hasDeletes)
+    val scratch2 = JoinCubeManager.create(skCfg,
+      ordersDf(ords.filterNot(_._1 == 3L)), lines(base.diff(dels)))
+    assert(serve(jc.cube) == serve(scratch2.cube),
+      s"left-delete ${serve(jc.cube)} != scratch ${serve(scratch2.cube)}")
+    // over-deletion tombstones (negative nets) are EXCLUDED from the
+    // reconstructed source: deleting a line twice must not resurrect
+    // or corrupt the recompute
+    val jc3 = JoinCubeManager.applyDeltas(jc,
+      ordersDf(ords).limit(0).withColumn("_sign", lit(1L)),
+      lines(Seq((2L, 10L, 2.0), (2L, 10L, 2.0)))
+        .withColumn("_sign", lit(-1L)))
+    val scratch3 = JoinCubeManager.create(skCfg,
+      ordersDf(ords.filterNot(_._1 == 3L)),
+      lines(base.diff(dels).filterNot(_ == (2L, 10L, 2.0))))
+    assert(serve(jc3.cube) == serve(scratch3.cube),
+      s"tombstone ${serve(jc3.cube)} != scratch ${serve(scratch3.cube)}")
+  }
+
   test("overlapping side column names and missing keys are refused") {
     import spark.implicits._
     // overlapping name: both sides carry "price" — name-based binding
