@@ -89,6 +89,78 @@ object CubeSpeedupDemo {
     println(f"[speedup] distinct ratio ${dFromSource / dFromCube}%.1fx at " +
       s"$sfDir (the HLL-partial union reads |cube| rows, never re-scans " +
       "raw user ids)")
+
+    // ROLLUP through the Expand: three grouping sets, each re-reading
+    // the source without the MV vs re-aggregating the same cells with
+    // it — the grouping-set multiplier on top of the base MV win
+    def rquery() = spark.read.parquet(srcDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double").as("s"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+    val rFromCube = bench("rollup-cube", rquery _) // registered above
+    CubeCatalog.unregister("li_cube")
+    val rFromSource = bench("rollup-src", rquery _)
+    CubeCatalog.register("li_cube",
+      CubeManager.load(spark, dir, "li_cube"), srcDir)
+    println(f"[speedup] rollup ratio ${rFromSource / rFromCube}%.1fx at " +
+      s"$sfDir (every grouping set re-aggregates the cells instead of " +
+      "re-scanning the source)")
+
+    // percentile_approx from maintained KLL partials (opt-in routing)
+    val qcfg = CubeConfig("ev_kll", "events",
+      Seq(FieldDim("etype", "event_type")), Seq(Measure("v", "value")),
+      quantiles = Seq(Measure("vdist", "value")))
+    CubeManager.save(CubeManager.create(qcfg, spark.read.parquet(dsrcDir)), dir)
+    def pquery() = spark.read.parquet(dsrcDir)
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(50)).as("p50"))
+    val pFromSource = bench("pctile-src", pquery _)
+    CubeCatalog.register("ev_kll",
+      CubeManager.load(spark, dir, "ev_kll"), dsrcDir, approxDistinct = true)
+    val pScans = pquery().queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(pScans.exists(_.endsWith("/ev_kll")),
+      s"percentile routing must fire for the measurement; scans=$pScans")
+    val pFromCube = bench("pctile-cube", pquery _)
+    println(f"[speedup] percentile ratio ${pFromSource / pFromCube}%.1fx " +
+      s"at $sfDir (KLL merge of |cube| partials vs a source re-sort)")
+
+    // distinct-over-join from join-MV HLL partials: the no-MV plan pays
+    // the join shuffle AND the distinct re-shuffle per run
+    val joDir = s"$dir/jo"; val jlDir = s"$dir/jl"
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority")).write.parquet(joDir)
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey")).write.parquet(jlDir)
+    val jsvc = new CubeService(spark, dir)
+    jsvc.createJoinCube(
+      JoinCubeConfig(
+        CubeConfig("jo_supps", "jo_jl",
+          Seq(FieldDim("prio", "o_orderpriority")),
+          Seq(Measure("sk_sum", "l_suppkey")),
+          sketches = Seq(Measure("supps", "l_suppkey"))),
+        leftKey = "o_orderkey", rightKey = "l_orderkey"),
+      spark.read.parquet(joDir), spark.read.parquet(jlDir))
+    def jquery() = spark.read.parquet(joDir)
+      .join(spark.read.parquet(jlDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("l_suppkey")).as("nd"))
+    val jFromSource = bench("jdistinct-src", jquery _)
+    CubeCatalog.registerJoin("jo_supps", jsvc.loadJoinCube("jo_supps"),
+      joDir, jlDir, approxDistinct = true)
+    val jScans = jquery().queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(jScans.exists(_.contains(".jmv/")),
+      s"join sketch routing must fire for the measurement; scans=$jScans")
+    val jFromCube = bench("jdistinct-cube", jquery _)
+    println(f"[speedup] join-distinct ratio ${jFromSource / jFromCube}%.1fx " +
+      s"at $sfDir (removes the join shuffle AND the distinct re-shuffle)")
     spark.stop()
   }
 }
