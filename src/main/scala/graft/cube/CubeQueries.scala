@@ -116,6 +116,7 @@ object CubeQueries {
     deleteSketchService(spark, sfDir)
     timeTravelService(spark, sfDir)
     joinSketchSources(spark, sfDir)
+    joinStreamSketchService(spark, sfDir)
     ()
   }
 
@@ -430,6 +431,86 @@ object CubeQueries {
       svc.stopJoinAutoUpdate("join_stream")
       svc
     })
+
+  // --------------------------------------------------------------- q184
+  /** The round's delete-capable sketch machinery COMPOSED with the
+    * streaming change-stream path: a join MV carrying an HLL
+    * distinct-supplier partial per priority cell, maintained by
+    * wire-format change events that INCLUDE DELETES — each micro-batch
+    * folds through the one-sided delta-join rule, and the delete
+    * batches trigger the targeted cell recompute with the joined
+    * source reconstructed from the MV's own side states (no access to
+    * the original tables), so the sketch serve never latches. Setup
+    * mirrors q154 (late-line inserts across two micro-batches, then
+    * returned-line deletes in a third); the graded serve reads
+    * distinct suppliers + exact revenue/count per priority from the
+    * stream-maintained MV. Rows-only (HLL estimate); CubeServiceSpec
+    * pins streamed == manual-fold == from-scratch for the distinct
+    * estimates, and q154 hash-matches the exact measures of the same
+    * streaming machinery. */
+  private val joinStreamSketchSetup =
+    TrieMap.empty[(SparkSession, String), CubeService]
+  private val liSkDocSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("l_orderkey",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("l_suppkey",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("l_extendedprice",
+      org.apache.spark.sql.types.DoubleType)))
+  private def joinStreamSketchService(spark: SparkSession,
+      sfDir: String): CubeService =
+    joinStreamSketchSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_jmv_skst").toString
+      val svc = new CubeService(spark, dir)
+      val cfgJ = JoinCubeConfig(
+        CubeConfig("join_stream_sk", "orders_lineitem",
+          dims = Seq(FieldDim("prio", "o_orderpriority")),
+          measures = Seq(Measure("revenue", "l_extendedprice")),
+          sketches = Seq(Measure("supps", "l_suppkey"))),
+        leftKey = "o_orderkey", rightKey = "l_orderkey")
+      val ord = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = Tables.lineitem(spark, sfDir)
+      val late = col("l_linenumber") % 3 === 2
+      svc.createJoinCube(cfgJ, ord,
+        li.filter(!late).select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice")))
+      val liDoc = struct(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"))
+      val insJson = li.filter(late).select(to_json(struct(
+        lit("insert").as("operationType"),
+        liDoc.as("fullDocument"))).as("value"), col("l_orderkey"))
+      val delJson = li.filter(!late && col("l_returnflag") === "R")
+        .select(to_json(struct(
+          lit("delete").as("operationType"),
+          liDoc.as("fullDocumentBeforeChange"))).as("value"),
+          col("l_orderkey"))
+      val changes = s"$dir/changes"
+      insJson.filter(col("l_orderkey") % 2 === 0).select(col("value"))
+        .coalesce(1).write.mode("append").text(changes)
+      insJson.filter(col("l_orderkey") % 2 === 1).select(col("value"))
+        .coalesce(1).write.mode("append").text(changes)
+      delJson.select(col("value"))
+        .coalesce(1).write.mode("append").text(changes)
+      val q = svc.startJoinAutoUpdate("join_stream_sk", changes,
+        liSkDocSchema, side = "right")
+      q.processAllAvailable()
+      svc.stopJoinAutoUpdate("join_stream_sk")
+      svc
+    })
+
+  def q184JoinStreamSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = joinStreamSketchService(spark, sfDir)
+    // the serve itself is the no-latch proof: a latched cube refuses
+    // distinctOf
+    svc.getJoinAggregates("join_stream_sk", Seq("prio"),
+        sumOf = Seq("revenue"), distinctOf = Seq("supps"))
+      .select(col("prio"), col("n_distinct_supps").as("nd_supps"),
+        round(col("sum_revenue"), 2).as("revenue"),
+        col("n_rows").as("n"))
+      .orderBy(col("prio"))
+  }
 
   // --------------------------------------------------------------- q174
   /** TIME TRAVEL over the join MV's retained versions: the same
@@ -1416,6 +1497,7 @@ object CubeQueries {
     "q175_sketch_rollup_routing" -> q175SketchRollupRouting,
     "q176_quantile_rollup_routing" -> q176QuantileRollupRouting,
     "q183_join_sketch_routing" -> q183JoinSketchRouting,
+    "q184_join_stream_sketch" -> q184JoinStreamSketch,
     "q165_delete_extremes" -> q165DeleteExtremes,
     "q177_delete_sketches" -> q177DeleteSketches,
     "q155_filter_routing" -> q155FilterRouting,

@@ -600,10 +600,21 @@ final class CubeService(spark: SparkSession, storageDir: String,
   def stopJoinAutoUpdate(name: String): Unit =
     joinAutoUpdates.remove(name).foreach(_.stop())
 
-  /** Roll-up served from the maintained join MV. */
+  /** Roll-up served from the maintained join MV — the full
+    * [[getAggregates]] measure surface (sums/avgs, HLL distincts, KLL
+    * quantiles, extremes, CMS top-k): a join cube's cells hold the same
+    * partial families a single-table cube's do, maintained through the
+    * delta-join fold (delete-capable — the fold reconstructs the joined
+    * source from the side states for the targeted recompute). */
   def getJoinAggregates(name: String, dims: Seq[String],
-      sumOf: Seq[String] = Nil, avgOf: Seq[String] = Nil): DataFrame =
-    CubeManager.query(loadJoinCube(name).cube, dims, lit(true), sumOf, avgOf)
+      filter: Column = lit(true),
+      sumOf: Seq[String] = Nil, avgOf: Seq[String] = Nil,
+      distinctOf: Seq[String] = Nil,
+      quantilesOf: Seq[(String, Double)] = Nil,
+      minOf: Seq[String] = Nil, maxOf: Seq[String] = Nil,
+      topkOf: Seq[(String, Int)] = Nil): DataFrame =
+    CubeManager.query(loadJoinCube(name).cube, dims, filter, sumOf, avgOf,
+      distinctOf, quantilesOf, minOf, maxOf, topkOf)
 
   /** Version of the join MV the MANIFEST currently points at (one
     * version per fold — a version number doubles as a fold count). */
@@ -636,14 +647,17 @@ final class CubeService(spark: SparkSession, storageDir: String,
     * that protects outstanding head readers). Refuses versions outside
     * the retained window rather than answering from a half-GC'd dir. */
   def getJoinAggregatesAsOf(name: String, version: Int, dims: Seq[String],
-      sumOf: Seq[String] = Nil, avgOf: Seq[String] = Nil): DataFrame = {
+      sumOf: Seq[String] = Nil, avgOf: Seq[String] = Nil,
+      distinctOf: Seq[String] = Nil,
+      quantilesOf: Seq[(String, Double)] = Nil,
+      minOf: Seq[String] = Nil, maxOf: Seq[String] = Nil): DataFrame = {
     val retained = listJoinCubeVersions(name)
     require(retained.contains(version),
       s"join MV '$name' version $version is not retained " +
         s"(window: ${retained.mkString(", ")}); raise retainJmvVersions " +
         "at service construction to widen the time-travel window")
     CubeManager.query(jmvLoadAt(name, version).cube, dims, lit(true),
-      sumOf, avgOf)
+      sumOf, avgOf, distinctOf, quantilesOf, minOf, maxOf)
   }
 
   def listJoinCubes(): Seq[String] = {

@@ -495,6 +495,59 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteJoinCube("jhome")
   }
 
+  test("streamed deletes into a sketch-carrying join MV: no latch, == from-scratch") {
+    import spark.implicits._
+    import java.nio.file.Paths
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val dir = Files.createTempDirectory("graft_svc_jmvsk").toString
+    val svc = new CubeService(spark, dir)
+    val cfgJ = JoinCubeConfig(
+      CubeConfig("jsks", "l_r",
+        dims = Seq(FieldDim("cat", "cat")),
+        measures = Seq(Measure("amt", "amount")),
+        sketches = Seq(Measure("supps", "supp"))),
+      leftKey = "lk", rightKey = "rk")
+    val left = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("lk", "cat")
+    val right0 = Seq((1L, 10L, 10.0), (1L, 11L, 4.0), (2L, 12L, 20.0),
+      (3L, 11L, 7.0)).toDF("rk", "supp", "amount")
+    svc.createJoinCube(cfgJ, left, right0)
+    val docSchema = StructType(Seq(
+      StructField("rk", LongType), StructField("supp", LongType),
+      StructField("amount", DoubleType)))
+    def ins(rk: Long, supp: Long, amount: Double) =
+      s"""{"operationType":"insert","fullDocument":{"rk":$rk,"supp":$supp,"amount":$amount}}"""
+    def del(rk: Long, supp: Long, amount: Double) =
+      s"""{"operationType":"delete","fullDocumentBeforeChange":{"rk":$rk,"supp":$supp,"amount":$amount}}"""
+    val changes = s"$dir/changes"
+    java.nio.file.Files.createDirectories(Paths.get(changes))
+    // batch 0: insert a new supplier for cat a; batch 1: DELETE cat a's
+    // only s11 rows (both lines) — the distinct count must drop
+    java.nio.file.Files.writeString(Paths.get(changes, "c0.json"),
+      ins(3L, 14L, 2.0))
+    java.nio.file.Files.writeString(Paths.get(changes, "c1.json"),
+      del(1L, 11L, 4.0) + "\n" + del(3L, 11L, 7.0))
+    val q = svc.startJoinAutoUpdate("jsks", changes, docSchema, "right")
+    q.processAllAvailable()
+    svc.stopJoinAutoUpdate("jsks")
+    // the serve is the no-latch proof (a latched cube refuses distinctOf)
+    val served = svc.getJoinAggregates("jsks", Seq("cat"),
+        distinctOf = Seq("supps"), sumOf = Seq("amt"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_distinct_supps"), r.getAs[Double]("sum_amt"))).toMap
+    // from-scratch twin over the final state
+    val finalRight = Seq((1L, 10L, 10.0), (2L, 12L, 20.0), (3L, 14L, 2.0))
+      .toDF("rk", "supp", "amount")
+    val scratch = JoinCubeManager.create(cfgJ, left, finalRight)
+    val want = CubeManager.query(scratch.cube, Seq("cat"),
+        distinctOf = Seq("supps"), sumOf = Seq("amt"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_distinct_supps"), r.getAs[Double]("sum_amt"))).toMap
+    assert(served == want, s"streamed $served != from-scratch $want")
+    // exact expectations, belt and braces: a={10,14} ⇒ 2, b={12} ⇒ 1
+    assert(served("a")._1 == 2L && served("b")._1 == 1L, served.toString)
+    svc.deleteJoinCube("jsks")
+  }
+
   test("join MV time travel: retained window slides, as-of serves history") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_svc_tt").toString
