@@ -1090,6 +1090,42 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q185
+  /** ROLLUP OVER A REGISTERED JOIN served from the join MV — the last
+    * cell of the routing matrix: the grouping-set rewrite (q163) and
+    * the join-MV matching (q153) now compose, so a
+    * `join(...).rollup(dims).agg(...)` query — the report shape every
+    * BI tool emits against a star join — swaps the Expand's input from
+    * JOINED SOURCE ROWS to join-cube cells. Without the MV each
+    * grouping set re-pays the join shuffle AND the re-scan (the worst
+    * multiplier in the matrix: |source| × |sets| with a shuffle per
+    * set); with it, every hierarchy level re-aggregates |MV| cells.
+    * Exact measures only here, so unlike the sketch rollups this one
+    * carries a FULL oracle: DuckDB recomputes the same ROLLUP from the
+    * raw join — hash equality proves the routed hierarchy
+    * bit-identical, grouping-id bits included. */
+  def q185JoinRollupRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val (oSrc, lSrc) = joinRouteSources(spark, sfDir)
+    val q = spark.read.parquet(oSrc)
+      .join(spark.read.parquet(lSrc),
+        col("o_orderkey") === col("l_orderkey"))
+      .rollup(col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .select(col("o_orderpriority").as("prio"), col("gid"),
+        col("revenue"), col("n"))
+      .orderBy(col("gid"), col("prio"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && scans.forall(_.contains(".jmv/")),
+      s"join rollup routing did not fire; scans=$scans")
+    q
+  }
+
   /** Graded: FILTER-AWARE MV routing — the q58 aggregation with a WHERE
     * on the cube dimension, written as if no MV existed. The optimizer
     * serves the predicate as a cube-CELL filter on the dimension
@@ -1498,6 +1534,7 @@ object CubeQueries {
     "q176_quantile_rollup_routing" -> q176QuantileRollupRouting,
     "q183_join_sketch_routing" -> q183JoinSketchRouting,
     "q184_join_stream_sketch" -> q184JoinStreamSketch,
+    "q185_join_rollup_routing" -> q185JoinRollupRouting,
     "q165_delete_extremes" -> q165DeleteExtremes,
     "q177_delete_sketches" -> q177DeleteSketches,
     "q155_filter_routing" -> q155FilterRouting,
@@ -1704,6 +1741,15 @@ object CubeQueries {
       WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+    "q185_join_rollup_routing" -> """
+      SELECT o_orderpriority AS prio,
+        CAST(grouping(o_orderpriority) AS BIGINT) AS gid,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS revenue,
+        count(1) AS n
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY ROLLUP (o_orderpriority)
+      ORDER BY gid, prio""",
     "q153_join_routing" -> """
       SELECT o_orderpriority,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

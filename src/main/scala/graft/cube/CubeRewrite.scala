@@ -247,55 +247,76 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
           // an inner join, so filtering the MV's dimension attribute is
           // exact). A computed projection refuses — the side is then
           // not the registered relation.
-          def sideMatches(side: LogicalPlan, keyName: String,
-              wantPath: String): Option[(Attribute, Seq[Expression])] =
-            resolvePath(side, keyName) match {
-              case Some(k: Attribute) =>
-                var collected = Vector.empty[Expression]
-                def strip(p: LogicalPlan): LogicalPlan = p match {
-                  case pr: Project
-                      if pr.projectList
-                        .forall(_.isInstanceOf[AttributeReference]) =>
-                    strip(pr.child)
-                  case SubqueryAlias(_, c) => strip(c)
-                  case f: Filter =>
-                    collected ++= conjuncts(f.condition).filterNot {
-                      case IsNotNull(a: AttributeReference) =>
-                        a.exprId == k.exprId
-                      case _ => false
-                    }
-                    strip(f.child)
-                  case other => other
-                }
-                val stripped = strip(side)
-                if (CubeCatalog.sourcePathOf(stripped).contains(wantPath))
-                  Some((k, collected))
-                else None
-              case _ => None
-            }
           base match {
-            case j @ Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
-                Some(cond), _) =>
-              val candidates = CubeCatalog.joinRegistered.values.flatMap { jr =>
-                (sideMatches(l, jr.leftKey, jr.leftPath),
-                    sideMatches(r, jr.rightKey, jr.rightPath)) match {
-                  case (Some((lk, lPred)), Some((rk, rPred))) =>
-                    val eq = org.apache.spark.sql.catalyst.expressions
-                      .EqualTo(lk, rk)
-                    val eqFlip = org.apache.spark.sql.catalyst.expressions
-                      .EqualTo(rk, lk)
-                    if (cond.canonicalized == eq.canonicalized ||
-                        cond.canonicalized == eqFlip.canonicalized)
-                      tryRewrite(agg, jr.reg, j, subst,
-                        pred ++ lPred ++ rPred)
-                    else None
-                  case _ => None
-                }
+            case j: Join =>
+              val candidates = matchingJoinRegs(j).flatMap {
+                case (jr, sidePreds) =>
+                  tryRewrite(agg, jr.reg, j, subst, pred ++ sidePreds)
               }
               if (candidates.isEmpty) agg else candidates.minBy(_._2)._1
             case _ => agg
           }
       }
+  }
+
+  /** Join-MV matching, shared by the plain-aggregate and grouping-set
+    * paths: which registered join MVs cover this Join node, with the
+    * side-filter conjuncts each match collects. A side, as the
+    * optimizer leaves it, is the registered relation under
+    * attribute-only Projects, SubqueryAliases, and Filters; an
+    * inferred `isnotnull(<join key>)` is implied by the inner
+    * equi-join itself and dropped; exactness requires the join to be
+    * EXACTLY the registered one — inner, single equality, on the
+    * registered key columns of the registered relations, in either
+    * order. */
+  private def matchingJoinRegs(j: Join)
+      : Iterable[(CubeCatalog.JoinRegistration, Seq[Expression])] = {
+    def sideMatches(side: LogicalPlan, keyName: String,
+        wantPath: String): Option[(Attribute, Seq[Expression])] =
+      resolvePath(side, keyName) match {
+        case Some(k: Attribute) =>
+          var collected = Vector.empty[Expression]
+          def strip(p: LogicalPlan): LogicalPlan = p match {
+            case pr: Project
+                if pr.projectList
+                  .forall(_.isInstanceOf[AttributeReference]) =>
+              strip(pr.child)
+            case SubqueryAlias(_, c) => strip(c)
+            case f: Filter =>
+              collected ++= conjuncts(f.condition).filterNot {
+                case IsNotNull(a: AttributeReference) =>
+                  a.exprId == k.exprId
+                case _ => false
+              }
+              strip(f.child)
+            case other => other
+          }
+          val stripped = strip(side)
+          if (CubeCatalog.sourcePathOf(stripped).contains(wantPath))
+            Some((k, collected))
+          else None
+        case _ => None
+      }
+    j match {
+      case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
+          Some(cond), _) =>
+        CubeCatalog.joinRegistered.values.flatMap { jr =>
+          (sideMatches(l, jr.leftKey, jr.leftPath),
+              sideMatches(r, jr.rightKey, jr.rightPath)) match {
+            case (Some((lk, lPred)), Some((rk, rPred))) =>
+              val eq = org.apache.spark.sql.catalyst.expressions
+                .EqualTo(lk, rk)
+              val eqFlip = org.apache.spark.sql.catalyst.expressions
+                .EqualTo(rk, lk)
+              if (cond.canonicalized == eq.canonicalized ||
+                  cond.canonicalized == eqFlip.canonicalized)
+                Some((jr, lPred ++ rPred))
+              else None
+            case _ => None
+          }
+        }
+      case _ => Nil
+    }
   }
 
   /** The agg-shape-independent half of a routing attempt: binds one
@@ -667,10 +688,25 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
       case other => other
     }
     val base = peel(exp.child)
-    val path = CubeCatalog.sourcePathOf(base).getOrElse(return None)
     def subst(e: Expression): Expression = e.transformUp {
       case a: AttributeReference if env.contains(a.exprId) => env(a.exprId)
     }
+    // candidate registrations: single-table regs on the base's path, or
+    // join regs covering a base Join (the same matching the plain path
+    // uses — rollup-over-join routes to the join MV's cells exactly
+    // like rollup-over-table routes to the cube's)
+    val candidates: Iterable[(CubeCatalog.Registration, Seq[Expression])] =
+      CubeCatalog.sourcePathOf(base) match {
+        case Some(path) =>
+          CubeCatalog.registered.values.filter(_.sourcePath == path)
+            .map(_ -> Seq.empty[Expression])
+        case None => base match {
+          case j: Join => matchingJoinRegs(j).map { case (jr, p) =>
+            (jr.reg, p)
+          }
+          case _ => return None
+        }
+      }
 
     // grouping slots: Expand output positions the Aggregate groups on
     val groupSlotIdx = expOut.indices
@@ -680,7 +716,8 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
       return None
     val groupSet = AttributeSet(groupAttrs)
 
-    def tryOne(reg: CubeCatalog.Registration): Option[(LogicalPlan, BigInt)] = {
+    def tryOne(reg: CubeCatalog.Registration,
+        sidePreds: Seq[Expression]): Option[(LogicalPlan, BigInt)] = {
       val b = new Binding(reg, base, subst)
       if (!b.routable || b.countAttrOpt.isEmpty) return None
       // each grouping slot's defining expression (identical across the
@@ -699,7 +736,8 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
         i -> dim
       }.toMap
 
-      val predRewritten = b.rewritePreds(preds).getOrElse(return None)
+      val predRewritten =
+        b.rewritePreds(preds ++ sidePreds).getOrElse(return None)
       val rewritten = b.rewriteNamed(agg.aggregateExpressions, groupSet)
         .getOrElse(return None)
       // every reference must now be a preserved grouping attr / gid or
@@ -730,9 +768,8 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
         Expand(newProjections, newOut, liveCube)), reg.cubeSize))
     }
 
-    val candidates = CubeCatalog.registered.values
-      .filter(_.sourcePath == path).flatMap(tryOne(_))
-    if (candidates.isEmpty) None else Some(candidates.minBy(_._2)._1)
+    val routed = candidates.flatMap { case (reg, sp) => tryOne(reg, sp) }
+    if (routed.isEmpty) None else Some(routed.minBy(_._2)._1)
   }
 
   /** Resolve a (possibly dotted nested) field path against a plan's

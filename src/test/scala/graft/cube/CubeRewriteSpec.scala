@@ -870,6 +870,44 @@ class CubeRewriteSpec extends AnyFunSuite {
     CubeCatalog.clear()
   }
 
+  test("ROLLUP through the Expand routes to a JOIN MV; results identical") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(91)
+    val ords = (0 until 30).map(i =>
+      (i.toLong, Seq("HIGH", "MED", "LOW")(rnd.nextInt(3))))
+    val lins = (0 until 150).map(_ =>
+      (rnd.nextInt(30).toLong, math.round(rnd.nextDouble() * 10000) / 100.0))
+    val lDir = Files.createTempDirectory("graft_jgr_l").toString
+    val rDir = Files.createTempDirectory("graft_jgr_r").toString
+    ords.toDF("o_key", "o_prio").write.mode("overwrite").parquet(lDir)
+    lins.toDF("l_key", "l_price").write.mode("overwrite").parquet(rDir)
+    val jcfg = JoinCubeConfig(
+      CubeConfig("jgr", "l_r",
+        dims = Seq(FieldDim("prio", "o_prio")),
+        measures = Seq(Measure("rev", "l_price"))),
+      leftKey = "o_key", rightKey = "l_key")
+    val svcDir = Files.createTempDirectory("graft_jgr_svc").toString
+    val svc = new CubeService(spark, svcDir)
+    svc.createJoinCube(jcfg,
+      spark.read.parquet(lDir), spark.read.parquet(rDir))
+    CubeCatalog.registerJoin("jgr", svc.loadJoinCube("jgr"), lDir, rDir)
+    def q() = spark.read.parquet(lDir)
+      .join(spark.read.parquet(rDir), col("o_key") === col("l_key"))
+      .rollup(col("o_prio"))
+      .agg(sum(col("l_price").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"), grouping_id().as("gid"))
+    val scans = scansOf(q())
+    assert(scans.size == 1 && scans.head.contains(".jmv/"),
+      s"rollup over the registered join did not route: $scans")
+    val routed = sortedRows(q())
+    CubeCatalog.clear()
+    assert(routed == sortedRows(q()), "routed join rollup diverged")
+    // both hierarchy levels present
+    assert(routed.map(_(3)).distinct.toSet == Set(0L, 1L))
+    CubeCatalog.clear()
+  }
+
   test("rollup over a dim SUBSET of a two-dim join MV routes") {
     import spark.implicits._
     CubeCatalog.clear()
