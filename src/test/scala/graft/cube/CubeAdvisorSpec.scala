@@ -1,0 +1,134 @@
+package graft.cube
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The advisor's honesty contract: a recommended config, materialized
+  * and registered VERBATIM, makes every covered workload query route;
+  * unservable queries are reported uncovered, never half-covered. */
+class CubeAdvisorSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    CubeCatalog.install(s)
+    s
+  }
+
+  private def scansOf(q: DataFrame): Seq[String] =
+    q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r).get
+    }
+
+  test("advised config covers the workload and the workload then routes") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 600).map { i =>
+      (Seq("click", "view", "buy")(rnd.nextInt(3)),
+        new Timestamp(1700000000000L + rnd.nextInt(72) * 3600000L),
+        math.round(rnd.nextDouble() * 10000) / 100.0,
+        (i % 50).toLong)
+    }
+    val srcDir = Files.createTempDirectory("graft_adv_src").toString
+    rows.toDF("event_type", "ts", "value", "user_id")
+      .write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+
+    // a DataFrame memoizes its queryExecution, so the plans the
+    // advisor analyzed would never see the later registration — build
+    // the workload fresh for each phase
+    def mkWorkload(): Seq[DataFrame] = Seq(
+      // 0: plain rollup
+      src.groupBy(col("event_type"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("s"),
+          count(lit(1)).as("n")),
+      // 1: two dims incl. a time bucket
+      src.groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("s")),
+      // 2: filter column must surface as a dim
+      src.filter(col("event_type") === "click")
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("n")),
+      // 3: ROLLUP (Expand path)
+      src.rollup(col("event_type"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("s"),
+          grouping_id().as("gid")),
+      // 4: approx distinct → sketch measure
+      src.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("nd")),
+      // 5: min/max → extremes
+      src.groupBy(col("event_type"))
+        .agg(min(col("value")).as("mn"), max(col("value")).as("mx")),
+      // 6: UNSUPPORTED leaf (native avg) → uncovered
+      src.groupBy(col("event_type")).agg(avg(col("value")).as("a")),
+      // 7: not an aggregate at all → uncovered
+      src.filter(col("value") > 50.0))
+
+    val (recs, uncovered) = CubeAdvisor.advise(mkWorkload())
+    assert(uncovered == Seq(6, 7), s"uncovered=$uncovered")
+    assert(recs.size == 1, s"expected one recommendation, got $recs")
+    val rec = recs.head
+    assert(rec.coveredQueries == Seq(0, 1, 2, 3, 4, 5))
+    // dims: event_type + day(ts); NO duplicate dim for the filter column
+    val dimKeys = rec.config.dims.map {
+      case FieldDim(_, p) => s"f:$p"
+      case TimeDim(_, p, g) => s"t:$p:$g"
+      case ExprDim(_, s) => s"e:$s"
+    }
+    assert(dimKeys.toSet == Set("f:event_type", "t:ts:day"), dimKeys.toString)
+    assert(rec.config.measures.map(_.path) == Seq("value"))
+    assert(rec.config.sketches.map(_.path) == Seq("user_id"))
+    assert(rec.config.extremes.map(_.path) == Seq("value"))
+
+    // the honesty check: materialize + register the config VERBATIM and
+    // every covered query routes
+    val cubeDir = Files.createTempDirectory("graft_adv_cube").toString
+    CubeManager.save(CubeManager.create(rec.config, src), cubeDir)
+    CubeCatalog.register(rec.config.name,
+      CubeManager.load(spark, cubeDir, rec.config.name), srcDir,
+      approxDistinct = true)
+    val fresh = mkWorkload()
+    rec.coveredQueries.foreach { i =>
+      val scans = scansOf(fresh(i))
+      assert(scans == Seq(CubeCatalog.normalize(s"$cubeDir/${rec.config.name}")),
+        s"covered query $i did not route: $scans")
+    }
+    // the uncovered avg query keeps reading the source (and stays right)
+    assert(scansOf(fresh(6)) == Seq(CubeCatalog.normalize(srcDir)))
+    CubeCatalog.clear()
+  }
+
+  test("adviseWithStats vetoes a cube with no re-aggregation advantage") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val srcDir = Files.createTempDirectory("graft_adv_uniq").toString
+    (0 until 500).map(i => (i.toLong, i * 2.0))
+      .toDF("event_id", "value").write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+    // grouping by the unique key: cube cells == source rows
+    val badWorkload = Seq(src.groupBy(col("event_id"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s")))
+    val (recs, _) = CubeAdvisor.adviseWithStats(spark, badWorkload)
+    assert(recs.size == 1)
+    assert(!recs.head.worthwhile,
+      s"unique-key cube must not be worthwhile: ${recs.head}")
+    // a genuinely aggregating workload stays worthwhile
+    val okDir = Files.createTempDirectory("graft_adv_ok").toString
+    (0 until 500).map(i => (s"k${i % 5}", i * 1.0))
+      .toDF("k", "value").write.mode("overwrite").parquet(okDir)
+    val okWorkload = Seq(spark.read.parquet(okDir).groupBy(col("k"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s")))
+    val (okRecs, _) = CubeAdvisor.adviseWithStats(spark, okWorkload)
+    assert(okRecs.head.worthwhile && okRecs.head.cells.exists(_ <= 6))
+  }
+}
