@@ -1,9 +1,9 @@
 package graft.cube
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualTo, Expression, IsNotNull, Literal, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Complete, Count, HyperLogLogPlusPlus, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.types.DecimalType
 
 /** Workload-driven MV advisor — the designer-side complement of
@@ -51,19 +51,36 @@ object CubeAdvisor {
     }
   }
 
-  /** What one analyzable aggregate needs from a cube. */
+  /** One recommended JOIN MV: both source paths, the registrable
+    * config (pass to `CubeService.createJoinCube` + side projections of
+    * the two parquet paths, then `CubeCatalog.registerJoin`), and the
+    * covered workload indices. */
+  final case class JoinCubeRecommendation(
+      leftPath: String, rightPath: String,
+      config: JoinCubeConfig,
+      coveredQueries: Seq[Int])
+
+  /** What one analyzable aggregate needs from a cube. `join` is set
+    * when the aggregate sits over an inner equi-join of two parquet
+    * relations (leftPath, rightPath, leftKey, rightKey). */
   private final case class Needs(
       path: String,
       dims: Seq[Dimension],
       measures: Seq[Measure],
       sketches: Seq[Measure],
       quantiles: Seq[Measure],
-      extremes: Seq[Measure])
+      extremes: Seq[Measure],
+      join: Option[(String, String, String, String)] = None)
 
-  /** Structural advice: no data is read. Returns recommendations plus
-    * the workload indices that could not be covered. */
+  /** The advisor's full answer: single-table cube recommendations,
+    * join-MV recommendations, and the workload indices nothing could
+    * cover. */
+  final case class Advice(cubes: Seq[CubeRecommendation],
+      joinCubes: Seq[JoinCubeRecommendation], uncovered: Seq[Int])
+
+  /** Structural advice: no data is read. */
   def advise(workload: Seq[DataFrame],
-      namePrefix: String = "advised"): (Seq[CubeRecommendation], Seq[Int]) = {
+      namePrefix: String = "advised"): Advice = {
     val analyzed: Seq[(Int, Option[Needs])] =
       workload.zipWithIndex.map { case (df, i) =>
         i -> analyze(df.queryExecution.optimizedPlan)
@@ -71,25 +88,40 @@ object CubeAdvisor {
     val uncovered = analyzed.collect { case (i, None) => i }
     val bySource = analyzed.collect { case (i, Some(n)) => (i, n) }
       .groupBy(_._2.path)
-    val recs = bySource.toSeq.sortBy(_._1).zipWithIndex.map {
-      case ((path, entries), k) =>
-        def mergeMeasures(get: Needs => Seq[Measure]): Seq[Measure] =
-          entries.flatMap(e => get(e._2)).distinctBy(_.path)
-        val dims = entries.flatMap(_._2.dims)
-          .distinctBy(d => d match {
-            case FieldDim(_, p) => ("f", p, "")
-            case TimeDim(_, p, g) => ("t", p, g)
-            case ExprDim(_, s) => ("e", s, "")
-          })
-        CubeRecommendation(path,
-          CubeConfig(s"${namePrefix}_$k", path, dims,
-            measures = mergeMeasures(_.measures),
-            sketches = mergeMeasures(_.sketches),
-            quantiles = mergeMeasures(_.quantiles),
-            extremes = mergeMeasures(_.extremes)),
-          entries.map(_._1))
+    def mergedConfig(name: String, source: String,
+        entries: Seq[(Int, Needs)]): CubeConfig = {
+      def mergeMeasures(get: Needs => Seq[Measure]): Seq[Measure] =
+        entries.flatMap(e => get(e._2)).distinctBy(_.path)
+      val dims = entries.flatMap(_._2.dims)
+        .distinctBy(d => d match {
+          case FieldDim(_, p) => ("f", p, "")
+          case TimeDim(_, p, g) => ("t", p, g)
+          case ExprDim(_, s) => ("e", s, "")
+        })
+      CubeConfig(name, source, dims,
+        measures = mergeMeasures(_.measures),
+        sketches = mergeMeasures(_.sketches),
+        quantiles = mergeMeasures(_.quantiles),
+        extremes = mergeMeasures(_.extremes))
     }
-    (recs, uncovered)
+    var singles = Vector.empty[CubeRecommendation]
+    var joins = Vector.empty[JoinCubeRecommendation]
+    bySource.toSeq.sortBy(_._1).zipWithIndex.foreach {
+      case ((path, entries), k) =>
+        entries.head._2.join match {
+          case None =>
+            singles :+= CubeRecommendation(path,
+              mergedConfig(s"${namePrefix}_$k", path, entries),
+              entries.map(_._1))
+          case Some((lp, rp, lk, rk)) =>
+            joins :+= JoinCubeRecommendation(lp, rp,
+              JoinCubeConfig(
+                mergedConfig(s"${namePrefix}_join_$k", path, entries),
+                leftKey = lk, rightKey = rk),
+              entries.map(_._1))
+        }
+    }
+    Advice(singles, joins, uncovered)
   }
 
   /** Structural advice + one cardinality probe per source: measures
@@ -97,11 +129,10 @@ object CubeAdvisor {
     * so [[CubeRecommendation.worthwhile]] can veto cubes with no
     * re-aggregation advantage BEFORE anything is materialized. */
   def adviseWithStats(spark: org.apache.spark.sql.SparkSession,
-      workload: Seq[DataFrame], namePrefix: String = "advised")
-      : (Seq[CubeRecommendation], Seq[Int]) = {
+      workload: Seq[DataFrame], namePrefix: String = "advised"): Advice = {
     import org.apache.spark.sql.functions.{approx_count_distinct, count, lit, struct}
-    val (recs, uncovered) = advise(workload, namePrefix)
-    val measured = recs.map { rec =>
+    val a = advise(workload, namePrefix)
+    val measured = a.cubes.map { rec =>
       val src = spark.read.parquet(rec.sourcePath)
       val dimCols = rec.config.dims.map(_.expr)
       val row = src.agg(
@@ -109,7 +140,11 @@ object CubeAdvisor {
         count(lit(1)).as("rows")).head()
       rec.copy(cells = Some(row.getLong(0)), sourceRows = Some(row.getLong(1)))
     }
-    (measured, uncovered)
+    // join MVs keep structural-only verdicts in v1: their cell count
+    // needs the join run once, which is the cost stats mode exists to
+    // avoid — callers who want it can probe the recommendation's
+    // dims over the joined frame themselves
+    a.copy(cubes = measured)
   }
 
   // ---- plan analysis ---------------------------------------------------
@@ -120,8 +155,9 @@ object CubeAdvisor {
     // the analyzer lowers rollup/cube/grouping-sets to Aggregate over
     // Expand; the FINEST grouping set's slot definitions are the dims
     case Aggregate(_, aggs, exp: Expand, _) =>
-      val (base, env, preds) = peel(exp.child)
-      val path = CubeCatalog.sourcePathOf(base).getOrElse(return None)
+      val (base, env, preds0) = peel(exp.child)
+      val (path, join, sidePreds) = sourceOf(base).getOrElse(return None)
+      val preds = preds0 ++ sidePreds
       val gidName =
         org.apache.spark.sql.catalyst.expressions.VirtualColumn.groupingIdName
       val gidIdx = exp.output.indexWhere(_.name == gidName)
@@ -140,14 +176,52 @@ object CubeAdvisor {
           else None
         }
       build(path, slotDefs.map(subst(env)), preds.map(subst(env)),
-        aggLeaves(aggs).getOrElse(return None), env)
+        aggLeaves(aggs).getOrElse(return None), join)
     case Aggregate(groups, aggs, child, _) =>
-      val (base, env, preds) = peel(child)
-      val path = CubeCatalog.sourcePathOf(base).getOrElse(return None)
-      build(path, groups.map(subst(env)), preds.map(subst(env)),
-        aggLeaves(aggs).getOrElse(return None), env)
+      val (base, env, preds0) = peel(child)
+      val (path, join, sidePreds) = sourceOf(base).getOrElse(return None)
+      build(path, groups.map(subst(env)), (preds0 ++ sidePreds).map(subst(env)),
+        aggLeaves(aggs).getOrElse(return None), join)
     case _ => None
   }
+
+  /** Resolve the plan under an aggregate to something a cube can be
+    * built over: a parquet relation, or an inner equi-join of two —
+    * returning a merge key, the join info, and side-filter conjuncts
+    * (minus the inferred isnotnull on the join keys, which the inner
+    * join itself implies). */
+  private def sourceOf(base: LogicalPlan)
+      : Option[(String, Option[(String, String, String, String)],
+          Seq[Expression])] =
+    CubeCatalog.sourcePathOf(base) match {
+      case Some(p) => Some((p, None, Nil))
+      case None => base match {
+        case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
+            Some(cond), _) =>
+          val (lb, _, lpreds) = peel(l)
+          val (rb, _, rpreds) = peel(r)
+          for {
+            lp <- CubeCatalog.sourcePathOf(lb)
+            rp <- CubeCatalog.sourcePathOf(rb)
+            keys <- cond match {
+              case EqualTo(a: AttributeReference, b: AttributeReference) =>
+                if (l.outputSet.contains(a) && r.outputSet.contains(b))
+                  Some((a.name, b.name))
+                else if (l.outputSet.contains(b) && r.outputSet.contains(a))
+                  Some((b.name, a.name))
+                else None
+              case _ => None
+            }
+          } yield (s"$lp|$rp|${keys._1}|${keys._2}",
+            Some((lp, rp, keys._1, keys._2)),
+            (lpreds ++ rpreds).filterNot {
+              case IsNotNull(x: AttributeReference) =>
+                x.name == keys._1 || x.name == keys._2
+              case _ => false
+            })
+        case _ => None
+      }
+    }
 
   /** Peel attribute/alias Projects and Filters down to the relation,
     * collecting alias definitions and filter conjuncts (the same
@@ -238,8 +312,7 @@ object CubeAdvisor {
     * attributes. */
   private def build(path: String, groups: Seq[Expression],
       preds: Seq[Expression], leaves: Leaves,
-      env: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])
-      : Option[Needs] = {
+      join: Option[(String, String, String, String)]): Option[Needs] = {
     val dims = groups.map {
       case a: Attribute => FieldDim(a.name, a.name)
       case TruncTimestamp(Literal(g, _), arg, _) =>
@@ -264,6 +337,6 @@ object CubeAdvisor {
       names.distinct.map(n => Measure(s"${n}_$suffix", n))
     Some(Needs(path, dims ++ filterDims,
       ms(leaves.sums, "sum"), ms(leaves.sketches, "nd"),
-      ms(leaves.quantiles, "dist"), ms(leaves.extremes, "x")))
+      ms(leaves.quantiles, "dist"), ms(leaves.extremes, "x"), join))
   }
 }

@@ -547,13 +547,13 @@ object CubeQueries {
           .agg(sum(col("value").cast("decimal(18,2)")).as("s")),
         src.groupBy(col("event_type"))
           .agg(approx_count_distinct(col("user_id")).as("nd")))
-      val (recs, uncovered) = CubeAdvisor.advise(workload, "advised_demo")
-      require(uncovered.isEmpty && recs.size == 1,
-        s"advisor must cover the demo workload: recs=$recs " +
-          s"uncovered=$uncovered")
-      CubeManager.save(CubeManager.create(recs.head.config, src), dir)
-      CubeCatalog.register(recs.head.config.name,
-        CubeManager.load(spark, dir, recs.head.config.name), srcDir,
+      val advice = CubeAdvisor.advise(workload, "advised_demo")
+      require(advice.uncovered.isEmpty && advice.cubes.size == 1,
+        s"advisor must cover the demo workload: $advice")
+      val cfg = advice.cubes.head.config
+      CubeManager.save(CubeManager.create(cfg, src), dir)
+      CubeCatalog.register(cfg.name,
+        CubeManager.load(spark, dir, cfg.name), srcDir,
         approxDistinct = true)
       srcDir
     })

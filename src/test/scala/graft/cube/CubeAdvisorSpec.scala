@@ -74,10 +74,11 @@ class CubeAdvisorSpec extends AnyFunSuite {
       // 7: not an aggregate at all → uncovered
       src.filter(col("value") > 50.0))
 
-    val (recs, uncovered) = CubeAdvisor.advise(mkWorkload())
-    assert(uncovered == Seq(6, 7), s"uncovered=$uncovered")
-    assert(recs.size == 1, s"expected one recommendation, got $recs")
-    val rec = recs.head
+    val advice = CubeAdvisor.advise(mkWorkload())
+    assert(advice.uncovered == Seq(6, 7), s"uncovered=${advice.uncovered}")
+    assert(advice.cubes.size == 1 && advice.joinCubes.isEmpty,
+      s"expected one recommendation, got $advice")
+    val rec = advice.cubes.head
     assert(rec.coveredQueries == Seq(0, 1, 2, 3, 4, 5))
     // dims: event_type + day(ts); NO duplicate dim for the filter column
     val dimKeys = rec.config.dims.map {
@@ -118,7 +119,7 @@ class CubeAdvisorSpec extends AnyFunSuite {
     // grouping by the unique key: cube cells == source rows
     val badWorkload = Seq(src.groupBy(col("event_id"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("s")))
-    val (recs, _) = CubeAdvisor.adviseWithStats(spark, badWorkload)
+    val recs = CubeAdvisor.adviseWithStats(spark, badWorkload).cubes
     assert(recs.size == 1)
     assert(!recs.head.worthwhile,
       s"unique-key cube must not be worthwhile: ${recs.head}")
@@ -128,7 +129,46 @@ class CubeAdvisorSpec extends AnyFunSuite {
       .toDF("k", "value").write.mode("overwrite").parquet(okDir)
     val okWorkload = Seq(spark.read.parquet(okDir).groupBy(col("k"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("s")))
-    val (okRecs, _) = CubeAdvisor.adviseWithStats(spark, okWorkload)
+    val okRecs = CubeAdvisor.adviseWithStats(spark, okWorkload).cubes
     assert(okRecs.head.worthwhile && okRecs.head.cells.exists(_ <= 6))
+  }
+
+  test("join workloads yield a join-MV recommendation that routes") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(53)
+    val lDir = Files.createTempDirectory("graft_advj_l").toString
+    val rDir = Files.createTempDirectory("graft_advj_r").toString
+    (0 until 40).map(i =>
+      (i.toLong, Seq("HIGH", "MED", "LOW")(rnd.nextInt(3))))
+      .toDF("o_key", "o_prio").write.mode("overwrite").parquet(lDir)
+    (0 until 200).map(_ =>
+      (rnd.nextInt(40).toLong, math.round(rnd.nextDouble() * 10000) / 100.0))
+      .toDF("l_key", "l_price").write.mode("overwrite").parquet(rDir)
+    def mkQ(): DataFrame = spark.read.parquet(lDir)
+      .join(spark.read.parquet(rDir), col("o_key") === col("l_key"))
+      .groupBy(col("o_prio"))
+      .agg(sum(col("l_price").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"))
+    val advice = CubeAdvisor.advise(Seq(mkQ()), "advj")
+    assert(advice.cubes.isEmpty && advice.uncovered.isEmpty
+      && advice.joinCubes.size == 1, advice.toString)
+    val jrec = advice.joinCubes.head
+    assert(jrec.config.leftKey == "o_key" && jrec.config.rightKey == "l_key")
+    assert(jrec.config.cube.dims.map(_.id) == Seq("o_prio"))
+    assert(jrec.config.cube.measures.map(_.path) == Seq("l_price"))
+    // materialize + register the recommendation verbatim: it routes
+    val svcDir = Files.createTempDirectory("graft_advj_svc").toString
+    val svc = new CubeService(spark, svcDir)
+    svc.createJoinCube(jrec.config,
+      spark.read.parquet(jrec.leftPath),
+      spark.read.parquet(jrec.rightPath))
+    CubeCatalog.registerJoin(jrec.config.cube.name,
+      svc.loadJoinCube(jrec.config.cube.name),
+      jrec.leftPath, jrec.rightPath)
+    val scans = scansOf(mkQ())
+    assert(scans.size == 1 && scans.head.contains(".jmv/"),
+      s"advised join MV did not route: $scans")
+    CubeCatalog.clear()
   }
 }
