@@ -300,6 +300,12 @@ object CubeAdvisor {
         }
         case _ => ok = false
       }
+      // anything else aggregate-shaped — DISTINCT aggregates (exact
+      // distinct cannot be served from cells), non-Complete modes,
+      // filtered aggregates — is unservable: without this arm a
+      // count(DISTINCT x) would silently match no case and the query
+      // would be reported covered by a cube that can never route it
+      case _: AggregateExpression => ok = false
       case _ => ()
     })
     if (ok) Some(Leaves(sums, sks, qs, exts)) else None

@@ -72,10 +72,16 @@ class CubeAdvisorSpec extends AnyFunSuite {
       // 6: UNSUPPORTED leaf (native avg) → uncovered
       src.groupBy(col("event_type")).agg(avg(col("value")).as("a")),
       // 7: not an aggregate at all → uncovered
-      src.filter(col("value") > 50.0))
+      src.filter(col("value") > 50.0),
+      // 8: EXACT distinct → uncovered (cells can never serve it; a
+      // silently 'covered' verdict here would break the honesty
+      // contract)
+      src.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("ndx")))
 
     val advice = CubeAdvisor.advise(mkWorkload())
-    assert(advice.uncovered == Seq(6, 7), s"uncovered=${advice.uncovered}")
+    assert(advice.uncovered == Seq(6, 7, 8),
+      s"uncovered=${advice.uncovered}")
     assert(advice.cubes.size == 1 && advice.joinCubes.isEmpty,
       s"expected one recommendation, got $advice")
     val rec = advice.cubes.head
