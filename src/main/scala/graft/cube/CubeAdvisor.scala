@@ -163,7 +163,12 @@ object CubeAdvisor {
       val gidIdx = exp.output.indexWhere(_.name == gidName)
       // a grouping slot is one whose defs vary per set (the defining
       // expression in the finest set, a typed null elsewhere);
-      // passthrough slots repeat the same attribute in every projection
+      // passthrough slots repeat the same attribute in every
+      // projection. A slot whose non-null defs DISAGREE across sets is
+      // not the analyzer's lowered shape — refuse the query rather
+      // than advise a cube that would not route (the rewrite applies
+      // the same distinct-defs check).
+      var slotsOk = true
       val slotDefs: Seq[Expression] = exp.output.indices
         .filter(i => i != gidIdx)
         .flatMap { i =>
@@ -172,9 +177,13 @@ object CubeAdvisor {
             case Literal(null, _) => false
             case _ => true
           }
-          if (nonNull.size < defs.size && nonNull.nonEmpty) Some(nonNull.head)
-          else None
+          if (nonNull.size < defs.size && nonNull.nonEmpty) {
+            if (nonNull.map(_.canonicalized).distinct.size != 1)
+              slotsOk = false
+            Some(nonNull.head)
+          } else None
         }
+      if (!slotsOk) return None
       build(path, slotDefs.map(subst(env)), preds.map(subst(env)),
         aggLeaves(aggs).getOrElse(return None), join)
     case Aggregate(groups, aggs, child, _) =>

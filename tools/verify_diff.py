@@ -47,8 +47,8 @@ def main():
             drift = True
             continue
         a, b = oq[name], nq[name]
-        for field, label in (("rows", "ROWS"), ("schema", "SCHEMA"),
-                             ("value_hash", "VALUES")):
+        for field, label in (("rows", "ROWS"), ("cols", "SCHEMA"),
+                             ("hash", "VALUES")):
             if a.get(field) != b.get(field):
                 print(f"{label:7s} {name}: {a.get(field)} -> {b.get(field)}")
                 drift = True
