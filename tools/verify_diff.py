@@ -50,8 +50,15 @@ def main():
         for field, label in (("rows", "ROWS"), ("cols", "SCHEMA"),
                              ("hash", "VALUES")):
             if a.get(field) != b.get(field):
-                print(f"{label:7s} {name}: {a.get(field)} -> {b.get(field)}")
-                drift = True
+                # rows-only queries (oracle: false) carry sketch/model
+                # randomness — KLL compaction is rank-randomized per
+                # run — so their VALUE drift is informational; their
+                # row counts and schemas must still hold
+                info = field == "hash" and not b.get("oracle", True)
+                tag = f"{label}?" if info else label
+                print(f"{tag:7s} {name}: {a.get(field)} -> {b.get(field)}")
+                if not info:
+                    drift = True
     if not drift:
         print(f"no drift: {new_name} matches {old_name} "
               f"({len(nq)} queries)")
