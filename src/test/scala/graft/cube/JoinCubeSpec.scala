@@ -267,6 +267,56 @@ class JoinCubeSpec extends AnyFunSuite {
       s"tombstone ${serve(jc3.cube)} != scratch ${serve(scratch3.cube)}")
   }
 
+  test("randomized delete interleavings: non-invertible families == recompute") {
+    import spark.implicits._
+    val skCfg = JoinCubeConfig(
+      CubeConfig("jrand", "mem",
+        dims = Seq(FieldDim("prio", "o_prio")),
+        measures = Seq(Measure("rev", "l_price")),
+        sketches = Seq(Measure("supps", "l_supp")),
+        extremes = Seq(Measure("px", "l_price"))),
+      leftKey = "o_key", rightKey = "l_key")
+    def lines(rows: Seq[(Long, Long, Double)]) =
+      rows.toDF("l_key", "l_supp", "l_price")
+    def serve(c: Cube) = CubeManager.query(c, Seq("prio"),
+        distinctOf = Seq("supps"), minOf = Seq("px"), maxOf = Seq("px"),
+        sumOf = Seq("rev"))
+      .collect().map(r => (r.getString(0),
+        r.getAs[Long]("n_distinct_supps"),
+        r.getAs[Double]("min_px"), r.getAs[Double]("max_px"),
+        BigDecimal(r.getAs[Double]("sum_rev")).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP))).toSet
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 5) {
+      val ords = (0 until 6 + rnd.nextInt(6)).map(i =>
+        (i.toLong, Seq("HIGH", "MED", "LOW")(rnd.nextInt(3))))
+      var liveLines = (0 until 20 + rnd.nextInt(20)).map(_ =>
+        (rnd.nextInt(ords.size + 2).toLong, rnd.nextInt(6).toLong,
+          math.round(rnd.nextDouble() * 10000) / 100.0))
+      var jc = JoinCubeManager.create(skCfg, ordersDf(ords),
+        lines(liveLines))
+      // three random batches: each deletes a random live subset and
+      // inserts fresh lines, mixed in ONE fold
+      for (_ <- 1 to 3) {
+        val dels = liveLines.filter(_ => rnd.nextBoolean())
+        val ins = (0 until 3 + rnd.nextInt(5)).map(_ =>
+          (rnd.nextInt(ords.size + 2).toLong, rnd.nextInt(6).toLong,
+            math.round(rnd.nextDouble() * 10000) / 100.0))
+        jc = JoinCubeManager.applyDeltas(jc,
+          ordersDf(ords).limit(0).withColumn("_sign", lit(1L)),
+          lines(dels).withColumn("_sign", lit(-1L))
+            .unionByName(lines(ins).withColumn("_sign", lit(1L))))
+        liveLines = liveLines.diff(dels) ++ ins
+      }
+      assert(!jc.cube.hasDeletes, s"trial $trial latched")
+      val scratch = JoinCubeManager.create(skCfg, ordersDf(ords),
+        lines(liveLines))
+      assert(serve(jc.cube) == serve(scratch.cube),
+        s"trial $trial: folded ${serve(jc.cube)} != " +
+          s"scratch ${serve(scratch.cube)}")
+    }
+  }
+
   test("overlapping side column names and missing keys are refused") {
     import spark.implicits._
     // overlapping name: both sides carry "price" — name-based binding
