@@ -215,8 +215,12 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
     val em = withNorm(vectors)
     val cents = Similarity.buildCentroids(em, k, lloydIters)
     val seg = "seg0"
+    // overwrite (the compactIndex discipline): a crash between a
+    // previous attempt's segment write and its publish leaves an
+    // orphan directory here, and ErrorIfExists would wedge every
+    // retry permanently
     Similarity.assignWithVec(em, cents)
-      .write.partitionBy("cent_id")
+      .write.mode("overwrite").partitionBy("cent_id")
       .parquet(root(name).resolve(seg).toString)
     publish(name, 0, cents, Seq(seg), k, lloydIters, None, None)
   }
@@ -337,8 +341,13 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
     val hasInserts = !newVectors.isEmpty
     val segs = if (hasInserts) {
       val seg = s"seg${v + 1}"
+      // overwrite: a crash between a previous fold's segment write and
+      // its publish (the streaming path replays the same batch id after
+      // restart, since lastBatch never advanced) leaves an orphan at
+      // this name — ErrorIfExists would fail the replay forever and no
+      // publish would ever run to GC it
       Similarity.assignWithVec(withNorm(newVectors), idx.centroids)
-        .write.partitionBy("cent_id")
+        .write.mode("overwrite").partitionBy("cent_id")
         .parquet(root(name).resolve(seg).toString)
       prevSegs :+ seg
     } else prevSegs

@@ -150,7 +150,14 @@ final class AdminServer(service: CubeService, spark: SparkSession,
         case Some("updateAggregates") =>
           val name = need(strField(req, "name"), "name")
           val delta = need(strField(req, "deltaParquet"), "deltaParquet")
-          service.updateAggregates(name, spark.read.parquet(delta))
+          // optional post-delta source: without it a delete batch on a
+          // sketch/extreme-carrying cube trips the permanent hasDeletes
+          // latch (the delete-capable targeted recompute needs the
+          // current source state) — the wire verb must not silently
+          // offer LESS than the in-process one
+          service.updateAggregates(name, spark.read.parquet(delta),
+            source = strField(req, "sourceParquet")
+              .map(spark.read.parquet(_)))
           ok("\"updated\"")
         case Some("getAggregates") =>
           val name = need(strField(req, "name"), "name")

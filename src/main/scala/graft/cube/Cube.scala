@@ -343,8 +343,8 @@ object CubeManager {
     * (base snapshot ⊕ complete-mode stream state) — one fold definition,
     * both maintenance modes. Shuffles only cube-sized data on the
     * dimension key. */
-  def mergePartials(cfg: CubeConfig, a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b)
+  def mergePartials(cfg: CubeConfig, a: DataFrame, b: DataFrame): DataFrame = {
+    val merged = a.unionByName(b)
       .groupBy(cfg.dimNames.map(col): _*)
       .agg(
         sum(col(cfg.measures.head.id)).cast(Dec).as(cfg.measures.head.id),
@@ -362,6 +362,30 @@ object CubeManager {
               collect_list(col(s"${m.id}_cand"))))).as(s"${m.id}_cand")))
           :+ sum(col(CountCol)).as(CountCol)): _*)
       .filter(col(CountCol) =!= 0)
+    // RE-TRIM the freq candidate union to FreqCand per cell, ranked by
+    // the MERGED counters (which are lossless, so the rank is the true
+    // cumulative rank over everything folded so far): without this a
+    // maintained cube's candidate array grows by up to FreqCand fresh
+    // keys per fold — unbounded state over the cube's lifetime, the
+    // exact bound the FreqCand budget exists to hold. Keys dropped
+    // here are provably outside the cumulative top-FreqCand of the
+    // union; keys never surfacing in ANY batch's top-FreqCand were
+    // already outside the candidate heuristic's documented margin.
+    // Deterministic order: estimate desc, then key asc.
+    if (cfg.freq.isEmpty) merged
+    else merged.select(merged.columns.toSeq.map { c =>
+      cfg.freq.find(m => s"${m.id}_cand" == c) match {
+        case Some(m) =>
+          slice(transform(array_sort(transform(col(c), k =>
+            struct(
+              (-graft.functions.CountMinSketch.estimate(col(m.id), k))
+                .as("negEst"),
+              k.as("key")))),
+            s => s.getField("key")), 1, FreqCand).as(c)
+        case None => col(c)
+      }
+    }: _*)
+  }
 
   /** R6: roll-up query served FROM THE CUBE — re-aggregate the partial
     * sums over a requested dimension subset, with optional filters on

@@ -341,11 +341,18 @@ object CubeAdvisor {
     }
     val filterDims = preds.flatMap(_.references).toSeq.distinct
       .map(a => FieldDim(a.name, a.name))
-      // a filter on a column already grouped (or bucketed) needs no
-      // second dim — the grouped dim serves it
+      // a filter on a column already grouped as a FieldDim needs no
+      // second dim — the grouped dim serves it. A TimeDim on the same
+      // column does NOT: the rewrite can only serve predicates over
+      // dimension ATTRIBUTES, and a raw-column predicate (ts >= X)
+      // cannot be rewritten onto the day bucket — dropping the
+      // FieldDim here would report the query covered while the
+      // materialized cube refuses to route it. Keeping the raw column
+      // as an extra dim preserves the route-on-registration contract;
+      // its (possibly brutal) cardinality cost is exactly what
+      // adviseWithStats exists to surface.
       .filterNot(fd => dims.exists {
         case FieldDim(_, p) => p == fd.path
-        case TimeDim(_, p, _) => p == fd.path
         case _ => false
       })
     def ms(names: Seq[String], suffix: String): Seq[Measure] =

@@ -116,6 +116,55 @@ class AdminServerSpec extends AnyFunSuite {
     } finally { cli.close(); server.stop() }
   }
 
+  test("wire delete fold with sourceParquet keeps sketch/extreme serves alive") {
+    import spark.implicits._
+    val svc = new CubeService(spark, tmp("graft_admin_delsrc"))
+    val server = new AdminServer(svc, spark)
+    val port = server.start()
+    val cli = new Client(port)
+    try {
+      // canonical configToJson field order (extremes precede measures —
+      // the tolerant parser's contract for machine-written configs)
+      val cfgJson =
+        """{"name":"adel","source":"events",
+          |"dims":[{"kind":"field","id":"etype","path":"event_type"}],
+          |"extremes":[{"id":"vx","path":"value"}],
+          |"measures":[{"id":"v","path":"value"}]}""".stripMargin
+      val all = Seq(("click", 1.0), ("click", 9.0), ("view", 5.0))
+      val srcDir = tmp("graft_admin_ds") + "/src"
+      all.toDF("event_type", "value").write.parquet(srcDir)
+      assert(cli.rpc(s"""{"verb":"createCube","config":"${escaped(
+        cfgJson)}","sourceParquet":"${escaped(srcDir)}"}""")
+        == """{"ok":true,"result":"adel"}""")
+      // delete click's max over the wire WITH the post-delta source:
+      // the targeted recompute must keep min/max serving (no latch)
+      val deltaDir = tmp("graft_admin_dd") + "/d"
+      Seq(("click", 9.0, -1)).toDF("event_type", "value", "_sign")
+        .write.parquet(deltaDir)
+      val postDir = tmp("graft_admin_dp") + "/p"
+      all.filterNot(_ == ("click", 9.0)).toDF("event_type", "value")
+        .write.parquet(postDir)
+      assert(cli.rpc(s"""{"verb":"updateAggregates","name":"adel","deltaParquet":"${escaped(
+        deltaDir)}","sourceParquet":"${escaped(postDir)}"}""")
+        == """{"ok":true,"result":"updated"}""")
+      val served = cli.rpc(
+        """{"verb":"getAggregates","name":"adel","dims":["etype"],"minOf":["vx"],"maxOf":["vx"]}""")
+      assert(served.contains(""""max_vx":1.0""")
+        && served.contains(""""min_vx":1.0"""), served)
+      // the SAME delete shape WITHOUT sourceParquet latches → the
+      // extreme serve refuses with a structured error, exactly the
+      // in-process behavior
+      Seq(("view", 5.0, -1)).toDF("event_type", "value", "_sign")
+        .write.mode("overwrite").parquet(deltaDir)
+      assert(cli.rpc(s"""{"verb":"updateAggregates","name":"adel","deltaParquet":"${escaped(
+        deltaDir)}"}""") == """{"ok":true,"result":"updated"}""")
+      val refused = cli.rpc(
+        """{"verb":"getAggregates","name":"adel","dims":["etype"],"minOf":["vx"]}""")
+      assert(refused.startsWith("""{"ok":false,"error":""")
+        && refused.contains("insert-only"), refused)
+    } finally { cli.close(); server.stop() }
+  }
+
   test("join-MV wire verbs: create, fold, serve, time travel") {
     val svc = new CubeService(spark, tmp("graft_admin_jmv"),
       retainJmvVersions = 3)

@@ -115,6 +115,50 @@ class CubeAdvisorSpec extends AnyFunSuite {
     CubeCatalog.clear()
   }
 
+  test("raw-column filter under a time bucket keeps the column as a dim and routes") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(61)
+    val rows = (0 until 300).map { _ =>
+      ("e", new Timestamp(1700000000000L + rnd.nextInt(96) * 3600000L),
+        rnd.nextDouble() * 100)
+    }
+    val srcDir = Files.createTempDirectory("graft_adv_tf").toString
+    rows.toDF("etype", "ts", "value").write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+    val cut = new Timestamp(1700000000000L + 48 * 3600000L)
+    def mkQ(): DataFrame = src.filter(col("ts") >= lit(cut))
+      .groupBy(date_trunc("day", col("ts")))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s"))
+    val advice = CubeAdvisor.advise(Seq(mkQ()), "advtf")
+    // covered, with BOTH the day bucket and the raw ts column as dims:
+    // the raw-column predicate can only be served from a raw-column
+    // dim — dropping it would report covered but never route
+    assert(advice.uncovered.isEmpty && advice.cubes.size == 1,
+      advice.toString)
+    val cfg = advice.cubes.head.config
+    val dimKeys = cfg.dims.map {
+      case FieldDim(_, p) => s"f:$p"
+      case TimeDim(_, p, g) => s"t:$p:$g"
+      case ExprDim(_, s) => s"e:$s"
+    }
+    assert(dimKeys.toSet == Set("t:ts:day", "f:ts"), dimKeys.toString)
+    val cubeDir = Files.createTempDirectory("graft_adv_tf_cube").toString
+    CubeManager.save(CubeManager.create(cfg, src), cubeDir)
+    CubeCatalog.register(cfg.name,
+      CubeManager.load(spark, cubeDir, cfg.name), srcDir)
+    val scans = scansOf(mkQ())
+    assert(scans == Seq(CubeCatalog.normalize(s"$cubeDir/${cfg.name}")),
+      s"ts-filtered rollup did not route: $scans")
+    // and the routed answer equals the direct one
+    val routed = mkQ().orderBy(col("date_trunc(day, ts)"))
+      .collect().map(_.toSeq).toSeq
+    CubeCatalog.clear()
+    val direct = mkQ().orderBy(col("date_trunc(day, ts)"))
+      .collect().map(_.toSeq).toSeq
+    assert(routed == direct, "routed ts-filtered rollup diverged")
+  }
+
   test("adviseWithStats vetoes a cube with no re-aggregation advantage") {
     import spark.implicits._
     CubeCatalog.clear()

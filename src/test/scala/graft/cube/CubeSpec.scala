@@ -587,6 +587,35 @@ class CubeSpec extends AnyFunSuite {
     }
   }
 
+  test("freq candidates stay bounded across many folds; cumulative hitter survives") {
+    import spark.implicits._
+    val cfg = CubeConfig("fqb", "mem",
+      Seq(FieldDim("g", "grp")),
+      Seq(Measure("n", "one")),
+      freq = Seq(Measure("w", "word")))
+    // batch b: 40 filler words unique to the batch (once each) plus a
+    // 'hot' key appearing 5× — per-batch top-32 always includes hot,
+    // the 200 cumulative fillers would blow the candidate array to 5×
+    // the budget without the merge-time re-trim
+    def batch(b: Int) = ((0 until 40).map(i => ("x", s"f_${b}_$i", 1)) ++
+      Seq.fill(5)(("x", "hot", 1))).toDF("grp", "word", "one")
+    var cube = CubeManager.create(cfg, batch(0))
+    for (b <- 1 to 4)
+      cube = CubeManager.applyDeltas(cube,
+        batch(b).withColumn("_sign", lit(1)))
+    val candLen = cube.aggregates.select(size(col("w_cand")))
+      .head().getInt(0)
+    assert(candLen <= CubeManager.FreqCand,
+      s"candidate array grew unbounded: $candLen > ${CubeManager.FreqCand}")
+    // the trim ranks by the MERGED counters, so the cumulative heavy
+    // hitter (25 total, never more than 5 in one batch) survives and
+    // serves as top-1
+    val top = CubeManager.query(cube, Seq("g"), topkOf = Seq(("w", 1)))
+      .select(col("topk_w")).head().getSeq[Row](0)
+    assert(top.head.getString(0) == "hot",
+      s"cumulative hitter lost by the trim: $top")
+  }
+
   test("freq measures: lossless fold, est>=exact, recall, persist, latch") {
     import spark.implicits._
     val cfg = CubeConfig("fq", "mem",
