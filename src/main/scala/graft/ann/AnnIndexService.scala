@@ -89,10 +89,25 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
 
   private def vdir(name: String, v: Int) = root(name).resolve(s"v$v")
 
+  /** An explicit re-home writes the combined `replay_guard` file
+    * ("<batch>\n<id>") ATOMICALLY into the current version dir; when
+    * present it overrides the per-field files (publish writes into a
+    * fresh version dir made visible only by the MANIFEST swap, so its
+    * per-field writes need no in-place atomicity — the
+    * CubeService.jmvResetStreamMeta discipline). */
+  private def guardOverride(name: String, v: Int): Option[(Long, Option[String])] = {
+    val f = vdir(name, v).resolve("replay_guard")
+    if (!f.toFile.exists()) None
+    else {
+      val lines = java.nio.file.Files.readString(f).linesIterator.toSeq
+      Some((lines.head.trim.toLong, lines.lift(1).map(_.trim)))
+    }
+  }
+
   private def lastBatch(name: String): Long = {
     val v = version(name)
     if (v < 0) -1L
-    else {
+    else guardOverride(name, v).map(_._1).getOrElse {
       val f = vdir(name, v).resolve("batch_id")
       if (f.toFile.exists()) java.nio.file.Files.readString(f).trim.toLong
       else -1L
@@ -102,11 +117,13 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
   private def streamId(name: String): Option[String] = {
     val v = version(name)
     if (v < 0) None
-    else {
-      val f = vdir(name, v).resolve("stream_id")
-      if (f.toFile.exists())
-        Some(java.nio.file.Files.readString(f).trim)
-      else None
+    else guardOverride(name, v) match {
+      case Some((_, sid)) => sid
+      case None =>
+        val f = vdir(name, v).resolve("stream_id")
+        if (f.toFile.exists())
+          Some(java.nio.file.Files.readString(f).trim)
+        else None
     }
   }
 
@@ -398,25 +415,39 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
   def startAutoUpdate(name: String, changeDir: String,
       docSchema: StructType,
       resetBatchTracking: Boolean = false): StreamingQuery = {
+    // validations precede ANY guard mutation, and the reset itself is
+    // one atomic move — a failed or torn re-home must never leave the
+    // guard destroyed or a batch id paired with the wrong stream
+    // identity (either silently re-folds or skips real data; the
+    // CubeService.startJoinAutoUpdate discipline)
     require(!autoUpdates.get(name).exists(_.isActive),
       s"ANN auto-update already running on '$name' — stop it first")
+    require(new java.io.File(changeDir).isDirectory,
+      s"changeDir '$changeDir' does not exist or is not a directory")
     loadIndex(name) // fail fast on an unknown index
     val identity = new java.io.File(changeDir).getCanonicalPath
     val recorded = streamId(name)
-    if (lastBatch(name) >= 0 && recorded.exists(_ != identity)) {
+    // fire on MISMATCH — or on a MISSING identity while batches were
+    // recorded (a legacy or torn state): an unverifiable stream is as
+    // dangerous as a provably different one
+    if ((lastBatch(name) >= 0 && recorded.forall(_ != identity)) ||
+        recorded.exists(_ != identity)) {
       require(resetBatchTracking,
         s"ANN index '$name' recorded batches from stream " +
-          s"'${recorded.get}' but this start targets '$identity'; " +
-          "batch ids are checkpoint-relative — pass " +
-          "resetBatchTracking = true to re-home (keeps segments, folds " +
-          "from batch 0).")
+          s"'${recorded.getOrElse("<unrecorded>")}' but this start " +
+          s"targets '$identity'; batch ids are checkpoint-relative — " +
+          "pass resetBatchTracking = true to re-home (keeps segments, " +
+          "folds from batch 0).")
       val ckpt = new java.io.File(s"$storageDir/$name.ann.checkpoint")
       require(!ckpt.exists(),
-        s"checkpoint ${ckpt.getPath} belongs to the previous stream " +
-          s"'${recorded.get}' — delete it before re-homing '$name'.")
+        s"checkpoint ${ckpt.getPath} belongs to the previous stream — " +
+          s"delete it before re-homing '$name'.")
       val dir = vdir(name, version(name))
-      java.nio.file.Files.writeString(dir.resolve("batch_id"), "-1")
-      java.nio.file.Files.writeString(dir.resolve("stream_id"), identity)
+      val tmp = dir.resolve("replay_guard.tmp")
+      java.nio.file.Files.writeString(tmp, s"-1\n$identity")
+      java.nio.file.Files.move(tmp, dir.resolve("replay_guard"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     val raw = spark.readStream
       .option("maxFilesPerTrigger", "1")

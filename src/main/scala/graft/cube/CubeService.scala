@@ -322,7 +322,8 @@ final class CubeService(spark: SparkSession, storageDir: String,
         s"$id is not a min/max measure of cube $name"))
     // collapse to ONE partial row per day first (other dimensions may
     // subdivide a day across many cells)
-    val dailyAggs = distinctOf.map(id => hll_union_agg(col(id)).as(id)) ++
+    val dailyAggs = distinctOf.distinct
+      .map(id => hll_union_agg(col(id)).as(id)) ++
       quantilesOf.map(_._1).distinct.map(id =>
         graft.functions.Kll.mergeAgg(col(id)).as(id)) ++
       minOf.distinct.map(id => min(col(s"${id}_min")).as(s"${id}_min")) ++
@@ -335,9 +336,12 @@ final class CubeService(spark: SparkSession, storageDir: String,
       .groupBy(datediff(col(dayDim).cast("date"), lit("1970-01-01"))
         .cast("long").as("d"))
       .agg(dailyAggs.head, dailyAggs.tail: _*)
-    val endpointAggs = distinctOf.map(id =>
+    // .distinct everywhere (not just min/max): duplicate requested ids
+    // would alias two identical daily columns and make the endpoint's
+    // by-name reference an AMBIGUOUS_REFERENCE error
+    val endpointAggs = distinctOf.distinct.map(id =>
       hll_sketch_estimate(hll_union_agg(col(id))).as(s"n_distinct_$id")) ++
-      quantilesOf.map { case (id, q) =>
+      quantilesOf.distinct.map { case (id, q) =>
         graft.functions.Kll.quantile(
           graft.functions.Kll.mergeAgg(col(id)), q)
           .as(s"p${CubeManager.rankLabel(q)}_$id")
@@ -379,10 +383,24 @@ final class CubeService(spark: SparkSession, storageDir: String,
     * the last batch after a crash between publish and checkpoint commit,
     * and a fold is NOT idempotent (unlike the single-table cube's
     * complete-mode publish), so replayed ids are skipped. */
+  /** A reset writes the combined `replay_guard` file ("<batch>\n<id>")
+    * ATOMICALLY into the current version dir; when present it overrides
+    * the per-field files (publish never writes it — a fresh version dir
+    * only becomes visible via the MANIFEST swap, so its per-field
+    * writes need no in-place atomicity). */
+  private def jmvGuardOverride(name: String, v: Int): Option[(Long, Option[String])] = {
+    val f = jmvRoot(name).resolve(s"v$v").resolve("replay_guard")
+    if (!f.toFile.exists()) None
+    else {
+      val lines = java.nio.file.Files.readString(f).linesIterator.toSeq
+      Some((lines.head.trim.toLong, lines.lift(1).map(_.trim)))
+    }
+  }
+
   private def jmvLastBatch(name: String): Long = {
     val v = jmvVersion(name)
     if (v < 0) -1L
-    else {
+    else jmvGuardOverride(name, v).map(_._1).getOrElse {
       val f = jmvRoot(name).resolve(s"v$v").resolve("batch_id")
       if (f.toFile.exists())
         java.nio.file.Files.readString(f).trim.toLong
@@ -399,21 +417,31 @@ final class CubeService(spark: SparkSession, storageDir: String,
   private def jmvStreamId(name: String): Option[String] = {
     val v = jmvVersion(name)
     if (v < 0) None
-    else {
-      val f = jmvRoot(name).resolve(s"v$v").resolve("stream_id")
-      if (f.toFile.exists())
-        Some(java.nio.file.Files.readString(f).trim)
-      else None
+    else jmvGuardOverride(name, v) match {
+      case Some((_, sid)) => sid
+      case None =>
+        val f = jmvRoot(name).resolve(s"v$v").resolve("stream_id")
+        if (f.toFile.exists())
+          Some(java.nio.file.Files.readString(f).trim)
+        else None
     }
   }
 
   /** Overwrite the CURRENT version's replay-guard metadata in place
     * (no new version — the cube/state frames are untouched). Used when
-    * the caller explicitly re-homes the MV onto a new change stream. */
+    * the caller explicitly re-homes the MV onto a new change stream.
+    * ONE atomic write (tmp + ATOMIC_MOVE of the combined file, the
+    * MANIFEST discipline): two separate field writes could tear on a
+    * crash, leaving a batch id paired with the wrong stream identity —
+    * and either torn pairing silently re-folds or skips real data. */
   private def jmvResetStreamMeta(name: String, sid: String): Unit = {
     val vdir = jmvRoot(name).resolve(s"v${jmvVersion(name)}")
-    java.nio.file.Files.writeString(vdir.resolve("batch_id"), "-1")
-    java.nio.file.Files.writeString(vdir.resolve("stream_id"), sid)
+    val tmp = vdir.resolve("replay_guard.tmp")
+    java.nio.file.Files.writeString(tmp, s"-1\n$sid")
+    java.nio.file.Files.move(tmp, vdir.resolve("replay_guard"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
   }
 
   private def jmvPublish(name: String, jc: JoinCube, version: Int,
@@ -545,37 +573,47 @@ final class CubeService(spark: SparkSession, storageDir: String,
       resetBatchTracking: Boolean = false): StreamingQuery = {
     require(side == "left" || side == "right",
       s"side must be 'left' or 'right', got '$side'")
-    val identity =
-      new java.io.File(changeDir).getCanonicalPath + "|" + side
-    val recorded = jmvStreamId(name)
-    if (jmvLastBatch(name) >= 0 && recorded.exists(_ != identity)) {
-      // the recorded batch id belongs to another stream — refuse the
-      // silent skip unless the caller explicitly re-homes the MV
-      require(resetBatchTracking,
-        s"join MV '$name' recorded batches from stream " +
-          s"'${recorded.get}' but this start targets '$identity'; " +
-          "batch ids are checkpoint-relative, so resuming the guard " +
-          "against a different stream would silently skip its first " +
-          "batches. Pass resetBatchTracking = true to re-home the MV " +
-          "onto this stream (keeps folded state, folds from batch 0).")
-      val ckpt = new java.io.File(s"$storageDir/$name.jmv.checkpoint")
-      require(!ckpt.exists(),
-        s"checkpoint ${ckpt.getPath} belongs to the previous stream " +
-          s"'${recorded.get}' — delete it before re-homing '$name' " +
-          "(resuming a file-source checkpoint against a different " +
-          "directory is undefined).")
-      jmvResetStreamMeta(name, identity)
-    }
-    // a second stream would race the first's manifest publishes (and
-    // the two batch-id sequences would alias) — one maintainer per MV
+    // ALL validations precede ANY mutation: a reset followed by a
+    // failed require would irreversibly destroy the replay guard — the
+    // user abandons the re-home, restarts against the old stream, and
+    // with the guard gone every historical batch re-folds into the
+    // non-idempotent fold (silent double-counting).
     require(!joinAutoUpdates.get(name).exists(_.isActive),
       s"join auto-update already running on '$name' — stop it first")
+    require(new java.io.File(changeDir).isDirectory,
+      s"changeDir '$changeDir' does not exist or is not a directory")
     val existing = loadJoinCube(name) // fail fast on an unknown MV
     val stateCols = (if (side == "left") existing.left else existing.right)
       .columns.filterNot(_ == "_mult").toSet
     require(docSchema.fieldNames.toSet == stateCols,
       s"change-stream document schema ${docSchema.fieldNames.toSet} must " +
         s"match the $side side state's columns $stateCols")
+    val identity =
+      new java.io.File(changeDir).getCanonicalPath + "|" + side
+    val recorded = jmvStreamId(name)
+    // the guard fires whenever the recorded identity MISMATCHES — or
+    // is MISSING while batches were recorded (an MV published before
+    // identities existed, or a torn legacy state): an unverifiable
+    // stream is as dangerous as a provably different one, because a
+    // fresh checkpoint restarts ids at 0 and `batchId > lastBatch`
+    // silently swallows the new stream's first batches
+    if ((jmvLastBatch(name) >= 0 && recorded.forall(_ != identity)) ||
+        recorded.exists(_ != identity)) {
+      require(resetBatchTracking,
+        s"join MV '$name' recorded batches from stream " +
+          s"'${recorded.getOrElse("<unrecorded>")}' but this start " +
+          s"targets '$identity'; batch ids are checkpoint-relative, so " +
+          "resuming the guard against a different (or unverifiable) " +
+          "stream would silently skip its first batches. Pass " +
+          "resetBatchTracking = true to re-home the MV onto this " +
+          "stream (keeps folded state, folds from batch 0).")
+      val ckpt = new java.io.File(s"$storageDir/$name.jmv.checkpoint")
+      require(!ckpt.exists(),
+        s"checkpoint ${ckpt.getPath} belongs to the previous stream — " +
+          s"delete it before re-homing '$name' (resuming a file-source " +
+          "checkpoint against a different directory is undefined).")
+      jmvResetStreamMeta(name, identity)
+    }
     val raw = spark.readStream
       .option("maxFilesPerTrigger", "1")
       .text(changeDir)

@@ -514,7 +514,12 @@ object Dedup {
     // etc.) would execute twice exactly in the large case where it
     // hurts most. Small path unpersists right after the collect.
     val cached = pairs.select(col("da"), col("db")).cache()
-    val head = cached.limit(localEdgeCap + 1).collect()
+    // exception-safe probe: a failed collect (executor loss past
+    // retries, OOM) must not leak the cache registration for the
+    // session lifetime — StreamingSurvivors calls this per run
+    val head =
+      try cached.limit(localEdgeCap + 1).collect()
+      catch { case e: Throwable => cached.unpersist(); throw e }
     if (head.length <= localEdgeCap) {
       cached.unpersist()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -553,9 +558,13 @@ object Dedup {
     // DedupCapSpec's 20-node path pins this. Checkpointing restarts the
     // plan from the materialized result each round, so plan depth is
     // O(1) regardless of rounds.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(true)
+    var labels =
+      try edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+        .localCheckpoint(true)
+      catch { case e: Throwable =>
+        edges.unpersist(); cached.unpersist(); throw e
+      }
     // the initial-labels checkpoint above is EAGER, so edges' cache is
     // now populated from the cached pairs — the upstream pair pipeline
     // will not run again; release the probe cache

@@ -492,7 +492,83 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.stopJoinAutoUpdate("jhome")
     assert(totals() == Map("a" -> (115.0, 3L), "b" -> (20.0, 1L)),
       s"replay of the re-homed stream double-folded: ${totals()}")
+    // a FAILED re-home attempt must not destroy the guard: the schema
+    // check fails AFTER resetBatchTracking was passed, and a later
+    // restart against the CURRENT stream must still recognize replays
+    // (the old code reset the guard before validating, so the abandoned
+    // re-home silently re-folded history)
+    val badSchema = StructType(Seq(StructField("rk", LongType)))
+    val dirC = s"$dir/changesC"
+    java.nio.file.Files.createDirectories(Paths.get(dirC))
+    java.nio.file.Files.writeString(Paths.get(dirC, "c0.json"), ins(9L, 1.0))
+    intercept[IllegalArgumentException] {
+      svc.startJoinAutoUpdate("jhome", dirC, badSchema, "right",
+        resetBatchTracking = true)
+    }
+    rmr(new java.io.File(s"$dir/jhome.jmv.checkpoint"))
+    val q4 = svc.startJoinAutoUpdate("jhome", dirB, docSchema, "right")
+    q4.processAllAvailable()
+    svc.stopJoinAutoUpdate("jhome")
+    assert(totals() == Map("a" -> (115.0, 3L), "b" -> (20.0, 1L)),
+      s"failed re-home destroyed the guard; B re-folded: ${totals()}")
+    // a missing changeDir refuses BEFORE any guard mutation too
+    intercept[IllegalArgumentException] {
+      svc.startJoinAutoUpdate("jhome", s"$dir/nope", docSchema, "right",
+        resetBatchTracking = true)
+    }
     svc.deleteJoinCube("jhome")
+  }
+
+  test("MV with recorded batches but no stream identity refuses to resume") {
+    import spark.implicits._
+    import java.nio.file.Paths
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val dir = Files.createTempDirectory("graft_svc_legacy").toString
+    val svc = new CubeService(spark, dir)
+    svc.createJoinCube(
+      JoinCubeConfig(
+        CubeConfig("jleg", "l_r",
+          dims = Seq(FieldDim("cat", "cat")),
+          measures = Seq(Measure("amt", "amount"))),
+        leftKey = "lk", rightKey = "rk"),
+      Seq((1L, "a")).toDF("lk", "cat"),
+      Seq((1L, 10.0)).toDF("rk", "amount"))
+    val docSchema = StructType(Seq(
+      StructField("rk", LongType), StructField("amount", DoubleType)))
+    val changes = s"$dir/changes"
+    java.nio.file.Files.createDirectories(Paths.get(changes))
+    java.nio.file.Files.writeString(Paths.get(changes, "c0.json"),
+      """{"operationType":"insert","fullDocument":{"rk":1,"amount":5.0}}""")
+    val q = svc.startJoinAutoUpdate("jleg", changes, docSchema, "right")
+    q.processAllAvailable()
+    svc.stopJoinAutoUpdate("jleg")
+    // simulate a legacy MV: batches recorded but no identity on disk
+    val v = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "jleg.jmv", "MANIFEST")).trim
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "jleg.jmv", s"v$v", "stream_id"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "jleg.jmv", s"v$v", "replay_guard"))
+    // an unverifiable stream is as dangerous as a different one: with
+    // a fresh checkpoint the recorded batch id would swallow the first
+    // batches of whatever directory this start points at
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr); f.delete(); ()
+    }
+    rmr(new java.io.File(s"$dir/jleg.jmv.checkpoint"))
+    val refused = intercept[IllegalArgumentException] {
+      svc.startJoinAutoUpdate("jleg", changes, docSchema, "right")
+    }
+    assert(refused.getMessage.contains("unrecorded"), refused.getMessage)
+    // explicit re-home recovers: folds from batch 0, replay-guarded anew
+    val q2 = svc.startJoinAutoUpdate("jleg", changes, docSchema, "right",
+      resetBatchTracking = true)
+    q2.processAllAvailable()
+    svc.stopJoinAutoUpdate("jleg")
+    val amt = svc.getJoinAggregates("jleg", Seq("cat"), sumOf = Seq("amt"))
+      .collect().head.getDouble(1)
+    assert(amt == 20.0, s"re-homed legacy MV mis-folded: $amt")
+    svc.deleteJoinCube("jleg")
   }
 
   test("streamed deletes into a sketch-carrying join MV: no latch, == from-scratch") {
