@@ -138,23 +138,12 @@ object Scaling {
       cents.count()
       val clustered = functions.Similarity.assignWithVec(emN, cents).cache()
       clustered.count()
+      // the SHARED serve implementation (Similarity.ivfServe) — the
+      // probe must measure the very pipeline q51/q164 ship, not a
+      // drift-prone copy
       record("ann_ivf_probe", k, best {
-        import org.apache.spark.sql.expressions.Window
-        val queries = emN.filter(col("vec_id") < 5)
-        val probes = functions.Similarity.assign(queries, cents, keep = 4)
-          .withColumnRenamed("vec_id", "query_id")
-        val scored = queries
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-            col("nrm").as("qn"))
-          .join(broadcast(probes), Seq("query_id"))
-          .join(clustered, Seq("cent_id"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("cos", functions.Similarity.dotExpr("qe", "embedding")
-            / (col("qn") * col("nrm")))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5).count()
+        functions.Similarity.ivfServe(emN.filter(col("vec_id") < 5),
+          cents, clustered, topK = 5, nprobe = 4).count()
       })
       cents.unpersist(); clustered.unpersist()
 
@@ -171,22 +160,8 @@ object Scaling {
         .cache()
       clustered2.count()
       record("ann_masked_probe", k, best {
-        import org.apache.spark.sql.expressions.Window
-        val queries = emN.filter(col("vec_id") < 5)
-        val probes = functions.Similarity.assign(queries, cents2, keep = 4)
-          .withColumnRenamed("vec_id", "query_id")
-        val scored = queries
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-            col("nrm").as("qn"))
-          .join(broadcast(probes), Seq("query_id"))
-          .join(clustered2, Seq("cent_id"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("cos", functions.Similarity.dotExpr("qe", "embedding")
-            / (col("qn") * col("nrm")))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5).count()
+        functions.Similarity.ivfServe(emN.filter(col("vec_id") < 5),
+          cents2, clustered2, topK = 5, nprobe = 4).count()
       })
       cents2.unpersist(); clustered2.unpersist(); tombIds.unpersist()
 

@@ -75,7 +75,13 @@ final case class AnnIndex(name: String, k: Int, lloydIters: Int,
 class AnnIndexService(spark: SparkSession, storageDir: String) {
   java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storageDir))
 
-  private val live = TrieMap.empty[String, AnnIndex]
+  // cache stamped with the MANIFEST version it was loaded at: a second
+  // service instance on the same storageDir (the restart/multi-reader
+  // pattern) can publish past this instance's cache, and the
+  // deferred-by-one segment GC makes a two-versions-stale cached plan
+  // read deleted files — loadIndex re-reads the one-line MANIFEST
+  // (cheap) and reloads when it moved
+  private val live = TrieMap.empty[String, (Int, AnnIndex)]
   private val autoUpdates = TrieMap.empty[String, StreamingQuery]
 
   private def root(name: String) =
@@ -217,7 +223,7 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
         && !referenced.contains(f.getName))
       .foreach(rm)
     val loaded = load(name)
-    live.put(name, loaded)
+    live.put(name, (version(name), loaded))
     loaded
   }
 
@@ -268,8 +274,16 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
     AnnIndex(name, k, iters, cents, vecs)
   }
 
-  def loadIndex(name: String): AnnIndex =
-    live.getOrElseUpdate(name, load(name))
+  def loadIndex(name: String): AnnIndex = {
+    val v = version(name)
+    live.get(name) match {
+      case Some((cachedV, idx)) if cachedV == v => idx
+      case _ =>
+        val idx = load(name)
+        live.put(name, (v, idx))
+        idx
+    }
+  }
 
   /** Serve a query batch from the persisted index: assign each query to
     * its nprobe nearest persisted centroids (broadcast of K rows), push
@@ -280,30 +294,17 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
     * `queries`: (query_id, embedding). Self-matches are excluded. */
   def queryIndex(name: String, queries: DataFrame, topK: Int = 5,
       nprobe: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val idx = loadIndex(name)
     val q = withNorm(queries.select(col("query_id").as("vec_id"),
       col("embedding")))
-    val probes = Similarity.assign(q, idx.centroids, keep = nprobe)
-      .withColumnRenamed("vec_id", "query_id")
-    val probedIds = probes.select(col("cent_id")).distinct()
+    // the persisted path's one addition to the shared serve: push the
+    // probed cluster ids down as a literal partition filter, so the
+    // scan reads only the probed cluster directories
+    val probedIds = Similarity.assign(q, idx.centroids, keep = nprobe)
+      .select(col("cent_id")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val cands = idx.vectors.filter(col("cent_id").isin(probedIds: _*))
-    val scored = q
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("nrm").as("qn"))
-      .join(broadcast(probes), Seq("query_id"))
-      .join(cands, Seq("cent_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos",
-        Similarity.dotExpr("qe", "embedding") / (col("qn") * col("nrm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("vec_id").as("cand_id"), col("cos"),
-        col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    Similarity.ivfServe(q, idx.centroids, cands, topK, nprobe)
   }
 
   /** Fold new vectors into the index: assign against the PERSISTED

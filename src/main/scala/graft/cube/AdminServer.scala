@@ -52,7 +52,12 @@ final class AdminServer(service: CubeService, spark: SparkSession,
           val s = server.accept()
           val h = new Thread(() => handle(s))
           h.setDaemon(true); h.start()
-        } catch { case NonFatal(_) => () /* closed during accept */ }
+        } catch { case NonFatal(_) =>
+          // closed during stop() — or a persistent accept failure
+          // (EMFILE under connection load): back off instead of
+          // busy-spinning a core on the immediate retry
+          if (running) Thread.sleep(50)
+        }
       }
     }, "graft-admin-acceptor")
     acceptor.setDaemon(true)

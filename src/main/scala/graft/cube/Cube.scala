@@ -266,7 +266,12 @@ object CubeManager {
           :+ sum(col("_sign")).as(CountCol)): _*)
     val merged = mergePartials(cfg, cube.aggregates, deltaAgg)
     val finalAgg = source match {
-      case Some(src) if deletesPresent =>
+      // skip the recompute when the latch is (or stays) tripped: a
+      // previously-latched cube's non-invertible partials are
+      // permanently unservable, so rescanning the touched cells would
+      // burn a partition-pruned source read per fold producing values
+      // nothing can ever read
+      case Some(src) if deletesPresent && !hasDeletes =>
         refreshTouchedPartials(cfg, merged, deltas, src)
       case _ => merged
     }

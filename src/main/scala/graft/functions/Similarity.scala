@@ -236,30 +236,45 @@ object Similarity {
     (1 to lloydIters).foldLeft(init)((c, _) => lloydStep(em, c))
   }
 
-  private[functions] def knnIvf(spark: SparkSession, sfDir: String,
-      k: Int, nprobe: Int, lloydIters: Int): DataFrame = {
+  /** The IVF SERVE step — probe assignment → broadcast-probes join →
+    * candidate join → exact cosine rescore → per-query rank — shared
+    * by the in-session search (q51), the persisted index
+    * ([[graft.ann.AnnIndexService.queryIndex]], which passes its
+    * partition-pruned, tombstone-masked candidates), and the Scaling
+    * probe: ONE implementation, so a tie-break or self-exclusion fix
+    * reaches every consumer and SCALING.md can never silently measure
+    * a different algorithm than the one the queries ship.
+    * `queriesN`/`candidates`: (vec_id, embedding, nrm), candidates
+    * additionally keyed by cent_id. */
+  private[graft] def ivfServe(queriesN: DataFrame, cents: DataFrame,
+      candidates: DataFrame, topK: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val em = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"), normExpr("embedding").as("nrm"))
-    val cents = cachedCentroids(spark, sfDir, k, lloydIters)
-    val clustered = assignWithVec(em, cents)
-    val queries = em.filter(col("vec_id") < 5)
-    val probes = assign(queries, cents, keep = nprobe)
+    val probes = assign(queriesN, cents, keep = nprobe)
       .withColumnRenamed("vec_id", "query_id")
-    val scored = queries
+    val scored = queriesN
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"))
       .join(broadcast(probes), Seq("query_id"))
-      .join(clustered, Seq("cent_id"))
+      .join(candidates, Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dotExpr("qe", "embedding") / (col("qn") * col("nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= topK)
       .select(col("query_id"), col("vec_id").as("cand_id"), col("cos"),
         col("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  private[functions] def knnIvf(spark: SparkSession, sfDir: String,
+      k: Int, nprobe: Int, lloydIters: Int): DataFrame = {
+    val em = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), normExpr("embedding").as("nrm"))
+    val cents = cachedCentroids(spark, sfDir, k, lloydIters)
+    val clustered = assignWithVec(em, cents)
+    ivfServe(em.filter(col("vec_id") < 5), cents, clustered,
+      topK = 5, nprobe = nprobe)
   }
 
   // --------------------------------------------------------------- q164
