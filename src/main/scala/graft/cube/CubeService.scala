@@ -293,9 +293,35 @@ final class CubeService(spark: SparkSession, storageDir: String,
       distinctOf: Seq[String] = Nil,
       quantilesOf: Seq[(String, Double)] = Nil,
       minOf: Seq[String] = Nil,
-      maxOf: Seq[String] = Nil): DataFrame = {
+      maxOf: Seq[String] = Nil): DataFrame =
+    rollingFrom(loadCube(name), name, dayDim, windowDays,
+      distinctOf, quantilesOf, minOf, maxOf)
+
+  /** [[getRolling]] for join MVs — a join cube with a day-granularity
+    * time dimension serves the same trailing-window curves from the
+    * same maintained daily partials; the only difference is which
+    * registry the cube loads from. */
+  def getJoinRolling(
+      name: String,
+      dayDim: String,
+      windowDays: Int = 7,
+      distinctOf: Seq[String] = Nil,
+      quantilesOf: Seq[(String, Double)] = Nil,
+      minOf: Seq[String] = Nil,
+      maxOf: Seq[String] = Nil): DataFrame =
+    rollingFrom(loadJoinCube(name).cube, name, dayDim, windowDays,
+      distinctOf, quantilesOf, minOf, maxOf)
+
+  private def rollingFrom(
+      cube: Cube,
+      name: String,
+      dayDim: String,
+      windowDays: Int,
+      distinctOf: Seq[String],
+      quantilesOf: Seq[(String, Double)],
+      minOf: Seq[String],
+      maxOf: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val cube = loadCube(name)
     require(cube.config.dims.exists {
         case TimeDim(id, _, g) => id == dayDim && g == "day"
         case _ => false

@@ -624,6 +624,32 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteJoinCube("jsks")
   }
 
+  test("getJoinRolling serves trailing extremes from a join MV's daily partials") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_svc_jroll").toString
+    val svc = new CubeService(spark, dir)
+    val cfgJ = JoinCubeConfig(
+      CubeConfig("jroll", "l_r",
+        dims = Seq(TimeDim("day", "ts", "day")),
+        measures = Seq(Measure("amt", "amount")),
+        extremes = Seq(Measure("ax", "amount"))),
+      leftKey = "lk", rightKey = "rk")
+    val left = Seq((1L, "a"), (2L, "b")).toDF("lk", "cat")
+    def t(d: Int) = new Timestamp(86400000L * (19700 + d))
+    val right = Seq((1L, t(0), 5.0), (1L, t(1), 9.0), (2L, t(1), 1.0),
+      (2L, t(2), 7.0)).toDF("rk", "ts", "amount")
+    svc.createJoinCube(cfgJ, left, right)
+    val rolled = svc.getJoinRolling("jroll", "day", windowDays = 2,
+        minOf = Seq("ax"), maxOf = Seq("ax"))
+      .collect().map(r => r.getAs[Long]("day") ->
+        (r.getAs[Double]("min_ax"), r.getAs[Double]("max_ax"))).toMap
+    // trailing-2-day windows over the joined rows:
+    // d0: {5} → (5,5); d1: {5,9,1} → (1,9); d2: {9,1,7} → (1,9)
+    assert(rolled == Map(19700L -> (5.0, 5.0), 19701L -> (1.0, 9.0),
+      19702L -> (1.0, 9.0)), rolled.toString)
+    svc.deleteJoinCube("jroll")
+  }
+
   test("join MV time travel: retained window slides, as-of serves history") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_svc_tt").toString
