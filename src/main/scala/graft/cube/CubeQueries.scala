@@ -1117,7 +1117,9 @@ object CubeQueries {
           CubeConfig("join_sketch", "osrc_lsrc",
             dims = Seq(FieldDim("prio", "o_orderpriority")),
             measures = Seq(Measure("revenue", "l_extendedprice")),
-            sketches = Seq(Measure("supps", "l_suppkey"))),
+            sketches = Seq(Measure("supps", "l_suppkey")),
+            // q188's quantile measure rides in the same MV
+            quantiles = Seq(Measure("price_dist", "l_extendedprice"))),
           leftKey = "o_orderkey", rightKey = "l_orderkey"),
         spark.read.parquet(oSrc),
         Tables.lineitem(spark, sfDir).filter(!late)
@@ -1134,6 +1136,40 @@ object CubeQueries {
         svc.loadJoinCube("join_sketch"), oSrc, lSrc, approxDistinct = true)
       (oSrc, lSrc)
     })
+
+  // --------------------------------------------------------------- q188
+  /** QUANTILES OVER A REGISTERED JOIN from the MV's KLL partials — the
+    * final composition of the shared aggregate-leaf binding: the same
+    * percentile_approx rewrite that serves q176's rollups fires when
+    * the plan under the aggregate is the registered inner equi-join,
+    * because the join-matching and the leaf binding are orthogonal.
+    * Without the MV a percentile-over-join pays the join shuffle PLUS
+    * a per-group sort of the joined fact rows per run; with it, a KLL
+    * merge of |MV| one-sketch cells. Same opt-in + accuracy-honesty
+    * gates as q176; rows-only (rank-randomized), CubeRewriteSpec pins
+    * the rank band per group on an in-memory twin and q183/q153 pin
+    * the same registration machinery's exact measures. */
+  def q188JoinQuantileRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (oSrc, lSrc) = joinSketchSources(spark, sfDir)
+    val q = spark.read.parquet(oSrc)
+      .join(spark.read.parquet(lSrc),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(50)), 6)
+          .as("p50_price"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderpriority").as("prio"), col("p50_price"), col("n"))
+      .orderBy(col("prio"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && scans.forall(_.contains(".jmv/")),
+      s"join quantile routing did not fire; scans=$scans")
+    q
+  }
 
   def q183JoinSketchRouting(spark: SparkSession, sfDir: String): DataFrame = {
     val (oSrc, lSrc) = joinSketchSources(spark, sfDir)
@@ -1602,6 +1638,7 @@ object CubeQueries {
     "q183_join_sketch_routing" -> q183JoinSketchRouting,
     "q184_join_stream_sketch" -> q184JoinStreamSketch,
     "q185_join_rollup_routing" -> q185JoinRollupRouting,
+    "q188_join_quantile_routing" -> q188JoinQuantileRouting,
     "q187_advised_routing" -> q187AdvisedRouting,
     "q165_delete_extremes" -> q165DeleteExtremes,
     "q177_delete_sketches" -> q177DeleteSketches,

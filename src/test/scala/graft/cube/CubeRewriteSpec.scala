@@ -908,6 +908,50 @@ class CubeRewriteSpec extends AnyFunSuite {
     CubeCatalog.clear()
   }
 
+  test("percentile_approx over a registered join routes to the MV's KLL partials") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(97)
+    val ords = (0 until 30).map(i =>
+      (i.toLong, Seq("HIGH", "MED", "LOW")(rnd.nextInt(3))))
+    val lins = (0 until 400).map(_ =>
+      (rnd.nextInt(30).toLong, math.round(rnd.nextDouble() * 10000) / 100.0))
+    val lDir = Files.createTempDirectory("graft_jq_l").toString
+    val rDir = Files.createTempDirectory("graft_jq_r").toString
+    ords.toDF("o_key", "o_prio").write.mode("overwrite").parquet(lDir)
+    lins.toDF("l_key", "l_price").write.mode("overwrite").parquet(rDir)
+    val jcfg = JoinCubeConfig(
+      CubeConfig("jq", "l_r",
+        dims = Seq(FieldDim("prio", "o_prio")),
+        measures = Seq(Measure("rev", "l_price")),
+        quantiles = Seq(Measure("pdist", "l_price"))),
+      leftKey = "o_key", rightKey = "l_key")
+    val svcDir = Files.createTempDirectory("graft_jq_svc").toString
+    val svc = new CubeService(spark, svcDir)
+    svc.createJoinCube(jcfg,
+      spark.read.parquet(lDir), spark.read.parquet(rDir))
+    CubeCatalog.registerJoin("jq", svc.loadJoinCube("jq"), lDir, rDir,
+      approxDistinct = true)
+    def q() = spark.read.parquet(lDir)
+      .join(spark.read.parquet(rDir), col("o_key") === col("l_key"))
+      .groupBy(col("o_prio"))
+      .agg(percentile_approx(col("l_price"), lit(0.5), lit(50)).as("p50"))
+    val scans = scansOf(q())
+    assert(scans.size == 1 && scans.head.contains(".jmv/"),
+      s"join percentile did not route: $scans")
+    // rank-band correctness per group (the q176 discipline)
+    val got = q().collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val prioOf = ords.toMap
+    lins.filter(l => prioOf.contains(l._1)).groupBy(l => prioOf(l._1))
+      .foreach { case (p, ls) =>
+        val sorted = ls.map(_._2).sorted
+        val rank = sorted.indexWhere(_ >= got(p)).toDouble / sorted.size
+        assert(math.abs(rank - 0.5) <= 0.06,
+          s"$p: served p50 ${got(p)} at rank $rank")
+      }
+    CubeCatalog.clear()
+  }
+
   test("rollup over a dim SUBSET of a two-dim join MV routes") {
     import spark.implicits._
     CubeCatalog.clear()
