@@ -318,6 +318,37 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
     fold(name, newVectors, None, None)
   }
 
+  /** Choose the smallest `nprobe` meeting a recall target, measured on
+    * a QUERY SAMPLE against exact ground truth. The ground truth is the
+    * index's own serve with nprobe = k — probing every cluster makes
+    * the IVF path an exact top-k over the (tombstone-masked) corpus,
+    * the same argument that gives q178 its full oracle — so tuning
+    * needs no external brute-force twin and prices at |sample| ×
+    * |corpus| once plus |sample|-sized serves per candidate nprobe
+    * (≤ k of them; k is small by construction). Returns
+    * (nprobe, measured recall). At 100 TB this is the knob that trades
+    * probed-cluster volume for recall, tuned from evidence instead of
+    * guessed. */
+  def tuneNprobe(name: String, sampleQueries: DataFrame, topK: Int = 5,
+      targetRecall: Double = 0.95): (Int, Double) = {
+    require(targetRecall > 0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    val k = loadIndex(name).k
+    def resultSet(nprobe: Int): Set[(Long, Long)] =
+      queryIndex(name, sampleQueries, topK, nprobe)
+        .select(col("query_id"), col("cand_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = resultSet(k)
+    if (exact.isEmpty) return (1, 1.0)
+    var np = 1
+    while (np < k) {
+      val recall = resultSet(np).intersect(exact).size.toDouble / exact.size
+      if (recall >= targetRecall) return (np, recall)
+      np += 1
+    }
+    (k, 1.0)
+  }
+
   /** Tombstone a set of vector ids (`ids`: one `vec_id` column). Marks
     * every existing row of those ids dead by stamping the CURRENT max
     * segment number — a later upsert of the same id lands in a higher

@@ -272,6 +272,31 @@ class AnnIndexSpec extends AnyFunSuite {
     svc2.deleteIndex("dx")
   }
 
+  test("tuneNprobe finds the minimal probe width for a recall target") {
+    val dir = Files.createTempDirectory("graft_ann_tune").toString
+    val svc = new AnnIndexService(spark, dir)
+    svc.createIndex("tx", corpus(120), k = 8, lloydIters = 2)
+    val sample = corpus(120).filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val (np, recall) = svc.tuneNprobe("tx", sample, topK = 4,
+      targetRecall = 0.9)
+    assert(np >= 1 && np <= 8 && recall >= 0.9, s"np=$np recall=$recall")
+    // minimality: one probe fewer must miss the target (unless np == 1)
+    if (np > 1) {
+      def rs(n: Int) = svc.queryIndex("tx", sample, topK = 4, nprobe = n)
+        .select(col("query_id"), col("cand_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = rs(8)
+      val below = rs(np - 1).intersect(exact).size.toDouble / exact.size
+      assert(below < 0.9, s"np-1 already met the target: $below")
+    }
+    // a 1.0 target is always satisfiable: exhaustive probing is exact
+    val (npFull, rFull) = svc.tuneNprobe("tx", sample, topK = 4,
+      targetRecall = 1.0)
+    assert(rFull == 1.0 && npFull <= 8)
+    svc.deleteIndex("tx")
+  }
+
   test("q164 persisted serve == q51 in-session IVF at sf0.001") {
     val sfDir = "/root/testdata/sf0.001"
     val a = rows(graft.functions.Similarity
