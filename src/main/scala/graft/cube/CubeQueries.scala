@@ -639,6 +639,54 @@ object CubeQueries {
     }.reduce(_.unionByName(_)).orderBy(col("version"), col("prio"))
   }
 
+  // --------------------------------------------------------------- q189
+  /** TIME TRAVEL over a PLAIN (single-table) cube's retained versions —
+    * q174's contract on the single-table lifecycle: an events cube
+    * built from a base slice (v0), grown by a late-insert fold (v1),
+    * then shrunk by a delete fold (v2), with `retainCubeVersions = 4`
+    * so every published version stays addressable, and all three
+    * queried through [[CubeService.getAggregatesAsOf]] and unioned.
+    * The archive is the swapped-aside previous head itself (the
+    * publish's delete became a rename — versioning costs the fold path
+    * one metadata copy), so as-of(v) is byte-identical to what
+    * getAggregates served while v was head. The oracle recomputes each
+    * version's state from the raw table (v0 = base slice, v1 = all
+    * events, v2 = minus the error rows), so one hash compare proves
+    * every retained version is the exact historical fixpoint. */
+  private val cubeTimeTravelSetup =
+    TrieMap.empty[(SparkSession, String), CubeService]
+  private def cubeTimeTravelService(spark: SparkSession,
+      sfDir: String): CubeService =
+    cubeTimeTravelSetup.getOrElseUpdate((spark, sfDir), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cube_tt").toString
+      val svc = new CubeService(spark, dir, retainCubeVersions = 4)
+      val cfg = CubeConfig("ctt", "events",
+        dims = Seq(FieldDim("etype", "event_type")),
+        measures = Seq(Measure("value_sum", "value")))
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("value"), col("event_id"))
+      svc.createCube(cfg, ev.filter(col("event_id") % 5 =!= 4))     // v0
+      svc.updateAggregates("ctt",                                    // v1
+        ev.filter(col("event_id") % 5 === 4).withColumn("_sign", lit(1L)))
+      svc.updateAggregates("ctt",                                    // v2
+        ev.filter(col("event_type") === "error")
+          .withColumn("_sign", lit(-1L)))
+      svc
+    })
+
+  def q189CubeTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = cubeTimeTravelService(spark, sfDir)
+    val versions = svc.listCubeVersions("ctt")
+    require(versions == Seq(0, 1, 2),
+      s"expected the full retained window 0..2, got $versions")
+    versions.map { v =>
+      svc.getAggregatesAsOf("ctt", v, Seq("etype"),
+          sumOf = Seq("value_sum"))
+        .select(lit(v.toLong).as("version"), col("etype"),
+          col("sum_value_sum").as("value_sum"), col("n_rows").as("n"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"), col("etype"))
+  }
+
   // --------------------------------------------------------------- q160
   /** Graded: MV routing through the SQL-TEXT surface with a HAVING
     * clause — the same optimizer rule serves `spark.sql(...)` plans
@@ -1626,6 +1674,7 @@ object CubeQueries {
     "q151_change_stream" -> q151ChangeStream,
     "q152_join_mv" -> q152JoinMv,
     "q174_mv_time_travel" -> q174MvTimeTravel,
+    "q189_cube_time_travel" -> q189CubeTimeTravel,
     "q153_join_routing" -> q153JoinRouting,
     "q154_join_mv_stream" -> q154JoinMvStream,
     "q157_join_filter_routing" -> q157JoinFilterRouting,
@@ -1761,6 +1810,29 @@ object CubeQueries {
       WHERE NOT (l_linenumber % 3 <> 2 AND l_returnflag = 'R')
       GROUP BY 2
       ORDER BY version, prio""",
+    // Per-version recompute of the single-table cube history: v0 =
+    // base slice, v1 = + late inserts (all events), v2 = − error rows.
+    "q189_cube_time_travel" -> """
+      SELECT CAST(0 AS BIGINT) AS version, event_type AS etype,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        count(1) AS n
+      FROM events
+      WHERE event_id % 5 <> 4
+      GROUP BY 2
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), event_type,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+        count(1)
+      FROM events
+      GROUP BY 2
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), event_type,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+        count(1)
+      FROM events
+      WHERE event_type <> 'error'
+      GROUP BY 2
+      ORDER BY version, etype""",
     "q152_join_mv" -> """
       SELECT o_orderpriority AS prio,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

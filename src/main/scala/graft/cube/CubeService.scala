@@ -28,20 +28,31 @@ import org.apache.spark.sql.types.StructType
   * One instance per storage root; thread-safe registry.
   */
 final class CubeService(spark: SparkSession, storageDir: String,
-    retainJmvVersions: Int = 2) {
+    retainJmvVersions: Int = 2, retainCubeVersions: Int = 2) {
   // ≥2 is load-bearing, not a default: the deferred-by-one GC contract
   // (readers that predate the current publish keep a live version)
   // IS retention 2 — shrinking below it would delete files under
   // outstanding plans mid-job.
   require(retainJmvVersions >= 2,
     s"retainJmvVersions must be >= 2, got $retainJmvVersions")
+  require(retainCubeVersions >= 2,
+    s"retainCubeVersions must be >= 2, got $retainCubeVersions")
   private val live = TrieMap.empty[String, Cube]
   private val autoUpdates = TrieMap.empty[String, StreamingQuery]
+  // serializes single-table version-manifest recovery/bump arithmetic
+  // (publishes themselves are already mutually refused per cube; this
+  // guards concurrent cold reads racing a publish's manifest bump)
+  private val cubeVersionLock = new Object
 
-  /** R1: full population from the source, persisted + registered. */
+  /** R1: full population from the source, persisted + registered.
+    * The created state is VERSION 0 of the cube's time-travel history
+    * (see [[getAggregatesAsOf]]); re-creating over an existing name
+    * resets that history. */
   def createCube(config: CubeConfig, source: DataFrame): Cube = {
     val cube = CubeManager.create(config, source)
     CubeManager.save(cube, storageDir)
+    rm(cvRoot(config.name).toFile)
+    cvWriteManifest(config.name, 0)
     // register the MATERIALIZED form so queries scan the saved parquet
     val loaded = CubeManager.load(spark, storageDir, config.name)
     live.put(config.name, loaded)
@@ -97,7 +108,8 @@ final class CubeService(spark: SparkSession, storageDir: String,
     // auxiliary state: the auto-update base snapshot + checkpoint, and
     // any leftover publish staging/aside dirs
     Seq(s"$name.base", s"$name.base.old", s"$name.base.staging",
-        s"$name.checkpoint", s"$name.old", s"$name.staging")
+        s"$name.checkpoint", s"$name.old", s"$name.staging",
+        s"$name.versions")
       .foreach(sfx => rm(new java.io.File(s"$storageDir/$sfx")))
   }
 
@@ -177,25 +189,208 @@ final class CubeService(spark: SparkSession, storageDir: String,
     }
   }
 
+  // ------------------------------------- single-table version history
+  /** Versioned history for PLAIN cubes — the join-MV time-travel
+    * contract generalized (same MANIFEST discipline, same retention
+    * semantics): every [[publish]] ARCHIVES the swapped-aside previous
+    * head as `<name>.versions/v<k>/` instead of deleting it, bumps the
+    * one-line `MANIFEST` (the head's version number), and GCs archived
+    * versions that fell out of the advertised window — deferred by one
+    * version so an as-of read of the window's oldest version survives a
+    * concurrent publish (the jmv deferred-GC argument). The head dir
+    * itself is always the newest version; archived dirs hold the
+    * aggregates parquet plus an underscore-prefixed `_meta.json`
+    * (config + hasDeletes latch at archive time — underscore so Spark's
+    * file index skips it). Versions are complete independent states
+    * (the swap already materialized them), so retention × |cube| is the
+    * whole storage bill — priced on the compacted cube, never the
+    * source. */
+  private def cvRoot(name: String) =
+    java.nio.file.Paths.get(storageDir, s"$name.versions")
+
+  private def cvWriteManifest(name: String, v: Int): Unit = {
+    java.nio.file.Files.createDirectories(cvRoot(name))
+    val tmp = cvRoot(name).resolve("MANIFEST.tmp")
+    java.nio.file.Files.writeString(tmp, v.toString)
+    java.nio.file.Files.move(tmp, cvRoot(name).resolve("MANIFEST"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  private def cvManifest(name: String): Int = {
+    val m = cvRoot(name).resolve("MANIFEST")
+    // cubes persisted before versioning existed (or written directly by
+    // CubeManager.save) have no manifest: their head is version 0
+    if (m.toFile.exists()) java.nio.file.Files.readString(m).trim.toInt
+    else 0
+  }
+
+  private def cvArchived(name: String): Seq[Int] =
+    Option(cvRoot(name).toFile.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.isDirectory)
+      .flatMap(f => if (f.getName.startsWith("v"))
+        f.getName.drop(1).toIntOption else None)
+      .sorted
+
+  /** Crash recovery for the publish→archive→manifest sequence, run
+    * before any version arithmetic. Consistent states satisfy the
+    * invariant "archived versions are strictly below the manifest's
+    * head version and `name.old` is absent"; the two crash windows
+    * violate it recognizably:
+    *  - head present + `name.old` present: died after the staging
+    *    swap, before archiving — archive the aside as v<manifest> and
+    *    bump (its `_meta.json` falls back to the current head meta:
+    *    conservative for the hasDeletes latch, never permissive).
+    *  - head present + `v<manifest>` archived: died between the
+    *    archive move and the manifest bump — just bump.
+    * A head that is MISSING is the pre-existing two-rename window:
+    * [[recoverSwap]] rolls it back first (nothing was archived yet). */
+  private def recoverCubeVersioning(name: String): Unit =
+    cubeVersionLock.synchronized {
+      recoverSwap(name)
+      val finalDir = java.nio.file.Paths.get(storageDir, name)
+      if (finalDir.toFile.exists()) {
+        val m = cvManifest(name)
+        val oldDir = java.nio.file.Paths.get(storageDir, s"$name.old")
+        val vdir = cvRoot(name).resolve(s"v$m")
+        if (oldDir.toFile.exists()) {
+          if (!vdir.toFile.exists()) {
+            val metaInOld = oldDir.resolve("_meta.json")
+            val headMeta = java.nio.file.Paths.get(storageDir, s"$name.json")
+            if (!metaInOld.toFile.exists() && headMeta.toFile.exists()) {
+              java.nio.file.Files.copy(headMeta, metaInOld)
+              ()
+            }
+            java.nio.file.Files.createDirectories(cvRoot(name))
+            java.nio.file.Files.move(oldDir, vdir,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          } else rm(oldDir.toFile)
+          cvWriteManifest(name, m + 1)
+        } else if (vdir.toFile.exists()) {
+          cvWriteManifest(name, m + 1)
+        }
+      }
+    }
+
+  /** Version number of the cube's current head (0 for a never-updated
+    * or pre-versioning cube; +1 per publish — manual fold or streaming
+    * micro-batch). */
+  def currentCubeVersion(name: String): Int = {
+    require(java.nio.file.Paths.get(storageDir, s"$name.json").toFile.exists()
+        || java.nio.file.Paths.get(storageDir, name).toFile.exists()
+        || java.nio.file.Paths.get(storageDir, s"$name.old").toFile.exists(),
+      s"cube '$name' does not exist under $storageDir")
+    recoverCubeVersioning(name)
+    cvManifest(name)
+  }
+
+  /** Versions addressable by [[getAggregatesAsOf]], oldest first — the
+    * newest `retainCubeVersions` publishes including the head (fewer
+    * while the cube is young). One older version may briefly remain on
+    * disk as the deferred-GC grace copy; it is deliberately NOT
+    * advertised (it exists to keep a concurrent publish from deleting
+    * files under an in-flight as-of read of the window's edge, not to
+    * widen the window). */
+  def listCubeVersions(name: String): Seq[Int] = {
+    val head = currentCubeVersion(name)
+    (cvArchived(name).filter(_ > head - retainCubeVersions)
+      .filter(_ < head) :+ head).sorted
+  }
+
+  /** TIME TRAVEL for plain cubes: the [[getAggregates]] roll-up served
+    * from a RETAINED historical version instead of the head — the
+    * [[getJoinAggregatesAsOf]] contract on the single-table lifecycle.
+    * Every retained version is the exact published fixpoint of its
+    * fold prefix (the archive is the swapped-aside head itself, not a
+    * copy), so as-of(v) equals what getAggregates returned while v was
+    * head. Refuses versions outside the advertised window. The
+    * archived `_meta.json` carries the version's own hasDeletes latch,
+    * so sketch/extreme refusals apply per-version (a version archived
+    * in the same publish that tripped the latch is conservatively
+    * treated as latched). */
+  def getAggregatesAsOf(name: String, version: Int, dims: Seq[String],
+      sumOf: Seq[String] = Nil, avgOf: Seq[String] = Nil,
+      distinctOf: Seq[String] = Nil,
+      quantilesOf: Seq[(String, Double)] = Nil,
+      minOf: Seq[String] = Nil, maxOf: Seq[String] = Nil,
+      topkOf: Seq[(String, Int)] = Nil): DataFrame = {
+    val retained = listCubeVersions(name)
+    require(retained.contains(version),
+      s"cube '$name' version $version is not retained " +
+        s"(window: ${retained.mkString(", ")}); raise retainCubeVersions " +
+        "at service construction to widen the time-travel window")
+    val cube =
+      if (version == cvManifest(name)) loadCube(name)
+      else {
+        val vdir = cvRoot(name).resolve(s"v$version")
+        val metaFile = vdir.resolve("_meta.json")
+        val json =
+          if (metaFile.toFile.exists())
+            java.nio.file.Files.readString(metaFile)
+          else java.nio.file.Files.readString(
+            java.nio.file.Paths.get(storageDir, s"$name.json"))
+        val hasDeletes =
+          """"hasDeletes":\s*true""".r.findFirstIn(json).isDefined
+        Cube(CubeManager.configFromJson(json),
+          spark.read.parquet(vdir.toString), hasDeletes)
+      }
+    CubeManager.query(cube, dims, lit(true), sumOf, avgOf,
+      distinctOf, quantilesOf, minOf, maxOf, topkOf)
+  }
+
   /** Two-rename publish of a new aggregates version (see
     * [[updateAggregates]]'s scaladoc for the crash-safety contract) and
     * registry refresh. The input plan must NOT read the publish target
     * through files about to be swapped out unless it was staged first —
     * both callers stage: updateAggregates writes to `name.staging`
     * before any rename, and the streaming publisher's input is state
-    * plus the immutable `name.base` snapshot. */
+    * plus the immutable `name.base` snapshot.
+    *
+    * The swapped-aside previous head is ARCHIVED as a retained
+    * time-travel version rather than deleted — the delete became a
+    * rename, so versioning costs the publish path nothing beyond the
+    * `_meta.json` copy (see the version-history scaladoc above). */
   private def publish(name: String, aggregates: DataFrame): Cube = {
+    recoverCubeVersioning(name)
+    // head meta BEFORE the swap: the archived version's config +
+    // hasDeletes latch. updateAggregates persists a newly-tripped
+    // latch just before publishing, so the snapshot is conservative
+    // for the version archived by that same publish.
+    val headMeta = java.nio.file.Paths.get(storageDir, s"$name.json")
+    val prevMeta =
+      if (headMeta.toFile.exists())
+        Some(java.nio.file.Files.readString(headMeta))
+      else None
     val staging = java.nio.file.Paths.get(storageDir, s"$name.staging")
     aggregates.write.mode("overwrite").parquet(staging.toString)
     val finalDir = java.nio.file.Paths.get(storageDir, name)
     val oldDir = java.nio.file.Paths.get(storageDir, s"$name.old")
-    rm(oldDir.toFile)
     if (finalDir.toFile.exists())
       java.nio.file.Files.move(finalDir, oldDir,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     java.nio.file.Files.move(staging, finalDir,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    rm(oldDir.toFile)
+    cubeVersionLock.synchronized {
+      val m = cvManifest(name)
+      if (oldDir.toFile.exists()) {
+        prevMeta.foreach { j =>
+          java.nio.file.Files.writeString(oldDir.resolve("_meta.json"), j)
+        }
+        java.nio.file.Files.createDirectories(cvRoot(name))
+        val vdir = cvRoot(name).resolve(s"v$m")
+        rm(vdir.toFile) // can only exist after a manual filesystem edit
+        java.nio.file.Files.move(oldDir, vdir,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      cvWriteManifest(name, m + 1)
+      // GC deferred by one: the advertised window is
+      // (head − retain, head]; one version below it survives this
+      // publish so an in-flight as-of read of the window's old edge
+      // never loses its files mid-job
+      cvArchived(name).filter(_ <= m + 1 - retainCubeVersions - 1)
+        .foreach(v => rm(cvRoot(name).resolve(s"v$v").toFile))
+    }
     val reloaded = CubeManager.load(spark, storageDir, name)
     live.put(name, reloaded)
     // routed queries must follow: a CubeCatalog registration of this
@@ -495,22 +690,26 @@ final class CubeService(spark: SparkSession, storageDir: String,
     java.nio.file.Files.move(tmp, jmvRoot(name).resolve("MANIFEST"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // clean superseded versions, DEFERRED BY AT LEAST ONE publish:
-    // outstanding readers (a caller-held JoinCube, a routed plan built
-    // against the previous registration) still list v<k-1>'s parquet
-    // files — deleting them at swap time would fail those reads with
-    // FileNotFoundException mid-job, so retention is never below 2.
-    // Retention ABOVE 2 (`retainJmvVersions`) is the TIME-TRAVEL
-    // window: every retained version is a complete consistent
-    // (cube, lstate, rstate) triple addressable by
-    // [[getJoinAggregatesAsOf]] — the audit/reproducibility handle
-    // ("rerun yesterday's selection against yesterday's MV") at a
-    // storage cost of `retain × |MV|`, which at 100 TB is priced per
-    // MV, not per source (side states are narrow projections).
+    // clean superseded versions, DEFERRED BY ONE EXTRA publish beyond
+    // the advertised window: outstanding readers (a caller-held
+    // JoinCube, a routed plan built against the previous registration,
+    // or an in-flight getJoinAggregatesAsOf of the window's OLDEST
+    // advertised version) still list that version's parquet files —
+    // deleting it at swap time would fail those reads with
+    // FileNotFoundException mid-job. The advertised TIME-TRAVEL window
+    // ([[listJoinCubeVersions]]) is the newest `retainJmvVersions`
+    // versions; one more survives on disk as the grace copy, so even
+    // an as-of read of the window's old edge racing one fold keeps its
+    // files alive (head readers were already covered by retention ≥ 2).
+    // Every retained version is a complete consistent (cube, lstate,
+    // rstate) triple — the audit/reproducibility handle ("rerun
+    // yesterday's selection against yesterday's MV") at a storage cost
+    // of `(retain+1) × |MV|`, which at 100 TB is priced per MV, not
+    // per source (side states are narrow projections).
     Option(jmvRoot(name).toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("v")
         && f.getName.drop(1).toIntOption
-          .exists(_ <= version - retainJmvVersions))
+          .exists(_ <= version - retainJmvVersions - 1))
       .foreach(rm)
     val loaded = jmvLoad(name)
     joinLive.put(name, loaded)
@@ -688,40 +887,50 @@ final class CubeService(spark: SparkSession, storageDir: String,
     v
   }
 
-  /** Versions still on disk, oldest first — the TIME-TRAVEL window:
-    * the newest `retainJmvVersions` publishes (fewer while the MV is
+  /** Addressable versions, oldest first — the TIME-TRAVEL window: the
+    * newest `retainJmvVersions` publishes (fewer while the MV is
     * young). Each is a complete consistent triple; anything older was
-    * GC'd by a later publish. */
+    * GC'd by a later publish — except one grace version that may
+    * briefly remain on disk below the window (deferred GC, see
+    * [[jmvPublish]]) and is deliberately NOT advertised: it exists so
+    * a concurrent fold cannot delete files under an in-flight as-of
+    * read of the window's edge, not to widen the window. */
   def listJoinCubeVersions(name: String): Seq[Int] = {
-    require(jmvVersion(name) >= 0,
+    val head = jmvVersion(name)
+    require(head >= 0,
       s"join MV '$name' does not exist under $storageDir")
     Option(jmvRoot(name).toFile.listFiles()).getOrElse(Array.empty).toSeq
       .filter(_.isDirectory)
       .flatMap(f => if (f.getName.startsWith("v"))
         f.getName.drop(1).toIntOption else None)
+      .filter(_ > head - retainJmvVersions)
       .sorted
   }
 
   /** TIME TRAVEL: the [[getJoinAggregates]] roll-up served from a
     * RETAINED historical version instead of the manifest head. The
-    * as-of read never touches the head's registration or caches — a
-    * concurrent fold publishing v<k+1> while an as-of(v<k−1>) query
-    * runs is safe because retention ≥ 2 keeps the read version's files
-    * alive through the next publish (the same deferred-GC argument
-    * that protects outstanding head readers). Refuses versions outside
-    * the retained window rather than answering from a half-GC'd dir. */
+    * as-of read never touches the head's registration or caches — and
+    * a concurrent fold publishing v<k+1> while an as-of query of ANY
+    * advertised version runs (including the window's oldest) is safe
+    * because GC is deferred one publish past the advertised window:
+    * the publish demotes the oldest advertised version to the
+    * un-advertised grace copy rather than deleting it, so the in-flight
+    * read's files stay alive. Refuses versions outside the advertised
+    * window rather than answering from the grace copy (whose files the
+    * NEXT publish does delete). */
   def getJoinAggregatesAsOf(name: String, version: Int, dims: Seq[String],
       sumOf: Seq[String] = Nil, avgOf: Seq[String] = Nil,
       distinctOf: Seq[String] = Nil,
       quantilesOf: Seq[(String, Double)] = Nil,
-      minOf: Seq[String] = Nil, maxOf: Seq[String] = Nil): DataFrame = {
+      minOf: Seq[String] = Nil, maxOf: Seq[String] = Nil,
+      topkOf: Seq[(String, Int)] = Nil): DataFrame = {
     val retained = listJoinCubeVersions(name)
     require(retained.contains(version),
       s"join MV '$name' version $version is not retained " +
         s"(window: ${retained.mkString(", ")}); raise retainJmvVersions " +
         "at service construction to widen the time-travel window")
     CubeManager.query(jmvLoadAt(name, version).cube, dims, lit(true),
-      sumOf, avgOf, distinctOf, quantilesOf, minOf, maxOf)
+      sumOf, avgOf, distinctOf, quantilesOf, minOf, maxOf, topkOf)
   }
 
   def listJoinCubes(): Seq[String] = {

@@ -681,16 +681,108 @@ class CubeServiceSpec extends AnyFunSuite {
     assert(at(0) == Map("a" -> 10.0, "b" -> 20.0))
     assert(at(1) == Map("a" -> 15.0, "b" -> 20.0))
     assert(at(2) == Map("a" -> 15.0))
-    // a fourth publish slides the window: v0 GC'd, v1..v3 retained
+    // a fourth publish slides the window: v0 de-advertised, v1..v3
+    // retained — but v0's FILES survive this publish as the deferred-GC
+    // grace copy (an as-of(v0) read in flight when v3 published must
+    // not lose its files), refused for NEW reads
     svc.updateJoinAggregates("tt", left.limit(0).withColumn("_sign",
       lit(1L)), rdelta(Seq((1L, 1.0)), 1L))                      // v3
     assert(svc.listJoinCubeVersions("tt") == Seq(1, 2, 3))
     assert(at(1) == Map("a" -> 15.0, "b" -> 20.0)) // history still exact
     val refused = intercept[IllegalArgumentException] { at(0) }
     assert(refused.getMessage.contains("not retained"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "tt.jmv", "v0")), "grace copy deleted")
     // as-of never moves the head
     assert(svc.currentJoinCubeVersion("tt") == 3)
+    // the NEXT publish finally deletes the grace copy (one-publish
+    // grace, not unbounded accumulation)
+    svc.updateJoinAggregates("tt", left.limit(0).withColumn("_sign",
+      lit(1L)), rdelta(Seq((1L, 1.0)), 1L))                      // v4
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "tt.jmv", "v0")), "grace not GC'd")
+    assert(svc.listJoinCubeVersions("tt") == Seq(2, 3, 4))
     svc.deleteJoinCube("tt")
+  }
+
+  test("single-table cube time travel: retained window slides, as-of serves history") {
+    val dir = Files.createTempDirectory("graft_svc_ctt").toString
+    intercept[IllegalArgumentException] {
+      new CubeService(spark, dir, retainCubeVersions = 1)
+    }
+    val svc = new CubeService(spark, dir, retainCubeVersions = 3)
+    svc.createCube(cfg, df(Seq(("click", t0, 1.0), ("view", t0, 2.0)))) // v0
+    assert(svc.currentCubeVersion("svc") == 0)
+    assert(svc.listCubeVersions("svc") == Seq(0))
+    svc.updateAggregates("svc",
+      df(Seq(("click", t0, 4.0))).withColumn("_sign", lit(1)))          // v1
+    svc.updateAggregates("svc",
+      df(Seq(("view", t0, 2.0))).withColumn("_sign", lit(-1)))          // v2
+    assert(svc.currentCubeVersion("svc") == 2)
+    assert(svc.listCubeVersions("svc") == Seq(0, 1, 2))
+    def at(v: Int): Map[String, Double] =
+      svc.getAggregatesAsOf("svc", v, Seq("etype"), sumOf = Seq("v"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    // every retained version is the exact published fixpoint
+    assert(at(0) == Map("click" -> 1.0, "view" -> 2.0))
+    assert(at(1) == Map("click" -> 5.0, "view" -> 2.0))
+    assert(at(2) == Map("click" -> 5.0))
+    // as-of(head) == getAggregates
+    assert(at(2) == svc.getAggregates("svc", Seq("etype"), sumOf = Seq("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap)
+    // a fourth publish slides the window: v0 de-advertised but its
+    // files survive one publish (deferred-GC grace), then disappear
+    svc.updateAggregates("svc",
+      df(Seq(("click", t0, 1.0))).withColumn("_sign", lit(1)))          // v3
+    assert(svc.listCubeVersions("svc") == Seq(1, 2, 3))
+    assert(at(1) == Map("click" -> 5.0, "view" -> 2.0))
+    val refused = intercept[IllegalArgumentException] { at(0) }
+    assert(refused.getMessage.contains("not retained"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "svc.versions", "v0")), "grace deleted")
+    svc.updateAggregates("svc",
+      df(Seq(("click", t0, 1.0))).withColumn("_sign", lit(1)))          // v4
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "svc.versions", "v0")), "grace not GC'd")
+    assert(svc.listCubeVersions("svc") == Seq(2, 3, 4))
+    // as-of never moves the head
+    assert(svc.currentCubeVersion("svc") == 4)
+    // re-creating the cube resets history
+    svc.createCube(cfg, df(Seq(("click", t0, 9.0))))
+    assert(svc.currentCubeVersion("svc") == 0)
+    assert(svc.listCubeVersions("svc") == Seq(0))
+    svc.deleteCube("svc")
+  }
+
+  test("cube version archive recovery: both crash windows restore the invariant") {
+    val dir = Files.createTempDirectory("graft_svc_cttrec").toString
+    val svc = new CubeService(spark, dir, retainCubeVersions = 3)
+    svc.createCube(cfg, df(Seq(("click", t0, 1.0))))                    // v0
+    svc.updateAggregates("svc",
+      df(Seq(("click", t0, 4.0))).withColumn("_sign", lit(1)))          // v1
+    val root = java.nio.file.Paths.get(dir, "svc.versions")
+    // crash window C: archive moved, manifest bump lost — v<manifest>
+    // exists in the archive. Recovery = re-bump; as-of(head) must keep
+    // serving the HEAD parquet, not the archived predecessor.
+    java.nio.file.Files.writeString(root.resolve("MANIFEST"), "0")
+    val fresh = new CubeService(spark, dir, retainCubeVersions = 3)
+    assert(fresh.currentCubeVersion("svc") == 1)
+    assert(fresh.getAggregatesAsOf("svc", 1, Seq("etype"), sumOf = Seq("v"))
+      .collect().map(_.getDouble(1)).toSeq == Seq(5.0))
+    // crash window B: head swapped in, previous head still aside at
+    // svc.old, manifest not bumped. Recovery = archive the aside as
+    // v<manifest> and bump.
+    java.nio.file.Files.move(root.resolve("v0"),
+      java.nio.file.Paths.get(dir, "svc.old"))
+    java.nio.file.Files.writeString(root.resolve("MANIFEST"), "0")
+    val fresh2 = new CubeService(spark, dir, retainCubeVersions = 3)
+    assert(fresh2.currentCubeVersion("svc") == 1)
+    assert(fresh2.listCubeVersions("svc") == Seq(0, 1))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "svc.old")))
+    assert(fresh2.getAggregatesAsOf("svc", 0, Seq("etype"), sumOf = Seq("v"))
+      .collect().map(_.getDouble(1)).toSeq == Seq(1.0))
+    fresh2.deleteCube("svc")
   }
 
   test("publish-crash recovery: name.old restored when the publish dir is missing") {
