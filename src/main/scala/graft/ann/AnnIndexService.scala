@@ -299,12 +299,19 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
       col("embedding")))
     // the persisted path's one addition to the shared serve: push the
     // probed cluster ids down as a literal partition filter, so the
-    // scan reads only the probed cluster directories
-    val probedIds = Similarity.assign(q, idx.centroids, keep = nprobe)
-      .select(col("cent_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // scan reads only the probed cluster directories. The assignment is
+    // computed ONCE (this collect is the bounded |queries| × nprobe
+    // probe set) and the SAME set feeds both the pushdown filter and
+    // the serve's probe join — two separate assign() runs would only
+    // agree by the grace of a deterministic tie-break.
+    val probePairs = Similarity.assign(q, idx.centroids, keep = nprobe)
+      .select(col("vec_id"), col("cent_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val probedIds = probePairs.map(_._2).distinct
     val cands = idx.vectors.filter(col("cent_id").isin(probedIds: _*))
-    Similarity.ivfServe(q, idx.centroids, cands, topK, nprobe)
+    import spark.implicits._
+    val probes = probePairs.toDF("query_id", "cent_id")
+    Similarity.ivfServeWithProbes(q, probes, cands, topK)
   }
 
   /** Fold new vectors into the index: assign against the PERSISTED

@@ -31,7 +31,9 @@ import org.apache.spark.sql.types.StructType
   * (inlining a 100 TB source through an admin socket is the anti-shape).
   * `getAggregates` does return rows inline: a serve reads cube-sized
   * data by construction (the MV win), and the admin client is the
-  * reference's consumer of exactly that payload.
+  * reference's consumer of exactly that payload — bounded by the
+  * per-request `maxRows` cap (default 10k; overflow is a structured
+  * refusal, see [[serveRows]]).
   *
   * Binds the loopback interface ONLY — this is a same-host admin seam,
   * not an authenticated network service. */
@@ -129,8 +131,44 @@ final class AdminServer(service: CubeService, spark: SparkSession,
     """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(arr)
       .map(m => unesc(m.group(1))).toSeq
   }
+  /** `"quantilesOf":["value:0.5","score:0.9"]` → Seq((col, num)) — the
+    * pair families (quantile percentiles, top-k depths) travel as
+    * `col:number` strings so the flat-field parser stays flat. */
+  private def pairArray(req: String, key: String): Seq[(String, Double)] =
+    strArray(req, key).map { s =>
+      val i = s.lastIndexOf(':')
+      require(i > 0 && i < s.length - 1,
+        s"'$key' entries must be 'column:number', got '$s'")
+      (s.substring(0, i), s.substring(i + 1).toDouble)
+    }
   private def ok(result: String) = s"""{"ok":true,"result":$result}"""
   private def err(msg: String) = s"""{"ok":false,"error":"${esc(msg)}"}"""
+
+  /** Result-size guard on every row-returning serve: the wire collects
+    * rows to the driver by design (a serve reads cube-sized data — the
+    * MV win — and the admin client is the consumer of exactly that
+    * payload), but "cube-sized" is a modeling assumption, not a bound:
+    * a high-cardinality-dim cube could flood the driver heap and the
+    * socket. `maxRows` (request field, default 10k) caps the collect at
+    * the PLAN level (`limit(maxRows+1)` — the overflow probe rides the
+    * same job, never a second count() pass) and overflow is a
+    * structured REFUSAL, not silent truncation: a control-plane client
+    * that got 10k rows of a 2M-row serve would have no way to know. */
+  private val defaultMaxRows = 10000
+  private def serveRows(df: org.apache.spark.sql.DataFrame,
+      dims: Seq[String], req: String): String = {
+    val cap = numField(req, "maxRows").map(_.toInt).getOrElse(defaultMaxRows)
+    require(cap > 0, s"maxRows must be positive, got $cap")
+    val sorted = dims match {
+      case Nil => df
+      case ds => df.orderBy(ds.map(col): _*)
+    }
+    val rows = sorted.limit(cap + 1).toJSON.collect()
+    if (rows.length > cap)
+      err(s"result exceeds maxRows=$cap; raise 'maxRows' in the request " +
+        "or narrow the serve (fewer dims / a filter)")
+    else ok(rows.mkString("[", ",", "]"))
+  }
 
   private def need(v: Option[String], key: String): String =
     v.getOrElse(throw new IllegalArgumentException(s"missing field '$key'"))
@@ -173,15 +211,31 @@ final class AdminServer(service: CubeService, spark: SparkSession,
             sumOf = strArray(req, "sumOf"),
             avgOf = strArray(req, "avgOf"),
             distinctOf = strArray(req, "distinctOf"),
+            quantilesOf = pairArray(req, "quantilesOf"),
             minOf = strArray(req, "minOf"),
-            maxOf = strArray(req, "maxOf"))
+            maxOf = strArray(req, "maxOf"),
+            topkOf = pairArray(req, "topkOf").map { case (c, k) => (c, k.toInt) })
           // deterministic wire order: sort by the dims, then render each
           // row as a JSON object (toJSON is Spark's own row renderer)
-          val sorted = strArray(req, "dims") match {
-            case Nil => df
-            case ds => df.orderBy(ds.map(col): _*)
-          }
-          ok(sorted.toJSON.collect().mkString("[", ",", "]"))
+          serveRows(df, strArray(req, "dims"), req)
+        case Some("listVersions") =>
+          val name = need(strField(req, "name"), "name")
+          ok(service.listCubeVersions(name).mkString("[", ",", "]"))
+        case Some("getAggregatesAsOf") =>
+          val name = need(strField(req, "name"), "name")
+          val v = numField(req, "version")
+            .getOrElse(throw new IllegalArgumentException(
+              "missing field 'version'")).toInt
+          val df = service.getAggregatesAsOf(name, v,
+            dims = strArray(req, "dims"),
+            sumOf = strArray(req, "sumOf"),
+            avgOf = strArray(req, "avgOf"),
+            distinctOf = strArray(req, "distinctOf"),
+            quantilesOf = pairArray(req, "quantilesOf"),
+            minOf = strArray(req, "minOf"),
+            maxOf = strArray(req, "maxOf"),
+            topkOf = pairArray(req, "topkOf").map { case (c, k) => (c, k.toInt) })
+          serveRows(df, strArray(req, "dims"), req)
         case Some("listJoinCubes") =>
           ok(service.listJoinCubes().map(n => s""""${esc(n)}"""")
             .mkString("[", ",", "]"))
@@ -214,15 +268,21 @@ final class AdminServer(service: CubeService, spark: SparkSession,
           ok("\"updated\"")
         case Some("getJoinAggregates") =>
           val name = need(strField(req, "name"), "name")
+          // full aggregate vocabulary, same as the in-process verb — a
+          // wire verb must not silently offer LESS (the updateAggregates
+          // sourceParquet principle)
           val df = service.getJoinAggregates(name,
             dims = strArray(req, "dims"),
+            filter = strField(req, "filter")
+              .map(org.apache.spark.sql.functions.expr).getOrElse(lit(true)),
             sumOf = strArray(req, "sumOf"),
-            avgOf = strArray(req, "avgOf"))
-          val sorted = strArray(req, "dims") match {
-            case Nil => df
-            case ds => df.orderBy(ds.map(col): _*)
-          }
-          ok(sorted.toJSON.collect().mkString("[", ",", "]"))
+            avgOf = strArray(req, "avgOf"),
+            distinctOf = strArray(req, "distinctOf"),
+            quantilesOf = pairArray(req, "quantilesOf"),
+            minOf = strArray(req, "minOf"),
+            maxOf = strArray(req, "maxOf"),
+            topkOf = pairArray(req, "topkOf").map { case (c, k) => (c, k.toInt) })
+          serveRows(df, strArray(req, "dims"), req)
         case Some("listJoinVersions") =>
           val name = need(strField(req, "name"), "name")
           ok(service.listJoinCubeVersions(name).mkString("[", ",", "]"))
@@ -234,12 +294,13 @@ final class AdminServer(service: CubeService, spark: SparkSession,
           val df = service.getJoinAggregatesAsOf(name, v,
             dims = strArray(req, "dims"),
             sumOf = strArray(req, "sumOf"),
-            avgOf = strArray(req, "avgOf"))
-          val sorted = strArray(req, "dims") match {
-            case Nil => df
-            case ds => df.orderBy(ds.map(col): _*)
-          }
-          ok(sorted.toJSON.collect().mkString("[", ",", "]"))
+            avgOf = strArray(req, "avgOf"),
+            distinctOf = strArray(req, "distinctOf"),
+            quantilesOf = pairArray(req, "quantilesOf"),
+            minOf = strArray(req, "minOf"),
+            maxOf = strArray(req, "maxOf"),
+            topkOf = pairArray(req, "topkOf").map { case (c, k) => (c, k.toInt) })
+          serveRows(df, strArray(req, "dims"), req)
         case Some("startAutoUpdate") =>
           val name = need(strField(req, "name"), "name")
           val dir = need(strField(req, "deltaDir"), "deltaDir")
@@ -275,7 +336,9 @@ final class AdminServer(service: CubeService, spark: SparkSession,
                   need(strField(req, "queriesParquet"), "queriesParquet")),
                 topK = numField(req, "topK").map(_.toInt).getOrElse(5),
                 nprobe = numField(req, "nprobe").map(_.toInt).getOrElse(5))
-              ok(df.toJSON.collect().mkString("[", ",", "]"))
+              // |queries|×topK rows by construction, but the query batch
+              // itself is client-supplied — same cap discipline
+              serveRows(df, Nil, req)
             case "annUpsert" =>
               val name = need(strField(req, "name"), "name")
               svc.upsertVectors(name, spark.read.parquet(

@@ -247,10 +247,22 @@ object Similarity {
     * `queriesN`/`candidates`: (vec_id, embedding, nrm), candidates
     * additionally keyed by cent_id. */
   private[graft] def ivfServe(queriesN: DataFrame, cents: DataFrame,
-      candidates: DataFrame, topK: Int, nprobe: Int): DataFrame = {
+      candidates: DataFrame, topK: Int, nprobe: Int): DataFrame =
+    ivfServeWithProbes(queriesN,
+      assign(queriesN, cents, keep = nprobe)
+        .withColumnRenamed("vec_id", "query_id"),
+      candidates, topK)
+
+  /** The serve with a PRECOMPUTED probe assignment (query_id, cent_id).
+    * Split out so a partition-pruning caller
+    * ([[graft.ann.AnnIndexService.queryIndex]]) can compute the
+    * assignment ONCE and use the very same probe set for both its
+    * `cent_id` pushdown filter and this join — rather than running
+    * `assign` twice and relying (implicitly) on its deterministic
+    * tie-break to keep the two sets equal. */
+  private[graft] def ivfServeWithProbes(queriesN: DataFrame,
+      probes: DataFrame, candidates: DataFrame, topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val probes = assign(queriesN, cents, keep = nprobe)
-      .withColumnRenamed("vec_id", "query_id")
     val scored = queriesN
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"))
