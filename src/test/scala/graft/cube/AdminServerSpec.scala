@@ -281,6 +281,108 @@ class AdminServerSpec extends AnyFunSuite {
     } finally { cli.close(); server.stop() }
   }
 
+  test("maxRows cap, cube time-travel verbs, and the full join vocabulary") {
+    import spark.implicits._
+    val svc = new CubeService(spark, tmp("graft_admin_cap"),
+      retainCubeVersions = 3)
+    val server = new AdminServer(svc, spark)
+    val port = server.start()
+    val cli = new Client(port)
+    try {
+      val srcDir = tmp("graft_admin_caps") + "/src"
+      source.write.parquet(srcDir)
+      assert(cli.rpc(s"""{"verb":"createCube","config":"${escaped(
+        cfgJson)}","sourceParquet":"${escaped(srcDir)}"}""")
+        == """{"ok":true,"result":"admin1"}""")
+      // ---- result-size guard: the serve has 2 groups; maxRows=1 must
+      // be a structured REFUSAL naming the cap (silent truncation would
+      // hand a control-plane client a partial result it can't detect),
+      // and the connection must survive it
+      val over = cli.rpc(
+        """{"verb":"getAggregates","name":"admin1","dims":["etype"],"sumOf":["v"],"maxRows":1}""")
+      assert(over.startsWith("""{"ok":false,"error":""")
+        && over.contains("exceeds maxRows=1"), over)
+      val under = cli.rpc(
+        """{"verb":"getAggregates","name":"admin1","dims":["etype"],"sumOf":["v"],"maxRows":2}""")
+      assert(under.startsWith("""{"ok":true,""")
+        && under.contains(""""sum_v":7"""), under)
+      val zero = cli.rpc(
+        """{"verb":"getAggregates","name":"admin1","dims":["etype"],"maxRows":0}""")
+      assert(zero.startsWith("""{"ok":false,"error":""")
+        && zero.contains("positive"), zero)
+
+      // ---- single-table time travel over the wire: fold once, then
+      // both versions listed and as-of(0) serves pre-fold history,
+      // equal to the in-process verb
+      val deltaDir = tmp("graft_admin_capd") + "/d"
+      Seq(("view", 5.0, 1)).toDF("event_type", "value", "_sign")
+        .write.parquet(deltaDir)
+      assert(cli.rpc(s"""{"verb":"updateAggregates","name":"admin1","deltaParquet":"${escaped(
+        deltaDir)}"}""") == """{"ok":true,"result":"updated"}""")
+      assert(cli.rpc("""{"verb":"listVersions","name":"admin1"}""")
+        == """{"ok":true,"result":[0,1]}""")
+      def asOfWire(v: Int): String = cli.rpc(
+        s"""{"verb":"getAggregatesAsOf","name":"admin1","version":$v,"dims":["etype"],"sumOf":["v"]}""")
+      val direct0 = svc.getAggregatesAsOf("admin1", 0, Seq("etype"),
+          sumOf = Seq("v"))
+        .orderBy(col("etype")).toJSON.collect().mkString("[", ",", "]")
+      assert(asOfWire(0) == s"""{"ok":true,"result":$direct0}""",
+        "wire getAggregatesAsOf diverges from the in-process verb")
+      assert(asOfWire(0).contains(""""sum_v":10""")
+        && !asOfWire(0).contains("15"), asOfWire(0))
+      assert(asOfWire(1).contains(""""sum_v":15"""), asOfWire(1))
+      val vBad = asOfWire(9)
+      assert(vBad.startsWith("""{"ok":false,"error":""")
+        && vBad.contains("not retained"), vBad)
+
+      // ---- join verbs carry the FULL aggregate vocabulary (the wire
+      // must not offer less than the in-process twin): HLL distinct +
+      // extremes compare exactly (deterministic); the KLL percentile
+      // column must be present and between the served extremes
+      val lDir = tmp("graft_admin_capl") + "/l"
+      val rDir = tmp("graft_admin_capr") + "/r"
+      Seq((1L, "a"), (2L, "b")).toDF("lk", "cat").write.parquet(lDir)
+      Seq((1L, 10.0, 100L), (1L, 30.0, 101L), (2L, 20.0, 200L))
+        .toDF("rk", "amount", "uid").write.parquet(rDir)
+      val jCfg =
+        """{"name":"jwide","source":"l_r",
+          |"dims":[{"kind":"field","id":"cat","path":"cat"}],
+          |"sketches":[{"id":"amtd","path":"uid"}],
+          |"quantiles":[{"id":"amtq","path":"amount"}],
+          |"extremes":[{"id":"amtx","path":"amount"}],
+          |"measures":[{"id":"amt","path":"amount"}]}""".stripMargin
+      assert(cli.rpc(s"""{"verb":"createJoinCube","config":"${escaped(
+        jCfg)}","leftKey":"lk","rightKey":"rk","leftParquet":"${escaped(
+        lDir)}","rightParquet":"${escaped(rDir)}"}""")
+        == """{"ok":true,"result":"jwide"}""")
+      val wide = cli.rpc(
+        """{"verb":"getJoinAggregates","name":"jwide","dims":["cat"],"distinctOf":["amtd"],"minOf":["amtx"],"maxOf":["amtx"],"quantilesOf":["amtq:0.5"]}""")
+      assert(wide.startsWith("""{"ok":true,"""), wide)
+      val directWide = svc.getJoinAggregates("jwide", Seq("cat"),
+          distinctOf = Seq("amtd"), minOf = Seq("amtx"),
+          maxOf = Seq("amtx"))
+        .orderBy(col("cat")).toJSON.collect().mkString("")
+      // exact families must match the in-process serve verbatim
+      Seq(""""n_distinct_amtd":2""", """"min_amtx":10""",
+        """"max_amtx":30""").foreach { frag =>
+        assert(wide.contains(frag) && directWide.contains(frag),
+          s"$frag missing (wire=$wide direct=$directWide)")
+      }
+      assert(wide.contains(""""p50_amtq":"""), wide)
+      // filter travels on the join serve too
+      val jf = cli.rpc(
+        """{"verb":"getJoinAggregates","name":"jwide","dims":["cat"],"minOf":["amtx"],"filter":"cat = 'b'"}""")
+      assert(jf.contains(""""min_amtx":20""") && !jf.contains("\"a\""), jf)
+      // as-of carries the same vocabulary
+      val jAsOf = cli.rpc(
+        """{"verb":"getJoinAggregatesAsOf","name":"jwide","version":0,"dims":["cat"],"distinctOf":["amtd"],"maxOf":["amtx"]}""")
+      assert(jAsOf.contains(""""n_distinct_amtd":2""")
+        && jAsOf.contains(""""max_amtx":30"""), jAsOf)
+      svc.deleteJoinCube("jwide")
+      svc.deleteCube("admin1")
+    } finally { cli.close(); server.stop() }
+  }
+
   test("concurrent clients are served independently") {
     val svc = new CubeService(spark, tmp("graft_admin_store2"))
     val server = new AdminServer(svc, spark)
