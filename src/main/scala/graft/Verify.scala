@@ -82,16 +82,78 @@ object Verify {
         val oracled = SparkEntry.oracleSql.contains(name)
         name -> s"""{"rows":$rows,"cols":${q(sig)},"hash":${q(hash)},"oracle":$oracled}"""
       }
-    val self = "{" +
-      s""""sf":${q(sfDir)},"n_queries":${SparkEntry.queries.size},""" +
+    def render(drift: Seq[String]) = "{" +
+      s""""sf":${q(sfDir)},"srcHash":${q(mainSourceHash())},""" +
+      s""""n_queries":${SparkEntry.queries.size},""" +
       s""""failed":[${failed.toSeq.sorted.map(q).mkString(",")}],""" +
+      s""""drift":[${drift.map(q).mkString(",")}],""" +
       s""""queries":{${summaries.map { case (k, v) => s"${q(k)}:$v" }
         .mkString(",")}}}"""
-    Files.writeString(Paths.get(s"$outDir/VERIFY_SELF.json"), self)
-    // repo root copy — committed per round (BENCH_SELF.json discipline)
-    if (only.isEmpty)
-      try Files.writeString(Paths.get("VERIFY_SELF.json"), self)
+    Files.writeString(Paths.get(s"$outDir/VERIFY_SELF.json"), render(Nil))
+    // repo root copy — committed per round (BENCH_SELF.json discipline).
+    // Before overwriting, the IN-TREE DRIFT ALARM fires: an oracled
+    // query whose committed fingerprint moved while the main source
+    // tree is byte-identical means the DATA under the queries changed —
+    // the round-9 silent-regression mode (a regenerated events.parquet
+    // moved 45 queries' results while the DuckDB compare, recomputing
+    // over the same new parquet, stayed green). Loud on stderr, recorded
+    // in the committed summary, and ContractSpec refuses a nonempty
+    // drift list — sbt test goes red until a human adjudicates.
+    if (only.isEmpty) {
+      val prevPath = Paths.get("VERIFY_SELF.json")
+      val drift =
+        if (prevPath.toFile.exists())
+          driftBetween(Files.readString(prevPath), render(Nil))
+        else Nil
+      drift.foreach(n => System.err.println(
+        s"[verify] DRIFT $n: result moved with an unchanged source tree " +
+          "— the input data under this query changed"))
+      try Files.writeString(prevPath, render(drift))
       catch { case _: Throwable => () }
+    }
     spark.stop()
+  }
+
+  /** 8-byte hex SHA-256 over the main source tree (sorted paths +
+    * bytes): the "did the CODE change" side of the drift alarm. */
+  def mainSourceHash(): String = {
+    val root = Paths.get("src/main/scala")
+    if (!root.toFile.exists()) "absent"
+    else {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      import scala.jdk.CollectionConverters._
+      val files = Files.walk(root).iterator().asScala
+        .filter(_.toFile.isFile).toSeq.sortBy(_.toString)
+      files.foreach { p =>
+        md.update(p.toString.getBytes("UTF-8"))
+        md.update(Files.readAllBytes(p))
+      }
+      md.digest().take(8).map("%02x".format(_)).mkString
+    }
+  }
+
+  /** ORACLED queries whose fingerprint differs between two
+    * VERIFY_SELF.json summaries THAT RECORD THE SAME srcHash — i.e.
+    * results moved and the code provably didn't. Different (or absent)
+    * srcHash → Nil: a source change legitimately moves results, and the
+    * DuckDB oracle gate judges those. Rows-only queries are excluded
+    * (sketch/model randomness — KLL compaction is rank-randomized —
+    * moves their hashes run to run by design; their regressions are
+    * pinned in ScalaTest instead). Pure string → string so DriftSpec
+    * can trip it with a deliberate perturbation. */
+  def driftBetween(prevJson: String, curJson: String): Seq[String] = {
+    def srcHash(j: String): Option[String] =
+      """"srcHash":"([^"]*)"""".r.findFirstMatchIn(j).map(_.group(1))
+    def fps(j: String): Map[String, String] =
+      """"([^"]+)":\{"rows":(\d+),"cols":"((?:[^"\\]|\\.)*)","hash":"([^"]*)","oracle":(true|false)\}""".r
+        .findAllMatchIn(j).filter(_.group(5) == "true")
+        .map(m => m.group(1) ->
+          s"${m.group(2)}|${m.group(3)}|${m.group(4)}").toMap
+    (srcHash(prevJson), srcHash(curJson)) match {
+      case (Some(a), Some(b)) if a == b =>
+        val p = fps(prevJson); val c = fps(curJson)
+        p.keySet.intersect(c.keySet).filter(k => p(k) != c(k)).toSeq.sorted
+      case _ => Nil
+    }
   }
 }

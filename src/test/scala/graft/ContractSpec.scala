@@ -43,6 +43,45 @@ class ContractSpec extends AnyFunSuite {
       s"unexpected rows-only set: $rowsOnly")
   }
 
+  // ---- the in-tree drift alarm (Verify.driftBetween) -----------------
+  private def selfJson(src: String, hash: String, oracle: Boolean = true) =
+    s"""{"sf":"x","srcHash":"$src","n_queries":1,"failed":[],"drift":[],""" +
+      s""""queries":{"q01_agg":{"rows":3,"cols":"a:bigint","hash":"$hash","oracle":$oracle}}}"""
+
+  test("drift alarm trips on a moved oracled result under an unchanged source tree") {
+    // the round-9 failure mode, deliberately reproduced: same srcHash,
+    // different value hash → the alarm MUST name the query
+    assert(Verify.driftBetween(selfJson("aaaa", "h1"), selfJson("aaaa", "h2"))
+      == Seq("q01_agg"))
+    // normal runs stay green: identical fingerprints
+    assert(Verify.driftBetween(selfJson("aaaa", "h1"), selfJson("aaaa", "h1"))
+      .isEmpty)
+    // a SOURCE change legitimately moves results — the oracle gate
+    // judges those, not the alarm
+    assert(Verify.driftBetween(selfJson("aaaa", "h1"), selfJson("bbbb", "h2"))
+      .isEmpty)
+    // rows-only queries carry sketch randomness; excluded by design
+    assert(Verify.driftBetween(selfJson("aaaa", "h1", oracle = false),
+      selfJson("aaaa", "h2", oracle = false)).isEmpty)
+    // pre-alarm summaries (no srcHash) can't be compared
+    assert(Verify.driftBetween(
+      selfJson("aaaa", "h1").replace(""""srcHash":"aaaa",""", ""),
+      selfJson("aaaa", "h2")).isEmpty)
+  }
+
+  test("committed VERIFY_SELF.json carries no unadjudicated drift") {
+    val f = java.nio.file.Paths.get("VERIFY_SELF.json")
+    if (f.toFile.exists()) {
+      val j = java.nio.file.Files.readString(f)
+      val drift = """"drift":\s*\[([^\]]*)\]""".r.findFirstMatchIn(j)
+        .map(_.group(1).trim).getOrElse("")
+      assert(drift.isEmpty,
+        s"VERIFY_SELF.json records result drift with an unchanged source " +
+          s"tree — the input data moved under these queries: [$drift]. " +
+          "Adjudicate (re-pin or fix), then re-run a full Verify.")
+    }
+  }
+
   test("oracle SQL references only bare known table names") {
     val known = Tables.starTables.toSet
     val fromRe = "(?i)(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z0-9_]*)".r
