@@ -183,11 +183,14 @@ object CubeManager {
       transform(
         graft.functions.CountMinSketch.approxTopK(col(m.path), FreqCand),
         s => s.getField("key")).as(s"${m.id}_cand")))
+    // `_count` is always present, so the aggregate list is never empty
+    // even for a measures-free config (e.g. an advised rolling cube
+    // that carries only sketch/extreme partials)
+    val all = sums ++ sks ++ qs ++ exts ++ fqs :+
+      count(lit(1)).as(CountCol)
     val agg = source
       .groupBy(config.dimCols: _*)
-      .agg(sums.head,
-        (sums.tail ++ sks ++ qs ++ exts ++ fqs
-          :+ count(lit(1)).as(CountCol)): _*)
+      .agg(all.head, all.tail: _*)
     Cube(config, agg)
   }
 
@@ -259,11 +262,11 @@ object CubeManager {
         graft.functions.CountMinSketch
           .approxTopK(when(col("_sign") > 0, col(m.path)), FreqCand),
         s => s.getField("key")).as(s"${m.id}_cand")))
+    val deltaAll = deltaSums ++ deltaSks ++ deltaQs ++ deltaExts ++
+      deltaFqs :+ sum(col("_sign")).as(CountCol)
     val deltaAgg = deltas
       .groupBy(cfg.dimCols: _*)
-      .agg(deltaSums.head,
-        (deltaSums.tail ++ deltaSks ++ deltaQs ++ deltaExts ++ deltaFqs
-          :+ sum(col("_sign")).as(CountCol)): _*)
+      .agg(deltaAll.head, deltaAll.tail: _*)
     val merged = mergePartials(cfg, cube.aggregates, deltaAgg)
     val finalAgg = source match {
       // skip the recompute when the latch is (or stays) tripped: a
@@ -349,23 +352,25 @@ object CubeManager {
     * both maintenance modes. Shuffles only cube-sized data on the
     * dimension key. */
   def mergePartials(cfg: CubeConfig, a: DataFrame, b: DataFrame): DataFrame = {
+    // `_count` always merges, so the list survives a measures-free
+    // config (advised rolling cubes carry only sketch/extreme partials)
+    val mergeAggs =
+      cfg.measures.map(m => sum(col(m.id)).cast(Dec).as(m.id)) ++
+        cfg.sketches.map(m =>
+          hll_union_agg(col(m.id)).as(m.id)) ++
+        cfg.quantiles.map(m =>
+          graft.functions.Kll.mergeAgg(col(m.id)).as(m.id)) ++
+        cfg.extremes.flatMap(m => Seq(
+          min(col(s"${m.id}_min")).as(s"${m.id}_min"),
+          max(col(s"${m.id}_max")).as(s"${m.id}_max"))) ++
+        cfg.freq.flatMap(m => Seq(
+          graft.functions.CountMinSketch.mergeSketches(col(m.id)).as(m.id),
+          sort_array(array_distinct(flatten(
+            collect_list(col(s"${m.id}_cand"))))).as(s"${m.id}_cand"))) :+
+        sum(col(CountCol)).as(CountCol)
     val merged = a.unionByName(b)
       .groupBy(cfg.dimNames.map(col): _*)
-      .agg(
-        sum(col(cfg.measures.head.id)).cast(Dec).as(cfg.measures.head.id),
-        (cfg.measures.tail.map(m => sum(col(m.id)).cast(Dec).as(m.id))
-          ++ cfg.sketches.map(m =>
-            hll_union_agg(col(m.id)).as(m.id))
-          ++ cfg.quantiles.map(m =>
-            graft.functions.Kll.mergeAgg(col(m.id)).as(m.id))
-          ++ cfg.extremes.flatMap(m => Seq(
-            min(col(s"${m.id}_min")).as(s"${m.id}_min"),
-            max(col(s"${m.id}_max")).as(s"${m.id}_max")))
-          ++ cfg.freq.flatMap(m => Seq(
-            graft.functions.CountMinSketch.mergeSketches(col(m.id)).as(m.id),
-            sort_array(array_distinct(flatten(
-              collect_list(col(s"${m.id}_cand"))))).as(s"${m.id}_cand")))
-          :+ sum(col(CountCol)).as(CountCol)): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
       .filter(col(CountCol) =!= 0)
     // RE-TRIM the freq candidate union to FreqCand per cell, ranked by
     // the MERGED counters (which are lossless, so the rank is the true

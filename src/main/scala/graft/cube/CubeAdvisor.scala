@@ -1,9 +1,10 @@
 package graft.cube
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualTo, Expression, IsNotNull, Literal, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, EqualNullSafe, EqualTo, Explode, Expression, In, InSet, IsNotNull, IsNull, Literal, Sequence, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Complete, Count, HyperLogLogPlusPlus, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.types.DecimalType
 
 /** Workload-driven MV advisor — the designer-side complement of
@@ -44,12 +45,37 @@ object CubeAdvisor {
       config: CubeConfig,
       coveredQueries: Seq[Int],
       cells: Option[Long] = None,
-      sourceRows: Option[Long] = None) {
+      sourceRows: Option[Long] = None,
+      rangeOnlyDims: Seq[String] = Nil) {
     def worthwhile: Boolean = (cells, sourceRows) match {
       case (Some(c), Some(r)) => r > 0 && c.toDouble / r <= 0.5
       case _ => true // structural mode: no evidence against
     }
   }
+
+  /** One recommended ROLLING cube: a day-granularity TimeDim over the
+    * source's time column plus the sketch/extreme partials the
+    * trailing-window serves need. Materialize `config` verbatim
+    * (create + register through [[CubeService]]) and every covered
+    * query is served by [[CubeService.getRolling]]`(name, dayDim,
+    * window, ...)` — the maintained-daily-partials form whose windowed
+    * stage costs |days|·window one-row sketch merges instead of
+    * re-shuffling the corpus per refresh. `windows` lists the distinct
+    * trailing lengths observed (a serve-time parameter — one cube
+    * serves them all). Distinct counts come back as HLL estimates and
+    * quantiles as KLL estimates; exact distinct/ranks cannot roll over
+    * a sliding window from pre-aggregated state, so the advice IS the
+    * sketch trade — min/max stay exact. */
+  final case class RollingCubeRecommendation(
+      sourcePath: String,
+      config: CubeConfig,
+      dayDim: String,
+      windows: Seq[Int],
+      distinctOf: Seq[String],
+      quantilesOf: Seq[(String, Double)],
+      minOf: Seq[String],
+      maxOf: Seq[String],
+      coveredQueries: Seq[Int])
 
   /** One recommended JOIN MV: both source paths, the registrable
     * config (pass to `CubeService.createJoinCube` + side projections of
@@ -70,20 +96,63 @@ object CubeAdvisor {
       sketches: Seq[Measure],
       quantiles: Seq[Measure],
       extremes: Seq[Measure],
-      join: Option[(String, String, String, String)] = None)
+      join: Option[(String, String, String, String)] = None,
+      rangeDims: Seq[String] = Nil)
+
+  /** What one trailing-window (rolling) query needs: the source, the
+    * single time column its epoch-day derives from, the window length,
+    * and the per-family measure columns. */
+  private final case class RollingNeeds(
+      path: String, tsCol: String, windowDays: Int,
+      distinctOf: Seq[String], quantilesOf: Seq[(String, Double)],
+      minOf: Seq[String], maxOf: Seq[String])
 
   /** The advisor's full answer: single-table cube recommendations,
-    * join-MV recommendations, and the workload indices nothing could
-    * cover. */
+    * join-MV recommendations, rolling-cube recommendations, and the
+    * workload indices nothing could cover. */
   final case class Advice(cubes: Seq[CubeRecommendation],
-      joinCubes: Seq[JoinCubeRecommendation], uncovered: Seq[Int])
+      joinCubes: Seq[JoinCubeRecommendation], uncovered: Seq[Int],
+      rolling: Seq[RollingCubeRecommendation] = Nil)
 
   /** Structural advice: no data is read. */
   def advise(workload: Seq[DataFrame],
       namePrefix: String = "advised"): Advice = {
+    val plans = workload.map(_.queryExecution.optimizedPlan)
+    // rolling shapes first: the generic matcher would refuse them
+    // (count(DISTINCT) over the exploded window is unservable from
+    // cells) and report the workload's daily-curve queries uncovered
+    val rollingHits: Seq[(Int, RollingNeeds)] = plans.zipWithIndex
+      .flatMap { case (p, i) => analyzeRolling(p).map(i -> _) }
+    val rollingIdx = rollingHits.map(_._1).toSet
     val analyzed: Seq[(Int, Option[Needs])] =
-      workload.zipWithIndex.map { case (df, i) =>
-        i -> analyze(df.queryExecution.optimizedPlan)
+      plans.zipWithIndex.collect { case (p, i) if !rollingIdx(i) =>
+        i -> analyze(p)
+      }
+    val rollingRecs = rollingHits.groupBy(h => (h._2.path, h._2.tsCol))
+      .toSeq.sortBy(_._1).zipWithIndex.map {
+        case (((path, tsCol), hits), k) =>
+          val needs = hits.map(_._2)
+          val dayDim = s"${tsCol}_day"
+          val dOf = needs.flatMap(_.distinctOf).distinct
+          val qOf = needs.flatMap(_.quantilesOf).distinct
+          val mnOf = needs.flatMap(_.minOf).distinct
+          val mxOf = needs.flatMap(_.maxOf).distinct
+          RollingCubeRecommendation(path,
+            CubeConfig(s"${namePrefix}_rolling_$k", path,
+              dims = Seq(TimeDim(dayDim, tsCol, "day")),
+              measures = Nil,
+              sketches = dOf.map(c => Measure(s"${c}_nd", c)),
+              quantiles = qOf.map(_._1).distinct
+                .map(c => Measure(s"${c}_dist", c)),
+              extremes = (mnOf ++ mxOf).distinct
+                .map(c => Measure(s"${c}_x", c))),
+            dayDim,
+            windows = needs.map(_.windowDays).distinct.sorted,
+            distinctOf = dOf.map(c => s"${c}_nd"),
+            quantilesOf = qOf.map { case (c, p) => (s"${c}_dist", p) },
+            minOf = mnOf.map(c => s"${c}_x"),
+            maxOf = mxOf.map(c => s"${c}_x"),
+            coveredQueries = hits.map(_._1).sorted)
       }
     val uncovered = analyzed.collect { case (i, None) => i }
     val bySource = analyzed.collect { case (i, Some(n)) => (i, n) }
@@ -112,7 +181,8 @@ object CubeAdvisor {
           case None =>
             singles :+= CubeRecommendation(path,
               mergedConfig(s"${namePrefix}_$k", path, entries),
-              entries.map(_._1))
+              entries.map(_._1),
+              rangeOnlyDims = entries.flatMap(_._2.rangeDims).distinct)
           case Some((lp, rp, lk, rk)) =>
             joins :+= JoinCubeRecommendation(lp, rp,
               JoinCubeConfig(
@@ -121,7 +191,7 @@ object CubeAdvisor {
               entries.map(_._1))
         }
     }
-    Advice(singles, joins, uncovered)
+    Advice(singles, joins, uncovered, rollingRecs)
   }
 
   /** Structural advice + one cardinality probe per source: measures
@@ -145,6 +215,165 @@ object CubeAdvisor {
     // avoid — callers who want it can probe the recommendation's
     // dims over the joined frame themselves
     a.copy(cubes = measured)
+  }
+
+  // ---- rolling-shape analysis ------------------------------------------
+
+  /** Recognize the trailing-window-over-daily-values shape (the
+    * q138/q159 family, [[graft.functions.Rolling.endpoints]]'s lowered
+    * plan): an aggregate grouped on the output of
+    * `explode(sequence(d, d + L-1))` over a per-day frame, semi-joined
+    * back to the observed days — i.e. "for every day, <aggregate> over
+    * the trailing L days". The generic matcher refuses these
+    * (count(DISTINCT) over the exploded window is unservable from
+    * cells); the right advice is a DAY-DIMMED cube whose sketch
+    * partials [[CubeService.getRolling]] merges per endpoint:
+    * distinct → HLL, percentile → KLL, min/max → exact extreme
+    * partials. Refusals keep the honesty contract: a filtered curve, a
+    * multi-column day derivation, an aggregate family that does not
+    * roll (sum/avg of the window re-counts rows the partials cannot
+    * attribute), or a pre-deduped percentile (dedup changes the
+    * distribution) all return None rather than advising a cube that
+    * serves a different curve. Day-bucket equivalence (the workload's
+    * epoch-day arithmetic vs the cube's calendar-day dimension) holds
+    * in a UTC session — the CubeAdvisorSpec honesty pin compares the
+    * served curve against the workload's own, endpoint by endpoint. */
+  private def analyzeRolling(plan: LogicalPlan): Option[RollingNeeds] =
+    plan match {
+      case Aggregate(Seq(day: AttributeReference), aggs, child, _) =>
+        val (base, _, preds) = peel(child)
+        if (preds.nonEmpty) return None
+        base match {
+          case Join(l, r, LeftSemi, Some(cond), _) =>
+            val rightDay = cond match {
+              case EqualTo(a: AttributeReference, b: AttributeReference)
+                  if a.exprId == day.exprId => b
+              case EqualTo(a: AttributeReference, b: AttributeReference)
+                  if b.exprId == day.exprId => a
+              case _ => return None
+            }
+            val (lb, lenv, lpreds) = peel(l)
+            if (lpreds.nonEmpty) return None
+            lb match {
+              case Generate(Explode(Sequence(start, stop, None, _)), _,
+                  false, _, Seq(genOut), gchild)
+                  if genOut.exprId == day.exprId =>
+                val windowDays = stop match {
+                  case Add(s2, Literal(n: Long, _), _)
+                      if s2.semanticEquals(start) => n.toInt + 1
+                  case Add(s2, Literal(n: Int, _), _)
+                      if s2.semanticEquals(start) => n + 1
+                  case s2 if s2.semanticEquals(start) => 1
+                  case _ => return None
+                }
+                // under the explode: an optional pure dedup (the
+                // distinct (key, day) collapse of the count-distinct
+                // form), then projects down to the relation
+                val (inner, ienv, ipreds) = peel(gchild)
+                if (ipreds.nonEmpty) return None
+                val (srcPlan, env, deduped) = inner match {
+                  case Aggregate(gs, as2, c2, _)
+                      if as2.forall(_.isInstanceOf[Attribute]) &&
+                        gs.map(_.canonicalized).toSet ==
+                          as2.map(_.canonicalized).toSet =>
+                    val (b2, env2, p2) = peel(c2)
+                    if (p2.nonEmpty) return None
+                    (b2, lenv ++ ienv ++ env2, true)
+                  case other => (other, lenv ++ ienv, false)
+                }
+                val path = CubeCatalog.sourcePathOf(srcPlan)
+                  .getOrElse(return None)
+                val dExpr = subst(env)(start)
+                val tsCol = dayBucketColumn(dExpr).getOrElse(return None)
+                // the semi-join's right side must be the observed-day
+                // set of the SAME source and the SAME day derivation —
+                // anything else filters endpoints by semantics the
+                // serve does not reproduce
+                val (rb, renv, rpreds) = peel(r)
+                val rOk = rb match {
+                  case Aggregate(Seq(g), Seq(out: Attribute), c2, _)
+                      if out.exprId == rightDay.exprId =>
+                    val (b2, env2, p2) = peel(c2)
+                    val rDay = subst(renv ++ env2)(subst(renv)(g))
+                    p2.forall(_.isInstanceOf[IsNotNull]) &&
+                      rpreds.forall(_.isInstanceOf[IsNotNull]) &&
+                      CubeCatalog.sourcePathOf(b2).contains(path) &&
+                      rDay.sql == dExpr.sql
+                  case _ => false
+                }
+                if (!rOk) return None
+                rollingLeaves(day, aggs, deduped).map { case (d0, q0, mn, mx) =>
+                  RollingNeeds(path, tsCol, windowDays, d0, q0, mn, mx)
+                }
+              case _ => None
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** The single source column under a day-bucket derivation: accepts
+    * the epoch-day arithmetic (`cast(unix_seconds / 86400 as long)` —
+    * any expression dividing by 86400) and the calendar form
+    * (`datediff`/`date_trunc('day', …)`); refuses derivations that
+    * reference more than one column or no day-shaped bucketing at all
+    * (a cube dimmed on an arbitrary expression would serve a curve the
+    * workload never asked for). */
+  private def dayBucketColumn(e: Expression): Option[String] = {
+    val refs = e.references.toSeq
+    if (refs.size != 1) return None
+    val dayShaped = e.exists {
+      case Literal(86400.0, _) => true
+      case Literal(86400, _) => true
+      case Literal(86400L, _) => true
+      case TruncTimestamp(Literal(g, _), _, _) => g.toString == "day"
+      case _: org.apache.spark.sql.catalyst.expressions.DateDiff => true
+      case _ => false
+    }
+    if (dayShaped) Some(refs.head.name) else None
+  }
+
+  /** Rolling aggregate leaves → per-family measure columns; None when
+    * any leaf does not roll from daily partials. `deduped` workloads
+    * (the distinct-pair collapse) refuse percentile leaves: dedup
+    * changes the distribution the partials would sketch. */
+  private def rollingLeaves(day: AttributeReference, aggs: Seq[Expression],
+      deduped: Boolean)
+      : Option[(Seq[String], Seq[(String, Double)], Seq[String], Seq[String])] = {
+    var dOf = Vector.empty[String]
+    var qOf = Vector.empty[(String, Double)]
+    var mnOf = Vector.empty[String]
+    var mxOf = Vector.empty[String]
+    def colName(e: Expression): Option[String] = e match {
+      case a: Attribute => Some(a.name)
+      case Cast(inner, _, _, _) => colName(inner)
+      case _ => None
+    }
+    aggs.foreach {
+      case a: AttributeReference if a.exprId == day.exprId => ()
+      case al: Alias => al.child match {
+        case AggregateExpression(Count(Seq(c)), Complete, true, _, _) =>
+          dOf :+= colName(c).getOrElse(return None)
+        case AggregateExpression(ap: ApproximatePercentile, Complete,
+            false, _, _) =>
+          if (deduped) return None
+          val pct = ap.percentageExpression match {
+            case Literal(p: Double, _) => p
+            case Literal(d: org.apache.spark.sql.types.Decimal, _) =>
+              d.toDouble
+            case _ => return None
+          }
+          qOf :+= ((colName(ap.child).getOrElse(return None), pct))
+        case AggregateExpression(Min(c), Complete, false, _, _) =>
+          mnOf :+= colName(c).getOrElse(return None)
+        case AggregateExpression(Max(c), Complete, false, _, _) =>
+          mxOf :+= colName(c).getOrElse(return None)
+        case _ => return None
+      }
+      case _ => return None
+    }
+    if (dOf.isEmpty && qOf.isEmpty && mnOf.isEmpty && mxOf.isEmpty) None
+    else Some((dOf, qOf, mnOf, mxOf))
   }
 
   // ---- plan analysis ---------------------------------------------------
@@ -339,6 +568,36 @@ object CubeAdvisor {
         TimeDim(s"${col}_$g", col, g.toString)
       case _ => return None
     }
+    // a predicate is DIM-SHAPED when it constrains the column to
+    // discrete points (equality / IN / null tests) — the natural usage
+    // of a dimension column. A range predicate (value > 10) is
+    // measure-shaped: promoting its column to a dim is still REQUIRED
+    // for the query to route (the cell-filter rewrite serves predicates
+    // only over dimension attributes), but one range filter on a
+    // high-cardinality measure column yields an advised cube with
+    // near-source-cardinality cells, so such columns are surfaced in
+    // [[CubeRecommendation.rangeOnlyDims]] — a structural warning that
+    // does not need the (optional) stats probe to fire.
+    // three-way classification: POINT predicates vouch for the column
+    // being dimension-shaped; NULL TESTS are neutral (the optimizer
+    // plants isnotnull under every comparison — it vouches for
+    // nothing); everything else is range-shaped
+    def pointShaped(p: Expression): Boolean = p match {
+      case _: EqualTo | _: EqualNullSafe | _: In | _: InSet => true
+      case org.apache.spark.sql.catalyst.expressions.Not(inner) =>
+        pointShaped(inner)
+      case _ => false
+    }
+    def nullTest(p: Expression): Boolean = p match {
+      case _: IsNull | _: IsNotNull => true
+      case org.apache.spark.sql.catalyst.expressions.Not(inner) =>
+        nullTest(inner)
+      case _ => false
+    }
+    val rangeCols = preds.filterNot(p => pointShaped(p) || nullTest(p))
+      .flatMap(_.references.map(_.name)).distinct
+    val pointCols = preds.filter(pointShaped)
+      .flatMap(_.references.map(_.name)).distinct
     val filterDims = preds.flatMap(_.references).toSeq.distinct
       .map(a => FieldDim(a.name, a.name))
       // a filter on a column already grouped as a FieldDim needs no
@@ -359,6 +618,11 @@ object CubeAdvisor {
       names.distinct.map(n => Measure(s"${n}_$suffix", n))
     Some(Needs(path, dims ++ filterDims,
       ms(leaves.sums, "sum"), ms(leaves.sketches, "nd"),
-      ms(leaves.quantiles, "dist"), ms(leaves.extremes, "x"), join))
+      ms(leaves.quantiles, "dist"), ms(leaves.extremes, "x"), join,
+      // flagged: promoted into the config ONLY because of a range
+      // predicate — no grouping and no point predicate vouches for the
+      // column being dimension-shaped
+      rangeDims = rangeCols.filterNot(pointCols.contains)
+        .filter(c => filterDims.exists(_.path == c))))
   }
 }

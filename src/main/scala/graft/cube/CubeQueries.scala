@@ -687,6 +687,71 @@ object CubeQueries {
     }.reduce(_.unionByName(_)).orderBy(col("version"), col("etype"))
   }
 
+  // --------------------------------------------------------------- q190
+  /** The ADVISOR CLOSES THE ROLLING LOOP on the graded surface: the
+    * workload handed to [[CubeAdvisor.advise]] is the raw
+    * trailing-window shape users actually write (the q138 exact
+    * rolling-distinct form and the q159 rolling-extremes form, both
+    * built with [[graft.functions.Rolling.endpoints]] over a parquet
+    * copy of events) — shapes the generic matcher must REFUSE
+    * (count(DISTINCT) over the exploded window is unservable from
+    * cells). The advisor recognizes the lowered
+    * explode(sequence)/semi-join plan, recommends ONE day-dimmed cube
+    * carrying an HLL partial for the distinct curve and exact extreme
+    * partials, and the setup materializes that config VERBATIM through
+    * [[CubeService.createCube]]. The graded query serves the
+    * trailing-window min/max curve via [[CubeService.getRolling]] from
+    * the advised cube — the one rolling family that is EXACT from
+    * partials, so the DuckDB oracle recomputes every window from the
+    * raw table and hash-matches (the estimate families ride the same
+    * advised cube and are pinned vs the workload's own curves in
+    * CubeAdvisorSpec). At 100 TB this is the design loop that finds
+    * the WAU-curve MV from the dashboard's query log instead of
+    * guessing it: corpus touched once for daily partials, every
+    * refresh thereafter |days|·7 one-row merges. */
+  private val advisedRollingSetup =
+    TrieMap.empty[(SparkSession, String), CubeService]
+  private def advisedRollingService(spark: SparkSession,
+      sfDir: String): CubeService =
+    advisedRollingSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_advroll").toString
+      val srcDir = s"$dir/source"
+      Tables.events(spark, sfDir)
+        .select(col("ts"), col("value"), col("user_id"))
+        .write.parquet(srcDir)
+      def src = spark.read.parquet(srcDir)
+      def dayCol = (unix_timestamp(col("ts")).cast("double") / 86400)
+        .cast("long").as("d")
+      val workload = Seq(
+        graft.functions.Rolling.endpoints(
+            src.select(col("user_id"), dayCol).distinct())
+          .agg(countDistinct(col("user_id")).as("nu")),
+        graft.functions.Rolling.endpoints(src.select(dayCol, col("value")))
+          .agg(min(col("value")).as("mn"), max(col("value")).as("mx")))
+      val advice = CubeAdvisor.advise(workload, "adv_roll")
+      require(advice.uncovered.isEmpty && advice.rolling.size == 1 &&
+          advice.rolling.head.coveredQueries == Seq(0, 1),
+        s"advisor must cover the rolling workload: $advice")
+      val rec = advice.rolling.head
+      require(rec.windows == Seq(7) && rec.dayDim == "ts_day" &&
+          rec.config.sketches.map(_.path) == Seq("user_id") &&
+          rec.config.extremes.map(_.path) == Seq("value"),
+        s"unexpected rolling recommendation: $rec")
+      val svc = new CubeService(spark, dir)
+      svc.createCube(rec.config, src)
+      svc
+    })
+
+  def q190AdvisedRolling(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = advisedRollingService(spark, sfDir)
+    svc.getRolling("adv_roll_rolling_0", "ts_day", windowDays = 7,
+        minOf = Seq("value_x"), maxOf = Seq("value_x"))
+      .select(col("day"), col("min_value_x").as("min_v"),
+        col("max_value_x").as("max_v"))
+      .orderBy(col("day"))
+  }
+
   // --------------------------------------------------------------- q160
   /** Graded: MV routing through the SQL-TEXT surface with a HAVING
     * clause — the same optimizer rule serves `spark.sql(...)` plans
@@ -1675,6 +1740,7 @@ object CubeQueries {
     "q152_join_mv" -> q152JoinMv,
     "q174_mv_time_travel" -> q174MvTimeTravel,
     "q189_cube_time_travel" -> q189CubeTimeTravel,
+    "q190_advised_rolling" -> q190AdvisedRolling,
     "q153_join_routing" -> q153JoinRouting,
     "q154_join_mv_stream" -> q154JoinMvStream,
     "q157_join_filter_routing" -> q157JoinFilterRouting,
@@ -1833,6 +1899,19 @@ object CubeQueries {
       WHERE event_type <> 'error'
       GROUP BY 2
       ORDER BY version, etype""",
+    // q159's trailing-window oracle over the ADVISED cube: the advisor
+    // derived the day-dimmed config from the workload's own rolling
+    // plans, so hash equality proves advised == hand-designed == raw.
+    "q190_advised_rolling" -> """
+      WITH daily AS (
+        SELECT CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS d,
+          min(value) AS dmin, max(value) AS dmax
+        FROM events GROUP BY 1),
+      days AS (SELECT DISTINCT d AS day FROM daily)
+      SELECT days.day, min(daily.dmin) AS min_v, max(daily.dmax) AS max_v
+      FROM days JOIN daily ON daily.d BETWEEN days.day - 6 AND days.day
+      GROUP BY 1
+      ORDER BY 1""",
     "q152_join_mv" -> """
       SELECT o_orderpriority AS prio,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

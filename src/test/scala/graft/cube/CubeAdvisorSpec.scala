@@ -183,6 +183,128 @@ class CubeAdvisorSpec extends AnyFunSuite {
     assert(okRecs.head.worthwhile && okRecs.head.cells.exists(_ <= 6))
   }
 
+  test("rolling workloads yield a day-dimmed sketch cube that getRolling serves") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(61)
+    val rows = (0 until 900).map { i =>
+      (new Timestamp(1700000000000L + rnd.nextInt(20) * 86400000L
+          + rnd.nextInt(86400000)),
+        math.round(rnd.nextDouble() * 10000) / 100.0,
+        (i % 40).toLong)
+    }
+    val srcDir = Files.createTempDirectory("graft_advr_src").toString
+    rows.toDF("ts", "value", "user_id")
+      .write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+    def dayCol = (unix_timestamp(col("ts")).cast("double") / 86400)
+      .cast("long").as("d")
+    def mkWorkload(): Seq[DataFrame] = Seq(
+      // 0: the q138 exact shape — rolling 7d distinct users
+      graft.functions.Rolling.endpoints(
+          src.select(col("user_id"), dayCol).distinct())
+        .agg(countDistinct(col("user_id")).as("nu")),
+      // 1: the q159/q141 shape — rolling 14d percentile + extremes
+      graft.functions.Rolling.endpoints(
+          src.select(dayCol, col("value")), 14)
+        .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+          min(col("value")).as("mn"), max(col("value")).as("mx")),
+      // 2: REFUSED — a filtered curve (the serve can't reproduce the
+      // filter from day partials)
+      graft.functions.Rolling.endpoints(
+          src.filter(col("value") > 50.0).select(dayCol, col("value")))
+        .agg(max(col("value")).as("mx")),
+      // 3: REFUSED — sum does not roll from daily partials under this
+      // serve (and must not be silently advised)
+      graft.functions.Rolling.endpoints(src.select(dayCol, col("value")))
+        .agg(sum(col("value")).as("s")),
+      // 4: REFUSED — pre-deduped percentile (dedup changes the
+      // distribution the partials would sketch)
+      graft.functions.Rolling.endpoints(
+          src.select(dayCol, col("value")).distinct())
+        .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("p")))
+    val advice = CubeAdvisor.advise(mkWorkload(), "advr")
+    assert(advice.uncovered == Seq(2, 3, 4), s"uncovered=${advice.uncovered}")
+    assert(advice.rolling.size == 1 && advice.cubes.isEmpty, advice.toString)
+    val rec = advice.rolling.head
+    assert(rec.coveredQueries == Seq(0, 1))
+    assert(rec.windows == Seq(7, 14))
+    assert(rec.config.dims == Seq(TimeDim("ts_day", "ts", "day")))
+    assert(rec.config.sketches.map(_.path) == Seq("user_id"))
+    assert(rec.config.quantiles.map(_.path) == Seq("value"))
+    assert(rec.config.extremes.map(_.path) == Seq("value"))
+
+    // honesty: materialize VERBATIM, then getRolling must reproduce
+    // each workload query's own curve — exactly for extremes, within
+    // the estimate band for the sketch families
+    val svcDir = Files.createTempDirectory("graft_advr_svc").toString
+    val svc = new CubeService(spark, svcDir)
+    svc.createCube(rec.config, src)
+    val fresh = mkWorkload()
+    val exactDu = fresh(0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val servedDu = svc.getRolling(rec.config.name, rec.dayDim,
+        windowDays = 7, distinctOf = rec.distinctOf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    assert(servedDu.keySet == exactDu.keySet)
+    exactDu.foreach { case (day, n) =>
+      assert(math.abs(servedDu(day) - n) <= math.max(1.0, 0.05 * n),
+        s"day $day: HLL $servedDu(day) vs exact $n")
+    }
+    val exact1 = fresh(1).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    val served1 = svc.getRolling(rec.config.name, rec.dayDim,
+        windowDays = 14, quantilesOf = rec.quantilesOf,
+        minOf = rec.minOf, maxOf = rec.maxOf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(served1.keySet == exact1.keySet)
+    exact1.foreach { case (day, (p50, mn, mx)) =>
+      val (sp50, smn, smx) = served1(day)
+      assert(smn == mn && smx == mx,
+        s"day $day: extremes ($smn,$smx) vs exact ($mn,$mx)")
+      // KLL rank guarantee at k=200: ~1.65% rank error; on these
+      // window sizes that is a handful of rank positions — bound the
+      // VALUE by the exact window's neighborhood instead of equality
+      assert(sp50 >= mn && sp50 <= mx && math.abs(sp50 - p50) <= 0.1 * (mx - mn),
+        s"day $day: p50 $sp50 vs exact $p50 (range $mn..$mx)")
+    }
+    CubeCatalog.clear()
+  }
+
+  test("range-only filter columns are flagged on the recommendation") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val srcDir = Files.createTempDirectory("graft_advrf_src").toString
+    (0 until 200).map(i => (s"t${i % 3}", i / 2.0, i.toLong))
+      .toDF("event_type", "value", "user_id")
+      .write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+    // a range predicate on a measure-shaped column: promoted (routing
+    // requires it) but FLAGGED
+    val ranged = CubeAdvisor.advise(Seq(
+      src.filter(col("value") > 10.0).groupBy(col("event_type"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("s"))), "advf")
+    assert(ranged.cubes.size == 1)
+    assert(ranged.cubes.head.rangeOnlyDims == Seq("value"),
+      ranged.cubes.head.toString)
+    assert(ranged.cubes.head.config.dims.exists {
+      case FieldDim(_, "value") => true; case _ => false
+    }, "the flagged column must still be a dim — routing depends on it")
+    // point predicates (and point+range on the same column) are not
+    // flagged: the equality vouches for dimension shape
+    val pointed = CubeAdvisor.advise(Seq(
+      src.filter(col("event_type") === "t1").groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("s")),
+      src.filter(col("event_type") === "t1" && col("event_type") >= "a")
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("s"))), "advf2")
+    assert(pointed.cubes.forall(_.rangeOnlyDims.isEmpty),
+      pointed.cubes.toString)
+    CubeCatalog.clear()
+  }
+
   test("join workloads yield a join-MV recommendation that routes") {
     import spark.implicits._
     CubeCatalog.clear()
