@@ -85,15 +85,19 @@ object Scaling {
       val p = s"$work/em_x$k"
       df.write.mode("overwrite").parquet(p); p
     }
-    // LSH bucket granularity is the documented corpus-sizing knob: hold
-    // expected occupancy ~constant by adding ceil(log2 k) bits per table
-    // (a fixed 4-bit layout saturates its occupancy caps at ×10 and
-    // measures cap-rejection, not the scaled workload). The family's
-    // cost model is candidate volume Σ occupancy² ≈ n²/2^bits — the
-    // shape verdict for this row compares against THAT model, since
-    // "linear in n" only holds when buckets scale exactly with n.
-    def lshBits(k: Int): Int =
-      4 + math.ceil(math.log(k) / math.log(2)).toInt
+    // LSH bucket granularity is the corpus-sizing knob, and since round
+    // 12 the q67 path sizes itself: `embeddingLshPairs` defaults to
+    // [[functions.Dedup.autoLshBits]] (hold expected occupancy
+    // ~constant by adding one bit per corpus doubling past the 2000-
+    // vector base — a fixed 4-bit layout saturates its occupancy caps
+    // at ×10 and measures cap-rejection, not the scaled workload).
+    // This harness exercises that same auto path and logs the chosen
+    // layout. The family's cost model is candidate volume
+    // Σ occupancy² ≈ n²/2^bits — the shape verdict for this row
+    // compares against THAT model, since "linear in n" only holds when
+    // buckets scale exactly with n.
+    val lshBaseN = Tables.embeddings(spark, sfDir).count()
+    def lshBits(k: Int): Int = functions.Dedup.autoLshBits(k * lshBaseN)
     def lshModelRatio(k: Int): Double =
       k.toDouble * k / (1L << (lshBits(k) - lshBits(1)))
     def scaledEvents(k: Int): String = {
@@ -125,9 +129,10 @@ object Scaling {
         best(functions.Dedup.jaccardPairs(docs).count()))
       record("dedup_minhash_pairs", k,
         best(functions.Dedup.minHashPairs(docs).count()))
+      println(s"[scaling] dedup_embedding_lsh x$k auto bits=${lshBits(k)} " +
+        s"(corpus=${k * lshBaseN})")
       record("dedup_embedding_lsh", k,
-        best(functions.Dedup.embeddingLshPairs(em,
-          bitsPerTable = lshBits(k)).count()))
+        best(functions.Dedup.embeddingLshPairs(em).count()))
 
       val emN = em.select(col("vec_id"), col("embedding"),
         functions.Similarity.normExpr("embedding").as("nrm"))

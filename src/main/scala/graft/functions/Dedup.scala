@@ -370,19 +370,29 @@ object Dedup {
     * sf0.1; which subset depends on the hyperplanes ⇒ rows-only).
     * Cost ∝ Σ bucket-occupancy², never corpus² — the shape that holds at
     * 100 TB where q39's O(n²) cross join cannot. Hyperplane dots run
-    * through the codegen'd [[FloatVecDot]] against literal float planes. */
+    * through the codegen'd [[FloatVecDot]] against literal float planes.
+    *
+    * `bitsPerTable <= 0` (the default) AUTO-SIZES the bucket layout
+    * from the corpus via [[autoLshBits]]: a fixed bit count saturates
+    * its occupancy caps as the corpus grows (at ×10 it measures
+    * cap-rejection, not the workload), so bits grow with log₂(corpus)
+    * to hold expected occupancy ~constant — which keeps candidate
+    * volume Σ occ² ≈ n²/2^bits ∝ n, the linear scale shape. The one
+    * extra job is a corpus `count()` (metadata-cheap on parquet). */
   def embeddingLshPairs(em: DataFrame, minCos: Double = 0.5,
-      nTables: Int = 16, bitsPerTable: Int = 4,
+      nTables: Int = 16, bitsPerTable: Int = 0,
       maxBucket: Int = MaxBucket): DataFrame = {
     val dim = 64
-    val planes = Similarity.hyperplanes(nTables * bitsPerTable, dim)
+    val bits =
+      if (bitsPerTable > 0) bitsPerTable else autoLshBits(em.count())
+    val planes = Similarity.hyperplanes(nTables * bits, dim)
     val planeCols = planes.map(p => array(p.map(v => lit(v.toFloat)): _*))
     val bitCols = planeCols.map(pc =>
       when(VectorExpressions.floatVecDot(col("embedding"), pc) >= 0, 1)
         .otherwise(0))
     val tables = (0 until nTables).map { t =>
-      val bucket = (0 until bitsPerTable)
-        .map(i => bitCols(t * bitsPerTable + i) * lit(1 << (bitsPerTable - 1 - i)))
+      val bucket = (0 until bits)
+        .map(i => bitCols(t * bits + i) * lit(1 << (bits - 1 - i)))
         .reduce(_ + _)
       struct(lit(t).as("tbl"), bucket.as("bucket"))
     }
@@ -411,6 +421,22 @@ object Dedup {
       .select(col("va"), col("vb"), col("cos"))
       .orderBy(col("va"), col("vb"))
   }
+
+  /** Corpus-sized hyperplane-bucket granularity: [[LshBaseBits]] bits
+    * up to [[LshBaseCorpus]] vectors (the calibrated test-fixture
+    * scale), plus one bit per corpus doubling beyond it — expected
+    * bucket occupancy n/2^bits stays ~constant, so the candidate bound
+    * Σ occ² ≈ n²/2^bits grows ∝ n instead of n². Recall follows the
+    * per-table collision probability (1−θ/π)^bits: at the near-dup
+    * cosines the verify step targets (≥ ~0.9) the 16-table union keeps
+    * expected recall ≥ 0.99 through 8 bits (corpus ×16); corpora far
+    * beyond that should also grow `nTables` — the multi-probe trade
+    * documented here rather than silently degraded. */
+  val LshBaseBits = 4
+  val LshBaseCorpus = 2000L
+  def autoLshBits(corpus: Long): Int =
+    LshBaseBits + math.max(0, math.ceil(
+      math.log(corpus.toDouble / LshBaseCorpus) / math.log(2)).toInt)
 
   def q67DedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame =
     embeddingLshPairs(Tables.embeddings(spark, sfDir))

@@ -328,6 +328,33 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("embedding")),
       topK = 5, nprobe = 5)
 
+  // --------------------------------------------------------------- q191
+  /** RECALL-TARGETED PROBE-WIDTH TUNING on the graded surface
+    * ([[graft.ann.AnnIndexService.tuneNprobe]]): choose the smallest
+    * `nprobe` meeting a 0.95 recall target over the q164 persisted
+    * index, measured on a fixed 10-query sample. Ground truth is the
+    * index's OWN exhaustive probe — nprobe = k turns the IVF serve
+    * into an exact top-k over the (tombstone-masked) corpus, the same
+    * argument that gives q178 its full oracle — so tuning needs no
+    * external brute-force twin and prices at |sample|-sized serves per
+    * candidate width (≤ k of them). At 100 TB this is how the
+    * probed-cluster-volume vs recall trade gets set from evidence
+    * instead of guessed, re-run cheaply after each compaction or drift
+    * in the insert stream. One row: (nprobe, recall, target,
+    * sample_n). Rows-only: the chosen width depends on float-k-means
+    * cluster membership (the q164/q51 justification); AnnIndexSpec
+    * pins minimality + target satisfaction on the same service path. */
+  def q191AnnTuneNprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sample = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val (np, recall) = annService(spark, sfDir)
+      .tuneNprobe("ann_demo", sample, topK = 5, targetRecall = 0.95)
+    Seq((np.toLong, recall, 0.95, 10L))
+      .toDF("nprobe", "recall", "target", "sample_n")
+  }
+
   // --------------------------------------------------------------- q178
   /** DELETE-CAPABLE persisted ANN serve, with a FULL oracle: a second
     * index over the embeddings corpus has a slice (vec_id ≡ 3 mod 7)
@@ -500,6 +527,7 @@ object Similarity {
     "q115_semantic_dedup" -> q115SemanticDedup,
     "q164_ann_index_serve" -> q164AnnIndexServe,
     "q178_ann_delete_serve" -> q178AnnDeleteServe,
+    "q191_ann_tune_nprobe" -> q191AnnTuneNprobe,
   )
 
   /** q41 is approximate by construction ⇒ rows-only. */

@@ -33,6 +33,7 @@ class ContractSpec extends AnyFunSuite {
       "q140_distinct_routing", // MV-routed HLL estimates (CubeRewriteSpec pins vs exact)
       "q141_rolling_quantiles_kll", // rolling KLL merge (rank-randomized; CubeSpec pins rank band)
       "q164_ann_index_serve", // persisted-index IVF serve (AnnIndexSpec pins == q51 in-session)
+      "q191_ann_tune_nprobe", // tuned width is float-k-means cluster-membership dependent (AnnIndexSpec pins minimality + target)
       "q168_cube_topk",       // cube-served CMS heavy hitters (q167 is the exact anchor; CubeSpec pins)
       "q175_sketch_rollup_routing", // HLL estimates rolled through the routed Expand (CubeRewriteSpec pins per-set est-vs-exact; q163 hash-matches the exact twin measures)
       "q176_quantile_rollup_routing", // KLL estimates through the same rewrite (rank-randomized; CubeRewriteSpec pins rank bands + refusal edges)

