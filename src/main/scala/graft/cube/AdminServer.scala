@@ -218,6 +218,33 @@ final class AdminServer(service: CubeService, spark: SparkSession,
           // deterministic wire order: sort by the dims, then render each
           // row as a JSON object (toJSON is Spark's own row renderer)
           serveRows(df, strArray(req, "dims"), req)
+        case Some("getRolling") | Some("getJoinRolling") =>
+          val name = need(strField(req, "name"), "name")
+          val isJoin = strField(req, "verb").contains("getJoinRolling")
+          val fn = if (isJoin) service.getJoinRolling _ else service.getRolling _
+          val df = fn(name,
+            need(strField(req, "dayDim"), "dayDim"),
+            numField(req, "windowDays").map(_.toInt).getOrElse(7),
+            strArray(req, "distinctOf"),
+            pairArray(req, "quantilesOf"),
+            strArray(req, "minOf"),
+            strArray(req, "maxOf"))
+          serveRows(df, Seq("day"), req)
+        case Some("diffAggregates") | Some("diffJoinAggregates") =>
+          val name = need(strField(req, "name"), "name")
+          val isJoin = strField(req, "verb").contains("diffJoinAggregates")
+          val from = numField(req, "fromVersion").getOrElse(
+            throw new IllegalArgumentException(
+              "missing field 'fromVersion'")).toInt
+          val to = numField(req, "toVersion").getOrElse(
+            throw new IllegalArgumentException(
+              "missing field 'toVersion'")).toInt
+          val fn =
+            if (isJoin) service.diffJoinAggregates _
+            else service.diffAggregates _
+          val df = fn(name, from, to, strArray(req, "dims"),
+            strArray(req, "sumOf"))
+          serveRows(df, strArray(req, "dims"), req)
         case Some("listVersions") =>
           val name = need(strField(req, "name"), "name")
           ok(service.listCubeVersions(name).mkString("[", ",", "]"))
@@ -349,6 +376,15 @@ final class AdminServer(service: CubeService, spark: SparkSession,
               svc.deleteVectors(name, spark.read.parquet(
                 need(strField(req, "idsParquet"), "idsParquet")))
               ok("\"deleted\"")
+            case "annTune" =>
+              val name = need(strField(req, "name"), "name")
+              val (np, recall) = svc.tuneNprobe(name,
+                spark.read.parquet(
+                  need(strField(req, "sampleParquet"), "sampleParquet")),
+                topK = numField(req, "topK").map(_.toInt).getOrElse(5),
+                targetRecall =
+                  numField(req, "targetRecall").getOrElse(0.95))
+              ok(s"""{"nprobe":$np,"recall":$recall}""")
             case "annCompact" =>
               svc.compactIndex(need(strField(req, "name"), "name"))
               ok("\"compacted\"")

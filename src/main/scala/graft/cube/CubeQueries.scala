@@ -674,6 +674,33 @@ object CubeQueries {
       svc
     })
 
+  // --------------------------------------------------------------- q192
+  /** VERSION DIFF as a verb ([[CubeService.diffAggregates]]): the audit
+    * workflow q174/q189 document — "diff two versions to see what the
+    * folds changed" — served as one query over the q189 cube's retained
+    * history: v0 (base slice) against v2 (after the late-insert fold
+    * and the error-delete fold), full-outer joined per event type with
+    * from/to/delta for the exact families. Groups the folds CREATED
+    * diff as +themselves, groups they EMPTIED as −themselves (the
+    * 'error' type exists only in v0's side here), absent sides read 0 —
+    * the signed-delta identity, so the delta column IS the net effect
+    * of everything folded between the two versions. Cost: two
+    * cube-sized scans and one cube-keyed join, never the source. The
+    * oracle recomputes both version states from the raw table and
+    * diffs them in SQL — hash equality proves the verb's alignment,
+    * zero-fill, and arithmetic exact. */
+  def q192CubeVersionDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = cubeTimeTravelService(spark, sfDir)
+    svc.diffAggregates("ctt", 0, 2, Seq("etype"), sumOf = Seq("value_sum"))
+      .select(col("etype"),
+        col("sum_value_sum_from").as("v_from"),
+        col("sum_value_sum_to").as("v_to"),
+        col("sum_value_sum_delta").as("v_delta"),
+        col("n_rows_from").as("n_from"), col("n_rows_to").as("n_to"),
+        col("n_rows_delta").as("n_delta"))
+      .orderBy(col("etype"))
+  }
+
   def q189CubeTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
     val svc = cubeTimeTravelService(spark, sfDir)
     val versions = svc.listCubeVersions("ctt")
@@ -1741,6 +1768,7 @@ object CubeQueries {
     "q174_mv_time_travel" -> q174MvTimeTravel,
     "q189_cube_time_travel" -> q189CubeTimeTravel,
     "q190_advised_rolling" -> q190AdvisedRolling,
+    "q192_cube_version_diff" -> q192CubeVersionDiff,
     "q153_join_routing" -> q153JoinRouting,
     "q154_join_mv_stream" -> q154JoinMvStream,
     "q157_join_filter_routing" -> q157JoinFilterRouting,
@@ -1899,6 +1927,28 @@ object CubeQueries {
       WHERE event_type <> 'error'
       GROUP BY 2
       ORDER BY version, etype""",
+    // Per-version recompute of v0 (base slice) and v2 (minus error
+    // rows) full-outer joined per type — the version-diff verb's twin.
+    // Both engines subtract the same DOUBLE serve values, so the delta
+    // is bit-deterministic.
+    "q192_cube_version_diff" -> """
+      WITH v0 AS (
+        SELECT event_type AS etype,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v,
+          count(1) AS n
+        FROM events WHERE event_id % 5 <> 4 GROUP BY 1),
+      v2 AS (
+        SELECT event_type AS etype,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v,
+          count(1) AS n
+        FROM events WHERE event_type <> 'error' GROUP BY 1)
+      SELECT coalesce(v0.etype, v2.etype) AS etype,
+        coalesce(v0.v, 0) AS v_from, coalesce(v2.v, 0) AS v_to,
+        coalesce(v2.v, 0) - coalesce(v0.v, 0) AS v_delta,
+        coalesce(v0.n, 0) AS n_from, coalesce(v2.n, 0) AS n_to,
+        coalesce(v2.n, 0) - coalesce(v0.n, 0) AS n_delta
+      FROM v0 FULL OUTER JOIN v2 ON v0.etype = v2.etype
+      ORDER BY 1""",
     // q159's trailing-window oracle over the ADVISED cube: the advisor
     // derived the day-dimmed config from the workload's own rolling
     // plans, so hash equality proves advised == hand-designed == raw.

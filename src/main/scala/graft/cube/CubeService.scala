@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import graft.streaming.StreamingCube
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 
@@ -337,6 +337,59 @@ final class CubeService(spark: SparkSession, storageDir: String,
       }
     CubeManager.query(cube, dims, lit(true), sumOf, avgOf,
       distinctOf, quantilesOf, minOf, maxOf, topkOf)
+  }
+
+  /** AUDIT DIFF between two retained versions of a plain cube: what did
+    * the folds between them change, per dim group? Serves the same
+    * exact roll-up ([[getAggregatesAsOf]]) from both versions and
+    * full-outer joins on the dims — one row per group present in
+    * EITHER version, with `<m>_from` / `<m>_to` / `<m>_delta` for each
+    * summed measure and `n_from` / `n_to` / `n_delta` row counts
+    * (absent side = 0, the signed-delta identity: a group the fold
+    * created diffs as +itself, one it emptied as −itself). Only the
+    * EXACT families diff (sums + counts): sketch estimates and
+    * extremes don't subtract. The join is null-safe on every dim so
+    * null-valued dimension cells line up. Cost: two cube-sized scans +
+    * one cube-keyed join — never the source; this is the
+    * reproducibility workflow q174/q189 document ("diff two versions
+    * to audit what a fold changed") as a verb instead of a recipe. */
+  def diffAggregates(name: String, fromVersion: Int, toVersion: Int,
+      dims: Seq[String], sumOf: Seq[String] = Nil): DataFrame =
+    diffFrom(
+      getAggregatesAsOf(name, fromVersion, dims, sumOf = sumOf),
+      getAggregatesAsOf(name, toVersion, dims, sumOf = sumOf),
+      dims, sumOf)
+
+  /** [[diffAggregates]] for join MVs — same verb over
+    * [[getJoinAggregatesAsOf]]'s retained (cube, lstate, rstate)
+    * versions. */
+  def diffJoinAggregates(name: String, fromVersion: Int, toVersion: Int,
+      dims: Seq[String], sumOf: Seq[String] = Nil): DataFrame =
+    diffFrom(
+      getJoinAggregatesAsOf(name, fromVersion, dims, sumOf = sumOf),
+      getJoinAggregatesAsOf(name, toVersion, dims, sumOf = sumOf),
+      dims, sumOf)
+
+  private def diffFrom(from: DataFrame, to: DataFrame,
+      dims: Seq[String], sumOf: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "diff needs at least one dim to align on")
+    val mcols = sumOf.map(m => s"sum_$m") :+ "n_rows"
+    def side(df: DataFrame, sfx: String) =
+      df.select(dims.map(col) ++
+        mcols.map(c => col(c).as(s"${c}_$sfx")): _*)
+    val a = side(from, "from")
+    val b = side(to, "to")
+    val cond = dims.map(d => a(d) <=> b(d)).reduce(_ && _)
+    val joined = a.join(b, cond, "full_outer")
+    val dimOut = dims.map(d => coalesce(a(d), b(d)).as(d))
+    val measOut = mcols.flatMap { c =>
+      val f = coalesce(a(s"${c}_from"), lit(0)).as(s"${c}_from")
+      val t = coalesce(b(s"${c}_to"), lit(0)).as(s"${c}_to")
+      val d = (coalesce(b(s"${c}_to"), lit(0)) -
+        coalesce(a(s"${c}_from"), lit(0))).as(s"${c}_delta")
+      Seq(f, t, d)
+    }
+    joined.select(dimOut ++ measOut: _*)
   }
 
   /** Two-rename publish of a new aggregates version (see

@@ -383,6 +383,73 @@ class AdminServerSpec extends AnyFunSuite {
     } finally { cli.close(); server.stop() }
   }
 
+  test("rolling, version-diff, and annTune wire verbs == in-process") {
+    import spark.implicits._
+    val store = tmp("graft_admin_rd")
+    val svc = new CubeService(spark, store, retainCubeVersions = 3)
+    val annSvc = new graft.ann.AnnIndexService(spark, store)
+    val server = new AdminServer(svc, spark, ann = Some(annSvc))
+    val port = server.start()
+    val cli = new Client(port)
+    try {
+      // day-dimmed cube with extreme partials: the getRolling shape
+      val rollCfg =
+        """{"name":"aroll","source":"events",
+          |"dims":[{"kind":"time","id":"d","path":"ts","granularity":"day"}],
+          |"extremes":[{"id":"vx","path":"value"}],
+          |"measures":[{"id":"v","path":"value"}]}""".stripMargin
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-02 10:00:00")
+      val srcDir = tmp("graft_admin_rds") + "/src"
+      Seq((t0, 3.0), (t0, 7.0), (t1, 5.0)).toDF("ts", "value")
+        .write.parquet(srcDir)
+      assert(cli.rpc(s"""{"verb":"createCube","config":"${escaped(
+        rollCfg)}","sourceParquet":"${escaped(srcDir)}"}""")
+        == """{"ok":true,"result":"aroll"}""")
+      val rollWire = cli.rpc(
+        """{"verb":"getRolling","name":"aroll","dayDim":"d","windowDays":7,"minOf":["vx"],"maxOf":["vx"]}""")
+      val rollDirect = svc.getRolling("aroll", "d", 7,
+          minOf = Seq("vx"), maxOf = Seq("vx"))
+        .orderBy(col("day")).toJSON.collect().mkString("[", ",", "]")
+      assert(rollWire == s"""{"ok":true,"result":$rollDirect}""",
+        s"wire getRolling diverges: $rollWire vs $rollDirect")
+      assert(rollWire.contains(""""max_vx":7"""), rollWire)
+
+      // fold once, then diff v0 -> v1 over the wire
+      val dDir = tmp("graft_admin_rdd") + "/d"
+      Seq((t1, 9.0, 1)).toDF("ts", "value", "_sign").write.parquet(dDir)
+      assert(cli.rpc(s"""{"verb":"updateAggregates","name":"aroll","deltaParquet":"${escaped(
+        dDir)}"}""") == """{"ok":true,"result":"updated"}""")
+      val diffWire = cli.rpc(
+        """{"verb":"diffAggregates","name":"aroll","fromVersion":0,"toVersion":1,"dims":["d"],"sumOf":["v"]}""")
+      val diffDirect = svc.diffAggregates("aroll", 0, 1, Seq("d"),
+          sumOf = Seq("v"))
+        .orderBy(col("d")).toJSON.collect().mkString("[", ",", "]")
+      assert(diffWire == s"""{"ok":true,"result":$diffDirect}""",
+        s"wire diffAggregates diverges: $diffWire vs $diffDirect")
+      assert(diffWire.contains(""""sum_v_delta":9"""), diffWire)
+
+      // annTune over the wire matches the in-process tuner
+      val rnd = new scala.util.Random(77)
+      val vecs = (0 until 60).map(i =>
+        (i.toLong, Array.fill(4)((rnd.nextInt(2000) - 1000) / 997.0f)))
+      val vDir = tmp("graft_admin_rdv") + "/v"
+      vecs.toDF("vec_id", "embedding").write.parquet(vDir)
+      assert(cli.rpc(s"""{"verb":"annCreate","name":"wt","vectorsParquet":"${escaped(
+        vDir)}","k":4,"lloydIters":1}""")
+        == """{"ok":true,"result":"wt"}""")
+      val sDir = tmp("graft_admin_rdq") + "/s"
+      vecs.take(3).toDF("query_id", "embedding").write.parquet(sDir)
+      val (np, recall) = annSvc.tuneNprobe("wt",
+        spark.read.parquet(sDir), topK = 3, targetRecall = 0.9)
+      assert(cli.rpc(s"""{"verb":"annTune","name":"wt","sampleParquet":"${escaped(
+        sDir)}","topK":3,"targetRecall":0.9}""")
+        == s"""{"ok":true,"result":{"nprobe":$np,"recall":$recall}}""")
+      svc.deleteCube("aroll")
+      annSvc.deleteIndex("wt")
+    } finally { cli.close(); server.stop() }
+  }
+
   test("concurrent clients are served independently") {
     val svc = new CubeService(spark, tmp("graft_admin_store2"))
     val server = new AdminServer(svc, spark)

@@ -754,6 +754,57 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteCube("svc")
   }
 
+  test("version diff: full-outer alignment, zero-fill, signed-delta arithmetic") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_svc_diff").toString
+    val svc = new CubeService(spark, dir, retainCubeVersions = 3)
+    svc.createCube(cfg, df(Seq(("click", t0, 1.0), ("view", t0, 2.0)))) // v0
+    svc.updateAggregates("svc",
+      df(Seq(("click", t0, 4.0))).withColumn("_sign", lit(1)))          // v1
+    svc.updateAggregates("svc",
+      df(Seq(("view", t0, 2.0))).withColumn("_sign", lit(-1)))          // v2
+    val d = svc.diffAggregates("svc", 0, 2, Seq("etype"), sumOf = Seq("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // click grew by the insert fold; view was EMPTIED by the delete
+    // fold — its v2 cell is gone, so the diff must zero-fill the 'to'
+    // side and report −itself
+    assert(d("click") == ((1.0, 5.0, 4.0, 1L, 2L, 1L)), d.toString)
+    assert(d("view") == ((2.0, 0.0, -2.0, 1L, 0L, -1L)), d.toString)
+    // a created-by-the-folds group diffs as +itself: v1 → v2 for view
+    val d12 = svc.diffAggregates("svc", 1, 2, Seq("etype"), sumOf = Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(d12 == Map("click" -> 0.0, "view" -> -2.0), d12.toString)
+    // out-of-window versions refuse through the as-of gate
+    val refused = intercept[IllegalArgumentException] {
+      svc.diffAggregates("svc", 0, 9, Seq("etype"), sumOf = Seq("v"))
+    }
+    assert(refused.getMessage.contains("not retained"))
+    svc.deleteCube("svc")
+
+    // join-MV twin: one right-side fold, diff v0 → v1
+    val left = Seq((1L, "a"), (2L, "b")).toDF("lk", "cat")
+    def rdelta(rows: Seq[(Long, Double)], sign: Long) =
+      rows.toDF("rk", "amount").withColumn("_sign", lit(sign))
+    svc.createJoinCube(
+      JoinCubeConfig(
+        CubeConfig("dtt", "l_r", dims = Seq(FieldDim("cat", "cat")),
+          measures = Seq(Measure("amt", "amount"))),
+        leftKey = "lk", rightKey = "rk"),
+      left, Seq((1L, 10.0), (2L, 20.0)).toDF("rk", "amount"))      // v0
+    svc.updateJoinAggregates("dtt",
+      left.limit(0).withColumn("_sign", lit(1L)),
+      rdelta(Seq((1L, 5.0)), 1L))                                   // v1
+    val jd = svc.diffJoinAggregates("dtt", 0, 1, Seq("cat"),
+        sumOf = Seq("amt"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(jd == Map("a" -> ((10.0, 15.0, 5.0)),
+      "b" -> ((20.0, 20.0, 0.0))), jd.toString)
+    svc.deleteJoinCube("dtt")
+  }
+
   test("cube version archive recovery: both crash windows restore the invariant") {
     val dir = Files.createTempDirectory("graft_svc_cttrec").toString
     val svc = new CubeService(spark, dir, retainCubeVersions = 3)
