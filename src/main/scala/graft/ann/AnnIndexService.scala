@@ -72,7 +72,13 @@ final case class AnnIndex(name: String, k: Int, lloydIters: Int,
   * refuses to start unless explicitly re-homed (batch ids are
   * checkpoint-relative — resuming the guard against a new stream would
   * silently swallow its first batches). */
-class AnnIndexService(spark: SparkSession, storageDir: String) {
+class AnnIndexService(spark: SparkSession, storageDir: String,
+    retainAnnVersions: Int = 2) {
+  // ≥2 is the deferred-GC floor (readers that predate the current
+  // publish keep a live version); retention ABOVE 2 is the TIME-TRAVEL
+  // window — the cube-service contract on the index lifecycle
+  require(retainAnnVersions >= 2,
+    s"retainAnnVersions must be >= 2, got $retainAnnVersions")
   java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storageDir))
 
   // cache stamped with the MANIFEST version it was loaded at: a second
@@ -211,12 +217,20 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
     java.nio.file.Files.move(tmp, root(name).resolve("MANIFEST"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // GC version dirs one publish past the advertised window
+    // ((v − retain, v] — [[listIndexVersions]]): the extra grace
+    // version keeps an in-flight as-of read of the window's oldest
+    // version alive through a concurrent publish (the cube-service
+    // deferred-GC argument). Segments referenced by ANY kept version
+    // stay; compaction's superseded segments become collectible only
+    // when the last kept version listing them ages out.
+    val keep = (v - retainAnnVersions to v).filter(_ >= 0).toSet
     Option(root(name).toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("v") && f.isDirectory
-        && f.getName != s"v$v" && f.getName != s"v${v - 1}")
+        && !f.getName.drop(1).toIntOption.exists(keep.contains))
       .foreach(rm)
-    val referenced = Seq(v, v - 1)
-      .filter(x => x >= 0 && vdir(name, x).resolve("segments").toFile.exists())
+    val referenced = keep.toSeq
+      .filter(x => vdir(name, x).resolve("segments").toFile.exists())
       .flatMap(x => segmentsOf(name, x)).toSet
     Option(root(name).toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("seg")
@@ -251,6 +265,15 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
   private def load(name: String): AnnIndex = {
     val v = version(name)
     require(v >= 0, s"ANN index '$name' does not exist under $storageDir")
+    loadAt(name, v)
+  }
+
+  /** Materialize one persisted version's state — centroids + its own
+    * segment list + its own tombstone sidecar. Shared by the head load
+    * and the as-of read: a version IS a complete self-contained
+    * (centroids, segments, tombstones) triple, so time travel falls
+    * out of the existing layout with no extra storage. */
+  private def loadAt(name: String, v: Int): AnnIndex = {
     val (k, iters) = metaOf(name, v)
     val cents = spark.read.parquet(vdir(name, v).resolve("centroids").toString)
     val raw = segmentsOf(name, v)
@@ -293,8 +316,48 @@ class AnnIndexService(spark: SparkSession, storageDir: String) {
     * the exact codegen'd cosine, keep the top `topK` per query.
     * `queries`: (query_id, embedding). Self-matches are excluded. */
   def queryIndex(name: String, queries: DataFrame, topK: Int = 5,
-      nprobe: Int = 5): DataFrame = {
-    val idx = loadIndex(name)
+      nprobe: Int = 5): DataFrame =
+    serveFrom(loadIndex(name), queries, topK, nprobe)
+
+  /** Versions addressable by [[queryIndexAsOf]], oldest first — the
+    * newest `retainAnnVersions` publishes including the head (fewer
+    * while the index is young). One older version may briefly survive
+    * on disk as the deferred-GC grace copy; it is deliberately NOT
+    * advertised (it exists so a concurrent publish cannot delete files
+    * under an in-flight as-of read of the window's edge). */
+  def listIndexVersions(name: String): Seq[Int] = {
+    val head = version(name)
+    require(head >= 0, s"ANN index '$name' does not exist under $storageDir")
+    Option(root(name).toFile.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.isDirectory)
+      .flatMap(f => if (f.getName.startsWith("v"))
+        f.getName.drop(1).toIntOption else None)
+      .filter(v => v > head - retainAnnVersions && v <= head)
+      .sorted
+  }
+
+  /** TIME TRAVEL: serve a query batch from a RETAINED historical
+    * version — the cube-service as-of contract on the ANN lifecycle
+    * ("rerun yesterday's neighbor selection against yesterday's
+    * index"). A version is a self-contained (centroids, segments,
+    * tombstones) triple and segments are immutable, so the as-of serve
+    * is the ordinary probe path over that version's state: vectors a
+    * later fold added are invisible, vectors a later delete tombstoned
+    * are alive again, and a version that had its own tombstones serves
+    * masked exactly as it did at head. Refuses versions outside the
+    * advertised window rather than answering from a half-GC'd dir. */
+  def queryIndexAsOf(name: String, queries: DataFrame, version: Int,
+      topK: Int = 5, nprobe: Int = 5): DataFrame = {
+    val retained = listIndexVersions(name)
+    require(retained.contains(version),
+      s"ANN index '$name' version $version is not retained " +
+        s"(window: ${retained.mkString(", ")}); raise retainAnnVersions " +
+        "at service construction to widen the time-travel window")
+    serveFrom(loadAt(name, version), queries, topK, nprobe)
+  }
+
+  private def serveFrom(idx: AnnIndex, queries: DataFrame, topK: Int,
+      nprobe: Int): DataFrame = {
     val q = withNorm(queries.select(col("query_id").as("vec_id"),
       col("embedding")))
     // the persisted path's one addition to the shared serve: push the

@@ -376,6 +376,21 @@ final class AdminServer(service: CubeService, spark: SparkSession,
               svc.deleteVectors(name, spark.read.parquet(
                 need(strField(req, "idsParquet"), "idsParquet")))
               ok("\"deleted\"")
+            case "annListVersions" =>
+              ok(svc.listIndexVersions(need(strField(req, "name"), "name"))
+                .mkString("[", ",", "]"))
+            case "annQueryAsOf" =>
+              val name = need(strField(req, "name"), "name")
+              val v = numField(req, "version")
+                .getOrElse(throw new IllegalArgumentException(
+                  "missing field 'version'")).toInt
+              val df = svc.queryIndexAsOf(name,
+                spark.read.parquet(
+                  need(strField(req, "queriesParquet"), "queriesParquet")),
+                v,
+                topK = numField(req, "topK").map(_.toInt).getOrElse(5),
+                nprobe = numField(req, "nprobe").map(_.toInt).getOrElse(5))
+              serveRows(df, Nil, req)
             case "annTune" =>
               val name = need(strField(req, "name"), "name")
               val (np, recall) = svc.tuneNprobe(name,

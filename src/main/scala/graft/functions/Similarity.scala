@@ -311,6 +311,7 @@ object Similarity {
   def ensureAnnIndexSetup(spark: SparkSession, sfDir: String): Unit = {
     annService(spark, sfDir)
     annDelService(spark, sfDir)
+    annTtService(spark, sfDir)
     ()
   }
 
@@ -390,6 +391,56 @@ object Similarity {
       Tables.embeddings(spark, sfDir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding")),
       topK = 5, nprobe = 16)
+
+  // --------------------------------------------------------------- q193
+  /** ANN INDEX TIME TRAVEL with a FULL oracle: a third index built in
+    * three published versions — v0 = two-thirds of the corpus
+    * (vec_id % 3 ≠ 0), v1 = + the remaining third (one append-only
+    * segment fold), v2 = − the (vec_id % 7 ≡ 3) slice (tombstone
+    * sidecar) — retained with `retainAnnVersions = 4` and EVERY version
+    * served through [[graft.ann.AnnIndexService.queryIndexAsOf]] with
+    * nprobe = k. Exhaustive probing makes each as-of serve an exact
+    * top-k over that version's corpus (the q178 argument), so the
+    * DuckDB twin recomputes three brute-force cosine top-ks with the
+    * matching corpus filters and one hash compare proves the whole
+    * time-travel story: later folds invisible, later deletes alive
+    * again, each retained version byte-equal to what queryIndex served
+    * while it was head. Versions are metadata (segment lists +
+    * delta-sized sidecars over immutable shared segments), so the
+    * window costs retain × |manifest|, never retain × |corpus|. */
+  private val annTtSetup = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.ann.AnnIndexService]
+  private def annTtService(spark: SparkSession,
+      sfDir: String): graft.ann.AnnIndexService =
+    annTtSetup.getOrElseUpdate((spark, sfDir), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_tt").toString
+      val svc = new graft.ann.AnnIndexService(spark, dir,
+        retainAnnVersions = 4)
+      val em = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      svc.createIndex("ann_tt_demo", em.filter(col("vec_id") % 3 =!= 0),
+        k = 16, lloydIters = 2)                                     // v0
+      svc.upsertVectors("ann_tt_demo",
+        em.filter(col("vec_id") % 3 === 0))                         // v1
+      svc.deleteVectors("ann_tt_demo",
+        em.filter(col("vec_id") % 7 === 3).select(col("vec_id")))   // v2
+      svc
+    })
+
+  def q193AnnTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = annTtService(spark, sfDir)
+    val versions = svc.listIndexVersions("ann_tt_demo")
+    require(versions == Seq(0, 1, 2),
+      s"expected the full retained window 0..2, got $versions")
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    versions.map { v =>
+      svc.queryIndexAsOf("ann_tt_demo", q, v, topK = 5, nprobe = 16)
+        .select(lit(v.toLong).as("version"), col("query_id"),
+          col("cand_id"), col("cos"), col("rank"))
+    }.reduce(_.unionByName(_))
+      .orderBy(col("version"), col("query_id"), col("rank"))
+  }
 
   /** Deterministic hyperplanes in [-0.5, 0.5) from splitmix64 — public
     * constant-based mixer, reproducible across runs and engines. */
@@ -528,6 +579,7 @@ object Similarity {
     "q164_ann_index_serve" -> q164AnnIndexServe,
     "q178_ann_delete_serve" -> q178AnnDeleteServe,
     "q191_ann_tune_nprobe" -> q191AnnTuneNprobe,
+    "q193_ann_time_travel" -> q193AnnTimeTravel,
   )
 
   /** q41 is approximate by construction ⇒ rows-only. */
@@ -575,6 +627,37 @@ object Similarity {
         FROM scored) t
       WHERE rank <= 5
       ORDER BY query_id, rank""",
+    // Three brute-force top-ks with the per-version corpus filters
+    // (v0: two-thirds slice; v1: everything; v2: minus the deleted
+    // slice) — exhaustive probing makes each as-of serve exact, so one
+    // hash compare pins the whole retained history.
+    "q193_ann_time_travel" -> """
+      WITH e AS (
+        SELECT vec_id, embedding,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+            (x, y) -> x + y)) AS nrm
+        FROM embeddings),
+      scored AS (
+        SELECT v.version, q.vec_id AS query_id, c.vec_id AS cand_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, len(q.embedding)),
+              i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+            (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+        FROM (SELECT CAST(0 AS BIGINT) AS version UNION ALL
+              SELECT 1 UNION ALL SELECT 2) v
+        JOIN e q ON q.vec_id < 5
+        JOIN e c ON c.vec_id <> q.vec_id
+          AND ((v.version = 0 AND c.vec_id % 3 <> 0)
+            OR (v.version = 1)
+            OR (v.version = 2 AND c.vec_id % 7 <> 3)))
+      SELECT version, query_id, cand_id, cos, rank FROM (
+        SELECT version, query_id, cand_id, cos,
+          row_number() OVER (PARTITION BY version, query_id
+                             ORDER BY cos DESC, cand_id) AS rank
+        FROM scored) t
+      WHERE rank <= 5
+      ORDER BY version, query_id, rank""",
     "q83_vec_quantize" -> """
       WITH x AS (
         SELECT vec_id, label, len(embedding) AS nd,

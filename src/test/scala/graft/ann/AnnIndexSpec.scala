@@ -139,11 +139,18 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(svc.compactIndex("cx").vectors.count() == 80)
     assert(segDirs() == Seq("seg0", "seg1", "seg2", "seg3"))
 
-    // the NEXT publish retires the last version referencing the old
-    // segments -> they become unreferenced and are GC'd
+    // old segments stay referenced while ANY kept version (advertised
+    // window + the one deferred-GC grace version) lists them: with
+    // retain=2 the pre-compaction version leaves the kept set two
+    // publishes after compaction, not one — an in-flight as-of read of
+    // the window's edge must never lose its files (the cube-service
+    // deferred-GC argument on the index lifecycle)
     svc.upsertVectors("cx", corpus(n = 5, from = 3000))
-    assert(segDirs() == Seq("seg3", "seg4"),
-      "superseded segments survived the deferred-by-one GC")
+    assert(segDirs() == Seq("seg0", "seg1", "seg2", "seg3", "seg4"),
+      "pre-compaction segments GC'd while a kept version still lists them")
+    svc.upsertVectors("cx", corpus(n = 5, from = 4000))
+    assert(segDirs() == Seq("seg3", "seg4", "seg5"),
+      "superseded segments survived past the last kept version listing them")
     assert(svc.queryIndex("cx", queries, topK = 4, nprobe = 3).count()
       == before.size)
   }
@@ -295,6 +302,48 @@ class AnnIndexSpec extends AnyFunSuite {
       targetRecall = 1.0)
     assert(rFull == 1.0 && npFull <= 8)
     svc.deleteIndex("tx")
+  }
+
+  test("index time travel: retained window slides, as-of serves history exactly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ann_ttw").toString
+    intercept[IllegalArgumentException] {
+      new AnnIndexService(spark, dir, retainAnnVersions = 1)
+    }
+    val svc = new AnnIndexService(spark, dir, retainAnnVersions = 3)
+    svc.createIndex("tt", corpus(60), k = 4, lloydIters = 1)         // v0
+    val sample = corpus(60).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def serve() = rows(svc.queryIndex("tt", sample, topK = 3, nprobe = 4))
+    def serveAt(v: Int) =
+      rows(svc.queryIndexAsOf("tt", sample, v, topK = 3, nprobe = 4))
+    val head0 = serve()
+    svc.upsertVectors("tt",
+      Seq((900L, Array.fill(4)(0.42f))).toDF("vec_id", "embedding")) // v1
+    val head1 = serve()
+    svc.deleteVectors("tt", Seq(900L).toDF("vec_id"))                // v2
+    assert(svc.listIndexVersions("tt") == Seq(0, 1, 2))
+    // every retained version serves EXACTLY what queryIndex served
+    // while it was head: later folds invisible, later deletes alive
+    assert(serveAt(0) == head0, "as-of(0) diverged from v0's head serve")
+    assert(serveAt(1) == head1, "as-of(1) diverged from v1's head serve")
+    assert(serveAt(2) == serve(), "as-of(head) diverged from queryIndex")
+    assert(serveAt(1) != serveAt(2), "the delete fold must be visible at head")
+    // a fourth publish slides the window: v0 refused, history exact
+    svc.upsertVectors("tt",
+      Seq((901L, Array.fill(4)(-0.3f))).toDF("vec_id", "embedding")) // v3
+    assert(svc.listIndexVersions("tt") == Seq(1, 2, 3))
+    assert(serveAt(1) == head1, "history moved after the window slid")
+    val refused = intercept[IllegalArgumentException] { serveAt(0) }
+    assert(refused.getMessage.contains("not retained"))
+    // the grace copy survives ONE publish (deferred GC), then goes
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "tt.ann", "v0")), "grace copy deleted")
+    svc.upsertVectors("tt",
+      Seq((902L, Array.fill(4)(0.9f))).toDF("vec_id", "embedding"))  // v4
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "tt.ann", "v0")), "grace not GC'd")
+    svc.deleteIndex("tt")
   }
 
   test("q191 graded tuning row meets its own declared target") {

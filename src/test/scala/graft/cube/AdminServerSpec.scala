@@ -445,6 +445,23 @@ class AdminServerSpec extends AnyFunSuite {
       assert(cli.rpc(s"""{"verb":"annTune","name":"wt","sampleParquet":"${escaped(
         sDir)}","topK":3,"targetRecall":0.9}""")
         == s"""{"ok":true,"result":{"nprobe":$np,"recall":$recall}}""")
+
+      // index time travel over the wire: fold once, as-of(0) == the
+      // in-process historical serve, both versions listed
+      val uDir = tmp("graft_admin_rdu") + "/u"
+      Seq((500L, Array.fill(4)(0.4f))).toDF("vec_id", "embedding")
+        .write.parquet(uDir)
+      assert(cli.rpc(s"""{"verb":"annUpsert","name":"wt","vectorsParquet":"${escaped(
+        uDir)}"}""") == """{"ok":true,"result":"upserted"}""")
+      assert(cli.rpc("""{"verb":"annListVersions","name":"wt"}""")
+        == """{"ok":true,"result":[0,1]}""")
+      val asOf0 = annSvc.queryIndexAsOf("wt", spark.read.parquet(sDir), 0,
+          topK = 3, nprobe = 4)
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(cli.rpc(s"""{"verb":"annQueryAsOf","name":"wt","version":0,"queriesParquet":"${escaped(
+        sDir)}","topK":3,"nprobe":4}""")
+        == s"""{"ok":true,"result":$asOf0}""",
+        "wire annQueryAsOf diverges from the in-process verb")
       svc.deleteCube("aroll")
       annSvc.deleteIndex("wt")
     } finally { cli.close(); server.stop() }
