@@ -228,7 +228,8 @@ final class AdminServer(service: CubeService, spark: SparkSession,
             strArray(req, "distinctOf"),
             pairArray(req, "quantilesOf"),
             strArray(req, "minOf"),
-            strArray(req, "maxOf"))
+            strArray(req, "maxOf"),
+            strArray(req, "sumOf"))
           serveRows(df, Seq("day"), req)
         case Some("diffAggregates") | Some("diffJoinAggregates") =>
           val name = need(strField(req, "name"), "name")

@@ -75,6 +75,7 @@ object CubeAdvisor {
       quantilesOf: Seq[(String, Double)],
       minOf: Seq[String],
       maxOf: Seq[String],
+      sumOf: Seq[String],
       coveredQueries: Seq[Int])
 
   /** One recommended JOIN MV: both source paths, the registrable
@@ -105,7 +106,7 @@ object CubeAdvisor {
   private final case class RollingNeeds(
       path: String, tsCol: String, windowDays: Int,
       distinctOf: Seq[String], quantilesOf: Seq[(String, Double)],
-      minOf: Seq[String], maxOf: Seq[String])
+      minOf: Seq[String], maxOf: Seq[String], sumOf: Seq[String])
 
   /** The advisor's full answer: single-table cube recommendations,
     * join-MV recommendations, rolling-cube recommendations, and the
@@ -137,10 +138,11 @@ object CubeAdvisor {
           val qOf = needs.flatMap(_.quantilesOf).distinct
           val mnOf = needs.flatMap(_.minOf).distinct
           val mxOf = needs.flatMap(_.maxOf).distinct
+          val sOf = needs.flatMap(_.sumOf).distinct
           RollingCubeRecommendation(path,
             CubeConfig(s"${namePrefix}_rolling_$k", path,
               dims = Seq(TimeDim(dayDim, tsCol, "day")),
-              measures = Nil,
+              measures = sOf.map(c => Measure(s"${c}_sum", c)),
               sketches = dOf.map(c => Measure(s"${c}_nd", c)),
               quantiles = qOf.map(_._1).distinct
                 .map(c => Measure(s"${c}_dist", c)),
@@ -152,6 +154,7 @@ object CubeAdvisor {
             quantilesOf = qOf.map { case (c, p) => (s"${c}_dist", p) },
             minOf = mnOf.map(c => s"${c}_x"),
             maxOf = mxOf.map(c => s"${c}_x"),
+            sumOf = sOf.map(c => s"${c}_sum"),
             coveredQueries = hits.map(_._1).sorted)
       }
     val uncovered = analyzed.collect { case (i, None) => i }
@@ -302,8 +305,9 @@ object CubeAdvisor {
                   case _ => false
                 }
                 if (!rOk) return None
-                rollingLeaves(day, aggs, deduped).map { case (d0, q0, mn, mx) =>
-                  RollingNeeds(path, tsCol, windowDays, d0, q0, mn, mx)
+                rollingLeaves(day, aggs, deduped).map {
+                  case (d0, q0, mn, mx, s0) =>
+                    RollingNeeds(path, tsCol, windowDays, d0, q0, mn, mx, s0)
                 }
               case _ => None
             }
@@ -335,15 +339,21 @@ object CubeAdvisor {
 
   /** Rolling aggregate leaves → per-family measure columns; None when
     * any leaf does not roll from daily partials. `deduped` workloads
-    * (the distinct-pair collapse) refuse percentile leaves: dedup
-    * changes the distribution the partials would sketch. */
+    * (the distinct-pair collapse) refuse percentile and sum leaves:
+    * dedup changes the distribution / the total the partials would
+    * carry. Sums must be the decimal-cast form (the
+    * [[graft.operators.Stable]] discipline the generic matcher also
+    * requires) — a bare double sum is order-dependent and the serve
+    * could not reproduce it bit-exactly. */
   private def rollingLeaves(day: AttributeReference, aggs: Seq[Expression],
       deduped: Boolean)
-      : Option[(Seq[String], Seq[(String, Double)], Seq[String], Seq[String])] = {
+      : Option[(Seq[String], Seq[(String, Double)], Seq[String],
+          Seq[String], Seq[String])] = {
     var dOf = Vector.empty[String]
     var qOf = Vector.empty[(String, Double)]
     var mnOf = Vector.empty[String]
     var mxOf = Vector.empty[String]
+    var sOf = Vector.empty[String]
     def colName(e: Expression): Option[String] = e match {
       case a: Attribute => Some(a.name)
       case Cast(inner, _, _, _) => colName(inner)
@@ -368,12 +378,18 @@ object CubeAdvisor {
           mnOf :+= colName(c).getOrElse(return None)
         case AggregateExpression(Max(c), Complete, false, _, _) =>
           mxOf :+= colName(c).getOrElse(return None)
+        case AggregateExpression(
+            Sum(Cast(inner, _: DecimalType, _, _), _), Complete,
+            false, _, _) =>
+          if (deduped) return None
+          sOf :+= colName(inner).getOrElse(return None)
         case _ => return None
       }
       case _ => return None
     }
-    if (dOf.isEmpty && qOf.isEmpty && mnOf.isEmpty && mxOf.isEmpty) None
-    else Some((dOf, qOf, mnOf, mxOf))
+    if (dOf.isEmpty && qOf.isEmpty && mnOf.isEmpty && mxOf.isEmpty &&
+      sOf.isEmpty) None
+    else Some((dOf, qOf, mnOf, mxOf, sOf))
   }
 
   // ---- plan analysis ---------------------------------------------------

@@ -1102,6 +1102,24 @@ object CubeQueries {
       .orderBy(col("day"))
   }
 
+  // --------------------------------------------------------------- q194
+  /** Graded: ROLLING trailing-window SUM from maintained daily measure
+    * partials — the third exact rolling family (after q159's extremes),
+    * and the only one that is also DELETE-PROOF: sums add across days
+    * and the signed fold keeps net sums exact, so this curve survives
+    * a delete history where sketches and extremes trip the insert-only
+    * latch. Same cost split as the whole family: corpus touched once
+    * for the daily partials, each endpoint is a merge of ≤7 one-row
+    * decimals — the trailing-revenue curve at 100 TB. Decimal
+    * arithmetic end to end, so the DuckDB oracle recomputing every
+    * window from the raw table hash-matches bit-exactly. */
+  def q194RollingSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = rollingMmService(spark, sfDir)
+    svc.getRolling("rolling_mm", "day", windowDays = 7, sumOf = Seq("v"))
+      .select(col("day"), col("sum_v"))
+      .orderBy(col("day"))
+  }
+
   // --------------------------------------------------------------- q158
   /** Graded: MIN/MAX served BY THE OPTIMIZER from maintained cube
     * partials — the extremes measure family ([[CubeConfig.extremes]])
@@ -1774,6 +1792,7 @@ object CubeQueries {
     "q157_join_filter_routing" -> q157JoinFilterRouting,
     "q158_minmax_routing" -> q158MinmaxRouting,
     "q159_rolling_minmax" -> q159RollingMinmax,
+    "q194_rolling_sum" -> q194RollingSum,
     "q160_sql_having_routing" -> q160SqlHavingRouting,
     "q163_rollup_routing" -> q163RollupRouting,
     "q175_sketch_rollup_routing" -> q175SketchRollupRouting,
@@ -2026,6 +2045,18 @@ object CubeQueries {
         FROM events GROUP BY 1),
       days AS (SELECT DISTINCT d AS day FROM daily)
       SELECT days.day, min(daily.dmin) AS min_vx, max(daily.dmax) AS max_vx
+      FROM days JOIN daily ON daily.d BETWEEN days.day - 6 AND days.day
+      GROUP BY 1
+      ORDER BY 1""",
+    // q159's day arithmetic, summed: trailing 7-day decimal-exact sums
+    // from daily partials.
+    "q194_rolling_sum" -> """
+      WITH daily AS (
+        SELECT CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS d,
+          sum(CAST(value AS DECIMAL(18,2))) AS ds
+        FROM events GROUP BY 1),
+      days AS (SELECT DISTINCT d AS day FROM daily)
+      SELECT days.day, CAST(sum(daily.ds) AS DOUBLE) AS sum_v
       FROM days JOIN daily ON daily.d BETWEEN days.day - 6 AND days.day
       GROUP BY 1
       ORDER BY 1""",

@@ -6,7 +6,7 @@ import graft.streaming.StreamingCube
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DecimalType, StructType}
 
 /** The reference's admin API surface (R7), verb for verb, over the Spark
   * machinery — what an AMQP message handled there is a method call here
@@ -528,12 +528,16 @@ final class CubeService(spark: SparkSession, storageDir: String,
     * per-day pre-collapse over live cells) and the windowed stage is
     * |days|·windowDays one-row partials — never the source. Output:
     * `day` (days since 1970-01-01 of the dimension's calendar day) +
-    * `n_distinct_<id>` / `p<pct>_<id>` / `min_<id>` / `max_<id>`
-    * columns, the [[getAggregates]] naming. Rolling min/max ride the
-    * same serve: extremes re-aggregate across days exactly (min of
-    * daily mins), so trailing-window extremes come from |windowDays|
-    * one-row partials per endpoint too — and unlike the sketch curves
-    * they are exact, though under the same insert-only latch. */
+    * `n_distinct_<id>` / `p<pct>_<id>` / `min_<id>` / `max_<id>` /
+    * `sum_<id>` columns, the [[getAggregates]] naming. Rolling min/max
+    * ride the same serve: extremes re-aggregate across days exactly
+    * (min of daily mins), so trailing-window extremes come from
+    * |windowDays| one-row partials per endpoint too — and unlike the
+    * sketch curves they are exact, though under the same insert-only
+    * latch. Rolling SUMS (`sumOf`, plain measure ids) are the third
+    * family: sums add across days, decimal-exact end to end, and —
+    * uniquely — delete-proof, since the signed fold keeps net sums
+    * exact where sketches and extremes latch. */
   def getRolling(
       name: String,
       dayDim: String,
@@ -541,9 +545,10 @@ final class CubeService(spark: SparkSession, storageDir: String,
       distinctOf: Seq[String] = Nil,
       quantilesOf: Seq[(String, Double)] = Nil,
       minOf: Seq[String] = Nil,
-      maxOf: Seq[String] = Nil): DataFrame =
+      maxOf: Seq[String] = Nil,
+      sumOf: Seq[String] = Nil): DataFrame =
     rollingFrom(loadCube(name), name, dayDim, windowDays,
-      distinctOf, quantilesOf, minOf, maxOf)
+      distinctOf, quantilesOf, minOf, maxOf, sumOf)
 
   /** [[getRolling]] for join MVs — a join cube with a day-granularity
     * time dimension serves the same trailing-window curves from the
@@ -556,9 +561,10 @@ final class CubeService(spark: SparkSession, storageDir: String,
       distinctOf: Seq[String] = Nil,
       quantilesOf: Seq[(String, Double)] = Nil,
       minOf: Seq[String] = Nil,
-      maxOf: Seq[String] = Nil): DataFrame =
+      maxOf: Seq[String] = Nil,
+      sumOf: Seq[String] = Nil): DataFrame =
     rollingFrom(loadJoinCube(name).cube, name, dayDim, windowDays,
-      distinctOf, quantilesOf, minOf, maxOf)
+      distinctOf, quantilesOf, minOf, maxOf, sumOf)
 
   private def rollingFrom(
       cube: Cube,
@@ -568,23 +574,26 @@ final class CubeService(spark: SparkSession, storageDir: String,
       distinctOf: Seq[String],
       quantilesOf: Seq[(String, Double)],
       minOf: Seq[String],
-      maxOf: Seq[String]): DataFrame = {
+      maxOf: Seq[String],
+      sumOf: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cube.config.dims.exists {
         case TimeDim(id, _, g) => id == dayDim && g == "day"
         case _ => false
       }, s"$dayDim must be a day-granularity time dimension of cube $name")
     require(distinctOf.nonEmpty || quantilesOf.nonEmpty ||
-      minOf.nonEmpty || maxOf.nonEmpty,
+      minOf.nonEmpty || maxOf.nonEmpty || sumOf.nonEmpty,
       "request at least one rolling measure (distinctOf / quantilesOf / " +
-        "minOf / maxOf)")
+        "minOf / maxOf / sumOf)")
     // sketch and min/max partials of a delete-processed cube describe
     // EVER-INSERTED values (neither is invertible under deletes) —
-    // refuse rather than serve silently-wrong curves; exact sums/counts
-    // remain available via getAggregates
-    require(!cube.hasDeletes,
+    // refuse rather than serve silently-wrong curves. SUMS are exempt:
+    // the signed fold maintains exact net sums per cell, so rolling
+    // sums (sum of daily sums) stay exact through any delete history.
+    require(!cube.hasDeletes || (distinctOf.isEmpty &&
+        quantilesOf.isEmpty && minOf.isEmpty && maxOf.isEmpty),
       s"cube $name has folded deletes; its sketch/extreme partials are " +
-        "insert-only and cannot serve rolling curves")
+        "insert-only and cannot serve rolling curves (rolling sums can)")
     distinctOf.foreach(id => require(cube.config.sketches.exists(_.id == id),
       s"$id is not an HLL sketch measure of cube $name"))
     quantilesOf.foreach { case (id, _) =>
@@ -594,6 +603,8 @@ final class CubeService(spark: SparkSession, storageDir: String,
     (minOf ++ maxOf).foreach(id =>
       require(cube.config.extremes.exists(_.id == id),
         s"$id is not a min/max measure of cube $name"))
+    sumOf.foreach(id => require(cube.config.measures.exists(_.id == id),
+      s"$id is not a summed measure of cube $name"))
     // collapse to ONE partial row per day first (other dimensions may
     // subdivide a day across many cells)
     val dailyAggs = distinctOf.distinct
@@ -601,7 +612,12 @@ final class CubeService(spark: SparkSession, storageDir: String,
       quantilesOf.map(_._1).distinct.map(id =>
         graft.functions.Kll.mergeAgg(col(id)).as(id)) ++
       minOf.distinct.map(id => min(col(s"${id}_min")).as(s"${id}_min")) ++
-      maxOf.distinct.map(id => max(col(s"${id}_max")).as(s"${id}_max"))
+      maxOf.distinct.map(id => max(col(s"${id}_max")).as(s"${id}_max")) ++
+      // decimal all the way to the endpoint: rolling sums re-aggregate
+      // EXACTLY (sums add across days), the one windowed family that is
+      // both exact and delete-proof from partials
+      sumOf.distinct.map(id =>
+        sum(col(id)).cast(DecimalType(18, 2)).as(id))
     // calendar-day index via datediff, NOT unix_timestamp/86400: the
     // dimension cell is a LOCAL midnight, and in a non-UTC session the
     // epoch arithmetic merges the two days straddling a DST transition
@@ -621,7 +637,9 @@ final class CubeService(spark: SparkSession, storageDir: String,
           .as(s"p${CubeManager.rankLabel(q)}_$id")
       } ++
       minOf.distinct.map(id => min(col(s"${id}_min")).as(s"min_$id")) ++
-      maxOf.distinct.map(id => max(col(s"${id}_max")).as(s"max_$id"))
+      maxOf.distinct.map(id => max(col(s"${id}_max")).as(s"max_$id")) ++
+      sumOf.distinct.map(id => sum(col(id)).cast(DecimalType(18, 2))
+        .cast("double").as(s"sum_$id"))
     graft.functions.Rolling.endpoints(daily, windowDays)
       .agg(endpointAggs.head, endpointAggs.tail: _*)
       .orderBy(col("day"))

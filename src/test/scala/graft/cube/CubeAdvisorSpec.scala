@@ -222,17 +222,22 @@ class CubeAdvisorSpec extends AnyFunSuite {
       // distribution the partials would sketch)
       graft.functions.Rolling.endpoints(
           src.select(dayCol, col("value")).distinct())
-        .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("p")))
+        .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("p")),
+      // 5: rolling DECIMAL sum — the exact, delete-proof family
+      graft.functions.Rolling.endpoints(src.select(dayCol, col("value")))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("s")))
     val advice = CubeAdvisor.advise(mkWorkload(), "advr")
     assert(advice.uncovered == Seq(2, 3, 4), s"uncovered=${advice.uncovered}")
     assert(advice.rolling.size == 1 && advice.cubes.isEmpty, advice.toString)
     val rec = advice.rolling.head
-    assert(rec.coveredQueries == Seq(0, 1))
+    assert(rec.coveredQueries == Seq(0, 1, 5))
     assert(rec.windows == Seq(7, 14))
     assert(rec.config.dims == Seq(TimeDim("ts_day", "ts", "day")))
     assert(rec.config.sketches.map(_.path) == Seq("user_id"))
     assert(rec.config.quantiles.map(_.path) == Seq("value"))
     assert(rec.config.extremes.map(_.path) == Seq("value"))
+    assert(rec.config.measures.map(_.path) == Seq("value")
+      && rec.sumOf == Seq("value_sum"))
 
     // honesty: materialize VERBATIM, then getRolling must reproduce
     // each workload query's own curve — exactly for extremes, within
@@ -270,6 +275,14 @@ class CubeAdvisorSpec extends AnyFunSuite {
       assert(sp50 >= mn && sp50 <= mx && math.abs(sp50 - p50) <= 0.1 * (mx - mn),
         s"day $day: p50 $sp50 vs exact $p50 (range $mn..$mx)")
     }
+    // the sum curve is decimal-exact: serve == the workload's own query
+    val exactSum = fresh(5).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    val servedSum = svc.getRolling(rec.config.name, rec.dayDim,
+        windowDays = 7, sumOf = rec.sumOf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(servedSum == exactSum,
+      s"rolling sum diverged: $servedSum vs $exactSum")
     CubeCatalog.clear()
   }
 
