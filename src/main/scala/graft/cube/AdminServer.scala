@@ -229,7 +229,8 @@ final class AdminServer(service: CubeService, spark: SparkSession,
             pairArray(req, "quantilesOf"),
             strArray(req, "minOf"),
             strArray(req, "maxOf"),
-            strArray(req, "sumOf"))
+            strArray(req, "sumOf"),
+            strArray(req, "avgOf"))
           serveRows(df, Seq("day"), req)
         case Some("diffAggregates") | Some("diffJoinAggregates") =>
           val name = need(strField(req, "name"), "name")

@@ -76,7 +76,17 @@ object CubeAdvisor {
       minOf: Seq[String],
       maxOf: Seq[String],
       sumOf: Seq[String],
-      coveredQueries: Seq[Int])
+      coveredQueries: Seq[Int],
+      joinKeys: Option[(String, String, String, String)] = None) {
+    /** Set for a rolling-over-JOIN recommendation: materialize with
+      * `CubeService.createJoinCube(joinConfig.get, left, right)` and
+      * serve the covered curves via `getJoinRolling` — the day-dimmed
+      * partials are maintained incrementally by the delta-join rule
+      * like any other join MV. */
+    def joinConfig: Option[JoinCubeConfig] = joinKeys.map {
+      case (_, _, lk, rk) => JoinCubeConfig(config, lk, rk)
+    }
+  }
 
   /** One recommended JOIN MV: both source paths, the registrable
     * config (pass to `CubeService.createJoinCube` + side projections of
@@ -106,7 +116,8 @@ object CubeAdvisor {
   private final case class RollingNeeds(
       path: String, tsCol: String, windowDays: Int,
       distinctOf: Seq[String], quantilesOf: Seq[(String, Double)],
-      minOf: Seq[String], maxOf: Seq[String], sumOf: Seq[String])
+      minOf: Seq[String], maxOf: Seq[String], sumOf: Seq[String],
+      join: Option[(String, String, String, String)] = None)
 
   /** The advisor's full answer: single-table cube recommendations,
     * join-MV recommendations, rolling-cube recommendations, and the
@@ -155,7 +166,8 @@ object CubeAdvisor {
             minOf = mnOf.map(c => s"${c}_x"),
             maxOf = mxOf.map(c => s"${c}_x"),
             sumOf = sOf.map(c => s"${c}_sum"),
-            coveredQueries = hits.map(_._1).sorted)
+            coveredQueries = hits.map(_._1).sorted,
+            joinKeys = needs.head.join)
       }
     val uncovered = analyzed.collect { case (i, None) => i }
     val bySource = analyzed.collect { case (i, Some(n)) => (i, n) }
@@ -284,8 +296,14 @@ object CubeAdvisor {
                     (b2, lenv ++ ienv ++ env2, true)
                   case other => (other, lenv ++ ienv, false)
                 }
-                val path = CubeCatalog.sourcePathOf(srcPlan)
-                  .getOrElse(return None)
+                // the per-day frame may sit over ONE parquet relation
+                // or over an inner equi-join of two (the join-MV
+                // rolling shape, served by getJoinRolling); residual
+                // side filters would make the curve unreproducible
+                // from partials — refuse them
+                val (path, join, jPreds) =
+                  sourceOf(srcPlan).getOrElse(return None)
+                if (jPreds.nonEmpty) return None
                 val dExpr = subst(env)(start)
                 val tsCol = dayBucketColumn(dExpr).getOrElse(return None)
                 // the semi-join's right side must be the observed-day
@@ -300,14 +318,16 @@ object CubeAdvisor {
                     val rDay = subst(renv ++ env2)(subst(renv)(g))
                     p2.forall(_.isInstanceOf[IsNotNull]) &&
                       rpreds.forall(_.isInstanceOf[IsNotNull]) &&
-                      CubeCatalog.sourcePathOf(b2).contains(path) &&
+                      sourceOf(b2).exists(s => s._1 == path &&
+                        s._3.forall(_.isInstanceOf[IsNotNull])) &&
                       rDay.sql == dExpr.sql
                   case _ => false
                 }
                 if (!rOk) return None
                 rollingLeaves(day, aggs, deduped).map {
                   case (d0, q0, mn, mx, s0) =>
-                    RollingNeeds(path, tsCol, windowDays, d0, q0, mn, mx, s0)
+                    RollingNeeds(path, tsCol, windowDays, d0, q0, mn, mx,
+                      s0, join)
                 }
               case _ => None
             }

@@ -779,6 +779,74 @@ object CubeQueries {
       .orderBy(col("day"))
   }
 
+  // --------------------------------------------------------------- q195
+  /** The ADVISOR CLOSES THE JOIN-ROLLING LOOP: the workload is the raw
+    * trailing-window shape written over a JOIN — daily revenue
+    * (orders ⋈ lineitem on the order key, day = order date) rolled over
+    * 7 days with a decimal sum and an exact max. [[CubeAdvisor]]
+    * recognizes the explode(sequence)/semi-join plan over the inner
+    * equi-join, recommends ONE day-dimmed JOIN MV (measure partial for
+    * the sum, extreme partial for the max), and the setup materializes
+    * the [[JoinCubeConfig]] verbatim through
+    * [[CubeService.createJoinCube]]. The graded query serves the two
+    * curves via [[CubeService.getJoinRolling]] — both families are
+    * EXACT from daily partials, so the DuckDB oracle recomputes every
+    * trailing window from the raw joined tables and hash-matches. The
+    * 100 TB story compounds: the delta-join rule maintains the daily
+    * partials incrementally (new lineitems fold into their day's cell),
+    * and every dashboard refresh reads |days|·7 one-row partials
+    * instead of re-joining two fact tables. */
+  private val advisedJoinRollSetup =
+    TrieMap.empty[(SparkSession, String), CubeService]
+  private def advisedJoinRollService(spark: SparkSession,
+      sfDir: String): CubeService =
+    advisedJoinRollSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_advjroll").toString
+      val lDir = s"$dir/orders"
+      val rDir = s"$dir/lineitem"
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .write.parquet(lDir)
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .write.parquet(rDir)
+      def mkQ() = {
+        val j = spark.read.parquet(lDir)
+          .join(spark.read.parquet(rDir),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(datediff(col("o_orderdate"), lit("1970-01-01"))
+              .cast("long").as("d"),
+            col("l_extendedprice"))
+        graft.functions.Rolling.endpoints(j)
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("s"),
+            max(col("l_extendedprice")).as("mx"))
+      }
+      val advice = CubeAdvisor.advise(Seq(mkQ()), "adv_jroll")
+      require(advice.uncovered.isEmpty && advice.rolling.size == 1,
+        s"advisor must cover the join-rolling workload: $advice")
+      val rec = advice.rolling.head
+      require(rec.joinKeys.exists(k => k._3 == "o_orderkey" &&
+          k._4 == "l_orderkey") && rec.dayDim == "o_orderdate_day" &&
+          rec.sumOf == Seq("l_extendedprice_sum") &&
+          rec.maxOf == Seq("l_extendedprice_x"),
+        s"unexpected join-rolling recommendation: $rec")
+      val svc = new CubeService(spark, dir)
+      svc.createJoinCube(rec.joinConfig.get,
+        spark.read.parquet(lDir), spark.read.parquet(rDir))
+      svc
+    })
+
+  def q195AdvisedJoinRolling(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = advisedJoinRollService(spark, sfDir)
+    svc.getJoinRolling("adv_jroll_rolling_0", "o_orderdate_day",
+        windowDays = 7, sumOf = Seq("l_extendedprice_sum"),
+        maxOf = Seq("l_extendedprice_x"))
+      .select(col("day"), col("sum_l_extendedprice_sum").as("rev_7d"),
+        col("max_l_extendedprice_x").as("max_price_7d"))
+      .orderBy(col("day"))
+  }
+
   // --------------------------------------------------------------- q160
   /** Graded: MV routing through the SQL-TEXT surface with a HAVING
     * clause — the same optimizer rule serves `spark.sql(...)` plans
@@ -1115,8 +1183,9 @@ object CubeQueries {
     * window from the raw table hash-matches bit-exactly. */
   def q194RollingSum(spark: SparkSession, sfDir: String): DataFrame = {
     val svc = rollingMmService(spark, sfDir)
-    svc.getRolling("rolling_mm", "day", windowDays = 7, sumOf = Seq("v"))
-      .select(col("day"), col("sum_v"))
+    svc.getRolling("rolling_mm", "day", windowDays = 7,
+        sumOf = Seq("v"), avgOf = Seq("v"))
+      .select(col("day"), col("sum_v"), col("avg_v"))
       .orderBy(col("day"))
   }
 
@@ -1787,6 +1856,7 @@ object CubeQueries {
     "q189_cube_time_travel" -> q189CubeTimeTravel,
     "q190_advised_rolling" -> q190AdvisedRolling,
     "q192_cube_version_diff" -> q192CubeVersionDiff,
+    "q195_advised_join_rolling" -> q195AdvisedJoinRolling,
     "q153_join_routing" -> q153JoinRouting,
     "q154_join_mv_stream" -> q154JoinMvStream,
     "q157_join_filter_routing" -> q157JoinFilterRouting,
@@ -2048,15 +2118,34 @@ object CubeQueries {
       FROM days JOIN daily ON daily.d BETWEEN days.day - 6 AND days.day
       GROUP BY 1
       ORDER BY 1""",
+    // Trailing 7-day revenue + max price over the JOIN, recomputed from
+    // the raw tables — the advised join MV's daily partials re-aggregate
+    // both exactly.
+    "q195_advised_join_rolling" -> """
+      WITH j AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+          l_extendedprice AS p
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      daily AS (
+        SELECT d, sum(CAST(p AS DECIMAL(18,2))) AS ds, max(p) AS dm
+        FROM j GROUP BY 1),
+      days AS (SELECT DISTINCT d AS day FROM daily)
+      SELECT days.day, CAST(sum(daily.ds) AS DOUBLE) AS rev_7d,
+        max(daily.dm) AS max_price_7d
+      FROM days JOIN daily ON daily.d BETWEEN days.day - 6 AND days.day
+      GROUP BY 1
+      ORDER BY 1""",
     // q159's day arithmetic, summed: trailing 7-day decimal-exact sums
     // from daily partials.
     "q194_rolling_sum" -> """
       WITH daily AS (
         SELECT CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS d,
-          sum(CAST(value AS DECIMAL(18,2))) AS ds
+          sum(CAST(value AS DECIMAL(18,2))) AS ds, count(1) AS n
         FROM events GROUP BY 1),
       days AS (SELECT DISTINCT d AS day FROM daily)
-      SELECT days.day, CAST(sum(daily.ds) AS DOUBLE) AS sum_v
+      SELECT days.day, CAST(sum(daily.ds) AS DOUBLE) AS sum_v,
+        CAST(sum(daily.ds) AS DOUBLE) / sum(daily.n) AS avg_v
       FROM days JOIN daily ON daily.d BETWEEN days.day - 6 AND days.day
       GROUP BY 1
       ORDER BY 1""",

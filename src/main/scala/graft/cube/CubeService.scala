@@ -546,9 +546,10 @@ final class CubeService(spark: SparkSession, storageDir: String,
       quantilesOf: Seq[(String, Double)] = Nil,
       minOf: Seq[String] = Nil,
       maxOf: Seq[String] = Nil,
-      sumOf: Seq[String] = Nil): DataFrame =
+      sumOf: Seq[String] = Nil,
+      avgOf: Seq[String] = Nil): DataFrame =
     rollingFrom(loadCube(name), name, dayDim, windowDays,
-      distinctOf, quantilesOf, minOf, maxOf, sumOf)
+      distinctOf, quantilesOf, minOf, maxOf, sumOf, avgOf)
 
   /** [[getRolling]] for join MVs — a join cube with a day-granularity
     * time dimension serves the same trailing-window curves from the
@@ -562,9 +563,10 @@ final class CubeService(spark: SparkSession, storageDir: String,
       quantilesOf: Seq[(String, Double)] = Nil,
       minOf: Seq[String] = Nil,
       maxOf: Seq[String] = Nil,
-      sumOf: Seq[String] = Nil): DataFrame =
+      sumOf: Seq[String] = Nil,
+      avgOf: Seq[String] = Nil): DataFrame =
     rollingFrom(loadJoinCube(name).cube, name, dayDim, windowDays,
-      distinctOf, quantilesOf, minOf, maxOf, sumOf)
+      distinctOf, quantilesOf, minOf, maxOf, sumOf, avgOf)
 
   private def rollingFrom(
       cube: Cube,
@@ -575,21 +577,22 @@ final class CubeService(spark: SparkSession, storageDir: String,
       quantilesOf: Seq[(String, Double)],
       minOf: Seq[String],
       maxOf: Seq[String],
-      sumOf: Seq[String]): DataFrame = {
+      sumOf: Seq[String],
+      avgOf: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cube.config.dims.exists {
         case TimeDim(id, _, g) => id == dayDim && g == "day"
         case _ => false
       }, s"$dayDim must be a day-granularity time dimension of cube $name")
     require(distinctOf.nonEmpty || quantilesOf.nonEmpty ||
-      minOf.nonEmpty || maxOf.nonEmpty || sumOf.nonEmpty,
+      minOf.nonEmpty || maxOf.nonEmpty || sumOf.nonEmpty || avgOf.nonEmpty,
       "request at least one rolling measure (distinctOf / quantilesOf / " +
-        "minOf / maxOf / sumOf)")
+        "minOf / maxOf / sumOf / avgOf)")
     // sketch and min/max partials of a delete-processed cube describe
     // EVER-INSERTED values (neither is invertible under deletes) —
-    // refuse rather than serve silently-wrong curves. SUMS are exempt:
-    // the signed fold maintains exact net sums per cell, so rolling
-    // sums (sum of daily sums) stay exact through any delete history.
+    // refuse rather than serve silently-wrong curves. SUMS and AVGS
+    // are exempt: the signed fold maintains exact net sums and row
+    // counts per cell, so both stay exact through any delete history.
     require(!cube.hasDeletes || (distinctOf.isEmpty &&
         quantilesOf.isEmpty && minOf.isEmpty && maxOf.isEmpty),
       s"cube $name has folded deletes; its sketch/extreme partials are " +
@@ -603,8 +606,9 @@ final class CubeService(spark: SparkSession, storageDir: String,
     (minOf ++ maxOf).foreach(id =>
       require(cube.config.extremes.exists(_.id == id),
         s"$id is not a min/max measure of cube $name"))
-    sumOf.foreach(id => require(cube.config.measures.exists(_.id == id),
-      s"$id is not a summed measure of cube $name"))
+    (sumOf ++ avgOf).foreach(id =>
+      require(cube.config.measures.exists(_.id == id),
+        s"$id is not a summed measure of cube $name"))
     // collapse to ONE partial row per day first (other dimensions may
     // subdivide a day across many cells)
     val dailyAggs = distinctOf.distinct
@@ -616,8 +620,10 @@ final class CubeService(spark: SparkSession, storageDir: String,
       // decimal all the way to the endpoint: rolling sums re-aggregate
       // EXACTLY (sums add across days), the one windowed family that is
       // both exact and delete-proof from partials
-      sumOf.distinct.map(id =>
-        sum(col(id)).cast(DecimalType(18, 2)).as(id))
+      (sumOf ++ avgOf).distinct.map(id =>
+        sum(col(id)).cast(DecimalType(18, 2)).as(id)) ++
+      (if (avgOf.isEmpty) Nil
+       else Seq(sum(col(CubeManager.CountCol)).as(CubeManager.CountCol)))
     // calendar-day index via datediff, NOT unix_timestamp/86400: the
     // dimension cell is a LOCAL midnight, and in a non-UTC session the
     // epoch arithmetic merges the two days straddling a DST transition
@@ -639,7 +645,13 @@ final class CubeService(spark: SparkSession, storageDir: String,
       minOf.distinct.map(id => min(col(s"${id}_min")).as(s"min_$id")) ++
       maxOf.distinct.map(id => max(col(s"${id}_max")).as(s"max_$id")) ++
       sumOf.distinct.map(id => sum(col(id)).cast(DecimalType(18, 2))
-        .cast("double").as(s"sum_$id"))
+        .cast("double").as(s"sum_$id")) ++
+      // avg over the window = windowed sum / windowed row count — both
+      // re-aggregate exactly from the daily partials (getAggregates'
+      // avg_<id> = sum/_count identity, rolled)
+      avgOf.distinct.map(id =>
+        (sum(col(id)).cast(DecimalType(18, 2)).cast("double") /
+          sum(col(CubeManager.CountCol))).as(s"avg_$id"))
     graft.functions.Rolling.endpoints(daily, windowDays)
       .agg(endpointAggs.head, endpointAggs.tail: _*)
       .orderBy(col("day"))

@@ -286,6 +286,52 @@ class CubeAdvisorSpec extends AnyFunSuite {
     CubeCatalog.clear()
   }
 
+  test("join-rolling workloads yield a join MV that getJoinRolling serves exactly") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val lDir = Files.createTempDirectory("graft_advjr_l").toString
+    val rDir = Files.createTempDirectory("graft_advjr_r").toString
+    val rnd = new scala.util.Random(71)
+    (0 until 30).map(i => (i.toLong,
+        java.sql.Date.valueOf(f"2024-01-${1 + rnd.nextInt(12)}%02d")))
+      .toDF("o_key", "o_date").write.mode("overwrite").parquet(lDir)
+    (0 until 200).map(_ => (rnd.nextInt(30).toLong,
+        math.round(rnd.nextDouble() * 10000) / 100.0))
+      .toDF("l_key", "l_price").write.mode("overwrite").parquet(rDir)
+    def mkQ(): DataFrame = {
+      val j = spark.read.parquet(lDir)
+        .join(spark.read.parquet(rDir), col("o_key") === col("l_key"))
+        .select(datediff(col("o_date"), lit("1970-01-01")).cast("long")
+            .as("d"),
+          col("l_price"))
+      graft.functions.Rolling.endpoints(j)
+        .agg(sum(col("l_price").cast("decimal(18,2)")).as("s"),
+          max(col("l_price")).as("mx"))
+    }
+    val advice = CubeAdvisor.advise(Seq(mkQ()), "advjr")
+    assert(advice.uncovered.isEmpty && advice.rolling.size == 1,
+      advice.toString)
+    val rec = advice.rolling.head
+    assert(rec.joinKeys.contains((CubeCatalog.normalize(lDir),
+      CubeCatalog.normalize(rDir), "o_key", "l_key")), rec.toString)
+    assert(rec.config.dims == Seq(TimeDim("o_date_day", "o_date", "day")))
+    assert(rec.sumOf == Seq("l_price_sum") && rec.maxOf == Seq("l_price_x"))
+    // materialize the JOIN MV verbatim; the served curves must equal
+    // the workload's own (sum decimal-exact, max exact)
+    val svcDir = Files.createTempDirectory("graft_advjr_svc").toString
+    val svc = new CubeService(spark, svcDir)
+    svc.createJoinCube(rec.joinConfig.get,
+      spark.read.parquet(lDir), spark.read.parquet(rDir))
+    val exact = mkQ().collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDecimal(1).doubleValue(), r.getDouble(2)))).toMap
+    val served = svc.getJoinRolling(rec.config.name, rec.dayDim,
+        windowDays = 7, sumOf = rec.sumOf, maxOf = rec.maxOf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(1)))).toMap
+    assert(served == exact, s"join-rolling serve diverged:\n$served\nvs\n$exact")
+    CubeCatalog.clear()
+  }
+
   test("range-only filter columns are flagged on the recommendation") {
     import spark.implicits._
     CubeCatalog.clear()
