@@ -701,6 +701,52 @@ object CubeQueries {
       .orderBy(col("etype"))
   }
 
+  // --------------------------------------------------------------- q196
+  /** ROLLING SUMS THROUGH A DELETE HISTORY — the claim behind the
+    * deletes exemption, graded end to end: a day-dimmed cube built from
+    * a base slice, grown by a late-insert fold, then shrunk by a
+    * delete fold WITHOUT a post-delta source — which trips the
+    * permanent insert-only latch for sketches and extremes — still
+    * serves the trailing-window sum and average curves EXACTLY,
+    * because the signed fold keeps net sums and row counts right where
+    * nothing can un-insert a sketch. The oracle recomputes every
+    * window from the raw table minus the deleted rows: hash equality
+    * proves the latched cube's surviving families exact after real CDC
+    * traffic, not just on an insert-only toy. At 100 TB this is the
+    * difference between "rebuild the revenue dashboard's MV after
+    * every GDPR purge" and "fold the purge, keep serving". */
+  private val rollingCdcSetup =
+    TrieMap.empty[(SparkSession, String), CubeService]
+  private def rollingCdcService(spark: SparkSession,
+      sfDir: String): CubeService =
+    rollingCdcSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_rollcdc").toString
+      val svc = new CubeService(spark, dir)
+      val ev = Tables.events(spark, sfDir)
+        .select(col("ts"), col("value"), col("event_type"),
+          col("event_id"))
+      svc.createCube(
+        CubeConfig("roll_cdc", "events",
+          dims = Seq(TimeDim("day", "ts", "day")),
+          measures = Seq(Measure("v", "value"))),
+        ev.filter(col("event_id") % 5 =!= 4))
+      svc.updateAggregates("roll_cdc",
+        ev.filter(col("event_id") % 5 === 4).withColumn("_sign", lit(1)))
+      svc.updateAggregates("roll_cdc",
+        ev.filter(col("event_type") === "error")
+          .withColumn("_sign", lit(-1)))
+      svc
+    })
+
+  def q196RollingSumCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = rollingCdcService(spark, sfDir)
+    svc.getRolling("roll_cdc", "day", windowDays = 7,
+        sumOf = Seq("v"), avgOf = Seq("v"))
+      .select(col("day"), col("sum_v"), col("avg_v"))
+      .orderBy(col("day"))
+  }
+
   def q189CubeTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
     val svc = cubeTimeTravelService(spark, sfDir)
     val versions = svc.listCubeVersions("ctt")
@@ -1857,6 +1903,7 @@ object CubeQueries {
     "q190_advised_rolling" -> q190AdvisedRolling,
     "q192_cube_version_diff" -> q192CubeVersionDiff,
     "q195_advised_join_rolling" -> q195AdvisedJoinRolling,
+    "q196_rolling_sum_cdc" -> q196RollingSumCdc,
     "q153_join_routing" -> q153JoinRouting,
     "q154_join_mv_stream" -> q154JoinMvStream,
     "q157_join_filter_routing" -> q157JoinFilterRouting,
@@ -2115,6 +2162,20 @@ object CubeQueries {
         FROM events GROUP BY 1),
       days AS (SELECT DISTINCT d AS day FROM daily)
       SELECT days.day, min(daily.dmin) AS min_vx, max(daily.dmax) AS max_vx
+      FROM days JOIN daily ON daily.d BETWEEN days.day - 6 AND days.day
+      GROUP BY 1
+      ORDER BY 1""",
+    // Trailing windows over the POST-CDC state (all events minus the
+    // deleted error rows): the latched cube's sum/avg partials must
+    // still be exact.
+    "q196_rolling_sum_cdc" -> """
+      WITH daily AS (
+        SELECT CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS d,
+          sum(CAST(value AS DECIMAL(18,2))) AS ds, count(1) AS n
+        FROM events WHERE event_type <> 'error' GROUP BY 1),
+      days AS (SELECT DISTINCT d AS day FROM daily)
+      SELECT days.day, CAST(sum(daily.ds) AS DOUBLE) AS sum_v,
+        CAST(sum(daily.ds) AS DOUBLE) / sum(daily.n) AS avg_v
       FROM days JOIN daily ON daily.d BETWEEN days.day - 6 AND days.day
       GROUP BY 1
       ORDER BY 1""",

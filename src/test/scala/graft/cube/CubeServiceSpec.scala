@@ -161,6 +161,38 @@ class CubeServiceSpec extends AnyFunSuite {
         r.getAs[Double]("max_vx") == vs.last,
         s"day $day: rolling extremes diverged from exact window")
     }
+    // rolling SUM/AVG are exact from the same daily partials
+    val sums = svc.getRolling("roll", "day", windowDays = 7,
+        sumOf = Seq("v"), avgOf = Seq("v")).collect()
+    sums.foreach { r =>
+      val day = r.getAs[Long]("day")
+      val window = (day - 6 to day).flatMap(d => byDay.getOrElse(d, Nil))
+      val exactSum = window.map(x => BigDecimal(x._3)).sum.toDouble
+      assert(r.getAs[Double]("sum_v") == exactSum,
+        s"day $day: rolling sum diverged")
+      assert(r.getAs[Double]("avg_v") == exactSum / window.size,
+        s"day $day: rolling avg diverged")
+    }
+    // the deletes latch spares sums/avgs but refuses sketches/extremes:
+    // fold a delete (no post-delta source → latch trips), then the sum
+    // curve updates exactly while the sketch serve refuses
+    svc.updateAggregates("roll",
+      rows.take(5).toDF("event_type", "ts", "value", "user_id")
+        .withColumn("_sign", lit(-1)))
+    val afterDel = svc.getRolling("roll", "day", windowDays = 7,
+        sumOf = Seq("v")).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Double]("sum_v")).toMap
+    val kept = rows.drop(5)
+    val byDayKept = kept.groupBy(r => r._2.getTime / 86400000L)
+    afterDel.foreach { case (day, s) =>
+      val exact = (day - 6 to day).flatMap(d => byDayKept.getOrElse(d, Nil))
+        .map(x => BigDecimal(x._3)).sum.toDouble
+      assert(s == exact, s"day $day: post-delete rolling sum diverged")
+    }
+    val latched = intercept[IllegalArgumentException] {
+      svc.getRolling("roll", "day", minOf = Seq("vx"))
+    }
+    assert(latched.getMessage.contains("insert-only"))
     // guardrails: wrong dim granularity / unknown measure fail fast
     intercept[IllegalArgumentException] {
       svc.getRolling("roll", "etype", distinctOf = Seq("users"))
@@ -170,6 +202,9 @@ class CubeServiceSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       svc.getRolling("roll", "day", minOf = Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      svc.getRolling("roll", "day", sumOf = Seq("nope"))
     }
     svc.deleteCube("roll")
   }
