@@ -247,6 +247,52 @@ final class AdminServer(service: CubeService, spark: SparkSession,
           val df = fn(name, from, to, strArray(req, "dims"),
             strArray(req, "sumOf"))
           serveRows(df, strArray(req, "dims"), req)
+        case Some("registerTable") =>
+          // catalog prep for the SQL-text verbs (advise): expose a
+          // parquet path as a named view in the server's session —
+          // control-plane only, data stays on storage
+          val name = need(strField(req, "name"), "name")
+          require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"table name '$name' is not a bare identifier")
+          spark.read.parquet(need(strField(req, "parquet"), "parquet"))
+            .createOrReplaceTempView(name)
+          ok("\"registered\"")
+        case Some("advise") =>
+          // the design loop over the wire: ship the dashboard's query
+          // log (SQL text), get back materializable config JSON — each
+          // config feeds straight into createCube / createJoinCube
+          val sqls = strArray(req, "workloadSql")
+          require(sqls.nonEmpty, "workloadSql must be a non-empty array")
+          val a = CubeAdvisor.adviseSql(spark, sqls,
+            strField(req, "namePrefix").getOrElse("advised"))
+          def cfgJson(c: CubeConfig) =
+            s""""${esc(CubeManager.configToJson(c))}""""
+          def ints(xs: Seq[Int]) = xs.mkString("[", ",", "]")
+          def strs(xs: Seq[String]) =
+            xs.map(x => s""""${esc(x)}"""").mkString("[", ",", "]")
+          val cubes = a.cubes.map(r =>
+            s"""{"sourcePath":"${esc(r.sourcePath)}",""" +
+              s""""config":${cfgJson(r.config)},""" +
+              s""""covered":${ints(r.coveredQueries)},""" +
+              s""""rangeOnlyDims":${strs(r.rangeOnlyDims)}}""")
+            .mkString("[", ",", "]")
+          val joins = a.joinCubes.map(r =>
+            s"""{"leftPath":"${esc(r.leftPath)}",""" +
+              s""""rightPath":"${esc(r.rightPath)}",""" +
+              s""""leftKey":"${esc(r.config.leftKey)}",""" +
+              s""""rightKey":"${esc(r.config.rightKey)}",""" +
+              s""""config":${cfgJson(r.config.cube)},""" +
+              s""""covered":${ints(r.coveredQueries)}}""")
+            .mkString("[", ",", "]")
+          val rolling = a.rolling.map(r =>
+            s"""{"sourcePath":"${esc(r.sourcePath)}",""" +
+              s""""config":${cfgJson(r.config)},""" +
+              s""""dayDim":"${esc(r.dayDim)}",""" +
+              s""""windows":${ints(r.windows)},""" +
+              s""""covered":${ints(r.coveredQueries)}}""")
+            .mkString("[", ",", "]")
+          ok(s"""{"cubes":$cubes,"joinCubes":$joins,""" +
+            s""""rolling":$rolling,"uncovered":${ints(a.uncovered)}}""")
         case Some("listVersions") =>
           val name = need(strField(req, "name"), "name")
           ok(service.listCubeVersions(name).mkString("[", ",", "]"))

@@ -209,6 +209,16 @@ object CubeAdvisor {
     Advice(singles, joins, uncovered, rollingRecs)
   }
 
+  /** SQL-TEXT advisor surface: the workload as the query strings a
+    * dashboard's log actually contains, planned through `spark.sql`
+    * against the session catalog (register the parquet tables as views
+    * first — the q160 SQL-text routing discipline applies on the serve
+    * side of the same loop). Same analysis, same honesty contract:
+    * text → optimized plan → the structural vocabulary above. */
+  def adviseSql(spark: org.apache.spark.sql.SparkSession,
+      workload: Seq[String], namePrefix: String = "advised"): Advice =
+    advise(workload.map(spark.sql), namePrefix)
+
   /** Structural advice + one cardinality probe per source: measures
     * |distinct dim tuples| (approx, the cube's cell count) and |rows|,
     * so [[CubeRecommendation.worthwhile]] can veto cubes with no

@@ -467,6 +467,43 @@ class AdminServerSpec extends AnyFunSuite {
     } finally { cli.close(); server.stop() }
   }
 
+  test("advise over the wire: SQL workload in, materializable config out") {
+    import spark.implicits._
+    val svc = new CubeService(spark, tmp("graft_admin_adv"))
+    val server = new AdminServer(svc, spark)
+    val port = server.start()
+    val cli = new Client(port)
+    try {
+      CubeCatalog.clear()
+      val srcDir = tmp("graft_admin_advs") + "/src"
+      Seq(("click", 3.0), ("click", 4.0), ("view", 10.0))
+        .toDF("event_type", "value").write.parquet(srcDir)
+      assert(cli.rpc(s"""{"verb":"registerTable","name":"adm_events","parquet":"${escaped(
+        srcDir)}"}""") == """{"ok":true,"result":"registered"}""")
+      val resp = cli.rpc(
+        """{"verb":"advise","namePrefix":"wa","workloadSql":["SELECT event_type, sum(CAST(value AS DECIMAL(18,2))) AS s, count(1) AS n FROM adm_events GROUP BY event_type"]}""")
+      assert(resp.startsWith("""{"ok":true,"""), resp)
+      assert(resp.contains(""""uncovered":[]""")
+        && resp.contains(""""covered":[0]"""), resp)
+      // the returned config string is directly materializable: feed it
+      // back through the createCube wire verb and serve
+      val cfgStr = """"config":"((?:[^"\\]|\\.)*)"""".r
+        .findFirstMatchIn(resp).map(_.group(1)).get
+      assert(cli.rpc(s"""{"verb":"createCube","config":"$cfgStr","sourceParquet":"${escaped(
+        srcDir)}"}""") == """{"ok":true,"result":"wa_0"}""")
+      val served = cli.rpc(
+        """{"verb":"getAggregates","name":"wa_0","dims":["event_type"],"sumOf":["value_sum"]}""")
+      assert(served.contains(""""sum_value_sum":7""")
+        && served.contains(""""sum_value_sum":10"""), served)
+      // a bare-identifier check guards the catalog verb
+      val bad = cli.rpc(
+        """{"verb":"registerTable","name":"x; drop","parquet":"/tmp/x"}""")
+      assert(bad.startsWith("""{"ok":false,"error":"""), bad)
+      svc.deleteCube("wa_0")
+      CubeCatalog.clear()
+    } finally { cli.close(); server.stop() }
+  }
+
   test("concurrent clients are served independently") {
     val svc = new CubeService(spark, tmp("graft_admin_store2"))
     val server = new AdminServer(svc, spark)
