@@ -1096,6 +1096,48 @@ object RelationalQueries {
     * from the orientation-free a<b<c formulation — orientation
     * invariance means the counts must agree exactly, which is what the
     * hash compare proves. */
+  // --------------------------------------------------------------- q198
+  /** COLUMN PROFILING — the `DESCRIBE`/data-quality sweep every
+    * ingestion pipeline runs before trusting a table: per column, row
+    * count, null count, EXACT distinct count, and min/max (numeric and
+    * string tracked in typed columns — cross-engine float-to-string
+    * formatting is a hash trap, so numbers stay numbers). One
+    * single-column aggregate per profiled column, unioned: each scan
+    * column-prunes to exactly the bytes it profiles, and the exact
+    * distinct shuffles only that column — deliberately NOT the
+    * multi-`count(DISTINCT)` single-pass form, whose Expand multiplies
+    * the shuffled row count by the column count (at 100 TB, N pruned
+    * single-column passes beat one pass carrying N× the rows; the
+    * sketch alternative for one-pass profiling is the q16 HLL family).
+    * Fully oracled: every statistic is exact. */
+  def q198ColumnProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val numeric = Seq("l_partkey", "l_quantity", "l_extendedprice")
+    val strings = Seq("l_returnflag", "l_linestatus")
+    val profiles = numeric.map { c =>
+      li.agg(count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("double").as("min_num"),
+          max(col(c)).cast("double").as("max_num"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_num"), col("max_num"),
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str"))
+    } ++ strings.map { c =>
+      li.agg(count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).as("min_str"), max(col(c)).as("max_str"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"),
+          lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("max_num"),
+          col("min_str"), col("max_str"))
+    }
+    profiles.reduce(_.unionByName(_)).orderBy(col("column"))
+  }
+
   // --------------------------------------------------------------- q197
   /** PAGERANK over the PURCHASE-SEQUENCE graph — iterative graph
     * analytics beyond q182's one-shot count: within each order, items
@@ -1239,6 +1281,7 @@ object RelationalQueries {
     "q186_csv_source" -> q186CsvSource,
     "q182_triangle_count" -> q182TriangleCount,
     "q197_pagerank" -> q197PageRank,
+    "q198_column_profile" -> q198ColumnProfile,
     "q179_merge_upsert" -> q179MergeUpsert,
     "q180_scd2_build" -> q180Scd2Build,
     "q181_pit_join" -> q181PitJoin,
@@ -1299,6 +1342,40 @@ object RelationalQueries {
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY 1, 2
       ORDER BY 1, 2""",
+    // Exact per-column statistics, one SELECT per column unioned —
+    // numeric extremes as DOUBLE, string extremes as VARCHAR (never
+    // numbers through string formatting).
+    "q198_column_profile" -> """
+      SELECT 'l_extendedprice' AS "column", count(1) AS n_rows,
+        count(1) - count(l_extendedprice) AS n_nulls,
+        count(DISTINCT l_extendedprice) AS n_distinct,
+        CAST(min(l_extendedprice) AS DOUBLE) AS min_num,
+        CAST(max(l_extendedprice) AS DOUBLE) AS max_num,
+        CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey', count(1), count(1) - count(l_partkey),
+        count(DISTINCT l_partkey),
+        CAST(min(l_partkey) AS DOUBLE), CAST(max(l_partkey) AS DOUBLE),
+        NULL, NULL
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', count(1), count(1) - count(l_quantity),
+        count(DISTINCT l_quantity),
+        CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE),
+        NULL, NULL
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_returnflag', count(1), count(1) - count(l_returnflag),
+        count(DISTINCT l_returnflag), NULL, NULL,
+        min(l_returnflag), max(l_returnflag)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_linestatus', count(1), count(1) - count(l_linestatus),
+        count(DISTINCT l_linestatus), NULL, NULL,
+        min(l_linestatus), max(l_linestatus)
+      FROM lineitem
+      ORDER BY 1""",
     // Five unrolled integer-scaled power iterations — every contribution
     // an integral floor division, so both engines walk the identical
     // lattice; sums cast back to BIGINT (DuckDB widens to HUGEINT).
