@@ -485,7 +485,57 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  // --------------------------------------------------------------- q199
+  /** LINEAR INTERPOLATION over a sparse daily series — the telemetry
+    * resampling twin of q100's zero-fill: where gap-fill carries the
+    * last observation forward, interpolation reconstructs interior
+    * missing days as the straight line between the surrounding
+    * anchors. The series is a SPARSE slice of events (1-in-23 by id —
+    * the full table is day-dense and would never exercise the
+    * operator); per type the calendar grid spans the observed range
+    * and each missing day finds its anchors with FOUR ignore-null
+    * window lookups (last value/day before, first value/day after) —
+    * one shuffle on the series key, O(1) state per row, never a
+    * self-join of the grid against observations. The daily level is
+    * the Stable decimal-sum / count form and the interpolation
+    * arithmetic is written identically in both engines (same operand
+    * order, same promotions), so the DuckDB twin hash-matches the
+    * doubles exactly — interior points only by construction (the grid
+    * starts and ends on observed days). */
+  def q199Interpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_id") % 23 === 0)
+      .select(col("event_type"),
+        (epochS(col("ts")).cast("double") / 86400).cast("long").as("d"),
+        col("value"))
+      .groupBy(col("event_type"), col("d"))
+      .agg((moneySum(col("value")) / count(lit(1))).as("v"))
+    val span = daily.groupBy(col("event_type"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val grid = span
+      .select(col("event_type"), explode_outer(expr("sequence(d0, d1)"))
+        .as("d"))
+      .filter(col("d").isNotNull)
+    val asc = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val desc = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    grid.join(daily, Seq("event_type", "d"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(asc))
+      .withColumn("pd", last(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(asc))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(desc))
+      .withColumn("nd", first(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(desc))
+      .select(col("event_type"), col("d").as("day"),
+        col("v").isNotNull.as("observed"),
+        round(coalesce(col("v"),
+          col("pv") + (col("nv") - col("pv")) * (col("d") - col("pd"))
+            / (col("nd") - col("pd"))), 6).as("v"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q199_interpolate" -> q199Interpolate,
     "q138_rolling_distinct" -> q138RollingDistinct,
     "q124_attribution" -> q124Attribution,
     "q135_linear_attribution" -> q135LinearAttribution,
@@ -508,6 +558,44 @@ object EventQueries {
   )
 
   lazy val sql: Map[String, String] = Map(
+    // Identical arithmetic, identical operand order: daily value =
+    // decimal-sum / count as DOUBLE, interpolation
+    // pv + (nv - pv) * (d - pd) / (nd - pd).
+    "q199_interpolate" -> """
+      WITH daily AS (
+        SELECT event_type,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS d,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS v
+        FROM events
+        WHERE event_id % 23 = 0
+        GROUP BY 1, 2),
+      span AS (
+        SELECT event_type, min(d) AS d0, max(d) AS d1
+        FROM daily GROUP BY 1),
+      grid AS (
+        SELECT s.event_type, gs.d
+        FROM span s, LATERAL (SELECT unnest(generate_series(s.d0, s.d1)) AS d) gs),
+      j AS (
+        SELECT g.event_type, g.d, daily.v
+        FROM grid g LEFT JOIN daily
+          ON daily.event_type = g.event_type AND daily.d = g.d),
+      f AS (
+        SELECT event_type, d, v,
+          last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+            ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+            OVER (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+          first_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+            ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+          first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+            OVER (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        FROM j)
+      SELECT event_type, d AS day, v IS NOT NULL AS observed,
+        round(COALESCE(v, pv + (nv - pv) * (d - pd) / (nd - pd)), 6) AS v
+      FROM f
+      ORDER BY event_type, day""",
     "q138_rolling_distinct" -> """
       WITH du AS (
         SELECT DISTINCT user_id,
