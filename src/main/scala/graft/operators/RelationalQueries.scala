@@ -1277,7 +1277,184 @@ object RelationalQueries {
       .orderBy(col("n_name"), col("c_mktsegment"))
   }
 
+  // --------------------------------------------------------------- q200
+  /** JSON-LINES SOURCE — the training-data interchange format (every
+    * public corpus ships as .jsonl shards), graded the same way q186
+    * grades CSV: the documents table written as JSONL and read back with
+    * an EXPLICIT schema + FAILFAST (schema inference over 100 TB of
+    * JSON is an extra full pass AND type-unstable — a shard whose every
+    * `n_chars` happens to fit INT infers differently than its
+    * neighbor; the explicit schema also lets the reader skip unprojected
+    * fields during parse). The read drives an aggregate joined against
+    * nothing — free text through JSON escaping (quotes, newlines,
+    * unicode) is the round-trip under test, and `sum(length(text))`
+    * plus the exact char-count equality `length(text) = n_chars` make
+    * any mangling a hash mismatch. Oracle recomputes from the original
+    * parquet: equality proves the JSONL encode/decode lossless. */
+  private val jsonlSetup = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def jsonlDir(spark: SparkSession, sfDir: String): String =
+    jsonlSetup.getOrElseUpdate((spark, sfDir), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("text"))
+        .write.json(s"$dir/documents")
+      dir
+    })
+
+  def q200JsonlSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = jsonlDir(spark, sfDir)
+    val d = spark.read
+      .option("mode", "FAILFAST")
+      .schema("doc_id BIGINT, lang STRING, source STRING, " +
+        "n_chars BIGINT, text STRING")
+      .json(s"$dir/documents")
+    d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(length(col("text"))).as("text_chars"),
+        sum(when(length(col("text")) === col("n_chars"), 1L)
+          .otherwise(0L)).as("n_len_ok"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  // --------------------------------------------------------------- q201
+  /** ASSOCIATION RULES over co-ordered parts — the market-basket shape
+    * (support / confidence / lift) on the q182 co-purchase graph, kept
+    * DIRECTED (a → b and b → a are different rules with different
+    * confidence). Plan shape: one distinct on (order, part), one
+    * self-equi-join on the order key producing per-order pairs — fan-out
+    * bounded by Σ basket² with baskets ≤ 7 lines in this schema (the
+    * q182 wedge argument), never a part×part cross — then one hash
+    * aggregate to pair supports and one broadcast-sized join back to the
+    * per-part supports. Scores stay hash-exact cross-engine because each
+    * is ONE IEEE division of exact BIGINTs (conf = pair/a, lift scaled
+    * by the basket total); no float accumulates. `minSupport` prunes the
+    * long tail BEFORE the per-part join — at 100 TB the pair aggregate
+    * is the big shuffle and it is unavoidable-minimal (one row per
+    * distinct co-occurring pair). */
+  def q201AssociationRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val minSupport = 3L
+    // Cached: the distinct (order, part) set is read FOUR times (both
+    // self-join sides + the per-part supports for a and b); un-cached,
+    // the static plan runs the fact scan + distinct shuffle four times.
+    // The cache keys on the canonical plan (one entry per session ×
+    // sfDir); at cluster scale this materialization is the single
+    // "transaction table" build every basket miner starts from.
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+      .cache()
+    // Basket universe |N| = the orders table (one count over the tiny
+    // dimension, NOT a distinct over the fact scan — q206 audits that
+    // every lineitem order exists there).
+    val totals = Tables.orders(spark, sfDir)
+      .agg(count(lit(1)).as("n_baskets"))
+    val partN = items.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val pairs = items.as("x").join(items.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") =!= col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minSupport)
+    pairs
+      .join(partN.select(col("p").as("a"), col("n_p").as("n_a")), Seq("a"))
+      .join(partN.select(col("p").as("b"), col("n_p").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("pair_n"), col("n_a"), col("n_b"),
+        (col("pair_n").cast("double") / col("n_a").cast("double"))
+          .as("confidence"),
+        ((col("pair_n") * col("n_baskets")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
+  // --------------------------------------------------------------- q203
+  /** FRAME-VALUE WINDOW FUNCTIONS — first_value / last_value /
+    * nth_value, the last window primitives not yet on the graded
+    * surface (rank family q17/q79, lag/lead q18, frame aggs q19/q60/
+    * q135): each customer's order history annotated with their first
+    * order's price (running frame), their final order's price and their
+    * second order's price (both full-partition frames — the frame
+    * bounds are the semantics under test: last_value over the DEFAULT
+    * frame is the current row, a classic bug). Partitioned by customer
+    * ⇒ the window shuffles once on the partition key and every
+    * partition is one customer's orders — the shape that scales
+    * linearly; no global sort until the final output order. Prices pass
+    * through untouched (2-decimal doubles), so equality is exact. */
+  def q203WindowValueFns(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = byCust.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        first_value(col("o_totalprice")).over(byCust).as("first_price"),
+        last_value(col("o_totalprice")).over(full).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_price"),
+        count(lit(1)).over(full).as("n_orders"))
+      .filter(col("o_orderkey") % 7 === 0)
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // --------------------------------------------------------------- q206
+  /** REFERENTIAL-INTEGRITY AUDIT — the FK health check a lake runs
+    * before trusting a snapshot: for each declared edge, orphan child
+    * rows/keys (FK with no parent) and unreferenced parents (no child —
+    * dead dimension members, the usual sign of a broken ingest). Each
+    * edge is ONE full-outer join of the child's key-grouped counts
+    * against the parent key set plus ONE aggregate — never two
+    * anti-join passes over the fact table; the child side reduces to
+    * |distinct keys| before the join, so at 100 TB the per-edge cost is
+    * the fact scan + one key-space shuffle (broadcast when the parent
+    * is a dim). Null-key child rows count as orphans (a null FK
+    * references nothing) via a coalesced sentinel that cannot collide
+    * with real keys (all keys here are non-negative). */
+  def q206ReferentialAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    def audit(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val ckeys = child
+        .select(coalesce(col(ck), lit(-1L)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_rows"))
+      val pkeys = parent.select(col(pk).as("k"), lit(1).as("present"))
+      ckeys.join(pkeys, Seq("k"), "full_outer")
+        .agg(
+          sum(coalesce(col("n_rows"), lit(0L))).as("n_child_rows"),
+          sum(when(col("present").isNull, col("n_rows")).otherwise(0L))
+            .as("n_orphan_rows"),
+          sum(when(col("present").isNull && col("n_rows").isNotNull, 1L)
+            .otherwise(0L)).as("n_orphan_keys"),
+          sum(when(col("present").isNotNull, 1L).otherwise(0L))
+            .as("n_parents"),
+          sum(when(col("present").isNotNull && col("n_rows").isNull, 1L)
+            .otherwise(0L)).as("n_unreferenced_parents"))
+        .select(lit(name).as("edge"), col("n_child_rows"),
+          col("n_orphan_rows"), col("n_orphan_keys"), col("n_parents"),
+          col("n_unreferenced_parents"))
+    }
+    val li = Tables.lineitem(spark, sfDir)
+    Seq(
+      audit("customer->nation", Tables.customer(spark, sfDir), "c_nationkey",
+        Tables.nation(spark, sfDir), "n_nationkey"),
+      audit("lineitem->orders", li, "l_orderkey",
+        Tables.orders(spark, sfDir), "o_orderkey"),
+      audit("lineitem->part", li, "l_partkey",
+        Tables.part(spark, sfDir), "p_partkey"),
+      audit("orders->customer", Tables.orders(spark, sfDir), "o_custkey",
+        Tables.customer(spark, sfDir), "c_custkey"))
+      .reduce(_.unionByName(_))
+      .orderBy(col("edge"))
+  }
+
   lazy val defs: Map[String, Q] = Map(
+    "q206_referential_audit" -> q206ReferentialAudit,
+    "q200_jsonl_source" -> q200JsonlSource,
+    "q201_association_rules" -> q201AssociationRules,
+    "q203_window_value_fns" -> q203WindowValueFns,
     "q186_csv_source" -> q186CsvSource,
     "q182_triangle_count" -> q182TriangleCount,
     "q197_pagerank" -> q197PageRank,
@@ -1334,6 +1511,132 @@ object RelationalQueries {
     * DuckDB's sum(BIGINT)→HUGEINT and year()→BIGINT would otherwise drift
     * from Spark's types. */
   lazy val sql: Map[String, String] = Map(
+    // One full-outer per edge, same shape as the Spark plan; the -1
+    // sentinel stands in for null FKs on the child side.
+    "q206_referential_audit" -> """
+      WITH
+      e1c AS (SELECT coalesce(c_nationkey, -1) AS k, count(1) AS n_rows
+              FROM customer GROUP BY 1),
+      e1 AS (SELECT * FROM e1c
+             FULL OUTER JOIN (SELECT n_nationkey AS pk, 1 AS present
+                              FROM nation) p ON e1c.k = p.pk),
+      e2c AS (SELECT coalesce(l_orderkey, -1) AS k, count(1) AS n_rows
+              FROM lineitem GROUP BY 1),
+      e2 AS (SELECT * FROM e2c
+             FULL OUTER JOIN (SELECT o_orderkey AS pk, 1 AS present
+                              FROM orders) p ON e2c.k = p.pk),
+      e3c AS (SELECT coalesce(l_partkey, -1) AS k, count(1) AS n_rows
+              FROM lineitem GROUP BY 1),
+      e3 AS (SELECT * FROM e3c
+             FULL OUTER JOIN (SELECT p_partkey AS pk, 1 AS present
+                              FROM part) p ON e3c.k = p.pk),
+      e4c AS (SELECT coalesce(o_custkey, -1) AS k, count(1) AS n_rows
+              FROM orders GROUP BY 1),
+      e4 AS (SELECT * FROM e4c
+             FULL OUTER JOIN (SELECT c_custkey AS pk, 1 AS present
+                              FROM customer) p ON e4c.k = p.pk)
+      SELECT 'customer->nation' AS edge,
+        CAST(sum(coalesce(n_rows, 0)) AS BIGINT) AS n_child_rows,
+        CAST(sum(CASE WHEN present IS NULL THEN n_rows ELSE 0 END)
+          AS BIGINT) AS n_orphan_rows,
+        CAST(sum(CASE WHEN present IS NULL AND n_rows IS NOT NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_keys,
+        CAST(sum(CASE WHEN present IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_parents,
+        CAST(sum(CASE WHEN present IS NOT NULL AND n_rows IS NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_unreferenced_parents
+      FROM e1
+      UNION ALL
+      SELECT 'lineitem->orders',
+        CAST(sum(coalesce(n_rows, 0)) AS BIGINT),
+        CAST(sum(CASE WHEN present IS NULL THEN n_rows ELSE 0 END)
+          AS BIGINT),
+        CAST(sum(CASE WHEN present IS NULL AND n_rows IS NOT NULL
+          THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(sum(CASE WHEN present IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT),
+        CAST(sum(CASE WHEN present IS NOT NULL AND n_rows IS NULL
+          THEN 1 ELSE 0 END) AS BIGINT)
+      FROM e2
+      UNION ALL
+      SELECT 'lineitem->part',
+        CAST(sum(coalesce(n_rows, 0)) AS BIGINT),
+        CAST(sum(CASE WHEN present IS NULL THEN n_rows ELSE 0 END)
+          AS BIGINT),
+        CAST(sum(CASE WHEN present IS NULL AND n_rows IS NOT NULL
+          THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(sum(CASE WHEN present IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT),
+        CAST(sum(CASE WHEN present IS NOT NULL AND n_rows IS NULL
+          THEN 1 ELSE 0 END) AS BIGINT)
+      FROM e3
+      UNION ALL
+      SELECT 'orders->customer',
+        CAST(sum(coalesce(n_rows, 0)) AS BIGINT),
+        CAST(sum(CASE WHEN present IS NULL THEN n_rows ELSE 0 END)
+          AS BIGINT),
+        CAST(sum(CASE WHEN present IS NULL AND n_rows IS NOT NULL
+          THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(sum(CASE WHEN present IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT),
+        CAST(sum(CASE WHEN present IS NOT NULL AND n_rows IS NULL
+          THEN 1 ELSE 0 END) AS BIGINT)
+      FROM e4
+      ORDER BY edge""",
+    // Recomputed from the ORIGINAL parquet — hash equality proves the
+    // JSONL write/read in the Spark query lossless for every field.
+    "q200_jsonl_source" -> """
+      SELECT lang, source, count(1) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        CAST(sum(length(text)) AS BIGINT) AS text_chars,
+        CAST(sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_len_ok,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM documents
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
+    // Each score is ONE IEEE division of exact BIGINTs — identical
+    // bit patterns in both engines, so the lift sort is stable.
+    "q201_association_rules" -> """
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      totals AS (SELECT count(1) AS n_baskets FROM orders),
+      partn AS (SELECT p, count(1) AS n_p FROM items GROUP BY 1),
+      pairs AS (
+        SELECT x.p AS a, y.p AS b, count(1) AS pair_n
+        FROM items x JOIN items y ON x.ok = y.ok AND x.p <> y.p
+        GROUP BY 1, 2
+        HAVING count(1) >= 3)
+      SELECT a, b, pair_n,
+        pa.n_p AS n_a, pb.n_p AS n_b,
+        CAST(pair_n AS DOUBLE) / CAST(pa.n_p AS DOUBLE) AS confidence,
+        CAST(pair_n * t.n_baskets AS DOUBLE)
+          / CAST(pa.n_p * pb.n_p AS DOUBLE) AS lift
+      FROM pairs
+        JOIN partn pa ON pairs.a = pa.p
+        JOIN partn pb ON pairs.b = pb.p
+        CROSS JOIN totals t
+      ORDER BY lift DESC, a, b
+      LIMIT 100""",
+    // The frame bounds are the semantics under test: last_value /
+    // nth_value need the explicit full frame (the default frame ends at
+    // the current row), first_value is frame-insensitive.
+    "q203_window_value_fns" -> """
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          first_value(o_totalprice) OVER growing AS first_price,
+          last_value(o_totalprice) OVER full_part AS last_price,
+          nth_value(o_totalprice, 2) OVER full_part AS second_price,
+          count(1) OVER full_part AS n_orders
+        FROM orders
+        WINDOW growing AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey),
+          full_part AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING))
+      WHERE o_orderkey % 7 = 0
+      ORDER BY o_custkey, o_orderkey""",
     "q186_csv_source" -> """
       SELECT n_name, c_mktsegment,
         count(1) AS n_cust,

@@ -55,7 +55,10 @@ class PlanSpec extends AnyFunSuite {
     "q133_bloom_join",        // crossJoin vs ONE broadcast 64KiB bloom row
     "q134_snapshot_diff",     // crossJoin vs ONE broadcast max-doc_id row
     "q179_merge_upsert",      // crossJoin vs ONE broadcast max-orderkey row
-    "q182_triangle_count")    // crossJoins of three ONE-ROW stat frames
+    "q182_triangle_count",    // crossJoins of three ONE-ROW stat frames
+    "q201_association_rules", // crossJoin vs ONE broadcast basket-total row
+    "q202_drift_chisq",       // crossJoin vs ONE broadcast midpoint row
+    "q205_vocab_coverage")    // rank<=budget theta join vs 4 broadcast rows
 
   test("no unjustified cartesian or nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

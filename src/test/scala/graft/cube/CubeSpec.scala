@@ -686,4 +686,80 @@ class CubeSpec extends AnyFunSuite {
     assert(CubeManager.query(afterDel, Seq("g"), sumOf = Seq("n"))
       .count() == 2)
   }
+
+  test("bitmap measures: EXACT distinct through create/fold/rollup/persist") {
+    import spark.implicits._
+    val cfg = CubeConfig("bm", "mem",
+      Seq(FieldDim("k", "event_type"), FieldDim("d", "day")),
+      Seq(Measure("v", "value")),
+      bitmaps = Seq(Measure("users", "user_id")))
+    // ids straddle block boundaries (63/64) and include a negative —
+    // floorDiv/floorMod must keep every id in a distinct bit
+    val base = Seq(("a", 1L, 1.0, 63L), ("a", 1L, 2.0, 64L),
+      ("a", 2L, 3.0, 63L), ("b", 1L, 5.0, -1L), ("b", 1L, 6.0, -1L))
+      .toDF("event_type", "day", "value", "user_id")
+    val cube = CubeManager.create(cfg, base)
+    def exact(c: Cube): Map[String, Long] =
+      CubeManager.query(c, Seq("k"), exactDistinctOf = Seq("users"))
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("n_exact_users"))
+        .toMap
+    // roll-up over the day dim: per-cell bitmaps union losslessly —
+    // user 63 in two cells counts ONCE (the thing HLL only estimates
+    // and naive per-cell distincts over-count)
+    assert(exact(cube) == Map("a" -> 2L, "b" -> 1L))
+    // insert-only fold == from-scratch over the union
+    val inserts = Seq(("a", 2L, 4.0, 128L, 1), ("b", 2L, 7.0, -1L, 1))
+      .toDF("event_type", "day", "value", "user_id", "_sign")
+    val folded = CubeManager.applyDeltas(cube, inserts)
+    assert(exact(folded) == Map("a" -> 3L, "b" -> 1L))
+    assert(!folded.hasDeletes)
+    // persistence round-trips the bitmap bytes and the config
+    val dir = java.nio.file.Files.createTempDirectory("graft_bmcube").toString
+    CubeManager.save(folded, dir)
+    val loaded = CubeManager.load(spark, dir, "bm")
+    assert(loaded.config.bitmaps == cfg.bitmaps)
+    assert(exact(loaded) == exact(folded))
+  }
+
+  test("bitmap deletes: targeted recompute == from-scratch; sourceless latches") {
+    import spark.implicits._
+    val cfg = CubeConfig("bmd", "mem",
+      Seq(FieldDim("k", "event_type")),
+      Seq(Measure("v", "value")),
+      bitmaps = Seq(Measure("users", "user_id")))
+    val base = Seq(("a", 1.0, 10L), ("a", 2.0, 11L), ("a", 3.0, 10L),
+      ("b", 5.0, 20L)).toDF("event_type", "value", "user_id")
+    val cube = CubeManager.create(cfg, base)
+    // delete BOTH rows of user 10 with the post-delta source at hand:
+    // the touched cell's bitmap is rebuilt exactly — user 10 gone,
+    // user 11 still counted, nothing latched
+    val deletes = Seq(("a", 1.0, 10L, -1), ("a", 3.0, 10L, -1))
+      .toDF("event_type", "value", "user_id", "_sign")
+    val postSrc = Seq(("a", 2.0, 11L), ("b", 5.0, 20L))
+      .toDF("event_type", "value", "user_id")
+    val afterDel = CubeManager.applyDeltas(cube, deletes, Some(postSrc))
+    assert(!afterDel.hasDeletes)
+    val served = CubeManager.query(afterDel, Seq("k"),
+        exactDistinctOf = Seq("users"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_exact_users"))
+      .toMap
+    assert(served == Map("a" -> 1L, "b" -> 1L),
+      "recomputed bitmap must equal a from-scratch COUNT(DISTINCT)")
+    // the SAME state recomputed from scratch is bit-identical, bitmap
+    // bytes included (block-sorted serialization is order-independent)
+    val scratch = CubeManager.create(cfg, postSrc)
+    val a = afterDel.aggregates.orderBy("k").collect().toSeq
+    val b = scratch.aggregates.orderBy("k").collect().toSeq
+    assert(a == b, "fold-with-recompute must equal from-scratch state")
+    // sourceless delete: nothing can rebuild the bitmap — latch trips
+    // and the exact-distinct serve refuses while sums keep working
+    val latched = CubeManager.applyDeltas(cube, deletes)
+    assert(latched.hasDeletes)
+    val e = intercept[IllegalArgumentException] {
+      CubeManager.query(latched, Seq("k"), exactDistinctOf = Seq("users"))
+    }
+    assert(e.getMessage.contains("insert-only"))
+    assert(CubeManager.query(latched, Seq("k"), sumOf = Seq("v"))
+      .count() == 2)
+  }
 }
