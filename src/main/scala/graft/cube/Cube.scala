@@ -182,6 +182,24 @@ object CubeManager {
   /** R1: initial cube population — one full source scan, then the cube
     * lives independently of the source. */
   def create(config: CubeConfig, source: DataFrame): Cube = {
+    // bitmap measures are exact ONLY over integral key spaces: the
+    // partials store ids as bits of CAST(path AS BIGINT), and for a
+    // DOUBLE or STRING column that cast is lossy (1.5 and 1.7 collapse
+    // to one bit; '01' and '1' collide; uncastable strings drop to
+    // null) — which would silently return wrong "exact" distinct
+    // counts. The dense-integer boundary is therefore VALIDATED here,
+    // not documentation-only — the same honesty gate the quantile and
+    // sketch families carry (non-integral keys: dictionary-encode
+    // first or take the HLL path).
+    config.bitmaps.foreach { m =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = source.select(col(m.path)).schema.head.dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"bitmap measure '${m.id}' needs an integral source column; " +
+          s"'${m.path}' is $dt — its cast to BIGINT is lossy, so the " +
+          "'exact' distinct count would be silently wrong. " +
+          "Dictionary-encode the column first or use an HLL sketch measure.")
+    }
     val sums = config.measures.map(m =>
       sum(col(m.path).cast(Dec)).cast(Dec).as(m.id))
     val sks = config.sketches.map(m =>

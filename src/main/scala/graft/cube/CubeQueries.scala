@@ -118,6 +118,11 @@ object CubeQueries {
     joinSketchSources(spark, sfDir)
     joinStreamSketchService(spark, sfDir)
     advisedSource(spark, sfDir)
+    cubeTimeTravelService(spark, sfDir)
+    rollingCdcService(spark, sfDir)
+    advisedRollingService(spark, sfDir)
+    advisedJoinRollService(spark, sfDir)
+    exactDistinctSource(spark, sfDir)
     ()
   }
 

@@ -569,9 +569,15 @@ object EventQueries {
     val wAll = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     val grand = (col("t_early") + col("t_late")).cast("double")
+    // zero-expected guard: e_early/e_late is 0 exactly when the whole
+    // column total is 0 (every event on one side of the midpoint — the
+    // all-one-epoch degenerate input). Spark's Divide returns NULL for
+    // a 0 divisor where DuckDB's IEEE division yields NaN/inf, so the
+    // cell is explicitly NULLed on BOTH sides (matching CASE in the
+    // oracle) — the engines then agree instead of hash-diverging.
     def cell(o: String, e: String) = {
       val d = col(o).cast("double") - col(e)
-      d * d / col(e)
+      when(col(e) > 0, d * d / col(e))
     }
     byType
       .withColumn("t_early", sum(col("o_early")).over(wAll))
@@ -843,14 +849,14 @@ object EventQueries {
           CAST(sum(o_late) OVER () AS BIGINT) AS t_late
         FROM bytype)
       SELECT event_type, o_early, o_late, e_early, e_late,
-        (CAST(o_early AS DOUBLE) - e_early)
-          * (CAST(o_early AS DOUBLE) - e_early) / e_early AS chi_early,
-        (CAST(o_late AS DOUBLE) - e_late)
-          * (CAST(o_late AS DOUBLE) - e_late) / e_late AS chi_late,
-        (CAST(o_early AS DOUBLE) - e_early)
-          * (CAST(o_early AS DOUBLE) - e_early) / e_early
-        + (CAST(o_late AS DOUBLE) - e_late)
-          * (CAST(o_late AS DOUBLE) - e_late) / e_late AS chi_type
+        CASE WHEN e_early > 0 THEN (CAST(o_early AS DOUBLE) - e_early)
+          * (CAST(o_early AS DOUBLE) - e_early) / e_early END AS chi_early,
+        CASE WHEN e_late > 0 THEN (CAST(o_late AS DOUBLE) - e_late)
+          * (CAST(o_late AS DOUBLE) - e_late) / e_late END AS chi_late,
+        CASE WHEN e_early > 0 THEN (CAST(o_early AS DOUBLE) - e_early)
+          * (CAST(o_early AS DOUBLE) - e_early) / e_early END
+        + CASE WHEN e_late > 0 THEN (CAST(o_late AS DOUBLE) - e_late)
+          * (CAST(o_late AS DOUBLE) - e_late) / e_late END AS chi_type
       FROM (
         SELECT event_type, o_early, o_late,
           CAST((o_early + o_late) * t_early AS DOUBLE)
