@@ -214,7 +214,8 @@ final class AdminServer(service: CubeService, spark: SparkSession,
             quantilesOf = pairArray(req, "quantilesOf"),
             minOf = strArray(req, "minOf"),
             maxOf = strArray(req, "maxOf"),
-            topkOf = pairArray(req, "topkOf").map { case (c, k) => (c, k.toInt) })
+            topkOf = pairArray(req, "topkOf").map { case (c, k) => (c, k.toInt) },
+            exactDistinctOf = strArray(req, "exactDistinctOf"))
           // deterministic wire order: sort by the dims, then render each
           // row as a JSON object (toJSON is Spark's own row renderer)
           serveRows(df, strArray(req, "dims"), req)
@@ -230,7 +231,8 @@ final class AdminServer(service: CubeService, spark: SparkSession,
             strArray(req, "minOf"),
             strArray(req, "maxOf"),
             strArray(req, "sumOf"),
-            strArray(req, "avgOf"))
+            strArray(req, "avgOf"),
+            strArray(req, "exactDistinctOf"))
           serveRows(df, Seq("day"), req)
         case Some("diffAggregates") | Some("diffJoinAggregates") =>
           val name = need(strField(req, "name"), "name")
@@ -289,6 +291,7 @@ final class AdminServer(service: CubeService, spark: SparkSession,
               s""""config":${cfgJson(r.config)},""" +
               s""""dayDim":"${esc(r.dayDim)}",""" +
               s""""windows":${ints(r.windows)},""" +
+              s""""exactDistinctOf":${strs(r.exactDistinctOf)},""" +
               s""""covered":${ints(r.coveredQueries)}}""")
             .mkString("[", ",", "]")
           ok(s"""{"cubes":$cubes,"joinCubes":$joins,""" +
@@ -309,7 +312,8 @@ final class AdminServer(service: CubeService, spark: SparkSession,
             quantilesOf = pairArray(req, "quantilesOf"),
             minOf = strArray(req, "minOf"),
             maxOf = strArray(req, "maxOf"),
-            topkOf = pairArray(req, "topkOf").map { case (c, k) => (c, k.toInt) })
+            topkOf = pairArray(req, "topkOf").map { case (c, k) => (c, k.toInt) },
+            exactDistinctOf = strArray(req, "exactDistinctOf"))
           serveRows(df, strArray(req, "dims"), req)
         case Some("listJoinCubes") =>
           ok(service.listJoinCubes().map(n => s""""${esc(n)}"""")
@@ -356,7 +360,8 @@ final class AdminServer(service: CubeService, spark: SparkSession,
             quantilesOf = pairArray(req, "quantilesOf"),
             minOf = strArray(req, "minOf"),
             maxOf = strArray(req, "maxOf"),
-            topkOf = pairArray(req, "topkOf").map { case (c, k) => (c, k.toInt) })
+            topkOf = pairArray(req, "topkOf").map { case (c, k) => (c, k.toInt) },
+            exactDistinctOf = strArray(req, "exactDistinctOf"))
           serveRows(df, strArray(req, "dims"), req)
         case Some("listJoinVersions") =>
           val name = need(strField(req, "name"), "name")
@@ -374,7 +379,8 @@ final class AdminServer(service: CubeService, spark: SparkSession,
             quantilesOf = pairArray(req, "quantilesOf"),
             minOf = strArray(req, "minOf"),
             maxOf = strArray(req, "maxOf"),
-            topkOf = pairArray(req, "topkOf").map { case (c, k) => (c, k.toInt) })
+            topkOf = pairArray(req, "topkOf").map { case (c, k) => (c, k.toInt) },
+            exactDistinctOf = strArray(req, "exactDistinctOf"))
           serveRows(df, strArray(req, "dims"), req)
         case Some("startAutoUpdate") =>
           val name = need(strField(req, "name"), "name")

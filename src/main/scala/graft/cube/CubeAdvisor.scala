@@ -62,10 +62,14 @@ object CubeAdvisor {
     * stage costs |days|·window one-row sketch merges instead of
     * re-shuffling the corpus per refresh. `windows` lists the distinct
     * trailing lengths observed (a serve-time parameter — one cube
-    * serves them all). Distinct counts come back as HLL estimates and
-    * quantiles as KLL estimates; exact distinct/ranks cannot roll over
-    * a sliding window from pre-aggregated state, so the advice IS the
-    * sketch trade — min/max stay exact. */
+    * serves them all). Distinct counts over INTEGRAL key columns come
+    * back as EXACT bitmap partials (`exactDistinctOf` — bitmap union
+    * is lossless, so the served curve equals the workload's own
+    * re-count; the q208 dense-integer boundary); non-integral distinct
+    * columns fall back to HLL estimates (`distinctOf`) and quantiles
+    * to KLL estimates — there the advice IS the sketch trade, since
+    * exact ranks cannot roll from pre-aggregated state and a lossy
+    * bitmap cast would be silently wrong. Min/max stay exact. */
   final case class RollingCubeRecommendation(
       sourcePath: String,
       config: CubeConfig,
@@ -77,7 +81,8 @@ object CubeAdvisor {
       maxOf: Seq[String],
       sumOf: Seq[String],
       coveredQueries: Seq[Int],
-      joinKeys: Option[(String, String, String, String)] = None) {
+      joinKeys: Option[(String, String, String, String)] = None,
+      exactDistinctOf: Seq[String] = Nil) {
     /** Set for a rolling-over-JOIN recommendation: materialize with
       * `CubeService.createJoinCube(joinConfig.get, left, right)` and
       * serve the covered curves via `getJoinRolling` — the day-dimmed
@@ -108,7 +113,8 @@ object CubeAdvisor {
       quantiles: Seq[Measure],
       extremes: Seq[Measure],
       join: Option[(String, String, String, String)] = None,
-      rangeDims: Seq[String] = Nil)
+      rangeDims: Seq[String] = Nil,
+      bitmaps: Seq[Measure] = Nil)
 
   /** What one trailing-window (rolling) query needs: the source, the
     * single time column its epoch-day derives from, the window length,
@@ -117,7 +123,8 @@ object CubeAdvisor {
       path: String, tsCol: String, windowDays: Int,
       distinctOf: Seq[String], quantilesOf: Seq[(String, Double)],
       minOf: Seq[String], maxOf: Seq[String], sumOf: Seq[String],
-      join: Option[(String, String, String, String)] = None)
+      join: Option[(String, String, String, String)] = None,
+      exactDistinctOf: Seq[String] = Nil)
 
   /** The advisor's full answer: single-table cube recommendations,
     * join-MV recommendations, rolling-cube recommendations, and the
@@ -146,6 +153,7 @@ object CubeAdvisor {
           val needs = hits.map(_._2)
           val dayDim = s"${tsCol}_day"
           val dOf = needs.flatMap(_.distinctOf).distinct
+          val xdOf = needs.flatMap(_.exactDistinctOf).distinct
           val qOf = needs.flatMap(_.quantilesOf).distinct
           val mnOf = needs.flatMap(_.minOf).distinct
           val mxOf = needs.flatMap(_.maxOf).distinct
@@ -158,7 +166,8 @@ object CubeAdvisor {
               quantiles = qOf.map(_._1).distinct
                 .map(c => Measure(s"${c}_dist", c)),
               extremes = (mnOf ++ mxOf).distinct
-                .map(c => Measure(s"${c}_x", c))),
+                .map(c => Measure(s"${c}_x", c)),
+              bitmaps = xdOf.map(c => Measure(s"${c}_xd", c))),
             dayDim,
             windows = needs.map(_.windowDays).distinct.sorted,
             distinctOf = dOf.map(c => s"${c}_nd"),
@@ -167,7 +176,8 @@ object CubeAdvisor {
             maxOf = mxOf.map(c => s"${c}_x"),
             sumOf = sOf.map(c => s"${c}_sum"),
             coveredQueries = hits.map(_._1).sorted,
-            joinKeys = needs.head.join)
+            joinKeys = needs.head.join,
+            exactDistinctOf = xdOf.map(c => s"${c}_xd"))
       }
     val uncovered = analyzed.collect { case (i, None) => i }
     val bySource = analyzed.collect { case (i, Some(n)) => (i, n) }
@@ -186,7 +196,8 @@ object CubeAdvisor {
         measures = mergeMeasures(_.measures),
         sketches = mergeMeasures(_.sketches),
         quantiles = mergeMeasures(_.quantiles),
-        extremes = mergeMeasures(_.extremes))
+        extremes = mergeMeasures(_.extremes),
+        bitmaps = mergeMeasures(_.bitmaps))
     }
     var singles = Vector.empty[CubeRecommendation]
     var joins = Vector.empty[JoinCubeRecommendation]
@@ -335,9 +346,9 @@ object CubeAdvisor {
                 }
                 if (!rOk) return None
                 rollingLeaves(day, aggs, deduped).map {
-                  case (d0, q0, mn, mx, s0) =>
+                  case (d0, q0, mn, mx, s0, xd) =>
                     RollingNeeds(path, tsCol, windowDays, d0, q0, mn, mx,
-                      s0, join)
+                      s0, join, xd)
                 }
               case _ => None
             }
@@ -378,8 +389,9 @@ object CubeAdvisor {
   private def rollingLeaves(day: AttributeReference, aggs: Seq[Expression],
       deduped: Boolean)
       : Option[(Seq[String], Seq[(String, Double)], Seq[String],
-          Seq[String], Seq[String])] = {
+          Seq[String], Seq[String], Seq[String])] = {
     var dOf = Vector.empty[String]
+    var xdOf = Vector.empty[String]
     var qOf = Vector.empty[(String, Double)]
     var mnOf = Vector.empty[String]
     var mxOf = Vector.empty[String]
@@ -392,8 +404,15 @@ object CubeAdvisor {
     aggs.foreach {
       case a: AttributeReference if a.exprId == day.exprId => ()
       case al: Alias => al.child match {
+        // distinct curve: an INTEGRAL key column gets exact bitmap
+        // partials (lossless union — the served curve EQUALS the
+        // workload's re-count); anything else falls back to the HLL
+        // sketch trade (a lossy bitmap cast would be silently wrong —
+        // the CubeManager.create type gate made executable at
+        // design time)
         case AggregateExpression(Count(Seq(c)), Complete, true, _, _) =>
-          dOf :+= colName(c).getOrElse(return None)
+          val name = colName(c).getOrElse(return None)
+          if (integral(c.dataType)) xdOf :+= name else dOf :+= name
         case AggregateExpression(ap: ApproximatePercentile, Complete,
             false, _, _) =>
           if (deduped) return None
@@ -417,9 +436,17 @@ object CubeAdvisor {
       }
       case _ => return None
     }
-    if (dOf.isEmpty && qOf.isEmpty && mnOf.isEmpty && mxOf.isEmpty &&
-      sOf.isEmpty) None
-    else Some((dOf, qOf, mnOf, mxOf, sOf))
+    if (dOf.isEmpty && xdOf.isEmpty && qOf.isEmpty && mnOf.isEmpty &&
+      mxOf.isEmpty && sOf.isEmpty) None
+    else Some((dOf, qOf, mnOf, mxOf, sOf, xdOf))
+  }
+
+  /** The bitmap family's type boundary (see [[CubeManager.create]]'s
+    * validation): distinct ids must be integral for the cast-to-BIGINT
+    * bit encoding to be injective. */
+  private def integral(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
   }
 
   // ---- plan analysis ---------------------------------------------------
@@ -544,12 +571,14 @@ object CubeAdvisor {
   /** Aggregate leaves → measure-family needs keyed by column name;
     * None when any leaf is one the rewrite cannot serve. */
   private final case class Leaves(sums: Seq[String], sketches: Seq[String],
-      quantiles: Seq[String], extremes: Seq[String])
+      quantiles: Seq[String], extremes: Seq[String],
+      xdistincts: Seq[String] = Nil)
   private def aggLeaves(aggs: Seq[Expression]): Option[Leaves] = {
     var sums = Vector.empty[String]
     var sks = Vector.empty[String]
     var qs = Vector.empty[String]
     var exts = Vector.empty[String]
+    var xds = Vector.empty[String]
     var ok = true
     def colName(e: Expression): Option[String] = e match {
       case a: Attribute => Some(a.name)
@@ -584,15 +613,24 @@ object CubeAdvisor {
         }
         case _ => ok = false
       }
-      // anything else aggregate-shaped — DISTINCT aggregates (exact
-      // distinct cannot be served from cells), non-Complete modes,
+      // count(DISTINCT x) over an INTEGRAL key column IS servable from
+      // cells — as bitmap partials (lossless union, the q209 routing):
+      // the recommendation materializes a bitmap measure and the
+      // rewrite's exact-distinct path routes the query. Non-integral
+      // keys refuse below (the lossy cast would be silently wrong).
+      case AggregateExpression(Count(Seq(c)), Complete, true, _, _)
+          if integral(c.dataType) && colName(c).isDefined =>
+        xds :+= colName(c).get
+      // anything else aggregate-shaped — DISTINCT aggregates over
+      // non-integral columns (exact distinct cannot be served from
+      // cells without a lossless bitmap encoding), non-Complete modes,
       // filtered aggregates — is unservable: without this arm a
       // count(DISTINCT x) would silently match no case and the query
       // would be reported covered by a cube that can never route it
       case _: AggregateExpression => ok = false
       case _ => ()
     })
-    if (ok) Some(Leaves(sums, sks, qs, exts)) else None
+    if (ok) Some(Leaves(sums, sks, qs, exts, xds)) else None
   }
 
   /** Grouping + filter expressions → dims; refuse shapes the canonical
@@ -669,6 +707,7 @@ object CubeAdvisor {
       // predicate — no grouping and no point predicate vouches for the
       // column being dimension-shaped
       rangeDims = rangeCols.filterNot(pointCols.contains)
-        .filter(c => filterDims.exists(_.path == c))))
+        .filter(c => filterDims.exists(_.path == c)),
+      bitmaps = ms(leaves.xdistincts, "xd")))
   }
 }

@@ -267,6 +267,43 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q211
+  /** Graded: EXACT COUNT(DISTINCT) through GROUPING-SETS routing — the
+    * q163 rollup rewrite composed with the q209 bitmap family, exact
+    * this time where q175's sketch rollup was estimate-grade: a ROLLUP
+    * over the registered source mixing count(DISTINCT user_id) with
+    * the exact sum/count leaves routes to the cube with the Expand's
+    * input swapped from source rows to cube cells, the distinct leaf
+    * rewritten to bitmap_cardinality(union(per-cell bitmaps)) — and
+    * because the union is LOSSLESS every rollup level's distinct count
+    * (including the all-types total, which unions ALL cells' bitmaps)
+    * EQUALS the from-scratch recompute, so the whole grouping lattice
+    * is on the DuckDB hash gate. Same maintained lifecycle as q209
+    * (insert+delete fold with targeted recompute, persisted,
+    * reloaded); plan hard-asserted to scan the cube. At 100 TB: one
+    * |cube|-cell Expand instead of re-shuffling the source's distinct
+    * pairs once per grouping set. */
+  def q211BitmapRollupRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = exactDistinctSource(spark, sfDir)
+    val q = spark.read.parquet(srcDir)
+      .rollup(col("event_type"))
+      .agg(grouping_id().as("gid"),
+        countDistinct(col("user_id")).as("nd_users"),
+        sum(dec2(col("value"))).cast("double").as("value_sum"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("gid"), col("nd_users"),
+        col("value_sum"), col("n"))
+      .orderBy(col("gid"), col("event_type"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.exists(_.endsWith("/exact_distinct_demo")),
+      s"bitmap rollup routing did not fire; scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------- q146/q147
   /** One-time CubeService lifecycles for q146/q147, keyed per (session,
     * sfDir) — the q58 setup discipline: verbs run once against a temp
@@ -880,8 +917,13 @@ object CubeQueries {
           advice.rolling.head.coveredQueries == Seq(0, 1),
         s"advisor must cover the rolling workload: $advice")
       val rec = advice.rolling.head
+      // the distinct curve's key column is BIGINT, so the advisor
+      // recommends EXACT bitmap partials (not the HLL sketch trade) —
+      // q212 serves that curve on the full oracle gate
       require(rec.windows == Seq(7) && rec.dayDim == "ts_day" &&
-          rec.config.sketches.map(_.path) == Seq("user_id") &&
+          rec.config.bitmaps.map(_.path) == Seq("user_id") &&
+          rec.config.sketches.isEmpty &&
+          rec.exactDistinctOf == Seq("user_id_xd") &&
           rec.config.extremes.map(_.path) == Seq("value"),
         s"unexpected rolling recommendation: $rec")
       val svc = new CubeService(spark, dir)
@@ -895,6 +937,28 @@ object CubeQueries {
         minOf = Seq("value_x"), maxOf = Seq("value_x"))
       .select(col("day"), col("min_value_x").as("min_v"),
         col("max_value_x").as("max_v"))
+      .orderBy(col("day"))
+  }
+
+  // --------------------------------------------------------------- q212
+  /** Graded: the ADVISOR'S EXACT-DISTINCT LOOP CLOSED — the WAU curve
+    * planned from the workload's own trailing-window query
+    * (count(DISTINCT user_id) over the exploded 7-day window), for
+    * which [[CubeAdvisor]] recommends BITMAP partials (the key is
+    * BIGINT — the exact family; the setup hard-requires no HLL fell
+    * out), the q190 setup materialized verbatim, and the curve served
+    * by [[CubeService.getRolling]]'s exactDistinctOf path. Where q190
+    * grades the advised extremes, this grades the advised distinct —
+    * previously only possible as an estimate; the DuckDB oracle
+    * recomputes every trailing window from raw events and hash-matches
+    * because bitmap union is lossless. advise → materialize →
+    * exact serve, all three steps on the hash gate. */
+  def q212AdvisedBitmapRolling(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val svc = advisedRollingService(spark, sfDir)
+    svc.getRolling("adv_roll_rolling_0", "ts_day", windowDays = 7,
+        exactDistinctOf = Seq("user_id_xd"))
+      .select(col("day"), col("n_exact_user_id_xd").as("n_users_7d"))
       .orderBy(col("day"))
   }
 
@@ -1276,7 +1340,10 @@ object CubeQueries {
         CubeConfig("rolling_mm", "events",
           dims = Seq(TimeDim("day", "ts", "day")),
           measures = Seq(Measure("v", "value")),
-          extremes = Seq(Measure("vx", "value"))),
+          extremes = Seq(Measure("vx", "value")),
+          // exact-distinct bitmap partials over the dense BIGINT user
+          // key — the q210 rolling serve
+          bitmaps = Seq(Measure("u", "user_id"))),
         Tables.events(spark, sfDir))
       svc
     })
@@ -1286,6 +1353,29 @@ object CubeQueries {
     svc.getRolling("rolling_mm", "day", windowDays = 7,
         minOf = Seq("vx"), maxOf = Seq("vx"))
       .select(col("day"), col("min_vx"), col("max_vx"))
+      .orderBy(col("day"))
+  }
+
+  // --------------------------------------------------------------- q210
+  /** Graded: ROLLING trailing-window EXACT DISTINCT from maintained
+    * daily BITMAP partials — the WAU curve ([[q138RollingDistinct]]'s
+    * shape, the single most common pipeline metric) served from
+    * pre-aggregated state with NO estimate: bitmap union is lossless,
+    * so OR-merging each endpoint's ≤7 one-row daily partials yields a
+    * count EQUAL to the from-scratch distinct re-count — where the HLL
+    * twin (q139) trades exactness for the same cost shape. The DuckDB
+    * oracle is q138's own SQL (recompute every trailing window from
+    * raw events), so hash equality proves partials-only == from-scratch
+    * for a distinct curve — previously impossible from maintained
+    * state. 100 TB split: corpus touched once for |days| daily bitmaps
+    * (each ∝ touched id blocks, not rows); every refresh thereafter is
+    * |days|·7 one-row unions, independent of event count. */
+  def q210RollingBitmapDistinct(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val svc = rollingMmService(spark, sfDir)
+    svc.getRolling("rolling_mm", "day", windowDays = 7,
+        exactDistinctOf = Seq("u"))
+      .select(col("day"), col("n_exact_u").as("n_users_7d"))
       .orderBy(col("day"))
   }
 
@@ -1968,6 +2058,7 @@ object CubeQueries {
     "q58_cube_routing" -> q58CubeRouting,
     "q140_distinct_routing" -> q140DistinctRouting,
     "q209_exact_distinct_routing" -> q209ExactDistinctRouting,
+    "q211_bitmap_rollup_routing" -> q211BitmapRollupRouting,
     "q146_service_lifecycle" -> q146ServiceLifecycle,
     "q147_service_auto_update" -> q147ServiceAutoUpdate,
     "q151_change_stream" -> q151ChangeStream,
@@ -1984,6 +2075,8 @@ object CubeQueries {
     "q158_minmax_routing" -> q158MinmaxRouting,
     "q159_rolling_minmax" -> q159RollingMinmax,
     "q194_rolling_sum" -> q194RollingSum,
+    "q210_rolling_bitmap_distinct" -> q210RollingBitmapDistinct,
+    "q212_advised_bitmap_rolling" -> q212AdvisedBitmapRolling,
     "q160_sql_having_routing" -> q160SqlHavingRouting,
     "q163_rollup_routing" -> q163RollupRouting,
     "q175_sketch_rollup_routing" -> q175SketchRollupRouting,
@@ -2016,6 +2109,21 @@ object CubeQueries {
       FROM src
       GROUP BY 1
       ORDER BY 1""",
+    // The whole rollup lattice recomputed from the same post-delta
+    // slice: every level's count(DISTINCT) must hash-equal the routed
+    // bitmap unions — grouping() bit order matches grouping_id().
+    "q211_bitmap_rollup_routing" -> """
+      WITH src AS (
+        SELECT event_type, user_id, value FROM events
+        WHERE NOT (event_id % 5 <> 4 AND event_type = 'error'))
+      SELECT event_type,
+        CAST(grouping(event_type) AS BIGINT) AS gid,
+        count(DISTINCT user_id) AS nd_users,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        count(1) AS n
+      FROM src
+      GROUP BY ROLLUP (event_type)
+      ORDER BY gid, event_type""",
     "q33_cube_create" -> """
       SELECT event_type AS etype,
         CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS hour_s,
@@ -2285,6 +2393,33 @@ object CubeQueries {
       SELECT days.day, CAST(sum(daily.ds) AS DOUBLE) AS rev_7d,
         max(daily.dm) AS max_price_7d
       FROM days JOIN daily ON daily.d BETWEEN days.day - 6 AND days.day
+      GROUP BY 1
+      ORDER BY 1""",
+    // q138's own oracle: the exact WAU curve recomputed from raw
+    // events — the bitmap-partials serve must EQUAL it (lossless
+    // union), which puts a rolling distinct on the full hash gate for
+    // the first time.
+    "q210_rolling_bitmap_distinct" -> """
+      WITH du AS (
+        SELECT DISTINCT user_id,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS d
+        FROM events),
+      days AS (SELECT DISTINCT d AS day FROM du)
+      SELECT days.day, count(DISTINCT du.user_id) AS n_users_7d
+      FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day
+      GROUP BY 1
+      ORDER BY 1""",
+    // The advised cube's source is a projected copy of events, so the
+    // oracle is q138's own SQL again: advise → materialize verbatim →
+    // exact bitmap serve must equal the raw recompute.
+    "q212_advised_bitmap_rolling" -> """
+      WITH du AS (
+        SELECT DISTINCT user_id,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS d
+        FROM events),
+      days AS (SELECT DISTINCT d AS day FROM du)
+      SELECT days.day, count(DISTINCT du.user_id) AS n_users_7d
+      FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day
       GROUP BY 1
       ORDER BY 1""",
     // q159's day arithmetic, summed: trailing 7-day decimal-exact sums

@@ -314,7 +314,8 @@ final class CubeService(spark: SparkSession, storageDir: String,
       distinctOf: Seq[String] = Nil,
       quantilesOf: Seq[(String, Double)] = Nil,
       minOf: Seq[String] = Nil, maxOf: Seq[String] = Nil,
-      topkOf: Seq[(String, Int)] = Nil): DataFrame = {
+      topkOf: Seq[(String, Int)] = Nil,
+      exactDistinctOf: Seq[String] = Nil): DataFrame = {
     val retained = listCubeVersions(name)
     require(retained.contains(version),
       s"cube '$name' version $version is not retained " +
@@ -336,7 +337,7 @@ final class CubeService(spark: SparkSession, storageDir: String,
           spark.read.parquet(vdir.toString), hasDeletes)
       }
     CubeManager.query(cube, dims, lit(true), sumOf, avgOf,
-      distinctOf, quantilesOf, minOf, maxOf, topkOf)
+      distinctOf, quantilesOf, minOf, maxOf, topkOf, exactDistinctOf)
   }
 
   /** AUDIT DIFF between two retained versions of a plain cube: what did
@@ -514,9 +515,10 @@ final class CubeService(spark: SparkSession, storageDir: String,
       quantilesOf: Seq[(String, Double)] = Nil,
       minOf: Seq[String] = Nil,
       maxOf: Seq[String] = Nil,
-      topkOf: Seq[(String, Int)] = Nil): DataFrame =
+      topkOf: Seq[(String, Int)] = Nil,
+      exactDistinctOf: Seq[String] = Nil): DataFrame =
     CubeManager.query(loadCube(name), dims, filter, sumOf, avgOf,
-      distinctOf, quantilesOf, minOf, maxOf, topkOf)
+      distinctOf, quantilesOf, minOf, maxOf, topkOf, exactDistinctOf)
 
   /** ROLLING-window serve from maintained daily partials — the
     * q138/q139/q141 pattern as a service verb: for every observed day,
@@ -537,7 +539,13 @@ final class CubeService(spark: SparkSession, storageDir: String,
     * latch. Rolling SUMS (`sumOf`, plain measure ids) are the third
     * family: sums add across days, decimal-exact end to end, and —
     * uniquely — delete-proof, since the signed fold keeps net sums
-    * exact where sketches and extremes latch. */
+    * exact where sketches and extremes latch. `exactDistinctOf`
+    * (bitmap measure ids) is the EXACT sibling of `distinctOf`: bitmap
+    * union is lossless, so the trailing-window distinct count from
+    * OR-merged daily partials equals the from-scratch re-count — the
+    * WAU curve at HLL cost with no estimate (dense-integer keys only,
+    * the [[graft.functions.BitmapAgg]] boundary; insert-only latch
+    * applies like the sketches). */
   def getRolling(
       name: String,
       dayDim: String,
@@ -547,9 +555,11 @@ final class CubeService(spark: SparkSession, storageDir: String,
       minOf: Seq[String] = Nil,
       maxOf: Seq[String] = Nil,
       sumOf: Seq[String] = Nil,
-      avgOf: Seq[String] = Nil): DataFrame =
+      avgOf: Seq[String] = Nil,
+      exactDistinctOf: Seq[String] = Nil): DataFrame =
     rollingFrom(loadCube(name), name, dayDim, windowDays,
-      distinctOf, quantilesOf, minOf, maxOf, sumOf, avgOf)
+      distinctOf, quantilesOf, minOf, maxOf, sumOf, avgOf,
+      exactDistinctOf)
 
   /** [[getRolling]] for join MVs — a join cube with a day-granularity
     * time dimension serves the same trailing-window curves from the
@@ -564,9 +574,11 @@ final class CubeService(spark: SparkSession, storageDir: String,
       minOf: Seq[String] = Nil,
       maxOf: Seq[String] = Nil,
       sumOf: Seq[String] = Nil,
-      avgOf: Seq[String] = Nil): DataFrame =
+      avgOf: Seq[String] = Nil,
+      exactDistinctOf: Seq[String] = Nil): DataFrame =
     rollingFrom(loadJoinCube(name).cube, name, dayDim, windowDays,
-      distinctOf, quantilesOf, minOf, maxOf, sumOf, avgOf)
+      distinctOf, quantilesOf, minOf, maxOf, sumOf, avgOf,
+      exactDistinctOf)
 
   private def rollingFrom(
       cube: Cube,
@@ -578,27 +590,36 @@ final class CubeService(spark: SparkSession, storageDir: String,
       minOf: Seq[String],
       maxOf: Seq[String],
       sumOf: Seq[String],
-      avgOf: Seq[String]): DataFrame = {
+      avgOf: Seq[String],
+      exactDistinctOf: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cube.config.dims.exists {
         case TimeDim(id, _, g) => id == dayDim && g == "day"
         case _ => false
       }, s"$dayDim must be a day-granularity time dimension of cube $name")
     require(distinctOf.nonEmpty || quantilesOf.nonEmpty ||
-      minOf.nonEmpty || maxOf.nonEmpty || sumOf.nonEmpty || avgOf.nonEmpty,
+      minOf.nonEmpty || maxOf.nonEmpty || sumOf.nonEmpty || avgOf.nonEmpty ||
+      exactDistinctOf.nonEmpty,
       "request at least one rolling measure (distinctOf / quantilesOf / " +
-        "minOf / maxOf / sumOf / avgOf)")
+        "minOf / maxOf / sumOf / avgOf / exactDistinctOf)")
     // sketch and min/max partials of a delete-processed cube describe
     // EVER-INSERTED values (neither is invertible under deletes) —
     // refuse rather than serve silently-wrong curves. SUMS and AVGS
     // are exempt: the signed fold maintains exact net sums and row
     // counts per cell, so both stay exact through any delete history.
+    // Bitmap partials share the insert-only latch (a set bit cannot be
+    // un-set; delete-capable folds with the source at hand never latch,
+    // so an unlatched cube's bitmaps are exact).
     require(!cube.hasDeletes || (distinctOf.isEmpty &&
-        quantilesOf.isEmpty && minOf.isEmpty && maxOf.isEmpty),
+        quantilesOf.isEmpty && minOf.isEmpty && maxOf.isEmpty &&
+        exactDistinctOf.isEmpty),
       s"cube $name has folded deletes; its sketch/extreme partials are " +
         "insert-only and cannot serve rolling curves (rolling sums can)")
     distinctOf.foreach(id => require(cube.config.sketches.exists(_.id == id),
       s"$id is not an HLL sketch measure of cube $name"))
+    exactDistinctOf.foreach(id =>
+      require(cube.config.bitmaps.exists(_.id == id),
+        s"$id is not a bitmap measure of cube $name"))
     quantilesOf.foreach { case (id, _) =>
       require(cube.config.quantiles.exists(_.id == id),
         s"$id is not a KLL quantile measure of cube $name")
@@ -613,6 +634,13 @@ final class CubeService(spark: SparkSession, storageDir: String,
     // subdivide a day across many cells)
     val dailyAggs = distinctOf.distinct
       .map(id => hll_union_agg(col(id)).as(id)) ++
+      // bitmap partials union LOSSLESSLY (the one distinct family that
+      // re-aggregates exactly): one OR-merged bitmap per day, then
+      // |windowDays| one-row unions per endpoint — same cost shape as
+      // the sketch curves, but the answer EQUALS the from-scratch
+      // re-count, so the curve is fully oracle-gradable
+      exactDistinctOf.distinct
+        .map(id => graft.functions.Bitmap.unionAgg(col(id)).as(id)) ++
       quantilesOf.map(_._1).distinct.map(id =>
         graft.functions.Kll.mergeAgg(col(id)).as(id)) ++
       minOf.distinct.map(id => min(col(s"${id}_min")).as(s"${id}_min")) ++
@@ -637,6 +665,9 @@ final class CubeService(spark: SparkSession, storageDir: String,
     // by-name reference an AMBIGUOUS_REFERENCE error
     val endpointAggs = distinctOf.distinct.map(id =>
       hll_sketch_estimate(hll_union_agg(col(id))).as(s"n_distinct_$id")) ++
+      exactDistinctOf.distinct.map(id =>
+        graft.functions.Bitmap.cardinality(
+          graft.functions.Bitmap.unionAgg(col(id))).as(s"n_exact_$id")) ++
       quantilesOf.distinct.map { case (id, q) =>
         graft.functions.Kll.quantile(
           graft.functions.Kll.mergeAgg(col(id)), q)
@@ -958,9 +989,10 @@ final class CubeService(spark: SparkSession, storageDir: String,
       distinctOf: Seq[String] = Nil,
       quantilesOf: Seq[(String, Double)] = Nil,
       minOf: Seq[String] = Nil, maxOf: Seq[String] = Nil,
-      topkOf: Seq[(String, Int)] = Nil): DataFrame =
+      topkOf: Seq[(String, Int)] = Nil,
+      exactDistinctOf: Seq[String] = Nil): DataFrame =
     CubeManager.query(loadJoinCube(name).cube, dims, filter, sumOf, avgOf,
-      distinctOf, quantilesOf, minOf, maxOf, topkOf)
+      distinctOf, quantilesOf, minOf, maxOf, topkOf, exactDistinctOf)
 
   /** Version of the join MV the MANIFEST currently points at (one
     * version per fold — a version number doubles as a fold count). */
@@ -1006,14 +1038,16 @@ final class CubeService(spark: SparkSession, storageDir: String,
       distinctOf: Seq[String] = Nil,
       quantilesOf: Seq[(String, Double)] = Nil,
       minOf: Seq[String] = Nil, maxOf: Seq[String] = Nil,
-      topkOf: Seq[(String, Int)] = Nil): DataFrame = {
+      topkOf: Seq[(String, Int)] = Nil,
+      exactDistinctOf: Seq[String] = Nil): DataFrame = {
     val retained = listJoinCubeVersions(name)
     require(retained.contains(version),
       s"join MV '$name' version $version is not retained " +
         s"(window: ${retained.mkString(", ")}); raise retainJmvVersions " +
         "at service construction to widen the time-travel window")
     CubeManager.query(jmvLoadAt(name, version).cube, dims, lit(true),
-      sumOf, avgOf, distinctOf, quantilesOf, minOf, maxOf, topkOf)
+      sumOf, avgOf, distinctOf, quantilesOf, minOf, maxOf, topkOf,
+      exactDistinctOf)
   }
 
   def listJoinCubes(): Seq[String] = {

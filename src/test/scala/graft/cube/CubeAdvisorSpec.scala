@@ -73,19 +73,23 @@ class CubeAdvisorSpec extends AnyFunSuite {
       src.groupBy(col("event_type")).agg(avg(col("value")).as("a")),
       // 7: not an aggregate at all → uncovered
       src.filter(col("value") > 50.0),
-      // 8: EXACT distinct → uncovered (cells can never serve it; a
-      // silently 'covered' verdict here would break the honesty
-      // contract)
+      // 8: EXACT distinct over an INTEGRAL key → covered via a bitmap
+      // measure (lossless union — the q209 routing family)
       src.groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("ndx")))
+        .agg(countDistinct(col("user_id")).as("ndx")),
+      // 9: EXACT distinct over a STRING column → uncovered (the
+      // bitmap cast would be lossy; a silently 'covered' verdict here
+      // would break the honesty contract)
+      src.groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(countDistinct(col("event_type")).as("nds")))
 
     val advice = CubeAdvisor.advise(mkWorkload())
-    assert(advice.uncovered == Seq(6, 7, 8),
+    assert(advice.uncovered == Seq(6, 7, 9),
       s"uncovered=${advice.uncovered}")
     assert(advice.cubes.size == 1 && advice.joinCubes.isEmpty,
       s"expected one recommendation, got $advice")
     val rec = advice.cubes.head
-    assert(rec.coveredQueries == Seq(0, 1, 2, 3, 4, 5))
+    assert(rec.coveredQueries == Seq(0, 1, 2, 3, 4, 5, 8))
     // dims: event_type + day(ts); NO duplicate dim for the filter column
     val dimKeys = rec.config.dims.map {
       case FieldDim(_, p) => s"f:$p"
@@ -96,6 +100,7 @@ class CubeAdvisorSpec extends AnyFunSuite {
     assert(rec.config.measures.map(_.path) == Seq("value"))
     assert(rec.config.sketches.map(_.path) == Seq("user_id"))
     assert(rec.config.extremes.map(_.path) == Seq("value"))
+    assert(rec.config.bitmaps.map(_.path) == Seq("user_id"))
 
     // the honesty check: materialize + register the config VERBATIM and
     // every covered query routes
@@ -233,15 +238,20 @@ class CubeAdvisorSpec extends AnyFunSuite {
     assert(rec.coveredQueries == Seq(0, 1, 5))
     assert(rec.windows == Seq(7, 14))
     assert(rec.config.dims == Seq(TimeDim("ts_day", "ts", "day")))
-    assert(rec.config.sketches.map(_.path) == Seq("user_id"))
+    // the distinct key is BIGINT → the advisor recommends EXACT bitmap
+    // partials, not the HLL sketch trade
+    assert(rec.config.bitmaps.map(_.path) == Seq("user_id"))
+    assert(rec.config.sketches.isEmpty)
+    assert(rec.exactDistinctOf == Seq("user_id_xd") && rec.distinctOf.isEmpty)
     assert(rec.config.quantiles.map(_.path) == Seq("value"))
     assert(rec.config.extremes.map(_.path) == Seq("value"))
     assert(rec.config.measures.map(_.path) == Seq("value")
       && rec.sumOf == Seq("value_sum"))
 
     // honesty: materialize VERBATIM, then getRolling must reproduce
-    // each workload query's own curve — exactly for extremes, within
-    // the estimate band for the sketch families
+    // each workload query's own curve — exactly for extremes AND the
+    // bitmap distinct (lossless union), within the estimate band for
+    // the sketch families
     val svcDir = Files.createTempDirectory("graft_advr_svc").toString
     val svc = new CubeService(spark, svcDir)
     svc.createCube(rec.config, src)
@@ -249,13 +259,10 @@ class CubeAdvisorSpec extends AnyFunSuite {
     val exactDu = fresh(0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val servedDu = svc.getRolling(rec.config.name, rec.dayDim,
-        windowDays = 7, distinctOf = rec.distinctOf).collect()
-      .map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
-    assert(servedDu.keySet == exactDu.keySet)
-    exactDu.foreach { case (day, n) =>
-      assert(math.abs(servedDu(day) - n) <= math.max(1.0, 0.05 * n),
-        s"day $day: HLL $servedDu(day) vs exact $n")
-    }
+        windowDays = 7, exactDistinctOf = rec.exactDistinctOf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(servedDu == exactDu,
+      s"bitmap rolling distinct diverged: $servedDu vs $exactDu")
     val exact1 = fresh(1).collect()
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2),
         r.getDouble(3)))).toMap
