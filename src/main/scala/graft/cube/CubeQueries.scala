@@ -123,6 +123,7 @@ object CubeQueries {
     advisedRollingService(spark, sfDir)
     advisedJoinRollService(spark, sfDir)
     exactDistinctSource(spark, sfDir)
+    asOfRoutingSource(spark, sfDir)
     ()
   }
 
@@ -855,6 +856,52 @@ object CubeQueries {
         sumOf = Seq("v"), avgOf = Seq("v"))
       .select(col("day"), col("sum_v"), col("avg_v"))
       .orderBy(col("day"))
+  }
+
+  // --------------------------------------------------------------- q213
+  /** Graded: AS-OF ROUTING — the time-travel verbs composed with the
+    * optimizer (the r12 routing-matrix gap: "a user who registers a
+    * source and asks yesterday's question gets today's cube with no
+    * as-of hook"). [[CubeService.registerSourceAsOf]] pins a source
+    * path to RETAINED VERSION 1 of the q189 cube (after the late-insert
+    * fold, BEFORE the error purge), and a plain aggregate over that
+    * source routes to v1's cells — hard-asserted to scan the archived
+    * version, and the answer deliberately DIFFERS from the head (v2
+    * lacks the error rows). The oracle recomputes v1's state from the
+    * raw table (all events — exactly the fold prefix v1 is the fixpoint
+    * of), so hash equality proves the as-of-routed serve is the exact
+    * historical answer. Publish-proof twice over: the registration is
+    * version-keyed (a later publish's refresh can't move it to the
+    * head) and its hard-link snapshot keeps the version's files alive
+    * even past retention GC. */
+  private val asOfRoutingSetup = TrieMap.empty[(SparkSession, String), String]
+  private def asOfRoutingSource(spark: SparkSession, sfDir: String): String =
+    asOfRoutingSetup.getOrElseUpdate((spark, sfDir), {
+      val svc = cubeTimeTravelService(spark, sfDir)
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_asof_route").toString
+      val srcDir = s"$dir/source"
+      Tables.events(spark, sfDir)
+        .select(col("event_type"), col("value")).write.parquet(srcDir)
+      CubeCatalog.install(spark)
+      svc.registerSourceAsOf(s"ctt_asof@$sfDir", "ctt", 1, srcDir)
+      srcDir
+    })
+
+  def q213AsOfRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = asOfRoutingSource(spark, sfDir)
+    val q = spark.read.parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg(sum(dec2(col("value"))).cast("double").as("value_sum"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.exists(_.endsWith("ctt.versions/v1")),
+      s"as-of routing did not fire on the archived version; scans=$scans")
+    q
   }
 
   def q189CubeTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
@@ -2059,6 +2106,7 @@ object CubeQueries {
     "q140_distinct_routing" -> q140DistinctRouting,
     "q209_exact_distinct_routing" -> q209ExactDistinctRouting,
     "q211_bitmap_rollup_routing" -> q211BitmapRollupRouting,
+    "q213_asof_routing" -> q213AsOfRouting,
     "q146_service_lifecycle" -> q146ServiceLifecycle,
     "q147_service_auto_update" -> q147ServiceAutoUpdate,
     "q151_change_stream" -> q151ChangeStream,
@@ -2124,6 +2172,17 @@ object CubeQueries {
       FROM src
       GROUP BY ROLLUP (event_type)
       ORDER BY gid, event_type""",
+    // Version 1's fold prefix is ALL events (base slice + the held-out
+    // inserts, before the error purge): the as-of-routed serve must
+    // hash-equal that historical state, and it visibly differs from
+    // the head (which excludes the error rows).
+    "q213_asof_routing" -> """
+      SELECT event_type,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        count(1) AS n
+      FROM events
+      GROUP BY 1
+      ORDER BY 1""",
     "q33_cube_create" -> """
       SELECT event_type AS etype,
         CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS hour_s,

@@ -86,15 +86,83 @@ object CubeCatalog {
     * for THIS registration. The analyzed cube plan, its file-stats
     * size (the cost key), and its own scan path are memoized here at
     * construction — [[CubeRewriteRule]] reads them on every optimizer
-    * invocation and must never re-derive them per query. */
+    * invocation and must never re-derive them per query.
+    *
+    * PUBLISH-STABLE SCANS: the single-table publish replaces the head
+    * directory by a two-rename swap and archives the old head by
+    * RENAME, so a routed plan optimized against the pre-publish head
+    * and executed after it would read renamed-away paths
+    * (FILE_NOT_EXIST mid-query — loud, but still a failed read under a
+    * concurrent fold). Join MVs never had the race: their versions are
+    * immutable directories behind a manifest. This registration
+    * applies the same discipline to single-table cubes WITHOUT copying
+    * data: the memoized plan scans a HARD-LINK snapshot of the head's
+    * files (`<head>.snap/s<gen>/<name>/` — same inodes, metadata-only
+    * cost), which a publish's renames cannot touch. Snapshot
+    * generations are GC'd DEFERRED BY ONE registration refresh (the
+    * jmv deferred-GC argument): a plan built against the previous
+    * registration keeps its files through the publish that supersedes
+    * it, so a routed serve concurrent with a publish reads exactly one
+    * consistent version — the old one. `stableScan = true` (join MVs,
+    * whose version dirs are already immutable) skips snapshotting;
+    * a cube whose plan is not a flat parquet directory falls back to
+    * the raw plan (it will refuse to route anyway). */
   final case class Registration(cube: Cube, sourcePath: String,
-      approxDistinct: Boolean) {
+      approxDistinct: Boolean, stableScan: Boolean = false) {
+    /** Scan path of the cube's OWN plan before snapshotting — the
+      * misregistration guard compares this against the query source
+      * path (a "cube" that IS the source must refuse to route; the
+      * snapshot path would never compare equal and would bypass the
+      * guard). */
+    val origScanPath: Option[String] = sourcePathOf(
+      Bridge.analyzed(cube.aggregates))
     val cubePlan: LogicalPlan = {
       analysisCount.incrementAndGet()
-      Bridge.analyzed(cube.aggregates)
+      val base = Bridge.analyzed(cube.aggregates)
+      if (stableScan) base
+      else origScanPath.flatMap(p => snapshotPlan(cube, p)).getOrElse(base)
     }
     val cubeSize: BigInt = cubePlan.stats.sizeInBytes
     val cubeScanPath: Option[String] = sourcePathOf(cubePlan)
+  }
+
+  private val snapGen = new java.util.concurrent.atomic.AtomicLong
+
+  /** Hard-link the head's flat parquet files into a fresh snapshot
+    * generation and return a plan over it; None (→ raw-plan fallback)
+    * for non-directory or partitioned layouts. Keeps the TWO newest
+    * generations per snapshot root — the current registration's and
+    * the previous one's, so in-flight plans survive exactly one
+    * superseding refresh (deferred GC). The snapshot dir ends with the
+    * cube directory's own basename so path-suffix assertions
+    * ("…/cube_name") hold on routed plans. */
+  private def snapshotPlan(cube: Cube, scanPath: String): Option[LogicalPlan] =
+    try {
+      val src = java.nio.file.Paths.get(scanPath.stripPrefix("file:"))
+      if (!src.toFile.isDirectory) return None
+      val files = Option(src.toFile.listFiles()).getOrElse(Array.empty)
+      if (files.exists(_.isDirectory)) return None // partitioned: fall back
+      val snapRoot = java.nio.file.Paths.get(
+        scanPath.stripPrefix("file:") + ".snap")
+      val dest = snapRoot.resolve(s"s${snapGen.incrementAndGet()}")
+        .resolve(src.getFileName)
+      java.nio.file.Files.createDirectories(dest)
+      files.filter(_.isFile).foreach { f =>
+        java.nio.file.Files.createLink(dest.resolve(f.getName), f.toPath)
+      }
+      // GC superseded generations, deferred by one: newest two stay
+      val gens = Option(snapRoot.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("s"))
+        .flatMap(f => f.getName.drop(1).toLongOption.map(_ -> f))
+        .sortBy(-_._1)
+      gens.drop(2).foreach { case (_, f) => rmTree(f) }
+      Some(Bridge.analyzed(
+        cube.aggregates.sparkSession.read.parquet(dest.toString)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(); ()
   }
 
   /** A routable JOIN MV ([[JoinCubeManager]]): the materialized cube
@@ -121,7 +189,7 @@ object CubeCatalog {
       jc.left.columns.filterNot(_ == "_mult").toSeq,
       jc.right.columns.filterNot(_ == "_mult").toSeq)
     joinCubes.put(name, JoinRegistration(
-      Registration(jc.cube, "", approxDistinct),
+      Registration(jc.cube, "", approxDistinct, stableScan = true),
       normalize(leftPath), normalize(rightPath),
       jc.config.leftKey, jc.config.rightKey))
     ()
@@ -148,7 +216,7 @@ object CubeCatalog {
         joinCubes.put(k, JoinRegistration(
           // carry the serve opt-in across publishes — dropping it here
           // would silently de-route sketch serves after the first fold
-          Registration(jc.cube, "", jr.reg.approxDistinct),
+          Registration(jc.cube, "", jr.reg.approxDistinct, stableScan = true),
           jr.leftPath, jr.rightPath, jr.leftKey, jr.rightKey))
     }
 
@@ -166,8 +234,22 @@ object CubeCatalog {
     }
   }
 
-  private[cube] def normalize(p: String): String =
-    p.stripPrefix("file:").replaceAll("/+$", "")
+  /** Path normalization for registration matching and plan reporting.
+    * A hard-link snapshot path (`<dir>/<name>.snap/s<gen>/<name>`)
+    * collapses to the cube path it snapshots (`<dir>/<name>`): the
+    * snapshot holds the same inodes, so "which cube does this scan
+    * read" is answered by the logical cube path — plan assertions and
+    * registration matching both see through the publish-stability
+    * indirection. */
+  private[cube] def normalize(p: String): String = {
+    val base = p.stripPrefix("file:").replaceAll("/+$", "")
+    base match {
+      case SnapPath(prefix, name) if prefix.endsWith(s"/$name") => prefix
+      case _ => base
+    }
+  }
+
+  private val SnapPath = """(.*)\.snap/s\d+/([^/]+)""".r
 
   private[cube] def sourcePathOf(plan: LogicalPlan): Option[String] =
     plan match {
@@ -351,7 +433,10 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
       *   about the real row economics. */
     def routable: Boolean = {
       if (reg.cubeScanPath.isEmpty) return false
-      if (reg.cubeScanPath == CubeCatalog.sourcePathOf(source)) return false
+      // misregistration guard on the PRE-SNAPSHOT path: a "cube" whose
+      // plan scans the source itself must refuse (the snapshot path
+      // would never compare equal and would bypass this)
+      if (reg.origScanPath == CubeCatalog.sourcePathOf(source)) return false
       val floor = BigInt(org.apache.spark.sql.internal.SQLConf.get
         .getConfString("spark.graft.cube.routingCostFloorBytes",
           (1L << 20).toString).toLong)

@@ -109,7 +109,7 @@ final class CubeService(spark: SparkSession, storageDir: String,
     // any leftover publish staging/aside dirs
     Seq(s"$name.base", s"$name.base.old", s"$name.base.staging",
         s"$name.checkpoint", s"$name.old", s"$name.staging",
-        s"$name.versions")
+        s"$name.versions", s"$name.snap")
       .foreach(sfx => rm(new java.io.File(s"$storageDir/$sfx")))
   }
 
@@ -309,35 +309,74 @@ final class CubeService(spark: SparkSession, storageDir: String,
     * so sketch/extreme refusals apply per-version (a version archived
     * in the same publish that tripped the latch is conservatively
     * treated as latched). */
+  /** The cube STATE at a retained version — the loading half of
+    * [[getAggregatesAsOf]], exposed so as-of consumers beyond the
+    * roll-up verb (the [[registerSourceAsOf]] optimizer pin, audits)
+    * share one resolution path. Head version → the live registry;
+    * archived version → the immutable `v<k>` directory with its own
+    * archived `_meta.json` (per-version hasDeletes latch). */
+  def cubeAt(name: String, version: Int): Cube = {
+    val retained = listCubeVersions(name)
+    require(retained.contains(version),
+      s"cube '$name' version $version is not retained " +
+        s"(window: ${retained.mkString(", ")}); raise retainCubeVersions " +
+        "at service construction to widen the time-travel window")
+    if (version == cvManifest(name)) loadCube(name)
+    else {
+      val vdir = cvRoot(name).resolve(s"v$version")
+      val metaFile = vdir.resolve("_meta.json")
+      val json =
+        if (metaFile.toFile.exists())
+          java.nio.file.Files.readString(metaFile)
+        else java.nio.file.Files.readString(
+          java.nio.file.Paths.get(storageDir, s"$name.json"))
+      val hasDeletes =
+        """"hasDeletes":\s*true""".r.findFirstIn(json).isDefined
+      Cube(CubeManager.configFromJson(json),
+        spark.read.parquet(vdir.toString), hasDeletes)
+    }
+  }
+
   def getAggregatesAsOf(name: String, version: Int, dims: Seq[String],
       sumOf: Seq[String] = Nil, avgOf: Seq[String] = Nil,
       distinctOf: Seq[String] = Nil,
       quantilesOf: Seq[(String, Double)] = Nil,
       minOf: Seq[String] = Nil, maxOf: Seq[String] = Nil,
       topkOf: Seq[(String, Int)] = Nil,
-      exactDistinctOf: Seq[String] = Nil): DataFrame = {
-    val retained = listCubeVersions(name)
-    require(retained.contains(version),
-      s"cube '$name' version $version is not retained " +
-        s"(window: ${retained.mkString(", ")}); raise retainCubeVersions " +
-        "at service construction to widen the time-travel window")
-    val cube =
-      if (version == cvManifest(name)) loadCube(name)
-      else {
-        val vdir = cvRoot(name).resolve(s"v$version")
-        val metaFile = vdir.resolve("_meta.json")
-        val json =
-          if (metaFile.toFile.exists())
-            java.nio.file.Files.readString(metaFile)
-          else java.nio.file.Files.readString(
-            java.nio.file.Paths.get(storageDir, s"$name.json"))
-        val hasDeletes =
-          """"hasDeletes":\s*true""".r.findFirstIn(json).isDefined
-        Cube(CubeManager.configFromJson(json),
-          spark.read.parquet(vdir.toString), hasDeletes)
-      }
-    CubeManager.query(cube, dims, lit(true), sumOf, avgOf,
+      exactDistinctOf: Seq[String] = Nil): DataFrame =
+    CubeManager.query(cubeAt(name, version), dims, lit(true), sumOf, avgOf,
       distinctOf, quantilesOf, minOf, maxOf, topkOf, exactDistinctOf)
+
+  /** OPT-IN AS-OF ROUTING: register `sourcePath` to be served by the
+    * optimizer from a RETAINED HISTORICAL version of this cube — the
+    * time-travel verbs composed with [[CubeRewriteRule]], so "ask
+    * yesterday's question through today's query" needs no API change on
+    * the query side: any covered aggregate over the source routes to
+    * version `version`'s cells. Deliberately answer-CHANGING relative
+    * to the head (that is the point), hence its own verb rather than a
+    * flag on `register`; the head itself serves via plain
+    * registration, so `version` must be an ARCHIVED retained version.
+    *
+    * Pinning semantics: the registration is keyed to the version, not
+    * the cube name, so a later publish's registry refresh (which swaps
+    * name-matched registrations to the new head) never moves it. The
+    * registration's hard-link snapshot pins the version's FILES too —
+    * valid even after the version ages out of the retention window
+    * (the snapshot holds the inodes; [[CubeCatalog.unregister]] or
+    * [[deleteCube]] releases them). */
+  def registerSourceAsOf(catalogKey: String, name: String, version: Int,
+      sourcePath: String): Unit = {
+    require(version != cvManifest(name),
+      s"version $version is the current head of '$name' — register the " +
+        "head with CubeCatalog.register; as-of pinning addresses " +
+        "archived versions")
+    val c = cubeAt(name, version)
+    // rename the config so publish-time CubeCatalog.refresh (matched
+    // by config name) can never swap this pin to the new head
+    CubeCatalog.register(catalogKey,
+      Cube(c.config.copy(name = s"${c.config.name}@v$version"),
+        c.aggregates, c.hasDeletes),
+      sourcePath)
   }
 
   /** AUDIT DIFF between two retained versions of a plain cube: what did

@@ -1206,6 +1206,75 @@ class CubeRewriteSpec extends AnyFunSuite {
     CubeCatalog.clear()
   }
 
+  test("routed serve concurrent with a publish reads exactly one consistent version") {
+    // The manifest-swap claim made EXECUTABLE instead of assumed: a
+    // routed plan optimized against the pre-publish registration and
+    // executed only AFTER the publish must return the OLD version's
+    // answer — one consistent version, never a torn read and never a
+    // FILE_NOT_EXIST on renamed-away head files. The mechanism is the
+    // registration's hard-link snapshot (publishes rename the head;
+    // they cannot touch the snapshot's links) with GC deferred one
+    // registration generation. A query built AFTER the publish routes
+    // to the new head via the refreshed registration.
+    CubeCatalog.clear()
+    val svcDir = Files.createTempDirectory("graft_rw_race").toString
+    val svc = new CubeService(spark, svcDir)
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    val rows = (0 until 400).map { i =>
+      (Seq("a", "b", "c")(rnd.nextInt(3)),
+        math.round(rnd.nextDouble() * 10000) / 100.0, i.toLong)
+    }
+    val srcDir = Files.createTempDirectory("graft_rw_race_src").toString
+    rows.toDF("k", "v", "id").write.mode("overwrite").parquet(srcDir)
+    val c = CubeConfig("race", "src", Seq(FieldDim("k", "k")),
+      Seq(Measure("vs", "v")))
+    svc.createCube(c,
+      spark.read.parquet(srcDir).filter(col("id") % 2 === 0))
+    CubeCatalog.register("race",
+      CubeManager.load(spark, svcDir, "race"), srcDir)
+    def routedQ() = spark.read.parquet(srcDir)
+      .groupBy(col("k"))
+      .agg(sum(col("v").cast("decimal(18,2)")).cast("double").as("s"))
+      .orderBy(col("k"))
+    val stale = routedQ()
+    stale.queryExecution.executedPlan // optimized + planned, NOT executed
+    val staleScans = stale.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    assert(staleScans.exists(_.endsWith("/race")), staleScans.toString)
+    val oldAnswer = rows.filter(_._3 % 2 == 0).groupBy(_._1)
+      .map { case (k, rs) =>
+        Seq(k, (rs.map(r => BigDecimal(r._2).setScale(2)).sum).toDouble) }
+      .toSeq.sortBy(_.head.toString)
+    // the publish: fold the odd half in, refresh the registration
+    svc.updateAggregates("race",
+      spark.read.parquet(srcDir).filter(col("id") % 2 === 1)
+        .withColumn("_sign", lit(1L)))
+    // the stale plan executes AFTER the publish — old version, exactly
+    val staleResult = stale.collect().map(_.toSeq.map {
+      case d: java.lang.Double => d.doubleValue; case x => x }).toSeq
+    assert(staleResult.map(_.toList) == oldAnswer.map(_.toList),
+      s"stale routed plan not old-version-consistent: $staleResult vs $oldAnswer")
+    // a FRESH query routes to the refreshed registration = new head
+    val freshQ = routedQ()
+    val freshScans = freshQ.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    assert(freshScans.exists(_.endsWith("/race")), freshScans.toString)
+    val newAnswer = rows.groupBy(_._1)
+      .map { case (k, rs) =>
+        Seq(k, (rs.map(r => BigDecimal(r._2).setScale(2)).sum).toDouble) }
+      .toSeq.sortBy(_.head.toString)
+    val freshResult = freshQ.collect().map(_.toSeq.map {
+      case d: java.lang.Double => d.doubleValue; case x => x }).toSeq
+    assert(freshResult.map(_.toList) == newAnswer.map(_.toList),
+      s"fresh routed plan not new-version: $freshResult vs $newAnswer")
+    CubeCatalog.clear()
+  }
+
   test("rollup min/max over a delete-latched cube refuses; sum still routes") {
     import spark.implicits._
     val (srcDir, _) = setup()
