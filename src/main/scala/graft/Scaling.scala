@@ -130,6 +130,7 @@ object Scaling {
       record("dedup_minhash_pairs", k,
         best(functions.Dedup.minHashPairs(docs).count()))
       println(s"[scaling] dedup_embedding_lsh x$k auto bits=${lshBits(k)} " +
+        s"tables=${functions.Dedup.autoLshTables(k * lshBaseN)} " +
         s"(corpus=${k * lshBaseN})")
       record("dedup_embedding_lsh", k,
         best(functions.Dedup.embeddingLshPairs(em).count()))

@@ -495,23 +495,48 @@ class AnnIndexService(spark: SparkSession, storageDir: String,
     * only file layout moves. Superseded segments stay on disk until the
     * NEXT publish retires the last version referencing them (the
     * deferred-by-one GC in [[publish]]). */
-  def compactIndex(name: String): AnnIndex = {
+  def compactIndex(name: String, recluster: Boolean = false): AnnIndex = {
     require(!autoUpdates.get(name).exists(_.isActive),
       s"stop auto-update on '$name' before compaction — " +
         "concurrent manifest publishes would race")
     val v = version(name)
     val idx = loadIndex(name)
     val noTombs = tombstonesOf(name, v).isEmpty
-    if (segmentsOf(name, v).size <= 1 && noTombs) idx // compact — no-op
+    if (!recluster && segmentsOf(name, v).size <= 1 && noTombs)
+      idx // compact — no-op
     else {
       val seg = s"seg${v + 1}"
+      // `recluster = true` is the missing lifecycle verb for DRIFT:
+      // maintenance folds always assign against the CREATE-TIME
+      // centroids (deliberate — assignments stay consistent with every
+      // earlier segment), so after heavy distribution drift the fixed
+      // partition degrades — drifted vectors pile into few clusters
+      // (partition pruning stops paying) or straddle stale boundaries
+      // (fixed-nprobe recall decays), and tuneNprobe can only
+      // compensate by probing wider. Re-clustering re-runs the SAME
+      // seeded Lloyd build ([[Similarity.buildCentroids]]) over the
+      // surviving (tombstone-masked) corpus and re-assigns every row —
+      // cost ∝ |corpus|, the price compaction already pays — after
+      // which tuneNprobe re-tunes against the new partition. Over an
+      // UNDRIFTED corpus the seeded build reproduces the create-time
+      // centroids exactly, so results are bit-identical (pinned in
+      // AnnIndexSpec). Old versions still serve their own centroids
+      // via queryIndexAsOf — a version is a self-contained triple.
+      val em = idx.vectors
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val cents =
+        if (recluster) Similarity.buildCentroids(em, idx.k, idx.lloydIters)
+        else idx.centroids
       // overwrite: a crashed earlier fold/compact may have left data at
       // this name without ever publishing it. idx.vectors is already
       // tombstone-masked, so compaction PHYSICALLY drops deleted rows —
       // and the sidecar resets to empty (nothing left to mask).
-      idx.vectors.write.mode("overwrite").partitionBy("cent_id")
+      val rows =
+        if (recluster) Similarity.assignWithVec(em, cents)
+        else idx.vectors
+      rows.write.mode("overwrite").partitionBy("cent_id")
         .parquet(root(name).resolve(seg).toString)
-      publish(name, v + 1, idx.centroids, Seq(seg), idx.k, idx.lloydIters,
+      publish(name, v + 1, cents, Seq(seg), idx.k, idx.lloydIters,
         None, None, tombs = Some({ import spark.implicits._
           Seq.empty[(Long, Int)].toDF("vec_id", "up_to_seg") }))
     }

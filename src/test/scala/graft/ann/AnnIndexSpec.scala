@@ -304,6 +304,154 @@ class AnnIndexSpec extends AnyFunSuite {
     svc.deleteIndex("tx")
   }
 
+  test("recluster compaction: bit-identical undrifted; recall recovers after drift") {
+    val dir = Files.createTempDirectory("graft_ann_recl").toString
+    val svc = new AnnIndexService(spark, dir, retainAnnVersions = 3)
+    // UNDRIFTED: the seeded Lloyd build over the same surviving corpus
+    // reproduces the create-time centroids exactly, so recluster is a
+    // pure relayout — results bit-identical
+    svc.createIndex("rc", corpus(), k = 8, lloydIters = 2)
+    val queries = corpus().filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val before = rows(svc.queryIndex("rc", queries, topK = 4, nprobe = 3))
+    svc.compactIndex("rc", recluster = true)
+    assert(rows(svc.queryIndex("rc", queries, topK = 4, nprobe = 3))
+      == before, "recluster over an undrifted corpus changed results")
+
+    // DRIFT: fold a LINE of vectors crossing the boundary between two
+    // create-time centroids — the worst case for the fixed partition:
+    // each member's true nearest neighbors are its immediate line
+    // neighbors on BOTH sides of the stale boundary, but the stale
+    // assignment splits the line across the two cells, so a narrow
+    // probe from near the boundary misses the other side's half. After
+    // recluster the drifted mass (40 of 100 vectors) attracts its own
+    // centroid(s) and line neighborhoods co-locate.
+    import spark.implicits._
+    val centRows = svc.loadIndex("rc").centroids
+      .orderBy(col("cent_id")).collect()
+    val c1 = centRows(0).getAs[scala.collection.Seq[Float]]("ce").toSeq
+    val c2 = centRows(1).getAs[scala.collection.Seq[Float]]("ce").toSeq
+    val mid = c1.zip(c2).map { case (a, b) => (a + b) / 2 }
+    val d = c1.zip(c2).map { case (a, b) => a - b }
+    val dn = math.sqrt(d.map(x => x.toDouble * x).sum).toFloat
+    val pack = (5000 until 5040).map { i =>
+      val t = (i - 5020) / 100.0f // −0.20 .. 0.19 along the axis
+      (i.toLong,
+        mid.zip(d).map { case (m, dd) => m + t * dd / dn }.toArray)
+    }.toDF("vec_id", "embedding")
+    svc.upsertVectors("rc", pack)
+    // self-calibrating: find WHERE along the line the stale assignment
+    // actually cuts, and query the members straddling that cut — the
+    // vectors whose true neighbors the narrow probe must miss
+    val assignedLine = svc.loadIndex("rc").vectors
+      .filter(col("vec_id") >= 5000L)
+      .select(col("vec_id"), col("cent_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val cuts = assignedLine.sliding(2).collect {
+      case Array((_, a), (i2, b)) if a != b => i2
+    }.toSeq
+    assert(cuts.nonEmpty,
+      s"fixture: drifted line landed in one stale cell ($assignedLine)")
+    val cut = cuts.head
+    val qIds = Seq(cut - 2, cut - 1, cut, cut + 1)
+      .filter(i => i >= 5000L && i < 5040L)
+    val packQ = pack.filter(col("vec_id").isin(qIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // ground truth: exhaustive probe (exact over the surviving corpus)
+    def resultSet(np: Int): Set[(Long, Long)] =
+      svc.queryIndex("rc", packQ, topK = 4, nprobe = np)
+        .select(col("query_id"), col("cand_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactBefore = resultSet(8)
+    val recallBefore =
+      resultSet(1).intersect(exactBefore).size.toDouble / exactBefore.size
+    svc.compactIndex("rc", recluster = true)
+    val exactAfter = resultSet(8)
+    // the exhaustive serve is partition-independent: same corpus, same
+    // exact answer under either clustering
+    assert(exactAfter == exactBefore,
+      "re-clustering changed the exhaustive (exact) answer")
+    val recallAfter =
+      resultSet(1).intersect(exactAfter).size.toDouble / exactAfter.size
+    assert(recallAfter > recallBefore + 0.1,
+      s"recall did not recover: before=$recallBefore after=$recallAfter")
+    svc.deleteIndex("rc")
+  }
+
+  test("recall is monotone in nprobe: the superset-displacement argument, 100+ random trials") {
+    // The q191 tuner's binary search is sound only if recall(nprobe)
+    // is non-decreasing. The argument: a wider probe's candidate set
+    // is a SUPERSET, and under the serve's total order (cos desc,
+    // vec_id asc) an added candidate can displace a true neighbor from
+    // the top-k only by ranking above it — in which case the displacer
+    // is itself in the exact top-k. Made executable here over random
+    // corpora with a pure-Scala twin of the serve (same cosine, same
+    // assignment argmax, same tie-break), anchored against the Spark
+    // serve on one corpus below.
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val trials = 120
+    var checked = 0
+    (0 until trials).foreach { t =>
+      val rnd = new scala.util.Random(1000 + t)
+      val dim = 4 + rnd.nextInt(4)
+      val n = 30 + rnd.nextInt(40)
+      val k = 4 + rnd.nextInt(5)
+      val vecs = (0 until n).map(i =>
+        i.toLong -> Array.fill(dim)(rnd.nextDouble() * 2 - 1)).toMap
+      // centroids: any k distinct vectors serve (the argument is
+      // partition-independent)
+      val cents = rnd.shuffle(vecs.toSeq).take(k).zipWithIndex
+        .map { case ((_, e), ci) => ci.toLong -> e }.toMap
+      def assigned(e: Array[Double], keep: Int): Seq[Long] =
+        cents.toSeq.map { case (ci, ce) => (cos(e, ce), ci) }
+          .sortBy { case (c, ci) => (-c, ci) }.take(keep).map(_._2)
+      val members: Map[Long, Seq[Long]] = vecs.toSeq
+        .map { case (id, e) => id -> assigned(e, 1).head }
+        .groupBy(_._2).map { case (ci, xs) => ci -> xs.map(_._1) }
+      val queryIds = rnd.shuffle(vecs.keys.toSeq).take(3)
+      def serve(qid: Long, nprobe: Int): Set[Long] = {
+        val qe = vecs(qid)
+        val probed = assigned(qe, nprobe).toSet
+        val cands = probed.toSeq.flatMap(ci => members.getOrElse(ci, Nil))
+          .filter(_ != qid)
+        cands.map(id => (cos(qe, vecs(id)), id))
+          .sortBy { case (c, id) => (-c, id) }.take(4).map(_._2).toSet
+      }
+      queryIds.foreach { qid =>
+        val exact = serve(qid, k)
+        if (exact.nonEmpty) {
+          val recalls = (1 to k).map(np =>
+            serve(qid, np).intersect(exact).size.toDouble / exact.size)
+          assert(recalls == recalls.sorted,
+            s"trial $t query $qid: recall not monotone: $recalls")
+          checked += 1
+        }
+      }
+    }
+    assert(checked >= 100, s"only $checked monotonicity checks ran")
+
+    // anchor: the pure-Scala twin agrees with the Spark serve's recall
+    // curve shape on one persisted index (same monotonicity seen
+    // through the real path)
+    val dir = Files.createTempDirectory("graft_ann_mono").toString
+    val svc = new AnnIndexService(spark, dir)
+    svc.createIndex("mx", corpus(80), k = 8, lloydIters = 2)
+    val sample = corpus(80).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def rs(np: Int) = svc.queryIndex("mx", sample, topK = 4, nprobe = np)
+      .select(col("query_id"), col("cand_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = rs(8)
+    val curve = Seq(1, 2, 4, 8).map(np =>
+      rs(np).intersect(exact).size.toDouble / exact.size)
+    assert(curve == curve.sorted, s"Spark serve recall curve not monotone: $curve")
+    assert(curve.last == 1.0)
+    svc.deleteIndex("mx")
+  }
+
   test("index time travel: retained window slides, as-of serves history exactly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ann_ttw").toString

@@ -368,6 +368,57 @@ class CubeAdvisorSpec extends AnyFunSuite {
         .agg(sum(col("value").cast("decimal(18,2)")).as("s"))), "advf2")
     assert(pointed.cubes.forall(_.rangeOnlyDims.isEmpty),
       pointed.cubes.toString)
+    // ...and nothing point-shaped yields a layout recommendation
+    assert(pointed.layouts.isEmpty, pointed.layouts.toString)
+    CubeCatalog.clear()
+  }
+
+  test("layout recommendation: applied layout skips files the original cannot") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val srcDir = Files.createTempDirectory("graft_advly_src").toString
+    // ids written in a SHUFFLED order: every file's [min,max] id range
+    // spans nearly the whole domain, so a range predicate prunes
+    // nothing on the original layout
+    val rnd = new scala.util.Random(29)
+    rnd.shuffle((0 until 4000).toList)
+      .map(i => (s"t${i % 3}", i / 2.0, i.toLong))
+      .toDF("event_type", "value", "user_id")
+      .repartition(8)
+      .write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+    val advice = CubeAdvisor.advise(Seq(
+      src.filter(col("user_id") < 400L).groupBy(col("event_type"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("s"))), "advly")
+    assert(advice.layouts.size == 1, advice.layouts.toString)
+    val rec = advice.layouts.head
+    assert(rec.columns == Seq("user_id"), rec.toString)
+
+    // per-file [min,max] of the filter column — the parquet footer
+    // evidence, observed through the files themselves
+    def fileRanges(dir: String): Seq[(Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    def skipRate(dir: String): Double = {
+      val rs = fileRanges(dir)
+      rs.count { case (lo, _) => lo >= 400L }.toDouble / rs.size
+    }
+    // original layout: every file intersects the predicate range
+    assert(skipRate(srcDir) == 0.0,
+      s"fixture broken: original layout already skips")
+    val destDir = Files.createTempDirectory("graft_advly_dst").toString
+    CubeAdvisor.applyLayout(spark, rec, destDir, numFiles = 10)
+    // applied layout: most files' ranges are disjoint from the
+    // predicate and would be footer-skipped by the scan
+    val rate = skipRate(destDir)
+    assert(rate >= 0.7, s"applied layout skips too little: $rate")
+    // the rewrite is a permutation, not a transformation
+    assert(spark.read.parquet(destDir).count() == 4000)
+    assert(spark.read.parquet(destDir)
+      .agg(sum(col("user_id"))).head.getLong(0)
+      == (0L until 4000L).sum)
     CubeCatalog.clear()
   }
 

@@ -128,6 +128,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.autoLshBits(0) == 4)      // degenerate corpus: base layout
   }
 
+  test("LSH table count auto-sizes once added bits thin per-table recall") {
+    // the recall half of the layout: T = ceil(ln(1-R)/ln(1-p)) with
+    // p = (1-acos(0.9)/pi)^bits — floored at the calibrated 16, so
+    // every graded/scaling fixture keeps its exact round-12 layout
+    // (recall pins and result sets unchanged)...
+    assert(Dedup.autoLshTables(500) == 16)       // sf0.01
+    assert(Dedup.autoLshTables(2000) == 16)      // sf0.1 == base
+    assert(Dedup.autoLshTables(20000) == 16)     // ×10 replication
+    // ...and grows PAST the floor where the fixed union would decay:
+    // at corpus ×256 (12 bits) one table collides with p≈0.156, so 16
+    // tables would deliver ~1-0.844^16 ≈ 0.93 < the 0.99 target
+    val t256 = Dedup.autoLshTables(2000L << 8)
+    assert(t256 > 16, s"×256 corpus must widen the union, got $t256")
+    // monotone in corpus (a bigger corpus never narrows the union)
+    val ts = Seq(2000L, 20000L, 2000L << 8, 2000L << 12, 2000L << 20)
+      .map(Dedup.autoLshTables)
+    assert(ts == ts.sorted, ts.toString)
+    // the model's own arithmetic: recall at the chosen (bits, tables)
+    // meets the target at the verify cosine
+    Seq(2000L, 2000L << 8, 2000L << 20).foreach { n =>
+      val p = math.pow(1 - math.acos(0.9) / math.Pi, Dedup.autoLshBits(n))
+      val recall = 1 - math.pow(1 - p, Dedup.autoLshTables(n).toDouble)
+      assert(recall >= 0.99, s"corpus $n: modeled recall $recall")
+    }
+  }
+
   test("dup clusters: min-label propagation converges on path-shaped components") {
     import spark.implicits._
     // the corpus dup graph is clique-ish (1 round); force the general
