@@ -1602,7 +1602,11 @@ object CubeQueries {
             measures = Seq(Measure("revenue", "l_extendedprice")),
             sketches = Seq(Measure("supps", "l_suppkey")),
             // q188's quantile measure rides in the same MV
-            quantiles = Seq(Measure("price_dist", "l_extendedprice"))),
+            quantiles = Seq(Measure("price_dist", "l_extendedprice")),
+            // q214's EXACT distinct measure rides too: l_suppkey is a
+            // dense BIGINT key, so the same MV serves the estimate
+            // (q183, HLL) and the exact (q214, bitmap) distinct
+            bitmaps = Seq(Measure("xsupps", "l_suppkey"))),
           leftKey = "o_orderkey", rightKey = "l_orderkey"),
         spark.read.parquet(oSrc),
         Tables.lineitem(spark, sfDir).filter(!late)
@@ -1673,6 +1677,42 @@ object CubeQueries {
     }.flatten
     require(scans.nonEmpty && scans.forall(_.contains(".jmv/")),
       s"join-MV sketch routing did not fire; scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q214
+  /** Graded: EXACT COUNT(DISTINCT) OVER A REGISTERED JOIN from the
+    * join MV's bitmap partials — the bitmap family's last routing-
+    * matrix cell (q209 plain table, q211 grouping sets, q210/q212
+    * rolling; now the join). The same MV serves q183's HLL ESTIMATE of
+    * distinct suppliers and this query's EXACT count: both partials
+    * are maintained by the delta-join fold (the setup folds a late
+    * right-side insert batch after creation), but bitmap union is
+    * lossless, so this serve is answer-preserving — needs no opt-in,
+    * and carries a FULL DuckDB oracle where q183 is rows-only. Without
+    * the MV a distinct-over-join pays the join shuffle PLUS the
+    * distinct-pair re-shuffle per run; with it, |MV| fixed-size bitmap
+    * unions. Plan hard-asserted to scan the MV version dir. */
+  def q214JoinBitmapDistinct(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (oSrc, lSrc) = joinSketchSources(spark, sfDir)
+    val q = spark.read.parquet(oSrc)
+      .join(spark.read.parquet(lSrc),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("l_suppkey")).as("nd_supps"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderpriority").as("prio"), col("nd_supps"),
+        col("revenue"), col("n"))
+      .orderBy(col("prio"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && scans.forall(_.contains(".jmv/")),
+      s"join-MV bitmap routing did not fire; scans=$scans")
     q
   }
 
@@ -2107,6 +2147,7 @@ object CubeQueries {
     "q209_exact_distinct_routing" -> q209ExactDistinctRouting,
     "q211_bitmap_rollup_routing" -> q211BitmapRollupRouting,
     "q213_asof_routing" -> q213AsOfRouting,
+    "q214_join_bitmap_distinct" -> q214JoinBitmapDistinct,
     "q146_service_lifecycle" -> q146ServiceLifecycle,
     "q147_service_auto_update" -> q147ServiceAutoUpdate,
     "q151_change_stream" -> q151ChangeStream,
@@ -2181,6 +2222,18 @@ object CubeQueries {
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
         count(1) AS n
       FROM events
+      GROUP BY 1
+      ORDER BY 1""",
+    // Exact distinct suppliers per priority recomputed from the raw
+    // join: the routed bitmap unions must hash-equal it (q183's HLL
+    // twin of the same MV is rows-only).
+    "q214_join_bitmap_distinct" -> """
+      SELECT o_orderpriority AS prio,
+        count(DISTINCT l_suppkey) AS nd_supps,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS revenue,
+        count(1) AS n
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY 1
       ORDER BY 1""",
     "q33_cube_create" -> """

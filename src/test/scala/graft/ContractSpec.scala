@@ -83,6 +83,24 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("committed VERIFY_SELF.json covers the whole declared surface") {
+    // stale-snapshot alarm (the r12 advice): a query added to
+    // SparkEntry without a fresh full Verify would leave the committed
+    // evidence describing an older surface — fail loudly like drift
+    // does, instead of letting the summary silently lag HEAD.
+    val f = java.nio.file.Paths.get("VERIFY_SELF.json")
+    if (f.toFile.exists()) {
+      val j = java.nio.file.Files.readString(f)
+      val recorded = """"(q\d{2,3}_[a-z0-9_]+)":\s*\{""".r
+        .findAllMatchIn(j).map(_.group(1)).toSet
+      val missing = SparkEntry.queries.keySet -- recorded
+      assert(missing.isEmpty,
+        s"VERIFY_SELF.json is stale: declared queries missing from the " +
+          s"committed summary: ${missing.toSeq.sorted.mkString(", ")}. " +
+          "Run a full Verify and commit the refreshed snapshot.")
+    }
+  }
+
   test("oracle SQL references only bare known table names") {
     val known = Tables.starTables.toSet
     val fromRe = "(?i)(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z0-9_]*)".r
