@@ -294,8 +294,14 @@ final class AdminServer(service: CubeService, spark: SparkSession,
               s""""exactDistinctOf":${strs(r.exactDistinctOf)},""" +
               s""""covered":${ints(r.coveredQueries)}}""")
             .mkString("[", ",", "]")
+          val layouts = a.layouts.map(r =>
+            s"""{"sourcePath":"${esc(r.sourcePath)}",""" +
+              s""""columns":${strs(r.columns)},""" +
+              s""""covered":${ints(r.coveredQueries)}}""")
+            .mkString("[", ",", "]")
           ok(s"""{"cubes":$cubes,"joinCubes":$joins,""" +
-            s""""rolling":$rolling,"uncovered":${ints(a.uncovered)}}""")
+            s""""rolling":$rolling,"layouts":$layouts,""" +
+            s""""uncovered":${ints(a.uncovered)}}""")
         case Some("listVersions") =>
           val name = need(strField(req, "name"), "name")
           ok(service.listCubeVersions(name).mkString("[", ",", "]"))

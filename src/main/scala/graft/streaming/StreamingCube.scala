@@ -64,10 +64,17 @@ object StreamingCube {
         graft.functions.CountMinSketch
           .approxTopK(col(m.path), CubeManager.FreqCand),
         s => s.getField("key")).as(s"${m.id}_cand")))
+    // bitmap partials stream like the sketches — the (block → word) map
+    // buffer serializes into streaming state per group, and since the
+    // union is LOSSLESS the stream-maintained cube serves EXACT distinct
+    // counts (the one distinct family where streamed == batch is
+    // hash-equal, pinned in CubeServiceSpec)
+    val bms = config.bitmaps.map(m =>
+      graft.functions.Bitmap.setAgg(col(m.path).cast("long")).as(m.id))
     stream
       .groupBy(config.dimCols: _*)
       .agg(sums.head,
-        (sums.tail ++ sks ++ qs ++ exts ++ fqs
+        (sums.tail ++ sks ++ qs ++ exts ++ fqs ++ bms
           :+ count(lit(1)).as(CubeManager.CountCol)): _*)
   }
 

@@ -228,7 +228,12 @@ class CubeServiceSpec extends AnyFunSuite {
       Seq(FieldDim("etype", "event_type"), TimeDim("day", "ts", "day")),
       Seq(Measure("v", "value")),
       sketches = Seq(Measure("users", "user_id")),
-      quantiles = Seq(Measure("dist", "value")))
+      quantiles = Seq(Measure("dist", "value")),
+      // the EXACT distinct family streams too: the bitmap buffer
+      // serializes into streaming state like the sketches, and its
+      // lossless union makes streamed == batch == exact an EQUALITY,
+      // not a coupon-regime argument
+      bitmaps = Seq(Measure("xusers", "user_id")))
     def toDF(rows: Seq[(String, Timestamp, Double, Long)]) =
       rows.toDF("event_type", "ts", "value", "user_id")
     // 600 rows pre-stream, 600 replayed as 4 delta files = 4 micro-batches
@@ -244,10 +249,11 @@ class CubeServiceSpec extends AnyFunSuite {
     // maintained persisted cube
     def curve(svcX: CubeService, name: String) =
       svcX.getRolling(name, "day", windowDays = 7,
-          distinctOf = Seq("users"), quantilesOf = Seq(("dist", 0.5)))
+          distinctOf = Seq("users"), quantilesOf = Seq(("dist", 0.5)),
+          exactDistinctOf = Seq("xusers"))
         .collect()
         .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_distinct_users"),
-          r.getAs[Double]("p50_dist")))
+          r.getAs[Double]("p50_dist"), r.getAs[Long]("n_exact_xusers")))
     val streamed = curve(svc, "rollstream")
     // batch twin: a one-shot cube over the same full dataset
     val svcB = new CubeService(spark,
@@ -264,10 +270,12 @@ class CubeServiceSpec extends AnyFunSuite {
     val byDay = all.groupBy(r => r._2.getTime / 86400000L)
     assert(streamed.length == byDay.size, "one endpoint per observed day")
     val eps = 3 * graft.functions.Kll.rankError() + 0.01
-    streamed.foreach { case (day, nd, p50) =>
+    streamed.foreach { case (day, nd, p50, nx) =>
       val window = (day - 6 to day).flatMap(d => byDay.getOrElse(d, Nil))
       val exact = window.map(_._4).distinct.size
       assert(nd == exact, s"day $day: streamed distinct $nd != exact $exact")
+      assert(nx == exact,
+        s"day $day: streamed BITMAP distinct $nx != exact $exact")
       val vs = window.map(_._3).sorted
       val rank = vs.count(_ <= p50).toDouble / vs.length
       assert(math.abs(rank - 0.5) <= eps + 1.0 / vs.length,
