@@ -388,6 +388,70 @@ object RelationalQueries {
       .orderBy(col("c_nationkey"), col("rn"))
   }
 
+  // --------------------------------------------------------------- q215
+  /** DISTRIBUTION-RANK window functions — ntile / percent_rank /
+    * cume_dist, the quartile-bucketing trio every cohort analysis
+    * leans on (assign customers to balance quartiles within their
+    * nation). All three are pure rank arithmetic over the window's
+    * total order: percent_rank = (rank−1)/(n−1) and cume_dist = rank/n
+    * are single IEEE divisions of exact small integers (identical in
+    * both engines — no float accumulation), and ntile is integer
+    * bucketing, so the whole row is hash-exact given the deterministic
+    * (acctbal desc, custkey) order. One shuffle on the partition key —
+    * the scale shape of every ranking report. */
+  def q215WindowDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.customer(spark, sfDir)
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    c.select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        asLong(ntile(4).over(w)).as("quartile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy(col("c_nationkey"), col("c_acctbal").desc, col("c_custkey"))
+  }
+
+  // --------------------------------------------------------------- q216
+  /** EXACT interpolated percentiles (`percentile`, the non-sketch
+    * sibling of the KLL family): per return flag, the quartiles of
+    * l_quantity by linear interpolation between order statistics —
+    * both engines define the same continuous-quantile semantics
+    * (index = p·(n−1), value = lower + frac·(upper−lower)). Hash-safe
+    * by construction: quantities are small integers and the requested
+    * ranks are exact binary fractions (.25/.5/.75), so index, frac,
+    * and the interpolated value are all exact in IEEE arithmetic — no
+    * rounding crutch needed. Exact percentiles need the full sorted
+    * column per group (this is WHY the cube family stores KLL
+    * partials instead); here the per-group sort is the point. */
+  def q216ExactPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // --------------------------------------------------------------- q217
+  /** REGEXP function sweep — extract / replace-all / match over part
+    * names. Patterns stay in the dialect-portable core (character
+    * classes, anchors, greedy quantifiers — identical under Java
+    * regex and RE2); the one cross-engine trap is pinned explicitly:
+    * Spark's regexp_replace is replace-ALL while DuckDB's default is
+    * first-match-only, so the oracle passes the 'g' flag. */
+  def q217RegexpFns(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+    p.filter(col("p_name").rlike("^[a-z]+ "))
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+        regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("type_head"),
+        asLong(length(regexp_replace(col("p_name"), "[^ ]", "")) + 1)
+          .as("n_words"))
+      .orderBy(col("p_partkey"))
+  }
+
   // ---------------------------------------------------------------- q18
   /** lag/lead over event time per user. Deltas of identical doubles are
     * bit-identical across engines — no rounding needed. */
@@ -1491,6 +1555,9 @@ object RelationalQueries {
     "q16_approx_distinct" -> q16ApproxDistinct,
     "q69_approx_percentile" -> q69ApproxPercentile,
     "q17_window_rank" -> q17WindowRank,
+    "q215_window_distribution" -> q215WindowDistribution,
+    "q216_exact_percentile" -> q216ExactPercentile,
+    "q217_regexp_fns" -> q217RegexpFns,
     "q18_window_lag_lead" -> q18WindowLagLead,
     "q19_window_moving_avg" -> q19WindowMovingAvg,
     "q20_topk_global" -> q20TopKGlobal,
@@ -2048,6 +2115,41 @@ object RelationalQueries {
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
       ORDER BY status, priority""",
+    // rank arithmetic is exact small-integer division in both engines;
+    // the order inside the window carries the custkey tie-break.
+    "q215_window_distribution" -> """
+      SELECT c_nationkey, c_custkey, c_acctbal,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        percent_rank() OVER w AS prank,
+        cume_dist() OVER w AS cdist
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey
+        ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_nationkey, c_acctbal DESC, c_custkey""",
+    // Continuous-quantile semantics match (index = p*(n-1), linear
+    // interpolation); integer quantities + binary-exact ranks keep the
+    // doubles hash-identical.
+    "q216_exact_percentile" -> """
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS p25,
+        quantile_cont(l_quantity, 0.5) AS p50,
+        quantile_cont(l_quantity, 0.75) AS p75,
+        count(1) AS n
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY 1""",
+    // 'g' flag: DuckDB's regexp_replace is first-match by default where
+    // Spark's replaces all occurrences.
+    "q217_regexp_fns" -> """
+      SELECT p_partkey,
+        regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+        regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+        CAST(length(regexp_replace(p_name, '[^ ]', '', 'g')) + 1 AS BIGINT)
+          AS n_words
+      FROM part
+      WHERE regexp_matches(p_name, '^[a-z]+ ')
+      ORDER BY p_partkey""",
     "q17_window_rank" -> """
       SELECT c_nationkey, c_custkey, c_acctbal, rn, rnk, drnk
       FROM (
