@@ -129,21 +129,26 @@ object CubeCatalog {
   private val snapGen = new java.util.concurrent.atomic.AtomicLong
 
   /** Hard-link the head's flat parquet files into a fresh snapshot
-    * generation and return a plan over it; None (→ raw-plan fallback)
-    * for non-directory or partitioned layouts. Keeps the TWO newest
-    * generations per snapshot root — the current registration's and
-    * the previous one's, so in-flight plans survive exactly one
-    * superseding refresh (deferred GC). The snapshot dir ends with the
+    * generation (`<head>.snap/<kind>/s<gen>/<name>`) and return its
+    * path; None (→ raw-read fallback) for non-directory or partitioned
+    * layouts. Keeps the TWO newest generations per (root, kind) — the
+    * current consumer's and the previous one's, so in-flight plans
+    * survive exactly one superseding refresh (deferred GC). `kind`
+    * separates consumers with independent refresh cadences (optimizer
+    * registrations vs service serves) — sharing one generation
+    * sequence would let one consumer's refreshes GC the other's
+    * still-referenced snapshot early. The snapshot dir ends with the
     * cube directory's own basename so path-suffix assertions
-    * ("…/cube_name") hold on routed plans. */
-  private def snapshotPlan(cube: Cube, scanPath: String): Option[LogicalPlan] =
+    * ("…/cube_name") hold. */
+  private def snapshotDir(scanPath: String,
+      kind: String): Option[java.nio.file.Path] =
     try {
       val src = java.nio.file.Paths.get(scanPath.stripPrefix("file:"))
       if (!src.toFile.isDirectory) return None
       val files = Option(src.toFile.listFiles()).getOrElse(Array.empty)
       if (files.exists(_.isDirectory)) return None // partitioned: fall back
-      val snapRoot = java.nio.file.Paths.get(
-        scanPath.stripPrefix("file:") + ".snap")
+      val snapRoot = java.nio.file.Paths
+        .get(scanPath.stripPrefix("file:") + ".snap").resolve(kind)
       val dest = snapRoot.resolve(s"s${snapGen.incrementAndGet()}")
         .resolve(src.getFileName)
       java.nio.file.Files.createDirectories(dest)
@@ -156,9 +161,25 @@ object CubeCatalog {
         .flatMap(f => f.getName.drop(1).toLongOption.map(_ -> f))
         .sortBy(-_._1)
       gens.drop(2).foreach { case (_, f) => rmTree(f) }
-      Some(Bridge.analyzed(
-        cube.aggregates.sparkSession.read.parquet(dest.toString)))
+      Some(dest)
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def snapshotPlan(cube: Cube, scanPath: String): Option[LogicalPlan] =
+    snapshotDir(scanPath, "route").map(d => Bridge.analyzed(
+      cube.aggregates.sparkSession.read.parquet(d.toString)))
+
+  /** Publish-stable read of a flat parquet directory for the SERVICE
+    * serve path ([[CubeService.loadCube]]): the returned frame scans a
+    * hard-link snapshot the publish's renames cannot touch, so a serve
+    * built before a concurrent fold executes against exactly the
+    * version it was built on (plain read for layouts that cannot
+    * snapshot). Own `kind` → own deferred-GC sequence. */
+  private[cube] def stableRead(spark: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    snapshotDir(dir, "serve") match {
+      case Some(d) => spark.read.parquet(d.toString)
+      case None => spark.read.parquet(dir)
+    }
 
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
@@ -249,7 +270,7 @@ object CubeCatalog {
     }
   }
 
-  private val SnapPath = """(.*)\.snap/s\d+/([^/]+)""".r
+  private val SnapPath = """(.*)\.snap/[a-z]+/s\d+/([^/]+)""".r
 
   private[cube] def sourcePathOf(plan: LogicalPlan): Option[String] =
     plan match {

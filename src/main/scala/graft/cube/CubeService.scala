@@ -54,7 +54,8 @@ final class CubeService(spark: SparkSession, storageDir: String,
     rm(cvRoot(config.name).toFile)
     cvWriteManifest(config.name, 0)
     // register the MATERIALIZED form so queries scan the saved parquet
-    val loaded = CubeManager.load(spark, storageDir, config.name)
+    // (stable(): serves survive a concurrent later publish)
+    val loaded = stable(CubeManager.load(spark, storageDir, config.name))
     live.put(config.name, loaded)
     loaded
   }
@@ -68,8 +69,20 @@ final class CubeService(spark: SparkSession, storageDir: String,
   def loadCube(name: String): Cube =
     live.getOrElseUpdate(name, {
       recoverSwap(name)
-      CubeManager.load(spark, storageDir, name)
+      stable(CubeManager.load(spark, storageDir, name))
     })
+
+  /** Re-home a loaded head cube's frame onto a hard-link snapshot
+    * ([[CubeCatalog.stableRead]]): a serve built from this cube and
+    * executed across a concurrent publish reads exactly the version it
+    * was built on, instead of failing on the renamed-away head files —
+    * the same one-consistent-version discipline the optimizer
+    * registrations carry. Snapshot generations GC deferred-by-one
+    * load, so the frame a caller holds survives one superseding
+    * publish (the jmv argument). */
+  private def stable(c: Cube): Cube =
+    c.copy(aggregates =
+      CubeCatalog.stableRead(spark, s"$storageDir/${c.config.name}"))
 
   /** Crash recovery for [[updateAggregates]]'s two-rename publish: if
     * the process died between rename-aside and rename-in, the published
@@ -485,12 +498,17 @@ final class CubeService(spark: SparkSession, storageDir: String,
         .foreach(v => rm(cvRoot(name).resolve(s"v$v").toFile))
     }
     val reloaded = CubeManager.load(spark, storageDir, name)
-    live.put(name, reloaded)
+    // serve cache gets the publish-stable form; the registration
+    // refresh gets the RAW head cube — Registration takes its own
+    // "route"-kind snapshot, and snapshotting a snapshot would nest
+    // .snap roots inside GC-able generations
+    val st = stable(reloaded)
+    live.put(name, st)
     // routed queries must follow: a CubeCatalog registration of this
     // cube still lists the pre-publish parquet files (now renamed
     // away) — swap it for the reloaded version
     CubeCatalog.refresh(reloaded)
-    reloaded
+    st
   }
 
   /** R2/R3 steady state: continuous maintenance from a delta directory,

@@ -304,6 +304,42 @@ class CubeServiceSpec extends AnyFunSuite {
     svcB2.deleteCube("rollbatch2")
   }
 
+  test("serve built before a publish reads exactly the old version after it") {
+    // the routing-layer one-consistent-version pin, on the SERVICE
+    // path: a getAggregates frame planned against the pre-publish head
+    // and executed after a fold must return the OLD version's answer
+    // (the hard-link serve snapshot — never FILE_NOT_EXIST on the
+    // renamed-away head, never a torn read); a fresh serve sees the
+    // new head.
+    import spark.implicits._
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_serverace").toString)
+    val rows = (0 until 300).map(i =>
+      (Seq("a", "b", "c")(i % 3), (i % 100).toDouble, i.toLong))
+    def toDF(r: Seq[(String, Double, Long)]) =
+      r.toDF("k", "v", "id")
+    val cfg = CubeConfig("srace", "t", Seq(FieldDim("k", "k")),
+      Seq(Measure("vs", "v")))
+    svc.createCube(cfg, toDF(rows.filter(_._3 % 2 == 0)))
+    val served = svc.getAggregates("srace", Seq("k"), sumOf = Seq("vs"))
+      .orderBy(col("k"))
+    served.queryExecution.executedPlan // planned, NOT executed
+    def exact(r: Seq[(String, Double, Long)]) = r.groupBy(_._1)
+      .map { case (k, xs) =>
+        (k, xs.map(x => BigDecimal(x._2).setScale(2)).sum.toDouble) }
+      .toSeq.sortBy(_._1)
+    svc.updateAggregates("srace",
+      toDF(rows.filter(_._3 % 2 == 1)).withColumn("_sign", lit(1L)))
+    val after = served.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(after == exact(rows.filter(_._3 % 2 == 0)),
+      s"stale serve not old-version-consistent: $after")
+    val fresh = svc.getAggregates("srace", Seq("k"), sumOf = Seq("vs"))
+      .orderBy(col("k"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(fresh == exact(rows), s"fresh serve not new-version: $fresh")
+    svc.deleteCube("srace")
+  }
+
   test("manual fold between auto-update runs survives the next publish") {
     val svc = new CubeService(spark,
       Files.createTempDirectory("graft_svc_basefold").toString)
