@@ -124,6 +124,7 @@ object CubeQueries {
     advisedJoinRollService(spark, sfDir)
     exactDistinctSource(spark, sfDir)
     asOfRoutingSource(spark, sfDir)
+    streamWauService(spark, sfDir)
     ()
   }
 
@@ -303,6 +304,56 @@ object CubeQueries {
     require(scans.exists(_.endsWith("/exact_distinct_demo")),
       s"bitmap rollup routing did not fire; scans=$scans")
     q
+  }
+
+  // --------------------------------------------------------------- q218
+  /** Graded: the WAU curve MAINTAINED BY A CHANGE STREAM, exact — the
+    * reference's steady-state loop (R2/R3) composed with the bitmap
+    * family end to end: a day-dimmed cube carrying bitmap partials is
+    * created from 80% of events, the rest arrives as a replayed
+    * 3-file delta directory through [[CubeService.startAutoUpdate]]
+    * (each micro-batch publishes durably via the two-rename swap), and
+    * the graded serve is `getRolling(exactDistinctOf)` off the
+    * stream-maintained persisted state. Because the bitmap buffer
+    * serializes into streaming state and its union is LOSSLESS, the
+    * streamed curve is not estimate-close but EQUAL — the DuckDB
+    * oracle recomputes every trailing window from the raw table and
+    * hash-matches, proving stream-maintained == never-streamed for a
+    * distinct curve (q147 pinned this for sums; sketches could only
+    * pin it in-suite). At 100 TB this is the WAU dashboard fed by the
+    * oplog: per micro-batch cost ∝ |batch| + |cube|, per refresh
+    * |days|·7 one-row bitmap unions. */
+  private val streamWauSetup =
+    TrieMap.empty[(SparkSession, String), CubeService]
+  private def streamWauService(spark: SparkSession,
+      sfDir: String): CubeService =
+    streamWauSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_swau").toString
+      val svc = new CubeService(spark, dir)
+      val ev = Tables.events(spark, sfDir)
+      val isDelta = col("event_id") % 5 === 4
+      svc.createCube(
+        CubeConfig("stream_wau", "events",
+          dims = Seq(TimeDim("day", "ts", "day")),
+          measures = Seq(Measure("v", "value")),
+          bitmaps = Seq(Measure("users", "user_id"))),
+        ev.filter(!isDelta))
+      val deltaDir = s"$dir/deltas"
+      ev.filter(isDelta).repartition(3).write.parquet(deltaDir)
+      val q = svc.startAutoUpdate("stream_wau", deltaDir, ev.schema)
+      q.processAllAvailable()
+      svc.stopAutoUpdate("stream_wau")
+      svc
+    })
+
+  def q218StreamBitmapRolling(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val svc = streamWauService(spark, sfDir)
+    svc.getRolling("stream_wau", "day", windowDays = 7,
+        exactDistinctOf = Seq("users"))
+      .select(col("day"), col("n_exact_users").as("n_users_7d"))
+      .orderBy(col("day"))
   }
 
   // --------------------------------------------------------- q146/q147
@@ -2148,6 +2199,7 @@ object CubeQueries {
     "q211_bitmap_rollup_routing" -> q211BitmapRollupRouting,
     "q213_asof_routing" -> q213AsOfRouting,
     "q214_join_bitmap_distinct" -> q214JoinBitmapDistinct,
+    "q218_stream_bitmap_rolling" -> q218StreamBitmapRolling,
     "q146_service_lifecycle" -> q146ServiceLifecycle,
     "q147_service_auto_update" -> q147ServiceAutoUpdate,
     "q151_change_stream" -> q151ChangeStream,
@@ -2234,6 +2286,19 @@ object CubeQueries {
           AS revenue,
         count(1) AS n
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1
+      ORDER BY 1""",
+    // q138's oracle over ALL events: the stream-maintained bitmap
+    // curve must equal a from-scratch recompute - stream-maintained ==
+    // never-streamed, exact, for a distinct curve.
+    "q218_stream_bitmap_rolling" -> """
+      WITH du AS (
+        SELECT DISTINCT user_id,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS d
+        FROM events),
+      days AS (SELECT DISTINCT d AS day FROM du)
+      SELECT days.day, count(DISTINCT du.user_id) AS n_users_7d
+      FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day
       GROUP BY 1
       ORDER BY 1""",
     "q33_cube_create" -> """
