@@ -232,8 +232,9 @@ final class AdminServer(service: CubeService, spark: SparkSession,
             strArray(req, "maxOf"),
             strArray(req, "sumOf"),
             strArray(req, "avgOf"),
-            strArray(req, "exactDistinctOf"))
-          serveRows(df, Seq("day"), req)
+            strArray(req, "exactDistinctOf"),
+            strArray(req, "segmentBy"))
+          serveRows(df, strArray(req, "segmentBy") :+ "day", req)
         case Some("diffAggregates") | Some("diffJoinAggregates") =>
           val name = need(strField(req, "name"), "name")
           val isJoin = strField(req, "verb").contains("diffJoinAggregates")

@@ -1443,6 +1443,15 @@ object CubeQueries {
           // key — the q210 rolling serve
           bitmaps = Seq(Measure("u", "user_id"))),
         Tables.events(spark, sfDir))
+      // the SEGMENTED sibling (q219): an extra event-type dimension so
+      // per-segment windows have per-segment daily partials to merge
+      svc.createCube(
+        CubeConfig("rolling_seg", "events",
+          dims = Seq(FieldDim("etype", "event_type"),
+            TimeDim("day", "ts", "day")),
+          measures = Seq(Measure("v", "value")),
+          bitmaps = Seq(Measure("u", "user_id"))),
+        Tables.events(spark, sfDir))
       svc
     })
 
@@ -1475,6 +1484,26 @@ object CubeQueries {
         exactDistinctOf = Seq("u"))
       .select(col("day"), col("n_exact_u").as("n_users_7d"))
       .orderBy(col("day"))
+  }
+
+  // --------------------------------------------------------------- q219
+  /** Graded: SEGMENTED rolling exact distinct — "WAU per event type",
+    * the grouped form of q210 (`getRolling(segmentBy)`): the cube
+    * subdivides its daily bitmap partials per segment cell, each
+    * segment's trailing windows merge ITS observed days' partials
+    * (endpoints are per-segment observed days — a day where a segment
+    * is silent is not an endpoint of that segment's curve), and
+    * because bitmap union is lossless every (segment, day) value
+    * equals the from-scratch re-count. One hash aggregate to per-
+    * (segment, day) partials + a broadcast endpoint semi-join — the
+    * per-cohort engagement dashboard at 100 TB, never re-shuffling
+    * events per segment or per refresh. */
+  def q219RollingSegmented(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = rollingMmService(spark, sfDir)
+    svc.getRolling("rolling_seg", "day", windowDays = 7,
+        exactDistinctOf = Seq("u"), segmentBy = Seq("etype"))
+      .select(col("etype"), col("day"), col("n_exact_u").as("n_users_7d"))
+      .orderBy(col("etype"), col("day"))
   }
 
   // --------------------------------------------------------------- q194
@@ -2218,6 +2247,7 @@ object CubeQueries {
     "q194_rolling_sum" -> q194RollingSum,
     "q210_rolling_bitmap_distinct" -> q210RollingBitmapDistinct,
     "q212_advised_bitmap_rolling" -> q212AdvisedBitmapRolling,
+    "q219_rolling_segmented" -> q219RollingSegmented,
     "q160_sql_having_routing" -> q160SqlHavingRouting,
     "q163_rollup_routing" -> q163RollupRouting,
     "q175_sketch_rollup_routing" -> q175SketchRollupRouting,
@@ -2599,6 +2629,21 @@ object CubeQueries {
       FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day
       GROUP BY 1
       ORDER BY 1""",
+    // q138 per segment: each event type's trailing windows over ITS
+    // observed days, recomputed from raw — the segmented bitmap serve
+    // must hash-equal every (segment, day) cell.
+    "q219_rolling_segmented" -> """
+      WITH du AS (
+        SELECT DISTINCT event_type, user_id,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS d
+        FROM events),
+      days AS (SELECT DISTINCT event_type, d AS day FROM du)
+      SELECT days.event_type AS etype, days.day,
+        count(DISTINCT du.user_id) AS n_users_7d
+      FROM days JOIN du ON du.event_type = days.event_type
+        AND du.d BETWEEN days.day - 6 AND days.day
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
     // q159's day arithmetic, summed: trailing 7-day decimal-exact sums
     // from daily partials.
     "q194_rolling_sum" -> """

@@ -613,10 +613,11 @@ final class CubeService(spark: SparkSession, storageDir: String,
       maxOf: Seq[String] = Nil,
       sumOf: Seq[String] = Nil,
       avgOf: Seq[String] = Nil,
-      exactDistinctOf: Seq[String] = Nil): DataFrame =
+      exactDistinctOf: Seq[String] = Nil,
+      segmentBy: Seq[String] = Nil): DataFrame =
     rollingFrom(loadCube(name), name, dayDim, windowDays,
       distinctOf, quantilesOf, minOf, maxOf, sumOf, avgOf,
-      exactDistinctOf)
+      exactDistinctOf, segmentBy)
 
   /** [[getRolling]] for join MVs — a join cube with a day-granularity
     * time dimension serves the same trailing-window curves from the
@@ -632,10 +633,11 @@ final class CubeService(spark: SparkSession, storageDir: String,
       maxOf: Seq[String] = Nil,
       sumOf: Seq[String] = Nil,
       avgOf: Seq[String] = Nil,
-      exactDistinctOf: Seq[String] = Nil): DataFrame =
+      exactDistinctOf: Seq[String] = Nil,
+      segmentBy: Seq[String] = Nil): DataFrame =
     rollingFrom(loadJoinCube(name).cube, name, dayDim, windowDays,
       distinctOf, quantilesOf, minOf, maxOf, sumOf, avgOf,
-      exactDistinctOf)
+      exactDistinctOf, segmentBy)
 
   private def rollingFrom(
       cube: Cube,
@@ -648,7 +650,8 @@ final class CubeService(spark: SparkSession, storageDir: String,
       maxOf: Seq[String],
       sumOf: Seq[String],
       avgOf: Seq[String],
-      exactDistinctOf: Seq[String] = Nil): DataFrame = {
+      exactDistinctOf: Seq[String] = Nil,
+      segmentBy: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cube.config.dims.exists {
         case TimeDim(id, _, g) => id == dayDim && g == "day"
@@ -687,6 +690,13 @@ final class CubeService(spark: SparkSession, storageDir: String,
     (sumOf ++ avgOf).foreach(id =>
       require(cube.config.measures.exists(_.id == id),
         s"$id is not a summed measure of cube $name"))
+    // SEGMENTED curves ("WAU per event type"): each segment column must
+    // be a non-time dimension of the cube — the partials subdivide per
+    // segment cell, so per-segment windows re-aggregate exactly like
+    // the global ones; each segment's endpoints are ITS observed days
+    segmentBy.foreach(sd => require(
+      cube.config.dims.exists(d => d.id == sd && d.id != dayDim),
+        s"$sd is not a (non-time) dimension of cube $name"))
     // collapse to ONE partial row per day first (other dimensions may
     // subdivide a day across many cells)
     val dailyAggs = distinctOf.distinct
@@ -713,9 +723,10 @@ final class CubeService(spark: SparkSession, storageDir: String,
     // dimension cell is a LOCAL midnight, and in a non-UTC session the
     // epoch arithmetic merges the two days straddling a DST transition
     // (and truncates toward zero pre-1970); datediff is TZ-consistent
+    val dayKey = datediff(col(dayDim).cast("date"), lit("1970-01-01"))
+      .cast("long").as("d")
     val daily = cube.live
-      .groupBy(datediff(col(dayDim).cast("date"), lit("1970-01-01"))
-        .cast("long").as("d"))
+      .groupBy((segmentBy.map(col) :+ dayKey): _*)
       .agg(dailyAggs.head, dailyAggs.tail: _*)
     // .distinct everywhere (not just min/max): duplicate requested ids
     // would alias two identical daily columns and make the endpoint's
@@ -740,9 +751,25 @@ final class CubeService(spark: SparkSession, storageDir: String,
       avgOf.distinct.map(id =>
         (sum(col(id)).cast(DecimalType(18, 2)).cast("double") /
           sum(col(CubeManager.CountCol))).as(s"avg_$id"))
-    graft.functions.Rolling.endpoints(daily, windowDays)
-      .agg(endpointAggs.head, endpointAggs.tail: _*)
-      .orderBy(col("day"))
+    if (segmentBy.isEmpty)
+      graft.functions.Rolling.endpoints(daily, windowDays)
+        .agg(endpointAggs.head, endpointAggs.tail: _*)
+        .orderBy(col("day"))
+    else {
+      // the Rolling.endpoints shape per segment: explode each daily
+      // partial to its trailing endpoints, restrict to the segment's
+      // own observed days (broadcast — the (segment, day) dimension is
+      // tiny at any scale), re-group per (segment, day)
+      val days = daily
+        .select((segmentBy.map(col) :+ col("d").as("day")): _*).distinct()
+      daily
+        .withColumn("day", explode(expr(s"sequence(d, d + ${windowDays - 1})")))
+        .drop("d")
+        .join(broadcast(days), segmentBy :+ "day", "left_semi")
+        .groupBy((segmentBy.map(col) :+ col("day")): _*)
+        .agg(endpointAggs.head, endpointAggs.tail: _*)
+        .orderBy((segmentBy.map(col) :+ col("day")): _*)
+    }
   }
 
   // ----------------------------------------------------------- join MVs
