@@ -125,6 +125,7 @@ object CubeQueries {
     exactDistinctSource(spark, sfDir)
     asOfRoutingSource(spark, sfDir)
     streamWauService(spark, sfDir)
+    joinAsOfSources(spark, sfDir)
     ()
   }
 
@@ -787,6 +788,60 @@ object CubeQueries {
           .withColumn("_sign", lit(-1L)))
       svc
     })
+
+  // --------------------------------------------------------------- q220
+  /** Graded: AS-OF ROUTING FOR JOIN MVs — q213's optimizer time travel
+    * on the two-table lifecycle: [[CubeService.registerJoinSourceAsOf]]
+    * pins the two source paths to RETAINED VERSION 1 of the q174 MV
+    * (after the insert fold, BEFORE the returned-lineitem purge), and a
+    * plain aggregate over the raw inner equi-join of those sources
+    * routes to v1's cells — "yesterday's revenue report through
+    * today's query", no query-side change. v1's fold prefix is the
+    * FULL join (base slices + the insert fold restored everything), so
+    * the oracle recomputes from the raw tables and the answer visibly
+    * differs from the head (v2 lacks the purged lines). Version dirs
+    * are immutable behind the manifest, so the pin needs no snapshot;
+    * plan hard-asserted to scan the v1 dir. */
+  private val joinAsOfSetup = TrieMap.empty[(SparkSession, String), (String, String)]
+  private def joinAsOfSources(spark: SparkSession,
+      sfDir: String): (String, String) =
+    joinAsOfSetup.getOrElseUpdate((spark, sfDir), {
+      val svc = timeTravelService(spark, sfDir)
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_jasof").toString
+      val oSrc = s"$dir/osrc"
+      val lSrc = s"$dir/lsrc"
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.parquet(oSrc)
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .write.parquet(lSrc)
+      CubeCatalog.install(spark)
+      svc.registerJoinSourceAsOf(s"tt_mv_asof@$sfDir", "tt_mv", 1,
+        oSrc, lSrc)
+      (oSrc, lSrc)
+    })
+
+  def q220JoinAsOfRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val (oSrc, lSrc) = joinAsOfSources(spark, sfDir)
+    val q = spark.read.parquet(oSrc)
+      .join(spark.read.parquet(lSrc),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderpriority").as("prio"), col("revenue"), col("n"))
+      .orderBy(col("prio"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && scans.forall(_.contains(".jmv/v1")),
+      s"join as-of routing did not fire on the archived version; scans=$scans")
+    q
+  }
 
   def q174MvTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
     val svc = timeTravelService(spark, sfDir)
@@ -2229,6 +2284,7 @@ object CubeQueries {
     "q213_asof_routing" -> q213AsOfRouting,
     "q214_join_bitmap_distinct" -> q214JoinBitmapDistinct,
     "q218_stream_bitmap_rolling" -> q218StreamBitmapRolling,
+    "q220_join_asof_routing" -> q220JoinAsOfRouting,
     "q146_service_lifecycle" -> q146ServiceLifecycle,
     "q147_service_auto_update" -> q147ServiceAutoUpdate,
     "q151_change_stream" -> q151ChangeStream,
@@ -2329,6 +2385,17 @@ object CubeQueries {
       days AS (SELECT DISTINCT d AS day FROM du)
       SELECT days.day, count(DISTINCT du.user_id) AS n_users_7d
       FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day
+      GROUP BY 1
+      ORDER BY 1""",
+    // v1's fold prefix restores the FULL join (base slices + the
+    // insert fold), so the oracle is the raw-join recompute - and the
+    // head (v2) would differ, proving the pin serves history.
+    "q220_join_asof_routing" -> """
+      SELECT o_orderpriority AS prio,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS revenue,
+        count(1) AS n
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY 1
       ORDER BY 1""",
     "q33_cube_create" -> """

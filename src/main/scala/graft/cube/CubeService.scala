@@ -1134,6 +1134,33 @@ final class CubeService(spark: SparkSession, storageDir: String,
       exactDistinctOf)
   }
 
+  /** [[registerSourceAsOf]] for JOIN MVs: register the two source
+    * paths to be served by the optimizer from a RETAINED historical
+    * version of this join MV. Version dirs are immutable (the manifest
+    * discipline), so no snapshot is needed; the pin is version-keyed —
+    * a later fold's registry refresh (matched by config name) cannot
+    * move it to the head. Validity follows the version's retention:
+    * the advertised window plus one grace publish (widen
+    * `retainJmvVersions` for longer-lived pins — unlike the
+    * single-table pin, jmv GC deletes the version dir itself). */
+  def registerJoinSourceAsOf(catalogKey: String, name: String,
+      version: Int, leftPath: String, rightPath: String): Unit = {
+    val retained = listJoinCubeVersions(name)
+    require(retained.contains(version),
+      s"join MV '$name' version $version is not retained " +
+        s"(window: ${retained.mkString(", ")}); raise retainJmvVersions " +
+        "at service construction to widen the time-travel window")
+    require(version != jmvVersion(name),
+      s"version $version is the current head of '$name' — register the " +
+        "head with CubeCatalog.registerJoin; as-of pinning addresses " +
+        "archived versions")
+    val jc = jmvLoadAt(name, version)
+    CubeCatalog.registerJoin(catalogKey,
+      jc.copy(cube = jc.cube.copy(
+        config = jc.cube.config.copy(name = s"${name}@v$version"))),
+      leftPath, rightPath)
+  }
+
   def listJoinCubes(): Seq[String] = {
     val d = new java.io.File(storageDir)
     Option(d.listFiles()).getOrElse(Array.empty).toSeq
