@@ -1249,6 +1249,38 @@ object CubeQueries {
       srcDir
     })
 
+  // --------------------------------------------------------------- q221
+  /** Graded: TIME-HIERARCHY ROUTING — the month view served from the
+    * DAY-dimmed cube: a `date_trunc('month', ts)` grouping over the
+    * registered source rewrites to re-truncating the cube's day
+    * attribute (`date_trunc(month, day)` — exact because month
+    * boundaries are day boundaries), so the dashboard's month/quarter/
+    * year views all re-aggregate |cube| day cells instead of
+    * re-scanning the source per granularity. This is the classic OLAP
+    * time hierarchy: ONE day-grained MV serves every coarser
+    * calendar level (week rides too — from day, though nothing nests
+    * week). Plan hard-asserted to scan the cube; the DuckDB oracle
+    * recomputes the month totals from raw events, so hash equality
+    * proves the re-truncation exact, not just plausible. */
+  def q221GranularityRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = rollupRoutingSource(spark, sfDir)
+    val q = spark.read.parquet(srcDir)
+      .groupBy(date_trunc("month", col("ts")).as("month"))
+      .agg(sum(dec2(col("value"))).cast("double").as("value_sum"),
+        count(lit(1)).as("n"))
+      .select(epochS(col("month")).as("month_s"), col("value_sum"),
+        col("n"))
+      .orderBy(col("month_s"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.exists(_.endsWith("/rollup_routing_demo")),
+      s"granularity routing did not fire; scans=$scans")
+    q
+  }
+
   /** Graded: ROLLUP served from the materialized cube. The analyzer
     * lowers `rollup(a, b)` to an Aggregate over an `Expand` whose
     * grouping sets duplicate every row; [[CubeRewriteRule]] swaps the
@@ -2285,6 +2317,7 @@ object CubeQueries {
     "q214_join_bitmap_distinct" -> q214JoinBitmapDistinct,
     "q218_stream_bitmap_rolling" -> q218StreamBitmapRolling,
     "q220_join_asof_routing" -> q220JoinAsOfRouting,
+    "q221_granularity_routing" -> q221GranularityRouting,
     "q146_service_lifecycle" -> q146ServiceLifecycle,
     "q147_service_auto_update" -> q147ServiceAutoUpdate,
     "q151_change_stream" -> q151ChangeStream,
@@ -2396,6 +2429,17 @@ object CubeQueries {
           AS revenue,
         count(1) AS n
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1
+      ORDER BY 1""",
+    // Month totals recomputed from raw events: the day-cube's
+    // re-truncated serve must hash-equal them (month boundaries are
+    // day boundaries - the hierarchy's exactness claim).
+    "q221_granularity_routing" -> """
+      SELECT CAST(floor(epoch(date_trunc('month', CAST(ts AS TIMESTAMP)))) AS BIGINT)
+          AS month_s,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        count(1) AS n
+      FROM events
       GROUP BY 1
       ORDER BY 1""",
     "q33_cube_create" -> """

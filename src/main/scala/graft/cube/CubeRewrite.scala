@@ -283,6 +283,23 @@ object CubeCatalog {
 
 object CubeRewriteRule extends Rule[LogicalPlan] {
 
+  /** Granularities a finer time bucket serves EXACTLY by
+    * re-truncation — those whose bucket boundaries are always finer-
+    * bucket boundaries: `date_trunc(g2, date_trunc(g, ts)) ==
+    * date_trunc(g2, ts)` for every g2 listed. WEEK nests day-and-finer
+    * but nothing nests week (ISO weeks cross month/quarter/year
+    * boundaries — truncating a week start to its year can land in the
+    * wrong year for the week's later days), so week serves nothing
+    * coarser and is served only from day/hour/minute. */
+  private[cube] def coarserThan(g: String): Seq[String] = g match {
+    case "minute" => Seq("hour", "day", "week", "month", "quarter", "year")
+    case "hour" => Seq("day", "week", "month", "quarter", "year")
+    case "day" => Seq("week", "month", "quarter", "year")
+    case "month" => Seq("quarter", "year")
+    case "quarter" => Seq("year")
+    case _ => Nil // week crosses coarser boundaries; year is the top
+  }
+
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => conjuncts(a) ++ conjuncts(b)
     case other => Seq(other)
@@ -465,24 +482,47 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     }
 
     // bind each dimension's defining expression against the source
-    // relation's attributes, for canonical comparison with the query
-    private def bindDim(d: Dimension): Option[(Expression, Attribute)] = {
-      val bound: Option[Expression] = d match {
+    // relation's attributes, for canonical comparison with the query.
+    // A TimeDim additionally binds every COARSER granularity its
+    // bucket nests exactly: date_trunc(coarser, date_trunc(finer, ts))
+    // == date_trunc(coarser, ts) whenever coarser boundaries are finer
+    // boundaries, so a month/quarter/year grouping over a day-dimmed
+    // cube is served by RE-TRUNCATING the cube's day attribute — the
+    // classic time-hierarchy roll-up (the dashboard's month view from
+    // the day-grained MV) with no extra materialization. The rewrite
+    // target is then an EXPRESSION over the cube attribute, not the
+    // attribute itself.
+    private def bindDim(d: Dimension): Seq[(Expression, Expression)] = {
+      def truncOf(g: String, arg: Expression): Expression =
+        org.apache.spark.sql.catalyst.expressions.TruncTimestamp(
+          Literal(g), arg, Some("UTC"))
+      d match {
         // arbitrary-SQL dims are not canonically matchable — such cubes
         // simply never route (explicit CubeManager.query still works)
-        case ExprDim(_, _) => None
-        case FieldDim(_, p) => resolvePath(source, p)
-        case TimeDim(_, p, g) => resolvePath(source, p).map { a =>
-          // the analyzer casts non-TIMESTAMP inputs (NTZ, DATE) before
-          // TruncTimestamp — mirror it or the canonical compare misses
-          val arg =
-            if (a.dataType == org.apache.spark.sql.types.TimestampType) a
-            else Cast(a, org.apache.spark.sql.types.TimestampType, Some("UTC"))
-          org.apache.spark.sql.catalyst.expressions.TruncTimestamp(
-            Literal(g), arg, Some("UTC"))
-        }
+        case ExprDim(_, _) => Nil
+        case FieldDim(_, p) =>
+          (for {
+            b <- resolvePath(source, p)
+            a <- cubeAttr(d.id)
+          } yield (b, a: Expression)).toSeq
+        case TimeDim(_, p, g) =>
+          (for {
+            raw <- resolvePath(source, p)
+            a <- cubeAttr(d.id)
+          } yield {
+            // the analyzer casts non-TIMESTAMP inputs (NTZ, DATE)
+            // before TruncTimestamp — mirror it or the canonical
+            // compare misses
+            val arg =
+              if (raw.dataType == org.apache.spark.sql.types.TimestampType)
+                raw
+              else Cast(raw, org.apache.spark.sql.types.TimestampType,
+                Some("UTC"))
+            ((truncOf(g, arg), a: Expression)) +:
+              CubeRewriteRule.coarserThan(g).map(g2 =>
+                (truncOf(g2, arg), truncOf(g2, a): Expression))
+          }).getOrElse(Nil)
       }
-      bound.flatMap(b => cubeAttr(d.id).map(b -> _))
     }
     // PARTIAL binding is fine: a dim that doesn't bind (ExprDim — not
     // canonically matchable — or its column pruned out of the child,
@@ -490,10 +530,13 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     // just can't be GROUPED ON; roll-ups that don't reference it
     // re-aggregate across its cells, which is exact regardless of how
     // the dim was defined. Groupings must still all match bound dims.
-    val dimBindings: Seq[(Expression, Attribute)] =
+    // Exact bindings precede coarser re-truncations per dim, so a cube
+    // carrying BOTH a day and a month dim serves a month query from
+    // the month attribute directly.
+    val dimBindings: Seq[(Expression, Expression)] =
       cube.config.dims.flatMap(bindDim)
 
-    def matchDim(e: Expression): Option[Attribute] =
+    def matchDim(e: Expression): Option[Expression] =
       dimBindings.find(_._1.canonicalized == subst(e).canonicalized).map(_._2)
 
     /** Filter conjuncts: each must become a deterministic predicate
@@ -760,7 +803,7 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     if (!b.routable || b.countAttrOpt.isEmpty) return None
 
     // groupings must all be covered dimensions
-    val groupMap: Seq[(Expression, Attribute)] =
+    val groupMap: Seq[(Expression, Expression)] =
       agg.groupingExpressions.flatMap(g => b.matchDim(g).map(g -> _))
     if (groupMap.size != agg.groupingExpressions.size) return None
 
@@ -774,7 +817,7 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     val served = b.servedFilter(predRewritten)
     val needed = AttributeSet(
       rewritten.flatMap(_.references) ++ served.references ++
-        groupMap.map(_._2))
+        groupMap.flatMap(_._2.references))
     val liveCube = Filter(served, b.prunedCubeUnder(needed))
     Some((Aggregate(groupMap.map(_._2), rewritten, liveCube),
       reg.cubeSize))
@@ -871,7 +914,7 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
       // sets where it is live; null elsewhere) must match a cube dim of
       // the same type — the type check keeps the slot's typed null
       // literals and the preserved output attr consistent
-      val dimForSlot: Map[Int, Attribute] = groupSlotIdx.map { i =>
+      val dimForSlot: Map[Int, Expression] = groupSlotIdx.map { i =>
         val defs = exp.projections.map(_(i)).filter {
           case Literal(null, _) => false
           case _ => true
@@ -909,7 +952,8 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
         }
       }
       val needed = AttributeSet(
-        partialAttrs ++ served.references ++ dimForSlot.values)
+        partialAttrs ++ served.references ++
+          dimForSlot.values.flatMap(_.references))
       val liveCube = Filter(served, b.prunedCubeUnder(needed))
       Some((Aggregate(agg.groupingExpressions, rewritten,
         Expand(newProjections, newOut, liveCube)), reg.cubeSize))

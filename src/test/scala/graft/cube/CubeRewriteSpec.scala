@@ -1206,6 +1206,80 @@ class CubeRewriteSpec extends AnyFunSuite {
     CubeCatalog.clear()
   }
 
+  test("time-hierarchy routing: coarser granularities serve from a finer time dim") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(67)
+    // 400 rows across ~14 months so month/quarter/year all have
+    // multiple buckets (incl. a year boundary — the week refusal's
+    // danger zone)
+    val rows = (0 until 400).map { _ =>
+      (Seq("a", "b")(rnd.nextInt(2)),
+        new Timestamp(1700000000000L + rnd.nextInt(420) * 86400000L
+          + rnd.nextInt(86400000)),
+        math.round(rnd.nextDouble() * 10000) / 100.0)
+    }
+    val srcDir = Files.createTempDirectory("graft_rw_hier_src").toString
+    rows.toDF("k", "ts", "v").write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+    val dayCfg = CubeConfig("hier_day", "src",
+      Seq(FieldDim("k", "k"), TimeDim("day", "ts", "day")),
+      Seq(Measure("vs", "v")))
+    val cubeDir = Files.createTempDirectory("graft_rw_hier_cube").toString
+    CubeManager.save(CubeManager.create(dayCfg, src), cubeDir)
+    CubeCatalog.register("hier_day",
+      CubeManager.load(spark, cubeDir, "hier_day"), srcDir)
+    def grouped(g: String) = src
+      .groupBy(col("k"), date_trunc(g, col("ts")).as("b"))
+      .agg(sum(col("v").cast("decimal(18,2)")).cast("double").as("s"),
+        count(lit(1)).as("n"))
+      .orderBy(col("k"), col("b"))
+    // every nesting granularity routes AND matches the direct answer
+    Seq("week", "month", "quarter", "year").foreach { g =>
+      val q = grouped(g)
+      assert(scansOf(q) ==
+        Seq(CubeCatalog.normalize(s"$cubeDir/hier_day")),
+        s"$g grouping did not route: ${scansOf(q)}")
+      CubeCatalog.unregister("hier_day")
+      val direct = grouped(g).collect().map(_.toSeq).toSeq
+      CubeCatalog.register("hier_day",
+        CubeManager.load(spark, cubeDir, "hier_day"), srcDir)
+      assert(q.collect().map(_.toSeq).toSeq == direct,
+        s"$g re-truncation diverged from the direct answer")
+    }
+    // a filter on the coarser bucket is a dim-determined predicate too
+    val filtered = src
+      .filter(date_trunc("year", col("ts"))
+        === lit("2024-01-01 00:00:00").cast("timestamp"))
+      .groupBy(col("k"))
+      .agg(sum(col("v").cast("decimal(18,2)")).cast("double").as("s"))
+      .orderBy(col("k"))
+    assert(scansOf(filtered) ==
+      Seq(CubeCatalog.normalize(s"$cubeDir/hier_day")),
+      s"coarser-bucket filter did not route: ${scansOf(filtered)}")
+    CubeCatalog.clear()
+
+    // NOTHING nests week: a month/quarter/year grouping over a
+    // WEEK-dimmed cube must keep reading the source (ISO weeks cross
+    // those boundaries — serving would be silently wrong around
+    // year/month edges)
+    val weekCfg = CubeConfig("hier_week", "src",
+      Seq(FieldDim("k", "k"), TimeDim("wk", "ts", "week")),
+      Seq(Measure("vs", "v")))
+    val weekDir = Files.createTempDirectory("graft_rw_hierw_cube").toString
+    CubeManager.save(CubeManager.create(weekCfg, src), weekDir)
+    CubeCatalog.register("hier_week",
+      CubeManager.load(spark, weekDir, "hier_week"), srcDir)
+    Seq("month", "quarter", "year").foreach { g =>
+      assert(scansOf(grouped(g)) == Seq(CubeCatalog.normalize(srcDir)),
+        s"$g grouping over a week cube must refuse to route")
+    }
+    // the week cube still serves its own granularity
+    assert(scansOf(grouped("week")) ==
+      Seq(CubeCatalog.normalize(s"$weekDir/hier_week")))
+    CubeCatalog.clear()
+  }
+
   test("routed serve concurrent with a publish reads exactly one consistent version") {
     // The manifest-swap claim made EXECUTABLE instead of assumed: a
     // routed plan optimized against the pre-publish registration and
