@@ -225,12 +225,35 @@ object CubeAdvisor {
         entries: Seq[(Int, Needs)]): CubeConfig = {
       def mergeMeasures(get: Needs => Seq[Measure]): Seq[Measure] =
         entries.flatMap(e => get(e._2)).distinctBy(_.path)
-      val dims = entries.flatMap(_._2.dims)
+      val dims0 = entries.flatMap(_._2.dims)
         .distinctBy(d => d match {
           case FieldDim(_, p) => ("f", p, "")
           case TimeDim(_, p, g) => ("t", p, g)
           case ExprDim(_, s) => ("e", s, "")
         })
+      // COLLAPSE nested time buckets on one column to the FINEST: the
+      // rewrite's time-hierarchy binding serves every nesting coarser
+      // granularity by re-truncating the finer attribute, so a
+      // workload mixing day and month views needs ONE day dim — a
+      // day × month dim pair would multiply the advised cube's cells
+      // for nothing. Non-nesting mixes (week + month) keep both dims:
+      // collapsing would break the route-on-registration contract.
+      val fineness = Seq("minute", "hour", "day", "week", "month",
+        "quarter", "year")
+      val dims = dims0.flatMap {
+        case td @ TimeDim(_, p, _) =>
+          val same = dims0.collect {
+            case t @ TimeDim(_, `p`, _) => t }
+          val finest = same.minBy(t => fineness.indexOf(t.granularity))
+          val servable = same.forall(t =>
+            t.granularity == finest.granularity ||
+              CubeRewriteRule.coarserThan(finest.granularity)
+                .contains(t.granularity))
+          if (!servable) Some(td) // keep every bucket, unchanged
+          else if (td.id == finest.id) Some(finest)
+          else None
+        case d => Some(d)
+      }
       CubeConfig(name, source, dims,
         measures = mergeMeasures(_.measures),
         sketches = mergeMeasures(_.sketches),

@@ -373,6 +373,62 @@ class CubeAdvisorSpec extends AnyFunSuite {
     CubeCatalog.clear()
   }
 
+  test("nested time buckets collapse to the finest dim; hierarchy routing serves both") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(73)
+    val rows = (0 until 500).map { _ =>
+      (Seq("x", "y")(rnd.nextInt(2)),
+        new Timestamp(1700000000000L + rnd.nextInt(200) * 86400000L),
+        math.round(rnd.nextDouble() * 10000) / 100.0)
+    }
+    val srcDir = Files.createTempDirectory("graft_advh_src").toString
+    rows.toDF("k", "ts", "v").write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+    def mkWorkload(): Seq[DataFrame] = Seq(
+      src.groupBy(col("k"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("v").cast("decimal(18,2)")).as("s")),
+      src.groupBy(date_trunc("month", col("ts")).as("m"))
+        .agg(sum(col("v").cast("decimal(18,2)")).as("s")))
+    val advice = CubeAdvisor.advise(mkWorkload(), "advh")
+    assert(advice.uncovered.isEmpty && advice.cubes.size == 1,
+      advice.toString)
+    val rec = advice.cubes.head
+    // ONE day dim, not day × month (the hierarchy rewrite serves the
+    // month view by re-truncation — a month dim would only multiply
+    // the advised cells)
+    val tds = rec.config.dims.collect { case t: TimeDim => t }
+    assert(tds.map(t => (t.path, t.granularity)) == Seq(("ts", "day")),
+      rec.config.dims.toString)
+    // honesty: materialized verbatim, BOTH views route
+    val cubeDir = Files.createTempDirectory("graft_advh_cube").toString
+    CubeManager.save(CubeManager.create(rec.config, src), cubeDir)
+    CubeCatalog.register(rec.config.name,
+      CubeManager.load(spark, cubeDir, rec.config.name), srcDir)
+    mkWorkload().zipWithIndex.foreach { case (q, i) =>
+      assert(scansOf(q) ==
+        Seq(CubeCatalog.normalize(s"$cubeDir/${rec.config.name}")),
+        s"workload query $i did not route: ${scansOf(q)}")
+    }
+    // NON-nesting mix keeps both buckets (week + month): collapsing
+    // would break the route-on-registration contract. (Catalog cleared
+    // first — an ACTIVE registration makes the advisor see the
+    // already-routed plans, which is correct behavior: a served
+    // workload needs no advice.)
+    CubeCatalog.clear()
+    val advice2 = CubeAdvisor.advise(Seq(
+      src.groupBy(date_trunc("week", col("ts")).as("w"))
+        .agg(sum(col("v").cast("decimal(18,2)")).as("s")),
+      src.groupBy(date_trunc("month", col("ts")).as("m"))
+        .agg(sum(col("v").cast("decimal(18,2)")).as("s"))), "advh2")
+    assert(advice2.cubes.nonEmpty, s"advh2 advice: $advice2")
+    val tds2 = advice2.cubes.head.config.dims
+      .collect { case t: TimeDim => (t.path, t.granularity) }
+    assert(tds2.toSet == Set(("ts", "week"), ("ts", "month")),
+      tds2.toString)
+    CubeCatalog.clear()
+  }
+
   test("layout recommendation: applied layout skips files the original cannot") {
     import spark.implicits._
     CubeCatalog.clear()
