@@ -149,8 +149,17 @@ object CubeCatalog {
       if (files.exists(_.isDirectory)) return None // partitioned: fall back
       val snapRoot = java.nio.file.Paths
         .get(scanPath.stripPrefix("file:") + ".snap").resolve(kind)
-      val dest = snapRoot.resolve(s"s${snapGen.incrementAndGet()}")
-        .resolve(src.getFileName)
+      // generation = max(monotone in-process counter, on-disk max + 1):
+      // a RESTARTED process's counter restarts at 1, and colliding with
+      // a previous process's s1 would fail the link and silently fall
+      // back to the raw (publish-race-prone) plan
+      val existingMax = Option(snapRoot.toFile.listFiles())
+        .getOrElse(Array.empty)
+        .flatMap(f => f.getName.stripPrefix("s").toLongOption)
+        .foldLeft(0L)(math.max)
+      val gen = math.max(snapGen.incrementAndGet(), existingMax + 1)
+      snapGen.updateAndGet(g => math.max(g, gen))
+      val dest = snapRoot.resolve(s"s$gen").resolve(src.getFileName)
       java.nio.file.Files.createDirectories(dest)
       files.filter(_.isFile).foreach { f =>
         java.nio.file.Files.createLink(dest.resolve(f.getName), f.toPath)
