@@ -82,7 +82,8 @@ object CubeAdvisor {
       sumOf: Seq[String],
       coveredQueries: Seq[Int],
       joinKeys: Option[(String, String, String, String)] = None,
-      exactDistinctOf: Seq[String] = Nil) {
+      exactDistinctOf: Seq[String] = Nil,
+      segmentBy: Seq[String] = Nil) {
     /** Set for a rolling-over-JOIN recommendation: materialize with
       * `CubeService.createJoinCube(joinConfig.get, left, right)` and
       * serve the covered curves via `getJoinRolling` — the day-dimmed
@@ -124,7 +125,8 @@ object CubeAdvisor {
       distinctOf: Seq[String], quantilesOf: Seq[(String, Double)],
       minOf: Seq[String], maxOf: Seq[String], sumOf: Seq[String],
       join: Option[(String, String, String, String)] = None,
-      exactDistinctOf: Seq[String] = Nil)
+      exactDistinctOf: Seq[String] = Nil,
+      segments: Seq[String] = Nil)
 
   /** One recommended STORAGE LAYOUT: the consumer of
     * [[CubeRecommendation.rangeOnlyDims]]. A column promoted into the
@@ -186,9 +188,11 @@ object CubeAdvisor {
       plans.zipWithIndex.collect { case (p, i) if !rollingIdx(i) =>
         i -> analyze(p)
       }
-    val rollingRecs = rollingHits.groupBy(h => (h._2.path, h._2.tsCol))
-      .toSeq.sortBy(_._1).zipWithIndex.map {
-        case (((path, tsCol), hits), k) =>
+    val rollingRecs = rollingHits
+      .groupBy(h => (h._2.path, h._2.tsCol, h._2.segments))
+      .toSeq.sortBy(g => (g._1._1, g._1._2, g._1._3.mkString(",")))
+      .zipWithIndex.map {
+        case (((path, tsCol, segments), hits), k) =>
           val needs = hits.map(_._2)
           val dayDim = s"${tsCol}_day"
           val dOf = needs.flatMap(_.distinctOf).distinct
@@ -199,7 +203,10 @@ object CubeAdvisor {
           val sOf = needs.flatMap(_.sumOf).distinct
           RollingCubeRecommendation(path,
             CubeConfig(s"${namePrefix}_rolling_$k", path,
-              dims = Seq(TimeDim(dayDim, tsCol, "day")),
+              // segment columns dim the cube so the daily partials
+              // subdivide per segment cell (getRolling(segmentBy))
+              dims = segments.map(c => FieldDim(c, c)) :+
+                TimeDim(dayDim, tsCol, "day"),
               measures = sOf.map(c => Measure(s"${c}_sum", c)),
               sketches = dOf.map(c => Measure(s"${c}_nd", c)),
               quantiles = qOf.map(_._1).distinct
@@ -216,7 +223,8 @@ object CubeAdvisor {
             sumOf = sOf.map(c => s"${c}_sum"),
             coveredQueries = hits.map(_._1).sorted,
             joinKeys = needs.head.join,
-            exactDistinctOf = xdOf.map(c => s"${c}_xd"))
+            exactDistinctOf = xdOf.map(c => s"${c}_xd"),
+            segmentBy = segments)
       }
     val uncovered = analyzed.collect { case (i, None) => i }
     val bySource = analyzed.collect { case (i, Some(n)) => (i, n) }
@@ -345,24 +353,24 @@ object CubeAdvisor {
     * served curve against the workload's own, endpoint by endpoint. */
   private def analyzeRolling(plan: LogicalPlan): Option[RollingNeeds] =
     plan match {
-      case Aggregate(Seq(day: AttributeReference), aggs, child, _) =>
+      case Aggregate(groups, aggs, child, _)
+          if groups.nonEmpty &&
+            groups.forall(_.isInstanceOf[AttributeReference]) =>
+        val groupAttrs = groups.map(_.asInstanceOf[AttributeReference])
         val (base, _, preds) = peel(child)
         if (preds.nonEmpty) return None
         base match {
           case Join(l, r, LeftSemi, Some(cond), _) =>
-            val rightDay = cond match {
-              case EqualTo(a: AttributeReference, b: AttributeReference)
-                  if a.exprId == day.exprId => b
-              case EqualTo(a: AttributeReference, b: AttributeReference)
-                  if b.exprId == day.exprId => a
-              case _ => return None
-            }
             val (lb, lenv, lpreds) = peel(l)
-            if (lpreds.nonEmpty) return None
             lb match {
               case Generate(Explode(Sequence(start, stop, None, _)), _,
                   false, _, Seq(genOut), gchild)
-                  if genOut.exprId == day.exprId =>
+                  if groupAttrs.exists(_.exprId == genOut.exprId) =>
+                val day = groupAttrs.find(_.exprId == genOut.exprId).get
+                // any further groupings are SEGMENTS ("WAU per event
+                // type" — the getRolling(segmentBy) serve): per-segment
+                // daily partials, per-segment observed-day endpoints
+                val segAttrs = groupAttrs.filterNot(_.exprId == day.exprId)
                 val windowDays = stop match {
                   case Add(s2, Literal(n: Long, _), _)
                       if s2.semanticEquals(start) => n.toInt + 1
@@ -371,20 +379,57 @@ object CubeAdvisor {
                   case s2 if s2.semanticEquals(start) => 1
                   case _ => return None
                 }
+                // the semi-join must carry ONE equality per grouping:
+                // the day against the right-side day, and EVERY
+                // segment against a right-side column — a day-only
+                // semi-join under segment groupings would make the
+                // endpoints the GLOBALLY observed days, a different
+                // curve from the per-segment serve (refused)
+                def split(e: Expression): Seq[Expression] = e match {
+                  case org.apache.spark.sql.catalyst.expressions
+                      .And(a, b) => split(a) ++ split(b)
+                  case o => Seq(o)
+                }
+                val lOut = l.outputSet
+                val oriented = split(cond).map {
+                  case EqualTo(a: AttributeReference,
+                      b: AttributeReference) =>
+                    if (lOut.contains(a)) (a, b)
+                    else if (lOut.contains(b)) (b, a)
+                    else return None
+                  case _ => return None
+                }
+                val dayEqs = oriented.filter(_._1.exprId == day.exprId)
+                if (dayEqs.size != 1) return None
+                val rightDay = dayEqs.head._2
+                val segEqs = oriented.filterNot(_._1.exprId == day.exprId)
+                if (segEqs.map(_._1.exprId).toSet !=
+                    segAttrs.map(_.exprId).toSet ||
+                    segEqs.size != segAttrs.size) return None
                 // under the explode: an optional pure dedup (the
                 // distinct (key, day) collapse of the count-distinct
                 // form), then projects down to the relation
                 val (inner, ienv, ipreds) = peel(gchild)
-                if (ipreds.nonEmpty) return None
-                val (srcPlan, env, deduped) = inner match {
+                val (srcPlan, env, deduped, innerPreds) = inner match {
                   case Aggregate(gs, as2, c2, _)
                       if as2.forall(_.isInstanceOf[Attribute]) &&
                         gs.map(_.canonicalized).toSet ==
                           as2.map(_.canonicalized).toSet =>
                     val (b2, env2, p2) = peel(c2)
-                    if (p2.nonEmpty) return None
-                    (b2, lenv ++ ienv ++ env2, true)
-                  case other => (other, lenv ++ ienv, false)
+                    (b2, lenv ++ ienv ++ env2, true, p2)
+                  case other => (other, lenv ++ ienv, false, Nil)
+                }
+                // LEFT-side predicates: the optimizer plants
+                // isnotnull(<segment key>) under the equi-semi-join.
+                // Those are IMPLIED by the join (null keys never
+                // match) and the segmented serve's own endpoint
+                // semi-join drops null segments identically, so
+                // IsNotNull over a segment column is accepted;
+                // anything else filters the curve by semantics the
+                // partials cannot reproduce — refuse.
+                val leftNN = (lpreds ++ ipreds ++ innerPreds).map {
+                  case IsNotNull(a: AttributeReference) => a
+                  case _ => return None
                 }
                 // the per-day frame may sit over ONE parquet relation
                 // or over an inner equi-join of two (the join-MV
@@ -396,28 +441,57 @@ object CubeAdvisor {
                 if (jPreds.nonEmpty) return None
                 val dExpr = subst(env)(start)
                 val tsCol = dayBucketColumn(dExpr).getOrElse(return None)
-                // the semi-join's right side must be the observed-day
-                // set of the SAME source and the SAME day derivation —
-                // anything else filters endpoints by semantics the
-                // serve does not reproduce
+                // each segment must be a PLAIN source column (the
+                // advised cube dims on it directly)
+                val segNames = segAttrs.map(a => subst(env)(a) match {
+                  case sa: AttributeReference => sa.name
+                  case _ => return None
+                })
+                // every accepted left-side isnotnull must be on a
+                // segment column (see above)
+                if (!leftNN.forall(a => subst(env)(a) match {
+                    case sa: AttributeReference => segNames.contains(sa.name)
+                    case _ => false
+                  })) return None
+                // the semi-join's right side must be the observed
+                // (segment, day) set of the SAME source, the SAME day
+                // derivation, and the SAME segment columns — anything
+                // else filters endpoints by semantics the serve does
+                // not reproduce
                 val (rb, renv, rpreds) = peel(r)
                 val rOk = rb match {
-                  case Aggregate(Seq(g), Seq(out: Attribute), c2, _)
-                      if out.exprId == rightDay.exprId =>
+                  case Aggregate(gs, outs, c2, _)
+                      if outs.size == segAttrs.size + 1 &&
+                        gs.size == outs.size &&
+                        outs.forall(_.isInstanceOf[Attribute]) =>
                     val (b2, env2, p2) = peel(c2)
-                    val rDay = subst(renv ++ env2)(subst(renv)(g))
-                    p2.forall(_.isInstanceOf[IsNotNull]) &&
+                    val envR = renv ++ env2
+                    val outAttrs = outs.map(_.asInstanceOf[Attribute])
+                    val dayOutOk = outAttrs
+                      .find(_.exprId == rightDay.exprId)
+                      .exists(o => subst(envR)(o).sql == dExpr.sql)
+                    val segOutOk = segEqs.forall { case (lSeg, rSeg) =>
+                      outAttrs.exists(_.exprId == rSeg.exprId) &&
+                        (subst(envR)(rSeg) match {
+                          case sa: AttributeReference =>
+                            segAttrs.zip(segNames).exists { case (la, n) =>
+                              la.exprId == lSeg.exprId && sa.name == n }
+                          case _ => false
+                        })
+                    }
+                    dayOutOk && segOutOk &&
+                      p2.forall(_.isInstanceOf[IsNotNull]) &&
                       rpreds.forall(_.isInstanceOf[IsNotNull]) &&
                       sourceOf(b2).exists(s => s._1 == path &&
-                        s._3.forall(_.isInstanceOf[IsNotNull])) &&
-                      rDay.sql == dExpr.sql
+                        s._3.forall(_.isInstanceOf[IsNotNull]))
                   case _ => false
                 }
                 if (!rOk) return None
-                rollingLeaves(day, aggs, deduped).map {
+                val skipIds = groupAttrs.map(_.exprId).toSet
+                rollingLeaves(skipIds, aggs, deduped).map {
                   case (d0, q0, mn, mx, s0, xd) =>
                     RollingNeeds(path, tsCol, windowDays, d0, q0, mn, mx,
-                      s0, join, xd)
+                      s0, join, xd, segNames)
                 }
               case _ => None
             }
@@ -455,8 +529,9 @@ object CubeAdvisor {
     * [[graft.operators.Stable]] discipline the generic matcher also
     * requires) — a bare double sum is order-dependent and the serve
     * could not reproduce it bit-exactly. */
-  private def rollingLeaves(day: AttributeReference, aggs: Seq[Expression],
-      deduped: Boolean)
+  private def rollingLeaves(
+      groupIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId],
+      aggs: Seq[Expression], deduped: Boolean)
       : Option[(Seq[String], Seq[(String, Double)], Seq[String],
           Seq[String], Seq[String], Seq[String])] = {
     var dOf = Vector.empty[String]
@@ -471,7 +546,7 @@ object CubeAdvisor {
       case _ => None
     }
     aggs.foreach {
-      case a: AttributeReference if a.exprId == day.exprId => ()
+      case a: AttributeReference if groupIds.contains(a.exprId) => ()
       case al: Alias => al.child match {
         // distinct curve: an INTEGRAL key column gets exact bitmap
         // partials (lossless union — the served curve EQUALS the

@@ -293,6 +293,72 @@ class CubeAdvisorSpec extends AnyFunSuite {
     CubeCatalog.clear()
   }
 
+  test("segmented rolling workloads yield a segment-dimmed cube; serve == workload") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(89)
+    val rows = (0 until 900).map { i =>
+      (Seq("click", "view")(rnd.nextInt(2)),
+        new Timestamp(1700000000000L + rnd.nextInt(15) * 86400000L
+          + rnd.nextInt(86400000)),
+        (i % 60).toLong)
+    }
+    val srcDir = Files.createTempDirectory("graft_advseg_src").toString
+    rows.toDF("etype", "ts", "user_id").write.mode("overwrite")
+      .parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+    def dayCol = (unix_timestamp(col("ts")).cast("double") / 86400)
+      .cast("long").as("d")
+    // the q219 user form: per-segment trailing distinct, endpoints
+    // restricted to the segment's OWN observed days
+    def mkQ(): DataFrame = {
+      val du = src.select(col("etype"), col("user_id"), dayCol).distinct()
+      val days = du.select(col("etype"), col("d").as("day")).distinct()
+      du.withColumn("day", expr("explode(sequence(d, d + 6))"))
+        .drop("d")
+        .join(days, Seq("etype", "day"), "left_semi")
+        .groupBy(col("etype"), col("day"))
+        .agg(countDistinct(col("user_id")).as("nu"))
+    }
+    val advice = CubeAdvisor.advise(Seq(mkQ()), "advseg")
+    assert(advice.uncovered.isEmpty && advice.rolling.size == 1,
+      advice.toString)
+    val rec = advice.rolling.head
+    assert(rec.segmentBy == Seq("etype"), rec.toString)
+    assert(rec.config.dims.collect { case FieldDim(id, p) => (id, p) }
+      == Seq(("etype", "etype")), rec.config.dims.toString)
+    assert(rec.exactDistinctOf == Seq("user_id_xd"), rec.toString)
+    // honesty: materialize verbatim; the segmented serve equals the
+    // workload's own curve EXACTLY (bitmap partials)
+    val svcDir = Files.createTempDirectory("graft_advseg_svc").toString
+    val svc = new CubeService(spark, svcDir)
+    svc.createCube(rec.config, src)
+    val exact = mkQ().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val served = svc.getRolling(rec.config.name, rec.dayDim,
+        windowDays = 7, exactDistinctOf = rec.exactDistinctOf,
+        segmentBy = rec.segmentBy).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(served == exact,
+      s"segmented advised serve diverged (${served.size} vs ${exact.size})")
+    // REFUSED: segment groupings with a day-only semi-join — the
+    // endpoints would be the GLOBALLY observed days, a different curve
+    // from what the per-segment serve reproduces
+    def mkBad(): DataFrame = {
+      val du = src.select(col("etype"), col("user_id"), dayCol).distinct()
+      val days = du.select(col("d").as("day")).distinct()
+      du.withColumn("day", expr("explode(sequence(d, d + 6))"))
+        .drop("d")
+        .join(days, Seq("day"), "left_semi")
+        .groupBy(col("etype"), col("day"))
+        .agg(countDistinct(col("user_id")).as("nu"))
+    }
+    val bad = CubeAdvisor.advise(Seq(mkBad()), "advsegbad")
+    assert(bad.rolling.isEmpty && bad.uncovered == Seq(0),
+      s"day-only semi-join under segment groupings must refuse: $bad")
+    CubeCatalog.clear()
+  }
+
   test("join-rolling workloads yield a join MV that getJoinRolling serves exactly") {
     import spark.implicits._
     CubeCatalog.clear()
