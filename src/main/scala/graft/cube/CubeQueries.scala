@@ -1288,7 +1288,11 @@ object CubeQueries {
     // SAME cube — one MV serving exact (q163) and approximate
     // (q175/q176) rollups side by side
     sketches = Seq(Measure("users", "user_id")),
-    quantiles = Seq(Measure("value_dist", "value")))
+    quantiles = Seq(Measure("value_dist", "value")),
+    // q223's exact distinct rides too: the hierarchy rewrite unions
+    // the day cells' bitmaps per month — the monthly MAU from the
+    // day-grained cube, exact
+    bitmaps = Seq(Measure("xusers", "user_id")))
 
   private val rollupRoutingSetup = TrieMap.empty[(SparkSession, String), String]
   private def rollupRoutingSource(spark: SparkSession, sfDir: String): String =
@@ -1339,6 +1343,38 @@ object CubeQueries {
     }.flatten
     require(scans.exists(_.endsWith("/rollup_routing_demo")),
       s"granularity routing did not fire; scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q223
+  /** Graded: EXACT DISTINCT through TIME-HIERARCHY routing — the
+    * monthly MAU served from the day-grained WAU cube: a
+    * `count(DISTINCT user_id)` grouped by `date_trunc('month', ts)`
+    * routes to the day-dimmed cube with the grouping re-truncated
+    * (q221) AND the distinct leaf rewritten to
+    * bitmap_cardinality(union(day cells' bitmaps)) (q209) — the two
+    * rewrites compose because the leaf binding and the dim binding are
+    * orthogonal, and bitmap union's losslessness makes the coarser
+    * level EXACT: the month's distinct set is exactly the OR of its
+    * days' sets. This is the engagement-dashboard pair (WAU + MAU)
+    * served from ONE maintained day-grained MV; without it the MAU
+    * re-shuffles the source's distinct pairs per month per refresh.
+    * Plan hard-asserted to scan the cube; full DuckDB oracle. */
+  def q223HierarchyBitmapDistinct(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = rollupRoutingSource(spark, sfDir)
+    val q = spark.read.parquet(srcDir)
+      .groupBy(date_trunc("month", col("ts")).as("month"))
+      .agg(countDistinct(col("user_id")).as("mau"),
+        count(lit(1)).as("n"))
+      .select(epochS(col("month")).as("month_s"), col("mau"), col("n"))
+      .orderBy(col("month_s"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.exists(_.endsWith("/rollup_routing_demo")),
+      s"hierarchy bitmap routing did not fire; scans=$scans")
     q
   }
 
@@ -2379,6 +2415,7 @@ object CubeQueries {
     "q218_stream_bitmap_rolling" -> q218StreamBitmapRolling,
     "q220_join_asof_routing" -> q220JoinAsOfRouting,
     "q221_granularity_routing" -> q221GranularityRouting,
+    "q223_hierarchy_bitmap_distinct" -> q223HierarchyBitmapDistinct,
     "q146_service_lifecycle" -> q146ServiceLifecycle,
     "q147_service_auto_update" -> q147ServiceAutoUpdate,
     "q151_change_stream" -> q151ChangeStream,
@@ -2500,6 +2537,17 @@ object CubeQueries {
       SELECT CAST(floor(epoch(date_trunc('month', CAST(ts AS TIMESTAMP)))) AS BIGINT)
           AS month_s,
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        count(1) AS n
+      FROM events
+      GROUP BY 1
+      ORDER BY 1""",
+    // Monthly exact distinct users recomputed from raw: the routed
+    // month = OR of day bitmaps must hash-equal it (the MAU-from-WAU
+    // composition's exactness claim).
+    "q223_hierarchy_bitmap_distinct" -> """
+      SELECT CAST(floor(epoch(date_trunc('month', CAST(ts AS TIMESTAMP)))) AS BIGINT)
+          AS month_s,
+        count(DISTINCT user_id) AS mau,
         count(1) AS n
       FROM events
       GROUP BY 1
