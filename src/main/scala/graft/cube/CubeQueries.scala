@@ -1378,6 +1378,39 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q224
+  /** Graded: GROUPING SETS × TIME HIERARCHY — `rollup(etype,
+    * month(ts))` served from the (etype, DAY) cube: the Expand swap
+    * (q163) composes with the hierarchy re-truncation (q221), so the
+    * month slot's defining expression binds to `date_trunc(month,
+    * day)` inside the routed Expand and every rollup level — per
+    * (type, month), per type, grand total — re-aggregates day cells.
+    * The BI month report over a star schema from the day-grained MV:
+    * without it each grouping set re-scans the source, and a separate
+    * month cube would double the MV bill. Exact measures ⇒ full
+    * DuckDB ROLLUP oracle, grouping-id bits included; plan
+    * hard-asserted to scan the cube. */
+  def q224HierarchyRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = rollupRoutingSource(spark, sfDir)
+    val q = spark.read.parquet(srcDir)
+      .rollup(col("event_type"),
+        date_trunc("month", col("ts")).as("month"))
+      .agg(grouping_id().as("gid"),
+        sum(dec2(col("value"))).cast("double").as("value_sum"),
+        count(lit(1)).as("n"))
+      .select(col("event_type").as("etype"),
+        epochS(col("month")).as("month_s"), col("gid"),
+        col("value_sum"), col("n"))
+      .orderBy(col("gid"), col("etype"), col("month_s"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.exists(_.endsWith("/rollup_routing_demo")),
+      s"hierarchy rollup routing did not fire; scans=$scans")
+    q
+  }
+
   /** Graded: ROLLUP served from the materialized cube. The analyzer
     * lowers `rollup(a, b)` to an Aggregate over an `Expand` whose
     * grouping sets duplicate every row; [[CubeRewriteRule]] swaps the
@@ -2416,6 +2449,7 @@ object CubeQueries {
     "q220_join_asof_routing" -> q220JoinAsOfRouting,
     "q221_granularity_routing" -> q221GranularityRouting,
     "q223_hierarchy_bitmap_distinct" -> q223HierarchyBitmapDistinct,
+    "q224_hierarchy_rollup" -> q224HierarchyRollup,
     "q146_service_lifecycle" -> q146ServiceLifecycle,
     "q147_service_auto_update" -> q147ServiceAutoUpdate,
     "q151_change_stream" -> q151ChangeStream,
@@ -2552,6 +2586,20 @@ object CubeQueries {
       FROM events
       GROUP BY 1
       ORDER BY 1""",
+    // The whole month-level rollup lattice recomputed from raw; the
+    // routed Expand's day-cell re-aggregation must hash-equal it at
+    // every level, grouping-id bits included.
+    "q224_hierarchy_rollup" -> """
+      SELECT event_type AS etype,
+        CAST(floor(epoch(date_trunc('month', CAST(ts AS TIMESTAMP)))) AS BIGINT)
+          AS month_s,
+        CAST(grouping(event_type, date_trunc('month', CAST(ts AS TIMESTAMP)))
+          AS BIGINT) AS gid,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        count(1) AS n
+      FROM events
+      GROUP BY ROLLUP (event_type, date_trunc('month', CAST(ts AS TIMESTAMP)))
+      ORDER BY gid, etype, month_s""",
     "q33_cube_create" -> """
       SELECT event_type AS etype,
         CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS hour_s,
