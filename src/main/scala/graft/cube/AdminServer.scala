@@ -233,8 +233,20 @@ final class AdminServer(service: CubeService, spark: SparkSession,
             strArray(req, "sumOf"),
             strArray(req, "avgOf"),
             strArray(req, "exactDistinctOf"),
-            strArray(req, "segmentBy"))
+            strArray(req, "segmentBy"),
+            strArray(req, "intersectOf"))
           serveRows(df, strArray(req, "segmentBy") :+ "day", req)
+        case Some("getRetention") | Some("getJoinRetention") =>
+          val name = need(strField(req, "name"), "name")
+          val isJoin = strField(req, "verb").contains("getJoinRetention")
+          val fn =
+            if (isJoin) service.getJoinRetention _ else service.getRetention _
+          val df = fn(name,
+            need(strField(req, "dayDim"), "dayDim"),
+            need(strField(req, "bitmapId"), "bitmapId"),
+            numField(req, "periodDays").map(_.toInt).getOrElse(7),
+            strArray(req, "segmentBy"))
+          serveRows(df, strArray(req, "segmentBy") :+ "period", req)
         case Some("diffAggregates") | Some("diffJoinAggregates") =>
           val name = need(strField(req, "name"), "name")
           val isJoin = strField(req, "verb").contains("diffJoinAggregates")

@@ -1723,6 +1723,64 @@ object CubeQueries {
       .orderBy(col("etype"), col("day"))
   }
 
+  // --------------------------------------------------------------- q225
+  /** Graded: the RETENTION/CHURN matrix served from maintained daily
+    * bitmap partials — the first SET-ALGEBRA serve (the union-only
+    * families can answer "how many", never "how many CAME BACK"):
+    * [[CubeService.getRetention]] ANDs each period's OR-merged bitmap
+    * against the prior period's, emitting active / prev_active /
+    * retained (p ∩ p−1) / churned (p−1 \ p) / new_ids (p \ p−1) — all
+    * five EXACT, because bitmap union is lossless and the pairwise
+    * AND/ANDNOT walks are set identities. The DuckDB oracle recomputes
+    * every cell with a distinct self-join over the raw table and
+    * hash-matches. Daily periods (periodDays = 1) keep the curve
+    * non-degenerate on this fixture (~130 of 150 users active per day,
+    * ~15% churn); the weekly form is the q227 segmented grade. 100 TB
+    * split: corpus touched once for |days| daily bitmaps; every serve
+    * is |periods| one-row merges + a lag over that tiny frame — the
+    * raw twin re-shuffles the source's distinct pairs TWICE (self-join)
+    * per refresh. */
+  def q225RetentionBitmap(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = rollingMmService(spark, sfDir)
+    svc.getRetention("rolling_mm", "day", "u", periodDays = 1)
+  }
+
+  // --------------------------------------------------------------- q226
+  /** Graded: the STICKINESS curve — ids active on EVERY observed day
+    * of the trailing 7-day window ([[CubeService.getRolling]]'s
+    * `intersectOf` family): daily bitmap partials intersected per
+    * endpoint via [[graft.functions.BitmapIntersectAgg]]. Intersection
+    * is lossless like union, so each point equals the from-scratch
+    * "active all window days" recompute — the DuckDB oracle derives
+    * per-(endpoint, user) observed-day counts from the raw table and
+    * counts the users matching the window's observed-day total. Same
+    * cost shape as the WAU serve (q210): |days|·7 one-row merges, with
+    * state that only SHRINKS across the window (the intersect
+    * aggregate's buffer is bounded by the first day's bitmap). */
+  def q226RollingIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = rollingMmService(spark, sfDir)
+    svc.getRolling("rolling_mm", "day", windowDays = 7,
+        intersectOf = Seq("u"))
+      .select(col("day"), col("n_everyday_u").as("n_everyday"))
+      .orderBy(col("day"))
+  }
+
+  // --------------------------------------------------------------- q227
+  /** Graded: SEGMENTED weekly retention — q225's matrix per event
+    * type (`segmentBy`), each segment's periods and contiguity gates
+    * computed within ITS OWN observed weeks, served from the same
+    * segment-dimmed cube that feeds q219. Weekly periods are
+    * non-degenerate per segment (a user's per-type activity is ~7×
+    * sparser than their overall activity); the oracle recomputes every
+    * (segment, week) cell with a segment-keyed distinct self-join. At
+    * scale the lag window partitions per segment — no single-task
+    * frame grows with segment count. */
+  def q227SegmentRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = rollingMmService(spark, sfDir)
+    svc.getRetention("rolling_seg", "day", "u", periodDays = 7,
+      segmentBy = Seq("etype"))
+  }
+
   // --------------------------------------------------------------- q194
   /** Graded: ROLLING trailing-window SUM from maintained daily measure
     * partials — the third exact rolling family (after q159's extremes),
@@ -2470,6 +2528,9 @@ object CubeQueries {
     "q212_advised_bitmap_rolling" -> q212AdvisedBitmapRolling,
     "q219_rolling_segmented" -> q219RollingSegmented,
     "q222_advised_segmented_rolling" -> q222AdvisedSegmentedRolling,
+    "q225_retention_bitmap" -> q225RetentionBitmap,
+    "q226_rolling_intersect" -> q226RollingIntersect,
+    "q227_segment_retention" -> q227SegmentRetention,
     "q160_sql_having_routing" -> q160SqlHavingRouting,
     "q163_rollup_routing" -> q163RollupRouting,
     "q175_sketch_rollup_routing" -> q175SketchRollupRouting,
@@ -2553,6 +2614,81 @@ object CubeQueries {
       FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day
       GROUP BY 1
       ORDER BY 1""",
+    // Every retention cell recomputed from raw with a distinct
+    // self-join: the served AND/ANDNOT cardinalities must hash-equal
+    // the set identities they claim to be.
+    "q225_retention_bitmap" -> """
+      WITH ud AS (
+        SELECT DISTINCT
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT)
+            AS p,
+          user_id
+        FROM events),
+      act AS (SELECT p, count(*) AS active FROM ud GROUP BY p),
+      ret AS (
+        SELECT a.p, count(*) AS retained
+        FROM ud a JOIN ud b ON b.p = a.p - 1 AND b.user_id = a.user_id
+        GROUP BY a.p)
+      SELECT act.p AS period, act.active, pa.active AS prev_active,
+        CASE WHEN pa.p IS NULL THEN NULL
+             ELSE COALESCE(ret.retained, 0) END AS retained,
+        CASE WHEN pa.p IS NULL THEN NULL
+             ELSE pa.active - COALESCE(ret.retained, 0) END AS churned,
+        CASE WHEN pa.p IS NULL THEN NULL
+             ELSE act.active - COALESCE(ret.retained, 0) END AS new_ids
+      FROM act
+      LEFT JOIN act pa ON pa.p = act.p - 1
+      LEFT JOIN ret ON ret.p = act.p
+      ORDER BY period""",
+    // Per-endpoint stickiness recomputed from raw: a user counts iff
+    // their observed-day total over the trailing window equals the
+    // window's observed-day total.
+    "q226_rolling_intersect" -> """
+      WITH ud AS (
+        SELECT DISTINCT user_id,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT)
+            AS d
+        FROM events),
+      days AS (SELECT DISTINCT d AS day FROM ud),
+      win AS (
+        SELECT days.day, ud.d, ud.user_id
+        FROM days JOIN ud ON ud.d BETWEEN days.day - 6 AND days.day),
+      nd AS (SELECT day, count(DISTINCT d) AS ndays FROM win GROUP BY day),
+      pu AS (SELECT day, user_id, count(DISTINCT d) AS udays
+             FROM win GROUP BY day, user_id)
+      SELECT nd.day, COALESCE(cnt.n, 0) AS n_everyday
+      FROM nd LEFT JOIN (
+        SELECT pu.day, count(*) AS n
+        FROM pu JOIN nd ON nd.day = pu.day AND pu.udays = nd.ndays
+        GROUP BY pu.day) cnt ON cnt.day = nd.day
+      ORDER BY nd.day""",
+    // q225's matrix per event type: segment-keyed self-joins, each
+    // segment's contiguity judged within its own observed weeks.
+    "q227_segment_retention" -> """
+      WITH ud AS (
+        SELECT DISTINCT event_type AS etype,
+          CAST(floor(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) / 7)
+            AS BIGINT) AS p,
+          user_id
+        FROM events),
+      act AS (SELECT etype, p, count(*) AS active FROM ud GROUP BY 1, 2),
+      ret AS (
+        SELECT a.etype, a.p, count(*) AS retained
+        FROM ud a JOIN ud b
+          ON b.etype = a.etype AND b.p = a.p - 1 AND b.user_id = a.user_id
+        GROUP BY 1, 2)
+      SELECT act.etype, act.p AS period, act.active,
+        pa.active AS prev_active,
+        CASE WHEN pa.p IS NULL THEN NULL
+             ELSE COALESCE(ret.retained, 0) END AS retained,
+        CASE WHEN pa.p IS NULL THEN NULL
+             ELSE pa.active - COALESCE(ret.retained, 0) END AS churned,
+        CASE WHEN pa.p IS NULL THEN NULL
+             ELSE act.active - COALESCE(ret.retained, 0) END AS new_ids
+      FROM act
+      LEFT JOIN act pa ON pa.etype = act.etype AND pa.p = act.p - 1
+      LEFT JOIN ret ON ret.etype = act.etype AND ret.p = act.p
+      ORDER BY act.etype, period""",
     // v1's fold prefix restores the FULL join (base slices + the
     // insert fold), so the oracle is the raw-join recompute - and the
     // head (v2) would differ, proving the pin serves history.

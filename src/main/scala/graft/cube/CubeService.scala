@@ -614,10 +614,11 @@ final class CubeService(spark: SparkSession, storageDir: String,
       sumOf: Seq[String] = Nil,
       avgOf: Seq[String] = Nil,
       exactDistinctOf: Seq[String] = Nil,
-      segmentBy: Seq[String] = Nil): DataFrame =
+      segmentBy: Seq[String] = Nil,
+      intersectOf: Seq[String] = Nil): DataFrame =
     rollingFrom(loadCube(name), name, dayDim, windowDays,
       distinctOf, quantilesOf, minOf, maxOf, sumOf, avgOf,
-      exactDistinctOf, segmentBy)
+      exactDistinctOf, segmentBy, intersectOf)
 
   /** [[getRolling]] for join MVs — a join cube with a day-granularity
     * time dimension serves the same trailing-window curves from the
@@ -634,10 +635,11 @@ final class CubeService(spark: SparkSession, storageDir: String,
       sumOf: Seq[String] = Nil,
       avgOf: Seq[String] = Nil,
       exactDistinctOf: Seq[String] = Nil,
-      segmentBy: Seq[String] = Nil): DataFrame =
+      segmentBy: Seq[String] = Nil,
+      intersectOf: Seq[String] = Nil): DataFrame =
     rollingFrom(loadJoinCube(name).cube, name, dayDim, windowDays,
       distinctOf, quantilesOf, minOf, maxOf, sumOf, avgOf,
-      exactDistinctOf, segmentBy)
+      exactDistinctOf, segmentBy, intersectOf)
 
   private def rollingFrom(
       cube: Cube,
@@ -651,7 +653,8 @@ final class CubeService(spark: SparkSession, storageDir: String,
       sumOf: Seq[String],
       avgOf: Seq[String],
       exactDistinctOf: Seq[String] = Nil,
-      segmentBy: Seq[String] = Nil): DataFrame = {
+      segmentBy: Seq[String] = Nil,
+      intersectOf: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cube.config.dims.exists {
         case TimeDim(id, _, g) => id == dayDim && g == "day"
@@ -659,9 +662,9 @@ final class CubeService(spark: SparkSession, storageDir: String,
       }, s"$dayDim must be a day-granularity time dimension of cube $name")
     require(distinctOf.nonEmpty || quantilesOf.nonEmpty ||
       minOf.nonEmpty || maxOf.nonEmpty || sumOf.nonEmpty || avgOf.nonEmpty ||
-      exactDistinctOf.nonEmpty,
+      exactDistinctOf.nonEmpty || intersectOf.nonEmpty,
       "request at least one rolling measure (distinctOf / quantilesOf / " +
-        "minOf / maxOf / sumOf / avgOf / exactDistinctOf)")
+        "minOf / maxOf / sumOf / avgOf / exactDistinctOf / intersectOf)")
     // sketch and min/max partials of a delete-processed cube describe
     // EVER-INSERTED values (neither is invertible under deletes) —
     // refuse rather than serve silently-wrong curves. SUMS and AVGS
@@ -672,12 +675,12 @@ final class CubeService(spark: SparkSession, storageDir: String,
     // so an unlatched cube's bitmaps are exact).
     require(!cube.hasDeletes || (distinctOf.isEmpty &&
         quantilesOf.isEmpty && minOf.isEmpty && maxOf.isEmpty &&
-        exactDistinctOf.isEmpty),
+        exactDistinctOf.isEmpty && intersectOf.isEmpty),
       s"cube $name has folded deletes; its sketch/extreme partials are " +
         "insert-only and cannot serve rolling curves (rolling sums can)")
     distinctOf.foreach(id => require(cube.config.sketches.exists(_.id == id),
       s"$id is not an HLL sketch measure of cube $name"))
-    exactDistinctOf.foreach(id =>
+    (exactDistinctOf ++ intersectOf).foreach(id =>
       require(cube.config.bitmaps.exists(_.id == id),
         s"$id is not a bitmap measure of cube $name"))
     quantilesOf.foreach { case (id, _) =>
@@ -706,7 +709,10 @@ final class CubeService(spark: SparkSession, storageDir: String,
       // |windowDays| one-row unions per endpoint — same cost shape as
       // the sketch curves, but the answer EQUALS the from-scratch
       // re-count, so the curve is fully oracle-gradable
-      exactDistinctOf.distinct
+      // intersectOf shares exactDistinctOf's daily partial: the per-day
+      // OR-merged bitmap — the two families diverge only at the
+      // endpoint (union vs intersection across the window's days)
+      (exactDistinctOf ++ intersectOf).distinct
         .map(id => graft.functions.Bitmap.unionAgg(col(id)).as(id)) ++
       quantilesOf.map(_._1).distinct.map(id =>
         graft.functions.Kll.mergeAgg(col(id)).as(id)) ++
@@ -736,6 +742,16 @@ final class CubeService(spark: SparkSession, storageDir: String,
       exactDistinctOf.distinct.map(id =>
         graft.functions.Bitmap.cardinality(
           graft.functions.Bitmap.unionAgg(col(id))).as(s"n_exact_$id")) ++
+      // the STICKINESS curve: ids present on EVERY observed day of the
+      // trailing window (intersection is lossless like union, so the
+      // count equals a from-scratch "active all window days" recompute;
+      // an endpoint whose window observed fewer than windowDays days
+      // intersects over the days that EXIST — the same endpoints-are-
+      // observed-days convention every rolling family follows)
+      intersectOf.distinct.map(id =>
+        graft.functions.Bitmap.cardinality(
+          graft.functions.Bitmap.intersectAgg(col(id)))
+          .as(s"n_everyday_$id")) ++
       quantilesOf.distinct.map { case (id, q) =>
         graft.functions.Kll.quantile(
           graft.functions.Kll.mergeAgg(col(id)), q)
@@ -770,6 +786,101 @@ final class CubeService(spark: SparkSession, storageDir: String,
         .agg(endpointAggs.head, endpointAggs.tail: _*)
         .orderBy((segmentBy.map(col) :+ col("day")): _*)
     }
+  }
+
+  /** RETENTION/CHURN matrix served from maintained daily bitmap
+    * partials — the set-algebra verb the union-only families can't
+    * express: for every observed `periodDays`-aligned period p (period
+    * = floor(days-since-epoch / periodDays), so `periodDays = 1` is
+    * the daily curve, 7 the weekly one), emit
+    *
+    *  - `active`       = |ids seen in p|                (bitmap card)
+    *  - `prev_active`  = |ids seen in p−1|   (null when p−1 unobserved)
+    *  - `retained`     = |p ∩ p−1|  — came back
+    *  - `churned`      = |p−1 \ p|  — left
+    *  - `new_ids`      = |p \ p−1|  — first seen (w.r.t. the prior period)
+    *
+    * All five are EXACT: bitmap union is lossless, so each period's
+    * bitmap equals the from-scratch id set, and the pairwise AND /
+    * ANDNOT walks are set identities — the whole matrix sits on the
+    * full oracle gate. Cost shape: one pass over cube-sized partials
+    * to |periods| one-row bitmaps, then a lag over that TINY frame
+    * (|periods| ≈ years × 365/periodDays — thousands of rows at any
+    * corpus size, so the unpartitioned window in the global form is a
+    * deliberate single-task step over cube-derived rows, never the
+    * source; `segmentBy` partitions it per segment). Deletes latch
+    * bitmaps like every sketch family — refused, same contract as
+    * [[getRolling]]. */
+  def getRetention(
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    retentionFrom(loadCube(name), name, dayDim, bitmapId, periodDays,
+      segmentBy)
+
+  /** [[getRetention]] for join MVs. */
+  def getJoinRetention(
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    retentionFrom(loadJoinCube(name).cube, name, dayDim, bitmapId,
+      periodDays, segmentBy)
+
+  private def retentionFrom(
+      cube: Cube,
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      periodDays: Int,
+      segmentBy: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    require(cube.config.dims.exists {
+        case TimeDim(id, _, g) => id == dayDim && g == "day"
+        case _ => false
+      }, s"$dayDim must be a day-granularity time dimension of cube $name")
+    require(cube.config.bitmaps.exists(_.id == bitmapId),
+      s"$bitmapId is not a bitmap measure of cube $name")
+    require(!cube.hasDeletes,
+      s"cube $name has folded deletes; its bitmap partials are " +
+        "insert-only and cannot serve retention")
+    segmentBy.foreach(sd => require(
+      cube.config.dims.exists(d => d.id == sd && d.id != dayDim),
+        s"$sd is not a (non-time) dimension of cube $name"))
+    // days-since-epoch via datediff (TZ-consistent, see rollingFrom),
+    // then FLOOR division to the period index — floor(d/p) in double is
+    // exact for |d| < 2^52, eleven orders beyond any calendar day
+    val dayKey = datediff(col(dayDim).cast("date"), lit("1970-01-01"))
+      .cast("long")
+    val periodKey = floor(dayKey.cast("double") / periodDays)
+      .cast("long").as("period")
+    val perPeriod = cube.live
+      .groupBy((segmentBy.map(col) :+ periodKey): _*)
+      .agg(graft.functions.Bitmap.unionAgg(col(bitmapId)).as("bm"))
+    val w = (if (segmentBy.isEmpty) Window.partitionBy()
+             else Window.partitionBy(segmentBy.map(col): _*))
+      .orderBy(col("period"))
+    // lag yields the previous OBSERVED period — gate on contiguity so a
+    // gap in the calendar reads as "p−1 unobserved" (nulls), never as
+    // retention against some older period
+    val contiguous = lag(col("period"), 1).over(w) === col("period") - 1
+    val prevBm = when(contiguous, lag(col("bm"), 1).over(w))
+    val B = graft.functions.Bitmap
+    perPeriod
+      .withColumn("prev_bm", prevBm)
+      .select((segmentBy.map(col) ++ Seq(
+        col("period"),
+        B.cardinality(col("bm")).as("active"),
+        B.cardinality(col("prev_bm")).as("prev_active"),
+        B.andCardinality(col("bm"), col("prev_bm")).as("retained"),
+        B.andNotCardinality(col("prev_bm"), col("bm")).as("churned"),
+        B.andNotCardinality(col("bm"), col("prev_bm")).as("new_ids"))): _*)
+      .orderBy((segmentBy.map(col) :+ col("period")): _*)
   }
 
   // ----------------------------------------------------------- join MVs

@@ -87,23 +87,11 @@ case class BitmapAgg(
   /** Blocks serialized in ascending order — the byte form is a pure
     * function of the SET, independent of insertion/merge order, so
     * fold == from-scratch holds bit-for-bit for the stored partials. */
-  override def serialize(buf: mutable.LongMap[Long]): Array[Byte] = {
-    val blocks = buf.keys.toArray
-    java.util.Arrays.sort(blocks)
-    val bb = java.nio.ByteBuffer.allocate(4 + blocks.length * 16)
-    bb.putInt(blocks.length)
-    blocks.foreach { b => bb.putLong(b); bb.putLong(buf(b)) }
-    bb.array()
-  }
+  override def serialize(buf: mutable.LongMap[Long]): Array[Byte] =
+    BitmapCodec.write(buf)
 
-  override def deserialize(bytes: Array[Byte]): mutable.LongMap[Long] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val m = mutable.LongMap.empty[Long]
-    var i = 0
-    while (i < n) { m.update(bb.getLong, bb.getLong); i += 1 }
-    m
-  }
+  override def deserialize(bytes: Array[Byte]): mutable.LongMap[Long] =
+    BitmapCodec.read(bytes)
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
@@ -147,6 +135,210 @@ case class BitmapCardinality(child: Expression)
       newChild: Expression): BitmapCardinality = copy(child = newChild)
 }
 
+/** INTERSECTION across rows of serialized bitmaps — the set-algebra
+  * dual of [[BitmapAgg]]'s merge mode, and like it associative,
+  * commutative and LOSSLESS: intersecting a window's daily bitmap
+  * partials yields exactly the ids present on EVERY one of those days
+  * (the "active every day of the trailing week" power-user curve),
+  * with the merged cardinality EQUAL to a from-scratch recompute.
+  *
+  * AND has no finite identity element (the identity is the universe),
+  * so the buffer carries an `inited` flag: the first bitmap seeds the
+  * state, later ones AND in place, and partials from row-less
+  * partitions merge as no-ops. A group with zero non-null inputs
+  * evals to null (SQL aggregate convention); disjoint inputs eval to
+  * the EMPTY bitmap (cardinality 0) — absence of evidence vs evidence
+  * of absence stay distinguishable. Intersection only ever shrinks
+  * state, so per-group memory is bounded by the FIRST bitmap seen and
+  * the map-side combine shrinks monotonically from there. */
+case class BitmapIntersectAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BitmapIntersectAgg.Buf]
+  with ExpectsInputTypes {
+  import BitmapIntersectAgg.Buf
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+
+  override def createAggregationBuffer(): Buf =
+    new Buf(inited = false, mutable.LongMap.empty[Long])
+
+  private def andInPlace(into: mutable.LongMap[Long],
+      from: mutable.LongMap[Long]): Unit = {
+    // materialize the key set first — removing while iterating a
+    // LongMap is undefined
+    val keys = into.keys.toArray
+    var i = 0
+    while (i < keys.length) {
+      val k = keys(i)
+      val w = into(k) & from.getOrElse(k, 0L)
+      if (w == 0L) into.remove(k) else into.update(k, w)
+      i += 1
+    }
+  }
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val m = BitmapCodec.read(v.asInstanceOf[Array[Byte]])
+      if (!buf.inited) { buf.m = m; buf.inited = true }
+      else andInPlace(buf.m, m)
+    }
+    buf
+  }
+
+  override def merge(buf: Buf, other: Buf): Buf = {
+    if (other.inited) {
+      if (!buf.inited) { buf.m = other.m; buf.inited = true }
+      else andInPlace(buf.m, other.m)
+    }
+    buf
+  }
+
+  override def eval(buf: Buf): Any =
+    if (!buf.inited) null else BitmapCodec.write(buf.m)
+
+  /** Uninitialized partials serialize as n = -1 — distinguishable from
+    * the inited-but-empty bitmap (n = 0), which AND must preserve. */
+  override def serialize(buf: Buf): Array[Byte] =
+    if (!buf.inited)
+      java.nio.ByteBuffer.allocate(4).putInt(-1).array()
+    else BitmapCodec.write(buf.m)
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    if (bb.getInt(0) == -1) new Buf(inited = false, mutable.LongMap.empty)
+    else new Buf(inited = true, BitmapCodec.read(bytes))
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "bitmap_intersect_agg"
+
+  override def withNewMutableAggBufferOffset(o: Int): BitmapIntersectAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BitmapIntersectAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BitmapIntersectAgg =
+    copy(child = newChildren.head)
+}
+
+object BitmapIntersectAgg {
+  final class Buf(var inited: Boolean, var m: mutable.LongMap[Long])
+}
+
+/** Shared (de)serialization for the bitmap byte form: `n` (Int) then
+  * `n` ascending (block: Long, word: Long) pairs — a pure function of
+  * the SET (see [[BitmapAgg.serialize]]), which the pairwise set-ops
+  * below exploit as a no-allocation merge-walk. */
+private[graft] object BitmapCodec {
+  def read(bytes: Array[Byte]): mutable.LongMap[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val m = mutable.LongMap.empty[Long]
+    var i = 0
+    while (i < n) { m.update(bb.getLong, bb.getLong); i += 1 }
+    m
+  }
+
+  def write(m: mutable.LongMap[Long]): Array[Byte] = {
+    val blocks = m.keys.toArray
+    java.util.Arrays.sort(blocks)
+    val bb = java.nio.ByteBuffer.allocate(4 + blocks.length * 16)
+    bb.putInt(blocks.length)
+    blocks.foreach { b => bb.putLong(b); bb.putLong(m(b)) }
+    bb.array()
+  }
+
+  /** Σ bitCount(aWord OP bWord) over the union of the two block lists,
+    * walked in one pass off the sorted byte forms — no map is ever
+    * materialized. `op(aWord, bWord)` sees 0 for a block absent on
+    * either side. */
+  def opCardinality(a: Array[Byte], b: Array[Byte],
+      op: (Long, Long) => Long): Long = {
+    val ba = java.nio.ByteBuffer.wrap(a)
+    val bbuf = java.nio.ByteBuffer.wrap(b)
+    val na = ba.getInt
+    val nb = bbuf.getInt
+    var ia = 0
+    var ib = 0
+    var total = 0L
+    var ka = if (na > 0) ba.getLong else 0L
+    var wa = if (na > 0) ba.getLong else 0L
+    var kb = if (nb > 0) bbuf.getLong else 0L
+    var wb = if (nb > 0) bbuf.getLong else 0L
+    while (ia < na || ib < nb) {
+      if (ia < na && (ib >= nb || ka < kb)) {
+        total += java.lang.Long.bitCount(op(wa, 0L))
+        ia += 1
+        if (ia < na) { ka = ba.getLong; wa = ba.getLong }
+      } else if (ib < nb && (ia >= na || kb < ka)) {
+        total += java.lang.Long.bitCount(op(0L, wb))
+        ib += 1
+        if (ib < nb) { kb = bbuf.getLong; wb = bbuf.getLong }
+      } else { // ka == kb, both live
+        total += java.lang.Long.bitCount(op(wa, wb))
+        ia += 1; ib += 1
+        if (ia < na) { ka = ba.getLong; wa = ba.getLong }
+        if (ib < nb) { kb = bbuf.getLong; wb = bbuf.getLong }
+      }
+    }
+    total
+  }
+}
+
+/** |A ∩ B| of two serialized bitmaps — the retention cell (users
+  * active in period p who were also active in p−1) as one merge-walk
+  * over the two sorted byte forms. Eval-only (CodegenFallback) by
+  * design: runs over CUBE-sized frames (one row per served period),
+  * never a corpus scan. */
+case class BitmapAndCardinality(left: Expression, right: Expression)
+    extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bitmap_and_cardinality"
+  override def children: Seq[Expression] = Seq(left, right)
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else BitmapCodec.opCardinality(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]], _ & _)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BitmapAndCardinality =
+    copy(left = newChildren(0), right = newChildren(1))
+}
+
+/** |A \ B| — the churn cell (active in p−1 but gone in p) and the
+  * new-users cell (active in p, unseen in p−1), same merge-walk. */
+case class BitmapAndNotCardinality(left: Expression, right: Expression)
+    extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bitmap_andnot_cardinality"
+  override def children: Seq[Expression] = Seq(left, right)
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else BitmapCodec.opCardinality(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]], (x, y) => x & ~y)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BitmapAndNotCardinality =
+    copy(left = newChildren(0), right = newChildren(1))
+}
+
 object Bitmap {
   /** Aggregate raw BIGINT ids into a serialized exact bitmap. */
   def setAgg(c: Column): Column =
@@ -160,7 +352,23 @@ object Bitmap {
       BitmapAgg(Bridge.toExpression(c), isMerge = true)
         .toAggregateExpression())
 
+  /** Intersect serialized bitmaps across rows (lossless like union;
+    * null over an all-null group, EMPTY bitmap when disjoint). */
+  def intersectAgg(c: Column): Column =
+    Bridge.toColumn(
+      BitmapIntersectAgg(Bridge.toExpression(c)).toAggregateExpression())
+
   /** Exact distinct count of a serialized bitmap column. */
   def cardinality(c: Column): Column =
     Bridge.toColumn(BitmapCardinality(Bridge.toExpression(c)))
+
+  /** Exact |A ∩ B| of two serialized bitmap columns. */
+  def andCardinality(a: Column, b: Column): Column =
+    Bridge.toColumn(BitmapAndCardinality(
+      Bridge.toExpression(a), Bridge.toExpression(b)))
+
+  /** Exact |A \ B| of two serialized bitmap columns. */
+  def andNotCardinality(a: Column, b: Column): Column =
+    Bridge.toColumn(BitmapAndNotCardinality(
+      Bridge.toExpression(a), Bridge.toExpression(b)))
 }

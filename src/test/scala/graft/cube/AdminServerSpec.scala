@@ -462,6 +462,35 @@ class AdminServerSpec extends AnyFunSuite {
         sDir)}","topK":3,"nprobe":4}""")
         == s"""{"ok":true,"result":$asOf0}""",
         "wire annQueryAsOf diverges from the in-process verb")
+      // retention + intersect wire verbs == in-process (bitmap cube)
+      val retCfg =
+        """{"name":"bret","source":"events",
+          |"dims":[{"kind":"time","id":"d","path":"ts","granularity":"day"}],
+          |"bitmaps":[{"id":"u","path":"user_id"}],
+          |"measures":[{"id":"v","path":"value"}]}""".stripMargin
+      val rDir = tmp("graft_admin_rdr") + "/r"
+      val t2 = java.sql.Timestamp.valueOf("2024-01-03 10:00:00")
+      Seq((t0, 1.0, 10L), (t0, 1.0, 11L), (t1, 1.0, 11L), (t1, 1.0, 12L),
+          (t2, 1.0, 12L))
+        .toDF("ts", "value", "user_id").write.parquet(rDir)
+      assert(cli.rpc(s"""{"verb":"createCube","config":"${escaped(
+        retCfg)}","sourceParquet":"${escaped(rDir)}"}""")
+        == """{"ok":true,"result":"bret"}""")
+      val retWire = cli.rpc(
+        """{"verb":"getRetention","name":"bret","dayDim":"d","bitmapId":"u","periodDays":1}""")
+      val retDirect = svc.getRetention("bret", "d", "u", periodDays = 1)
+        .orderBy(col("period")).toJSON.collect().mkString("[", ",", "]")
+      assert(retWire == s"""{"ok":true,"result":$retDirect}""",
+        s"wire getRetention diverges: $retWire vs $retDirect")
+      assert(retWire.contains(""""retained":1"""), retWire)
+      val stickWire = cli.rpc(
+        """{"verb":"getRolling","name":"bret","dayDim":"d","windowDays":2,"intersectOf":["u"]}""")
+      val stickDirect = svc.getRolling("bret", "d", 2,
+          intersectOf = Seq("u"))
+        .orderBy(col("day")).toJSON.collect().mkString("[", ",", "]")
+      assert(stickWire == s"""{"ok":true,"result":$stickDirect}""",
+        s"wire intersectOf diverges: $stickWire vs $stickDirect")
+      svc.deleteCube("bret")
       svc.deleteCube("aroll")
       annSvc.deleteIndex("wt")
     } finally { cli.close(); server.stop() }

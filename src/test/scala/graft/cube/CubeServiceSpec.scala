@@ -209,6 +209,107 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteCube("roll")
   }
 
+  test("getRetention + intersectOf: exact set algebra from daily bitmap partials") {
+    import spark.implicits._
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_ret").toString)
+    val rnd = new scala.util.Random(53)
+    // 12 calendar days with day 5 MISSING — the contiguity gate must
+    // read the gap as "previous period unobserved", never as retention
+    // against day 4
+    val days = (0 until 12).filter(_ != 5)
+    val rows = (0 until 900).map { _ =>
+      val d = days(rnd.nextInt(days.length))
+      (Seq("click", "view")(rnd.nextInt(2)),
+        new Timestamp(1700006400000L + d * 86400000L + rnd.nextInt(80000000)),
+        rnd.nextInt(100).toDouble, rnd.nextInt(40).toLong)
+    }
+    val cfg = CubeConfig("ret", "events",
+      Seq(FieldDim("etype", "event_type"), TimeDim("day", "ts", "day")),
+      Seq(Measure("v", "value")),
+      bitmaps = Seq(Measure("users", "user_id")))
+    svc.createCube(cfg, rows.toDF("event_type", "ts", "value", "user_id"))
+    // calendar day of ts — the base is an exact UTC midnight and every
+    // offset stays inside the day, so integer division IS the serve's
+    // datediff-derived index
+    def dayOf(t: Timestamp): Long = t.getTime / 86400000L
+    val usersByDay: Map[Long, Set[Long]] =
+      rows.groupBy(r => dayOf(r._2)).map { case (d, rs) =>
+        d -> rs.map(_._4).toSet }
+
+    // --- rolling intersect: ids on EVERY observed day of the window
+    val st = svc.getRolling("ret", "day", windowDays = 7,
+      intersectOf = Seq("users")).collect()
+    assert(st.length == usersByDay.size, "one endpoint per observed day")
+    st.foreach { r =>
+      val day = r.getAs[Long]("day")
+      val winDays = (day - 6 to day).filter(usersByDay.contains)
+      val exact = winDays.map(usersByDay).reduce(_ intersect _).size.toLong
+      assert(r.getAs[Long]("n_everyday_users") == exact,
+        s"day $day: stickiness diverged")
+    }
+
+    // --- retention matrix at periodDays = 1
+    val ret = svc.getRetention("ret", "day", "users", periodDays = 1)
+      .collect()
+    assert(ret.length == usersByDay.size)
+    ret.foreach { r =>
+      val p = r.getAs[Long]("period")
+      val cur = usersByDay(p)
+      assert(r.getAs[Long]("active") == cur.size)
+      usersByDay.get(p - 1) match {
+        case Some(prev) =>
+          assert(r.getAs[Long]("prev_active") == prev.size)
+          assert(r.getAs[Long]("retained") == (cur intersect prev).size)
+          assert(r.getAs[Long]("churned") == (prev diff cur).size)
+          assert(r.getAs[Long]("new_ids") == (cur diff prev).size)
+        case None => // first day and the day after the gap
+          Seq("prev_active", "retained", "churned", "new_ids").foreach(c =>
+            assert(r.isNullAt(r.fieldIndex(c)),
+              s"period $p: $c must be null when p-1 is unobserved"))
+      }
+    }
+    // exactly two null rows: day 0 (no prior) and day 6 (gap at 5)
+    assert(ret.count(_.isNullAt(ret.head.fieldIndex("retained"))) == 2)
+
+    // --- segmented retention: per-etype sets, per-segment contiguity
+    val seg = svc.getRetention("ret", "day", "users", periodDays = 1,
+      segmentBy = Seq("etype")).collect()
+    val byTypeDay = rows.groupBy(r => (r._1, dayOf(r._2)))
+      .map { case (k, rs) => k -> rs.map(_._4).toSet }
+    seg.foreach { r =>
+      val et = r.getAs[String]("etype")
+      val p = r.getAs[Long]("period")
+      assert(r.getAs[Long]("active") == byTypeDay((et, p)).size)
+      byTypeDay.get((et, p - 1)).foreach { prev =>
+        assert(r.getAs[Long]("retained") ==
+          (byTypeDay((et, p)) intersect prev).size)
+      }
+    }
+
+    // --- guardrails: unknown/non-bitmap measure, bad period, non-day dim
+    intercept[IllegalArgumentException] {
+      svc.getRetention("ret", "day", "v") }
+    intercept[IllegalArgumentException] {
+      svc.getRetention("ret", "day", "users", periodDays = 0) }
+    intercept[IllegalArgumentException] {
+      svc.getRetention("ret", "etype", "users") }
+    intercept[IllegalArgumentException] {
+      svc.getRolling("ret", "day", intersectOf = Seq("v")) }
+
+    // --- deletes latch: a sourceless delete fold refuses both verbs
+    svc.updateAggregates("ret",
+      rows.take(3).toDF("event_type", "ts", "value", "user_id")
+        .withColumn("_sign", lit(-1)))
+    val e1 = intercept[IllegalArgumentException] {
+      svc.getRetention("ret", "day", "users", periodDays = 1) }
+    assert(e1.getMessage.contains("insert-only"))
+    val e2 = intercept[IllegalArgumentException] {
+      svc.getRolling("ret", "day", intersectOf = Seq("users")) }
+    assert(e2.getMessage.contains("insert-only"))
+    svc.deleteCube("ret")
+  }
+
   test("auto-updated cube serves getRolling: N streamed batches == batch == exact") {
     import spark.implicits._
     val svc = new CubeService(spark,

@@ -721,6 +721,59 @@ class CubeSpec extends AnyFunSuite {
     assert(exact(loaded) == exact(folded))
   }
 
+  test("bitmap set algebra: intersect-agg and AND/ANDNOT walks are set identities") {
+    import spark.implicits._
+    import graft.functions.Bitmap
+    val rnd = new scala.util.Random(61)
+    // ids span negative blocks and boundary bits so the merge-walk over
+    // the sorted byte forms covers blocks present on one side only
+    val data = (0 until 6).flatMap { g =>
+      (0 until 120).map(_ => (g, rnd.nextInt(300).toLong - 100L))
+    }
+    val sets: Map[Int, Set[Long]] =
+      data.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).toSet }
+    val bm = data.toDF("g", "id")
+      .groupBy(col("g")).agg(Bitmap.setAgg(col("id")).as("bm"))
+    // intersect-agg across ALL groups == scala set intersection
+    val interAll = bm.agg(Bitmap.cardinality(
+        Bitmap.intersectAgg(col("bm"))).as("n"))
+      .collect().head.getAs[Long]("n")
+    assert(interAll == sets.values.reduce(_ intersect _).size.toLong)
+    // order independence: aggregating a reversed frame yields the
+    // SAME bytes (serialize is a pure function of the set)
+    val interBytesA = bm.orderBy(col("g").asc)
+      .agg(Bitmap.intersectAgg(col("bm"))).collect().head.getAs[Array[Byte]](0)
+    val interBytesB = bm.orderBy(col("g").desc)
+      .agg(Bitmap.intersectAgg(col("bm"))).collect().head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(interBytesA, interBytesB))
+    // pairwise AND / ANDNOT against every scala-set twin, including
+    // the self pair (AND == identity, ANDNOT == 0)
+    val pairs = bm.as("a").crossJoin(bm.as("b"))
+      .select(col("a.g").as("ga"), col("b.g").as("gb"),
+        Bitmap.andCardinality(col("a.bm"), col("b.bm")).as("and_n"),
+        Bitmap.andNotCardinality(col("a.bm"), col("b.bm")).as("andnot_n"))
+      .collect()
+    assert(pairs.length == 36)
+    pairs.foreach { r =>
+      val (sa, sb) = (sets(r.getAs[Int]("ga")), sets(r.getAs[Int]("gb")))
+      assert(r.getAs[Long]("and_n") == (sa intersect sb).size.toLong)
+      assert(r.getAs[Long]("andnot_n") == (sa diff sb).size.toLong)
+    }
+    // disjoint sets AND to the EMPTY bitmap (cardinality 0, not null);
+    // an all-null group evals to null — the two stay distinguishable
+    val disjoint = Seq((0, 1L), (1, 100L)).toDF("g", "id")
+      .groupBy(col("g")).agg(Bitmap.setAgg(col("id")).as("bm"))
+    val dj = disjoint.agg(
+        Bitmap.cardinality(Bitmap.intersectAgg(col("bm"))).as("n"))
+      .collect().head
+    assert(!dj.isNullAt(0) && dj.getLong(0) == 0L)
+    val allNull = Seq((0, null: Array[Byte]), (1, null: Array[Byte]))
+      .toDF("g", "bm")
+      .agg(Bitmap.intersectAgg(col("bm"))).collect().head
+    assert(allNull.isNullAt(0),
+      "intersect over zero non-null bitmaps must be null")
+  }
+
   test("bitmap deletes: targeted recompute == from-scratch; sourceless latches") {
     import spark.implicits._
     val cfg = CubeConfig("bmd", "mem",
