@@ -179,6 +179,25 @@ object CubeManager {
     .stripTrailingZeros.toPlainString.replace(".", "_")
   private val Dec = DecimalType(18, 2)
 
+  /** Bitmap measures are exact ONLY over integral key spaces: the
+    * partials store ids as bits of CAST(path AS BIGINT), and for a
+    * DOUBLE or STRING column that cast is lossy (1.5 and 1.7 collapse
+    * to one bit; '01' and '1' collide; uncastable strings drop to
+    * null) — which would silently return wrong "exact" distinct
+    * counts. Shared by the batch create AND the streaming aggregate
+    * (a stream-only pipeline must not slip past the gate). */
+  private[graft] def requireIntegralBitmaps(
+      config: CubeConfig, source: DataFrame): Unit =
+    config.bitmaps.foreach { m =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = source.select(col(m.path)).schema.head.dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"bitmap measure '${m.id}' needs an integral source column; " +
+          s"'${m.path}' is $dt — its cast to BIGINT is lossy, so the " +
+          "'exact' distinct count would be silently wrong. " +
+          "Dictionary-encode the column first or use an HLL sketch measure.")
+    }
+
   /** R1: initial cube population — one full source scan, then the cube
     * lives independently of the source. */
   def create(config: CubeConfig, source: DataFrame): Cube = {
@@ -191,15 +210,7 @@ object CubeManager {
     // not documentation-only — the same honesty gate the quantile and
     // sketch families carry (non-integral keys: dictionary-encode
     // first or take the HLL path).
-    config.bitmaps.foreach { m =>
-      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-      val dt = source.select(col(m.path)).schema.head.dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"bitmap measure '${m.id}' needs an integral source column; " +
-          s"'${m.path}' is $dt — its cast to BIGINT is lossy, so the " +
-          "'exact' distinct count would be silently wrong. " +
-          "Dictionary-encode the column first or use an HLL sketch measure.")
-    }
+    requireIntegralBitmaps(config, source)
     val sums = config.measures.map(m =>
       sum(col(m.path).cast(Dec)).cast(Dec).as(m.id))
     val sks = config.sketches.map(m =>
@@ -610,25 +621,35 @@ object CubeManager {
     val bms = c.bitmaps
       .map(m => s"""{"id":"${esc(m.id)}","path":"${esc(m.path)}"}""")
       .mkString("[", ",", "]")
-    // "sketches"/"quantiles"/"extremes"/"freq"/"bitmaps" precede
-    // "measures": the tolerant parser's measures regex is
-    // greedy-to-last-bracket and must stay the final array
+    // Section order is canonical for readability only; configFromJson
+    // captures each section's flat array independently, so wire
+    // clients may omit or reorder sections freely.
     s"""{"name":"${esc(c.name)}","source":"${esc(c.source)}","dims":$dims,"sketches":$sks,"quantiles":$qs,"extremes":$exts,"freq":$fqs,"bitmaps":$bms,"measures":$ms}"""
   }
 
   private[cube] def configFromJson(json: String): CubeConfig = {
-    // Tolerant regex-based parse — configs are machine-written by
-    // configToJson above, never hand-edited.
+    // Tolerant regex-based parse. Configs may be MINIMAL (hand-written
+    // wire clients omit sections they don't use), so each section's
+    // regex must capture its own flat array independently of which
+    // sections follow it. The arrays never nest — entries are flat
+    // objects with string fields — so `\[[^\]]*\]` is exact; a
+    // successor-anchored lazy capture (the pre-r14 form) extends past
+    // the intended array whenever an intermediate section is absent
+    // and mis-parses e.g. bitmap entries as dims.
     def field(obj: String, key: String): Option[String] =
       s""""$key":\\s*"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(obj)
         .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
     def objects(arr: String): Seq[String] =
       """\{[^{}]*\}""".r.findAllIn(arr).toSeq
-    val dimsArr = """(?s)"dims":\s*(\[.*?\]),\s*"(?:sketches|measures)"""".r
-      .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
-    val measArr = """(?s)"measures":\s*(\[.*\])""".r
-      .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
-    val dims = objects(dimsArr).map { o =>
+    def section(key: String): Seq[String] = {
+      val arr = (s""""$key":\\s*(\\[[^\\]]*\\])""").r
+        .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
+      objects(arr)
+    }
+    def measures(key: String): Seq[Measure] = section(key).map { o =>
+      Measure(field(o, "id").get, field(o, "path").get)
+    }
+    val dims = section("dims").map { o =>
       (field(o, "kind"), field(o, "id"), field(o, "path")) match {
         case (Some("time"), Some(id), Some(p)) =>
           TimeDim(id, p, field(o, "granularity").getOrElse("day"))
@@ -637,38 +658,8 @@ object CubeManager {
         case _ => throw new IllegalArgumentException(s"bad dim: $o")
       }
     }
-    val meas = objects(measArr).map { o =>
-      Measure(field(o, "id").get, field(o, "path").get)
-    }
-    val skArr = """(?s)"sketches":\s*(\[.*?\]),\s*"(?:quantiles|measures)"""".r
-      .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
-    val sks = objects(skArr).map { o =>
-      Measure(field(o, "id").get, field(o, "path").get)
-    }
-    val qArr = """(?s)"quantiles":\s*(\[.*?\]),\s*"(?:extremes|measures)"""".r
-      .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
-    val qs = objects(qArr).map { o =>
-      Measure(field(o, "id").get, field(o, "path").get)
-    }
-    // absent in configs persisted before the extremes feature → empty
-    val eArr = """(?s)"extremes":\s*(\[.*?\]),\s*"(?:freq|measures)"""".r
-      .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
-    val exts = objects(eArr).map { o =>
-      Measure(field(o, "id").get, field(o, "path").get)
-    }
-    // absent in configs persisted before the freq feature → empty
-    val fArr = """(?s)"freq":\s*(\[.*?\]),\s*"(?:bitmaps|measures)"""".r
-      .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
-    val fqs = objects(fArr).map { o =>
-      Measure(field(o, "id").get, field(o, "path").get)
-    }
-    // absent in configs persisted before the bitmaps feature → empty
-    val bArr = """(?s)"bitmaps":\s*(\[.*?\]),\s*"measures"""".r
-      .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
-    val bms = objects(bArr).map { o =>
-      Measure(field(o, "id").get, field(o, "path").get)
-    }
-    CubeConfig(field(json, "name").get, field(json, "source").get, dims, meas,
-      sks, qs, exts, fqs, bms)
+    CubeConfig(field(json, "name").get, field(json, "source").get, dims,
+      measures("measures"), measures("sketches"), measures("quantiles"),
+      measures("extremes"), measures("freq"), measures("bitmaps"))
   }
 }

@@ -114,14 +114,15 @@ object CubeCatalog {
       * path (a "cube" that IS the source must refuse to route; the
       * snapshot path would never compare equal and would bypass the
       * guard). */
-    val origScanPath: Option[String] = sourcePathOf(
-      Bridge.analyzed(cube.aggregates))
-    val cubePlan: LogicalPlan = {
+    private val analyzedAggs: LogicalPlan = {
       analysisCount.incrementAndGet()
-      val base = Bridge.analyzed(cube.aggregates)
-      if (stableScan) base
-      else origScanPath.flatMap(p => snapshotPlan(cube, p)).getOrElse(base)
+      Bridge.analyzed(cube.aggregates)
     }
+    val origScanPath: Option[String] = sourcePathOf(analyzedAggs)
+    val cubePlan: LogicalPlan =
+      if (stableScan) analyzedAggs
+      else origScanPath.flatMap(p => snapshotPlan(cube, p))
+        .getOrElse(analyzedAggs)
     val cubeSize: BigInt = cubePlan.stats.sizeInBytes
     val cubeScanPath: Option[String] = sourcePathOf(cubePlan)
   }
@@ -174,8 +175,11 @@ object CubeCatalog {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def snapshotPlan(cube: Cube, scanPath: String): Option[LogicalPlan] =
-    snapshotDir(scanPath, "route").map(d => Bridge.analyzed(
-      cube.aggregates.sparkSession.read.parquet(d.toString)))
+    snapshotDir(scanPath, "route").map { d =>
+      analysisCount.incrementAndGet() // telemetry counts ACTUAL analyses
+      Bridge.analyzed(
+        cube.aggregates.sparkSession.read.parquet(d.toString))
+    }
 
   /** Publish-stable read of a flat parquet directory for the SERVICE
     * serve path ([[CubeService.loadCube]]): the returned frame scans a

@@ -696,10 +696,18 @@ final class CubeService(spark: SparkSession, storageDir: String,
     // SEGMENTED curves ("WAU per event type"): each segment column must
     // be a non-time dimension of the cube — the partials subdivide per
     // segment cell, so per-segment windows re-aggregate exactly like
-    // the global ones; each segment's endpoints are ITS observed days
-    segmentBy.foreach(sd => require(
-      cube.config.dims.exists(d => d.id == sd && d.id != dayDim),
-        s"$sd is not a (non-time) dimension of cube $name"))
+    // the global ones; each segment's endpoints are ITS observed days.
+    // "day"/"d" are the synthesized endpoint columns: a segment dim so
+    // named would be silently overwritten by the explode, corrupting
+    // the semi-join keys — refuse loudly instead.
+    segmentBy.foreach { sd =>
+      require(sd != "day" && sd != "d",
+        s"segment id $sd collides with the rolling endpoint columns " +
+          "(reserved names: day, d) — rename the dimension in the cube")
+      require(
+        cube.config.dims.exists(d => d.id == sd && !d.isInstanceOf[TimeDim]),
+        s"$sd is not a (non-time) dimension of cube $name")
+    }
     // collapse to ONE partial row per day first (other dimensions may
     // subdivide a day across many cells)
     val dailyAggs = distinctOf.distinct
@@ -849,9 +857,16 @@ final class CubeService(spark: SparkSession, storageDir: String,
     require(!cube.hasDeletes,
       s"cube $name has folded deletes; its bitmap partials are " +
         "insert-only and cannot serve retention")
-    segmentBy.foreach(sd => require(
-      cube.config.dims.exists(d => d.id == sd && d.id != dayDim),
-        s"$sd is not a (non-time) dimension of cube $name"))
+    // "period" is the synthesized per-period key (and "d"/"day" the
+    // rolling analogues) — reserved, same rationale as rollingFrom
+    segmentBy.foreach { sd =>
+      require(sd != "period" && sd != "day" && sd != "d",
+        s"segment id $sd collides with the retention matrix columns " +
+          "(reserved names: period, day, d) — rename the dimension")
+      require(
+        cube.config.dims.exists(d => d.id == sd && !d.isInstanceOf[TimeDim]),
+        s"$sd is not a (non-time) dimension of cube $name")
+    }
     // days-since-epoch via datediff (TZ-consistent, see rollingFrom),
     // then FLOOR division to the period index — floor(d/p) in double is
     // exact for |d| < 2^52, eleven orders beyond any calendar day

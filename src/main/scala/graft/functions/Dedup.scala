@@ -386,15 +386,16 @@ object Dedup {
       nTables: Int = 0, bitsPerTable: Int = 0,
       maxBucket: Int = MaxBucket): DataFrame = {
     val dim = 64
-    // one corpus count() sizes BOTH knobs (metadata-cheap on parquet):
-    // bits hold per-bucket occupancy flat; tables hold union recall
-    // flat as the added bits thin each table's collision probability
+    // one corpus count() (metadata-cheap on parquet) sizes bits to
+    // hold per-bucket occupancy flat; the table count then derives
+    // from the RESOLVED bits (caller-pinned or auto) so union recall
+    // stays at target whichever way the bit width was chosen
     val corpus =
-      if (bitsPerTable > 0 && nTables > 0) 0L else em.count()
+      if (bitsPerTable > 0) 0L else em.count()
     val bits =
       if (bitsPerTable > 0) bitsPerTable else autoLshBits(corpus)
     val nTbl =
-      if (nTables > 0) nTables else autoLshTables(corpus)
+      if (nTables > 0) nTables else autoLshTablesForBits(bits)
     val planes = Similarity.hyperplanes(nTbl * bits, dim)
     val planeCols = planes.map(p => array(p.map(v => lit(v.toFloat)): _*))
     val bitCols = planeCols.map(pc =>
@@ -462,8 +463,15 @@ object Dedup {
   val LshBaseTables = 16
   val LshTargetRecall = 0.99
   val LshRecallCos = 0.9
-  def autoLshTables(corpus: Long): Int = {
-    val bits = autoLshBits(corpus)
+  def autoLshTables(corpus: Long): Int =
+    autoLshTablesForBits(autoLshBits(corpus))
+
+  /** Table count from the ACTUAL per-table bit width in use — the form
+    * [[embeddingLshPairs]] calls, so a caller pinning `bitsPerTable`
+    * above the auto width still gets the union widened to hold the
+    * [[LshTargetRecall]] model (recomputing from corpus would assume
+    * the thinner auto layout and silently miss the target). */
+  def autoLshTablesForBits(bits: Int): Int = {
     val p = math.pow(1 - math.acos(LshRecallCos) / math.Pi, bits)
     val needed = math.ceil(math.log1p(-LshTargetRecall) / math.log1p(-p))
     math.max(LshBaseTables, needed.toInt)

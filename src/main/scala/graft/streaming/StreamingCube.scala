@@ -44,6 +44,10 @@ object StreamingCube {
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(sourceDir)
+    // same honesty gate as the batch create: a stream-only pipeline
+    // with a non-integral bitmap column must refuse, not silently
+    // serve lossy "exact" distinct counts
+    graft.cube.CubeManager.requireIntegralBitmaps(config, stream)
     val sums = config.measures.map(m =>
       sum(col(m.path).cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as(m.id))
     val sks = config.sketches.map(m =>

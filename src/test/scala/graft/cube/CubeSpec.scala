@@ -149,6 +149,45 @@ class CubeSpec extends AnyFunSuite {
     assert(CubeManager.configFromJson(legacy) == cfg)
   }
 
+  test("minimal wire configs parse for EVERY subset of sections present") {
+    // Hand-written wire clients omit sections they don't use (the r13
+    // AdminServerSpec regression: dims followed directly by bitmaps
+    // mis-parsed the bitmap entry as a FieldDim AND a measure). Each
+    // section regex must capture its own flat array regardless of
+    // which sections follow — exercised here over all 2^6 subsets.
+    val sections = Seq(
+      "measures" -> Seq(Measure("rev", "amount")),
+      "sketches" -> Seq(Measure("hll_u", "user_id")),
+      "quantiles" -> Seq(Measure("qv", "value")),
+      "extremes" -> Seq(Measure("vx", "value")),
+      "freq" -> Seq(Measure("topp", "page")),
+      "bitmaps" -> Seq(Measure("u", "user_id")))
+    val dimsJson =
+      """"dims":[{"id":"day","path":"ts","kind":"time","granularity":"day"},{"id":"cc","path":"country"}]"""
+    val dims = Seq(TimeDim("day", "ts", "day"), FieldDim("cc", "country"))
+    for (mask <- 0 until (1 << sections.length)) {
+      val present = sections.zipWithIndex.collect {
+        case ((k, ms), i) if (mask & (1 << i)) != 0 => (k, ms)
+      }
+      val body = present.map { case (k, ms) =>
+        s""""$k":[${ms.map(m => s"""{"id":"${m.id}","path":"${m.path}"}""").mkString(",")}]"""
+      }
+      val json =
+        (Seq(""""name":"t"""", """"source":"events"""", dimsJson) ++ body)
+          .mkString("{", ",", "}")
+      val parsed = CubeManager.configFromJson(json)
+      def want(k: String): Seq[Measure] =
+        present.collectFirst { case (`k`, ms) => ms }.getOrElse(Nil)
+      assert(parsed.dims == dims, s"mask=$mask dims")
+      assert(parsed.measures == want("measures"), s"mask=$mask measures")
+      assert(parsed.sketches == want("sketches"), s"mask=$mask sketches")
+      assert(parsed.quantiles == want("quantiles"), s"mask=$mask quantiles")
+      assert(parsed.extremes == want("extremes"), s"mask=$mask extremes")
+      assert(parsed.freq == want("freq"), s"mask=$mask freq")
+      assert(parsed.bitmaps == want("bitmaps"), s"mask=$mask bitmaps")
+    }
+  }
+
   test("dotted nested field paths work as dimensions and measures") {
     // the MongoDB document model: dimensions/measures live at a.b.c
     import spark.implicits._
