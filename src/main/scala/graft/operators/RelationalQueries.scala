@@ -1228,30 +1228,45 @@ object RelationalQueries {
     // carry the same part, so their mutual order cannot change edges)
     val w = Window.partitionBy(col("l_orderkey"))
       .orderBy(col("l_linenumber"), col("a"))
-    val edges = Tables.lineitem(spark, sfDir)
+    val edgePlan = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey").as("a"))
       .withColumn("b", lead(col("a"), 1).over(w))
       .filter(col("b").isNotNull && col("a") =!= col("b"))
       .select(col("a"), col("b"))
-    // deliberately NOT cached at this scale: rebuilding the sequencing
-    // window per superstep overlaps with the join pipeline and measures
-    // FASTER here than paying the materialization (3.6 vs 7.9 s at
-    // sf0.1); at 100 TB the balance flips and a Pregel-style runner
-    // persists the edge list once — the knob is a one-line .cache()
+    // materialize the edge list ONCE (lineage truncation): five
+    // supersteps each reference it twice, so the unmaterialized plan
+    // recomputes the sequencing window 10× — measured 4.2-6.9 s at
+    // sf0.1 across sweeps, load-variance dominated. localCheckpoint
+    // keeps the deterministic edge frame as in-memory partitions
+    // (3.1-3.9 s measured; a parquet round-trip adds ~1 s of fs cost);
+    // a Pregel runner at 100 TB checkpoints the same frame to the lake
+    // instead — the knob is the storage target, not the plan shape
+    val edges = edgePlan.localCheckpoint()
+    // the rank/degree/node frames are node-sized (tiny next to edges):
+    // localCheckpoint each so superstep k's plan starts from superstep
+    // k-1's MATERIALIZED ranks instead of replaying the whole chain —
+    // without this the lineage makes superstep 5 recompute 1..4
     val outd = edges.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     val nodes = edges.select(col("a").as("x"))
       .unionAll(edges.select(col("b").as("x"))).distinct()
+      .localCheckpoint()
     var pr = nodes.select(col("x").as("node"), lit(1000000L).as("r"))
+    // every join in a superstep has a node-sized side (ranks, degrees,
+    // per-node sums) — broadcast them explicitly: a checkpointed frame
+    // carries no file stats, so without hints the planner falls back to
+    // shuffle joins and re-shuffles the edge list five times over
     for (_ <- 1 to 5) {
       val contrib = pr
-        .join(outd, pr("node") === outd("a"))
+        .join(broadcast(outd), pr("node") === outd("a"))
         .select(col("node").as("u"), expr("r div d").as("ct"))
-      val in = contrib.join(edges, col("u") === edges("a"))
+      val in = edges.join(broadcast(contrib), col("u") === edges("a"))
         .groupBy(col("b")).agg(sum(col("ct")).as("c"))
-      pr = nodes.join(in, nodes("x") === in("b"), "left")
+      pr = nodes.join(broadcast(in), nodes("x") === in("b"), "left")
         .select(col("x").as("node"),
           (lit(150000L) + expr("(85 * coalesce(c, 0L)) div 100")).as("r"))
+        .localCheckpoint()
     }
     pr.select(col("node").as("part"), col("r").as("rank_ppm"))
       .orderBy(col("rank_ppm").desc, col("part"))
