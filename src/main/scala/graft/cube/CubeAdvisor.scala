@@ -119,14 +119,31 @@ object CubeAdvisor {
 
   /** What one trailing-window (rolling) query needs: the source, the
     * single time column its epoch-day derives from, the window length,
-    * and the per-family measure columns. */
-  private final case class RollingNeeds(
+    * and the per-family measure columns. `outs` is the ORDERED mapping
+    * of the aggregate's output columns (one entry per output attribute,
+    * in output order) — the advisor ignores it; [[CubeRewriteRule]]'s
+    * rolling route consumes it to rebind each original output to the
+    * corresponding serve column. */
+  private[cube] final case class RollingNeeds(
       path: String, tsCol: String, windowDays: Int,
       distinctOf: Seq[String], quantilesOf: Seq[(String, Double)],
       minOf: Seq[String], maxOf: Seq[String], sumOf: Seq[String],
       join: Option[(String, String, String, String)] = None,
       exactDistinctOf: Seq[String] = Nil,
-      segments: Seq[String] = Nil)
+      segments: Seq[String] = Nil,
+      outs: Seq[RollOut] = Nil)
+
+  /** One output column of a recognized rolling aggregate: the exploded
+    * day key, a segment grouping, or an aggregate leaf.
+    * Leaf families: "xdistinct" (exact bitmap), "distinct" (HLL),
+    * "quantile" (KLL, `pct` set), "min", "max", "sum". */
+  private[cube] sealed trait RollOut
+  private[cube] object RollOut {
+    case object Day extends RollOut
+    final case class Seg(srcCol: String) extends RollOut
+    final case class Leaf(family: String, srcCol: String,
+        pct: Double = 0.0) extends RollOut
+  }
 
   /** One recommended STORAGE LAYOUT: the consumer of
     * [[CubeRecommendation.rangeOnlyDims]]. A column promoted into the
@@ -351,7 +368,7 @@ object CubeAdvisor {
     * epoch-day arithmetic vs the cube's calendar-day dimension) holds
     * in a UTC session — the CubeAdvisorSpec honesty pin compares the
     * served curve against the workload's own, endpoint by endpoint. */
-  private def analyzeRolling(plan: LogicalPlan): Option[RollingNeeds] =
+  private[cube] def analyzeRolling(plan: LogicalPlan): Option[RollingNeeds] =
     plan match {
       case Aggregate(groups, aggs, child, _)
           if groups.nonEmpty &&
@@ -487,11 +504,16 @@ object CubeAdvisor {
                   case _ => false
                 }
                 if (!rOk) return None
-                val skipIds = groupAttrs.map(_.exprId).toSet
-                rollingLeaves(skipIds, aggs, deduped).map {
-                  case (d0, q0, mn, mx, s0, xd) =>
-                    RollingNeeds(path, tsCol, windowDays, d0, q0, mn, mx,
-                      s0, join, xd, segNames)
+                val segMap = segAttrs.map(_.exprId).zip(segNames).toMap
+                rollingLeaves(day.exprId, segMap, aggs, deduped).map { outs =>
+                  def leaves(f: String) = outs.collect {
+                    case RollOut.Leaf(`f`, c, _) => c }
+                  RollingNeeds(path, tsCol, windowDays,
+                    leaves("distinct"),
+                    outs.collect { case RollOut.Leaf("quantile", c, p) =>
+                      (c, p) },
+                    leaves("min"), leaves("max"), leaves("sum"), join,
+                    leaves("xdistinct"), segNames, outs)
                 }
               case _ => None
             }
@@ -530,23 +552,20 @@ object CubeAdvisor {
     * requires) — a bare double sum is order-dependent and the serve
     * could not reproduce it bit-exactly. */
   private def rollingLeaves(
-      groupIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId],
-      aggs: Seq[Expression], deduped: Boolean)
-      : Option[(Seq[String], Seq[(String, Double)], Seq[String],
-          Seq[String], Seq[String], Seq[String])] = {
-    var dOf = Vector.empty[String]
-    var xdOf = Vector.empty[String]
-    var qOf = Vector.empty[(String, Double)]
-    var mnOf = Vector.empty[String]
-    var mxOf = Vector.empty[String]
-    var sOf = Vector.empty[String]
+      dayId: org.apache.spark.sql.catalyst.expressions.ExprId,
+      segMap: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String],
+      aggs: Seq[Expression], deduped: Boolean): Option[Seq[RollOut]] = {
     def colName(e: Expression): Option[String] = e match {
       case a: Attribute => Some(a.name)
       case Cast(inner, _, _, _) => colName(inner)
       case _ => None
     }
-    aggs.foreach {
-      case a: AttributeReference if groupIds.contains(a.exprId) => ()
+    // ordered walk: ONE RollOut per output column, so the rewrite can
+    // rebind the original aggregate's output list position by position
+    val outs = aggs.map {
+      case a: AttributeReference if a.exprId == dayId => RollOut.Day
+      case a: AttributeReference if segMap.contains(a.exprId) =>
+        RollOut.Seg(segMap(a.exprId))
       case al: Alias => al.child match {
         // distinct curve: an INTEGRAL key column gets exact bitmap
         // partials (lossless union — the served curve EQUALS the
@@ -556,7 +575,8 @@ object CubeAdvisor {
         // design time)
         case AggregateExpression(Count(Seq(c)), Complete, true, _, _) =>
           val name = colName(c).getOrElse(return None)
-          if (integral(c.dataType)) xdOf :+= name else dOf :+= name
+          RollOut.Leaf(if (integral(c.dataType)) "xdistinct" else "distinct",
+            name)
         case AggregateExpression(ap: ApproximatePercentile, Complete,
             false, _, _) =>
           if (deduped) return None
@@ -566,23 +586,22 @@ object CubeAdvisor {
               d.toDouble
             case _ => return None
           }
-          qOf :+= ((colName(ap.child).getOrElse(return None), pct))
+          RollOut.Leaf("quantile", colName(ap.child).getOrElse(return None),
+            pct)
         case AggregateExpression(Min(c), Complete, false, _, _) =>
-          mnOf :+= colName(c).getOrElse(return None)
+          RollOut.Leaf("min", colName(c).getOrElse(return None))
         case AggregateExpression(Max(c), Complete, false, _, _) =>
-          mxOf :+= colName(c).getOrElse(return None)
+          RollOut.Leaf("max", colName(c).getOrElse(return None))
         case AggregateExpression(
             Sum(Cast(inner, _: DecimalType, _, _), _), Complete,
             false, _, _) =>
           if (deduped) return None
-          sOf :+= colName(inner).getOrElse(return None)
+          RollOut.Leaf("sum", colName(inner).getOrElse(return None))
         case _ => return None
       }
       case _ => return None
     }
-    if (dOf.isEmpty && xdOf.isEmpty && qOf.isEmpty && mnOf.isEmpty &&
-      mxOf.isEmpty && sOf.isEmpty) None
-    else Some((dOf, qOf, mnOf, mxOf, sOf, xdOf))
+    if (outs.exists(_.isInstanceOf[RollOut.Leaf])) Some(outs) else None
   }
 
   /** The bitmap family's type boundary (see [[CubeManager.create]]'s

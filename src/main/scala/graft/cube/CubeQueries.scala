@@ -127,6 +127,7 @@ object CubeQueries {
     streamWauService(spark, sfDir)
     joinAsOfSources(spark, sfDir)
     advisedSegService(spark, sfDir)
+    rollingRouteSource(spark, sfDir)
     ()
   }
 
@@ -1703,6 +1704,67 @@ object CubeQueries {
       .orderBy(col("day"))
   }
 
+  // --------------------------------------------------------------- q228
+  private val rollingRouteSetup =
+    TrieMap.empty[(SparkSession, String), String]
+  private def rollingRouteSource(spark: SparkSession, sfDir: String): String =
+    rollingRouteSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_rollroute").toString
+      val srcDir = s"$dir/source"
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("value"), col("ts"))
+        .write.parquet(srcDir)
+      val src = spark.read.parquet(srcDir)
+      CubeManager.save(CubeManager.create(
+        CubeConfig("rolling_route_demo", "events",
+          dims = Seq(TimeDim("day", "ts", "day")),
+          measures = Seq(Measure("v", "value")),
+          bitmaps = Seq(Measure("u", "user_id"))), src), dir)
+      CubeCatalog.install(spark)
+      // NO approxDistinct opt-in: the routed families here (bitmap
+      // exact distinct, decimal sums) are answer-preserving
+      CubeCatalog.register(s"rolling_route_demo@$sfDir",
+        CubeManager.load(spark, dir, "rolling_route_demo"), srcDir)
+      srcDir
+    })
+
+  /** Graded: ROLLING routing through the OPTIMIZER — the raw
+    * trailing-window plan users actually write (q138's shape: distinct
+    * (user, day) pairs, explode to the ≤7 endpoints, semi-join observed
+    * days, re-count per day) over a REGISTERED source is rewritten by
+    * [[CubeRewriteRule]] to the daily-bitmap-partial merge
+    * [[CubeService.getRolling]] performs — no service verb in sight,
+    * the optimizer recognizes the plan shape with the advisor's own
+    * matcher ([[CubeAdvisor.analyzeRolling]]). The plan is
+    * hard-asserted to scan ONLY the cube; the DuckDB oracle recomputes
+    * every window from raw events, so the hash proves the silent
+    * rewrite serves the exact curve (bitmap union is lossless). This
+    * closes the last source-scan class a dashboard workload hits: the
+    * q210 curve is now reachable from the raw DataFrame form, not just
+    * the verb. 100 TB split: the raw plan scans the source twice and
+    * explodes the collapsed pairs ×7 per refresh; the routed serve is
+    * |days|·7 one-row bitmap unions over the maintained cube. */
+  def q228RollingRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = rollingRouteSource(spark, sfDir)
+    val du = spark.read.parquet(srcDir)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("d"))
+      .distinct()
+    val q = graft.functions.Rolling.endpoints(du, 7)
+      .agg(countDistinct(col("user_id")).as("n_users_7d"))
+      .orderBy(col("day"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && scans.forall(_.endsWith("/rolling_route_demo")),
+      s"rolling routing did not fire (or still reads the source); " +
+        s"scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q219
   /** Graded: SEGMENTED rolling exact distinct — "WAU per event type",
     * the grouped form of q210 (`getRolling(segmentBy)`): the cube
@@ -2525,6 +2587,7 @@ object CubeQueries {
     "q159_rolling_minmax" -> q159RollingMinmax,
     "q194_rolling_sum" -> q194RollingSum,
     "q210_rolling_bitmap_distinct" -> q210RollingBitmapDistinct,
+    "q228_rolling_routing" -> q228RollingRouting,
     "q212_advised_bitmap_rolling" -> q212AdvisedBitmapRolling,
     "q219_rolling_segmented" -> q219RollingSegmented,
     "q222_advised_segmented_rolling" -> q222AdvisedSegmentedRolling,
@@ -3012,6 +3075,19 @@ object CubeQueries {
     // union), which puts a rolling distinct on the full hash gate for
     // the first time.
     "q210_rolling_bitmap_distinct" -> """
+      WITH du AS (
+        SELECT DISTINCT user_id,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS d
+        FROM events),
+      days AS (SELECT DISTINCT d AS day FROM du)
+      SELECT days.day, count(DISTINCT du.user_id) AS n_users_7d
+      FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day
+      GROUP BY 1
+      ORDER BY 1""",
+    // q138's oracle again: the optimizer-routed raw plan must serve the
+    // exact WAU curve a from-scratch recompute yields (the registered
+    // source is a projected copy of events, so raw events are the twin)
+    "q228_rolling_routing" -> """
       WITH du AS (
         SELECT DISTINCT user_id,
           CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS d

@@ -386,7 +386,12 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
                 case (jr, sidePreds) =>
                   tryRewrite(agg, jr.reg, j, subst, pred ++ sidePreds)
               }
-              if (candidates.isEmpty) agg else candidates.minBy(_._2)._1
+              if (candidates.isEmpty)
+                // not a join MV shape — but a LeftSemi join here is the
+                // trailing-window (rolling) plan's hallmark: try the
+                // rolling route before giving up
+                tryRewriteRolling(agg).getOrElse(agg)
+              else candidates.minBy(_._2)._1
             case _ => agg
           }
       }
@@ -806,6 +811,199 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     * filter conjuncts peeled from between the aggregate and the source;
     * each must rewrite to a deterministic predicate over cube dimension
     * attributes or the rewrite refuses. */
+  /** ROLLING (trailing-window) routing — the raw plan shape users
+    * actually write for a WAU/rolling-sum dashboard (collapse to daily
+    * rows, `explode(sequence(d, d+len-1))`, semi-join to observed days,
+    * re-aggregate per endpoint) rewritten to the daily-partial merge
+    * [[CubeService.getRolling]] performs, when a registered day-dimmed
+    * cube covers every aggregate leaf. Recognition is
+    * [[CubeAdvisor.analyzeRolling]] — the advisor's vocabulary and the
+    * rewrite's are THE SAME matcher, so anything the advisor would
+    * recommend a rolling cube for routes once that cube is registered.
+    *
+    * Exactness discipline, per leaf family:
+    * - exact families route unconditionally: `count(DISTINCT integral)`
+    *   (bitmap partials — lossless union, served count EQUALS the raw
+    *   re-count), `sum(CAST(x AS DECIMAL(18,2)))` (daily decimal sums
+    *   re-add exactly; the serve's endpoint sum carries the same
+    *   decimal(28,2) type as the raw plan), and min/max (min of daily
+    *   mins == min over rows, same type);
+    * - estimator-changing families (`count(DISTINCT non-integral)` →
+    *   HLL, `percentile_approx` → KLL) need the SAME opt-in as the
+    *   plain-aggregate path: per-registration `approxDistinct` or the
+    *   global conf — the served value is an estimate where the raw
+    *   plan's was exact/a different estimator;
+    * - a delete-latched cube serves only rolling sums (every other
+    *   family's partials are insert-only — same refusal as
+    *   getRolling's).
+    *
+    * The served day key (datediff from epoch over the cube's calendar
+    * day cell) equals the workload's epoch-day arithmetic in a UTC
+    * session — the equivalence [[CubeAdvisor]]'s honesty pin already
+    * grades; the rewrite additionally requires the original day output
+    * to be integral so the rebind cast is exact. No cost floor: the
+    * raw plan scans the source TWICE (window side + observed-day side)
+    * and explodes ×windowDays, so any materialized cube worth
+    * registering wins. Output attribute ids are preserved via a final
+    * Project, so parent operators (orderBy, limit) resolve unchanged. */
+  private def tryRewriteRolling(agg: Aggregate): Option[LogicalPlan] = {
+    val needs = CubeAdvisor.analyzeRolling(agg).getOrElse(return None)
+    if (needs.join.nonEmpty || needs.outs.isEmpty) return None
+    val candidates = CubeCatalog.registered.values.toSeq
+      .filter(_.sourcePath == needs.path)
+      .flatMap(reg =>
+        buildRollingServe(agg, needs, reg).map((_, reg.cubeSize)))
+    if (candidates.isEmpty) None else Some(candidates.minBy(_._2)._1)
+  }
+
+  private def buildRollingServe(
+      agg: Aggregate,
+      needs: CubeAdvisor.RollingNeeds,
+      reg: CubeCatalog.Registration): Option[LogicalPlan] = {
+    import org.apache.spark.sql.functions._
+    import CubeAdvisor.RollOut
+    val cube = reg.cube
+    val cfg = cube.config
+    // materialization + misregistration guards (Binding.routable's
+    // discipline): the cube's own plan must be a file scan, and not of
+    // the source path itself
+    if (reg.cubeScanPath.isEmpty) return None
+    if (reg.origScanPath.contains(needs.path)) return None
+    // the serve's synthesized column names must not collide with cube
+    // dimension ids (the "__" prefix makes a collision a deliberate act)
+    if (cfg.dimNames.exists(_.startsWith("__"))) return None
+    // day dimension: day-granularity TimeDim over the workload's ts col
+    val dayDim = cfg.dims.collectFirst {
+      case TimeDim(id, p, "day") if p == needs.tsCol => id
+    }.getOrElse(return None)
+    // segments: plain field dims on exactly the segment source columns
+    val segIds: Seq[String] = needs.segments.map { s =>
+      cfg.dims.collectFirst {
+        case FieldDim(id, p) if p == s => id }.getOrElse(return None)
+    }
+    val segIdOf: Map[String, String] = needs.segments.zip(segIds).toMap
+    val leaves: Seq[(RollOut.Leaf, Int)] = needs.outs.zipWithIndex.collect {
+      case (l: RollOut.Leaf, i) => (l, i) }
+    // estimator-changing families stay behind the existing opt-in
+    val approxOn = reg.approxDistinct ||
+      org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.cube.approxDistinctRouting", "false")
+        .equalsIgnoreCase("true")
+    if (!approxOn && leaves.exists { case (l, _) =>
+        l.family == "distinct" || l.family == "quantile" }) return None
+    // only the invertible decimal sums survive a delete latch
+    if (cube.hasDeletes && leaves.exists(_._1.family != "sum")) return None
+    // bind each leaf to the cube measure maintained on its source column
+    def idFor(l: RollOut.Leaf): Option[String] = l.family match {
+      case "xdistinct" => cfg.bitmaps.find(_.path == l.srcCol).map(_.id)
+      case "distinct" => cfg.sketches.find(_.path == l.srcCol).map(_.id)
+      case "quantile" => cfg.quantiles.find(_.path == l.srcCol).map(_.id)
+      case "min" | "max" => cfg.extremes.find(_.path == l.srcCol).map(_.id)
+      case "sum" => cfg.measures.find(_.path == l.srcCol).map(_.id)
+      case _ => None
+    }
+    val bound: Seq[(RollOut.Leaf, Int, String)] =
+      leaves.map { case (l, i) => (l, i, idFor(l).getOrElse(return None)) }
+    // daily partial columns, deduped by output name — a name collision
+    // from two DIFFERENT (family, measure) pairs would alias two
+    // distinct aggregates to one column: refuse
+    val dailyDefs: Seq[(String, (String, String))] = bound.flatMap {
+      case (l, _, id) => l.family match {
+        case "min" => Seq(s"${id}_min" -> (("min", id)))
+        case "max" => Seq(s"${id}_max" -> (("max", id)))
+        case f => Seq(id -> ((f, id)))
+      }
+    }
+    val byName = dailyDefs.groupBy(_._1)
+    if (byName.exists(_._2.map(_._2).distinct.size > 1)) return None
+    val dailyAggs: Seq[org.apache.spark.sql.Column] =
+      byName.toSeq.sortBy(_._1).map { case (name, defs) =>
+        defs.head._2 match {
+          case ("xdistinct", id) =>
+            graft.functions.Bitmap.unionAgg(col(id)).as(name)
+          case ("distinct", id) => hll_union_agg(col(id)).as(name)
+          case ("quantile", id) =>
+            graft.functions.Kll.mergeAgg(col(id)).as(name)
+          case ("min", id) => min(col(s"${id}_min")).as(name)
+          case ("max", id) => max(col(s"${id}_max")).as(name)
+          case ("sum", id) =>
+            sum(col(id)).cast(DecimalType(18, 2)).as(name)
+          case _ => return None
+        }
+      }
+    val spark = cube.aggregates.sparkSession
+    val cubeFrame = Bridge.ofRows(spark, reg.cubePlan)
+      .filter(col(CubeManager.CountCol) > 0)
+    // calendar-day index via datediff (TZ-consistent — the same
+    // derivation getRolling uses; equals the workload's epoch-day
+    // arithmetic in a UTC session)
+    val dayKey = datediff(col(dayDim).cast("date"), lit("1970-01-01"))
+      .cast("long").as("__gd")
+    val segCols = segIds.map(col)
+    val daily = cubeFrame
+      .groupBy((segCols :+ dayKey): _*)
+      .agg(dailyAggs.head, dailyAggs.tail: _*)
+    // endpoints are the (per-segment) OBSERVED days — the same
+    // semi-join convention the raw plan carries
+    val days = daily.select((segCols :+ col("__gd").as("__day")): _*)
+      .distinct()
+    val exploded = daily
+      .withColumn("__day",
+        explode(expr(s"sequence(__gd, __gd + ${needs.windowDays - 1})")))
+      .drop("__gd")
+      .join(broadcast(days), segIds :+ "__day", "left_semi")
+    val endAggs: Seq[org.apache.spark.sql.Column] = bound.map {
+      case (l, i, id) =>
+        (l.family match {
+          case "xdistinct" => graft.functions.Bitmap.cardinality(
+            graft.functions.Bitmap.unionAgg(col(id)))
+          case "distinct" => hll_sketch_estimate(hll_union_agg(col(id)))
+          case "quantile" => graft.functions.Kll.quantile(
+            graft.functions.Kll.mergeAgg(col(id)), l.pct)
+          case "min" => min(col(s"${id}_min"))
+          case "max" => max(col(s"${id}_max"))
+          case "sum" => sum(col(id))
+          case _ => return None
+        }).as(s"__out_$i")
+    }
+    val served = exploded
+      .groupBy((segCols :+ col("__day")): _*)
+      .agg(endAggs.head, endAggs.tail: _*)
+    // optimize the serve plan NOW (re-entrant, terminates: its scans
+    // read the cube path, which no registration lists as a source) so
+    // the spliced subtree gets the main optimizer batches — the
+    // user-provided batch this rule runs in is the last one, and an
+    // analyzed-only subtree would keep its ResolvedHint nodes
+    val outPlan = served.queryExecution.optimizedPlan
+    val servedAttr: Map[String, Attribute] =
+      outPlan.output.map(a => a.name -> a).toMap
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val proj: Seq[NamedExpression] =
+      agg.aggregateExpressions.zip(needs.outs).zipWithIndex.map {
+        case ((orig, RollOut.Day), _) =>
+          // integral day outputs only: the epoch-day long casts to the
+          // original type exactly
+          if (orig.dataType != LongType && orig.dataType != IntegerType)
+            return None
+          val d = servedAttr.getOrElse("__day", return None)
+          val child: Expression =
+            if (d.dataType == orig.dataType) d else Cast(d, orig.dataType)
+          Alias(child, orig.name)(exprId = orig.exprId)
+        case ((orig, RollOut.Seg(srcCol)), _) =>
+          val a = servedAttr.getOrElse(segIdOf(srcCol), return None)
+          if (a.dataType != orig.dataType) return None
+          Alias(a, orig.name)(exprId = orig.exprId)
+        case ((orig, _: RollOut.Leaf), i) =>
+          val a = servedAttr.getOrElse(s"__out_$i", return None)
+          // exact rebind only — a type mismatch (e.g. percentile over
+          // an int column vs the KLL double) refuses rather than casts
+          if (a.dataType != orig.dataType) return None
+          Alias(a, orig.name)(exprId = orig.exprId)
+        case _ => return None
+      }
+    Some(Project(proj, outPlan))
+  }
+
   private def tryRewrite(
       agg: Aggregate,
       reg: CubeCatalog.Registration,

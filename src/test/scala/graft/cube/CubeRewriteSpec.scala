@@ -1375,4 +1375,120 @@ class CubeRewriteSpec extends AnyFunSuite {
       "delete-latched extremes must refuse rollup min/max")
     CubeCatalog.clear()
   }
+
+  // ------------------------------------------------- rolling routing
+  /** Source + registered day-dimmed cube for the rolling-route tests:
+    * several days of (etype, user, value) events, cube carrying bitmap
+    * (exact distinct), decimal-sum, extreme, HLL, and KLL partials. */
+  private def rollingSetup(approx: Boolean = false): String = {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(37)
+    val rows = (0 until 1200).map { i =>
+      (Seq("click", "view")(rnd.nextInt(2)),
+        new Timestamp(1700000000000L + rnd.nextInt(12) * 86400000L
+          + rnd.nextInt(86400000)),
+        (i % 80).toLong,
+        math.round(rnd.nextDouble() * 10000) / 100.0,
+        s"u${i % 64}")
+    }
+    val srcDir = Files.createTempDirectory("graft_rollrw_src").toString
+    rows.toDF("etype", "ts", "user_id", "value", "uid_s")
+      .write.mode("overwrite").parquet(srcDir)
+    val cfg = CubeConfig("rollrw", "src",
+      Seq(FieldDim("etype", "etype"), TimeDim("day", "ts", "day")),
+      Seq(Measure("v", "value")),
+      // HLL sketches need INT/BIGINT/STRING keys — the string uid is
+      // also what exercises the non-integral → HLL fallback leaf
+      sketches = Seq(Measure("hv", "uid_s")),
+      quantiles = Seq(Measure("qv", "value")),
+      extremes = Seq(Measure("vx", "value")),
+      bitmaps = Seq(Measure("u", "user_id")))
+    val cubeDir = Files.createTempDirectory("graft_rollrw_cube").toString
+    CubeManager.save(
+      CubeManager.create(cfg, spark.read.parquet(srcDir)), cubeDir)
+    CubeCatalog.register("rollrw",
+      CubeManager.load(spark, cubeDir, "rollrw"), srcDir,
+      approxDistinct = approx)
+    srcDir
+  }
+
+  private def dayCol = (unix_timestamp(col("ts")).cast("double") / 86400)
+    .cast("long").as("d")
+
+  test("raw trailing-window plan routes to the cube; curve identical") {
+    val srcDir = rollingSetup()
+    def src = spark.read.parquet(srcDir)
+    // the q138 WAU form: distinct pairs, explode, semi-join, re-count
+    def wau() = graft.functions.Rolling.endpoints(
+        src.select(col("user_id"), dayCol).distinct())
+      .agg(countDistinct(col("user_id")).as("nu"))
+    val routed = wau()
+    assert(scansOf(routed).forall(_.endsWith("/rollrw")),
+      s"rolling route did not fire: ${scansOf(routed)}")
+    val served = sortedRows(routed)
+    CubeCatalog.clear()
+    // the raw plan scans the source on BOTH semi-join sides
+    assert(scansOf(wau()).distinct == Seq(CubeCatalog.normalize(srcDir)))
+    assert(sortedRows(wau()) == served,
+      "routed curve must EQUAL the raw recompute (bitmap partials)")
+  }
+
+  test("rolling sum/min/max leaves route exactly; day key rebinds as int") {
+    val srcDir = rollingSetup()
+    def src = spark.read.parquet(srcDir)
+    // datediff day derivation (INT day key) + the exact leaf families
+    def dayI = datediff(col("ts").cast("date"), lit("1970-01-01")).as("d")
+    def q() = graft.functions.Rolling.endpoints(
+        src.select(col("user_id"), col("value"),
+          dayI.cast("long").as("d")), 3)
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"),
+        countDistinct(col("user_id")).as("nu"))
+    val routed = q()
+    assert(scansOf(routed).forall(_.endsWith("/rollrw")),
+      s"rolling route did not fire: ${scansOf(routed)}")
+    val served = sortedRows(routed)
+    CubeCatalog.clear()
+    assert(sortedRows(q()) == served,
+      "sum/min/max must rebind exactly (decimal type preserved)")
+  }
+
+  test("segmented raw rolling routes; per-segment endpoints preserved") {
+    val srcDir = rollingSetup()
+    def src = spark.read.parquet(srcDir)
+    def q() = {
+      val du = src.select(col("etype"), col("user_id"), dayCol).distinct()
+      val days = du.select(col("etype"), col("d").as("day")).distinct()
+      du.withColumn("day", expr("explode(sequence(d, d + 6))"))
+        .drop("d")
+        .join(days, Seq("etype", "day"), "left_semi")
+        .groupBy(col("etype"), col("day"))
+        .agg(countDistinct(col("user_id")).as("nu"))
+    }
+    val routed = q()
+    assert(scansOf(routed).forall(_.endsWith("/rollrw")),
+      s"segmented rolling route did not fire: ${scansOf(routed)}")
+    val served = sortedRows(routed)
+    CubeCatalog.clear()
+    assert(sortedRows(q()) == served,
+      "segmented routed curve must equal the raw per-segment recompute")
+  }
+
+  test("estimator-changing rolling leaves route only with the opt-in") {
+    // count(DISTINCT double) → HLL and percentile_approx → KLL both
+    // change the answer: without the registration opt-in they must
+    // refuse (source scan), with it they serve from the cube
+    def q(srcDir: String) = graft.functions.Rolling.endpoints(
+        spark.read.parquet(srcDir).select(col("uid_s"), col("value"), dayCol))
+      .agg(countDistinct(col("uid_s")).as("nv"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"))
+    val plain = rollingSetup()
+    assert(scansOf(q(plain)).distinct == Seq(CubeCatalog.normalize(plain)),
+      "approx rolling families must refuse without the opt-in")
+    val opted = rollingSetup(approx = true)
+    assert(scansOf(q(opted)).forall(_.endsWith("/rollrw")),
+      s"opted-in approx rolling must route: ${scansOf(q(opted))}")
+    CubeCatalog.clear()
+  }
 }
