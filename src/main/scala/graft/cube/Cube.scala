@@ -124,9 +124,35 @@ final case class CubeConfig(
     quantiles: Seq[Measure] = Nil,
     extremes: Seq[Measure] = Nil,
     freq: Seq[Measure] = Nil,
-    bitmaps: Seq[Measure] = Nil) {
-  def dimCols: Seq[Column] = dims.map(_.expr)
-  def dimNames: Seq[String] = dims.map(_.id)
+    bitmaps: Seq[Measure] = Nil,
+    dictBitmaps: Seq[Measure] = Nil,
+    bitmapShardBits: Int = 0) {
+  /** `bitmapShardBits > 0` SHARDS the bitmap partials by id block
+    * range: cells additionally subdivide by `__bshard = id >> bits`, so
+    * one cell's bitmap covers at most 2^bits consecutive ids — the
+    * per-row blob is bounded by 4 + 16·(2^bits/64 + 1) bytes no matter
+    * how many ids a day sees. Shard rows are just FINER cells: every
+    * partial family re-aggregates across them unchanged, and the
+    * bitmap serves regain exactly the unsharded answers (shards
+    * partition the id space, so cardinalities ADD). getRolling /
+    * getRetention additionally exploit the layout with per-shard
+    * two-level aggregation — bounded blobs through every shuffle,
+    * parallelism ∝ shards instead of one reducer row per endpoint. */
+  def dimCols: Seq[Column] = dims.map(_.expr) ++ shardCol
+  def dimNames: Seq[String] = dims.map(_.id) ++
+    shardCol.map(_ => CubeManager.ShardCol)
+  private[cube] def shardCol: Option[Column] =
+    if (bitmapShardBits <= 0) None
+    else Some(org.apache.spark.sql.functions.shiftright(
+      org.apache.spark.sql.functions.col(bitmaps.head.path).cast("long"),
+      bitmapShardBits).as(CubeManager.ShardCol))
+  /** Every bitmap-partial measure the cube maintains — plain (dense
+    * integral keys, bits of the value itself) and dictionary-encoded
+    * (non-integral keys, bits of the maintained dense id). Their
+    * PARTIALS are identical (same codec, same lossless union), so
+    * every serve/merge/fold path past the build step treats the two
+    * lists as one. */
+  def allBitmaps: Seq[Measure] = bitmaps ++ dictBitmaps
 }
 
 /** A materialized cube: dimension columns + one DECIMAL sum per measure +
@@ -147,13 +173,17 @@ final case class CubeConfig(
   * exact sum/count measures stay correct and keep serving). Persisted
   * with the config by [[CubeManager.save]]/[[CubeManager.saveMeta]]. */
 final case class Cube(config: CubeConfig, aggregates: DataFrame,
-    hasDeletes: Boolean = false) {
+    hasDeletes: Boolean = false,
+    dicts: Map[String, DataFrame] = Map.empty) {
   def live: DataFrame =
     aggregates.filter(org.apache.spark.sql.functions.col(CubeManager.CountCol) > 0)
 }
 
 object CubeManager {
   val CountCol = "_count"
+  /** Hidden shard dimension column of a `bitmapShardBits`-sharded cube
+    * (see [[CubeConfig.dimCols]]). */
+  val ShardCol = "__bshard"
   /** lgConfigK of every HLL sketch measure the engine maintains (the
     * hll_sketch_agg default, made explicit so consumers — notably
     * CubeRewriteRule's precision gate — derive their error bound from
@@ -198,6 +228,74 @@ object CubeManager {
           "Dictionary-encode the column first or use an HLL sketch measure.")
     }
 
+  /** Dense-id assignment for the `dictBitmaps` dictionaries: append a
+    * LongType `__id` column numbering the frame's distinct non-null
+    * keys `offset..offset+n-1`. Dense numbering needs global
+    * coordination, which `zipWithIndex` does in two distributed passes
+    * (per-partition counts, then per-partition offsets) — never a
+    * single-partition window, so the build scales with the key count.
+    * Ids are NOT stable across rebuilds (partitioning decides order) —
+    * they don't need to be: the bitmap serves CARDINALITIES, and any
+    * injective key → id map yields the same counts. Within one
+    * dictionary's lifetime the map IS stable: extension assigns only
+    * ids above the current max to only unseen keys. */
+  private[cube] def assignIds(keys: DataFrame, offset: Long): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val distinct = keys.na.drop().distinct()
+    val schema = StructType(distinct.schema.fields :+
+      StructField("__id", LongType, nullable = false))
+    // localCheckpoint PINS the computed assignment: the distinct's
+    // shuffle-read order is not reproducible across recomputations, so
+    // a lazy plan evaluated twice (once building the bitmaps, once
+    // persisting the dictionary) could assign DIFFERENT ids to the same
+    // key — and a later fold consulting the persisted map would then
+    // set fresh bits for already-counted keys. Eager, spillable
+    // (MEMORY_AND_DISK), dict-sized.
+    distinct.sparkSession.createDataFrame(
+      distinct.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (offset + i)) },
+      schema).localCheckpoint()
+  }
+
+  /** Per-measure dictionaries for a config's `dictBitmaps`, built from
+    * the initial source scan: key column (as `__key`) → dense id. */
+  private def buildDicts(config: CubeConfig,
+      source: DataFrame): Map[String, DataFrame] =
+    config.dictBitmaps.map { m =>
+      m.id -> assignIds(source.select(col(m.path).as("__key")), 0L)
+    }.toMap
+
+  /** Join each `dictBitmaps` key column against its dictionary,
+    * carrying the dense id as `__dictid_<id>` — the column the bitmap
+    * aggregate encodes. LEFT join: a null key gets a null id, which
+    * the set aggregate skips exactly as COUNT(DISTINCT) skips nulls. */
+  private def withDictIds(cfg: CubeConfig, df: DataFrame,
+      dicts: Map[String, DataFrame]): DataFrame =
+    cfg.dictBitmaps.foldLeft(df) { (acc, m) =>
+      val d = dicts(m.id).withColumnRenamed("__id", s"__dictid_${m.id}")
+      acc.join(d, acc(m.path) === d("__key"), "left").drop("__key")
+    }
+
+  /** Unseen inserted keys per dictionary measure, with ids continuing
+    * the append-only assignment (current max + 1 upward). One tiny
+    * max() job per dictionary; the anti-join is key-count-sized. The
+    * service layer persists these APPEND-ONLY before the fold runs —
+    * extra entries from a crashed fold are harmless (ids are reused
+    * when the key reappears; cardinalities come from the bitmaps). */
+  private[cube] def newDictEntries(cube: Cube,
+      deltas: DataFrame): Map[String, DataFrame] =
+    cube.config.dictBitmaps.map { m =>
+      val dict = cube.dicts.getOrElse(m.id, throw new IllegalStateException(
+        s"cube ${cube.config.name} lacks the '${m.id}' dictionary — " +
+          "dictionary-bitmap folds need the loaded dict state"))
+      val fresh = deltas.filter(col("_sign") > 0)
+        .select(col(m.path).as("__key")).na.drop().distinct()
+        .join(dict.select("__key"), Seq("__key"), "left_anti")
+      val maxRow = dict.agg(max(col("__id"))).collect()(0)
+      val offset = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) + 1L
+      m.id -> assignIds(fresh, offset)
+    }.toMap
+
   /** R1: initial cube population — one full source scan, then the cube
     * lives independently of the source. */
   def create(config: CubeConfig, source: DataFrame): Cube = {
@@ -211,6 +309,16 @@ object CubeManager {
     // sketch families carry (non-integral keys: dictionary-encode
     // first or take the HLL path).
     requireIntegralBitmaps(config, source)
+    // sharding needs exactly ONE plain bitmap measure: the shard key is
+    // that measure's id range, and a second bitmap (or a dict-encoded
+    // one, whose ids exist only post-join) has no consistent shard for
+    // the same row
+    require(config.bitmapShardBits == 0 ||
+        (config.bitmaps.size == 1 && config.dictBitmaps.isEmpty),
+      s"bitmapShardBits=${config.bitmapShardBits} requires exactly one " +
+        "plain bitmap measure (the shard key is its id range)")
+    require(config.bitmapShardBits >= 0 && config.bitmapShardBits <= 40,
+      s"bitmapShardBits out of range: ${config.bitmapShardBits}")
     val sums = config.measures.map(m =>
       sum(col(m.path).cast(Dec)).cast(Dec).as(m.id))
     val sks = config.sketches.map(m =>
@@ -227,15 +335,22 @@ object CubeManager {
         s => s.getField("key")).as(s"${m.id}_cand")))
     val bms = config.bitmaps.map(m =>
       graft.functions.Bitmap.setAgg(col(m.path).cast("long")).as(m.id))
+    // dictionary-encoded bitmaps: the honest path for NON-integral key
+    // spaces the plain family refuses above — the maintained key → id
+    // dictionary makes the encoding injective for any type, so the
+    // served distinct counts stay exact
+    val dicts = buildDicts(config, source)
+    val dbms = config.dictBitmaps.map(m =>
+      graft.functions.Bitmap.setAgg(col(s"__dictid_${m.id}")).as(m.id))
     // `_count` is always present, so the aggregate list is never empty
     // even for a measures-free config (e.g. an advised rolling cube
     // that carries only sketch/extreme partials)
-    val all = sums ++ sks ++ qs ++ exts ++ fqs ++ bms :+
+    val all = sums ++ sks ++ qs ++ exts ++ fqs ++ bms ++ dbms :+
       count(lit(1)).as(CountCol)
-    val agg = source
+    val agg = withDictIds(config, source, dicts)
       .groupBy(config.dimCols: _*)
       .agg(all.head, all.tail: _*)
-    Cube(config, agg)
+    Cube(config, agg, dicts = dicts)
   }
 
   /** R3: incremental maintenance. `deltas` carries the source schema plus
@@ -276,7 +391,7 @@ object CubeManager {
     // delta batch (skipped entirely for sketch-free cubes and for cubes
     // already latched).
     val sketchy = cfg.sketches.nonEmpty || cfg.quantiles.nonEmpty ||
-      cfg.extremes.nonEmpty || cfg.freq.nonEmpty || cfg.bitmaps.nonEmpty
+      cfg.extremes.nonEmpty || cfg.freq.nonEmpty || cfg.allBitmaps.nonEmpty
     val deletesPresent =
       sketchy && !deltas.filter(col("_sign") < 0).isEmpty
     // EVERY non-invertible family is fixable by targeted recompute when
@@ -312,9 +427,21 @@ object CubeManager {
     val deltaBms = cfg.bitmaps.map(m =>
       graft.functions.Bitmap.setAgg(
         when(col("_sign") > 0, col(m.path).cast("long"))).as(m.id))
+    // dictionary bitmaps: EXTEND each dictionary with the batch's
+    // unseen inserted keys first (append-only — ids continue above the
+    // current max; existing keys keep their ids, so re-inserts OR onto
+    // already-set bits), then encode through the extended map
+    val newEntries = newDictEntries(cube, deltas)
+    val dicts = cube.dicts.map { case (id, d) =>
+      id -> newEntries.get(id).filterNot(_.isEmpty)
+        .map(d.unionByName(_)).getOrElse(d)
+    }
+    val deltaDbms = cfg.dictBitmaps.map(m =>
+      graft.functions.Bitmap.setAgg(
+        when(col("_sign") > 0, col(s"__dictid_${m.id}"))).as(m.id))
     val deltaAll = deltaSums ++ deltaSks ++ deltaQs ++ deltaExts ++
-      deltaFqs ++ deltaBms :+ sum(col("_sign")).as(CountCol)
-    val deltaAgg = deltas
+      deltaFqs ++ deltaBms ++ deltaDbms :+ sum(col("_sign")).as(CountCol)
+    val deltaAgg = withDictIds(cfg, deltas, dicts)
       .groupBy(cfg.dimCols: _*)
       .agg(deltaAll.head, deltaAll.tail: _*)
     val merged = mergePartials(cfg, cube.aggregates, deltaAgg)
@@ -325,10 +452,10 @@ object CubeManager {
       // burn a partition-pruned source read per fold producing values
       // nothing can ever read
       case Some(src) if deletesPresent && !hasDeletes =>
-        refreshTouchedPartials(cfg, merged, deltas, src)
+        refreshTouchedPartials(cfg, merged, deltas, src, dicts)
       case _ => merged
     }
-    Cube(cfg, finalAgg, hasDeletes)
+    Cube(cfg, finalAgg, hasDeletes, dicts)
   }
 
   /** Targeted partial recompute for delete-capable non-invertible
@@ -342,18 +469,30 @@ object CubeManager {
     * replaced in the merged state. Untouched cells never rescan the
     * source; sums/counts are invertible and never enter here. */
   private def refreshTouchedPartials(cfg: CubeConfig, merged: DataFrame,
-      deltas: DataFrame, src: DataFrame): DataFrame = {
-    val tmpNames = cfg.dims.map(d => s"__cell_${d.id}")
+      deltas: DataFrame, src: DataFrame,
+      dicts: Map[String, DataFrame] = Map.empty): DataFrame = {
+    // (defining expression, cell id) pairs — the declared dims plus the
+    // hidden shard column of a bitmapShardBits-sharded cube, which
+    // subdivides cells exactly like a dimension and must key the
+    // recompute the same way
+    val cellDims: Seq[(Column, String)] =
+      (cfg.dims.map(_.expr) ++ cfg.shardCol).zip(cfg.dimNames)
+    val tmpNames = cfg.dimNames.map(n => s"__cell_$n")
     val touched = deltas.filter(col("_sign") < 0)
       .select(cfg.dimCols: _*).distinct()
     val nonInvertible =
       cfg.extremes ++ cfg.sketches ++ cfg.quantiles ++ cfg.freq ++
         cfg.bitmaps
-    val srcCells = src.select(
-      (cfg.dims.zip(tmpNames).map { case (d, t) => d.expr.as(t) } ++
-        nonInvertible.map(m => col(m.path).as(s"__v_${m.id}"))): _*)
-    val semiCond = cfg.dims.zip(tmpNames)
-      .map { case (d, t) => srcCells(t) <=> touched(d.id) }
+    // dictionary bitmaps recompute from the dict-mapped id, not the raw
+    // key — the dictionary keeps every ever-seen key (append-only), so
+    // the post-delta source's keys all resolve
+    val srcCells = withDictIds(cfg, src, dicts).select(
+      (cellDims.zip(tmpNames).map { case ((e, _), t) => e.as(t) } ++
+        nonInvertible.map(m => col(m.path).as(s"__v_${m.id}")) ++
+        cfg.dictBitmaps.map(m =>
+          col(s"__dictid_${m.id}").as(s"__v_${m.id}"))): _*)
+    val semiCond = cellDims.map(_._2).zip(tmpNames)
+      .map { case (n, t) => srcCells(t) <=> touched(n) }
       .reduce(_ && _)
     val freshAggs =
       cfg.extremes.flatMap(m => Seq(
@@ -374,19 +513,24 @@ object CubeManager {
           s => s.getField("key")).as(s"__fresh_${m.id}_cand"))) ++
       cfg.bitmaps.map(m =>
         graft.functions.Bitmap.setAgg(col(s"__v_${m.id}").cast("long"))
+          .as(s"__fresh_${m.id}")) ++
+      cfg.dictBitmaps.map(m =>
+        // already a long id — no cast, the dict made the encoding
+        // injective
+        graft.functions.Bitmap.setAgg(col(s"__v_${m.id}"))
           .as(s"__fresh_${m.id}"))
     val fresh = srcCells.join(broadcast(touched), semiCond, "left_semi")
       .groupBy(tmpNames.map(col): _*)
       .agg(freshAggs.head, freshAggs.tail: _*)
       .withColumn("__fresh_hit", lit(true))
-    val joinCond = cfg.dims.zip(tmpNames)
-      .map { case (d, t) => fresh(t) <=> merged(d.id) }
+    val joinCond = cfg.dimNames.zip(tmpNames)
+      .map { case (n, t) => fresh(t) <=> merged(n) }
       .reduce(_ && _)
     val replacedCols: Set[String] =
       cfg.extremes.flatMap(m => Seq(s"${m.id}_min", s"${m.id}_max")).toSet ++
         cfg.sketches.map(_.id) ++ cfg.quantiles.map(_.id) ++
         cfg.freq.flatMap(m => Seq(m.id, s"${m.id}_cand")) ++
-        cfg.bitmaps.map(_.id)
+        cfg.allBitmaps.map(_.id)
     merged.join(broadcast(fresh), joinCond, "left_outer")
       .select(merged.columns.toSeq.map { c =>
         if (replacedCols.contains(c))
@@ -422,7 +566,7 @@ object CubeManager {
           graft.functions.CountMinSketch.mergeSketches(col(m.id)).as(m.id),
           sort_array(array_distinct(flatten(
             collect_list(col(s"${m.id}_cand"))))).as(s"${m.id}_cand"))) ++
-        cfg.bitmaps.map(m =>
+        cfg.allBitmaps.map(m =>
           graft.functions.Bitmap.unionAgg(col(m.id)).as(m.id)) :+
         sum(col(CountCol)).as(CountCol)
     val merged = a.unionByName(b)
@@ -498,7 +642,7 @@ object CubeManager {
         "access; its bitmap partials are insert-only and cannot serve " +
         "exact distinct counts")
     exactDistinctOf.foreach(id =>
-      require(cube.config.bitmaps.exists(_.id == id),
+      require(cube.config.allBitmaps.exists(_.id == id),
         s"$id is not a bitmap measure of cube ${cube.config.name}"))
     val base = cube.live.filter(filter)
     val sums = sumOf.map(id => sum(col(id)).cast(DoubleType).as(s"sum_$id"))
@@ -550,6 +694,14 @@ object CubeManager {
     * metadata; streaming offsets live in the checkpoint dir instead). */
   def save(cube: Cube, dir: String): Unit = {
     cube.aggregates.write.mode("overwrite").parquet(s"$dir/${cube.config.name}")
+    // dictionaries BESIDE the aggregates (never inside the parquet dir
+    // — Spark's file index would read them as data): one directory per
+    // dict measure, rewritten whole here (create/save path); folds go
+    // through the service's append-only persistence instead
+    cube.dicts.foreach { case (id, df) =>
+      df.write.mode("overwrite")
+        .parquet(s"$dir/${cube.config.name}.dict/$id")
+    }
     saveMeta(cube, dir)
   }
 
@@ -572,8 +724,15 @@ object CubeManager {
     val p = java.nio.file.Paths.get(dir, s"$name.json")
     val json = java.nio.file.Files.readString(p)
     val hasDeletes = """"hasDeletes":\s*true""".r.findFirstIn(json).isDefined
-    Cube(configFromJson(json), spark.read.parquet(s"$dir/$name"), hasDeletes)
+    val config = configFromJson(json)
+    Cube(config, spark.read.parquet(s"$dir/$name"), hasDeletes,
+      loadDicts(spark, dir, config))
   }
+
+  private[cube] def loadDicts(spark: SparkSession, dir: String,
+      config: CubeConfig): Map[String, DataFrame] =
+    config.dictBitmaps.map(m =>
+      m.id -> spark.read.parquet(s"$dir/${config.name}.dict/${m.id}")).toMap
 
   def list(dir: String): Seq[String] = {
     val d = new java.io.File(dir)
@@ -588,6 +747,7 @@ object CubeManager {
       f.delete(); ()
     }
     rm(new java.io.File(s"$dir/$name"))
+    rm(new java.io.File(s"$dir/$name.dict"))
     new java.io.File(s"$dir/$name.json").delete()
     ()
   }
@@ -621,10 +781,16 @@ object CubeManager {
     val bms = c.bitmaps
       .map(m => s"""{"id":"${esc(m.id)}","path":"${esc(m.path)}"}""")
       .mkString("[", ",", "]")
+    val dbms = c.dictBitmaps
+      .map(m => s"""{"id":"${esc(m.id)}","path":"${esc(m.path)}"}""")
+      .mkString("[", ",", "]")
     // Section order is canonical for readability only; configFromJson
     // captures each section's flat array independently, so wire
     // clients may omit or reorder sections freely.
-    s"""{"name":"${esc(c.name)}","source":"${esc(c.source)}","dims":$dims,"sketches":$sks,"quantiles":$qs,"extremes":$exts,"freq":$fqs,"bitmaps":$bms,"measures":$ms}"""
+    val shard =
+      if (c.bitmapShardBits > 0) s""","bitmapShardBits":${c.bitmapShardBits}"""
+      else ""
+    s"""{"name":"${esc(c.name)}","source":"${esc(c.source)}","dims":$dims,"sketches":$sks,"quantiles":$qs,"extremes":$exts,"freq":$fqs,"bitmaps":$bms,"dictBitmaps":$dbms,"measures":$ms$shard}"""
   }
 
   private[cube] def configFromJson(json: String): CubeConfig = {
@@ -658,8 +824,11 @@ object CubeManager {
         case _ => throw new IllegalArgumentException(s"bad dim: $o")
       }
     }
+    val shardBits = """"bitmapShardBits":\s*(\d+)""".r
+      .findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0)
     CubeConfig(field(json, "name").get, field(json, "source").get, dims,
       measures("measures"), measures("sketches"), measures("quantiles"),
-      measures("extremes"), measures("freq"), measures("bitmaps"))
+      measures("extremes"), measures("freq"), measures("bitmaps"),
+      measures("dictBitmaps"), shardBits)
   }
 }

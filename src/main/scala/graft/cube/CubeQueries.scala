@@ -128,6 +128,7 @@ object CubeQueries {
     joinAsOfSources(spark, sfDir)
     advisedSegService(spark, sfDir)
     rollingRouteSource(spark, sfDir)
+    dictDistinctService(spark, sfDir)
     ()
   }
 
@@ -1704,6 +1705,62 @@ object CubeQueries {
       .orderBy(col("day"))
   }
 
+  // --------------------------------------------------------------- q229
+  private val dictDistinctSetup =
+    TrieMap.empty[(SparkSession, String), CubeService]
+  private def dictDistinctService(spark: SparkSession,
+      sfDir: String): CubeService =
+    dictDistinctSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_dict").toString
+      val svc = new CubeService(spark, dir)
+      // a STRING user key — the exact case the bitmap type gate refuses
+      // (cast to BIGINT is lossy); the create-time projection is carried
+      // identically by the delta batch and the oracle
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("uid_s", concat(lit("u"), col("user_id")))
+      val isDelta = col("event_id") % 4 === 3
+      // lifecycle on the graded surface: create from the 75% base, then
+      // ONE signed insert fold whose batch carries keys the base never
+      // saw — the dictionary EXTENDS append-only (ids above the current
+      // max), and the serve reads the persisted post-fold state
+      svc.createCube(
+        CubeConfig("dict_distinct", "events",
+          dims = Seq(FieldDim("etype", "event_type")),
+          measures = Seq(Measure("v", "value")),
+          dictBitmaps = Seq(Measure("us", "uid_s"))),
+        ev.filter(!isDelta))
+      svc.updateAggregates("dict_distinct",
+        ev.filter(isDelta).withColumn("_sign", lit(1)))
+      svc
+    })
+
+  /** Graded: EXACT COUNT(DISTINCT) over a STRING key served from
+    * DICTIONARY-ENCODED bitmap partials — closing the last
+    * estimate-only distinct case. The plain bitmap family refuses
+    * non-integral keys (`CubeManager.create`'s type gate: the cast to
+    * BIGINT is lossy); the dictionary path maintains an append-only
+    * (key → dense id) map as cube auxiliary state, encodes bits of the
+    * dense id, and serves cardinalities that EQUAL a from-scratch
+    * count — the DuckDB oracle recomputes from raw strings and
+    * hash-matches. The cube graded here lived the full lifecycle:
+    * created from a base slice, folded with a batch containing unseen
+    * keys (dictionary extended durably before the fold), persisted,
+    * reloaded. 100 TB split: the dictionary is |distinct keys| rows
+    * built with two distributed passes (zipWithIndex — never a global
+    * window); every fold touches only the batch's unseen keys
+    * (anti-join) and every serve is cube-sized bitmap unions. */
+  def q229DictExactDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    dictDistinctService(spark, sfDir)
+      .getAggregates("dict_distinct", Seq("etype"),
+        sumOf = Seq("v"), exactDistinctOf = Seq("us"))
+      .select(col("etype"),
+        col("n_exact_us").as("nd_users"),
+        round(col("sum_v"), 2).as("value_sum"),
+        col("n_rows").cast("long").as("n"))
+      .orderBy(col("etype"))
+  }
+
   // --------------------------------------------------------------- q228
   private val rollingRouteSetup =
     TrieMap.empty[(SparkSession, String), String]
@@ -2588,6 +2645,7 @@ object CubeQueries {
     "q194_rolling_sum" -> q194RollingSum,
     "q210_rolling_bitmap_distinct" -> q210RollingBitmapDistinct,
     "q228_rolling_routing" -> q228RollingRouting,
+    "q229_dict_exact_distinct" -> q229DictExactDistinct,
     "q212_advised_bitmap_rolling" -> q212AdvisedBitmapRolling,
     "q219_rolling_segmented" -> q219RollingSegmented,
     "q222_advised_segmented_rolling" -> q222AdvisedSegmentedRolling,
@@ -3082,6 +3140,18 @@ object CubeQueries {
       days AS (SELECT DISTINCT d AS day FROM du)
       SELECT days.day, count(DISTINCT du.user_id) AS n_users_7d
       FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day
+      GROUP BY 1
+      ORDER BY 1""",
+    // the dictionary-encoded serve must equal a raw COUNT(DISTINCT)
+    // over the string key — value_sum/n prove the same cells also carry
+    // the exact invertible measures through the same fold
+    "q229_dict_exact_distinct" -> """
+      SELECT event_type AS etype,
+        count(DISTINCT 'u' || CAST(user_id AS VARCHAR)) AS nd_users,
+        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+          AS value_sum,
+        CAST(count(*) AS BIGINT) AS n
+      FROM events
       GROUP BY 1
       ORDER BY 1""",
     // q138's oracle again: the optimizer-routed raw plan must serve the

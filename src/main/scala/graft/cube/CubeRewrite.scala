@@ -598,17 +598,19 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     }
 
     // exact-distinct bitmap partial maintained on the same source
-    // column. The cube builds from `CAST(path AS BIGINT)` (Cube.scala),
-    // so the query child may be the column itself or that cast. EXACT
-    // and lossless under union — but insert-only once a sourceless
-    // delete latched the cube.
+    // column — plain (the cube builds from `CAST(path AS BIGINT)`, so
+    // the query child may be the column itself or that cast) or
+    // dictionary-encoded (non-integral keys; the child is the raw
+    // column, the partials carry dense dict ids — cardinalities are
+    // the same exact distinct counts). EXACT and lossless under union
+    // — but insert-only once a sourceless delete latched the cube.
     private def bitmapFor(e: Expression): Option[Attribute] = {
       if (cube.hasDeletes) return None
       val base = subst(e) match {
         case Cast(inner, org.apache.spark.sql.types.LongType, _, _) => inner
         case other => other
       }
-      cube.config.bitmaps
+      cube.config.allBitmaps
         .find(m => resolvePath(source, m.path).exists(
           _.canonicalized == base.canonicalized))
         .flatMap(m => cubeAttr(m.id))
@@ -884,31 +886,49 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     val segIdOf: Map[String, String] = needs.segments.zip(segIds).toMap
     val leaves: Seq[(RollOut.Leaf, Int)] = needs.outs.zipWithIndex.collect {
       case (l: RollOut.Leaf, i) => (l, i) }
-    // estimator-changing families stay behind the existing opt-in
+    // bind each leaf to the cube measure maintained on its source
+    // column. A non-integral count-distinct ("distinct") binds a
+    // DICTIONARY bitmap first when one is maintained — exact, served
+    // identically to the plain bitmap family — and only falls back to
+    // the estimator-changing HLL sketch otherwise; the returned family
+    // is the EFFECTIVE one the serve uses.
+    def idFor(l: RollOut.Leaf): Option[(String, String)] = l.family match {
+      case "xdistinct" =>
+        cfg.allBitmaps.find(_.path == l.srcCol).map(m => ("xdistinct", m.id))
+      case "distinct" =>
+        cfg.dictBitmaps.find(_.path == l.srcCol)
+          .map(m => ("xdistinct", m.id))
+          .orElse(cfg.sketches.find(_.path == l.srcCol)
+            .map(m => ("distinct", m.id)))
+      case "quantile" =>
+        cfg.quantiles.find(_.path == l.srcCol).map(m => ("quantile", m.id))
+      case "min" =>
+        cfg.extremes.find(_.path == l.srcCol).map(m => ("min", m.id))
+      case "max" =>
+        cfg.extremes.find(_.path == l.srcCol).map(m => ("max", m.id))
+      case "sum" =>
+        cfg.measures.find(_.path == l.srcCol).map(m => ("sum", m.id))
+      case _ => None
+    }
+    val bound: Seq[(RollOut.Leaf, Int, String, String)] =
+      leaves.map { case (l, i) =>
+        val (fam, id) = idFor(l).getOrElse(return None)
+        (l, i, fam, id)
+      }
+    // estimator-changing EFFECTIVE families stay behind the opt-in
     val approxOn = reg.approxDistinct ||
       org.apache.spark.sql.internal.SQLConf.get
         .getConfString("spark.graft.cube.approxDistinctRouting", "false")
         .equalsIgnoreCase("true")
-    if (!approxOn && leaves.exists { case (l, _) =>
-        l.family == "distinct" || l.family == "quantile" }) return None
+    if (!approxOn && bound.exists { case (_, _, fam, _) =>
+        fam == "distinct" || fam == "quantile" }) return None
     // only the invertible decimal sums survive a delete latch
-    if (cube.hasDeletes && leaves.exists(_._1.family != "sum")) return None
-    // bind each leaf to the cube measure maintained on its source column
-    def idFor(l: RollOut.Leaf): Option[String] = l.family match {
-      case "xdistinct" => cfg.bitmaps.find(_.path == l.srcCol).map(_.id)
-      case "distinct" => cfg.sketches.find(_.path == l.srcCol).map(_.id)
-      case "quantile" => cfg.quantiles.find(_.path == l.srcCol).map(_.id)
-      case "min" | "max" => cfg.extremes.find(_.path == l.srcCol).map(_.id)
-      case "sum" => cfg.measures.find(_.path == l.srcCol).map(_.id)
-      case _ => None
-    }
-    val bound: Seq[(RollOut.Leaf, Int, String)] =
-      leaves.map { case (l, i) => (l, i, idFor(l).getOrElse(return None)) }
+    if (cube.hasDeletes && bound.exists(_._3 != "sum")) return None
     // daily partial columns, deduped by output name — a name collision
     // from two DIFFERENT (family, measure) pairs would alias two
     // distinct aggregates to one column: refuse
     val dailyDefs: Seq[(String, (String, String))] = bound.flatMap {
-      case (l, _, id) => l.family match {
+      case (_, _, fam, id) => fam match {
         case "min" => Seq(s"${id}_min" -> (("min", id)))
         case "max" => Seq(s"${id}_max" -> (("max", id)))
         case f => Seq(id -> ((f, id)))
@@ -953,8 +973,8 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
       .drop("__gd")
       .join(broadcast(days), segIds :+ "__day", "left_semi")
     val endAggs: Seq[org.apache.spark.sql.Column] = bound.map {
-      case (l, i, id) =>
-        (l.family match {
+      case (l, i, fam, id) =>
+        (fam match {
           case "xdistinct" => graft.functions.Bitmap.cardinality(
             graft.functions.Bitmap.unionAgg(col(id)))
           case "distinct" => hll_sketch_estimate(hll_union_agg(col(id)))

@@ -122,7 +122,7 @@ final class CubeService(spark: SparkSession, storageDir: String,
     // any leftover publish staging/aside dirs
     Seq(s"$name.base", s"$name.base.old", s"$name.base.staging",
         s"$name.checkpoint", s"$name.old", s"$name.staging",
-        s"$name.versions", s"$name.snap")
+        s"$name.versions", s"$name.snap", s"$name.dict")
       .foreach(sfx => rm(new java.io.File(s"$storageDir/$sfx")))
   }
 
@@ -142,10 +142,29 @@ final class CubeService(spark: SparkSession, storageDir: String,
     * not guarantee across versions). */
   def updateAggregates(name: String, deltas: DataFrame,
       source: Option[DataFrame] = None): Cube = {
-    val cube = loadCube(name)
+    val cube0 = loadCube(name)
     val signed =
       if (deltas.columns.contains("_sign")) deltas
       else deltas.withColumn("_sign", lit(1))
+    // Dictionary-bitmap cubes: persist the batch's unseen keys to the
+    // dictionaries APPEND-ONLY *before* any fold runs. Append is the
+    // crash-safe order — extra dict entries with no bits set are
+    // harmless (the key reuses its id when it really arrives), whereas
+    // bits referencing unpersisted ids would undercount after a crash.
+    // The fold below then re-reads the extended dictionaries, finds no
+    // unseen keys, and encodes through the same persisted map.
+    val cube =
+      if (cube0.config.dictBitmaps.isEmpty) cube0
+      else {
+        val newEntries = CubeManager.newDictEntries(cube0, signed)
+        newEntries.foreach { case (id, df) =>
+          if (!df.isEmpty)
+            df.write.mode("append")
+              .parquet(s"$storageDir/$name.dict/$id")
+        }
+        cube0.copy(dicts =
+          CubeManager.loadDicts(spark, storageDir, cube0.config))
+      }
     // An auto-update lifecycle exists for this cube (base snapshot +
     // checkpoint): every micro-batch publishes base ⊕ stream-state, so
     // a manual fold that only touched the PUBLISHED aggregates would be
@@ -163,7 +182,8 @@ final class CubeService(spark: SparkSession, storageDir: String,
         s"stop auto-update on '$name' before a manual fold — concurrent " +
           "publishes would race")
       val baseCube =
-        Cube(cube.config, spark.read.parquet(baseDir.toString), cube.hasDeletes)
+        Cube(cube.config, spark.read.parquet(baseDir.toString),
+          cube.hasDeletes, cube.dicts)
       val newBase = CubeManager.applyDeltas(baseCube, signed, source).aggregates
       val staging = java.nio.file.Paths.get(storageDir, s"$name.base.staging")
       newBase.write.mode("overwrite").parquet(staging.toString)
@@ -541,6 +561,14 @@ final class CubeService(spark: SparkSession, storageDir: String,
     require(!autoUpdates.get(name).exists(_.isActive),
       s"auto-update already running on '$name' — stop it first")
     val cube = loadCube(name)
+    // the stream's complete-mode state cannot consult (or extend) the
+    // persisted dictionaries mid-micro-batch — dictionary-bitmap cubes
+    // stay on the manual signed-fold path, which appends unseen keys
+    // durably before each fold
+    require(cube.config.dictBitmaps.isEmpty,
+      s"cube '$name' maintains dictionary bitmaps — auto-update cannot " +
+        "extend the key dictionary from a stream; fold deltas through " +
+        "updateAggregates instead")
     recoverBaseSwap(name)
     val baseDir = java.nio.file.Paths.get(storageDir, s"$name.base")
     if (!baseDir.toFile.exists())
@@ -681,7 +709,7 @@ final class CubeService(spark: SparkSession, storageDir: String,
     distinctOf.foreach(id => require(cube.config.sketches.exists(_.id == id),
       s"$id is not an HLL sketch measure of cube $name"))
     (exactDistinctOf ++ intersectOf).foreach(id =>
-      require(cube.config.bitmaps.exists(_.id == id),
+      require(cube.config.allBitmaps.exists(_.id == id),
         s"$id is not a bitmap measure of cube $name"))
     quantilesOf.foreach { case (id, _) =>
       require(cube.config.quantiles.exists(_.id == id),
@@ -708,6 +736,13 @@ final class CubeService(spark: SparkSession, storageDir: String,
         cube.config.dims.exists(d => d.id == sd && !d.isInstanceOf[TimeDim]),
         s"$sd is not a (non-time) dimension of cube $name")
     }
+    // bitmap families of a SHARDED cube take the per-shard two-level
+    // path below; everything else (and unsharded bitmaps) collapses
+    // per day the standard way
+    val sharded = cube.config.bitmapShardBits > 0 &&
+      (exactDistinctOf.nonEmpty || intersectOf.nonEmpty)
+    val bmOnSharedPath = if (sharded) Nil
+      else (exactDistinctOf ++ intersectOf).distinct
     // collapse to ONE partial row per day first (other dimensions may
     // subdivide a day across many cells)
     val dailyAggs = distinctOf.distinct
@@ -720,7 +755,7 @@ final class CubeService(spark: SparkSession, storageDir: String,
       // intersectOf shares exactDistinctOf's daily partial: the per-day
       // OR-merged bitmap — the two families diverge only at the
       // endpoint (union vs intersection across the window's days)
-      (exactDistinctOf ++ intersectOf).distinct
+      bmOnSharedPath
         .map(id => graft.functions.Bitmap.unionAgg(col(id)).as(id)) ++
       quantilesOf.map(_._1).distinct.map(id =>
         graft.functions.Kll.mergeAgg(col(id)).as(id)) ++
@@ -739,27 +774,26 @@ final class CubeService(spark: SparkSession, storageDir: String,
     // (and truncates toward zero pre-1970); datediff is TZ-consistent
     val dayKey = datediff(col(dayDim).cast("date"), lit("1970-01-01"))
       .cast("long").as("d")
-    val daily = cube.live
-      .groupBy((segmentBy.map(col) :+ dayKey): _*)
-      .agg(dailyAggs.head, dailyAggs.tail: _*)
     // .distinct everywhere (not just min/max): duplicate requested ids
     // would alias two identical daily columns and make the endpoint's
     // by-name reference an AMBIGUOUS_REFERENCE error
     val endpointAggs = distinctOf.distinct.map(id =>
       hll_sketch_estimate(hll_union_agg(col(id))).as(s"n_distinct_$id")) ++
-      exactDistinctOf.distinct.map(id =>
+      (if (sharded) Nil
+       else exactDistinctOf.distinct.map(id =>
         graft.functions.Bitmap.cardinality(
-          graft.functions.Bitmap.unionAgg(col(id))).as(s"n_exact_$id")) ++
+          graft.functions.Bitmap.unionAgg(col(id))).as(s"n_exact_$id"))) ++
       // the STICKINESS curve: ids present on EVERY observed day of the
       // trailing window (intersection is lossless like union, so the
       // count equals a from-scratch "active all window days" recompute;
       // an endpoint whose window observed fewer than windowDays days
       // intersects over the days that EXIST — the same endpoints-are-
       // observed-days convention every rolling family follows)
-      intersectOf.distinct.map(id =>
+      (if (sharded) Nil
+       else intersectOf.distinct.map(id =>
         graft.functions.Bitmap.cardinality(
           graft.functions.Bitmap.intersectAgg(col(id)))
-          .as(s"n_everyday_$id")) ++
+          .as(s"n_everyday_$id"))) ++
       quantilesOf.distinct.map { case (id, q) =>
         graft.functions.Kll.quantile(
           graft.functions.Kll.mergeAgg(col(id)), q)
@@ -775,25 +809,107 @@ final class CubeService(spark: SparkSession, storageDir: String,
       avgOf.distinct.map(id =>
         (sum(col(id)).cast(DecimalType(18, 2)).cast("double") /
           sum(col(CubeManager.CountCol))).as(s"avg_$id"))
-    if (segmentBy.isEmpty)
-      graft.functions.Rolling.endpoints(daily, windowDays)
-        .agg(endpointAggs.head, endpointAggs.tail: _*)
-        .orderBy(col("day"))
-    else {
-      // the Rolling.endpoints shape per segment: explode each daily
-      // partial to its trailing endpoints, restrict to the segment's
-      // own observed days (broadcast — the (segment, day) dimension is
-      // tiny at any scale), re-group per (segment, day)
-      val days = daily
-        .select((segmentBy.map(col) :+ col("d").as("day")): _*).distinct()
-      daily
-        .withColumn("day", explode(expr(s"sequence(d, d + ${windowDays - 1})")))
-        .drop("d")
-        .join(broadcast(days), segmentBy :+ "day", "left_semi")
-        .groupBy((segmentBy.map(col) :+ col("day")): _*)
-        .agg(endpointAggs.head, endpointAggs.tail: _*)
-        .orderBy((segmentBy.map(col) :+ col("day")): _*)
+    def standardFrame(): DataFrame = {
+      val daily = cube.live
+        .groupBy((segmentBy.map(col) :+ dayKey): _*)
+        .agg(dailyAggs.head, dailyAggs.tail: _*)
+      if (segmentBy.isEmpty)
+        graft.functions.Rolling.endpoints(daily, windowDays)
+          .agg(endpointAggs.head, endpointAggs.tail: _*)
+      else {
+        // the Rolling.endpoints shape per segment: explode each daily
+        // partial to its trailing endpoints, restrict to the segment's
+        // own observed days (broadcast — the (segment, day) dimension
+        // is tiny at any scale), re-group per (segment, day)
+        val days = daily
+          .select((segmentBy.map(col) :+ col("d").as("day")): _*).distinct()
+        daily
+          .withColumn("day",
+            explode(expr(s"sequence(d, d + ${windowDays - 1})")))
+          .drop("d")
+          .join(broadcast(days), segmentBy :+ "day", "left_semi")
+          .groupBy((segmentBy.map(col) :+ col("day")): _*)
+          .agg(endpointAggs.head, endpointAggs.tail: _*)
+      }
     }
+    val frame: DataFrame =
+      if (!sharded) standardFrame()
+      else {
+        // SHARDED two-level bitmap serve (CubeConfig.bitmapShardBits):
+        // daily partials stay per (day, shard) — blobs bounded by the
+        // shard width through EVERY shuffle — each endpoint aggregates
+        // per shard first (union/intersect across its window days, then
+        // one cardinality), and the per-shard counts ADD back to the
+        // exact answers because shards partition the id space. The
+        // final per-endpoint row carries longs, never a merged blob;
+        // parallelism is ∝ |shards| instead of one reducer row per
+        // endpoint.
+        val bmDailyAggs = (exactDistinctOf ++ intersectOf).distinct
+          .map(id => graft.functions.Bitmap.unionAgg(col(id)).as(id))
+        val dailyBm = cube.live
+          .groupBy((segmentBy.map(col) :+ dayKey :+
+            col(CubeManager.ShardCol)): _*)
+          .agg(bmDailyAggs.head, bmDailyAggs.tail: _*)
+        val days = dailyBm
+          .select((segmentBy.map(col) :+ col("d").as("day")): _*).distinct()
+        val explodedBm = dailyBm
+          .withColumn("day",
+            explode(expr(s"sequence(d, d + ${windowDays - 1})")))
+          .drop("d")
+          .join(broadcast(days), segmentBy :+ "day", "left_semi")
+        val perShardAggs =
+          exactDistinctOf.distinct.map(id =>
+            graft.functions.Bitmap.cardinality(
+              graft.functions.Bitmap.unionAgg(col(id))).as(s"__xc_$id")) ++
+          intersectOf.distinct.map(id =>
+            graft.functions.Bitmap.cardinality(
+              graft.functions.Bitmap.intersectAgg(col(id)))
+              .as(s"__ic_$id")) :+
+          count(lit(1)).as("__ndays")
+        val perShard = explodedBm
+          .groupBy((segmentBy.map(col) ++
+            Seq(col("day"), col(CubeManager.ShardCol))): _*)
+          .agg(perShardAggs.head, perShardAggs.tail: _*)
+        // the intersect gate: a shard with NO row for one of the
+        // window's observed days intersects to EMPTY for that endpoint
+        // — count each window's observed days and compare
+        val obsCount = days
+          .withColumnRenamed("day", "d")
+          .withColumn("day",
+            explode(expr(s"sequence(d, d + ${windowDays - 1})")))
+          .drop("d")
+          .join(broadcast(days), segmentBy :+ "day", "left_semi")
+          .groupBy((segmentBy.map(col) :+ col("day")): _*)
+          .agg(count(lit(1)).as("__nobs"))
+        val bmEndpointAggs =
+          exactDistinctOf.distinct.map(id =>
+            sum(col(s"__xc_$id")).as(s"n_exact_$id")) ++
+          intersectOf.distinct.map(id =>
+            sum(when(col("__ndays") === col("__nobs"), col(s"__ic_$id"))
+              .otherwise(0L)).as(s"n_everyday_$id"))
+        val bmFrame = perShard
+          .join(broadcast(obsCount), segmentBy :+ "day")
+          .groupBy((segmentBy.map(col) :+ col("day")): _*)
+          .agg(bmEndpointAggs.head, bmEndpointAggs.tail: _*)
+        if (endpointAggs.isEmpty) bmFrame
+        else standardFrame().join(bmFrame, segmentBy :+ "day")
+      }
+    // canonical column order (the sharded join appends its bitmap
+    // columns last; callers reference by name, but the documented
+    // order stays stable regardless of the serve path)
+    val ordered: Seq[Column] =
+      segmentBy.map(col) ++ Seq(col("day")) ++
+        distinctOf.distinct.map(id => col(s"n_distinct_$id")) ++
+        exactDistinctOf.distinct.map(id => col(s"n_exact_$id")) ++
+        intersectOf.distinct.map(id => col(s"n_everyday_$id")) ++
+        quantilesOf.distinct.map { case (id, q) =>
+          col(s"p${CubeManager.rankLabel(q)}_$id") } ++
+        minOf.distinct.map(id => col(s"min_$id")) ++
+        maxOf.distinct.map(id => col(s"max_$id")) ++
+        sumOf.distinct.map(id => col(s"sum_$id")) ++
+        avgOf.distinct.map(id => col(s"avg_$id"))
+    frame.select(ordered: _*)
+      .orderBy((segmentBy.map(col) :+ col("day")): _*)
   }
 
   /** RETENTION/CHURN matrix served from maintained daily bitmap
@@ -852,7 +968,7 @@ final class CubeService(spark: SparkSession, storageDir: String,
         case TimeDim(id, _, g) => id == dayDim && g == "day"
         case _ => false
       }, s"$dayDim must be a day-granularity time dimension of cube $name")
-    require(cube.config.bitmaps.exists(_.id == bitmapId),
+    require(cube.config.allBitmaps.exists(_.id == bitmapId),
       s"$bitmapId is not a bitmap measure of cube $name")
     require(!cube.hasDeletes,
       s"cube $name has folded deletes; its bitmap partials are " +
@@ -874,28 +990,85 @@ final class CubeService(spark: SparkSession, storageDir: String,
       .cast("long")
     val periodKey = floor(dayKey.cast("double") / periodDays)
       .cast("long").as("period")
-    val perPeriod = cube.live
-      .groupBy((segmentBy.map(col) :+ periodKey): _*)
-      .agg(graft.functions.Bitmap.unionAgg(col(bitmapId)).as("bm"))
-    val w = (if (segmentBy.isEmpty) Window.partitionBy()
-             else Window.partitionBy(segmentBy.map(col): _*))
-      .orderBy(col("period"))
-    // lag yields the previous OBSERVED period — gate on contiguity so a
-    // gap in the calendar reads as "p−1 unobserved" (nulls), never as
-    // retention against some older period
-    val contiguous = lag(col("period"), 1).over(w) === col("period") - 1
-    val prevBm = when(contiguous, lag(col("bm"), 1).over(w))
     val B = graft.functions.Bitmap
-    perPeriod
-      .withColumn("prev_bm", prevBm)
-      .select((segmentBy.map(col) ++ Seq(
-        col("period"),
-        B.cardinality(col("bm")).as("active"),
-        B.cardinality(col("prev_bm")).as("prev_active"),
-        B.andCardinality(col("bm"), col("prev_bm")).as("retained"),
-        B.andNotCardinality(col("prev_bm"), col("bm")).as("churned"),
-        B.andNotCardinality(col("bm"), col("prev_bm")).as("new_ids"))): _*)
-      .orderBy((segmentBy.map(col) :+ col("period")): _*)
+    if (cube.config.bitmapShardBits == 0) {
+      val perPeriod = cube.live
+        .groupBy((segmentBy.map(col) :+ periodKey): _*)
+        .agg(B.unionAgg(col(bitmapId)).as("bm"))
+      val w = (if (segmentBy.isEmpty) Window.partitionBy()
+               else Window.partitionBy(segmentBy.map(col): _*))
+        .orderBy(col("period"))
+      // lag yields the previous OBSERVED period — gate on contiguity so
+      // a gap in the calendar reads as "p−1 unobserved" (nulls), never
+      // as retention against some older period
+      val contiguous = lag(col("period"), 1).over(w) === col("period") - 1
+      val prevBm = when(contiguous, lag(col("bm"), 1).over(w))
+      perPeriod
+        .withColumn("prev_bm", prevBm)
+        .select((segmentBy.map(col) ++ Seq(
+          col("period"),
+          B.cardinality(col("bm")).as("active"),
+          B.cardinality(col("prev_bm")).as("prev_active"),
+          B.andCardinality(col("bm"), col("prev_bm")).as("retained"),
+          B.andNotCardinality(col("prev_bm"), col("bm")).as("churned"),
+          B.andNotCardinality(col("bm"), col("prev_bm")).as("new_ids"))): _*)
+        .orderBy((segmentBy.map(col) :+ col("period")): _*)
+    } else {
+      // SHARDED matrix (CubeConfig.bitmapShardBits): one bitmap per
+      // (period, shard) — blobs bounded by the shard width — paired
+      // with the SAME shard of the prior period by a full-outer join
+      // (a shard present only in p−1 is pure churn; only in p, pure
+      // new), per-shard AND/ANDNOT counts, then summed per period:
+      // shards partition the id space, so the sums equal the unsharded
+      // walks. The join also replaces the single-task lag window —
+      // parallelism ∝ shards.
+      val sc = CubeManager.ShardCol
+      val perShard = cube.live
+        .groupBy((segmentBy.map(col) :+ periodKey :+ col(sc)): _*)
+        .agg(B.unionAgg(col(bitmapId)).as("bm"))
+      // globally observed periods per segment — "p−1 unobserved" must
+      // read from CALENDAR absence, not shard absence
+      val obs = perShard
+        .select((segmentBy.map(col) :+ col("period")): _*).distinct()
+      val prev = perShard.select((segmentBy.map(col) ++ Seq(col(sc),
+        (col("period") + 1).as("period"), col("bm").as("prev_bm"))): _*)
+      val emptyBm = lit(Array[Byte](0, 0, 0, 0)) // codec: zero blocks
+      val shardCells = perShard
+        .join(prev, segmentBy ++ Seq(sc, "period"), "full_outer")
+        .select((segmentBy.map(col) ++ Seq(
+          col("period"),
+          B.cardinality(coalesce(col("bm"), emptyBm)).as("__a"),
+          B.cardinality(coalesce(col("prev_bm"), emptyBm)).as("__p"),
+          B.andCardinality(coalesce(col("bm"), emptyBm),
+            coalesce(col("prev_bm"), emptyBm)).as("__r"),
+          B.andNotCardinality(coalesce(col("prev_bm"), emptyBm),
+            coalesce(col("bm"), emptyBm)).as("__c"),
+          B.andNotCardinality(coalesce(col("bm"), emptyBm),
+            coalesce(col("prev_bm"), emptyBm)).as("__n"))): _*)
+      val summed = shardCells
+        .groupBy((segmentBy.map(col) :+ col("period")): _*)
+        .agg(sum(col("__a")).as("__a"), sum(col("__p")).as("__p"),
+          sum(col("__r")).as("__r"), sum(col("__c")).as("__c"),
+          sum(col("__n")).as("__n"))
+        // rows exist for p OBSERVED or p−1 observed (the full-outer
+        // fan-up); the matrix reports observed periods only
+        .join(obs, segmentBy :+ "period", "left_semi")
+      // null out the prev-derived cells when p−1 is unobserved — the
+      // unsharded walk's contiguity-gate semantics, reproduced exactly
+      val prevObs = obs.select((segmentBy.map(col) :+
+        (col("period") + 1).as("period")): _*)
+        .withColumn("__prev_obs", lit(true))
+      summed
+        .join(prevObs, segmentBy :+ "period", "left")
+        .select((segmentBy.map(col) ++ Seq(
+          col("period"),
+          col("__a").as("active"),
+          when(col("__prev_obs"), col("__p")).as("prev_active"),
+          when(col("__prev_obs"), col("__r")).as("retained"),
+          when(col("__prev_obs"), col("__c")).as("churned"),
+          when(col("__prev_obs"), col("__n")).as("new_ids"))): _*)
+        .orderBy((segmentBy.map(col) :+ col("period")): _*)
+    }
   }
 
   // ----------------------------------------------------------- join MVs

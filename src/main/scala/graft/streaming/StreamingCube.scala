@@ -48,6 +48,13 @@ object StreamingCube {
     // with a non-integral bitmap column must refuse, not silently
     // serve lossy "exact" distinct counts
     graft.cube.CubeManager.requireIntegralBitmaps(config, stream)
+    // dictionary bitmaps need the append-only key dictionary extended
+    // per batch — a streaming aggregate has nowhere to do that; the
+    // manual signed-fold path (CubeService.updateAggregates) does
+    require(config.dictBitmaps.isEmpty,
+      s"cube '${config.name}' maintains dictionary bitmaps — " +
+        "stream-maintain is unsupported for them; fold deltas through " +
+        "CubeService.updateAggregates instead")
     val sums = config.measures.map(m =>
       sum(col(m.path).cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as(m.id))
     val sks = config.sketches.map(m =>

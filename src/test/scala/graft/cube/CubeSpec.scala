@@ -161,7 +161,8 @@ class CubeSpec extends AnyFunSuite {
       "quantiles" -> Seq(Measure("qv", "value")),
       "extremes" -> Seq(Measure("vx", "value")),
       "freq" -> Seq(Measure("topp", "page")),
-      "bitmaps" -> Seq(Measure("u", "user_id")))
+      "bitmaps" -> Seq(Measure("u", "user_id")),
+      "dictBitmaps" -> Seq(Measure("us", "uid_s")))
     val dimsJson =
       """"dims":[{"id":"day","path":"ts","kind":"time","granularity":"day"},{"id":"cc","path":"country"}]"""
     val dims = Seq(TimeDim("day", "ts", "day"), FieldDim("cc", "country"))
@@ -185,6 +186,8 @@ class CubeSpec extends AnyFunSuite {
       assert(parsed.extremes == want("extremes"), s"mask=$mask extremes")
       assert(parsed.freq == want("freq"), s"mask=$mask freq")
       assert(parsed.bitmaps == want("bitmaps"), s"mask=$mask bitmaps")
+      assert(parsed.dictBitmaps == want("dictBitmaps"),
+        s"mask=$mask dictBitmaps")
     }
   }
 
@@ -853,5 +856,122 @@ class CubeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("insert-only"))
     assert(CubeManager.query(latched, Seq("k"), sumOf = Seq("v"))
       .count() == 2)
+  }
+
+  test("dictionary bitmaps: fold == from-scratch across service restarts") {
+    import spark.implicits._
+    // STRING keys — the case the plain-bitmap type gate refuses
+    def df(rows: Seq[(String, String, Double)]) =
+      rows.toDF("k", "uid", "value")
+    val base = df(Seq(
+      ("a", "alice", 1.0), ("a", "bob", 2.0), ("b", "alice", 3.0),
+      ("a", "alice", 4.0)))
+    // the delta re-inserts known keys AND introduces unseen ones — the
+    // dictionary must extend append-only and reuse existing ids
+    val delta = df(Seq(
+      ("a", "alice", 5.0), ("a", "carol", 6.0), ("b", "dave", 7.0)))
+    val cfg = CubeConfig("dict", "mem", Seq(FieldDim("k", "k")),
+      Seq(Measure("v", "value")),
+      dictBitmaps = Seq(Measure("users", "uid")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dictspec")
+      .toString
+    val svc = new CubeService(spark, dir)
+    svc.createCube(cfg, base)
+    svc.updateAggregates("dict", delta.withColumn("_sign", lit(1)))
+    // RESTART: a fresh service must reload the persisted dictionaries
+    // and serve counts equal to a from-scratch recompute of base+delta
+    val svc2 = new CubeService(spark, dir)
+    def counts(d: DataFrame) = d.collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Long]("n_exact_users"))
+      .toMap
+    val served = counts(svc2.getAggregates("dict", Seq("k"),
+      exactDistinctOf = Seq("users")))
+    val scratch = counts(CubeManager.query(
+      CubeManager.create(cfg, base.unionByName(delta)), Seq("k"),
+      exactDistinctOf = Seq("users")))
+    assert(served == scratch && served == Map("a" -> 3L, "b" -> 2L),
+      s"served=$served scratch=$scratch")
+    // a second fold re-inserting ONLY known keys must not move counts
+    // (id reuse: the OR lands on already-set bits)
+    val svc3 = new CubeService(spark, dir)
+    svc3.updateAggregates("dict",
+      df(Seq(("a", "alice", 9.0), ("b", "dave", 9.0)))
+        .withColumn("_sign", lit(1)))
+    assert(counts(svc3.getAggregates("dict", Seq("k"),
+      exactDistinctOf = Seq("users"))) == served,
+      "re-inserted keys must reuse their dictionary ids")
+    // stream-maintain refuses dictionary-bitmap cubes loudly
+    val se = intercept[IllegalArgumentException] {
+      svc3.startAutoUpdate("dict", s"$dir/deltas",
+        base.withColumn("_sign", lit(1)).schema)
+    }
+    assert(se.getMessage.contains("dictionary"))
+  }
+
+  test("sharded bitmap partials: serves bit-identical, blobs bounded") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    // ids drawn across a WIDE range so shards actually subdivide; a
+    // couple of calendar gaps so the retention null-gating is exercised
+    val rows = (0 until 3000).map { _ =>
+      val day = Seq(0, 1, 2, 3, 5, 6, 9)(rnd.nextInt(7))
+      ("s" + rnd.nextInt(2),
+        new Timestamp(1700000000000L + day * 86400000L
+          + rnd.nextInt(86400000)),
+        rnd.nextInt(100000).toLong,
+        rnd.nextDouble() * 100)
+    }
+    val src = rows.toDF("seg", "ts", "uid", "value")
+    def cfg(bits: Int) = CubeConfig(s"shard$bits", "mem",
+      Seq(FieldDim("seg", "seg"), TimeDim("day", "ts", "day")),
+      Seq(Measure("v", "value")),
+      bitmaps = Seq(Measure("u", "uid")),
+      bitmapShardBits = bits)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard")
+      .toString
+    val svc = new CubeService(spark, dir)
+    svc.createCube(cfg(0), src)
+    // 2^10 ids per shard → per-row blob ≤ 4 + 16·(2^10/64 + 1) bytes
+    svc.createCube(cfg(10), src)
+    def rowsOf(d: DataFrame) = d.collect().map(_.toSeq).toSeq
+    // plain roll-up serve: shard rows are just finer cells
+    assert(
+      rowsOf(svc.getAggregates("shard10", Seq("seg"),
+        exactDistinctOf = Seq("u"), sumOf = Seq("v"))) ==
+      rowsOf(svc.getAggregates("shard0", Seq("seg"),
+        exactDistinctOf = Seq("u"), sumOf = Seq("v"))))
+    // rolling serve: the per-shard two-level path must equal the
+    // unsharded union — exact distinct, stickiness, and a mixed
+    // request carrying a non-bitmap family through the join
+    for (segs <- Seq(Nil, Seq("seg"))) {
+      assert(
+        rowsOf(svc.getRolling("shard10", "day", windowDays = 3,
+          exactDistinctOf = Seq("u"), intersectOf = Seq("u"),
+          sumOf = Seq("v"), segmentBy = segs)) ==
+        rowsOf(svc.getRolling("shard0", "day", windowDays = 3,
+          exactDistinctOf = Seq("u"), intersectOf = Seq("u"),
+          sumOf = Seq("v"), segmentBy = segs)),
+        s"rolling serve diverged (segmentBy=$segs)")
+      // retention matrix: the full-outer shard pairing must equal the
+      // lag walk, including the p−1-unobserved null gating at the gaps
+      assert(
+        rowsOf(svc.getRetention("shard10", "day", "u", periodDays = 2,
+          segmentBy = segs)) ==
+        rowsOf(svc.getRetention("shard0", "day", "u", periodDays = 2,
+          segmentBy = segs)),
+        s"retention matrix diverged (segmentBy=$segs)")
+    }
+    // the blob bound the sharding exists for: every stored bitmap cell
+    // of the sharded cube is ≤ 4 + 16·(2^bits/64 + 1) bytes
+    val bound = 4 + 16 * ((1 << 10) / 64 + 1)
+    val maxBlob = svc.loadCube("shard10").aggregates
+      .agg(max(length(col("u")))).collect()(0).getInt(0)
+    assert(maxBlob <= bound, s"blob $maxBlob exceeds bound $bound")
+    // and the unsharded cube CAN exceed it on this id range (the
+    // ceiling the shards remove)
+    val maxBlob0 = svc.loadCube("shard0").aggregates
+      .agg(max(length(col("u")))).collect()(0).getInt(0)
+    assert(maxBlob0 > bound,
+      s"fixture too small to demonstrate the ceiling ($maxBlob0)")
   }
 }
