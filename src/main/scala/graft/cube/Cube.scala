@@ -612,7 +612,29 @@ object CubeManager {
       minOf: Seq[String] = Nil,
       maxOf: Seq[String] = Nil,
       topkOf: Seq[(String, Int)] = Nil,
-      exactDistinctOf: Seq[String] = Nil): DataFrame = {
+      exactDistinctOf: Seq[String] = Nil,
+      timeRollup: Seq[(String, String)] = Nil): DataFrame = {
+    // TIME-HIERARCHY grouping: (dimId → coarser granularity) entries
+    // group by `date_trunc(coarser, dim)` instead of the dim itself —
+    // exact whenever the coarser bucket nests the dim's
+    // ([[CubeRewriteRule.coarserThan]], the same vocabulary the
+    // optimizer's re-truncation routing uses), and EVERY partial family
+    // merges per coarser bucket unchanged: sums/counts add, HLL/KLL
+    // union, extremes min/max, bitmaps OR, CMS counters ADD losslessly
+    // (sum of part-counters == counters of the whole) with candidates
+    // unioned — so "top words per MONTH" serves from a DAY-dimmed
+    // cube's maintained freq partials. Output column: `<dim>_<coarser>`.
+    timeRollup.foreach { case (id, g2) =>
+      val g = cube.config.dims.collectFirst {
+        case TimeDim(`id`, _, gr) => gr }
+      require(g.isDefined, s"$id is not a time dimension of cube " +
+        s"${cube.config.name}")
+      require(CubeRewriteRule.coarserThan(g.get).contains(g2),
+        s"granularity $g2 does not nest ${g.get} buckets exactly " +
+          s"(servable: ${CubeRewriteRule.coarserThan(g.get).mkString(", ")})")
+      require(!subsetDims.contains(id),
+        s"request either dimension $id or its $g2 rollup, not both")
+    }
     // min/max partials of a delete-processed cube describe EVER-INSERTED
     // values (a delete cannot un-see an extreme) — refuse rather than
     // serve a possibly-stale bound; exact sums/counts keep serving
@@ -678,7 +700,9 @@ object CubeManager {
         graft.functions.Bitmap.unionAgg(col(id))).as(s"n_exact_$id"))
     val aggs = sums ++ avgs ++ dsts ++ qnts ++ mins ++ maxs ++ fqAggs ++
       exds :+ sum(col(CountCol)).as("n_rows")
-    val out = base.groupBy(subsetDims.map(col): _*)
+    val rollCols = timeRollup.map { case (id, g2) =>
+      date_trunc(g2, col(id)).as(s"${id}_$g2") }
+    val out = base.groupBy((subsetDims.map(col) ++ rollCols): _*)
       .agg(aggs.head, aggs.tail: _*)
     if (topkOf.isEmpty) out
     else topkOf.foldLeft(out) { case (df, (id, k)) =>

@@ -1,7 +1,7 @@
 package graft.cube
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, EqualNullSafe, EqualTo, Explode, Expression, In, InSet, IsNotNull, IsNull, Literal, Sequence, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, Divide, EqualNullSafe, EqualTo, Explode, Expression, In, InSet, IsNotNull, IsNull, Literal, Sequence, Subtract, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Complete, Count, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Generate, Join, LogicalPlan, Project}
@@ -145,6 +145,29 @@ object CubeAdvisor {
         pct: Double = 0.0) extends RollOut
   }
 
+  /** One recommended RETENTION cube: a day-dimmed bitmap cube whose
+    * maintained daily partials serve the workload's period-over-period
+    * matrix through [[CubeService.getRetention]] — active / retained /
+    * churned / new, all EXACT (bitmap set algebra). One day-granularity
+    * cube serves EVERY period width in `periods` (getRetention
+    * re-buckets days per call). A non-integral id column gets a
+    * `dictBitmaps` entry instead of a refusal — the dictionary path
+    * keeps the matrix exact for string keys. */
+  final case class RetentionRecommendation(
+      sourcePath: String,
+      config: CubeConfig,
+      dayDim: String,
+      bitmapId: String,
+      periods: Seq[Int],
+      coveredQueries: Seq[Int])
+
+  /** What one recognized retention query needs: the source, the time
+    * column its period derives from, the distinct-counted id column,
+    * and the period width in days. */
+  private[cube] final case class RetentionNeeds(
+      path: String, tsCol: String, idCol: String, periodDays: Int,
+      integralId: Boolean)
+
   /** One recommended STORAGE LAYOUT: the consumer of
     * [[CubeRecommendation.rangeOnlyDims]]. A column promoted into the
     * cube config ONLY because of a range predicate is usually the
@@ -189,7 +212,8 @@ object CubeAdvisor {
   final case class Advice(cubes: Seq[CubeRecommendation],
       joinCubes: Seq[JoinCubeRecommendation], uncovered: Seq[Int],
       rolling: Seq[RollingCubeRecommendation] = Nil,
-      layouts: Seq[LayoutRecommendation] = Nil)
+      layouts: Seq[LayoutRecommendation] = Nil,
+      retention: Seq[RetentionRecommendation] = Nil)
 
   /** Structural advice: no data is read. */
   def advise(workload: Seq[DataFrame],
@@ -201,9 +225,37 @@ object CubeAdvisor {
     val rollingHits: Seq[(Int, RollingNeeds)] = plans.zipWithIndex
       .flatMap { case (p, i) => analyzeRolling(p).map(i -> _) }
     val rollingIdx = rollingHits.map(_._1).toSet
+    // retention shapes next: same reasoning — an aggregate over the
+    // distinct-pair self-join has no single source for the generic
+    // matcher, and the defining cohort query would land uncovered
+    val retentionHits: Seq[(Int, RetentionNeeds)] = plans.zipWithIndex
+      .collect { case (p, i) if !rollingIdx(i) =>
+        analyzeRetention(p).map(i -> _) }.flatten
+    val retentionIdx = retentionHits.map(_._1).toSet
     val analyzed: Seq[(Int, Option[Needs])] =
-      plans.zipWithIndex.collect { case (p, i) if !rollingIdx(i) =>
-        i -> analyze(p)
+      plans.zipWithIndex.collect {
+        case (p, i) if !rollingIdx(i) && !retentionIdx(i) =>
+          i -> analyze(p)
+      }
+    val retentionRecs = retentionHits
+      .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol))
+      .toSeq.sortBy(_._1)
+      .zipWithIndex.map { case (((path, tsCol, idCol), hits), k) =>
+        val dayDim = s"${tsCol}_day"
+        val bmId = s"${idCol}_xd"
+        val m = Seq(Measure(bmId, idCol))
+        val integralId = hits.head._2.integralId
+        RetentionRecommendation(path,
+          CubeConfig(s"${namePrefix}_retention_$k", path,
+            dims = Seq(TimeDim(dayDim, tsCol, "day")),
+            measures = Nil,
+            // non-integral ids take the dictionary path (exact for any
+            // key type) instead of the pre-dictionary refusal
+            bitmaps = if (integralId) m else Nil,
+            dictBitmaps = if (integralId) Nil else m),
+          dayDim, bmId,
+          periods = hits.map(_._2.periodDays).distinct.sorted,
+          coveredQueries = hits.map(_._1).sorted)
       }
     val rollingRecs = rollingHits
       .groupBy(h => (h._2.path, h._2.tsCol, h._2.segments))
@@ -311,7 +363,7 @@ object CubeAdvisor {
     val layouts = singles.filter(_.rangeOnlyDims.nonEmpty).map(r =>
       LayoutRecommendation(r.sourcePath, r.rangeOnlyDims.take(2),
         r.coveredQueries))
-    Advice(singles, joins, uncovered, rollingRecs, layouts)
+    Advice(singles, joins, uncovered, rollingRecs, layouts, retentionRecs)
   }
 
   /** SQL-TEXT advisor surface: the workload as the query strings a
@@ -541,6 +593,143 @@ object CubeAdvisor {
       case _ => false
     }
     if (dayShaped) Some(refs.head.name) else None
+  }
+
+  /** The single source column and PERIOD WIDTH under a period-bucket
+    * derivation: `floor(<day-expr> / N)` → (tsCol, N); a bare
+    * day-shaped expression is the N = 1 (daily) case. Pre-order
+    * traversal finds the outer `/ N` before the day expr's own
+    * `/ 86400`. */
+  private def periodBucket(e: Expression): Option[(String, Int)] = {
+    def toN(v: Any): Option[Int] = v match {
+      case i: Int => Some(i)
+      case l: Long if l == l.toInt => Some(l.toInt)
+      case d: Double if d == d.toInt => Some(d.toInt)
+      case de: org.apache.spark.sql.types.Decimal => Some(de.toInt)
+      case _ => None
+    }
+    val divided = e.collectFirst {
+      case Divide(inner, Literal(n, _), _)
+          if dayBucketColumn(inner).isDefined && toN(n).exists(_ >= 1) =>
+        (dayBucketColumn(inner).get, toN(n).get)
+    }
+    divided.orElse(dayBucketColumn(e).map((_, 1)))
+  }
+
+  /** One side of the retention self-join: a DISTINCT over exactly
+    * (id column, period bucket) of a parquet relation. */
+  private final case class PairSide(path: String, tsCol: String,
+      idName: String, idType: org.apache.spark.sql.types.DataType,
+      idId: org.apache.spark.sql.catalyst.expressions.ExprId,
+      pId: org.apache.spark.sql.catalyst.expressions.ExprId,
+      periodDays: Int)
+
+  private def distinctPairs(side: LogicalPlan): Option[PairSide] = {
+    val (b, env0, preds0) = peel(side)
+    if (!preds0.forall(_.isInstanceOf[IsNotNull])) return None
+    b match {
+      case Aggregate(gs, outs, c, _)
+          if outs.size == 2 && outs.forall(_.isInstanceOf[Attribute]) &&
+            gs.map(_.canonicalized).toSet ==
+              outs.map(_.canonicalized).toSet =>
+        val (inner, env, preds) = peel(c)
+        if (!preds.forall(_.isInstanceOf[IsNotNull])) return None
+        val path = CubeCatalog.sourcePathOf(inner).getOrElse(return None)
+        val attrs = outs.map(_.asInstanceOf[Attribute])
+        val resolved = attrs.map(a => a -> subst(env0 ++ env)(a))
+        val pOpt = resolved.flatMap { case (a, e) =>
+          periodBucket(e).map(a -> _) }.headOption
+        val (pAttr, (tsCol, pd)) = pOpt.getOrElse(return None)
+        val idOpt = resolved.collectFirst {
+          case (a, e: AttributeReference) if a.exprId != pAttr.exprId =>
+            (a, e) }
+        val (idAttr, idSrc) = idOpt.getOrElse(return None)
+        Some(PairSide(path, tsCol, idSrc.name, idSrc.dataType,
+          idAttr.exprId, pAttr.exprId, pd))
+      case _ => None
+    }
+  }
+
+  /** The RETENTION plan shape — "how many of period p−1's ids came
+    * back in p", written the way users write it: distinct (id, period)
+    * pairs self-joined on (same id, adjacent period), re-counted per
+    * current period. The generic matcher refuses it (an aggregate over
+    * a join of aggregates has no single source), and without
+    * recognition the workload's defining cohort query would be
+    * reported uncovered; the right advice is a DAY-dimmed BITMAP cube
+    * wired to [[CubeService.getRetention]], whose AND-walk over
+    * OR-merged period bitmaps equals this plan's self-join count
+    * exactly. Refusals keep the honesty contract: extra predicates, a
+    * second aggregate leaf, sides from different sources or different
+    * period widths all return None. */
+  private[cube] def analyzeRetention(
+      plan: LogicalPlan): Option[RetentionNeeds] = plan match {
+    case Aggregate(Seq(g: AttributeReference), aggs, child, _) =>
+      val (base, _, preds) = peel(child)
+      if (!preds.forall(_.isInstanceOf[IsNotNull])) return None
+      base match {
+        case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
+            Some(cond), _) =>
+          val lp = distinctPairs(l).getOrElse(return None)
+          val rp = distinctPairs(r).getOrElse(return None)
+          if (lp.path != rp.path || lp.idName != rp.idName ||
+              lp.tsCol != rp.tsCol || lp.periodDays != rp.periodDays)
+            return None
+          // the grouped period attr decides which side is CURRENT
+          val (cur, prev) =
+            if (g.exprId == lp.pId) (lp, rp)
+            else if (g.exprId == rp.pId) (rp, lp)
+            else return None
+          def conj(e: Expression): Seq[Expression] = e match {
+            case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+              conj(a) ++ conj(b)
+            case o => Seq(o)
+          }
+          val cs = conj(cond)
+          if (cs.size != 2) return None
+          val idEq = cs.exists {
+            case EqualTo(a: AttributeReference, b: AttributeReference) =>
+              Set(a.exprId, b.exprId) == Set(cur.idId, prev.idId)
+            case _ => false
+          }
+          def one(e: Expression) = e match {
+            case Literal(1, _) | Literal(1L, _) => true
+            case _ => false
+          }
+          // adjacency in either algebraic writing: prev.p = cur.p − 1
+          // or cur.p = prev.p + 1
+          val adjacent = cs.exists {
+            case EqualTo(a: AttributeReference, Subtract(b: AttributeReference, o, _))
+                if one(o) => a.exprId == prev.pId && b.exprId == cur.pId
+            case EqualTo(Subtract(b: AttributeReference, o, _), a: AttributeReference)
+                if one(o) => a.exprId == prev.pId && b.exprId == cur.pId
+            case EqualTo(a: AttributeReference, Add(b: AttributeReference, o, _))
+                if one(o) => a.exprId == cur.pId && b.exprId == prev.pId
+            case EqualTo(Add(b: AttributeReference, o, _), a: AttributeReference)
+                if one(o) => a.exprId == cur.pId && b.exprId == prev.pId
+            case _ => false
+          }
+          if (!idEq || !adjacent) return None
+          // outputs: the period attr and count(DISTINCT current id) —
+          // nothing else (an extra leaf would not be this serve)
+          var sawCount = false
+          val outsOk = aggs.forall {
+            case a: AttributeReference => a.exprId == g.exprId
+            case al: Alias => al.child match {
+              case AggregateExpression(Count(Seq(
+                  ca: AttributeReference)), Complete, true, _, _)
+                  if ca.exprId == cur.idId =>
+                sawCount = true; true
+              case _ => false
+            }
+            case _ => false
+          }
+          if (!outsOk || !sawCount) return None
+          Some(RetentionNeeds(cur.path, cur.tsCol, cur.idName,
+            cur.periodDays, integral(cur.idType)))
+        case _ => None
+      }
+    case _ => None
   }
 
   /** Rolling aggregate leaves → per-family measure columns; None when

@@ -129,6 +129,7 @@ object CubeQueries {
     advisedSegService(spark, sfDir)
     rollingRouteSource(spark, sfDir)
     dictDistinctService(spark, sfDir)
+    advisedRetentionState(spark, sfDir)
     ()
   }
 
@@ -1705,6 +1706,104 @@ object CubeQueries {
       .orderBy(col("day"))
   }
 
+  // --------------------------------------------------------------- q231
+  /** Graded (rows-only): MONTHLY HEAVY HITTERS from a DAY-dimmed cube's
+    * CMS partials — the one partial family that hadn't yet composed
+    * with the time hierarchy: `CubeManager.query(timeRollup)` groups
+    * the day cells by `date_trunc(month, day)` (exact — month
+    * boundaries are day boundaries, the [[CubeRewriteRule.coarserThan]]
+    * vocabulary) and the per-day d×w counters ADD losslessly into the
+    * month's (sum of part-counters == counters of the whole — CMS is
+    * the sketch family whose merge compounds no error), candidates
+    * unioning per the bounded-heap discipline. Exact per-(month, uid)
+    * counts ride along for the est ≥ truth bound; rows-only because
+    * the estimates ride the xxhash64 family (no DuckDB twin) —
+    * CubeRewriteSpec pins est-vs-exact and roll-vs-direct-build
+    * equality per hierarchy level. 100 TB split: the month view costs
+    * |day cells|·64 KiB counter adds from maintained state; the exact
+    * twin re-shuffles |distinct (month, uid)| rows per refresh. */
+  def q231MonthlyTopkHierarchy(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("ts"), concat(lit("u"), col("user_id")).as("uid"))
+    val cfg = CubeConfig("uid_by_day", "events",
+      dims = Seq(TimeDim("day", "ts", "day")),
+      measures = Nil,
+      freq = Seq(Measure("uidf", "uid")))
+    val cube = CubeManager.create(cfg, ev)
+    val served = CubeManager.query(cube, Nil, topkOf = Seq(("uidf", 5)),
+        timeRollup = Seq(("day", "month")))
+      .select(date_format(col("day_month"), "yyyy-MM").as("ym"),
+        posexplode(col("topk_uidf")))
+      .select(col("ym"), (col("pos") + 1).as("rk"),
+        col("col.key").as("uid"), col("col.n_est").as("n_est"))
+    val exact = ev.groupBy(
+        date_format(date_trunc("month", col("ts")), "yyyy-MM").as("ym"),
+        col("uid"))
+      .agg(count(lit(1)).as("n_exact"))
+    served.join(exact, Seq("ym", "uid"))
+      .select(col("ym"), col("rk"), col("uid"), col("n_est"),
+        col("n_exact"))
+      .orderBy(col("ym"), col("rk"), col("uid"))
+  }
+
+  // --------------------------------------------------------------- q230
+  private val advisedRetentionSetup =
+    TrieMap.empty[(SparkSession, String),
+      (CubeService, CubeAdvisor.RetentionRecommendation)]
+  private def advisedRetentionState(spark: SparkSession, sfDir: String)
+      : (CubeService, CubeAdvisor.RetentionRecommendation) =
+    advisedRetentionSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_advret").toString
+      val srcDir = s"$dir/source"
+      Tables.events(spark, sfDir).select(col("user_id"), col("ts"))
+        .write.parquet(srcDir)
+      val src = spark.read.parquet(srcDir)
+      // the workload: the WEEKLY RETAINED curve as users write it —
+      // distinct (user, period) pairs self-joined on (same user,
+      // adjacent period), re-counted per current period
+      val up = src.select(col("user_id"),
+        floor((unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").cast("double") / 7).cast("long").as("p"))
+        .distinct()
+      val retainedQ = up.as("cur").join(up.as("prev"),
+          col("cur.user_id") === col("prev.user_id") &&
+            col("prev.p") === col("cur.p") - 1)
+        .groupBy(col("cur.p"))
+        .agg(countDistinct(col("cur.user_id")).as("retained"))
+      val advice = CubeAdvisor.advise(Seq(retainedQ), "advret")
+      require(advice.retention.size == 1 && advice.uncovered.isEmpty,
+        s"retention advice did not recognize the workload: $advice")
+      val rec = advice.retention.head
+      require(rec.periods == Seq(7) && rec.sourcePath.endsWith("/source"),
+        s"unexpected retention recommendation: $rec")
+      val svc = new CubeService(spark, dir)
+      // materialize VERBATIM — the honesty loop's whole point
+      svc.createCube(rec.config, src)
+      (svc, rec)
+    })
+
+  /** Graded: the ADVISOR RECOGNIZES RETENTION WORKLOADS — the
+    * distinct-pair self-join plan (the defining cohort query, which
+    * the generic matcher necessarily reports uncovered: an aggregate
+    * over a join of aggregates has no single source) yields a
+    * day-dimmed BITMAP cube recommendation wired to
+    * [[CubeService.getRetention]]; this query closes the loop by
+    * materializing the recommendation VERBATIM and serving the full
+    * weekly matrix from it. The DuckDB oracle recomputes active /
+    * prev_active / retained / churned / new_ids from raw events with
+    * the same self-join the workload used — hash equality proves the
+    * advised cube serves the workload's own numbers exactly. 100 TB
+    * split: the raw plan re-shuffles the source's distinct pairs TWICE
+    * per refresh; the advised serve is |periods| one-row bitmap merges
+    * over the maintained day partials. */
+  def q230AdvisedRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val (svc, rec) = advisedRetentionState(spark, sfDir)
+    svc.getRetention(rec.config.name, rec.dayDim, rec.bitmapId,
+      periodDays = rec.periods.head)
+  }
+
   // --------------------------------------------------------------- q229
   private val dictDistinctSetup =
     TrieMap.empty[(SparkSession, String), CubeService]
@@ -2646,6 +2745,8 @@ object CubeQueries {
     "q210_rolling_bitmap_distinct" -> q210RollingBitmapDistinct,
     "q228_rolling_routing" -> q228RollingRouting,
     "q229_dict_exact_distinct" -> q229DictExactDistinct,
+    "q230_advised_retention" -> q230AdvisedRetention,
+    "q231_monthly_topk_hierarchy" -> q231MonthlyTopkHierarchy,
     "q212_advised_bitmap_rolling" -> q212AdvisedBitmapRolling,
     "q219_rolling_segmented" -> q219RollingSegmented,
     "q222_advised_segmented_rolling" -> q222AdvisedSegmentedRolling,
@@ -3142,6 +3243,32 @@ object CubeQueries {
       FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day
       GROUP BY 1
       ORDER BY 1""",
+    // q225's matrix at WEEKLY periods, recomputed with the same
+    // self-join the advised workload used — the advise → materialize →
+    // serve loop must hash-match it end to end
+    "q230_advised_retention" -> """
+      WITH ud AS (
+        SELECT DISTINCT
+          CAST(floor(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+            / 7) AS BIGINT) AS p,
+          user_id
+        FROM events),
+      act AS (SELECT p, count(*) AS active FROM ud GROUP BY p),
+      ret AS (
+        SELECT a.p, count(*) AS retained
+        FROM ud a JOIN ud b ON b.p = a.p - 1 AND b.user_id = a.user_id
+        GROUP BY a.p)
+      SELECT act.p AS period, act.active, pa.active AS prev_active,
+        CASE WHEN pa.p IS NULL THEN NULL
+             ELSE COALESCE(ret.retained, 0) END AS retained,
+        CASE WHEN pa.p IS NULL THEN NULL
+             ELSE pa.active - COALESCE(ret.retained, 0) END AS churned,
+        CASE WHEN pa.p IS NULL THEN NULL
+             ELSE act.active - COALESCE(ret.retained, 0) END AS new_ids
+      FROM act
+      LEFT JOIN act pa ON pa.p = act.p - 1
+      LEFT JOIN ret ON ret.p = act.p
+      ORDER BY period""",
     // the dictionary-encoded serve must equal a raw COUNT(DISTINCT)
     // over the string key — value_sum/n prove the same cells also carry
     // the exact invertible measures through the same fold

@@ -601,9 +601,11 @@ final class CubeService(spark: SparkSession, storageDir: String,
       minOf: Seq[String] = Nil,
       maxOf: Seq[String] = Nil,
       topkOf: Seq[(String, Int)] = Nil,
-      exactDistinctOf: Seq[String] = Nil): DataFrame =
+      exactDistinctOf: Seq[String] = Nil,
+      timeRollup: Seq[(String, String)] = Nil): DataFrame =
     CubeManager.query(loadCube(name), dims, filter, sumOf, avgOf,
-      distinctOf, quantilesOf, minOf, maxOf, topkOf, exactDistinctOf)
+      distinctOf, quantilesOf, minOf, maxOf, topkOf, exactDistinctOf,
+      timeRollup)
 
   /** ROLLING-window serve from maintained daily partials — the
     * q138/q139/q141 pattern as a service verb: for every observed day,

@@ -582,4 +582,81 @@ class CubeAdvisorSpec extends AnyFunSuite {
       s"advised join MV did not route: $scans")
     CubeCatalog.clear()
   }
+
+  test("retention workloads: string ids take the dictionary path; edges refuse") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(71)
+    val rows = (0 until 800).map { i =>
+      (new Timestamp(1700000000000L + rnd.nextInt(28) * 86400000L
+        + rnd.nextInt(86400000)), s"u${i % 50}")
+    }
+    val srcDir = Files.createTempDirectory("graft_advret_src").toString
+    rows.toDF("ts", "uid").write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+    def pairs(pd: Int) = src.select(col("uid"),
+        floor((unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").cast("double") / pd).cast("long").as("p"))
+      .distinct()
+    def retainedQ(pd: Int) = {
+      val up = pairs(pd)
+      up.as("cur").join(up.as("prev"),
+          col("cur.uid") === col("prev.uid") &&
+            col("prev.p") === col("cur.p") - 1)
+        .groupBy(col("cur.p"))
+        .agg(countDistinct(col("cur.uid")).as("retained"))
+    }
+    val advice = CubeAdvisor.advise(Seq(retainedQ(7)), "ret")
+    assert(advice.retention.size == 1 && advice.uncovered.isEmpty,
+      advice.toString)
+    val rec = advice.retention.head
+    // the STRING id must land in dictBitmaps (exact via the maintained
+    // dictionary), never plain bitmaps (lossy cast) or a refusal
+    assert(rec.config.bitmaps.isEmpty &&
+      rec.config.dictBitmaps.map(_.path) == Seq("uid"), rec.toString)
+    assert(rec.periods == Seq(7), rec.toString)
+    // honesty: materialize verbatim; the served matrix's retained
+    // column equals the workload's own self-join count per period
+    val svcDir = Files.createTempDirectory("graft_advret_svc").toString
+    val svc = new CubeService(spark, svcDir)
+    svc.createCube(rec.config, src)
+    val served = svc.getRetention(rec.config.name, rec.dayDim,
+        rec.bitmapId, periodDays = 7)
+      .select(col("period"), col("retained")).collect()
+      .collect { case r if !r.isNullAt(1) => r.getLong(0) -> r.getLong(1) }
+      .toMap
+    val exact = retainedQ(7).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the workload omits periods whose p−1 had no overlap row; compare
+    // on the workload's own keys (a served 0 has no raw twin row)
+    assert(exact.forall { case (p, n) => served.get(p).contains(n) },
+      s"served=$served exact=$exact")
+    // refusal edges: mismatched period widths across the join sides, a
+    // non-adjacent period join, and a residual value predicate
+    val mixed = pairs(7).as("cur").join(pairs(14).as("prev"),
+        col("cur.uid") === col("prev.uid") &&
+          col("prev.p") === col("cur.p") - 1)
+      .groupBy(col("cur.p"))
+      .agg(countDistinct(col("cur.uid")).as("retained"))
+    val skip = {
+      val up = pairs(7)
+      up.as("cur").join(up.as("prev"),
+          col("cur.uid") === col("prev.uid") &&
+            col("prev.p") === col("cur.p") - 2)
+        .groupBy(col("cur.p"))
+        .agg(countDistinct(col("cur.uid")).as("retained"))
+    }
+    val filtered = {
+      val up = pairs(7).filter(col("uid") =!= "u0")
+      up.as("cur").join(up.as("prev"),
+          col("cur.uid") === col("prev.uid") &&
+            col("prev.p") === col("cur.p") - 1)
+        .groupBy(col("cur.p"))
+        .agg(countDistinct(col("cur.uid")).as("retained"))
+    }
+    val bad = CubeAdvisor.advise(Seq(mixed, skip, filtered), "retbad")
+    assert(bad.retention.isEmpty && bad.uncovered == Seq(0, 1, 2),
+      s"refusal edges must stay uncovered: $bad")
+    CubeCatalog.clear()
+  }
 }

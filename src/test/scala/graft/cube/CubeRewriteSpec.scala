@@ -1475,6 +1475,87 @@ class CubeRewriteSpec extends AnyFunSuite {
       "segmented routed curve must equal the raw per-segment recompute")
   }
 
+  test("CMS heavy hitters through the time hierarchy: est bounds and lossless roll per level") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    // zipfish keys over ~400 days so every hierarchy level has >1 bucket
+    val rows = (0 until 6000).map { _ =>
+      val k = s"k${math.min(rnd.nextInt(40), rnd.nextInt(40))}"
+      (new Timestamp(1680000000000L
+        + rnd.nextInt(400).toLong * 86400000L + rnd.nextInt(86400000)), k)
+    }
+    val src = rows.toDF("ts", "key")
+    val dayCfg = CubeConfig("fq_day", "mem",
+      Seq(TimeDim("day", "ts", "day")), Nil,
+      freq = Seq(Measure("kf", "key")))
+    val dayCube = CubeManager.create(dayCfg, src)
+    for (level <- Seq("week", "month", "quarter", "year")) {
+      val served = CubeManager.query(dayCube, Nil,
+          topkOf = Seq(("kf", 3)), timeRollup = Seq(("day", level)))
+        .select(col(s"day_$level").as("b"), posexplode(col("topk_kf")))
+        .select(col("b"), col("col.key").as("key"),
+          col("col.n_est").as("n_est"))
+      val exact = src
+        .groupBy(date_trunc(level, col("ts")).as("b"), col("key"))
+        .agg(count(lit(1)).as("n_exact"))
+      // CMS estimates never undercount — per bucket, per served key
+      val under = served.join(exact, Seq("b", "key"))
+        .filter(col("n_est") < col("n_exact")).count()
+      assert(under == 0, s"$level: CMS estimate under the truth")
+      // recall: the exact top-1 key of every bucket is served
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("b"))
+        .orderBy(col("n_exact").desc, col("key"))
+      val top1 = exact.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).select(col("b"), col("key"))
+      val missed = top1.join(served, Seq("b", "key"), "left_anti").count()
+      assert(missed == 0, s"$level: exact top-1 missing from served top-3")
+      // LOSSLESS roll: the day cube rolled to this level estimates
+      // every served key identically to a cube BUILT at this level
+      // (sum of part-counters == counters of the whole)
+      val lvlCube = CubeManager.create(
+        CubeConfig(s"fq_$level", "mem",
+          Seq(TimeDim("b", "ts", level)), Nil,
+          freq = Seq(Measure("kf", "key"))), src)
+      val direct = CubeManager.query(lvlCube, Seq("b"),
+          topkOf = Seq(("kf", 3)))
+        .select(col("b"), posexplode(col("topk_kf")))
+        .select(col("b"), col("col.key").as("key"),
+          col("col.n_est").as("n_est_direct"))
+      val diverged = served.join(direct, Seq("b", "key"))
+        .filter(col("n_est") =!= col("n_est_direct")).count()
+      assert(diverged == 0, s"$level: rolled counters diverged from " +
+        "a direct build — the merge must be lossless")
+    }
+  }
+
+  test("timeRollup refuses non-nesting and non-time rollups") {
+    import spark.implicits._
+    val src = Seq((new Timestamp(1700000000000L), "a", 1.0))
+      .toDF("ts", "k", "v")
+    val cube = CubeManager.create(
+      CubeConfig("tr", "mem",
+        Seq(FieldDim("k", "k"), TimeDim("wk", "ts", "week"),
+          TimeDim("d", "ts", "day")),
+        Seq(Measure("v", "v"))), src)
+    // week nests nothing coarser (ISO weeks cross month/year bounds)
+    val e1 = intercept[IllegalArgumentException] {
+      CubeManager.query(cube, Nil, sumOf = Seq("v"),
+        timeRollup = Seq(("wk", "month")))
+    }
+    assert(e1.getMessage.contains("nest"))
+    val e2 = intercept[IllegalArgumentException] {
+      CubeManager.query(cube, Nil, sumOf = Seq("v"),
+        timeRollup = Seq(("k", "month")))
+    }
+    assert(e2.getMessage.contains("not a time dimension"))
+    val e3 = intercept[IllegalArgumentException] {
+      CubeManager.query(cube, Seq("d"), sumOf = Seq("v"),
+        timeRollup = Seq(("d", "year")))
+    }
+    assert(e3.getMessage.contains("not both"))
+  }
+
   test("estimator-changing rolling leaves route only with the opt-in") {
     // count(DISTINCT double) → HLL and percentile_approx → KLL both
     // change the answer: without the registration opt-in they must
