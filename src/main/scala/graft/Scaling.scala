@@ -185,6 +185,27 @@ object Scaling {
       })
       built.aggregates.unpersist()
 
+      // SHARDED rolling/retention bitmap serves (bitmapShardBits): the
+      // replicated user ids span ×k disjoint ranges, so the shard count
+      // grows with scale while every per-row blob stays bounded by the
+      // 2^14-id shard width — the serve reads cube-sized per-shard
+      // partials, never the source, and the per-shard two-level
+      // aggregation keeps endpoint state bounded at any id volume
+      val svcR = new cube.CubeService(spark, s"$work/rollsvc_x$k")
+      svcR.createCube(cube.CubeConfig(s"scaling_roll_x$k", "mem",
+        dims = Seq(cube.TimeDim("day", "ts", "day")),
+        measures = Nil,
+        bitmaps = Seq(cube.Measure("u", "user_id")),
+        bitmapShardBits = 14), ev) // untimed build — lake-lifetime cost
+      record("rolling_bitmap_serve", k, best {
+        svcR.getRolling(s"scaling_roll_x$k", "day", windowDays = 7,
+          exactDistinctOf = Seq("u")).count()
+      })
+      record("retention_bitmap_serve", k, best {
+        svcR.getRetention(s"scaling_roll_x$k", "day", "u",
+          periodDays = 7).count()
+      })
+
       // delete-capable fold (q177's machinery): deletes confined to ONE
       // event type, so the targeted recompute semi-joins the source down
       // to that type's cells and rebuilds every non-invertible partial
@@ -231,7 +252,8 @@ object Scaling {
       val r3 = t3 / t1; val r10 = t10 / t1
       val shape =
         if (fam == "cube_serve" || fam == "ann_ivf_probe"
-            || fam == "ann_masked_probe")
+            || fam == "ann_masked_probe" || fam == "rolling_bitmap_serve"
+            || fam == "retention_bitmap_serve")
           if (r10 < 3) "~flat (serve ∝ index/cube, not source)"
           else "NOT flat — investigate"
         else if (fam == "dedup_embedding_lsh")

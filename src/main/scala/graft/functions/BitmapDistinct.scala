@@ -28,9 +28,25 @@ import scala.collection.mutable
   * TypedImperativeAggregate collapses each executor's rows to one map
   * before any shuffle, so the exchange carries cell-count × map-size
   * bytes, never row-count. For SPARSE or non-integer key spaces (UUIDs,
-  * hashes) the density assumption fails — dictionary-encode first or
-  * take the HLL path; this is the documented boundary, not a silent
-  * degradation (state grows, correctness never changes).
+  * hashes) the density assumption fails — dictionary-encode first
+  * (`CubeConfig.dictBitmaps` maintains the key → dense-id map as cube
+  * state) or take the HLL path; this is the documented boundary, not a
+  * silent degradation (state grows, correctness never changes).
+  *
+  * SECOND boundary — per-row blob size: one cell's bitmap is a single
+  * binary value, ∝ the cell's touched id blocks. At ~10⁸ distinct
+  * ids/day a daily partial is 10²-10³ MB, and a rolling serve that
+  * explodes each day's blob ×windowDays shuffles multiples of that
+  * into ONE reducer row per endpoint. The scale-safe layout is
+  * `CubeConfig.bitmapShardBits`: cells subdivide by id block range
+  * (`__bshard = id >> bits`), bounding every stored blob at
+  * 4 + 16·(2^bits/64 + 1) bytes, and the rolling/retention serves
+  * aggregate per shard first (cardinalities ADD across shards — they
+  * partition the id space), so no merged blob ever materializes.
+  * SCALING.md's `rolling_bitmap_serve` / `retention_bitmap_serve`
+  * families measure the sharded serves flat under ×10 ids; CubeSpec
+  * pins sharded == unsharded bit-identical with the blob bound
+  * asserted.
   *
   * Deletes are NOT invertible in a bitmap (a set bit cannot know how
   * many inserts it represents), so the family shares the sketch
