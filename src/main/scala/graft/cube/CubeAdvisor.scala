@@ -141,8 +141,12 @@ object CubeAdvisor {
   private[cube] object RollOut {
     case object Day extends RollOut
     final case class Seg(srcCol: String) extends RollOut
+    /** `outerCast`: the workload applied its own output Cast on top of
+      * the aggregate (e.g. `sum(dec).cast(double)`) — the rewrite
+      * reproduces that cast on the served value, which is identical
+      * because the pre-cast values are equal. */
     final case class Leaf(family: String, srcCol: String,
-        pct: Double = 0.0) extends RollOut
+        pct: Double = 0.0, outerCast: Boolean = false) extends RollOut
   }
 
   /** One recommended RETENTION cube: a day-dimmed bitmap cube whose
@@ -559,11 +563,11 @@ object CubeAdvisor {
                 val segMap = segAttrs.map(_.exprId).zip(segNames).toMap
                 rollingLeaves(day.exprId, segMap, aggs, deduped).map { outs =>
                   def leaves(f: String) = outs.collect {
-                    case RollOut.Leaf(`f`, c, _) => c }
+                    case RollOut.Leaf(`f`, c, _, _) => c }
                   RollingNeeds(path, tsCol, windowDays,
                     leaves("distinct"),
-                    outs.collect { case RollOut.Leaf("quantile", c, p) =>
-                      (c, p) },
+                    outs.collect {
+                      case RollOut.Leaf("quantile", c, p, _) => (c, p) },
                     leaves("min"), leaves("max"), leaves("sum"), join,
                     leaves("xdistinct"), segNames, outs)
                 }
@@ -755,7 +759,17 @@ object CubeAdvisor {
       case a: AttributeReference if a.exprId == dayId => RollOut.Day
       case a: AttributeReference if segMap.contains(a.exprId) =>
         RollOut.Seg(segMap(a.exprId))
-      case al: Alias => al.child match {
+      case al: Alias =>
+        // an output cast the workload applied itself (sum(dec) cast to
+        // double is the common reporting form) is reproducible on the
+        // served value — peel it, record it
+        val (leafExpr, outerCast) = al.child match {
+          case Cast(c: AggregateExpression, _, _, _) => (c, true)
+          case c => (c, false)
+        }
+        def mk(family: String, srcCol: String, pct: Double = 0.0) =
+          RollOut.Leaf(family, srcCol, pct, outerCast)
+        leafExpr match {
         // distinct curve: an INTEGRAL key column gets exact bitmap
         // partials (lossless union — the served curve EQUALS the
         // workload's re-count); anything else falls back to the HLL
@@ -764,8 +778,7 @@ object CubeAdvisor {
         // design time)
         case AggregateExpression(Count(Seq(c)), Complete, true, _, _) =>
           val name = colName(c).getOrElse(return None)
-          RollOut.Leaf(if (integral(c.dataType)) "xdistinct" else "distinct",
-            name)
+          mk(if (integral(c.dataType)) "xdistinct" else "distinct", name)
         case AggregateExpression(ap: ApproximatePercentile, Complete,
             false, _, _) =>
           if (deduped) return None
@@ -775,17 +788,16 @@ object CubeAdvisor {
               d.toDouble
             case _ => return None
           }
-          RollOut.Leaf("quantile", colName(ap.child).getOrElse(return None),
-            pct)
+          mk("quantile", colName(ap.child).getOrElse(return None), pct)
         case AggregateExpression(Min(c), Complete, false, _, _) =>
-          RollOut.Leaf("min", colName(c).getOrElse(return None))
+          mk("min", colName(c).getOrElse(return None))
         case AggregateExpression(Max(c), Complete, false, _, _) =>
-          RollOut.Leaf("max", colName(c).getOrElse(return None))
+          mk("max", colName(c).getOrElse(return None))
         case AggregateExpression(
             Sum(Cast(inner, _: DecimalType, _, _), _), Complete,
             false, _, _) =>
           if (deduped) return None
-          RollOut.Leaf("sum", colName(inner).getOrElse(return None))
+          mk("sum", colName(inner).getOrElse(return None))
         case _ => return None
       }
       case _ => return None

@@ -130,6 +130,7 @@ object CubeQueries {
     rollingRouteSource(spark, sfDir)
     dictDistinctService(spark, sfDir)
     advisedRetentionState(spark, sfDir)
+    joinRollRouteSources(spark, sfDir)
     ()
   }
 
@@ -1747,6 +1748,74 @@ object CubeQueries {
       .orderBy(col("ym"), col("rk"), col("uid"))
   }
 
+  // --------------------------------------------------------------- q232
+  private val joinRollRouteSetup =
+    TrieMap.empty[(SparkSession, String), (String, String)]
+  private def joinRollRouteSources(spark: SparkSession,
+      sfDir: String): (String, String) =
+    joinRollRouteSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_jrollrt").toString
+      CubeCatalog.install(spark)
+      val oSrc = s"$dir/osrc"
+      val lSrc = s"$dir/lsrc"
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .write.parquet(oSrc)
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_suppkey"))
+        .write.parquet(lSrc)
+      val svc = new CubeService(spark, dir)
+      svc.createJoinCube(
+        JoinCubeConfig(
+          CubeConfig("join_roll_route", "osrc_lsrc",
+            dims = Seq(TimeDim("day", "o_orderdate", "day")),
+            measures = Seq(Measure("rev", "l_extendedprice")),
+            bitmaps = Seq(Measure("sup", "l_suppkey"))),
+          leftKey = "o_orderkey", rightKey = "l_orderkey"),
+        spark.read.parquet(oSrc), spark.read.parquet(lSrc))
+      CubeCatalog.registerJoin(s"join_roll_route@$sfDir",
+        svc.loadJoinCube("join_roll_route"), oSrc, lSrc)
+      (oSrc, lSrc)
+    })
+
+  /** Graded: ROLLING ROUTING over a REGISTERED JOIN — the q228 rewrite
+    * composed with the join-MV vocabulary: the raw trailing-window
+    * plan over `orders ⋈ lineitem` (7-day revenue + exact distinct
+    * suppliers per day, as a user writes it — explode/semi-join, no
+    * service verb) is rewritten to the daily-partial merge over the
+    * registered join cube, in either side order, exactly like the
+    * plain-source form. Both leaves are exact (decimal sums re-add;
+    * bitmap union is lossless), so the full DuckDB oracle recomputes
+    * every window from the raw tables and hash-matches. 100 TB split:
+    * the raw plan pays the fact-to-fact join TWICE (window + observed
+    * days) plus the ×7 explode per refresh; the routed serve is
+    * |days|·7 one-row merges over MV partials the delta-join rule
+    * maintains. */
+  def q232JoinRollingRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (oSrc, lSrc) = joinRollRouteSources(spark, sfDir)
+    val j = spark.read.parquet(oSrc)
+      .join(spark.read.parquet(lSrc),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(datediff(col("o_orderdate"), lit("1970-01-01"))
+          .cast("long").as("d"),
+        col("l_extendedprice"), col("l_suppkey"))
+    val q = graft.functions.Rolling.endpoints(j)
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("rev_7d"),
+        countDistinct(col("l_suppkey")).as("n_supp_7d"))
+      .orderBy(col("day"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && scans.forall(_.contains(".jmv/")),
+      s"join rolling routing did not fire; scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q230
   private val advisedRetentionSetup =
     TrieMap.empty[(SparkSession, String),
@@ -2747,6 +2816,7 @@ object CubeQueries {
     "q229_dict_exact_distinct" -> q229DictExactDistinct,
     "q230_advised_retention" -> q230AdvisedRetention,
     "q231_monthly_topk_hierarchy" -> q231MonthlyTopkHierarchy,
+    "q232_join_rolling_routing" -> q232JoinRollingRouting,
     "q212_advised_bitmap_rolling" -> q212AdvisedBitmapRolling,
     "q219_rolling_segmented" -> q219RollingSegmented,
     "q222_advised_segmented_rolling" -> q222AdvisedSegmentedRolling,
@@ -3241,6 +3311,23 @@ object CubeQueries {
       days AS (SELECT DISTINCT d AS day FROM du)
       SELECT days.day, count(DISTINCT du.user_id) AS n_users_7d
       FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day
+      GROUP BY 1
+      ORDER BY 1""",
+    // every trailing 7-day window recomputed from the raw JOIN — the
+    // optimizer-routed join-rolling serve must hash-match both the
+    // decimal revenue and the exact distinct supplier count
+    "q232_join_rolling_routing" -> """
+      WITH j AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+            CAST(o.o_orderdate AS DATE)) AS BIGINT) AS d,
+          l.l_extendedprice, l.l_suppkey
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      days AS (SELECT DISTINCT d AS day FROM j)
+      SELECT days.day,
+        CAST(sum(CAST(j.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS rev_7d,
+        count(DISTINCT j.l_suppkey) AS n_supp_7d
+      FROM days JOIN j ON j.d BETWEEN days.day - 6 AND days.day
       GROUP BY 1
       ORDER BY 1""",
     // q225's matrix at WEEKLY periods, recomputed with the same

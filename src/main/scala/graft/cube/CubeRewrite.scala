@@ -850,11 +850,27 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     * Project, so parent operators (orderBy, limit) resolve unchanged. */
   private def tryRewriteRolling(agg: Aggregate): Option[LogicalPlan] = {
     val needs = CubeAdvisor.analyzeRolling(agg).getOrElse(return None)
-    if (needs.join.nonEmpty || needs.outs.isEmpty) return None
-    val candidates = CubeCatalog.registered.values.toSeq
-      .filter(_.sourcePath == needs.path)
-      .flatMap(reg =>
-        buildRollingServe(agg, needs, reg).map((_, reg.cubeSize)))
+    if (needs.outs.isEmpty) return None
+    // a trailing-window plan over an INNER EQUI-JOIN routes to a
+    // registered join MV the same way (its cube is a Registration with
+    // the same partial columns) — the join must be exactly the
+    // registered one, in either side order
+    val candidates: Seq[(LogicalPlan, BigInt)] = needs.join match {
+      case None =>
+        CubeCatalog.registered.values.toSeq
+          .filter(_.sourcePath == needs.path)
+          .flatMap(reg =>
+            buildRollingServe(agg, needs, reg).map((_, reg.cubeSize)))
+      case Some((lp, rp, lk, rk)) =>
+        CubeCatalog.joinRegistered.values.toSeq
+          .filter(jr =>
+            (jr.leftPath == lp && jr.rightPath == rp &&
+              jr.leftKey == lk && jr.rightKey == rk) ||
+            (jr.leftPath == rp && jr.rightPath == lp &&
+              jr.leftKey == rk && jr.rightKey == lk))
+          .flatMap(jr =>
+            buildRollingServe(agg, needs, jr.reg).map((_, jr.reg.cubeSize)))
+    }
     if (candidates.isEmpty) None else Some(candidates.minBy(_._2)._1)
   }
 
@@ -1013,12 +1029,19 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
           val a = servedAttr.getOrElse(segIdOf(srcCol), return None)
           if (a.dataType != orig.dataType) return None
           Alias(a, orig.name)(exprId = orig.exprId)
-        case ((orig, _: RollOut.Leaf), i) =>
+        case ((orig, l: RollOut.Leaf), i) =>
           val a = servedAttr.getOrElse(s"__out_$i", return None)
-          // exact rebind only — a type mismatch (e.g. percentile over
-          // an int column vs the KLL double) refuses rather than casts
-          if (a.dataType != orig.dataType) return None
-          Alias(a, orig.name)(exprId = orig.exprId)
+          if (l.outerCast)
+            // the workload's OWN output cast (sum(dec).cast(double)
+            // etc.) — reproduced on the served value, identical because
+            // the pre-cast values are equal
+            Alias(Cast(a, orig.dataType), orig.name)(exprId = orig.exprId)
+          else {
+            // exact rebind only — a type mismatch (e.g. percentile over
+            // an int column vs the KLL double) refuses rather than casts
+            if (a.dataType != orig.dataType) return None
+            Alias(a, orig.name)(exprId = orig.exprId)
+          }
         case _ => return None
       }
     Some(Project(proj, outPlan))
