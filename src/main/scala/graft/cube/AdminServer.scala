@@ -215,10 +215,23 @@ final class AdminServer(service: CubeService, spark: SparkSession,
             minOf = strArray(req, "minOf"),
             maxOf = strArray(req, "maxOf"),
             topkOf = pairArray(req, "topkOf").map { case (c, k) => (c, k.toInt) },
-            exactDistinctOf = strArray(req, "exactDistinctOf"))
-          // deterministic wire order: sort by the dims, then render each
-          // row as a JSON object (toJSON is Spark's own row renderer)
-          serveRows(df, strArray(req, "dims"), req)
+            exactDistinctOf = strArray(req, "exactDistinctOf"),
+            // 'dim:granularity' entries — the time-hierarchy grouping
+            // (monthly top-k from a day cube etc.), full parity with
+            // the in-process verb
+            timeRollup = strArray(req, "timeRollup").map { s =>
+              val i = s.lastIndexOf(':')
+              require(i > 0 && i < s.length - 1,
+                s"'timeRollup' entries must be 'dim:granularity', got '$s'")
+              (s.substring(0, i), s.substring(i + 1))
+            })
+          // deterministic wire order: sort by the dims (and any rollup
+          // output columns), then render each row as a JSON object
+          // (toJSON is Spark's own row renderer)
+          serveRows(df,
+            strArray(req, "dims") ++ strArray(req, "timeRollup").map { s =>
+              s"${s.substring(0, s.lastIndexOf(':'))}_${s.substring(s.lastIndexOf(':') + 1)}"
+            }, req)
         case Some("getRolling") | Some("getJoinRolling") =>
           val name = need(strField(req, "name"), "name")
           val isJoin = strField(req, "verb").contains("getJoinRolling")
@@ -312,8 +325,17 @@ final class AdminServer(service: CubeService, spark: SparkSession,
               s""""columns":${strs(r.columns)},""" +
               s""""covered":${ints(r.coveredQueries)}}""")
             .mkString("[", ",", "]")
+          val retention = a.retention.map(r =>
+            s"""{"sourcePath":"${esc(r.sourcePath)}",""" +
+              s""""config":${cfgJson(r.config)},""" +
+              s""""dayDim":"${esc(r.dayDim)}",""" +
+              s""""bitmapId":"${esc(r.bitmapId)}",""" +
+              s""""periods":${ints(r.periods)},""" +
+              s""""covered":${ints(r.coveredQueries)}}""")
+            .mkString("[", ",", "]")
           ok(s"""{"cubes":$cubes,"joinCubes":$joins,""" +
             s""""rolling":$rolling,"layouts":$layouts,""" +
+            s""""retention":$retention,""" +
             s""""uncovered":${ints(a.uncovered)}}""")
         case Some("listVersions") =>
           val name = need(strField(req, "name"), "name")

@@ -544,4 +544,59 @@ class AdminServerSpec extends AnyFunSuite {
       assert(a.rpc("""{"verb":"ping"}""").contains("pong"))
     } finally { a.close(); b.close(); server.stop() }
   }
+
+  test("timeRollup serve and retention advice over the wire") {
+    import spark.implicits._
+    val svc = new CubeService(spark, tmp("graft_admin_tr"))
+    val server = new AdminServer(svc, spark)
+    val port = server.start()
+    val cli = new Client(port)
+    try {
+      CubeCatalog.clear()
+      val rnd = new scala.util.Random(11)
+      val rows = (0 until 300).map { i =>
+        (new java.sql.Timestamp(
+          1700000000000L + rnd.nextInt(60) * 86400000L),
+          (i % 20).toLong, (i % 7).toDouble)
+      }
+      val srcDir = tmp("graft_admin_trs") + "/src"
+      rows.toDF("ts", "uid", "value").write.parquet(srcDir)
+      val cfg = """{"name":"tr1","source":"events","dims":[{"kind":"time","id":"day","path":"ts","granularity":"day"}],"measures":[{"id":"v","path":"value"}]}"""
+      assert(cli.rpc(s"""{"verb":"createCube","config":"${escaped(cfg)}","sourceParquet":"${escaped(
+        srcDir)}"}""") == """{"ok":true,"result":"tr1"}""")
+      // wire timeRollup == in-process: monthly sums from the day cube
+      val wire = cli.rpc(
+        """{"verb":"getAggregates","name":"tr1","sumOf":["v"],"timeRollup":["day:month"]}""")
+      assert(wire.startsWith("""{"ok":true"""), wire)
+      val inProc = svc.getAggregates("tr1", Nil, sumOf = Seq("v"),
+        timeRollup = Seq(("day", "month"))).collect()
+      assert(inProc.length >= 2 &&
+        inProc.forall(r => wire.contains(s""""sum_v":${r.getAs[Double]("sum_v")}""")),
+        s"wire=$wire inProc=${inProc.mkString(",")}")
+      assert(wire.contains(""""day_month""""), wire)
+      // a malformed rollup entry is a structured refusal
+      val bad = cli.rpc(
+        """{"verb":"getAggregates","name":"tr1","sumOf":["v"],"timeRollup":["daymonth"]}""")
+      assert(bad.startsWith("""{"ok":false"""), bad)
+      // retention advice over the wire: the self-join cohort SQL yields
+      // a materializable day-dimmed bitmap config wired to getRetention
+      assert(cli.rpc(s"""{"verb":"registerTable","name":"adm_ret","parquet":"${escaped(
+        srcDir)}"}""") == """{"ok":true,"result":"registered"}""")
+      val sql = "WITH up AS (SELECT DISTINCT uid, " +
+        "CAST(FLOOR(CAST(CAST(CAST(unix_timestamp(ts) AS DOUBLE)/86400 " +
+        "AS BIGINT) AS DOUBLE)/7) AS BIGINT) AS p FROM adm_ret) " +
+        "SELECT cur.p, count(DISTINCT cur.uid) AS retained " +
+        "FROM up cur JOIN up prev ON cur.uid = prev.uid " +
+        "AND prev.p = cur.p - 1 GROUP BY cur.p"
+      val resp = cli.rpc(s"""{"verb":"advise","namePrefix":"wr","workloadSql":["${escaped(
+        sql)}"]}""")
+      assert(resp.startsWith("""{"ok":true"""), resp)
+      assert(resp.contains(""""retention":[{"""), resp)
+      assert(resp.contains(""""periods":[7]""") &&
+        resp.contains(""""bitmapId":"uid_xd"""") &&
+        resp.contains(""""uncovered":[]"""), resp)
+      svc.deleteCube("tr1")
+      CubeCatalog.clear()
+    } finally { cli.close(); server.stop() }
+  }
 }
