@@ -331,6 +331,7 @@ final class AdminServer(service: CubeService, spark: SparkSession,
               s""""dayDim":"${esc(r.dayDim)}",""" +
               s""""bitmapId":"${esc(r.bitmapId)}",""" +
               s""""periods":${ints(r.periods)},""" +
+              s""""segmentBy":${strs(r.segmentBy)},""" +
               s""""covered":${ints(r.coveredQueries)}}""")
             .mkString("[", ",", "]")
           ok(s"""{"cubes":$cubes,"joinCubes":$joins,""" +

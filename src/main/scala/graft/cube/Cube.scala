@@ -143,9 +143,19 @@ final case class CubeConfig(
     shardCol.map(_ => CubeManager.ShardCol)
   private[cube] def shardCol: Option[Column] =
     if (bitmapShardBits <= 0) None
-    else Some(org.apache.spark.sql.functions.shiftright(
-      org.apache.spark.sql.functions.col(bitmaps.head.path).cast("long"),
-      bitmapShardBits).as(CubeManager.ShardCol))
+    else {
+      val m = allBitmaps.head
+      // a dictionary bitmap shards on the DENSE DICT ID (the column the
+      // bitmap actually encodes — dict ids are maximally dense, so the
+      // shard layout is optimal for exactly this case); the id column
+      // exists on build-side frames after withDictIds
+      val idc =
+        if (dictBitmaps.exists(_.id == m.id))
+          org.apache.spark.sql.functions.col(s"__dictid_${m.id}")
+        else org.apache.spark.sql.functions.col(m.path).cast("long")
+      Some(org.apache.spark.sql.functions
+        .shiftright(idc, bitmapShardBits).as(CubeManager.ShardCol))
+    }
   /** Every bitmap-partial measure the cube maintains — plain (dense
     * integral keys, bits of the value itself) and dictionary-encoded
     * (non-integral keys, bits of the maintained dense id). Their
@@ -309,14 +319,12 @@ object CubeManager {
     // sketch families carry (non-integral keys: dictionary-encode
     // first or take the HLL path).
     requireIntegralBitmaps(config, source)
-    // sharding needs exactly ONE plain bitmap measure: the shard key is
-    // that measure's id range, and a second bitmap (or a dict-encoded
-    // one, whose ids exist only post-join) has no consistent shard for
-    // the same row
-    require(config.bitmapShardBits == 0 ||
-        (config.bitmaps.size == 1 && config.dictBitmaps.isEmpty),
+    // sharding needs exactly ONE bitmap measure (plain or
+    // dictionary-encoded): the shard key is that measure's id range,
+    // and a second bitmap has no consistent shard for the same row
+    require(config.bitmapShardBits == 0 || config.allBitmaps.size == 1,
       s"bitmapShardBits=${config.bitmapShardBits} requires exactly one " +
-        "plain bitmap measure (the shard key is its id range)")
+        "bitmap measure (the shard key is its id range)")
     require(config.bitmapShardBits >= 0 && config.bitmapShardBits <= 40,
       s"bitmapShardBits out of range: ${config.bitmapShardBits}")
     val sums = config.measures.map(m =>
@@ -478,7 +486,10 @@ object CubeManager {
     val cellDims: Seq[(Column, String)] =
       (cfg.dims.map(_.expr) ++ cfg.shardCol).zip(cfg.dimNames)
     val tmpNames = cfg.dimNames.map(n => s"__cell_$n")
-    val touched = deltas.filter(col("_sign") < 0)
+    // dict-joined first: a dict-sharded cube's shard column references
+    // the dense dict id, which raw delta rows don't carry (deleted keys
+    // are ever-seen, so the append-only dictionary resolves them all)
+    val touched = withDictIds(cfg, deltas.filter(col("_sign") < 0), dicts)
       .select(cfg.dimCols: _*).distinct()
     val nonInvertible =
       cfg.extremes ++ cfg.sketches ++ cfg.quantiles ++ cfg.freq ++

@@ -163,14 +163,16 @@ object CubeAdvisor {
       dayDim: String,
       bitmapId: String,
       periods: Seq[Int],
-      coveredQueries: Seq[Int])
+      coveredQueries: Seq[Int],
+      segmentBy: Seq[String] = Nil)
 
   /** What one recognized retention query needs: the source, the time
     * column its period derives from, the distinct-counted id column,
-    * and the period width in days. */
+    * the period width in days, and any segment columns the matrix
+    * partitions by. */
   private[cube] final case class RetentionNeeds(
       path: String, tsCol: String, idCol: String, periodDays: Int,
-      integralId: Boolean)
+      integralId: Boolean, segments: Seq[String] = Nil)
 
   /** One recommended STORAGE LAYOUT: the consumer of
     * [[CubeRecommendation.rangeOnlyDims]]. A column promoted into the
@@ -242,24 +244,30 @@ object CubeAdvisor {
           i -> analyze(p)
       }
     val retentionRecs = retentionHits
-      .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol))
-      .toSeq.sortBy(_._1)
-      .zipWithIndex.map { case (((path, tsCol, idCol), hits), k) =>
-        val dayDim = s"${tsCol}_day"
-        val bmId = s"${idCol}_xd"
-        val m = Seq(Measure(bmId, idCol))
-        val integralId = hits.head._2.integralId
-        RetentionRecommendation(path,
-          CubeConfig(s"${namePrefix}_retention_$k", path,
-            dims = Seq(TimeDim(dayDim, tsCol, "day")),
-            measures = Nil,
-            // non-integral ids take the dictionary path (exact for any
-            // key type) instead of the pre-dictionary refusal
-            bitmaps = if (integralId) m else Nil,
-            dictBitmaps = if (integralId) Nil else m),
-          dayDim, bmId,
-          periods = hits.map(_._2.periodDays).distinct.sorted,
-          coveredQueries = hits.map(_._1).sorted)
+      .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol, h._2.segments))
+      .toSeq.sortBy(g => (g._1._1, g._1._2, g._1._3,
+        g._1._4.mkString(",")))
+      .zipWithIndex.map {
+        case (((path, tsCol, idCol, segments), hits), k) =>
+          val dayDim = s"${tsCol}_day"
+          val bmId = s"${idCol}_xd"
+          val m = Seq(Measure(bmId, idCol))
+          val integralId = hits.head._2.integralId
+          RetentionRecommendation(path,
+            CubeConfig(s"${namePrefix}_retention_$k", path,
+              // segment columns dim the cube so the period bitmaps
+              // subdivide per segment cell (getRetention(segmentBy))
+              dims = segments.map(c => FieldDim(c, c)) :+
+                TimeDim(dayDim, tsCol, "day"),
+              measures = Nil,
+              // non-integral ids take the dictionary path (exact for
+              // any key type) instead of the pre-dictionary refusal
+              bitmaps = if (integralId) m else Nil,
+              dictBitmaps = if (integralId) Nil else m),
+            dayDim, bmId,
+            periods = hits.map(_._2.periodDays).distinct.sorted,
+            coveredQueries = hits.map(_._1).sorted,
+            segmentBy = segments)
       }
     val rollingRecs = rollingHits
       .groupBy(h => (h._2.path, h._2.tsCol, h._2.segments))
@@ -620,20 +628,24 @@ object CubeAdvisor {
     divided.orElse(dayBucketColumn(e).map((_, 1)))
   }
 
-  /** One side of the retention self-join: a DISTINCT over exactly
-    * (id column, period bucket) of a parquet relation. */
+  /** One side of the retention self-join: a DISTINCT over (plain
+    * source columns..., period bucket) of a parquet relation. `cols`
+    * maps each non-period output attr to the source column it resolves
+    * to; role assignment (which is the counted id, which are segments)
+    * happens in [[analyzeRetention]], which sees the grouping and the
+    * aggregate leaves. */
   private final case class PairSide(path: String, tsCol: String,
-      idName: String, idType: org.apache.spark.sql.types.DataType,
-      idId: org.apache.spark.sql.catalyst.expressions.ExprId,
+      periodDays: Int,
       pId: org.apache.spark.sql.catalyst.expressions.ExprId,
-      periodDays: Int)
+      cols: Seq[(org.apache.spark.sql.catalyst.expressions.ExprId,
+        AttributeReference)])
 
   private def distinctPairs(side: LogicalPlan): Option[PairSide] = {
     val (b, env0, preds0) = peel(side)
     if (!preds0.forall(_.isInstanceOf[IsNotNull])) return None
     b match {
       case Aggregate(gs, outs, c, _)
-          if outs.size == 2 && outs.forall(_.isInstanceOf[Attribute]) &&
+          if outs.size >= 2 && outs.forall(_.isInstanceOf[Attribute]) &&
             gs.map(_.canonicalized).toSet ==
               outs.map(_.canonicalized).toSet =>
         val (inner, env, preds) = peel(c)
@@ -644,12 +656,12 @@ object CubeAdvisor {
         val pOpt = resolved.flatMap { case (a, e) =>
           periodBucket(e).map(a -> _) }.headOption
         val (pAttr, (tsCol, pd)) = pOpt.getOrElse(return None)
-        val idOpt = resolved.collectFirst {
-          case (a, e: AttributeReference) if a.exprId != pAttr.exprId =>
-            (a, e) }
-        val (idAttr, idSrc) = idOpt.getOrElse(return None)
-        Some(PairSide(path, tsCol, idSrc.name, idSrc.dataType,
-          idAttr.exprId, pAttr.exprId, pd))
+        // every OTHER column must be a plain source column
+        val cols = resolved.filterNot(_._1.exprId == pAttr.exprId).map {
+          case (a, e: AttributeReference) => a.exprId -> e
+          case _ => return None
+        }
+        Some(PairSide(path, tsCol, pd, pAttr.exprId, cols))
       case _ => None
     }
   }
@@ -668,7 +680,10 @@ object CubeAdvisor {
     * period widths all return None. */
   private[cube] def analyzeRetention(
       plan: LogicalPlan): Option[RetentionNeeds] = plan match {
-    case Aggregate(Seq(g: AttributeReference), aggs, child, _) =>
+    case Aggregate(groups, aggs, child, _)
+        if groups.nonEmpty &&
+          groups.forall(_.isInstanceOf[AttributeReference]) =>
+      val groupAttrs = groups.map(_.asInstanceOf[AttributeReference])
       val (base, _, preds) = peel(child)
       if (!preds.forall(_.isInstanceOf[IsNotNull])) return None
       base match {
@@ -676,61 +691,102 @@ object CubeAdvisor {
             Some(cond), _) =>
           val lp = distinctPairs(l).getOrElse(return None)
           val rp = distinctPairs(r).getOrElse(return None)
-          if (lp.path != rp.path || lp.idName != rp.idName ||
-              lp.tsCol != rp.tsCol || lp.periodDays != rp.periodDays)
-            return None
+          if (lp.path != rp.path || lp.tsCol != rp.tsCol ||
+              lp.periodDays != rp.periodDays) return None
           // the grouped period attr decides which side is CURRENT
           val (cur, prev) =
-            if (g.exprId == lp.pId) (lp, rp)
-            else if (g.exprId == rp.pId) (rp, lp)
+            if (groupAttrs.exists(_.exprId == lp.pId)) (lp, rp)
+            else if (groupAttrs.exists(_.exprId == rp.pId)) (rp, lp)
             else return None
+          val curColOf = cur.cols.toMap
+          val prevColOf = prev.cols.toMap
+          // further groupings are SEGMENTS ("weekly retention per
+          // plan"): cur-side plain columns, each carried through the
+          // self-join so the matrix partitions per segment — exactly
+          // getRetention(segmentBy)
+          val segGroups = groupAttrs.filterNot(_.exprId == cur.pId)
+          val segs: Seq[(org.apache.spark.sql.catalyst.expressions.ExprId,
+              String)] =
+            segGroups.map(a => a.exprId ->
+              curColOf.getOrElse(a.exprId, return None).name)
+          // aggregate leaves: the groups plus ONE count(DISTINCT <cur
+          // non-segment column>) — nothing else is this serve
+          var idId: Option[org.apache.spark.sql.catalyst.expressions.ExprId] =
+            None
+          val outsOk = aggs.forall {
+            case a: AttributeReference =>
+              groupAttrs.exists(_.exprId == a.exprId)
+            case al: Alias => al.child match {
+              case AggregateExpression(Count(Seq(
+                  ca: AttributeReference)), Complete, true, _, _)
+                  if curColOf.contains(ca.exprId) &&
+                    !segs.exists(_._1 == ca.exprId) && idId.isEmpty =>
+                idId = Some(ca.exprId); true
+              case _ => false
+            }
+            case _ => false
+          }
+          if (!outsOk || idId.isEmpty) return None
+          val idSrc = curColOf(idId.get)
           def conj(e: Expression): Seq[Expression] = e match {
             case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
               conj(a) ++ conj(b)
             case o => Seq(o)
           }
           val cs = conj(cond)
-          if (cs.size != 2) return None
-          val idEq = cs.exists {
-            case EqualTo(a: AttributeReference, b: AttributeReference) =>
-              Set(a.exprId, b.exprId) == Set(cur.idId, prev.idId)
-            case _ => false
-          }
+          // exactly: id equality + one equality per segment + adjacency
+          if (cs.size != 2 + segs.size) return None
           def one(e: Expression) = e match {
             case Literal(1, _) | Literal(1L, _) => true
             case _ => false
           }
-          // adjacency in either algebraic writing: prev.p = cur.p − 1
-          // or cur.p = prev.p + 1
-          val adjacent = cs.exists {
-            case EqualTo(a: AttributeReference, Subtract(b: AttributeReference, o, _))
-                if one(o) => a.exprId == prev.pId && b.exprId == cur.pId
-            case EqualTo(Subtract(b: AttributeReference, o, _), a: AttributeReference)
-                if one(o) => a.exprId == prev.pId && b.exprId == cur.pId
-            case EqualTo(a: AttributeReference, Add(b: AttributeReference, o, _))
-                if one(o) => a.exprId == cur.pId && b.exprId == prev.pId
-            case EqualTo(Add(b: AttributeReference, o, _), a: AttributeReference)
-                if one(o) => a.exprId == cur.pId && b.exprId == prev.pId
-            case _ => false
+          var idMatched = false
+          var adjMatched = false
+          val segMatched = scala.collection.mutable.Set
+            .empty[org.apache.spark.sql.catalyst.expressions.ExprId]
+          cs.foreach {
+            // adjacency in either algebraic writing: prev.p = cur.p − 1
+            // or cur.p = prev.p + 1
+            case EqualTo(a: AttributeReference,
+                Subtract(b: AttributeReference, o, _))
+                if one(o) && a.exprId == prev.pId && b.exprId == cur.pId =>
+              adjMatched = true
+            case EqualTo(Subtract(b: AttributeReference, o, _),
+                a: AttributeReference)
+                if one(o) && a.exprId == prev.pId && b.exprId == cur.pId =>
+              adjMatched = true
+            case EqualTo(a: AttributeReference,
+                Add(b: AttributeReference, o, _))
+                if one(o) && a.exprId == cur.pId && b.exprId == prev.pId =>
+              adjMatched = true
+            case EqualTo(Add(b: AttributeReference, o, _),
+                a: AttributeReference)
+                if one(o) && a.exprId == cur.pId && b.exprId == prev.pId =>
+              adjMatched = true
+            case EqualTo(x: AttributeReference, y: AttributeReference) =>
+              // plain column equality: orient cur ↔ prev, require the
+              // SAME source column on both sides, classify id vs segment
+              val oriented =
+                if (curColOf.contains(x.exprId) &&
+                    prevColOf.contains(y.exprId)) Some((x, y))
+                else if (curColOf.contains(y.exprId) &&
+                    prevColOf.contains(x.exprId)) Some((y, x))
+                else None
+              oriented match {
+                case Some((c, p))
+                    if curColOf(c.exprId).name == prevColOf(p.exprId).name =>
+                  if (c.exprId == idId.get && !idMatched) idMatched = true
+                  else if (segs.exists(_._1 == c.exprId))
+                    segMatched += c.exprId
+                  else return None
+                case _ => return None
+              }
+            case _ => return None
           }
-          if (!idEq || !adjacent) return None
-          // outputs: the period attr and count(DISTINCT current id) —
-          // nothing else (an extra leaf would not be this serve)
-          var sawCount = false
-          val outsOk = aggs.forall {
-            case a: AttributeReference => a.exprId == g.exprId
-            case al: Alias => al.child match {
-              case AggregateExpression(Count(Seq(
-                  ca: AttributeReference)), Complete, true, _, _)
-                  if ca.exprId == cur.idId =>
-                sawCount = true; true
-              case _ => false
-            }
-            case _ => false
-          }
-          if (!outsOk || !sawCount) return None
-          Some(RetentionNeeds(cur.path, cur.tsCol, cur.idName,
-            cur.periodDays, integral(cur.idType)))
+          if (!idMatched || !adjMatched || segMatched.size != segs.size)
+            return None
+          Some(RetentionNeeds(cur.path, cur.tsCol, idSrc.name,
+            cur.periodDays, integral(idSrc.dataType), segs.map(_._2)))
         case _ => None
       }
     case _ => None

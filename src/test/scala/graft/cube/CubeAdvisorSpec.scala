@@ -659,4 +659,71 @@ class CubeAdvisorSpec extends AnyFunSuite {
       s"refusal edges must stay uncovered: $bad")
     CubeCatalog.clear()
   }
+
+  test("SEGMENTED retention workloads yield a segment-dimmed cube; serve == workload") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(83)
+    val rows = (0 until 900).map { i =>
+      (Seq("free", "pro")(rnd.nextInt(2)),
+        new Timestamp(1700000000000L + rnd.nextInt(28) * 86400000L
+          + rnd.nextInt(86400000)), (i % 40).toLong)
+    }
+    val srcDir = Files.createTempDirectory("graft_advrets_src").toString
+    rows.toDF("plan", "ts", "uid").write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+    // weekly retained per PLAN: the self-join carries the segment
+    // equality, the grouping adds the segment column
+    def retainedQ() = {
+      val up = src.select(col("plan"), col("uid"),
+          floor((unix_timestamp(col("ts")).cast("double") / 86400)
+            .cast("long").cast("double") / 7).cast("long").as("p"))
+        .distinct()
+      up.as("cur").join(up.as("prev"),
+          col("cur.uid") === col("prev.uid") &&
+            col("cur.plan") === col("prev.plan") &&
+            col("prev.p") === col("cur.p") - 1)
+        .groupBy(col("cur.plan"), col("cur.p"))
+        .agg(countDistinct(col("cur.uid")).as("retained"))
+    }
+    val advice = CubeAdvisor.advise(Seq(retainedQ()), "rets")
+    assert(advice.retention.size == 1 && advice.uncovered.isEmpty,
+      advice.toString)
+    val rec = advice.retention.head
+    assert(rec.segmentBy == Seq("plan") &&
+      rec.config.dims.collect { case FieldDim(id, p) => (id, p) } ==
+        Seq(("plan", "plan")), rec.toString)
+    // honesty: materialize verbatim, the per-segment matrix's retained
+    // cells equal the workload's own self-join counts
+    val svcDir = Files.createTempDirectory("graft_advrets_svc").toString
+    val svc = new CubeService(spark, svcDir)
+    svc.createCube(rec.config, src)
+    val served = svc.getRetention(rec.config.name, rec.dayDim,
+        rec.bitmapId, periodDays = 7, segmentBy = rec.segmentBy)
+      .select(col("plan"), col("period"), col("retained")).collect()
+      .collect { case r if !r.isNullAt(2) =>
+        (r.getString(0), r.getLong(1)) -> r.getLong(2) }.toMap
+    val exact = retainedQ().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(exact.forall { case (k, n) => served.get(k).contains(n) },
+      s"served=$served exact=$exact")
+    // REFUSED: a segment grouping whose column is NOT carried through
+    // the self-join — the per-segment matrix would partition what the
+    // workload's join did not
+    def badQ() = {
+      val up = src.select(col("plan"), col("uid"),
+          floor((unix_timestamp(col("ts")).cast("double") / 86400)
+            .cast("long").cast("double") / 7).cast("long").as("p"))
+        .distinct()
+      up.as("cur").join(up.as("prev"),
+          col("cur.uid") === col("prev.uid") &&
+            col("prev.p") === col("cur.p") - 1)
+        .groupBy(col("cur.plan"), col("cur.p"))
+        .agg(countDistinct(col("cur.uid")).as("retained"))
+    }
+    val bad = CubeAdvisor.advise(Seq(badQ()), "retsbad")
+    assert(bad.retention.isEmpty && bad.uncovered == Seq(0),
+      s"segment not in the join must refuse: $bad")
+    CubeCatalog.clear()
+  }
 }

@@ -906,6 +906,28 @@ class CubeSpec extends AnyFunSuite {
         base.withColumn("_sign", lit(1)).schema)
     }
     assert(se.getMessage.contains("dictionary"))
+    // DICT + SHARD compose: the shard keys on the DENSE DICT ID, so a
+    // string-keyed WAU cube gets bounded blobs too — same counts
+    // through create, fold, AND the delete-capable targeted recompute
+    // (whose touched-cell keys come from the dict-joined shard)
+    val cfgS = CubeConfig("dictsh", "mem", Seq(FieldDim("k", "k")),
+      Seq(Measure("v", "value")),
+      dictBitmaps = Seq(Measure("users", "uid")), bitmapShardBits = 2)
+    val dirS = java.nio.file.Files.createTempDirectory("graft_dictsh")
+      .toString
+    val svcS = new CubeService(spark, dirS)
+    svcS.createCube(cfgS, base)
+    svcS.updateAggregates("dictsh", delta.withColumn("_sign", lit(1)))
+    assert(counts(svcS.getAggregates("dictsh", Seq("k"),
+      exactDistinctOf = Seq("users"))) == served)
+    val postSrc = base.unionByName(delta)
+      .filter(!(col("k") === "a" && col("uid") === "bob"))
+    svcS.updateAggregates("dictsh",
+      df(Seq(("a", "bob", 2.0))).withColumn("_sign", lit(-1)),
+      source = Some(postSrc))
+    assert(counts(svcS.getAggregates("dictsh", Seq("k"),
+      exactDistinctOf = Seq("users"))) == Map("a" -> 2L, "b" -> 2L),
+      "sharded dict delete-recompute must serve the post-delete counts")
   }
 
   test("sharded bitmap partials: serves bit-identical, blobs bounded") {
