@@ -170,9 +170,13 @@ object CubeAdvisor {
     * column its period derives from, the distinct-counted id column,
     * the period width in days, and any segment columns the matrix
     * partitions by. */
+  /** `outs` is the ordered output map ([[RollOut]] reused with Day
+    * standing for the PERIOD key): the rewrite's retention route
+    * consumes it; the advisor ignores it. */
   private[cube] final case class RetentionNeeds(
       path: String, tsCol: String, idCol: String, periodDays: Int,
-      integralId: Boolean, segments: Seq[String] = Nil)
+      integralId: Boolean, segments: Seq[String] = Nil,
+      outs: Seq[RollOut] = Nil)
 
   /** One recommended STORAGE LAYOUT: the consumer of
     * [[CubeRecommendation.rangeOnlyDims]]. A column promoted into the
@@ -709,24 +713,45 @@ object CubeAdvisor {
               String)] =
             segGroups.map(a => a.exprId ->
               curColOf.getOrElse(a.exprId, return None).name)
-          // aggregate leaves: the groups plus ONE count(DISTINCT <cur
-          // non-segment column>) — nothing else is this serve
+          // aggregate leaves: the groups (possibly RENAMED — a
+          // post-aggregate select collapses into the Aggregate's output
+          // list) plus ONE count(DISTINCT <cur non-segment column>) —
+          // nothing else is this serve. The ordered walk doubles as the
+          // rewrite's output map.
           var idId: Option[org.apache.spark.sql.catalyst.expressions.ExprId] =
             None
-          val outsOk = aggs.forall {
-            case a: AttributeReference =>
-              groupAttrs.exists(_.exprId == a.exprId)
-            case al: Alias => al.child match {
-              case AggregateExpression(Count(Seq(
-                  ca: AttributeReference)), Complete, true, _, _)
-                  if curColOf.contains(ca.exprId) &&
-                    !segs.exists(_._1 == ca.exprId) && idId.isEmpty =>
-                idId = Some(ca.exprId); true
-              case _ => false
+          val segName = segs.toMap
+          val outs: Seq[RollOut] = aggs.map { ne =>
+            val grp = ne match {
+              case a: AttributeReference
+                  if groupAttrs.exists(_.exprId == a.exprId) => Some(a)
+              case al: Alias => al.child match {
+                case a: AttributeReference
+                    if groupAttrs.exists(_.exprId == a.exprId) => Some(a)
+                case _ => None
+              }
+              case _ => None
             }
-            case _ => false
+            grp match {
+              case Some(a) if a.exprId == cur.pId => RollOut.Day
+              case Some(a) if segName.contains(a.exprId) =>
+                RollOut.Seg(segName(a.exprId))
+              case Some(_) => return None
+              case None => ne match {
+                case al: Alias => al.child match {
+                  case AggregateExpression(Count(Seq(
+                      ca: AttributeReference)), Complete, true, _, _)
+                      if curColOf.contains(ca.exprId) &&
+                        !segs.exists(_._1 == ca.exprId) && idId.isEmpty =>
+                    idId = Some(ca.exprId)
+                    RollOut.Leaf("retained", "")
+                  case _ => return None
+                }
+                case _ => return None
+              }
+            }
           }
-          if (!outsOk || idId.isEmpty) return None
+          if (idId.isEmpty) return None
           val idSrc = curColOf(idId.get)
           def conj(e: Expression): Seq[Expression] = e match {
             case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
@@ -786,7 +811,11 @@ object CubeAdvisor {
           if (!idMatched || !adjMatched || segMatched.size != segs.size)
             return None
           Some(RetentionNeeds(cur.path, cur.tsCol, idSrc.name,
-            cur.periodDays, integral(idSrc.dataType), segs.map(_._2)))
+            cur.periodDays, integral(idSrc.dataType), segs.map(_._2),
+            outs.map {
+              case l: RollOut.Leaf => l.copy(srcCol = idSrc.name)
+              case o => o
+            }))
         case _ => None
       }
     case _ => None

@@ -1990,6 +1990,45 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q234
+  /** Graded: RETENTION ROUTING through the optimizer — the raw
+    * distinct-pair self-join cohort plan ("weekly retained users", no
+    * service verb) over the q228 REGISTERED source rewrites to an
+    * AND-walk over per-period bitmap unions of the registered
+    * day-dimmed cube: recognition is [[CubeAdvisor.analyzeRetention]]
+    * (advisor and rewrite share the matcher, the q228 discipline), and
+    * the serve reproduces the raw plan's row set exactly (periods with
+    * an observed p−1 and ≥1 retained id — an empty inner join emits no
+    * group). Bitmap intersection is lossless, so the DuckDB recompute
+    * of the same self-join hash-matches. 100 TB split: the raw plan
+    * re-shuffles the source's distinct pairs TWICE per refresh; the
+    * routed serve is |periods| one-row merges + a tiny adjacency
+    * join. */
+  def q234RetentionRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = rollingRouteSource(spark, sfDir)
+    val up = spark.read.parquet(srcDir)
+      .select(col("user_id"),
+        floor((unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").cast("double") / 7).cast("long").as("p"))
+      .distinct()
+    val q = up.as("cur").join(up.as("prev"),
+        col("cur.user_id") === col("prev.user_id") &&
+          col("prev.p") === col("cur.p") - 1)
+      .groupBy(col("cur.p"))
+      .agg(countDistinct(col("cur.user_id")).as("retained"))
+      .select(col("p").as("period"), col("retained"))
+      .orderBy(col("period"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/rolling_route_demo")),
+      s"retention routing did not fire (or still reads the source); " +
+        s"scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q219
   /** Graded: SEGMENTED rolling exact distinct — "WAU per event type",
     * the grouped form of q210 (`getRolling(segmentBy)`): the cube
@@ -2817,6 +2856,7 @@ object CubeQueries {
     "q230_advised_retention" -> q230AdvisedRetention,
     "q231_monthly_topk_hierarchy" -> q231MonthlyTopkHierarchy,
     "q232_join_rolling_routing" -> q232JoinRollingRouting,
+    "q234_retention_routing" -> q234RetentionRouting,
     "q212_advised_bitmap_rolling" -> q212AdvisedBitmapRolling,
     "q219_rolling_segmented" -> q219RollingSegmented,
     "q222_advised_segmented_rolling" -> q222AdvisedSegmentedRolling,
@@ -3311,6 +3351,21 @@ object CubeQueries {
       days AS (SELECT DISTINCT d AS day FROM du)
       SELECT days.day, count(DISTINCT du.user_id) AS n_users_7d
       FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day
+      GROUP BY 1
+      ORDER BY 1""",
+    // the weekly retained curve recomputed with the raw self-join —
+    // the optimizer-routed AND-walk over period bitmaps must
+    // hash-match it (row set included: only periods with an observed
+    // p−1 and >= 1 retained id)
+    "q234_retention_routing" -> """
+      WITH ud AS (
+        SELECT DISTINCT
+          CAST(floor(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+            / 7) AS BIGINT) AS p,
+          user_id
+        FROM events)
+      SELECT a.p AS period, count(DISTINCT a.user_id) AS retained
+      FROM ud a JOIN ud b ON b.p = a.p - 1 AND b.user_id = a.user_id
       GROUP BY 1
       ORDER BY 1""",
     // every trailing 7-day window recomputed from the raw JOIN — the

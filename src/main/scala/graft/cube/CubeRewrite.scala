@@ -387,10 +387,12 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
                   tryRewrite(agg, jr.reg, j, subst, pred ++ sidePreds)
               }
               if (candidates.isEmpty)
-                // not a join MV shape — but a LeftSemi join here is the
-                // trailing-window (rolling) plan's hallmark: try the
-                // rolling route before giving up
-                tryRewriteRolling(agg).getOrElse(agg)
+                // not a join MV shape — a LeftSemi join here is the
+                // trailing-window (rolling) plan's hallmark, an Inner
+                // self-join of distinct pairs the retention plan's: try
+                // both routes before giving up
+                tryRewriteRolling(agg)
+                  .orElse(tryRewriteRetention(agg)).getOrElse(agg)
               else candidates.minBy(_._2)._1
             case _ => agg
           }
@@ -887,9 +889,11 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     // the source path itself
     if (reg.cubeScanPath.isEmpty) return None
     if (reg.origScanPath.contains(needs.path)) return None
-    // the serve's synthesized column names must not collide with cube
-    // dimension ids (the "__" prefix makes a collision a deliberate act)
-    if (cfg.dimNames.exists(_.startsWith("__"))) return None
+    // the serve's synthesized column names must not collide with
+    // DECLARED cube dimension ids (the "__" prefix makes a collision a
+    // deliberate act; the hidden shard column is fine — the daily
+    // collapse unions across shard rows like any subdividing cell)
+    if (cfg.dims.exists(_.id.startsWith("__"))) return None
     // day dimension: day-granularity TimeDim over the workload's ts col
     val dayDim = cfg.dims.collectFirst {
       case TimeDim(id, p, "day") if p == needs.tsCol => id
@@ -1042,6 +1046,99 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
             if (a.dataType != orig.dataType) return None
             Alias(a, orig.name)(exprId = orig.exprId)
           }
+        case _ => return None
+      }
+    Some(Project(proj, outPlan))
+  }
+
+  /** RETENTION routing — the distinct-pair self-join cohort plan
+    * ("how many of period p−1's ids came back in p", recognized by
+    * [[CubeAdvisor.analyzeRetention]] — again the advisor's own
+    * matcher) rewritten to an AND-walk over per-period bitmap unions
+    * of a registered day-dimmed cube. Exactness: bitmap union is
+    * lossless, so each period's bitmap IS its id set and
+    * |p ∩ p−1| equals the self-join's distinct count; the raw plan
+    * emits rows only for periods with ≥1 retained id AND an observed
+    * p−1 (an empty inner join produces no group), which the serve
+    * reproduces with the inner prev-period pairing plus a ≥1 filter.
+    * Insert-only discipline: a delete-latched cube refuses. At scale
+    * the raw plan re-shuffles the source's distinct pairs twice per
+    * refresh; the serve is |periods| one-row bitmap merges. */
+  private def tryRewriteRetention(agg: Aggregate): Option[LogicalPlan] = {
+    val needs = CubeAdvisor.analyzeRetention(agg).getOrElse(return None)
+    if (needs.outs.isEmpty) return None
+    val candidates = CubeCatalog.registered.values.toSeq
+      .filter(_.sourcePath == needs.path)
+      .flatMap(reg =>
+        buildRetentionServe(agg, needs, reg).map((_, reg.cubeSize)))
+    if (candidates.isEmpty) None else Some(candidates.minBy(_._2)._1)
+  }
+
+  private def buildRetentionServe(
+      agg: Aggregate,
+      needs: CubeAdvisor.RetentionNeeds,
+      reg: CubeCatalog.Registration): Option[LogicalPlan] = {
+    import org.apache.spark.sql.functions._
+    import CubeAdvisor.RollOut
+    val cube = reg.cube
+    val cfg = cube.config
+    if (reg.cubeScanPath.isEmpty) return None
+    if (reg.origScanPath.contains(needs.path)) return None
+    if (cfg.dims.exists(_.id.startsWith("__"))) return None
+    // bitmap partials of a latched cube describe ever-inserted ids
+    if (cube.hasDeletes) return None
+    val dayDim = cfg.dims.collectFirst {
+      case TimeDim(id, p, "day") if p == needs.tsCol => id
+    }.getOrElse(return None)
+    val segIds: Seq[String] = needs.segments.map { s =>
+      cfg.dims.collectFirst {
+        case FieldDim(id, p) if p == s => id }.getOrElse(return None)
+    }
+    val segIdOf: Map[String, String] = needs.segments.zip(segIds).toMap
+    // the counted id needs a bitmap measure (plain integral or
+    // dictionary-encoded — both exact)
+    val bmId = cfg.allBitmaps.find(_.path == needs.idCol)
+      .map(_.id).getOrElse(return None)
+    val spark = cube.aggregates.sparkSession
+    val cubeFrame = Bridge.ofRows(spark, reg.cubePlan)
+      .filter(col(CubeManager.CountCol) > 0)
+    val segCols = segIds.map(col)
+    val periodKey = floor(
+      datediff(col(dayDim).cast("date"), lit("1970-01-01"))
+        .cast("long").cast("double") / needs.periodDays)
+      .cast("long").as("__p")
+    // one bitmap per (segment, period) — shard rows, if any, union in
+    val per = cubeFrame
+      .groupBy((segCols :+ periodKey): _*)
+      .agg(graft.functions.Bitmap.unionAgg(col(bmId)).as("__bm"))
+    val prev = per.select((segCols ++ Seq(
+      (col("__p") + 1).as("__p"), col("__bm").as("__pbm"))): _*)
+    val served = per.join(prev, segIds :+ "__p")
+      .select((segCols ++ Seq(col("__p"),
+        graft.functions.Bitmap.andCardinality(col("__bm"), col("__pbm"))
+          .as("__ret"))): _*)
+      .filter(col("__ret") >= 1)
+    val outPlan = served.queryExecution.optimizedPlan
+    val servedAttr: Map[String, Attribute] =
+      outPlan.output.map(a => a.name -> a).toMap
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val proj: Seq[NamedExpression] =
+      agg.aggregateExpressions.zip(needs.outs).map {
+        case (orig, RollOut.Day) =>
+          if (orig.dataType != LongType && orig.dataType != IntegerType)
+            return None
+          val p = servedAttr.getOrElse("__p", return None)
+          val child: Expression =
+            if (p.dataType == orig.dataType) p else Cast(p, orig.dataType)
+          Alias(child, orig.name)(exprId = orig.exprId)
+        case (orig, RollOut.Seg(srcCol)) =>
+          val a = servedAttr.getOrElse(segIdOf(srcCol), return None)
+          if (a.dataType != orig.dataType) return None
+          Alias(a, orig.name)(exprId = orig.exprId)
+        case (orig, _: RollOut.Leaf) =>
+          val a = servedAttr.getOrElse("__ret", return None)
+          if (a.dataType != orig.dataType) return None
+          Alias(a, orig.name)(exprId = orig.exprId)
         case _ => return None
       }
     Some(Project(proj, outPlan))

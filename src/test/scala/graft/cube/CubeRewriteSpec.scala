@@ -1556,6 +1556,52 @@ class CubeRewriteSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("not both"))
   }
 
+  test("raw retention self-join routes to the cube; matrix rows identical") {
+    val srcDir = rollingSetup()
+    def src = spark.read.parquet(srcDir)
+    def retained(renamed: Boolean) = {
+      val up = src.select(col("user_id"),
+          floor((unix_timestamp(col("ts")).cast("double") / 86400)
+            .cast("long").cast("double") / 3).cast("long").as("p"))
+        .distinct()
+      val q0 = up.as("cur").join(up.as("prev"),
+          col("cur.user_id") === col("prev.user_id") &&
+            col("prev.p") === col("cur.p") - 1)
+        .groupBy(col("cur.p"))
+        .agg(countDistinct(col("cur.user_id")).as("nr"))
+      // the renamed form collapses a post-aggregate select INTO the
+      // Aggregate's output list — both shapes must route
+      if (renamed) q0.select(col("p").as("period"), col("nr")) else q0
+    }
+    // SEGMENTED form: the self-join carries the segment equality
+    def seg() = {
+      val up = src.select(col("etype"), col("user_id"),
+          floor((unix_timestamp(col("ts")).cast("double") / 86400)
+            .cast("long").cast("double") / 3).cast("long").as("p"))
+        .distinct()
+      up.as("cur").join(up.as("prev"),
+          col("cur.user_id") === col("prev.user_id") &&
+            col("cur.etype") === col("prev.etype") &&
+            col("prev.p") === col("cur.p") - 1)
+        .groupBy(col("cur.etype"), col("cur.p"))
+        .agg(countDistinct(col("cur.user_id")).as("nr"))
+    }
+    // capture all routed results against ONE registration, then clear
+    // and compare each against its raw recompute
+    val routed = Seq(retained(false), retained(true), seg())
+    routed.foreach { q =>
+      assert(scansOf(q).forall(_.endsWith("/rollrw")),
+        s"retention route did not fire: ${scansOf(q)}")
+    }
+    val servedRows = routed.map(sortedRows)
+    CubeCatalog.clear()
+    val raw = Seq(retained(false), retained(true), seg())
+    raw.zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
+      assert(sortedRows(q) == s,
+        s"routed matrix must EQUAL the raw self-join (form $i)")
+    }
+  }
+
   test("estimator-changing rolling leaves route only with the opt-in") {
     // count(DISTINCT double) → HLL and percentile_approx → KLL both
     // change the answer: without the registration opt-in they must
