@@ -131,7 +131,8 @@ object CubeAdvisor {
       join: Option[(String, String, String, String)] = None,
       exactDistinctOf: Seq[String] = Nil,
       segments: Seq[String] = Nil,
-      outs: Seq[RollOut] = Nil)
+      outs: Seq[RollOut] = Nil,
+      filters: Seq[(String, Seq[Literal])] = Nil)
 
   /** One output column of a recognized rolling aggregate: the exploded
     * day key, a segment grouping, or an aggregate leaf.
@@ -172,11 +173,16 @@ object CubeAdvisor {
     * partitions by. */
   /** `outs` is the ordered output map ([[RollOut]] reused with Day
     * standing for the PERIOD key): the rewrite's retention route
-    * consumes it; the advisor ignores it. */
+    * consumes it; the advisor ignores it. `kind` names the matrix
+    * column the plan computes — "retained" (inner self-join),
+    * "churned" (anti-join against the FOLLOWING period) or "new_ids"
+    * (anti-join against the PRECEDING) — all served from the same
+    * day-dimmed bitmap cube. */
   private[cube] final case class RetentionNeeds(
       path: String, tsCol: String, idCol: String, periodDays: Int,
       integralId: Boolean, segments: Seq[String] = Nil,
-      outs: Seq[RollOut] = Nil)
+      outs: Seq[RollOut] = Nil, kind: String = "retained",
+      filters: Seq[(String, Seq[Literal])] = Nil)
 
   /** One recommended STORAGE LAYOUT: the consumer of
     * [[CubeRecommendation.rangeOnlyDims]]. A column promoted into the
@@ -248,11 +254,12 @@ object CubeAdvisor {
           i -> analyze(p)
       }
     val retentionRecs = retentionHits
-      .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol, h._2.segments))
+      .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol, h._2.segments,
+        h._2.filters.map(_._1).distinct.sorted))
       .toSeq.sortBy(g => (g._1._1, g._1._2, g._1._3,
-        g._1._4.mkString(",")))
+        g._1._4.mkString(","), g._1._5.mkString(",")))
       .zipWithIndex.map {
-        case (((path, tsCol, idCol, segments), hits), k) =>
+        case (((path, tsCol, idCol, segments, filterCols), hits), k) =>
           val dayDim = s"${tsCol}_day"
           val bmId = s"${idCol}_xd"
           val m = Seq(Measure(bmId, idCol))
@@ -260,8 +267,11 @@ object CubeAdvisor {
           RetentionRecommendation(path,
             CubeConfig(s"${namePrefix}_retention_$k", path,
               // segment columns dim the cube so the period bitmaps
-              // subdivide per segment cell (getRetention(segmentBy))
-              dims = segments.map(c => FieldDim(c, c)) :+
+              // subdivide per segment cell (getRetention(segmentBy));
+              // FILTER columns dim it so the routed serve can restrict
+              // cells to the filtered values
+              dims = (segments ++ filterCols).distinct
+                .map(c => FieldDim(c, c)) :+
                 TimeDim(dayDim, tsCol, "day"),
               measures = Nil,
               // non-integral ids take the dictionary path (exact for
@@ -274,10 +284,12 @@ object CubeAdvisor {
             segmentBy = segments)
       }
     val rollingRecs = rollingHits
-      .groupBy(h => (h._2.path, h._2.tsCol, h._2.segments))
-      .toSeq.sortBy(g => (g._1._1, g._1._2, g._1._3.mkString(",")))
+      .groupBy(h => (h._2.path, h._2.tsCol, h._2.segments,
+        h._2.filters.map(_._1).distinct.sorted))
+      .toSeq.sortBy(g => (g._1._1, g._1._2, g._1._3.mkString(","),
+        g._1._4.mkString(",")))
       .zipWithIndex.map {
-        case (((path, tsCol, segments), hits), k) =>
+        case (((path, tsCol, segments, filterCols), hits), k) =>
           val needs = hits.map(_._2)
           val dayDim = s"${tsCol}_day"
           val dOf = needs.flatMap(_.distinctOf).distinct
@@ -289,8 +301,11 @@ object CubeAdvisor {
           RollingCubeRecommendation(path,
             CubeConfig(s"${namePrefix}_rolling_$k", path,
               // segment columns dim the cube so the daily partials
-              // subdivide per segment cell (getRolling(segmentBy))
-              dims = segments.map(c => FieldDim(c, c)) :+
+              // subdivide per segment cell (getRolling(segmentBy));
+              // FILTER columns dim it so the routed serve can
+              // restrict cells to the filtered values
+              dims = (segments ++ filterCols).distinct
+                .map(c => FieldDim(c, c)) :+
                 TimeDim(dayDim, tsCol, "day"),
               measures = sOf.map(c => Measure(s"${c}_sum", c)),
               sketches = dOf.map(c => Measure(s"${c}_nd", c)),
@@ -509,12 +524,20 @@ object CubeAdvisor {
                 // Those are IMPLIED by the join (null keys never
                 // match) and the segmented serve's own endpoint
                 // semi-join drops null segments identically, so
-                // IsNotNull over a segment column is accepted;
-                // anything else filters the curve by semantics the
-                // partials cannot reproduce — refuse.
-                val leftNN = (lpreds ++ ipreds ++ innerPreds).map {
-                  case IsNotNull(a: AttributeReference) => a
-                  case _ => return None
+                // IsNotNull over a segment column is accepted.
+                // DIM-VALUE filters (col = lit / col IN lits — the
+                // "WAU of click events" dashboard form) are collected
+                // and must match the right side's; anything else
+                // filters the curve by semantics the partials cannot
+                // reproduce — refuse.
+                val leftNN =
+                  scala.collection.mutable.ListBuffer
+                    .empty[AttributeReference]
+                val leftRest =
+                  scala.collection.mutable.ListBuffer.empty[Expression]
+                (lpreds ++ ipreds ++ innerPreds).foreach {
+                  case IsNotNull(a: AttributeReference) => leftNN += a
+                  case other => leftRest += other
                 }
                 // the per-day frame may sit over ONE parquet relation
                 // or over an inner equi-join of two (the join-MV
@@ -524,6 +547,10 @@ object CubeAdvisor {
                 val (path, join, jPreds) =
                   sourceOf(srcPlan).getOrElse(return None)
                 if (jPreds.nonEmpty) return None
+                val lFilters = sideFilters(leftRest.toList, subst(env))
+                  .getOrElse(return None)
+                // join-MV rolling with residual filters: not served
+                if (join.isDefined && lFilters.nonEmpty) return None
                 val dExpr = subst(env)(start)
                 val tsCol = dayBucketColumn(dExpr).getOrElse(return None)
                 // each segment must be a PLAIN source column (the
@@ -533,9 +560,13 @@ object CubeAdvisor {
                   case _ => return None
                 })
                 // every accepted left-side isnotnull must be on a
-                // segment column (see above)
+                // segment column (see above) or a filter column
+                // (implied by its own equality)
+                val filterCols = lFilters.map(_._1).toSet
                 if (!leftNN.forall(a => subst(env)(a) match {
-                    case sa: AttributeReference => segNames.contains(sa.name)
+                    case sa: AttributeReference =>
+                      segNames.contains(sa.name) ||
+                        filterCols.contains(sa.name)
                     case _ => false
                   })) return None
                 // the semi-join's right side must be the observed
@@ -564,11 +595,23 @@ object CubeAdvisor {
                           case _ => false
                         })
                     }
-                    dayOutOk && segOutOk &&
-                      p2.forall(_.isInstanceOf[IsNotNull]) &&
-                      rpreds.forall(_.isInstanceOf[IsNotNull]) &&
-                      sourceOf(b2).exists(s => s._1 == path &&
-                        s._3.forall(_.isInstanceOf[IsNotNull]))
+                    dayOutOk && segOutOk && (sourceOf(b2) match {
+                      // the endpoint side must carry the SAME dim
+                      // filters as the pair side — the raw plan's
+                      // endpoints are the days the FILTERED data was
+                      // observed, which the serve reproduces by
+                      // filtering cells once for both partials and
+                      // endpoints
+                      case Some((p3, _, p3preds)) if p3 == path =>
+                        val rRest = (p2 ++ rpreds ++ p3preds).filterNot(
+                          _.isInstanceOf[IsNotNull])
+                        sideFilters(rRest, subst(envR)) match {
+                          case Some(rFilters) =>
+                            filterKey(rFilters) == filterKey(lFilters)
+                          case None => false
+                        }
+                      case _ => false
+                    })
                   case _ => false
                 }
                 if (!rOk) return None
@@ -581,7 +624,7 @@ object CubeAdvisor {
                     outs.collect {
                       case RollOut.Leaf("quantile", c, p, _) => (c, p) },
                     leaves("min"), leaves("max"), leaves("sum"), join,
-                    leaves("xdistinct"), segNames, outs)
+                    leaves("xdistinct"), segNames, outs, lFilters)
                 }
               case _ => None
             }
@@ -642,21 +685,62 @@ object CubeAdvisor {
       periodDays: Int,
       pId: org.apache.spark.sql.catalyst.expressions.ExprId,
       cols: Seq[(org.apache.spark.sql.catalyst.expressions.ExprId,
-        AttributeReference)])
+        AttributeReference)],
+      filters: Seq[(String, Seq[Literal])] = Nil)
+
+  /** DIM-VALUE filters on a pair side: conjuncts of the shape
+    * `col = literal` / `col IN (literals)` over a plain source column
+    * ("retention of CLICK users" — the filtered-dashboard form).
+    * IsNotNull conjuncts are dropped (implied by the equality / the
+    * join); anything else refuses the whole side. The serve applies
+    * the same restriction to cube CELLS, which is exact because cells
+    * partition by the dimension. */
+  private def sideFilters(preds: Seq[Expression],
+      sub: Expression => Expression):
+      Option[Seq[(String, Seq[Literal])]] = {
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(String, Seq[Literal])]
+    preds.foreach { p0 =>
+      sub(p0) match {
+        case IsNotNull(_) => ()
+        case EqualTo(a: AttributeReference, l: Literal) =>
+          out += a.name -> Seq(l)
+        case EqualTo(l: Literal, a: AttributeReference) =>
+          out += a.name -> Seq(l)
+        case In(a: AttributeReference, vs)
+            if vs.forall(_.isInstanceOf[Literal]) =>
+          out += a.name -> vs.map(_.asInstanceOf[Literal])
+        case InSet(a: AttributeReference, hs) =>
+          // InSet carries internal-format values; re-wrap with the
+          // column's type so downstream conversion is uniform
+          out += a.name -> hs.toSeq.map(v => Literal(v, a.dataType))
+        case _ => return None
+      }
+    }
+    Some(out.toList)
+  }
+
+  /** Canonical form for comparing two sides' filters: both sides of
+    * the self-join must restrict the source IDENTICALLY or the routed
+    * cell filter would answer a different cohort question. */
+  private def filterKey(fs: Seq[(String, Seq[Literal])]):
+      Seq[(String, Set[String])] =
+    fs.map { case (c, ls) => c -> ls.map(_.sql).toSet }
+      .sortBy(_._1)
 
   private def distinctPairs(side: LogicalPlan): Option[PairSide] = {
     val (b, env0, preds0) = peel(side)
-    if (!preds0.forall(_.isInstanceOf[IsNotNull])) return None
     b match {
       case Aggregate(gs, outs, c, _)
           if outs.size >= 2 && outs.forall(_.isInstanceOf[Attribute]) &&
             gs.map(_.canonicalized).toSet ==
               outs.map(_.canonicalized).toSet =>
         val (inner, env, preds) = peel(c)
-        if (!preds.forall(_.isInstanceOf[IsNotNull])) return None
+        val sub = subst(env0 ++ env) _
+        val fs = sideFilters(preds0 ++ preds, sub).getOrElse(return None)
         val path = CubeCatalog.sourcePathOf(inner).getOrElse(return None)
         val attrs = outs.map(_.asInstanceOf[Attribute])
-        val resolved = attrs.map(a => a -> subst(env0 ++ env)(a))
+        val resolved = attrs.map(a => a -> sub(a))
         val pOpt = resolved.flatMap { case (a, e) =>
           periodBucket(e).map(a -> _) }.headOption
         val (pAttr, (tsCol, pd)) = pOpt.getOrElse(return None)
@@ -665,9 +749,34 @@ object CubeAdvisor {
           case (a, e: AttributeReference) => a.exprId -> e
           case _ => return None
         }
-        Some(PairSide(path, tsCol, pd, pAttr.exprId, cols))
+        Some(PairSide(path, tsCol, pd, pAttr.exprId, cols, fs))
       case _ => None
     }
+  }
+
+  /** The NON-deduplicated pair side: a plain projection of (id cols,
+    * period bucket) straight off the source. The optimizer removes a
+    * redundant distinct below the cohort join (count(DISTINCT) above
+    * an anti join makes the left-side dedup a no-op —
+    * RemoveRedundantAggregates), so the shape arrives WITHOUT the
+    * Aggregate [[distinctPairs]] expects. Accepting it is exact for
+    * the only aggregate leaf this matcher admits: count(DISTINCT id)
+    * kills row multiplicity, and the bitmap serve is dedup-agnostic
+    * by construction. */
+  private def projectedPairs(side: LogicalPlan): Option[PairSide] = {
+    val (b, env, preds) = peel(side)
+    val sub = subst(env) _
+    val fs = sideFilters(preds, sub).getOrElse(return None)
+    val path = CubeCatalog.sourcePathOf(b).getOrElse(return None)
+    val resolved = side.output.map(a => a -> sub(a))
+    val pOpt = resolved.flatMap { case (a, e) =>
+      periodBucket(e).map(a -> _) }.headOption
+    val (pAttr, (tsCol, pd)) = pOpt.getOrElse(return None)
+    val cols = resolved.filterNot(_._1.exprId == pAttr.exprId).map {
+      case (a, e: AttributeReference) => a.exprId -> e
+      case _ => return None
+    }
+    Some(PairSide(path, tsCol, pd, pAttr.exprId, cols, fs))
   }
 
   /** The RETENTION plan shape — "how many of period p−1's ids came
@@ -691,19 +800,35 @@ object CubeAdvisor {
       val (base, _, preds) = peel(child)
       if (!preds.forall(_.isInstanceOf[IsNotNull])) return None
       base match {
-        case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
-            Some(cond), _) =>
-          val lp = distinctPairs(l).getOrElse(return None)
-          val rp = distinctPairs(r).getOrElse(return None)
+        case Join(l, r, jt, Some(cond), _)
+            if jt == org.apache.spark.sql.catalyst.plans.Inner ||
+              jt == org.apache.spark.sql.catalyst.plans.LeftAnti =>
+          val isAnti = jt == org.apache.spark.sql.catalyst.plans.LeftAnti
+          val lp = distinctPairs(l).orElse(projectedPairs(l))
+            .getOrElse(return None)
+          val rp = distinctPairs(r).orElse(projectedPairs(r))
+            .getOrElse(return None)
           if (lp.path != rp.path || lp.tsCol != rp.tsCol ||
               lp.periodDays != rp.periodDays) return None
-          // the grouped period attr decides which side is CURRENT
-          val (cur, prev) =
-            if (groupAttrs.exists(_.exprId == lp.pId)) (lp, rp)
+          // both sides must restrict the source IDENTICALLY — a
+          // one-sided filter asks a different cohort question ("of
+          // week p's CLICK users, how many came back AT ALL") that the
+          // single-cell-filtered serve cannot answer
+          if (filterKey(lp.filters) != filterKey(rp.filters)) return None
+          // the COUNTED side: Inner — the side whose period attr is
+          // grouped (retained); LeftAnti — the LEFT side by
+          // construction (the join outputs no right-side columns), the
+          // churn/new-users cohort forms
+          val (cur, other) =
+            if (isAnti) {
+              if (!groupAttrs.exists(_.exprId == lp.pId)) return None
+              (lp, rp)
+            }
+            else if (groupAttrs.exists(_.exprId == lp.pId)) (lp, rp)
             else if (groupAttrs.exists(_.exprId == rp.pId)) (rp, lp)
             else return None
           val curColOf = cur.cols.toMap
-          val prevColOf = prev.cols.toMap
+          val prevColOf = other.cols.toMap
           // further groupings are SEGMENTS ("weekly retention per
           // plan"): cur-side plain columns, each carried through the
           // self-join so the matrix partitions per segment — exactly
@@ -766,28 +891,30 @@ object CubeAdvisor {
             case _ => false
           }
           var idMatched = false
-          var adjMatched = false
+          // adjacency direction as (EARLIER period attr, LATER period
+          // attr) — validated against the two sides' period ids after
+          // the walk, which also decides the matrix column the plan
+          // computes (retained / churned / new_ids)
+          var adjDir: Option[(org.apache.spark.sql.catalyst.expressions
+              .ExprId, org.apache.spark.sql.catalyst.expressions.ExprId)] =
+            None
           val segMatched = scala.collection.mutable.Set
             .empty[org.apache.spark.sql.catalyst.expressions.ExprId]
           cs.foreach {
-            // adjacency in either algebraic writing: prev.p = cur.p − 1
-            // or cur.p = prev.p + 1
+            // adjacency in either algebraic writing: a = b − 1 (a
+            // earlier) or a = b + 1 (a later)
             case EqualTo(a: AttributeReference,
-                Subtract(b: AttributeReference, o, _))
-                if one(o) && a.exprId == prev.pId && b.exprId == cur.pId =>
-              adjMatched = true
+                Subtract(b: AttributeReference, o, _)) if one(o) =>
+              adjDir = Some((a.exprId, b.exprId))
             case EqualTo(Subtract(b: AttributeReference, o, _),
-                a: AttributeReference)
-                if one(o) && a.exprId == prev.pId && b.exprId == cur.pId =>
-              adjMatched = true
+                a: AttributeReference) if one(o) =>
+              adjDir = Some((a.exprId, b.exprId))
             case EqualTo(a: AttributeReference,
-                Add(b: AttributeReference, o, _))
-                if one(o) && a.exprId == cur.pId && b.exprId == prev.pId =>
-              adjMatched = true
+                Add(b: AttributeReference, o, _)) if one(o) =>
+              adjDir = Some((b.exprId, a.exprId))
             case EqualTo(Add(b: AttributeReference, o, _),
-                a: AttributeReference)
-                if one(o) && a.exprId == cur.pId && b.exprId == prev.pId =>
-              adjMatched = true
+                a: AttributeReference) if one(o) =>
+              adjDir = Some((b.exprId, a.exprId))
             case EqualTo(x: AttributeReference, y: AttributeReference) =>
               // plain column equality: orient cur ↔ prev, require the
               // SAME source column on both sides, classify id vs segment
@@ -808,14 +935,26 @@ object CubeAdvisor {
               }
             case _ => return None
           }
-          if (!idMatched || !adjMatched || segMatched.size != segs.size)
-            return None
+          if (!idMatched || segMatched.size != segs.size) return None
+          // orientation → matrix column. Inner: the matched side must
+          // PRECEDE the counted one (classic retention); LeftAnti:
+          // absent-side-later is churn ("of period p's ids, how many
+          // never showed in p+1"), absent-side-earlier is new users
+          val kind = adjDir match {
+            case Some((e, lt)) if e == other.pId && lt == cur.pId =>
+              if (isAnti) "new_ids" else "retained"
+            case Some((e, lt))
+                if isAnti && e == cur.pId && lt == other.pId =>
+              "churned"
+            case _ => return None
+          }
           Some(RetentionNeeds(cur.path, cur.tsCol, idSrc.name,
             cur.periodDays, integral(idSrc.dataType), segs.map(_._2),
             outs.map {
-              case l: RollOut.Leaf => l.copy(srcCol = idSrc.name)
+              case l: RollOut.Leaf =>
+                l.copy(family = kind, srcCol = idSrc.name)
               case o => o
-            }))
+            }, kind, cur.filters))
         case _ => None
       }
     case _ => None

@@ -1938,12 +1938,17 @@ object CubeQueries {
         java.nio.file.Files.createTempDirectory("graft_rollroute").toString
       val srcDir = s"$dir/source"
       Tables.events(spark, sfDir)
-        .select(col("user_id"), col("value"), col("ts"))
+        .select(col("user_id"), col("value"), col("ts"),
+          col("event_type"))
         .write.parquet(srcDir)
       val src = spark.read.parquet(srcDir)
       CubeManager.save(CubeManager.create(
         CubeConfig("rolling_route_demo", "events",
-          dims = Seq(TimeDim("day", "ts", "day")),
+          // event_type dims the cube so FILTERED raw plans ("WAU of
+          // click events") can route to cell-restricted serves; the
+          // unfiltered routes collapse across its cells unchanged
+          dims = Seq(FieldDim("et", "event_type"),
+            TimeDim("day", "ts", "day")),
           measures = Seq(Measure("v", "value")),
           bitmaps = Seq(Measure("u", "user_id"))), src), dir)
       CubeCatalog.install(spark)
@@ -1990,6 +1995,77 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q236
+  /** Graded: DIM-FILTERED rolling routing — the q228 raw trailing-
+    * window plan with a `WHERE event_type = 'click'` restriction ("WAU
+    * of click events", the filtered-dashboard form) routes to a
+    * CELL-FILTERED serve: the matcher collects `col = lit` / `col IN
+    * lits` conjuncts from BOTH sides of the semi-join (they must
+    * match — the raw plan's endpoints are the days the FILTERED data
+    * was observed) and the serve restricts cube cells on the matching
+    * FieldDim before the daily collapse. Exact because cells partition
+    * by the dimension: the filtered cells' bitmap union IS the
+    * filtered source's id set. 100 TB split: the raw plan scans +
+    * filters the full source per refresh; the serve reads only the
+    * dimension-matched cells of the maintained cube — the filter
+    * becomes partition-sized, not scan-sized. */
+  def q236FilteredRollingRouting(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = rollingRouteSource(spark, sfDir)
+    val du = spark.read.parquet(srcDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("d"))
+      .distinct()
+    val q = graft.functions.Rolling.endpoints(du, 7)
+      .agg(countDistinct(col("user_id")).as("n_click_users_7d"))
+      .orderBy(col("day"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/rolling_route_demo")),
+      s"filtered rolling routing did not fire (or still reads the " +
+        s"source); scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q237
+  /** Graded: DIM-FILTERED retention routing — the q234 raw cohort
+    * self-join restricted to `event_type = 'click'` on BOTH sides
+    * ("weekly retention of click users") routes to the AND-walk over
+    * per-period unions of the CELL-FILTERED cube; a one-sided filter
+    * refuses (different cohort question — pinned in CubeRewriteSpec).
+    * The DuckDB oracle recomputes the filtered self-join raw. */
+  def q237FilteredRetentionRouting(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = rollingRouteSource(spark, sfDir)
+    val up = spark.read.parquet(srcDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+        floor((unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").cast("double") / 7).cast("long").as("p"))
+      .distinct()
+    val q = up.as("cur").join(up.as("prev"),
+        col("cur.user_id") === col("prev.user_id") &&
+          col("prev.p") === col("cur.p") - 1)
+      .groupBy(col("cur.p"))
+      .agg(countDistinct(col("cur.user_id")).as("retained"))
+      .select(col("p").as("period"), col("retained"))
+      .orderBy(col("period"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/rolling_route_demo")),
+      s"filtered retention routing did not fire (or still reads the " +
+        s"source); scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q234
   /** Graded: RETENTION ROUTING through the optimizer — the raw
     * distinct-pair self-join cohort plan ("weekly retained users", no
@@ -2025,6 +2101,48 @@ object CubeQueries {
     require(scans.nonEmpty &&
       scans.forall(_.endsWith("/rolling_route_demo")),
       s"retention routing did not fire (or still reads the source); " +
+        s"scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q235
+  /** Graded: CHURN ROUTING through the optimizer — the raw ANTI-JOIN
+    * cohort plan ("of week p's users, how many never showed in p+1",
+    * no service verb) over the q228 REGISTERED source rewrites to an
+    * ANDNOT-walk over per-period bitmap unions of the registered
+    * day-dimmed cube: the [[CubeAdvisor.analyzeRetention]] matcher's
+    * LeftAnti arm, orientation read from the adjacency conjunct
+    * (absent side FOLLOWS → churn; PRECEDES → new users, pinned in
+    * CubeRewriteSpec). The raw anti-join has NO contiguity gate — the
+    * last observed period counts fully churned (no p+1 rows exist),
+    * which the serve reproduces with a left pairing against the
+    * following period's bitmap coalesced to empty. ANDNOT over
+    * lossless bitmaps equals the set difference exactly, so the DuckDB
+    * NOT EXISTS recompute hash-matches. 100 TB split: the raw plan
+    * anti-joins the source's distinct pairs against themselves per
+    * refresh; the routed serve is |periods| one-row merges + a tiny
+    * left pairing. */
+  def q235ChurnRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = rollingRouteSource(spark, sfDir)
+    val up = spark.read.parquet(srcDir)
+      .select(col("user_id"),
+        floor((unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").cast("double") / 7).cast("long").as("p"))
+      .distinct()
+    val q = up.as("prev").join(up.as("cur"),
+        col("cur.user_id") === col("prev.user_id") &&
+          col("cur.p") === col("prev.p") + 1, "left_anti")
+      .groupBy(col("p"))
+      .agg(countDistinct(col("user_id")).as("churned"))
+      .select(col("p").as("period"), col("churned"))
+      .orderBy(col("period"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/rolling_route_demo")),
+      s"churn routing did not fire (or still reads the source); " +
         s"scans=$scans")
     q
   }
@@ -2857,6 +2975,9 @@ object CubeQueries {
     "q231_monthly_topk_hierarchy" -> q231MonthlyTopkHierarchy,
     "q232_join_rolling_routing" -> q232JoinRollingRouting,
     "q234_retention_routing" -> q234RetentionRouting,
+    "q235_churn_routing" -> q235ChurnRouting,
+    "q236_filtered_rolling_routing" -> q236FilteredRollingRouting,
+    "q237_filtered_retention_routing" -> q237FilteredRetentionRouting,
     "q212_advised_bitmap_rolling" -> q212AdvisedBitmapRolling,
     "q219_rolling_segmented" -> q219RollingSegmented,
     "q222_advised_segmented_rolling" -> q222AdvisedSegmentedRolling,
@@ -3368,6 +3489,24 @@ object CubeQueries {
       FROM ud a JOIN ud b ON b.p = a.p - 1 AND b.user_id = a.user_id
       GROUP BY 1
       ORDER BY 1""",
+    // the weekly churn curve recomputed with the raw NOT EXISTS — the
+    // optimizer-routed ANDNOT-walk must hash-match it, including the
+    // no-contiguity-gate row set (the last observed period is all
+    // churn; a calendar gap churns everyone)
+    "q235_churn_routing" -> """
+      WITH ud AS (
+        SELECT DISTINCT
+          CAST(floor(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+            / 7) AS BIGINT) AS p,
+          user_id
+        FROM events)
+      SELECT a.p AS period, count(DISTINCT a.user_id) AS churned
+      FROM ud a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ud b
+        WHERE b.user_id = a.user_id AND b.p = a.p + 1)
+      GROUP BY 1
+      ORDER BY 1""",
     // every trailing 7-day window recomputed from the raw JOIN — the
     // optimizer-routed join-rolling serve must hash-match both the
     // decimal revenue and the exact distinct supplier count
@@ -3434,6 +3573,34 @@ object CubeQueries {
       days AS (SELECT DISTINCT d AS day FROM du)
       SELECT days.day, count(DISTINCT du.user_id) AS n_users_7d
       FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day
+      GROUP BY 1
+      ORDER BY 1""",
+    // the FILTERED WAU curve recomputed raw — the cell-filtered routed
+    // serve must hash-match it (endpoints are the days CLICK data was
+    // observed, exactly the raw plan's filtered semi-join side)
+    "q236_filtered_rolling_routing" -> """
+      WITH du AS (
+        SELECT DISTINCT user_id,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS d
+        FROM events
+        WHERE event_type = 'click'),
+      days AS (SELECT DISTINCT d AS day FROM du)
+      SELECT days.day, count(DISTINCT du.user_id) AS n_click_users_7d
+      FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day
+      GROUP BY 1
+      ORDER BY 1""",
+    // the FILTERED weekly retention matrix recomputed with the raw
+    // self-join over click events only
+    "q237_filtered_retention_routing" -> """
+      WITH ud AS (
+        SELECT DISTINCT
+          CAST(floor(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+            / 7) AS BIGINT) AS p,
+          user_id
+        FROM events
+        WHERE event_type = 'click')
+      SELECT a.p AS period, count(DISTINCT a.user_id) AS retained
+      FROM ud a JOIN ud b ON b.p = a.p - 1 AND b.user_id = a.user_id
       GROUP BY 1
       ORDER BY 1""",
     // The advised cube's source is a projected copy of events, so the

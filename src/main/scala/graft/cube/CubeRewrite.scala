@@ -974,13 +974,28 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     val spark = cube.aggregates.sparkSession
     val cubeFrame = Bridge.ofRows(spark, reg.cubePlan)
       .filter(col(CubeManager.CountCol) > 0)
+    // dim-value filters ("WAU of click events") restrict CELLS before
+    // the daily collapse — exact because cells partition by the
+    // dimension; one filter serves both the partials AND the observed-
+    // day endpoints, matching the raw plan's filtered semi-join side.
+    // A filter column that is not a cube dim refuses.
+    val filteredFrame = needs.filters.foldLeft(cubeFrame) {
+      case (f, (srcCol, lits)) =>
+        val dimId = cfg.dims.collectFirst {
+          case FieldDim(id, p) if p == srcCol => id
+        }.getOrElse(return None)
+        val vals = lits.map(l =>
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(l.value, l.dataType))
+        f.filter(col(dimId).isin(vals: _*))
+    }
     // calendar-day index via datediff (TZ-consistent — the same
     // derivation getRolling uses; equals the workload's epoch-day
     // arithmetic in a UTC session)
     val dayKey = datediff(col(dayDim).cast("date"), lit("1970-01-01"))
       .cast("long").as("__gd")
     val segCols = segIds.map(col)
-    val daily = cubeFrame
+    val daily = filteredFrame
       .groupBy((segCols :+ dayKey): _*)
       .agg(dailyAggs.head, dailyAggs.tail: _*)
     // endpoints are the (per-segment) OBSERVED days — the same
@@ -1063,7 +1078,10 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     * reproduces with the inner prev-period pairing plus a ≥1 filter.
     * Insert-only discipline: a delete-latched cube refuses. At scale
     * the raw plan re-shuffles the source's distinct pairs twice per
-    * refresh; the serve is |periods| one-row bitmap merges. */
+    * refresh; the serve is |periods| one-row bitmap merges. The
+    * ANTI-JOIN cohort forms route through the same matcher: churned
+    * (ids of p absent from p+1) and new users (absent from p−1) as
+    * ANDNOT walks — see the kind branch in [[buildRetentionServe]]. */
   private def tryRewriteRetention(agg: Aggregate): Option[LogicalPlan] = {
     val needs = CubeAdvisor.analyzeRetention(agg).getOrElse(return None)
     if (needs.outs.isEmpty) return None
@@ -1102,22 +1120,58 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     val spark = cube.aggregates.sparkSession
     val cubeFrame = Bridge.ofRows(spark, reg.cubePlan)
       .filter(col(CubeManager.CountCol) > 0)
+    // dim-value filters ("retention of CLICK users") restrict CELLS
+    // before the period collapse — exact because cells partition by
+    // the dimension: the filtered cells' union IS the filtered
+    // source's id set. A filter column that is not a cube dim refuses.
+    val filteredFrame = needs.filters.foldLeft(cubeFrame) {
+      case (f, (srcCol, lits)) =>
+        val dimId = cfg.dims.collectFirst {
+          case FieldDim(id, p) if p == srcCol => id
+        }.getOrElse(return None)
+        val vals = lits.map(l =>
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(l.value, l.dataType))
+        f.filter(col(dimId).isin(vals: _*))
+    }
     val segCols = segIds.map(col)
     val periodKey = floor(
       datediff(col(dayDim).cast("date"), lit("1970-01-01"))
         .cast("long").cast("double") / needs.periodDays)
       .cast("long").as("__p")
     // one bitmap per (segment, period) — shard rows, if any, union in
-    val per = cubeFrame
+    val per = filteredFrame
       .groupBy((segCols :+ periodKey): _*)
       .agg(graft.functions.Bitmap.unionAgg(col(bmId)).as("__bm"))
-    val prev = per.select((segCols ++ Seq(
-      (col("__p") + 1).as("__p"), col("__bm").as("__pbm"))): _*)
-    val served = per.join(prev, segIds :+ "__p")
-      .select((segCols ++ Seq(col("__p"),
-        graft.functions.Bitmap.andCardinality(col("__bm"), col("__pbm"))
-          .as("__ret"))): _*)
-      .filter(col("__ret") >= 1)
+    val B = graft.functions.Bitmap
+    val served = needs.kind match {
+      case "retained" =>
+        // inner pairing with the PRECEDING period + ≥1 filter — the
+        // raw inner self-join emits a group only for periods with an
+        // observed p−1 and at least one retained id
+        val prev = per.select((segCols ++ Seq(
+          (col("__p") + 1).as("__p"), col("__bm").as("__pbm"))): _*)
+        per.join(prev, segIds :+ "__p")
+          .select((segCols ++ Seq(col("__p"),
+            B.andCardinality(col("__bm"), col("__pbm")).as("__ret"))): _*)
+          .filter(col("__ret") >= 1)
+      case k =>
+        // churned: ids of p absent from p+1 — pair with the FOLLOWING
+        // period's bitmap; new_ids: absent from p−1 — pair with the
+        // PRECEDING. The raw anti-join has NO contiguity gate: an
+        // unobserved adjacent period reads as the EMPTY set (the last
+        // period is all churn, the first all new), which the left join
+        // + empty-bitmap coalesce reproduces exactly
+        val shift = if (k == "churned") -1 else 1
+        val other = per.select((segCols ++ Seq(
+          (col("__p") + shift).as("__p"), col("__bm").as("__obm"))): _*)
+        val emptyBm = lit(Array[Byte](0, 0, 0, 0)) // codec: zero blocks
+        per.join(other, segIds :+ "__p", "left_outer")
+          .select((segCols ++ Seq(col("__p"),
+            B.andNotCardinality(col("__bm"),
+              coalesce(col("__obm"), emptyBm)).as("__ret"))): _*)
+          .filter(col("__ret") >= 1)
+    }
     val outPlan = served.queryExecution.optimizedPlan
     val servedAttr: Map[String, Attribute] =
       outPlan.output.map(a => a.name -> a).toMap

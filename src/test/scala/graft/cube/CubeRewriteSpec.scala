@@ -1454,6 +1454,41 @@ class CubeRewriteSpec extends AnyFunSuite {
       "sum/min/max must rebind exactly (decimal type preserved)")
   }
 
+  test("dim-filtered rolling plans route to cell-filtered serves") {
+    val srcDir = rollingSetup()
+    def src = spark.read.parquet(srcDir)
+    def wau() = graft.functions.Rolling.endpoints(
+        src.filter(col("etype") === "click")
+          .select(col("user_id"), dayCol).distinct())
+      .agg(countDistinct(col("user_id")).as("nu"))
+    // IN-list filter + the exact sum/max leaves ride the same cells
+    def sums() = graft.functions.Rolling.endpoints(
+        src.filter(col("etype").isin("click", "view"))
+          .select(col("value"), dayCol), 3)
+      .agg(sum(col("value").cast("decimal(18,2)")).as("sv"),
+        max(col("value")).as("mx"))
+    // a filter column that is NOT a cube dim cannot restrict cells
+    def nonDim() = graft.functions.Rolling.endpoints(
+        src.filter(col("uid_s") === "u3")
+          .select(col("user_id"), dayCol).distinct())
+      .agg(countDistinct(col("user_id")).as("nu"))
+    val routed = Seq(wau(), sums())
+    routed.foreach { q =>
+      assert(scansOf(q).forall(_.endsWith("/rollrw")),
+        s"filtered rolling route did not fire: ${scansOf(q)}")
+    }
+    assert(scansOf(nonDim()).distinct ==
+      Seq(CubeCatalog.normalize(srcDir)),
+      "a non-dim filter column must refuse the rolling route")
+    val servedRows = routed.map(sortedRows)
+    CubeCatalog.clear()
+    val raw = Seq(wau(), sums())
+    raw.zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
+      assert(sortedRows(q) == s,
+        s"cell-filtered rolling serve must EQUAL the raw (form $i)")
+    }
+  }
+
   test("segmented raw rolling routes; per-segment endpoints preserved") {
     val srcDir = rollingSetup()
     def src = spark.read.parquet(srcDir)
@@ -1599,6 +1634,119 @@ class CubeRewriteSpec extends AnyFunSuite {
     raw.zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
       assert(sortedRows(q) == s,
         s"routed matrix must EQUAL the raw self-join (form $i)")
+    }
+  }
+
+  test("raw churn/new-user anti-joins route; gate-free row set identical") {
+    val srcDir = rollingSetup()
+    def src = spark.read.parquet(srcDir)
+    def up(segmented: Boolean) = {
+      val cols = (if (segmented) Seq(col("etype")) else Nil) ++
+        Seq(col("user_id"),
+          floor((unix_timestamp(col("ts")).cast("double") / 86400)
+            .cast("long").cast("double") / 3).cast("long").as("p"))
+      src.select(cols: _*).distinct()
+    }
+    // churned: the counted (left) side is EARLIER — the absent side
+    // FOLLOWS. The raw anti-join has no contiguity gate: the last
+    // observed period is all churn, which the route must reproduce.
+    def churn(segmented: Boolean) = {
+      val u = up(segmented)
+      val base = col("cur.user_id") === col("prev.user_id") &&
+        col("cur.p") === col("prev.p") + 1
+      val cond = if (segmented)
+        base && col("cur.etype") === col("prev.etype") else base
+      val groups = (if (segmented) Seq(col("etype")) else Nil) :+ col("p")
+      u.as("prev").join(u.as("cur"), cond, "left_anti")
+        .groupBy(groups: _*)
+        .agg(countDistinct(col("user_id")).as("nc"))
+    }
+    // new users: the counted (left) side is LATER — absent PRECEDES
+    def fresh() = {
+      val u = up(false)
+      u.as("cur").join(u.as("prev"),
+          col("cur.user_id") === col("prev.user_id") &&
+            col("prev.p") === col("cur.p") - 1, "left_anti")
+        .groupBy(col("p"))
+        .agg(countDistinct(col("user_id")).as("nn"))
+    }
+    val routed = Seq(churn(false), churn(true), fresh())
+    routed.foreach { q =>
+      assert(scansOf(q).forall(_.endsWith("/rollrw")),
+        s"anti-join route did not fire: ${scansOf(q)}")
+    }
+    val servedRows = routed.map(sortedRows)
+    CubeCatalog.clear()
+    val raw = Seq(churn(false), churn(true), fresh())
+    raw.zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
+      assert(sortedRows(q) == s,
+        s"routed anti-join matrix must EQUAL the raw (form $i)")
+    }
+  }
+
+  test("dim-filtered retention/churn plans route to cell-filtered serves") {
+    val srcDir = rollingSetup()
+    def src = spark.read.parquet(srcDir)
+    def pairs(filtered: Boolean) = {
+      val base = if (filtered) src.filter(col("etype") === "click") else src
+      base.select(col("user_id"),
+          floor((unix_timestamp(col("ts")).cast("double") / 86400)
+            .cast("long").cast("double") / 3).cast("long").as("p"))
+        .distinct()
+    }
+    def retained() = {
+      val u = pairs(true)
+      u.as("cur").join(u.as("prev"),
+          col("cur.user_id") === col("prev.user_id") &&
+            col("prev.p") === col("cur.p") - 1)
+        .groupBy(col("cur.p"))
+        .agg(countDistinct(col("cur.user_id")).as("nr"))
+    }
+    def churn() = {
+      val u = pairs(true)
+      u.as("prev").join(u.as("cur"),
+          col("cur.user_id") === col("prev.user_id") &&
+            col("cur.p") === col("prev.p") + 1, "left_anti")
+        .groupBy(col("p"))
+        .agg(countDistinct(col("user_id")).as("nc"))
+    }
+    // ONE-SIDED filter asks a different cohort question ("of week p's
+    // click users, how many came back AT ALL") — must refuse
+    def oneSided() =
+      pairs(true).as("cur").join(pairs(false).as("prev"),
+          col("cur.user_id") === col("prev.user_id") &&
+            col("prev.p") === col("cur.p") - 1)
+        .groupBy(col("cur.p"))
+        .agg(countDistinct(col("cur.user_id")).as("nr"))
+    // a filter column that is NOT a cube dim cannot restrict cells
+    def nonDim() = {
+      val u = src.filter(col("uid_s") === "u3")
+        .select(col("user_id"),
+          floor((unix_timestamp(col("ts")).cast("double") / 86400)
+            .cast("long").cast("double") / 3).cast("long").as("p"))
+        .distinct()
+      u.as("cur").join(u.as("prev"),
+          col("cur.user_id") === col("prev.user_id") &&
+            col("prev.p") === col("cur.p") - 1)
+        .groupBy(col("cur.p"))
+        .agg(countDistinct(col("cur.user_id")).as("nr"))
+    }
+    val routed = Seq(retained(), churn())
+    routed.foreach { q =>
+      assert(scansOf(q).forall(_.endsWith("/rollrw")),
+        s"filtered route did not fire: ${scansOf(q)}")
+    }
+    val norm = CubeCatalog.normalize(srcDir)
+    assert(scansOf(oneSided()).distinct == Seq(norm),
+      "one-sided filter must refuse the route")
+    assert(scansOf(nonDim()).distinct == Seq(norm),
+      "a non-dim filter column must refuse the route")
+    val servedRows = routed.map(sortedRows)
+    CubeCatalog.clear()
+    val raw = Seq(retained(), churn())
+    raw.zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
+      assert(sortedRows(q) == s,
+        s"cell-filtered serve must EQUAL the raw filtered plan (form $i)")
     }
   }
 
