@@ -252,14 +252,28 @@ final class AdminServer(service: CubeService, spark: SparkSession,
         case Some("getRetention") | Some("getJoinRetention") =>
           val name = need(strField(req, "name"), "name")
           val isJoin = strField(req, "verb").contains("getJoinRetention")
-          val fn =
-            if (isJoin) service.getJoinRetention _ else service.getRetention _
-          val df = fn(name,
-            need(strField(req, "dayDim"), "dayDim"),
-            need(strField(req, "bitmapId"), "bitmapId"),
-            numField(req, "periodDays").map(_.toInt).getOrElse(7),
-            strArray(req, "segmentBy"))
-          serveRows(df, strArray(req, "segmentBy") :+ "period", req)
+          // "calendar": month/quarter/year — the calendar-period
+          // matrix; mutually exclusive with periodDays (the fixed-
+          // width form), same discipline as the in-process API
+          val cal = strField(req, "calendar")
+          if (cal.isDefined && numField(req, "periodDays").isDefined)
+            throw new IllegalArgumentException(
+              "calendar and periodDays are mutually exclusive")
+          val dayDim = need(strField(req, "dayDim"), "dayDim")
+          val bmId = need(strField(req, "bitmapId"), "bitmapId")
+          val segs = strArray(req, "segmentBy")
+          val df = cal match {
+            case Some(g) =>
+              if (isJoin)
+                service.getJoinRetentionCalendar(name, dayDim, bmId, g, segs)
+              else service.getRetentionCalendar(name, dayDim, bmId, g, segs)
+            case None =>
+              val pd = numField(req, "periodDays").map(_.toInt).getOrElse(7)
+              if (isJoin)
+                service.getJoinRetention(name, dayDim, bmId, pd, segs)
+              else service.getRetention(name, dayDim, bmId, pd, segs)
+          }
+          serveRows(df, segs :+ "period", req)
         case Some("diffAggregates") | Some("diffJoinAggregates") =>
           val name = need(strField(req, "name"), "name")
           val isJoin = strField(req, "verb").contains("diffJoinAggregates")

@@ -2105,6 +2105,45 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q238
+  private val calRetSetup =
+    TrieMap.empty[(SparkSession, String), CubeService]
+  private def calRetService(spark: SparkSession,
+      sfDir: String): CubeService =
+    calRetSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_calret").toString
+      val svc = new CubeService(spark, dir)
+      // orders spans 1992-1998 — ~80 calendar months of customer
+      // activity, the realistic multi-year cohort corpus (events spans
+      // a single month)
+      svc.createCube(
+        CubeConfig("cal_ret", "orders",
+          dims = Seq(TimeDim("day", "o_orderdate", "day")),
+          measures = Nil,
+          bitmaps = Seq(Measure("c", "o_custkey"))),
+        Tables.orders(spark, sfDir))
+      svc
+    })
+
+  /** Graded: CALENDAR-month retention — the full customer cohort
+    * matrix (active / prev_active / retained / churned / new) by REAL
+    * calendar month from one day-dimmed bitmap cube
+    * ([[CubeService.getRetentionCalendar]]). The period key is the
+    * month ordinal (year·12 + month − 1), so Dec → Jan adjacency is
+    * exact integer contiguity and a skipped calendar month gates to
+    * nulls — semantics a fixed `periodDays = 30` approximation drifts
+    * from within a year (months are 28-31 days). `period_start`
+    * labels each bucket's first day; the DuckDB oracle recomputes the
+    * matrix with the same ordinal from raw orders. 100 TB split:
+    * identical to q225 — one pass to |months| one-row bitmaps, lag
+    * over that tiny frame. */
+  def q238CalendarRetention(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val svc = calRetService(spark, sfDir)
+    svc.getRetentionCalendar("cal_ret", "day", "c", "month")
+  }
+
   // --------------------------------------------------------------- q235
   /** Graded: CHURN ROUTING through the optimizer — the raw ANTI-JOIN
     * cohort plan ("of week p's users, how many never showed in p+1",
@@ -2978,6 +3017,7 @@ object CubeQueries {
     "q235_churn_routing" -> q235ChurnRouting,
     "q236_filtered_rolling_routing" -> q236FilteredRollingRouting,
     "q237_filtered_retention_routing" -> q237FilteredRetentionRouting,
+    "q238_calendar_retention" -> q238CalendarRetention,
     "q212_advised_bitmap_rolling" -> q212AdvisedBitmapRolling,
     "q219_rolling_segmented" -> q219RollingSegmented,
     "q222_advised_segmented_rolling" -> q222AdvisedSegmentedRolling,
@@ -3603,6 +3643,37 @@ object CubeQueries {
       FROM ud a JOIN ud b ON b.p = a.p - 1 AND b.user_id = a.user_id
       GROUP BY 1
       ORDER BY 1""",
+    // the calendar-month customer matrix recomputed from raw orders
+    // with the same month ordinal (year*12 + month - 1): Dec -> Jan is
+    // integer adjacency, a skipped month gates the prev-derived cells
+    // to NULL
+    "q238_calendar_retention" -> """
+      WITH ud AS (
+        SELECT DISTINCT
+          CAST(year(CAST(o_orderdate AS DATE)) * 12 +
+            month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS p,
+          o_custkey
+        FROM orders),
+      act AS (SELECT p, count(*) AS active FROM ud GROUP BY p),
+      ret AS (
+        SELECT a.p, count(*) AS retained
+        FROM ud a JOIN ud b ON b.p = a.p - 1 AND b.o_custkey = a.o_custkey
+        GROUP BY a.p)
+      SELECT act.p AS period,
+        strftime(make_date(CAST(act.p // 12 AS INT),
+          CAST(act.p % 12 AS INT) + 1, 1), '%Y-%m-%d') AS period_start,
+        act.active,
+        pa.active AS prev_active,
+        CASE WHEN pa.p IS NULL THEN NULL
+             ELSE COALESCE(ret.retained, 0) END AS retained,
+        CASE WHEN pa.p IS NULL THEN NULL
+             ELSE pa.active - COALESCE(ret.retained, 0) END AS churned,
+        CASE WHEN pa.p IS NULL THEN NULL
+             ELSE act.active - COALESCE(ret.retained, 0) END AS new_ids
+      FROM act
+      LEFT JOIN act pa ON pa.p = act.p - 1
+      LEFT JOIN ret ON ret.p = act.p
+      ORDER BY period""",
     // The advised cube's source is a projected copy of events, so the
     // oracle is q138's own SQL again: advise → materialize verbatim →
     // exact bitmap serve must equal the raw recompute.

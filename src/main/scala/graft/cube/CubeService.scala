@@ -956,13 +956,44 @@ final class CubeService(spark: SparkSession, storageDir: String,
     retentionFrom(loadJoinCube(name).cube, name, dayDim, bitmapId,
       periodDays, segmentBy)
 
+  /** CALENDAR-period retention matrix — month/quarter/year cohorts
+    * from the SAME day-dimmed bitmap cube. The period key is the
+    * calendar bucket's integer ordinal (months/quarters since year 0,
+    * or the year itself), so contiguity across a year boundary
+    * (Dec → Jan) is exact adjacency and a skipped calendar bucket
+    * reads as "previous unobserved" — semantics a fixed-width
+    * `periodDays = 30` approximation cannot reproduce (real months
+    * are 28-31 days; the drift compounds across years). Emits
+    * `period_start` (yyyy-MM-dd of the bucket's first day) alongside
+    * the integer index; both are deterministic functions of the day
+    * dimension, so the matrix stays on the full oracle gate. */
+  def getRetentionCalendar(
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      granularity: String = "month",
+      segmentBy: Seq[String] = Nil): DataFrame =
+    retentionFrom(loadCube(name), name, dayDim, bitmapId, 1, segmentBy,
+      Some(granularity))
+
+  /** [[getRetentionCalendar]] for join MVs. */
+  def getJoinRetentionCalendar(
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      granularity: String = "month",
+      segmentBy: Seq[String] = Nil): DataFrame =
+    retentionFrom(loadJoinCube(name).cube, name, dayDim, bitmapId, 1,
+      segmentBy, Some(granularity))
+
   private def retentionFrom(
       cube: Cube,
       name: String,
       dayDim: String,
       bitmapId: String,
       periodDays: Int,
-      segmentBy: Seq[String]): DataFrame = {
+      segmentBy: Seq[String],
+      calendar: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
@@ -985,14 +1016,42 @@ final class CubeService(spark: SparkSession, storageDir: String,
         cube.config.dims.exists(d => d.id == sd && !d.isInstanceOf[TimeDim]),
         s"$sd is not a (non-time) dimension of cube $name")
     }
+    calendar.foreach(g =>
+      require(Seq("month", "quarter", "year").contains(g),
+        s"calendar granularity must be month/quarter/year, got $g"))
     // days-since-epoch via datediff (TZ-consistent, see rollingFrom),
     // then FLOOR division to the period index — floor(d/p) in double is
-    // exact for |d| < 2^52, eleven orders beyond any calendar day
+    // exact for |d| < 2^52, eleven orders beyond any calendar day.
+    // CALENDAR periods use the bucket's integer ordinal instead, so
+    // the same lag-contiguity and shard-pairing arithmetic (period ± 1)
+    // is exact across year boundaries
     val dayKey = datediff(col(dayDim).cast("date"), lit("1970-01-01"))
       .cast("long")
-    val periodKey = floor(dayKey.cast("double") / periodDays)
-      .cast("long").as("period")
+    val dayDate = col(dayDim).cast("date")
+    val periodKey = (calendar match {
+      case None => floor(dayKey.cast("double") / periodDays).cast("long")
+      case Some("month") =>
+        (year(dayDate) * 12 + month(dayDate) - 1).cast("long")
+      case Some("quarter") =>
+        (year(dayDate) * 4 + quarter(dayDate) - 1).cast("long")
+      case _ => year(dayDate).cast("long")
+    }).as("period")
     val B = graft.functions.Bitmap
+    // index → first-day label, appended to the finished matrix
+    def withPeriodStart(matrix: DataFrame): DataFrame = calendar match {
+      case None => matrix
+      case Some(g) =>
+        val p = col("period")
+        val start = g match {
+          case "month" => make_date(floor(p / 12).cast("int"),
+            pmod(p, lit(12)).cast("int") + 1, lit(1))
+          case "quarter" => make_date(floor(p / 4).cast("int"),
+            pmod(p, lit(4)).cast("int") * 3 + 1, lit(1))
+          case _ => make_date(p.cast("int"), lit(1), lit(1))
+        }
+        matrix.withColumn("period_start",
+          date_format(start, "yyyy-MM-dd"))
+    }
     if (cube.config.bitmapShardBits == 0) {
       val perPeriod = cube.live
         .groupBy((segmentBy.map(col) :+ periodKey): _*)
@@ -1005,7 +1064,7 @@ final class CubeService(spark: SparkSession, storageDir: String,
       // as retention against some older period
       val contiguous = lag(col("period"), 1).over(w) === col("period") - 1
       val prevBm = when(contiguous, lag(col("bm"), 1).over(w))
-      perPeriod
+      withPeriodStart(perPeriod
         .withColumn("prev_bm", prevBm)
         .select((segmentBy.map(col) ++ Seq(
           col("period"),
@@ -1014,7 +1073,7 @@ final class CubeService(spark: SparkSession, storageDir: String,
           B.andCardinality(col("bm"), col("prev_bm")).as("retained"),
           B.andNotCardinality(col("prev_bm"), col("bm")).as("churned"),
           B.andNotCardinality(col("bm"), col("prev_bm")).as("new_ids"))): _*)
-        .orderBy((segmentBy.map(col) :+ col("period")): _*)
+        .orderBy((segmentBy.map(col) :+ col("period")): _*))
     } else {
       // SHARDED matrix (CubeConfig.bitmapShardBits): one bitmap per
       // (period, shard) — blobs bounded by the shard width — paired
@@ -1060,7 +1119,7 @@ final class CubeService(spark: SparkSession, storageDir: String,
       val prevObs = obs.select((segmentBy.map(col) :+
         (col("period") + 1).as("period")): _*)
         .withColumn("__prev_obs", lit(true))
-      summed
+      withPeriodStart(summed
         .join(prevObs, segmentBy :+ "period", "left")
         .select((segmentBy.map(col) ++ Seq(
           col("period"),
@@ -1069,7 +1128,7 @@ final class CubeService(spark: SparkSession, storageDir: String,
           when(col("__prev_obs"), col("__r")).as("retained"),
           when(col("__prev_obs"), col("__c")).as("churned"),
           when(col("__prev_obs"), col("__n")).as("new_ids"))): _*)
-        .orderBy((segmentBy.map(col) :+ col("period")): _*)
+        .orderBy((segmentBy.map(col) :+ col("period")): _*))
     }
   }
 

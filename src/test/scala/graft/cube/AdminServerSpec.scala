@@ -490,6 +490,19 @@ class AdminServerSpec extends AnyFunSuite {
         .orderBy(col("day")).toJSON.collect().mkString("[", ",", "]")
       assert(stickWire == s"""{"ok":true,"result":$stickDirect}""",
         s"wire intersectOf diverges: $stickWire vs $stickDirect")
+      // calendar-period matrix over the wire == in-process; mixing
+      // calendar with periodDays is a structured refusal
+      val calWire = cli.rpc(
+        """{"verb":"getRetention","name":"bret","dayDim":"d","bitmapId":"u","calendar":"month"}""")
+      val calDirect = svc.getRetentionCalendar("bret", "d", "u", "month")
+        .orderBy(col("period")).toJSON.collect().mkString("[", ",", "]")
+      assert(calWire == s"""{"ok":true,"result":$calDirect}""",
+        s"wire calendar retention diverges: $calWire vs $calDirect")
+      assert(calWire.contains(""""period_start":"2024-01-01""""), calWire)
+      val calBad = cli.rpc(
+        """{"verb":"getRetention","name":"bret","dayDim":"d","bitmapId":"u","calendar":"month","periodDays":7}""")
+      assert(calBad.startsWith("""{"ok":false""") &&
+        calBad.contains("mutually exclusive"), calBad)
       svc.deleteCube("bret")
       svc.deleteCube("aroll")
       annSvc.deleteIndex("wt")

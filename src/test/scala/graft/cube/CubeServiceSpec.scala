@@ -310,6 +310,81 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteCube("ret")
   }
 
+  test("getRetentionCalendar: year-wrap adjacency, gap gating, sharded twin") {
+    import spark.implicits._
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_calret").toString)
+    val rnd = new scala.util.Random(71)
+    // months 2023-11, 2023-12, 2024-01, (2024-02 MISSING), 2024-03 —
+    // Dec → Jan must pair (year wrap IS integer adjacency), Mar must
+    // gate to nulls (Feb unobserved)
+    val monthStarts =
+      Seq("2023-11-03", "2023-12-05", "2024-01-02", "2024-03-07")
+    val rows = (0 until 800).map { _ =>
+      val base = monthStarts(rnd.nextInt(monthStarts.length))
+      val d = java.time.LocalDate.parse(base).plusDays(rnd.nextInt(20))
+      (java.sql.Timestamp.from(
+        d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant),
+        rnd.nextInt(50).toLong)
+    }
+    val df = rows.toDF("ts", "user_id")
+    val cfg = CubeConfig("calret", "events",
+      Seq(TimeDim("day", "ts", "day")), Nil,
+      bitmaps = Seq(Measure("users", "user_id")))
+    svc.createCube(cfg, df)
+    def mIdx(t: java.sql.Timestamp): Long = {
+      val ld = t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+      ld.getYear.toLong * 12 + ld.getMonthValue - 1
+    }
+    val byMonth: Map[Long, Set[Long]] =
+      rows.groupBy(r => mIdx(r._1)).map { case (m, rs) =>
+        m -> rs.map(_._2).toSet }
+    val got = svc.getRetentionCalendar("calret", "day", "users").collect()
+    assert(got.length == byMonth.size, "one row per observed month")
+    got.foreach { r =>
+      val p = r.getAs[Long]("period")
+      val cur = byMonth(p)
+      assert(r.getAs[Long]("active") == cur.size)
+      assert(r.getAs[String]("period_start") ==
+        f"${p / 12}%04d-${p % 12 + 1}%02d-01")
+      byMonth.get(p - 1) match {
+        case Some(prev) =>
+          assert(r.getAs[Long]("retained") == (cur intersect prev).size,
+            s"month $p retained (Dec->Jan wrap must pair)")
+          assert(r.getAs[Long]("churned") == (prev diff cur).size)
+          assert(r.getAs[Long]("new_ids") == (cur diff prev).size)
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("retained")) &&
+            r.isNullAt(r.fieldIndex("prev_active")),
+            s"month $p must gate to nulls (previous unobserved)")
+      }
+    }
+    // YEAR granularity rolls the same sets one level coarser
+    val byYear: Map[Long, Set[Long]] = rows.groupBy { r =>
+      r._1.toInstant.atZone(java.time.ZoneOffset.UTC)
+        .toLocalDate.getYear.toLong
+    }.map { case (y, rs) => y -> rs.map(_._2).toSet }
+    val gy = svc.getRetentionCalendar("calret", "day", "users", "year")
+      .collect()
+    assert(gy.length == 2)
+    val y24 = gy.find(_.getAs[Long]("period") == 2024L).get
+    assert(y24.getAs[Long]("retained") ==
+      (byYear(2024L) intersect byYear(2023L)).size)
+    assert(y24.getAs[String]("period_start") == "2024-01-01")
+    // SHARDED twin: bit-identical matrix
+    svc.createCube(cfg.copy(name = "calret_sh", bitmapShardBits = 3), df)
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    assert(rowsOf(svc.getRetentionCalendar("calret_sh", "day", "users")) ==
+      rowsOf(svc.getRetentionCalendar("calret", "day", "users")),
+      "sharded calendar matrix must equal the unsharded walk")
+    // refusal: unknown granularity
+    val e = intercept[IllegalArgumentException] {
+      svc.getRetentionCalendar("calret", "day", "users", "week") }
+    assert(e.getMessage.contains("month/quarter/year"))
+    svc.deleteCube("calret"); svc.deleteCube("calret_sh")
+  }
+
   test("auto-updated cube serves getRolling: N streamed batches == batch == exact") {
     import spark.implicits._
     val svc = new CubeService(spark,
