@@ -249,6 +249,31 @@ final class AdminServer(service: CubeService, spark: SparkSession,
             strArray(req, "segmentBy"),
             strArray(req, "intersectOf"))
           serveRows(df, strArray(req, "segmentBy") :+ "day", req)
+        case Some("getCumulative") | Some("getJoinCumulative") =>
+          val name = need(strField(req, "name"), "name")
+          val isJoin = strField(req, "verb").contains("getJoinCumulative")
+          val fn =
+            if (isJoin) service.getJoinCumulative _
+            else service.getCumulative _
+          val df = fn(name,
+            need(strField(req, "dayDim"), "dayDim"),
+            strArray(req, "sumOf"),
+            strArray(req, "exactDistinctOf"),
+            strField(req, "resetBy"),
+            strArray(req, "segmentBy"))
+          serveRows(df, strArray(req, "segmentBy") :+ "day", req)
+        case Some("getFunnel") | Some("getJoinFunnel") =>
+          val name = need(strField(req, "name"), "name")
+          val isJoin = strField(req, "verb").contains("getJoinFunnel")
+          val fn =
+            if (isJoin) service.getJoinFunnel _ else service.getFunnel _
+          val df = fn(name,
+            need(strField(req, "dayDim"), "dayDim"),
+            need(strField(req, "bitmapId"), "bitmapId"),
+            need(strField(req, "stepDim"), "stepDim"),
+            strArray(req, "steps"),
+            numField(req, "periodDays").map(_.toInt).getOrElse(1))
+          serveRows(df, Seq("period", "step_ord"), req)
         case Some("getRetention") | Some("getJoinRetention") =>
           val name = need(strField(req, "name"), "name")
           val isJoin = strField(req, "verb").contains("getJoinRetention")

@@ -576,9 +576,15 @@ object CubeAdvisor {
                 // not reproduce
                 val (rb, renv, rpreds) = peel(r)
                 val rOk = rb match {
+                  // gs may be WIDER than outs (the SQL-text IN-subquery
+                  // form groups its distinct on (key, day) then projects
+                  // the day): extra grouping columns only duplicate
+                  // days, and duplicates are inert under LeftSemi — the
+                  // endpoint SET stays "observed days of the same
+                  // filtered source"
                   case Aggregate(gs, outs, c2, _)
                       if outs.size == segAttrs.size + 1 &&
-                        gs.size == outs.size &&
+                        gs.size >= outs.size &&
                         outs.forall(_.isInstanceOf[Attribute]) =>
                     val (b2, env2, p2) = peel(c2)
                     val envR = renv ++ env2

@@ -1995,6 +1995,42 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q242
+  /** Graded: SQL-TEXT rolling routing — the q228 trailing-window shape
+    * written as a SQL STRING over a temp view of the registered
+    * source. The text parses to the same logical plan the DataFrame
+    * form builds (the IN-subquery becomes the semi-join via Spark's
+    * own RewritePredicateSubquery), so [[CubeRewriteRule]]'s matcher
+    * fires on it unchanged — proving the dashboard's actual interface
+    * (SQL strings, not DataFrame code) reaches the maintained cube.
+    * Plan hard-asserted cube-only; the oracle recomputes the curve
+    * from raw events. */
+  def q242SqlRollingRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = rollingRouteSource(spark, sfDir)
+    spark.read.parquet(srcDir)
+      .createOrReplaceTempView("rolling_route_events")
+    val q = spark.sql("""
+      WITH du AS (
+        SELECT DISTINCT user_id,
+          CAST(CAST(unix_timestamp(ts) AS DOUBLE) / 86400 AS BIGINT) AS d
+        FROM rolling_route_events),
+      exp AS (SELECT user_id, explode(sequence(d, d + 6)) AS day FROM du)
+      SELECT day, COUNT(DISTINCT user_id) AS n_users_7d
+      FROM exp
+      WHERE day IN (SELECT d FROM du)
+      GROUP BY day
+      ORDER BY day""")
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/rolling_route_demo")),
+      s"SQL-text rolling routing did not fire (or still reads the " +
+        s"source); scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q236
   /** Graded: DIM-FILTERED rolling routing — the q228 raw trailing-
     * window plan with a `WHERE event_type = 'click'` restriction ("WAU
@@ -2120,7 +2156,9 @@ object CubeQueries {
       svc.createCube(
         CubeConfig("cal_ret", "orders",
           dims = Seq(TimeDim("day", "o_orderdate", "day")),
-          measures = Nil,
+          // revenue rides the same cube for q240's YTD curves — the
+          // retention serve never reads it
+          measures = Seq(Measure("rev", "o_totalprice")),
           bitmaps = Seq(Measure("c", "o_custkey"))),
         Tables.orders(spark, sfDir))
       svc
@@ -2142,6 +2180,71 @@ object CubeQueries {
       sfDir: String): DataFrame = {
     val svc = calRetService(spark, sfDir)
     svc.getRetentionCalendar("cal_ret", "day", "c", "month")
+  }
+
+  // --------------------------------------------------------------- q239
+  /** Graded: CUMULATIVE lifetime curves served from maintained daily
+    * partials ([[CubeService.getCumulative]]) — for every observed
+    * day, the EXACT all-time unique-user count (prefix-OR of the
+    * per-day bitmap partials — bitmap union is lossless, so the curve
+    * hash-matches a from-scratch min-first-seen recompute), the
+    * first-seen-today increment (the curve's discrete derivative — a
+    * metric that needs a min-date-per-id pass from raw data but falls
+    * out of the prefix union for free), and the running revenue total
+    * (decimal-exact window sum of the daily sum partials). 100 TB
+    * split: one pass over cube-sized partials to |days| one-row
+    * partials, then an INCREMENTAL unbounded-preceding window over
+    * that tiny frame — O(|days|) bitmap merges, never O(|days|²), and
+    * never the source; the sharded twin
+    * ([[CubeConfig.bitmapShardBits]]) windows per shard and sums
+    * cardinalities back (pinned bit-identical in CubeServiceSpec). */
+  def q239CumulativeUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = rollingMmService(spark, sfDir)
+    svc.getCumulative("rolling_mm", "day",
+      sumOf = Seq("v"), exactDistinctOf = Seq("u"))
+  }
+
+  // --------------------------------------------------------------- q240
+  /** Graded: YTD (calendar-reset) cumulative curves — q239's verb with
+    * `resetBy = "year"` over seven years of orders: every curve
+    * restarts at Jan 1, so `cum_exact_c` is "distinct customers so far
+    * THIS YEAR", `new_exact_c` "customers first seen this year today",
+    * `cum_sum_rev` the running YTD revenue. The reset partitions the
+    * prefix windows by the calendar-year ordinal (the
+    * getRetentionCalendar bucket discipline), so year boundaries are
+    * exact and a year's first observed day restarts at its own count —
+    * semantics a fixed-width window cannot express. The DuckDB oracle
+    * recomputes per-(year, customer) first-seen days and per-year
+    * running sums from raw orders. */
+  def q240YtdCumulative(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = calRetService(spark, sfDir)
+    svc.getCumulative("cal_ret", "day",
+      sumOf = Seq("rev"), exactDistinctOf = Seq("c"),
+      resetBy = Some("year"))
+  }
+
+  // --------------------------------------------------------------- q241
+  /** Graded: the ORDERED FUNNEL (view → click → purchase) served from
+    * maintained daily bitmap partials ([[CubeService.getFunnel]]): for
+    * every observed period and step k, the EXACT count of users who
+    * completed steps 1..k in order by that period. The serve is a
+    * cascade of prefix-unions — C_1 = prefixOR(B_view), C_k =
+    * prefixOR(B_k ∩ C_{k−1}) — which by induction equals the
+    * min-conversion-time recursion (t_k = min period ≥ t_{k−1} with
+    * step-k activity) the DuckDB oracle computes from raw events with
+    * chained min-joins; bitmap intersection is lossless, so every cell
+    * hash-matches. Same-period completion counts (period granularity
+    * cannot order within a period — the documented semantics of every
+    * period-bucketed funnel; CubeServiceSpec pins the edge cases,
+    * including out-of-order activity NOT counting). 100 TB split: the
+    * raw recursion re-joins the source per step per refresh; the serve
+    * is |steps| incremental window passes over a |periods| frame of
+    * cube-derived bitmaps — and the sharded twin runs the cascade per
+    * shard (pinned bit-identical). */
+  def q241FunnelBitmap(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = rollingMmService(spark, sfDir)
+    svc.getFunnel("rolling_seg", "day", "u", "etype",
+      Seq("view", "click", "purchase"))
   }
 
   // --------------------------------------------------------------- q235
@@ -3018,6 +3121,10 @@ object CubeQueries {
     "q236_filtered_rolling_routing" -> q236FilteredRollingRouting,
     "q237_filtered_retention_routing" -> q237FilteredRetentionRouting,
     "q238_calendar_retention" -> q238CalendarRetention,
+    "q239_cumulative_users" -> q239CumulativeUsers,
+    "q240_ytd_cumulative" -> q240YtdCumulative,
+    "q241_funnel_bitmap" -> q241FunnelBitmap,
+    "q242_sql_rolling_routing" -> q242SqlRollingRouting,
     "q212_advised_bitmap_rolling" -> q212AdvisedBitmapRolling,
     "q219_rolling_segmented" -> q219RollingSegmented,
     "q222_advised_segmented_rolling" -> q222AdvisedSegmentedRolling,
@@ -3674,6 +3781,89 @@ object CubeQueries {
       LEFT JOIN act pa ON pa.p = act.p - 1
       LEFT JOIN ret ON ret.p = act.p
       ORDER BY period""",
+    // lifetime curves recomputed raw: first-seen day per user gives
+    // both the cumulative distinct (running sum of first-seen counts)
+    // and the increment; revenue is the decimal window sum
+    "q239_cumulative_users" -> """
+      WITH e AS (
+        SELECT CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+            AS BIGINT) AS day,
+          user_id, value
+        FROM events),
+      f AS (SELECT user_id, min(day) AS fd FROM e GROUP BY 1),
+      nd AS (SELECT fd AS day, count(*) AS n FROM f GROUP BY 1),
+      ds AS (SELECT day, sum(CAST(value AS DECIMAL(18,2))) AS sv
+             FROM e GROUP BY 1)
+      SELECT ds.day,
+        CAST(sum(COALESCE(nd.n, 0)) OVER (ORDER BY ds.day) AS BIGINT)
+          AS cum_exact_u,
+        CAST(COALESCE(nd.n, 0) AS BIGINT) AS new_exact_u,
+        CAST(sum(ds.sv) OVER (ORDER BY ds.day) AS DOUBLE) AS cum_sum_v
+      FROM ds LEFT JOIN nd ON nd.day = ds.day
+      ORDER BY ds.day""",
+    // the YTD twin: first-seen and running sums partition per calendar
+    // year — every curve restarts at Jan 1
+    "q240_ytd_cumulative" -> """
+      WITH e AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) AS day,
+          year(CAST(o_orderdate AS DATE)) AS y, o_custkey, o_totalprice
+        FROM orders),
+      f AS (SELECT y, o_custkey, min(day) AS fd FROM e GROUP BY 1, 2),
+      nd AS (SELECT y, fd AS day, count(*) AS n FROM f GROUP BY 1, 2),
+      ds AS (SELECT y, day,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sv
+             FROM e GROUP BY 1, 2)
+      SELECT ds.day,
+        CAST(sum(COALESCE(nd.n, 0))
+          OVER (PARTITION BY ds.y ORDER BY ds.day) AS BIGINT)
+          AS cum_exact_c,
+        CAST(COALESCE(nd.n, 0) AS BIGINT) AS new_exact_c,
+        CAST(sum(ds.sv) OVER (PARTITION BY ds.y ORDER BY ds.day)
+          AS DOUBLE) AS cum_sum_rev
+      FROM ds LEFT JOIN nd ON nd.y = ds.y AND nd.day = ds.day
+      ORDER BY ds.day""",
+    // the funnel recomputed raw with the min-conversion-time
+    // recursion: t_k(user) = min period >= t_{k-1} with step-k
+    // activity; converted_k at P = #users with t_k <= P
+    "q241_funnel_bitmap" -> """
+      WITH ev AS (
+        SELECT user_id, event_type AS s,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+            AS BIGINT) AS p
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')),
+      ps AS (SELECT DISTINCT p FROM ev),
+      t1 AS (SELECT user_id, min(p) AS t FROM ev WHERE s = 'view'
+             GROUP BY 1),
+      t2 AS (SELECT e.user_id, min(e.p) AS t FROM ev e
+             JOIN t1 ON t1.user_id = e.user_id AND e.p >= t1.t
+             WHERE e.s = 'click' GROUP BY 1),
+      t3 AS (SELECT e.user_id, min(e.p) AS t FROM ev e
+             JOIN t2 ON t2.user_id = e.user_id AND e.p >= t2.t
+             WHERE e.s = 'purchase' GROUP BY 1)
+      SELECT ps.p AS period, 1 AS step_ord, 'view' AS step,
+        (SELECT count(*) FROM t1 WHERE t1.t <= ps.p) AS converted
+      FROM ps
+      UNION ALL
+      SELECT ps.p, 2, 'click',
+        (SELECT count(*) FROM t2 WHERE t2.t <= ps.p) FROM ps
+      UNION ALL
+      SELECT ps.p, 3, 'purchase',
+        (SELECT count(*) FROM t3 WHERE t3.t <= ps.p) FROM ps
+      ORDER BY period, step_ord""",
+    // same curve as q228 — the SQL text and the DataFrame form must
+    // serve the identical routed answer
+    "q242_sql_rolling_routing" -> """
+      WITH du AS (
+        SELECT DISTINCT user_id,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS d
+        FROM events),
+      days AS (SELECT DISTINCT d AS day FROM du)
+      SELECT days.day, count(DISTINCT du.user_id) AS n_users_7d
+      FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day
+      GROUP BY 1
+      ORDER BY 1""",
     // The advised cube's source is a projected copy of events, so the
     // oracle is q138's own SQL again: advise → materialize verbatim →
     // exact bitmap serve must equal the raw recompute.

@@ -1132,6 +1132,334 @@ final class CubeService(spark: SparkSession, storageDir: String,
     }
   }
 
+  /** CUMULATIVE ("to-date") curves served from maintained daily
+    * partials — the growth-dashboard verb the trailing-window family
+    * can't express: for every observed day, emit
+    *
+    *  - `cum_exact_<id>` = exact distinct ids seen on ANY day ≤ d
+    *    (lifetime uniques) — the PREFIX-OR of the per-day bitmap
+    *    partials, lossless like every bitmap re-aggregation, so the
+    *    whole curve sits on the full oracle gate;
+    *  - `new_exact_<id>` = ids FIRST seen on day d — the discrete
+    *    derivative `cum[d] − cum[prev observed d]`, which from raw
+    *    data needs a min-date-per-id pass but falls out of the prefix
+    *    union for free;
+    *  - `cum_sum_<id>`   = running total of a summed measure,
+    *    decimal-exact and (uniquely) delete-proof — the signed fold
+    *    keeps net sums exact, so cumulative revenue survives any
+    *    delete history where the bitmap families latch.
+    *
+    * `resetBy` (month/quarter/year) restarts every curve at each
+    * calendar-bucket boundary — the MTD/YTD form; `new_exact` then
+    * means "first seen within the bucket". Cost shape: one pass over
+    * cube-sized partials to |days| one-row partials, then a window
+    * over that TINY frame; the growing prefix frame is evaluated
+    * INCREMENTALLY (Spark's unbounded-preceding frame adds one row at
+    * a time — O(|days|) bitmap merges total, never O(|days|²)). The
+    * sharded twin ([[CubeConfig.bitmapShardBits]]) windows per shard
+    * over a day×shard grid — blobs stay bounded through every step,
+    * per-day cardinalities ADD across shards (they partition the id
+    * space), and parallelism is ∝ |shards|. */
+  def getCumulative(
+      name: String,
+      dayDim: String,
+      sumOf: Seq[String] = Nil,
+      exactDistinctOf: Seq[String] = Nil,
+      resetBy: Option[String] = None,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    cumulativeFrom(loadCube(name), name, dayDim, sumOf, exactDistinctOf,
+      resetBy, segmentBy)
+
+  /** [[getCumulative]] for join MVs. */
+  def getJoinCumulative(
+      name: String,
+      dayDim: String,
+      sumOf: Seq[String] = Nil,
+      exactDistinctOf: Seq[String] = Nil,
+      resetBy: Option[String] = None,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    cumulativeFrom(loadJoinCube(name).cube, name, dayDim, sumOf,
+      exactDistinctOf, resetBy, segmentBy)
+
+  private def cumulativeFrom(
+      cube: Cube,
+      name: String,
+      dayDim: String,
+      sumOf: Seq[String],
+      exactDistinctOf: Seq[String],
+      resetBy: Option[String],
+      segmentBy: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(cube.config.dims.exists {
+        case TimeDim(id, _, g) => id == dayDim && g == "day"
+        case _ => false
+      }, s"$dayDim must be a day-granularity time dimension of cube $name")
+    require(sumOf.nonEmpty || exactDistinctOf.nonEmpty,
+      "request at least one cumulative measure (sumOf / exactDistinctOf)")
+    // bitmaps latch under deletes (same contract as rolling/retention);
+    // cumulative SUMS are exempt — net sums re-aggregate exactly
+    require(!cube.hasDeletes || exactDistinctOf.isEmpty,
+      s"cube $name has folded deletes; its bitmap partials are " +
+        "insert-only and cannot serve cumulative distinct curves " +
+        "(cumulative sums can)")
+    exactDistinctOf.foreach(id =>
+      require(cube.config.allBitmaps.exists(_.id == id),
+        s"$id is not a bitmap measure of cube $name"))
+    sumOf.foreach(id => require(cube.config.measures.exists(_.id == id),
+      s"$id is not a summed measure of cube $name"))
+    resetBy.foreach(g => require(Seq("month", "quarter", "year").contains(g),
+      s"resetBy must be month/quarter/year, got $g"))
+    segmentBy.foreach { sd =>
+      require(sd != "day" && sd != "d",
+        s"segment id $sd collides with the cumulative day column " +
+          "(reserved names: day, d) — rename the dimension in the cube")
+      require(
+        cube.config.dims.exists(d => d.id == sd && !d.isInstanceOf[TimeDim]),
+        s"$sd is not a (non-time) dimension of cube $name")
+    }
+    val xd = exactDistinctOf.distinct
+    val sm = sumOf.distinct
+    val dayKey = datediff(col(dayDim).cast("date"), lit("1970-01-01"))
+      .cast("long").as("d")
+    // reset-bucket ordinal of an epoch-day column (integer bucket
+    // index, the getRetentionCalendar discipline — Dec→Jan is exact
+    // adjacency); no reset ⇒ one global bucket
+    def bucketOf(day: Column): Column = {
+      val dt = date_add(lit("1970-01-01").cast("date"), day.cast("int"))
+      resetBy match {
+        case None => lit(0L)
+        case Some("month") => (year(dt) * 12 + month(dt) - 1).cast("long")
+        case Some("quarter") => (year(dt) * 4 + quarter(dt) - 1).cast("long")
+        case _ => year(dt).cast("long")
+      }
+    }
+    val segCols = segmentBy.map(col)
+    // running SUMS: daily decimal partials, then an incremental
+    // unbounded-preceding window per (segment, reset bucket)
+    val sumFrame: Option[DataFrame] = if (sm.isEmpty) None else Some {
+      val aggs = sm.map(id =>
+        sum(col(id)).cast(DecimalType(18, 2)).as(id))
+      val daily = cube.live
+        .groupBy((segCols :+ dayKey): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumnRenamed("d", "day")
+        .withColumn("__bucket", bucketOf(col("day")))
+      val w = Window
+        .partitionBy((segCols :+ col("__bucket")): _*)
+        .orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select((segCols ++ Seq(col("day")) ++ sm.map(id =>
+        sum(col(id)).over(w).cast(DecimalType(18, 2)).cast("double")
+          .as(s"cum_sum_$id"))): _*)
+    }
+    val B = graft.functions.Bitmap
+    // exact lifetime distinct: prefix-OR of the daily bitmaps, then
+    // cardinality per day; `new` = the per-day increment of that curve
+    val bmFrame: Option[DataFrame] = if (xd.isEmpty) None else Some {
+      val cumCards: DataFrame = if (cube.config.bitmapShardBits == 0) {
+        val aggs = xd.map(id => B.unionAgg(col(id)).as(id))
+        val daily = cube.live
+          .groupBy((segCols :+ dayKey): _*)
+          .agg(aggs.head, aggs.tail: _*)
+          .withColumnRenamed("d", "day")
+          .withColumn("__bucket", bucketOf(col("day")))
+        val w = Window
+          .partitionBy((segCols :+ col("__bucket")): _*)
+          .orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.select((segCols ++ Seq(col("day")) ++ xd.map(id =>
+          B.cardinality(B.unionAgg(col(id)).over(w))
+            .as(s"cum_exact_$id"))): _*)
+      } else {
+        // SHARDED prefix: a shard silent on day d still carries its
+        // prefix forward, so the per-shard windows run over the full
+        // day×shard grid (absent partials coalesce to the empty
+        // bitmap); per-day cardinalities then ADD back across shards
+        val aggs = xd.map(id => B.unionAgg(col(id)).as(id))
+        val dailySh = cube.live
+          .groupBy((segCols :+ dayKey :+ col(CubeManager.ShardCol)): _*)
+          .agg(aggs.head, aggs.tail: _*)
+        val days = dailySh.select((segCols :+ col("d")): _*).distinct()
+        val shards = dailySh
+          .select((segCols :+ col(CubeManager.ShardCol)): _*).distinct()
+        val grid =
+          if (segmentBy.isEmpty) days.crossJoin(shards)
+          else days.join(shards, segmentBy)
+        val emptyBm = lit(Array[Byte](0, 0, 0, 0)) // codec: zero blocks
+        val filled = grid
+          .join(dailySh, segmentBy ++ Seq("d", CubeManager.ShardCol),
+            "left")
+          .select((segCols ++ Seq(col("d").as("day"),
+            col(CubeManager.ShardCol)) ++
+            xd.map(id => coalesce(col(id), emptyBm).as(id))): _*)
+          .withColumn("__bucket", bucketOf(col("day")))
+        val w = Window
+          .partitionBy((segCols ++
+            Seq(col(CubeManager.ShardCol), col("__bucket"))): _*)
+          .orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val perShard = filled.select((segCols ++ Seq(col("day")) ++
+          xd.map(id => B.cardinality(B.unionAgg(col(id)).over(w))
+            .as(s"__x_$id"))): _*)
+        val sums = xd.map(id => sum(col(s"__x_$id")).as(s"cum_exact_$id"))
+        perShard.groupBy((segCols :+ col("day")): _*)
+          .agg(sums.head, sums.tail: _*)
+      }
+      // the increment runs AFTER the shard sum — the grid aligns every
+      // shard on every observed day, so the summed curve's discrete
+      // derivative equals the union's
+      val w2 = Window
+        .partitionBy((segCols :+ col("__bucket")): _*)
+        .orderBy(col("day"))
+      cumCards
+        .withColumn("__bucket", bucketOf(col("day")))
+        .select((segCols ++ Seq(col("day")) ++
+          xd.map(id => col(s"cum_exact_$id")) ++
+          xd.map(id => (col(s"cum_exact_$id") -
+            coalesce(lag(col(s"cum_exact_$id"), 1).over(w2), lit(0L)))
+            .as(s"new_exact_$id"))): _*)
+    }
+    val joined = (bmFrame, sumFrame) match {
+      case (Some(b), Some(s)) => b.join(s, segmentBy :+ "day")
+      case (Some(b), None) => b
+      case (None, Some(s)) => s
+      case _ => throw new IllegalStateException("unreachable")
+    }
+    val ordered: Seq[Column] = segCols ++ Seq(col("day")) ++
+      xd.map(id => col(s"cum_exact_$id")) ++
+      xd.map(id => col(s"new_exact_$id")) ++
+      sm.map(id => col(s"cum_sum_$id"))
+    joined.select(ordered: _*)
+      .orderBy((segCols :+ col("day")): _*)
+  }
+
+  /** ORDERED FUNNEL served from maintained daily bitmap partials — the
+    * conversion dashboard ("view → click → purchase") as exact set
+    * algebra over the cube: for every observed period p and step k,
+    * `converted` = ids that completed steps 1..k IN ORDER by p (step
+    * k's activity at some period q ≤ p with steps 1..k−1 already
+    * complete by q; same-period completion counts — period granularity
+    * cannot order within a period, which is the documented semantics
+    * of every period-bucketed funnel).
+    *
+    * Mechanics: a CASCADE of prefix-unions. With B_k[q] the step-k
+    * bitmap at period q (the OR of the step's cells — `stepDim` is a
+    * dimension, so cells partition by step), the converted-by-k set is
+    *
+    *   C_1 = prefixOR(B_1);   C_k = prefixOR(B_k ∩ C_{k−1})
+    *
+    * — an induction that makes C_k[p] EXACTLY {id : t_k(id) ≤ p} for
+    * the usual min-conversion-time recursion t_k = min q ≥ t_{k−1}
+    * with step-k activity, so the whole matrix is oracle-gradable
+    * against a raw recompute. Each step is ONE incremental window pass
+    * over the |periods| frame (never the source); the sharded twin
+    * runs the cascade per shard over the period×shard grid and sums
+    * cardinalities back. Deletes latch bitmaps — refused, the
+    * rolling/retention contract. */
+  def getFunnel(
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      stepDim: String,
+      steps: Seq[String],
+      periodDays: Int = 1): DataFrame =
+    funnelFrom(loadCube(name), name, dayDim, bitmapId, stepDim, steps,
+      periodDays)
+
+  /** [[getFunnel]] for join MVs. */
+  def getJoinFunnel(
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      stepDim: String,
+      steps: Seq[String],
+      periodDays: Int = 1): DataFrame =
+    funnelFrom(loadJoinCube(name).cube, name, dayDim, bitmapId, stepDim,
+      steps, periodDays)
+
+  private def funnelFrom(
+      cube: Cube,
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      stepDim: String,
+      steps: Seq[String],
+      periodDays: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(cube.config.dims.exists {
+        case TimeDim(id, _, g) => id == dayDim && g == "day"
+        case _ => false
+      }, s"$dayDim must be a day-granularity time dimension of cube $name")
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    require(steps.size >= 2 && steps.size <= 8,
+      s"a funnel needs 2..8 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    require(cube.config.allBitmaps.exists(_.id == bitmapId),
+      s"$bitmapId is not a bitmap measure of cube $name")
+    require(
+      cube.config.dims.exists(d =>
+        d.id == stepDim && !d.isInstanceOf[TimeDim]),
+      s"$stepDim is not a (non-time) dimension of cube $name")
+    require(!cube.hasDeletes,
+      s"cube $name has folded deletes; its bitmap partials are " +
+        "insert-only and cannot serve funnel curves")
+    val B = graft.functions.Bitmap
+    val dayKey = datediff(col(dayDim).cast("date"), lit("1970-01-01"))
+      .cast("long")
+    val periodKey = floor(dayKey.cast("double") / periodDays)
+      .cast("long").as("period")
+    val sharded = cube.config.bitmapShardBits > 0
+    val shardCols = if (sharded) Seq(col(CubeManager.ShardCol)) else Nil
+    // one bitmap per (period [, shard], step) — cells of other
+    // dimensions collapse here; non-step cells are excluded up front
+    val base = cube.live
+      .filter(col(stepDim).isin(steps: _*))
+      .groupBy((Seq(periodKey) ++ shardCols :+
+        col(stepDim).as("__step")): _*)
+      .agg(B.unionAgg(col(bitmapId)).as("__bm"))
+    // the period domain: every period where ANY step was active — a
+    // step silent at p still carries its prefix forward there
+    val periods = base.select("period").distinct()
+    val grid =
+      if (!sharded) periods
+      else periods.crossJoin(
+        base.select(CubeManager.ShardCol).distinct())
+    val keyCols = "period" +: (if (sharded) Seq(CubeManager.ShardCol)
+                               else Nil)
+    val emptyBm = lit(Array[Byte](0, 0, 0, 0)) // codec: zero blocks
+    val w = Window
+      .partitionBy(shardCols: _*)
+      .orderBy(col("period"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the cascade: each step joins its per-period bitmaps onto the
+    // grid, intersects with the previous step's converted set, and
+    // prefix-unions — one incremental window pass per step
+    var frame = grid
+    steps.zipWithIndex.foreach { case (s, i) =>
+      val bmk = base.filter(col("__step") === s)
+        .select((keyCols.map(col) :+ col("__bm").as(s"__b$i")): _*)
+      frame = frame.join(bmk, keyCols, "left")
+      val qual =
+        if (i == 0) coalesce(col(s"__b$i"), emptyBm)
+        else B.and(coalesce(col(s"__b$i"), emptyBm), col(s"__c${i - 1}"))
+      frame = frame.withColumn(s"__c$i", B.unionAgg(qual).over(w))
+    }
+    val rows = steps.zipWithIndex.map { case (s, i) =>
+      frame.select(col("period"), lit(i + 1).as("step_ord"),
+        lit(s).as("step"), B.cardinality(col(s"__c$i")).as("__n"))
+    }.reduce(_ union _)
+    val out =
+      if (!sharded) rows.withColumnRenamed("__n", "converted")
+      else rows.groupBy(col("period"), col("step_ord"), col("step"))
+        .agg(sum(col("__n")).as("converted"))
+    out.select(col("period"), col("step_ord"), col("step"),
+        col("converted"))
+      .orderBy(col("period"), col("step_ord"))
+  }
+
   // ----------------------------------------------------------- join MVs
   /** Durable incrementally maintained JOIN MVs ([[JoinCubeManager]]).
     * A join MV persists THREE coupled pieces — the cube aggregates and

@@ -332,6 +332,45 @@ case class BitmapAndCardinality(left: Expression, right: Expression)
     copy(left = newChildren(0), right = newChildren(1))
 }
 
+/** A ∩ B as SERIALIZED BYTES (not a cardinality) — the funnel-cascade
+  * cell: step k's qualified-at-period-p set is B_k[p] ∩ C_{k−1}[p],
+  * and that set must survive as a bitmap because the NEXT window pass
+  * prefix-unions it into C_k. One merge-walk over the two sorted byte
+  * forms, keeping only blocks live on BOTH sides with a nonzero AND —
+  * the output is the same canonical sorted form, so downstream
+  * union/cardinality/equality all hold. Eval-only like its cardinality
+  * siblings: runs over cube-derived period frames, never a source. */
+case class BitmapAndBytes(left: Expression, right: Expression)
+    extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bitmap_and"
+  override def children: Seq[Expression] = Seq(left, right)
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else {
+      val ma = BitmapCodec.read(a.asInstanceOf[Array[Byte]])
+      val mb = BitmapCodec.read(b.asInstanceOf[Array[Byte]])
+      val out = mutable.LongMap.empty[Long]
+      ma.foreach { case (block, wa) =>
+        mb.get(block).foreach { wb =>
+          val w = wa & wb
+          if (w != 0L) out.update(block, w)
+        }
+      }
+      BitmapCodec.write(out)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BitmapAndBytes =
+    copy(left = newChildren(0), right = newChildren(1))
+}
+
 /** |A \ B| — the churn cell (active in p−1 but gone in p) and the
   * new-users cell (active in p, unseen in p−1), same merge-walk. */
 case class BitmapAndNotCardinality(left: Expression, right: Expression)
@@ -377,6 +416,11 @@ object Bitmap {
   /** Exact distinct count of a serialized bitmap column. */
   def cardinality(c: Column): Column =
     Bridge.toColumn(BitmapCardinality(Bridge.toExpression(c)))
+
+  /** A ∩ B of two serialized bitmap columns, as serialized bytes. */
+  def and(a: Column, b: Column): Column =
+    Bridge.toColumn(BitmapAndBytes(
+      Bridge.toExpression(a), Bridge.toExpression(b)))
 
   /** Exact |A ∩ B| of two serialized bitmap columns. */
   def andCardinality(a: Column, b: Column): Column =

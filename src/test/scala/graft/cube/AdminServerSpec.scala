@@ -612,4 +612,61 @@ class AdminServerSpec extends AnyFunSuite {
       CubeCatalog.clear()
     } finally { cli.close(); server.stop() }
   }
+
+  test("cumulative and funnel wire verbs == in-process") {
+    import spark.implicits._
+    val svc = new CubeService(spark, tmp("graft_admin_cum"))
+    val server = new AdminServer(svc, spark)
+    val port = server.start()
+    val cli = new Client(port)
+    try {
+      val rnd = new scala.util.Random(29)
+      val rows = (0 until 400).map { i =>
+        (Seq("view", "click", "purchase")(rnd.nextInt(3)),
+          new java.sql.Timestamp(
+            1700000000000L + rnd.nextInt(20) * 86400000L),
+          (i % 9).toDouble, rnd.nextInt(30).toLong)
+      }
+      val srcDir = tmp("graft_admin_cums") + "/src"
+      rows.toDF("event_type", "ts", "value", "user_id")
+        .write.parquet(srcDir)
+      val cfg = """{"name":"cw","source":"events","dims":[{"kind":"field","id":"etype","path":"event_type"},{"kind":"time","id":"day","path":"ts","granularity":"day"}],"measures":[{"id":"v","path":"value"}],"bitmaps":[{"id":"u","path":"user_id"}]}"""
+      assert(cli.rpc(s"""{"verb":"createCube","config":"${escaped(cfg)}","sourceParquet":"${escaped(
+        srcDir)}"}""") == """{"ok":true,"result":"cw"}""")
+      // lifetime curve over the wire == in-process, row for row
+      val wire = cli.rpc(
+        """{"verb":"getCumulative","name":"cw","dayDim":"day","sumOf":["v"],"exactDistinctOf":["u"]}""")
+      assert(wire.startsWith("""{"ok":true"""), wire)
+      val inProc = svc.getCumulative("cw", "day", sumOf = Seq("v"),
+        exactDistinctOf = Seq("u")).collect()
+      assert(inProc.nonEmpty && inProc.forall(r =>
+        wire.contains(s""""cum_exact_u":${r.getAs[Long]("cum_exact_u")}""")),
+        s"wire=$wire")
+      // the reset form routes through (month ordinal restarts)
+      val ytd = cli.rpc(
+        """{"verb":"getCumulative","name":"cw","dayDim":"day","exactDistinctOf":["u"],"resetBy":"month"}""")
+      assert(ytd.startsWith("""{"ok":true"""), ytd)
+      val ytdProc = svc.getCumulative("cw", "day",
+        exactDistinctOf = Seq("u"), resetBy = Some("month")).collect()
+      assert(ytdProc.forall(r =>
+        ytd.contains(s""""new_exact_u":${r.getAs[Long]("new_exact_u")}""")))
+      // funnel over the wire == in-process
+      val fw = cli.rpc(
+        """{"verb":"getFunnel","name":"cw","dayDim":"day","bitmapId":"u","stepDim":"etype","steps":["view","click","purchase"]}""")
+      assert(fw.startsWith("""{"ok":true"""), fw)
+      val fProc = svc.getFunnel("cw", "day", "u", "etype",
+        Seq("view", "click", "purchase")).collect()
+      assert(fProc.nonEmpty && fProc.forall(r =>
+        fw.contains(s""""converted":${r.getAs[Long]("converted")}""")),
+        s"wire=$fw")
+      // structured refusals, not hangs: no measures / too few steps
+      assert(cli.rpc(
+        """{"verb":"getCumulative","name":"cw","dayDim":"day"}""")
+        .startsWith("""{"ok":false"""))
+      assert(cli.rpc(
+        """{"verb":"getFunnel","name":"cw","dayDim":"day","bitmapId":"u","stepDim":"etype","steps":["view"]}""")
+        .startsWith("""{"ok":false"""))
+      svc.deleteCube("cw")
+    } finally { cli.close(); server.stop() }
+  }
 }

@@ -385,6 +385,244 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteCube("calret"); svc.deleteCube("calret_sh")
   }
 
+  test("getCumulative: lifetime prefix-OR curve, calendar reset, sharded twin") {
+    import spark.implicits._
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_cum").toString)
+    val rnd = new scala.util.Random(71)
+    // 26 calendar days from 2023-11-15 crossing Dec 1, day 5 missing —
+    // the reset test needs a real month boundary, the increment test a
+    // gap (new = cum[d] − cum[prev OBSERVED d], not d−1)
+    val days = (0 until 26).filter(_ != 5)
+    val base = 1700006400000L // 2023-11-15 00:00 UTC
+    val rows = (0 until 1200).map { _ =>
+      val d = days(rnd.nextInt(days.length))
+      (Seq("click", "view")(rnd.nextInt(2)),
+        new Timestamp(base + d * 86400000L + rnd.nextInt(80000000)),
+        rnd.nextInt(100).toDouble, rnd.nextInt(60).toLong)
+    }
+    val mk = (n: String, shardBits: Int) => svc.createCube(
+      CubeConfig(n, "events",
+        Seq(FieldDim("etype", "event_type"), TimeDim("day", "ts", "day")),
+        Seq(Measure("v", "value")),
+        bitmaps = Seq(Measure("users", "user_id")),
+        bitmapShardBits = shardBits),
+      rows.toDF("event_type", "ts", "value", "user_id"))
+    mk("cum", 0)
+    mk("cum_sh", 3)
+    def dayOf(t: Timestamp): Long = t.getTime / 86400000L
+    val usersByDay = rows.groupBy(r => dayOf(r._2))
+      .map { case (d, rs) => d -> rs.map(_._4).toSet }
+    val sumByDay = rows.groupBy(r => dayOf(r._2))
+      .map { case (d, rs) =>
+        d -> rs.map(r => BigDecimal(r._3).setScale(2)).sum }
+    val obsDays = usersByDay.keys.toSeq.sorted
+
+    // --- global lifetime curve: cum / new / running sum, all exact
+    val cum = svc.getCumulative("cum", "day",
+      sumOf = Seq("v"), exactDistinctOf = Seq("users")).collect()
+    assert(cum.length == obsDays.length, "one row per observed day")
+    var seen = Set.empty[Long]
+    var runSum = BigDecimal(0)
+    obsDays.zip(cum).foreach { case (d, r) =>
+      assert(r.getAs[Long]("day") == d)
+      val before = seen.size
+      seen = seen ++ usersByDay(d)
+      runSum += sumByDay(d)
+      assert(r.getAs[Long]("cum_exact_users") == seen.size,
+        s"day $d lifetime uniques diverged")
+      assert(r.getAs[Long]("new_exact_users") == seen.size - before,
+        s"day $d first-seen increment diverged")
+      assert(math.abs(r.getAs[Double]("cum_sum_v") - runSum.toDouble)
+        < 1e-6, s"day $d running sum diverged")
+    }
+
+    // --- month reset: every curve restarts at Dec 1
+    val ytd = svc.getCumulative("cum", "day",
+      sumOf = Seq("v"), exactDistinctOf = Seq("users"),
+      resetBy = Some("month")).collect()
+    var bucketOf = -1L
+    var mSeen = Set.empty[Long]
+    var mSum = BigDecimal(0)
+    obsDays.zip(ytd).foreach { case (d, r) =>
+      val b = java.time.LocalDate.ofEpochDay(d).withDayOfMonth(1)
+        .toEpochDay
+      if (b != bucketOf) { bucketOf = b; mSeen = Set.empty; mSum = 0 }
+      val before = mSeen.size
+      mSeen = mSeen ++ usersByDay(d)
+      mSum += sumByDay(d)
+      assert(r.getAs[Long]("cum_exact_users") == mSeen.size,
+        s"day $d MTD uniques diverged")
+      assert(r.getAs[Long]("new_exact_users") == mSeen.size - before)
+      assert(math.abs(r.getAs[Double]("cum_sum_v") - mSum.toDouble) < 1e-6)
+    }
+    // the reset actually bit: December day 1 restarts at its own count
+    val dec1 = obsDays.find(d =>
+      java.time.LocalDate.ofEpochDay(d).getDayOfMonth == 1).get
+    val dec1Row = ytd(obsDays.indexOf(dec1))
+    assert(dec1Row.getAs[Long]("cum_exact_users") == usersByDay(dec1).size)
+
+    // --- sharded twin: bit-identical on every form
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(dump(svc.getCumulative("cum_sh", "day", sumOf = Seq("v"),
+        exactDistinctOf = Seq("users"))) ==
+      dump(svc.getCumulative("cum", "day", sumOf = Seq("v"),
+        exactDistinctOf = Seq("users"))),
+      "sharded lifetime curve must equal the unsharded one")
+    assert(dump(svc.getCumulative("cum_sh", "day",
+        exactDistinctOf = Seq("users"), resetBy = Some("month"))) ==
+      dump(svc.getCumulative("cum", "day",
+        exactDistinctOf = Seq("users"), resetBy = Some("month"))),
+      "sharded reset curve must equal the unsharded one")
+
+    // --- segmented: per-etype prefix over the segment's own days
+    val seg = svc.getCumulative("cum", "day",
+      exactDistinctOf = Seq("users"), segmentBy = Seq("etype")).collect()
+    val byTypeDay = rows.groupBy(r => (r._1, dayOf(r._2)))
+      .map { case (k, rs) => k -> rs.map(_._4).toSet }
+    Seq("click", "view").foreach { et =>
+      var s = Set.empty[Long]
+      seg.filter(_.getAs[String]("etype") == et).foreach { r =>
+        s = s ++ byTypeDay((et, r.getAs[Long]("day")))
+        assert(r.getAs[Long]("cum_exact_users") == s.size)
+      }
+    }
+
+    // --- guardrails
+    intercept[IllegalArgumentException] {
+      svc.getCumulative("cum", "day") } // no measures
+    intercept[IllegalArgumentException] {
+      svc.getCumulative("cum", "day", exactDistinctOf = Seq("v")) }
+    intercept[IllegalArgumentException] {
+      svc.getCumulative("cum", "day", sumOf = Seq("users")) }
+    intercept[IllegalArgumentException] {
+      svc.getCumulative("cum", "day", sumOf = Seq("v"),
+        resetBy = Some("week")) }
+    intercept[IllegalArgumentException] {
+      svc.getCumulative("cum", "etype", sumOf = Seq("v")) }
+
+    // --- deletes: bitmaps refuse, cumulative SUMS still serve exactly
+    svc.updateAggregates("cum",
+      rows.take(5).toDF("event_type", "ts", "value", "user_id")
+        .withColumn("_sign", lit(-1)))
+    val e = intercept[IllegalArgumentException] {
+      svc.getCumulative("cum", "day", exactDistinctOf = Seq("users")) }
+    assert(e.getMessage.contains("insert-only"))
+    val afterDel = svc.getCumulative("cum", "day", sumOf = Seq("v"))
+      .collect()
+    val delAdj = rows.take(5).groupBy(r => dayOf(r._2))
+      .map { case (d, rs) =>
+        d -> rs.map(r => BigDecimal(r._3).setScale(2)).sum }
+    var net = BigDecimal(0)
+    obsDays.zip(afterDel).foreach { case (d, r) =>
+      net += sumByDay(d) - delAdj.getOrElse(d, BigDecimal(0))
+      assert(math.abs(r.getAs[Double]("cum_sum_v") - net.toDouble) < 1e-6,
+        s"day $d net cumulative sum diverged after the delete fold")
+    }
+    svc.deleteCube("cum"); svc.deleteCube("cum_sh")
+  }
+
+  test("getFunnel: ordered cascade, same-period completion, sharded twin") {
+    import spark.implicits._
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_fun").toString)
+    val base = 1700006400000L
+    def ts(d: Long) = new Timestamp(base + d * 86400000L + 3600000L)
+    // hand-written semantic edges first:
+    //  u1: A@0 B@0 C@1  — same-period A→B counts, completes at 1
+    //  u2: B@0 A@1 B@3  — B before A does NOT count; completes A→B at 3
+    //  u3: A@0 C@1 B@2 C@2 — C@1 precedes B-conversion, same-period
+    //                        B→C at 2 completes the funnel
+    //  u4: A@2 only     — enters, never converts
+    val handRows = Seq(
+      (1L, 0L, "A"), (1L, 0L, "B"), (1L, 1L, "C"),
+      (2L, 0L, "B"), (2L, 1L, "A"), (2L, 3L, "B"),
+      (3L, 0L, "A"), (3L, 1L, "C"), (3L, 2L, "B"), (3L, 2L, "C"),
+      (4L, 2L, "A"))
+    // plus random bulk over 10 days (day 7 silent for step B)
+    val rnd = new scala.util.Random(97)
+    val bulkRows = (0 until 600).map { _ =>
+      val u = 100L + rnd.nextInt(50)
+      val d = rnd.nextInt(10).toLong
+      val s = Seq("A", "B", "C")(rnd.nextInt(3))
+      (u, d, if (s == "B" && d == 7L) "A" else s)
+    }
+    val all = handRows ++ bulkRows
+    val df = all.map { case (u, d, s) => (s, ts(d), 1.0, u) }
+      .toDF("event_type", "ts", "value", "user_id")
+    val mk = (n: String, bits: Int) => svc.createCube(
+      CubeConfig(n, "events",
+        Seq(FieldDim("etype", "event_type"), TimeDim("day", "ts", "day")),
+        Seq(Measure("v", "value")),
+        bitmaps = Seq(Measure("users", "user_id")),
+        bitmapShardBits = bits), df)
+    mk("fun", 0)
+    mk("fun_sh", 2)
+    val steps = Seq("A", "B", "C")
+    val day0 = base / 86400000L
+
+    // Scala oracle: the min-conversion-time recursion
+    val byStep = steps.map(s => all.filter(_._3 == s)
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet })
+    val t = scala.collection.mutable.Buffer(
+      byStep(0).map { case (u, ps) => u -> ps.min })
+    (1 until steps.size).foreach { k =>
+      t += byStep(k).flatMap { case (u, ps) =>
+        t(k - 1).get(u).flatMap(lo =>
+          ps.filter(_ >= lo).minOption.map(u -> _)) }.toMap
+    }
+    val periods = all.map(_._2).distinct.sorted
+
+    val got = svc.getFunnel("fun", "day", "users", "etype", steps)
+      .collect()
+    assert(got.length == periods.length * steps.length)
+    got.foreach { r =>
+      val p = r.getAs[Long]("period") - day0
+      val k = r.getAs[Int]("step_ord") - 1
+      assert(r.getAs[String]("step") == steps(k))
+      val exact = t(k).values.count(_ <= p).toLong
+      assert(r.getAs[Long]("converted") == exact,
+        s"period $p step ${steps(k)}: funnel count diverged")
+    }
+    // the hand-written edges really exercised the semantics
+    assert(t(1).get(1L).contains(0L), "same-period A->B must count")
+    assert(t(1).get(2L).contains(3L), "B before A must NOT count")
+    assert(t(2).get(3L).contains(2L), "same-period B->C completion")
+    assert(!t(1).contains(4L), "u4 never converts past A")
+
+    // sharded twin bit-identical
+    assert(
+      svc.getFunnel("fun_sh", "day", "users", "etype", steps)
+        .collect().map(_.toSeq).toSeq ==
+      got.map(_.toSeq).toSeq,
+      "sharded funnel must equal the unsharded cascade")
+
+    // multi-day periods ride the same floor-division key as retention
+    val weekly = svc.getFunnel("fun", "day", "users", "etype", steps,
+      periodDays = 7).collect()
+    assert(weekly.map(_.getAs[Long]("period")).distinct.length ==
+      periods.map(p => (p + day0) / 7).distinct.length)
+
+    // --- guardrails
+    intercept[IllegalArgumentException] {
+      svc.getFunnel("fun", "day", "users", "etype", Seq("A")) }
+    intercept[IllegalArgumentException] {
+      svc.getFunnel("fun", "day", "users", "etype", Seq("A", "A")) }
+    intercept[IllegalArgumentException] {
+      svc.getFunnel("fun", "day", "v", "etype", steps) }
+    intercept[IllegalArgumentException] {
+      svc.getFunnel("fun", "day", "users", "day", steps) }
+    intercept[IllegalArgumentException] {
+      svc.getFunnel("fun", "etype", "users", "etype", steps) }
+    svc.updateAggregates("fun",
+      df.limit(2).withColumn("_sign", lit(-1)))
+    val e = intercept[IllegalArgumentException] {
+      svc.getFunnel("fun", "day", "users", "etype", steps) }
+    assert(e.getMessage.contains("insert-only"))
+    svc.deleteCube("fun"); svc.deleteCube("fun_sh")
+  }
+
   test("auto-updated cube serves getRolling: N streamed batches == batch == exact") {
     import spark.implicits._
     val svc = new CubeService(spark,
