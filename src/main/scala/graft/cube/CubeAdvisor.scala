@@ -1,7 +1,7 @@
 package graft.cube
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, Divide, EqualNullSafe, EqualTo, Explode, Expression, In, InSet, IsNotNull, IsNull, Literal, Sequence, Subtract, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, Divide, EqualNullSafe, EqualTo, Explode, Expression, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThanOrEqual, Literal, Sequence, Subtract, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Complete, Count, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Generate, Join, LogicalPlan, Project}
@@ -248,12 +248,20 @@ object CubeAdvisor {
       .collect { case (p, i) if !rollingIdx(i) =>
         analyzeRetention(p).map(i -> _) }.flatten
     val retentionIdx = retentionHits.map(_._1).toSet
+    // cumulative-distinct shapes fold into the SAME recommendation
+    // family: the day-dimmed bitmap cube that serves getRetention
+    // serves getCumulative too (both walk per-period bitmap unions)
+    val cumulativeHits: Seq[(Int, RetentionNeeds)] = plans.zipWithIndex
+      .collect { case (p, i) if !rollingIdx(i) && !retentionIdx(i) =>
+        analyzeCumulative(p).map(i -> _) }.flatten
+    val cumulativeIdx = cumulativeHits.map(_._1).toSet
     val analyzed: Seq[(Int, Option[Needs])] =
       plans.zipWithIndex.collect {
-        case (p, i) if !rollingIdx(i) && !retentionIdx(i) =>
+        case (p, i) if !rollingIdx(i) && !retentionIdx(i) &&
+            !cumulativeIdx(i) =>
           i -> analyze(p)
       }
-    val retentionRecs = retentionHits
+    val retentionRecs = (retentionHits ++ cumulativeHits)
       .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol, h._2.segments,
         h._2.filters.map(_._1).distinct.sorted))
       .toSeq.sortBy(g => (g._1._1, g._1._2, g._1._3,
@@ -974,6 +982,133 @@ object CubeAdvisor {
     * [[graft.operators.Stable]] discipline the generic matcher also
     * requires) — a bare double sum is order-dependent and the serve
     * could not reproduce it bit-exactly. */
+
+  /** The CUMULATIVE-distinct plan shape — "lifetime uniques by day",
+    * written the way users write it in SQL: distinct (id, period)
+    * pairs joined to the observed periods on `d <= day` and
+    * re-counted per day. Quadratic in |periods| at the source (every
+    * period re-joins ALL prior pairs — the single worst raw dashboard
+    * query at scale), while the bitmap serve is ONE prefix-union pass
+    * over the |periods| frame; recognition is what makes the routed
+    * form reachable (the generic matcher refuses non-equi joins of
+    * aggregates). Both sides must be the SAME source, period
+    * derivation and filters; the inequality must be inclusive (strict
+    * `<` is the exclusive curve — a different answer, refused); only
+    * the period grouping and ONE count(DISTINCT id) leaf are this
+    * serve. Reuses [[RetentionNeeds]] with `kind = "cumulative"`:
+    * the SAME day-dimmed bitmap cube serves retention AND cumulative,
+    * so the hits fold into one recommendation. */
+  private[cube] def analyzeCumulative(
+      plan: LogicalPlan): Option[RetentionNeeds] = plan match {
+    case Aggregate(groups, aggs, child, _)
+        if groups.size == 1 &&
+          groups.forall(_.isInstanceOf[AttributeReference]) =>
+      val dayAttr = groups.head.asInstanceOf[AttributeReference]
+      val (base, _, preds) = peel(child)
+      if (!preds.forall(_.isInstanceOf[IsNotNull])) return None
+      base match {
+        case Join(l, r, jt, Some(cond), _)
+            if jt == org.apache.spark.sql.catalyst.plans.Inner =>
+          // the observed-period side: a distinct over the same
+          // source's period derivation (gs may be wider than the
+          // projection — the SQL-text lowering; duplicates only
+          // multiply rows count(DISTINCT) ignores)
+          def asDays(side: LogicalPlan): Option[(Attribute, String,
+              String, Int, Seq[(String, Seq[Literal])])] = {
+            val (b, env0, preds0) = peel(side)
+            b match {
+              case Aggregate(gs, outs, c, _)
+                  if outs.size == 1 && gs.size >= 1 &&
+                    outs.forall(_.isInstanceOf[Attribute]) =>
+                val (inner, env, preds2) = peel(c)
+                val sub = subst(env0 ++ env) _
+                val fs = sideFilters(preds0 ++ preds2, sub)
+                  .getOrElse(return None)
+                val path = CubeCatalog.sourcePathOf(inner)
+                  .getOrElse(return None)
+                val a = outs.head.asInstanceOf[Attribute]
+                periodBucket(sub(a)).map { case (tsCol, pd) =>
+                  (a, path, tsCol, pd, fs) }
+              case _ => None
+            }
+          }
+          // orient: the grouped day attr names the days side
+          val (daysOpt, pairsPlan) = {
+            val lOut = l.outputSet
+            if (lOut.exists(_.exprId == dayAttr.exprId)) (asDays(l), r)
+            else (asDays(r), l)
+          }
+          val (dOut, dPath, dTs, dPd, dFs) = daysOpt.getOrElse(return None)
+          if (dOut.exprId != dayAttr.exprId) return None
+          val pairs = distinctPairs(pairsPlan)
+            .orElse(projectedPairs(pairsPlan)).getOrElse(return None)
+          if (pairs.path != dPath || pairs.tsCol != dTs ||
+              pairs.periodDays != dPd) return None
+          if (filterKey(pairs.filters) != filterKey(dFs)) return None
+          // exactly ONE inclusive inequality: pairs period ≤ day
+          def conj(e: Expression): Seq[Expression] = e match {
+            case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+              conj(a) ++ conj(b)
+            case o => Seq(o)
+          }
+          val cs = conj(cond)
+          if (cs.size != 1) return None
+          val inclusiveOk = cs.head match {
+            case LessThanOrEqual(a: AttributeReference,
+                b: AttributeReference) =>
+              a.exprId == pairs.pId && b.exprId == dayAttr.exprId
+            case GreaterThanOrEqual(b: AttributeReference,
+                a: AttributeReference) =>
+              a.exprId == pairs.pId && b.exprId == dayAttr.exprId
+            case _ => false
+          }
+          if (!inclusiveOk) return None
+          // the ordered output map: the period grouping (possibly
+          // renamed) + ONE count(DISTINCT <pairs column>)
+          val pairColOf = pairs.cols.toMap
+          var idId: Option[org.apache.spark.sql.catalyst.expressions
+            .ExprId] = None
+          val outs: Seq[RollOut] = aggs.map { ne =>
+            val grp = ne match {
+              case a: AttributeReference
+                  if a.exprId == dayAttr.exprId => Some(a)
+              case al: Alias => al.child match {
+                case a: AttributeReference
+                    if a.exprId == dayAttr.exprId => Some(a)
+                case _ => None
+              }
+              case _ => None
+            }
+            grp match {
+              case Some(_) => RollOut.Day
+              case None => ne match {
+                case al: Alias => al.child match {
+                  case AggregateExpression(Count(Seq(
+                      ca: AttributeReference)), Complete, true, _, _)
+                      if pairColOf.contains(ca.exprId) &&
+                        idId.isEmpty =>
+                    idId = Some(ca.exprId)
+                    RollOut.Leaf("cumulative", "")
+                  case _ => return None
+                }
+                case _ => return None
+              }
+            }
+          }
+          if (idId.isEmpty) return None
+          val idSrc = pairColOf(idId.get)
+          Some(RetentionNeeds(pairs.path, pairs.tsCol, idSrc.name,
+            pairs.periodDays, integral(idSrc.dataType), Nil,
+            outs.map {
+              case lf: RollOut.Leaf =>
+                lf.copy(family = "cumulative", srcCol = idSrc.name)
+              case o => o
+            }, "cumulative", pairs.filters))
+        case _ => None
+      }
+    case _ => None
+  }
+
   private def rollingLeaves(
       dayId: org.apache.spark.sql.catalyst.expressions.ExprId,
       segMap: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String],

@@ -2031,6 +2031,46 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q243
+  /** Graded: CUMULATIVE-distinct routing through the optimizer — the
+    * raw "lifetime uniques by day" plan (distinct (user, day) pairs
+    * joined to the observed days on `d ≤ day`, re-counted per day —
+    * the natural SQL form of the metric) over a REGISTERED source is
+    * rewritten by [[CubeRewriteRule]] to a PREFIX-union over per-day
+    * bitmap partials, recognized by the advisor's own
+    * [[CubeAdvisor.analyzeCumulative]] (the q228/q234 shared-matcher
+    * discipline). This is the single most scale-hostile raw dashboard
+    * query the engine routes: the raw form is QUADRATIC in |days|
+    * (every day re-joins all prior pairs through a nested-loop — at
+    * 1000 days that is ~500× the source's pair set through one join),
+    * while the routed serve is ONE incremental window pass over the
+    * |days| frame of cube-derived bitmaps. Exact because the
+    * prefix-OR's cardinality at p IS |ids first seen ≤ p|; plan
+    * hard-asserted cube-only; DuckDB recomputes the quadratic join
+    * raw. */
+  def q243CumulativeRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = rollingRouteSource(spark, sfDir)
+    val du = spark.read.parquet(srcDir)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("d"))
+      .distinct()
+    val days = du.select(col("d").as("day")).distinct()
+    val q = days.join(du, col("d") <= col("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("cum_users"))
+      .orderBy(col("day"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/rolling_route_demo")),
+      s"cumulative routing did not fire (or still reads the source); " +
+        s"scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q236
   /** Graded: DIM-FILTERED rolling routing — the q228 raw trailing-
     * window plan with a `WHERE event_type = 'click'` restriction ("WAU
@@ -3125,6 +3165,7 @@ object CubeQueries {
     "q240_ytd_cumulative" -> q240YtdCumulative,
     "q241_funnel_bitmap" -> q241FunnelBitmap,
     "q242_sql_rolling_routing" -> q242SqlRollingRouting,
+    "q243_cumulative_routing" -> q243CumulativeRouting,
     "q212_advised_bitmap_rolling" -> q212AdvisedBitmapRolling,
     "q219_rolling_segmented" -> q219RollingSegmented,
     "q222_advised_segmented_rolling" -> q222AdvisedSegmentedRolling,
@@ -3862,6 +3903,18 @@ object CubeQueries {
       days AS (SELECT DISTINCT d AS day FROM du)
       SELECT days.day, count(DISTINCT du.user_id) AS n_users_7d
       FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day
+      GROUP BY 1
+      ORDER BY 1""",
+    // the quadratic raw form recomputed verbatim — the routed
+    // prefix-union serve must hash-match it
+    "q243_cumulative_routing" -> """
+      WITH du AS (
+        SELECT DISTINCT user_id,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS d
+        FROM events),
+      days AS (SELECT DISTINCT d AS day FROM du)
+      SELECT days.day, count(DISTINCT du.user_id) AS cum_users
+      FROM days JOIN du ON du.d <= days.day
       GROUP BY 1
       ORDER BY 1""",
     // The advised cube's source is a projected copy of events, so the

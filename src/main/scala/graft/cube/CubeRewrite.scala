@@ -392,7 +392,8 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
                 // self-join of distinct pairs the retention plan's: try
                 // both routes before giving up
                 tryRewriteRolling(agg)
-                  .orElse(tryRewriteRetention(agg)).getOrElse(agg)
+                  .orElse(tryRewriteRetention(agg))
+                  .orElse(tryRewriteCumulative(agg)).getOrElse(agg)
               else candidates.minBy(_._2)._1
             case _ => agg
           }
@@ -1092,6 +1093,28 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     if (candidates.isEmpty) None else Some(candidates.minBy(_._2)._1)
   }
 
+  /** CUMULATIVE-distinct routing — the raw "lifetime uniques by day"
+    * plan (distinct pairs ⋈ observed days on `d ≤ day`, recognized by
+    * [[CubeAdvisor.analyzeCumulative]]) rewritten to a PREFIX-union
+    * over per-period bitmap unions of the same registered day-dimmed
+    * cube. The raw form is QUADRATIC in |periods| (every day re-joins
+    * all prior pairs — a BroadcastNestedLoop at the source); the serve
+    * is one incremental window pass over the |periods| frame. Exact:
+    * the prefix-OR's cardinality at p IS |ids with first-seen ≤ p|,
+    * and the inclusive inequality guarantees every observed day emits
+    * a group (the same-day pairs always match), which the serve's
+    * all-periods output reproduces. Shares [[buildRetentionServe]]'s
+    * kind dispatch. */
+  private def tryRewriteCumulative(agg: Aggregate): Option[LogicalPlan] = {
+    val needs = CubeAdvisor.analyzeCumulative(agg).getOrElse(return None)
+    if (needs.outs.isEmpty) return None
+    val candidates = CubeCatalog.registered.values.toSeq
+      .filter(_.sourcePath == needs.path)
+      .flatMap(reg =>
+        buildRetentionServe(agg, needs, reg).map((_, reg.cubeSize)))
+    if (candidates.isEmpty) None else Some(candidates.minBy(_._2)._1)
+  }
+
   private def buildRetentionServe(
       agg: Aggregate,
       needs: CubeAdvisor.RetentionNeeds,
@@ -1145,6 +1168,19 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
       .agg(graft.functions.Bitmap.unionAgg(col(bmId)).as("__bm"))
     val B = graft.functions.Bitmap
     val served = needs.kind match {
+      case "cumulative" =>
+        // lifetime uniques: prefix-OR over the period bitmaps — the
+        // incremental unbounded-preceding frame adds one row at a
+        // time, O(|periods|) merges over a cube-derived tiny frame
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(segCols: _*)
+          .orderBy(col("__p"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        per.select((segCols ++ Seq(col("__p"),
+          B.cardinality(B.unionAgg(col("__bm")).over(w))
+            .as("__ret"))): _*)
       case "retained" =>
         // inner pairing with the PRECEDING period + ≥1 filter — the
         // raw inner self-join emits a group only for periods with an

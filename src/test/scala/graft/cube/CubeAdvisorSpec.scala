@@ -660,6 +660,67 @@ class CubeAdvisorSpec extends AnyFunSuite {
     CubeCatalog.clear()
   }
 
+  test("cumulative workloads fold into the retention-family cube; serve == workload") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(83)
+    val rows = (0 until 900).map { i =>
+      (new Timestamp(1700000000000L + rnd.nextInt(25) * 86400000L
+        + rnd.nextInt(86400000)), (i % 60).toLong)
+    }
+    val srcDir = Files.createTempDirectory("graft_advcum_src").toString
+    rows.toDF("ts", "uid").write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+    def pairs() = src.select(col("uid"),
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("d"))
+      .distinct()
+    def cumQ(strict: Boolean = false) = {
+      val du = pairs()
+      val days = du.select(col("d").as("day")).distinct()
+      days.join(du,
+          if (strict) col("d") < col("day") else col("d") <= col("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("uid")).as("cum_users"))
+    }
+    def retainedQ() = {
+      val up = src.select(col("uid"),
+          floor((unix_timestamp(col("ts")).cast("double") / 86400)
+            .cast("long").cast("double") / 7).cast("long").as("p"))
+        .distinct()
+      up.as("cur").join(up.as("prev"),
+          col("cur.uid") === col("prev.uid") &&
+            col("prev.p") === col("cur.p") - 1)
+        .groupBy(col("cur.p"))
+        .agg(countDistinct(col("cur.uid")).as("retained"))
+    }
+    // the cumulative hit and the retention hit want the SAME
+    // day-dimmed bitmap cube — one recommendation covers both
+    val advice = CubeAdvisor.advise(Seq(cumQ(), retainedQ()), "cum")
+    assert(advice.retention.size == 1 && advice.uncovered.isEmpty,
+      advice.toString)
+    val rec = advice.retention.head
+    assert(rec.coveredQueries == Seq(0, 1), rec.toString)
+    assert(rec.config.bitmaps.map(_.path) == Seq("uid"), rec.toString)
+    // honesty: materialize verbatim; getCumulative's curve equals the
+    // workload's own quadratic join, day for day
+    val svcDir = Files.createTempDirectory("graft_advcum_svc").toString
+    val svc = new CubeService(spark, svcDir)
+    svc.createCube(rec.config, src)
+    val served = svc.getCumulative(rec.config.name, rec.dayDim,
+        exactDistinctOf = Seq(rec.bitmapId)).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long](s"cum_exact_${rec.bitmapId}"))
+      .toMap
+    val exact = cumQ().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served == exact, s"served=$served exact=$exact")
+    // the exclusive (strict <) curve is a different question — refused
+    val bad = CubeAdvisor.advise(Seq(cumQ(strict = true)), "cumbad")
+    assert(bad.retention.isEmpty && bad.uncovered == Seq(0),
+      s"strict inequality must stay uncovered: $bad")
+    CubeCatalog.clear()
+  }
+
   test("SEGMENTED retention workloads yield a segment-dimmed cube; serve == workload") {
     import spark.implicits._
     CubeCatalog.clear()

@@ -1750,6 +1750,61 @@ class CubeRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("raw cumulative-distinct plans route to prefix-union serves") {
+    val srcDir = rollingSetup()
+    def src = spark.read.parquet(srcDir)
+    def pairs(periodDays: Int, filtered: Boolean = false) = {
+      val base = if (filtered) src.filter(col("etype") === "click") else src
+      base.select(col("user_id"),
+          floor((unix_timestamp(col("ts")).cast("double") / 86400)
+            .cast("long").cast("double") / periodDays)
+          .cast("long").as("d"))
+        .distinct()
+    }
+    def cum(periodDays: Int, filtered: Boolean = false,
+        flip: Boolean = false, strict: Boolean = false) = {
+      val du = pairs(periodDays, filtered)
+      val days = du.select(col("d").as("day")).distinct()
+      val cond =
+        if (strict) col("d") < col("day")
+        else if (flip) col("day") >= col("d")
+        else col("d") <= col("day")
+      days.join(du, cond)
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("cum_users"))
+    }
+    // ONE-SIDED filter: the day domain and the pair set disagree —
+    // a different curve, must refuse
+    def oneSided() = {
+      val du = pairs(1, filtered = true)
+      val days = pairs(1, filtered = false)
+        .select(col("d").as("day")).distinct()
+      days.join(du, col("d") <= col("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("cum_users"))
+    }
+    val routed = Seq(cum(1), cum(3), cum(1, filtered = true),
+      cum(1, flip = true))
+    routed.foreach { q =>
+      assert(scansOf(q).forall(_.endsWith("/rollrw")),
+        s"cumulative route did not fire: ${scansOf(q)}")
+    }
+    val norm = CubeCatalog.normalize(srcDir)
+    // strict < is the EXCLUSIVE curve — a different answer, refused
+    assert(scansOf(cum(1, strict = true)).distinct == Seq(norm),
+      "strict inequality must refuse the route")
+    assert(scansOf(oneSided()).distinct == Seq(norm),
+      "one-sided filter must refuse the route")
+    val servedRows = routed.map(sortedRows)
+    CubeCatalog.clear()
+    val raw = Seq(cum(1), cum(3), cum(1, filtered = true),
+      cum(1, flip = true))
+    raw.zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
+      assert(sortedRows(q) == s,
+        s"routed prefix-union must EQUAL the raw quadratic join (form $i)")
+    }
+  }
+
   test("estimator-changing rolling leaves route only with the opt-in") {
     // count(DISTINCT double) → HLL and percentile_approx → KLL both
     // change the answer: without the registration opt-in they must
