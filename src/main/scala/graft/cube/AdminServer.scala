@@ -235,8 +235,22 @@ final class AdminServer(service: CubeService, spark: SparkSession,
         case Some("getRolling") | Some("getJoinRolling") =>
           val name = need(strField(req, "name"), "name")
           val isJoin = strField(req, "verb").contains("getJoinRolling")
-          val fn = if (isJoin) service.getJoinRolling _ else service.getRolling _
-          val df = fn(name,
+          // "asOfVersion": serve a RETAINED HISTORICAL version — the
+          // cohort time-travel form (single-table cubes only; join MVs
+          // version through the jmv manifest, no as-of serve)
+          val asOf = numField(req, "asOfVersion").map(_.toInt)
+          if (asOf.isDefined && isJoin)
+            throw new IllegalArgumentException(
+              "asOfVersion is not supported for join MVs")
+          val fn = asOf match {
+            case Some(v) => service.getRollingAsOf(name, v, _, _, _, _,
+              _, _, _, _, _, _, _)
+            case None if isJoin => service.getJoinRolling(name, _, _, _,
+              _, _, _, _, _, _, _, _)
+            case None => service.getRolling(name, _, _, _, _, _, _, _,
+              _, _, _, _)
+          }
+          val df = fn(
             need(strField(req, "dayDim"), "dayDim"),
             numField(req, "windowDays").map(_.toInt).getOrElse(7),
             strArray(req, "distinctOf"),
@@ -252,10 +266,18 @@ final class AdminServer(service: CubeService, spark: SparkSession,
         case Some("getCumulative") | Some("getJoinCumulative") =>
           val name = need(strField(req, "name"), "name")
           val isJoin = strField(req, "verb").contains("getJoinCumulative")
-          val fn =
-            if (isJoin) service.getJoinCumulative _
-            else service.getCumulative _
-          val df = fn(name,
+          val asOfCum = numField(req, "asOfVersion").map(_.toInt)
+          if (asOfCum.isDefined && isJoin)
+            throw new IllegalArgumentException(
+              "asOfVersion is not supported for join MVs")
+          val fn = asOfCum match {
+            case Some(v) =>
+              service.getCumulativeAsOf(name, v, _, _, _, _, _)
+            case None if isJoin =>
+              service.getJoinCumulative(name, _, _, _, _, _)
+            case None => service.getCumulative(name, _, _, _, _, _)
+          }
+          val df = fn(
             need(strField(req, "dayDim"), "dayDim"),
             strArray(req, "sumOf"),
             strArray(req, "exactDistinctOf"),
@@ -265,9 +287,17 @@ final class AdminServer(service: CubeService, spark: SparkSession,
         case Some("getFunnel") | Some("getJoinFunnel") =>
           val name = need(strField(req, "name"), "name")
           val isJoin = strField(req, "verb").contains("getJoinFunnel")
-          val fn =
-            if (isJoin) service.getJoinFunnel _ else service.getFunnel _
-          val df = fn(name,
+          val asOfFun = numField(req, "asOfVersion").map(_.toInt)
+          if (asOfFun.isDefined && isJoin)
+            throw new IllegalArgumentException(
+              "asOfVersion is not supported for join MVs")
+          val fn = asOfFun match {
+            case Some(v) => service.getFunnelAsOf(name, v, _, _, _, _, _)
+            case None if isJoin =>
+              service.getJoinFunnel(name, _, _, _, _, _)
+            case None => service.getFunnel(name, _, _, _, _, _)
+          }
+          val df = fn(
             need(strField(req, "dayDim"), "dayDim"),
             need(strField(req, "bitmapId"), "bitmapId"),
             need(strField(req, "stepDim"), "stepDim"),
@@ -287,12 +317,21 @@ final class AdminServer(service: CubeService, spark: SparkSession,
           val dayDim = need(strField(req, "dayDim"), "dayDim")
           val bmId = need(strField(req, "bitmapId"), "bitmapId")
           val segs = strArray(req, "segmentBy")
-          val df = cal match {
-            case Some(g) =>
+          val asOfRet = numField(req, "asOfVersion").map(_.toInt)
+          if (asOfRet.isDefined && isJoin)
+            throw new IllegalArgumentException(
+              "asOfVersion is not supported for join MVs")
+          val df = (cal, asOfRet) match {
+            case (_, Some(v)) =>
+              val pd = numField(req, "periodDays").map(_.toInt)
+                .getOrElse(if (cal.isDefined) 1 else 7)
+              service.getRetentionAsOf(name, v, dayDim, bmId, pd, segs,
+                cal)
+            case (Some(g), None) =>
               if (isJoin)
                 service.getJoinRetentionCalendar(name, dayDim, bmId, g, segs)
               else service.getRetentionCalendar(name, dayDim, bmId, g, segs)
-            case None =>
+            case (None, None) =>
               val pd = numField(req, "periodDays").map(_.toInt).getOrElse(7)
               if (isJoin)
                 service.getJoinRetention(name, dayDim, bmId, pd, segs)

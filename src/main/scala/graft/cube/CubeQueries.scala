@@ -2071,6 +2071,50 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q244
+  private val cohortTtSetup =
+    TrieMap.empty[(SparkSession, String), (CubeService, Int)]
+  private def cohortTtService(spark: SparkSession,
+      sfDir: String): (CubeService, Int) =
+    cohortTtSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_cohort_tt").toString
+      val svc = new CubeService(spark, dir)
+      val orders = Tables.orders(spark, sfDir)
+      val pre = col("o_orderdate").cast("date") <
+        lit("1996-01-01").cast("date")
+      // v0 = the pre-1996 state; one insert fold moves the head to the
+      // full corpus, archiving v0 in the retention window
+      svc.createCube(
+        CubeConfig("cohort_tt", "orders",
+          dims = Seq(TimeDim("day", "o_orderdate", "day")),
+          measures = Seq(Measure("rev", "o_totalprice")),
+          bitmaps = Seq(Measure("c", "o_custkey"))),
+        orders.filter(pre))
+      val v0 = svc.currentCubeVersion("cohort_tt")
+      svc.updateAggregates("cohort_tt", orders.filter(!pre))
+      (svc, v0)
+    })
+
+  /** Graded: COHORT TIME TRAVEL — the cumulative dashboard served
+    * AS OF a retained historical version ([[CubeService
+    * .getCumulativeAsOf]]): the cube is built from pre-1996 orders,
+    * one fold appends the rest, and the graded serve reads version v0
+    * — the audit-and-reproduce question ("what did the lifetime
+    * customer curve say before the backfill landed") answered from
+    * the archived cells, bit-for-bit what the head verb served at
+    * that publish (CubeServiceSpec pins all four cohort families).
+    * The DuckDB oracle recomputes the curve from the raw pre-cutoff
+    * rows only — hash-matching proves the archive is the exact
+    * pre-fold state, not a re-derivation. Versioning costs the fold
+    * one metadata rename (the q189 archive discipline); the as-of
+    * serve is the same |days|-frame prefix-union as the head's. */
+  def q244CohortTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val (svc, v0) = cohortTtService(spark, sfDir)
+    svc.getCumulativeAsOf("cohort_tt", v0, "day",
+      sumOf = Seq("rev"), exactDistinctOf = Seq("c"))
+  }
+
   // --------------------------------------------------------------- q236
   /** Graded: DIM-FILTERED rolling routing — the q228 raw trailing-
     * window plan with a `WHERE event_type = 'click'` restriction ("WAU
@@ -3166,6 +3210,7 @@ object CubeQueries {
     "q241_funnel_bitmap" -> q241FunnelBitmap,
     "q242_sql_rolling_routing" -> q242SqlRollingRouting,
     "q243_cumulative_routing" -> q243CumulativeRouting,
+    "q244_cohort_time_travel" -> q244CohortTimeTravel,
     "q212_advised_bitmap_rolling" -> q212AdvisedBitmapRolling,
     "q219_rolling_segmented" -> q219RollingSegmented,
     "q222_advised_segmented_rolling" -> q222AdvisedSegmentedRolling,
@@ -3917,6 +3962,27 @@ object CubeQueries {
       FROM days JOIN du ON du.d <= days.day
       GROUP BY 1
       ORDER BY 1""",
+    // the archived version IS the pre-cutoff state: the oracle
+    // recomputes the lifetime curves from raw pre-1996 orders only
+    "q244_cohort_time_travel" -> """
+      WITH e AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) AS day,
+          o_custkey, o_totalprice
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01'),
+      f AS (SELECT o_custkey, min(day) AS fd FROM e GROUP BY 1),
+      nd AS (SELECT fd AS day, count(*) AS n FROM f GROUP BY 1),
+      ds AS (SELECT day,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sv
+             FROM e GROUP BY 1)
+      SELECT ds.day,
+        CAST(sum(COALESCE(nd.n, 0)) OVER (ORDER BY ds.day) AS BIGINT)
+          AS cum_exact_c,
+        CAST(COALESCE(nd.n, 0) AS BIGINT) AS new_exact_c,
+        CAST(sum(ds.sv) OVER (ORDER BY ds.day) AS DOUBLE) AS cum_sum_rev
+      FROM ds LEFT JOIN nd ON nd.day = ds.day
+      ORDER BY ds.day""",
     // The advised cube's source is a projected copy of events, so the
     // oracle is q138's own SQL again: advise → materialize verbatim →
     // exact bitmap serve must equal the raw recompute.

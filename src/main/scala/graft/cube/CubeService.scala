@@ -1460,6 +1460,71 @@ final class CubeService(spark: SparkSession, storageDir: String,
       .orderBy(col("period"), col("step_ord"))
   }
 
+  // -------------------------------------------- cohort verbs × time travel
+  /** The COHORT verb family over a RETAINED HISTORICAL version — "what
+    * did the WAU / retention / lifetime / funnel dashboard say as of
+    * version k", the audit-and-reproduce story ([[getAggregatesAsOf]])
+    * extended to every set-algebra serve. Mechanics are identical to
+    * the head serves: [[cubeAt]] resolves the archived version's cells
+    * (its own `_meta.json` delete latch included) and the shared
+    * `*From` cores run unchanged — so an as-of curve equals what the
+    * head verb WOULD have served at that publish, bit for bit
+    * (CubeServiceSpec pins it against a captured pre-fold serve). */
+  def getRollingAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      windowDays: Int = 7,
+      distinctOf: Seq[String] = Nil,
+      quantilesOf: Seq[(String, Double)] = Nil,
+      minOf: Seq[String] = Nil,
+      maxOf: Seq[String] = Nil,
+      sumOf: Seq[String] = Nil,
+      avgOf: Seq[String] = Nil,
+      exactDistinctOf: Seq[String] = Nil,
+      segmentBy: Seq[String] = Nil,
+      intersectOf: Seq[String] = Nil): DataFrame =
+    rollingFrom(cubeAt(name, version), name, dayDim, windowDays,
+      distinctOf, quantilesOf, minOf, maxOf, sumOf, avgOf,
+      exactDistinctOf, segmentBy, intersectOf)
+
+  /** [[getRetention]] over a retained version; `calendar` selects the
+    * [[getRetentionCalendar]] form. */
+  def getRetentionAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      bitmapId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil,
+      calendar: Option[String] = None): DataFrame =
+    retentionFrom(cubeAt(name, version), name, dayDim, bitmapId,
+      periodDays, segmentBy, calendar)
+
+  /** [[getCumulative]] over a retained version. */
+  def getCumulativeAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      sumOf: Seq[String] = Nil,
+      exactDistinctOf: Seq[String] = Nil,
+      resetBy: Option[String] = None,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    cumulativeFrom(cubeAt(name, version), name, dayDim, sumOf,
+      exactDistinctOf, resetBy, segmentBy)
+
+  /** [[getFunnel]] over a retained version. */
+  def getFunnelAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      bitmapId: String,
+      stepDim: String,
+      steps: Seq[String],
+      periodDays: Int = 1): DataFrame =
+    funnelFrom(cubeAt(name, version), name, dayDim, bitmapId, stepDim,
+      steps, periodDays)
+
   // ----------------------------------------------------------- join MVs
   /** Durable incrementally maintained JOIN MVs ([[JoinCubeManager]]).
     * A join MV persists THREE coupled pieces — the cube aggregates and

@@ -666,6 +666,27 @@ class AdminServerSpec extends AnyFunSuite {
       assert(cli.rpc(
         """{"verb":"getFunnel","name":"cw","dayDim":"day","bitmapId":"u","stepDim":"etype","steps":["view"]}""")
         .startsWith("""{"ok":false"""))
+      // asOfVersion: fold a delta, then the wire's historical serve
+      // must equal the captured pre-fold response byte for byte
+      val v0 = svc.currentCubeVersion("cw")
+      import org.apache.spark.sql.functions.lit
+      svc.updateAggregates("cw",
+        rows.take(40).toDF("event_type", "ts", "value", "user_id")
+          .withColumn("user_id", col("user_id") + 1000L))
+      val wireHead = cli.rpc(
+        """{"verb":"getCumulative","name":"cw","dayDim":"day","exactDistinctOf":["u"]}""")
+      val wireAsOf = cli.rpc(
+        s"""{"verb":"getCumulative","name":"cw","dayDim":"day","exactDistinctOf":["u"],"asOfVersion":$v0}""")
+      assert(wireAsOf.startsWith("""{"ok":true"""), wireAsOf)
+      assert(wireAsOf != wireHead, "the fold must move the head")
+      val asOfProc = svc.getCumulativeAsOf("cw", v0, "day",
+        exactDistinctOf = Seq("u")).collect()
+      assert(asOfProc.forall(r => wireAsOf.contains(
+        s""""cum_exact_u":${r.getAs[Long]("cum_exact_u")}""")), wireAsOf)
+      // join verbs refuse the as-of field (jmv versioning has no as-of)
+      assert(cli.rpc(
+        s"""{"verb":"getJoinCumulative","name":"cw","dayDim":"day","exactDistinctOf":["u"],"asOfVersion":$v0}""")
+        .startsWith("""{"ok":false"""))
       svc.deleteCube("cw")
     } finally { cli.close(); server.stop() }
   }

@@ -623,6 +623,70 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteCube("fun"); svc.deleteCube("fun_sh")
   }
 
+  test("cohort verbs as-of a retained version == the captured pre-fold serves") {
+    import spark.implicits._
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_asof").toString)
+    val rnd = new scala.util.Random(41)
+    def batch(users: Range, days: Range, n: Int) = (0 until n).map { _ =>
+      (Seq("view", "click", "purchase")(rnd.nextInt(3)),
+        new Timestamp(1700006400000L +
+          (days.start + rnd.nextInt(days.length)) * 86400000L +
+          rnd.nextInt(80000000)),
+        rnd.nextInt(50).toDouble,
+        (users.start + rnd.nextInt(users.length)).toLong)
+    }
+    val b1 = batch(0 until 40, 0 until 10, 600)
+    val b2 = batch(30 until 80, 8 until 16, 600) // new users AND new days
+    svc.createCube(
+      CubeConfig("asofc", "events",
+        Seq(FieldDim("etype", "event_type"), TimeDim("day", "ts", "day")),
+        Seq(Measure("v", "value")),
+        bitmaps = Seq(Measure("u", "user_id"))),
+      b1.toDF("event_type", "ts", "value", "user_id"))
+    val v0 = svc.currentCubeVersion("asofc")
+    def all(serve: String => org.apache.spark.sql.DataFrame) =
+      Seq("r", "t", "c", "f").map(k => k -> serve(k).collect().map(_.toSeq).toSeq).toMap
+    def head(k: String) = k match {
+      case "r" => svc.getRolling("asofc", "day", 7,
+        exactDistinctOf = Seq("u"), sumOf = Seq("v"))
+      case "t" => svc.getRetention("asofc", "day", "u", periodDays = 1)
+      case "c" => svc.getCumulative("asofc", "day",
+        sumOf = Seq("v"), exactDistinctOf = Seq("u"))
+      case _ => svc.getFunnel("asofc", "day", "u", "etype",
+        Seq("view", "click", "purchase"))
+    }
+    val before = all(head)
+    svc.updateAggregates("asofc",
+      b2.toDF("event_type", "ts", "value", "user_id"))
+    val v1 = svc.currentCubeVersion("asofc")
+    assert(v1 == v0 + 1 && svc.listCubeVersions("asofc").contains(v0))
+    // the head moved: every family sees the fold
+    val after = all(head)
+    Seq("r", "t", "c", "f").foreach(k =>
+      assert(after(k) != before(k), s"family $k: fold must move the head"))
+    // as-of v0 reproduces every captured pre-fold serve bit for bit
+    def asOf(k: String) = k match {
+      case "r" => svc.getRollingAsOf("asofc", v0, "day", 7,
+        exactDistinctOf = Seq("u"), sumOf = Seq("v"))
+      case "t" => svc.getRetentionAsOf("asofc", v0, "day", "u",
+        periodDays = 1)
+      case "c" => svc.getCumulativeAsOf("asofc", v0, "day",
+        sumOf = Seq("v"), exactDistinctOf = Seq("u"))
+      case _ => svc.getFunnelAsOf("asofc", v0, "day", "u", "etype",
+        Seq("view", "click", "purchase"))
+    }
+    val historical = all(asOf)
+    Seq("r", "t", "c", "f").foreach(k =>
+      assert(historical(k) == before(k),
+        s"family $k: as-of v$v0 must equal the captured pre-fold serve"))
+    // non-retained version refuses with the window in the message
+    val e = intercept[IllegalArgumentException] {
+      svc.getCumulativeAsOf("asofc", v0 - 1, "day", sumOf = Seq("v")) }
+    assert(e.getMessage.contains("not retained"))
+    svc.deleteCube("asofc")
+  }
+
   test("auto-updated cube serves getRolling: N streamed batches == batch == exact") {
     import spark.implicits._
     val svc = new CubeService(spark,
