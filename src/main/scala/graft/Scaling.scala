@@ -193,7 +193,10 @@ object Scaling {
       // aggregation keeps endpoint state bounded at any id volume
       val svcR = new cube.CubeService(spark, s"$work/rollsvc_x$k")
       svcR.createCube(cube.CubeConfig(s"scaling_roll_x$k", "mem",
-        dims = Seq(cube.TimeDim("day", "ts", "day")),
+        // event_type dims the cube so the funnel family has step
+        // cells; the day-collapsing serves are unchanged by it
+        dims = Seq(cube.FieldDim("event_type", "event_type"),
+          cube.TimeDim("day", "ts", "day")),
         measures = Nil,
         bitmaps = Seq(cube.Measure("u", "user_id")),
         bitmapShardBits = 14), ev) // untimed build — lake-lifetime cost
@@ -204,6 +207,18 @@ object Scaling {
       record("retention_bitmap_serve", k, best {
         svcR.getRetention(s"scaling_roll_x$k", "day", "u",
           periodDays = 7).count()
+      })
+      // prefix-union lifetime curve: per-shard incremental windows
+      // over the day×shard grid — cube-sized, must stay flat
+      record("cumulative_bitmap_serve", k, best {
+        svcR.getCumulative(s"scaling_roll_x$k", "day",
+          exactDistinctOf = Seq("u")).count()
+      })
+      // the funnel cascade: |steps| window passes per shard — cube-
+      // sized like the rest of the cohort family
+      record("funnel_bitmap_serve", k, best {
+        svcR.getFunnel(s"scaling_roll_x$k", "day", "u", "event_type",
+          Seq("view", "click", "purchase")).count()
       })
 
       // delete-capable fold (q177's machinery): deletes confined to ONE
@@ -253,7 +268,9 @@ object Scaling {
       val shape =
         if (fam == "cube_serve" || fam == "ann_ivf_probe"
             || fam == "ann_masked_probe" || fam == "rolling_bitmap_serve"
-            || fam == "retention_bitmap_serve")
+            || fam == "retention_bitmap_serve"
+            || fam == "cumulative_bitmap_serve"
+            || fam == "funnel_bitmap_serve")
           if (r10 < 3) "~flat (serve ∝ index/cube, not source)"
           else "NOT flat — investigate"
         else if (fam == "dedup_embedding_lsh")

@@ -292,18 +292,21 @@ final class AdminServer(service: CubeService, spark: SparkSession,
             throw new IllegalArgumentException(
               "asOfVersion is not supported for join MVs")
           val fn = asOfFun match {
-            case Some(v) => service.getFunnelAsOf(name, v, _, _, _, _, _)
+            case Some(v) =>
+              service.getFunnelAsOf(name, v, _, _, _, _, _, _)
             case None if isJoin =>
-              service.getJoinFunnel(name, _, _, _, _, _)
-            case None => service.getFunnel(name, _, _, _, _, _)
+              service.getJoinFunnel(name, _, _, _, _, _, _)
+            case None => service.getFunnel(name, _, _, _, _, _, _)
           }
           val df = fn(
             need(strField(req, "dayDim"), "dayDim"),
             need(strField(req, "bitmapId"), "bitmapId"),
             need(strField(req, "stepDim"), "stepDim"),
             strArray(req, "steps"),
-            numField(req, "periodDays").map(_.toInt).getOrElse(1))
-          serveRows(df, Seq("period", "step_ord"), req)
+            numField(req, "periodDays").map(_.toInt).getOrElse(1),
+            strArray(req, "segmentBy"))
+          serveRows(df,
+            strArray(req, "segmentBy") ++ Seq("period", "step_ord"), req)
         case Some("getRetention") | Some("getJoinRetention") =>
           val name = need(strField(req, "name"), "name")
           val isJoin = strField(req, "verb").contains("getJoinRetention")

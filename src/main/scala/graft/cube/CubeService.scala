@@ -1363,9 +1363,10 @@ final class CubeService(spark: SparkSession, storageDir: String,
       bitmapId: String,
       stepDim: String,
       steps: Seq[String],
-      periodDays: Int = 1): DataFrame =
+      periodDays: Int = 1,
+      segmentBy: Seq[String] = Nil): DataFrame =
     funnelFrom(loadCube(name), name, dayDim, bitmapId, stepDim, steps,
-      periodDays)
+      periodDays, segmentBy)
 
   /** [[getFunnel]] for join MVs. */
   def getJoinFunnel(
@@ -1374,9 +1375,10 @@ final class CubeService(spark: SparkSession, storageDir: String,
       bitmapId: String,
       stepDim: String,
       steps: Seq[String],
-      periodDays: Int = 1): DataFrame =
+      periodDays: Int = 1,
+      segmentBy: Seq[String] = Nil): DataFrame =
     funnelFrom(loadJoinCube(name).cube, name, dayDim, bitmapId, stepDim,
-      steps, periodDays)
+      steps, periodDays, segmentBy)
 
   private def funnelFrom(
       cube: Cube,
@@ -1385,7 +1387,8 @@ final class CubeService(spark: SparkSession, storageDir: String,
       bitmapId: String,
       stepDim: String,
       steps: Seq[String],
-      periodDays: Int): DataFrame = {
+      periodDays: Int,
+      segmentBy: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     require(cube.config.dims.exists {
@@ -1406,58 +1409,83 @@ final class CubeService(spark: SparkSession, storageDir: String,
     require(!cube.hasDeletes,
       s"cube $name has folded deletes; its bitmap partials are " +
         "insert-only and cannot serve funnel curves")
+    // SEGMENTED funnels ("conversion per country"): each segment's
+    // cascade runs over ITS observed periods — same convention as
+    // every segmented cohort serve
+    segmentBy.foreach { sd =>
+      require(!Seq("period", "step", "step_ord", "day", "d").contains(sd),
+        s"segment id $sd collides with the funnel output columns " +
+          "(reserved: period, step, step_ord, day, d) — rename the " +
+          "dimension in the cube")
+      require(sd != stepDim,
+        s"segment id $sd is the step dimension itself")
+      require(
+        cube.config.dims.exists(d => d.id == sd && !d.isInstanceOf[TimeDim]),
+        s"$sd is not a (non-time) dimension of cube $name")
+    }
     val B = graft.functions.Bitmap
+    val segCols = segmentBy.map(col)
     val dayKey = datediff(col(dayDim).cast("date"), lit("1970-01-01"))
       .cast("long")
     val periodKey = floor(dayKey.cast("double") / periodDays)
       .cast("long").as("period")
     val sharded = cube.config.bitmapShardBits > 0
     val shardCols = if (sharded) Seq(col(CubeManager.ShardCol)) else Nil
-    // one bitmap per (period [, shard], step) — cells of other
-    // dimensions collapse here; non-step cells are excluded up front
+    // ONE pass over cube-sized partials: per (segment, period [,shard])
+    // row, ONE bitmap column per step via conditional aggregation (the
+    // aggregate skips the other steps' nulls; an all-null group yields
+    // the EMPTY bitmap — exactly the absent-step semantics). The
+    // per-step join-and-rescan form measured 3.1× under ×10 ids in
+    // SCALING.md's harness (|steps|+2 cube scans); this shape is one
+    // scan + one grid join regardless of step count.
+    val stepAggs = steps.zipWithIndex.map { case (s, i) =>
+      B.unionAgg(when(col(stepDim) === s, col(bitmapId))).as(s"__b$i") }
     val base = cube.live
       .filter(col(stepDim).isin(steps: _*))
-      .groupBy((Seq(periodKey) ++ shardCols :+
-        col(stepDim).as("__step")): _*)
-      .agg(B.unionAgg(col(bitmapId)).as("__bm"))
-    // the period domain: every period where ANY step was active — a
-    // step silent at p still carries its prefix forward there
-    val periods = base.select("period").distinct()
+      .groupBy((segCols ++ Seq(periodKey) ++ shardCols): _*)
+      .agg(stepAggs.head, stepAggs.tail: _*)
+    // the period domain: every period where ANY step was active (per
+    // segment) — a step silent at p still carries its prefix forward
+    val periods = base.select((segCols :+ col("period")): _*).distinct()
     val grid =
       if (!sharded) periods
-      else periods.crossJoin(
-        base.select(CubeManager.ShardCol).distinct())
-    val keyCols = "period" +: (if (sharded) Seq(CubeManager.ShardCol)
-                               else Nil)
+      else {
+        val shards =
+          base.select((segCols :+ col(CubeManager.ShardCol)): _*).distinct()
+        if (segmentBy.isEmpty) periods.crossJoin(shards)
+        else periods.join(shards, segmentBy)
+      }
+    val keyCols = segmentBy ++ Seq("period") ++
+      (if (sharded) Seq(CubeManager.ShardCol) else Nil)
     val emptyBm = lit(Array[Byte](0, 0, 0, 0)) // codec: zero blocks
     val w = Window
-      .partitionBy(shardCols: _*)
+      .partitionBy((segCols ++ shardCols): _*)
       .orderBy(col("period"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // the cascade: each step joins its per-period bitmaps onto the
-    // grid, intersects with the previous step's converted set, and
-    // prefix-unions — one incremental window pass per step
-    var frame = grid
+    // the cascade: intersect each step's bitmap with the previous
+    // step's converted set, prefix-union — one incremental window pass
+    // per step over the SAME sorted frame (one sort, |steps| passes)
+    var frame = grid.join(base, keyCols, "left")
     steps.zipWithIndex.foreach { case (s, i) =>
-      val bmk = base.filter(col("__step") === s)
-        .select((keyCols.map(col) :+ col("__bm").as(s"__b$i")): _*)
-      frame = frame.join(bmk, keyCols, "left")
       val qual =
         if (i == 0) coalesce(col(s"__b$i"), emptyBm)
         else B.and(coalesce(col(s"__b$i"), emptyBm), col(s"__c${i - 1}"))
       frame = frame.withColumn(s"__c$i", B.unionAgg(qual).over(w))
     }
     val rows = steps.zipWithIndex.map { case (s, i) =>
-      frame.select(col("period"), lit(i + 1).as("step_ord"),
-        lit(s).as("step"), B.cardinality(col(s"__c$i")).as("__n"))
+      frame.select((segCols ++ Seq(col("period"),
+        lit(i + 1).as("step_ord"), lit(s).as("step"),
+        B.cardinality(col(s"__c$i")).as("__n"))): _*)
     }.reduce(_ union _)
     val out =
       if (!sharded) rows.withColumnRenamed("__n", "converted")
-      else rows.groupBy(col("period"), col("step_ord"), col("step"))
+      else rows
+        .groupBy((segCols ++ Seq(col("period"), col("step_ord"),
+          col("step"))): _*)
         .agg(sum(col("__n")).as("converted"))
-    out.select(col("period"), col("step_ord"), col("step"),
-        col("converted"))
-      .orderBy(col("period"), col("step_ord"))
+    out.select((segCols ++ Seq(col("period"), col("step_ord"),
+        col("step"), col("converted"))): _*)
+      .orderBy((segCols ++ Seq(col("period"), col("step_ord"))): _*)
   }
 
   // -------------------------------------------- cohort verbs × time travel
@@ -1521,9 +1549,10 @@ final class CubeService(spark: SparkSession, storageDir: String,
       bitmapId: String,
       stepDim: String,
       steps: Seq[String],
-      periodDays: Int = 1): DataFrame =
+      periodDays: Int = 1,
+      segmentBy: Seq[String] = Nil): DataFrame =
     funnelFrom(cubeAt(name, version), name, dayDim, bitmapId, stepDim,
-      steps, periodDays)
+      steps, periodDays, segmentBy)
 
   // ----------------------------------------------------------- join MVs
   /** Durable incrementally maintained JOIN MVs ([[JoinCubeManager]]).

@@ -604,6 +604,48 @@ class CubeServiceSpec extends AnyFunSuite {
     assert(weekly.map(_.getAs[Long]("period")).distinct.length ==
       periods.map(p => (p + day0) / 7).distinct.length)
 
+    // SEGMENTED funnel: add a segment dimension, run each segment's
+    // cascade against its own Scala-oracle recursion
+    val segRows = all.flatMap { case (u, d, s) =>
+      Seq((s"g${u % 2}", u, d, s)) }
+    val segDf = segRows.map { case (g, u, d, s) => (g, s, ts(d), 1.0, u) }
+      .toDF("grp", "event_type", "ts", "value", "user_id")
+    svc.createCube(
+      CubeConfig("fun_seg", "events",
+        Seq(FieldDim("grp", "grp"), FieldDim("etype", "event_type"),
+          TimeDim("day", "ts", "day")),
+        Seq(Measure("v", "value")),
+        bitmaps = Seq(Measure("users", "user_id"))), segDf)
+    val segGot = svc.getFunnel("fun_seg", "day", "users", "etype",
+      steps, segmentBy = Seq("grp")).collect()
+    Seq("g0", "g1").foreach { g =>
+      val ev = segRows.filter(_._1 == g).map(t => (t._2, t._3, t._4))
+      val byS = steps.map(s => ev.filter(_._3 == s)
+        .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet })
+      val tg = scala.collection.mutable.Buffer(
+        byS(0).map { case (u, ps) => u -> ps.min })
+      (1 until steps.size).foreach { k =>
+        tg += byS(k).flatMap { case (u, ps) =>
+          tg(k - 1).get(u).flatMap(lo =>
+            ps.filter(_ >= lo).minOption.map(u -> _)) }.toMap
+      }
+      segGot.filter(_.getAs[String]("grp") == g).foreach { r =>
+        val p = r.getAs[Long]("period") - day0
+        val k = r.getAs[Int]("step_ord") - 1
+        assert(r.getAs[Long]("converted") ==
+          tg(k).values.count(_ <= p).toLong,
+          s"segment $g period $p step $k diverged")
+      }
+    }
+    // segment guardrails: reserved name, the step dim itself
+    intercept[IllegalArgumentException] {
+      svc.getFunnel("fun_seg", "day", "users", "etype", steps,
+        segmentBy = Seq("period")) }
+    intercept[IllegalArgumentException] {
+      svc.getFunnel("fun_seg", "day", "users", "etype", steps,
+        segmentBy = Seq("etype")) }
+    svc.deleteCube("fun_seg")
+
     // --- guardrails
     intercept[IllegalArgumentException] {
       svc.getFunnel("fun", "day", "users", "etype", Seq("A")) }
@@ -743,6 +785,18 @@ class CubeServiceSpec extends AnyFunSuite {
     assert(streamed.map(t => (t._1, t._2)).toSeq ==
       batch.map(t => (t._1, t._2)).toSeq,
       "streamed distinct curve != batch distinct curve")
+    // the WHOLE cohort verb family off the stream-maintained cube ==
+    // the one-shot batch cube, bit for bit: cumulative (prefix-OR +
+    // running sums), retention matrix, and the 2-step funnel cascade
+    def cohort(svcX: CubeService, name: String) = Seq(
+      svcX.getCumulative(name, "day", sumOf = Seq("v"),
+        exactDistinctOf = Seq("xusers")),
+      svcX.getRetention(name, "day", "xusers", periodDays = 1),
+      svcX.getFunnel(name, "day", "xusers", "etype",
+        Seq("view", "click"))
+    ).map(_.collect().map(_.toSeq).toSeq)
+    assert(cohort(svc, "rollstream") == cohort(svcB, "rollbatch"),
+      "stream-maintained cohort serves != batch cohort serves")
     // ... and equals EXACT at this cardinality; the KLL median lands
     // within rank error of the exact window on every endpoint
     val byDay = all.groupBy(r => r._2.getTime / 86400000L)
