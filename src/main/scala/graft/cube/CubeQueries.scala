@@ -1673,6 +1673,18 @@ object CubeQueries {
           measures = Seq(Measure("v", "value")),
           bitmaps = Seq(Measure("u", "user_id"))),
         Tables.events(spark, sfDir))
+      // q245: a JSON-derived segment (ExprDim) alongside the step
+      // dimension — the segmented-funnel corpus
+      svc.createCube(
+        CubeConfig("funnel_seg", "events",
+          dims = Seq(
+            ExprDim("seg",
+              "cast(get_json_object(props, '$.k') as int) % 2"),
+            FieldDim("etype", "event_type"),
+            TimeDim("day", "ts", "day")),
+          measures = Seq(Measure("v", "value")),
+          bitmaps = Seq(Measure("u", "user_id"))),
+        Tables.events(spark, sfDir))
       svc
     })
 
@@ -2329,6 +2341,24 @@ object CubeQueries {
     val svc = rollingMmService(spark, sfDir)
     svc.getFunnel("rolling_seg", "day", "u", "etype",
       Seq("view", "click", "purchase"))
+  }
+
+  // --------------------------------------------------------------- q245
+  /** Graded: SEGMENTED funnel over a JSON-DERIVED segment — q241's
+    * cascade per segment cell, where the segment is an [[ExprDim]]
+    * computed from the schemaless `props` column (the MongoDB-style
+    * dynamic-document grouping the reference's document model implies
+    * `[RECON]`): each segment's conversion recursion runs over ITS OWN
+    * events and observed periods (a user's events can split across
+    * segments — the per-segment cells partition events, not users,
+    * and the oracle recomputes the recursion with the same per-segment
+    * min-joins). One conditional-aggregation pass regardless of
+    * segment count; windows partition per (segment [, shard]), so no
+    * single-task frame grows with segments. */
+  def q245SegmentedFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = rollingMmService(spark, sfDir)
+    svc.getFunnel("funnel_seg", "day", "u", "etype",
+      Seq("view", "click", "purchase"), segmentBy = Seq("seg"))
   }
 
   // --------------------------------------------------------------- q235
@@ -3211,6 +3241,7 @@ object CubeQueries {
     "q242_sql_rolling_routing" -> q242SqlRollingRouting,
     "q243_cumulative_routing" -> q243CumulativeRouting,
     "q244_cohort_time_travel" -> q244CohortTimeTravel,
+    "q245_segmented_funnel" -> q245SegmentedFunnel,
     "q212_advised_bitmap_rolling" -> q212AdvisedBitmapRolling,
     "q219_rolling_segmented" -> q219RollingSegmented,
     "q222_advised_segmented_rolling" -> q222AdvisedSegmentedRolling,
@@ -3938,6 +3969,40 @@ object CubeQueries {
       SELECT ps.p, 3, 'purchase',
         (SELECT count(*) FROM t3 WHERE t3.t <= ps.p) FROM ps
       ORDER BY period, step_ord""",
+    // the per-segment recursion: conversion times computed WITHIN each
+    // JSON-derived segment's events (cells partition events, not users)
+    "q245_segmented_funnel" -> """
+      WITH ev AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) % 2 AS seg,
+          user_id, event_type AS s,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+            AS BIGINT) AS p
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')),
+      ps AS (SELECT DISTINCT seg, p FROM ev),
+      t1 AS (SELECT seg, user_id, min(p) AS t FROM ev WHERE s = 'view'
+             GROUP BY 1, 2),
+      t2 AS (SELECT e.seg, e.user_id, min(e.p) AS t FROM ev e
+             JOIN t1 ON t1.seg = e.seg AND t1.user_id = e.user_id
+               AND e.p >= t1.t
+             WHERE e.s = 'click' GROUP BY 1, 2),
+      t3 AS (SELECT e.seg, e.user_id, min(e.p) AS t FROM ev e
+             JOIN t2 ON t2.seg = e.seg AND t2.user_id = e.user_id
+               AND e.p >= t2.t
+             WHERE e.s = 'purchase' GROUP BY 1, 2)
+      SELECT ps.seg, ps.p AS period, 1 AS step_ord, 'view' AS step,
+        (SELECT count(*) FROM t1
+         WHERE t1.seg = ps.seg AND t1.t <= ps.p) AS converted
+      FROM ps
+      UNION ALL
+      SELECT ps.seg, ps.p, 2, 'click',
+        (SELECT count(*) FROM t2
+         WHERE t2.seg = ps.seg AND t2.t <= ps.p) FROM ps
+      UNION ALL
+      SELECT ps.seg, ps.p, 3, 'purchase',
+        (SELECT count(*) FROM t3
+         WHERE t3.seg = ps.seg AND t3.t <= ps.p) FROM ps
+      ORDER BY seg, period, step_ord""",
     // same curve as q228 — the SQL text and the DataFrame form must
     // serve the identical routed answer
     "q242_sql_rolling_routing" -> """

@@ -1805,6 +1805,42 @@ class CubeRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL-text retention and cumulative plans route like the DataFrame forms") {
+    val srcDir = rollingSetup()
+    spark.read.parquet(srcDir).createOrReplaceTempView("rollrw_sql")
+    def ret() = spark.sql("""
+      WITH up AS (
+        SELECT DISTINCT user_id,
+          CAST(FLOOR(CAST(CAST(CAST(unix_timestamp(ts) AS DOUBLE) / 86400
+            AS BIGINT) AS DOUBLE) / 3) AS BIGINT) AS p
+        FROM rollrw_sql)
+      SELECT cur.p, COUNT(DISTINCT cur.user_id) AS retained
+      FROM up cur JOIN up prev
+        ON cur.user_id = prev.user_id AND prev.p = cur.p - 1
+      GROUP BY cur.p""")
+    def cum() = spark.sql("""
+      WITH du AS (
+        SELECT DISTINCT user_id,
+          CAST(CAST(unix_timestamp(ts) AS DOUBLE) / 86400 AS BIGINT) AS d
+        FROM rollrw_sql),
+      days AS (SELECT DISTINCT d AS day FROM du)
+      SELECT days.day, COUNT(DISTINCT du.user_id) AS cum_users
+      FROM days JOIN du ON du.d <= days.day
+      GROUP BY days.day""")
+    val routed = Seq(ret(), cum())
+    routed.foreach { q =>
+      assert(scansOf(q).forall(_.endsWith("/rollrw")),
+        s"SQL-text cohort route did not fire: ${scansOf(q)}")
+    }
+    val servedRows = routed.map(sortedRows)
+    CubeCatalog.clear()
+    Seq(ret(), cum()).zip(servedRows).zipWithIndex.foreach {
+      case ((q, s), i) =>
+        assert(sortedRows(q) == s,
+          s"SQL-text routed result must EQUAL the raw plan (form $i)")
+    }
+  }
+
   test("estimator-changing rolling leaves route only with the opt-in") {
     // count(DISTINCT double) → HLL and percentile_approx → KLL both
     // change the answer: without the registration opt-in they must

@@ -665,6 +665,66 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteCube("fun"); svc.deleteCube("fun_sh")
   }
 
+  test("dictionary bitmaps serve cumulative and funnel over STRING keys") {
+    import spark.implicits._
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_dictcum").toString)
+    val rnd = new scala.util.Random(59)
+    val rows = (0 until 700).map { i =>
+      (Seq("view", "click", "purchase")(rnd.nextInt(3)),
+        new Timestamp(1700006400000L + rnd.nextInt(12) * 86400000L +
+          rnd.nextInt(80000000)),
+        (i % 7).toDouble, s"user-${rnd.nextInt(45)}")
+    }
+    val df = rows.toDF("event_type", "ts", "value", "uid")
+    val mk = (n: String, bits: Int) => svc.createCube(
+      CubeConfig(n, "events",
+        Seq(FieldDim("etype", "event_type"), TimeDim("day", "ts", "day")),
+        Seq(Measure("v", "value")),
+        dictBitmaps = Seq(Measure("users", "uid")),
+        bitmapShardBits = bits), df)
+    mk("dictcum", 0)
+    mk("dictcum_sh", 2)
+    def dayOf(t: Timestamp): Long = t.getTime / 86400000L
+    // lifetime uniques over the STRING key == set-union recompute
+    val cum = svc.getCumulative("dictcum", "day",
+      exactDistinctOf = Seq("users")).collect()
+    val byDay = rows.groupBy(r => dayOf(r._2))
+      .map { case (d, rs) => d -> rs.map(_._4).toSet }
+    var seen = Set.empty[String]
+    byDay.keys.toSeq.sorted.zip(cum).foreach { case (d, r) =>
+      seen = seen ++ byDay(d)
+      assert(r.getAs[Long]("cum_exact_users") == seen.size,
+        s"day $d: dict lifetime curve diverged")
+    }
+    // the funnel cascade over dict ids == the string-key recursion
+    val steps = Seq("view", "click", "purchase")
+    val byStep = steps.map(s => rows.filter(_._1 == s)
+      .groupBy(_._4).map { case (u, rs) => u -> rs.map(x => dayOf(x._2)).toSet })
+    val t = scala.collection.mutable.Buffer(
+      byStep(0).map { case (u, ps) => u -> ps.min })
+    (1 until steps.size).foreach { k =>
+      t += byStep(k).flatMap { case (u, ps) =>
+        t(k - 1).get(u).flatMap(lo =>
+          ps.filter(_ >= lo).minOption.map(u -> _)) }.toMap
+    }
+    val fun = svc.getFunnel("dictcum", "day", "users", "etype", steps)
+      .collect()
+    fun.foreach { r =>
+      val p = r.getAs[Long]("period")
+      val k = r.getAs[Int]("step_ord") - 1
+      assert(r.getAs[Long]("converted") == t(k).values.count(_ <= p),
+        s"period $p step $k: dict funnel diverged")
+    }
+    // the sharded dict twin is bit-identical on both serves
+    assert(svc.getCumulative("dictcum_sh", "day",
+        exactDistinctOf = Seq("users")).collect().map(_.toSeq).toSeq ==
+      cum.map(_.toSeq).toSeq)
+    assert(svc.getFunnel("dictcum_sh", "day", "users", "etype", steps)
+        .collect().map(_.toSeq).toSeq == fun.map(_.toSeq).toSeq)
+    svc.deleteCube("dictcum"); svc.deleteCube("dictcum_sh")
+  }
+
   test("cohort verbs as-of a retained version == the captured pre-fold serves") {
     import spark.implicits._
     val svc = new CubeService(spark,
