@@ -293,10 +293,10 @@ final class AdminServer(service: CubeService, spark: SparkSession,
               "asOfVersion is not supported for join MVs")
           val fn = asOfFun match {
             case Some(v) =>
-              service.getFunnelAsOf(name, v, _, _, _, _, _, _)
+              service.getFunnelAsOf(name, v, _, _, _, _, _, _, _)
             case None if isJoin =>
-              service.getJoinFunnel(name, _, _, _, _, _, _)
-            case None => service.getFunnel(name, _, _, _, _, _, _)
+              service.getJoinFunnel(name, _, _, _, _, _, _, _)
+            case None => service.getFunnel(name, _, _, _, _, _, _, _)
           }
           val df = fn(
             need(strField(req, "dayDim"), "dayDim"),
@@ -304,7 +304,8 @@ final class AdminServer(service: CubeService, spark: SparkSession,
             need(strField(req, "stepDim"), "stepDim"),
             strArray(req, "steps"),
             numField(req, "periodDays").map(_.toInt).getOrElse(1),
-            strArray(req, "segmentBy"))
+            strArray(req, "segmentBy"),
+            numField(req, "withinPeriods").map(_.toInt).getOrElse(0))
           serveRows(df,
             strArray(req, "segmentBy") ++ Seq("period", "step_ord"), req)
         case Some("getRetention") | Some("getJoinRetention") =>

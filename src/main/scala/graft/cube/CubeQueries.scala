@@ -2361,6 +2361,30 @@ object CubeQueries {
       Seq("view", "click", "purchase"), segmentBy = Seq("seg"))
   }
 
+  // --------------------------------------------------------------- q246
+  /** Graded: the WINDOWED funnel ("click within 3 days of view,
+    * purchase within 3 days of click") — the ClickHouse-windowFunnel
+    * semantics, exact from the same daily bitmap partials: a user
+    * converts step k at period q iff step-k activity at q follows a
+    * step-(k−1) QUALIFICATION at some r ∈ [q−w, q] — ANY chain with
+    * adjacent gaps ≤ w counts, including RE-qualification (a user
+    * whose first step-1 is too old re-enters by repeating it; pinned
+    * in CubeServiceSpec). Mechanics: the qualified set per period is
+    * kept as a bitmap column and the "recently qualified" set is a
+    * RANGE-frame trailing union over it (calendar gaps age chains out
+    * because the frame ranges over the period KEY, not row numbers);
+    * the converted curve stays the prefix-union of qualified. The
+    * DuckDB oracle materializes the qualified-pair relation per step
+    * with windowed chain joins and counts min-qualification times —
+    * the set-recursion and the chain-existence recursion are the same
+    * predicate, so the matrix hash-matches. `within` large degenerates
+    * to q241's unbounded cascade (pinned). */
+  def q246WindowFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = rollingMmService(spark, sfDir)
+    svc.getFunnel("rolling_seg", "day", "u", "etype",
+      Seq("view", "click", "purchase"), withinPeriods = 3)
+  }
+
   // --------------------------------------------------------------- q235
   /** Graded: CHURN ROUTING through the optimizer — the raw ANTI-JOIN
     * cohort plan ("of week p's users, how many never showed in p+1",
@@ -3242,6 +3266,7 @@ object CubeQueries {
     "q243_cumulative_routing" -> q243CumulativeRouting,
     "q244_cohort_time_travel" -> q244CohortTimeTravel,
     "q245_segmented_funnel" -> q245SegmentedFunnel,
+    "q246_window_funnel" -> q246WindowFunnel,
     "q212_advised_bitmap_rolling" -> q212AdvisedBitmapRolling,
     "q219_rolling_segmented" -> q219RollingSegmented,
     "q222_advised_segmented_rolling" -> q222AdvisedSegmentedRolling,
@@ -4003,6 +4028,38 @@ object CubeQueries {
         (SELECT count(*) FROM t3
          WHERE t3.seg = ps.seg AND t3.t <= ps.p) FROM ps
       ORDER BY seg, period, step_ord""",
+    // the windowed chain recursion: qualified pairs per step with
+    // adjacent gaps <= 3, then min-qualification times per user
+    "q246_window_funnel" -> """
+      WITH ev AS (
+        SELECT user_id, event_type AS s,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+            AS BIGINT) AS p
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')),
+      ps AS (SELECT DISTINCT p FROM ev),
+      c1 AS (SELECT DISTINCT user_id, p FROM ev WHERE s = 'view'),
+      c2 AS (SELECT DISTINCT e.user_id, e.p FROM ev e
+             JOIN c1 ON c1.user_id = e.user_id
+               AND c1.p BETWEEN e.p - 3 AND e.p
+             WHERE e.s = 'click'),
+      c3 AS (SELECT DISTINCT e.user_id, e.p FROM ev e
+             JOIN c2 ON c2.user_id = e.user_id
+               AND c2.p BETWEEN e.p - 3 AND e.p
+             WHERE e.s = 'purchase'),
+      t1 AS (SELECT user_id, min(p) AS t FROM c1 GROUP BY 1),
+      t2 AS (SELECT user_id, min(p) AS t FROM c2 GROUP BY 1),
+      t3 AS (SELECT user_id, min(p) AS t FROM c3 GROUP BY 1)
+      SELECT ps.p AS period, 1 AS step_ord, 'view' AS step,
+        (SELECT count(*) FROM t1 WHERE t1.t <= ps.p) AS converted
+      FROM ps
+      UNION ALL
+      SELECT ps.p, 2, 'click',
+        (SELECT count(*) FROM t2 WHERE t2.t <= ps.p) FROM ps
+      UNION ALL
+      SELECT ps.p, 3, 'purchase',
+        (SELECT count(*) FROM t3 WHERE t3.t <= ps.p) FROM ps
+      ORDER BY period, step_ord""",
     // same curve as q228 — the SQL text and the DataFrame form must
     // serve the identical routed answer
     "q242_sql_rolling_routing" -> """

@@ -1364,9 +1364,10 @@ final class CubeService(spark: SparkSession, storageDir: String,
       stepDim: String,
       steps: Seq[String],
       periodDays: Int = 1,
-      segmentBy: Seq[String] = Nil): DataFrame =
+      segmentBy: Seq[String] = Nil,
+      withinPeriods: Int = 0): DataFrame =
     funnelFrom(loadCube(name), name, dayDim, bitmapId, stepDim, steps,
-      periodDays, segmentBy)
+      periodDays, segmentBy, withinPeriods)
 
   /** [[getFunnel]] for join MVs. */
   def getJoinFunnel(
@@ -1376,9 +1377,10 @@ final class CubeService(spark: SparkSession, storageDir: String,
       stepDim: String,
       steps: Seq[String],
       periodDays: Int = 1,
-      segmentBy: Seq[String] = Nil): DataFrame =
+      segmentBy: Seq[String] = Nil,
+      withinPeriods: Int = 0): DataFrame =
     funnelFrom(loadJoinCube(name).cube, name, dayDim, bitmapId, stepDim,
-      steps, periodDays, segmentBy)
+      steps, periodDays, segmentBy, withinPeriods)
 
   private def funnelFrom(
       cube: Cube,
@@ -1388,7 +1390,8 @@ final class CubeService(spark: SparkSession, storageDir: String,
       stepDim: String,
       steps: Seq[String],
       periodDays: Int,
-      segmentBy: Seq[String] = Nil): DataFrame = {
+      segmentBy: Seq[String] = Nil,
+      withinPeriods: Int = 0): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     require(cube.config.dims.exists {
@@ -1462,15 +1465,33 @@ final class CubeService(spark: SparkSession, storageDir: String,
       .partitionBy((segCols ++ shardCols): _*)
       .orderBy(col("period"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // BOUNDED funnels (withinPeriods > 0): step k at q must follow a
+    // step-(k−1) QUALIFICATION at some r ∈ [q − within, q] — the
+    // ClickHouse-windowFunnel semantics (any chain with adjacent gaps
+    // ≤ within counts, including re-qualification: a user whose first
+    // step-1 is too old but who repeats it later re-enters). RANGE
+    // frames on the period key make calendar gaps count against the
+    // window (an unobserved period still ages the chain out)
+    val rangeW =
+      if (withinPeriods <= 0) w
+      else Window
+        .partitionBy((segCols ++ shardCols): _*)
+        .orderBy(col("period"))
+        .rangeBetween(-withinPeriods.toLong, Window.currentRow)
     // the cascade: intersect each step's bitmap with the previous
-    // step's converted set, prefix-union — one incremental window pass
-    // per step over the SAME sorted frame (one sort, |steps| passes)
+    // step's QUALIFIED set — the full prefix for unbounded funnels,
+    // the trailing `within` range for bounded ones — then prefix-union
+    // into the converted set; window passes chain over ONE sorted frame
     var frame = grid.join(base, keyCols, "left")
     steps.zipWithIndex.foreach { case (s, i) =>
       val qual =
         if (i == 0) coalesce(col(s"__b$i"), emptyBm)
-        else B.and(coalesce(col(s"__b$i"), emptyBm), col(s"__c${i - 1}"))
-      frame = frame.withColumn(s"__c$i", B.unionAgg(qual).over(w))
+        else B.and(coalesce(col(s"__b$i"), emptyBm),
+          if (withinPeriods <= 0) col(s"__c${i - 1}")
+          else B.unionAgg(col(s"__q${i - 1}")).over(rangeW))
+      frame = frame.withColumn(s"__q$i", qual)
+      frame = frame.withColumn(s"__c$i",
+        B.unionAgg(col(s"__q$i")).over(w))
     }
     val rows = steps.zipWithIndex.map { case (s, i) =>
       frame.select((segCols ++ Seq(col("period"),
@@ -1550,9 +1571,10 @@ final class CubeService(spark: SparkSession, storageDir: String,
       stepDim: String,
       steps: Seq[String],
       periodDays: Int = 1,
-      segmentBy: Seq[String] = Nil): DataFrame =
+      segmentBy: Seq[String] = Nil,
+      withinPeriods: Int = 0): DataFrame =
     funnelFrom(cubeAt(name, version), name, dayDim, bitmapId, stepDim,
-      steps, periodDays, segmentBy)
+      steps, periodDays, segmentBy, withinPeriods)
 
   // ----------------------------------------------------------- join MVs
   /** Durable incrementally maintained JOIN MVs ([[JoinCubeManager]]).

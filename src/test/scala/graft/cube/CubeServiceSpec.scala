@@ -551,12 +551,13 @@ class CubeServiceSpec extends AnyFunSuite {
     val all = handRows ++ bulkRows
     val df = all.map { case (u, d, s) => (s, ts(d), 1.0, u) }
       .toDF("event_type", "ts", "value", "user_id")
-    val mk = (n: String, bits: Int) => svc.createCube(
+    val mk2 = (n: String, bits: Int, d: DataFrame) => svc.createCube(
       CubeConfig(n, "events",
         Seq(FieldDim("etype", "event_type"), TimeDim("day", "ts", "day")),
         Seq(Measure("v", "value")),
         bitmaps = Seq(Measure("users", "user_id")),
-        bitmapShardBits = bits), df)
+        bitmapShardBits = bits), d)
+    val mk = (n: String, bits: Int) => mk2(n, bits, df)
     mk("fun", 0)
     mk("fun_sh", 2)
     val steps = Seq("A", "B", "C")
@@ -645,6 +646,45 @@ class CubeServiceSpec extends AnyFunSuite {
       svc.getFunnel("fun_seg", "day", "users", "etype", steps,
         segmentBy = Seq("etype")) }
     svc.deleteCube("fun_seg")
+
+    // --- BOUNDED funnel (withinPeriods): windowFunnel semantics
+    //  u21: A@0 B@2        — gap 2 ≤ within=2, converts
+    //  u22: A@0 B@3        — gap 3 > 2, does NOT convert
+    //  u23: A@0 A@5 B@6    — first A too old, REPEAT A re-qualifies
+    //  u24: A@0 B@2 C@5    — A→B in window, B→C gap 3 > 2, stops at B
+    val wRows = Seq(
+      (21L, 0L, "A"), (21L, 2L, "B"),
+      (22L, 0L, "A"), (22L, 3L, "B"),
+      (23L, 0L, "A"), (23L, 5L, "A"), (23L, 6L, "B"),
+      (24L, 0L, "A"), (24L, 2L, "B"), (24L, 5L, "C"))
+    val wDf = wRows.map { case (u, d, s) => (s, ts(d), 1.0, u) }
+      .toDF("event_type", "ts", "value", "user_id")
+    mk2("funw", 0, wDf)
+    mk2("funw_sh", 2, wDf)
+    val wGot = svc.getFunnel("funw", "day", "users", "etype", steps,
+      withinPeriods = 2).collect()
+    def conv(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("period") - day0, r.getAs[Int]("step_ord"),
+        r.getAs[Long]("converted"))
+    val lastP = wRows.map(_._2).max
+    val finalCounts = wGot.map(conv).collect {
+      case (p, k, n) if p == lastP => k -> n }.toMap
+    // step1 = all 4 entered; step2 = u21 (gap 2), u23 (re-qualified),
+    // u24 — NOT u22; step3 = nobody (u24's B→C gap 3)
+    assert(finalCounts == Map(1 -> 4L, 2 -> 3L, 3 -> 0L),
+      s"windowed funnel final counts: $finalCounts")
+    // a window wider than the horizon degenerates to the unbounded form
+    assert(svc.getFunnel("funw", "day", "users", "etype", steps,
+        withinPeriods = 1000).collect().map(_.toSeq).toSeq ==
+      svc.getFunnel("funw", "day", "users", "etype", steps)
+        .collect().map(_.toSeq).toSeq,
+      "within >= horizon must equal the unbounded cascade")
+    // sharded twin bit-identical on the bounded form too
+    assert(svc.getFunnel("funw_sh", "day", "users", "etype", steps,
+        withinPeriods = 2).collect().map(_.toSeq).toSeq ==
+      wGot.map(_.toSeq).toSeq,
+      "sharded windowed funnel must equal the unsharded cascade")
+    svc.deleteCube("funw"); svc.deleteCube("funw_sh")
 
     // --- guardrails
     intercept[IllegalArgumentException] {
