@@ -263,6 +263,18 @@ final class AdminServer(service: CubeService, spark: SparkSession,
             strArray(req, "segmentBy"),
             strArray(req, "intersectOf"))
           serveRows(df, strArray(req, "segmentBy") :+ "day", req)
+        case Some("getOverlapMatrix") | Some("getJoinOverlapMatrix") =>
+          val name = need(strField(req, "name"), "name")
+          val isJoin =
+            strField(req, "verb").contains("getJoinOverlapMatrix")
+          val fn =
+            if (isJoin) service.getJoinOverlapMatrix _
+            else service.getOverlapMatrix _
+          val df = fn(name,
+            need(strField(req, "dim"), "dim"),
+            need(strField(req, "bitmapId"), "bitmapId"),
+            strArray(req, "values"))
+          serveRows(df, Seq("a", "b"), req)
         case Some("getCumulative") | Some("getJoinCumulative") =>
           val name = need(strField(req, "name"), "name")
           val isJoin = strField(req, "verb").contains("getJoinCumulative")

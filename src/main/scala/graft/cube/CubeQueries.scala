@@ -2385,6 +2385,24 @@ object CubeQueries {
       Seq("view", "click", "purchase"), withinPeriods = 3)
   }
 
+  // --------------------------------------------------------------- q247
+  /** Graded: the EXACT audience-overlap matrix
+    * ([[CubeService.getOverlapMatrix]]) — for every pair of event
+    * types, |A|, |B|, |A∩B|, both exclusive remainders, and Jaccard,
+    * all exact from the same maintained bitmap partials (the
+    * hash-gradable twin of q120's HLL overlap): one OR-merged bitmap
+    * per dimension value, then one merge-walk per unordered pair —
+    * C(|values|,2) one-row operations over cube-derived state; the
+    * value-subset knob bounds the quadratic grid by construction. The
+    * DuckDB oracle recomputes every cell from distinct (type, user)
+    * pairs with a self-join. Jaccard is an integer-ratio double —
+    * IEEE division of identical integers, hash-stable across both
+    * engines. */
+  def q247OverlapMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = rollingMmService(spark, sfDir)
+    svc.getOverlapMatrix("rolling_seg", "etype", "u")
+  }
+
   // --------------------------------------------------------------- q235
   /** Graded: CHURN ROUTING through the optimizer — the raw ANTI-JOIN
     * cohort plan ("of week p's users, how many never showed in p+1",
@@ -3267,6 +3285,7 @@ object CubeQueries {
     "q244_cohort_time_travel" -> q244CohortTimeTravel,
     "q245_segmented_funnel" -> q245SegmentedFunnel,
     "q246_window_funnel" -> q246WindowFunnel,
+    "q247_overlap_matrix" -> q247OverlapMatrix,
     "q212_advised_bitmap_rolling" -> q212AdvisedBitmapRolling,
     "q219_rolling_segmented" -> q219RollingSegmented,
     "q222_advised_segmented_rolling" -> q222AdvisedSegmentedRolling,
@@ -4060,6 +4079,24 @@ object CubeQueries {
       SELECT ps.p, 3, 'purchase',
         (SELECT count(*) FROM t3 WHERE t3.t <= ps.p) FROM ps
       ORDER BY period, step_ord""",
+    // every overlap cell recomputed from distinct (type, user) pairs
+    "q247_overlap_matrix" -> """
+      WITH du AS (SELECT DISTINCT event_type AS et, user_id FROM events),
+      s AS (SELECT et, count(*) AS n FROM du GROUP BY 1),
+      ov AS (SELECT a.et AS a, b.et AS b, count(*) AS o
+             FROM du a JOIN du b
+               ON a.user_id = b.user_id AND a.et < b.et
+             GROUP BY 1, 2)
+      SELECT sa.et AS a, sb.et AS b,
+        sa.n AS n_a, sb.n AS n_b,
+        COALESCE(ov.o, 0) AS overlap,
+        sa.n - COALESCE(ov.o, 0) AS only_a,
+        sb.n - COALESCE(ov.o, 0) AS only_b,
+        CAST(COALESCE(ov.o, 0) AS DOUBLE) /
+          (sa.n + sb.n - COALESCE(ov.o, 0)) AS jaccard
+      FROM s sa JOIN s sb ON sa.et < sb.et
+      LEFT JOIN ov ON ov.a = sa.et AND ov.b = sb.et
+      ORDER BY a, b""",
     // same curve as q228 — the SQL text and the DataFrame form must
     // serve the identical routed answer
     "q242_sql_rolling_routing" -> """

@@ -1509,6 +1509,95 @@ final class CubeService(spark: SparkSession, storageDir: String,
       .orderBy((segCols ++ Seq(col("period"), col("step_ord"))): _*)
   }
 
+  /** EXACT audience-overlap matrix — for every pair of values of a
+    * dimension, the set algebra of their id audiences: sizes, the
+    * intersection, both exclusive remainders, and the Jaccard
+    * similarity. The exact, hash-gradable twin of the HLL overlap
+    * (q120): one bitmap per dimension value (cells of other
+    * dimensions collapse into it), then a pairwise merge-walk per
+    * (a < b) pair — |values|·(|values|−1)/2 one-row operations over
+    * cube-derived bitmaps, never the source. `values` restricts the
+    * matrix to a subset (the matrix is quadratic in |values| by
+    * construction — the restriction is the scale knob, pairs of a
+    * 10⁶-value dimension are a different workload). Sharded cubes
+    * pair per (value, shard) and ADD the per-shard counts (shards
+    * partition the id space). Deletes latch bitmaps — refused. */
+  def getOverlapMatrix(
+      name: String,
+      dim: String,
+      bitmapId: String,
+      values: Seq[String] = Nil): DataFrame =
+    overlapFrom(loadCube(name), name, dim, bitmapId, values)
+
+  /** [[getOverlapMatrix]] for join MVs. */
+  def getJoinOverlapMatrix(
+      name: String,
+      dim: String,
+      bitmapId: String,
+      values: Seq[String] = Nil): DataFrame =
+    overlapFrom(loadJoinCube(name).cube, name, dim, bitmapId, values)
+
+  private def overlapFrom(
+      cube: Cube,
+      name: String,
+      dim: String,
+      bitmapId: String,
+      values: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(
+      cube.config.dims.exists(d => d.id == dim && !d.isInstanceOf[TimeDim]),
+      s"$dim is not a (non-time) dimension of cube $name")
+    require(cube.config.allBitmaps.exists(_.id == bitmapId),
+      s"$bitmapId is not a bitmap measure of cube $name")
+    require(!cube.hasDeletes,
+      s"cube $name has folded deletes; its bitmap partials are " +
+        "insert-only and cannot serve overlap matrices")
+    val B = graft.functions.Bitmap
+    val sharded = cube.config.bitmapShardBits > 0
+    val shardCols = if (sharded) Seq(col(CubeManager.ShardCol)) else Nil
+    val restricted =
+      if (values.isEmpty) cube.live
+      else cube.live.filter(col(dim).isin(values: _*))
+    val per = restricted
+      .groupBy((Seq(col(dim)) ++ shardCols): _*)
+      .agg(B.unionAgg(col(bitmapId)).as("__bm"))
+    // audience sizes per value: per-shard cardinalities ADD (shards
+    // partition the id space); unsharded this is one row per value
+    val sizes = per.groupBy(col(dim))
+      .agg(sum(B.cardinality(col("__bm"))).as("__n"))
+    // the ordered pair grid carries BOTH sizes — a pair with no joint
+    // shard (possible under sharding) still appears, with overlap 0
+    val grid = sizes.select(col(dim).as("a"), col("__n").as("__na"))
+      .join(sizes.select(col(dim).as("b"), col("__n").as("__nb")),
+        col("a") < col("b"))
+    // overlaps: pair per (a < b [, same shard]) — the merge-walks stay
+    // blob-bounded because each side is one shard's bitmap
+    val la = per.select((Seq(col(dim).as("a"),
+      col("__bm").as("__abm")) ++
+      (if (sharded) Seq(col(CubeManager.ShardCol).as("__sha")) else Nil)): _*)
+    val lb = per.select((Seq(col(dim).as("b"),
+      col("__bm").as("__bbm")) ++
+      (if (sharded) Seq(col(CubeManager.ShardCol).as("__shb")) else Nil)): _*)
+    val cond =
+      if (sharded) col("a") < col("b") && col("__sha") === col("__shb")
+      else col("a") < col("b")
+    val ov = la.join(lb, cond)
+      .select(col("a"), col("b"),
+        B.andCardinality(col("__abm"), col("__bbm")).as("__o"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("__o")).as("__ov"))
+    grid.join(ov, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        coalesce(col("__ov"), lit(0L)).as("overlap"),
+        (col("__na") - coalesce(col("__ov"), lit(0L))).as("only_a"),
+        (col("__nb") - coalesce(col("__ov"), lit(0L))).as("only_b"),
+        (coalesce(col("__ov"), lit(0L)).cast("double") /
+          (col("__na") + col("__nb") - coalesce(col("__ov"), lit(0L))))
+          .as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
   // -------------------------------------------- cohort verbs × time travel
   /** The COHORT verb family over a RETAINED HISTORICAL version — "what
     * did the WAU / retention / lifetime / funnel dashboard say as of

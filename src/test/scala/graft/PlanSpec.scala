@@ -58,7 +58,9 @@ class PlanSpec extends AnyFunSuite {
     "q182_triangle_count",    // crossJoins of three ONE-ROW stat frames
     "q201_association_rules", // crossJoin vs ONE broadcast basket-total row
     "q202_drift_chisq",       // crossJoin vs ONE broadcast midpoint row
-    "q205_vocab_coverage")    // rank<=budget theta join vs 4 broadcast rows
+    "q205_vocab_coverage",    // rank<=budget theta join vs 4 broadcast rows
+    "q247_overlap_matrix")    // a<b pair grid over |values| one-row bitmaps
+                              // (5 event types here) — q120's exact twin
 
   test("no unjustified cartesian or nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

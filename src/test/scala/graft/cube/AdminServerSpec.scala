@@ -666,6 +666,13 @@ class AdminServerSpec extends AnyFunSuite {
       assert(cli.rpc(
         """{"verb":"getFunnel","name":"cw","dayDim":"day","bitmapId":"u","stepDim":"etype","steps":["view"]}""")
         .startsWith("""{"ok":false"""))
+      // overlap matrix over the wire == in-process
+      val ow = cli.rpc(
+        """{"verb":"getOverlapMatrix","name":"cw","dim":"etype","bitmapId":"u"}""")
+      assert(ow.startsWith("""{"ok":true"""), ow)
+      val oProc = svc.getOverlapMatrix("cw", "etype", "u").collect()
+      assert(oProc.nonEmpty && oProc.forall(r =>
+        ow.contains(s""""overlap":${r.getAs[Long]("overlap")}""")), ow)
       // asOfVersion: fold a delta, then the wire's historical serve
       // must equal the captured pre-fold response byte for byte
       val v0 = svc.currentCubeVersion("cw")

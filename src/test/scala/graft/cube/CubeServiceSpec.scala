@@ -765,6 +765,61 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteCube("dictcum"); svc.deleteCube("dictcum_sh")
   }
 
+  test("getOverlapMatrix: exact pairwise set algebra; sharded twin") {
+    import spark.implicits._
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_ovl").toString)
+    val rnd = new scala.util.Random(67)
+    val rows = (0 until 800).map { _ =>
+      (Seq("A", "B", "C")(rnd.nextInt(3)),
+        new Timestamp(1700006400000L + rnd.nextInt(8) * 86400000L),
+        1.0, rnd.nextInt(70).toLong)
+    }
+    val df = rows.toDF("event_type", "ts", "value", "user_id")
+    val mk = (n: String, bits: Int) => svc.createCube(
+      CubeConfig(n, "events",
+        Seq(FieldDim("etype", "event_type"), TimeDim("day", "ts", "day")),
+        Seq(Measure("v", "value")),
+        bitmaps = Seq(Measure("users", "user_id")),
+        bitmapShardBits = bits), df)
+    mk("ovl", 0)
+    mk("ovl_sh", 2)
+    val setsOf = rows.groupBy(_._1)
+      .map { case (k, rs) => k -> rs.map(_._4).toSet }
+    val got = svc.getOverlapMatrix("ovl", "etype", "users").collect()
+    assert(got.length == 3, "3 unordered pairs of 3 values")
+    got.foreach { r =>
+      val (sa, sb) = (setsOf(r.getAs[String]("a")),
+        setsOf(r.getAs[String]("b")))
+      val ov = (sa intersect sb).size.toLong
+      assert(r.getAs[Long]("n_a") == sa.size &&
+        r.getAs[Long]("n_b") == sb.size &&
+        r.getAs[Long]("overlap") == ov &&
+        r.getAs[Long]("only_a") == sa.size - ov &&
+        r.getAs[Long]("only_b") == sb.size - ov &&
+        math.abs(r.getAs[Double]("jaccard") -
+          ov.toDouble / (sa union sb).size) < 1e-12,
+        s"pair ${r.getAs[String]("a")}/${r.getAs[String]("b")} diverged")
+    }
+    // sharded twin bit-identical; value restriction trims the grid
+    assert(svc.getOverlapMatrix("ovl_sh", "etype", "users")
+        .collect().map(_.toSeq).toSeq == got.map(_.toSeq).toSeq,
+      "sharded overlap matrix must equal the unsharded walk")
+    assert(svc.getOverlapMatrix("ovl", "etype", "users",
+      values = Seq("A", "B")).count() == 1)
+    // refusals: non-dim, non-bitmap, delete latch
+    intercept[IllegalArgumentException] {
+      svc.getOverlapMatrix("ovl", "day", "users") }
+    intercept[IllegalArgumentException] {
+      svc.getOverlapMatrix("ovl", "etype", "v") }
+    svc.updateAggregates("ovl",
+      df.limit(2).withColumn("_sign", lit(-1)))
+    val e = intercept[IllegalArgumentException] {
+      svc.getOverlapMatrix("ovl", "etype", "users") }
+    assert(e.getMessage.contains("insert-only"))
+    svc.deleteCube("ovl"); svc.deleteCube("ovl_sh")
+  }
+
   test("cohort verbs as-of a retained version == the captured pre-fold serves") {
     import spark.implicits._
     val svc = new CubeService(spark,
