@@ -263,6 +263,28 @@ final class AdminServer(service: CubeService, spark: SparkSession,
             strArray(req, "segmentBy"),
             strArray(req, "intersectOf"))
           serveRows(df, strArray(req, "segmentBy") :+ "day", req)
+        case Some("getCohortMatrix") | Some("getJoinCohortMatrix") =>
+          val name = need(strField(req, "name"), "name")
+          val isJoin =
+            strField(req, "verb").contains("getJoinCohortMatrix")
+          val asOfCoh = numField(req, "asOfVersion").map(_.toInt)
+          if (asOfCoh.isDefined && isJoin)
+            throw new IllegalArgumentException(
+              "asOfVersion is not supported for join MVs")
+          val fn = asOfCoh match {
+            case Some(v) =>
+              service.getCohortMatrixAsOf(name, v, _, _, _, _)
+            case None if isJoin =>
+              service.getJoinCohortMatrix(name, _, _, _, _)
+            case None => service.getCohortMatrix(name, _, _, _, _)
+          }
+          val df = fn(
+            need(strField(req, "dayDim"), "dayDim"),
+            need(strField(req, "bitmapId"), "bitmapId"),
+            numField(req, "periodDays").map(_.toInt).getOrElse(7),
+            strArray(req, "segmentBy"))
+          serveRows(df,
+            strArray(req, "segmentBy") ++ Seq("cohort", "offset"), req)
         case Some("getOverlapMatrix") | Some("getJoinOverlapMatrix") =>
           val name = need(strField(req, "name"), "name")
           val isJoin =

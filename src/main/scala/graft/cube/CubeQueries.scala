@@ -2403,6 +2403,25 @@ object CubeQueries {
     svc.getOverlapMatrix("rolling_seg", "etype", "u")
   }
 
+  // --------------------------------------------------------------- q248
+  /** Graded: the COHORT RETENTION TRIANGLE
+    * ([[CubeService.getCohortMatrix]]) — the classic cohort-analysis
+    * heatmap: for every cohort day (users FIRST seen that day) and
+    * offset k, how many were active k days later, plus the cohort
+    * size — all exact from maintained daily bitmap partials: new_w =
+    * P_w \ prefixOR(P_{<w}) (bytes-ANDNOT against the lagged running
+    * union), cell(w, k) = |new_w ∩ P_{w+k}|. The DuckDB oracle
+    * recomputes the triangle from first-seen days with a join back to
+    * every (user, day) pair. 100 TB split: the raw twin shuffles the
+    * source's distinct pairs twice (min-reduce + join-back) per
+    * refresh; the serve is one window pass + a |days|²/2 pair walk
+    * over ONE-ROW frames — 30 days here is 465 one-row merge-walks,
+    * and a year is ~66k, all cube-derived. */
+  def q248CohortMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = rollingMmService(spark, sfDir)
+    svc.getCohortMatrix("rolling_mm", "day", "u", periodDays = 1)
+  }
+
   // --------------------------------------------------------------- q235
   /** Graded: CHURN ROUTING through the optimizer — the raw ANTI-JOIN
     * cohort plan ("of week p's users, how many never showed in p+1",
@@ -3286,6 +3305,7 @@ object CubeQueries {
     "q245_segmented_funnel" -> q245SegmentedFunnel,
     "q246_window_funnel" -> q246WindowFunnel,
     "q247_overlap_matrix" -> q247OverlapMatrix,
+    "q248_cohort_matrix" -> q248CohortMatrix,
     "q212_advised_bitmap_rolling" -> q212AdvisedBitmapRolling,
     "q219_rolling_segmented" -> q219RollingSegmented,
     "q222_advised_segmented_rolling" -> q222AdvisedSegmentedRolling,
@@ -4097,6 +4117,23 @@ object CubeQueries {
       FROM s sa JOIN s sb ON sa.et < sb.et
       LEFT JOIN ov ON ov.a = sa.et AND ov.b = sb.et
       ORDER BY a, b""",
+    // the triangle recomputed raw: first-seen day per user, joined
+    // back to every (user, day) pair — only observed cells appear
+    "q248_cohort_matrix" -> """
+      WITH ud AS (
+        SELECT DISTINCT user_id,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+            AS BIGINT) AS p
+        FROM events),
+      f AS (SELECT user_id, min(p) AS c FROM ud GROUP BY 1),
+      cs AS (SELECT c, count(*) AS cohort_size FROM f GROUP BY 1)
+      SELECT f.c AS cohort, ud.p - f.c AS "offset",
+        cs.cohort_size, count(*) AS retained
+      FROM ud
+      JOIN f ON f.user_id = ud.user_id
+      JOIN cs ON cs.c = f.c
+      GROUP BY 1, 2, 3
+      ORDER BY cohort, "offset"""",
     // same curve as q228 — the SQL text and the DataFrame form must
     // serve the identical routed answer
     "q242_sql_rolling_routing" -> """

@@ -1598,6 +1598,131 @@ final class CubeService(spark: SparkSession, storageDir: String,
       .orderBy(col("a"), col("b"))
   }
 
+  /** The COHORT RETENTION TRIANGLE — the classic cohort-analysis
+    * heatmap: for every cohort period w (ids FIRST seen in w) and
+    * offset k ≥ 0, how many of that cohort were active in period
+    * w + k, plus the cohort's size. All exact from the same daily
+    * bitmap partials: new_w = P_w \ prefixOR(P_{<w}) (a bytes-ANDNOT
+    * against the lagged running union — [[graft.functions
+    * .BitmapAndNotBytes]]), retained(w, k) = |new_w ∩ P_{w+k}|. Rows
+    * follow the raw-join convention: only observed (cohort, offset)
+    * cells with ≥ 1 retained id (offset 0 is always the full cohort).
+    * Cost shape: one pass to |periods| one-row bitmaps, one window
+    * pass for the new-sets, then a |periods|²/2 pair walk over
+    * one-row frames — never the source (the raw twin joins the
+    * first-seen frame back to every (id, period) pair). Sharded
+    * cubes run the whole walk per shard and SUM the counts; segments
+    * partition everything per segment cell. Deletes latch — refused. */
+  def getCohortMatrix(
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    cohortFrom(loadCube(name), name, dayDim, bitmapId, periodDays,
+      segmentBy)
+
+  /** [[getCohortMatrix]] for join MVs. */
+  def getJoinCohortMatrix(
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    cohortFrom(loadJoinCube(name).cube, name, dayDim, bitmapId,
+      periodDays, segmentBy)
+
+  private def cohortFrom(
+      cube: Cube,
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      periodDays: Int,
+      segmentBy: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(cube.config.dims.exists {
+        case TimeDim(id, _, g) => id == dayDim && g == "day"
+        case _ => false
+      }, s"$dayDim must be a day-granularity time dimension of cube $name")
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    require(cube.config.allBitmaps.exists(_.id == bitmapId),
+      s"$bitmapId is not a bitmap measure of cube $name")
+    require(!cube.hasDeletes,
+      s"cube $name has folded deletes; its bitmap partials are " +
+        "insert-only and cannot serve cohort matrices")
+    segmentBy.foreach { sd =>
+      require(!Seq("cohort", "offset", "period", "day", "d").contains(sd),
+        s"segment id $sd collides with the cohort output columns " +
+          "(reserved: cohort, offset, period, day, d)")
+      require(
+        cube.config.dims.exists(d => d.id == sd && !d.isInstanceOf[TimeDim]),
+        s"$sd is not a (non-time) dimension of cube $name")
+    }
+    val B = graft.functions.Bitmap
+    val segCols = segmentBy.map(col)
+    val dayKey = datediff(col(dayDim).cast("date"), lit("1970-01-01"))
+      .cast("long")
+    val periodKey = floor(dayKey.cast("double") / periodDays)
+      .cast("long").as("period")
+    val sharded = cube.config.bitmapShardBits > 0
+    val shardCols = if (sharded) Seq(col(CubeManager.ShardCol)) else Nil
+    val per = cube.live
+      .groupBy((segCols ++ Seq(periodKey) ++ shardCols): _*)
+      .agg(B.unionAgg(col(bitmapId)).as("__bm"))
+    // new-sets: each (segment [, shard]) partition's bitmap minus the
+    // LAGGED running union — a shard silent at w contributes no ids at
+    // w, so no grid fill is needed (gaps are inert to a prefix union)
+    val w = Window
+      .partitionBy((segCols ++ shardCols): _*)
+      .orderBy(col("period"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wo = Window
+      .partitionBy((segCols ++ shardCols): _*)
+      .orderBy(col("period"))
+    val emptyBm = lit(Array[Byte](0, 0, 0, 0)) // codec: zero blocks
+    val news = per
+      .withColumn("__cum", B.unionAgg(col("__bm")).over(w))
+      .withColumn("__nbm", B.andNot(col("__bm"),
+        coalesce(lag(col("__cum"), 1).over(wo), emptyBm)))
+      .select((segCols ++ Seq(col("period").as("cohort")) ++ shardCols :+
+        col("__nbm")): _*)
+    // the pair walk: cohort w's new-set against every observed period
+    // ≥ w of the SAME (segment [, shard]) — one-row frames both sides
+    val later = per.select((segmentBy.map(s =>
+        col(s).as(s"__r_$s")) ++ // avoid self-join ambiguity
+      Seq(col("period").as("__p2"), col("__bm").as("__rbm")) ++
+      (if (sharded) Seq(col(CubeManager.ShardCol).as("__rsh"))
+       else Nil)): _*)
+    val segEq = segmentBy.map(s => col(s) === col(s"__r_$s"))
+    val shardEq =
+      if (sharded) Seq(col(CubeManager.ShardCol) === col("__rsh")) else Nil
+    val cond = (segEq ++ shardEq :+ (col("__p2") >= col("cohort")))
+      .reduce(_ && _)
+    val pairs = news.join(later, cond)
+      .select((segCols ++ Seq(col("cohort"),
+        (col("__p2") - col("cohort")).as("offset"),
+        B.cardinality(col("__nbm")).as("__cs"),
+        B.andCardinality(col("__nbm"), col("__rbm")).as("__r"))): _*)
+    val summed =
+      if (!sharded) pairs
+      else pairs
+        .groupBy((segCols ++ Seq(col("cohort"), col("offset"))): _*)
+        .agg(sum(col("__cs")).as("__cs"), sum(col("__r")).as("__r"))
+    // sharded caveat: __cs summed over the PAIRED shards only — a
+    // shard observed at w but silent at w+k would drop out of the
+    // size; re-derive cohort sizes from the news frame itself
+    val sizes = news
+      .groupBy((segCols :+ col("cohort")): _*)
+      .agg(sum(B.cardinality(col("__nbm"))).as("cohort_size"))
+    summed.drop("__cs")
+      .join(sizes, segmentBy :+ "cohort")
+      .filter(col("__r") >= 1)
+      .select((segCols ++ Seq(col("cohort"), col("offset"),
+        col("cohort_size"), col("__r").as("retained"))): _*)
+      .orderBy((segCols ++ Seq(col("cohort"), col("offset"))): _*)
+  }
+
   // -------------------------------------------- cohort verbs × time travel
   /** The COHORT verb family over a RETAINED HISTORICAL version — "what
     * did the WAU / retention / lifetime / funnel dashboard say as of
@@ -1650,6 +1775,17 @@ final class CubeService(spark: SparkSession, storageDir: String,
       segmentBy: Seq[String] = Nil): DataFrame =
     cumulativeFrom(cubeAt(name, version), name, dayDim, sumOf,
       exactDistinctOf, resetBy, segmentBy)
+
+  /** [[getCohortMatrix]] over a retained version. */
+  def getCohortMatrixAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      bitmapId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    cohortFrom(cubeAt(name, version), name, dayDim, bitmapId, periodDays,
+      segmentBy)
 
   /** [[getFunnel]] over a retained version. */
   def getFunnelAsOf(

@@ -371,6 +371,40 @@ case class BitmapAndBytes(left: Expression, right: Expression)
     copy(left = newChildren(0), right = newChildren(1))
 }
 
+/** A \ B as SERIALIZED BYTES — the cohort-triangle cell: a period's
+  * NEW ids are its bitmap minus the prefix union of everything
+  * earlier, and that set must survive as a bitmap because every later
+  * period intersects against it (retained-at-offset-k). Canonical
+  * sorted output like [[BitmapAndBytes]]; eval-only by design. */
+case class BitmapAndNotBytes(left: Expression, right: Expression)
+    extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bitmap_andnot"
+  override def children: Seq[Expression] = Seq(left, right)
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else {
+      val ma = BitmapCodec.read(a.asInstanceOf[Array[Byte]])
+      val mb = BitmapCodec.read(b.asInstanceOf[Array[Byte]])
+      val out = mutable.LongMap.empty[Long]
+      ma.foreach { case (block, wa) =>
+        val w = wa & ~mb.getOrElse(block, 0L)
+        if (w != 0L) out.update(block, w)
+      }
+      BitmapCodec.write(out)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BitmapAndNotBytes =
+    copy(left = newChildren(0), right = newChildren(1))
+}
+
 /** |A \ B| — the churn cell (active in p−1 but gone in p) and the
   * new-users cell (active in p, unseen in p−1), same merge-walk. */
 case class BitmapAndNotCardinality(left: Expression, right: Expression)
@@ -420,6 +454,11 @@ object Bitmap {
   /** A ∩ B of two serialized bitmap columns, as serialized bytes. */
   def and(a: Column, b: Column): Column =
     Bridge.toColumn(BitmapAndBytes(
+      Bridge.toExpression(a), Bridge.toExpression(b)))
+
+  /** A \ B of two serialized bitmap columns, as serialized bytes. */
+  def andNot(a: Column, b: Column): Column =
+    Bridge.toColumn(BitmapAndNotBytes(
       Bridge.toExpression(a), Bridge.toExpression(b)))
 
   /** Exact |A ∩ B| of two serialized bitmap columns. */

@@ -59,8 +59,10 @@ class PlanSpec extends AnyFunSuite {
     "q201_association_rules", // crossJoin vs ONE broadcast basket-total row
     "q202_drift_chisq",       // crossJoin vs ONE broadcast midpoint row
     "q205_vocab_coverage",    // rank<=budget theta join vs 4 broadcast rows
-    "q247_overlap_matrix")    // a<b pair grid over |values| one-row bitmaps
+    "q247_overlap_matrix",    // a<b pair grid over |values| one-row bitmaps
                               // (5 event types here) — q120's exact twin
+    "q248_cohort_matrix")     // p2>=cohort triangle walk over |days|
+                              // one-row bitmap frames (30 days here)
 
   test("no unjustified cartesian or nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

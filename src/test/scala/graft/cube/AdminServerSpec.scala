@@ -666,6 +666,14 @@ class AdminServerSpec extends AnyFunSuite {
       assert(cli.rpc(
         """{"verb":"getFunnel","name":"cw","dayDim":"day","bitmapId":"u","stepDim":"etype","steps":["view"]}""")
         .startsWith("""{"ok":false"""))
+      // cohort triangle over the wire == in-process
+      val cw2 = cli.rpc(
+        """{"verb":"getCohortMatrix","name":"cw","dayDim":"day","bitmapId":"u","periodDays":1}""")
+      assert(cw2.startsWith("""{"ok":true"""), cw2)
+      val cProc = svc.getCohortMatrix("cw", "day", "u", periodDays = 1)
+        .collect()
+      assert(cProc.nonEmpty && cProc.forall(r =>
+        cw2.contains(s""""retained":${r.getAs[Long]("retained")}""")), cw2)
       // overlap matrix over the wire == in-process
       val ow = cli.rpc(
         """{"verb":"getOverlapMatrix","name":"cw","dim":"etype","bitmapId":"u"}""")

@@ -820,6 +820,93 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteCube("ovl"); svc.deleteCube("ovl_sh")
   }
 
+  test("getCohortMatrix: the retention triangle; sharded + segmented twins") {
+    import spark.implicits._
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_coh").toString)
+    val rnd = new scala.util.Random(73)
+    // sparse activity so cohorts are non-degenerate: each user has a
+    // first day and a ~35% chance of being active on any later day
+    val users = (0 until 60).map(u =>
+      (u.toLong, rnd.nextInt(10).toLong, Seq("x", "y")(u % 2)))
+    val rows = users.flatMap { case (u, first, g) =>
+      (first to 11L).filter(d => d == first || rnd.nextDouble() < 0.35)
+        .map(d => (g, new Timestamp(1700006400000L + d * 86400000L +
+          3600000L), 1.0, u))
+    }
+    val df = rows.toDF("grp", "ts", "value", "user_id")
+    val mk = (n: String, bits: Int) => svc.createCube(
+      CubeConfig(n, "events",
+        Seq(FieldDim("grp", "grp"), TimeDim("day", "ts", "day")),
+        Seq(Measure("v", "value")),
+        bitmaps = Seq(Measure("users", "user_id")),
+        bitmapShardBits = bits), df)
+    mk("coh", 0)
+    mk("coh_sh", 2)
+    val day0 = 1700006400000L / 86400000L
+    def dayOf(t: Timestamp): Long = t.getTime / 86400000L
+    // Scala oracle: first-seen day per user, then (cohort, offset)
+    // counts — day0-relative to match the asserts below
+    val byUser = rows.groupBy(_._4)
+      .map { case (u, rs) => u -> rs.map(r => dayOf(r._2) - day0).toSet }
+    val firstOf = byUser.map { case (u, ds) => u -> ds.min }
+    val cohortSize = firstOf.groupBy(_._2).map { case (c, m) => c -> m.size }
+    val exact = byUser.toSeq.flatMap { case (u, ds) =>
+      ds.map(d => (firstOf(u), d - firstOf(u))) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+    val got = svc.getCohortMatrix("coh", "day", "users", periodDays = 1)
+      .collect()
+    assert(got.length == exact.size,
+      s"cell count ${got.length} != raw ${exact.size}")
+    got.foreach { r =>
+      val c = r.getAs[Long]("cohort") - day0
+      val k = r.getAs[Long]("offset")
+      assert(r.getAs[Long]("cohort_size") == cohortSize(c),
+        s"cohort $c size diverged")
+      assert(r.getAs[Long]("retained") == exact((c, k)),
+        s"cell ($c, $k) diverged")
+    }
+    // offset 0 is the full cohort
+    got.filter(_.getAs[Long]("offset") == 0L).foreach(r =>
+      assert(r.getAs[Long]("retained") == r.getAs[Long]("cohort_size")))
+    // sharded twin bit-identical
+    assert(svc.getCohortMatrix("coh_sh", "day", "users", periodDays = 1)
+        .collect().map(_.toSeq).toSeq == got.map(_.toSeq).toSeq,
+      "sharded cohort triangle must equal the unsharded walk")
+    // segmented: per-group first-seen (a user's cohort is per segment —
+    // cells partition events by segment)
+    val seg = svc.getCohortMatrix("coh", "day", "users", periodDays = 1,
+      segmentBy = Seq("grp")).collect()
+    Seq("x", "y").foreach { g =>
+      val gu = rows.filter(_._1 == g).groupBy(_._4)
+        .map { case (u, rs) => u -> rs.map(r => dayOf(r._2) - day0).toSet }
+      val gf = gu.map { case (u, ds) => u -> ds.min }
+      val ge = gu.toSeq.flatMap { case (u, ds) =>
+        ds.map(d => (gf(u), d - gf(u))) }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val gGot = seg.filter(_.getAs[String]("grp") == g)
+      assert(gGot.length == ge.size, s"segment $g cell count diverged")
+      gGot.foreach { r =>
+        val key = (r.getAs[Long]("cohort") - day0, r.getAs[Long]("offset"))
+        assert(r.getAs[Long]("retained") == ge(key),
+          s"segment $g cell $key diverged")
+      }
+    }
+    // guardrails: reserved segment name, non-bitmap, delete latch
+    intercept[IllegalArgumentException] {
+      svc.getCohortMatrix("coh", "day", "users",
+        segmentBy = Seq("cohort")) }
+    intercept[IllegalArgumentException] {
+      svc.getCohortMatrix("coh", "day", "v") }
+    svc.updateAggregates("coh",
+      df.limit(2).withColumn("_sign", lit(-1)))
+    val e = intercept[IllegalArgumentException] {
+      svc.getCohortMatrix("coh", "day", "users") }
+    assert(e.getMessage.contains("insert-only"))
+    svc.deleteCube("coh"); svc.deleteCube("coh_sh")
+  }
+
   test("cohort verbs as-of a retained version == the captured pre-fold serves") {
     import spark.implicits._
     val svc = new CubeService(spark,
