@@ -271,20 +271,34 @@ final class AdminServer(service: CubeService, spark: SparkSession,
           if (asOfCoh.isDefined && isJoin)
             throw new IllegalArgumentException(
               "asOfVersion is not supported for join MVs")
-          val fn = asOfCoh match {
-            case Some(v) =>
-              service.getCohortMatrixAsOf(name, v, _, _, _, _)
-            case None if isJoin =>
-              service.getJoinCohortMatrix(name, _, _, _, _)
-            case None => service.getCohortMatrix(name, _, _, _, _)
+          val calCoh = strField(req, "calendar")
+          if (calCoh.isDefined && numField(req, "periodDays").isDefined)
+            throw new IllegalArgumentException(
+              "calendar and periodDays are mutually exclusive")
+          val cohDay = need(strField(req, "dayDim"), "dayDim")
+          val cohBm = need(strField(req, "bitmapId"), "bitmapId")
+          val cohSegs = strArray(req, "segmentBy")
+          val df = (asOfCoh, calCoh) match {
+            case (Some(v), _) =>
+              service.getCohortMatrixAsOf(name, v, cohDay, cohBm,
+                numField(req, "periodDays").map(_.toInt)
+                  .getOrElse(if (calCoh.isDefined) 1 else 7),
+                cohSegs, calCoh)
+            case (None, Some(g)) =>
+              if (isJoin) service.getJoinCohortMatrixCalendar(name,
+                cohDay, cohBm, g, cohSegs)
+              else service.getCohortMatrixCalendar(name, cohDay, cohBm,
+                g, cohSegs)
+            case (None, None) =>
+              val pd = numField(req, "periodDays").map(_.toInt)
+                .getOrElse(7)
+              if (isJoin)
+                service.getJoinCohortMatrix(name, cohDay, cohBm, pd,
+                  cohSegs)
+              else service.getCohortMatrix(name, cohDay, cohBm, pd,
+                cohSegs)
           }
-          val df = fn(
-            need(strField(req, "dayDim"), "dayDim"),
-            need(strField(req, "bitmapId"), "bitmapId"),
-            numField(req, "periodDays").map(_.toInt).getOrElse(7),
-            strArray(req, "segmentBy"))
-          serveRows(df,
-            strArray(req, "segmentBy") ++ Seq("cohort", "offset"), req)
+          serveRows(df, cohSegs ++ Seq("cohort", "offset"), req)
         case Some("getOverlapMatrix") | Some("getJoinOverlapMatrix") =>
           val name = need(strField(req, "name"), "name")
           val isJoin =

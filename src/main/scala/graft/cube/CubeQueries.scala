@@ -2422,6 +2422,23 @@ object CubeQueries {
     svc.getCohortMatrix("rolling_mm", "day", "u", periodDays = 1)
   }
 
+  // --------------------------------------------------------------- q249
+  /** Graded: CALENDAR-MONTH cohort triangle — q248's heatmap with
+    * REAL month cohorts and month-unit offsets over seven years of
+    * orders ([[CubeService.getCohortMatrixCalendar]]): the period key
+    * is the month ordinal, so offset 1 from a December cohort is
+    * exactly January and February is one month like March —
+    * semantics a fixed `periodDays = 30` approximation drifts from
+    * within a year and compounds across seven (the standard SaaS
+    * "cohort month × months since signup" chart needs calendar
+    * months, not 30-day buckets). ~80 cohorts × up to 80 offsets,
+    * every cell exact and hash-matched against the raw first-seen
+    * recompute with the same ordinal. */
+  def q249CalendarCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = calRetService(spark, sfDir)
+    svc.getCohortMatrixCalendar("cal_ret", "day", "c", "month")
+  }
+
   // --------------------------------------------------------------- q235
   /** Graded: CHURN ROUTING through the optimizer — the raw ANTI-JOIN
     * cohort plan ("of week p's users, how many never showed in p+1",
@@ -3306,6 +3323,7 @@ object CubeQueries {
     "q246_window_funnel" -> q246WindowFunnel,
     "q247_overlap_matrix" -> q247OverlapMatrix,
     "q248_cohort_matrix" -> q248CohortMatrix,
+    "q249_calendar_cohorts" -> q249CalendarCohorts,
     "q212_advised_bitmap_rolling" -> q212AdvisedBitmapRolling,
     "q219_rolling_segmented" -> q219RollingSegmented,
     "q222_advised_segmented_rolling" -> q222AdvisedSegmentedRolling,
@@ -4131,6 +4149,22 @@ object CubeQueries {
         cs.cohort_size, count(*) AS retained
       FROM ud
       JOIN f ON f.user_id = ud.user_id
+      JOIN cs ON cs.c = f.c
+      GROUP BY 1, 2, 3
+      ORDER BY cohort, "offset"""",
+    // the monthly triangle recomputed raw with the same month ordinal
+    "q249_calendar_cohorts" -> """
+      WITH ud AS (
+        SELECT DISTINCT o_custkey,
+          CAST(year(CAST(o_orderdate AS DATE)) * 12 +
+            month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS p
+        FROM orders),
+      f AS (SELECT o_custkey, min(p) AS c FROM ud GROUP BY 1),
+      cs AS (SELECT c, count(*) AS cohort_size FROM f GROUP BY 1)
+      SELECT f.c AS cohort, ud.p - f.c AS "offset",
+        cs.cohort_size, count(*) AS retained
+      FROM ud
+      JOIN f ON f.o_custkey = ud.o_custkey
       JOIN cs ON cs.c = f.c
       GROUP BY 1, 2, 3
       ORDER BY cohort, "offset"""",

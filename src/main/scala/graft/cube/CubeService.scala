@@ -1632,13 +1632,40 @@ final class CubeService(spark: SparkSession, storageDir: String,
     cohortFrom(loadJoinCube(name).cube, name, dayDim, bitmapId,
       periodDays, segmentBy)
 
+  /** CALENDAR-period cohort triangle — month/quarter/year cohorts
+    * with offsets in REAL calendar buckets (the standard SaaS "cohort
+    * month × months since" heatmap): the period key is the bucket's
+    * integer ordinal (the [[getRetentionCalendar]] discipline), so
+    * offset 1 from a December cohort is exactly January and a 28-day
+    * February is one month like any other — semantics a fixed
+    * `periodDays = 30` approximation drifts from across years. */
+  def getCohortMatrixCalendar(
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      granularity: String = "month",
+      segmentBy: Seq[String] = Nil): DataFrame =
+    cohortFrom(loadCube(name), name, dayDim, bitmapId, 1, segmentBy,
+      Some(granularity))
+
+  /** [[getCohortMatrixCalendar]] for join MVs. */
+  def getJoinCohortMatrixCalendar(
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      granularity: String = "month",
+      segmentBy: Seq[String] = Nil): DataFrame =
+    cohortFrom(loadJoinCube(name).cube, name, dayDim, bitmapId, 1,
+      segmentBy, Some(granularity))
+
   private def cohortFrom(
       cube: Cube,
       name: String,
       dayDim: String,
       bitmapId: String,
       periodDays: Int,
-      segmentBy: Seq[String]): DataFrame = {
+      segmentBy: Seq[String],
+      calendar: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     require(cube.config.dims.exists {
@@ -1659,12 +1686,24 @@ final class CubeService(spark: SparkSession, storageDir: String,
         cube.config.dims.exists(d => d.id == sd && !d.isInstanceOf[TimeDim]),
         s"$sd is not a (non-time) dimension of cube $name")
     }
+    calendar.foreach(g =>
+      require(Seq("month", "quarter", "year").contains(g),
+        s"calendar granularity must be month/quarter/year, got $g"))
     val B = graft.functions.Bitmap
     val segCols = segmentBy.map(col)
     val dayKey = datediff(col(dayDim).cast("date"), lit("1970-01-01"))
       .cast("long")
-    val periodKey = floor(dayKey.cast("double") / periodDays)
-      .cast("long").as("period")
+    val dayDate = col(dayDim).cast("date")
+    // calendar buckets key on the integer ordinal, so the offset
+    // arithmetic (p2 − cohort) counts REAL calendar buckets
+    val periodKey = (calendar match {
+      case None => floor(dayKey.cast("double") / periodDays).cast("long")
+      case Some("month") =>
+        (year(dayDate) * 12 + month(dayDate) - 1).cast("long")
+      case Some("quarter") =>
+        (year(dayDate) * 4 + quarter(dayDate) - 1).cast("long")
+      case _ => year(dayDate).cast("long")
+    }).as("period")
     val sharded = cube.config.bitmapShardBits > 0
     val shardCols = if (sharded) Seq(col(CubeManager.ShardCol)) else Nil
     val per = cube.live
@@ -1776,16 +1815,18 @@ final class CubeService(spark: SparkSession, storageDir: String,
     cumulativeFrom(cubeAt(name, version), name, dayDim, sumOf,
       exactDistinctOf, resetBy, segmentBy)
 
-  /** [[getCohortMatrix]] over a retained version. */
+  /** [[getCohortMatrix]] over a retained version; `calendar` selects
+    * the [[getCohortMatrixCalendar]] form. */
   def getCohortMatrixAsOf(
       name: String,
       version: Int,
       dayDim: String,
       bitmapId: String,
       periodDays: Int = 7,
-      segmentBy: Seq[String] = Nil): DataFrame =
+      segmentBy: Seq[String] = Nil,
+      calendar: Option[String] = None): DataFrame =
     cohortFrom(cubeAt(name, version), name, dayDim, bitmapId, periodDays,
-      segmentBy)
+      segmentBy, calendar)
 
   /** [[getFunnel]] over a retained version. */
   def getFunnelAsOf(

@@ -61,8 +61,9 @@ class PlanSpec extends AnyFunSuite {
     "q205_vocab_coverage",    // rank<=budget theta join vs 4 broadcast rows
     "q247_overlap_matrix",    // a<b pair grid over |values| one-row bitmaps
                               // (5 event types here) — q120's exact twin
-    "q248_cohort_matrix")     // p2>=cohort triangle walk over |days|
+    "q248_cohort_matrix",     // p2>=cohort triangle walk over |days|
                               // one-row bitmap frames (30 days here)
+    "q249_calendar_cohorts")  // the same walk over |months| frames
 
   test("no unjustified cartesian or nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
