@@ -1815,6 +1815,15 @@ final class CubeService(spark: SparkSession, storageDir: String,
     cumulativeFrom(cubeAt(name, version), name, dayDim, sumOf,
       exactDistinctOf, resetBy, segmentBy)
 
+  /** [[getOverlapMatrix]] over a retained version. */
+  def getOverlapMatrixAsOf(
+      name: String,
+      version: Int,
+      dim: String,
+      bitmapId: String,
+      values: Seq[String] = Nil): DataFrame =
+    overlapFrom(cubeAt(name, version), name, dim, bitmapId, values)
+
   /** [[getCohortMatrix]] over a retained version; `calendar` selects
     * the [[getCohortMatrixCalendar]] form. */
   def getCohortMatrixAsOf(

@@ -930,13 +930,16 @@ class CubeServiceSpec extends AnyFunSuite {
       b1.toDF("event_type", "ts", "value", "user_id"))
     val v0 = svc.currentCubeVersion("asofc")
     def all(serve: String => org.apache.spark.sql.DataFrame) =
-      Seq("r", "t", "c", "f").map(k => k -> serve(k).collect().map(_.toSeq).toSeq).toMap
+      Seq("r", "t", "c", "f", "m", "o")
+        .map(k => k -> serve(k).collect().map(_.toSeq).toSeq).toMap
     def head(k: String) = k match {
       case "r" => svc.getRolling("asofc", "day", 7,
         exactDistinctOf = Seq("u"), sumOf = Seq("v"))
       case "t" => svc.getRetention("asofc", "day", "u", periodDays = 1)
       case "c" => svc.getCumulative("asofc", "day",
         sumOf = Seq("v"), exactDistinctOf = Seq("u"))
+      case "m" => svc.getCohortMatrix("asofc", "day", "u", periodDays = 1)
+      case "o" => svc.getOverlapMatrix("asofc", "etype", "u")
       case _ => svc.getFunnel("asofc", "day", "u", "etype",
         Seq("view", "click", "purchase"))
     }
@@ -947,7 +950,7 @@ class CubeServiceSpec extends AnyFunSuite {
     assert(v1 == v0 + 1 && svc.listCubeVersions("asofc").contains(v0))
     // the head moved: every family sees the fold
     val after = all(head)
-    Seq("r", "t", "c", "f").foreach(k =>
+    Seq("r", "t", "c", "f", "m", "o").foreach(k =>
       assert(after(k) != before(k), s"family $k: fold must move the head"))
     // as-of v0 reproduces every captured pre-fold serve bit for bit
     def asOf(k: String) = k match {
@@ -957,11 +960,14 @@ class CubeServiceSpec extends AnyFunSuite {
         periodDays = 1)
       case "c" => svc.getCumulativeAsOf("asofc", v0, "day",
         sumOf = Seq("v"), exactDistinctOf = Seq("u"))
+      case "m" => svc.getCohortMatrixAsOf("asofc", v0, "day", "u",
+        periodDays = 1)
+      case "o" => svc.getOverlapMatrixAsOf("asofc", v0, "etype", "u")
       case _ => svc.getFunnelAsOf("asofc", v0, "day", "u", "etype",
         Seq("view", "click", "purchase"))
     }
     val historical = all(asOf)
-    Seq("r", "t", "c", "f").foreach(k =>
+    Seq("r", "t", "c", "f", "m", "o").foreach(k =>
       assert(historical(k) == before(k),
         s"family $k: as-of v$v0 must equal the captured pre-fold serve"))
     // non-retained version refuses with the window in the message
@@ -1035,7 +1041,9 @@ class CubeServiceSpec extends AnyFunSuite {
         exactDistinctOf = Seq("xusers")),
       svcX.getRetention(name, "day", "xusers", periodDays = 1),
       svcX.getFunnel(name, "day", "xusers", "etype",
-        Seq("view", "click"))
+        Seq("view", "click")),
+      svcX.getCohortMatrix(name, "day", "xusers", periodDays = 1),
+      svcX.getOverlapMatrix(name, "etype", "xusers")
     ).map(_.collect().map(_.toSeq).toSeq)
     assert(cohort(svc, "rollstream") == cohort(svcB, "rollbatch"),
       "stream-maintained cohort serves != batch cohort serves")
