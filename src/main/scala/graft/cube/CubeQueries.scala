@@ -2543,6 +2543,55 @@ object CubeQueries {
       .orderBy(col("day"))
   }
 
+  // --------------------------------------------------------------- q250
+  /** Graded: the ENGAGEMENT-FREQUENCY histogram — the exact L7
+    * "power-user curve" ([[CubeService.getEngagement]]): for every
+    * observed day, how many users were active exactly k of the
+    * trailing window's days, k = 1..7 — the intensity decomposition
+    * of the q210 WAU total (Σ_k users = WAU; the k = 7 bucket is
+    * q226's stickiness count — both identities pinned in
+    * CubeServiceSpec). Served from the SAME maintained daily bitmap
+    * partials via [[graft.functions.BitmapKCountAgg]]: per endpoint,
+    * the ≤ 7 one-row day bitmaps fold into the occurrence-count
+    * partition (N_j = ids active exactly j days — order-independent
+    * and MERGEABLE, so the aggregate distributes), and the histogram
+    * is the partition's cardinalities. The DuckDB oracle recomputes
+    * per-(endpoint, user) active-day counts from raw and histograms
+    * them — every bucket exact, full hash gate. 100 TB split: the raw
+    * twin re-shuffles (endpoint, user, day) triples — window ×
+    * active-users rows — per refresh; the serve is |days| × 7 one-row
+    * merges over cube-derived state, with the sharded twin summing
+    * per-bucket counts across id-range shards (pinned bit-identical).
+    */
+  def q250Engagement(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = rollingMmService(spark, sfDir)
+    svc.getEngagement("rolling_mm", "day", "u", windowDays = 7)
+  }
+
+  // --------------------------------------------------------------- q251
+  /** Graded: the GROWTH-ACCOUNTING matrix
+    * ([[CubeService.getGrowthAccounting]]) — the four-way user-base
+    * decomposition behind the standard growth chart: per day, active
+    * splits EXACTLY into new (never seen before — against the
+    * PREFIX union, not just yesterday), resurrected (seen before,
+    * absent yesterday), and retained (present yesterday), plus the
+    * churned outflow; active = new + resurrected + retained holds on
+    * every row (the quick-ratio invariant), which [[CubeService
+    * .getRetention]] cannot say — its new_ids conflates new with
+    * resurrected. All five cells from the same daily bitmap partials:
+    * one running-union window (evaluated incrementally) + a lag over
+    * the |periods| frame, then five merge-walk cardinalities per row.
+    * The DuckDB oracle recomputes from raw with a min-first-seen
+    * frame and adjacent self-joins — full hash gate. 100 TB split:
+    * the raw twin needs a min-reduce over all (id, day) pairs PLUS
+    * two adjacent self-joins per refresh; the serve never touches the
+    * source, and the sharded twin windows per id-range shard with
+    * counts summed back (pinned bit-identical). */
+  def q251GrowthAccounting(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = rollingMmService(spark, sfDir)
+    svc.getGrowthAccounting("rolling_mm", "day", "u", periodDays = 1)
+  }
+
   // --------------------------------------------------------------- q227
   /** Graded: SEGMENTED weekly retention — q225's matrix per event
     * type (`segmentBy`), each segment's periods and contiguity gates
@@ -3330,6 +3379,8 @@ object CubeQueries {
     "q225_retention_bitmap" -> q225RetentionBitmap,
     "q226_rolling_intersect" -> q226RollingIntersect,
     "q227_segment_retention" -> q227SegmentRetention,
+    "q250_engagement" -> q250Engagement,
+    "q251_growth_accounting" -> q251GrowthAccounting,
     "q160_sql_having_routing" -> q160SqlHavingRouting,
     "q163_rollup_routing" -> q163RollupRouting,
     "q175_sketch_rollup_routing" -> q175SketchRollupRouting,
@@ -3461,6 +3512,56 @@ object CubeQueries {
         FROM pu JOIN nd ON nd.day = pu.day AND pu.udays = nd.ndays
         GROUP BY pu.day) cnt ON cnt.day = nd.day
       ORDER BY nd.day""",
+    // Per-(endpoint, user) active-day counts from raw, histogrammed:
+    // every intensity bucket of the served partition must hash-equal
+    // the brute-force recompute.
+    "q250_engagement" -> """
+      WITH ud AS (
+        SELECT DISTINCT user_id,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT)
+            AS d
+        FROM events),
+      days AS (SELECT DISTINCT d AS day FROM ud),
+      pu AS (
+        SELECT days.day, ud.user_id, count(DISTINCT ud.d) AS days_active
+        FROM days JOIN ud ON ud.d BETWEEN days.day - 6 AND days.day
+        GROUP BY days.day, ud.user_id)
+      SELECT day, days_active, count(*) AS users
+      FROM pu
+      GROUP BY day, days_active
+      ORDER BY day, days_active""",
+    // Growth accounting recomputed from raw: a min-first-seen frame
+    // splits "absent yesterday" into new vs resurrected; churn is the
+    // adjacent anti-join. active = new + resurrected + retained must
+    // hold in BOTH engines for the hash to match.
+    "q251_growth_accounting" -> """
+      WITH ud AS (
+        SELECT DISTINCT
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT)
+            AS p,
+          user_id
+        FROM events),
+      fs AS (SELECT user_id, min(p) AS fp FROM ud GROUP BY user_id),
+      cur AS (
+        SELECT ud.p, count(*) AS active,
+          count(CASE WHEN fs.fp = ud.p THEN 1 END) AS new_ids,
+          count(pv.user_id) AS retained,
+          count(CASE WHEN fs.fp < ud.p AND pv.user_id IS NULL THEN 1 END)
+            AS resurrected
+        FROM ud
+        JOIN fs ON fs.user_id = ud.user_id
+        LEFT JOIN ud pv ON pv.user_id = ud.user_id AND pv.p = ud.p - 1
+        GROUP BY ud.p),
+      ch AS (
+        SELECT a.p + 1 AS p, count(*) AS churned
+        FROM ud a LEFT JOIN ud b
+          ON b.user_id = a.user_id AND b.p = a.p + 1
+        WHERE b.user_id IS NULL
+        GROUP BY a.p + 1)
+      SELECT cur.p AS period, cur.active, cur.new_ids, cur.resurrected,
+        cur.retained, COALESCE(ch.churned, 0) AS churned
+      FROM cur LEFT JOIN ch ON ch.p = cur.p
+      ORDER BY period""",
     // q225's matrix per event type: segment-keyed self-joins, each
     // segment's contiguity judged within its own observed weeks.
     "q227_segment_retention" -> """

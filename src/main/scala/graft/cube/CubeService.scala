@@ -1132,6 +1132,221 @@ final class CubeService(spark: SparkSession, storageDir: String,
     }
   }
 
+  /** GROWTH-ACCOUNTING matrix — the four-way user-base decomposition
+    * (the standard "growth accounting" chart) served exactly from the
+    * same daily bitmap partials: for every observed period p,
+    *
+    *  - `active`      = |P_p|
+    *  - `new_ids`     = |P_p \ prefixOR(P_{<p})|  — NEVER seen before
+    *  - `resurrected` = |P_p ∩ prefixOR(P_{<p}) \ P_{p−1}| — seen
+    *                    before, but not in the previous period
+    *  - `retained`    = |P_p ∩ P_{p−1}|
+    *  - `churned`     = |P_{p−1} \ P_p|
+    *
+    * The first four PARTITION the active set, so
+    * `active = new_ids + resurrected + retained` holds on every row —
+    * the invariant the quick-ratio ((new+resurrected)/churned) chart
+    * is built on. This is what [[getRetention]] cannot say: its
+    * `new_ids` conflates truly-new with resurrected (both are
+    * "absent from p−1"); the prefix union separates them.
+    *
+    * GAP SEMANTICS differ from [[getRetention]] deliberately: an
+    * unobserved p−1 reads as the EMPTY SET (retained = churned = 0,
+    * everyone previously-seen resurrects), not as nulls — growth
+    * accounting's row invariant needs total columns, and "nobody was
+    * active last period" is a true statement about the data where
+    * retention's matrix semantics ("retention against WHICH period?")
+    * are genuinely undefined at a gap. Rows exist for observed
+    * periods only, in both paths.
+    *
+    * Cost shape: one pass over cube-sized partials to |periods|
+    * one-row bitmaps, a lag + running-union window over that TINY
+    * frame (the unbounded-preceding frame is evaluated incrementally —
+    * O(|periods|) merges), then five merge-walk cardinalities per row.
+    * Sharded cubes ([[CubeConfig.bitmapShardBits]]) run the window per
+    * (segment, shard) over the full-outer period pairing — blobs stay
+    * bounded, counts ADD across shards (they partition the id space).
+    * Deletes latch bitmaps — refused, the family contract. */
+  def getGrowthAccounting(
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    growthFrom(loadCube(name), name, dayDim, bitmapId, periodDays,
+      segmentBy)
+
+  /** [[getGrowthAccounting]] for join MVs. */
+  def getJoinGrowthAccounting(
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    growthFrom(loadJoinCube(name).cube, name, dayDim, bitmapId,
+      periodDays, segmentBy)
+
+  /** CALENDAR-period growth accounting — month/quarter/year buckets
+    * by integer ordinal (the [[getRetentionCalendar]] discipline:
+    * Dec → Jan is exact adjacency, skipped buckets read as empty
+    * periods), with `period_start` labels. */
+  def getGrowthAccountingCalendar(
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      granularity: String = "month",
+      segmentBy: Seq[String] = Nil): DataFrame =
+    growthFrom(loadCube(name), name, dayDim, bitmapId, 1, segmentBy,
+      Some(granularity))
+
+  /** [[getGrowthAccountingCalendar]] for join MVs. */
+  def getJoinGrowthAccountingCalendar(
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      granularity: String = "month",
+      segmentBy: Seq[String] = Nil): DataFrame =
+    growthFrom(loadJoinCube(name).cube, name, dayDim, bitmapId, 1,
+      segmentBy, Some(granularity))
+
+  private def growthFrom(
+      cube: Cube,
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      periodDays: Int,
+      segmentBy: Seq[String],
+      calendar: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    require(cube.config.dims.exists {
+        case TimeDim(id, _, g) => id == dayDim && g == "day"
+        case _ => false
+      }, s"$dayDim must be a day-granularity time dimension of cube $name")
+    require(cube.config.allBitmaps.exists(_.id == bitmapId),
+      s"$bitmapId is not a bitmap measure of cube $name")
+    require(!cube.hasDeletes,
+      s"cube $name has folded deletes; its bitmap partials are " +
+        "insert-only and cannot serve growth accounting")
+    segmentBy.foreach { sd =>
+      require(sd != "period" && sd != "day" && sd != "d",
+        s"segment id $sd collides with the growth matrix columns " +
+          "(reserved names: period, day, d) — rename the dimension")
+      require(
+        cube.config.dims.exists(d => d.id == sd && !d.isInstanceOf[TimeDim]),
+        s"$sd is not a (non-time) dimension of cube $name")
+    }
+    calendar.foreach(g =>
+      require(Seq("month", "quarter", "year").contains(g),
+        s"calendar granularity must be month/quarter/year, got $g"))
+    val dayKey = datediff(col(dayDim).cast("date"), lit("1970-01-01"))
+      .cast("long")
+    val dayDate = col(dayDim).cast("date")
+    val periodKey = (calendar match {
+      case None => floor(dayKey.cast("double") / periodDays).cast("long")
+      case Some("month") =>
+        (year(dayDate) * 12 + month(dayDate) - 1).cast("long")
+      case Some("quarter") =>
+        (year(dayDate) * 4 + quarter(dayDate) - 1).cast("long")
+      case _ => year(dayDate).cast("long")
+    }).as("period")
+    val B = graft.functions.Bitmap
+    val emptyBm = lit(Array[Byte](0, 0, 0, 0)) // codec: zero blocks
+    def withPeriodStart(matrix: DataFrame): DataFrame = calendar match {
+      case None => matrix
+      case Some(g) =>
+        val p = col("period")
+        val start = g match {
+          case "month" => make_date(floor(p / 12).cast("int"),
+            pmod(p, lit(12)).cast("int") + 1, lit(1))
+          case "quarter" => make_date(floor(p / 4).cast("int"),
+            pmod(p, lit(4)).cast("int") * 3 + 1, lit(1))
+          case _ => make_date(p.cast("int"), lit(1), lit(1))
+        }
+        matrix.withColumn("period_start",
+          date_format(start, "yyyy-MM-dd"))
+    }
+    // the four active-set cells from (bm, prev-effective, strict
+    // prefix): new = bm \ prefix; retained = bm ∩ prev; resurrected =
+    // the remainder of the partition (bm ∩ prefix \ prev), computed
+    // arithmetically — the three sets are disjoint and exhaustive
+    def cells(df: DataFrame, segOut: Seq[Column]): DataFrame = df
+      .select((segOut ++ Seq(
+        col("period"),
+        B.cardinality(col("bm")).as("active"),
+        B.andNotCardinality(col("bm"), col("prefix_bm")).as("new_ids"),
+        B.andCardinality(col("bm"), col("prev_bm")).as("retained"),
+        B.andNotCardinality(col("prev_bm"), col("bm")).as("churned"))): _*)
+      .withColumn("resurrected",
+        col("active") - col("new_ids") - col("retained"))
+    if (cube.config.bitmapShardBits == 0) {
+      val perPeriod = cube.live
+        .groupBy((segmentBy.map(col) :+ periodKey): _*)
+        .agg(B.unionAgg(col(bitmapId)).as("bm"))
+      val w = (if (segmentBy.isEmpty) Window.partitionBy()
+               else Window.partitionBy(segmentBy.map(col): _*))
+        .orderBy(col("period"))
+      // EMPTY-SET gap semantics (see the verb doc): the previous
+      // period's bitmap applies only when that period is p−1 exactly
+      val prevEff = coalesce(
+        when(lag(col("period"), 1).over(w) === col("period") - 1,
+          lag(col("bm"), 1).over(w)), emptyBm)
+      val prefix = coalesce(
+        B.unionAgg(col("bm"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), emptyBm)
+      val frame = perPeriod
+        .withColumn("prev_bm", prevEff)
+        .withColumn("prefix_bm", prefix)
+      withPeriodStart(cells(frame, segmentBy.map(col))
+        .select((segmentBy.map(col) ++ Seq(col("period"), col("active"),
+          col("new_ids"), col("resurrected"), col("retained"),
+          col("churned"))): _*)
+        .orderBy((segmentBy.map(col) :+ col("period")): _*))
+    } else {
+      // SHARDED matrix: per (segment, period, shard) bitmaps, the
+      // previous period's SAME shard paired by a full-outer join (a
+      // shard live only at p−1 is pure churn and needs its row), the
+      // strict-prefix union windowed per (segment, shard) — running
+      // unions over observed rows accumulate exactly that shard's
+      // earlier ids, and null-bm rows from the pairing contribute
+      // nothing. Counts then ADD per period; the matrix reports
+      // globally observed periods only (the unsharded convention).
+      val sc = CubeManager.ShardCol
+      val perShard = cube.live
+        .groupBy((segmentBy.map(col) :+ periodKey :+ col(sc)): _*)
+        .agg(B.unionAgg(col(bitmapId)).as("bm0"))
+      val obs = perShard
+        .select((segmentBy.map(col) :+ col("period")): _*).distinct()
+      val prev = perShard.select((segmentBy.map(col) ++ Seq(col(sc),
+        (col("period") + 1).as("period"), col("bm0").as("prev0"))): _*)
+      val paired = perShard
+        .join(prev, segmentBy ++ Seq(sc, "period"), "full_outer")
+        .select((segmentBy.map(col) ++ Seq(col(sc), col("period"),
+          coalesce(col("bm0"), emptyBm).as("bm"),
+          coalesce(col("prev0"), emptyBm).as("prev_bm"))): _*)
+      val w = Window
+        .partitionBy((segmentBy.map(col) :+ col(sc)): _*)
+        .orderBy(col("period"))
+      val frame = paired.withColumn("prefix_bm",
+        coalesce(B.unionAgg(col("bm"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), emptyBm))
+      val summed = cells(frame, segmentBy.map(col) :+ col(sc))
+        .groupBy((segmentBy.map(col) :+ col("period")): _*)
+        .agg(sum(col("active")).as("active"),
+          sum(col("new_ids")).as("new_ids"),
+          sum(col("resurrected")).as("resurrected"),
+          sum(col("retained")).as("retained"),
+          sum(col("churned")).as("churned"))
+        .join(obs, segmentBy :+ "period", "left_semi")
+      withPeriodStart(summed
+        .select((segmentBy.map(col) ++ Seq(col("period"), col("active"),
+          col("new_ids"), col("resurrected"), col("retained"),
+          col("churned"))): _*)
+        .orderBy((segmentBy.map(col) :+ col("period")): _*))
+    }
+  }
+
   /** CUMULATIVE ("to-date") curves served from maintained daily
     * partials — the growth-dashboard verb the trailing-window family
     * can't express: for every observed day, emit
@@ -1509,6 +1724,122 @@ final class CubeService(spark: SparkSession, storageDir: String,
       .orderBy((segCols ++ Seq(col("period"), col("step_ord"))): _*)
   }
 
+  /** ENGAGEMENT-FREQUENCY histogram — the exact L7/L28 "power-user
+    * curve": for every observed day d (the rolling-endpoint
+    * convention), the distribution of how many of the trailing
+    * window's observed days each active id was active —
+    * `(day, days_active, users)` rows with
+    * `Σ_k users(d, k) = |ids active in the window|` (the WAU/MAU
+    * total [[getRolling]]'s `exactDistinctOf` serves, decomposed by
+    * intensity; `days_active = windowDays` is [[getRolling]]'s
+    * `intersectOf` stickiness count — both identities are pinned).
+    * Served EXACTLY from the same daily bitmap partials via
+    * [[graft.functions.BitmapKCountAgg]]: each endpoint aggregates
+    * its ≤ windowDays one-row bitmaps into the occurrence-count
+    * partition (order-independent, mergeable), and the histogram is
+    * its per-bucket cardinalities. Rows with zero users are omitted
+    * (the raw GROUP BY convention — an intensity nobody hit has no
+    * row). Cost shape: one pass over cube-sized partials to per-day
+    * bitmaps, the rolling ×windowDays endpoint fan-out, then one
+    * O(windowDays²)-merge aggregate per endpoint — never the source
+    * (the raw twin re-shuffles (endpoint, id, day) triples per
+    * refresh). Sharded cubes run the aggregate per (endpoint, shard)
+    * and SUM the per-bucket counts (shards partition the id space);
+    * segments subdivide partials per segment cell with per-segment
+    * endpoints, the [[getRolling]] convention. Deletes latch —
+    * refused. */
+  def getEngagement(
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      windowDays: Int = 7,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    engagementFrom(loadCube(name), name, dayDim, bitmapId, windowDays,
+      segmentBy)
+
+  /** [[getEngagement]] for join MVs. */
+  def getJoinEngagement(
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      windowDays: Int = 7,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    engagementFrom(loadJoinCube(name).cube, name, dayDim, bitmapId,
+      windowDays, segmentBy)
+
+  private def engagementFrom(
+      cube: Cube,
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      windowDays: Int,
+      segmentBy: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cube.config.dims.exists {
+        case TimeDim(id, _, g) => id == dayDim && g == "day"
+        case _ => false
+      }, s"$dayDim must be a day-granularity time dimension of cube $name")
+    require(windowDays >= 1,
+      s"windowDays must be >= 1, got $windowDays")
+    require(cube.config.allBitmaps.exists(_.id == bitmapId),
+      s"$bitmapId is not a bitmap measure of cube $name")
+    require(!cube.hasDeletes,
+      s"cube $name has folded deletes; its bitmap partials are " +
+        "insert-only and cannot serve engagement histograms")
+    segmentBy.foreach { sd =>
+      require(!Seq("day", "d", "days_active", "users").contains(sd),
+        s"segment id $sd collides with the engagement output columns " +
+          "(reserved: day, d, days_active, users) — rename the dimension")
+      require(
+        cube.config.dims.exists(d => d.id == sd && !d.isInstanceOf[TimeDim]),
+        s"$sd is not a (non-time) dimension of cube $name")
+    }
+    val B = graft.functions.Bitmap
+    val sharded = cube.config.bitmapShardBits > 0
+    val shardCols = if (sharded) Seq(col(CubeManager.ShardCol)) else Nil
+    val dayKey = datediff(col(dayDim).cast("date"), lit("1970-01-01"))
+      .cast("long").as("d")
+    // one bitmap per (segment, day [, shard]) — blobs bounded by the
+    // shard width through every step when sharded
+    val daily = cube.live
+      .groupBy((segmentBy.map(col) :+ dayKey) ++ shardCols: _*)
+      .agg(B.unionAgg(col(bitmapId)).as("bm"))
+    // the Rolling.endpoints shape (per segment when segmented):
+    // explode each daily partial to its trailing endpoints, restrict
+    // to observed days — tiny at any scale, hence broadcast
+    val days = daily
+      .select((segmentBy.map(col) :+ col("d").as("day")): _*).distinct()
+    val exploded = daily
+      .withColumn("day",
+        explode(expr(s"sequence(d, d + ${windowDays - 1})")))
+      .drop("d")
+      .join(broadcast(days), segmentBy :+ "day", "left_semi")
+    val perGroup = exploded
+      .groupBy((segmentBy.map(col) :+ col("day")) ++ shardCols: _*)
+      .agg(B.kCountAgg(col("bm"), windowDays).as("__k"))
+    // the partition's buckets → (days_active, users) rows; the top
+    // bucket cannot saturate (an id cannot be active on more days
+    // than the window has)
+    val hist = perGroup
+      .select((segmentBy.map(col) ++ Seq(col("day")) ++ shardCols :+
+        posexplode(col("__k"))): _*)
+      .select((segmentBy.map(col) ++ Seq(col("day")) ++ shardCols ++ Seq(
+        (col("pos") + 1).cast("long").as("days_active"),
+        col("col").as("users"))): _*)
+    val summed =
+      if (!sharded) hist
+      else hist
+        .groupBy((segmentBy.map(col) ++
+          Seq(col("day"), col("days_active"))): _*)
+        .agg(sum(col("users")).as("users"))
+    summed
+      .filter(col("users") > 0)
+      .select((segmentBy.map(col) ++ Seq(col("day"), col("days_active"),
+        col("users"))): _*)
+      .orderBy((segmentBy.map(col) ++
+        Seq(col("day"), col("days_active"))): _*)
+  }
+
   /** EXACT audience-overlap matrix — for every pair of values of a
     * dimension, the set algebra of their id audiences: sizes, the
     * intersection, both exclusive remainders, and the Jaccard
@@ -1850,6 +2181,30 @@ final class CubeService(spark: SparkSession, storageDir: String,
       withinPeriods: Int = 0): DataFrame =
     funnelFrom(cubeAt(name, version), name, dayDim, bitmapId, stepDim,
       steps, periodDays, segmentBy, withinPeriods)
+
+  /** [[getEngagement]] over a retained version. */
+  def getEngagementAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      bitmapId: String,
+      windowDays: Int = 7,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    engagementFrom(cubeAt(name, version), name, dayDim, bitmapId,
+      windowDays, segmentBy)
+
+  /** [[getGrowthAccounting]] over a retained version; `calendar`
+    * selects the [[getGrowthAccountingCalendar]] form. */
+  def getGrowthAccountingAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      bitmapId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil,
+      calendar: Option[String] = None): DataFrame =
+    growthFrom(cubeAt(name, version), name, dayDim, bitmapId, periodDays,
+      segmentBy, calendar)
 
   // ----------------------------------------------------------- join MVs
   /** Durable incrementally maintained JOIN MVs ([[JoinCubeManager]]).

@@ -428,6 +428,202 @@ case class BitmapAndNotCardinality(left: Expression, right: Expression)
     copy(left = newChildren(0), right = newChildren(1))
 }
 
+/** ACTIVITY-FREQUENCY counting over bitmap inputs — the aggregate
+  * behind the exact L7/L28 "power-user curve" (q250): given one
+  * serialized bitmap per row (a day's / period's active-id set), eval
+  * yields an array `a` where `a(j-1)` = |ids present in exactly j of
+  * the inputs| for j = 1..maxK-1 and `a(maxK-1)` = |ids present in
+  * ≥ maxK inputs| (the saturating top bucket — callers that pass
+  * maxK = the window's day count never saturate, because an id cannot
+  * appear in more inputs than exist).
+  *
+  * The state is the PARTITION of the seen-id set by occurrence count:
+  * maxK bitmaps N_1..N_maxK with N_j = ids seen in exactly j inputs so
+  * far (N_maxK = "≥ maxK"). That makes the aggregate order-independent
+  * (counting is commutative) and MERGEABLE: two partial partitions
+  * combine by occurrence-count addition,
+  *
+  *   R_j = (A_j \ ∪B) ∪ (B_j \ ∪A) ∪ ⋃_{x+y=j} (A_x ∩ B_y)
+  *
+  * (with x+y ≥ maxK collapsing into the top bucket) — O(maxK²) bitmap
+  * merge-walks per combine, maxK ≤ 28-ish by construction. Per-group
+  * state is bounded by the seen-id set: the N_j partition it, so total
+  * words across all maxK maps never exceed the plain union's words
+  * (plus per-map block overhead). Runs over CUBE-sized frames (≤
+  * windowDays one-row bitmaps per served endpoint), never a source
+  * scan — the same contract as every bitmap serve. */
+case class BitmapKCountAgg(
+    child: Expression,
+    maxK: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[mutable.LongMap[Long]]]
+  with ExpectsInputTypes {
+  require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+
+  override def createAggregationBuffer(): Array[mutable.LongMap[Long]] =
+    Array.fill(maxK)(mutable.LongMap.empty[Long])
+
+  private def orInto(into: mutable.LongMap[Long],
+      from: mutable.LongMap[Long]): Unit =
+    from.foreach { case (k, w) =>
+      into.update(k, into.getOrElse(k, 0L) | w)
+    }
+
+  private def andOf(a: mutable.LongMap[Long],
+      b: mutable.LongMap[Long]): mutable.LongMap[Long] = {
+    val out = mutable.LongMap.empty[Long]
+    // walk the smaller side
+    val (s, l) = if (a.size <= b.size) (a, b) else (b, a)
+    s.foreach { case (k, w) =>
+      val x = w & l.getOrElse(k, 0L)
+      if (x != 0L) out.update(k, x)
+    }
+    out
+  }
+
+  private def andNotOf(a: mutable.LongMap[Long],
+      b: mutable.LongMap[Long]): mutable.LongMap[Long] = {
+    val out = mutable.LongMap.empty[Long]
+    a.foreach { case (k, w) =>
+      val x = w & ~b.getOrElse(k, 0L)
+      if (x != 0L) out.update(k, x)
+    }
+    out
+  }
+
+  private def minusInPlace(into: mutable.LongMap[Long],
+      b: mutable.LongMap[Long]): Unit = {
+    // iterate the subtrahend's blocks only — removing while iterating
+    // `into` is undefined, and b is typically the smaller side
+    b.foreach { case (k, wb) =>
+      into.get(k).foreach { w =>
+        val x = w & ~wb
+        if (x == 0L) into.remove(k) else into.update(k, x)
+      }
+    }
+  }
+
+  override def update(buf: Array[mutable.LongMap[Long]],
+      input: InternalRow): Array[mutable.LongMap[Long]] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bm = BitmapCodec.read(v.asInstanceOf[Array[Byte]])
+      if (maxK == 1) orInto(buf(0), bm) // degenerate: "≥1" is the union
+      else {
+        // ids new to this group: bm minus everything seen so far
+        val seen = mutable.LongMap.empty[Long]
+        buf.foreach(orInto(seen, _))
+        val newIds = andNotOf(bm, seen)
+        // top bucket saturates: members already ≥ maxK stay put, and
+        // N_{maxK-1} ∩ bm graduates in (captured before the loop
+        // rewrites N_{maxK-1})
+        val graduating = andOf(buf(maxK - 2), bm)
+        // descend so each step reads its donor N_{j-1} pre-update
+        var idx = maxK - 2
+        while (idx >= 1) {
+          val promoted = andOf(buf(idx - 1), bm)
+          minusInPlace(buf(idx), bm)
+          orInto(buf(idx), promoted)
+          idx -= 1
+        }
+        minusInPlace(buf(0), bm)
+        orInto(buf(0), newIds)
+        orInto(buf(maxK - 1), graduating)
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[mutable.LongMap[Long]],
+      other: Array[mutable.LongMap[Long]]): Array[mutable.LongMap[Long]] = {
+    if (other.forall(_.isEmpty)) return buf
+    if (buf.forall(_.isEmpty)) {
+      var i = 0
+      while (i < maxK) { buf(i) = other(i); i += 1 }
+      return buf
+    }
+    val unionA = mutable.LongMap.empty[Long]
+    buf.foreach(orInto(unionA, _))
+    val unionB = mutable.LongMap.empty[Long]
+    other.foreach(orInto(unionB, _))
+    val res = Array.fill(maxK)(mutable.LongMap.empty[Long])
+    var j = 0
+    while (j < maxK) {
+      // ids counted on one side only keep their count
+      orInto(res(j), andNotOf(buf(j), unionB))
+      orInto(res(j), andNotOf(other(j), unionA))
+      j += 1
+    }
+    // ids counted on both sides: occurrence counts ADD (saturating)
+    var x = 1
+    while (x <= maxK) {
+      var y = 1
+      while (y <= maxK) {
+        val inter = andOf(buf(x - 1), other(y - 1))
+        if (inter.nonEmpty)
+          orInto(res(math.min(x + y, maxK) - 1), inter)
+        y += 1
+      }
+      x += 1
+    }
+    var i = 0
+    while (i < maxK) { buf(i) = res(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[mutable.LongMap[Long]]): Any = {
+    val counts = new Array[Long](maxK)
+    var i = 0
+    while (i < maxK) {
+      var t = 0L
+      buf(i).foreach { case (_, w) => t += java.lang.Long.bitCount(w) }
+      counts(i) = t
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
+  override def serialize(buf: Array[mutable.LongMap[Long]]): Array[Byte] = {
+    var size = 0
+    buf.foreach(m => size += 4 + m.size * 16)
+    val bb = java.nio.ByteBuffer.allocate(size)
+    buf.foreach { m =>
+      val blocks = m.keys.toArray
+      java.util.Arrays.sort(blocks)
+      bb.putInt(blocks.length)
+      blocks.foreach { b => bb.putLong(b); bb.putLong(m(b)) }
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[mutable.LongMap[Long]] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(maxK) {
+      val n = bb.getInt
+      val m = mutable.LongMap.empty[Long]
+      var i = 0
+      while (i < n) { m.update(bb.getLong, bb.getLong); i += 1 }
+      m
+    }
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "bitmap_kcount_agg"
+
+  override def withNewMutableAggBufferOffset(o: Int): BitmapKCountAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BitmapKCountAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BitmapKCountAgg =
+    copy(child = newChildren.head)
+}
+
 object Bitmap {
   /** Aggregate raw BIGINT ids into a serialized exact bitmap. */
   def setAgg(c: Column): Column =
@@ -446,6 +642,13 @@ object Bitmap {
   def intersectAgg(c: Column): Column =
     Bridge.toColumn(
       BitmapIntersectAgg(Bridge.toExpression(c)).toAggregateExpression())
+
+  /** Occurrence-count histogram over serialized bitmap rows: element
+    * j−1 = |ids present in exactly j inputs| (the last element
+    * saturates to "≥ maxK"). */
+  def kCountAgg(c: Column, maxK: Int): Column =
+    Bridge.toColumn(
+      BitmapKCountAgg(Bridge.toExpression(c), maxK).toAggregateExpression())
 
   /** Exact distinct count of a serialized bitmap column. */
   def cardinality(c: Column): Column =

@@ -907,6 +907,192 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteCube("coh"); svc.deleteCube("coh_sh")
   }
 
+  test("getEngagement & getGrowthAccounting: Scala oracle, identities, " +
+      "sharded + segmented twins") {
+    import spark.implicits._
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_eng").toString)
+    val rnd = new scala.util.Random(97)
+    // sparse activity with a globally SILENT day 9 — resurrection and
+    // the empty-previous-period gap semantics both get exercised
+    val users = (0 until 70).map(u =>
+      (u.toLong, rnd.nextInt(8).toLong, Seq("x", "y")(u % 2)))
+    val rows = users.flatMap { case (u, first, g) =>
+      (first to 13L).filter(d => d == first || rnd.nextDouble() < 0.4)
+        .filter(_ != 9L)
+        .map(d => (g, new Timestamp(1700006400000L + d * 86400000L +
+          3600000L), 1.0, u))
+    }
+    val df = rows.toDF("grp", "ts", "value", "user_id")
+    val mk = (n: String, bits: Int) => svc.createCube(
+      CubeConfig(n, "events",
+        Seq(FieldDim("grp", "grp"), TimeDim("day", "ts", "day")),
+        Seq(Measure("v", "value")),
+        bitmaps = Seq(Measure("users", "user_id")),
+        bitmapShardBits = bits), df)
+    mk("eng", 0)
+    mk("eng_sh", 2)
+    val day0 = 1700006400000L / 86400000L
+    def dayOf(t: Timestamp): Long = t.getTime / 86400000L
+    val perDay: Map[Long, Set[Long]] = rows.groupBy(r => dayOf(r._2))
+      .map { case (d, rs) => d -> rs.map(_._4).toSet }
+    val obsDays = perDay.keySet
+
+    // --- ENGAGEMENT: histogram per endpoint vs brute force
+    val exactHist: Map[(Long, Long), Long] = obsDays.toSeq.flatMap { e =>
+      val win = (e - 6 to e).filter(obsDays)
+      val counts = win.flatMap(d => perDay(d)).groupBy(identity)
+        .map { case (_, v) => v.size.toLong }
+      counts.groupBy(identity).map { case (k, v) =>
+        (e, k) -> v.size.toLong }
+    }.toMap
+    val got = svc.getEngagement("eng", "day", "users", windowDays = 7)
+      .collect()
+    assert(got.length == exactHist.size,
+      s"bucket count ${got.length} != raw ${exactHist.size}")
+    got.foreach { r =>
+      val key = (r.getAs[Long]("day"), r.getAs[Long]("days_active"))
+      assert(r.getAs[Long]("users") == exactHist(key),
+        s"bucket $key diverged")
+    }
+    // identities: Σ_k users = the WAU total; the top OBSERVED bucket
+    // (days_active == observed days in window) = the stickiness count
+    val wau = svc.getRolling("eng", "day", 7,
+        exactDistinctOf = Seq("users"), intersectOf = Seq("users"))
+      .collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("n_exact_users"), r.getAs[Long]("n_everyday_users")))
+      .toMap
+    val byDay = got.groupBy(_.getAs[Long]("day"))
+    byDay.foreach { case (e, rs) =>
+      assert(rs.map(_.getAs[Long]("users")).sum == wau(e)._1,
+        s"day $e: histogram total != WAU")
+      val nobs = (e - 6 to e).count(obsDays)
+      val top = rs.find(_.getAs[Long]("days_active") == nobs.toLong)
+        .map(_.getAs[Long]("users")).getOrElse(0L)
+      assert(top == wau(e)._2,
+        s"day $e: everyday bucket $top != stickiness ${wau(e)._2}")
+    }
+    // sharded twin bit-identical
+    assert(svc.getEngagement("eng_sh", "day", "users", windowDays = 7)
+        .collect().map(_.toSeq).toSeq == got.map(_.toSeq).toSeq,
+      "sharded engagement histogram must equal the unsharded one")
+    // segmented twin vs per-segment brute force
+    val seg = svc.getEngagement("eng", "day", "users", windowDays = 7,
+      segmentBy = Seq("grp")).collect()
+    Seq("x", "y").foreach { g =>
+      val gPerDay = rows.filter(_._1 == g).groupBy(r => dayOf(r._2))
+        .map { case (d, rs) => d -> rs.map(_._4).toSet }
+      val gDays = gPerDay.keySet
+      val gExact = gDays.toSeq.flatMap { e =>
+        val win = (e - 6 to e).filter(gDays)
+        win.flatMap(d => gPerDay(d)).groupBy(identity)
+          .map { case (_, v) => v.size.toLong }
+          .groupBy(identity).map { case (k, v) => (e, k) -> v.size.toLong }
+      }.toMap
+      val gGot = seg.filter(_.getAs[String]("grp") == g)
+      assert(gGot.length == gExact.size, s"segment $g bucket count diverged")
+      gGot.foreach { r =>
+        val key = (r.getAs[Long]("day"), r.getAs[Long]("days_active"))
+        assert(r.getAs[Long]("users") == gExact(key),
+          s"segment $g bucket $key diverged")
+      }
+    }
+
+    // --- GROWTH ACCOUNTING: the quartet vs brute force, with the
+    // silent day 9 exercising the empty-set gap semantics at day 10
+    val sortedDays = obsDays.toSeq.sorted
+    val gotG = svc.getGrowthAccounting("eng", "day", "users",
+      periodDays = 1).collect()
+    assert(gotG.length == sortedDays.length, "one row per observed day")
+    var seenBefore = Set.empty[Long]
+    sortedDays.foreach { d =>
+      val cur = perDay(d)
+      val prev = perDay.getOrElse(d - 1, Set.empty[Long])
+      val r = gotG.find(_.getAs[Long]("period") == d).get
+      val newC = (cur -- seenBefore).size.toLong
+      val ret = (cur & prev).size.toLong
+      assert(r.getAs[Long]("active") == cur.size.toLong, s"day $d active")
+      assert(r.getAs[Long]("new_ids") == newC, s"day $d new")
+      assert(r.getAs[Long]("retained") == ret, s"day $d retained")
+      assert(r.getAs[Long]("resurrected") == cur.size - newC - ret,
+        s"day $d resurrected")
+      assert(r.getAs[Long]("churned") == (prev -- cur).size.toLong,
+        s"day $d churned")
+      // the quick-ratio invariant
+      assert(r.getAs[Long]("active") == r.getAs[Long]("new_ids") +
+        r.getAs[Long]("resurrected") + r.getAs[Long]("retained"))
+      seenBefore ++= cur
+    }
+    // day 10 (after the silent day): empty-previous semantics
+    val d10 = gotG.find(_.getAs[Long]("period") == day0 + 10).get
+    assert(d10.getAs[Long]("retained") == 0L &&
+      d10.getAs[Long]("churned") == 0L,
+      "gap day must read as empty previous period")
+    // consistency with getRetention where p−1 IS observed: retained
+    // agrees; getRetention's new_ids = new + resurrected
+    val retM = svc.getRetention("eng", "day", "users", periodDays = 1)
+      .collect().map(r => r.getAs[Long]("period") -> r).toMap
+    gotG.foreach { r =>
+      val p = r.getAs[Long]("period")
+      if (obsDays(p - 1)) {
+        assert(retM(p).getAs[Long]("retained") == r.getAs[Long]("retained"))
+        assert(retM(p).getAs[Long]("new_ids") ==
+          r.getAs[Long]("new_ids") + r.getAs[Long]("resurrected"),
+          s"day $p: retention new_ids must be growth's new + resurrected")
+      }
+    }
+    // sharded twin bit-identical
+    assert(svc.getGrowthAccounting("eng_sh", "day", "users",
+        periodDays = 1).collect().map(_.toSeq).toSeq ==
+      gotG.map(_.toSeq).toSeq,
+      "sharded growth matrix must equal the unsharded walk")
+    // segmented twin vs per-segment brute force (weekly periods)
+    val segG = svc.getGrowthAccounting("eng", "day", "users",
+      periodDays = 7, segmentBy = Seq("grp")).collect()
+    Seq("x", "y").foreach { g =>
+      val gp = rows.filter(_._1 == g)
+        .groupBy(r => Math.floorDiv(dayOf(r._2), 7L))
+        .map { case (p, rs) => p -> rs.map(_._4).toSet }
+      var seen = Set.empty[Long]
+      gp.keySet.toSeq.sorted.foreach { p =>
+        val cur = gp(p)
+        val prev = gp.getOrElse(p - 1, Set.empty[Long])
+        val r = segG.find(x => x.getAs[String]("grp") == g &&
+          x.getAs[Long]("period") == p).get
+        assert(r.getAs[Long]("active") == cur.size.toLong)
+        assert(r.getAs[Long]("new_ids") == (cur -- seen).size.toLong)
+        assert(r.getAs[Long]("retained") == (cur & prev).size.toLong)
+        assert(r.getAs[Long]("churned") == (prev -- cur).size.toLong)
+        seen ++= cur
+      }
+    }
+    // calendar form: month ordinals with period_start labels
+    val calG = svc.getGrowthAccountingCalendar("eng", "day", "users",
+      "month").collect()
+    assert(calG.nonEmpty && calG.forall(r =>
+      r.getAs[String]("period_start").endsWith("-01")))
+    // guardrails: reserved segment id, non-bitmap measure, bad window,
+    // delete latch (both verbs)
+    intercept[IllegalArgumentException] {
+      svc.getEngagement("eng", "day", "users", segmentBy = Seq("day")) }
+    intercept[IllegalArgumentException] {
+      svc.getEngagement("eng", "day", "v") }
+    intercept[IllegalArgumentException] {
+      svc.getEngagement("eng", "day", "users", windowDays = 0) }
+    intercept[IllegalArgumentException] {
+      svc.getGrowthAccounting("eng", "day", "v") }
+    svc.updateAggregates("eng",
+      df.limit(2).withColumn("_sign", lit(-1)))
+    assert(intercept[IllegalArgumentException] {
+      svc.getEngagement("eng", "day", "users") }
+      .getMessage.contains("insert-only"))
+    assert(intercept[IllegalArgumentException] {
+      svc.getGrowthAccounting("eng", "day", "users") }
+      .getMessage.contains("insert-only"))
+    svc.deleteCube("eng"); svc.deleteCube("eng_sh")
+  }
+
   test("cohort verbs as-of a retained version == the captured pre-fold serves") {
     import spark.implicits._
     val svc = new CubeService(spark,
@@ -930,7 +1116,7 @@ class CubeServiceSpec extends AnyFunSuite {
       b1.toDF("event_type", "ts", "value", "user_id"))
     val v0 = svc.currentCubeVersion("asofc")
     def all(serve: String => org.apache.spark.sql.DataFrame) =
-      Seq("r", "t", "c", "f", "m", "o")
+      Seq("r", "t", "c", "f", "m", "o", "e", "g")
         .map(k => k -> serve(k).collect().map(_.toSeq).toSeq).toMap
     def head(k: String) = k match {
       case "r" => svc.getRolling("asofc", "day", 7,
@@ -940,6 +1126,9 @@ class CubeServiceSpec extends AnyFunSuite {
         sumOf = Seq("v"), exactDistinctOf = Seq("u"))
       case "m" => svc.getCohortMatrix("asofc", "day", "u", periodDays = 1)
       case "o" => svc.getOverlapMatrix("asofc", "etype", "u")
+      case "e" => svc.getEngagement("asofc", "day", "u", windowDays = 7)
+      case "g" => svc.getGrowthAccounting("asofc", "day", "u",
+        periodDays = 1)
       case _ => svc.getFunnel("asofc", "day", "u", "etype",
         Seq("view", "click", "purchase"))
     }
@@ -950,7 +1139,7 @@ class CubeServiceSpec extends AnyFunSuite {
     assert(v1 == v0 + 1 && svc.listCubeVersions("asofc").contains(v0))
     // the head moved: every family sees the fold
     val after = all(head)
-    Seq("r", "t", "c", "f", "m", "o").foreach(k =>
+    Seq("r", "t", "c", "f", "m", "o", "e", "g").foreach(k =>
       assert(after(k) != before(k), s"family $k: fold must move the head"))
     // as-of v0 reproduces every captured pre-fold serve bit for bit
     def asOf(k: String) = k match {
@@ -963,11 +1152,15 @@ class CubeServiceSpec extends AnyFunSuite {
       case "m" => svc.getCohortMatrixAsOf("asofc", v0, "day", "u",
         periodDays = 1)
       case "o" => svc.getOverlapMatrixAsOf("asofc", v0, "etype", "u")
+      case "e" => svc.getEngagementAsOf("asofc", v0, "day", "u",
+        windowDays = 7)
+      case "g" => svc.getGrowthAccountingAsOf("asofc", v0, "day", "u",
+        periodDays = 1)
       case _ => svc.getFunnelAsOf("asofc", v0, "day", "u", "etype",
         Seq("view", "click", "purchase"))
     }
     val historical = all(asOf)
-    Seq("r", "t", "c", "f", "m", "o").foreach(k =>
+    Seq("r", "t", "c", "f", "m", "o", "e", "g").foreach(k =>
       assert(historical(k) == before(k),
         s"family $k: as-of v$v0 must equal the captured pre-fold serve"))
     // non-retained version refuses with the window in the message
@@ -1043,7 +1236,9 @@ class CubeServiceSpec extends AnyFunSuite {
       svcX.getFunnel(name, "day", "xusers", "etype",
         Seq("view", "click")),
       svcX.getCohortMatrix(name, "day", "xusers", periodDays = 1),
-      svcX.getOverlapMatrix(name, "etype", "xusers")
+      svcX.getOverlapMatrix(name, "etype", "xusers"),
+      svcX.getEngagement(name, "day", "xusers", windowDays = 7),
+      svcX.getGrowthAccounting(name, "day", "xusers", periodDays = 1)
     ).map(_.collect().map(_.toSeq).toSeq)
     assert(cohort(svc, "rollstream") == cohort(svcB, "rollbatch"),
       "stream-maintained cohort serves != batch cohort serves")
