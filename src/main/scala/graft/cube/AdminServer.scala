@@ -390,6 +390,60 @@ final class AdminServer(service: CubeService, spark: SparkSession,
               else service.getRetention(name, dayDim, bmId, pd, segs)
           }
           serveRows(df, segs :+ "period", req)
+        case Some("getEngagement") | Some("getJoinEngagement") =>
+          val name = need(strField(req, "name"), "name")
+          val isJoin = strField(req, "verb").contains("getJoinEngagement")
+          val asOfEng = numField(req, "asOfVersion").map(_.toInt)
+          if (asOfEng.isDefined && isJoin)
+            throw new IllegalArgumentException(
+              "asOfVersion is not supported for join MVs")
+          val fn = asOfEng match {
+            case Some(v) => service.getEngagementAsOf(name, v, _, _, _, _)
+            case None if isJoin => service.getJoinEngagement(name, _, _, _, _)
+            case None => service.getEngagement(name, _, _, _, _)
+          }
+          val df = fn(
+            need(strField(req, "dayDim"), "dayDim"),
+            need(strField(req, "bitmapId"), "bitmapId"),
+            numField(req, "windowDays").map(_.toInt).getOrElse(7),
+            strArray(req, "segmentBy"))
+          serveRows(df,
+            strArray(req, "segmentBy") ++ Seq("day", "days_active"), req)
+        case Some("getGrowthAccounting") | Some("getJoinGrowthAccounting") =>
+          val name = need(strField(req, "name"), "name")
+          val isJoin =
+            strField(req, "verb").contains("getJoinGrowthAccounting")
+          val calGa = strField(req, "calendar")
+          if (calGa.isDefined && numField(req, "periodDays").isDefined)
+            throw new IllegalArgumentException(
+              "calendar and periodDays are mutually exclusive")
+          val gaDay = need(strField(req, "dayDim"), "dayDim")
+          val gaBm = need(strField(req, "bitmapId"), "bitmapId")
+          val gaSegs = strArray(req, "segmentBy")
+          val asOfGa = numField(req, "asOfVersion").map(_.toInt)
+          if (asOfGa.isDefined && isJoin)
+            throw new IllegalArgumentException(
+              "asOfVersion is not supported for join MVs")
+          val df = (calGa, asOfGa) match {
+            case (_, Some(v)) =>
+              val pd = numField(req, "periodDays").map(_.toInt)
+                .getOrElse(if (calGa.isDefined) 1 else 7)
+              service.getGrowthAccountingAsOf(name, v, gaDay, gaBm, pd,
+                gaSegs, calGa)
+            case (Some(g), None) =>
+              if (isJoin) service.getJoinGrowthAccountingCalendar(name,
+                gaDay, gaBm, g, gaSegs)
+              else service.getGrowthAccountingCalendar(name, gaDay, gaBm,
+                g, gaSegs)
+            case (None, None) =>
+              val pd = numField(req, "periodDays").map(_.toInt).getOrElse(7)
+              if (isJoin)
+                service.getJoinGrowthAccounting(name, gaDay, gaBm, pd,
+                  gaSegs)
+              else service.getGrowthAccounting(name, gaDay, gaBm, pd,
+                gaSegs)
+          }
+          serveRows(df, gaSegs :+ "period", req)
         case Some("diffAggregates") | Some("diffJoinAggregates") =>
           val name = need(strField(req, "name"), "name")
           val isJoin = strField(req, "verb").contains("diffJoinAggregates")

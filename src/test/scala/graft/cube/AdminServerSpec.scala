@@ -503,6 +503,28 @@ class AdminServerSpec extends AnyFunSuite {
         """{"verb":"getRetention","name":"bret","dayDim":"d","bitmapId":"u","calendar":"month","periodDays":7}""")
       assert(calBad.startsWith("""{"ok":false""") &&
         calBad.contains("mutually exclusive"), calBad)
+      // engagement histogram + growth accounting over the wire ==
+      // in-process; the calendar/periodDays refusal carries over
+      val engWire = cli.rpc(
+        """{"verb":"getEngagement","name":"bret","dayDim":"d","bitmapId":"u","windowDays":2}""")
+      val engDirect = svc.getEngagement("bret", "d", "u", windowDays = 2)
+        .orderBy(col("day"), col("days_active"))
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(engWire == s"""{"ok":true,"result":$engDirect}""",
+        s"wire getEngagement diverges: $engWire vs $engDirect")
+      assert(engWire.contains(""""days_active":2"""), engWire)
+      val gaWire = cli.rpc(
+        """{"verb":"getGrowthAccounting","name":"bret","dayDim":"d","bitmapId":"u","periodDays":1}""")
+      val gaDirect = svc.getGrowthAccounting("bret", "d", "u",
+          periodDays = 1)
+        .orderBy(col("period")).toJSON.collect().mkString("[", ",", "]")
+      assert(gaWire == s"""{"ok":true,"result":$gaDirect}""",
+        s"wire getGrowthAccounting diverges: $gaWire vs $gaDirect")
+      assert(gaWire.contains(""""resurrected":0"""), gaWire)
+      val gaBad = cli.rpc(
+        """{"verb":"getGrowthAccounting","name":"bret","dayDim":"d","bitmapId":"u","calendar":"month","periodDays":7}""")
+      assert(gaBad.startsWith("""{"ok":false""") &&
+        gaBad.contains("mutually exclusive"), gaBad)
       svc.deleteCube("bret")
       svc.deleteCube("aroll")
       annSvc.deleteIndex("wt")
