@@ -1109,6 +1109,288 @@ object CubeAdvisor {
     case _ => None
   }
 
+  /** What one recognized FUNNEL query needs: the source, the time
+    * column its period derives from, the converted id column, the
+    * period width, the step dimension column and the ordered step
+    * literals of the min-join chain, and the ordered output map
+    * ([[RollOut]] reused: Day = the period grouping, one Leaf = the
+    * converted count). */
+  private[cube] final case class FunnelNeeds(
+      path: String, tsCol: String, idCol: String, periodDays: Int,
+      integralId: Boolean, stepCol: String, steps: Seq[String],
+      outs: Seq[RollOut] = Nil)
+
+  /** One stage of the min-join conversion chain, bottom-up: the
+    * stage's source identity, the counted id's source column, the
+    * OUTPUT exprIds of its (id, t) columns (what the next stage's join
+    * condition references), the step column, and the step literals in
+    * chain order so far. */
+  private final case class ChainInfo(path: String, tsCol: String,
+      periodDays: Int, idSrc: AttributeReference,
+      idOut: org.apache.spark.sql.catalyst.expressions.ExprId,
+      tOut: org.apache.spark.sql.catalyst.expressions.ExprId,
+      stepCol: String, steps: Seq[String])
+
+  /** Recognize one stage of the funnel's min-conversion-time
+    * recursion, written the way users write it:
+    *
+    *   S_1 = source WHERE step = s_1  GROUP BY id  → min(period) AS t_1
+    *   S_k = (source WHERE step = s_k) ⋈ S_{k−1}
+    *           ON same id AND period ≥ t_{k−1}
+    *         GROUP BY id → min(period) AS t_k
+    *
+    * — exactly the t_k = min q ≥ t_{k−1} recursion the funnel cascade
+    * serves (see [[CubeService.getFunnel]]'s induction). Each stage is
+    * an Aggregate with ONE grouping (the id) and exactly (id,
+    * min(period)) outputs over either a step-filtered source (base) or
+    * an inner join of one with the previous stage (recursive). The
+    * step restriction must be a single `col = literal` conjunct on a
+    * shared column across stages; period derivation and source must
+    * agree stage-to-stage. Anything else returns None — the honesty
+    * discipline every cohort matcher follows. */
+  private def minChain(side: LogicalPlan): Option[ChainInfo] = {
+    val (b, envOuter, predsOuter) = peel(side)
+    // the optimizer infers `isnotnull(t_k)` above each stage from the
+    // next join's condition — implied by the inner join, tolerated;
+    // any OTHER predicate between stages changes the recursion
+    if (!predsOuter.forall(_.isInstanceOf[IsNotNull])) return None
+    b match {
+      case Aggregate(Seq(g: AttributeReference), outs, c, _)
+          if outs.size == 2 =>
+        var idOut: Option[org.apache.spark.sql.catalyst.expressions
+          .ExprId] = None
+        var tOut: Option[org.apache.spark.sql.catalyst.expressions
+          .ExprId] = None
+        var minArg: Option[Expression] = None
+        outs.foreach {
+          case a: AttributeReference if a.exprId == g.exprId =>
+            idOut = Some(a.exprId)
+          case al: Alias => al.child match {
+            case a: AttributeReference if a.exprId == g.exprId =>
+              idOut = Some(al.toAttribute.exprId)
+            case AggregateExpression(Min(arg), Complete, false, _, _) =>
+              tOut = Some(al.toAttribute.exprId); minArg = Some(arg)
+            case _ => return None
+          }
+          case _ => return None
+        }
+        if (idOut.isEmpty || tOut.isEmpty || minArg.isEmpty) return None
+        val (inner, env, preds) = peel(c)
+        inner match {
+          case Join(jl, jr, jt, Some(cond), _)
+              if jt == org.apache.spark.sql.catalyst.plans.Inner =>
+            if (!preds.forall(_.isInstanceOf[IsNotNull])) return None
+            // the stage's grouping comes from the STEP side; the other
+            // side is the previous stage's (id, t) frame
+            val (stepPlan, prevPlan) =
+              if (jl.outputSet.exists(_.exprId == g.exprId)) (jl, jr)
+              else if (jr.outputSet.exists(_.exprId == g.exprId)) (jr, jl)
+              else return None
+            val prev = minChain(prevPlan).getOrElse(return None)
+            val (sBase, sEnv, sPreds) = peel(stepPlan)
+            val ssub = subst(envOuter ++ env ++ sEnv) _
+            val path = CubeCatalog.sourcePathOf(sBase)
+              .getOrElse(return None)
+            val fs = sideFilters(sPreds, ssub).getOrElse(return None)
+            if (fs.size != 1 || fs.head._2.size != 1) return None
+            val (stepCol, stepLit) = (fs.head._1, fs.head._2.head)
+            val (tsCol, pd) = periodBucket(ssub(minArg.get))
+              .getOrElse(return None)
+            val idSrc = ssub(g) match {
+              case a: AttributeReference => a
+              case _ => return None
+            }
+            // stage-to-stage consistency: same source, same period
+            // derivation, same id column, same step column
+            if (path != prev.path || tsCol != prev.tsCol ||
+                pd != prev.periodDays || idSrc.name != prev.idSrc.name ||
+                stepCol != prev.stepCol) return None
+            // join condition: exactly (id equality, period ≥ prev t)
+            def conj(e: Expression): Seq[Expression] = e match {
+              case org.apache.spark.sql.catalyst.expressions.And(x, y) =>
+                conj(x) ++ conj(y)
+              case o => Seq(o)
+            }
+            val cs = conj(cond).filterNot(_.isInstanceOf[IsNotNull])
+            if (cs.size != 2) return None
+            var idMatched = false
+            var ineqMatched = false
+            def isStepId(e: Expression) = ssub(e) match {
+              case a: AttributeReference => a.exprId == idSrc.exprId
+              case _ => false
+            }
+            def isStepPeriod(e: Expression) =
+              periodBucket(ssub(e)).contains((tsCol, pd))
+            def isPrevId(e: Expression) = e match {
+              case a: AttributeReference => a.exprId == prev.idOut
+              case _ => false
+            }
+            def isPrevT(e: Expression) = e match {
+              case a: AttributeReference => a.exprId == prev.tOut
+              case _ => false
+            }
+            cs.foreach {
+              case EqualTo(x, y)
+                  if (isStepId(x) && isPrevId(y)) ||
+                    (isStepId(y) && isPrevId(x)) => idMatched = true
+              case GreaterThanOrEqual(p, t)
+                  if isStepPeriod(p) && isPrevT(t) => ineqMatched = true
+              case LessThanOrEqual(t, p)
+                  if isStepPeriod(p) && isPrevT(t) => ineqMatched = true
+              case _ => return None
+            }
+            if (!idMatched || !ineqMatched) return None
+            val step = litString(stepLit).getOrElse(return None)
+            if (prev.steps.contains(step)) return None
+            Some(ChainInfo(path, tsCol, pd, idSrc, idOut.get, tOut.get,
+              stepCol, prev.steps :+ step))
+          case _ =>
+            // base stage: step-filtered source
+            val sub = subst(envOuter ++ env) _
+            val path = CubeCatalog.sourcePathOf(inner)
+              .getOrElse(return None)
+            val fs = sideFilters(preds, sub).getOrElse(return None)
+            if (fs.size != 1 || fs.head._2.size != 1) return None
+            val (tsCol, pd) = periodBucket(sub(minArg.get))
+              .getOrElse(return None)
+            val idSrc = sub(g) match {
+              case a: AttributeReference => a
+              case _ => return None
+            }
+            val step = litString(fs.head._2.head).getOrElse(return None)
+            Some(ChainInfo(path, tsCol, pd, idSrc, idOut.get, tOut.get,
+              fs.head._1, Seq(step)))
+        }
+      case _ => None
+    }
+  }
+
+  /** Step literals are dimension VALUES — the serve compares them
+    * against cube cells, so only string-typed steps are admitted (the
+    * step dimension is categorical by construction). */
+  private def litString(l: Literal): Option[String] = l.dataType match {
+    case org.apache.spark.sql.types.StringType =>
+      Option(l.value).map(_.toString)
+    case _ => None
+  }
+
+  /** The FUNNEL plan shape — "users who completed steps s_1..s_K in
+    * order, cumulative by period", written the way users write it: the
+    * [[minChain]] min-join recursion for the conversion times, joined
+    * to the source's observed periods on `t_K ≤ period` and re-counted
+    * per period (the final stage is [[analyzeCumulative]]'s join shape
+    * over the chain instead of distinct pairs). The generic matcher
+    * refuses the whole tree (aggregates over joins of aggregates);
+    * recognition routes it to the funnel CASCADE over a registered
+    * day+step-dimmed bitmap cube — prefix-unions over per-period step
+    * bitmaps, which by the induction in [[CubeService.getFunnel]]
+    * equals this plan's min-time recursion exactly. The days side must
+    * be UNFILTERED (the full observed-period domain — a filtered
+    * domain is a different chart, refused); K is bounded to the
+    * serve's 2..8. */
+  private[cube] def analyzeFunnel(
+      plan: LogicalPlan): Option[FunnelNeeds] = plan match {
+    case Aggregate(groups, aggs, child, _)
+        if groups.size == 1 &&
+          groups.forall(_.isInstanceOf[AttributeReference]) =>
+      val dayAttr = groups.head.asInstanceOf[AttributeReference]
+      val (base, _, preds) = peel(child)
+      if (!preds.forall(_.isInstanceOf[IsNotNull])) return None
+      base match {
+        case Join(l, r, jt, Some(cond), _)
+            if jt == org.apache.spark.sql.catalyst.plans.Inner =>
+          def asDays(side: LogicalPlan): Option[(Attribute, String,
+              String, Int, Seq[(String, Seq[Literal])])] = {
+            val (b, env0, preds0) = peel(side)
+            b match {
+              case Aggregate(gs, outs, c, _)
+                  if outs.size == 1 && gs.size >= 1 &&
+                    outs.forall(_.isInstanceOf[Attribute]) =>
+                val (inner, env, preds2) = peel(c)
+                val sub = subst(env0 ++ env) _
+                val fs = sideFilters(preds0 ++ preds2, sub)
+                  .getOrElse(return None)
+                val path = CubeCatalog.sourcePathOf(inner)
+                  .getOrElse(return None)
+                val a = outs.head.asInstanceOf[Attribute]
+                periodBucket(sub(a)).map { case (tsCol, pd) =>
+                  (a, path, tsCol, pd, fs) }
+              case _ => None
+            }
+          }
+          val (daysOpt, chainPlan) = {
+            val lOut = l.outputSet
+            if (lOut.exists(_.exprId == dayAttr.exprId)) (asDays(l), r)
+            else (asDays(r), l)
+          }
+          val (dOut, dPath, dTs, dPd, dFs) = daysOpt.getOrElse(return None)
+          if (dOut.exprId != dayAttr.exprId) return None
+          // the observed-period domain must be the FULL source's
+          if (dFs.nonEmpty) return None
+          val chain = minChain(chainPlan).getOrElse(return None)
+          if (chain.path != dPath || chain.tsCol != dTs ||
+              chain.periodDays != dPd) return None
+          if (chain.steps.size < 2 || chain.steps.size > 8) return None
+          // exactly ONE inclusive inequality: chain t ≤ day
+          def conj(e: Expression): Seq[Expression] = e match {
+            case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+              conj(a) ++ conj(b)
+            case o => Seq(o)
+          }
+          val cs = conj(cond)
+          if (cs.size != 1) return None
+          val inclusiveOk = cs.head match {
+            case LessThanOrEqual(t: AttributeReference,
+                d: AttributeReference) =>
+              t.exprId == chain.tOut && d.exprId == dayAttr.exprId
+            case GreaterThanOrEqual(d: AttributeReference,
+                t: AttributeReference) =>
+              t.exprId == chain.tOut && d.exprId == dayAttr.exprId
+            case _ => false
+          }
+          if (!inclusiveOk) return None
+          // ordered output map: the period grouping + ONE converted
+          // count over the chain's id. count(DISTINCT) and plain
+          // count(id) are BOTH the set size here — the chain emits one
+          // row per id and the period join cannot duplicate an id
+          // within a group, so the optimizer is free to drop the
+          // DISTINCT flag without changing the answer
+          var counted = false
+          val outs: Seq[RollOut] = aggs.map { ne =>
+            val grp = ne match {
+              case a: AttributeReference
+                  if a.exprId == dayAttr.exprId => Some(a)
+              case al: Alias => al.child match {
+                case a: AttributeReference
+                    if a.exprId == dayAttr.exprId => Some(a)
+                case _ => None
+              }
+              case _ => None
+            }
+            grp match {
+              case Some(_) => RollOut.Day
+              case None => ne match {
+                case al: Alias => al.child match {
+                  case AggregateExpression(Count(Seq(
+                      ca: AttributeReference)), Complete, _, _, _)
+                      if ca.exprId == chain.idOut && !counted =>
+                    counted = true
+                    RollOut.Leaf("funnel", chain.idSrc.name)
+                  case _ => return None
+                }
+                case _ => return None
+              }
+            }
+          }
+          if (!counted) return None
+          Some(FunnelNeeds(chain.path, chain.tsCol, chain.idSrc.name,
+            chain.periodDays, integral(chain.idSrc.dataType),
+            chain.stepCol, chain.steps, outs))
+        case _ => None
+      }
+    case _ => None
+  }
+
   private def rollingLeaves(
       dayId: org.apache.spark.sql.catalyst.expressions.ExprId,
       segMap: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String],

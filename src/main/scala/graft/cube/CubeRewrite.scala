@@ -393,7 +393,8 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
                 // both routes before giving up
                 tryRewriteRolling(agg)
                   .orElse(tryRewriteRetention(agg))
-                  .orElse(tryRewriteCumulative(agg)).getOrElse(agg)
+                  .orElse(tryRewriteCumulative(agg))
+                  .orElse(tryRewriteFunnel(agg)).getOrElse(agg)
               else candidates.minBy(_._2)._1
             case _ => agg
           }
@@ -1225,6 +1226,126 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
           val a = servedAttr.getOrElse(segIdOf(srcCol), return None)
           if (a.dataType != orig.dataType) return None
           Alias(a, orig.name)(exprId = orig.exprId)
+        case (orig, _: RollOut.Leaf) =>
+          val a = servedAttr.getOrElse("__ret", return None)
+          if (a.dataType != orig.dataType) return None
+          Alias(a, orig.name)(exprId = orig.exprId)
+        case _ => return None
+      }
+    Some(Project(proj, outPlan))
+  }
+
+  /** FUNNEL routing — the min-join conversion-chain plan ("users who
+    * completed view→click→purchase in order, cumulative by period",
+    * recognized by [[CubeAdvisor.analyzeFunnel]]) rewritten to the
+    * funnel CASCADE over a registered day+step-dimmed bitmap cube:
+    * C_1 = prefixOR(B_1), C_k = prefixOR(B_k ∩ C_{k−1}), converted at
+    * p = |C_K[p]| — by the induction documented at
+    * [[CubeService.getFunnel]], exactly the min-conversion-time
+    * recursion the raw chain computes. Row domain: the raw plan inner-
+    * joins the source's observed periods against `t_K ≤ p` and groups,
+    * so it emits a row exactly for observed periods with ≥ 1
+    * converted id — the serve's all-periods grid + a ≥ 1 filter
+    * reproduces it. At scale the raw chain is K joins over the
+    * source's pairs PLUS a quadratic period join (every period
+    * re-scans all conversion times); the serve is one pass over
+    * cube-sized partials + K incremental window passes over the
+    * |periods| frame. Sharded cubes cascade per shard (shards
+    * partition the id space; per-shard converted counts ADD).
+    * Delete-latched cubes refuse — bitmap partials are insert-only. */
+  private def tryRewriteFunnel(agg: Aggregate): Option[LogicalPlan] = {
+    val needs = CubeAdvisor.analyzeFunnel(agg).getOrElse(return None)
+    if (needs.outs.isEmpty) return None
+    val candidates = CubeCatalog.registered.values.toSeq
+      .filter(_.sourcePath == needs.path)
+      .flatMap(reg =>
+        buildFunnelServe(agg, needs, reg).map((_, reg.cubeSize)))
+    if (candidates.isEmpty) None else Some(candidates.minBy(_._2)._1)
+  }
+
+  private def buildFunnelServe(
+      agg: Aggregate,
+      needs: CubeAdvisor.FunnelNeeds,
+      reg: CubeCatalog.Registration): Option[LogicalPlan] = {
+    import org.apache.spark.sql.functions._
+    import CubeAdvisor.RollOut
+    val cube = reg.cube
+    val cfg = cube.config
+    if (reg.cubeScanPath.isEmpty) return None
+    if (reg.origScanPath.contains(needs.path)) return None
+    if (cfg.dims.exists(_.id.startsWith("__"))) return None
+    if (cube.hasDeletes) return None
+    val dayDim = cfg.dims.collectFirst {
+      case TimeDim(id, p, "day") if p == needs.tsCol => id
+    }.getOrElse(return None)
+    val stepDim = cfg.dims.collectFirst {
+      case FieldDim(id, p) if p == needs.stepCol => id
+    }.getOrElse(return None)
+    val bmId = cfg.allBitmaps.find(_.path == needs.idCol)
+      .map(_.id).getOrElse(return None)
+    val spark = cube.aggregates.sparkSession
+    val B = graft.functions.Bitmap
+    val cubeFrame = Bridge.ofRows(spark, reg.cubePlan)
+      .filter(col(CubeManager.CountCol) > 0)
+    val periodKey = floor(
+      datediff(col(dayDim).cast("date"), lit("1970-01-01"))
+        .cast("long").cast("double") / needs.periodDays)
+      .cast("long").as("__p")
+    val sharded = cfg.bitmapShardBits > 0
+    val shardCols =
+      if (sharded) Seq(col(CubeManager.ShardCol)) else Nil
+    val steps = needs.steps
+    // one bitmap column per step per (period [, shard]) — conditional
+    // aggregation, ONE pass over cube-sized partials
+    val stepAggs = steps.zipWithIndex.map { case (s, i) =>
+      B.unionAgg(when(col(stepDim) === s, col(bmId))).as(s"__b$i") }
+    val base = cubeFrame
+      .filter(col(stepDim).isin(steps: _*))
+      .groupBy((Seq(periodKey) ++ shardCols): _*)
+      .agg(stepAggs.head, stepAggs.tail: _*)
+    // the raw days side is the UNFILTERED source's observed periods —
+    // every cube cell covers a source row, so the cube's full period
+    // set is exactly that domain
+    val periods = cubeFrame.select(periodKey).distinct()
+    val grid =
+      if (!sharded) periods
+      else periods.crossJoin(
+        base.select(col(CubeManager.ShardCol)).distinct())
+    val keyCols = Seq("__p") ++
+      (if (sharded) Seq(CubeManager.ShardCol) else Nil)
+    val emptyBm = lit(Array[Byte](0, 0, 0, 0)) // codec: zero blocks
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCols: _*)
+      .orderBy(col("__p"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    var frame = grid.join(base, keyCols, "left")
+    steps.zipWithIndex.foreach { case (_, i) =>
+      val qual =
+        if (i == 0) coalesce(col(s"__b$i"), emptyBm)
+        else B.and(coalesce(col(s"__b$i"), emptyBm), col(s"__c${i - 1}"))
+      frame = frame.withColumn(s"__c$i", B.unionAgg(qual).over(w))
+    }
+    val last = steps.size - 1
+    val perRow = frame.select((Seq(col("__p")) ++ shardCols :+
+      B.cardinality(col(s"__c$last")).as("__n")): _*)
+    val served = (if (!sharded) perRow.withColumnRenamed("__n", "__ret")
+      else perRow.groupBy(col("__p")).agg(sum(col("__n")).as("__ret")))
+      .filter(col("__ret") >= 1)
+    val outPlan = served.queryExecution.optimizedPlan
+    val servedAttr: Map[String, Attribute] =
+      outPlan.output.map(a => a.name -> a).toMap
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val proj: Seq[NamedExpression] =
+      agg.aggregateExpressions.zip(needs.outs).map {
+        case (orig, RollOut.Day) =>
+          if (orig.dataType != LongType && orig.dataType != IntegerType)
+            return None
+          val p = servedAttr.getOrElse("__p", return None)
+          val child: Expression =
+            if (p.dataType == orig.dataType) p else Cast(p, orig.dataType)
+          Alias(child, orig.name)(exprId = orig.exprId)
         case (orig, _: RollOut.Leaf) =>
           val a = servedAttr.getOrElse("__ret", return None)
           if (a.dataType != orig.dataType) return None

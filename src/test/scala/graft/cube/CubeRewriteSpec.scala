@@ -1805,6 +1805,69 @@ class CubeRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("raw funnel min-join chains route to the cascade; curve identical") {
+    val srcDir = rollingSetup()
+    def src = spark.read.parquet(srcDir)
+    def pairs(step: String) = src.filter(col("etype") === step)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("p"))
+    // the min-conversion-time recursion, written the way users write
+    // it: t_1 = min period of step-1 activity, t_k = min period ≥
+    // t_{k−1} with step-k activity, converted-by-p = |{t_K ≤ p}|
+    def funnel(steps: Seq[String], strict: Boolean = false,
+        filteredDays: Boolean = false) = {
+      val s1 = pairs(steps.head).groupBy(col("user_id"))
+        .agg(min(col("p")).as("t1"))
+      val chain = steps.tail.zipWithIndex.foldLeft(s1) {
+        case (prev, (s, i)) =>
+          pairs(s).as("e").join(prev.as("pv"),
+              col("e.user_id") === col("pv.user_id") &&
+                col("e.p") >= col(s"pv.t${i + 1}"))
+            .groupBy(col("e.user_id"))
+            .agg(min(col("e.p")).as(s"t${i + 2}"))
+      }
+      val t = s"t${steps.size}"
+      val daysBase = if (filteredDays) src.filter(col("etype") === "view")
+        else src
+      val days = daysBase.select(
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("day")).distinct()
+      days.join(chain,
+          if (strict) col(t) < col("day") else col(t) <= col("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("converted"))
+        .orderBy(col("day"))
+    }
+    val two = funnel(Seq("click", "view"))
+    assert(scansOf(two).forall(_.endsWith("/rollrw")),
+      s"funnel route did not fire: ${scansOf(two)}")
+    // a 2-step chain in the other order routes too (order is semantic,
+    // not structural)
+    val rev = funnel(Seq("view", "click"))
+    assert(scansOf(rev).forall(_.endsWith("/rollrw")),
+      s"reversed funnel route did not fire: ${scansOf(rev)}")
+    // refusals: the strict inequality is the EXCLUSIVE curve (a
+    // different chart); a filtered days side is a different period
+    // domain; a repeated step is not a funnel
+    val rawSrc = CubeCatalog.normalize(srcDir)
+    assert(scansOf(funnel(Seq("click", "view"), strict = true))
+      .contains(rawSrc), "strict inequality must refuse")
+    assert(scansOf(funnel(Seq("click", "view"), filteredDays = true))
+      .contains(rawSrc), "filtered days side must refuse")
+    assert(scansOf(funnel(Seq("click", "click")))
+      .contains(rawSrc), "repeated step must refuse")
+    val servedTwo = sortedRows(two)
+    val servedRev = sortedRows(rev)
+    CubeCatalog.clear()
+    assert(scansOf(funnel(Seq("click", "view")))
+      .contains(CubeCatalog.normalize(srcDir)))
+    assert(sortedRows(funnel(Seq("click", "view"))) == servedTwo,
+      "routed funnel curve must EQUAL the raw min-join recompute")
+    assert(sortedRows(funnel(Seq("view", "click"))) == servedRev,
+      "routed reversed curve must EQUAL the raw recompute")
+  }
+
   test("SQL-text retention and cumulative plans route like the DataFrame forms") {
     val srcDir = rollingSetup()
     spark.read.parquet(srcDir).createOrReplaceTempView("rollrw_sql")
