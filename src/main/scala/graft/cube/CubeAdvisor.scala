@@ -1300,7 +1300,7 @@ object CubeAdvisor {
         case Join(l, r, jt, Some(cond), _)
             if jt == org.apache.spark.sql.catalyst.plans.Inner =>
           def asDays(side: LogicalPlan): Option[(Attribute, String,
-              String, Int, Seq[(String, Seq[Literal])])] = {
+              String, Int, Seq[(String, Seq[Literal])], Boolean)] = {
             val (b, env0, preds0) = peel(side)
             b match {
               case Aggregate(gs, outs, c, _)
@@ -1313,8 +1313,13 @@ object CubeAdvisor {
                 val path = CubeCatalog.sourcePathOf(inner)
                   .getOrElse(return None)
                 val a = outs.head.asInstanceOf[Attribute]
+                // periodOnly: the grouping is EXACTLY the period, so
+                // each period emits one row. A wider grouping (the
+                // IN-subquery lowering leaves extra keys) duplicates
+                // period rows — inert under count(DISTINCT), answer-
+                // changing under plain count(id) (see the outs walk)
                 periodBucket(sub(a)).map { case (tsCol, pd) =>
-                  (a, path, tsCol, pd, fs) }
+                  (a, path, tsCol, pd, fs, gs.size == 1) }
               case _ => None
             }
           }
@@ -1323,7 +1328,8 @@ object CubeAdvisor {
             if (lOut.exists(_.exprId == dayAttr.exprId)) (asDays(l), r)
             else (asDays(r), l)
           }
-          val (dOut, dPath, dTs, dPd, dFs) = daysOpt.getOrElse(return None)
+          val (dOut, dPath, dTs, dPd, dFs, dPeriodOnly) =
+            daysOpt.getOrElse(return None)
           if (dOut.exprId != dayAttr.exprId) return None
           // the observed-period domain must be the FULL source's
           if (dFs.nonEmpty) return None
@@ -1351,10 +1357,14 @@ object CubeAdvisor {
           if (!inclusiveOk) return None
           // ordered output map: the period grouping + ONE converted
           // count over the chain's id. count(DISTINCT) and plain
-          // count(id) are BOTH the set size here — the chain emits one
-          // row per id and the period join cannot duplicate an id
-          // within a group, so the optimizer is free to drop the
-          // DISTINCT flag without changing the answer
+          // count(id) are BOTH the set size ONLY when the days side is
+          // one row per period (dPeriodOnly): the chain emits one row
+          // per id, so within a period group an id appears once per
+          // matching days row. A wider days grouping duplicates period
+          // rows — plain count(id) then counts each converted id once
+          // per duplicate, a DIFFERENT answer the cascade must not
+          // silently replace (analyzeCumulative's isDistinct=true
+          // discipline, applied conditionally)
           var counted = false
           val outs: Seq[RollOut] = aggs.map { ne =>
             val grp = ne match {
@@ -1372,8 +1382,9 @@ object CubeAdvisor {
               case None => ne match {
                 case al: Alias => al.child match {
                   case AggregateExpression(Count(Seq(
-                      ca: AttributeReference)), Complete, _, _, _)
-                      if ca.exprId == chain.idOut && !counted =>
+                      ca: AttributeReference)), Complete, dist, _, _)
+                      if ca.exprId == chain.idOut && !counted &&
+                        (dist || dPeriodOnly) =>
                     counted = true
                     RollOut.Leaf("funnel", chain.idSrc.name)
                   case _ => return None

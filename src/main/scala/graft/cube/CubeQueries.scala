@@ -2083,6 +2083,101 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q252
+  /** Graded: FUNNEL routing through the optimizer — the raw MIN-JOIN
+    * conversion-chain plan users actually write ("users who completed
+    * view → click → purchase in order, cumulative by day": t_1 = min
+    * day of step-1 activity, t_k = min day ≥ t_{k−1} with step-k
+    * activity, converted-by-p = |{t_K ≤ p}| — K−1 self-joins plus the
+    * observed-days join) over a REGISTERED source is rewritten by
+    * [[CubeRewriteRule]] to the funnel CASCADE over the registered
+    * day+step-dimmed bitmap cube (C_1 = prefixOR(B_1), C_k =
+    * prefixOR(B_k ∩ C_{k−1})), recognized by the advisor's own
+    * [[CubeAdvisor.analyzeFunnel]] — the q228/q234/q243 shared-matcher
+    * discipline, closing the last routing family without a graded
+    * query. Exact because the cascade equals the min-time recursion by
+    * induction ([[CubeService.getFunnel]]); the plan is hard-asserted
+    * cube-only and DuckDB recomputes the chain raw, so the hash proves
+    * the silent rewrite serves the identical curve. 100 TB split: the
+    * raw chain is K joins over the source's step pairs PLUS a
+    * quadratic period join (every day re-scans all conversion times);
+    * the routed serve is ONE conditional-aggregation pass over
+    * cube-sized partials + K incremental window passes over the
+    * |days| frame. */
+  def q252FunnelRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = rollingRouteSource(spark, sfDir)
+    val src = spark.read.parquet(srcDir)
+    def pairs(step: String) = src.filter(col("event_type") === step)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("p"))
+    val s1 = pairs("view").groupBy(col("user_id"))
+      .agg(min(col("p")).as("t1"))
+    val chain = Seq("click", "purchase").zipWithIndex.foldLeft(s1) {
+      case (prev, (s, i)) =>
+        pairs(s).as("e").join(prev.as("pv"),
+            col("e.user_id") === col("pv.user_id") &&
+              col("e.p") >= col(s"pv.t${i + 1}"))
+          .groupBy(col("e.user_id"))
+          .agg(min(col("e.p")).as(s"t${i + 2}"))
+    }
+    val days = src.select(
+      (unix_timestamp(col("ts")).cast("double") / 86400)
+        .cast("long").as("day")).distinct()
+    val q = days.join(chain, col("t3") <= col("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("converted"))
+      .orderBy(col("day"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/rolling_route_demo")),
+      s"funnel routing did not fire (or still reads the source); " +
+        s"scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q253
+  /** Graded: the q252 funnel as SQL TEXT (the q242 discipline) — the
+    * min-join recursion spelled in plain SQL CTEs routes to the same
+    * cascade: SQL lowering leaves extra projections and subquery
+    * aliases that CollapseProject folds away, so matching the
+    * optimized tree (not the parsed one) makes the rewrite reachable
+    * from BI-tool-generated text, not just DataFrames. Same cube-only
+    * hard assert; same DuckDB raw recompute (2-step chain — a second
+    * chain length through the matcher's recursive stage). */
+  def q253SqlFunnelRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = rollingRouteSource(spark, sfDir)
+    spark.read.parquet(srcDir)
+      .createOrReplaceTempView("funnel_route_events")
+    val q = spark.sql("""
+      WITH ev AS (
+        SELECT user_id, event_type,
+          CAST(CAST(unix_timestamp(ts) AS DOUBLE) / 86400 AS BIGINT) AS p
+        FROM funnel_route_events),
+      t1 AS (SELECT user_id, MIN(p) AS t1 FROM ev
+             WHERE event_type = 'signup' GROUP BY user_id),
+      t2 AS (SELECT ev.user_id, MIN(ev.p) AS t2
+             FROM ev JOIN t1 ON ev.user_id = t1.user_id AND ev.p >= t1.t1
+             WHERE ev.event_type = 'purchase' GROUP BY ev.user_id),
+      days AS (SELECT DISTINCT p AS day FROM ev)
+      SELECT days.day, COUNT(DISTINCT t2.user_id) AS converted
+      FROM days JOIN t2 ON t2.t2 <= days.day
+      GROUP BY days.day
+      ORDER BY days.day""")
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/rolling_route_demo")),
+      s"SQL-text funnel routing did not fire (or still reads the " +
+        s"source); scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q244
   private val cohortTtSetup =
     TrieMap.empty[(SparkSession, String), (CubeService, Int)]
@@ -3367,6 +3462,8 @@ object CubeQueries {
     "q241_funnel_bitmap" -> q241FunnelBitmap,
     "q242_sql_rolling_routing" -> q242SqlRollingRouting,
     "q243_cumulative_routing" -> q243CumulativeRouting,
+    "q252_funnel_routing" -> q252FunnelRouting,
+    "q253_sql_funnel_routing" -> q253SqlFunnelRouting,
     "q244_cohort_time_travel" -> q244CohortTimeTravel,
     "q245_segmented_funnel" -> q245SegmentedFunnel,
     "q246_window_funnel" -> q246WindowFunnel,
@@ -4186,6 +4283,45 @@ object CubeQueries {
         (SELECT count(*) FROM t3
          WHERE t3.seg = ps.seg AND t3.t <= ps.p) FROM ps
       ORDER BY seg, period, step_ord""",
+    // the raw min-join conversion chain recomputed in full — the
+    // optimizer-routed bitmap cascade must hash-match it, row set
+    // included (only observed days with >= 1 converted id)
+    "q252_funnel_routing" -> """
+      WITH ev AS (
+        SELECT user_id, event_type AS s,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+            AS BIGINT) AS p
+        FROM events),
+      t1 AS (SELECT user_id, min(p) AS t FROM ev WHERE s = 'view'
+             GROUP BY 1),
+      t2 AS (SELECT e.user_id, min(e.p) AS t FROM ev e
+             JOIN t1 ON t1.user_id = e.user_id AND e.p >= t1.t
+             WHERE e.s = 'click' GROUP BY 1),
+      t3 AS (SELECT e.user_id, min(e.p) AS t FROM ev e
+             JOIN t2 ON t2.user_id = e.user_id AND e.p >= t2.t
+             WHERE e.s = 'purchase' GROUP BY 1),
+      days AS (SELECT DISTINCT p AS day FROM ev)
+      SELECT days.day, count(DISTINCT t3.user_id) AS converted
+      FROM days JOIN t3 ON t3.t <= days.day
+      GROUP BY 1
+      ORDER BY 1""",
+    // the SQL-text chain (signup -> purchase) recomputed raw
+    "q253_sql_funnel_routing" -> """
+      WITH ev AS (
+        SELECT user_id, event_type AS s,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+            AS BIGINT) AS p
+        FROM events),
+      t1 AS (SELECT user_id, min(p) AS t FROM ev WHERE s = 'signup'
+             GROUP BY 1),
+      t2 AS (SELECT e.user_id, min(e.p) AS t FROM ev e
+             JOIN t1 ON t1.user_id = e.user_id AND e.p >= t1.t
+             WHERE e.s = 'purchase' GROUP BY 1),
+      days AS (SELECT DISTINCT p AS day FROM ev)
+      SELECT days.day, count(DISTINCT t2.user_id) AS converted
+      FROM days JOIN t2 ON t2.t <= days.day
+      GROUP BY 1
+      ORDER BY 1""",
     // the windowed chain recursion: qualified pairs per step with
     // adjacent gaps <= 3, then min-qualification times per user
     "q246_window_funnel" -> """

@@ -1779,8 +1779,13 @@ final class CubeService(spark: SparkSession, storageDir: String,
         case TimeDim(id, _, g) => id == dayDim && g == "day"
         case _ => false
       }, s"$dayDim must be a day-granularity time dimension of cube $name")
-    require(windowDays >= 1,
-      s"windowDays must be >= 1, got $windowDays")
+    // bounded fan-out, the getFunnel(steps ∈ 2..8) discipline: the
+    // serve explodes each daily bitmap into windowDays endpoint rows
+    // and BitmapKCountAgg's combine is O(windowDays²) merge-walks —
+    // wire-exposed via AdminServer, so an unbounded window is a
+    // request-sized blow-up. 366 covers every calendar-year window.
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays must be in 1..366, got $windowDays")
     require(cube.config.allBitmaps.exists(_.id == bitmapId),
       s"$bitmapId is not a bitmap measure of cube $name")
     require(!cube.hasDeletes,

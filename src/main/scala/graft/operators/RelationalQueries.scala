@@ -1417,16 +1417,20 @@ object RelationalQueries {
     * distinct co-occurring pair). */
   def q201AssociationRules(spark: SparkSession, sfDir: String): DataFrame = {
     val minSupport = 3L
-    // Cached: the distinct (order, part) set is read FOUR times (both
-    // self-join sides + the per-part supports for a and b); un-cached,
-    // the static plan runs the fact scan + distinct shuffle four times.
-    // The cache keys on the canonical plan (one entry per session ×
-    // sfDir); at cluster scale this materialization is the single
-    // "transaction table" build every basket miner starts from.
+    // localCheckpoint (not .cache()): the distinct (order, part) set is
+    // read FOUR times (both self-join sides + the per-part supports for
+    // a and b); un-materialized, the static plan runs the fact scan +
+    // distinct shuffle four times. localCheckpoint truncates the
+    // lineage so each read is a block fetch with no plan re-resolution
+    // — the same knob that stabilized q197's supersteps (a .cache()d
+    // four-way-read frame re-resolves under memory pressure and is
+    // sweep-variance-prone). At cluster scale this materialization is
+    // the single "transaction table" build every basket miner starts
+    // from.
     val items = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .distinct()
-      .cache()
+      .localCheckpoint()
     // Basket universe |N| = the orders table (one count over the tiny
     // dimension, NOT a distinct over the fact scan — q206 audits that
     // every lineitem order exists there).

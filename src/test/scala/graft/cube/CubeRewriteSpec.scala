@@ -1857,6 +1857,39 @@ class CubeRewriteSpec extends AnyFunSuite {
       .contains(rawSrc), "filtered days side must refuse")
     assert(scansOf(funnel(Seq("click", "click")))
       .contains(rawSrc), "repeated step must refuse")
+    // days side grouped WIDER than the period (CollapseProject folds a
+    // day-only projection into DISTINCT(day, etype) → Aggregate with
+    // gs=[day, etype], outs=[day]): duplicate period rows make plain
+    // count(id) count each converted id once per duplicate — a
+    // DIFFERENT answer, must refuse; count(DISTINCT) is
+    // duplicate-inert — still routes and matches the raw recompute
+    def wideDays(distinctCount: Boolean) = {
+      val s1 = pairs("click").groupBy(col("user_id"))
+        .agg(min(col("p")).as("t1"))
+      val chain = pairs("view").as("e").join(s1.as("pv"),
+          col("e.user_id") === col("pv.user_id") &&
+            col("e.p") >= col("pv.t1"))
+        .groupBy(col("e.user_id")).agg(min(col("e.p")).as("t2"))
+      val days = src.select(
+          (unix_timestamp(col("ts")).cast("double") / 86400)
+            .cast("long").as("day"),
+          col("etype")).distinct().select(col("day"))
+      val joined = days.join(chain, col("t2") <= col("day"))
+      val agg =
+        if (distinctCount) joined.groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("converted"))
+        else joined.groupBy(col("day"))
+          .agg(count(col("user_id")).as("converted"))
+      agg.orderBy(col("day"))
+    }
+    assert(scansOf(wideDays(distinctCount = false)).contains(rawSrc),
+      "wide days grouping + plain count must refuse (duplicate " +
+        "periods change the count)")
+    assert(scansOf(wideDays(distinctCount = true))
+      .forall(_.endsWith("/rollrw")),
+      s"wide days grouping + count(DISTINCT) must route: " +
+        s"${scansOf(wideDays(distinctCount = true))}")
+    val servedWide = sortedRows(wideDays(distinctCount = true))
     val servedTwo = sortedRows(two)
     val servedRev = sortedRows(rev)
     CubeCatalog.clear()
@@ -1866,6 +1899,8 @@ class CubeRewriteSpec extends AnyFunSuite {
       "routed funnel curve must EQUAL the raw min-join recompute")
     assert(sortedRows(funnel(Seq("view", "click"))) == servedRev,
       "routed reversed curve must EQUAL the raw recompute")
+    assert(sortedRows(wideDays(distinctCount = true)) == servedWide,
+      "routed wide-days distinct curve must EQUAL the raw recompute")
   }
 
   test("SQL-text retention and cumulative plans route like the DataFrame forms") {

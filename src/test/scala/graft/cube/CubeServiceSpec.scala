@@ -1080,6 +1080,11 @@ class CubeServiceSpec extends AnyFunSuite {
       svc.getEngagement("eng", "day", "v") }
     intercept[IllegalArgumentException] {
       svc.getEngagement("eng", "day", "users", windowDays = 0) }
+    // upper bound: the serve fans each daily bitmap into windowDays
+    // endpoint rows and the k-count combine is O(windowDays²) — a
+    // wire-reachable verb must bound its request-sized blow-up
+    intercept[IllegalArgumentException] {
+      svc.getEngagement("eng", "day", "users", windowDays = 367) }
     intercept[IllegalArgumentException] {
       svc.getGrowthAccounting("eng", "day", "v") }
     svc.updateAggregates("eng",
