@@ -518,9 +518,19 @@ final class AdminServer(service: CubeService, spark: SparkSession,
               s""""segmentBy":${strs(r.segmentBy)},""" +
               s""""covered":${ints(r.coveredQueries)}}""")
             .mkString("[", ",", "]")
+          val funnel = a.funnel.map(r =>
+            s"""{"sourcePath":"${esc(r.sourcePath)}",""" +
+              s""""config":${cfgJson(r.config)},""" +
+              s""""dayDim":"${esc(r.dayDim)}",""" +
+              s""""stepDim":"${esc(r.stepDim)}",""" +
+              s""""bitmapId":"${esc(r.bitmapId)}",""" +
+              s""""chains":${r.chains.map(strs).mkString("[", ",", "]")},""" +
+              s""""periods":${ints(r.periods)},""" +
+              s""""covered":${ints(r.coveredQueries)}}""")
+            .mkString("[", ",", "]")
           ok(s"""{"cubes":$cubes,"joinCubes":$joins,""" +
             s""""rolling":$rolling,"layouts":$layouts,""" +
-            s""""retention":$retention,""" +
+            s""""retention":$retention,"funnel":$funnel,""" +
             s""""uncovered":${ints(a.uncovered)}}""")
         case Some("listVersions") =>
           val name = need(strField(req, "name"), "name")

@@ -167,6 +167,23 @@ object CubeAdvisor {
       coveredQueries: Seq[Int],
       segmentBy: Seq[String] = Nil)
 
+  /** One recommended FUNNEL cube: a day+step-dimmed bitmap cube wired
+    * to [[CubeService.getFunnel]] — the step column dims the cube so
+    * per-(period, step) bitmaps exist for the cascade, and the id
+    * column gets exact bitmap partials (dictionary-encoded for
+    * non-integral keys). `chains` records each covered query's step
+    * sequence (the cube itself serves ANY chain over the step
+    * dimension's values — the config does not bake the chain in). */
+  final case class FunnelRecommendation(
+      sourcePath: String,
+      config: CubeConfig,
+      dayDim: String,
+      stepDim: String,
+      bitmapId: String,
+      chains: Seq[Seq[String]],
+      periods: Seq[Int],
+      coveredQueries: Seq[Int])
+
   /** What one recognized retention query needs: the source, the time
     * column its period derives from, the distinct-counted id column,
     * the period width in days, and any segment columns the matrix
@@ -229,7 +246,8 @@ object CubeAdvisor {
       joinCubes: Seq[JoinCubeRecommendation], uncovered: Seq[Int],
       rolling: Seq[RollingCubeRecommendation] = Nil,
       layouts: Seq[LayoutRecommendation] = Nil,
-      retention: Seq[RetentionRecommendation] = Nil)
+      retention: Seq[RetentionRecommendation] = Nil,
+      funnel: Seq[FunnelRecommendation] = Nil)
 
   /** Structural advice: no data is read. */
   def advise(workload: Seq[DataFrame],
@@ -255,11 +273,45 @@ object CubeAdvisor {
       .collect { case (p, i) if !rollingIdx(i) && !retentionIdx(i) =>
         analyzeCumulative(p).map(i -> _) }.flatten
     val cumulativeIdx = cumulativeHits.map(_._1).toSet
+    // funnel shapes last among the cohort families: the min-join
+    // conversion chain is aggregates over joins of aggregates — the
+    // generic matcher refuses the whole tree and the defining funnel
+    // query would land uncovered
+    val funnelHits: Seq[(Int, FunnelNeeds)] = plans.zipWithIndex
+      .collect { case (p, i) if !rollingIdx(i) && !retentionIdx(i) &&
+          !cumulativeIdx(i) =>
+        analyzeFunnel(p).map(i -> _) }.flatten
+    val funnelIdx = funnelHits.map(_._1).toSet
     val analyzed: Seq[(Int, Option[Needs])] =
       plans.zipWithIndex.collect {
         case (p, i) if !rollingIdx(i) && !retentionIdx(i) &&
-            !cumulativeIdx(i) =>
+            !cumulativeIdx(i) && !funnelIdx(i) =>
           i -> analyze(p)
+      }
+    val funnelRecs = funnelHits
+      .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol, h._2.stepCol))
+      .toSeq.sortBy(g => (g._1._1, g._1._2, g._1._3, g._1._4))
+      .zipWithIndex.map {
+        case (((path, tsCol, idCol, stepCol), hits), k) =>
+          val dayDim = s"${tsCol}_day"
+          val bmId = s"${idCol}_xd"
+          val m = Seq(Measure(bmId, idCol))
+          val integralId = hits.head._2.integralId
+          FunnelRecommendation(path,
+            CubeConfig(s"${namePrefix}_funnel_$k", path,
+              // the step column dims the cube so the cascade finds a
+              // per-(period, step) bitmap cell for every chain stage;
+              // serving is chain-agnostic — one cube covers every
+              // funnel over this (source, time, id, step) vocabulary
+              dims = Seq(FieldDim(stepCol, stepCol),
+                TimeDim(dayDim, tsCol, "day")),
+              measures = Nil,
+              bitmaps = if (integralId) m else Nil,
+              dictBitmaps = if (integralId) Nil else m),
+            dayDim, stepCol, bmId,
+            chains = hits.map(_._2.steps).distinct,
+            periods = hits.map(_._2.periodDays).distinct.sorted,
+            coveredQueries = hits.map(_._1).sorted)
       }
     val retentionRecs = (retentionHits ++ cumulativeHits)
       .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol, h._2.segments,
@@ -402,7 +454,8 @@ object CubeAdvisor {
     val layouts = singles.filter(_.rangeOnlyDims.nonEmpty).map(r =>
       LayoutRecommendation(r.sourcePath, r.rangeOnlyDims.take(2),
         r.coveredQueries))
-    Advice(singles, joins, uncovered, rollingRecs, layouts, retentionRecs)
+    Advice(singles, joins, uncovered, rollingRecs, layouts,
+      retentionRecs, funnelRecs)
   }
 
   /** SQL-TEXT advisor surface: the workload as the query strings a

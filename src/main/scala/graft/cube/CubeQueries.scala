@@ -2178,6 +2178,100 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q254
+  private val advisedFunnelSetup =
+    TrieMap.empty[(SparkSession, String), String]
+  private def advisedFunnelSource(spark: SparkSession,
+      sfDir: String): String =
+    advisedFunnelSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_advfun").toString
+      val srcDir = s"$dir/source"
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .write.parquet(srcDir)
+      val src = spark.read.parquet(srcDir)
+      // the workload: the WEEKLY 3-step funnel as users write it —
+      // the min-join conversion-time recursion + the observed-period
+      // join (q252's shape at a different period width)
+      val advice = CubeAdvisor.advise(
+        Seq(weeklyFunnelChain(src)), "advfun")
+      require(advice.funnel.size == 1 && advice.uncovered.isEmpty,
+        s"funnel advice did not recognize the workload: $advice")
+      val rec = advice.funnel.head
+      require(rec.periods == Seq(7) &&
+        rec.chains == Seq(Seq("view", "click", "purchase")) &&
+        rec.stepDim == "event_type" && rec.sourcePath.endsWith("/source"),
+        s"unexpected funnel recommendation: $rec")
+      // materialize VERBATIM and register — the raw plan must now
+      // route (the honesty loop's whole point)
+      CubeManager.save(CubeManager.create(rec.config, src), dir)
+      CubeCatalog.install(spark)
+      CubeCatalog.register(s"advfun@$sfDir",
+        CubeManager.load(spark, dir, rec.config.name), srcDir)
+      srcDir
+    })
+
+  /** The advised workload AND the graded serve: weekly view → click →
+    * purchase conversion-time recursion over `src`, built identically
+    * on both sides of the honesty loop. */
+  private def weeklyFunnelChain(src: DataFrame): DataFrame = {
+    def pairs(step: String) = src.filter(col("event_type") === step)
+      .select(col("user_id"),
+        floor((unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").cast("double") / 7).cast("long").as("p"))
+    val s1 = pairs("view").groupBy(col("user_id"))
+      .agg(min(col("p")).as("t1"))
+    val chain = Seq("click", "purchase").zipWithIndex.foldLeft(s1) {
+      case (prev, (s, i)) =>
+        pairs(s).as("e").join(prev.as("pv"),
+            col("e.user_id") === col("pv.user_id") &&
+              col("e.p") >= col(s"pv.t${i + 1}"))
+          .groupBy(col("e.user_id"))
+          .agg(min(col("e.p")).as(s"t${i + 2}"))
+    }
+    val periods = src.select(
+      floor((unix_timestamp(col("ts")).cast("double") / 86400)
+        .cast("long").cast("double") / 7).cast("long").as("period"))
+      .distinct()
+    // no orderBy: the advisor's vocabulary is the AGGREGATE (dashboards
+    // log the metric; presentation sort is the consumer's) — the graded
+    // serve adds its total order on top, which the route ignores
+    periods.join(chain, col("t3") <= col("period"))
+      .groupBy(col("period"))
+      .agg(countDistinct(col("user_id")).as("converted"))
+  }
+
+  /** Graded: the ADVISOR RECOGNIZES FUNNEL WORKLOADS — the min-join
+    * conversion-chain plan (the defining funnel query, which the
+    * generic matcher necessarily reports uncovered: aggregates over
+    * joins of aggregates have no single source) yields a
+    * day+step-dimmed BITMAP cube recommendation; this query closes the
+    * honesty loop by materializing the recommendation VERBATIM,
+    * registering it, and re-planning the SAME raw workload — which now
+    * silently routes to the funnel cascade (hard-asserted cube-only),
+    * while the DuckDB oracle recomputes the weekly chain from raw
+    * events. Hash equality proves advise → materialize → route serves
+    * the workload's own numbers exactly — the q190/q230 loop for the
+    * last unadvised cohort family. 100 TB split: the raw chain is K
+    * joins over step pairs + a quadratic period join per refresh; the
+    * advised serve is one conditional-aggregation pass over cube-sized
+    * partials + K window passes over the |periods| frame. */
+  def q254AdvisedFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = advisedFunnelSource(spark, sfDir)
+    val q = weeklyFunnelChain(spark.read.parquet(srcDir))
+      .orderBy(col("period"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/advfun_funnel_0")),
+      s"advised funnel routing did not fire (or still reads the " +
+        s"source); scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q244
   private val cohortTtSetup =
     TrieMap.empty[(SparkSession, String), (CubeService, Int)]
@@ -3464,6 +3558,7 @@ object CubeQueries {
     "q243_cumulative_routing" -> q243CumulativeRouting,
     "q252_funnel_routing" -> q252FunnelRouting,
     "q253_sql_funnel_routing" -> q253SqlFunnelRouting,
+    "q254_advised_funnel" -> q254AdvisedFunnel,
     "q244_cohort_time_travel" -> q244CohortTimeTravel,
     "q245_segmented_funnel" -> q245SegmentedFunnel,
     "q246_window_funnel" -> q246WindowFunnel,
@@ -4303,6 +4398,27 @@ object CubeQueries {
       days AS (SELECT DISTINCT p AS day FROM ev)
       SELECT days.day, count(DISTINCT t3.user_id) AS converted
       FROM days JOIN t3 ON t3.t <= days.day
+      GROUP BY 1
+      ORDER BY 1""",
+    // the advised weekly chain recomputed raw — advise → materialize
+    // verbatim → route must serve the workload's own numbers
+    "q254_advised_funnel" -> """
+      WITH ev AS (
+        SELECT user_id, event_type AS s,
+          CAST(floor(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+            / 7) AS BIGINT) AS p
+        FROM events),
+      t1 AS (SELECT user_id, min(p) AS t FROM ev WHERE s = 'view'
+             GROUP BY 1),
+      t2 AS (SELECT e.user_id, min(e.p) AS t FROM ev e
+             JOIN t1 ON t1.user_id = e.user_id AND e.p >= t1.t
+             WHERE e.s = 'click' GROUP BY 1),
+      t3 AS (SELECT e.user_id, min(e.p) AS t FROM ev e
+             JOIN t2 ON t2.user_id = e.user_id AND e.p >= t2.t
+             WHERE e.s = 'purchase' GROUP BY 1),
+      periods AS (SELECT DISTINCT p AS period FROM ev)
+      SELECT periods.period, count(DISTINCT t3.user_id) AS converted
+      FROM periods JOIN t3 ON t3.t <= periods.period
       GROUP BY 1
       ORDER BY 1""",
     // the SQL-text chain (signup -> purchase) recomputed raw

@@ -630,6 +630,34 @@ class AdminServerSpec extends AnyFunSuite {
       assert(resp.contains(""""periods":[7]""") &&
         resp.contains(""""bitmapId":"uid_xd"""") &&
         resp.contains(""""uncovered":[]"""), resp)
+      // funnel advice over the wire: the min-join chain SQL yields a
+      // materializable day+step-dimmed bitmap config wired to getFunnel
+      val funSrcDir = tmp("graft_admin_funs") + "/src"
+      (0 until 300).map { i =>
+        (new java.sql.Timestamp(
+            1700000000000L + (i % 15) * 86400000L),
+          (i % 25).toLong, Seq("a", "b")(i % 2)) }
+        .toDF("ts", "uid", "step").write.parquet(funSrcDir)
+      assert(cli.rpc(s"""{"verb":"registerTable","name":"adm_fun","parquet":"${escaped(
+        funSrcDir)}"}""") == """{"ok":true,"result":"registered"}""")
+      val funSql = "WITH ev AS (SELECT uid, step, " +
+        "CAST(CAST(unix_timestamp(ts) AS DOUBLE)/86400 AS BIGINT) AS p " +
+        "FROM adm_fun), " +
+        "t1 AS (SELECT uid, MIN(p) AS t FROM ev WHERE step = 'a' " +
+        "GROUP BY uid), " +
+        "t2 AS (SELECT ev.uid, MIN(ev.p) AS t FROM ev " +
+        "JOIN t1 ON ev.uid = t1.uid AND ev.p >= t1.t " +
+        "WHERE ev.step = 'b' GROUP BY ev.uid), " +
+        "days AS (SELECT DISTINCT p AS day FROM ev) " +
+        "SELECT days.day, COUNT(DISTINCT t2.uid) AS converted " +
+        "FROM days JOIN t2 ON t2.t <= days.day GROUP BY days.day"
+      val funResp = cli.rpc(s"""{"verb":"advise","namePrefix":"wf","workloadSql":["${escaped(
+        funSql)}"]}""")
+      assert(funResp.startsWith("""{"ok":true"""), funResp)
+      assert(funResp.contains(""""funnel":[{""") &&
+        funResp.contains(""""stepDim":"step"""") &&
+        funResp.contains(""""chains":[["a","b"]]""") &&
+        funResp.contains(""""uncovered":[]"""), funResp)
       svc.deleteCube("tr1")
       CubeCatalog.clear()
     } finally { cli.close(); server.stop() }

@@ -787,4 +787,79 @@ class CubeAdvisorSpec extends AnyFunSuite {
       s"segment not in the join must refuse: $bad")
     CubeCatalog.clear()
   }
+
+  test("funnel workloads: string ids take the dictionary path; edges refuse") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(83)
+    val rows = (0 until 1000).map { i =>
+      (Seq("view", "click", "buy")(rnd.nextInt(3)),
+        new Timestamp(1700000000000L + rnd.nextInt(21) * 86400000L
+          + rnd.nextInt(86400000)),
+        s"u${i % 40}")
+    }
+    val srcDir = Files.createTempDirectory("graft_advfun_src").toString
+    rows.toDF("step", "ts", "uid").write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+    def pairs(step: String) = src.filter(col("step") === step)
+      .select(col("uid"),
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("p"))
+    def funnelQ(steps: Seq[String], strict: Boolean = false) = {
+      val s1 = pairs(steps.head).groupBy(col("uid"))
+        .agg(min(col("p")).as("t1"))
+      val chain = steps.tail.zipWithIndex.foldLeft(s1) {
+        case (prev, (s, i)) =>
+          pairs(s).as("e").join(prev.as("pv"),
+              col("e.uid") === col("pv.uid") &&
+                col("e.p") >= col(s"pv.t${i + 1}"))
+            .groupBy(col("e.uid"))
+            .agg(min(col("e.p")).as(s"t${i + 2}"))
+      }
+      val t = s"t${steps.size}"
+      val days = src.select(
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("day")).distinct()
+      days.join(chain,
+          if (strict) col(t) < col("day") else col(t) <= col("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("uid")).as("converted"))
+    }
+    val advice = CubeAdvisor.advise(
+      Seq(funnelQ(Seq("view", "click", "buy"))), "fun")
+    assert(advice.funnel.size == 1 && advice.uncovered.isEmpty,
+      advice.toString)
+    val rec = advice.funnel.head
+    // the STRING id must land in dictBitmaps (exact via the maintained
+    // dictionary), never plain bitmaps (lossy cast) or a refusal
+    assert(rec.config.bitmaps.isEmpty &&
+      rec.config.dictBitmaps.map(_.path) == Seq("uid"), rec.toString)
+    assert(rec.chains == Seq(Seq("view", "click", "buy")) &&
+      rec.periods == Seq(1) && rec.stepDim == "step", rec.toString)
+    // honesty: materialize verbatim; getFunnel's final-step converted
+    // column equals the workload's own chain count per period
+    val svcDir = Files.createTempDirectory("graft_advfun_svc").toString
+    val svc = new CubeService(spark, svcDir)
+    svc.createCube(rec.config, src)
+    val served = svc.getFunnel(rec.config.name, rec.dayDim,
+        rec.bitmapId, rec.stepDim, steps = Seq("view", "click", "buy"))
+      .filter(col("step_ord") === 3)
+      .select(col("period"), col("converted")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = funnelQ(Seq("view", "click", "buy")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the workload omits days with zero conversions; compare on the
+    // workload's own keys
+    assert(exact.nonEmpty &&
+      exact.forall { case (p, n) => served.get(p).contains(n) },
+      s"served=$served exact=$exact")
+    // refusal edges: the strict-inequality chain is the EXCLUSIVE
+    // curve (a different chart); a repeated step is not a funnel
+    val bad = CubeAdvisor.advise(
+      Seq(funnelQ(Seq("view", "click"), strict = true),
+        funnelQ(Seq("view", "view"))), "funbad")
+    assert(bad.funnel.isEmpty && bad.uncovered == Seq(0, 1),
+      s"refusal edges must stay uncovered: $bad")
+    CubeCatalog.clear()
+  }
 }
