@@ -236,13 +236,13 @@ final class AdminServer(service: CubeService, spark: SparkSession,
           val name = need(strField(req, "name"), "name")
           val isJoin = strField(req, "verb").contains("getJoinRolling")
           // "asOfVersion": serve a RETAINED HISTORICAL version — the
-          // cohort time-travel form (single-table cubes only; join MVs
-          // version through the jmv manifest, no as-of serve)
+          // cohort time-travel form. Join MVs version through the jmv
+          // manifest; their retained version dirs are immutable
+          // consistent triples, so the as-of serve reads v<k>'s cube
           val asOf = numField(req, "asOfVersion").map(_.toInt)
-          if (asOf.isDefined && isJoin)
-            throw new IllegalArgumentException(
-              "asOfVersion is not supported for join MVs")
           val fn = asOf match {
+            case Some(v) if isJoin => service.getJoinRollingAsOf(name,
+              v, _, _, _, _, _, _, _, _, _, _, _)
             case Some(v) => service.getRollingAsOf(name, v, _, _, _, _,
               _, _, _, _, _, _, _)
             case None if isJoin => service.getJoinRolling(name, _, _, _,
@@ -268,9 +268,6 @@ final class AdminServer(service: CubeService, spark: SparkSession,
           val isJoin =
             strField(req, "verb").contains("getJoinCohortMatrix")
           val asOfCoh = numField(req, "asOfVersion").map(_.toInt)
-          if (asOfCoh.isDefined && isJoin)
-            throw new IllegalArgumentException(
-              "asOfVersion is not supported for join MVs")
           val calCoh = strField(req, "calendar")
           if (calCoh.isDefined && numField(req, "periodDays").isDefined)
             throw new IllegalArgumentException(
@@ -280,10 +277,13 @@ final class AdminServer(service: CubeService, spark: SparkSession,
           val cohSegs = strArray(req, "segmentBy")
           val df = (asOfCoh, calCoh) match {
             case (Some(v), _) =>
-              service.getCohortMatrixAsOf(name, v, cohDay, cohBm,
-                numField(req, "periodDays").map(_.toInt)
-                  .getOrElse(if (calCoh.isDefined) 1 else 7),
-                cohSegs, calCoh)
+              val pd = numField(req, "periodDays").map(_.toInt)
+                .getOrElse(if (calCoh.isDefined) 1 else 7)
+              if (isJoin)
+                service.getJoinCohortMatrixAsOf(name, v, cohDay, cohBm,
+                  pd, cohSegs, calCoh)
+              else service.getCohortMatrixAsOf(name, v, cohDay, cohBm,
+                pd, cohSegs, calCoh)
             case (None, Some(g)) =>
               if (isJoin) service.getJoinCohortMatrixCalendar(name,
                 cohDay, cohBm, g, cohSegs)
@@ -303,10 +303,15 @@ final class AdminServer(service: CubeService, spark: SparkSession,
           val name = need(strField(req, "name"), "name")
           val isJoin =
             strField(req, "verb").contains("getJoinOverlapMatrix")
-          val fn =
-            if (isJoin) service.getJoinOverlapMatrix _
-            else service.getOverlapMatrix _
-          val df = fn(name,
+          val asOfOvl = numField(req, "asOfVersion").map(_.toInt)
+          val fn = asOfOvl match {
+            case Some(v) if isJoin =>
+              service.getJoinOverlapMatrixAsOf(name, v, _, _, _)
+            case Some(v) => service.getOverlapMatrixAsOf(name, v, _, _, _)
+            case None if isJoin => service.getJoinOverlapMatrix(name, _, _, _)
+            case None => service.getOverlapMatrix(name, _, _, _)
+          }
+          val df = fn(
             need(strField(req, "dim"), "dim"),
             need(strField(req, "bitmapId"), "bitmapId"),
             strArray(req, "values"))
@@ -315,10 +320,9 @@ final class AdminServer(service: CubeService, spark: SparkSession,
           val name = need(strField(req, "name"), "name")
           val isJoin = strField(req, "verb").contains("getJoinCumulative")
           val asOfCum = numField(req, "asOfVersion").map(_.toInt)
-          if (asOfCum.isDefined && isJoin)
-            throw new IllegalArgumentException(
-              "asOfVersion is not supported for join MVs")
           val fn = asOfCum match {
+            case Some(v) if isJoin =>
+              service.getJoinCumulativeAsOf(name, v, _, _, _, _, _)
             case Some(v) =>
               service.getCumulativeAsOf(name, v, _, _, _, _, _)
             case None if isJoin =>
@@ -336,10 +340,9 @@ final class AdminServer(service: CubeService, spark: SparkSession,
           val name = need(strField(req, "name"), "name")
           val isJoin = strField(req, "verb").contains("getJoinFunnel")
           val asOfFun = numField(req, "asOfVersion").map(_.toInt)
-          if (asOfFun.isDefined && isJoin)
-            throw new IllegalArgumentException(
-              "asOfVersion is not supported for join MVs")
           val fn = asOfFun match {
+            case Some(v) if isJoin =>
+              service.getJoinFunnelAsOf(name, v, _, _, _, _, _, _, _)
             case Some(v) =>
               service.getFunnelAsOf(name, v, _, _, _, _, _, _, _)
             case None if isJoin =>
@@ -370,15 +373,15 @@ final class AdminServer(service: CubeService, spark: SparkSession,
           val bmId = need(strField(req, "bitmapId"), "bitmapId")
           val segs = strArray(req, "segmentBy")
           val asOfRet = numField(req, "asOfVersion").map(_.toInt)
-          if (asOfRet.isDefined && isJoin)
-            throw new IllegalArgumentException(
-              "asOfVersion is not supported for join MVs")
           val df = (cal, asOfRet) match {
             case (_, Some(v)) =>
               val pd = numField(req, "periodDays").map(_.toInt)
                 .getOrElse(if (cal.isDefined) 1 else 7)
-              service.getRetentionAsOf(name, v, dayDim, bmId, pd, segs,
-                cal)
+              if (isJoin)
+                service.getJoinRetentionAsOf(name, v, dayDim, bmId, pd,
+                  segs, cal)
+              else service.getRetentionAsOf(name, v, dayDim, bmId, pd,
+                segs, cal)
             case (Some(g), None) =>
               if (isJoin)
                 service.getJoinRetentionCalendar(name, dayDim, bmId, g, segs)
@@ -394,10 +397,9 @@ final class AdminServer(service: CubeService, spark: SparkSession,
           val name = need(strField(req, "name"), "name")
           val isJoin = strField(req, "verb").contains("getJoinEngagement")
           val asOfEng = numField(req, "asOfVersion").map(_.toInt)
-          if (asOfEng.isDefined && isJoin)
-            throw new IllegalArgumentException(
-              "asOfVersion is not supported for join MVs")
           val fn = asOfEng match {
+            case Some(v) if isJoin =>
+              service.getJoinEngagementAsOf(name, v, _, _, _, _)
             case Some(v) => service.getEngagementAsOf(name, v, _, _, _, _)
             case None if isJoin => service.getJoinEngagement(name, _, _, _, _)
             case None => service.getEngagement(name, _, _, _, _)
@@ -421,15 +423,15 @@ final class AdminServer(service: CubeService, spark: SparkSession,
           val gaBm = need(strField(req, "bitmapId"), "bitmapId")
           val gaSegs = strArray(req, "segmentBy")
           val asOfGa = numField(req, "asOfVersion").map(_.toInt)
-          if (asOfGa.isDefined && isJoin)
-            throw new IllegalArgumentException(
-              "asOfVersion is not supported for join MVs")
           val df = (calGa, asOfGa) match {
             case (_, Some(v)) =>
               val pd = numField(req, "periodDays").map(_.toInt)
                 .getOrElse(if (calGa.isDefined) 1 else 7)
-              service.getGrowthAccountingAsOf(name, v, gaDay, gaBm, pd,
-                gaSegs, calGa)
+              if (isJoin)
+                service.getJoinGrowthAccountingAsOf(name, v, gaDay,
+                  gaBm, pd, gaSegs, calGa)
+              else service.getGrowthAccountingAsOf(name, v, gaDay, gaBm,
+                pd, gaSegs, calGa)
             case (Some(g), None) =>
               if (isJoin) service.getJoinGrowthAccountingCalendar(name,
                 gaDay, gaBm, g, gaSegs)

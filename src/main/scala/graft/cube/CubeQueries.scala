@@ -1719,6 +1719,73 @@ object CubeQueries {
       .orderBy(col("day"))
   }
 
+  // --------------------------------------------------------------- q255
+  private val dictStreamSetup =
+    TrieMap.empty[(SparkSession, String), CubeService]
+  private def dictStreamService(spark: SparkSession,
+      sfDir: String): CubeService =
+    dictStreamSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_dictstr").toString
+      val svc = new CubeService(spark, dir)
+      // a STRING user key (the most common real-world id shape) — the
+      // projection is carried identically by the base, the stream
+      // batches, and the oracle
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("uid_s", concat(lit("u"), col("user_id")))
+        .select(col("event_id"), col("event_type"), col("ts"),
+          col("uid_s"))
+      val isDelta = col("event_id") % 4 === 3
+      svc.createCube(
+        CubeConfig("dict_stream", "events",
+          dims = Seq(FieldDim("etype", "event_type"),
+            TimeDim("day", "ts", "day")),
+          measures = Nil,
+          dictBitmaps = Seq(Measure("us", "uid_s"))),
+        ev.filter(!isDelta).drop("event_id"))
+      // the remaining 25% arrives as TWO change-stream files = two
+      // micro-batches, each carrying keys the base may never have
+      // seen — the auto-update loop extends the dictionary durably
+      // before each per-batch fold
+      val deltaDir = s"$dir/deltas"
+      val deltas = ev.filter(isDelta).drop("event_id")
+      deltas.filter(pmod(xxhash64(col("uid_s")), lit(2)) === 0)
+        .coalesce(1).write.parquet(s"$deltaDir/d0")
+      deltas.filter(pmod(xxhash64(col("uid_s")), lit(2)) === 1)
+        .coalesce(1).write.parquet(s"$deltaDir/d1")
+      val q = svc.startAutoUpdate("dict_stream", s"$deltaDir/d*",
+        deltas.schema)
+      q.processAllAvailable()
+      svc.stopAutoUpdate("dict_stream")
+      svc
+    })
+
+  /** Graded: STREAM-MAINTAINED DICTIONARY BITMAPS — the string-keyed
+    * exact rolling-distinct dashboard (q210's curve over STRING ids)
+    * maintained by the change-stream auto-update loop, closing the r14
+    * refusal: [[CubeService.startAutoUpdate]] routes dictionary cubes
+    * to a foreachBatch PER-BATCH fold that anti-joins the batch's
+    * unseen keys, appends them to the persisted dictionary BEFORE the
+    * fold (the crash-safe order), folds through the same applyDeltas
+    * the manual path uses, and publishes one version per batch with
+    * the batch id committed atomically inside the head (replay-guard —
+    * checkpoint loss re-delivers every batch as a no-op). The cube
+    * graded here lived the full lifecycle: created from a 75% base,
+    * two stream batches with unseen keys folded by the running loop,
+    * stopped, served. The DuckDB oracle recomputes every trailing
+    * window from raw strings — hash equality proves streamed ==
+    * from-scratch. 100 TB split: each micro-batch costs the batch's
+    * unseen-key anti-join + a batch-sized fold, never a source scan;
+    * serves stay cube-sized. */
+  def q255DictStreamRolling(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val svc = dictStreamService(spark, sfDir)
+    svc.getRolling("dict_stream", "day", windowDays = 7,
+        exactDistinctOf = Seq("us"))
+      .select(col("day"), col("n_exact_us").as("n_users_7d"))
+      .orderBy(col("day"))
+  }
+
   // --------------------------------------------------------------- q231
   /** Graded (rows-only): MONTHLY HEAVY HITTERS from a DAY-dimmed cube's
     * CMS partials — the one partial family that hadn't yet composed
@@ -2314,6 +2381,62 @@ object CubeQueries {
     val (svc, v0) = cohortTtService(spark, sfDir)
     svc.getCumulativeAsOf("cohort_tt", v0, "day",
       sumOf = Seq("rev"), exactDistinctOf = Seq("c"))
+  }
+
+  // --------------------------------------------------------------- q256
+  private val joinTtSetup =
+    TrieMap.empty[(SparkSession, String), (CubeService, Int)]
+  private def joinTtService(spark: SparkSession,
+      sfDir: String): (CubeService, Int) =
+    joinTtSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_join_tt").toString
+      val svc = new CubeService(spark, dir)
+      val orders = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val line = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_suppkey"), col("l_shipdate"))
+      val pre = col("l_shipdate").cast("date") <
+        lit("1996-01-01").cast("date")
+      // v0 = the pre-1996-shipment state of the RIGHT side; one
+      // right-delta fold moves the head to the full corpus, archiving
+      // v0 in the jmv retention window
+      svc.createJoinCube(
+        JoinCubeConfig(
+          CubeConfig("join_tt", "o_l",
+            dims = Seq(TimeDim("day", "o_orderdate", "day")),
+            measures = Seq(Measure("rev", "l_extendedprice")),
+            bitmaps = Seq(Measure("s", "l_suppkey"))),
+          leftKey = "o_orderkey", rightKey = "l_orderkey"),
+        orders, line.filter(pre).drop("l_shipdate"))
+      val v0 = svc.currentJoinCubeVersion("join_tt")
+      svc.updateJoinAggregates("join_tt",
+        orders.limit(0).withColumn("_sign", lit(1L)),
+        line.filter(!pre).drop("l_shipdate")
+          .withColumn("_sign", lit(1L)))
+      (svc, v0)
+    })
+
+  /** Graded: JOIN-MV COHORT TIME TRAVEL — q244's audit-and-reproduce
+    * question over a JOIN MV: the lifetime supplier curve by order day
+    * (`orders ⋈ lineitem`) served AS OF the retained pre-backfill
+    * version ([[CubeService.getJoinCumulativeAsOf]] — the r14 as-of
+    * refusal for join forms, closed). Sound because a retained jmv
+    * version dir is ONE immutable consistent (cube, left, right)
+    * triple written by a single fold, and the cohort serves read only
+    * its cube aggregates — the three-frame consistency hazard belongs
+    * to folds, not serves.
+    * The DuckDB oracle recomputes the curve from the raw pre-cutoff
+    * JOIN only — hash-matching proves the archived version is the
+    * exact pre-fold state. 100 TB split: the as-of serve is the same
+    * |days|-frame prefix-union as the head's; versioning cost is the
+    * jmv manifest's one rename per fold. */
+  def q256JoinCohortTimeTravel(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (svc, v0) = joinTtService(spark, sfDir)
+    svc.getJoinCumulativeAsOf("join_tt", v0, "day",
+      sumOf = Seq("rev"), exactDistinctOf = Seq("s"))
   }
 
   // --------------------------------------------------------------- q236
@@ -3559,6 +3682,8 @@ object CubeQueries {
     "q252_funnel_routing" -> q252FunnelRouting,
     "q253_sql_funnel_routing" -> q253SqlFunnelRouting,
     "q254_advised_funnel" -> q254AdvisedFunnel,
+    "q255_dict_stream_rolling" -> q255DictStreamRolling,
+    "q256_join_cohort_time_travel" -> q256JoinCohortTimeTravel,
     "q244_cohort_time_travel" -> q244CohortTimeTravel,
     "q245_segmented_funnel" -> q245SegmentedFunnel,
     "q246_window_funnel" -> q246WindowFunnel,
@@ -4113,6 +4238,18 @@ object CubeQueries {
       FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day
       GROUP BY 1
       ORDER BY 1""",
+    // q210's curve over STRING ids, recomputed from raw strings — the
+    // stream-maintained dictionary cube must hash-match it
+    "q255_dict_stream_rolling" -> """
+      WITH du AS (
+        SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS uid,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS d
+        FROM events),
+      days AS (SELECT DISTINCT d AS day FROM du)
+      SELECT days.day, count(DISTINCT du.uid) AS n_users_7d
+      FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day
+      GROUP BY 1
+      ORDER BY 1""",
     // the weekly retained curve recomputed with the raw self-join —
     // the optimizer-routed AND-walk over period bitmaps must
     // hash-match it (row set included: only periods with an observed
@@ -4563,6 +4700,28 @@ object CubeQueries {
         CAST(sum(COALESCE(nd.n, 0)) OVER (ORDER BY ds.day) AS BIGINT)
           AS cum_exact_c,
         CAST(COALESCE(nd.n, 0) AS BIGINT) AS new_exact_c,
+        CAST(sum(ds.sv) OVER (ORDER BY ds.day) AS DOUBLE) AS cum_sum_rev
+      FROM ds LEFT JOIN nd ON nd.day = ds.day
+      ORDER BY ds.day""",
+    // the archived jmv version IS the pre-cutoff state: the oracle
+    // recomputes the lifetime supplier curves from the raw pre-1996
+    // JOIN only
+    "q256_join_cohort_time_travel" -> """
+      WITH e AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+            CAST(o.o_orderdate AS DATE)) AS day,
+          l.l_suppkey, l.l_extendedprice
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE CAST(l.l_shipdate AS DATE) < DATE '1996-01-01'),
+      f AS (SELECT l_suppkey, min(day) AS fd FROM e GROUP BY 1),
+      nd AS (SELECT fd AS day, count(*) AS n FROM f GROUP BY 1),
+      ds AS (SELECT day,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sv
+             FROM e GROUP BY 1)
+      SELECT ds.day,
+        CAST(sum(COALESCE(nd.n, 0)) OVER (ORDER BY ds.day) AS BIGINT)
+          AS cum_exact_s,
+        CAST(COALESCE(nd.n, 0) AS BIGINT) AS new_exact_s,
         CAST(sum(ds.sv) OVER (ORDER BY ds.day) AS DOUBLE) AS cum_sum_rev
       FROM ds LEFT JOIN nd ON nd.day = ds.day
       ORDER BY ds.day""",

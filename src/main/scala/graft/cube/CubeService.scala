@@ -153,18 +153,13 @@ final class CubeService(spark: SparkSession, storageDir: String,
     // bits referencing unpersisted ids would undercount after a crash.
     // The fold below then re-reads the extended dictionaries, finds no
     // unseen keys, and encodes through the same persisted map.
-    val cube =
-      if (cube0.config.dictBitmaps.isEmpty) cube0
-      else {
-        val newEntries = CubeManager.newDictEntries(cube0, signed)
-        newEntries.foreach { case (id, df) =>
-          if (!df.isEmpty)
-            df.write.mode("append")
-              .parquet(s"$storageDir/$name.dict/$id")
-        }
-        cube0.copy(dicts =
-          CubeManager.loadDicts(spark, storageDir, cube0.config))
-      }
+    // ANY active auto-update stream on this cube publishes concurrently
+    // (complete-mode: base ⊕ state; dictionary cubes: per-batch folds) —
+    // a manual fold would race those publishes. Stop, fold, restart.
+    require(!autoUpdates.get(name).exists(_.isActive),
+      s"stop auto-update on '$name' before a manual fold — concurrent " +
+        "publishes would race")
+    val cube = extendDicts(name, cube0, signed)
     // An auto-update lifecycle exists for this cube (base snapshot +
     // checkpoint): every micro-batch publishes base ⊕ stream-state, so
     // a manual fold that only touched the PUBLISHED aggregates would be
@@ -178,9 +173,6 @@ final class CubeService(spark: SparkSession, storageDir: String,
     val baseDir = java.nio.file.Paths.get(storageDir, s"$name.base")
     recoverBaseSwap(name)
     if (baseDir.toFile.exists()) {
-      require(!autoUpdates.get(name).exists(_.isActive),
-        s"stop auto-update on '$name' before a manual fold — concurrent " +
-          "publishes would race")
       val baseCube =
         Cube(cube.config, spark.read.parquet(baseDir.toString),
           cube.hasDeletes, cube.dicts)
@@ -206,6 +198,39 @@ final class CubeService(spark: SparkSession, storageDir: String,
     if (updated.hasDeletes != cube.hasDeletes)
       CubeManager.saveMeta(updated, storageDir)
     publish(name, updated.aggregates)
+  }
+
+  /** Persist a signed batch's UNSEEN dictionary keys append-only and
+    * return the cube with the extended dictionaries loaded — the
+    * crash-safe order both fold paths (manual + per-batch stream)
+    * share: extra dict entries with no bits set are harmless (the key
+    * reuses its id when it really arrives), whereas bits referencing
+    * unpersisted ids would undercount after a crash. No-op for cubes
+    * without dictionary bitmaps. */
+  private def extendDicts(name: String, cube0: Cube,
+      signed: DataFrame): Cube =
+    if (cube0.config.dictBitmaps.isEmpty) cube0
+    else {
+      val newEntries = CubeManager.newDictEntries(cube0, signed)
+      newEntries.foreach { case (id, df) =>
+        if (!df.isEmpty)
+          df.write.mode("append")
+            .parquet(s"$storageDir/$name.dict/$id")
+      }
+      cube0.copy(dicts =
+        CubeManager.loadDicts(spark, storageDir, cube0.config))
+    }
+
+  /** Last stream batch id folded into the cube's HEAD (−1 before any
+    * stream fold): the dictionary-cube auto-update's replay guard,
+    * committed atomically with the aggregates by [[publish]]. */
+  private def streamLastBatch(name: String): Long = {
+    val p = java.nio.file.Paths.get(storageDir, name, "_stream_meta.json")
+    if (p.toFile.exists())
+      """"lastBatch"\s*:\s*(-?\d+)""".r
+        .findFirstMatchIn(java.nio.file.Files.readString(p))
+        .map(_.group(1).toLong).getOrElse(-1L)
+    else -1L
   }
 
   /** Crash recovery for the base-snapshot swap above — the
@@ -477,7 +502,8 @@ final class CubeService(spark: SparkSession, storageDir: String,
     * time-travel version rather than deleted — the delete became a
     * rename, so versioning costs the publish path nothing beyond the
     * `_meta.json` copy (see the version-history scaladoc above). */
-  private def publish(name: String, aggregates: DataFrame): Cube = {
+  private def publish(name: String, aggregates: DataFrame,
+      streamBatchId: Option[Long] = None): Cube = {
     recoverCubeVersioning(name)
     // head meta BEFORE the swap: the archived version's config +
     // hasDeletes latch. updateAggregates persists a newly-tripped
@@ -490,6 +516,26 @@ final class CubeService(spark: SparkSession, storageDir: String,
       else None
     val staging = java.nio.file.Paths.get(storageDir, s"$name.staging")
     aggregates.write.mode("overwrite").parquet(staging.toString)
+    // the per-batch stream fold's replay guard rides INSIDE the head
+    // dir (underscore-prefixed, so Spark's file index skips it): the
+    // atomic head rename commits (aggregates, last folded batch id)
+    // together — a crash between fold and marker is impossible, so a
+    // foreachBatch replay skips exactly the batches the head already
+    // contains. Publishes without their own id (manual folds, the
+    // complete-mode loop) CARRY the previous head's marker forward —
+    // the jmv discipline, where the manual fold preserves the guard.
+    streamBatchId.map(id => s"""{"lastBatch":$id}""")
+      .orElse {
+        val p = java.nio.file.Paths.get(storageDir, name,
+          "_stream_meta.json")
+        if (p.toFile.exists())
+          Some(java.nio.file.Files.readString(p))
+        else None
+      }
+      .foreach { j =>
+        java.nio.file.Files.writeString(
+          staging.resolve("_stream_meta.json"), j)
+      }
     val finalDir = java.nio.file.Paths.get(storageDir, name)
     val oldDir = java.nio.file.Paths.get(storageDir, s"$name.old")
     if (finalDir.toFile.exists())
@@ -561,14 +607,41 @@ final class CubeService(spark: SparkSession, storageDir: String,
     require(!autoUpdates.get(name).exists(_.isActive),
       s"auto-update already running on '$name' — stop it first")
     val cube = loadCube(name)
-    // the stream's complete-mode state cannot consult (or extend) the
-    // persisted dictionaries mid-micro-batch — dictionary-bitmap cubes
-    // stay on the manual signed-fold path, which appends unseen keys
-    // durably before each fold
-    require(cube.config.dictBitmaps.isEmpty,
-      s"cube '$name' maintains dictionary bitmaps — auto-update cannot " +
-        "extend the key dictionary from a stream; fold deltas through " +
-        "updateAggregates instead")
+    // DICTIONARY-bitmap cubes cannot ride the complete-mode streaming
+    // aggregation (its state has nowhere to consult-and-extend the
+    // persisted dictionaries mid-micro-batch), so they take the
+    // foreachBatch PER-BATCH FOLD path instead — the
+    // startJoinAutoUpdate discipline: per micro-batch, anti-join the
+    // batch's unseen keys and append them to the dictionary DURABLY,
+    // THEN fold through the same applyDeltas the manual path uses, and
+    // publish one version per batch with the batch id committed inside
+    // the head (replay guard — see [[publish]]/[[streamLastBatch]]).
+    // The file stream is insert-only (the R2 change-stream shape), so
+    // per-batch incremental folds compose associatively: streamed in N
+    // batches == one manual fold == from-scratch (pinned in
+    // CubeServiceSpec).
+    if (cube.config.dictBitmaps.nonEmpty) {
+      val raw = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(deltaDir)
+      val q = raw.writeStream
+        .option("checkpointLocation", s"$storageDir/$name.checkpoint")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId > streamLastBatch(name)) {
+            val signed = batch.withColumn("_sign", lit(1))
+            val prev = loadCube(name)
+            val extended = extendDicts(name, prev, signed)
+            publish(name,
+              CubeManager.applyDeltas(extended, signed, None).aggregates,
+              streamBatchId = Some(batchId))
+            ()
+          }
+        }
+        .start()
+      autoUpdates.put(name, q)
+      return q
+    }
     recoverBaseSwap(name)
     val baseDir = java.nio.file.Paths.get(storageDir, s"$name.base")
     if (!baseDir.toFile.exists())
@@ -2210,6 +2283,128 @@ final class CubeService(spark: SparkSession, storageDir: String,
       calendar: Option[String] = None): DataFrame =
     growthFrom(cubeAt(name, version), name, dayDim, bitmapId, periodDays,
       segmentBy, calendar)
+
+  // ----------------------------------- join-MV cohort verbs, as-of
+  /** The join-MV cube aggregates at a RETAINED version — the cohort
+    * verbs' as-of entry point. Sound for join MVs exactly as for plain
+    * cubes: a version dir is ONE complete consistent (cube, left
+    * state, right state) triple written by a single fold and immutable
+    * thereafter, and the cohort serves read ONLY its cube aggregates —
+    * the three-frame consistency worry applies to FOLDS (which read
+    * side states), never to serves. Same retained-window refusal as
+    * [[getJoinAggregatesAsOf]]. */
+  private def jmvCubeAt(name: String, version: Int): Cube = {
+    val retained = listJoinCubeVersions(name)
+    require(retained.contains(version),
+      s"join MV '$name' version $version is not retained " +
+        s"(window: ${retained.mkString(", ")}); raise retainJmvVersions " +
+        "at service construction to widen the time-travel window")
+    jmvLoadAt(name, version).cube
+  }
+
+  /** [[getJoinRolling]] over a retained version. */
+  def getJoinRollingAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      windowDays: Int = 7,
+      distinctOf: Seq[String] = Nil,
+      quantilesOf: Seq[(String, Double)] = Nil,
+      minOf: Seq[String] = Nil,
+      maxOf: Seq[String] = Nil,
+      sumOf: Seq[String] = Nil,
+      avgOf: Seq[String] = Nil,
+      exactDistinctOf: Seq[String] = Nil,
+      segmentBy: Seq[String] = Nil,
+      intersectOf: Seq[String] = Nil): DataFrame =
+    rollingFrom(jmvCubeAt(name, version), name, dayDim, windowDays,
+      distinctOf, quantilesOf, minOf, maxOf, sumOf, avgOf,
+      exactDistinctOf, segmentBy, intersectOf)
+
+  /** [[getJoinRetention]] over a retained version; `calendar` selects
+    * the [[getJoinRetentionCalendar]] form. */
+  def getJoinRetentionAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      bitmapId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil,
+      calendar: Option[String] = None): DataFrame =
+    retentionFrom(jmvCubeAt(name, version), name, dayDim, bitmapId,
+      periodDays, segmentBy, calendar)
+
+  /** [[getJoinCumulative]] over a retained version. */
+  def getJoinCumulativeAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      sumOf: Seq[String] = Nil,
+      exactDistinctOf: Seq[String] = Nil,
+      resetBy: Option[String] = None,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    cumulativeFrom(jmvCubeAt(name, version), name, dayDim, sumOf,
+      exactDistinctOf, resetBy, segmentBy)
+
+  /** [[getJoinOverlapMatrix]] over a retained version. */
+  def getJoinOverlapMatrixAsOf(
+      name: String,
+      version: Int,
+      dim: String,
+      bitmapId: String,
+      values: Seq[String] = Nil): DataFrame =
+    overlapFrom(jmvCubeAt(name, version), name, dim, bitmapId, values)
+
+  /** [[getJoinCohortMatrix]] over a retained version; `calendar`
+    * selects the [[getJoinCohortMatrixCalendar]] form. */
+  def getJoinCohortMatrixAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      bitmapId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil,
+      calendar: Option[String] = None): DataFrame =
+    cohortFrom(jmvCubeAt(name, version), name, dayDim, bitmapId,
+      periodDays, segmentBy, calendar)
+
+  /** [[getJoinFunnel]] over a retained version. */
+  def getJoinFunnelAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      bitmapId: String,
+      stepDim: String,
+      steps: Seq[String],
+      periodDays: Int = 1,
+      segmentBy: Seq[String] = Nil,
+      withinPeriods: Int = 0): DataFrame =
+    funnelFrom(jmvCubeAt(name, version), name, dayDim, bitmapId,
+      stepDim, steps, periodDays, segmentBy, withinPeriods)
+
+  /** [[getJoinEngagement]] over a retained version. */
+  def getJoinEngagementAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      bitmapId: String,
+      windowDays: Int = 7,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    engagementFrom(jmvCubeAt(name, version), name, dayDim, bitmapId,
+      windowDays, segmentBy)
+
+  /** [[getJoinGrowthAccounting]] over a retained version; `calendar`
+    * selects the [[getJoinGrowthAccountingCalendar]] form. */
+  def getJoinGrowthAccountingAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      bitmapId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil,
+      calendar: Option[String] = None): DataFrame =
+    growthFrom(jmvCubeAt(name, version), name, dayDim, bitmapId,
+      periodDays, segmentBy, calendar)
 
   // ----------------------------------------------------------- join MVs
   /** Durable incrementally maintained JOIN MVs ([[JoinCubeManager]]).

@@ -40,6 +40,17 @@ object StreamingCube {
       config: CubeConfig,
       sourceDir: String,
       schema: StructType): DataFrame = {
+    // dictionary bitmaps need the append-only key dictionary extended
+    // per batch — a streaming AGGREGATION has nowhere to do that.
+    // They are still stream-maintainable: CubeService.startAutoUpdate
+    // routes dictionary cubes to a foreachBatch per-batch fold that
+    // extends the dictionary durably before each fold. Gate BEFORE the
+    // source is built so the refusal beats any path/schema analysis.
+    require(config.dictBitmaps.isEmpty,
+      s"cube '${config.name}' maintains dictionary bitmaps — the " +
+        "complete-mode streaming aggregation cannot extend the key " +
+        "dictionary; use CubeService.startAutoUpdate (per-batch fold) " +
+        "or fold deltas through CubeService.updateAggregates")
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -48,13 +59,6 @@ object StreamingCube {
     // with a non-integral bitmap column must refuse, not silently
     // serve lossy "exact" distinct counts
     graft.cube.CubeManager.requireIntegralBitmaps(config, stream)
-    // dictionary bitmaps need the append-only key dictionary extended
-    // per batch — a streaming aggregate has nowhere to do that; the
-    // manual signed-fold path (CubeService.updateAggregates) does
-    require(config.dictBitmaps.isEmpty,
-      s"cube '${config.name}' maintains dictionary bitmaps — " +
-        "stream-maintain is unsupported for them; fold deltas through " +
-        "CubeService.updateAggregates instead")
     val sums = config.measures.map(m =>
       sum(col(m.path).cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as(m.id))
     val sks = config.sketches.map(m =>

@@ -748,10 +748,40 @@ class AdminServerSpec extends AnyFunSuite {
         exactDistinctOf = Seq("u")).collect()
       assert(asOfProc.forall(r => wireAsOf.contains(
         s""""cum_exact_u":${r.getAs[Long]("cum_exact_u")}""")), wireAsOf)
-      // join verbs refuse the as-of field (jmv versioning has no as-of)
+      // JOIN verbs compose with as-of too: a tiny join MV, one fold,
+      // and the wire as-of serve equals the in-process captured one
+      val jLeft = Seq((1L, "view"), (2L, "click")).toDF("lk", "etype")
+      val jRight = rows.take(60)
+        .toDF("event_type", "ts", "value", "user_id")
+        .withColumn("rk", (col("user_id") % 2) + 1)
+        .select("rk", "ts", "value", "user_id")
+      svc.createJoinCube(
+        JoinCubeConfig(
+          CubeConfig("cwj", "l_r",
+            dims = Seq(TimeDim("day", "ts", "day")),
+            measures = Nil,
+            bitmaps = Seq(Measure("u", "user_id"))),
+          leftKey = "lk", rightKey = "rk"),
+        jLeft, jRight)
+      val jv0 = svc.currentJoinCubeVersion("cwj")
+      svc.updateJoinAggregates("cwj",
+        jLeft.limit(0).withColumn("_sign", lit(1L)),
+        jRight.limit(30).withColumn("user_id", col("user_id") + 500L)
+          .withColumn("_sign", lit(1L)))
+      val jWireAsOf = cli.rpc(
+        s"""{"verb":"getJoinCumulative","name":"cwj","dayDim":"day","exactDistinctOf":["u"],"asOfVersion":$jv0}""")
+      assert(jWireAsOf.startsWith("""{"ok":true"""), jWireAsOf)
+      val jAsOfProc = svc.getJoinCumulativeAsOf("cwj", jv0, "day",
+        exactDistinctOf = Seq("u")).collect()
+      assert(jAsOfProc.nonEmpty && jAsOfProc.forall(r =>
+        jWireAsOf.contains(
+          s""""cum_exact_u":${r.getAs[Long]("cum_exact_u")}""")),
+        jWireAsOf)
+      // non-retained version still refuses over the wire
       assert(cli.rpc(
-        s"""{"verb":"getJoinCumulative","name":"cw","dayDim":"day","exactDistinctOf":["u"],"asOfVersion":$v0}""")
+        s"""{"verb":"getJoinCumulative","name":"cwj","dayDim":"day","exactDistinctOf":["u"],"asOfVersion":${jv0 - 5}}""")
         .startsWith("""{"ok":false"""))
+      svc.deleteJoinCube("cwj")
       svc.deleteCube("cw")
     } finally { cli.close(); server.stop() }
   }

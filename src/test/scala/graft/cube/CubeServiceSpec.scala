@@ -1175,6 +1175,98 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteCube("asofc")
   }
 
+  test("JOIN-MV cohort verbs as-of a retained version == captured pre-fold serves") {
+    import spark.implicits._
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_jasof").toString)
+    val rnd = new scala.util.Random(47)
+    def fact(users: Range, days: Range, n: Int) = (0 until n).map { _ =>
+      ((1L + rnd.nextInt(3)).toLong,
+        new Timestamp(1700006400000L +
+          (days.start + rnd.nextInt(days.length)) * 86400000L +
+          rnd.nextInt(80000000)),
+        rnd.nextInt(50).toDouble,
+        (users.start + rnd.nextInt(users.length)).toLong)
+    }
+    val left = Seq((1L, "view"), (2L, "click"), (3L, "purchase"))
+      .toDF("lk", "etype")
+    def toDF(rows: Seq[(Long, Timestamp, Double, Long)]) =
+      rows.toDF("rk", "ts", "value", "user_id")
+    svc.createJoinCube(
+      JoinCubeConfig(
+        CubeConfig("jasof", "l_r",
+          dims = Seq(FieldDim("etype", "etype"),
+            TimeDim("day", "ts", "day")),
+          measures = Seq(Measure("v", "value")),
+          bitmaps = Seq(Measure("u", "user_id"))),
+        leftKey = "lk", rightKey = "rk"),
+      left, toDF(fact(0 until 40, 0 until 10, 500)))
+    val v0 = svc.currentJoinCubeVersion("jasof")
+    val fams = Seq("r", "t", "tcal", "c", "f", "m", "o", "e", "g")
+    def all(serve: String => org.apache.spark.sql.DataFrame) =
+      fams.map(k => k -> serve(k).collect().map(_.toSeq).toSeq).toMap
+    def head(k: String) = k match {
+      case "r" => svc.getJoinRolling("jasof", "day", 7,
+        exactDistinctOf = Seq("u"), sumOf = Seq("v"))
+      case "t" => svc.getJoinRetention("jasof", "day", "u", periodDays = 1)
+      case "tcal" =>
+        svc.getJoinRetentionCalendar("jasof", "day", "u", "month")
+      case "c" => svc.getJoinCumulative("jasof", "day",
+        sumOf = Seq("v"), exactDistinctOf = Seq("u"))
+      case "m" => svc.getJoinCohortMatrix("jasof", "day", "u",
+        periodDays = 1)
+      case "o" => svc.getJoinOverlapMatrix("jasof", "etype", "u")
+      case "e" => svc.getJoinEngagement("jasof", "day", "u",
+        windowDays = 7)
+      case "g" => svc.getJoinGrowthAccounting("jasof", "day", "u",
+        periodDays = 1)
+      case _ => svc.getJoinFunnel("jasof", "day", "u", "etype",
+        Seq("view", "click", "purchase"))
+    }
+    val before = all(head)
+    // one right-side fold: new users AND new days move every family
+    svc.updateJoinAggregates("jasof",
+      left.limit(0).withColumn("_sign", lit(1L)),
+      toDF(fact(30 until 80, 8 until 16, 500))
+        .withColumn("_sign", lit(1L)))
+    assert(svc.currentJoinCubeVersion("jasof") == v0 + 1 &&
+      svc.listJoinCubeVersions("jasof").contains(v0))
+    val after = all(head)
+    fams.foreach(k =>
+      assert(after(k) != before(k), s"family $k: fold must move the head"))
+    // as-of v0 reproduces every captured pre-fold serve bit for bit:
+    // a retained jmv version dir is ONE immutable consistent triple
+    // and the cohort serves read only its cube aggregates
+    def asOf(k: String) = k match {
+      case "r" => svc.getJoinRollingAsOf("jasof", v0, "day", 7,
+        exactDistinctOf = Seq("u"), sumOf = Seq("v"))
+      case "t" => svc.getJoinRetentionAsOf("jasof", v0, "day", "u",
+        periodDays = 1)
+      case "tcal" => svc.getJoinRetentionAsOf("jasof", v0, "day", "u",
+        periodDays = 1, calendar = Some("month"))
+      case "c" => svc.getJoinCumulativeAsOf("jasof", v0, "day",
+        sumOf = Seq("v"), exactDistinctOf = Seq("u"))
+      case "m" => svc.getJoinCohortMatrixAsOf("jasof", v0, "day", "u",
+        periodDays = 1)
+      case "o" => svc.getJoinOverlapMatrixAsOf("jasof", v0, "etype", "u")
+      case "e" => svc.getJoinEngagementAsOf("jasof", v0, "day", "u",
+        windowDays = 7)
+      case "g" => svc.getJoinGrowthAccountingAsOf("jasof", v0, "day",
+        "u", periodDays = 1)
+      case _ => svc.getJoinFunnelAsOf("jasof", v0, "day", "u", "etype",
+        Seq("view", "click", "purchase"))
+    }
+    val historical = all(asOf)
+    fams.foreach(k =>
+      assert(historical(k) == before(k),
+        s"family $k: join as-of v$v0 must equal the captured pre-fold serve"))
+    // non-retained version refuses with the window in the message
+    val e = intercept[IllegalArgumentException] {
+      svc.getJoinCumulativeAsOf("jasof", v0 - 1, "day", sumOf = Seq("v")) }
+    assert(e.getMessage.contains("not retained"))
+    svc.deleteJoinCube("jasof")
+  }
+
   test("auto-updated cube serves getRolling: N streamed batches == batch == exact") {
     import spark.implicits._
     val svc = new CubeService(spark,
@@ -1284,6 +1376,102 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteCube("rollstream")
     svcB.deleteCube("rollbatch")
     svcB2.deleteCube("rollbatch2")
+  }
+
+  test("dictionary cubes stream-maintain: per-batch folds == from-scratch; " +
+      "replay + restart safe") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_svc_dictstream").toString
+    val svc = new CubeService(spark, dir)
+    val rnd = new scala.util.Random(91)
+    // STRING keys — the case the plain-bitmap stream path refuses; the
+    // delta batches carry keys the base never saw, so the stream MUST
+    // extend the dictionary durably before each fold
+    def mkRows(n: Int, keyOff: Int) = (0 until n).map { _ =>
+      (Seq("view", "click")(rnd.nextInt(2)),
+        new Timestamp(1700000000000L + rnd.nextInt(10) * 86400000L
+          + rnd.nextInt(86400000)),
+        rnd.nextInt(100).toDouble,
+        s"u${keyOff + rnd.nextInt(60)}")
+    }
+    def toDF(rows: Seq[(String, Timestamp, Double, String)]) =
+      rows.toDF("event_type", "ts", "value", "uid")
+    val init = mkRows(400, 0)
+    val rest = mkRows(400, 40)
+    val cfg = CubeConfig("dictstream", "events",
+      Seq(FieldDim("etype", "event_type"), TimeDim("day", "ts", "day")),
+      Seq(Measure("v", "value")),
+      dictBitmaps = Seq(Measure("us", "uid")))
+    svc.createCube(cfg, toDF(init))
+    val v0 = svc.currentCubeVersion("dictstream")
+    val deltaDir = Files.createTempDirectory("graft_svc_dictstream_d")
+      .toString
+    rest.grouped(100).zipWithIndex.foreach { case (b, i) =>
+      toDF(b).coalesce(1).write.parquet(s"$deltaDir/d$i")
+    }
+    val q = svc.startAutoUpdate("dictstream", s"$deltaDir/d*",
+      toDF(init).schema)
+    q.processAllAvailable()
+    // a manual fold while the stream runs would race the per-batch
+    // publishes — refused loudly (the complete-mode discipline, now
+    // covering the dictionary path too)
+    val e = intercept[IllegalArgumentException] {
+      svc.updateAggregates("dictstream",
+        toDF(mkRows(10, 0)).withColumn("_sign", lit(1)))
+    }
+    assert(e.getMessage.contains("stop auto-update"))
+    svc.stopAutoUpdate("dictstream")
+    // one version per micro-batch (4 delta files = 4 publishes)
+    assert(svc.currentCubeVersion("dictstream") == v0 + 4,
+      s"expected one publish per batch, got " +
+        s"${svc.currentCubeVersion("dictstream") - v0}")
+    def serves(svcX: CubeService, name: String) = Seq(
+      svcX.getAggregates(name, Seq("etype"), sumOf = Seq("v"),
+        exactDistinctOf = Seq("us")),
+      svcX.getRolling(name, "day", windowDays = 7,
+        exactDistinctOf = Seq("us")),
+      svcX.getCumulative(name, "day", exactDistinctOf = Seq("us"))
+    ).map(_.collect().map(_.toSeq).toSeq)
+    val streamed = serves(svc, "dictstream")
+    val svcB = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_dictbatch").toString)
+    svcB.createCube(cfg.copy(name = "dictbatch"), toDF(init ++ rest))
+    assert(streamed == serves(svcB, "dictbatch"),
+      "stream-maintained dictionary serves != from-scratch batch serves")
+    // RESTART-mid-stream resume: one more file with yet-unseen keys,
+    // restart from the checkpoint, and everything equals a from-scratch
+    // recompute over the full corpus — nothing double-counted, the
+    // dictionary extended durably across the restart boundary
+    val extra = mkRows(150, 90)
+    toDF(extra).coalesce(1).write.parquet(s"$deltaDir/d9")
+    val q2 = svc.startAutoUpdate("dictstream", s"$deltaDir/d*",
+      toDF(init).schema)
+    q2.processAllAvailable()
+    svc.stopAutoUpdate("dictstream")
+    val streamed2 = serves(svc, "dictstream")
+    val svcB2 = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_dictbatch2").toString)
+    svcB2.createCube(cfg.copy(name = "dictbatch2"),
+      toDF(init ++ rest ++ extra))
+    assert(streamed2 == serves(svcB2, "dictbatch2"),
+      "post-resume dictionary serves != recomputed batch serves")
+    // CHECKPOINT LOSS = full replay of every delta file from batch 0.
+    // The batch id committed inside each published head makes the
+    // replay a no-op instead of a double-fold
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
+      f.delete(); ()
+    }
+    rmr(new java.io.File(s"$dir/dictstream.checkpoint"))
+    val q3 = svc.startAutoUpdate("dictstream", s"$deltaDir/d*",
+      toDF(init).schema)
+    q3.processAllAvailable()
+    svc.stopAutoUpdate("dictstream")
+    assert(serves(svc, "dictstream") == streamed2,
+      "checkpoint-loss replay double-folded the dictionary cube")
+    svc.deleteCube("dictstream")
+    svcB.deleteCube("dictbatch")
+    svcB2.deleteCube("dictbatch2")
   }
 
   test("serve built before a publish reads exactly the old version after it") {

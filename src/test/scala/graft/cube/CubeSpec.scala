@@ -900,10 +900,13 @@ class CubeSpec extends AnyFunSuite {
     assert(counts(svc3.getAggregates("dict", Seq("k"),
       exactDistinctOf = Seq("users"))) == served,
       "re-inserted keys must reuse their dictionary ids")
-    // stream-maintain refuses dictionary-bitmap cubes loudly
+    // the complete-mode STREAMING AGGREGATION still refuses dictionary
+    // cubes (its state cannot extend the dictionary mid-batch) — the
+    // supported stream path is startAutoUpdate's per-batch fold,
+    // pinned in CubeServiceSpec ("dictionary cubes stream-maintain…")
     val se = intercept[IllegalArgumentException] {
-      svc3.startAutoUpdate("dict", s"$dir/deltas",
-        base.withColumn("_sign", lit(1)).schema)
+      graft.streaming.StreamingCube.start(spark, cfg, s"$dir/deltas",
+        base.schema, s"$dir/deltas.ckpt", "dict_mem")
     }
     assert(se.getMessage.contains("dictionary"))
     // DICT + SHARD compose: the shard keys on the DENSE DICT ID, so a
