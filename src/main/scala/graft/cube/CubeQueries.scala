@@ -3130,6 +3130,70 @@ object CubeQueries {
     * gates as q176; rows-only (rank-randomized), CubeRewriteSpec pins
     * the rank band per group on an in-memory twin and q183/q153 pin
     * the same registration machinery's exact measures. */
+  // --------------------------------------------------------------- q257
+  /** Graded: the EXACT monthly top-k twin of q231 — the same monthly
+    * heavy-hitter question (top-5 uids per calendar month of events)
+    * computed exactly: full (month, uid) counts, ranked per month with
+    * a deterministic tiebreak (count desc, uid asc). q231's CMS
+    * hierarchy serve is rows-only by design (xxhash64 estimates have
+    * no DuckDB twin); THIS query is its oracle-graded exact anchor,
+    * the q167-for-q168 discipline — cross-referenced in ContractSpec's
+    * justification pin. 100 TB split: this is precisely the recompute
+    * the sketch avoids — a |distinct (month, uid)|-row shuffle per
+    * refresh vs the cube's maintained 64 KiB counters per day cell;
+    * the anchor documents the exactness trade the CMS path buys out
+    * of. */
+  def q257MonthlyTopkExact(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("ts"), concat(lit("u"), col("user_id")).as("uid"))
+    val counts = ev.groupBy(
+        date_format(date_trunc("month", col("ts")), "yyyy-MM").as("ym"),
+        col("uid"))
+      .agg(count(lit(1)).as("n_exact"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ym"))
+      .orderBy(col("n_exact").desc, col("uid"))
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("ym"), col("rk"), col("uid"), col("n_exact"))
+      .orderBy(col("ym"), col("rk"))
+  }
+
+  // --------------------------------------------------------------- q258
+  /** Graded: the EXACT join-median twin of q188 — the same per-priority
+    * median price over `orders ⋈ lineitem`, computed exactly as an
+    * order statistic (the value at rank ⌊(n+1)/2⌋ of the sorted group —
+    * no interpolation, so decimal values pass through bit-exact in
+    * both engines). q188's KLL serve is rows-only by design
+    * (rank-randomized compaction); THIS query is its oracle-graded
+    * exact anchor, cross-referenced in ContractSpec. 100 TB split: the
+    * anchor pays the per-group sort the KLL path avoids — the exact
+    * median needs a total order per group (one shuffle + per-partition
+    * sort), while the maintained KLL partials answer any quantile from
+    * mergeable cube-sized state; the pair documents that trade with
+    * both sides on the graded surface. */
+  def q258JoinQuantileExact(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val j = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .join(Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_extendedprice")),
+        col("o_orderkey") === col("l_orderkey"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("l_extendedprice"))
+    val g = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+    j.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(g))
+      .filter(col("rn") === ((col("n") + 1) / 2).cast("long"))
+      .select(col("o_orderpriority").as("prio"),
+        col("l_extendedprice").cast("double").as("p50_exact"),
+        col("n"))
+      .orderBy(col("prio"))
+  }
+
   def q188JoinQuantileRouting(spark: SparkSession,
       sfDir: String): DataFrame = {
     val (oSrc, lSrc) = joinSketchSources(spark, sfDir)
@@ -3684,6 +3748,8 @@ object CubeQueries {
     "q254_advised_funnel" -> q254AdvisedFunnel,
     "q255_dict_stream_rolling" -> q255DictStreamRolling,
     "q256_join_cohort_time_travel" -> q256JoinCohortTimeTravel,
+    "q257_monthly_topk_exact" -> q257MonthlyTopkExact,
+    "q258_join_quantile_exact" -> q258JoinQuantileExact,
     "q244_cohort_time_travel" -> q244CohortTimeTravel,
     "q245_segmented_funnel" -> q245SegmentedFunnel,
     "q246_window_funnel" -> q246WindowFunnel,
@@ -4703,6 +4769,39 @@ object CubeQueries {
         CAST(sum(ds.sv) OVER (ORDER BY ds.day) AS DOUBLE) AS cum_sum_rev
       FROM ds LEFT JOIN nd ON nd.day = ds.day
       ORDER BY ds.day""",
+    // the exact monthly top-k the q231 CMS estimates approximate —
+    // full counts, deterministic tiebreak
+    "q257_monthly_topk_exact" -> """
+      WITH c AS (
+        SELECT strftime(date_trunc('month', CAST(ts AS TIMESTAMP)),
+            '%Y-%m') AS ym,
+          'u' || CAST(user_id AS VARCHAR) AS uid,
+          count(*) AS n_exact
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT ym, uid, n_exact,
+          row_number() OVER (PARTITION BY ym
+            ORDER BY n_exact DESC, uid) AS rk
+        FROM c)
+      SELECT ym, CAST(rk AS BIGINT) AS rk, uid,
+        CAST(n_exact AS BIGINT) AS n_exact
+      FROM r WHERE rk <= 5
+      ORDER BY ym, rk""",
+    // the exact per-priority join median the q188 KLL approximates —
+    // the order statistic at rank floor((n+1)/2), no interpolation
+    "q258_join_quantile_exact" -> """
+      WITH j AS (
+        SELECT o.o_orderpriority AS prio, l.l_extendedprice AS price
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      r AS (
+        SELECT prio, price,
+          row_number() OVER (PARTITION BY prio ORDER BY price) AS rn,
+          count(*) OVER (PARTITION BY prio) AS n
+        FROM j)
+      SELECT prio, CAST(price AS DOUBLE) AS p50_exact,
+        CAST(n AS BIGINT) AS n
+      FROM r WHERE rn = (n + 1) // 2
+      ORDER BY prio""",
     // the archived jmv version IS the pre-cutoff state: the oracle
     // recomputes the lifetime supplier curves from the raw pre-1996
     // JOIN only

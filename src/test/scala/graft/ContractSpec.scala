@@ -40,8 +40,8 @@ class ContractSpec extends AnyFunSuite {
       "q177_delete_sketches", // HLL/KLL estimates from a delete-processed cube (CubeSpec pins folded == from-scratch per family; the serve itself proves the latch stayed open)
       "q183_join_sketch_routing", // HLL estimates served from join-MV partials (CubeRewriteSpec pins routed == MV distinctOf + est-vs-exact; q153 hash-matches the exact twin measures)
       "q184_join_stream_sketch", // HLL estimates from a stream-maintained join MV with deletes (CubeServiceSpec pins streamed == from-scratch; q154 hash-matches the exact twins)
-      "q188_join_quantile_routing", // KLL estimates over a registered join (rank-randomized; CubeRewriteSpec pins the rank band)
-      "q231_monthly_topk_hierarchy"), // CMS heavy hitters rolled day→month through timeRollup (xxhash64 estimates, no DuckDB twin; CubeRewriteSpec pins est≥exact, top-1 recall, and roll == direct-build per hierarchy level; exact counts ride along in the output)
+      "q188_join_quantile_routing", // KLL estimates over a registered join (rank-randomized; CubeRewriteSpec pins the rank band; q258 is the oracle-graded EXACT twin of the same join median)
+      "q231_monthly_topk_hierarchy"), // CMS heavy hitters rolled day→month through timeRollup (xxhash64 estimates, no DuckDB twin; CubeRewriteSpec pins est≥exact, top-1 recall, and roll == direct-build per hierarchy level; exact counts ride along in the output; q257 is the oracle-graded EXACT twin of the same monthly top-k)
       s"unexpected rows-only set: $rowsOnly")
   }
 
