@@ -100,6 +100,8 @@ object Scaling {
     def lshBits(k: Int): Int = functions.Dedup.autoLshBits(k * lshBaseN)
     def lshModelRatio(k: Int): Double =
       k.toDouble * k / (1L << (lshBits(k) - lshBits(1)))
+    // measured Σ C(occ,2) per scale — filled in the ×k loop below
+    val lshMass = scala.collection.mutable.Map.empty[Int, Long]
     def scaledEvents(k: Int): String = {
       val base = Tables.events(spark, sfDir)
       val df = (0 until k).map { i =>
@@ -129,9 +131,15 @@ object Scaling {
         best(functions.Dedup.jaccardPairs(docs).count()))
       record("dedup_minhash_pairs", k,
         best(functions.Dedup.minHashPairs(docs).count()))
+      // the family's honest scale model is the MEASURED candidate mass
+      // Σ C(occ,2) over the very buckets the pipeline pairs within —
+      // the clustered corpus concentrates occupancy above the uniform
+      // n²/2^bits ideal (near-dup clusters are the workload), so the
+      // shape verdict compares runtime growth against this measurement
+      lshMass(k) = functions.Dedup.lshCandidateMass(em)
       println(s"[scaling] dedup_embedding_lsh x$k auto bits=${lshBits(k)} " +
         s"tables=${functions.Dedup.autoLshTables(k * lshBaseN)} " +
-        s"(corpus=${k * lshBaseN})")
+        s"(corpus=${k * lshBaseN}, candidates=${lshMass(k)})")
       record("dedup_embedding_lsh", k,
         best(functions.Dedup.embeddingLshPairs(em).count()))
 
@@ -273,13 +281,21 @@ object Scaling {
             || fam == "funnel_bitmap_serve")
           if (r10 < 3) "~flat (serve ∝ index/cube, not source)"
           else "NOT flat — investigate"
-        else if (fam == "dedup_embedding_lsh")
-          // candidate-volume model: Σ occ² ≈ n²/2^bits; skew over the
-          // clustered corpus puts the measurement above the uniform
-          // model, a hidden quadratic puts it far above
-          if (r10 <= lshModelRatio(10) * 3)
-            f"tracks Σocc² candidate model (uniform ≈ ${lshModelRatio(10)}%.1f×)"
+        else if (fam == "dedup_embedding_lsh") {
+          // candidate-volume model: the MEASURED Σ C(occ,2) ratio over
+          // the same capped buckets the pipeline pairs within (the
+          // uniform n²/2^bits ideal under-predicts on this clustered
+          // corpus — near-dup clusters concentrate occupancy, and
+          // finding them IS the workload). Runtime at or below the
+          // measured candidate growth = the pipeline is candidate-
+          // bound with no hidden machinery term; far above = a hidden
+          // quadratic.
+          val massRatio = lshMass(10).toDouble / lshMass(1)
+          if (r10 <= massRatio * 1.25)
+            f"tracks measured ΣC(occ,2) candidates (${massRatio}%.1f×; " +
+              f"uniform ideal ${lshModelRatio(10)}%.1f×)"
           else "ABOVE candidate model — investigate"
+        }
         else if (r10 <= 14) "~linear"
         else if (r10 <= 35) "super-linear — shuffle/sort growth"
         else "QUADRATIC SUSPECT"

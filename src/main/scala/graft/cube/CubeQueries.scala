@@ -1786,6 +1786,71 @@ object CubeQueries {
       .orderBy(col("day"))
   }
 
+  // --------------------------------------------------------------- q259
+  private val dictRouteSetup =
+    TrieMap.empty[(SparkSession, String), String]
+  private def dictRouteSource(spark: SparkSession, sfDir: String): String =
+    dictRouteSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_dictroute").toString
+      val srcDir = s"$dir/source"
+      Tables.events(spark, sfDir)
+        .withColumn("uid_s", concat(lit("u"), col("user_id")))
+        .select(col("uid_s"), col("ts"))
+        .write.parquet(srcDir)
+      CubeManager.save(CubeManager.create(
+        CubeConfig("dict_route_demo", "events",
+          dims = Seq(TimeDim("day", "ts", "day")),
+          measures = Nil,
+          dictBitmaps = Seq(Measure("us", "uid_s"))),
+        spark.read.parquet(srcDir)), dir)
+      CubeCatalog.install(spark)
+      // NO approxDistinct opt-in: the dictionary binding is
+      // answer-preserving, so the route must fire WITHOUT it
+      CubeCatalog.register(s"dict_route_demo@$sfDir",
+        CubeManager.load(spark, dir, "dict_route_demo"), srcDir)
+      srcDir
+    })
+
+  /** Graded: STRING-keyed rolling routing through the DICTIONARY — the
+    * q228 raw trailing-window plan with a STRING id column
+    * (`count(DISTINCT uid_s)`, the most common real-world id shape)
+    * over a registered dictionary-bitmap cube routes to the EXACT
+    * daily-partial merge with NO approx opt-in: the rewrite binds a
+    * non-integral count-distinct to a maintained dictionary bitmap
+    * FIRST (`CubeRewrite` idFor — effective family xdistinct, dense-id
+    * bitmaps are lossless), and only falls back to the opt-in-gated
+    * HLL sketch when no dictionary exists. This closes the advisor's
+    * last estimate-only ROUTE: before dictionaries, a string WAU
+    * dashboard either scanned the source or opted into estimates. The
+    * DuckDB oracle recomputes every window from raw strings — hash
+    * equality proves the dictionary route is exact. 100 TB split: the
+    * raw plan re-shuffles the source's distinct (uid, day) pairs per
+    * refresh; the routed serve is |days|·7 one-row bitmap unions, and
+    * the dictionary costs one |distinct keys|-row build amortized over
+    * the cube's lifetime. */
+  def q259DictRollingRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = dictRouteSource(spark, sfDir)
+    val du = spark.read.parquet(srcDir)
+      .select(col("uid_s"),
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("d"))
+      .distinct()
+    val q = graft.functions.Rolling.endpoints(du, 7)
+      .agg(countDistinct(col("uid_s")).as("n_users_7d"))
+      .orderBy(col("day"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/dict_route_demo")),
+      s"dictionary rolling routing did not fire (or still reads the " +
+        s"source); scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q231
   /** Graded (rows-only): MONTHLY HEAVY HITTERS from a DAY-dimmed cube's
     * CMS partials — the one partial family that hadn't yet composed
@@ -3750,6 +3815,7 @@ object CubeQueries {
     "q256_join_cohort_time_travel" -> q256JoinCohortTimeTravel,
     "q257_monthly_topk_exact" -> q257MonthlyTopkExact,
     "q258_join_quantile_exact" -> q258JoinQuantileExact,
+    "q259_dict_rolling_routing" -> q259DictRollingRouting,
     "q244_cohort_time_travel" -> q244CohortTimeTravel,
     "q245_segmented_funnel" -> q245SegmentedFunnel,
     "q246_window_funnel" -> q246WindowFunnel,
@@ -4769,6 +4835,18 @@ object CubeQueries {
         CAST(sum(ds.sv) OVER (ORDER BY ds.day) AS DOUBLE) AS cum_sum_rev
       FROM ds LEFT JOIN nd ON nd.day = ds.day
       ORDER BY ds.day""",
+    // q255's windows again, raw strings — the dictionary-routed serve
+    // must hash-match the exact recompute with no opt-in
+    "q259_dict_rolling_routing" -> """
+      WITH du AS (
+        SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS uid,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS d
+        FROM events),
+      days AS (SELECT DISTINCT d AS day FROM du)
+      SELECT days.day, count(DISTINCT du.uid) AS n_users_7d
+      FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day
+      GROUP BY 1
+      ORDER BY 1""",
     // the exact monthly top-k the q231 CMS estimates approximate —
     // full counts, deterministic tiebreak
     "q257_monthly_topk_exact" -> """

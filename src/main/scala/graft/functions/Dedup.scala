@@ -382,54 +382,98 @@ object Dedup {
     * via [[autoLshTables]], widening the union as added bits thin each
     * table's collision probability so recall stays pinned. The one
     * extra job is a corpus `count()` (metadata-cheap on parquet). */
-  def embeddingLshPairs(em: DataFrame, minCos: Double = 0.5,
-      nTables: Int = 0, bitsPerTable: Int = 0,
-      maxBucket: Int = MaxBucket): DataFrame = {
+  /** The (table, bucket) hash columns both the pair pipeline and the
+    * candidate-mass probe share — one definition, so the probe measures
+    * exactly the buckets the pipeline pairs within. */
+  private def lshTableCols(nTbl: Int, bits: Int): Seq[Column] = {
     val dim = 64
-    // one corpus count() (metadata-cheap on parquet) sizes bits to
-    // hold per-bucket occupancy flat; the table count then derives
-    // from the RESOLVED bits (caller-pinned or auto) so union recall
-    // stays at target whichever way the bit width was chosen
+    val planes = Similarity.hyperplanes(nTbl * bits, dim)
+    val planeCols = planes.map(p => array(p.map(v => lit(v.toFloat)): _*))
+    val bitCols = planeCols.map(pc =>
+      when(VectorExpressions.floatVecDot(col("embedding"), pc) >= 0, 1)
+        .otherwise(0))
+    (0 until nTbl).map { t =>
+      val bucket = (0 until bits)
+        .map(i => bitCols(t * bits + i) * lit(1 << (bits - 1 - i)))
+        .reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
+  }
+
+  /** Resolve the (bits, tables) layout the way [[embeddingLshPairs]]
+    * does: caller-pinned values win; otherwise bits from the corpus
+    * count, tables from the RESOLVED bits. */
+  private def lshLayout(em: DataFrame, nTables: Int,
+      bitsPerTable: Int): (Int, Int) = {
     val corpus =
       if (bitsPerTable > 0) 0L else em.count()
     val bits =
       if (bitsPerTable > 0) bitsPerTable else autoLshBits(corpus)
     val nTbl =
       if (nTables > 0) nTables else autoLshTablesForBits(bits)
-    val planes = Similarity.hyperplanes(nTbl * bits, dim)
-    val planeCols = planes.map(p => array(p.map(v => lit(v.toFloat)): _*))
-    val bitCols = planeCols.map(pc =>
-      when(VectorExpressions.floatVecDot(col("embedding"), pc) >= 0, 1)
-        .otherwise(0))
-    val tables = (0 until nTbl).map { t =>
-      val bucket = (0 until bits)
-        .map(i => bitCols(t * bits + i) * lit(1 << (bits - 1 - i)))
-        .reduce(_ + _)
-      struct(lit(t).as("tbl"), bucket.as("bucket"))
-    }
+    (bits, nTbl)
+  }
+
+  /** The family's MEASURED candidate mass: Σ C(occ, 2) over the same
+    * capped buckets [[embeddingLshPairs]] pairs within. This is the
+    * honest scale model for SCALING.md — the uniform n²/2^bits
+    * approximation under-predicts on clustered corpora (near-dup
+    * clusters concentrate occupancy; the whole point of the family is
+    * that such clusters exist), so the shape verdict compares runtime
+    * growth against THIS number, not the uniform ideal. */
+  def lshCandidateMass(em: DataFrame, nTables: Int = 0,
+      bitsPerTable: Int = 0, maxBucket: Int = MaxBucket): Long = {
+    val (bits, nTbl) = lshLayout(em, nTables, bitsPerTable)
+    em.select(explode_outer(array(lshTableCols(nTbl, bits): _*)).as("tb"))
+      .filter(col("tb").isNotNull)
+      .groupBy(col("tb.tbl"), col("tb.bucket"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ").between(2, maxBucket))
+      .agg(sum((col("occ") * (col("occ") - 1) / 2).cast("long")))
+      .collect()(0).getLong(0)
+  }
+
+  def embeddingLshPairs(em: DataFrame, minCos: Double = 0.5,
+      nTables: Int = 0, bitsPerTable: Int = 0,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val (bits, nTbl) = lshLayout(em, nTables, bitsPerTable)
+    val tables = lshTableCols(nTbl, bits)
+    // Verify INSIDE the bucket: the embedding (and its norm) rides the
+    // bucket shuffle in the collected struct, so candidate pairs are
+    // generated AND cosine-verified map-side off the grouped row —
+    // no Σocc²-row shuffle, no distinct over raw candidates, and no
+    // id→embedding re-join (the previous shape paid two joins plus a
+    // candidate-sized exchange; at ×10 that machinery — not the dot
+    // products — dominated the family's scale curve). A near-dup pair
+    // colliding in several tables is re-verified once per table; the
+    // dot is codegen'd and the expected redundancy is small (~T·p for
+    // true pairs, ≈1 for chance collisions), so duplicate flops are
+    // far cheaper than shuffling every candidate id pair. Only the
+    // cos ≥ minCos SURVIVORS — output-sized, not candidate-sized —
+    // reach the cross-table distinct. Bucket rows are bounded by
+    // maxBucket·(8 + 4·dim + 8) bytes ≈ 140 KiB at the 512 cap.
     val base = em.select(col("vec_id"), col("embedding"),
       Similarity.normExpr("embedding").as("nrm"))
-    val cands = base
-      .select(col("vec_id"), explode_outer(array(tables: _*)).as("tb"))
+    base
+      .select(struct(col("vec_id"), col("embedding"), col("nrm")).as("r"),
+        explode_outer(array(tables: _*)).as("tb"))
       .filter(col("tb").isNotNull)
-      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
-      .groupBy(col("tbl"), col("bucket"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, maxBucket))
-      .select(explode_outer(pairsOf("ds")).as("p"))
-      .filter(col("p").isNotNull)
-      .select(col("p.da").as("va"), col("p.db").as("vb"))
-      .distinct()
-    cands
-      .join(base.select(col("vec_id").as("va"), col("embedding").as("ea"),
-        col("nrm").as("na")), Seq("va"))
-      .join(base.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-        col("nrm").as("nb")), Seq("vb"))
+      .groupBy(col("tb.tbl"), col("tb.bucket"))
+      // struct ordering leads with vec_id (unique), so pairing forward
+      // from each position yields exactly the va < vb pairs
+      .agg(sort_array(collect_list(col("r"))).as("rs"))
+      .filter(size(col("rs")).between(2, maxBucket))
+      .select(posexplode(col("rs")).as(Seq("i", "a")), col("rs"))
+      .select(col("a"),
+        explode(slice(col("rs"), col("i") + 2,
+          size(col("rs")) - col("i") - 1)).as("b"))
       .withColumn("cos",
-        VectorExpressions.floatVecDot(col("ea"), col("eb"))
-          / (col("na") * col("nb")))
+        VectorExpressions.floatVecDot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= minCos)
-      .select(col("va"), col("vb"), col("cos"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        col("cos"))
+      .distinct()
       .orderBy(col("va"), col("vb"))
   }
 

@@ -1939,6 +1939,85 @@ class CubeRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("STRING ids route EXACTLY through dictionary bitmaps, no opt-in") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(59)
+    val rows = (0 until 900).map { i =>
+      (Seq("view", "click")(rnd.nextInt(2)),
+        new Timestamp(1700000000000L + rnd.nextInt(9) * 86400000L
+          + rnd.nextInt(86400000)),
+        s"u${i % 70}")
+    }
+    val srcDir = Files.createTempDirectory("graft_dictrw_src").toString
+    rows.toDF("etype", "ts", "uid").write.mode("overwrite").parquet(srcDir)
+    val cfg = CubeConfig("dictrw", "src",
+      Seq(FieldDim("etype", "etype"), TimeDim("day", "ts", "day")),
+      measures = Nil,
+      dictBitmaps = Seq(Measure("us", "uid")))
+    val cubeDir = Files.createTempDirectory("graft_dictrw_cube").toString
+    CubeManager.save(
+      CubeManager.create(cfg, spark.read.parquet(srcDir)), cubeDir)
+    // no approxDistinct opt-in: the dictionary binding must be treated
+    // as answer-preserving (effective family xdistinct)
+    CubeCatalog.register("dictrw",
+      CubeManager.load(spark, cubeDir, "dictrw"), srcDir)
+    def src = spark.read.parquet(srcDir)
+    def rolling() = graft.functions.Rolling.endpoints(
+        src.select(col("uid"), dayCol).distinct(), 3)
+      .agg(countDistinct(col("uid")).as("n3"))
+    def pairs(pd: Int) = src.select(col("uid"),
+        floor((unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").cast("double") / pd).cast("long").as("p"))
+      .distinct()
+    def retained() = {
+      val up = pairs(3)
+      up.as("cur").join(up.as("prev"),
+          col("cur.uid") === col("prev.uid") &&
+            col("prev.p") === col("cur.p") - 1)
+        .groupBy(col("cur.p"))
+        .agg(countDistinct(col("cur.uid")).as("retained"))
+    }
+    def cumulative() = {
+      val du = src.select(col("uid"),
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("d")).distinct()
+      val days = du.select(col("d").as("day")).distinct()
+      days.join(du, col("d") <= col("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("uid")).as("cum"))
+    }
+    def funnel() = {
+      def sp(step: String) = src.filter(col("etype") === step)
+        .select(col("uid"),
+          (unix_timestamp(col("ts")).cast("double") / 86400)
+            .cast("long").as("p"))
+      val s1 = sp("view").groupBy(col("uid")).agg(min(col("p")).as("t1"))
+      val chain = sp("click").as("e").join(s1.as("pv"),
+          col("e.uid") === col("pv.uid") && col("e.p") >= col("pv.t1"))
+        .groupBy(col("e.uid")).agg(min(col("e.p")).as("t2"))
+      val days = src.select(
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("day")).distinct()
+      days.join(chain, col("t2") <= col("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("uid")).as("converted"))
+    }
+    val routedQs = Seq(rolling(), retained(), cumulative(), funnel())
+    routedQs.zipWithIndex.foreach { case (q, i) =>
+      assert(scansOf(q).forall(_.endsWith("/dictrw")),
+        s"string-id route $i did not fire: ${scansOf(q)}")
+    }
+    val servedRows = routedQs.map(sortedRows)
+    CubeCatalog.clear()
+    Seq(rolling(), retained(), cumulative(), funnel())
+      .zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
+        assert(sortedRows(q) == s,
+          s"dictionary-routed result must EQUAL the raw recompute " +
+            s"(form $i)")
+      }
+  }
+
   test("estimator-changing rolling leaves route only with the opt-in") {
     // count(DISTINCT double) → HLL and percentile_approx → KLL both
     // change the answer: without the registration opt-in they must
