@@ -131,6 +131,10 @@ object CubeQueries {
     dictDistinctService(spark, sfDir)
     advisedRetentionState(spark, sfDir)
     joinRollRouteSources(spark, sfDir)
+    advisedFunnelSource(spark, sfDir)
+    dictStreamService(spark, sfDir)
+    joinTtService(spark, sfDir)
+    dictRouteSource(spark, sfDir)
     ()
   }
 
