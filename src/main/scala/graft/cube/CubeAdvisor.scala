@@ -249,10 +249,28 @@ object CubeAdvisor {
       retention: Seq[RetentionRecommendation] = Nil,
       funnel: Seq[FunnelRecommendation] = Nil)
 
+  /** Presentation layers a logged dashboard query carries ABOVE the
+    * metric — a total ORDER BY and/or LIMIT — peeled before analysis:
+    * they change how rows are shown, not what cube serves them (and
+    * the routing rule itself fires on the inner Aggregate regardless,
+    * so recognition and serving stay consistent). Without this, every
+    * `adviseSql` call on real dashboard text (which always ends in
+    * ORDER BY) reported the workload uncovered. */
+  private def peelPresentation(p: LogicalPlan): LogicalPlan = p match {
+    case s: org.apache.spark.sql.catalyst.plans.logical.Sort =>
+      peelPresentation(s.child)
+    case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit =>
+      peelPresentation(l.child)
+    case l: org.apache.spark.sql.catalyst.plans.logical.LocalLimit =>
+      peelPresentation(l.child)
+    case _ => p
+  }
+
   /** Structural advice: no data is read. */
   def advise(workload: Seq[DataFrame],
       namePrefix: String = "advised"): Advice = {
-    val plans = workload.map(_.queryExecution.optimizedPlan)
+    val plans =
+      workload.map(df => peelPresentation(df.queryExecution.optimizedPlan))
     // rolling shapes first: the generic matcher would refuse them
     // (count(DISTINCT) over the exploded window is unservable from
     // cells) and report the workload's daily-curve queries uncovered

@@ -829,6 +829,13 @@ class CubeAdvisorSpec extends AnyFunSuite {
       Seq(funnelQ(Seq("view", "click", "buy"))), "fun")
     assert(advice.funnel.size == 1 && advice.uncovered.isEmpty,
       advice.toString)
+    // dashboards log their presentation layer too: ORDER BY / LIMIT
+    // above the metric must not hide the workload from the advisor
+    val presented = CubeAdvisor.advise(
+      Seq(funnelQ(Seq("view", "click", "buy"))
+        .orderBy(col("day")).limit(100)), "funp")
+    assert(presented.funnel.size == 1 && presented.uncovered.isEmpty,
+      s"ORDER BY/LIMIT must peel before analysis: $presented")
     val rec = advice.funnel.head
     // the STRING id must land in dictBitmaps (exact via the maintained
     // dictionary), never plain bitmaps (lossy cast) or a refusal
