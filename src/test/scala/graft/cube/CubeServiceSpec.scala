@@ -1455,9 +1455,16 @@ class CubeServiceSpec extends AnyFunSuite {
       toDF(init ++ rest ++ extra))
     assert(streamed2 == serves(svcB2, "dictbatch2"),
       "post-resume dictionary serves != recomputed batch serves")
-    // CHECKPOINT LOSS = full replay of every delta file from batch 0.
-    // The batch id committed inside each published head makes the
-    // replay a no-op instead of a double-fold
+    // a MANUAL fold while the stream is stopped composes — and must
+    // CARRY the replay marker forward (the jmv discipline: publish
+    // without a batch id preserves the previous head's marker), so a
+    // later CHECKPOINT LOSS — full replay of every delta file from
+    // batch 0 — stays a no-op on the streamed batches while the
+    // manual delta is retained
+    val manual = mkRows(80, 150)
+    svc.updateAggregates("dictstream",
+      toDF(manual).withColumn("_sign", lit(1)))
+    val streamed3 = serves(svc, "dictstream")
     def rmr(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
       f.delete(); ()
@@ -1467,9 +1474,17 @@ class CubeServiceSpec extends AnyFunSuite {
       toDF(init).schema)
     q3.processAllAvailable()
     svc.stopAutoUpdate("dictstream")
-    assert(serves(svc, "dictstream") == streamed2,
-      "checkpoint-loss replay double-folded the dictionary cube")
+    assert(serves(svc, "dictstream") == streamed3,
+      "checkpoint-loss replay after a manual fold double-folded (the " +
+        "marker was not carried forward) or lost the manual delta")
+    val svcB3 = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_dictbatch3").toString)
+    svcB3.createCube(cfg.copy(name = "dictbatch3"),
+      toDF(init ++ rest ++ extra ++ manual))
+    assert(streamed3 == serves(svcB3, "dictbatch3"),
+      "stream+manual composition != from-scratch recompute")
     svc.deleteCube("dictstream")
+    svcB3.deleteCube("dictbatch3")
     svcB.deleteCube("dictbatch")
     svcB2.deleteCube("dictbatch2")
   }
