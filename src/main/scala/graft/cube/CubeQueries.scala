@@ -135,6 +135,7 @@ object CubeQueries {
     dictStreamService(spark, sfDir)
     joinTtService(spark, sfDir)
     dictRouteSource(spark, sfDir)
+    joinDictService(spark, sfDir)
     ()
   }
 
@@ -2508,6 +2509,65 @@ object CubeQueries {
       sumOf = Seq("rev"), exactDistinctOf = Seq("s"))
   }
 
+  // --------------------------------------------------------------- q260
+  private val joinDictSetup =
+    TrieMap.empty[(SparkSession, String), CubeService]
+  private def joinDictService(spark: SparkSession,
+      sfDir: String): CubeService =
+    joinDictSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_jdict").toString
+      val svc = new CubeService(spark, dir)
+      val orders = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      // a STRING supplier key — the non-integral id shape over a JOIN
+      val line = Tables.lineitem(spark, sfDir)
+        .withColumn("supp_s", concat(lit("s"), col("l_suppkey")))
+        .select(col("l_orderkey"), col("supp_s"))
+      val isDelta = col("l_orderkey") % 4 === 3
+      // lifecycle on the graded surface: create from the ~75% base,
+      // then ONE right-side fold whose batch carries suppliers some
+      // priorities never saw — the dictionary extends through the
+      // delta-join fold and persists into the new version triple
+      svc.createJoinCube(
+        JoinCubeConfig(
+          CubeConfig("join_dict", "o_l",
+            dims = Seq(FieldDim("prio", "o_orderpriority")),
+            measures = Nil,
+            dictBitmaps = Seq(Measure("s", "supp_s"))),
+          leftKey = "o_orderkey", rightKey = "l_orderkey"),
+        orders, line.filter(!isDelta))
+      svc.updateJoinAggregates("join_dict",
+        orders.limit(0).withColumn("_sign", lit(1L)),
+        line.filter(isDelta).withColumn("_sign", lit(1L)))
+      svc
+    })
+
+  /** Graded: EXACT COUNT(DISTINCT) over a STRING key in a JOIN MV —
+    * the dictionary-bitmap family composed with the delta-join rule:
+    * `JoinCubeManager.applyDeltas` extends the (key → dense id)
+    * dictionary with each batch's unseen keys and every jmv publish
+    * persists the extended map inside the version triple, so distinct
+    * supplier counts per priority over `orders ⋈ lineitem` are EXACT
+    * for any key type — no estimator, no opt-in. The cube graded here
+    * lived the full lifecycle (75% base create, one right-side fold
+    * with unseen suppliers, versioned publish, serve); the DuckDB
+    * oracle recomputes from the raw join and hash-matches. JoinCubeSpec
+    * pins folds-extend / restart-reload / delete-recompute ==
+    * from-scratch. 100 TB split: the raw twin re-shuffles the joined
+    * fact's distinct (priority, supplier) pairs per refresh; the MV
+    * serve is |cells| bitmap unions and each fold touches only the
+    * delta's keys. */
+  def q260JoinDictDistinct(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    joinDictService(spark, sfDir)
+      .getJoinAggregates("join_dict", Seq("prio"),
+        exactDistinctOf = Seq("s"))
+      .select(col("prio"), col("n_exact_s").as("nd_supp"),
+        col("n_rows").cast("long").as("n"))
+      .orderBy(col("prio"))
+  }
+
   // --------------------------------------------------------------- q236
   /** Graded: DIM-FILTERED rolling routing — the q228 raw trailing-
     * window plan with a `WHERE event_type = 'click'` restriction ("WAU
@@ -3820,6 +3880,7 @@ object CubeQueries {
     "q257_monthly_topk_exact" -> q257MonthlyTopkExact,
     "q258_join_quantile_exact" -> q258JoinQuantileExact,
     "q259_dict_rolling_routing" -> q259DictRollingRouting,
+    "q260_join_dict_distinct" -> q260JoinDictDistinct,
     "q244_cohort_time_travel" -> q244CohortTimeTravel,
     "q245_segmented_funnel" -> q245SegmentedFunnel,
     "q246_window_funnel" -> q246WindowFunnel,
@@ -4839,6 +4900,15 @@ object CubeQueries {
         CAST(sum(ds.sv) OVER (ORDER BY ds.day) AS DOUBLE) AS cum_sum_rev
       FROM ds LEFT JOIN nd ON nd.day = ds.day
       ORDER BY ds.day""",
+    // string-keyed exact distinct over the raw join — the dictionary
+    // join MV must hash-match it
+    "q260_join_dict_distinct" -> """
+      SELECT o.o_orderpriority AS prio,
+        count(DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR)) AS nd_supp,
+        CAST(count(*) AS BIGINT) AS n
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1
+      ORDER BY 1""",
     // q255's windows again, raw strings — the dictionary-routed serve
     // must hash-match the exact recompute with no opt-in
     "q259_dict_rolling_routing" -> """

@@ -359,4 +359,75 @@ class JoinCubeSpec extends AnyFunSuite {
     assert(contents(jc1.cube) ==
       Set(("HIGH", BigDecimal("4.00"), 2L), ("LOW", BigDecimal("2.00"), 2L)))
   }
+
+  test("DICTIONARY bitmaps in a join MV: folds extend, restarts reload, " +
+      "deletes recompute") {
+    import spark.implicits._
+    // STRING worker ids on the line side — the dictionary path over the
+    // JOINED frame: applyDeltas extends the dict in memory with the
+    // batch's unseen keys and every jmvPublish persists the extended
+    // map into the version triple, so restarts reload it and re-inserts
+    // reuse their ids
+    val dcfg = JoinCubeConfig(
+      CubeConfig("jdict", "mem",
+        dims = Seq(FieldDim("prio", "o_prio")),
+        measures = Nil,
+        dictBitmaps = Seq(Measure("w", "l_worker"))),
+      leftKey = "o_key", rightKey = "l_key")
+    def lines(rows: Seq[(Long, String)]) = rows.toDF("l_key", "l_worker")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jmv_dict")
+      .toString
+    val svc = new CubeService(spark, dir)
+    svc.createJoinCube(dcfg,
+      ordersDf(Seq((1L, "HIGH"), (2L, "LOW"))),
+      lines(Seq((1L, "alice"), (1L, "bob"), (2L, "alice"))))
+    def counts(s: CubeService) =
+      s.getJoinAggregates("jdict", Seq("prio"), exactDistinctOf = Seq("w"))
+        .collect()
+        .map(r => r.getAs[String]("prio") -> r.getAs[Long]("n_exact_w"))
+        .toMap
+    assert(counts(svc) == Map("HIGH" -> 2L, "LOW" -> 1L))
+    // fold brings UNSEEN keys on the right AND a new left group; the
+    // dict must extend append-only and re-inserts reuse ids
+    svc.updateJoinAggregates("jdict",
+      ordersDf(Seq((3L, "MED"))).withColumn("_sign", lit(1L)),
+      lines(Seq((3L, "carol"), (2L, "bob"), (1L, "alice")))
+        .withColumn("_sign", lit(1L)))
+    assert(counts(svc) ==
+      Map("HIGH" -> 2L, "LOW" -> 2L, "MED" -> 1L))
+    // RESTART: a fresh service reloads the persisted dictionary from
+    // the manifest-current version and folds against it
+    val svc2 = new CubeService(spark, dir)
+    assert(counts(svc2) ==
+      Map("HIGH" -> 2L, "LOW" -> 2L, "MED" -> 1L))
+    svc2.updateJoinAggregates("jdict",
+      ordersDf(Nil).withColumn("_sign", lit(1L)),
+      lines(Seq((2L, "carol"))).withColumn("_sign", lit(1L)))
+    assert(counts(svc2) ==
+      Map("HIGH" -> 2L, "LOW" -> 3L, "MED" -> 1L),
+      "post-restart fold must encode through the reloaded dictionary")
+    // DELETE: the targeted recompute reconstructs the joined source
+    // from the side states and re-encodes through the dict — the
+    // deleted worker's bit leaves the cell
+    svc2.updateJoinAggregates("jdict",
+      ordersDf(Nil).withColumn("_sign", lit(1L)),
+      lines(Seq((2L, "bob"))).withColumn("_sign", lit(-1L)))
+    assert(counts(svc2) ==
+      Map("HIGH" -> 2L, "LOW" -> 2L, "MED" -> 1L),
+      "delete recompute must serve the post-delete dict counts")
+    // == from-scratch over the final state
+    val scratch = JoinCubeManager.create(dcfg,
+      ordersDf(Seq((1L, "HIGH"), (2L, "LOW"), (3L, "MED"))),
+      lines(Seq((1L, "alice"), (1L, "bob"), (2L, "alice"),
+        (3L, "carol"), (2L, "carol"), (1L, "alice"))))
+    val scratchCounts = CubeManager.query(scratch.cube, Seq("prio"),
+        exactDistinctOf = Seq("w"))
+      .collect()
+      .map(r => r.getAs[String]("prio") -> r.getAs[Long]("n_exact_w"))
+      .toMap
+    assert(counts(svc2) == scratchCounts,
+      s"folded dict join MV != from-scratch: ${counts(svc2)} vs " +
+        s"$scratchCounts")
+    svc2.deleteJoinCube("jdict")
+  }
 }
