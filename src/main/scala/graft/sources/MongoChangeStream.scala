@@ -56,9 +56,17 @@ object MongoChangeStream {
     val needsPost = col("e.operationType").isin("insert", "update", "replace")
     // loud failure beats silent under-count: the guard wraps the struct
     // the output columns are read FROM, so it can't be pruned away and
-    // evaluates row-side, inside codegen
+    // evaluates row-side, inside codegen. The raise condition REPEATS
+    // the branch's operationType predicate: a downstream join/anti-join
+    // on a document column (the dictionary-bitmap fold does this)
+    // pushes isnotnull(<col>) into the branch, and Catalyst may order
+    // the pushed conjunct BEFORE the branch filter — evaluating the
+    // guard on rows the filter would have excluded. With the op-type
+    // conjunct inside the when(), such rows fall to the (null) branch
+    // and are dropped by the very predicate that got pushed; genuinely
+    // missing images still raise.
     val pre = e.filter(needsPre)
-      .select(when(col("e.fullDocumentBeforeChange").isNull,
+      .select(when(needsPre && col("e.fullDocumentBeforeChange").isNull,
           raise_error(concat(lit("MongoChangeStream: "),
             col("e.operationType"),
             lit(" event without fullDocumentBeforeChange — enable " +
@@ -67,7 +75,7 @@ object MongoChangeStream {
       .select(col("d.*"))
       .withColumn("_sign", lit(-1))
     val post = e.filter(needsPost)
-      .select(when(col("e.fullDocument").isNull,
+      .select(when(needsPost && col("e.fullDocument").isNull,
           raise_error(concat(lit("MongoChangeStream: "),
             col("e.operationType"),
             lit(" event without fullDocument"))))

@@ -1888,6 +1888,62 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteJoinCube("jsks")
   }
 
+  test("DICTIONARY join MV maintained by the change stream == from-scratch") {
+    import spark.implicits._
+    import java.nio.file.Paths
+    import org.apache.spark.sql.types.{StringType, LongType, StructField, StructType}
+    // string worker ids in a join MV, maintained by startJoinAutoUpdate:
+    // each micro-batch's delta-join fold extends the dictionary with the
+    // batch's unseen keys and the versioned publish persists it — the
+    // dict × jmv × stream composition
+    val dir = Files.createTempDirectory("graft_svc_jmvdict").toString
+    val svc = new CubeService(spark, dir)
+    val cfgJ = JoinCubeConfig(
+      CubeConfig("jdstr", "l_r",
+        dims = Seq(FieldDim("cat", "cat")),
+        measures = Nil,
+        dictBitmaps = Seq(Measure("w", "worker"))),
+      leftKey = "lk", rightKey = "rk")
+    val left = Seq((1L, "a"), (2L, "b")).toDF("lk", "cat")
+    val right0 = Seq((1L, "alice"), (2L, "alice"), (2L, "bob"))
+      .toDF("rk", "worker")
+    svc.createJoinCube(cfgJ, left, right0)
+    val docSchema = StructType(Seq(
+      StructField("rk", LongType), StructField("worker", StringType)))
+    def ins(rk: Long, w: String) =
+      s"""{"operationType":"insert","fullDocument":{"rk":$rk,"worker":"$w"}}"""
+    val changes = s"$dir/changes"
+    java.nio.file.Files.createDirectories(Paths.get(changes))
+    // batch 0 carries an UNSEEN key; batch 1 re-inserts a known one
+    // (id reuse) plus another unseen key
+    java.nio.file.Files.writeString(Paths.get(changes, "c0.json"),
+      ins(1L, "carol"))
+    java.nio.file.Files.writeString(Paths.get(changes, "c1.json"),
+      ins(2L, "carol") + "\n" + ins(1L, "dave"))
+    val q = svc.startJoinAutoUpdate("jdstr", changes, docSchema, "right")
+    q.processAllAvailable()
+    svc.stopJoinAutoUpdate("jdstr")
+    def counts(s: CubeService) =
+      s.getJoinAggregates("jdstr", Seq("cat"), exactDistinctOf = Seq("w"))
+        .collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("n_exact_w")).toMap
+    // a = {alice, carol, dave} = 3; b = {alice, bob, carol} = 3
+    assert(counts(svc) == Map("a" -> 3L, "b" -> 3L), counts(svc).toString)
+    // from-scratch twin + restart reload
+    val scratch = JoinCubeManager.create(cfgJ, left,
+      right0.unionByName(Seq((1L, "carol"), (2L, "carol"), (1L, "dave"))
+        .toDF("rk", "worker")))
+    val want = CubeManager.query(scratch.cube, Seq("cat"),
+        exactDistinctOf = Seq("w"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_exact_w"))
+      .toMap
+    assert(counts(svc) == want,
+      s"streamed dict join MV ${counts(svc)} != from-scratch $want")
+    assert(counts(new CubeService(spark, dir)) == want,
+      "restart must reload the stream-extended dictionary")
+    svc.deleteJoinCube("jdstr")
+  }
+
   test("getJoinRolling serves trailing extremes from a join MV's daily partials") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_svc_jroll").toString
