@@ -370,6 +370,14 @@ object CubeAdvisor {
         case (((path, tsCol, segments, filterCols), hits), k) =>
           val needs = hits.map(_._2)
           val dayDim = s"${tsCol}_day"
+          // non-integral count(DISTINCT) columns take the DICTIONARY
+          // path (exact for any key type) instead of the HLL sketch —
+          // the workload asked for an exact count, and since the
+          // dictionary family exists recommending an estimator for it
+          // would silently change answers (the retention/funnel recs'
+          // discipline, applied to rolling). Explicitly-approx
+          // workloads (approx_count_distinct) still land in sketches
+          // via the generic matcher.
           val dOf = needs.flatMap(_.distinctOf).distinct
           val xdOf = needs.flatMap(_.exactDistinctOf).distinct
           val qOf = needs.flatMap(_.quantilesOf).distinct
@@ -386,22 +394,23 @@ object CubeAdvisor {
                 .map(c => FieldDim(c, c)) :+
                 TimeDim(dayDim, tsCol, "day"),
               measures = sOf.map(c => Measure(s"${c}_sum", c)),
-              sketches = dOf.map(c => Measure(s"${c}_nd", c)),
+              sketches = Nil,
               quantiles = qOf.map(_._1).distinct
                 .map(c => Measure(s"${c}_dist", c)),
               extremes = (mnOf ++ mxOf).distinct
                 .map(c => Measure(s"${c}_x", c)),
-              bitmaps = xdOf.map(c => Measure(s"${c}_xd", c))),
+              bitmaps = xdOf.map(c => Measure(s"${c}_xd", c)),
+              dictBitmaps = dOf.map(c => Measure(s"${c}_xd", c))),
             dayDim,
             windows = needs.map(_.windowDays).distinct.sorted,
-            distinctOf = dOf.map(c => s"${c}_nd"),
+            distinctOf = Nil,
             quantilesOf = qOf.map { case (c, p) => (s"${c}_dist", p) },
             minOf = mnOf.map(c => s"${c}_x"),
             maxOf = mxOf.map(c => s"${c}_x"),
             sumOf = sOf.map(c => s"${c}_sum"),
             coveredQueries = hits.map(_._1).sorted,
             joinKeys = needs.head.join,
-            exactDistinctOf = xdOf.map(c => s"${c}_xd"),
+            exactDistinctOf = (xdOf ++ dOf).map(c => s"${c}_xd"),
             segmentBy = segments)
       }
     val uncovered = analyzed.collect { case (i, None) => i }

@@ -788,6 +788,55 @@ class CubeAdvisorSpec extends AnyFunSuite {
     CubeCatalog.clear()
   }
 
+  test("rolling workloads: string count(DISTINCT) advises the dictionary path") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(67)
+    val rows = (0 until 700).map { i =>
+      (new Timestamp(1700000000000L + rnd.nextInt(12) * 86400000L
+          + rnd.nextInt(86400000)),
+        s"u${i % 45}")
+    }
+    val srcDir = Files.createTempDirectory("graft_advds_src").toString
+    rows.toDF("ts", "uid").write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+    def dayCol = (unix_timestamp(col("ts")).cast("double") / 86400)
+      .cast("long").as("d")
+    def wau() = graft.functions.Rolling.endpoints(
+        src.select(col("uid"), dayCol).distinct())
+      .agg(countDistinct(col("uid")).as("nu"))
+    val advice = CubeAdvisor.advise(Seq(wau()), "advds")
+    assert(advice.rolling.size == 1 && advice.uncovered.isEmpty,
+      advice.toString)
+    val rec = advice.rolling.head
+    // an EXACT count over a STRING key must advise the dictionary
+    // (exact for any key type), never the HLL estimate — the workload
+    // asked for an exact number, and the retention/funnel recs already
+    // hold this line
+    assert(rec.config.sketches.isEmpty && rec.config.bitmaps.isEmpty &&
+      rec.config.dictBitmaps.map(_.path) == Seq("uid"), rec.toString)
+    assert(rec.distinctOf.isEmpty && rec.exactDistinctOf == Seq("uid_xd"),
+      rec.toString)
+    // honesty: materialize verbatim → the served curve EQUALS the
+    // workload's own exact recompute, and the raw plan ROUTES with no
+    // approx opt-in (the dictionary-first binding)
+    val svcDir = Files.createTempDirectory("graft_advds_svc").toString
+    val svc = new CubeService(spark, svcDir)
+    svc.createCube(rec.config, src)
+    val served = svc.getRolling(rec.config.name, rec.dayDim,
+        windowDays = 7, exactDistinctOf = rec.exactDistinctOf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_exact_uid_xd"))
+      .toMap
+    val exact = wau().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served == exact, s"served=$served exact=$exact")
+    CubeCatalog.register("advds_route",
+      CubeManager.load(spark, svcDir, rec.config.name), srcDir)
+    assert(scansOf(wau()).forall(_.endsWith(s"/${rec.config.name}")),
+      s"advised dict cube must route the raw plan: ${scansOf(wau())}")
+    CubeCatalog.clear()
+  }
+
   test("funnel workloads: string ids take the dictionary path; edges refuse") {
     import spark.implicits._
     CubeCatalog.clear()
