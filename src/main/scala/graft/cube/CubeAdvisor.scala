@@ -158,6 +158,11 @@ object CubeAdvisor {
     * re-buckets days per call). A non-integral id column gets a
     * `dictBitmaps` entry instead of a refusal — the dictionary path
     * keeps the matrix exact for string keys. */
+  /** `join` present = the cohort workload ran over an INNER EQUI-JOIN:
+    * materialize as `createJoinCube(JoinCubeConfig(config, leftKey,
+    * rightKey), left, right)` and serve with the getJoinRetention /
+    * getJoinCumulative verbs; absent = the single-table createCube /
+    * getRetention pairing. */
   final case class RetentionRecommendation(
       sourcePath: String,
       config: CubeConfig,
@@ -165,7 +170,8 @@ object CubeAdvisor {
       bitmapId: String,
       periods: Seq[Int],
       coveredQueries: Seq[Int],
-      segmentBy: Seq[String] = Nil)
+      segmentBy: Seq[String] = Nil,
+      join: Option[(String, String, String, String)] = None)
 
   /** One recommended FUNNEL cube: a day+step-dimmed bitmap cube wired
     * to [[CubeService.getFunnel]] — the step column dims the cube so
@@ -199,7 +205,8 @@ object CubeAdvisor {
       path: String, tsCol: String, idCol: String, periodDays: Int,
       integralId: Boolean, segments: Seq[String] = Nil,
       outs: Seq[RollOut] = Nil, kind: String = "retained",
-      filters: Seq[(String, Seq[Literal])] = Nil)
+      filters: Seq[(String, Seq[Literal])] = Nil,
+      join: Option[(String, String, String, String)] = None)
 
   /** One recommended STORAGE LAYOUT: the consumer of
     * [[CubeRecommendation.rangeOnlyDims]]. A column promoted into the
@@ -359,7 +366,11 @@ object CubeAdvisor {
             dayDim, bmId,
             periods = hits.map(_._2.periodDays).distinct.sorted,
             coveredQueries = hits.map(_._1).sorted,
-            segmentBy = segments)
+            segmentBy = segments,
+            // path grouping keys a JOIN workload by its composite
+            // registration identity, so one group is one join — the
+            // rec carries the join info for createJoinCube
+            join = hits.head._2.join)
       }
     val rollingRecs = rollingHits
       .groupBy(h => (h._2.path, h._2.tsCol, h._2.segments,
@@ -780,7 +791,8 @@ object CubeAdvisor {
       pId: org.apache.spark.sql.catalyst.expressions.ExprId,
       cols: Seq[(org.apache.spark.sql.catalyst.expressions.ExprId,
         AttributeReference)],
-      filters: Seq[(String, Seq[Literal])] = Nil)
+      filters: Seq[(String, Seq[Literal])] = Nil,
+      join: Option[(String, String, String, String)] = None)
 
   /** DIM-VALUE filters on a pair side: conjuncts of the shape
     * `col = literal` / `col IN (literals)` over a plain source column
@@ -831,8 +843,14 @@ object CubeAdvisor {
               outs.map(_.canonicalized).toSet =>
         val (inner, env, preds) = peel(c)
         val sub = subst(env0 ++ env) _
-        val fs = sideFilters(preds0 ++ preds, sub).getOrElse(return None)
-        val path = CubeCatalog.sourcePathOf(inner).getOrElse(return None)
+        // join-aware: the pair set may be built over an INNER EQUI-JOIN
+        // ("distinct (supplier, order-week) pairs over orders⋈lineitem")
+        // — sourceOf yields the composite registration key + join info,
+        // so both cohort sides compare on the SAME join identity and
+        // the rewrite can dispatch to a registered join MV
+        val (path, join, jpreds) = sourceOf(inner).getOrElse(return None)
+        val fs = sideFilters(preds0 ++ preds ++ jpreds, sub)
+          .getOrElse(return None)
         val attrs = outs.map(_.asInstanceOf[Attribute])
         val resolved = attrs.map(a => a -> sub(a))
         val pOpt = resolved.flatMap { case (a, e) =>
@@ -843,7 +861,7 @@ object CubeAdvisor {
           case (a, e: AttributeReference) => a.exprId -> e
           case _ => return None
         }
-        Some(PairSide(path, tsCol, pd, pAttr.exprId, cols, fs))
+        Some(PairSide(path, tsCol, pd, pAttr.exprId, cols, fs, join))
       case _ => None
     }
   }
@@ -860,8 +878,8 @@ object CubeAdvisor {
   private def projectedPairs(side: LogicalPlan): Option[PairSide] = {
     val (b, env, preds) = peel(side)
     val sub = subst(env) _
-    val fs = sideFilters(preds, sub).getOrElse(return None)
-    val path = CubeCatalog.sourcePathOf(b).getOrElse(return None)
+    val (path, join, jpreds) = sourceOf(b).getOrElse(return None)
+    val fs = sideFilters(preds ++ jpreds, sub).getOrElse(return None)
     val resolved = side.output.map(a => a -> sub(a))
     val pOpt = resolved.flatMap { case (a, e) =>
       periodBucket(e).map(a -> _) }.headOption
@@ -870,7 +888,7 @@ object CubeAdvisor {
       case (a, e: AttributeReference) => a.exprId -> e
       case _ => return None
     }
-    Some(PairSide(path, tsCol, pd, pAttr.exprId, cols, fs))
+    Some(PairSide(path, tsCol, pd, pAttr.exprId, cols, fs, join))
   }
 
   /** The RETENTION plan shape — "how many of period p−1's ids came
@@ -1048,7 +1066,7 @@ object CubeAdvisor {
               case l: RollOut.Leaf =>
                 l.copy(family = kind, srcCol = idSrc.name)
               case o => o
-            }, kind, cur.filters))
+            }, kind, cur.filters, cur.join))
         case _ => None
       }
     case _ => None
@@ -1102,9 +1120,11 @@ object CubeAdvisor {
                     outs.forall(_.isInstanceOf[Attribute]) =>
                 val (inner, env, preds2) = peel(c)
                 val sub = subst(env0 ++ env) _
-                val fs = sideFilters(preds0 ++ preds2, sub)
+                // join-aware like the pairs side: the composite key
+                // makes "same join" one path comparison
+                val (path, _, jpreds) = sourceOf(inner)
                   .getOrElse(return None)
-                val path = CubeCatalog.sourcePathOf(inner)
+                val fs = sideFilters(preds0 ++ preds2 ++ jpreds, sub)
                   .getOrElse(return None)
                 val a = outs.head.asInstanceOf[Attribute]
                 periodBucket(sub(a)).map { case (tsCol, pd) =>
@@ -1183,7 +1203,7 @@ object CubeAdvisor {
               case lf: RollOut.Leaf =>
                 lf.copy(family = "cumulative", srcCol = idSrc.name)
               case o => o
-            }, "cumulative", pairs.filters))
+            }, "cumulative", pairs.filters, pairs.join))
         case _ => None
       }
     case _ => None

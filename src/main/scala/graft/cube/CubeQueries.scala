@@ -2220,6 +2220,86 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q261
+  /** Graded: RETENTION ROUTING over a registered JOIN — the raw
+    * distinct-pair self-join cohort plan written over
+    * `orders ⋈ lineitem` ("weekly retained suppliers by order week":
+    * the time column from the LEFT side, the counted id from the
+    * RIGHT) rewrites to the AND-walk over per-period bitmap unions of
+    * the registered JOIN MV: the pair-side matchers resolve the
+    * composite join identity ([[CubeAdvisor]] `sourceOf` — both cohort
+    * sides must be the SAME join) and the rewrite dispatches to join
+    * registrations in either side order, completing the routing matrix
+    * cell (rolling had its join arm since q232; retention/cumulative
+    * now too). Plan hard-asserted MV-only; DuckDB recomputes the
+    * self-join over the raw join. 100 TB split: the raw plan pays the
+    * fact-to-fact join TWICE (both pair sides) plus the pair shuffle
+    * per refresh; the routed serve is |periods| one-row merges over MV
+    * partials the delta-join rule maintains. */
+  def q261JoinRetentionRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (oSrc, lSrc) = joinRollRouteSources(spark, sfDir)
+    val up = spark.read.parquet(oSrc)
+      .join(spark.read.parquet(lSrc),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_suppkey"),
+        floor((unix_timestamp(col("o_orderdate")).cast("double") / 86400)
+          .cast("long").cast("double") / 7).cast("long").as("p"))
+      .distinct()
+    val q = up.as("cur").join(up.as("prev"),
+        col("cur.l_suppkey") === col("prev.l_suppkey") &&
+          col("prev.p") === col("cur.p") - 1)
+      .groupBy(col("cur.p"))
+      .agg(countDistinct(col("cur.l_suppkey")).as("retained"))
+      .select(col("p").as("period"), col("retained"))
+      .orderBy(col("period"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && scans.forall(_.contains(".jmv/")),
+      s"join retention routing did not fire (or still reads the " +
+        s"sources); scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q262
+  /** Graded: CUMULATIVE routing over a registered JOIN — q243's
+    * quadratic "lifetime uniques by day" plan written over
+    * `orders ⋈ lineitem` (lifetime distinct suppliers by order day)
+    * routes to the prefix-union serve over the JOIN MV's daily bitmap
+    * partials; same matcher extension as q261, same DuckDB raw-join
+    * recompute. The raw form re-joins ALL prior (supplier, day) pairs
+    * per day through a nested loop ON TOP of the fact-to-fact join —
+    * the most scale-hostile composition on the graded surface; the
+    * routed serve is one incremental window pass over the |days|
+    * frame. */
+  def q262JoinCumulativeRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (oSrc, lSrc) = joinRollRouteSources(spark, sfDir)
+    def joined = spark.read.parquet(oSrc)
+      .join(spark.read.parquet(lSrc),
+        col("o_orderkey") === col("l_orderkey"))
+    val du = joined
+      .select(col("l_suppkey"),
+        (unix_timestamp(col("o_orderdate")).cast("double") / 86400)
+          .cast("long").as("d"))
+      .distinct()
+    val days = du.select(col("d").as("day")).distinct()
+    val q = days.join(du, col("d") <= col("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("l_suppkey")).as("cum_supps"))
+      .orderBy(col("day"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && scans.forall(_.contains(".jmv/")),
+      s"join cumulative routing did not fire (or still reads the " +
+        s"sources); scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q252
   /** Graded: FUNNEL routing through the optimizer — the raw MIN-JOIN
     * conversion-chain plan users actually write ("users who completed
@@ -3881,6 +3961,8 @@ object CubeQueries {
     "q258_join_quantile_exact" -> q258JoinQuantileExact,
     "q259_dict_rolling_routing" -> q259DictRollingRouting,
     "q260_join_dict_distinct" -> q260JoinDictDistinct,
+    "q261_join_retention_routing" -> q261JoinRetentionRouting,
+    "q262_join_cumulative_routing" -> q262JoinCumulativeRouting,
     "q244_cohort_time_travel" -> q244CohortTimeTravel,
     "q245_segmented_funnel" -> q245SegmentedFunnel,
     "q246_window_funnel" -> q246WindowFunnel,
@@ -4900,6 +4982,32 @@ object CubeQueries {
         CAST(sum(ds.sv) OVER (ORDER BY ds.day) AS DOUBLE) AS cum_sum_rev
       FROM ds LEFT JOIN nd ON nd.day = ds.day
       ORDER BY ds.day""",
+    // the weekly retained-supplier curve recomputed with the raw
+    // self-join OVER the raw join — the MV-routed AND-walk must
+    // hash-match it
+    "q261_join_retention_routing" -> """
+      WITH up AS (
+        SELECT DISTINCT l.l_suppkey,
+          CAST(floor(floor(floor(epoch(CAST(o.o_orderdate AS TIMESTAMP)))
+            / 86400) / 7) AS BIGINT) AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+      SELECT a.p AS period, count(DISTINCT a.l_suppkey) AS retained
+      FROM up a JOIN up b ON b.p = a.p - 1 AND b.l_suppkey = a.l_suppkey
+      GROUP BY 1
+      ORDER BY 1""",
+    // lifetime distinct suppliers by order day recomputed with the raw
+    // quadratic join over the raw join
+    "q262_join_cumulative_routing" -> """
+      WITH du AS (
+        SELECT DISTINCT l.l_suppkey,
+          CAST(floor(floor(epoch(CAST(o.o_orderdate AS TIMESTAMP)))
+            / 86400) AS BIGINT) AS d
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      days AS (SELECT DISTINCT d AS day FROM du)
+      SELECT days.day, count(DISTINCT du.l_suppkey) AS cum_supps
+      FROM days JOIN du ON du.d <= days.day
+      GROUP BY 1
+      ORDER BY 1""",
     // string-keyed exact distinct over the raw join — the dictionary
     // join MV must hash-match it
     "q260_join_dict_distinct" -> """

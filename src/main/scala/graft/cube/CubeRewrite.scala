@@ -1087,12 +1087,34 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
   private def tryRewriteRetention(agg: Aggregate): Option[LogicalPlan] = {
     val needs = CubeAdvisor.analyzeRetention(agg).getOrElse(return None)
     if (needs.outs.isEmpty) return None
-    val candidates = CubeCatalog.registered.values.toSeq
-      .filter(_.sourcePath == needs.path)
-      .flatMap(reg =>
-        buildRetentionServe(agg, needs, reg).map((_, reg.cubeSize)))
+    val candidates = cohortCandidates(agg, needs)
     if (candidates.isEmpty) None else Some(candidates.minBy(_._2)._1)
   }
+
+  /** Candidate serves for the retention-family matchers — a cohort
+    * plan whose pair set is built over an INNER EQUI-JOIN routes to a
+    * registered JOIN MV exactly like the rolling family (the MV's cube
+    * is a Registration with the same partial columns; the join must be
+    * exactly the registered one, in either side order). */
+  private def cohortCandidates(agg: Aggregate,
+      needs: CubeAdvisor.RetentionNeeds): Seq[(LogicalPlan, BigInt)] =
+    needs.join match {
+      case None =>
+        CubeCatalog.registered.values.toSeq
+          .filter(_.sourcePath == needs.path)
+          .flatMap(reg =>
+            buildRetentionServe(agg, needs, reg).map((_, reg.cubeSize)))
+      case Some((lp, rp, lk, rk)) =>
+        CubeCatalog.joinRegistered.values.toSeq
+          .filter(jr =>
+            (jr.leftPath == lp && jr.rightPath == rp &&
+              jr.leftKey == lk && jr.rightKey == rk) ||
+            (jr.leftPath == rp && jr.rightPath == lp &&
+              jr.leftKey == rk && jr.rightKey == lk))
+          .flatMap(jr =>
+            buildRetentionServe(agg, needs, jr.reg)
+              .map((_, jr.reg.cubeSize)))
+    }
 
   /** CUMULATIVE-distinct routing — the raw "lifetime uniques by day"
     * plan (distinct pairs ⋈ observed days on `d ≤ day`, recognized by
@@ -1109,10 +1131,7 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
   private def tryRewriteCumulative(agg: Aggregate): Option[LogicalPlan] = {
     val needs = CubeAdvisor.analyzeCumulative(agg).getOrElse(return None)
     if (needs.outs.isEmpty) return None
-    val candidates = CubeCatalog.registered.values.toSeq
-      .filter(_.sourcePath == needs.path)
-      .flatMap(reg =>
-        buildRetentionServe(agg, needs, reg).map((_, reg.cubeSize)))
+    val candidates = cohortCandidates(agg, needs)
     if (candidates.isEmpty) None else Some(candidates.minBy(_._2)._1)
   }
 

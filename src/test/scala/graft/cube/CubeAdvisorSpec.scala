@@ -788,6 +788,65 @@ class CubeAdvisorSpec extends AnyFunSuite {
     CubeCatalog.clear()
   }
 
+  test("JOIN retention workloads yield a join rec that getJoinRetention serves") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(79)
+    val ords = (0 until 30).map(i =>
+      (i.toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(28) * 86400000L)))
+    val lins = (0 until 300).map(_ =>
+      (rnd.nextInt(33).toLong, rnd.nextInt(20).toLong))
+    val lDir = Files.createTempDirectory("graft_advjret_l").toString
+    val rDir = Files.createTempDirectory("graft_advjret_r").toString
+    ords.toDF("o_key", "o_ts").write.mode("overwrite").parquet(lDir)
+    lins.toDF("l_key", "l_supp").write.mode("overwrite").parquet(rDir)
+    def pairs() = spark.read.parquet(lDir)
+      .join(spark.read.parquet(rDir), col("o_key") === col("l_key"))
+      .select(col("l_supp"),
+        floor((unix_timestamp(col("o_ts")).cast("double") / 86400)
+          .cast("long").cast("double") / 7).cast("long").as("p"))
+      .distinct()
+    def retainedQ() = {
+      val up = pairs()
+      up.as("cur").join(up.as("prev"),
+          col("cur.l_supp") === col("prev.l_supp") &&
+            col("prev.p") === col("cur.p") - 1)
+        .groupBy(col("cur.p"))
+        .agg(countDistinct(col("cur.l_supp")).as("retained"))
+    }
+    val advice = CubeAdvisor.advise(Seq(retainedQ()), "advjret")
+    assert(advice.retention.size == 1 && advice.uncovered.isEmpty,
+      advice.toString)
+    val rec = advice.retention.head
+    // the rec carries the JOIN identity: materialize as a join MV
+    assert(rec.join.isDefined, rec.toString)
+    val (lp, rp, lk, rk) = rec.join.get
+    assert(Set(lp, rp) == Set(CubeCatalog.normalize(lDir),
+      CubeCatalog.normalize(rDir)), rec.join.toString)
+    assert(lk == "o_key" && rk == "l_key", rec.join.toString)
+    assert(rec.periods == Seq(7) &&
+      rec.config.bitmaps.map(_.path) == Seq("l_supp"), rec.toString)
+    // honesty: materialize VERBATIM as a join MV; the served matrix's
+    // retained column equals the workload's own self-join count
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_advjret_svc").toString)
+    svc.createJoinCube(
+      JoinCubeConfig(rec.config, leftKey = lk, rightKey = rk),
+      spark.read.parquet(lp), spark.read.parquet(rp))
+    val served = svc.getJoinRetention(rec.config.name, rec.dayDim,
+        rec.bitmapId, periodDays = 7)
+      .select(col("period"), col("retained")).collect()
+      .collect { case r if !r.isNullAt(1) => r.getLong(0) -> r.getLong(1) }
+      .toMap
+    val exact = retainedQ().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty &&
+      exact.forall { case (p, n) => served.get(p).contains(n) },
+      s"served=$served exact=$exact")
+    CubeCatalog.clear()
+  }
+
   test("rolling workloads: string count(DISTINCT) advises the dictionary path") {
     import spark.implicits._
     CubeCatalog.clear()

@@ -2018,6 +2018,92 @@ class CubeRewriteSpec extends AnyFunSuite {
       }
   }
 
+  test("JOIN-sourced cohort plans (retention/churn/cumulative) route to the join MV") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(73)
+    val ords = (0 until 40).map(i =>
+      (i.toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(21) * 86400000L)))
+    val lins = (0 until 400).map(_ =>
+      (rnd.nextInt(44).toLong, rnd.nextInt(25).toLong))
+    val lDir = Files.createTempDirectory("graft_jcoh_l").toString
+    val rDir = Files.createTempDirectory("graft_jcoh_r").toString
+    ords.toDF("o_key", "o_ts").write.mode("overwrite").parquet(lDir)
+    lins.toDF("l_key", "l_supp").write.mode("overwrite").parquet(rDir)
+    val jcfg = JoinCubeConfig(
+      CubeConfig("jcoh", "l_r",
+        dims = Seq(TimeDim("day", "o_ts", "day")),
+        measures = Nil,
+        bitmaps = Seq(Measure("sup", "l_supp"))),
+      leftKey = "o_key", rightKey = "l_key")
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_jcoh_svc").toString)
+    svc.createJoinCube(jcfg,
+      spark.read.parquet(lDir), spark.read.parquet(rDir))
+    CubeCatalog.registerJoin("jcoh", svc.loadJoinCube("jcoh"), lDir, rDir)
+    // the raw cohort plans, written over the JOIN — the time column
+    // from the left side, the counted id from the right
+    def joined = spark.read.parquet(lDir)
+      .join(spark.read.parquet(rDir), col("o_key") === col("l_key"))
+    def pairs(pd: Int) = joined.select(col("l_supp"),
+        floor((unix_timestamp(col("o_ts")).cast("double") / 86400)
+          .cast("long").cast("double") / pd).cast("long").as("p"))
+      .distinct()
+    def retained() = {
+      val up = pairs(7)
+      up.as("cur").join(up.as("prev"),
+          col("cur.l_supp") === col("prev.l_supp") &&
+            col("prev.p") === col("cur.p") - 1)
+        .groupBy(col("cur.p"))
+        .agg(countDistinct(col("cur.l_supp")).as("retained"))
+    }
+    def churned() = {
+      val up = pairs(7)
+      up.as("cur").join(up.as("nxt"),
+          col("cur.l_supp") === col("nxt.l_supp") &&
+            col("nxt.p") === col("cur.p") + 1, "left_anti")
+        .groupBy(col("p"))
+        .agg(countDistinct(col("l_supp")).as("churned"))
+    }
+    def cumulative() = {
+      val du = joined.select(col("l_supp"),
+          (unix_timestamp(col("o_ts")).cast("double") / 86400)
+            .cast("long").as("d")).distinct()
+      val days = du.select(col("d").as("day")).distinct()
+      days.join(du, col("d") <= col("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("l_supp")).as("cum"))
+    }
+    val routedQs = Seq(retained(), churned(), cumulative())
+    routedQs.zipWithIndex.foreach { case (q, i) =>
+      assert(scansOf(q).forall(_.contains(".jmv/")),
+        s"join cohort route $i did not fire: ${scansOf(q)}")
+    }
+    val servedRows = routedQs.map(sortedRows)
+    // a DIFFERENT join (wrong key) must keep reading the sources
+    val other = spark.read.parquet(lDir)
+      .join(spark.read.parquet(rDir), col("o_key") === col("l_supp"))
+      .select(col("l_key").as("l_supp"),
+        floor((unix_timestamp(col("o_ts")).cast("double") / 86400)
+          .cast("long").cast("double") / 7).cast("long").as("p"))
+      .distinct()
+    val otherQ = other.as("cur").join(other.as("prev"),
+        col("cur.l_supp") === col("prev.l_supp") &&
+          col("prev.p") === col("cur.p") - 1)
+      .groupBy(col("cur.p"))
+      .agg(countDistinct(col("cur.l_supp")).as("retained"))
+    assert(scansOf(otherQ).forall(!_.contains(".jmv/")),
+      s"a different join must not route: ${scansOf(otherQ)}")
+    CubeCatalog.clear()
+    Seq(retained(), churned(), cumulative()).zip(servedRows)
+      .zipWithIndex.foreach { case ((q, s), i) =>
+        assert(sortedRows(q) == s,
+          s"join-routed cohort result must EQUAL the raw recompute " +
+            s"(form $i)")
+      }
+  }
+
   test("estimator-changing rolling leaves route only with the opt-in") {
     // count(DISTINCT double) → HLL and percentile_approx → KLL both
     // change the answer: without the registration opt-in they must
