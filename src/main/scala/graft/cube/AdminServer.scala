@@ -511,6 +511,15 @@ final class AdminServer(service: CubeService, spark: SparkSession,
               s""""columns":${strs(r.columns)},""" +
               s""""covered":${ints(r.coveredQueries)}}""")
             .mkString("[", ",", "]")
+          // the join identity (when the cohort workload ran over an
+          // INNER EQUI-JOIN): materialize via createJoinCube and serve
+          // with the getJoinXxx verbs
+          def joinJson(j: Option[(String, String, String, String)]) =
+            j.map { case (lp, rp, lk, rk) =>
+              s""","join":{"leftPath":"${esc(lp)}",""" +
+                s""""rightPath":"${esc(rp)}",""" +
+                s""""leftKey":"${esc(lk)}","rightKey":"${esc(rk)}"}"""
+            }.getOrElse("")
           val retention = a.retention.map(r =>
             s"""{"sourcePath":"${esc(r.sourcePath)}",""" +
               s""""config":${cfgJson(r.config)},""" +
@@ -518,7 +527,8 @@ final class AdminServer(service: CubeService, spark: SparkSession,
               s""""bitmapId":"${esc(r.bitmapId)}",""" +
               s""""periods":${ints(r.periods)},""" +
               s""""segmentBy":${strs(r.segmentBy)},""" +
-              s""""covered":${ints(r.coveredQueries)}}""")
+              s""""covered":${ints(r.coveredQueries)}""" +
+              joinJson(r.join) + "}")
             .mkString("[", ",", "]")
           val funnel = a.funnel.map(r =>
             s"""{"sourcePath":"${esc(r.sourcePath)}",""" +
@@ -528,7 +538,8 @@ final class AdminServer(service: CubeService, spark: SparkSession,
               s""""bitmapId":"${esc(r.bitmapId)}",""" +
               s""""chains":${r.chains.map(strs).mkString("[", ",", "]")},""" +
               s""""periods":${ints(r.periods)},""" +
-              s""""covered":${ints(r.coveredQueries)}}""")
+              s""""covered":${ints(r.coveredQueries)}""" +
+              joinJson(r.join) + "}")
             .mkString("[", ",", "]")
           ok(s"""{"cubes":$cubes,"joinCubes":$joins,""" +
             s""""rolling":$rolling,"layouts":$layouts,""" +

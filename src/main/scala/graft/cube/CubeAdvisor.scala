@@ -188,7 +188,8 @@ object CubeAdvisor {
       bitmapId: String,
       chains: Seq[Seq[String]],
       periods: Seq[Int],
-      coveredQueries: Seq[Int])
+      coveredQueries: Seq[Int],
+      join: Option[(String, String, String, String)] = None)
 
   /** What one recognized retention query needs: the source, the time
     * column its period derives from, the distinct-counted id column,
@@ -336,7 +337,8 @@ object CubeAdvisor {
             dayDim, stepCol, bmId,
             chains = hits.map(_._2.steps).distinct,
             periods = hits.map(_._2.periodDays).distinct.sorted,
-            coveredQueries = hits.map(_._1).sorted)
+            coveredQueries = hits.map(_._1).sorted,
+            join = hits.head._2.join)
       }
     val retentionRecs = (retentionHits ++ cumulativeHits)
       .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol, h._2.segments,
@@ -1218,7 +1220,8 @@ object CubeAdvisor {
   private[cube] final case class FunnelNeeds(
       path: String, tsCol: String, idCol: String, periodDays: Int,
       integralId: Boolean, stepCol: String, steps: Seq[String],
-      outs: Seq[RollOut] = Nil)
+      outs: Seq[RollOut] = Nil,
+      join: Option[(String, String, String, String)] = None)
 
   /** One stage of the min-join conversion chain, bottom-up: the
     * stage's source identity, the counted id's source column, the
@@ -1229,7 +1232,8 @@ object CubeAdvisor {
       periodDays: Int, idSrc: AttributeReference,
       idOut: org.apache.spark.sql.catalyst.expressions.ExprId,
       tOut: org.apache.spark.sql.catalyst.expressions.ExprId,
-      stepCol: String, steps: Seq[String])
+      stepCol: String, steps: Seq[String],
+      join: Option[(String, String, String, String)] = None)
 
   /** Recognize one stage of the funnel's min-conversion-time
     * recursion, written the way users write it:
@@ -1276,9 +1280,32 @@ object CubeAdvisor {
         }
         if (idOut.isEmpty || tOut.isEmpty || minArg.isEmpty) return None
         val (inner, env, preds) = peel(c)
+        // base stage: step-filtered source — possibly itself an INNER
+        // EQUI-JOIN of two relations (the q261 join-cohort discipline),
+        // which is why the Join arm below FALLS BACK here when its
+        // "previous stage" side turns out to be a plain relation: a
+        // joined source's base stage is structurally a Join too
+        def baseStage(): Option[ChainInfo] = {
+          val sub = subst(envOuter ++ env) _
+          val (path, bJoin, jpreds) = sourceOf(inner)
+            .getOrElse(return None)
+          val fs = sideFilters(preds ++ jpreds, sub)
+            .getOrElse(return None)
+          if (fs.size != 1 || fs.head._2.size != 1) return None
+          val (tsCol, pd) = periodBucket(sub(minArg.get))
+            .getOrElse(return None)
+          val idSrc = sub(g) match {
+            case a: AttributeReference => a
+            case _ => return None
+          }
+          val step = litString(fs.head._2.head).getOrElse(return None)
+          Some(ChainInfo(path, tsCol, pd, idSrc, idOut.get, tOut.get,
+            fs.head._1, Seq(step), bJoin))
+        }
         inner match {
           case Join(jl, jr, jt, Some(cond), _)
               if jt == org.apache.spark.sql.catalyst.plans.Inner =>
+            def recursiveStage(): Option[ChainInfo] = {
             if (!preds.forall(_.isInstanceOf[IsNotNull])) return None
             // the stage's grouping comes from the STEP side; the other
             // side is the previous stage's (id, t) frame
@@ -1289,9 +1316,13 @@ object CubeAdvisor {
             val prev = minChain(prevPlan).getOrElse(return None)
             val (sBase, sEnv, sPreds) = peel(stepPlan)
             val ssub = subst(envOuter ++ env ++ sEnv) _
-            val path = CubeCatalog.sourcePathOf(sBase)
+            // join-aware (the q261 discipline): the step side may be an
+            // INNER EQUI-JOIN; the step filter is then pushed INTO one
+            // join side, so sourceOf's side preds carry it
+            val (path, sJoin, jpreds) = sourceOf(sBase)
               .getOrElse(return None)
-            val fs = sideFilters(sPreds, ssub).getOrElse(return None)
+            val fs = sideFilters(sPreds ++ jpreds, ssub)
+              .getOrElse(return None)
             if (fs.size != 1 || fs.head._2.size != 1) return None
             val (stepCol, stepLit) = (fs.head._1, fs.head._2.head)
             val (tsCol, pd) = periodBucket(ssub(minArg.get))
@@ -1343,23 +1374,10 @@ object CubeAdvisor {
             val step = litString(stepLit).getOrElse(return None)
             if (prev.steps.contains(step)) return None
             Some(ChainInfo(path, tsCol, pd, idSrc, idOut.get, tOut.get,
-              stepCol, prev.steps :+ step))
-          case _ =>
-            // base stage: step-filtered source
-            val sub = subst(envOuter ++ env) _
-            val path = CubeCatalog.sourcePathOf(inner)
-              .getOrElse(return None)
-            val fs = sideFilters(preds, sub).getOrElse(return None)
-            if (fs.size != 1 || fs.head._2.size != 1) return None
-            val (tsCol, pd) = periodBucket(sub(minArg.get))
-              .getOrElse(return None)
-            val idSrc = sub(g) match {
-              case a: AttributeReference => a
-              case _ => return None
+              stepCol, prev.steps :+ step, sJoin))
             }
-            val step = litString(fs.head._2.head).getOrElse(return None)
-            Some(ChainInfo(path, tsCol, pd, idSrc, idOut.get, tOut.get,
-              fs.head._1, Seq(step)))
+            recursiveStage().orElse(baseStage())
+          case _ => baseStage()
         }
       case _ => None
     }
@@ -1408,9 +1426,10 @@ object CubeAdvisor {
                     outs.forall(_.isInstanceOf[Attribute]) =>
                 val (inner, env, preds2) = peel(c)
                 val sub = subst(env0 ++ env) _
-                val fs = sideFilters(preds0 ++ preds2, sub)
+                // join-aware: composite key, side preds carried
+                val (path, _, jpreds) = sourceOf(inner)
                   .getOrElse(return None)
-                val path = CubeCatalog.sourcePathOf(inner)
+                val fs = sideFilters(preds0 ++ preds2 ++ jpreds, sub)
                   .getOrElse(return None)
                 val a = outs.head.asInstanceOf[Attribute]
                 // periodOnly: the grouping is EXACTLY the period, so
@@ -1496,7 +1515,7 @@ object CubeAdvisor {
           if (!counted) return None
           Some(FunnelNeeds(chain.path, chain.tsCol, chain.idSrc.name,
             chain.periodDays, integral(chain.idSrc.dataType),
-            chain.stepCol, chain.steps, outs))
+            chain.stepCol, chain.steps, outs, chain.join))
         case _ => None
       }
     case _ => None

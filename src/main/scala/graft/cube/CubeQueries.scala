@@ -136,6 +136,7 @@ object CubeQueries {
     joinTtService(spark, sfDir)
     dictRouteSource(spark, sfDir)
     joinDictService(spark, sfDir)
+    joinFunnelRouteSources(spark, sfDir)
     ()
   }
 
@@ -2300,6 +2301,87 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q263
+  private val joinFunnelRouteSetup =
+    TrieMap.empty[(SparkSession, String), (String, String)]
+  private def joinFunnelRouteSources(spark: SparkSession,
+      sfDir: String): (String, String) =
+    joinFunnelRouteSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_jfunrt").toString
+      CubeCatalog.install(spark)
+      val oSrc = s"$dir/osrc"
+      val lSrc = s"$dir/lsrc"
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .write.parquet(oSrc)
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_returnflag"))
+        .write.parquet(lSrc)
+      val svc = new CubeService(spark, dir)
+      svc.createJoinCube(
+        JoinCubeConfig(
+          CubeConfig("join_funnel_route", "osrc_lsrc",
+            dims = Seq(FieldDim("rf", "l_returnflag"),
+              TimeDim("day", "o_orderdate", "day")),
+            measures = Nil,
+            bitmaps = Seq(Measure("sup", "l_suppkey"))),
+          leftKey = "o_orderkey", rightKey = "l_orderkey"),
+        spark.read.parquet(oSrc), spark.read.parquet(lSrc))
+      CubeCatalog.registerJoin(s"join_funnel_route@$sfDir",
+        svc.loadJoinCube("join_funnel_route"), oSrc, lSrc)
+      (oSrc, lSrc)
+    })
+
+  /** Graded: FUNNEL routing over a registered JOIN — the raw min-join
+    * conversion chain written over `orders ⋈ lineitem` ("suppliers
+    * whose lines progressed N → R, cumulative by order day": the time
+    * column from the LEFT side, the id and the step column from the
+    * RIGHT) rewrites to the bitmap cascade over the registered
+    * day+step-dimmed JOIN MV — completing the join column of the
+    * routing matrix (rolling q232, retention/churn/cumulative
+    * q261/q262, funnel here). The base chain stage over a joined
+    * source is structurally a Join itself, so [[CubeAdvisor]]'s
+    * minChain falls back from its recursive-stage arm to the joined
+    * base stage — the step filter arrives pushed INTO a join side and
+    * rides sourceOf's side predicates. Plan hard-asserted MV-only;
+    * DuckDB recomputes the chain over the raw join. */
+  def q263JoinFunnelRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (oSrc, lSrc) = joinFunnelRouteSources(spark, sfDir)
+    def joined = spark.read.parquet(oSrc)
+      .join(spark.read.parquet(lSrc),
+        col("o_orderkey") === col("l_orderkey"))
+    def pairs(step: String) = joined
+      .filter(col("l_returnflag") === step)
+      .select(col("l_suppkey"),
+        (unix_timestamp(col("o_orderdate")).cast("double") / 86400)
+          .cast("long").as("p"))
+    val s1 = pairs("N").groupBy(col("l_suppkey"))
+      .agg(min(col("p")).as("t1"))
+    val chain = pairs("R").as("e").join(s1.as("pv"),
+        col("e.l_suppkey") === col("pv.l_suppkey") &&
+          col("e.p") >= col("pv.t1"))
+      .groupBy(col("e.l_suppkey"))
+      .agg(min(col("e.p")).as("t2"))
+    val days = joined.select(
+      (unix_timestamp(col("o_orderdate")).cast("double") / 86400)
+        .cast("long").as("day")).distinct()
+    val q = days.join(chain, col("t2") <= col("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("l_suppkey")).as("converted"))
+      .orderBy(col("day"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && scans.forall(_.contains(".jmv/")),
+      s"join funnel routing did not fire (or still reads the " +
+        s"sources); scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q252
   /** Graded: FUNNEL routing through the optimizer — the raw MIN-JOIN
     * conversion-chain plan users actually write ("users who completed
@@ -3963,6 +4045,7 @@ object CubeQueries {
     "q260_join_dict_distinct" -> q260JoinDictDistinct,
     "q261_join_retention_routing" -> q261JoinRetentionRouting,
     "q262_join_cumulative_routing" -> q262JoinCumulativeRouting,
+    "q263_join_funnel_routing" -> q263JoinFunnelRouting,
     "q244_cohort_time_travel" -> q244CohortTimeTravel,
     "q245_segmented_funnel" -> q245SegmentedFunnel,
     "q246_window_funnel" -> q246WindowFunnel,
@@ -5006,6 +5089,24 @@ object CubeQueries {
       days AS (SELECT DISTINCT d AS day FROM du)
       SELECT days.day, count(DISTINCT du.l_suppkey) AS cum_supps
       FROM days JOIN du ON du.d <= days.day
+      GROUP BY 1
+      ORDER BY 1""",
+    // the N -> R supplier chain recomputed raw over the raw join —
+    // the MV-routed cascade must hash-match it
+    "q263_join_funnel_routing" -> """
+      WITH ev AS (
+        SELECT l.l_suppkey, l.l_returnflag AS s,
+          CAST(floor(floor(epoch(CAST(o.o_orderdate AS TIMESTAMP)))
+            / 86400) AS BIGINT) AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      t1 AS (SELECT l_suppkey, min(p) AS t FROM ev WHERE s = 'N'
+             GROUP BY 1),
+      t2 AS (SELECT e.l_suppkey, min(e.p) AS t FROM ev e
+             JOIN t1 ON t1.l_suppkey = e.l_suppkey AND e.p >= t1.t
+             WHERE e.s = 'R' GROUP BY 1),
+      days AS (SELECT DISTINCT p AS day FROM ev)
+      SELECT days.day, count(DISTINCT t2.l_suppkey) AS converted
+      FROM days JOIN t2 ON t2.t <= days.day
       GROUP BY 1
       ORDER BY 1""",
     // string-keyed exact distinct over the raw join — the dictionary

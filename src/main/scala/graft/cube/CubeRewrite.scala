@@ -1275,10 +1275,25 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
   private def tryRewriteFunnel(agg: Aggregate): Option[LogicalPlan] = {
     val needs = CubeAdvisor.analyzeFunnel(agg).getOrElse(return None)
     if (needs.outs.isEmpty) return None
-    val candidates = CubeCatalog.registered.values.toSeq
-      .filter(_.sourcePath == needs.path)
-      .flatMap(reg =>
-        buildFunnelServe(agg, needs, reg).map((_, reg.cubeSize)))
+    // a chain over an INNER EQUI-JOIN routes to a registered join MV,
+    // either side order — the q261 retention-family dispatch
+    val candidates: Seq[(LogicalPlan, BigInt)] = needs.join match {
+      case None =>
+        CubeCatalog.registered.values.toSeq
+          .filter(_.sourcePath == needs.path)
+          .flatMap(reg =>
+            buildFunnelServe(agg, needs, reg).map((_, reg.cubeSize)))
+      case Some((lp, rp, lk, rk)) =>
+        CubeCatalog.joinRegistered.values.toSeq
+          .filter(jr =>
+            (jr.leftPath == lp && jr.rightPath == rp &&
+              jr.leftKey == lk && jr.rightKey == rk) ||
+            (jr.leftPath == rp && jr.rightPath == lp &&
+              jr.leftKey == rk && jr.rightKey == lk))
+          .flatMap(jr =>
+            buildFunnelServe(agg, needs, jr.reg)
+              .map((_, jr.reg.cubeSize)))
+    }
     if (candidates.isEmpty) None else Some(candidates.minBy(_._2)._1)
   }
 

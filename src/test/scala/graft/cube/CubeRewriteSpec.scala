@@ -2026,14 +2026,17 @@ class CubeRewriteSpec extends AnyFunSuite {
       (i.toLong,
         new Timestamp(1700000000000L + rnd.nextInt(21) * 86400000L)))
     val lins = (0 until 400).map(_ =>
-      (rnd.nextInt(44).toLong, rnd.nextInt(25).toLong))
+      (rnd.nextInt(44).toLong, rnd.nextInt(25).toLong,
+        Seq("A", "N", "R")(rnd.nextInt(3))))
     val lDir = Files.createTempDirectory("graft_jcoh_l").toString
     val rDir = Files.createTempDirectory("graft_jcoh_r").toString
     ords.toDF("o_key", "o_ts").write.mode("overwrite").parquet(lDir)
-    lins.toDF("l_key", "l_supp").write.mode("overwrite").parquet(rDir)
+    lins.toDF("l_key", "l_supp", "l_flag").write.mode("overwrite")
+      .parquet(rDir)
     val jcfg = JoinCubeConfig(
       CubeConfig("jcoh", "l_r",
-        dims = Seq(TimeDim("day", "o_ts", "day")),
+        dims = Seq(FieldDim("flag", "l_flag"),
+          TimeDim("day", "o_ts", "day")),
         measures = Nil,
         bitmaps = Seq(Measure("sup", "l_supp"))),
       leftKey = "o_key", rightKey = "l_key")
@@ -2075,7 +2078,27 @@ class CubeRewriteSpec extends AnyFunSuite {
         .groupBy(col("day"))
         .agg(countDistinct(col("l_supp")).as("cum"))
     }
-    val routedQs = Seq(retained(), churned(), cumulative())
+    // the FUNNEL chain over the join: suppliers whose lines progressed
+    // N -> R, cumulative by order day (the min-join recursion with
+    // joined step sides)
+    def funnel() = {
+      def sp(step: String) = joined.filter(col("l_flag") === step)
+        .select(col("l_supp"),
+          (unix_timestamp(col("o_ts")).cast("double") / 86400)
+            .cast("long").as("p"))
+      val s1 = sp("N").groupBy(col("l_supp")).agg(min(col("p")).as("t1"))
+      val chain = sp("R").as("e").join(s1.as("pv"),
+          col("e.l_supp") === col("pv.l_supp") &&
+            col("e.p") >= col("pv.t1"))
+        .groupBy(col("e.l_supp")).agg(min(col("e.p")).as("t2"))
+      val days = joined.select(
+        (unix_timestamp(col("o_ts")).cast("double") / 86400)
+          .cast("long").as("day")).distinct()
+      days.join(chain, col("t2") <= col("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("l_supp")).as("converted"))
+    }
+    val routedQs = Seq(retained(), churned(), cumulative(), funnel())
     routedQs.zipWithIndex.foreach { case (q, i) =>
       assert(scansOf(q).forall(_.contains(".jmv/")),
         s"join cohort route $i did not fire: ${scansOf(q)}")
@@ -2096,7 +2119,7 @@ class CubeRewriteSpec extends AnyFunSuite {
     assert(scansOf(otherQ).forall(!_.contains(".jmv/")),
       s"a different join must not route: ${scansOf(otherQ)}")
     CubeCatalog.clear()
-    Seq(retained(), churned(), cumulative()).zip(servedRows)
+    Seq(retained(), churned(), cumulative(), funnel()).zip(servedRows)
       .zipWithIndex.foreach { case ((q, s), i) =>
         assert(sortedRows(q) == s,
           s"join-routed cohort result must EQUAL the raw recompute " +
