@@ -1,7 +1,7 @@
 package graft.cube
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, Divide, EqualNullSafe, EqualTo, Explode, Expression, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThanOrEqual, Literal, Sequence, Subtract, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, Divide, EqualNullSafe, EqualTo, Explode, Expression, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThanOrEqual, Literal, NamedExpression, Sequence, Subtract, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Complete, Count, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Generate, Join, LogicalPlan, Project}
@@ -199,15 +199,20 @@ object CubeAdvisor {
     * standing for the PERIOD key): the rewrite's retention route
     * consumes it; the advisor ignores it. `kind` names the matrix
     * column the plan computes — "retained" (inner self-join),
-    * "churned" (anti-join against the FOLLOWING period) or "new_ids"
-    * (anti-join against the PRECEDING) — all served from the same
-    * day-dimmed bitmap cube. */
+    * "churned" (anti-join against the FOLLOWING period), "new_ids"
+    * (anti-join against the PRECEDING), "cumulative" (the prefix
+    * union), "first_seen" (min-period groups — Day stands for the
+    * FIRST period) or "engagement" (the fixed-window activity
+    * histogram — Day stands for the ACTIVE-PERIOD COUNT bucket and
+    * `window` carries the inclusive epoch-day bounds) — all served
+    * from the same day-dimmed bitmap cube. */
   private[cube] final case class RetentionNeeds(
       path: String, tsCol: String, idCol: String, periodDays: Int,
       integralId: Boolean, segments: Seq[String] = Nil,
       outs: Seq[RollOut] = Nil, kind: String = "retained",
       filters: Seq[(String, Seq[Literal])] = Nil,
-      join: Option[(String, String, String, String)] = None)
+      join: Option[(String, String, String, String)] = None,
+      window: Option[(Long, Long)] = None)
 
   /** One recommended STORAGE LAYOUT: the consumer of
     * [[CubeRecommendation.rangeOnlyDims]]. A column promoted into the
@@ -308,10 +313,27 @@ object CubeAdvisor {
           !cumulativeIdx(i) =>
         analyzeFunnel(p).map(i -> _) }.flatten
     val funnelIdx = funnelHits.map(_._1).toSet
+    // first-seen ("new users per period") and engagement-histogram
+    // shapes fold into the SAME day-dimmed bitmap-cube family: the
+    // cube that serves getRetention serves getGrowthAccounting's
+    // new_ids walk and getEngagement's k-count partition too — and
+    // both raw plans (aggregates over aggregates) would otherwise
+    // land uncovered at the generic matcher
+    val firstSeenHits: Seq[(Int, RetentionNeeds)] = plans.zipWithIndex
+      .collect { case (p, i) if !rollingIdx(i) && !retentionIdx(i) &&
+          !cumulativeIdx(i) && !funnelIdx(i) =>
+        analyzeFirstSeen(p).map(i -> _) }.flatten
+    val firstSeenIdx = firstSeenHits.map(_._1).toSet
+    val engagementHits: Seq[(Int, RetentionNeeds)] = plans.zipWithIndex
+      .collect { case (p, i) if !rollingIdx(i) && !retentionIdx(i) &&
+          !cumulativeIdx(i) && !funnelIdx(i) && !firstSeenIdx(i) =>
+        analyzeEngagement(p).map(i -> _) }.flatten
+    val engagementIdx = engagementHits.map(_._1).toSet
     val analyzed: Seq[(Int, Option[Needs])] =
       plans.zipWithIndex.collect {
         case (p, i) if !rollingIdx(i) && !retentionIdx(i) &&
-            !cumulativeIdx(i) && !funnelIdx(i) =>
+            !cumulativeIdx(i) && !funnelIdx(i) && !firstSeenIdx(i) &&
+            !engagementIdx(i) =>
           i -> analyze(p)
       }
     val funnelRecs = funnelHits
@@ -340,7 +362,8 @@ object CubeAdvisor {
             coveredQueries = hits.map(_._1).sorted,
             join = hits.head._2.join)
       }
-    val retentionRecs = (retentionHits ++ cumulativeHits)
+    val retentionRecs = (retentionHits ++ cumulativeHits ++
+        firstSeenHits ++ engagementHits)
       .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol, h._2.segments,
         h._2.filters.map(_._1).distinct.sorted))
       .toSeq.sortBy(g => (g._1._1, g._1._2, g._1._3,
@@ -1518,6 +1541,244 @@ object CubeAdvisor {
             chain.stepCol, chain.steps, outs, chain.join))
         case _ => None
       }
+    case _ => None
+  }
+
+  /** The inner aggregate both per-id cohort shapes share: ONE plain
+    * source-column grouping (the id) and at most two outputs — the
+    * required aggregate alias (caller inspects it) plus optionally the
+    * id passthrough (pruned when the outer count never references it).
+    * Returns (source path, join identity, the id's source column, the
+    * inner-grouping exprId, the id output attr if present, the
+    * aggregate alias, the un-consumed predicate conjuncts, the
+    * substitution). A WIDER inner grouping refuses: per-(id, x) groups
+    * duplicate the id and answer a different question — the
+    * analyzeFunnel duplicate-period discipline. */
+  private def perIdAggregate(base: LogicalPlan,
+      subOuter: Expression => Expression):
+      Option[(String, Option[(String, String, String, String)],
+        AttributeReference, Attribute, Option[Attribute], Alias,
+        Seq[Expression], Expression => Expression)] = base match {
+    case Aggregate(gs, outs, c, _) if gs.size == 1 =>
+      val (inner, env, preds2) = peel(c)
+      val sub: Expression => Expression = e => subOuter(subst(env)(e))
+      val (path, join, jpreds) = sourceOf(inner).getOrElse(return None)
+      val idGroup = gs.head match {
+        case a: AttributeReference => a
+        case _ => return None
+      }
+      val idSrc = sub(idGroup) match {
+        case a: AttributeReference => a
+        case _ => return None
+      }
+      var idOut: Option[Attribute] = None
+      var agg: Option[Alias] = None
+      outs.foreach {
+        case a: AttributeReference if a.exprId == idGroup.exprId =>
+          if (idOut.nonEmpty) return None
+          idOut = Some(a)
+        case al: Alias =>
+          if (agg.nonEmpty) return None
+          agg = Some(al)
+        case _ => return None
+      }
+      agg.map(al => (path, join, idSrc, idGroup, idOut, al,
+        preds2 ++ jpreds, sub))
+    case _ => None
+  }
+
+  /** The outer histogram aggregate both shapes share: the ordered
+    * output map over `aggs` — the grouping attr (possibly re-aliased)
+    * as [[RollOut.Day]] plus exactly one count leaf over the inner
+    * id. `count(id)` and `count(DISTINCT id)` are both exact (inner
+    * rows are unique per id) and skip a null-id group like the bitmap
+    * domain does; `count(1)` counts that group, so it is accepted only
+    * over a NON-NULLABLE id — the analyzeFunnel distinct-hazard
+    * discipline applied to nulls. */
+  private def histogramOuts(aggs: Seq[NamedExpression],
+      groupAttr: AttributeReference, idOut: Option[Attribute],
+      idSrc: AttributeReference, family: String,
+      subOuter: Expression => Expression): Option[Seq[RollOut]] = {
+    var counted = false
+    val outs = aggs.map { ne =>
+      val grp = ne match {
+        case a: AttributeReference if a.exprId == groupAttr.exprId =>
+          true
+        case al: Alias => al.child match {
+          case a: AttributeReference => a.exprId == groupAttr.exprId
+          case _ => false
+        }
+        case _ => false
+      }
+      if (grp) RollOut.Day
+      else ne match {
+        case al: Alias => al.child match {
+          case AggregateExpression(Count(Seq(c)), Complete, _, _, _)
+              if !counted && (subOuter(c) match {
+                case ca: AttributeReference =>
+                  idOut.exists(_.exprId == ca.exprId)
+                case _ => false
+              }) =>
+            counted = true
+            RollOut.Leaf(family, idSrc.name)
+          case AggregateExpression(Count(Seq(Literal(v, _))),
+              Complete, false, _, _)
+              if v != null && !idSrc.nullable && !counted =>
+            counted = true
+            RollOut.Leaf(family, idSrc.name)
+          case _ => return None
+        }
+        case _ => return None
+      }
+    }
+    if (counted) Some(outs) else None
+  }
+
+  /** The FIRST-SEEN plan shape — "new users per period", the growth
+    * chart's defining query, written the way users write it:
+    *
+    *   first = source GROUP BY id → min(period) AS fp
+    *   SELECT fp, count(id) FROM first GROUP BY fp
+    *
+    * An id's first-seen period is p exactly when it is in B_p but no
+    * earlier period's bitmap, so the per-period count equals
+    * |B_p \ prefixOR(B_{<p})| — [[CubeService.getGrowthAccounting]]'s
+    * `new_ids` column, servable from the SAME day-dimmed bitmap cube
+    * the retention family maintains. The raw plan emits a row only for
+    * periods that ARE some id's first (groups are non-empty); the
+    * serve reproduces that row set with a ≥ 1 filter over observed
+    * periods (a first period is always observed, and an observed
+    * period survives the filter exactly when some id is new in it).
+    * Honesty refusals: a wider inner grouping (per-(id, x) first
+    * periods answer a different question), a second aggregate leaf,
+    * non-IsNotNull predicates between the two aggregates, a
+    * non-period min, and count(1) over a nullable id (see
+    * [[histogramOuts]]). Dim-value filters route as cell filters, the
+    * q236 discipline. */
+  private[cube] def analyzeFirstSeen(
+      plan: LogicalPlan): Option[RetentionNeeds] = plan match {
+    case Aggregate(groups, aggs, child, _)
+        if groups.size == 1 &&
+          groups.forall(_.isInstanceOf[AttributeReference]) =>
+      val fpAttr = groups.head.asInstanceOf[AttributeReference]
+      val (base, env0, preds0) = peel(child)
+      if (!preds0.forall(_.isInstanceOf[IsNotNull])) return None
+      val subOuter = subst(env0) _
+      val (path, join, idSrc, _, idOut, al, innerPreds, sub) =
+        perIdAggregate(base, subOuter).getOrElse(return None)
+      val (tsCol, pd) = al.child match {
+        case AggregateExpression(Min(m), Complete, false, _, _) =>
+          periodBucket(sub(m)).getOrElse(return None)
+        case _ => return None
+      }
+      // the outer grouping must BE the min-period alias
+      val fpResolved = subOuter(fpAttr) match {
+        case a: AttributeReference => a
+        case _ => return None
+      }
+      if (fpResolved.exprId != al.toAttribute.exprId) return None
+      val fs = sideFilters(innerPreds, sub).getOrElse(return None)
+      val outs = histogramOuts(aggs, fpAttr, idOut, idSrc,
+        "first_seen", subOuter).getOrElse(return None)
+      Some(RetentionNeeds(path, tsCol, idSrc.name, pd,
+        integral(idSrc.dataType), Nil, outs, "first_seen", fs, join))
+    case _ => None
+  }
+
+  /** The ENGAGEMENT-HISTOGRAM plan shape — "how many users were active
+    * exactly k periods of this window" (the L7/L28 power-user curve):
+    *
+    *   nd = source WHERE day BETWEEN lo AND hi
+    *        GROUP BY id → count(DISTINCT period) AS n
+    *   SELECT n, count(id) FROM nd GROUP BY n
+    *
+    * Served exactly by the k-count PARTITION of the window's
+    * per-period bitmap partials ([[graft.functions.Bitmap.kCountAgg]],
+    * the [[CubeService.getEngagement]] primitive): an id's bucket is
+    * the number of period bitmaps containing it, which IS its distinct
+    * active-period count; daily bitmaps dedup within the day like
+    * count(DISTINCT) does. Refusals keep the honesty contract: a
+    * NON-distinct inner count (counts events, not active periods),
+    * missing / one-sided / strict window bounds (an unbounded
+    * histogram is a different question, and the serve's k-count
+    * fan-out must be bounded — the getEngagement 366-day discipline
+    * applied at match time), windows wider than 366 days, wider inner
+    * groupings, and count(1) over a nullable id. The window bounds
+    * must be INCLUSIVE comparisons of an EPOCH-DAY derivation of the
+    * same time column against integral literals — the one shape whose
+    * value space provably matches the serve's day filter (a
+    * date_trunc bound compares micros, not days, and would read the
+    * literal in the wrong unit). */
+  private[cube] def analyzeEngagement(
+      plan: LogicalPlan): Option[RetentionNeeds] = plan match {
+    case Aggregate(groups, aggs, child, _)
+        if groups.size == 1 &&
+          groups.forall(_.isInstanceOf[AttributeReference]) =>
+      val nAttr = groups.head.asInstanceOf[AttributeReference]
+      val (base, env0, preds0) = peel(child)
+      if (!preds0.forall(_.isInstanceOf[IsNotNull])) return None
+      val subOuter = subst(env0) _
+      val (path, join, idSrc, _, idOut, al, innerPreds, sub) =
+        perIdAggregate(base, subOuter).getOrElse(return None)
+      val (tsCol, pd) = al.child match {
+        case AggregateExpression(Count(Seq(m)), Complete, true, _, _) =>
+          periodBucket(sub(m)).getOrElse(return None)
+        case _ => return None
+      }
+      val nResolved = subOuter(nAttr) match {
+        case a: AttributeReference => a
+        case _ => return None
+      }
+      if (nResolved.exprId != al.toAttribute.exprId) return None
+      // the epoch-day shapes: /86400 on the single time column, or
+      // datediff against the epoch — both EVALUATE to days since
+      // 1970-01-01, matching the serve's cell filter unit
+      def epochDays(e: Expression): Boolean = {
+        val refs = e.references.toSeq
+        refs.size == 1 && refs.head.name == tsCol && e.exists {
+          case Literal(86400.0, _) => true
+          case Literal(86400, _) => true
+          case Literal(86400L, _) => true
+          case org.apache.spark.sql.catalyst.expressions.DateDiff(
+              _, Literal(0, org.apache.spark.sql.types.DateType)) =>
+            true
+          case _ => false
+        }
+      }
+      def dayLit(v: Any): Option[Long] = v match {
+        case i: Int => Some(i.toLong)
+        case l: Long => Some(l)
+        case s: Short => Some(s.toLong)
+        case _ => None
+      }
+      var lo: Option[Long] = None
+      var hi: Option[Long] = None
+      val restPreds = innerPreds.filter { p0 =>
+        sub(p0) match {
+          case GreaterThanOrEqual(e, Literal(v, _))
+              if epochDays(e) && dayLit(v).isDefined && lo.isEmpty =>
+            lo = dayLit(v); false
+          case LessThanOrEqual(e, Literal(v, _))
+              if epochDays(e) && dayLit(v).isDefined && hi.isEmpty =>
+            hi = dayLit(v); false
+          case LessThanOrEqual(Literal(v, _), e)
+              if epochDays(e) && dayLit(v).isDefined && lo.isEmpty =>
+            lo = dayLit(v); false
+          case GreaterThanOrEqual(Literal(v, _), e)
+              if epochDays(e) && dayLit(v).isDefined && hi.isEmpty =>
+            hi = dayLit(v); false
+          case _ => true
+        }
+      }
+      val fs = sideFilters(restPreds, sub).getOrElse(return None)
+      val wLo = lo.getOrElse(return None)
+      val wHi = hi.getOrElse(return None)
+      if (wLo > wHi || wHi - wLo + 1 > 366) return None
+      val outs = histogramOuts(aggs, nAttr, idOut, idSrc,
+        "engagement", subOuter).getOrElse(return None)
+      Some(RetentionNeeds(path, tsCol, idSrc.name, pd,
+        integral(idSrc.dataType), Nil, outs, "engagement", fs, join,
+        window = Some((wLo, wHi))))
     case _ => None
   }
 

@@ -137,6 +137,7 @@ object CubeQueries {
     dictRouteSource(spark, sfDir)
     joinDictService(spark, sfDir)
     joinFunnelRouteSources(spark, sfDir)
+    firstSeenRouteSource(spark, sfDir)
     ()
   }
 
@@ -2221,6 +2222,119 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q264
+  private val firstSeenRouteSetup =
+    TrieMap.empty[(SparkSession, String), String]
+  private def firstSeenRouteSource(spark: SparkSession,
+      sfDir: String): String =
+    firstSeenRouteSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_fsroute").toString
+      val srcDir = s"$dir/source"
+      Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .write.parquet(srcDir)
+      val src = spark.read.parquet(srcDir)
+      CubeManager.save(CubeManager.create(
+        CubeConfig("first_seen_route_demo", "orders",
+          dims = Seq(FieldDim("prio", "o_orderpriority"),
+            TimeDim("day", "o_orderdate", "day")),
+          measures = Nil,
+          bitmaps = Seq(Measure("c", "o_custkey"))), src), dir)
+      CubeCatalog.install(spark)
+      CubeCatalog.register(s"first_seen_route_demo@$sfDir",
+        CubeManager.load(spark, dir, "first_seen_route_demo"), srcDir)
+      srcDir
+    })
+
+  /** Graded: FIRST-SEEN routing through the optimizer — the raw "new
+    * customers per week" plan users actually write (GROUP BY customer
+    * → min(week), re-counted per first week: the top-left chart of
+    * every growth dashboard, here over seven YEARS of orders) over a
+    * REGISTERED source is rewritten by [[CubeRewriteRule]] to an
+    * ANDNOT-walk against the STRICT prefix union of weekly bitmap
+    * unions, recognized by the advisor's own
+    * [[CubeAdvisor.analyzeFirstSeen]] (the q228/q234/q243
+    * shared-matcher discipline) — extending the routed cohort matrix
+    * to the growth-accounting family: an id is new at p exactly when
+    * it is in B_p and no earlier bitmap, so the served count is
+    * [[CubeService.getGrowthAccounting]]'s new_ids cell, and the ≥ 1
+    * filter reproduces the raw plan's row set (a period appears
+    * exactly when it is some id's first). Plan hard-asserted
+    * cube-only; DuckDB recomputes min-period groups raw. 100 TB
+    * split: the raw plan shuffles every (id, period) pair TWICE per
+    * refresh (per-id min, then the per-period recount); the routed
+    * serve is one incremental window pass over the ~340-row |periods|
+    * frame of cube-derived bitmaps. */
+  def q264FirstSeenRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = firstSeenRouteSource(spark, sfDir)
+    val fw = spark.read.parquet(srcDir)
+      .select(col("o_custkey"),
+        floor((unix_timestamp(col("o_orderdate")).cast("double") / 86400)
+          .cast("long").cast("double") / 7).cast("long").as("w"))
+      .groupBy(col("o_custkey"))
+      .agg(min(col("w")).as("fw"))
+    val q = fw.groupBy(col("fw"))
+      .agg(count(col("o_custkey")).as("new_custs"))
+      .select(col("fw").as("week"), col("new_custs"))
+      .orderBy(col("week"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/first_seen_route_demo")),
+      s"first-seen routing did not fire (or still reads the source); " +
+        s"scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q265
+  /** Graded: ENGAGEMENT-HISTOGRAM routing through the optimizer — the
+    * raw fixed-window L28 plan ("of January's active users, how many
+    * were active exactly k days": per-id count(DISTINCT day) under
+    * inclusive epoch-day bounds, re-counted per activity level) over a
+    * REGISTERED source is rewritten by [[CubeRewriteRule]] to ONE
+    * k-count partition ([[graft.functions.Bitmap.kCountAgg]], the
+    * [[CubeService.getEngagement]] primitive) over the window's daily
+    * bitmap unions, recognized by [[CubeAdvisor.analyzeEngagement]]:
+    * an id's bucket is the number of day bitmaps containing it, which
+    * IS its distinct active-day count. Plan hard-asserted cube-only;
+    * DuckDB recomputes the two-level group-by raw. The window bounds
+    * must be inclusive comparisons of the epoch-day derivation —
+    * value-space-provable against the serve's cell filter — and ≤ 366
+    * days (the getEngagement fan-out discipline applied at match
+    * time). 100 TB split: the raw plan shuffles every (id, day) pair
+    * in the window twice; the routed serve reads ≤ 366 cube-derived
+    * one-row bitmaps and a single merge-walk partitions ALL ids at
+    * once. */
+  def q265EngagementRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = rollingRouteSource(spark, sfDir)
+    // events span epoch days 19723..19752 (2024-01-01..30); the
+    // 28-day window truncates the last two days — a real restriction
+    val nd = spark.read.parquet(srcDir)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("d"))
+      .filter(col("d").between(19723L, 19750L))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("d")).as("days_active"))
+    val q = nd.groupBy(col("days_active"))
+      .agg(count(col("user_id")).as("users"))
+      .orderBy(col("days_active"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/rolling_route_demo")),
+      s"engagement routing did not fire (or still reads the source); " +
+        s"scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q261
   /** Graded: RETENTION ROUTING over a registered JOIN — the raw
     * distinct-pair self-join cohort plan written over
@@ -4046,6 +4160,8 @@ object CubeQueries {
     "q261_join_retention_routing" -> q261JoinRetentionRouting,
     "q262_join_cumulative_routing" -> q262JoinCumulativeRouting,
     "q263_join_funnel_routing" -> q263JoinFunnelRouting,
+    "q264_first_seen_routing" -> q264FirstSeenRouting,
+    "q265_engagement_routing" -> q265EngagementRouting,
     "q244_cohort_time_travel" -> q244CohortTimeTravel,
     "q245_segmented_funnel" -> q245SegmentedFunnel,
     "q246_window_funnel" -> q246WindowFunnel,
@@ -5109,6 +5225,29 @@ object CubeQueries {
       FROM days JOIN t2 ON t2.t <= days.day
       GROUP BY 1
       ORDER BY 1""",
+    // the raw min-period groups — the routed prefix-ANDNOT serve must
+    // hash-match them (row set: only periods that ARE some id's first)
+    "q264_first_seen_routing" -> """
+      WITH du AS (
+        SELECT o_custkey,
+          CAST(floor(CAST(floor(floor(epoch(CAST(o_orderdate
+            AS TIMESTAMP))) / 86400) AS BIGINT) / 7.0) AS BIGINT) AS w
+        FROM orders),
+      f AS (SELECT o_custkey, min(w) AS fw FROM du GROUP BY 1)
+      SELECT fw AS week, count(o_custkey) AS new_custs
+      FROM f GROUP BY 1 ORDER BY 1""",
+    // the raw two-level group-by — the routed k-count partition must
+    // hash-match it (buckets with >= 1 user, like the raw groups)
+    "q265_engagement_routing" -> """
+      WITH du AS (
+        SELECT user_id,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+            AS BIGINT) AS d
+        FROM events),
+      nd AS (SELECT user_id, count(DISTINCT d) AS days_active
+             FROM du WHERE d BETWEEN 19723 AND 19750 GROUP BY 1)
+      SELECT days_active, count(user_id) AS users
+      FROM nd GROUP BY 1 ORDER BY 1""",
     // string-keyed exact distinct over the raw join — the dictionary
     // join MV must hash-match it
     "q260_join_dict_distinct" -> """

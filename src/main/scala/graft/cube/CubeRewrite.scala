@@ -396,6 +396,14 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
                   .orElse(tryRewriteCumulative(agg))
                   .orElse(tryRewriteFunnel(agg)).getOrElse(agg)
               else candidates.minBy(_._2)._1
+            case _: Aggregate =>
+              // an Aggregate OVER an Aggregate is the per-id cohort
+              // histogram hallmark: first-seen ("new users per
+              // period", GROUP BY id → min(period), re-counted) and
+              // the fixed-window engagement histogram (GROUP BY id →
+              // count(DISTINCT period), re-counted)
+              tryRewriteFirstSeen(agg)
+                .orElse(tryRewriteEngagement(agg)).getOrElse(agg)
             case _ => agg
           }
       }
@@ -1135,6 +1143,46 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     if (candidates.isEmpty) None else Some(candidates.minBy(_._2)._1)
   }
 
+  /** FIRST-SEEN routing — the raw "new users per period" plan
+    * (GROUP BY id → min(period), re-counted per first period — the
+    * growth chart's defining query, recognized by
+    * [[CubeAdvisor.analyzeFirstSeen]]) rewritten to the ANDNOT-walk
+    * against the strict prefix union of per-period bitmap partials:
+    * an id is first seen at p exactly when it is in B_p and no
+    * earlier bitmap, so new_p = |B_p \ prefixOR(B_{<p})| — the
+    * [[CubeService.getGrowthAccounting]] `new_ids` column served
+    * straight from the registered day-dimmed cube. The raw form
+    * re-shuffles the source's (id, period) pairs TWICE per refresh
+    * (the per-id min, then the per-period recount); the serve is one
+    * incremental window pass over the |periods| frame. Row set: the
+    * raw plan emits only periods that are some id's first — the
+    * serve's ≥ 1 filter over observed periods reproduces it. Shares
+    * [[buildRetentionServe]]'s kind dispatch. */
+  private def tryRewriteFirstSeen(agg: Aggregate): Option[LogicalPlan] = {
+    val needs = CubeAdvisor.analyzeFirstSeen(agg).getOrElse(return None)
+    if (needs.outs.isEmpty) return None
+    val candidates = cohortCandidates(agg, needs)
+    if (candidates.isEmpty) None else Some(candidates.minBy(_._2)._1)
+  }
+
+  /** ENGAGEMENT-HISTOGRAM routing — the raw fixed-window L7/L28 plan
+    * (per-id count(DISTINCT period) under inclusive epoch-day bounds,
+    * re-counted per activity level, recognized by
+    * [[CubeAdvisor.analyzeEngagement]]) rewritten to ONE k-count
+    * partition ([[graft.functions.Bitmap.kCountAgg]]) over the
+    * window's per-period bitmap unions: an id's bucket is the number
+    * of period bitmaps containing it, which IS its distinct
+    * active-period count. The raw form shuffles every (id, period)
+    * pair in the window twice; the serve reads ≤ 366 cube-derived
+    * one-row bitmaps and a single merge-walk partitions ALL ids at
+    * once. Row set: buckets with ≥ 1 id, like the raw group-by. */
+  private def tryRewriteEngagement(agg: Aggregate): Option[LogicalPlan] = {
+    val needs = CubeAdvisor.analyzeEngagement(agg).getOrElse(return None)
+    if (needs.outs.isEmpty) return None
+    val candidates = cohortCandidates(agg, needs)
+    if (candidates.isEmpty) None else Some(candidates.minBy(_._2)._1)
+  }
+
   private def buildRetentionServe(
       agg: Aggregate,
       needs: CubeAdvisor.RetentionNeeds,
@@ -1210,6 +1258,44 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
         per.join(prev, segIds :+ "__p")
           .select((segCols ++ Seq(col("__p"),
             B.andCardinality(col("__bm"), col("__pbm")).as("__ret"))): _*)
+          .filter(col("__ret") >= 1)
+      case "first_seen" =>
+        // new ids per period: ANDNOT against the STRICT prefix union
+        // (ids seen in any earlier period) — the getGrowthAccounting
+        // new_ids cell; the ≥1 filter reproduces the raw plan's row
+        // set (a period appears exactly when it is some id's first)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(segCols: _*)
+          .orderBy(col("__p"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            -1)
+        val emptyBm = lit(Array[Byte](0, 0, 0, 0)) // codec: zero blocks
+        per.select((segCols ++ Seq(col("__p"),
+          B.andNotCardinality(col("__bm"),
+            coalesce(B.unionAgg(col("__bm")).over(w), emptyBm))
+            .as("__ret"))): _*)
+          .filter(col("__ret") >= 1)
+      case "engagement" =>
+        // fixed-window activity histogram: restrict cells to the
+        // window's days, union per period, then ONE k-count partition
+        // over the ≤366-row frame — bucket k holds the ids in exactly
+        // k of the window's period bitmaps, i.e. the raw plan's
+        // count(DISTINCT period) groups; the ≥1 filter drops empty
+        // buckets like the raw group-by does
+        val (wLo, wHi) = needs.window.getOrElse(return None)
+        val dayNum = datediff(col(dayDim).cast("date"),
+          lit("1970-01-01")).cast("long")
+        val maxK = (Math.floorDiv(wHi, needs.periodDays.toLong) -
+          Math.floorDiv(wLo, needs.periodDays.toLong) + 1).toInt
+        val perW = filteredFrame
+          .filter(dayNum.between(wLo, wHi))
+          .groupBy(periodKey)
+          .agg(B.unionAgg(col(bmId)).as("__bm"))
+        perW.agg(B.kCountAgg(col("__bm"), maxK).as("__k"))
+          .select(posexplode(col("__k")))
+          .select((col("pos") + 1).cast("long").as("__p"),
+            col("col").as("__ret"))
           .filter(col("__ret") >= 1)
       case k =>
         // churned: ids of p absent from p+1 — pair with the FOLLOWING

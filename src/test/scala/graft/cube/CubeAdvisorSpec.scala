@@ -977,4 +977,84 @@ class CubeAdvisorSpec extends AnyFunSuite {
       s"refusal edges must stay uncovered: $bad")
     CubeCatalog.clear()
   }
+
+  test("first-seen and engagement workloads fold into the retention-family cube") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(91)
+    // ids drawn from a growing pool so first-seen periods SPREAD (an
+    // all-ids-on-day-one corpus has a one-row growth chart)
+    val rows = (0 until 1500).map { i =>
+      val day = rnd.nextInt(25)
+      (new Timestamp(1700000000000L + day * 86400000L
+        + rnd.nextInt(86400000)),
+        rnd.nextInt(20 * (day + 1)).toLong)
+    }
+    val srcDir = Files.createTempDirectory("graft_advfs_src").toString
+    rows.toDF("ts", "uid").write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+    def firstSeenQ() = {
+      val f = src.select(col("uid"),
+          floor((unix_timestamp(col("ts")).cast("double") / 86400)
+            .cast("long").cast("double") / 3).cast("long").as("w"))
+        .groupBy(col("uid"))
+        .agg(min(col("w")).as("fw"))
+      f.groupBy(col("fw")).agg(count(col("uid")).as("new_users"))
+    }
+    def engageQ(strictLo: Boolean = false) = {
+      val d = (unix_timestamp(col("ts")).cast("double") / 86400)
+        .cast("long")
+      val withD = src.select(col("uid"), d.as("d"))
+      val bounded = (if (strictLo) withD.filter(col("d") > 19677L)
+        else withD.filter(col("d") >= 19677L))
+        .filter(col("d") <= 19690L)
+      bounded.groupBy(col("uid"))
+        .agg(countDistinct(col("d")).as("n_active"))
+        .groupBy(col("n_active"))
+        .agg(count(col("uid")).as("users"))
+    }
+    // both hits want the SAME day-dimmed bitmap cube the retention
+    // family maintains — one recommendation covers both
+    val advice = CubeAdvisor.advise(Seq(firstSeenQ(), engageQ()), "fs")
+    assert(advice.retention.size == 1 && advice.uncovered.isEmpty,
+      advice.toString)
+    val rec = advice.retention.head
+    assert(rec.coveredQueries == Seq(0, 1), rec.toString)
+    assert(rec.config.bitmaps.map(_.path) == Seq("uid"), rec.toString)
+    // capture the raw answers BEFORE registration
+    val rawFs = firstSeenQ().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rawEn = engageQ().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rawFs.size > 3, s"fixture must spread first-seen: $rawFs")
+    // honesty loop, the q254 discipline: materialize VERBATIM,
+    // register, and the SAME raw plans silently route — cube-only
+    // plans, identical answers
+    val cubeDir = Files.createTempDirectory("graft_advfs_cube").toString
+    CubeManager.save(CubeManager.create(rec.config, src), cubeDir)
+    CubeCatalog.register("advfs",
+      CubeManager.load(spark, cubeDir, rec.config.name), srcDir)
+    def scans(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          CubeCatalog.sourcePathOf(r)
+      }.flatten
+    val (fsQ, enQ) = (firstSeenQ(), engageQ())
+    assert(scans(fsQ).nonEmpty &&
+      scans(fsQ).forall(_.endsWith("/" + rec.config.name)),
+      s"advised first-seen must route: ${scans(fsQ)}")
+    assert(scans(enQ).nonEmpty &&
+      scans(enQ).forall(_.endsWith("/" + rec.config.name)),
+      s"advised engagement must route: ${scans(enQ)}")
+    assert(fsQ.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == rawFs, "routed first-seen must equal the raw plan")
+    assert(enQ.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == rawEn, "routed engagement must equal the raw plan")
+    // refusal edge rides the same matcher the rewrite uses: a strict
+    // window bound stays uncovered
+    val bad = CubeAdvisor.advise(Seq(engageQ(strictLo = true)), "fsbad")
+    assert(bad.retention.isEmpty && bad.uncovered == Seq(0),
+      s"strict bound must stay uncovered: $bad")
+    CubeCatalog.clear()
+  }
 }

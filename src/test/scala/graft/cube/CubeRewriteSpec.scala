@@ -1805,6 +1805,129 @@ class CubeRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("raw first-seen plans route to the prefix-ANDNOT serve") {
+    val srcDir = rollingSetup()
+    def src = spark.read.parquet(srcDir)
+    def firstSeen(periodDays: Int, renamed: Boolean = false,
+        filtered: Boolean = false, distinctCount: Boolean = false,
+        wideInner: Boolean = false, countOther: Boolean = false,
+        innerPred: Boolean = false) = {
+      val base = if (filtered) src.filter(col("etype") === "click") else src
+      val groups =
+        if (wideInner) Seq(col("user_id"), col("etype"))
+        else Seq(col("user_id"))
+      val fw0 = base
+        .groupBy(groups: _*)
+        .agg(min(floor((unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").cast("double") / periodDays).cast("long"))
+          .as("fw"))
+      val fw = if (innerPred) fw0.filter(col("fw") >= 0) else fw0
+      val cnt =
+        if (countOther) count(col("fw"))
+        else if (distinctCount) countDistinct(col("user_id"))
+        else count(col("user_id"))
+      val q0 = fw.groupBy(col("fw")).agg(cnt.as("nn"))
+      if (renamed) q0.select(col("fw").as("first_period"), col("nn"))
+      else q0
+    }
+    val routed = Seq(firstSeen(3), firstSeen(1), firstSeen(3,
+      renamed = true), firstSeen(3, filtered = true),
+      firstSeen(3, distinctCount = true))
+    routed.foreach { q =>
+      assert(scansOf(q).forall(_.endsWith("/rollrw")),
+        s"first-seen route did not fire: ${scansOf(q)}")
+    }
+    val norm = CubeCatalog.normalize(srcDir)
+    // a wider inner grouping duplicates the id (per-(id, etype) first
+    // periods answer a different question) — must refuse
+    assert(scansOf(firstSeen(3, wideInner = true)).distinct == Seq(norm),
+      "wide inner grouping must refuse the first-seen route")
+    // counting the PERIOD column instead of the id refuses (count(fw)
+    // per fw group is not the new-user count's shape)
+    assert(scansOf(firstSeen(3, countOther = true)).distinct == Seq(norm),
+      "count over a non-id column must refuse")
+    // a predicate BETWEEN the aggregates changes the row set
+    assert(scansOf(firstSeen(3, innerPred = true)).distinct == Seq(norm),
+      "a mid-plan predicate must refuse the first-seen route")
+    val servedRows = routed.map(sortedRows)
+    CubeCatalog.clear()
+    val raw = Seq(firstSeen(3), firstSeen(1), firstSeen(3,
+      renamed = true), firstSeen(3, filtered = true),
+      firstSeen(3, distinctCount = true))
+    raw.zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
+      assert(sortedRows(q) == s,
+        s"routed first-seen counts must EQUAL the raw min-period " +
+          s"groups (form $i)")
+    }
+  }
+
+  test("raw engagement histograms route to the k-count partition") {
+    val srcDir = rollingSetup()
+    def src = spark.read.parquet(srcDir)
+    // the fixture spans epoch days ~19675..19687 (12 days from
+    // 2023-11-14); an 8-day inclusive window truncates both ends
+    val (lo, hi) = (19677L, 19684L)
+    def hist(periodDays: Int = 1, loB: Option[Long] = Some(lo),
+        hiB: Option[Long] = Some(hi), strictLo: Boolean = false,
+        nonDistinct: Boolean = false, filtered: Boolean = false,
+        distinctCount: Boolean = false) = {
+      val base = if (filtered) src.filter(col("etype") === "click") else src
+      val dayCol = (unix_timestamp(col("ts")).cast("double") / 86400)
+        .cast("long")
+      val withD = base.select(col("user_id"), dayCol.as("d"))
+      val bounded0 = loB match {
+        case Some(l) if strictLo => withD.filter(col("d") > l)
+        case Some(l) => withD.filter(col("d") >= l)
+        case None => withD
+      }
+      val bounded = hiB match {
+        case Some(h) => bounded0.filter(col("d") <= h)
+        case None => bounded0
+      }
+      val pCol =
+        if (periodDays == 1) col("d")
+        else floor(col("d").cast("double") / periodDays).cast("long")
+      val inner =
+        if (nonDistinct) count(pCol) else countDistinct(pCol)
+      val nd = bounded.groupBy(col("user_id"))
+        .agg(inner.as("n_active"))
+      val cnt = if (distinctCount) countDistinct(col("user_id"))
+        else count(col("user_id"))
+      nd.groupBy(col("n_active")).agg(cnt.as("users"))
+    }
+    val routed = Seq(hist(), hist(periodDays = 2),
+      hist(filtered = true), hist(distinctCount = true))
+    routed.foreach { q =>
+      assert(scansOf(q).forall(_.endsWith("/rollrw")),
+        s"engagement route did not fire: ${scansOf(q)}")
+    }
+    val norm = CubeCatalog.normalize(srcDir)
+    // a NON-distinct inner count counts events, not active periods
+    assert(scansOf(hist(nonDistinct = true)).distinct == Seq(norm),
+      "non-distinct inner count must refuse the engagement route")
+    // one-sided windows are a different (and unbounded) question
+    assert(scansOf(hist(loB = None)).distinct == Seq(norm),
+      "missing lower bound must refuse")
+    assert(scansOf(hist(hiB = None)).distinct == Seq(norm),
+      "missing upper bound must refuse")
+    // a STRICT bound's value space is off by one day — refused, the
+    // cumulative strict-< discipline
+    assert(scansOf(hist(strictLo = true)).distinct == Seq(norm),
+      "strict lower bound must refuse")
+    // windows wider than the serve's bounded fan-out refuse
+    assert(scansOf(hist(loB = Some(lo - 400))).distinct == Seq(norm),
+      "a 400-day window must refuse (the getEngagement 366 bound)")
+    val servedRows = routed.map(sortedRows)
+    CubeCatalog.clear()
+    val raw = Seq(hist(), hist(periodDays = 2),
+      hist(filtered = true), hist(distinctCount = true))
+    raw.zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
+      assert(sortedRows(q) == s,
+        s"routed k-count partition must EQUAL the raw two-level " +
+          s"group-by (form $i)")
+    }
+  }
+
   test("raw funnel min-join chains route to the cascade; curve identical") {
     val srcDir = rollingSetup()
     def src = spark.read.parquet(srcDir)
@@ -1925,15 +2048,34 @@ class CubeRewriteSpec extends AnyFunSuite {
       SELECT days.day, COUNT(DISTINCT du.user_id) AS cum_users
       FROM days JOIN du ON du.d <= days.day
       GROUP BY days.day""")
-    val routed = Seq(ret(), cum())
+    // first-seen and engagement as the SQL strings a dashboard logs —
+    // the subquery-in-FROM forms parse to the same Aggregate-over-
+    // Aggregate plans the DataFrame forms build
+    def firstSeen() = spark.sql("""
+      WITH f AS (
+        SELECT user_id,
+          MIN(CAST(FLOOR(CAST(CAST(CAST(unix_timestamp(ts) AS DOUBLE)
+            / 86400 AS BIGINT) AS DOUBLE) / 3) AS BIGINT)) AS fw
+        FROM rollrw_sql GROUP BY user_id)
+      SELECT fw, COUNT(user_id) AS new_users FROM f GROUP BY fw""")
+    def engage() = spark.sql("""
+      WITH nd AS (
+        SELECT user_id, COUNT(DISTINCT CAST(CAST(unix_timestamp(ts)
+            AS DOUBLE) / 86400 AS BIGINT)) AS n_active
+        FROM rollrw_sql
+        WHERE CAST(CAST(unix_timestamp(ts) AS DOUBLE) / 86400
+            AS BIGINT) BETWEEN 19677 AND 19684
+        GROUP BY user_id)
+      SELECT n_active, COUNT(user_id) AS users FROM nd GROUP BY n_active""")
+    val routed = Seq(ret(), cum(), firstSeen(), engage())
     routed.foreach { q =>
       assert(scansOf(q).forall(_.endsWith("/rollrw")),
         s"SQL-text cohort route did not fire: ${scansOf(q)}")
     }
     val servedRows = routed.map(sortedRows)
     CubeCatalog.clear()
-    Seq(ret(), cum()).zip(servedRows).zipWithIndex.foreach {
-      case ((q, s), i) =>
+    Seq(ret(), cum(), firstSeen(), engage()).zip(servedRows).zipWithIndex
+      .foreach { case ((q, s), i) =>
         assert(sortedRows(q) == s,
           s"SQL-text routed result must EQUAL the raw plan (form $i)")
     }
