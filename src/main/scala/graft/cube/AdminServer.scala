@@ -411,6 +411,25 @@ final class AdminServer(service: CubeService, spark: SparkSession,
             strArray(req, "segmentBy"))
           serveRows(df,
             strArray(req, "segmentBy") ++ Seq("day", "days_active"), req)
+        case Some("getStickiness") | Some("getJoinStickiness") =>
+          val name = need(strField(req, "name"), "name")
+          val isJoin = strField(req, "verb").contains("getJoinStickiness")
+          val asOfSt = numField(req, "asOfVersion").map(_.toInt)
+          val fn = asOfSt match {
+            case Some(v) if isJoin =>
+              service.getJoinStickinessAsOf(name, v, _, _, _, _, _)
+            case Some(v) => service.getStickinessAsOf(name, v, _, _, _, _, _)
+            case None if isJoin =>
+              service.getJoinStickiness(name, _, _, _, _, _)
+            case None => service.getStickiness(name, _, _, _, _, _)
+          }
+          val df = fn(
+            need(strField(req, "dayDim"), "dayDim"),
+            need(strField(req, "bitmapId"), "bitmapId"),
+            numField(req, "shortDays").map(_.toInt).getOrElse(1),
+            numField(req, "longDays").map(_.toInt).getOrElse(28),
+            strArray(req, "segmentBy"))
+          serveRows(df, strArray(req, "segmentBy") :+ "day", req)
         case Some("getGrowthAccounting") | Some("getJoinGrowthAccounting") =>
           val name = need(strField(req, "name"), "name")
           val isJoin =

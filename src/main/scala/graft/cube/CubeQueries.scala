@@ -2415,6 +2415,83 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q266
+  /** Graded: ENGAGEMENT-HISTOGRAM routing over a registered JOIN —
+    * q265's fixed-window shape written over `orders ⋈ lineitem`
+    * ("of March 1995's active suppliers, how many shipped on exactly
+    * k days": per-supplier count(DISTINCT order day) under inclusive
+    * epoch-day bounds, re-counted per activity level) routes to the
+    * k-count partition over the JOIN MV's daily bitmap unions —
+    * [[CubeAdvisor.analyzeEngagement]]'s `sourceOf` resolves the
+    * composite join identity exactly like the pair-side matchers, so
+    * the routing matrix's newest families carry their join column
+    * too. Plan hard-asserted MV-only; DuckDB recomputes the two-level
+    * group-by over the raw join. At scale the raw plan pays the
+    * fact-to-fact join plus two pair shuffles per refresh; the routed
+    * serve reads 28 cube-derived one-row bitmaps. */
+  def q266JoinEngagementRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (oSrc, lSrc) = joinRollRouteSources(spark, sfDir)
+    def joined = spark.read.parquet(oSrc)
+      .join(spark.read.parquet(lSrc),
+        col("o_orderkey") === col("l_orderkey"))
+    // epoch days 9190..9217 = 1995-03-01..1995-03-28
+    val nd = joined
+      .select(col("l_suppkey"),
+        (unix_timestamp(col("o_orderdate")).cast("double") / 86400)
+          .cast("long").as("d"))
+      .filter(col("d").between(9190L, 9217L))
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("d")).as("days_active"))
+    val q = nd.groupBy(col("days_active"))
+      .agg(count(col("l_suppkey")).as("suppliers"))
+      .orderBy(col("days_active"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && scans.forall(_.contains(".jmv/")),
+      s"join engagement routing did not fire (or still reads the " +
+        s"sources); scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q267
+  /** Graded: FIRST-SEEN routing over a registered JOIN — q264's
+    * growth-chart shape written over `orders ⋈ lineitem` ("new
+    * suppliers per order week") routes to the prefix-ANDNOT walk over
+    * the JOIN MV's weekly bitmap unions. The result is deliberately
+    * small (every supplier ships within the first weeks — the fixture
+    * truth), but it closes the last cell of the routing matrix ON THE
+    * ORACLE GATE: all seven routed families (rolling, retention,
+    * churn, cumulative, funnel, first-seen, engagement) now grade in
+    * both single-table and join forms; the denser row-equality pin
+    * lives in CubeRewriteSpec's join-cohort fixture. */
+  def q267JoinFirstSeenRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (oSrc, lSrc) = joinRollRouteSources(spark, sfDir)
+    val fw = spark.read.parquet(oSrc)
+      .join(spark.read.parquet(lSrc),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_suppkey"),
+        floor((unix_timestamp(col("o_orderdate")).cast("double") / 86400)
+          .cast("long").cast("double") / 7).cast("long").as("w"))
+      .groupBy(col("l_suppkey"))
+      .agg(min(col("w")).as("fw"))
+    val q = fw.groupBy(col("fw"))
+      .agg(count(col("l_suppkey")).as("new_supps"))
+      .select(col("fw").as("week"), col("new_supps"))
+      .orderBy(col("week"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && scans.forall(_.contains(".jmv/")),
+      s"join first-seen routing did not fire (or still reads the " +
+        s"sources); scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q263
   private val joinFunnelRouteSetup =
     TrieMap.empty[(SparkSession, String), (String, String)]
@@ -2727,6 +2804,26 @@ object CubeQueries {
     val (svc, v0) = cohortTtService(spark, sfDir)
     svc.getCumulativeAsOf("cohort_tt", v0, "day",
       sumOf = Seq("rev"), exactDistinctOf = Seq("c"))
+  }
+
+  // --------------------------------------------------------------- q268
+  /** Graded: STICKINESS curve ([[CubeService.getStickiness]]) — the
+    * DAU/MAU-style ratio chart over seven years of orders: per
+    * observed order day, the exact distinct customers that day
+    * (short window 1), in the trailing 28 days (long window), and
+    * their ratio. Both counts are the rolling serve's exact bitmap
+    * unions over the SAME maintained daily partials — one day cube
+    * answers any window pair — and the ratio is one IEEE division of
+    * two exact longs (no accumulation drift; hash-gradable). The raw
+    * twin recomputes BOTH trailing windows from the source's distinct
+    * pairs per refresh (two explode-join-recount passes); the serve
+    * is |days|·(1+28) one-row bitmap unions over cube-derived
+    * frames. Reuses q244's lifecycle cube (head state = full
+    * corpus). */
+  def q268Stickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val (svc, _) = cohortTtService(spark, sfDir)
+    svc.getStickiness("cohort_tt", "day", "c",
+      shortDays = 1, longDays = 28)
   }
 
   // --------------------------------------------------------------- q256
@@ -4162,6 +4259,9 @@ object CubeQueries {
     "q263_join_funnel_routing" -> q263JoinFunnelRouting,
     "q264_first_seen_routing" -> q264FirstSeenRouting,
     "q265_engagement_routing" -> q265EngagementRouting,
+    "q266_join_engagement_routing" -> q266JoinEngagementRouting,
+    "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
+    "q268_stickiness" -> q268Stickiness,
     "q244_cohort_time_travel" -> q244CohortTimeTravel,
     "q245_segmented_funnel" -> q245SegmentedFunnel,
     "q246_window_funnel" -> q246WindowFunnel,
@@ -5248,6 +5348,47 @@ object CubeQueries {
              FROM du WHERE d BETWEEN 19723 AND 19750 GROUP BY 1)
       SELECT days_active, count(user_id) AS users
       FROM nd GROUP BY 1 ORDER BY 1""",
+    // both trailing windows recomputed raw per day — the serve's
+    // paired bitmap unions and single IEEE division must hash-match
+    "q268_stickiness" -> """
+      WITH du AS (
+        SELECT DISTINCT o_custkey,
+          CAST(floor(floor(epoch(CAST(o_orderdate AS TIMESTAMP)))
+            / 86400) AS BIGINT) AS d
+        FROM orders),
+      days AS (SELECT DISTINCT d AS day FROM du),
+      s AS (SELECT days.day, count(DISTINCT du.o_custkey) AS active_short
+            FROM days JOIN du ON du.d = days.day GROUP BY 1),
+      l AS (SELECT days.day, count(DISTINCT du.o_custkey) AS active_long
+            FROM days JOIN du ON du.d BETWEEN days.day - 27 AND days.day
+            GROUP BY 1)
+      SELECT s.day, s.active_short, l.active_long,
+        CAST(s.active_short AS DOUBLE) / l.active_long AS stickiness
+      FROM s JOIN l ON s.day = l.day
+      ORDER BY 1""",
+    // the raw two-level group-by over the raw join — the MV-routed
+    // k-count partition must hash-match it
+    "q266_join_engagement_routing" -> """
+      WITH j AS (
+        SELECT l.l_suppkey,
+          CAST(floor(floor(epoch(CAST(o.o_orderdate AS TIMESTAMP)))
+            / 86400) AS BIGINT) AS d
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      nd AS (SELECT l_suppkey, count(DISTINCT d) AS days_active
+             FROM j WHERE d BETWEEN 9190 AND 9217 GROUP BY 1)
+      SELECT days_active, count(l_suppkey) AS suppliers
+      FROM nd GROUP BY 1 ORDER BY 1""",
+    // the raw min-period groups over the raw join — the MV-routed
+    // prefix-ANDNOT walk must hash-match them
+    "q267_join_first_seen_routing" -> """
+      WITH j AS (
+        SELECT l.l_suppkey,
+          CAST(floor(CAST(floor(floor(epoch(CAST(o.o_orderdate
+            AS TIMESTAMP))) / 86400) AS BIGINT) / 7.0) AS BIGINT) AS w
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      f AS (SELECT l_suppkey, min(w) AS fw FROM j GROUP BY 1)
+      SELECT fw AS week, count(l_suppkey) AS new_supps
+      FROM f GROUP BY 1 ORDER BY 1""",
     // string-keyed exact distinct over the raw join — the dictionary
     // join MV must hash-match it
     "q260_join_dict_distinct" -> """

@@ -1918,6 +1918,84 @@ final class CubeService(spark: SparkSession, storageDir: String,
         Seq(col("day"), col("days_active"))): _*)
   }
 
+  /** STICKINESS curve — the DAU/MAU-style ratio chart: per observed
+    * endpoint day, the exact count of ids active in the trailing
+    * `shortDays` window, in the trailing `longDays` window, and their
+    * ratio. Both counts are [[getRolling]]'s exact bitmap unions over
+    * the SAME maintained daily partials (one cube serves any window
+    * pair), and both serves share the endpoint domain (the cube's
+    * observed days), so the pairing join is a bijection over the
+    * |days| frame — cube-sized work, never a source scan. The ratio is
+    * ONE IEEE division of two exact longs (deterministic,
+    * hash-gradable — no accumulation-order drift). Segments partition
+    * both windows per segment; sharded cubes serve per (endpoint,
+    * shard) inside the rolling core and the counts ADD before the
+    * division. `longDays` caps at 366 — the serve explodes each daily
+    * partial into `longDays` endpoint rows (the getEngagement
+    * bounded-fan-out discipline). Related but distinct:
+    * `getRolling(intersectOf)` counts ids active on EVERY window day;
+    * this verb counts the actives-ratio of two windows. */
+  def getStickiness(
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      shortDays: Int = 1,
+      longDays: Int = 28,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    stickinessFrom(loadCube(name), name, dayDim, bitmapId, shortDays,
+      longDays, segmentBy)
+
+  /** [[getStickiness]] for join MVs. */
+  def getJoinStickiness(
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      shortDays: Int = 1,
+      longDays: Int = 28,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    stickinessFrom(loadJoinCube(name).cube, name, dayDim, bitmapId,
+      shortDays, longDays, segmentBy)
+
+  private def stickinessFrom(
+      cube: Cube,
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      shortDays: Int,
+      longDays: Int,
+      segmentBy: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(shortDays >= 1, s"shortDays must be >= 1, got $shortDays")
+    require(longDays > shortDays,
+      s"longDays ($longDays) must exceed shortDays ($shortDays) — " +
+        "equal windows are a constant-1.0 chart")
+    require(longDays <= 366,
+      s"longDays must be <= 366, got $longDays (the serve explodes " +
+        "each daily partial into longDays endpoint rows)")
+    require(cube.config.allBitmaps.exists(_.id == bitmapId),
+      s"$bitmapId is not a bitmap measure of cube $name")
+    segmentBy.foreach { sd =>
+      require(!Seq("day", "active_short", "active_long", "stickiness")
+        .contains(sd),
+        s"segment id $sd collides with the stickiness output columns " +
+          "(reserved: day, active_short, active_long, stickiness) — " +
+          "rename the dimension")
+    }
+    def curve(w: Int, out: String) =
+      rollingFrom(cube, name, dayDim, w, Nil, Nil, Nil, Nil, Nil, Nil,
+        exactDistinctOf = Seq(bitmapId), segmentBy = segmentBy)
+        .select((segmentBy.map(col) ++ Seq(col("day"),
+          col(s"n_exact_$bitmapId").as(out))): _*)
+    curve(shortDays, "active_short")
+      .join(curve(longDays, "active_long"), segmentBy :+ "day")
+      .withColumn("stickiness",
+        col("active_short") / col("active_long"))
+      .select((segmentBy.map(col) ++ Seq(col("day"),
+        col("active_short"), col("active_long"),
+        col("stickiness"))): _*)
+      .orderBy((segmentBy.map(col) :+ col("day")): _*)
+  }
+
   /** EXACT audience-overlap matrix — for every pair of values of a
     * dimension, the set algebra of their id audiences: sizes, the
     * intersection, both exclusive remainders, and the Jaccard
@@ -2271,6 +2349,18 @@ final class CubeService(spark: SparkSession, storageDir: String,
     engagementFrom(cubeAt(name, version), name, dayDim, bitmapId,
       windowDays, segmentBy)
 
+  /** [[getStickiness]] over a retained version. */
+  def getStickinessAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      bitmapId: String,
+      shortDays: Int = 1,
+      longDays: Int = 28,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    stickinessFrom(cubeAt(name, version), name, dayDim, bitmapId,
+      shortDays, longDays, segmentBy)
+
   /** [[getGrowthAccounting]] over a retained version; `calendar`
     * selects the [[getGrowthAccountingCalendar]] form. */
   def getGrowthAccountingAsOf(
@@ -2392,6 +2482,18 @@ final class CubeService(spark: SparkSession, storageDir: String,
       segmentBy: Seq[String] = Nil): DataFrame =
     engagementFrom(jmvCubeAt(name, version), name, dayDim, bitmapId,
       windowDays, segmentBy)
+
+  /** [[getJoinStickiness]] over a retained version. */
+  def getJoinStickinessAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      bitmapId: String,
+      shortDays: Int = 1,
+      longDays: Int = 28,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    stickinessFrom(jmvCubeAt(name, version), name, dayDim, bitmapId,
+      shortDays, longDays, segmentBy)
 
   /** [[getJoinGrowthAccounting]] over a retained version; `calendar`
     * selects the [[getJoinGrowthAccountingCalendar]] form. */

@@ -525,6 +525,19 @@ class AdminServerSpec extends AnyFunSuite {
         """{"verb":"getGrowthAccounting","name":"bret","dayDim":"d","bitmapId":"u","calendar":"month","periodDays":7}""")
       assert(gaBad.startsWith("""{"ok":false""") &&
         gaBad.contains("mutually exclusive"), gaBad)
+      // the DAU/MAU-style stickiness pair over the wire == in-process;
+      // inverted windows are a structured refusal
+      val dmWire = cli.rpc(
+        """{"verb":"getStickiness","name":"bret","dayDim":"d","bitmapId":"u","shortDays":1,"longDays":3}""")
+      val dmDirect = svc.getStickiness("bret", "d", "u", 1, 3)
+        .orderBy(col("day")).toJSON.collect().mkString("[", ",", "]")
+      assert(dmWire == s"""{"ok":true,"result":$dmDirect}""",
+        s"wire getStickiness diverges: $dmWire vs $dmDirect")
+      assert(dmWire.contains(""""stickiness":"""), dmWire)
+      val dmBad = cli.rpc(
+        """{"verb":"getStickiness","name":"bret","dayDim":"d","bitmapId":"u","shortDays":5,"longDays":3}""")
+      assert(dmBad.startsWith("""{"ok":false""") &&
+        dmBad.contains("must exceed"), dmBad)
       svc.deleteCube("bret")
       svc.deleteCube("aroll")
       annSvc.deleteIndex("wt")

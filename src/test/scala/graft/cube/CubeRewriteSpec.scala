@@ -2240,7 +2240,27 @@ class CubeRewriteSpec extends AnyFunSuite {
         .groupBy(col("day"))
         .agg(countDistinct(col("l_supp")).as("converted"))
     }
-    val routedQs = Seq(retained(), churned(), cumulative(), funnel())
+    // the two per-id histogram families over the SAME join: new
+    // suppliers per week (first-seen) and the fixed-window activity
+    // histogram — sourceOf resolves both through the composite join
+    // identity like the pair/chain matchers
+    def firstSeen() = joined.select(col("l_supp"),
+        floor((unix_timestamp(col("o_ts")).cast("double") / 86400)
+          .cast("long").cast("double") / 7).cast("long").as("w"))
+      .groupBy(col("l_supp")).agg(min(col("w")).as("fw"))
+      .groupBy(col("fw")).agg(count(col("l_supp")).as("new_supps"))
+    def engagement() = {
+      val d = (unix_timestamp(col("o_ts")).cast("double") / 86400)
+        .cast("long")
+      joined.select(col("l_supp"), d.as("d"))
+        .filter(col("d").between(19677L, 19690L))
+        .groupBy(col("l_supp"))
+        .agg(countDistinct(col("d")).as("n_active"))
+        .groupBy(col("n_active"))
+        .agg(count(col("l_supp")).as("suppliers"))
+    }
+    val routedQs = Seq(retained(), churned(), cumulative(), funnel(),
+      firstSeen(), engagement())
     routedQs.zipWithIndex.foreach { case (q, i) =>
       assert(scansOf(q).forall(_.contains(".jmv/")),
         s"join cohort route $i did not fire: ${scansOf(q)}")
@@ -2261,7 +2281,8 @@ class CubeRewriteSpec extends AnyFunSuite {
     assert(scansOf(otherQ).forall(!_.contains(".jmv/")),
       s"a different join must not route: ${scansOf(otherQ)}")
     CubeCatalog.clear()
-    Seq(retained(), churned(), cumulative(), funnel()).zip(servedRows)
+    Seq(retained(), churned(), cumulative(), funnel(), firstSeen(),
+      engagement()).zip(servedRows)
       .zipWithIndex.foreach { case ((q, s), i) =>
         assert(sortedRows(q) == s,
           s"join-routed cohort result must EQUAL the raw recompute " +

@@ -999,6 +999,51 @@ class CubeServiceSpec extends AnyFunSuite {
       }
     }
 
+    // --- STICKINESS: the DAU/MAU-style window pair vs brute force
+    val stick = svc.getStickiness("eng", "day", "users",
+      shortDays = 2, longDays = 7).collect()
+    assert(stick.length == obsDays.size, "one stickiness row per day")
+    stick.foreach { r =>
+      val e = r.getAs[Long]("day")
+      def u(w: Int) = (e - w + 1 to e).filter(obsDays)
+        .flatMap(perDay).toSet.size.toLong
+      assert(r.getAs[Long]("active_short") == u(2), s"day $e short")
+      assert(r.getAs[Long]("active_long") == u(7), s"day $e long")
+      // one IEEE division of two exact longs — bit-reproducible
+      assert(r.getAs[Double]("stickiness") == u(2).toDouble / u(7),
+        s"day $e ratio")
+    }
+    // sharded twin bit-identical; segmented partitions per segment
+    assert(svc.getStickiness("eng_sh", "day", "users", 2, 7)
+        .collect().map(_.toSeq).toSeq == stick.map(_.toSeq).toSeq,
+      "sharded stickiness must equal the unsharded pair")
+    val segS = svc.getStickiness("eng", "day", "users", 2, 7,
+      segmentBy = Seq("grp")).collect()
+    Seq("x", "y").foreach { g =>
+      val gPerDay = rows.filter(_._1 == g).groupBy(r => dayOf(r._2))
+        .map { case (d, rs) => d -> rs.map(_._4).toSet }
+      val gRows = segS.filter(_.getAs[String]("grp") == g)
+      assert(gRows.length == gPerDay.size, s"segment $g day count")
+      gRows.foreach { r =>
+        val e = r.getAs[Long]("day")
+        def u(w: Int) = (e - w + 1 to e).filter(gPerDay.keySet)
+          .flatMap(gPerDay).toSet.size.toLong
+        assert(r.getAs[Long]("active_short") == u(2) &&
+          r.getAs[Long]("active_long") == u(7), s"segment $g day $e")
+      }
+    }
+    // stickiness edges: inverted/equal windows, oversized long
+    // window, non-bitmap measure, reserved segment id
+    intercept[IllegalArgumentException] {
+      svc.getStickiness("eng", "day", "users", 7, 7) }
+    intercept[IllegalArgumentException] {
+      svc.getStickiness("eng", "day", "users", 1, 367) }
+    intercept[IllegalArgumentException] {
+      svc.getStickiness("eng", "day", "v") }
+    intercept[IllegalArgumentException] {
+      svc.getStickiness("eng", "day", "users",
+        segmentBy = Seq("active_short")) }
+
     // --- GROWTH ACCOUNTING: the quartet vs brute force, with the
     // silent day 9 exercising the empty-set gap semantics at day 10
     val sortedDays = obsDays.toSeq.sorted
@@ -1095,6 +1140,9 @@ class CubeServiceSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       svc.getGrowthAccounting("eng", "day", "users") }
       .getMessage.contains("insert-only"))
+    assert(intercept[IllegalArgumentException] {
+      svc.getStickiness("eng", "day", "users") }
+      .getMessage.contains("insert-only"))
     svc.deleteCube("eng"); svc.deleteCube("eng_sh")
   }
 
@@ -1121,7 +1169,7 @@ class CubeServiceSpec extends AnyFunSuite {
       b1.toDF("event_type", "ts", "value", "user_id"))
     val v0 = svc.currentCubeVersion("asofc")
     def all(serve: String => org.apache.spark.sql.DataFrame) =
-      Seq("r", "t", "c", "f", "m", "o", "e", "g")
+      Seq("r", "t", "c", "f", "m", "o", "e", "g", "s")
         .map(k => k -> serve(k).collect().map(_.toSeq).toSeq).toMap
     def head(k: String) = k match {
       case "r" => svc.getRolling("asofc", "day", 7,
@@ -1134,6 +1182,7 @@ class CubeServiceSpec extends AnyFunSuite {
       case "e" => svc.getEngagement("asofc", "day", "u", windowDays = 7)
       case "g" => svc.getGrowthAccounting("asofc", "day", "u",
         periodDays = 1)
+      case "s" => svc.getStickiness("asofc", "day", "u", 2, 7)
       case _ => svc.getFunnel("asofc", "day", "u", "etype",
         Seq("view", "click", "purchase"))
     }
@@ -1144,7 +1193,7 @@ class CubeServiceSpec extends AnyFunSuite {
     assert(v1 == v0 + 1 && svc.listCubeVersions("asofc").contains(v0))
     // the head moved: every family sees the fold
     val after = all(head)
-    Seq("r", "t", "c", "f", "m", "o", "e", "g").foreach(k =>
+    Seq("r", "t", "c", "f", "m", "o", "e", "g", "s").foreach(k =>
       assert(after(k) != before(k), s"family $k: fold must move the head"))
     // as-of v0 reproduces every captured pre-fold serve bit for bit
     def asOf(k: String) = k match {
@@ -1161,11 +1210,12 @@ class CubeServiceSpec extends AnyFunSuite {
         windowDays = 7)
       case "g" => svc.getGrowthAccountingAsOf("asofc", v0, "day", "u",
         periodDays = 1)
+      case "s" => svc.getStickinessAsOf("asofc", v0, "day", "u", 2, 7)
       case _ => svc.getFunnelAsOf("asofc", v0, "day", "u", "etype",
         Seq("view", "click", "purchase"))
     }
     val historical = all(asOf)
-    Seq("r", "t", "c", "f", "m", "o", "e", "g").foreach(k =>
+    Seq("r", "t", "c", "f", "m", "o", "e", "g", "s").foreach(k =>
       assert(historical(k) == before(k),
         s"family $k: as-of v$v0 must equal the captured pre-fold serve"))
     // non-retained version refuses with the window in the message
@@ -1202,7 +1252,7 @@ class CubeServiceSpec extends AnyFunSuite {
         leftKey = "lk", rightKey = "rk"),
       left, toDF(fact(0 until 40, 0 until 10, 500)))
     val v0 = svc.currentJoinCubeVersion("jasof")
-    val fams = Seq("r", "t", "tcal", "c", "f", "m", "o", "e", "g")
+    val fams = Seq("r", "t", "tcal", "c", "f", "m", "o", "e", "g", "s")
     def all(serve: String => org.apache.spark.sql.DataFrame) =
       fams.map(k => k -> serve(k).collect().map(_.toSeq).toSeq).toMap
     def head(k: String) = k match {
@@ -1220,6 +1270,7 @@ class CubeServiceSpec extends AnyFunSuite {
         windowDays = 7)
       case "g" => svc.getJoinGrowthAccounting("jasof", "day", "u",
         periodDays = 1)
+      case "s" => svc.getJoinStickiness("jasof", "day", "u", 2, 7)
       case _ => svc.getJoinFunnel("jasof", "day", "u", "etype",
         Seq("view", "click", "purchase"))
     }
@@ -1253,6 +1304,8 @@ class CubeServiceSpec extends AnyFunSuite {
         windowDays = 7)
       case "g" => svc.getJoinGrowthAccountingAsOf("jasof", v0, "day",
         "u", periodDays = 1)
+      case "s" => svc.getJoinStickinessAsOf("jasof", v0, "day", "u",
+        2, 7)
       case _ => svc.getJoinFunnelAsOf("jasof", v0, "day", "u", "etype",
         Seq("view", "click", "purchase"))
     }
