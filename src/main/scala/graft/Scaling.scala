@@ -228,6 +228,24 @@ object Scaling {
         svcR.getFunnel(s"scaling_roll_x$k", "day", "u", "event_type",
           Seq("view", "click", "purchase")).count()
       })
+      // growth accounting (the first-seen walk): new = ANDNOT against
+      // the strict prefix union, windowed per shard — the q264
+      // routing's serve shape
+      record("growth_bitmap_serve", k, best {
+        svcR.getGrowthAccounting(s"scaling_roll_x$k", "day", "u",
+          periodDays = 7).count()
+      })
+      // the engagement k-count partition (q265's serve): one
+      // merge-walk partitions ALL ids by activity level at once
+      record("engagement_bitmap_serve", k, best {
+        svcR.getEngagement(s"scaling_roll_x$k", "day", "u",
+          windowDays = 7).count()
+      })
+      // the DAU/MAU window pair + one IEEE ratio (q268's verb)
+      record("stickiness_bitmap_serve", k, best {
+        svcR.getStickiness(s"scaling_roll_x$k", "day", "u", 1, 7)
+          .count()
+      })
 
       // delete-capable fold (q177's machinery): deletes confined to ONE
       // event type, so the targeted recompute semi-joins the source down
@@ -278,7 +296,10 @@ object Scaling {
             || fam == "ann_masked_probe" || fam == "rolling_bitmap_serve"
             || fam == "retention_bitmap_serve"
             || fam == "cumulative_bitmap_serve"
-            || fam == "funnel_bitmap_serve")
+            || fam == "funnel_bitmap_serve"
+            || fam == "growth_bitmap_serve"
+            || fam == "engagement_bitmap_serve"
+            || fam == "stickiness_bitmap_serve")
           if (r10 < 3) "~flat (serve ∝ index/cube, not source)"
           else "NOT flat — investigate"
         else if (fam == "dedup_embedding_lsh") {

@@ -279,64 +279,98 @@ object CubeAdvisor {
     case _ => p
   }
 
+  /** Decompose a COMPOSITE dashboard plan — a pure combination shell
+    * (projections, filters, joins, unions, sorts, limits) over several
+    * Aggregate metrics, the ratio/share/delta form real dashboards log
+    * — into those metric sub-plans. The rewrite rule serves each
+    * sub-aggregate IN PLACE (it transforms every Aggregate node), so
+    * the advisor must recognize the same components or composite
+    * queries read as uncovered. Returns the plan whole when it IS an
+    * aggregate-rooted metric, when any shell leaf is NOT under an
+    * Aggregate (an enrichment join against raw rows — no cube removes
+    * that scan, so decomposed "coverage" would be dishonest), or when
+    * the shell carries a node outside the combination vocabulary (a
+    * Window/Generate shell computes, not combines). */
+  private def componentsOf(p: LogicalPlan): Seq[LogicalPlan] = p match {
+    case _: Aggregate => Seq(p)
+    case _ =>
+      var ok = true
+      def walk(q: LogicalPlan): Seq[LogicalPlan] = q match {
+        case a: Aggregate => Seq(a)
+        case _: Project | _: Filter | _: Join |
+            _: org.apache.spark.sql.catalyst.plans.logical.Union |
+            _: org.apache.spark.sql.catalyst.plans.logical.Sort |
+            _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit |
+            _: org.apache.spark.sql.catalyst.plans.logical.LocalLimit |
+            _: org.apache.spark.sql.catalyst.plans.logical
+              .SubqueryAlias =>
+          q.children.flatMap(walk)
+        case _ => ok = false; Nil
+      }
+      val cs = walk(p)
+      if (ok && cs.nonEmpty) cs else Seq(p)
+  }
+
   /** Structural advice: no data is read. */
   def advise(workload: Seq[DataFrame],
       namePrefix: String = "advised"): Advice = {
     val plans =
       workload.map(df => peelPresentation(df.queryExecution.optimizedPlan))
+    // composite shells decompose into their metric components (see
+    // [[componentsOf]]); a single-metric query is its own component.
+    // Each component is claimed by at most ONE family, in the same
+    // precedence order the single-metric chain always used.
+    val comps: Vector[(Int, LogicalPlan)] = plans.zipWithIndex.flatMap {
+      case (p, i) => componentsOf(p).map(i -> _)
+    }.toVector
+    val claimed = Array.fill(comps.size)(false)
+    def claim[T](f: LogicalPlan => Option[T]): Seq[(Int, T)] =
+      comps.zipWithIndex.flatMap { case ((qi, p), ci) =>
+        if (claimed(ci)) None
+        else f(p).map { t => claimed(ci) = true; qi -> t }
+      }
     // rolling shapes first: the generic matcher would refuse them
     // (count(DISTINCT) over the exploded window is unservable from
     // cells) and report the workload's daily-curve queries uncovered
-    val rollingHits: Seq[(Int, RollingNeeds)] = plans.zipWithIndex
-      .flatMap { case (p, i) => analyzeRolling(p).map(i -> _) }
-    val rollingIdx = rollingHits.map(_._1).toSet
+    val rollingHits: Seq[(Int, RollingNeeds)] = claim(analyzeRolling)
     // retention shapes next: same reasoning — an aggregate over the
     // distinct-pair self-join has no single source for the generic
     // matcher, and the defining cohort query would land uncovered
-    val retentionHits: Seq[(Int, RetentionNeeds)] = plans.zipWithIndex
-      .collect { case (p, i) if !rollingIdx(i) =>
-        analyzeRetention(p).map(i -> _) }.flatten
-    val retentionIdx = retentionHits.map(_._1).toSet
+    val retentionHits: Seq[(Int, RetentionNeeds)] =
+      claim(analyzeRetention)
     // cumulative-distinct shapes fold into the SAME recommendation
     // family: the day-dimmed bitmap cube that serves getRetention
     // serves getCumulative too (both walk per-period bitmap unions)
-    val cumulativeHits: Seq[(Int, RetentionNeeds)] = plans.zipWithIndex
-      .collect { case (p, i) if !rollingIdx(i) && !retentionIdx(i) =>
-        analyzeCumulative(p).map(i -> _) }.flatten
-    val cumulativeIdx = cumulativeHits.map(_._1).toSet
-    // funnel shapes last among the cohort families: the min-join
+    val cumulativeHits: Seq[(Int, RetentionNeeds)] =
+      claim(analyzeCumulative)
+    // funnel shapes next among the cohort families: the min-join
     // conversion chain is aggregates over joins of aggregates — the
     // generic matcher refuses the whole tree and the defining funnel
     // query would land uncovered
-    val funnelHits: Seq[(Int, FunnelNeeds)] = plans.zipWithIndex
-      .collect { case (p, i) if !rollingIdx(i) && !retentionIdx(i) &&
-          !cumulativeIdx(i) =>
-        analyzeFunnel(p).map(i -> _) }.flatten
-    val funnelIdx = funnelHits.map(_._1).toSet
+    val funnelHits: Seq[(Int, FunnelNeeds)] = claim(analyzeFunnel)
     // first-seen ("new users per period") and engagement-histogram
     // shapes fold into the SAME day-dimmed bitmap-cube family: the
     // cube that serves getRetention serves getGrowthAccounting's
     // new_ids walk and getEngagement's k-count partition too — and
     // both raw plans (aggregates over aggregates) would otherwise
     // land uncovered at the generic matcher
-    val firstSeenHits: Seq[(Int, RetentionNeeds)] = plans.zipWithIndex
-      .collect { case (p, i) if !rollingIdx(i) && !retentionIdx(i) &&
-          !cumulativeIdx(i) && !funnelIdx(i) =>
-        analyzeFirstSeen(p).map(i -> _) }.flatten
-    val firstSeenIdx = firstSeenHits.map(_._1).toSet
-    val engagementHits: Seq[(Int, RetentionNeeds)] = plans.zipWithIndex
-      .collect { case (p, i) if !rollingIdx(i) && !retentionIdx(i) &&
-          !cumulativeIdx(i) && !funnelIdx(i) && !firstSeenIdx(i) =>
-        analyzeEngagement(p).map(i -> _) }.flatten
-    val engagementIdx = engagementHits.map(_._1).toSet
+    val firstSeenHits: Seq[(Int, RetentionNeeds)] =
+      claim(analyzeFirstSeen)
+    val engagementHits: Seq[(Int, RetentionNeeds)] =
+      claim(analyzeEngagement)
     val analyzed: Seq[(Int, Option[Needs])] =
-      plans.zipWithIndex.collect {
-        case (p, i) if !rollingIdx(i) && !retentionIdx(i) &&
-            !cumulativeIdx(i) && !funnelIdx(i) && !firstSeenIdx(i) &&
-            !engagementIdx(i) =>
-          i -> analyze(p)
+      comps.zipWithIndex.collect {
+        case ((qi, p), ci) if !claimed(ci) => qi -> analyze(p)
       }
-    val funnelRecs = funnelHits
+    // ALL-or-nothing per query: the honesty contract promises a
+    // covered query ROUTES once the recs materialize — a composite
+    // with one unservable component routes only partially, so the
+    // whole query reports uncovered and its other components' hits
+    // are dropped rather than half-claimed
+    val badQ: Set[Int] = analyzed.collect { case (qi, None) => qi }.toSet
+    def keep[T](hs: Seq[(Int, T)]): Seq[(Int, T)] =
+      hs.filterNot(h => badQ(h._1))
+    val funnelRecs = keep(funnelHits)
       .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol, h._2.stepCol))
       .toSeq.sortBy(g => (g._1._1, g._1._2, g._1._3, g._1._4))
       .zipWithIndex.map {
@@ -359,10 +393,10 @@ object CubeAdvisor {
             dayDim, stepCol, bmId,
             chains = hits.map(_._2.steps).distinct,
             periods = hits.map(_._2.periodDays).distinct.sorted,
-            coveredQueries = hits.map(_._1).sorted,
+            coveredQueries = hits.map(_._1).distinct.sorted,
             join = hits.head._2.join)
       }
-    val retentionRecs = (retentionHits ++ cumulativeHits ++
+    val retentionRecs = keep(retentionHits ++ cumulativeHits ++
         firstSeenHits ++ engagementHits)
       .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol, h._2.segments,
         h._2.filters.map(_._1).distinct.sorted))
@@ -390,14 +424,14 @@ object CubeAdvisor {
               dictBitmaps = if (integralId) Nil else m),
             dayDim, bmId,
             periods = hits.map(_._2.periodDays).distinct.sorted,
-            coveredQueries = hits.map(_._1).sorted,
+            coveredQueries = hits.map(_._1).distinct.sorted,
             segmentBy = segments,
             // path grouping keys a JOIN workload by its composite
             // registration identity, so one group is one join — the
             // rec carries the join info for createJoinCube
             join = hits.head._2.join)
       }
-    val rollingRecs = rollingHits
+    val rollingRecs = keep(rollingHits)
       .groupBy(h => (h._2.path, h._2.tsCol, h._2.segments,
         h._2.filters.map(_._1).distinct.sorted))
       .toSeq.sortBy(g => (g._1._1, g._1._2, g._1._3.mkString(","),
@@ -444,13 +478,14 @@ object CubeAdvisor {
             minOf = mnOf.map(c => s"${c}_x"),
             maxOf = mxOf.map(c => s"${c}_x"),
             sumOf = sOf.map(c => s"${c}_sum"),
-            coveredQueries = hits.map(_._1).sorted,
+            coveredQueries = hits.map(_._1).distinct.sorted,
             joinKeys = needs.head.join,
             exactDistinctOf = (xdOf ++ dOf).map(c => s"${c}_xd"),
             segmentBy = segments)
       }
-    val uncovered = analyzed.collect { case (i, None) => i }
-    val bySource = analyzed.collect { case (i, Some(n)) => (i, n) }
+    val uncovered = badQ.toSeq.distinct.sorted
+    val bySource = analyzed
+      .collect { case (i, Some(n)) if !badQ(i) => (i, n) }
       .groupBy(_._2.path)
     def mergedConfig(name: String, source: String,
         entries: Seq[(Int, Needs)]): CubeConfig = {
@@ -500,14 +535,14 @@ object CubeAdvisor {
           case None =>
             singles :+= CubeRecommendation(path,
               mergedConfig(s"${namePrefix}_$k", path, entries),
-              entries.map(_._1),
+              entries.map(_._1).distinct,
               rangeOnlyDims = entries.flatMap(_._2.rangeDims).distinct)
           case Some((lp, rp, lk, rk)) =>
             joins :+= JoinCubeRecommendation(lp, rp,
               JoinCubeConfig(
                 mergedConfig(s"${namePrefix}_join_$k", path, entries),
                 leftKey = lk, rightKey = rk),
-              entries.map(_._1))
+              entries.map(_._1).distinct)
         }
     }
     // layout advice rides the range-only flags: those columns entered

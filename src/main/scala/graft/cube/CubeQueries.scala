@@ -2222,6 +2222,48 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q269
+  /** Graded: COMPOSITE-DASHBOARD routing — the raw DAU/MAU stickiness
+    * dashboard as a user writes it: TWO trailing-window cohort plans
+    * (window 1 and window 28, each the q228 explode/semi-join shape)
+    * JOINED on day with the ratio computed in the enclosing
+    * projection. No single matcher covers the whole tree — and none
+    * needs to: [[CubeRewriteRule]] transforms EVERY Aggregate node,
+    * so each sub-metric rewrites to its cube serve IN PLACE while the
+    * user's join/arithmetic shell stays untouched. This is how real
+    * dashboards compose (ratios, shares, deltas of routed metrics);
+    * the graded plan is hard-asserted cube-only END TO END, and the
+    * DuckDB oracle recomputes both windows raw. At scale the raw form
+    * scans the source four times (two pair-collapses + two explodes);
+    * the routed form reads |days|·(1+28) cube-derived one-row bitmap
+    * unions and the shell join is |days| × |days| — both cube-sized. */
+  def q269DashboardRatioRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = rollingRouteSource(spark, sfDir)
+    def du = spark.read.parquet(srcDir)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("d"))
+      .distinct()
+    val dau = graft.functions.Rolling.endpoints(du, 1)
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val mau = graft.functions.Rolling.endpoints(du, 28)
+      .agg(countDistinct(col("user_id")).as("mau"))
+    val q = dau.join(mau, "day")
+      .select(col("day"), col("dau"), col("mau"),
+        (col("dau") / col("mau")).as("stickiness"))
+      .orderBy(col("day"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/rolling_route_demo")),
+      s"composite dashboard routing did not fire (or still reads the " +
+        s"source); scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q264
   private val firstSeenRouteSetup =
     TrieMap.empty[(SparkSession, String), String]
@@ -4262,6 +4304,7 @@ object CubeQueries {
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
+    "q269_dashboard_ratio_routing" -> q269DashboardRatioRouting,
     "q244_cohort_time_travel" -> q244CohortTimeTravel,
     "q245_segmented_funnel" -> q245SegmentedFunnel,
     "q246_window_funnel" -> q246WindowFunnel,
@@ -5348,6 +5391,25 @@ object CubeQueries {
              FROM du WHERE d BETWEEN 19723 AND 19750 GROUP BY 1)
       SELECT days_active, count(user_id) AS users
       FROM nd GROUP BY 1 ORDER BY 1""",
+    // both raw trailing-window shapes recomputed raw; the enclosing
+    // join/ratio shell is the user's own — the per-sub-metric routed
+    // plan must hash-match it end to end
+    "q269_dashboard_ratio_routing" -> """
+      WITH du AS (
+        SELECT DISTINCT user_id,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+            AS BIGINT) AS d
+        FROM events),
+      days AS (SELECT DISTINCT d AS day FROM du),
+      dau AS (SELECT days.day, count(DISTINCT du.user_id) AS dau
+              FROM days JOIN du ON du.d = days.day GROUP BY 1),
+      mau AS (SELECT days.day, count(DISTINCT du.user_id) AS mau
+              FROM days JOIN du ON du.d BETWEEN days.day - 27 AND days.day
+              GROUP BY 1)
+      SELECT dau.day, dau.dau, mau.mau,
+        CAST(dau.dau AS DOUBLE) / mau.mau AS stickiness
+      FROM dau JOIN mau ON dau.day = mau.day
+      ORDER BY 1""",
     // both trailing windows recomputed raw per day — the serve's
     // paired bitmap unions and single IEEE division must hash-match
     "q268_stickiness" -> """

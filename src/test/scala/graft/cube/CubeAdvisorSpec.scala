@@ -1057,4 +1057,75 @@ class CubeAdvisorSpec extends AnyFunSuite {
       s"strict bound must stay uncovered: $bad")
     CubeCatalog.clear()
   }
+
+  test("composite dashboards advise per metric component") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(59)
+    val rows = (0 until 900).map { i =>
+      (new Timestamp(1700000000000L + rnd.nextInt(20) * 86400000L
+        + rnd.nextInt(86400000)), (i % 70).toLong, rnd.nextDouble() * 9)
+    }
+    val srcDir = Files.createTempDirectory("graft_advcomp_src").toString
+    rows.toDF("ts", "uid", "value").write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+    def du = src.select(col("uid"),
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("d"))
+      .distinct()
+    // the q269 shape: DAU and MAU (two rolling components) joined on
+    // day with the ratio in the shell — the rewrite serves each
+    // sub-aggregate in place, so advise must see both components
+    // instead of reporting the dashboard uncovered
+    def dashboard() = {
+      val dau = graft.functions.Rolling.endpoints(du, 1)
+        .agg(countDistinct(col("uid")).as("dau"))
+      val mau = graft.functions.Rolling.endpoints(du, 7)
+        .agg(countDistinct(col("uid")).as("mau"))
+      dau.join(mau, "day")
+        .select(col("day"), col("dau"), col("mau"),
+          (col("dau") / col("mau")).as("ratio"))
+    }
+    val advice = CubeAdvisor.advise(Seq(dashboard()), "comp")
+    assert(advice.uncovered.isEmpty, advice.toString)
+    assert(advice.rolling.size == 1, advice.toString)
+    val rec = advice.rolling.head
+    // both components fold into ONE rolling rec: same source/day/id,
+    // two windows
+    assert(rec.coveredQueries == Seq(0) && rec.windows == Seq(1, 7),
+      rec.toString)
+    // honesty loop: materialize verbatim, register — the SAME
+    // composite plan silently routes end to end
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+    val raw = sortedRows(dashboard())
+    val cubeDir = Files.createTempDirectory("graft_advcomp_cube").toString
+    CubeManager.save(CubeManager.create(rec.config, src), cubeDir)
+    CubeCatalog.register("advcomp",
+      CubeManager.load(spark, cubeDir, rec.config.name), srcDir)
+    val q = dashboard()
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    assert(scans.nonEmpty &&
+      scans.forall(_.endsWith("/" + rec.config.name)),
+      s"advised composite must route: $scans")
+    assert(sortedRows(q) == raw,
+      "routed composite must equal the raw recompute")
+    // ALL-or-nothing honesty: a shell mixing a servable metric with an
+    // ENRICHMENT side reading raw rows keeps the query whole and
+    // uncovered — a cube cannot remove the raw-side scan
+    CubeCatalog.clear()
+    def enriched() = {
+      val wau = graft.functions.Rolling.endpoints(du, 7)
+        .agg(countDistinct(col("uid")).as("wau"))
+      val raw = du
+      wau.join(raw, wau("day") === raw("d"))
+    }
+    val mixed = CubeAdvisor.advise(Seq(enriched()), "compbad")
+    assert(mixed.rolling.isEmpty && mixed.uncovered == Seq(0),
+      s"enrichment shell must stay whole and uncovered: $mixed")
+    CubeCatalog.clear()
+  }
 }

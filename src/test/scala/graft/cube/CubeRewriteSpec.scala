@@ -1861,6 +1861,36 @@ class CubeRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("composite dashboard shells route per sub-aggregate") {
+    val srcDir = rollingSetup()
+    def src = spark.read.parquet(srcDir)
+    def du = src.select(col("user_id"), dayCol).distinct()
+    // a mixed-family dashboard: the 7-day WAU curve LEFT-joined to the
+    // daily new-user counts, with a share column in the shell — no
+    // matcher covers the whole tree; each sub-aggregate must rewrite
+    // in place while the user's join/arithmetic shell stays
+    def wau() = graft.functions.Rolling.endpoints(du, 7)
+      .agg(countDistinct(col("user_id")).as("wau"))
+    def newUsers() = src
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("d"))
+      .groupBy(col("user_id")).agg(min(col("d")).as("fd"))
+      .groupBy(col("fd")).agg(count(col("user_id")).as("nn"))
+      .select(col("fd").as("day"), col("nn"))
+    def dashboard() = wau()
+      .join(newUsers(), Seq("day"), "left_outer")
+      .select(col("day"), col("wau"), col("nn"),
+        (coalesce(col("nn"), lit(0L)) / col("wau")).as("new_share"))
+    val q = dashboard()
+    assert(scansOf(q).nonEmpty && scansOf(q).forall(_.endsWith("/rollrw")),
+      s"composite shell route did not fire: ${scansOf(q)}")
+    val served = sortedRows(q)
+    CubeCatalog.clear()
+    assert(sortedRows(dashboard()) == served,
+      "routed composite dashboard must EQUAL the raw recompute")
+  }
+
   test("raw engagement histograms route to the k-count partition") {
     val srcDir = rollingSetup()
     def src = spark.read.parquet(srcDir)
