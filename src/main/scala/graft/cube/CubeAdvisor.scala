@@ -1579,45 +1579,49 @@ object CubeAdvisor {
     case _ => None
   }
 
-  /** The inner aggregate both per-id cohort shapes share: ONE plain
-    * source-column grouping (the id) and at most two outputs — the
-    * required aggregate alias (caller inspects it) plus optionally the
-    * id passthrough (pruned when the outer count never references it).
-    * Returns (source path, join identity, the id's source column, the
-    * inner-grouping exprId, the id output attr if present, the
-    * aggregate alias, the un-consumed predicate conjuncts, the
-    * substitution). A WIDER inner grouping refuses: per-(id, x) groups
-    * duplicate the id and answer a different question — the
-    * analyzeFunnel duplicate-period discipline. */
+  /** The inner aggregate both per-id cohort shapes share: plain
+    * source-column groupings — the id plus optional SEGMENT columns —
+    * and the required aggregate alias (caller inspects it) among
+    * grouping passthroughs. Role assignment (which grouping is the
+    * counted id, which are segments) happens in the CALLER, which
+    * sees the outer grouping and the count leaf — the analyzeRetention
+    * discipline. Returns (source path, join identity, the grouping
+    * attrs with their resolved source columns, the output attrs that
+    * pass groupings through, the aggregate alias, the un-consumed
+    * predicate conjuncts, the substitution). */
   private def perIdAggregate(base: LogicalPlan,
       subOuter: Expression => Expression):
       Option[(String, Option[(String, String, String, String)],
-        AttributeReference, Attribute, Option[Attribute], Alias,
+        Seq[(AttributeReference, AttributeReference)],
+        Seq[Attribute], Alias,
         Seq[Expression], Expression => Expression)] = base match {
-    case Aggregate(gs, outs, c, _) if gs.size == 1 =>
+    case Aggregate(gs, outs, c, _) if gs.nonEmpty =>
       val (inner, env, preds2) = peel(c)
       val sub: Expression => Expression = e => subOuter(subst(env)(e))
       val (path, join, jpreds) = sourceOf(inner).getOrElse(return None)
-      val idGroup = gs.head match {
-        case a: AttributeReference => a
-        case _ => return None
-      }
-      val idSrc = sub(idGroup) match {
-        case a: AttributeReference => a
-        case _ => return None
-      }
-      var idOut: Option[Attribute] = None
+      val groups: Seq[(AttributeReference, AttributeReference)] =
+        gs.map { g =>
+          val ga = g match {
+            case a: AttributeReference => a
+            case _ => return None
+          }
+          sub(ga) match {
+            case src: AttributeReference => ga -> src
+            case _ => return None
+          }
+        }
+      val groupIds = groups.map(_._1.exprId).toSet
+      var passthroughs = Vector.empty[Attribute]
       var agg: Option[Alias] = None
       outs.foreach {
-        case a: AttributeReference if a.exprId == idGroup.exprId =>
-          if (idOut.nonEmpty) return None
-          idOut = Some(a)
+        case a: AttributeReference if groupIds(a.exprId) =>
+          passthroughs :+= a
         case al: Alias =>
           if (agg.nonEmpty) return None
           agg = Some(al)
         case _ => return None
       }
-      agg.map(al => (path, join, idSrc, idGroup, idOut, al,
+      agg.map(al => (path, join, groups, passthroughs, al,
         preds2 ++ jpreds, sub))
     case _ => None
   }
@@ -1631,22 +1635,26 @@ object CubeAdvisor {
     * over a NON-NULLABLE id — the analyzeFunnel distinct-hazard
     * discipline applied to nulls. */
   private def histogramOuts(aggs: Seq[NamedExpression],
-      groupAttr: AttributeReference, idOut: Option[Attribute],
+      groupAttr: AttributeReference, segOf: Map[
+        org.apache.spark.sql.catalyst.expressions.ExprId, String],
+      idOut: Option[Attribute],
       idSrc: AttributeReference, family: String,
       subOuter: Expression => Expression): Option[Seq[RollOut]] = {
     var counted = false
+    def slot(e: Expression): Option[RollOut] = e match {
+      case a: AttributeReference if a.exprId == groupAttr.exprId =>
+        Some(RollOut.Day)
+      case a: AttributeReference if segOf.contains(a.exprId) =>
+        Some(RollOut.Seg(segOf(a.exprId)))
+      case _ => None
+    }
     val outs = aggs.map { ne =>
       val grp = ne match {
-        case a: AttributeReference if a.exprId == groupAttr.exprId =>
-          true
-        case al: Alias => al.child match {
-          case a: AttributeReference => a.exprId == groupAttr.exprId
-          case _ => false
-        }
-        case _ => false
+        case a: AttributeReference => slot(a)
+        case al: Alias => slot(al.child)
+        case _ => None
       }
-      if (grp) RollOut.Day
-      else ne match {
+      grp.getOrElse(ne match {
         case al: Alias => al.child match {
           case AggregateExpression(Count(Seq(c)), Complete, _, _, _)
               if !counted && (subOuter(c) match {
@@ -1664,9 +1672,54 @@ object CubeAdvisor {
           case _ => return None
         }
         case _ => return None
-      }
+      })
     }
     if (counted) Some(outs) else None
+  }
+
+  /** Role assignment for the per-id histogram shapes' OUTER grouping:
+    * the metric attr (min-period / activity count) must be grouped;
+    * every OTHER outer grouping must pass through an inner grouping —
+    * those are SEGMENTS ("new users per week PER PLAN") — and exactly
+    * ONE inner grouping must remain un-grouped outside: the counted
+    * id. An id grouped in the outer ("per-user first periods") or a
+    * second leftover grouping refuses — a different question. */
+  private def histogramRoles(
+      groups: Seq[Expression],
+      metricAttr: Attribute,
+      innerGroups: Seq[(AttributeReference, AttributeReference)],
+      subOuter: Expression => Expression):
+      Option[(AttributeReference, AttributeReference, Seq[String], Map[
+        org.apache.spark.sql.catalyst.expressions.ExprId, String])] = {
+    var sawMetric = false
+    var segs = Vector.empty[(org.apache.spark.sql.catalyst
+      .expressions.ExprId, AttributeReference)]
+    groups.foreach { g =>
+      val ga = g match {
+        case a: AttributeReference => a
+        case _ => return None
+      }
+      subOuter(ga) match {
+        case a: AttributeReference if a.exprId == metricAttr.exprId =>
+          if (sawMetric) return None
+          sawMetric = true
+        case a: AttributeReference =>
+          innerGroups.find(_._1.exprId == a.exprId) match {
+            case Some((_, src)) => segs :+= (ga.exprId -> src)
+            case None => return None
+          }
+        case _ => return None
+      }
+    }
+    if (!sawMetric) return None
+    val segInner = segs.map { case (_, src) => src.exprId }.toSet
+    val leftover = innerGroups.filterNot(g => segInner(g._2.exprId))
+    leftover match {
+      case Seq((idInner, idSrc)) =>
+        Some((idInner, idSrc, segs.map(_._2.name),
+          segs.map { case (oid, src) => oid -> src.name }.toMap))
+      case _ => None
+    }
   }
 
   /** The FIRST-SEEN plan shape — "new users per period", the growth
@@ -1693,30 +1746,37 @@ object CubeAdvisor {
   private[cube] def analyzeFirstSeen(
       plan: LogicalPlan): Option[RetentionNeeds] = plan match {
     case Aggregate(groups, aggs, child, _)
-        if groups.size == 1 &&
+        if groups.nonEmpty &&
           groups.forall(_.isInstanceOf[AttributeReference]) =>
-      val fpAttr = groups.head.asInstanceOf[AttributeReference]
       val (base, env0, preds0) = peel(child)
       if (!preds0.forall(_.isInstanceOf[IsNotNull])) return None
       val subOuter = subst(env0) _
-      val (path, join, idSrc, _, idOut, al, innerPreds, sub) =
-        perIdAggregate(base, subOuter).getOrElse(return None)
+      val (path, join, innerGroups, passthroughs, al, innerPreds,
+        sub) = perIdAggregate(base, subOuter).getOrElse(return None)
       val (tsCol, pd) = al.child match {
         case AggregateExpression(Min(m), Complete, false, _, _) =>
           periodBucket(sub(m)).getOrElse(return None)
         case _ => return None
       }
-      // the outer grouping must BE the min-period alias
-      val fpResolved = subOuter(fpAttr) match {
-        case a: AttributeReference => a
-        case _ => return None
-      }
-      if (fpResolved.exprId != al.toAttribute.exprId) return None
+      // role assignment: the min-period alias is the metric grouping,
+      // other outer groupings are segments, exactly one inner
+      // grouping stays un-grouped — the counted id
+      val (idInner, idSrc, segNames, segOf) =
+        histogramRoles(groups, al.toAttribute, innerGroups, subOuter)
+          .getOrElse(return None)
+      val fpAttr = groups.map(_.asInstanceOf[AttributeReference])
+        .find(g => subOuter(g) match {
+          case a: AttributeReference =>
+            a.exprId == al.toAttribute.exprId
+          case _ => false
+        }).getOrElse(return None)
+      val idOut = passthroughs.find(_.exprId == idInner.exprId)
       val fs = sideFilters(innerPreds, sub).getOrElse(return None)
-      val outs = histogramOuts(aggs, fpAttr, idOut, idSrc,
+      val outs = histogramOuts(aggs, fpAttr, segOf, idOut, idSrc,
         "first_seen", subOuter).getOrElse(return None)
       Some(RetentionNeeds(path, tsCol, idSrc.name, pd,
-        integral(idSrc.dataType), Nil, outs, "first_seen", fs, join))
+        integral(idSrc.dataType), segNames, outs, "first_seen", fs,
+        join))
     case _ => None
   }
 
@@ -1747,24 +1807,28 @@ object CubeAdvisor {
   private[cube] def analyzeEngagement(
       plan: LogicalPlan): Option[RetentionNeeds] = plan match {
     case Aggregate(groups, aggs, child, _)
-        if groups.size == 1 &&
+        if groups.nonEmpty &&
           groups.forall(_.isInstanceOf[AttributeReference]) =>
-      val nAttr = groups.head.asInstanceOf[AttributeReference]
       val (base, env0, preds0) = peel(child)
       if (!preds0.forall(_.isInstanceOf[IsNotNull])) return None
       val subOuter = subst(env0) _
-      val (path, join, idSrc, _, idOut, al, innerPreds, sub) =
-        perIdAggregate(base, subOuter).getOrElse(return None)
+      val (path, join, innerGroups, passthroughs, al, innerPreds,
+        sub) = perIdAggregate(base, subOuter).getOrElse(return None)
       val (tsCol, pd) = al.child match {
         case AggregateExpression(Count(Seq(m)), Complete, true, _, _) =>
           periodBucket(sub(m)).getOrElse(return None)
         case _ => return None
       }
-      val nResolved = subOuter(nAttr) match {
-        case a: AttributeReference => a
-        case _ => return None
-      }
-      if (nResolved.exprId != al.toAttribute.exprId) return None
+      val (idInner, idSrc, segNames, segOf) =
+        histogramRoles(groups, al.toAttribute, innerGroups, subOuter)
+          .getOrElse(return None)
+      val nAttr = groups.map(_.asInstanceOf[AttributeReference])
+        .find(g => subOuter(g) match {
+          case a: AttributeReference =>
+            a.exprId == al.toAttribute.exprId
+          case _ => false
+        }).getOrElse(return None)
+      val idOut = passthroughs.find(_.exprId == idInner.exprId)
       // the epoch-day shapes: /86400 on the single time column, or
       // datediff against the epoch — both EVALUATE to days since
       // 1970-01-01, matching the serve's cell filter unit
@@ -1809,11 +1873,11 @@ object CubeAdvisor {
       val wLo = lo.getOrElse(return None)
       val wHi = hi.getOrElse(return None)
       if (wLo > wHi || wHi - wLo + 1 > 366) return None
-      val outs = histogramOuts(aggs, nAttr, idOut, idSrc,
+      val outs = histogramOuts(aggs, nAttr, segOf, idOut, idSrc,
         "engagement", subOuter).getOrElse(return None)
       Some(RetentionNeeds(path, tsCol, idSrc.name, pd,
-        integral(idSrc.dataType), Nil, outs, "engagement", fs, join,
-        window = Some((wLo, wHi))))
+        integral(idSrc.dataType), segNames, outs, "engagement", fs,
+        join, window = Some((wLo, wHi))))
     case _ => None
   }
 

@@ -2377,6 +2377,89 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q270
+  /** Graded: SEGMENTED FIRST-SEEN routing — "new customers per week
+    * PER ORDER PRIORITY", q264's growth chart split by a dimension,
+    * written the only way raw SQL can: the segment rides BOTH
+    * groupings (per-(id, segment) min week, re-counted per (segment,
+    * week)). [[CubeAdvisor.analyzeFirstSeen]]'s role assignment
+    * (`histogramRoles`) identifies the one inner grouping left
+    * un-grouped outside as the counted id and the passthrough as a
+    * segment; the serve partitions the strict-prefix ANDNOT walk PER
+    * SEGMENT over the cube's (prio, week) bitmap cells — exact, since
+    * an id's first week WITHIN a segment is independent of its other
+    * segments' activity. Plan hard-asserted cube-only; DuckDB
+    * recomputes the two-level grouping raw. 100 TB split: the raw
+    * plan shuffles every (id, segment, period) triple twice per
+    * refresh; the routed serve walks |segments|·|periods| one-row
+    * bitmap frames with the window partitioned per segment — no
+    * single task grows with ids or segments. */
+  def q270SegmentedFirstSeenRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = firstSeenRouteSource(spark, sfDir)
+    val fw = spark.read.parquet(srcDir)
+      .select(col("o_custkey"), col("o_orderpriority"),
+        floor((unix_timestamp(col("o_orderdate")).cast("double") / 86400)
+          .cast("long").cast("double") / 7).cast("long").as("w"))
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(min(col("w")).as("fw"))
+    val q = fw.groupBy(col("o_orderpriority"), col("fw"))
+      .agg(count(col("o_custkey")).as("new_custs"))
+      .select(col("o_orderpriority").as("prio"), col("fw").as("week"),
+        col("new_custs"))
+      .orderBy(col("prio"), col("week"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/first_seen_route_demo")),
+      s"segmented first-seen routing did not fire (or still reads " +
+        s"the source); scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q271
+  /** Graded: SEGMENTED ENGAGEMENT-HISTOGRAM routing — q265's L28
+    * activity histogram split per event type ("of the window's click
+    * users, how many clicked exactly k days"): per-(id, segment)
+    * count(DISTINCT day) under the same inclusive epoch-day bounds,
+    * re-counted per (segment, level). The k-count partition
+    * ([[graft.functions.Bitmap.kCountAgg]]) runs PER SEGMENT over the
+    * window's per-(segment, day) bitmap cells — an id active in two
+    * event types lands in both segments' histograms independently,
+    * exactly the raw plan's semantics. Plan hard-asserted cube-only;
+    * DuckDB recomputes the two-level grouping raw. 100 TB split: the
+    * raw plan shuffles every (id, segment, day) triple in the window
+    * twice; the routed serve reads ≤ 366·|segments| cube-derived
+    * one-row bitmaps and one merge-walk per segment partitions all
+    * its ids at once. */
+  def q271SegmentedEngagementRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = rollingRouteSource(spark, sfDir)
+    val nd = spark.read.parquet(srcDir)
+      .select(col("user_id"), col("event_type"),
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("d"))
+      .filter(col("d").between(19723L, 19750L))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(countDistinct(col("d")).as("days_active"))
+    val q = nd.groupBy(col("event_type"), col("days_active"))
+      .agg(count(col("user_id")).as("users"))
+      .select(col("event_type").as("etype"), col("days_active"),
+        col("users"))
+      .orderBy(col("etype"), col("days_active"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/rolling_route_demo")),
+      s"segmented engagement routing did not fire (or still reads " +
+        s"the source); scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q261
   /** Graded: RETENTION ROUTING over a registered JOIN — the raw
     * distinct-pair self-join cohort plan written over
@@ -4301,6 +4384,8 @@ object CubeQueries {
     "q263_join_funnel_routing" -> q263JoinFunnelRouting,
     "q264_first_seen_routing" -> q264FirstSeenRouting,
     "q265_engagement_routing" -> q265EngagementRouting,
+    "q270_segmented_first_seen_routing" -> q270SegmentedFirstSeenRouting,
+    "q271_segmented_engagement_routing" -> q271SegmentedEngagementRouting,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -5391,6 +5476,33 @@ object CubeQueries {
              FROM du WHERE d BETWEEN 19723 AND 19750 GROUP BY 1)
       SELECT days_active, count(user_id) AS users
       FROM nd GROUP BY 1 ORDER BY 1""",
+    // q264 per segment: per-(id, priority) min week, re-counted per
+    // (priority, week) — the per-segment ANDNOT walk must hash-match
+    "q270_segmented_first_seen_routing" -> """
+      WITH du AS (
+        SELECT o_custkey, o_orderpriority,
+          CAST(floor(CAST(floor(floor(epoch(CAST(o_orderdate
+            AS TIMESTAMP))) / 86400) AS BIGINT) / 7.0) AS BIGINT) AS w
+        FROM orders),
+      f AS (SELECT o_custkey, o_orderpriority, min(w) AS fw
+            FROM du GROUP BY 1, 2)
+      SELECT o_orderpriority AS prio, fw AS week,
+        count(o_custkey) AS new_custs
+      FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q265 per segment: per-(id, event type) distinct window days,
+    // re-counted per (event type, level) — the per-segment k-count
+    // partition must hash-match
+    "q271_segmented_engagement_routing" -> """
+      WITH du AS (
+        SELECT user_id, event_type,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+            AS BIGINT) AS d
+        FROM events),
+      nd AS (SELECT user_id, event_type,
+               count(DISTINCT d) AS days_active
+             FROM du WHERE d BETWEEN 19723 AND 19750 GROUP BY 1, 2)
+      SELECT event_type AS etype, days_active, count(user_id) AS users
+      FROM nd GROUP BY 1, 2 ORDER BY 1, 2""",
     // both raw trailing-window shapes recomputed raw; the enclosing
     // join/ratio shell is the user's own — the per-sub-metric routed
     // plan must hash-match it end to end

@@ -1290,12 +1290,20 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
           Math.floorDiv(wLo, needs.periodDays.toLong) + 1).toInt
         val perW = filteredFrame
           .filter(dayNum.between(wLo, wHi))
-          .groupBy(periodKey)
+          .groupBy((segCols :+ periodKey): _*)
           .agg(B.unionAgg(col(bmId)).as("__bm"))
-        perW.agg(B.kCountAgg(col("__bm"), maxK).as("__k"))
-          .select(posexplode(col("__k")))
-          .select((col("pos") + 1).cast("long").as("__p"),
-            col("col").as("__ret"))
+        // segmented histograms partition the k-count per segment —
+        // an id's bucket counts its active periods WITHIN the segment
+        val kced =
+          if (segCols.isEmpty)
+            perW.agg(B.kCountAgg(col("__bm"), maxK).as("__k"))
+          else perW.groupBy(segCols: _*)
+            .agg(B.kCountAgg(col("__bm"), maxK).as("__k"))
+        kced
+          .select((segCols :+ posexplode(col("__k"))): _*)
+          .select((segCols ++ Seq(
+            (col("pos") + 1).cast("long").as("__p"),
+            col("col").as("__ret"))): _*)
           .filter(col("__ret") >= 1)
       case k =>
         // churned: ids of p absent from p+1 — pair with the FOLLOWING

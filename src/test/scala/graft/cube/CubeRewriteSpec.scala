@@ -1830,16 +1830,26 @@ class CubeRewriteSpec extends AnyFunSuite {
       if (renamed) q0.select(col("fw").as("first_period"), col("nn"))
       else q0
     }
+    // SEGMENTED form: "new users per period per event type" — the
+    // segment rides both groupings, the serve partitions the
+    // prefix-ANDNOT walk per segment
+    def seg() = src
+      .groupBy(col("user_id"), col("etype"))
+      .agg(min(floor((unix_timestamp(col("ts")).cast("double") / 86400)
+        .cast("long").cast("double") / 3).cast("long")).as("fw"))
+      .groupBy(col("etype"), col("fw"))
+      .agg(count(col("user_id")).as("nn"))
     val routed = Seq(firstSeen(3), firstSeen(1), firstSeen(3,
       renamed = true), firstSeen(3, filtered = true),
-      firstSeen(3, distinctCount = true))
+      firstSeen(3, distinctCount = true), seg())
     routed.foreach { q =>
       assert(scansOf(q).forall(_.endsWith("/rollrw")),
         s"first-seen route did not fire: ${scansOf(q)}")
     }
     val norm = CubeCatalog.normalize(srcDir)
-    // a wider inner grouping duplicates the id (per-(id, etype) first
-    // periods answer a different question) — must refuse
+    // an inner grouping wider than (id, outer segments) duplicates
+    // the id un-grouped — per-(id, etype) first periods re-counted
+    // WITHOUT etype answer a different question; must refuse
     assert(scansOf(firstSeen(3, wideInner = true)).distinct == Seq(norm),
       "wide inner grouping must refuse the first-seen route")
     // counting the PERIOD column instead of the id refuses (count(fw)
@@ -1853,7 +1863,7 @@ class CubeRewriteSpec extends AnyFunSuite {
     CubeCatalog.clear()
     val raw = Seq(firstSeen(3), firstSeen(1), firstSeen(3,
       renamed = true), firstSeen(3, filtered = true),
-      firstSeen(3, distinctCount = true))
+      firstSeen(3, distinctCount = true), seg())
     raw.zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
       assert(sortedRows(q) == s,
         s"routed first-seen counts must EQUAL the raw min-period " +
@@ -1925,8 +1935,21 @@ class CubeRewriteSpec extends AnyFunSuite {
         else count(col("user_id"))
       nd.groupBy(col("n_active")).agg(cnt.as("users"))
     }
+    // SEGMENTED form: per-event-type activity histograms — the
+    // k-count partitions per segment, an id's bucket counts its
+    // active days WITHIN the segment
+    def segH() = {
+      val dayC = (unix_timestamp(col("ts")).cast("double") / 86400)
+        .cast("long")
+      src.select(col("user_id"), col("etype"), dayC.as("d"))
+        .filter(col("d") >= lo && col("d") <= hi)
+        .groupBy(col("user_id"), col("etype"))
+        .agg(countDistinct(col("d")).as("n_active"))
+        .groupBy(col("etype"), col("n_active"))
+        .agg(count(col("user_id")).as("users"))
+    }
     val routed = Seq(hist(), hist(periodDays = 2),
-      hist(filtered = true), hist(distinctCount = true))
+      hist(filtered = true), hist(distinctCount = true), segH())
     routed.foreach { q =>
       assert(scansOf(q).forall(_.endsWith("/rollrw")),
         s"engagement route did not fire: ${scansOf(q)}")
@@ -1950,7 +1973,7 @@ class CubeRewriteSpec extends AnyFunSuite {
     val servedRows = routed.map(sortedRows)
     CubeCatalog.clear()
     val raw = Seq(hist(), hist(periodDays = 2),
-      hist(filtered = true), hist(distinctCount = true))
+      hist(filtered = true), hist(distinctCount = true), segH())
     raw.zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
       assert(sortedRows(q) == s,
         s"routed k-count partition must EQUAL the raw two-level " +
@@ -2175,14 +2198,37 @@ class CubeRewriteSpec extends AnyFunSuite {
         .groupBy(col("day"))
         .agg(countDistinct(col("uid")).as("converted"))
     }
-    val routedQs = Seq(rolling(), retained(), cumulative(), funnel())
+    // the newest histogram families over STRING keys: first-seen and
+    // the fixed-window engagement histogram — dict partials behave as
+    // plain bitmaps (dense ids are consistent across periods within
+    // the cube, so ANDNOT walks and k-count partitions stay exact)
+    def firstSeen() = src
+      .select(col("uid"),
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("d"))
+      .groupBy(col("uid")).agg(min(col("d")).as("fd"))
+      .groupBy(col("fd")).agg(count(col("uid")).as("nn"))
+    def engagement() = {
+      val day0 = 1700000000000L / 86400000L
+      src.select(col("uid"),
+          (unix_timestamp(col("ts")).cast("double") / 86400)
+            .cast("long").as("d"))
+        .filter(col("d").between(day0 + 1, day0 + 6))
+        .groupBy(col("uid"))
+        .agg(countDistinct(col("d")).as("n_active"))
+        .groupBy(col("n_active"))
+        .agg(count(col("uid")).as("users"))
+    }
+    val routedQs = Seq(rolling(), retained(), cumulative(), funnel(),
+      firstSeen(), engagement())
     routedQs.zipWithIndex.foreach { case (q, i) =>
       assert(scansOf(q).forall(_.endsWith("/dictrw")),
         s"string-id route $i did not fire: ${scansOf(q)}")
     }
     val servedRows = routedQs.map(sortedRows)
     CubeCatalog.clear()
-    Seq(rolling(), retained(), cumulative(), funnel())
+    Seq(rolling(), retained(), cumulative(), funnel(), firstSeen(),
+      engagement())
       .zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
         assert(sortedRows(q) == s,
           s"dictionary-routed result must EQUAL the raw recompute " +
