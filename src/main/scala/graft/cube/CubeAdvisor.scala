@@ -1,7 +1,7 @@
 package graft.cube
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, Divide, EqualNullSafe, EqualTo, Explode, Expression, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThanOrEqual, Literal, NamedExpression, Sequence, Subtract, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, Divide, EqualNullSafe, EqualTo, Explode, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Sequence, Subtract, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Complete, Count, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Generate, Join, LogicalPlan, Project}
@@ -358,6 +358,11 @@ object CubeAdvisor {
       claim(analyzeFirstSeen)
     val engagementHits: Seq[(Int, RetentionNeeds)] =
       claim(analyzeEngagement)
+    // growth accounting's fourth cell — the three-join resurrected
+    // plan folds into the same day-dimmed bitmap-cube family (the
+    // serve is an ANDNOT-prefix walk over the same period bitmaps)
+    val resurrectedHits: Seq[(Int, RetentionNeeds)] =
+      claim(analyzeResurrected)
     val analyzed: Seq[(Int, Option[Needs])] =
       comps.zipWithIndex.collect {
         case ((qi, p), ci) if !claimed(ci) => qi -> analyze(p)
@@ -397,7 +402,7 @@ object CubeAdvisor {
             join = hits.head._2.join)
       }
     val retentionRecs = keep(retentionHits ++ cumulativeHits ++
-        firstSeenHits ++ engagementHits)
+        firstSeenHits ++ engagementHits ++ resurrectedHits)
       .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol, h._2.segments,
         h._2.filters.map(_._1).distinct.sorted))
       .toSeq.sortBy(g => (g._1._1, g._1._2, g._1._3,
@@ -1129,6 +1134,268 @@ object CubeAdvisor {
             }, kind, cur.filters, cur.join))
         case _ => None
       }
+    case _ => None
+  }
+
+  /** The RESURRECTED plan shape — growth accounting's fourth matrix
+    * cell, the one [[analyzeRetention]]'s two-join forms cannot
+    * express: of period p's active ids, those ABSENT from p−1 that
+    * WERE seen in some period before it. Users write the
+    * earlier-activity witness one of two ways, both matched:
+    *
+    *   - a LEFT SEMI join back onto the pairs with `q < p`
+    *     ("EXISTS earlier activity"), or
+    *   - an INNER join against the per-id min-period aggregate with
+    *     `first < p` (the first-seen frame growth dashboards already
+    *     compute).
+    *
+    * The anti (p−1 exclusion) and witness joins stack over the
+    * current pair side in either order; all sides must be the SAME
+    * source, period derivation and dim filters. Exactness of the
+    * serve: resurrected_p = |B_p ∖ B_{p−1} ∩ prefixOR(B_{<p})| — the
+    * witness `q < p` admits q = p−1, but those ids are already
+    * removed by the anti side, so the strict prefix union IS the
+    * witness set; an UNOBSERVED p−1 reads as the empty set in both
+    * forms (anti keeps everything, ANDNOT-empty is identity). The
+    * first period never emits a row in either form (no earlier
+    * witness exists / the prefix is empty — the serve's ≥ 1 filter).
+    * Refusals keep the honesty contract: a non-strict witness
+    * inequality (`q ≤ p` admits same-period self-witness — every id
+    * "resurrects", a different query), segments (wider groupings),
+    * mismatched sources/periods/filters, or extra conjuncts all
+    * return None. Reuses [[RetentionNeeds]] with
+    * `kind = "resurrected"` so the hits fold into the same
+    * day-dimmed bitmap-cube recommendation family. */
+  private[cube] def analyzeResurrected(
+      plan: LogicalPlan): Option[RetentionNeeds] = plan match {
+    case Aggregate(groups, aggs, child, _)
+        if groups.size == 1 &&
+          groups.head.isInstanceOf[AttributeReference] =>
+      val pGroup = groups.head.asInstanceOf[AttributeReference]
+      // peel the two wrapper joins (either stacking order): exactly
+      // one LeftAnti (the p−1 exclusion) and one witness layer over
+      // the current pair side. A layer is consumed only when the
+      // PEELED node is a Join (attribute-only Projects between layers
+      // fold into the running env; non-IsNotNull Filters refuse); the
+      // final — current-pairs — side is handed to the pair matchers
+      // RAW, so its own projection/dim-filters stay intact for them.
+      var env = Map.empty[
+        org.apache.spark.sql.catalyst.expressions.ExprId, Expression]
+      var node: LogicalPlan = child
+      var anti: Option[(LogicalPlan, Expression)] = None
+      var wit: Option[(String, LogicalPlan, Expression)] = None
+      var walking = true
+      while (walking) {
+        val (b, e, pr) = peel(node)
+        b match {
+          case Join(l, r, org.apache.spark.sql.catalyst.plans.LeftAnti,
+              Some(cond), _) if anti.isEmpty =>
+            if (!pr.forall(_.isInstanceOf[IsNotNull])) return None
+            env ++= e
+            anti = Some((r, cond))
+            node = l
+          case Join(l, r, org.apache.spark.sql.catalyst.plans.LeftSemi,
+              Some(cond), _) if wit.isEmpty =>
+            if (!pr.forall(_.isInstanceOf[IsNotNull])) return None
+            env ++= e
+            wit = Some(("semi", r, cond))
+            node = l
+          case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
+              Some(cond), _) if wit.isEmpty =>
+            if (!pr.forall(_.isInstanceOf[IsNotNull])) return None
+            // the witness is whichever side is a per-id aggregate;
+            // the current pairs continue on the other. A per-id
+            // aggregate side is an Aggregate with ONE grouping after
+            // its peel (a distinct pair side has two — disjoint).
+            def isPerId(s: LogicalPlan): Boolean = peel(s)._1 match {
+              case Aggregate(gs, _, _, _) if gs.size == 1 => true
+              case _ => false
+            }
+            env ++= e
+            if (isPerId(r) && !isPerId(l)) {
+              wit = Some(("inner", r, cond))
+              node = l
+            } else if (isPerId(l) && !isPerId(r)) {
+              wit = Some(("inner", l, cond))
+              node = r
+            } else return None
+          case Aggregate(gs, outs, dc, _)
+              if outs.forall(_.isInstanceOf[Attribute]) &&
+                gs.map(_.canonicalized).toSet ==
+                  outs.map(_.canonicalized).toSet &&
+                peel(dc)._1.isInstanceOf[Join] =>
+            // a pure DISTINCT between the wrapper joins (the
+            // optimizer hoists the pair dedup above the anti) is a
+            // no-op for this matcher: the only admitted leaf is
+            // count(DISTINCT id), which kills row multiplicity anyway
+            // — descend. Output attrs are the input attrs, so every
+            // collected condition keeps resolving.
+            if (!pr.forall(_.isInstanceOf[IsNotNull])) return None
+            env ++= e
+            node = dc
+          case _ => walking = false
+        }
+      }
+      if (anti.isEmpty || wit.isEmpty) return None
+      val cur = distinctPairs(node).orElse(projectedPairs(node))
+        .getOrElse(return None)
+      if (pGroup.exprId != cur.pId) return None
+      val curColOf = cur.cols.toMap
+      // aggregate leaves: the period grouping (possibly renamed) plus
+      // ONE count(DISTINCT <cur id column>) — nothing else
+      var idId: Option[org.apache.spark.sql.catalyst.expressions
+        .ExprId] = None
+      val outs: Seq[RollOut] = aggs.map { ne =>
+        val grp = ne match {
+          case a: AttributeReference if a.exprId == cur.pId => true
+          case al: Alias => al.child match {
+            case a: AttributeReference => a.exprId == cur.pId
+            case _ => false
+          }
+          case _ => false
+        }
+        if (grp) RollOut.Day
+        else ne match {
+          case al: Alias => al.child match {
+            case AggregateExpression(Count(Seq(
+                ca: AttributeReference)), Complete, true, _, _)
+                if curColOf.contains(ca.exprId) && idId.isEmpty =>
+              idId = Some(ca.exprId)
+              RollOut.Leaf("resurrected", "")
+            case _ => return None
+          }
+          case _ => return None
+        }
+      }
+      if (idId.isEmpty) return None
+      val idSrc = curColOf(idId.get)
+      def conj(e: Expression): Seq[Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+          conj(a) ++ conj(b)
+        case o => Seq(o)
+      }
+      def one(e: Expression) = e match {
+        case Literal(1, _) | Literal(1L, _) => true
+        case _ => false
+      }
+      // id equality against a side: same exprId role on ours, same
+      // SOURCE column name on theirs
+      def idEq(x: AttributeReference, y: AttributeReference,
+          theirCols: Map[org.apache.spark.sql.catalyst.expressions
+            .ExprId, AttributeReference]): Boolean = {
+        def ok(c: AttributeReference, t: AttributeReference) =
+          c.exprId == idId.get && theirCols.get(t.exprId)
+            .exists(_.name == idSrc.name)
+        ok(x, y) || ok(y, x)
+      }
+      // ---- the anti side: same pairs, adjacency prev.p = cur.p − 1
+      val prev = distinctPairs(anti.get._1)
+        .orElse(projectedPairs(anti.get._1)).getOrElse(return None)
+      if (prev.path != cur.path || prev.tsCol != cur.tsCol ||
+          prev.periodDays != cur.periodDays) return None
+      if (filterKey(prev.filters) != filterKey(cur.filters))
+        return None
+      val prevColOf = prev.cols.toMap
+      val acs = conj(anti.get._2)
+      if (acs.size != 2) return None
+      var aIdOk = false
+      var aAdjOk = false
+      acs.foreach {
+        // prev.p = cur.p − 1 in either algebraic writing; the absent
+        // side must be the EARLIER period (absent-later is churn —
+        // a different cell, already analyzeRetention's)
+        case EqualTo(a: AttributeReference,
+            Subtract(b: AttributeReference, o, _)) if one(o) =>
+          if (a.exprId == prev.pId && b.exprId == cur.pId) aAdjOk = true
+          else return None
+        case EqualTo(Subtract(b: AttributeReference, o, _),
+            a: AttributeReference) if one(o) =>
+          if (a.exprId == prev.pId && b.exprId == cur.pId) aAdjOk = true
+          else return None
+        case EqualTo(a: AttributeReference,
+            Add(b: AttributeReference, o, _)) if one(o) =>
+          if (b.exprId == prev.pId && a.exprId == cur.pId) aAdjOk = true
+          else return None
+        case EqualTo(Add(b: AttributeReference, o, _),
+            a: AttributeReference) if one(o) =>
+          if (b.exprId == prev.pId && a.exprId == cur.pId) aAdjOk = true
+          else return None
+        case EqualTo(x: AttributeReference, y: AttributeReference) =>
+          if (idEq(x, y, prevColOf)) aIdOk = true else return None
+        case _ => return None
+      }
+      if (!aIdOk || !aAdjOk) return None
+      // ---- the witness side
+      wit.get match {
+        case ("semi", wp, wcond) =>
+          val w = distinctPairs(wp).orElse(projectedPairs(wp))
+            .getOrElse(return None)
+          if (w.path != cur.path || w.tsCol != cur.tsCol ||
+              w.periodDays != cur.periodDays) return None
+          if (filterKey(w.filters) != filterKey(cur.filters))
+            return None
+          val wColOf = w.cols.toMap
+          val wcs = conj(wcond)
+          if (wcs.size != 2) return None
+          var wIdOk = false
+          var wLtOk = false
+          wcs.foreach {
+            case EqualTo(x: AttributeReference, y: AttributeReference) =>
+              if (idEq(x, y, wColOf)) wIdOk = true else return None
+            case LessThan(a: AttributeReference, b: AttributeReference)
+                if a.exprId == w.pId && b.exprId == cur.pId =>
+              wLtOk = true
+            case GreaterThan(b: AttributeReference,
+                a: AttributeReference)
+                if a.exprId == w.pId && b.exprId == cur.pId =>
+              wLtOk = true
+            case _ => return None
+          }
+          if (!wIdOk || !wLtOk) return None
+        case (_, wp, wcond) =>
+          val (wb, we, wpr) = peel(wp)
+          if (!wpr.forall(_.isInstanceOf[IsNotNull])) return None
+          val (wpath, wjoin, wgroups, _, wal, wpreds, wsub) =
+            perIdAggregate(wb, subst(env ++ we) _).getOrElse(return None)
+          if (wgroups.size != 1) return None
+          val (wIdAttr, wIdSrc) = wgroups.head
+          if (wIdSrc.name != idSrc.name) return None
+          val (wtsCol, wpd) = wal.child match {
+            case AggregateExpression(Min(m), Complete, false, _, _) =>
+              periodBucket(wsub(m)).getOrElse(return None)
+            case _ => return None
+          }
+          if (wpath != cur.path || wtsCol != cur.tsCol ||
+              wpd != cur.periodDays) return None
+          if (wjoin != cur.join) return None
+          val wfs = sideFilters(wpreds, wsub).getOrElse(return None)
+          if (filterKey(wfs) != filterKey(cur.filters)) return None
+          val wcs = conj(wcond)
+          if (wcs.size != 2) return None
+          var wIdOk = false
+          var wLtOk = false
+          wcs.foreach {
+            case EqualTo(x: AttributeReference, y: AttributeReference) =>
+              val ok = (x.exprId == idId.get &&
+                  y.exprId == wIdAttr.exprId) ||
+                (y.exprId == idId.get && x.exprId == wIdAttr.exprId)
+              if (ok) wIdOk = true else return None
+            case LessThan(a: AttributeReference, b: AttributeReference)
+                if a.exprId == wal.toAttribute.exprId &&
+                  b.exprId == cur.pId =>
+              wLtOk = true
+            case GreaterThan(b: AttributeReference,
+                a: AttributeReference)
+                if a.exprId == wal.toAttribute.exprId &&
+                  b.exprId == cur.pId =>
+              wLtOk = true
+            case _ => return None
+          }
+          if (!wIdOk || !wLtOk) return None
+      }
+      Some(RetentionNeeds(cur.path, cur.tsCol, idSrc.name,
+        cur.periodDays, integral(idSrc.dataType), Nil, outs,
+        "resurrected", cur.filters, cur.join))
     case _ => None
   }
 

@@ -2460,6 +2460,55 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q272
+  /** Graded: RESURRECTED routing — growth accounting's fourth matrix
+    * cell as users write it raw ("customers who came BACK each week":
+    * distinct (customer, week) pairs ANTI-joined on the preceding
+    * week, LEFT-SEMI-joined back onto the pairs as the
+    * earlier-activity witness `q < w`, re-counted per week), over a
+    * REGISTERED source, rewritten by [[CubeRewriteRule]] to
+    * |(B_w ∖ B_{w−1}) ∩ prefixOR(B_{<w})| over the cube's weekly
+    * bitmap unions — [[CubeService.getGrowthAccounting]]'s
+    * `resurrected` column, recognized by
+    * [[CubeAdvisor.analyzeResurrected]]. With q234 (retained), q235
+    * (churned/new) and q264 (first-seen) this completes the routed
+    * growth-accounting dashboard: every cell of the classic
+    * new/retained/resurrected/churned matrix now routes from its raw
+    * plan. Plan hard-asserted cube-only; DuckDB recomputes the
+    * three-join set algebra raw. 100 TB split: the raw plan pays
+    * THREE shuffles of the source's (id, period) pairs per refresh
+    * and the `q < w` witness is quadratic in |periods| at the source;
+    * the routed serve is one incremental prefix window plus one
+    * adjacent-period pairing over the ~340-row |periods| frame. */
+  def q272ResurrectedRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = firstSeenRouteSource(spark, sfDir)
+    def up = spark.read.parquet(srcDir)
+      .select(col("o_custkey"),
+        floor((unix_timestamp(col("o_orderdate")).cast("double") / 86400)
+          .cast("long").cast("double") / 7).cast("long").as("w"))
+      .distinct()
+    val q0 = up.as("c").join(up.as("prev"),
+        col("c.o_custkey") === col("prev.o_custkey") &&
+          col("prev.w") === col("c.w") - 1, "left_anti")
+      .as("c2").join(up.as("wit"),
+        col("wit.o_custkey") === col("c2.o_custkey") &&
+          col("wit.w") < col("c2.w"), "left_semi")
+      .groupBy(col("w"))
+      .agg(countDistinct(col("o_custkey")).as("resurrected"))
+    val q = q0.select(col("w").as("week"), col("resurrected"))
+      .orderBy(col("week"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/first_seen_route_demo")),
+      s"resurrected routing did not fire (or still reads the " +
+        s"source); scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q261
   /** Graded: RETENTION ROUTING over a registered JOIN — the raw
     * distinct-pair self-join cohort plan written over
@@ -4386,6 +4435,7 @@ object CubeQueries {
     "q265_engagement_routing" -> q265EngagementRouting,
     "q270_segmented_first_seen_routing" -> q270SegmentedFirstSeenRouting,
     "q271_segmented_engagement_routing" -> q271SegmentedEngagementRouting,
+    "q272_resurrected_routing" -> q272ResurrectedRouting,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -5503,6 +5553,23 @@ object CubeQueries {
              FROM du WHERE d BETWEEN 19723 AND 19750 GROUP BY 1, 2)
       SELECT event_type AS etype, days_active, count(user_id) AS users
       FROM nd GROUP BY 1, 2 ORDER BY 1, 2""",
+    // growth accounting's fourth cell recomputed raw: absent from
+    // w−1, seen before — the routed ANDNOT-prefix walk must hash-match
+    "q272_resurrected_routing" -> """
+      WITH du AS (
+        SELECT DISTINCT o_custkey,
+          CAST(floor(CAST(floor(floor(epoch(CAST(o_orderdate
+            AS TIMESTAMP))) / 86400) AS BIGINT) / 7.0) AS BIGINT) AS w
+        FROM orders),
+      r AS (
+        SELECT cur.w, cur.o_custkey
+        FROM du cur
+        WHERE NOT EXISTS (SELECT 1 FROM du p
+                WHERE p.o_custkey = cur.o_custkey AND p.w = cur.w - 1)
+          AND EXISTS (SELECT 1 FROM du q
+                WHERE q.o_custkey = cur.o_custkey AND q.w < cur.w))
+      SELECT w AS week, count(DISTINCT o_custkey) AS resurrected
+      FROM r GROUP BY 1 ORDER BY 1""",
     // both raw trailing-window shapes recomputed raw; the enclosing
     // join/ratio shell is the user's own — the per-sub-metric routed
     // plan must hash-match it end to end

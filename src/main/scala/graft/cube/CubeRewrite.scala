@@ -394,7 +394,8 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
                 tryRewriteRolling(agg)
                   .orElse(tryRewriteRetention(agg))
                   .orElse(tryRewriteCumulative(agg))
-                  .orElse(tryRewriteFunnel(agg)).getOrElse(agg)
+                  .orElse(tryRewriteFunnel(agg))
+                  .orElse(tryRewriteResurrected(agg)).getOrElse(agg)
               else candidates.minBy(_._2)._1
             case _: Aggregate =>
               // an Aggregate OVER an Aggregate is the per-id cohort
@@ -1183,6 +1184,26 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     if (candidates.isEmpty) None else Some(candidates.minBy(_._2)._1)
   }
 
+  /** RESURRECTED routing — growth accounting's fourth cell as users
+    * write it raw (pairs ANTI-joined on p−1 with an earlier-activity
+    * witness: a `q < p` semi-join or a min-period inner join,
+    * recognized by [[CubeAdvisor.analyzeResurrected]]) rewritten to
+    * |(B_p ∖ B_{p−1}) ∩ prefixOR(B_{<p})| over per-period bitmap
+    * unions of the registered day-dimmed cube — the
+    * [[CubeService.getGrowthAccounting]] `resurrected` column. The
+    * raw form pays THREE shuffles of the source's (id, period) pairs
+    * per refresh (the two witness joins plus the recount) and the
+    * `q < p` witness is quadratic in |periods| at the source; the
+    * serve is one incremental window pass plus one adjacent-period
+    * pairing over the |periods| frame. Shares
+    * [[buildRetentionServe]]'s kind dispatch. */
+  private def tryRewriteResurrected(agg: Aggregate): Option[LogicalPlan] = {
+    val needs = CubeAdvisor.analyzeResurrected(agg).getOrElse(return None)
+    if (needs.outs.isEmpty) return None
+    val candidates = cohortCandidates(agg, needs)
+    if (candidates.isEmpty) None else Some(candidates.minBy(_._2)._1)
+  }
+
   private def buildRetentionServe(
       agg: Aggregate,
       needs: CubeAdvisor.RetentionNeeds,
@@ -1304,6 +1325,33 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
           .select((segCols ++ Seq(
             (col("pos") + 1).cast("long").as("__p"),
             col("col").as("__ret"))): _*)
+          .filter(col("__ret") >= 1)
+      case "resurrected" =>
+        // growth accounting's fourth cell: in B_p, ABSENT from
+        // B_{p−1}, present in SOME earlier period —
+        // |(B_p ∖ prev) ∩ prefixOR(B_{<p})|. The left pairing +
+        // empty-bitmap coalesce keeps the raw anti-join's
+        // no-contiguity-gate semantics (an unobserved p−1 excludes
+        // nothing); the strict prefix union IS the earlier-activity
+        // witness (q < p admits q = p−1, but those ids are already
+        // gone from the ANDNOT); the ≥ 1 filter reproduces the raw
+        // row set — the first period is never some id's resurrection
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(segCols: _*)
+          .orderBy(col("__p"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            -1)
+        val emptyBm = lit(Array[Byte](0, 0, 0, 0)) // codec: zero blocks
+        val withPrefix = per.withColumn("__prefix",
+          coalesce(B.unionAgg(col("__bm")).over(w), emptyBm))
+        val prev = per.select((segCols ++ Seq(
+          (col("__p") + 1).as("__p"), col("__bm").as("__obm"))): _*)
+        withPrefix.join(prev, segIds :+ "__p", "left_outer")
+          .select((segCols ++ Seq(col("__p"),
+            B.cardinality(B.and(B.andNot(col("__bm"),
+              coalesce(col("__obm"), emptyBm)), col("__prefix")))
+              .as("__ret"))): _*)
           .filter(col("__ret") >= 1)
       case k =>
         // churned: ids of p absent from p+1 — pair with the FOLLOWING

@@ -1013,20 +1013,39 @@ class CubeAdvisorSpec extends AnyFunSuite {
         .groupBy(col("n_active"))
         .agg(count(col("uid")).as("users"))
     }
-    // both hits want the SAME day-dimmed bitmap cube the retention
-    // family maintains — one recommendation covers both
-    val advice = CubeAdvisor.advise(Seq(firstSeenQ(), engageQ()), "fs")
+    // growth accounting's fourth cell rides the same cube: the raw
+    // three-join resurrected plan (anti on p−1, semi witness q < p)
+    def resurrectedQ() = {
+      val up = src.select(col("uid"),
+          (unix_timestamp(col("ts")).cast("double") / 86400)
+            .cast("long").as("d")).distinct()
+      up.as("c").join(up.as("prev"),
+          col("c.uid") === col("prev.uid") &&
+            col("prev.d") === col("c.d") - 1, "left_anti")
+        .as("c2").join(up.as("w"),
+          col("w.uid") === col("c2.uid") && col("w.d") < col("c2.d"),
+          "left_semi")
+        .groupBy(col("d"))
+        .agg(countDistinct(col("uid")).as("resurrected"))
+    }
+    // all three hits want the SAME day-dimmed bitmap cube the
+    // retention family maintains — one recommendation covers them
+    val advice = CubeAdvisor.advise(
+      Seq(firstSeenQ(), engageQ(), resurrectedQ()), "fs")
     assert(advice.retention.size == 1 && advice.uncovered.isEmpty,
       advice.toString)
     val rec = advice.retention.head
-    assert(rec.coveredQueries == Seq(0, 1), rec.toString)
+    assert(rec.coveredQueries == Seq(0, 1, 2), rec.toString)
     assert(rec.config.bitmaps.map(_.path) == Seq("uid"), rec.toString)
     // capture the raw answers BEFORE registration
     val rawFs = firstSeenQ().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val rawEn = engageQ().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rawRz = resurrectedQ().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rawFs.size > 3, s"fixture must spread first-seen: $rawFs")
+    assert(rawRz.nonEmpty, "fixture must resurrect some ids")
     // honesty loop, the q254 discipline: materialize VERBATIM,
     // register, and the SAME raw plans silently route — cube-only
     // plans, identical answers
@@ -1039,17 +1058,22 @@ class CubeAdvisorSpec extends AnyFunSuite {
         case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
           CubeCatalog.sourcePathOf(r)
       }.flatten
-    val (fsQ, enQ) = (firstSeenQ(), engageQ())
+    val (fsQ, enQ, rzQ) = (firstSeenQ(), engageQ(), resurrectedQ())
     assert(scans(fsQ).nonEmpty &&
       scans(fsQ).forall(_.endsWith("/" + rec.config.name)),
       s"advised first-seen must route: ${scans(fsQ)}")
     assert(scans(enQ).nonEmpty &&
       scans(enQ).forall(_.endsWith("/" + rec.config.name)),
       s"advised engagement must route: ${scans(enQ)}")
+    assert(scans(rzQ).nonEmpty &&
+      scans(rzQ).forall(_.endsWith("/" + rec.config.name)),
+      s"advised resurrected must route: ${scans(rzQ)}")
     assert(fsQ.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       == rawFs, "routed first-seen must equal the raw plan")
     assert(enQ.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       == rawEn, "routed engagement must equal the raw plan")
+    assert(rzQ.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == rawRz, "routed resurrected must equal the raw plan")
     // refusal edge rides the same matcher the rewrite uses: a strict
     // window bound stays uncovered
     val bad = CubeAdvisor.advise(Seq(engageQ(strictLo = true)), "fsbad")

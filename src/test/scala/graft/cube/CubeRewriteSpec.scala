@@ -1981,6 +1981,92 @@ class CubeRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("raw resurrected plans route to the ANDNOT-prefix serve") {
+    val srcDir = rollingSetup()
+    def src = spark.read.parquet(srcDir)
+    def up(filtered: Boolean = false) = {
+      val b = if (filtered) src.filter(col("etype") === "click") else src
+      b.select(col("user_id"), dayCol).distinct()
+    }
+    // growth accounting's fourth cell, raw: of day d's actives, those
+    // absent from d−1 that WERE seen earlier — anti on the preceding
+    // day plus an earlier-activity witness (semi `q < d` or the
+    // min-period frame), the joins stacked in either order
+    def res(semiOutside: Boolean = false, minJoin: Boolean = false,
+        filtered: Boolean = false, nonStrict: Boolean = false,
+        plainCount: Boolean = false, oneSided: Boolean = false,
+        wrongAdjacency: Boolean = false, segmented: Boolean = false) = {
+      val u = up(filtered)
+      val uw = up(filtered && !oneSided)
+      def antiOf(l: DataFrame) = l.as("c").join(u.as("prev"),
+        col("c.user_id") === col("prev.user_id") &&
+          (if (wrongAdjacency) col("prev.d") === col("c.d") + 1
+           else col("prev.d") === col("c.d") - 1), "left_anti")
+      def witOf(l: DataFrame) =
+        if (minJoin) {
+          val f = u.groupBy(col("user_id")).agg(min(col("d")).as("fd"))
+          l.as("c2").join(f.as("f"),
+            col("f.user_id") === col("c2.user_id") &&
+              col("f.fd") < col("c2.d"))
+        } else l.as("c2").join(uw.as("w"),
+          col("w.user_id") === col("c2.user_id") &&
+            (if (nonStrict) col("w.d") <= col("c2.d")
+             else col("w.d") < col("c2.d")), "left_semi")
+      val joined =
+        if (semiOutside || minJoin) witOf(antiOf(u))
+        else antiOf(witOf(u))
+      val groups =
+        if (segmented) Seq(col("c2.d"), col("c2.user_id"))
+        else Seq(col("c2.d"))
+      val cnt =
+        if (plainCount) count(col("c2.user_id"))
+        else countDistinct(col("c2.user_id"))
+      // the default (anti-outside) order leaves no c2 qualifier —
+      // fall back to the bare names there
+      val (g2, c2) =
+        if (semiOutside || minJoin) (groups, cnt)
+        else (
+          if (segmented) Seq(col("d"), col("user_id")) else Seq(col("d")),
+          if (plainCount) count(col("user_id"))
+          else countDistinct(col("user_id")))
+      joined.groupBy(g2: _*).agg(c2.as("resurrected"))
+    }
+    val routed = Seq(res(), res(semiOutside = true), res(minJoin = true),
+      res(filtered = true))
+    routed.zipWithIndex.foreach { case (q, i) =>
+      assert(scansOf(q).forall(_.endsWith("/rollrw")),
+        s"resurrected route did not fire (form $i): ${scansOf(q)}")
+    }
+    val norm = CubeCatalog.normalize(srcDir)
+    // `q <= d` admits the same-day self-witness — every id absent
+    // from d−1 "resurrects": a different query, must refuse
+    assert(scansOf(res(nonStrict = true)).distinct == Seq(norm),
+      "non-strict witness must refuse the resurrected route")
+    // a plain count over the anti+semi output double-counts pair
+    // multiplicity the serve cannot see — require the distinct flag
+    assert(scansOf(res(plainCount = true)).distinct == Seq(norm),
+      "plain count must refuse the resurrected route")
+    // one-sided witness filter asks a different cohort question
+    assert(scansOf(res(filtered = true, oneSided = true))
+      .distinct == Seq(norm),
+      "one-sided filter must refuse the resurrected route")
+    // absent-from-FOLLOWING is churn-with-witness — not this serve
+    assert(scansOf(res(wrongAdjacency = true)).distinct == Seq(norm),
+      "wrong adjacency direction must refuse the resurrected route")
+    // grouping by the id is a per-id listing, not the matrix cell
+    assert(scansOf(res(segmented = true)).distinct == Seq(norm),
+      "extra groupings must refuse the resurrected route")
+    val servedRows = routed.map(sortedRows)
+    CubeCatalog.clear()
+    val raw = Seq(res(), res(semiOutside = true), res(minJoin = true),
+      res(filtered = true))
+    raw.zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
+      assert(sortedRows(q) == s,
+        s"routed resurrected counts must EQUAL the raw three-join " +
+          s"recompute (form $i)")
+    }
+  }
+
   test("raw funnel min-join chains route to the cascade; curve identical") {
     val srcDir = rollingSetup()
     def src = spark.read.parquet(srcDir)
@@ -2219,8 +2305,19 @@ class CubeRewriteSpec extends AnyFunSuite {
         .groupBy(col("n_active"))
         .agg(count(col("uid")).as("users"))
     }
+    def resurrected() = {
+      val up = pairs(1)
+      up.as("c").join(up.as("prev"),
+          col("c.uid") === col("prev.uid") &&
+            col("prev.p") === col("c.p") - 1, "left_anti")
+        .as("c2").join(up.as("w"),
+          col("w.uid") === col("c2.uid") && col("w.p") < col("c2.p"),
+          "left_semi")
+        .groupBy(col("p"))
+        .agg(countDistinct(col("uid")).as("resurrected"))
+    }
     val routedQs = Seq(rolling(), retained(), cumulative(), funnel(),
-      firstSeen(), engagement())
+      firstSeen(), engagement(), resurrected())
     routedQs.zipWithIndex.foreach { case (q, i) =>
       assert(scansOf(q).forall(_.endsWith("/dictrw")),
         s"string-id route $i did not fire: ${scansOf(q)}")
@@ -2228,7 +2325,7 @@ class CubeRewriteSpec extends AnyFunSuite {
     val servedRows = routedQs.map(sortedRows)
     CubeCatalog.clear()
     Seq(rolling(), retained(), cumulative(), funnel(), firstSeen(),
-      engagement())
+      engagement(), resurrected())
       .zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
         assert(sortedRows(q) == s,
           s"dictionary-routed result must EQUAL the raw recompute " +
