@@ -1237,19 +1237,52 @@ object CubeAdvisor {
         }
       }
       if (anti.isEmpty || wit.isEmpty) return None
-      val cur = distinctPairs(node).orElse(projectedPairs(node))
-        .getOrElse(return None)
-      if (pGroup.exprId != cur.pId) return None
-      val curColOf = cur.cols.toMap
+      // the CURRENT side: materialized pairs (distinct or projected),
+      // or — the SQL-text shape — the raw relation with the period
+      // derivation INLINED into the join conditions and materialized
+      // only in the projection above the joins (count(DISTINCT) makes
+      // the CTE's dedup redundant, so the optimizer collapses it and
+      // fuses the projection). In the inline shape the outer grouping
+      // resolves to the period expression and conditions are matched
+      // by CANONICAL expression equality instead of attr identity.
+      val pairsCur = distinctPairs(node).orElse(projectedPairs(node))
+      val (curPath, curTs, curPd, curFilters, curJoin, curColOf,
+          isCurP) = pairsCur match {
+        case Some(c) =>
+          if (pGroup.exprId != c.pId) return None
+          (c.path, c.tsCol, c.periodDays, c.filters, c.join,
+            c.cols.toMap,
+            (e: Expression) => e match {
+              case a: AttributeReference => a.exprId == c.pId
+              case _ => false
+            })
+        case None =>
+          val (b, env2, preds2) = peel(node)
+          val sub2 = subst(env ++ env2) _
+          val (path, join, jpreds) = sourceOf(b).getOrElse(return None)
+          val fs = sideFilters(preds2 ++ jpreds, sub2)
+            .getOrElse(return None)
+          val pExpr = subst(env)(pGroup)
+          val (tsCol, pd) = periodBucket(pExpr).getOrElse(return None)
+          val colOf = node.output.flatMap { a =>
+            sub2(a) match {
+              case s: AttributeReference => Some(a.exprId -> s)
+              case _ => None
+            }
+          }.toMap
+          (path, tsCol, pd, fs, join, colOf,
+            (e: Expression) => e.canonicalized == pExpr.canonicalized)
+      }
       // aggregate leaves: the period grouping (possibly renamed) plus
       // ONE count(DISTINCT <cur id column>) — nothing else
       var idId: Option[org.apache.spark.sql.catalyst.expressions
         .ExprId] = None
       val outs: Seq[RollOut] = aggs.map { ne =>
         val grp = ne match {
-          case a: AttributeReference if a.exprId == cur.pId => true
+          case a: AttributeReference if a.exprId == pGroup.exprId =>
+            true
           case al: Alias => al.child match {
-            case a: AttributeReference => a.exprId == cur.pId
+            case a: AttributeReference => a.exprId == pGroup.exprId
             case _ => false
           }
           case _ => false
@@ -1291,35 +1324,30 @@ object CubeAdvisor {
       // ---- the anti side: same pairs, adjacency prev.p = cur.p − 1
       val prev = distinctPairs(anti.get._1)
         .orElse(projectedPairs(anti.get._1)).getOrElse(return None)
-      if (prev.path != cur.path || prev.tsCol != cur.tsCol ||
-          prev.periodDays != cur.periodDays) return None
-      if (filterKey(prev.filters) != filterKey(cur.filters))
+      if (prev.path != curPath || prev.tsCol != curTs ||
+          prev.periodDays != curPd) return None
+      if (filterKey(prev.filters) != filterKey(curFilters))
         return None
       val prevColOf = prev.cols.toMap
       val acs = conj(anti.get._2)
       if (acs.size != 2) return None
       var aIdOk = false
       var aAdjOk = false
+      // prev.p = cur.p − 1 in either algebraic writing; the absent
+      // side must be the EARLIER period (absent-later is churn — a
+      // different cell, already analyzeRetention's). The cur period
+      // is an attr (pairs) or the inline derivation (SQL text) —
+      // isCurP covers both.
+      def adjMatch(x: Expression, y: Expression): Boolean = (x, y) match {
+        case (a: AttributeReference, Subtract(b, o, _))
+            if one(o) && a.exprId == prev.pId && isCurP(b) => true
+        case (Add(a: AttributeReference, o, _), b)
+            if one(o) && a.exprId == prev.pId && isCurP(b) => true
+        case _ => false
+      }
       acs.foreach {
-        // prev.p = cur.p − 1 in either algebraic writing; the absent
-        // side must be the EARLIER period (absent-later is churn —
-        // a different cell, already analyzeRetention's)
-        case EqualTo(a: AttributeReference,
-            Subtract(b: AttributeReference, o, _)) if one(o) =>
-          if (a.exprId == prev.pId && b.exprId == cur.pId) aAdjOk = true
-          else return None
-        case EqualTo(Subtract(b: AttributeReference, o, _),
-            a: AttributeReference) if one(o) =>
-          if (a.exprId == prev.pId && b.exprId == cur.pId) aAdjOk = true
-          else return None
-        case EqualTo(a: AttributeReference,
-            Add(b: AttributeReference, o, _)) if one(o) =>
-          if (b.exprId == prev.pId && a.exprId == cur.pId) aAdjOk = true
-          else return None
-        case EqualTo(Add(b: AttributeReference, o, _),
-            a: AttributeReference) if one(o) =>
-          if (b.exprId == prev.pId && a.exprId == cur.pId) aAdjOk = true
-          else return None
+        case EqualTo(x, y) if adjMatch(x, y) || adjMatch(y, x) =>
+          aAdjOk = true
         case EqualTo(x: AttributeReference, y: AttributeReference) =>
           if (idEq(x, y, prevColOf)) aIdOk = true else return None
         case _ => return None
@@ -1330,9 +1358,9 @@ object CubeAdvisor {
         case ("semi", wp, wcond) =>
           val w = distinctPairs(wp).orElse(projectedPairs(wp))
             .getOrElse(return None)
-          if (w.path != cur.path || w.tsCol != cur.tsCol ||
-              w.periodDays != cur.periodDays) return None
-          if (filterKey(w.filters) != filterKey(cur.filters))
+          if (w.path != curPath || w.tsCol != curTs ||
+              w.periodDays != curPd) return None
+          if (filterKey(w.filters) != filterKey(curFilters))
             return None
           val wColOf = w.cols.toMap
           val wcs = conj(wcond)
@@ -1342,12 +1370,11 @@ object CubeAdvisor {
           wcs.foreach {
             case EqualTo(x: AttributeReference, y: AttributeReference) =>
               if (idEq(x, y, wColOf)) wIdOk = true else return None
-            case LessThan(a: AttributeReference, b: AttributeReference)
-                if a.exprId == w.pId && b.exprId == cur.pId =>
+            case LessThan(a: AttributeReference, b)
+                if a.exprId == w.pId && isCurP(b) =>
               wLtOk = true
-            case GreaterThan(b: AttributeReference,
-                a: AttributeReference)
-                if a.exprId == w.pId && b.exprId == cur.pId =>
+            case GreaterThan(b, a: AttributeReference)
+                if a.exprId == w.pId && isCurP(b) =>
               wLtOk = true
             case _ => return None
           }
@@ -1365,11 +1392,11 @@ object CubeAdvisor {
               periodBucket(wsub(m)).getOrElse(return None)
             case _ => return None
           }
-          if (wpath != cur.path || wtsCol != cur.tsCol ||
-              wpd != cur.periodDays) return None
-          if (wjoin != cur.join) return None
+          if (wpath != curPath || wtsCol != curTs ||
+              wpd != curPd) return None
+          if (wjoin != curJoin) return None
           val wfs = sideFilters(wpreds, wsub).getOrElse(return None)
-          if (filterKey(wfs) != filterKey(cur.filters)) return None
+          if (filterKey(wfs) != filterKey(curFilters)) return None
           val wcs = conj(wcond)
           if (wcs.size != 2) return None
           var wIdOk = false
@@ -1380,22 +1407,19 @@ object CubeAdvisor {
                   y.exprId == wIdAttr.exprId) ||
                 (y.exprId == idId.get && x.exprId == wIdAttr.exprId)
               if (ok) wIdOk = true else return None
-            case LessThan(a: AttributeReference, b: AttributeReference)
-                if a.exprId == wal.toAttribute.exprId &&
-                  b.exprId == cur.pId =>
+            case LessThan(a: AttributeReference, b)
+                if a.exprId == wal.toAttribute.exprId && isCurP(b) =>
               wLtOk = true
-            case GreaterThan(b: AttributeReference,
-                a: AttributeReference)
-                if a.exprId == wal.toAttribute.exprId &&
-                  b.exprId == cur.pId =>
+            case GreaterThan(b, a: AttributeReference)
+                if a.exprId == wal.toAttribute.exprId && isCurP(b) =>
               wLtOk = true
             case _ => return None
           }
           if (!wIdOk || !wLtOk) return None
       }
-      Some(RetentionNeeds(cur.path, cur.tsCol, idSrc.name,
-        cur.periodDays, integral(idSrc.dataType), Nil, outs,
-        "resurrected", cur.filters, cur.join))
+      Some(RetentionNeeds(curPath, curTs, idSrc.name,
+        curPd, integral(idSrc.dataType), Nil, outs,
+        "resurrected", curFilters, curJoin))
     case _ => None
   }
 

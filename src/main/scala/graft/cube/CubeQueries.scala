@@ -2509,6 +2509,91 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q273
+  /** Graded: q272 as SQL TEXT (the q242/q253 discipline) — the
+    * resurrected query the way a dashboard's SQL layer emits it:
+    * `NOT EXISTS` for the p−1 exclusion and a correlated `EXISTS`
+    * with `q.w < cur.w` as the earlier-activity witness. Spark's
+    * RewritePredicateSubquery lowers exactly these into the LeftAnti
+    * + LeftSemi stack [[CubeAdvisor.analyzeResurrected]] matches, so
+    * the TEXT form routes to the same ANDNOT-prefix serve with no
+    * DataFrame API in sight. Plan hard-asserted cube-only; same
+    * DuckDB oracle family as q272 (a 2-week period width so the two
+    * graded forms also differ in vocabulary). */
+  def q273SqlResurrectedRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = firstSeenRouteSource(spark, sfDir)
+    spark.read.parquet(srcDir)
+      .createOrReplaceTempView("first_seen_route_orders")
+    val q = spark.sql("""
+      WITH du AS (
+        SELECT DISTINCT o_custkey,
+          CAST(FLOOR(CAST(CAST(unix_timestamp(o_orderdate) AS DOUBLE)
+            / 86400 AS BIGINT) / 14.0) AS BIGINT) AS w
+        FROM first_seen_route_orders)
+      SELECT cur.w AS fortnight,
+        COUNT(DISTINCT cur.o_custkey) AS resurrected
+      FROM du cur
+      WHERE NOT EXISTS (SELECT 1 FROM du p
+              WHERE p.o_custkey = cur.o_custkey AND p.w = cur.w - 1)
+        AND EXISTS (SELECT 1 FROM du q
+              WHERE q.o_custkey = cur.o_custkey AND q.w < cur.w)
+      GROUP BY cur.w
+      ORDER BY fortnight""")
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/first_seen_route_demo")),
+      s"SQL-text resurrected routing did not fire (or still reads " +
+        s"the source); scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q274
+  /** Graded: RESURRECTED routing over a REGISTERED JOIN — q272's
+    * shape written over `orders ⋈ lineitem` ("suppliers who came back
+    * each week", time from the left side, the counted id from the
+    * right): the three pair sides all resolve through the composite
+    * join identity and the plan rewrites to the ANDNOT-prefix walk
+    * over the JOIN MV's weekly bitmap unions. Every routed cohort
+    * family now grades in BOTH single-table and join forms. Plan
+    * hard-asserted MV-only; DuckDB recomputes the three-join set
+    * algebra over the raw join. 100 TB split: the raw plan pays the
+    * fact-to-fact join THREE times (each pair side) plus the
+    * quadratic witness; the routed serve reads |periods| one-row MV
+    * partials the delta-join rule maintains. */
+  def q274JoinResurrectedRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (oSrc, lSrc) = joinRollRouteSources(spark, sfDir)
+    def up = spark.read.parquet(oSrc)
+      .join(spark.read.parquet(lSrc),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_suppkey"),
+        floor((unix_timestamp(col("o_orderdate")).cast("double") / 86400)
+          .cast("long").cast("double") / 7).cast("long").as("w"))
+      .distinct()
+    val q0 = up.as("c").join(up.as("prev"),
+        col("c.l_suppkey") === col("prev.l_suppkey") &&
+          col("prev.w") === col("c.w") - 1, "left_anti")
+      .as("c2").join(up.as("wit"),
+        col("wit.l_suppkey") === col("c2.l_suppkey") &&
+          col("wit.w") < col("c2.w"), "left_semi")
+      .groupBy(col("w"))
+      .agg(countDistinct(col("l_suppkey")).as("resurrected"))
+    val q = q0.select(col("w").as("week"), col("resurrected"))
+      .orderBy(col("week"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && scans.forall(_.contains(".jmv/")),
+      s"join resurrected routing did not fire (or still reads the " +
+        s"sources); scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q261
   /** Graded: RETENTION ROUTING over a registered JOIN — the raw
     * distinct-pair self-join cohort plan written over
@@ -4436,6 +4521,8 @@ object CubeQueries {
     "q270_segmented_first_seen_routing" -> q270SegmentedFirstSeenRouting,
     "q271_segmented_engagement_routing" -> q271SegmentedEngagementRouting,
     "q272_resurrected_routing" -> q272ResurrectedRouting,
+    "q273_sql_resurrected_routing" -> q273SqlResurrectedRouting,
+    "q274_join_resurrected_routing" -> q274JoinResurrectedRouting,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -5569,6 +5656,36 @@ object CubeQueries {
           AND EXISTS (SELECT 1 FROM du q
                 WHERE q.o_custkey = cur.o_custkey AND q.w < cur.w))
       SELECT w AS week, count(DISTINCT o_custkey) AS resurrected
+      FROM r GROUP BY 1 ORDER BY 1""",
+    "q273_sql_resurrected_routing" -> """
+      WITH du AS (
+        SELECT DISTINCT o_custkey,
+          CAST(floor(CAST(floor(floor(epoch(CAST(o_orderdate
+            AS TIMESTAMP))) / 86400) AS BIGINT) / 14.0) AS BIGINT) AS w
+        FROM orders),
+      r AS (
+        SELECT cur.w, cur.o_custkey
+        FROM du cur
+        WHERE NOT EXISTS (SELECT 1 FROM du p
+                WHERE p.o_custkey = cur.o_custkey AND p.w = cur.w - 1)
+          AND EXISTS (SELECT 1 FROM du q
+                WHERE q.o_custkey = cur.o_custkey AND q.w < cur.w))
+      SELECT w AS fortnight, count(DISTINCT o_custkey) AS resurrected
+      FROM r GROUP BY 1 ORDER BY 1""",
+    "q274_join_resurrected_routing" -> """
+      WITH du AS (
+        SELECT DISTINCT l.l_suppkey,
+          CAST(floor(CAST(floor(floor(epoch(CAST(o.o_orderdate
+            AS TIMESTAMP))) / 86400) AS BIGINT) / 7.0) AS BIGINT) AS w
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      r AS (
+        SELECT cur.w, cur.l_suppkey
+        FROM du cur
+        WHERE NOT EXISTS (SELECT 1 FROM du p
+                WHERE p.l_suppkey = cur.l_suppkey AND p.w = cur.w - 1)
+          AND EXISTS (SELECT 1 FROM du q
+                WHERE q.l_suppkey = cur.l_suppkey AND q.w < cur.w))
+      SELECT w AS week, count(DISTINCT l_suppkey) AS resurrected
       FROM r GROUP BY 1 ORDER BY 1""",
     // both raw trailing-window shapes recomputed raw; the enclosing
     // join/ratio shell is the user's own — the per-sub-metric routed

@@ -2432,8 +2432,22 @@ class CubeRewriteSpec extends AnyFunSuite {
         .groupBy(col("n_active"))
         .agg(count(col("l_supp")).as("suppliers"))
     }
+    // growth accounting's fourth cell over the SAME join — the
+    // three-join resurrected plan, its pair sides resolving through
+    // the composite join identity
+    def resurrected() = {
+      val up = pairs(7)
+      up.as("c").join(up.as("prev"),
+          col("c.l_supp") === col("prev.l_supp") &&
+            col("prev.p") === col("c.p") - 1, "left_anti")
+        .as("c2").join(up.as("w"),
+          col("w.l_supp") === col("c2.l_supp") &&
+            col("w.p") < col("c2.p"), "left_semi")
+        .groupBy(col("p"))
+        .agg(countDistinct(col("l_supp")).as("resurrected"))
+    }
     val routedQs = Seq(retained(), churned(), cumulative(), funnel(),
-      firstSeen(), engagement())
+      firstSeen(), engagement(), resurrected())
     routedQs.zipWithIndex.foreach { case (q, i) =>
       assert(scansOf(q).forall(_.contains(".jmv/")),
         s"join cohort route $i did not fire: ${scansOf(q)}")
@@ -2455,7 +2469,7 @@ class CubeRewriteSpec extends AnyFunSuite {
       s"a different join must not route: ${scansOf(otherQ)}")
     CubeCatalog.clear()
     Seq(retained(), churned(), cumulative(), funnel(), firstSeen(),
-      engagement()).zip(servedRows)
+      engagement(), resurrected()).zip(servedRows)
       .zipWithIndex.foreach { case ((q, s), i) =>
         assert(sortedRows(q) == s,
           s"join-routed cohort result must EQUAL the raw recompute " +
