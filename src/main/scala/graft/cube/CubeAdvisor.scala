@@ -1,7 +1,7 @@
 package graft.cube
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, Divide, EqualNullSafe, EqualTo, Explode, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Sequence, Subtract, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, Divide, EqualNullSafe, EqualTo, Explode, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Month, Multiply, NamedExpression, Quarter, Sequence, Subtract, TruncTimestamp, Year}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Complete, Count, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Generate, Join, LogicalPlan, Project}
@@ -212,7 +212,11 @@ object CubeAdvisor {
       outs: Seq[RollOut] = Nil, kind: String = "retained",
       filters: Seq[(String, Seq[Literal])] = Nil,
       join: Option[(String, String, String, String)] = None,
-      window: Option[(Long, Long)] = None)
+      window: Option[(Long, Long)] = None,
+      // Some((granularity, offset)) when the plan buckets by a
+      // calendar ORDINAL (year*12+month etc.) instead of day
+      // multiples — the serve reproduces the user's exact ordinals
+      calendar: Option[(String, Long)] = None)
 
   /** One recommended STORAGE LAYOUT: the consumer of
     * [[CubeRecommendation.rangeOnlyDims]]. A column promoted into the
@@ -845,6 +849,85 @@ object CubeAdvisor {
     divided.orElse(dayBucketColumn(e).map((_, 1)))
   }
 
+  /** CALENDAR-period derivations written as INTEGER ORDINALS — the
+    * monthly/quarterly/yearly cohort shapes whose ±1 adjacency is
+    * EXACT across year boundaries: `year(ts)*12 + month(ts) [± c]`,
+    * `year(ts)*4 + quarter(ts) [± c]`, `year(ts) [± c]`. Returns
+    * (ts column, granularity, the additive constant c — the serve
+    * reproduces the user's exact values). yyyymm-style encodings
+    * (`year*100 + month`) are deliberately NOT recognized: their −1
+    * adjacency is wrong at every December (202401 − 1 ≠ 202312) and
+    * routing would bless a broken dashboard — the raw plan keeps its
+    * raw (wrong) answer instead. date_trunc groupings are also out:
+    * their adjacency is interval arithmetic, not −1. */
+  private def calendarBucket(e: Expression):
+      Option[(String, String, Long)] = {
+    def strip(x: Expression): Expression = x match {
+      case Cast(c, _, _, _) => strip(c)
+      case o => o
+    }
+    def toL(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: Short => Some(s.toLong)
+      case _ => None
+    }
+    def tsOf(x: Expression): Option[String] = strip(x) match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def mulYear(x: Expression): Option[(Expression, Long)] =
+      strip(x) match {
+        case Multiply(y, Literal(k, _), _) if toL(k).isDefined =>
+          strip(y) match {
+            case Year(yc) => Some((yc, toL(k).get))
+            case _ => None
+          }
+        case Multiply(Literal(k, _), y, _) if toL(k).isDefined =>
+          strip(y) match {
+            case Year(yc) => Some((yc, toL(k).get))
+            case _ => None
+          }
+        case _ => None
+      }
+    def ordinal(l0: Expression, r0: Expression):
+        Option[(String, String, Long)] =
+      (mulYear(l0), strip(r0)) match {
+        case (Some((yc, 12L)), Month(mc))
+            if yc.canonicalized == mc.canonicalized =>
+          tsOf(yc).map((_, "month", 0L))
+        case (Some((yc, 4L)), Quarter(qc))
+            if yc.canonicalized == qc.canonicalized =>
+          tsOf(yc).map((_, "quarter", 0L))
+        case _ => None
+      }
+    def core(x: Expression, off: Long): Option[(String, String, Long)] =
+      strip(x) match {
+        case Add(a, Literal(n, _), _) if toL(n).isDefined =>
+          core(a, off + toL(n).get)
+        case Add(Literal(n, _), a, _) if toL(n).isDefined =>
+          core(a, off + toL(n).get)
+        case Subtract(a, Literal(n, _), _) if toL(n).isDefined =>
+          core(a, off - toL(n).get)
+        case Add(a, b, _) =>
+          ordinal(a, b).orElse(ordinal(b, a))
+            .map { case (t, g, _) => (t, g, off) }
+        case Year(yc) => tsOf(yc).map((_, "year", off))
+        case _ => None
+      }
+    core(e, 0L)
+  }
+
+  /** Unified period recognition for the cohort-family matchers: a
+    * day-multiple bucket (`floor(day / N)`) or a calendar ordinal.
+    * Returns (ts column, period width in days — 1 under a calendar,
+    * where it is unused — and the calendar (granularity, offset)). */
+  private def periodKind(e: Expression):
+      Option[(String, Int, Option[(String, Long)])] =
+    periodBucket(e).map { case (t, n) => (t, n, None) }
+      .orElse(calendarBucket(e).map { case (t, g, c) =>
+        (t, 1, Some((g, c))) })
+
   /** One side of the retention self-join: a DISTINCT over (plain
     * source columns..., period bucket) of a parquet relation. `cols`
     * maps each non-period output attr to the source column it resolves
@@ -857,7 +940,10 @@ object CubeAdvisor {
       cols: Seq[(org.apache.spark.sql.catalyst.expressions.ExprId,
         AttributeReference)],
       filters: Seq[(String, Seq[Literal])] = Nil,
-      join: Option[(String, String, String, String)] = None)
+      join: Option[(String, String, String, String)] = None,
+      // Some((granularity, offset)) when the period derivation is a
+      // calendar ordinal rather than a day-multiple bucket
+      calendar: Option[(String, Long)] = None)
 
   /** DIM-VALUE filters on a pair side: conjuncts of the shape
     * `col = literal` / `col IN (literals)` over a plain source column
@@ -919,14 +1005,15 @@ object CubeAdvisor {
         val attrs = outs.map(_.asInstanceOf[Attribute])
         val resolved = attrs.map(a => a -> sub(a))
         val pOpt = resolved.flatMap { case (a, e) =>
-          periodBucket(e).map(a -> _) }.headOption
-        val (pAttr, (tsCol, pd)) = pOpt.getOrElse(return None)
+          periodKind(e).map(a -> _) }.headOption
+        val (pAttr, (tsCol, pd, cal)) = pOpt.getOrElse(return None)
         // every OTHER column must be a plain source column
         val cols = resolved.filterNot(_._1.exprId == pAttr.exprId).map {
           case (a, e: AttributeReference) => a.exprId -> e
           case _ => return None
         }
-        Some(PairSide(path, tsCol, pd, pAttr.exprId, cols, fs, join))
+        Some(PairSide(path, tsCol, pd, pAttr.exprId, cols, fs, join,
+          cal))
       case _ => None
     }
   }
@@ -947,13 +1034,13 @@ object CubeAdvisor {
     val fs = sideFilters(preds ++ jpreds, sub).getOrElse(return None)
     val resolved = side.output.map(a => a -> sub(a))
     val pOpt = resolved.flatMap { case (a, e) =>
-      periodBucket(e).map(a -> _) }.headOption
-    val (pAttr, (tsCol, pd)) = pOpt.getOrElse(return None)
+      periodKind(e).map(a -> _) }.headOption
+    val (pAttr, (tsCol, pd, cal)) = pOpt.getOrElse(return None)
     val cols = resolved.filterNot(_._1.exprId == pAttr.exprId).map {
       case (a, e: AttributeReference) => a.exprId -> e
       case _ => return None
     }
-    Some(PairSide(path, tsCol, pd, pAttr.exprId, cols, fs, join))
+    Some(PairSide(path, tsCol, pd, pAttr.exprId, cols, fs, join, cal))
   }
 
   /** The RETENTION plan shape — "how many of period p−1's ids came
@@ -986,7 +1073,8 @@ object CubeAdvisor {
           val rp = distinctPairs(r).orElse(projectedPairs(r))
             .getOrElse(return None)
           if (lp.path != rp.path || lp.tsCol != rp.tsCol ||
-              lp.periodDays != rp.periodDays) return None
+              lp.periodDays != rp.periodDays ||
+              lp.calendar != rp.calendar) return None
           // both sides must restrict the source IDENTICALLY — a
           // one-sided filter asks a different cohort question ("of
           // week p's CLICK users, how many came back AT ALL") that the
@@ -1131,7 +1219,7 @@ object CubeAdvisor {
               case l: RollOut.Leaf =>
                 l.copy(family = kind, srcCol = idSrc.name)
               case o => o
-            }, kind, cur.filters, cur.join))
+            }, kind, cur.filters, cur.join, calendar = cur.calendar))
         case _ => None
       }
     case _ => None
@@ -1246,12 +1334,12 @@ object CubeAdvisor {
       // resolves to the period expression and conditions are matched
       // by CANONICAL expression equality instead of attr identity.
       val pairsCur = distinctPairs(node).orElse(projectedPairs(node))
-      val (curPath, curTs, curPd, curFilters, curJoin, curColOf,
-          isCurP) = pairsCur match {
+      val (curPath, curTs, curPd, curCal, curFilters, curJoin,
+          curColOf, isCurP) = pairsCur match {
         case Some(c) =>
           if (pGroup.exprId != c.pId) return None
-          (c.path, c.tsCol, c.periodDays, c.filters, c.join,
-            c.cols.toMap,
+          (c.path, c.tsCol, c.periodDays, c.calendar, c.filters,
+            c.join, c.cols.toMap,
             (e: Expression) => e match {
               case a: AttributeReference => a.exprId == c.pId
               case _ => false
@@ -1263,14 +1351,15 @@ object CubeAdvisor {
           val fs = sideFilters(preds2 ++ jpreds, sub2)
             .getOrElse(return None)
           val pExpr = subst(env)(pGroup)
-          val (tsCol, pd) = periodBucket(pExpr).getOrElse(return None)
+          val (tsCol, pd, cal) = periodKind(pExpr)
+            .getOrElse(return None)
           val colOf = node.output.flatMap { a =>
             sub2(a) match {
               case s: AttributeReference => Some(a.exprId -> s)
               case _ => None
             }
           }.toMap
-          (path, tsCol, pd, fs, join, colOf,
+          (path, tsCol, pd, cal, fs, join, colOf,
             (e: Expression) => e.canonicalized == pExpr.canonicalized)
       }
       // aggregate leaves: the period grouping (possibly renamed) plus
@@ -1325,7 +1414,8 @@ object CubeAdvisor {
       val prev = distinctPairs(anti.get._1)
         .orElse(projectedPairs(anti.get._1)).getOrElse(return None)
       if (prev.path != curPath || prev.tsCol != curTs ||
-          prev.periodDays != curPd) return None
+          prev.periodDays != curPd || prev.calendar != curCal)
+        return None
       if (filterKey(prev.filters) != filterKey(curFilters))
         return None
       val prevColOf = prev.cols.toMap
@@ -1359,7 +1449,8 @@ object CubeAdvisor {
           val w = distinctPairs(wp).orElse(projectedPairs(wp))
             .getOrElse(return None)
           if (w.path != curPath || w.tsCol != curTs ||
-              w.periodDays != curPd) return None
+              w.periodDays != curPd || w.calendar != curCal)
+            return None
           if (filterKey(w.filters) != filterKey(curFilters))
             return None
           val wColOf = w.cols.toMap
@@ -1387,13 +1478,13 @@ object CubeAdvisor {
           if (wgroups.size != 1) return None
           val (wIdAttr, wIdSrc) = wgroups.head
           if (wIdSrc.name != idSrc.name) return None
-          val (wtsCol, wpd) = wal.child match {
+          val (wtsCol, wpd, wcal) = wal.child match {
             case AggregateExpression(Min(m), Complete, false, _, _) =>
-              periodBucket(wsub(m)).getOrElse(return None)
+              periodKind(wsub(m)).getOrElse(return None)
             case _ => return None
           }
           if (wpath != curPath || wtsCol != curTs ||
-              wpd != curPd) return None
+              wpd != curPd || wcal != curCal) return None
           if (wjoin != curJoin) return None
           val wfs = sideFilters(wpreds, wsub).getOrElse(return None)
           if (filterKey(wfs) != filterKey(curFilters)) return None
@@ -1419,7 +1510,7 @@ object CubeAdvisor {
       }
       Some(RetentionNeeds(curPath, curTs, idSrc.name,
         curPd, integral(idSrc.dataType), Nil, outs,
-        "resurrected", curFilters, curJoin))
+        "resurrected", curFilters, curJoin, calendar = curCal))
     case _ => None
   }
 
@@ -1463,7 +1554,8 @@ object CubeAdvisor {
           // projection — the SQL-text lowering; duplicates only
           // multiply rows count(DISTINCT) ignores)
           def asDays(side: LogicalPlan): Option[(Attribute, String,
-              String, Int, Seq[(String, Seq[Literal])])] = {
+              String, Int, Option[(String, Long)],
+              Seq[(String, Seq[Literal])])] = {
             val (b, env0, preds0) = peel(side)
             b match {
               case Aggregate(gs, outs, c, _)
@@ -1478,8 +1570,8 @@ object CubeAdvisor {
                 val fs = sideFilters(preds0 ++ preds2 ++ jpreds, sub)
                   .getOrElse(return None)
                 val a = outs.head.asInstanceOf[Attribute]
-                periodBucket(sub(a)).map { case (tsCol, pd) =>
-                  (a, path, tsCol, pd, fs) }
+                periodKind(sub(a)).map { case (tsCol, pd, cal) =>
+                  (a, path, tsCol, pd, cal, fs) }
               case _ => None
             }
           }
@@ -1489,12 +1581,14 @@ object CubeAdvisor {
             if (lOut.exists(_.exprId == dayAttr.exprId)) (asDays(l), r)
             else (asDays(r), l)
           }
-          val (dOut, dPath, dTs, dPd, dFs) = daysOpt.getOrElse(return None)
+          val (dOut, dPath, dTs, dPd, dCal, dFs) =
+            daysOpt.getOrElse(return None)
           if (dOut.exprId != dayAttr.exprId) return None
           val pairs = distinctPairs(pairsPlan)
             .orElse(projectedPairs(pairsPlan)).getOrElse(return None)
           if (pairs.path != dPath || pairs.tsCol != dTs ||
-              pairs.periodDays != dPd) return None
+              pairs.periodDays != dPd || pairs.calendar != dCal)
+            return None
           if (filterKey(pairs.filters) != filterKey(dFs)) return None
           // exactly ONE inclusive inequality: pairs period ≤ day
           def conj(e: Expression): Seq[Expression] = e match {
@@ -1554,7 +1648,8 @@ object CubeAdvisor {
               case lf: RollOut.Leaf =>
                 lf.copy(family = "cumulative", srcCol = idSrc.name)
               case o => o
-            }, "cumulative", pairs.filters, pairs.join))
+            }, "cumulative", pairs.filters, pairs.join,
+            calendar = pairs.calendar))
         case _ => None
       }
     case _ => None
@@ -2044,9 +2139,9 @@ object CubeAdvisor {
       val subOuter = subst(env0) _
       val (path, join, innerGroups, passthroughs, al, innerPreds,
         sub) = perIdAggregate(base, subOuter).getOrElse(return None)
-      val (tsCol, pd) = al.child match {
+      val (tsCol, pd, cal) = al.child match {
         case AggregateExpression(Min(m), Complete, false, _, _) =>
-          periodBucket(sub(m)).getOrElse(return None)
+          periodKind(sub(m)).getOrElse(return None)
         case _ => return None
       }
       // role assignment: the min-period alias is the metric grouping,
@@ -2067,7 +2162,7 @@ object CubeAdvisor {
         "first_seen", subOuter).getOrElse(return None)
       Some(RetentionNeeds(path, tsCol, idSrc.name, pd,
         integral(idSrc.dataType), segNames, outs, "first_seen", fs,
-        join))
+        join, calendar = cal))
     case _ => None
   }
 

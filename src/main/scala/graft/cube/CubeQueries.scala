@@ -2594,6 +2594,78 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q275
+  /** Graded: CALENDAR-ORDINAL retention routing — "monthly cohort
+    * retention", THE most common growth dashboard in the wild,
+    * written the way analysts write it: distinct (customer, month)
+    * pairs with the month as the `year*12 + month` INTEGER ORDINAL,
+    * self-joined on −1 adjacency. `periodKind` now recognizes the
+    * calendar ordinals (month/quarter/year — the shapes whose −1
+    * adjacency is EXACT across year boundaries; yyyymm encodings are
+    * deliberately refused because 202401 − 1 ≠ 202312) and the serve
+    * collapses the registered cube's DAY cells to the user's exact
+    * ordinals — the same day-dimmed bitmap cube answers daily, weekly
+    * AND monthly cohort questions. ~84 monthly cohorts over seven
+    * years of orders, every December→January edge load-bearing. Plan
+    * hard-asserted cube-only; DuckDB recomputes the self-join raw.
+    * 100 TB split: identical to q234's — the raw plan re-shuffles the
+    * source's distinct pairs twice per refresh, the routed AND-walk
+    * is |months| one-row merges. */
+  def q275CalendarRetentionRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = firstSeenRouteSource(spark, sfDir)
+    def up = spark.read.parquet(srcDir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .distinct()
+    val q = up.as("cur").join(up.as("prev"),
+        col("cur.o_custkey") === col("prev.o_custkey") &&
+          col("prev.m") === col("cur.m") - 1)
+      .groupBy(col("cur.m"))
+      .agg(countDistinct(col("cur.o_custkey")).as("retained"))
+      .select(col("m").as("month_ord"), col("retained"))
+      .orderBy(col("month_ord"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/first_seen_route_demo")),
+      s"calendar retention routing did not fire (or still reads the " +
+        s"source); scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q276
+  /** Graded: QUARTERLY first-seen routing — "new customers per
+    * quarter" with the quarter as the `year*4 + quarter` ordinal:
+    * the calendar recognition composed with the q264 min-period
+    * matcher, served as the strict-prefix ANDNOT walk over QUARTER
+    * collapses of the same day-dimmed cube. Plan hard-asserted
+    * cube-only; DuckDB recomputes the min-ordinal groups raw. */
+  def q276QuarterlyFirstSeenRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = firstSeenRouteSource(spark, sfDir)
+    val fq = spark.read.parquet(srcDir)
+      .groupBy(col("o_custkey"))
+      .agg(min((year(col("o_orderdate")) * 4 +
+        quarter(col("o_orderdate"))).cast("long")).as("fq"))
+    val q = fq.groupBy(col("fq"))
+      .agg(count(col("o_custkey")).as("new_custs"))
+      .select(col("fq").as("quarter_ord"), col("new_custs"))
+      .orderBy(col("quarter_ord"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/first_seen_route_demo")),
+      s"quarterly first-seen routing did not fire (or still reads " +
+        s"the source); scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q261
   /** Graded: RETENTION ROUTING over a registered JOIN — the raw
     * distinct-pair self-join cohort plan written over
@@ -4523,6 +4595,8 @@ object CubeQueries {
     "q272_resurrected_routing" -> q272ResurrectedRouting,
     "q273_sql_resurrected_routing" -> q273SqlResurrectedRouting,
     "q274_join_resurrected_routing" -> q274JoinResurrectedRouting,
+    "q275_calendar_retention_routing" -> q275CalendarRetentionRouting,
+    "q276_quarterly_first_seen_routing" -> q276QuarterlyFirstSeenRouting,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -5687,6 +5761,28 @@ object CubeQueries {
                 WHERE q.l_suppkey = cur.l_suppkey AND q.w < cur.w))
       SELECT w AS week, count(DISTINCT l_suppkey) AS resurrected
       FROM r GROUP BY 1 ORDER BY 1""",
+    // monthly cohort retention recomputed raw over the integer month
+    // ordinal — the calendar-collapsed AND-walk must hash-match,
+    // December -> January edges included
+    "q275_calendar_retention_routing" -> """
+      WITH du AS (
+        SELECT DISTINCT o_custkey,
+          CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+            AS m
+        FROM orders)
+      SELECT cur.m AS month_ord,
+        count(DISTINCT cur.o_custkey) AS retained
+      FROM du cur JOIN du prev
+        ON cur.o_custkey = prev.o_custkey AND prev.m = cur.m - 1
+      GROUP BY 1 ORDER BY 1""",
+    "q276_quarterly_first_seen_routing" -> """
+      WITH f AS (
+        SELECT o_custkey,
+          min(CAST(year(o_orderdate) * 4 + quarter(o_orderdate)
+            AS BIGINT)) AS fq
+        FROM orders GROUP BY 1)
+      SELECT fq AS quarter_ord, count(o_custkey) AS new_custs
+      FROM f GROUP BY 1 ORDER BY 1""",
     // both raw trailing-window shapes recomputed raw; the enclosing
     // join/ratio shell is the user's own — the per-sub-metric routed
     // plan must hash-match it end to end

@@ -1247,10 +1247,23 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
         f.filter(col(dimId).isin(vals: _*))
     }
     val segCols = segIds.map(col)
-    val periodKey = floor(
-      datediff(col(dayDim).cast("date"), lit("1970-01-01"))
-        .cast("long").cast("double") / needs.periodDays)
-      .cast("long").as("__p")
+    // day-multiple buckets derive from the epoch-day number; calendar
+    // ordinals reproduce the user's exact year*12+month (etc.) values
+    // including their additive constant — both EXACT collapses of the
+    // cube's day-granular cells
+    val periodKey = (needs.calendar match {
+      case None =>
+        floor(datediff(col(dayDim).cast("date"), lit("1970-01-01"))
+          .cast("long").cast("double") / needs.periodDays).cast("long")
+      case Some((g, off)) =>
+        val dd = col(dayDim).cast("date")
+        val base = g match {
+          case "month" => year(dd) * 12 + month(dd)
+          case "quarter" => year(dd) * 4 + quarter(dd)
+          case _ => year(dd)
+        }
+        (base.cast("long") + off).cast("long")
+    }).as("__p")
     // one bitmap per (segment, period) — shard rows, if any, union in
     val per = filteredFrame
       .groupBy((segCols :+ periodKey): _*)

@@ -1079,6 +1079,30 @@ class CubeAdvisorSpec extends AnyFunSuite {
     val bad = CubeAdvisor.advise(Seq(engageQ(strictLo = true)), "fsbad")
     assert(bad.retention.isEmpty && bad.uncovered == Seq(0),
       s"strict bound must stay uncovered: $bad")
+    // calendar-ordinal cohorts ride the SAME matchers/rec family: a
+    // monthly-retention workload is covered by a day-dimmed cube rec
+    // (day cells collapse to any calendar), while the yyyymm encoding
+    // stays uncovered (its −1 adjacency is wrong at December).
+    // Catalog cleared first — with advfs still registered the monthly
+    // plan ROUTES before advise sees it (the analyzer would read the
+    // serve, not the workload).
+    CubeCatalog.clear()
+    def monthlyQ(enc: Long) = {
+      val up = src.select(col("uid"),
+          (year(col("ts")) * lit(enc) + month(col("ts")))
+            .cast("long").as("m")).distinct()
+      up.as("cur").join(up.as("prev"),
+          col("cur.uid") === col("prev.uid") &&
+            col("prev.m") === col("cur.m") - 1)
+        .groupBy(col("cur.m"))
+        .agg(countDistinct(col("cur.uid")).as("retained"))
+    }
+    val calAdvice = CubeAdvisor.advise(Seq(monthlyQ(12L)), "cal")
+    assert(calAdvice.retention.size == 1 &&
+      calAdvice.uncovered.isEmpty, calAdvice.toString)
+    val yyyymm = CubeAdvisor.advise(Seq(monthlyQ(100L)), "calbad")
+    assert(yyyymm.retention.isEmpty && yyyymm.uncovered == Seq(0),
+      s"yyyymm must stay uncovered: $yyyymm")
     CubeCatalog.clear()
   }
 

@@ -2067,6 +2067,107 @@ class CubeRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("calendar-ordinal cohort plans route; Dec->Jan adjacency exact") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(83)
+    // 2023-09 .. 2024-05: the fixture CROSSES a year boundary, so the
+    // ordinal adjacency (2024*12+1) − 1 = 2023*12+12 is load-bearing
+    val rows = (0 until 1600).map { i =>
+      (new Timestamp(1695000000000L + rnd.nextInt(240).toLong * 86400000L
+        + rnd.nextInt(86400000)),
+        (i % 90).toLong)
+    }
+    val srcDir = Files.createTempDirectory("graft_calrw_src").toString
+    rows.toDF("ts", "user_id").write.mode("overwrite").parquet(srcDir)
+    val cfg = CubeConfig("calrw", "src",
+      Seq(TimeDim("day", "ts", "day")),
+      measures = Nil,
+      bitmaps = Seq(Measure("u", "user_id")))
+    val cubeDir = Files.createTempDirectory("graft_calrw_cube").toString
+    CubeManager.save(
+      CubeManager.create(cfg, spark.read.parquet(srcDir)), cubeDir)
+    CubeCatalog.register("calrw",
+      CubeManager.load(spark, cubeDir, "calrw"), srcDir)
+    def src = spark.read.parquet(srcDir)
+    // month ordinal, with and without an additive constant; quarter
+    // and year ordinals; the yyyymm encoding that must refuse
+    def ord(kind: String) = (kind match {
+      case "month" => year(col("ts")) * 12 + month(col("ts"))
+      case "month1" => year(col("ts")) * 12 + month(col("ts")) - 1
+      case "quarter" => year(col("ts")) * 4 + quarter(col("ts"))
+      case "year" => year(col("ts"))
+      case _ => year(col("ts")) * 100 + month(col("ts")) // yyyymm
+    }).cast("long")
+    def mp(kind: String) =
+      src.select(col("user_id"), ord(kind).as("m")).distinct()
+    def retained(kind: String) = {
+      val up = mp(kind)
+      up.as("cur").join(up.as("prev"),
+          col("cur.user_id") === col("prev.user_id") &&
+            col("prev.m") === col("cur.m") - 1)
+        .groupBy(col("cur.m"))
+        .agg(countDistinct(col("cur.user_id")).as("retained"))
+    }
+    def firstSeen(kind: String) = src
+      .groupBy(col("user_id")).agg(min(ord(kind)).as("fm"))
+      .groupBy(col("fm")).agg(count(col("user_id")).as("nn"))
+    def cumulative(kind: String) = {
+      val du = mp(kind)
+      val months = du.select(col("m").as("mm")).distinct()
+      months.join(du, col("m") <= col("mm"))
+        .groupBy(col("mm"))
+        .agg(countDistinct(col("user_id")).as("cum"))
+    }
+    def resurrected(kind: String) = {
+      val up = mp(kind)
+      up.as("c").join(up.as("prev"),
+          col("c.user_id") === col("prev.user_id") &&
+            col("prev.m") === col("c.m") - 1, "left_anti")
+        .as("c2").join(up.as("w"),
+          col("w.user_id") === col("c2.user_id") &&
+            col("w.m") < col("c2.m"), "left_semi")
+        .groupBy(col("m"))
+        .agg(countDistinct(col("user_id")).as("resurrected"))
+    }
+    val routed = Seq(retained("month"), retained("month1"),
+      retained("quarter"), retained("year"), firstSeen("month"),
+      cumulative("month"), resurrected("month"))
+    routed.zipWithIndex.foreach { case (q, i) =>
+      assert(scansOf(q).forall(_.endsWith("/calrw")),
+        s"calendar route $i did not fire: ${scansOf(q)}")
+    }
+    val norm = CubeCatalog.normalize(srcDir)
+    // yyyymm: −1 adjacency is WRONG at December — routing would bless
+    // a broken dashboard, so the encoding must stay unrecognized
+    assert(scansOf(retained("yyyymm")).distinct == Seq(norm),
+      "yyyymm encoding must refuse the calendar route")
+    // mixed granularities across the self-join sides refuse
+    val mixedQ = {
+      val a = mp("month")
+      val b = src.select(col("user_id"),
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("m")).distinct()
+      a.as("cur").join(b.as("prev"),
+          col("cur.user_id") === col("prev.user_id") &&
+            col("prev.m") === col("cur.m") - 1)
+        .groupBy(col("cur.m"))
+        .agg(countDistinct(col("cur.user_id")).as("retained"))
+    }
+    assert(scansOf(mixedQ).distinct == Seq(norm),
+      "mixed period granularities must refuse")
+    val servedRows = routed.map(sortedRows)
+    CubeCatalog.clear()
+    val raw = Seq(retained("month"), retained("month1"),
+      retained("quarter"), retained("year"), firstSeen("month"),
+      cumulative("month"), resurrected("month"))
+    raw.zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
+      assert(sortedRows(q) == s,
+        s"calendar-routed result must EQUAL the raw recompute " +
+          s"(form $i)")
+    }
+  }
+
   test("raw funnel min-join chains route to the cascade; curve identical") {
     val srcDir = rollingSetup()
     def src = spark.read.parquet(srcDir)
