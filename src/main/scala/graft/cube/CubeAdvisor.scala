@@ -1665,7 +1665,8 @@ object CubeAdvisor {
       path: String, tsCol: String, idCol: String, periodDays: Int,
       integralId: Boolean, stepCol: String, steps: Seq[String],
       outs: Seq[RollOut] = Nil,
-      join: Option[(String, String, String, String)] = None)
+      join: Option[(String, String, String, String)] = None,
+      calendar: Option[(String, Long)] = None)
 
   /** One stage of the min-join conversion chain, bottom-up: the
     * stage's source identity, the counted id's source column, the
@@ -1677,7 +1678,8 @@ object CubeAdvisor {
       idOut: org.apache.spark.sql.catalyst.expressions.ExprId,
       tOut: org.apache.spark.sql.catalyst.expressions.ExprId,
       stepCol: String, steps: Seq[String],
-      join: Option[(String, String, String, String)] = None)
+      join: Option[(String, String, String, String)] = None,
+      calendar: Option[(String, Long)] = None)
 
   /** Recognize one stage of the funnel's min-conversion-time
     * recursion, written the way users write it:
@@ -1736,7 +1738,7 @@ object CubeAdvisor {
           val fs = sideFilters(preds ++ jpreds, sub)
             .getOrElse(return None)
           if (fs.size != 1 || fs.head._2.size != 1) return None
-          val (tsCol, pd) = periodBucket(sub(minArg.get))
+          val (tsCol, pd, cal) = periodKind(sub(minArg.get))
             .getOrElse(return None)
           val idSrc = sub(g) match {
             case a: AttributeReference => a
@@ -1744,7 +1746,7 @@ object CubeAdvisor {
           }
           val step = litString(fs.head._2.head).getOrElse(return None)
           Some(ChainInfo(path, tsCol, pd, idSrc, idOut.get, tOut.get,
-            fs.head._1, Seq(step), bJoin))
+            fs.head._1, Seq(step), bJoin, cal))
         }
         inner match {
           case Join(jl, jr, jt, Some(cond), _)
@@ -1769,7 +1771,7 @@ object CubeAdvisor {
               .getOrElse(return None)
             if (fs.size != 1 || fs.head._2.size != 1) return None
             val (stepCol, stepLit) = (fs.head._1, fs.head._2.head)
-            val (tsCol, pd) = periodBucket(ssub(minArg.get))
+            val (tsCol, pd, cal) = periodKind(ssub(minArg.get))
               .getOrElse(return None)
             val idSrc = ssub(g) match {
               case a: AttributeReference => a
@@ -1778,7 +1780,8 @@ object CubeAdvisor {
             // stage-to-stage consistency: same source, same period
             // derivation, same id column, same step column
             if (path != prev.path || tsCol != prev.tsCol ||
-                pd != prev.periodDays || idSrc.name != prev.idSrc.name ||
+                pd != prev.periodDays || cal != prev.calendar ||
+                idSrc.name != prev.idSrc.name ||
                 stepCol != prev.stepCol) return None
             // join condition: exactly (id equality, period ≥ prev t)
             def conj(e: Expression): Seq[Expression] = e match {
@@ -1795,7 +1798,7 @@ object CubeAdvisor {
               case _ => false
             }
             def isStepPeriod(e: Expression) =
-              periodBucket(ssub(e)).contains((tsCol, pd))
+              periodKind(ssub(e)).contains((tsCol, pd, cal))
             def isPrevId(e: Expression) = e match {
               case a: AttributeReference => a.exprId == prev.idOut
               case _ => false
@@ -1818,7 +1821,7 @@ object CubeAdvisor {
             val step = litString(stepLit).getOrElse(return None)
             if (prev.steps.contains(step)) return None
             Some(ChainInfo(path, tsCol, pd, idSrc, idOut.get, tOut.get,
-              stepCol, prev.steps :+ step, sJoin))
+              stepCol, prev.steps :+ step, sJoin, cal))
             }
             recursiveStage().orElse(baseStage())
           case _ => baseStage()
@@ -1862,7 +1865,8 @@ object CubeAdvisor {
         case Join(l, r, jt, Some(cond), _)
             if jt == org.apache.spark.sql.catalyst.plans.Inner =>
           def asDays(side: LogicalPlan): Option[(Attribute, String,
-              String, Int, Seq[(String, Seq[Literal])], Boolean)] = {
+              String, Int, Option[(String, Long)],
+              Seq[(String, Seq[Literal])], Boolean)] = {
             val (b, env0, preds0) = peel(side)
             b match {
               case Aggregate(gs, outs, c, _)
@@ -1881,8 +1885,8 @@ object CubeAdvisor {
                 // IN-subquery lowering leaves extra keys) duplicates
                 // period rows — inert under count(DISTINCT), answer-
                 // changing under plain count(id) (see the outs walk)
-                periodBucket(sub(a)).map { case (tsCol, pd) =>
-                  (a, path, tsCol, pd, fs, gs.size == 1) }
+                periodKind(sub(a)).map { case (tsCol, pd, cal) =>
+                  (a, path, tsCol, pd, cal, fs, gs.size == 1) }
               case _ => None
             }
           }
@@ -1891,14 +1895,15 @@ object CubeAdvisor {
             if (lOut.exists(_.exprId == dayAttr.exprId)) (asDays(l), r)
             else (asDays(r), l)
           }
-          val (dOut, dPath, dTs, dPd, dFs, dPeriodOnly) =
+          val (dOut, dPath, dTs, dPd, dCal, dFs, dPeriodOnly) =
             daysOpt.getOrElse(return None)
           if (dOut.exprId != dayAttr.exprId) return None
           // the observed-period domain must be the FULL source's
           if (dFs.nonEmpty) return None
           val chain = minChain(chainPlan).getOrElse(return None)
           if (chain.path != dPath || chain.tsCol != dTs ||
-              chain.periodDays != dPd) return None
+              chain.periodDays != dPd || chain.calendar != dCal)
+            return None
           if (chain.steps.size < 2 || chain.steps.size > 8) return None
           // exactly ONE inclusive inequality: chain t ≤ day
           def conj(e: Expression): Seq[Expression] = e match {
@@ -1959,7 +1964,8 @@ object CubeAdvisor {
           if (!counted) return None
           Some(FunnelNeeds(chain.path, chain.tsCol, chain.idSrc.name,
             chain.periodDays, integral(chain.idSrc.dataType),
-            chain.stepCol, chain.steps, outs, chain.join))
+            chain.stepCol, chain.steps, outs, chain.join,
+            calendar = chain.calendar))
         case _ => None
       }
     case _ => None

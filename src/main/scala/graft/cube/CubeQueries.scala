@@ -2666,6 +2666,48 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q277
+  /** Graded: MONTHLY funnel routing — the q252 min-join conversion
+    * chain with CALENDAR ordinal periods ("customers who placed an
+    * URGENT order, then a HIGH order in the same or a later month,
+    * cumulative by month" — ~84 monthly frames over seven years):
+    * the chain matcher's stage recursion and the cascade's window
+    * both ride the calendar collapse, so the funnel family composes
+    * with the q275 calendar vocabulary with no funnel-specific
+    * calendar state. Plan hard-asserted cube-only; DuckDB recomputes
+    * the min-join recursion raw. */
+  def q277MonthlyFunnelRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = firstSeenRouteSource(spark, sfDir)
+    def src = spark.read.parquet(srcDir)
+    val ord = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+      .cast("long")
+    def sp(step: String) = src
+      .filter(col("o_orderpriority") === step)
+      .select(col("o_custkey"), ord.as("p"))
+    val s1 = sp("1-URGENT").groupBy(col("o_custkey"))
+      .agg(min(col("p")).as("t1"))
+    val chain = sp("2-HIGH").as("e").join(s1.as("pv"),
+        col("e.o_custkey") === col("pv.o_custkey") &&
+          col("e.p") >= col("pv.t1"))
+      .groupBy(col("e.o_custkey")).agg(min(col("e.p")).as("t2"))
+    val months = src.select(ord.as("m")).distinct()
+    val q = months.join(chain, col("t2") <= col("m"))
+      .groupBy(col("m"))
+      .agg(countDistinct(col("o_custkey")).as("converted"))
+      .select(col("m").as("month_ord"), col("converted"))
+      .orderBy(col("month_ord"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/first_seen_route_demo")),
+      s"monthly funnel routing did not fire (or still reads the " +
+        s"source); scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q261
   /** Graded: RETENTION ROUTING over a registered JOIN — the raw
     * distinct-pair self-join cohort plan written over
@@ -4597,6 +4639,7 @@ object CubeQueries {
     "q274_join_resurrected_routing" -> q274JoinResurrectedRouting,
     "q275_calendar_retention_routing" -> q275CalendarRetentionRouting,
     "q276_quarterly_first_seen_routing" -> q276QuarterlyFirstSeenRouting,
+    "q277_monthly_funnel_routing" -> q277MonthlyFunnelRouting,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -5783,6 +5826,32 @@ object CubeQueries {
         FROM orders GROUP BY 1)
       SELECT fq AS quarter_ord, count(o_custkey) AS new_custs
       FROM f GROUP BY 1 ORDER BY 1""",
+    // the monthly min-join conversion recursion recomputed raw — the
+    // calendar-collapsed cascade must hash-match
+    "q277_monthly_funnel_routing" -> """
+      WITH p1 AS (
+        SELECT o_custkey,
+          min(CAST(year(o_orderdate) * 12 + month(o_orderdate)
+            AS BIGINT)) AS t1
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+      e2 AS (
+        SELECT o_custkey,
+          CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+            AS p
+        FROM orders WHERE o_orderpriority = '2-HIGH'),
+      p2 AS (
+        SELECT e2.o_custkey, min(e2.p) AS t2
+        FROM e2 JOIN p1
+          ON e2.o_custkey = p1.o_custkey AND e2.p >= p1.t1
+        GROUP BY 1),
+      m AS (
+        SELECT DISTINCT
+          CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+            AS m
+        FROM orders)
+      SELECT m.m AS month_ord, count(DISTINCT p2.o_custkey) AS converted
+      FROM m JOIN p2 ON p2.t2 <= m.m
+      GROUP BY 1 ORDER BY 1""",
     // both raw trailing-window shapes recomputed raw; the enclosing
     // join/ratio shell is the user's own — the per-sub-metric routed
     // plan must hash-match it end to end

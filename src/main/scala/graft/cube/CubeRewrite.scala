@@ -1476,10 +1476,21 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     val B = graft.functions.Bitmap
     val cubeFrame = Bridge.ofRows(spark, reg.cubePlan)
       .filter(col(CubeManager.CountCol) > 0)
-    val periodKey = floor(
-      datediff(col(dayDim).cast("date"), lit("1970-01-01"))
-        .cast("long").cast("double") / needs.periodDays)
-      .cast("long").as("__p")
+    // the buildRetentionServe discipline: calendar ordinals reproduce
+    // the user's exact values from the cube's day cells
+    val periodKey = (needs.calendar match {
+      case None =>
+        floor(datediff(col(dayDim).cast("date"), lit("1970-01-01"))
+          .cast("long").cast("double") / needs.periodDays).cast("long")
+      case Some((g, off)) =>
+        val dd = col(dayDim).cast("date")
+        val base = g match {
+          case "month" => year(dd) * 12 + month(dd)
+          case "quarter" => year(dd) * 4 + quarter(dd)
+          case _ => year(dd)
+        }
+        (base.cast("long") + off).cast("long")
+    }).as("__p")
     val sharded = cfg.bitmapShardBits > 0
     val shardCols =
       if (sharded) Seq(col(CubeManager.ShardCol)) else Nil

@@ -2076,12 +2076,14 @@ class CubeRewriteSpec extends AnyFunSuite {
     val rows = (0 until 1600).map { i =>
       (new Timestamp(1695000000000L + rnd.nextInt(240).toLong * 86400000L
         + rnd.nextInt(86400000)),
-        (i % 90).toLong)
+        (i % 90).toLong,
+        Seq("view", "click")(rnd.nextInt(2)))
     }
     val srcDir = Files.createTempDirectory("graft_calrw_src").toString
-    rows.toDF("ts", "user_id").write.mode("overwrite").parquet(srcDir)
+    rows.toDF("ts", "user_id", "etype").write.mode("overwrite")
+      .parquet(srcDir)
     val cfg = CubeConfig("calrw", "src",
-      Seq(TimeDim("day", "ts", "day")),
+      Seq(FieldDim("etype", "etype"), TimeDim("day", "ts", "day")),
       measures = Nil,
       bitmaps = Seq(Measure("u", "user_id")))
     val cubeDir = Files.createTempDirectory("graft_calrw_cube").toString
@@ -2130,9 +2132,25 @@ class CubeRewriteSpec extends AnyFunSuite {
         .groupBy(col("m"))
         .agg(countDistinct(col("user_id")).as("resurrected"))
     }
+    // monthly conversion funnel: the min-join chain with ordinal
+    // periods — the cascade's window walks month ordinals
+    def funnelM() = {
+      def sp(step: String) = src.filter(col("etype") === step)
+        .select(col("user_id"), ord("month").as("p"))
+      val s1 = sp("view").groupBy(col("user_id"))
+        .agg(min(col("p")).as("t1"))
+      val chain = sp("click").as("e").join(s1.as("pv"),
+          col("e.user_id") === col("pv.user_id") &&
+            col("e.p") >= col("pv.t1"))
+        .groupBy(col("e.user_id")).agg(min(col("e.p")).as("t2"))
+      val months = src.select(ord("month").as("mm")).distinct()
+      months.join(chain, col("t2") <= col("mm"))
+        .groupBy(col("mm"))
+        .agg(countDistinct(col("user_id")).as("converted"))
+    }
     val routed = Seq(retained("month"), retained("month1"),
       retained("quarter"), retained("year"), firstSeen("month"),
-      cumulative("month"), resurrected("month"))
+      cumulative("month"), resurrected("month"), funnelM())
     routed.zipWithIndex.foreach { case (q, i) =>
       assert(scansOf(q).forall(_.endsWith("/calrw")),
         s"calendar route $i did not fire: ${scansOf(q)}")
@@ -2160,7 +2178,7 @@ class CubeRewriteSpec extends AnyFunSuite {
     CubeCatalog.clear()
     val raw = Seq(retained("month"), retained("month1"),
       retained("quarter"), retained("year"), firstSeen("month"),
-      cumulative("month"), resurrected("month"))
+      cumulative("month"), resurrected("month"), funnelM())
     raw.zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
       assert(sortedRows(q) == s,
         s"calendar-routed result must EQUAL the raw recompute " +
