@@ -246,6 +246,13 @@ object Scaling {
         svcR.getStickiness(s"scaling_roll_x$k", "day", "u", 1, 7)
           .count()
       })
+      // the calendar collapse (q275's routing serve / the Calendar
+      // verbs): the same AND-walk with day cells collapsed to month
+      // ordinals — |months| frames regardless of id volume
+      record("calendar_bitmap_serve", k, best {
+        svcR.getRetentionCalendar(s"scaling_roll_x$k", "day", "u",
+          granularity = "month").count()
+      })
 
       // delete-capable fold (q177's machinery): deletes confined to ONE
       // event type, so the targeted recompute semi-joins the source down
@@ -299,7 +306,8 @@ object Scaling {
             || fam == "funnel_bitmap_serve"
             || fam == "growth_bitmap_serve"
             || fam == "engagement_bitmap_serve"
-            || fam == "stickiness_bitmap_serve")
+            || fam == "stickiness_bitmap_serve"
+            || fam == "calendar_bitmap_serve")
           if (r10 < 3) "~flat (serve ∝ index/cube, not source)"
           else "NOT flat — investigate"
         else if (fam == "dedup_embedding_lsh") {

@@ -359,6 +359,18 @@ final class AdminServer(service: CubeService, spark: SparkSession,
             numField(req, "withinPeriods").map(_.toInt).getOrElse(0))
           serveRows(df,
             strArray(req, "segmentBy") ++ Seq("period", "step_ord"), req)
+        case Some("getTimeToConvert") =>
+          // the conversion-lag histogram; maxLagPeriods is bounded by
+          // the verb itself (1..366 — wire-reachable fan-out guard)
+          val df = service.getTimeToConvert(
+            need(strField(req, "name"), "name"),
+            need(strField(req, "dayDim"), "dayDim"),
+            need(strField(req, "bitmapId"), "bitmapId"),
+            need(strField(req, "stepDim"), "stepDim"),
+            strArray(req, "steps"),
+            numField(req, "periodDays").map(_.toInt).getOrElse(1),
+            numField(req, "maxLagPeriods").map(_.toInt).getOrElse(366))
+          serveRows(df, Seq("lag_periods"), req)
         case Some("getRetention") | Some("getJoinRetention") =>
           val name = need(strField(req, "name"), "name")
           val isJoin = strField(req, "verb").contains("getJoinRetention")

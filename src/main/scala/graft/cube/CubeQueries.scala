@@ -3530,6 +3530,29 @@ object CubeQueries {
       Seq("view", "click", "purchase"))
   }
 
+  // --------------------------------------------------------------- q278
+  /** Graded: TIME-TO-CONVERT histogram
+    * ([[CubeService.getTimeToConvert]]) — "how long does the
+    * view → click → purchase funnel take": for every converted user
+    * the EXACT lag `t_3 − t_1` between the first view day and the
+    * conversion day under q241's min-chain semantics, as
+    * `(lag_periods, converted)` rows. Served from the same daily
+    * bitmap partials: F_p = first-view bitmaps (ANDNOT the strict
+    * prefix), N_p = newly-converted bitmaps (the cascade's monotone
+    * converted-by set differenced against its predecessor), histogram
+    * cell = Σ_p |F_p ∩ N_{p+lag}| — each converted id lands in
+    * exactly one pair at its true lag, so the DuckDB min-join
+    * recursion hash-matches. 100 TB split: the raw twin is the
+    * min-join recursion PLUS a per-id subtraction and re-count per
+    * refresh; the serve is the cascade's one pass to |periods| frames
+    * plus |periods| × maxLag one-row AND-cardinalities — cube-sized,
+    * maxLag ≤ 366 (the getEngagement fan-out discipline). */
+  def q278TimeToConvert(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = rollingMmService(spark, sfDir)
+    svc.getTimeToConvert("rolling_seg", "day", "u", "etype",
+      Seq("view", "click", "purchase"))
+  }
+
   // --------------------------------------------------------------- q245
   /** Graded: SEGMENTED funnel over a JSON-DERIVED segment — q241's
     * cascade per segment cell, where the segment is an [[ExprDim]]
@@ -4640,6 +4663,7 @@ object CubeQueries {
     "q275_calendar_retention_routing" -> q275CalendarRetentionRouting,
     "q276_quarterly_first_seen_routing" -> q276QuarterlyFirstSeenRouting,
     "q277_monthly_funnel_routing" -> q277MonthlyFunnelRouting,
+    "q278_time_to_convert" -> q278TimeToConvert,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -5851,6 +5875,25 @@ object CubeQueries {
         FROM orders)
       SELECT m.m AS month_ord, count(DISTINCT p2.o_custkey) AS converted
       FROM m JOIN p2 ON p2.t2 <= m.m
+      GROUP BY 1 ORDER BY 1""",
+    // the conversion-lag histogram recomputed raw: the min-chain
+    // recursion, then count per (t3 - t1)
+    "q278_time_to_convert" -> """
+      WITH ev AS (
+        SELECT user_id, event_type,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+            AS BIGINT) AS p
+        FROM events),
+      s1 AS (SELECT user_id, min(p) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.p) AS t2 FROM ev e
+             JOIN s1 ON e.user_id = s1.user_id AND e.p >= s1.t1
+             WHERE e.event_type = 'click' GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.p) AS t3 FROM ev e
+             JOIN s2 ON e.user_id = s2.user_id AND e.p >= s2.t2
+             WHERE e.event_type = 'purchase' GROUP BY 1)
+      SELECT s3.t3 - s1.t1 AS lag_periods, count(*) AS converted
+      FROM s3 JOIN s1 ON s3.user_id = s1.user_id
       GROUP BY 1 ORDER BY 1""",
     // both raw trailing-window shapes recomputed raw; the enclosing
     // join/ratio shell is the user's own — the per-sub-metric routed

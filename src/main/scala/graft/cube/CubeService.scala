@@ -1670,6 +1670,119 @@ final class CubeService(spark: SparkSession, storageDir: String,
     funnelFrom(loadJoinCube(name).cube, name, dayDim, bitmapId, stepDim,
       steps, periodDays, segmentBy, withinPeriods)
 
+  /** TIME-TO-CONVERT histogram — "how long does the funnel take":
+    * for every converted id, the lag `t_K − t_1` between its FIRST
+    * step-1 period and its conversion period under [[getFunnel]]'s
+    * unbounded min-chain semantics, returned as exact
+    * `(lag_periods, converted)` rows (zero-count lags omitted — the
+    * raw GROUP BY convention; Σ converted = the cascade's final
+    * converted count). Served EXACTLY from per-period bitmap
+    * partials: `F_p = B¹_p ∖ prefixOR(B¹_{<p})` (ids whose first
+    * step-1 period is p) and `N_p = C_p ∖ C_{p−1}` (ids newly
+    * converted at p — the cascade's converted-by set is monotone, so
+    * the difference is exactly `t_K = p`), and each histogram cell is
+    * `Σ_p |F_p ∩ N_{p+lag}|` — every converted id lands in exactly
+    * one (F, N) pair, at its true lag. Cost shape: the funnel
+    * cascade's one pass to |periods| frames, then
+    * |periods| × maxLagPeriods one-row AND-cardinalities — never the
+    * source (the raw twin is the min-join recursion PLUS a per-id
+    * subtraction and a re-count). `maxLagPeriods` bounds the pair
+    * fan-out (1..366, the [[getEngagement]] discipline): ids
+    * converting slower than the bound are not counted — pick
+    * `periodDays` so the observed span fits. Sharded cubes run F/N
+    * per shard and SUM cell counts (shards partition the id space);
+    * deletes latch — refused (funnelFrom's requires). */
+  def getTimeToConvert(
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      stepDim: String,
+      steps: Seq[String],
+      periodDays: Int = 1,
+      maxLagPeriods: Int = 366): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val cube = loadCube(name)
+    require(maxLagPeriods >= 1 && maxLagPeriods <= 366,
+      s"maxLagPeriods must be in 1..366, got $maxLagPeriods (the " +
+        "serve fans |periods| × maxLagPeriods cell pairs)")
+    require(cube.config.dims.exists {
+        case TimeDim(id, _, g) => id == dayDim && g == "day"
+        case _ => false
+      }, s"$dayDim must be a day-granularity time dimension of cube $name")
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    require(steps.size >= 2 && steps.size <= 8,
+      s"a funnel needs 2..8 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    require(cube.config.allBitmaps.exists(_.id == bitmapId),
+      s"$bitmapId is not a bitmap measure of cube $name")
+    require(
+      cube.config.dims.exists(d =>
+        d.id == stepDim && !d.isInstanceOf[TimeDim]),
+      s"$stepDim is not a (non-time) dimension of cube $name")
+    require(!cube.hasDeletes,
+      s"cube $name has folded deletes; its bitmap partials are " +
+        "insert-only and cannot serve conversion lags")
+    val B = graft.functions.Bitmap
+    val dayKey = datediff(col(dayDim).cast("date"), lit("1970-01-01"))
+      .cast("long")
+    val periodKey = floor(dayKey.cast("double") / periodDays)
+      .cast("long").as("period")
+    val sharded = cube.config.bitmapShardBits > 0
+    val shardCols = if (sharded) Seq(col(CubeManager.ShardCol)) else Nil
+    val stepAggs = steps.zipWithIndex.map { case (s, i) =>
+      B.unionAgg(when(col(stepDim) === s, col(bitmapId))).as(s"__b$i") }
+    val base = cube.live
+      .filter(col(stepDim).isin(steps: _*))
+      .groupBy((Seq(periodKey) ++ shardCols): _*)
+      .agg(stepAggs.head, stepAggs.tail: _*)
+    val periods = base.select(col("period")).distinct()
+    val grid =
+      if (!sharded) periods
+      else periods.crossJoin(
+        base.select(col(CubeManager.ShardCol)).distinct())
+    val keyCols = Seq("period") ++
+      (if (sharded) Seq(CubeManager.ShardCol) else Nil)
+    val emptyBm = lit(Array[Byte](0, 0, 0, 0)) // codec: zero blocks
+    val w = Window.partitionBy(shardCols: _*).orderBy(col("period"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy(shardCols: _*).orderBy(col("period"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLag = Window.partitionBy(shardCols: _*).orderBy(col("period"))
+    var frame = grid.join(base, keyCols, "left")
+    steps.zipWithIndex.foreach { case (_, i) =>
+      val qual =
+        if (i == 0) coalesce(col(s"__b$i"), emptyBm)
+        else B.and(coalesce(col(s"__b$i"), emptyBm), col(s"__c${i - 1}"))
+      frame = frame.withColumn(s"__c$i", B.unionAgg(qual).over(w))
+    }
+    val last = steps.size - 1
+    frame = frame
+      .withColumn("__f", B.andNot(coalesce(col("__b0"), emptyBm),
+        coalesce(B.unionAgg(coalesce(col("__b0"), emptyBm)).over(wPrev),
+          emptyBm)))
+      .withColumn("__n", B.andNot(col(s"__c$last"),
+        coalesce(lag(col(s"__c$last"), 1).over(wLag), emptyBm)))
+    val fFrame = frame.select((Seq(col("period").as("__pa"),
+      col("__f")) ++ (if (sharded)
+        Seq(col(CubeManager.ShardCol).as("__sa")) else Nil)): _*)
+    val nFrame = frame.select((Seq(col("period").as("__pb"),
+      col("__n")) ++ (if (sharded)
+        Seq(col(CubeManager.ShardCol).as("__sb")) else Nil)): _*)
+    val pairCond = (if (sharded) col("__sa") === col("__sb")
+      else lit(true)) &&
+      col("__pb") >= col("__pa") &&
+      col("__pb") <= col("__pa") + maxLagPeriods
+    fFrame.join(nFrame, pairCond)
+      .select((col("__pb") - col("__pa")).as("lag_periods"),
+        B.andCardinality(col("__f"), col("__n")).as("__k"))
+      .groupBy(col("lag_periods"))
+      .agg(sum(col("__k")).as("converted"))
+      .filter(col("converted") >= 1)
+      .orderBy(col("lag_periods"))
+  }
+
   private def funnelFrom(
       cube: Cube,
       name: String,

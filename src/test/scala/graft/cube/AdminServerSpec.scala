@@ -722,12 +722,25 @@ class AdminServerSpec extends AnyFunSuite {
       assert(fProc.nonEmpty && fProc.forall(r =>
         fw.contains(s""""converted":${r.getAs[Long]("converted")}""")),
         s"wire=$fw")
-      // structured refusals, not hangs: no measures / too few steps
+      // time-to-convert over the wire == in-process
+      val tw = cli.rpc(
+        """{"verb":"getTimeToConvert","name":"cw","dayDim":"day","bitmapId":"u","stepDim":"etype","steps":["view","click","purchase"]}""")
+      assert(tw.startsWith("""{"ok":true"""), tw)
+      val tProc = svc.getTimeToConvert("cw", "day", "u", "etype",
+        Seq("view", "click", "purchase")).collect()
+      assert(tProc.nonEmpty && tProc.forall(r =>
+        tw.contains(s""""lag_periods":${r.getAs[Long]("lag_periods")}""")),
+        s"wire=$tw")
+      // structured refusals, not hangs: no measures / too few steps /
+      // an unbounded lag fan-out
       assert(cli.rpc(
         """{"verb":"getCumulative","name":"cw","dayDim":"day"}""")
         .startsWith("""{"ok":false"""))
       assert(cli.rpc(
         """{"verb":"getFunnel","name":"cw","dayDim":"day","bitmapId":"u","stepDim":"etype","steps":["view"]}""")
+        .startsWith("""{"ok":false"""))
+      assert(cli.rpc(
+        """{"verb":"getTimeToConvert","name":"cw","dayDim":"day","bitmapId":"u","stepDim":"etype","steps":["view","click"],"maxLagPeriods":1000}""")
         .startsWith("""{"ok":false"""))
       // cohort triangle over the wire == in-process
       val cw2 = cli.rpc(

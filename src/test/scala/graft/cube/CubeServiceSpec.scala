@@ -599,6 +599,30 @@ class CubeServiceSpec extends AnyFunSuite {
       got.map(_.toSeq).toSeq,
       "sharded funnel must equal the unsharded cascade")
 
+    // TIME-TO-CONVERT: the lag histogram against the same recursion —
+    // each converted id counts once, at t_K − t_1 exactly
+    val lagExact = t(steps.size - 1).toSeq
+      .map { case (u, tk) => tk - t(0)(u) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ttc = svc.getTimeToConvert("fun", "day", "users", "etype",
+        steps).collect()
+      .map(r => r.getAs[Long]("lag_periods") ->
+        r.getAs[Long]("converted")).toMap
+    assert(ttc == lagExact,
+      s"time-to-convert diverged: $ttc vs $lagExact")
+    assert(ttc.values.sum == t(steps.size - 1).size.toLong,
+      "every converted id must land in exactly one lag cell")
+    assert(
+      svc.getTimeToConvert("fun_sh", "day", "users", "etype", steps)
+        .collect().map(_.toSeq).toSeq ==
+      svc.getTimeToConvert("fun", "day", "users", "etype", steps)
+        .collect().map(_.toSeq).toSeq,
+      "sharded time-to-convert must equal the unsharded serve")
+    // the |periods| × maxLag pair fan-out bound is enforced
+    intercept[IllegalArgumentException] {
+      svc.getTimeToConvert("fun", "day", "users", "etype", steps,
+        maxLagPeriods = 1000) }
+
     // multi-day periods ride the same floor-division key as retention
     val weekly = svc.getFunnel("fun", "day", "users", "etype", steps,
       periodDays = 7).collect()
