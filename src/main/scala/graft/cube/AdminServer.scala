@@ -359,11 +359,22 @@ final class AdminServer(service: CubeService, spark: SparkSession,
             numField(req, "withinPeriods").map(_.toInt).getOrElse(0))
           serveRows(df,
             strArray(req, "segmentBy") ++ Seq("period", "step_ord"), req)
-        case Some("getTimeToConvert") =>
+        case Some("getTimeToConvert") | Some("getJoinTimeToConvert") =>
           // the conversion-lag histogram; maxLagPeriods is bounded by
           // the verb itself (1..366 — wire-reachable fan-out guard)
-          val df = service.getTimeToConvert(
-            need(strField(req, "name"), "name"),
+          val name = need(strField(req, "name"), "name")
+          val isJoin =
+            strField(req, "verb").contains("getJoinTimeToConvert")
+          val fn = (numField(req, "asOfVersion").map(_.toInt) match {
+            case Some(v) if isJoin =>
+              service.getJoinTimeToConvertAsOf(name, v, _, _, _, _, _, _)
+            case Some(v) =>
+              service.getTimeToConvertAsOf(name, v, _, _, _, _, _, _)
+            case None if isJoin =>
+              service.getJoinTimeToConvert(name, _, _, _, _, _, _)
+            case None => service.getTimeToConvert(name, _, _, _, _, _, _)
+          }): (String, String, String, Seq[String], Int, Int) => org.apache.spark.sql.DataFrame
+          val df = fn(
             need(strField(req, "dayDim"), "dayDim"),
             need(strField(req, "bitmapId"), "bitmapId"),
             need(strField(req, "stepDim"), "stepDim"),

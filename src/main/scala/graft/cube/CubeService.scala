@@ -1699,10 +1699,59 @@ final class CubeService(spark: SparkSession, storageDir: String,
       stepDim: String,
       steps: Seq[String],
       periodDays: Int = 1,
-      maxLagPeriods: Int = 366): DataFrame = {
+      maxLagPeriods: Int = 366): DataFrame =
+    timeToConvertFrom(loadCube(name), name, dayDim, bitmapId, stepDim,
+      steps, periodDays, maxLagPeriods)
+
+  /** [[getTimeToConvert]] for join MVs. */
+  def getJoinTimeToConvert(
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      stepDim: String,
+      steps: Seq[String],
+      periodDays: Int = 1,
+      maxLagPeriods: Int = 366): DataFrame =
+    timeToConvertFrom(loadJoinCube(name).cube, name, dayDim, bitmapId,
+      stepDim, steps, periodDays, maxLagPeriods)
+
+  /** [[getJoinTimeToConvert]] over a retained version. */
+  def getJoinTimeToConvertAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      bitmapId: String,
+      stepDim: String,
+      steps: Seq[String],
+      periodDays: Int = 1,
+      maxLagPeriods: Int = 366): DataFrame =
+    timeToConvertFrom(jmvCubeAt(name, version), name, dayDim, bitmapId,
+      stepDim, steps, periodDays, maxLagPeriods)
+
+  /** [[getTimeToConvert]] over a retained version. */
+  def getTimeToConvertAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      bitmapId: String,
+      stepDim: String,
+      steps: Seq[String],
+      periodDays: Int = 1,
+      maxLagPeriods: Int = 366): DataFrame =
+    timeToConvertFrom(cubeAt(name, version), name, dayDim, bitmapId,
+      stepDim, steps, periodDays, maxLagPeriods)
+
+  private def timeToConvertFrom(
+      cube: Cube,
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      stepDim: String,
+      steps: Seq[String],
+      periodDays: Int,
+      maxLagPeriods: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    val cube = loadCube(name)
     require(maxLagPeriods >= 1 && maxLagPeriods <= 366,
       s"maxLagPeriods must be in 1..366, got $maxLagPeriods (the " +
         "serve fans |periods| × maxLagPeriods cell pairs)")

@@ -1193,7 +1193,7 @@ class CubeServiceSpec extends AnyFunSuite {
       b1.toDF("event_type", "ts", "value", "user_id"))
     val v0 = svc.currentCubeVersion("asofc")
     def all(serve: String => org.apache.spark.sql.DataFrame) =
-      Seq("r", "t", "c", "f", "m", "o", "e", "g", "s")
+      Seq("r", "t", "c", "f", "m", "o", "e", "g", "s", "x")
         .map(k => k -> serve(k).collect().map(_.toSeq).toSeq).toMap
     def head(k: String) = k match {
       case "r" => svc.getRolling("asofc", "day", 7,
@@ -1207,6 +1207,8 @@ class CubeServiceSpec extends AnyFunSuite {
       case "g" => svc.getGrowthAccounting("asofc", "day", "u",
         periodDays = 1)
       case "s" => svc.getStickiness("asofc", "day", "u", 2, 7)
+      case "x" => svc.getTimeToConvert("asofc", "day", "u", "etype",
+        Seq("view", "click", "purchase"))
       case _ => svc.getFunnel("asofc", "day", "u", "etype",
         Seq("view", "click", "purchase"))
     }
@@ -1217,7 +1219,7 @@ class CubeServiceSpec extends AnyFunSuite {
     assert(v1 == v0 + 1 && svc.listCubeVersions("asofc").contains(v0))
     // the head moved: every family sees the fold
     val after = all(head)
-    Seq("r", "t", "c", "f", "m", "o", "e", "g", "s").foreach(k =>
+    Seq("r", "t", "c", "f", "m", "o", "e", "g", "s", "x").foreach(k =>
       assert(after(k) != before(k), s"family $k: fold must move the head"))
     // as-of v0 reproduces every captured pre-fold serve bit for bit
     def asOf(k: String) = k match {
@@ -1235,11 +1237,13 @@ class CubeServiceSpec extends AnyFunSuite {
       case "g" => svc.getGrowthAccountingAsOf("asofc", v0, "day", "u",
         periodDays = 1)
       case "s" => svc.getStickinessAsOf("asofc", v0, "day", "u", 2, 7)
+      case "x" => svc.getTimeToConvertAsOf("asofc", v0, "day", "u",
+        "etype", Seq("view", "click", "purchase"))
       case _ => svc.getFunnelAsOf("asofc", v0, "day", "u", "etype",
         Seq("view", "click", "purchase"))
     }
     val historical = all(asOf)
-    Seq("r", "t", "c", "f", "m", "o", "e", "g", "s").foreach(k =>
+    Seq("r", "t", "c", "f", "m", "o", "e", "g", "s", "x").foreach(k =>
       assert(historical(k) == before(k),
         s"family $k: as-of v$v0 must equal the captured pre-fold serve"))
     // non-retained version refuses with the window in the message
@@ -1276,7 +1280,8 @@ class CubeServiceSpec extends AnyFunSuite {
         leftKey = "lk", rightKey = "rk"),
       left, toDF(fact(0 until 40, 0 until 10, 500)))
     val v0 = svc.currentJoinCubeVersion("jasof")
-    val fams = Seq("r", "t", "tcal", "c", "f", "m", "o", "e", "g", "s")
+    val fams = Seq("r", "t", "tcal", "c", "f", "m", "o", "e", "g", "s",
+      "x")
     def all(serve: String => org.apache.spark.sql.DataFrame) =
       fams.map(k => k -> serve(k).collect().map(_.toSeq).toSeq).toMap
     def head(k: String) = k match {
@@ -1295,6 +1300,8 @@ class CubeServiceSpec extends AnyFunSuite {
       case "g" => svc.getJoinGrowthAccounting("jasof", "day", "u",
         periodDays = 1)
       case "s" => svc.getJoinStickiness("jasof", "day", "u", 2, 7)
+      case "x" => svc.getJoinTimeToConvert("jasof", "day", "u",
+        "etype", Seq("view", "click", "purchase"))
       case _ => svc.getJoinFunnel("jasof", "day", "u", "etype",
         Seq("view", "click", "purchase"))
     }
@@ -1330,6 +1337,8 @@ class CubeServiceSpec extends AnyFunSuite {
         "u", periodDays = 1)
       case "s" => svc.getJoinStickinessAsOf("jasof", v0, "day", "u",
         2, 7)
+      case "x" => svc.getJoinTimeToConvertAsOf("jasof", v0, "day",
+        "u", "etype", Seq("view", "click", "purchase"))
       case _ => svc.getJoinFunnelAsOf("jasof", v0, "day", "u", "etype",
         Seq("view", "click", "purchase"))
     }
