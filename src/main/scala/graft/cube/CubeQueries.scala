@@ -2666,6 +2666,43 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q279
+  /** Graded: q275 as SQL TEXT (the q242/q253/q273 discipline) — the
+    * monthly cohort-retention query exactly as a BI layer emits it: a
+    * CTE of distinct (customer, `year*12+month`) ordinals self-joined
+    * on −1 adjacency. The analyzer inlines the CTE twice with fresh
+    * ids and the pair matchers recognize both sides' calendar
+    * derivation, so the TEXT form routes to the ordinal AND-walk with
+    * no DataFrame API in sight. Plan hard-asserted cube-only; DuckDB
+    * recomputes the self-join raw. */
+  def q279SqlCalendarRetention(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = firstSeenRouteSource(spark, sfDir)
+    spark.read.parquet(srcDir)
+      .createOrReplaceTempView("first_seen_route_orders")
+    val q = spark.sql("""
+      WITH du AS (
+        SELECT DISTINCT o_custkey,
+          CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+            AS m
+        FROM first_seen_route_orders)
+      SELECT cur.m AS month_ord,
+        COUNT(DISTINCT cur.o_custkey) AS retained
+      FROM du cur JOIN du prev
+        ON cur.o_custkey = prev.o_custkey AND prev.m = cur.m - 1
+      GROUP BY cur.m
+      ORDER BY month_ord""")
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/first_seen_route_demo")),
+      s"SQL-text calendar retention routing did not fire (or still " +
+        s"reads the source); scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q277
   /** Graded: MONTHLY funnel routing — the q252 min-join conversion
     * chain with CALENDAR ordinal periods ("customers who placed an
@@ -4664,6 +4701,7 @@ object CubeQueries {
     "q276_quarterly_first_seen_routing" -> q276QuarterlyFirstSeenRouting,
     "q277_monthly_funnel_routing" -> q277MonthlyFunnelRouting,
     "q278_time_to_convert" -> q278TimeToConvert,
+    "q279_sql_calendar_retention" -> q279SqlCalendarRetention,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -5894,6 +5932,17 @@ object CubeQueries {
              WHERE e.event_type = 'purchase' GROUP BY 1)
       SELECT s3.t3 - s1.t1 AS lag_periods, count(*) AS converted
       FROM s3 JOIN s1 ON s3.user_id = s1.user_id
+      GROUP BY 1 ORDER BY 1""",
+    "q279_sql_calendar_retention" -> """
+      WITH du AS (
+        SELECT DISTINCT o_custkey,
+          CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+            AS m
+        FROM orders)
+      SELECT cur.m AS month_ord,
+        count(DISTINCT cur.o_custkey) AS retained
+      FROM du cur JOIN du prev
+        ON cur.o_custkey = prev.o_custkey AND prev.m = cur.m - 1
       GROUP BY 1 ORDER BY 1""",
     // both raw trailing-window shapes recomputed raw; the enclosing
     // join/ratio shell is the user's own — the per-sub-metric routed

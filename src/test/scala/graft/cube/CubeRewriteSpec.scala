@@ -2111,6 +2111,19 @@ class CubeRewriteSpec extends AnyFunSuite {
         .groupBy(col("cur.m"))
         .agg(countDistinct(col("cur.user_id")).as("retained"))
     }
+    // SEGMENTED calendar: "monthly retention per event type" — the
+    // segment rides both pair sides and the join, the serve
+    // partitions the ordinal AND-walk per segment cell
+    def segRetained() = {
+      val up = src.select(col("etype"), col("user_id"),
+        ord("month").as("m")).distinct()
+      up.as("cur").join(up.as("prev"),
+          col("cur.user_id") === col("prev.user_id") &&
+            col("cur.etype") === col("prev.etype") &&
+            col("prev.m") === col("cur.m") - 1)
+        .groupBy(col("cur.etype"), col("cur.m"))
+        .agg(countDistinct(col("cur.user_id")).as("retained"))
+    }
     def firstSeen(kind: String) = src
       .groupBy(col("user_id")).agg(min(ord(kind)).as("fm"))
       .groupBy(col("fm")).agg(count(col("user_id")).as("nn"))
@@ -2150,7 +2163,8 @@ class CubeRewriteSpec extends AnyFunSuite {
     }
     val routed = Seq(retained("month"), retained("month1"),
       retained("quarter"), retained("year"), firstSeen("month"),
-      cumulative("month"), resurrected("month"), funnelM())
+      cumulative("month"), resurrected("month"), funnelM(),
+      segRetained())
     routed.zipWithIndex.foreach { case (q, i) =>
       assert(scansOf(q).forall(_.endsWith("/calrw")),
         s"calendar route $i did not fire: ${scansOf(q)}")
@@ -2178,7 +2192,8 @@ class CubeRewriteSpec extends AnyFunSuite {
     CubeCatalog.clear()
     val raw = Seq(retained("month"), retained("month1"),
       retained("quarter"), retained("year"), firstSeen("month"),
-      cumulative("month"), resurrected("month"), funnelM())
+      cumulative("month"), resurrected("month"), funnelM(),
+      segRetained())
     raw.zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
       assert(sortedRows(q) == s,
         s"calendar-routed result must EQUAL the raw recompute " +
@@ -2345,7 +2360,9 @@ class CubeRewriteSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(59)
     val rows = (0 until 900).map { i =>
       (Seq("view", "click")(rnd.nextInt(2)),
-        new Timestamp(1700000000000L + rnd.nextInt(9) * 86400000L
+        // 75 days: 2023-11-14 .. 2024-01-27, CROSSING a year boundary
+        // so the dict × calendar pin's Dec→Jan adjacency is real
+        new Timestamp(1700000000000L + rnd.nextInt(75) * 86400000L
           + rnd.nextInt(86400000)),
         s"u${i % 70}")
     }
@@ -2435,8 +2452,21 @@ class CubeRewriteSpec extends AnyFunSuite {
         .groupBy(col("p"))
         .agg(countDistinct(col("uid")).as("resurrected"))
     }
+    // STRING ids x CALENDAR ordinals: monthly retention over the
+    // dictionary bitmaps — dense dict ids are period-consistent
+    // within the cube, so the ordinal AND-walk stays exact
+    def calRetained() = {
+      val up = src.select(col("uid"),
+        (year(col("ts")) * 12 + month(col("ts"))).cast("long").as("p"))
+        .distinct()
+      up.as("cur").join(up.as("prev"),
+          col("cur.uid") === col("prev.uid") &&
+            col("prev.p") === col("cur.p") - 1)
+        .groupBy(col("cur.p"))
+        .agg(countDistinct(col("cur.uid")).as("retained"))
+    }
     val routedQs = Seq(rolling(), retained(), cumulative(), funnel(),
-      firstSeen(), engagement(), resurrected())
+      firstSeen(), engagement(), resurrected(), calRetained())
     routedQs.zipWithIndex.foreach { case (q, i) =>
       assert(scansOf(q).forall(_.endsWith("/dictrw")),
         s"string-id route $i did not fire: ${scansOf(q)}")
@@ -2444,7 +2474,7 @@ class CubeRewriteSpec extends AnyFunSuite {
     val servedRows = routedQs.map(sortedRows)
     CubeCatalog.clear()
     Seq(rolling(), retained(), cumulative(), funnel(), firstSeen(),
-      engagement(), resurrected())
+      engagement(), resurrected(), calRetained())
       .zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
         assert(sortedRows(q) == s,
           s"dictionary-routed result must EQUAL the raw recompute " +
