@@ -944,6 +944,25 @@ class CubeAdvisorSpec extends AnyFunSuite {
         .orderBy(col("day")).limit(100)), "funp")
     assert(presented.funnel.size == 1 && presented.uncovered.isEmpty,
       s"ORDER BY/LIMIT must peel before analysis: $presented")
+    // calendar-ordinal chains ride the same matcher: a MONTHLY funnel
+    // workload is covered (the day-dimmed rec's cells collapse to any
+    // calendar at serve time)
+    def monthlyFunnelQ() = {
+      val ordE = (year(col("ts")) * 12 + month(col("ts"))).cast("long")
+      def mp(step: String) = src.filter(col("step") === step)
+        .select(col("uid"), ordE.as("p"))
+      val s1 = mp("view").groupBy(col("uid")).agg(min(col("p")).as("t1"))
+      val chain = mp("buy").as("e").join(s1.as("pv"),
+          col("e.uid") === col("pv.uid") && col("e.p") >= col("pv.t1"))
+        .groupBy(col("e.uid")).agg(min(col("e.p")).as("t2"))
+      val months = src.select(ordE.as("m")).distinct()
+      months.join(chain, col("t2") <= col("m"))
+        .groupBy(col("m"))
+        .agg(countDistinct(col("uid")).as("converted"))
+    }
+    val calFun = CubeAdvisor.advise(Seq(monthlyFunnelQ()), "funcal")
+    assert(calFun.funnel.size == 1 && calFun.uncovered.isEmpty,
+      s"monthly funnel workload must be covered: $calFun")
     val rec = advice.funnel.head
     // the STRING id must land in dictBitmaps (exact via the maintained
     // dictionary), never plain bitmaps (lossy cast) or a refusal
