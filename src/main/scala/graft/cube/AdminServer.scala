@@ -367,21 +367,28 @@ final class AdminServer(service: CubeService, spark: SparkSession,
             strField(req, "verb").contains("getJoinTimeToConvert")
           val fn = (numField(req, "asOfVersion").map(_.toInt) match {
             case Some(v) if isJoin =>
-              service.getJoinTimeToConvertAsOf(name, v, _, _, _, _, _, _)
+              service.getJoinTimeToConvertAsOf(name, v,
+                _, _, _, _, _, _, _, _)
             case Some(v) =>
-              service.getTimeToConvertAsOf(name, v, _, _, _, _, _, _)
+              service.getTimeToConvertAsOf(name, v,
+                _, _, _, _, _, _, _, _)
             case None if isJoin =>
-              service.getJoinTimeToConvert(name, _, _, _, _, _, _)
-            case None => service.getTimeToConvert(name, _, _, _, _, _, _)
-          }): (String, String, String, Seq[String], Int, Int) => org.apache.spark.sql.DataFrame
+              service.getJoinTimeToConvert(name, _, _, _, _, _, _, _, _)
+            case None =>
+              service.getTimeToConvert(name, _, _, _, _, _, _, _, _)
+          }): (String, String, String, Seq[String], Int, Int,
+            Seq[String], Option[String]) => org.apache.spark.sql.DataFrame
           val df = fn(
             need(strField(req, "dayDim"), "dayDim"),
             need(strField(req, "bitmapId"), "bitmapId"),
             need(strField(req, "stepDim"), "stepDim"),
             strArray(req, "steps"),
             numField(req, "periodDays").map(_.toInt).getOrElse(1),
-            numField(req, "maxLagPeriods").map(_.toInt).getOrElse(366))
-          serveRows(df, Seq("lag_periods"), req)
+            numField(req, "maxLagPeriods").map(_.toInt).getOrElse(366),
+            strArray(req, "segmentBy"),
+            strField(req, "calendar"))
+          serveRows(df,
+            strArray(req, "segmentBy") :+ "lag_periods", req)
         case Some("getRetention") | Some("getJoinRetention") =>
           val name = need(strField(req, "name"), "name")
           val isJoin = strField(req, "verb").contains("getJoinRetention")

@@ -1699,9 +1699,11 @@ final class CubeService(spark: SparkSession, storageDir: String,
       stepDim: String,
       steps: Seq[String],
       periodDays: Int = 1,
-      maxLagPeriods: Int = 366): DataFrame =
+      maxLagPeriods: Int = 366,
+      segmentBy: Seq[String] = Nil,
+      calendar: Option[String] = None): DataFrame =
     timeToConvertFrom(loadCube(name), name, dayDim, bitmapId, stepDim,
-      steps, periodDays, maxLagPeriods)
+      steps, periodDays, maxLagPeriods, segmentBy, calendar)
 
   /** [[getTimeToConvert]] for join MVs. */
   def getJoinTimeToConvert(
@@ -1711,9 +1713,11 @@ final class CubeService(spark: SparkSession, storageDir: String,
       stepDim: String,
       steps: Seq[String],
       periodDays: Int = 1,
-      maxLagPeriods: Int = 366): DataFrame =
+      maxLagPeriods: Int = 366,
+      segmentBy: Seq[String] = Nil,
+      calendar: Option[String] = None): DataFrame =
     timeToConvertFrom(loadJoinCube(name).cube, name, dayDim, bitmapId,
-      stepDim, steps, periodDays, maxLagPeriods)
+      stepDim, steps, periodDays, maxLagPeriods, segmentBy, calendar)
 
   /** [[getJoinTimeToConvert]] over a retained version. */
   def getJoinTimeToConvertAsOf(
@@ -1724,9 +1728,11 @@ final class CubeService(spark: SparkSession, storageDir: String,
       stepDim: String,
       steps: Seq[String],
       periodDays: Int = 1,
-      maxLagPeriods: Int = 366): DataFrame =
+      maxLagPeriods: Int = 366,
+      segmentBy: Seq[String] = Nil,
+      calendar: Option[String] = None): DataFrame =
     timeToConvertFrom(jmvCubeAt(name, version), name, dayDim, bitmapId,
-      stepDim, steps, periodDays, maxLagPeriods)
+      stepDim, steps, periodDays, maxLagPeriods, segmentBy, calendar)
 
   /** [[getTimeToConvert]] over a retained version. */
   def getTimeToConvertAsOf(
@@ -1737,9 +1743,11 @@ final class CubeService(spark: SparkSession, storageDir: String,
       stepDim: String,
       steps: Seq[String],
       periodDays: Int = 1,
-      maxLagPeriods: Int = 366): DataFrame =
+      maxLagPeriods: Int = 366,
+      segmentBy: Seq[String] = Nil,
+      calendar: Option[String] = None): DataFrame =
     timeToConvertFrom(cubeAt(name, version), name, dayDim, bitmapId,
-      stepDim, steps, periodDays, maxLagPeriods)
+      stepDim, steps, periodDays, maxLagPeriods, segmentBy, calendar)
 
   private def timeToConvertFrom(
       cube: Cube,
@@ -1749,7 +1757,9 @@ final class CubeService(spark: SparkSession, storageDir: String,
       stepDim: String,
       steps: Seq[String],
       periodDays: Int,
-      maxLagPeriods: Int): DataFrame = {
+      maxLagPeriods: Int,
+      segmentBy: Seq[String] = Nil,
+      calendar: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     require(maxLagPeriods >= 1 && maxLagPeriods <= 366,
@@ -1773,32 +1783,66 @@ final class CubeService(spark: SparkSession, storageDir: String,
     require(!cube.hasDeletes,
       s"cube $name has folded deletes; its bitmap partials are " +
         "insert-only and cannot serve conversion lags")
+    // SEGMENTED lag histograms ("time to convert per country"): each
+    // segment's chain runs over ITS events — the funnelFrom convention
+    segmentBy.foreach { sd =>
+      require(!Seq("lag_periods", "converted", "period", "day", "d")
+          .contains(sd),
+        s"segment id $sd collides with the output columns — rename " +
+          "the dimension in the cube")
+      require(sd != stepDim,
+        s"segment id $sd is the step dimension itself")
+      require(
+        cube.config.dims.exists(d =>
+          d.id == sd && !d.isInstanceOf[TimeDim]),
+        s"$sd is not a (non-time) dimension of cube $name")
+    }
+    calendar.foreach(g =>
+      require(Seq("month", "quarter", "year").contains(g),
+        s"calendar granularity must be month/quarter/year, got $g"))
     val B = graft.functions.Bitmap
     val dayKey = datediff(col(dayDim).cast("date"), lit("1970-01-01"))
       .cast("long")
-    val periodKey = floor(dayKey.cast("double") / periodDays)
-      .cast("long").as("period")
+    val dayDate = col(dayDim).cast("date")
+    // calendar ordinals make the lag unit months/quarters/years —
+    // ±1 adjacency exact across year boundaries (the
+    // getRetentionCalendar bucket discipline)
+    val periodKey = (calendar match {
+      case None => floor(dayKey.cast("double") / periodDays).cast("long")
+      case Some("month") =>
+        (year(dayDate) * 12 + month(dayDate) - 1).cast("long")
+      case Some("quarter") =>
+        (year(dayDate) * 4 + quarter(dayDate) - 1).cast("long")
+      case _ => year(dayDate).cast("long")
+    }).as("period")
+    val segCols = segmentBy.map(col)
     val sharded = cube.config.bitmapShardBits > 0
     val shardCols = if (sharded) Seq(col(CubeManager.ShardCol)) else Nil
     val stepAggs = steps.zipWithIndex.map { case (s, i) =>
       B.unionAgg(when(col(stepDim) === s, col(bitmapId))).as(s"__b$i") }
     val base = cube.live
       .filter(col(stepDim).isin(steps: _*))
-      .groupBy((Seq(periodKey) ++ shardCols): _*)
+      .groupBy((segCols ++ Seq(periodKey) ++ shardCols): _*)
       .agg(stepAggs.head, stepAggs.tail: _*)
-    val periods = base.select(col("period")).distinct()
+    val periods = base.select((segCols :+ col("period")): _*).distinct()
     val grid =
       if (!sharded) periods
-      else periods.crossJoin(
-        base.select(col(CubeManager.ShardCol)).distinct())
-    val keyCols = Seq("period") ++
+      else {
+        val shards =
+          base.select((segCols :+ col(CubeManager.ShardCol)): _*)
+            .distinct()
+        if (segmentBy.isEmpty) periods.crossJoin(shards)
+        else periods.join(shards, segmentBy)
+      }
+    val keyCols = segmentBy ++ Seq("period") ++
       (if (sharded) Seq(CubeManager.ShardCol) else Nil)
     val emptyBm = lit(Array[Byte](0, 0, 0, 0)) // codec: zero blocks
-    val w = Window.partitionBy(shardCols: _*).orderBy(col("period"))
+    val partCols = segCols ++ shardCols
+    val w = Window.partitionBy(partCols: _*).orderBy(col("period"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wPrev = Window.partitionBy(shardCols: _*).orderBy(col("period"))
+    val wPrev = Window.partitionBy(partCols: _*).orderBy(col("period"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wLag = Window.partitionBy(shardCols: _*).orderBy(col("period"))
+    val wLag = Window.partitionBy(partCols: _*).orderBy(col("period"))
     var frame = grid.join(base, keyCols, "left")
     steps.zipWithIndex.foreach { case (_, i) =>
       val qual =
@@ -1813,23 +1857,33 @@ final class CubeService(spark: SparkSession, storageDir: String,
           emptyBm)))
       .withColumn("__n", B.andNot(col(s"__c$last"),
         coalesce(lag(col(s"__c$last"), 1).over(wLag), emptyBm)))
-    val fFrame = frame.select((Seq(col("period").as("__pa"),
+    val segA = segmentBy.zipWithIndex.map { case (c, i) =>
+      col(c).as(s"__g$i") }
+    val segB = segmentBy.zipWithIndex.map { case (c, i) =>
+      col(c).as(s"__h$i") }
+    val fFrame = frame.select((segA ++ Seq(col("period").as("__pa"),
       col("__f")) ++ (if (sharded)
         Seq(col(CubeManager.ShardCol).as("__sa")) else Nil)): _*)
-    val nFrame = frame.select((Seq(col("period").as("__pb"),
+    val nFrame = frame.select((segB ++ Seq(col("period").as("__pb"),
       col("__n")) ++ (if (sharded)
         Seq(col(CubeManager.ShardCol).as("__sb")) else Nil)): _*)
-    val pairCond = (if (sharded) col("__sa") === col("__sb")
-      else lit(true)) &&
+    val segEq = segmentBy.indices
+      .map(i => col(s"__g$i") === col(s"__h$i"))
+      .foldLeft(lit(true))(_ && _)
+    val pairCond = segEq &&
+      (if (sharded) col("__sa") === col("__sb") else lit(true)) &&
       col("__pb") >= col("__pa") &&
       col("__pb") <= col("__pa") + maxLagPeriods
+    val segOut = segmentBy.zipWithIndex.map { case (c, i) =>
+      col(s"__g$i").as(c) }
     fFrame.join(nFrame, pairCond)
-      .select((col("__pb") - col("__pa")).as("lag_periods"),
-        B.andCardinality(col("__f"), col("__n")).as("__k"))
-      .groupBy(col("lag_periods"))
+      .select((segOut ++ Seq(
+        (col("__pb") - col("__pa")).as("lag_periods"),
+        B.andCardinality(col("__f"), col("__n")).as("__k"))): _*)
+      .groupBy((segmentBy.map(col) :+ col("lag_periods")): _*)
       .agg(sum(col("__k")).as("converted"))
       .filter(col("converted") >= 1)
-      .orderBy(col("lag_periods"))
+      .orderBy((segmentBy.map(col) :+ col("lag_periods")): _*)
   }
 
   private def funnelFrom(

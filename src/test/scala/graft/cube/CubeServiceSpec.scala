@@ -643,6 +643,8 @@ class CubeServiceSpec extends AnyFunSuite {
         bitmaps = Seq(Measure("users", "user_id"))), segDf)
     val segGot = svc.getFunnel("fun_seg", "day", "users", "etype",
       steps, segmentBy = Seq("grp")).collect()
+    val segTtc = svc.getTimeToConvert("fun_seg", "day", "users",
+      "etype", steps, segmentBy = Seq("grp")).collect()
     Seq("g0", "g1").foreach { g =>
       val ev = segRows.filter(_._1 == g).map(t => (t._2, t._3, t._4))
       val byS = steps.map(s => ev.filter(_._3 == s)
@@ -661,6 +663,16 @@ class CubeServiceSpec extends AnyFunSuite {
           tg(k).values.count(_ <= p).toLong,
           s"segment $g period $p step $k diverged")
       }
+      // segmented time-to-convert: the per-segment lag histogram
+      // against the same per-segment recursion
+      val lagG = tg(steps.size - 1).toSeq
+        .map { case (u, tk) => tk - tg(0)(u) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ttcG = segTtc.filter(_.getAs[String]("grp") == g)
+        .map(r => r.getAs[Long]("lag_periods") ->
+          r.getAs[Long]("converted")).toMap
+      assert(ttcG == lagG,
+        s"segment $g time-to-convert diverged: $ttcG vs $lagG")
     }
     // segment guardrails: reserved name, the step dim itself
     intercept[IllegalArgumentException] {
@@ -670,6 +682,28 @@ class CubeServiceSpec extends AnyFunSuite {
       svc.getFunnel("fun_seg", "day", "users", "etype", steps,
         segmentBy = Seq("etype")) }
     svc.deleteCube("fun_seg")
+
+    // CALENDAR lag unit: three months CROSSING a year boundary —
+    // monthly time-to-convert counts month ordinals (Dec -> Jan = 1)
+    val calRows = Seq(
+      (10L, "2023-11-05", "A"), (10L, "2023-12-15", "B"), // lag 1
+      (11L, "2023-12-20", "A"), (11L, "2024-01-03", "B"), // Dec->Jan 1
+      (12L, "2023-11-02", "A"), (12L, "2023-11-20", "B"), // lag 0
+      (13L, "2023-11-09", "A")) // never converts
+      .map { case (u, d, st) =>
+        (st, java.sql.Timestamp.valueOf(d + " 12:00:00"), 1.0, u) }
+      .toDF("event_type", "ts", "value", "user_id")
+    mk2("fun_cal", 0, calRows)
+    val calTtc = svc.getTimeToConvert("fun_cal", "day", "users",
+        "etype", Seq("A", "B"), calendar = Some("month")).collect()
+      .map(r => r.getAs[Long]("lag_periods") ->
+        r.getAs[Long]("converted")).toMap
+    assert(calTtc == Map(0L -> 1L, 1L -> 2L),
+      s"calendar time-to-convert diverged: $calTtc")
+    intercept[IllegalArgumentException] {
+      svc.getTimeToConvert("fun_cal", "day", "users", "etype",
+        Seq("A", "B"), calendar = Some("fortnight")) }
+    svc.deleteCube("fun_cal")
 
     // --- BOUNDED funnel (withinPeriods): windowFunnel semantics
     //  u21: A@0 B@2        — gap 2 ≤ within=2, converts
