@@ -3481,8 +3481,32 @@ object CubeQueries {
           measures = Seq(Measure("rev", "o_totalprice")),
           bitmaps = Seq(Measure("c", "o_custkey"))),
         Tables.orders(spark, sfDir))
+      // q280: the priority-step twin over the same multi-year corpus —
+      // the calendar time-to-convert's step cells
+      svc.createCube(
+        CubeConfig("cal_fun", "orders",
+          dims = Seq(FieldDim("prio", "o_orderpriority"),
+            TimeDim("day", "o_orderdate", "day")),
+          measures = Nil,
+          bitmaps = Seq(Measure("c", "o_custkey"))),
+        Tables.orders(spark, sfDir))
       svc
     })
+
+  /** Graded: CALENDAR time-to-convert ([[CubeService.getTimeToConvert]]
+    * with `calendar = month`) — "how many MONTHS from a customer's
+    * first URGENT order to their first HIGH order at or after it",
+    * the q278 lag histogram with the lag measured in month ORDINALS
+    * over seven years of orders (~84 monthly frames, every December →
+    * January edge an exact −1 adjacency). Same F/N bitmap algebra as
+    * q278, with day cells collapsed to ordinals; DuckDB recomputes the
+    * monthly min-chain recursion and the per-id subtraction raw. */
+  def q280CalendarTimeToConvert(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val svc = calRetService(spark, sfDir)
+    svc.getTimeToConvert("cal_fun", "day", "c", "prio",
+      Seq("1-URGENT", "2-HIGH"), calendar = Some("month"))
+  }
 
   /** Graded: CALENDAR-month retention — the full customer cohort
     * matrix (active / prev_active / retained / churned / new) by REAL
@@ -4702,6 +4726,7 @@ object CubeQueries {
     "q277_monthly_funnel_routing" -> q277MonthlyFunnelRouting,
     "q278_time_to_convert" -> q278TimeToConvert,
     "q279_sql_calendar_retention" -> q279SqlCalendarRetention,
+    "q280_calendar_time_to_convert" -> q280CalendarTimeToConvert,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -5880,6 +5905,28 @@ object CubeQueries {
       FROM du cur JOIN du prev
         ON cur.o_custkey = prev.o_custkey AND prev.m = cur.m - 1
       GROUP BY 1 ORDER BY 1""",
+    // the monthly min-chain + per-id subtraction recomputed raw — the
+    // ordinal-collapsed lag histogram must hash-match (offsets cancel
+    // in the difference, so any consistent month encoding agrees)
+    "q280_calendar_time_to_convert" -> """
+      WITH p1 AS (
+        SELECT o_custkey,
+          min(CAST(year(o_orderdate) * 12 + month(o_orderdate)
+            AS BIGINT)) AS t1
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+      e2 AS (
+        SELECT o_custkey,
+          CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+            AS p
+        FROM orders WHERE o_orderpriority = '2-HIGH'),
+      p2 AS (
+        SELECT e2.o_custkey, min(e2.p) AS t2
+        FROM e2 JOIN p1
+          ON e2.o_custkey = p1.o_custkey AND e2.p >= p1.t1
+        GROUP BY 1)
+      SELECT p2.t2 - p1.t1 AS lag_periods, count(*) AS converted
+      FROM p2 JOIN p1 ON p2.o_custkey = p1.o_custkey
+      GROUP BY 1 ORDER BY 1""",
     "q276_quarterly_first_seen_routing" -> """
       WITH f AS (
         SELECT o_custkey,
@@ -5943,6 +5990,28 @@ object CubeQueries {
         count(DISTINCT cur.o_custkey) AS retained
       FROM du cur JOIN du prev
         ON cur.o_custkey = prev.o_custkey AND prev.m = cur.m - 1
+      GROUP BY 1 ORDER BY 1""",
+    // the monthly min-chain + per-id subtraction recomputed raw — the
+    // ordinal-collapsed lag histogram must hash-match (offsets cancel
+    // in the difference, so any consistent month encoding agrees)
+    "q280_calendar_time_to_convert" -> """
+      WITH p1 AS (
+        SELECT o_custkey,
+          min(CAST(year(o_orderdate) * 12 + month(o_orderdate)
+            AS BIGINT)) AS t1
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+      e2 AS (
+        SELECT o_custkey,
+          CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+            AS p
+        FROM orders WHERE o_orderpriority = '2-HIGH'),
+      p2 AS (
+        SELECT e2.o_custkey, min(e2.p) AS t2
+        FROM e2 JOIN p1
+          ON e2.o_custkey = p1.o_custkey AND e2.p >= p1.t1
+        GROUP BY 1)
+      SELECT p2.t2 - p1.t1 AS lag_periods, count(*) AS converted
+      FROM p2 JOIN p1 ON p2.o_custkey = p1.o_custkey
       GROUP BY 1 ORDER BY 1""",
     // both raw trailing-window shapes recomputed raw; the enclosing
     // join/ratio shell is the user's own — the per-sub-metric routed
