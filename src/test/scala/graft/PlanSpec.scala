@@ -64,9 +64,11 @@ class PlanSpec extends AnyFunSuite {
     "q248_cohort_matrix",     // p2>=cohort triangle walk over |days|
                               // one-row bitmap frames (30 days here)
     "q249_calendar_cohorts",  // the same walk over |months| frames
-    "q278_time_to_convert")   // pa<=pb<=pa+maxLag lag grid over two
+    "q278_time_to_convert",   // pa<=pb<=pa+maxLag lag grid over two
                               // |periods| one-row bitmap frames (the
                               // q248 triangle-walk shape, lag-bounded)
+    "q280_calendar_time_to_convert") // the same lag grid over ~84
+                              // monthly one-row bitmap frames
 
   test("no unjustified cartesian or nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
