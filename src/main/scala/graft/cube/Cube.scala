@@ -64,6 +64,19 @@ final case class TimeDim(id: String, path: String, granularity: String)
   * exactly the reference's model. */
 final case class Measure(id: String, path: String)
 
+/** PER-ID additive measure ([[CubeConfig.weighted]]): the cell's rows
+  * fold into a weight-map partial (id → net row count, net scaled
+  * weight — [[graft.functions.WeightMapBuildAgg]]), keyed by the
+  * integral `idPath` column with `weightPath` as the summed value.
+  * This is the bitmap family with VALUES: it answers "how much were
+  * these ids worth in this cell", which powers the cohort-value verbs
+  * (revenue by cohort age / LTV) no count-distinct partial can
+  * express. Pointwise addition is sign-invertible, so unlike every
+  * other per-id family the weighted partials are DELETE-CAPABLE
+  * without source access and never trip the `hasDeletes` latch. */
+final case class WeightedMeasure(id: String, idPath: String,
+    weightPath: String)
+
 /** `sketches` are DISTINCT-COUNT measures stored as mergeable HLL
   * sketches (datasketches binary) alongside the decimal sums: plain
   * count-distinct cannot live in a pre-aggregated cube (distincts don't
@@ -126,7 +139,8 @@ final case class CubeConfig(
     freq: Seq[Measure] = Nil,
     bitmaps: Seq[Measure] = Nil,
     dictBitmaps: Seq[Measure] = Nil,
-    bitmapShardBits: Int = 0) {
+    bitmapShardBits: Int = 0,
+    weighted: Seq[WeightedMeasure] = Nil) {
   /** `bitmapShardBits > 0` SHARDS the bitmap partials by id block
     * range: cells additionally subdivide by `__bshard = id >> bits`, so
     * one cell's bitmap covers at most 2^bits consecutive ids — the
@@ -144,15 +158,22 @@ final case class CubeConfig(
   private[cube] def shardCol: Option[Column] =
     if (bitmapShardBits <= 0) None
     else {
-      val m = allBitmaps.head
-      // a dictionary bitmap shards on the DENSE DICT ID (the column the
-      // bitmap actually encodes — dict ids are maximally dense, so the
-      // shard layout is optimal for exactly this case); the id column
-      // exists on build-side frames after withDictIds
-      val idc =
-        if (dictBitmaps.exists(_.id == m.id))
-          org.apache.spark.sql.functions.col(s"__dictid_${m.id}")
-        else org.apache.spark.sql.functions.col(m.path).cast("long")
+      // the shard key column: the single bitmap measure's id space, or
+      // — for a bitmap-free weighted cube — the shared weighted id
+      // column (create validates the single-id-family rule either way)
+      val idc = allBitmaps.headOption match {
+        case Some(m) =>
+          // a dictionary bitmap shards on the DENSE DICT ID (the column
+          // the bitmap actually encodes — dict ids are maximally dense,
+          // so the shard layout is optimal for exactly this case); the
+          // id column exists on build-side frames after withDictIds
+          if (dictBitmaps.exists(_.id == m.id))
+            org.apache.spark.sql.functions.col(s"__dictid_${m.id}")
+          else org.apache.spark.sql.functions.col(m.path).cast("long")
+        case None =>
+          org.apache.spark.sql.functions.col(weighted.head.idPath)
+            .cast("long")
+      }
       Some(org.apache.spark.sql.functions
         .shiftright(idc, bitmapShardBits).as(CubeManager.ShardCol))
     }
@@ -238,6 +259,23 @@ object CubeManager {
           "Dictionary-encode the column first or use an HLL sketch measure.")
     }
 
+  /** The weighted family's honesty gate, mirroring
+    * [[requireIntegralBitmaps]]: weight-map partials key ids as
+    * CAST(idPath AS BIGINT), which is lossy for non-integral columns —
+    * and a lossy key collapses DIFFERENT users' values into one entry,
+    * silently wrong cohort sums. */
+  private[graft] def requireIntegralWeighted(
+      config: CubeConfig, source: DataFrame): Unit =
+    config.weighted.foreach { m =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = source.select(col(m.idPath)).schema.head.dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"weighted measure '${m.id}' needs an integral id column; " +
+          s"'${m.idPath}' is $dt — its cast to BIGINT is lossy, so " +
+          "per-id sums would silently merge different ids. " +
+          "Dictionary-encode the column first.")
+    }
+
   /** Dense-id assignment for the `dictBitmaps` dictionaries: append a
     * LongType `__id` column numbering the frame's distinct non-null
     * keys `offset..offset+n-1`. Dense numbering needs global
@@ -319,12 +357,36 @@ object CubeManager {
     // sketch families carry (non-integral keys: dictionary-encode
     // first or take the HLL path).
     requireIntegralBitmaps(config, source)
-    // sharding needs exactly ONE bitmap measure (plain or
-    // dictionary-encoded): the shard key is that measure's id range,
-    // and a second bitmap has no consistent shard for the same row
-    require(config.bitmapShardBits == 0 || config.allBitmaps.size == 1,
-      s"bitmapShardBits=${config.bitmapShardBits} requires exactly one " +
-        "bitmap measure (the shard key is its id range)")
+    requireIntegralWeighted(config, source)
+    // sharding needs exactly ONE id family: one bitmap measure (plain
+    // or dictionary-encoded) whose id range keys the shard — any
+    // weighted measures must ride the SAME id column — or, bitmap-free,
+    // weighted measures sharing one id column. A second independent id
+    // space has no consistent shard for the same row.
+    if (config.bitmapShardBits > 0) {
+      require(config.allBitmaps.size <= 1,
+        s"bitmapShardBits=${config.bitmapShardBits} requires at most one " +
+          "bitmap measure (the shard key is its id range)")
+      require(config.allBitmaps.nonEmpty || config.weighted.nonEmpty,
+        s"bitmapShardBits=${config.bitmapShardBits} needs a bitmap or " +
+          "weighted measure to shard on")
+      config.allBitmaps.headOption match {
+        case Some(bm) =>
+          require(!config.dictBitmaps.exists(_.id == bm.id) ||
+              config.weighted.isEmpty,
+            "weighted measures cannot shard on a dictionary bitmap's " +
+              "dense ids (raw weighted rows don't carry them)")
+          config.weighted.foreach(w => require(w.idPath == bm.path,
+            s"weighted measure '${w.id}' keys on '${w.idPath}' but the " +
+              s"shard key is the bitmap id column '${bm.path}' — shards " +
+              "must partition ONE id space"))
+        case None =>
+          config.weighted.foreach(w =>
+            require(w.idPath == config.weighted.head.idPath,
+              "sharded weighted measures must share one id column " +
+                s"(found '${w.idPath}' vs '${config.weighted.head.idPath}')"))
+      }
+    }
     require(config.bitmapShardBits >= 0 && config.bitmapShardBits <= 40,
       s"bitmapShardBits out of range: ${config.bitmapShardBits}")
     val sums = config.measures.map(m =>
@@ -350,10 +412,16 @@ object CubeManager {
     val dicts = buildDicts(config, source)
     val dbms = config.dictBitmaps.map(m =>
       graft.functions.Bitmap.setAgg(col(s"__dictid_${m.id}")).as(m.id))
+    // weighted (per-id additive) partials: +1 row count per row, the
+    // weight scaled to exact longs ([[graft.functions.WeightMap]])
+    val wms = config.weighted.map(m =>
+      graft.functions.WeightMap.buildAgg(col(m.idPath).cast("long"),
+        lit(1L), graft.functions.WeightMap.scaled(col(m.weightPath)))
+        .as(m.id))
     // `_count` is always present, so the aggregate list is never empty
     // even for a measures-free config (e.g. an advised rolling cube
     // that carries only sketch/extreme partials)
-    val all = sums ++ sks ++ qs ++ exts ++ fqs ++ bms ++ dbms :+
+    val all = sums ++ sks ++ qs ++ exts ++ fqs ++ bms ++ dbms ++ wms :+
       count(lit(1)).as(CountCol)
     val agg = withDictIds(config, source, dicts)
       .groupBy(config.dimCols: _*)
@@ -447,8 +515,18 @@ object CubeManager {
     val deltaDbms = cfg.dictBitmaps.map(m =>
       graft.functions.Bitmap.setAgg(
         when(col("_sign") > 0, col(s"__dictid_${m.id}"))).as(m.id))
+    // weighted partials fold SIGNED — the family is fully invertible
+    // (per-id counts and weights net like the decimal sums), so unlike
+    // every other per-id family deletes neither latch nor need the
+    // targeted source recompute
+    val deltaWms = cfg.weighted.map(m =>
+      graft.functions.WeightMap.buildAgg(col(m.idPath).cast("long"),
+        col("_sign").cast("long"),
+        col("_sign").cast("long") *
+          graft.functions.WeightMap.scaled(col(m.weightPath))).as(m.id))
     val deltaAll = deltaSums ++ deltaSks ++ deltaQs ++ deltaExts ++
-      deltaFqs ++ deltaBms ++ deltaDbms :+ sum(col("_sign")).as(CountCol)
+      deltaFqs ++ deltaBms ++ deltaDbms ++ deltaWms :+
+      sum(col("_sign")).as(CountCol)
     val deltaAgg = withDictIds(cfg, deltas, dicts)
       .groupBy(cfg.dimCols: _*)
       .agg(deltaAll.head, deltaAll.tail: _*)
@@ -578,7 +656,9 @@ object CubeManager {
           sort_array(array_distinct(flatten(
             collect_list(col(s"${m.id}_cand"))))).as(s"${m.id}_cand"))) ++
         cfg.allBitmaps.map(m =>
-          graft.functions.Bitmap.unionAgg(col(m.id)).as(m.id)) :+
+          graft.functions.Bitmap.unionAgg(col(m.id)).as(m.id)) ++
+        cfg.weighted.map(m =>
+          graft.functions.WeightMap.mergeAgg(col(m.id)).as(m.id)) :+
         sum(col(CountCol)).as(CountCol)
     val merged = a.unionByName(b)
       .groupBy(cfg.dimNames.map(col): _*)
@@ -819,13 +899,16 @@ object CubeManager {
     val dbms = c.dictBitmaps
       .map(m => s"""{"id":"${esc(m.id)}","path":"${esc(m.path)}"}""")
       .mkString("[", ",", "]")
+    val wms = c.weighted
+      .map(m => s"""{"id":"${esc(m.id)}","idPath":"${esc(m.idPath)}","weightPath":"${esc(m.weightPath)}"}""")
+      .mkString("[", ",", "]")
     // Section order is canonical for readability only; configFromJson
     // captures each section's flat array independently, so wire
     // clients may omit or reorder sections freely.
     val shard =
       if (c.bitmapShardBits > 0) s""","bitmapShardBits":${c.bitmapShardBits}"""
       else ""
-    s"""{"name":"${esc(c.name)}","source":"${esc(c.source)}","dims":$dims,"sketches":$sks,"quantiles":$qs,"extremes":$exts,"freq":$fqs,"bitmaps":$bms,"dictBitmaps":$dbms,"measures":$ms$shard}"""
+    s"""{"name":"${esc(c.name)}","source":"${esc(c.source)}","dims":$dims,"sketches":$sks,"quantiles":$qs,"extremes":$exts,"freq":$fqs,"bitmaps":$bms,"dictBitmaps":$dbms,"weighted":$wms,"measures":$ms$shard}"""
   }
 
   private[cube] def configFromJson(json: String): CubeConfig = {
@@ -861,9 +944,13 @@ object CubeManager {
     }
     val shardBits = """"bitmapShardBits":\s*(\d+)""".r
       .findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0)
+    val weighted = section("weighted").map { o =>
+      WeightedMeasure(field(o, "id").get, field(o, "idPath").get,
+        field(o, "weightPath").get)
+    }
     CubeConfig(field(json, "name").get, field(json, "source").get, dims,
       measures("measures"), measures("sketches"), measures("quantiles"),
       measures("extremes"), measures("freq"), measures("bitmaps"),
-      measures("dictBitmaps"), shardBits)
+      measures("dictBitmaps"), shardBits, weighted)
   }
 }

@@ -3479,7 +3479,12 @@ object CubeQueries {
           // revenue rides the same cube for q240's YTD curves — the
           // retention serve never reads it
           measures = Seq(Measure("rev", "o_totalprice")),
-          bitmaps = Seq(Measure("c", "o_custkey"))),
+          bitmaps = Seq(Measure("c", "o_custkey")),
+          // per-id additive partials for q281/q282's cohort-VALUE
+          // matrices (revenue by cohort age) — same cube, the families
+          // compose: bitmaps answer WHO, weight maps answer WORTH
+          weighted = Seq(WeightedMeasure("ltv", "o_custkey",
+            "o_totalprice"))),
         Tables.orders(spark, sfDir))
       // q280: the priority-step twin over the same multi-year corpus —
       // the calendar time-to-convert's step cells
@@ -3506,6 +3511,48 @@ object CubeQueries {
     val svc = calRetService(spark, sfDir)
     svc.getTimeToConvert("cal_fun", "day", "c", "prio",
       Seq("1-URGENT", "2-HIGH"), calendar = Some("month"))
+  }
+
+  // --------------------------------------------------------------- q281
+  /** Graded: the COHORT VALUE matrix ([[CubeService.getCohortValue]])
+    * — revenue by cohort age, the LTV heatmap and the ADDITIVE half of
+    * the growth dashboard the count-distinct families cannot express:
+    * for each weekly cohort (customers whose FIRST order fell in week
+    * w) and offset k, how many of them ordered in week w+k and what
+    * those orders summed to. Served from maintained WEIGHT-MAP
+    * partials ([[CubeConfig.weighted]] — id → net count, net scaled
+    * weight per day cell): pointwise addition is lossless AND
+    * sign-invertible, so the family is delete-capable without source
+    * access (no latch — the one per-id family that keeps serving
+    * through deletes). First-seen sets ride the maps' own key bitmaps
+    * through the cohort-triangle prefix-ANDNOT walk; each (cohort,
+    * offset) cell is one merge-walk over two one-row blobs. The
+    * DuckDB oracle recomputes per-(customer, week) sums, first-seen
+    * weeks, and the cohort-age rollup from raw orders — full hash
+    * gate on ~340 weekly cohorts. 100 TB split: the raw twin re-joins
+    * a per-id min frame against every (id, period, value) group per
+    * refresh; the serve is one pass to |periods| one-row maps plus a
+    * |periods|²/2 pair walk over cube-derived frames, never the
+    * source. */
+  def q281CohortValue(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = calRetService(spark, sfDir)
+    svc.getCohortValue("cal_ret", "day", "ltv", periodDays = 7)
+  }
+
+  // --------------------------------------------------------------- q282
+  /** Graded: CALENDAR-month cohort value — q281's LTV matrix in the
+    * vocabulary real dashboards use ("cohort month × months since
+    * first purchase"): cohort and offset key on the month's integer
+    * ordinal ([[CubeService.getCohortValueCalendar]], the
+    * getRetentionCalendar discipline), so offset 1 from a December
+    * cohort is exactly January and a 28-day February is one month
+    * like any other — semantics a fixed periodDays = 30 drifts from
+    * across the corpus's seven years. Same weight-map algebra as
+    * q281; the oracle recomputes the monthly ordinals raw. */
+  def q282CohortValueCalendar(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val svc = calRetService(spark, sfDir)
+    svc.getCohortValueCalendar("cal_ret", "day", "ltv", "month")
   }
 
   /** Graded: CALENDAR-month retention — the full customer cohort
@@ -4727,6 +4774,8 @@ object CubeQueries {
     "q278_time_to_convert" -> q278TimeToConvert,
     "q279_sql_calendar_retention" -> q279SqlCalendarRetention,
     "q280_calendar_time_to_convert" -> q280CalendarTimeToConvert,
+    "q281_cohort_value" -> q281CohortValue,
+    "q282_cohort_value_calendar" -> q282CohortValueCalendar,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -5905,28 +5954,6 @@ object CubeQueries {
       FROM du cur JOIN du prev
         ON cur.o_custkey = prev.o_custkey AND prev.m = cur.m - 1
       GROUP BY 1 ORDER BY 1""",
-    // the monthly min-chain + per-id subtraction recomputed raw — the
-    // ordinal-collapsed lag histogram must hash-match (offsets cancel
-    // in the difference, so any consistent month encoding agrees)
-    "q280_calendar_time_to_convert" -> """
-      WITH p1 AS (
-        SELECT o_custkey,
-          min(CAST(year(o_orderdate) * 12 + month(o_orderdate)
-            AS BIGINT)) AS t1
-        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
-      e2 AS (
-        SELECT o_custkey,
-          CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
-            AS p
-        FROM orders WHERE o_orderpriority = '2-HIGH'),
-      p2 AS (
-        SELECT e2.o_custkey, min(e2.p) AS t2
-        FROM e2 JOIN p1
-          ON e2.o_custkey = p1.o_custkey AND e2.p >= p1.t1
-        GROUP BY 1)
-      SELECT p2.t2 - p1.t1 AS lag_periods, count(*) AS converted
-      FROM p2 JOIN p1 ON p2.o_custkey = p1.o_custkey
-      GROUP BY 1 ORDER BY 1""",
     "q276_quarterly_first_seen_routing" -> """
       WITH f AS (
         SELECT o_custkey,
@@ -6013,6 +6040,45 @@ object CubeQueries {
       SELECT p2.t2 - p1.t1 AS lag_periods, count(*) AS converted
       FROM p2 JOIN p1 ON p2.o_custkey = p1.o_custkey
       GROUP BY 1 ORDER BY 1""",
+    // the cohort-value matrix recomputed raw: per-(customer, week)
+    // sums, first-seen weeks, then the cohort-age rollup — the
+    // weight-map serve must hash-match (exact scaled-long partials)
+    "q281_cohort_value" -> """
+      WITH g AS (
+        SELECT o_custkey AS id,
+          CAST(floor(date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT) AS p,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+        FROM orders GROUP BY 1, 2),
+      f AS (SELECT id, min(p) AS cohort FROM g GROUP BY 1),
+      cs AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1)
+      SELECT f.cohort, g.p - f.cohort AS offset,
+        CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+        CAST(count(*) AS BIGINT) AS active,
+        CAST(sum(g.w) AS DOUBLE) AS value
+      FROM g JOIN f ON g.id = f.id JOIN cs ON f.cohort = cs.cohort
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2""",
+    // the same matrix on calendar-month ordinals (year*12 + month - 1,
+    // the serve's encoding), plus the cohort month's first-day label
+    "q282_cohort_value_calendar" -> """
+      WITH g AS (
+        SELECT o_custkey AS id,
+          CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+            AS BIGINT) AS p,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+        FROM orders GROUP BY 1, 2),
+      f AS (SELECT id, min(p) AS cohort FROM g GROUP BY 1),
+      cs AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1)
+      SELECT f.cohort, g.p - f.cohort AS offset,
+        CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+        CAST(count(*) AS BIGINT) AS active,
+        CAST(sum(g.w) AS DOUBLE) AS value,
+        strftime(make_date(CAST(f.cohort // 12 AS INT),
+          CAST(f.cohort % 12 AS INT) + 1, 1), '%Y-%m-%d') AS cohort_start
+      FROM g JOIN f ON g.id = f.id JOIN cs ON f.cohort = cs.cohort
+      GROUP BY 1, 2, 3, 6
+      ORDER BY 1, 2""",
     // both raw trailing-window shapes recomputed raw; the enclosing
     // join/ratio shell is the user's own — the per-sub-metric routed
     // plan must hash-match it end to end

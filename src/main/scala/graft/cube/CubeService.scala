@@ -2465,6 +2465,205 @@ final class CubeService(spark: SparkSession, storageDir: String,
       .orderBy((segCols ++ Seq(col("cohort"), col("offset"))): _*)
   }
 
+  /** The COHORT VALUE matrix — revenue by cohort age (the LTV heatmap,
+    * the ADDITIVE half of the growth dashboard [[getCohortMatrix]]'s
+    * count-distinct triangle cannot express): for every cohort period
+    * w (ids FIRST seen in w) and offset k ≥ 0,
+    *
+    *  - `cohort_size` = |new_w|
+    *  - `active`      = |new_w ∩ present(W_{w+k})| — cohort ids active
+    *                    at offset k
+    *  - `value`       = Σ_{id ∈ new_w} weight_{w+k}(id) — what those
+    *                    ids were worth in that period, EXACT (scaled-
+    *                    long partials, [[graft.functions.WeightMap]])
+    *
+    * served entirely from maintained weight-map partials
+    * ([[CubeConfig.weighted]]): per period the maps pointwise-ADD
+    * (lossless), the first-seen sets come from the maps' own key
+    * bitmaps (present = net count > 0) via the [[getCohortMatrix]]
+    * prefix-ANDNOT walk, and each (cohort, offset) cell is one
+    * merge-walk over two one-row blobs. Rows follow the raw-join
+    * convention: observed (cohort, offset) cells with ≥ 1 active id.
+    *
+    * DELETE-CAPABLE WITHOUT SOURCE ACCESS — the family's
+    * distinguishing power: weight maps net through signed folds like
+    * the decimal sums (per-id counts and weights are invertible), so
+    * this verb keeps serving exact values through any delta history
+    * where every bitmap/sketch verb latches. No `hasDeletes` refusal.
+    *
+    * Cost shape: one pass over cube-sized partials to |periods|
+    * one-row maps, one window pass for the first-seen sets, then a
+    * |periods|²/2 pair walk — never the source (the raw twin joins a
+    * per-id min-period frame back to every (id, period, value) group).
+    * Sharded cubes ([[CubeConfig.bitmapShardBits]] over the weighted
+    * id column) run the whole walk per shard and SUM counts and
+    * values — shards partition the id space, so sums ADD and no
+    * merged blob ever materializes; segments partition everything per
+    * segment cell. */
+  def getCohortValue(
+      name: String,
+      dayDim: String,
+      weightedId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    cohortValueFrom(loadCube(name), name, dayDim, weightedId, periodDays,
+      segmentBy)
+
+  /** [[getCohortValue]] for join MVs. */
+  def getJoinCohortValue(
+      name: String,
+      dayDim: String,
+      weightedId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    cohortValueFrom(loadJoinCube(name).cube, name, dayDim, weightedId,
+      periodDays, segmentBy)
+
+  /** CALENDAR-period cohort value — month/quarter/year cohorts with
+    * offsets in REAL calendar buckets (the standard SaaS "cohort month
+    * × months since" LTV heatmap), the [[getCohortMatrixCalendar]]
+    * ordinal discipline: offset 1 from a December cohort is exactly
+    * January. */
+  def getCohortValueCalendar(
+      name: String,
+      dayDim: String,
+      weightedId: String,
+      granularity: String = "month",
+      segmentBy: Seq[String] = Nil): DataFrame =
+    cohortValueFrom(loadCube(name), name, dayDim, weightedId, 1,
+      segmentBy, Some(granularity))
+
+  /** [[getCohortValueCalendar]] for join MVs. */
+  def getJoinCohortValueCalendar(
+      name: String,
+      dayDim: String,
+      weightedId: String,
+      granularity: String = "month",
+      segmentBy: Seq[String] = Nil): DataFrame =
+    cohortValueFrom(loadJoinCube(name).cube, name, dayDim, weightedId, 1,
+      segmentBy, Some(granularity))
+
+  private def cohortValueFrom(
+      cube: Cube,
+      name: String,
+      dayDim: String,
+      weightedId: String,
+      periodDays: Int,
+      segmentBy: Seq[String],
+      calendar: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(cube.config.dims.exists {
+        case TimeDim(id, _, g) => id == dayDim && g == "day"
+        case _ => false
+      }, s"$dayDim must be a day-granularity time dimension of cube $name")
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    require(cube.config.weighted.exists(_.id == weightedId),
+      s"$weightedId is not a weighted measure of cube $name")
+    // NO hasDeletes refusal: weight maps net signed folds exactly
+    // (see CubeConfig.weighted) — the one per-id family that keeps
+    // serving through deletes
+    segmentBy.foreach { sd =>
+      require(!Seq("cohort", "offset", "cohort_size", "active", "value",
+          "period", "day", "d").contains(sd),
+        s"segment id $sd collides with the cohort-value output columns " +
+          "(reserved: cohort, offset, cohort_size, active, value, " +
+          "period, day, d)")
+      require(
+        cube.config.dims.exists(d => d.id == sd && !d.isInstanceOf[TimeDim]),
+        s"$sd is not a (non-time) dimension of cube $name")
+    }
+    calendar.foreach(g =>
+      require(Seq("month", "quarter", "year").contains(g),
+        s"calendar granularity must be month/quarter/year, got $g"))
+    val B = graft.functions.Bitmap
+    val W = graft.functions.WeightMap
+    val segCols = segmentBy.map(col)
+    val dayKey = datediff(col(dayDim).cast("date"), lit("1970-01-01"))
+      .cast("long")
+    val dayDate = col(dayDim).cast("date")
+    val periodKey = (calendar match {
+      case None => floor(dayKey.cast("double") / periodDays).cast("long")
+      case Some("month") =>
+        (year(dayDate) * 12 + month(dayDate) - 1).cast("long")
+      case Some("quarter") =>
+        (year(dayDate) * 4 + quarter(dayDate) - 1).cast("long")
+      case _ => year(dayDate).cast("long")
+    }).as("period")
+    val sharded = cube.config.bitmapShardBits > 0
+    val shardCols = if (sharded) Seq(col(CubeManager.ShardCol)) else Nil
+    // |periods| one-row weight maps per (segment [, shard]) partition,
+    // each carrying its own present-id bitmap for the first-seen walk
+    val per = cube.live
+      .groupBy((segCols ++ Seq(periodKey) ++ shardCols): _*)
+      .agg(W.mergeAgg(col(weightedId)).as("__wm"))
+      .withColumn("__kbm", W.keyBitmap(col("__wm")))
+    // first-seen sets: the period's key bitmap minus the LAGGED running
+    // union — the getCohortMatrix walk verbatim (gaps are inert to a
+    // prefix union; a shard silent at w contributes no ids at w)
+    val w = Window
+      .partitionBy((segCols ++ shardCols): _*)
+      .orderBy(col("period"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wo = Window
+      .partitionBy((segCols ++ shardCols): _*)
+      .orderBy(col("period"))
+    val emptyBm = lit(Array[Byte](0, 0, 0, 0)) // codec: zero blocks
+    val news = per
+      .withColumn("__cum", B.unionAgg(col("__kbm")).over(w))
+      .withColumn("__nbm", B.andNot(col("__kbm"),
+        coalesce(lag(col("__cum"), 1).over(wo), emptyBm)))
+      .select((segCols ++ Seq(col("period").as("cohort")) ++ shardCols :+
+        col("__nbm")): _*)
+    // the pair walk: cohort w's first-seen set against every observed
+    // period ≥ w of the SAME (segment [, shard]) — one-row frames both
+    // sides, each cell one merge-walk over two blobs
+    val later = per.select((segmentBy.map(s =>
+        col(s).as(s"__r_$s")) ++
+      Seq(col("period").as("__p2"), col("__wm").as("__rwm")) ++
+      (if (sharded) Seq(col(CubeManager.ShardCol).as("__rsh"))
+       else Nil)): _*)
+    val segEq = segmentBy.map(s => col(s) === col(s"__r_$s"))
+    val shardEq =
+      if (sharded) Seq(col(CubeManager.ShardCol) === col("__rsh")) else Nil
+    val cond = (segEq ++ shardEq :+ (col("__p2") >= col("cohort")))
+      .reduce(_ && _)
+    val pairs = news.join(later, cond)
+      .select((segCols ++ Seq(col("cohort"),
+        (col("__p2") - col("cohort")).as("offset"),
+        W.countIn(col("__nbm"), col("__rwm")).as("__a"),
+        W.sumIn(col("__nbm"), col("__rwm")).as("__v"))): _*)
+    // shards partition the id space: counts and scaled sums ADD
+    val summed =
+      if (!sharded) pairs
+      else pairs
+        .groupBy((segCols ++ Seq(col("cohort"), col("offset"))): _*)
+        .agg(sum(col("__a")).as("__a"), sum(col("__v")).as("__v"))
+    val sizes = news
+      .groupBy((segCols :+ col("cohort")): _*)
+      .agg(sum(B.cardinality(col("__nbm"))).as("cohort_size"))
+    val matrix = summed
+      .join(sizes, segmentBy :+ "cohort")
+      .filter(col("__a") >= 1)
+      .select((segCols ++ Seq(col("cohort"), col("offset"),
+        col("cohort_size"), col("__a").as("active"),
+        W.toValue(col("__v")).as("value"))): _*)
+      .orderBy((segCols ++ Seq(col("cohort"), col("offset"))): _*)
+    calendar match {
+      case None => matrix
+      case Some(g) =>
+        val p = col("cohort")
+        val start = g match {
+          case "month" => make_date(floor(p / 12).cast("int"),
+            pmod(p, lit(12)).cast("int") + 1, lit(1))
+          case "quarter" => make_date(floor(p / 4).cast("int"),
+            pmod(p, lit(4)).cast("int") * 3 + 1, lit(1))
+          case _ => make_date(p.cast("int"), lit(1), lit(1))
+        }
+        matrix.withColumn("cohort_start", date_format(start, "yyyy-MM-dd"))
+    }
+  }
+
   // -------------------------------------------- cohort verbs × time travel
   /** The COHORT verb family over a RETAINED HISTORICAL version — "what
     * did the WAU / retention / lifetime / funnel dashboard say as of

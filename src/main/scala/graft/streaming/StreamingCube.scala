@@ -86,10 +86,19 @@ object StreamingCube {
     // hash-equal, pinned in CubeServiceSpec)
     val bms = config.bitmaps.map(m =>
       graft.functions.Bitmap.setAgg(col(m.path).cast("long")).as(m.id))
+    // weighted (per-id additive) partials stream the same way: the
+    // (id → count, weight) map buffer serializes into streaming state
+    // per group, pointwise addition is lossless, and the file stream
+    // is insert-only (+1 per row) — streamed == batch is hash-equal
+    graft.cube.CubeManager.requireIntegralWeighted(config, stream)
+    val wms = config.weighted.map(m =>
+      graft.functions.WeightMap.buildAgg(col(m.idPath).cast("long"),
+        lit(1L), graft.functions.WeightMap.scaled(col(m.weightPath)))
+        .as(m.id))
     stream
       .groupBy(config.dimCols: _*)
       .agg(sums.head,
-        (sums.tail ++ sks ++ qs ++ exts ++ fqs ++ bms
+        (sums.tail ++ sks ++ qs ++ exts ++ fqs ++ bms ++ wms
           :+ count(lit(1)).as(CubeManager.CountCol)): _*)
   }
 

@@ -67,8 +67,13 @@ class PlanSpec extends AnyFunSuite {
     "q278_time_to_convert",   // pa<=pb<=pa+maxLag lag grid over two
                               // |periods| one-row bitmap frames (the
                               // q248 triangle-walk shape, lag-bounded)
-    "q280_calendar_time_to_convert") // the same lag grid over ~84
+    "q280_calendar_time_to_convert", // the same lag grid over ~84
                               // monthly one-row bitmap frames
+    "q281_cohort_value",      // p2>=cohort triangle walk over ~340
+                              // weekly one-row weight-map frames
+                              // (q248's shape with values)
+    "q282_cohort_value_calendar") // the same walk over ~84 monthly
+                              // one-row weight-map frames
 
   test("no unjustified cartesian or nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

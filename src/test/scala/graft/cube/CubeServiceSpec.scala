@@ -965,6 +965,114 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteCube("coh"); svc.deleteCube("coh_sh")
   }
 
+  test("getCohortValue: LTV triangle from weight maps; sharded + " +
+      "segmented twins; sourceless deletes keep serving") {
+    import spark.implicits._
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_cval").toString)
+    val rnd = new scala.util.Random(41)
+    val users = (0 until 50).map(u =>
+      (u.toLong, rnd.nextInt(8).toLong, Seq("x", "y")(u % 2)))
+    // multiple rows per (user, day) sometimes — the per-(id, period)
+    // sums inside one weight-map entry must accumulate
+    val rows = users.flatMap { case (u, first, g) =>
+      (first to 10L).filter(d => d == first || rnd.nextDouble() < 0.4)
+        .flatMap { d =>
+          val n = 1 + rnd.nextInt(2)
+          (0 until n).map(i => (g,
+            new Timestamp(1700006400000L + d * 86400000L + 3600000L),
+            math.round(rnd.nextDouble() * 1000) / 100.0, u))
+        }
+    }
+    val df = rows.toDF("grp", "ts", "value", "user_id")
+    val mk = (n: String, bits: Int) => svc.createCube(
+      CubeConfig(n, "events",
+        Seq(FieldDim("grp", "grp"), TimeDim("day", "ts", "day")),
+        measures = Nil,
+        weighted = Seq(WeightedMeasure("ltv", "user_id", "value")),
+        bitmapShardBits = bits), df)
+    mk("cval", 0)
+    mk("cval_sh", 2)
+    val day0 = 1700006400000L / 86400000L
+    def dayOf(t: Timestamp): Long = t.getTime / 86400000L
+    // Scala oracle over scaled longs (exactly the partials' arithmetic)
+    def oracle(rs: Seq[(String, Timestamp, Double, Long)])
+        : (Map[Long, Int], Map[(Long, Long), (Long, Long)]) = {
+      val perUserDay = rs.groupBy(r => (r._4, dayOf(r._2) - day0))
+        .map { case (k, g) =>
+          k -> g.map(r => math.round(r._3 * 100)).sum }
+      val firstOf = perUserDay.keys.groupBy(_._1)
+        .map { case (u, ks) => u -> ks.map(_._2).min }
+      val size = firstOf.groupBy(_._2).map { case (c, m) => c -> m.size }
+      val cells = perUserDay.toSeq
+        .map { case ((u, d), w) => ((firstOf(u), d - firstOf(u)), (1L, w)) }
+        .groupBy(_._1)
+        .map { case (k, v) =>
+          k -> (v.map(_._2._1).sum, v.map(_._2._2).sum) }
+      (size, cells)
+    }
+    val (size, cells) = oracle(rows)
+    val got = svc.getCohortValue("cval", "day", "ltv", periodDays = 1)
+      .collect()
+    assert(got.length == cells.size,
+      s"cell count ${got.length} != raw ${cells.size}")
+    got.foreach { r =>
+      val key = (r.getAs[Long]("cohort") - day0, r.getAs[Long]("offset"))
+      val (a, w) = cells(key)
+      assert(r.getAs[Long]("cohort_size") == size(key._1),
+        s"cohort ${key._1} size diverged")
+      assert(r.getAs[Long]("active") == a, s"cell $key active diverged")
+      assert(r.getAs[Double]("value") == w / 100.0,
+        s"cell $key value diverged")
+    }
+    // sharded twin bit-identical (shards partition the id space; the
+    // per-shard pair walks' counts and scaled sums ADD back)
+    assert(svc.getCohortValue("cval_sh", "day", "ltv", periodDays = 1)
+        .collect().map(_.toSeq).toSeq == got.map(_.toSeq).toSeq,
+      "sharded cohort-value matrix must equal the unsharded walk")
+    // segmented: per-group first-seen and sums
+    val seg = svc.getCohortValue("cval", "day", "ltv", periodDays = 1,
+      segmentBy = Seq("grp")).collect()
+    Seq("x", "y").foreach { g =>
+      val (gs, gc) = oracle(rows.filter(_._1 == g))
+      val gGot = seg.filter(_.getAs[String]("grp") == g)
+      assert(gGot.length == gc.size, s"segment $g cell count diverged")
+      gGot.foreach { r =>
+        val key = (r.getAs[Long]("cohort") - day0, r.getAs[Long]("offset"))
+        val (a, w) = gc(key)
+        assert(r.getAs[Long]("cohort_size") == gs(key._1) &&
+          r.getAs[Long]("active") == a &&
+          r.getAs[Double]("value") == w / 100.0,
+          s"segment $g cell $key diverged")
+      }
+    }
+    // SOURCELESS deletes: the weighted family nets signed folds exactly
+    // — the serve keeps answering and equals a from-scratch build of
+    // the remaining rows (every bitmap/sketch verb latches here)
+    val dropped = rows.take(6)
+    svc.updateAggregates("cval",
+      dropped.toDF("grp", "ts", "value", "user_id")
+        .withColumn("_sign", lit(-1)))
+    val (size2, cells2) = oracle(rows.drop(6))
+    val got2 = svc.getCohortValue("cval", "day", "ltv", periodDays = 1)
+      .collect()
+    assert(got2.length == cells2.size, "post-delete cell count diverged")
+    got2.foreach { r =>
+      val key = (r.getAs[Long]("cohort") - day0, r.getAs[Long]("offset"))
+      val (a, w) = cells2(key)
+      assert(r.getAs[Long]("cohort_size") == size2(key._1) &&
+        r.getAs[Long]("active") == a &&
+        r.getAs[Double]("value") == w / 100.0,
+        s"post-delete cell $key diverged")
+    }
+    // guardrails: reserved segment name; not-a-weighted-measure
+    intercept[IllegalArgumentException] {
+      svc.getCohortValue("cval", "day", "ltv", segmentBy = Seq("value")) }
+    intercept[IllegalArgumentException] {
+      svc.getCohortValue("cval", "day", "nope") }
+    svc.deleteCube("cval"); svc.deleteCube("cval_sh")
+  }
+
   test("getEngagement & getGrowthAccounting: Scala oracle, identities, " +
       "sharded + segmented twins") {
     import spark.implicits._

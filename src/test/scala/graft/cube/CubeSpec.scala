@@ -73,6 +73,41 @@ class CubeSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted partials: signed fold == from-scratch, no delete latch") {
+    import spark.implicits._
+    val wcfg = CubeConfig("w", "mem",
+      dims = Seq(TimeDim("day", "ts", "day")),
+      measures = Nil,
+      weighted = Seq(WeightedMeasure("ltv", "user_id", "value")))
+    def toDfW(rows: Seq[(Long, Timestamp, Double)]): DataFrame =
+      rows.toDF("user_id", "ts", "value")
+    def blobs(c: Cube): Map[Timestamp, Seq[Byte]] =
+      c.aggregates.collect().map(r => r.getAs[Timestamp]("day") ->
+        r.getAs[Array[Byte]]("ltv").toSeq).toMap
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 10) {
+      val all = (0 until 40 + rnd.nextInt(40)).map { _ =>
+        ((rnd.nextInt(12) + 1).toLong,
+          new Timestamp(1700000000000L + rnd.nextInt(4) * 86400000L),
+          math.round(rnd.nextDouble() * 10000) / 100.0)
+      }
+      val (base, later) = all.splitAt(all.size / 2)
+      val deleted = base.filter(_ => rnd.nextBoolean())
+      val finalRows = base.diff(deleted) ++ later
+      val expected = CubeManager.create(wcfg, toDfW(finalRows))
+      val cube0 = CubeManager.create(wcfg, toDfW(base))
+      val cube1 = CubeManager.applyDeltas(cube0,
+        toDfW(later).withColumn("_sign", lit(1)))
+      // deletes fold SOURCELESS — the weighted family is invertible,
+      // so (unlike every other per-id family) nothing latches and the
+      // netted blobs still equal the from-scratch build bit for bit
+      val cube2 = CubeManager.applyDeltas(cube1,
+        toDfW(deleted).withColumn("_sign", lit(-1)))
+      assert(!cube2.hasDeletes, s"trial $trial latched")
+      assert(blobs(cube2) == blobs(expected), s"trial $trial diverged")
+    }
+  }
+
   test("roll-up query from cube == direct aggregation of source") {
     val rnd = new scala.util.Random(7)
     val rows = randomRows(rnd, 200)
@@ -139,7 +174,8 @@ class CubeSpec extends AnyFunSuite {
     val full = cfg.copy(
       sketches = Seq(Measure("users", "user_id")),
       quantiles = Seq(Measure("dist", "value")),
-      extremes = Seq(Measure("vx", "value")))
+      extremes = Seq(Measure("vx", "value")),
+      weighted = Seq(WeightedMeasure("ltv", "user_id", "value")))
     assert(CubeManager.configFromJson(
       CubeManager.configToJson(full)) == full)
     // configs persisted BEFORE the extremes feature (no "extremes" key)
@@ -163,16 +199,22 @@ class CubeSpec extends AnyFunSuite {
       "freq" -> Seq(Measure("topp", "page")),
       "bitmaps" -> Seq(Measure("u", "user_id")),
       "dictBitmaps" -> Seq(Measure("us", "uid_s")))
+    // the weighted section's entries have their own field names
+    // (idPath/weightPath) — toggled as an 8th independent section
+    val weightedJson =
+      """"weighted":[{"id":"ltv","idPath":"user_id","weightPath":"value"}]"""
+    val weightedWant = Seq(WeightedMeasure("ltv", "user_id", "value"))
     val dimsJson =
       """"dims":[{"id":"day","path":"ts","kind":"time","granularity":"day"},{"id":"cc","path":"country"}]"""
     val dims = Seq(TimeDim("day", "ts", "day"), FieldDim("cc", "country"))
-    for (mask <- 0 until (1 << sections.length)) {
+    for (mask <- 0 until (1 << (sections.length + 1))) {
       val present = sections.zipWithIndex.collect {
         case ((k, ms), i) if (mask & (1 << i)) != 0 => (k, ms)
       }
+      val weightedPresent = (mask & (1 << sections.length)) != 0
       val body = present.map { case (k, ms) =>
         s""""$k":[${ms.map(m => s"""{"id":"${m.id}","path":"${m.path}"}""").mkString(",")}]"""
-      }
+      } ++ (if (weightedPresent) Seq(weightedJson) else Nil)
       val json =
         (Seq(""""name":"t"""", """"source":"events"""", dimsJson) ++ body)
           .mkString("{", ",", "}")
@@ -188,6 +230,8 @@ class CubeSpec extends AnyFunSuite {
       assert(parsed.bitmaps == want("bitmaps"), s"mask=$mask bitmaps")
       assert(parsed.dictBitmaps == want("dictBitmaps"),
         s"mask=$mask dictBitmaps")
+      assert(parsed.weighted ==
+        (if (weightedPresent) weightedWant else Nil), s"mask=$mask weighted")
     }
   }
 
