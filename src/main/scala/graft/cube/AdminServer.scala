@@ -299,6 +299,40 @@ final class AdminServer(service: CubeService, spark: SparkSession,
                 cohSegs)
           }
           serveRows(df, cohSegs ++ Seq("cohort", "offset"), req)
+        case Some("getCohortValue") | Some("getJoinCohortValue") =>
+          val name = need(strField(req, "name"), "name")
+          val isJoin =
+            strField(req, "verb").contains("getJoinCohortValue")
+          val asOfCv = numField(req, "asOfVersion").map(_.toInt)
+          val calCv = strField(req, "calendar")
+          if (calCv.isDefined && numField(req, "periodDays").isDefined)
+            throw new IllegalArgumentException(
+              "calendar and periodDays are mutually exclusive")
+          val cvDay = need(strField(req, "dayDim"), "dayDim")
+          val cvW = need(strField(req, "weightedId"), "weightedId")
+          val cvSegs = strArray(req, "segmentBy")
+          val df = (asOfCv, calCv) match {
+            case (Some(v), _) =>
+              val pd = numField(req, "periodDays").map(_.toInt)
+                .getOrElse(if (calCv.isDefined) 1 else 7)
+              if (isJoin)
+                service.getJoinCohortValueAsOf(name, v, cvDay, cvW,
+                  pd, cvSegs, calCv)
+              else service.getCohortValueAsOf(name, v, cvDay, cvW,
+                pd, cvSegs, calCv)
+            case (None, Some(g)) =>
+              if (isJoin) service.getJoinCohortValueCalendar(name,
+                cvDay, cvW, g, cvSegs)
+              else service.getCohortValueCalendar(name, cvDay, cvW,
+                g, cvSegs)
+            case (None, None) =>
+              val pd = numField(req, "periodDays").map(_.toInt)
+                .getOrElse(7)
+              if (isJoin)
+                service.getJoinCohortValue(name, cvDay, cvW, pd, cvSegs)
+              else service.getCohortValue(name, cvDay, cvW, pd, cvSegs)
+          }
+          serveRows(df, cvSegs ++ Seq("cohort", "offset"), req)
         case Some("getOverlapMatrix") | Some("getJoinOverlapMatrix") =>
           val name = need(strField(req, "name"), "name")
           val isJoin =

@@ -1901,9 +1901,9 @@ object CubeQueries {
 
   // --------------------------------------------------------------- q232
   private val joinRollRouteSetup =
-    TrieMap.empty[(SparkSession, String), (String, String)]
-  private def joinRollRouteSources(spark: SparkSession,
-      sfDir: String): (String, String) =
+    TrieMap.empty[(SparkSession, String), (CubeService, String, String)]
+  private def joinRollRouteAll(spark: SparkSession,
+      sfDir: String): (CubeService, String, String) =
     joinRollRouteSetup.getOrElseUpdate((spark, sfDir), {
       val dir =
         java.nio.file.Files.createTempDirectory("graft_jrollrt").toString
@@ -1923,13 +1923,23 @@ object CubeQueries {
           CubeConfig("join_roll_route", "osrc_lsrc",
             dims = Seq(TimeDim("day", "o_orderdate", "day")),
             measures = Seq(Measure("rev", "l_extendedprice")),
-            bitmaps = Seq(Measure("sup", "l_suppkey"))),
+            bitmaps = Seq(Measure("sup", "l_suppkey")),
+            // q283: per-supplier additive partials through the
+            // delta-join fold — multiplicity signs (±k) accumulate
+            // natively in the weight maps like sum(_sign·measure)
+            weighted = Seq(WeightedMeasure("sltv", "l_suppkey",
+              "l_extendedprice"))),
           leftKey = "o_orderkey", rightKey = "l_orderkey"),
         spark.read.parquet(oSrc), spark.read.parquet(lSrc))
       CubeCatalog.registerJoin(s"join_roll_route@$sfDir",
         svc.loadJoinCube("join_roll_route"), oSrc, lSrc)
-      (oSrc, lSrc)
+      (svc, oSrc, lSrc)
     })
+  private def joinRollRouteSources(spark: SparkSession,
+      sfDir: String): (String, String) = {
+    val (_, oSrc, lSrc) = joinRollRouteAll(spark, sfDir)
+    (oSrc, lSrc)
+  }
 
   /** Graded: ROLLING ROUTING over a REGISTERED JOIN — the q228 rewrite
     * composed with the join-MV vocabulary: the raw trailing-window
@@ -2864,6 +2874,23 @@ object CubeQueries {
       s"join engagement routing did not fire (or still reads the " +
         s"sources); scans=$scans")
     q
+  }
+
+  // --------------------------------------------------------------- q283
+  /** Graded: COHORT VALUE over a JOIN MV — q281's LTV matrix where the
+    * id and the value live on OPPOSITE sides of `orders ⋈ lineitem`
+    * ("revenue by supplier cohort age": suppliers cohorted by the week
+    * of their first shipped order, valued by their line revenue each
+    * week). The weight-map partials ride the delta-join fold like
+    * every other measure family — multiplicity signs (±k from the
+    * ΔL⋈R / L⋈ΔR / ΔL⋈ΔR terms) accumulate natively as (k·cnt, k·w)
+    * — so the maintained join MV serves the matrix with no fact join
+    * at read time. Full DuckDB oracle recomputes per-(supplier, week)
+    * revenue over the raw join. */
+  def q283JoinCohortValue(spark: SparkSession, sfDir: String): DataFrame = {
+    val (svc, _, _) = joinRollRouteAll(spark, sfDir)
+    svc.getJoinCohortValue("join_roll_route", "day", "sltv",
+      periodDays = 7)
   }
 
   // --------------------------------------------------------------- q267
@@ -4776,6 +4803,7 @@ object CubeQueries {
     "q280_calendar_time_to_convert" -> q280CalendarTimeToConvert,
     "q281_cohort_value" -> q281CohortValue,
     "q282_cohort_value_calendar" -> q282CohortValueCalendar,
+    "q283_join_cohort_value" -> q283JoinCohortValue,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -6078,6 +6106,25 @@ object CubeQueries {
           CAST(f.cohort % 12 AS INT) + 1, 1), '%Y-%m-%d') AS cohort_start
       FROM g JOIN f ON g.id = f.id JOIN cs ON f.cohort = cs.cohort
       GROUP BY 1, 2, 3, 6
+      ORDER BY 1, 2""",
+    // supplier cohorts over the raw join — the join MV's weight-map
+    // serve must hash-match the per-(supplier, week) revenue rollup
+    "q283_join_cohort_value" -> """
+      WITH g AS (
+        SELECT l.l_suppkey AS id,
+          CAST(floor(date_diff('day', DATE '1970-01-01',
+            CAST(o.o_orderdate AS DATE)) / 7.0) AS BIGINT) AS p,
+          sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS w
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2),
+      f AS (SELECT id, min(p) AS cohort FROM g GROUP BY 1),
+      cs AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1)
+      SELECT f.cohort, g.p - f.cohort AS offset,
+        CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+        CAST(count(*) AS BIGINT) AS active,
+        CAST(sum(g.w) AS DOUBLE) AS value
+      FROM g JOIN f ON g.id = f.id JOIN cs ON f.cohort = cs.cohort
+      GROUP BY 1, 2, 3
       ORDER BY 1, 2""",
     // both raw trailing-window shapes recomputed raw; the enclosing
     // join/ratio shell is the user's own — the per-sub-metric routed

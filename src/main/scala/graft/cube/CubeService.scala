@@ -2739,6 +2739,19 @@ final class CubeService(spark: SparkSession, storageDir: String,
     cohortFrom(cubeAt(name, version), name, dayDim, bitmapId, periodDays,
       segmentBy, calendar)
 
+  /** [[getCohortValue]] over a retained version; `calendar` selects
+    * the [[getCohortValueCalendar]] form. */
+  def getCohortValueAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      weightedId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil,
+      calendar: Option[String] = None): DataFrame =
+    cohortValueFrom(cubeAt(name, version), name, dayDim, weightedId,
+      periodDays, segmentBy, calendar)
+
   /** [[getFunnel]] over a retained version. */
   def getFunnelAsOf(
       name: String,
@@ -2871,6 +2884,18 @@ final class CubeService(spark: SparkSession, storageDir: String,
       segmentBy: Seq[String] = Nil,
       calendar: Option[String] = None): DataFrame =
     cohortFrom(jmvCubeAt(name, version), name, dayDim, bitmapId,
+      periodDays, segmentBy, calendar)
+
+  /** [[getJoinCohortValue]] over a retained version. */
+  def getJoinCohortValueAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      weightedId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil,
+      calendar: Option[String] = None): DataFrame =
+    cohortValueFrom(jmvCubeAt(name, version), name, dayDim, weightedId,
       periodDays, segmentBy, calendar)
 
   /** [[getJoinFunnel]] over a retained version. */

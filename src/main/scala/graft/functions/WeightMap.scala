@@ -216,25 +216,46 @@ private[graft] object WeightMapCodec {
     while (i < n) { f(bb.getLong, bb.getLong, bb.getLong); i += 1 }
   }
 
-  /** Is `id` present (bit set) in a serialized BITMAP ([[BitmapCodec]]
-    * byte form)? Binary search over the sorted block list. */
-  def bitmapContains(bm: Array[Byte], id: Long): Boolean = {
+  /** (|present ids ∩ bitmap|, Σ their weights) in ONE tandem
+    * merge-walk over the two sorted byte forms — the map's ids ascend,
+    * so their blocks are non-decreasing and the bitmap pointer only
+    * ever advances: O(|wm| + |bm|), no allocation, no per-entry
+    * binary search (the cohort pair walk evaluates this |periods|²/2
+    * times, so the cell cost is the serve's whole profile). */
+  def countSumIn(bm: Array[Byte], wm: Array[Byte]): (Long, Long) = {
     val bb = java.nio.ByteBuffer.wrap(bm)
-    val n = bb.getInt
-    val block = java.lang.Math.floorDiv(id, 64L)
-    var lo = 0
-    var hi = n - 1
-    while (lo <= hi) {
-      val mid = (lo + hi) >>> 1
-      val b = bb.getLong(4 + mid * 16)
-      if (b < block) lo = mid + 1
-      else if (b > block) hi = mid - 1
-      else {
-        val word = bb.getLong(4 + mid * 16 + 8)
-        return (word & (1L << java.lang.Math.floorMod(id, 64L))) != 0L
+    val nb = bb.getInt
+    val wb = java.nio.ByteBuffer.wrap(wm)
+    val nw = wb.getInt
+    var ib = 0
+    var curBlock = 0L
+    var curWord = 0L
+    var haveBlock = false
+    if (nb > 0) { curBlock = bb.getLong; curWord = bb.getLong; ib = 1
+      haveBlock = true }
+    var n = 0L
+    var total = 0L
+    var iw = 0
+    while (iw < nw) {
+      val id = wb.getLong
+      val cnt = wb.getLong
+      val w = wb.getLong
+      iw += 1
+      if (cnt > 0L) {
+        val block = java.lang.Math.floorDiv(id, 64L)
+        while (haveBlock && curBlock < block) {
+          if (ib < nb) { curBlock = bb.getLong; curWord = bb.getLong
+            ib += 1 }
+          else haveBlock = false
+        }
+        if (haveBlock && curBlock == block &&
+            (curWord & (1L << java.lang.Math.floorMod(id, 64L))) != 0L) {
+          n += 1L
+          total += w
+        }
       }
     }
-    false
+    (n, total)
   }
 }
 
@@ -290,15 +311,8 @@ case class WeightMapSumIn(bitmap: Expression, wm: Expression)
     val b = bitmap.eval(input)
     val v = wm.eval(input)
     if (b == null || v == null) null
-    else {
-      val bm = b.asInstanceOf[Array[Byte]]
-      var total = 0L
-      WeightMapCodec.foreachEntry(v.asInstanceOf[Array[Byte]],
-        (id, cnt, w) =>
-          if (cnt > 0L && WeightMapCodec.bitmapContains(bm, id))
-            total += w)
-      total
-    }
+    else WeightMapCodec.countSumIn(b.asInstanceOf[Array[Byte]],
+      v.asInstanceOf[Array[Byte]])._2
   }
 
   override protected def withNewChildrenInternal(
@@ -322,14 +336,8 @@ case class WeightMapCountIn(bitmap: Expression, wm: Expression)
     val b = bitmap.eval(input)
     val v = wm.eval(input)
     if (b == null || v == null) null
-    else {
-      val bm = b.asInstanceOf[Array[Byte]]
-      var n = 0L
-      WeightMapCodec.foreachEntry(v.asInstanceOf[Array[Byte]],
-        (id, cnt, _) =>
-          if (cnt > 0L && WeightMapCodec.bitmapContains(bm, id)) n += 1L)
-      n
-    }
+    else WeightMapCodec.countSumIn(b.asInstanceOf[Array[Byte]],
+      v.asInstanceOf[Array[Byte]])._1
   }
 
   override protected def withNewChildrenInternal(

@@ -95,11 +95,13 @@ object StreamingCube {
       graft.functions.WeightMap.buildAgg(col(m.idPath).cast("long"),
         lit(1L), graft.functions.WeightMap.scaled(col(m.weightPath)))
         .as(m.id))
+    // `_count` is always present, so the combined list is never empty
+    // even for a sums-free config (e.g. a weighted-only cube)
+    val all = sums ++ sks ++ qs ++ exts ++ fqs ++ bms ++ wms :+
+      count(lit(1)).as(CubeManager.CountCol)
     stream
       .groupBy(config.dimCols: _*)
-      .agg(sums.head,
-        (sums.tail ++ sks ++ qs ++ exts ++ fqs ++ bms ++ wms
-          :+ count(lit(1)).as(CubeManager.CountCol)): _*)
+      .agg(all.head, all.tail: _*)
   }
 
   /** Start a streaming cube over a directory of parquet delta files.

@@ -72,7 +72,9 @@ class PlanSpec extends AnyFunSuite {
     "q281_cohort_value",      // p2>=cohort triangle walk over ~340
                               // weekly one-row weight-map frames
                               // (q248's shape with values)
-    "q282_cohort_value_calendar") // the same walk over ~84 monthly
+    "q282_cohort_value_calendar", // the same walk over ~84 monthly
+                              // one-row weight-map frames
+    "q283_join_cohort_value") // the weekly walk over the join MV's
                               // one-row weight-map frames
 
   test("no unjustified cartesian or nested-loop join in any query plan") {

@@ -693,7 +693,7 @@ class AdminServerSpec extends AnyFunSuite {
       val srcDir = tmp("graft_admin_cums") + "/src"
       rows.toDF("event_type", "ts", "value", "user_id")
         .write.parquet(srcDir)
-      val cfg = """{"name":"cw","source":"events","dims":[{"kind":"field","id":"etype","path":"event_type"},{"kind":"time","id":"day","path":"ts","granularity":"day"}],"measures":[{"id":"v","path":"value"}],"bitmaps":[{"id":"u","path":"user_id"}]}"""
+      val cfg = """{"name":"cw","source":"events","dims":[{"kind":"field","id":"etype","path":"event_type"},{"kind":"time","id":"day","path":"ts","granularity":"day"}],"measures":[{"id":"v","path":"value"}],"bitmaps":[{"id":"u","path":"user_id"}],"weighted":[{"id":"ltv","idPath":"user_id","weightPath":"value"}]}"""
       assert(cli.rpc(s"""{"verb":"createCube","config":"${escaped(cfg)}","sourceParquet":"${escaped(
         srcDir)}"}""") == """{"ok":true,"result":"cw"}""")
       // lifetime curve over the wire == in-process, row for row
@@ -750,6 +750,20 @@ class AdminServerSpec extends AnyFunSuite {
         .collect()
       assert(cProc.nonEmpty && cProc.forall(r =>
         cw2.contains(s""""retained":${r.getAs[Long]("retained")}""")), cw2)
+      // cohort VALUE (the LTV triangle) over the wire == in-process —
+      // the weighted section arrived through the hand-written wire
+      // config above, so this also pins the config parse path
+      val cvw = cli.rpc(
+        """{"verb":"getCohortValue","name":"cw","dayDim":"day","weightedId":"ltv","periodDays":1}""")
+      assert(cvw.startsWith("""{"ok":true"""), cvw)
+      val cvProc = svc.getCohortValue("cw", "day", "ltv", periodDays = 1)
+        .collect()
+      assert(cvProc.nonEmpty && cvProc.forall(r =>
+        cvw.contains(s""""value":${r.getAs[Double]("value")}""")), cvw)
+      // a non-weighted measure id refuses structurally
+      assert(cli.rpc(
+        """{"verb":"getCohortValue","name":"cw","dayDim":"day","weightedId":"u"}""")
+        .startsWith("""{"ok":false"""))
       // overlap matrix over the wire == in-process
       val ow = cli.rpc(
         """{"verb":"getOverlapMatrix","name":"cw","dim":"etype","bitmapId":"u"}""")

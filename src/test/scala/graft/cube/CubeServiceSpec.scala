@@ -1331,11 +1331,12 @@ class CubeServiceSpec extends AnyFunSuite {
       CubeConfig("asofc", "events",
         Seq(FieldDim("etype", "event_type"), TimeDim("day", "ts", "day")),
         Seq(Measure("v", "value")),
-        bitmaps = Seq(Measure("u", "user_id"))),
+        bitmaps = Seq(Measure("u", "user_id")),
+        weighted = Seq(WeightedMeasure("ltv", "user_id", "value"))),
       b1.toDF("event_type", "ts", "value", "user_id"))
     val v0 = svc.currentCubeVersion("asofc")
     def all(serve: String => org.apache.spark.sql.DataFrame) =
-      Seq("r", "t", "c", "f", "m", "o", "e", "g", "s", "x")
+      Seq("r", "t", "c", "f", "m", "o", "e", "g", "s", "x", "w")
         .map(k => k -> serve(k).collect().map(_.toSeq).toSeq).toMap
     def head(k: String) = k match {
       case "r" => svc.getRolling("asofc", "day", 7,
@@ -1351,6 +1352,7 @@ class CubeServiceSpec extends AnyFunSuite {
       case "s" => svc.getStickiness("asofc", "day", "u", 2, 7)
       case "x" => svc.getTimeToConvert("asofc", "day", "u", "etype",
         Seq("view", "click", "purchase"))
+      case "w" => svc.getCohortValue("asofc", "day", "ltv", periodDays = 1)
       case _ => svc.getFunnel("asofc", "day", "u", "etype",
         Seq("view", "click", "purchase"))
     }
@@ -1361,7 +1363,7 @@ class CubeServiceSpec extends AnyFunSuite {
     assert(v1 == v0 + 1 && svc.listCubeVersions("asofc").contains(v0))
     // the head moved: every family sees the fold
     val after = all(head)
-    Seq("r", "t", "c", "f", "m", "o", "e", "g", "s", "x").foreach(k =>
+    Seq("r", "t", "c", "f", "m", "o", "e", "g", "s", "x", "w").foreach(k =>
       assert(after(k) != before(k), s"family $k: fold must move the head"))
     // as-of v0 reproduces every captured pre-fold serve bit for bit
     def asOf(k: String) = k match {
@@ -1381,11 +1383,13 @@ class CubeServiceSpec extends AnyFunSuite {
       case "s" => svc.getStickinessAsOf("asofc", v0, "day", "u", 2, 7)
       case "x" => svc.getTimeToConvertAsOf("asofc", v0, "day", "u",
         "etype", Seq("view", "click", "purchase"))
+      case "w" => svc.getCohortValueAsOf("asofc", v0, "day", "ltv",
+        periodDays = 1)
       case _ => svc.getFunnelAsOf("asofc", v0, "day", "u", "etype",
         Seq("view", "click", "purchase"))
     }
     val historical = all(asOf)
-    Seq("r", "t", "c", "f", "m", "o", "e", "g", "s", "x").foreach(k =>
+    Seq("r", "t", "c", "f", "m", "o", "e", "g", "s", "x", "w").foreach(k =>
       assert(historical(k) == before(k),
         s"family $k: as-of v$v0 must equal the captured pre-fold serve"))
     // non-retained version refuses with the window in the message
@@ -1418,12 +1422,13 @@ class CubeServiceSpec extends AnyFunSuite {
           dims = Seq(FieldDim("etype", "etype"),
             TimeDim("day", "ts", "day")),
           measures = Seq(Measure("v", "value")),
-          bitmaps = Seq(Measure("u", "user_id"))),
+          bitmaps = Seq(Measure("u", "user_id")),
+          weighted = Seq(WeightedMeasure("ltv", "user_id", "value"))),
         leftKey = "lk", rightKey = "rk"),
       left, toDF(fact(0 until 40, 0 until 10, 500)))
     val v0 = svc.currentJoinCubeVersion("jasof")
     val fams = Seq("r", "t", "tcal", "c", "f", "m", "o", "e", "g", "s",
-      "x")
+      "x", "w")
     def all(serve: String => org.apache.spark.sql.DataFrame) =
       fams.map(k => k -> serve(k).collect().map(_.toSeq).toSeq).toMap
     def head(k: String) = k match {
@@ -1444,6 +1449,8 @@ class CubeServiceSpec extends AnyFunSuite {
       case "s" => svc.getJoinStickiness("jasof", "day", "u", 2, 7)
       case "x" => svc.getJoinTimeToConvert("jasof", "day", "u",
         "etype", Seq("view", "click", "purchase"))
+      case "w" => svc.getJoinCohortValue("jasof", "day", "ltv",
+        periodDays = 1)
       case _ => svc.getJoinFunnel("jasof", "day", "u", "etype",
         Seq("view", "click", "purchase"))
     }
@@ -1481,6 +1488,8 @@ class CubeServiceSpec extends AnyFunSuite {
         2, 7)
       case "x" => svc.getJoinTimeToConvertAsOf("jasof", v0, "day",
         "u", "etype", Seq("view", "click", "purchase"))
+      case "w" => svc.getJoinCohortValueAsOf("jasof", v0, "day", "ltv",
+        periodDays = 1)
       case _ => svc.getJoinFunnelAsOf("jasof", v0, "day", "u", "etype",
         Seq("view", "click", "purchase"))
     }

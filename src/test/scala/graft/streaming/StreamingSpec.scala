@@ -102,6 +102,42 @@ class StreamingSpec extends AnyFunSuite {
       "per-group streamed sketch estimates must equal the batch cube's")
   }
 
+  test("streaming cube with a weighted measure == batch weight maps") {
+    import graft.cube.WeightedMeasure
+    val src = tmp("graft_wm_src")
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 300).map { _ =>
+      (Seq("click", "view", "buy")(rnd.nextInt(3)),
+        new Timestamp(1700000000000L + rnd.nextInt(4) * 3600000L),
+        math.round(rnd.nextDouble() * 1000) / 100.0,
+        rnd.nextInt(40).toLong)
+    }
+    import spark.implicits._
+    def df(rs: Seq[(String, Timestamp, Double, Long)]): DataFrame =
+      rs.toDF("event_type", "ts", "value", "user_id")
+    rows.grouped(100).zipWithIndex.foreach { case (chunk, i) =>
+      df(chunk).coalesce(1).write.parquet(s"$src/b$i")
+    }
+    val wmCfg = cfg.copy(name = "wms", measures = Nil,
+      weighted = Seq(WeightedMeasure("ltv", "user_id", "value")))
+    val q = StreamingCube.start(spark, wmCfg, s"$src/b*",
+      df(rows.take(1)).schema, tmp("graft_wm_ckpt"), "wmcube_stream")
+    q.processAllAvailable()
+    q.stop()
+    // the canonical byte form makes stream == batch BIT-equal per cell
+    // (pointwise addition is order-independent across micro-batches)
+    def blobs(frame: DataFrame): Map[(String, Long), Seq[Byte]] = frame
+      .collect()
+      .map(r => (r.getAs[String]("etype"),
+        r.getAs[Timestamp]("hour").getTime) ->
+        r.getAs[Array[Byte]]("ltv").toSeq).toMap
+    val streamed = blobs(spark.table("wmcube_stream"))
+    val batch =
+      blobs(graft.cube.CubeManager.create(wmCfg, df(rows)).aggregates)
+    assert(streamed == batch && batch.nonEmpty,
+      "per-cell streamed weight maps must equal the batch cube's")
+  }
+
   test("streaming cube with a freq measure == batch CMS counters + top-k") {
     import graft.cube.{CubeManager, FieldDim, Measure}
     val src = tmp("graft_fq_src")
