@@ -367,6 +367,12 @@ object CubeAdvisor {
     // serve is an ANDNOT-prefix walk over the same period bitmaps)
     val resurrectedHits: Seq[(Int, RetentionNeeds)] =
       claim(analyzeResurrected)
+    // cohort-VALUE (LTV) shapes fold into the SAME day-dimmed cube
+    // family: the retention rec's cube gains a `weighted` measure so
+    // one cube serves the whole growth dashboard — counts from the
+    // bitmaps, values from the weight maps
+    val cohortValueHits: Seq[(Int, CohortValueNeeds)] =
+      claim(analyzeCohortValue)
     val analyzed: Seq[(Int, Option[Needs])] =
       comps.zipWithIndex.collect {
         case ((qi, p), ci) if !claimed(ci) => qi -> analyze(p)
@@ -405,18 +411,30 @@ object CubeAdvisor {
             coveredQueries = hits.map(_._1).distinct.sorted,
             join = hits.head._2.join)
       }
-    val retentionRecs = keep(retentionHits ++ cumulativeHits ++
+    val retGrouped = keep(retentionHits ++ cumulativeHits ++
         firstSeenHits ++ engagementHits ++ resurrectedHits)
       .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol, h._2.segments,
         h._2.filters.map(_._1).distinct.sorted))
-      .toSeq.sortBy(g => (g._1._1, g._1._2, g._1._3,
-        g._1._4.mkString(","), g._1._5.mkString(",")))
+    // cohort-value hits share the group key (they carry no segments);
+    // a value-only group still gets a rec — the weighted cube serves
+    // it alone
+    val cvGrouped = keep(cohortValueHits)
+      .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol,
+        Seq.empty[String], h._2.filters.map(_._1).distinct.sorted))
+    val retentionRecs = (retGrouped.keySet ++ cvGrouped.keySet)
+      .toSeq.sortBy(g => (g._1, g._2, g._3,
+        g._4.mkString(","), g._5.mkString(",")))
       .zipWithIndex.map {
-        case (((path, tsCol, idCol, segments, filterCols), hits), k) =>
+        case (key @ (path, tsCol, idCol, segments, filterCols), k) =>
+          val hits = retGrouped.getOrElse(key, Nil)
+          val cvs = cvGrouped.getOrElse(key, Nil)
           val dayDim = s"${tsCol}_day"
           val bmId = s"${idCol}_xd"
           val m = Seq(Measure(bmId, idCol))
-          val integralId = hits.head._2.integralId
+          // cohort-value hits exist only over integral ids (the
+          // matcher refuses others), so a mixed group is integral
+          val integralId =
+            hits.headOption.map(_._2.integralId).getOrElse(true)
           RetentionRecommendation(path,
             CubeConfig(s"${namePrefix}_retention_$k", path,
               // segment columns dim the cube so the period bitmaps
@@ -430,15 +448,22 @@ object CubeAdvisor {
               // non-integral ids take the dictionary path (exact for
               // any key type) instead of the pre-dictionary refusal
               bitmaps = if (integralId) m else Nil,
-              dictBitmaps = if (integralId) Nil else m),
+              dictBitmaps = if (integralId) Nil else m,
+              // one weighted measure per distinct LTV weight column —
+              // the cohort-value serve's per-id additive partials
+              weighted = cvs.map(_._2.weightCol).distinct.sorted
+                .map(wc => WeightedMeasure(s"${wc}_w", idCol, wc))),
             dayDim, bmId,
-            periods = hits.map(_._2.periodDays).distinct.sorted,
-            coveredQueries = hits.map(_._1).distinct.sorted,
+            periods = (hits.map(_._2.periodDays) ++
+              cvs.map(_._2.periodDays)).distinct.sorted,
+            coveredQueries = (hits.map(_._1) ++ cvs.map(_._1))
+              .distinct.sorted,
             segmentBy = segments,
             // path grouping keys a JOIN workload by its composite
             // registration identity, so one group is one join — the
             // rec carries the join info for createJoinCube
-            join = hits.head._2.join)
+            join = hits.headOption.map(_._2.join)
+              .getOrElse(cvs.head._2.join))
       }
     val rollingRecs = keep(rollingHits)
       .groupBy(h => (h._2.path, h._2.tsCol, h._2.segments,
@@ -2332,6 +2357,237 @@ object CubeAdvisor {
       case _ => return None
     }
     if (outs.exists(_.isInstanceOf[RollOut.Leaf])) Some(outs) else None
+  }
+
+  /** Output tokens of the cohort-VALUE plan (the [[CohortValueNeeds]]
+    * `outs` map, consumed by the rewrite's serve builder): the cohort
+    * period, the activity period or its cohort-relative offset, the
+    * per-cell id count, and the per-cell value sum. */
+  private[cube] sealed trait CVOut
+  private[cube] object CVOut {
+    case object Cohort extends CVOut
+    case object Period extends CVOut
+    case object Offset extends CVOut
+    case object Active extends CVOut
+    case object Value extends CVOut
+  }
+
+  /** What one recognized cohort-VALUE query needs: the source, the
+    * time column, the summed-per-id weight column, and the ordered
+    * output map. The serve is [[CubeService.getCohortValue]]'s weight-
+    * map algebra over a `weighted`-measured cube. */
+  private[cube] final case class CohortValueNeeds(
+      path: String, tsCol: String, idCol: String, weightCol: String,
+      periodDays: Int, outs: Seq[CVOut],
+      filters: Seq[(String, Seq[Literal])] = Nil,
+      join: Option[(String, String, String, String)] = None,
+      calendar: Option[(String, Long)] = None)
+
+  /** One side of the cohort-value join: the per-(id, period) WEIGHTED
+    * aggregate — `GROUP BY id, period → sum(CAST(w AS DECIMAL(18,2)))`
+    * over the source. The cast must be EXACTLY the cube's
+    * DECIMAL(18,2) money discipline (or the column already decimal
+    * scale 2, precision ≤ 18): the weight-map partials store
+    * `cast(w as decimal(18,2)) × 100` as exact longs, so only then is
+    * the routed sum bit-equal to the raw one (a double sum would
+    * drift with order; a narrower cast could overflow to null where
+    * the partials don't). */
+  private final case class WeightedPairSide(
+      path: String, tsCol: String, periodDays: Int,
+      calendar: Option[(String, Long)],
+      idOut: org.apache.spark.sql.catalyst.expressions.ExprId,
+      pOut: org.apache.spark.sql.catalyst.expressions.ExprId,
+      wOut: org.apache.spark.sql.catalyst.expressions.ExprId,
+      idSrc: AttributeReference, weightSrc: AttributeReference,
+      filters: Seq[(String, Seq[Literal])],
+      join: Option[(String, String, String, String)])
+
+  private def weightedPairs(side: LogicalPlan): Option[WeightedPairSide] = {
+    val (b, env0, preds0) = peel(side)
+    b match {
+      case Aggregate(gs, outs, c, _) if gs.size == 2 && outs.size == 3 =>
+        val (inner, env, preds) = peel(c)
+        val sub = subst(env0 ++ env) _
+        val (path, join, jpreds) = sourceOf(inner).getOrElse(return None)
+        val fs = sideFilters(preds0 ++ preds ++ jpreds, sub)
+          .getOrElse(return None)
+        var idOut: Option[(org.apache.spark.sql.catalyst.expressions
+          .ExprId, AttributeReference)] = None
+        var pOut: Option[(org.apache.spark.sql.catalyst.expressions
+          .ExprId, (String, Int, Option[(String, Long)]))] = None
+        var wOut: Option[(org.apache.spark.sql.catalyst.expressions
+          .ExprId, AttributeReference)] = None
+        // an output is a grouping passthrough (a bare attribute, or —
+        // the PullOutGroupingExpressions shape — an Alias of the
+        // pulled grouping attribute) or the single weight-sum alias
+        outs.foreach { ne =>
+          val (outId, child): (org.apache.spark.sql.catalyst
+            .expressions.ExprId, Expression) = ne match {
+            case a: AttributeReference => (a.exprId, a)
+            case al: Alias => (al.toAttribute.exprId, al.child)
+            case _ => return None
+          }
+          child match {
+            case AggregateExpression(Sum(we, _), Complete, false, _, _)
+                if wOut.isEmpty =>
+              import org.apache.spark.sql.types.DecimalType
+              val srcOpt = sub(we) match {
+                case Cast(src: AttributeReference, dt: DecimalType,
+                    _, _) if dt.precision == 18 && dt.scale == 2 =>
+                  Some(src)
+                case src: AttributeReference => src.dataType match {
+                  case dt: DecimalType
+                      if dt.scale == 2 && dt.precision <= 18 =>
+                    Some(src)
+                  case _ => None
+                }
+                case _ => None
+              }
+              wOut = Some(outId -> srcOpt.getOrElse(return None))
+            case _: AggregateExpression => return None
+            case grp =>
+              val e = sub(grp)
+              periodKind(e) match {
+                case Some(k) if pOut.isEmpty => pOut = Some(outId -> k)
+                case _ => e match {
+                  case src: AttributeReference if idOut.isEmpty =>
+                    idOut = Some(outId -> src)
+                  case _ => return None
+                }
+              }
+          }
+        }
+        for {
+          (idId, idSrc) <- idOut
+          (pId, (tsCol, pd, cal)) <- pOut
+          (wId, wSrc) <- wOut
+        } yield WeightedPairSide(path, tsCol, pd, cal, idId, pId, wId,
+          idSrc, wSrc, fs, join)
+      case _ => None
+    }
+  }
+
+  /** The COHORT-VALUE plan shape — revenue by cohort age as users
+    * write it raw:
+    *
+    *   g = source GROUP BY id, period → sum(CAST(w AS DEC(18,2))) AS v
+    *   f = source GROUP BY id → min(period) AS cohort
+    *   g ⋈ f ON id GROUP BY cohort, period − cohort
+    *     → count / sum(v)
+    *
+    * Served exactly by [[CubeService.getCohortValue]]'s weight-map
+    * algebra over a `weighted`-measured day-dimmed cube: per-period
+    * weight maps pointwise-ADD to g's per-(id, period) sums, the
+    * first-seen prefix-ANDNOT walk IS f, and each (cohort, offset)
+    * cell's countIn/sumIn are the join-then-reaggregate. NULL ids
+    * drop identically on both paths (the inner join never matches a
+    * null key; the weight maps skip null ids at build), so count(1),
+    * count(id) and count(DISTINCT id) all equal the cell's active
+    * count regardless of id nullability. Refusals keep the honesty
+    * contract: a min side from a different source / period width /
+    * filter set, a weight sum outside the DECIMAL(18,2) money
+    * discipline, extra aggregate leaves, non-IsNotNull predicates
+    * above the join, and the f-over-g CTE shape (the min side must
+    * scan the source directly) all return None. */
+  private[cube] def analyzeCohortValue(
+      plan: LogicalPlan): Option[CohortValueNeeds] = plan match {
+    case Aggregate(groups, aggs, child, _) if groups.size == 2 =>
+      val (base, env0, preds0) = peel(child)
+      if (!preds0.forall(_.isInstanceOf[IsNotNull])) return None
+      val sub0 = subst(env0) _
+      val (l, r, cond) = base match {
+        case Join(jl, jr, org.apache.spark.sql.catalyst.plans.Inner,
+            Some(jc), _) => (jl, jr, jc)
+        case _ => return None
+      }
+      // the weighted pair side vs the per-id min side, either order
+      val sides: Option[(WeightedPairSide, LogicalPlan)] =
+        weightedPairs(l).map((_, r)).orElse(weightedPairs(r).map((_, l)))
+      val (g, fSide) = sides.getOrElse(return None)
+      // the min side: GROUP BY id → min(period) straight off the source
+      val (fBase, fEnv, fPreds) = peel(fSide)
+      if (!fPreds.forall(_.isInstanceOf[IsNotNull])) return None
+      val (fPath, fJoin, fGroups, fPassthroughs, fAl, fInnerPreds,
+        fSub) = perIdAggregate(fBase, subst(fEnv) _)
+        .getOrElse(return None)
+      if (fGroups.size != 1) return None
+      val (tsCol2, pd2, cal2) = fAl.child match {
+        case AggregateExpression(Min(m), Complete, false, _, _) =>
+          periodKind(fSub(m)).getOrElse(return None)
+        case _ => return None
+      }
+      if (fPath != g.path || fJoin != g.join || tsCol2 != g.tsCol ||
+        pd2 != g.periodDays || cal2 != g.calendar) return None
+      val fFs = sideFilters(fInnerPreds, fSub).getOrElse(return None)
+      if (filterKey(fFs) != filterKey(g.filters)) return None
+      // both sides must group/aggregate the SAME source id column
+      val (fIdOut, fIdSrc) = fGroups.head
+      if (fIdSrc.name != g.idSrc.name) return None
+      val fIdPass = fPassthroughs.find(_.exprId == fIdOut.exprId)
+      // the join condition: g.id = f.id, either order
+      val idIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
+        Set(g.idOut) ++ fIdPass.map(_.exprId)
+      cond match {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if idIds.contains(a.exprId) && idIds.contains(b.exprId) &&
+              a.exprId != b.exprId => ()
+        case _ => return None
+      }
+      val cohortId = fAl.toAttribute.exprId
+      // role of one expression: the cohort attr, the period attr, or
+      // their difference (period − cohort, the age/offset form)
+      def roleOf(e0: Expression): Option[CVOut] = sub0(e0) match {
+        case a: AttributeReference if a.exprId == cohortId =>
+          Some(CVOut.Cohort)
+        case a: AttributeReference if a.exprId == g.pOut =>
+          Some(CVOut.Period)
+        case Subtract(pa: AttributeReference, ca: AttributeReference, _)
+            if pa.exprId == g.pOut && ca.exprId == cohortId =>
+          Some(CVOut.Offset)
+        case _ => None
+      }
+      val groupRoles = groups.map(e => roleOf(e).getOrElse(return None))
+      if (!groupRoles.contains(CVOut.Cohort) ||
+        groupRoles.toSet.size != 2) return None
+      // weight maps key ids as CAST(id AS BIGINT) and have no
+      // dictionary sibling — a non-integral id has no exact weighted
+      // serve, so the plan stays raw and advise reports it uncovered
+      if (!integral(g.idSrc.dataType)) return None
+      var sawValue = false
+      var sawActive = false
+      val outs: Seq[CVOut] = aggs.map { ne =>
+        val asGroup = ne match {
+          case a: AttributeReference => roleOf(a)
+          case al: Alias => roleOf(al.child)
+          case _ => None
+        }
+        asGroup.getOrElse(ne match {
+          case al: Alias => al.child match {
+            case AggregateExpression(Count(Seq(Literal(1, _))),
+                Complete, false, _, _) =>
+              sawActive = true; CVOut.Active
+            case AggregateExpression(Count(Seq(
+                ca: AttributeReference)), Complete, _, _, _)
+                if idIds.contains(ca.exprId) =>
+              sawActive = true; CVOut.Active
+            case AggregateExpression(Sum(
+                wa: AttributeReference, _), Complete, false, _, _)
+                if wa.exprId == g.wOut =>
+              sawValue = true; CVOut.Value
+            case Cast(AggregateExpression(Sum(
+                wa: AttributeReference, _), Complete, false, _, _),
+                _, _, _) if wa.exprId == g.wOut =>
+              sawValue = true; CVOut.Value
+            case _ => return None
+          }
+          case _ => return None
+        })
+      }
+      if (!sawValue && !sawActive) return None
+      Some(CohortValueNeeds(g.path, g.tsCol, g.idSrc.name,
+        g.weightSrc.name, g.periodDays, outs, g.filters, g.join,
+        g.calendar))
+    case _ => None
   }
 
   /** The bitmap family's type boundary (see [[CubeManager.create]]'s

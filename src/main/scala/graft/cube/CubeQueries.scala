@@ -127,6 +127,7 @@ object CubeQueries {
     streamWauService(spark, sfDir)
     joinAsOfSources(spark, sfDir)
     advisedSegService(spark, sfDir)
+    advisedCvSource(spark, sfDir)
     rollingRouteSource(spark, sfDir)
     dictDistinctService(spark, sfDir)
     advisedRetentionState(spark, sfDir)
@@ -2111,7 +2112,10 @@ object CubeQueries {
           dims = Seq(FieldDim("et", "event_type"),
             TimeDim("day", "ts", "day")),
           measures = Seq(Measure("v", "value")),
-          bitmaps = Seq(Measure("u", "user_id"))), src), dir)
+          bitmaps = Seq(Measure("u", "user_id")),
+          // q284: per-id additive partials for the cohort-value route
+          weighted = Seq(WeightedMeasure("wv", "user_id", "value"))),
+        src), dir)
       CubeCatalog.install(spark)
       // NO approxDistinct opt-in: the routed families here (bitmap
       // exact distinct, decimal sums) are answer-preserving
@@ -2876,6 +2880,47 @@ object CubeQueries {
     q
   }
 
+  // --------------------------------------------------------------- q284
+  /** Graded: COHORT-VALUE ROUTING — q281's LTV matrix as a user writes
+    * it RAW (per-(id, day) money sums joined to a per-id min-day
+    * frame, re-aggregated per (cohort, age) — no service verb in
+    * sight) over a REGISTERED weighted cube, rewritten by
+    * [[CubeRewriteRule]] to the weight-map serve
+    * ([[CubeAdvisor.analyzeCohortValue]] →
+    * `CubeRewrite.buildCohortValueServe`): per-period maps
+    * pointwise-ADD to the raw per-(id, period) sums, the first-seen
+    * prefix-ANDNOT walk replaces the min-join, each cell is one
+    * countIn/sumIn merge-walk, and the routed decimal is rebuilt
+    * EXACTLY from the scaled-long sum (MakeDecimal — every weight is
+    * an integral count of hundredths). Hard-asserted to scan ONLY the
+    * cube; the DuckDB oracle recomputes the whole matrix from raw
+    * events. 100 TB split: the raw plan shuffles every (id, period,
+    * value) group twice per refresh (min reduce + join recount); the
+    * routed serve reads |periods| one-row cube-derived maps. */
+  def q284CohortValueRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = rollingRouteSource(spark, sfDir)
+    def src = spark.read.parquet(srcDir)
+    def pExpr = (unix_timestamp(col("ts")).cast("double") / 86400)
+      .cast("long")
+    val g = src.groupBy(col("user_id"), pExpr.as("p"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("w"))
+    val f = src.groupBy(col("user_id")).agg(min(pExpr).as("cohort"))
+    val q = g.join(f, "user_id")
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("active"),
+        sum(col("w")).cast("double").as("value"))
+      .orderBy(col("cohort"), col("offset"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && !scans.exists(_.endsWith("/source")),
+      s"cohort-value routing did not fire (or still reads the source); " +
+        s"scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q283
   /** Graded: COHORT VALUE over a JOIN MV — q281's LTV matrix where the
     * id and the value live on OPPOSITE sides of `orders ⋈ lineitem`
@@ -3106,6 +3151,78 @@ object CubeQueries {
   }
 
   // --------------------------------------------------------------- q254
+  // --------------------------------------------------------------- q285
+  private val advisedCvSetup =
+    TrieMap.empty[(SparkSession, String), String]
+  private def advisedCvSource(spark: SparkSession, sfDir: String): String =
+    advisedCvSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_advcv").toString
+      val srcDir = s"$dir/source"
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .write.parquet(srcDir)
+      val src = spark.read.parquet(srcDir)
+      // the workload: the weekly LTV matrix as users write it raw —
+      // per-(id, week) money sums joined to a per-id min-week frame
+      val advice = CubeAdvisor.advise(Seq(weeklyCohortValue(src)),
+        "advcv")
+      require(advice.retention.size == 1 && advice.uncovered.isEmpty,
+        s"cohort-value advice did not recognize the workload: $advice")
+      val rec = advice.retention.head
+      require(rec.config.weighted ==
+          Seq(WeightedMeasure("value_w", "user_id", "value")) &&
+        rec.periods == Seq(7) && rec.sourcePath.endsWith("/source"),
+        s"unexpected cohort-value recommendation: $rec")
+      // materialize VERBATIM and register — the raw plan must now
+      // route (the honesty loop's whole point)
+      CubeManager.save(CubeManager.create(rec.config, src), dir)
+      CubeCatalog.install(spark)
+      CubeCatalog.register(s"advcv@$sfDir",
+        CubeManager.load(spark, dir, rec.config.name), srcDir)
+      srcDir
+    })
+
+  /** The advised workload AND the graded serve: the weekly cohort-value
+    * (LTV) matrix over `src`, built identically on both sides of the
+    * honesty loop. */
+  private def weeklyCohortValue(src: DataFrame): DataFrame = {
+    def pExpr = floor((unix_timestamp(col("ts")).cast("double") / 86400)
+      .cast("long").cast("double") / 7).cast("long")
+    val g = src.groupBy(col("user_id"), pExpr.as("p"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("w"))
+    val f = src.groupBy(col("user_id")).agg(min(pExpr).as("cohort"))
+    g.join(f, "user_id")
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("active"),
+        sum(col("w")).cast("double").as("value"))
+  }
+
+  /** Graded: the COHORT-VALUE HONESTY LOOP — `advise` on the raw
+    * weekly LTV matrix yields a day-dimmed retention-family rec whose
+    * cube carries a `weighted` measure (one cube covers counts AND
+    * values); materializing it VERBATIM and registering makes the
+    * same raw plan route to the weight-map serve
+    * ([[CubeAdvisor.analyzeCohortValue]] — hard-asserted to scan only
+    * the advised cube). The DuckDB oracle recomputes the matrix from
+    * raw events, so the loop is graded end to end: recognize →
+    * recommend → materialize → route → hash-match. */
+  def q285AdvisedCohortValue(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = advisedCvSource(spark, sfDir)
+    val q = weeklyCohortValue(spark.read.parquet(srcDir))
+      .orderBy(col("cohort"), col("offset"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      scans.forall(_.endsWith("/advcv_retention_0")),
+      s"advised cohort-value routing did not fire (or still reads " +
+        s"the source); scans=$scans")
+    q
+  }
+
   private val advisedFunnelSetup =
     TrieMap.empty[(SparkSession, String), String]
   private def advisedFunnelSource(spark: SparkSession,
@@ -4804,6 +4921,8 @@ object CubeQueries {
     "q281_cohort_value" -> q281CohortValue,
     "q282_cohort_value_calendar" -> q282CohortValueCalendar,
     "q283_join_cohort_value" -> q283JoinCohortValue,
+    "q284_cohort_value_routing" -> q284CohortValueRouting,
+    "q285_advised_cohort_value" -> q285AdvisedCohortValue,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -6125,6 +6244,39 @@ object CubeQueries {
         CAST(sum(g.w) AS DOUBLE) AS value
       FROM g JOIN f ON g.id = f.id JOIN cs ON f.cohort = cs.cohort
       GROUP BY 1, 2, 3
+      ORDER BY 1, 2""",
+    // the raw join-then-reaggregate recomputed in DuckDB — the
+    // MV-routed weight-map serve must hash-match it (the routed
+    // decimal is rebuilt exactly from the scaled-long cell sums)
+    "q284_cohort_value_routing" -> """
+      WITH g AS (
+        SELECT user_id AS id,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+            AS BIGINT) AS p,
+          sum(CAST(value AS DECIMAL(18,2))) AS w
+        FROM events GROUP BY 1, 2),
+      f AS (SELECT id, min(p) AS cohort FROM g GROUP BY 1)
+      SELECT f.cohort, g.p - f.cohort AS offset,
+        CAST(count(*) AS BIGINT) AS active,
+        CAST(sum(g.w) AS DOUBLE) AS value
+      FROM g JOIN f ON g.id = f.id
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
+    // the honesty loop's oracle: the advised-and-materialized cube
+    // must serve the raw weekly LTV matrix hash-identically
+    "q285_advised_cohort_value" -> """
+      WITH g AS (
+        SELECT user_id AS id,
+          CAST(floor(CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP)))
+            / 86400) AS BIGINT) / 7.0) AS BIGINT) AS p,
+          sum(CAST(value AS DECIMAL(18,2))) AS w
+        FROM events GROUP BY 1, 2),
+      f AS (SELECT id, min(p) AS cohort FROM g GROUP BY 1)
+      SELECT f.cohort, g.p - f.cohort AS offset,
+        CAST(count(*) AS BIGINT) AS active,
+        CAST(sum(g.w) AS DOUBLE) AS value
+      FROM g JOIN f ON g.id = f.id
+      GROUP BY 1, 2
       ORDER BY 1, 2""",
     // both raw trailing-window shapes recomputed raw; the enclosing
     // join/ratio shell is the user's own — the per-sub-metric routed

@@ -395,7 +395,8 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
                   .orElse(tryRewriteRetention(agg))
                   .orElse(tryRewriteCumulative(agg))
                   .orElse(tryRewriteFunnel(agg))
-                  .orElse(tryRewriteResurrected(agg)).getOrElse(agg)
+                  .orElse(tryRewriteResurrected(agg))
+                  .orElse(tryRewriteCohortValue(agg)).getOrElse(agg)
               else candidates.minBy(_._2)._1
             case _: Aggregate =>
               // an Aggregate OVER an Aggregate is the per-id cohort
@@ -1405,6 +1406,166 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
           if (a.dataType != orig.dataType) return None
           Alias(a, orig.name)(exprId = orig.exprId)
         case _ => return None
+      }
+    Some(Project(proj, outPlan))
+  }
+
+  /** COHORT-VALUE routing — the raw LTV matrix (per-(id, period) money
+    * sums joined to a per-id min-period frame, re-aggregated per
+    * (cohort, age) — recognized by
+    * [[CubeAdvisor.analyzeCohortValue]]) rewritten to the weight-map
+    * algebra over a registered `weighted`-measured day-dimmed cube:
+    * per-period maps pointwise-ADD to the raw per-(id, period) sums
+    * (lossless, exact scaled longs), first-seen sets come from the
+    * maps' own key bitmaps via the prefix-ANDNOT walk, and each
+    * (cohort, offset) cell is one countIn/sumIn merge-walk — the
+    * [[CubeService.getCohortValue]] serve. The raw form shuffles every
+    * (id, period, value) group TWICE (the min reduce, then the
+    * join + recount); the serve is one pass to |periods| one-row maps
+    * plus the |periods|²/2 pair walk over cube-derived frames. The
+    * routed decimal is rebuilt EXACTLY from the scaled-long cell sum
+    * (MakeDecimal at the raw sum's precision/scale — every stored
+    * weight is an integral count of hundredths, so the values are
+    * bit-equal). Weight maps net signed folds, so — uniquely among
+    * the per-id routes — a delete-latched cube still serves. */
+  private def tryRewriteCohortValue(agg: Aggregate): Option[LogicalPlan] = {
+    val needs = CubeAdvisor.analyzeCohortValue(agg).getOrElse(return None)
+    val candidates = needs.join match {
+      case None =>
+        CubeCatalog.registered.values.toSeq
+          .filter(_.sourcePath == needs.path)
+          .flatMap(reg =>
+            buildCohortValueServe(agg, needs, reg).map((_, reg.cubeSize)))
+      case Some((lp, rp, lk, rk)) =>
+        CubeCatalog.joinRegistered.values.toSeq
+          .filter(jr =>
+            (jr.leftPath == lp && jr.rightPath == rp &&
+              jr.leftKey == lk && jr.rightKey == rk) ||
+            (jr.leftPath == rp && jr.rightPath == lp &&
+              jr.leftKey == rk && jr.rightKey == lk))
+          .flatMap(jr =>
+            buildCohortValueServe(agg, needs, jr.reg)
+              .map((_, jr.reg.cubeSize)))
+    }
+    if (candidates.isEmpty) None else Some(candidates.minBy(_._2)._1)
+  }
+
+  private def buildCohortValueServe(
+      agg: Aggregate,
+      needs: CubeAdvisor.CohortValueNeeds,
+      reg: CubeCatalog.Registration): Option[LogicalPlan] = {
+    import org.apache.spark.sql.functions._
+    import CubeAdvisor.CVOut
+    val cube = reg.cube
+    val cfg = cube.config
+    if (reg.cubeScanPath.isEmpty) return None
+    if (reg.origScanPath.contains(needs.path)) return None
+    if (cfg.dims.exists(_.id.startsWith("__"))) return None
+    // NO hasDeletes refusal: weight maps net signed folds exactly (the
+    // one per-id family that keeps serving through deletes)
+    val dayDim = cfg.dims.collectFirst {
+      case TimeDim(id, p, "day") if p == needs.tsCol => id
+    }.getOrElse(return None)
+    val wId = cfg.weighted.find(m =>
+        m.idPath == needs.idCol && m.weightPath == needs.weightCol)
+      .map(_.id).getOrElse(return None)
+    val spark = cube.aggregates.sparkSession
+    val cubeFrame = Bridge.ofRows(spark, reg.cubePlan)
+      .filter(col(CubeManager.CountCol) > 0)
+    val filteredFrame = needs.filters.foldLeft(cubeFrame) {
+      case (f, (srcCol, lits)) =>
+        val dimId = cfg.dims.collectFirst {
+          case FieldDim(id, p) if p == srcCol => id
+        }.getOrElse(return None)
+        val vals = lits.map(l =>
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(l.value, l.dataType))
+        f.filter(col(dimId).isin(vals: _*))
+    }
+    val periodKey = (needs.calendar match {
+      case None =>
+        floor(datediff(col(dayDim).cast("date"), lit("1970-01-01"))
+          .cast("long").cast("double") / needs.periodDays).cast("long")
+      case Some((g, off)) =>
+        val dd = col(dayDim).cast("date")
+        val base = g match {
+          case "month" => year(dd) * 12 + month(dd)
+          case "quarter" => year(dd) * 4 + quarter(dd)
+          case _ => year(dd)
+        }
+        (base.cast("long") + off).cast("long")
+    }).as("__p")
+    val W = graft.functions.WeightMap
+    val B = graft.functions.Bitmap
+    // |periods| one-row maps (shard rows, if any, pointwise-ADD in),
+    // each with its present-id bitmap for the first-seen walk
+    val per = filteredFrame
+      .groupBy(periodKey)
+      .agg(W.mergeAgg(col(wId)).as("__wm"))
+      .withColumn("__kbm", W.keyBitmap(col("__wm")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      .orderBy(col("__p"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val emptyBm = lit(Array[Byte](0, 0, 0, 0)) // codec: zero blocks
+    val news = per.select(col("__p").as("__cohort"),
+      B.andNot(col("__kbm"),
+        coalesce(B.unionAgg(col("__kbm")).over(w), emptyBm)).as("__nbm"))
+    val later = per.select(col("__p").as("__p2"), col("__wm").as("__rwm"))
+    // raw row set: a (cohort, offset) group exists exactly when ≥ 1
+    // cohort id was active at that offset — the ≥ 1 filter reproduces it
+    val pairs = news.join(later, col("__p2") >= col("__cohort"))
+      .select(col("__cohort"), col("__p2"),
+        (col("__p2") - col("__cohort")).as("__off"),
+        W.countIn(col("__nbm"), col("__rwm")).as("__a"),
+        W.sumIn(col("__nbm"), col("__rwm")).as("__v"))
+      .filter(col("__a") >= 1)
+    val outPlan = pairs.queryExecution.optimizedPlan
+    val servedAttr: Map[String, Attribute] =
+      outPlan.output.map(a => a.name -> a).toMap
+    import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
+    def keyed(orig: NamedExpression, name: String): Option[NamedExpression] = {
+      if (orig.dataType != LongType && orig.dataType != IntegerType)
+        return None
+      val a = servedAttr.getOrElse(name, return None)
+      val child: Expression =
+        if (a.dataType == orig.dataType) a else Cast(a, orig.dataType)
+      Some(Alias(child, orig.name)(exprId = orig.exprId))
+    }
+    val proj: Seq[NamedExpression] =
+      agg.aggregateExpressions.zip(needs.outs).map {
+        case (orig, CVOut.Cohort) =>
+          keyed(orig, "__cohort").getOrElse(return None)
+        case (orig, CVOut.Period) =>
+          keyed(orig, "__p2").getOrElse(return None)
+        case (orig, CVOut.Offset) =>
+          keyed(orig, "__off").getOrElse(return None)
+        case (orig, CVOut.Active) =>
+          val a = servedAttr.getOrElse("__a", return None)
+          if (orig.dataType != LongType) return None
+          Alias(a, orig.name)(exprId = orig.exprId)
+        case (orig, CVOut.Value) =>
+          // rebuild the decimal from the scaled-long sum at the raw
+          // sum's own precision/scale; reproduce the user's outer cast
+          val v = servedAttr.getOrElse("__v", return None)
+          val (sumType, outerCast) = orig match {
+            case al: Alias => al.child match {
+              case Cast(inner, t, _, _) => (inner.dataType, Some(t))
+              case other => (other.dataType, None)
+            }
+            case _ => return None
+          }
+          val dec = sumType match {
+            case dt: DecimalType if dt.scale == 2 =>
+              org.apache.spark.sql.catalyst.expressions
+                .MakeDecimal(v, dt.precision, 2)
+            case _ => return None
+          }
+          val child: Expression = outerCast match {
+            case Some(t) => Cast(dec, t)
+            case None => dec
+          }
+          Alias(child, orig.name)(exprId = orig.exprId)
       }
     Some(Project(proj, outPlan))
   }

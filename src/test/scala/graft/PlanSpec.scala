@@ -74,8 +74,12 @@ class PlanSpec extends AnyFunSuite {
                               // (q248's shape with values)
     "q282_cohort_value_calendar", // the same walk over ~84 monthly
                               // one-row weight-map frames
-    "q283_join_cohort_value") // the weekly walk over the join MV's
+    "q283_join_cohort_value", // the weekly walk over the join MV's
                               // one-row weight-map frames
+    "q284_cohort_value_routing", // the ROUTED form of the same walk
+                              // (p2>=cohort over |days| one-row frames)
+    "q285_advised_cohort_value") // the honesty-loop twin (advised
+                              // cube, same routed pair walk)
 
   test("no unjustified cartesian or nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -997,6 +997,82 @@ class CubeAdvisorSpec extends AnyFunSuite {
     CubeCatalog.clear()
   }
 
+  test("cohort-value workloads fold into the retention-family rec; edges refuse") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(59)
+    val rows = (0 until 1500).map { i =>
+      val day = rnd.nextInt(25)
+      (new Timestamp(1700000000000L + day * 86400000L
+        + rnd.nextInt(86400000)),
+        rnd.nextInt(20 * (day + 1)).toLong,
+        math.round(rnd.nextDouble() * 10000) / 100.0)
+    }
+    val srcDir = Files.createTempDirectory("graft_advcv_src").toString
+    rows.toDF("ts", "uid", "amount").write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+    def pExpr = floor((unix_timestamp(col("ts")).cast("double") / 86400)
+      .cast("long").cast("double") / 3).cast("long")
+    def cvQ(s: DataFrame, money: Boolean) = {
+      val w = if (money) sum(col("amount").cast("decimal(18,2)"))
+        else sum(col("amount"))
+      val g = s.groupBy(col("uid"), pExpr.as("p")).agg(w.as("w"))
+      val f = s.groupBy(col("uid")).agg(min(pExpr).as("cohort"))
+      g.join(f, "uid")
+        .groupBy(col("cohort"), (col("p") - col("cohort")).as("age"))
+        .agg(count(lit(1)).as("active"), sum(col("w")).as("v"))
+    }
+    def fsQ() = src.select(col("uid"), pExpr.as("w0"))
+      .groupBy(col("uid")).agg(min(col("w0")).as("fw"))
+      .groupBy(col("fw")).agg(count(col("uid")).as("nu"))
+    // an LTV matrix + a first-seen chart over the same id → ONE
+    // day-dimmed rec carrying BOTH the bitmap and the weighted measure
+    val advice = CubeAdvisor.advise(
+      Seq(cvQ(src, money = true), fsQ()), "adv")
+    assert(advice.uncovered.isEmpty, s"uncovered: ${advice.uncovered}")
+    assert(advice.retention.size == 1)
+    val rec = advice.retention.head
+    assert(rec.config.weighted ==
+      Seq(WeightedMeasure("amount_w", "uid", "amount")), rec.config)
+    assert(rec.config.bitmaps == Seq(Measure("uid_xd", "uid")))
+    assert(rec.periods == Seq(3) && rec.coveredQueries == Seq(0, 1))
+    // honesty: materialize VERBATIM, register — the raw LTV plan
+    // routes to the advised cube and matches its own raw recompute
+    val dir = Files.createTempDirectory("graft_advcv_cube").toString
+    CubeManager.save(CubeManager.create(rec.config, src), dir)
+    CubeCatalog.install(spark)
+    CubeCatalog.register("advcv_pin",
+      CubeManager.load(spark, dir, rec.config.name), srcDir)
+    val routed = cvQ(src, money = true)
+    val scans = routed.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    assert(scans.nonEmpty && !scans.exists(_.endsWith(srcDir)),
+      s"advised cohort-value plan did not route: $scans")
+    val served = routed.collect().map(_.toSeq).sortBy(_.toString)
+    CubeCatalog.clear()
+    val raw = cvQ(src, money = true).collect().map(_.toSeq)
+      .sortBy(_.toString)
+    assert(served.toSeq == raw.toSeq,
+      "advised-and-routed LTV matrix must equal the raw recompute")
+    // a double-summed weight has no money discipline — stays uncovered
+    val adviceBad = CubeAdvisor.advise(Seq(cvQ(src, money = false)),
+      "advb")
+    assert(adviceBad.retention.isEmpty &&
+      adviceBad.uncovered == Seq(0), adviceBad.uncovered)
+    // a string id has no weighted path (weight maps key integral ids,
+    // and no dictionary sibling exists) — honest refusal, uncovered
+    val srcSDir = Files.createTempDirectory("graft_advcvs_src").toString
+    rows.map { case (ts, uid, a) => (ts, s"u$uid", a) }
+      .toDF("ts", "uid", "amount").write.mode("overwrite")
+      .parquet(srcSDir)
+    val adviceS = CubeAdvisor.advise(
+      Seq(cvQ(spark.read.parquet(srcSDir), money = true)), "advs")
+    assert(adviceS.retention.isEmpty && adviceS.uncovered == Seq(0),
+      s"string-id cohort value must stay uncovered: $adviceS")
+  }
+
   test("first-seen and engagement workloads fold into the retention-family cube") {
     import spark.implicits._
     CubeCatalog.clear()

@@ -1403,7 +1403,9 @@ class CubeRewriteSpec extends AnyFunSuite {
       sketches = Seq(Measure("hv", "uid_s")),
       quantiles = Seq(Measure("qv", "value")),
       extremes = Seq(Measure("vx", "value")),
-      bitmaps = Seq(Measure("u", "user_id")))
+      bitmaps = Seq(Measure("u", "user_id")),
+      // per-id additive partials — the cohort-value route's measure
+      weighted = Seq(WeightedMeasure("wv", "user_id", "value")))
     val cubeDir = Files.createTempDirectory("graft_rollrw_cube").toString
     CubeManager.save(
       CubeManager.create(cfg, spark.read.parquet(srcDir)), cubeDir)
@@ -1979,6 +1981,61 @@ class CubeRewriteSpec extends AnyFunSuite {
         s"routed k-count partition must EQUAL the raw two-level " +
           s"group-by (form $i)")
     }
+  }
+
+  test("raw cohort-value plans route to the weight-map serve") {
+    val srcDir = rollingSetup()
+    def src = spark.read.parquet(srcDir)
+    def pExpr = floor((unix_timestamp(col("ts")).cast("double") / 86400)
+      .cast("long").cast("double") / 3).cast("long")
+    def g = src.groupBy(col("user_id"), pExpr.as("p"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("w"))
+    def f = src.groupBy(col("user_id")).agg(min(pExpr).as("cohort"))
+    // the age (offset) form AND the (cohort, period) form; count(1),
+    // count(DISTINCT id) and a cast-to-double value all admitted
+    def q(offset: Boolean) = {
+      val j = g.join(f, "user_id")
+      val groups =
+        if (offset) Seq(col("cohort"), (col("p") - col("cohort")).as("age"))
+        else Seq(col("cohort"), col("p"))
+      j.groupBy(groups: _*)
+        .agg(count(lit(1)).as("active"),
+          sum(col("w")).as("value"))
+    }
+    def qCast() = g.join(f, "user_id")
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("age"))
+      .agg(countDistinct(col("user_id")).as("active"),
+        sum(col("w")).cast("double").as("value"))
+    val routed = Seq(q(true), q(false), qCast())
+    routed.foreach { r =>
+      assert(scansOf(r).forall(_.endsWith("/rollrw")),
+        s"cohort-value route did not fire: ${scansOf(r)}")
+    }
+    val servedRows = routed.map(sortedRows)
+    CubeCatalog.clear()
+    val raw = Seq(q(true), q(false), qCast())
+    raw.zip(servedRows).zipWithIndex.foreach { case ((r, s), i) =>
+      assert(sortedRows(r) == s,
+        s"routed cohort-value matrix must EQUAL the raw join (form $i)")
+    }
+    // refusals: a double-summed weight (order-drift hazard) and a min
+    // side with a DIFFERENT period width both stay raw
+    CubeCatalog.clear(); rollingSetup()
+    val badW = src.groupBy(col("user_id"), pExpr.as("p"))
+      .agg(sum(col("value")).as("w")) // double sum — no money discipline
+      .join(f, "user_id")
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("age"))
+      .agg(sum(col("w")).as("value"))
+    assert(!scansOf(badW).forall(_.endsWith("/rollrw")),
+      "double-summed weights must stay raw")
+    def p7 = floor((unix_timestamp(col("ts")).cast("double") / 86400)
+      .cast("long").cast("double") / 7).cast("long")
+    val badP = g.join(
+        src.groupBy(col("user_id")).agg(min(p7).as("cohort")), "user_id")
+      .groupBy(col("cohort"), col("p"))
+      .agg(sum(col("w")).as("value"))
+    assert(!scansOf(badP).forall(_.endsWith("/rollrw")),
+      "mismatched period widths must stay raw")
   }
 
   test("raw resurrected plans route to the ANDNOT-prefix serve") {
