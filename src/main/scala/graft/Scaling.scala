@@ -207,6 +207,9 @@ object Scaling {
           cube.TimeDim("day", "ts", "day")),
         measures = Nil,
         bitmaps = Seq(cube.Measure("u", "user_id")),
+        // the additive cohort-value family rides the same shard layout
+        // (idPath == the bitmap key, so shards partition one id space)
+        weighted = Seq(cube.WeightedMeasure("wv", "user_id", "value")),
         bitmapShardBits = 14), ev) // untimed build — lake-lifetime cost
       record("rolling_bitmap_serve", k, best {
         svcR.getRolling(s"scaling_roll_x$k", "day", windowDays = 7,
@@ -245,6 +248,13 @@ object Scaling {
       record("stickiness_bitmap_serve", k, best {
         svcR.getStickiness(s"scaling_roll_x$k", "day", "u", 1, 7)
           .count()
+      })
+      // the cohort-VALUE matrix (q281's verb): per-shard weight-map
+      // pair walks, counts and scaled sums ADDING across shards —
+      // cube-sized like the bitmap families, blobs shard-bounded
+      record("cohort_value_serve", k, best {
+        svcR.getCohortValue(s"scaling_roll_x$k", "day", "wv",
+          periodDays = 7).count()
       })
       // the calendar collapse (q275's routing serve / the Calendar
       // verbs): the same AND-walk with day cells collapsed to month
@@ -307,7 +317,8 @@ object Scaling {
             || fam == "growth_bitmap_serve"
             || fam == "engagement_bitmap_serve"
             || fam == "stickiness_bitmap_serve"
-            || fam == "calendar_bitmap_serve")
+            || fam == "calendar_bitmap_serve"
+            || fam == "cohort_value_serve")
           if (r10 < 3) "~flat (serve ∝ index/cube, not source)"
           else "NOT flat — investigate"
         else if (fam == "dedup_embedding_lsh") {

@@ -2289,7 +2289,7 @@ object CubeQueries {
       val srcDir = s"$dir/source"
       Tables.orders(spark, sfDir)
         .select(col("o_custkey"), col("o_orderdate"),
-          col("o_orderpriority"))
+          col("o_orderpriority"), col("o_totalprice"))
         .write.parquet(srcDir)
       val src = spark.read.parquet(srcDir)
       CubeManager.save(CubeManager.create(
@@ -2297,7 +2297,10 @@ object CubeQueries {
           dims = Seq(FieldDim("prio", "o_orderpriority"),
             TimeDim("day", "o_orderdate", "day")),
           measures = Nil,
-          bitmaps = Seq(Measure("c", "o_custkey"))), src), dir)
+          bitmaps = Seq(Measure("c", "o_custkey")),
+          // q286: the calendar cohort-value route's additive partials
+          weighted = Seq(WeightedMeasure("rev_w", "o_custkey",
+            "o_totalprice"))), src), dir)
       CubeCatalog.install(spark)
       CubeCatalog.register(s"first_seen_route_demo@$sfDir",
         CubeManager.load(spark, dir, "first_seen_route_demo"), srcDir)
@@ -2625,6 +2628,41 @@ object CubeQueries {
     * 100 TB split: identical to q234's — the raw plan re-shuffles the
     * source's distinct pairs twice per refresh, the routed AND-walk
     * is |months| one-row merges. */
+  // --------------------------------------------------------------- q286
+  /** Graded: CALENDAR-MONTH cohort-value routing — q284's LTV rewrite
+    * composed with the calendar-ordinal recognition, over seven YEARS
+    * of orders: "revenue by customer cohort month and months since
+    * first order", written raw with `year*12 + month` ordinals (the
+    * encoding whose ±1 adjacency is exact across every Dec → Jan
+    * boundary — a yyyymm encoding would refuse). The per-(customer,
+    * month) sums and the min-month frame both collapse the registered
+    * DAY-dimmed weighted cube's cells to the user's exact ordinals;
+    * ~84 monthly weight maps drive the pair walk. FULL DuckDB oracle
+    * recomputes the matrix raw. */
+  def q286CalendarCohortValueRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = firstSeenRouteSource(spark, sfDir)
+    def src = spark.read.parquet(srcDir)
+    def mExpr = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+      .cast("long")
+    val g = src.groupBy(col("o_custkey"), mExpr.as("m"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("w"))
+    val f = src.groupBy(col("o_custkey")).agg(min(mExpr).as("cohort"))
+    val q = g.join(f, "o_custkey")
+      .groupBy(col("cohort"), (col("m") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("active"),
+        sum(col("w")).cast("double").as("value"))
+      .orderBy(col("cohort"), col("offset"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && !scans.exists(_.endsWith("/source")),
+      s"calendar cohort-value routing did not fire (or still reads " +
+        s"the source); scans=$scans")
+    q
+  }
+
   def q275CalendarRetentionRouting(spark: SparkSession,
       sfDir: String): DataFrame = {
     val srcDir = firstSeenRouteSource(spark, sfDir)
@@ -3147,6 +3185,44 @@ object CubeQueries {
       scans.forall(_.endsWith("/rolling_route_demo")),
       s"SQL-text funnel routing did not fire (or still reads the " +
         s"source); scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q287
+  /** Graded: cohort-value routing from SQL TEXT — the monthly LTV
+    * matrix as a BI layer emits it (one CTE for the per-(customer,
+    * month) sums, a second CTE deriving first months FROM THE FIRST —
+    * the natural `f AS (SELECT id, min(m) FROM g)` form), routed
+    * verbatim: the optimizer itself collapses the min-over-g aggregate
+    * to a min over the source's (id, month) projection (min over group
+    * keys == min over raw rows), leaving exactly the two-aggregate
+    * join [[CubeAdvisor.analyzeCohortValue]] recognizes. Same cube,
+    * same oracle discipline as q286 — proving a dashboard's SQL needs
+    * NO rewrite by hand to ride the weight-map serve. */
+  def q287SqlCohortValueRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = firstSeenRouteSource(spark, sfDir)
+    spark.read.parquet(srcDir).createOrReplaceTempView("cv_route_orders")
+    val q = spark.sql("""
+      WITH g AS (
+        SELECT o_custkey,
+          CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+            AS m,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+        FROM cv_route_orders GROUP BY 1, 2),
+      f AS (SELECT o_custkey, min(m) AS cohort FROM g GROUP BY 1)
+      SELECT f.cohort, g.m - f.cohort AS offset, count(*) AS active,
+        CAST(sum(g.w) AS DOUBLE) AS value
+      FROM g JOIN f ON g.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+      ORDER BY 1, 2""")
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && !scans.exists(_.endsWith("/source")),
+      s"SQL-text cohort-value routing did not fire (or still reads " +
+        s"the source); scans=$scans")
     q
   }
 
@@ -4923,6 +4999,8 @@ object CubeQueries {
     "q283_join_cohort_value" -> q283JoinCohortValue,
     "q284_cohort_value_routing" -> q284CohortValueRouting,
     "q285_advised_cohort_value" -> q285AdvisedCohortValue,
+    "q286_calendar_cohort_value_routing" -> q286CalendarCohortValueRouting,
+    "q287_sql_cohort_value_routing" -> q287SqlCohortValueRouting,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -6257,6 +6335,38 @@ object CubeQueries {
         FROM events GROUP BY 1, 2),
       f AS (SELECT id, min(p) AS cohort FROM g GROUP BY 1)
       SELECT f.cohort, g.p - f.cohort AS offset,
+        CAST(count(*) AS BIGINT) AS active,
+        CAST(sum(g.w) AS DOUBLE) AS value
+      FROM g JOIN f ON g.id = f.id
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
+    // the raw monthly-ordinal join-then-reaggregate recomputed in
+    // DuckDB — the calendar-collapsed weight-map serve must hash-match
+    "q286_calendar_cohort_value_routing" -> """
+      WITH g AS (
+        SELECT o_custkey AS id,
+          CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+            AS m,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+        FROM orders GROUP BY 1, 2),
+      f AS (SELECT id, min(m) AS cohort FROM g GROUP BY 1)
+      SELECT f.cohort, g.m - f.cohort AS offset,
+        CAST(count(*) AS BIGINT) AS active,
+        CAST(sum(g.w) AS DOUBLE) AS value
+      FROM g JOIN f ON g.id = f.id
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
+    // the BI layer's CTE text recomputed raw — the routed serve must
+    // hash-match it (same matrix as q286, different authorship path)
+    "q287_sql_cohort_value_routing" -> """
+      WITH g AS (
+        SELECT o_custkey AS id,
+          CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+            AS m,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+        FROM orders GROUP BY 1, 2),
+      f AS (SELECT id, min(m) AS cohort FROM g GROUP BY 1)
+      SELECT f.cohort, g.m - f.cohort AS offset,
         CAST(count(*) AS BIGINT) AS active,
         CAST(sum(g.w) AS DOUBLE) AS value
       FROM g JOIN f ON g.id = f.id

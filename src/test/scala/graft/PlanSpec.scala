@@ -78,8 +78,11 @@ class PlanSpec extends AnyFunSuite {
                               // one-row weight-map frames
     "q284_cohort_value_routing", // the ROUTED form of the same walk
                               // (p2>=cohort over |days| one-row frames)
-    "q285_advised_cohort_value") // the honesty-loop twin (advised
+    "q285_advised_cohort_value", // the honesty-loop twin (advised
                               // cube, same routed pair walk)
+    "q286_calendar_cohort_value_routing", // the same routed walk over
+                              // ~84 monthly one-row weight-map frames
+    "q287_sql_cohort_value_routing") // the SQL-text twin of q286
 
   test("no unjustified cartesian or nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

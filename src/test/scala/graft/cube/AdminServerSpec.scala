@@ -643,6 +643,25 @@ class AdminServerSpec extends AnyFunSuite {
       assert(resp.contains(""""periods":[7]""") &&
         resp.contains(""""bitmapId":"uid_xd"""") &&
         resp.contains(""""uncovered":[]"""), resp)
+      // cohort-VALUE advice over the wire: the raw LTV SQL folds into
+      // the same retention-family rec, its config carrying the
+      // weighted measure (the section a wire client materializes)
+      val cvSql = "WITH g AS (SELECT uid, " +
+        "CAST(CAST(unix_timestamp(ts) AS DOUBLE)/86400 AS BIGINT) AS p, " +
+        "sum(CAST(value AS DECIMAL(18,2))) AS w " +
+        "FROM adm_ret GROUP BY 1, 2), " +
+        "f AS (SELECT uid, min(p) AS cohort FROM g GROUP BY 1) " +
+        "SELECT f.cohort, g.p - f.cohort AS age, count(*) AS active, " +
+        "CAST(sum(g.w) AS DOUBLE) AS v " +
+        "FROM g JOIN f ON g.uid = f.uid GROUP BY 1, 2"
+      val cvResp = cli.rpc(s"""{"verb":"advise","namePrefix":"wcv","workloadSql":["${escaped(
+        cvSql)}"]}""")
+      assert(cvResp.startsWith("""{"ok":true"""), cvResp)
+      assert(cvResp.contains(""""retention":[{""") &&
+        // the config rides as an embedded JSON string, quotes escaped
+        cvResp.contains(
+          """\"weighted\":[{\"id\":\"value_w\",\"idPath\":\"uid\",\"weightPath\":\"value\"}]""") &&
+        cvResp.contains(""""uncovered":[]"""), cvResp)
       // funnel advice over the wire: the min-join chain SQL yields a
       // materializable day+step-dimmed bitmap config wired to getFunnel
       val funSrcDir = tmp("graft_admin_funs") + "/src"

@@ -2548,18 +2548,20 @@ class CubeRewriteSpec extends AnyFunSuite {
         new Timestamp(1700000000000L + rnd.nextInt(21) * 86400000L)))
     val lins = (0 until 400).map(_ =>
       (rnd.nextInt(44).toLong, rnd.nextInt(25).toLong,
-        Seq("A", "N", "R")(rnd.nextInt(3))))
+        Seq("A", "N", "R")(rnd.nextInt(3)),
+        math.round(rnd.nextDouble() * 1000) / 100.0))
     val lDir = Files.createTempDirectory("graft_jcoh_l").toString
     val rDir = Files.createTempDirectory("graft_jcoh_r").toString
     ords.toDF("o_key", "o_ts").write.mode("overwrite").parquet(lDir)
-    lins.toDF("l_key", "l_supp", "l_flag").write.mode("overwrite")
-      .parquet(rDir)
+    lins.toDF("l_key", "l_supp", "l_flag", "l_amt")
+      .write.mode("overwrite").parquet(rDir)
     val jcfg = JoinCubeConfig(
       CubeConfig("jcoh", "l_r",
         dims = Seq(FieldDim("flag", "l_flag"),
           TimeDim("day", "o_ts", "day")),
         measures = Nil,
-        bitmaps = Seq(Measure("sup", "l_supp"))),
+        bitmaps = Seq(Measure("sup", "l_supp")),
+        weighted = Seq(WeightedMeasure("sv", "l_supp", "l_amt"))),
       leftKey = "o_key", rightKey = "l_key")
     val svc = new CubeService(spark,
       Files.createTempDirectory("graft_jcoh_svc").toString)
@@ -2652,8 +2654,21 @@ class CubeRewriteSpec extends AnyFunSuite {
         .groupBy(col("p"))
         .agg(countDistinct(col("l_supp")).as("resurrected"))
     }
+    // the LTV matrix over the SAME join: id and weight both from the
+    // right side, the time column from the left — the weight maps
+    // ride the composite join identity like every other family
+    def cohortValue() = {
+      def me = floor((unix_timestamp(col("o_ts")).cast("double") / 86400)
+        .cast("long").cast("double") / 7).cast("long")
+      val g = joined.groupBy(col("l_supp"), me.as("p"))
+        .agg(sum(col("l_amt").cast("decimal(18,2)")).as("w"))
+      val f = joined.groupBy(col("l_supp")).agg(min(me).as("cohort"))
+      g.join(f, "l_supp")
+        .groupBy(col("cohort"), (col("p") - col("cohort")).as("age"))
+        .agg(count(lit(1)).as("active"), sum(col("w")).as("value"))
+    }
     val routedQs = Seq(retained(), churned(), cumulative(), funnel(),
-      firstSeen(), engagement(), resurrected())
+      firstSeen(), engagement(), resurrected(), cohortValue())
     routedQs.zipWithIndex.foreach { case (q, i) =>
       assert(scansOf(q).forall(_.contains(".jmv/")),
         s"join cohort route $i did not fire: ${scansOf(q)}")
@@ -2675,7 +2690,7 @@ class CubeRewriteSpec extends AnyFunSuite {
       s"a different join must not route: ${scansOf(otherQ)}")
     CubeCatalog.clear()
     Seq(retained(), churned(), cumulative(), funnel(), firstSeen(),
-      engagement(), resurrected()).zip(servedRows)
+      engagement(), resurrected(), cohortValue()).zip(servedRows)
       .zipWithIndex.foreach { case ((q, s), i) =>
         assert(sortedRows(q) == s,
           s"join-routed cohort result must EQUAL the raw recompute " +

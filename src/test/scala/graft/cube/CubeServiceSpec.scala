@@ -1528,7 +1528,11 @@ class CubeServiceSpec extends AnyFunSuite {
       // serializes into streaming state like the sketches, and its
       // lossless union makes streamed == batch == exact an EQUALITY,
       // not a coupon-regime argument
-      bitmaps = Seq(Measure("xusers", "user_id")))
+      bitmaps = Seq(Measure("xusers", "user_id")),
+      // ... and the weighted family: per-cell weight maps pointwise-
+      // ADD across micro-batches, so the stream-maintained LTV
+      // dashboard equals the batch one bit for bit
+      weighted = Seq(WeightedMeasure("ltv", "user_id", "value")))
     def toDF(rows: Seq[(String, Timestamp, Double, Long)]) =
       rows.toDF("event_type", "ts", "value", "user_id")
     // 600 rows pre-stream, 600 replayed as 4 delta files = 4 micro-batches
@@ -1572,7 +1576,8 @@ class CubeServiceSpec extends AnyFunSuite {
       svcX.getCohortMatrix(name, "day", "xusers", periodDays = 1),
       svcX.getOverlapMatrix(name, "etype", "xusers"),
       svcX.getEngagement(name, "day", "xusers", windowDays = 7),
-      svcX.getGrowthAccounting(name, "day", "xusers", periodDays = 1)
+      svcX.getGrowthAccounting(name, "day", "xusers", periodDays = 1),
+      svcX.getCohortValue(name, "day", "ltv", periodDays = 1)
     ).map(_.collect().map(_.toSeq).toSeq)
     assert(cohort(svc, "rollstream") == cohort(svcB, "rollbatch"),
       "stream-maintained cohort serves != batch cohort serves")
