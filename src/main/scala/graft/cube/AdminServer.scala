@@ -333,6 +333,43 @@ final class AdminServer(service: CubeService, spark: SparkSession,
               else service.getCohortValue(name, cvDay, cvW, pd, cvSegs)
           }
           serveRows(df, cvSegs ++ Seq("cohort", "offset"), req)
+        case Some("getValueGrowthAccounting") |
+            Some("getJoinValueGrowthAccounting") =>
+          val name = need(strField(req, "name"), "name")
+          val isJoin = strField(req, "verb")
+            .contains("getJoinValueGrowthAccounting")
+          val asOfVg = numField(req, "asOfVersion").map(_.toInt)
+          val calVg = strField(req, "calendar")
+          if (calVg.isDefined && numField(req, "periodDays").isDefined)
+            throw new IllegalArgumentException(
+              "calendar and periodDays are mutually exclusive")
+          val vgDay = need(strField(req, "dayDim"), "dayDim")
+          val vgW = need(strField(req, "weightedId"), "weightedId")
+          val vgSegs = strArray(req, "segmentBy")
+          val df = (asOfVg, calVg) match {
+            case (Some(v), _) =>
+              val pd = numField(req, "periodDays").map(_.toInt)
+                .getOrElse(if (calVg.isDefined) 1 else 7)
+              if (isJoin)
+                service.getJoinValueGrowthAccountingAsOf(name, v, vgDay,
+                  vgW, pd, vgSegs, calVg)
+              else service.getValueGrowthAccountingAsOf(name, v, vgDay,
+                vgW, pd, vgSegs, calVg)
+            case (None, Some(g)) =>
+              if (isJoin) service.getJoinValueGrowthAccountingCalendar(
+                name, vgDay, vgW, g, vgSegs)
+              else service.getValueGrowthAccountingCalendar(name, vgDay,
+                vgW, g, vgSegs)
+            case (None, None) =>
+              val pd = numField(req, "periodDays").map(_.toInt)
+                .getOrElse(7)
+              if (isJoin)
+                service.getJoinValueGrowthAccounting(name, vgDay, vgW,
+                  pd, vgSegs)
+              else service.getValueGrowthAccounting(name, vgDay, vgW,
+                pd, vgSegs)
+          }
+          serveRows(df, vgSegs :+ "period", req)
         case Some("getOverlapMatrix") | Some("getJoinOverlapMatrix") =>
           val name = need(strField(req, "name"), "name")
           val isJoin =

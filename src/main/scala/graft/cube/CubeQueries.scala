@@ -3733,6 +3733,44 @@ object CubeQueries {
       Seq("1-URGENT", "2-HIGH"), calendar = Some("month"))
   }
 
+  // --------------------------------------------------------------- q288
+  /** Graded: REVENUE GROWTH ACCOUNTING — the MRR-bridge waterfall
+    * ([[CubeService.getValueGrowthAccounting]]) over seven years of
+    * weekly order revenue: per week, total revenue decomposed into
+    * new / resurrected / expansion / contraction / churned value with
+    * the bridge identity (revenue − prev = new + res + exp − con −
+    * churn) holding on every row — the chart every subscription
+    * dashboard leads with, which no count-distinct family can express
+    * (it needs per-id VALUES, not set sizes). Served exactly from the
+    * same weight-map partials as q281: first-seen and churn sets from
+    * the maps' key bitmaps, expansion/contraction from ONE tandem
+    * walk over adjacent periods' maps ([[graft.functions
+    * .WeightMapDeltaSums]]). The DuckDB oracle recomputes all seven
+    * columns from raw orders with adjacent-period joins — full hash
+    * gate. 100 TB split: the raw twin is FOUR self-joins of the
+    * per-(id, period) frame per refresh; the serve is one lag +
+    * running-union window over |periods| one-row maps. */
+  def q288ValueGrowthAccounting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val svc = calRetService(spark, sfDir)
+    svc.getValueGrowthAccounting("cal_ret", "day", "ltv",
+      periodDays = 7)
+  }
+
+  // --------------------------------------------------------------- q289
+  /** Graded: the CALENDAR-MONTH revenue bridge — q288 in the
+    * vocabulary finance actually uses ("MRR bridge by month"):
+    * periods key on `year*12 + month − 1` ordinals so every Dec → Jan
+    * boundary is exact adjacency and a 28-day February is one month
+    * like any other; `period_start` labels each bucket. ~84 monthly
+    * frames over the same maintained weight maps. */
+  def q289CalendarValueGrowth(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val svc = calRetService(spark, sfDir)
+    svc.getValueGrowthAccountingCalendar("cal_ret", "day", "ltv",
+      "month")
+  }
+
   // --------------------------------------------------------------- q281
   /** Graded: the COHORT VALUE matrix ([[CubeService.getCohortValue]])
     * — revenue by cohort age, the LTV heatmap and the ADDITIVE half of
@@ -5001,6 +5039,8 @@ object CubeQueries {
     "q285_advised_cohort_value" -> q285AdvisedCohortValue,
     "q286_calendar_cohort_value_routing" -> q286CalendarCohortValueRouting,
     "q287_sql_cohort_value_routing" -> q287SqlCohortValueRouting,
+    "q288_value_growth_accounting" -> q288ValueGrowthAccounting,
+    "q289_calendar_value_growth" -> q289CalendarValueGrowth,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -6265,6 +6305,95 @@ object CubeQueries {
       SELECT p2.t2 - p1.t1 AS lag_periods, count(*) AS converted
       FROM p2 JOIN p1 ON p2.o_custkey = p1.o_custkey
       GROUP BY 1 ORDER BY 1""",
+    // the MRR bridge recomputed raw: per-(customer, week) sums,
+    // first-seen weeks, adjacent-period joins for the retained deltas
+    // and the churn — every column hash-matched as exact money
+    "q288_value_growth_accounting" -> """
+      WITH g AS (
+        SELECT o_custkey AS id,
+          CAST(floor(date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT) AS p,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+        FROM orders GROUP BY 1, 2),
+      f AS (SELECT id, min(p) AS fp FROM g GROUP BY 1),
+      ps AS (SELECT DISTINCT p FROM g),
+      prv AS (SELECT p + 1 AS p, id, w FROM g),
+      rev AS (SELECT p, sum(w) AS v FROM g GROUP BY 1),
+      prevrev AS (SELECT p + 1 AS p, sum(w) AS v FROM g GROUP BY 1),
+      newv AS (SELECT g.p, sum(g.w) AS v FROM g
+               JOIN f ON g.id = f.id AND g.p = f.fp GROUP BY 1),
+      resv AS (SELECT g.p, sum(g.w) AS v FROM g
+               JOIN f ON g.id = f.id AND f.fp < g.p
+               LEFT JOIN prv ON prv.p = g.p AND prv.id = g.id
+               WHERE prv.id IS NULL GROUP BY 1),
+      delta AS (SELECT g.p,
+          sum(greatest(g.w - prv.w, 0)) AS exp,
+          sum(greatest(prv.w - g.w, 0)) AS con
+        FROM g JOIN prv ON prv.p = g.p AND prv.id = g.id GROUP BY 1),
+      chu AS (SELECT prv.p, sum(prv.w) AS v FROM prv
+              LEFT JOIN g ON g.p = prv.p AND g.id = prv.id
+              WHERE g.id IS NULL GROUP BY 1)
+      SELECT ps.p AS period,
+        CAST(CAST(COALESCE(rev.v, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS revenue,
+        CAST(CAST(COALESCE(prevrev.v, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS prev_revenue,
+        CAST(CAST(COALESCE(newv.v, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS new_value,
+        CAST(CAST(COALESCE(resv.v, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS resurrected_value,
+        CAST(CAST(COALESCE(delta.exp, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS expansion,
+        CAST(CAST(COALESCE(delta.con, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS contraction,
+        CAST(CAST(COALESCE(chu.v, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS churned_value
+      FROM ps
+      LEFT JOIN rev ON rev.p = ps.p
+      LEFT JOIN prevrev ON prevrev.p = ps.p
+      LEFT JOIN newv ON newv.p = ps.p
+      LEFT JOIN resv ON resv.p = ps.p
+      LEFT JOIN delta ON delta.p = ps.p
+      LEFT JOIN chu ON chu.p = ps.p
+      ORDER BY 1""",
+    // the same bridge on calendar-month ordinals with the bucket's
+    // first-day label (year*12 + month - 1, the serve's encoding)
+    "q289_calendar_value_growth" -> """
+      WITH g AS (
+        SELECT o_custkey AS id,
+          CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+            AS BIGINT) AS p,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+        FROM orders GROUP BY 1, 2),
+      f AS (SELECT id, min(p) AS fp FROM g GROUP BY 1),
+      ps AS (SELECT DISTINCT p FROM g),
+      prv AS (SELECT p + 1 AS p, id, w FROM g),
+      rev AS (SELECT p, sum(w) AS v FROM g GROUP BY 1),
+      prevrev AS (SELECT p + 1 AS p, sum(w) AS v FROM g GROUP BY 1),
+      newv AS (SELECT g.p, sum(g.w) AS v FROM g
+               JOIN f ON g.id = f.id AND g.p = f.fp GROUP BY 1),
+      resv AS (SELECT g.p, sum(g.w) AS v FROM g
+               JOIN f ON g.id = f.id AND f.fp < g.p
+               LEFT JOIN prv ON prv.p = g.p AND prv.id = g.id
+               WHERE prv.id IS NULL GROUP BY 1),
+      delta AS (SELECT g.p,
+          sum(greatest(g.w - prv.w, 0)) AS exp,
+          sum(greatest(prv.w - g.w, 0)) AS con
+        FROM g JOIN prv ON prv.p = g.p AND prv.id = g.id GROUP BY 1),
+      chu AS (SELECT prv.p, sum(prv.w) AS v FROM prv
+              LEFT JOIN g ON g.p = prv.p AND g.id = prv.id
+              WHERE g.id IS NULL GROUP BY 1)
+      SELECT ps.p AS period,
+        CAST(CAST(COALESCE(rev.v, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS revenue,
+        CAST(CAST(COALESCE(prevrev.v, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS prev_revenue,
+        CAST(CAST(COALESCE(newv.v, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS new_value,
+        CAST(CAST(COALESCE(resv.v, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS resurrected_value,
+        CAST(CAST(COALESCE(delta.exp, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS expansion,
+        CAST(CAST(COALESCE(delta.con, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS contraction,
+        CAST(CAST(COALESCE(chu.v, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS churned_value,
+        strftime(make_date(CAST(ps.p // 12 AS INT),
+          CAST(ps.p % 12 AS INT) + 1, 1), '%Y-%m-%d') AS period_start
+      FROM ps
+      LEFT JOIN rev ON rev.p = ps.p
+      LEFT JOIN prevrev ON prevrev.p = ps.p
+      LEFT JOIN newv ON newv.p = ps.p
+      LEFT JOIN resv ON resv.p = ps.p
+      LEFT JOIN delta ON delta.p = ps.p
+      LEFT JOIN chu ON chu.p = ps.p
+      ORDER BY 1""",
     // the cohort-value matrix recomputed raw: per-(customer, week)
     // sums, first-seen weeks, then the cohort-age rollup — the
     // weight-map serve must hash-match (exact scaled-long partials)

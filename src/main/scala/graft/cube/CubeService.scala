@@ -2664,6 +2664,221 @@ final class CubeService(spark: SparkSession, storageDir: String,
     }
   }
 
+  /** REVENUE GROWTH ACCOUNTING — the MRR-bridge waterfall, the chart
+    * every subscription dashboard leads with, served exactly from
+    * maintained weight-map partials: for every observed period p
+    * (previous-period sets read as EMPTY at a calendar gap — the
+    * [[getGrowthAccounting]] total-columns semantics),
+    *
+    *  - `revenue`           = Σ_{id ∈ P_p} w_p(id)
+    *  - `prev_revenue`      = Σ_{id ∈ P_{p−1}} w_{p−1}(id)
+    *  - `new_value`         = Σ over P_p \ prefixOR(P_{<p}) of w_p
+    *  - `resurrected_value` = Σ over (P_p ∖ P_{p−1}) ∩ prefix of w_p
+    *  - `expansion`         = Σ_{retained} max(0, w_p − w_{p−1})
+    *  - `contraction`       = Σ_{retained} max(0, w_{p−1} − w_p)
+    *  - `churned_value`     = Σ over P_{p−1} \ P_p of w_{p−1}
+    *
+    * with the bridge identity on EVERY row:
+    *   revenue − prev_revenue =
+    *     new_value + resurrected_value + expansion
+    *     − contraction − churned_value
+    * (P_p splits into new/resurrected/retained; P_{p−1} into retained
+    * /churned; the retained Δ is exactly expansion − contraction).
+    * All cells are EXACT scaled-long arithmetic — the per-id weights
+    * no set-cardinality family can carry — and the weighted family's
+    * sign-invertibility means the bridge keeps serving through any
+    * delete history (no latch). Cost shape: one pass over cube-sized
+    * partials to |periods| one-row maps, a lag + running-union window
+    * over that tiny frame, then five merge-walks per row. Sharded
+    * cubes window per (segment, shard) and SUM the cells back —
+    * retained ids pair within their own shard, so expansion and
+    * contraction add exactly like the counts. */
+  def getValueGrowthAccounting(
+      name: String,
+      dayDim: String,
+      weightedId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    valueGrowthFrom(loadCube(name), name, dayDim, weightedId,
+      periodDays, segmentBy)
+
+  /** [[getValueGrowthAccounting]] for join MVs. */
+  def getJoinValueGrowthAccounting(
+      name: String,
+      dayDim: String,
+      weightedId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    valueGrowthFrom(loadJoinCube(name).cube, name, dayDim, weightedId,
+      periodDays, segmentBy)
+
+  /** CALENDAR-period revenue growth accounting — month/quarter/year
+    * bridges on integer ordinals (Dec → Jan exact adjacency). */
+  def getValueGrowthAccountingCalendar(
+      name: String,
+      dayDim: String,
+      weightedId: String,
+      granularity: String = "month",
+      segmentBy: Seq[String] = Nil): DataFrame =
+    valueGrowthFrom(loadCube(name), name, dayDim, weightedId, 1,
+      segmentBy, Some(granularity))
+
+  /** [[getValueGrowthAccountingCalendar]] for join MVs. */
+  def getJoinValueGrowthAccountingCalendar(
+      name: String,
+      dayDim: String,
+      weightedId: String,
+      granularity: String = "month",
+      segmentBy: Seq[String] = Nil): DataFrame =
+    valueGrowthFrom(loadJoinCube(name).cube, name, dayDim, weightedId,
+      1, segmentBy, Some(granularity))
+
+  private def valueGrowthFrom(
+      cube: Cube,
+      name: String,
+      dayDim: String,
+      weightedId: String,
+      periodDays: Int,
+      segmentBy: Seq[String],
+      calendar: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    require(cube.config.dims.exists {
+        case TimeDim(id, _, g) => id == dayDim && g == "day"
+        case _ => false
+      }, s"$dayDim must be a day-granularity time dimension of cube $name")
+    require(cube.config.weighted.exists(_.id == weightedId),
+      s"$weightedId is not a weighted measure of cube $name")
+    // NO hasDeletes refusal — weight maps net signed folds exactly
+    segmentBy.foreach { sd =>
+      require(sd != "period" && sd != "day" && sd != "d",
+        s"segment id $sd collides with the bridge columns " +
+          "(reserved names: period, day, d) — rename the dimension")
+      require(
+        cube.config.dims.exists(d => d.id == sd && !d.isInstanceOf[TimeDim]),
+        s"$sd is not a (non-time) dimension of cube $name")
+    }
+    calendar.foreach(g =>
+      require(Seq("month", "quarter", "year").contains(g),
+        s"calendar granularity must be month/quarter/year, got $g"))
+    val dayKey = datediff(col(dayDim).cast("date"), lit("1970-01-01"))
+      .cast("long")
+    val dayDate = col(dayDim).cast("date")
+    val periodKey = (calendar match {
+      case None => floor(dayKey.cast("double") / periodDays).cast("long")
+      case Some("month") =>
+        (year(dayDate) * 12 + month(dayDate) - 1).cast("long")
+      case Some("quarter") =>
+        (year(dayDate) * 4 + quarter(dayDate) - 1).cast("long")
+      case _ => year(dayDate).cast("long")
+    }).as("period")
+    val B = graft.functions.Bitmap
+    val W = graft.functions.WeightMap
+    // codec-empty blobs: a zero-entry weight map and a zero-block
+    // bitmap share the byte form (n = 0)
+    val emptyBlob = lit(Array[Byte](0, 0, 0, 0))
+    def withPeriodStart(matrix: DataFrame): DataFrame = calendar match {
+      case None => matrix
+      case Some(g) =>
+        val p = col("period")
+        val start = g match {
+          case "month" => make_date(floor(p / 12).cast("int"),
+            pmod(p, lit(12)).cast("int") + 1, lit(1))
+          case "quarter" => make_date(floor(p / 4).cast("int"),
+            pmod(p, lit(4)).cast("int") * 3 + 1, lit(1))
+          case _ => make_date(p.cast("int"), lit(1), lit(1))
+        }
+        matrix.withColumn("period_start",
+          date_format(start, "yyyy-MM-dd"))
+    }
+    // the bridge cells as SCALED LONGS per row (converted to values
+    // only after any cross-shard summing, so shard sums stay exact)
+    def cells(df: DataFrame, segOut: Seq[Column]): DataFrame = df
+      .withColumn("__kbm", W.keyBitmap(col("wm")))
+      .withColumn("__pkbm", W.keyBitmap(col("prev_wm")))
+      .withColumn("__delta", W.deltaSums(col("wm"), col("prev_wm")))
+      .select((segOut ++ Seq(
+        col("period"),
+        W.sumIn(col("__kbm"), col("wm")).as("__rev"),
+        W.sumIn(col("__pkbm"), col("prev_wm")).as("__prev"),
+        W.sumIn(B.andNot(col("__kbm"), col("prefix_bm")), col("wm"))
+          .as("__new"),
+        W.sumIn(B.and(B.andNot(col("__kbm"), col("__pkbm")),
+          col("prefix_bm")), col("wm")).as("__res"),
+        col("__delta").getItem(0).as("__exp"),
+        col("__delta").getItem(1).as("__con"),
+        W.sumIn(B.andNot(col("__pkbm"), col("__kbm")), col("prev_wm"))
+          .as("__chu"))): _*)
+    def finish(df: DataFrame): DataFrame =
+      withPeriodStart(df.select((segmentBy.map(col) ++ Seq(
+        col("period"),
+        W.toValue(col("__rev")).as("revenue"),
+        W.toValue(col("__prev")).as("prev_revenue"),
+        W.toValue(col("__new")).as("new_value"),
+        W.toValue(col("__res")).as("resurrected_value"),
+        W.toValue(col("__exp")).as("expansion"),
+        W.toValue(col("__con")).as("contraction"),
+        W.toValue(col("__chu")).as("churned_value"))): _*)
+        .orderBy((segmentBy.map(col) :+ col("period")): _*))
+    if (cube.config.bitmapShardBits == 0) {
+      val perPeriod = cube.live
+        .groupBy((segmentBy.map(col) :+ periodKey): _*)
+        .agg(W.mergeAgg(col(weightedId)).as("wm"))
+      val w = (if (segmentBy.isEmpty) Window.partitionBy()
+               else Window.partitionBy(segmentBy.map(col): _*))
+        .orderBy(col("period"))
+      // EMPTY-set gap semantics: the previous map applies only when
+      // that period is p−1 exactly
+      val prevEff = coalesce(
+        when(lag(col("period"), 1).over(w) === col("period") - 1,
+          lag(col("wm"), 1).over(w)), emptyBlob)
+      val prefix = coalesce(
+        B.unionAgg(W.keyBitmap(col("wm")))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), emptyBlob)
+      val frame = perPeriod
+        .withColumn("prev_wm", prevEff)
+        .withColumn("prefix_bm", prefix)
+      finish(cells(frame, segmentBy.map(col)))
+    } else {
+      // SHARDED bridge: per (segment, period, shard) maps, the
+      // previous period's SAME shard paired by a full-outer join, the
+      // strict-prefix key union windowed per (segment, shard); cells
+      // stay scaled longs per shard and SUM per period — retained ids
+      // pair within their own shard, so every bridge column adds
+      val sc = CubeManager.ShardCol
+      val perShard = cube.live
+        .groupBy((segmentBy.map(col) :+ periodKey :+ col(sc)): _*)
+        .agg(W.mergeAgg(col(weightedId)).as("wm0"))
+      val obs = perShard
+        .select((segmentBy.map(col) :+ col("period")): _*).distinct()
+      val prev = perShard.select((segmentBy.map(col) ++ Seq(col(sc),
+        (col("period") + 1).as("period"), col("wm0").as("prev0"))): _*)
+      val paired = perShard
+        .join(prev, segmentBy ++ Seq(sc, "period"), "full_outer")
+        .select((segmentBy.map(col) ++ Seq(col(sc), col("period"),
+          coalesce(col("wm0"), emptyBlob).as("wm"),
+          coalesce(col("prev0"), emptyBlob).as("prev_wm"))): _*)
+      val w = Window
+        .partitionBy((segmentBy.map(col) :+ col(sc)): _*)
+        .orderBy(col("period"))
+      val frame = paired.withColumn("prefix_bm",
+        coalesce(B.unionAgg(W.keyBitmap(col("wm")))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), emptyBlob))
+      val summed = cells(frame, segmentBy.map(col) :+ col(sc))
+        .groupBy((segmentBy.map(col) :+ col("period")): _*)
+        .agg(sum(col("__rev")).as("__rev"),
+          sum(col("__prev")).as("__prev"),
+          sum(col("__new")).as("__new"),
+          sum(col("__res")).as("__res"),
+          sum(col("__exp")).as("__exp"),
+          sum(col("__con")).as("__con"),
+          sum(col("__chu")).as("__chu"))
+        .join(obs, segmentBy :+ "period", "left_semi")
+      finish(summed)
+    }
+  }
+
   // -------------------------------------------- cohort verbs × time travel
   /** The COHORT verb family over a RETAINED HISTORICAL version — "what
     * did the WAU / retention / lifetime / funnel dashboard say as of
@@ -2750,6 +2965,19 @@ final class CubeService(spark: SparkSession, storageDir: String,
       segmentBy: Seq[String] = Nil,
       calendar: Option[String] = None): DataFrame =
     cohortValueFrom(cubeAt(name, version), name, dayDim, weightedId,
+      periodDays, segmentBy, calendar)
+
+  /** [[getValueGrowthAccounting]] over a retained version; `calendar`
+    * selects the calendar-ordinal form. */
+  def getValueGrowthAccountingAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      weightedId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil,
+      calendar: Option[String] = None): DataFrame =
+    valueGrowthFrom(cubeAt(name, version), name, dayDim, weightedId,
       periodDays, segmentBy, calendar)
 
   /** [[getFunnel]] over a retained version. */
@@ -2896,6 +3124,18 @@ final class CubeService(spark: SparkSession, storageDir: String,
       segmentBy: Seq[String] = Nil,
       calendar: Option[String] = None): DataFrame =
     cohortValueFrom(jmvCubeAt(name, version), name, dayDim, weightedId,
+      periodDays, segmentBy, calendar)
+
+  /** [[getJoinValueGrowthAccounting]] over a retained version. */
+  def getJoinValueGrowthAccountingAsOf(
+      name: String,
+      version: Int,
+      dayDim: String,
+      weightedId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil,
+      calendar: Option[String] = None): DataFrame =
+    valueGrowthFrom(jmvCubeAt(name, version), name, dayDim, weightedId,
       periodDays, segmentBy, calendar)
 
   /** [[getJoinFunnel]] over a retained version. */

@@ -345,6 +345,70 @@ case class WeightMapCountIn(bitmap: Expression, wm: Expression)
     copy(bitmap = newChildren(0), wm = newChildren(1))
 }
 
+/** EXPANSION / CONTRACTION over ids present in BOTH weight maps — the
+  * MRR-bridge cells no set-cardinality family can express: for each id
+  * with net count > 0 in both A (current period) and B (previous),
+  * expansion += max(0, wA − wB) and contraction += max(0, wB − wA).
+  * Output: array(expansion, contraction) as scaled longs. One tandem
+  * merge-walk over the two sorted byte forms (ids ascend in both);
+  * eval-only like every blob op — runs over |periods|-row cube-derived
+  * frames, never a source scan. */
+case class WeightMapDeltaSums(cur: Expression, prev: Expression)
+    extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "weightmap_delta_sums"
+  override def children: Seq[Expression] = Seq(cur, prev)
+
+  override def eval(input: InternalRow): Any = {
+    val a = cur.eval(input)
+    val b = prev.eval(input)
+    if (a == null || b == null) null
+    else {
+      val ba = java.nio.ByteBuffer.wrap(a.asInstanceOf[Array[Byte]])
+      val bb = java.nio.ByteBuffer.wrap(b.asInstanceOf[Array[Byte]])
+      val na = ba.getInt
+      val nb = bb.getInt
+      var ia = 0
+      var ib = 0
+      var idA = 0L; var cntA = 0L; var wA = 0L
+      var idB = 0L; var cntB = 0L; var wB = 0L
+      def nextA(): Unit = { idA = ba.getLong; cntA = ba.getLong
+        wA = ba.getLong; ia += 1 }
+      def nextB(): Unit = { idB = bb.getLong; cntB = bb.getLong
+        wB = bb.getLong; ib += 1 }
+      var haveA = na > 0
+      var haveB = nb > 0
+      if (haveA) nextA()
+      if (haveB) nextB()
+      var exp = 0L
+      var con = 0L
+      while (haveA && haveB) {
+        if (idA == idB) {
+          if (cntA > 0L && cntB > 0L) {
+            val d = wA - wB
+            if (d > 0L) exp += d else con -= d
+          }
+          haveA = ia < na; if (haveA) nextA()
+          haveB = ib < nb; if (haveB) nextB()
+        } else if (idA < idB) {
+          haveA = ia < na; if (haveA) nextA()
+        } else {
+          haveB = ib < nb; if (haveB) nextB()
+        }
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(exp, con))
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WeightMapDeltaSums =
+    copy(cur = newChildren(0), prev = newChildren(1))
+}
+
 object WeightMap {
   /** Fixed decimal scale of the stored weights: 2 fractional digits —
     * the cube's DECIMAL(18,2) measure convention made integral so long
@@ -390,4 +454,10 @@ object WeightMap {
   def countIn(bitmap: Column, wm: Column): Column =
     Bridge.toColumn(WeightMapCountIn(
       Bridge.toExpression(bitmap), Bridge.toExpression(wm)))
+
+  /** array(expansion, contraction) over ids present in both maps:
+    * Σ max(0, cur − prev) and Σ max(0, prev − cur), scaled longs. */
+  def deltaSums(cur: Column, prev: Column): Column =
+    Bridge.toColumn(WeightMapDeltaSums(
+      Bridge.toExpression(cur), Bridge.toExpression(prev)))
 }

@@ -783,6 +783,15 @@ class AdminServerSpec extends AnyFunSuite {
       assert(cli.rpc(
         """{"verb":"getCohortValue","name":"cw","dayDim":"day","weightedId":"u"}""")
         .startsWith("""{"ok":false"""))
+      // the revenue bridge over the wire == in-process
+      val vgw = cli.rpc(
+        """{"verb":"getValueGrowthAccounting","name":"cw","dayDim":"day","weightedId":"ltv","periodDays":1}""")
+      assert(vgw.startsWith("""{"ok":true"""), vgw)
+      val vgProc = svc.getValueGrowthAccounting("cw", "day", "ltv",
+        periodDays = 1).collect()
+      assert(vgProc.nonEmpty && vgProc.forall(r =>
+        vgw.contains(s""""churned_value":${r.getAs[Double]("churned_value")}""")),
+        vgw)
       // overlap matrix over the wire == in-process
       val ow = cli.rpc(
         """{"verb":"getOverlapMatrix","name":"cw","dim":"etype","bitmapId":"u"}""")

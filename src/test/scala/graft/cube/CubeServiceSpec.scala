@@ -1073,6 +1073,136 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteCube("cval"); svc.deleteCube("cval_sh")
   }
 
+  test("getValueGrowthAccounting: the MRR bridge vs brute force; " +
+      "identity, gap, sharded + segmented twins, deletes keep serving") {
+    import spark.implicits._
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_vga").toString)
+    val rnd = new scala.util.Random(67)
+    // sparse per-user activity with a globally SILENT day 6 so the
+    // empty-previous gap semantics are exercised at day 7; multiple
+    // rows per (user, day) so per-period weights accumulate
+    val users = (0 until 40).map(u =>
+      (u.toLong, rnd.nextInt(5).toLong, Seq("x", "y")(u % 2)))
+    val rows = users.flatMap { case (u, first, g) =>
+      (first to 11L).filter(d => d == first || rnd.nextDouble() < 0.45)
+        .filter(_ != 6L)
+        .flatMap { d =>
+          (0 until 1 + rnd.nextInt(2)).map(_ => (g,
+            new Timestamp(1700006400000L + d * 86400000L + 3600000L),
+            math.round(rnd.nextDouble() * 1000) / 100.0, u))
+        }
+    }
+    val df = rows.toDF("grp", "ts", "value", "user_id")
+    val mk = (n: String, bits: Int) => svc.createCube(
+      CubeConfig(n, "events",
+        Seq(FieldDim("grp", "grp"), TimeDim("day", "ts", "day")),
+        measures = Nil,
+        weighted = Seq(WeightedMeasure("ltv", "user_id", "value")),
+        bitmapShardBits = bits), df)
+    mk("vga", 0)
+    mk("vga_sh", 2)
+    val day0 = 1700006400000L / 86400000L
+    def dayOf(t: Timestamp): Long = t.getTime / 86400000L
+    // Scala oracle over scaled longs
+    def oracle(rs: Seq[(String, Timestamp, Double, Long)])
+        : Map[Long, (Long, Long, Long, Long, Long, Long, Long)] = {
+      val perUD = rs.groupBy(r => (r._4, dayOf(r._2) - day0))
+        .map { case (k, g) => k -> g.map(r => math.round(r._3 * 100)).sum }
+      val byDay = perUD.keys.groupBy(_._2)
+        .map { case (d, ks) => d -> ks.map(_._1).toSet }
+      val firstOf = perUD.keys.groupBy(_._1)
+        .map { case (u, ks) => u -> ks.map(_._2).min }
+      byDay.keys.map { d =>
+        val cur = byDay(d)
+        val prev = byDay.getOrElse(d - 1, Set.empty[Long])
+        def w(u: Long, dd: Long) = perUD.getOrElse((u, dd), 0L)
+        val rev = cur.toSeq.map(w(_, d)).sum
+        val prevRev = prev.toSeq.map(w(_, d - 1)).sum
+        val nw = cur.filter(firstOf(_) == d).toSeq.map(w(_, d)).sum
+        val res = (cur -- prev).filter(firstOf(_) < d)
+          .toSeq.map(w(_, d)).sum
+        val exp = (cur & prev).toSeq
+          .map(u => math.max(0L, w(u, d) - w(u, d - 1))).sum
+        val con = (cur & prev).toSeq
+          .map(u => math.max(0L, w(u, d - 1) - w(u, d))).sum
+        val chu = (prev -- cur).toSeq.map(w(_, d - 1)).sum
+        d -> ((rev, prevRev, nw, res, exp, con, chu))
+      }.toMap
+    }
+    val exact = oracle(rows)
+    val got = svc.getValueGrowthAccounting("vga", "day", "ltv",
+      periodDays = 1).collect()
+    assert(got.length == exact.size, "one row per observed day")
+    got.foreach { r =>
+      val d = r.getAs[Long]("period") - day0
+      val (rev, prevRev, nw, res, exp, con, chu) = exact(d)
+      def v(c: String) = math.round(r.getAs[Double](c) * 100)
+      assert(v("revenue") == rev && v("prev_revenue") == prevRev &&
+        v("new_value") == nw && v("resurrected_value") == res &&
+        v("expansion") == exp && v("contraction") == con &&
+        v("churned_value") == chu, s"day $d bridge diverged")
+      // the bridge identity on every row
+      assert(v("revenue") - v("prev_revenue") ==
+        v("new_value") + v("resurrected_value") + v("expansion") -
+          v("contraction") - v("churned_value"),
+        s"day $d identity broken")
+    }
+    // the gap day: day 7 follows the silent day 6 — empty previous
+    val d7 = got.find(_.getAs[Long]("period") == day0 + 7).get
+    assert(d7.getAs[Double]("prev_revenue") == 0.0 &&
+      d7.getAs[Double]("churned_value") == 0.0 &&
+      d7.getAs[Double]("expansion") == 0.0,
+      "gap day must read as empty previous period")
+    // sharded twin bit-identical
+    assert(svc.getValueGrowthAccounting("vga_sh", "day", "ltv",
+        periodDays = 1).collect().map(_.toSeq).toSeq ==
+      got.map(_.toSeq).toSeq,
+      "sharded bridge must equal the unsharded walk")
+    // segmented twin vs per-segment brute force
+    val seg = svc.getValueGrowthAccounting("vga", "day", "ltv",
+      periodDays = 1, segmentBy = Seq("grp")).collect()
+    Seq("x", "y").foreach { g =>
+      val ge = oracle(rows.filter(_._1 == g))
+      val gGot = seg.filter(_.getAs[String]("grp") == g)
+      assert(gGot.length == ge.size, s"segment $g row count")
+      gGot.foreach { r =>
+        val d = r.getAs[Long]("period") - day0
+        val (rev, _, nw, _, exp, con, chu) = ge(d)
+        def v(c: String) = math.round(r.getAs[Double](c) * 100)
+        assert(v("revenue") == rev && v("new_value") == nw &&
+          v("expansion") == exp && v("contraction") == con &&
+          v("churned_value") == chu, s"segment $g day $d diverged")
+      }
+    }
+    // sourceless deletes: the bridge keeps serving and equals a
+    // from-scratch build of the remaining rows
+    val dropped = rows.take(5)
+    svc.updateAggregates("vga",
+      dropped.toDF("grp", "ts", "value", "user_id")
+        .withColumn("_sign", lit(-1)))
+    val exact2 = oracle(rows.drop(5))
+    val got2 = svc.getValueGrowthAccounting("vga", "day", "ltv",
+      periodDays = 1).collect()
+    assert(got2.length == exact2.size, "post-delete row count")
+    got2.foreach { r =>
+      val d = r.getAs[Long]("period") - day0
+      val (rev, _, nw, res, exp, con, chu) = exact2(d)
+      def v(c: String) = math.round(r.getAs[Double](c) * 100)
+      assert(v("revenue") == rev && v("new_value") == nw &&
+        v("resurrected_value") == res && v("expansion") == exp &&
+        v("contraction") == con && v("churned_value") == chu,
+        s"post-delete day $d diverged")
+    }
+    // guardrails
+    intercept[IllegalArgumentException] {
+      svc.getValueGrowthAccounting("vga", "day", "nope") }
+    intercept[IllegalArgumentException] {
+      svc.getValueGrowthAccounting("vga", "day", "ltv",
+        segmentBy = Seq("period")) }
+    svc.deleteCube("vga"); svc.deleteCube("vga_sh")
+  }
+
   test("getEngagement & getGrowthAccounting: Scala oracle, identities, " +
       "sharded + segmented twins") {
     import spark.implicits._
@@ -1336,7 +1466,7 @@ class CubeServiceSpec extends AnyFunSuite {
       b1.toDF("event_type", "ts", "value", "user_id"))
     val v0 = svc.currentCubeVersion("asofc")
     def all(serve: String => org.apache.spark.sql.DataFrame) =
-      Seq("r", "t", "c", "f", "m", "o", "e", "g", "s", "x", "w")
+      Seq("r", "t", "c", "f", "m", "o", "e", "g", "s", "x", "w", "vb")
         .map(k => k -> serve(k).collect().map(_.toSeq).toSeq).toMap
     def head(k: String) = k match {
       case "r" => svc.getRolling("asofc", "day", 7,
@@ -1353,6 +1483,8 @@ class CubeServiceSpec extends AnyFunSuite {
       case "x" => svc.getTimeToConvert("asofc", "day", "u", "etype",
         Seq("view", "click", "purchase"))
       case "w" => svc.getCohortValue("asofc", "day", "ltv", periodDays = 1)
+      case "vb" => svc.getValueGrowthAccounting("asofc", "day", "ltv",
+        periodDays = 1)
       case _ => svc.getFunnel("asofc", "day", "u", "etype",
         Seq("view", "click", "purchase"))
     }
@@ -1363,7 +1495,7 @@ class CubeServiceSpec extends AnyFunSuite {
     assert(v1 == v0 + 1 && svc.listCubeVersions("asofc").contains(v0))
     // the head moved: every family sees the fold
     val after = all(head)
-    Seq("r", "t", "c", "f", "m", "o", "e", "g", "s", "x", "w").foreach(k =>
+    Seq("r", "t", "c", "f", "m", "o", "e", "g", "s", "x", "w", "vb").foreach(k =>
       assert(after(k) != before(k), s"family $k: fold must move the head"))
     // as-of v0 reproduces every captured pre-fold serve bit for bit
     def asOf(k: String) = k match {
@@ -1385,11 +1517,13 @@ class CubeServiceSpec extends AnyFunSuite {
         "etype", Seq("view", "click", "purchase"))
       case "w" => svc.getCohortValueAsOf("asofc", v0, "day", "ltv",
         periodDays = 1)
+      case "vb" => svc.getValueGrowthAccountingAsOf("asofc", v0, "day",
+        "ltv", periodDays = 1)
       case _ => svc.getFunnelAsOf("asofc", v0, "day", "u", "etype",
         Seq("view", "click", "purchase"))
     }
     val historical = all(asOf)
-    Seq("r", "t", "c", "f", "m", "o", "e", "g", "s", "x", "w").foreach(k =>
+    Seq("r", "t", "c", "f", "m", "o", "e", "g", "s", "x", "w", "vb").foreach(k =>
       assert(historical(k) == before(k),
         s"family $k: as-of v$v0 must equal the captured pre-fold serve"))
     // non-retained version refuses with the window in the message
@@ -1428,7 +1562,7 @@ class CubeServiceSpec extends AnyFunSuite {
       left, toDF(fact(0 until 40, 0 until 10, 500)))
     val v0 = svc.currentJoinCubeVersion("jasof")
     val fams = Seq("r", "t", "tcal", "c", "f", "m", "o", "e", "g", "s",
-      "x", "w")
+      "x", "w", "vb")
     def all(serve: String => org.apache.spark.sql.DataFrame) =
       fams.map(k => k -> serve(k).collect().map(_.toSeq).toSeq).toMap
     def head(k: String) = k match {
@@ -1451,6 +1585,8 @@ class CubeServiceSpec extends AnyFunSuite {
         "etype", Seq("view", "click", "purchase"))
       case "w" => svc.getJoinCohortValue("jasof", "day", "ltv",
         periodDays = 1)
+      case "vb" => svc.getJoinValueGrowthAccounting("jasof", "day",
+        "ltv", periodDays = 1)
       case _ => svc.getJoinFunnel("jasof", "day", "u", "etype",
         Seq("view", "click", "purchase"))
     }
@@ -1490,6 +1626,8 @@ class CubeServiceSpec extends AnyFunSuite {
         "u", "etype", Seq("view", "click", "purchase"))
       case "w" => svc.getJoinCohortValueAsOf("jasof", v0, "day", "ltv",
         periodDays = 1)
+      case "vb" => svc.getJoinValueGrowthAccountingAsOf("jasof", v0,
+        "day", "ltv", periodDays = 1)
       case _ => svc.getJoinFunnelAsOf("jasof", v0, "day", "u", "etype",
         Seq("view", "click", "purchase"))
     }
@@ -1577,7 +1715,8 @@ class CubeServiceSpec extends AnyFunSuite {
       svcX.getOverlapMatrix(name, "etype", "xusers"),
       svcX.getEngagement(name, "day", "xusers", windowDays = 7),
       svcX.getGrowthAccounting(name, "day", "xusers", periodDays = 1),
-      svcX.getCohortValue(name, "day", "ltv", periodDays = 1)
+      svcX.getCohortValue(name, "day", "ltv", periodDays = 1),
+      svcX.getValueGrowthAccounting(name, "day", "ltv", periodDays = 1)
     ).map(_.collect().map(_.toSeq).toSeq)
     assert(cohort(svc, "rollstream") == cohort(svcB, "rollbatch"),
       "stream-maintained cohort serves != batch cohort serves")

@@ -108,6 +108,23 @@ class WeightMapSpec extends AnyFunSuite {
     assert(entries(blob) === Seq((10L, 2L, 200L)))
   }
 
+  test("deltaSums: expansion/contraction over ids present in both maps") {
+    import spark.implicits._
+    val cur = buildBlob(Seq((1L, 1L, 5.00), (2L, 1L, 1.00),
+      (3L, 1L, 9.00), // only in cur — not a delta cell
+      (5L, 1L, 2.00), // netted out on the prev side — skipped
+      (6L, 1L, 4.00))) // equal weights — contributes nothing
+    val prev = buildBlob(Seq((1L, 1L, 3.00), (2L, 1L, 4.00),
+      (4L, 1L, 7.00), // only in prev — churn, not a delta cell
+      (5L, 1L, 8.00), (5L, -1L, 8.00),
+      (6L, 1L, 4.00)))
+    val out = Seq((cur, prev)).toDF("c", "p")
+      .select(WeightMap.deltaSums(col("c"), col("p")).as("d"))
+      .collect()(0).getSeq[Long](0)
+    // id 1: +200 expansion; id 2: 300 contraction
+    assert(out.toSeq == Seq(200L, 300L))
+  }
+
   test("distributed build (many partitions) == single-partition build") {
     val rows = (0 until 5000).map { i =>
       ((i % 97).toLong, 1L, (i % 13) + 0.25)
