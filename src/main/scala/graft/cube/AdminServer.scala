@@ -370,6 +370,29 @@ final class AdminServer(service: CubeService, spark: SparkSession,
                 pd, vgSegs)
           }
           serveRows(df, vgSegs :+ "period", req)
+        case Some("getTopSpenders") | Some("getJoinTopSpenders") =>
+          val name = need(strField(req, "name"), "name")
+          val isJoin =
+            strField(req, "verb").contains("getJoinTopSpenders")
+          val tsDay = need(strField(req, "dayDim"), "dayDim")
+          val tsW = need(strField(req, "weightedId"), "weightedId")
+          val tsK = numField(req, "k").map(_.toInt).getOrElse(10)
+          val tsPd = numField(req, "periodDays").map(_.toInt).getOrElse(7)
+          val tsSegs = strArray(req, "segmentBy")
+          val df = (numField(req, "asOfVersion").map(_.toInt), isJoin) match {
+            case (Some(v), false) =>
+              service.getTopSpendersAsOf(name, v, tsDay, tsW, tsK, tsPd,
+                tsSegs)
+            case (Some(_), true) => throw new IllegalArgumentException(
+              "getJoinTopSpenders does not take asOfVersion yet — use " +
+                "the head serve")
+            case (None, true) =>
+              service.getJoinTopSpenders(name, tsDay, tsW, tsK, tsPd,
+                tsSegs)
+            case (None, false) =>
+              service.getTopSpenders(name, tsDay, tsW, tsK, tsPd, tsSegs)
+          }
+          serveRows(df, tsSegs ++ Seq("period", "rank"), req)
         case Some("getOverlapMatrix") | Some("getJoinOverlapMatrix") =>
           val name = need(strField(req, "name"), "name")
           val isJoin =

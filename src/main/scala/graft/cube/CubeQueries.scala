@@ -3771,6 +3771,24 @@ object CubeQueries {
       "month")
   }
 
+  // --------------------------------------------------------------- q290
+  /** Graded: EXACT TOP SPENDERS per week ([[CubeService
+    * .getTopSpenders]]) — the per-entity leaderboard from maintained
+    * weight-map partials with NO sketch: where the CMS freq family
+    * estimates heavy hitters by occurrence, this ranks by exact NET
+    * VALUE (the map carries every customer's weekly revenue), so the
+    * whole board hash-matches a ROW_NUMBER() recompute, ties
+    * resolved identically (value desc, id asc). ~344 weekly top-5
+    * boards over seven years of orders. 100 TB split: the raw twin
+    * re-ranks the per-(id, period) frame per refresh; the serve is a
+    * bounded O(|map|·k) selection per |periods| one-row maps, and the
+    * sharded twin selects per shard first (the global top-k is inside
+    * the per-shard unions since shards partition the id space). */
+  def q290TopSpenders(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = calRetService(spark, sfDir)
+    svc.getTopSpenders("cal_ret", "day", "ltv", k = 5, periodDays = 7)
+  }
+
   // --------------------------------------------------------------- q281
   /** Graded: the COHORT VALUE matrix ([[CubeService.getCohortValue]])
     * — revenue by cohort age, the LTV heatmap and the ADDITIVE half of
@@ -5041,6 +5059,7 @@ object CubeQueries {
     "q287_sql_cohort_value_routing" -> q287SqlCohortValueRouting,
     "q288_value_growth_accounting" -> q288ValueGrowthAccounting,
     "q289_calendar_value_growth" -> q289CalendarValueGrowth,
+    "q290_top_spenders" -> q290TopSpenders,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -6394,6 +6413,23 @@ object CubeQueries {
       LEFT JOIN delta ON delta.p = ps.p
       LEFT JOIN chu ON chu.p = ps.p
       ORDER BY 1""",
+    // the leaderboard recomputed raw with the same deterministic
+    // tiebreak — exact values, so the whole board hash-matches
+    "q290_top_spenders" -> """
+      WITH g AS (
+        SELECT o_custkey AS id,
+          CAST(floor(date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT) AS p,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+        FROM orders GROUP BY 1, 2),
+      r AS (SELECT p AS period, id, w,
+          row_number() OVER (PARTITION BY p ORDER BY w DESC, id ASC)
+            AS rank
+        FROM g)
+      SELECT period, CAST(rank AS BIGINT) AS rank, id,
+        CAST(CAST(w * 100 AS BIGINT) AS DOUBLE) / 100 AS value
+      FROM r WHERE rank <= 5
+      ORDER BY 1, 2""",
     // the cohort-value matrix recomputed raw: per-(customer, week)
     // sums, first-seen weeks, then the cohort-age rollup — the
     // weight-map serve must hash-match (exact scaled-long partials)

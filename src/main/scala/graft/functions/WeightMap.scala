@@ -409,6 +409,67 @@ case class WeightMapDeltaSums(cur: Expression, prev: Expression)
     copy(cur = newChildren(0), prev = newChildren(1))
 }
 
+/** EXACT top-k entries of a weight map by weight — the per-entity
+  * leaderboard ("top spenders this week") served from maintained
+  * state with NO sketch: unlike CMS heavy hitters the weight map
+  * carries every present id's exact net value, so the top-k is the
+  * true one at any k ≤ the map's size. Deterministic order: weight
+  * desc, then id asc (ties at the boundary resolve identically to a
+  * `ROW_NUMBER() OVER (ORDER BY w DESC, id ASC)` oracle). Output:
+  * array of (id, weight) structs, scaled longs. Selection is a
+  * bounded insertion pass over the sorted byte form — O(|wm| · k)
+  * worst case with k ≤ 100 by the serve's own bound; runs over
+  * |periods|-row cube-derived frames, never a source scan. */
+case class WeightMapTopK(child: Expression, k: Int)
+    extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(k >= 1 && k <= 100,
+    s"top-k k=$k out of range (1..100 — the leaderboard fan-out bound)")
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("w", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "weightmap_topk"
+  override def children: Seq[Expression] = Seq(child)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      // bounded selection: keep the best k seen, insertion-sorted by
+      // (w desc, id asc); ids arrive ascending so equal weights keep
+      // ascending id order without an explicit tiebreak swap
+      val ids = new Array[Long](k)
+      val ws = new Array[Long](k)
+      var n = 0
+      WeightMapCodec.foreachEntry(v.asInstanceOf[Array[Byte]],
+        (id, cnt, w) =>
+          if (cnt > 0L && (n < k || w > ws(n - 1))) {
+            var pos = if (n < k) n else k - 1
+            while (pos > 0 && ws(pos - 1) < w) {
+              ids(pos) = ids(pos - 1); ws(pos) = ws(pos - 1)
+              pos -= 1
+            }
+            ids(pos) = id; ws(pos) = w
+            if (n < k) n += 1
+          })
+      val rows = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        rows(i) = InternalRow(ids(i), ws(i))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WeightMapTopK =
+    copy(child = newChildren.head)
+}
+
 object WeightMap {
   /** Fixed decimal scale of the stored weights: 2 fractional digits —
     * the cube's DECIMAL(18,2) measure convention made integral so long
@@ -454,6 +515,10 @@ object WeightMap {
   def countIn(bitmap: Column, wm: Column): Column =
     Bridge.toColumn(WeightMapCountIn(
       Bridge.toExpression(bitmap), Bridge.toExpression(wm)))
+
+  /** Exact top-k (id, weight) entries by weight desc, id asc. */
+  def topK(c: Column, k: Int): Column =
+    Bridge.toColumn(WeightMapTopK(Bridge.toExpression(c), k))
 
   /** array(expansion, contraction) over ids present in both maps:
     * Σ max(0, cur − prev) and Σ max(0, prev − cur), scaled longs. */

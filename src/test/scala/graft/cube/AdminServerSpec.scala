@@ -783,6 +783,18 @@ class AdminServerSpec extends AnyFunSuite {
       assert(cli.rpc(
         """{"verb":"getCohortValue","name":"cw","dayDim":"day","weightedId":"u"}""")
         .startsWith("""{"ok":false"""))
+      // the exact leaderboard over the wire == in-process; the
+      // fan-out bound is a structured refusal
+      val tsw = cli.rpc(
+        """{"verb":"getTopSpenders","name":"cw","dayDim":"day","weightedId":"ltv","k":3,"periodDays":1}""")
+      assert(tsw.startsWith("""{"ok":true"""), tsw)
+      val tsProc = svc.getTopSpenders("cw", "day", "ltv", k = 3,
+        periodDays = 1).collect()
+      assert(tsProc.nonEmpty && tsProc.forall(r =>
+        tsw.contains(s""""id":${r.getAs[Long]("id")}""")), tsw)
+      assert(cli.rpc(
+        """{"verb":"getTopSpenders","name":"cw","dayDim":"day","weightedId":"ltv","k":101}""")
+        .startsWith("""{"ok":false"""))
       // the revenue bridge over the wire == in-process
       val vgw = cli.rpc(
         """{"verb":"getValueGrowthAccounting","name":"cw","dayDim":"day","weightedId":"ltv","periodDays":1}""")

@@ -1065,6 +1065,44 @@ class CubeServiceSpec extends AnyFunSuite {
         r.getAs[Double]("value") == w / 100.0,
         s"post-delete cell $key diverged")
     }
+    // TOP SPENDERS off the same weight maps: exact leaderboard vs a
+    // brute-force rank with the same (value desc, id asc) tiebreak —
+    // post-delete, so the netted values rank (cells2 from above)
+    val perUser2 = rows.drop(6)
+      .groupBy(r => (r._4, dayOf(r._2) - day0))
+      .map { case (k, g) =>
+        k -> g.map(r => math.round(r._3 * 100)).sum }
+    val wantTop = perUser2.toSeq.map { case ((u, d), w) => (d, u, w) }
+      .groupBy(_._1).flatMap { case (d, es) =>
+        es.sortBy(e => (-e._3, e._2)).take(3).zipWithIndex
+          .map { case ((_, u, w), i) => (d, i + 1L, u, w) }
+      }.toSet
+    val gotTop = svc.getTopSpenders("cval", "day", "ltv", k = 3,
+      periodDays = 1).collect()
+      .map(r => (r.getAs[Long]("period") - day0, r.getAs[Long]("rank"),
+        r.getAs[Long]("id"),
+        math.round(r.getAs[Double]("value") * 100))).toSet
+    assert(gotTop == wantTop, "leaderboard diverged from brute force")
+    // sharded twin: per-shard selection + re-rank == unsharded (the
+    // sharded cube has no deletes folded, so rank the FULL rows)
+    val perUserAll = rows.groupBy(r => (r._4, dayOf(r._2) - day0))
+      .map { case (k, g) =>
+        k -> g.map(r => math.round(r._3 * 100)).sum }
+    val wantTopAll = perUserAll.toSeq.map { case ((u, d), w) => (d, u, w) }
+      .groupBy(_._1).flatMap { case (d, es) =>
+        es.sortBy(e => (-e._3, e._2)).take(3).zipWithIndex
+          .map { case ((_, u, w), i) => (d, i + 1L, u, w) }
+      }.toSet
+    assert(svc.getTopSpenders("cval_sh", "day", "ltv", k = 3,
+        periodDays = 1).collect()
+      .map(r => (r.getAs[Long]("period") - day0, r.getAs[Long]("rank"),
+        r.getAs[Long]("id"),
+        math.round(r.getAs[Double]("value") * 100))).toSet == wantTopAll,
+      "sharded leaderboard must equal the brute-force rank")
+    intercept[IllegalArgumentException] {
+      svc.getTopSpenders("cval", "day", "ltv", k = 0) }
+    intercept[IllegalArgumentException] {
+      svc.getTopSpenders("cval", "day", "ltv", k = 101) }
     // guardrails: reserved segment name; not-a-weighted-measure
     intercept[IllegalArgumentException] {
       svc.getCohortValue("cval", "day", "ltv", segmentBy = Seq("value")) }

@@ -125,6 +125,35 @@ class WeightMapSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(200L, 300L))
   }
 
+  test("topK: exact leaderboard, weight desc then id asc, ties stable") {
+    import spark.implicits._
+    val blob = buildBlob(Seq((10L, 1L, 5.00), (3L, 1L, 9.00),
+      (7L, 1L, 5.00), // ties 10 at 5.00 — smaller id ranks first
+      (4L, 1L, 1.00),
+      (8L, 1L, 9.00), // ties 3 at 9.00
+      (9L, 1L, 4.00), (9L, -1L, 4.00))) // netted out — never ranked
+    def top(k: Int): Seq[(Long, Long)] = Seq(blob).toDF("m")
+      .select(WeightMap.topK(col("m"), k).as("t"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top(3) == Seq((3L, 900L), (8L, 900L), (7L, 500L)))
+    assert(top(10) == Seq((3L, 900L), (8L, 900L), (7L, 500L),
+      (10L, 500L), (4L, 100L)))
+    // brute-force agreement on a random map
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map(i =>
+      (rnd.nextInt(80).toLong, 1L, (rnd.nextInt(500)) / 100.0))
+    val perId = rows.groupBy(_._1)
+      .map { case (id, rs) => id -> rs.map(r => math.round(r._3 * 100)).sum }
+    val want = perId.toSeq.sortBy { case (id, w) => (-w, id) }.take(5)
+    val blob2 = buildBlob(rows)
+    val got = Seq(blob2).toDF("m")
+      .select(WeightMap.topK(col("m"), 5).as("t"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got == want, s"got $got want $want")
+  }
+
   test("distributed build (many partitions) == single-partition build") {
     val rows = (0 until 5000).map { i =>
       ((i % 97).toLong, 1L, (i % 13) + 0.25)
