@@ -256,6 +256,19 @@ object Scaling {
         svcR.getCohortValue(s"scaling_roll_x$k", "day", "wv",
           periodDays = 7).count()
       })
+      // the MRR bridge (q288's verb): per-shard adjacent-period
+      // pairing + delta walks, every bridge column summing across
+      // shards — cube-sized like the rest of the weighted family
+      record("value_growth_serve", k, best {
+        svcR.getValueGrowthAccounting(s"scaling_roll_x$k", "day", "wv",
+          periodDays = 7).count()
+      })
+      // the exact leaderboard (q290's verb): per-shard bounded top-k
+      // selection + a re-rank over <= |shards|*k survivors
+      record("top_spenders_serve", k, best {
+        svcR.getTopSpenders(s"scaling_roll_x$k", "day", "wv", k = 10,
+          periodDays = 7).count()
+      })
       // the calendar collapse (q275's routing serve / the Calendar
       // verbs): the same AND-walk with day cells collapsed to month
       // ordinals — |months| frames regardless of id volume
@@ -318,7 +331,9 @@ object Scaling {
             || fam == "engagement_bitmap_serve"
             || fam == "stickiness_bitmap_serve"
             || fam == "calendar_bitmap_serve"
-            || fam == "cohort_value_serve")
+            || fam == "cohort_value_serve"
+            || fam == "value_growth_serve"
+            || fam == "top_spenders_serve")
           if (r10 < 3) "~flat (serve ∝ index/cube, not source)"
           else "NOT flat — investigate"
         else if (fam == "dedup_embedding_lsh") {
