@@ -263,17 +263,34 @@ object CubeManager {
     * [[requireIntegralBitmaps]]: weight-map partials key ids as
     * CAST(idPath AS BIGINT), which is lossy for non-integral columns —
     * and a lossy key collapses DIFFERENT users' values into one entry,
-    * silently wrong cohort sums. */
+    * silently wrong cohort sums. A NON-integral id is admitted exactly
+    * when a `dictBitmaps` measure over the SAME column exists: the
+    * weight maps then ride that measure's dense dictionary ids (the
+    * injective encoding, [[weightedIdCol]]), so string-keyed LTV
+    * dashboards stay exact. */
   private[graft] def requireIntegralWeighted(
       config: CubeConfig, source: DataFrame): Unit =
     config.weighted.foreach { m =>
       import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-      val dt = source.select(col(m.idPath)).schema.head.dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"weighted measure '${m.id}' needs an integral id column; " +
-          s"'${m.idPath}' is $dt — its cast to BIGINT is lossy, so " +
-          "per-id sums would silently merge different ids. " +
-          "Dictionary-encode the column first.")
+      if (!config.dictBitmaps.exists(_.path == m.idPath)) {
+        val dt = source.select(col(m.idPath)).schema.head.dataType
+        require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+          s"weighted measure '${m.id}' needs an integral id column; " +
+            s"'${m.idPath}' is $dt — its cast to BIGINT is lossy, so " +
+            "per-id sums would silently merge different ids. " +
+            "Add a dictBitmaps measure over the same column (the " +
+            "weight maps then ride its dense dictionary ids).")
+      }
+    }
+
+  /** The id column a weighted measure's maps encode: the dense
+    * dictionary id when a `dictBitmaps` measure shares the source
+    * column (present on build-side frames after [[withDictIds]]),
+    * the raw integral column otherwise. */
+  private def weightedIdCol(cfg: CubeConfig, m: WeightedMeasure): Column =
+    cfg.dictBitmaps.find(_.path == m.idPath) match {
+      case Some(d) => col(s"__dictid_${d.id}")
+      case None => col(m.idPath).cast("long")
     }
 
   /** Dense-id assignment for the `dictBitmaps` dictionaries: append a
@@ -372,10 +389,10 @@ object CubeManager {
           "weighted measure to shard on")
       config.allBitmaps.headOption match {
         case Some(bm) =>
-          require(!config.dictBitmaps.exists(_.id == bm.id) ||
-              config.weighted.isEmpty,
-            "weighted measures cannot shard on a dictionary bitmap's " +
-              "dense ids (raw weighted rows don't carry them)")
+          // a dict-sharded cube's shard key is the dense dictionary
+          // id; a weighted measure over the SAME source column rides
+          // the SAME dictionary (weightedIdCol), so its maps partition
+          // consistently — any other id column refuses
           config.weighted.foreach(w => require(w.idPath == bm.path,
             s"weighted measure '${w.id}' keys on '${w.idPath}' but the " +
               s"shard key is the bitmap id column '${bm.path}' — shards " +
@@ -415,7 +432,7 @@ object CubeManager {
     // weighted (per-id additive) partials: +1 row count per row, the
     // weight scaled to exact longs ([[graft.functions.WeightMap]])
     val wms = config.weighted.map(m =>
-      graft.functions.WeightMap.buildAgg(col(m.idPath).cast("long"),
+      graft.functions.WeightMap.buildAgg(weightedIdCol(config, m),
         lit(1L), graft.functions.WeightMap.scaled(col(m.weightPath)))
         .as(m.id))
     // `_count` is always present, so the aggregate list is never empty
@@ -520,7 +537,7 @@ object CubeManager {
     // every other per-id family deletes neither latch nor need the
     // targeted source recompute
     val deltaWms = cfg.weighted.map(m =>
-      graft.functions.WeightMap.buildAgg(col(m.idPath).cast("long"),
+      graft.functions.WeightMap.buildAgg(weightedIdCol(cfg, m),
         col("_sign").cast("long"),
         col("_sign").cast("long") *
           graft.functions.WeightMap.scaled(col(m.weightPath))).as(m.id))

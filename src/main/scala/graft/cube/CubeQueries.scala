@@ -3771,6 +3771,61 @@ object CubeQueries {
       "month")
   }
 
+  // --------------------------------------------------------------- q291
+  private val dictValSetup =
+    TrieMap.empty[(SparkSession, String), CubeService]
+  private def dictValService(spark: SparkSession,
+      sfDir: String): CubeService =
+    dictValSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_dictval").toString
+      val svc = new CubeService(spark, dir)
+      // a STRING customer key — the most common real-world id shape:
+      // the weighted measure rides the dictBitmaps dictionary
+      // (weightedIdCol), so the LTV family stays exact with no
+      // integral-id requirement
+      val src = Tables.orders(spark, sfDir)
+        .withColumn("ck_s", concat(lit("c"), col("o_custkey")))
+        .select(col("ck_s"), col("o_orderdate"), col("o_totalprice"))
+      svc.createCube(
+        CubeConfig("dict_val", "orders",
+          dims = Seq(TimeDim("day", "o_orderdate", "day")),
+          measures = Nil,
+          dictBitmaps = Seq(Measure("cs", "ck_s")),
+          weighted = Seq(WeightedMeasure("sltv", "ck_s",
+            "o_totalprice"))),
+        src)
+      svc
+    })
+
+  /** Graded: STRING-KEYED cohort value — q282's calendar-month LTV
+    * matrix over a string customer key: the weighted measure rides
+    * the `dictBitmaps` dictionary (any injective encoding yields the
+    * same id-free matrix), so the most common real-world id shape
+    * gets the exact LTV family with no integral-id requirement. The
+    * DuckDB oracle recomputes the matrix over the raw string ids —
+    * hash equality proves the dictionary path end to end. */
+  def q291DictCohortValue(spark: SparkSession, sfDir: String): DataFrame = {
+    val svc = dictValService(spark, sfDir)
+    svc.getCohortValueCalendar("dict_val", "day", "sltv", "month")
+  }
+
+  // --------------------------------------------------------------- q292
+  /** Graded: the STRING-KEYED leaderboard — q290's exact top spenders
+    * where the served `id` column is the ORIGINAL string key,
+    * translated back through the maintained append-only dictionary (a
+    * broadcast-sized join over the |periods|·k board rows; ranks are
+    * computed on the dense ids first and unchanged by the injective
+    * translation). Ties break (value desc, id ASC) on the STRING key
+    * — matched exactly by the oracle's ROW_NUMBER, so the visible-id
+    * board hash-matches: the strongest possible pin that the
+    * dictionary round-trip is lossless. */
+  def q292DictTopSpenders(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val svc = dictValService(spark, sfDir)
+    svc.getTopSpenders("dict_val", "day", "sltv", k = 5, periodDays = 7)
+  }
+
   // --------------------------------------------------------------- q290
   /** Graded: EXACT TOP SPENDERS per week ([[CubeService
     * .getTopSpenders]]) — the per-entity leaderboard from maintained
@@ -5060,6 +5115,8 @@ object CubeQueries {
     "q288_value_growth_accounting" -> q288ValueGrowthAccounting,
     "q289_calendar_value_growth" -> q289CalendarValueGrowth,
     "q290_top_spenders" -> q290TopSpenders,
+    "q291_dict_cohort_value" -> q291DictCohortValue,
+    "q292_dict_top_spenders" -> q292DictTopSpenders,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -6413,6 +6470,44 @@ object CubeQueries {
       LEFT JOIN delta ON delta.p = ps.p
       LEFT JOIN chu ON chu.p = ps.p
       ORDER BY 1""",
+    // the string-keyed matrix recomputed over the raw string ids —
+    // hash equality proves the dictionary encoding end to end (any
+    // injective map yields the same id-free matrix)
+    "q291_dict_cohort_value" -> """
+      WITH g AS (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS id,
+          CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+            AS BIGINT) AS p,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+        FROM orders GROUP BY 1, 2),
+      f AS (SELECT id, min(p) AS cohort FROM g GROUP BY 1),
+      cs AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1)
+      SELECT f.cohort, g.p - f.cohort AS offset,
+        CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+        CAST(count(*) AS BIGINT) AS active,
+        CAST(sum(g.w) AS DOUBLE) AS value,
+        strftime(make_date(CAST(f.cohort // 12 AS INT),
+          CAST(f.cohort % 12 AS INT) + 1, 1), '%Y-%m-%d') AS cohort_start
+      FROM g JOIN f ON g.id = f.id JOIN cs ON f.cohort = cs.cohort
+      GROUP BY 1, 2, 3, 6
+      ORDER BY 1, 2""",
+    // the string-keyed board with VISIBLE ids — ties break on the
+    // original key, so the dictionary round-trip must be lossless
+    "q292_dict_top_spenders" -> """
+      WITH g AS (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS id,
+          CAST(floor(date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT) AS p,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+        FROM orders GROUP BY 1, 2),
+      r AS (SELECT p AS period, id, w,
+          row_number() OVER (PARTITION BY p ORDER BY w DESC, id ASC)
+            AS rank
+        FROM g)
+      SELECT period, CAST(rank AS BIGINT) AS rank, id,
+        CAST(CAST(w * 100 AS BIGINT) AS DOUBLE) / 100 AS value
+      FROM r WHERE rank <= 5
+      ORDER BY 1, 2""",
     // the leaderboard recomputed raw with the same deterministic
     // tiebreak — exact values, so the whole board hash-matches
     "q290_top_spenders" -> """

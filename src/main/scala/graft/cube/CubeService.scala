@@ -2976,12 +2976,31 @@ final class CubeService(spark: SparkSession, storageDir: String,
         explode(W.topK(col("__wm"), k)).as("__e"))): _*)
       .select((segCols ++ Seq(col("period"),
         col("__e.id").as("id"), col("__e.w").as("__w"))): _*)
-    // re-rank (a no-op unsharded; the cross-shard merge otherwise) —
-    // the window runs over ≤ |shards|·k rows per (segment, period)
+    // a dict-encoded weighted measure's candidates carry DENSE
+    // DICTIONARY ids — translate back to the original keys through
+    // the maintained (append-only) dictionary BEFORE ranking, so ties
+    // break on the key the caller sees (the per-blob selection kept
+    // every boundary tie, so the correct member is always present).
+    // The join is broadcast-dict-sized over the candidate rows.
+    val wm = cube.config.weighted.find(_.id == weightedId).get
+    val candidates =
+      cube.config.dictBitmaps.find(_.path == wm.idPath) match {
+        case Some(d) =>
+          val dict = cube.dicts(d.id)
+            .select(col("__id"), col("__key"))
+          per.join(broadcast(dict), per("id") === dict("__id"))
+            .drop("id", "__id")
+            .withColumnRenamed("__key", "id")
+        case None => per
+      }
+    // re-rank over ≤ (|shards|·k + ties) candidate rows per
+    // (segment, period): value desc, then the VISIBLE id asc — the
+    // ROW_NUMBER oracle's own tiebreak
     val w = Window
       .partitionBy((segCols :+ col("period")): _*)
       .orderBy(col("__w").desc, col("id").asc)
-    per.withColumn("rank", row_number().over(w).cast("long"))
+    candidates
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select((segCols ++ Seq(col("period"), col("rank"), col("id"),
         W.toValue(col("__w")).as("value"))): _*)

@@ -409,17 +409,20 @@ case class WeightMapDeltaSums(cur: Expression, prev: Expression)
     copy(cur = newChildren(0), prev = newChildren(1))
 }
 
-/** EXACT top-k entries of a weight map by weight — the per-entity
+/** EXACT top-k CANDIDATES of a weight map by weight — the per-entity
   * leaderboard ("top spenders this week") served from maintained
   * state with NO sketch: unlike CMS heavy hitters the weight map
   * carries every present id's exact net value, so the top-k is the
-  * true one at any k ≤ the map's size. Deterministic order: weight
-  * desc, then id asc (ties at the boundary resolve identically to a
-  * `ROW_NUMBER() OVER (ORDER BY w DESC, id ASC)` oracle). Output:
-  * array of (id, weight) structs, scaled longs. Selection is a
-  * bounded insertion pass over the sorted byte form — O(|wm| · k)
-  * worst case with k ≤ 100 by the serve's own bound; runs over
-  * |periods|-row cube-derived frames, never a source scan. */
+  * true one at any k ≤ the map's size. Output: array of (id, weight)
+  * structs (scaled longs) holding every entry whose weight ties or
+  * beats the k-th best — boundary TIES all survive, so the caller's
+  * re-rank applies its own tiebreak (the dense id, or the original
+  * string key after a dictionary translation) without ever losing
+  * the correct member; candidate count is k + |boundary tie group|.
+  * Selection is a bounded insertion pass + one emit pass over the
+  * sorted byte form — O(|wm| · k) worst case with k ≤ 100 by the
+  * serve's own bound; runs over |periods|-row cube-derived frames,
+  * never a source scan. */
 case class WeightMapTopK(child: Expression, k: Int)
     extends Expression with ExpectsInputTypes with CodegenFallback {
   require(k >= 1 && k <= 100,
@@ -438,30 +441,35 @@ case class WeightMapTopK(child: Expression, k: Int)
     val v = child.eval(input)
     if (v == null) null
     else {
-      // bounded selection: keep the best k seen, insertion-sorted by
-      // (w desc, id asc); ids arrive ascending so equal weights keep
-      // ascending id order without an explicit tiebreak swap
-      val ids = new Array[Long](k)
+      // pass 1 — bounded selection of the k-th best weight: keep the
+      // best k seen, insertion-sorted by weight desc
+      val bytes = v.asInstanceOf[Array[Byte]]
       val ws = new Array[Long](k)
       var n = 0
-      WeightMapCodec.foreachEntry(v.asInstanceOf[Array[Byte]],
-        (id, cnt, w) =>
-          if (cnt > 0L && (n < k || w > ws(n - 1))) {
-            var pos = if (n < k) n else k - 1
-            while (pos > 0 && ws(pos - 1) < w) {
-              ids(pos) = ids(pos - 1); ws(pos) = ws(pos - 1)
-              pos -= 1
-            }
-            ids(pos) = id; ws(pos) = w
-            if (n < k) n += 1
-          })
-      val rows = new Array[Any](n)
-      var i = 0
-      while (i < n) {
-        rows(i) = InternalRow(ids(i), ws(i))
-        i += 1
-      }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+      WeightMapCodec.foreachEntry(bytes, (_, cnt, w) =>
+        if (cnt > 0L && (n < k || w > ws(n - 1))) {
+          var pos = if (n < k) n else k - 1
+          while (pos > 0 && ws(pos - 1) < w) {
+            ws(pos) = ws(pos - 1)
+            pos -= 1
+          }
+          ws(pos) = w
+          if (n < k) n += 1
+        })
+      if (n == 0)
+        return new org.apache.spark.sql.catalyst.util
+          .GenericArrayData(Array.empty[Any])
+      // pass 2 — emit EVERY entry at or above the boundary weight:
+      // ties AT the k-th place all survive, so a downstream re-rank
+      // with its own tiebreak (dense id, or the original string key
+      // after a dictionary translation) never loses the correct
+      // member. Candidate count is k + |boundary tie group|.
+      val boundary = ws(n - 1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      WeightMapCodec.foreachEntry(bytes, (id, cnt, w) =>
+        if (cnt > 0L && w >= boundary) out += InternalRow(id, w))
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        out.toArray)
     }
   }
 
@@ -516,7 +524,9 @@ object WeightMap {
     Bridge.toColumn(WeightMapCountIn(
       Bridge.toExpression(bitmap), Bridge.toExpression(wm)))
 
-  /** Exact top-k (id, weight) entries by weight desc, id asc. */
+  /** Top-k candidate (id, weight) entries: everything tying or
+    * beating the k-th best weight (the caller re-ranks with its own
+    * tiebreak). */
   def topK(c: Column, k: Int): Column =
     Bridge.toColumn(WeightMapTopK(Bridge.toExpression(c), k))
 

