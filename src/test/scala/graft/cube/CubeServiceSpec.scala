@@ -1820,7 +1820,11 @@ class CubeServiceSpec extends AnyFunSuite {
     val cfg = CubeConfig("dictstream", "events",
       Seq(FieldDim("etype", "event_type"), TimeDim("day", "ts", "day")),
       Seq(Measure("v", "value")),
-      dictBitmaps = Seq(Measure("us", "uid")))
+      dictBitmaps = Seq(Measure("us", "uid")),
+      // the string-keyed LTV family rides the same per-batch fold:
+      // the dictionary extends BEFORE the weighted partials encode,
+      // so stream-maintained value serves equal from-scratch builds
+      weighted = Seq(WeightedMeasure("ltv", "uid", "value")))
     svc.createCube(cfg, toDF(init))
     val v0 = svc.currentCubeVersion("dictstream")
     val deltaDir = Files.createTempDirectory("graft_svc_dictstream_d")
@@ -1849,7 +1853,11 @@ class CubeServiceSpec extends AnyFunSuite {
         exactDistinctOf = Seq("us")),
       svcX.getRolling(name, "day", windowDays = 7,
         exactDistinctOf = Seq("us")),
-      svcX.getCumulative(name, "day", exactDistinctOf = Seq("us"))
+      svcX.getCumulative(name, "day", exactDistinctOf = Seq("us")),
+      // id-free value matrix AND the id-VISIBLE translated board —
+      // equal across different dictionary assignments by injectivity
+      svcX.getCohortValue(name, "day", "ltv", periodDays = 1),
+      svcX.getTopSpenders(name, "day", "ltv", k = 3, periodDays = 1)
     ).map(_.collect().map(_.toSeq).toSeq)
     val streamed = serves(svc, "dictstream")
     val svcB = new CubeService(spark,
