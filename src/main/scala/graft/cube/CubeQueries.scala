@@ -3713,7 +3713,10 @@ object CubeQueries {
           dims = Seq(FieldDim("prio", "o_orderpriority"),
             TimeDim("day", "o_orderdate", "day")),
           measures = Nil,
-          bitmaps = Seq(Measure("c", "o_custkey"))),
+          bitmaps = Seq(Measure("c", "o_custkey")),
+          // q293: the SEGMENTED LTV matrix needs per-(prio, day) maps
+          weighted = Seq(WeightedMeasure("ltv", "o_custkey",
+            "o_totalprice"))),
         Tables.orders(spark, sfDir))
       svc
     })
@@ -3824,6 +3827,24 @@ object CubeQueries {
       sfDir: String): DataFrame = {
     val svc = dictValService(spark, sfDir)
     svc.getTopSpenders("dict_val", "day", "sltv", k = 5, periodDays = 7)
+  }
+
+  // --------------------------------------------------------------- q293
+  /** Graded: the SEGMENTED LTV matrix — q281's cohort-value triangle
+    * PER ORDER PRIORITY ([[CubeService.getCohortValue]] segmentBy):
+    * each segment's cohorts, first-seen walks and pair cells compute
+    * within ITS OWN weight maps (a customer's first URGENT week is
+    * independent of their first LOW week — the per-segment cohort
+    * question every sliced dashboard asks). ~5 priorities × weekly
+    * matrices over seven years; the DuckDB oracle recomputes every
+    * (segment, cohort, offset) cell with segment-keyed first-seen
+    * frames. At scale the windows and pair walks partition per
+    * segment cell — no single task grows with segment count. */
+  def q293SegmentedCohortValue(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val svc = calRetService(spark, sfDir)
+    svc.getCohortValue("cal_fun", "day", "ltv", periodDays = 7,
+      segmentBy = Seq("prio"))
   }
 
   // --------------------------------------------------------------- q290
@@ -5115,6 +5136,7 @@ object CubeQueries {
     "q288_value_growth_accounting" -> q288ValueGrowthAccounting,
     "q289_calendar_value_growth" -> q289CalendarValueGrowth,
     "q290_top_spenders" -> q290TopSpenders,
+    "q293_segmented_cohort_value" -> q293SegmentedCohortValue,
     "q291_dict_cohort_value" -> q291DictCohortValue,
     "q292_dict_top_spenders" -> q292DictTopSpenders,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
@@ -6508,6 +6530,27 @@ object CubeQueries {
         CAST(CAST(w * 100 AS BIGINT) AS DOUBLE) / 100 AS value
       FROM r WHERE rank <= 5
       ORDER BY 1, 2""",
+    // every (segment, cohort, offset) cell recomputed raw with
+    // segment-keyed first-seen frames — per-segment cohorts, the
+    // sliced-dashboard question
+    "q293_segmented_cohort_value" -> """
+      WITH g AS (
+        SELECT o_orderpriority AS prio, o_custkey AS id,
+          CAST(floor(date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT) AS p,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+        FROM orders GROUP BY 1, 2, 3),
+      f AS (SELECT prio, id, min(p) AS cohort FROM g GROUP BY 1, 2),
+      cs AS (SELECT prio, cohort, count(*) AS cohort_size FROM f
+             GROUP BY 1, 2)
+      SELECT f.prio, f.cohort, g.p - f.cohort AS offset,
+        CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+        CAST(count(*) AS BIGINT) AS active,
+        CAST(sum(g.w) AS DOUBLE) AS value
+      FROM g JOIN f ON g.prio = f.prio AND g.id = f.id
+      JOIN cs ON f.prio = cs.prio AND f.cohort = cs.cohort
+      GROUP BY 1, 2, 3, 4
+      ORDER BY 1, 2, 3""",
     // the leaderboard recomputed raw with the same deterministic
     // tiebreak — exact values, so the whole board hash-matches
     "q290_top_spenders" -> """
