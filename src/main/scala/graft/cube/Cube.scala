@@ -67,10 +67,14 @@ final case class Measure(id: String, path: String)
 /** PER-ID additive measure ([[CubeConfig.weighted]]): the cell's rows
   * fold into a weight-map partial (id → net row count, net scaled
   * weight — [[graft.functions.WeightMapBuildAgg]]), keyed by the
-  * integral `idPath` column with `weightPath` as the summed value.
+  * `idPath` column with `weightPath` as the summed value. Integral
+  * ids encode directly; a NON-integral id requires a `dictBitmaps`
+  * measure over the same column and rides its dense dictionary ids
+  * (`CubeManager.weightedIdCol` — string-keyed LTV stays exact).
   * This is the bitmap family with VALUES: it answers "how much were
-  * these ids worth in this cell", which powers the cohort-value verbs
-  * (revenue by cohort age / LTV) no count-distinct partial can
+  * these ids worth in this cell", which powers the cohort-value /
+  * revenue-bridge / leaderboard verbs (LTV by cohort age, the MRR
+  * waterfall, exact top spenders) no count-distinct partial can
   * express. Pointwise addition is sign-invertible, so unlike every
   * other per-id family the weighted partials are DELETE-CAPABLE
   * without source access and never trip the `hasDeletes` latch. */
