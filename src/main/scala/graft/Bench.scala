@@ -30,6 +30,21 @@ object Bench {
     // session-initialization cost (~4-5 s otherwise).
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
+    // Contention sentinel: a fixed calibration probe timed BEFORE and
+    // AFTER the sweep. The r15 driver sweep ran on a loaded box and its
+    // per-query numbers were 2-100x inflated with nothing in the output
+    // saying so (q25: 61.5 s recorded, 0.96 s clean). A probe ratio
+    // (or absolute post-probe blowup) > 3x stamps "contended": true into
+    // the emitted JSON so a polluted sweep self-identifies instead of
+    // being adopted as a baseline.
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    probe() // second warm pass so probePre measures steady state
+    val probePre = probe()
     // One-time storage-layout setup (bucketed fact tables, materialized
     // routing cubes) paid OUTSIDE the timed path: those writes amortize
     // over a table lifetime at lake scale, so charging them to a timed
@@ -64,13 +79,22 @@ object Bench {
       } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val probePost = probe()
+    // Contended if the box slowed down across the sweep (post/pre) or if
+    // either probe is absurdly slow in absolute terms (a box loaded for
+    // the WHOLE run keeps the ratio near 1 but both probes high; clean
+    // runs measure this probe at ~0.05-0.2 s at sf0.1).
+    val probeRatio = if (probePre > 0) probePost / probePre else 1.0
+    val contended = probeRatio > 3.0 || probePre > 3.0 || probePost > 3.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val succeeded = results.map(_._2).filter(_ >= 0)
     val total = if (succeeded.nonEmpty) succeeded.sum else 0.0
     val nFailed = results.map(_._2).count(_ < 0)
+    val sentinel =
+      s""""contended":$contended,"probe_pre_sec":$probePre,"probe_post_sec":$probePost"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$nFailed}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$nFailed,$sentinel}"""
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target", "bench.json"),
       full.getBytes(StandardCharsets.UTF_8))
@@ -87,7 +111,7 @@ object Bench {
     // it — a driver tailing either stream finds a complete JSON line.
     // The canonical full artifact lives at target/bench.json.
     val short =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":{"_all":$total},"sf":"$sfDir","n_queries":${results.size},"failed":$nFailed,"queries_file":"target/bench.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{"_all":$total},"sf":"$sfDir","n_queries":${results.size},"failed":$nFailed,$sentinel,"queries_file":"target/bench.json"}"""
     println(short)
     System.err.println(short)
     spark.stop()
