@@ -203,9 +203,10 @@ object TextAnalysis {
     * fraction, duplicate word-bigram fraction, and the keep/drop flag a
     * pipeline would gate on. Pure per-row expression work (map-only, no
     * shuffle at any corpus size; the ORDER BY is the graded output's,
-    * not the operator's). The top-token count is O(u·n) per doc in
-    * higher-order functions — fine for web-scale docs (kTokens); the
-    * degenerate giant-doc case is what the n_chars gate upstream caps. */
+    * not the operator's). The top-token count is O(n log n) per doc —
+    * sort, then one longest-run aggregate pass (see
+    * [[repetitionSignals]]); no per-distinct-token re-scan survives at
+    * any document length. */
   def q80RepetitionFilter(spark: SparkSession, sfDir: String): DataFrame =
     repetitionSignals(Tables.documents(spark, sfDir))
       .drop("text").orderBy(col("doc_id"))
@@ -219,14 +220,31 @@ object TextAnalysis {
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n", size(col("toks")))
       .withColumn("u", size(array_distinct(col("toks"))))
+      // most-frequent-token count as the LONGEST RUN of the sorted token
+      // array — O(n log n) per doc. The previous higher-order form
+      // (array_max over per-distinct-token filter re-scans) was O(u·n)
+      // per doc: invisible on kToken web docs but the per-row hot spot
+      // on real corpora (10^3 distinct × 10^4 tokens = 10^7 ops/doc).
+      // Equal tokens are adjacent after array_sort, so max frequency ==
+      // longest run; oracle hash unchanged (pinned in PipelineSpec on a
+      // pathological long-doc fixture).
       .withColumn("topc", expr(
-        "array_max(transform(array_distinct(toks), x -> size(filter(toks, y -> y = x))))"))
+        """aggregate(array_sort(toks),
+             named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
+             (a, x) -> named_struct(
+               'prev', x,
+               'run', if(x <=> a.prev, a.run + 1, 1),
+               'best', greatest(a.best, if(x <=> a.prev, a.run + 1, 1))),
+             a -> a.best)"""))
       // guard: sequence(1, 0) is DESCENDING in Spark but empty in
       // DuckDB — greatest(n-1, 1) + the n>=2 CASE keeps both engines on
-      // the same arithmetic for one-token docs
+      // the same arithmetic for one-token docs. try_element_at on the
+      // i+1 access: a ONE-token doc's single window has no second
+      // element (ANSI element_at throws; the value is irrelevant — the
+      // n>=2 CASE discards the bigram row anyway).
       .withColumn("bigrams", expr(
         """transform(sequence(1, greatest(size(toks) - 1, 1)),
-           i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"""))
+           i -> concat_ws(' ', element_at(toks, i), try_element_at(toks, i + 1)))"""))
       .withColumn("nb", size(col("bigrams")))
       .withColumn("ub", size(array_distinct(col("bigrams"))))
       .withColumn("dup_bigram_frac",

@@ -484,4 +484,40 @@ class PipelineSpec extends AnyFunSuite {
         "identical inputs must produce identical cleaned output")
     }
   }
+
+  test("repetition top-token count: sorted longest-run == brute-force " +
+      "frequency on a pathological long doc") {
+    // Pins the r16 restructure (array_sort + one aggregate pass,
+    // O(n log n)/doc, replacing the O(u·n) per-distinct re-scan): the
+    // longest run of the sorted token array must equal the true max
+    // token frequency on exactly the doc shape the old form choked on
+    // (thousands of distinct tokens, tens of thousands of tokens),
+    // plus the degenerate edges (one token; all tokens identical).
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 2k distinct tokens, 30k draws, skewed so one token clearly wins
+    val big = (0 until 30000).map { _ =>
+      val r = rnd.nextInt(100)
+      if (r < 8) "tok_hot" else s"tok_${rnd.nextInt(2000)}"
+    }.mkString(" ")
+    val docs = Seq(
+      (1L, big),
+      (2L, "solo"),
+      (3L, "same same same same"),
+      (4L, "a b a b a c c c")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Double]("top_tok_frac"))).toMap
+    def brute(text: String): (Long, Double) = {
+      val toks = text.split(" ", -1)
+      val top = toks.groupBy(identity).values.map(_.length).max
+      (toks.length.toLong, top.toDouble / toks.length)
+    }
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      val text = Seq((1L, big), (2L, "solo"), (3L, "same same same same"),
+        (4L, "a b a b a c c c")).toMap.apply(id)
+      assert(got(id) == brute(text),
+        s"doc $id: longest-run top-token diverged from brute force")
+    }
+  }
 }
