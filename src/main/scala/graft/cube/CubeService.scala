@@ -390,8 +390,16 @@ final class CubeService(spark: SparkSession, storageDir: String,
           java.nio.file.Paths.get(storageDir, s"$name.json"))
       val hasDeletes =
         """"hasDeletes":\s*true""".r.findFirstIn(json).isDefined
-      Cube(CubeManager.configFromJson(json),
-        spark.read.parquet(vdir.toString), hasDeletes)
+      val config = CubeManager.configFromJson(json)
+      // Dictionaries load from the LIVE dict dir: dicts are append-only
+      // (keys gain ids, never lose or change them), so the live dict is a
+      // superset of the key domain any archived version's partials can
+      // reference — dict-translating serves (leaderboards, visible-id
+      // boards) on an archived version resolve every id it holds. Without
+      // this, getTopSpendersAsOf on a dictBitmaps-keyed cube threw
+      // NoSuchElementException at cube.dicts(d.id).
+      Cube(config, spark.read.parquet(vdir.toString), hasDeletes,
+        CubeManager.loadDicts(spark, storageDir, config))
     }
   }
 

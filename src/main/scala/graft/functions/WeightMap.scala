@@ -74,7 +74,13 @@ case class WeightMapBuildAgg(
       if (c != null) {
         val w = weight.eval(input)
         // null weight: presence still counts (SUM skips nulls, COUNT
-        // doesn't — same row, both semantics)
+        // doesn't — same row, both semantics). CONVENTION (documented,
+        // pinned in CubeServiceSpec): a null weight contributes 0 to the
+        // id's net value, so a cell whose EVERY weight row is NULL serves
+        // value 0.00 where a raw sum(w) returns NULL — the one divergence
+        // the 24-byte (cnt, w) entry cannot represent (distinguishing
+        // "all null" from "nets to zero" needs a third per-id counter).
+        // Every cell with at least one non-null weight is exact.
         WeightMapCodec.addInto(buf, idv.asInstanceOf[Long],
           c.asInstanceOf[Long],
           if (w == null) 0L else w.asInstanceOf[Long])

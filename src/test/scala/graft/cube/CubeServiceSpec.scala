@@ -1111,6 +1111,92 @@ class CubeServiceSpec extends AnyFunSuite {
     svc.deleteCube("cval"); svc.deleteCube("cval_sh")
   }
 
+  test("weighted NULL-weight convention (pinned): an all-NULL-weight " +
+      "cell serves 0.00 where raw sum(w) is NULL; mixed cells exact") {
+    // The documented divergence of the weighted family (ADVICE r15):
+    // the 24-byte (cnt, w) entry stores a null weight as 0 with
+    // presence kept, so a (cohort, offset) cell whose EVERY weight row
+    // is NULL serves value 0.00 while the raw sum(w) it mirrors
+    // returns NULL. This pin records the convention as a decision —
+    // every cell with >= 1 non-null weight must stay exact.
+    import spark.implicits._
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_nullw").toString)
+    val t0 = 1700006400000L
+    def ts(d: Long) = new Timestamp(t0 + d * 86400000L + 3600000L)
+    // user 1: day 0 has real money, day 1 weights ALL null (the
+    // divergent cell); user 2: day 0 mixed null + non-null (exact)
+    val rows = Seq(
+      (ts(0L), Some(10.50), 1L),
+      (ts(1L), None, 1L),
+      (ts(1L), None, 1L),
+      (ts(0L), Some(2.25), 2L),
+      (ts(0L), None, 2L))
+    val df = rows.toDF("ts", "value", "user_id")
+    svc.createCube(CubeConfig("nullw", "events",
+      Seq(TimeDim("day", "ts", "day")), measures = Nil,
+      weighted = Seq(WeightedMeasure("ltv", "user_id", "value"))), df)
+    val day0 = t0 / 86400000L
+    val got = svc.getCohortValue("nullw", "day", "ltv", periodDays = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("cohort") - day0, r.getAs[Long]("offset"))
+        -> ((r.getAs[Long]("active"), r.getAs[Double]("value")))).toMap
+    // cell (0, 0): both users active, 10.50 + 2.25 (+ null-as-0) exact
+    assert(got((0L, 0L)) == ((2L, 12.75)), "mixed cell must stay exact")
+    // cell (0, 1): user 1 only, every weight NULL -> the CONVENTION:
+    // presence kept (active = 1), value 0.00 (raw sum(w) would be NULL)
+    assert(got((0L, 1L)) == ((1L, 0.0)),
+      "all-NULL-weight cell must serve presence with value 0.00")
+    // the raw shape the routing matcher mirrors returns NULL there
+    val raw = df.groupBy(col("user_id"),
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("p"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("w"))
+    val rawD1 = raw.filter(col("p") === day0 + 1).collect()
+    assert(rawD1.length == 1 && rawD1.head.isNullAt(rawD1.head.fieldIndex("w")),
+      "raw sum over the all-NULL group must be NULL (the divergence)")
+    svc.deleteCube("nullw")
+  }
+
+  test("getTopSpendersAsOf serves a dictBitmaps-keyed cube's archived " +
+      "version (dicts load from the live append-only dict dir)") {
+    // ADVICE r15 (medium): cubeAt's archived branch built Cube(...)
+    // with dicts = Map.empty, so the dict-translating leaderboard
+    // threw NoSuchElementException on any non-head version. Dicts are
+    // append-only (keys gain ids, never lose or change them), so the
+    // LIVE dict resolves every id an archived version's maps hold.
+    import spark.implicits._
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_svc_dasof").toString)
+    def ts(d: Long) = new Timestamp(1700006400000L + d * 86400000L)
+    val b1 = Seq(("alice", ts(0L), 10.0), ("bob", ts(0L), 7.5),
+      ("carol", ts(1L), 3.0))
+    // the fold carries an UNSEEN key, extending the dictionary past v0
+    val b2 = Seq(("dave", ts(0L), 99.0), ("alice", ts(1L), 1.0))
+    def toDF(rows: Seq[(String, Timestamp, Double)]) =
+      rows.toDF("uid", "ts", "value")
+    svc.createCube(CubeConfig("dasof", "events",
+      Seq(TimeDim("day", "ts", "day")), measures = Nil,
+      dictBitmaps = Seq(Measure("us", "uid")),
+      weighted = Seq(WeightedMeasure("ltv", "uid", "value"))), toDF(b1))
+    val v0 = svc.currentCubeVersion("dasof")
+    def board(f: => DataFrame) = f.collect().map(_.toSeq).toSeq
+    val before = board(
+      svc.getTopSpenders("dasof", "day", "ltv", k = 3, periodDays = 1))
+    svc.updateAggregates("dasof", toDF(b2).withColumn("_sign", lit(1)))
+    assert(board(svc.getTopSpenders("dasof", "day", "ltv", k = 3,
+      periodDays = 1)) != before, "fold must move the head board")
+    // as-of v0 == the captured pre-fold board, string keys translated
+    val asOf = board(svc.getTopSpendersAsOf("dasof", v0, "day", "ltv",
+      k = 3, periodDays = 1))
+    assert(asOf == before,
+      "as-of leaderboard on a dict-keyed cube must equal the " +
+        "captured pre-fold serve")
+    assert(asOf.flatMap(_.lift(2)).toSet == Set("alice", "bob", "carol"),
+      "archived-version board must carry the TRANSLATED string keys")
+    svc.deleteCube("dasof")
+  }
+
   test("getValueGrowthAccounting: the MRR bridge vs brute force; " +
       "identity, gap, sharded + segmented twins, deletes keep serving") {
     import spark.implicits._
