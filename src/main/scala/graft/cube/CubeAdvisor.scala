@@ -431,10 +431,13 @@ object CubeAdvisor {
           val dayDim = s"${tsCol}_day"
           val bmId = s"${idCol}_xd"
           val m = Seq(Measure(bmId, idCol))
-          // cohort-value hits exist only over integral ids (the
-          // matcher refuses others), so a mixed group is integral
-          val integralId =
-            hits.headOption.map(_._2.integralId).getOrElse(true)
+          // both families carry the id's type off the same source
+          // column; a value-only group reads it from the cv hits (a
+          // non-integral group's rec takes the dictionary path, which
+          // the weighted measure then rides — requireIntegralWeighted's
+          // create-time contract)
+          val integralId = hits.headOption.map(_._2.integralId)
+            .getOrElse(cvs.head._2.integralId)
           RetentionRecommendation(path,
             CubeConfig(s"${namePrefix}_retention_$k", path,
               // segment columns dim the cube so the period bitmaps
@@ -2381,7 +2384,8 @@ object CubeAdvisor {
       periodDays: Int, outs: Seq[CVOut],
       filters: Seq[(String, Seq[Literal])] = Nil,
       join: Option[(String, String, String, String)] = None,
-      calendar: Option[(String, Long)] = None)
+      calendar: Option[(String, Long)] = None,
+      integralId: Boolean = true)
 
   /** One side of the cohort-value join: the per-(id, period) WEIGHTED
     * aggregate — `GROUP BY id, period → sum(CAST(w AS DECIMAL(18,2)))`
@@ -2488,7 +2492,17 @@ object CubeAdvisor {
     * filter set, a weight sum outside the DECIMAL(18,2) money
     * discipline, extra aggregate leaves, non-IsNotNull predicates
     * above the join, and the f-over-g CTE shape (the min side must
-    * scan the source directly) all return None. */
+    * scan the source directly) all return None.
+    *
+    * NULL-weight convention (documented, pinned in CubeServiceSpec):
+    * the weight-map build stores a null weight as 0 with presence
+    * kept, so a routed (cohort, offset) cell whose weights are ALL
+    * NULL serves 0.00 where the raw sum(w) returns NULL. Refusing
+    * every nullable weight source would refuse all parquet-backed
+    * plans (parquet columns resolve nullable), so the divergence is
+    * instead a declared convention of the weighted family — exact for
+    * every cell with at least one non-null weight, which is every
+    * cell of a revenue table that records amounts. */
   private[cube] def analyzeCohortValue(
       plan: LogicalPlan): Option[CohortValueNeeds] = plan match {
     case Aggregate(groups, aggs, child, _) if groups.size == 2 =>
@@ -2549,10 +2563,15 @@ object CubeAdvisor {
       val groupRoles = groups.map(e => roleOf(e).getOrElse(return None))
       if (!groupRoles.contains(CVOut.Cohort) ||
         groupRoles.toSet.size != 2) return None
-      // weight maps key ids as CAST(id AS BIGINT) and have no
-      // dictionary sibling — a non-integral id has no exact weighted
-      // serve, so the plan stays raw and advise reports it uncovered
-      if (!integral(g.idSrc.dataType)) return None
+      // id type is NOT a refusal: an integral id keys the maps as
+      // CAST(id AS BIGINT); a non-integral id is served exactly by a
+      // DICT-weighted cube (weightedIdCol rides the dictBitmaps dense
+      // ids — injective, and the serve's cells are id-free, so no
+      // translation is ever needed). The rewrite binds only cubes that
+      // maintain a weighted measure on this exact column, and cube
+      // creation already refuses a non-integral weighted id with no
+      // dictionary — so `integralId` here only steers the ADVISOR's
+      // rec (bitmaps vs dictBitmaps), never correctness.
       var sawValue = false
       var sawActive = false
       val outs: Seq[CVOut] = aggs.map { ne =>
@@ -2586,7 +2605,7 @@ object CubeAdvisor {
       if (!sawValue && !sawActive) return None
       Some(CohortValueNeeds(g.path, g.tsCol, g.idSrc.name,
         g.weightSrc.name, g.periodDays, outs, g.filters, g.join,
-        g.calendar))
+        g.calendar, integral(g.idSrc.dataType)))
     case _ => None
   }
 

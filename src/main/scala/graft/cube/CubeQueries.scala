@@ -3829,6 +3829,73 @@ object CubeQueries {
     svc.getTopSpenders("dict_val", "day", "sltv", k = 5, periodDays = 7)
   }
 
+  // --------------------------------------------------------------- q294
+  private val dictValRouteSetup =
+    TrieMap.empty[(SparkSession, String), String]
+  private def dictValRouteSource(spark: SparkSession,
+      sfDir: String): String =
+    dictValRouteSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_dictvalrt").toString
+      val srcDir = s"$dir/source"
+      Tables.orders(spark, sfDir)
+        .withColumn("ck_s", concat(lit("c"), col("o_custkey")))
+        .select(col("ck_s"), col("o_orderdate"), col("o_totalprice"))
+        .write.parquet(srcDir)
+      CubeManager.save(CubeManager.create(
+        CubeConfig("dict_val_route", "orders",
+          dims = Seq(TimeDim("day", "o_orderdate", "day")),
+          measures = Nil,
+          dictBitmaps = Seq(Measure("cs", "ck_s")),
+          weighted = Seq(WeightedMeasure("sltv", "ck_s",
+            "o_totalprice"))),
+        spark.read.parquet(srcDir)), dir)
+      CubeCatalog.install(spark)
+      CubeCatalog.register(s"dict_val_route@$sfDir",
+        CubeManager.load(spark, dir, "dict_val_route"), srcDir)
+      srcDir
+    })
+
+  /** Graded: STRING-KEYED cohort-value ROUTING — q284's raw LTV matrix
+    * with the id in its most common real-world shape (a string
+    * customer key), silently rewritten to the weight-map serve of a
+    * registered DICT-weighted cube: [[CubeAdvisor.analyzeCohortValue]]
+    * no longer refuses non-integral ids (r16), because the binding
+    * target's maps already key the `dictBitmaps` dictionary's dense
+    * ids ([[CubeManager.weightedIdCol]] — injective by construction)
+    * and the served matrix is id-free, so no translation ever happens
+    * at read time; cube creation still refuses a non-integral weighted
+    * id with NO dictionary, which keeps the honesty contract at the
+    * same place the verb family holds it (q291). Plan hard-asserted
+    * cube-only; FULL DuckDB oracle recomputes the weekly matrix over
+    * the raw string keys. 100 TB split: identical to q284's — the raw
+    * plan shuffles every (string id, week, value) group twice per
+    * refresh; the routed serve reads ~340 one-row cube-derived maps,
+    * and the dictionary build amortizes over the cube's lifetime. */
+  def q294DictCohortValueRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = dictValRouteSource(spark, sfDir)
+    def src = spark.read.parquet(srcDir)
+    def pExpr = floor((unix_timestamp(col("o_orderdate")).cast("double")
+      / 86400).cast("long").cast("double") / 7).cast("long")
+    val g = src.groupBy(col("ck_s"), pExpr.as("p"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("w"))
+    val f = src.groupBy(col("ck_s")).agg(min(pExpr).as("cohort"))
+    val q = g.join(f, "ck_s")
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("active"),
+        sum(col("w")).cast("double").as("value"))
+      .orderBy(col("cohort"), col("offset"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && !scans.exists(_.endsWith("/source")),
+      s"string-keyed cohort-value routing did not fire (or still " +
+        s"reads the source); scans=$scans")
+    q
+  }
+
   // --------------------------------------------------------------- q293
   /** Graded: the SEGMENTED LTV matrix — q281's cohort-value triangle
     * PER ORDER PRIORITY ([[CubeService.getCohortValue]] segmentBy):
@@ -5139,6 +5206,7 @@ object CubeQueries {
     "q293_segmented_cohort_value" -> q293SegmentedCohortValue,
     "q291_dict_cohort_value" -> q291DictCohortValue,
     "q292_dict_top_spenders" -> q292DictTopSpenders,
+    "q294_dict_cohort_value_routing" -> q294DictCohortValueRouting,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -6529,6 +6597,23 @@ object CubeQueries {
       SELECT period, CAST(rank AS BIGINT) AS rank, id,
         CAST(CAST(w * 100 AS BIGINT) AS DOUBLE) / 100 AS value
       FROM r WHERE rank <= 5
+      ORDER BY 1, 2""",
+    // the string-keyed raw weekly LTV matrix recomputed in DuckDB —
+    // the dict-weighted routed serve must hash-match it (the r16
+    // string binding: id-free matrix over dictionary-dense weight maps)
+    "q294_dict_cohort_value_routing" -> """
+      WITH g AS (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS id,
+          CAST(floor(date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT) AS p,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+        FROM orders GROUP BY 1, 2),
+      f AS (SELECT id, min(p) AS cohort FROM g GROUP BY 1)
+      SELECT f.cohort, g.p - f.cohort AS offset,
+        CAST(count(*) AS BIGINT) AS active,
+        CAST(sum(g.w) AS DOUBLE) AS value
+      FROM g JOIN f ON g.id = f.id
+      GROUP BY 1, 2
       ORDER BY 1, 2""",
     // every (segment, cohort, offset) cell recomputed raw with
     // segment-keyed first-seen frames — per-segment cohorts, the

@@ -1061,16 +1061,42 @@ class CubeAdvisorSpec extends AnyFunSuite {
       "advb")
     assert(adviceBad.retention.isEmpty &&
       adviceBad.uncovered == Seq(0), adviceBad.uncovered)
-    // a string id has no weighted path (weight maps key integral ids,
-    // and no dictionary sibling exists) — honest refusal, uncovered
+    // a STRING id takes the dictionary path (r16): the rec carries
+    // dictBitmaps + the weighted measure — requireIntegralWeighted's
+    // create-time contract — and the materialized cube ROUTES the raw
+    // string-keyed LTV matrix exactly (the serve is id-free, so the
+    // injective dense encoding changes nothing)
     val srcSDir = Files.createTempDirectory("graft_advcvs_src").toString
     rows.map { case (ts, uid, a) => (ts, s"u$uid", a) }
       .toDF("ts", "uid", "amount").write.mode("overwrite")
       .parquet(srcSDir)
-    val adviceS = CubeAdvisor.advise(
-      Seq(cvQ(spark.read.parquet(srcSDir), money = true)), "advs")
-    assert(adviceS.retention.isEmpty && adviceS.uncovered == Seq(0),
-      s"string-id cohort value must stay uncovered: $adviceS")
+    def srcS = spark.read.parquet(srcSDir)
+    val adviceS = CubeAdvisor.advise(Seq(cvQ(srcS, money = true)), "advs")
+    assert(adviceS.uncovered.isEmpty && adviceS.retention.size == 1,
+      s"string-id cohort value must take the dictionary path: $adviceS")
+    val recS = adviceS.retention.head
+    assert(recS.config.bitmaps.isEmpty &&
+      recS.config.dictBitmaps == Seq(Measure("uid_xd", "uid")) &&
+      recS.config.weighted ==
+        Seq(WeightedMeasure("amount_w", "uid", "amount")), recS.config)
+    val dirS = Files.createTempDirectory("graft_advcvs_cube").toString
+    CubeManager.save(CubeManager.create(recS.config, srcS), dirS)
+    CubeCatalog.register("advcvs_pin",
+      CubeManager.load(spark, dirS, recS.config.name), srcSDir)
+    val routedS = cvQ(srcS, money = true)
+    val scansS = routedS.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    assert(scansS.nonEmpty && !scansS.exists(_.endsWith(srcSDir)),
+      s"advised string-keyed cohort-value plan did not route: $scansS")
+    val servedS = routedS.collect().map(_.toSeq).sortBy(_.toString)
+    CubeCatalog.clear()
+    val rawS = cvQ(srcS, money = true).collect().map(_.toSeq)
+      .sortBy(_.toString)
+    assert(servedS.toSeq == rawS.toSeq,
+      "advised-and-routed string-keyed LTV matrix must equal the raw " +
+        "recompute")
   }
 
   test("first-seen and engagement workloads fold into the retention-family cube") {

@@ -2036,6 +2036,19 @@ class CubeRewriteSpec extends AnyFunSuite {
       .agg(sum(col("w")).as("value"))
     assert(!scansOf(badP).forall(_.endsWith("/rollrw")),
       "mismatched period widths must stay raw")
+    // a STRING id with NO dict-weighted cube registered stays raw —
+    // rollrw's weighted measure keys the integral user_id, and uid_s
+    // has no weighted/dictBitmaps pair, so the honest answer is no
+    // route (the r16 string path requires a registered dictionary)
+    val gS = src.groupBy(col("uid_s"), pExpr.as("p"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("w"))
+    val fS = src.groupBy(col("uid_s")).agg(min(pExpr).as("cohort"))
+    val badS = gS.join(fS, "uid_s")
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("age"))
+      .agg(count(lit(1)).as("active"), sum(col("w")).as("value"))
+    assert(!scansOf(badS).forall(_.endsWith("/rollrw")),
+      "a string id with no registered dictionary-weighted cube must " +
+        "stay raw")
   }
 
   test("raw resurrected plans route to the ANDNOT-prefix serve") {
@@ -2421,14 +2434,19 @@ class CubeRewriteSpec extends AnyFunSuite {
         // so the dict × calendar pin's Dec→Jan adjacency is real
         new Timestamp(1700000000000L + rnd.nextInt(75) * 86400000L
           + rnd.nextInt(86400000)),
-        s"u${i % 70}")
+        s"u${i % 70}",
+        math.round(rnd.nextDouble() * 10000) / 100.0)
     }
     val srcDir = Files.createTempDirectory("graft_dictrw_src").toString
-    rows.toDF("etype", "ts", "uid").write.mode("overwrite").parquet(srcDir)
+    rows.toDF("etype", "ts", "uid", "value").write.mode("overwrite")
+      .parquet(srcDir)
     val cfg = CubeConfig("dictrw", "src",
       Seq(FieldDim("etype", "etype"), TimeDim("day", "ts", "day")),
       measures = Nil,
-      dictBitmaps = Seq(Measure("us", "uid")))
+      dictBitmaps = Seq(Measure("us", "uid")),
+      // r16: the STRING-keyed LTV route — weight maps ride the
+      // dictionary's dense ids (weightedIdCol), serve is id-free
+      weighted = Seq(WeightedMeasure("wv", "uid", "value")))
     val cubeDir = Files.createTempDirectory("graft_dictrw_cube").toString
     CubeManager.save(
       CubeManager.create(cfg, spark.read.parquet(srcDir)), cubeDir)
@@ -2522,8 +2540,26 @@ class CubeRewriteSpec extends AnyFunSuite {
         .groupBy(col("cur.p"))
         .agg(countDistinct(col("cur.uid")).as("retained"))
     }
+    // r16: the raw STRING-keyed LTV matrix — the cohort-value matcher
+    // binds the dict-weighted cube exactly like the integral form (the
+    // weight maps already key the dictionary's dense ids; the matrix
+    // is id-free, so the injective encoding changes nothing)
+    def ltv(calendar: Boolean = false) = {
+      val pe =
+        if (calendar) (year(col("ts")) * 12 + month(col("ts"))).cast("long")
+        else floor((unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").cast("double") / 3).cast("long")
+      val g = src.groupBy(col("uid"), pe.as("p"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("w"))
+      val f = src.groupBy(col("uid")).agg(min(pe).as("cohort"))
+      g.join(f, "uid")
+        .groupBy(col("cohort"), (col("p") - col("cohort")).as("age"))
+        .agg(count(lit(1)).as("active"),
+          sum(col("w")).cast("double").as("value"))
+    }
     val routedQs = Seq(rolling(), retained(), cumulative(), funnel(),
-      firstSeen(), engagement(), resurrected(), calRetained())
+      firstSeen(), engagement(), resurrected(), calRetained(),
+      ltv(), ltv(calendar = true))
     routedQs.zipWithIndex.foreach { case (q, i) =>
       assert(scansOf(q).forall(_.endsWith("/dictrw")),
         s"string-id route $i did not fire: ${scansOf(q)}")
@@ -2531,7 +2567,8 @@ class CubeRewriteSpec extends AnyFunSuite {
     val servedRows = routedQs.map(sortedRows)
     CubeCatalog.clear()
     Seq(rolling(), retained(), cumulative(), funnel(), firstSeen(),
-      engagement(), resurrected(), calRetained())
+      engagement(), resurrected(), calRetained(), ltv(),
+      ltv(calendar = true))
       .zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
         assert(sortedRows(q) == s,
           s"dictionary-routed result must EQUAL the raw recompute " +
