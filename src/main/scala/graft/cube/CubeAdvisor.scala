@@ -2404,7 +2404,8 @@ object CubeAdvisor {
       wOut: org.apache.spark.sql.catalyst.expressions.ExprId,
       idSrc: AttributeReference, weightSrc: AttributeReference,
       filters: Seq[(String, Seq[Literal])],
-      join: Option[(String, String, String, String)])
+      join: Option[(String, String, String, String)],
+      notNullCols: Set[String] = Set.empty)
 
   private def weightedPairs(side: LogicalPlan): Option[WeightedPairSide] = {
     val (b, env0, preds0) = peel(side)
@@ -2415,6 +2416,15 @@ object CubeAdvisor {
         val (path, join, jpreds) = sourceOf(inner).getOrElse(return None)
         val fs = sideFilters(preds0 ++ preds ++ jpreds, sub)
           .getOrElse(return None)
+        // source columns with an explicit IS NOT NULL conjunct —
+        // sideFilters drops them as serve-neutral, but the LEADERBOARD
+        // matcher needs them: its id is OUTPUT-visible and the weight
+        // maps never carry a null-id group, so the route is honest
+        // only when the raw plan provably has no null-id row
+        val notNull: Set[String] = (preds0 ++ preds ++ jpreds)
+          .map(sub).collect {
+            case IsNotNull(a: AttributeReference) => a.name
+          }.toSet
         var idOut: Option[(org.apache.spark.sql.catalyst.expressions
           .ExprId, AttributeReference)] = None
         var pOut: Option[(org.apache.spark.sql.catalyst.expressions
@@ -2466,9 +2476,108 @@ object CubeAdvisor {
           (pId, (tsCol, pd, cal)) <- pOut
           (wId, wSrc) <- wOut
         } yield WeightedPairSide(path, tsCol, pd, cal, idId, pId, wId,
-          idSrc, wSrc, fs, join)
+          idSrc, wSrc, fs, join, notNull)
       case _ => None
     }
+  }
+
+  /** What one recognized LEADERBOARD query needs — the raw per-period
+    * top-k-by-value plan ("top spenders this week"):
+    *
+    *   g = source GROUP BY id, period → sum(CAST(w AS DEC(18,2))) AS v
+    *   r = row_number() OVER (PARTITION BY period
+    *                          ORDER BY v DESC, id ASC)
+    *   SELECT ... FROM r WHERE r <= k
+    *
+    * Served exactly by [[CubeService.getTopSpenders]]'s bounded
+    * selection over the weighted cube's per-period maps. The four
+    * output exprIds let the rewrite rebind the Filter's whole output
+    * row (id, period, value, rank) in the user's own types. */
+  private[cube] final case class TopSpendersNeeds(
+      path: String, tsCol: String, idCol: String, weightCol: String,
+      periodDays: Int, k: Int,
+      filters: Seq[(String, Seq[Literal])],
+      join: Option[(String, String, String, String)],
+      calendar: Option[(String, Long)],
+      integralId: Boolean,
+      idOut: org.apache.spark.sql.catalyst.expressions.ExprId,
+      pOut: org.apache.spark.sql.catalyst.expressions.ExprId,
+      wOut: org.apache.spark.sql.catalyst.expressions.ExprId,
+      rankOut: org.apache.spark.sql.catalyst.expressions.ExprId)
+
+  /** The LEADERBOARD plan shape — `Filter(rank <= k, Window(row_number
+    * PARTITION BY period ORDER BY value DESC, id ASC, child = the
+    * per-(id, period) weighted aggregate))`. Honesty refusals:
+    * - k outside 1..100 (the serve's bounded-selection fan-out);
+    * - a rank function other than ROW_NUMBER/RANK (under the required
+    *   unique (value DESC, id ASC) ordering the two coincide — every
+    *   id appears once per period — so both are deterministic);
+    * - any ordering other than exactly (value DESC, id ASC) with
+    *   default null placement: a missing id tiebreak leaves ties
+    *   nondeterministic, extra keys break ties on columns the maps
+    *   don't carry, and NULLS FIRST on the value would move the
+    *   all-NULL-weight convention rows ([[WeightMapBuildAgg]]);
+    * - a NULLABLE id with no `IS NOT NULL` conjunct: the id is
+    *   OUTPUT-VISIBLE here (unlike every other routed family) and the
+    *   weight maps never carry a null-id group, so a null id row would
+    *   appear raw but not routed;
+    * - extra window expressions or filter conjuncts. */
+  private[cube] def analyzeTopSpenders(
+      plan: LogicalPlan): Option[TopSpendersNeeds] = plan match {
+    case Filter(cond, w: org.apache.spark.sql.catalyst.plans.logical.Window) =>
+      import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, NullsFirst, NullsLast, RowNumber, SortOrder, WindowExpression}
+      val (rankAttr, k) = cond match {
+        case LessThanOrEqual(a: AttributeReference,
+            Literal(v: Int, org.apache.spark.sql.types.IntegerType)) =>
+          (a, v)
+        case LessThan(a: AttributeReference,
+            Literal(v: Int, org.apache.spark.sql.types.IntegerType)) =>
+          (a, v - 1)
+        case _ => return None
+      }
+      if (k < 1 || k > 100) return None
+      if (w.windowExpressions.size != 1) return None
+      val al = w.windowExpressions.head match {
+        case a: Alias => a
+        case _ => return None
+      }
+      if (al.toAttribute.exprId != rankAttr.exprId) return None
+      al.child match {
+        case WindowExpression(fn, _) => fn match {
+          case _: RowNumber => ()
+          case _: org.apache.spark.sql.catalyst.expressions.Rank => ()
+          case _ => return None
+        }
+        case _ => return None
+      }
+      // InferWindowGroupLimit may have inserted a WindowGroupLimit
+      // below the Window — semantics-neutral (it only prunes rows the
+      // rank filter drops anyway), so see through it
+      val child = w.child match {
+        case wgl: org.apache.spark.sql.catalyst.plans.logical
+            .WindowGroupLimit => wgl.child
+        case c => c
+      }
+      val g = weightedPairs(child).getOrElse(return None)
+      w.partitionSpec match {
+        case Seq(p: AttributeReference) if p.exprId == g.pOut => ()
+        case _ => return None
+      }
+      w.orderSpec match {
+        case Seq(
+            SortOrder(wv: AttributeReference, Descending, NullsLast, _),
+            SortOrder(iv: AttributeReference, Ascending, NullsFirst, _))
+            if wv.exprId == g.wOut && iv.exprId == g.idOut => ()
+        case _ => return None
+      }
+      // output-visible id: provably no null-id row or no route
+      if (g.idSrc.nullable && !g.notNullCols.contains(g.idSrc.name))
+        return None
+      Some(TopSpendersNeeds(g.path, g.tsCol, g.idSrc.name,
+        g.weightSrc.name, g.periodDays, k, g.filters, g.join,
+        g.calendar, integral(g.idSrc.dataType),
+        g.idOut, g.pOut, g.wOut, rankAttr.exprId))
+    case _ => None
   }
 
   /** The COHORT-VALUE plan shape — revenue by cohort age as users

@@ -3856,6 +3856,87 @@ object CubeQueries {
       srcDir
     })
 
+  /** Graded: LEADERBOARD ROUTING — q290's exact weekly top-spender
+    * board as a user writes it RAW (ROW_NUMBER over per-(customer,
+    * week) money sums, filtered to rank ≤ 5 — the "top customers this
+    * week" dashboard, as common as the WAU curve), silently rewritten
+    * by [[CubeRewriteRule]] to the [[CubeService.getTopSpenders]]
+    * serve over the registered weighted cube
+    * ([[CubeAdvisor.analyzeTopSpenders]] →
+    * `CubeRewrite.buildTopSpendersServe`): per-week maps pointwise-ADD
+    * to the raw sums, a bounded O(|map|·k) selection keeps every
+    * boundary tie, and the re-rank applies EXACTLY the raw plan's
+    * deterministic (value DESC, id ASC) tiebreak — the routed board
+    * hash-matches ~344 weekly top-5 boards recomputed raw by DuckDB.
+    * The `IS NOT NULL` id guard is part of the matched shape (the id
+    * is output-visible and the maps carry no null-id group). Plan
+    * hard-asserted cube-only. 100 TB split: the raw plan shuffles
+    * every (id, week, value) group then sorts per week; the routed
+    * serve reads ~344 one-row cube-derived maps with a k-bounded
+    * selection each. */
+  def q295TopSpendersRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = firstSeenRouteSource(spark, sfDir)
+    def src = spark.read.parquet(srcDir)
+    def pExpr = floor((unix_timestamp(col("o_orderdate")).cast("double")
+      / 86400).cast("long").cast("double") / 7).cast("long")
+    val g = src.filter(col("o_custkey").isNotNull)
+      .groupBy(col("o_custkey"), pExpr.as("p"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("w"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p"))
+      .orderBy(col("w").desc, col("o_custkey").asc)
+    val q = g.withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= 5)
+      .select(col("p").as("period"), col("rnk").cast("long").as("rank"),
+        col("o_custkey").as("id"), col("w").cast("double").as("value"))
+      .orderBy(col("period"), col("rank"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && !scans.exists(_.endsWith("/source")),
+      s"leaderboard routing did not fire (or still reads the source); " +
+        s"scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q296
+  /** Graded: the STRING-KEYED routed leaderboard — q295 with the id in
+    * its most common real-world shape: the raw board ranks string
+    * customer keys, and the rewrite's serve translates the dict-dense
+    * candidates back through the append-only dictionary BEFORE
+    * ranking, so ties break on the key the user sees — the visible-id
+    * board hash-matches DuckDB's string-keyed ROW_NUMBER recompute
+    * (the strongest pin that the dictionary round-trip is lossless,
+    * now on the ROUTED path too). */
+  def q296DictTopSpendersRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = dictValRouteSource(spark, sfDir)
+    def src = spark.read.parquet(srcDir)
+    def pExpr = floor((unix_timestamp(col("o_orderdate")).cast("double")
+      / 86400).cast("long").cast("double") / 7).cast("long")
+    val g = src.filter(col("ck_s").isNotNull)
+      .groupBy(col("ck_s"), pExpr.as("p"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("w"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p"))
+      .orderBy(col("w").desc, col("ck_s").asc)
+    val q = g.withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= 5)
+      .select(col("p").as("period"), col("rnk").cast("long").as("rank"),
+        col("ck_s").as("id"), col("w").cast("double").as("value"))
+      .orderBy(col("period"), col("rank"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && !scans.exists(_.endsWith("/source")),
+      s"string-keyed leaderboard routing did not fire (or still reads " +
+        s"the source); scans=$scans")
+    q
+  }
+
   /** Graded: STRING-KEYED cohort-value ROUTING — q284's raw LTV matrix
     * with the id in its most common real-world shape (a string
     * customer key), silently rewritten to the weight-map serve of a
@@ -5207,6 +5288,8 @@ object CubeQueries {
     "q291_dict_cohort_value" -> q291DictCohortValue,
     "q292_dict_top_spenders" -> q292DictTopSpenders,
     "q294_dict_cohort_value_routing" -> q294DictCohortValueRouting,
+    "q295_top_spenders_routing" -> q295TopSpendersRouting,
+    "q296_dict_top_spenders_routing" -> q296DictTopSpendersRouting,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -6584,6 +6667,42 @@ object CubeQueries {
     // the string-keyed board with VISIBLE ids — ties break on the
     // original key, so the dictionary round-trip must be lossless
     "q292_dict_top_spenders" -> """
+      WITH g AS (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS id,
+          CAST(floor(date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT) AS p,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+        FROM orders GROUP BY 1, 2),
+      r AS (SELECT p AS period, id, w,
+          row_number() OVER (PARTITION BY p ORDER BY w DESC, id ASC)
+            AS rank
+        FROM g)
+      SELECT period, CAST(rank AS BIGINT) AS rank, id,
+        CAST(CAST(w * 100 AS BIGINT) AS DOUBLE) / 100 AS value
+      FROM r WHERE rank <= 5
+      ORDER BY 1, 2""",
+    // the raw weekly top-5 board recomputed in DuckDB with the same
+    // deterministic (value DESC, id ASC) tiebreak — the routed
+    // bounded-selection serve must hash-match every board row
+    "q295_top_spenders_routing" -> """
+      WITH g AS (
+        SELECT o_custkey AS id,
+          CAST(floor(date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT) AS p,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1, 2),
+      r AS (SELECT p AS period, id, w,
+          row_number() OVER (PARTITION BY p ORDER BY w DESC, id ASC)
+            AS rank
+        FROM g)
+      SELECT period, CAST(rank AS BIGINT) AS rank, id,
+        CAST(CAST(w * 100 AS BIGINT) AS DOUBLE) / 100 AS value
+      FROM r WHERE rank <= 5
+      ORDER BY 1, 2""",
+    // the string-keyed routed board: ranks computed on the VISIBLE
+    // key after the dictionary translation, so the whole board
+    // hash-matches the string ROW_NUMBER recompute
+    "q296_dict_top_spenders_routing" -> """
       WITH g AS (
         SELECT 'c' || CAST(o_custkey AS VARCHAR) AS id,
           CAST(floor(date_diff('day', DATE '1970-01-01',

@@ -327,6 +327,13 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     // above the Expand already computes)
     case agg @ Aggregate(_, _, exp: Expand, _) =>
       tryRewriteGroupingSets(agg, exp).getOrElse(agg)
+    // LEADERBOARD: Filter(rank ≤ k) over a Window(row_number) over the
+    // per-(id, period) weighted aggregate — the one routed family whose
+    // top node is not an Aggregate (the rank filter cannot sink below
+    // the window, so the Filter is the replacement seam)
+    case f @ Filter(_,
+        _: org.apache.spark.sql.catalyst.plans.logical.Window) =>
+      tryRewriteTopSpenders(f).getOrElse(f)
     case agg @ Aggregate(_, _, child, _) =>
       // the optimizer's PullOutGroupingExpressions moves complex
       // grouping expressions (e.g. date_trunc) into a Project below the
@@ -1567,6 +1574,160 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
           }
           Alias(child, orig.name)(exprId = orig.exprId)
       }
+    Some(Project(proj, outPlan))
+  }
+
+  /** LEADERBOARD routing — the raw per-period top-k-by-value plan
+    * ("top spenders this week": ROW_NUMBER over per-(id, period) money
+    * sums, filtered to rank ≤ k — recognized by
+    * [[CubeAdvisor.analyzeTopSpenders]]) rewritten to the
+    * [[CubeService.getTopSpenders]] serve over a registered
+    * `weighted`-measured day-dimmed cube: per-period maps
+    * pointwise-ADD to the raw per-(id, period) sums, a bounded
+    * O(|map|·k) selection emits every boundary-tying candidate
+    * ([[graft.functions.WeightMapTopK]]), and a re-rank over the
+    * ≤ (|shards|·k + ties) candidate rows applies EXACTLY the raw
+    * plan's deterministic (value DESC, id ASC) tiebreak. Dict-encoded
+    * ids translate back through the append-only dictionary BEFORE
+    * ranking (broadcast-dict-sized join over candidate rows), so ties
+    * break on the key the user sees; integral ids re-rank on the dense
+    * key, whose cast is order-preserving. The replaced node is the
+    * FILTER (rank ≤ k) — its whole output row (id, period, value,
+    * rank) rebinds with original exprIds, value rebuilt exactly from
+    * the scaled-long sum (MakeDecimal at the raw sum's own
+    * precision/scale). The raw plan shuffles every (id, period, value)
+    * group, then sorts per period; the serve reads |periods| one-row
+    * cube-derived maps. Weight maps net signed folds, so a
+    * delete-latched cube still serves (a refunded id drops down or off
+    * the board, matching a recompute). */
+  private def tryRewriteTopSpenders(f: Filter): Option[LogicalPlan] = {
+    val needs = CubeAdvisor.analyzeTopSpenders(f).getOrElse(return None)
+    val candidates = needs.join match {
+      case None =>
+        CubeCatalog.registered.values.toSeq
+          .filter(_.sourcePath == needs.path)
+          .flatMap(reg =>
+            buildTopSpendersServe(f, needs, reg).map((_, reg.cubeSize)))
+      case Some((lp, rp, lk, rk)) =>
+        CubeCatalog.joinRegistered.values.toSeq
+          .filter(jr =>
+            (jr.leftPath == lp && jr.rightPath == rp &&
+              jr.leftKey == lk && jr.rightKey == rk) ||
+            (jr.leftPath == rp && jr.rightPath == lp &&
+              jr.leftKey == rk && jr.rightKey == lk))
+          .flatMap(jr =>
+            buildTopSpendersServe(f, needs, jr.reg)
+              .map((_, jr.reg.cubeSize)))
+    }
+    if (candidates.isEmpty) None else Some(candidates.minBy(_._2)._1)
+  }
+
+  private def buildTopSpendersServe(
+      f: Filter,
+      needs: CubeAdvisor.TopSpendersNeeds,
+      reg: CubeCatalog.Registration): Option[LogicalPlan] = {
+    import org.apache.spark.sql.functions._
+    val cube = reg.cube
+    val cfg = cube.config
+    if (reg.cubeScanPath.isEmpty) return None
+    if (reg.origScanPath.contains(needs.path)) return None
+    if (cfg.dims.exists(_.id.startsWith("__"))) return None
+    // no hasDeletes refusal: weight maps net signed folds exactly
+    val dayDim = cfg.dims.collectFirst {
+      case TimeDim(id, p, "day") if p == needs.tsCol => id
+    }.getOrElse(return None)
+    val wm = cfg.weighted.find(m =>
+        m.idPath == needs.idCol && m.weightPath == needs.weightCol)
+      .getOrElse(return None)
+    val spark = cube.aggregates.sparkSession
+    val cubeFrame = Bridge.ofRows(spark, reg.cubePlan)
+      .filter(col(CubeManager.CountCol) > 0)
+    val filteredFrame = needs.filters.foldLeft(cubeFrame) {
+      case (fr, (srcCol, lits)) =>
+        val dimId = cfg.dims.collectFirst {
+          case FieldDim(id, p) if p == srcCol => id
+        }.getOrElse(return None)
+        val vals = lits.map(l =>
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(l.value, l.dataType))
+        fr.filter(col(dimId).isin(vals: _*))
+    }
+    val periodKey = (needs.calendar match {
+      case None =>
+        floor(datediff(col(dayDim).cast("date"), lit("1970-01-01"))
+          .cast("long").cast("double") / needs.periodDays).cast("long")
+      case Some((g, off)) =>
+        val dd = col(dayDim).cast("date")
+        val base = g match {
+          case "month" => year(dd) * 12 + month(dd)
+          case "quarter" => year(dd) * 4 + quarter(dd)
+          case _ => year(dd)
+        }
+        (base.cast("long") + off).cast("long")
+    }).as("__p")
+    val W = graft.functions.WeightMap
+    // sharded cubes select per shard first (shards partition the id
+    // space, so the global top-k is inside the union of per-shard
+    // top-ks); the ≤ (|shards|·k + ties) survivors re-rank below
+    val sharded = cfg.bitmapShardBits > 0
+    val shardCols =
+      if (sharded) Seq(col(CubeManager.ShardCol)) else Seq.empty
+    val per = filteredFrame
+      .groupBy((Seq(periodKey) ++ shardCols): _*)
+      .agg(W.mergeAgg(col(wm.id)).as("__wm"))
+      .select(col("__p"), explode(W.topK(col("__wm"), needs.k)).as("__e"))
+      .select(col("__p"), col("__e.id").as("__did"),
+        col("__e.w").as("__w"))
+    // dict-encoded ids translate to the VISIBLE key before ranking
+    val candidates = cfg.dictBitmaps.find(_.path == wm.idPath) match {
+      case Some(d) =>
+        val dict = cube.dicts.getOrElse(d.id, return None)
+          .select(col("__id"), col("__key"))
+        per.join(broadcast(dict), per("__did") === dict("__id"))
+          .select(col("__p"), col("__key").as("__vid"), col("__w"))
+      case None =>
+        if (!needs.integralId) return None
+        per.select(col("__p"), col("__did").as("__vid"), col("__w"))
+    }
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__p"))
+      .orderBy(col("__w").desc, col("__vid").asc)
+    val board = candidates
+      .withColumn("__rank", row_number().over(win))
+      .filter(col("__rank") <= needs.k)
+    val outPlan = board.queryExecution.optimizedPlan
+    val servedAttr: Map[String, Attribute] =
+      outPlan.output.map(a => a.name -> a).toMap
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    // rebind the Filter's WHOLE output row by exprId: the window
+    // child's (id, period, value) plus the rank attr
+    val proj: Seq[NamedExpression] = f.output.map { orig =>
+      val child: Expression =
+        if (orig.exprId == needs.pOut) {
+          if (orig.dataType != LongType && orig.dataType != IntegerType)
+            return None
+          val p = servedAttr.getOrElse("__p", return None)
+          if (p.dataType == orig.dataType) p else Cast(p, orig.dataType)
+        } else if (orig.exprId == needs.idOut) {
+          val v = servedAttr.getOrElse("__vid", return None)
+          if (v.dataType == orig.dataType) v
+          else if (needs.integralId) Cast(v, orig.dataType)
+          else return None
+        } else if (orig.exprId == needs.wOut) {
+          val v = servedAttr.getOrElse("__w", return None)
+          orig.dataType match {
+            case dt: DecimalType if dt.scale == 2 =>
+              org.apache.spark.sql.catalyst.expressions
+                .MakeDecimal(v, dt.precision, 2)
+            case _ => return None
+          }
+        } else if (orig.exprId == needs.rankOut) {
+          val r = servedAttr.getOrElse("__rank", return None)
+          if (r.dataType != orig.dataType) return None
+          r
+        } else return None
+      Alias(child, orig.name)(exprId = orig.exprId)
+    }
     Some(Project(proj, outPlan))
   }
 

@@ -2051,6 +2051,61 @@ class CubeRewriteSpec extends AnyFunSuite {
         "stay raw")
   }
 
+  test("raw top-spender leaderboards route to the weight-map top-k serve") {
+    val srcDir = rollingSetup()
+    def src = spark.read.parquet(srcDir)
+    def pExpr = floor((unix_timestamp(col("ts")).cast("double") / 86400)
+      .cast("long").cast("double") / 3).cast("long")
+    import org.apache.spark.sql.expressions.Window
+    def board(k: Int = 3, notNull: Boolean = true,
+        tieById: Boolean = true, byCount: Boolean = false,
+        useRank: Boolean = false, extraTie: Boolean = false) = {
+      val base = if (notNull) src.filter(col("user_id").isNotNull) else src
+      val agg = if (byCount) count(lit(1)) else
+        sum(col("value").cast("decimal(18,2)"))
+      val g = base.groupBy(col("user_id"), pExpr.as("p"))
+        .agg(agg.as("w"))
+      val ord =
+        if (!tieById) Seq(col("w").desc)
+        else if (extraTie) Seq(col("w").desc, col("p").asc,
+          col("user_id").asc)
+        else Seq(col("w").desc, col("user_id").asc)
+      val win = Window.partitionBy(col("p")).orderBy(ord: _*)
+      val rk = if (useRank) rank() else row_number()
+      g.withColumn("rnk", rk.over(win)).filter(col("rnk") <= k)
+        .select(col("p").as("period"), col("rnk").as("rank"),
+          col("user_id").as("id"), col("w").cast("double").as("value"))
+        .orderBy(col("period"), col("rank"))
+    }
+    val routed = Seq(board(), board(k = 1), board(useRank = true))
+    routed.zipWithIndex.foreach { case (q, i) =>
+      assert(scansOf(q).forall(_.endsWith("/rollrw")),
+        s"leaderboard route $i did not fire: ${scansOf(q)}")
+    }
+    val norm = CubeCatalog.normalize(srcDir)
+    // refusals: k beyond the serve's bounded selection; a tieless or
+    // foreign-column ORDER BY (nondeterministic / unservable ties); a
+    // non-sum rank key; a nullable id with no IS NOT NULL proof
+    assert(scansOf(board(k = 200)).distinct == Seq(norm),
+      "k > 100 must refuse the leaderboard route")
+    assert(scansOf(board(tieById = false)).distinct == Seq(norm),
+      "a tieless ORDER BY must refuse (nondeterministic board)")
+    assert(scansOf(board(extraTie = true)).distinct == Seq(norm),
+      "extra tiebreak columns must refuse")
+    assert(scansOf(board(byCount = true)).distinct == Seq(norm),
+      "a non-sum rank key must refuse")
+    assert(scansOf(board(notNull = false)).distinct == Seq(norm),
+      "a nullable id with no IS NOT NULL conjunct must refuse " +
+        "(the id is output-visible; maps carry no null-id group)")
+    val servedRows = routed.map(sortedRows)
+    CubeCatalog.clear()
+    Seq(board(), board(k = 1), board(useRank = true))
+      .zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
+        assert(sortedRows(q) == s,
+          s"routed leaderboard must EQUAL the raw rank (form $i)")
+      }
+  }
+
   test("raw resurrected plans route to the ANDNOT-prefix serve") {
     val srcDir = rollingSetup()
     def src = spark.read.parquet(srcDir)
@@ -2557,18 +2612,37 @@ class CubeRewriteSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("active"),
           sum(col("w")).cast("double").as("value"))
     }
+    // r16: the STRING-keyed leaderboard — candidates translate through
+    // the dictionary BEFORE ranking, so ties break on the visible key
+    def boardS() = {
+      import org.apache.spark.sql.expressions.Window
+      val pe = floor((unix_timestamp(col("ts")).cast("double") / 86400)
+        .cast("long").cast("double") / 3).cast("long")
+      val g = src.filter(col("uid").isNotNull)
+        .groupBy(col("uid"), pe.as("p"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("w"))
+      val win = Window.partitionBy(col("p"))
+        .orderBy(col("w").desc, col("uid").asc)
+      g.withColumn("rnk", row_number().over(win))
+        .filter(col("rnk") <= 3)
+        .select(col("p").as("period"), col("rnk").as("rank"),
+          col("uid").as("id"), col("w").cast("double").as("value"))
+    }
     val routedQs = Seq(rolling(), retained(), cumulative(), funnel(),
       firstSeen(), engagement(), resurrected(), calRetained(),
-      ltv(), ltv(calendar = true))
+      ltv(), ltv(calendar = true), boardS())
     routedQs.zipWithIndex.foreach { case (q, i) =>
-      assert(scansOf(q).forall(_.endsWith("/dictrw")),
+      // the leaderboard's visible-id translation also scans the cube's
+      // own dictionary parquet (dictrw.dict/<id>) — still cube-only
+      assert(scansOf(q).forall(p =>
+          p.endsWith("/dictrw") || p.contains("/dictrw.dict/")),
         s"string-id route $i did not fire: ${scansOf(q)}")
     }
     val servedRows = routedQs.map(sortedRows)
     CubeCatalog.clear()
     Seq(rolling(), retained(), cumulative(), funnel(), firstSeen(),
       engagement(), resurrected(), calRetained(), ltv(),
-      ltv(calendar = true))
+      ltv(calendar = true), boardS())
       .zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
         assert(sortedRows(q) == s,
           s"dictionary-routed result must EQUAL the raw recompute " +
