@@ -373,6 +373,12 @@ object CubeAdvisor {
     // bitmaps, values from the weight maps
     val cohortValueHits: Seq[(Int, CohortValueNeeds)] =
       claim(analyzeCohortValue)
+    // the raw MRR-bridge terms (q297's vocabulary) fold into the SAME
+    // day-dimmed weighted cube family: map-served terms add the
+    // weighted measure, measure-served revenue adds a plain decimal
+    // measure, and the id-guarded spine rides the id bitmap
+    val valueBridgeHits: Seq[(Int, ValueBridgeNeeds)] =
+      claim(analyzeValueBridge)
     val analyzed: Seq[(Int, Option[Needs])] =
       comps.zipWithIndex.collect {
         case ((qi, p), ci) if !claimed(ci) => qi -> analyze(p)
@@ -421,23 +427,41 @@ object CubeAdvisor {
     val cvGrouped = keep(cohortValueHits)
       .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol,
         Seq.empty[String], h._2.filters.map(_._1).distinct.sorted))
-    val retentionRecs = (retGrouped.keySet ++ cvGrouped.keySet)
+    val vbGrouped = keep(valueBridgeHits)
+      .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol,
+        Seq.empty[String], h._2.filters.map(_._1).distinct.sorted))
+    // which cube family serves a bridge hit (mirrors the serve
+    // selection in CubeRewrite.buildValueBridgeServe)
+    def vbMaps(n: ValueBridgeNeeds): Boolean = n.kind match {
+      case "new" | "anti" | "resurrected" | "expcon" => true
+      case "revenue" => n.idFiltered
+      case _ => false // periods: rides the id bitmap (or needs nothing)
+    }
+    def vbMeasure(n: ValueBridgeNeeds): Boolean =
+      n.kind == "revenue" && !n.idFiltered
+    val retentionRecs = (retGrouped.keySet ++ cvGrouped.keySet ++
+        vbGrouped.keySet)
       .toSeq.sortBy(g => (g._1, g._2, g._3,
         g._4.mkString(","), g._5.mkString(",")))
       .zipWithIndex.map {
         case (key @ (path, tsCol, idCol, segments, filterCols), k) =>
           val hits = retGrouped.getOrElse(key, Nil)
           val cvs = cvGrouped.getOrElse(key, Nil)
+          val vbs = vbGrouped.getOrElse(key, Nil)
           val dayDim = s"${tsCol}_day"
           val bmId = s"${idCol}_xd"
           val m = Seq(Measure(bmId, idCol))
-          // both families carry the id's type off the same source
-          // column; a value-only group reads it from the cv hits (a
+          // all families carry the id's type off the same source
+          // column; a value-only group reads it from the cv/vb hits (a
           // non-integral group's rec takes the dictionary path, which
           // the weighted measure then rides — requireIntegralWeighted's
           // create-time contract)
           val integralId = hits.headOption.map(_._2.integralId)
-            .getOrElse(cvs.head._2.integralId)
+            .orElse(cvs.headOption.map(_._2.integralId))
+            .getOrElse(vbs.head._2.integralId)
+          // a bridge group keyed by no id (direct revenue / spine over
+          // ALL rows) dims the day only — no id column exists to bitmap
+          val hasId = idCol.nonEmpty
           RetentionRecommendation(path,
             CubeConfig(s"${namePrefix}_retention_$k", path,
               // segment columns dim the cube so the period bitmaps
@@ -447,26 +471,35 @@ object CubeAdvisor {
               dims = (segments ++ filterCols).distinct
                 .map(c => FieldDim(c, c)) :+
                 TimeDim(dayDim, tsCol, "day"),
-              measures = Nil,
+              // measure-served bridge revenue (null-id rows included)
+              // takes a plain decimal measure
+              measures = vbs.filter(h => vbMeasure(h._2))
+                .map(_._2.weightCol).distinct.sorted
+                .map(wc => Measure(s"${wc}_m", wc)),
               // non-integral ids take the dictionary path (exact for
               // any key type) instead of the pre-dictionary refusal
-              bitmaps = if (integralId) m else Nil,
-              dictBitmaps = if (integralId) Nil else m,
+              bitmaps = if (hasId && integralId) m else Nil,
+              dictBitmaps = if (hasId && !integralId) m else Nil,
               // one weighted measure per distinct LTV weight column —
-              // the cohort-value serve's per-id additive partials
-              weighted = cvs.map(_._2.weightCol).distinct.sorted
+              // the cohort-value / bridge serves' per-id additive
+              // partials
+              weighted = (cvs.map(_._2.weightCol) ++
+                vbs.filter(h => vbMaps(h._2)).map(_._2.weightCol))
+                .distinct.sorted
                 .map(wc => WeightedMeasure(s"${wc}_w", idCol, wc))),
             dayDim, bmId,
             periods = (hits.map(_._2.periodDays) ++
-              cvs.map(_._2.periodDays)).distinct.sorted,
-            coveredQueries = (hits.map(_._1) ++ cvs.map(_._1))
+              cvs.map(_._2.periodDays) ++ vbs.map(_._2.periodDays))
               .distinct.sorted,
+            coveredQueries = (hits.map(_._1) ++ cvs.map(_._1) ++
+              vbs.map(_._1)).distinct.sorted,
             segmentBy = segments,
             // path grouping keys a JOIN workload by its composite
             // registration identity, so one group is one join — the
             // rec carries the join info for createJoinCube
             join = hits.headOption.map(_._2.join)
-              .getOrElse(cvs.head._2.join))
+              .orElse(cvs.headOption.map(_._2.join))
+              .getOrElse(vbs.head._2.join))
       }
     val rollingRecs = keep(rollingHits)
       .groupBy(h => (h._2.path, h._2.tsCol, h._2.segments,
@@ -1016,10 +1049,19 @@ object CubeAdvisor {
   private def distinctPairs(side: LogicalPlan): Option[PairSide] = {
     val (b, env0, preds0) = peel(side)
     b match {
-      case Aggregate(gs, outs, c, _)
-          if outs.size >= 2 && outs.forall(_.isInstanceOf[Attribute]) &&
-            gs.map(_.canonicalized).toSet ==
-              outs.map(_.canonicalized).toSet =>
+      case Aggregate(gs, outs, c, _) if outs.size >= 2 =>
+        // outputs: bare grouping attributes, or — the column-pruned /
+        // PullOutGroupingExpressions shape (a weighted aggregate whose
+        // sum was pruned degrades to exactly this) — an Alias of a
+        // grouping attribute
+        val outPairs: Seq[(Attribute, Expression)] = outs.map {
+          case a: Attribute => (a: Attribute, a: Expression)
+          case al: Alias if al.child.isInstanceOf[AttributeReference] =>
+            (al.toAttribute, al.child)
+          case _ => return None
+        }
+        if (gs.map(_.canonicalized).toSet !=
+          outPairs.map(_._2.canonicalized).toSet) return None
         val (inner, env, preds) = peel(c)
         val sub = subst(env0 ++ env) _
         // join-aware: the pair set may be built over an INNER EQUI-JOIN
@@ -1030,8 +1072,7 @@ object CubeAdvisor {
         val (path, join, jpreds) = sourceOf(inner).getOrElse(return None)
         val fs = sideFilters(preds0 ++ preds ++ jpreds, sub)
           .getOrElse(return None)
-        val attrs = outs.map(_.asInstanceOf[Attribute])
-        val resolved = attrs.map(a => a -> sub(a))
+        val resolved = outPairs.map { case (a, e) => a -> sub(e) }
         val pOpt = resolved.flatMap { case (a, e) =>
           periodKind(e).map(a -> _) }.headOption
         val (pAttr, (tsCol, pd, cal)) = pOpt.getOrElse(return None)
@@ -1694,7 +1735,10 @@ object CubeAdvisor {
       integralId: Boolean, stepCol: String, steps: Seq[String],
       outs: Seq[RollOut] = Nil,
       join: Option[(String, String, String, String)] = None,
-      calendar: Option[(String, Long)] = None)
+      calendar: Option[(String, Long)] = None,
+      // > 0: the GAP-BOUNDED chain (step k must follow step k−1 within
+      // this many periods) — [[CubeService.getFunnel]]'s withinPeriods
+      within: Int = 0)
 
   /** One stage of the min-join conversion chain, bottom-up: the
     * stage's source identity, the counted id's source column, the
@@ -1707,7 +1751,182 @@ object CubeAdvisor {
       tOut: org.apache.spark.sql.catalyst.expressions.ExprId,
       stepCol: String, steps: Seq[String],
       join: Option[(String, String, String, String)] = None,
-      calendar: Option[(String, Long)] = None)
+      calendar: Option[(String, Long)] = None,
+      within: Long = 0L)
+
+  /** One level of the WINDOWED funnel's qualified-pair recursion —
+    * the q246 raw vocabulary (the ClickHouse-windowFunnel semantics):
+    *
+    *   Q_1 = DISTINCT (id, p) of step-1 rows
+    *   Q_k = DISTINCT (id, p) of step-k rows with a qualified
+    *         step-(k−1) pair at p' ∈ [p − w, p]
+    *
+    * (id, p) are the DISTINCT frame's output exprIds — what the next
+    * level's join condition references. Unlike the unbounded min
+    * chain, intermediate levels carry the FULL qualified pair set
+    * (the greedy min would miss re-qualification); only the final
+    * stage takes the min, which [[minChain]]'s windowed arm handles. */
+  private final case class QChain(path: String, tsCol: String,
+      periodDays: Int, calendar: Option[(String, Long)],
+      idSrc: AttributeReference,
+      idOut: org.apache.spark.sql.catalyst.expressions.ExprId,
+      pOut: org.apache.spark.sql.catalyst.expressions.ExprId,
+      stepCol: String, steps: Seq[String],
+      join: Option[(String, String, String, String)],
+      within: Long)
+
+  /** Parse a windowed-join condition's conjuncts: one id equality plus
+    * the two inequalities bounding `stepP − prevP` to `[0, w]`
+    * (BETWEEN lowers to exactly these; either parameterization —
+    * `prevP ∈ [stepP − w, stepP]` or `stepP ∈ [prevP, prevP + w]` —
+    * normalizes here). Some(w ≥ 1) on success; strict inequalities,
+    * extra conjuncts, and degenerate bounds refuse. */
+  private def windowBound(cs: Seq[Expression],
+      isStepId: Expression => Boolean, isPrevId: Expression => Boolean,
+      stepShift: Expression => Option[Long],
+      prevPOut: org.apache.spark.sql.catalyst.expressions.ExprId):
+      Option[Long] = {
+    var idEq = false
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    def prevShift(e: Expression): Option[Long] = {
+      val (x, s) = stripShift(e)
+      x match {
+        case a: AttributeReference if a.exprId == prevPOut => Some(s)
+        case _ => None
+      }
+    }
+    // x >= y → one constraint on Δ = stepP − prevP
+    def ge(x: Expression, y: Expression): Boolean =
+      (stepShift(x), prevShift(y)) match {
+        case (Some(sx), Some(sy)) if lo.isEmpty =>
+          lo = Some(sy - sx); true // stepP + sx ≥ prevP + sy
+        case _ => (prevShift(x), stepShift(y)) match {
+          case (Some(sx), Some(sy)) if hi.isEmpty =>
+            hi = Some(sx - sy); true // Δ ≤ sx − sy
+          case _ => false
+        }
+      }
+    cs.foreach {
+      case EqualTo(x, y)
+          if (isStepId(x) && isPrevId(y)) ||
+            (isStepId(y) && isPrevId(x)) => idEq = true
+      case GreaterThanOrEqual(x, y) => if (!ge(x, y)) return None
+      case LessThanOrEqual(x, y) => if (!ge(y, x)) return None
+      case _ => return None
+    }
+    if (idEq && lo.contains(0L) && hi.exists(_ >= 1L)) hi else None
+  }
+
+  /** Recognize the windowed qualified-pair recursion (see [[QChain]]).
+    * Base level: distinct pairs with exactly one step filter;
+    * recursive level: distinct (stepId, stepP) over an inner join of
+    * the step-filtered source with the previous level, the condition
+    * parsed by [[windowBound]]. All levels must share one window. */
+  private def windowChain(side: LogicalPlan): Option[QChain] = {
+    def baseQ(): Option[QChain] = distinctPairs(side).flatMap { ps =>
+      if (ps.cols.size != 1 || ps.filters.size != 1 ||
+        ps.filters.head._2.size != 1) None
+      else litString(ps.filters.head._2.head).map { s =>
+        QChain(ps.path, ps.tsCol, ps.periodDays, ps.calendar,
+          ps.cols.head._2, ps.cols.head._1, ps.pId,
+          ps.filters.head._1, Seq(s), ps.join, 0L)
+      }
+    }
+    def recQ(): Option[QChain] = {
+      val (b, env0, preds0) = peel(side)
+      if (!preds0.forall(_.isInstanceOf[IsNotNull])) return None
+      b match {
+        case Aggregate(gs, outs, c, _) if gs.size == 2 && outs.size == 2 =>
+          // a pure distinct: outputs are exactly the grouping attrs
+          val outIds = outs.map {
+            case a: AttributeReference => a.exprId
+            case al: Alias => al.child match {
+              case a: AttributeReference => a.exprId
+              case _ => return None
+            }
+            case _ => return None
+          }.toSet
+          val gAttrs = gs.map {
+            case a: AttributeReference => a
+            case _ => return None
+          }
+          if (gAttrs.map(_.exprId).toSet != outIds) return None
+          val (mid, env1, preds1) = peel(c)
+          if (!preds1.forall(_.isInstanceOf[IsNotNull])) return None
+          val join0 = mid match {
+            case j: Join
+                if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
+              j
+            case _ => return None
+          }
+          val cond = join0.condition.getOrElse(return None)
+          // the distinct's columns come from the STEP side
+          val (stepPlan, prevPlan) =
+            if (gAttrs.forall(a =>
+              join0.left.outputSet.exists(_.exprId == a.exprId)))
+              (join0.left, join0.right)
+            else if (gAttrs.forall(a =>
+              join0.right.outputSet.exists(_.exprId == a.exprId)))
+              (join0.right, join0.left)
+            else return None
+          val prev = windowChain(prevPlan).getOrElse(return None)
+          val (sBase, sEnv, sPreds) = peel(stepPlan)
+          val ssub = subst(env0 ++ env1 ++ sEnv) _
+          val (path, sJoin, jpreds) = sourceOf(sBase).getOrElse(return None)
+          val fs = sideFilters(sPreds ++ jpreds, ssub).getOrElse(return None)
+          if (fs.size != 1 || fs.head._2.size != 1) return None
+          val step = litString(fs.head._2.head).getOrElse(return None)
+          // grouping roles: the id column and the period derivation
+          var idG: Option[(org.apache.spark.sql.catalyst.expressions
+            .ExprId, AttributeReference)] = None
+          var pG: Option[(org.apache.spark.sql.catalyst.expressions
+            .ExprId, (String, Int, Option[(String, Long)]))] = None
+          gAttrs.foreach { ga =>
+            ssub(ga) match {
+              case a: AttributeReference if idG.isEmpty =>
+                idG = Some(ga.exprId -> a)
+              case e => periodKind(e) match {
+                case Some(k) if pG.isEmpty => pG = Some(ga.exprId -> k)
+                case _ => return None
+              }
+            }
+          }
+          val (idGid, idSrc) = idG.getOrElse(return None)
+          val (pGid, pk) = pG.getOrElse(return None)
+          if (path != prev.path || sJoin != prev.join ||
+            pk._1 != prev.tsCol || pk._2 != prev.periodDays ||
+            pk._3 != prev.calendar || idSrc.name != prev.idSrc.name ||
+            fs.head._1 != prev.stepCol) return None
+          if (prev.steps.contains(step)) return None
+          def isStepId(e: Expression) = ssub(e) match {
+            case a: AttributeReference => a.exprId == idSrc.exprId
+            case _ => false
+          }
+          def isPrevId(e: Expression) = e match {
+            case a: AttributeReference => a.exprId == prev.idOut
+            case _ => false
+          }
+          def stepShift(e: Expression): Option[Long] = {
+            val (x, s) = stripShift(e)
+            periodKind(ssub(x)) match {
+              case Some(k) if k == pk => Some(s)
+              case _ => None
+            }
+          }
+          val w = windowBound(
+            conjunctsOf(cond).filterNot(_.isInstanceOf[IsNotNull]),
+            isStepId, isPrevId, stepShift, prev.pOut)
+            .getOrElse(return None)
+          // one window for the whole chain (the verb's contract)
+          if (prev.steps.size > 1 && prev.within != w) return None
+          Some(QChain(path, pk._1, pk._2, pk._3, idSrc, idGid, pGid,
+            prev.stepCol, prev.steps :+ step, sJoin, w))
+        case _ => None
+      }
+    }
+    recQ().orElse(baseQ())
+  }
 
   /** Recognize one stage of the funnel's min-conversion-time
     * recursion, written the way users write it:
@@ -1851,7 +2070,61 @@ object CubeAdvisor {
             Some(ChainInfo(path, tsCol, pd, idSrc, idOut.get, tOut.get,
               stepCol, prev.steps :+ step, sJoin, cal))
             }
-            recursiveStage().orElse(baseStage())
+            // the WINDOWED final stage: min over the last qualified-
+            // pair level — the previous side is the q246 Q-recursion
+            // and the condition carries the [0, w] gap bound
+            def windowedStage(): Option[ChainInfo] = {
+              if (!preds.forall(_.isInstanceOf[IsNotNull])) return None
+              val (stepPlan, prevPlan) =
+                if (jl.outputSet.exists(_.exprId == g.exprId)) (jl, jr)
+                else if (jr.outputSet.exists(_.exprId == g.exprId))
+                  (jr, jl)
+                else return None
+              val prev = windowChain(prevPlan).getOrElse(return None)
+              val (sBase, sEnv, sPreds) = peel(stepPlan)
+              val ssub = subst(envOuter ++ env ++ sEnv) _
+              val (path, sJoin, jpreds) = sourceOf(sBase)
+                .getOrElse(return None)
+              val fs = sideFilters(sPreds ++ jpreds, ssub)
+                .getOrElse(return None)
+              if (fs.size != 1 || fs.head._2.size != 1) return None
+              val (stepCol, stepLit) = (fs.head._1, fs.head._2.head)
+              val (tsCol, pd, cal) = periodKind(ssub(minArg.get))
+                .getOrElse(return None)
+              val idSrc = ssub(g) match {
+                case a: AttributeReference => a
+                case _ => return None
+              }
+              if (path != prev.path || sJoin != prev.join ||
+                tsCol != prev.tsCol || pd != prev.periodDays ||
+                cal != prev.calendar || idSrc.name != prev.idSrc.name ||
+                stepCol != prev.stepCol) return None
+              val step = litString(stepLit).getOrElse(return None)
+              if (prev.steps.contains(step)) return None
+              def isStepId(e: Expression) = ssub(e) match {
+                case a: AttributeReference => a.exprId == idSrc.exprId
+                case _ => false
+              }
+              def isPrevId(e: Expression) = e match {
+                case a: AttributeReference => a.exprId == prev.idOut
+                case _ => false
+              }
+              def stepShift(e: Expression): Option[Long] = {
+                val (x, s) = stripShift(e)
+                periodKind(ssub(x)) match {
+                  case Some(k) if k == ((tsCol, pd, cal)) => Some(s)
+                  case _ => None
+                }
+              }
+              val w = windowBound(
+                conjunctsOf(cond).filterNot(_.isInstanceOf[IsNotNull]),
+                isStepId, isPrevId, stepShift, prev.pOut)
+                .getOrElse(return None)
+              if (prev.steps.size > 1 && prev.within != w) return None
+              Some(ChainInfo(path, tsCol, pd, idSrc, idOut.get,
+                tOut.get, stepCol, prev.steps :+ step, sJoin, cal, w))
+            }
+            recursiveStage().orElse(windowedStage()).orElse(baseStage())
           case _ => baseStage()
         }
       case _ => None
@@ -1993,7 +2266,7 @@ object CubeAdvisor {
           Some(FunnelNeeds(chain.path, chain.tsCol, chain.idSrc.name,
             chain.periodDays, integral(chain.idSrc.dataType),
             chain.stepCol, chain.steps, outs, chain.join,
-            calendar = chain.calendar))
+            calendar = chain.calendar, within = chain.within.toInt))
         case _ => None
       }
     case _ => None
@@ -2580,6 +2853,599 @@ object CubeAdvisor {
     case _ => None
   }
 
+  // ---- value-bridge (MRR growth-accounting) term analysis ---------------
+
+  /** Output tokens of a recognized VALUE-BRIDGE term. */
+  private[cube] sealed trait VBOut
+  private[cube] object VBOut {
+    case object Period extends VBOut
+    case object Value extends VBOut
+    case object Expansion extends VBOut
+    case object Contraction extends VBOut
+  }
+
+  /** One recognized term of the raw revenue growth-accounting
+    * decomposition (the MRR bridge, [[CubeService
+    * .getValueGrowthAccounting]]'s column vocabulary written as raw
+    * SQL/DataFrame terms):
+    *
+    *  - `revenue`     — per-period Σw (directly off the source or as
+    *                    a sum over the per-(id, period) frame), with
+    *                    an optional label shift (`prev_revenue` is
+    *                    revenue labeled at p+1);
+    *  - `periods`     — the observed-period spine (SELECT DISTINCT p);
+    *  - `new`         — Σw over ids at their FIRST period (the
+    *                    per-(id, period) frame joined to the per-id
+    *                    min-period frame on p = first);
+    *  - `anti`        — Σw over ids at p with NO row at p+adj
+    *                    (adj = +1 → churned value labeled p+1;
+    *                    adj = −1 → inflow = new + resurrected);
+    *  - `resurrected` — the anti(−1) term with a STRICT earlier-
+    *                    activity witness (min-period frame, fp < p);
+    *  - `expcon`      — Σ max(0, w_p − w_{p−1}) / Σ max(0, w_{p−1} −
+    *                    w_p) over ids present in both adjacent periods.
+    *
+    * `pShift` relabels the walk period on output (churn emits at p+1;
+    * prev_revenue labels at p+1). The composite dashboard assembling
+    * these terms (the q288 oracle's exact text) routes term-wise under
+    * the user's shell — the q269 composite discipline. */
+  private[cube] final case class ValueBridgeNeeds(
+      path: String, tsCol: String, idCol: String, weightCol: String,
+      periodDays: Int, calendar: Option[(String, Long)],
+      kind: String, adj: Long, pShift: Long,
+      outs: Seq[VBOut],
+      filters: Seq[(String, Seq[Literal])],
+      join: Option[(String, String, String, String)],
+      // null-id honesty state (see [[analyzeValueBridge]]): whether
+      // the plan provably filters null ids, and whether the id column
+      // is nullable at all — revenue's serve selection depends on both
+      idFiltered: Boolean, idNullable: Boolean,
+      // steers the ADVISOR's rec only (bitmaps vs dictBitmaps — the
+      // create-time dictionary contract); the serve itself is id-free
+      integralId: Boolean = true)
+
+  /** A per-(id, period) weighted aggregate side, generalized beyond
+    * [[weightedPairs]] for the bridge terms: the id passthrough may be
+    * pruned (churn's outer needs only the shifted period), the period
+    * output may carry an additive shift, and the aggregate's child may
+    * be the optimizer's pushed-down LeftAnti against the same source's
+    * distinct (id, period + adj) pairs
+    * (PushDownLeftSemiAntiJoin moves the user's post-aggregation anti
+    * join below the per-(id, period) sum — sound because the condition
+    * is a function of the grouping keys). */
+  private final case class WeightedTermSide(
+      path: String, tsCol: String, periodDays: Int,
+      calendar: Option[(String, Long)],
+      idOut: Option[org.apache.spark.sql.catalyst.expressions.ExprId],
+      pOut: org.apache.spark.sql.catalyst.expressions.ExprId,
+      pShift: Long,
+      wOut: org.apache.spark.sql.catalyst.expressions.ExprId,
+      idSrc: AttributeReference, weightSrc: AttributeReference,
+      filters: Seq[(String, Seq[Literal])],
+      join: Option[(String, String, String, String)],
+      notNullCols: Set[String],
+      anti: Option[Long])
+
+  /** Peel one top-level additive integer shift: `x + c` / `x − c` →
+    * (x, ±c). */
+  private def stripShift(e: Expression): (Expression, Long) = {
+    def toL(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: Short => Some(s.toLong)
+      case _ => None
+    }
+    e match {
+      case Add(x, Literal(c, _), _) if toL(c).isDefined => (x, toL(c).get)
+      case Add(Literal(c, _), x, _) if toL(c).isDefined => (x, toL(c).get)
+      case Subtract(x, Literal(c, _), _) if toL(c).isDefined =>
+        (x, -toL(c).get)
+      case _ => (e, 0L)
+    }
+  }
+
+  /** The shift of a (possibly relabeled) period expression relative to
+    * a base period kind: Some(s) when `e` derives the SAME (ts column,
+    * width, calendar granularity) period + the constant s. Calendar
+    * ordinals carry shifts in their own additive constant (the
+    * optimizer folds `(y*12+m−1)+1` to `y*12+m`), so the shift is the
+    * offset difference there. */
+  private def shiftOf(e: Expression,
+      base: (String, Int, Option[(String, Long)]),
+      sub: Expression => Expression): Option[Long] = {
+    val (tsCol, pd, cal) = base
+    def rel(k: (String, Int, Option[(String, Long)]), s: Long): Option[Long] =
+      k match {
+        case (t2, p2, c2) if t2 == tsCol && p2 == pd => (cal, c2) match {
+          case (None, None) => Some(s)
+          case (Some((g, c)), Some((g2, cc))) if g == g2 => Some(s + cc - c)
+          case _ => None
+        }
+        case _ => None
+      }
+    val (x, s) = stripShift(e)
+    periodKind(sub(x)).flatMap(rel(_, s))
+      .orElse(periodKind(sub(e)).flatMap(rel(_, 0L)))
+  }
+
+  private def weightedTerm(side: LogicalPlan): Option[WeightedTermSide] = {
+    val (b, env0, preds0) = peel(side)
+    b match {
+      case Aggregate(gs, outs, c, _) if gs.size == 2 &&
+          (outs.size == 2 || outs.size == 3) =>
+        val (mid, env1, preds1) = peel(c)
+        // optional pushed-down LeftAnti between the aggregate and the
+        // source: (left = the source rows, right = distinct pairs)
+        val (inner0, antiPart) = mid match {
+          case Join(l, r, org.apache.spark.sql.catalyst.plans.LeftAnti,
+              Some(cond), _) => (l, Some((r, cond)))
+          case other => (other, None)
+        }
+        val (inner, env2, preds2) = peel(inner0)
+        val sub = subst(env0 ++ env1 ++ env2) _
+        val (path, join, jpreds) = sourceOf(inner).getOrElse(return None)
+        val allPreds = preds0 ++ preds1 ++ preds2 ++ jpreds
+        val fs = sideFilters(allPreds, sub).getOrElse(return None)
+        val notNull: Set[String] = allPreds.map(sub).collect {
+          case IsNotNull(a: AttributeReference) => a.name
+        }.toSet
+        // grouping roles: one plain id column, one period derivation
+        var idGrp: Option[(org.apache.spark.sql.catalyst.expressions
+          .ExprId, AttributeReference)] = None
+        var pGrp: Option[(org.apache.spark.sql.catalyst.expressions
+          .ExprId, (String, Int, Option[(String, Long)]))] = None
+        gs.foreach { g =>
+          val ga = g match {
+            case a: AttributeReference => a
+            case _ => return None
+          }
+          sub(ga) match {
+            case src: AttributeReference if idGrp.isEmpty =>
+              idGrp = Some(ga.exprId -> src)
+            case e => periodKind(e) match {
+              case Some(k) if pGrp.isEmpty => pGrp = Some(ga.exprId -> k)
+              case _ => return None
+            }
+          }
+        }
+        val (idGid, idSrc) = idGrp.getOrElse(return None)
+        val (pGid, pKind) = pGrp.getOrElse(return None)
+        // outputs: the single money-disciplined sum, the (possibly
+        // shifted) period, and optionally the id passthrough
+        var idOut: Option[org.apache.spark.sql.catalyst.expressions
+          .ExprId] = None
+        var pOut: Option[(org.apache.spark.sql.catalyst.expressions
+          .ExprId, Long)] = None
+        var wOut: Option[(org.apache.spark.sql.catalyst.expressions
+          .ExprId, AttributeReference)] = None
+        outs.foreach { ne =>
+          val (outId, child): (org.apache.spark.sql.catalyst
+            .expressions.ExprId, Expression) = ne match {
+            case a: AttributeReference => (a.exprId, a)
+            case al: Alias => (al.toAttribute.exprId, al.child)
+            case _ => return None
+          }
+          child match {
+            case AggregateExpression(Sum(we, _), Complete, false, _, _)
+                if wOut.isEmpty =>
+              val srcOpt = sub(we) match {
+                case Cast(src: AttributeReference, dt: DecimalType,
+                    _, _) if dt.precision == 18 && dt.scale == 2 =>
+                  Some(src)
+                case src: AttributeReference => src.dataType match {
+                  case dt: DecimalType
+                      if dt.scale == 2 && dt.precision <= 18 =>
+                    Some(src)
+                  case _ => None
+                }
+                case _ => None
+              }
+              wOut = Some(outId -> srcOpt.getOrElse(return None))
+            case _: AggregateExpression => return None
+            case a: AttributeReference if a.exprId == idGid =>
+              if (idOut.nonEmpty) return None
+              idOut = Some(outId)
+            case grp =>
+              // the period out: the period grouping attr, optionally
+              // under an additive shift (churn's `p + 1`)
+              if (pOut.nonEmpty) return None
+              val (x, s) = stripShift(grp)
+              x match {
+                case a: AttributeReference if a.exprId == pGid =>
+                  pOut = Some(outId -> s)
+                case _ => return None
+              }
+          }
+        }
+        // validate the anti side: distinct (id, period + adj) pairs of
+        // the SAME source under the SAME filters
+        val adj: Option[Long] = antiPart match {
+          case None => None
+          case Some((r, cond)) =>
+            val ps = distinctPairs(r).getOrElse(return None)
+            if (ps.path != path || ps.join != join ||
+              ps.tsCol != pKind._1 || ps.periodDays != pKind._2 ||
+              ps.calendar != pKind._3) return None
+            if (filterKey(ps.filters) != filterKey(fs)) return None
+            if (ps.cols.size != 1) return None
+            val (psIdOut, psIdSrc) = ps.cols.head
+            if (psIdSrc.name != idSrc.name) return None
+            val cs = conjunctsOf(cond)
+            if (cs.size != 2) return None
+            var idEq = false
+            var adjOpt: Option[Long] = None
+            cs.foreach {
+              case EqualTo(a: AttributeReference, bb: AttributeReference)
+                  if Set(a.exprId, bb.exprId) ==
+                    Set(psIdOut, idSrc.exprId) =>
+                idEq = true
+              case EqualTo(x, y) =>
+                // one side the pairs' period attr, the other the left
+                // side's shifted period expression (either order)
+                val (pa, pe) = (x, y) match {
+                  case (a: AttributeReference, e) if a.exprId == ps.pId =>
+                    (a, e)
+                  case (e, a: AttributeReference) if a.exprId == ps.pId =>
+                    (a, e)
+                  case _ => return None
+                }
+                val _ = pa
+                adjOpt = shiftOf(pe, pKind, sub)
+                if (adjOpt.isEmpty) return None
+              case _ => return None
+            }
+            if (!idEq) return None
+            Some(adjOpt.getOrElse(return None))
+        }
+        for {
+          (pId, pShift) <- pOut
+          (wId, wSrc) <- wOut
+        } yield WeightedTermSide(path, pKind._1, pKind._2, pKind._3,
+          idOut, pId, pShift, wId, idSrc, wSrc, fs, join, notNull, adj)
+      case _ => None
+    }
+  }
+
+  /** Recognize one raw VALUE-BRIDGE term (see [[ValueBridgeNeeds]]).
+    * NULL-id honesty per kind: `new`/`resurrected`/`expcon` drop
+    * null-id rows on both paths (their inner joins never match a null
+    * key; weight maps never carry one). `anti` KEEPS null-id left
+    * rows in the raw plan (a LeftAnti condition on a null key is
+    * null → unmatched → kept), so it requires proof there are none
+    * (non-nullable id, or an explicit IS NOT NULL conjunct).
+    * `revenue`/`periods` sum ALL rows including a null-id group —
+    * served from the cube's plain decimal MEASURE partials (row sums,
+    * null-id rows included) unless the plan filters the id non-null,
+    * in which case only the weight maps reproduce it. */
+  private[cube] def analyzeValueBridge(
+      plan: LogicalPlan): Option[ValueBridgeNeeds] = plan match {
+    case Aggregate(groups, aggs, child, _) if groups.size == 1 =>
+      val (base, env0, preds0) = peel(child)
+      val sub0 = subst(env0) _
+      def sameAsGroup(e: Expression): Boolean =
+        sub0(e).canonicalized == sub0(groups.head).canonicalized
+      // the ordered output map for the single-value kinds: the group
+      // period (any encoding) and/or ONE sum over `wantSum`
+      def valueOuts(wantSum: Expression => Boolean): Option[Seq[VBOut]] = {
+        var sawValue = false
+        val outs = aggs.map { ne =>
+          val c = ne match {
+            case a: AttributeReference => (a: Expression)
+            case al: Alias => al.child
+            case _ => return None
+          }
+          if (sameAsGroup(c)) VBOut.Period
+          else {
+            val inner = c match {
+              case Cast(i, _, _, _) => i
+              case o => o
+            }
+            inner match {
+              case AggregateExpression(Sum(we, _), Complete, false, _, _)
+                  if !sawValue && wantSum(we) =>
+                sawValue = true; VBOut.Value
+              case _ => return None
+            }
+          }
+        }
+        if (sawValue) Some(outs) else None
+      }
+      base match {
+        // ---- new / resurrected / expcon: Aggregate over a Join -----
+        case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
+            Some(cond), _) =>
+          if (!preds0.forall(_.isInstanceOf[IsNotNull])) return None
+          (weightedTerm(l), weightedTerm(r)) match {
+            case (Some(a), Some(b)) =>
+              vbExpCon(a, b, cond, groups, aggs, sub0, sameAsGroup)
+            case (wl, wr) =>
+              val (wt, fSide) = wl.map((_, r))
+                .orElse(wr.map((_, l))).getOrElse(return None)
+              vbMinJoin(wt, fSide, cond, groups, sub0, valueOuts,
+                sameAsGroup)
+          }
+        // ---- revenue (over the per-(id, period) frame) / anti ------
+        case _: Aggregate =>
+          if (!preds0.forall(_.isInstanceOf[IsNotNull])) return None
+          val wt = weightedTerm(child).getOrElse(return None)
+          val (gx, gShift) = stripShift(sub0(groups.head))
+          val pOk = gx match {
+            case a: AttributeReference => a.exprId == wt.pOut
+            case _ => false
+          }
+          if (!pOk) return None
+          val outs = valueOuts {
+            case wa: AttributeReference => wa.exprId == wt.wOut
+            case _ => false
+          }.getOrElse(return None)
+          val idFiltered = wt.notNullCols.contains(wt.idSrc.name)
+          val kind = wt.anti match {
+            case Some(adj) =>
+              // LeftAnti keeps null-id rows raw; maps never carry them
+              if (wt.idSrc.nullable && !idFiltered) return None
+              return Some(ValueBridgeNeeds(wt.path, wt.tsCol,
+                wt.idSrc.name, wt.weightSrc.name, wt.periodDays,
+                wt.calendar, "anti", adj, wt.pShift + gShift, outs,
+                wt.filters, wt.join, idFiltered, wt.idSrc.nullable,
+                integral(wt.idSrc.dataType)))
+            case None => "revenue"
+          }
+          Some(ValueBridgeNeeds(wt.path, wt.tsCol, wt.idSrc.name,
+            wt.weightSrc.name, wt.periodDays, wt.calendar, kind, 0L,
+            wt.pShift + gShift, outs, wt.filters, wt.join,
+            idFiltered, wt.idSrc.nullable, integral(wt.idSrc.dataType)))
+        // ---- direct off the source: revenue / the periods spine ----
+        case other =>
+          val (path, join, jpreds) = sourceOf(other).getOrElse(return None)
+          val fs = sideFilters(preds0 ++ jpreds, sub0)
+            .getOrElse(return None)
+          val (gx, gShift) = stripShift(sub0(groups.head))
+          val (tsCol, pd, cal) = periodKind(gx).getOrElse(return None)
+          // IsNotNull conjuncts: a single id-column guard switches the
+          // serve to the weight maps' row set (periods with ≥ 1
+          // non-null id); a guard over the period derivation itself is
+          // the serve's own null-period convention (see
+          // [[CubeRewrite]]'s bridge scaladoc); anything else refuses
+          // (it would drop rows the measure partials keep)
+          var idNN: Option[AttributeReference] = None
+          preds0.map(sub0).foreach {
+            case IsNotNull(a: AttributeReference) =>
+              if (idNN.exists(_.name != a.name)) return None
+              idNN = Some(a)
+            case IsNotNull(e)
+                if periodKind(e).contains((tsCol, pd, cal)) => ()
+            case IsNotNull(_) => return None
+            case _ => ()
+          }
+          var wCol: Option[String] = None
+          val outs = valueOuts { we0 =>
+            (sub0(we0) match {
+              case Cast(src: AttributeReference, dt: DecimalType, _, _)
+                  if dt.precision == 18 && dt.scale == 2 => Some(src)
+              case src: AttributeReference => src.dataType match {
+                case dt: DecimalType
+                    if dt.scale == 2 && dt.precision <= 18 => Some(src)
+                case _ => None
+              }
+              case _ => None
+            }) match {
+              case Some(src) if wCol.isEmpty || wCol.contains(src.name) =>
+                wCol = Some(src.name); true
+              case _ => false
+            }
+          }.orElse {
+            // no sum leaf: the observed-periods spine (DISTINCT p)
+            if (aggs.size == 1 && sameAsGroup(aggs.head match {
+              case a: AttributeReference => a
+              case al: Alias => al.child
+              case _ => return None
+            })) Some(Seq(VBOut.Period)) else None
+          }.getOrElse(return None)
+          val kind = if (wCol.isEmpty) "periods" else "revenue"
+          Some(ValueBridgeNeeds(path, tsCol,
+            idNN.map(_.name).getOrElse(""), wCol.getOrElse(""), pd,
+            cal, kind, 0L, gShift, outs, fs, join,
+            idFiltered = idNN.nonEmpty, idNullable = true,
+            integralId = idNN.forall(a => integral(a.dataType))))
+      }
+    case _ => None
+  }
+
+  /** expansion / contraction: two weighted sides inner-joined on
+    * (same id, adjacent period). */
+  private def vbExpCon(a: WeightedTermSide, b: WeightedTermSide,
+      cond: Expression, groups: Seq[Expression],
+      aggs: Seq[NamedExpression], sub0: Expression => Expression,
+      sameAsGroup: Expression => Boolean): Option[ValueBridgeNeeds] = {
+    if (a.path != b.path || a.join != b.join || a.tsCol != b.tsCol ||
+      a.periodDays != b.periodDays || a.calendar != b.calendar)
+      return None
+    if (filterKey(a.filters) != filterKey(b.filters)) return None
+    if (a.idSrc.name != b.idSrc.name) return None
+    if (a.anti.nonEmpty || b.anti.nonEmpty) return None
+    if (a.pShift != 0L || b.pShift != 0L) return None
+    val aId = a.idOut.getOrElse(return None)
+    val bId = b.idOut.getOrElse(return None)
+    val cs = conjunctsOf(cond)
+    if (cs.size != 2) return None
+    var idEq = false
+    // d: period(a) = period(b) + d
+    var dOpt: Option[Long] = None
+    cs.foreach {
+      case EqualTo(x: AttributeReference, y: AttributeReference)
+          if Set(x.exprId, y.exprId) == Set(aId, bId) => idEq = true
+      case EqualTo(x, y) =>
+        def pRef(e: Expression): Option[(Boolean, Long)] = {
+          val (core, s) = stripShift(e)
+          core match {
+            case at: AttributeReference if at.exprId == a.pOut =>
+              Some((true, s))
+            case at: AttributeReference if at.exprId == b.pOut =>
+              Some((false, s))
+            case _ => None
+          }
+        }
+        (pRef(x), pRef(y)) match {
+          case (Some((isA1, s1)), Some((isA2, s2))) if isA1 != isA2 =>
+            // pA + sA = pB + sB → pA = pB + (sB − sA)
+            dOpt = Some(if (isA1) s2 - s1 else s1 - s2)
+          case _ => return None
+        }
+      case _ => return None
+    }
+    if (!idEq) return None
+    val d = dOpt.getOrElse(return None)
+    // exactly adjacent: one side is the other's previous period
+    val (cur, prv, curIsA) =
+      if (d == 1L) (a, b, true)
+      else if (d == -1L) (b, a, false)
+      else return None
+    // group: either side's period attr (+shift), labeled relative to
+    // the CURRENT side's walk period
+    val (gx, gShift) = stripShift(sub0(groups.head))
+    val pShift = gx match {
+      case at: AttributeReference if at.exprId == cur.pOut => gShift
+      case at: AttributeReference if at.exprId == prv.pOut => gShift - 1L
+      case _ => return None
+    }
+    var sawLeaf = false
+    val outs = aggs.map { ne =>
+      val c = ne match {
+        case at: AttributeReference => (at: Expression)
+        case al: Alias => al.child
+        case _ => return None
+      }
+      if (sameAsGroup(c)) VBOut.Period
+      else {
+        val inner = c match { case Cast(i, _, _, _) => i; case o => o }
+        inner match {
+          case AggregateExpression(Sum(ge, _), Complete, false, _, _) =>
+            val role = vbGreatestRole(ge, cur.wOut, prv.wOut)
+              .getOrElse(return None)
+            sawLeaf = true; role
+          case _ => return None
+        }
+      }
+    }
+    if (!sawLeaf) return None
+    val _ = curIsA
+    Some(ValueBridgeNeeds(cur.path, cur.tsCol, cur.idSrc.name,
+      cur.weightSrc.name, cur.periodDays, cur.calendar, "expcon", 0L,
+      pShift, outs, cur.filters, cur.join,
+      idFiltered = true, idNullable = cur.idSrc.nullable,
+      integralId = integral(cur.idSrc.dataType)))
+  }
+
+  /** `greatest(curW − prvW, 0.00)` → Expansion; the reverse →
+    * Contraction. The zero must be a literal decimal 0 (any scale-2
+    * form); argument order of greatest is free. */
+  private def vbGreatestRole(ge: Expression,
+      curW: org.apache.spark.sql.catalyst.expressions.ExprId,
+      prvW: org.apache.spark.sql.catalyst.expressions.ExprId):
+      Option[VBOut] = {
+    def isZero(e: Expression): Boolean = e match {
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+        v.toBigDecimal.signum == 0
+      case Literal(v: java.math.BigDecimal, _) => v.signum == 0
+      case Cast(i, _, _, _) => isZero(i)
+      case _ => false
+    }
+    def strip(e: Expression): Expression = e match {
+      case Cast(i, _, _, _) => strip(i)
+      case o => o
+    }
+    ge match {
+      case org.apache.spark.sql.catalyst.expressions.Greatest(args)
+          if args.size == 2 =>
+        val (zeros, subs) = args.partition(isZero)
+        if (zeros.size != 1) return None
+        strip(subs.head) match {
+          case Subtract(x: AttributeReference, y: AttributeReference, _)
+              if x.exprId == curW && y.exprId == prvW =>
+            Some(VBOut.Expansion)
+          case Subtract(x: AttributeReference, y: AttributeReference, _)
+              if x.exprId == prvW && y.exprId == curW =>
+            Some(VBOut.Contraction)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** new value (p = first period) / resurrected value (anti(−1) with
+    * a strict earlier-activity witness): the weighted side joined to
+    * the per-id min-period frame. */
+  private def vbMinJoin(wt: WeightedTermSide, fSide: LogicalPlan,
+      cond: Expression, groups: Seq[Expression],
+      sub0: Expression => Expression,
+      valueOuts: (Expression => Boolean) => Option[Seq[VBOut]],
+      sameAsGroup: Expression => Boolean): Option[ValueBridgeNeeds] = {
+    val (fBase, fEnv, fPreds) = peel(fSide)
+    if (!fPreds.forall(_.isInstanceOf[IsNotNull])) return None
+    val (fPath, fJoin, fGroups, fPassthroughs, fAl, fInnerPreds,
+      fSub) = perIdAggregate(fBase, subst(fEnv) _)
+      .getOrElse(return None)
+    if (fGroups.size != 1) return None
+    val (tsCol2, pd2, cal2) = fAl.child match {
+      case AggregateExpression(Min(m), Complete, false, _, _) =>
+        periodKind(fSub(m)).getOrElse(return None)
+      case _ => return None
+    }
+    if (fPath != wt.path || fJoin != wt.join || tsCol2 != wt.tsCol ||
+      pd2 != wt.periodDays || cal2 != wt.calendar) return None
+    val fFs = sideFilters(fInnerPreds, fSub).getOrElse(return None)
+    if (filterKey(fFs) != filterKey(wt.filters)) return None
+    val (fIdOut, fIdSrc) = fGroups.head
+    if (fIdSrc.name != wt.idSrc.name) return None
+    val fIdPass = fPassthroughs.find(_.exprId == fIdOut.exprId)
+    val wtId = wt.idOut.getOrElse(return None)
+    val idIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
+      Set(wtId) ++ fIdPass.map(_.exprId)
+    val fpId = fAl.toAttribute.exprId
+    if (wt.pShift != 0L) return None
+    val cs = conjunctsOf(cond)
+    if (cs.size != 2) return None
+    var idEq = false
+    var kind: Option[String] = None
+    cs.foreach {
+      case EqualTo(x: AttributeReference, y: AttributeReference)
+          if idIds.contains(x.exprId) && idIds.contains(y.exprId) &&
+            x.exprId != y.exprId => idEq = true
+      case EqualTo(x: AttributeReference, y: AttributeReference)
+          if Set(x.exprId, y.exprId) == Set(wt.pOut, fpId) =>
+        // p = first period → the NEW-value term (no anti child)
+        if (wt.anti.nonEmpty) return None
+        kind = Some("new")
+      case LessThan(x: AttributeReference, y: AttributeReference)
+          if x.exprId == fpId && y.exprId == wt.pOut =>
+        // fp < p: the strict witness → resurrected (anti(−1) required)
+        if (!wt.anti.contains(-1L)) return None
+        kind = Some("resurrected")
+      case GreaterThan(x: AttributeReference, y: AttributeReference)
+          if x.exprId == wt.pOut && y.exprId == fpId =>
+        if (!wt.anti.contains(-1L)) return None
+        kind = Some("resurrected")
+      case _ => return None
+    }
+    if (!idEq || kind.isEmpty) return None
+    val (gx, gShift) = stripShift(sub0(groups.head))
+    val pOk = gx match {
+      case at: AttributeReference => at.exprId == wt.pOut
+      case _ => false
+    }
+    if (!pOk) return None
+    val outs = valueOuts {
+      case wa: AttributeReference => wa.exprId == wt.wOut
+      case _ => false
+    }.getOrElse(return None)
+    val _ = sameAsGroup
+    Some(ValueBridgeNeeds(wt.path, wt.tsCol, wt.idSrc.name,
+      wt.weightSrc.name, wt.periodDays, wt.calendar, kind.get, 0L,
+      gShift, outs, wt.filters, wt.join,
+      idFiltered = true, idNullable = wt.idSrc.nullable,
+      integralId = integral(wt.idSrc.dataType)))
+  }
+
   /** The COHORT-VALUE plan shape — revenue by cohort age as users
     * write it raw:
     *
@@ -2718,6 +3584,99 @@ object CubeAdvisor {
     case _ => None
   }
 
+  /** What one recognized TIME-TO-CONVERT query needs: the raw
+    * conversion-lag histogram's source vocabulary, served by
+    * [[CubeService.getTimeToConvert]]'s (F, N) bitmap pairing. */
+  private[cube] final case class TimeToConvertNeeds(
+      path: String, tsCol: String, idCol: String, periodDays: Int,
+      integralId: Boolean, stepCol: String, steps: Seq[String],
+      outs: Seq[RollOut],
+      join: Option[(String, String, String, String)] = None,
+      calendar: Option[(String, Long)] = None)
+
+  /** The TIME-TO-CONVERT plan shape — q278's raw form, "how long does
+    * the funnel take":
+    *
+    *   s_1 = step-1 min frame (id → t_1)
+    *   s_K = the full min-chain (id → t_K)
+    *   s_K ⋈ s_1 ON id GROUP BY t_K − t_1 → count
+    *
+    * routed to the [[CubeService.getTimeToConvert]] algebra: F_p
+    * (first step-1 period = p) paired with N_q (newly converted at q)
+    * — every converted id lands in exactly one (F, N) cell at its
+    * true lag, so the AND-cardinality histogram equals the per-id
+    * subtraction re-count. Refusals: a short side that is not exactly
+    * the chain's FIRST stage (a t_3 − t_2 lag has no F-frame), a
+    * windowed chain (the bounded recursion's t_1 is a different
+    * anchor), mismatched sources/periods/filters, a reversed or
+    * non-subtraction grouping, extra join conjuncts. count(1) /
+    * count(id) / count(DISTINCT id) all equal here — the join's rows
+    * are one per converted id and null ids never join. */
+  private[cube] def analyzeTimeToConvert(
+      plan: LogicalPlan): Option[TimeToConvertNeeds] = plan match {
+    case Aggregate(groups, aggs, child, _) if groups.size == 1 =>
+      val (base, env0, preds0) = peel(child)
+      if (!preds0.forall(_.isInstanceOf[IsNotNull])) return None
+      val sub0 = subst(env0) _
+      base match {
+        case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
+            Some(cond), _) =>
+          val cl = minChain(l).getOrElse(return None)
+          val cr = minChain(r).getOrElse(return None)
+          val (long, short) =
+            if (cl.steps.size >= cr.steps.size) (cl, cr) else (cr, cl)
+          if (short.steps != Seq(long.steps.head)) return None
+          if (long.steps.size < 2 || long.steps.size > 8) return None
+          if (long.within != 0L || short.within != 0L) return None
+          if (long.path != short.path || long.join != short.join ||
+            long.tsCol != short.tsCol ||
+            long.periodDays != short.periodDays ||
+            long.calendar != short.calendar ||
+            long.idSrc.name != short.idSrc.name) return None
+          val cs = conjunctsOf(cond).filterNot(_.isInstanceOf[IsNotNull])
+          val idIds = Set(long.idOut, short.idOut)
+          cs match {
+            case Seq(EqualTo(a: AttributeReference,
+                b: AttributeReference))
+                if Set(a.exprId, b.exprId) == idIds => ()
+            case _ => return None
+          }
+          val lagOk = sub0(groups.head) match {
+            case Subtract(a: AttributeReference, b: AttributeReference,
+                _) => a.exprId == long.tOut && b.exprId == short.tOut
+            case _ => false
+          }
+          if (!lagOk) return None
+          def sameAsGroup(e: Expression): Boolean =
+            sub0(e).canonicalized == sub0(groups.head).canonicalized
+          var counted = false
+          val outs: Seq[RollOut] = aggs.map { ne =>
+            val c = ne match {
+              case a: AttributeReference => (a: Expression)
+              case al: Alias => al.child
+              case _ => return None
+            }
+            if (sameAsGroup(c)) RollOut.Day
+            else c match {
+              case AggregateExpression(Count(Seq(Literal(v, _))),
+                  Complete, false, _, _) if v != null =>
+                counted = true; RollOut.Leaf("count", "")
+              case AggregateExpression(Count(Seq(a: AttributeReference)),
+                  Complete, _, _, _) if idIds.contains(a.exprId) =>
+                counted = true; RollOut.Leaf("count", "")
+              case _ => return None
+            }
+          }
+          if (!counted) return None
+          Some(TimeToConvertNeeds(long.path, long.tsCol,
+            long.idSrc.name, long.periodDays,
+            integral(long.idSrc.dataType), long.stepCol, long.steps,
+            outs, long.join, long.calendar))
+        case _ => None
+      }
+    case _ => None
+  }
+
   /** The bitmap family's type boundary (see [[CubeManager.create]]'s
     * validation): distinct ids must be integral for the cast-to-BIGINT
     * bit encoding to be injective. */
@@ -2810,6 +3769,12 @@ object CubeAdvisor {
         case _ => None
       }
     }
+
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+      conjunctsOf(a) ++ conjunctsOf(b)
+    case other => Seq(other)
+  }
 
   /** Peel attribute/alias Projects and Filters down to the relation,
     * collecting alias definitions and filter conjuncts (the same

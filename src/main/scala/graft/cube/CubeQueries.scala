@@ -3937,6 +3937,190 @@ object CubeQueries {
     q
   }
 
+  /** Graded: WINDOWED-FUNNEL routing — q246's gap-bounded conversion
+    * chain written RAW (the ClickHouse-windowFunnel vocabulary: each
+    * step must follow a QUALIFIED previous-step pair within 3 days,
+    * tracked as DISTINCT qualified (id, period) pairs per level —
+    * the greedy min-chain would miss re-qualification), silently
+    * rewritten to [[CubeService.getFunnel]]'s `withinPeriods` cascade
+    * over the registered day+step-dimmed bitmap cube:
+    * [[CubeAdvisor.analyzeFunnel]]'s windowed arm recognizes the
+    * final min stage over the qualified-pair recursion and
+    * [[windowBound]] proves the join bounds `step_p − prev_p` to
+    * exactly [0, w] (strict bounds, mixed windows and repeated steps
+    * refuse); the serve intersects each step's bitmap with a TRAILING
+    * RANGE window union of the previous step's qualified sets, so
+    * calendar gaps age chains out exactly like the raw recursion.
+    * Plan hard-asserted cube-only; FULL DuckDB oracle recomputes the
+    * qualified-pair recursion raw. 100 TB split: the raw plan pays
+    * K−1 fact self-joins plus the quadratic period join per refresh;
+    * the routed cascade is one pass over cube partials + K window
+    * passes over the |periods| frame. */
+  def q298WindowFunnelRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = rollingRouteSource(spark, sfDir)
+    def src = spark.read.parquet(srcDir)
+    def ev(s: String) = src.filter(col("event_type") === s)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("p"))
+    val q1 = ev("view").distinct()
+    def level(prevQ: DataFrame, s: String) =
+      ev(s).as("e").join(prevQ.as("c"),
+          col("c.user_id") === col("e.user_id") &&
+            col("c.p") >= col("e.p") - 3 && col("c.p") <= col("e.p"))
+        .select(col("e.user_id"), col("e.p")).distinct()
+    val q3 = level(level(q1, "click"), "purchase")
+    val t = q3.groupBy(col("user_id")).agg(min(col("p")).as("t"))
+    val days = src.select(
+      (unix_timestamp(col("ts")).cast("double") / 86400)
+        .cast("long").as("day")).distinct()
+    val q = days.join(t, col("t") <= col("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("converted"))
+      .orderBy(col("day"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && !scans.exists(_.endsWith("/source")),
+      s"windowed funnel routing did not fire (or still reads the " +
+        s"source); scans=$scans")
+    q
+  }
+
+  /** Graded: TIME-TO-CONVERT routing — q278's conversion-lag
+    * histogram written RAW (the full view→click→purchase min-chain
+    * joined to its own first stage, `t_3 − t_1` re-counted per lag —
+    * the "median days to convert" feeder query), silently rewritten
+    * to [[CubeService.getTimeToConvert]]'s bitmap algebra over the
+    * registered day+step cube ([[CubeAdvisor.analyzeTimeToConvert]]):
+    * first-step-1 frames F_p (strict prefix ANDNOT) paired with
+    * newly-converted frames N_q (the cascade's monotone converted-by
+    * set differenced), one AND-cardinality per (p, q ≥ p) pair summed
+    * per lag. Plan hard-asserted cube-only; FULL DuckDB oracle
+    * recomputes the min-chain + subtraction raw. 100 TB split: the
+    * raw plan pays K source joins plus the per-id re-count per
+    * refresh; the routed serve is one cascade pass plus a triangle
+    * walk over |periods| one-row cube-derived frames. */
+  def q299TimeToConvertRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = rollingRouteSource(spark, sfDir)
+    def src = spark.read.parquet(srcDir)
+    def ev(s: String) = src.filter(col("event_type") === s)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("p"))
+    def stage(prev: DataFrame, s: String, t: String, pt: String) =
+      ev(s).as("e").join(prev.as("pv"),
+          col("e.user_id") === col("pv.user_id") &&
+            col("e.p") >= col(s"pv.$pt"))
+        .groupBy(col("e.user_id")).agg(min(col("e.p")).as(t))
+    val s1 = ev("view").groupBy(col("user_id"))
+      .agg(min(col("p")).as("t1"))
+    val s3 = stage(stage(s1, "click", "t2", "t1"), "purchase", "t3",
+      "t2")
+    val q = s3.as("k").join(s1.as("f"),
+        col("k.user_id") === col("f.user_id"))
+      .groupBy((col("k.t3") - col("f.t1")).as("lag_periods"))
+      .agg(count(lit(1)).as("converted"))
+      .orderBy(col("lag_periods"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && !scans.exists(_.endsWith("/source")),
+      s"time-to-convert routing did not fire (or still reads the " +
+        s"source); scans=$scans")
+    q
+  }
+
+  /** Graded: the RAW MRR-BRIDGE dashboard routes END TO END — q288's
+    * seven-column growth-accounting decomposition written exactly as
+    * the BI layer emits it (per-(customer, week) money sums; a
+    * first-seen frame; adjacent-week self-joins for the retained
+    * deltas, the churn anti-join and the resurrected witness; the
+    * observed-week spine left-joined to every term), with EVERY term
+    * rewritten in place to a weight-map walk over the registered
+    * weighted cube ([[CubeAdvisor.analyzeValueBridge]] → the q269
+    * composite-shell discipline): revenue and the spine from the
+    * per-week maps, new/churned/resurrected from key-bitmap set
+    * algebra, expansion/contraction from one tandem merge-walk per
+    * adjacent pair. Plan hard-asserted cube-only — the raw plan's
+    * FIVE self-joins of the per-(id, week) frame all disappear; FULL
+    * DuckDB oracle recomputes the whole bridge raw. 100 TB split: the
+    * raw decomposition shuffles the source's (id, week, value) groups
+    * five times per refresh; the routed dashboard reads ~344 one-row
+    * cube-derived maps per term. */
+  def q297BridgeDashboardRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = firstSeenRouteSource(spark, sfDir)
+    // the id-filtered discipline: every term scopes to non-null ids,
+    // so the weight maps reproduce each exactly (orders has no null
+    // customer, so the filter is a no-op on the data)
+    def src = spark.read.parquet(srcDir)
+      .filter(col("o_custkey").isNotNull)
+    def pExpr = floor((unix_timestamp(col("o_orderdate")).cast("double")
+      / 86400).cast("long").cast("double") / 7).cast("long")
+    def g = src.groupBy(col("o_custkey"), pExpr.as("p"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("w"))
+    def f = src.groupBy(col("o_custkey")).agg(min(pExpr).as("fp"))
+    val spine = src.select(pExpr.as("p")).distinct()
+    val rev = g.groupBy(col("p")).agg(sum(col("w")).as("__rev"))
+    val prevRev = g.groupBy((col("p") + 1).as("p"))
+      .agg(sum(col("w")).as("__prev"))
+    val newV = g.as("g").join(f.as("f"),
+        col("g.o_custkey") === col("f.o_custkey") &&
+          col("g.p") === col("f.fp"))
+      .groupBy(col("g.p")).agg(sum(col("g.w")).as("__new"))
+    val resV = g.as("cur").join(g.as("prv"),
+        col("cur.o_custkey") === col("prv.o_custkey") &&
+          col("prv.p") === col("cur.p") - 1, "left_anti")
+      .as("c2").join(f.as("f2"),
+        col("f2.o_custkey") === col("c2.o_custkey") &&
+          col("f2.fp") < col("c2.p"))
+      .groupBy(col("c2.p")).agg(sum(col("c2.w")).as("__res"))
+    val delta = g.as("cur").join(g.as("prv"),
+        col("cur.o_custkey") === col("prv.o_custkey") &&
+          col("prv.p") === col("cur.p") - 1)
+      .groupBy(col("cur.p"))
+      .agg(sum(greatest(col("cur.w") - col("prv.w"),
+        lit(0).cast("decimal(18,2)"))).as("__exp"),
+        sum(greatest(col("prv.w") - col("cur.w"),
+          lit(0).cast("decimal(18,2)"))).as("__con"))
+    val churn = g.as("prv").join(g.as("cur"),
+        col("cur.o_custkey") === col("prv.o_custkey") &&
+          col("cur.p") === col("prv.p") + 1, "left_anti")
+      .groupBy((col("p") + 1).as("p"))
+      .agg(sum(col("w")).as("__chu"))
+    def money(c: org.apache.spark.sql.Column) =
+      coalesce(c.cast("double"), lit(0.0))
+    val q = spine
+      .join(rev, Seq("p"), "left_outer")
+      .join(prevRev, Seq("p"), "left_outer")
+      .join(newV, Seq("p"), "left_outer")
+      .join(resV, Seq("p"), "left_outer")
+      .join(delta, Seq("p"), "left_outer")
+      .join(churn, Seq("p"), "left_outer")
+      .select(col("p").as("period"),
+        money(col("__rev")).as("revenue"),
+        money(col("__prev")).as("prev_revenue"),
+        money(col("__new")).as("new_value"),
+        money(col("__res")).as("resurrected_value"),
+        money(col("__exp")).as("expansion"),
+        money(col("__con")).as("contraction"),
+        money(col("__chu")).as("churned_value"))
+      .orderBy(col("period"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && !scans.exists(_.endsWith("/source")),
+      s"bridge dashboard routing did not fire (or still reads the " +
+        s"source); scans=$scans")
+    q
+  }
+
   /** Graded: STRING-KEYED cohort-value ROUTING — q284's raw LTV matrix
     * with the id in its most common real-world shape (a string
     * customer key), silently rewritten to the weight-map serve of a
@@ -5290,6 +5474,9 @@ object CubeQueries {
     "q294_dict_cohort_value_routing" -> q294DictCohortValueRouting,
     "q295_top_spenders_routing" -> q295TopSpendersRouting,
     "q296_dict_top_spenders_routing" -> q296DictTopSpendersRouting,
+    "q297_bridge_dashboard_routing" -> q297BridgeDashboardRouting,
+    "q298_window_funnel_routing" -> q298WindowFunnelRouting,
+    "q299_time_to_convert_routing" -> q299TimeToConvertRouting,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -6681,6 +6868,93 @@ object CubeQueries {
         CAST(CAST(w * 100 AS BIGINT) AS DOUBLE) / 100 AS value
       FROM r WHERE rank <= 5
       ORDER BY 1, 2""",
+    // the min-chain + per-id subtraction recomputed raw — the routed
+    // (F, N) bitmap pairing must hash-match the lag histogram
+    "q299_time_to_convert_routing" -> """
+      WITH ev AS (
+        SELECT user_id, event_type,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+            AS BIGINT) AS p
+        FROM events),
+      s1 AS (SELECT user_id, min(p) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.p) AS t2 FROM ev e
+             JOIN s1 ON e.user_id = s1.user_id AND e.p >= s1.t1
+             WHERE e.event_type = 'click' GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.p) AS t3 FROM ev e
+             JOIN s2 ON e.user_id = s2.user_id AND e.p >= s2.t2
+             WHERE e.event_type = 'purchase' GROUP BY 1)
+      SELECT s3.t3 - s1.t1 AS lag_periods,
+        CAST(count(*) AS BIGINT) AS converted
+      FROM s3 JOIN s1 ON s3.user_id = s1.user_id
+      GROUP BY 1 ORDER BY 1""",
+    // the windowed qualified-pair recursion recomputed raw — the
+    // routed bounded cascade must hash-match the conversion curve
+    "q298_window_funnel_routing" -> """
+      WITH ev AS (
+        SELECT user_id, event_type AS s,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+            AS BIGINT) AS p
+        FROM events),
+      c1 AS (SELECT DISTINCT user_id, p FROM ev WHERE s = 'view'),
+      c2 AS (SELECT DISTINCT e.user_id, e.p FROM ev e
+             JOIN c1 ON c1.user_id = e.user_id
+               AND c1.p BETWEEN e.p - 3 AND e.p
+             WHERE e.s = 'click'),
+      c3 AS (SELECT DISTINCT e.user_id, e.p FROM ev e
+             JOIN c2 ON c2.user_id = e.user_id
+               AND c2.p BETWEEN e.p - 3 AND e.p
+             WHERE e.s = 'purchase'),
+      t3 AS (SELECT user_id, min(p) AS t FROM c3 GROUP BY 1),
+      ps AS (SELECT DISTINCT p FROM ev)
+      SELECT ps.p AS day,
+        CAST(count(DISTINCT t3.user_id) AS BIGINT) AS converted
+      FROM ps JOIN t3 ON t3.t <= ps.p
+      GROUP BY 1 ORDER BY 1""",
+    // the raw seven-column bridge recomputed in DuckDB — every routed
+    // term (revenue, spine, new, resurrected, expansion/contraction,
+    // churn) must hash-match under the same LEFT-JOIN shell
+    "q297_bridge_dashboard_routing" -> """
+      WITH g AS (
+        SELECT o_custkey AS id,
+          CAST(floor(date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT) AS p,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1, 2),
+      f AS (SELECT id, min(p) AS fp FROM g GROUP BY 1),
+      ps AS (SELECT DISTINCT p FROM g),
+      prv AS (SELECT p + 1 AS p, id, w FROM g),
+      rev AS (SELECT p, sum(w) AS v FROM g GROUP BY 1),
+      prevrev AS (SELECT p + 1 AS p, sum(w) AS v FROM g GROUP BY 1),
+      newv AS (SELECT g.p, sum(g.w) AS v FROM g
+               JOIN f ON g.id = f.id AND g.p = f.fp GROUP BY 1),
+      resv AS (SELECT g.p, sum(g.w) AS v FROM g
+               JOIN f ON g.id = f.id AND f.fp < g.p
+               LEFT JOIN prv ON prv.p = g.p AND prv.id = g.id
+               WHERE prv.id IS NULL GROUP BY 1),
+      delta AS (SELECT g.p,
+          sum(greatest(g.w - prv.w, 0)) AS exp,
+          sum(greatest(prv.w - g.w, 0)) AS con
+        FROM g JOIN prv ON prv.p = g.p AND prv.id = g.id GROUP BY 1),
+      chu AS (SELECT prv.p, sum(prv.w) AS v FROM prv
+              LEFT JOIN g ON g.p = prv.p AND g.id = prv.id
+              WHERE g.id IS NULL GROUP BY 1)
+      SELECT ps.p AS period,
+        CAST(CAST(COALESCE(rev.v, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS revenue,
+        CAST(CAST(COALESCE(prevrev.v, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS prev_revenue,
+        CAST(CAST(COALESCE(newv.v, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS new_value,
+        CAST(CAST(COALESCE(resv.v, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS resurrected_value,
+        CAST(CAST(COALESCE(delta.exp, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS expansion,
+        CAST(CAST(COALESCE(delta.con, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS contraction,
+        CAST(CAST(COALESCE(chu.v, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS churned_value
+      FROM ps
+      LEFT JOIN rev ON rev.p = ps.p
+      LEFT JOIN prevrev ON prevrev.p = ps.p
+      LEFT JOIN newv ON newv.p = ps.p
+      LEFT JOIN resv ON resv.p = ps.p
+      LEFT JOIN delta ON delta.p = ps.p
+      LEFT JOIN chu ON chu.p = ps.p
+      ORDER BY 1""",
     // the raw weekly top-5 board recomputed in DuckDB with the same
     // deterministic (value DESC, id ASC) tiebreak — the routed
     // bounded-selection serve must hash-match every board row

@@ -369,7 +369,13 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
           val candidates = CubeCatalog.registered.values
             .filter(_.sourcePath == path)
             .flatMap(reg => tryRewrite(agg, reg, base, subst, pred))
-          if (candidates.isEmpty) agg else candidates.minBy(_._2)._1
+          if (candidates.isEmpty)
+            // the direct per-period money sum / observed-period spine
+            // (the bridge's revenue and ps terms) group by a period
+            // derivation the dim matcher can't see — try the
+            // value-bridge vocabulary before giving up
+            tryRewriteValueBridge(agg).getOrElse(agg)
+          else candidates.minBy(_._2)._1
         case None =>
           // JOIN-MV routing: an Aggregate over the registered inner
           // equi-join routes to the join cube. The join's output is the
@@ -403,7 +409,9 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
                   .orElse(tryRewriteCumulative(agg))
                   .orElse(tryRewriteFunnel(agg))
                   .orElse(tryRewriteResurrected(agg))
-                  .orElse(tryRewriteCohortValue(agg)).getOrElse(agg)
+                  .orElse(tryRewriteCohortValue(agg))
+                  .orElse(tryRewriteValueBridge(agg))
+                  .orElse(tryRewriteTimeToConvert(agg)).getOrElse(agg)
               else candidates.minBy(_._2)._1
             case _: Aggregate =>
               // an Aggregate OVER an Aggregate is the per-id cohort
@@ -412,7 +420,8 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
               // the fixed-window engagement histogram (GROUP BY id →
               // count(DISTINCT period), re-counted)
               tryRewriteFirstSeen(agg)
-                .orElse(tryRewriteEngagement(agg)).getOrElse(agg)
+                .orElse(tryRewriteEngagement(agg))
+                .orElse(tryRewriteValueBridge(agg)).getOrElse(agg)
             case _ => agg
           }
       }
@@ -1731,6 +1740,254 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     Some(Project(proj, outPlan))
   }
 
+  /** VALUE-BRIDGE routing — the raw revenue growth-accounting terms
+    * (the MRR bridge's column vocabulary: per-period revenue, the
+    * observed-period spine, new value, churned value, inflow,
+    * resurrected value, expansion/contraction — recognized by
+    * [[CubeAdvisor.analyzeValueBridge]]) rewritten to walks over a
+    * registered weighted cube's per-period maps — the
+    * [[CubeService.getValueGrowthAccounting]] algebra, term-wise, so
+    * the COMPOSITE dashboard assembling them (the exact shape the
+    * BI layer emits) routes end to end under the user's shell (the
+    * q269 composite discipline: the rule transforms every Aggregate
+    * in place). Revenue/periods serve from the cube's plain decimal
+    * measure partials when the raw plan keeps null-id rows (row sums
+    * carry them; weight maps never do) and from the maps when the
+    * plan filters them; the set-valued terms (new/anti/resurrected/
+    * expcon) are one window or self-join over the |periods| one-row
+    * map frame plus one tandem merge-walk per cell. The raw plan pays
+    * up to four self-joins of the per-(id, period) frame per refresh;
+    * the routed serve reads |periods| one-row cube-derived maps. */
+  private def tryRewriteValueBridge(agg: Aggregate): Option[LogicalPlan] = {
+    val needs = CubeAdvisor.analyzeValueBridge(agg).getOrElse(return None)
+    val candidates = needs.join match {
+      case None =>
+        CubeCatalog.registered.values.toSeq
+          .filter(_.sourcePath == needs.path)
+          .flatMap(reg =>
+            buildValueBridgeServe(agg, needs, reg).map((_, reg.cubeSize)))
+      case Some((lp, rp, lk, rk)) =>
+        CubeCatalog.joinRegistered.values.toSeq
+          .filter(jr =>
+            (jr.leftPath == lp && jr.rightPath == rp &&
+              jr.leftKey == lk && jr.rightKey == rk) ||
+            (jr.leftPath == rp && jr.rightPath == lp &&
+              jr.leftKey == rk && jr.rightKey == lk))
+          .flatMap(jr =>
+            buildValueBridgeServe(agg, needs, jr.reg)
+              .map((_, jr.reg.cubeSize)))
+    }
+    if (candidates.isEmpty) None else Some(candidates.minBy(_._2)._1)
+  }
+
+  private def buildValueBridgeServe(
+      agg: Aggregate,
+      needs: CubeAdvisor.ValueBridgeNeeds,
+      reg: CubeCatalog.Registration): Option[LogicalPlan] = {
+    import org.apache.spark.sql.functions._
+    import CubeAdvisor.VBOut
+    val cube = reg.cube
+    val cfg = cube.config
+    if (reg.cubeScanPath.isEmpty) return None
+    if (reg.origScanPath.contains(needs.path)) return None
+    if (cfg.dims.exists(_.id.startsWith("__"))) return None
+    val dayDim = cfg.dims.collectFirst {
+      case TimeDim(id, p, "day") if p == needs.tsCol => id
+    }.getOrElse(return None)
+    val spark = cube.aggregates.sparkSession
+    val cubeFrame = Bridge.ofRows(spark, reg.cubePlan)
+      .filter(col(CubeManager.CountCol) > 0)
+    val filteredFrame = needs.filters.foldLeft(cubeFrame) {
+      case (fr, (srcCol, lits)) =>
+        val dimId = cfg.dims.collectFirst {
+          case FieldDim(id, p) if p == srcCol => id
+        }.getOrElse(return None)
+        val vals = lits.map(l =>
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(l.value, l.dataType))
+        fr.filter(col(dimId).isin(vals: _*))
+    }
+    val periodKey = (needs.calendar match {
+      case None =>
+        floor(datediff(col(dayDim).cast("date"), lit("1970-01-01"))
+          .cast("long").cast("double") / needs.periodDays).cast("long")
+      case Some((g, off)) =>
+        val dd = col(dayDim).cast("date")
+        val base = g match {
+          case "month" => year(dd) * 12 + month(dd)
+          case "quarter" => year(dd) * 4 + quarter(dd)
+          case _ => year(dd)
+        }
+        (base.cast("long") + off).cast("long")
+    }).as("__p")
+    val W = graft.functions.WeightMap
+    val B = graft.functions.Bitmap
+    val emptyBlob = lit(Array[Byte](0, 0, 0, 0))
+    // NULL-PERIOD CONVENTION (documented): every routed bridge term
+    // drops the null-period row — a null event time is not a period.
+    // The raw terms drop it too wherever a join/equality touches the
+    // period; the one raw corner that can emit it (a null-ts row under
+    // the anti term) is excluded by this convention.
+    // the weighted binding (map-served kinds); revenue may instead
+    // bind the plain decimal measure (see below). The spine binds any
+    // weighted measure on the filtered id (weightCol is empty there).
+    def mapsFrame(): Option[org.apache.spark.sql.DataFrame] =
+      cfg.weighted.find(m =>
+          m.idPath == needs.idCol &&
+            (needs.weightCol.isEmpty || m.weightPath == needs.weightCol))
+        .map { wm =>
+          filteredFrame.groupBy(periodKey)
+            .agg(W.mergeAgg(col(wm.id)).as("__wm"))
+            .filter(col("__p").isNotNull)
+            .withColumn("__kbm", W.keyBitmap(col("__wm")))
+        }
+    // served: (__p, value columns per kind) BEFORE the label shift
+    val served: org.apache.spark.sql.DataFrame = needs.kind match {
+      case "periods" if needs.idFiltered =>
+        // id-guarded spine: periods with ≥ 1 non-null-id row — the
+        // weight maps' own row set, or (the advisor-rec binding, which
+        // always carries the id bitmap) the per-period bitmap unions
+        mapsFrame().map(_
+            .filter(B.cardinality(col("__kbm")) >= 1)
+            .select(col("__p")))
+          .orElse(cfg.allBitmaps.find(_.path == needs.idCol).map(bm =>
+            filteredFrame.groupBy(periodKey)
+              .agg(B.unionAgg(col(bm.id)).as("__bm"))
+              .filter(col("__p").isNotNull)
+              .filter(B.cardinality(col("__bm")) >= 1)
+              .select(col("__p"))))
+          .getOrElse(return None)
+      case "periods" =>
+        filteredFrame.select(periodKey).distinct()
+          .filter(col("__p").isNotNull)
+      case "revenue" =>
+        // null-id discipline (see analyzeValueBridge): an id-filtered
+        // plan only the maps reproduce; a nullable unfiltered id only
+        // the measure partials do; a non-nullable id serves from
+        // either (prefer the measure — no blob walk)
+        def viaMeasure = cfg.measures.find(_.path == needs.weightCol)
+          .map(m => filteredFrame.groupBy(periodKey)
+            .agg(sum(col(m.id)).as("__vdec"))
+            .filter(col("__p").isNotNull))
+        def viaMaps = mapsFrame().map(per => per
+          .filter(B.cardinality(col("__kbm")) >= 1)
+          .select(col("__p"),
+            W.sumIn(col("__kbm"), col("__wm")).as("__vl")))
+        (if (needs.idFiltered) viaMaps
+         else if (needs.idNullable) viaMeasure
+         else viaMeasure.orElse(viaMaps)).getOrElse(return None)
+      case "new" =>
+        val per = mapsFrame().getOrElse(return None)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy()
+          .orderBy(col("__p"))
+          .rowsBetween(org.apache.spark.sql.expressions
+            .Window.unboundedPreceding, -1)
+        per
+          .withColumn("__nbm", B.andNot(col("__kbm"),
+            coalesce(B.unionAgg(col("__kbm")).over(w), emptyBlob)))
+          .filter(B.cardinality(col("__nbm")) >= 1)
+          .select(col("__p"),
+            W.sumIn(col("__nbm"), col("__wm")).as("__vl"))
+      case "anti" =>
+        val per = mapsFrame().getOrElse(return None)
+        val other = per.select(col("__p").as("__po"),
+          col("__kbm").as("__okbm"))
+        per.join(other, col("__po") === col("__p") + lit(needs.adj),
+            "left_outer")
+          .withColumn("__abm", B.andNot(col("__kbm"),
+            coalesce(col("__okbm"), emptyBlob)))
+          .filter(B.cardinality(col("__abm")) >= 1)
+          .select(col("__p"),
+            W.sumIn(col("__abm"), col("__wm")).as("__vl"))
+      case "resurrected" =>
+        val per = mapsFrame().getOrElse(return None)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy()
+          .orderBy(col("__p"))
+          .rowsBetween(org.apache.spark.sql.expressions
+            .Window.unboundedPreceding, -1)
+        val prev = per.select(col("__p").as("__po"),
+          col("__kbm").as("__okbm"))
+        per
+          .withColumn("__prefix",
+            coalesce(B.unionAgg(col("__kbm")).over(w), emptyBlob))
+          .join(prev, col("__po") === col("__p") - 1, "left_outer")
+          .withColumn("__rbm", B.and(
+            B.andNot(col("__kbm"), coalesce(col("__okbm"), emptyBlob)),
+            col("__prefix")))
+          .filter(B.cardinality(col("__rbm")) >= 1)
+          .select(col("__p"),
+            W.sumIn(col("__rbm"), col("__wm")).as("__vl"))
+      case "expcon" =>
+        val per = mapsFrame().getOrElse(return None)
+        val prev = per.select(col("__p").as("__pp"),
+          col("__wm").as("__pwm"), col("__kbm").as("__pkbm"))
+        per.join(prev, col("__pp") === col("__p") - 1)
+          .filter(B.cardinality(B.and(col("__kbm"), col("__pkbm"))) >= 1)
+          .withColumn("__d", W.deltaSums(col("__wm"), col("__pwm")))
+          .select(col("__p"), col("__d").getItem(0).as("__exp"),
+            col("__d").getItem(1).as("__con"))
+      case _ => return None
+    }
+    val labeled =
+      if (needs.pShift == 0L) served
+      else served.withColumn("__p", col("__p") + lit(needs.pShift))
+    val outPlan = labeled.queryExecution.optimizedPlan
+    val servedAttr: Map[String, Attribute] =
+      outPlan.output.map(a => a.name -> a).toMap
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    def money(orig: NamedExpression, name: String): Option[NamedExpression] = {
+      // rebuild the raw sum's decimal from the served value (a scaled
+      // long from the maps, a narrower exact decimal from the measure
+      // partials), reproducing the user's outer cast
+      val (sumType, outerCast) = orig match {
+        case al: Alias => al.child match {
+          case Cast(inner, t, _, _) => (inner.dataType, Some(t))
+          case other2 => (other2.dataType, None)
+        }
+        case _ => return None
+      }
+      val dec: Expression = sumType match {
+        case dt: DecimalType if dt.scale == 2 =>
+          servedAttr.get(name) match {
+            case Some(v) if v.dataType == LongType =>
+              org.apache.spark.sql.catalyst.expressions
+                .MakeDecimal(v, dt.precision, 2)
+            case Some(v) if v.dataType.isInstanceOf[DecimalType] =>
+              val vd = v.dataType.asInstanceOf[DecimalType]
+              if (vd.scale != 2 || vd.precision > dt.precision)
+                return None
+              if (vd == dt) v else Cast(v, dt)
+            case _ => return None
+          }
+        case _ => return None
+      }
+      val child: Expression = outerCast match {
+        case Some(t) => Cast(dec, t)
+        case None => dec
+      }
+      Some(Alias(child, orig.name)(exprId = orig.exprId))
+    }
+    val valueCol =
+      if (servedAttr.contains("__vl")) "__vl" else "__vdec"
+    val proj: Seq[NamedExpression] =
+      agg.aggregateExpressions.zip(needs.outs).map {
+        case (orig, VBOut.Period) =>
+          if (orig.dataType != LongType && orig.dataType != IntegerType)
+            return None
+          val p = servedAttr.getOrElse("__p", return None)
+          val child: Expression =
+            if (p.dataType == orig.dataType) p else Cast(p, orig.dataType)
+          Alias(child, orig.name)(exprId = orig.exprId)
+        case (orig, VBOut.Value) =>
+          money(orig, valueCol).getOrElse(return None)
+        case (orig, VBOut.Expansion) =>
+          money(orig, "__exp").getOrElse(return None)
+        case (orig, VBOut.Contraction) =>
+          money(orig, "__con").getOrElse(return None)
+      }
+    Some(Project(proj, outPlan))
+  }
+
   /** FUNNEL routing — the min-join conversion-chain plan ("users who
     * completed view→click→purchase in order, cumulative by period",
     * recognized by [[CubeAdvisor.analyzeFunnel]]) rewritten to the
@@ -1842,12 +2099,27 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    // BOUNDED chains (the q246 windowed vocabulary): step k at p must
+    // follow a step-(k−1) QUALIFICATION at some p' ∈ [p − within, p] —
+    // the getFunnel(withinPeriods) cascade; RANGE frames on the period
+    // key make calendar gaps age the chain out exactly like the raw
+    // qualified-pair recursion (absent periods carry no pairs)
+    val rangeW =
+      if (needs.within <= 0) w
+      else org.apache.spark.sql.expressions.Window
+        .partitionBy(shardCols: _*)
+        .orderBy(col("__p"))
+        .rangeBetween(-needs.within.toLong,
+          org.apache.spark.sql.expressions.Window.currentRow)
     var frame = grid.join(base, keyCols, "left")
     steps.zipWithIndex.foreach { case (_, i) =>
       val qual =
         if (i == 0) coalesce(col(s"__b$i"), emptyBm)
-        else B.and(coalesce(col(s"__b$i"), emptyBm), col(s"__c${i - 1}"))
-      frame = frame.withColumn(s"__c$i", B.unionAgg(qual).over(w))
+        else B.and(coalesce(col(s"__b$i"), emptyBm),
+          if (needs.within <= 0) col(s"__c${i - 1}")
+          else B.unionAgg(col(s"__q${i - 1}")).over(rangeW))
+      frame = frame.withColumn(s"__q$i", qual)
+      frame = frame.withColumn(s"__c$i", B.unionAgg(col(s"__q$i")).over(w))
     }
     val last = steps.size - 1
     val perRow = frame.select((Seq(col("__p")) ++ shardCols :+
@@ -1870,6 +2142,141 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
           Alias(child, orig.name)(exprId = orig.exprId)
         case (orig, _: RollOut.Leaf) =>
           val a = servedAttr.getOrElse("__ret", return None)
+          if (a.dataType != orig.dataType) return None
+          Alias(a, orig.name)(exprId = orig.exprId)
+        case _ => return None
+      }
+    Some(Project(proj, outPlan))
+  }
+
+  /** TIME-TO-CONVERT routing — the raw conversion-lag histogram
+    * (the full min-chain joined to its own first stage, t_K − t_1
+    * re-counted — [[CubeAdvisor.analyzeTimeToConvert]]) rewritten to
+    * the [[CubeService.getTimeToConvert]] bitmap algebra: F_p = first
+    * step-1 period, N_q = newly converted at q (the cascade's
+    * monotone converted-by set differenced), one AND-cardinality per
+    * (p, q ≥ p) pair summed per lag. Unlike the verb there is no
+    * maxLag bound to refuse on: the routed pair walk is the full
+    * triangle over |periods| one-row frames (the q248 shape —
+    * whitelisted in PlanSpec). The raw plan pays K joins over the
+    * source's pairs plus the per-id subtraction re-count per refresh;
+    * the serve is one cascade pass plus the triangle walk over
+    * cube-derived frames. Delete-latched cubes refuse (bitmap
+    * partials are insert-only). */
+  private def tryRewriteTimeToConvert(agg: Aggregate): Option[LogicalPlan] = {
+    val needs = CubeAdvisor.analyzeTimeToConvert(agg).getOrElse(return None)
+    val candidates: Seq[(LogicalPlan, BigInt)] = needs.join match {
+      case None =>
+        CubeCatalog.registered.values.toSeq
+          .filter(_.sourcePath == needs.path)
+          .flatMap(reg =>
+            buildTimeToConvertServe(agg, needs, reg)
+              .map((_, reg.cubeSize)))
+      case Some((lp, rp, lk, rk)) =>
+        CubeCatalog.joinRegistered.values.toSeq
+          .filter(jr =>
+            (jr.leftPath == lp && jr.rightPath == rp &&
+              jr.leftKey == lk && jr.rightKey == rk) ||
+            (jr.leftPath == rp && jr.rightPath == lp &&
+              jr.leftKey == rk && jr.rightKey == lk))
+          .flatMap(jr =>
+            buildTimeToConvertServe(agg, needs, jr.reg)
+              .map((_, jr.reg.cubeSize)))
+    }
+    if (candidates.isEmpty) None else Some(candidates.minBy(_._2)._1)
+  }
+
+  private def buildTimeToConvertServe(
+      agg: Aggregate,
+      needs: CubeAdvisor.TimeToConvertNeeds,
+      reg: CubeCatalog.Registration): Option[LogicalPlan] = {
+    import org.apache.spark.sql.functions._
+    import CubeAdvisor.RollOut
+    val cube = reg.cube
+    val cfg = cube.config
+    if (reg.cubeScanPath.isEmpty) return None
+    if (reg.origScanPath.contains(needs.path)) return None
+    if (cfg.dims.exists(_.id.startsWith("__"))) return None
+    if (cube.hasDeletes) return None
+    val dayDim = cfg.dims.collectFirst {
+      case TimeDim(id, p, "day") if p == needs.tsCol => id
+    }.getOrElse(return None)
+    val stepDim = cfg.dims.collectFirst {
+      case FieldDim(id, p) if p == needs.stepCol => id
+    }.getOrElse(return None)
+    val bmId = cfg.allBitmaps.find(_.path == needs.idCol)
+      .map(_.id).getOrElse(return None)
+    val spark = cube.aggregates.sparkSession
+    val B = graft.functions.Bitmap
+    val cubeFrame = Bridge.ofRows(spark, reg.cubePlan)
+      .filter(col(CubeManager.CountCol) > 0)
+    val periodKey = (needs.calendar match {
+      case None =>
+        floor(datediff(col(dayDim).cast("date"), lit("1970-01-01"))
+          .cast("long").cast("double") / needs.periodDays).cast("long")
+      case Some((g, off)) =>
+        val dd = col(dayDim).cast("date")
+        val base = g match {
+          case "month" => year(dd) * 12 + month(dd)
+          case "quarter" => year(dd) * 4 + quarter(dd)
+          case _ => year(dd)
+        }
+        (base.cast("long") + off).cast("long")
+    }).as("__p")
+    val steps = needs.steps
+    val stepAggs = steps.zipWithIndex.map { case (s, i) =>
+      B.unionAgg(when(col(stepDim) === s, col(bmId))).as(s"__b$i") }
+    // shard rows merge into one full per-period bitmap per step (the
+    // union across shards IS the set; the verb's per-shard walk only
+    // bounds blob size, which cube-derived one-row frames don't need)
+    val base = cubeFrame
+      .filter(col(stepDim).isin(steps: _*))
+      .groupBy(periodKey)
+      .agg(stepAggs.head, stepAggs.tail: _*)
+    val emptyBm = lit(Array[Byte](0, 0, 0, 0))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy().orderBy(col("__p"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wPrev = W.partitionBy().orderBy(col("__p"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wLag = W.partitionBy().orderBy(col("__p"))
+    var frame = base
+    steps.zipWithIndex.foreach { case (_, i) =>
+      val qual =
+        if (i == 0) coalesce(col(s"__b$i"), emptyBm)
+        else B.and(coalesce(col(s"__b$i"), emptyBm), col(s"__c${i - 1}"))
+      frame = frame.withColumn(s"__c$i", B.unionAgg(qual).over(w))
+    }
+    val last = steps.size - 1
+    frame = frame
+      .withColumn("__f", B.andNot(coalesce(col("__b0"), emptyBm),
+        coalesce(B.unionAgg(coalesce(col("__b0"), emptyBm)).over(wPrev),
+          emptyBm)))
+      .withColumn("__n", B.andNot(col(s"__c$last"),
+        coalesce(lag(col(s"__c$last"), 1).over(wLag), emptyBm)))
+    val fFrame = frame.select(col("__p").as("__pa"), col("__f"))
+    val nFrame = frame.select(col("__p").as("__pb"), col("__n"))
+    val served = fFrame.join(nFrame, col("__pb") >= col("__pa"))
+      .select((col("__pb") - col("__pa")).as("__lag"),
+        B.andCardinality(col("__f"), col("__n")).as("__k"))
+      .groupBy(col("__lag"))
+      .agg(sum(col("__k")).as("__conv"))
+      .filter(col("__conv") >= 1)
+    val outPlan = served.queryExecution.optimizedPlan
+    val servedAttr: Map[String, Attribute] =
+      outPlan.output.map(a => a.name -> a).toMap
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val proj: Seq[NamedExpression] =
+      agg.aggregateExpressions.zip(needs.outs).map {
+        case (orig, RollOut.Day) =>
+          if (orig.dataType != LongType && orig.dataType != IntegerType)
+            return None
+          val p = servedAttr.getOrElse("__lag", return None)
+          val child: Expression =
+            if (p.dataType == orig.dataType) p else Cast(p, orig.dataType)
+          Alias(child, orig.name)(exprId = orig.exprId)
+        case (orig, _: RollOut.Leaf) =>
+          val a = servedAttr.getOrElse("__conv", return None)
           if (a.dataType != orig.dataType) return None
           Alias(a, orig.name)(exprId = orig.exprId)
         case _ => return None

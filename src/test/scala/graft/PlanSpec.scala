@@ -85,8 +85,10 @@ class PlanSpec extends AnyFunSuite {
     "q287_sql_cohort_value_routing", // the SQL-text twin of q286
     "q291_dict_cohort_value", // the q282 walk over dict-encoded
                               // monthly one-row weight-map frames
-    "q294_dict_cohort_value_routing") // the q284 routed walk over
+    "q294_dict_cohort_value_routing", // the q284 routed walk over
                               // dict-encoded weekly one-row frames
+    "q299_time_to_convert_routing") // the q278 lag grid routed:
+                              // pb>=pa triangle over one-row frames
 
   test("no unjustified cartesian or nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -1099,6 +1099,85 @@ class CubeAdvisorSpec extends AnyFunSuite {
         "recompute")
   }
 
+  test("value-bridge workloads fold into the retention-family rec; " +
+      "honesty loop routes every term") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(61)
+    val rows = (0 until 1500).map { i =>
+      val day = rnd.nextInt(25)
+      (new Timestamp(1700000000000L + day * 86400000L
+        + rnd.nextInt(86400000)),
+        rnd.nextInt(20 * (day + 1)).toLong,
+        math.round(rnd.nextDouble() * 10000) / 100.0)
+    }
+    val srcDir = Files.createTempDirectory("graft_advvb_src").toString
+    rows.toDF("ts", "uid", "amount").write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+      .filter(col("uid").isNotNull)
+    def pExpr = floor((unix_timestamp(col("ts")).cast("double") / 86400)
+      .cast("long").cast("double") / 3).cast("long")
+    def g = src.groupBy(col("uid"), pExpr.as("p"))
+      .agg(sum(col("amount").cast("decimal(18,2)")).as("w"))
+    def f = src.groupBy(col("uid")).agg(min(pExpr).as("fp"))
+    def rev() = g.groupBy(col("p")).agg(sum(col("w")).as("revenue"))
+    def newV() = g.as("g").join(f.as("f"),
+        col("g.uid") === col("f.uid") && col("g.p") === col("f.fp"))
+      .groupBy(col("g.p")).agg(sum(col("g.w")).as("new_value"))
+    def churn() = g.as("prv").join(g.as("cur"),
+        col("cur.uid") === col("prv.uid") &&
+          col("cur.p") === col("prv.p") + 1, "left_anti")
+      .groupBy((col("p") + 1).as("p"))
+      .agg(sum(col("w")).as("churned_value"))
+    def spine() = src.select(pExpr.as("p")).distinct()
+    // an unfiltered DIRECT revenue (null ids included) rides a plain
+    // decimal MEASURE, not the maps — one rec must carry both
+    def revAll() = spark.read.parquet(srcDir).groupBy(pExpr.as("p"))
+      .agg(sum(col("amount").cast("decimal(18,2)")).as("revenue"))
+    val advice = CubeAdvisor.advise(
+      Seq(rev(), newV(), churn(), spine(), revAll()), "advvb")
+    assert(advice.uncovered.isEmpty, s"uncovered: ${advice.uncovered}")
+    // the id-filtered terms share one rec; the unfiltered direct
+    // revenue groups by no id → its own measure-only rec
+    assert(advice.retention.size == 2, advice.retention.map(_.config))
+    val recs = advice.retention.sortBy(_.config.weighted.isEmpty)
+    val wrec = recs.head
+    assert(wrec.config.weighted ==
+      Seq(WeightedMeasure("amount_w", "uid", "amount")), wrec.config)
+    assert(wrec.config.bitmaps == Seq(Measure("uid_xd", "uid")))
+    val mrec = recs(1)
+    assert(mrec.config.weighted.isEmpty &&
+      mrec.config.measures == Seq(Measure("amount_m", "amount")),
+      mrec.config)
+    // honesty: materialize BOTH verbatim, register — every term routes
+    // and equals its raw recompute
+    advice.retention.zipWithIndex.foreach { case (rec, i) =>
+      val dir = Files.createTempDirectory(s"graft_advvb_cube$i").toString
+      CubeManager.save(CubeManager.create(rec.config, src.sparkSession
+        .read.parquet(srcDir)), dir)
+      CubeCatalog.register(s"advvb_pin$i",
+        CubeManager.load(spark, dir, rec.config.name), srcDir)
+    }
+    val qs = Seq(rev(), newV(), churn(), spine(), revAll())
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          CubeCatalog.sourcePathOf(r)
+      }.flatten
+      assert(scans.nonEmpty && !scans.exists(_.endsWith(srcDir)),
+        s"advised bridge term $i did not route: $scans")
+    }
+    val served = qs.map(_.collect().map(_.toSeq).sortBy(_.toString))
+    CubeCatalog.clear()
+    Seq(rev(), newV(), churn(), spine(), revAll()).zip(served)
+      .zipWithIndex.foreach { case ((q, s), i) =>
+        assert(q.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+          s.toSeq,
+          s"advised-and-routed bridge term $i must equal the raw " +
+            "recompute")
+      }
+  }
+
   test("first-seen and engagement workloads fold into the retention-family cube") {
     import spark.implicits._
     CubeCatalog.clear()

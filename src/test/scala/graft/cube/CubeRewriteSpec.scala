@@ -1793,9 +1793,12 @@ class CubeRewriteSpec extends AnyFunSuite {
     }
     val norm = CubeCatalog.normalize(srcDir)
     // strict < is the EXCLUSIVE curve — a different answer, refused
-    assert(scansOf(cum(1, strict = true)).distinct == Seq(norm),
+    // (the observed-period SPINE subplan inside may still route — the
+    // r16 value-bridge periods matcher serves it exactly — so the
+    // refusal check is "the cumulative still reads the source")
+    assert(scansOf(cum(1, strict = true)).contains(norm),
       "strict inequality must refuse the route")
-    assert(scansOf(oneSided()).distinct == Seq(norm),
+    assert(scansOf(oneSided()).contains(norm),
       "one-sided filter must refuse the route")
     val servedRows = routed.map(sortedRows)
     CubeCatalog.clear()
@@ -2049,6 +2052,92 @@ class CubeRewriteSpec extends AnyFunSuite {
     assert(!scansOf(badS).forall(_.endsWith("/rollrw")),
       "a string id with no registered dictionary-weighted cube must " +
         "stay raw")
+  }
+
+  test("raw value-bridge terms route to the weight-map walks") {
+    val srcDir = rollingSetup()
+    def src = spark.read.parquet(srcDir)
+    def pExpr = floor((unix_timestamp(col("ts")).cast("double") / 86400)
+      .cast("long").cast("double") / 3).cast("long")
+    def srcNN = src.filter(col("user_id").isNotNull)
+    def g(base: DataFrame = srcNN) =
+      base.groupBy(col("user_id"), pExpr.as("p"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("w"))
+    def f = srcNN.groupBy(col("user_id")).agg(min(pExpr).as("fp"))
+    // revenue: direct off the source (null ids INCLUDED — served from
+    // the cube's plain measure partials)
+    def rev() = src.groupBy(pExpr.as("p"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("revenue"))
+    // revenue over the per-(id, period) frame, and its p+1 relabel
+    def revG() = g().groupBy(col("p")).agg(sum(col("w")).as("revenue"))
+    def prevRev() = g().groupBy((col("p") + 1).as("p"))
+      .agg(sum(col("w")).cast("double").as("prev_revenue"))
+    // the observed-period spine
+    def spine() = src.select(pExpr.as("p")).distinct()
+    // new value: ids at their first period
+    def newV() = g().as("g").join(f.as("f"),
+        col("g.user_id") === col("f.user_id") && col("g.p") === col("f.fp"))
+      .groupBy(col("g.p")).agg(sum(col("g.w")).as("new_value"))
+    // churned value: ids at p absent from p+1, labeled p+1
+    def churn() = g().as("prv").join(g().as("cur"),
+        col("cur.user_id") === col("prv.user_id") &&
+          col("cur.p") === col("prv.p") + 1, "left_anti")
+      .groupBy((col("p") + 1).as("p"))
+      .agg(sum(col("w")).as("churned_value"))
+    // expansion / contraction over retained ids
+    def expCon() = g().as("cur").join(g().as("prv"),
+        col("cur.user_id") === col("prv.user_id") &&
+          col("prv.p") === col("cur.p") - 1)
+      .groupBy(col("cur.p"))
+      .agg(sum(greatest(col("cur.w") - col("prv.w"), lit(0).cast(
+        "decimal(18,2)"))).as("expansion"),
+        sum(greatest(col("prv.w") - col("cur.w"), lit(0).cast(
+          "decimal(18,2)"))).as("contraction"))
+    // resurrected value: absent from p−1 with a strict earlier witness
+    def resV() = g().as("cur").join(g().as("prv"),
+        col("cur.user_id") === col("prv.user_id") &&
+          col("prv.p") === col("cur.p") - 1, "left_anti")
+      .as("c2").join(f.as("f2"),
+        col("f2.user_id") === col("c2.user_id") &&
+          col("f2.fp") < col("c2.p"))
+      .groupBy(col("c2.p")).agg(sum(col("c2.w")).as("resurrected_value"))
+    val routed = Seq(rev(), revG(), prevRev(), spine(), newV(), churn(),
+      expCon(), resV())
+    routed.zipWithIndex.foreach { case (q, i) =>
+      assert(scansOf(q).forall(_.endsWith("/rollrw")),
+        s"value-bridge route $i did not fire: ${scansOf(q)}")
+    }
+    val norm = CubeCatalog.normalize(srcDir)
+    // refusals: churn without the null-id proof (LeftAnti keeps raw
+    // null-id rows the maps never carry); a non-strict witness; a
+    // double-summed weight
+    def churnNoNN() = g(src).as("prv").join(g(src).as("cur"),
+        col("cur.user_id") === col("prv.user_id") &&
+          col("cur.p") === col("prv.p") + 1, "left_anti")
+      .groupBy((col("p") + 1).as("p"))
+      .agg(sum(col("w")).as("churned_value"))
+    assert(scansOf(churnNoNN()).distinct == Seq(norm),
+      "churn over a nullable unfiltered id must refuse")
+    def resNonStrict() = g().as("cur").join(g().as("prv"),
+        col("cur.user_id") === col("prv.user_id") &&
+          col("prv.p") === col("cur.p") - 1, "left_anti")
+      .as("c2").join(f.as("f2"),
+        col("f2.user_id") === col("c2.user_id") &&
+          col("f2.fp") <= col("c2.p"))
+      .groupBy(col("c2.p")).agg(sum(col("c2.w")).as("resurrected_value"))
+    assert(scansOf(resNonStrict()).distinct == Seq(norm),
+      "a non-strict witness must refuse the resurrected-value route")
+    def revBad() = src.groupBy(pExpr.as("p"))
+      .agg(sum(col("value")).as("revenue")) // double sum — no discipline
+    assert(scansOf(revBad()).distinct == Seq(norm),
+      "a double-summed revenue must stay raw")
+    val servedRows = routed.map(sortedRows)
+    CubeCatalog.clear()
+    Seq(rev(), revG(), prevRev(), spine(), newV(), churn(), expCon(),
+      resV()).zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
+        assert(sortedRows(q) == s,
+          s"routed value-bridge term must EQUAL the raw join (form $i)")
+      }
   }
 
   test("raw top-spender leaderboards route to the weight-map top-k serve") {
@@ -2422,6 +2511,179 @@ class CubeRewriteSpec extends AnyFunSuite {
       "routed reversed curve must EQUAL the raw recompute")
     assert(sortedRows(wideDays(distinctCount = true)) == servedWide,
       "routed wide-days distinct curve must EQUAL the raw recompute")
+  }
+
+  test("raw WINDOWED funnel chains route to the bounded cascade") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(83)
+    val rows = (0 until 1500).map { i =>
+      (Seq("view", "click", "purchase")(rnd.nextInt(3)),
+        new Timestamp(1700000000000L + rnd.nextInt(14) * 86400000L
+          + rnd.nextInt(86400000)),
+        (i % 60).toLong)
+    }
+    val srcDir = Files.createTempDirectory("graft_wfun_src").toString
+    rows.toDF("etype", "ts", "user_id").write.mode("overwrite")
+      .parquet(srcDir)
+    val cfg = CubeConfig("wfun", "src",
+      Seq(FieldDim("etype", "etype"), TimeDim("day", "ts", "day")),
+      measures = Nil,
+      bitmaps = Seq(Measure("u", "user_id")))
+    val cubeDir = Files.createTempDirectory("graft_wfun_cube").toString
+    CubeManager.save(
+      CubeManager.create(cfg, spark.read.parquet(srcDir)), cubeDir)
+    CubeCatalog.register("wfun",
+      CubeManager.load(spark, cubeDir, "wfun"), srcDir)
+    def src = spark.read.parquet(srcDir)
+    def ev(step: String) = src.filter(col("etype") === step)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("p"))
+    // the q246 qualified-pair recursion, written the way users write
+    // it: Q_k = DISTINCT step-k pairs with a qualified step-(k−1)
+    // pair within the trailing window, then min + cumulative count
+    def wfunnel(w: Int, steps: Seq[String] = Seq("view", "click",
+        "purchase"), flip: Boolean = false,
+        strictLo: Boolean = false) = {
+      val q1 = ev(steps.head).distinct()
+      val qK = steps.tail.foldLeft(q1) { (prevQ, s) =>
+        val cond0 = col("c.user_id") === col("e.user_id")
+        val cond =
+          if (flip) cond0 && col("e.p") >= col("c.p") &&
+            col("e.p") <= col("c.p") + w
+          else if (strictLo) cond0 && col("c.p") > col("e.p") - w &&
+            col("c.p") <= col("e.p")
+          else cond0 && col("c.p") >= col("e.p") - w &&
+            col("c.p") <= col("e.p")
+        ev(s).as("e").join(prevQ.as("c"), cond)
+          .select(col("e.user_id"), col("e.p")).distinct()
+      }
+      val t = qK.groupBy(col("user_id")).agg(min(col("p")).as("t"))
+      val days = src.select(
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("day")).distinct()
+      days.join(t, col("t") <= col("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("converted"))
+        .orderBy(col("day"))
+    }
+    val routed = Seq(wfunnel(3), wfunnel(1),
+      wfunnel(3, flip = true), wfunnel(3, steps = Seq("view", "click")))
+    routed.zipWithIndex.foreach { case (q, i) =>
+      assert(scansOf(q).forall(_.endsWith("/wfun")),
+        s"windowed funnel route $i did not fire: ${scansOf(q)}")
+    }
+    val norm = CubeCatalog.normalize(srcDir)
+    // a strict lower bound is an (w−1)-ish window nobody can serve
+    // exactly — refuse rather than bless a shifted chart
+    assert(scansOf(wfunnel(3, strictLo = true)).contains(norm),
+      "a strict window bound must refuse the bounded cascade")
+    // DEGENERATION: a window covering the whole horizon equals the
+    // unbounded cascade — the routed wide-window curve must equal the
+    // raw UNBOUNDED min-chain recompute (the q252 form)
+    val wide = wfunnel(400)
+    assert(scansOf(wide).forall(_.endsWith("/wfun")),
+      s"wide-window funnel did not route: ${scansOf(wide)}")
+    val servedWide = sortedRows(wide)
+    val servedRows = routed.map(sortedRows)
+    CubeCatalog.clear()
+    Seq(wfunnel(3), wfunnel(1), wfunnel(3, flip = true),
+      wfunnel(3, steps = Seq("view", "click")))
+      .zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
+        assert(sortedRows(q) == s,
+          s"routed windowed funnel must EQUAL the raw qualified-pair " +
+            s"recompute (form $i)")
+      }
+    // the unbounded min-chain raw recompute (q252's shape)
+    def unbounded() = {
+      val s1 = ev("view").groupBy(col("user_id"))
+        .agg(min(col("p")).as("t1"))
+      val s2 = ev("click").as("e").join(s1.as("pv"),
+          col("e.user_id") === col("pv.user_id") &&
+            col("e.p") >= col("pv.t1"))
+        .groupBy(col("e.user_id")).agg(min(col("e.p")).as("t2"))
+      val s3 = ev("purchase").as("e").join(s2.as("pv"),
+          col("e.user_id") === col("pv.user_id") &&
+            col("e.p") >= col("pv.t2"))
+        .groupBy(col("e.user_id")).agg(min(col("e.p")).as("t3"))
+      val days = src.select(
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("day")).distinct()
+      days.join(s3, col("t3") <= col("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("converted"))
+        .orderBy(col("day"))
+    }
+    assert(servedWide == sortedRows(unbounded()),
+      "a horizon-wide window must degenerate to the unbounded cascade")
+  }
+
+  test("raw time-to-convert lag histograms route to the (F, N) pairing") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(89)
+    val rows = (0 until 1500).map { i =>
+      (Seq("view", "click", "purchase")(rnd.nextInt(3)),
+        new Timestamp(1700000000000L + rnd.nextInt(14) * 86400000L
+          + rnd.nextInt(86400000)),
+        (i % 60).toLong)
+    }
+    val srcDir = Files.createTempDirectory("graft_ttc_src").toString
+    rows.toDF("etype", "ts", "user_id").write.mode("overwrite")
+      .parquet(srcDir)
+    val cubeDir = Files.createTempDirectory("graft_ttc_cube").toString
+    CubeManager.save(CubeManager.create(
+      CubeConfig("ttc", "src",
+        Seq(FieldDim("etype", "etype"), TimeDim("day", "ts", "day")),
+        measures = Nil, bitmaps = Seq(Measure("u", "user_id"))),
+      spark.read.parquet(srcDir)), cubeDir)
+    CubeCatalog.register("ttc",
+      CubeManager.load(spark, cubeDir, "ttc"), srcDir)
+    def src = spark.read.parquet(srcDir)
+    def ev(step: String) = src.filter(col("etype") === step)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")).cast("double") / 86400)
+          .cast("long").as("p"))
+    def stage(prev: DataFrame, s: String, t: String, pt: String) =
+      ev(s).as("e").join(prev.as("pv"),
+          col("e.user_id") === col("pv.user_id") &&
+            col("e.p") >= col(s"pv.$pt"))
+        .groupBy(col("e.user_id")).agg(min(col("e.p")).as(t))
+    def s1 = ev("view").groupBy(col("user_id"))
+      .agg(min(col("p")).as("t1"))
+    def s2 = stage(s1, "click", "t2", "t1")
+    def s3 = stage(s2, "purchase", "t3", "t2")
+    def lagHist(short: DataFrame, shortT: String, long: DataFrame,
+        longT: String, reversed: Boolean = false) = {
+      val j = long.as("k").join(short.as("f"),
+        col("k.user_id") === col("f.user_id"))
+      val lag =
+        if (reversed) (col(s"f.$shortT") - col(s"k.$longT")).as("lag")
+        else (col(s"k.$longT") - col(s"f.$shortT")).as("lag")
+      j.groupBy(lag).agg(count(lit(1)).as("converted")).orderBy(col("lag"))
+    }
+    val routed = Seq(lagHist(s1, "t1", s3, "t3"),
+      lagHist(s1, "t1", s2, "t2"))
+    routed.zipWithIndex.foreach { case (q, i) =>
+      assert(scansOf(q).forall(_.endsWith("/ttc")),
+        s"time-to-convert route $i did not fire: ${scansOf(q)}")
+    }
+    val norm = CubeCatalog.normalize(srcDir)
+    // refusals: a lag anchored on a NON-first stage has no F-frame; a
+    // reversed subtraction is a different (negative) histogram
+    assert(scansOf(lagHist(s2, "t2", s3, "t3")).contains(norm),
+      "a t3 - t2 lag must refuse (the anchor is not the first stage)")
+    assert(scansOf(lagHist(s1, "t1", s3, "t3", reversed = true))
+      .contains(norm), "a reversed subtraction must refuse")
+    val servedRows = routed.map(sortedRows)
+    CubeCatalog.clear()
+    Seq(lagHist(s1, "t1", s3, "t3"), lagHist(s1, "t1", s2, "t2"))
+      .zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
+        assert(sortedRows(q) == s,
+          s"routed lag histogram must EQUAL the raw min-chain " +
+            s"subtraction (form $i)")
+      }
   }
 
   test("SQL-text retention and cumulative plans route like the DataFrame forms") {
@@ -2818,7 +3080,9 @@ class CubeRewriteSpec extends AnyFunSuite {
       .agg(countDistinct(col("uid_s")).as("nv"),
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"))
     val plain = rollingSetup()
-    assert(scansOf(q(plain)).distinct == Seq(CubeCatalog.normalize(plain)),
+    // the endpoints spine may route (r16 periods matcher) — the
+    // refusal check is "the approx aggregate still reads the source"
+    assert(scansOf(q(plain)).contains(CubeCatalog.normalize(plain)),
       "approx rolling families must refuse without the opt-in")
     val opted = rollingSetup(approx = true)
     assert(scansOf(q(opted)).forall(_.endsWith("/rollrw")),
