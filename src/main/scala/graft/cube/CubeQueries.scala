@@ -139,6 +139,9 @@ object CubeQueries {
     joinDictService(spark, sfDir)
     joinFunnelRouteSources(spark, sfDir)
     firstSeenRouteSource(spark, sfDir)
+    calRetService(spark, sfDir)
+    dictValService(spark, sfDir)
+    dictValRouteSource(spark, sfDir)
     ()
   }
 
@@ -3989,6 +3992,117 @@ object CubeQueries {
     q
   }
 
+  /** Graded: the SQL-TEXT leaderboard — q295's routed top-spender
+    * board in the form BI layers actually emit (a ROW_NUMBER window
+    * in a subquery, filtered in the outer SELECT): the analyzer
+    * lowers it to exactly the Filter-over-Window shape
+    * [[CubeAdvisor.analyzeTopSpenders]] matches, so the text form
+    * routes verbatim to the bounded-selection serve — the q242/q287
+    * authorship-path discipline extended to the newest routed family.
+    * Plan hard-asserted cube-only; the same full DuckDB oracle as
+    * q295. */
+  def q300SqlTopSpendersRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = firstSeenRouteSource(spark, sfDir)
+    spark.read.parquet(srcDir)
+      .createOrReplaceTempView("board_route_orders")
+    val q = spark.sql("""
+      WITH g AS (
+        SELECT o_custkey,
+          CAST(floor(CAST(datediff(o_orderdate, DATE '1970-01-01')
+            AS BIGINT) / 7.0) AS BIGINT) AS p,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+        FROM board_route_orders
+        WHERE o_custkey IS NOT NULL
+        GROUP BY 1, 2),
+      r AS (SELECT p, o_custkey, w,
+          ROW_NUMBER() OVER (PARTITION BY p
+                             ORDER BY w DESC, o_custkey ASC) AS rnk
+        FROM g)
+      SELECT p AS period, CAST(rnk AS BIGINT) AS rank,
+        o_custkey AS id, CAST(w AS DOUBLE) AS value
+      FROM r WHERE rnk <= 5
+      ORDER BY period, rank""")
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && !scans.exists(_.endsWith("/source")),
+      s"SQL-text leaderboard routing did not fire (or still reads " +
+        s"the source); scans=$scans")
+    q
+  }
+
+  /** Graded: the SQL-TEXT bridge dashboard — q297's seven-column MRR
+    * decomposition as a literal SQL string (CTEs, NOT EXISTS for the
+    * churn/resurrected anti-conditions — exactly how a BI layer or an
+    * analyst writes it): `RewritePredicateSubquery` lowers NOT EXISTS
+    * to the LeftAnti joins and `PushDownLeftSemiAntiJoin` pushes them
+    * below the per-(id, week) aggregation, landing on the same
+    * optimized shapes [[CubeAdvisor.analyzeValueBridge]] matches — so
+    * the text form routes END TO END with no DataFrame in sight.
+    * Plan hard-asserted cube-only; same full DuckDB oracle as q297. */
+  def q301SqlBridgeDashboardRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = firstSeenRouteSource(spark, sfDir)
+    spark.read.parquet(srcDir)
+      .createOrReplaceTempView("bridge_route_orders")
+    val q = spark.sql("""
+      WITH g AS (
+        SELECT o_custkey AS id,
+          CAST(floor(CAST(datediff(o_orderdate, DATE '1970-01-01')
+            AS BIGINT) / 7.0) AS BIGINT) AS p,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+        FROM bridge_route_orders
+        WHERE o_custkey IS NOT NULL
+        GROUP BY 1, 2),
+      f AS (SELECT id, min(p) AS fp FROM g GROUP BY 1),
+      ps AS (SELECT DISTINCT p FROM g),
+      rev AS (SELECT p, sum(w) AS v FROM g GROUP BY 1),
+      prevrev AS (SELECT p + 1 AS p, sum(w) AS v FROM g GROUP BY 1),
+      newv AS (SELECT g.p, sum(g.w) AS v FROM g
+               JOIN f ON g.id = f.id AND g.p = f.fp GROUP BY 1),
+      resv AS (SELECT cur.p, sum(cur.w) AS v FROM g cur
+               JOIN f ON f.id = cur.id AND f.fp < cur.p
+               WHERE NOT EXISTS (SELECT 1 FROM g prv
+                 WHERE prv.id = cur.id AND prv.p = cur.p - 1)
+               GROUP BY 1),
+      delta AS (SELECT cur.p,
+          sum(greatest(cur.w - prv.w, CAST(0 AS DECIMAL(18,2)))) AS e,
+          sum(greatest(prv.w - cur.w, CAST(0 AS DECIMAL(18,2)))) AS c
+        FROM g cur JOIN g prv
+          ON prv.id = cur.id AND prv.p = cur.p - 1
+        GROUP BY 1),
+      chu AS (SELECT prv.p + 1 AS p, sum(prv.w) AS v FROM g prv
+              WHERE NOT EXISTS (SELECT 1 FROM g cur
+                WHERE cur.id = prv.id AND cur.p = prv.p + 1)
+              GROUP BY 1)
+      SELECT ps.p AS period,
+        coalesce(CAST(rev.v AS DOUBLE), 0D) AS revenue,
+        coalesce(CAST(prevrev.v AS DOUBLE), 0D) AS prev_revenue,
+        coalesce(CAST(newv.v AS DOUBLE), 0D) AS new_value,
+        coalesce(CAST(resv.v AS DOUBLE), 0D) AS resurrected_value,
+        coalesce(CAST(delta.e AS DOUBLE), 0D) AS expansion,
+        coalesce(CAST(delta.c AS DOUBLE), 0D) AS contraction,
+        coalesce(CAST(chu.v AS DOUBLE), 0D) AS churned_value
+      FROM ps
+      LEFT JOIN rev ON rev.p = ps.p
+      LEFT JOIN prevrev ON prevrev.p = ps.p
+      LEFT JOIN newv ON newv.p = ps.p
+      LEFT JOIN resv ON resv.p = ps.p
+      LEFT JOIN delta ON delta.p = ps.p
+      LEFT JOIN chu ON chu.p = ps.p
+      ORDER BY 1""")
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && !scans.exists(_.endsWith("/source")),
+      s"SQL-text bridge routing did not fire (or still reads the " +
+        s"source); scans=$scans")
+    q
+  }
+
   /** Graded: TIME-TO-CONVERT routing — q278's conversion-lag
     * histogram written RAW (the full view→click→purchase min-chain
     * joined to its own first stage, `t_3 − t_1` re-counted per lag —
@@ -5477,6 +5591,8 @@ object CubeQueries {
     "q297_bridge_dashboard_routing" -> q297BridgeDashboardRouting,
     "q298_window_funnel_routing" -> q298WindowFunnelRouting,
     "q299_time_to_convert_routing" -> q299TimeToConvertRouting,
+    "q300_sql_top_spenders_routing" -> q300SqlTopSpendersRouting,
+    "q301_sql_bridge_dashboard_routing" -> q301SqlBridgeDashboardRouting,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -6868,6 +6984,23 @@ object CubeQueries {
         CAST(CAST(w * 100 AS BIGINT) AS DOUBLE) / 100 AS value
       FROM r WHERE rank <= 5
       ORDER BY 1, 2""",
+    // the BI text form of q295 recomputed raw — the routed board
+    // must hash-match under the same deterministic tiebreak
+    "q300_sql_top_spenders_routing" -> """
+      WITH g AS (
+        SELECT o_custkey AS id,
+          CAST(floor(date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT) AS p,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1, 2),
+      r AS (SELECT p AS period, id, w,
+          row_number() OVER (PARTITION BY p ORDER BY w DESC, id ASC)
+            AS rank
+        FROM g)
+      SELECT period, CAST(rank AS BIGINT) AS rank, id,
+        CAST(CAST(w * 100 AS BIGINT) AS DOUBLE) / 100 AS value
+      FROM r WHERE rank <= 5
+      ORDER BY 1, 2""",
     // the min-chain + per-id subtraction recomputed raw — the routed
     // (F, N) bitmap pairing must hash-match the lag histogram
     "q299_time_to_convert_routing" -> """
@@ -6914,6 +7047,47 @@ object CubeQueries {
     // the raw seven-column bridge recomputed in DuckDB — every routed
     // term (revenue, spine, new, resurrected, expansion/contraction,
     // churn) must hash-match under the same LEFT-JOIN shell
+    "q301_sql_bridge_dashboard_routing" -> """
+      WITH g AS (
+        SELECT o_custkey AS id,
+          CAST(floor(date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT) AS p,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1, 2),
+      f AS (SELECT id, min(p) AS fp FROM g GROUP BY 1),
+      ps AS (SELECT DISTINCT p FROM g),
+      prv AS (SELECT p + 1 AS p, id, w FROM g),
+      rev AS (SELECT p, sum(w) AS v FROM g GROUP BY 1),
+      prevrev AS (SELECT p + 1 AS p, sum(w) AS v FROM g GROUP BY 1),
+      newv AS (SELECT g.p, sum(g.w) AS v FROM g
+               JOIN f ON g.id = f.id AND g.p = f.fp GROUP BY 1),
+      resv AS (SELECT g.p, sum(g.w) AS v FROM g
+               JOIN f ON g.id = f.id AND f.fp < g.p
+               LEFT JOIN prv ON prv.p = g.p AND prv.id = g.id
+               WHERE prv.id IS NULL GROUP BY 1),
+      delta AS (SELECT g.p,
+          sum(greatest(g.w - prv.w, 0)) AS exp,
+          sum(greatest(prv.w - g.w, 0)) AS con
+        FROM g JOIN prv ON prv.p = g.p AND prv.id = g.id GROUP BY 1),
+      chu AS (SELECT prv.p, sum(prv.w) AS v FROM prv
+              LEFT JOIN g ON g.p = prv.p AND g.id = prv.id
+              WHERE g.id IS NULL GROUP BY 1)
+      SELECT ps.p AS period,
+        CAST(CAST(COALESCE(rev.v, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS revenue,
+        CAST(CAST(COALESCE(prevrev.v, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS prev_revenue,
+        CAST(CAST(COALESCE(newv.v, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS new_value,
+        CAST(CAST(COALESCE(resv.v, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS resurrected_value,
+        CAST(CAST(COALESCE(delta.exp, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS expansion,
+        CAST(CAST(COALESCE(delta.con, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS contraction,
+        CAST(CAST(COALESCE(chu.v, 0) * 100 AS BIGINT) AS DOUBLE) / 100 AS churned_value
+      FROM ps
+      LEFT JOIN rev ON rev.p = ps.p
+      LEFT JOIN prevrev ON prevrev.p = ps.p
+      LEFT JOIN newv ON newv.p = ps.p
+      LEFT JOIN resv ON resv.p = ps.p
+      LEFT JOIN delta ON delta.p = ps.p
+      LEFT JOIN chu ON chu.p = ps.p
+      ORDER BY 1""",
     "q297_bridge_dashboard_routing" -> """
       WITH g AS (
         SELECT o_custkey AS id,
