@@ -379,6 +379,19 @@ object CubeAdvisor {
     // measure, and the id-guarded spine rides the id bitmap
     val valueBridgeHits: Seq[(Int, ValueBridgeNeeds)] =
       claim(analyzeValueBridge)
+    // LEADERBOARD shapes (q295's vocabulary) fold in too: the board's
+    // top node is a Filter-over-Window (componentsOf keeps the whole
+    // plan as one component), so the claim peels the user's output
+    // Project before matching; the serve needs the same weighted
+    // measure the LTV family recommends
+    val topSpenderHits: Seq[(Int, TopSpendersNeeds)] = claim {
+      case pr: Project => pr.child match {
+        case f: Filter => analyzeTopSpenders(f)
+        case _ => None
+      }
+      case f: Filter => analyzeTopSpenders(f)
+      case _ => None
+    }
     val analyzed: Seq[(Int, Option[Needs])] =
       comps.zipWithIndex.collect {
         case ((qi, p), ci) if !claimed(ci) => qi -> analyze(p)
@@ -430,6 +443,9 @@ object CubeAdvisor {
     val vbGrouped = keep(valueBridgeHits)
       .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol,
         Seq.empty[String], h._2.filters.map(_._1).distinct.sorted))
+    val tsGrouped = keep(topSpenderHits)
+      .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol,
+        Seq.empty[String], h._2.filters.map(_._1).distinct.sorted))
     // which cube family serves a bridge hit (mirrors the serve
     // selection in CubeRewrite.buildValueBridgeServe)
     def vbMaps(n: ValueBridgeNeeds): Boolean = n.kind match {
@@ -440,7 +456,7 @@ object CubeAdvisor {
     def vbMeasure(n: ValueBridgeNeeds): Boolean =
       n.kind == "revenue" && !n.idFiltered
     val retentionRecs = (retGrouped.keySet ++ cvGrouped.keySet ++
-        vbGrouped.keySet)
+        vbGrouped.keySet ++ tsGrouped.keySet)
       .toSeq.sortBy(g => (g._1, g._2, g._3,
         g._4.mkString(","), g._5.mkString(",")))
       .zipWithIndex.map {
@@ -448,6 +464,7 @@ object CubeAdvisor {
           val hits = retGrouped.getOrElse(key, Nil)
           val cvs = cvGrouped.getOrElse(key, Nil)
           val vbs = vbGrouped.getOrElse(key, Nil)
+          val tss = tsGrouped.getOrElse(key, Nil)
           val dayDim = s"${tsCol}_day"
           val bmId = s"${idCol}_xd"
           val m = Seq(Measure(bmId, idCol))
@@ -458,7 +475,8 @@ object CubeAdvisor {
           // create-time contract)
           val integralId = hits.headOption.map(_._2.integralId)
             .orElse(cvs.headOption.map(_._2.integralId))
-            .getOrElse(vbs.head._2.integralId)
+            .orElse(vbs.headOption.map(_._2.integralId))
+            .getOrElse(tss.head._2.integralId)
           // a bridge group keyed by no id (direct revenue / spine over
           // ALL rows) dims the day only — no id column exists to bitmap
           val hasId = idCol.nonEmpty
@@ -481,25 +499,28 @@ object CubeAdvisor {
               bitmaps = if (hasId && integralId) m else Nil,
               dictBitmaps = if (hasId && !integralId) m else Nil,
               // one weighted measure per distinct LTV weight column —
-              // the cohort-value / bridge serves' per-id additive
-              // partials
+              // the cohort-value / bridge / leaderboard serves'
+              // per-id additive partials
               weighted = (cvs.map(_._2.weightCol) ++
-                vbs.filter(h => vbMaps(h._2)).map(_._2.weightCol))
+                vbs.filter(h => vbMaps(h._2)).map(_._2.weightCol) ++
+                tss.map(_._2.weightCol))
                 .distinct.sorted
                 .map(wc => WeightedMeasure(s"${wc}_w", idCol, wc))),
             dayDim, bmId,
             periods = (hits.map(_._2.periodDays) ++
-              cvs.map(_._2.periodDays) ++ vbs.map(_._2.periodDays))
+              cvs.map(_._2.periodDays) ++ vbs.map(_._2.periodDays) ++
+              tss.map(_._2.periodDays))
               .distinct.sorted,
             coveredQueries = (hits.map(_._1) ++ cvs.map(_._1) ++
-              vbs.map(_._1)).distinct.sorted,
+              vbs.map(_._1) ++ tss.map(_._1)).distinct.sorted,
             segmentBy = segments,
             // path grouping keys a JOIN workload by its composite
             // registration identity, so one group is one join — the
             // rec carries the join info for createJoinCube
             join = hits.headOption.map(_._2.join)
               .orElse(cvs.headOption.map(_._2.join))
-              .getOrElse(vbs.head._2.join))
+              .orElse(vbs.headOption.map(_._2.join))
+              .getOrElse(tss.head._2.join))
       }
     val rollingRecs = keep(rollingHits)
       .groupBy(h => (h._2.path, h._2.tsCol, h._2.segments,

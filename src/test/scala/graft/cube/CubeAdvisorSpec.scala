@@ -1099,6 +1099,61 @@ class CubeAdvisorSpec extends AnyFunSuite {
         "recompute")
   }
 
+  test("leaderboard workloads fold into the retention-family rec; " +
+      "honesty loop routes the board") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(71)
+    val rows = (0 until 1200).map { i =>
+      (new Timestamp(1700000000000L + rnd.nextInt(20) * 86400000L
+        + rnd.nextInt(86400000)),
+        s"u${i % 40}",
+        math.round(rnd.nextDouble() * 10000) / 100.0)
+    }
+    val srcDir = Files.createTempDirectory("graft_advts_src").toString
+    rows.toDF("ts", "uid", "amount").write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+    def board() = {
+      val g = src.filter(col("uid").isNotNull)
+        .groupBy(col("uid"),
+          floor((unix_timestamp(col("ts")).cast("double") / 86400)
+            .cast("long").cast("double") / 7).cast("long").as("p"))
+        .agg(sum(col("amount").cast("decimal(18,2)")).as("w"))
+      val win = Window.partitionBy(col("p"))
+        .orderBy(col("w").desc, col("uid").asc)
+      g.withColumn("rnk", row_number().over(win)).filter(col("rnk") <= 3)
+        .select(col("p").as("period"), col("rnk").as("rank"),
+          col("uid").as("id"), col("w").cast("double").as("value"))
+    }
+    // a STRING-keyed board: the rec must carry dictBitmaps + weighted
+    // (the routed serve translates candidates through the dictionary)
+    val advice = CubeAdvisor.advise(Seq(board()), "advts")
+    assert(advice.uncovered.isEmpty && advice.retention.size == 1,
+      s"leaderboard workload must fold into one rec: $advice")
+    val rec = advice.retention.head
+    assert(rec.config.weighted ==
+      Seq(WeightedMeasure("amount_w", "uid", "amount")) &&
+      rec.config.dictBitmaps == Seq(Measure("uid_xd", "uid")) &&
+      rec.config.bitmaps.isEmpty, rec.config)
+    val dir = Files.createTempDirectory("graft_advts_cube").toString
+    CubeManager.save(CubeManager.create(rec.config, src), dir)
+    CubeCatalog.register("advts_pin",
+      CubeManager.load(spark, dir, rec.config.name), srcDir)
+    val routed = board()
+    val scans = routed.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    assert(scans.nonEmpty && !scans.exists(_.endsWith(srcDir)),
+      s"advised leaderboard did not route: $scans")
+    val served = routed.collect().map(_.toSeq).sortBy(_.toString)
+    CubeCatalog.clear()
+    val raw = board().collect().map(_.toSeq).sortBy(_.toString)
+    assert(served.toSeq == raw.toSeq,
+      "advised-and-routed board must equal the raw rank")
+  }
+
   test("value-bridge workloads fold into the retention-family rec; " +
       "honesty loop routes every term") {
     import spark.implicits._
