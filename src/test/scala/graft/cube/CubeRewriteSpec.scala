@@ -2148,11 +2148,16 @@ class CubeRewriteSpec extends AnyFunSuite {
     import org.apache.spark.sql.expressions.Window
     def board(k: Int = 3, notNull: Boolean = true,
         tieById: Boolean = true, byCount: Boolean = false,
-        useRank: Boolean = false, extraTie: Boolean = false) = {
+        useRank: Boolean = false, extraTie: Boolean = false,
+        calendar: Boolean = false) = {
       val base = if (notNull) src.filter(col("user_id").isNotNull) else src
       val agg = if (byCount) count(lit(1)) else
         sum(col("value").cast("decimal(18,2)"))
-      val g = base.groupBy(col("user_id"), pExpr.as("p"))
+      val pe =
+        if (calendar) (year(col("ts")) * 12 + month(col("ts")))
+          .cast("long")
+        else pExpr
+      val g = base.groupBy(col("user_id"), pe.as("p"))
         .agg(agg.as("w"))
       val ord =
         if (!tieById) Seq(col("w").desc)
@@ -2166,7 +2171,8 @@ class CubeRewriteSpec extends AnyFunSuite {
           col("user_id").as("id"), col("w").cast("double").as("value"))
         .orderBy(col("period"), col("rank"))
     }
-    val routed = Seq(board(), board(k = 1), board(useRank = true))
+    val routed = Seq(board(), board(k = 1), board(useRank = true),
+      board(calendar = true))
     routed.zipWithIndex.foreach { case (q, i) =>
       assert(scansOf(q).forall(_.endsWith("/rollrw")),
         s"leaderboard route $i did not fire: ${scansOf(q)}")
@@ -2188,7 +2194,8 @@ class CubeRewriteSpec extends AnyFunSuite {
         "(the id is output-visible; maps carry no null-id group)")
     val servedRows = routed.map(sortedRows)
     CubeCatalog.clear()
-    Seq(board(), board(k = 1), board(useRank = true))
+    Seq(board(), board(k = 1), board(useRank = true),
+      board(calendar = true))
       .zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
         assert(sortedRows(q) == s,
           s"routed leaderboard must EQUAL the raw rank (form $i)")
@@ -3040,8 +3047,40 @@ class CubeRewriteSpec extends AnyFunSuite {
         .groupBy(col("cohort"), (col("p") - col("cohort")).as("age"))
         .agg(count(lit(1)).as("active"), sum(col("w")).as("value"))
     }
+    // r16: the newest routed families in their JOIN forms — the
+    // leaderboard, the bridge's revenue/new terms, and the lag
+    // histogram all dispatch through the same composite join identity
+    def jBoard() = {
+      import org.apache.spark.sql.expressions.Window
+      val me = floor((unix_timestamp(col("o_ts")).cast("double") / 86400)
+        .cast("long").cast("double") / 7).cast("long")
+      val g = joined.filter(col("l_supp").isNotNull)
+        .groupBy(col("l_supp"), me.as("p"))
+        .agg(sum(col("l_amt").cast("decimal(18,2)")).as("w"))
+      val win = Window.partitionBy(col("p"))
+        .orderBy(col("w").desc, col("l_supp").asc)
+      g.withColumn("rnk", row_number().over(win)).filter(col("rnk") <= 3)
+        .select(col("p").as("period"), col("rnk").as("rank"),
+          col("l_supp").as("id"), col("w").cast("double").as("value"))
+    }
+    def jBridge(newTerm: Boolean) = {
+      val me = floor((unix_timestamp(col("o_ts")).cast("double") / 86400)
+        .cast("long").cast("double") / 7).cast("long")
+      val base = joined.filter(col("l_supp").isNotNull)
+      val g = base.groupBy(col("l_supp"), me.as("p"))
+        .agg(sum(col("l_amt").cast("decimal(18,2)")).as("w"))
+      if (!newTerm) g.groupBy(col("p")).agg(sum(col("w")).as("revenue"))
+      else {
+        val f = base.groupBy(col("l_supp")).agg(min(me).as("fp"))
+        g.as("g").join(f.as("f"),
+            col("g.l_supp") === col("f.l_supp") &&
+              col("g.p") === col("f.fp"))
+          .groupBy(col("g.p")).agg(sum(col("g.w")).as("new_value"))
+      }
+    }
     val routedQs = Seq(retained(), churned(), cumulative(), funnel(),
-      firstSeen(), engagement(), resurrected(), cohortValue())
+      firstSeen(), engagement(), resurrected(), cohortValue(),
+      jBoard(), jBridge(newTerm = false), jBridge(newTerm = true))
     routedQs.zipWithIndex.foreach { case (q, i) =>
       assert(scansOf(q).forall(_.contains(".jmv/")),
         s"join cohort route $i did not fire: ${scansOf(q)}")
@@ -3063,7 +3102,9 @@ class CubeRewriteSpec extends AnyFunSuite {
       s"a different join must not route: ${scansOf(otherQ)}")
     CubeCatalog.clear()
     Seq(retained(), churned(), cumulative(), funnel(), firstSeen(),
-      engagement(), resurrected(), cohortValue()).zip(servedRows)
+      engagement(), resurrected(), cohortValue(), jBoard(),
+      jBridge(newTerm = false), jBridge(newTerm = true))
+      .zip(servedRows)
       .zipWithIndex.foreach { case ((q, s), i) =>
         assert(sortedRows(q) == s,
           s"join-routed cohort result must EQUAL the raw recompute " +
