@@ -445,7 +445,8 @@ object CubeAdvisor {
         Seq.empty[String], h._2.filters.map(_._1).distinct.sorted))
     val tsGrouped = keep(topSpenderHits)
       .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol,
-        Seq.empty[String], h._2.filters.map(_._1).distinct.sorted))
+        h._2.segments.map(_._2).distinct.sorted,
+        h._2.filters.map(_._1).distinct.sorted))
     // which cube family serves a bridge hit (mirrors the serve
     // selection in CubeRewrite.buildValueBridgeServe)
     def vbMaps(n: ValueBridgeNeeds): Boolean = n.kind match {
@@ -2699,12 +2700,20 @@ object CubeAdvisor {
       idSrc: AttributeReference, weightSrc: AttributeReference,
       filters: Seq[(String, Seq[Literal])],
       join: Option[(String, String, String, String)],
-      notNullCols: Set[String] = Set.empty)
+      notNullCols: Set[String] = Set.empty,
+      // SEGMENTED boards group by extra plain columns; which plain
+      // grouping is the id is decided by the CALLER (the leaderboard's
+      // ORDER BY names it) — `idSrc`/`idOut` hold the first plain
+      // grouping, `extraPlain` any others (cohort-value refuses them)
+      extraPlain: Seq[(org.apache.spark.sql.catalyst.expressions.ExprId,
+        AttributeReference)] = Nil)
 
   private def weightedPairs(side: LogicalPlan): Option[WeightedPairSide] = {
     val (b, env0, preds0) = peel(side)
     b match {
-      case Aggregate(gs, outs, c, _) if gs.size == 2 && outs.size == 3 =>
+      case Aggregate(gs, outs, c, _)
+          if gs.size >= 2 && gs.size <= 4 &&
+            outs.size == gs.size + 1 =>
         val (inner, env, preds) = peel(c)
         val sub = subst(env0 ++ env) _
         val (path, join, jpreds) = sourceOf(inner).getOrElse(return None)
@@ -2725,6 +2734,8 @@ object CubeAdvisor {
           .ExprId, (String, Int, Option[(String, Long)]))] = None
         var wOut: Option[(org.apache.spark.sql.catalyst.expressions
           .ExprId, AttributeReference)] = None
+        var extra = Vector.empty[(org.apache.spark.sql.catalyst
+          .expressions.ExprId, AttributeReference)]
         // an output is a grouping passthrough (a bare attribute, or —
         // the PullOutGroupingExpressions shape — an Alias of the
         // pulled grouping attribute) or the single weight-sum alias
@@ -2760,6 +2771,8 @@ object CubeAdvisor {
                 case _ => e match {
                   case src: AttributeReference if idOut.isEmpty =>
                     idOut = Some(outId -> src)
+                  case src: AttributeReference =>
+                    extra :+= (outId -> src)
                   case _ => return None
                 }
               }
@@ -2770,7 +2783,7 @@ object CubeAdvisor {
           (pId, (tsCol, pd, cal)) <- pOut
           (wId, wSrc) <- wOut
         } yield WeightedPairSide(path, tsCol, pd, cal, idId, pId, wId,
-          idSrc, wSrc, fs, join, notNull)
+          idSrc, wSrc, fs, join, notNull, extra)
       case _ => None
     }
   }
@@ -2797,7 +2810,12 @@ object CubeAdvisor {
       idOut: org.apache.spark.sql.catalyst.expressions.ExprId,
       pOut: org.apache.spark.sql.catalyst.expressions.ExprId,
       wOut: org.apache.spark.sql.catalyst.expressions.ExprId,
-      rankOut: org.apache.spark.sql.catalyst.expressions.ExprId)
+      rankOut: org.apache.spark.sql.catalyst.expressions.ExprId,
+      // SEGMENTED boards ("top spenders per region per week"): the
+      // window partitions by these extra plain columns too — (output
+      // exprId, source column) per segment
+      segments: Seq[(org.apache.spark.sql.catalyst.expressions.ExprId,
+        String)] = Nil)
 
   /** The LEADERBOARD plan shape — `Filter(rank <= k, Window(row_number
     * PARTITION BY period ORDER BY value DESC, id ASC, child = the
@@ -2853,24 +2871,38 @@ object CubeAdvisor {
         case c => c
       }
       val g = weightedPairs(child).getOrElse(return None)
-      w.partitionSpec match {
-        case Seq(p: AttributeReference) if p.exprId == g.pOut => ()
-        case _ => return None
-      }
-      w.orderSpec match {
+      // which plain grouping is the RANKED id is named by the ORDER
+      // BY's ASC tiebreak; every other plain grouping must partition
+      // the window (a segmented board) — an unreferenced grouping
+      // would duplicate board rows the serve cannot see
+      val plain: Map[org.apache.spark.sql.catalyst.expressions.ExprId,
+        AttributeReference] =
+        (Seq(g.idOut -> g.idSrc) ++ g.extraPlain).toMap
+      val (idOutId, idSrc) = w.orderSpec match {
         case Seq(
             SortOrder(wv: AttributeReference, Descending, NullsLast, _),
             SortOrder(iv: AttributeReference, Ascending, NullsFirst, _))
-            if wv.exprId == g.wOut && iv.exprId == g.idOut => ()
+            if wv.exprId == g.wOut && plain.contains(iv.exprId) =>
+          (iv.exprId, plain(iv.exprId))
         case _ => return None
       }
+      val partIds = w.partitionSpec.map {
+        case a: AttributeReference => a.exprId
+        case _ => return None
+      }
+      if (partIds.distinct.size != partIds.size) return None
+      val segIds = plain.keySet - idOutId
+      if (partIds.toSet != segIds + g.pOut) return None
+      val segments = g.extraPlain.filter(_._1 != idOutId)
+        .map { case (oid, src) => oid -> src.name } ++
+        (if (idOutId != g.idOut) Seq(g.idOut -> g.idSrc.name) else Nil)
       // output-visible id: provably no null-id row or no route
-      if (g.idSrc.nullable && !g.notNullCols.contains(g.idSrc.name))
+      if (idSrc.nullable && !g.notNullCols.contains(idSrc.name))
         return None
-      Some(TopSpendersNeeds(g.path, g.tsCol, g.idSrc.name,
+      Some(TopSpendersNeeds(g.path, g.tsCol, idSrc.name,
         g.weightSrc.name, g.periodDays, k, g.filters, g.join,
-        g.calendar, integral(g.idSrc.dataType),
-        g.idOut, g.pOut, g.wOut, rankAttr.exprId))
+        g.calendar, integral(idSrc.dataType),
+        idOutId, g.pOut, g.wOut, rankAttr.exprId, segments))
     case _ => None
   }
 
@@ -3510,10 +3542,12 @@ object CubeAdvisor {
             Some(jc), _) => (jl, jr, jc)
         case _ => return None
       }
-      // the weighted pair side vs the per-id min side, either order
+      // the weighted pair side vs the per-id min side, either order;
+      // extra plain groupings (segmented boards) are not this shape
       val sides: Option[(WeightedPairSide, LogicalPlan)] =
         weightedPairs(l).map((_, r)).orElse(weightedPairs(r).map((_, l)))
       val (g, fSide) = sides.getOrElse(return None)
+      if (g.extraPlain.nonEmpty) return None
       // the min side: GROUP BY id → min(period) straight off the source
       val (fBase, fEnv, fPreds) = peel(fSide)
       if (!fPreds.forall(_.isInstanceOf[IsNotNull])) return None

@@ -4033,6 +4033,45 @@ object CubeQueries {
     q
   }
 
+  /** Graded: the SEGMENTED routed leaderboard — "top spenders per
+    * order priority per week", the sliced board every sales dashboard
+    * adds next: the raw plan groups by (priority, customer, week) and
+    * ranks within (priority, week); [[CubeAdvisor.analyzeTopSpenders]]
+    * reads the segment roles off the WINDOW PARTITION (the ORDER BY's
+    * ASC tiebreak names the ranked id; every other plain grouping must
+    * partition the window or the route refuses — an unpartitioned
+    * grouping would duplicate board rows), and the serve selects
+    * per-(priority, week) maps with the same bounded top-k + re-rank.
+    * Plan hard-asserted cube-only; FULL DuckDB oracle recomputes ~5 ×
+    * 344 sliced boards raw. */
+  def q302SegmentedTopSpendersRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = firstSeenRouteSource(spark, sfDir)
+    def src = spark.read.parquet(srcDir)
+    def pExpr = floor((unix_timestamp(col("o_orderdate")).cast("double")
+      / 86400).cast("long").cast("double") / 7).cast("long")
+    val g = src.filter(col("o_custkey").isNotNull)
+      .groupBy(col("o_orderpriority"), col("o_custkey"), pExpr.as("p"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("w"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"), col("p"))
+      .orderBy(col("w").desc, col("o_custkey").asc)
+    val q = g.withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderpriority").as("prio"),
+        col("p").as("period"), col("rnk").cast("long").as("rank"),
+        col("o_custkey").as("id"), col("w").cast("double").as("value"))
+      .orderBy(col("prio"), col("period"), col("rank"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && !scans.exists(_.endsWith("/source")),
+      s"segmented leaderboard routing did not fire (or still reads " +
+        s"the source); scans=$scans")
+    q
+  }
+
   /** Graded: the SQL-TEXT bridge dashboard — q297's seven-column MRR
     * decomposition as a literal SQL string (CTEs, NOT EXISTS for the
     * churn/resurrected anti-conditions — exactly how a BI layer or an
@@ -5593,6 +5632,7 @@ object CubeQueries {
     "q299_time_to_convert_routing" -> q299TimeToConvertRouting,
     "q300_sql_top_spenders_routing" -> q300SqlTopSpendersRouting,
     "q301_sql_bridge_dashboard_routing" -> q301SqlBridgeDashboardRouting,
+    "q302_segmented_top_spenders_routing" -> q302SegmentedTopSpendersRouting,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -6984,6 +7024,23 @@ object CubeQueries {
         CAST(CAST(w * 100 AS BIGINT) AS DOUBLE) / 100 AS value
       FROM r WHERE rank <= 5
       ORDER BY 1, 2""",
+    // ~5 x 344 sliced boards recomputed raw — the per-(priority,
+    // week) bounded selections must hash-match under the same tiebreak
+    "q302_segmented_top_spenders_routing" -> """
+      WITH g AS (
+        SELECT o_orderpriority AS prio, o_custkey AS id,
+          CAST(floor(date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT) AS p,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1, 2, 3),
+      r AS (SELECT prio, p AS period, id, w,
+          row_number() OVER (PARTITION BY prio, p
+                             ORDER BY w DESC, id ASC) AS rank
+        FROM g)
+      SELECT prio, period, CAST(rank AS BIGINT) AS rank, id,
+        CAST(CAST(w * 100 AS BIGINT) AS DOUBLE) / 100 AS value
+      FROM r WHERE rank <= 3
+      ORDER BY 1, 2, 3""",
     // the BI text form of q295 recomputed raw — the routed board
     // must hash-match under the same deterministic tiebreak
     "q300_sql_top_spenders_routing" -> """

@@ -1675,31 +1675,46 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
         (base.cast("long") + off).cast("long")
     }).as("__p")
     val W = graft.functions.WeightMap
+    // segments: each extra plain grouping must be a (non-time) cube
+    // dimension — the per-(segment, period) maps partition exactly
+    // like the verb's segmentBy
+    val segDims: Seq[(org.apache.spark.sql.catalyst.expressions.ExprId,
+      String)] = needs.segments.map { case (oid, srcCol) =>
+      val dimId = cfg.dims.collectFirst {
+        case FieldDim(id, p) if p == srcCol => id
+      }.getOrElse(return None)
+      oid -> dimId
+    }
+    val segCols = segDims.map { case (_, d) => col(d) }
     // sharded cubes select per shard first (shards partition the id
     // space, so the global top-k is inside the union of per-shard
     // top-ks); the ≤ (|shards|·k + ties) survivors re-rank below
     val sharded = cfg.bitmapShardBits > 0
     val shardCols =
       if (sharded) Seq(col(CubeManager.ShardCol)) else Seq.empty
+    val segSel = segDims.map { case (_, d) => col(d) }
     val per = filteredFrame
-      .groupBy((Seq(periodKey) ++ shardCols): _*)
+      .groupBy((segCols ++ Seq(periodKey) ++ shardCols): _*)
       .agg(W.mergeAgg(col(wm.id)).as("__wm"))
-      .select(col("__p"), explode(W.topK(col("__wm"), needs.k)).as("__e"))
-      .select(col("__p"), col("__e.id").as("__did"),
-        col("__e.w").as("__w"))
+      .select((segSel ++ Seq(col("__p"),
+        explode(W.topK(col("__wm"), needs.k)).as("__e"))): _*)
+      .select((segSel ++ Seq(col("__p"), col("__e.id").as("__did"),
+        col("__e.w").as("__w"))): _*)
     // dict-encoded ids translate to the VISIBLE key before ranking
     val candidates = cfg.dictBitmaps.find(_.path == wm.idPath) match {
       case Some(d) =>
         val dict = cube.dicts.getOrElse(d.id, return None)
           .select(col("__id"), col("__key"))
         per.join(broadcast(dict), per("__did") === dict("__id"))
-          .select(col("__p"), col("__key").as("__vid"), col("__w"))
+          .select((segSel ++ Seq(col("__p"),
+            col("__key").as("__vid"), col("__w"))): _*)
       case None =>
         if (!needs.integralId) return None
-        per.select(col("__p"), col("__did").as("__vid"), col("__w"))
+        per.select((segSel ++ Seq(col("__p"),
+          col("__did").as("__vid"), col("__w"))): _*)
     }
     val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__p"))
+      .partitionBy((segSel :+ col("__p")): _*)
       .orderBy(col("__w").desc, col("__vid").asc)
     val board = candidates
       .withColumn("__rank", row_number().over(win))
@@ -1734,7 +1749,13 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
           val r = servedAttr.getOrElse("__rank", return None)
           if (r.dataType != orig.dataType) return None
           r
-        } else return None
+        } else segDims.find(_._1 == orig.exprId) match {
+          case Some((_, dimId)) =>
+            val s = servedAttr.getOrElse(dimId, return None)
+            if (s.dataType != orig.dataType) return None
+            s
+          case None => return None
+        }
       Alias(child, orig.name)(exprId = orig.exprId)
     }
     Some(Project(proj, outPlan))

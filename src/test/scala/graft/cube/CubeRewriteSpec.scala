@@ -2171,12 +2171,31 @@ class CubeRewriteSpec extends AnyFunSuite {
           col("user_id").as("id"), col("w").cast("double").as("value"))
         .orderBy(col("period"), col("rank"))
     }
+    // SEGMENTED board ("top spenders per event type per period"):
+    // the window partitions by the segment too; an extra grouping NOT
+    // in the partition would duplicate board rows — refused below
+    def segBoard(partitioned: Boolean = true) = {
+      val g = src.filter(col("user_id").isNotNull)
+        .groupBy(col("etype"), col("user_id"), pExpr.as("p"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("w"))
+      val win = (if (partitioned)
+          Window.partitionBy(col("etype"), col("p"))
+        else Window.partitionBy(col("p")))
+        .orderBy(col("w").desc, col("user_id").asc)
+      g.withColumn("rnk", row_number().over(win)).filter(col("rnk") <= 2)
+        .select(col("etype"), col("p").as("period"),
+          col("rnk").as("rank"), col("user_id").as("id"),
+          col("w").cast("double").as("value"))
+    }
     val routed = Seq(board(), board(k = 1), board(useRank = true),
-      board(calendar = true))
+      board(calendar = true), segBoard())
     routed.zipWithIndex.foreach { case (q, i) =>
       assert(scansOf(q).forall(_.endsWith("/rollrw")),
         s"leaderboard route $i did not fire: ${scansOf(q)}")
     }
+    assert(scansOf(segBoard(partitioned = false))
+      .contains(CubeCatalog.normalize(srcDir)),
+      "an extra grouping outside the window partition must refuse")
     val norm = CubeCatalog.normalize(srcDir)
     // refusals: k beyond the serve's bounded selection; a tieless or
     // foreign-column ORDER BY (nondeterministic / unservable ties); a
@@ -2195,7 +2214,7 @@ class CubeRewriteSpec extends AnyFunSuite {
     val servedRows = routed.map(sortedRows)
     CubeCatalog.clear()
     Seq(board(), board(k = 1), board(useRank = true),
-      board(calendar = true))
+      board(calendar = true), segBoard())
       .zip(servedRows).zipWithIndex.foreach { case ((q, s), i) =>
         assert(sortedRows(q) == s,
           s"routed leaderboard must EQUAL the raw rank (form $i)")
