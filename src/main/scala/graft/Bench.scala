@@ -71,7 +71,15 @@ object Bench {
     // declared result), and wide SELECTs under-measure to a row count.
     // The noop sink consumes every declared column, so the timed plan
     // IS the plan a consumer of the query gets.
-    val results = selected.map { case (name, fn) =>
+    // mid-sweep probes too: a load spike in the MIDDLE of a long sweep
+    // leaves both endpoint probes clean (observed: one query 2x its
+    // 3-run band while pre/post probes read normal) — sample the box
+    // at the 1/3 and 2/3 marks as well and judge on the worst probe
+    val midProbes = scala.collection.mutable.ListBuffer.empty[Double]
+    val third = math.max(1, selected.size / 3)
+    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % third == 0 && midProbes.size < 2)
+        midProbes += probe()
       val t0 = System.nanoTime()
       val ok = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -80,19 +88,22 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val probePost = probe()
-    // Contended if the box slowed down across the sweep (post/pre) or if
-    // either probe is absurdly slow in absolute terms (a box loaded for
-    // the WHOLE run keeps the ratio near 1 but both probes high; clean
-    // runs measure this probe at ~0.05-0.2 s at sf0.1).
-    val probeRatio = if (probePre > 0) probePost / probePre else 1.0
-    val contended = probeRatio > 3.0 || probePre > 3.0 || probePost > 3.0
+    // Contended if the box slowed down across the sweep (worst/first
+    // probe ratio, any sample point) or if any probe is absurdly slow
+    // in absolute terms (a box loaded for the WHOLE run keeps ratios
+    // near 1 but every probe high).
+    val allProbes = Seq(probePre) ++ midProbes ++ Seq(probePost)
+    val probeMax = allProbes.max
+    val probeRatio = if (probePre > 0) probeMax / probePre else 1.0
+    val contended = probeRatio > 3.0 || probeMax > 3.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val succeeded = results.map(_._2).filter(_ >= 0)
     val total = if (succeeded.nonEmpty) succeeded.sum else 0.0
     val nFailed = results.map(_._2).count(_ < 0)
     val sentinel =
-      s""""contended":$contended,"probe_pre_sec":$probePre,"probe_post_sec":$probePost"""
+      s""""contended":$contended,"probe_pre_sec":$probePre,""" +
+        s""""probe_post_sec":$probePost,"probe_max_sec":$probeMax"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$nFailed,$sentinel}"""
     Files.createDirectories(Paths.get("target"))
