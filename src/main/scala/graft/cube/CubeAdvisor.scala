@@ -373,6 +373,12 @@ object CubeAdvisor {
     // bitmaps, values from the weight maps
     val cohortValueHits: Seq[(Int, CohortValueNeeds)] =
       claim(analyzeCohortValue)
+    // the count-distinct cohort heatmap (every BI tool's retention
+    // triangle) folds into the SAME day-dimmed bitmap-cube family:
+    // the cube that serves getRetention serves getCohortMatrix's
+    // prefix-ANDNOT + AND-cardinality walk from the same id bitmaps
+    val cohortMatrixHits: Seq[(Int, CohortMatrixNeeds)] =
+      claim(analyzeCohortMatrix)
     // the raw MRR-bridge terms (q297's vocabulary) fold into the SAME
     // day-dimmed weighted cube family: map-served terms add the
     // weighted measure, measure-served revenue adds a plain decimal
@@ -440,6 +446,9 @@ object CubeAdvisor {
     val cvGrouped = keep(cohortValueHits)
       .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol,
         Seq.empty[String], h._2.filters.map(_._1).distinct.sorted))
+    val cmGrouped = keep(cohortMatrixHits)
+      .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol,
+        Seq.empty[String], h._2.filters.map(_._1).distinct.sorted))
     val vbGrouped = keep(valueBridgeHits)
       .groupBy(h => (h._2.path, h._2.tsCol, h._2.idCol,
         Seq.empty[String], h._2.filters.map(_._1).distinct.sorted))
@@ -457,13 +466,14 @@ object CubeAdvisor {
     def vbMeasure(n: ValueBridgeNeeds): Boolean =
       n.kind == "revenue" && !n.idFiltered
     val retentionRecs = (retGrouped.keySet ++ cvGrouped.keySet ++
-        vbGrouped.keySet ++ tsGrouped.keySet)
+        cmGrouped.keySet ++ vbGrouped.keySet ++ tsGrouped.keySet)
       .toSeq.sortBy(g => (g._1, g._2, g._3,
         g._4.mkString(","), g._5.mkString(",")))
       .zipWithIndex.map {
         case (key @ (path, tsCol, idCol, segments, filterCols), k) =>
           val hits = retGrouped.getOrElse(key, Nil)
           val cvs = cvGrouped.getOrElse(key, Nil)
+          val cms = cmGrouped.getOrElse(key, Nil)
           val vbs = vbGrouped.getOrElse(key, Nil)
           val tss = tsGrouped.getOrElse(key, Nil)
           val dayDim = s"${tsCol}_day"
@@ -476,6 +486,7 @@ object CubeAdvisor {
           // create-time contract)
           val integralId = hits.headOption.map(_._2.integralId)
             .orElse(cvs.headOption.map(_._2.integralId))
+            .orElse(cms.headOption.map(_._2.integralId))
             .orElse(vbs.headOption.map(_._2.integralId))
             .getOrElse(tss.head._2.integralId)
           // a bridge group keyed by no id (direct revenue / spine over
@@ -509,10 +520,12 @@ object CubeAdvisor {
                 .map(wc => WeightedMeasure(s"${wc}_w", idCol, wc))),
             dayDim, bmId,
             periods = (hits.map(_._2.periodDays) ++
-              cvs.map(_._2.periodDays) ++ vbs.map(_._2.periodDays) ++
+              cvs.map(_._2.periodDays) ++ cms.map(_._2.periodDays) ++
+              vbs.map(_._2.periodDays) ++
               tss.map(_._2.periodDays))
               .distinct.sorted,
             coveredQueries = (hits.map(_._1) ++ cvs.map(_._1) ++
+              cms.map(_._1) ++
               vbs.map(_._1) ++ tss.map(_._1)).distinct.sorted,
             segmentBy = segments,
             // path grouping keys a JOIN workload by its composite
@@ -520,6 +533,7 @@ object CubeAdvisor {
             // rec carries the join info for createJoinCube
             join = hits.headOption.map(_._2.join)
               .orElse(cvs.headOption.map(_._2.join))
+              .orElse(cms.headOption.map(_._2.join))
               .orElse(vbs.headOption.map(_._2.join))
               .getOrElse(tss.head._2.join))
       }
@@ -2833,7 +2847,23 @@ object CubeAdvisor {
     *   OUTPUT-VISIBLE here (unlike every other routed family) and the
     *   weight maps never carry a null-id group, so a null id row would
     *   appear raw but not routed;
-    * - extra window expressions or filter conjuncts. */
+    * - extra window expressions or filter conjuncts.
+    *
+    * ALL-NULL-WEIGHT convention (declared, not a refusal): the weight
+    * maps store a null weight as 0 with presence kept
+    * ([[graft.functions.WeightMap]]'s codec convention, pinned in
+    * CubeServiceSpec), so an (id, period) group whose weights are ALL
+    * NULL ranks with value 0.00 on the routed board where the raw
+    * window sorts its NULL value LAST. When net values can be negative
+    * or a period holds fewer than k positive ids, that can change
+    * board membership/rank for exactly those all-NULL rows. The
+    * nullable-weight source is NOT refused — every parquet-backed
+    * column resolves nullable, so refusing would refuse all real
+    * plans; the divergence is confined to ids with no non-null weight
+    * in the period, which a revenue table that records amounts never
+    * produces (the same boundary the cohort-value family declares).
+    * The divergence case is pinned in CubeRewriteSpec
+    * ("all-NULL-weight rows follow the declared 0.00 convention"). */
   private[cube] def analyzeTopSpenders(
       plan: LogicalPlan): Option[TopSpendersNeeds] = plan match {
     case Filter(cond, w: org.apache.spark.sql.catalyst.plans.logical.Window) =>
@@ -3169,7 +3199,19 @@ object CubeAdvisor {
     * `revenue`/`periods` sum ALL rows including a null-id group —
     * served from the cube's plain decimal MEASURE partials (row sums,
     * null-id rows included) unless the plan filters the id non-null,
-    * in which case only the weight maps reproduce it. */
+    * in which case only the weight maps reproduce it.
+    *
+    * NULL-PERIOD convention (declared, not a refusal): every routed
+    * bridge term drops rows whose timestamp is NULL — a null event
+    * time is not a period, and the cube's day cells never carry one.
+    * On a null-ts source the RAW spine (`SELECT DISTINCT p`) and the
+    * raw direct-revenue term would each keep one NULL-period group
+    * that the routed serve omits; the adjacency/min-join terms drop
+    * it on both paths (a null period never joins). A user who needs
+    * the null-ts bucket keeps it by NOT registering a cube over the
+    * dirty source (or by cleaning the timestamp first) — the
+    * convention is surfaced in README.md's routing-conventions
+    * section alongside the null-id and all-NULL-weight rules. */
   private[cube] def analyzeValueBridge(
       plan: LogicalPlan): Option[ValueBridgeNeeds] = plan match {
     case Aggregate(groups, aggs, child, _) if groups.size == 1 =>
@@ -3499,6 +3541,40 @@ object CubeAdvisor {
       integralId = integral(wt.idSrc.dataType)))
   }
 
+  /** The per-id min-period frame the cohort matchers share: GROUP BY
+    * id → min(period) straight off the source (possibly passing the
+    * id through), under IsNotNull-only predicates, with the SAME
+    * source / join identity / period derivation / dim filters as the
+    * activity side. Returns the cohort output's exprId plus the id
+    * passthrough's exprId (when the frame re-emits the id). */
+  private def cohortMinFrame(fSide: LogicalPlan, path: String,
+      join: Option[(String, String, String, String)], tsCol: String,
+      periodDays: Int, calendar: Option[(String, Long)],
+      filters: Seq[(String, Seq[Literal])], idName: String):
+      Option[(org.apache.spark.sql.catalyst.expressions.ExprId,
+        Option[org.apache.spark.sql.catalyst.expressions.ExprId])] = {
+    val (fBase, fEnv, fPreds) = peel(fSide)
+    if (!fPreds.forall(_.isInstanceOf[IsNotNull])) return None
+    val (fPath, fJoin, fGroups, fPassthroughs, fAl, fInnerPreds,
+      fSub) = perIdAggregate(fBase, subst(fEnv) _)
+      .getOrElse(return None)
+    if (fGroups.size != 1) return None
+    val (tsCol2, pd2, cal2) = fAl.child match {
+      case AggregateExpression(Min(m), Complete, false, _, _) =>
+        periodKind(fSub(m)).getOrElse(return None)
+      case _ => return None
+    }
+    if (fPath != path || fJoin != join || tsCol2 != tsCol ||
+      pd2 != periodDays || cal2 != calendar) return None
+    val fFs = sideFilters(fInnerPreds, fSub).getOrElse(return None)
+    if (filterKey(fFs) != filterKey(filters)) return None
+    // both sides must group/aggregate the SAME source id column
+    val (fIdOut, fIdSrc) = fGroups.head
+    if (fIdSrc.name != idName) return None
+    val fIdPass = fPassthroughs.find(_.exprId == fIdOut.exprId)
+    Some((fAl.toAttribute.exprId, fIdPass.map(_.exprId)))
+  }
+
   /** The COHORT-VALUE plan shape — revenue by cohort age as users
     * write it raw:
     *
@@ -3549,35 +3625,18 @@ object CubeAdvisor {
       val (g, fSide) = sides.getOrElse(return None)
       if (g.extraPlain.nonEmpty) return None
       // the min side: GROUP BY id → min(period) straight off the source
-      val (fBase, fEnv, fPreds) = peel(fSide)
-      if (!fPreds.forall(_.isInstanceOf[IsNotNull])) return None
-      val (fPath, fJoin, fGroups, fPassthroughs, fAl, fInnerPreds,
-        fSub) = perIdAggregate(fBase, subst(fEnv) _)
+      val (cohortId, fIdPass) = cohortMinFrame(fSide, g.path, g.join,
+        g.tsCol, g.periodDays, g.calendar, g.filters, g.idSrc.name)
         .getOrElse(return None)
-      if (fGroups.size != 1) return None
-      val (tsCol2, pd2, cal2) = fAl.child match {
-        case AggregateExpression(Min(m), Complete, false, _, _) =>
-          periodKind(fSub(m)).getOrElse(return None)
-        case _ => return None
-      }
-      if (fPath != g.path || fJoin != g.join || tsCol2 != g.tsCol ||
-        pd2 != g.periodDays || cal2 != g.calendar) return None
-      val fFs = sideFilters(fInnerPreds, fSub).getOrElse(return None)
-      if (filterKey(fFs) != filterKey(g.filters)) return None
-      // both sides must group/aggregate the SAME source id column
-      val (fIdOut, fIdSrc) = fGroups.head
-      if (fIdSrc.name != g.idSrc.name) return None
-      val fIdPass = fPassthroughs.find(_.exprId == fIdOut.exprId)
       // the join condition: g.id = f.id, either order
       val idIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
-        Set(g.idOut) ++ fIdPass.map(_.exprId)
+        Set(g.idOut) ++ fIdPass
       cond match {
         case EqualTo(a: AttributeReference, b: AttributeReference)
             if idIds.contains(a.exprId) && idIds.contains(b.exprId) &&
               a.exprId != b.exprId => ()
         case _ => return None
       }
-      val cohortId = fAl.toAttribute.exprId
       // role of one expression: the cohort attr, the period attr, or
       // their difference (period − cohort, the age/offset form)
       def roleOf(e0: Expression): Option[CVOut] = sub0(e0) match {
@@ -3636,6 +3695,126 @@ object CubeAdvisor {
       Some(CohortValueNeeds(g.path, g.tsCol, g.idSrc.name,
         g.weightSrc.name, g.periodDays, outs, g.filters, g.join,
         g.calendar, integral(g.idSrc.dataType)))
+    case _ => None
+  }
+
+  /** What one recognized COHORT-MATRIX (count-distinct heatmap) query
+    * needs: the source vocabulary of the classic BI retention
+    * triangle, served by [[CubeService.getCohortMatrix]]'s
+    * prefix-ANDNOT + AND-cardinality walk over a day-dimmed bitmap
+    * cube. Reuses the [[CVOut]] roles (never Value — no weight column
+    * exists in this shape). */
+  private[cube] final case class CohortMatrixNeeds(
+      path: String, tsCol: String, idCol: String, periodDays: Int,
+      outs: Seq[CVOut],
+      filters: Seq[(String, Seq[Literal])] = Nil,
+      join: Option[(String, String, String, String)] = None,
+      calendar: Option[(String, Long)] = None,
+      integralId: Boolean = true)
+
+  /** The COHORT-MATRIX plan shape — the count-distinct retention
+    * heatmap as every BI tool writes it raw (the single most common
+    * cohort SQL in existence):
+    *
+    *   a = (DISTINCT) (id, period) activity pairs off the source
+    *   f = source GROUP BY id → min(period) AS cohort
+    *   a ⋈ f ON id GROUP BY cohort, period − cohort
+    *     → count(DISTINCT id)
+    *
+    * Served exactly by [[CubeService.getCohortMatrix]]'s bitmap
+    * algebra over a day-dimmed bitmap cube: new_w = P_w ANDNOT
+    * prefixOR(P_{<w}) IS f's cohort partition, and each
+    * (cohort, offset) cell's |new_w ∩ P_{w+k}| is the join-then-
+    * recount. NULL ids drop identically on both paths (the inner join
+    * never matches a null key; bitmaps skip null ids at build).
+    * The pair side arrives deduplicated (an Aggregate) or bare (the
+    * optimizer's RemoveRedundantAggregates strips a distinct that a
+    * count(DISTINCT) head makes redundant — the [[projectedPairs]]
+    * discipline): count(DISTINCT id) is exact over either; count(1) /
+    * count(id) are accepted only over a DEDUPLICATED pair side, where
+    * each (cohort, offset) group holds exactly one row per id.
+    * Refusals keep the honesty contract: a min side from a different
+    * source / period width / filter set, extra pair columns
+    * (segments), plain counts over a non-deduplicated side,
+    * non-IsNotNull predicates above the join, and group roles other
+    * than {cohort} × {period | offset} all return None. */
+  private[cube] def analyzeCohortMatrix(
+      plan: LogicalPlan): Option[CohortMatrixNeeds] = plan match {
+    case Aggregate(groups, aggs, child, _) if groups.size == 2 =>
+      val (base, env0, preds0) = peel(child)
+      if (!preds0.forall(_.isInstanceOf[IsNotNull])) return None
+      val sub0 = subst(env0) _
+      val (l, r, cond) = base match {
+        case Join(jl, jr, org.apache.spark.sql.catalyst.plans.Inner,
+            Some(jc), _) => (jl, jr, jc)
+        case _ => return None
+      }
+      // the activity-pair side vs the per-id min side, either order
+      def pairOf(p: LogicalPlan): Option[(PairSide, Boolean)] =
+        distinctPairs(p).map((_, true))
+          .orElse(projectedPairs(p).map((_, false)))
+      val sides = pairOf(l).map((_, r)).orElse(pairOf(r).map((_, l)))
+      val ((g, deduped), fSide) = sides.getOrElse(return None)
+      // exactly one non-period pair column: the counted id (a second
+      // plain column would be a segment this serve does not partition)
+      if (g.cols.size != 1) return None
+      val (gIdOut, gIdSrc) = g.cols.head
+      val (cohortId, fIdPass) = cohortMinFrame(fSide, g.path, g.join,
+        g.tsCol, g.periodDays, g.calendar, g.filters, gIdSrc.name)
+        .getOrElse(return None)
+      // the join condition: a.id = f.id, either order
+      val idIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
+        Set(gIdOut) ++ fIdPass
+      cond match {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if idIds.contains(a.exprId) && idIds.contains(b.exprId) &&
+              a.exprId != b.exprId => ()
+        case _ => return None
+      }
+      def roleOf(e0: Expression): Option[CVOut] = sub0(e0) match {
+        case a: AttributeReference if a.exprId == cohortId =>
+          Some(CVOut.Cohort)
+        case a: AttributeReference if a.exprId == g.pId =>
+          Some(CVOut.Period)
+        case Subtract(pa: AttributeReference, ca: AttributeReference, _)
+            if pa.exprId == g.pId && ca.exprId == cohortId =>
+          Some(CVOut.Offset)
+        case _ => None
+      }
+      val groupRoles = groups.map(e => roleOf(e).getOrElse(return None))
+      if (!groupRoles.contains(CVOut.Cohort) ||
+        groupRoles.toSet.size != 2) return None
+      var sawActive = false
+      val outs: Seq[CVOut] = aggs.map { ne =>
+        val asGroup = ne match {
+          case a: AttributeReference => roleOf(a)
+          case al: Alias => roleOf(al.child)
+          case _ => None
+        }
+        asGroup.getOrElse(ne match {
+          case al: Alias => al.child match {
+            case AggregateExpression(Count(Seq(
+                ca: AttributeReference)), Complete, true, _, _)
+                if idIds.contains(ca.exprId) =>
+              sawActive = true; CVOut.Active
+            // a deduplicated pair side makes the plain counts exact
+            // too: each (cohort, offset) group holds one row per id
+            case AggregateExpression(Count(Seq(Literal(1, _))),
+                Complete, false, _, _) if deduped =>
+              sawActive = true; CVOut.Active
+            case AggregateExpression(Count(Seq(
+                ca: AttributeReference)), Complete, false, _, _)
+                if deduped && idIds.contains(ca.exprId) =>
+              sawActive = true; CVOut.Active
+            case _ => return None
+          }
+          case _ => return None
+        })
+      }
+      if (!sawActive) return None
+      Some(CohortMatrixNeeds(g.path, g.tsCol, gIdSrc.name,
+        g.periodDays, outs, g.filters, g.join, g.calendar,
+        integral(gIdSrc.dataType)))
     case _ => None
   }
 

@@ -129,6 +129,7 @@ object CubeQueries {
     advisedSegService(spark, sfDir)
     advisedCvSource(spark, sfDir)
     rollingRouteSource(spark, sfDir)
+    chainRouteAll(spark, sfDir)
     dictDistinctService(spark, sfDir)
     advisedRetentionState(spark, sfDir)
     joinRollRouteSources(spark, sfDir)
@@ -142,6 +143,7 @@ object CubeQueries {
     calRetService(spark, sfDir)
     dictValService(spark, sfDir)
     dictValRouteSource(spark, sfDir)
+    dictSegTtService(spark, sfDir)
     ()
   }
 
@@ -3859,6 +3861,52 @@ object CubeQueries {
       srcDir
     })
 
+  // --------------------------------------------------------------- q310
+  private val dictSegTtSetup =
+    TrieMap.empty[(SparkSession, String), CubeService]
+  private def dictSegTtService(spark: SparkSession,
+      sfDir: String): CubeService =
+    dictSegTtSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_dictsegtt").toString
+      val svc = new CubeService(spark, dir, retainCubeVersions = 3)
+      val src = Tables.orders(spark, sfDir)
+        .withColumn("ck_s", concat(lit("c"), col("o_custkey")))
+        .select(col("ck_s"), col("o_orderdate"), col("o_totalprice"),
+          col("o_orderpriority"), col("o_orderkey"))
+      val cfg = CubeConfig("dict_seg_tt", "orders",
+        dims = Seq(FieldDim("prio", "o_orderpriority"),
+          TimeDim("day", "o_orderdate", "day")),
+        measures = Nil,
+        dictBitmaps = Seq(Measure("cs", "ck_s")),
+        weighted = Seq(WeightedMeasure("sltv", "ck_s", "o_totalprice")))
+      svc.createCube(cfg, src.filter(col("o_orderkey") % 5 =!= 4)) // v0
+      svc.updateAggregates("dict_seg_tt",                          // v1
+        src.filter(col("o_orderkey") % 5 === 4)
+          .withColumn("_sign", lit(1L)))
+      svc
+    })
+
+  /** Graded: the DICT × SEGMENTED × AS-OF leaderboard composition —
+    * weekly top-3 spender boards PER ORDER PRIORITY over STRING
+    * customer keys, served from RETAINED VERSION 0 of a twice-folded
+    * cube ([[CubeService.getTopSpendersAsOf]]): the per-(segment,
+    * week) bounded selections run over the archived version's weight
+    * maps, and the dictionary translation (dense id → raw string key,
+    * the append-only version-safe dictionary) applies BEFORE the
+    * deterministic (value DESC, id ASC) re-rank, so ties break on the
+    * key the user sees — under segment partitioning, at a version the
+    * head has since folded past (the r15 q292 round-trip discipline
+    * composed with q302's segmentation and q244's time travel). FULL
+    * DuckDB oracle recomputes every sliced board from the raw rows
+    * the version-0 slice contained. */
+  def q310DictSegTopSpendersAsOf(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val svc = dictSegTtService(spark, sfDir)
+    svc.getTopSpendersAsOf("dict_seg_tt", 0, "day", "sltv", k = 3,
+      periodDays = 7, segmentBy = Seq("prio"))
+  }
+
   /** Graded: LEADERBOARD ROUTING — q290's exact weekly top-spender
     * board as a user writes it RAW (ROW_NUMBER over per-(customer,
     * week) money sums, filtered to rank ≤ 5 — the "top customers this
@@ -4185,6 +4233,292 @@ object CubeQueries {
     require(scans.nonEmpty && !scans.exists(_.endsWith("/source")),
       s"time-to-convert routing did not fire (or still reads the " +
         s"source); scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q303
+  /** Graded: COHORT-MATRIX (count-distinct heatmap) ROUTING — the
+    * single most common cohort SQL in existence (every BI tool's
+    * retention triangle: distinct (id, day) activity pairs joined to
+    * a per-id min-day frame, count(DISTINCT id) per (cohort, age))
+    * written RAW over a registered source, silently rewritten by
+    * [[CubeRewriteRule]] to [[CubeService.getCohortMatrix]]'s bitmap
+    * algebra ([[CubeAdvisor.analyzeCohortMatrix]] →
+    * `CubeRewrite.buildCohortMatrixServe`): new_w = P_w ANDNOT
+    * prefixOR(P_{<w}) IS the min frame's cohort partition, each
+    * (cohort, offset) cell one AND-cardinality merge. Plan
+    * hard-asserted cube-only; FULL DuckDB oracle recomputes the
+    * heatmap from raw events. 100 TB split: the raw plan shuffles
+    * every (id, day) pair TWICE per refresh (min reduce, then the
+    * join + distinct recount); the routed serve is one pass to
+    * |days| one-row cube-derived bitmaps plus the pair walk. */
+  def q303CohortMatrixRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = rollingRouteSource(spark, sfDir)
+    def src = spark.read.parquet(srcDir)
+    def pExpr = (unix_timestamp(col("ts")).cast("double") / 86400)
+      .cast("long")
+    val a = src.select(col("user_id"), pExpr.as("p")).distinct()
+    val f = src.groupBy(col("user_id")).agg(min(pExpr).as("cohort"))
+    val q = a.join(f, "user_id")
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("offset"))
+      .agg(countDistinct(col("user_id")).as("active"))
+      .orderBy(col("cohort"), col("offset"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && !scans.exists(_.endsWith("/source")),
+      s"cohort-matrix routing did not fire (or still reads the " +
+        s"source); scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q304
+  /** Graded: CALENDAR-MONTH cohort-matrix routing — q303's heatmap
+    * with `year*12 + month` INTEGER ORDINALS over seven years of
+    * orders ("of customers whose first order was month m, how many
+    * ordered k months later" — the standard SaaS retention heatmap),
+    * collapsed from the registered DAY-dimmed cube's cells to the
+    * user's exact ordinals, every December→January edge load-bearing.
+    * Plan hard-asserted cube-only; FULL DuckDB oracle recomputes the
+    * monthly triangle raw. */
+  def q304CalendarCohortMatrixRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = firstSeenRouteSource(spark, sfDir)
+    def src = spark.read.parquet(srcDir)
+    def mExpr = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+      .cast("long")
+    val a = src.select(col("o_custkey"), mExpr.as("m")).distinct()
+    val f = src.groupBy(col("o_custkey")).agg(min(mExpr).as("cohort"))
+    val q = a.join(f, "o_custkey")
+      .groupBy(col("cohort"), (col("m") - col("cohort")).as("offset"))
+      .agg(countDistinct(col("o_custkey")).as("active"))
+      .orderBy(col("cohort"), col("offset"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && !scans.exists(_.endsWith("/source")),
+      s"calendar cohort-matrix routing did not fire (or still reads " +
+        s"the source); scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q305
+  /** Graded: STRING-KEYED cohort-matrix routing — q303's heatmap with
+    * the id in its most common real-world shape (a string customer
+    * key), served from the DICTIONARY bitmaps of the registered cube:
+    * the dense dictionary ids are injective and the served matrix is
+    * id-free, so no translation ever happens at read time (the q294
+    * discipline applied to the count family). Plan hard-asserted
+    * cube-only; FULL DuckDB oracle recomputes the weekly triangle
+    * over the raw string keys. */
+  def q305DictCohortMatrixRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = dictValRouteSource(spark, sfDir)
+    def src = spark.read.parquet(srcDir)
+    def pExpr = floor((unix_timestamp(col("o_orderdate")).cast("double")
+      / 86400).cast("long").cast("double") / 7).cast("long")
+    val a = src.select(col("ck_s"), pExpr.as("p")).distinct()
+    val f = src.groupBy(col("ck_s")).agg(min(pExpr).as("cohort"))
+    val q = a.join(f, "ck_s")
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("offset"))
+      .agg(countDistinct(col("ck_s")).as("active"))
+      .orderBy(col("cohort"), col("offset"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && !scans.exists(_.endsWith("/source")),
+      s"string-keyed cohort-matrix routing did not fire (or still " +
+        s"reads the source); scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q306
+  private val chainRouteSetup =
+    TrieMap.empty[(SparkSession, String), (CubeService, String, String, String)]
+  private def chainRouteAll(spark: SparkSession,
+      sfDir: String): (CubeService, String, String, String) =
+    chainRouteSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_chainroute").toString
+      // narrow projections — edge keys + referenced columns only (the
+      // 100 TB discipline: the maintained states carry exactly what
+      // the cube's dims/measures read)
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .write.parquet(s"$dir/ord")
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"))
+        .write.parquet(s"$dir/lin")
+      Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.parquet(s"$dir/cus")
+      val svc = new CubeService(spark, dir)
+      val cfg = ChainCubeConfig(
+        CubeConfig("chain_route", "orders ⋈ lineitem ⋈ customer",
+          dims = Seq(FieldDim("seg", "c_mktsegment"),
+            TimeDim("day", "o_orderdate", "day")),
+          measures = Seq(Measure("rev", "l_extendedprice")),
+          bitmaps = Seq(Measure("s", "l_suppkey"))),
+        edges = Seq(("o_orderkey", "l_orderkey"),
+          ("o_custkey", "c_custkey")))
+      val cc = svc.createChainCube(cfg,
+        Seq(spark.read.parquet(s"$dir/ord"),
+          spark.read.parquet(s"$dir/lin"),
+          spark.read.parquet(s"$dir/cus")))
+      CubeCatalog.install(spark)
+      CubeCatalog.registerChain(s"chain_route@$sfDir", cc,
+        Seq(s"$dir/ord", s"$dir/lin", s"$dir/cus"))
+      (svc, s"$dir/ord", s"$dir/lin", s"$dir/cus")
+    })
+
+  /** Graded: THREE-TABLE rollup routed to a CHAINED JOIN MV — the
+    * star-schema dashboard query (`orders ⋈ lineitem ⋈ customer`,
+    * revenue by market segment and order month) silently rewritten by
+    * [[CubeRewriteRule]] to the maintained chain cube
+    * ([[ChainCubeManager]]): the matcher FLATTENS the join tree (inner
+    * equi-joins are associative, so any parenthesization of the same
+    * relations under the same keys matches), and the month grouping
+    * re-truncates the cube's day cells — the time-hierarchy roll-up
+    * over the chain. Plan hard-asserted to scan ONLY the `.cmv`
+    * version dir; FULL DuckDB oracle recomputes the rollup over the
+    * raw three-way join. 100 TB split: the raw plan pays TWO fact
+    * joins per refresh (lineitem ⋈ orders ⋈ customer — the biggest
+    * shuffle in any TPC-H-shaped dashboard); the routed serve reads
+    * |segments|·|days| cube cells, and maintenance folds each delta
+    * against key-matching state slices only. */
+  def q306ChainRollupRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (_, ord, lin, cus) = chainRouteAll(spark, sfDir)
+    val q = spark.read.parquet(ord)
+      .join(spark.read.parquet(lin),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(spark.read.parquet(cus),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .select(col("c_mktsegment").as("seg"),
+        col("m").cast("long").as("month_s"), col("revenue"), col("n"))
+      .orderBy(col("seg"), col("month_s"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && scans.forall(_.contains(".cmv/")),
+      s"chain rollup routing did not fire (or still reads the " +
+        s"sources); scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q307
+  /** Graded: ROLLING exact-distinct over the CHAINED MV — the
+    * trailing-7-day active-supplier curve by order day
+    * ([[CubeService.getChainRolling]] with the `s` bitmap): the cohort
+    * verbs run over a chain cube's daily bitmap partials exactly as
+    * they do over single-table and binary-join cubes, because the
+    * chain maintains the same partial families through the composed
+    * delta-join fold. FULL DuckDB oracle recomputes every trailing
+    * window from the raw three-way join (bitmap union is lossless). */
+  def q307ChainRollingDistinct(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (svc, _, _, _) = chainRouteAll(spark, sfDir)
+    svc.getChainRolling("chain_route", "day", windowDays = 7,
+        exactDistinctOf = Seq("s"))
+      .select(col("day"), col("n_exact_s").as("n_supps_7d"))
+      .orderBy(col("day"))
+  }
+
+  // --------------------------------------------------------------- q308
+  /** Graded: TIME-TO-CONVERT routing over a registered JOIN — q299's
+    * raw lag histogram written over `orders ⋈ lineitem` ("how many
+    * days from a supplier's first N line to its first subsequent R
+    * line": the time column from the LEFT side, the id and step from
+    * the RIGHT), routed to the (F, N) bitmap pairing over the
+    * registered day+step-dimmed JOIN MV —
+    * [[CubeAdvisor.analyzeTimeToConvert]]'s `minChain` resolves the
+    * composite join identity exactly like the funnel matcher (q263),
+    * so the newest routed family carries its join column too. Plan
+    * hard-asserted MV-only; FULL DuckDB oracle recomputes the
+    * min-chain subtraction over the raw join. */
+  def q308JoinTimeToConvertRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (oSrc, lSrc) = joinFunnelRouteSources(spark, sfDir)
+    def joined = spark.read.parquet(oSrc)
+      .join(spark.read.parquet(lSrc),
+        col("o_orderkey") === col("l_orderkey"))
+    def pairs(step: String) = joined
+      .filter(col("l_returnflag") === step)
+      .select(col("l_suppkey"),
+        (unix_timestamp(col("o_orderdate")).cast("double") / 86400)
+          .cast("long").as("p"))
+    val s1 = pairs("N").groupBy(col("l_suppkey"))
+      .agg(min(col("p")).as("t1"))
+    val s2 = pairs("R").as("e").join(s1.as("pv"),
+        col("e.l_suppkey") === col("pv.l_suppkey") &&
+          col("e.p") >= col("pv.t1"))
+      .groupBy(col("e.l_suppkey"))
+      .agg(min(col("e.p")).as("t2"))
+    val q = s2.as("k").join(s1.as("f"),
+        col("k.l_suppkey") === col("f.l_suppkey"))
+      .groupBy((col("k.t2") - col("f.t1")).as("lag_days"))
+      .agg(count(lit(1)).as("converted"))
+      .orderBy(col("lag_days"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && scans.forall(_.contains(".jmv/")),
+      s"join time-to-convert routing did not fire (or still reads " +
+        s"the sources); scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q309
+  /** Graded: CALENDAR-MONTH windowed-funnel routing — q298's
+    * qualified-pair recursion with `year*12 + month` INTEGER ORDINALS
+    * and a 1-month qualification window ("converted within a calendar
+    * month of the prior step"): the bounded cascade's trailing RANGE
+    * window runs over REAL month ordinals, so a December step
+    * qualifies a January step exactly (the ±1 adjacency every
+    * fixed-30-day approximation drifts from). Routed to the
+    * `getFunnel(withinPeriods)` cascade over monthly collapses of the
+    * registered day-dimmed cube; plan hard-asserted cube-only; FULL
+    * DuckDB oracle recomputes the windowed recursion raw. */
+  def q309CalendarWindowFunnelRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val srcDir = firstSeenRouteSource(spark, sfDir)
+    def src = spark.read.parquet(srcDir)
+    def mExpr = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+      .cast("long")
+    def ev(s: String) = src.filter(col("o_orderpriority") === s)
+      .select(col("o_custkey"), mExpr.as("p"))
+    val q1 = ev("1-URGENT").distinct()
+    def level(prevQ: DataFrame, s: String) =
+      ev(s).as("e").join(prevQ.as("c"),
+          col("c.o_custkey") === col("e.o_custkey") &&
+            col("c.p") >= col("e.p") - 1 && col("c.p") <= col("e.p"))
+        .select(col("e.o_custkey"), col("e.p")).distinct()
+    val q3 = level(level(q1, "2-HIGH"), "3-MEDIUM")
+    val t = q3.groupBy(col("o_custkey")).agg(min(col("p")).as("t"))
+    val months = src.select(mExpr.as("m")).distinct()
+    val q = months.join(t, col("t") <= col("m"))
+      .groupBy(col("m"))
+      .agg(countDistinct(col("o_custkey")).as("converted"))
+      .orderBy(col("m"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && !scans.exists(_.endsWith("/source")),
+      s"calendar windowed-funnel routing did not fire (or still " +
+        s"reads the source); scans=$scans")
     q
   }
 
@@ -5633,6 +5967,14 @@ object CubeQueries {
     "q300_sql_top_spenders_routing" -> q300SqlTopSpendersRouting,
     "q301_sql_bridge_dashboard_routing" -> q301SqlBridgeDashboardRouting,
     "q302_segmented_top_spenders_routing" -> q302SegmentedTopSpendersRouting,
+    "q303_cohort_matrix_routing" -> q303CohortMatrixRouting,
+    "q304_calendar_cohort_matrix_routing" -> q304CalendarCohortMatrixRouting,
+    "q305_dict_cohort_matrix_routing" -> q305DictCohortMatrixRouting,
+    "q306_chain_rollup_routing" -> q306ChainRollupRouting,
+    "q307_chain_rolling_distinct" -> q307ChainRollingDistinct,
+    "q308_join_time_to_convert_routing" -> q308JoinTimeToConvertRouting,
+    "q309_calendar_window_funnel_routing" -> q309CalendarWindowFunnelRouting,
+    "q310_dict_seg_top_spenders_asof" -> q310DictSegTopSpendersAsOf,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -7144,6 +7486,138 @@ object CubeQueries {
       LEFT JOIN resv ON resv.p = ps.p
       LEFT JOIN delta ON delta.p = ps.p
       LEFT JOIN chu ON chu.p = ps.p
+      ORDER BY 1""",
+    // the raw count-distinct retention triangle recomputed in DuckDB —
+    // the bitmap-routed heatmap must hash-match it cell for cell
+    "q303_cohort_matrix_routing" -> """
+      WITH a AS (
+        SELECT DISTINCT user_id AS id,
+          CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+            AS BIGINT) AS p
+        FROM events),
+      f AS (SELECT id, min(p) AS cohort FROM a GROUP BY 1)
+      SELECT f.cohort, a.p - f.cohort AS offset,
+        CAST(count(DISTINCT a.id) AS BIGINT) AS active
+      FROM a JOIN f ON a.id = f.id
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
+    // the raw monthly-ordinal triangle recomputed in DuckDB — the
+    // calendar-collapsed bitmap serve must hash-match it
+    "q304_calendar_cohort_matrix_routing" -> """
+      WITH a AS (
+        SELECT DISTINCT o_custkey AS id,
+          CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+            AS m
+        FROM orders),
+      f AS (SELECT id, min(m) AS cohort FROM a GROUP BY 1)
+      SELECT f.cohort, a.m - f.cohort AS offset,
+        CAST(count(DISTINCT a.id) AS BIGINT) AS active
+      FROM a JOIN f ON a.id = f.id
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
+    // the raw weekly triangle over STRING keys recomputed in DuckDB —
+    // the dictionary-bitmap serve must hash-match it
+    "q305_dict_cohort_matrix_routing" -> """
+      WITH a AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS id,
+          CAST(floor(date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT) AS p
+        FROM orders),
+      f AS (SELECT id, min(p) AS cohort FROM a GROUP BY 1)
+      SELECT f.cohort, a.p - f.cohort AS offset,
+        CAST(count(DISTINCT a.id) AS BIGINT) AS active
+      FROM a JOIN f ON a.id = f.id
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
+    // every (priority, week) top-3 board recomputed raw from the rows
+    // the VERSION-0 slice contained (o_orderkey % 5 <> 4), over the
+    // raw string keys — the archived weight maps + the version-safe
+    // dictionary translation must hash-match under the same tiebreak
+    "q310_dict_seg_top_spenders_asof" -> """
+      WITH g AS (
+        SELECT o_orderpriority AS prio,
+          'c' || CAST(o_custkey AS VARCHAR) AS id,
+          CAST(floor(date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT) AS p,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+        FROM orders WHERE o_orderkey % 5 <> 4 GROUP BY 1, 2, 3),
+      r AS (SELECT prio, p AS period, id, w,
+          row_number() OVER (PARTITION BY prio, p
+                             ORDER BY w DESC, id ASC) AS rank
+        FROM g)
+      SELECT prio, period, CAST(rank AS BIGINT) AS rank, id,
+        CAST(CAST(w * 100 AS BIGINT) AS DOUBLE) / 100 AS value
+      FROM r WHERE rank <= 3
+      ORDER BY 1, 2, 3""",
+    // the raw min-chain subtraction over the join recomputed in
+    // DuckDB — the (F, N)-paired join-MV serve must hash-match it
+    "q308_join_time_to_convert_routing" -> """
+      WITH ev AS (
+        SELECT l.l_suppkey, l.l_returnflag AS s,
+          CAST(floor(floor(epoch(CAST(o.o_orderdate AS TIMESTAMP)))
+            / 86400) AS BIGINT) AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      t1 AS (SELECT l_suppkey, min(p) AS t1 FROM ev WHERE s = 'N'
+             GROUP BY 1),
+      t2 AS (SELECT e.l_suppkey, min(e.p) AS t2 FROM ev e
+             JOIN t1 ON t1.l_suppkey = e.l_suppkey AND e.p >= t1.t1
+             WHERE e.s = 'R' GROUP BY 1)
+      SELECT t2.t2 - t1.t1 AS lag_days,
+        CAST(count(1) AS BIGINT) AS converted
+      FROM t2 JOIN t1 ON t2.l_suppkey = t1.l_suppkey
+      GROUP BY 1
+      ORDER BY 1""",
+    // the monthly-ordinal qualified-pair recursion recomputed raw —
+    // the calendar-collapsed bounded cascade must hash-match it
+    "q309_calendar_window_funnel_routing" -> """
+      WITH ev AS (
+        SELECT o_custkey, o_orderpriority AS s,
+          CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+            AS p
+        FROM orders),
+      q1 AS (SELECT DISTINCT o_custkey, p FROM ev WHERE s = '1-URGENT'),
+      q2 AS (SELECT DISTINCT e.o_custkey, e.p FROM ev e
+             JOIN q1 c ON c.o_custkey = e.o_custkey
+               AND c.p BETWEEN e.p - 1 AND e.p
+             WHERE e.s = '2-HIGH'),
+      q3 AS (SELECT DISTINCT e.o_custkey, e.p FROM ev e
+             JOIN q2 c ON c.o_custkey = e.o_custkey
+               AND c.p BETWEEN e.p - 1 AND e.p
+             WHERE e.s = '3-MEDIUM'),
+      t AS (SELECT o_custkey, min(p) AS t FROM q3 GROUP BY 1),
+      months AS (SELECT DISTINCT p AS m FROM ev)
+      SELECT months.m, count(DISTINCT t.o_custkey) AS converted
+      FROM months JOIN t ON t.t <= months.m
+      GROUP BY 1
+      ORDER BY 1""",
+    // the raw three-way star join recomputed in DuckDB — the
+    // chain-MV-routed rollup must hash-match it
+    "q306_chain_rollup_routing" -> """
+      SELECT c_mktsegment AS seg,
+        CAST(floor(epoch(date_trunc('month',
+          CAST(o_orderdate AS TIMESTAMP)))) AS BIGINT) AS month_s,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS revenue,
+        count(1) AS n
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
+    // every trailing window recomputed from the raw three-way join —
+    // the chain MV's daily bitmap partials must hash-match it
+    "q307_chain_rolling_distinct" -> """
+      WITH su AS (
+        SELECT DISTINCT l_suppkey,
+          CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400)
+            AS BIGINT) AS d
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey),
+      days AS (SELECT DISTINCT d AS day FROM su)
+      SELECT days.day, count(DISTINCT su.l_suppkey) AS n_supps_7d
+      FROM days JOIN su ON su.d BETWEEN days.day - 6 AND days.day
+      GROUP BY 1
       ORDER BY 1""",
     "q297_bridge_dashboard_routing" -> """
       WITH g AS (

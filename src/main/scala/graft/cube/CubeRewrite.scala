@@ -207,8 +207,19 @@ object CubeCatalog {
   final case class JoinRegistration(reg: Registration, leftPath: String,
       rightPath: String, leftKey: String, rightKey: String)
 
+  /** A routable CHAINED (3+ relation) join MV ([[ChainCubeManager]]):
+    * the cube over R₀ ⋈ … ⋈ R_{n−1}, the relations' normalized source
+    * paths in chain order, and the edge key column names. An Aggregate
+    * over exactly that inner equi-join TREE (any associativity — the
+    * matcher flattens) routes to the cube. Duplicate relation paths
+    * refuse at registration: with the same table on two chain slots,
+    * name-based edge matching could not tell the slots apart. */
+  final case class ChainRegistration(reg: Registration,
+      paths: Seq[String], edges: Seq[(String, String)])
+
   private val cubes = TrieMap.empty[String, Registration]
   private val joinCubes = TrieMap.empty[String, JoinRegistration]
+  private val chainCubes = TrieMap.empty[String, ChainRegistration]
 
   def register(name: String, cube: Cube, sourcePath: String,
       approxDistinct: Boolean = false): Unit =
@@ -228,6 +239,34 @@ object CubeCatalog {
       jc.config.leftKey, jc.config.rightKey))
     ()
   }
+
+  def registerChain(name: String, cc: ChainCube,
+      paths: Seq[String], approxDistinct: Boolean = false): Unit = {
+    ChainCubeManager.validateRelations(cc.config,
+      cc.states.map(_.columns.filterNot(_ == "_mult").toSeq))
+    require(paths.size == cc.states.size,
+      s"chain MV '$name' has ${cc.states.size} relations but " +
+        s"${paths.size} source paths")
+    val norm = paths.map(normalize)
+    require(norm.distinct.size == norm.size,
+      s"chain MV source paths must be distinct (name-based edge " +
+        s"matching cannot tell duplicate relations apart): $norm")
+    chainCubes.put(name, ChainRegistration(
+      Registration(cc.cube, "", approxDistinct, stableScan = true),
+      norm, cc.config.edges))
+    ()
+  }
+
+  /** Chain-MV twin of [[refreshJoin]]: routed plans must follow a
+    * versioned publish to the new version dir. */
+  private[cube] def refreshChain(cc: ChainCube): Unit =
+    chainCubes.foreach { case (k, cr) =>
+      if (cr.reg.cube.config.name == cc.cube.config.name)
+        chainCubes.put(k, ChainRegistration(
+          Registration(cc.cube, "", cr.reg.approxDistinct,
+            stableScan = true),
+          cr.paths, cr.edges))
+    }
 
   /** Swap every registration of this cube (matched by config name) for
     * the freshly published version — [[CubeService.updateAggregates]]'s
@@ -255,11 +294,15 @@ object CubeCatalog {
     }
 
   def unregister(name: String): Unit = {
-    cubes.remove(name); joinCubes.remove(name); ()
+    cubes.remove(name); joinCubes.remove(name); chainCubes.remove(name)
+    ()
   }
-  def clear(): Unit = { cubes.clear(); joinCubes.clear() }
+  def clear(): Unit = {
+    cubes.clear(); joinCubes.clear(); chainCubes.clear()
+  }
   def registered: Map[String, Registration] = cubes.toMap
   def joinRegistered: Map[String, JoinRegistration] = joinCubes.toMap
+  def chainRegistered: Map[String, ChainRegistration] = chainCubes.toMap
 
   def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(CubeRewriteRule)) {
@@ -398,6 +441,13 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
               val candidates = matchingJoinRegs(j).flatMap {
                 case (jr, sidePreds) =>
                   tryRewrite(agg, jr.reg, j, subst, pred ++ sidePreds)
+              } ++ matchingChainRegs(j).flatMap {
+                // CHAIN MVs: an Aggregate over the registered 3+-table
+                // inner equi-join tree binds against the flattened
+                // join's output exactly like the binary case (the
+                // joined schema is a by-name concatenation either way)
+                case (cr, sidePreds) =>
+                  tryRewrite(agg, cr.reg, j, subst, pred ++ sidePreds)
               }
               if (candidates.isEmpty)
                 // not a join MV shape — a LeftSemi join here is the
@@ -410,6 +460,7 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
                   .orElse(tryRewriteFunnel(agg))
                   .orElse(tryRewriteResurrected(agg))
                   .orElse(tryRewriteCohortValue(agg))
+                  .orElse(tryRewriteCohortMatrix(agg))
                   .orElse(tryRewriteValueBridge(agg))
                   .orElse(tryRewriteTimeToConvert(agg)).getOrElse(agg)
               else candidates.minBy(_._2)._1
@@ -481,6 +532,80 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
                 Some((jr, lPred ++ rPred))
               else None
             case _ => None
+          }
+        }
+      case _ => Nil
+    }
+  }
+
+  /** Chain-MV matching: which registered CHAIN MVs cover this join
+    * TREE. The tree flattens — inner equi-joins are associative and
+    * commutative, so any parenthesization of the same relations under
+    * the same single-equality conditions computes the same multiset —
+    * and matches a registration when the relation path MULTISET and
+    * the unordered edge-name-pair multiset both coincide (column names
+    * are pairwise disjoint across a chain's relations, so name pairs
+    * identify edges regardless of orientation or order). Each join
+    * node must be Inner with exactly one equality conjunct; each leaf
+    * is a registered relation under attribute-only Projects,
+    * SubqueryAliases and Filters (conjuncts collected as side
+    * predicates, inferred `isnotnull(<edge key>)`s dropped — implied
+    * by the inner equi-joins themselves). Anything else — an outer
+    * join, a theta conjunct, a computed projection — fails the
+    * flatten and stays raw. */
+  private def matchingChainRegs(j: Join)
+      : Iterable[(CubeCatalog.ChainRegistration, Seq[Expression])] = {
+    if (CubeCatalog.chainRegistered.isEmpty) return Nil
+    def strip(p: LogicalPlan, acc: Vector[Expression])
+        : (LogicalPlan, Vector[Expression]) = p match {
+      case pr: Project
+          if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        strip(pr.child, acc)
+      case SubqueryAlias(_, c) => strip(c, acc)
+      case f: Filter => strip(f.child, acc ++ conjuncts(f.condition))
+      case other => (other, acc)
+    }
+    def flat(p: LogicalPlan): Option[(Vector[String],
+        Vector[Set[String]], Vector[Expression])] = {
+      val (s, preds) = strip(p, Vector.empty)
+      s match {
+        case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
+            Some(cond), _) =>
+          val eq = conjuncts(cond)
+            .filterNot(_.isInstanceOf[IsNotNull]) match {
+            case Seq(org.apache.spark.sql.catalyst.expressions.EqualTo(
+                a: AttributeReference, b: AttributeReference)) =>
+              Some(Set(a.name, b.name))
+            case _ => None
+          }
+          for {
+            e <- eq
+            lf <- flat(l)
+            rf <- flat(r)
+          } yield (lf._1 ++ rf._1, (lf._2 ++ rf._2) :+ e,
+            lf._3 ++ rf._3 ++ preds)
+        case leaf =>
+          CubeCatalog.sourcePathOf(leaf)
+            .map(p0 => (Vector(p0), Vector.empty, preds))
+      }
+    }
+    flat(j) match {
+      case Some((paths, edges, preds)) if paths.size >= 3 =>
+        CubeCatalog.chainRegistered.values.flatMap { cr =>
+          val regEdges = cr.edges.map { case (a, b) => Set(a, b) }
+          val same = paths.sorted == cr.paths.sorted &&
+            edges.map(_.toSeq.sorted.mkString("≡")).sorted ==
+              regEdges.map(_.toSeq.sorted.mkString("≡")).sorted
+          if (!same) None
+          else {
+            val keyCols =
+              cr.edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+            val kept = preds.filterNot {
+              case IsNotNull(a: AttributeReference) =>
+                keyCols.contains(a.name)
+              case _ => false
+            }
+            Some((cr, kept))
           }
         }
       case _ => Nil
@@ -1582,6 +1707,145 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
             case None => dec
           }
           Alias(child, orig.name)(exprId = orig.exprId)
+      }
+    Some(Project(proj, outPlan))
+  }
+
+  /** COHORT-MATRIX routing — the count-distinct retention heatmap
+    * (every BI tool's cohort triangle: distinct (id, period) activity
+    * pairs joined to a per-id min-period frame, count(DISTINCT id)
+    * per (cohort, offset) — recognized by
+    * [[CubeAdvisor.analyzeCohortMatrix]]) rewritten to the bitmap
+    * algebra of [[CubeService.getCohortMatrix]] over a registered
+    * day-dimmed bitmap cube: new_w = P_w ANDNOT prefixOR(P_{<w}) IS
+    * the min frame's cohort partition, and each (cohort, offset)
+    * cell's |new_w ∩ P_{w+k}| is the join-then-recount. The raw form
+    * shuffles every (id, period) pair TWICE per refresh (the min
+    * reduce, then the join + distinct recount); the serve is one pass
+    * to |periods| one-row bitmaps, one window pass for the new-sets,
+    * then the |periods|²/2 pair walk over cube-derived one-row
+    * frames. The ≥ 1 filter reproduces the raw row set exactly
+    * (a (cohort, offset) group exists iff some cohort id was active
+    * at that offset; offset 0 is always the full cohort). Bitmap
+    * partials of a latched cube describe ever-inserted ids, so
+    * deletes refuse — the [[buildRetentionServe]] convention. */
+  private def tryRewriteCohortMatrix(agg: Aggregate): Option[LogicalPlan] = {
+    val needs = CubeAdvisor.analyzeCohortMatrix(agg).getOrElse(return None)
+    val candidates = needs.join match {
+      case None =>
+        CubeCatalog.registered.values.toSeq
+          .filter(_.sourcePath == needs.path)
+          .flatMap(reg =>
+            buildCohortMatrixServe(agg, needs, reg).map((_, reg.cubeSize)))
+      case Some((lp, rp, lk, rk)) =>
+        CubeCatalog.joinRegistered.values.toSeq
+          .filter(jr =>
+            (jr.leftPath == lp && jr.rightPath == rp &&
+              jr.leftKey == lk && jr.rightKey == rk) ||
+            (jr.leftPath == rp && jr.rightPath == lp &&
+              jr.leftKey == rk && jr.rightKey == lk))
+          .flatMap(jr =>
+            buildCohortMatrixServe(agg, needs, jr.reg)
+              .map((_, jr.reg.cubeSize)))
+    }
+    if (candidates.isEmpty) None else Some(candidates.minBy(_._2)._1)
+  }
+
+  private def buildCohortMatrixServe(
+      agg: Aggregate,
+      needs: CubeAdvisor.CohortMatrixNeeds,
+      reg: CubeCatalog.Registration): Option[LogicalPlan] = {
+    import org.apache.spark.sql.functions._
+    import CubeAdvisor.CVOut
+    val cube = reg.cube
+    val cfg = cube.config
+    if (reg.cubeScanPath.isEmpty) return None
+    if (reg.origScanPath.contains(needs.path)) return None
+    if (cfg.dims.exists(_.id.startsWith("__"))) return None
+    // bitmap partials of a latched cube describe ever-inserted ids
+    if (cube.hasDeletes) return None
+    val dayDim = cfg.dims.collectFirst {
+      case TimeDim(id, p, "day") if p == needs.tsCol => id
+    }.getOrElse(return None)
+    // the counted id needs a bitmap measure (plain integral or
+    // dictionary-encoded — both exact; the served matrix is id-free,
+    // so the dense dictionary ids never need translating back)
+    val bmId = cfg.allBitmaps.find(_.path == needs.idCol)
+      .map(_.id).getOrElse(return None)
+    val spark = cube.aggregates.sparkSession
+    val cubeFrame = Bridge.ofRows(spark, reg.cubePlan)
+      .filter(col(CubeManager.CountCol) > 0)
+    val filteredFrame = needs.filters.foldLeft(cubeFrame) {
+      case (f, (srcCol, lits)) =>
+        val dimId = cfg.dims.collectFirst {
+          case FieldDim(id, p) if p == srcCol => id
+        }.getOrElse(return None)
+        val vals = lits.map(l =>
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(l.value, l.dataType))
+        f.filter(col(dimId).isin(vals: _*))
+    }
+    val periodKey = (needs.calendar match {
+      case None =>
+        floor(datediff(col(dayDim).cast("date"), lit("1970-01-01"))
+          .cast("long").cast("double") / needs.periodDays).cast("long")
+      case Some((g, off)) =>
+        val dd = col(dayDim).cast("date")
+        val base = g match {
+          case "month" => year(dd) * 12 + month(dd)
+          case "quarter" => year(dd) * 4 + quarter(dd)
+          case _ => year(dd)
+        }
+        (base.cast("long") + off).cast("long")
+    }).as("__p")
+    val B = graft.functions.Bitmap
+    // |periods| one-row bitmaps (shard rows, if any, union in)
+    val per = filteredFrame
+      .groupBy(periodKey)
+      .agg(B.unionAgg(col(bmId)).as("__bm"))
+    // new-sets: P_w ANDNOT the strict prefix union — the cohort
+    // partition (each id lands in exactly its min period's set)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      .orderBy(col("__p"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val emptyBm = lit(Array[Byte](0, 0, 0, 0)) // codec: zero blocks
+    val news = per.select(col("__p").as("__cohort"),
+      B.andNot(col("__bm"),
+        coalesce(B.unionAgg(col("__bm")).over(w), emptyBm)).as("__nbm"))
+    val later = per.select(col("__p").as("__p2"), col("__bm").as("__rbm"))
+    // raw row set: a (cohort, offset) group exists exactly when ≥ 1
+    // cohort id was active at that offset — the ≥ 1 filter reproduces it
+    val pairs = news.join(later, col("__p2") >= col("__cohort"))
+      .select(col("__cohort"), col("__p2"),
+        (col("__p2") - col("__cohort")).as("__off"),
+        B.andCardinality(col("__nbm"), col("__rbm")).as("__a"))
+      .filter(col("__a") >= 1)
+    val outPlan = pairs.queryExecution.optimizedPlan
+    val servedAttr: Map[String, Attribute] =
+      outPlan.output.map(a => a.name -> a).toMap
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    def keyed(orig: NamedExpression, name: String): Option[NamedExpression] = {
+      if (orig.dataType != LongType && orig.dataType != IntegerType)
+        return None
+      val a = servedAttr.getOrElse(name, return None)
+      val child: Expression =
+        if (a.dataType == orig.dataType) a else Cast(a, orig.dataType)
+      Some(Alias(child, orig.name)(exprId = orig.exprId))
+    }
+    val proj: Seq[NamedExpression] =
+      agg.aggregateExpressions.zip(needs.outs).map {
+        case (orig, CVOut.Cohort) =>
+          keyed(orig, "__cohort").getOrElse(return None)
+        case (orig, CVOut.Period) =>
+          keyed(orig, "__p2").getOrElse(return None)
+        case (orig, CVOut.Offset) =>
+          keyed(orig, "__off").getOrElse(return None)
+        case (orig, CVOut.Active) =>
+          val a = servedAttr.getOrElse("__a", return None)
+          if (a.dataType != orig.dataType) return None
+          Alias(a, orig.name)(exprId = orig.exprId)
+        case _ => return None
       }
     Some(Project(proj, outPlan))
   }

@@ -3613,6 +3613,253 @@ final class CubeService(spark: SparkSession, storageDir: String,
   def stopJoinAutoUpdate(name: String): Unit =
     joinAutoUpdates.remove(name).foreach(_.stop())
 
+  // ------------------------------------------------------------------
+  // CHAINED (3+ relation) join MVs — the versioned-manifest publish
+  // pattern applied to a cube + n compacted relation states
+  // ([[ChainCubeManager]]): every fold writes a complete new version
+  // under `<name>.cmv/v<k>/` (cube, edge list, state0..stateN, replay
+  // guard) and atomically swaps the MANIFEST, with the same
+  // retention/grace window as join MVs.
+  private val chainLive = TrieMap.empty[String, ChainCube]
+  private val chainAutoUpdates = TrieMap.empty[String, StreamingQuery]
+
+  private def cmvRoot(name: String) =
+    java.nio.file.Paths.get(storageDir, s"$name.cmv")
+
+  private def cmvVersion(name: String): Int = {
+    val m = cmvRoot(name).resolve("MANIFEST")
+    if (m.toFile.exists()) java.nio.file.Files.readString(m).trim.toInt
+    else -1
+  }
+
+  /** A re-home writes the combined `replay_guard` file ("<batch>\n<id>")
+    * ATOMICALLY into the current version dir; when present it overrides
+    * the per-field files — the [[jmvGuardOverride]] discipline (publish
+    * never writes it; a fresh version dir only becomes visible via the
+    * MANIFEST swap, so its per-field writes need no in-place atomicity). */
+  private def cmvGuardOverride(name: String,
+      v: Int): Option[(Long, Option[String])] = {
+    val f = cmvRoot(name).resolve(s"v$v").resolve("replay_guard")
+    if (!f.toFile.exists()) None
+    else {
+      val lines = java.nio.file.Files.readString(f).linesIterator.toSeq
+      Some((lines.head.trim.toLong, lines.lift(1).map(_.trim)))
+    }
+  }
+
+  private def cmvLastBatch(name: String): Long = {
+    val v = cmvVersion(name)
+    if (v < 0) -1L
+    else cmvGuardOverride(name, v).map(_._1).getOrElse {
+      val f = cmvRoot(name).resolve(s"v$v").resolve("batch_id")
+      if (f.toFile.exists())
+        java.nio.file.Files.readString(f).trim.toLong
+      else -1L
+    }
+  }
+
+  private def cmvStreamId(name: String): Option[String] = {
+    val v = cmvVersion(name)
+    if (v < 0) None
+    else cmvGuardOverride(name, v) match {
+      case Some((_, sid)) => sid
+      case None =>
+        val f = cmvRoot(name).resolve(s"v$v").resolve("stream_id")
+        if (f.toFile.exists())
+          Some(java.nio.file.Files.readString(f).trim)
+        else None
+    }
+  }
+
+  private def cmvPublish(name: String, cc: ChainCube, version: Int,
+      batchId: Option[Long] = None,
+      streamId: Option[String] = None): ChainCube = {
+    val lastBatch = batchId.getOrElse(cmvLastBatch(name))
+    val sid = streamId.orElse(cmvStreamId(name))
+    val vdir = cmvRoot(name).resolve(s"v$version")
+    java.nio.file.Files.createDirectories(vdir)
+    CubeManager.save(cc.cube, vdir.toString)
+    // no .json suffix: CubeManager.list treats *.json as cube configs
+    java.nio.file.Files.writeString(vdir.resolve("chain_edges"),
+      cc.config.edges.map { case (l, r) => s"$l=$r" }.mkString("\n"))
+    java.nio.file.Files.writeString(vdir.resolve("batch_id"),
+      lastBatch.toString)
+    sid.foreach(s =>
+      java.nio.file.Files.writeString(vdir.resolve("stream_id"), s))
+    cc.states.zipWithIndex.foreach { case (s, i) =>
+      s.write.mode("overwrite").parquet(vdir.resolve(s"state$i").toString)
+    }
+    val tmp = cmvRoot(name).resolve("MANIFEST.tmp")
+    java.nio.file.Files.writeString(tmp, version.toString)
+    java.nio.file.Files.move(tmp, cmvRoot(name).resolve("MANIFEST"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // same deferred cleanup as join MVs: one version beyond the
+    // advertised window survives as the grace copy for in-flight
+    // readers of the previous registration
+    Option(cmvRoot(name).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("v")
+        && f.getName.drop(1).toIntOption
+          .exists(_ <= version - retainJmvVersions - 1))
+      .foreach(rm)
+    val loaded = cmvLoad(name)
+    chainLive.put(name, loaded)
+    // routed queries must follow the manifest to the new version dir
+    CubeCatalog.refreshChain(loaded)
+    loaded
+  }
+
+  private def cmvLoad(name: String): ChainCube = {
+    val v = cmvVersion(name)
+    require(v >= 0, s"chain MV '$name' does not exist under $storageDir")
+    val vdir = cmvRoot(name).resolve(s"v$v")
+    val edges = java.nio.file.Files.readString(vdir.resolve("chain_edges"))
+      .linesIterator.toSeq.filter(_.nonEmpty).map { l =>
+        val kv = l.split("=", 2); (kv(0), kv(1))
+      }
+    val cube = CubeManager.load(spark, vdir.toString, name)
+    val states = (0 to edges.size).map(i =>
+      spark.read.parquet(vdir.resolve(s"state$i").toString))
+    ChainCube(ChainCubeConfig(cube.config, edges), cube, states)
+  }
+
+  /** Create + persist a chain MV (version 0). Relations should arrive
+    * as narrow projections — edge keys + referenced columns only. */
+  def createChainCube(config: ChainCubeConfig,
+      rels: Seq[DataFrame]): ChainCube =
+    cmvPublish(config.cube.name, ChainCubeManager.create(config, rels), 0)
+
+  def loadChainCube(name: String): ChainCube =
+    chainLive.getOrElseUpdate(name, cmvLoad(name))
+
+  /** Fold signed deltas to any subset of relations (`(index, frame)`
+    * pairs — frames with the relation schema + `_sign`; ±k =
+    * multiplicity) and publish the next version. */
+  def updateChainAggregates(name: String,
+      deltas: Seq[(Int, DataFrame)]): ChainCube = {
+    require(!chainAutoUpdates.get(name).exists(_.isActive),
+      s"stop chain auto-update on '$name' before a manual fold — " +
+        "concurrent manifest publishes would race")
+    val prev = loadChainCube(name)
+    cmvPublish(name, ChainCubeManager.applyDeltas(prev, deltas),
+      cmvVersion(name) + 1)
+  }
+
+  /** Continuous maintenance of ONE relation of the chain from a
+    * directory of MongoDB change-event JSON lines — the
+    * [[startJoinAutoUpdate]] discipline (replay-idempotent via the
+    * recorded batch id + stream identity; batch ids are
+    * checkpoint-relative, so a different stream requires an explicit
+    * re-home) applied to a chain slot. */
+  def startChainAutoUpdate(name: String, changeDir: String,
+      docSchema: StructType, relation: Int,
+      resetBatchTracking: Boolean = false): StreamingQuery = {
+    require(!chainAutoUpdates.get(name).exists(_.isActive),
+      s"chain auto-update already running on '$name' — stop it first")
+    require(new java.io.File(changeDir).isDirectory,
+      s"changeDir '$changeDir' does not exist or is not a directory")
+    val existing = loadChainCube(name) // fail fast on an unknown MV
+    require(relation >= 0 && relation < existing.states.size,
+      s"relation $relation out of range 0..${existing.states.size - 1}")
+    val stateCols = existing.states(relation)
+      .columns.filterNot(_ == "_mult").toSet
+    require(docSchema.fieldNames.toSet == stateCols,
+      s"change-stream document schema ${docSchema.fieldNames.toSet} " +
+        s"must match relation $relation's state columns $stateCols")
+    val identity =
+      new java.io.File(changeDir).getCanonicalPath + "|" + relation
+    val recorded = cmvStreamId(name)
+    if ((cmvLastBatch(name) >= 0 && recorded.forall(_ != identity)) ||
+        recorded.exists(_ != identity)) {
+      require(resetBatchTracking,
+        s"chain MV '$name' recorded batches from stream " +
+          s"'${recorded.getOrElse("<unrecorded>")}' but this start " +
+          s"targets '$identity'; batch ids are checkpoint-relative — " +
+          "pass resetBatchTracking = true to re-home the MV onto this " +
+          "stream (keeps folded state, folds from batch 0).")
+      val ckpt = new java.io.File(s"$storageDir/$name.cmv.checkpoint")
+      require(!ckpt.exists(),
+        s"checkpoint ${ckpt.getPath} belongs to the previous stream — " +
+          s"delete it before re-homing '$name'.")
+      val v = cmvVersion(name)
+      val tmp = cmvRoot(name).resolve(s"v$v").resolve("replay_guard.tmp")
+      java.nio.file.Files.writeString(tmp, s"-1\n$identity")
+      java.nio.file.Files.move(tmp,
+        cmvRoot(name).resolve(s"v$v").resolve("replay_guard"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(changeDir)
+    val q = raw.writeStream
+      .option("checkpointLocation", s"$storageDir/$name.cmv.checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > cmvLastBatch(name)) {
+          val delta = graft.sources.MongoChangeStream
+            .decode(batch, docSchema)
+            .withColumn("_sign", col("_sign").cast("long"))
+          val prev = loadChainCube(name)
+          cmvPublish(name,
+            ChainCubeManager.applySideDeltas(prev, delta, relation),
+            cmvVersion(name) + 1, Some(batchId), Some(identity))
+          ()
+        }
+      }
+      .start()
+    chainAutoUpdates.put(name, q)
+    q
+  }
+
+  def stopChainAutoUpdate(name: String): Unit =
+    chainAutoUpdates.remove(name).foreach(_.stop())
+
+  /** Roll-up served from the maintained chain MV — the full
+    * [[getAggregates]] measure surface over the 3+-table join's cells
+    * (delete-capable: the fold reconstructs the joined source from
+    * the relation states for targeted recompute). */
+  def getChainAggregates(name: String, dims: Seq[String],
+      filter: Column = lit(true),
+      sumOf: Seq[String] = Nil, avgOf: Seq[String] = Nil,
+      distinctOf: Seq[String] = Nil,
+      quantilesOf: Seq[(String, Double)] = Nil,
+      minOf: Seq[String] = Nil, maxOf: Seq[String] = Nil,
+      topkOf: Seq[(String, Int)] = Nil,
+      exactDistinctOf: Seq[String] = Nil): DataFrame =
+    CubeManager.query(loadChainCube(name).cube, dims, filter, sumOf,
+      avgOf, distinctOf, quantilesOf, minOf, maxOf, topkOf,
+      exactDistinctOf)
+
+  /** [[getRolling]] for chain MVs — a chained cube with a
+    * day-granularity time dimension serves the same trailing-window
+    * curves from the same maintained daily partials. */
+  def getChainRolling(
+      name: String,
+      dayDim: String,
+      windowDays: Int = 7,
+      distinctOf: Seq[String] = Nil,
+      quantilesOf: Seq[(String, Double)] = Nil,
+      minOf: Seq[String] = Nil,
+      maxOf: Seq[String] = Nil,
+      sumOf: Seq[String] = Nil,
+      avgOf: Seq[String] = Nil,
+      exactDistinctOf: Seq[String] = Nil,
+      segmentBy: Seq[String] = Nil,
+      intersectOf: Seq[String] = Nil): DataFrame =
+    rollingFrom(loadChainCube(name).cube, name, dayDim, windowDays,
+      distinctOf, quantilesOf, minOf, maxOf, sumOf, avgOf,
+      exactDistinctOf, segmentBy, intersectOf)
+
+  /** [[getCohortMatrix]] for chain MVs. */
+  def getChainCohortMatrix(
+      name: String,
+      dayDim: String,
+      bitmapId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    cohortFrom(loadChainCube(name).cube, name, dayDim, bitmapId,
+      periodDays, segmentBy)
+
   /** Roll-up served from the maintained join MV — the full
     * [[getAggregates]] measure surface (sums/avgs, HLL distincts, KLL
     * quantiles, extremes, CMS top-k): a join cube's cells hold the same

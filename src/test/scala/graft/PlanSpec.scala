@@ -87,8 +87,17 @@ class PlanSpec extends AnyFunSuite {
                               // monthly one-row weight-map frames
     "q294_dict_cohort_value_routing", // the q284 routed walk over
                               // dict-encoded weekly one-row frames
-    "q299_time_to_convert_routing") // the q278 lag grid routed:
+    "q299_time_to_convert_routing", // the q278 lag grid routed:
                               // pb>=pa triangle over one-row frames
+    "q303_cohort_matrix_routing", // the q248 triangle walk ROUTED:
+                              // p2>=cohort over |days| one-row bitmap
+                              // frames (the count twin of q284)
+    "q304_calendar_cohort_matrix_routing", // the same routed walk over
+                              // ~84 monthly one-row bitmap frames
+    "q305_dict_cohort_matrix_routing", // the q303 walk over
+                              // dict-encoded weekly one-row frames
+    "q308_join_time_to_convert_routing") // the q299 lag grid over the
+                              // join MV's one-row bitmap frames
 
   test("no unjustified cartesian or nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -1099,6 +1099,59 @@ class CubeAdvisorSpec extends AnyFunSuite {
         "recompute")
   }
 
+  test("cohort-matrix workloads fold into the retention-family rec") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(61)
+    val rows = (0 until 1500).map { i =>
+      val day = rnd.nextInt(25)
+      (new Timestamp(1700000000000L + day * 86400000L
+        + rnd.nextInt(86400000)),
+        rnd.nextInt(20 * (day + 1)).toLong)
+    }
+    val srcDir = Files.createTempDirectory("graft_advcm_src").toString
+    rows.toDF("ts", "uid").write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+    def pExpr = floor((unix_timestamp(col("ts")).cast("double") / 86400)
+      .cast("long").cast("double") / 3).cast("long")
+    def cmQ() = {
+      val a = src.select(col("uid"), pExpr.as("p")).distinct()
+      val f = src.groupBy(col("uid")).agg(min(pExpr).as("cohort"))
+      a.join(f, "uid")
+        .groupBy(col("cohort"), (col("p") - col("cohort")).as("age"))
+        .agg(countDistinct(col("uid")).as("active"))
+    }
+    // the heatmap folds into the same day-dimmed bitmap-cube family
+    // the retention matcher recommends — one rec, id bitmap, no
+    // weighted measure (no weight column exists in this shape)
+    val advice = CubeAdvisor.advise(Seq(cmQ()), "advcm")
+    assert(advice.uncovered.isEmpty, s"uncovered: ${advice.uncovered}")
+    assert(advice.retention.size == 1)
+    val rec = advice.retention.head
+    assert(rec.config.bitmaps == Seq(Measure("uid_xd", "uid")) &&
+      rec.config.weighted.isEmpty, rec.config)
+    assert(rec.periods == Seq(3) && rec.coveredQueries == Seq(0))
+    // honesty: materialize VERBATIM, register — the raw heatmap routes
+    // to the advised cube and matches its own raw recompute
+    val dir = Files.createTempDirectory("graft_advcm_cube").toString
+    CubeManager.save(CubeManager.create(rec.config, src), dir)
+    CubeCatalog.install(spark)
+    CubeCatalog.register("advcm_pin",
+      CubeManager.load(spark, dir, rec.config.name), srcDir)
+    val routed = cmQ()
+    val scans = routed.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    assert(scans.nonEmpty && !scans.exists(_.endsWith(srcDir)),
+      s"advised cohort-matrix plan did not route: $scans")
+    val served = routed.collect().map(_.toSeq).sortBy(_.toString)
+    CubeCatalog.clear()
+    val raw = cmQ().collect().map(_.toSeq).sortBy(_.toString)
+    assert(served.toSeq == raw.toSeq,
+      "advised-and-routed heatmap must equal the raw recompute")
+  }
+
   test("leaderboard workloads fold into the retention-family rec; " +
       "honesty loop routes the board") {
     import spark.implicits._

@@ -2054,6 +2054,79 @@ class CubeRewriteSpec extends AnyFunSuite {
         "stay raw")
   }
 
+  test("raw cohort-matrix plans route to the bitmap serve") {
+    val srcDir = rollingSetup()
+    def src = spark.read.parquet(srcDir)
+    def pExpr = floor((unix_timestamp(col("ts")).cast("double") / 86400)
+      .cast("long").cast("double") / 3).cast("long")
+    def a = src.select(col("user_id"), pExpr.as("p")).distinct()
+    def aRaw = src.select(col("user_id"), pExpr.as("p"))
+    def f = src.groupBy(col("user_id")).agg(min(pExpr).as("cohort"))
+    // the age (offset) form, the (cohort, period) form, count(1) over
+    // DEDUPLICATED pairs, count(DISTINCT) over bare pairs (the
+    // optimizer strips a redundant distinct below count(DISTINCT) —
+    // the projectedPairs arrival shape), and a dim-filtered form
+    def q(offset: Boolean) = {
+      val j = a.join(f, "user_id")
+      val groups =
+        if (offset) Seq(col("cohort"), (col("p") - col("cohort")).as("age"))
+        else Seq(col("cohort"), col("p"))
+      j.groupBy(groups: _*)
+        .agg(countDistinct(col("user_id")).as("active"))
+    }
+    def qPlain() = a.join(f, "user_id")
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("age"))
+      .agg(count(lit(1)).as("active"))
+    def qBare() = aRaw.join(f, "user_id")
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("age"))
+      .agg(countDistinct(col("user_id")).as("active"))
+    def qFiltered() = {
+      def srcF = src.filter(col("etype") === "click")
+      val aF = srcF.select(col("user_id"), pExpr.as("p")).distinct()
+      val fF = srcF.groupBy(col("user_id")).agg(min(pExpr).as("cohort"))
+      aF.join(fF, "user_id")
+        .groupBy(col("cohort"), (col("p") - col("cohort")).as("age"))
+        .agg(countDistinct(col("user_id")).as("active"))
+    }
+    val routed = Seq(q(true), q(false), qPlain(), qBare(), qFiltered())
+    routed.zipWithIndex.foreach { case (r, i) =>
+      assert(scansOf(r).forall(_.endsWith("/rollrw")),
+        s"cohort-matrix route $i did not fire: ${scansOf(r)}")
+    }
+    val servedRows = routed.map(sortedRows)
+    CubeCatalog.clear()
+    val raw = Seq(q(true), q(false), qPlain(), qBare(), qFiltered())
+    raw.zip(servedRows).zipWithIndex.foreach { case ((r, s), i) =>
+      assert(sortedRows(r) == s,
+        s"routed cohort matrix must EQUAL the raw join (form $i)")
+    }
+    // refusals: a plain count over a NON-deduplicated pair side counts
+    // multiplicities the bitmap cells cannot see; a min side with a
+    // DIFFERENT period width asks a different cohort question; an
+    // extra pair column is a segment this serve does not partition
+    CubeCatalog.clear(); rollingSetup()
+    val badPlain = aRaw.join(f, "user_id")
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("age"))
+      .agg(count(lit(1)).as("active"))
+    assert(!scansOf(badPlain).forall(_.endsWith("/rollrw")),
+      "count(1) over non-deduplicated pairs must stay raw")
+    def p7 = floor((unix_timestamp(col("ts")).cast("double") / 86400)
+      .cast("long").cast("double") / 7).cast("long")
+    val badP = a.join(
+        src.groupBy(col("user_id")).agg(min(p7).as("cohort")), "user_id")
+      .groupBy(col("cohort"), col("p"))
+      .agg(countDistinct(col("user_id")).as("active"))
+    assert(!scansOf(badP).forall(_.endsWith("/rollrw")),
+      "mismatched period widths must stay raw")
+    val badSeg = src.select(col("user_id"), col("etype"), pExpr.as("p"))
+      .distinct()
+      .join(f, "user_id")
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("age"))
+      .agg(countDistinct(col("user_id")).as("active"))
+    assert(!scansOf(badSeg).forall(_.endsWith("/rollrw")),
+      "an extra pair column (segment) must stay raw")
+  }
+
   test("raw value-bridge terms route to the weight-map walks") {
     val srcDir = rollingSetup()
     def src = spark.read.parquet(srcDir)
@@ -2219,6 +2292,69 @@ class CubeRewriteSpec extends AnyFunSuite {
         assert(sortedRows(q) == s,
           s"routed leaderboard must EQUAL the raw rank (form $i)")
       }
+  }
+
+  test("all-NULL-weight rows follow the declared 0.00 convention") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    // one id whose weights in the period are ALL NULL, one negative,
+    // one positive — the exact boundary the analyzeTopSpenders
+    // scaladoc declares: the routed board serves the all-NULL id at
+    // 0.00 (above negatives); the raw window sorts its NULL value LAST
+    val t0 = 1700000000000L
+    val rows = Seq(
+      (1L, new Timestamp(t0), None: Option[Double]),
+      (1L, new Timestamp(t0 + 3600000L), None: Option[Double]),
+      (2L, new Timestamp(t0), Some(-5.0)),
+      (3L, new Timestamp(t0), Some(2.0)))
+    val srcDir = Files.createTempDirectory("graft_nullw_src").toString
+    rows.toDF("user_id", "ts", "value").write.mode("overwrite")
+      .parquet(srcDir)
+    val cfg = CubeConfig("nullw", "src",
+      Seq(TimeDim("day", "ts", "day")),
+      measures = Nil,
+      weighted = Seq(WeightedMeasure("wv", "user_id", "value")))
+    val cubeDir = Files.createTempDirectory("graft_nullw_cube").toString
+    CubeManager.save(
+      CubeManager.create(cfg, spark.read.parquet(srcDir)), cubeDir)
+    CubeCatalog.register("nullw",
+      CubeManager.load(spark, cubeDir, "nullw"), srcDir)
+    def src = spark.read.parquet(srcDir)
+    def pExpr = floor((unix_timestamp(col("ts")).cast("double") / 86400)
+      .cast("long").cast("double") / 3).cast("long")
+    import org.apache.spark.sql.expressions.Window
+    def board() = {
+      val g = src.filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"), pExpr.as("p"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("w"))
+      val win = Window.partitionBy(col("p"))
+        .orderBy(col("w").desc, col("user_id").asc)
+      g.withColumn("rnk", row_number().over(win)).filter(col("rnk") <= 3)
+        .select(col("p").as("period"), col("rnk").as("rank"),
+          col("user_id").as("id"), col("w").cast("double").as("value"))
+        .orderBy(col("rank"))
+    }
+    val routedQ = board()
+    assert(scansOf(routedQ).forall(_.endsWith("/nullw")),
+      s"leaderboard route did not fire: ${scansOf(routedQ)}")
+    val routed = routedQ.collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("id"),
+        Option(r.getAs[java.lang.Double]("value")).map(_.toDouble)))
+      .toSeq
+    // routed: positive > all-NULL (0.00) > negative
+    assert(routed == Seq((1L, 3L, Some(2.0)), (2L, 1L, Some(0.0)),
+      (3L, 2L, Some(-5.0))),
+      s"routed board must serve the all-NULL id at 0.00: $routed")
+    CubeCatalog.clear()
+    val raw = board().collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("id"),
+        Option(r.getAs[java.lang.Double]("value")).map(_.toDouble)))
+      .toSeq
+    // raw: NULLS LAST — the documented divergence, confined to ids
+    // with no non-null weight in the period
+    assert(raw == Seq((1L, 3L, Some(2.0)), (2L, 2L, Some(-5.0)),
+      (3L, 1L, None)),
+      s"raw board must sort the all-NULL value LAST: $raw")
   }
 
   test("raw resurrected plans route to the ANDNOT-prefix serve") {
