@@ -256,6 +256,14 @@ object Scaling {
         svcR.getCohortValue(s"scaling_roll_x$k", "day", "wv",
           periodDays = 7).count()
       })
+      // the cohort-matrix (count-distinct heatmap, q303's routed
+      // serve): prefix-ANDNOT new-sets + the |periods|²/2 pair walk
+      // over one-row bitmaps — cube-sized like the other cohort
+      // families
+      record("cohort_matrix_serve", k, best {
+        svcR.getCohortMatrix(s"scaling_roll_x$k", "day", "u",
+          periodDays = 7).count()
+      })
       // the MRR bridge (q288's verb): per-shard adjacent-period
       // pairing + delta walks, every bridge column summing across
       // shards — cube-sized like the rest of the weighted family
@@ -302,6 +310,36 @@ object Scaling {
           .aggregates.count()
       })
       builtD.aggregates.unpersist(); delBatch.unpersist()
+
+      // chained (3-relation) join-MV FOLD (q306's maintenance): a
+      // one-relation delta joins against the OTHER relations'
+      // key-matching state slices — cost must follow |Δ| ⋈ slices,
+      // not the full chain re-join. Relations derived from the scaled
+      // events (disjoint names; both edges hang off r0 — the star
+      // shape the graded chain uses).
+      val r0 = ev.select(col("event_id").as("o_id"),
+        col("user_id").as("o_user"), col("ts").as("o_ts"))
+      val r1 = ev.select(col("event_id").as("l_id"),
+        col("value").as("l_val"))
+      val r2 = ev.select(col("user_id").as("c_id")).distinct()
+        .withColumn("c_seg", pmod(col("c_id"), lit(5L)))
+      val chainCfg = cube.ChainCubeConfig(
+        cube.CubeConfig(s"scaling_chain_x$k", "mem",
+          dims = Seq(cube.FieldDim("seg", "c_seg"),
+            cube.TimeDim("day", "o_ts", "day")),
+          measures = Seq(cube.Measure("v", "l_val"))),
+        edges = Seq(("o_id", "l_id"), ("o_user", "c_id")))
+      val chainBase = cube.ChainCubeManager.create(chainCfg,
+        Seq(r0, r1, r2))
+      val chainCk = cube.ChainCubeManager.checkpoint(chainBase)
+      val chainDelta = r1.filter(pmod(col("l_id"), lit(100L)) === 0L)
+        .withColumn("_sign", lit(-1L)).cache()
+      chainDelta.count()
+      record("chain_fold", k, best {
+        cube.ChainCubeManager.applySideDeltas(chainCk, chainDelta, 1)
+          .cube.aggregates.count()
+      })
+      chainDelta.unpersist()
     }
 
     // ---- render SCALING.md ------------------------------------------

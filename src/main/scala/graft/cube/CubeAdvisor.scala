@@ -103,9 +103,21 @@ object CubeAdvisor {
       config: JoinCubeConfig,
       coveredQueries: Seq[Int])
 
+  /** One recommended CHAIN MV (3+ relations): the relation paths in
+    * chain order, the registrable config (pass to
+    * `CubeService.createChainCube` + narrow projections of the
+    * relation paths, then `CubeCatalog.registerChain`), and the
+    * covered workload indices. */
+  final case class ChainCubeRecommendation(
+      paths: Seq[String],
+      config: ChainCubeConfig,
+      coveredQueries: Seq[Int])
+
   /** What one analyzable aggregate needs from a cube. `join` is set
     * when the aggregate sits over an inner equi-join of two parquet
-    * relations (leftPath, rightPath, leftKey, rightKey). */
+    * relations (leftPath, rightPath, leftKey, rightKey); `chain` when
+    * it sits over a 3+-relation inner equi-join tree (relation paths
+    * in chain order, linearized edges). */
   private final case class Needs(
       path: String,
       dims: Seq[Dimension],
@@ -115,7 +127,8 @@ object CubeAdvisor {
       extremes: Seq[Measure],
       join: Option[(String, String, String, String)] = None,
       rangeDims: Seq[String] = Nil,
-      bitmaps: Seq[Measure] = Nil)
+      bitmaps: Seq[Measure] = Nil,
+      chain: Option[(Seq[String], Seq[(String, String)])] = None)
 
   /** What one trailing-window (rolling) query needs: the source, the
     * single time column its epoch-day derives from, the window length,
@@ -264,7 +277,8 @@ object CubeAdvisor {
       rolling: Seq[RollingCubeRecommendation] = Nil,
       layouts: Seq[LayoutRecommendation] = Nil,
       retention: Seq[RetentionRecommendation] = Nil,
-      funnel: Seq[FunnelRecommendation] = Nil)
+      funnel: Seq[FunnelRecommendation] = Nil,
+      chains: Seq[ChainCubeRecommendation] = Nil)
 
   /** Presentation layers a logged dashboard query carries ABOVE the
     * metric — a total ORDER BY and/or LIMIT — peeled before analysis:
@@ -635,15 +649,22 @@ object CubeAdvisor {
     }
     var singles = Vector.empty[CubeRecommendation]
     var joins = Vector.empty[JoinCubeRecommendation]
+    var chainRecs = Vector.empty[ChainCubeRecommendation]
     bySource.toSeq.sortBy(_._1).zipWithIndex.foreach {
       case ((path, entries), k) =>
-        entries.head._2.join match {
-          case None =>
+        (entries.head._2.chain, entries.head._2.join) match {
+          case (Some((paths, edges)), _) =>
+            chainRecs :+= ChainCubeRecommendation(paths,
+              ChainCubeConfig(
+                mergedConfig(s"${namePrefix}_chain_$k", path, entries),
+                edges),
+              entries.map(_._1).distinct)
+          case (None, None) =>
             singles :+= CubeRecommendation(path,
               mergedConfig(s"${namePrefix}_$k", path, entries),
               entries.map(_._1).distinct,
               rangeOnlyDims = entries.flatMap(_._2.rangeDims).distinct)
-          case Some((lp, rp, lk, rk)) =>
+          case (None, Some((lp, rp, lk, rk))) =>
             joins :+= JoinCubeRecommendation(lp, rp,
               JoinCubeConfig(
                 mergedConfig(s"${namePrefix}_join_$k", path, entries),
@@ -659,7 +680,7 @@ object CubeAdvisor {
       LayoutRecommendation(r.sourcePath, r.rangeOnlyDims.take(2),
         r.coveredQueries))
     Advice(singles, joins, uncovered, rollingRecs, layouts,
-      retentionRecs, funnelRecs)
+      retentionRecs, funnelRecs, chainRecs)
   }
 
   /** SQL-TEXT advisor surface: the workload as the query strings a
@@ -3960,9 +3981,20 @@ object CubeAdvisor {
         aggLeaves(aggs).getOrElse(return None), join)
     case Aggregate(groups, aggs, child, _) =>
       val (base, env, preds0) = peel(child)
-      val (path, join, sidePreds) = sourceOf(base).getOrElse(return None)
-      build(path, groups.map(subst(env)), (preds0 ++ sidePreds).map(subst(env)),
-        aggLeaves(aggs).getOrElse(return None), join)
+      sourceOf(base) match {
+        case Some((path, join, sidePreds)) =>
+          build(path, groups.map(subst(env)),
+            (preds0 ++ sidePreds).map(subst(env)),
+            aggLeaves(aggs).getOrElse(return None), join)
+        case None =>
+          // a 3+-relation inner equi-join tree: the CHAIN-MV family
+          val (key, paths, edges, sidePreds) =
+            chainSourceOf(base).getOrElse(return None)
+          build(key, groups.map(subst(env)),
+            (preds0 ++ sidePreds).map(subst(env)),
+            aggLeaves(aggs).getOrElse(return None), None,
+            chain = Some((paths, edges)))
+      }
     case _ => None
   }
 
@@ -4003,6 +4035,106 @@ object CubeAdvisor {
         case _ => None
       }
     }
+
+  /** Resolve a 3+-relation INNER EQUI-JOIN TREE to a registrable CHAIN
+    * vocabulary: the relation paths LINEARIZED into
+    * [[ChainCubeManager]]'s prefix order (each edge joins relation
+    * i+1 to a column of relations 0..i — any join-tree associativity
+    * admits such an order exactly when the single-equality edges form
+    * a spanning tree over the relations), plus a merged grouping key
+    * and side-filter conjuncts (minus the inferred isnotnull on edge
+    * keys, implied by the inner joins). Refusals mirror the places
+    * `ChainCubeManager.create` would refuse: duplicate relation
+    * paths, overlapping column names (both make name-based edges
+    * ambiguous), non-spanning or extra edges, outer joins, theta
+    * conjuncts. */
+  private def chainSourceOf(base: LogicalPlan)
+      : Option[(String, Seq[String], Seq[(String, String)],
+          Seq[Expression])] = {
+    final case class Rel(path: String, cols: Set[String])
+    def flat(p: LogicalPlan): Option[(Vector[Rel],
+        Vector[(String, String)], Vector[Expression])] = {
+      val (b, env, preds) = peel(p)
+      val sub = subst(env) _
+      b match {
+        case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
+            Some(cond), _) =>
+          val eq = conjunctsOf(cond)
+            .filterNot(_.isInstanceOf[IsNotNull]) match {
+            case Seq(EqualTo(a: AttributeReference,
+                b2: AttributeReference)) => Some((a.name, b2.name))
+            case _ => None
+          }
+          for {
+            e <- eq
+            lf <- flat(l)
+            rf <- flat(r)
+          } yield (lf._1 ++ rf._1, (lf._2 ++ rf._2) :+ e,
+            lf._3 ++ rf._3 ++ preds.map(sub))
+        case leaf =>
+          CubeCatalog.sourcePathOf(leaf).map(p0 =>
+            (Vector(Rel(p0, leaf.output.map(_.name).toSet)),
+              Vector.empty[(String, String)], preds.map(sub).toVector))
+      }
+    }
+    val (rels, pairs, preds) = flat(base).getOrElse(return None)
+    if (rels.size < 3) return None
+    // pairwise-disjoint column names make name membership unambiguous;
+    // duplicate paths are un-linearizable by name — both refuse here
+    // exactly where ChainCubeManager would refuse at create
+    if (rels.map(_.path).distinct.size != rels.size) return None
+    val allCols = rels.flatMap(_.cols.toSeq)
+    if (allCols.distinct.size != allCols.size) return None
+    // linearize the spanning tree into chain order: greedily attach a
+    // remaining relation reachable from the prefix by one pool edge
+    def linearize(startIdx: Int): Option[(Vector[Rel],
+        Vector[(String, String)])] = {
+      var order = Vector(rels(startIdx))
+      var rest = rels.patch(startIdx, Nil, 1)
+      var pool = pairs
+      var chosen = Vector.empty[(String, String)]
+      while (rest.nonEmpty) {
+        val prefix: Set[String] = order.flatMap(_.cols.toSeq).toSet
+        val hit = pool.iterator.flatMap { case (a, b) =>
+          val oriented =
+            if (prefix(a) && !prefix(b)) Some(((a, b), (a, b)))
+            else if (prefix(b) && !prefix(a)) Some(((a, b), (b, a)))
+            else None
+          oriented.flatMap { case (orig, (pc, rc)) =>
+            rest.find(_.cols(rc)).map(rel => (orig, (pc, rc), rel))
+          }
+        }.take(1).toSeq.headOption
+        hit match {
+          case Some((orig, e, rel)) =>
+            chosen :+= e
+            order :+= rel
+            rest = rest.filterNot(_ eq rel)
+            pool = pool.patch(pool.indexOf(orig), Nil, 1)
+          case None => return None
+        }
+      }
+      if (pool.nonEmpty) return None // a leftover edge is a cycle/theta
+      Some((order, chosen))
+    }
+    val (order, edges) = rels.indices.view.flatMap(linearize(_))
+      .headOption.getOrElse(return None)
+    val keyCols = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+    val kept = preds.filterNot {
+      case IsNotNull(x: AttributeReference) => keyCols.contains(x.name)
+      case _ => false
+    }
+    val paths = order.map(_.path)
+    // the merge key is ORDER-CANONICAL (sorted paths + sorted
+    // orientation-normalized edges): two parenthesizations of the same
+    // multiset join group into ONE recommendation even when the greedy
+    // linearizer visits their trees in different prefix orders — the
+    // rec carries one valid linearization, and routing matches
+    // multisets, so any of them serves every form
+    val key = paths.sorted.mkString("|") + "||" +
+      edges.map { case (a, b) => Seq(a, b).sorted.mkString("=") }
+        .sorted.mkString("|")
+    Some((key, paths, edges, kept))
+  }
 
   private def conjunctsOf(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
@@ -4116,7 +4248,9 @@ object CubeAdvisor {
     * attributes. */
   private def build(path: String, groups: Seq[Expression],
       preds: Seq[Expression], leaves: Leaves,
-      join: Option[(String, String, String, String)]): Option[Needs] = {
+      join: Option[(String, String, String, String)],
+      chain: Option[(Seq[String], Seq[(String, String)])] = None)
+      : Option[Needs] = {
     val dims = groups.map {
       case a: Attribute => FieldDim(a.name, a.name)
       case TruncTimestamp(Literal(g, _), arg, _) =>
@@ -4184,6 +4318,7 @@ object CubeAdvisor {
       // column being dimension-shaped
       rangeDims = rangeCols.filterNot(pointCols.contains)
         .filter(c => filterDims.exists(_.path == c)),
-      bitmaps = ms(leaves.xdistincts, "xd")))
+      bitmaps = ms(leaves.xdistincts, "xd"),
+      chain = chain))
   }
 }

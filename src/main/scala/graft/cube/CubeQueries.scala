@@ -130,6 +130,7 @@ object CubeQueries {
     advisedCvSource(spark, sfDir)
     rollingRouteSource(spark, sfDir)
     chainRouteAll(spark, sfDir)
+    advisedChainSources(spark, sfDir)
     dictDistinctService(spark, sfDir)
     advisedRetentionState(spark, sfDir)
     joinRollRouteSources(spark, sfDir)
@@ -4376,6 +4377,88 @@ object CubeQueries {
       (svc, s"$dir/ord", s"$dir/lin", s"$dir/cus")
     })
 
+  // --------------------------------------------------------------- q311
+  private val advisedChainSetup =
+    TrieMap.empty[(SparkSession, String), (String, String, String)]
+  private def advisedChainSources(spark: SparkSession,
+      sfDir: String): (String, String, String) =
+    advisedChainSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_advchain").toString
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .write.parquet(s"$dir/ord")
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .write.parquet(s"$dir/lin")
+      Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.parquet(s"$dir/cus")
+      val paths = (s"$dir/ord", s"$dir/lin", s"$dir/cus")
+      // the honesty loop on the CHAIN family: advise on the raw
+      // three-way rollup, materialize the recommendation VERBATIM,
+      // register — the raw plan must then route
+      val advice = CubeAdvisor.advise(
+        Seq(advisedChainRollup(spark, paths)), "advch311")
+      require(advice.chains.size == 1 && advice.uncovered.isEmpty,
+        s"chain advice did not recognize the workload: $advice")
+      val rec = advice.chains.head
+      require(rec.paths.size == 3 && rec.config.edges.size == 2,
+        s"unexpected chain recommendation: $rec")
+      val cc = ChainCubeManager.create(rec.config,
+        rec.paths.map(spark.read.parquet(_)))
+      CubeManager.save(cc.cube, dir)
+      CubeCatalog.install(spark)
+      CubeCatalog.registerChain(s"advch311@$sfDir",
+        cc.copy(cube = CubeManager.load(spark, dir,
+          rec.config.cube.name)), rec.paths)
+      paths
+    })
+
+  /** The advised workload AND the graded serve: q306's star rollup
+    * over the fixture's own relation dirs, built identically on both
+    * sides of the honesty loop. */
+  private def advisedChainRollup(spark: SparkSession,
+      paths: (String, String, String)): DataFrame =
+    spark.read.parquet(paths._1)
+      .join(spark.read.parquet(paths._2),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(spark.read.parquet(paths._3),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .select(col("c_mktsegment").as("seg"),
+        col("m").cast("long").as("month_s"), col("revenue"), col("n"))
+      .orderBy(col("seg"), col("month_s"))
+
+  /** Graded: the ADVISED chain MV — the honesty loop on the 3+-table
+    * family (q285's discipline applied to chains): `CubeAdvisor`
+    * recognizes the raw star rollup as a CHAIN-MV workload
+    * (`chainSourceOf` flattens the join tree and LINEARIZES the edges
+    * into ChainCubeManager's prefix order), the recommendation is
+    * materialized VERBATIM and registered, and the same raw plan then
+    * routes to the advised cube — FULL DuckDB oracle recomputes the
+    * rollup over the raw three-way join, so the hash proves the whole
+    * advise → materialize → route loop exact. */
+  def q311AdvisedChainRollup(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val paths = advisedChainSources(spark, sfDir)
+    val q = advisedChainRollup(spark, paths)
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty &&
+      !scans.exists(s => s.endsWith("/ord") || s.endsWith("/lin") ||
+        s.endsWith("/cus")),
+      s"advised chain rollup did not route (or still reads the " +
+        s"relations); scans=$scans")
+    q
+  }
+
   /** Graded: THREE-TABLE rollup routed to a CHAINED JOIN MV — the
     * star-schema dashboard query (`orders ⋈ lineitem ⋈ customer`,
     * revenue by market segment and order month) silently rewritten by
@@ -5975,6 +6058,7 @@ object CubeQueries {
     "q308_join_time_to_convert_routing" -> q308JoinTimeToConvertRouting,
     "q309_calendar_window_funnel_routing" -> q309CalendarWindowFunnelRouting,
     "q310_dict_seg_top_spenders_asof" -> q310DictSegTopSpendersAsOf,
+    "q311_advised_chain_rollup" -> q311AdvisedChainRollup,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -7590,6 +7674,20 @@ object CubeQueries {
       FROM months JOIN t ON t.t <= months.m
       GROUP BY 1
       ORDER BY 1""",
+    // the honesty loop's oracle: the advised-and-materialized chain
+    // MV must serve the raw three-way rollup hash-identically
+    "q311_advised_chain_rollup" -> """
+      SELECT c_mktsegment AS seg,
+        CAST(floor(epoch(date_trunc('month',
+          CAST(o_orderdate AS TIMESTAMP)))) AS BIGINT) AS month_s,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS revenue,
+        count(1) AS n
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
     // the raw three-way star join recomputed in DuckDB — the
     // chain-MV-routed rollup must hash-match it
     "q306_chain_rollup_routing" -> """

@@ -1099,6 +1099,81 @@ class CubeAdvisorSpec extends AnyFunSuite {
         "recompute")
   }
 
+  test("3-table rollups get a CHAIN-MV rec; honesty loop routes") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val dir = Files.createTempDirectory("graft_advchain").toString
+    val rnd = new scala.util.Random(67)
+    (0 until 40).map(i => (i.toLong, (i % 7).toLong,
+      Seq("HIGH", "MED", "LOW")(rnd.nextInt(3))))
+      .toDF("o_key", "o_cust", "o_prio").write.parquet(s"$dir/ord")
+    (0 until 200).map(_ => (rnd.nextInt(44).toLong,
+      math.round(rnd.nextDouble() * 10000) / 100.0))
+      .toDF("l_key", "l_price").write.parquet(s"$dir/lin")
+    (0L to 7L).map(i => (i, Seq("AUTO", "HOME")(rnd.nextInt(2))))
+      .toDF("c_key", "c_seg").write.parquet(s"$dir/cus")
+    def o = spark.read.parquet(s"$dir/ord")
+    def l = spark.read.parquet(s"$dir/lin")
+    def c = spark.read.parquet(s"$dir/cus")
+    // BOTH parenthesizations of the star rollup — the linearizer must
+    // order either tree into a valid prefix chain
+    def rollup() = o.join(l, col("o_key") === col("l_key"))
+      .join(c, col("o_cust") === col("c_key"))
+      .groupBy(col("o_prio"), col("c_seg"))
+      .agg(sum(col("l_price").cast("decimal(18,2)")).as("rev"))
+    def rollup2() = o.join(c, col("o_cust") === col("c_key"))
+      .join(l, col("o_key") === col("l_key"))
+      .groupBy(col("o_prio"), col("c_seg"))
+      .agg(sum(col("l_price").cast("decimal(18,2)")).as("rev"))
+    val advice = CubeAdvisor.advise(Seq(rollup(), rollup2()), "advch")
+    assert(advice.uncovered.isEmpty, s"uncovered: ${advice.uncovered}")
+    assert(advice.chains.size == 1, advice.chains)
+    val rec = advice.chains.head
+    assert(rec.coveredQueries == Seq(0, 1))
+    assert(rec.paths.size == 3 && rec.config.edges.size == 2,
+      rec.config.edges)
+    // honesty: materialize VERBATIM, register — the raw rollup routes
+    // to the advised chain cube and matches its own raw recompute
+    val cc = ChainCubeManager.create(rec.config,
+      rec.paths.map(spark.read.parquet(_)))
+    val cubeDir = Files.createTempDirectory("graft_advchain_cube")
+      .toString
+    CubeManager.save(cc.cube, cubeDir)
+    CubeCatalog.install(spark)
+    CubeCatalog.registerChain("advch_pin",
+      cc.copy(cube = CubeManager.load(spark, cubeDir,
+        rec.config.cube.name)), rec.paths)
+    val routed = rollup()
+    val scans = routed.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    assert(scans.nonEmpty && !scans.exists(_.startsWith(dir)),
+      s"advised chain plan did not route: $scans")
+    val served = routed.collect().map(_.toSeq).sortBy(_.toString)
+    CubeCatalog.clear()
+    val raw = rollup().collect().map(_.toSeq).sortBy(_.toString)
+    assert(served.toSeq == raw.toSeq,
+      "advised-and-routed chain rollup must equal the raw recompute")
+    // a two-relation join stays with the binary join-MV family; an
+    // OUTER three-way tree is uncovered (no chain vocabulary)
+    val adviceJ = CubeAdvisor.advise(Seq(
+      o.join(l, col("o_key") === col("l_key"))
+        .groupBy(col("o_prio"))
+        .agg(sum(col("l_price").cast("decimal(18,2)")).as("rev"))),
+      "advch2")
+    assert(adviceJ.chains.isEmpty && adviceJ.joinCubes.size == 1,
+      s"binary joins must stay in the join-MV family: $adviceJ")
+    val adviceO = CubeAdvisor.advise(Seq(
+      o.join(l, col("o_key") === col("l_key"), "left_outer")
+        .join(c, col("o_cust") === col("c_key"))
+        .groupBy(col("o_prio"), col("c_seg"))
+        .agg(sum(col("l_price").cast("decimal(18,2)")).as("rev"))),
+      "advch3")
+    assert(adviceO.chains.isEmpty && adviceO.uncovered == Seq(0),
+      s"an outer three-way tree must land uncovered: $adviceO")
+  }
+
   test("cohort-matrix workloads fold into the retention-family rec") {
     import spark.implicits._
     CubeCatalog.clear()
