@@ -195,10 +195,14 @@ object Bench {
     // rounds of `parsed: null`): the full per-query JSON also lands at
     // the repo root as BENCH_SELF.json, so the cross-round trend is
     // auditable from the committed tree without shell-tail archaeology.
-    // Written only on FULL sweeps — a targeted SPARK_GRAFT_ONLY run
-    // overwriting the 301-query reference with an 11-query subset is
-    // exactly what blinded the r17 outlier detector's history.
-    if (only.isEmpty && injectStall.isEmpty)
+    // Written only on FULL, CLEAN sweeps: a targeted SPARK_GRAFT_ONLY
+    // run overwriting the 310-query reference with a subset blinded
+    // the outlier detector's history once, and a CONTENDED sweep
+    // overwriting it poisons the next run's 3x baselines with inflated
+    // values (observed: a contended 344 s sweep wrote the reference
+    // and the following slow run retimed NOTHING because every query
+    // compared against already-inflated numbers).
+    if (only.isEmpty && injectStall.isEmpty && !contended)
       Files.write(Paths.get("BENCH_SELF.json"),
         full.getBytes(StandardCharsets.UTF_8))
     println(full)
