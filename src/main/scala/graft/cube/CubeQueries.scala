@@ -4364,7 +4364,11 @@ object CubeQueries {
           dims = Seq(FieldDim("seg", "c_mktsegment"),
             TimeDim("day", "o_orderdate", "day")),
           measures = Seq(Measure("rev", "l_extendedprice")),
-          bitmaps = Seq(Measure("s", "l_suppkey"))),
+          bitmaps = Seq(Measure("s", "l_suppkey")),
+          // q312: per-supplier additive partials — the chain's
+          // cohort-value family
+          weighted = Seq(WeightedMeasure("srev", "l_suppkey",
+            "l_extendedprice"))),
         edges = Seq(("o_orderkey", "l_orderkey"),
           ("o_custkey", "c_custkey")))
       val cc = svc.createChainCube(cfg,
@@ -4516,6 +4520,58 @@ object CubeQueries {
         exactDistinctOf = Seq("s"))
       .select(col("day"), col("n_exact_s").as("n_supps_7d"))
       .orderBy(col("day"))
+  }
+
+  // --------------------------------------------------------------- q312
+  /** Graded: COHORT VALUE over the CHAINED MV — q283's supplier-LTV
+    * matrix extended to the three-table join ("revenue by supplier
+    * cohort week and weeks since first sale" over
+    * `orders ⋈ lineitem ⋈ customer`): the weight-map partials ride the
+    * COMPOSED delta-join fold like every other measure family
+    * (multiplicity signs from any relation's delta accumulate
+    * natively), so the maintained chain serves the matrix with no
+    * fact join at read time. FULL DuckDB oracle recomputes
+    * per-(supplier, week) revenue over the raw three-way join. */
+  def q312ChainCohortValue(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (svc, _, _, _) = chainRouteAll(spark, sfDir)
+    svc.getChainCohortValue("chain_route", "day", "srev",
+      periodDays = 7)
+  }
+
+  // --------------------------------------------------------------- q313
+  /** Graded: the SQL-TEXT chain rollup — q306's star-schema dashboard
+    * in the form BI layers actually emit (a literal three-way JOIN
+    * over temp views): the text parses to the same inner equi-join
+    * tree the DataFrame form builds, so [[CubeRewriteRule]]'s
+    * flatten-and-match fires on it unchanged — the q242/q287/q300
+    * authorship-path discipline extended to chains. Plan hard-asserted
+    * `.cmv`-only; the same FULL DuckDB oracle as q306. */
+  def q313SqlChainRollupRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (_, ord, lin, cus) = chainRouteAll(spark, sfDir)
+    spark.read.parquet(ord).createOrReplaceTempView("chain_ord")
+    spark.read.parquet(lin).createOrReplaceTempView("chain_lin")
+    spark.read.parquet(cus).createOrReplaceTempView("chain_cus")
+    val q = spark.sql("""
+      SELECT c_mktsegment AS seg,
+        CAST(date_trunc('month', o_orderdate) AS LONG) AS month_s,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS revenue,
+        count(1) AS n
+      FROM chain_ord
+      JOIN chain_lin ON o_orderkey = l_orderkey
+      JOIN chain_cus ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, date_trunc('month', o_orderdate)
+      ORDER BY seg, month_s""")
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && scans.forall(_.contains(".cmv/")),
+      s"SQL-text chain rollup routing did not fire (or still reads " +
+        s"the sources); scans=$scans")
+    q
   }
 
   // --------------------------------------------------------------- q308
@@ -6059,6 +6115,8 @@ object CubeQueries {
     "q309_calendar_window_funnel_routing" -> q309CalendarWindowFunnelRouting,
     "q310_dict_seg_top_spenders_asof" -> q310DictSegTopSpendersAsOf,
     "q311_advised_chain_rollup" -> q311AdvisedChainRollup,
+    "q312_chain_cohort_value" -> q312ChainCohortValue,
+    "q313_sql_chain_rollup_routing" -> q313SqlChainRollupRouting,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -7674,6 +7732,41 @@ object CubeQueries {
       FROM months JOIN t ON t.t <= months.m
       GROUP BY 1
       ORDER BY 1""",
+    // per-(supplier, week) revenue over the raw three-way join — the
+    // chain MV's composed weight-map fold must hash-match it
+    "q312_chain_cohort_value" -> """
+      WITH g AS (
+        SELECT l.l_suppkey AS id,
+          CAST(floor(date_diff('day', DATE '1970-01-01',
+            CAST(o.o_orderdate AS DATE)) / 7.0) AS BIGINT) AS p,
+          sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS w
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+      f AS (SELECT id, min(p) AS cohort FROM g GROUP BY 1),
+      cs AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1)
+      SELECT f.cohort, g.p - f.cohort AS offset,
+        CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+        CAST(count(*) AS BIGINT) AS active,
+        CAST(sum(g.w) AS DOUBLE) AS value
+      FROM g JOIN f ON g.id = f.id JOIN cs ON f.cohort = cs.cohort
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2""",
+    // the BI text form of q306 recomputed raw — the flattened chain
+    // route must hash-match it
+    "q313_sql_chain_rollup_routing" -> """
+      SELECT c_mktsegment AS seg,
+        CAST(floor(epoch(date_trunc('month',
+          CAST(o_orderdate AS TIMESTAMP)))) AS BIGINT) AS month_s,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS revenue,
+        count(1) AS n
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
     // the honesty loop's oracle: the advised-and-materialized chain
     // MV must serve the raw three-way rollup hash-identically
     "q311_advised_chain_rollup" -> """

@@ -3860,6 +3860,30 @@ final class CubeService(spark: SparkSession, storageDir: String,
     cohortFrom(loadChainCube(name).cube, name, dayDim, bitmapId,
       periodDays, segmentBy)
 
+  /** [[getCohortValue]] for chain MVs — the weight-map partials ride
+    * the composed delta-join fold like every other measure family
+    * (multiplicity signs accumulate natively), so the maintained
+    * chain serves the LTV matrix with no fact join at read time. */
+  def getChainCohortValue(
+      name: String,
+      dayDim: String,
+      weightedId: String,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    cohortValueFrom(loadChainCube(name).cube, name, dayDim, weightedId,
+      periodDays, segmentBy)
+
+  /** [[getTopSpenders]] for chain MVs. */
+  def getChainTopSpenders(
+      name: String,
+      dayDim: String,
+      weightedId: String,
+      k: Int = 10,
+      periodDays: Int = 7,
+      segmentBy: Seq[String] = Nil): DataFrame =
+    topSpendersFrom(loadChainCube(name).cube, name, dayDim, weightedId,
+      k, periodDays, segmentBy)
+
   /** Roll-up served from the maintained join MV — the full
     * [[getAggregates]] measure surface (sums/avgs, HLL distincts, KLL
     * quantiles, extremes, CMS top-k): a join cube's cells hold the same

@@ -96,8 +96,10 @@ class PlanSpec extends AnyFunSuite {
                               // ~84 monthly one-row bitmap frames
     "q305_dict_cohort_matrix_routing", // the q303 walk over
                               // dict-encoded weekly one-row frames
-    "q308_join_time_to_convert_routing") // the q299 lag grid over the
+    "q308_join_time_to_convert_routing", // the q299 lag grid over the
                               // join MV's one-row bitmap frames
+    "q312_chain_cohort_value") // the q283 weekly walk over the CHAIN
+                              // MV's one-row weight-map frames
 
   test("no unjustified cartesian or nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -97,6 +97,56 @@ class ChainCubeSpec extends AnyFunSuite {
     }
   }
 
+  test("four-relation chain: fold == recompute, deepest edge off relation 2") {
+    import spark.implicits._
+    // O ⋈ L ⋈ C ⋈ N: two edges hang off O (star), the third off C —
+    // a genuine chain-of-depth shape, exercising the prefix rule past
+    // the graded 3-relation star
+    val cfg4 = ChainCubeConfig(
+      CubeConfig("ct4", "mem",
+        dims = Seq(FieldDim("prio", "o_prio"), FieldDim("nat", "n_name")),
+        measures = Seq(Measure("rev", "l_price"))),
+      edges = Seq(("o_key", "l_key"), ("o_cust", "c_key"),
+        ("c_nat", "n_key")))
+    def cust4(rows: Seq[(Long, Long)]): DataFrame = {
+      import spark.implicits._
+      rows.toDF("c_key", "c_nat")
+    }
+    def natDf(rows: Seq[(Long, String)]): DataFrame = {
+      import spark.implicits._
+      rows.toDF("n_key", "n_name")
+    }
+    val rnd = new scala.util.Random(97)
+    val ord = (0L to 9L).map(i => (i, i % 4,
+      Seq("HIGH", "MED", "LOW")(rnd.nextInt(3))))
+    val lin = (0 until 40).map(_ => (rnd.nextInt(12).toLong,
+      math.round(rnd.nextDouble() * 10000) / 100.0))
+    val cus = (0L to 3L).map(i => (i, i % 2))
+    val nat = Seq((0L, "US"), (1L, "DE"))
+    def recompute4(l2: Seq[(Long, Double)]): Cube =
+      CubeManager.create(cfg4.cube,
+        ordersDf(ord).join(linesDf(l2), col("o_key") === col("l_key"))
+          .join(cust4(cus), col("o_cust") === col("c_key"))
+          .join(natDf(nat), col("c_nat") === col("n_key")))
+    def contents4(c: Cube): Set[(String, String, BigDecimal, Long)] =
+      c.live.collect().map { r =>
+        (r.getAs[String]("prio"), r.getAs[String]("nat"),
+          BigDecimal(r.getAs[java.math.BigDecimal]("rev")),
+          r.getAs[Long]("_count"))
+      }.toSet
+    val (linBase, linLate) = lin.splitAt(lin.size / 2)
+    val linDel = linBase.filter(_ => rnd.nextBoolean())
+    var cc = ChainCubeManager.create(cfg4,
+      Seq(ordersDf(ord), linesDf(linBase), cust4(cus), natDf(nat)))
+    cc = ChainCubeManager.applySideDeltas(cc,
+      linesDf(linLate).withColumn("_sign", lit(1L)), 1)
+    cc = ChainCubeManager.applySideDeltas(cc,
+      linesDf(linDel).withColumn("_sign", lit(-1L)), 1)
+    assert(contents4(cc.cube) ==
+      contents4(recompute4(linBase.diff(linDel) ++ linLate)),
+      "four-relation fold diverged from recompute")
+  }
+
   test("streamed one-relation maintenance == recompute") {
     import spark.implicits._
     def tmp(p: String) =
