@@ -131,6 +131,7 @@ object CubeQueries {
     rollingRouteSource(spark, sfDir)
     chainRouteAll(spark, sfDir)
     advisedChainSources(spark, sfDir)
+    chainTtService(spark, sfDir)
     dictDistinctService(spark, sfDir)
     advisedRetentionState(spark, sfDir)
     joinRollRouteSources(spark, sfDir)
@@ -4522,6 +4523,81 @@ object CubeQueries {
       .orderBy(col("day"))
   }
 
+  // --------------------------------------------------------------- q314
+  /** Graded: the SEGMENTED cohort matrix — q248's count-distinct
+    * retention triangle PER ORDER PRIORITY
+    * ([[CubeService.getCohortMatrix]] segmentBy): each segment's
+    * cohorts, first-seen ANDNOT walks and AND-cardinality cells
+    * compute within ITS OWN period bitmaps (a customer's first URGENT
+    * week is independent of their first LOW week — the per-segment
+    * cohort question every sliced retention dashboard asks; the count
+    * twin of q293). ~5 priorities × weekly triangles over seven
+    * years; DuckDB recomputes every (segment, cohort, offset) cell
+    * with segment-keyed first-seen frames. At scale the windows and
+    * pair walks partition per segment cell. */
+  def q314SegmentedCohortMatrix(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val svc = calRetService(spark, sfDir)
+    svc.getCohortMatrix("cal_fun", "day", "c", periodDays = 7,
+      segmentBy = Seq("prio"))
+  }
+
+  // --------------------------------------------------------------- q315
+  private val chainTtSetup =
+    TrieMap.empty[(SparkSession, String), CubeService]
+  private def chainTtService(spark: SparkSession,
+      sfDir: String): CubeService =
+    chainTtSetup.getOrElseUpdate((spark, sfDir), {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_chaintt").toString
+      val svc = new CubeService(spark, dir, retainJmvVersions = 3)
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .write.parquet(s"$dir/ord")
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_returnflag"))
+        .write.parquet(s"$dir/lin")
+      Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.parquet(s"$dir/cus")
+      val cfg = ChainCubeConfig(
+        CubeConfig("chain_tt", "orders ⋈ lineitem ⋈ customer",
+          dims = Seq(FieldDim("seg", "c_mktsegment"),
+            FieldDim("rf", "l_returnflag")),
+          measures = Seq(Measure("rev", "l_extendedprice"))),
+        edges = Seq(("o_orderkey", "l_orderkey"),
+          ("o_custkey", "c_custkey")))
+      def lin = spark.read.parquet(s"$dir/lin")
+      svc.createChainCube(cfg,                                   // v0
+        Seq(spark.read.parquet(s"$dir/ord"),
+          lin.filter(col("l_orderkey") % 7 =!= 3),
+          spark.read.parquet(s"$dir/cus")))
+      svc.updateChainAggregates("chain_tt", Seq(                 // v1
+        1 -> lin.filter(col("l_orderkey") % 7 === 3)
+          .withColumn("_sign", lit(1L))))
+      svc
+    })
+
+  /** Graded: CHAIN-MV TIME TRAVEL — the three-table rollup served
+    * from RETAINED VERSION 0 of a once-folded chain MV
+    * ([[CubeService.getChainAggregatesAsOf]]): version dirs are
+    * complete consistent (cube, edge list, state0..N) tuples under
+    * the same deferred-GC manifest discipline as join MVs, so
+    * "rerun yesterday's dashboard against yesterday's chain" is one
+    * retained read. FULL DuckDB oracle recomputes the rollup from the
+    * rows the version-0 slice contained. */
+  def q315ChainTimeTravel(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val svc = chainTtService(spark, sfDir)
+    svc.getChainAggregatesAsOf("chain_tt", 0, Seq("seg", "rf"),
+        sumOf = Seq("rev"))
+      .select(col("seg"), col("rf"),
+        col("sum_rev").cast("double").as("revenue"),
+        col("n_rows").as("n"))
+      .orderBy(col("seg"), col("rf"))
+  }
+
   // --------------------------------------------------------------- q312
   /** Graded: COHORT VALUE over the CHAINED MV — q283's supplier-LTV
     * matrix extended to the three-table join ("revenue by supplier
@@ -6117,6 +6193,8 @@ object CubeQueries {
     "q311_advised_chain_rollup" -> q311AdvisedChainRollup,
     "q312_chain_cohort_value" -> q312ChainCohortValue,
     "q313_sql_chain_rollup_routing" -> q313SqlChainRollupRouting,
+    "q314_segmented_cohort_matrix" -> q314SegmentedCohortMatrix,
+    "q315_chain_time_travel" -> q315ChainTimeTravel,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -7732,6 +7810,39 @@ object CubeQueries {
       FROM months JOIN t ON t.t <= months.m
       GROUP BY 1
       ORDER BY 1""",
+    // every (segment, cohort, offset) cell recomputed raw with
+    // segment-keyed first-seen frames — the per-segment bitmap walks
+    // must hash-match (the count twin of q293's oracle)
+    "q314_segmented_cohort_matrix" -> """
+      WITH ud AS (
+        SELECT DISTINCT o_orderpriority AS prio, o_custkey,
+          CAST(floor(date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT) AS p
+        FROM orders),
+      f AS (SELECT prio, o_custkey, min(p) AS c FROM ud GROUP BY 1, 2),
+      cs AS (SELECT prio, c, count(*) AS cohort_size FROM f
+             GROUP BY 1, 2)
+      SELECT f.prio, f.c AS cohort, ud.p - f.c AS "offset",
+        cs.cohort_size, count(*) AS retained
+      FROM ud
+      JOIN f ON f.prio = ud.prio AND f.o_custkey = ud.o_custkey
+      JOIN cs ON cs.prio = f.prio AND cs.c = f.c
+      GROUP BY 1, 2, 3, 4
+      ORDER BY 1, 2, 3""",
+    // the rollup recomputed from the rows the VERSION-0 slice
+    // contained (l_orderkey % 7 <> 3) — the retained chain version
+    // must hash-match it
+    "q315_chain_time_travel" -> """
+      SELECT c_mktsegment AS seg, l_returnflag AS rf,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS revenue,
+        count(1) AS n
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE l_orderkey % 7 <> 3
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
     // per-(supplier, week) revenue over the raw three-way join — the
     // chain MV's composed weight-map fold must hash-match it
     "q312_chain_cohort_value" -> """

@@ -3712,6 +3712,10 @@ final class CubeService(spark: SparkSession, storageDir: String,
   private def cmvLoad(name: String): ChainCube = {
     val v = cmvVersion(name)
     require(v >= 0, s"chain MV '$name' does not exist under $storageDir")
+    cmvLoadAt(name, v)
+  }
+
+  private def cmvLoadAt(name: String, v: Int): ChainCube = {
     val vdir = cmvRoot(name).resolve(s"v$v")
     val edges = java.nio.file.Files.readString(vdir.resolve("chain_edges"))
       .linesIterator.toSeq.filter(_.nonEmpty).map { l =>
@@ -3721,6 +3725,45 @@ final class CubeService(spark: SparkSession, storageDir: String,
     val states = (0 to edges.size).map(i =>
       spark.read.parquet(vdir.resolve(s"state$i").toString))
     ChainCube(ChainCubeConfig(cube.config, edges), cube, states)
+  }
+
+  /** Retained chain-MV versions — the advertised TIME-TRAVEL window
+    * (the [[listJoinCubeVersions]] discipline: the newest
+    * `retainJmvVersions`, one more surviving un-advertised on disk as
+    * the deferred-GC grace copy). */
+  def listChainCubeVersions(name: String): Seq[Int] = {
+    val head = cmvVersion(name)
+    require(head >= 0,
+      s"chain MV '$name' does not exist under $storageDir")
+    Option(cmvRoot(name).toFile.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.isDirectory)
+      .flatMap(f => if (f.getName.startsWith("v"))
+        f.getName.drop(1).toIntOption else None)
+      .filter(_ > head - retainJmvVersions)
+      .sorted
+  }
+
+  /** TIME TRAVEL: the [[getChainAggregates]] roll-up served from a
+    * RETAINED historical version instead of the manifest head — safe
+    * against a concurrent fold for the same reason the join-MV as-of
+    * is (GC defers one publish past the advertised window). */
+  def getChainAggregatesAsOf(name: String, version: Int,
+      dims: Seq[String],
+      sumOf: Seq[String] = Nil, avgOf: Seq[String] = Nil,
+      distinctOf: Seq[String] = Nil,
+      quantilesOf: Seq[(String, Double)] = Nil,
+      minOf: Seq[String] = Nil, maxOf: Seq[String] = Nil,
+      topkOf: Seq[(String, Int)] = Nil,
+      exactDistinctOf: Seq[String] = Nil): DataFrame = {
+    val retained = listChainCubeVersions(name)
+    require(retained.contains(version),
+      s"chain MV '$name' version $version is not retained " +
+        s"(window: ${retained.mkString(", ")}); raise " +
+        "retainJmvVersions at service construction to widen the " +
+        "time-travel window")
+    CubeManager.query(cmvLoadAt(name, version).cube, dims, lit(true),
+      sumOf, avgOf, distinctOf, quantilesOf, minOf, maxOf, topkOf,
+      exactDistinctOf)
   }
 
   /** Create + persist a chain MV (version 0). Relations should arrive
