@@ -1,6 +1,6 @@
 package graft
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every `SparkEntry.queries` entry on
@@ -14,6 +14,26 @@ import org.apache.spark.sql.SparkSession
   *      so any tail-capture window still contains a complete JSON line.
   * Failing queries record `-1` (per BASELINE.md) and are excluded from
   * the total.
+  *
+  * Timeout survivability (round 17's official sweep was KILLED at the
+  * driver's wall-clock cap and, because the JSON was emitted only after
+  * the full sweep + retry pass, the round produced NO parseable bench
+  * data at all — `BENCH_r17.json` = `rc: 124, parsed: null`):
+  *   - every query's reading is flushed the moment it completes: one
+  *     `{"name":…,"sec":…}` line appended (open-write-close, so each
+  *     line is durable against SIGKILL) to `target/bench.partial.jsonl`
+  *     and printed to stdout;
+  *   - a JVM shutdown hook emits the short summary (stdout + stderr +
+  *     `target/bench.json`) from whatever completed, stamped
+  *     `"partial": true, "n_done": N`, if the final JSON has not been
+  *     printed — so a SIGTERM/timeout kill still yields a complete
+  *     parseable artifact, and even a SIGKILL leaves the per-query
+  *     JSONL on disk;
+  *   - the outlier-retry pass is capped by a global budget (at most
+  *     [[MaxRetries]] re-runs and ~[[RetryBudgetSec]] s of cumulative
+  *     retry time), with skipped names stamped into `retry_skipped`,
+  *     so worst-case sweep time is bounded at sweep + slack rather
+  *     than up to 2x sweep.
   *
   * Self-defense against box contention (two consecutive official sweeps
   * were polluted — r15: q25 61.5 s recorded vs 0.96 s clean; r16: q65
@@ -29,9 +49,27 @@ import org.apache.spark.sql.SparkSession
   *     MINIMUM of the two readings is reported, with the affected names
   *     and both readings stamped into the JSON (`retimed` /
   *     `retimed_detail`) so a polluted sweep self-corrects and
-  *     self-reports instead of being adopted as a baseline.
+  *     self-reports instead of being adopted as a baseline;
+  *   - if a RETRY still exceeds the 3x committed band the sweep is
+  *     stamped `suspect` — the spike either spans both readings or the
+  *     code genuinely regressed, and either way the sweep must not
+  *     become the next baseline (round-17 advice: min(first, retry)
+  *     alone would hide an intermittent regression from the totals).
+  *
+  * Reference hygiene: `BENCH_SELF.json` (the committed 3x-detection
+  * baseline) is written only on FULL, CLEAN, non-suspect sweeps, and its
+  * per-query values are the MIN of this sweep and the committed file —
+  * round 17 committed its slowest clean sweep (q197 6.51 s vs 3.74 s
+  * quiet), which inflated the next round's retry thresholds to 19.5 s.
+  * The min-merge ratchets the baseline toward the box's true quiet
+  * readings; after a code change that legitimately slows a query, run
+  * once with `SPARK_GRAFT_BENCH_RESET=1` to overwrite with raw values.
   */
 object Bench {
+  /** Global retry-pass budget: bounds worst-case sweep wall-clock. */
+  private val MaxRetries = 10
+  private val RetryBudgetSec = 60.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -81,13 +119,6 @@ object Bench {
         }
       }
     }
-    // One-time storage-layout setup (bucketed fact tables, materialized
-    // routing cubes) paid OUTSIDE the timed path: those writes amortize
-    // over a table lifetime at lake scale, so charging them to a timed
-    // query misstates the layout's economics. Compute-heavy caches
-    // (e.g. the q89/q126 dedup label propagation) are NOT warmed — that
-    // work is the graded query itself.
-    SparkEntry.prepare(spark, sfDir)
     // Dev aid: SPARK_GRAFT_ONLY=q36,q51 times only matching queries
     // (prefix match); unset = the full graded sweep.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
@@ -111,6 +142,74 @@ object Bench {
     // per-query deltas attributable to real changes.
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter {
       case (name, _) => only.forall(_.exists(name.startsWith)) }
+    // ---- kill-survivable progress state --------------------------------
+    // Stale artifacts from a previous run are cleared up front: a kill
+    // landing before the first flush must not leave last sweep's full
+    // bench.json on disk masquerading as this run's result.
+    val partialPath = Paths.get("target", "bench.partial.jsonl")
+    Files.createDirectories(Paths.get("target"))
+    Files.deleteIfExists(partialPath)
+    Files.deleteIfExists(Paths.get("target", "bench.json"))
+    // Completed readings, snapshotted by the shutdown hook; synchronized
+    // because the hook thread races the sweep thread on a kill.
+    val progress =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    @volatile var finalEmitted = false
+    def flushPartial(name: String, sec: Double): Unit = {
+      progress.add(name -> sec)
+      val line = s"""{"name":"$name","sec":$sec}"""
+      // Open-append-close per line: each reading is durable the moment
+      // the query finishes, even against SIGKILL (no buffered writer to
+      // lose). 314 opens/sweep is noise next to the queries themselves.
+      Files.write(partialPath, (line + "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      println(line)
+    }
+    def summaryJson(results: Seq[(String, Double)], partial: Boolean,
+        sentinel: String): (String, String) = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val succeeded = results.map(_._2).filter(_ >= 0)
+      val total = if (succeeded.nonEmpty) succeeded.sum else 0.0
+      val nFailed = results.map(_._2).count(_ < 0)
+      val partialTag =
+        if (partial) s""""partial":true,"n_done":${results.size},"""
+        else ""
+      val full =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$partialTag"failed":$nFailed,$sentinel}"""
+      val short =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":{"_all":$total},"sf":"$sfDir","n_queries":${results.size},$partialTag"failed":$nFailed,$sentinel,"queries_file":"target/bench.json"}"""
+      (full, short)
+    }
+    // Shutdown hook: on SIGTERM/`timeout` (the driver's cap) the sweep
+    // dies mid-flight — emit a parseable partial summary from whatever
+    // completed so the round still gets per-query data. (SIGKILL skips
+    // hooks; the per-line JSONL flush above covers that case.)
+    val hook = new Thread(() => {
+      if (!finalEmitted) {
+        import scala.jdk.CollectionConverters._
+        val done = progress.asScala.toSeq
+        val sentinel = s""""contended":false,"probe_pre_sec":$probePre"""
+        val (full, short) = summaryJson(done, partial = true, sentinel)
+        try Files.write(Paths.get("target", "bench.json"),
+          full.getBytes(StandardCharsets.UTF_8))
+        catch { case _: Throwable => () }
+        println(full)
+        println(short)
+        System.err.println(short)
+        System.out.flush(); System.err.flush()
+      }
+    })
+    Runtime.getRuntime.addShutdownHook(hook)
+    // One-time storage-layout setup (bucketed fact tables, materialized
+    // routing cubes) paid OUTSIDE the timed path: those writes amortize
+    // over a table lifetime at lake scale, so charging them to a timed
+    // query misstates the layout's economics. Compute-heavy caches
+    // (e.g. the q89/q126 dedup label propagation) are NOT warmed — that
+    // work is the graded query itself. Runs AFTER the shutdown hook is
+    // registered: a wall-clock kill landing inside prepare() must still
+    // emit the (empty-but-parseable) partial artifact.
+    SparkEntry.prepare(spark, sfDir)
     // Timed unit: the FULL declared result through the noop sink, not
     // .count(). count() re-optimizes the plan with the count as the
     // only consumer — column pruning then strips the very aggregate
@@ -139,25 +238,39 @@ object Bench {
     val firstPass = selected.zipWithIndex.map { case ((name, fn), i) =>
       if (i > 0 && i % third == 0 && midProbes.size < 2)
         midProbes += probe()
-      name -> timeQuery(name, fn, allowStall = true)
+      val t = timeQuery(name, fn, allowStall = true)
+      flushPartial(name, t)
+      name -> t
     }
     val probePost = probe()
     // Per-query outlier re-time: any query > 3x its committed reference
     // (floored at 0.5 s — sub-second queries jitter past 3x on JIT noise
     // alone) is re-run once, reporting min(first, retry). Probes cannot
     // see a spike confined to one query's window; the committed
-    // per-query history can.
+    // per-query history can. The pass is budget-capped (MaxRetries
+    // re-runs / RetryBudgetSec cumulative) so an external wall-clock cap
+    // cannot be blown by the retry pass itself; skipped suspects are
+    // stamped into `retry_skipped`.
     val fnByName = selected.toMap
     val retimedDetail = scala.collection.mutable.LinkedHashMap
       .empty[String, (Double, Double, Double)] // first, retry, committed
+    val retrySkipped = scala.collection.mutable.ListBuffer.empty[String]
+    var retryCount = 0
+    var retrySpentSec = 0.0
     val results = firstPass.map { case (name, t) =>
-      val suspect = committedRef.get(name).filter(ref =>
+      val suspectRef = committedRef.get(name).filter(ref =>
         t >= 0 && t > 3.0 * math.max(ref, 0.5))
-      suspect match {
-        case Some(ref) =>
+      suspectRef match {
+        case Some(ref)
+            if retryCount < MaxRetries && retrySpentSec < RetryBudgetSec =>
           val retry = timeQuery(name, fnByName(name), allowStall = false)
+          retryCount += 1
+          if (retry >= 0) retrySpentSec += retry
           retimedDetail(name) = (t, retry, ref)
           name -> (if (retry >= 0) math.min(t, retry) else t)
+        case Some(_) =>
+          retrySkipped += name
+          name -> t
         case None => name -> t
       }
     }
@@ -171,48 +284,78 @@ object Bench {
     val probeMin = allProbes.min
     val probeRatio = if (probeMin > 0) probeMax / probeMin else 1.0
     val contended = probeRatio > 3.0 || probeMax > 3.0
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val succeeded = results.map(_._2).filter(_ >= 0)
-    val total = if (succeeded.nonEmpty) succeeded.sum else 0.0
-    val nFailed = results.map(_._2).count(_ < 0)
+    // Suspect: a retry that STILL exceeds its 3x committed band means
+    // min(first, retry) is not a trustworthy clean reading — the spike
+    // spanned both windows, or the code genuinely regressed. Either way
+    // the sweep must not write the baseline. Budget-skipped suspects
+    // (untested outliers) taint the sweep the same way.
+    val retryStillOver = retimedDetail.collect {
+      case (n, (_, retry, ref)) if retry >= 0 &&
+          retry > 3.0 * math.max(ref, 0.5) => n
+    }.toSeq
+    val suspect = retryStillOver.nonEmpty || retrySkipped.nonEmpty
     val retimedNames = retimedDetail.keys
       .map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val retimedJson = retimedDetail.map { case (n, (first, retry, ref)) =>
       s""""$n":{"first":$first,"retry":$retry,"committed":$ref}"""
     }.mkString("{", ",", "}")
+    val retrySkippedJson = retrySkipped
+      .map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    val retryStillOverJson = retryStillOver
+      .map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val sentinel =
       s""""contended":$contended,"probe_pre_sec":$probePre,""" +
         s""""probe_post_sec":$probePost,"probe_max_sec":$probeMax,""" +
         s""""probe_min_sec":$probeMin,"retimed":$retimedNames,""" +
-        s""""retimed_detail":$retimedJson"""
-    val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$nFailed,$sentinel}"""
-    Files.createDirectories(Paths.get("target"))
+        s""""retimed_detail":$retimedJson,""" +
+        s""""retry_skipped":$retrySkippedJson,""" +
+        s""""retry_still_over":$retryStillOverJson,"suspect":$suspect"""
+    val (full, short) = summaryJson(results, partial = false, sentinel)
     Files.write(Paths.get("target", "bench.json"),
       full.getBytes(StandardCharsets.UTF_8))
     // Standing mitigation for the driver-side tail-capture parser (7+
     // rounds of `parsed: null`): the full per-query JSON also lands at
     // the repo root as BENCH_SELF.json, so the cross-round trend is
     // auditable from the committed tree without shell-tail archaeology.
-    // Written only on FULL, CLEAN sweeps: a targeted SPARK_GRAFT_ONLY
-    // run overwriting the 310-query reference with a subset blinded
-    // the outlier detector's history once, and a CONTENDED sweep
-    // overwriting it poisons the next run's 3x baselines with inflated
-    // values (observed: a contended 344 s sweep wrote the reference
-    // and the following slow run retimed NOTHING because every query
-    // compared against already-inflated numbers).
-    if (only.isEmpty && injectStall.isEmpty && !contended)
+    // Written only on FULL, CLEAN, NON-SUSPECT sweeps: a targeted
+    // SPARK_GRAFT_ONLY run overwriting the 310-query reference with a
+    // subset blinded the outlier detector's history once, and a
+    // CONTENDED or SUSPECT sweep overwriting it poisons the next run's
+    // 3x baselines with inflated values (observed: a contended 344 s
+    // sweep wrote the reference and the following slow run retimed
+    // NOTHING because every query compared against already-inflated
+    // numbers).
+    //
+    // Per-query MIN-merge vs the committed file: round 17 committed its
+    // slowest clean sweep as the reference (q197 6.51 s vs 3.74 s
+    // quiet), which blunted the outlier detector (retry threshold
+    // 19.5 s). The baseline a 3x detector wants is the box's QUIET
+    // reading, which min-over-clean-sweeps converges to. After a code
+    // change that legitimately slows a query, SPARK_GRAFT_BENCH_RESET=1
+    // overwrites with this sweep's raw values.
+    if (only.isEmpty && injectStall.isEmpty && !contended && !suspect) {
+      val reset = sys.env.get("SPARK_GRAFT_BENCH_RESET").contains("1")
+      val merged = results.map { case (name, t) =>
+        val v = committedRef.get(name) match {
+          case Some(ref) if !reset && t >= 0 => math.min(t, ref)
+          case _ => t
+        }
+        name -> v
+      }
+      val mergedSentinel = sentinel +
+        s""","ref_merge":"${if (reset) "reset" else "min_vs_committed"}""""
+      val (mergedFull, _) =
+        summaryJson(merged, partial = false, mergedSentinel)
       Files.write(Paths.get("BENCH_SELF.json"),
-        full.getBytes(StandardCharsets.UTF_8))
+        mergedFull.getBytes(StandardCharsets.UTF_8))
+    }
+    finalEmitted = true
     println(full)
     // Tail-capture-safe summary: short enough to survive any truncation
     // window, printed last so it is always the final JSON line. Also
     // printed to stderr, where sbt interleaves no [success] banner after
     // it — a driver tailing either stream finds a complete JSON line.
     // The canonical full artifact lives at target/bench.json.
-    val short =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":{"_all":$total},"sf":"$sfDir","n_queries":${results.size},"failed":$nFailed,$sentinel,"queries_file":"target/bench.json"}"""
     println(short)
     System.err.println(short)
     spark.stop()

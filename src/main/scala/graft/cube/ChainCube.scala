@@ -82,6 +82,14 @@ object ChainCubeManager {
         s"edge $i right column '$rc' is not a column of relation ${i + 1}")
       require(prefix.contains(lc),
         s"edge $i left column '$lc' is not a column of relations 0..$i")
+      // The persisted chain_edges file is newline-separated `l=r` pairs
+      // parsed with split("=", 2); a '=' or newline in an edge column
+      // name would round-trip to a DIFFERENT edge list silently.
+      Seq(lc -> "left", rc -> "right").foreach { case (c, side) =>
+        require(!c.exists(ch => ch == '=' || ch == '\n' || ch == '\r'),
+          s"edge $i $side column '$c' contains '=' or a newline — " +
+            "unrepresentable in the persisted chain_edges format")
+      }
     }
   }
 

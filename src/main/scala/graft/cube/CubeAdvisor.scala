@@ -111,7 +111,20 @@ object CubeAdvisor {
   final case class ChainCubeRecommendation(
       paths: Seq[String],
       config: ChainCubeConfig,
-      coveredQueries: Seq[Int])
+      coveredQueries: Seq[Int],
+      cells: Option[Long] = None,
+      sourceRows: Option[Long] = None) {
+    /** The [[CubeRecommendation.worthwhile]] cell-count veto for
+      * chains (stats mode): a chain cube whose grouping cardinality
+      * approaches the JOINED row count has no re-aggregation
+      * advantage — and a chain materialization is the most expensive
+      * of the three families (it pays the full multi-join once plus
+      * per-relation state), so a bad rec wastes the most. */
+    def worthwhile: Boolean = (cells, sourceRows) match {
+      case (Some(c), Some(r)) => r > 0 && c.toDouble / r <= 0.5
+      case _ => true // structural mode: no evidence against
+    }
+  }
 
   /** What one analyzable aggregate needs from a cube. `join` is set
     * when the aggregate sits over an inner equi-join of two parquet
@@ -145,7 +158,12 @@ object CubeAdvisor {
       exactDistinctOf: Seq[String] = Nil,
       segments: Seq[String] = Nil,
       outs: Seq[RollOut] = Nil,
-      filters: Seq[(String, Seq[Literal])] = Nil)
+      filters: Seq[(String, Seq[Literal])] = Nil,
+      // set when the curve runs over a registrable 3+-relation chain:
+      // `path` is then the order-canonical chain key and the rewrite
+      // matches it against registered CHAIN MVs; the linearized
+      // (paths, edges) feed the advisor's chain fold
+      chain: Option[(Seq[String], Seq[(String, String)])] = None)
 
   /** One output column of a recognized rolling aggregate: the exploded
     * day key, a segment grouping, or an aggregate leaf.
@@ -229,7 +247,11 @@ object CubeAdvisor {
       // Some((granularity, offset)) when the plan buckets by a
       // calendar ORDINAL (year*12+month etc.) instead of day
       // multiples — the serve reproduces the user's exact ordinals
-      calendar: Option[(String, Long)] = None)
+      calendar: Option[(String, Long)] = None,
+      // set when the cohort ran over a registrable 3+-relation chain
+      // (`path` is then the order-canonical chain key; see
+      // [[RollingNeeds.chain]])
+      chain: Option[(Seq[String], Seq[(String, String)])] = None)
 
   /** One recommended STORAGE LAYOUT: the consumer of
     * [[CubeRecommendation.rangeOnlyDims]]. A column promoted into the
@@ -328,6 +350,56 @@ object CubeAdvisor {
       val cs = walk(p)
       if (ok && cs.nonEmpty) cs else Seq(p)
   }
+
+  /** Dimension-list merge shared by the per-source config merge and
+    * the chain-rec union: dedup by binding identity, then COLLAPSE
+    * nested time buckets on one column to the FINEST — the rewrite's
+    * time-hierarchy binding serves every nesting coarser granularity
+    * by re-truncating the finer attribute, so a workload mixing day
+    * and month views needs ONE day dim (a day × month dim pair would
+    * multiply the advised cube's cells for nothing). Non-nesting
+    * mixes (week + month) keep both dims: collapsing would break the
+    * route-on-registration contract. */
+  private def mergeDims(raw: Seq[Dimension]): Seq[Dimension] = {
+    val dims0 = raw.distinctBy {
+      case FieldDim(_, p) => ("f", p, "")
+      case TimeDim(_, p, g) => ("t", p, g)
+      case ExprDim(_, s) => ("e", s, "")
+    }
+    val fineness = Seq("minute", "hour", "day", "week", "month",
+      "quarter", "year")
+    dims0.flatMap {
+      case td @ TimeDim(_, p, _) =>
+        val same = dims0.collect {
+          case t @ TimeDim(_, `p`, _) => t }
+        val finest = same.minBy(t => fineness.indexOf(t.granularity))
+        val servable = same.forall(t =>
+          t.granularity == finest.granularity ||
+            CubeRewriteRule.coarserThan(finest.granularity)
+              .contains(t.granularity))
+        if (!servable) Some(td) // keep every bucket, unchanged
+        else if (td.id == finest.id) Some(finest)
+        else None
+      case d => Some(d)
+    }
+  }
+
+  /** Union of two cube configs over the SAME source (the chain-rec
+    * merge): every partial family concatenates and dedups by the
+    * source column it binds (first id wins — routing binds dims and
+    * measures by defining expression, not by id). */
+  private def unionConfig(a: CubeConfig, b: CubeConfig): CubeConfig =
+    a.copy(
+      dims = mergeDims(a.dims ++ b.dims),
+      measures = (a.measures ++ b.measures).distinctBy(_.path),
+      sketches = (a.sketches ++ b.sketches).distinctBy(_.path),
+      quantiles = (a.quantiles ++ b.quantiles).distinctBy(_.path),
+      extremes = (a.extremes ++ b.extremes).distinctBy(_.path),
+      freq = (a.freq ++ b.freq).distinctBy(_.path),
+      bitmaps = (a.bitmaps ++ b.bitmaps).distinctBy(_.path),
+      dictBitmaps = (a.dictBitmaps ++ b.dictBitmaps).distinctBy(_.path),
+      weighted = (a.weighted ++ b.weighted)
+        .distinctBy(w => (w.idPath, w.weightPath)))
 
   /** Structural advice: no data is read. */
   def advise(workload: Seq[DataFrame],
@@ -479,7 +551,13 @@ object CubeAdvisor {
     }
     def vbMeasure(n: ValueBridgeNeeds): Boolean =
       n.kind == "revenue" && !n.idFiltered
-    val retentionRecs = (retGrouped.keySet ++ cvGrouped.keySet ++
+    // a cohort group over a 3+-relation CHAIN (path = canonical chain
+    // key, chain vocabulary on the hits) folds into a
+    // ChainCubeRecommendation below instead of a retention rec whose
+    // sourcePath is no parquet path — the chain MV maintains the same
+    // day-dimmed bitmap partials, so ONE chain cube serves the
+    // rollups and the cohort walks
+    val retentionRecsE = (retGrouped.keySet ++ cvGrouped.keySet ++
         cmGrouped.keySet ++ vbGrouped.keySet ++ tsGrouped.keySet)
       .toSeq.sortBy(g => (g._1, g._2, g._3,
         g._4.mkString(","), g._5.mkString(",")))
@@ -506,7 +584,7 @@ object CubeAdvisor {
           // a bridge group keyed by no id (direct revenue / spine over
           // ALL rows) dims the day only — no id column exists to bitmap
           val hasId = idCol.nonEmpty
-          RetentionRecommendation(path,
+          val rec = RetentionRecommendation(path,
             CubeConfig(s"${namePrefix}_retention_$k", path,
               // segment columns dim the cube so the period bitmaps
               // subdivide per segment cell (getRetention(segmentBy));
@@ -550,8 +628,17 @@ object CubeAdvisor {
               .orElse(cms.headOption.map(_._2.join))
               .orElse(vbs.headOption.map(_._2.join))
               .getOrElse(tss.head._2.join))
+          hits.headOption.flatMap(_._2.chain) match {
+            case Some((cpaths, cedges)) =>
+              Right(ChainCubeRecommendation(cpaths,
+                ChainCubeConfig(rec.config, cedges),
+                rec.coveredQueries))
+            case None => Left(rec)
+          }
       }
-    val rollingRecs = keep(rollingHits)
+    val retentionRecs = retentionRecsE.collect { case Left(r) => r }
+    val chainCohortRecs = retentionRecsE.collect { case Right(r) => r }
+    val rollingRecsE = keep(rollingHits)
       .groupBy(h => (h._2.path, h._2.tsCol, h._2.segments,
         h._2.filters.map(_._1).distinct.sorted))
       .toSeq.sortBy(g => (g._1._1, g._1._2, g._1._3.mkString(","),
@@ -574,7 +661,7 @@ object CubeAdvisor {
           val mnOf = needs.flatMap(_.minOf).distinct
           val mxOf = needs.flatMap(_.maxOf).distinct
           val sOf = needs.flatMap(_.sumOf).distinct
-          RollingCubeRecommendation(path,
+          val rec = RollingCubeRecommendation(path,
             CubeConfig(s"${namePrefix}_rolling_$k", path,
               // segment columns dim the cube so the daily partials
               // subdivide per segment cell (getRolling(segmentBy));
@@ -602,7 +689,16 @@ object CubeAdvisor {
             joinKeys = needs.head.join,
             exactDistinctOf = (xdOf ++ dOf).map(c => s"${c}_xd"),
             segmentBy = segments)
+          needs.head.chain match {
+            case Some((cpaths, cedges)) =>
+              Right(ChainCubeRecommendation(cpaths,
+                ChainCubeConfig(rec.config, cedges),
+                rec.coveredQueries))
+            case None => Left(rec)
+          }
       }
+    val rollingRecs = rollingRecsE.collect { case Left(r) => r }
+    val chainRollingRecs = rollingRecsE.collect { case Right(r) => r }
     val uncovered = badQ.toSeq.distinct.sorted
     val bySource = analyzed
       .collect { case (i, Some(n)) if !badQ(i) => (i, n) }
@@ -611,35 +707,7 @@ object CubeAdvisor {
         entries: Seq[(Int, Needs)]): CubeConfig = {
       def mergeMeasures(get: Needs => Seq[Measure]): Seq[Measure] =
         entries.flatMap(e => get(e._2)).distinctBy(_.path)
-      val dims0 = entries.flatMap(_._2.dims)
-        .distinctBy(d => d match {
-          case FieldDim(_, p) => ("f", p, "")
-          case TimeDim(_, p, g) => ("t", p, g)
-          case ExprDim(_, s) => ("e", s, "")
-        })
-      // COLLAPSE nested time buckets on one column to the FINEST: the
-      // rewrite's time-hierarchy binding serves every nesting coarser
-      // granularity by re-truncating the finer attribute, so a
-      // workload mixing day and month views needs ONE day dim — a
-      // day × month dim pair would multiply the advised cube's cells
-      // for nothing. Non-nesting mixes (week + month) keep both dims:
-      // collapsing would break the route-on-registration contract.
-      val fineness = Seq("minute", "hour", "day", "week", "month",
-        "quarter", "year")
-      val dims = dims0.flatMap {
-        case td @ TimeDim(_, p, _) =>
-          val same = dims0.collect {
-            case t @ TimeDim(_, `p`, _) => t }
-          val finest = same.minBy(t => fineness.indexOf(t.granularity))
-          val servable = same.forall(t =>
-            t.granularity == finest.granularity ||
-              CubeRewriteRule.coarserThan(finest.granularity)
-                .contains(t.granularity))
-          if (!servable) Some(td) // keep every bucket, unchanged
-          else if (td.id == finest.id) Some(finest)
-          else None
-        case d => Some(d)
-      }
+      val dims = mergeDims(entries.flatMap(_._2.dims))
       CubeConfig(name, source, dims,
         measures = mergeMeasures(_.measures),
         sketches = mergeMeasures(_.sketches),
@@ -679,8 +747,26 @@ object CubeAdvisor {
     val layouts = singles.filter(_.rangeOnlyDims.nonEmpty).map(r =>
       LayoutRecommendation(r.sourcePath, r.rangeOnlyDims.take(2),
         r.coveredQueries))
+    // ONE rec per chain identity: cohort folds (retention / rolling
+    // groups over a chain) union into the generic rollup rec for the
+    // same relations+edges — the first rec's linearization carries
+    // (any valid one serves every form; routing matches multisets),
+    // configs union by binding identity, covered queries union
+    val mergedChainRecs =
+      (chainRecs ++ chainCohortRecs ++ chainRollingRecs)
+        .groupBy(r => chainKey(r.paths, r.config.edges))
+        .toSeq.sortBy(_._1).map { case (_, rs) =>
+          rs.reduce { (a, b) =>
+            a.copy(
+              config = ChainCubeConfig(
+                unionConfig(a.config.cube, b.config.cube),
+                a.config.edges),
+              coveredQueries =
+                (a.coveredQueries ++ b.coveredQueries).distinct.sorted)
+          }
+        }.toVector
     Advice(singles, joins, uncovered, rollingRecs, layouts,
-      retentionRecs, funnelRecs, chainRecs)
+      retentionRecs, funnelRecs, mergedChainRecs)
   }
 
   /** SQL-TEXT advisor surface: the workload as the query strings a
@@ -712,8 +798,31 @@ object CubeAdvisor {
     // join MVs keep structural-only verdicts in v1: their cell count
     // needs the join run once, which is the cost stats mode exists to
     // avoid — callers who want it can probe the recommendation's
-    // dims over the joined frame themselves
-    a.copy(cubes = measured)
+    // dims over the joined frame themselves.
+    //
+    // CHAIN MVs opt INTO the probe despite the same objection: a chain
+    // materialization is the most expensive of the three families (the
+    // full multi-join once, plus per-relation state), so a bad chain
+    // rec wastes the most — one count-only pass over the joined frame
+    // (nothing materialized) is the cheap insurance. The probe joins
+    // the rec's relations along its own edges and measures
+    // |distinct dim tuples| vs |joined rows| for
+    // [[ChainCubeRecommendation.worthwhile]].
+    val measuredChains = a.chains.map { rec =>
+      val rels = rec.paths.map(spark.read.parquet(_))
+      val joined = rels.tail.zip(rec.config.edges)
+        .foldLeft(rels.head) { case (acc, (r, (lc, rc))) =>
+          acc.join(r, org.apache.spark.sql.functions.col(lc) ===
+            org.apache.spark.sql.functions.col(rc))
+        }
+      val dimCols = rec.config.cube.dims.map(_.expr)
+      val row = joined.agg(
+        approx_count_distinct(struct(dimCols: _*)).as("cells"),
+        count(lit(1)).as("rows")).head()
+      rec.copy(cells = Some(row.getLong(0)),
+        sourceRows = Some(row.getLong(1)))
+    }
+    a.copy(cubes = measured, chains = measuredChains)
   }
 
   // ---- rolling-shape analysis ------------------------------------------
@@ -825,13 +934,15 @@ object CubeAdvisor {
                   case IsNotNull(a: AttributeReference) => leftNN += a
                   case other => leftRest += other
                 }
-                // the per-day frame may sit over ONE parquet relation
-                // or over an inner equi-join of two (the join-MV
-                // rolling shape, served by getJoinRolling); residual
+                // the per-day frame may sit over ONE parquet relation,
+                // over an inner equi-join of two (the join-MV
+                // rolling shape, served by getJoinRolling), or over a
+                // registrable 3+-relation CHAIN (canonical chain key;
+                // served by a chain MV's daily partials); residual
                 // side filters would make the curve unreproducible
                 // from partials — refuse them
-                val (path, join, jPreds) =
-                  sourceOf(srcPlan).getOrElse(return None)
+                val (path, join, jPreds, chain) =
+                  cohortSourceOf(srcPlan).getOrElse(return None)
                 if (jPreds.nonEmpty) return None
                 val lFilters = sideFilters(leftRest.toList, subst(env))
                   .getOrElse(return None)
@@ -887,14 +998,15 @@ object CubeAdvisor {
                           case _ => false
                         })
                     }
-                    dayOutOk && segOutOk && (sourceOf(b2) match {
+                    dayOutOk && segOutOk && (cohortSourceOf(b2) match {
                       // the endpoint side must carry the SAME dim
                       // filters as the pair side — the raw plan's
                       // endpoints are the days the FILTERED data was
                       // observed, which the serve reproduces by
                       // filtering cells once for both partials and
-                      // endpoints
-                      case Some((p3, _, p3preds)) if p3 == path =>
+                      // endpoints (a chain side compares equal via the
+                      // canonical chain key)
+                      case Some((p3, _, p3preds, _)) if p3 == path =>
                         val rRest = (p2 ++ rpreds ++ p3preds).filterNot(
                           _.isInstanceOf[IsNotNull])
                         sideFilters(rRest, subst(envR)) match {
@@ -916,7 +1028,8 @@ object CubeAdvisor {
                     outs.collect {
                       case RollOut.Leaf("quantile", c, p, _) => (c, p) },
                     leaves("min"), leaves("max"), leaves("sum"), join,
-                    leaves("xdistinct"), segNames, outs, lFilters)
+                    leaves("xdistinct"), segNames, outs, lFilters,
+                    chain)
                 }
               case _ => None
             }
@@ -1061,7 +1174,9 @@ object CubeAdvisor {
       join: Option[(String, String, String, String)] = None,
       // Some((granularity, offset)) when the period derivation is a
       // calendar ordinal rather than a day-multiple bucket
-      calendar: Option[(String, Long)] = None)
+      calendar: Option[(String, Long)] = None,
+      // the chain vocabulary when `path` is a canonical chain key
+      chain: Option[(Seq[String], Seq[(String, String)])] = None)
 
   /** DIM-VALUE filters on a pair side: conjuncts of the shape
     * `col = literal` / `col IN (literals)` over a plain source column
@@ -1125,8 +1240,11 @@ object CubeAdvisor {
         // ("distinct (supplier, order-week) pairs over orders⋈lineitem")
         // — sourceOf yields the composite registration key + join info,
         // so both cohort sides compare on the SAME join identity and
-        // the rewrite can dispatch to a registered join MV
-        val (path, join, jpreds) = sourceOf(inner).getOrElse(return None)
+        // the rewrite can dispatch to a registered join MV; a
+        // 3+-relation chain collapses to its canonical chain key the
+        // same way (cohortSourceOf), dispatching to a CHAIN MV
+        val (path, join, jpreds, chain) =
+          cohortSourceOf(inner).getOrElse(return None)
         val fs = sideFilters(preds0 ++ preds ++ jpreds, sub)
           .getOrElse(return None)
         val resolved = outPairs.map { case (a, e) => a -> sub(e) }
@@ -1139,7 +1257,7 @@ object CubeAdvisor {
           case _ => return None
         }
         Some(PairSide(path, tsCol, pd, pAttr.exprId, cols, fs, join,
-          cal))
+          cal, chain))
       case _ => None
     }
   }
@@ -1156,7 +1274,8 @@ object CubeAdvisor {
   private def projectedPairs(side: LogicalPlan): Option[PairSide] = {
     val (b, env, preds) = peel(side)
     val sub = subst(env) _
-    val (path, join, jpreds) = sourceOf(b).getOrElse(return None)
+    val (path, join, jpreds, chain) =
+      cohortSourceOf(b).getOrElse(return None)
     val fs = sideFilters(preds ++ jpreds, sub).getOrElse(return None)
     val resolved = side.output.map(a => a -> sub(a))
     val pOpt = resolved.flatMap { case (a, e) =>
@@ -1166,7 +1285,8 @@ object CubeAdvisor {
       case (a, e: AttributeReference) => a.exprId -> e
       case _ => return None
     }
-    Some(PairSide(path, tsCol, pd, pAttr.exprId, cols, fs, join, cal))
+    Some(PairSide(path, tsCol, pd, pAttr.exprId, cols, fs, join, cal,
+      chain))
   }
 
   /** The RETENTION plan shape — "how many of period p−1's ids came
@@ -1345,7 +1465,8 @@ object CubeAdvisor {
               case l: RollOut.Leaf =>
                 l.copy(family = kind, srcCol = idSrc.name)
               case o => o
-            }, kind, cur.filters, cur.join, calendar = cur.calendar))
+            }, kind, cur.filters, cur.join, calendar = cur.calendar,
+            chain = cur.chain))
         case _ => None
       }
     case _ => None
@@ -4130,11 +4251,36 @@ object CubeAdvisor {
     // linearizer visits their trees in different prefix orders — the
     // rec carries one valid linearization, and routing matches
     // multisets, so any of them serves every form
-    val key = paths.sorted.mkString("|") + "||" +
+    Some((chainKey(paths, edges), paths, edges, kept))
+  }
+
+  /** The order-canonical chain identity (sorted paths + sorted
+    * orientation-normalized edges) — shared by [[chainSourceOf]], the
+    * cohort matchers' chain fallback, and the rewrite's chain-MV
+    * candidate lookup, so "same chain" is ONE string comparison no
+    * matter which linearization each side carries. */
+  private[cube] def chainKey(paths: Seq[String],
+      edges: Seq[(String, String)]): String =
+    paths.sorted.mkString("|") + "||" +
       edges.map { case (a, b) => Seq(a, b).sorted.mkString("=") }
         .sorted.mkString("|")
-    Some((key, paths, edges, kept))
-  }
+
+  /** Pair-side source resolution for the COHORT matchers: [[sourceOf]]
+    * (one relation or a binary inner equi-join), extended with the
+    * CHAIN fallback — a registrable 3+-relation inner equi-join tree
+    * collapses to its order-canonical [[chainKey]] (join stays None;
+    * the rewrite matches the key against registered chain MVs), with
+    * the linearized (paths, edges) carried for the advisor's chain
+    * fold. Both sides of a cohort self-join over the same chain
+    * produce the same canonical key, so every "same source" check in
+    * the matchers keeps working as a single path comparison. */
+  private def cohortSourceOf(base: LogicalPlan)
+      : Option[(String, Option[(String, String, String, String)],
+          Seq[Expression],
+          Option[(Seq[String], Seq[(String, String)])])] =
+    sourceOf(base).map { case (p, j, preds) => (p, j, preds, None) }
+      .orElse(chainSourceOf(base).map { case (key, paths, edges, preds) =>
+        (key, None, preds, Some((paths, edges))) })
 
   private def conjunctsOf(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(a, b) =>

@@ -131,7 +131,7 @@ object CubeQueries {
     rollingRouteSource(spark, sfDir)
     chainRouteAll(spark, sfDir)
     advisedChainSources(spark, sfDir)
-    chainTtService(spark, sfDir)
+    chainTtAll(spark, sfDir)
     dictDistinctService(spark, sfDir)
     advisedRetentionState(spark, sfDir)
     joinRollRouteSources(spark, sfDir)
@@ -4544,9 +4544,10 @@ object CubeQueries {
 
   // --------------------------------------------------------------- q315
   private val chainTtSetup =
-    TrieMap.empty[(SparkSession, String), CubeService]
-  private def chainTtService(spark: SparkSession,
-      sfDir: String): CubeService =
+    TrieMap.empty[(SparkSession, String),
+      (CubeService, String, String, String)]
+  private def chainTtAll(spark: SparkSession, sfDir: String)
+      : (CubeService, String, String, String) =
     chainTtSetup.getOrElseUpdate((spark, sfDir), {
       val dir =
         java.nio.file.Files.createTempDirectory("graft_chaintt").toString
@@ -4576,7 +4577,7 @@ object CubeQueries {
       svc.updateChainAggregates("chain_tt", Seq(                 // v1
         1 -> lin.filter(col("l_orderkey") % 7 === 3)
           .withColumn("_sign", lit(1L))))
-      svc
+      (svc, s"$dir/ord", s"$dir/lin", s"$dir/cus")
     })
 
   /** Graded: CHAIN-MV TIME TRAVEL — the three-table rollup served
@@ -4589,7 +4590,7 @@ object CubeQueries {
     * rows the version-0 slice contained. */
   def q315ChainTimeTravel(spark: SparkSession,
       sfDir: String): DataFrame = {
-    val svc = chainTtService(spark, sfDir)
+    val (svc, _, _, _) = chainTtAll(spark, sfDir)
     svc.getChainAggregatesAsOf("chain_tt", 0, Seq("seg", "rf"),
         sumOf = Seq("rev"))
       .select(col("seg"), col("rf"),
@@ -4647,6 +4648,92 @@ object CubeQueries {
     require(scans.nonEmpty && scans.forall(_.contains(".cmv/")),
       s"SQL-text chain rollup routing did not fire (or still reads " +
         s"the sources); scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q316
+  /** Graded: RETENTION routing over the CHAINED MV — the last cell of
+    * the routing matrix: q261's raw distinct-pair self-join cohort
+    * plan ("of week p−1's suppliers, how many shipped again in p")
+    * written over the THREE-table join `orders ⋈ lineitem ⋈ customer`.
+    * [[CubeAdvisor]]'s pair-side source resolution collapses each
+    * side's 3-relation inner equi-join tree to its order-canonical
+    * chain key (`cohortSourceOf`), and the rewrite serves the AND-walk
+    * from the registered chain cube's per-day supplier bitmaps — the
+    * chain fold maintains the same bitmap partials as a single-table
+    * cube, so the cohort serve machinery applies unchanged. Plan
+    * hard-asserted to scan ONLY the `.cmv` version dir; FULL DuckDB
+    * oracle recomputes the self-join retention over the raw three-way
+    * join. 100 TB split: the raw plan pays TWO fact joins plus two
+    * shuffles of the distinct pairs per refresh; the routed serve is
+    * |periods| one-row bitmap merges off the maintained chain. */
+  def q316ChainRetentionRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (_, ord, lin, cus) = chainRouteAll(spark, sfDir)
+    val up = spark.read.parquet(ord)
+      .join(spark.read.parquet(lin),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(spark.read.parquet(cus),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("l_suppkey"),
+        floor((unix_timestamp(col("o_orderdate")).cast("double") / 86400)
+          .cast("long").cast("double") / 7).cast("long").as("p"))
+      .distinct()
+    val q = up.as("cur").join(up.as("prev"),
+        col("cur.l_suppkey") === col("prev.l_suppkey") &&
+          col("prev.p") === col("cur.p") - 1)
+      .groupBy(col("cur.p"))
+      .agg(countDistinct(col("cur.l_suppkey")).as("retained"))
+      .select(col("p").as("period"), col("retained"))
+      .orderBy(col("period"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && scans.forall(_.contains(".cmv/")),
+      s"chain retention routing did not fire (or still reads the " +
+        s"sources); scans=$scans")
+    q
+  }
+
+  // --------------------------------------------------------------- q317
+  /** Graded: AS-OF CHAIN ROUTING — the q213/q220 version-pinned
+    * optimizer discipline on the 3+-table family
+    * ([[CubeService.registerChainSourceAsOf]]): the three relation
+    * paths are registered to be served from RETAINED VERSION 0 of the
+    * once-folded `chain_tt` MV, so TODAY'S raw star rollup silently
+    * answers from YESTERDAY'S chain — deliberately answer-changing
+    * (that is the point of as-of pinning), with the pin version-keyed
+    * so a later fold's registry refresh cannot move it to the head.
+    * Plan hard-asserted to scan only the `.cmv` v0 dir; FULL DuckDB
+    * oracle recomputes the rollup from exactly the rows version 0
+    * contained (the `l_orderkey % 7 <> 3` slice). */
+  def q317ChainAsOfRouting(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (svc, ord, lin, cus) = chainTtAll(spark, sfDir)
+    CubeCatalog.install(spark)
+    svc.registerChainSourceAsOf(s"chain_tt_asof@$sfDir", "chain_tt", 0,
+      Seq(ord, lin, cus))
+    val q = spark.read.parquet(ord)
+      .join(spark.read.parquet(lin),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(spark.read.parquet(cus),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("l_returnflag"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .select(col("c_mktsegment").as("seg"),
+        col("l_returnflag").as("rf"), col("revenue"), col("n"))
+      .orderBy(col("seg"), col("rf"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    require(scans.nonEmpty && scans.forall(s =>
+        s.contains(".cmv/") && s.contains("/v0")),
+      s"as-of chain routing did not fire (or did not pin v0); " +
+        s"scans=$scans")
     q
   }
 
@@ -6195,6 +6282,8 @@ object CubeQueries {
     "q313_sql_chain_rollup_routing" -> q313SqlChainRollupRouting,
     "q314_segmented_cohort_matrix" -> q314SegmentedCohortMatrix,
     "q315_chain_time_travel" -> q315ChainTimeTravel,
+    "q316_chain_retention_routing" -> q316ChainRetentionRouting,
+    "q317_chain_asof_routing" -> q317ChainAsOfRouting,
     "q266_join_engagement_routing" -> q266JoinEngagementRouting,
     "q267_join_first_seen_routing" -> q267JoinFirstSeenRouting,
     "q268_stickiness" -> q268Stickiness,
@@ -7833,6 +7922,34 @@ object CubeQueries {
     // contained (l_orderkey % 7 <> 3) — the retained chain version
     // must hash-match it
     "q315_chain_time_travel" -> """
+      SELECT c_mktsegment AS seg, l_returnflag AS rf,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS revenue,
+        count(1) AS n
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE l_orderkey % 7 <> 3
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
+    // week-over-week supplier retention recomputed raw over the raw
+    // THREE-way join — the chain-MV-routed AND-walk must hash-match it
+    "q316_chain_retention_routing" -> """
+      WITH up AS (
+        SELECT DISTINCT l.l_suppkey,
+          CAST(floor(floor(floor(epoch(CAST(o.o_orderdate AS TIMESTAMP)))
+            / 86400) / 7) AS BIGINT) AS p
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey)
+      SELECT a.p AS period, count(DISTINCT a.l_suppkey) AS retained
+      FROM up a JOIN up b ON b.p = a.p - 1 AND b.l_suppkey = a.l_suppkey
+      GROUP BY 1
+      ORDER BY 1""",
+    // the rollup from exactly the rows chain_tt's VERSION 0 contained
+    // (the pre-fold l_orderkey % 7 <> 3 slice) — the as-of-pinned
+    // optimizer route must hash-match it
+    "q317_chain_asof_routing" -> """
       SELECT c_mktsegment AS seg, l_returnflag AS rf,
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
           AS revenue,

@@ -1012,10 +1012,19 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     // registered one, in either side order
     val candidates: Seq[(LogicalPlan, BigInt)] = needs.join match {
       case None =>
+        // chain-sourced curves: needs.path is the canonical chain key
+        // (see cohortCandidates) — the trailing-window serve merges a
+        // CHAIN MV's daily partials exactly as a single-table cube's
         CubeCatalog.registered.values.toSeq
           .filter(_.sourcePath == needs.path)
           .flatMap(reg =>
-            buildRollingServe(agg, needs, reg).map((_, reg.cubeSize)))
+            buildRollingServe(agg, needs, reg).map((_, reg.cubeSize))) ++
+        CubeCatalog.chainRegistered.values.toSeq
+          .filter(cr =>
+            CubeAdvisor.chainKey(cr.paths, cr.edges) == needs.path)
+          .flatMap(cr =>
+            buildRollingServe(agg, needs, cr.reg)
+              .map((_, cr.reg.cubeSize)))
       case Some((lp, rp, lk, rk)) =>
         CubeCatalog.joinRegistered.values.toSeq
           .filter(jr =>
@@ -1251,10 +1260,23 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
       needs: CubeAdvisor.RetentionNeeds): Seq[(LogicalPlan, BigInt)] =
     needs.join match {
       case None =>
+        // a chain-sourced cohort need carries the order-canonical
+        // chain key as its path (CubeAdvisor.cohortSourceOf) — no
+        // single-table registration can collide with it (the key
+        // embeds "||"), so both lookups can safely run side by side:
+        // the cohort walks serve from a CHAIN MV's day-dimmed bitmap
+        // partials exactly as from a single-table cube (the chain
+        // fold maintains the same partial families)
         CubeCatalog.registered.values.toSeq
           .filter(_.sourcePath == needs.path)
           .flatMap(reg =>
-            buildRetentionServe(agg, needs, reg).map((_, reg.cubeSize)))
+            buildRetentionServe(agg, needs, reg).map((_, reg.cubeSize))) ++
+        CubeCatalog.chainRegistered.values.toSeq
+          .filter(cr =>
+            CubeAdvisor.chainKey(cr.paths, cr.edges) == needs.path)
+          .flatMap(cr =>
+            buildRetentionServe(agg, needs, cr.reg)
+              .map((_, cr.reg.cubeSize)))
       case Some((lp, rp, lk, rk)) =>
         CubeCatalog.joinRegistered.values.toSeq
           .filter(jr =>

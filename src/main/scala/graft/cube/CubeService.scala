@@ -3490,11 +3490,26 @@ final class CubeService(spark: SparkSession, storageDir: String,
   }
 
   /** Create + persist a join MV (version 0). Sides should arrive as
-    * narrow projections — join key + referenced columns only. */
+    * narrow projections — join key + referenced columns only.
+    *
+    * Refuses a name whose `.jmv` root already carries a MANIFEST:
+    * re-creating would republish v0 and swap the MANIFEST back to 0
+    * while the previous incarnation's higher version dirs survive on
+    * disk — `listJoinCubeVersions`'s retention window (versions >
+    * head − retainJmvVersions) would then advertise the OLD MV's
+    * v1/v2 as retained, and `getJoinAggregatesAsOf` would serve the
+    * prior MV's data. */
   def createJoinCube(config: JoinCubeConfig, left: DataFrame,
-      right: DataFrame): JoinCube =
+      right: DataFrame): JoinCube = {
+    require(jmvVersion(config.cube.name) < 0,
+      s"join MV '${config.cube.name}' already exists under $storageDir " +
+        s"(head version ${jmvVersion(config.cube.name)}); re-creating " +
+        "would leave the old incarnation's version dirs advertised as " +
+        "retained time-travel versions — fold with " +
+        "updateJoinAggregates, or pick a new name / storage root")
     jmvPublish(config.cube.name,
       JoinCubeManager.create(config, left, right), 0)
+  }
 
   def loadJoinCube(name: String): JoinCube =
     joinLive.getOrElseUpdate(name, jmvLoad(name))
@@ -3766,11 +3781,57 @@ final class CubeService(spark: SparkSession, storageDir: String,
       exactDistinctOf)
   }
 
+  /** [[registerJoinSourceAsOf]] for CHAIN MVs: register the relation
+    * paths to be served by the optimizer from a RETAINED historical
+    * version of this chain MV — "ask yesterday's question through
+    * today's query" for the 3+-table star, with no API change on the
+    * query side: any covered aggregate over the registered inner
+    * equi-join TREE routes to version `version`'s cells (the
+    * flatten-and-match vocabulary, [[CubeRewriteRule]]). Version dirs
+    * are immutable (the manifest discipline), so no snapshot is
+    * needed; the pin is version-keyed — a later fold's registry
+    * refresh (matched by config name) cannot move it to the head.
+    * Validity follows the version's retention: the advertised window
+    * plus one grace publish (widen `retainJmvVersions` for
+    * longer-lived pins — like join MVs, cmv GC deletes the version
+    * dir itself). Deliberately answer-CHANGING relative to the head
+    * (that is the point), hence its own verb. */
+  def registerChainSourceAsOf(catalogKey: String, name: String,
+      version: Int, paths: Seq[String]): Unit = {
+    val retained = listChainCubeVersions(name)
+    require(retained.contains(version),
+      s"chain MV '$name' version $version is not retained " +
+        s"(window: ${retained.mkString(", ")}); raise " +
+        "retainJmvVersions at service construction to widen the " +
+        "time-travel window")
+    require(version != cmvVersion(name),
+      s"version $version is the current head of '$name' — register " +
+        "the head with CubeCatalog.registerChain; as-of pinning " +
+        "addresses archived versions")
+    val cc = cmvLoadAt(name, version)
+    CubeCatalog.registerChain(catalogKey,
+      cc.copy(cube = cc.cube.copy(
+        config = cc.cube.config.copy(name = s"$name@v$version"))),
+      paths)
+  }
+
   /** Create + persist a chain MV (version 0). Relations should arrive
-    * as narrow projections — edge keys + referenced columns only. */
+    * as narrow projections — edge keys + referenced columns only.
+    *
+    * Refuses a name whose `.cmv` root already carries a MANIFEST — the
+    * [[createJoinCube]] stale-version-dir hazard: republishing v0
+    * leaves the old incarnation's v1/v2 advertised as retained and
+    * `getChainAggregatesAsOf` would serve the prior MV's data. */
   def createChainCube(config: ChainCubeConfig,
-      rels: Seq[DataFrame]): ChainCube =
+      rels: Seq[DataFrame]): ChainCube = {
+    require(cmvVersion(config.cube.name) < 0,
+      s"chain MV '${config.cube.name}' already exists under " +
+        s"$storageDir (head version ${cmvVersion(config.cube.name)}); " +
+        "re-creating would leave the old incarnation's version dirs " +
+        "advertised as retained time-travel versions — fold with " +
+        "updateChainAggregates, or pick a new name / storage root")
     cmvPublish(config.cube.name, ChainCubeManager.create(config, rels), 0)
+  }
 
   def loadChainCube(name: String): ChainCube =
     chainLive.getOrElseUpdate(name, cmvLoad(name))

@@ -349,5 +349,114 @@ class ChainCubeSpec extends AnyFunSuite {
         Seq(s"$dir/ord", s"$dir/lin", s"$dir/ord"))
     }
     assert(dup.getMessage.contains("distinct"))
+    // an edge column name containing '=' would silently corrupt the
+    // newline-separated `l=r` chain_edges round-trip — refused at
+    // creation (r17 advice)
+    val eqName = intercept[IllegalArgumentException] {
+      ChainCubeManager.create(
+        ChainCubeConfig(cfg.cube,
+          Seq(("o_key", "l_key"), ("o_cust", "c=key"))),
+        Seq(ordersDf(Nil), linesDf(Nil),
+          custDf(Nil).withColumnRenamed("c_key", "c=key")))
+    }
+    assert(eqName.getMessage.contains("unrepresentable"))
+  }
+
+  test("registerChainSourceAsOf: version pin survives a publish; head/non-retained refuse") {
+    CubeCatalog.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmv_asof")
+      .toString
+    val ord = Seq((1L, 10L, "HIGH"), (2L, 20L, "LOW"), (3L, 10L, "HIGH"))
+    val lin0 = Seq((1L, 5.0), (2L, 7.0))
+    val cus = Seq((10L, "AUTO"), (20L, "BIKE"))
+    ordersDf(ord).write.parquet(s"$dir/ord")
+    linesDf(lin0).write.parquet(s"$dir/lin")
+    custDf(cus).write.parquet(s"$dir/cus")
+    val svc = new CubeService(spark, dir, retainJmvVersions = 3)
+    svc.createChainCube(cfg,                                     // v0
+      Seq(spark.read.parquet(s"$dir/ord"),
+        spark.read.parquet(s"$dir/lin"),
+        spark.read.parquet(s"$dir/cus")))
+    svc.updateChainAggregates("ct",                              // v1
+      Seq((1, linesDf(Seq((3L, 11.0))).withColumn("_sign", lit(1L)))))
+    // the head refuses (register it with CubeCatalog.registerChain)
+    val headRef = intercept[IllegalArgumentException] {
+      svc.registerChainSourceAsOf("ct_pin", "ct", 1,
+        Seq(s"$dir/ord", s"$dir/lin", s"$dir/cus"))
+    }
+    assert(headRef.getMessage.contains("current head"))
+    // a version outside the retention window refuses
+    val gone = intercept[IllegalArgumentException] {
+      svc.registerChainSourceAsOf("ct_pin", "ct", 7,
+        Seq(s"$dir/ord", s"$dir/lin", s"$dir/cus"))
+    }
+    assert(gone.getMessage.contains("not retained"))
+    // pin v0: today's raw rollup answers from yesterday's chain, and
+    // the pin is version-keyed — a LATER publish's registry refresh
+    // must not move it to the head
+    CubeCatalog.install(spark)
+    svc.registerChainSourceAsOf("ct_pin", "ct", 0,
+      Seq(s"$dir/ord", s"$dir/lin", s"$dir/cus"))
+    def rollup() = spark.read.parquet(s"$dir/ord")
+      .join(spark.read.parquet(s"$dir/lin"),
+        col("o_key") === col("l_key"))
+      .join(spark.read.parquet(s"$dir/cus"),
+        col("o_cust") === col("c_key"))
+      .groupBy(col("o_prio"), col("c_seg"))
+      .agg(sum(col("l_price").cast("decimal(18,2)")).as("rev"))
+    def servedRows() = rollup().collect()
+      .map(r => (r.getString(0), r.getString(1),
+        BigDecimal(r.getAs[java.math.BigDecimal]("rev")))).toSet
+    val v0Expect = Set(("HIGH", "AUTO", BigDecimal("5.00")),
+      ("LOW", "BIKE", BigDecimal("7.00")))
+    val scans = rollup().queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        CubeCatalog.sourcePathOf(r)
+    }.flatten
+    assert(scans.nonEmpty &&
+      scans.forall(s => s.contains(".cmv/") && s.contains("/v0")),
+      s"as-of chain pin did not route to v0: $scans")
+    assert(servedRows() == v0Expect, servedRows())
+    svc.updateChainAggregates("ct",                              // v2
+      Seq((1, linesDf(Seq((3L, 13.0))).withColumn("_sign", lit(1L)))))
+    assert(servedRows() == v0Expect,
+      "a later fold's registry refresh must not move the as-of pin")
+    CubeCatalog.clear()
+  }
+
+  test("re-creating an existing MV name is refused (stale-version hazard)") {
+    // Republishing v0 over an existing .cmv/.jmv root would swap the
+    // MANIFEST back to 0 while the old incarnation's v1/v2 dirs stay on
+    // disk INSIDE the retention window — getChainAggregatesAsOf would
+    // then serve the prior MV's data as a "retained" version (r17
+    // advice). Both create paths refuse instead.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmv_recreate")
+      .toString
+    val svc = new CubeService(spark, dir)
+    val ord = Seq((1L, 10L, "HIGH"), (2L, 20L, "LOW"))
+    val lin = Seq((1L, 5.0), (2L, 7.0))
+    val cus = Seq((10L, "AUTO"), (20L, "BIKE"))
+    svc.createChainCube(cfg,
+      Seq(ordersDf(ord), linesDf(lin), custDf(cus)))
+    // advance the head so the hazard (retained v1 from the old
+    // incarnation) is concrete
+    svc.updateChainAggregates("ct",
+      Seq((1, linesDf(Seq((1L, 2.0))).withColumn("_sign", lit(1L)))))
+    val chainDup = intercept[IllegalArgumentException] {
+      svc.createChainCube(cfg,
+        Seq(ordersDf(ord), linesDf(lin), custDf(cus)))
+    }
+    assert(chainDup.getMessage.contains("already exists"))
+    // join-MV side of the same guard
+    val cfgJ = JoinCubeConfig(
+      CubeConfig("jm", "mem",
+        dims = Seq(FieldDim("prio", "o_prio")),
+        measures = Seq(Measure("rev", "l_price"))),
+      leftKey = "o_key", rightKey = "l_key")
+    svc.createJoinCube(cfgJ, ordersDf(ord), linesDf(lin))
+    val joinDup = intercept[IllegalArgumentException] {
+      svc.createJoinCube(cfgJ, ordersDf(ord), linesDf(lin))
+    }
+    assert(joinDup.getMessage.contains("already exists"))
   }
 }

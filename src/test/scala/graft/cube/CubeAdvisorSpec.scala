@@ -1174,6 +1174,95 @@ class CubeAdvisorSpec extends AnyFunSuite {
       s"an outer three-way tree must land uncovered: $adviceO")
   }
 
+  test("cohort workloads over a 3-table chain fold into the CHAIN rec; stats veto applies") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val dir = Files.createTempDirectory("graft_advchcoh").toString
+    val rnd = new scala.util.Random(83)
+    (0 until 60).map(i => (i.toLong, (i % 8).toLong,
+      new Timestamp(1700000000000L + rnd.nextInt(21) * 86400000L)))
+      .toDF("o_key", "o_cust", "o_ts").write.parquet(s"$dir/ord")
+    (0 until 300).map(_ => (rnd.nextInt(66).toLong,
+      rnd.nextInt(20).toLong,
+      math.round(rnd.nextDouble() * 10000) / 100.0))
+      .toDF("l_key", "l_supp", "l_amt").write.parquet(s"$dir/lin")
+    (0L to 7L).map(i => (i, Seq("AUTO", "HOME")(rnd.nextInt(2))))
+      .toDF("c_key", "c_seg").write.parquet(s"$dir/cus")
+    def o = spark.read.parquet(s"$dir/ord")
+    def l = spark.read.parquet(s"$dir/lin")
+    def c = spark.read.parquet(s"$dir/cus")
+    def joined = o.join(l, col("o_key") === col("l_key"))
+      .join(c, col("o_cust") === col("c_key"))
+    def rollup() = joined
+      .groupBy(col("c_seg"), date_trunc("day", col("o_ts")).as("d"))
+      .agg(sum(col("l_amt").cast("decimal(18,2)")).as("rev"))
+    def retention() = {
+      val up = joined.select(col("l_supp"),
+          floor((unix_timestamp(col("o_ts")).cast("double") / 86400)
+            .cast("long").cast("double") / 7).cast("long").as("p"))
+        .distinct()
+      up.as("cur").join(up.as("prev"),
+          col("cur.l_supp") === col("prev.l_supp") &&
+            col("prev.p") === col("cur.p") - 1)
+        .groupBy(col("cur.p"))
+        .agg(countDistinct(col("cur.l_supp")).as("retained"))
+    }
+    // ONE chain rec covers both: the generic rollup hit and the
+    // retention fold union by canonical chain identity — the merged
+    // config carries the rollup's measure AND the cohort's day-dimmed
+    // supplier bitmap
+    val advice = CubeAdvisor.advise(Seq(rollup(), retention()), "advcc")
+    assert(advice.uncovered.isEmpty, s"uncovered: ${advice.uncovered}")
+    assert(advice.chains.size == 1, advice.chains)
+    assert(advice.retention.isEmpty,
+      s"a chain cohort group must not emit a retention rec with a " +
+        s"non-path source: ${advice.retention}")
+    val rec = advice.chains.head
+    assert(rec.coveredQueries == Seq(0, 1), rec.coveredQueries)
+    assert(rec.config.cube.bitmaps.exists(_.path == "l_supp"), rec)
+    assert(rec.config.cube.measures.exists(_.path == "l_amt"), rec)
+    assert(rec.config.cube.dims.count {
+      case TimeDim(_, "o_ts", _) => true; case _ => false } == 1, rec)
+    // honesty: materialize VERBATIM, register — BOTH queries route and
+    // the cohort result equals its raw recompute
+    val cc = ChainCubeManager.create(rec.config,
+      rec.paths.map(spark.read.parquet(_)))
+    val cubeDir = Files.createTempDirectory("graft_advchcoh_cube")
+      .toString
+    CubeManager.save(cc.cube, cubeDir)
+    CubeCatalog.install(spark)
+    CubeCatalog.registerChain("advcc_pin",
+      cc.copy(cube = CubeManager.load(spark, cubeDir,
+        rec.config.cube.name)), rec.paths)
+    Seq(rollup(), retention()).zipWithIndex.foreach { case (q, i) =>
+      val scans = scansOf(q)
+      assert(scans.nonEmpty && !scans.exists(_.startsWith(dir)),
+        s"advised chain workload $i did not route: $scans")
+    }
+    val served = retention().collect().map(_.toSeq).sortBy(_.toString)
+    CubeCatalog.clear()
+    val raw = retention().collect().map(_.toSeq).sortBy(_.toString)
+    assert(served.toSeq == raw.toSeq,
+      "advised-and-routed chain retention must equal the raw recompute")
+    // stats mode: the chain rec is probed (one count-only pass over
+    // the joined frame) ...
+    val stats = CubeAdvisor.adviseWithStats(spark,
+      Seq(rollup(), retention()), "advcc_s")
+    val srec = stats.chains.head
+    assert(srec.cells.isDefined && srec.sourceRows.isDefined, srec)
+    assert(srec.worthwhile, srec)
+    // ... and a chain cube whose cells approach the joined row count
+    // is VETOED — the most expensive materialization deserves the
+    // cheapest insurance
+    val bad = CubeAdvisor.adviseWithStats(spark,
+      Seq(joined.groupBy(col("l_amt"))
+        .agg(sum(col("l_amt").cast("decimal(18,2)")).as("s"))),
+      "advcc_bad")
+    assert(bad.chains.size == 1, bad.chains)
+    assert(!bad.chains.head.worthwhile,
+      s"near-unique chain grouping must be vetoed: ${bad.chains.head}")
+  }
+
   test("cohort-matrix workloads fold into the retention-family rec") {
     import spark.implicits._
     CubeCatalog.clear()

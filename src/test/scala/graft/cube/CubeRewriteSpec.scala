@@ -3267,6 +3267,103 @@ class CubeRewriteSpec extends AnyFunSuite {
       }
   }
 
+  test("CHAIN-sourced cohort plans (retention/churn/rolling) route to the chain MV") {
+    import spark.implicits._
+    CubeCatalog.clear()
+    val rnd = new scala.util.Random(91)
+    val ords = (0 until 60).map(i => (i.toLong, rnd.nextInt(12).toLong,
+      new Timestamp(1700000000000L + rnd.nextInt(21) * 86400000L)))
+    val lins = (0 until 400).map(_ =>
+      (rnd.nextInt(66).toLong, rnd.nextInt(25).toLong,
+        math.round(rnd.nextDouble() * 1000) / 100.0))
+    val cuss = (0 until 12).map(i =>
+      (i.toLong, Seq("A", "B", "C")(rnd.nextInt(3))))
+    val oDir = Files.createTempDirectory("graft_chcoh_o").toString
+    val lDir = Files.createTempDirectory("graft_chcoh_l").toString
+    val cDir = Files.createTempDirectory("graft_chcoh_c").toString
+    ords.toDF("o_key", "o_cust", "o_ts").write.mode("overwrite")
+      .parquet(oDir)
+    lins.toDF("l_key", "l_supp", "l_amt").write.mode("overwrite")
+      .parquet(lDir)
+    cuss.toDF("c_key", "c_seg").write.mode("overwrite").parquet(cDir)
+    val ccfg = ChainCubeConfig(
+      CubeConfig("chcoh", "o_l_c",
+        dims = Seq(FieldDim("seg", "c_seg"),
+          TimeDim("day", "o_ts", "day")),
+        measures = Nil,
+        bitmaps = Seq(Measure("sup", "l_supp"))),
+      edges = Seq(("o_key", "l_key"), ("o_cust", "c_key")))
+    val svc = new CubeService(spark,
+      Files.createTempDirectory("graft_chcoh_svc").toString)
+    svc.createChainCube(ccfg,
+      Seq(spark.read.parquet(oDir), spark.read.parquet(lDir),
+        spark.read.parquet(cDir)))
+    CubeCatalog.registerChain("chcoh", svc.loadChainCube("chcoh"),
+      Seq(oDir, lDir, cDir))
+    // raw cohort plans over the THREE-way join: the pair sides resolve
+    // through the order-canonical chain key (cohortSourceOf) and serve
+    // from the chain cube's per-day supplier bitmaps
+    def joined = spark.read.parquet(oDir)
+      .join(spark.read.parquet(lDir), col("o_key") === col("l_key"))
+      .join(spark.read.parquet(cDir), col("o_cust") === col("c_key"))
+    def pairs() = joined.select(col("l_supp"),
+        floor((unix_timestamp(col("o_ts")).cast("double") / 86400)
+          .cast("long").cast("double") / 7).cast("long").as("p"))
+      .distinct()
+    def retained() = {
+      val up = pairs()
+      up.as("cur").join(up.as("prev"),
+          col("cur.l_supp") === col("prev.l_supp") &&
+            col("prev.p") === col("cur.p") - 1)
+        .groupBy(col("cur.p"))
+        .agg(countDistinct(col("cur.l_supp")).as("retained"))
+    }
+    def churned() = {
+      val up = pairs()
+      up.as("cur").join(up.as("nxt"),
+          col("cur.l_supp") === col("nxt.l_supp") &&
+            col("nxt.p") === col("cur.p") + 1, "left_anti")
+        .groupBy(col("p"))
+        .agg(countDistinct(col("l_supp")).as("churned"))
+    }
+    def rolling() = graft.functions.Rolling.endpoints(
+        joined.select(col("l_supp"),
+          (unix_timestamp(col("o_ts")).cast("double") / 86400)
+            .cast("long").as("d")).distinct())
+      .agg(countDistinct(col("l_supp")).as("nu"))
+    val routedQs = Seq(retained(), churned(), rolling())
+    routedQs.zipWithIndex.foreach { case (q, i) =>
+      assert(scansOf(q).forall(_.contains(".cmv/")),
+        s"chain cohort route $i did not fire: ${scansOf(q)}")
+    }
+    val servedRows = routedQs.map(sortedRows)
+    // a DIFFERENT chain (same relations, different edge — customers
+    // keyed by supplier) must keep reading the sources
+    val other = spark.read.parquet(oDir)
+      .join(spark.read.parquet(lDir), col("o_key") === col("l_key"))
+      .join(spark.read.parquet(cDir), col("l_supp") === col("c_key"))
+      .select(col("l_supp"),
+        floor((unix_timestamp(col("o_ts")).cast("double") / 86400)
+          .cast("long").cast("double") / 7).cast("long").as("p"))
+      .distinct()
+    val otherQ = other.as("cur").join(other.as("prev"),
+        col("cur.l_supp") === col("prev.l_supp") &&
+          col("prev.p") === col("cur.p") - 1)
+      .groupBy(col("cur.p"))
+      .agg(countDistinct(col("cur.l_supp")).as("retained"))
+    assert(scansOf(otherQ).forall(!_.contains(".cmv/")),
+      s"a different chain must not route: ${scansOf(otherQ)}")
+    CubeCatalog.clear()
+    Seq(retained(), churned(), rolling()).zip(servedRows)
+      .zipWithIndex.foreach { case ((q, s), i) =>
+        assert(scansOf(q).forall(!_.contains(".cmv/")),
+          s"cleared catalog must not route (form $i)")
+        assert(sortedRows(q) == s,
+          s"chain-routed cohort result must EQUAL the raw recompute " +
+            s"(form $i)")
+      }
+  }
+
   test("estimator-changing rolling leaves route only with the opt-in") {
     // count(DISTINCT double) → HLL and percentile_approx → KLL both
     // change the answer: without the registration opt-in they must
