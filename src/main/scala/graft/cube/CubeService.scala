@@ -2415,61 +2415,51 @@ final class CubeService(spark: SparkSession, storageDir: String,
         (year(dayDate) * 4 + quarter(dayDate) - 1).cast("long")
       case _ => year(dayDate).cast("long")
     }).as("period")
-    val sharded = cube.config.bitmapShardBits > 0
-    val shardCols = if (sharded) Seq(col(CubeManager.ShardCol)) else Nil
-    val per = cube.live
-      .groupBy((segCols ++ Seq(periodKey) ++ shardCols): _*)
-      .agg(B.unionAgg(col(bitmapId)).as("__bm"))
-    // new-sets: each (segment [, shard]) partition's bitmap minus the
-    // LAGGED running union — a shard silent at w contributes no ids at
-    // w, so no grid fill is needed (gaps are inert to a prefix union)
-    val w = Window
-      .partitionBy((segCols ++ shardCols): _*)
-      .orderBy(col("period"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wo = Window
-      .partitionBy((segCols ++ shardCols): _*)
-      .orderBy(col("period"))
-    val emptyBm = lit(Array[Byte](0, 0, 0, 0)) // codec: zero blocks
-    val news = per
-      .withColumn("__cum", B.unionAgg(col("__bm")).over(w))
-      .withColumn("__nbm", B.andNot(col("__bm"),
-        coalesce(lag(col("__cum"), 1).over(wo), emptyBm)))
-      .select((segCols ++ Seq(col("period").as("cohort")) ++ shardCols :+
-        col("__nbm")): _*)
-    // the pair walk: cohort w's new-set against every observed period
-    // ≥ w of the SAME (segment [, shard]) — one-row frames both sides
-    val later = per.select((segmentBy.map(s =>
-        col(s).as(s"__r_$s")) ++ // avoid self-join ambiguity
-      Seq(col("period").as("__p2"), col("__bm").as("__rbm")) ++
-      (if (sharded) Seq(col(CubeManager.ShardCol).as("__rsh"))
-       else Nil)): _*)
-    val segEq = segmentBy.map(s => col(s) === col(s"__r_$s"))
-    val shardEq =
-      if (sharded) Seq(col(CubeManager.ShardCol) === col("__rsh")) else Nil
-    val cond = (segEq ++ shardEq :+ (col("__p2") >= col("cohort")))
-      .reduce(_ && _)
-    val pairs = news.join(later, cond)
-      .select((segCols ++ Seq(col("cohort"),
-        (col("__p2") - col("cohort")).as("offset"),
-        B.cardinality(col("__nbm")).as("__cs"),
-        B.andCardinality(col("__nbm"), col("__rbm")).as("__r"))): _*)
-    val summed =
-      if (!sharded) pairs
-      else pairs
-        .groupBy((segCols ++ Seq(col("cohort"), col("offset"))): _*)
-        .agg(sum(col("__cs")).as("__cs"), sum(col("__r")).as("__r"))
-    // sharded caveat: __cs summed over the PAIRED shards only — a
-    // shard observed at w but silent at w+k would drop out of the
-    // size; re-derive cohort sizes from the news frame itself
-    val sizes = news
+    // EXPLODE-ENTRIES SERVE (optimization round 18): the former blob
+    // algebra built |periods| one-row union bitmaps, ran a prefix-ANDNOT
+    // window for the new-sets, then AND-counted |periods|²/2 (cohort,
+    // period) blob pairs — and the window had funneled each (segment
+    // [, shard]) group into a single task, so the whole quadratic walk
+    // ran serially (measured 1.5-1.7 s/serve at sf0.1 local[32]). The
+    // identical matrix falls out of plain aggregates over the exploded
+    // (segment, period, id) activity rows: first-seen = min period per
+    // id (exactly the prefix-ANDNOT fixpoint), each (cohort, offset)
+    // cell = |{id : first = cohort, active at cohort + offset}|, and
+    // the ≥ 1-retained row set emerges naturally (a cell only exists
+    // when some cohort id was active there; offset 0 is the full
+    // cohort). Cost is LINEAR in Σ|cell ids| — cube content, never the
+    // source — instead of quadratic in the period count, every stage is
+    // an ordinary shuffled aggregate (full parallelism, map-side
+    // partials), and shard columns simply vanish (an id lives in
+    // exactly one shard, so the per-shard walk + re-sum collapses into
+    // the same group-bys). Output is row- and type-identical; the
+    // oracle gate covers the equivalence.
+    val acts = cube.live
+      .select((segCols ++ Seq(periodKey,
+        explode_outer(B.ids(col(bitmapId))).as("__id"))): _*)
+      .filter(col("__id").isNotNull)
+      .distinct()
+    // null-period fidelity: the old window ordered nulls FIRST, so an
+    // id whose earliest activity fell in a null period landed in the
+    // null new-set and never surfaced in any real cohort (the null
+    // cohort row itself dropped at the >= pair condition). Reproduce:
+    // any null-period activity excludes the id entirely.
+    val first = acts
+      .groupBy((segCols :+ col("__id")): _*)
+      .agg(min(col("period")).as("cohort"),
+        max(col("period").isNull).as("__hadNull"))
+      .filter(!col("__hadNull") && col("cohort").isNotNull)
+      .drop("__hadNull")
+    val cells = acts.join(first, segmentBy :+ "__id")
+      .groupBy((segCols ++ Seq(col("cohort"),
+        (col("period") - col("cohort")).as("offset"))): _*)
+      .agg(count(lit(1)).as("retained"))
+    val sizes = first
       .groupBy((segCols :+ col("cohort")): _*)
-      .agg(sum(B.cardinality(col("__nbm"))).as("cohort_size"))
-    summed.drop("__cs")
-      .join(sizes, segmentBy :+ "cohort")
-      .filter(col("__r") >= 1)
+      .agg(count(lit(1)).as("cohort_size"))
+    cells.join(sizes, segmentBy :+ "cohort")
       .select((segCols ++ Seq(col("cohort"), col("offset"),
-        col("cohort_size"), col("__r").as("retained"))): _*)
+        col("cohort_size"), col("retained"))): _*)
       .orderBy((segCols ++ Seq(col("cohort"), col("offset"))): _*)
   }
 
@@ -2598,61 +2588,50 @@ final class CubeService(spark: SparkSession, storageDir: String,
         (year(dayDate) * 4 + quarter(dayDate) - 1).cast("long")
       case _ => year(dayDate).cast("long")
     }).as("period")
-    val sharded = cube.config.bitmapShardBits > 0
-    val shardCols = if (sharded) Seq(col(CubeManager.ShardCol)) else Nil
-    // |periods| one-row weight maps per (segment [, shard]) partition,
-    // each carrying its own present-id bitmap for the first-seen walk
-    val per = cube.live
-      .groupBy((segCols ++ Seq(periodKey) ++ shardCols): _*)
-      .agg(W.mergeAgg(col(weightedId)).as("__wm"))
-      .withColumn("__kbm", W.keyBitmap(col("__wm")))
-    // first-seen sets: the period's key bitmap minus the LAGGED running
-    // union — the getCohortMatrix walk verbatim (gaps are inert to a
-    // prefix union; a shard silent at w contributes no ids at w)
-    val w = Window
-      .partitionBy((segCols ++ shardCols): _*)
-      .orderBy(col("period"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wo = Window
-      .partitionBy((segCols ++ shardCols): _*)
-      .orderBy(col("period"))
-    val emptyBm = lit(Array[Byte](0, 0, 0, 0)) // codec: zero blocks
-    val news = per
-      .withColumn("__cum", B.unionAgg(col("__kbm")).over(w))
-      .withColumn("__nbm", B.andNot(col("__kbm"),
-        coalesce(lag(col("__cum"), 1).over(wo), emptyBm)))
-      .select((segCols ++ Seq(col("period").as("cohort")) ++ shardCols :+
-        col("__nbm")): _*)
-    // the pair walk: cohort w's first-seen set against every observed
-    // period ≥ w of the SAME (segment [, shard]) — one-row frames both
-    // sides, each cell one merge-walk over two blobs
-    val later = per.select((segmentBy.map(s =>
-        col(s).as(s"__r_$s")) ++
-      Seq(col("period").as("__p2"), col("__wm").as("__rwm")) ++
-      (if (sharded) Seq(col(CubeManager.ShardCol).as("__rsh"))
-       else Nil)): _*)
-    val segEq = segmentBy.map(s => col(s) === col(s"__r_$s"))
-    val shardEq =
-      if (sharded) Seq(col(CubeManager.ShardCol) === col("__rsh")) else Nil
-    val cond = (segEq ++ shardEq :+ (col("__p2") >= col("cohort")))
-      .reduce(_ && _)
-    val pairs = news.join(later, cond)
-      .select((segCols ++ Seq(col("cohort"),
-        (col("__p2") - col("cohort")).as("offset"),
-        W.countIn(col("__nbm"), col("__rwm")).as("__a"),
-        W.sumIn(col("__nbm"), col("__rwm")).as("__v"))): _*)
-    // shards partition the id space: counts and scaled sums ADD
-    val summed =
-      if (!sharded) pairs
-      else pairs
-        .groupBy((segCols ++ Seq(col("cohort"), col("offset"))): _*)
-        .agg(sum(col("__a")).as("__a"), sum(col("__v")).as("__v"))
-    val sizes = news
+    // EXPLODE-ENTRIES SERVE (optimization round 18, the cohortFrom
+    // rationale with values): the former plan merged |periods| one-row
+    // weight maps, windowed a prefix-ANDNOT over their key bitmaps for
+    // the first-seen sets, then ran countIn + sumIn merge-walks over
+    // |periods|²/2 blob pairs inside the single task the window had
+    // reduced the frame to (measured 1.8-4.0 s/serve at sf0.1
+    // local[32] — the slowest serve family in the sweep). The identical
+    // matrix falls out of plain aggregates over the exploded (segment,
+    // period, id, cnt, w) entry rows: net per (segment, period, id)
+    // first (pointwise map addition = the same signed sums), PRESENT =
+    // net cnt > 0 (the WeightMapKeyBitmap rule, so delete histories net
+    // identically), first-seen = min present period, each cell =
+    // (count, Σ net scaled weight) of the cohort's ids present at that
+    // offset — exact longs, order-independent. Linear in Σ|cell
+    // entries| (cube content, never the source) instead of quadratic in
+    // the period count, fully parallel, shard columns vanish (an id
+    // lives in exactly one shard). Output row- and type-identical; the
+    // oracle gate covers the equivalence, and the family stays
+    // delete-capable for the same reason the maps are (signed nets).
+    val net = cube.live
+      .select((segCols ++ Seq(periodKey,
+        explode_outer(W.entries(col(weightedId))).as("__e"))): _*)
+      .filter(col("__e").isNotNull)
+      .groupBy((segCols ++ Seq(col("period"),
+        col("__e.id").as("__id"))): _*)
+      .agg(sum(col("__e.cnt")).as("__cnt"), sum(col("__e.w")).as("__w"))
+      .filter(col("__cnt") > 0)
+    // null-period fidelity — the cohortFrom rule: any null-period
+    // presence excludes the id from every real cohort.
+    val first = net
+      .groupBy((segCols :+ col("__id")): _*)
+      .agg(min(col("period")).as("cohort"),
+        max(col("period").isNull).as("__hadNull"))
+      .filter(!col("__hadNull") && col("cohort").isNotNull)
+      .drop("__hadNull")
+    val cells = net.join(first, segmentBy :+ "__id")
+      .groupBy((segCols ++ Seq(col("cohort"),
+        (col("period") - col("cohort")).as("offset"))): _*)
+      .agg(count(lit(1)).as("__a"), sum(col("__w")).as("__v"))
+    val sizes = first
       .groupBy((segCols :+ col("cohort")): _*)
-      .agg(sum(B.cardinality(col("__nbm"))).as("cohort_size"))
-    val matrix = summed
+      .agg(count(lit(1)).as("cohort_size"))
+    val matrix = cells
       .join(sizes, segmentBy :+ "cohort")
-      .filter(col("__a") >= 1)
       .select((segCols ++ Seq(col("cohort"), col("offset"),
         col("cohort_size"), col("__a").as("active"),
         W.toValue(col("__v")).as("value"))): _*)

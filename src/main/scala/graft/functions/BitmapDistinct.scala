@@ -624,6 +624,46 @@ case class BitmapKCountAgg(
     copy(child = newChildren.head)
 }
 
+/** ALL set ids of a serialized bitmap as an array — the bridge from
+  * blob algebra back to RELATIONAL rows (the [[WeightMapEntries]]
+  * rationale for the count-distinct family): the round-18 cohort-matrix
+  * serve explodes the cube's per-cell bitmaps once and answers the
+  * whole (cohort × offset) triangle with plain aggregates over (id,
+  * period) rows — linear in Σ|cell ids| (cube content, never the
+  * source) where the former |periods|²/2 AND-cardinality pair walk was
+  * quadratic in the period count and ran inside one task. Ids ascend
+  * within and across blocks (the byte form is block-sorted), though no
+  * consumer relies on it. Eval-only (CodegenFallback) like every blob
+  * op — runs over cube-sized frames. */
+case class BitmapIds(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "bitmap_ids"
+
+  override def nullSafeEval(bytes: Any): Any = {
+    val bb = java.nio.ByteBuffer.wrap(bytes.asInstanceOf[Array[Byte]])
+    val n = bb.getInt
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      val block = bb.getLong
+      var word = bb.getLong
+      while (word != 0L) {
+        val bit = java.lang.Long.numberOfTrailingZeros(word)
+        out += block * 64L + bit
+        word &= word - 1L
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BitmapIds = copy(child = newChild)
+}
+
 object Bitmap {
   /** Aggregate raw BIGINT ids into a serialized exact bitmap. */
   def setAgg(c: Column): Column =
@@ -673,4 +713,9 @@ object Bitmap {
   def andNotCardinality(a: Column, b: Column): Column =
     Bridge.toColumn(BitmapAndNotCardinality(
       Bridge.toExpression(a), Bridge.toExpression(b)))
+
+  /** All set ids as an array — explode to get the set back as
+    * relational rows (see [[BitmapIds]]). */
+  def ids(c: Column): Column =
+    Bridge.toColumn(BitmapIds(Bridge.toExpression(c)))
 }

@@ -161,6 +161,25 @@ object Similarity {
     }
   }
 
+  /** [[assign]] keeping the probe RANK (`crn` = 1 for the nearest
+    * cluster, ..., `keep` for the keep-th; the assign tiebreak — cos
+    * desc, cent_id asc — verbatim). Lets a consumer evaluate EVERY
+    * candidate probe width from one assignment: the width-`np` probe
+    * set is exactly the rows with `crn` ≤ np ([[graft.ann
+    * .AnnIndexService.tuneNprobe]]'s one-serve sweep rides this). Query
+    * sets only — the corpus path stays the keep=1 hash aggregate. */
+  private[graft] def assignRanked(df: DataFrame, cents: DataFrame,
+      keep: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.crossJoin(broadcast(cents))
+      .withColumn("cos", dotExpr("embedding", "ce") / (col("nrm") * col("cn")))
+    val byCos = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cent_id"))
+    scored.withColumn("crn", row_number().over(byCos))
+      .filter(col("crn") <= keep)
+      .select(col("vec_id"), col("cent_id"), col("crn"))
+  }
+
   /** One Lloyd step: element-wise mean of each cluster's vectors via the
     * [[VecMeanFloat]] aggregate — one dim-length buffer per cluster with
     * map-side partials (the posexplode → groupBy(cent, pos) form would
@@ -553,8 +572,24 @@ object Similarity {
     val occ = clustered.groupBy(col("cent_id")).agg(count(lit(1)).as("_occ"))
     val capped = clustered.join(broadcast(occ), Seq("cent_id"))
       .filter(col("_occ") <= Dedup.MaxBucket).drop("_occ")
-    val dups = capped.as("a").join(capped.as("b"),
+    // SALTED prune join (round 18, guide §2.5): the pairwise stage's
+    // only join key is the cluster id — ≤ k distinct values — so on a
+    // box with more cores than clusters the dot-product stage ran at
+    // ≤ k-way parallelism. Salting the a-side deterministically
+    // (vec_id mod r) and exploding the b-side r ways keeps the pair
+    // set IDENTICAL (each (a, b) lands in exactly a's salt bucket)
+    // while the join fans out k × r ways. r is derived from the
+    // session's parallelism, NOT a constant: at corpus scale k itself
+    // grows past the core count and r collapses to 1 (a no-op salt).
+    val r = math.max(1, 2 * input.sparkSession.sparkContext
+      .defaultParallelism / math.max(k, 1))
+    val aSide = capped
+      .withColumn("__salt", pmod(col("vec_id"), lit(r.toLong)))
+    val bSide = capped.withColumn("__salt", explode(expr(
+      s"transform(sequence(0, ${r - 1}), x -> CAST(x AS BIGINT))")))
+    val dups = aSide.as("a").join(bSide.as("b"),
         col("a.cent_id") === col("b.cent_id")
+          && col("a.__salt") === col("b.__salt")
           && col("b.vec_id") < col("a.vec_id"))
       .withColumn("cos",
         VectorExpressions.floatVecDot(col("a.embedding"), col("b.embedding"))

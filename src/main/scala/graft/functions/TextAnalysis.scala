@@ -394,10 +394,12 @@ object TextAnalysis {
   /** TF-IDF term scoring: top-3 most characteristic terms per document.
     * tf per (doc, term) comes out of one hash aggregate with map-side
     * partials (word skew is absorbed the same way q43's word count
-    * handles it); df per term is a frame-less window count OVER the tf
-    * frame — the former separate df aggregate + equi-join re-evaluated
-    * the whole explode+agg subtree on both branches, scanning the
-    * corpus twice. |corpus| comes from parquet footers (cached driver
+    * handles it); df per term is a VOCABULARY-sized aggregate over the
+    * tf frame, broadcast back onto it — the tf exchange is shared by
+    * both consumers (exchange reuse), so the corpus explode runs once
+    * and no second corpus-frame shuffle or sort exists (the window
+    * form this replaces re-shuffled and sorted the whole tf frame on
+    * term). |corpus| comes from parquet footers (cached driver
     * metadata, no pre-plan job — the q84 pattern).
     *
     * The score is the log-free rarity ratio tf·N/df: within a fixed
@@ -409,9 +411,10 @@ object TextAnalysis {
     * money sums. Ranking ties break by term asc.
     *
     * Scale note: the top-3 window sorts each doc's own term list (tens
-    * of rows per partition key, never a corpus sort); the df window
-    * shuffles the compact (doc,term,tf) frame once on term — strictly
-    * less data than the join form moved, with no second corpus scan. */
+    * of rows per partition key, never a corpus sort); the df branch
+    * shuffles only |vocab| partial-combined rows and returns as a
+    * bounded broadcast — no second corpus scan, no second corpus-frame
+    * shuffle. */
   def q90Tfidf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = Tables.footerRowCount(spark, s"$sfDir/documents.parquet")
@@ -422,7 +425,19 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    // df as a VOCABULARY-sized aggregate broadcast back (round 18): the
+    // former frame-less window shuffled and sorted the whole (doc,
+    // term, tf) frame a second time just to count rows per term. The
+    // aggregate's partial combine collapses that to |vocab| rows before
+    // any exchange, and the broadcast join attaches it with no second
+    // corpus-frame shuffle. The tf exchange under both consumers is
+    // byte-identical, so Spark's exchange reuse runs the explode + tf
+    // aggregation ONCE (the double-scan the old join form was replaced
+    // for predates exchange reuse of this shape; verified single-scan
+    // in plans/r18/q90_tfidf_after.txt). Vocabulary-sized broadcasts
+    // are the q45-profile discipline — bounded at any corpus scale.
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("term"))
       .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)

@@ -484,6 +484,47 @@ case class WeightMapTopK(child: Expression, k: Int)
     copy(child = newChildren.head)
 }
 
+/** ALL raw (id, cnt, w) entries of a serialized weight map as an array
+  * of structs — the bridge from blob algebra back to RELATIONAL rows.
+  * The round-18 cohort-value serve explodes the cube's per-cell maps
+  * once and answers the whole (cohort × offset) matrix with plain
+  * aggregates over the entry rows: linear in Σ|cell entries| (cube
+  * content, never the source) where the former |periods|²/2 blob
+  * pair walk was quadratic in the period count and ran inside one
+  * task. Emits entries UNFILTERED (including net cnt ≤ 0 rows, which
+  * survive pointwise adds as signed partials) — the consumer nets per
+  * (period, id) and applies the cnt > 0 presence rule itself, exactly
+  * [[WeightMapKeyBitmap]]'s convention. Eval-only (CodegenFallback)
+  * like every blob op — runs over cube-sized frames. */
+case class WeightMapEntries(child: Expression)
+    extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cnt", LongType, nullable = false),
+      StructField("w", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "weightmap_entries"
+  override def children: Seq[Expression] = Seq(child)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      WeightMapCodec.foreachEntry(v.asInstanceOf[Array[Byte]],
+        (id, cnt, w) => out += InternalRow(id, cnt, w))
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WeightMapEntries =
+    copy(child = newChildren.head)
+}
+
 object WeightMap {
   /** Fixed decimal scale of the stored weights: 2 fractional digits —
     * the cube's DECIMAL(18,2) measure convention made integral so long
@@ -541,4 +582,9 @@ object WeightMap {
   def deltaSums(cur: Column, prev: Column): Column =
     Bridge.toColumn(WeightMapDeltaSums(
       Bridge.toExpression(cur), Bridge.toExpression(prev)))
+
+  /** All raw (id, cnt, w) entries as an array of structs — explode to
+    * get the map back as relational rows (see [[WeightMapEntries]]). */
+  def entries(c: Column): Column =
+    Bridge.toColumn(WeightMapEntries(Bridge.toExpression(c)))
 }
