@@ -28,6 +28,19 @@ object ServeProbe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // dedup pair-build timing: 3 repetitions, cache evicted between
+    for (i <- 1 to 3) {
+      graft.functions.Dedup.evictPairs(spark)
+      time(s"jaccard pair build run $i") {
+        noop(graft.functions.Dedup.q36DedupJaccard(spark, sfDir))
+      }
+    }
+    time("semanticDedup run 1") {
+      noop(graft.functions.Similarity.q115SemanticDedup(spark, sfDir))
+    }
+    time("semanticDedup run 2") {
+      noop(graft.functions.Similarity.q115SemanticDedup(spark, sfDir))
+    }
     import graft.cube._
     val dir = java.nio.file.Files.createTempDirectory("graft_probe").toString
     val svc = new CubeService(spark, dir)

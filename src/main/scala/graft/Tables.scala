@@ -81,6 +81,31 @@ object Tables {
   private val counts =
     scala.collection.concurrent.TrieMap.empty[String, ((Long, Int), Long)]
 
+  /** SIZE-GATED scan spread (optimization round 18, guide §2.6): the
+    * local test tables are single-file, SINGLE-ROW-GROUP parquet, so a
+    * scan — and every map-side operator fused onto it (shingle/gram
+    * explodes, per-row signatures, brute-force dot products, partial
+    * aggregates) — runs in ONE task no matter how many cores the
+    * session has; the heavy text/embedding pipelines were measured
+    * single-threaded to their first exchange. When the frame's
+    * optimizer size estimate says the input cannot fill the session's
+    * cores (< ~4 MB/core — below that the scan gets at most a couple
+    * of splits), one cheap hash repartition spreads the downstream
+    * map work; past that size the source's own splits parallelize the
+    * scan and this is the identity — so at any real scale the extra
+    * exchange vanishes rather than re-shuffling a corpus (the
+    * derive-from-input-size discipline, not a local[32] constant).
+    * Hash on a provided key, never round-robin: round-robin pays a
+    * sort-before-repartition INSIDE the single scan task and is
+    * retry-sensitive. Callers apply it AFTER pushed filters/pruned
+    * projections, so scan pushdown is untouched. */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(p.toLong) * 4L * 1024 * 1024) df.repartition(p, key)
+    else df
+  }
+
   def footerRowCount(spark: SparkSession, path: String): Long = {
     import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
     import org.apache.parquet.hadoop.ParquetFileReader

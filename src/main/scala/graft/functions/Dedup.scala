@@ -347,7 +347,10 @@ object Dedup {
     val em = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         Similarity.normExpr("embedding").as("nrm"))
-    em.as("a")
+    // Tables.spread on the STREAM side: the O(n²/2) dot products of
+    // the brute-force anchor evaluate in the nested-loop join's stream
+    // tasks — one task on the local single-row-group scan
+    Tables.spread(em, col("vec_id")).as("a")
       .join(broadcast(em.as("b")), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
         Similarity.dotExpr("a.embedding", "b.embedding")

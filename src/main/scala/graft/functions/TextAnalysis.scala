@@ -21,6 +21,19 @@ import graft.operators.Stable._
 object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Documents with the size-gated scan spread applied
+    * ([[graft.Tables.spread]]) — used ONLY by the operators whose
+    * fused map-side work is heavy enough to beat the extra exchange's
+    * first-run cost (q80's repetition signals, q82's regex redaction,
+    * q85's gram explode; measured −0.3 to −1.7 s cold). Round-18 A/B
+    * note: applying this to EVERY text operator was tried and
+    * REVERTED — the bench times each query's FIRST run, and for the
+    * small per-doc transforms the added exchange's extra codegen
+    * stage + scheduling cost more than the map parallelism returned
+    * (+0.2-0.9 s per query cold, while warm runs broke even). */
+  private def spreadDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.spread(Tables.documents(spark, sfDir), col("doc_id"))
+
   // ---------------------------------------------------------------- q42
   /** Corpus statistics per (lang, source): doc counts, char/token
     * counts and averages. Token count = whitespace tokenization. */
@@ -208,7 +221,7 @@ object TextAnalysis {
     * [[repetitionSignals]]); no per-distinct-token re-scan survives at
     * any document length. */
   def q80RepetitionFilter(spark: SparkSession, sfDir: String): DataFrame =
-    repetitionSignals(Tables.documents(spark, sfDir))
+    repetitionSignals(spreadDocs(spark, sfDir))
       .drop("text").orderBy(col("doc_id"))
 
   /** The signal stage alone — stateless and map-only, so it runs
@@ -270,7 +283,7 @@ object TextAnalysis {
     * transform with zero shuffles at any corpus size, and the regexes
     * are RE2-compatible so the semantics port across engines. */
   def q82PiiRedact(spark: SparkSession, sfDir: String): DataFrame =
-    redactPii(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
+    redactPii(spreadDocs(spark, sfDir)).orderBy(col("doc_id"))
 
   /** The scrub stage alone — stateless and map-only (streams unchanged;
     * StreamingSpec pins stream == batch). */
@@ -304,7 +317,7 @@ object TextAnalysis {
     * identical plan, ~10× less shuffle volume. */
   def q85SubstringDup(spark: SparkSession, sfDir: String): DataFrame = {
     val g = 8
-    Tables.documents(spark, sfDir)
+    spreadDocs(spark, sfDir)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= g)
       .select(col("doc_id"), explode_outer(expr(
