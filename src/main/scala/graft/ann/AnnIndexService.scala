@@ -411,7 +411,18 @@ class AnnIndexService(spark: SparkSession, storageDir: String,
     * (≤ k of them; k is small by construction). Returns
     * (nprobe, measured recall). At 100 TB this is the knob that trades
     * probed-cluster volume for recall, tuned from evidence instead of
-    * guessed. */
+    * guessed.
+    *
+    * DRIVER-MEMORY CONTRACT: the one-serve sweep collects at most
+    * |sample| × k × topK candidate rows (4 scalars each) to the
+    * driver — k-fold more than one serve's |sample| × topK. The
+    * sample is the caller's statistical probe, NOT the corpus: keep
+    * it in the 10²-10⁴ query range (the standard recall-estimation
+    * size — sampling error shrinks as 1/√n, so 10⁴ already resolves
+    * recall to ±1%). At the defaults (k ≤ 64, topK = 5) a 10⁴ sample
+    * collects ≤ 3.2M rows ≈ 100 MB — bounded well under
+    * spark.driver.maxResultSize; a caller who passes the full query
+    * log instead of a sample is misusing the verb. */
   def tuneNprobe(name: String, sampleQueries: DataFrame, topK: Int = 5,
       targetRecall: Double = 0.95): (Int, Double) = {
     require(targetRecall > 0 && targetRecall <= 1.0,

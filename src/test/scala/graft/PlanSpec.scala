@@ -46,6 +46,10 @@ class PlanSpec extends AnyFunSuite {
     "q115_semantic_dedup",    // crossJoin vs <=16 broadcast centroids (q51 path)
     "q164_ann_index_serve",   // crossJoin vs <=16 broadcast PERSISTED centroids
     "q178_ann_delete_serve",  // same persisted-centroid broadcast, all clusters probed
+    "q193_ann_time_travel",   // as-of serves on the q178 exhaustive path
+                              // (round-18 item 4: nprobe >= k probes ARE
+                              // the query x centroid cross product; missed
+                              // from this list when the path changed)
     "q117_heavy_hitters",     // crossJoin vs ONE broadcast sketch row
     "q118_word_cooccurrence", // crossJoin vs ONE broadcast total-count row
     "q120_audience_overlap",  // |types| x |types| sketch-pair join, both sides tiny

@@ -17,16 +17,9 @@ import org.scalatest.funsuite.AnyFunSuite
   *    stay small, are still found.
   */
 class DedupCapSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  // per-test acquisition through the liveness guard (round-18 gate:
+  // a suite-level lazy val froze a stopped context — see TestSession)
+  def spark: SparkSession = graft.TestSession.get()
 
   private def maxCount(df: DataFrame, keys: String*): Long =
     df.groupBy(keys.map(col): _*).count()
@@ -61,7 +54,7 @@ class DedupCapSpec extends AnyFunSuite {
   }
 
   test("interval overlap (q132 shape): a whale customer is dropped, small customers survive") {
-    import spark.implicits._
+    val sp = spark; import sp.implicits._
     // a whale with 600 mutually-overlapping orders (600 > MaxBucket=512:
     // uncapped = 600·599/2 ≈ 180k pairs from ONE reducer key — the 100 TB
     // bot-account detonation) plus a normal customer with one overlapping
@@ -92,7 +85,7 @@ class DedupCapSpec extends AnyFunSuite {
   }
 
   test("fuzzy pairs: an over-occupied prefix block is dropped, small blocks survive") {
-    import spark.implicits._
+    val sp = spark; import sp.implicits._
     // 600 copies of one text share a prefix block (occupancy 600 > 512
     // -> must be dropped: an uncapped run would emit 600*599/2 pairs);
     // one planted typo pair in its own block must still be found
@@ -253,7 +246,7 @@ class DedupCapSpec extends AnyFunSuite {
   }
 
   test("dupClusters: driver union-find == distributed propagation loop") {
-    import spark.implicits._
+    val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(99)
     // dense random component mix + a 20-node PATH (diameter 19 — the
     // worst case for per-round propagation, trivial for union-find)
