@@ -1670,13 +1670,20 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     // each (cohort, offset) cell = (count, Σ net scaled weight) of the
     // cohort's ids present there. Row set identical: a cell exists
     // exactly when ≥ 1 cohort id was active at that offset.
+    // MERGE-THEN-EXPLODE (optimization round 19, the cohortValueFrom
+    // rationale): merge the maps per (period [, shard]) first — the
+    // pointwise addition IS the net, map-side partial blob merges —
+    // then explode behind the exchange (parallel across periods, not
+    // inside the single-file snapshot scan task); merged entries are
+    // already the net (cnt, w) per id, so no second aggregate.
+    val shardCols =
+      if (cfg.bitmapShardBits > 0) Seq(col(CubeManager.ShardCol)) else Nil
     val net = filteredFrame
-      .select(periodKey,
-        explode_outer(W.entries(col(wId))).as("__e"))
-      .filter(col("__e").isNotNull)
-      .groupBy(col("__p"), col("__e.id").as("__id"))
-      .agg(sum(col("__e.cnt")).as("__cnt"), sum(col("__e.w")).as("__w"))
-      .filter(col("__cnt") > 0)
+      .groupBy((Seq(periodKey) ++ shardCols): _*)
+      .agg(W.mergeAgg(col(wId)).as("__wm"))
+      .select(col("__p"), explode_outer(W.entries(col("__wm"))).as("__e"))
+      .filter(col("__e").isNotNull && col("__e.cnt") > 0)
+      .select(col("__p"), col("__e.id").as("__id"), col("__e.w").as("__w"))
     val firstSeen = net
       .groupBy(col("__id"))
       .agg(min(col("__p")).as("__cohort"),
@@ -1836,10 +1843,18 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     // (cohort, offset) cell = |{id : first = cohort, active at
     // offset}|. Row set identical: a cell exists exactly when ≥ 1
     // cohort id was active at that offset.
+    // MERGE-THEN-EXPLODE (optimization round 19, the cohortValueFrom
+    // rationale): union the bitmaps per (period [, shard]) first, then
+    // explode behind the exchange — parallel across periods, already
+    // deduped (ids are disjoint across shards), no .distinct() shuffle
+    // of exploded rows.
+    val shardCols =
+      if (cfg.bitmapShardBits > 0) Seq(col(CubeManager.ShardCol)) else Nil
     val acts = filteredFrame
-      .select(periodKey, explode_outer(B.ids(col(bmId))).as("__id"))
+      .groupBy((Seq(periodKey) ++ shardCols): _*)
+      .agg(B.unionAgg(col(bmId)).as("__bm"))
+      .select(col("__p"), explode_outer(B.ids(col("__bm"))).as("__id"))
       .filter(col("__id").isNotNull)
-      .distinct()
     val firstSeen = acts
       .groupBy(col("__id"))
       .agg(min(col("__p")).as("__cohort"),
@@ -2137,7 +2152,6 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     }).as("__p")
     val W = graft.functions.WeightMap
     val B = graft.functions.Bitmap
-    val emptyBlob = lit(Array[Byte](0, 0, 0, 0))
     // NULL-PERIOD CONVENTION (documented): every routed bridge term
     // drops the null-period row — a null event time is not a period.
     // The raw terms drop it too wherever a join/equality touches the
@@ -2146,6 +2160,7 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
     // the weighted binding (map-served kinds); revenue may instead
     // bind the plain decimal measure (see below). The spine binds any
     // weighted measure on the filtered id (weightCol is empty there).
+    //
     def mapsFrame(): Option[org.apache.spark.sql.DataFrame] =
       cfg.weighted.find(m =>
           m.idPath == needs.idCol &&
@@ -2156,6 +2171,31 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
             .filter(col("__p").isNotNull)
             .withColumn("__kbm", W.keyBitmap(col("__wm")))
         }
+    // SCALE AUDIT of the blob kinds (optimization round 19): periods /
+    // revenue / anti / expcon were already window-free — per-period
+    // blob ops and ±1-period equi-joins over the |periods|-row merged
+    // frame, row-parallel at any scale — and the first attempt to
+    // explode THEM measured a clean regression on the identical
+    // harness (q297 3.32 → 3.71 s, q301 2.44 → 3.21 s min-of-3: 24
+    // Generates / 66 Exchanges where the blob forms plan 44 — the r18
+    // "spread" lesson, stage count beats latent parallelism at cold-run
+    // cost), so those kinds KEEP the blob forms. The one genuine
+    // scale-killer was the frame-less prefix-union WINDOW under `new`
+    // and `resurrected` — partitionBy() funnels the whole frame into
+    // ONE task whose running bitmap union grows with the full id
+    // space. Those two kinds now derive first-seen relationally from
+    // the MERGED maps' exploded entries (present = net cnt > 0, the
+    // WeightMapKeyBitmap rule; entries are already netted per (period,
+    // id) by the merge, so no second aggregate): first-seen = min
+    // present period, new = rows at it, resurrected = present, absent
+    // at p−1 (the present rows shifted +1, left_anti), first < p.
+    // Ordinary parallel shuffles, linear in Σ|map entries|.
+    def presentFrame(): Option[org.apache.spark.sql.DataFrame] =
+      mapsFrame().map(per => per
+        .select(col("__p"), explode_outer(W.entries(col("__wm"))).as("__e"))
+        .filter(col("__e").isNotNull && col("__e.cnt") > 0)
+        .select(col("__p"), col("__e.id").as("__id"),
+          col("__e.w").as("__w")))
     // served: (__p, value columns per kind) BEFORE the label shift
     val served: org.apache.spark.sql.DataFrame = needs.kind match {
       case "periods" if needs.idFiltered =>
@@ -2179,7 +2219,7 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
         // null-id discipline (see analyzeValueBridge): an id-filtered
         // plan only the maps reproduce; a nullable unfiltered id only
         // the measure partials do; a non-nullable id serves from
-        // either (prefer the measure — no blob walk)
+        // either (prefer the measure — no blob work)
         def viaMeasure = cfg.measures.find(_.path == needs.weightCol)
           .map(m => filteredFrame.groupBy(periodKey)
             .agg(sum(col(m.id)).as("__vdec"))
@@ -2192,19 +2232,16 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
          else if (needs.idNullable) viaMeasure
          else viaMeasure.orElse(viaMaps)).getOrElse(return None)
       case "new" =>
-        val per = mapsFrame().getOrElse(return None)
-        val w = org.apache.spark.sql.expressions.Window.partitionBy()
-          .orderBy(col("__p"))
-          .rowsBetween(org.apache.spark.sql.expressions
-            .Window.unboundedPreceding, -1)
-        per
-          .withColumn("__nbm", B.andNot(col("__kbm"),
-            coalesce(B.unionAgg(col("__kbm")).over(w), emptyBlob)))
-          .filter(B.cardinality(col("__nbm")) >= 1)
-          .select(col("__p"),
-            W.sumIn(col("__nbm"), col("__wm")).as("__vl"))
+        // new at p = present at p with first-seen = p (the prefix-
+        // ANDNOT fixpoint, without the single-task window)
+        val pr = presentFrame().getOrElse(return None)
+        val first = pr.groupBy(col("__id")).agg(min(col("__p")).as("__fp"))
+        pr.join(first, Seq("__id"))
+          .filter(col("__p") === col("__fp"))
+          .groupBy(col("__p")).agg(sum(col("__w")).as("__vl"))
       case "anti" =>
         val per = mapsFrame().getOrElse(return None)
+        val emptyBlob = lit(Array[Byte](0, 0, 0, 0))
         val other = per.select(col("__p").as("__po"),
           col("__kbm").as("__okbm"))
         per.join(other, col("__po") === col("__p") + lit(needs.adj),
@@ -2215,23 +2252,16 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
           .select(col("__p"),
             W.sumIn(col("__abm"), col("__wm")).as("__vl"))
       case "resurrected" =>
-        val per = mapsFrame().getOrElse(return None)
-        val w = org.apache.spark.sql.expressions.Window.partitionBy()
-          .orderBy(col("__p"))
-          .rowsBetween(org.apache.spark.sql.expressions
-            .Window.unboundedPreceding, -1)
-        val prev = per.select(col("__p").as("__po"),
-          col("__kbm").as("__okbm"))
-        per
-          .withColumn("__prefix",
-            coalesce(B.unionAgg(col("__kbm")).over(w), emptyBlob))
-          .join(prev, col("__po") === col("__p") - 1, "left_outer")
-          .withColumn("__rbm", B.and(
-            B.andNot(col("__kbm"), coalesce(col("__okbm"), emptyBlob)),
-            col("__prefix")))
-          .filter(B.cardinality(col("__rbm")) >= 1)
-          .select(col("__p"),
-            W.sumIn(col("__rbm"), col("__wm")).as("__vl"))
+        // present at p, NOT at p − 1, present at some earlier period
+        // (first-seen strictly before p — the prefix-union witness)
+        val pr = presentFrame().getOrElse(return None)
+        val first = pr.groupBy(col("__id")).agg(min(col("__p")).as("__fp"))
+        val prevRows = pr.select((col("__p") + lit(1L)).as("__p"),
+          col("__id"))
+        pr.join(prevRows, Seq("__p", "__id"), "left_anti")
+          .join(first, Seq("__id"))
+          .filter(col("__fp") < col("__p"))
+          .groupBy(col("__p")).agg(sum(col("__w")).as("__vl"))
       case "expcon" =>
         val per = mapsFrame().getOrElse(return None)
         val prev = per.select(col("__p").as("__pp"),
@@ -2569,13 +2599,24 @@ object CubeRewriteRule extends Rule[LogicalPlan] {
           emptyBm)))
       .withColumn("__n", B.andNot(col(s"__c$last"),
         coalesce(lag(col(s"__c$last"), 1).over(wLag), emptyBm)))
-    val fFrame = frame.select(col("__p").as("__pa"), col("__f"))
-    val nFrame = frame.select(col("__p").as("__pb"), col("__n"))
-    val served = fFrame.join(nFrame, col("__pb") >= col("__pa"))
-      .select((col("__pb") - col("__pa")).as("__lag"),
-        B.andCardinality(col("__f"), col("__n")).as("__k"))
-      .groupBy(col("__lag"))
-      .agg(sum(col("__k")).as("__conv"))
+    // EXPLODE-IDS LAG JOIN (optimization round 19 — the
+    // CubeService.timeToConvertFrom rewrite, routed form): an id lives
+    // in AT MOST ONE __f bitmap (prefix-ANDNOT first-seen) and AT MOST
+    // ONE __n bitmap (monotone converted-set diff), so the former
+    // |periods|²/2 single-task BNLJ blob triangle is exactly one row
+    // per converting id in the equi-join of the exploded id rows — an
+    // ordinary parallel shuffle join, linear in the id count. A null
+    // period never satisfies the ≥ range predicate, as before.
+    val fIds = frame.select(col("__p").as("__pa"),
+      explode_outer(B.ids(col("__f"))).as("__id"))
+      .filter(col("__id").isNotNull)
+    val nIds = frame.select(col("__p").as("__pb"),
+      explode_outer(B.ids(col("__n"))).as("__id"))
+      .filter(col("__id").isNotNull)
+    val served = fIds.join(nIds, Seq("__id"))
+      .filter(col("__pb") >= col("__pa"))
+      .groupBy((col("__pb") - col("__pa")).as("__lag"))
+      .agg(sum(lit(1L)).as("__conv"))
       .filter(col("__conv") >= 1)
     val outPlan = served.queryExecution.optimizedPlan
     val servedAttr: Map[String, Attribute] =

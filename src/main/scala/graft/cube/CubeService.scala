@@ -1772,7 +1772,7 @@ final class CubeService(spark: SparkSession, storageDir: String,
     import org.apache.spark.sql.expressions.Window
     require(maxLagPeriods >= 1 && maxLagPeriods <= 366,
       s"maxLagPeriods must be in 1..366, got $maxLagPeriods (the " +
-        "serve fans |periods| × maxLagPeriods cell pairs)")
+        "lag window is the user-facing histogram bound)")
     require(cube.config.dims.exists {
         case TimeDim(id, _, g) => id == dayDim && g == "day"
         case _ => false
@@ -1865,31 +1865,34 @@ final class CubeService(spark: SparkSession, storageDir: String,
           emptyBm)))
       .withColumn("__n", B.andNot(col(s"__c$last"),
         coalesce(lag(col(s"__c$last"), 1).over(wLag), emptyBm)))
-    val segA = segmentBy.zipWithIndex.map { case (c, i) =>
-      col(c).as(s"__g$i") }
-    val segB = segmentBy.zipWithIndex.map { case (c, i) =>
-      col(c).as(s"__h$i") }
-    val fFrame = frame.select((segA ++ Seq(col("period").as("__pa"),
-      col("__f")) ++ (if (sharded)
-        Seq(col(CubeManager.ShardCol).as("__sa")) else Nil)): _*)
-    val nFrame = frame.select((segB ++ Seq(col("period").as("__pb"),
-      col("__n")) ++ (if (sharded)
-        Seq(col(CubeManager.ShardCol).as("__sb")) else Nil)): _*)
-    val segEq = segmentBy.indices
-      .map(i => col(s"__g$i") === col(s"__h$i"))
-      .foldLeft(lit(true))(_ && _)
-    val pairCond = segEq &&
-      (if (sharded) col("__sa") === col("__sb") else lit(true)) &&
-      col("__pb") >= col("__pa") &&
-      col("__pb") <= col("__pa") + maxLagPeriods
-    val segOut = segmentBy.zipWithIndex.map { case (c, i) =>
-      col(s"__g$i").as(c) }
-    fFrame.join(nFrame, pairCond)
-      .select((segOut ++ Seq(
-        (col("__pb") - col("__pa")).as("lag_periods"),
-        B.andCardinality(col("__f"), col("__n")).as("__k"))): _*)
-      .groupBy((segmentBy.map(col) :+ col("lag_periods")): _*)
-      .agg(sum(col("__k")).as("converted"))
+    // EXPLODE-IDS LAG JOIN (optimization round 19 — the round-18
+    // cohortFrom rationale applied to the lag grid): the former plan
+    // BNLJ'd the |periods| one-row __f frame against the __n frame
+    // (|periods| × maxLag blob pairs, one AND-cardinality each) inside
+    // the single task the windows had funneled the frame to. Within a
+    // (segment [, shard]) partition an id appears in AT MOST ONE __f
+    // bitmap (its first step-1 period — __f is the prefix-ANDNOT
+    // new-set) and AT MOST ONE __n bitmap (__c is monotone, so each id
+    // converts exactly once), and shards partition the id space, so
+    // Σ_{pairs} |F_pa ∩ N_pb| is exactly one row per (segment, id) in
+    // the equi-join of the exploded id rows — an ordinary parallel
+    // shuffle join, linear in the id count instead of quadratic in the
+    // period count. The lag-window condition (0 ≤ pb − pa ≤ maxLag) and
+    // the null-period behavior (a null pa/pb never satisfies the range
+    // predicate) carry over verbatim; `converted` keeps the sum-typed
+    // long the blob walk produced.
+    val fIds = frame.select((segCols ++ Seq(col("period").as("__pa"),
+      explode_outer(B.ids(col("__f"))).as("__id"))): _*)
+      .filter(col("__id").isNotNull)
+    val nIds = frame.select((segCols ++ Seq(col("period").as("__pb"),
+      explode_outer(B.ids(col("__n"))).as("__id"))): _*)
+      .filter(col("__id").isNotNull)
+    fIds.join(nIds, segmentBy :+ "__id")
+      .filter(col("__pb") >= col("__pa") &&
+        col("__pb") <= col("__pa") + maxLagPeriods)
+      .groupBy((segmentBy.map(col) :+
+        (col("__pb") - col("__pa")).as("lag_periods")): _*)
+      .agg(sum(lit(1L)).as("converted"))
       .filter(col("converted") >= 1)
       .orderBy((segmentBy.map(col) :+ col("lag_periods")): _*)
   }
@@ -2434,11 +2437,23 @@ final class CubeService(spark: SparkSession, storageDir: String,
     // exactly one shard, so the per-shard walk + re-sum collapses into
     // the same group-bys). Output is row- and type-identical; the
     // oracle gate covers the equivalence.
+    // MERGE-THEN-EXPLODE (optimization round 19, the cohortValueFrom
+    // rationale): union the bitmaps per (segment, period [, shard])
+    // first (ObjectHashAggregate, map-side partial blob unions), then
+    // explode — the Generate runs parallel behind the exchange instead
+    // of inside the single-file snapshot scan task, and the union
+    // already dedupes, so the exploded rows ARE the distinct activity
+    // set (ids are disjoint across shards) and the .distinct() shuffle
+    // of exploded rows disappears.
+    val shardCols =
+      if (cube.config.bitmapShardBits > 0) Seq(col(CubeManager.ShardCol))
+      else Nil
     val acts = cube.live
-      .select((segCols ++ Seq(periodKey,
-        explode_outer(B.ids(col(bitmapId))).as("__id"))): _*)
+      .groupBy((segCols ++ Seq(periodKey) ++ shardCols): _*)
+      .agg(B.unionAgg(col(bitmapId)).as("__bm"))
+      .select((segCols ++ Seq(col("period"),
+        explode_outer(B.ids(col("__bm"))).as("__id"))): _*)
       .filter(col("__id").isNotNull)
-      .distinct()
     // null-period fidelity: the old window ordered nulls FIRST, so an
     // id whose earliest activity fell in a null period landed in the
     // null new-set and never surfaced in any real cohort (the null
@@ -2607,14 +2622,31 @@ final class CubeService(spark: SparkSession, storageDir: String,
     // lives in exactly one shard). Output row- and type-identical; the
     // oracle gate covers the equivalence, and the family stays
     // delete-capable for the same reason the maps are (signed nets).
+    //
+    // MERGE-THEN-EXPLODE (optimization round 19): exploding raw cell
+    // entries put the Generate inside the SCAN stage — one task on the
+    // single-file cube snapshot (Probe19: q293 warm ≈ 3.4x q281's) —
+    // and shuffled every raw entry row to net it. Merging the maps per
+    // (segment, period [, shard]) FIRST (ObjectHashAggregate —
+    // map-side partial blob merges, the pointwise addition that IS the
+    // net) moves the explode behind the exchange, where it runs
+    // parallel across period groups, and its output needs no second
+    // aggregate: a merged map's entries are already the net (cnt, w)
+    // per id. Sharded cubes merge per shard (ids are disjoint across
+    // shards, so per-shard entries are final and the shard column
+    // drops at the explode) — the per-group blob buffer stays bounded
+    // exactly as the shard mechanism intends.
+    val shardCols =
+      if (cube.config.bitmapShardBits > 0) Seq(col(CubeManager.ShardCol))
+      else Nil
     val net = cube.live
-      .select((segCols ++ Seq(periodKey,
-        explode_outer(W.entries(col(weightedId))).as("__e"))): _*)
-      .filter(col("__e").isNotNull)
-      .groupBy((segCols ++ Seq(col("period"),
-        col("__e.id").as("__id"))): _*)
-      .agg(sum(col("__e.cnt")).as("__cnt"), sum(col("__e.w")).as("__w"))
-      .filter(col("__cnt") > 0)
+      .groupBy((segCols ++ Seq(periodKey) ++ shardCols): _*)
+      .agg(W.mergeAgg(col(weightedId)).as("__wm"))
+      .select((segCols ++ Seq(col("period"),
+        explode_outer(W.entries(col("__wm"))).as("__e"))): _*)
+      .filter(col("__e").isNotNull && col("__e.cnt") > 0)
+      .select((segCols ++ Seq(col("period"), col("__e.id").as("__id"),
+        col("__e.w").as("__w"))): _*)
     // null-period fidelity — the cohortFrom rule: any null-period
     // presence excludes the id from every real cohort.
     val first = net

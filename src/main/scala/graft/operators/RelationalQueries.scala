@@ -1462,7 +1462,11 @@ object RelationalQueries {
     // bounded small by the schema; a production miner caps them
     // explicitly). Pair multiset identical, so every downstream
     // support/confidence/lift value is unchanged.
-    val pairs = items.groupBy(col("ok"))
+    // isNotNull pins the old self-join's null semantics (an inner join
+    // on x.ok === y.ok drops null keys; groupBy would keep the null
+    // group and generate pairs inside it) — free here, l_orderkey is
+    // non-null, but the equivalence must not depend on that
+    val pairs = items.filter(col("ok").isNotNull).groupBy(col("ok"))
       .agg(sort_array(collect_list(col("p"))).as("ps"))
       .select(explode_outer(expr(
         """flatten(transform(ps, a ->
