@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * decomposes the cohort-serve cost (cube scan vs serve plan vs repeat
   * run) so changes target the measured component. Not part of the
   * graded surface; run with
-  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.ServeProbe"
+  *   SPARK_GRAFT_SF_DIR=... sbt "Test/runMain graft.ServeProbe"
   */
 object ServeProbe {
   def main(args: Array[String]): Unit = {
